@@ -1,13 +1,640 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{MinHash, SimHash, TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.ops.{Scd2, StarSchema}
+import graft.pipeline.FixedClock
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] exercises one operator family from
+  * SURVEY.md §2 (or one of the LLM-pipeline extensions) through the graft
+  * library, and [[oracleSql]] carries the equivalent DuckDB SQL. Column
+  * names are aligned between both sides; computed doubles either mirror the
+  * exact fp expression tree (per-row math) or are rounded (shuffled
+  * aggregates, where summation order is nondeterministic in any engine).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") graft.io.Readers.parquetNanos(s, s"$dir/events.parquet", Seq("ts"))
+    else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    q04StarJoin(spark, "/root/testdata/sf0.001")
+
+  // ───────────────────────── core relational (SURVEY §2.12) ─────────────
+
+  /** A1/A2 — grouped aggregation with partial (map-side) combine. */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** F1/P13 — filter + projection; predicate and column pruning reach the
+    * parquet scan (PushedFilters in explain). */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 49 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate").cast("date").as("ship_date"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** J5/A1 — join + aggregate (customer side broadcast by Catalyst/AQE). */
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders").join(T(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("c_mktsegment"))
+
+  /** J5 star join — dims broadcast, fact never shuffles for the lookups. */
+  private def q04StarJoin(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy(col("r_name"))
+
+  /** J2 — left anti join (customers with no high-value orders). */
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .join(T(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** J3 — left semi join (customers with at least one finished order). */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .join(T(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** D1 — full-row distinct. */
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** D2 — keyed dedup with a deterministic survivor (latest order per
+    * customer) via the library's window-based dedup. */
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    StarSchema.dedupKeyed(
+      T(s, dir, "orders"),
+      Seq("o_custkey"),
+      Seq(col("o_orderdate").desc, col("o_orderkey").desc)
+    )
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+
+  /** U1 — unionByName of two differently-ordered projections. */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    val hi = o.filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_totalprice"), lit("high").as("bucket"))
+    val lo = o.filter(col("o_totalprice") < 2000)
+      .select(lit("low").as("bucket"), col("o_totalprice"), col("o_orderkey"))
+    hi.unionByName(lo).orderBy(col("o_orderkey"))
+  }
+
+  /** P9/P10 — concat_ws + sha2/md5 surrogate keys (the SCD2 hash family). */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        sha2(concat_ws("|", col("c_custkey"), col("c_name")), 256).as("sk"),
+        md5(col("c_name")).as("name_fp")
+      )
+      .orderBy(col("c_custkey"))
+
+  /** P6/T2 — null→"None" fill on string columns (quirk reproduced). */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val withNulls = T(s, dir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_mktsegment") === "BUILDING", lit(null)).otherwise(col("c_mktsegment")).as("seg"))
+    graft.ops.Cleaner.fillNone(withNulls).orderBy(col("c_custkey"))
+  }
+
+  /** P3/P4 — trim + regexp_replace (the phone-dash cleaner's ops). */
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        regexp_replace(col("o_orderpriority"), "-", "").as("priority_clean"),
+        trim(concat(lit("  "), col("o_orderstatus"), lit("  "))).as("status_trim")
+      )
+      .orderBy(col("o_orderkey"))
+
+  /** P5 — multi-value split into part1/part2 (reference's or-split shape). */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val parts = split(col("p_name"), " ")
+    T(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        trim(parts.getItem(0)).as("name_part1"),
+        trim(parts.getItem(1)).as("name_part2")
+      )
+      .orderBy(col("p_partkey"))
+  }
+
+  /** P7/T1 — the timestamp→string format quirk (single-H hour). */
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(col("event_id"), graft.ops.Cleaner.timestampToRefString(col("ts")).as("ts_ref"))
+      .orderBy(col("event_id"))
+
+  /** Window — running total per customer (deterministic frame). */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    T(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        round(sum(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_total")
+      )
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Window — top-3 per group with deterministic tie-break. */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    T(s, dir, "part")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("p_brand"), col("rank"), col("p_partkey"), col("p_retailprice"))
+      .orderBy(col("p_brand"), col("rank"))
+  }
+
+  /** Time-bucketed aggregation (the batch twin of the streaming hourly agg). */
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("hour_ts"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** §2.11 — SCD2 hash-diff merge, faithful mode, deterministic clock.
+    * Run 1 seeds the dimension from `customer`; run 2 applies a mutated
+    * snapshot (segment change for custkey%7=0, new keys for custkey%101=0)
+    * and must produce unchanged ∪ expired ∪ changed exactly. */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val spec = Scd2.Scd2Spec(Seq("c_custkey"), Seq("c_name", "c_mktsegment"), "customer_sk", "dim_customer")
+    val existing = Scd2.faithful(base, None, spec, FixedClock("2024-01-01 00:00:00"))
+    val mutated = base.select(
+      col("c_custkey"), col("c_name"),
+      when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("_V2")))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    val newRows = base.filter(col("c_custkey") % 101 === 0).select(
+      (col("c_custkey") + 1000000).as("c_custkey"),
+      concat(lit("NEW "), col("c_name")).as("c_name"),
+      col("c_mktsegment"))
+    val snapshot = mutated.unionByName(newRows)
+    Scd2.faithful(snapshot, Some(existing), spec, FixedClock("2024-06-01 00:00:00"))
+      .select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"), col("customer_sk"),
+        date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss").as("created_at"),
+        date_format(col("modified_at"), "yyyy-MM-dd HH:mm:ss").as("modified_at"),
+        col("is_active"), col("old_hash"))
+      .orderBy(col("c_custkey"), col("is_active"))
+  }
+
+  /** Conditional aggregation (pivot-shaped, portable across engines). */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders").join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p")
+      )
+      .orderBy(col("c_mktsegment"))
+
+  /** Rollup (grouping sets) — free from Spark SQL, matched by DuckDB. */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  // ───────────────────────── LLM-pipeline: text ─────────────────────────
+
+  /** Document fingerprinting: md5 of normalized text + polynomial rolling
+    * hash — both per-row, codegen'd, oracle-replicable. */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), TF.fingerprint(col("text")).as("fingerprint"),
+        TF.rollingHash(col("text")).as("rolling_hash"))
+      .orderBy(col("doc_id"))
+
+  /** Exact dedup via fingerprint grouping (survivor = lowest doc_id). */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(T(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Token counting: whitespace tokens + BPE-ish subword regex tokens. */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TF.subwordCount(col("text")).cast("long").as("n_subwords"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring — exact fp-expression mirror on both sides. */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Language ID heuristic vs the labeled lang column. */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    TF.withLangId(T(s, dir, "documents"), "text", "pred_lang")
+      .withColumn("correct", (col("lang") === col("pred_lang")).cast("int"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("correct"))
+      .orderBy(col("doc_id"))
+
+  /** N-gram Jaccard near-dup pairs within a blocking key (source). */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id", "source", 3, 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** MinHash signatures (16 perms) digested per doc — the map-side half of
+    * LSH dedup, hash-matched against the oracle. */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    TF.withShingles(T(s, dir, "documents"), "text", "__sh", 3)
+      .withColumn("__sig", MinHash.signature(col("__sh"), 16))
+      .select(col("doc_id"), md5(concat_ws(",", col("__sig"))).as("sig_digest"))
+      .orderBy(col("doc_id"))
+
+  /** MinHash LSH near-dup pairs (banded candidates → exact Jaccard). */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(T(s, dir, "documents"), "text", "doc_id",
+      threshold = 0.3, shingleSize = 3, numHashes = 16, bands = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash fingerprints (60-bit, portable bit extraction). */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashFingerprints(T(s, dir, "documents"), "text", "doc_id")
+      .select(col("id").as("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+
+  // ───────────────────────── LLM-pipeline: vectors ──────────────────────
+
+  /** Brute-force exact top-k cosine neighbors for 10 query vectors. */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold. */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(T(s, dir, "embeddings"), "embedding", "vec_id", 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ───────────────────────── events / sessions ──────────────────────────
+
+  /** Gap-based sessionization, batch mode (window-function formulation —
+    * the streaming twin lives in graft.streaming.EventStream). */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000 // 30 min
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("session_start_us"), max(col("us")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  // ───────────────────────── multimodal ─────────────────────────────────
+
+  /** Multimodal metadata path: text → binary payload → batched feature
+    * extraction (decode is a deterministic stub; plumbing is real). */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withFakeMedia(T(s, dir, "documents"), "doc_id", "text")
+    Multimodal.extractFeatures(s, media).toDF()
+      .select(col("media_id"), col("mime"), col("byte_len"))
+      .orderBy(col("media_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_join_agg" -> (q03 _),
+    "q04_star_join" -> (q04StarJoin _),
+    "q05_anti_join" -> (q05 _),
+    "q06_semi_join" -> (q06 _),
+    "q07_distinct" -> (q07 _),
+    "q08_dedup_latest_order" -> (q08 _),
+    "q09_union_buckets" -> (q09 _),
+    "q10_surrogate_keys" -> (q10 _),
+    "q11_fill_none" -> (q11 _),
+    "q12_clean_strings" -> (q12 _),
+    "q13_split_parts" -> (q13 _),
+    "q14_ts_format_quirk" -> (q14 _),
+    "q15_running_total" -> (q15 _),
+    "q16_topn_per_brand" -> (q16 _),
+    "q17_events_hourly" -> (q17 _),
+    "q18_scd2_faithful" -> (q18 _),
+    "q19_conditional_agg" -> (q19 _),
+    "q20_rollup" -> (q20 _),
+    "q21_doc_fingerprint" -> (q21 _),
+    "q22_exact_dedup" -> (q22 _),
+    "q23_token_stats" -> (q23 _),
+    "q24_quality_score" -> (q24 _),
+    "q25_lang_id" -> (q25 _),
+    "q26_ngram_jaccard" -> (q26 _),
+    "q27_minhash_sig" -> (q27 _),
+    "q28_minhash_neardup" -> (q28 _),
+    "q29_simhash" -> (q29 _),
+    "q30_embed_topk" -> (q30 _),
+    "q31_embed_neardup" -> (q31 _),
+    "q32_sessionize" -> (q32 _),
+    "q33_multimodal_meta" -> (q33 _)
+  )
+
+  // ───────────────────────── DuckDB oracle SQL ──────────────────────────
+
+  private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  private val shinglesSql =
+    s"""list_distinct(CASE WHEN len(w) < 3 THEN [] ELSE
+       | list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)""".stripMargin
+  private val docShinglesCte =
+    s"""docsh AS (SELECT doc_id, source, $shinglesSql AS sh FROM
+       | (SELECT doc_id, source, regexp_split_to_array($normSql, ' ') AS w FROM documents))""".stripMargin
+  private val jaccardSql =
+    """CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) = 0 THEN 0.0
+      | ELSE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE END""".stripMargin
+
+  /** Sequential-fold dot product mirror of VectorFunctions.dot. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
+       | i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)""".stripMargin
+
+  private def cosineSql(a: String, b: String): String =
+    s"""CASE WHEN sqrt(${dotSql(a, a)}) = 0.0 OR sqrt(${dotSql(b, b)}) = 0.0 THEN 0.0
+       | ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END""".stripMargin
+
+  private val langCase = {
+    val zh = "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))"
+    val en = "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|that|with|for)\\b'))"
+    val de = "len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit|ein)\\b'))"
+    val es = "len(regexp_extract_all(lower(text), '\\b(el|la|los|las|que|es|una|para)\\b'))"
+    val fr = "len(regexp_extract_all(lower(text), '\\b(le|la|les|des|est|une|dans|pour)\\b'))"
+    s"""CASE WHEN $zh >= $en AND $zh >= $de AND $zh >= $es AND $zh >= $fr THEN 'zh'
+       | WHEN $en >= $zh AND $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+       | WHEN $de >= $zh AND $de >= $en AND $de >= $es AND $de >= $fr THEN 'de'
+       | WHEN $es >= $zh AND $es >= $en AND $es >= $de AND $es >= $fr THEN 'es'
+       | ELSE 'fr' END""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        | CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem WHERE l_quantity >= 49 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q04_star_join" ->
+      """SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2",
+    "q08_dedup_latest_order" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q09_union_buckets" ->
+      """SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 400000
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice < 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q10_surrogate_keys" ->
+      """SELECT c_custkey, sha256(concat_ws('|', c_custkey, c_name)) AS sk, md5(c_name) AS name_fp
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q11_fill_none" ->
+      """SELECT c_custkey, coalesce(nullif(c_mktsegment, 'BUILDING'), 'None') AS seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q12_clean_strings" ->
+      """SELECT o_orderkey, regexp_replace(o_orderpriority, '-', '', 'g') AS priority_clean,
+        | trim('  ' || o_orderstatus || '  ') AS status_trim
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q13_split_parts" ->
+      """SELECT p_partkey, trim(split_part(p_name, ' ', 1)) AS name_part1,
+        | trim(split_part(p_name, ' ', 2)) AS name_part2
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q14_ts_format_quirk" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%dT%-H:%M:%S') AS ts_ref
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q15_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | row_number() OVER w AS rn,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q16_topn_per_brand" ->
+      """SELECT p_brand, rank, p_partkey, p_retailprice FROM (
+        | SELECT p_brand, p_partkey, p_retailprice,
+        |  row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rank
+        | FROM part) WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin,
+    "q17_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q18_scd2_faithful" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+        |ex AS (SELECT c_custkey, c_name, c_mktsegment,
+        |  sha256(concat_ws('|', c_name, c_mktsegment)) AS old_hash,
+        |  sha256(concat_ws('|', c_custkey)) AS customer_sk,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS created_at,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS modified_at, TRUE AS is_active FROM base),
+        |nw AS (SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || '_V2' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM base
+        | UNION ALL
+        | SELECT c_custkey + 1000000, 'NEW ' || c_name, c_mktsegment FROM base WHERE c_custkey % 101 = 0),
+        |nh AS (SELECT *, sha256(concat_ws('|', c_name, c_mktsegment)) AS hash FROM nw),
+        |chg AS (SELECT n.* FROM nh n LEFT JOIN ex o ON n.c_custkey = o.c_custkey AND o.is_active
+        |  WHERE n.hash <> o.old_hash OR o.old_hash IS NULL),
+        |unchanged AS (SELECT c_custkey, c_name, c_mktsegment, customer_sk, created_at, modified_at,
+        |  is_active, old_hash FROM ex
+        |  WHERE is_active AND c_custkey NOT IN (SELECT c_custkey FROM chg)),
+        |expired AS (SELECT e.c_custkey, e.c_name, e.c_mktsegment, e.customer_sk, e.created_at,
+        |  TIMESTAMP '2024-06-01 00:00:00' AS modified_at, FALSE AS is_active, e.old_hash
+        |  FROM ex e JOIN (SELECT DISTINCT c_custkey FROM chg) c ON e.c_custkey = c.c_custkey),
+        |stamped AS (SELECT c_custkey, c_name, c_mktsegment,
+        |  sha256(concat_ws('|', c_custkey)) AS customer_sk,
+        |  TIMESTAMP '2024-06-01 00:00:00' AS created_at, TIMESTAMP '2024-06-01 00:00:00' AS modified_at,
+        |  TRUE AS is_active, hash AS old_hash FROM chg)
+        |SELECT c_custkey, c_name, c_mktsegment, customer_sk,
+        | strftime(created_at, '%Y-%m-%d %H:%M:%S') AS created_at,
+        | strftime(modified_at, '%Y-%m-%d %H:%M:%S') AS modified_at, is_active, old_hash
+        |FROM (SELECT * FROM unchanged UNION ALL SELECT * FROM expired UNION ALL SELECT * FROM stamped)
+        |ORDER BY c_custkey, is_active""".stripMargin,
+    "q19_conditional_agg" ->
+      """SELECT c_mktsegment,
+        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q21_doc_fingerprint" ->
+      s"""SELECT doc_id, md5(norm) AS fingerprint,
+         | list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(norm) + 1),
+         |   i -> ascii(substr(norm, i::INT, 1))::BIGINT)),
+         |   (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
+         |FROM (SELECT doc_id, $normSql AS norm FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q22_exact_dedup" ->
+      s"""SELECT doc_id, md5($normSql) AS fingerprint FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) = 1
+         |ORDER BY doc_id""".stripMargin,
+    "q23_token_stats" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens,
+        | len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\s\p{L}0-9]'))::BIGINT AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q24_quality_score" ->
+      """SELECT doc_id,
+        | (CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE len(regexp_extract_all(text, '[\p{L}]'))::DOUBLE / length(text) END) * 0.5
+        | + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text) END) * 0.2
+        | + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) END) * 0.2
+        | + least((CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE / 100.0, 1.0) * 0.1
+        | AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_lang_id" ->
+      s"""SELECT doc_id, lang, $langCase AS pred_lang,
+         | (lang = ($langCase))::INT AS correct
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q26_ngram_jaccard" ->
+      s"""WITH $docShinglesCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
+         |FROM docsh a JOIN docsh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE $jaccardSql >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q27_minhash_sig" ->
+      s"""WITH $docShinglesCte
+         |SELECT doc_id, md5(array_to_string(list_transform(range(0, 16),
+         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')),
+         |  ',')) AS sig_digest
+         |FROM docsh ORDER BY doc_id""".stripMargin,
+    "q28_minhash_neardup" ->
+      s"""WITH $docShinglesCte,
+         |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),
+         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS mh
+         |  FROM docsh),
+         |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+         |  j -> md5(j::VARCHAR || ',' || array_to_string(mh[j*4+1:j*4+4], ',')))) AS bk FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, $jaccardSql AS jaccard
+         |FROM cand JOIN docsh a ON a.doc_id = id_a JOIN docsh b ON b.doc_id = id_b
+         |WHERE $jaccardSql >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q29_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim($normSql), '\\s+') AS w FROM documents)
+         |SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 60), b ->
+         |  CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform(w, t ->
+         |    (2 * (floor((instr('0123456789abcdef', substr(md5(t), (b // 4)::INT + 1, 1)) - 1)
+         |       / ([8, 4, 2, 1])[(b % 4) + 1])::BIGINT % 2) - 1)::BIGINT)),
+         |    (acc, x) -> acc + x) > 0 THEN 1::BIGINT ELSE 0::BIGINT END)),
+         |  (acc, bit) -> acc * 2 + bit) AS simhash
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "q30_embed_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT query_id, vec_id AS corpus_id, ${cosineSql("qv", "embedding")} AS cosine
+         |  FROM embeddings CROSS JOIN q WHERE query_id <> vec_id)
+         |SELECT query_id, rank, corpus_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "q31_embed_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         | ${cosineSql("a.embedding", "b.embedding")} AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q32_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |lagged AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |flagged AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS nf
+        |  FROM lagged),
+        |sess AS (SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM flagged)
+        |SELECT user_id, session_id, min(us) AS session_start_us, max(us) AS session_end_us,
+        | count(*) AS n_events
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "q33_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
+        | octet_length(encode(text))::BIGINT AS byte_len
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
 }

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector (embedding) column functions over `array<float>` / `array<double>`.
+  *
+  * Built on the higher-order builtins `zip_with` / `aggregate` so the dot
+  * product stays inside whole-stage codegen — no UDF, no serialization
+  * round-trip. Accumulation is sequential in double precision, which is
+  * also what the DuckDB oracle does, so results compare bit-for-bit at
+  * equal input.
+  *
+  * Scale: all per-row; a brute-force top-k over N×M pairs is the *caller's*
+  * shuffle decision (see [[graft.operators.Similarity]] for the
+  * broadcast/LSH strategies).
+  */
+object VectorFunctions {
+
+  /** Sequential-sum dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, 0 when either norm is 0. Computed exactly as
+    * dot / (sqrt(dot(a,a)) * sqrt(dot(b,b))) — the oracle mirrors this
+    * formula (not a builtin cosine) to keep fp-op order identical. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /** Euclidean (L2) distance. */
+  def l2(a: Column, b: Column): Column =
+    sqrt(
+      aggregate(
+        zip_with(a, b, (x, y) => {
+          val diff = x.cast("double") - y.cast("double")
+          diff * diff
+        }),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+    )
+}

@@ -1,0 +1,62 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source scans (SURVEY.md §2.1).
+  *
+  * All readers return lazy plans; Catalyst pushes filters/column pruning into
+  * the file scans (check with `.explain("formatted")` → `PushedFilters`,
+  * `ReadSchema`). Nothing here collects to the driver except `headerOf`,
+  * which mirrors the reference's `df.first()` header probe
+  * (reference: Source_Raw_Dynamic.py:93-99).
+  */
+object Readers {
+
+  /** S3 — raw text scan, one string per line (for pre-parse CSV repair;
+    * reference: Source_Raw_Dynamic.py:92). */
+  def text(spark: SparkSession, path: String): Dataset[String] =
+    spark.read.textFile(path)
+
+  /** S4 — header extraction: first line of the text scan. Driver action by
+    * design (arity/names must be known before the distributed parse). */
+  def headerOf(lines: Dataset[String]): Option[Array[String]] =
+    lines.head(1).headOption.map(graft.ops.CsvRepair.parseLine(_).getOrElse(Array.empty))
+
+  /** S5 — CSV scan with header, all columns string (no inferSchema — matches
+    * reference: Raw_To_Staging.py:166 so the declared-schema cast is the only
+    * typing step). */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
+  /** CSV with an explicit schema (used by tests and the typed ingest path). */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S6 — parquet scan. */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Test-data table by name: `<sfDir>/<table>.parquet`. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    parquet(spark, s"$sfDir/$name.parquet")
+
+  /** Parquet files carrying TIMESTAMP(NANOS) columns, which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as raw longs
+    * (legacy conf) and convert to microsecond timestamps with exact integer
+    * division (`div`, not `/` — ns epoch values exceed a double's 2^53
+    * mantissa, so float division would corrupt them). */
+  def parquetNanos(spark: SparkSession, path: String, nanosCols: Seq[String]): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path)
+    nanosCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
+    }
+  }
+
+  /** S8 — empty relation with an explicit schema (SCD2 first-run seed;
+    * reference: Patient_datamart.py:92-98). */
+  def emptyWithSchema(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three strategies, in ascending scale:
+  *
+  *   - [[bruteForceTopK]]: exact top-k for a (small) query set against the
+  *     corpus. The query side is broadcast, so the corpus is scanned once
+  *     with no shuffle of vectors; the only shuffle is the per-query top-k
+  *     (rows = |queries|·|corpus| reduced map-side by the window's
+  *     rank pushdown — in practice bound k·|queries| per partition after
+  *     partial sort). Correct baseline + the verifier for the ANN paths.
+  *
+  *   - [[ivfTopK]]: IVF-style — assign every corpus vector to its nearest
+  *     centroid (map-side vs broadcast centroids), search only the probed
+  *     cells. Cuts the scanned fraction to nprobe/ncells; exactness is
+  *     traded per standard IVF semantics.
+  *
+  *   - [[lshBuckets]]: random-hyperplane (SRP) bucketing for cosine space —
+  *     vectors in the same bucket are near-dup candidates. Deterministic
+  *     hyperplanes derived from a seed so results are reproducible.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries`/`corpus`: (id, vec). Self-matches excluded. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    // Norms precomputed per side — the O(|q|·|corpus|) scoring loop then
+    // only does the dot product (bit-identical result, 3× fewer flops).
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
+      VectorFunctions.norm(col(vecCol)).as("c_nrm"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      VectorFunctions.norm(col(vecCol)).as("q_nrm"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine",
+        when(col("q_nrm") === 0.0 || col("c_nrm") === 0.0, lit(0.0))
+          .otherwise(VectorFunctions.dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  /** IVF cell assignment: nearest centroid id (by cosine) for every vector.
+    * `centroids`: (centroid_id, vec) — small, broadcast. */
+  def assignCells(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val c = centroids.select(col("centroid_id"), col(vecCol).as("cent_vec"))
+    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("centroid_id").asc)
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(c))
+      .withColumn("sim", VectorFunctions.cosine(col("vec"), col("cent_vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("vec"), col("centroid_id").as("cell"))
+  }
+
+  /** IVF top-k: search only the `nprobe` cells nearest to each query.
+    * Returns (query_id, corpus_id, cosine, rank) like the brute force. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val cells = assignCells(corpus, centroids, idCol, vecCol)
+    val c = centroids.select(col("centroid_id"), col(vecCol).as("cent_vec"))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id").asc)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(c))
+      .withColumn("csim", VectorFunctions.cosine(col("q_vec"), col("cent_vec")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("centroid_id").as("cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id").asc)
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("q_vec"), col("vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("corpus_id"), col("cosine"), col("rank"))
+  }
+
+  /** Signed-random-projection bucket key per vector: `nPlanes` hyperplanes
+    * with deterministic ±1-ish coefficients derived from (seed, plane, dim)
+    * via md5 — reproducible across engines and runs without any RNG state.
+    * Bucket = packed sign bits (long). */
+  def lshBuckets(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int = 16,
+      seed: Int = 42
+  ): DataFrame = {
+    val vec = col(vecCol)
+    val bits = transform(
+      sequence(lit(0), lit(nPlanes - 1)),
+      p => {
+        // projection = Σ_d vec[d] * coef(p, d), coef ∈ {-1, +1} from md5 parity
+        val proj = aggregate(
+          zip_with(
+            vec,
+            sequence(lit(0), size(vec) - 1),
+            (x, d) => {
+              val parityHex = substring(md5(concat_ws(":", lit(seed), p, d)), 1, 1)
+              val coef = when(instr(lit("0123456789abcdef"), parityHex) % 2 === 1, lit(1.0))
+                .otherwise(lit(-1.0))
+              x.cast("double") * coef
+            }
+          ),
+          lit(0.0),
+          (acc, v) => acc + v
+        )
+        when(proj > 0, lit(1L)).otherwise(lit(0L))
+      }
+    )
+    corpus.select(
+      col(idCol).as("id"),
+      vec.as("vec"),
+      aggregate(bits, lit(0L), (acc, b) => acc * 2 + b).as("bucket")
+    )
+  }
+}

@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.pipeline.{Clock, SystemClock}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SCD2 hash-diff merge (SURVEY.md §2.11; reference:
+  * Patient_datamart.py:45-115).
+  *
+  * Spec mirrors the reference signature `scd2_merge(new_df, path, key_cols,
+  * hash_cols, sk_col, table_name)`. Two explicit modes:
+  *
+  *   - [[Scd2.faithful]] reproduces the reference exactly, including its
+  *     documented semantic traps: history rows (is_active=false) whose keys
+  *     did not change in this run are DROPPED from the rewritten table;
+  *     `created_at` resets whenever a row changes; the whole table is
+  *     overwritten each run.
+  *   - [[Scd2.idiomatic]] is the correct SCD2: all history preserved,
+  *     `created_at` carried from the prior active version.
+  *
+  * Scale notes: the three joins all shuffle on `keyCols`; Catalyst plans one
+  * exchange per side and reuses it where possible, and the changed-keys side
+  * of the expire join is tiny after the diff so AQE turns it into a
+  * broadcast join at runtime. The `existing` input is cached by the caller
+  * when it is reused across the three joins (reference caches too,
+  * Patient_datamart.py:60).
+  */
+object Scd2 {
+
+  final case class Scd2Spec(
+      keyCols: Seq[String],
+      hashCols: Seq[String],
+      skCol: String,
+      table: String
+  )
+
+  /** P10 — row-content hash: sha2(concat_ws("|", cols), 256)
+    * (reference: Patient_datamart.py:53). */
+  def rowHash(cols: Seq[String]): Column =
+    sha2(concat_ws("|", cols.map(col): _*), 256)
+
+  private val auditCols = Seq("created_at", "modified_at", "is_active", "old_hash")
+
+  /** Faithful merge. `existing` is the current dimension table (possibly
+    * empty/absent → pass None for a first run). Returns the full rewritten
+    * dimension. */
+  def faithful(
+      newDf: DataFrame,
+      existing: Option[DataFrame],
+      spec: Scd2Spec,
+      clock: Clock = SystemClock
+  ): DataFrame = {
+    val newHashed = newDf.withColumn("hash", rowHash(spec.hashCols))
+    val baseCols = newDf.columns.toSeq
+
+    val existingDf = existing match {
+      case Some(df) if !df.isEmpty => df.cache()
+      case _ =>
+        // First run: every new row is "changed"; seed an empty existing frame
+        // with the SCD2 bookkeeping columns (reference:
+        // Patient_datamart.py:89-98).
+        null
+    }
+
+    if (existingDf == null) {
+      return stampChanged(newHashed, spec, clock)
+    }
+
+    val active = existingDf.filter(col("is_active") === true)
+
+    // changed = new ⟕ active ON keys WHERE hash differs or no match
+    // (reference: Patient_datamart.py:68-79)
+    val joinCond = spec.keyCols
+      .map(k => col(s"new.$k") === col(s"old.$k"))
+      .reduce(_ && _)
+    val joined = newHashed.alias("new").join(
+      active.select((spec.keyCols.map(col) :+ col("old_hash")): _*).alias("old"),
+      joinCond,
+      "left"
+    )
+    val changedNew = joined
+      .filter(col("new.hash") =!= col("old.old_hash") || col("old.old_hash").isNull)
+      .select((baseCols :+ "hash").map(c => col(s"new.$c").as(c)): _*)
+
+    val changed = stampChanged(changedNew.drop("hash").withColumn("hash", rowHash(spec.hashCols)), spec, clock)
+
+    // unchanged = active ⟕anti changed ON keys (reference: :82-83)
+    val changedKeys = changed.select(spec.keyCols.map(col): _*)
+    val unchanged = active.join(changedKeys, spec.keyCols, "left_anti")
+
+    // expired = existing ⨝ changed-keys, flip flags (reference: :85-87).
+    // NOTE the reference joins the FULL existing table here (not just
+    // active), and inner-join duplicates if keys repeat — kept faithfully.
+    val expired = existingDf
+      .join(changedKeys, spec.keyCols.toSeq, "inner")
+      .withColumn("is_active", lit(false))
+      .withColumn("modified_at", clock.now)
+
+    val outCols = (baseCols ++ Seq(spec.skCol) ++ auditCols)
+    unchanged.select(outCols.map(col): _*)
+      .unionByName(expired.select(outCols.map(col): _*))
+      .unionByName(changed.select(outCols.map(col): _*))
+  }
+
+  /** Stamp a changed/new slice with surrogate key + audit columns
+    * (reference: Patient_datamart.py:100-105). */
+  private def stampChanged(dfWithHash: DataFrame, spec: Scd2Spec, clock: Clock): DataFrame = {
+    val df = if (dfWithHash.columns.contains("hash")) dfWithHash
+             else dfWithHash.withColumn("hash", rowHash(spec.hashCols))
+    df.withColumn(spec.skCol, sha2(concat_ws("|", spec.keyCols.map(col): _*), 256))
+      .withColumn("created_at", clock.now)
+      .withColumn("modified_at", clock.now)
+      .withColumn("is_active", lit(true))
+      .withColumnRenamed("hash", "old_hash")
+  }
+
+  /** Idiomatic (correct) SCD2: preserves all history, carries created_at
+    * forward for changed keys, appends rather than dropping inactive rows
+    * whose keys did not change. Same inputs/spec as [[faithful]]. */
+  def idiomatic(
+      newDf: DataFrame,
+      existing: Option[DataFrame],
+      spec: Scd2Spec,
+      clock: Clock = SystemClock
+  ): DataFrame = {
+    val existingDf = existing.filter(!_.isEmpty)
+    if (existingDf.isEmpty) return faithful(newDf, None, spec, clock)
+    val ex = existingDf.get.cache()
+    val active = ex.filter(col("is_active") === true)
+    val newHashed = newDf.withColumn("hash", rowHash(spec.hashCols))
+    val baseCols = newDf.columns.toSeq
+
+    val joinCond = spec.keyCols.map(k => col(s"new.$k") === col(s"old.$k")).reduce(_ && _)
+    val changedNew = newHashed.alias("new")
+      .join(active.select((spec.keyCols.map(col) :+ col("old_hash")): _*).alias("old"), joinCond, "left")
+      .filter(col("new.hash") =!= col("old.old_hash") || col("old.old_hash").isNull)
+      .select((baseCols :+ "hash").map(c => col(s"new.$c").as(c)): _*)
+
+    val changed = stampChanged(changedNew, spec, clock)
+    val changedKeys = changed.select(spec.keyCols.map(col): _*)
+
+    // Expire ONLY the active version of changed keys; keep everything else
+    // (active-unchanged AND all historical rows) as-is.
+    val expired = active.join(changedKeys, spec.keyCols, "left_semi")
+      .withColumn("is_active", lit(false))
+      .withColumn("modified_at", clock.now)
+    val untouchedActive = active.join(changedKeys, spec.keyCols, "left_anti")
+    val history = ex.filter(col("is_active") === false)
+
+    val outCols = (baseCols ++ Seq(spec.skCol) ++ auditCols)
+    untouchedActive.select(outCols.map(col): _*)
+      .unionByName(history.select(outCols.map(col): _*))
+      .unionByName(expired.select(outCols.map(col): _*))
+      .unionByName(changed.select(outCols.map(col): _*))
+  }
+}

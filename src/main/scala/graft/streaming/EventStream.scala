@@ -50,7 +50,8 @@ object EventStream {
 
   final case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,
                                  session_end: java.sql.Timestamp, n_events: Int)
-  private final case class SessionState(start: Long, last: Long, n: Int)
+  // not `private`: the state encoder's generated code needs public accessors
+  final case class SessionState(start: Long, last: Long, n: Int)
 
   /** Gap-based sessionization: a session closes after `gapMs` of user
     * inactivity. Custom state via flatMapGroupsWithState — the canonical

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while seventeen pelicans " +
+      "watch from the harbor wall and the tide slowly turns past the old lighthouse"
+  private val docs = Seq(
+    (1L, base, "s1"),
+    (2L, "THE  " + base.drop(4), "s1"), // case/whitespace variant → identical normalized
+    (3L, base.replace("seventeen", "nineteen"), "s1"), // one-token change → near-dup
+    (4L, "completely different content about spark catalyst optimizers here", "s1"),
+    (5L, "another unrelated document mentioning shuffle partitions and joins", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup: normalized variants collapse, lowest id survives") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 4L, 5L)) // 2 is an exact dup of 1 after normalize
+  }
+
+  test("minhash near-dups find the planted near-duplicate pair") {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical after normalization
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard blocks by key: cross-block pairs never compared") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 3, 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // s2 block has one doc
+  }
+
+  test("simhash near-dups: identical-after-normalize pair at distance 0") {
+    val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxDistance = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k: correct neighbor order, self excluded") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .collect()
+    assert(out.length == 2)
+    assert(out.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("corpus_id") == 1L)
+    assert(!out.exists(_.getAs[Long]("corpus_id") == 0L))
+  }
+
+  test("embedding near-dups above threshold only") {
+    val pairs = Dedup.embeddingNearDups(vecs, "embedding", "vec_id", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("ivf: cell assignment routes to nearest centroid; probe search finds neighbor") {
+    val centroids = Seq((0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("centroid_id", "embedding")
+    val cells = Similarity.assignCells(vecs, centroids, "vec_id", "embedding")
+    val cellOf = cells.select("id", "cell").as[(Long, Long)].collect().toMap
+    assert(cellOf(1L) == 0L && cellOf(2L) == 1L)
+    val topk = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0), centroids,
+      "vec_id", "embedding", k = 1, nprobe = 1).collect()
+    assert(topk.head.getAs[Long]("corpus_id") == 1L)
+  }
+
+  test("srp lsh buckets: deterministic, identical vectors share a bucket") {
+    val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f)), (11L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(dup, "vec_id", "embedding").select("id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    assert(b(10L) == b(11L))
+  }
+}

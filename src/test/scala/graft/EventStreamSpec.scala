@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class EventStreamSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val batch = Seq(
+    (1L, ts("2024-01-01 10:05:00"), 100L, "click", 1.0, "{}"),
+    (2L, ts("2024-01-01 10:20:00"), 100L, "click", 2.0, "{}"),
+    (3L, ts("2024-01-01 11:10:00"), 100L, "view", 3.0, "{}"),
+    (4L, ts("2024-01-01 10:30:00"), 200L, "click", 4.0, "{}"),
+    (3L, ts("2024-01-01 11:10:00"), 100L, "view", 3.0, "{}") // dup event
+  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("hourlyByType works identically on batch (streaming contract)") {
+    val out = EventStream.hourlyByType(batch).collect()
+      .map(r => (r.getAs[Timestamp]("hour_start").toString, r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"))).toSet
+    assert(out.contains(("2024-01-01 10:00:00.0", "click", 3L)))
+    assert(out.contains(("2024-01-01 11:00:00.0", "view", 2L)))
+  }
+
+  test("streaming micro-batches: windowed counts via MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.hourlyByType(events, watermark = "10 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("hourly_test").start()
+    mem.addData((1L, ts("2024-01-01 10:05:00"), 100L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:20:00"), 100L, "click", 2.0, "{}"))
+    q.processAllAvailable()
+    val rows = spark.table("hourly_test").collect()
+    assert(rows.exists(r => r.getAs[Long]("n_events") == 2L))
+    q.stop()
+  }
+
+  test("stream dedup removes duplicate event ids (batch semantics)") {
+    assert(EventStream.dedupEvents(batch).count() == 4)
+  }
+
+  test("stateful sessionization over a stream emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.sessionize(spark, events, gapMs = 30 * 60 * 1000)
+      .writeStream.outputMode("append").format("memory").queryName("sess_test").start()
+    // two micro-batches: the second closes user 100's first session
+    mem.addData((1L, ts("2024-01-01 10:05:00"), 100L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:20:00"), 100L, "click", 2.0, "{}"))
+    q.processAllAvailable()
+    mem.addData((3L, ts("2024-01-01 12:00:00"), 100L, "view", 3.0, "{}"))
+    q.processAllAvailable()
+    val sessions = spark.table("sess_test").as[EventStream.SessionUpdate].collect()
+    assert(sessions.exists(s => s.user_id == 100L && s.n_events == 2))
+    q.stop()
+  }
+}

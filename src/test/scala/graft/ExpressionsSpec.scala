@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.{MinHash, VectorFunctions => VF}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom codegen expressions must agree exactly with the composable
+  * higher-order-function forms they replace. */
+class ExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("DotProduct == HOF dot, bitwise, on float arrays") {
+    val df = Seq(
+      (Array(1.1f, -2.2f, 3.3f), Array(0.5f, 4.4f, -1.0f)),
+      (Array(0.0f, 0.0f), Array(0.0f, 0.0f)),
+      (Array(1e-8f, 1e8f), Array(1e8f, 1e-8f))
+    ).toDF("a", "b")
+    val rows = df.select(
+      VF.dot($"a", $"b").as("fast"),
+      VF.dotHof($"a", $"b").as("ref")
+    ).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("DotProduct handles double arrays and codegen + interpreted paths agree") {
+    val df = Seq((Array(1.5, 2.5), Array(2.0, -3.0))).toDF("a", "b")
+    assert(df.select(VF.dot($"a", $"b")).head().getDouble(0) == 1.5 * 2.0 + 2.5 * -3.0)
+  }
+
+  test("IntersectSize == size(array_intersect) on distinct string arrays") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("x")),
+      (Seq.empty[String], Seq("x"))
+    ).toDF("a", "b")
+    val rows = df.select(
+      MinHash.intersectSize($"a", $"b").as("fast"),
+      size(array_intersect($"a", $"b")).as("ref")
+    ).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("SortedLongIntersectSize == intersect count on sorted long arrays") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq.empty[Long], Seq(1L))
+    ).toDF("a", "b")
+    val rows = df.select(
+      MinHash.sortedIntersectSize($"a", $"b").as("fast"),
+      size(array_intersect($"a", $"b")).as("ref")
+    ).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("hashedShingles preserves cardinality and intersection counts") {
+    val df = Seq((Seq("aa", "bb", "cc"), Seq("bb", "cc", "dd"))).toDF("a", "b")
+    val r = df.select(
+      MinHash.sortedIntersectSize(
+        MinHash.hashedShingles($"a"), MinHash.hashedShingles($"b")).as("ni"),
+      size(MinHash.hashedShingles($"a")).as("na")
+    ).head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 3)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.io.{FileCatalog, Mover, Readers, Writers}
+import graft.ops.StarSchema
+import graft.pipeline.{Pipeline, Stage}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class PipelineIoSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("mover: landing file → source + archive, original deleted, barrier check") {
+    val root = Files.createTempDirectory("graft").toString
+    val landing = s"$root/datasource"
+    Files.createDirectories(java.nio.file.Paths.get(landing))
+    Files.writeString(java.nio.file.Paths.get(s"$landing/patients.csv"), "id,name\n1,a\n")
+    val mover = new Mover()
+    val moved = mover.ingestAll(landing, root, "2024-01-01")
+    assert(moved.size == 1)
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/source/2024-01-01/patients/patients.csv")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/archive/2024-01-01/patients/patients.csv")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$landing/patients.csv")))
+    assert(mover.isComplete(root, "2024-01-01", Set("patients")))
+    assert(!mover.isComplete(root, "2024-01-01", Set("patients", "orders")))
+  }
+
+  test("file catalog: latest date partition discovery") {
+    val root = Files.createTempDirectory("graft").toString
+    for (d <- Seq("2024-01-01", "2024-02-15", "2024-02-03", "not-a-date"))
+      Files.createDirectories(java.nio.file.Paths.get(s"$root/raw/$d"))
+    val cat = new FileCatalog(root)
+    assert(cat.latestDate("raw").contains("2024-02-15"))
+    assert(cat.datePartitions("raw").size == 3)
+    assert(cat.latestDate("missing-layer").isEmpty)
+  }
+
+  test("writers: single-file csv (faithful) and partitioned parquet (scale)") {
+    val root = Files.createTempDirectory("graft").toString
+    val df = Seq((1, "2024-01-01"), (2, "2024-01-02")).toDF("id", "load_date")
+    Writers.csvSingleFile(df, s"$root/csv_out")
+    val csvFiles = new java.io.File(s"$root/csv_out").listFiles().filter(_.getName.endsWith(".csv"))
+    assert(csvFiles.length == 1) // coalesce(1) → exactly one data file
+    Writers.parquetPartitioned(df, s"$root/pq_out", Seq("load_date"))
+    assert(new java.io.File(s"$root/pq_out/load_date=2024-01-01").exists())
+    val back = Readers.parquet(spark, s"$root/pq_out").filter($"load_date" === "2024-01-01")
+    assert(back.count() == 1) // partition pruning path
+  }
+
+  test("empty relation with schema (SCD2 seed)") {
+    val schema = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))
+    val df = Readers.emptyWithSchema(spark, schema)
+    assert(df.isEmpty && df.schema == schema)
+  }
+
+  test("pipeline: failed precondition halts the stage sequence (18-file barrier)") {
+    var ran = Vector.empty[String]
+    val p = Pipeline(Seq(
+      Stage("a", _ => ran :+= "a"),
+      Stage("b", _ => ran :+= "b", precondition = _ => false),
+      Stage("c", _ => ran :+= "c")
+    ))
+    assert(p.run(spark) == Seq("a"))
+    assert(ran == Vector("a"))
+  }
+
+  test("star schema: dim input cleans, fact joins dims + measures with 0-fill") {
+    val staging = Seq(("p1", "alice", "nyc"), ("p1", "alice", "nyc"), ("p2", null, "sf"))
+      .toDF("id", "name", "city")
+    val dimIn = StarSchema.dimInput(staging, Seq("id" -> "patient_id", "name" -> "name"))
+    assert(dimIn.count() == 1) // dropna removed p2, dropDuplicates removed the dup
+    val base = Seq(("p1", "nyc"), ("p2", "sf")).toDF("patient_id", "city")
+    val dim = Seq(("nyc", "sk-nyc")).toDF("city", "location_sk")
+    val enc = Seq(("p1", 3L)).toDF("patient_id", "total_encounters")
+    val fact = StarSchema.buildFact(
+      base,
+      lookups = Seq((dim, base("city") === dim("city"), Seq(dim("location_sk")))),
+      measures = Seq((enc, Seq("patient_id")))
+    )
+    val rows = fact.collect().map(r =>
+      (r.getAs[String]("patient_id"), r.getAs[String]("location_sk"), r.getAs[Long]("total_encounters")))
+    assert(rows.contains(("p1", "sk-nyc", 3L)))
+    assert(rows.contains(("p2", null, 0L))) // missing dim → null sk, missing measure → 0
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.ops.Scd2
+import graft.ops.Scd2.Scd2Spec
+import graft.pipeline.FixedClock
+import org.scalatest.funsuite.AnyFunSuite
+
+class Scd2Spec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val spec = Scd2Spec(Seq("id"), Seq("name", "city"), "sk", "dim_t")
+  private val t0 = FixedClock("2024-01-01 00:00:00")
+  private val t1 = FixedClock("2024-06-01 00:00:00")
+  private val t2 = FixedClock("2024-12-01 00:00:00")
+
+  private def dim(rows: (String, String, String)*) =
+    rows.toDF("id", "name", "city")
+
+  test("first run: all rows active with sk + audit columns") {
+    val out = Scd2.faithful(dim(("1", "a", "x"), ("2", "b", "y")), None, spec, t0)
+    assert(out.count() == 2)
+    assert(out.filter($"is_active" === true).count() == 2)
+    assert(out.columns.toSet ==
+      Set("id", "name", "city", "sk", "created_at", "modified_at", "is_active", "old_hash"))
+  }
+
+  test("idempotence: unchanged rerun produces zero expired/new rows") {
+    val v1 = Scd2.faithful(dim(("1", "a", "x")), None, spec, t0)
+    val v2 = Scd2.faithful(dim(("1", "a", "x")), Some(v1), spec, t1)
+    assert(v2.count() == 1)
+    // created_at still t0 → row passed through unchanged
+    assert(v2.head().getAs[java.sql.Timestamp]("created_at").toString.startsWith("2024-01-01"))
+  }
+
+  test("change: exactly one expired + one new active version per changed key") {
+    val v1 = Scd2.faithful(dim(("1", "a", "x"), ("2", "b", "y")), None, spec, t0)
+    val v2 = Scd2.faithful(dim(("1", "a", "MOVED"), ("2", "b", "y")), Some(v1), spec, t1)
+    assert(v2.count() == 3)
+    val k1 = v2.filter($"id" === "1").collect()
+    assert(k1.length == 2)
+    assert(k1.count(_.getAs[Boolean]("is_active")) == 1)
+    val active = k1.find(_.getAs[Boolean]("is_active")).get
+    assert(active.getAs[String]("city") == "MOVED")
+    assert(active.getAs[java.sql.Timestamp]("created_at").toString.startsWith("2024-06-01"))
+    val expired = k1.find(!_.getAs[Boolean]("is_active")).get
+    assert(expired.getAs[String]("city") == "x")
+    assert(expired.getAs[java.sql.Timestamp]("modified_at").toString.startsWith("2024-06-01"))
+  }
+
+  test("documented trap: faithful mode drops history of keys not changed this run") {
+    val v1 = Scd2.faithful(dim(("1", "a", "x")), None, spec, t0)
+    val v2 = Scd2.faithful(dim(("1", "a", "x2")), Some(v1), spec, t1) // key 1 now has history
+    val v3 = Scd2.faithful(dim(("1", "a", "x2")), Some(v2), spec, t2) // key 1 unchanged this run
+    // reference semantics: the inactive x-version vanishes (SURVEY §2.11)
+    assert(v3.count() == 1)
+    assert(v3.head().getAs[Boolean]("is_active"))
+  }
+
+  test("idiomatic mode preserves history and created_at") {
+    val v1 = Scd2.idiomatic(dim(("1", "a", "x")), None, spec, t0)
+    val v2 = Scd2.idiomatic(dim(("1", "a", "x2")), Some(v1), spec, t1)
+    val v3 = Scd2.idiomatic(dim(("1", "a", "x2")), Some(v2), spec, t2)
+    assert(v3.count() == 2) // history retained
+    assert(v3.filter($"is_active" === false).head().getAs[String]("city") == "x")
+  }
+
+  test("new keys insert as active; deleted keys stay (no delete detection)") {
+    val v1 = Scd2.faithful(dim(("1", "a", "x")), None, spec, t0)
+    val v2 = Scd2.faithful(dim(("2", "b", "y")), Some(v1), spec, t1)
+    assert(v2.filter($"id" === "2" && $"is_active" === true).count() == 1)
+    assert(v2.filter($"id" === "1").count() == 1) // old key untouched-active
+  }
+}

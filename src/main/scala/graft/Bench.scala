@@ -8,10 +8,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Headline set = the queries that exercise the engine's heavy paths:
   * shuffled aggregation, the 5-table star join, window functions,
-  * SCD2 merge, fingerprint/minhash text pipelines, n-gram jaccard,
-  * brute-force ANN and sessionization. (q29_simhash is excluded until its
-  * per-token md5 loop moves to a custom Expression — tracked in SURVEY
-  * follow-ups.)
+  * SCD2 merge, fingerprint/minhash/simhash text pipelines, n-gram jaccard,
+  * brute-force + IVF ANN, as-of join and sessionization.
   */
 object Bench {
 
@@ -27,9 +25,12 @@ object Bench {
     "q26_ngram_jaccard",
     "q27_minhash_sig",
     "q28_minhash_neardup",
+    "q29_simhash",
     "q30_embed_topk",
     "q31_embed_neardup",
-    "q32_sessionize"
+    "q32_sessionize",
+    "q34_asof_join",
+    "q38_ivf_topk"
   )
 
   def main(args: Array[String]): Unit = {

@@ -349,6 +349,68 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** As-of join (backward inclusive): each purchase event enriched with the
+    * user's most recent click — the union-window formulation (no range
+    * explosion; see graft.operators.AsOfJoin). */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = StarSchema.dedupKeyed(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          col("value").as("click_value")),
+      Seq("user_id", "ts"), Seq(col("click_id").desc))
+    operators.AsOfJoin.asof(purchases, clicks, "user_id", "ts", "ts",
+      Seq("click_id", "click_value"), tieBreak = Some("click_id"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("click_id_asof"), col("click_value_asof"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Exact percentiles (median/p90) per group. */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(
+        round(expr("percentile(p_retailprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(p_retailprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n")
+      )
+      .orderBy(col("p_brand"))
+
+  /** Distinct aggregation (two distinct counts + plain count in one agg). */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders").join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders")
+      )
+      .orderBy(col("c_mktsegment"))
+
+  /** Generator/explode path: global top-20 tokens (count desc, token asc). */
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(explode(TF.tokens(TF.normalizeText(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  /** IVF approximate nearest neighbor: assign corpus to 8 centroid cells,
+    * probe the 2 nearest cells per query, exact top-3 within them. */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+    Similarity.ivfTopK(emb, queries, centroids, "vec_id", "embedding", k = 3, nprobe = 2)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -383,7 +445,12 @@ object SparkEntry {
     "q30_embed_topk" -> (q30 _),
     "q31_embed_neardup" -> (q31 _),
     "q32_sessionize" -> (q32 _),
-    "q33_multimodal_meta" -> (q33 _)
+    "q33_multimodal_meta" -> (q33 _),
+    "q34_asof_join" -> (q34 _),
+    "q35_percentile" -> (q35 _),
+    "q36_count_distinct" -> (q36 _),
+    "q37_top_tokens" -> (q37 _),
+    "q38_ivf_topk" -> (q38 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -635,6 +702,51 @@ object SparkEntry {
     "q33_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
         | octet_length(encode(text))::BIGINT AS byte_len
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q34_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, event_id AS click_id, value AS click_value
+        |  FROM events WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS us,
+        |  c.click_id AS click_id_asof, c.click_value AS click_value_asof
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q35_percentile" ->
+      """SELECT p_brand, round(quantile_cont(p_retailprice, 0.5), 4) AS median_price,
+        | round(quantile_cont(p_retailprice, 0.9), 4) AS p90_price, count(*) AS n
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_count_distinct" ->
+      """SELECT c_mktsegment, count(DISTINCT o_orderpriority) AS n_priorities,
+        | count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q37_top_tokens" ->
+      s"""SELECT token, count(*) AS n FROM (
+         |  SELECT unnest(regexp_split_to_array(trim($normSql), '\\s+')) AS token FROM documents)
+         |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "q38_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |cells AS (SELECT vec_id, embedding, centroid_id AS cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.centroid_id ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |probes AS (SELECT query_id, q_vec, centroid_id AS cell FROM (
+         |  SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.centroid_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosineSql("q.embedding", "c.cv")} DESC, c.centroid_id ASC) AS rn
+         |  FROM embeddings q CROSS JOIN cent c
+         |  WHERE q.vec_id >= 10 AND q.vec_id < 15) WHERE rn <= 2),
+         |scored AS (SELECT p.query_id, s.vec_id AS corpus_id,
+         |    ${cosineSql("p.q_vec", "s.embedding")} AS cosine
+         |  FROM cells s JOIN probes p ON s.cell = p.cell WHERE p.query_id <> s.vec_id)
+         |SELECT query_id, rank, corpus_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, corpus_id ASC) AS rank FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -24,8 +24,17 @@ object SimHash {
   private def hexVal(h: Column, pos: Column): Column =
     (instr(lit(HexDigits), h.substr(pos, lit(1))) - 1).cast("long")
 
-  /** 60-bit SimHash of a token array, packed into a long (MSB-first). */
+  /** 60-bit SimHash of a token array, packed into a long (MSB-first).
+    * Custom expression: one MD5 per token (the HOF form re-hashes per bit —
+    * 60× the digests). Values identical to [[simhashHof]]. */
   def simhash(tokens: Column, nBits: Int = 60): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(graft.functions.expressions.SimHashExpr(expression(tokens), nBits))
+  }
+
+  /** Reference HOF implementation of [[simhash]] — kept for the equivalence
+    * test; do not use on hot paths. */
+  def simhashHof(tokens: Column, nBits: Int = 60): Column = {
     require(nBits > 0 && nBits <= 60, "nBits must be in 1..60 to stay positive in a signed long")
     val bitsArr = transform(
       sequence(lit(0), lit(nBits - 1)),

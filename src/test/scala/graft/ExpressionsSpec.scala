@@ -57,6 +57,20 @@ class ExpressionsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("SimHashExpr == HOF simhash on assorted token arrays") {
+    val df = Seq(
+      Seq("alpha", "beta", "gamma"),
+      Seq("x"),
+      Seq("the", "quick", "brown", "fox", "jumps", "over", "it"),
+      Seq.empty[String]
+    ).toDF("toks")
+    val rows = df.select(
+      graft.functions.SimHash.simhash($"toks").as("fast"),
+      graft.functions.SimHash.simhashHof($"toks").as("ref")
+    ).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("hashedShingles preserves cardinality and intersection counts") {
     val df = Seq((Seq("aa", "bb", "cc"), Seq("bb", "cc", "dd"))).toDF("a", "b")
     val r = df.select(

@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.expressions.{DotProduct, IntersectSize, SimHashExpr, SortedLongIntersectSize}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions: registers graft's custom expressions as SQL
+  * functions, so `spark.sql("SELECT dot_product(a, b) ...")` works the same
+  * as the Column API. Install with:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * // or: spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - sequential double dot product of two numeric arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("intersect_size"),
+      info("intersect_size", "intersect_size(a, b) - set-intersection cardinality of two string arrays"),
+      (args: Seq[Expression]) => IntersectSize(args(0), args(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      info("sorted_intersect_size",
+        "sorted_intersect_size(a, b) - merge-intersection cardinality of two sorted long arrays"),
+      (args: Seq[Expression]) => SortedLongIntersectSize(args(0), args(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("simhash"),
+      info("simhash", "simhash(tokens) - 60-bit SimHash fingerprint of a string array"),
+      (args: Seq[Expression]) => SimHashExpr(args(0))
+    ))
+  }
+}

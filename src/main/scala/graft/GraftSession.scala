@@ -24,6 +24,7 @@ object GraftSession {
   ): SparkSession.Builder =
     SparkSession
       .builder()
+      .withExtensions(new GraftExtensions) // graft SQL functions (dot_product, simhash, ...)
       .appName(appName)
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

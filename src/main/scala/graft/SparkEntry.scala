@@ -411,6 +411,22 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Cube grouping sets (all 4 combinations). */
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** String similarity: Levenshtein distance between name tokens. */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val parts = split(col("p_name"), " ")
+    T(s, dir, "part")
+      .select(col("p_partkey"),
+        levenshtein(parts.getItem(0), parts.getItem(1)).as("edit_dist"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -450,7 +466,9 @@ object SparkEntry {
     "q35_percentile" -> (q35 _),
     "q36_count_distinct" -> (q36 _),
     "q37_top_tokens" -> (q37 _),
-    "q38_ivf_topk" -> (q38 _)
+    "q38_ivf_topk" -> (q38 _),
+    "q39_cube" -> (q39 _),
+    "q40_edit_distance" -> (q40 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -747,6 +765,13 @@ object SparkEntry {
          |SELECT query_id, rank, corpus_id, cosine FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, corpus_id ASC) AS rank FROM scored)
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q39_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q40_edit_distance" ->
+      """SELECT p_partkey, levenshtein(split_part(p_name, ' ', 1), split_part(p_name, ' ', 2)) AS edit_dist
+        |FROM part ORDER BY p_partkey""".stripMargin
   )
 }

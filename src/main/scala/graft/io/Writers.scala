@@ -41,6 +41,21 @@ object Writers {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Bucketed table write: co-locates rows by join key at write time so
+    * repeated joins/aggregations on `bucketCols` skip the shuffle entirely
+    * (plans show zero Exchange between two tables bucketed the same way).
+    * The 100 TB answer for a fact table joined on the same key every day.
+    * Bucketed tables must go through the session catalog (`saveAsTable`). */
+  def bucketedTable(df: DataFrame, path: String, table: String,
+                    bucketCols: Seq[String], numBuckets: Int): Unit =
+    df.write
+      .format("parquet")
+      .mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
   /** Scale-mode layer write: parquet partitioned by a load-date column so the
     * reference's driver-side "latest folder" probe becomes native partition
     * pruning (`filter($"load_date" === lit(d))` → PruneFileSourcePartitions). */

@@ -41,6 +41,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warm the JVM/codegen once so the first measured query reflects query
+    // cost, not session initialization.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

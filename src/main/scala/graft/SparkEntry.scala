@@ -427,6 +427,53 @@ object SparkEntry {
       .orderBy(col("p_partkey"))
   }
 
+  /** F4 — dropna (any-null row elimination) after null injection. */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_mktsegment") === "BUILDING", lit(null)).otherwise(col("c_mktsegment")).as("seg"),
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("bal"))
+      .na.drop()
+      .orderBy(col("c_custkey"))
+
+  /** F3 — rlike regex predicate. */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .filter(col("text").rlike("spark\\s+\\w+\\s+join"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** J1-style left outer join + measure with null-to-zero semantics. */
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .join(T(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_big_orders"),
+        round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("big_total"))
+      .orderBy(col("c_custkey"))
+
+  /** Multimodal frame sampling: 1 media row → n frame rows (flatMap shape). */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withFakeMedia(T(s, dir, "documents"), "doc_id", "text")
+    Multimodal.sampleFrames(s, media, stride = 64)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("byte_len"), col("sample_val"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** Approximate sketches (HLL distinct, approx quantiles) — no exact
+    * cross-engine oracle by nature; driver records a rows-only check. */
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)").as("price_quantiles"),
+        count(lit(1)).as("n")
+      )
+      .orderBy(col("l_returnflag"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -468,7 +515,12 @@ object SparkEntry {
     "q37_top_tokens" -> (q37 _),
     "q38_ivf_topk" -> (q38 _),
     "q39_cube" -> (q39 _),
-    "q40_edit_distance" -> (q40 _)
+    "q40_edit_distance" -> (q40 _),
+    "q41_dropna" -> (q41 _),
+    "q42_rlike_filter" -> (q42 _),
+    "q43_left_join" -> (q43 _),
+    "q44_frame_sample" -> (q44 _),
+    "q45_approx_sketches" -> (q45 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -772,6 +824,31 @@ object SparkEntry {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "q40_edit_distance" ->
       """SELECT p_partkey, levenshtein(split_part(p_name, ' ', 1), split_part(p_name, ' ', 2)) AS edit_dist
-        |FROM part ORDER BY p_partkey""".stripMargin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q41_dropna" ->
+      """SELECT c_custkey, seg, bal FROM (
+        |  SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg,
+        |    CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+        |  FROM customer)
+        |WHERE seg IS NOT NULL AND bal IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin,
+    "q42_rlike_filter" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE regexp_matches(text, 'spark\s+\w+\s+join')
+        |ORDER BY doc_id""".stripMargin,
+    "q43_left_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big_orders,
+        | round(sum(coalesce(o_totalprice, 0.0)), 2) AS big_total
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q44_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS byte_len
+        |  FROM documents)
+        |SELECT media_id, frame_idx, byte_len, (frame_idx * 64) % 256 AS sample_val FROM (
+        |  SELECT media_id, unnest(range(greatest(byte_len // 64, 1)))::BIGINT AS frame_idx, byte_len
+        |  FROM m)
+        |ORDER BY media_id, frame_idx""".stripMargin
+    // q45_approx_sketches: intentionally no oracle (approximate by nature)
   )
 }

@@ -474,6 +474,19 @@ object SparkEntry {
       )
       .orderBy(col("l_returnflag"))
 
+  /** Structured Streaming execution of the hourly aggregation: the SAME
+    * windowed plan a live deployment runs (file-source stream → watermark →
+    * window agg → memory sink), on bounded input — and it must match the
+    * same DuckDB oracle as the batch twin q17. */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val stream = graft.streaming.EventStream.readEventsNanos(s, s"$dir/events.parquet")
+    val agg = graft.streaming.EventStream.hourlyByType(stream)
+    graft.streaming.EventStream.runBounded(s, agg, "graft_q46_sink")
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("event_type"), col("n_events"), round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -520,7 +533,8 @@ object SparkEntry {
     "q42_rlike_filter" -> (q42 _),
     "q43_left_join" -> (q43 _),
     "q44_frame_sample" -> (q44 _),
-    "q45_approx_sketches" -> (q45 _)
+    "q45_approx_sketches" -> (q45 _),
+    "q46_stream_hourly" -> (q46 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -848,7 +862,11 @@ object SparkEntry {
         |SELECT media_id, frame_idx, byte_len, (frame_idx * 64) % 256 AS sample_val FROM (
         |  SELECT media_id, unnest(range(greatest(byte_len // 64, 1)))::BIGINT AS frame_idx, byte_len
         |  FROM m)
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
     // q45_approx_sketches: intentionally no oracle (approximate by nature)
+    "q46_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

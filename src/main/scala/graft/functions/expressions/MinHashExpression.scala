@@ -36,6 +36,10 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression with Co
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  // computed once per expression instance, not per row (hot loop)
+  @transient private lazy val seedPrefixes: Array[Array[Byte]] =
+    Array.tabulate(k)(i => s"$i:".getBytes("UTF-8"))
+
   private val HexChars = "0123456789abcdef".toCharArray
 
   /** Unsigned lexicographic byte-array compare (== hex-string compare). */
@@ -54,16 +58,14 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression with Co
     val n = arr.numElements()
     val digestFn = md5.get()
     val mins = new Array[Array[Byte]](k)
-    val seedPrefix = new Array[Array[Byte]](k)
     var i = 0
-    while (i < k) { seedPrefix(i) = s"$i:".getBytes("UTF-8"); i += 1 }
     var t = 0
     while (t < n) {
       val sh = arr.getUTF8String(t).getBytes
       i = 0
       while (i < k) {
         digestFn.reset()
-        digestFn.update(seedPrefix(i))
+        digestFn.update(seedPrefixes(i))
         digestFn.update(sh)
         val d = digestFn.digest()
         if (mins(i) == null || less(d, mins(i))) mins(i) = d

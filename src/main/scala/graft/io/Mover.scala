@@ -30,8 +30,12 @@ final class Mover(conf: Configuration = new Configuration()) {
     val archiveDst = new Path(s"$root/archive/$date/$table/${src.getName}")
     f.mkdirs(sourceDst.getParent)
     f.mkdirs(archiveDst.getParent)
-    FileUtil.copy(f, src, f, sourceDst, false, conf)
-    FileUtil.copy(f, src, f, archiveDst, false, conf)
+    // delete the landing file ONLY after both copies report success —
+    // FileUtil.copy can fail with a false return instead of throwing
+    val copiedSource = FileUtil.copy(f, src, f, sourceDst, false, conf)
+    val copiedArchive = FileUtil.copy(f, src, f, archiveDst, false, conf)
+    require(copiedSource && copiedArchive,
+      s"ingest copy failed for $src (source=$copiedSource, archive=$copiedArchive)")
     f.delete(src, false)
     sourceDst.toString
   }

@@ -73,14 +73,16 @@ object CsvRepair {
     * Source_Raw_Dynamic.py:94-96, :105-107). Unnamed/empty header columns
     * are dropped (reference: Source_Raw_Dynamic.py:72-73). */
   def repair(spark: SparkSession, lines: Dataset[String]): Option[DataFrame] = {
-    val headerFields: Array[String] = lines.head(1).headOption
-      .flatMap(parseLine)
-      .getOrElse(Array.empty)
+    // one driver action fetches the header line (head(1) launches a job —
+    // don't run it twice)
+    val firstLine: Option[String] = lines.head(1).headOption
+    val headerFields: Array[String] =
+      firstLine.flatMap(parseLine).getOrElse(Array.empty)
     if (headerFields.isEmpty) return None
 
     val header = headerFields.map(_.trim)
     val arity = header.length
-    val headerLine = lines.head(1).head
+    val headerLine = firstLine.get
 
     import spark.implicits._
     // Skip the header row by value (the reference filters `line != header`);

@@ -82,7 +82,7 @@ object Scd2 {
       .filter(col("new.hash") =!= col("old.old_hash") || col("old.old_hash").isNull)
       .select((baseCols :+ "hash").map(c => col(s"new.$c").as(c)): _*)
 
-    val changed = stampChanged(changedNew.drop("hash").withColumn("hash", rowHash(spec.hashCols)), spec, clock)
+    val changed = stampChanged(changedNew, spec, clock)
 
     // unchanged = active ⟕anti changed ON keys (reference: :82-83)
     val changedKeys = changed.select(spec.keyCols.map(col): _*)
@@ -136,7 +136,14 @@ object Scd2 {
       .filter(col("new.hash") =!= col("old.old_hash") || col("old.old_hash").isNull)
       .select((baseCols :+ "hash").map(c => col(s"new.$c").as(c)): _*)
 
+    // carry created_at from the prior active version (first-seen time per
+    // key survives changes — the contract faithful mode deliberately breaks)
+    val priorCreated = active.select(
+      (spec.keyCols.map(col) :+ col("created_at").as("__prior_created")): _*)
     val changed = stampChanged(changedNew, spec, clock)
+      .join(priorCreated, spec.keyCols, "left")
+      .withColumn("created_at", coalesce(col("__prior_created"), col("created_at")))
+      .drop("__prior_created")
     val changedKeys = changed.select(spec.keyCols.map(col): _*)
 
     // Expire ONLY the active version of changed keys; keep everything else

@@ -33,8 +33,13 @@ object DimStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val deduped = batch.dropDuplicates(spec.keyCols)
+          // Hadoop FS existence check — java.io.File is local-only and would
+          // silently treat every batch as a first run on HDFS/S3A, wiping
+          // SCD2 history (review finding).
+          val dimHPath = new org.apache.hadoop.fs.Path(dimPath)
+          val dimFs = dimHPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val existing =
-            if (new java.io.File(dimPath).exists()) Some(Readers.parquet(spark, dimPath))
+            if (dimFs.exists(dimHPath)) Some(Readers.parquet(spark, dimPath))
             else None
           val merged =
             if (faithful) Scd2.faithful(deduped, existing, spec, clock)

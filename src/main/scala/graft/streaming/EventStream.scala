@@ -47,9 +47,9 @@ object EventStream {
     // plain file path in a brace-glob so single-file test tables stream too.
     val globbed =
       if (path.exists("*?[{".contains(_))) path
-      else {
-        val i = path.lastIndexOf('/')
-        s"${path.substring(0, i)}/{${path.substring(i + 1)}}"
+      else path.lastIndexOf('/') match {
+        case -1 => s"{$path}" // bare relative filename
+        case i  => s"${path.substring(0, i)}/{${path.substring(i + 1)}}"
       }
     spark.readStream.schema(nanosSchema).parquet(globbed)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -16,13 +16,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     (2L, "THE  " + base.drop(4), "s1"), // case/whitespace variant → identical normalized
     (3L, base.replace("seventeen", "nineteen"), "s1"), // one-token change → near-dup
     (4L, "completely different content about spark catalyst optimizers here", "s1"),
-    (5L, "another unrelated document mentioning shuffle partitions and joins", "s2")
+    (5L, "another unrelated document mentioning shuffle partitions and joins", "s2"),
+    (6L, "too short", "s1"), // < shingle size: must not pair with anything
+    (7L, "tiny", "s1")
   ).toDF("doc_id", "text", "source")
 
   test("exact dedup: normalized variants collapse, lowest id survives") {
     val out = Dedup.exact(docs, "text", "doc_id")
     val ids = out.select("doc_id").as[Long].collect().toSet
-    assert(ids == Set(1L, 3L, 4L, 5L)) // 2 is an exact dup of 1 after normalize
+    assert(ids == Set(1L, 3L, 4L, 5L, 6L, 7L)) // 2 is an exact dup of 1 after normalize
   }
 
   test("minhash near-dups find the planted near-duplicate pair") {
@@ -31,6 +33,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L))) // identical after normalization
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near-dup
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // sub-shingle-size docs never become candidates (null-signature guard)
+    assert(!pairs.exists(p => p._1 >= 6L || p._2 >= 6L))
   }
 
   test("ngram jaccard blocks by key: cross-block pairs never compared") {

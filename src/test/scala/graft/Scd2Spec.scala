@@ -63,6 +63,10 @@ class Scd2Spec extends AnyFunSuite {
     val v3 = Scd2.idiomatic(dim(("1", "a", "x2")), Some(v2), spec, t2)
     assert(v3.count() == 2) // history retained
     assert(v3.filter($"is_active" === false).head().getAs[String]("city") == "x")
+    // created_at carried from the prior active version across the change
+    val activeV2 = v2.filter($"is_active" === true).head()
+    assert(activeV2.getAs[java.sql.Timestamp]("created_at").toString.startsWith("2024-01-01"))
+    assert(activeV2.getAs[java.sql.Timestamp]("modified_at").toString.startsWith("2024-06-01"))
   }
 
   test("new keys insert as active; deleted keys stay (no delete detection)") {

@@ -495,6 +495,45 @@ object SparkEntry {
       .select(col("id").as("vec_id"), col("bucket"))
       .orderBy(col("vec_id"))
 
+  /** S3/S4/R1-R3/P-chain end-to-end: export `nation` to a deterministically
+    * dirty CSV (unnamed junk column, padded short rows, extra trailing
+    * fields, whitespace), then run the full text-scan → repair → clean
+    * pipeline and compare against an oracle that replicates the dirt
+    * analytically over the original parquet. */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.SchemaJson
+    val nation = T(s, dir, "nation").orderBy(col("n_nationkey")).collect()
+    val lines = Seq("N_NATIONKEY,N_NAME,,N_REGIONKEY") ++ nation.map { r =>
+      val k = r.getInt(0); val name = r.getString(1); val reg = r.getInt(2)
+      if (k % 7 == 0) s"$k,  $name  "                   // short row → padded
+      else if (k % 5 == 0) s"$k,  $name  ,junk,$reg,EXTRA" // long row → truncated
+      else s"$k,  $name  ,junk,$reg"
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q48")
+    val csvPath = tmp.resolve("nation.csv")
+    java.nio.file.Files.write(csvPath, String.join("\n", lines: _*).getBytes("UTF-8"))
+    val repaired = graft.ops.CsvRepair.repair(s, graft.io.Readers.text(s, csvPath.toString)).get
+    val schema = SchemaJson.parse(
+      """[{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"string"},
+        |{"name":"n_regionkey","type":"int"}]""".stripMargin)
+    graft.ops.Cleaner.clean(repaired, schema)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Composite training-corpus filter: language-verified, quality-scored,
+    * exact-deduped document selection — the chained form of q22/q24/q25. */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val survivors = Dedup.exact(docs, "text", "doc_id").select("doc_id", "fingerprint")
+    TF.withLangId(docs, "text", "pred_lang")
+      .withColumn("quality", TF.qualityScore(col("text")))
+      .join(survivors, "doc_id")
+      .filter(col("pred_lang") === col("lang") && col("quality") >= 0.55)
+      .select(col("doc_id"), col("lang"), col("quality"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -543,7 +582,9 @@ object SparkEntry {
     "q44_frame_sample" -> (q44 _),
     "q45_approx_sketches" -> (q45 _),
     "q46_stream_hourly" -> (q46 _),
-    "q47_lsh_buckets" -> (q47 _)
+    "q47_lsh_buckets" -> (q47 _),
+    "q48_csv_roundtrip" -> (q48 _),
+    "q49_corpus_filter" -> (q49 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -886,6 +927,28 @@ object SparkEntry {
         |       THEN 1.0 ELSE -1.0 END))),
         |    (acc, x) -> acc + x) > 0 THEN 1::BIGINT ELSE 0::BIGINT END)),
         |  (acc, b) -> acc * 2 + b) AS bucket
-        |FROM embeddings ORDER BY vec_id""".stripMargin
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q48_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name,
+        | CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_regionkey END AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q49_corpus_filter" ->
+      s"""WITH lang_pred AS (SELECT doc_id, lang, text, $langCase AS pred_lang FROM documents),
+         |q AS (SELECT doc_id, lang, pred_lang,
+         |  (CASE WHEN length(text) = 0 THEN 0.0
+         |     ELSE len(regexp_extract_all(text, '[\\p{L}]'))::DOUBLE / length(text) END) * 0.5
+         |  + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+         |     ELSE len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text) END) * 0.2
+         |  + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+         |     ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) END) * 0.2
+         |  + least((CASE WHEN length(trim(text)) = 0 THEN 0
+         |     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE / 100.0, 1.0) * 0.1
+         |  AS quality, md5($normSql) AS fingerprint
+         |  FROM lang_pred),
+         |survivors AS (SELECT doc_id FROM documents
+         |  QUALIFY row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) = 1)
+         |SELECT doc_id, lang, quality, fingerprint FROM q
+         |WHERE pred_lang = lang AND quality >= 0.55 AND doc_id IN (SELECT doc_id FROM survivors)
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -534,6 +534,151 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Same scenario as q18 but through [[Scd2.singleShuffle]] — the
+    * one-exchange merge (union + window classification instead of three
+    * shuffled joins). Oracle-pinned to the identical SQL as q18, so the
+    * driver gate proves plan-for-plan equivalence of the two formulations. */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val spec = Scd2.Scd2Spec(Seq("c_custkey"), Seq("c_name", "c_mktsegment"), "customer_sk", "dim_customer")
+    val existing = Scd2.singleShuffle(base, None, spec, FixedClock("2024-01-01 00:00:00"))
+    val mutated = base.select(
+      col("c_custkey"), col("c_name"),
+      when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("_V2")))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    val newRows = base.filter(col("c_custkey") % 101 === 0).select(
+      (col("c_custkey") + 1000000).as("c_custkey"),
+      concat(lit("NEW "), col("c_name")).as("c_name"),
+      col("c_mktsegment"))
+    val snapshot = mutated.unionByName(newRows)
+    Scd2.singleShuffle(snapshot, Some(existing), spec, FixedClock("2024-06-01 00:00:00"))
+      .select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"), col("customer_sk"),
+        date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss").as("created_at"),
+        date_format(col("modified_at"), "yyyy-MM-dd HH:mm:ss").as("modified_at"),
+        col("is_active"), col("old_hash"))
+      .orderBy(col("c_custkey"), col("is_active"))
+  }
+
+  /** Skew-salted join (SkewJoin.saltedJoin) — oracle-pinned to the plain
+    * join SQL, proving the salt/replicate rewrite is row-identical. */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val supplier = T(s, dir, "supplier")
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+      .select(col("l_suppkey"), col("s_name"))
+    graft.operators.SkewJoin
+      .saltedJoin(T(s, dir, "lineitem"), supplier, "l_suppkey", saltBuckets = 8)
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("s_name"))
+  }
+
+  /** Pivot (values declared up front so no extra distinct scan). */
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders").join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0, Seq("F", "O", "P"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Unpivot/melt — wide measures to long (metric, value) pairs. */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
+  /** Set operations: INTERSECT then EXCEPT (distinct semantics). */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val building = T(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val finished = T(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    val bigSpenders = T(s, dir, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("custkey"))
+    building.intersect(finished).except(bigSpenders).orderBy(col("custkey"))
+  }
+
+  /** Ranking window functions: ntile / percent_rank / dense_rank / lag —
+    * tie-broken by key so output is deterministic across engines. */
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        dense_rank().over(w).as("drank"),
+        lag(col("c_acctbal"), 1).over(w).as("prev_bal"))
+      .orderBy(col("c_mktsegment"), col("c_acctbal").desc, col("c_custkey"))
+  }
+
+  /** JSON source/sink roundtrip: write nation as JSON lines, read back with
+    * an explicit schema (no inference pass — one scan, not two), join and
+    * aggregate. Oracle runs over the original parquet — proves the JSON
+    * sink/source preserves values exactly. */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q56").toString
+    T(s, dir, "nation").write.mode("overwrite").json(tmp)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_nationkey", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n_name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_regionkey", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n_comment", org.apache.spark.sql.types.StringType)))
+    s.read.schema(schema).json(tmp)
+      .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"), collect_list(col("n_name")).as("names"))
+      .select(col("r_name"), col("n_nations"),
+        array_join(array_sort(col("names")), ",").as("nation_list"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Stream-stream time-interval join, executed through the REAL streaming
+    * plan (two watermarked file-source streams, append mode). The oracle is
+    * a batch self-join mirroring the µs-floored event-time arithmetic. */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val ES = graft.streaming.EventStream
+    val path = s"$dir/events.parquet"
+    val views = ES.readEventsNanos(s, path).filter(col("event_type") === "view")
+      .select(col("user_id").as("view_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val clicks = ES.readEventsNanos(s, path).filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val joined = ES.viewClickJoin(views, clicks, horizonMin = 120)
+      .select(col("view_user").as("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+    ES.runBounded(s, joined, "graft_q57_sink", "append")
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+  }
+
+  /** Stateful streaming sessionization (flatMapGroupsWithState) on the real
+    * streaming plan. Append mode emits only CLOSED sessions (the trailing
+    * open session per user stays in state), so the oracle drops each user's
+    * last session. Gap arithmetic is at ms precision (Timestamp.getTime),
+    * mirrored exactly in the SQL. */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val ES = graft.streaming.EventStream
+    val stream = ES.readEventsNanos(s, s"$dir/events.parquet")
+    val sessions = ES.sessionize(s, stream, gapMs = 30L * 60 * 1000).toDF()
+    ES.runBounded(s, sessions, "graft_q58_sink", "append")
+      .select(col("user_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -584,7 +729,16 @@ object SparkEntry {
     "q46_stream_hourly" -> (q46 _),
     "q47_lsh_buckets" -> (q47 _),
     "q48_csv_roundtrip" -> (q48 _),
-    "q49_corpus_filter" -> (q49 _)
+    "q49_corpus_filter" -> (q49 _),
+    "q50_scd2_merge1" -> (q50 _),
+    "q51_salted_join" -> (q51 _),
+    "q52_pivot" -> (q52 _),
+    "q53_unpivot" -> (q53 _),
+    "q54_set_ops" -> (q54 _),
+    "q55_rank_funcs" -> (q55 _),
+    "q56_json_roundtrip" -> (q56 _),
+    "q57_stream_join" -> (q57 _),
+    "q58_stream_sessions" -> (q58 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -623,7 +777,12 @@ object SparkEntry {
        | ELSE 'fr' END""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    // q50 runs the single-shuffle SCD2 formulation against the SAME oracle
+    // as q18's 3-join merge — the gate proves output equivalence.
+    oracleSqlCore + ("q50_scd2_merge1" -> oracleSqlCore("q18_scd2_faithful"))
+
+  private lazy val oracleSqlCore: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base,
@@ -949,6 +1108,72 @@ object SparkEntry {
          |  QUALIFY row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) = 1)
          |SELECT doc_id, lang, quality, fingerprint FROM q
          |WHERE pred_lang = lang AND quality >= 0.55 AND doc_id IN (SELECT doc_id FROM survivors)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "q51_salted_join" ->
+      """SELECT s_name, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q52_pivot" ->
+      """SELECT c_mktsegment,
+        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
+        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
+        | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q53_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+        |    FROM lineitem WHERE l_quantity >= 48
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |    FROM lineitem WHERE l_quantity >= 48
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |    FROM lineitem WHERE l_quantity >= 48)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "q54_set_ops" ->
+      """SELECT custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY custkey""".stripMargin,
+    "q55_rank_funcs" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        | ntile(4)       OVER w AS quartile,
+        | percent_rank() OVER w AS pct_rank,
+        | dense_rank()   OVER w AS drank,
+        | lag(c_acctbal, 1) OVER w AS prev_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin,
+    "q56_json_roundtrip" ->
+      """SELECT r_name, count(*) AS n_nations,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nation_list
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q57_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        | epoch_ns(c.ts)//1000 - epoch_ns(v.ts)//1000 AS lag_us
+        |FROM events v JOIN events c ON v.user_id = c.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |  AND epoch_ns(c.ts)//1000 >= epoch_ns(v.ts)//1000
+        |  AND epoch_ns(c.ts)//1000 <= epoch_ns(v.ts)//1000 + 7200000000
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin,
+    "q58_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000 AS ms FROM events),
+        |x AS (SELECT user_id, ms,
+        |  CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |sess AS (SELECT user_id, ms,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM x),
+        |agg AS (SELECT user_id, session_id, min(ms) AS start_ms, max(ms) AS end_ms,
+        |  count(*) AS n_events FROM sess GROUP BY 1, 2)
+        |SELECT user_id, start_ms, end_ms, n_events FROM agg
+        |WHERE session_id < (SELECT max(session_id) FROM agg a2 WHERE a2.user_id = agg.user_id)
+        |ORDER BY user_id, start_ms""".stripMargin
   )
 }

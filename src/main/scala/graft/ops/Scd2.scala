@@ -114,6 +114,115 @@ object Scd2 {
       .withColumnRenamed("hash", "old_hash")
   }
 
+  /** Single-shuffle merge — same output as [[faithful]] under the standard
+    * SCD2 contract (at most one active existing row and one new row per
+    * key; the datamart dims guarantee this via their dropDuplicates step).
+    *
+    * Plan shape: instead of three shuffled joins (changed ⟕, unchanged
+    * anti-⨝, expire ⨝) the two inputs are unioned with a side tag and ONE
+    * window over `keyCols` computes, per key, the active row's hash and the
+    * incoming row's hash; every row then classifies itself:
+    *
+    *   - old ∧ active ∧ key unchanged      → kept as-is      (unchanged)
+    *   - old ∧ key changed                 → flags flipped   (expired)
+    *   - old ∧ inactive ∧ key unchanged    → dropped         (the faithful
+    *     history-loss trap, reproduced deliberately — see [[faithful]])
+    *   - new ∧ key changed                 → stamped         (changed)
+    *   - new ∧ key unchanged               → dropped
+    *
+    * At scale this is the difference between one hash-partition exchange of
+    * |existing| + |new| rows and three join exchanges plus re-computation
+    * of the changed-keys subplan on both anti/inner sides. Union is
+    * shuffle-free; the window's partitioning is the only exchange.
+    */
+  def singleShuffle(
+      newDf: DataFrame,
+      existing: Option[DataFrame],
+      spec: Scd2Spec,
+      clock: Clock = SystemClock
+  ): DataFrame =
+    mergeOnePass(newDf, existing, spec, clock, keepHistory = false)
+
+  /** Single-shuffle variant of [[idiomatic]]: all history preserved,
+    * `created_at` carried forward from the prior active version. Same
+    * one-exchange plan as [[singleShuffle]]. */
+  def singleShuffleIdiomatic(
+      newDf: DataFrame,
+      existing: Option[DataFrame],
+      spec: Scd2Spec,
+      clock: Clock = SystemClock
+  ): DataFrame =
+    mergeOnePass(newDf, existing, spec, clock, keepHistory = true)
+
+  private def mergeOnePass(
+      newDf: DataFrame,
+      existing: Option[DataFrame],
+      spec: Scd2Spec,
+      clock: Clock,
+      keepHistory: Boolean
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val existingDf = existing.filter(!_.isEmpty)
+    if (existingDf.isEmpty) return stampChanged(newDf, spec, clock)
+    val ex = existingDf.get
+
+    val baseCols = newDf.columns.toSeq
+    val outCols = baseCols ++ Seq(spec.skCol) ++ auditCols
+
+    // Align both sides on outCols + hash + tag, then union (shuffle-free).
+    val newSide = newDf
+      .withColumn("hash", rowHash(spec.hashCols))
+      .withColumn(spec.skCol, lit(null).cast("string"))
+      .withColumn("created_at", lit(null).cast("timestamp"))
+      .withColumn("modified_at", lit(null).cast("timestamp"))
+      .withColumn("is_active", lit(null).cast("boolean"))
+      .withColumn("old_hash", lit(null).cast("string"))
+      .withColumn("__is_new", lit(true))
+    val oldSide = ex
+      .withColumn("hash", lit(null).cast("string"))
+      .withColumn("__is_new", lit(false))
+    val unioned = newSide.select((outCols ++ Seq("hash", "__is_new")).map(col): _*)
+      .unionByName(oldSide.select((outCols ++ Seq("hash", "__is_new")).map(col): _*))
+
+    val w = Window.partitionBy(spec.keyCols.map(col): _*)
+    val activeHash = max(when(!col("__is_new") && col("is_active"), col("old_hash"))).over(w)
+    val priorCreated = max(when(!col("__is_new") && col("is_active"), col("created_at"))).over(w)
+    val newHash = max(when(col("__is_new"), col("hash"))).over(w)
+    val hasNew = max(when(col("__is_new"), 1).otherwise(0)).over(w)
+
+    val flagged = unioned
+      .withColumn("__key_changed",
+        hasNew === 1 && (activeHash.isNull || activeHash =!= newHash))
+      .withColumn("__prior_created", priorCreated)
+
+    val emit =
+      if (keepHistory) col("__is_new") && col("__key_changed") || !col("__is_new")
+      else col("__is_new") && col("__key_changed") ||
+        (!col("__is_new") && (col("__key_changed") || col("is_active")))
+
+    val now = clock.now
+    val isNew = col("__is_new")
+    val changedCreated =
+      if (keepHistory) coalesce(col("__prior_created"), now) else now
+    // In faithful mode every old row of a changed key expires (modified_at
+    // stamped); idiomatic expires only the active version and leaves
+    // history rows untouched.
+    val expireThisRow =
+      if (keepHistory) col("__key_changed") && col("is_active")
+      else col("__key_changed")
+
+    flagged.filter(emit).select(
+      (baseCols.map(col) ++ Seq(
+        when(isNew, sha2(concat_ws("|", spec.keyCols.map(col): _*), 256))
+          .otherwise(col(spec.skCol)).as(spec.skCol),
+        when(isNew, changedCreated).otherwise(col("created_at")).as("created_at"),
+        when(isNew || expireThisRow, now).otherwise(col("modified_at")).as("modified_at"),
+        when(isNew, lit(true)).otherwise(when(expireThisRow, lit(false)).otherwise(col("is_active"))).as("is_active"),
+        when(isNew, col("hash")).otherwise(col("old_hash")).as("old_hash")
+      )): _*)
+  }
+
   /** Idiomatic (correct) SCD2: preserves all history, carries created_at
     * forward for changed keys, appends rather than dropping inactive rows
     * whose keys did not change. Same inputs/spec as [[faithful]]. */

@@ -85,6 +85,21 @@ object EventStream {
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
 
+  /** Stream-stream time-interval join: each click joins the same user's
+    * views no older than `horizonMin` minutes. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so Spark can expire
+    * join state — the state store holds only `watermark + horizon` worth of
+    * rows per side, which is what makes this viable on an unbounded stream.
+    * Inputs must expose (view_user, view_id, view_ts) / (click_user,
+    * click_id, click_ts). */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame, horizonMin: Int,
+                    watermark: String = "1 hour"): DataFrame =
+    views.withWatermark("view_ts", watermark).join(
+      clicks.withWatermark("click_ts", watermark),
+      expr(s"""view_user = click_user
+              | AND click_ts >= view_ts
+              | AND click_ts <= view_ts + interval $horizonMin minutes""".stripMargin))
+
   final case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,
                                  session_end: java.sql.Timestamp, n_events: Int)
   // not `private`: the state encoder's generated code needs public accessors

@@ -69,6 +69,45 @@ class Scd2Spec extends AnyFunSuite {
     assert(activeV2.getAs[java.sql.Timestamp]("modified_at").toString.startsWith("2024-06-01"))
   }
 
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.head, cols.tail: _*).collect().map(_.toString).sorted.toSeq
+  }
+
+  test("singleShuffle merge is row-identical to the 3-join faithful merge") {
+    // scenario covers: changed key, unchanged key, brand-new key, history
+    // row of an unchanged key (the drop trap), history row of a changed key
+    val r1 = dim(("1", "a", "x"), ("2", "b", "y"), ("3", "c", "z"))
+    val v1 = Scd2.faithful(r1, None, spec, t0)
+    val r2 = dim(("1", "a", "x2"), ("2", "b", "y"), ("3", "c", "z2"))
+    val v2 = Scd2.faithful(r2, Some(v1), spec, t1) // keys 1,3 now have history
+    val r3 = dim(("1", "a", "x3"), ("2", "b", "y"), ("4", "d", "w"))
+    val expected = Scd2.faithful(r3, Some(v2), spec, t2)
+    val got = Scd2.singleShuffle(r3, Some(v2), spec, t2)
+    assert(canon(got) == canon(expected))
+    // and the first-run path
+    assert(canon(Scd2.singleShuffle(r1, None, spec, t0)) == canon(v1))
+  }
+
+  test("singleShuffleIdiomatic is row-identical to the join-based idiomatic merge") {
+    val r1 = dim(("1", "a", "x"), ("2", "b", "y"))
+    val v1 = Scd2.idiomatic(r1, None, spec, t0)
+    val r2 = dim(("1", "a", "x2"), ("2", "b", "y"))
+    val v2 = Scd2.idiomatic(r2, Some(v1), spec, t1)
+    val r3 = dim(("1", "a", "x3"), ("2", "b", "y"), ("5", "e", "v"))
+    val expected = Scd2.idiomatic(r3, Some(v2), spec, t2)
+    val got = Scd2.singleShuffleIdiomatic(r3, Some(v2), spec, t2)
+    assert(canon(got) == canon(expected))
+  }
+
+  test("singleShuffle plan has exactly one shuffle exchange") {
+    val v1 = Scd2.faithful(dim(("1", "a", "x"), ("2", "b", "y")), None, spec, t0)
+    val plan = Scd2.singleShuffle(dim(("1", "a", "x2")), Some(v1), spec, t1)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$plan")
+  }
+
   test("new keys insert as active; deleted keys stay (no delete detection)") {
     val v1 = Scd2.faithful(dim(("1", "a", "x")), None, spec, t0)
     val v2 = Scd2.faithful(dim(("2", "b", "y")), Some(v1), spec, t1)

@@ -61,7 +61,8 @@ object TextFunctions {
   /** Materialize a shingle column in two collapsed-projection-safe steps. */
   def withShingles(df: org.apache.spark.sql.DataFrame, textCol: String,
                    outCol: String, n: Int): org.apache.spark.sql.DataFrame =
-    df.withColumn("__graft_toks", tokens(normalizeText(col(textCol))))
+    graft.io.Parallelism.ensure(df)
+      .withColumn("__graft_toks", tokens(normalizeText(col(textCol))))
       .withColumn(outCol, shinglesFromTokens(col("__graft_toks"), n))
       .drop("__graft_toks")
 
@@ -136,7 +137,7 @@ object TextFunctions {
   def withLangId(df: org.apache.spark.sql.DataFrame, textCol: String,
                  outCol: String): org.apache.spark.sql.DataFrame = {
     val scored = LangMarkers.foldLeft(
-      df.withColumn("__ls_zh", cjkScore(col(textCol)))
+      graft.io.Parallelism.ensure(df).withColumn("__ls_zh", cjkScore(col(textCol)))
     ) { case (acc, (lang, pat)) => acc.withColumn(s"__ls_$lang", langScore(col(textCol), pat)) }
     val all = ("zh" +: LangMarkers.map(_._1)).map(l => l -> col(s"__ls_$l"))
     scored.withColumn(outCol, langArgmax(all))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.{MinHash, SimHash, TextFunctions, VectorFunctions}
+import graft.io.Parallelism
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,7 +32,8 @@ object Dedup {
   /** Exact dedup: survivor = lowest `idCol` per normalized-text fingerprint.
     * Returns the input columns + `fingerprint`, survivors only. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val withFp = df.withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+    val withFp = Parallelism.ensure(df)
+      .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
     val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
     withFp
       .withColumn("__rn", row_number().over(w))
@@ -63,12 +65,13 @@ object Dedup {
     // Cache the banded table: it is k·|docs| fixed-width rows (tiny vs the
     // corpus) and the self-join would otherwise recompute the whole
     // shingle→signature pipeline for both sides.
-    // Empty shingle sets (docs shorter than the shingle size) are dropped
-    // BEFORE banding: their null signatures would otherwise all hash to the
-    // same band keys and pair quadratically; they can never reach any
-    // jaccard threshold > 0 anyway.
+    // Empty shingle sets (docs shorter than the shingle size) drop out of
+    // banding without an explicit filter: MinHashSig returns NULL for empty
+    // input, bandKeys' transform propagates the null, and posexplode emits
+    // no rows for a null array. (They could never reach a jaccard threshold
+    // > 0 anyway; and a size(shingles) filter re-evaluates the shingle
+    // pipeline inside the pushed-down predicate — measured 30× slower.)
     val banded = TextFunctions.withShingles(df, textCol, "__sh", shingleSize)
-      .filter(size(col("__sh")) > 0)
       .withColumn("__sig", MinHash.signature(col("__sh"), numHashes))
       .select(col(idCol).as("id"),
         posexplode(MinHash.bandKeys(col("__sig"), bands, rowsPerBand))
@@ -115,7 +118,8 @@ object Dedup {
     * the fingerprint's 60 per-bit lambdas would otherwise re-run the
     * tokenizer 60× per row. */
   def simhashFingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.withColumn("__toks", TextFunctions.tokens(TextFunctions.normalizeText(col(textCol))))
+    Parallelism.ensure(df)
+      .withColumn("__toks", TextFunctions.tokens(TextFunctions.normalizeText(col(textCol))))
       .select(col(idCol).as("id"), SimHash.simhash(col("__toks")).as("simhash"))
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxDistance. Candidates are
@@ -224,7 +228,7 @@ object Dedup {
       nTables: Int = 12,
       seed: Int = 42
   ): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    val base = Parallelism.ensure(df).select(col(idCol).as("id"), col(vecCol).as("vec"),
       VectorFunctions.norm(col(vecCol)).as("nrm")).cache()
     val candidates = (0 until nTables).map { t =>
       val bucketed = Similarity.lshBuckets(base, "id", "vec", nPlanes, seed + 1000 * t)
@@ -257,7 +261,7 @@ object Dedup {
     // Precompute each vector's norm once — naive cosine-per-pair recomputes
     // both norms inside the O(n²) loop (3× the flops for nothing). Values
     // are bit-identical: same doubles, same op order.
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    val v = Parallelism.ensure(df).select(col(idCol).as("id"), col(vecCol).as("vec"),
       VectorFunctions.norm(col(vecCol)).as("nrm"))
     v.alias("a")
       .join(v.alias("b"), col("a.id") < col("b.id"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
+import graft.io.Parallelism
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -38,7 +39,7 @@ object Similarity {
   ): DataFrame = {
     // Norms precomputed per side — the O(|q|·|corpus|) scoring loop then
     // only does the dot product (bit-identical result, 3× fewer flops).
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
+    val c = Parallelism.ensure(corpus).select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
       VectorFunctions.norm(col(vecCol)).as("c_nrm"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       VectorFunctions.norm(col(vecCol)).as("q_nrm"))
@@ -65,7 +66,7 @@ object Similarity {
   ): DataFrame = {
     val c = centroids.select(col("centroid_id"), col(vecCol).as("cent_vec"))
     val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("centroid_id").asc)
-    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    Parallelism.ensure(corpus).select(col(idCol).as("id"), col(vecCol).as("vec"))
       .crossJoin(broadcast(c))
       .withColumn("sim", VectorFunctions.cosine(col("vec"), col("cent_vec")))
       .withColumn("rn", row_number().over(w))
@@ -135,7 +136,7 @@ object Similarity {
         when(proj > 0, lit(1L)).otherwise(lit(0L))
       }
     )
-    corpus.select(
+    Parallelism.ensure(corpus).select(
       col(idCol).as("id"),
       vec.as("vec"),
       aggregate(bits, lit(0L), (acc, b) => acc * 2 + b).as("bucket")

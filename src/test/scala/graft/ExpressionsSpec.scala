@@ -57,18 +57,24 @@ class ExpressionsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
-  test("MinHashSig == HOF signature, element for element") {
+  test("MinHashSig == HOF signature, element for element; empty → NULL") {
     val df = Seq(
       Seq("aa bb cc", "bb cc dd", "cc dd ee"),
       Seq("single"),
       Seq.empty[String]
     ).toDF("sh")
     val rows = df.select(
+      $"sh",
       graft.functions.MinHash.signature($"sh", 8).as("fast"),
       graft.functions.MinHash.signatureHof($"sh", 8).as("ref")
     ).collect()
     rows.foreach { r =>
-      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      if (r.getSeq[String](0).isEmpty)
+        // empty shingle set → NULL signature (drops out of LSH banding via
+        // transform/posexplode null propagation, no filter needed)
+        assert(r.isNullAt(1))
+      else
+        assert(r.getSeq[String](1) == r.getSeq[String](2))
     }
   }
 

@@ -30,7 +30,9 @@ object Bench {
     "q31_embed_neardup",
     "q32_sessionize",
     "q34_asof_join",
-    "q38_ivf_topk"
+    "q38_ivf_topk",
+    "q47_lsh_buckets",
+    "q50_scd2_merge1"
   )
 
   def main(args: Array[String]): Unit = {

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions
 import graft.io.Parallelism
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -104,9 +104,17 @@ object Similarity {
   }
 
   /** Signed-random-projection bucket key per vector: `nPlanes` hyperplanes
-    * with deterministic ±1-ish coefficients derived from (seed, plane, dim)
-    * via md5 — reproducible across engines and runs without any RNG state.
-    * Bucket = packed sign bits (long). */
+    * with deterministic ±1 coefficients derived from (seed, plane, dim) via
+    * md5 parity — reproducible across engines and runs without any RNG
+    * state. Bucket = packed sign bits (long).
+    *
+    * The coefficient matrix depends only on (seed, plane, dim), so it is
+    * computed ONCE driver-side (nPlanes·dim md5 calls total) and embedded
+    * as literal arrays; the per-row work is then a pure multiply-add fold.
+    * The previous in-plan formulation re-derived every coefficient with an
+    * md5 per (row, plane, dim) — dim·nPlanes md5 calls per row. Values are
+    * bit-identical: same md5 parity, same left-to-right fp fold order.
+    * Vectors are assumed fixed-dimension (probed from the first row). */
   def lshBuckets(
       corpus: DataFrame,
       idCol: String,
@@ -115,31 +123,29 @@ object Similarity {
       seed: Int = 42
   ): DataFrame = {
     val vec = col(vecCol)
-    val bits = transform(
-      sequence(lit(0), lit(nPlanes - 1)),
-      p => {
-        // projection = Σ_d vec[d] * coef(p, d), coef ∈ {-1, +1} from md5 parity
-        val proj = aggregate(
-          zip_with(
-            vec,
-            sequence(lit(0), size(vec) - 1),
-            (x, d) => {
-              val parityHex = substring(md5(concat_ws(":", lit(seed), p, d)), 1, 1)
-              val coef = when(instr(lit("0123456789abcdef"), parityHex) % 2 === 1, lit(1.0))
-                .otherwise(lit(-1.0))
-              x.cast("double") * coef
-            }
-          ),
-          lit(0.0),
-          (acc, v) => acc + v
-        )
-        when(proj > 0, lit(1L)).otherwise(lit(0L))
-      }
-    )
+    val head = corpus.select(size(vec).as("n")).head(1)
+    val dim = if (head.isEmpty) 0 else head(0).getInt(0)
+    val mdInst = java.security.MessageDigest.getInstance("MD5")
+    // +1.0 when the first hex char of md5("seed:p:d") sits at an odd
+    // (1-based) position in "0123456789abcdef", i.e. the high nibble of
+    // byte 0 is even — exactly instr(hex)%2==1 of the portable SQL mirror.
+    def coef(p: Int, d: Int): Double = {
+      val dig = mdInst.digest(s"$seed:$p:$d".getBytes("UTF-8"))
+      if (((dig(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+    }
+    val planeBits: Seq[Column] = (0 until nPlanes).map { p =>
+      val coefs = array((0 until dim).map(d => lit(coef(p, d))): _*)
+      val proj = aggregate(
+        zip_with(vec, coefs, (x, c) => x.cast("double") * c),
+        lit(0.0),
+        (acc, v) => acc + v)
+      when(proj > 0, lit(1L)).otherwise(lit(0L))
+    }
+    val bucket = planeBits.foldLeft(lit(0L))((acc, b) => acc * 2 + b)
     Parallelism.ensure(corpus).select(
       col(idCol).as("id"),
       vec.as("vec"),
-      aggregate(bits, lit(0L), (acc, b) => acc * 2 + b).as("bucket")
+      bucket.as("bucket")
     )
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{MinHash, SimHash, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity}
 import graft.ops.{Scd2, StarSchema}
 import graft.pipeline.FixedClock
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -679,6 +679,60 @@ object SparkEntry {
       .orderBy(col("user_id"), col("start_ms"))
   }
 
+  /** PII redaction over documents. PII is injected deterministically from
+    * doc_id (the synthetic corpus has none), then emails/IPv4s/phones are
+    * counted and masked; the oracle runs the identical portable regexes
+    * (Java ∩ RE2 syntax) in DuckDB. */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val withPii = T(s, dir, "documents").withColumn("pii_text",
+      concat(col("text"),
+        lit(" contact u"), col("doc_id"), lit("@example.com or +1-555-01"),
+        lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".1")))
+    Curation.redactPii(withPii, "pii_text")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        md5(col("redacted")).as("redacted_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic content-addressed train/val/test split (md5 bucket —
+    * stable across runs/engines/partitionings, unlike rand(seed)). */
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    Curation.hashSplit(T(s, dir, "customer"), "c_custkey")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("split"))
+
+  /** Symmetric int8 embedding quantization: per-vector scale + quantized
+    * values, fp-exact against the oracle (floor(x/scale + 0.5) round). */
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings")
+      .withColumn("scale", VF.quantScale(col("embedding")))
+      .withColumn("q", VF.quantizeInt8(col("embedding"), col("scale")))
+      .select(col("vec_id"), col("scale"),
+        array_join(transform(col("q"), x => x.cast("string")), ",").as("qvec"))
+      .orderBy(col("vec_id"))
+
+  /** ORC source/sink roundtrip: supplier → ORC → read back → broadcast
+    * join + agg; oracle reads the original parquet. */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q62").toString
+    T(s, dir, "supplier").write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .join(broadcast(T(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Deterministic stratified sample (~20% per segment by content hash —
+    * no RNG, no per-stratum state, same rate in every stratum). */
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(T(s, dir, "customer"), "c_custkey", 20)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_sampled"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -738,7 +792,12 @@ object SparkEntry {
     "q55_rank_funcs" -> (q55 _),
     "q56_json_roundtrip" -> (q56 _),
     "q57_stream_join" -> (q57 _),
-    "q58_stream_sessions" -> (q58 _)
+    "q58_stream_sessions" -> (q58 _),
+    "q59_pii_redact" -> (q59 _),
+    "q60_hash_split" -> (q60 _),
+    "q61_quantize_int8" -> (q61 _),
+    "q62_orc_roundtrip" -> (q62 _),
+    "q63_stratified_sample" -> (q63 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1174,6 +1233,49 @@ object SparkEntry {
         |  count(*) AS n_events FROM sess GROUP BY 1, 2)
         |SELECT user_id, start_ms, end_ms, n_events FROM agg
         |WHERE session_id < (SELECT max(session_id) FROM agg a2 WHERE a2.user_id = agg.user_id)
-        |ORDER BY user_id, start_ms""".stripMargin
+        |ORDER BY user_id, start_ms""".stripMargin,
+    "q59_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+?[0-9][0-9()\\- ]{5,}[0-9]"
+      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' contact u' || doc_id::VARCHAR || '@example.com or +1-555-01' ||
+         |  lpad((doc_id % 100)::VARCHAR, 2, '0') ||
+         |  ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1' AS pii_text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(pii_text, '$email')) AS n_emails,
+         |  len(regexp_extract_all(pii_text, '$phone')) AS n_phones,
+         |  len(regexp_extract_all(pii_text, '$ip')) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g'))
+         |    AS redacted_digest
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+    "q60_hash_split" ->
+      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        | count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM (SELECT c_acctbal,
+        |  ('0x' || substr(md5(c_custkey::VARCHAR), 1, 4))::BIGINT % 100 AS b FROM customer)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q61_quantize_int8" ->
+      """SELECT vec_id,
+        | list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale,
+        | CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 = 0.0
+        |   THEN array_to_string(list_transform(embedding, x -> '0'), ',')
+        |   ELSE array_to_string(list_transform(embedding, x ->
+        |     floor(x::DOUBLE / (list_max(list_transform(embedding, y -> abs(y::DOUBLE))) / 127.0)
+        |       + 0.5)::BIGINT::VARCHAR), ',')
+        | END AS qvec
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q62_orc_roundtrip" ->
+      """SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS sum_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q63_stratified_sample" ->
+      """SELECT c_mktsegment, count(*) AS n_sampled, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 4))::BIGINT % 100 < 20
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -45,6 +45,22 @@ object VectorFunctions {
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
   }
 
+  /** Symmetric int8 quantization scale: max(|x|)/127 in double precision.
+    * 0.0 for all-zero vectors (the quantized form is then all zeros). */
+  def quantScale(a: Column): Column =
+    array_max(transform(a, x => abs(x.cast("double")))) / lit(127.0)
+
+  /** Symmetric int8 quantization of a vector given its [[quantScale]]:
+    * q_i = floor(x_i/scale + 0.5), i.e. round-half-up — written as a floor
+    * so the DuckDB oracle (whose `round` is half-away-from-zero) can mirror
+    * it exactly. Range is [-127, 127] by construction (|x| ≤ 127·scale).
+    * 4× smaller than float32 at rest; the dequantized dot `scaleA·scaleB·
+    * Σ qa_i·qb_i` runs in integer math — the standard trick for ANN scans
+    * over quantized corpora. */
+  def quantizeInt8(a: Column, scale: Column): Column =
+    when(scale === 0.0, transform(a, _ => lit(0L)))
+      .otherwise(transform(a, x => floor(x.cast("double") / scale + lit(0.5)).cast("long")))
+
   /** Euclidean (L2) distance. */
   def l2(a: Column, b: Column): Column =
     sqrt(

@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.{VectorFunctions => VF}
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("redactPii masks emails, phones and IPv4s and counts each category") {
+    val df = Seq(
+      ("mail a.b+c@foo-bar.org then call +1-555-123 4567 from 192.168.0.1", 1),
+      ("no pii here at all", 2)
+    ).toDF("text", "id")
+    val r = Curation.redactPii(df, "text").orderBy("id").collect()
+    val hit = r(0)
+    assert(hit.getAs[Int]("n_emails") == 1)
+    assert(hit.getAs[Int]("n_phones") == 1)
+    assert(hit.getAs[Int]("n_ips") == 1)
+    val red = hit.getAs[String]("redacted")
+    assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<IP>"))
+    assert(!red.contains("@") && !red.contains("192.168"))
+    val clean = r(1)
+    assert(clean.getAs[Int]("n_emails") == 0 && clean.getAs[String]("redacted") == "no pii here at all")
+  }
+
+  test("hashSplit is deterministic, covers all rows, and roughly honors ratios") {
+    val df = spark.range(1, 2001).toDF("id")
+    val s1 = Curation.hashSplit(df, "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s2 = Curation.hashSplit(df, "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 == s2) // content-addressed: identical across runs
+    assert(s1.values.sum == 2000)
+    assert(s1("train") > 1400 && s1("train") < 1800) // ~80%
+    assert(s1("val") > 100 && s1("val") < 300)       // ~10%
+  }
+
+  test("stratifiedSample keeps ~pct% in every stratum, stable across runs") {
+    val df = spark.range(1, 4001).toDF("id")
+      .withColumn("stratum", pmod(col("id"), lit(4)))
+    val kept = Curation.stratifiedSample(df, "id", 25)
+    val byStratum = kept.groupBy("stratum").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byStratum.size == 4)
+    byStratum.values.foreach(n => assert(n > 150 && n < 350)) // ~250 each
+    // sampling is a pure filter: sampled keys are a subset of input keys
+    assert(kept.count() == byStratum.values.sum)
+  }
+
+  test("int8 quantization: |dequantized - original| <= scale/2, zero vector → zeros") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 127.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("id", "vec")
+    val q = df
+      .withColumn("scale", VF.quantScale(col("vec")))
+      .withColumn("q", VF.quantizeInt8(col("vec"), col("scale")))
+      .orderBy("id").collect()
+    val r1 = q(0)
+    val scale = r1.getAs[Double]("scale")
+    val qs = r1.getSeq[Long](r1.fieldIndex("q"))
+    val orig = r1.getSeq[Float](r1.fieldIndex("vec"))
+    assert(qs.forall(v => v >= -127 && v <= 127))
+    qs.zip(orig).foreach { case (qi, xi) =>
+      assert(math.abs(qi * scale - xi) <= scale / 2 + 1e-12)
+    }
+    val r2 = q(1)
+    assert(r2.getAs[Double]("scale") == 0.0)
+    assert(r2.getSeq[Long](r2.fieldIndex("q")).forall(_ == 0L))
+  }
+}

@@ -733,6 +733,38 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_sampled"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
       .orderBy(col("c_mktsegment"))
 
+  /** Same streaming sessionization scenario as q58 but through Spark 4's
+    * `transformWithState` state API (RocksDB store). Pinned to q58's
+    * oracle — the gate proves the two state APIs produce identical
+    * sessions. */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val ES = graft.streaming.EventStream
+    val stream = ES.readEventsNanos(s, s"$dir/events.parquet")
+    val sessions = ES.sessionizeTws(s, stream, gapMs = 30L * 60 * 1000).toDF()
+    ES.runBounded(s, sessions, "graft_q65_sink", "append")
+      .select(col("user_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
+  /** Interval RANGE window frame: per-user rolling 1-hour event count and
+    * value sum (frame = all events within the trailing hour, not a fixed
+    * row count). Order key is epoch micros so the frame bound is numeric
+    * and identical in both engines; RANGE semantics include timestamp
+    * peers on both sides. */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .select(col("user_id"), col("event_id"), col("us"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value")).over(w), 2).as("sum_1h"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -797,7 +829,9 @@ object SparkEntry {
     "q60_hash_split" -> (q60 _),
     "q61_quantize_int8" -> (q61 _),
     "q62_orc_roundtrip" -> (q62 _),
-    "q63_stratified_sample" -> (q63 _)
+    "q63_stratified_sample" -> (q63 _),
+    "q64_rolling_window" -> (q64 _),
+    "q65_sessions_tws" -> (q65 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -838,8 +872,12 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     // q50 runs the single-shuffle SCD2 formulation against the SAME oracle
-    // as q18's 3-join merge — the gate proves output equivalence.
-    oracleSqlCore + ("q50_scd2_merge1" -> oracleSqlCore("q18_scd2_faithful"))
+    // as q18's 3-join merge, and q65 runs transformWithState sessionization
+    // against q58's flatMapGroupsWithState oracle — the gate proves output
+    // equivalence of the alternative formulations.
+    oracleSqlCore +
+      ("q50_scd2_merge1" -> oracleSqlCore("q18_scd2_faithful")) +
+      ("q65_sessions_tws" -> oracleSqlCore("q58_stream_sessions"))
 
   private lazy val oracleSqlCore: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1276,6 +1314,14 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_sampled, round(sum(c_acctbal), 2) AS sum_bal
         |FROM customer
         |WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 4))::BIGINT % 100 < 20
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q64_rolling_window" ->
+      """SELECT user_id, event_id, epoch_ns(ts)//1000 AS us,
+        | count(*) OVER w AS n_1h,
+        | round(sum(value) OVER w, 2) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, us, event_id""".stripMargin
   )
 }

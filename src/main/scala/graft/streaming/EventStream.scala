@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface.
@@ -132,5 +132,55 @@ object EventStream {
         cur.foreach(state.update)
         sessions.iterator
     }
+  }
+
+  /** Gap-based sessionization on Spark 4's arbitrary-state API
+    * (`transformWithState` + `StatefulProcessor`): same semantics as
+    * [[sessionize]] — the two run against the same oracle, which pins
+    * their equivalence. The new API's value at scale: typed composable
+    * state (value/list/map + TTL + timers) on the RocksDB store, so
+    * per-key state spills off-heap instead of living in executor heap. */
+  final class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp), SessionUpdate] {
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[SessionUpdate] = {
+      val sorted = rows.map(_._2.getTime).toSeq.sorted
+      var out = Vector.empty[SessionUpdate]
+      var cur = if (session.exists()) Option(session.get()) else None
+      sorted.foreach { t =>
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(s.copy(last = t, n = s.n + 1))
+          case Some(s) =>
+            out :+= SessionUpdate(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach(session.update)
+      out.iterator
+    }
+  }
+
+  /** [[sessionize]] expressed through `transformWithState`. The operator
+    * only runs on the RocksDB state store provider — set before the query
+    * starts. */
+  def sessionizeTws(spark: SparkSession, events: DataFrame, gapMs: Long): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val typed = events.select(col("user_id"), col("ts")).as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapMs), TimeMode.None(), OutputMode.Append())
   }
 }

@@ -85,4 +85,24 @@ class EventStreamSpec extends AnyFunSuite {
     assert(sessions.exists(s => s.user_id == 100L && s.n_events == 2))
     q.stop()
   }
+
+  test("transformWithState sessionization carries state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.sessionizeTws(spark, events, gapMs = 30 * 60 * 1000)
+      .writeStream.outputMode("append").format("memory").queryName("sess_tws_test").start()
+    // batch 1 opens a session; batch 2's distant event must close it,
+    // which requires the ValueState to survive the micro-batch boundary
+    mem.addData((1L, ts("2024-01-01 10:05:00"), 100L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:20:00"), 100L, "click", 2.0, "{}"))
+    q.processAllAvailable()
+    mem.addData((3L, ts("2024-01-01 12:00:00"), 100L, "view", 3.0, "{}"))
+    q.processAllAvailable()
+    val sessions = spark.table("sess_tws_test").as[EventStream.SessionUpdate].collect()
+    assert(sessions.length == 1)
+    assert(sessions.head.user_id == 100L && sessions.head.n_events == 2)
+    assert(sessions.head.session_end.getTime - sessions.head.session_start.getTime == 15 * 60 * 1000)
+    q.stop()
+  }
 }

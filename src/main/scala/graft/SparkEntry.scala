@@ -765,6 +765,19 @@ object SparkEntry {
       .orderBy(col("user_id"), col("us"), col("event_id"))
   }
 
+  /** Semi-structured JSON column: typed schema-on-read of the `props`
+    * JSON string via `from_json` (codegen'd Jackson parse, no UDF), then
+    * a grouped aggregate over the extracted field. */
+  private def q66(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+        .getField("k"))
+      .groupBy(col("event_type"), (col("k") / 10).cast("int").as("k_decile"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"), col("k_decile"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -831,7 +844,8 @@ object SparkEntry {
     "q62_orc_roundtrip" -> (q62 _),
     "q63_stratified_sample" -> (q63 _),
     "q64_rolling_window" -> (q64 _),
-    "q65_sessions_tws" -> (q65 _)
+    "q65_sessions_tws" -> (q65 _),
+    "q66_json_props" -> (q66 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1322,6 +1336,12 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, us, event_id""".stripMargin
+        |ORDER BY user_id, us, event_id""".stripMargin,
+    "q66_json_props" ->
+      """SELECT event_type, (json_extract(props, '$.k')::INT // 10)::INT AS k_decile,
+        | count(*) AS n, round(sum(value), 2) AS sum_value,
+        | min(json_extract(props, '$.k')::INT) AS min_k,
+        | max(json_extract(props, '$.k')::INT) AS max_k
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -78,18 +78,20 @@ object Cleaner {
     val hits = candidates.zipWithIndex.collect {
       case (c, i) if !row.isNullAt(i) && row.getBoolean(i) => c
     }.toSet
-    hits.foldLeft(df) { (acc, c) =>
-      // `get` (not getItem/element_at): out-of-range → null even under
-      // ANSI mode, matching the reference's Spark-3 getItem semantics.
-      val parts = split(col(c), OrPattern)
-      val p1 = trim(get(parts, lit(0)))
-      val p2 = trim(get(parts, lit(1)))
-      val withParts = acc
-        .withColumn(s"${c}_part1", p1)
-        .withColumn(s"${c}_part2", p2)
-      if (declared.contains(c)) withParts.withColumn(c, p1)
-      else withParts.drop(c)
+    if (hits.isEmpty) return df
+    // One projection for every hit column (not a withColumn per column —
+    // that stacks O(hits) Projects for the analyzer to re-resolve and
+    // collapse). `get` (not getItem/element_at): out-of-range → null even
+    // under ANSI mode, matching the reference's Spark-3 getItem semantics.
+    def part(c: String, i: Int): Column = trim(get(split(col(c), OrPattern), lit(i)))
+    val kept = df.columns.toSeq.flatMap { c =>
+      if (!hits(c)) Some(col(c))
+      else if (declared.contains(c)) Some(part(c, 0).as(c)) // replaced in place
+      else None                                             // dropped
     }
+    val partCols = candidates.filter(hits).flatMap(c =>
+      Seq(part(c, 0).as(s"${c}_part1"), part(c, 1).as(s"${c}_part2")))
+    df.select(kept ++ partCols: _*)
   }
 
   /** P6 / T2 — replace nulls in string columns with the literal "None"

@@ -192,12 +192,17 @@ object Dedup {
     val prefixLen = (size(col("shingles"))
       - ceil(lit(threshold) * size(col("shingles"))).cast("int") + 1)
     val postings = shingled
-      .select(col("block"), col("id"),
+      .select(col("block"), col("id"), size(col("shingles")).as("n"),
         explode(slice(col("shingles"), lit(1), greatest(prefixLen, lit(1)))).as("s"))
+    // Length filter (the other half of PPJoin's pruning): J(x,y) ≥ t forces
+    // t·|x| ≤ |y| ≤ |x|/t, so size-incompatible pairs are dropped in the
+    // join itself, before distinct + exact verification.
     val cands = postings.alias("a")
       .join(postings.alias("b"),
         col("a.block") === col("b.block") && col("a.s") === col("b.s") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          col("b.n") >= lit(threshold) * col("a.n") &&
+          col("a.n") >= lit(threshold) * col("b.n"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cands

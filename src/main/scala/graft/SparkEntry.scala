@@ -778,6 +778,23 @@ object SparkEntry {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"), col("k_decile"))
 
+  /** Bloom-filter semi-join reduction: lineitem prefiltered map-side by a
+    * bloom built over one nation's suppliers before the shuffle join.
+    * Oracle is the plain join SQL — no false negatives means identical
+    * results; the bloom only shrinks the shuffled fraction. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val build = T(s, dir, "supplier")
+      .join(broadcast(T(s, dir, "nation").filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    graft.operators.BloomJoin
+      .prefilteredJoin(T(s, dir, "lineitem"), build, "l_suppkey", "s_suppkey",
+        expectedItems = 10000L)
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("s_name"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -845,7 +862,8 @@ object SparkEntry {
     "q63_stratified_sample" -> (q63 _),
     "q64_rolling_window" -> (q64 _),
     "q65_sessions_tws" -> (q65 _),
-    "q66_json_props" -> (q66 _)
+    "q66_json_props" -> (q66 _),
+    "q67_bloom_join" -> (q67 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1342,6 +1360,13 @@ object SparkEntry {
         | count(*) AS n, round(sum(value), 2) AS sum_value,
         | min(json_extract(props, '$.k')::INT) AS min_k,
         | max(json_extract(props, '$.k')::INT) AS max_k
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q67_bloom_join" ->
+      """SELECT s_name, count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

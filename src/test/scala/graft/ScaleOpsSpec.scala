@@ -35,6 +35,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("bloom-prefiltered join is row-identical to the plain join and prunes the probe side") {
+    val probe = (1 to 10000).map(i => (i.toLong % 100, s"row$i")).toDF("k", "payload")
+    val build = Seq((1L, "dim1"), (7L, "dim7"), (42L, "dim42")).toDF("bk", "attr")
+    val plain = probe.join(build, col("k") === col("bk"))
+      .select("k", "payload", "attr").collect().map(_.toSeq).toSet
+    val bloomed = graft.operators.BloomJoin.prefilteredJoin(probe, build, "k", "bk", 100L)
+    assert(bloomed.select("k", "payload", "attr").collect().map(_.toSeq).toSet == plain)
+    assert(plain.size == 300)
+    // the bloom filter itself (before the join) must keep all 3 matching
+    // keys and prune most of the 97 non-matching ones
+    val kept = bloomed.select("k").distinct().collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 7L, 42L))
+  }
+
   test("bucketed tables join without an exchange") {
     val wh = Files.createTempDirectory("graft-bucket").toString
     val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")

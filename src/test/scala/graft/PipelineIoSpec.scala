@@ -50,6 +50,22 @@ class PipelineIoSpec extends AnyFunSuite {
     assert(back.count() == 1) // partition pruning path
   }
 
+  test("dynamic partition refresh overwrites only the incoming partitions") {
+    val out = Files.createTempDirectory("graft-dynpart").toString
+    val day1 = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02")).toDF("id", "v", "load_date")
+    Writers.parquetRefreshPartitions(day1, out, Seq("load_date"))
+    // recompute day 2 only: day 1's partition must survive untouched
+    val day2fix = Seq((9L, "B2", "2024-01-02")).toDF("id", "v", "load_date")
+    Writers.parquetRefreshPartitions(day2fix, out, Seq("load_date"))
+    val result = spark.read.parquet(out)
+      // partition-column type inference reads the date string back as DATE
+      .select(col("id"), col("v"), col("load_date").cast("string").as("load_date"))
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"), r.getAs[String]("load_date"))).toSet
+    assert(result == Set((1L, "a", "2024-01-01"), (9L, "B2", "2024-01-02")))
+    // a full-overwrite write would have dropped 2024-01-01 entirely
+  }
+
   test("empty relation with schema (SCD2 seed)") {
     val schema = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))
     val df = Readers.emptyWithSchema(spark, schema)

@@ -795,6 +795,16 @@ object SparkEntry {
       .orderBy(col("s_name"))
   }
 
+  /** Trained-IVF centroid training: deterministic distributed k-means
+    * (Lloyd's, k=4, 2 iterations, no RNG) — data never leaves executors,
+    * only k·dim centroid doubles move. The oracle replays the identical
+    * iterations in SQL (same init, same sequential-fold distances, same
+    * explicit rounding), so even the training loop is oracle-verified. */
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssign(T(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 2)
+      .select(col("id").as("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -863,7 +873,8 @@ object SparkEntry {
     "q64_rolling_window" -> (q64 _),
     "q65_sessions_tws" -> (q65 _),
     "q66_json_props" -> (q66 _),
-    "q67_bloom_join" -> (q67 _)
+    "q67_bloom_join" -> (q67 _),
+    "q68_kmeans_ivf" -> (q68 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1367,6 +1378,50 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE n_name = 'NATION_7'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q68_kmeans_ivf" -> {
+      // (0 + t0) + t1 + … ≡ list_reduce's t0 + t1 + … because 0.0 + t0 == t0
+      val dist = (cent: String) =>
+        s"""list_reduce(list_transform(range(1, len(v.vec) + 1),
+           |  i -> (v.vec[i]::DOUBLE - $cent[i]) * (v.vec[i]::DOUBLE - $cent[i])),
+           |  (x, y) -> x + y)""".stripMargin
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |init AS (
+         |  SELECT row_number() OVER (ORDER BY id) - 1 AS cid,
+         |    list_transform(vec, x -> floor(x::DOUBLE * 1000000 + 0.5) / 1000000) AS cent
+         |  FROM v ORDER BY id LIMIT 4),
+         |a1 AS (
+         |  SELECT id, vec, cid AS cell FROM (
+         |    SELECT v.id, v.vec, c.cid,
+         |      row_number() OVER (PARTITION BY v.id ORDER BY ${dist("c.cent")}, c.cid) AS rn
+         |    FROM v CROSS JOIN init c) WHERE rn = 1),
+         |m1 AS (
+         |  SELECT cell, list(m ORDER BY i) AS cent FROM (
+         |    SELECT a1.cell, t.i, floor(avg(a1.vec[t.i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
+         |    FROM a1, range(1, 65) t(i)
+         |    GROUP BY a1.cell, t.i)
+         |  GROUP BY cell),
+         |c1 AS (SELECT c0.cid, coalesce(m1.cent, c0.cent) AS cent
+         |       FROM init c0 LEFT JOIN m1 ON m1.cell = c0.cid),
+         |a2 AS (
+         |  SELECT id, vec, cid AS cell FROM (
+         |    SELECT v.id, v.vec, c.cid,
+         |      row_number() OVER (PARTITION BY v.id ORDER BY ${dist("c.cent")}, c.cid) AS rn
+         |    FROM v CROSS JOIN c1 c) WHERE rn = 1),
+         |m2 AS (
+         |  SELECT cell, list(m ORDER BY i) AS cent FROM (
+         |    SELECT a2.cell, t.i, floor(avg(a2.vec[t.i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
+         |    FROM a2, range(1, 65) t(i)
+         |    GROUP BY a2.cell, t.i)
+         |  GROUP BY cell),
+         |c2 AS (SELECT c1.cid, coalesce(m2.cent, c1.cent) AS cent
+         |       FROM c1 LEFT JOIN m2 ON m2.cell = c1.cid),
+         |a3 AS (
+         |  SELECT id, cid AS cell FROM (
+         |    SELECT v.id, c.cid,
+         |      row_number() OVER (PARTITION BY v.id ORDER BY ${dist("c.cent")}, c.cid) AS rn
+         |    FROM v CROSS JOIN c2 c) WHERE rn = 1)
+         |SELECT id AS vec_id, cell FROM a3 ORDER BY vec_id""".stripMargin
+    }
   )
 }

@@ -103,6 +103,76 @@ object Similarity {
       .select(col("query_id"), col("id").as("corpus_id"), col("cosine"), col("rank"))
   }
 
+  /** Deterministic distributed k-means (Lloyd's) for IVF centroid training.
+    *
+    * Distributed shape: the DATA never moves — each iteration is one
+    * map-side assignment against the k·dim centroid matrix (tiny, shipped
+    * as literals exactly like a broadcast) plus one groupBy(cell) average;
+    * only k·dim doubles ever reach the driver. That is the textbook
+    * k-means-on-MapReduce layout and it holds at 100 TB (centroid state is
+    * independent of corpus size).
+    *
+    * Determinism (what makes it oracle-verifiable, no RNG anywhere):
+    *   - init = the vectors of the k smallest ids;
+    *   - per-dimension centroid means are rounded to 6 dp each iteration
+    *     (grouped-avg summation order is engine/partitioning-dependent at
+    *     ~1e-13; rounding quashes it);
+    *   - distances fold sequentially over dimensions (same fp order as the
+    *     oracle's list_reduce);
+    *   - argmin ties break on the lower centroid id.
+    */
+  def kmeansAssign(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val base = Parallelism.ensure(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))).cache()
+
+    def sqDistTo(cent: Seq[Double]): Column = {
+      val centArr = array(cent.map(lit): _*)
+      aggregate(
+        zip_with(col("vec"), centArr, (x, c) => {
+          val d = x.cast("double") - c
+          d * d
+        }),
+        lit(0.0), (acc, v) => acc + v)
+    }
+
+    // cell = id of the nearest centroid, ties to the lower id — computed as
+    // the lexicographic min of (dist_i, i) structs.
+    def withCell(cents: Seq[Seq[Double]]): DataFrame = {
+      val scored = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(sqDistTo(c).as("d"), lit(i).as("cid"))
+      }: _*)
+      base.withColumn("cell", array_min(scored).getField("cid"))
+    }
+
+    // explicit double-math rounding (floor(x·1e6 + 0.5)/1e6) — the same fp
+    // expression tree the oracle runs, unlike round()'s decimal semantics
+    val round6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    var centroids: Seq[Seq[Double]] = base.orderBy(col("id")).limit(k).collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("vec")).map(f => round6(f.toDouble)).toSeq).toSeq
+
+    for (_ <- 1 to iters) {
+      val assigned = withCell(centroids)
+      val dim = centroids.head.length
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg((floor(avg(col("x").cast("double")) * 1e6 + 0.5) / 1e6).as("m"))
+        .collect().map(r => (r.getAs[Int]("cell"), r.getAs[Int]("d"), r.getAs[Double]("m")))
+      val byCell = means.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      // empty cells keep their previous centroid (no reseeding — determinism)
+      centroids = centroids.indices.map(i => byCell.getOrElse(i, centroids(i)))
+      require(centroids.forall(_.length == dim))
+    }
+    withCell(centroids).select(col("id"), col("cell"))
+  }
+
   /** Signed-random-projection bucket key per vector: `nPlanes` hyperplanes
     * with deterministic ±1 coefficients derived from (seed, plane, dim) via
     * md5 parity — reproducible across engines and runs without any RNG

@@ -72,6 +72,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("kmeans: clusters converge to the planted groups, deterministic across runs") {
+    // two tight planted clusters around (1,0,...) and (0,1,...)
+    val vecs = ((0 until 10).map(i => (i.toLong, Array(1.0f + i * 0.001f, 0.0f, 0.1f))) ++
+      (10 until 20).map(i => (i.toLong, Array(0.0f, 1.0f + i * 0.001f, 0.1f))))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.kmeansAssign(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("cell")).toMap
+    val b = Similarity.kmeansAssign(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("cell")).toMap
+    assert(a == b) // no RNG anywhere → bit-stable
+    val c0 = (0L until 10L).map(a)
+    val c1 = (10L until 20L).map(a)
+    assert(c0.toSet.size == 1 && c1.toSet.size == 1 && c0.head != c1.head)
+  }
+
   test("ivf: cell assignment routes to nearest centroid; probe search finds neighbor") {
     val centroids = Seq((0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)))
       .toDF("centroid_id", "embedding")

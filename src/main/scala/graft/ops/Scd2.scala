@@ -269,4 +269,23 @@ object Scd2 {
       .unionByName(expired.select(outCols.map(col): _*))
       .unionByName(changed.select(outCols.map(col): _*))
   }
+
+  /** Transactional SCD2 maintenance on a [[graft.io.SnapshotStore]] table:
+    * read the latest committed snapshot, run the one-exchange idiomatic
+    * merge, commit the result as a NEW immutable version with an atomic
+    * pointer swap. Readers mid-query keep the old snapshot; history
+    * versions stay time-travelable until vacuumed. This is the safe form
+    * of the reference's overwrite-in-place dimension write. Returns the
+    * committed version. */
+  def mergeSnapshot(
+      newDf: DataFrame,
+      tableDir: String,
+      spec: Scd2Spec,
+      clock: Clock = SystemClock
+  ): Int = {
+    val spark = newDf.sparkSession
+    val existing = graft.io.SnapshotStore.readLatest(spark, tableDir)
+    val merged = singleShuffleIdiomatic(newDf, existing, spec, clock)
+    graft.io.SnapshotStore.commit(merged, tableDir)
+  }
 }

@@ -108,6 +108,29 @@ class Scd2Spec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$plan")
   }
 
+  test("snapshot-store SCD2: versioned commits, time travel, atomic pointer, vacuum") {
+    import graft.io.SnapshotStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val v1 = Scd2.mergeSnapshot(dim(("1", "a", "x"), ("2", "b", "y")), dir, spec, t0)
+    val v2 = Scd2.mergeSnapshot(dim(("1", "a", "x2"), ("2", "b", "y")), dir, spec, t1)
+    assert((v1, v2) == (1, 2))
+    assert(SnapshotStore.latestVersion(spark, dir) == 2)
+    // latest: key 1 has expired v + active v2; key 2 untouched
+    val latest = SnapshotStore.readLatest(spark, dir).get
+    assert(latest.filter($"id" === "1").count() == 2)
+    assert(latest.filter($"id" === "1" && $"is_active" === true)
+      .head().getAs[String]("city") == "x2")
+    // time travel: version 1 still shows the original state
+    val old = SnapshotStore.read(spark, dir, 1)
+    assert(old.filter($"id" === "1").count() == 1)
+    assert(old.filter($"is_active" === true).count() == 2)
+    // vacuum keeps the latest `keep` versions
+    val v3 = Scd2.mergeSnapshot(dim(("1", "a", "x3"), ("2", "b", "y")), dir, spec, t2)
+    SnapshotStore.vacuum(spark, dir, keep = 2)
+    assert(!new java.io.File(s"$dir/v=1").exists())
+    assert(new java.io.File(s"$dir/v=2").exists() && new java.io.File(s"$dir/v=$v3").exists())
+  }
+
   test("new keys insert as active; deleted keys stay (no delete detection)") {
     val v1 = Scd2.faithful(dim(("1", "a", "x")), None, spec, t0)
     val v2 = Scd2.faithful(dim(("2", "b", "y")), Some(v1), spec, t1)

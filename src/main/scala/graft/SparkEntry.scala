@@ -805,6 +805,19 @@ object SparkEntry {
       .select(col("id").as("vec_id"), col("cell"))
       .orderBy(col("vec_id"))
 
+  /** Dedup clusters: connected components over the q28 near-dup pairs via
+    * iterative min-label propagation (no driver-side graph). The oracle
+    * mirrors the closure with a recursive CTE over the same pair SQL. */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+      threshold = 0.3, shingleSize = 3, numHashes = 16, bands = 4)
+      .select(col("id_a"), col("id_b"))
+    Dedup.clusters(docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -874,7 +887,8 @@ object SparkEntry {
     "q65_sessions_tws" -> (q65 _),
     "q66_json_props" -> (q66 _),
     "q67_bloom_join" -> (q67 _),
-    "q68_kmeans_ivf" -> (q68 _)
+    "q68_kmeans_ivf" -> (q68 _),
+    "q69_dedup_clusters" -> (q69 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1422,6 +1436,26 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY v.id ORDER BY ${dist("c.cent")}, c.cid) AS rn
          |    FROM v CROSS JOIN c2 c) WHERE rn = 1)
          |SELECT id AS vec_id, cell FROM a3 ORDER BY vec_id""".stripMargin
-    }
+    },
+    "q69_dedup_clusters" ->
+      s"""WITH RECURSIVE $docShinglesCte,
+         |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),
+         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS mh
+         |  FROM docsh),
+         |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+         |  j -> md5(j::VARCHAR || ',' || array_to_string(mh[j*4+1:j*4+4], ',')))) AS bk FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM cand JOIN docsh a ON a.doc_id = id_a JOIN docsh b ON b.doc_id = id_b
+         |  WHERE $jaccardSql >= 0.3),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT e.b AS id, reach.lab FROM reach JOIN e ON e.a = reach.id)
+         |SELECT id AS doc_id, min(lab) AS cluster_id FROM reach
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -215,6 +215,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over near-dup pairs — the step that turns pair
+    * lists into dedup CLUSTERS (then: survivor = min id per cluster).
+    *
+    * Iterative min-label propagation: every node starts labeled with its
+    * own id; each round every node takes the min of its own and its
+    * neighbors' labels; converge when no label changes. O(component
+    * diameter) rounds, each one join + one groupBy-min — the standard
+    * large-graph formulation (no driver-side graph). Near-dup components
+    * are small and dense, so convergence is 2-3 rounds in practice.
+    * Deterministic: labels are ids, min is total-ordered.
+    *
+    * `nodes`: one `id` column; `pairs`: (id_a, id_b). Returns
+    * (id, cluster_id = min id in the component). */
+  def clusters(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = nodes.select(col("id"), col("id").as("lab")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("lab").as("nlab")), "src")
+        .groupBy(col("dst")).agg(min(col("nlab")).as("nmin"))
+      val updated = labels
+        .join(nbrMin, col("id") === col("dst"), "left")
+        .select(col("id"), col("lab"),
+          least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab2"))
+        .cache()
+      changed = updated.filter(col("lab2") < col("lab")).count()
+      val next = updated.select(col("id"), col("lab2").as("lab")).cache()
+      next.count() // materialize before dropping the parent cache
+      labels.unpersist()
+      updated.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lab").as("cluster_id"))
+  }
+
   /** Scale path for embedding near-dup: SRP-LSH bucket the vectors in
     * `nTables` independent tables (OR-amplification), verify cosine within
     * buckets. Approximate with tunable recall: a pair at cosine c agrees on

@@ -72,6 +72,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("clusters: min-label propagation closes chains transitively, isolates stay singleton") {
+    val nodes = (1L to 7L).toDF("id")
+    // chain 1-2-3-4 (no direct 1-4 edge) + pair 5-6; 7 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(nodes, pairs)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert((1L to 4L).forall(out(_) == 1L)) // transitive closure, min id wins
+    assert(out(5L) == 5L && out(6L) == 5L)
+    assert(out(7L) == 7L)
+  }
+
   test("kmeans: clusters converge to the planted groups, deterministic across runs") {
     // two tight planted clusters around (1,0,...) and (0,1,...)
     val vecs = ((0 until 10).map(i => (i.toLong, Array(1.0f + i * 0.001f, 0.0f, 0.1f))) ++

@@ -818,6 +818,48 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Time-series gap fill: a dense hour spine from `sequence`+`explode`
+    * (min..max event hour), left-joined to the hourly counts so silent
+    * hours appear as explicit zeros — the resample/densify step before
+    * any rolling metric. The spine is generated, not scanned. */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_events"))
+    val bounds = T(s, dir, "events")
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"), date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    spine.join(hourly, Seq("h"), "left")
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("hour_start"))
+  }
+
+  /** Capstone corpus-curation pipeline — the full training-data prep chain
+    * in one plan: near-dup CLUSTER survivors (minhash LSH pairs →
+    * connected components → min-id survivor), language-verified, quality-
+    * thresholded, PII-redacted (digest), and deterministically split
+    * train/val/test. Every stage is individually oracle-verified
+    * (q28/q69/q25/q24/q59/q60); this query pins their composition. */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+      threshold = 0.3, shingleSize = 3, numHashes = 16, bands = 4)
+      .select(col("id_a"), col("id_b"))
+    val survivors = Dedup.clusters(docs.select(col("doc_id").as("id")), pairs)
+      .filter(col("id") === col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val scored = TF.withLangId(docs, "text", "pred_lang")
+      .withColumn("quality", TF.qualityScore(col("text")))
+    val redacted = Curation.redactPii(scored, "text")
+    Curation.hashSplit(redacted.join(survivors, "doc_id"), "doc_id")
+      .filter(col("pred_lang") === col("lang") && col("quality") >= 0.55)
+      .select(col("doc_id"), col("lang"), col("quality"),
+        md5(col("redacted")).as("redacted_digest"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -888,7 +930,9 @@ object SparkEntry {
     "q66_json_props" -> (q66 _),
     "q67_bloom_join" -> (q67 _),
     "q68_kmeans_ivf" -> (q68 _),
-    "q69_dedup_clusters" -> (q69 _)
+    "q69_dedup_clusters" -> (q69 _),
+    "q70_gap_fill" -> (q70 _),
+    "q71_curation_pipeline" -> (q71 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -913,6 +957,17 @@ object SparkEntry {
   private def cosineSql(a: String, b: String): String =
     s"""CASE WHEN sqrt(${dotSql(a, a)}) = 0.0 OR sqrt(${dotSql(b, b)}) = 0.0 THEN 0.0
        | ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END""".stripMargin
+
+  /** Exact SQL mirror of `TextFunctions.qualityScore` (same fp tree). */
+  private val qualitySql =
+    """(CASE WHEN length(text) = 0 THEN 0.0
+      |     ELSE len(regexp_extract_all(text, '[\p{L}]'))::DOUBLE / length(text) END) * 0.5
+      |  + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+      |     ELSE len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text) END) * 0.2
+      |  + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+      |     ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) END) * 0.2
+      |  + least((CASE WHEN length(trim(text)) = 0 THEN 0
+      |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE / 100.0, 1.0) * 0.1""".stripMargin
 
   private val langCase = {
     val zh = "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))"
@@ -1248,14 +1303,7 @@ object SparkEntry {
     "q49_corpus_filter" ->
       s"""WITH lang_pred AS (SELECT doc_id, lang, text, $langCase AS pred_lang FROM documents),
          |q AS (SELECT doc_id, lang, pred_lang,
-         |  (CASE WHEN length(text) = 0 THEN 0.0
-         |     ELSE len(regexp_extract_all(text, '[\\p{L}]'))::DOUBLE / length(text) END) * 0.5
-         |  + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-         |     ELSE len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text) END) * 0.2
-         |  + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-         |     ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) END) * 0.2
-         |  + least((CASE WHEN length(trim(text)) = 0 THEN 0
-         |     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE / 100.0, 1.0) * 0.1
+         |  $qualitySql
          |  AS quality, md5($normSql) AS fingerprint
          |  FROM lang_pred),
          |survivors AS (SELECT doc_id FROM documents
@@ -1456,6 +1504,55 @@ object SparkEntry {
          |  UNION
          |  SELECT e.b AS id, reach.lab FROM reach JOIN e ON e.a = reach.id)
          |SELECT id AS doc_id, min(lab) AS cluster_id FROM reach
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q70_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |                  date_trunc('hour', max(ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds)
+        |SELECT strftime(spine.h, '%Y-%m-%d %H:%M') AS hour_start,
+        |  coalesce(hourly.n_events, 0) AS n_events
+        |FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+        |ORDER BY hour_start""".stripMargin,
+    "q71_curation_pipeline" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+?[0-9][0-9()\\- ]{5,}[0-9]"
+      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val redact = s"""regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g')""".stripMargin
+      s"""WITH RECURSIVE $docShinglesCte,
+         |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),
+         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS mh
+         |  FROM docsh),
+         |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+         |  j -> md5(j::VARCHAR || ',' || array_to_string(mh[j*4+1:j*4+4], ',')))) AS bk FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM cand JOIN docsh a ON a.doc_id = id_a JOIN docsh b ON b.doc_id = id_b
+         |  WHERE $jaccardSql >= 0.3),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT e.b AS id, reach.lab FROM reach JOIN e ON e.a = reach.id),
+         |clu AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1),
+         |survivors AS (SELECT doc_id FROM clu WHERE doc_id = cluster_id),
+         |lang_pred AS (SELECT doc_id, lang, text, $langCase AS pred_lang FROM documents),
+         |q AS (SELECT doc_id, lang, pred_lang,
+         |  $qualitySql
+         |  AS quality, md5($redact) AS redacted_digest,
+         |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 80 THEN 'train'
+         |       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM lang_pred)
+         |SELECT doc_id, lang, quality, redacted_digest, split
+         |FROM q JOIN survivors USING (doc_id)
+         |WHERE pred_lang = lang AND quality >= 0.55
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -860,6 +860,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Spark 4 VARIANT column: `parse_json` once into the binary variant
+    * encoding, then typed `variant_get` paths — the schema-flexible
+    * complement to q66's fixed-schema `from_json` (same oracle answer,
+    * different extraction machinery). */
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", variant_get(col("v"), "$.k", "int"))
+      .groupBy(col("event_type"), (col("k") / 10).cast("int").as("k_decile"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"), col("k_decile"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -932,7 +945,8 @@ object SparkEntry {
     "q68_kmeans_ivf" -> (q68 _),
     "q69_dedup_clusters" -> (q69 _),
     "q70_gap_fill" -> (q70 _),
-    "q71_curation_pipeline" -> (q71 _)
+    "q71_curation_pipeline" -> (q71 _),
+    "q72_variant_props" -> (q72 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -989,7 +1003,10 @@ object SparkEntry {
     // equivalence of the alternative formulations.
     oracleSqlCore +
       ("q50_scd2_merge1" -> oracleSqlCore("q18_scd2_faithful")) +
-      ("q65_sessions_tws" -> oracleSqlCore("q58_stream_sessions"))
+      ("q65_sessions_tws" -> oracleSqlCore("q58_stream_sessions")) +
+      // q72 extracts via Spark 4's VARIANT type; q66 via fixed-schema
+      // from_json — same answer, so they share one oracle.
+      ("q72_variant_props" -> oracleSqlCore("q66_json_props"))
 
   private lazy val oracleSqlCore: Map[String, String] = Map(
     "q01_pricing_summary" ->

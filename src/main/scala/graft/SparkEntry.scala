@@ -873,6 +873,26 @@ object SparkEntry {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"), col("k_decile"))
 
+  /** Forward as-of join — for each purchase, the same user's FIRST click
+    * at-or-after it (q34's mirror; same one-pass union-window plan run in
+    * reverse time order). */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = StarSchema.dedupKeyed(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          col("value").as("click_value")),
+      Seq("user_id", "ts"), Seq(col("click_id").desc))
+    operators.AsOfJoin.asof(purchases, clicks, "user_id", "ts", "ts",
+      Seq("click_id", "click_value"), tieBreak = Some("click_id"),
+      direction = "forward")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("click_id_asof"), col("click_value_asof"))
+      .orderBy(col("event_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -946,7 +966,8 @@ object SparkEntry {
     "q69_dedup_clusters" -> (q69 _),
     "q70_gap_fill" -> (q70 _),
     "q71_curation_pipeline" -> (q71 _),
-    "q72_variant_props" -> (q72 _)
+    "q72_variant_props" -> (q72 _),
+    "q73_asof_forward" -> (q73 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1570,6 +1591,18 @@ object SparkEntry {
          |FROM q JOIN survivors USING (doc_id)
          |WHERE pred_lang = lang AND quality >= 0.55
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+    "q73_asof_forward" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, event_id AS click_id, value AS click_value
+        |  FROM events WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS us,
+        |  c.click_id AS click_id_asof, c.click_value AS click_value_asof
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts >= p.ts
+        |ORDER BY p.event_id""".stripMargin
   )
 }

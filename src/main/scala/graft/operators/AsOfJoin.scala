@@ -4,9 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (backward, inclusive) join — for each left row, the single right
-  * row with the same key and the greatest right timestamp ≤ the left
-  * timestamp. The canonical time-series enrichment operator (DuckDB
+/** As-of join (inclusive) — for each left row, the single right row with
+  * the same key and, in `backward` mode, the greatest right timestamp ≤
+  * the left timestamp (or, in `forward` mode, the smallest right
+  * timestamp ≥ it). The canonical time-series enrichment operator (DuckDB
   * `ASOF JOIN`, pandas `merge_asof`); Spark has no builtin.
   *
   * Implementation: the union-window trick rather than a range join —
@@ -32,10 +33,17 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightValueCols: Seq[String],
-      tieBreak: Option[String] = None
+      tieBreak: Option[String] = None,
+      direction: String = "backward"
   ): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!rightValueCols.contains(keyCol), "key cannot be a value column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    // forward = the same one-pass traversal run in reverse time order;
+    // right still sorts before left at equal ts (side 0 < 1) → inclusive.
+    val tsOrder =
+      if (direction == "backward") col("__ts").asc else col("__ts").desc
 
     val taggedLeft = left
       .withColumn("__ts", col(leftTs))
@@ -55,7 +63,7 @@ object AsOfJoin {
 
     val w = Window
       .partitionBy(col(keyCol))
-      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+      .orderBy(tsOrder, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     combined

@@ -38,6 +38,17 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.getAs[String]("tag_asof") == "high")
   }
 
+  test("forward direction: first right row at-or-after, nulls when nothing follows") {
+    val out = AsOfJoin.asof(left, right, "user", "ts", "rts", Seq("rid", "tag"),
+      direction = "forward")
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.get(r.fieldIndex("rid_asof")))).toMap
+    assert(out(1L) == Some(10L)) // equal-ts inclusive (rts=100)
+    assert(out(2L) == Some(30L)) // earliest ≥ 205 is rts=210
+    assert(out(3L) == Some(10L)) // earliest ≥ 50 is rts=100
+    assert(out(4L) == None)      // key absent on right
+  }
+
   test("value columns stay atomic: all come from the same matched row") {
     val rightWithNull = Seq(("u1", 100L, 10L, null.asInstanceOf[String]), ("u1", 90L, 5L, "old"))
       .toDF("user", "rts", "rid", "tag")

@@ -893,6 +893,24 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Incremental aggregate maintenance: the orders table arrives as two
+    * deterministic "days" (orderkey parity); day 1 builds the per-customer
+    * state, day 2 merges in WITHOUT rescanning day 1. The oracle is the
+    * full-recompute aggregate — the gate proves fold-in ≡ rebuild. */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.IncrementalAgg
+    val orders = T(s, dir, "orders")
+    val day1 = orders.filter(col("o_orderkey") % 2 === 0)
+    val day2 = orders.filter(col("o_orderkey") % 2 === 1)
+    val keys = Seq("o_custkey")
+    val measures = Seq("o_totalprice")
+    val snapshot = IncrementalAgg.build(day1, keys, measures)
+    IncrementalAgg.merge(snapshot, day2, keys, measures)
+      .select(col("o_custkey"), col("n_rows").as("n_orders"),
+        round(col("sum_o_totalprice"), 2).as("sum_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -967,7 +985,8 @@ object SparkEntry {
     "q70_gap_fill" -> (q70 _),
     "q71_curation_pipeline" -> (q71 _),
     "q72_variant_props" -> (q72 _),
-    "q73_asof_forward" -> (q73 _)
+    "q73_asof_forward" -> (q73 _),
+    "q74_incremental_agg" -> (q74 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1603,6 +1622,10 @@ object SparkEntry {
         |  c.click_id AS click_id_asof, c.click_value AS click_value_asof
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.ts >= p.ts
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+    "q74_incremental_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

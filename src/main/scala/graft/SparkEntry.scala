@@ -911,6 +911,16 @@ object SparkEntry {
       .orderBy(col("o_custkey"))
   }
 
+  /** Deterministic source mixing: per-language sampling rates over the
+    * corpus (keep all English, thin the rest) — the reproducible
+    * `sampleBy`. */
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    Curation.sampleByRates(T(s, dir, "documents"), "lang", "doc_id",
+      Map("en" -> 100, "de" -> 50, "es" -> 50, "fr" -> 25, "zh" -> 25))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -986,7 +996,8 @@ object SparkEntry {
     "q71_curation_pipeline" -> (q71 _),
     "q72_variant_props" -> (q72 _),
     "q73_asof_forward" -> (q73 _),
-    "q74_incremental_agg" -> (q74 _)
+    "q74_incremental_agg" -> (q74 _),
+    "q75_source_mixing" -> (q75 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1626,6 +1637,12 @@ object SparkEntry {
     "q74_incremental_agg" ->
       """SELECT o_custkey, count(*) AS n_orders,
         | round(sum(o_totalprice), 2) AS sum_price
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q75_source_mixing" ->
+      """SELECT lang, count(*) AS n_kept FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 <
+        |  CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'es' THEN 50
+        |            WHEN 'fr' THEN 25 WHEN 'zh' THEN 25 ELSE -1 END
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

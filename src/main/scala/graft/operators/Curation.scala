@@ -66,6 +66,20 @@ object Curation {
       when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test"))
   }
 
+  /** Deterministic source mixing: per-stratum sampling RATES (the
+    * `df.stat.sampleBy` analog, minus the RNG). `rates` maps stratum value
+    * → percentage kept; strata absent from the map are dropped. This is
+    * how a training mix is composed from heterogeneous sources ("keep 100%
+    * of wiki, 10% of crawl") — and because membership is content-hashed,
+    * the mix is reproducible and auditable row-by-row. */
+  def sampleByRates(df: DataFrame, stratumCol: String, keyCol: String,
+                    rates: Map[String, Int]): DataFrame = {
+    val rateExpr = rates.foldLeft(lit(-1)) { case (acc, (stratum, pct)) =>
+      when(col(stratumCol) === stratum, lit(pct)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), 100) < rateExpr)
+  }
+
   /** Deterministic stratified sample: keep ~`pct`% of rows per stratum,
     * chosen by content hash of the key (stable, engine-portable). The
     * stratum column only documents intent — the hash is uniform within

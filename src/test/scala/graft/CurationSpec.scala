@@ -50,6 +50,18 @@ class CurationSpec extends AnyFunSuite {
     assert(kept.count() == byStratum.values.sum)
   }
 
+  test("sampleByRates keeps per-stratum rates; unlisted strata drop entirely") {
+    val df = spark.range(1, 3001).toDF("id")
+      .withColumn("src", element_at(array(lit("wiki"), lit("crawl"), lit("junk")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")))
+    val kept = Curation.sampleByRates(df, "src", "id", Map("wiki" -> 100, "crawl" -> 20))
+    val counts = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("wiki") == 1000)                      // 100% kept
+    assert(counts("crawl") > 120 && counts("crawl") < 280) // ~20%
+    assert(!counts.contains("junk"))                    // unlisted → dropped
+  }
+
   test("int8 quantization: |dequantized - original| <= scale/2, zero vector → zeros") {
     val df = Seq(
       (1L, Seq(0.5f, -1.0f, 0.25f, 127.0f)),

@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.expressions.{DotProduct, IntersectSize, SimHashExpr, SortedLongIntersectSize}
+import graft.functions.expressions.{DotProduct, IntersectSize, MinHashSig, SimHashExpr, SortedLongIntersectSize}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -40,6 +41,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash"),
       info("simhash", "simhash(tokens) - 60-bit SimHash fingerprint of a string array"),
       (args: Seq[Expression]) => SimHashExpr(args(0))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(shingles, k) - k-permutation MinHash signature (md5 min per seed); NULL for empty input"),
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig: k must be an integer literal, got $other")
+        }
+        MinHashSig(args(0), k)
+      }
     ))
   }
 }

@@ -21,6 +21,10 @@ class ScaleOpsSpec extends AnyFunSuite {
     Seq(Seq("x", "y", "z")).toDF("toks").createOrReplaceTempView("vt")
     assert(spark.sql("SELECT simhash(toks) AS h FROM vt").head().getLong(0) > 0L)
     assert(spark.sql("SELECT intersect_size(array('a','b'), array('b','c')) AS i").head().getInt(0) == 1)
+    val sig = spark.sql("SELECT minhash_sig(array('aa','bb'), 4) AS s").head().getSeq[String](0)
+    assert(sig.length == 4 && sig.forall(_.length == 32))
+    assert(spark.sql("SELECT minhash_sig(cast(array() AS array<string>), 4) AS s")
+      .head().isNullAt(0)) // empty → NULL
   }
 
   test("salted join is row-identical to the plain join") {

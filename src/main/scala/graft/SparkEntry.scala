@@ -921,6 +921,17 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept"))
       .orderBy(col("lang"))
 
+  /** Corpus-overlap estimation via mergeable per-source MinHash sketches:
+    * |sources|² sketch comparisons instead of |docs|² document
+    * comparisons. The element-wise-min sketch merges across partitions/
+    * days for free (min is associative) — the 100 TB way to ask "how much
+    * does source A overlap source B". */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val sketches = Dedup.groupSketches(T(s, dir, "documents"), "text", "source")
+    Dedup.sketchOverlap(sketches)
+      .orderBy(col("grp_a"), col("grp_b"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -997,7 +1008,8 @@ object SparkEntry {
     "q72_variant_props" -> (q72 _),
     "q73_asof_forward" -> (q73 _),
     "q74_incremental_agg" -> (q74 _),
-    "q75_source_mixing" -> (q75 _)
+    "q75_source_mixing" -> (q75 _),
+    "q76_source_overlap" -> (q76 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1643,6 +1655,20 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 <
         |  CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'es' THEN 50
         |            WHEN 'fr' THEN 25 WHEN 'zh' THEN 25 ELSE -1 END
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q76_source_overlap" ->
+      s"""WITH $docShinglesCte,
+         |sig AS (SELECT doc_id, source, list_transform(range(0, 16),
+         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS mh
+         |  FROM docsh),
+         |el AS (SELECT source, t.i - 1 AS pos, mh[t.i] AS v
+         |       FROM sig, range(1, 17) t(i)),
+         |sk AS (SELECT source, pos, min(v) AS v FROM el GROUP BY 1, 2),
+         |sketch AS (SELECT source, list(v ORDER BY pos) AS sketch FROM sk GROUP BY 1)
+         |SELECT a.source AS grp_a, b.source AS grp_b,
+         |  len(list_filter(range(1, 17), i -> a.sketch[i] = b.sketch[i]))::DOUBLE / 16.0
+         |    AS est_jaccard
+         |FROM sketch a JOIN sketch b ON a.source < b.source
+         |ORDER BY grp_a, grp_b""".stripMargin
   )
 }

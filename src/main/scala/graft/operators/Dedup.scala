@@ -215,6 +215,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Corpus-level MinHash sketch per group (e.g. per source): the
+    * element-wise min of all member documents' k-element signatures —
+    * because min is associative/commutative, the sketch MERGES across
+    * partitions, days, or whole corpora (the mergeability that makes
+    * sketches work at 100 TB: per-day sketches fold into per-month ones
+    * without touching documents again). Built from posexplode + partial-
+    * aggregating groupBy min — one shuffle of (group, pos, digest) rows,
+    * no custom aggregate needed. */
+  def groupSketches(
+      df: DataFrame,
+      textCol: String,
+      groupCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16
+  ): DataFrame =
+    TextFunctions.withShingles(df, textCol, "__sh", shingleSize)
+      .withColumn("__sig", MinHash.signature(col("__sh"), numHashes))
+      .select(col(groupCol).as("grp"), posexplode(col("__sig")).as(Seq("pos", "v")))
+      .groupBy(col("grp"), col("pos")).agg(min(col("v")).as("v"))
+      .groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("sketch"))
+
+  /** Estimated Jaccard overlap between every pair of group sketches:
+    * fraction of agreeing signature positions (the standard MinHash
+    * estimator), computed sketch-vs-sketch — |groups|² tiny comparisons
+    * instead of |docs|² document comparisons. */
+  def sketchOverlap(sketches: DataFrame): DataFrame = {
+    val k = size(col("a.sketch"))
+    sketches.alias("a")
+      .join(sketches.alias("b"), col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
+        (size(filter(zip_with(col("a.sketch"), col("b.sketch"), (x, y) => x === y),
+          (m: Column) => m)).cast("double") / k.cast("double")).as("est_jaccard"))
+  }
+
   /** Connected components over near-dup pairs — the step that turns pair
     * lists into dedup CLUSTERS (then: survivor = min id per cluster).
     *

@@ -72,6 +72,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("group sketches merge: sketch(all) == element-wise min of the half sketches") {
+    val whole = Dedup.groupSketches(docs.withColumn("g", lit("all")), "text", "g")
+      .head().getSeq[String](1)
+    val halves = Dedup.groupSketches(
+      docs.withColumn("g", concat(lit("h"), pmod(col("doc_id"), lit(2)))), "text", "g")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val merged = halves("h0").zip(halves("h1")).map { case (a, b) => if (a <= b) a else b }
+    assert(merged == whole) // min is associative → sketches fold across splits
+  }
+
   test("clusters: min-label propagation closes chains transitively, isolates stay singleton") {
     val nodes = (1L to 7L).toDF("id")
     // chain 1-2-3-4 (no direct 1-4 edge) + pair 5-6; 7 isolated

@@ -76,7 +76,9 @@ object Multimodal {
     * iterator (no materialization of the whole partition). */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
+    // decode is the compute bottleneck of any multimodal pipeline — never
+    // let a narrow input serialize it onto one core
+    graft.io.Parallelism.ensure(media).as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
         val (w, h, frames) = FakeCodec.decode(r.bytes)
         MediaFeatures(r.media_id, r.mime, r.bytes.length.toLong, w, h, frames,
@@ -90,9 +92,37 @@ object Multimodal {
     * → n frame rows) without a real codec. */
   def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
     import spark.implicits._
-    media.as[MediaRow].flatMap { r =>
+    graft.io.Parallelism.ensure(media).as[MediaRow].flatMap { r =>
       val n = math.max(1, r.bytes.length / math.max(1, stride))
       (0 until n).map(i => (r.media_id, i, r.bytes.length.toLong, (i.toLong * stride) % 256))
     }.toDF("media_id", "frame_idx", "byte_len", "sample_val")
+  }
+
+  /** Resized media row: original id/mime + the declared target box + the
+    * "resized" payload. */
+  final case class ResizedMedia(media_id: Long, mime: String,
+                                target_w: Int, target_h: Int, bytes: Array[Byte])
+
+  /** Resize stub: deterministic downsample of the payload to a size
+    * proportional to the target box — models the resize stage's shape
+    * (bytes in → smaller bytes out, metadata updated; batched
+    * per-partition, payloads never shuffle). A real deployment replaces
+    * the byte-level body with a codec call; the plan is unchanged. */
+  def resize(spark: SparkSession, media: DataFrame,
+             targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    require(targetW > 0 && targetH > 0)
+    graft.io.Parallelism.ensure(media).as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, _) = FakeCodec.decode(r.bytes)
+        // keep every k-th byte, k from the area ratio (min 1 = no-op)
+        val ratio = math.max(1.0, (w.toLong * h).toDouble / (targetW.toLong * targetH))
+        val k = math.max(1, math.round(ratio).toInt)
+        val out = Array.newBuilder[Byte]
+        var i = 0
+        while (i < r.bytes.length) { out += r.bytes(i); i += k }
+        ResizedMedia(r.media_id, r.mime, targetW, targetH, out.result())
+      }
+    }
   }
 }

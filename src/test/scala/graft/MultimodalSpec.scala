@@ -27,4 +27,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(counts(1L) == 2L) // 11 bytes / 4 = 2
     assert(counts(2L) == 1L) // max(1, 5/4)
   }
+
+  test("resize stub: payload shrinks toward the target box, metadata updated, deterministic") {
+    val media = Multimodal.withFakeMedia(
+      Seq((1L, "x" * 5000)).toDF("doc_id", "text"), "doc_id", "text")
+    val r = Multimodal.resize(spark, media, targetW = 32, targetH = 32)
+      .collect().head
+    assert(r.target_w == 32 && r.target_h == 32)
+    assert(r.bytes.length < 5000 && r.bytes.length > 0) // downsampled
+    val r2 = Multimodal.resize(spark, media, 32, 32).collect().head
+    assert(r.bytes.toSeq == r2.bytes.toSeq) // deterministic
+    // no-op when the target box is at least the decoded size
+    val big = Multimodal.resize(spark, media, 4096, 4096).collect().head
+    assert(big.bytes.length == 5000)
+  }
 }

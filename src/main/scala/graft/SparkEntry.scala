@@ -932,6 +932,49 @@ object SparkEntry {
       .orderBy(col("grp_a"), col("grp_b"))
   }
 
+  /** Corrupt-record quarantine on a JSON source (the JSON mirror of the
+    * CSV-repair stage): every 5th nation row is written as a broken line;
+    * PERMISSIVE parse + `_corrupt` capture keeps the job alive, parses the
+    * good rows, and makes the bad ones countable. Oracle replicates the
+    * corruption pattern analytically over the original parquet. */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q77").toString
+    T(s, dir, "nation")
+      .select(when(col("n_nationkey") % 5 === 0,
+          concat(lit("{BROKEN json line for key "), col("n_nationkey")))
+        .otherwise(to_json(struct(col("n_nationkey"), col("n_name"), col("n_regionkey"))))
+        .as("value"))
+      .write.mode("overwrite").text(tmp)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_nationkey", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n_name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_regionkey", org.apache.spark.sql.types.IntegerType)))
+    graft.io.Readers.jsonPermissive(s, tmp, schema)
+      .select(when(col("_corrupt").isNotNull, lit("corrupt")).otherwise(lit("ok")).as("kind"),
+        col("n_regionkey"))
+      .groupBy(col("kind"), col("n_regionkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("kind"), col("n_regionkey"))
+  }
+
+  /** Schema evolution across parquet files: an early writer knew 3
+    * columns, a later one adds `name_len`; `mergeSchema` reads the
+    * union, with pre-evolution rows null in the new column. */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q78").toString
+    val nation = T(s, dir, "nation")
+    nation.filter(col("n_regionkey") < 2)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").parquet(tmp)
+    nation.filter(col("n_regionkey") >= 2)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        length(col("n_name")).as("name_len"))
+      .write.mode("append").parquet(tmp)
+    graft.io.Readers.parquetMergedSchema(s, tmp)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"), col("name_len"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1009,7 +1052,9 @@ object SparkEntry {
     "q73_asof_forward" -> (q73 _),
     "q74_incremental_agg" -> (q74 _),
     "q75_source_mixing" -> (q75 _),
-    "q76_source_overlap" -> (q76 _)
+    "q76_source_overlap" -> (q76 _),
+    "q77_json_quarantine" -> (q77 _),
+    "q78_schema_evolution" -> (q78 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1669,6 +1714,15 @@ object SparkEntry {
          |  len(list_filter(range(1, 17), i -> a.sketch[i] = b.sketch[i]))::DOUBLE / 16.0
          |    AS est_jaccard
          |FROM sketch a JOIN sketch b ON a.source < b.source
-         |ORDER BY grp_a, grp_b""".stripMargin
+         |ORDER BY grp_a, grp_b""".stripMargin,
+    "q77_json_quarantine" ->
+      """SELECT CASE WHEN n_nationkey % 5 = 0 THEN 'corrupt' ELSE 'ok' END AS kind,
+        | CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_regionkey END AS n_regionkey,
+        | count(*) AS n
+        |FROM nation GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q78_schema_evolution" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        | CASE WHEN n_regionkey >= 2 THEN length(n_name) END AS name_len
+        |FROM nation ORDER BY n_nationkey""".stripMargin
   )
 }

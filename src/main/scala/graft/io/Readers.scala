@@ -62,4 +62,22 @@ object Readers {
     * reference: Patient_datamart.py:92-98). */
   def emptyWithSchema(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Permissive JSON-lines scan with corrupt-record capture — the JSON
+    * mirror of the CSV repair stage: bad lines don't kill the job OR
+    * silently vanish; they land in `_corrupt` for quarantine/metrics while
+    * well-formed rows parse against the declared schema. (The declared
+    * schema also means NO inference pass — one scan, not two.) */
+  def jsonPermissive(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  /** Parquet scan across files with EVOLVED schemas: union-of-columns via
+    * mergeSchema — files written before a column existed read as nulls.
+    * The ingestion-compatibility knob for long-lived layered tables. */
+  def parquetMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

@@ -975,6 +975,33 @@ object SparkEntry {
       .orderBy(col("n_nationkey"))
   }
 
+  /** Correlated scalar subquery through the SQL front-end (TPC-H Q17
+    * shape): lineitems below 20% of their part's average quantity.
+    * Catalyst decorrelates the subquery into an aggregate + join — no
+    * per-row re-execution, which is what makes this runnable at scale. */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_partkey, count(*) AS n_small,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem_v l1
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem_v l2 WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin)
+  }
+
+  /** Explicit GROUPING SETS (finer than rollup/cube) + grouping_id to
+    * label each aggregation level. */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, grouping(o_orderpriority) AS gid,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus))
+        |ORDER BY o_orderstatus, gid, o_orderpriority""".stripMargin)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1054,7 +1081,9 @@ object SparkEntry {
     "q75_source_mixing" -> (q75 _),
     "q76_source_overlap" -> (q76 _),
     "q77_json_quarantine" -> (q77 _),
-    "q78_schema_evolution" -> (q78 _)
+    "q78_schema_evolution" -> (q78 _),
+    "q79_corr_subquery" -> (q79 _),
+    "q80_grouping_sets" -> (q80 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1723,6 +1752,19 @@ object SparkEntry {
     "q78_schema_evolution" ->
       """SELECT n_nationkey, n_name, n_regionkey,
         | CASE WHEN n_regionkey >= 2 THEN length(n_name) END AS name_len
-        |FROM nation ORDER BY n_nationkey""".stripMargin
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q79_corr_subquery" ->
+      """SELECT l_partkey, count(*) AS n_small,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    "q80_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, grouping(o_orderpriority) AS gid,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus))
+        |ORDER BY o_orderstatus, gid, o_orderpriority""".stripMargin
   )
 }

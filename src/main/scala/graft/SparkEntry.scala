@@ -1002,6 +1002,18 @@ object SparkEntry {
         |ORDER BY o_orderstatus, gid, o_orderpriority""".stripMargin)
   }
 
+  /** q46's hourly aggregation drained with `Trigger.AvailableNow` — the
+    * cron-scheduled catch-up pattern (the trigger terminates the query
+    * itself). Pinned to the same oracle as batch q17 and streaming q46. */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val stream = graft.streaming.EventStream.readEventsNanos(s, s"$dir/events.parquet")
+    val agg = graft.streaming.EventStream.hourlyByType(stream)
+    graft.streaming.EventStream.runAvailableNow(s, agg, "graft_q81_sink")
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("event_type"), col("n_events"), round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1083,7 +1095,8 @@ object SparkEntry {
     "q77_json_quarantine" -> (q77 _),
     "q78_schema_evolution" -> (q78 _),
     "q79_corr_subquery" -> (q79 _),
-    "q80_grouping_sets" -> (q80 _)
+    "q80_grouping_sets" -> (q80 _),
+    "q81_stream_availablenow" -> (q81 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1143,7 +1156,9 @@ object SparkEntry {
       ("q65_sessions_tws" -> oracleSqlCore("q58_stream_sessions")) +
       // q72 extracts via Spark 4's VARIANT type; q66 via fixed-schema
       // from_json — same answer, so they share one oracle.
-      ("q72_variant_props" -> oracleSqlCore("q66_json_props"))
+      ("q72_variant_props" -> oracleSqlCore("q66_json_props")) +
+      // q81 drains q46's plan via Trigger.AvailableNow — same oracle.
+      ("q81_stream_availablenow" -> oracleSqlCore("q46_stream_hourly"))
 
   private lazy val oracleSqlCore: Map[String, String] = Map(
     "q01_pricing_summary" ->

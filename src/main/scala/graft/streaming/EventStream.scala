@@ -71,6 +71,24 @@ object EventStream {
     spark.table(sinkName)
   }
 
+  /** Run a streaming transform with `Trigger.AvailableNow`: process
+    * everything available in rate-limited micro-batches, then stop — the
+    * production pattern for periodic drain jobs (cron-scheduled catch-up
+    * with streaming-exactly-once semantics, without a resident cluster).
+    * Unlike [[runBounded]]'s processAllAvailable (a test-driver wait), the
+    * trigger itself terminates the query. */
+  def runAvailableNow(spark: SparkSession, streamed: DataFrame, sinkName: String,
+                      outputMode: String = "complete"): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
   /** Watermarked tumbling-window counts per event type. Works identically on
     * batch and streaming inputs. */
   def hourlyByType(events: DataFrame, watermark: String = "1 hour"): DataFrame =

@@ -4,11 +4,13 @@ import graft.GraftSession
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** 10× scale smoke: replicate the sf0.1 tables (shifted keys per copy) to
-  * ~sf1 volumes in a temp dir, run the headline queries, and report per-
-  * query scaling vs the sf0.1 bench. A query scaling much worse than ~10×
-  * on 10× data has a superlinear bottleneck to fix. Run manually:
-  *   sbt "runMain graft.tools.ScaleSmoke"
+/** N× scale smoke: replicate the sf0.1 tables (shifted keys per copy) in
+  * a temp dir, run the headline queries, and report per-query scaling vs
+  * the sf0.1 bench. A query scaling much worse than ~N× on N× data has a
+  * superlinear bottleneck to fix. Run manually:
+  *   sbt "runMain graft.tools.ScaleSmoke"                 # ×10, all
+  *   SMOKE_COPIES=100 sbt "runMain graft.tools.ScaleSmoke q01_ q03_"
+  *     # ×100 (~sf10, 60M lineitem), only queries matching the prefixes
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -16,7 +18,7 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     val src = "/root/testdata/sf0.1"
     val out = java.nio.file.Files.createTempDirectory("graft-sf1").toString
-    val copies = 10
+    val copies = sys.env.getOrElse("SMOKE_COPIES", "10").toInt
 
     def replicate(table: String, keyCols: Map[String, Long]): Unit = {
       val base = if (table == "events") graft.io.Readers.parquetNanos(spark, s"$src/$table.parquet", Seq("ts"))
@@ -46,12 +48,14 @@ object ScaleSmoke {
     println(s"[scale-smoke] replicated x$copies into $out")
 
     // events replicate wrote micro timestamps (already converted) — read plainly
-    val headline = Seq("q01_pricing_summary", "q03_join_agg", "q04_star_join",
+    val all = Seq("q01_pricing_summary", "q03_join_agg", "q04_star_join",
       "q08_dedup_latest_order", "q15_running_total", "q17_events_hourly",
       "q18_scd2_faithful", "q21_doc_fingerprint", "q26_ngram_jaccard",
       "q27_minhash_sig", "q28_minhash_neardup", "q29_simhash",
       "q30_embed_topk", "q32_sessionize", "q34_asof_join", "q38_ivf_topk",
       "q47_lsh_buckets", "q50_scd2_merge1", "q69_dedup_clusters")
+    val headline =
+      if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()
     headline.foreach { name =>
       val t0 = System.nanoTime()

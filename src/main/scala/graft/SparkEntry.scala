@@ -463,7 +463,9 @@ object SparkEntry {
   }
 
   /** Approximate sketches (HLL distinct, approx quantiles) — no exact
-    * cross-engine oracle by nature; driver records a rows-only check. */
+    * cross-engine oracle by nature; driver records a rows-only check.
+    * Quantiles flattened to scalar p50/p99 columns so the driver's
+    * canonicalizer (pandas sort) can handle every column. */
   private def q45(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -472,6 +474,10 @@ object SparkEntry {
         expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)").as("price_quantiles"),
         count(lit(1)).as("n")
       )
+      .select(col("l_returnflag"), col("approx_orders"),
+        element_at(col("price_quantiles"), 1).as("price_p50"),
+        element_at(col("price_quantiles"), 2).as("price_p99"),
+        col("n"))
       .orderBy(col("l_returnflag"))
 
   /** Structured Streaming execution of the hourly aggregation: the SAME
@@ -1270,9 +1276,9 @@ object SparkEntry {
         |ORDER BY c_custkey, is_active""".stripMargin,
     "q19_conditional_agg" ->
       """SELECT c_mktsegment,
-        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
+        | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q20_rollup" ->
@@ -1365,8 +1371,8 @@ object SparkEntry {
         |lagged AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
         |flagged AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS nf
         |  FROM lagged),
-        |sess AS (SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM flagged)
+        |sess AS (SELECT *, (sum(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id FROM flagged)
         |SELECT user_id, session_id, min(us) AS session_start_us, max(us) AS session_end_us,
         | count(*) AS n_events
         |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
@@ -1486,9 +1492,9 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q52_pivot" ->
       """SELECT c_mktsegment,
-        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
-        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
-        | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS "F",
+        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS "O",
+        | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS "P"
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q53_unpivot" ->

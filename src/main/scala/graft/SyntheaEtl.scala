@@ -30,10 +30,18 @@ object SyntheaEtl {
   private val MartSources = Set("patients", "payers", "allergies", "medications",
     "observations", "encounters", "conditions", "payer_transitions")
 
+  /** Declared schema resolution, most-specific first: a user-provided
+    * `<root>/schemas/<table>.json` override (the reference's S3 schema
+    * folder, Raw_To_Staging.py:72-76), then the packaged 18-table Synthea
+    * dictionary (resources `graft/schemas/`, types per
+    * Documentation/Tables_Description.xlsx), then empty = all-string, the
+    * reference's missing-schema behavior. A standard Synthea export never
+    * reaches the fallback: all 18 tables ship as resources. */
   def schemaFor(root: String, table: String): org.apache.spark.sql.types.StructType = {
     val p = java.nio.file.Paths.get(s"$root/schemas/$table.json")
     if (java.nio.file.Files.exists(p)) SchemaJson.load(p.toString)
-    else new org.apache.spark.sql.types.StructType() // all-string fallback
+    else SchemaJson.loadResource(table)
+      .getOrElse(new org.apache.spark.sql.types.StructType()) // all-string fallback
   }
 
   /** Build the stage list for one run date. `requireAll`: enforce the

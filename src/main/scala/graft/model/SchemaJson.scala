@@ -52,6 +52,24 @@ object SchemaJson {
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Load a schema packaged on the classpath under `graft/schemas/`.
+    *
+    * The reference keeps its per-table declarations in an S3 `schemas/`
+    * folder the operator must populate by hand (Raw_To_Staging.py:72-76,
+    * with types from `Documentation/Tables_Description.xlsx`); we ship the
+    * full 18-table Synthea dictionary as jar resources so a fresh install
+    * gets typed staging tables with zero setup. Returns None for unknown
+    * tables (callers decide the fallback).
+    */
+  def loadResource(table: String): Option[StructType] = {
+    val in = getClass.getResourceAsStream(s"/graft/schemas/$table.json")
+    Option(in).map { stream =>
+      try parse(new String(stream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally stream.close()
+    }
+  }
+
   /** Render a StructType back to the reference's JSON format. */
   def render(schema: StructType): String = {
     def nameOf(dt: DataType): String = dt match {

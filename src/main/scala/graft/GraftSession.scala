@@ -39,4 +39,32 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Persistent-catalog builder: `saveAsTable` registrations outlive the
+    * SparkSession, the role the Glue Data Catalog plays in the reference
+    * (tables written by the Glue jobs are queryable later, by name, from
+    * Athena — Raw_To_Staging.py:174-180, Patient_datamart.py:226-230).
+    *
+    * Implementation is the stock Spark one: Hive catalog
+    * (`enableHiveSupport`) over an embedded Derby metastore rooted inside
+    * `warehouse`, so a *new* session pointed at the same warehouse sees
+    * every table (`spark.table("fact_patient")`) with no re-registration.
+    * On a real cluster the same builder works unchanged against a shared
+    * metastore/Glue endpoint — only the ConnectionURL differs.
+    *
+    * Note: the catalog implementation is fixed per JVM SparkContext, so a
+    * process mixing `get()` and `persistent()` keeps whichever came first.
+    */
+  def persistentBuilder(appName: String, warehouse: String): SparkSession.Builder =
+    builder(appName)
+      .config("spark.sql.warehouse.dir", s"$warehouse/tables")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$warehouse/metastore_db;create=true")
+      .enableHiveSupport()
+
+  def persistent(appName: String, warehouse: String): SparkSession = {
+    val spark = persistentBuilder(appName, warehouse).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 }

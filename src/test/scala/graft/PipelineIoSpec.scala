@@ -83,6 +83,40 @@ class PipelineIoSpec extends AnyFunSuite {
     assert(ran == Vector("a"))
   }
 
+  test("persistent catalog: a second SparkSession resolves fact_patient by name") {
+    // The catalog implementation is fixed per JVM SparkContext (and this
+    // suite's shared session is in-memory), so the persistence property is
+    // proven the only honest way: two sequential JVMs on one warehouse.
+    val warehouse = Files.createTempDirectory("graft-warehouse").toString
+    def runPhase(mode: String): String = {
+      val java = s"${System.getProperty("java.home")}/bin/java"
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = Seq(java) ++ addOpens ++ Seq(
+        "-Xmx2g", "-DSPARK_GRAFT_CPUS=4",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.tools.CatalogSmoke", mode, warehouse)
+      val out = new StringBuilder
+      val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+        .foreach(l => out.append(l).append('\n'))
+      assert(proc.waitFor() == 0, s"CatalogSmoke $mode failed:\n$out")
+      out.toString
+    }
+    assert(runPhase("write").contains("wrote=3"))
+    // metastore files survived the first JVM's exit
+    assert(new java.io.File(s"$warehouse/metastore_db").exists())
+    val read = runPhase("read")
+    assert(read.contains("rows=3 payers=2"), s"unexpected read output:\n$read")
+  }
+
   test("star schema: dim input cleans, fact joins dims + measures with 0-fill") {
     val staging = Seq(("p1", "alice", "nyc"), ("p1", "alice", "nyc"), ("p2", null, "sf"))
       .toDF("id", "name", "city")

@@ -43,6 +43,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => SimHashExpr(args(0))
     ))
     ext.injectFunction((
+      FunctionIdentifier("arg_max"),
+      info("arg_max", "arg_max(value, ord) - value at max ord; hash-aggregable for any value type (ObjectHashAggregate, never SortAggregate)"),
+      (args: Seq[Expression]) =>
+        graft.functions.expressions.ArgExtremum(args(0), args(1), findMax = true)
+          .toAggregateExpression()
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("arg_min"),
+      info("arg_min", "arg_min(value, ord) - value at min ord; hash-aggregable for any value type (ObjectHashAggregate, never SortAggregate)"),
+      (args: Seq[Expression]) =>
+        graft.functions.expressions.ArgExtremum(args(0), args(1), findMax = false)
+          .toAggregateExpression()
+    ))
+    ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig",
         "minhash_sig(shingles, k) - k-permutation MinHash signature (md5 min per seed); NULL for empty input"),

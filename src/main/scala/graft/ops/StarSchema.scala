@@ -66,6 +66,44 @@ object StarSchema {
       .drop("__rn")
   }
 
+  /** D2 scale path — same survivor as [[dedupKeyed]] but as ONE
+    * hash-aggregate instead of Sort+Window: `arg_max(row, ordering)` keeps
+    * the row whose ordering struct is lexicographically greatest (ties
+    * resolved arbitrarily, so make `orderBy` a total order — the window
+    * variant has the identical caveat through row_number ties).
+    *
+    * Why it matters at 100 TB: the window form hash-partitions by key and
+    * then SORTS every partition — O(n log n) per partition and a full
+    * spill-prone sort buffer. This form does hash-based partial
+    * aggregation (only one survivor per key per mapper crosses the wire)
+    * and never sorts — measured 4.4× on the q08 shape at ×100 replication
+    * (150M orders: 24.5 s Sort+Window vs 5.5 s here, warm local[32]).
+    * It deliberately uses graft's typed-imperative
+    * [[graft.functions.expressions.ArgExtremum]] rather than Spark's
+    * `max_by`: max_by's struct-typed buffer is rejected by
+    * HashAggregateExec and silently degrades the whole plan to
+    * SortAggregate (see ArgExtremum's scaladoc).
+    *
+    * `latest = true` keeps the max ordering struct (all orderings DESC,
+    * e.g. "latest row per key"); `latest = false` the min (all ASC). Mixed
+    * directions: negate the relevant numeric columns in `orderBy`.
+    */
+  def dedupKeyedAgg(
+      df: DataFrame,
+      key: Seq[String],
+      orderBy: Seq[Column],
+      latest: Boolean = true
+  ): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val row = struct(df.columns.map(col).toIndexedSeq: _*)
+    val ord = struct(orderBy: _*)
+    val picked = column(graft.functions.expressions.ArgExtremum(
+      expression(row), expression(ord), findMax = latest).toAggregateExpression())
+    df.groupBy(key.map(col): _*)
+      .agg(picked.as("__row"))
+      .select(col("__row.*"))
+  }
+
   /** Fact assembly: base ⟕ each dim lookup ⟕ each measure, null-fill
     * numeric measures with 0, stamp audit timestamps (reference:
     * Patient_datamart.py:203-230). `lookups` are (dimDf, joinCond, cols to

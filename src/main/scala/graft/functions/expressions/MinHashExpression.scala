@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,9 +14,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * unsigned byte order, so the min is tracked on raw digests and hexified
   * once at the end) — but runs as a tight JVM loop with a reused
   * MessageDigest instead of k·|shingles| Catalyst expression evaluations.
-  * md5 dominates; CodegenFallback overhead is noise.
+  *
+  * Codegen: `doGenCode` emits a direct call to [[compute]] on a captured
+  * reference (no CodegenFallback), so the expression stays inside the
+  * whole-stage-codegen consume loop instead of forcing the fallback's
+  * boxed `eval(InternalRow)` detour per row.
   */
-case class MinHashSig(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
   require(k > 0, "k must be positive")
 
@@ -56,8 +60,11 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression with Co
     false
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** The signature loop, shared verbatim by eval and generated code. */
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     // Empty shingle set → NULL signature (not an array of nulls): downstream
     // band-key `transform` then yields NULL and `posexplode` emits no rows,
@@ -99,6 +106,16 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression with Co
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $ref.compute($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

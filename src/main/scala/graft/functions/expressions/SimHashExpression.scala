@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -14,11 +14,12 @@ import org.apache.spark.sql.types._
   * MSB-first), so the DuckDB oracle and the HOF reference implementation
   * produce identical fingerprints.
   *
-  * Per-row, no shuffle; md5 dominates the cost so CodegenFallback's boxing
-  * overhead is irrelevant here.
+  * Per-row, no shuffle. `doGenCode` calls [[compute]] directly on a
+  * captured reference (no CodegenFallback), keeping the whole-stage
+  * consume loop free of the fallback's boxed per-row eval.
   */
 case class SimHashExpr(child: Expression, nBits: Int = 60)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(nBits > 0 && nBits <= 60, "nBits must be in 1..60 to stay positive in a signed long")
 
@@ -38,8 +39,11 @@ case class SimHashExpr(child: Expression, nBits: Int = 60)
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** The fingerprint loop, shared verbatim by eval and generated code. */
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val weights = new Array[Int](nBits)
     val digestFn = md5.get()
@@ -63,6 +67,11 @@ case class SimHashExpr(child: Expression, nBits: Int = 60)
       b += 1
     }
     packed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash", this, classOf[SimHashExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -148,9 +148,10 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
   * materializing the intersection array (unlike `size(array_intersect)`).
   * Equal to `size(array_intersect(a, b))` when both inputs are distinct
   * (which shingle sets are, via array_distinct). Used in the O(n²) Jaccard
-  * verification loops. */
+  * verification loops. Codegen calls [[compute]] on a captured reference —
+  * no CodegenFallback, no boxed per-row eval. */
 case class IntersectSize(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
 
@@ -166,9 +167,11 @@ case class IntersectSize(left: Expression, right: Expression)
         s"intersect_size expects array<string>, got ${left.dataType} / ${right.dataType}")
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val arrA = a.asInstanceOf[ArrayData]
-    val arrB = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** The probe/scan loop, shared verbatim by eval and generated code. */
+  def compute(arrA: ArrayData, arrB: ArrayData): Int = {
     // probe the smaller side into a set, scan the larger
     val (small, large) =
       if (arrA.numElements() <= arrB.numElements()) (arrA, arrB) else (arrB, arrA)
@@ -185,6 +188,11 @@ case class IntersectSize(left: Expression, right: Expression)
       j += 1
     }
     count
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("intersectSize", this, classOf[IntersectSize].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

@@ -92,6 +92,35 @@ class ExpressionsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("all custom expressions run under CODEGEN_ONLY (no fallback path)") {
+    // CODEGEN_ONLY makes expression compilation failures fatal instead of
+    // silently dropping to interpreted eval — proving every custom
+    // expression really generates compilable code (no CodegenFallback).
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "CODEGEN_ONLY")
+      val df = Seq(
+        (Seq("aa", "bb", "cc"), Seq("bb", "cc", "dd"), Array(1.0f, 2.0f), Array(3.0f, 4.0f)),
+        (Seq.empty[String], Seq("x"), Array(0.5f, 0.5f), Array(1.0f, -1.0f))
+      ).toDF("sa", "sb", "va", "vb")
+      val r = df.select(
+        MinHash.intersectSize($"sa", $"sb").as("is"),
+        graft.functions.MinHash.signature($"sa", 4).as("sig"),
+        graft.functions.SimHash.simhash($"sa").as("sh"),
+        VF.dot($"va", $"vb").as("d")
+      ).collect()
+      assert(r(0).getInt(0) == 2 && r(0).getSeq[String](1).length == 4)
+      assert(r(0).getLong(2) > 0L && r(0).getDouble(3) == 11.0)
+      assert(r(1).isNullAt(1)) // empty shingles → NULL sig through codegen too
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("hashedShingles preserves cardinality and intersection counts") {
     val df = Seq((Seq("aa", "bb", "cc"), Seq("bb", "cc", "dd"))).toDF("a", "b")
     val r = df.select(

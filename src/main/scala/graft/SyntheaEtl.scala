@@ -76,12 +76,17 @@ object SyntheaEtl {
       }),
       Stage("mart", s => {
         def staging(t: String): DataFrame = Readers.parquet(s, s"$root/staging/$date/$t")
+        val loadedDims = scala.collection.mutable.ListBuffer.empty[DataFrame]
         def existing(dim: String): Option[DataFrame] = {
           // Hadoop FS check (not java.io.File) so the probe also works on
           // HDFS/S3A roots
           val p = new org.apache.hadoop.fs.Path(s"$root/mart/$dim")
           val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (fs.exists(p)) Some(Readers.parquet(s, p.toString)) else None
+          if (fs.exists(p)) {
+            val df = Readers.parquet(s, p.toString)
+            loadedDims += df
+            Some(df)
+          } else None
         }
         PatientDatamart.build(staging, existing, clock).foreach { case (name, df) =>
           // two-phase write: the merge reads the existing dim, so materialize
@@ -93,6 +98,10 @@ object SyntheaEtl {
             .getFileSystem(s.sparkContext.hadoopConfiguration)
           fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
         }
+        // the SCD2 merge caches each existing dim for its self-joins
+        // (Scd2.faithful/idiomatic); those entries are dead once the dim is
+        // rewritten — release them so long-lived sessions don't accumulate
+        loadedDims.foreach(_.unpersist())
       }, precondition = _ => MartSources.subsetOf(tables.toSet))
     )
   }

@@ -131,6 +131,47 @@ class Scd2Spec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/v=2").exists() && new java.io.File(s"$dir/v=$v3").exists())
   }
 
+  test("partition-pruned merge rewrites only the partitions the delta touches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2-part").toString
+    val nParts = 8
+    // 40 keys spread across the 8 hash buckets
+    val run1 = (1 to 40).map(i => (s"k$i", s"name$i", "x")).toDF("id", "name", "city")
+    assert(Scd2.mergePartitioned(run1, dir, spec, t0, nParts).isEmpty) // first run
+
+    def fileState(): Map[String, Long] = {
+      val base = new java.io.File(dir)
+      base.listFiles().filter(_.getName.startsWith("scd2_part=")).flatMap { d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" -> f.lastModified())
+      }.toMap
+    }
+    val before = fileState()
+    assert(before.keys.map(_.split("/")(0)).toSet.size == nParts) // all buckets hit
+
+    // 1-day delta: ONE changed key
+    val touched = Scd2.mergePartitioned(
+      Seq(("k7", "name7", "MOVED")).toDF("id", "name", "city"), dir, spec, t1, nParts)
+    assert(touched.length == 1)
+    val touchedDir = s"scd2_part=${touched.head}"
+
+    val after = fileState()
+    val (beforeUntouched, beforeTouched) = before.partition(!_._1.startsWith(touchedDir))
+    val (afterUntouched, afterTouched) = after.partition(!_._1.startsWith(touchedDir))
+    // untouched partitions: byte-identical file sets, mtimes included
+    assert(afterUntouched == beforeUntouched)
+    // the touched partition WAS rewritten
+    assert(afterTouched != beforeTouched && afterTouched.nonEmpty)
+
+    // and the merge is still a correct SCD2: k7 has expired + active versions
+    val table = spark.read.parquet(dir)
+    val k7 = table.filter($"id" === "k7").collect()
+    assert(k7.length == 2 && k7.count(_.getAs[Boolean]("is_active")) == 1)
+    assert(k7.find(_.getAs[Boolean]("is_active")).get.getAs[String]("city") == "MOVED")
+    assert(table.count() == 41)
+    // every key's versions live in the partition its key hashes to
+    assert(table.filter($"id" === "k7").select("scd2_part").distinct().count() == 1)
+  }
+
   test("new keys insert as active; deleted keys stay (no delete detection)") {
     val v1 = Scd2.faithful(dim(("1", "a", "x")), None, spec, t0)
     val v2 = Scd2.faithful(dim(("2", "b", "y")), Some(v1), spec, t1)

@@ -4,7 +4,7 @@ import graft.functions.{MinHash, SimHash, TextFunctions => TF, VectorFunctions =
 import graft.operators.{Curation, Dedup, Multimodal, Similarity}
 import graft.ops.{Scd2, StarSchema}
 import graft.pipeline.FixedClock
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -462,23 +462,34 @@ object SparkEntry {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
-  /** Approximate sketches (HLL distinct, approx quantiles) — no exact
-    * cross-engine oracle by nature; driver records a rows-only check.
-    * Quantiles flattened to scalar p50/p99 columns so the driver's
-    * canonicalizer (pandas sort) can handle every column. */
-  private def q45(s: SparkSession, dir: String): DataFrame =
+  /** Approximate sketches (HLL distinct, approx quantiles). Sketch values
+    * have no cross-engine oracle by nature, so the query makes itself
+    * verifiable: each approximation is emitted as an in-tolerance BOOLEAN
+    * against the exact aggregate computed in the same pass
+    * (|approx−exact|/exact < 5%, far looser than the sketches' configured
+    * error), plus the exact values themselves — DuckDB recomputes the
+    * exacts and expects `true`s, and the row hashes like any other query. */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    def inTol(approx: Column, exact: Column): Column =
+      abs(approx - exact) / exact < 0.05
     T(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)").as("price_quantiles"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)").as("aq"),
+        expr("percentile(l_extendedprice, array(0.5, 0.99))").as("eq"),
         count(lit(1)).as("n")
       )
-      .select(col("l_returnflag"), col("approx_orders"),
-        element_at(col("price_quantiles"), 1).as("price_p50"),
-        element_at(col("price_quantiles"), 2).as("price_p99"),
+      .select(
+        col("l_returnflag"),
+        col("exact_orders"),
+        inTol(col("approx_orders"), col("exact_orders")).as("orders_ok"),
+        inTol(element_at(col("aq"), 1), element_at(col("eq"), 1)).as("p50_ok"),
+        inTol(element_at(col("aq"), 2), element_at(col("eq"), 2)).as("p99_ok"),
         col("n"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Structured Streaming execution of the hourly aggregation: the SAME
     * windowed plan a live deployment runs (file-source stream → watermark →
@@ -1517,7 +1528,13 @@ object SparkEntry {
         |  SELECT media_id, unnest(range(greatest(byte_len // 64, 1)))::BIGINT AS frame_idx, byte_len
         |  FROM m)
         |ORDER BY media_id, frame_idx""".stripMargin,
-    // q45_approx_sketches: intentionally no oracle (approximate by nature)
+    // q45: sketch values are approximate by nature, so the query emits
+    // exact aggregates + in-tolerance booleans; the oracle recomputes the
+    // exacts and expects every boolean true.
+    "q45_approx_sketches" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+        | true AS orders_ok, true AS p50_ok, true AS p99_ok, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q46_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS total_value

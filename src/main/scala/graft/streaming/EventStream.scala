@@ -89,6 +89,67 @@ object EventStream {
     spark.table(sinkName)
   }
 
+  /** Per-micro-batch input observability, computed inline with the batch by
+    * `Dataset.observe` (no second pass over the data): row count and the
+    * batch's event-time bounds. Pair with a [[LatenessListener]] — the
+    * observed metrics arrive on the same progress event that carries the
+    * watermark the batch ran against and the stateful operators'
+    * `numRowsDroppedByWatermark`, the authoritative count of late rows the
+    * engine actually discarded. */
+  def observeInput(events: DataFrame, name: String = "graft_input"): DataFrame =
+    events.observe(name,
+      count(lit(1)).as("n_rows"),
+      min(col("ts")).as("min_ts"),
+      max(col("ts")).as("max_ts"))
+
+  /** One micro-batch's lateness picture: what came in (observed), the
+    * watermark it was judged against, and how many rows the stateful
+    * operators dropped as too late. */
+  final case class BatchLateness(
+      batchId: Long, nRows: Long, minTs: String, maxTs: String,
+      watermark: String, droppedByWatermark: Long)
+
+  /** Collects [[BatchLateness]] per progress event for queries named
+    * `queryName` (listeners are session-global; the name filter keeps
+    * concurrent queries out). Register via `spark.streams.addListener`,
+    * remove when done. Progress events are asynchronous — use
+    * [[awaitBatches]] after draining a bounded query. */
+  final class LatenessListener(queryName: String,
+      observationName: String = "graft_input")
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[BatchLateness]
+
+    def batches: Seq[BatchLateness] = buf.synchronized(buf.toVector)
+    def totalDropped: Long = batches.map(_.droppedByWatermark).sum
+    def totalRows: Long = batches.map(_.nRows).sum
+
+    /** Wait (bounded) until at least `n` batches with rows have reported. */
+    def awaitBatches(n: Int, timeoutMs: Long = 30000): Boolean = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (batches.count(_.nRows > 0) < n && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      batches.count(_.nRows > 0) >= n
+    }
+
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      if (p.name == queryName) {
+        val obs = Option(p.observedMetrics.get(observationName))
+        val entry = BatchLateness(
+          p.batchId,
+          obs.map(_.getAs[Long]("n_rows")).getOrElse(0L),
+          obs.map(r => String.valueOf(r.getAs[Any]("min_ts"))).orNull,
+          obs.map(r => String.valueOf(r.getAs[Any]("max_ts"))).orNull,
+          p.eventTime.get("watermark"),
+          p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+        buf.synchronized { buf += entry }
+      }
+    }
+  }
+
   /** Watermarked tumbling-window counts per event type. Works identically on
     * batch and streaming inputs. */
   def hourlyByType(events: DataFrame, watermark: String = "1 hour"): DataFrame =

@@ -34,24 +34,40 @@ object StreamBench {
 
     def run(label: String)(mk: => (org.apache.spark.sql.DataFrame, String)): Unit = {
       val (streamed, mode) = mk
+      val listener = new EventStream.LatenessListener(s"sb_$label")
+      spark.streams.addListener(listener)
       val t0 = System.nanoTime()
-      EventStream.runBounded(spark, streamed, s"sb_$label", mode)
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[stream-bench] $label: $sec%.1fs, ${total / sec}%.0f rows/s")
+      try {
+        EventStream.runBounded(spark, streamed, s"sb_$label", mode)
+        val sec = (System.nanoTime() - t0) / 1e9
+        listener.awaitBatches(1)
+        System.err.println(f"[stream-bench] $label: $sec%.1fs, ${total / sec}%.0f rows/s" +
+          s" | observed ${listener.totalRows} rows in ${listener.batches.size} batches," +
+          s" dropped-by-watermark ${listener.totalDropped}")
+      } finally spark.streams.removeListener(listener)
     }
 
+    // the replicated files are unordered in event time, so per-batch
+    // watermark advance makes late arrivals REAL here — the lateness
+    // counters report how many rows the append-mode agg discarded
     run("windowed_agg") {
-      (EventStream.hourlyByType(EventStream.readEvents(spark, dir, maxFilesPerTrigger = 4)),
+      (EventStream.hourlyByType(EventStream.observeInput(
+        EventStream.readEvents(spark, dir, maxFilesPerTrigger = 4))),
         "complete")
+    }
+    run("windowed_agg_append") {
+      (EventStream.hourlyByType(EventStream.observeInput(
+        EventStream.readEvents(spark, dir, maxFilesPerTrigger = 4))),
+        "append")
     }
     run("sessionize") {
       (EventStream.sessionize(spark,
-        EventStream.readEvents(spark, dir, maxFilesPerTrigger = 4),
+        EventStream.observeInput(EventStream.readEvents(spark, dir, maxFilesPerTrigger = 4)),
         gapMs = 30L * 60 * 1000).toDF(), "append")
     }
     run("sessionize_tws") {
       (EventStream.sessionizeTws(spark,
-        EventStream.readEvents(spark, dir, maxFilesPerTrigger = 4),
+        EventStream.observeInput(EventStream.readEvents(spark, dir, maxFilesPerTrigger = 4)),
         gapMs = 30L * 60 * 1000).toDF(), "append")
     }
     spark.stop()

@@ -43,6 +43,39 @@ class EventStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("lateness metrics: observed per-batch counters + dropped-by-watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val listener = new EventStream.LatenessListener("late_test")
+    spark.streams.addListener(listener)
+    // append mode: only watermark-finalized windows emit, so a row whose
+    // window closed before the watermark is genuinely discarded (and counted)
+    val q = EventStream.hourlyByType(EventStream.observeInput(events),
+        watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("late_test").start()
+    try {
+      // batch 1 advances the watermark to 10:35
+      mem.addData((1L, ts("2024-01-01 10:05:00"), 100L, "click", 1.0, "{}"),
+        (2L, ts("2024-01-01 10:45:00"), 100L, "click", 2.0, "{}"))
+      q.processAllAvailable()
+      // batch 2: window [09:00, 10:00) ended before the watermark → dropped
+      mem.addData((3L, ts("2024-01-01 09:00:00"), 100L, "view", 3.0, "{}"))
+      q.processAllAvailable()
+      assert(listener.awaitBatches(2), s"progress events missing: ${listener.batches}")
+      assert(listener.totalRows == 3) // observe saw every input row
+      assert(listener.totalDropped == 1, s"batches: ${listener.batches}")
+      val b1 = listener.batches.find(_.nRows == 2).get
+      assert(b1.minTs.startsWith("2024-01-01 10:05") && b1.maxTs.startsWith("2024-01-01 10:45"))
+      // the batch that dropped the late row reports the watermark it used
+      val late = listener.batches.find(_.droppedByWatermark == 1).get
+      assert(late.watermark != null && late.watermark.contains("10:35:00"))
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("stream dedup removes duplicate event ids (batch semantics)") {
     assert(EventStream.dedupEvents(batch).count() == 4)
   }

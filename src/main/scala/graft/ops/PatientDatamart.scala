@@ -107,7 +107,10 @@ object PatientDatamart {
     val condCounts = StarSchema.countMeasure(conditions, "patient", "total_conditions")
     val payerPick = {
       val base = payerTransitions.select(col("patient"), col("payer")).na.drop()
-      if (deterministic) StarSchema.dedupKeyed(base, Seq("patient"), Seq(col("payer").asc))
+      // sort-free deterministic pick: arg_min by payer (hash aggregate, not
+      // Sort+Window — see StarSchema.dedupKeyedAgg)
+      if (deterministic)
+        StarSchema.dedupKeyedAgg(base, Seq("patient"), Seq(col("payer")), latest = false)
       else base.dropDuplicates("patient")
     }
 

@@ -1085,6 +1085,32 @@ object SparkEntry {
         col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
       .orderBy(col("o_custkey"))
 
+  /** TF-IDF top-3 terms per document (raw-ratio idf — see
+    * CorpusStats.tfidfTopTerms). Score is an exact int ratio in doubles,
+    * so the oracle matches with no rounding. */
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.tfidfTopTerms(T(s, dir, "documents"), "doc_id", "text", 3)
+      .orderBy(col("doc_id"), col("term"))
+
+  /** Gopher-style trigram repetition fraction + filter flag per document. */
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.withRepetition(T(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("total_ngrams"), col("distinct_ngrams"),
+        col("rep_frac"), (col("rep_frac") > 0.2).as("repetitive"))
+      .orderBy(col("doc_id"))
+
+  /** Benchmark decontamination: docs with doc_id % 50 == 0 stand in for the
+    * eval set; every other doc reports how many distinct trigrams it shares
+    * with that set (≥ 1 ⇒ contaminated — the pre-training leak filter). */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    operators.CorpusStats.contaminationCounts(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1169,7 +1195,10 @@ object SparkEntry {
     "q80_grouping_sets" -> (q80 _),
     "q81_stream_availablenow" -> (q81 _),
     "q82_bucketed_star" -> (q82 _),
-    "q83_dedup_latest_agg" -> (q83 _)
+    "q83_dedup_latest_agg" -> (q83 _),
+    "q84_tfidf_topterms" -> (q84 _),
+    "q85_repetition_filter" -> (q85 _),
+    "q86_decontamination" -> (q86 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1864,6 +1893,35 @@ object SparkEntry {
         | count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus))
-        |ORDER BY o_orderstatus, gid, o_orderpriority""".stripMargin
+        |ORDER BY o_orderstatus, gid, o_orderpriority""".stripMargin,
+    // q84: raw-ratio idf (tf·N/df) — exact int inputs, one double division,
+    // so no rounding needed on either side.
+    "q84_tfidf_topterms" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array($normSql, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+         |  WHERE len(term) > 0 GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+         |SELECT doc_id, term, tf, df, (tf * n_docs)::DOUBLE / df::DOUBLE AS score
+         |FROM tf JOIN dfreq USING (term), n
+         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+         |ORDER BY doc_id, term""".stripMargin,
+    "q85_repetition_filter" ->
+      s"""SELECT doc_id, greatest(len(w) - 2, 0) AS total_ngrams,
+         | len($shinglesSql) AS distinct_ngrams,
+         | CASE WHEN greatest(len(w) - 2, 0) = 0 THEN 0.0
+         |   ELSE 1.0 - len($shinglesSql)::DOUBLE / greatest(len(w) - 2, 0)::DOUBLE END AS rep_frac,
+         | CASE WHEN greatest(len(w) - 2, 0) = 0 THEN false
+         |   ELSE (1.0 - len($shinglesSql)::DOUBLE / greatest(len(w) - 2, 0)::DOUBLE) > 0.2 END AS repetitive
+         |FROM (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q86_decontamination" ->
+      s"""WITH $docShinglesCte,
+         |bench AS (SELECT DISTINCT unnest(sh) AS s FROM docsh WHERE doc_id % 50 = 0),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM docsh WHERE doc_id % 50 <> 0)
+         |SELECT ex.doc_id, count(*)::BIGINT AS n_shared
+         |FROM ex JOIN bench USING (s)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -390,10 +390,14 @@ object SparkEntry {
       )
       .orderBy(col("c_mktsegment"))
 
-  /** Generator/explode path: global top-20 tokens (count desc, token asc). */
+  /** Generator/explode path: global top-20 tokens (count desc, token asc).
+    * explode_OUTER + attribute null-filter: plain explode lets
+    * InferFiltersFromGenerate push the tokenizer into the scan filter
+    * (see CorpusStats — the 538s-at-×10 lesson). */
   private def q37(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
-      .select(explode(TF.tokens(TF.normalizeText(col("text")))).as("token"))
+      .select(explode_outer(TF.tokens(TF.normalizeText(col("text")))).as("token"))
+      .filter(col("token").isNotNull)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)

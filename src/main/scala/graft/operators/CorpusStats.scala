@@ -27,8 +27,13 @@ object CorpusStats {
     * a per-doc window on the scored rows — |doc×term| input, but the
     * ordering key is (score, term) within a doc partition, never global. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    // explode_OUTER, deliberately: plain explode lets Catalyst's
+    // InferFiltersFromGenerate push `size(<token pipeline>) > 0` down into
+    // the scan filter, re-evaluating the whole tokenizer per input row
+    // (the repo's documented 30×-class trap). The outer variant infers
+    // nothing; empty docs emit one null term that the length filter drops.
     val toks = graft.io.Parallelism.ensure(docs)
-      .select(col(idCol), explode(TF.tokens(TF.normalizeText(col(textCol)))).as("term"))
+      .select(col(idCol), explode_outer(TF.tokens(TF.normalizeText(col(textCol)))).as("term"))
       .filter(length(col("term")) > 0)
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -75,10 +80,14 @@ object CorpusStats {
     * only. */
   def contaminationCounts(train: DataFrame, eval: DataFrame,
                           idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    // explode_outer for the same InferFiltersFromGenerate reason as above:
+    // with plain explode the inferred size/notnull predicates push the full
+    // shingle pipeline into the scan filter (measured 32 s → 1.4 s at sf0.1
+    // for this operator). Null shingle rows die in the inner join below.
     def exploded(df: DataFrame): DataFrame =
       TF.withShingles(df, textCol, "__sh", n)
-        .select(col(idCol), explode(col("__sh")).as("__s"))
-    val benchSet = exploded(eval).select(col("__s")).distinct()
+        .select(col(idCol), explode_outer(col("__sh")).as("__s"))
+    val benchSet = exploded(eval).select(col("__s")).distinct().filter(col("__s").isNotNull)
     exploded(train)
       .join(broadcast(benchSet), "__s") // shingles are distinct per doc → count = distinct overlap
       .groupBy(col(idCol))

@@ -1115,6 +1115,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** SemDeDup-style semantic dedup: trained k-means cells prune the pair
+    * space (only within-cell pairs are cosine-scored — cross-cell misses
+    * are the documented recall trade), exact cosine verification. The
+    * oracle replays the training AND the pruning, so the whole operator is
+    * hash-verified, not just the scores. */
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticNearDups(T(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, iters = 2, threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1202,7 +1212,8 @@ object SparkEntry {
     "q83_dedup_latest_agg" -> (q83 _),
     "q84_tfidf_topterms" -> (q84 _),
     "q85_repetition_filter" -> (q85 _),
-    "q86_decontamination" -> (q86 _)
+    "q86_decontamination" -> (q86 _),
+    "q87_semantic_neardup" -> (q87 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1727,50 +1738,18 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE n_name = 'NATION_7'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q68_kmeans_ivf" -> {
-      // (0 + t0) + t1 + … ≡ list_reduce's t0 + t1 + … because 0.0 + t0 == t0
-      val dist = (cent: String) =>
-        s"""list_reduce(list_transform(range(1, len(v.vec) + 1),
-           |  i -> (v.vec[i]::DOUBLE - $cent[i]) * (v.vec[i]::DOUBLE - $cent[i])),
-           |  (x, y) -> x + y)""".stripMargin
-      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-         |init AS (
-         |  SELECT row_number() OVER (ORDER BY id) - 1 AS cid,
-         |    list_transform(vec, x -> floor(x::DOUBLE * 1000000 + 0.5) / 1000000) AS cent
-         |  FROM v ORDER BY id LIMIT 4),
-         |a1 AS (
-         |  SELECT id, vec, cid AS cell FROM (
-         |    SELECT v.id, v.vec, c.cid,
-         |      row_number() OVER (PARTITION BY v.id ORDER BY ${dist("c.cent")}, c.cid) AS rn
-         |    FROM v CROSS JOIN init c) WHERE rn = 1),
-         |m1 AS (
-         |  SELECT cell, list(m ORDER BY i) AS cent FROM (
-         |    SELECT a1.cell, t.i, floor(avg(a1.vec[t.i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
-         |    FROM a1, range(1, 65) t(i)
-         |    GROUP BY a1.cell, t.i)
-         |  GROUP BY cell),
-         |c1 AS (SELECT c0.cid, coalesce(m1.cent, c0.cent) AS cent
-         |       FROM init c0 LEFT JOIN m1 ON m1.cell = c0.cid),
-         |a2 AS (
-         |  SELECT id, vec, cid AS cell FROM (
-         |    SELECT v.id, v.vec, c.cid,
-         |      row_number() OVER (PARTITION BY v.id ORDER BY ${dist("c.cent")}, c.cid) AS rn
-         |    FROM v CROSS JOIN c1 c) WHERE rn = 1),
-         |m2 AS (
-         |  SELECT cell, list(m ORDER BY i) AS cent FROM (
-         |    SELECT a2.cell, t.i, floor(avg(a2.vec[t.i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
-         |    FROM a2, range(1, 65) t(i)
-         |    GROUP BY a2.cell, t.i)
-         |  GROUP BY cell),
-         |c2 AS (SELECT c1.cid, coalesce(m2.cent, c1.cent) AS cent
-         |       FROM c1 LEFT JOIN m2 ON m2.cell = c1.cid),
-         |a3 AS (
-         |  SELECT id, cid AS cell FROM (
-         |    SELECT v.id, c.cid,
-         |      row_number() OVER (PARTITION BY v.id ORDER BY ${dist("c.cent")}, c.cid) AS rn
-         |    FROM v CROSS JOIN c2 c) WHERE rn = 1)
-         |SELECT id AS vec_id, cell FROM a3 ORDER BY vec_id""".stripMargin
-    },
+    "q68_kmeans_ivf" ->
+      s"""WITH $kmeansCellsCte
+         |SELECT id AS vec_id, cell FROM a3 ORDER BY vec_id""".stripMargin,
+    // q87: same replayed k-means cells as q68, then within-cell cosine —
+    // the oracle mirrors the SemDeDup pruning itself, not just the scores.
+    "q87_semantic_neardup" ->
+      s"""WITH $kmeansCellsCte
+         |SELECT id_a, id_b, cell, cosine FROM (
+         |  SELECT a.id AS id_a, b.id AS id_b, a.cell AS cell,
+         |    ${cosineSql("a.vec", "b.vec")} AS cosine
+         |  FROM a3 a JOIN a3 b ON a.cell = b.cell AND a.id < b.id)
+         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "q69_dedup_clusters" ->
       s"""WITH RECURSIVE $docShinglesCte,
          |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),
@@ -1928,4 +1907,52 @@ object SparkEntry {
          |FROM ex JOIN bench USING (s)
          |GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** q68/q87's shared oracle prefix: the full 2-iteration deterministic
+    * k-means replayed in SQL (same init, sequential-fold distances,
+    * explicit 6-dp rounding as Similarity.kmeansAssign); `a3` = the final
+    * (id, vec, cell) assignment. */
+  private lazy val kmeansCellsCte: String = {
+    // (0 + t0) + t1 + … ≡ list_reduce's t0 + t1 + … because 0.0 + t0 == t0
+    val dist = (cent: String) =>
+      s"""list_reduce(list_transform(range(1, len(v.vec) + 1),
+         |  i -> (v.vec[i]::DOUBLE - $cent[i]) * (v.vec[i]::DOUBLE - $cent[i])),
+         |  (x, y) -> x + y)""".stripMargin
+    s"""v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |init AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cid,
+       |    list_transform(vec, x -> floor(x::DOUBLE * 1000000 + 0.5) / 1000000) AS cent
+       |  FROM v ORDER BY id LIMIT 4),
+       |a1 AS (
+       |  SELECT id, vec, cid AS cell FROM (
+       |    SELECT v.id, v.vec, c.cid,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY ${dist("c.cent")}, c.cid) AS rn
+       |    FROM v CROSS JOIN init c) WHERE rn = 1),
+       |m1 AS (
+       |  SELECT cell, list(m ORDER BY i) AS cent FROM (
+       |    SELECT a1.cell, t.i, floor(avg(a1.vec[t.i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
+       |    FROM a1, range(1, 65) t(i)
+       |    GROUP BY a1.cell, t.i)
+       |  GROUP BY cell),
+       |c1 AS (SELECT c0.cid, coalesce(m1.cent, c0.cent) AS cent
+       |       FROM init c0 LEFT JOIN m1 ON m1.cell = c0.cid),
+       |a2 AS (
+       |  SELECT id, vec, cid AS cell FROM (
+       |    SELECT v.id, v.vec, c.cid,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY ${dist("c.cent")}, c.cid) AS rn
+       |    FROM v CROSS JOIN c1 c) WHERE rn = 1),
+       |m2 AS (
+       |  SELECT cell, list(m ORDER BY i) AS cent FROM (
+       |    SELECT a2.cell, t.i, floor(avg(a2.vec[t.i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
+       |    FROM a2, range(1, 65) t(i)
+       |    GROUP BY a2.cell, t.i)
+       |  GROUP BY cell),
+       |c2 AS (SELECT c1.cid, coalesce(m2.cent, c1.cent) AS cent
+       |       FROM c1 LEFT JOIN m2 ON m2.cell = c1.cid),
+       |a3 AS (
+       |  SELECT id, vec, cid AS cell FROM (
+       |    SELECT v.id, v.vec, c.cid,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY ${dist("c.cent")}, c.cid) AS rn
+       |    FROM v CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+  }
 }

@@ -67,14 +67,17 @@ object Dedup {
     // shingle→signature pipeline for both sides.
     // Empty shingle sets (docs shorter than the shingle size) drop out of
     // banding without an explicit filter: MinHashSig returns NULL for empty
-    // input, bandKeys' transform propagates the null, and posexplode emits
-    // no rows for a null array. (They could never reach a jaccard threshold
-    // > 0 anyway; and a size(shingles) filter re-evaluates the shingle
-    // pipeline inside the pushed-down predicate — measured 30× slower.)
+    // input, bandKeys' transform propagates the null, and the band-key
+    // equality self-join below never matches null keys. (A size(shingles)
+    // filter re-evaluates the shingle pipeline inside the pushed-down
+    // predicate — measured 30× slower. posexplode_OUTER, not posexplode:
+    // the inner generator lets InferFiltersFromGenerate push
+    // size/isnotnull over the bandKeys expression into the scan filter —
+    // the same trap, uninvited.)
     val banded = TextFunctions.withShingles(df, textCol, "__sh", shingleSize)
       .withColumn("__sig", MinHash.signature(col("__sh"), numHashes))
       .select(col(idCol).as("id"),
-        posexplode(MinHash.bandKeys(col("__sig"), bands, rowsPerBand))
+        posexplode_outer(MinHash.bandKeys(col("__sig"), bands, rowsPerBand))
           .as(Seq("band_idx", "band_key")))
       .cache()
     banded.alias("a")

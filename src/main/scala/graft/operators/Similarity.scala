@@ -173,6 +173,41 @@ object Similarity {
     withCell(centroids).select(col("id"), col("cell"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs: k-means cells prune the
+    * candidate space — only pairs sharing a cell are cosine-scored, so the
+    * all-pairs O(n²) collapses to Σ|cell|² (~n²/k for balanced cells, and
+    * k grows with the corpus). Cross-cell near-dups are missed BY DESIGN;
+    * that is the SemDeDup recall trade, and it is what makes semantic
+    * dedup feasible at 100 TB where exact all-pairs cannot run. Training
+    * and assignment are [[kmeansAssign]] (deterministic, oracle-replayable)
+    * and verification is the exact cosine with precomputed norms — the
+    * same fp tree as the brute-force verifier, so an oracle mirrors the
+    * whole operator including the pruning. */
+  def semanticNearDups(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      threshold: Double
+  ): DataFrame = {
+    val cells = kmeansAssign(corpus, idCol, vecCol, k, iters)
+    val v = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        graft.functions.VectorFunctions.norm(col(vecCol)).as("nrm"))
+      .join(cells, "id")
+    v.alias("a")
+      .join(v.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("cosine",
+        when(col("a.nrm") === 0.0 || col("b.nrm") === 0.0, lit(0.0))
+          .otherwise(graft.functions.VectorFunctions.dot(col("a.vec"), col("b.vec")) /
+            (col("a.nrm") * col("b.nrm"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.cell").as("cell"), col("cosine"))
+  }
+
   /** Signed-random-projection bucket key per vector: `nPlanes` hyperplanes
     * with deterministic ±1 coefficients derived from (seed, plane, dim) via
     * md5 parity — reproducible across engines and runs without any RNG

@@ -135,6 +135,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!out.contains((0L, 4L))) // opposite direction
   }
 
+  test("semantic near-dup: a cell-pruned subset of all-pairs, same cosines") {
+    val all = Dedup.embeddingNearDups(vecs, "embedding", "vec_id", 0.8)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val sem = Similarity.semanticNearDups(vecs, "vec_id", "embedding",
+      k = 2, iters = 2, threshold = 0.8)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // pruning only removes pairs, never invents them; surviving pairs carry
+    // the identical exact cosine (same fp tree as the brute-force verifier)
+    assert(sem.keySet.subsetOf(all.keySet))
+    sem.foreach { case (pair, c) => assert(all(pair) == c) }
+    // same-direction planted pair lands in one cell and survives pruning
+    assert(sem.contains((0L, 1L)))
+  }
+
   test("srp lsh buckets: deterministic, identical vectors share a bucket") {
     val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f)), (11L, Array(1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")

@@ -34,7 +34,9 @@ object Bench {
     "q47_lsh_buckets",
     "q50_scd2_merge1",
     "q82_bucketed_star",
-    "q83_dedup_latest_agg"
+    "q83_dedup_latest_agg",
+    "q84_tfidf_topterms",
+    "q87_semantic_neardup"
   )
 
   def main(args: Array[String]): Unit = {

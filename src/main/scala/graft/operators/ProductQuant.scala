@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the memory-compression half of IVF-PQ ANN.
+  *
+  * The embedding dimension is split into `m` subspaces; each subspace gets
+  * its own k-entry codebook (deterministic [[Similarity.kmeansFit]] on the
+  * sliced vectors, so training is RNG-free and reproducible); every vector
+  * is then encoded as `m` small integer codes — at m=8, k=16 a 64-dim
+  * float vector (256 B) becomes 8 codes (≤8 B): a 32× scan-side
+  * compression, which is the entire point at 100 TB where the float
+  * vectors cannot stay hot.
+  *
+  * Query scoring is ADC (asymmetric distance computation): per query the
+  * m×k table of partial squared distances (query slice ↔ codebook entry)
+  * is computed ONCE driver-side — m·k·subDim flops, independent of corpus
+  * size — and shipped as a nested literal array; each corpus row's
+  * approximate distance is then `m` array lookups + adds inside
+  * whole-stage codegen. No float vector is read at query time. The
+  * shortlist is re-ranked with exact cosine against the full vectors
+  * (standard PQ practice: approximate to prune, exact to rank).
+  */
+object ProductQuant {
+
+  /** Per-subspace codebooks: m × k × subDim. */
+  final case class PQModel(m: Int, k: Int, subDim: Int,
+                           codebooks: Seq[Seq[Seq[Double]]])
+
+  /** Unit-normalize (float-typed so the k-means trainer's float path is
+    * untouched): for cosine ANN, PQ must quantize DIRECTIONS — on the unit
+    * sphere, L2 order ≡ cosine order (‖a−b‖² = 2−2cos), so the ADC
+    * shortlist ranks by the same metric the re-rank scores. Zero vectors
+    * pass through (they cosine 0 against everything anyway). */
+  private def normalizedVec(vecCol: Column): Column = {
+    val nrm = graft.functions.VectorFunctions.norm(vecCol)
+    when(nrm === 0.0, vecCol)
+      .otherwise(transform(vecCol, x => (x.cast("double") / nrm).cast("float")))
+  }
+
+  /** Train one deterministic codebook per subspace (on normalized vectors). */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+            m: Int, k: Int, iters: Int): PQModel = {
+    val head = corpus.select(size(col(vecCol)).as("n")).head(1)
+    require(head.nonEmpty, "cannot train PQ on an empty corpus")
+    val dim = head(0).getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val normed = corpus.select(col(idCol).as("id"),
+      normalizedVec(col(vecCol)).as("nvec"))
+    val books = (0 until m).map { j =>
+      val sliced = normed.select(col("id"),
+        slice(col("nvec"), j * subDim + 1, subDim).as("vec"))
+      Similarity.kmeansFit(sliced, "id", "vec", k, iters)._2
+    }
+    PQModel(m, k, subDim, books)
+  }
+
+  /** Squared distance between a sliced vector and a codebook entry, as a
+    * sequential fold (same fp order as the k-means trainer). */
+  private def sqDist(vecSlice: Column, cent: Seq[Double]): Column =
+    aggregate(
+      zip_with(vecSlice, array(cent.map(lit): _*), (x, c) => {
+        val d = x.cast("double") - c
+        d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Encode each vector as its per-subspace nearest-codebook-entry indices:
+    * (id, codes array<int>). Ties break to the lower code — same rule as
+    * the trainer's cell assignment. Pure map-side projection. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+             model: PQModel): DataFrame = {
+    val codes = (0 until model.m).map { j =>
+      val vs = slice(col("__nvec"), j * model.subDim + 1, model.subDim)
+      val scored = array(model.codebooks(j).zipWithIndex.map { case (c, i) =>
+        struct(sqDist(vs, c).as("d"), lit(i).as("cid"))
+      }: _*)
+      array_min(scored).getField("cid")
+    }
+    corpus
+      .withColumn("__nvec", normalizedVec(col(vecCol)))
+      .select(col(idCol).as("id"), array(codes: _*).as("codes"))
+  }
+
+  /** ADC top-`n` for one query vector over an encoded corpus, re-ranked
+    * exactly. `corpus` supplies the full vectors for the re-rank join —
+    * only the `shortlist` rows (default 4·n) ever read them. */
+  def adcTopK(encoded: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, model: PQModel, query: Array[Float],
+              n: Int, shortlist: Int = 0): DataFrame = {
+    val short = if (shortlist > 0) shortlist else 4 * n
+    // normalize the query the same way the corpus was encoded
+    val rawNorm = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
+    val qn: Array[Float] =
+      if (rawNorm == 0.0) query else query.map(x => (x / rawNorm).toFloat)
+    // the m×k LUT: partial squared distance of the query's j-th slice to
+    // codebook entry (j, c). Driver-side; m·k·subDim flops total.
+    val lut: Seq[Seq[Double]] = (0 until model.m).map { j =>
+      val qs = qn.slice(j * model.subDim, (j + 1) * model.subDim)
+      model.codebooks(j).map { cent =>
+        var s = 0.0
+        var d = 0
+        while (d < model.subDim) {
+          val diff = qs(d).toDouble - cent(d)
+          s += diff * diff
+          d += 1
+        }
+        s
+      }
+    }
+    val lutCol = array(lut.map(row => array(row.map(lit): _*)): _*)
+    val approx = (0 until model.m).map { j =>
+      element_at(element_at(lutCol, j + 1), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val qArr = array(query.map(x => lit(x.toDouble)): _*)
+    val qNorm = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
+    val candidates = encoded
+      .withColumn("approx_dist", approx)
+      .orderBy(col("approx_dist").asc, col("id").asc)
+      .limit(short)
+    candidates
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), "id")
+      .withColumn("cosine",
+        aggregate(zip_with(col("vec"), qArr, (x, q) => x.cast("double") * q),
+          lit(0.0), (acc, v) => acc + v) /
+          (graft.functions.VectorFunctions.norm(col("vec")) * lit(qNorm)))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(n)
+      .select(col("id"), col("approx_dist"), col("cosine"))
+  }
+}

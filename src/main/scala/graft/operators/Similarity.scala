@@ -127,7 +127,18 @@ object Similarity {
       vecCol: String,
       k: Int,
       iters: Int
-  ): DataFrame = {
+  ): DataFrame =
+    kmeansFit(corpus, idCol, vecCol, k, iters)._1
+
+  /** [[kmeansAssign]] plus the trained k·dim centroid matrix itself (the
+    * part [[ProductQuant]] codebook training needs). Identical math. */
+  def kmeansFit(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int
+  ): (DataFrame, Seq[Seq[Double]]) = {
     val spark = corpus.sparkSession
     val base = Parallelism.ensure(
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))).cache()
@@ -170,7 +181,7 @@ object Similarity {
       centroids = centroids.indices.map(i => byCell.getOrElse(i, centroids(i)))
       require(centroids.forall(_.length == dim))
     }
-    withCell(centroids).select(col("id"), col("cell"))
+    (withCell(centroids).select(col("id"), col("cell")), centroids)
   }
 
   /** SemDeDup-style semantic near-dup pairs: k-means cells prune the

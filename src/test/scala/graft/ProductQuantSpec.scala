@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.ProductQuant
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization on the real embeddings table (sf0.001): encoding
+  * shape/compression, training determinism, and ADC-with-rerank recall
+  * against the exact brute force. */
+class ProductQuantSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  // sf0.01: 500 vectors — enough to train a meaningful quantizer (PQ on a
+  // 50-vector corpus is all noise; recall there says nothing)
+  private lazy val corpus =
+    spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+  test("codes have m entries in [0, k); training is deterministic") {
+    val model = ProductQuant.train(corpus, "vec_id", "embedding", m = 8, k = 8, iters = 2)
+    assert(model.codebooks.length == 8 && model.codebooks.forall(_.length == 8))
+    assert(model.subDim == 8) // 64-dim embeddings
+    val again = ProductQuant.train(corpus, "vec_id", "embedding", m = 8, k = 8, iters = 2)
+    assert(again == model) // no RNG anywhere
+    val enc = ProductQuant.encode(corpus, "vec_id", "embedding", model)
+    val rows = enc.collect()
+    assert(rows.length == corpus.count())
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](r.fieldIndex("codes"))
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 8))
+    }
+  }
+
+  test("ADC + exact re-rank: high recall vs brute force, self is top-1") {
+    val model = ProductQuant.train(corpus, "vec_id", "embedding", m = 8, k = 8, iters = 2)
+    val enc = ProductQuant.encode(corpus, "vec_id", "embedding", model).cache()
+    val queries = corpus.orderBy("vec_id").limit(3)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+
+    val n = 5
+    val recalls = queries.map { case (qid, qvec) =>
+      // 10% shortlist — the standard ADC-prune/exact-rerank operating point
+      val approxIds = ProductQuant.adcTopK(enc, corpus, "vec_id", "embedding",
+        model, qvec, n, shortlist = 50)
+        .select("id").collect().map(_.getLong(0))
+      // the query vector itself is in the corpus → must rank first
+      assert(approxIds.head == qid, s"query $qid not its own top-1")
+      val qArr = array(qvec.map(x => lit(x.toDouble)): _*)
+      val exactIds = corpus
+        .withColumn("cos", graft.functions.VectorFunctions.cosine(col("embedding"), qArr))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(n).select("vec_id").collect().map(_.getLong(0))
+      approxIds.toSet.intersect(exactIds.toSet).size.toDouble / n
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"mean recall@$n = $mean%.2f (per-query: ${recalls.mkString(", ")})")
+    assert(mean >= 0.7, s"mean recall@$n too low: $mean (${recalls.toSeq})")
+  }
+}

@@ -38,7 +38,12 @@ object CorpusStats {
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "term")
+    // broadcast the doc-frequency side: it is vocabulary-sized (|distinct
+    // terms|), while tf is |doc×term| — hash-joining in place spares the
+    // big side its term-keyed shuffle AND the stopword-skew that shuffle
+    // would carry. (For a corpus whose vocabulary outgrows broadcast,
+    // drop the hint and AQE's skew-split handles the stopword keys.)
+    val scored = tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", (col("tf") * col("n_docs")) / col("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)

@@ -31,6 +31,34 @@ class ProductQuantSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: probing a cell subset keeps recall while scoring a fraction") {
+    val index = ProductQuant.buildIvfPq(corpus, "vec_id", "embedding",
+      coarseK = 8, m = 8, k = 8, iters = 2)
+    // routing really prunes: nprobe=2 of 8 cells scores a strict subset
+    val probedRows = index.cells
+      .groupBy("cell").count().orderBy(desc("count")).collect()
+    assert(probedRows.length == 8) // all coarse cells populated
+    val queries = corpus.orderBy("vec_id").limit(3)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val n = 5
+    val recalls = queries.map { case (qid, qvec) =>
+      val ids = ProductQuant.ivfPqTopK(index, corpus, "vec_id", "embedding",
+        qvec, n, nprobe = 2, shortlist = 30)
+        .select("id").collect().map(_.getLong(0))
+      assert(ids.head == qid, s"query $qid not its own top-1") // self routes home
+      val qArr = array(qvec.map(x => lit(x.toDouble)): _*)
+      val exact = corpus
+        .withColumn("cos", graft.functions.VectorFunctions.cosine(col("embedding"), qArr))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(n).select("vec_id").collect().map(_.getLong(0))
+      ids.toSet.intersect(exact.toSet).size.toDouble / n
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"IVF-PQ mean recall@$n = $mean%.2f at nprobe=2/8 (per-query: ${recalls.mkString(", ")})")
+    assert(mean >= 0.6, s"IVF-PQ recall too low: $mean")
+  }
+
   test("ADC + exact re-rank: high recall vs brute force, self is top-1") {
     val model = ProductQuant.train(corpus, "vec_id", "embedding", m = 8, k = 8, iters = 2)
     val enc = ProductQuant.encode(corpus, "vec_id", "embedding", model).cache()

@@ -1125,6 +1125,38 @@ object SparkEntry {
         k = 4, iters = 2, threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q18/q50's scenario driven through the PARTITION-PRUNED, DISK-BACKED
+    * merge (`Scd2.mergePartitioned`, idiomatic semantics): run 1 seeds the
+    * key-hash-partitioned table, run 2 merges the mutated snapshot, and
+    * the final table is read back from parquet. Oracle = q18's SQL with
+    * idiomatic created_at (carried from the prior active version instead
+    * of reset) — the only observable difference on a history-free seed. */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val spec = Scd2.Scd2Spec(Seq("c_custkey"), Seq("c_name", "c_mktsegment"),
+      "customer_sk", "dim_customer")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q88").toString
+    Scd2.mergePartitioned(base, tmp, spec, FixedClock("2024-01-01 00:00:00"), 16)
+    val mutated = base.select(
+      col("c_custkey"), col("c_name"),
+      when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("_V2")))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    val newRows = base.filter(col("c_custkey") % 101 === 0).select(
+      (col("c_custkey") + 1000000).as("c_custkey"),
+      concat(lit("NEW "), col("c_name")).as("c_name"),
+      col("c_mktsegment"))
+    Scd2.mergePartitioned(mutated.unionByName(newRows), tmp, spec,
+      FixedClock("2024-06-01 00:00:00"), 16)
+    s.read.parquet(tmp)
+      .select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"), col("customer_sk"),
+        date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss").as("created_at"),
+        date_format(col("modified_at"), "yyyy-MM-dd HH:mm:ss").as("modified_at"),
+        col("is_active"), col("old_hash"))
+      .orderBy(col("c_custkey"), col("is_active"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1213,7 +1245,8 @@ object SparkEntry {
     "q84_tfidf_topterms" -> (q84 _),
     "q85_repetition_filter" -> (q85 _),
     "q86_decontamination" -> (q86 _),
-    "q87_semantic_neardup" -> (q87 _)
+    "q87_semantic_neardup" -> (q87 _),
+    "q88_scd2_partitioned" -> (q88 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1905,7 +1938,42 @@ object SparkEntry {
          |ex AS (SELECT doc_id, unnest(sh) AS s FROM docsh WHERE doc_id % 50 <> 0)
          |SELECT ex.doc_id, count(*)::BIGINT AS n_shared
          |FROM ex JOIN bench USING (s)
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q88: q18's scenario under IDIOMATIC semantics (created_at carried
+    // from the prior active version for changed keys; otherwise identical
+    // on a history-free seed), through the partitioned disk-backed merge.
+    "q88_scd2_partitioned" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+        |ex AS (SELECT c_custkey, c_name, c_mktsegment,
+        |  sha256(concat_ws('|', c_name, c_mktsegment)) AS old_hash,
+        |  sha256(concat_ws('|', c_custkey)) AS customer_sk,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS created_at,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS modified_at, TRUE AS is_active FROM base),
+        |nw AS (SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || '_V2' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM base
+        | UNION ALL
+        | SELECT c_custkey + 1000000, 'NEW ' || c_name, c_mktsegment FROM base WHERE c_custkey % 101 = 0),
+        |nh AS (SELECT *, sha256(concat_ws('|', c_name, c_mktsegment)) AS hash FROM nw),
+        |chg AS (SELECT n.* FROM nh n LEFT JOIN ex o ON n.c_custkey = o.c_custkey AND o.is_active
+        |  WHERE n.hash <> o.old_hash OR o.old_hash IS NULL),
+        |unchanged AS (SELECT c_custkey, c_name, c_mktsegment, customer_sk, created_at, modified_at,
+        |  is_active, old_hash FROM ex
+        |  WHERE is_active AND c_custkey NOT IN (SELECT c_custkey FROM chg)),
+        |expired AS (SELECT e.c_custkey, e.c_name, e.c_mktsegment, e.customer_sk, e.created_at,
+        |  TIMESTAMP '2024-06-01 00:00:00' AS modified_at, FALSE AS is_active, e.old_hash
+        |  FROM ex e JOIN (SELECT DISTINCT c_custkey FROM chg) c ON e.c_custkey = c.c_custkey),
+        |stamped AS (SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+        |  sha256(concat_ws('|', c.c_custkey)) AS customer_sk,
+        |  coalesce(e.created_at, TIMESTAMP '2024-06-01 00:00:00') AS created_at,
+        |  TIMESTAMP '2024-06-01 00:00:00' AS modified_at,
+        |  TRUE AS is_active, c.hash AS old_hash
+        |  FROM chg c LEFT JOIN ex e ON e.c_custkey = c.c_custkey AND e.is_active)
+        |SELECT c_custkey, c_name, c_mktsegment, customer_sk,
+        | strftime(created_at, '%Y-%m-%d %H:%M:%S') AS created_at,
+        | strftime(modified_at, '%Y-%m-%d %H:%M:%S') AS modified_at, is_active, old_hash
+        |FROM (SELECT * FROM unchanged UNION ALL SELECT * FROM expired UNION ALL SELECT * FROM stamped)
+        |ORDER BY c_custkey, is_active""".stripMargin
   )
 
   /** q68/q87's shared oracle prefix: the full 2-iteration deterministic

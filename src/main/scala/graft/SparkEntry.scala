@@ -1157,6 +1157,14 @@ object SparkEntry {
       .orderBy(col("c_custkey"), col("is_active"))
   }
 
+  /** Single-pass table profile (Quality.profile) over mixed-type orders
+    * columns — the Glue-crawler statistics role: counts/distincts/numeric
+    * bounds per column from ONE scan. */
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.profile(T(s, dir, "orders"),
+        Seq("o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate"))
+      .orderBy(col("col_name"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1246,7 +1254,8 @@ object SparkEntry {
     "q85_repetition_filter" -> (q85 _),
     "q86_decontamination" -> (q86 _),
     "q87_semantic_neardup" -> (q87 _),
-    "q88_scd2_partitioned" -> (q88 _)
+    "q88_scd2_partitioned" -> (q88 _),
+    "q89_table_profile" -> (q89 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1973,7 +1982,24 @@ object SparkEntry {
         | strftime(created_at, '%Y-%m-%d %H:%M:%S') AS created_at,
         | strftime(modified_at, '%Y-%m-%d %H:%M:%S') AS modified_at, is_active, old_hash
         |FROM (SELECT * FROM unchanged UNION ALL SELECT * FROM expired UNION ALL SELECT * FROM stamped)
-        |ORDER BY c_custkey, is_active""".stripMargin
+        |ORDER BY c_custkey, is_active""".stripMargin,
+    "q89_table_profile" -> {
+      val cols = Seq("o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate")
+      val aggs = cols.zipWithIndex.map { case (c, i) =>
+        s"""count($c)::BIGINT AS nn$i, count(DISTINCT $c)::BIGINT AS nd$i,
+           | min(TRY_CAST($c::VARCHAR AS DOUBLE)) AS mn$i,
+           | max(TRY_CAST($c::VARCHAR AS DOUBLE)) AS mx$i""".stripMargin
+      }.mkString(",\n")
+      val rows = cols.zipWithIndex.map { case (c, i) =>
+        s"""SELECT '$c' AS col_name, n AS n_rows, n - nn$i AS n_null,
+           | nd$i AS n_distinct, mn$i AS min_num, mx$i AS max_num FROM s""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH s AS (SELECT count(*)::BIGINT AS n,
+         |$aggs
+         |FROM orders)
+         |$rows
+         |ORDER BY col_name""".stripMargin
+    }
   )
 
   /** q68/q87's shared oracle prefix: the full 2-iteration deterministic

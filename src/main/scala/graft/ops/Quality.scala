@@ -26,6 +26,41 @@ object Quality {
     (df.observe(ob, aggs.head, aggs.tail: _*), ob)
   }
 
+  /** Single-pass table profile — the statistics half of what the
+    * reference's Glue crawler produces when it registers a table: one row
+    * per profiled column with total/null/distinct counts and numeric
+    * min/max (`try_cast` to double; non-numeric columns profile with NULL
+    * bounds). ONE aggregation job over the table: all columns' aggregates
+    * ride one scan (the multi-distinct expands the input |cols|-way —
+    * the standard exact-profile cost; swap `countDistinct` for
+    * `approx_count_distinct` at the 100 TB scale point), and the per-column
+    * rows come from `stack` over the single 1-row result, not one job per
+    * column. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
+      // numeric bounds via a string hop so ANY column type profiles
+      // (timestamps/dates can't cast straight to double): both engines
+      // print round-trippable numerics, and non-numerics try_cast to NULL
+      val asNum = col(c).cast(org.apache.spark.sql.types.StringType)
+        .try_cast(org.apache.spark.sql.types.DoubleType)
+      Seq(
+        count(col(c)).as(s"__nn$i"),
+        countDistinct(col(c)).as(s"__nd$i"),
+        min(asNum).as(s"__mn$i"),
+        max(asNum).as(s"__mx$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.zipWithIndex
+      .map { case (c, i) => s"'$c', __n - __nn$i, __nd$i, __mn$i, __mx$i" }
+      .mkString(", ")
+    one.select(
+      expr(s"stack(${cols.length}, $stackArgs) AS " +
+        "(col_name, n_null, n_distinct, min_num, max_num)"),
+      col("__n").as("n_rows"))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_num"), col("max_num"))
+  }
+
   /** Convenience gate: run `df` to completion (count action), then assert
     * no listed column exceeds `maxNullFraction` nulls. Returns (rows,
     * metric map). Throws IllegalStateException naming the offending

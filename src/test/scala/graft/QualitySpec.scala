@@ -31,4 +31,16 @@ class QualitySpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("column v"))
   }
+
+  test("profile: one row per column with counts, distincts, numeric bounds") {
+    val p = Quality.profile(frame(), Seq("id", "s", "v"))
+      .collect().map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_null"), r.getAs[Long]("n_distinct"),
+          Option(r.getAs[java.lang.Double]("min_num")),
+          Option(r.getAs[java.lang.Double]("max_num")))).toMap
+    assert(p("id") == ((4L, 0L, 4L, Some(1.0), Some(4.0))))
+    assert(p("v") == ((4L, 2L, 2L, Some(1.0), Some(2.0))))
+    // string column: nulls/distincts counted, numeric bounds NULL
+    assert(p("s") == ((4L, 1L, 3L, None, None)))
+  }
 }

@@ -1119,11 +1119,17 @@ object SparkEntry {
     * space (only within-cell pairs are cosine-scored — cross-cell misses
     * are the documented recall trade), exact cosine verification. The
     * oracle replays the training AND the pruning, so the whole operator is
-    * hash-verified, not just the scores. */
-  private def q87(s: SparkSession, dir: String): DataFrame =
-    Similarity.semanticNearDups(T(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 4, iters = 2, threshold = 0.4)
+    * hash-verified, not just the scores. k scales with the corpus
+    * (ceil(√n) ⇒ Σ|cell|² ≈ n^1.5 for balanced cells, not n²/const —
+    * the configuration that survives a 100× scale-up; a fixed k is
+    * quadratic no matter how large the corpus grows). */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    Similarity.semanticNearDups(emb, "vec_id", "embedding",
+        k = k, iters = 2, threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** q18/q50's scenario driven through the PARTITION-PRUNED, DISK-BACKED
     * merge (`Scd2.mergePartitioned`, idiomatic semantics): run 1 seeds the
@@ -1164,6 +1170,41 @@ object SparkEntry {
     graft.ops.Quality.profile(T(s, dir, "orders"),
         Seq("o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate"))
       .orderBy(col("col_name"))
+
+  /** Product-quantization codes: per-subspace codebooks trained with the
+    * deterministic k-means (m=4 subspaces, k=8 entries, 2 iterations) on
+    * the unit-normalized vectors, every vector encoded as its 4 nearest-
+    * entry indices. The oracle replays normalization, ALL FOUR subspace
+    * trainings (one grp-keyed CTE chain) and the argmin encoding — the
+    * full 32× compression path is hash-verified, not spec-trusted. */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val model = graft.operators.ProductQuant.train(
+      emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    graft.operators.ProductQuant.encode(emb, "vec_id", "embedding", model)
+      .select(col("id").as("vec_id"),
+        array_join(col("codes").cast("array<string>"), ",").as("codes"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** IVF-PQ top-k serve for one query (vec_id 10): coarse k-means routing
+    * (nprobe=2 of 4 cells), ADC scoring over the PQ codes of the probed
+    * cells only (m LUT lookups per row, no float reads), exact cosine
+    * re-rank of the 40-row shortlist. The oracle replays the coarse
+    * training, the PQ training, the encoding, the driver-side LUT and the
+    * two-stage ranking — the entire billion-scale ANN serving layout in
+    * one hash-verified row set. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val index = graft.operators.ProductQuant.buildIvfPq(
+      emb, "vec_id", "embedding", coarseK = 4, m = 4, k = 8, iters = 2)
+    val qRow = emb.filter(col("vec_id") === 10).head()
+    val query = qRow.getSeq[Float](qRow.fieldIndex("embedding")).toArray
+    graft.operators.ProductQuant.ivfPqTopK(index, emb, "vec_id", "embedding",
+        query, n = 10, nprobe = 2, shortlist = 40)
+      .select(col("id").as("vec_id"), col("approx_dist"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1255,7 +1296,9 @@ object SparkEntry {
     "q86_decontamination" -> (q86 _),
     "q87_semantic_neardup" -> (q87 _),
     "q88_scd2_partitioned" -> (q88 _),
-    "q89_table_profile" -> (q89 _)
+    "q89_table_profile" -> (q89 _),
+    "q90_pq_codes" -> (q90 _),
+    "q91_ivfpq_topk" -> (q91 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1781,16 +1824,20 @@ object SparkEntry {
         |WHERE n_name = 'NATION_7'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q68_kmeans_ivf" ->
-      s"""WITH $kmeansCellsCte
-         |SELECT id AS vec_id, cell FROM a3 ORDER BY vec_id""".stripMargin,
-    // q87: same replayed k-means cells as q68, then within-cell cosine —
-    // the oracle mirrors the SemDeDup pruning itself, not just the scores.
+      s"""WITH $embKmeansSrc,
+         |${kmeansReplayCte("k", "v", "4", iters = 2, dim = 64)}
+         |SELECT id AS vec_id, cell FROM ka ORDER BY vec_id""".stripMargin,
+    // q87: replayed k-means cells (k scaled with the corpus — the SemDeDup
+    // configuration that actually holds at scale), then within-cell cosine:
+    // the oracle mirrors the pruning itself, not just the scores.
     "q87_semantic_neardup" ->
-      s"""WITH $kmeansCellsCte
+      s"""WITH $embKmeansSrc,
+         |${kmeansReplayCte("k", "v",
+            "SELECT CAST(ceil(sqrt(count(*))) AS INT) FROM embeddings", iters = 2, dim = 64)}
          |SELECT id_a, id_b, cell, cosine FROM (
          |  SELECT a.id AS id_a, b.id AS id_b, a.cell AS cell,
          |    ${cosineSql("a.vec", "b.vec")} AS cosine
-         |  FROM a3 a JOIN a3 b ON a.cell = b.cell AND a.id < b.id)
+         |  FROM ka a JOIN ka b ON a.cell = b.cell AND a.id < b.id)
          |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "q69_dedup_clusters" ->
       s"""WITH RECURSIVE $docShinglesCte,
@@ -1999,54 +2046,124 @@ object SparkEntry {
          |FROM orders)
          |$rows
          |ORDER BY col_name""".stripMargin
-    }
+    },
+    // q90: the oracle replays ProductQuant end to end — float-cast unit
+    // normalization, all four per-subspace codebook trainings (one
+    // grp-keyed replay chain), and the argmin encoding (= the replay's
+    // final assignment).
+    "q90_pq_codes" ->
+      s"""WITH $pqNormCte,
+         |${kmeansReplayCte("p", "sl", "8", iters = 2, dim = 16)}
+         |SELECT id AS vec_id, string_agg(cell::VARCHAR, ',' ORDER BY grp) AS codes
+         |FROM pa GROUP BY id ORDER BY vec_id""".stripMargin,
+    // q91: coarse router replay (k=4 on the normalized vectors) + the q90
+    // PQ replay + the query-side math — double-precision routing distances,
+    // float-cast ADC query slices, the m×k LUT, the (approx_dist, id)
+    // shortlist and the exact cosine re-rank — all in SQL.
+    "q91_ivfpq_topk" ->
+      s"""WITH $pqNormCte,
+         |cs AS (SELECT 0 AS grp, id, nvec AS vec FROM nv),
+         |${kmeansReplayCte("c", "cs", "4", iters = 2, dim = 64)},
+         |${kmeansReplayCte("p", "sl", "8", iters = 2, dim = 16)},
+         |q AS (SELECT embedding AS qe, sqrt(${dotSql("embedding", "embedding")}) AS qnorm
+         |  FROM embeddings WHERE vec_id = 10),
+         |qn AS (SELECT qe, qnorm,
+         |  CASE WHEN qnorm = 0.0 THEN list_transform(qe, x -> x::DOUBLE)
+         |    ELSE list_transform(qe, x -> x::DOUBLE / qnorm) END AS qnd,
+         |  CASE WHEN qnorm = 0.0 THEN qe
+         |    ELSE list_transform(qe, x -> (x::DOUBLE / qnorm)::REAL) END AS qfv
+         |  FROM q),
+         |probe AS (SELECT cid AS cell FROM (
+         |  SELECT c.cid, row_number() OVER (ORDER BY
+         |    list_reduce(list_transform(range(1, 65),
+         |      i -> (q.qnd[i] - c.cent[i]) * (q.qnd[i] - c.cent[i])), (x, y) -> x + y),
+         |    c.cid) AS rn
+         |  FROM ccb c, qn q) WHERE rn <= 2),
+         |routed AS (SELECT a.id FROM ca a JOIN probe p ON a.cell = p.cell),
+         |lut AS (SELECT c.grp, c.cid,
+         |  list_reduce(list_transform(range(1, 17),
+         |    i -> (q.qfv[c.grp * 16 + i]::DOUBLE - c.cent[i]) *
+         |         (q.qfv[c.grp * 16 + i]::DOUBLE - c.cent[i])), (x, y) -> x + y) AS pd
+         |  FROM pcb c, qn q),
+         |adc AS (SELECT pa.id,
+         |  list_reduce(list(lut.pd ORDER BY pa.grp), (x, y) -> x + y) AS approx_dist
+         |  FROM pa JOIN routed r ON pa.id = r.id
+         |  JOIN lut ON lut.grp = pa.grp AND lut.cid = pa.cell
+         |  GROUP BY pa.id),
+         |short AS (SELECT id, approx_dist FROM adc ORDER BY approx_dist, id LIMIT 40),
+         |rer AS (SELECT s.id, s.approx_dist,
+         |  CASE WHEN sqrt(${dotSql("e.embedding", "e.embedding")}) = 0.0 OR q.qnorm = 0.0 THEN 0.0
+         |    ELSE ${dotSql("e.embedding", "q.qe")} /
+         |      (sqrt(${dotSql("e.embedding", "e.embedding")}) * q.qnorm) END AS cosine
+         |  FROM short s JOIN embeddings e ON e.vec_id = s.id, qn q)
+         |SELECT id AS vec_id, approx_dist, cosine FROM (
+         |  SELECT * FROM rer ORDER BY cosine DESC, id LIMIT 10)
+         |ORDER BY cosine DESC, vec_id""".stripMargin
   )
 
   /** q68/q87's shared oracle prefix: the full 2-iteration deterministic
     * k-means replayed in SQL (same init, sequential-fold distances,
     * explicit 6-dp rounding as Similarity.kmeansAssign); `a3` = the final
     * (id, vec, cell) assignment. */
-  private lazy val kmeansCellsCte: String = {
-    // (0 + t0) + t1 + … ≡ list_reduce's t0 + t1 + … because 0.0 + t0 == t0
+  /** k-means replay CTE chain — the SQL twin of `Similarity.kmeansFit`
+    * (same smallest-id init with 6-dp rounding, same sequential-fold
+    * distances, same rounded grouped means, same lower-id tie-break), over
+    * a source CTE `src`(grp, id, vec). The `grp` column replays
+    * INDEPENDENT trainings in one chain (grp = PQ subspace index; a plain
+    * single training uses grp = 0 everywhere). `kSql` is any scalar SQL
+    * expression for k, so q87 can scale k with the corpus
+    * (ceil(sqrt(n))) and still be hash-verified. Emits CTE text without
+    * the leading WITH; the final assignment is `{p}a` (grp, id, vec,
+    * cell) and the trained codebook `{p}cb` (grp, cid, cent).
+    * (0 + t0) + t1 + … ≡ list_reduce's t0 + t1 + … because 0.0 + t0 == t0. */
+  private def kmeansReplayCte(p: String, src: String, kSql: String,
+                              iters: Int, dim: Int): String = {
     val dist = (cent: String) =>
-      s"""list_reduce(list_transform(range(1, len(v.vec) + 1),
-         |  i -> (v.vec[i]::DOUBLE - $cent[i]) * (v.vec[i]::DOUBLE - $cent[i])),
+      s"""list_reduce(list_transform(range(1, len(s.vec) + 1),
+         |  i -> (s.vec[i]::DOUBLE - $cent[i]) * (s.vec[i]::DOUBLE - $cent[i])),
          |  (x, y) -> x + y)""".stripMargin
-    s"""v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-       |init AS (
-       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cid,
-       |    list_transform(vec, x -> floor(x::DOUBLE * 1000000 + 0.5) / 1000000) AS cent
-       |  FROM v ORDER BY id LIMIT 4),
-       |a1 AS (
-       |  SELECT id, vec, cid AS cell FROM (
-       |    SELECT v.id, v.vec, c.cid,
-       |      row_number() OVER (PARTITION BY v.id ORDER BY ${dist("c.cent")}, c.cid) AS rn
-       |    FROM v CROSS JOIN init c) WHERE rn = 1),
-       |m1 AS (
-       |  SELECT cell, list(m ORDER BY i) AS cent FROM (
-       |    SELECT a1.cell, t.i, floor(avg(a1.vec[t.i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
-       |    FROM a1, range(1, 65) t(i)
-       |    GROUP BY a1.cell, t.i)
-       |  GROUP BY cell),
-       |c1 AS (SELECT c0.cid, coalesce(m1.cent, c0.cent) AS cent
-       |       FROM init c0 LEFT JOIN m1 ON m1.cell = c0.cid),
-       |a2 AS (
-       |  SELECT id, vec, cid AS cell FROM (
-       |    SELECT v.id, v.vec, c.cid,
-       |      row_number() OVER (PARTITION BY v.id ORDER BY ${dist("c.cent")}, c.cid) AS rn
-       |    FROM v CROSS JOIN c1 c) WHERE rn = 1),
-       |m2 AS (
-       |  SELECT cell, list(m ORDER BY i) AS cent FROM (
-       |    SELECT a2.cell, t.i, floor(avg(a2.vec[t.i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
-       |    FROM a2, range(1, 65) t(i)
-       |    GROUP BY a2.cell, t.i)
-       |  GROUP BY cell),
-       |c2 AS (SELECT c1.cid, coalesce(m2.cent, c1.cent) AS cent
-       |       FROM c1 LEFT JOIN m2 ON m2.cell = c1.cid),
-       |a3 AS (
-       |  SELECT id, vec, cid AS cell FROM (
-       |    SELECT v.id, v.vec, c.cid,
-       |      row_number() OVER (PARTITION BY v.id ORDER BY ${dist("c.cent")}, c.cid) AS rn
-       |    FROM v CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+    def assign(name: String, cb: String) =
+      s"""$name AS (SELECT grp, id, vec, cid AS cell FROM (
+         |  SELECT s.grp, s.id, s.vec, c.cid,
+         |    row_number() OVER (PARTITION BY s.grp, s.id
+         |      ORDER BY ${dist("c.cent")}, c.cid) AS rn
+         |  FROM $src s JOIN $cb c ON c.grp = s.grp) WHERE rn = 1)""".stripMargin
+    val init =
+      s"""${p}c0 AS (SELECT grp, cid, cent FROM (
+         |  SELECT grp, row_number() OVER (PARTITION BY grp ORDER BY id) - 1 AS cid,
+         |    list_transform(vec, x -> floor(x::DOUBLE * 1000000 + 0.5) / 1000000) AS cent
+         |  FROM $src) WHERE cid < ($kSql))""".stripMargin
+    val steps = (1 to iters).map { r =>
+      s"""${assign(s"${p}a$r", s"${p}c${r - 1}")},
+         |${p}m$r AS (SELECT grp, cell, list(m ORDER BY i) AS cent FROM (
+         |  SELECT a.grp, a.cell, t.i,
+         |    floor(avg(a.vec[t.i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
+         |  FROM ${p}a$r a, range(1, ${dim + 1}) t(i)
+         |  GROUP BY a.grp, a.cell, t.i)
+         |  GROUP BY grp, cell),
+         |${p}c$r AS (SELECT c.grp, c.cid, coalesce(m.cent, c.cent) AS cent
+         |  FROM ${p}c${r - 1} c LEFT JOIN ${p}m$r m
+         |    ON m.grp = c.grp AND m.cell = c.cid)""".stripMargin
+    }
+    (Seq(init) ++ steps ++ Seq(
+      s"${p}cb AS (SELECT grp, cid, cent FROM ${p}c$iters)",
+      assign(s"${p}a", s"${p}cb"))).mkString(",\n")
   }
+
+  /** Full-embedding k-means source CTE (grp = 0) for q68/q87. */
+  private val embKmeansSrc =
+    "v AS (SELECT 0 AS grp, vec_id AS id, embedding AS vec FROM embeddings)"
+
+  /** PQ oracle preamble: float-cast unit normalization (the SQL twin of
+    * `ProductQuant.normalizedVec` — `(x/‖v‖)::REAL`, zero vectors pass
+    * through) plus the m=4 × subDim=16 subspace slicing that feeds the
+    * grp-keyed codebook replay. */
+  private lazy val pqNormCte =
+    s"""pnr AS (SELECT vec_id AS id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |nv AS (SELECT id, CASE WHEN nrm = 0.0 THEN embedding
+       |  ELSE list_transform(embedding, x -> (x::DOUBLE / nrm)::REAL) END AS nvec
+       |  FROM pnr),
+       |sl AS (SELECT t.j AS grp, id, list_slice(nvec, t.j * 16 + 1, t.j * 16 + 16) AS vec
+       |  FROM nv, range(0, 4) t(j))""".stripMargin
 }

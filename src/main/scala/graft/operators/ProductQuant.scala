@@ -164,12 +164,16 @@ object ProductQuant {
       .withColumn("approx_dist", approx)
       .orderBy(col("approx_dist").asc, col("id").asc)
       .limit(short)
+    val nrm = graft.functions.VectorFunctions.norm(col("vec"))
     candidates
       .join(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), "id")
       .withColumn("cosine",
-        aggregate(zip_with(col("vec"), qArr, (x, q) => x.cast("double") * q),
-          lit(0.0), (acc, v) => acc + v) /
-          (graft.functions.VectorFunctions.norm(col("vec")) * lit(qNorm)))
+        // zero-norm guard mirrors VectorFunctions.cosine (and the oracle's
+        // CASE): a zero vector in the shortlist scores 0, not NaN
+        when(nrm === 0.0 || lit(qNorm) === 0.0, lit(0.0))
+          .otherwise(
+            aggregate(zip_with(col("vec"), qArr, (x, q) => x.cast("double") * q),
+              lit(0.0), (acc, v) => acc + v) / (nrm * lit(qNorm))))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(n)
       .select(col("id"), col("approx_dist"), col("cosine"))

@@ -57,21 +57,45 @@ object Similarity {
   }
 
   /** IVF cell assignment: nearest centroid id (by cosine) for every vector.
-    * `centroids`: (centroid_id, vec) — small, broadcast. */
+    * `centroids`: (centroid_id, vec) — k·dim values, collected once to the
+    * driver and re-shipped as literals (exactly the bytes a broadcast would
+    * move), so assignment is PURE MAP-SIDE: the nearest cell is the
+    * lexicographic `array_min` over (−cosine, centroid_id) structs — same
+    * winner as "ORDER BY cosine DESC, centroid_id ASC", same fp tree per
+    * cosine, no exchange of any kind. A previous formulation cross-joined
+    * the corpus with the centroids and picked rn=1 under a
+    * Window.partitionBy(id) — a full hash shuffle of k× the corpus rows,
+    * which at 100 TB turns an index build from map-only into an 8×
+    * full-data exchange. Negation is order-reversing for doubles (signed
+    * zeros included), so argmin(−sim) ≡ argmax(sim) with ties to the lower
+    * centroid id. */
   def assignCells(
       corpus: DataFrame,
       centroids: DataFrame,
       idCol: String,
       vecCol: String
   ): DataFrame = {
-    val c = centroids.select(col("centroid_id"), col(vecCol).as("cent_vec"))
-    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("centroid_id").asc)
+    val cents: Seq[(Int, Column)] = centroids
+      .select(col("centroid_id").cast("int"), col(vecCol))
+      .collect()
+      .map { r =>
+        // preserve the element runtime type (float stays float) so the
+        // cosine expression tree is bit-identical to the joined form
+        val arr = r.getSeq[Any](1).map {
+          case f: java.lang.Float  => lit(f.floatValue())
+          case d: java.lang.Double => lit(d.doubleValue())
+          case x                   => lit(x)
+        }
+        (r.getInt(0), array(arr: _*))
+      }
+      .sortBy(_._1).toSeq
+    val scored = array(cents.map { case (cid, centArr) =>
+      struct((-VectorFunctions.cosine(col("vec"), centArr)).as("neg_sim"),
+        lit(cid).as("cid"))
+    }: _*)
     Parallelism.ensure(corpus).select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .crossJoin(broadcast(c))
-      .withColumn("sim", VectorFunctions.cosine(col("vec"), col("cent_vec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("vec"), col("centroid_id").as("cell"))
+      .withColumn("cell", array_min(scored).getField("cid"))
+      .select(col("id"), col("vec"), col("cell"))
   }
 
   /** IVF top-k: search only the `nprobe` cells nearest to each query.

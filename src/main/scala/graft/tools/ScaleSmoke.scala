@@ -54,7 +54,8 @@ object ScaleSmoke {
       "q27_minhash_sig", "q28_minhash_neardup", "q29_simhash",
       "q30_embed_topk", "q32_sessionize", "q34_asof_join", "q38_ivf_topk",
       "q47_lsh_buckets", "q50_scd2_merge1", "q69_dedup_clusters",
-      "q83_dedup_latest_agg", "q84_tfidf_topterms", "q86_decontamination")
+      "q83_dedup_latest_agg", "q84_tfidf_topterms", "q86_decontamination",
+      "q87_semantic_neardup")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

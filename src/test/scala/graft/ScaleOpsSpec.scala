@@ -100,6 +100,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Sort "), s"agg dedup must not sort:\n$plan")
   }
 
+  test("IVF cell assignment is map-side: no hash exchange, no window, windowed answer") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val cells = graft.operators.Similarity.assignCells(emb, centroids, "vec_id", "embedding")
+    val plan = cells.queryExecution.executedPlan.toString
+    // Parallelism.ensure may add a round-robin floor on the tiny test file;
+    // the property under test is that the ARGMIN itself never shuffles
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"cell assignment must not hash-shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"cell assignment must not plan a window:\n$plan")
+    // same answer as the reference windowed formulation
+    val c = centroids.select(col("centroid_id"), col("embedding").as("cent_vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("sim").desc, col("centroid_id").asc)
+    val windowed = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .crossJoin(broadcast(c))
+      .withColumn("sim", graft.functions.VectorFunctions.cosine(col("vec"), col("cent_vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("centroid_id").cast("int").as("cell"))
+    val got = cells.select(col("id"), col("cell")).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = windowed.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("bucketed tables join without an exchange") {
     val wh = Files.createTempDirectory("graft-bucket").toString
     val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")

@@ -51,6 +51,17 @@ object Bench {
     // cost, not session initialization.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    // Untimed warmup pass: run every headline query once at the smallest
+    // scale factor. This JIT-compiles each plan's generated code and the
+    // scheduler paths, so the timed loop measures steady-state query cost
+    // (the recorded baseline numbers are warm numbers; without this, the
+    // first heavy query absorbs several seconds of one-time compilation).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    headline.foreach { name =>
+      try { SparkEntry.queries(name)(spark, warmDir).count() }
+      catch { case _: Throwable => () }
+    }
+
     // The bucketed layout is a write-once cost amortized over every later
     // co-located join (like the reference's tables already sitting in S3),
     // so it is built outside the timed loop; q82 then measures the join.

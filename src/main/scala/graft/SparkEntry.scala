@@ -1206,6 +1206,50 @@ object SparkEntry {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** q18's scenario driven through STREAMING SCD2 dimension maintenance
+    * (`DimStream.scd2Sink`): the seed snapshot and the mutated snapshot
+    * arrive as two file-source micro-batches (the real streaming plan — a
+    * parquet directory stream, a checkpoint, a foreachBatch merge), each
+    * merged with its own load-date clock, and the final dim is read back
+    * from disk. Oracle = q18's batch SQL — the batch twin that every other
+    * streaming query in the suite is pinned to. */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val spec = Scd2.Scd2Spec(Seq("c_custkey"), Seq("c_name", "c_mktsegment"),
+      "customer_sk", "dim_customer")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q92").toString
+    val updatesDir = s"$tmp/updates"
+    // batch 0: the seed snapshot lands as files
+    base.write.mode("append").parquet(updatesDir)
+    val updates = s.readStream.schema(base.schema).parquet(updatesDir)
+    val clocks = Map(
+      0L -> FixedClock("2024-01-01 00:00:00"),
+      1L -> FixedClock("2024-06-01 00:00:00"))
+    val q = graft.streaming.DimStream.scd2Sink(s, updates, spec,
+      s"$tmp/dim", s"$tmp/ckpt", clocks(_))
+    q.processAllAvailable()
+    // batch 1: the mutated snapshot (changed segments + brand-new keys)
+    val mutated = base.select(
+      col("c_custkey"), col("c_name"),
+      when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("_V2")))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    val newRows = base.filter(col("c_custkey") % 101 === 0).select(
+      (col("c_custkey") + 1000000).as("c_custkey"),
+      concat(lit("NEW "), col("c_name")).as("c_name"),
+      col("c_mktsegment"))
+    mutated.unionByName(newRows).write.mode("append").parquet(updatesDir)
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(s"$tmp/dim")
+      .select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"), col("customer_sk"),
+        date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss").as("created_at"),
+        date_format(col("modified_at"), "yyyy-MM-dd HH:mm:ss").as("modified_at"),
+        col("is_active"), col("old_hash"))
+      .orderBy(col("c_custkey"), col("is_active"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1298,7 +1342,8 @@ object SparkEntry {
     "q88_scd2_partitioned" -> (q88 _),
     "q89_table_profile" -> (q89 _),
     "q90_pq_codes" -> (q90 _),
-    "q91_ivfpq_topk" -> (q91 _)
+    "q91_ivfpq_topk" -> (q91 _),
+    "q92_stream_scd2" -> (q92 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1365,7 +1410,10 @@ object SparkEntry {
       // q83 is q08's dedup as a sort-free arg_max aggregate — alternative
       // physical strategies, same oracles.
       ("q82_bucketed_star" -> oracleSqlCore("q04_star_join")) +
-      ("q83_dedup_latest_agg" -> oracleSqlCore("q08_dedup_latest_order"))
+      ("q83_dedup_latest_agg" -> oracleSqlCore("q08_dedup_latest_order")) +
+      // q92 streams q18's two snapshots through the foreachBatch SCD2
+      // sink — the streaming plan must land the batch merge's exact table.
+      ("q92_stream_scd2" -> oracleSqlCore("q18_scd2_faithful"))
 
   private lazy val oracleSqlCore: Map[String, String] = Map(
     "q01_pricing_summary" ->

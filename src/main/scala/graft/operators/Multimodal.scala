@@ -38,9 +38,30 @@ object Multimodal {
       checksum: Long    // real: FNV-1a over the bytes
   )
 
-  /** STUB codec — deterministic fake decode. A real deployment replaces
-    * exactly this object (same signature) with an actual decoder. */
-  object FakeCodec extends Serializable {
+  /** Pluggable decoder boundary: everything Spark-side (binary schema,
+    * mapPartitions batching, payloads-never-shuffle) is codec-agnostic —
+    * swapping the implementation changes no plan shape. */
+  trait MediaCodec extends Serializable {
+    /** bytes → (width, height, n_frames). */
+    def decode(bytes: Array[Byte]): (Int, Int, Int)
+    /** bytes → payload resized to the target box. */
+    def resize(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte]
+  }
+
+  def fnv1a(bytes: Array[Byte]): Long = {
+    var hash = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      hash ^= (bytes(i) & 0xff).toLong
+      hash *= 0x100000001b3L
+      i += 1
+    }
+    hash
+  }
+
+  /** STUB codec — deterministic fake decode, the default so the oracle
+    * queries (q33/q44) stay replayable on arbitrary bytes. */
+  object FakeCodec extends MediaCodec {
     def decode(bytes: Array[Byte]): (Int, Int, Int) = {
       // Deterministic pseudo width/height/frames from content; stands in for
       // a real image/video header parse.
@@ -51,15 +72,56 @@ object Multimodal {
       (width, height, frames)
     }
 
-    def fnv1a(bytes: Array[Byte]): Long = {
-      var hash = 0xcbf29ce484222325L
+    /** Deterministic downsample: keep every k-th byte, k from the decoded
+      * area / target box ratio (min 1 = no-op) — models the resize stage's
+      * bytes-in/smaller-bytes-out shape without a real format. */
+    def resize(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      val (w, h, _) = decode(bytes)
+      val ratio = math.max(1.0, (w.toLong * h).toDouble / (targetW.toLong * targetH))
+      val k = math.max(1, math.round(ratio).toInt)
+      val out = Array.newBuilder[Byte]
       var i = 0
-      while (i < bytes.length) {
-        hash ^= (bytes(i) & 0xff).toLong
-        hash *= 0x100000001b3L
-        i += 1
-      }
-      hash
+      while (i < bytes.length) { out += bytes(i); i += k }
+      out.result()
+    }
+  }
+
+  /** REAL codec over the JDK's registered image formats (PNG, BMP, GIF,
+    * JPEG via javax.imageio — no external libs): decode parses the actual
+    * header (dimensions without a full pixel decode; frame count from the
+    * reader for multi-frame formats), resize renders through a scaled
+    * Graphics2D draw and re-encodes as PNG. Runs inside the same
+    * mapPartitions stage as the stub — proof the plumbing carries real
+    * formats unchanged. */
+  object ImageIoCodec extends MediaCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    def decode(bytes: Array[Byte]): (Int, Int, Int) = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "no registered decoder for payload")
+        val r = readers.next()
+        r.setInput(iis)
+        try {
+          val n = try r.getNumImages(true) catch { case _: Exception => 1 }
+          (r.getWidth(0), r.getHeight(0), math.max(1, n))
+        } finally r.dispose()
+      } finally iis.close()
+    }
+
+    def resize(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image payload")
+      val out = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(img, 0, 0, targetW, targetH, null)
+      finally g.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", bos)
+      bos.toByteArray
     }
   }
 
@@ -74,15 +136,16 @@ object Multimodal {
 
   /** Batched decode/feature-extract: one pass per partition, iterator-to-
     * iterator (no materialization of the whole partition). */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      codec: MediaCodec = FakeCodec): Dataset[MediaFeatures] = {
     import spark.implicits._
     // decode is the compute bottleneck of any multimodal pipeline — never
     // let a narrow input serialize it onto one core
     graft.io.Parallelism.ensure(media).as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, frames) = FakeCodec.decode(r.bytes)
+        val (w, h, frames) = codec.decode(r.bytes)
         MediaFeatures(r.media_id, r.mime, r.bytes.length.toLong, w, h, frames,
-          FakeCodec.fnv1a(r.bytes))
+          fnv1a(r.bytes))
       }
     }
   }
@@ -103,25 +166,20 @@ object Multimodal {
   final case class ResizedMedia(media_id: Long, mime: String,
                                 target_w: Int, target_h: Int, bytes: Array[Byte])
 
-  /** Resize stub: deterministic downsample of the payload to a size
-    * proportional to the target box — models the resize stage's shape
-    * (bytes in → smaller bytes out, metadata updated; batched
-    * per-partition, payloads never shuffle). A real deployment replaces
-    * the byte-level body with a codec call; the plan is unchanged. */
+  /** Resize stage: bytes in → resized bytes out, metadata updated; batched
+    * per-partition, payloads never shuffle. The transformation itself is
+    * the codec's (deterministic byte decimation for the stub, a real
+    * Graphics2D rescale + PNG re-encode for [[ImageIoCodec]]) — the plan
+    * is identical either way. */
   def resize(spark: SparkSession, media: DataFrame,
-             targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+             targetW: Int, targetH: Int,
+             codec: MediaCodec = FakeCodec): Dataset[ResizedMedia] = {
     import spark.implicits._
     require(targetW > 0 && targetH > 0)
     graft.io.Parallelism.ensure(media).as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, _) = FakeCodec.decode(r.bytes)
-        // keep every k-th byte, k from the area ratio (min 1 = no-op)
-        val ratio = math.max(1.0, (w.toLong * h).toDouble / (targetW.toLong * targetH))
-        val k = math.max(1, math.round(ratio).toInt)
-        val out = Array.newBuilder[Byte]
-        var i = 0
-        while (i < r.bytes.length) { out += r.bytes(i); i += k }
-        ResizedMedia(r.media_id, r.mime, targetW, targetH, out.result())
+        ResizedMedia(r.media_id, r.mime, targetW, targetH,
+          codec.resize(r.bytes, targetW, targetH))
       }
     }
   }

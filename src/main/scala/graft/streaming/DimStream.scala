@@ -19,19 +19,24 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object DimStream {
 
+  /** `clockForBatch` maps the micro-batch id to the merge clock — real
+    * deployments pass a constant SystemClock; replayable tests/oracles pin
+    * one FixedClock per batch (load date semantics, same as running the
+    * batch merge once per arrival). */
   def scd2Sink(
       spark: SparkSession,
       updates: DataFrame,
       spec: Scd2.Scd2Spec,
       dimPath: String,
       checkpoint: String,
-      clock: Clock = SystemClock,
+      clockForBatch: Long => Clock = _ => SystemClock,
       faithful: Boolean = true
   ): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          val clock = clockForBatch(batchId)
           val deduped = batch.dropDuplicates(spec.keyCols)
           // Hadoop FS existence check — java.io.File is local-only and would
           // silently treat every batch as a first run on HDFS/S3A, wiping

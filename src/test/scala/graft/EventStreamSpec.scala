@@ -88,7 +88,7 @@ class EventStreamSpec extends AnyFunSuite {
     val updates = mem.toDF().toDF("id", "name", "city")
     val spec = graft.ops.Scd2.Scd2Spec(Seq("id"), Seq("name", "city"), "sk", "dim_s")
     val q = graft.streaming.DimStream.scd2Sink(spark, updates, spec,
-      s"$root/dim", s"$root/ckpt", graft.pipeline.FixedClock("2024-01-01 00:00:00"))
+      s"$root/dim", s"$root/ckpt", _ => graft.pipeline.FixedClock("2024-01-01 00:00:00"))
     mem.addData(("1", "a", "x"), ("2", "b", "y"))
     q.processAllAvailable()
     assert(graft.io.Readers.parquet(spark, s"$root/dim").count() == 2)

@@ -36,7 +36,12 @@ object Bench {
     "q82_bucketed_star",
     "q83_dedup_latest_agg",
     "q84_tfidf_topterms",
-    "q87_semantic_neardup"
+    "q87_semantic_neardup",
+    "q93_doc_chunks",
+    "q94_seq_packing",
+    "q95_unigram_lm",
+    "q96_winnow_fingerprints",
+    "q98_ivfpq_residual"
   )
 
   def main(args: Array[String]): Unit = {

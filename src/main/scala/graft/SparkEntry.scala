@@ -1250,6 +1250,111 @@ object SparkEntry {
       .orderBy(col("c_custkey"), col("is_active"))
   }
 
+  /** Document chunking into overlapping token windows (width 64, stride
+    * 48 — 16-token overlap) — the RAG / long-context pre-tokenization
+    * layout. Pure per-row work: one Generate, no shuffle (scan speed at
+    * any corpus size). */
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    operators.Chunker.chunk(T(s, dir, "documents"), "doc_id", "text",
+        width = 64, stride = 48)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Greedy sequence packing into 400-token budgets across 8
+    * content-addressed packer groups. The oracle replays the greedy fill
+    * with a recursive CTE — the pack boundary is a non-associative
+    * recurrence, which is exactly why the Spark side is a sorted
+    * mapPartitions scan and not a window function. */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), TF.tokenCount(col("text")).as("n_toks"))
+    operators.Packer.packGreedy(docs, "doc_id", "n_toks", budget = 400, numGroups = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unigram-LM quality score per document (mean token ln-probability
+    * under the corpus's own add-one-smoothed unigram model) — the cheap
+    * stand-in for CCNet-style perplexity filtering. Rounded to 2 dp per
+    * the shuffled-aggregate float policy. */
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Winnowing fingerprints (5-gram hashes, window 4, rightmost-min tie
+    * rule) — the MOSS partial-overlap detector; any ≥8-token shared
+    * substring between two documents is guaranteed a common fingerprint. */
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.winnowFingerprints(T(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4)
+      .orderBy(col("doc_id"), col("pos"), col("fp"))
+
+  /** Z-order (Morton) value over (customer, order-day) — the layout key
+    * that makes parquet min/max stats prune scans on EITHER dimension.
+    * Pure per-row bit arithmetic; the layout writer itself
+    * (ZOrder.writeZOrdered) is exercised in ZOrderSpec, where the
+    * per-file bounding boxes are asserted. */
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders").select(col("o_orderkey"),
+        graft.functions.ZOrder.zValue(
+          col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01"))),
+          16).as("zval"))
+      .orderBy(col("o_orderkey"))
+
+  /** Residual IVF-PQ top-k serve (codes quantize v − coarse centroid —
+    * the classic recall refinement over q91's direct quantization; same
+    * deterministic trainings, so the oracle replays coarse routing,
+    * residual computation, all four residual codebooks, the per-cell
+    * LUTs and the exact re-rank). */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val index = graft.operators.ProductQuant.buildIvfPqResidual(
+      emb, "vec_id", "embedding", coarseK = 4, m = 4, k = 8, iters = 2)
+    val qRow = emb.filter(col("vec_id") === 11).head()
+    val query = qRow.getSeq[Float](qRow.fieldIndex("embedding")).toArray
+    graft.operators.ProductQuant.ivfPqResidualTopK(index, emb, "vec_id", "embedding",
+        query, n = 10, nprobe = 2, shortlist = 40)
+      .select(col("id").as("vec_id"), col("approx_dist"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  /** Filtered vector search: q38's IVF layout under a metadata predicate
+    * (labels 0–4 only). The filter sits BELOW cell assignment — it
+    * reaches the parquet scan as a PUSHED filter (plan-asserted in
+    * ScaleOpsSpec), then cell routing prunes what survives: the two
+    * prunings compose, which is the whole point of a scan-shaped ANN
+    * index (graph indexes can't do this cheaply). */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+    Similarity.ivfTopKWhere(emb, queries, centroids, "vec_id", "embedding",
+        k = 3, nprobe = 2, pred = col("label") < 5)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Streaming exact dedup: every event arrives TWICE (two parquet copies
+    * in the source directory); `dropDuplicates` over the watermarked
+    * stream must reconstruct the original table exactly. The watermark is
+    * set beyond the data's time range so no state is evicted mid-drain —
+    * bounded-input determinism, the same contract as the other streaming
+    * oracle rows. */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val events = graft.io.Readers.parquetNanos(s, s"$dir/events.parquet", Seq("ts"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q100").toString
+    events.write.mode("append").parquet(tmp)
+    events.write.mode("append").parquet(tmp)
+    val stream = s.readStream.schema(events.schema).parquet(tmp)
+    val deduped = graft.streaming.EventStream.dedupEvents(stream, watermark = "36500 days")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+    graft.streaming.EventStream.runBounded(s, deduped, "graft_q100_sink", "append")
+      .orderBy(col("event_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1343,7 +1448,15 @@ object SparkEntry {
     "q89_table_profile" -> (q89 _),
     "q90_pq_codes" -> (q90 _),
     "q91_ivfpq_topk" -> (q91 _),
-    "q92_stream_scd2" -> (q92 _)
+    "q92_stream_scd2" -> (q92 _),
+    "q93_doc_chunks" -> (q93 _),
+    "q94_seq_packing" -> (q94 _),
+    "q95_unigram_lm" -> (q95 _),
+    "q96_winnow_fingerprints" -> (q96 _),
+    "q97_zorder_value" -> (q97 _),
+    "q98_ivfpq_residual" -> (q98 _),
+    "q99_filtered_ann" -> (q99 _),
+    "q100_stream_dedup" -> (q100 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -2146,7 +2259,157 @@ object SparkEntry {
          |  FROM short s JOIN embeddings e ON e.vec_id = s.id, qn q)
          |SELECT id AS vec_id, approx_dist, cosine FROM (
          |  SELECT * FROM rer ORDER BY cosine DESC, id LIMIT 10)
-         |ORDER BY cosine DESC, vec_id""".stripMargin
+         |ORDER BY cosine DESC, vec_id""".stripMargin,
+    // q93: chunk i covers tokens [i·48, i·48+64); ⌊(n−1)/48⌋+1 chunks.
+    "q93_doc_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |i AS (SELECT doc_id, w,
+        |  unnest(range(CASE WHEN len(w) = 0 THEN 0 ELSE (len(w) - 1) // 48 + 1 END)) AS chunk_idx
+        |  FROM t),
+        |c AS (SELECT doc_id, chunk_idx, list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64) AS ct
+        |  FROM i)
+        |SELECT doc_id, chunk_idx::INT AS chunk_idx, len(ct)::INT AS n_tokens,
+        | array_to_string(ct, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q94: the greedy fill is a non-associative recurrence — replayed with
+    // a recursive CTE stepping through each group's id-ordered rows.
+    "q94_seq_packing" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT grp, doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+        |  FROM (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 8 AS grp, doc_id,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS n_tokens
+        |    FROM documents)),
+        |p AS (
+        |  SELECT grp, doc_id, n_tokens, rn, 0::BIGINT AS pack_id, n_tokens AS fill, 0 AS pack_pos
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.grp, d.doc_id, d.n_tokens, d.rn,
+        |    CASE WHEN p.fill + d.n_tokens > 400 THEN p.pack_id + 1 ELSE p.pack_id END,
+        |    CASE WHEN p.fill + d.n_tokens > 400 THEN d.n_tokens ELSE p.fill + d.n_tokens END,
+        |    CASE WHEN p.fill + d.n_tokens > 400 THEN 0 ELSE p.pack_pos + 1 END
+        |  FROM p JOIN d ON d.grp = p.grp AND d.rn = p.rn + 1)
+        |SELECT grp::INT AS grp, doc_id, n_tokens::INT AS n_tokens, pack_id,
+        | pack_pos::INT AS pack_pos
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // q95: add-one-smoothed unigram model trained on the corpus itself;
+    // avg ln-prob rounded to 2 dp (shuffled-aggregate float policy).
+    "q95_unigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array($normSql, ' ')) AS term
+         |  FROM documents),
+         |tok2 AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+         |counts AS (SELECT term, count(*)::BIGINT AS cnt FROM tok2 GROUP BY 1),
+         |tot AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS vocab FROM counts)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         | round(avg(ln((cnt + 1)::DOUBLE / (total + vocab)::DOUBLE)), 2) AS avg_logprob
+         |FROM tok2 JOIN counts USING (term), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q96: winnowing — 5-gram 32-bit hashes, window-of-4 minimum with the
+    // rightmost tie rule, distinct (pos, fp) selections per document.
+    "q96_winnow_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(w) < 5 THEN []
+         |  ELSE list_transform(range(1, len(w) - 3),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END AS grams
+         |  FROM t),
+         |h AS (SELECT doc_id, list_transform(grams, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+         |  FROM g WHERE len(grams) > 0)
+         |SELECT DISTINCT doc_id, s.pos::INT AS pos, s.fp AS fp FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(hs) - 3, 1) + 1), s ->
+         |    {'pos': s - 1 + list_max(list_filter(range(1, len(list_slice(hs, s, s + 3)) + 1),
+         |        j -> list_slice(hs, s, s + 3)[j] = list_min(list_slice(hs, s, s + 3)))),
+         |     'fp': list_min(list_slice(hs, s, s + 3))})) AS s
+         |  FROM h)
+         |ORDER BY doc_id, pos, fp""".stripMargin,
+    // q97: Morton interleave of the low 16 bits of (customer, order-day).
+    "q97_zorder_value" -> {
+      val terms = (0 until 16).flatMap(b => Seq(
+        s"(((x >> $b) & 1) << ${2 * b})",
+        s"(((y >> $b) & 1) << ${2 * b + 1})"))
+      s"""WITH xy AS (SELECT o_orderkey, o_custkey % 65536 AS x,
+         |  datediff('day', DATE '1992-01-01', o_orderdate::DATE) % 65536 AS y FROM orders)
+         |SELECT o_orderkey, ${terms.mkString(" | ")} AS zval
+         |FROM xy ORDER BY o_orderkey""".stripMargin
+    },
+    // q98: full residual-IVF-PQ replay — coarse routing (c*), per-row
+    // residuals, four residual codebooks (r*), per-probed-cell LUTs, ADC
+    // shortlist and exact re-rank. Same replay machinery as q90/q91, plus
+    // the residual CTEs.
+    "q98_ivfpq_residual" ->
+      s"""WITH $pqNormCte,
+         |cs AS (SELECT 0 AS grp, id, nvec AS vec FROM nv),
+         |${kmeansReplayCte("c", "cs", "4", iters = 2, dim = 64)},
+         |rv AS (SELECT a.id, a.cell,
+         |  list_transform(range(1, 65), i -> a.vec[i]::DOUBLE - c.cent[i]) AS rvec
+         |  FROM ca a JOIN ccb c ON c.grp = a.grp AND c.cid = a.cell),
+         |rsl AS (SELECT t.j AS grp, id, list_slice(rvec, t.j * 16 + 1, t.j * 16 + 16) AS vec
+         |  FROM rv, range(0, 4) t(j)),
+         |${kmeansReplayCte("r", "rsl", "8", iters = 2, dim = 16)},
+         |q AS (SELECT embedding AS qe, sqrt(${dotSql("embedding", "embedding")}) AS qnorm
+         |  FROM embeddings WHERE vec_id = 11),
+         |qn AS (SELECT qe, qnorm,
+         |  CASE WHEN qnorm = 0.0 THEN list_transform(qe, x -> x::DOUBLE)
+         |    ELSE list_transform(qe, x -> x::DOUBLE / qnorm) END AS qnd
+         |  FROM q),
+         |probe AS (SELECT cid AS cell FROM (
+         |  SELECT c.cid, row_number() OVER (ORDER BY
+         |    list_reduce(list_transform(range(1, 65),
+         |      i -> (q.qnd[i] - c.cent[i]) * (q.qnd[i] - c.cent[i])), (x, y) -> x + y),
+         |    c.cid) AS rn
+         |  FROM ccb c, qn q) WHERE rn <= 2),
+         |qres AS (SELECT p.cell,
+         |  list_transform(range(1, 65), i -> q.qnd[i] - c.cent[i]) AS rq
+         |  FROM probe p JOIN ccb c ON c.grp = 0 AND c.cid = p.cell, qn q),
+         |lut AS (SELECT r.cell, b.grp, b.cid,
+         |  list_reduce(list_transform(range(1, 17),
+         |    i -> (r.rq[b.grp * 16 + i] - b.cent[i]) * (r.rq[b.grp * 16 + i] - b.cent[i])),
+         |    (x, y) -> x + y) AS pd
+         |  FROM qres r, rcb b),
+         |adc AS (SELECT rv.id,
+         |  list_reduce(list(lut.pd ORDER BY ra.grp), (x, y) -> x + y) AS approx_dist
+         |  FROM ra JOIN rv ON rv.id = ra.id
+         |  JOIN lut ON lut.cell = rv.cell AND lut.grp = ra.grp AND lut.cid = ra.cell
+         |  GROUP BY rv.id),
+         |short AS (SELECT id, approx_dist FROM adc ORDER BY approx_dist, id LIMIT 40),
+         |rer AS (SELECT s.id, s.approx_dist,
+         |  CASE WHEN sqrt(${dotSql("e.embedding", "e.embedding")}) = 0.0 OR q.qnorm = 0.0 THEN 0.0
+         |    ELSE ${dotSql("e.embedding", "q.qe")} /
+         |      (sqrt(${dotSql("e.embedding", "e.embedding")}) * q.qnorm) END AS cosine
+         |  FROM short s JOIN embeddings e ON e.vec_id = s.id, qn q)
+         |SELECT id AS vec_id, approx_dist, cosine FROM (
+         |  SELECT * FROM rer ORDER BY cosine DESC, id LIMIT 10)
+         |ORDER BY cosine DESC, vec_id""".stripMargin,
+    // q99: q38's IVF routing with the corpus side filtered to labels 0–4
+    // BEFORE assignment — filtered vector search.
+    "q99_filtered_ann" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |corp AS (SELECT vec_id, embedding FROM embeddings WHERE label < 5),
+         |cells AS (SELECT vec_id, embedding, centroid_id AS cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.centroid_id ASC) AS rn
+         |  FROM corp e CROSS JOIN cent c) WHERE rn = 1),
+         |probes AS (SELECT query_id, q_vec, centroid_id AS cell FROM (
+         |  SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.centroid_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosineSql("q.embedding", "c.cv")} DESC, c.centroid_id ASC) AS rn
+         |  FROM embeddings q CROSS JOIN cent c
+         |  WHERE q.vec_id >= 10 AND q.vec_id < 15) WHERE rn <= 2),
+         |scored AS (SELECT p.query_id, s.vec_id AS corpus_id,
+         |    ${cosineSql("p.q_vec", "s.embedding")} AS cosine
+         |  FROM cells s JOIN probes p ON s.cell = p.cell WHERE p.query_id <> s.vec_id)
+         |SELECT query_id, rank, corpus_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, corpus_id ASC) AS rank FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // q100: the duplicated stream deduped back to exactly the events table.
+    "q100_stream_dedup" ->
+      """SELECT event_id, epoch_us(ts) AS us, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin
   )
 
   /** q68/q87's shared oracle prefix: the full 2-iteration deterministic

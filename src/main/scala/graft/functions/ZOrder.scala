@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) curve helpers for multi-dimensional data layout.
+  *
+  * Sorting a table by the bit-interleaving of two key columns clusters rows
+  * that are close in BOTH dimensions into the same files, so parquet
+  * min/max footer stats (and any manifest-level zone map) prune scans for
+  * predicates on EITHER column — the standard lakehouse layout trick for
+  * the "filter by customer AND by date" workloads a linear sort can only
+  * serve for its leading column. The z-value is pure per-row bit
+  * arithmetic (shift/and/or — all codegen'd builtins, no UDF) and the
+  * layout write is one range repartitioning: at 100 TB the cost is the
+  * same single shuffle a plain sort-by-key layout already pays, the
+  * pruning benefit applies to every subsequent scan.
+  */
+object ZOrder {
+
+  /** Interleave the low `bits` bits of `x` (even positions) and `y` (odd
+    * positions) into a single long — the Morton code. Inputs are taken
+    * mod 2^bits (callers bucket/scale real keys into that range first).
+    * Engine-portable: `pmod`, shifts and bit-ands mirror 1:1 into SQL. */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
+    val xm = pmod(x.cast("long"), lit(1L << bits))
+    val ym = pmod(y.cast("long"), lit(1L << bits))
+    (0 until bits).map { b =>
+      val xb = shiftleft(shiftright(xm, b).bitwiseAND(lit(1L)), 2 * b)
+      val yb = shiftleft(shiftright(ym, b).bitwiseAND(lit(1L)), 2 * b + 1)
+      xb.bitwiseOR(yb)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` z-ordered on (xCol, yCol) into `numFiles` range-partitioned
+    * parquet files. One shuffle (range exchange on the z-value) + an
+    * in-partition sort; the z column itself is dropped from the output.
+    * Range boundaries come from Spark's reservoir sampling — fine for a
+    * layout decision (file CONTENTS are deterministic data, only the
+    * file boundaries are sampled). */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+                    path: String, numFiles: Int, bits: Int = 16): Unit =
+    df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+}

@@ -72,6 +72,91 @@ object CorpusStats {
       .drop("__toks")
   }
 
+  /** Unigram language-model quality score: each document's mean token
+    * log-probability under an add-one-smoothed unigram model trained on the
+    * corpus itself — the cheap statistical stand-in for the perplexity
+    * filters (CCNet-style) that rank documents by "looks like the
+    * reference corpus". Low scores mark gibberish, boilerplate and
+    * wrong-language text; emitted per document as
+    * (idCol, n_tokens, avg_logprob ROUNDED to 2 dp — the shuffled-aggregate
+    * float policy, since per-doc summation order is engine-dependent).
+    *
+    * Model: p(t) = (count(t) + 1) / (total + |vocab|), ln-scores.
+    *
+    * Plan shape at scale: one shuffle builds the vocabulary counts (map-side
+    * partial aggregation; vocabulary-sized result), which then BROADCASTS
+    * back against the exploded token stream — the |doc×token| side never
+    * shuffles on the token key (the same broadcast-the-small-side layout as
+    * [[tfidfTopTerms]]'s dfreq, with the same stopword-skew rationale).
+    * The final per-doc mean is the only big-side shuffle, keyed by doc id —
+    * uniformly distributed, no skew. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // explode_OUTER for the documented InferFiltersFromGenerate reason;
+    // empty docs emit a null token dropped by the length filter.
+    val toks = graft.io.Parallelism.ensure(docs)
+      .select(col(idCol), explode_outer(TF.tokens(TF.normalizeText(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("vocab"))
+    val scored = toks
+      .join(broadcast(counts), "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("__lp",
+        log((col("cnt") + 1).cast("double") / (col("total") + col("vocab")).cast("double")))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("__lp")), 2).as("avg_logprob"))
+  }
+
+  /** Winnowing fingerprints (the MOSS/local-minimum scheme): positional
+    * k-gram hashes, then within every window of `w` consecutive hashes the
+    * minimum is selected (rightmost occurrence on ties), and the distinct
+    * selected (position, hash) pairs are the document's fingerprints.
+    * Winnowing's guarantee: any shared substring of ≥ (w + k − 1) tokens
+    * between two documents yields at least one IDENTICAL fingerprint —
+    * the basis for partial-overlap / plagiarism-style detection that
+    * whole-document MinHash cannot see (MinHash needs global similarity;
+    * winnowing localizes).
+    *
+    * Emits one row per fingerprint: (idCol, pos, fp) with `pos` the
+    * 1-based k-gram position. PURE PER-ROW work (nested higher-order
+    * functions over the hash array — no shuffle, no UDF); downstream
+    * matching is a group/join on the 32-bit fp exactly like exact-dedup's
+    * digest join. Hash = first 8 hex chars of md5(gram), engine-portable
+    * the same way as [[Curation.hashBucket]]. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    // tokens → positional k-grams → 32-bit hashes, each materialized as a
+    // real column so no stage re-evaluates its predecessor per lambda.
+    val base = graft.io.Parallelism.ensure(docs)
+      .withColumn("__toks", TF.tokens(TF.normalizeText(col(textCol))))
+      .withColumn("__grams",
+        when(size(col("__toks")) < k, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), size(col("__toks")) - k),
+            i => concat_ws(" ", (0 until k).map(j => element_at(col("__toks"), i + j + 1)): _*))))
+      .withColumn("__hs",
+        transform(col("__grams"), g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")))
+    val m = size(col("__hs"))
+    // window starts: 1..m−w+1 (a single clamped window when 0 < m < w)
+    val nWin = greatest(m - w + 1, lit(1))
+    val sels = when(m === 0, array().cast("array<struct<pos:int,fp:bigint>>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), nWin), s => {
+        val sl = slice(col("__hs"), s, lit(w))
+        val minv = array_min(sl)
+        // rightmost index of the min inside the window (winnowing tie rule)
+        val rj = array_max(filter(sequence(lit(1), size(sl)), j => element_at(sl, j) === minv))
+        struct((s - 1 + rj).cast("int").as("pos"), minv.as("fp"))
+      })))
+    base.withColumn("__sels", sels)
+      // explode_outer + null-filter on the OUTPUT, not plain explode: the
+      // inferred size(__sels) > 0 scan filter would re-run the whole
+      // token→gram→hash pipeline per input row (the documented trap).
+      .select(col(idCol), explode_outer(col("__sels")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col(idCol), col("s.pos").as("pos"), col("s.fp").as("fp"))
+  }
+
   /** Benchmark decontamination: per training document, how many of its
     * distinct word n-gram shingles also appear anywhere in the evaluation
     * set — the overlap filter run before training so eval data doesn't

@@ -128,6 +128,115 @@ object ProductQuant {
     adcTopK(routed, corpus, idCol, vecCol, index.model, query, n, shortlist)
   }
 
+  /** Residual IVF-PQ index: PQ codes quantize `r = nvec − centroid(cell)`
+    * instead of the vector itself — the classic recall improvement
+    * (residuals cluster around 0 with far less variance than raw
+    * directions, so the same m×k codebook budget spends its resolution on
+    * the part the coarse router hasn't already explained).
+    * `encoded` carries (id, cell, codes) — cell must ride along because
+    * decoding/scoring is relative to the cell's centroid. */
+  final case class IvfPqResidualIndex(model: PQModel, centroids: Seq[Seq[Double]],
+                                      encoded: DataFrame)
+
+  /** Build the residual index. Everything is map-side against literal
+    * centroid matrices: cell = argmin‖nvec − cᵢ‖ (same struct-argmin as
+    * the trainer's final assignment), residual = nvec − c_cell via one
+    * `zip_with` against `element_at(centroids, cell+1)`, then m
+    * deterministic codebook trainings on the residual slices. No join, no
+    * exchange anywhere in assignment/encoding — the index build reads the
+    * corpus, shuffles only the k·dim-sized k-means state. */
+  def buildIvfPqResidual(corpus: DataFrame, idCol: String, vecCol: String,
+                         coarseK: Int, m: Int, k: Int, iters: Int): IvfPqResidualIndex = {
+    val normed = corpus.select(col(idCol).as("id"),
+      normalizedVec(col(vecCol)).as("nvec"))
+    val (_, cents) = Similarity.kmeansFit(normed, "id", "nvec", coarseK, iters)
+    val dim = cents.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(col("nvec"), c).as("d"), lit(i).as("cid"))
+    }: _*)
+    val centsLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val withRes = normed
+      .withColumn("cell", array_min(scored).getField("cid"))
+      .withColumn("rvec", zip_with(col("nvec"), element_at(centsLit, col("cell") + 1),
+        (x, c) => x.cast("double") - c))
+    val books = (0 until m).map { j =>
+      val sliced = withRes.select(col("id"),
+        slice(col("rvec"), j * subDim + 1, subDim).as("vec"))
+      Similarity.kmeansFit(sliced, "id", "vec", k, iters)._2
+    }
+    val model = PQModel(m, k, subDim, books)
+    val codes = (0 until m).map { j =>
+      val vs = slice(col("rvec"), j * subDim + 1, subDim)
+      val sc = array(books(j).zipWithIndex.map { case (c, i) =>
+        struct(sqDist(vs, c).as("d"), lit(i).as("cid"))
+      }: _*)
+      array_min(sc).getField("cid")
+    }
+    IvfPqResidualIndex(model, cents,
+      withRes.select(col("id"), col("cell"), array(codes: _*).as("codes")))
+  }
+
+  /** Residual IVF-PQ top-`n`: route to `nprobe` cells, ADC-score each
+    * probed cell with its OWN LUT (the query residual differs per cell —
+    * that is the residual trade: nprobe small LUT builds instead of one),
+    * exact cosine re-rank of the shortlist. */
+  def ivfPqResidualTopK(index: IvfPqResidualIndex, corpus: DataFrame,
+                        idCol: String, vecCol: String, query: Array[Float],
+                        n: Int, nprobe: Int, shortlist: Int = 0): DataFrame = {
+    val short = if (shortlist > 0) shortlist else 4 * n
+    val rawNorm = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
+    val qn: Array[Double] =
+      if (rawNorm == 0.0) query.map(_.toDouble) else query.map(_ / rawNorm)
+    val probed = index.centroids.zipWithIndex.map { case (c, i) =>
+      var s = 0.0
+      var d = 0
+      while (d < c.length) { val diff = qn(d) - c(d); s += diff * diff; d += 1 }
+      (s, i)
+    }.sorted.take(nprobe).map(_._2)
+    val m = index.model.m
+    val subDim = index.model.subDim
+    // one m×k LUT per probed cell, from the query's residual wrt THAT cell
+    val perCell = probed.map { cell =>
+      val cent = index.centroids(cell)
+      val qres = qn.indices.map(d => qn(d) - cent(d))
+      val lut: Seq[Seq[Double]] = (0 until m).map { j =>
+        index.model.codebooks(j).map { cb =>
+          var s = 0.0
+          var d = 0
+          while (d < subDim) {
+            val diff = qres(j * subDim + d) - cb(d)
+            s += diff * diff
+            d += 1
+          }
+          s
+        }
+      }
+      val lutCol = array(lut.map(row => array(row.map(lit): _*)): _*)
+      val approx = (0 until m).map { j =>
+        element_at(element_at(lutCol, j + 1), element_at(col("codes"), j + 1) + 1)
+      }.reduce(_ + _)
+      index.encoded.filter(col("cell") === cell).withColumn("approx_dist", approx)
+    }
+    val candidates = perCell.reduce(_ unionByName _)
+      .orderBy(col("approx_dist").asc, col("id").asc)
+      .limit(short)
+    val qArr = array(query.map(x => lit(x.toDouble)): _*)
+    val qNorm = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
+    val nrm = graft.functions.VectorFunctions.norm(col("vec"))
+    candidates
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), "id")
+      .withColumn("cosine",
+        when(nrm === 0.0 || lit(qNorm) === 0.0, lit(0.0))
+          .otherwise(
+            aggregate(zip_with(col("vec"), qArr, (x, q) => x.cast("double") * q),
+              lit(0.0), (acc, v) => acc + v) / (nrm * lit(qNorm))))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(n)
+      .select(col("id"), col("approx_dist"), col("cosine"))
+  }
+
   /** ADC top-`n` for one query vector over an encoded corpus, re-ranked
     * exactly. `corpus` supplies the full vectors for the re-rank join —
     * only the `shortlist` rows (default 4·n) ever read them. */

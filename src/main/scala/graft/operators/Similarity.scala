@@ -189,8 +189,10 @@ object Similarity {
     // explicit double-math rounding (floor(x·1e6 + 0.5)/1e6) — the same fp
     // expression tree the oracle runs, unlike round()'s decimal semantics
     val round6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    // element type is whatever the caller's vectors carry (float embeddings,
+    // double residuals) — round6 normalizes either to the oracle's init
     var centroids: Seq[Seq[Double]] = base.orderBy(col("id")).limit(k).collect()
-      .map(r => r.getSeq[Float](r.fieldIndex("vec")).map(f => round6(f.toDouble)).toSeq).toSeq
+      .map(r => r.getSeq[Number](r.fieldIndex("vec")).map(x => round6(x.doubleValue())).toSeq).toSeq
 
     for (_ <- 1 to iters) {
       val assigned = withCell(centroids)
@@ -207,6 +209,27 @@ object Similarity {
     }
     (withCell(centroids).select(col("id"), col("cell")), centroids)
   }
+
+  /** IVF top-k under a metadata predicate — "filtered vector search".
+    * The predicate applies to the CORPUS side *below* cell assignment, so
+    * it reaches the parquet scan as a pushed filter (graph indexes
+    * famously struggle with filtered ANN — an IVF scan layout gets it by
+    * construction: prune cells, then prune rows, then score). Recall
+    * caveat vs post-filtering: cells are still probed by query-centroid
+    * distance over the FULL corpus's trained centroids, so a highly
+    * selective predicate can leave fewer than k matches in the probed
+    * cells — raise nprobe for selective filters. */
+  def ivfTopKWhere(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      pred: Column
+  ): DataFrame =
+    ivfTopK(corpus.filter(pred), queries, centroids, idCol, vecCol, k, nprobe)
 
   /** SemDeDup-style semantic near-dup pairs: k-means cells prune the
     * candidate space — only pairs sharing a cell are cosine-scored, so the

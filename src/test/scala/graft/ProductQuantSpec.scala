@@ -85,4 +85,41 @@ class ProductQuantSpec extends AnyFunSuite {
     info(f"mean recall@$n = $mean%.2f (per-query: ${recalls.mkString(", ")})")
     assert(mean >= 0.7, s"mean recall@$n too low: $mean (${recalls.toSeq})")
   }
+
+  test("residual IVF-PQ: deterministic build, codes in range, competitive recall") {
+    val build = () => ProductQuant.buildIvfPqResidual(corpus, "vec_id", "embedding",
+      coarseK = 4, m = 8, k = 8, iters = 2)
+    val index = build()
+    assert(index.model.codebooks.length == 8 && index.model.subDim == 8)
+    val rows = index.encoded.collect()
+    assert(rows.length == corpus.count())
+    rows.foreach { r =>
+      assert(r.getInt(r.fieldIndex("cell")) >= 0 && r.getInt(r.fieldIndex("cell")) < 4)
+      val codes = r.getSeq[Int](r.fieldIndex("codes"))
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 8))
+    }
+    // no RNG anywhere: identical model + codes on rebuild
+    val again = build()
+    assert(again.model == index.model && again.centroids == index.centroids)
+
+    val queries = corpus.orderBy("vec_id").limit(3)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val n = 5
+    val recalls = queries.map { case (qid, qvec) =>
+      val ids = ProductQuant.ivfPqResidualTopK(index, corpus, "vec_id", "embedding",
+        qvec, n, nprobe = 2, shortlist = 50)
+        .select("id").collect().map(_.getLong(0))
+      assert(ids.head == qid, s"query $qid not its own top-1")
+      val qArr = array(qvec.map(x => lit(x.toDouble)): _*)
+      val exact = corpus
+        .withColumn("cos", graft.functions.VectorFunctions.cosine(col("embedding"), qArr))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(n).select("vec_id").collect().map(_.getLong(0))
+      ids.toSet.intersect(exact.toSet).size.toDouble / n
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"residual IVF-PQ mean recall@$n = $mean%.2f at nprobe=2/4")
+    assert(mean >= 0.7, s"residual recall too low: $mean (${recalls.toSeq})")
+  }
 }

@@ -127,6 +127,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("filtered ANN: metadata predicate is PUSHED to the corpus scan, results honor it") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 13)
+    val res = graft.operators.Similarity.ivfTopKWhere(
+      emb, queries, centroids, "vec_id", "embedding",
+      k = 3, nprobe = 2, pred = col("label") < 5)
+    // the predicate must reach the parquet scan as a pushed filter — at
+    // 100 TB this is the difference between scanning half the corpus and
+    // scanning all of it before dropping rows
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(label,5)"),
+      s"label predicate not pushed to the scan:\n$plan")
+    // every returned neighbor satisfies the predicate
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(labels(r.getLong(r.fieldIndex("corpus_id"))) < 5))
+  }
+
   test("bucketed tables join without an exchange") {
     val wh = Files.createTempDirectory("graft-bucket").toString
     val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")

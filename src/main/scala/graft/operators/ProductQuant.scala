@@ -39,7 +39,10 @@ object ProductQuant {
       .otherwise(transform(vecCol, x => (x.cast("double") / nrm).cast("float")))
   }
 
-  /** Train one deterministic codebook per subspace (on normalized vectors). */
+  /** Train one deterministic codebook per subspace (on normalized vectors).
+    * All `m` trainings run as ONE grouped job chain
+    * ([[Similarity.kmeansFitGrouped]] over posexploded slices — same math,
+    * 1/m-th the blocking driver round-trips). */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             m: Int, k: Int, iters: Int): PQModel = {
     val head = corpus.select(size(col(vecCol)).as("n")).head(1)
@@ -49,12 +52,11 @@ object ProductQuant {
     val subDim = dim / m
     val normed = corpus.select(col(idCol).as("id"),
       normalizedVec(col(vecCol)).as("nvec"))
-    val books = (0 until m).map { j =>
-      val sliced = normed.select(col("id"),
-        slice(col("nvec"), j * subDim + 1, subDim).as("vec"))
-      Similarity.kmeansFit(sliced, "id", "vec", k, iters)._2
-    }
-    PQModel(m, k, subDim, books)
+    val sliced = normed.select(col("id"), posexplode(
+        array((0 until m).map(j => slice(col("nvec"), j * subDim + 1, subDim)): _*))
+      .as(Seq("grp", "vec")))
+    val trained = Similarity.kmeansFitGrouped(sliced, "grp", "id", "vec", k, iters)
+    PQModel(m, k, subDim, (0 until m).map(trained(_)))
   }
 
   /** Squared distance between a sliced vector and a codebook entry, as a
@@ -161,11 +163,11 @@ object ProductQuant {
       .withColumn("cell", array_min(scored).getField("cid"))
       .withColumn("rvec", zip_with(col("nvec"), element_at(centsLit, col("cell") + 1),
         (x, c) => x.cast("double") - c))
-    val books = (0 until m).map { j =>
-      val sliced = withRes.select(col("id"),
-        slice(col("rvec"), j * subDim + 1, subDim).as("vec"))
-      Similarity.kmeansFit(sliced, "id", "vec", k, iters)._2
-    }
+    val sliced = withRes.select(col("id"), posexplode(
+        array((0 until m).map(j => slice(col("rvec"), j * subDim + 1, subDim)): _*))
+      .as(Seq("grp", "vec")))
+    val trained = Similarity.kmeansFitGrouped(sliced, "grp", "id", "vec", k, iters)
+    val books = (0 until m).map(trained(_))
     val model = PQModel(m, k, subDim, books)
     val codes = (0 until m).map { j =>
       val vs = slice(col("rvec"), j * subDim + 1, subDim)

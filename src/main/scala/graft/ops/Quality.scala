@@ -61,6 +61,49 @@ object Quality {
         col("n_distinct"), col("min_num"), col("max_num"))
   }
 
+  /** Exact heavy hitters: the `k` most frequent values per profiled
+    * column — the skew detector (a hot join key, a default-value column,
+    * a null-explosion) run BEFORE the query that would trip over it.
+    * ONE pass: `stack` pivots the columns into (col_name, value) rows
+    * map-side, one grouped count with partial aggregation, then a
+    * per-column top-k window over the (tiny) distinct-value counts.
+    * Values ride as strings so any column type profiles; ties break on
+    * the value for determinism. */
+  def heavyHitters(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    val stacked = df.select(
+      expr(s"stack(${cols.length}, $stackArgs) AS (col_name, value)"))
+    val counts = stacked.groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col_name")).orderBy(col("n").desc, col("value").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("col_name"), col("value"), col("n"), col("rank"))
+  }
+
+  /** Fixed-bound equi-width histogram of a numeric column: `nBins` bins
+    * over [lo, hi], values outside dropped, the top edge closed (x = hi
+    * lands in the last bin). Explicit bounds keep it deterministic and
+    * single-pass (a min/max-derived range needs a pre-pass; at 100 TB
+    * profile once with [[profile]], then histogram with pinned bounds).
+    * Per-row arithmetic + one grouped count — scan-speed. */
+  def histogram(df: DataFrame, c: String, nBins: Int,
+                lo: Double, hi: Double): DataFrame = {
+    require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
+    val width = (hi - lo) / nBins
+    val x = col(c).cast("double")
+    val bin = least(floor((x - lo) / width), lit(nBins - 1)).cast("int")
+    df.filter(x >= lo && x <= hi)
+      .select(bin.as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * width).as("lo_edge"),
+        (lit(lo) + (col("bin") + 1) * width).as("hi_edge"),
+        col("n"))
+  }
+
   /** Convenience gate: run `df` to completion (count action), then assert
     * no listed column exceeds `maxNullFraction` nulls. Returns (rows,
     * metric map). Throws IllegalStateException naming the offending

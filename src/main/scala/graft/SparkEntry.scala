@@ -1482,6 +1482,85 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Incremental maintenance of the STAR-JOIN aggregate (q04's
+    * revenue-per-region): seed state from 90% of lineitems, fold the
+    * remaining 10% in as a delta — the materialized-view refresh that
+    * touches one day of data instead of all history. Must land q04's
+    * exact answer (its oracle), the same alternative-strategy pinning as
+    * q82/q83. */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    def enriched(li: DataFrame): DataFrame = li
+      .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val li = T(s, dir, "lineitem")
+    val seed = graft.ops.IncrementalAgg.build(
+      enriched(li.filter(col("l_orderkey") % 10 =!= 0)), Seq("r_name"), Seq("rev"))
+    graft.ops.IncrementalAgg.merge(seed,
+        enriched(li.filter(col("l_orderkey") % 10 === 0)), Seq("r_name"), Seq("rev"))
+      .select(col("r_name"), round(col("sum_rev"), 2).as("revenue"),
+        col("n_rows").as("n_items"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Cross-source overlap MATRIX from winnowing fingerprints: distinct
+    * (source, fingerprint) pairs self-joined on the fingerprint — counts
+    * of shared local fingerprints per source pair. This sees PARTIAL
+    * overlap (a paragraph copied between corpora) that the q76 MinHash
+    * sketches cannot: MinHash estimates whole-set Jaccard, winnowing
+    * localizes matches to any ≥ w+k−1-token run. */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val fps = operators.CorpusStats.winnowFingerprints(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("fp")).distinct()
+    fps.alias("a")
+      .join(fps.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Quality-weighted corpus sampling: keep each document with
+    * probability = its quality score, decided content-addressed (no RNG —
+    * the same doc survives identically across runs/partitionings). The
+    * oracle replays the quality formula and the 16-bit hash threshold. */
+  private def q109(s: SparkSession, dir: String): DataFrame =
+    Curation.weightedSample(
+        T(s, dir, "documents").withColumn("quality", TF.qualityScore(col("text"))),
+        "doc_id", "quality")
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  /** STREAMING materialized-view maintenance: q74's per-customer order
+    * aggregate kept current by folding micro-batches of raw orders into
+    * the persisted state (AggStream.incrementalSink — foreachBatch +
+    * monoid merge). Two delta batches arrive as files; the final state
+    * must equal the one-shot batch aggregate (q74's oracle), proving the
+    * fold is batch-boundary-insensitive. */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val orders = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q110").toString
+    val updatesDir = s"$tmp/updates"
+    orders.filter(col("o_orderkey") % 10 =!= 0).write.mode("append").parquet(updatesDir)
+    val stream = s.readStream.schema(orders.schema).parquet(updatesDir)
+    val q = graft.streaming.AggStream.incrementalSink(s, stream,
+      Seq("o_custkey"), Seq("o_totalprice"), s"$tmp/state", s"$tmp/ckpt")
+    q.processAllAvailable()
+    orders.filter(col("o_orderkey") % 10 === 0).write.mode("append").parquet(updatesDir)
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(s"$tmp/state")
+      .select(col("o_custkey"), col("n_rows").as("n_orders"),
+        round(col("sum_o_totalprice"), 2).as("sum_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1589,7 +1668,11 @@ object SparkEntry {
     "q103_zonemap_scan" -> (q103 _),
     "q104_heavy_hitters" -> (q104 _),
     "q105_histogram" -> (q105 _),
-    "q106_hll_union" -> (q106 _)
+    "q106_hll_union" -> (q106 _),
+    "q107_incr_star_agg" -> (q107 _),
+    "q108_source_winnow_overlap" -> (q108 _),
+    "q109_weighted_sample" -> (q109 _),
+    "q110_stream_incr_agg" -> (q110 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1605,6 +1688,24 @@ object SparkEntry {
     """CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) = 0 THEN 0.0
       | ELSE len(list_intersect(a.sh, b.sh))::DOUBLE /
       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE END""".stripMargin
+
+  /** Winnowing replay (q96/q108 shared prefix): tokens → positional
+    * 5-grams → 32-bit md5 hashes → per-window (w=4) rightmost-min
+    * selections, one struct row per window in `wsel(doc_id, s{pos,fp})`
+    * (distinct-ness applied by the consumer). */
+  private lazy val winnowSelCte =
+    s"""t AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN len(w) < 5 THEN []
+       |  ELSE list_transform(range(1, len(w) - 3),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END AS grams
+       |  FROM t),
+       |h AS (SELECT doc_id, list_transform(grams, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+       |  FROM g WHERE len(grams) > 0),
+       |wsel AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(hs) - 3, 1) + 1), s ->
+       |    {'pos': s - 1 + list_max(list_filter(range(1, len(list_slice(hs, s, s + 3)) + 1),
+       |        j -> list_slice(hs, s, s + 3)[j] = list_min(list_slice(hs, s, s + 3)))),
+       |     'fp': list_min(list_slice(hs, s, s + 3))})) AS s
+       |  FROM h)""".stripMargin
 
   /** Sequential-fold dot product mirror of VectorFunctions.dot. */
   private def dotSql(a: String, b: String): String =
@@ -1659,7 +1760,13 @@ object SparkEntry {
       ("q83_dedup_latest_agg" -> oracleSqlCore("q08_dedup_latest_order")) +
       // q92 streams q18's two snapshots through the foreachBatch SCD2
       // sink — the streaming plan must land the batch merge's exact table.
-      ("q92_stream_scd2" -> oracleSqlCore("q18_scd2_faithful"))
+      ("q92_stream_scd2" -> oracleSqlCore("q18_scd2_faithful")) +
+      // q107 maintains q04's star aggregate incrementally (seed + delta
+      // fold) — alternative refresh strategy, same oracle.
+      ("q107_incr_star_agg" -> oracleSqlCore("q04_star_join")) +
+      // q110 folds streamed micro-batches into q74's aggregate state —
+      // the monoid merge must be batch-boundary-insensitive.
+      ("q110_stream_incr_agg" -> oracleSqlCore("q74_incremental_agg"))
 
   private lazy val oracleSqlCore: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2444,19 +2551,8 @@ object SparkEntry {
     // q96: winnowing — 5-gram 32-bit hashes, window-of-4 minimum with the
     // rightmost tie rule, distinct (pos, fp) selections per document.
     "q96_winnow_fingerprints" ->
-      s"""WITH t AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w FROM documents),
-         |g AS (SELECT doc_id, CASE WHEN len(w) < 5 THEN []
-         |  ELSE list_transform(range(1, len(w) - 3),
-         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END AS grams
-         |  FROM t),
-         |h AS (SELECT doc_id, list_transform(grams, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
-         |  FROM g WHERE len(grams) > 0)
-         |SELECT DISTINCT doc_id, s.pos::INT AS pos, s.fp AS fp FROM (
-         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(hs) - 3, 1) + 1), s ->
-         |    {'pos': s - 1 + list_max(list_filter(range(1, len(list_slice(hs, s, s + 3)) + 1),
-         |        j -> list_slice(hs, s, s + 3)[j] = list_min(list_slice(hs, s, s + 3)))),
-         |     'fp': list_min(list_slice(hs, s, s + 3))})) AS s
-         |  FROM h)
+      s"""WITH $winnowSelCte
+         |SELECT DISTINCT doc_id, s.pos::INT AS pos, s.fp AS fp FROM wsel
          |ORDER BY doc_id, pos, fp""".stripMargin,
     // q97: Morton interleave of the low 16 bits of (customer, order-day).
     "q97_zorder_value" -> {
@@ -2597,7 +2693,21 @@ object SparkEntry {
     "q106_hll_union" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
         | true AS est_ok, count(*)::BIGINT AS n_events
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q108: the winnow replay feeding a (source, fp) distinct self-join.
+    "q108_source_winnow_overlap" ->
+      s"""WITH $winnowSelCte,
+         |sel AS (SELECT DISTINCT doc_id, s.fp AS fp FROM wsel),
+         |sf AS (SELECT DISTINCT d.source, sel.fp FROM sel JOIN documents d USING (doc_id))
+         |SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_shared
+         |FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q109: quality formula + 16-bit hash threshold, both replayed.
+    "q109_weighted_sample" ->
+      s"""SELECT doc_id, $qualitySql AS quality FROM documents
+         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 65536
+         |  < floor(($qualitySql) * 65536)
+         |ORDER BY doc_id""".stripMargin
   )
 
   /** q68/q87's shared oracle prefix: the full 2-iteration deterministic

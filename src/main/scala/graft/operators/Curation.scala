@@ -53,6 +53,19 @@ object Curation {
   def hashBucket(key: Column, buckets: Int): Column =
     conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long") % buckets
 
+  /** Deterministic weighted (importance) sampling: keep each row with
+    * probability equal to its per-row weight in [0, 1] (clamped), decided
+    * by the content-addressed 16-bit hash of the key — the quality-
+    * proportional corpus downsampling every data-mixing recipe needs
+    * ("keep high-quality docs, thin the boilerplate"), with the same
+    * RNG-free reproducibility story as [[hashSplit]]: the same key at the
+    * same weight survives identically across runs, engines and
+    * partitionings (a `rand()` sample changes under repartition). */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String): DataFrame = {
+    val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
+    df.filter(hashBucket(col(keyCol), 65536) < floor(w * 65536))
+  }
+
   /** Deterministic train/val/test split on a stable key. `trainPct` +
     * `valPct` ≤ 100; the rest is test. Adds a `split` column. The same key
     * always lands in the same split — across runs, engines and data

@@ -83,4 +83,19 @@ class CurationSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("scale") == 0.0)
     assert(r2.getSeq[Long](r2.fieldIndex("q")).forall(_ == 0L))
   }
+
+  test("weightedSample: w=1 keeps all, w=0 keeps none, monotone in weight, deterministic") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, 0.3, 0.8)).toDF("k", "lo_w", "hi_w")
+    assert(Curation.weightedSample(df.withColumn("w", lit(1.0)), "k", "w").count() == 2000)
+    assert(Curation.weightedSample(df.withColumn("w", lit(0.0)), "k", "w").count() == 0)
+    val lo = Curation.weightedSample(df, "k", "lo_w").select("k").collect().map(_.getLong(0)).toSet
+    val hi = Curation.weightedSample(df, "k", "hi_w").select("k").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi)) // per-key threshold is monotone in the weight
+    // rates land near the weights (16-bit hash, 2000 keys)
+    assert(math.abs(lo.size / 2000.0 - 0.3) < 0.05)
+    assert(math.abs(hi.size / 2000.0 - 0.8) < 0.05)
+    val again = Curation.weightedSample(df, "k", "lo_w").select("k").collect().map(_.getLong(0)).toSet
+    assert(again == lo)
+  }
 }

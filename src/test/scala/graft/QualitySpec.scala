@@ -43,4 +43,30 @@ class QualitySpec extends AnyFunSuite {
     // string column: nulls/distincts counted, numeric bounds NULL
     assert(p("s") == ((4L, 1L, 3L, None, None)))
   }
+
+  test("heavyHitters: per-column top-k with value tie-break, one stacked pass") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 1), ("c", 9)
+    ).toDF("s", "v")
+    val hh = Quality.heavyHitters(df, Seq("s", "v"), k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val bySCol = hh.filter(_._1 == "s").sortBy(_._4)
+    assert(bySCol.map(t => (t._2, t._3)).toSeq == Seq(("a", 3L), ("b", 2L)))
+    val byVCol = hh.filter(_._1 == "v").sortBy(_._4)
+    // counts: 1->3, 2->1, 3->1, 9->1 -- rank 2 tie broken by value string asc
+    assert(byVCol.map(t => (t._2, t._3)).toSeq == Seq(("1", 3L), ("2", 1L)))
+  }
+
+  test("histogram: clamped top edge, out-of-range dropped, edges exact") {
+    import spark.implicits._
+    val df = Seq(0.0, 5.0, 10.0, 15.0, 20.0, 25.0).toDF("x") // hi = 20 closed
+    val h = Quality.histogram(df, "x", nBins = 4, lo = 0.0, hi = 20.0)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(h(0) == ((0.0, 5.0, 1L)))   // 0.0
+    assert(h(1) == ((5.0, 10.0, 1L)))  // 5.0
+    assert(h(2) == ((10.0, 15.0, 1L))) // 10.0
+    assert(h(3) == ((15.0, 20.0, 2L))) // 15.0 and the clamped 20.0
+    assert(!h.contains(4)) // 25.0 dropped
+  }
 }

@@ -1561,6 +1561,30 @@ object SparkEntry {
       .orderBy(col("o_custkey"))
   }
 
+  /** q94's packs with the trainer-facing LAYOUT: per-document token
+    * offsets within each pack (windowed cumsum keyed by pack — the
+    * attention-mask boundary table). */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), TF.tokenCount(col("text")).as("n_toks"))
+    operators.Packer.withOffsets(
+        operators.Packer.packGreedy(docs, "doc_id", "n_toks", budget = 400, numGroups = 8))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Three-dimensional Morton code over (customer, order-day,
+    * price-bucket) — the multi-attribute layout key (16-file tiles
+    * narrow on ALL THREE predicates' dimensions). Oracle replays the
+    * 3-way bit interleave. */
+  private def q112(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders").select(col("o_orderkey"),
+        graft.functions.ZOrder.zValueN(Seq(
+          col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01"))),
+          floor(col("o_totalprice") / 10000.0)), bits = 16).as("zval"))
+      .orderBy(col("o_orderkey"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1672,7 +1696,9 @@ object SparkEntry {
     "q107_incr_star_agg" -> (q107 _),
     "q108_source_winnow_overlap" -> (q108 _),
     "q109_weighted_sample" -> (q109 _),
-    "q110_stream_incr_agg" -> (q110 _)
+    "q110_stream_incr_agg" -> (q110 _),
+    "q111_pack_offsets" -> (q111 _),
+    "q112_zorder3" -> (q112 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1688,6 +1714,28 @@ object SparkEntry {
     """CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) = 0 THEN 0.0
       | ELSE len(list_intersect(a.sh, b.sh))::DOUBLE /
       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE END""".stripMargin
+
+  /** Greedy-packing replay (q94/q111 shared prefix): hash-grouped docs in
+    * id order stepped through the recursive fill; the final relation is
+    * `p(grp, doc_id, n_tokens, rn, pack_id, fill, pack_pos)`. Callers
+    * prefix with `WITH RECURSIVE`. */
+  private lazy val packReplayCte =
+    """d AS (
+      |  SELECT grp, doc_id, n_tokens,
+      |    row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+      |  FROM (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 8 AS grp, doc_id,
+      |    (CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS n_tokens
+      |    FROM documents)),
+      |p AS (
+      |  SELECT grp, doc_id, n_tokens, rn, 0::BIGINT AS pack_id, n_tokens AS fill, 0 AS pack_pos
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.grp, d.doc_id, d.n_tokens, d.rn,
+      |    CASE WHEN p.fill + d.n_tokens > 400 THEN p.pack_id + 1 ELSE p.pack_id END,
+      |    CASE WHEN p.fill + d.n_tokens > 400 THEN d.n_tokens ELSE p.fill + d.n_tokens END,
+      |    CASE WHEN p.fill + d.n_tokens > 400 THEN 0 ELSE p.pack_pos + 1 END
+      |  FROM p JOIN d ON d.grp = p.grp AND d.rn = p.rn + 1)""".stripMargin
 
   /** Winnowing replay (q96/q108 shared prefix): tokens → positional
     * 5-grams → 32-bit md5 hashes → per-window (w=4) rightmost-min
@@ -2517,25 +2565,10 @@ object SparkEntry {
     // q94: the greedy fill is a non-associative recurrence — replayed with
     // a recursive CTE stepping through each group's id-ordered rows.
     "q94_seq_packing" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT grp, doc_id, n_tokens,
-        |    row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
-        |  FROM (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 8 AS grp, doc_id,
-        |    (CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS n_tokens
-        |    FROM documents)),
-        |p AS (
-        |  SELECT grp, doc_id, n_tokens, rn, 0::BIGINT AS pack_id, n_tokens AS fill, 0 AS pack_pos
-        |  FROM d WHERE rn = 1
-        |  UNION ALL
-        |  SELECT d.grp, d.doc_id, d.n_tokens, d.rn,
-        |    CASE WHEN p.fill + d.n_tokens > 400 THEN p.pack_id + 1 ELSE p.pack_id END,
-        |    CASE WHEN p.fill + d.n_tokens > 400 THEN d.n_tokens ELSE p.fill + d.n_tokens END,
-        |    CASE WHEN p.fill + d.n_tokens > 400 THEN 0 ELSE p.pack_pos + 1 END
-        |  FROM p JOIN d ON d.grp = p.grp AND d.rn = p.rn + 1)
-        |SELECT grp::INT AS grp, doc_id, n_tokens::INT AS n_tokens, pack_id,
-        | pack_pos::INT AS pack_pos
-        |FROM p ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $packReplayCte
+         |SELECT grp::INT AS grp, doc_id, n_tokens::INT AS n_tokens, pack_id,
+         | pack_pos::INT AS pack_pos
+         |FROM p ORDER BY doc_id""".stripMargin,
     // q95: add-one-smoothed unigram model trained on the corpus itself;
     // avg ln-prob rounded to 2 dp (shuffled-aggregate float policy).
     "q95_unigram_lm" ->
@@ -2707,7 +2740,26 @@ object SparkEntry {
       s"""SELECT doc_id, $qualitySql AS quality FROM documents
          |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 65536
          |  < floor(($qualitySql) * 65536)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    // q111: the pack replay + a windowed cumulative offset per pack.
+    "q111_pack_offsets" ->
+      s"""WITH RECURSIVE $packReplayCte
+         |SELECT grp::INT AS grp, doc_id, n_tokens::INT AS n_tokens, pack_id,
+         | pack_pos::INT AS pack_pos,
+         | coalesce(sum(n_tokens) OVER (PARTITION BY grp, pack_id ORDER BY pack_pos
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT AS pack_offset
+         |FROM p ORDER BY doc_id""".stripMargin,
+    // q112: the 3-way bit interleave, term by term.
+    "q112_zorder3" -> {
+      val dims = Seq("x", "y", "z")
+      val terms = for { b <- 0 until 16; (d, i) <- dims.zipWithIndex }
+        yield s"((($d >> $b) & 1) << ${b * 3 + i})"
+      s"""WITH xyz AS (SELECT o_orderkey, o_custkey % 65536 AS x,
+         |  datediff('day', DATE '1992-01-01', o_orderdate::DATE) % 65536 AS y,
+         |  floor(o_totalprice / 10000.0)::BIGINT % 65536 AS z FROM orders)
+         |SELECT o_orderkey, ${terms.mkString(" | ")} AS zval
+         |FROM xyz ORDER BY o_orderkey""".stripMargin
+    }
   )
 
   /** q68/q87's shared oracle prefix: the full 2-iteration deterministic

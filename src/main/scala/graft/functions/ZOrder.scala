@@ -33,6 +33,22 @@ object ZOrder {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** N-dimensional Morton code: bit `b` of input `i` lands at interleaved
+    * position `b·n + i`. Two dims reproduce [[zValue]] exactly; real
+    * lakehouse layouts commonly interleave 3–4 (customer × date ×
+    * amount-bucket). `bits · n ≤ 62` keeps the code in a positive long. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.length
+    require(n >= 2, "need at least two dimensions")
+    require(bits > 0 && bits * n <= 62, s"bits*dims must fit a long: $bits*$n")
+    val ms = cols.map(c => pmod(c.cast("long"), lit(1L << bits)))
+    (for {
+      b <- 0 until bits
+      (m, i) <- ms.zipWithIndex
+    } yield shiftleft(shiftright(m, b).bitwiseAND(lit(1L)), b * n + i))
+      .reduce(_ bitwiseOR _)
+  }
+
   /** Write `df` z-ordered on (xCol, yCol) into `numFiles` range-partitioned
     * parquet files. One shuffle (range exchange on the z-value) + an
     * in-partition sort; the z column itself is dropped from the output.

@@ -62,4 +62,18 @@ object Packer {
       }
       .toDF("grp", "id", "n_tokens", "pack_id", "pack_pos")
   }
+
+  /** Pack LAYOUT: each document's token offset within its pack — the
+    * boundary table a trainer consumes to build attention masks /
+    * position ids over packed sequences. A plain windowed cumulative sum
+    * keyed by (grp, pack_id): packs are small (≤ budget tokens), so the
+    * window never sorts more than a pack's documents per key. */
+  def withOffsets(packed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("grp"), col("pack_id"))
+      .orderBy(col("pack_pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    packed.withColumn("pack_offset",
+      coalesce(sum(col("n_tokens")).over(w), lit(0)).cast("int"))
+  }
 }

@@ -138,4 +138,30 @@ class EventStreamSpec extends AnyFunSuite {
     assert(sessions.head.session_end.getTime - sessions.head.session_start.getTime == 15 * 60 * 1000)
     q.stop()
   }
+
+  test("AggStream.incrementalSink: checkpointed restart does not re-fold processed batches") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-aggstream").toString
+    val updates = s"$tmp/updates"
+    val delta1 = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v")
+    delta1.write.mode("append").parquet(updates)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(delta1.schema).parquet(updates)
+      val q = graft.streaming.AggStream.incrementalSink(
+        spark, stream, Seq("k"), Seq("v"), s"$tmp/state", s"$tmp/ckpt")
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    def state() = spark.read.parquet(s"$tmp/state")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val first = state()
+    assert(first == Map(1L -> ((2L, 30.0)), 2L -> ((1L, 5.0))))
+    // restart on the SAME checkpoint with no new files: state must not double
+    runOnce()
+    assert(state() == first)
+    // a new delta folds in exactly once across a restart
+    Seq((2L, 7.0), (3L, 1.0)).toDF("k", "v").write.mode("append").parquet(updates)
+    runOnce()
+    assert(state() == Map(1L -> ((2L, 30.0)), 2L -> ((2L, 12.0)), 3L -> ((1L, 1.0))))
+  }
 }

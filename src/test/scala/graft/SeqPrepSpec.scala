@@ -195,4 +195,29 @@ class SeqPrepSpec extends AnyFunSuite {
     // and the layout loses no rows
     assert(spark.read.parquet(dir).count() == orders.count())
   }
+
+  test("zValueN: 2-dim agrees with zValue; 3-dim round-trips") {
+    val two = Seq((12345, 54321)).toDF("x", "y")
+    val a = two.select(ZOrder.zValue(col("x"), col("y"), 16).as("z")).head().getLong(0)
+    val b = two.select(ZOrder.zValueN(Seq(col("x"), col("y")), 16).as("z")).head().getLong(0)
+    assert(a == b)
+    val vals = Seq((123, 456, 789), (65535, 0, 32768))
+    vals.foreach { case (x, y, z) =>
+      val m = Seq((x, y, z)).toDF("x", "y", "z")
+        .select(ZOrder.zValueN(Seq(col("x"), col("y"), col("z")), 16).as("m")).head().getLong(0)
+      def back(i: Int) = (0 until 16).map(bb => ((m >> (bb * 3 + i)) & 1L) << bb).sum
+      assert(back(0) == x && back(1) == y && back(2) == z)
+    }
+  }
+
+  test("Packer.withOffsets: offsets are the running token sum within each pack") {
+    import spark.implicits._
+    val docs = Seq((1L, 100), (2L, 250), (3L, 100), (4L, 30)).toDF("doc_id", "n_toks")
+    val out = graft.operators.Packer.withOffsets(
+      graft.operators.Packer.packGreedy(docs, "doc_id", "n_toks", budget = 400, numGroups = 1))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getInt(5)))
+    // pack0: [100, 250] -> offsets 0, 100 ; pack1: [100, 30] -> offsets 0, 100
+    assert(out.toSeq == Seq((1L, 0L, 0), (2L, 0L, 100), (3L, 1L, 0), (4L, 1L, 100)))
+  }
 }

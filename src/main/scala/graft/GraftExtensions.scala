@@ -56,6 +56,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.expressions.ArgExtremum(args(0), args(1), findMax = false)
           .toAggregateExpression()
     ))
+    // Composed-expression functions: the SAME trees the Column helpers
+    // build (ZOrder.zValueN / Curation.hashBucket), assembled directly
+    // from Catalyst expression classes — a Column round-trip here leaves
+    // unresolved function nodes inside a ColumnNodeExpression, which the
+    // analyzer won't resolve from a function builder (Unevaluable at
+    // codegen; review finding). No new Expression classes: the composed
+    // builtins inherit whole-stage codegen from their parts.
+    ext.injectFunction((
+      FunctionIdentifier("zorder_value"),
+      info("zorder_value",
+        "zorder_value(bits, c1, c2, ...) - N-dimensional Morton interleave of the low `bits` bits of each key"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions._
+        import org.apache.spark.sql.types.LongType
+        val bits = args.head match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"zorder_value: bits must be an integer literal, got $other")
+        }
+        val dims = args.tail
+        require(dims.length >= 2 && bits > 0 && bits * dims.length <= 62,
+          s"zorder_value: need >= 2 dims and bits*dims <= 62")
+        val ms = dims.map(a => Pmod(Cast(a, LongType), Literal(1L << bits)))
+        (for {
+          b <- 0 until bits
+          (m, i) <- ms.zipWithIndex
+        } yield ShiftLeft(BitwiseAnd(ShiftRight(m, Literal(b)), Literal(1L)),
+          Literal(b * dims.length + i)): Expression)
+          .reduce(BitwiseOr(_, _))
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("hash_bucket"),
+      info("hash_bucket",
+        "hash_bucket(key, buckets) - content-addressed bucket in [0, buckets) from the first 16 md5 bits"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions._
+        import org.apache.spark.sql.types.{LongType, StringType}
+        // mirror of Curation.hashBucket: conv(substring(md5(key), 1, 4),
+        // 16, 10) cast long % buckets (Remainder, like Column's %)
+        Remainder(
+          Cast(Conv(Substring(Md5(Cast(args.head, StringType)),
+            Literal(1), Literal(4)), Literal(16), Literal(10)), LongType),
+          Cast(args(1), LongType))
+      }
+    ))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig",

@@ -1585,6 +1585,64 @@ object SparkEntry {
           floor(col("o_totalprice") / 10000.0)), bits = 16).as("zval"))
       .orderBy(col("o_orderkey"))
 
+  /** The `binaryFile` source — raw media/object ingestion into binary
+    * columns (the entry point of the multimodal path: files land as
+    * (path, length, content) rows with no decode). Each document's text
+    * is written out as one file named by its id, read back through the
+    * source, and must reproduce exact ids and byte lengths. */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q113").toString
+    T(s, dir, "documents").select(col("doc_id"), col("text")).collect()
+      .foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, s"${r.getLong(0)}.bin"),
+          r.getString(1).getBytes("UTF-8"))
+      }
+    s.read.format("binaryFile").load(tmp)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length").as("byte_len"),
+        length(col("content")).cast("long").as("content_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** STREAM-STATIC join (its own join planning path in Structured
+    * Streaming — the static side re-broadcasts per micro-batch): events
+    * stream against a static event-type weight table, weighted hourly
+    * totals. Batch twin = the same join + aggregation run unstreamed. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // integer weights keep products on the data's 2-decimal grid, so the
+    // rounded sums never sit on a .005 boundary (a 0.1 weight produced
+    // 3-decimal products whose sums landed EXACTLY on x.xx5 — engine fp
+    // error direction then decided the rounding, 2/2021 groups flipped)
+    val weights = Seq(("click", 1.0), ("view", 2.0), ("purchase", 10.0))
+      .toDF("event_type", "weight")
+    val stream = graft.streaming.EventStream.readEventsNanos(s, s"$dir/events.parquet")
+    val joined = stream.join(broadcast(weights), Seq("event_type"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value") * col("weight")).as("weighted_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("event_type"), col("n_events"), round(col("weighted_value"), 2).as("weighted_value"))
+    graft.streaming.EventStream.runBounded(s, joined, "graft_q114_sink")
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /** The SQL front-end over the extension functions: q97's Morton key
+    * computed entirely in `spark.sql` through the GraftExtensions-
+    * registered `zorder_value` — proving the layout functions are
+    * first-class for SQL users (same oracle as q97). */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderkey,
+        |  zorder_value(16, o_custkey,
+        |    datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01')) AS zval
+        |FROM orders_v ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1698,7 +1756,10 @@ object SparkEntry {
     "q109_weighted_sample" -> (q109 _),
     "q110_stream_incr_agg" -> (q110 _),
     "q111_pack_offsets" -> (q111 _),
-    "q112_zorder3" -> (q112 _)
+    "q112_zorder3" -> (q112 _),
+    "q113_binaryfile_scan" -> (q113 _),
+    "q114_stream_static_join" -> (q114 _),
+    "q115_sql_zorder" -> (q115 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1814,7 +1875,10 @@ object SparkEntry {
       ("q107_incr_star_agg" -> oracleSqlCore("q04_star_join")) +
       // q110 folds streamed micro-batches into q74's aggregate state —
       // the monoid merge must be batch-boundary-insensitive.
-      ("q110_stream_incr_agg" -> oracleSqlCore("q74_incremental_agg"))
+      ("q110_stream_incr_agg" -> oracleSqlCore("q74_incremental_agg")) +
+      // q115 computes q97's Morton key through the SQL-registered
+      // zorder_value function — same oracle.
+      ("q115_sql_zorder" -> oracleSqlCore("q97_zorder_value"))
 
   private lazy val oracleSqlCore: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2749,6 +2813,19 @@ object SparkEntry {
          | coalesce(sum(n_tokens) OVER (PARTITION BY grp, pack_id ORDER BY pack_pos
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT AS pack_offset
          |FROM p ORDER BY doc_id""".stripMargin,
+    // q113: binaryFile ingestion must reproduce ids and byte lengths.
+    "q113_binaryfile_scan" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
+        | octet_length(encode(text))::BIGINT AS content_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q114: the stream-static join's batch twin.
+    "q114_stream_static_join" ->
+      """WITH w AS (SELECT * FROM (VALUES ('click', 1.0), ('view', 2.0), ('purchase', 10.0))
+        |  v(event_type, weight))
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start, event_type,
+        | count(*) AS n_events, round(sum(value * weight), 2) AS weighted_value
+        |FROM events JOIN w USING (event_type)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q112: the 3-way bit interleave, term by term.
     "q112_zorder3" -> {
       val dims = Seq("x", "y", "z")

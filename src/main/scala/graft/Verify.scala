@@ -13,11 +13,10 @@ object Verify {
       case None    => _ => true
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // the engine's real session factory: GraftExtensions SQL functions
+    // (q115 resolves zorder_value through the registry) + the standard
+    // AQE/timezone configuration every other entry point uses
+    val spark = GraftSession.builder("graft-verify", s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -194,20 +194,39 @@ object Dedup {
     // index ~(1-t)× with zero recall loss.
     val prefixLen = (size(col("shingles"))
       - ceil(lit(threshold) * size(col("shingles"))).cast("int") + 1)
+    // postings carry the 1-based PREFIX POSITION of each emitted hash —
+    // the input to PPJoin's positional upper bound below.
     val postings = shingled
       .select(col("block"), col("id"), size(col("shingles")).as("n"),
-        explode(slice(col("shingles"), lit(1), greatest(prefixLen, lit(1)))).as("s"))
-    // Length filter (the other half of PPJoin's pruning): J(x,y) ≥ t forces
+        posexplode(slice(col("shingles"), lit(1), greatest(prefixLen, lit(1))))
+          .as(Seq("p", "s")))
+    // Length filter (the second of PPJoin's prunings): J(x,y) ≥ t forces
     // t·|x| ≤ |y| ≤ |x|/t, so size-incompatible pairs are dropped in the
-    // join itself, before distinct + exact verification.
-    val cands = postings.alias("a")
+    // join itself, before pair aggregation + exact verification.
+    val joined = postings.alias("a")
       .join(postings.alias("b"),
         col("a.block") === col("b.block") && col("a.s") === col("b.s") &&
           col("a.id") < col("b.id") &&
           col("b.n") >= lit(threshold) * col("a.n") &&
           col("a.n") >= lit(threshold) * col("b.n"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"),
+        col("a.p").as("pa"), col("b.p").as("pb"))
+    // Positional filter (the third pruning): at the FIRST matching prefix
+    // position (pa, pb — 0-based), the best possible overlap is
+    // 1 + min(|x|−pa−1, |y|−pb−1); J ≥ t needs overlap ≥
+    // ⌈t/(1+t)·(|x|+|y|)⌉, so pairs whose upper bound can't reach it die
+    // BEFORE the merge-intersect verify. The same hash-aggregate that
+    // deduped candidate pairs anyway (was `.distinct()`) now also carries
+    // the min positions — pruning at zero extra shuffles.
+    val cands = joined
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .filter(
+        (lit(1) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1)) >=
+          ceil(lit(threshold) / (1 + threshold) * (col("na") + col("nb"))))
+      .select(col("id_a"), col("id_b"))
     cands
       .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")

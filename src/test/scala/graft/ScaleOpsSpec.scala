@@ -25,6 +25,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(sig.length == 4 && sig.forall(_.length == 32))
     assert(spark.sql("SELECT minhash_sig(cast(array() AS array<string>), 4) AS s")
       .head().isNullAt(0)) // empty → NULL
+    // composed-expression functions: Morton interleave + content hash
+    assert(spark.sql("SELECT zorder_value(4, 3, 1) AS z").head().getLong(0) == 7L)
+    val hb = spark.sql("SELECT hash_bucket('doc-42', 100) AS b").head().getLong(0)
+    assert(hb >= 0 && hb < 100)
+    assert(spark.sql("SELECT hash_bucket('doc-42', 100) AS b").head().getLong(0) == hb)
   }
 
   test("salted join is row-identical to the plain join") {

@@ -1643,6 +1643,62 @@ object SparkEntry {
         |FROM orders_v ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Sessionization through Spark's BUILT-IN `session_window` aggregate,
+    * pinned to q32's oracle — the fourth formulation of the same
+    * semantics (lag+cumsum window q32, flatMapGroupsWithState q58,
+    * transformWithState q65, session_window here), all provably
+    * equivalent through one oracle. At scale this is the formulation to
+    * prefer: a single hash-aggregation with session merging, no full
+    * per-user sort window. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val sessions = T(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(min(unix_micros(col("ts"))).as("session_start_us"),
+        max(unix_micros(col("ts"))).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_start_us"))
+    sessions
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** The hive-partitioned orders layout (write-once infrastructure, like
+    * the bucketed tables): one directory per o_orderstatus under
+    * `<path>/fact`, plus a parquet-backed status dim under `<path>/dim`
+    * (a LocalRelation dim constant-folds its filter away, which starves
+    * the DPP rule of the filterable scan it hooks on). */
+  private val partLayoutCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  def ensurePartitionedOrders(s: SparkSession, dir: String): String =
+    partLayoutCache.getOrElseUpdate(dir, {
+      import s.implicits._
+      val path = java.nio.file.Files.createTempDirectory("graft-part").toString
+      T(s, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(s"$path/fact")
+      Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+        .toDF("status", "label").write.mode("overwrite").parquet(s"$path/dim")
+      path
+    })
+
+  /** DYNAMIC PARTITION PRUNING: the dim-side filter (label = 'finished')
+    * reaches the partitioned fact scan at RUNTIME as a dynamicpruning
+    * subquery on the partition column — only the F partition's files are
+    * read (plan-asserted in ScaleOpsSpec). At 100 TB with a
+    * date-partitioned fact this is the mechanism that turns "join against
+    * this week's dim slice" into a 7-partition scan instead of a full
+    * one. */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val base = ensurePartitionedOrders(s, dir)
+    val fact = s.read.parquet(s"$base/fact")
+    val dim = s.read.parquet(s"$base/dim")
+    fact.join(dim.filter(col("label") === "finished"),
+        col("o_orderstatus") === col("status"))
+      .groupBy(col("o_orderstatus"), col("label"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1759,7 +1815,9 @@ object SparkEntry {
     "q112_zorder3" -> (q112 _),
     "q113_binaryfile_scan" -> (q113 _),
     "q114_stream_static_join" -> (q114 _),
-    "q115_sql_zorder" -> (q115 _)
+    "q115_sql_zorder" -> (q115 _),
+    "q116_session_window" -> (q116 _),
+    "q117_dpp_join" -> (q117 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1878,7 +1936,10 @@ object SparkEntry {
       ("q110_stream_incr_agg" -> oracleSqlCore("q74_incremental_agg")) +
       // q115 computes q97's Morton key through the SQL-registered
       // zorder_value function — same oracle.
-      ("q115_sql_zorder" -> oracleSqlCore("q97_zorder_value"))
+      ("q115_sql_zorder" -> oracleSqlCore("q97_zorder_value")) +
+      // q116 sessionizes with the BUILTIN session_window aggregate —
+      // the fourth formulation against q32's oracle.
+      ("q116_session_window" -> oracleSqlCore("q32_sessionize"))
 
   private lazy val oracleSqlCore: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2826,6 +2887,12 @@ object SparkEntry {
         | count(*) AS n_events, round(sum(value * weight), 2) AS weighted_value
         |FROM events JOIN w USING (event_type)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q117: the join semantics reduce to the partition predicate.
+    "q117_dpp_join" ->
+      """SELECT o_orderstatus, 'finished' AS label, count(*)::BIGINT AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q112: the 3-way bit interleave, term by term.
     "q112_zorder3" -> {
       val dims = Seq("x", "y", "z")

@@ -154,6 +154,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(labels(r.getLong(r.fieldIndex("corpus_id"))) < 5))
   }
 
+  test("DPP: the dim filter prunes the partitioned fact scan at runtime") {
+    val base = SparkEntry.ensurePartitionedOrders(spark, "/root/testdata/sf0.001")
+    val fact = spark.read.parquet(s"$base/fact")
+    val dim = spark.read.parquet(s"$base/dim")
+    val joined = fact.join(dim.filter(col("label") === "finished"),
+      col("o_orderstatus") === col("status"))
+    // run first: under AQE the pruning subquery is planted during
+    // execution, so the pre-execution plan string can't show it
+    val n = joined.count()
+    assert(n == fact.filter(col("o_orderstatus") === "F").count())
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the fact scan:\n$plan")
+  }
+
   test("bucketed tables join without an exchange") {
     val wh = Files.createTempDirectory("graft-bucket").toString
     val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")

@@ -1699,6 +1699,54 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Cross-dataset exact dedup with SOURCE PRIORITY: every document also
+    * arrives as a lower-priority "mirror" copy with a SMALLER id — plain
+    * min-id dedup would keep the mirrors, so the green oracle row proves
+    * the priority column (not the id) picks the survivor. Runs on the
+    * sort-free arg_min aggregate (q83's scale path) over the text
+    * fingerprint. */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+    val mirrors = docs.select((col("doc_id") - 100000).as("doc_id"), col("text"),
+      lit("mirror").as("source"))
+    val all = docs.unionByName(mirrors)
+      .withColumn("prio", when(col("source") === "mirror", 1).otherwise(0))
+      .withColumn("fingerprint", TF.fingerprint(col("text")))
+    StarSchema.dedupKeyedAgg(all, Seq("fingerprint"),
+        Seq(col("prio"), col("doc_id")), latest = false) // min (prio, id)
+      .select(col("doc_id"), col("source"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Curriculum binning: quality quartiles per language (ntile over the
+    * total (quality, doc_id) order) — the stage assignment a curriculum
+    * schedule trains from easy/high-quality to hard. */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    T(s, dir, "documents")
+      .withColumn("quality", TF.qualityScore(col("text")))
+      .withColumn("stage", ntile(4).over(w))
+      .select(col("doc_id"), col("lang"), col("quality"), col("stage"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget truncation (max-sequence-length preprocessing): keep
+    * the first 48 tokens, emit the truncated text, the kept count and a
+    * flag. Pure per-row array slicing. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val toks = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(col("text")), "\\s+"))
+    T(s, dir, "documents")
+      .withColumn("__toks", toks)
+      .select(col("doc_id"),
+        size(col("__toks")).as("n_tokens"),
+        least(size(col("__toks")), lit(48)).as("n_kept"),
+        (size(col("__toks")) > 48).as("truncated"),
+        concat_ws(" ", slice(col("__toks"), 1, 48)).as("text_head"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1817,7 +1865,10 @@ object SparkEntry {
     "q114_stream_static_join" -> (q114 _),
     "q115_sql_zorder" -> (q115 _),
     "q116_session_window" -> (q116 _),
-    "q117_dpp_join" -> (q117 _)
+    "q117_dpp_join" -> (q117 _),
+    "q118_priority_dedup" -> (q118 _),
+    "q119_curriculum_bins" -> (q119 _),
+    "q120_token_truncate" -> (q120 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -2887,6 +2938,31 @@ object SparkEntry {
         | count(*) AS n_events, round(sum(value * weight), 2) AS weighted_value
         |FROM events JOIN w USING (event_type)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q118: mirrors carry SMALLER ids but LOWER priority — the survivor
+    // proves the (prio, id) ordering, not plain min-id.
+    "q118_priority_dedup" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text, source, 0 AS prio FROM documents
+         |  UNION ALL SELECT doc_id - 100000, text, 'mirror', 1 FROM documents)
+         |SELECT doc_id, source, md5($normSql) AS fingerprint FROM all_docs
+         |QUALIFY row_number() OVER (PARTITION BY md5($normSql) ORDER BY prio, doc_id) = 1
+         |ORDER BY doc_id""".stripMargin,
+    // q119: ntile quartiles over the total (quality desc, doc_id) order.
+    "q119_curriculum_bins" ->
+      s"""SELECT doc_id, lang, $qualitySql AS quality,
+         |  ntile(4) OVER (PARTITION BY lang
+         |    ORDER BY ($qualitySql) DESC, doc_id ASC) AS stage
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q120: first-48-token truncation, list ops.
+    "q120_token_truncate" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents)
+        |SELECT doc_id, len(w)::INT AS n_tokens, least(len(w), 48)::INT AS n_kept,
+        | len(w) > 48 AS truncated,
+        | array_to_string(list_slice(w, 1, 48), ' ') AS text_head
+        |FROM t ORDER BY doc_id""".stripMargin,
     // q117: the join semantics reduce to the partition predicate.
     "q117_dpp_join" ->
       """SELECT o_orderstatus, 'finished' AS label, count(*)::BIGINT AS n,

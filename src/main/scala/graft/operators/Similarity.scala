@@ -39,6 +39,11 @@ object Similarity {
   ): DataFrame = {
     // Norms precomputed per side — the O(|q|·|corpus|) scoring loop then
     // only does the dot product (bit-identical result, 3× fewer flops).
+    // NOTE: the final top-k window partitions by query_id, so reduce-side
+    // parallelism is bounded by |queries| — fine for this operator's
+    // documented exact-verifier role (small query sets); large query
+    // workloads should route through ivfTopK/ivfPqTopK, whose scans
+    // parallelize by corpus partition.
     val c = Parallelism.ensure(corpus).select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
       VectorFunctions.norm(col(vecCol)).as("c_nrm"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),

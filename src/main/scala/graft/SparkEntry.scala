@@ -1747,6 +1747,42 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM quality score — the sequence-aware upgrade of q95's
+    * unigram model (catches shuffled-word gibberish). */
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.bigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Corpus collocations: top-20 bigrams by PMI (count ≥ 5). */
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.pmiCollocations(T(s, dir, "documents"), "doc_id", "text",
+      minCount = 5, topK = 20)
+
+  /** Hard-negative mining for contrastive training: each query's top-5
+    * nearest neighbors RESTRICTED to a different label — the
+    * close-but-wrong examples a retrieval trainer wants. Composition of
+    * the exact scorer with a label constraint (the ANN path composes the
+    * same way via ivfTopKWhere). */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val c = emb.select(col("vec_id").as("corpus_id"), col("embedding").as("c_vec"),
+      col("label").as("c_label"), VF.norm(col("embedding")).as("c_nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    c.join(broadcast(q.withColumn("q_nrm", VF.norm(col("q_vec")))),
+        col("c_label") =!= col("q_label"))
+      .withColumn("cosine",
+        when(col("q_nrm") === 0.0 || col("c_nrm") === 0.0, lit(0.0))
+          .otherwise(VF.dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1868,7 +1904,10 @@ object SparkEntry {
     "q117_dpp_join" -> (q117 _),
     "q118_priority_dedup" -> (q118 _),
     "q119_curriculum_bins" -> (q119 _),
-    "q120_token_truncate" -> (q120 _)
+    "q120_token_truncate" -> (q120 _),
+    "q121_bigram_lm" -> (q121 _),
+    "q122_pmi_collocations" -> (q122 _),
+    "q123_hard_negatives" -> (q123 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -2963,6 +3002,49 @@ object SparkEntry {
         | len(w) > 48 AS truncated,
         | array_to_string(list_slice(w, 1, 48), ' ') AS text_head
         |FROM t ORDER BY doc_id""".stripMargin,
+    // q121: add-one bigram conditional model, counts + vocab replayed.
+    "q121_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w FROM documents),
+         |bgidx AS (SELECT doc_id, w, unnest(range(2, len(w) + 1)) AS i FROM toks),
+         |bg AS (SELECT doc_id, w[i-1] AS a, w[i] AS b FROM bgidx
+         |  WHERE len(w[i-1]) > 0 AND len(w[i]) > 0),
+         |bc AS (SELECT a, b, count(*)::BIGINT AS cab FROM bg GROUP BY 1, 2),
+         |u AS (SELECT unnest(regexp_split_to_array($normSql, ' ')) AS term FROM documents),
+         |uc AS (SELECT term, count(*)::BIGINT AS ca FROM u WHERE len(term) > 0 GROUP BY 1),
+         |v AS (SELECT count(*)::BIGINT AS vocab FROM uc)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         | round(avg(ln((cab + 1)::DOUBLE / (ca + vocab)::DOUBLE)), 2) AS avg_logprob
+         |FROM bg JOIN bc ON bc.a = bg.a AND bc.b = bg.b
+         | JOIN uc ON uc.term = bg.a CROSS JOIN v
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q122: exact counts, one double PMI expression mirrored + rounded.
+    "q122_pmi_collocations" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w FROM documents),
+         |bgidx AS (SELECT doc_id, w, unnest(range(2, len(w) + 1)) AS i FROM toks),
+         |bg AS (SELECT doc_id, w[i-1] AS a, w[i] AS b FROM bgidx
+         |  WHERE len(w[i-1]) > 0 AND len(w[i]) > 0),
+         |bc AS (SELECT a, b, count(*)::BIGINT AS cab FROM bg GROUP BY 1, 2),
+         |n2 AS (SELECT sum(cab)::BIGINT AS n2 FROM bc),
+         |u AS (SELECT unnest(regexp_split_to_array($normSql, ' ')) AS term FROM documents),
+         |uc AS (SELECT term, count(*)::BIGINT AS c FROM u WHERE len(term) > 0 GROUP BY 1),
+         |n1 AS (SELECT sum(c)::BIGINT AS n1 FROM uc)
+         |SELECT bc.a, bc.b, bc.cab,
+         | round(ln((bc.cab::DOUBLE / n2.n2::DOUBLE) /
+         |   ((t1.c::DOUBLE / n1.n1::DOUBLE) * (t2.c::DOUBLE / n1.n1::DOUBLE))), 2) AS pmi
+         |FROM bc JOIN uc t1 ON t1.term = bc.a JOIN uc t2 ON t2.term = bc.b, n2, n1
+         |WHERE bc.cab >= 5
+         |ORDER BY pmi DESC, bc.a, bc.b LIMIT 20""".stripMargin,
+    // q123: q30's exact scorer restricted to label-mismatched neighbors.
+    "q123_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+         |  FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT query_id, vec_id AS corpus_id,
+         |    ${cosineSql("qv", "embedding")} AS cosine
+         |  FROM embeddings CROSS JOIN q WHERE embeddings.label <> q.ql)
+         |SELECT query_id, rank, corpus_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, corpus_id ASC) AS rank FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // q117: the join semantics reduce to the partition predicate.
     "q117_dpp_join" ->
       """SELECT o_orderstatus, 'finished' AS label, count(*)::BIGINT AS n,

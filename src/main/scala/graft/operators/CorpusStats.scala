@@ -157,6 +157,77 @@ object CorpusStats {
       .select(col(idCol), col("s.pos").as("pos"), col("s.fp").as("fp"))
   }
 
+  /** Materialized (doc, prev, cur) bigram stream — shared by
+    * [[bigramLogProb]] and [[pmiCollocations]]. Tokens and the bigram
+    * struct array are real columns (the per-lambda re-evaluation rule),
+    * the generator is outer + null-filtered (the InferFilters rule). */
+  private def bigramStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.io.Parallelism.ensure(docs)
+      .withColumn("__toks", TF.tokens(TF.normalizeText(col(textCol))))
+      .withColumn("__bgs",
+        when(size(col("__toks")) < 2, array().cast("array<struct<a:string,b:string>>"))
+          .otherwise(transform(sequence(lit(2), size(col("__toks"))),
+            i => struct(element_at(col("__toks"), i - 1).as("a"),
+              element_at(col("__toks"), i).as("b")))))
+      .select(col(idCol), explode_outer(col("__bgs")).as("bg"))
+      .filter(col("bg").isNotNull)
+      .select(col(idCol), col("bg.a").as("a"), col("bg.b").as("b"))
+      .filter(length(col("a")) > 0 && length(col("b")) > 0)
+
+  /** Bigram language-model quality score: mean ln p(wᵢ | wᵢ₋₁) under an
+    * add-one-smoothed conditional model trained on the corpus —
+    * p(b|a) = (c(a,b)+1) / (c(a)+|vocab|). The sequence-aware upgrade of
+    * [[unigramLogProb]] (catches shuffled-word gibberish a unigram model
+    * scores as fluent). Same broadcast-the-counts plan shape; rounded to
+    * 2 dp per the shuffled-aggregate policy. Documents with fewer than
+    * two tokens emit nothing. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bgs = bigramStream(docs, idCol, textCol)
+    val bigCounts = bgs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val toks = graft.io.Parallelism.ensure(docs)
+      .select(explode_outer(TF.tokens(TF.normalizeText(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+    val uniCounts = toks.groupBy(col("term")).agg(count(lit(1)).as("ca"))
+    val vocab = uniCounts.agg(count(lit(1)).as("vocab"))
+    bgs
+      .join(broadcast(bigCounts), Seq("a", "b"))
+      .join(broadcast(uniCounts.withColumnRenamed("term", "a")), Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp",
+        log((col("cab") + 1).cast("double") / (col("ca") + col("vocab")).cast("double")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("__lp")), 2).as("avg_logprob"))
+  }
+
+  /** PMI collocations: the corpus's top word pairs by pointwise mutual
+    * information, `ln((c(ab)/N₂) / ((c(a)/N₁)·(c(b)/N₁)))`, restricted to
+    * pairs seen ≥ `minCount` times (PMI of rare pairs is noise). The
+    * standard collocation detector ("new york"-style units a tokenizer
+    * should learn). All counts exact; the PMI double mirrors in SQL,
+    * rounded to 2 dp. */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Int, topK: Int): DataFrame = {
+    val bgs = bigramStream(docs, idCol, textCol)
+    val bigCounts = bgs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val n2 = bigCounts.agg(sum(col("cab")).as("n2"))
+    val toks = graft.io.Parallelism.ensure(docs)
+      .select(explode_outer(TF.tokens(TF.normalizeText(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+    val uniCounts = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val n1 = uniCounts.agg(sum(col("c")).as("n1"))
+    bigCounts.filter(col("cab") >= minCount)
+      .join(broadcast(uniCounts.select(col("term").as("a"), col("c").as("ca"))), Seq("a"))
+      .join(broadcast(uniCounts.select(col("term").as("b"), col("c").as("cb"))), Seq("b"))
+      .crossJoin(broadcast(n2)).crossJoin(broadcast(n1))
+      .withColumn("pmi", round(log(
+        (col("cab").cast("double") / col("n2").cast("double")) /
+          ((col("ca").cast("double") / col("n1").cast("double")) *
+            (col("cb").cast("double") / col("n1").cast("double")))), 2))
+      .select(col("a"), col("b"), col("cab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Benchmark decontamination: per training document, how many of its
     * distinct word n-gram shingles also appear anywhere in the evaluation
     * set — the overlap filter run before training so eval data doesn't

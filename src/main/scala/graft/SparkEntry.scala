@@ -1555,7 +1555,7 @@ object SparkEntry {
     orders.filter(col("o_orderkey") % 10 === 0).write.mode("append").parquet(updatesDir)
     q.processAllAvailable()
     q.stop()
-    s.read.parquet(s"$tmp/state")
+    graft.streaming.AggStream.readState(s, s"$tmp/state")
       .select(col("o_custkey"), col("n_rows").as("n_orders"),
         round(col("sum_o_totalprice"), 2).as("sum_price"))
       .orderBy(col("o_custkey"))
@@ -1649,7 +1649,15 @@ object SparkEntry {
     * transformWithState q65, session_window here), all provably
     * equivalent through one oracle. At scale this is the formulation to
     * prefer: a single hash-aggregation with session merging, no full
-    * per-user sort window. */
+    * per-user sort window.
+    *
+    * BOUNDARY EQUIVALENCE (verified, not assumed): Spark merges an event
+    * into the current session when its start is ≤ the session's end
+    * (inclusive at the exact boundary — see the guard test in
+    * EventStreamSpec "session_window boundary": a gap of exactly 30 min
+    * stays in the SAME session, gap + 1µs splits). That is precisely the
+    * q32 oracle's rule (`us - prev > 1800000000` splits), so the pin
+    * holds on every representable µs timestamp, not just this dataset. */
   private def q116(s: SparkSession, dir: String): DataFrame = {
     val sessions = T(s, dir, "events")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))

@@ -78,7 +78,10 @@ object ZoneMap {
       total += 1
       val keep = ranges.forall { case (c, lo, hi) =>
         val b = e.getValue.get(c)
-        b != null && b.get(1).asDouble >= lo && b.get(0).asDouble <= hi
+        // A column absent from the manifest means "no stats" — the file
+        // CANNOT be pruned on it (pruning must stay a superset of the
+        // exact predicate). Only a present, non-overlapping box skips.
+        b == null || (b.get(1).asDouble >= lo && b.get(0).asDouble <= hi)
       }
       if (keep) files += e.getKey
     }

@@ -224,8 +224,12 @@ object Dedup {
       .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"),
         first(col("na")).as("na"), first(col("nb")).as("nb"))
       .filter(
+        // ε-guard before ceil: when t/(1+t)·(na+nb) is an exact integer
+        // (e.g. t=0.8, na+nb=18 → 8), double rounding can land at
+        // 8.0000000000000x and ceil to 9, silently pruning pairs whose
+        // exact Jaccard EQUALS the threshold before the verify sees them.
         (lit(1) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1)) >=
-          ceil(lit(threshold) / (1 + threshold) * (col("na") + col("nb"))))
+          ceil(lit(threshold) / (1 + threshold) * (col("na") + col("nb")) - lit(1e-9)))
       .select(col("id_a"), col("id_b"))
     cands
       .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")

@@ -70,9 +70,15 @@ object Quality {
     * Values ride as strings so any column type profiles; ties break on
     * the value for determinism. */
   def heavyHitters(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
-    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
-    val stacked = df.select(
-      expr(s"stack(${cols.length}, $stackArgs) AS (col_name, value)"))
+    // typed explode(array(struct...)) instead of a spliced stack() SQL
+    // string: a column named with a quote/backtick would break parsing or
+    // mislabel col_name. col() itself parses attribute names, so raw
+    // names are backtick-escaped (`` doubles an embedded backtick).
+    def raw(c: String) = col("`" + c.replace("`", "``") + "`")
+    val stacked = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), raw(c).cast("string").as("value"))): _*))
+        .as("kv"))
+      .select(col("kv.col_name"), col("kv.value"))
     val counts = stacked.groupBy(col("col_name"), col("value"))
       .agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window

@@ -2,8 +2,11 @@ package graft.streaming
 
 import graft.io.{Readers, Writers}
 import graft.ops.IncrementalAgg
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
+
+import java.nio.charset.StandardCharsets
 
 /** Streaming materialized-view maintenance: each micro-batch of raw rows
   * folds into a persisted per-key aggregate state via
@@ -14,10 +17,48 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Because the state is a commutative monoid (counts + sums), the merge
   * is insensitive to batch boundaries: ANY partitioning of the input
   * stream into micro-batches lands the same state as one batch build —
-  * which is exactly what the oracle gate checks. Exactly-once per batch
-  * comes from the checkpoint + idempotent two-phase overwrite.
+  * which is exactly what the oracle gate checks.
+  *
+  * EXACTLY-ONCE: foreachBatch is at-least-once — a batch can replay after
+  * a crash between the sink's side effect and the checkpoint commit. The
+  * sink is therefore idempotent BY CONSTRUCTION, the pattern Spark's own
+  * foreachBatch docs prescribe:
+  *   - every committed state version is an immutable directory
+  *     `<statePath>/v<batchId>`; the version name IS the last-applied
+  *     batch id, so a replayed id (<= current) is detected and skipped
+  *     instead of re-folded into the non-idempotent monoid merge;
+  *   - commit = writing the new version dir, THEN atomically swapping the
+  *     `_CURRENT` pointer file (FileContext rename with OVERWRITE — atomic
+  *     on HDFS and local). A crash mid-write leaves the pointer on the old
+  *     version; accumulated state is never destroyed in place.
+  * Lifecycle note: batch ids restart at 0 with a FRESH checkpoint, so
+  * state and checkpoint must be retired together (true of any
+  * batchId-keyed idempotent sink).
   */
 object AggStream {
+
+  private val Pointer = "_CURRENT"
+
+  /** The committed state version dir, or None before the first commit. */
+  def currentStateDir(spark: SparkSession, statePath: String): Option[String] = {
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(root, Pointer)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val v =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8).trim
+        finally in.close()
+      Some(new Path(root, v).toString)
+    }
+  }
+
+  /** Read the current committed state (pointer-resolved). */
+  def readState(spark: SparkSession, statePath: String): DataFrame =
+    currentStateDir(spark, statePath)
+      .map(d => Readers.parquet(spark, d))
+      .getOrElse(throw new IllegalStateException(s"no committed state under $statePath"))
 
   def incrementalSink(
       spark: SparkSession,
@@ -29,19 +70,35 @@ object AggStream {
   ): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val stateHPath = new org.apache.hadoop.fs.Path(statePath)
-          val fs = stateHPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val merged =
-            if (fs.exists(stateHPath))
-              IncrementalAgg.merge(Readers.parquet(spark, statePath), batch, keys, measures)
-            else IncrementalAgg.build(batch, keys, measures)
-          // two-phase write: the merge reads the table it replaces
-          val tmp = s"$statePath.tmp"
-          Writers.parquet(merged, tmp)
-          Writers.parquet(Readers.parquet(spark, tmp), statePath)
-          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          val root = new Path(statePath)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val cur = currentStateDir(spark, statePath)
+          val lastId = cur.map(d => new Path(d).getName.stripPrefix("v").toLong).getOrElse(-1L)
+          if (batchId > lastId) {
+            val merged = cur match {
+              case Some(d) => IncrementalAgg.merge(Readers.parquet(spark, d), batch, keys, measures)
+              case None    => IncrementalAgg.build(batch, keys, measures)
+            }
+            val newDir = new Path(root, s"v$batchId")
+            Writers.parquet(merged, newDir.toString)
+            // atomic pointer swap — the commit point
+            val tmp = new Path(root, s"$Pointer.tmp")
+            val out = fs.create(tmp, true)
+            try out.write(s"v$batchId".getBytes(StandardCharsets.UTF_8))
+            finally out.close()
+            val fc = FileContext.getFileContext(root.toUri, spark.sparkContext.hadoopConfiguration)
+            fc.rename(tmp, new Path(root, Pointer), Options.Rename.OVERWRITE)
+            // GC: keep the new version plus its predecessor (in-flight
+            // readers of the old pointer); everything older goes
+            val keep = Set(s"v$batchId") ++ cur.map(d => new Path(d).getName)
+            fs.listStatus(root)
+              .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+              .map(_.getPath)
+              .filterNot(p => keep.contains(p.getName))
+              .foreach(p => fs.delete(p, true))
+          }
         }
         ()
       }

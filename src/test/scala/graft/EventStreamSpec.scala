@@ -152,7 +152,7 @@ class EventStreamSpec extends AnyFunSuite {
       q.processAllAvailable(); q.stop()
     }
     runOnce()
-    def state() = spark.read.parquet(s"$tmp/state")
+    def state() = graft.streaming.AggStream.readState(spark, s"$tmp/state")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val first = state()
     assert(first == Map(1L -> ((2L, 30.0)), 2L -> ((1L, 5.0))))
@@ -163,5 +163,54 @@ class EventStreamSpec extends AnyFunSuite {
     Seq((2L, 7.0), (3L, 1.0)).toDF("k", "v").write.mode("append").parquet(updates)
     runOnce()
     assert(state() == Map(1L -> ((2L, 30.0)), 2L -> ((2L, 12.0)), 3L -> ((1L, 1.0))))
+  }
+
+  test("session_window boundary: a gap of exactly 30 minutes stays in the SAME session (oracle rule: > 1800s splits)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 10:00:00, 10:30:00 (exactly 30 min later), 11:00:00.000001 (30min+1µs later)
+    val df = Seq(
+      (100L, ts("2024-01-01 10:00:00")),
+      (100L, ts("2024-01-01 10:30:00")),
+      (100L, ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "ts")
+      // push the third event to exactly gap+1µs after the second
+      .withColumn("ts", when(hour(col("ts")) === 11,
+        timestamp_micros(unix_micros(col("ts")) + 1L)).otherwise(col("ts")))
+    val sessions = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .collect()
+    // oracle semantics: gap == 1800s → same session; gap == 1800s + 1µs → new
+    assert(sessions.length == 2, s"expected 2 sessions, got ${sessions.length}")
+    assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("AggStream.incrementalSink: a replayed batchId is skipped, not re-folded") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-aggreplay").toString
+    val updates = s"$tmp/updates"
+    Seq((1L, 10.0), (2L, 5.0)).toDF("k", "v").write.mode("append").parquet(updates)
+    val schema = spark.read.parquet(updates).schema
+    def runOnce(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(updates)
+      val q = graft.streaming.AggStream.incrementalSink(
+        spark, stream, Seq("k"), Seq("v"), s"$tmp/state", ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce(s"$tmp/ckpt")
+    def state() = graft.streaming.AggStream.readState(spark, s"$tmp/state")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val first = state()
+    assert(first == Map(1L -> ((1L, 10.0)), 2L -> ((1L, 5.0))))
+    // simulate the at-least-once replay foreachBatch can deliver: a FRESH
+    // checkpoint re-issues batchId 0 with the same files — the versioned
+    // state must detect id 0 <= last-applied 0 and skip the merge
+    runOnce(s"$tmp/ckpt2")
+    assert(state() == first, "replayed batchId 0 must not double the state")
+    // crash-safety shape: the previous committed version survives the swap
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/state/_CURRENT")))
   }
 }

@@ -75,6 +75,19 @@ class LakeOpsSpec extends AnyFunSuite {
     assert(pruned == full && full.nonEmpty)
   }
 
+  test("ZoneMap: a column with no manifest stats cannot prune (superset contract holds)") {
+    val dir = SparkEntry.ensureZoneMappedOrders(spark, "/root/testdata/sf0.001")
+    // o_totalprice was never passed to index(): every file must survive —
+    // silently dropping them would violate "pruning is a superset"
+    val (kept, total) = ZoneMap.pruneFiles(spark, dir, Seq(("o_totalprice", 0.0, 1.0)))
+    assert(kept.length == total, s"unindexed column pruned files: ${kept.length} of $total")
+    // mixed: the indexed column still prunes, the unindexed one doesn't drop the rest
+    val (keptMixed, _) = ZoneMap.pruneFiles(spark, dir,
+      Seq(("o_custkey", 10.0, 40.0), ("o_totalprice", 0.0, 1.0)))
+    val (keptIndexed, _) = ZoneMap.pruneFiles(spark, dir, Seq(("o_custkey", 10.0, 40.0)))
+    assert(keptMixed.toSet == keptIndexed.toSet)
+  }
+
   test("ZoneMap: disjoint ranges read zero files and return the schema, empty") {
     val dir = SparkEntry.ensureZoneMappedOrders(spark, "/root/testdata/sf0.001")
     val ranges = Seq(("o_custkey", 1e9, 2e9))

@@ -58,6 +58,16 @@ class QualitySpec extends AnyFunSuite {
     assert(byVCol.map(t => (t._2, t._3)).toSeq == Seq(("1", 3L), ("2", 1L)))
   }
 
+  test("heavyHitters: quote/backtick column names survive (typed pivot, no SQL splice)") {
+    import spark.implicits._
+    val df = Seq(1, 1, 2).toDF("x")
+      .withColumnRenamed("x", "it's `odd`")
+    val hh = Quality.heavyHitters(df, Seq("it's `odd`"), k = 1).collect()
+    assert(hh.length == 1)
+    assert(hh.head.getString(0) == "it's `odd`" && hh.head.getString(1) == "1"
+      && hh.head.getLong(2) == 2L)
+  }
+
   test("histogram: clamped top edge, out-of-range dropped, edges exact") {
     import spark.implicits._
     val df = Seq(0.0, 5.0, 10.0, 15.0, 20.0, 25.0).toDF("x") // hi = 20 closed

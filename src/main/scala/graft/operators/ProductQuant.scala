@@ -87,8 +87,10 @@ object ProductQuant {
   }
 
   /** IVF-PQ index: coarse router cells + per-vector PQ codes, built once
-    * and reused across queries. `cells` is (id, cell); `encoded` is
-    * (id, codes); `centroids` the coarse k×dim matrix. */
+    * and reused across queries. `cells` is (id, vec, cell) — the vec
+    * rides along map-side from the assignment (consumers select what
+    * they need); `encoded` is (id, codes); `centroids` the coarse k×dim
+    * matrix. */
   final case class IvfPqIndex(model: PQModel, centroids: Seq[Seq[Double]],
                               cells: DataFrame, encoded: DataFrame)
 

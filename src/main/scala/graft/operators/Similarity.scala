@@ -212,7 +212,11 @@ object Similarity {
       centroids = centroids.indices.map(i => byCell.getOrElse(i, centroids(i)))
       require(centroids.forall(_.length == dim))
     }
-    (withCell(centroids).select(col("id"), col("cell")), centroids)
+    // carry vec through the assignment: it is already present map-side,
+    // and downstream pair-scoring (semanticNearDups) would otherwise have
+    // to RE-JOIN the corpus on id — a full corpus exchange for a column
+    // the assignment never dropped.
+    (withCell(centroids).select(col("id"), col("vec"), col("cell")), centroids)
   }
 
   /** Train INDEPENDENT k-means models — one per value of `grpCol` — in a
@@ -332,11 +336,11 @@ object Similarity {
       iters: Int,
       threshold: Double
   ): DataFrame = {
-    val cells = kmeansAssign(corpus, idCol, vecCol, k, iters)
-    val v = corpus
-      .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        graft.functions.VectorFunctions.norm(col(vecCol)).as("nrm"))
-      .join(cells, "id")
+    // kmeansAssign keeps (id, vec, cell) map-side, so the norm is one more
+    // map-side column — no re-join of the corpus on id (which would add a
+    // full corpus exchange to the most expensive headline query).
+    val v = kmeansAssign(corpus, idCol, vecCol, k, iters)
+      .withColumn("nrm", graft.functions.VectorFunctions.norm(col("vec")))
     v.alias("a")
       .join(v.alias("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))

@@ -151,6 +151,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sem.contains((0L, 1L)))
   }
 
+  test("semantic near-dup plan: no corpus re-join on id (vec rides through the assignment)") {
+    val sem = Similarity.semanticNearDups(vecs, "vec_id", "embedding",
+      k = 2, iters = 2, threshold = 0.8)
+    val plan = sem.queryExecution.executedPlan.toString
+    // cell assignment is map-side and keeps (id, vec, cell); the only
+    // exchanges left are the self-join's hashpartitioning on cell — an
+    // id-keyed exchange means the corpus got re-joined to its assignment
+    assert(!plan.contains("hashpartitioning(id"),
+      s"corpus re-join on id crept back into semanticNearDups:\n$plan")
+  }
+
   test("srp lsh buckets: deterministic, identical vectors share a bucket") {
     val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f)), (11L, Array(1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")

@@ -296,7 +296,9 @@ object Dedup {
       .cache()
     var labels = nodes.select(col("id"), col("id").as("lab")).cache()
     var changed = 1L
+    var iter = 0
     while (changed > 0) {
+      iter += 1
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("lab").as("nlab")), "src")
         .groupBy(col("dst")).agg(min(col("nlab")).as("nmin"))
@@ -306,8 +308,14 @@ object Dedup {
           least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab2"))
         .cache()
       changed = updated.filter(col("lab2") < col("lab")).count()
-      val next = updated.select(col("id"), col("lab2").as("lab")).cache()
-      next.count() // materialize before dropping the parent cache
+      // iterations = cluster-graph diameter, so the logical plan grows one
+      // join per hop; every few hops truncate the lineage (localCheckpoint
+      // — eager, executor-local blocks) or planner cost and failure-
+      // recovery depth degrade on long chains at scale.
+      val projected = updated.select(col("id"), col("lab2").as("lab"))
+      val next =
+        if (iter % 3 == 0) projected.localCheckpoint(true)
+        else { val n = projected.cache(); n.count(); n } // materialize before dropping the parent cache
       labels.unpersist()
       updated.unpersist()
       labels = next

@@ -93,6 +93,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(7L) == 7L)
   }
 
+  test("clusters: a long chain (diameter >> 10) converges with bounded plan depth") {
+    // path graph 0-1-2-...-30: min-label moves ONE hop per iteration, so
+    // this runs ~30 iterations — without the periodic localCheckpoint the
+    // logical plan would stack 30 joins deep (planner cost grows per
+    // iteration; lineage recovery replays the whole chain)
+    val n = 31
+    val nodes = (0L until n.toLong).toDF("id")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(nodes, pairs)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out.size == n && out.values.forall(_ == 0L))
+  }
+
   test("kmeans: clusters converge to the planted groups, deterministic across runs") {
     // two tight planted clusters around (1,0,...) and (0,1,...)
     val vecs = ((0 until 10).map(i => (i.toLong, Array(1.0f + i * 0.001f, 0.0f, 0.1f))) ++

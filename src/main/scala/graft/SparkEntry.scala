@@ -1589,14 +1589,26 @@ object SparkEntry {
     * columns (the entry point of the multimodal path: files land as
     * (path, length, content) rows with no decode). Each document's text
     * is written out as one file named by its id, read back through the
-    * source, and must reproduce exact ids and byte lengths. */
+    * source, and must reproduce exact ids and byte lengths.
+    *
+    * The fixture write is DISTRIBUTED: executors write one object per
+    * row through the Hadoop FS API inside foreachPartition — no row data
+    * ever collects to the driver (at cluster scale the base path is the
+    * shared store and this IS the object-ingestion write pattern; the
+    * text datasource can't serve here because it appends a newline per
+    * row, breaking exact byte lengths). */
   private def q113(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q113").toString
-    T(s, dir, "documents").select(col("doc_id"), col("text")).collect()
-      .foreach { r =>
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(tmp, s"${r.getLong(0)}.bin"),
-          r.getString(1).getBytes("UTF-8"))
+    T(s, dir, "documents").select(col("doc_id"), col("text"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val base = new org.apache.hadoop.fs.Path(s"file:$tmp")
+        val fs = base.getFileSystem(conf)
+        it.foreach { r =>
+          val out = fs.create(new org.apache.hadoop.fs.Path(base, s"${r.getLong(0)}.bin"), true)
+          try out.write(r.getString(1).getBytes("UTF-8"))
+          finally out.close()
+        }
       }
     s.read.format("binaryFile").load(tmp)
       .select(

@@ -1778,6 +1778,28 @@ object SparkEntry {
     operators.CorpusStats.pmiCollocations(T(s, dir, "documents"), "doc_id", "text",
       minCount = 5, topK = 20)
 
+  /** EXACT SUBSTRING-LEVEL dedup, detection half: maximal cross-corpus
+    * repeated spans (Lee-et-al-style) — token ranges covered by 5-grams
+    * occurring at ≥2 sites anywhere in the corpus, island-merged per
+    * document, reported at ≥8 tokens. The step document-level
+    * MinHash/SimHash cannot do (they detect similar DOCUMENTS; this
+    * extracts the shared boilerplate INSIDE otherwise-unique ones). */
+  private def q124(s: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(T(s, dir, "documents"), "doc_id", "text",
+        k = 5, minOccurrences = 2, minSpanTokens = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("start_pos"))
+
+  /** EXACT SUBSTRING-LEVEL dedup, removal half: the corpus with every
+    * q124 span stripped out of the (normalized) token stream — repeated
+    * boilerplate gone, unique prose kept, every document still present
+    * (fully-duplicated ones come back empty). */
+  private def q125(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripRepeatedSpans(T(s, dir, "documents"), "doc_id", "text",
+        k = 5, minOccurrences = 2, minSpanTokens = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** Hard-negative mining for contrastive training: each query's top-5
     * nearest neighbors RESTRICTED to a different label — the
     * close-but-wrong examples a retrieval trainer wants. Composition of
@@ -1927,7 +1949,9 @@ object SparkEntry {
     "q120_token_truncate" -> (q120 _),
     "q121_bigram_lm" -> (q121 _),
     "q122_pmi_collocations" -> (q122 _),
-    "q123_hard_negatives" -> (q123 _)
+    "q123_hard_negatives" -> (q123 _),
+    "q124_repeated_spans" -> (q124 _),
+    "q125_span_strip" -> (q125 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -1983,6 +2007,30 @@ object SparkEntry {
        |        j -> list_slice(hs, s, s + 3)[j] = list_min(list_slice(hs, s, s + 3)))),
        |     'fp': list_min(list_slice(hs, s, s + 3))})) AS s
        |  FROM h)""".stripMargin
+
+  /** q124/q125's shared prefix: the ALL-position gram-hash stream (same
+    * token→5-gram→fp32 pipeline as winnowing, no window-min selection),
+    * duplicated-fp filter (≥2 sites corpus-wide), island merge, and the
+    * ≥8-token span table in `spans(doc_id, start_pos, end_pos,
+    * span_toks)`. Mirrors Dedup.repeatedSpans(k=5, minOcc=2, minSpan=8). */
+  private lazy val repeatedSpansCte =
+    s"""t AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN len(w) < 5 THEN []
+       |  ELSE list_transform(range(1, len(w) - 3),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END AS grams
+       |  FROM t),
+       |h AS (SELECT doc_id, list_transform(grams, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+       |  FROM g WHERE len(grams) > 0),
+       |pg AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) + 1),
+       |    i -> {'pos': i, 'fp': hs[i]})) AS s FROM h),
+       |pos AS (SELECT doc_id, s.pos::INT AS pos, s.fp AS fp FROM pg),
+       |dupfp AS (SELECT fp FROM pos GROUP BY fp HAVING count(*) >= 2),
+       |d AS (SELECT p.doc_id, p.pos FROM pos p JOIN dupfp USING (fp)),
+       |isl AS (SELECT doc_id, pos,
+       |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM d),
+       |spans AS (SELECT doc_id, min(pos) AS start_pos, max(pos) AS end_pos,
+       |    (max(pos) - min(pos) + 5)::BIGINT AS span_toks
+       |  FROM isl GROUP BY doc_id, grp HAVING (max(pos) - min(pos) + 5) >= 8)""".stripMargin
 
   /** Sequential-fold dot product mirror of VectorFunctions.dot. */
   private def dotSql(a: String, b: String): String =
@@ -3065,6 +3113,31 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, corpus_id ASC) AS rank FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q124: repeated-span detection — duplicated 5-gram sites island-
+    // merged into maximal spans, ≥8 tokens reported.
+    "q124_repeated_spans" ->
+      s"""WITH $repeatedSpansCte
+         |SELECT doc_id, start_pos, end_pos, span_toks FROM spans
+         |ORDER BY doc_id, start_pos""".stripMargin,
+    // q125: span removal — tokens covered by any span dropped, survivors
+    // re-joined in order; every document returns a row.
+    "q125_span_strip" ->
+      s"""WITH $repeatedSpansCte,
+         |toks AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+         |    i -> {'tpos': i, 'tok': w[i]})) AS s FROM t),
+         |tok2 AS (SELECT doc_id, s.tpos::INT AS tpos, s.tok AS tok FROM toks
+         |  WHERE len(s.tok) > 0),
+         |kept AS (SELECT t2.doc_id, t2.tpos, t2.tok FROM tok2 t2 ANTI JOIN spans sp
+         |  ON t2.doc_id = sp.doc_id AND t2.tpos BETWEEN sp.start_pos AND sp.end_pos + 4),
+         |clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+         |    count(*) AS n_kept FROM kept GROUP BY doc_id),
+         |nt AS (SELECT d.doc_id,
+         |    CASE WHEN trim(d.text) = '' THEN 0 ELSE len(t.w) END AS n_toks
+         |  FROM documents d JOIN t ON d.doc_id = t.doc_id)
+         |SELECT nt.doc_id, coalesce(c.clean_text, '') AS clean_text,
+         |  (nt.n_toks - coalesce(c.n_kept, 0))::BIGINT AS n_removed
+         |FROM nt LEFT JOIN clean c ON nt.doc_id = c.doc_id
+         |ORDER BY nt.doc_id""".stripMargin,
     // q117: the join semantics reduce to the partition predicate.
     "q117_dpp_join" ->
       """SELECT o_orderstatus, 'finished' AS label, count(*)::BIGINT AS n,

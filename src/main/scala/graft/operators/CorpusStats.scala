@@ -123,12 +123,14 @@ object CorpusStats {
     * matching is a group/join on the 32-bit fp exactly like exact-dedup's
     * digest join. Hash = first 8 hex chars of md5(gram), engine-portable
     * the same way as [[Curation.hashBucket]]. */
-  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-                         k: Int = 5, w: Int = 4): DataFrame = {
-    require(k > 0 && w > 0, "k and w must be positive")
-    // tokens → positional k-grams → 32-bit hashes, each materialized as a
-    // real column so no stage re-evaluates its predecessor per lambda.
-    val base = graft.io.Parallelism.ensure(docs)
+  /** Shared gram-hash pipeline: tokens → positional k-grams → 32-bit
+    * hashes, each materialized as a real column so no stage re-evaluates
+    * its predecessor per lambda. Adds `__toks`/`__grams`/`__hs` to the
+    * frame; consumed by [[winnowFingerprints]] (window-min selection) and
+    * [[Dedup.repeatedSpans]] (all-position stream). */
+  private[operators] def withGramHashes(docs: DataFrame, idCol: String,
+                                        textCol: String, k: Int): DataFrame =
+    graft.io.Parallelism.ensure(docs)
       .withColumn("__toks", TF.tokens(TF.normalizeText(col(textCol))))
       .withColumn("__grams",
         when(size(col("__toks")) < k, array().cast("array<string>"))
@@ -137,6 +139,11 @@ object CorpusStats {
             i => concat_ws(" ", (0 until k).map(j => element_at(col("__toks"), i + j + 1)): _*))))
       .withColumn("__hs",
         transform(col("__grams"), g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")))
+
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    val base = withGramHashes(docs, idCol, textCol, k)
     val m = size(col("__hs"))
     // window starts: 1..m−w+1 (a single clamped window when 0 < m < w)
     val nWin = greatest(m - w + 1, lit(1))

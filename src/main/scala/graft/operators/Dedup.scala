@@ -324,6 +324,112 @@ object Dedup {
     labels.select(col("id"), col("lab").as("cluster_id"))
   }
 
+  /** EXACT SUBSTRING-LEVEL dedup, detection half (Lee et al.-style
+    * repeated-span removal — the step doc-level MinHash/SimHash cannot do:
+    * those find near-duplicate *documents*; this finds repeated *spans*
+    * — licenses, boilerplate, headers — inside otherwise-unique ones).
+    *
+    * Method: the positional k-gram hash stream (the same pipeline
+    * [[CorpusStats.winnowFingerprints]] selects minima from — here every
+    * position is kept, since span EXTRACTION needs contiguity, not just
+    * detection), a corpus-wide duplicated-gram filter (a gram is
+    * duplicated when it occurs at ≥ `minOccurrences` (doc, pos) sites —
+    * within-doc repetition counts), then per-document island-merging of
+    * consecutive duplicated positions into maximal spans. A span's tokens
+    * run `start_pos .. end_pos + k − 1` (1-based); only spans covering
+    * ≥ `minSpanTokens` tokens are reported (k-gram granularity: spans
+    * shorter than k are invisible by construction).
+    *
+    * Scale shape — NO all-pairs anywhere: the gram stream is map-side
+    * (one Generate), duplicated-gram detection is one fp-keyed
+    * hash-aggregate (partial map-side combine; Zipf-heavy fp keys are
+    * AQE-splittable), the semi-join back is fp-keyed, and island-merge is
+    * one doc-keyed window. Corpus text never shuffles — only (id, pos,
+    * fp32) triples do. 32-bit fps make a cross-doc collision ~n²/2³³ per
+    * gram pair — the standard fingerprinting trade, same as winnowing.
+    *
+    * Returns (id, start_pos, end_pos, span_toks). */
+  def repeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      minOccurrences: Int = 2,
+      minSpanTokens: Int = 5
+  ): DataFrame = {
+    require(k > 0 && minOccurrences >= 2, "need k > 0, minOccurrences >= 2")
+    val grams = positionalGrams(docs, idCol, textCol, k).cache()
+    val dupFps = grams.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minOccurrences)
+      .select(col("fp"))
+    val dup = grams.join(dupFps, Seq("fp"), "left_semi")
+    // island merge: consecutive duplicated positions share (pos − rank)
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    dup.withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"))
+      .withColumn("span_toks", (col("end_pos") - col("start_pos") + k).cast("long"))
+      .filter(col("span_toks") >= minSpanTokens)
+      .select(col("id"), col("start_pos"), col("end_pos"), col("span_toks"))
+  }
+
+  /** Positional k-gram hash stream: one (id, pos, fp) row per k-gram,
+    * `pos` 1-based. Map-side only (one Generate; the outer explode +
+    * output-filter dance dodges the InferFiltersFromGenerate
+    * re-evaluation trap). */
+  def positionalGrams(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame =
+    CorpusStats.withGramHashes(docs, idCol, textCol, k)
+      .select(col(idCol).as("id"), posexplode_outer(col("__hs")).as(Seq("p0", "fp")))
+      .filter(col("fp").isNotNull)
+      .select(col("id"), (col("p0") + 1).cast("int").as("pos"), col("fp"))
+
+  /** EXACT SUBSTRING-LEVEL dedup, removal half: drop every token covered
+    * by a [[repeatedSpans]] span and reassemble the survivors (normalized
+    * token stream, single-space joined — removal operates on the same
+    * token granularity the spans were measured on). Every input document
+    * returns a row; fully-duplicated documents come back with empty
+    * `clean_text`. `n_removed` counts dropped tokens.
+    *
+    * Shape: spans per doc are few, so covered-token marking is an
+    * id-keyed join with a range predicate (never all-pairs), and
+    * reassembly is one doc-keyed sort-free aggregate (array_sort of
+    * (pos, token) structs — deterministic, no per-group sort shuffle). */
+  def stripRepeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      minOccurrences: Int = 2,
+      minSpanTokens: Int = 5
+  ): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, k, minOccurrences, minSpanTokens)
+      .select(col("id").as("__sid"), col("start_pos"), col("end_pos"))
+    val toks = graft.io.Parallelism.ensure(docs)
+      .withColumn("__toks", TextFunctions.tokens(TextFunctions.normalizeText(col(textCol))))
+      .select(col(idCol).as("id"), posexplode_outer(col("__toks")).as(Seq("p0", "tok")))
+      .filter(col("tok").isNotNull && length(col("tok")) > 0)
+      .select(col("id"), (col("p0") + 1).cast("int").as("tpos"), col("tok"))
+    val kept = toks.join(spans,
+      col("id") === col("__sid") &&
+        col("tpos") >= col("start_pos") && col("tpos") <= col("end_pos") + lit(k - 1),
+      "left_anti")
+    val clean = kept.groupBy(col("id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("tpos"), col("tok")))),
+        s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).as("id"),
+        size(TextFunctions.tokens(TextFunctions.normalizeText(col(textCol)))).as("__nt"),
+        when(length(trim(col(textCol))) === 0, lit(0)).otherwise(lit(null)).as("__empty"))
+      .withColumn("n_toks", coalesce(col("__empty"), col("__nt")).cast("long"))
+      .join(clean, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Scale path for embedding near-dup: SRP-LSH bucket the vectors in
     * `nTables` independent tables (OR-amplification), verify cosine within
     * buckets. Approximate with tunable recall: a pair at cosine c agrees on

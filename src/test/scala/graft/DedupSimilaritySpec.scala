@@ -93,6 +93,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(7L) == 7L)
   }
 
+  test("repeatedSpans: planted shared span inside otherwise-unique docs is extracted exactly") {
+    val boiler = "this software is provided as is without warranty of any kind express or implied"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon $boiler zeta eta theta iota kappa"),
+      (2L, s"one two three four five six seven $boiler eight nine ten eleven twelve"),
+      (3L, "completely unrelated text with no shared content at all whatsoever here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", k = 5, minSpanTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // boiler = 14 tokens → gram positions 6..15 in doc 1 (5 unique tokens
+    // before it), 8..17 in doc 2 (7 before); span covers exactly the
+    // boilerplate: end_pos + k - 1 = last boiler token
+    assert(spans.toSet == Set((1L, 6, 15, 14L), (2L, 8, 17, 14L)))
+
+    val stripped = Dedup.stripRepeatedSpans(docs, "doc_id", "text", k = 5, minSpanTokens = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(stripped(1L) == (("alpha beta gamma delta epsilon zeta eta theta iota kappa", 14L)))
+    assert(stripped(2L) == (("one two three four five six seven eight nine ten eleven twelve", 14L)))
+    assert(stripped(3L)._2 == 0L) // untouched doc: nothing removed
+  }
+
+  test("stripRepeatedSpans: fully-duplicated docs come back empty, still present") {
+    val dup = "exact duplicate document body repeated verbatim across the corpus twice over"
+    val docs = Seq((1L, dup), (2L, dup), (3L, "unique short text")).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedSpans(docs, "doc_id", "text", k = 5, minSpanTokens = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == (("", 11L)) && out(2L) == (("", 11L)))
+    assert(out(3L) == (("unique short text", 0L)))
+  }
+
   test("clusters: a long chain (diameter >> 10) converges with bounded plan depth") {
     // path graph 0-1-2-...-30: min-label moves ONE hop per iteration, so
     // this runs ~30 iterations — without the periodic localCheckpoint the

@@ -1800,6 +1800,47 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** One BPE training run per sf dir (8 merges on the documents corpus),
+    * shared by q126/q127/q128 — training is deterministic, so the share
+    * is pure memoization. */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[String, (operators.Bpe.BpeModel, DataFrame)]
+  private def ensureBpe(s: SparkSession, dir: String): (operators.Bpe.BpeModel, DataFrame) =
+    bpeCache.getOrElseUpdate(dir,
+      operators.Bpe.train(T(s, dir, "documents"), "doc_id", "text", numMerges = 8))
+
+  /** TRAINED BPE, the merge table: 8 iterations of corpus-weighted
+    * most-frequent-adjacent-pair selection (ties lexicographic) over the
+    * distinct-word table. The oracle replays every iteration in SQL —
+    * pair counts, argmax, and the greedy left-to-right merge (closed-form
+    * islands + parity, no recursion) — so the LEARNED vocabulary itself
+    * is hash-verified, not just its application. */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ensureBpe(s, dir)._1.merges.zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b) }
+      .toDF("merge_rank", "lhs", "rhs")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** The trained tokenizer applied to its own vocabulary: final
+    * segmentation of every distinct word after the 8 learned merges. */
+  private def q127(s: SparkSession, dir: String): DataFrame =
+    ensureBpe(s, dir)._2
+      .select(col("word"), size(col("syms")).cast("long").as("n_pieces"),
+        array_join(col("syms"), " ").as("pieces"))
+      .orderBy(col("word"))
+
+  /** Learned-vocab token counts per document — the REAL counts the
+    * packing/truncation/curriculum operators approximate with the regex
+    * subword heuristic: corpus word stream joined to the broadcast
+    * trained segmentation. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val (_, words) = ensureBpe(s, dir)
+    operators.Bpe.tokenCounts(T(s, dir, "documents"), "doc_id", "text", words)
+      .orderBy(col("doc_id"))
+  }
+
   /** Hard-negative mining for contrastive training: each query's top-5
     * nearest neighbors RESTRICTED to a different label — the
     * close-but-wrong examples a retrieval trainer wants. Composition of
@@ -1951,7 +1992,10 @@ object SparkEntry {
     "q122_pmi_collocations" -> (q122 _),
     "q123_hard_negatives" -> (q123 _),
     "q124_repeated_spans" -> (q124 _),
-    "q125_span_strip" -> (q125 _)
+    "q125_span_strip" -> (q125 _),
+    "q126_bpe_merges" -> (q126 _),
+    "q127_bpe_segment" -> (q127 _),
+    "q128_bpe_token_counts" -> (q128 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -2031,6 +2075,47 @@ object SparkEntry {
        |spans AS (SELECT doc_id, min(pos) AS start_pos, max(pos) AS end_pos,
        |    (max(pos) - min(pos) + 5)::BIGINT AS span_toks
        |  FROM isl GROUP BY doc_id, grp HAVING (max(pos) - min(pos) + 5) >= 8)""".stripMargin
+
+  /** q126/q127/q128's shared prefix: the FULL BPE training replay — 8
+    * iterations, each = corpus-weighted pair counts (`prN`), the argmax
+    * pair with lexicographic tie-break (`btN`), and the greedy
+    * left-to-right merge applied closed-form (`msN` marks merge-start
+    * positions: occurrence islands + even-offset parity — equivalent to
+    * the engine's sequential fold because only equal-pair runs overlap),
+    * ending in the segmented word table `ws8(word, cnt, syms)`. */
+  private lazy val bpeCteChain: String = {
+    val init =
+      s"""bw0 AS MATERIALIZED (SELECT word, count(*)::BIGINT AS cnt FROM (
+         |    SELECT unnest(regexp_split_to_array($normSql, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY word),
+         |ws0 AS MATERIALIZED (SELECT word, cnt,
+         |  list_transform(range(1, len(word) + 1), i -> word[i]) AS syms FROM bw0)""".stripMargin
+    val iters = (1 to 8).map { i =>
+      val prev = s"ws${i - 1}"
+      s"""pr$i AS MATERIALIZED (SELECT p.a AS a, p.b AS b, sum(cnt)::BIGINT AS n FROM (
+         |    SELECT cnt, unnest(CASE WHEN len(syms) < 2 THEN []
+         |      ELSE list_transform(range(2, len(syms) + 1),
+         |        j -> {'a': syms[j-1], 'b': syms[j]}) END) AS p
+         |    FROM $prev) GROUP BY 1, 2),
+         |bt$i AS MATERIALIZED (SELECT a, b FROM pr$i ORDER BY n DESC, a, b LIMIT 1),
+         |ps$i AS MATERIALIZED (SELECT word, cnt, syms, unnest(range(1, len(syms) + 1)) AS j FROM $prev),
+         |oc$i AS MATERIALIZED (SELECT p.word, p.j FROM ps$i p, bt$i bt
+         |  WHERE p.syms[p.j] = bt.a AND p.j < len(p.syms) AND p.syms[p.j + 1] = bt.b),
+         |ms$i AS MATERIALIZED (SELECT word, j FROM (
+         |    SELECT word, j, min(j) OVER (PARTITION BY word, isl) AS j0 FROM (
+         |      SELECT word, j, j - row_number() OVER (PARTITION BY word ORDER BY j) AS isl
+         |      FROM oc$i)) WHERE (j - j0) % 2 = 0),
+         |ws$i AS MATERIALIZED (SELECT o.word, any_value(o.cnt) AS cnt, list(o.piece ORDER BY o.j) AS syms
+         |  FROM (SELECT p.word, p.cnt, p.j,
+         |      CASE WHEN ms.j IS NOT NULL THEN p.syms[p.j] || bt.b ELSE p.syms[p.j] END AS piece,
+         |      (mp.j IS NOT NULL) AS skip
+         |    FROM ps$i p CROSS JOIN bt$i bt
+         |    LEFT JOIN ms$i ms ON ms.word = p.word AND ms.j = p.j
+         |    LEFT JOIN ms$i mp ON mp.word = p.word AND mp.j = p.j - 1) o
+         |  WHERE NOT o.skip GROUP BY o.word)""".stripMargin
+    }.mkString(",\n")
+    init + ",\n" + iters
+  }
 
   /** Sequential-fold dot product mirror of VectorFunctions.dot. */
   private def dotSql(a: String, b: String): String =
@@ -3138,6 +3223,30 @@ object SparkEntry {
          |  (nt.n_toks - coalesce(c.n_kept, 0))::BIGINT AS n_removed
          |FROM nt LEFT JOIN clean c ON nt.doc_id = c.doc_id
          |ORDER BY nt.doc_id""".stripMargin,
+    // q126: the learned merge table — one row per training iteration.
+    "q126_bpe_merges" -> {
+      val rows = (1 to 8)
+        .map(i => s"SELECT $i AS merge_rank, a AS lhs, b AS rhs FROM bt$i")
+        .mkString("\n UNION ALL ")
+      s"""WITH $bpeCteChain
+         |SELECT * FROM ($rows) ORDER BY merge_rank""".stripMargin
+    },
+    // q127: the trained segmentation of the whole vocabulary.
+    "q127_bpe_segment" ->
+      s"""WITH $bpeCteChain
+         |SELECT word, len(syms)::BIGINT AS n_pieces,
+         |  array_to_string(syms, ' ') AS pieces
+         |FROM ws8 ORDER BY word""".stripMargin,
+    // q128: learned-vocab token counts per document.
+    "q128_bpe_token_counts" ->
+      s"""WITH $bpeCteChain,
+         |bstream AS (SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array($normSql, ' ')) AS word
+         |    FROM documents) WHERE len(word) > 0)
+         |SELECT t.doc_id, count(*)::BIGINT AS n_words,
+         |  sum(len(w.syms))::BIGINT AS n_bpe_tokens
+         |FROM bstream t JOIN ws8 w USING (word)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     // q117: the join semantics reduce to the partition predicate.
     "q117_dpp_join" ->
       """SELECT o_orderstatus, 'finished' AS label, count(*)::BIGINT AS n,

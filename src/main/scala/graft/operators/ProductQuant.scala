@@ -291,4 +291,102 @@ object ProductQuant {
       .limit(n)
       .select(col("id"), col("approx_dist"), col("cosine"))
   }
+
+  // ───────────── on-disk index persistence (cross-session serve) ─────────────
+
+  /** The residual IVF-PQ index as a VERSIONED on-disk layout, so a fresh
+    * JVM serves without retraining (a production ANN service trains
+    * offline, serves from the artifact):
+    *
+    * {{{
+    *   <dir>/_CURRENT        ← "v<N>" (atomic pointer, FileContext rename)
+    *   <dir>/v<N>/meta.json  ← m, k, subDim, coarse centroids, codebooks
+    *   <dir>/v<N>/codes/     ← parquet (id, cell, codes) — the serving set
+    * }}}
+    *
+    * Same commit protocol as the streaming state store: write the new
+    * version dir fully, THEN swap the pointer — readers always see a
+    * complete index, a crashed writer leaves the old version live.
+    * Doubles round-trip exactly (Jackson prints shortest-round-trip
+    * decimals), so a loaded index serves bit-identical results — which is
+    * what the two-JVM smoke (`graft.tools.IvfPqSmoke`) asserts. */
+  def saveResidualIndex(spark: org.apache.spark.sql.SparkSession,
+                        index: IvfPqResidualIndex, dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = currentVersion(spark, dir).map(_ + 1).getOrElse(1)
+    val vdir = new Path(root, s"v$next")
+    graft.io.Writers.parquet(index.encoded, new Path(vdir, "codes").toString)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("m", index.model.m)
+    node.put("k", index.model.k)
+    node.put("subDim", index.model.subDim)
+    def arr2(parent: com.fasterxml.jackson.databind.node.ObjectNode,
+             name: String, rows: Seq[Seq[Double]]): Unit = {
+      val a = parent.putArray(name)
+      rows.foreach { r => val ra = a.addArray(); r.foreach(ra.add) }
+    }
+    arr2(node, "centroids", index.centroids)
+    val cbs = node.putArray("codebooks")
+    index.model.codebooks.foreach { cb =>
+      val ca = cbs.addArray()
+      cb.foreach { r => val ra = ca.addArray(); r.foreach(ra.add) }
+    }
+    val out = fs.create(new Path(vdir, "meta.json"), true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    finally out.close()
+    // atomic pointer swap — the publish point
+    val tmp = new Path(root, "_CURRENT.tmp")
+    val po = fs.create(tmp, true)
+    try po.write(s"v$next".getBytes("UTF-8")) finally po.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      root.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(root, "_CURRENT"), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    vdir.toString
+  }
+
+  /** The published index version, or None before the first save. */
+  def currentVersion(spark: org.apache.spark.sql.SparkSession, dir: String): Option[Int] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(root, "_CURRENT")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val v = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+      Some(v.stripPrefix("v").toInt)
+    }
+  }
+
+  /** Load the published index — NO training anywhere on this path: meta
+    * is one small JSON read, codes are the parquet serving set. */
+  def loadResidualIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): IvfPqResidualIndex = {
+    import org.apache.hadoop.fs.Path
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no published index under $dir"))
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(root, s"v$v/meta.json"))
+    val json = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    def toSeq2(n: com.fasterxml.jackson.databind.JsonNode): Seq[Seq[Double]] = {
+      import scala.jdk.CollectionConverters._
+      n.elements().asScala.map(row =>
+        row.elements().asScala.map(_.asDouble).toSeq).toSeq
+    }
+    import scala.jdk.CollectionConverters._
+    val codebooks = node.get("codebooks").elements().asScala.map(toSeq2).toSeq
+    IvfPqResidualIndex(
+      PQModel(node.get("m").asInt, node.get("k").asInt, node.get("subDim").asInt, codebooks),
+      toSeq2(node.get("centroids")),
+      spark.read.parquet(new Path(root, s"v$v/codes").toString))
+  }
 }

@@ -117,6 +117,45 @@ class PipelineIoSpec extends AnyFunSuite {
     assert(read.contains("rows=3 payers=2"), s"unexpected read output:\n$read")
   }
 
+  test("IVF-PQ index persistence: a fresh JVM serves the published artifact bit-identically, no retrain") {
+    val indexDir = Files.createTempDirectory("graft-ivfpq-idx").toString
+    def runPhase(mode: String): String = {
+      val java = s"${System.getProperty("java.home")}/bin/java"
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = Seq(java) ++ addOpens ++ Seq(
+        "-Xmx2g", "-DSPARK_GRAFT_CPUS=4",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.tools.IvfPqSmoke", mode, indexDir, "/root/testdata/sf0.001")
+      val out = new StringBuilder
+      val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+        .foreach(l => out.append(l).append('\n'))
+      assert(proc.waitFor() == 0, s"IvfPqSmoke $mode failed:\n$out")
+      out.toString
+    }
+    def resultLine(out: String): String =
+      out.linesIterator.find(_.startsWith("result=")).getOrElse(fail(s"no result line:\n$out"))
+    val built = runPhase("build")
+    assert(built.contains("published=") && built.contains("/v1"))
+    // the artifact survived the training JVM; a new JVM serves identically
+    assert(new java.io.File(s"$indexDir/_CURRENT").exists())
+    val served = runPhase("serve")
+    val r = resultLine(built)
+    assert(r.stripPrefix("result=").nonEmpty && resultLine(served) == r,
+      s"fresh-JVM serve diverged:\nbuild: $r\nserve: ${resultLine(served)}")
+    // republish bumps the version, pointer follows
+    val rebuilt = runPhase("build")
+    assert(rebuilt.contains("/v2") && resultLine(rebuilt) == r)
+  }
+
   test("star schema: dim input cleans, fact joins dims + measures with 0-fill") {
     val staging = Seq(("p1", "alice", "nyc"), ("p1", "alice", "nyc"), ("p2", null, "sf"))
       .toDF("id", "name", "city")

@@ -1800,6 +1800,15 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** PARAGRAPH-granularity near-dup: 64-token exact-partition chunks
+    * through the banded MinHash pipeline — sub-document duplicate
+    * detection ("same doc, edited intro"). Same LSH machinery as q28,
+    * one level finer. */
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    Dedup.paragraphNearDups(T(s, dir, "documents"), "doc_id", "text",
+        width = 64, threshold = 0.5)
+      .orderBy(col("doc_a"), col("chunk_a"), col("doc_b"), col("chunk_b"))
+
   /** One BPE training run per sf dir (8 merges on the documents corpus),
     * shared by q126/q127/q128 — training is deterministic, so the share
     * is pure memoization. */
@@ -1995,7 +2004,8 @@ object SparkEntry {
     "q125_span_strip" -> (q125 _),
     "q126_bpe_merges" -> (q126 _),
     "q127_bpe_segment" -> (q127 _),
-    "q128_bpe_token_counts" -> (q128 _)
+    "q128_bpe_token_counts" -> (q128 _),
+    "q129_paragraph_neardup" -> (q129 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -3247,6 +3257,37 @@ object SparkEntry {
          |  sum(len(w.syms))::BIGINT AS n_bpe_tokens
          |FROM bstream t JOIN ws8 w USING (word)
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // q129: q28's banded-minhash replay over 64-token exact-partition
+    // chunks, composite pid = 'doc:idx' split back on output.
+    "q129_paragraph_neardup" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN []
+         |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS w0
+         |  FROM documents),
+         |i AS (SELECT doc_id, w0,
+         |  unnest(range(CASE WHEN len(w0) = 0 THEN 0 ELSE (len(w0) - 1) // 64 + 1 END)) AS chunk_idx
+         |  FROM t),
+         |c AS (SELECT doc_id, chunk_idx,
+         |  list_slice(w0, chunk_idx * 64 + 1, chunk_idx * 64 + 64) AS ct FROM i),
+         |ch AS (SELECT doc_id::VARCHAR || ':' || chunk_idx::VARCHAR AS pid,
+         |  regexp_split_to_array(regexp_replace(trim(lower(array_to_string(ct, ' '))), '\\s+', ' ', 'g'), ' ') AS w
+         |  FROM c),
+         |chsh AS (SELECT pid, $shinglesSql AS sh FROM ch),
+         |sig AS (SELECT pid, sh, list_transform(range(0, 16),
+         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS mh
+         |  FROM chsh),
+         |bands AS (SELECT pid, unnest(list_transform(range(0, 4),
+         |  j -> md5(j::VARCHAR || ',' || array_to_string(mh[j*4+1:j*4+4], ',')))) AS bk FROM sig),
+         |cand AS (SELECT DISTINCT a.pid AS id_a, b.pid AS id_b
+         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.pid < b.pid)
+         |SELECT string_split(id_a, ':')[1]::BIGINT AS doc_a,
+         |  string_split(id_a, ':')[2]::INT AS chunk_a,
+         |  string_split(id_b, ':')[1]::BIGINT AS doc_b,
+         |  string_split(id_b, ':')[2]::INT AS chunk_b,
+         |  $jaccardSql AS jaccard
+         |FROM cand JOIN chsh a ON a.pid = id_a JOIN chsh b ON b.pid = id_b
+         |WHERE $jaccardSql >= 0.5
+         |ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin,
     // q117: the join semantics reduce to the partition predicate.
     "q117_dpp_join" ->
       """SELECT o_orderstatus, 'finished' AS label, count(*)::BIGINT AS n,

@@ -430,6 +430,35 @@ object Dedup {
         (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** PARAGRAPH-granularity near-dup: [[Chunker.chunk]] (width = stride —
+    * exact partition) composed with [[minhashNearDups]] over the chunk
+    * texts — detection BELOW document level, the common "same doc, edited
+    * intro" case a whole-document MinHash misses (global similarity
+    * diluted by the edits) and [[repeatedSpans]] only catches when the
+    * shared part is verbatim. Same banded-LSH shape: no all-pairs, chunk
+    * ids ride as composite strings through the band join and split back
+    * on output. Returns (doc_a, chunk_a, doc_b, chunk_b, jaccard). */
+  def paragraphNearDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int,
+      threshold: Double,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4
+  ): DataFrame = {
+    val chunks = Chunker.chunk(docs, idCol, textCol, width, width)
+      .select(concat_ws(":", col("id"), col("chunk_idx")).as("pid"), col("chunk_text"))
+    minhashNearDups(chunks, "chunk_text", "pid", threshold, shingleSize, numHashes, bands)
+      .select(
+        split(col("id_a"), ":").getItem(0).cast("long").as("doc_a"),
+        split(col("id_a"), ":").getItem(1).cast("int").as("chunk_a"),
+        split(col("id_b"), ":").getItem(0).cast("long").as("doc_b"),
+        split(col("id_b"), ":").getItem(1).cast("int").as("chunk_b"),
+        col("jaccard"))
+  }
+
   /** Scale path for embedding near-dup: SRP-LSH bucket the vectors in
     * `nTables` independent tables (OR-amplification), verify cosine within
     * buckets. Approximate with tunable recall: a pair at cosine c agrees on

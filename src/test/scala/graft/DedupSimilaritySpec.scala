@@ -124,6 +124,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(3L) == (("unique short text", 0L)))
   }
 
+  test("paragraphNearDups: the edited-intro case — shared paragraph found below doc level") {
+    val shared = (1 to 16).map(i => s"shared$i").mkString(" ") // one full 16-token chunk
+    val docs = Seq(
+      (1L, s"intro one totally different opening lines here padding pad1 pad2 pad3 pad4 pad5 pad6 pad7 pad8 $shared"),
+      (2L, s"another beginning entirely unlike the first version text padx pady padz padw padv padu padt pads $shared"),
+      (3L, "unrelated third document with nothing shared at all in any chunk window here")
+    ).toDF("doc_id", "text")
+    // width 16 → each doc = [own intro chunk, shared chunk]
+    val pairs = Dedup.paragraphNearDups(docs, "doc_id", "text", width = 16, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    assert(pairs.length == 1)
+    val (da, ca, db, cb, j) = pairs.head
+    assert(da == 1L && ca == 1 && db == 2L && cb == 1 && j == 1.0)
+    // whole-document minhash at the same threshold misses it: the edits
+    // dilute global similarity below 0.9
+    val docLevel = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.9)
+    assert(docLevel.count() == 0)
+  }
+
   test("clusters: a long chain (diameter >> 10) converges with bounded plan depth") {
     // path graph 0-1-2-...-30: min-label moves ONE hop per iteration, so
     // this runs ~30 iterations — without the periodic localCheckpoint the

@@ -1809,6 +1809,37 @@ object SparkEntry {
         width = 64, threshold = 0.5)
       .orderBy(col("doc_a"), col("chunk_a"), col("doc_b"), col("chunk_b"))
 
+  /** STREAMING ANN-index maintenance: the residual IVF-PQ model trains
+    * ONCE on the initial corpus (vec_id < 300), whose codes seed the
+    * index state; the remaining vectors then ARRIVE as two micro-batches
+    * and fold in via AnnStream.indexMaintenanceSink (frozen-model
+    * map-side encode, batchId-keyed idempotent appends). The oracle
+    * replays training on the initial corpus and encodes the FULL corpus
+    * in one shot — hash equality proves the maintained index is
+    * batch-boundary-insensitive and routing-equivalent to a rebuild. */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val initial = emb.filter(col("vec_id") < 300)
+    val idx = graft.operators.ProductQuant.buildIvfPqResidual(
+      initial, "vec_id", "embedding", coarseK = 4, m = 4, k = 8, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q130").toString
+    graft.io.Writers.parquet(idx.encoded, s"$tmp/state/binit")
+    val rest = emb.filter(col("vec_id") >= 300)
+    val updatesDir = s"$tmp/updates"
+    rest.filter(col("vec_id") % 2 === 0).write.mode("append").parquet(updatesDir)
+    val stream = s.readStream.schema(rest.schema).parquet(updatesDir)
+    val q = graft.streaming.AnnStream.indexMaintenanceSink(s, stream,
+      "vec_id", "embedding", idx.centroids, idx.model, s"$tmp/state", s"$tmp/ckpt")
+    q.processAllAvailable()
+    rest.filter(col("vec_id") % 2 === 1).write.mode("append").parquet(updatesDir)
+    q.processAllAvailable()
+    q.stop()
+    graft.streaming.AnnStream.readCodes(s, s"$tmp/state")
+      .select(col("id").as("vec_id"), col("cell"),
+        concat_ws(",", transform(col("codes"), c => c.cast("string"))).as("codes"))
+      .orderBy(col("vec_id"))
+  }
+
   /** One BPE training run per sf dir (8 merges on the documents corpus),
     * shared by q126/q127/q128 — training is deterministic, so the share
     * is pure memoization. */
@@ -2005,7 +2036,8 @@ object SparkEntry {
     "q126_bpe_merges" -> (q126 _),
     "q127_bpe_segment" -> (q127 _),
     "q128_bpe_token_counts" -> (q128 _),
-    "q129_paragraph_neardup" -> (q129 _)
+    "q129_paragraph_neardup" -> (q129 _),
+    "q130_stream_ann_index" -> (q130 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
@@ -3288,6 +3320,41 @@ object SparkEntry {
          |FROM cand JOIN chsh a ON a.pid = id_a JOIN chsh b ON b.pid = id_b
          |WHERE $jaccardSql >= 0.5
          |ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin,
+    // q130: residual IVF-PQ trained on vec_id < 300, then the FULL corpus
+    // encoded in one shot with the frozen model — the engine's streamed
+    // two-batch fold must land the identical table.
+    "q130_stream_ann_index" ->
+      s"""WITH $pqNormCte,
+         |tnv AS (SELECT id, nvec FROM nv WHERE id < 300),
+         |cs AS (SELECT 0 AS grp, id, nvec AS vec FROM tnv),
+         |${kmeansReplayCte("c", "cs", "4", iters = 2, dim = 64)},
+         |rv AS (SELECT a.id, a.cell,
+         |  list_transform(range(1, 65), i -> a.vec[i]::DOUBLE - c.cent[i]) AS rvec
+         |  FROM ca a JOIN ccb c ON c.grp = a.grp AND c.cid = a.cell),
+         |rsl AS (SELECT t.j AS grp, id, list_slice(rvec, t.j * 16 + 1, t.j * 16 + 16) AS vec
+         |  FROM rv, range(0, 4) t(j)),
+         |${kmeansReplayCte("r", "rsl", "8", iters = 2, dim = 16)},
+         |fa AS (SELECT id, cell FROM (
+         |  SELECT n.id, c.cid AS cell, row_number() OVER (PARTITION BY n.id
+         |    ORDER BY list_reduce(list_transform(range(1, 65),
+         |      i -> (n.nvec[i]::DOUBLE - c.cent[i]) * (n.nvec[i]::DOUBLE - c.cent[i])),
+         |      (x, y) -> x + y), c.cid) AS rn
+         |  FROM nv n JOIN ccb c ON c.grp = 0) WHERE rn = 1),
+         |frv AS (SELECT f.id, f.cell,
+         |  list_transform(range(1, 65), i -> n.nvec[i]::DOUBLE - c.cent[i]) AS rvec
+         |  FROM fa f JOIN nv n ON n.id = f.id JOIN ccb c ON c.grp = 0 AND c.cid = f.cell),
+         |fsl AS (SELECT t.j AS grp, id, list_slice(rvec, t.j * 16 + 1, t.j * 16 + 16) AS vec
+         |  FROM frv, range(0, 4) t(j)),
+         |fcd AS (SELECT grp, id, cid FROM (
+         |  SELECT s.grp, s.id, r.cid, row_number() OVER (PARTITION BY s.grp, s.id
+         |    ORDER BY list_reduce(list_transform(range(1, 17),
+         |      i -> (s.vec[i]::DOUBLE - r.cent[i]) * (s.vec[i]::DOUBLE - r.cent[i])),
+         |      (x, y) -> x + y), r.cid) AS rn
+         |  FROM fsl s JOIN rcb r ON r.grp = s.grp) WHERE rn = 1)
+         |SELECT f.id AS vec_id, any_value(f.cell)::INT AS cell,
+         |  string_agg(d.cid::VARCHAR, ',' ORDER BY d.grp) AS codes
+         |FROM fa f JOIN fcd d ON d.id = f.id
+         |GROUP BY f.id ORDER BY vec_id""".stripMargin,
     // q117: the join semantics reduce to the partition predicate.
     "q117_dpp_join" ->
       """SELECT o_orderstatus, 'finished' AS label, count(*)::BIGINT AS n,

@@ -171,15 +171,35 @@ object ProductQuant {
     val trained = Similarity.kmeansFitGrouped(sliced, "grp", "id", "vec", k, iters)
     val books = (0 until m).map(trained(_))
     val model = PQModel(m, k, subDim, books)
-    val codes = (0 until m).map { j =>
-      val vs = slice(col("rvec"), j * subDim + 1, subDim)
-      val sc = array(books(j).zipWithIndex.map { case (c, i) =>
+    IvfPqResidualIndex(model, cents, encodeResidual(corpus, idCol, vecCol, cents, model))
+  }
+
+  /** Route + encode a vector set against a FROZEN residual index (coarse
+    * centroids + codebooks given, nothing trained): (id, cell, codes).
+    * Pure map-side — centroid/codebook literals, argmin structs, no
+    * exchange — which is exactly why incremental index maintenance works:
+    * encoding a batch now or re-encoding the union later lands identical
+    * rows (see [[graft.streaming.AnnStream]]). */
+  def encodeResidual(corpus: DataFrame, idCol: String, vecCol: String,
+                     cents: Seq[Seq[Double]], model: PQModel): DataFrame = {
+    val normed = corpus.select(col(idCol).as("id"),
+      normalizedVec(col(vecCol)).as("nvec"))
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(col("nvec"), c).as("d"), lit(i).as("cid"))
+    }: _*)
+    val centsLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val withRes = normed
+      .withColumn("cell", array_min(scored).getField("cid"))
+      .withColumn("rvec", zip_with(col("nvec"), element_at(centsLit, col("cell") + 1),
+        (x, c) => x.cast("double") - c))
+    val codes = (0 until model.m).map { j =>
+      val vs = slice(col("rvec"), j * model.subDim + 1, model.subDim)
+      val sc = array(model.codebooks(j).zipWithIndex.map { case (c, i) =>
         struct(sqDist(vs, c).as("d"), lit(i).as("cid"))
       }: _*)
       array_min(sc).getField("cid")
     }
-    IvfPqResidualIndex(model, cents,
-      withRes.select(col("id"), col("cell"), array(codes: _*).as("codes")))
+    withRes.select(col("id"), col("cell"), array(codes: _*).as("codes"))
   }
 
   /** Residual IVF-PQ top-`n`: route to `nprobe` cells, ADC-score each

@@ -1,0 +1,1408 @@
+package graft
+
+/** The DuckDB oracle registry: for every entry in [[SparkEntry.queries]],
+  * equivalent ANSI SQL the driver runs in DuckDB over the same parquet
+  * tables — the correctness gate's other half. Pure SQL strings (plus the
+  * generators for the iterative replays: k-means, PQ, packing, winnowing,
+  * repeated spans, BPE training); nothing here touches Spark.
+  */
+object OracleSql {
+
+  private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  private val shinglesSql =
+    s"""list_distinct(CASE WHEN len(w) < 3 THEN [] ELSE
+       | list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)""".stripMargin
+  private val docShinglesCte =
+    s"""docsh AS (SELECT doc_id, source, $shinglesSql AS sh FROM
+       | (SELECT doc_id, source, regexp_split_to_array($normSql, ' ') AS w FROM documents))""".stripMargin
+  private val jaccardSql =
+    """CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) = 0 THEN 0.0
+      | ELSE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE END""".stripMargin
+
+  /** Greedy-packing replay (q94/q111 shared prefix): hash-grouped docs in
+    * id order stepped through the recursive fill; the final relation is
+    * `p(grp, doc_id, n_tokens, rn, pack_id, fill, pack_pos)`. Callers
+    * prefix with `WITH RECURSIVE`. */
+  private lazy val packReplayCte =
+    """d AS (
+      |  SELECT grp, doc_id, n_tokens,
+      |    row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+      |  FROM (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 8 AS grp, doc_id,
+      |    (CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS n_tokens
+      |    FROM documents)),
+      |p AS (
+      |  SELECT grp, doc_id, n_tokens, rn, 0::BIGINT AS pack_id, n_tokens AS fill, 0 AS pack_pos
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.grp, d.doc_id, d.n_tokens, d.rn,
+      |    CASE WHEN p.fill + d.n_tokens > 400 THEN p.pack_id + 1 ELSE p.pack_id END,
+      |    CASE WHEN p.fill + d.n_tokens > 400 THEN d.n_tokens ELSE p.fill + d.n_tokens END,
+      |    CASE WHEN p.fill + d.n_tokens > 400 THEN 0 ELSE p.pack_pos + 1 END
+      |  FROM p JOIN d ON d.grp = p.grp AND d.rn = p.rn + 1)""".stripMargin
+
+  /** Winnowing replay (q96/q108 shared prefix): tokens → positional
+    * 5-grams → 32-bit md5 hashes → per-window (w=4) rightmost-min
+    * selections, one struct row per window in `wsel(doc_id, s{pos,fp})`
+    * (distinct-ness applied by the consumer). */
+  private lazy val winnowSelCte =
+    s"""t AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN len(w) < 5 THEN []
+       |  ELSE list_transform(range(1, len(w) - 3),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END AS grams
+       |  FROM t),
+       |h AS (SELECT doc_id, list_transform(grams, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+       |  FROM g WHERE len(grams) > 0),
+       |wsel AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(hs) - 3, 1) + 1), s ->
+       |    {'pos': s - 1 + list_max(list_filter(range(1, len(list_slice(hs, s, s + 3)) + 1),
+       |        j -> list_slice(hs, s, s + 3)[j] = list_min(list_slice(hs, s, s + 3)))),
+       |     'fp': list_min(list_slice(hs, s, s + 3))})) AS s
+       |  FROM h)""".stripMargin
+
+  /** q124/q125's shared prefix: the ALL-position gram-hash stream (same
+    * token→5-gram→fp32 pipeline as winnowing, no window-min selection),
+    * duplicated-fp filter (≥2 sites corpus-wide), island merge, and the
+    * ≥8-token span table in `spans(doc_id, start_pos, end_pos,
+    * span_toks)`. Mirrors Dedup.repeatedSpans(k=5, minOcc=2, minSpan=8). */
+  private lazy val repeatedSpansCte =
+    s"""t AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN len(w) < 5 THEN []
+       |  ELSE list_transform(range(1, len(w) - 3),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END AS grams
+       |  FROM t),
+       |h AS (SELECT doc_id, list_transform(grams, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+       |  FROM g WHERE len(grams) > 0),
+       |pg AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) + 1),
+       |    i -> {'pos': i, 'fp': hs[i]})) AS s FROM h),
+       |pos AS (SELECT doc_id, s.pos::INT AS pos, s.fp AS fp FROM pg),
+       |dupfp AS (SELECT fp FROM pos GROUP BY fp HAVING count(*) >= 2),
+       |d AS (SELECT p.doc_id, p.pos FROM pos p JOIN dupfp USING (fp)),
+       |isl AS (SELECT doc_id, pos,
+       |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM d),
+       |spans AS (SELECT doc_id, min(pos) AS start_pos, max(pos) AS end_pos,
+       |    (max(pos) - min(pos) + 5)::BIGINT AS span_toks
+       |  FROM isl GROUP BY doc_id, grp HAVING (max(pos) - min(pos) + 5) >= 8)""".stripMargin
+
+  /** q126/q127/q128's shared prefix: the FULL BPE training replay — 8
+    * iterations, each = corpus-weighted pair counts (`prN`), the argmax
+    * pair with lexicographic tie-break (`btN`), and the greedy
+    * left-to-right merge applied closed-form (`msN` marks merge-start
+    * positions: occurrence islands + even-offset parity — equivalent to
+    * the engine's sequential fold because only equal-pair runs overlap),
+    * ending in the segmented word table `ws8(word, cnt, syms)`. */
+  private lazy val bpeCteChain: String = {
+    val init =
+      s"""bw0 AS MATERIALIZED (SELECT word, count(*)::BIGINT AS cnt FROM (
+         |    SELECT unnest(regexp_split_to_array($normSql, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY word),
+         |ws0 AS MATERIALIZED (SELECT word, cnt,
+         |  list_transform(range(1, len(word) + 1), i -> word[i]) AS syms FROM bw0)""".stripMargin
+    val iters = (1 to 8).map { i =>
+      val prev = s"ws${i - 1}"
+      s"""pr$i AS MATERIALIZED (SELECT p.a AS a, p.b AS b, sum(cnt)::BIGINT AS n FROM (
+         |    SELECT cnt, unnest(CASE WHEN len(syms) < 2 THEN []
+         |      ELSE list_transform(range(2, len(syms) + 1),
+         |        j -> {'a': syms[j-1], 'b': syms[j]}) END) AS p
+         |    FROM $prev) GROUP BY 1, 2),
+         |bt$i AS MATERIALIZED (SELECT a, b FROM pr$i ORDER BY n DESC, a, b LIMIT 1),
+         |ps$i AS MATERIALIZED (SELECT word, cnt, syms, unnest(range(1, len(syms) + 1)) AS j FROM $prev),
+         |oc$i AS MATERIALIZED (SELECT p.word, p.j FROM ps$i p, bt$i bt
+         |  WHERE p.syms[p.j] = bt.a AND p.j < len(p.syms) AND p.syms[p.j + 1] = bt.b),
+         |ms$i AS MATERIALIZED (SELECT word, j FROM (
+         |    SELECT word, j, min(j) OVER (PARTITION BY word, isl) AS j0 FROM (
+         |      SELECT word, j, j - row_number() OVER (PARTITION BY word ORDER BY j) AS isl
+         |      FROM oc$i)) WHERE (j - j0) % 2 = 0),
+         |ws$i AS MATERIALIZED (SELECT o.word, any_value(o.cnt) AS cnt, list(o.piece ORDER BY o.j) AS syms
+         |  FROM (SELECT p.word, p.cnt, p.j,
+         |      CASE WHEN ms.j IS NOT NULL THEN p.syms[p.j] || bt.b ELSE p.syms[p.j] END AS piece,
+         |      (mp.j IS NOT NULL) AS skip
+         |    FROM ps$i p CROSS JOIN bt$i bt
+         |    LEFT JOIN ms$i ms ON ms.word = p.word AND ms.j = p.j
+         |    LEFT JOIN ms$i mp ON mp.word = p.word AND mp.j = p.j - 1) o
+         |  WHERE NOT o.skip GROUP BY o.word)""".stripMargin
+    }.mkString(",\n")
+    init + ",\n" + iters
+  }
+
+  /** Sequential-fold dot product mirror of VectorFunctions.dot. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
+       | i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)""".stripMargin
+
+  private def cosineSql(a: String, b: String): String =
+    s"""CASE WHEN sqrt(${dotSql(a, a)}) = 0.0 OR sqrt(${dotSql(b, b)}) = 0.0 THEN 0.0
+       | ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END""".stripMargin
+
+  /** Exact SQL mirror of `TextFunctions.qualityScore` (same fp tree). */
+  private val qualitySql =
+    """(CASE WHEN length(text) = 0 THEN 0.0
+      |     ELSE len(regexp_extract_all(text, '[\p{L}]'))::DOUBLE / length(text) END) * 0.5
+      |  + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+      |     ELSE len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text) END) * 0.2
+      |  + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+      |     ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) END) * 0.2
+      |  + least((CASE WHEN length(trim(text)) = 0 THEN 0
+      |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE / 100.0, 1.0) * 0.1""".stripMargin
+
+  private val langCase = {
+    val zh = "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))"
+    val en = "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|that|with|for)\\b'))"
+    val de = "len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit|ein)\\b'))"
+    val es = "len(regexp_extract_all(lower(text), '\\b(el|la|los|las|que|es|una|para)\\b'))"
+    val fr = "len(regexp_extract_all(lower(text), '\\b(le|la|les|des|est|une|dans|pour)\\b'))"
+    s"""CASE WHEN $zh >= $en AND $zh >= $de AND $zh >= $es AND $zh >= $fr THEN 'zh'
+       | WHEN $en >= $zh AND $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+       | WHEN $de >= $zh AND $de >= $en AND $de >= $es AND $de >= $fr THEN 'de'
+       | WHEN $es >= $zh AND $es >= $en AND $es >= $de AND $es >= $fr THEN 'es'
+       | ELSE 'fr' END""".stripMargin
+  }
+
+  def all: Map[String, String] =
+    // q50 runs the single-shuffle SCD2 formulation against the SAME oracle
+    // as q18's 3-join merge, and q65 runs transformWithState sessionization
+    // against q58's flatMapGroupsWithState oracle — the gate proves output
+    // equivalence of the alternative formulations.
+    oracleSqlCore +
+      ("q50_scd2_merge1" -> oracleSqlCore("q18_scd2_faithful")) +
+      ("q65_sessions_tws" -> oracleSqlCore("q58_stream_sessions")) +
+      // q72 extracts via Spark 4's VARIANT type; q66 via fixed-schema
+      // from_json — same answer, so they share one oracle.
+      ("q72_variant_props" -> oracleSqlCore("q66_json_props")) +
+      // q81 drains q46's plan via Trigger.AvailableNow — same oracle.
+      ("q81_stream_availablenow" -> oracleSqlCore("q46_stream_hourly")) +
+      // q82 re-plans q04's star join over co-bucketed fact tables and
+      // q83 is q08's dedup as a sort-free arg_max aggregate — alternative
+      // physical strategies, same oracles.
+      ("q82_bucketed_star" -> oracleSqlCore("q04_star_join")) +
+      ("q83_dedup_latest_agg" -> oracleSqlCore("q08_dedup_latest_order")) +
+      // q92 streams q18's two snapshots through the foreachBatch SCD2
+      // sink — the streaming plan must land the batch merge's exact table.
+      ("q92_stream_scd2" -> oracleSqlCore("q18_scd2_faithful")) +
+      // q107 maintains q04's star aggregate incrementally (seed + delta
+      // fold) — alternative refresh strategy, same oracle.
+      ("q107_incr_star_agg" -> oracleSqlCore("q04_star_join")) +
+      // q110 folds streamed micro-batches into q74's aggregate state —
+      // the monoid merge must be batch-boundary-insensitive.
+      ("q110_stream_incr_agg" -> oracleSqlCore("q74_incremental_agg")) +
+      // q115 computes q97's Morton key through the SQL-registered
+      // zorder_value function — same oracle.
+      ("q115_sql_zorder" -> oracleSqlCore("q97_zorder_value")) +
+      // q116 sessionizes with the BUILTIN session_window aggregate —
+      // the fourth formulation against q32's oracle.
+      ("q116_session_window" -> oracleSqlCore("q32_sessionize"))
+
+  private lazy val oracleSqlCore: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        | CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem WHERE l_quantity >= 49 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q04_star_join" ->
+      """SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2",
+    "q08_dedup_latest_order" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q09_union_buckets" ->
+      """SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 400000
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice < 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q10_surrogate_keys" ->
+      """SELECT c_custkey, sha256(concat_ws('|', c_custkey, c_name)) AS sk, md5(c_name) AS name_fp
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q11_fill_none" ->
+      """SELECT c_custkey, coalesce(nullif(c_mktsegment, 'BUILDING'), 'None') AS seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q12_clean_strings" ->
+      """SELECT o_orderkey, regexp_replace(o_orderpriority, '-', '', 'g') AS priority_clean,
+        | trim('  ' || o_orderstatus || '  ') AS status_trim
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q13_split_parts" ->
+      """SELECT p_partkey, trim(split_part(p_name, ' ', 1)) AS name_part1,
+        | trim(split_part(p_name, ' ', 2)) AS name_part2
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q14_ts_format_quirk" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%dT%-H:%M:%S') AS ts_ref
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q15_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | row_number() OVER w AS rn,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q16_topn_per_brand" ->
+      """SELECT p_brand, rank, p_partkey, p_retailprice FROM (
+        | SELECT p_brand, p_partkey, p_retailprice,
+        |  row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rank
+        | FROM part) WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin,
+    "q17_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q18_scd2_faithful" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+        |ex AS (SELECT c_custkey, c_name, c_mktsegment,
+        |  sha256(concat_ws('|', c_name, c_mktsegment)) AS old_hash,
+        |  sha256(concat_ws('|', c_custkey)) AS customer_sk,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS created_at,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS modified_at, TRUE AS is_active FROM base),
+        |nw AS (SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || '_V2' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM base
+        | UNION ALL
+        | SELECT c_custkey + 1000000, 'NEW ' || c_name, c_mktsegment FROM base WHERE c_custkey % 101 = 0),
+        |nh AS (SELECT *, sha256(concat_ws('|', c_name, c_mktsegment)) AS hash FROM nw),
+        |chg AS (SELECT n.* FROM nh n LEFT JOIN ex o ON n.c_custkey = o.c_custkey AND o.is_active
+        |  WHERE n.hash <> o.old_hash OR o.old_hash IS NULL),
+        |unchanged AS (SELECT c_custkey, c_name, c_mktsegment, customer_sk, created_at, modified_at,
+        |  is_active, old_hash FROM ex
+        |  WHERE is_active AND c_custkey NOT IN (SELECT c_custkey FROM chg)),
+        |expired AS (SELECT e.c_custkey, e.c_name, e.c_mktsegment, e.customer_sk, e.created_at,
+        |  TIMESTAMP '2024-06-01 00:00:00' AS modified_at, FALSE AS is_active, e.old_hash
+        |  FROM ex e JOIN (SELECT DISTINCT c_custkey FROM chg) c ON e.c_custkey = c.c_custkey),
+        |stamped AS (SELECT c_custkey, c_name, c_mktsegment,
+        |  sha256(concat_ws('|', c_custkey)) AS customer_sk,
+        |  TIMESTAMP '2024-06-01 00:00:00' AS created_at, TIMESTAMP '2024-06-01 00:00:00' AS modified_at,
+        |  TRUE AS is_active, hash AS old_hash FROM chg)
+        |SELECT c_custkey, c_name, c_mktsegment, customer_sk,
+        | strftime(created_at, '%Y-%m-%d %H:%M:%S') AS created_at,
+        | strftime(modified_at, '%Y-%m-%d %H:%M:%S') AS modified_at, is_active, old_hash
+        |FROM (SELECT * FROM unchanged UNION ALL SELECT * FROM expired UNION ALL SELECT * FROM stamped)
+        |ORDER BY c_custkey, is_active""".stripMargin,
+    "q19_conditional_agg" ->
+      """SELECT c_mktsegment,
+        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
+        | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q21_doc_fingerprint" ->
+      s"""SELECT doc_id, md5(norm) AS fingerprint,
+         | list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(norm) + 1),
+         |   i -> ascii(substr(norm, i::INT, 1))::BIGINT)),
+         |   (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
+         |FROM (SELECT doc_id, $normSql AS norm FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q22_exact_dedup" ->
+      s"""SELECT doc_id, md5($normSql) AS fingerprint FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) = 1
+         |ORDER BY doc_id""".stripMargin,
+    "q23_token_stats" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens,
+        | len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\s\p{L}0-9]'))::BIGINT AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q24_quality_score" ->
+      """SELECT doc_id,
+        | (CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE len(regexp_extract_all(text, '[\p{L}]'))::DOUBLE / length(text) END) * 0.5
+        | + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text) END) * 0.2
+        | + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) END) * 0.2
+        | + least((CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE / 100.0, 1.0) * 0.1
+        | AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_lang_id" ->
+      s"""SELECT doc_id, lang, $langCase AS pred_lang,
+         | (lang = ($langCase))::INT AS correct
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q26_ngram_jaccard" ->
+      s"""WITH $docShinglesCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
+         |FROM docsh a JOIN docsh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE $jaccardSql >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q27_minhash_sig" ->
+      s"""WITH $docShinglesCte
+         |SELECT doc_id, md5(array_to_string(list_transform(range(0, 16),
+         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')),
+         |  ',')) AS sig_digest
+         |FROM docsh ORDER BY doc_id""".stripMargin,
+    "q28_minhash_neardup" ->
+      s"""WITH $docShinglesCte,
+         |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),
+         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS mh
+         |  FROM docsh),
+         |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+         |  j -> md5(j::VARCHAR || ',' || array_to_string(mh[j*4+1:j*4+4], ',')))) AS bk FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, $jaccardSql AS jaccard
+         |FROM cand JOIN docsh a ON a.doc_id = id_a JOIN docsh b ON b.doc_id = id_b
+         |WHERE $jaccardSql >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q29_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim($normSql), '\\s+') AS w FROM documents)
+         |SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 60), b ->
+         |  CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform(w, t ->
+         |    (2 * (floor((instr('0123456789abcdef', substr(md5(t), (b // 4)::INT + 1, 1)) - 1)
+         |       / ([8, 4, 2, 1])[(b % 4) + 1])::BIGINT % 2) - 1)::BIGINT)),
+         |    (acc, x) -> acc + x) > 0 THEN 1::BIGINT ELSE 0::BIGINT END)),
+         |  (acc, bit) -> acc * 2 + bit) AS simhash
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "q30_embed_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT query_id, vec_id AS corpus_id, ${cosineSql("qv", "embedding")} AS cosine
+         |  FROM embeddings CROSS JOIN q WHERE query_id <> vec_id)
+         |SELECT query_id, rank, corpus_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "q31_embed_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         | ${cosineSql("a.embedding", "b.embedding")} AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q32_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |lagged AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |flagged AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS nf
+        |  FROM lagged),
+        |sess AS (SELECT *, (sum(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id FROM flagged)
+        |SELECT user_id, session_id, min(us) AS session_start_us, max(us) AS session_end_us,
+        | count(*) AS n_events
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "q33_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
+        | octet_length(encode(text))::BIGINT AS byte_len
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q34_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, event_id AS click_id, value AS click_value
+        |  FROM events WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS us,
+        |  c.click_id AS click_id_asof, c.click_value AS click_value_asof
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q35_percentile" ->
+      """SELECT p_brand, round(quantile_cont(p_retailprice, 0.5), 4) AS median_price,
+        | round(quantile_cont(p_retailprice, 0.9), 4) AS p90_price, count(*) AS n
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_count_distinct" ->
+      """SELECT c_mktsegment, count(DISTINCT o_orderpriority) AS n_priorities,
+        | count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q37_top_tokens" ->
+      s"""SELECT token, count(*) AS n FROM (
+         |  SELECT unnest(regexp_split_to_array(trim($normSql), '\\s+')) AS token FROM documents)
+         |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "q38_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |cells AS (SELECT vec_id, embedding, centroid_id AS cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.centroid_id ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |probes AS (SELECT query_id, q_vec, centroid_id AS cell FROM (
+         |  SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.centroid_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosineSql("q.embedding", "c.cv")} DESC, c.centroid_id ASC) AS rn
+         |  FROM embeddings q CROSS JOIN cent c
+         |  WHERE q.vec_id >= 10 AND q.vec_id < 15) WHERE rn <= 2),
+         |scored AS (SELECT p.query_id, s.vec_id AS corpus_id,
+         |    ${cosineSql("p.q_vec", "s.embedding")} AS cosine
+         |  FROM cells s JOIN probes p ON s.cell = p.cell WHERE p.query_id <> s.vec_id)
+         |SELECT query_id, rank, corpus_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, corpus_id ASC) AS rank FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q39_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q40_edit_distance" ->
+      """SELECT p_partkey, levenshtein(split_part(p_name, ' ', 1), split_part(p_name, ' ', 2)) AS edit_dist
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q41_dropna" ->
+      """SELECT c_custkey, seg, bal FROM (
+        |  SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg,
+        |    CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+        |  FROM customer)
+        |WHERE seg IS NOT NULL AND bal IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin,
+    "q42_rlike_filter" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE regexp_matches(text, 'spark\s+\w+\s+join')
+        |ORDER BY doc_id""".stripMargin,
+    "q43_left_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big_orders,
+        | round(sum(coalesce(o_totalprice, 0.0)), 2) AS big_total
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q44_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS byte_len
+        |  FROM documents)
+        |SELECT media_id, frame_idx, byte_len, (frame_idx * 64) % 256 AS sample_val FROM (
+        |  SELECT media_id, unnest(range(greatest(byte_len // 64, 1)))::BIGINT AS frame_idx, byte_len
+        |  FROM m)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    // q45: sketch values are approximate by nature, so the query emits
+    // exact aggregates + in-tolerance booleans; the oracle recomputes the
+    // exacts and expects every boolean true.
+    "q45_approx_sketches" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+        | true AS orders_ok, true AS p50_ok, true AS p99_ok, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q46_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q47_lsh_buckets" ->
+      """SELECT vec_id, list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), p ->
+        |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, len(embedding)),
+        |    d -> embedding[d::INT + 1]::DOUBLE *
+        |      (CASE WHEN instr('0123456789abcdef',
+        |         substr(md5('42:' || p::VARCHAR || ':' || d::VARCHAR), 1, 1)) % 2 = 1
+        |       THEN 1.0 ELSE -1.0 END))),
+        |    (acc, x) -> acc + x) > 0 THEN 1::BIGINT ELSE 0::BIGINT END)),
+        |  (acc, b) -> acc * 2 + b) AS bucket
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q48_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name,
+        | CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_regionkey END AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q49_corpus_filter" ->
+      s"""WITH lang_pred AS (SELECT doc_id, lang, text, $langCase AS pred_lang FROM documents),
+         |q AS (SELECT doc_id, lang, pred_lang,
+         |  $qualitySql
+         |  AS quality, md5($normSql) AS fingerprint
+         |  FROM lang_pred),
+         |survivors AS (SELECT doc_id FROM documents
+         |  QUALIFY row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) = 1)
+         |SELECT doc_id, lang, quality, fingerprint FROM q
+         |WHERE pred_lang = lang AND quality >= 0.55 AND doc_id IN (SELECT doc_id FROM survivors)
+         |ORDER BY doc_id""".stripMargin,
+    "q51_salted_join" ->
+      """SELECT s_name, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q52_pivot" ->
+      """SELECT c_mktsegment,
+        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS "F",
+        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS "O",
+        | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS "P"
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q53_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+        |    FROM lineitem WHERE l_quantity >= 48
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |    FROM lineitem WHERE l_quantity >= 48
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |    FROM lineitem WHERE l_quantity >= 48)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "q54_set_ops" ->
+      """SELECT custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY custkey""".stripMargin,
+    "q55_rank_funcs" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        | ntile(4)       OVER w AS quartile,
+        | percent_rank() OVER w AS pct_rank,
+        | dense_rank()   OVER w AS drank,
+        | lag(c_acctbal, 1) OVER w AS prev_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin,
+    "q56_json_roundtrip" ->
+      """SELECT r_name, count(*) AS n_nations,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nation_list
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q57_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        | epoch_ns(c.ts)//1000 - epoch_ns(v.ts)//1000 AS lag_us
+        |FROM events v JOIN events c ON v.user_id = c.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |  AND epoch_ns(c.ts)//1000 >= epoch_ns(v.ts)//1000
+        |  AND epoch_ns(c.ts)//1000 <= epoch_ns(v.ts)//1000 + 7200000000
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin,
+    "q58_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000 AS ms FROM events),
+        |x AS (SELECT user_id, ms,
+        |  CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |sess AS (SELECT user_id, ms,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM x),
+        |agg AS (SELECT user_id, session_id, min(ms) AS start_ms, max(ms) AS end_ms,
+        |  count(*) AS n_events FROM sess GROUP BY 1, 2)
+        |SELECT user_id, start_ms, end_ms, n_events FROM agg
+        |WHERE session_id < (SELECT max(session_id) FROM agg a2 WHERE a2.user_id = agg.user_id)
+        |ORDER BY user_id, start_ms""".stripMargin,
+    "q59_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+?[0-9][0-9()\\- ]{5,}[0-9]"
+      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' contact u' || doc_id::VARCHAR || '@example.com or +1-555-01' ||
+         |  lpad((doc_id % 100)::VARCHAR, 2, '0') ||
+         |  ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1' AS pii_text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(pii_text, '$email')) AS n_emails,
+         |  len(regexp_extract_all(pii_text, '$phone')) AS n_phones,
+         |  len(regexp_extract_all(pii_text, '$ip')) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g'))
+         |    AS redacted_digest
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+    "q60_hash_split" ->
+      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        | count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM (SELECT c_acctbal,
+        |  ('0x' || substr(md5(c_custkey::VARCHAR), 1, 4))::BIGINT % 100 AS b FROM customer)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q61_quantize_int8" ->
+      """SELECT vec_id,
+        | list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale,
+        | CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 = 0.0
+        |   THEN array_to_string(list_transform(embedding, x -> '0'), ',')
+        |   ELSE array_to_string(list_transform(embedding, x ->
+        |     floor(x::DOUBLE / (list_max(list_transform(embedding, y -> abs(y::DOUBLE))) / 127.0)
+        |       + 0.5)::BIGINT::VARCHAR), ',')
+        | END AS qvec
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q62_orc_roundtrip" ->
+      """SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS sum_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q63_stratified_sample" ->
+      """SELECT c_mktsegment, count(*) AS n_sampled, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 4))::BIGINT % 100 < 20
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q64_rolling_window" ->
+      """SELECT user_id, event_id, epoch_ns(ts)//1000 AS us,
+        | count(*) OVER w AS n_1h,
+        | round(sum(value) OVER w, 2) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, us, event_id""".stripMargin,
+    "q66_json_props" ->
+      """SELECT event_type, (json_extract(props, '$.k')::INT // 10)::INT AS k_decile,
+        | count(*) AS n, round(sum(value), 2) AS sum_value,
+        | min(json_extract(props, '$.k')::INT) AS min_k,
+        | max(json_extract(props, '$.k')::INT) AS max_k
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q67_bloom_join" ->
+      """SELECT s_name, count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q68_kmeans_ivf" ->
+      s"""WITH $embKmeansSrc,
+         |${kmeansReplayCte("k", "v", "4", iters = 2, dim = 64)}
+         |SELECT id AS vec_id, cell FROM ka ORDER BY vec_id""".stripMargin,
+    // q87: replayed k-means cells (k scaled with the corpus — the SemDeDup
+    // configuration that actually holds at scale), then within-cell cosine:
+    // the oracle mirrors the pruning itself, not just the scores.
+    "q87_semantic_neardup" ->
+      s"""WITH $embKmeansSrc,
+         |${kmeansReplayCte("k", "v",
+            "SELECT CAST(ceil(sqrt(count(*))) AS INT) FROM embeddings", iters = 2, dim = 64)}
+         |SELECT id_a, id_b, cell, cosine FROM (
+         |  SELECT a.id AS id_a, b.id AS id_b, a.cell AS cell,
+         |    ${cosineSql("a.vec", "b.vec")} AS cosine
+         |  FROM ka a JOIN ka b ON a.cell = b.cell AND a.id < b.id)
+         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "q69_dedup_clusters" ->
+      s"""WITH RECURSIVE $docShinglesCte,
+         |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),
+         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS mh
+         |  FROM docsh),
+         |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+         |  j -> md5(j::VARCHAR || ',' || array_to_string(mh[j*4+1:j*4+4], ',')))) AS bk FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM cand JOIN docsh a ON a.doc_id = id_a JOIN docsh b ON b.doc_id = id_b
+         |  WHERE $jaccardSql >= 0.3),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT e.b AS id, reach.lab FROM reach JOIN e ON e.a = reach.id)
+         |SELECT id AS doc_id, min(lab) AS cluster_id FROM reach
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q70_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |                  date_trunc('hour', max(ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds)
+        |SELECT strftime(spine.h, '%Y-%m-%d %H:%M') AS hour_start,
+        |  coalesce(hourly.n_events, 0) AS n_events
+        |FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+        |ORDER BY hour_start""".stripMargin,
+    "q71_curation_pipeline" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+?[0-9][0-9()\\- ]{5,}[0-9]"
+      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val redact = s"""regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g')""".stripMargin
+      s"""WITH RECURSIVE $docShinglesCte,
+         |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),
+         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS mh
+         |  FROM docsh),
+         |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+         |  j -> md5(j::VARCHAR || ',' || array_to_string(mh[j*4+1:j*4+4], ',')))) AS bk FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM cand JOIN docsh a ON a.doc_id = id_a JOIN docsh b ON b.doc_id = id_b
+         |  WHERE $jaccardSql >= 0.3),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT e.b AS id, reach.lab FROM reach JOIN e ON e.a = reach.id),
+         |clu AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1),
+         |survivors AS (SELECT doc_id FROM clu WHERE doc_id = cluster_id),
+         |lang_pred AS (SELECT doc_id, lang, text, $langCase AS pred_lang FROM documents),
+         |q AS (SELECT doc_id, lang, pred_lang,
+         |  $qualitySql
+         |  AS quality, md5($redact) AS redacted_digest,
+         |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 80 THEN 'train'
+         |       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM lang_pred)
+         |SELECT doc_id, lang, quality, redacted_digest, split
+         |FROM q JOIN survivors USING (doc_id)
+         |WHERE pred_lang = lang AND quality >= 0.55
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q73_asof_forward" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, event_id AS click_id, value AS click_value
+        |  FROM events WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS us,
+        |  c.click_id AS click_id_asof, c.click_value AS click_value_asof
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts >= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q74_incremental_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q75_source_mixing" ->
+      """SELECT lang, count(*) AS n_kept FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 <
+        |  CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'es' THEN 50
+        |            WHEN 'fr' THEN 25 WHEN 'zh' THEN 25 ELSE -1 END
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q76_source_overlap" ->
+      s"""WITH $docShinglesCte,
+         |sig AS (SELECT doc_id, source, list_transform(range(0, 16),
+         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS mh
+         |  FROM docsh),
+         |el AS (SELECT source, t.i - 1 AS pos, mh[t.i] AS v
+         |       FROM sig, range(1, 17) t(i)),
+         |sk AS (SELECT source, pos, min(v) AS v FROM el GROUP BY 1, 2),
+         |sketch AS (SELECT source, list(v ORDER BY pos) AS sketch FROM sk GROUP BY 1)
+         |SELECT a.source AS grp_a, b.source AS grp_b,
+         |  len(list_filter(range(1, 17), i -> a.sketch[i] = b.sketch[i]))::DOUBLE / 16.0
+         |    AS est_jaccard
+         |FROM sketch a JOIN sketch b ON a.source < b.source
+         |ORDER BY grp_a, grp_b""".stripMargin,
+    "q77_json_quarantine" ->
+      """SELECT CASE WHEN n_nationkey % 5 = 0 THEN 'corrupt' ELSE 'ok' END AS kind,
+        | CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_regionkey END AS n_regionkey,
+        | count(*) AS n
+        |FROM nation GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q78_schema_evolution" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        | CASE WHEN n_regionkey >= 2 THEN length(n_name) END AS name_len
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q79_corr_subquery" ->
+      """SELECT l_partkey, count(*) AS n_small,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    "q80_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, grouping(o_orderpriority) AS gid,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus))
+        |ORDER BY o_orderstatus, gid, o_orderpriority""".stripMargin,
+    // q84: raw-ratio idf (tf·N/df) — exact int inputs, one double division,
+    // so no rounding needed on either side.
+    "q84_tfidf_topterms" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array($normSql, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+         |  WHERE len(term) > 0 GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+         |SELECT doc_id, term, tf, df, (tf * n_docs)::DOUBLE / df::DOUBLE AS score
+         |FROM tf JOIN dfreq USING (term), n
+         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+         |ORDER BY doc_id, term""".stripMargin,
+    "q85_repetition_filter" ->
+      s"""SELECT doc_id, greatest(len(w) - 2, 0) AS total_ngrams,
+         | len($shinglesSql) AS distinct_ngrams,
+         | CASE WHEN greatest(len(w) - 2, 0) = 0 THEN 0.0
+         |   ELSE 1.0 - len($shinglesSql)::DOUBLE / greatest(len(w) - 2, 0)::DOUBLE END AS rep_frac,
+         | CASE WHEN greatest(len(w) - 2, 0) = 0 THEN false
+         |   ELSE (1.0 - len($shinglesSql)::DOUBLE / greatest(len(w) - 2, 0)::DOUBLE) > 0.2 END AS repetitive
+         |FROM (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q86_decontamination" ->
+      s"""WITH $docShinglesCte,
+         |bench AS (SELECT DISTINCT unnest(sh) AS s FROM docsh WHERE doc_id % 50 = 0),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM docsh WHERE doc_id % 50 <> 0)
+         |SELECT ex.doc_id, count(*)::BIGINT AS n_shared
+         |FROM ex JOIN bench USING (s)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q88: q18's scenario under IDIOMATIC semantics (created_at carried
+    // from the prior active version for changed keys; otherwise identical
+    // on a history-free seed), through the partitioned disk-backed merge.
+    "q88_scd2_partitioned" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+        |ex AS (SELECT c_custkey, c_name, c_mktsegment,
+        |  sha256(concat_ws('|', c_name, c_mktsegment)) AS old_hash,
+        |  sha256(concat_ws('|', c_custkey)) AS customer_sk,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS created_at,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS modified_at, TRUE AS is_active FROM base),
+        |nw AS (SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || '_V2' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM base
+        | UNION ALL
+        | SELECT c_custkey + 1000000, 'NEW ' || c_name, c_mktsegment FROM base WHERE c_custkey % 101 = 0),
+        |nh AS (SELECT *, sha256(concat_ws('|', c_name, c_mktsegment)) AS hash FROM nw),
+        |chg AS (SELECT n.* FROM nh n LEFT JOIN ex o ON n.c_custkey = o.c_custkey AND o.is_active
+        |  WHERE n.hash <> o.old_hash OR o.old_hash IS NULL),
+        |unchanged AS (SELECT c_custkey, c_name, c_mktsegment, customer_sk, created_at, modified_at,
+        |  is_active, old_hash FROM ex
+        |  WHERE is_active AND c_custkey NOT IN (SELECT c_custkey FROM chg)),
+        |expired AS (SELECT e.c_custkey, e.c_name, e.c_mktsegment, e.customer_sk, e.created_at,
+        |  TIMESTAMP '2024-06-01 00:00:00' AS modified_at, FALSE AS is_active, e.old_hash
+        |  FROM ex e JOIN (SELECT DISTINCT c_custkey FROM chg) c ON e.c_custkey = c.c_custkey),
+        |stamped AS (SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+        |  sha256(concat_ws('|', c.c_custkey)) AS customer_sk,
+        |  coalesce(e.created_at, TIMESTAMP '2024-06-01 00:00:00') AS created_at,
+        |  TIMESTAMP '2024-06-01 00:00:00' AS modified_at,
+        |  TRUE AS is_active, c.hash AS old_hash
+        |  FROM chg c LEFT JOIN ex e ON e.c_custkey = c.c_custkey AND e.is_active)
+        |SELECT c_custkey, c_name, c_mktsegment, customer_sk,
+        | strftime(created_at, '%Y-%m-%d %H:%M:%S') AS created_at,
+        | strftime(modified_at, '%Y-%m-%d %H:%M:%S') AS modified_at, is_active, old_hash
+        |FROM (SELECT * FROM unchanged UNION ALL SELECT * FROM expired UNION ALL SELECT * FROM stamped)
+        |ORDER BY c_custkey, is_active""".stripMargin,
+    "q89_table_profile" -> {
+      val cols = Seq("o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate")
+      val aggs = cols.zipWithIndex.map { case (c, i) =>
+        s"""count($c)::BIGINT AS nn$i, count(DISTINCT $c)::BIGINT AS nd$i,
+           | min(TRY_CAST($c::VARCHAR AS DOUBLE)) AS mn$i,
+           | max(TRY_CAST($c::VARCHAR AS DOUBLE)) AS mx$i""".stripMargin
+      }.mkString(",\n")
+      val rows = cols.zipWithIndex.map { case (c, i) =>
+        s"""SELECT '$c' AS col_name, n AS n_rows, n - nn$i AS n_null,
+           | nd$i AS n_distinct, mn$i AS min_num, mx$i AS max_num FROM s""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH s AS (SELECT count(*)::BIGINT AS n,
+         |$aggs
+         |FROM orders)
+         |$rows
+         |ORDER BY col_name""".stripMargin
+    },
+    // q90: the oracle replays ProductQuant end to end — float-cast unit
+    // normalization, all four per-subspace codebook trainings (one
+    // grp-keyed replay chain), and the argmin encoding (= the replay's
+    // final assignment).
+    "q90_pq_codes" ->
+      s"""WITH $pqNormCte,
+         |${kmeansReplayCte("p", "sl", "8", iters = 2, dim = 16)}
+         |SELECT id AS vec_id, string_agg(cell::VARCHAR, ',' ORDER BY grp) AS codes
+         |FROM pa GROUP BY id ORDER BY vec_id""".stripMargin,
+    // q91: coarse router replay (k=4 on the normalized vectors) + the q90
+    // PQ replay + the query-side math — double-precision routing distances,
+    // float-cast ADC query slices, the m×k LUT, the (approx_dist, id)
+    // shortlist and the exact cosine re-rank — all in SQL.
+    "q91_ivfpq_topk" ->
+      s"""WITH $pqNormCte,
+         |cs AS (SELECT 0 AS grp, id, nvec AS vec FROM nv),
+         |${kmeansReplayCte("c", "cs", "4", iters = 2, dim = 64)},
+         |${kmeansReplayCte("p", "sl", "8", iters = 2, dim = 16)},
+         |q AS (SELECT embedding AS qe, sqrt(${dotSql("embedding", "embedding")}) AS qnorm
+         |  FROM embeddings WHERE vec_id = 10),
+         |qn AS (SELECT qe, qnorm,
+         |  CASE WHEN qnorm = 0.0 THEN list_transform(qe, x -> x::DOUBLE)
+         |    ELSE list_transform(qe, x -> x::DOUBLE / qnorm) END AS qnd,
+         |  CASE WHEN qnorm = 0.0 THEN qe
+         |    ELSE list_transform(qe, x -> (x::DOUBLE / qnorm)::REAL) END AS qfv
+         |  FROM q),
+         |probe AS (SELECT cid AS cell FROM (
+         |  SELECT c.cid, row_number() OVER (ORDER BY
+         |    list_reduce(list_transform(range(1, 65),
+         |      i -> (q.qnd[i] - c.cent[i]) * (q.qnd[i] - c.cent[i])), (x, y) -> x + y),
+         |    c.cid) AS rn
+         |  FROM ccb c, qn q) WHERE rn <= 2),
+         |routed AS (SELECT a.id FROM ca a JOIN probe p ON a.cell = p.cell),
+         |lut AS (SELECT c.grp, c.cid,
+         |  list_reduce(list_transform(range(1, 17),
+         |    i -> (q.qfv[c.grp * 16 + i]::DOUBLE - c.cent[i]) *
+         |         (q.qfv[c.grp * 16 + i]::DOUBLE - c.cent[i])), (x, y) -> x + y) AS pd
+         |  FROM pcb c, qn q),
+         |adc AS (SELECT pa.id,
+         |  list_reduce(list(lut.pd ORDER BY pa.grp), (x, y) -> x + y) AS approx_dist
+         |  FROM pa JOIN routed r ON pa.id = r.id
+         |  JOIN lut ON lut.grp = pa.grp AND lut.cid = pa.cell
+         |  GROUP BY pa.id),
+         |short AS (SELECT id, approx_dist FROM adc ORDER BY approx_dist, id LIMIT 40),
+         |rer AS (SELECT s.id, s.approx_dist,
+         |  CASE WHEN sqrt(${dotSql("e.embedding", "e.embedding")}) = 0.0 OR q.qnorm = 0.0 THEN 0.0
+         |    ELSE ${dotSql("e.embedding", "q.qe")} /
+         |      (sqrt(${dotSql("e.embedding", "e.embedding")}) * q.qnorm) END AS cosine
+         |  FROM short s JOIN embeddings e ON e.vec_id = s.id, qn q)
+         |SELECT id AS vec_id, approx_dist, cosine FROM (
+         |  SELECT * FROM rer ORDER BY cosine DESC, id LIMIT 10)
+         |ORDER BY cosine DESC, vec_id""".stripMargin,
+    // q93: chunk i covers tokens [i·48, i·48+64); ⌊(n−1)/48⌋+1 chunks.
+    "q93_doc_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |i AS (SELECT doc_id, w,
+        |  unnest(range(CASE WHEN len(w) = 0 THEN 0 ELSE (len(w) - 1) // 48 + 1 END)) AS chunk_idx
+        |  FROM t),
+        |c AS (SELECT doc_id, chunk_idx, list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64) AS ct
+        |  FROM i)
+        |SELECT doc_id, chunk_idx::INT AS chunk_idx, len(ct)::INT AS n_tokens,
+        | array_to_string(ct, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q94: the greedy fill is a non-associative recurrence — replayed with
+    // a recursive CTE stepping through each group's id-ordered rows.
+    "q94_seq_packing" ->
+      s"""WITH RECURSIVE $packReplayCte
+         |SELECT grp::INT AS grp, doc_id, n_tokens::INT AS n_tokens, pack_id,
+         | pack_pos::INT AS pack_pos
+         |FROM p ORDER BY doc_id""".stripMargin,
+    // q95: add-one-smoothed unigram model trained on the corpus itself;
+    // avg ln-prob rounded to 2 dp (shuffled-aggregate float policy).
+    "q95_unigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array($normSql, ' ')) AS term
+         |  FROM documents),
+         |tok2 AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+         |counts AS (SELECT term, count(*)::BIGINT AS cnt FROM tok2 GROUP BY 1),
+         |tot AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS vocab FROM counts)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         | round(avg(ln((cnt + 1)::DOUBLE / (total + vocab)::DOUBLE)), 2) AS avg_logprob
+         |FROM tok2 JOIN counts USING (term), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q96: winnowing — 5-gram 32-bit hashes, window-of-4 minimum with the
+    // rightmost tie rule, distinct (pos, fp) selections per document.
+    "q96_winnow_fingerprints" ->
+      s"""WITH $winnowSelCte
+         |SELECT DISTINCT doc_id, s.pos::INT AS pos, s.fp AS fp FROM wsel
+         |ORDER BY doc_id, pos, fp""".stripMargin,
+    // q97: Morton interleave of the low 16 bits of (customer, order-day).
+    "q97_zorder_value" -> {
+      val terms = (0 until 16).flatMap(b => Seq(
+        s"(((x >> $b) & 1) << ${2 * b})",
+        s"(((y >> $b) & 1) << ${2 * b + 1})"))
+      s"""WITH xy AS (SELECT o_orderkey, o_custkey % 65536 AS x,
+         |  datediff('day', DATE '1992-01-01', o_orderdate::DATE) % 65536 AS y FROM orders)
+         |SELECT o_orderkey, ${terms.mkString(" | ")} AS zval
+         |FROM xy ORDER BY o_orderkey""".stripMargin
+    },
+    // q98: full residual-IVF-PQ replay — coarse routing (c*), per-row
+    // residuals, four residual codebooks (r*), per-probed-cell LUTs, ADC
+    // shortlist and exact re-rank. Same replay machinery as q90/q91, plus
+    // the residual CTEs.
+    "q98_ivfpq_residual" ->
+      s"""WITH $pqNormCte,
+         |cs AS (SELECT 0 AS grp, id, nvec AS vec FROM nv),
+         |${kmeansReplayCte("c", "cs", "4", iters = 2, dim = 64)},
+         |rv AS (SELECT a.id, a.cell,
+         |  list_transform(range(1, 65), i -> a.vec[i]::DOUBLE - c.cent[i]) AS rvec
+         |  FROM ca a JOIN ccb c ON c.grp = a.grp AND c.cid = a.cell),
+         |rsl AS (SELECT t.j AS grp, id, list_slice(rvec, t.j * 16 + 1, t.j * 16 + 16) AS vec
+         |  FROM rv, range(0, 4) t(j)),
+         |${kmeansReplayCte("r", "rsl", "8", iters = 2, dim = 16)},
+         |q AS (SELECT embedding AS qe, sqrt(${dotSql("embedding", "embedding")}) AS qnorm
+         |  FROM embeddings WHERE vec_id = 11),
+         |qn AS (SELECT qe, qnorm,
+         |  CASE WHEN qnorm = 0.0 THEN list_transform(qe, x -> x::DOUBLE)
+         |    ELSE list_transform(qe, x -> x::DOUBLE / qnorm) END AS qnd
+         |  FROM q),
+         |probe AS (SELECT cid AS cell FROM (
+         |  SELECT c.cid, row_number() OVER (ORDER BY
+         |    list_reduce(list_transform(range(1, 65),
+         |      i -> (q.qnd[i] - c.cent[i]) * (q.qnd[i] - c.cent[i])), (x, y) -> x + y),
+         |    c.cid) AS rn
+         |  FROM ccb c, qn q) WHERE rn <= 2),
+         |qres AS (SELECT p.cell,
+         |  list_transform(range(1, 65), i -> q.qnd[i] - c.cent[i]) AS rq
+         |  FROM probe p JOIN ccb c ON c.grp = 0 AND c.cid = p.cell, qn q),
+         |lut AS (SELECT r.cell, b.grp, b.cid,
+         |  list_reduce(list_transform(range(1, 17),
+         |    i -> (r.rq[b.grp * 16 + i] - b.cent[i]) * (r.rq[b.grp * 16 + i] - b.cent[i])),
+         |    (x, y) -> x + y) AS pd
+         |  FROM qres r, rcb b),
+         |adc AS (SELECT rv.id,
+         |  list_reduce(list(lut.pd ORDER BY ra.grp), (x, y) -> x + y) AS approx_dist
+         |  FROM ra JOIN rv ON rv.id = ra.id
+         |  JOIN lut ON lut.cell = rv.cell AND lut.grp = ra.grp AND lut.cid = ra.cell
+         |  GROUP BY rv.id),
+         |short AS (SELECT id, approx_dist FROM adc ORDER BY approx_dist, id LIMIT 40),
+         |rer AS (SELECT s.id, s.approx_dist,
+         |  CASE WHEN sqrt(${dotSql("e.embedding", "e.embedding")}) = 0.0 OR q.qnorm = 0.0 THEN 0.0
+         |    ELSE ${dotSql("e.embedding", "q.qe")} /
+         |      (sqrt(${dotSql("e.embedding", "e.embedding")}) * q.qnorm) END AS cosine
+         |  FROM short s JOIN embeddings e ON e.vec_id = s.id, qn q)
+         |SELECT id AS vec_id, approx_dist, cosine FROM (
+         |  SELECT * FROM rer ORDER BY cosine DESC, id LIMIT 10)
+         |ORDER BY cosine DESC, vec_id""".stripMargin,
+    // q99: q38's IVF routing with the corpus side filtered to labels 0–4
+    // BEFORE assignment — filtered vector search.
+    "q99_filtered_ann" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |corp AS (SELECT vec_id, embedding FROM embeddings WHERE label < 5),
+         |cells AS (SELECT vec_id, embedding, centroid_id AS cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.centroid_id ASC) AS rn
+         |  FROM corp e CROSS JOIN cent c) WHERE rn = 1),
+         |probes AS (SELECT query_id, q_vec, centroid_id AS cell FROM (
+         |  SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.centroid_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosineSql("q.embedding", "c.cv")} DESC, c.centroid_id ASC) AS rn
+         |  FROM embeddings q CROSS JOIN cent c
+         |  WHERE q.vec_id >= 10 AND q.vec_id < 15) WHERE rn <= 2),
+         |scored AS (SELECT p.query_id, s.vec_id AS corpus_id,
+         |    ${cosineSql("p.q_vec", "s.embedding")} AS cosine
+         |  FROM cells s JOIN probes p ON s.cell = p.cell WHERE p.query_id <> s.vec_id)
+         |SELECT query_id, rank, corpus_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, corpus_id ASC) AS rank FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // q100: the duplicated stream deduped back to exactly the events table.
+    "q100_stream_dedup" ->
+      """SELECT event_id, epoch_us(ts) AS us, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    // q101: DuckDB runs the inequality join natively (IEJoin); the Spark
+    // side must produce the same pairs through the bucketed rewrite.
+    "q101_range_join" ->
+      """WITH p AS (SELECT epoch_us(ts) - 600000000 AS lo, epoch_us(ts) AS hi
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, count(*)::BIGINT AS n_windows
+        |FROM c JOIN p ON c.us >= p.lo AND c.us <= p.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q102: the diff labels follow analytically from the mutation rules —
+    // %13 keys vanish (removed), %7 survivors get a new segment (changed),
+    // %101 keys reappear shifted (added).
+    "q102_table_diff" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 13 = 0 THEN 'removed'
+        |       WHEN c_custkey % 7 = 0 THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 1000000, 'added' FROM customer WHERE c_custkey % 101 = 0
+        |ORDER BY c_custkey""".stripMargin,
+    // q103: file skipping must be invisible to the answer — the oracle is
+    // the plain full-scan WHERE.
+    "q103_zonemap_scan" ->
+      """SELECT o_orderkey, o_custkey,
+        |  datediff('day', DATE '1992-01-01', o_orderdate::DATE)::INT AS day
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 300
+        |  AND datediff('day', DATE '1992-01-01', o_orderdate::DATE) BETWEEN 1500 AND 1800
+        |ORDER BY o_orderkey""".stripMargin,
+    "q104_heavy_hitters" ->
+      """WITH s AS (
+        |  SELECT 'o_custkey' AS col_name, o_custkey::VARCHAR AS value FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders)
+        |SELECT col_name, value, n, rank FROM (
+        |  SELECT col_name, value, count(*)::BIGINT AS n,
+        |    row_number() OVER (PARTITION BY col_name ORDER BY count(*) DESC, value) AS rank
+        |  FROM s GROUP BY 1, 2)
+        |WHERE rank <= 5 ORDER BY col_name, rank""".stripMargin,
+    "q105_histogram" ->
+      """SELECT bin, 0.0 + bin * 50000.0 AS lo_edge, 0.0 + (bin + 1) * 50000.0 AS hi_edge, n
+        |FROM (
+        |  SELECT least(floor((o_totalprice::DOUBLE - 0.0) / 50000.0), 11)::INT AS bin,
+        |    count(*)::BIGINT AS n
+        |  FROM orders
+        |  WHERE o_totalprice::DOUBLE >= 0.0 AND o_totalprice::DOUBLE <= 600000.0
+        |  GROUP BY 1)
+        |ORDER BY bin""".stripMargin,
+    // q106: sketch estimates are approximate by nature → q45's oracle
+    // style (exact aggregates + must-be-true tolerance booleans).
+    "q106_hll_union" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+        | true AS est_ok, count(*)::BIGINT AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q108: the winnow replay feeding a (source, fp) distinct self-join.
+    "q108_source_winnow_overlap" ->
+      s"""WITH $winnowSelCte,
+         |sel AS (SELECT DISTINCT doc_id, s.fp AS fp FROM wsel),
+         |sf AS (SELECT DISTINCT d.source, sel.fp FROM sel JOIN documents d USING (doc_id))
+         |SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_shared
+         |FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q109: quality formula + 16-bit hash threshold, both replayed.
+    "q109_weighted_sample" ->
+      s"""SELECT doc_id, $qualitySql AS quality FROM documents
+         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 65536
+         |  < floor(($qualitySql) * 65536)
+         |ORDER BY doc_id""".stripMargin,
+    // q111: the pack replay + a windowed cumulative offset per pack.
+    "q111_pack_offsets" ->
+      s"""WITH RECURSIVE $packReplayCte
+         |SELECT grp::INT AS grp, doc_id, n_tokens::INT AS n_tokens, pack_id,
+         | pack_pos::INT AS pack_pos,
+         | coalesce(sum(n_tokens) OVER (PARTITION BY grp, pack_id ORDER BY pack_pos
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT AS pack_offset
+         |FROM p ORDER BY doc_id""".stripMargin,
+    // q113: binaryFile ingestion must reproduce ids and byte lengths.
+    "q113_binaryfile_scan" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
+        | octet_length(encode(text))::BIGINT AS content_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q114: the stream-static join's batch twin.
+    "q114_stream_static_join" ->
+      """WITH w AS (SELECT * FROM (VALUES ('click', 1.0), ('view', 2.0), ('purchase', 10.0))
+        |  v(event_type, weight))
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start, event_type,
+        | count(*) AS n_events, round(sum(value * weight), 2) AS weighted_value
+        |FROM events JOIN w USING (event_type)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q118: mirrors carry SMALLER ids but LOWER priority — the survivor
+    // proves the (prio, id) ordering, not plain min-id.
+    "q118_priority_dedup" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text, source, 0 AS prio FROM documents
+         |  UNION ALL SELECT doc_id - 100000, text, 'mirror', 1 FROM documents)
+         |SELECT doc_id, source, md5($normSql) AS fingerprint FROM all_docs
+         |QUALIFY row_number() OVER (PARTITION BY md5($normSql) ORDER BY prio, doc_id) = 1
+         |ORDER BY doc_id""".stripMargin,
+    // q119: ntile quartiles over the total (quality desc, doc_id) order.
+    "q119_curriculum_bins" ->
+      s"""SELECT doc_id, lang, $qualitySql AS quality,
+         |  ntile(4) OVER (PARTITION BY lang
+         |    ORDER BY ($qualitySql) DESC, doc_id ASC) AS stage
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q120: first-48-token truncation, list ops.
+    "q120_token_truncate" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents)
+        |SELECT doc_id, len(w)::INT AS n_tokens, least(len(w), 48)::INT AS n_kept,
+        | len(w) > 48 AS truncated,
+        | array_to_string(list_slice(w, 1, 48), ' ') AS text_head
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // q121: add-one bigram conditional model, counts + vocab replayed.
+    "q121_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w FROM documents),
+         |bgidx AS (SELECT doc_id, w, unnest(range(2, len(w) + 1)) AS i FROM toks),
+         |bg AS (SELECT doc_id, w[i-1] AS a, w[i] AS b FROM bgidx
+         |  WHERE len(w[i-1]) > 0 AND len(w[i]) > 0),
+         |bc AS (SELECT a, b, count(*)::BIGINT AS cab FROM bg GROUP BY 1, 2),
+         |u AS (SELECT unnest(regexp_split_to_array($normSql, ' ')) AS term FROM documents),
+         |uc AS (SELECT term, count(*)::BIGINT AS ca FROM u WHERE len(term) > 0 GROUP BY 1),
+         |v AS (SELECT count(*)::BIGINT AS vocab FROM uc)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         | round(avg(ln((cab + 1)::DOUBLE / (ca + vocab)::DOUBLE)), 2) AS avg_logprob
+         |FROM bg JOIN bc ON bc.a = bg.a AND bc.b = bg.b
+         | JOIN uc ON uc.term = bg.a CROSS JOIN v
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q122: exact counts, one double PMI expression mirrored + rounded.
+    "q122_pmi_collocations" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w FROM documents),
+         |bgidx AS (SELECT doc_id, w, unnest(range(2, len(w) + 1)) AS i FROM toks),
+         |bg AS (SELECT doc_id, w[i-1] AS a, w[i] AS b FROM bgidx
+         |  WHERE len(w[i-1]) > 0 AND len(w[i]) > 0),
+         |bc AS (SELECT a, b, count(*)::BIGINT AS cab FROM bg GROUP BY 1, 2),
+         |n2 AS (SELECT sum(cab)::BIGINT AS n2 FROM bc),
+         |u AS (SELECT unnest(regexp_split_to_array($normSql, ' ')) AS term FROM documents),
+         |uc AS (SELECT term, count(*)::BIGINT AS c FROM u WHERE len(term) > 0 GROUP BY 1),
+         |n1 AS (SELECT sum(c)::BIGINT AS n1 FROM uc)
+         |SELECT bc.a, bc.b, bc.cab,
+         | round(ln((bc.cab::DOUBLE / n2.n2::DOUBLE) /
+         |   ((t1.c::DOUBLE / n1.n1::DOUBLE) * (t2.c::DOUBLE / n1.n1::DOUBLE))), 2) AS pmi
+         |FROM bc JOIN uc t1 ON t1.term = bc.a JOIN uc t2 ON t2.term = bc.b, n2, n1
+         |WHERE bc.cab >= 5
+         |ORDER BY pmi DESC, bc.a, bc.b LIMIT 20""".stripMargin,
+    // q123: q30's exact scorer restricted to label-mismatched neighbors.
+    "q123_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+         |  FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT query_id, vec_id AS corpus_id,
+         |    ${cosineSql("qv", "embedding")} AS cosine
+         |  FROM embeddings CROSS JOIN q WHERE embeddings.label <> q.ql)
+         |SELECT query_id, rank, corpus_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, corpus_id ASC) AS rank FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q124: repeated-span detection — duplicated 5-gram sites island-
+    // merged into maximal spans, ≥8 tokens reported.
+    "q124_repeated_spans" ->
+      s"""WITH $repeatedSpansCte
+         |SELECT doc_id, start_pos, end_pos, span_toks FROM spans
+         |ORDER BY doc_id, start_pos""".stripMargin,
+    // q125: span removal — tokens covered by any span dropped, survivors
+    // re-joined in order; every document returns a row.
+    "q125_span_strip" ->
+      s"""WITH $repeatedSpansCte,
+         |toks AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+         |    i -> {'tpos': i, 'tok': w[i]})) AS s FROM t),
+         |tok2 AS (SELECT doc_id, s.tpos::INT AS tpos, s.tok AS tok FROM toks
+         |  WHERE len(s.tok) > 0),
+         |kept AS (SELECT t2.doc_id, t2.tpos, t2.tok FROM tok2 t2 ANTI JOIN spans sp
+         |  ON t2.doc_id = sp.doc_id AND t2.tpos BETWEEN sp.start_pos AND sp.end_pos + 4),
+         |clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+         |    count(*) AS n_kept FROM kept GROUP BY doc_id),
+         |nt AS (SELECT d.doc_id,
+         |    CASE WHEN trim(d.text) = '' THEN 0 ELSE len(t.w) END AS n_toks
+         |  FROM documents d JOIN t ON d.doc_id = t.doc_id)
+         |SELECT nt.doc_id, coalesce(c.clean_text, '') AS clean_text,
+         |  (nt.n_toks - coalesce(c.n_kept, 0))::BIGINT AS n_removed
+         |FROM nt LEFT JOIN clean c ON nt.doc_id = c.doc_id
+         |ORDER BY nt.doc_id""".stripMargin,
+    // q126: the learned merge table — one row per training iteration.
+    "q126_bpe_merges" -> {
+      val rows = (1 to 8)
+        .map(i => s"SELECT $i AS merge_rank, a AS lhs, b AS rhs FROM bt$i")
+        .mkString("\n UNION ALL ")
+      s"""WITH $bpeCteChain
+         |SELECT * FROM ($rows) ORDER BY merge_rank""".stripMargin
+    },
+    // q127: the trained segmentation of the whole vocabulary.
+    "q127_bpe_segment" ->
+      s"""WITH $bpeCteChain
+         |SELECT word, len(syms)::BIGINT AS n_pieces,
+         |  array_to_string(syms, ' ') AS pieces
+         |FROM ws8 ORDER BY word""".stripMargin,
+    // q128: learned-vocab token counts per document.
+    "q128_bpe_token_counts" ->
+      s"""WITH $bpeCteChain,
+         |bstream AS (SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array($normSql, ' ')) AS word
+         |    FROM documents) WHERE len(word) > 0)
+         |SELECT t.doc_id, count(*)::BIGINT AS n_words,
+         |  sum(len(w.syms))::BIGINT AS n_bpe_tokens
+         |FROM bstream t JOIN ws8 w USING (word)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // q129: q28's banded-minhash replay over 64-token exact-partition
+    // chunks, composite pid = 'doc:idx' split back on output.
+    "q129_paragraph_neardup" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN []
+         |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS w0
+         |  FROM documents),
+         |i AS (SELECT doc_id, w0,
+         |  unnest(range(CASE WHEN len(w0) = 0 THEN 0 ELSE (len(w0) - 1) // 64 + 1 END)) AS chunk_idx
+         |  FROM t),
+         |c AS (SELECT doc_id, chunk_idx,
+         |  list_slice(w0, chunk_idx * 64 + 1, chunk_idx * 64 + 64) AS ct FROM i),
+         |ch AS (SELECT doc_id::VARCHAR || ':' || chunk_idx::VARCHAR AS pid,
+         |  regexp_split_to_array(regexp_replace(trim(lower(array_to_string(ct, ' '))), '\\s+', ' ', 'g'), ' ') AS w
+         |  FROM c),
+         |chsh AS (SELECT pid, $shinglesSql AS sh FROM ch),
+         |sig AS (SELECT pid, sh, list_transform(range(0, 16),
+         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS mh
+         |  FROM chsh),
+         |bands AS (SELECT pid, unnest(list_transform(range(0, 4),
+         |  j -> md5(j::VARCHAR || ',' || array_to_string(mh[j*4+1:j*4+4], ',')))) AS bk FROM sig),
+         |cand AS (SELECT DISTINCT a.pid AS id_a, b.pid AS id_b
+         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.pid < b.pid)
+         |SELECT string_split(id_a, ':')[1]::BIGINT AS doc_a,
+         |  string_split(id_a, ':')[2]::INT AS chunk_a,
+         |  string_split(id_b, ':')[1]::BIGINT AS doc_b,
+         |  string_split(id_b, ':')[2]::INT AS chunk_b,
+         |  $jaccardSql AS jaccard
+         |FROM cand JOIN chsh a ON a.pid = id_a JOIN chsh b ON b.pid = id_b
+         |WHERE $jaccardSql >= 0.5
+         |ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin,
+    // q130: residual IVF-PQ trained on vec_id < 300, then the FULL corpus
+    // encoded in one shot with the frozen model — the engine's streamed
+    // two-batch fold must land the identical table.
+    "q130_stream_ann_index" ->
+      s"""WITH $pqNormCte,
+         |tnv AS (SELECT id, nvec FROM nv WHERE id < 300),
+         |cs AS (SELECT 0 AS grp, id, nvec AS vec FROM tnv),
+         |${kmeansReplayCte("c", "cs", "4", iters = 2, dim = 64)},
+         |rv AS (SELECT a.id, a.cell,
+         |  list_transform(range(1, 65), i -> a.vec[i]::DOUBLE - c.cent[i]) AS rvec
+         |  FROM ca a JOIN ccb c ON c.grp = a.grp AND c.cid = a.cell),
+         |rsl AS (SELECT t.j AS grp, id, list_slice(rvec, t.j * 16 + 1, t.j * 16 + 16) AS vec
+         |  FROM rv, range(0, 4) t(j)),
+         |${kmeansReplayCte("r", "rsl", "8", iters = 2, dim = 16)},
+         |fa AS (SELECT id, cell FROM (
+         |  SELECT n.id, c.cid AS cell, row_number() OVER (PARTITION BY n.id
+         |    ORDER BY list_reduce(list_transform(range(1, 65),
+         |      i -> (n.nvec[i]::DOUBLE - c.cent[i]) * (n.nvec[i]::DOUBLE - c.cent[i])),
+         |      (x, y) -> x + y), c.cid) AS rn
+         |  FROM nv n JOIN ccb c ON c.grp = 0) WHERE rn = 1),
+         |frv AS (SELECT f.id, f.cell,
+         |  list_transform(range(1, 65), i -> n.nvec[i]::DOUBLE - c.cent[i]) AS rvec
+         |  FROM fa f JOIN nv n ON n.id = f.id JOIN ccb c ON c.grp = 0 AND c.cid = f.cell),
+         |fsl AS (SELECT t.j AS grp, id, list_slice(rvec, t.j * 16 + 1, t.j * 16 + 16) AS vec
+         |  FROM frv, range(0, 4) t(j)),
+         |fcd AS (SELECT grp, id, cid FROM (
+         |  SELECT s.grp, s.id, r.cid, row_number() OVER (PARTITION BY s.grp, s.id
+         |    ORDER BY list_reduce(list_transform(range(1, 17),
+         |      i -> (s.vec[i]::DOUBLE - r.cent[i]) * (s.vec[i]::DOUBLE - r.cent[i])),
+         |      (x, y) -> x + y), r.cid) AS rn
+         |  FROM fsl s JOIN rcb r ON r.grp = s.grp) WHERE rn = 1)
+         |SELECT f.id AS vec_id, any_value(f.cell)::INT AS cell,
+         |  string_agg(d.cid::VARCHAR, ',' ORDER BY d.grp) AS codes
+         |FROM fa f JOIN fcd d ON d.id = f.id
+         |GROUP BY f.id ORDER BY vec_id""".stripMargin,
+    // q117: the join semantics reduce to the partition predicate.
+    "q117_dpp_join" ->
+      """SELECT o_orderstatus, 'finished' AS label, count(*)::BIGINT AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q112: the 3-way bit interleave, term by term.
+    "q112_zorder3" -> {
+      val dims = Seq("x", "y", "z")
+      val terms = for { b <- 0 until 16; (d, i) <- dims.zipWithIndex }
+        yield s"((($d >> $b) & 1) << ${b * 3 + i})"
+      s"""WITH xyz AS (SELECT o_orderkey, o_custkey % 65536 AS x,
+         |  datediff('day', DATE '1992-01-01', o_orderdate::DATE) % 65536 AS y,
+         |  floor(o_totalprice / 10000.0)::BIGINT % 65536 AS z FROM orders)
+         |SELECT o_orderkey, ${terms.mkString(" | ")} AS zval
+         |FROM xyz ORDER BY o_orderkey""".stripMargin
+    }
+  )
+
+  /** q68/q87's shared oracle prefix: the full 2-iteration deterministic
+    * k-means replayed in SQL (same init, sequential-fold distances,
+    * explicit 6-dp rounding as Similarity.kmeansAssign); `a3` = the final
+    * (id, vec, cell) assignment. */
+  /** k-means replay CTE chain — the SQL twin of `Similarity.kmeansFit`
+    * (same smallest-id init with 6-dp rounding, same sequential-fold
+    * distances, same rounded grouped means, same lower-id tie-break), over
+    * a source CTE `src`(grp, id, vec). The `grp` column replays
+    * INDEPENDENT trainings in one chain (grp = PQ subspace index; a plain
+    * single training uses grp = 0 everywhere). `kSql` is any scalar SQL
+    * expression for k, so q87 can scale k with the corpus
+    * (ceil(sqrt(n))) and still be hash-verified. Emits CTE text without
+    * the leading WITH; the final assignment is `{p}a` (grp, id, vec,
+    * cell) and the trained codebook `{p}cb` (grp, cid, cent).
+    * (0 + t0) + t1 + … ≡ list_reduce's t0 + t1 + … because 0.0 + t0 == t0. */
+  private def kmeansReplayCte(p: String, src: String, kSql: String,
+                              iters: Int, dim: Int): String = {
+    val dist = (cent: String) =>
+      s"""list_reduce(list_transform(range(1, len(s.vec) + 1),
+         |  i -> (s.vec[i]::DOUBLE - $cent[i]) * (s.vec[i]::DOUBLE - $cent[i])),
+         |  (x, y) -> x + y)""".stripMargin
+    def assign(name: String, cb: String) =
+      s"""$name AS (SELECT grp, id, vec, cid AS cell FROM (
+         |  SELECT s.grp, s.id, s.vec, c.cid,
+         |    row_number() OVER (PARTITION BY s.grp, s.id
+         |      ORDER BY ${dist("c.cent")}, c.cid) AS rn
+         |  FROM $src s JOIN $cb c ON c.grp = s.grp) WHERE rn = 1)""".stripMargin
+    val init =
+      s"""${p}c0 AS (SELECT grp, cid, cent FROM (
+         |  SELECT grp, row_number() OVER (PARTITION BY grp ORDER BY id) - 1 AS cid,
+         |    list_transform(vec, x -> floor(x::DOUBLE * 1000000 + 0.5) / 1000000) AS cent
+         |  FROM $src) WHERE cid < ($kSql))""".stripMargin
+    val steps = (1 to iters).map { r =>
+      s"""${assign(s"${p}a$r", s"${p}c${r - 1}")},
+         |${p}m$r AS (SELECT grp, cell, list(m ORDER BY i) AS cent FROM (
+         |  SELECT a.grp, a.cell, t.i,
+         |    floor(avg(a.vec[t.i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
+         |  FROM ${p}a$r a, range(1, ${dim + 1}) t(i)
+         |  GROUP BY a.grp, a.cell, t.i)
+         |  GROUP BY grp, cell),
+         |${p}c$r AS (SELECT c.grp, c.cid, coalesce(m.cent, c.cent) AS cent
+         |  FROM ${p}c${r - 1} c LEFT JOIN ${p}m$r m
+         |    ON m.grp = c.grp AND m.cell = c.cid)""".stripMargin
+    }
+    (Seq(init) ++ steps ++ Seq(
+      s"${p}cb AS (SELECT grp, cid, cent FROM ${p}c$iters)",
+      assign(s"${p}a", s"${p}cb"))).mkString(",\n")
+  }
+
+  /** Full-embedding k-means source CTE (grp = 0) for q68/q87. */
+  private val embKmeansSrc =
+    "v AS (SELECT 0 AS grp, vec_id AS id, embedding AS vec FROM embeddings)"
+
+  /** PQ oracle preamble: float-cast unit normalization (the SQL twin of
+    * `ProductQuant.normalizedVec` — `(x/‖v‖)::REAL`, zero vectors pass
+    * through) plus the m=4 × subDim=16 subspace slicing that feeds the
+    * grp-keyed codebook replay. */
+  private lazy val pqNormCte =
+    s"""pnr AS (SELECT vec_id AS id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |nv AS (SELECT id, CASE WHEN nrm = 0.0 THEN embedding
+       |  ELSE list_transform(embedding, x -> (x::DOUBLE / nrm)::REAL) END AS nvec
+       |  FROM pnr),
+       |sl AS (SELECT t.j AS grp, id, list_slice(nvec, t.j * 16 + 1, t.j * 16 + 16) AS vec
+       |  FROM nv, range(0, 4) t(j))""".stripMargin
+}

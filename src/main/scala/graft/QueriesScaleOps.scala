@@ -1,0 +1,598 @@
+package graft
+
+import graft.functions.{MinHash, SimHash, TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity}
+import graft.ops.{Scd2, StarSchema}
+import graft.pipeline.FixedClock
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-layout and corpus-stats builders (q82–q113): bucketed/z-ordered/partitioned layouts, PQ/IVF serving, TF-IDF/winnowing, profile/sketches.
+  * Mixed into [[SparkEntry]]; split from the single-file registry for
+  * maintainability — the `queries` map and driver contract live there.
+  */
+private[graft] trait QueriesScaleOps extends QueryBase {
+  /** Write-once co-bucketed layout for the two fact tables, keyed by the
+    * join key each is re-joined on every day (`l_orderkey`/`o_orderkey`).
+    * Idempotent per (session, dir); the write is the amortized cost
+    * bucketing trades for never shuffling that join again (BucketSmoke
+    * measures 3.3× at ×10 replication). 32 buckets suits the bench scale —
+    * at 100 TB the same layout wants O(thousands) of buckets so a bucket
+    * stays executor-memory-sized. */
+  def ensureBucketedLayout(s: SparkSession, dir: String): (String, String) = {
+    val h = Integer.toHexString(dir.hashCode & 0x7fffffff)
+    val (liT, ordT) = (s"graft_bkt_lineitem_$h", s"graft_bkt_orders_$h")
+    if (!s.catalog.tableExists(liT) || !s.catalog.tableExists(ordT)) {
+      val base = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+      graft.io.Writers.bucketedTable(T(s, dir, "lineitem"), s"$base/lineitem",
+        liT, Seq("l_orderkey"), 32)
+      graft.io.Writers.bucketedTable(T(s, dir, "orders"), s"$base/orders",
+        ordT, Seq("o_orderkey"), 32)
+    }
+    (liT, ordT)
+  }
+
+  /** q04's star join over the co-bucketed fact layout: the
+    * lineitem⋈orders join plans with NO exchange on either side (bucketed
+    * SMJ), dims still broadcast — the only shuffle left in the query is
+    * the final group-by. Pinned to q04's oracle: same answer, the plan a
+    * 1000-executor cluster wants for a fact-fact join run daily. */
+  private[graft] def q82(s: SparkSession, dir: String): DataFrame = {
+    val (liT, ordT) = ensureBucketedLayout(s, dir)
+    s.table(liT)
+      .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy(col("r_name"))
+  }
+
+  /** D2 scale path — q08's latest-order-per-customer dedup through the
+    * sort-free hash-aggregate variant (`StarSchema.dedupKeyedAgg`:
+    * `max_by(row, ordering)` with map-side partial aggregation) instead of
+    * Sort+Window. Pinned to q08's oracle: same survivor, different plan. */
+  private[graft] def q83(s: SparkSession, dir: String): DataFrame =
+    StarSchema.dedupKeyedAgg(
+      T(s, dir, "orders"),
+      Seq("o_custkey"),
+      Seq(col("o_orderdate"), col("o_orderkey"))
+    )
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+
+  /** TF-IDF top-3 terms per document (raw-ratio idf — see
+    * CorpusStats.tfidfTopTerms). Score is an exact int ratio in doubles,
+    * so the oracle matches with no rounding. */
+  private[graft] def q84(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.tfidfTopTerms(T(s, dir, "documents"), "doc_id", "text", 3)
+      .orderBy(col("doc_id"), col("term"))
+
+  /** Gopher-style trigram repetition fraction + filter flag per document. */
+  private[graft] def q85(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.withRepetition(T(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("total_ngrams"), col("distinct_ngrams"),
+        col("rep_frac"), (col("rep_frac") > 0.2).as("repetitive"))
+      .orderBy(col("doc_id"))
+
+  /** Benchmark decontamination: docs with doc_id % 50 == 0 stand in for the
+    * eval set; every other doc reports how many distinct trigrams it shares
+    * with that set (≥ 1 ⇒ contaminated — the pre-training leak filter). */
+  private[graft] def q86(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    operators.CorpusStats.contaminationCounts(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** SemDeDup-style semantic dedup: trained k-means cells prune the pair
+    * space (only within-cell pairs are cosine-scored — cross-cell misses
+    * are the documented recall trade), exact cosine verification. The
+    * oracle replays the training AND the pruning, so the whole operator is
+    * hash-verified, not just the scores. k scales with the corpus
+    * (ceil(√n) ⇒ Σ|cell|² ≈ n^1.5 for balanced cells, not n²/const —
+    * the configuration that survives a 100× scale-up; a fixed k is
+    * quadratic no matter how large the corpus grows). */
+  private[graft] def q87(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    Similarity.semanticNearDups(emb, "vec_id", "embedding",
+        k = k, iters = 2, threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q18/q50's scenario driven through the PARTITION-PRUNED, DISK-BACKED
+    * merge (`Scd2.mergePartitioned`, idiomatic semantics): run 1 seeds the
+    * key-hash-partitioned table, run 2 merges the mutated snapshot, and
+    * the final table is read back from parquet. Oracle = q18's SQL with
+    * idiomatic created_at (carried from the prior active version instead
+    * of reset) — the only observable difference on a history-free seed. */
+  private[graft] def q88(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val spec = Scd2.Scd2Spec(Seq("c_custkey"), Seq("c_name", "c_mktsegment"),
+      "customer_sk", "dim_customer")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q88").toString
+    Scd2.mergePartitioned(base, tmp, spec, FixedClock("2024-01-01 00:00:00"), 16)
+    val mutated = base.select(
+      col("c_custkey"), col("c_name"),
+      when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("_V2")))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    val newRows = base.filter(col("c_custkey") % 101 === 0).select(
+      (col("c_custkey") + 1000000).as("c_custkey"),
+      concat(lit("NEW "), col("c_name")).as("c_name"),
+      col("c_mktsegment"))
+    Scd2.mergePartitioned(mutated.unionByName(newRows), tmp, spec,
+      FixedClock("2024-06-01 00:00:00"), 16)
+    s.read.parquet(tmp)
+      .select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"), col("customer_sk"),
+        date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss").as("created_at"),
+        date_format(col("modified_at"), "yyyy-MM-dd HH:mm:ss").as("modified_at"),
+        col("is_active"), col("old_hash"))
+      .orderBy(col("c_custkey"), col("is_active"))
+  }
+
+  /** Single-pass table profile (Quality.profile) over mixed-type orders
+    * columns — the Glue-crawler statistics role: counts/distincts/numeric
+    * bounds per column from ONE scan. */
+  private[graft] def q89(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.profile(T(s, dir, "orders"),
+        Seq("o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate"))
+      .orderBy(col("col_name"))
+
+  /** Product-quantization codes: per-subspace codebooks trained with the
+    * deterministic k-means (m=4 subspaces, k=8 entries, 2 iterations) on
+    * the unit-normalized vectors, every vector encoded as its 4 nearest-
+    * entry indices. The oracle replays normalization, ALL FOUR subspace
+    * trainings (one grp-keyed CTE chain) and the argmin encoding — the
+    * full 32× compression path is hash-verified, not spec-trusted. */
+  private[graft] def q90(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val model = graft.operators.ProductQuant.train(
+      emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    graft.operators.ProductQuant.encode(emb, "vec_id", "embedding", model)
+      .select(col("id").as("vec_id"),
+        array_join(col("codes").cast("array<string>"), ",").as("codes"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** IVF-PQ top-k serve for one query (vec_id 10): coarse k-means routing
+    * (nprobe=2 of 4 cells), ADC scoring over the PQ codes of the probed
+    * cells only (m LUT lookups per row, no float reads), exact cosine
+    * re-rank of the 40-row shortlist. The oracle replays the coarse
+    * training, the PQ training, the encoding, the driver-side LUT and the
+    * two-stage ranking — the entire billion-scale ANN serving layout in
+    * one hash-verified row set. */
+  private[graft] def q91(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val index = graft.operators.ProductQuant.buildIvfPq(
+      emb, "vec_id", "embedding", coarseK = 4, m = 4, k = 8, iters = 2)
+    val qRow = emb.filter(col("vec_id") === 10).head()
+    val query = qRow.getSeq[Float](qRow.fieldIndex("embedding")).toArray
+    graft.operators.ProductQuant.ivfPqTopK(index, emb, "vec_id", "embedding",
+        query, n = 10, nprobe = 2, shortlist = 40)
+      .select(col("id").as("vec_id"), col("approx_dist"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  /** q18's scenario driven through STREAMING SCD2 dimension maintenance
+    * (`DimStream.scd2Sink`): the seed snapshot and the mutated snapshot
+    * arrive as two file-source micro-batches (the real streaming plan — a
+    * parquet directory stream, a checkpoint, a foreachBatch merge), each
+    * merged with its own load-date clock, and the final dim is read back
+    * from disk. Oracle = q18's batch SQL — the batch twin that every other
+    * streaming query in the suite is pinned to. */
+  private[graft] def q92(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val spec = Scd2.Scd2Spec(Seq("c_custkey"), Seq("c_name", "c_mktsegment"),
+      "customer_sk", "dim_customer")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q92").toString
+    val updatesDir = s"$tmp/updates"
+    // batch 0: the seed snapshot lands as files
+    base.write.mode("append").parquet(updatesDir)
+    val updates = s.readStream.schema(base.schema).parquet(updatesDir)
+    val clocks = Map(
+      0L -> FixedClock("2024-01-01 00:00:00"),
+      1L -> FixedClock("2024-06-01 00:00:00"))
+    val q = graft.streaming.DimStream.scd2Sink(s, updates, spec,
+      s"$tmp/dim", s"$tmp/ckpt", clocks(_))
+    q.processAllAvailable()
+    // batch 1: the mutated snapshot (changed segments + brand-new keys)
+    val mutated = base.select(
+      col("c_custkey"), col("c_name"),
+      when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("_V2")))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    val newRows = base.filter(col("c_custkey") % 101 === 0).select(
+      (col("c_custkey") + 1000000).as("c_custkey"),
+      concat(lit("NEW "), col("c_name")).as("c_name"),
+      col("c_mktsegment"))
+    mutated.unionByName(newRows).write.mode("append").parquet(updatesDir)
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(s"$tmp/dim")
+      .select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"), col("customer_sk"),
+        date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss").as("created_at"),
+        date_format(col("modified_at"), "yyyy-MM-dd HH:mm:ss").as("modified_at"),
+        col("is_active"), col("old_hash"))
+      .orderBy(col("c_custkey"), col("is_active"))
+  }
+
+  /** Document chunking into overlapping token windows (width 64, stride
+    * 48 — 16-token overlap) — the RAG / long-context pre-tokenization
+    * layout. Pure per-row work: one Generate, no shuffle (scan speed at
+    * any corpus size). */
+  private[graft] def q93(s: SparkSession, dir: String): DataFrame =
+    operators.Chunker.chunk(T(s, dir, "documents"), "doc_id", "text",
+        width = 64, stride = 48)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Greedy sequence packing into 400-token budgets across 8
+    * content-addressed packer groups. The oracle replays the greedy fill
+    * with a recursive CTE — the pack boundary is a non-associative
+    * recurrence, which is exactly why the Spark side is a sorted
+    * mapPartitions scan and not a window function. */
+  private[graft] def q94(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), TF.tokenCount(col("text")).as("n_toks"))
+    operators.Packer.packGreedy(docs, "doc_id", "n_toks", budget = 400, numGroups = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unigram-LM quality score per document (mean token ln-probability
+    * under the corpus's own add-one-smoothed unigram model) — the cheap
+    * stand-in for CCNet-style perplexity filtering. Rounded to 2 dp per
+    * the shuffled-aggregate float policy. */
+  private[graft] def q95(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Winnowing fingerprints (5-gram hashes, window 4, rightmost-min tie
+    * rule) — the MOSS partial-overlap detector; any ≥8-token shared
+    * substring between two documents is guaranteed a common fingerprint. */
+  private[graft] def q96(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.winnowFingerprints(T(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4)
+      .orderBy(col("doc_id"), col("pos"), col("fp"))
+
+  /** Z-order (Morton) value over (customer, order-day) — the layout key
+    * that makes parquet min/max stats prune scans on EITHER dimension.
+    * Pure per-row bit arithmetic; the layout writer itself
+    * (ZOrder.writeZOrdered) is exercised in ZOrderSpec, where the
+    * per-file bounding boxes are asserted. */
+  private[graft] def q97(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders").select(col("o_orderkey"),
+        graft.functions.ZOrder.zValue(
+          col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01"))),
+          16).as("zval"))
+      .orderBy(col("o_orderkey"))
+
+  /** The residual IVF-PQ index is write-once serving infrastructure —
+    * like q82's bucketed layout, it is built ONCE per (session, dir) and
+    * amortized over every query served against it (a production ANN
+    * service trains offline and serves millions of queries). The encoded
+    * relation is cached: it is the serving working set (cells + m byte
+    * codes per vector — the 32×-compressed form that replaces the floats
+    * at query time). */
+  private[graft] val resIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.ProductQuant.IvfPqResidualIndex]
+  def ensureResidualIndex(s: SparkSession, dir: String): graft.operators.ProductQuant.IvfPqResidualIndex =
+    resIndexCache.getOrElseUpdate(dir, {
+      val idx = graft.operators.ProductQuant.buildIvfPqResidual(
+        T(s, dir, "embeddings"), "vec_id", "embedding",
+        coarseK = 4, m = 4, k = 8, iters = 2)
+      val served = idx.copy(encoded = idx.encoded.cache())
+      served.encoded.count() // materialize the serving working set
+      served
+    })
+
+  /** Residual IVF-PQ top-k serve (codes quantize v − coarse centroid —
+    * the classic recall refinement over q91's direct quantization; same
+    * deterministic trainings, so the oracle replays coarse routing,
+    * residual computation, all four residual codebooks, the per-cell
+    * LUTs and the exact re-rank). */
+  private[graft] def q98(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val index = ensureResidualIndex(s, dir)
+    val qRow = emb.filter(col("vec_id") === 11).head()
+    val query = qRow.getSeq[Float](qRow.fieldIndex("embedding")).toArray
+    graft.operators.ProductQuant.ivfPqResidualTopK(index, emb, "vec_id", "embedding",
+        query, n = 10, nprobe = 2, shortlist = 40)
+      .select(col("id").as("vec_id"), col("approx_dist"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  /** Filtered vector search: q38's IVF layout under a metadata predicate
+    * (labels 0–4 only). The filter sits BELOW cell assignment — it
+    * reaches the parquet scan as a PUSHED filter (plan-asserted in
+    * ScaleOpsSpec), then cell routing prunes what survives: the two
+    * prunings compose, which is the whole point of a scan-shaped ANN
+    * index (graph indexes can't do this cheaply). */
+  private[graft] def q99(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+    Similarity.ivfTopKWhere(emb, queries, centroids, "vec_id", "embedding",
+        k = 3, nprobe = 2, pred = col("label") < 5)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Streaming exact dedup: every event arrives TWICE (two parquet copies
+    * in the source directory); `dropDuplicates` over the watermarked
+    * stream must reconstruct the original table exactly. The watermark is
+    * set beyond the data's time range so no state is evicted mid-drain —
+    * bounded-input determinism, the same contract as the other streaming
+    * oracle rows. */
+  private[graft] def q100(s: SparkSession, dir: String): DataFrame = {
+    val events = graft.io.Readers.parquetNanos(s, s"$dir/events.parquet", Seq("ts"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q100").toString
+    events.write.mode("append").parquet(tmp)
+    events.write.mode("append").parquet(tmp)
+    val stream = s.readStream.schema(events.schema).parquet(tmp)
+    val deduped = graft.streaming.EventStream.dedupEvents(stream, watermark = "36500 days")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+    graft.streaming.EventStream.runBounded(s, deduped, "graft_q100_sink", "append")
+      .orderBy(col("event_id"))
+  }
+
+  /** Pure range join (no equality key) through the bucketed equi-join
+    * rewrite: each click counts the 10-minute purchase windows covering
+    * it. The naive formulation is a BroadcastNestedLoopJoin —
+    * |clicks|·|windows| comparisons; the bucketed plan hashes like any
+    * equi-join (ScaleOpsSpec asserts no BNLJ/cartesian in the plan). */
+  private[graft] def q101(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select((unix_micros(col("ts")) - 600000000L).as("lo"),
+        unix_micros(col("ts")).as("hi"))
+    operators.RangeJoin.bucketed(clicks, windows, "us", "lo", "hi",
+        bucketWidth = 600000000L)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_windows"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Snapshot diff: q18's mutation scenario plus removals (every 13th
+    * key dropped), classified added/removed/changed/unchanged by
+    * TableDiff — one hash-reduced full outer join, payloads never
+    * shuffle. The oracle derives the labels analytically from the
+    * mutation rules. */
+  private[graft] def q102(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val next = base.filter(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("_V2")))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      .unionByName(base.filter(col("c_custkey") % 101 === 0).select(
+        (col("c_custkey") + 1000000).as("c_custkey"),
+        concat(lit("NEW "), col("c_name")).as("c_name"),
+        col("c_mktsegment")))
+    operators.TableDiff.diff(base, next, Seq("c_custkey"), Seq("c_name", "c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** The zone-mapped z-ordered orders layout: write-once infrastructure
+    * (like the bucketed tables and the ANN index) — z-order on the
+    * scaled (customer, order-day) pair, then index per-file min/max of
+    * the RAW dimensions into the `_zonemap.json` manifest. */
+  private[graft] val zoneLayoutCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  def ensureZoneMappedOrders(s: SparkSession, dir: String): String =
+    zoneLayoutCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-zonemap").toString
+      val raw = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01"))).as("day"))
+      val mx = raw.agg(max("o_custkey").cast("double"), max("day").cast("double")).head()
+      val scaled = raw
+        .withColumn("__xs", floor(col("o_custkey") * 255 / mx.getDouble(0)))
+        .withColumn("__ys", floor(col("day") * 255 / mx.getDouble(1)))
+      graft.functions.ZOrder.writeZOrdered(scaled, "__xs", "__ys", path,
+        numFiles = 16, bits = 8)
+      graft.io.ZoneMap.index(s, path, Seq("o_custkey", "day"))
+      path
+    })
+
+  /** Zone-map file skipping over the z-ordered layout: the range query
+    * plans against only the files whose bounding box overlaps BOTH
+    * predicates (the spec asserts a strict subset is read), then applies
+    * the exact filter — same answer as the full scan, which is exactly
+    * what the oracle checks. */
+  private[graft] def q103(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureZoneMappedOrders(s, dir)
+    graft.io.ZoneMap.readPruned(s, path,
+        Seq(("o_custkey", 100.0, 300.0), ("day", 1500.0, 1800.0)))
+      .filter(col("o_custkey").between(100, 300) && col("day").between(1500, 1800))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Exact heavy hitters per column (skew detector) — one stacked pass,
+    * per-column top-5 by frequency with value tie-break. */
+  private[graft] def q104(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.heavyHitters(T(s, dir, "orders"),
+        Seq("o_custkey", "o_orderpriority", "o_orderstatus"), k = 5)
+      .orderBy(col("col_name"), col("rank"))
+
+  /** Fixed-bound equi-width histogram of order totals: 12 × 50k bins,
+    * pure per-row binning + one grouped count. */
+  private[graft] def q105(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.histogram(T(s, dir, "orders"), "o_totalprice",
+        nBins = 12, lo = 0.0, hi = 600000.0)
+      .orderBy(col("bin"))
+
+  /** Mergeable distinct-count state: per-(type, day) HLL sketches union
+    * into per-type estimates — the sketch algebra that lets 100 TB of
+    * daily partials fold into weekly/monthly answers WITHOUT re-reading
+    * events (same mergeability story as the q76 MinHash sketches, on
+    * Spark's built-in DataSketches HLL). Gate: estimate within 5% of the
+    * same-pass exact distinct (q45's in-tolerance-boolean oracle style —
+    * sketch values are approximate by nature). */
+  private[graft] def q106(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"), count(lit(1)).as("n_events"))
+    exact.join(merged, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <= col("exact_users") * 0.05).as("est_ok"),
+        col("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Incremental maintenance of the STAR-JOIN aggregate (q04's
+    * revenue-per-region): seed state from 90% of lineitems, fold the
+    * remaining 10% in as a delta — the materialized-view refresh that
+    * touches one day of data instead of all history. Must land q04's
+    * exact answer (its oracle), the same alternative-strategy pinning as
+    * q82/q83. */
+  private[graft] def q107(s: SparkSession, dir: String): DataFrame = {
+    def enriched(li: DataFrame): DataFrame = li
+      .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val li = T(s, dir, "lineitem")
+    val seed = graft.ops.IncrementalAgg.build(
+      enriched(li.filter(col("l_orderkey") % 10 =!= 0)), Seq("r_name"), Seq("rev"))
+    graft.ops.IncrementalAgg.merge(seed,
+        enriched(li.filter(col("l_orderkey") % 10 === 0)), Seq("r_name"), Seq("rev"))
+      .select(col("r_name"), round(col("sum_rev"), 2).as("revenue"),
+        col("n_rows").as("n_items"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Cross-source overlap MATRIX from winnowing fingerprints: distinct
+    * (source, fingerprint) pairs self-joined on the fingerprint — counts
+    * of shared local fingerprints per source pair. This sees PARTIAL
+    * overlap (a paragraph copied between corpora) that the q76 MinHash
+    * sketches cannot: MinHash estimates whole-set Jaccard, winnowing
+    * localizes matches to any ≥ w+k−1-token run. */
+  private[graft] def q108(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val fps = operators.CorpusStats.winnowFingerprints(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("fp")).distinct()
+    fps.alias("a")
+      .join(fps.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Quality-weighted corpus sampling: keep each document with
+    * probability = its quality score, decided content-addressed (no RNG —
+    * the same doc survives identically across runs/partitionings). The
+    * oracle replays the quality formula and the 16-bit hash threshold. */
+  private[graft] def q109(s: SparkSession, dir: String): DataFrame =
+    Curation.weightedSample(
+        T(s, dir, "documents").withColumn("quality", TF.qualityScore(col("text"))),
+        "doc_id", "quality")
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  /** STREAMING materialized-view maintenance: q74's per-customer order
+    * aggregate kept current by folding micro-batches of raw orders into
+    * the persisted state (AggStream.incrementalSink — foreachBatch +
+    * monoid merge). Two delta batches arrive as files; the final state
+    * must equal the one-shot batch aggregate (q74's oracle), proving the
+    * fold is batch-boundary-insensitive. */
+  private[graft] def q110(s: SparkSession, dir: String): DataFrame = {
+    val orders = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q110").toString
+    val updatesDir = s"$tmp/updates"
+    orders.filter(col("o_orderkey") % 10 =!= 0).write.mode("append").parquet(updatesDir)
+    val stream = s.readStream.schema(orders.schema).parquet(updatesDir)
+    val q = graft.streaming.AggStream.incrementalSink(s, stream,
+      Seq("o_custkey"), Seq("o_totalprice"), s"$tmp/state", s"$tmp/ckpt")
+    q.processAllAvailable()
+    orders.filter(col("o_orderkey") % 10 === 0).write.mode("append").parquet(updatesDir)
+    q.processAllAvailable()
+    q.stop()
+    graft.streaming.AggStream.readState(s, s"$tmp/state")
+      .select(col("o_custkey"), col("n_rows").as("n_orders"),
+        round(col("sum_o_totalprice"), 2).as("sum_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** q94's packs with the trainer-facing LAYOUT: per-document token
+    * offsets within each pack (windowed cumsum keyed by pack — the
+    * attention-mask boundary table). */
+  private[graft] def q111(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), TF.tokenCount(col("text")).as("n_toks"))
+    operators.Packer.withOffsets(
+        operators.Packer.packGreedy(docs, "doc_id", "n_toks", budget = 400, numGroups = 8))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Three-dimensional Morton code over (customer, order-day,
+    * price-bucket) — the multi-attribute layout key (16-file tiles
+    * narrow on ALL THREE predicates' dimensions). Oracle replays the
+    * 3-way bit interleave. */
+  private[graft] def q112(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders").select(col("o_orderkey"),
+        graft.functions.ZOrder.zValueN(Seq(
+          col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01"))),
+          floor(col("o_totalprice") / 10000.0)), bits = 16).as("zval"))
+      .orderBy(col("o_orderkey"))
+
+  /** The `binaryFile` source — raw media/object ingestion into binary
+    * columns (the entry point of the multimodal path: files land as
+    * (path, length, content) rows with no decode). Each document's text
+    * is written out as one file named by its id, read back through the
+    * source, and must reproduce exact ids and byte lengths.
+    *
+    * The fixture write is DISTRIBUTED: executors write one object per
+    * row through the Hadoop FS API inside foreachPartition — no row data
+    * ever collects to the driver (at cluster scale the base path is the
+    * shared store and this IS the object-ingestion write pattern; the
+    * text datasource can't serve here because it appends a newline per
+    * row, breaking exact byte lengths). */
+  private[graft] def q113(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q113").toString
+    T(s, dir, "documents").select(col("doc_id"), col("text"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val base = new org.apache.hadoop.fs.Path(s"file:$tmp")
+        val fs = base.getFileSystem(conf)
+        it.foreach { r =>
+          val out = fs.create(new org.apache.hadoop.fs.Path(base, s"${r.getLong(0)}.bin"), true)
+          try out.write(r.getString(1).getBytes("UTF-8"))
+          finally out.close()
+        }
+      }
+    s.read.format("binaryFile").load(tmp)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length").as("byte_len"),
+        length(col("content")).cast("long").as("content_len"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -17,1896 +17,14 @@ import org.apache.spark.sql.functions._
   * exact fp expression tree (per-row math) or are rounded (shuffled
   * aggregates, where summation order is nondeterministic in any engine).
   */
-object SparkEntry {
+object SparkEntry extends QueriesRelational with QueriesPipeline
+    with QueriesScaleOps with QueriesIndexStream {
 
-  private def T(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") graft.io.Readers.parquetNanos(s, s"$dir/events.parquet", Seq("ts"))
-    else s.read.parquet(s"$dir/$name.parquet")
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q04StarJoin(spark, "/root/testdata/sf0.001")
 
-  // ───────────────────────── core relational (SURVEY §2.12) ─────────────
-
-  /** A1/A2 — grouped aggregation with partial (map-side) combine. */
-  private def q01(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
-        count(lit(1)).as("count_order")
-      )
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
-
-  /** F1/P13 — filter + projection; predicate and column pruning reach the
-    * parquet scan (PushedFilters in explain). */
-  private def q02(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "lineitem")
-      .filter(col("l_quantity") >= 49 && col("l_returnflag") === "R")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        col("l_extendedprice"), col("l_shipdate").cast("date").as("ship_date"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
-
-  /** J5/A1 — join + aggregate (customer side broadcast by Catalyst/AQE). */
-  private def q03(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "orders").join(T(s, dir, "customer"),
-        col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
-      .orderBy(col("c_mktsegment"))
-
-  /** J5 star join — dims broadcast, fact never shuffles for the lookups. */
-  private def q04StarJoin(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "lineitem")
-      .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-      .groupBy(col("r_name"))
-      .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-        count(lit(1)).as("n_items")
-      )
-      .orderBy(col("r_name"))
-
-  /** J2 — left anti join (customers with no high-value orders). */
-  private def q05(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "customer")
-      .join(T(s, dir, "orders").filter(col("o_totalprice") > 300000),
-        col("c_custkey") === col("o_custkey"), "left_anti")
-      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-      .orderBy(col("c_custkey"))
-
-  /** J3 — left semi join (customers with at least one finished order). */
-  private def q06(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "customer")
-      .join(T(s, dir, "orders").filter(col("o_orderstatus") === "F"),
-        col("c_custkey") === col("o_custkey"), "left_semi")
-      .select(col("c_custkey"), col("c_name"))
-      .orderBy(col("c_custkey"))
-
-  /** D1 — full-row distinct. */
-  private def q07(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_linestatus"))
-      .distinct()
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
-
-  /** D2 — keyed dedup with a deterministic survivor (latest order per
-    * customer) via the library's window-based dedup. */
-  private def q08(s: SparkSession, dir: String): DataFrame =
-    StarSchema.dedupKeyed(
-      T(s, dir, "orders"),
-      Seq("o_custkey"),
-      Seq(col("o_orderdate").desc, col("o_orderkey").desc)
-    )
-      .select(col("o_custkey"), col("o_orderkey"),
-        col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
-      .orderBy(col("o_custkey"))
-
-  /** U1 — unionByName of two differently-ordered projections. */
-  private def q09(s: SparkSession, dir: String): DataFrame = {
-    val o = T(s, dir, "orders")
-    val hi = o.filter(col("o_totalprice") > 400000)
-      .select(col("o_orderkey"), col("o_totalprice"), lit("high").as("bucket"))
-    val lo = o.filter(col("o_totalprice") < 2000)
-      .select(lit("low").as("bucket"), col("o_totalprice"), col("o_orderkey"))
-    hi.unionByName(lo).orderBy(col("o_orderkey"))
-  }
-
-  /** P9/P10 — concat_ws + sha2/md5 surrogate keys (the SCD2 hash family). */
-  private def q10(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "customer")
-      .select(
-        col("c_custkey"),
-        sha2(concat_ws("|", col("c_custkey"), col("c_name")), 256).as("sk"),
-        md5(col("c_name")).as("name_fp")
-      )
-      .orderBy(col("c_custkey"))
-
-  /** P6/T2 — null→"None" fill on string columns (quirk reproduced). */
-  private def q11(s: SparkSession, dir: String): DataFrame = {
-    val withNulls = T(s, dir, "customer")
-      .select(col("c_custkey"),
-        when(col("c_mktsegment") === "BUILDING", lit(null)).otherwise(col("c_mktsegment")).as("seg"))
-    graft.ops.Cleaner.fillNone(withNulls).orderBy(col("c_custkey"))
-  }
-
-  /** P3/P4 — trim + regexp_replace (the phone-dash cleaner's ops). */
-  private def q12(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "orders")
-      .select(
-        col("o_orderkey"),
-        regexp_replace(col("o_orderpriority"), "-", "").as("priority_clean"),
-        trim(concat(lit("  "), col("o_orderstatus"), lit("  "))).as("status_trim")
-      )
-      .orderBy(col("o_orderkey"))
-
-  /** P5 — multi-value split into part1/part2 (reference's or-split shape). */
-  private def q13(s: SparkSession, dir: String): DataFrame = {
-    val parts = split(col("p_name"), " ")
-    T(s, dir, "part")
-      .select(
-        col("p_partkey"),
-        trim(parts.getItem(0)).as("name_part1"),
-        trim(parts.getItem(1)).as("name_part2")
-      )
-      .orderBy(col("p_partkey"))
-  }
-
-  /** P7/T1 — the timestamp→string format quirk (single-H hour). */
-  private def q14(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "events")
-      .select(col("event_id"), graft.ops.Cleaner.timestampToRefString(col("ts")).as("ts_ref"))
-      .orderBy(col("event_id"))
-
-  /** Window — running total per customer (deterministic frame). */
-  private def q15(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
-    T(s, dir, "orders")
-      .select(
-        col("o_custkey"), col("o_orderkey"),
-        row_number().over(w).as("rn"),
-        round(sum(col("o_totalprice")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_total")
-      )
-      .orderBy(col("o_custkey"), col("rn"))
-  }
-
-  /** Window — top-3 per group with deterministic tie-break. */
-  private def q16(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("p_brand"))
-      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
-    T(s, dir, "part")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("p_brand"), col("rank"), col("p_partkey"), col("p_retailprice"))
-      .orderBy(col("p_brand"), col("rank"))
-  }
-
-  /** Time-bucketed aggregation (the batch twin of the streaming hourly agg). */
-  private def q17(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "events")
-      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
-      .select(date_format(col("hour_ts"), "yyyy-MM-dd HH:mm").as("hour_start"),
-        col("event_type"), col("n_events"), col("total_value"))
-      .orderBy(col("hour_start"), col("event_type"))
-
-  /** §2.11 — SCD2 hash-diff merge, faithful mode, deterministic clock.
-    * Run 1 seeds the dimension from `customer`; run 2 applies a mutated
-    * snapshot (segment change for custkey%7=0, new keys for custkey%101=0)
-    * and must produce unchanged ∪ expired ∪ changed exactly. */
-  private def q18(s: SparkSession, dir: String): DataFrame = {
-    val base = T(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-    val spec = Scd2.Scd2Spec(Seq("c_custkey"), Seq("c_name", "c_mktsegment"), "customer_sk", "dim_customer")
-    val existing = Scd2.faithful(base, None, spec, FixedClock("2024-01-01 00:00:00"))
-    val mutated = base.select(
-      col("c_custkey"), col("c_name"),
-      when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("_V2")))
-        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
-    val newRows = base.filter(col("c_custkey") % 101 === 0).select(
-      (col("c_custkey") + 1000000).as("c_custkey"),
-      concat(lit("NEW "), col("c_name")).as("c_name"),
-      col("c_mktsegment"))
-    val snapshot = mutated.unionByName(newRows)
-    Scd2.faithful(snapshot, Some(existing), spec, FixedClock("2024-06-01 00:00:00"))
-      .select(
-        col("c_custkey"), col("c_name"), col("c_mktsegment"), col("customer_sk"),
-        date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss").as("created_at"),
-        date_format(col("modified_at"), "yyyy-MM-dd HH:mm:ss").as("modified_at"),
-        col("is_active"), col("old_hash"))
-      .orderBy(col("c_custkey"), col("is_active"))
-  }
-
-  /** Conditional aggregation (pivot-shaped, portable across engines). */
-  private def q19(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "orders").join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"))
-      .agg(
-        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
-        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
-        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p")
-      )
-      .orderBy(col("c_mktsegment"))
-
-  /** Rollup (grouping sets) — free from Spark SQL, matched by DuckDB. */
-  private def q20(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "lineitem")
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
-      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
-
-  // ───────────────────────── LLM-pipeline: text ─────────────────────────
-
-  /** Document fingerprinting: md5 of normalized text + polynomial rolling
-    * hash — both per-row, codegen'd, oracle-replicable. */
-  private def q21(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
-      .select(col("doc_id"), TF.fingerprint(col("text")).as("fingerprint"),
-        TF.rollingHash(col("text")).as("rolling_hash"))
-      .orderBy(col("doc_id"))
-
-  /** Exact dedup via fingerprint grouping (survivor = lowest doc_id). */
-  private def q22(s: SparkSession, dir: String): DataFrame =
-    Dedup.exact(T(s, dir, "documents"), "text", "doc_id")
-      .select(col("doc_id"), col("fingerprint"))
-      .orderBy(col("doc_id"))
-
-  /** Token counting: whitespace tokens + BPE-ish subword regex tokens. */
-  private def q23(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
-      .select(col("doc_id"),
-        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TF.subwordCount(col("text")).cast("long").as("n_subwords"))
-      .orderBy(col("doc_id"))
-
-  /** Quality scoring — exact fp-expression mirror on both sides. */
-  private def q24(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
-      .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
-      .orderBy(col("doc_id"))
-
-  /** Language ID heuristic vs the labeled lang column. */
-  private def q25(s: SparkSession, dir: String): DataFrame =
-    TF.withLangId(T(s, dir, "documents"), "text", "pred_lang")
-      .withColumn("correct", (col("lang") === col("pred_lang")).cast("int"))
-      .select(col("doc_id"), col("lang"), col("pred_lang"), col("correct"))
-      .orderBy(col("doc_id"))
-
-  /** N-gram Jaccard near-dup pairs within a blocking key (source). */
-  private def q26(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id", "source", 3, 0.3)
-      .orderBy(col("id_a"), col("id_b"))
-
-  /** MinHash signatures (16 perms) digested per doc — the map-side half of
-    * LSH dedup, hash-matched against the oracle. */
-  private def q27(s: SparkSession, dir: String): DataFrame =
-    TF.withShingles(T(s, dir, "documents"), "text", "__sh", 3)
-      .withColumn("__sig", MinHash.signature(col("__sh"), 16))
-      .select(col("doc_id"), md5(concat_ws(",", col("__sig"))).as("sig_digest"))
-      .orderBy(col("doc_id"))
-
-  /** MinHash LSH near-dup pairs (banded candidates → exact Jaccard). */
-  private def q28(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDups(T(s, dir, "documents"), "text", "doc_id",
-      threshold = 0.3, shingleSize = 3, numHashes = 16, bands = 4)
-      .orderBy(col("id_a"), col("id_b"))
-
-  /** SimHash fingerprints (60-bit, portable bit extraction). */
-  private def q29(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashFingerprints(T(s, dir, "documents"), "text", "doc_id")
-      .select(col("id").as("doc_id"), col("simhash"))
-      .orderBy(col("doc_id"))
-
-  // ───────────────────────── LLM-pipeline: vectors ──────────────────────
-
-  /** Brute-force exact top-k cosine neighbors for 10 query vectors. */
-  private def q30(s: SparkSession, dir: String): DataFrame = {
-    val emb = T(s, dir, "embeddings")
-    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
-      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** Embedding near-dup pairs above a cosine threshold. */
-  private def q31(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDups(T(s, dir, "embeddings"), "embedding", "vec_id", 0.4)
-      .orderBy(col("id_a"), col("id_b"))
-
-  // ───────────────────────── events / sessions ──────────────────────────
-
-  /** Gap-based sessionization, batch mode (window-function formulation —
-    * the streaming twin lives in graft.streaming.EventStream). */
-  private def q32(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    val gapUs = 30L * 60 * 1000000 // 30 min
-    T(s, dir, "events")
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-      .withColumn("prev", lag(col("us"), 1).over(w))
-      .withColumn("new_session",
-        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1).otherwise(0))
-      .withColumn("session_id",
-        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(min(col("us")).as("session_start_us"), max(col("us")).as("session_end_us"),
-        count(lit(1)).as("n_events"))
-      .orderBy(col("user_id"), col("session_id"))
-  }
-
-  // ───────────────────────── multimodal ─────────────────────────────────
-
-  /** Multimodal metadata path: text → binary payload → batched feature
-    * extraction (decode is a deterministic stub; plumbing is real). */
-  private def q33(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.withFakeMedia(T(s, dir, "documents"), "doc_id", "text")
-    Multimodal.extractFeatures(s, media).toDF()
-      .select(col("media_id"), col("mime"), col("byte_len"))
-      .orderBy(col("media_id"))
-  }
-
-  /** As-of join (backward inclusive): each purchase event enriched with the
-    * user's most recent click — the union-window formulation (no range
-    * explosion; see graft.operators.AsOfJoin). */
-  private def q34(s: SparkSession, dir: String): DataFrame = {
-    val ev = T(s, dir, "events")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val clicks = StarSchema.dedupKeyed(
-      ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
-          col("value").as("click_value")),
-      Seq("user_id", "ts"), Seq(col("click_id").desc))
-    operators.AsOfJoin.asof(purchases, clicks, "user_id", "ts", "ts",
-      Seq("click_id", "click_value"), tieBreak = Some("click_id"))
-      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
-        col("click_id_asof"), col("click_value_asof"))
-      .orderBy(col("event_id"))
-  }
-
-  /** Exact percentiles (median/p90) per group. */
-  private def q35(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "part")
-      .groupBy(col("p_brand"))
-      .agg(
-        round(expr("percentile(p_retailprice, 0.5)"), 4).as("median_price"),
-        round(expr("percentile(p_retailprice, 0.9)"), 4).as("p90_price"),
-        count(lit(1)).as("n")
-      )
-      .orderBy(col("p_brand"))
-
-  /** Distinct aggregation (two distinct counts + plain count in one agg). */
-  private def q36(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "orders").join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"))
-      .agg(
-        countDistinct(col("o_orderpriority")).as("n_priorities"),
-        countDistinct(col("o_custkey")).as("n_customers"),
-        count(lit(1)).as("n_orders")
-      )
-      .orderBy(col("c_mktsegment"))
-
-  /** Generator/explode path: global top-20 tokens (count desc, token asc).
-    * explode_OUTER + attribute null-filter: plain explode lets
-    * InferFiltersFromGenerate push the tokenizer into the scan filter
-    * (see CorpusStats — the 538s-at-×10 lesson). */
-  private def q37(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
-      .select(explode_outer(TF.tokens(TF.normalizeText(col("text")))).as("token"))
-      .filter(col("token").isNotNull)
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token").asc)
-      .limit(20)
-
-  /** IVF approximate nearest neighbor: assign corpus to 8 centroid cells,
-    * probe the 2 nearest cells per query, exact top-3 within them. */
-  private def q38(s: SparkSession, dir: String): DataFrame = {
-    val emb = T(s, dir, "embeddings")
-    val centroids = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("centroid_id"), col("embedding"))
-    val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 15)
-    Similarity.ivfTopK(emb, queries, centroids, "vec_id", "embedding", k = 3, nprobe = 2)
-      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** Cube grouping sets (all 4 combinations). */
-  private def q39(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "lineitem")
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
-      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
-
-  /** String similarity: Levenshtein distance between name tokens. */
-  private def q40(s: SparkSession, dir: String): DataFrame = {
-    val parts = split(col("p_name"), " ")
-    T(s, dir, "part")
-      .select(col("p_partkey"),
-        levenshtein(parts.getItem(0), parts.getItem(1)).as("edit_dist"))
-      .orderBy(col("p_partkey"))
-  }
-
-  /** F4 — dropna (any-null row elimination) after null injection. */
-  private def q41(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "customer")
-      .select(col("c_custkey"),
-        when(col("c_mktsegment") === "BUILDING", lit(null)).otherwise(col("c_mktsegment")).as("seg"),
-        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("bal"))
-      .na.drop()
-      .orderBy(col("c_custkey"))
-
-  /** F3 — rlike regex predicate. */
-  private def q42(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
-      .filter(col("text").rlike("spark\\s+\\w+\\s+join"))
-      .select(col("doc_id"), col("lang"))
-      .orderBy(col("doc_id"))
-
-  /** J1-style left outer join + measure with null-to-zero semantics. */
-  private def q43(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "customer")
-      .join(T(s, dir, "orders").filter(col("o_totalprice") > 300000),
-        col("c_custkey") === col("o_custkey"), "left")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("n_big_orders"),
-        round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("big_total"))
-      .orderBy(col("c_custkey"))
-
-  /** Multimodal frame sampling: 1 media row → n frame rows (flatMap shape). */
-  private def q44(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.withFakeMedia(T(s, dir, "documents"), "doc_id", "text")
-    Multimodal.sampleFrames(s, media, stride = 64)
-      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
-        col("byte_len"), col("sample_val"))
-      .orderBy(col("media_id"), col("frame_idx"))
-  }
-
-  /** Approximate sketches (HLL distinct, approx quantiles). Sketch values
-    * have no cross-engine oracle by nature, so the query makes itself
-    * verifiable: each approximation is emitted as an in-tolerance BOOLEAN
-    * against the exact aggregate computed in the same pass
-    * (|approx−exact|/exact < 5%, far looser than the sketches' configured
-    * error), plus the exact values themselves — DuckDB recomputes the
-    * exacts and expects `true`s, and the row hashes like any other query. */
-  private def q45(s: SparkSession, dir: String): DataFrame = {
-    def inTol(approx: Column, exact: Column): Column =
-      abs(approx - exact) / exact < 0.05
-    T(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)").as("aq"),
-        expr("percentile(l_extendedprice, array(0.5, 0.99))").as("eq"),
-        count(lit(1)).as("n")
-      )
-      .select(
-        col("l_returnflag"),
-        col("exact_orders"),
-        inTol(col("approx_orders"), col("exact_orders")).as("orders_ok"),
-        inTol(element_at(col("aq"), 1), element_at(col("eq"), 1)).as("p50_ok"),
-        inTol(element_at(col("aq"), 2), element_at(col("eq"), 2)).as("p99_ok"),
-        col("n"))
-      .orderBy(col("l_returnflag"))
-  }
-
-  /** Structured Streaming execution of the hourly aggregation: the SAME
-    * windowed plan a live deployment runs (file-source stream → watermark →
-    * window agg → memory sink), on bounded input — and it must match the
-    * same DuckDB oracle as the batch twin q17. */
-  private def q46(s: SparkSession, dir: String): DataFrame = {
-    val stream = graft.streaming.EventStream.readEventsNanos(s, s"$dir/events.parquet")
-    val agg = graft.streaming.EventStream.hourlyByType(stream)
-    graft.streaming.EventStream.runBounded(s, agg, "graft_q46_sink")
-      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour_start"),
-        col("event_type"), col("n_events"), round(col("total_value"), 2).as("total_value"))
-      .orderBy(col("hour_start"), col("event_type"))
-  }
-
-  /** SRP-LSH bucket assignment (the ANN scale path's hashing step) — the
-    * deterministic md5-derived hyperplane formula is portable, so even this
-    * is oracle-verified. */
-  private def q47(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshBuckets(T(s, dir, "embeddings"), "vec_id", "embedding", nPlanes = 8, seed = 42)
-      .select(col("id").as("vec_id"), col("bucket"))
-      .orderBy(col("vec_id"))
-
-  /** S3/S4/R1-R3/P-chain end-to-end: export `nation` to a deterministically
-    * dirty CSV (unnamed junk column, padded short rows, extra trailing
-    * fields, whitespace), then run the full text-scan → repair → clean
-    * pipeline and compare against an oracle that replicates the dirt
-    * analytically over the original parquet. */
-  private def q48(s: SparkSession, dir: String): DataFrame = {
-    import graft.model.SchemaJson
-    val nation = T(s, dir, "nation").orderBy(col("n_nationkey")).collect()
-    val lines = Seq("N_NATIONKEY,N_NAME,,N_REGIONKEY") ++ nation.map { r =>
-      val k = r.getInt(0); val name = r.getString(1); val reg = r.getInt(2)
-      if (k % 7 == 0) s"$k,  $name  "                   // short row → padded
-      else if (k % 5 == 0) s"$k,  $name  ,junk,$reg,EXTRA" // long row → truncated
-      else s"$k,  $name  ,junk,$reg"
-    }
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q48")
-    val csvPath = tmp.resolve("nation.csv")
-    java.nio.file.Files.write(csvPath, String.join("\n", lines: _*).getBytes("UTF-8"))
-    val repaired = graft.ops.CsvRepair.repair(s, graft.io.Readers.text(s, csvPath.toString)).get
-    val schema = SchemaJson.parse(
-      """[{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"string"},
-        |{"name":"n_regionkey","type":"int"}]""".stripMargin)
-    graft.ops.Cleaner.clean(repaired, schema)
-      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-      .orderBy(col("n_nationkey"))
-  }
-
-  /** Composite training-corpus filter: language-verified, quality-scored,
-    * exact-deduped document selection — the chained form of q22/q24/q25. */
-  private def q49(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
-    val survivors = Dedup.exact(docs, "text", "doc_id").select("doc_id", "fingerprint")
-    TF.withLangId(docs, "text", "pred_lang")
-      .withColumn("quality", TF.qualityScore(col("text")))
-      .join(survivors, "doc_id")
-      .filter(col("pred_lang") === col("lang") && col("quality") >= 0.55)
-      .select(col("doc_id"), col("lang"), col("quality"), col("fingerprint"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Same scenario as q18 but through [[Scd2.singleShuffle]] — the
-    * one-exchange merge (union + window classification instead of three
-    * shuffled joins). Oracle-pinned to the identical SQL as q18, so the
-    * driver gate proves plan-for-plan equivalence of the two formulations. */
-  private def q50(s: SparkSession, dir: String): DataFrame = {
-    val base = T(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-    val spec = Scd2.Scd2Spec(Seq("c_custkey"), Seq("c_name", "c_mktsegment"), "customer_sk", "dim_customer")
-    val existing = Scd2.singleShuffle(base, None, spec, FixedClock("2024-01-01 00:00:00"))
-    val mutated = base.select(
-      col("c_custkey"), col("c_name"),
-      when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("_V2")))
-        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
-    val newRows = base.filter(col("c_custkey") % 101 === 0).select(
-      (col("c_custkey") + 1000000).as("c_custkey"),
-      concat(lit("NEW "), col("c_name")).as("c_name"),
-      col("c_mktsegment"))
-    val snapshot = mutated.unionByName(newRows)
-    Scd2.singleShuffle(snapshot, Some(existing), spec, FixedClock("2024-06-01 00:00:00"))
-      .select(
-        col("c_custkey"), col("c_name"), col("c_mktsegment"), col("customer_sk"),
-        date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss").as("created_at"),
-        date_format(col("modified_at"), "yyyy-MM-dd HH:mm:ss").as("modified_at"),
-        col("is_active"), col("old_hash"))
-      .orderBy(col("c_custkey"), col("is_active"))
-  }
-
-  /** Skew-salted join (SkewJoin.saltedJoin) — oracle-pinned to the plain
-    * join SQL, proving the salt/replicate rewrite is row-identical. */
-  private def q51(s: SparkSession, dir: String): DataFrame = {
-    val supplier = T(s, dir, "supplier")
-      .withColumnRenamed("s_suppkey", "l_suppkey")
-      .select(col("l_suppkey"), col("s_name"))
-    graft.operators.SkewJoin
-      .saltedJoin(T(s, dir, "lineitem"), supplier, "l_suppkey", saltBuckets = 8)
-      .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
-      .orderBy(col("s_name"))
-  }
-
-  /** Pivot (values declared up front so no extra distinct scan). */
-  private def q52(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "orders").join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"))
-      .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(count(lit(1)))
-      .na.fill(0, Seq("F", "O", "P"))
-      .orderBy(col("c_mktsegment"))
-
-  /** Unpivot/melt — wide measures to long (metric, value) pairs. */
-  private def q53(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "lineitem")
-      .filter(col("l_quantity") >= 48)
-      .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-      .unpivot(
-        Array(col("l_orderkey"), col("l_linenumber")),
-        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
-        "metric", "value")
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
-
-  /** Set operations: INTERSECT then EXCEPT (distinct semantics). */
-  private def q54(s: SparkSession, dir: String): DataFrame = {
-    val building = T(s, dir, "customer")
-      .filter(col("c_mktsegment") === "BUILDING")
-      .select(col("c_custkey").as("custkey"))
-    val finished = T(s, dir, "orders")
-      .filter(col("o_orderstatus") === "F")
-      .select(col("o_custkey").as("custkey"))
-    val bigSpenders = T(s, dir, "orders")
-      .filter(col("o_totalprice") > 400000)
-      .select(col("o_custkey").as("custkey"))
-    building.intersect(finished).except(bigSpenders).orderBy(col("custkey"))
-  }
-
-  /** Ranking window functions: ntile / percent_rank / dense_rank / lag —
-    * tie-broken by key so output is deterministic across engines. */
-  private def q55(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))
-    T(s, dir, "customer")
-      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-        ntile(4).over(w).as("quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        dense_rank().over(w).as("drank"),
-        lag(col("c_acctbal"), 1).over(w).as("prev_bal"))
-      .orderBy(col("c_mktsegment"), col("c_acctbal").desc, col("c_custkey"))
-  }
-
-  /** JSON source/sink roundtrip: write nation as JSON lines, read back with
-    * an explicit schema (no inference pass — one scan, not two), join and
-    * aggregate. Oracle runs over the original parquet — proves the JSON
-    * sink/source preserves values exactly. */
-  private def q56(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q56").toString
-    T(s, dir, "nation").write.mode("overwrite").json(tmp)
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("n_nationkey", org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("n_name", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n_regionkey", org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("n_comment", org.apache.spark.sql.types.StringType)))
-    s.read.schema(schema).json(tmp)
-      .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-      .groupBy(col("r_name"))
-      .agg(count(lit(1)).as("n_nations"), collect_list(col("n_name")).as("names"))
-      .select(col("r_name"), col("n_nations"),
-        array_join(array_sort(col("names")), ",").as("nation_list"))
-      .orderBy(col("r_name"))
-  }
-
-  /** Stream-stream time-interval join, executed through the REAL streaming
-    * plan (two watermarked file-source streams, append mode). The oracle is
-    * a batch self-join mirroring the µs-floored event-time arithmetic. */
-  private def q57(s: SparkSession, dir: String): DataFrame = {
-    val ES = graft.streaming.EventStream
-    val path = s"$dir/events.parquet"
-    val views = ES.readEventsNanos(s, path).filter(col("event_type") === "view")
-      .select(col("user_id").as("view_user"), col("event_id").as("view_id"),
-        col("ts").as("view_ts"))
-    val clicks = ES.readEventsNanos(s, path).filter(col("event_type") === "click")
-      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
-    val joined = ES.viewClickJoin(views, clicks, horizonMin = 120)
-      .select(col("view_user").as("user_id"), col("view_id"), col("click_id"),
-        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
-    ES.runBounded(s, joined, "graft_q57_sink", "append")
-      .orderBy(col("user_id"), col("view_id"), col("click_id"))
-  }
-
-  /** Stateful streaming sessionization (flatMapGroupsWithState) on the real
-    * streaming plan. Append mode emits only CLOSED sessions (the trailing
-    * open session per user stays in state), so the oracle drops each user's
-    * last session. Gap arithmetic is at ms precision (Timestamp.getTime),
-    * mirrored exactly in the SQL. */
-  private def q58(s: SparkSession, dir: String): DataFrame = {
-    val ES = graft.streaming.EventStream
-    val stream = ES.readEventsNanos(s, s"$dir/events.parquet")
-    val sessions = ES.sessionize(s, stream, gapMs = 30L * 60 * 1000).toDF()
-    ES.runBounded(s, sessions, "graft_q58_sink", "append")
-      .select(col("user_id"),
-        unix_millis(col("session_start")).as("start_ms"),
-        unix_millis(col("session_end")).as("end_ms"),
-        col("n_events"))
-      .orderBy(col("user_id"), col("start_ms"))
-  }
-
-  /** PII redaction over documents. PII is injected deterministically from
-    * doc_id (the synthetic corpus has none), then emails/IPv4s/phones are
-    * counted and masked; the oracle runs the identical portable regexes
-    * (Java ∩ RE2 syntax) in DuckDB. */
-  private def q59(s: SparkSession, dir: String): DataFrame = {
-    val withPii = T(s, dir, "documents").withColumn("pii_text",
-      concat(col("text"),
-        lit(" contact u"), col("doc_id"), lit("@example.com or +1-555-01"),
-        lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
-        lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".1")))
-    Curation.redactPii(withPii, "pii_text")
-      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
-        md5(col("redacted")).as("redacted_digest"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Deterministic content-addressed train/val/test split (md5 bucket —
-    * stable across runs/engines/partitionings, unlike rand(seed)). */
-  private def q60(s: SparkSession, dir: String): DataFrame =
-    Curation.hashSplit(T(s, dir, "customer"), "c_custkey")
-      .groupBy(col("split"))
-      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
-      .orderBy(col("split"))
-
-  /** Symmetric int8 embedding quantization: per-vector scale + quantized
-    * values, fp-exact against the oracle (floor(x/scale + 0.5) round). */
-  private def q61(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "embeddings")
-      .withColumn("scale", VF.quantScale(col("embedding")))
-      .withColumn("q", VF.quantizeInt8(col("embedding"), col("scale")))
-      .select(col("vec_id"), col("scale"),
-        array_join(transform(col("q"), x => x.cast("string")), ",").as("qvec"))
-      .orderBy(col("vec_id"))
-
-  /** ORC source/sink roundtrip: supplier → ORC → read back → broadcast
-    * join + agg; oracle reads the original parquet. */
-  private def q62(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q62").toString
-    T(s, dir, "supplier").write.mode("overwrite").orc(tmp)
-    s.read.orc(tmp)
-      .join(broadcast(T(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"))
-      .agg(count(lit(1)).as("n_suppliers"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
-      .orderBy(col("n_name"))
-  }
-
-  /** Deterministic stratified sample (~20% per segment by content hash —
-    * no RNG, no per-stratum state, same rate in every stratum). */
-  private def q63(s: SparkSession, dir: String): DataFrame =
-    Curation.stratifiedSample(T(s, dir, "customer"), "c_custkey", 20)
-      .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_sampled"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
-      .orderBy(col("c_mktsegment"))
-
-  /** Same streaming sessionization scenario as q58 but through Spark 4's
-    * `transformWithState` state API (RocksDB store). Pinned to q58's
-    * oracle — the gate proves the two state APIs produce identical
-    * sessions. */
-  private def q65(s: SparkSession, dir: String): DataFrame = {
-    val ES = graft.streaming.EventStream
-    val stream = ES.readEventsNanos(s, s"$dir/events.parquet")
-    val sessions = ES.sessionizeTws(s, stream, gapMs = 30L * 60 * 1000).toDF()
-    ES.runBounded(s, sessions, "graft_q65_sink", "append")
-      .select(col("user_id"),
-        unix_millis(col("session_start")).as("start_ms"),
-        unix_millis(col("session_end")).as("end_ms"),
-        col("n_events"))
-      .orderBy(col("user_id"), col("start_ms"))
-  }
-
-  /** Interval RANGE window frame: per-user rolling 1-hour event count and
-    * value sum (frame = all events within the trailing hour, not a fixed
-    * row count). Order key is epoch micros so the frame bound is numeric
-    * and identical in both engines; RANGE semantics include timestamp
-    * peers on both sides. */
-  private def q64(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
-      .rangeBetween(-3600000000L, 0L)
-    T(s, dir, "events")
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
-      .select(col("user_id"), col("event_id"), col("us"),
-        count(lit(1)).over(w).as("n_1h"),
-        round(sum(col("value")).over(w), 2).as("sum_1h"))
-      .orderBy(col("user_id"), col("us"), col("event_id"))
-  }
-
-  /** Semi-structured JSON column: typed schema-on-read of the `props`
-    * JSON string via `from_json` (codegen'd Jackson parse, no UDF), then
-    * a grouped aggregate over the extracted field. */
-  private def q66(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "events")
-      .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType(
-        Seq(org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
-        .getField("k"))
-      .groupBy(col("event_type"), (col("k") / 10).cast("int").as("k_decile"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
-        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-      .orderBy(col("event_type"), col("k_decile"))
-
-  /** Bloom-filter semi-join reduction: lineitem prefiltered map-side by a
-    * bloom built over one nation's suppliers before the shuffle join.
-    * Oracle is the plain join SQL — no false negatives means identical
-    * results; the bloom only shrinks the shuffled fraction. */
-  private def q67(s: SparkSession, dir: String): DataFrame = {
-    val build = T(s, dir, "supplier")
-      .join(broadcast(T(s, dir, "nation").filter(col("n_name") === "NATION_7")),
-        col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("s_name"))
-    graft.operators.BloomJoin
-      .prefilteredJoin(T(s, dir, "lineitem"), build, "l_suppkey", "s_suppkey",
-        expectedItems = 10000L)
-      .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
-      .orderBy(col("s_name"))
-  }
-
-  /** Trained-IVF centroid training: deterministic distributed k-means
-    * (Lloyd's, k=4, 2 iterations, no RNG) — data never leaves executors,
-    * only k·dim centroid doubles move. The oracle replays the identical
-    * iterations in SQL (same init, same sequential-fold distances, same
-    * explicit rounding), so even the training loop is oracle-verified. */
-  private def q68(s: SparkSession, dir: String): DataFrame =
-    Similarity.kmeansAssign(T(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 2)
-      .select(col("id").as("vec_id"), col("cell"))
-      .orderBy(col("vec_id"))
-
-  /** Dedup clusters: connected components over the q28 near-dup pairs via
-    * iterative min-label propagation (no driver-side graph). The oracle
-    * mirrors the closure with a recursive CTE over the same pair SQL. */
-  private def q69(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
-    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
-      threshold = 0.3, shingleSize = 3, numHashes = 16, bands = 4)
-      .select(col("id_a"), col("id_b"))
-    Dedup.clusters(docs.select(col("doc_id").as("id")), pairs)
-      .select(col("id").as("doc_id"), col("cluster_id"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Time-series gap fill: a dense hour spine from `sequence`+`explode`
-    * (min..max event hour), left-joined to the hourly counts so silent
-    * hours appear as explicit zeros — the resample/densify step before
-    * any rolling metric. The spine is generated, not scanned. */
-  private def q70(s: SparkSession, dir: String): DataFrame = {
-    val hourly = T(s, dir, "events")
-      .groupBy(date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("n_events"))
-    val bounds = T(s, dir, "events")
-      .agg(date_trunc("hour", min(col("ts"))).as("lo"), date_trunc("hour", max(col("ts"))).as("hi"))
-    val spine = bounds
-      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
-    spine.join(hourly, Seq("h"), "left")
-      .select(date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour_start"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"))
-      .orderBy(col("hour_start"))
-  }
-
-  /** Capstone corpus-curation pipeline — the full training-data prep chain
-    * in one plan: near-dup CLUSTER survivors (minhash LSH pairs →
-    * connected components → min-id survivor), language-verified, quality-
-    * thresholded, PII-redacted (digest), and deterministically split
-    * train/val/test. Every stage is individually oracle-verified
-    * (q28/q69/q25/q24/q59/q60); this query pins their composition. */
-  private def q71(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
-    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
-      threshold = 0.3, shingleSize = 3, numHashes = 16, bands = 4)
-      .select(col("id_a"), col("id_b"))
-    val survivors = Dedup.clusters(docs.select(col("doc_id").as("id")), pairs)
-      .filter(col("id") === col("cluster_id"))
-      .select(col("id").as("doc_id"))
-    val scored = TF.withLangId(docs, "text", "pred_lang")
-      .withColumn("quality", TF.qualityScore(col("text")))
-    val redacted = Curation.redactPii(scored, "text")
-    Curation.hashSplit(redacted.join(survivors, "doc_id"), "doc_id")
-      .filter(col("pred_lang") === col("lang") && col("quality") >= 0.55)
-      .select(col("doc_id"), col("lang"), col("quality"),
-        md5(col("redacted")).as("redacted_digest"), col("split"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Spark 4 VARIANT column: `parse_json` once into the binary variant
-    * encoding, then typed `variant_get` paths — the schema-flexible
-    * complement to q66's fixed-schema `from_json` (same oracle answer,
-    * different extraction machinery). */
-  private def q72(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "events")
-      .withColumn("v", parse_json(col("props")))
-      .withColumn("k", variant_get(col("v"), "$.k", "int"))
-      .groupBy(col("event_type"), (col("k") / 10).cast("int").as("k_decile"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
-        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-      .orderBy(col("event_type"), col("k_decile"))
-
-  /** Forward as-of join — for each purchase, the same user's FIRST click
-    * at-or-after it (q34's mirror; same one-pass union-window plan run in
-    * reverse time order). */
-  private def q73(s: SparkSession, dir: String): DataFrame = {
-    val ev = T(s, dir, "events")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val clicks = StarSchema.dedupKeyed(
-      ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
-          col("value").as("click_value")),
-      Seq("user_id", "ts"), Seq(col("click_id").desc))
-    operators.AsOfJoin.asof(purchases, clicks, "user_id", "ts", "ts",
-      Seq("click_id", "click_value"), tieBreak = Some("click_id"),
-      direction = "forward")
-      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
-        col("click_id_asof"), col("click_value_asof"))
-      .orderBy(col("event_id"))
-  }
-
-  /** Incremental aggregate maintenance: the orders table arrives as two
-    * deterministic "days" (orderkey parity); day 1 builds the per-customer
-    * state, day 2 merges in WITHOUT rescanning day 1. The oracle is the
-    * full-recompute aggregate — the gate proves fold-in ≡ rebuild. */
-  private def q74(s: SparkSession, dir: String): DataFrame = {
-    import graft.ops.IncrementalAgg
-    val orders = T(s, dir, "orders")
-    val day1 = orders.filter(col("o_orderkey") % 2 === 0)
-    val day2 = orders.filter(col("o_orderkey") % 2 === 1)
-    val keys = Seq("o_custkey")
-    val measures = Seq("o_totalprice")
-    val snapshot = IncrementalAgg.build(day1, keys, measures)
-    IncrementalAgg.merge(snapshot, day2, keys, measures)
-      .select(col("o_custkey"), col("n_rows").as("n_orders"),
-        round(col("sum_o_totalprice"), 2).as("sum_price"))
-      .orderBy(col("o_custkey"))
-  }
-
-  /** Deterministic source mixing: per-language sampling rates over the
-    * corpus (keep all English, thin the rest) — the reproducible
-    * `sampleBy`. */
-  private def q75(s: SparkSession, dir: String): DataFrame =
-    Curation.sampleByRates(T(s, dir, "documents"), "lang", "doc_id",
-      Map("en" -> 100, "de" -> 50, "es" -> 50, "fr" -> 25, "zh" -> 25))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_kept"))
-      .orderBy(col("lang"))
-
-  /** Corpus-overlap estimation via mergeable per-source MinHash sketches:
-    * |sources|² sketch comparisons instead of |docs|² document
-    * comparisons. The element-wise-min sketch merges across partitions/
-    * days for free (min is associative) — the 100 TB way to ask "how much
-    * does source A overlap source B". */
-  private def q76(s: SparkSession, dir: String): DataFrame = {
-    val sketches = Dedup.groupSketches(T(s, dir, "documents"), "text", "source")
-    Dedup.sketchOverlap(sketches)
-      .orderBy(col("grp_a"), col("grp_b"))
-  }
-
-  /** Corrupt-record quarantine on a JSON source (the JSON mirror of the
-    * CSV-repair stage): every 5th nation row is written as a broken line;
-    * PERMISSIVE parse + `_corrupt` capture keeps the job alive, parses the
-    * good rows, and makes the bad ones countable. Oracle replicates the
-    * corruption pattern analytically over the original parquet. */
-  private def q77(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q77").toString
-    T(s, dir, "nation")
-      .select(when(col("n_nationkey") % 5 === 0,
-          concat(lit("{BROKEN json line for key "), col("n_nationkey")))
-        .otherwise(to_json(struct(col("n_nationkey"), col("n_name"), col("n_regionkey"))))
-        .as("value"))
-      .write.mode("overwrite").text(tmp)
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("n_nationkey", org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("n_name", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n_regionkey", org.apache.spark.sql.types.IntegerType)))
-    graft.io.Readers.jsonPermissive(s, tmp, schema)
-      .select(when(col("_corrupt").isNotNull, lit("corrupt")).otherwise(lit("ok")).as("kind"),
-        col("n_regionkey"))
-      .groupBy(col("kind"), col("n_regionkey"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("kind"), col("n_regionkey"))
-  }
-
-  /** Schema evolution across parquet files: an early writer knew 3
-    * columns, a later one adds `name_len`; `mergeSchema` reads the
-    * union, with pre-evolution rows null in the new column. */
-  private def q78(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q78").toString
-    val nation = T(s, dir, "nation")
-    nation.filter(col("n_regionkey") < 2)
-      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-      .write.mode("overwrite").parquet(tmp)
-    nation.filter(col("n_regionkey") >= 2)
-      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
-        length(col("n_name")).as("name_len"))
-      .write.mode("append").parquet(tmp)
-    graft.io.Readers.parquetMergedSchema(s, tmp)
-      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"), col("name_len"))
-      .orderBy(col("n_nationkey"))
-  }
-
-  /** Correlated scalar subquery through the SQL front-end (TPC-H Q17
-    * shape): lineitems below 20% of their part's average quantity.
-    * Catalyst decorrelates the subquery into an aggregate + join — no
-    * per-row re-execution, which is what makes this runnable at scale. */
-  private def q79(s: SparkSession, dir: String): DataFrame = {
-    T(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
-    s.sql(
-      """SELECT l_partkey, count(*) AS n_small,
-        |  round(sum(l_extendedprice), 2) AS sum_price
-        |FROM lineitem_v l1
-        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
-        |                    FROM lineitem_v l2 WHERE l2.l_partkey = l1.l_partkey)
-        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin)
-  }
-
-  /** Explicit GROUPING SETS (finer than rollup/cube) + grouping_id to
-    * label each aggregation level. */
-  private def q80(s: SparkSession, dir: String): DataFrame = {
-    T(s, dir, "orders").createOrReplaceTempView("orders_v")
-    s.sql(
-      """SELECT o_orderstatus, o_orderpriority, grouping(o_orderpriority) AS gid,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
-        |FROM orders_v
-        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus))
-        |ORDER BY o_orderstatus, gid, o_orderpriority""".stripMargin)
-  }
-
-  /** q46's hourly aggregation drained with `Trigger.AvailableNow` — the
-    * cron-scheduled catch-up pattern (the trigger terminates the query
-    * itself). Pinned to the same oracle as batch q17 and streaming q46. */
-  private def q81(s: SparkSession, dir: String): DataFrame = {
-    val stream = graft.streaming.EventStream.readEventsNanos(s, s"$dir/events.parquet")
-    val agg = graft.streaming.EventStream.hourlyByType(stream)
-    graft.streaming.EventStream.runAvailableNow(s, agg, "graft_q81_sink")
-      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour_start"),
-        col("event_type"), col("n_events"), round(col("total_value"), 2).as("total_value"))
-      .orderBy(col("hour_start"), col("event_type"))
-  }
-
-  /** Write-once co-bucketed layout for the two fact tables, keyed by the
-    * join key each is re-joined on every day (`l_orderkey`/`o_orderkey`).
-    * Idempotent per (session, dir); the write is the amortized cost
-    * bucketing trades for never shuffling that join again (BucketSmoke
-    * measures 3.3× at ×10 replication). 32 buckets suits the bench scale —
-    * at 100 TB the same layout wants O(thousands) of buckets so a bucket
-    * stays executor-memory-sized. */
-  def ensureBucketedLayout(s: SparkSession, dir: String): (String, String) = {
-    val h = Integer.toHexString(dir.hashCode & 0x7fffffff)
-    val (liT, ordT) = (s"graft_bkt_lineitem_$h", s"graft_bkt_orders_$h")
-    if (!s.catalog.tableExists(liT) || !s.catalog.tableExists(ordT)) {
-      val base = java.nio.file.Files.createTempDirectory("graft-bkt").toString
-      graft.io.Writers.bucketedTable(T(s, dir, "lineitem"), s"$base/lineitem",
-        liT, Seq("l_orderkey"), 32)
-      graft.io.Writers.bucketedTable(T(s, dir, "orders"), s"$base/orders",
-        ordT, Seq("o_orderkey"), 32)
-    }
-    (liT, ordT)
-  }
-
-  /** q04's star join over the co-bucketed fact layout: the
-    * lineitem⋈orders join plans with NO exchange on either side (bucketed
-    * SMJ), dims still broadcast — the only shuffle left in the query is
-    * the final group-by. Pinned to q04's oracle: same answer, the plan a
-    * 1000-executor cluster wants for a fact-fact join run daily. */
-  private def q82(s: SparkSession, dir: String): DataFrame = {
-    val (liT, ordT) = ensureBucketedLayout(s, dir)
-    s.table(liT)
-      .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-      .groupBy(col("r_name"))
-      .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-        count(lit(1)).as("n_items")
-      )
-      .orderBy(col("r_name"))
-  }
-
-  /** D2 scale path — q08's latest-order-per-customer dedup through the
-    * sort-free hash-aggregate variant (`StarSchema.dedupKeyedAgg`:
-    * `max_by(row, ordering)` with map-side partial aggregation) instead of
-    * Sort+Window. Pinned to q08's oracle: same survivor, different plan. */
-  private def q83(s: SparkSession, dir: String): DataFrame =
-    StarSchema.dedupKeyedAgg(
-      T(s, dir, "orders"),
-      Seq("o_custkey"),
-      Seq(col("o_orderdate"), col("o_orderkey"))
-    )
-      .select(col("o_custkey"), col("o_orderkey"),
-        col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
-      .orderBy(col("o_custkey"))
-
-  /** TF-IDF top-3 terms per document (raw-ratio idf — see
-    * CorpusStats.tfidfTopTerms). Score is an exact int ratio in doubles,
-    * so the oracle matches with no rounding. */
-  private def q84(s: SparkSession, dir: String): DataFrame =
-    operators.CorpusStats.tfidfTopTerms(T(s, dir, "documents"), "doc_id", "text", 3)
-      .orderBy(col("doc_id"), col("term"))
-
-  /** Gopher-style trigram repetition fraction + filter flag per document. */
-  private def q85(s: SparkSession, dir: String): DataFrame =
-    operators.CorpusStats.withRepetition(T(s, dir, "documents"), "text")
-      .select(col("doc_id"), col("total_ngrams"), col("distinct_ngrams"),
-        col("rep_frac"), (col("rep_frac") > 0.2).as("repetitive"))
-      .orderBy(col("doc_id"))
-
-  /** Benchmark decontamination: docs with doc_id % 50 == 0 stand in for the
-    * eval set; every other doc reports how many distinct trigrams it shares
-    * with that set (≥ 1 ⇒ contaminated — the pre-training leak filter). */
-  private def q86(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
-    operators.CorpusStats.contaminationCounts(
-      docs.filter(col("doc_id") % 50 =!= 0),
-      docs.filter(col("doc_id") % 50 === 0),
-      "doc_id", "text")
-      .orderBy(col("doc_id"))
-  }
-
-  /** SemDeDup-style semantic dedup: trained k-means cells prune the pair
-    * space (only within-cell pairs are cosine-scored — cross-cell misses
-    * are the documented recall trade), exact cosine verification. The
-    * oracle replays the training AND the pruning, so the whole operator is
-    * hash-verified, not just the scores. k scales with the corpus
-    * (ceil(√n) ⇒ Σ|cell|² ≈ n^1.5 for balanced cells, not n²/const —
-    * the configuration that survives a 100× scale-up; a fixed k is
-    * quadratic no matter how large the corpus grows). */
-  private def q87(s: SparkSession, dir: String): DataFrame = {
-    val emb = T(s, dir, "embeddings")
-    val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
-    Similarity.semanticNearDups(emb, "vec_id", "embedding",
-        k = k, iters = 2, threshold = 0.4)
-      .orderBy(col("id_a"), col("id_b"))
-  }
-
-  /** q18/q50's scenario driven through the PARTITION-PRUNED, DISK-BACKED
-    * merge (`Scd2.mergePartitioned`, idiomatic semantics): run 1 seeds the
-    * key-hash-partitioned table, run 2 merges the mutated snapshot, and
-    * the final table is read back from parquet. Oracle = q18's SQL with
-    * idiomatic created_at (carried from the prior active version instead
-    * of reset) — the only observable difference on a history-free seed. */
-  private def q88(s: SparkSession, dir: String): DataFrame = {
-    val base = T(s, dir, "customer")
-      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-    val spec = Scd2.Scd2Spec(Seq("c_custkey"), Seq("c_name", "c_mktsegment"),
-      "customer_sk", "dim_customer")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q88").toString
-    Scd2.mergePartitioned(base, tmp, spec, FixedClock("2024-01-01 00:00:00"), 16)
-    val mutated = base.select(
-      col("c_custkey"), col("c_name"),
-      when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("_V2")))
-        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
-    val newRows = base.filter(col("c_custkey") % 101 === 0).select(
-      (col("c_custkey") + 1000000).as("c_custkey"),
-      concat(lit("NEW "), col("c_name")).as("c_name"),
-      col("c_mktsegment"))
-    Scd2.mergePartitioned(mutated.unionByName(newRows), tmp, spec,
-      FixedClock("2024-06-01 00:00:00"), 16)
-    s.read.parquet(tmp)
-      .select(
-        col("c_custkey"), col("c_name"), col("c_mktsegment"), col("customer_sk"),
-        date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss").as("created_at"),
-        date_format(col("modified_at"), "yyyy-MM-dd HH:mm:ss").as("modified_at"),
-        col("is_active"), col("old_hash"))
-      .orderBy(col("c_custkey"), col("is_active"))
-  }
-
-  /** Single-pass table profile (Quality.profile) over mixed-type orders
-    * columns — the Glue-crawler statistics role: counts/distincts/numeric
-    * bounds per column from ONE scan. */
-  private def q89(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Quality.profile(T(s, dir, "orders"),
-        Seq("o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate"))
-      .orderBy(col("col_name"))
-
-  /** Product-quantization codes: per-subspace codebooks trained with the
-    * deterministic k-means (m=4 subspaces, k=8 entries, 2 iterations) on
-    * the unit-normalized vectors, every vector encoded as its 4 nearest-
-    * entry indices. The oracle replays normalization, ALL FOUR subspace
-    * trainings (one grp-keyed CTE chain) and the argmin encoding — the
-    * full 32× compression path is hash-verified, not spec-trusted. */
-  private def q90(s: SparkSession, dir: String): DataFrame = {
-    val emb = T(s, dir, "embeddings")
-    val model = graft.operators.ProductQuant.train(
-      emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
-    graft.operators.ProductQuant.encode(emb, "vec_id", "embedding", model)
-      .select(col("id").as("vec_id"),
-        array_join(col("codes").cast("array<string>"), ",").as("codes"))
-      .orderBy(col("vec_id"))
-  }
-
-  /** IVF-PQ top-k serve for one query (vec_id 10): coarse k-means routing
-    * (nprobe=2 of 4 cells), ADC scoring over the PQ codes of the probed
-    * cells only (m LUT lookups per row, no float reads), exact cosine
-    * re-rank of the 40-row shortlist. The oracle replays the coarse
-    * training, the PQ training, the encoding, the driver-side LUT and the
-    * two-stage ranking — the entire billion-scale ANN serving layout in
-    * one hash-verified row set. */
-  private def q91(s: SparkSession, dir: String): DataFrame = {
-    val emb = T(s, dir, "embeddings")
-    val index = graft.operators.ProductQuant.buildIvfPq(
-      emb, "vec_id", "embedding", coarseK = 4, m = 4, k = 8, iters = 2)
-    val qRow = emb.filter(col("vec_id") === 10).head()
-    val query = qRow.getSeq[Float](qRow.fieldIndex("embedding")).toArray
-    graft.operators.ProductQuant.ivfPqTopK(index, emb, "vec_id", "embedding",
-        query, n = 10, nprobe = 2, shortlist = 40)
-      .select(col("id").as("vec_id"), col("approx_dist"), col("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-  }
-
-  /** q18's scenario driven through STREAMING SCD2 dimension maintenance
-    * (`DimStream.scd2Sink`): the seed snapshot and the mutated snapshot
-    * arrive as two file-source micro-batches (the real streaming plan — a
-    * parquet directory stream, a checkpoint, a foreachBatch merge), each
-    * merged with its own load-date clock, and the final dim is read back
-    * from disk. Oracle = q18's batch SQL — the batch twin that every other
-    * streaming query in the suite is pinned to. */
-  private def q92(s: SparkSession, dir: String): DataFrame = {
-    val base = T(s, dir, "customer")
-      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-    val spec = Scd2.Scd2Spec(Seq("c_custkey"), Seq("c_name", "c_mktsegment"),
-      "customer_sk", "dim_customer")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q92").toString
-    val updatesDir = s"$tmp/updates"
-    // batch 0: the seed snapshot lands as files
-    base.write.mode("append").parquet(updatesDir)
-    val updates = s.readStream.schema(base.schema).parquet(updatesDir)
-    val clocks = Map(
-      0L -> FixedClock("2024-01-01 00:00:00"),
-      1L -> FixedClock("2024-06-01 00:00:00"))
-    val q = graft.streaming.DimStream.scd2Sink(s, updates, spec,
-      s"$tmp/dim", s"$tmp/ckpt", clocks(_))
-    q.processAllAvailable()
-    // batch 1: the mutated snapshot (changed segments + brand-new keys)
-    val mutated = base.select(
-      col("c_custkey"), col("c_name"),
-      when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("_V2")))
-        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
-    val newRows = base.filter(col("c_custkey") % 101 === 0).select(
-      (col("c_custkey") + 1000000).as("c_custkey"),
-      concat(lit("NEW "), col("c_name")).as("c_name"),
-      col("c_mktsegment"))
-    mutated.unionByName(newRows).write.mode("append").parquet(updatesDir)
-    q.processAllAvailable()
-    q.stop()
-    s.read.parquet(s"$tmp/dim")
-      .select(
-        col("c_custkey"), col("c_name"), col("c_mktsegment"), col("customer_sk"),
-        date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss").as("created_at"),
-        date_format(col("modified_at"), "yyyy-MM-dd HH:mm:ss").as("modified_at"),
-        col("is_active"), col("old_hash"))
-      .orderBy(col("c_custkey"), col("is_active"))
-  }
-
-  /** Document chunking into overlapping token windows (width 64, stride
-    * 48 — 16-token overlap) — the RAG / long-context pre-tokenization
-    * layout. Pure per-row work: one Generate, no shuffle (scan speed at
-    * any corpus size). */
-  private def q93(s: SparkSession, dir: String): DataFrame =
-    operators.Chunker.chunk(T(s, dir, "documents"), "doc_id", "text",
-        width = 64, stride = 48)
-      .withColumnRenamed("id", "doc_id")
-      .orderBy(col("doc_id"), col("chunk_idx"))
-
-  /** Greedy sequence packing into 400-token budgets across 8
-    * content-addressed packer groups. The oracle replays the greedy fill
-    * with a recursive CTE — the pack boundary is a non-associative
-    * recurrence, which is exactly why the Spark side is a sorted
-    * mapPartitions scan and not a window function. */
-  private def q94(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
-      .select(col("doc_id"), TF.tokenCount(col("text")).as("n_toks"))
-    operators.Packer.packGreedy(docs, "doc_id", "n_toks", budget = 400, numGroups = 8)
-      .withColumnRenamed("id", "doc_id")
-      .orderBy(col("doc_id"))
-  }
-
-  /** Unigram-LM quality score per document (mean token ln-probability
-    * under the corpus's own add-one-smoothed unigram model) — the cheap
-    * stand-in for CCNet-style perplexity filtering. Rounded to 2 dp per
-    * the shuffled-aggregate float policy. */
-  private def q95(s: SparkSession, dir: String): DataFrame =
-    operators.CorpusStats.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
-      .orderBy(col("doc_id"))
-
-  /** Winnowing fingerprints (5-gram hashes, window 4, rightmost-min tie
-    * rule) — the MOSS partial-overlap detector; any ≥8-token shared
-    * substring between two documents is guaranteed a common fingerprint. */
-  private def q96(s: SparkSession, dir: String): DataFrame =
-    operators.CorpusStats.winnowFingerprints(T(s, dir, "documents"), "doc_id", "text",
-        k = 5, w = 4)
-      .orderBy(col("doc_id"), col("pos"), col("fp"))
-
-  /** Z-order (Morton) value over (customer, order-day) — the layout key
-    * that makes parquet min/max stats prune scans on EITHER dimension.
-    * Pure per-row bit arithmetic; the layout writer itself
-    * (ZOrder.writeZOrdered) is exercised in ZOrderSpec, where the
-    * per-file bounding boxes are asserted. */
-  private def q97(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "orders").select(col("o_orderkey"),
-        graft.functions.ZOrder.zValue(
-          col("o_custkey"),
-          datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01"))),
-          16).as("zval"))
-      .orderBy(col("o_orderkey"))
-
-  /** The residual IVF-PQ index is write-once serving infrastructure —
-    * like q82's bucketed layout, it is built ONCE per (session, dir) and
-    * amortized over every query served against it (a production ANN
-    * service trains offline and serves millions of queries). The encoded
-    * relation is cached: it is the serving working set (cells + m byte
-    * codes per vector — the 32×-compressed form that replaces the floats
-    * at query time). */
-  private val resIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, graft.operators.ProductQuant.IvfPqResidualIndex]
-  def ensureResidualIndex(s: SparkSession, dir: String): graft.operators.ProductQuant.IvfPqResidualIndex =
-    resIndexCache.getOrElseUpdate(dir, {
-      val idx = graft.operators.ProductQuant.buildIvfPqResidual(
-        T(s, dir, "embeddings"), "vec_id", "embedding",
-        coarseK = 4, m = 4, k = 8, iters = 2)
-      val served = idx.copy(encoded = idx.encoded.cache())
-      served.encoded.count() // materialize the serving working set
-      served
-    })
-
-  /** Residual IVF-PQ top-k serve (codes quantize v − coarse centroid —
-    * the classic recall refinement over q91's direct quantization; same
-    * deterministic trainings, so the oracle replays coarse routing,
-    * residual computation, all four residual codebooks, the per-cell
-    * LUTs and the exact re-rank). */
-  private def q98(s: SparkSession, dir: String): DataFrame = {
-    val emb = T(s, dir, "embeddings")
-    val index = ensureResidualIndex(s, dir)
-    val qRow = emb.filter(col("vec_id") === 11).head()
-    val query = qRow.getSeq[Float](qRow.fieldIndex("embedding")).toArray
-    graft.operators.ProductQuant.ivfPqResidualTopK(index, emb, "vec_id", "embedding",
-        query, n = 10, nprobe = 2, shortlist = 40)
-      .select(col("id").as("vec_id"), col("approx_dist"), col("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-  }
-
-  /** Filtered vector search: q38's IVF layout under a metadata predicate
-    * (labels 0–4 only). The filter sits BELOW cell assignment — it
-    * reaches the parquet scan as a PUSHED filter (plan-asserted in
-    * ScaleOpsSpec), then cell routing prunes what survives: the two
-    * prunings compose, which is the whole point of a scan-shaped ANN
-    * index (graph indexes can't do this cheaply). */
-  private def q99(s: SparkSession, dir: String): DataFrame = {
-    val emb = T(s, dir, "embeddings")
-    val centroids = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("centroid_id"), col("embedding"))
-    val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 15)
-    Similarity.ivfTopKWhere(emb, queries, centroids, "vec_id", "embedding",
-        k = 3, nprobe = 2, pred = col("label") < 5)
-      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** Streaming exact dedup: every event arrives TWICE (two parquet copies
-    * in the source directory); `dropDuplicates` over the watermarked
-    * stream must reconstruct the original table exactly. The watermark is
-    * set beyond the data's time range so no state is evicted mid-drain —
-    * bounded-input determinism, the same contract as the other streaming
-    * oracle rows. */
-  private def q100(s: SparkSession, dir: String): DataFrame = {
-    val events = graft.io.Readers.parquetNanos(s, s"$dir/events.parquet", Seq("ts"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q100").toString
-    events.write.mode("append").parquet(tmp)
-    events.write.mode("append").parquet(tmp)
-    val stream = s.readStream.schema(events.schema).parquet(tmp)
-    val deduped = graft.streaming.EventStream.dedupEvents(stream, watermark = "36500 days")
-      .select(col("event_id"), unix_micros(col("ts")).as("us"),
-        col("event_type"), col("value"))
-    graft.streaming.EventStream.runBounded(s, deduped, "graft_q100_sink", "append")
-      .orderBy(col("event_id"))
-  }
-
-  /** Pure range join (no equality key) through the bucketed equi-join
-    * rewrite: each click counts the 10-minute purchase windows covering
-    * it. The naive formulation is a BroadcastNestedLoopJoin —
-    * |clicks|·|windows| comparisons; the bucketed plan hashes like any
-    * equi-join (ScaleOpsSpec asserts no BNLJ/cartesian in the plan). */
-  private def q101(s: SparkSession, dir: String): DataFrame = {
-    val ev = T(s, dir, "events")
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id"), unix_micros(col("ts")).as("us"))
-    val windows = ev.filter(col("event_type") === "purchase")
-      .select((unix_micros(col("ts")) - 600000000L).as("lo"),
-        unix_micros(col("ts")).as("hi"))
-    operators.RangeJoin.bucketed(clicks, windows, "us", "lo", "hi",
-        bucketWidth = 600000000L)
-      .groupBy(col("event_id"))
-      .agg(count(lit(1)).as("n_windows"))
-      .orderBy(col("event_id"))
-  }
-
-  /** Snapshot diff: q18's mutation scenario plus removals (every 13th
-    * key dropped), classified added/removed/changed/unchanged by
-    * TableDiff — one hash-reduced full outer join, payloads never
-    * shuffle. The oracle derives the labels analytically from the
-    * mutation rules. */
-  private def q102(s: SparkSession, dir: String): DataFrame = {
-    val base = T(s, dir, "customer")
-      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-    val next = base.filter(col("c_custkey") % 13 =!= 0)
-      .select(col("c_custkey"), col("c_name"),
-        when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("_V2")))
-          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
-      .unionByName(base.filter(col("c_custkey") % 101 === 0).select(
-        (col("c_custkey") + 1000000).as("c_custkey"),
-        concat(lit("NEW "), col("c_name")).as("c_name"),
-        col("c_mktsegment")))
-    operators.TableDiff.diff(base, next, Seq("c_custkey"), Seq("c_name", "c_mktsegment"))
-      .orderBy(col("c_custkey"))
-  }
-
-  /** The zone-mapped z-ordered orders layout: write-once infrastructure
-    * (like the bucketed tables and the ANN index) — z-order on the
-    * scaled (customer, order-day) pair, then index per-file min/max of
-    * the RAW dimensions into the `_zonemap.json` manifest. */
-  private val zoneLayoutCache = scala.collection.concurrent.TrieMap.empty[String, String]
-  def ensureZoneMappedOrders(s: SparkSession, dir: String): String =
-    zoneLayoutCache.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files.createTempDirectory("graft-zonemap").toString
-      val raw = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
-        datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01"))).as("day"))
-      val mx = raw.agg(max("o_custkey").cast("double"), max("day").cast("double")).head()
-      val scaled = raw
-        .withColumn("__xs", floor(col("o_custkey") * 255 / mx.getDouble(0)))
-        .withColumn("__ys", floor(col("day") * 255 / mx.getDouble(1)))
-      graft.functions.ZOrder.writeZOrdered(scaled, "__xs", "__ys", path,
-        numFiles = 16, bits = 8)
-      graft.io.ZoneMap.index(s, path, Seq("o_custkey", "day"))
-      path
-    })
-
-  /** Zone-map file skipping over the z-ordered layout: the range query
-    * plans against only the files whose bounding box overlaps BOTH
-    * predicates (the spec asserts a strict subset is read), then applies
-    * the exact filter — same answer as the full scan, which is exactly
-    * what the oracle checks. */
-  private def q103(s: SparkSession, dir: String): DataFrame = {
-    val path = ensureZoneMappedOrders(s, dir)
-    graft.io.ZoneMap.readPruned(s, path,
-        Seq(("o_custkey", 100.0, 300.0), ("day", 1500.0, 1800.0)))
-      .filter(col("o_custkey").between(100, 300) && col("day").between(1500, 1800))
-      .select(col("o_orderkey"), col("o_custkey"), col("day"))
-      .orderBy(col("o_orderkey"))
-  }
-
-  /** Exact heavy hitters per column (skew detector) — one stacked pass,
-    * per-column top-5 by frequency with value tie-break. */
-  private def q104(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Quality.heavyHitters(T(s, dir, "orders"),
-        Seq("o_custkey", "o_orderpriority", "o_orderstatus"), k = 5)
-      .orderBy(col("col_name"), col("rank"))
-
-  /** Fixed-bound equi-width histogram of order totals: 12 × 50k bins,
-    * pure per-row binning + one grouped count. */
-  private def q105(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Quality.histogram(T(s, dir, "orders"), "o_totalprice",
-        nBins = 12, lo = 0.0, hi = 600000.0)
-      .orderBy(col("bin"))
-
-  /** Mergeable distinct-count state: per-(type, day) HLL sketches union
-    * into per-type estimates — the sketch algebra that lets 100 TB of
-    * daily partials fold into weekly/monthly answers WITHOUT re-reading
-    * events (same mergeability story as the q76 MinHash sketches, on
-    * Spark's built-in DataSketches HLL). Gate: estimate within 5% of the
-    * same-pass exact distinct (q45's in-tolerance-boolean oracle style —
-    * sketch values are approximate by nature). */
-  private def q106(s: SparkSession, dir: String): DataFrame = {
-    val ev = T(s, dir, "events")
-    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    val merged = daily.groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-    val exact = ev.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("exact_users"), count(lit(1)).as("n_events"))
-    exact.join(merged, "event_type")
-      .select(col("event_type"), col("exact_users"),
-        (abs(col("est") - col("exact_users")) <= col("exact_users") * 0.05).as("est_ok"),
-        col("n_events"))
-      .orderBy(col("event_type"))
-  }
-
-  /** Incremental maintenance of the STAR-JOIN aggregate (q04's
-    * revenue-per-region): seed state from 90% of lineitems, fold the
-    * remaining 10% in as a delta — the materialized-view refresh that
-    * touches one day of data instead of all history. Must land q04's
-    * exact answer (its oracle), the same alternative-strategy pinning as
-    * q82/q83. */
-  private def q107(s: SparkSession, dir: String): DataFrame = {
-    def enriched(li: DataFrame): DataFrame = li
-      .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-      .select(col("r_name"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
-    val li = T(s, dir, "lineitem")
-    val seed = graft.ops.IncrementalAgg.build(
-      enriched(li.filter(col("l_orderkey") % 10 =!= 0)), Seq("r_name"), Seq("rev"))
-    graft.ops.IncrementalAgg.merge(seed,
-        enriched(li.filter(col("l_orderkey") % 10 === 0)), Seq("r_name"), Seq("rev"))
-      .select(col("r_name"), round(col("sum_rev"), 2).as("revenue"),
-        col("n_rows").as("n_items"))
-      .orderBy(col("r_name"))
-  }
-
-  /** Cross-source overlap MATRIX from winnowing fingerprints: distinct
-    * (source, fingerprint) pairs self-joined on the fingerprint — counts
-    * of shared local fingerprints per source pair. This sees PARTIAL
-    * overlap (a paragraph copied between corpora) that the q76 MinHash
-    * sketches cannot: MinHash estimates whole-set Jaccard, winnowing
-    * localizes matches to any ≥ w+k−1-token run. */
-  private def q108(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
-    val fps = operators.CorpusStats.winnowFingerprints(docs, "doc_id", "text")
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("source"), col("fp")).distinct()
-    fps.alias("a")
-      .join(fps.alias("b"),
-        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .orderBy(col("src_a"), col("src_b"))
-  }
-
-  /** Quality-weighted corpus sampling: keep each document with
-    * probability = its quality score, decided content-addressed (no RNG —
-    * the same doc survives identically across runs/partitionings). The
-    * oracle replays the quality formula and the 16-bit hash threshold. */
-  private def q109(s: SparkSession, dir: String): DataFrame =
-    Curation.weightedSample(
-        T(s, dir, "documents").withColumn("quality", TF.qualityScore(col("text"))),
-        "doc_id", "quality")
-      .select(col("doc_id"), col("quality"))
-      .orderBy(col("doc_id"))
-
-  /** STREAMING materialized-view maintenance: q74's per-customer order
-    * aggregate kept current by folding micro-batches of raw orders into
-    * the persisted state (AggStream.incrementalSink — foreachBatch +
-    * monoid merge). Two delta batches arrive as files; the final state
-    * must equal the one-shot batch aggregate (q74's oracle), proving the
-    * fold is batch-boundary-insensitive. */
-  private def q110(s: SparkSession, dir: String): DataFrame = {
-    val orders = T(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q110").toString
-    val updatesDir = s"$tmp/updates"
-    orders.filter(col("o_orderkey") % 10 =!= 0).write.mode("append").parquet(updatesDir)
-    val stream = s.readStream.schema(orders.schema).parquet(updatesDir)
-    val q = graft.streaming.AggStream.incrementalSink(s, stream,
-      Seq("o_custkey"), Seq("o_totalprice"), s"$tmp/state", s"$tmp/ckpt")
-    q.processAllAvailable()
-    orders.filter(col("o_orderkey") % 10 === 0).write.mode("append").parquet(updatesDir)
-    q.processAllAvailable()
-    q.stop()
-    graft.streaming.AggStream.readState(s, s"$tmp/state")
-      .select(col("o_custkey"), col("n_rows").as("n_orders"),
-        round(col("sum_o_totalprice"), 2).as("sum_price"))
-      .orderBy(col("o_custkey"))
-  }
-
-  /** q94's packs with the trainer-facing LAYOUT: per-document token
-    * offsets within each pack (windowed cumsum keyed by pack — the
-    * attention-mask boundary table). */
-  private def q111(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
-      .select(col("doc_id"), TF.tokenCount(col("text")).as("n_toks"))
-    operators.Packer.withOffsets(
-        operators.Packer.packGreedy(docs, "doc_id", "n_toks", budget = 400, numGroups = 8))
-      .withColumnRenamed("id", "doc_id")
-      .orderBy(col("doc_id"))
-  }
-
-  /** Three-dimensional Morton code over (customer, order-day,
-    * price-bucket) — the multi-attribute layout key (16-file tiles
-    * narrow on ALL THREE predicates' dimensions). Oracle replays the
-    * 3-way bit interleave. */
-  private def q112(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "orders").select(col("o_orderkey"),
-        graft.functions.ZOrder.zValueN(Seq(
-          col("o_custkey"),
-          datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01"))),
-          floor(col("o_totalprice") / 10000.0)), bits = 16).as("zval"))
-      .orderBy(col("o_orderkey"))
-
-  /** The `binaryFile` source — raw media/object ingestion into binary
-    * columns (the entry point of the multimodal path: files land as
-    * (path, length, content) rows with no decode). Each document's text
-    * is written out as one file named by its id, read back through the
-    * source, and must reproduce exact ids and byte lengths.
-    *
-    * The fixture write is DISTRIBUTED: executors write one object per
-    * row through the Hadoop FS API inside foreachPartition — no row data
-    * ever collects to the driver (at cluster scale the base path is the
-    * shared store and this IS the object-ingestion write pattern; the
-    * text datasource can't serve here because it appends a newline per
-    * row, breaking exact byte lengths). */
-  private def q113(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q113").toString
-    T(s, dir, "documents").select(col("doc_id"), col("text"))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        val base = new org.apache.hadoop.fs.Path(s"file:$tmp")
-        val fs = base.getFileSystem(conf)
-        it.foreach { r =>
-          val out = fs.create(new org.apache.hadoop.fs.Path(base, s"${r.getLong(0)}.bin"), true)
-          try out.write(r.getString(1).getBytes("UTF-8"))
-          finally out.close()
-        }
-      }
-    s.read.format("binaryFile").load(tmp)
-      .select(
-        regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
-        col("length").as("byte_len"),
-        length(col("content")).cast("long").as("content_len"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** STREAM-STATIC join (its own join planning path in Structured
-    * Streaming — the static side re-broadcasts per micro-batch): events
-    * stream against a static event-type weight table, weighted hourly
-    * totals. Batch twin = the same join + aggregation run unstreamed. */
-  private def q114(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // integer weights keep products on the data's 2-decimal grid, so the
-    // rounded sums never sit on a .005 boundary (a 0.1 weight produced
-    // 3-decimal products whose sums landed EXACTLY on x.xx5 — engine fp
-    // error direction then decided the rounding, 2/2021 groups flipped)
-    val weights = Seq(("click", 1.0), ("view", 2.0), ("purchase", 10.0))
-      .toDF("event_type", "weight")
-    val stream = graft.streaming.EventStream.readEventsNanos(s, s"$dir/events.parquet")
-    val joined = stream.join(broadcast(weights), Seq("event_type"))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value") * col("weight")).as("weighted_value"))
-      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
-        col("event_type"), col("n_events"), round(col("weighted_value"), 2).as("weighted_value"))
-    graft.streaming.EventStream.runBounded(s, joined, "graft_q114_sink")
-      .orderBy(col("hour_start"), col("event_type"))
-  }
-
-  /** The SQL front-end over the extension functions: q97's Morton key
-    * computed entirely in `spark.sql` through the GraftExtensions-
-    * registered `zorder_value` — proving the layout functions are
-    * first-class for SQL users (same oracle as q97). */
-  private def q115(s: SparkSession, dir: String): DataFrame = {
-    T(s, dir, "orders").createOrReplaceTempView("orders_v")
-    s.sql(
-      """SELECT o_orderkey,
-        |  zorder_value(16, o_custkey,
-        |    datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01')) AS zval
-        |FROM orders_v ORDER BY o_orderkey""".stripMargin)
-  }
-
-  /** Sessionization through Spark's BUILT-IN `session_window` aggregate,
-    * pinned to q32's oracle — the fourth formulation of the same
-    * semantics (lag+cumsum window q32, flatMapGroupsWithState q58,
-    * transformWithState q65, session_window here), all provably
-    * equivalent through one oracle. At scale this is the formulation to
-    * prefer: a single hash-aggregation with session merging, no full
-    * per-user sort window.
-    *
-    * BOUNDARY EQUIVALENCE (verified, not assumed): Spark merges an event
-    * into the current session when its start is ≤ the session's end
-    * (inclusive at the exact boundary — see the guard test in
-    * EventStreamSpec "session_window boundary": a gap of exactly 30 min
-    * stays in the SAME session, gap + 1µs splits). That is precisely the
-    * q32 oracle's rule (`us - prev > 1800000000` splits), so the pin
-    * holds on every representable µs timestamp, not just this dataset. */
-  private def q116(s: SparkSession, dir: String): DataFrame = {
-    val sessions = T(s, dir, "events")
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(min(unix_micros(col("ts"))).as("session_start_us"),
-        max(unix_micros(col("ts"))).as("session_end_us"),
-        count(lit(1)).as("n_events"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("session_start_us"))
-    sessions
-      .withColumn("session_id", row_number().over(w).cast("long"))
-      .select(col("user_id"), col("session_id"), col("session_start_us"),
-        col("session_end_us"), col("n_events"))
-      .orderBy(col("user_id"), col("session_id"))
-  }
-
-  /** The hive-partitioned orders layout (write-once infrastructure, like
-    * the bucketed tables): one directory per o_orderstatus under
-    * `<path>/fact`, plus a parquet-backed status dim under `<path>/dim`
-    * (a LocalRelation dim constant-folds its filter away, which starves
-    * the DPP rule of the filterable scan it hooks on). */
-  private val partLayoutCache = scala.collection.concurrent.TrieMap.empty[String, String]
-  def ensurePartitionedOrders(s: SparkSession, dir: String): String =
-    partLayoutCache.getOrElseUpdate(dir, {
-      import s.implicits._
-      val path = java.nio.file.Files.createTempDirectory("graft-part").toString
-      T(s, dir, "orders").write.mode("overwrite")
-        .partitionBy("o_orderstatus").parquet(s"$path/fact")
-      Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
-        .toDF("status", "label").write.mode("overwrite").parquet(s"$path/dim")
-      path
-    })
-
-  /** DYNAMIC PARTITION PRUNING: the dim-side filter (label = 'finished')
-    * reaches the partitioned fact scan at RUNTIME as a dynamicpruning
-    * subquery on the partition column — only the F partition's files are
-    * read (plan-asserted in ScaleOpsSpec). At 100 TB with a
-    * date-partitioned fact this is the mechanism that turns "join against
-    * this week's dim slice" into a 7-partition scan instead of a full
-    * one. */
-  private def q117(s: SparkSession, dir: String): DataFrame = {
-    val base = ensurePartitionedOrders(s, dir)
-    val fact = s.read.parquet(s"$base/fact")
-    val dim = s.read.parquet(s"$base/dim")
-    fact.join(dim.filter(col("label") === "finished"),
-        col("o_orderstatus") === col("status"))
-      .groupBy(col("o_orderstatus"), col("label"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
-      .orderBy(col("o_orderstatus"))
-  }
-
-  /** Cross-dataset exact dedup with SOURCE PRIORITY: every document also
-    * arrives as a lower-priority "mirror" copy with a SMALLER id — plain
-    * min-id dedup would keep the mirrors, so the green oracle row proves
-    * the priority column (not the id) picks the survivor. Runs on the
-    * sort-free arg_min aggregate (q83's scale path) over the text
-    * fingerprint. */
-  private def q118(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
-    val mirrors = docs.select((col("doc_id") - 100000).as("doc_id"), col("text"),
-      lit("mirror").as("source"))
-    val all = docs.unionByName(mirrors)
-      .withColumn("prio", when(col("source") === "mirror", 1).otherwise(0))
-      .withColumn("fingerprint", TF.fingerprint(col("text")))
-    StarSchema.dedupKeyedAgg(all, Seq("fingerprint"),
-        Seq(col("prio"), col("doc_id")), latest = false) // min (prio, id)
-      .select(col("doc_id"), col("source"), col("fingerprint"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Curriculum binning: quality quartiles per language (ntile over the
-    * total (quality, doc_id) order) — the stage assignment a curriculum
-    * schedule trains from easy/high-quality to hard. */
-  private def q119(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("quality").desc, col("doc_id").asc)
-    T(s, dir, "documents")
-      .withColumn("quality", TF.qualityScore(col("text")))
-      .withColumn("stage", ntile(4).over(w))
-      .select(col("doc_id"), col("lang"), col("quality"), col("stage"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Token-budget truncation (max-sequence-length preprocessing): keep
-    * the first 48 tokens, emit the truncated text, the kept count and a
-    * flag. Pure per-row array slicing. */
-  private def q120(s: SparkSession, dir: String): DataFrame = {
-    val toks = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(col("text")), "\\s+"))
-    T(s, dir, "documents")
-      .withColumn("__toks", toks)
-      .select(col("doc_id"),
-        size(col("__toks")).as("n_tokens"),
-        least(size(col("__toks")), lit(48)).as("n_kept"),
-        (size(col("__toks")) > 48).as("truncated"),
-        concat_ws(" ", slice(col("__toks"), 1, 48)).as("text_head"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Bigram-LM quality score — the sequence-aware upgrade of q95's
-    * unigram model (catches shuffled-word gibberish). */
-  private def q121(s: SparkSession, dir: String): DataFrame =
-    operators.CorpusStats.bigramLogProb(T(s, dir, "documents"), "doc_id", "text")
-      .orderBy(col("doc_id"))
-
-  /** Corpus collocations: top-20 bigrams by PMI (count ≥ 5). */
-  private def q122(s: SparkSession, dir: String): DataFrame =
-    operators.CorpusStats.pmiCollocations(T(s, dir, "documents"), "doc_id", "text",
-      minCount = 5, topK = 20)
-
-  /** EXACT SUBSTRING-LEVEL dedup, detection half: maximal cross-corpus
-    * repeated spans (Lee-et-al-style) — token ranges covered by 5-grams
-    * occurring at ≥2 sites anywhere in the corpus, island-merged per
-    * document, reported at ≥8 tokens. The step document-level
-    * MinHash/SimHash cannot do (they detect similar DOCUMENTS; this
-    * extracts the shared boilerplate INSIDE otherwise-unique ones). */
-  private def q124(s: SparkSession, dir: String): DataFrame =
-    Dedup.repeatedSpans(T(s, dir, "documents"), "doc_id", "text",
-        k = 5, minOccurrences = 2, minSpanTokens = 8)
-      .withColumnRenamed("id", "doc_id")
-      .orderBy(col("doc_id"), col("start_pos"))
-
-  /** EXACT SUBSTRING-LEVEL dedup, removal half: the corpus with every
-    * q124 span stripped out of the (normalized) token stream — repeated
-    * boilerplate gone, unique prose kept, every document still present
-    * (fully-duplicated ones come back empty). */
-  private def q125(s: SparkSession, dir: String): DataFrame =
-    Dedup.stripRepeatedSpans(T(s, dir, "documents"), "doc_id", "text",
-        k = 5, minOccurrences = 2, minSpanTokens = 8)
-      .withColumnRenamed("id", "doc_id")
-      .orderBy(col("doc_id"))
-
-  /** PARAGRAPH-granularity near-dup: 64-token exact-partition chunks
-    * through the banded MinHash pipeline — sub-document duplicate
-    * detection ("same doc, edited intro"). Same LSH machinery as q28,
-    * one level finer. */
-  private def q129(s: SparkSession, dir: String): DataFrame =
-    Dedup.paragraphNearDups(T(s, dir, "documents"), "doc_id", "text",
-        width = 64, threshold = 0.5)
-      .orderBy(col("doc_a"), col("chunk_a"), col("doc_b"), col("chunk_b"))
-
-  /** STREAMING ANN-index maintenance: the residual IVF-PQ model trains
-    * ONCE on the initial corpus (vec_id < 300), whose codes seed the
-    * index state; the remaining vectors then ARRIVE as two micro-batches
-    * and fold in via AnnStream.indexMaintenanceSink (frozen-model
-    * map-side encode, batchId-keyed idempotent appends). The oracle
-    * replays training on the initial corpus and encodes the FULL corpus
-    * in one shot — hash equality proves the maintained index is
-    * batch-boundary-insensitive and routing-equivalent to a rebuild. */
-  private def q130(s: SparkSession, dir: String): DataFrame = {
-    val emb = T(s, dir, "embeddings")
-    val initial = emb.filter(col("vec_id") < 300)
-    val idx = graft.operators.ProductQuant.buildIvfPqResidual(
-      initial, "vec_id", "embedding", coarseK = 4, m = 4, k = 8, iters = 2)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q130").toString
-    graft.io.Writers.parquet(idx.encoded, s"$tmp/state/binit")
-    val rest = emb.filter(col("vec_id") >= 300)
-    val updatesDir = s"$tmp/updates"
-    rest.filter(col("vec_id") % 2 === 0).write.mode("append").parquet(updatesDir)
-    val stream = s.readStream.schema(rest.schema).parquet(updatesDir)
-    val q = graft.streaming.AnnStream.indexMaintenanceSink(s, stream,
-      "vec_id", "embedding", idx.centroids, idx.model, s"$tmp/state", s"$tmp/ckpt")
-    q.processAllAvailable()
-    rest.filter(col("vec_id") % 2 === 1).write.mode("append").parquet(updatesDir)
-    q.processAllAvailable()
-    q.stop()
-    graft.streaming.AnnStream.readCodes(s, s"$tmp/state")
-      .select(col("id").as("vec_id"), col("cell"),
-        concat_ws(",", transform(col("codes"), c => c.cast("string"))).as("codes"))
-      .orderBy(col("vec_id"))
-  }
-
-  /** One BPE training run per sf dir (8 merges on the documents corpus),
-    * shared by q126/q127/q128 — training is deterministic, so the share
-    * is pure memoization. */
-  private val bpeCache = scala.collection.concurrent.TrieMap
-    .empty[String, (operators.Bpe.BpeModel, DataFrame)]
-  private def ensureBpe(s: SparkSession, dir: String): (operators.Bpe.BpeModel, DataFrame) =
-    bpeCache.getOrElseUpdate(dir,
-      operators.Bpe.train(T(s, dir, "documents"), "doc_id", "text", numMerges = 8))
-
-  /** TRAINED BPE, the merge table: 8 iterations of corpus-weighted
-    * most-frequent-adjacent-pair selection (ties lexicographic) over the
-    * distinct-word table. The oracle replays every iteration in SQL —
-    * pair counts, argmax, and the greedy left-to-right merge (closed-form
-    * islands + parity, no recursion) — so the LEARNED vocabulary itself
-    * is hash-verified, not just its application. */
-  private def q126(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    ensureBpe(s, dir)._1.merges.zipWithIndex
-      .map { case ((a, b), i) => (i + 1, a, b) }
-      .toDF("merge_rank", "lhs", "rhs")
-      .orderBy(col("merge_rank"))
-  }
-
-  /** The trained tokenizer applied to its own vocabulary: final
-    * segmentation of every distinct word after the 8 learned merges. */
-  private def q127(s: SparkSession, dir: String): DataFrame =
-    ensureBpe(s, dir)._2
-      .select(col("word"), size(col("syms")).cast("long").as("n_pieces"),
-        array_join(col("syms"), " ").as("pieces"))
-      .orderBy(col("word"))
-
-  /** Learned-vocab token counts per document — the REAL counts the
-    * packing/truncation/curriculum operators approximate with the regex
-    * subword heuristic: corpus word stream joined to the broadcast
-    * trained segmentation. */
-  private def q128(s: SparkSession, dir: String): DataFrame = {
-    val (_, words) = ensureBpe(s, dir)
-    operators.Bpe.tokenCounts(T(s, dir, "documents"), "doc_id", "text", words)
-      .orderBy(col("doc_id"))
-  }
-
-  /** Hard-negative mining for contrastive training: each query's top-5
-    * nearest neighbors RESTRICTED to a different label — the
-    * close-but-wrong examples a retrieval trainer wants. Composition of
-    * the exact scorer with a label constraint (the ANN path composes the
-    * same way via ivfTopKWhere). */
-  private def q123(s: SparkSession, dir: String): DataFrame = {
-    val emb = T(s, dir, "embeddings")
-    val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
-        col("label").as("q_label"))
-    val c = emb.select(col("vec_id").as("corpus_id"), col("embedding").as("c_vec"),
-      col("label").as("c_label"), VF.norm(col("embedding")).as("c_nrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    c.join(broadcast(q.withColumn("q_nrm", VF.norm(col("q_vec")))),
-        col("c_label") =!= col("q_label"))
-      .withColumn("cosine",
-        when(col("q_nrm") === 0.0 || col("c_nrm") === 0.0, lit(0.0))
-          .otherwise(VF.dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -2041,1402 +159,8 @@ object SparkEntry {
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────
+  // The oracle registry lives in graft.OracleSql (one file per concern:
+  // query builders here, DuckDB replay SQL there).
 
-  private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
-  private val shinglesSql =
-    s"""list_distinct(CASE WHEN len(w) < 3 THEN [] ELSE
-       | list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)""".stripMargin
-  private val docShinglesCte =
-    s"""docsh AS (SELECT doc_id, source, $shinglesSql AS sh FROM
-       | (SELECT doc_id, source, regexp_split_to_array($normSql, ' ') AS w FROM documents))""".stripMargin
-  private val jaccardSql =
-    """CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) = 0 THEN 0.0
-      | ELSE len(list_intersect(a.sh, b.sh))::DOUBLE /
-      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE END""".stripMargin
-
-  /** Greedy-packing replay (q94/q111 shared prefix): hash-grouped docs in
-    * id order stepped through the recursive fill; the final relation is
-    * `p(grp, doc_id, n_tokens, rn, pack_id, fill, pack_pos)`. Callers
-    * prefix with `WITH RECURSIVE`. */
-  private lazy val packReplayCte =
-    """d AS (
-      |  SELECT grp, doc_id, n_tokens,
-      |    row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
-      |  FROM (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 8 AS grp, doc_id,
-      |    (CASE WHEN length(trim(text)) = 0 THEN 0
-      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS n_tokens
-      |    FROM documents)),
-      |p AS (
-      |  SELECT grp, doc_id, n_tokens, rn, 0::BIGINT AS pack_id, n_tokens AS fill, 0 AS pack_pos
-      |  FROM d WHERE rn = 1
-      |  UNION ALL
-      |  SELECT d.grp, d.doc_id, d.n_tokens, d.rn,
-      |    CASE WHEN p.fill + d.n_tokens > 400 THEN p.pack_id + 1 ELSE p.pack_id END,
-      |    CASE WHEN p.fill + d.n_tokens > 400 THEN d.n_tokens ELSE p.fill + d.n_tokens END,
-      |    CASE WHEN p.fill + d.n_tokens > 400 THEN 0 ELSE p.pack_pos + 1 END
-      |  FROM p JOIN d ON d.grp = p.grp AND d.rn = p.rn + 1)""".stripMargin
-
-  /** Winnowing replay (q96/q108 shared prefix): tokens → positional
-    * 5-grams → 32-bit md5 hashes → per-window (w=4) rightmost-min
-    * selections, one struct row per window in `wsel(doc_id, s{pos,fp})`
-    * (distinct-ness applied by the consumer). */
-  private lazy val winnowSelCte =
-    s"""t AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w FROM documents),
-       |g AS (SELECT doc_id, CASE WHEN len(w) < 5 THEN []
-       |  ELSE list_transform(range(1, len(w) - 3),
-       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END AS grams
-       |  FROM t),
-       |h AS (SELECT doc_id, list_transform(grams, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
-       |  FROM g WHERE len(grams) > 0),
-       |wsel AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(hs) - 3, 1) + 1), s ->
-       |    {'pos': s - 1 + list_max(list_filter(range(1, len(list_slice(hs, s, s + 3)) + 1),
-       |        j -> list_slice(hs, s, s + 3)[j] = list_min(list_slice(hs, s, s + 3)))),
-       |     'fp': list_min(list_slice(hs, s, s + 3))})) AS s
-       |  FROM h)""".stripMargin
-
-  /** q124/q125's shared prefix: the ALL-position gram-hash stream (same
-    * token→5-gram→fp32 pipeline as winnowing, no window-min selection),
-    * duplicated-fp filter (≥2 sites corpus-wide), island merge, and the
-    * ≥8-token span table in `spans(doc_id, start_pos, end_pos,
-    * span_toks)`. Mirrors Dedup.repeatedSpans(k=5, minOcc=2, minSpan=8). */
-  private lazy val repeatedSpansCte =
-    s"""t AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w FROM documents),
-       |g AS (SELECT doc_id, CASE WHEN len(w) < 5 THEN []
-       |  ELSE list_transform(range(1, len(w) - 3),
-       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END AS grams
-       |  FROM t),
-       |h AS (SELECT doc_id, list_transform(grams, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
-       |  FROM g WHERE len(grams) > 0),
-       |pg AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) + 1),
-       |    i -> {'pos': i, 'fp': hs[i]})) AS s FROM h),
-       |pos AS (SELECT doc_id, s.pos::INT AS pos, s.fp AS fp FROM pg),
-       |dupfp AS (SELECT fp FROM pos GROUP BY fp HAVING count(*) >= 2),
-       |d AS (SELECT p.doc_id, p.pos FROM pos p JOIN dupfp USING (fp)),
-       |isl AS (SELECT doc_id, pos,
-       |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM d),
-       |spans AS (SELECT doc_id, min(pos) AS start_pos, max(pos) AS end_pos,
-       |    (max(pos) - min(pos) + 5)::BIGINT AS span_toks
-       |  FROM isl GROUP BY doc_id, grp HAVING (max(pos) - min(pos) + 5) >= 8)""".stripMargin
-
-  /** q126/q127/q128's shared prefix: the FULL BPE training replay — 8
-    * iterations, each = corpus-weighted pair counts (`prN`), the argmax
-    * pair with lexicographic tie-break (`btN`), and the greedy
-    * left-to-right merge applied closed-form (`msN` marks merge-start
-    * positions: occurrence islands + even-offset parity — equivalent to
-    * the engine's sequential fold because only equal-pair runs overlap),
-    * ending in the segmented word table `ws8(word, cnt, syms)`. */
-  private lazy val bpeCteChain: String = {
-    val init =
-      s"""bw0 AS MATERIALIZED (SELECT word, count(*)::BIGINT AS cnt FROM (
-         |    SELECT unnest(regexp_split_to_array($normSql, ' ')) AS word FROM documents)
-         |  WHERE len(word) > 0 GROUP BY word),
-         |ws0 AS MATERIALIZED (SELECT word, cnt,
-         |  list_transform(range(1, len(word) + 1), i -> word[i]) AS syms FROM bw0)""".stripMargin
-    val iters = (1 to 8).map { i =>
-      val prev = s"ws${i - 1}"
-      s"""pr$i AS MATERIALIZED (SELECT p.a AS a, p.b AS b, sum(cnt)::BIGINT AS n FROM (
-         |    SELECT cnt, unnest(CASE WHEN len(syms) < 2 THEN []
-         |      ELSE list_transform(range(2, len(syms) + 1),
-         |        j -> {'a': syms[j-1], 'b': syms[j]}) END) AS p
-         |    FROM $prev) GROUP BY 1, 2),
-         |bt$i AS MATERIALIZED (SELECT a, b FROM pr$i ORDER BY n DESC, a, b LIMIT 1),
-         |ps$i AS MATERIALIZED (SELECT word, cnt, syms, unnest(range(1, len(syms) + 1)) AS j FROM $prev),
-         |oc$i AS MATERIALIZED (SELECT p.word, p.j FROM ps$i p, bt$i bt
-         |  WHERE p.syms[p.j] = bt.a AND p.j < len(p.syms) AND p.syms[p.j + 1] = bt.b),
-         |ms$i AS MATERIALIZED (SELECT word, j FROM (
-         |    SELECT word, j, min(j) OVER (PARTITION BY word, isl) AS j0 FROM (
-         |      SELECT word, j, j - row_number() OVER (PARTITION BY word ORDER BY j) AS isl
-         |      FROM oc$i)) WHERE (j - j0) % 2 = 0),
-         |ws$i AS MATERIALIZED (SELECT o.word, any_value(o.cnt) AS cnt, list(o.piece ORDER BY o.j) AS syms
-         |  FROM (SELECT p.word, p.cnt, p.j,
-         |      CASE WHEN ms.j IS NOT NULL THEN p.syms[p.j] || bt.b ELSE p.syms[p.j] END AS piece,
-         |      (mp.j IS NOT NULL) AS skip
-         |    FROM ps$i p CROSS JOIN bt$i bt
-         |    LEFT JOIN ms$i ms ON ms.word = p.word AND ms.j = p.j
-         |    LEFT JOIN ms$i mp ON mp.word = p.word AND mp.j = p.j - 1) o
-         |  WHERE NOT o.skip GROUP BY o.word)""".stripMargin
-    }.mkString(",\n")
-    init + ",\n" + iters
-  }
-
-  /** Sequential-fold dot product mirror of VectorFunctions.dot. */
-  private def dotSql(a: String, b: String): String =
-    s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
-       | i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)""".stripMargin
-
-  private def cosineSql(a: String, b: String): String =
-    s"""CASE WHEN sqrt(${dotSql(a, a)}) = 0.0 OR sqrt(${dotSql(b, b)}) = 0.0 THEN 0.0
-       | ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END""".stripMargin
-
-  /** Exact SQL mirror of `TextFunctions.qualityScore` (same fp tree). */
-  private val qualitySql =
-    """(CASE WHEN length(text) = 0 THEN 0.0
-      |     ELSE len(regexp_extract_all(text, '[\p{L}]'))::DOUBLE / length(text) END) * 0.5
-      |  + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-      |     ELSE len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text) END) * 0.2
-      |  + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-      |     ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) END) * 0.2
-      |  + least((CASE WHEN length(trim(text)) = 0 THEN 0
-      |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE / 100.0, 1.0) * 0.1""".stripMargin
-
-  private val langCase = {
-    val zh = "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))"
-    val en = "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|that|with|for)\\b'))"
-    val de = "len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit|ein)\\b'))"
-    val es = "len(regexp_extract_all(lower(text), '\\b(el|la|los|las|que|es|una|para)\\b'))"
-    val fr = "len(regexp_extract_all(lower(text), '\\b(le|la|les|des|est|une|dans|pour)\\b'))"
-    s"""CASE WHEN $zh >= $en AND $zh >= $de AND $zh >= $es AND $zh >= $fr THEN 'zh'
-       | WHEN $en >= $zh AND $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
-       | WHEN $de >= $zh AND $de >= $en AND $de >= $es AND $de >= $fr THEN 'de'
-       | WHEN $es >= $zh AND $es >= $en AND $es >= $de AND $es >= $fr THEN 'es'
-       | ELSE 'fr' END""".stripMargin
-  }
-
-  def oracleSql: Map[String, String] =
-    // q50 runs the single-shuffle SCD2 formulation against the SAME oracle
-    // as q18's 3-join merge, and q65 runs transformWithState sessionization
-    // against q58's flatMapGroupsWithState oracle — the gate proves output
-    // equivalence of the alternative formulations.
-    oracleSqlCore +
-      ("q50_scd2_merge1" -> oracleSqlCore("q18_scd2_faithful")) +
-      ("q65_sessions_tws" -> oracleSqlCore("q58_stream_sessions")) +
-      // q72 extracts via Spark 4's VARIANT type; q66 via fixed-schema
-      // from_json — same answer, so they share one oracle.
-      ("q72_variant_props" -> oracleSqlCore("q66_json_props")) +
-      // q81 drains q46's plan via Trigger.AvailableNow — same oracle.
-      ("q81_stream_availablenow" -> oracleSqlCore("q46_stream_hourly")) +
-      // q82 re-plans q04's star join over co-bucketed fact tables and
-      // q83 is q08's dedup as a sort-free arg_max aggregate — alternative
-      // physical strategies, same oracles.
-      ("q82_bucketed_star" -> oracleSqlCore("q04_star_join")) +
-      ("q83_dedup_latest_agg" -> oracleSqlCore("q08_dedup_latest_order")) +
-      // q92 streams q18's two snapshots through the foreachBatch SCD2
-      // sink — the streaming plan must land the batch merge's exact table.
-      ("q92_stream_scd2" -> oracleSqlCore("q18_scd2_faithful")) +
-      // q107 maintains q04's star aggregate incrementally (seed + delta
-      // fold) — alternative refresh strategy, same oracle.
-      ("q107_incr_star_agg" -> oracleSqlCore("q04_star_join")) +
-      // q110 folds streamed micro-batches into q74's aggregate state —
-      // the monoid merge must be batch-boundary-insensitive.
-      ("q110_stream_incr_agg" -> oracleSqlCore("q74_incremental_agg")) +
-      // q115 computes q97's Morton key through the SQL-registered
-      // zorder_value function — same oracle.
-      ("q115_sql_zorder" -> oracleSqlCore("q97_zorder_value")) +
-      // q116 sessionizes with the BUILTIN session_window aggregate —
-      // the fourth formulation against q32's oracle.
-      ("q116_session_window" -> oracleSqlCore("q32_sessionize"))
-
-  private lazy val oracleSqlCore: Map[String, String] = Map(
-    "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
-        | count(*) AS count_order
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q02_filter_project" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-        | CAST(l_shipdate AS DATE) AS ship_date
-        |FROM lineitem WHERE l_quantity >= 49 AND l_returnflag = 'R'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-    "q03_join_agg" ->
-      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q04_star_join" ->
-      """SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        | count(*) AS n_items
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        | JOIN customer ON o_custkey = c_custkey
-        | JOIN nation ON c_nationkey = n_nationkey
-        | JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q05_anti_join" ->
-      """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
-        |ORDER BY c_custkey""".stripMargin,
-    "q06_semi_join" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
-        |ORDER BY c_custkey""".stripMargin,
-    "q07_distinct" ->
-      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2",
-    "q08_dedup_latest_order" ->
-      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
-        |FROM orders
-        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
-        |ORDER BY o_custkey""".stripMargin,
-    "q09_union_buckets" ->
-      """SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 400000
-        |UNION ALL
-        |SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice < 2000
-        |ORDER BY o_orderkey""".stripMargin,
-    "q10_surrogate_keys" ->
-      """SELECT c_custkey, sha256(concat_ws('|', c_custkey, c_name)) AS sk, md5(c_name) AS name_fp
-        |FROM customer ORDER BY c_custkey""".stripMargin,
-    "q11_fill_none" ->
-      """SELECT c_custkey, coalesce(nullif(c_mktsegment, 'BUILDING'), 'None') AS seg
-        |FROM customer ORDER BY c_custkey""".stripMargin,
-    "q12_clean_strings" ->
-      """SELECT o_orderkey, regexp_replace(o_orderpriority, '-', '', 'g') AS priority_clean,
-        | trim('  ' || o_orderstatus || '  ') AS status_trim
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-    "q13_split_parts" ->
-      """SELECT p_partkey, trim(split_part(p_name, ' ', 1)) AS name_part1,
-        | trim(split_part(p_name, ' ', 2)) AS name_part2
-        |FROM part ORDER BY p_partkey""".stripMargin,
-    "q14_ts_format_quirk" ->
-      """SELECT event_id, strftime(ts, '%Y-%m-%dT%-H:%M:%S') AS ts_ref
-        |FROM events ORDER BY event_id""".stripMargin,
-    "q15_running_total" ->
-      """SELECT o_custkey, o_orderkey,
-        | row_number() OVER w AS rn,
-        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, rn""".stripMargin,
-    "q16_topn_per_brand" ->
-      """SELECT p_brand, rank, p_partkey, p_retailprice FROM (
-        | SELECT p_brand, p_partkey, p_retailprice,
-        |  row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rank
-        | FROM part) WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin,
-    "q17_events_hourly" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start, event_type,
-        | count(*) AS n_events, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q18_scd2_faithful" ->
-      """WITH base AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
-        |ex AS (SELECT c_custkey, c_name, c_mktsegment,
-        |  sha256(concat_ws('|', c_name, c_mktsegment)) AS old_hash,
-        |  sha256(concat_ws('|', c_custkey)) AS customer_sk,
-        |  TIMESTAMP '2024-01-01 00:00:00' AS created_at,
-        |  TIMESTAMP '2024-01-01 00:00:00' AS modified_at, TRUE AS is_active FROM base),
-        |nw AS (SELECT c_custkey, c_name,
-        |  CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || '_V2' ELSE c_mktsegment END AS c_mktsegment
-        |  FROM base
-        | UNION ALL
-        | SELECT c_custkey + 1000000, 'NEW ' || c_name, c_mktsegment FROM base WHERE c_custkey % 101 = 0),
-        |nh AS (SELECT *, sha256(concat_ws('|', c_name, c_mktsegment)) AS hash FROM nw),
-        |chg AS (SELECT n.* FROM nh n LEFT JOIN ex o ON n.c_custkey = o.c_custkey AND o.is_active
-        |  WHERE n.hash <> o.old_hash OR o.old_hash IS NULL),
-        |unchanged AS (SELECT c_custkey, c_name, c_mktsegment, customer_sk, created_at, modified_at,
-        |  is_active, old_hash FROM ex
-        |  WHERE is_active AND c_custkey NOT IN (SELECT c_custkey FROM chg)),
-        |expired AS (SELECT e.c_custkey, e.c_name, e.c_mktsegment, e.customer_sk, e.created_at,
-        |  TIMESTAMP '2024-06-01 00:00:00' AS modified_at, FALSE AS is_active, e.old_hash
-        |  FROM ex e JOIN (SELECT DISTINCT c_custkey FROM chg) c ON e.c_custkey = c.c_custkey),
-        |stamped AS (SELECT c_custkey, c_name, c_mktsegment,
-        |  sha256(concat_ws('|', c_custkey)) AS customer_sk,
-        |  TIMESTAMP '2024-06-01 00:00:00' AS created_at, TIMESTAMP '2024-06-01 00:00:00' AS modified_at,
-        |  TRUE AS is_active, hash AS old_hash FROM chg)
-        |SELECT c_custkey, c_name, c_mktsegment, customer_sk,
-        | strftime(created_at, '%Y-%m-%d %H:%M:%S') AS created_at,
-        | strftime(modified_at, '%Y-%m-%d %H:%M:%S') AS modified_at, is_active, old_hash
-        |FROM (SELECT * FROM unchanged UNION ALL SELECT * FROM expired UNION ALL SELECT * FROM stamped)
-        |ORDER BY c_custkey, is_active""".stripMargin,
-    "q19_conditional_agg" ->
-      """SELECT c_mktsegment,
-        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
-        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
-        | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q20_rollup" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
-    "q21_doc_fingerprint" ->
-      s"""SELECT doc_id, md5(norm) AS fingerprint,
-         | list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(norm) + 1),
-         |   i -> ascii(substr(norm, i::INT, 1))::BIGINT)),
-         |   (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
-         |FROM (SELECT doc_id, $normSql AS norm FROM documents)
-         |ORDER BY doc_id""".stripMargin,
-    "q22_exact_dedup" ->
-      s"""SELECT doc_id, md5($normSql) AS fingerprint FROM documents
-         |QUALIFY row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) = 1
-         |ORDER BY doc_id""".stripMargin,
-    "q23_token_stats" ->
-      """SELECT doc_id,
-        | CASE WHEN length(trim(text)) = 0 THEN 0
-        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens,
-        | len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\s\p{L}0-9]'))::BIGINT AS n_subwords
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q24_quality_score" ->
-      """SELECT doc_id,
-        | (CASE WHEN length(text) = 0 THEN 0.0
-        |    ELSE len(regexp_extract_all(text, '[\p{L}]'))::DOUBLE / length(text) END) * 0.5
-        | + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-        |    ELSE len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text) END) * 0.2
-        | + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-        |    ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) END) * 0.2
-        | + least((CASE WHEN length(trim(text)) = 0 THEN 0
-        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE / 100.0, 1.0) * 0.1
-        | AS quality
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q25_lang_id" ->
-      s"""SELECT doc_id, lang, $langCase AS pred_lang,
-         | (lang = ($langCase))::INT AS correct
-         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q26_ngram_jaccard" ->
-      s"""WITH $docShinglesCte
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
-         |FROM docsh a JOIN docsh b ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE $jaccardSql >= 0.3
-         |ORDER BY id_a, id_b""".stripMargin,
-    "q27_minhash_sig" ->
-      s"""WITH $docShinglesCte
-         |SELECT doc_id, md5(array_to_string(list_transform(range(0, 16),
-         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')),
-         |  ',')) AS sig_digest
-         |FROM docsh ORDER BY doc_id""".stripMargin,
-    "q28_minhash_neardup" ->
-      s"""WITH $docShinglesCte,
-         |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),
-         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS mh
-         |  FROM docsh),
-         |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4),
-         |  j -> md5(j::VARCHAR || ',' || array_to_string(mh[j*4+1:j*4+4], ',')))) AS bk FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, $jaccardSql AS jaccard
-         |FROM cand JOIN docsh a ON a.doc_id = id_a JOIN docsh b ON b.doc_id = id_b
-         |WHERE $jaccardSql >= 0.3
-         |ORDER BY id_a, id_b""".stripMargin,
-    "q29_simhash" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim($normSql), '\\s+') AS w FROM documents)
-         |SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 60), b ->
-         |  CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform(w, t ->
-         |    (2 * (floor((instr('0123456789abcdef', substr(md5(t), (b // 4)::INT + 1, 1)) - 1)
-         |       / ([8, 4, 2, 1])[(b % 4) + 1])::BIGINT % 2) - 1)::BIGINT)),
-         |    (acc, x) -> acc + x) > 0 THEN 1::BIGINT ELSE 0::BIGINT END)),
-         |  (acc, bit) -> acc * 2 + bit) AS simhash
-         |FROM toks ORDER BY doc_id""".stripMargin,
-    "q30_embed_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-         |scored AS (SELECT query_id, vec_id AS corpus_id, ${cosineSql("qv", "embedding")} AS cosine
-         |  FROM embeddings CROSS JOIN q WHERE query_id <> vec_id)
-         |SELECT query_id, rank, corpus_id, cosine FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
-         |  FROM scored) WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
-    "q31_embed_neardup" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         | ${cosineSql("a.embedding", "b.embedding")} AS cosine
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4
-         |ORDER BY id_a, id_b""".stripMargin,
-    "q32_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-        |lagged AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
-        |flagged AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS nf
-        |  FROM lagged),
-        |sess AS (SELECT *, (sum(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id FROM flagged)
-        |SELECT user_id, session_id, min(us) AS session_start_us, max(us) AS session_end_us,
-        | count(*) AS n_events
-        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
-    "q33_multimodal_meta" ->
-      """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
-        | octet_length(encode(text))::BIGINT AS byte_len
-        |FROM documents ORDER BY media_id""".stripMargin,
-    "q34_asof_join" ->
-      """WITH purchases AS (
-        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |clicks AS (
-        |  SELECT user_id, ts, event_id AS click_id, value AS click_value
-        |  FROM events WHERE event_type = 'click'
-        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
-        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS us,
-        |  c.click_id AS click_id_asof, c.click_value AS click_value_asof
-        |FROM purchases p ASOF LEFT JOIN clicks c
-        |  ON p.user_id = c.user_id AND c.ts <= p.ts
-        |ORDER BY p.event_id""".stripMargin,
-    "q35_percentile" ->
-      """SELECT p_brand, round(quantile_cont(p_retailprice, 0.5), 4) AS median_price,
-        | round(quantile_cont(p_retailprice, 0.9), 4) AS p90_price, count(*) AS n
-        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q36_count_distinct" ->
-      """SELECT c_mktsegment, count(DISTINCT o_orderpriority) AS n_priorities,
-        | count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q37_top_tokens" ->
-      s"""SELECT token, count(*) AS n FROM (
-         |  SELECT unnest(regexp_split_to_array(trim($normSql), '\\s+')) AS token FROM documents)
-         |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
-    "q38_ivf_topk" ->
-      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
-         |cells AS (SELECT vec_id, embedding, centroid_id AS cell FROM (
-         |  SELECT e.vec_id, e.embedding, c.centroid_id,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.centroid_id ASC) AS rn
-         |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
-         |probes AS (SELECT query_id, q_vec, centroid_id AS cell FROM (
-         |  SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.centroid_id,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${cosineSql("q.embedding", "c.cv")} DESC, c.centroid_id ASC) AS rn
-         |  FROM embeddings q CROSS JOIN cent c
-         |  WHERE q.vec_id >= 10 AND q.vec_id < 15) WHERE rn <= 2),
-         |scored AS (SELECT p.query_id, s.vec_id AS corpus_id,
-         |    ${cosineSql("p.q_vec", "s.embedding")} AS cosine
-         |  FROM cells s JOIN probes p ON s.cell = p.cell WHERE p.query_id <> s.vec_id)
-         |SELECT query_id, rank, corpus_id, cosine FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, corpus_id ASC) AS rank FROM scored)
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
-    "q39_cube" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
-        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
-    "q40_edit_distance" ->
-      """SELECT p_partkey, levenshtein(split_part(p_name, ' ', 1), split_part(p_name, ' ', 2)) AS edit_dist
-        |FROM part ORDER BY p_partkey""".stripMargin,
-    "q41_dropna" ->
-      """SELECT c_custkey, seg, bal FROM (
-        |  SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg,
-        |    CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
-        |  FROM customer)
-        |WHERE seg IS NOT NULL AND bal IS NOT NULL
-        |ORDER BY c_custkey""".stripMargin,
-    "q42_rlike_filter" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE regexp_matches(text, 'spark\s+\w+\s+join')
-        |ORDER BY doc_id""".stripMargin,
-    "q43_left_join" ->
-      """SELECT c_custkey, count(o_orderkey) AS n_big_orders,
-        | round(sum(coalesce(o_totalprice, 0.0)), 2) AS big_total
-        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
-        |  ON c_custkey = o_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q44_frame_sample" ->
-      """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS byte_len
-        |  FROM documents)
-        |SELECT media_id, frame_idx, byte_len, (frame_idx * 64) % 256 AS sample_val FROM (
-        |  SELECT media_id, unnest(range(greatest(byte_len // 64, 1)))::BIGINT AS frame_idx, byte_len
-        |  FROM m)
-        |ORDER BY media_id, frame_idx""".stripMargin,
-    // q45: sketch values are approximate by nature, so the query emits
-    // exact aggregates + in-tolerance booleans; the oracle recomputes the
-    // exacts and expects every boolean true.
-    "q45_approx_sketches" ->
-      """SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS exact_orders,
-        | true AS orders_ok, true AS p50_ok, true AS p99_ok, count(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q46_stream_hourly" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start, event_type,
-        | count(*) AS n_events, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q47_lsh_buckets" ->
-      """SELECT vec_id, list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), p ->
-        |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, len(embedding)),
-        |    d -> embedding[d::INT + 1]::DOUBLE *
-        |      (CASE WHEN instr('0123456789abcdef',
-        |         substr(md5('42:' || p::VARCHAR || ':' || d::VARCHAR), 1, 1)) % 2 = 1
-        |       THEN 1.0 ELSE -1.0 END))),
-        |    (acc, x) -> acc + x) > 0 THEN 1::BIGINT ELSE 0::BIGINT END)),
-        |  (acc, b) -> acc * 2 + b) AS bucket
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
-    "q48_csv_roundtrip" ->
-      """SELECT n_nationkey, n_name,
-        | CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_regionkey END AS n_regionkey
-        |FROM nation ORDER BY n_nationkey""".stripMargin,
-    "q49_corpus_filter" ->
-      s"""WITH lang_pred AS (SELECT doc_id, lang, text, $langCase AS pred_lang FROM documents),
-         |q AS (SELECT doc_id, lang, pred_lang,
-         |  $qualitySql
-         |  AS quality, md5($normSql) AS fingerprint
-         |  FROM lang_pred),
-         |survivors AS (SELECT doc_id FROM documents
-         |  QUALIFY row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) = 1)
-         |SELECT doc_id, lang, quality, fingerprint FROM q
-         |WHERE pred_lang = lang AND quality >= 0.55 AND doc_id IN (SELECT doc_id FROM survivors)
-         |ORDER BY doc_id""".stripMargin,
-    "q51_salted_join" ->
-      """SELECT s_name, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
-        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q52_pivot" ->
-      """SELECT c_mktsegment,
-        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS "F",
-        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS "O",
-        | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS "P"
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q53_unpivot" ->
-      """SELECT l_orderkey, l_linenumber, metric, value FROM (
-        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
-        |    FROM lineitem WHERE l_quantity >= 48
-        |  UNION ALL
-        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
-        |    FROM lineitem WHERE l_quantity >= 48
-        |  UNION ALL
-        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
-        |    FROM lineitem WHERE l_quantity >= 48)
-        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
-    "q54_set_ops" ->
-      """SELECT custkey FROM (
-        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-        |  INTERSECT
-        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-        |  EXCEPT
-        |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
-        |ORDER BY custkey""".stripMargin,
-    "q55_rank_funcs" ->
-      """SELECT c_custkey, c_mktsegment, c_acctbal,
-        | ntile(4)       OVER w AS quartile,
-        | percent_rank() OVER w AS pct_rank,
-        | dense_rank()   OVER w AS drank,
-        | lag(c_acctbal, 1) OVER w AS prev_bal
-        |FROM customer
-        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
-        |ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin,
-    "q56_json_roundtrip" ->
-      """SELECT r_name, count(*) AS n_nations,
-        | string_agg(n_name, ',' ORDER BY n_name) AS nation_list
-        |FROM nation JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q57_stream_join" ->
-      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
-        | epoch_ns(c.ts)//1000 - epoch_ns(v.ts)//1000 AS lag_us
-        |FROM events v JOIN events c ON v.user_id = c.user_id
-        |WHERE v.event_type = 'view' AND c.event_type = 'click'
-        |  AND epoch_ns(c.ts)//1000 >= epoch_ns(v.ts)//1000
-        |  AND epoch_ns(c.ts)//1000 <= epoch_ns(v.ts)//1000 + 7200000000
-        |ORDER BY v.user_id, view_id, click_id""".stripMargin,
-    "q58_stream_sessions" ->
-      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000 AS ms FROM events),
-        |x AS (SELECT user_id, ms,
-        |  CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
-        |sess AS (SELECT user_id, ms,
-        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |  FROM x),
-        |agg AS (SELECT user_id, session_id, min(ms) AS start_ms, max(ms) AS end_ms,
-        |  count(*) AS n_events FROM sess GROUP BY 1, 2)
-        |SELECT user_id, start_ms, end_ms, n_events FROM agg
-        |WHERE session_id < (SELECT max(session_id) FROM agg a2 WHERE a2.user_id = agg.user_id)
-        |ORDER BY user_id, start_ms""".stripMargin,
-    "q59_pii_redact" -> {
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phone = "\\+?[0-9][0-9()\\- ]{5,}[0-9]"
-      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-      s"""WITH p AS (SELECT doc_id,
-         |  text || ' contact u' || doc_id::VARCHAR || '@example.com or +1-555-01' ||
-         |  lpad((doc_id % 100)::VARCHAR, 2, '0') ||
-         |  ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1' AS pii_text
-         |  FROM documents)
-         |SELECT doc_id,
-         |  len(regexp_extract_all(pii_text, '$email')) AS n_emails,
-         |  len(regexp_extract_all(pii_text, '$phone')) AS n_phones,
-         |  len(regexp_extract_all(pii_text, '$ip')) AS n_ips,
-         |  md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
-         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g'))
-         |    AS redacted_digest
-         |FROM p ORDER BY doc_id""".stripMargin
-    },
-    "q60_hash_split" ->
-      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
-        | count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
-        |FROM (SELECT c_acctbal,
-        |  ('0x' || substr(md5(c_custkey::VARCHAR), 1, 4))::BIGINT % 100 AS b FROM customer)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q61_quantize_int8" ->
-      """SELECT vec_id,
-        | list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale,
-        | CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 = 0.0
-        |   THEN array_to_string(list_transform(embedding, x -> '0'), ',')
-        |   ELSE array_to_string(list_transform(embedding, x ->
-        |     floor(x::DOUBLE / (list_max(list_transform(embedding, y -> abs(y::DOUBLE))) / 127.0)
-        |       + 0.5)::BIGINT::VARCHAR), ',')
-        | END AS qvec
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
-    "q62_orc_roundtrip" ->
-      """SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS sum_bal
-        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q63_stratified_sample" ->
-      """SELECT c_mktsegment, count(*) AS n_sampled, round(sum(c_acctbal), 2) AS sum_bal
-        |FROM customer
-        |WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 4))::BIGINT % 100 < 20
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q64_rolling_window" ->
-      """SELECT user_id, event_id, epoch_ns(ts)//1000 AS us,
-        | count(*) OVER w AS n_1h,
-        | round(sum(value) OVER w, 2) AS sum_1h
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000
-        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, us, event_id""".stripMargin,
-    "q66_json_props" ->
-      """SELECT event_type, (json_extract(props, '$.k')::INT // 10)::INT AS k_decile,
-        | count(*) AS n, round(sum(value), 2) AS sum_value,
-        | min(json_extract(props, '$.k')::INT) AS min_k,
-        | max(json_extract(props, '$.k')::INT) AS max_k
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q67_bloom_join" ->
-      """SELECT s_name, count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price
-        |FROM lineitem
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE n_name = 'NATION_7'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q68_kmeans_ivf" ->
-      s"""WITH $embKmeansSrc,
-         |${kmeansReplayCte("k", "v", "4", iters = 2, dim = 64)}
-         |SELECT id AS vec_id, cell FROM ka ORDER BY vec_id""".stripMargin,
-    // q87: replayed k-means cells (k scaled with the corpus — the SemDeDup
-    // configuration that actually holds at scale), then within-cell cosine:
-    // the oracle mirrors the pruning itself, not just the scores.
-    "q87_semantic_neardup" ->
-      s"""WITH $embKmeansSrc,
-         |${kmeansReplayCte("k", "v",
-            "SELECT CAST(ceil(sqrt(count(*))) AS INT) FROM embeddings", iters = 2, dim = 64)}
-         |SELECT id_a, id_b, cell, cosine FROM (
-         |  SELECT a.id AS id_a, b.id AS id_b, a.cell AS cell,
-         |    ${cosineSql("a.vec", "b.vec")} AS cosine
-         |  FROM ka a JOIN ka b ON a.cell = b.cell AND a.id < b.id)
-         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
-    "q69_dedup_clusters" ->
-      s"""WITH RECURSIVE $docShinglesCte,
-         |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),
-         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS mh
-         |  FROM docsh),
-         |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4),
-         |  j -> md5(j::VARCHAR || ',' || array_to_string(mh[j*4+1:j*4+4], ',')))) AS bk FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-         |pairs AS (SELECT id_a, id_b
-         |  FROM cand JOIN docsh a ON a.doc_id = id_a JOIN docsh b ON b.doc_id = id_b
-         |  WHERE $jaccardSql >= 0.3),
-         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
-         |      UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach AS (
-         |  SELECT doc_id AS id, doc_id AS lab FROM documents
-         |  UNION
-         |  SELECT e.b AS id, reach.lab FROM reach JOIN e ON e.a = reach.id)
-         |SELECT id AS doc_id, min(lab) AS cluster_id FROM reach
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q70_gap_fill" ->
-      """WITH hourly AS (
-        |  SELECT date_trunc('hour', ts) AS h, count(*) AS n_events
-        |  FROM events GROUP BY 1),
-        |bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
-        |                  date_trunc('hour', max(ts)) AS hi FROM events),
-        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds)
-        |SELECT strftime(spine.h, '%Y-%m-%d %H:%M') AS hour_start,
-        |  coalesce(hourly.n_events, 0) AS n_events
-        |FROM spine LEFT JOIN hourly ON spine.h = hourly.h
-        |ORDER BY hour_start""".stripMargin,
-    "q71_curation_pipeline" -> {
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phone = "\\+?[0-9][0-9()\\- ]{5,}[0-9]"
-      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-      val redact = s"""regexp_replace(regexp_replace(regexp_replace(text,
-         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g')""".stripMargin
-      s"""WITH RECURSIVE $docShinglesCte,
-         |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),
-         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS mh
-         |  FROM docsh),
-         |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4),
-         |  j -> md5(j::VARCHAR || ',' || array_to_string(mh[j*4+1:j*4+4], ',')))) AS bk FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-         |pairs AS (SELECT id_a, id_b
-         |  FROM cand JOIN docsh a ON a.doc_id = id_a JOIN docsh b ON b.doc_id = id_b
-         |  WHERE $jaccardSql >= 0.3),
-         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
-         |      UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach AS (
-         |  SELECT doc_id AS id, doc_id AS lab FROM documents
-         |  UNION
-         |  SELECT e.b AS id, reach.lab FROM reach JOIN e ON e.a = reach.id),
-         |clu AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1),
-         |survivors AS (SELECT doc_id FROM clu WHERE doc_id = cluster_id),
-         |lang_pred AS (SELECT doc_id, lang, text, $langCase AS pred_lang FROM documents),
-         |q AS (SELECT doc_id, lang, pred_lang,
-         |  $qualitySql
-         |  AS quality, md5($redact) AS redacted_digest,
-         |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 80 THEN 'train'
-         |       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 90 THEN 'val'
-         |       ELSE 'test' END AS split
-         |  FROM lang_pred)
-         |SELECT doc_id, lang, quality, redacted_digest, split
-         |FROM q JOIN survivors USING (doc_id)
-         |WHERE pred_lang = lang AND quality >= 0.55
-         |ORDER BY doc_id""".stripMargin
-    },
-    "q73_asof_forward" ->
-      """WITH purchases AS (
-        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |clicks AS (
-        |  SELECT user_id, ts, event_id AS click_id, value AS click_value
-        |  FROM events WHERE event_type = 'click'
-        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
-        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS us,
-        |  c.click_id AS click_id_asof, c.click_value AS click_value_asof
-        |FROM purchases p ASOF LEFT JOIN clicks c
-        |  ON p.user_id = c.user_id AND c.ts >= p.ts
-        |ORDER BY p.event_id""".stripMargin,
-    "q74_incremental_agg" ->
-      """SELECT o_custkey, count(*) AS n_orders,
-        | round(sum(o_totalprice), 2) AS sum_price
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q75_source_mixing" ->
-      """SELECT lang, count(*) AS n_kept FROM documents
-        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 <
-        |  CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'es' THEN 50
-        |            WHEN 'fr' THEN 25 WHEN 'zh' THEN 25 ELSE -1 END
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q76_source_overlap" ->
-      s"""WITH $docShinglesCte,
-         |sig AS (SELECT doc_id, source, list_transform(range(0, 16),
-         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS mh
-         |  FROM docsh),
-         |el AS (SELECT source, t.i - 1 AS pos, mh[t.i] AS v
-         |       FROM sig, range(1, 17) t(i)),
-         |sk AS (SELECT source, pos, min(v) AS v FROM el GROUP BY 1, 2),
-         |sketch AS (SELECT source, list(v ORDER BY pos) AS sketch FROM sk GROUP BY 1)
-         |SELECT a.source AS grp_a, b.source AS grp_b,
-         |  len(list_filter(range(1, 17), i -> a.sketch[i] = b.sketch[i]))::DOUBLE / 16.0
-         |    AS est_jaccard
-         |FROM sketch a JOIN sketch b ON a.source < b.source
-         |ORDER BY grp_a, grp_b""".stripMargin,
-    "q77_json_quarantine" ->
-      """SELECT CASE WHEN n_nationkey % 5 = 0 THEN 'corrupt' ELSE 'ok' END AS kind,
-        | CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_regionkey END AS n_regionkey,
-        | count(*) AS n
-        |FROM nation GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q78_schema_evolution" ->
-      """SELECT n_nationkey, n_name, n_regionkey,
-        | CASE WHEN n_regionkey >= 2 THEN length(n_name) END AS name_len
-        |FROM nation ORDER BY n_nationkey""".stripMargin,
-    "q79_corr_subquery" ->
-      """SELECT l_partkey, count(*) AS n_small,
-        | round(sum(l_extendedprice), 2) AS sum_price
-        |FROM lineitem l1
-        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
-        |                    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
-        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
-    "q80_grouping_sets" ->
-      """SELECT o_orderstatus, o_orderpriority, grouping(o_orderpriority) AS gid,
-        | count(*) AS n, round(sum(o_totalprice), 2) AS total
-        |FROM orders
-        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus))
-        |ORDER BY o_orderstatus, gid, o_orderpriority""".stripMargin,
-    // q84: raw-ratio idf (tf·N/df) — exact int inputs, one double division,
-    // so no rounding needed on either side.
-    "q84_tfidf_topterms" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array($normSql, ' ')) AS term
-         |  FROM documents),
-         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
-         |  WHERE len(term) > 0 GROUP BY 1, 2),
-         |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-         |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
-         |SELECT doc_id, term, tf, df, (tf * n_docs)::DOUBLE / df::DOUBLE AS score
-         |FROM tf JOIN dfreq USING (term), n
-         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
-         |ORDER BY doc_id, term""".stripMargin,
-    "q85_repetition_filter" ->
-      s"""SELECT doc_id, greatest(len(w) - 2, 0) AS total_ngrams,
-         | len($shinglesSql) AS distinct_ngrams,
-         | CASE WHEN greatest(len(w) - 2, 0) = 0 THEN 0.0
-         |   ELSE 1.0 - len($shinglesSql)::DOUBLE / greatest(len(w) - 2, 0)::DOUBLE END AS rep_frac,
-         | CASE WHEN greatest(len(w) - 2, 0) = 0 THEN false
-         |   ELSE (1.0 - len($shinglesSql)::DOUBLE / greatest(len(w) - 2, 0)::DOUBLE) > 0.2 END AS repetitive
-         |FROM (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w FROM documents)
-         |ORDER BY doc_id""".stripMargin,
-    "q86_decontamination" ->
-      s"""WITH $docShinglesCte,
-         |bench AS (SELECT DISTINCT unnest(sh) AS s FROM docsh WHERE doc_id % 50 = 0),
-         |ex AS (SELECT doc_id, unnest(sh) AS s FROM docsh WHERE doc_id % 50 <> 0)
-         |SELECT ex.doc_id, count(*)::BIGINT AS n_shared
-         |FROM ex JOIN bench USING (s)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q88: q18's scenario under IDIOMATIC semantics (created_at carried
-    // from the prior active version for changed keys; otherwise identical
-    // on a history-free seed), through the partitioned disk-backed merge.
-    "q88_scd2_partitioned" ->
-      """WITH base AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
-        |ex AS (SELECT c_custkey, c_name, c_mktsegment,
-        |  sha256(concat_ws('|', c_name, c_mktsegment)) AS old_hash,
-        |  sha256(concat_ws('|', c_custkey)) AS customer_sk,
-        |  TIMESTAMP '2024-01-01 00:00:00' AS created_at,
-        |  TIMESTAMP '2024-01-01 00:00:00' AS modified_at, TRUE AS is_active FROM base),
-        |nw AS (SELECT c_custkey, c_name,
-        |  CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || '_V2' ELSE c_mktsegment END AS c_mktsegment
-        |  FROM base
-        | UNION ALL
-        | SELECT c_custkey + 1000000, 'NEW ' || c_name, c_mktsegment FROM base WHERE c_custkey % 101 = 0),
-        |nh AS (SELECT *, sha256(concat_ws('|', c_name, c_mktsegment)) AS hash FROM nw),
-        |chg AS (SELECT n.* FROM nh n LEFT JOIN ex o ON n.c_custkey = o.c_custkey AND o.is_active
-        |  WHERE n.hash <> o.old_hash OR o.old_hash IS NULL),
-        |unchanged AS (SELECT c_custkey, c_name, c_mktsegment, customer_sk, created_at, modified_at,
-        |  is_active, old_hash FROM ex
-        |  WHERE is_active AND c_custkey NOT IN (SELECT c_custkey FROM chg)),
-        |expired AS (SELECT e.c_custkey, e.c_name, e.c_mktsegment, e.customer_sk, e.created_at,
-        |  TIMESTAMP '2024-06-01 00:00:00' AS modified_at, FALSE AS is_active, e.old_hash
-        |  FROM ex e JOIN (SELECT DISTINCT c_custkey FROM chg) c ON e.c_custkey = c.c_custkey),
-        |stamped AS (SELECT c.c_custkey, c.c_name, c.c_mktsegment,
-        |  sha256(concat_ws('|', c.c_custkey)) AS customer_sk,
-        |  coalesce(e.created_at, TIMESTAMP '2024-06-01 00:00:00') AS created_at,
-        |  TIMESTAMP '2024-06-01 00:00:00' AS modified_at,
-        |  TRUE AS is_active, c.hash AS old_hash
-        |  FROM chg c LEFT JOIN ex e ON e.c_custkey = c.c_custkey AND e.is_active)
-        |SELECT c_custkey, c_name, c_mktsegment, customer_sk,
-        | strftime(created_at, '%Y-%m-%d %H:%M:%S') AS created_at,
-        | strftime(modified_at, '%Y-%m-%d %H:%M:%S') AS modified_at, is_active, old_hash
-        |FROM (SELECT * FROM unchanged UNION ALL SELECT * FROM expired UNION ALL SELECT * FROM stamped)
-        |ORDER BY c_custkey, is_active""".stripMargin,
-    "q89_table_profile" -> {
-      val cols = Seq("o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate")
-      val aggs = cols.zipWithIndex.map { case (c, i) =>
-        s"""count($c)::BIGINT AS nn$i, count(DISTINCT $c)::BIGINT AS nd$i,
-           | min(TRY_CAST($c::VARCHAR AS DOUBLE)) AS mn$i,
-           | max(TRY_CAST($c::VARCHAR AS DOUBLE)) AS mx$i""".stripMargin
-      }.mkString(",\n")
-      val rows = cols.zipWithIndex.map { case (c, i) =>
-        s"""SELECT '$c' AS col_name, n AS n_rows, n - nn$i AS n_null,
-           | nd$i AS n_distinct, mn$i AS min_num, mx$i AS max_num FROM s""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH s AS (SELECT count(*)::BIGINT AS n,
-         |$aggs
-         |FROM orders)
-         |$rows
-         |ORDER BY col_name""".stripMargin
-    },
-    // q90: the oracle replays ProductQuant end to end — float-cast unit
-    // normalization, all four per-subspace codebook trainings (one
-    // grp-keyed replay chain), and the argmin encoding (= the replay's
-    // final assignment).
-    "q90_pq_codes" ->
-      s"""WITH $pqNormCte,
-         |${kmeansReplayCte("p", "sl", "8", iters = 2, dim = 16)}
-         |SELECT id AS vec_id, string_agg(cell::VARCHAR, ',' ORDER BY grp) AS codes
-         |FROM pa GROUP BY id ORDER BY vec_id""".stripMargin,
-    // q91: coarse router replay (k=4 on the normalized vectors) + the q90
-    // PQ replay + the query-side math — double-precision routing distances,
-    // float-cast ADC query slices, the m×k LUT, the (approx_dist, id)
-    // shortlist and the exact cosine re-rank — all in SQL.
-    "q91_ivfpq_topk" ->
-      s"""WITH $pqNormCte,
-         |cs AS (SELECT 0 AS grp, id, nvec AS vec FROM nv),
-         |${kmeansReplayCte("c", "cs", "4", iters = 2, dim = 64)},
-         |${kmeansReplayCte("p", "sl", "8", iters = 2, dim = 16)},
-         |q AS (SELECT embedding AS qe, sqrt(${dotSql("embedding", "embedding")}) AS qnorm
-         |  FROM embeddings WHERE vec_id = 10),
-         |qn AS (SELECT qe, qnorm,
-         |  CASE WHEN qnorm = 0.0 THEN list_transform(qe, x -> x::DOUBLE)
-         |    ELSE list_transform(qe, x -> x::DOUBLE / qnorm) END AS qnd,
-         |  CASE WHEN qnorm = 0.0 THEN qe
-         |    ELSE list_transform(qe, x -> (x::DOUBLE / qnorm)::REAL) END AS qfv
-         |  FROM q),
-         |probe AS (SELECT cid AS cell FROM (
-         |  SELECT c.cid, row_number() OVER (ORDER BY
-         |    list_reduce(list_transform(range(1, 65),
-         |      i -> (q.qnd[i] - c.cent[i]) * (q.qnd[i] - c.cent[i])), (x, y) -> x + y),
-         |    c.cid) AS rn
-         |  FROM ccb c, qn q) WHERE rn <= 2),
-         |routed AS (SELECT a.id FROM ca a JOIN probe p ON a.cell = p.cell),
-         |lut AS (SELECT c.grp, c.cid,
-         |  list_reduce(list_transform(range(1, 17),
-         |    i -> (q.qfv[c.grp * 16 + i]::DOUBLE - c.cent[i]) *
-         |         (q.qfv[c.grp * 16 + i]::DOUBLE - c.cent[i])), (x, y) -> x + y) AS pd
-         |  FROM pcb c, qn q),
-         |adc AS (SELECT pa.id,
-         |  list_reduce(list(lut.pd ORDER BY pa.grp), (x, y) -> x + y) AS approx_dist
-         |  FROM pa JOIN routed r ON pa.id = r.id
-         |  JOIN lut ON lut.grp = pa.grp AND lut.cid = pa.cell
-         |  GROUP BY pa.id),
-         |short AS (SELECT id, approx_dist FROM adc ORDER BY approx_dist, id LIMIT 40),
-         |rer AS (SELECT s.id, s.approx_dist,
-         |  CASE WHEN sqrt(${dotSql("e.embedding", "e.embedding")}) = 0.0 OR q.qnorm = 0.0 THEN 0.0
-         |    ELSE ${dotSql("e.embedding", "q.qe")} /
-         |      (sqrt(${dotSql("e.embedding", "e.embedding")}) * q.qnorm) END AS cosine
-         |  FROM short s JOIN embeddings e ON e.vec_id = s.id, qn q)
-         |SELECT id AS vec_id, approx_dist, cosine FROM (
-         |  SELECT * FROM rer ORDER BY cosine DESC, id LIMIT 10)
-         |ORDER BY cosine DESC, vec_id""".stripMargin,
-    // q93: chunk i covers tokens [i·48, i·48+64); ⌊(n−1)/48⌋+1 chunks.
-    "q93_doc_chunks" ->
-      """WITH t AS (SELECT doc_id,
-        |  CASE WHEN length(trim(text)) = 0 THEN []
-        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w
-        |  FROM documents),
-        |i AS (SELECT doc_id, w,
-        |  unnest(range(CASE WHEN len(w) = 0 THEN 0 ELSE (len(w) - 1) // 48 + 1 END)) AS chunk_idx
-        |  FROM t),
-        |c AS (SELECT doc_id, chunk_idx, list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64) AS ct
-        |  FROM i)
-        |SELECT doc_id, chunk_idx::INT AS chunk_idx, len(ct)::INT AS n_tokens,
-        | array_to_string(ct, ' ') AS chunk_text
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
-    // q94: the greedy fill is a non-associative recurrence — replayed with
-    // a recursive CTE stepping through each group's id-ordered rows.
-    "q94_seq_packing" ->
-      s"""WITH RECURSIVE $packReplayCte
-         |SELECT grp::INT AS grp, doc_id, n_tokens::INT AS n_tokens, pack_id,
-         | pack_pos::INT AS pack_pos
-         |FROM p ORDER BY doc_id""".stripMargin,
-    // q95: add-one-smoothed unigram model trained on the corpus itself;
-    // avg ln-prob rounded to 2 dp (shuffled-aggregate float policy).
-    "q95_unigram_lm" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array($normSql, ' ')) AS term
-         |  FROM documents),
-         |tok2 AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
-         |counts AS (SELECT term, count(*)::BIGINT AS cnt FROM tok2 GROUP BY 1),
-         |tot AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS vocab FROM counts)
-         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
-         | round(avg(ln((cnt + 1)::DOUBLE / (total + vocab)::DOUBLE)), 2) AS avg_logprob
-         |FROM tok2 JOIN counts USING (term), tot
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // q96: winnowing — 5-gram 32-bit hashes, window-of-4 minimum with the
-    // rightmost tie rule, distinct (pos, fp) selections per document.
-    "q96_winnow_fingerprints" ->
-      s"""WITH $winnowSelCte
-         |SELECT DISTINCT doc_id, s.pos::INT AS pos, s.fp AS fp FROM wsel
-         |ORDER BY doc_id, pos, fp""".stripMargin,
-    // q97: Morton interleave of the low 16 bits of (customer, order-day).
-    "q97_zorder_value" -> {
-      val terms = (0 until 16).flatMap(b => Seq(
-        s"(((x >> $b) & 1) << ${2 * b})",
-        s"(((y >> $b) & 1) << ${2 * b + 1})"))
-      s"""WITH xy AS (SELECT o_orderkey, o_custkey % 65536 AS x,
-         |  datediff('day', DATE '1992-01-01', o_orderdate::DATE) % 65536 AS y FROM orders)
-         |SELECT o_orderkey, ${terms.mkString(" | ")} AS zval
-         |FROM xy ORDER BY o_orderkey""".stripMargin
-    },
-    // q98: full residual-IVF-PQ replay — coarse routing (c*), per-row
-    // residuals, four residual codebooks (r*), per-probed-cell LUTs, ADC
-    // shortlist and exact re-rank. Same replay machinery as q90/q91, plus
-    // the residual CTEs.
-    "q98_ivfpq_residual" ->
-      s"""WITH $pqNormCte,
-         |cs AS (SELECT 0 AS grp, id, nvec AS vec FROM nv),
-         |${kmeansReplayCte("c", "cs", "4", iters = 2, dim = 64)},
-         |rv AS (SELECT a.id, a.cell,
-         |  list_transform(range(1, 65), i -> a.vec[i]::DOUBLE - c.cent[i]) AS rvec
-         |  FROM ca a JOIN ccb c ON c.grp = a.grp AND c.cid = a.cell),
-         |rsl AS (SELECT t.j AS grp, id, list_slice(rvec, t.j * 16 + 1, t.j * 16 + 16) AS vec
-         |  FROM rv, range(0, 4) t(j)),
-         |${kmeansReplayCte("r", "rsl", "8", iters = 2, dim = 16)},
-         |q AS (SELECT embedding AS qe, sqrt(${dotSql("embedding", "embedding")}) AS qnorm
-         |  FROM embeddings WHERE vec_id = 11),
-         |qn AS (SELECT qe, qnorm,
-         |  CASE WHEN qnorm = 0.0 THEN list_transform(qe, x -> x::DOUBLE)
-         |    ELSE list_transform(qe, x -> x::DOUBLE / qnorm) END AS qnd
-         |  FROM q),
-         |probe AS (SELECT cid AS cell FROM (
-         |  SELECT c.cid, row_number() OVER (ORDER BY
-         |    list_reduce(list_transform(range(1, 65),
-         |      i -> (q.qnd[i] - c.cent[i]) * (q.qnd[i] - c.cent[i])), (x, y) -> x + y),
-         |    c.cid) AS rn
-         |  FROM ccb c, qn q) WHERE rn <= 2),
-         |qres AS (SELECT p.cell,
-         |  list_transform(range(1, 65), i -> q.qnd[i] - c.cent[i]) AS rq
-         |  FROM probe p JOIN ccb c ON c.grp = 0 AND c.cid = p.cell, qn q),
-         |lut AS (SELECT r.cell, b.grp, b.cid,
-         |  list_reduce(list_transform(range(1, 17),
-         |    i -> (r.rq[b.grp * 16 + i] - b.cent[i]) * (r.rq[b.grp * 16 + i] - b.cent[i])),
-         |    (x, y) -> x + y) AS pd
-         |  FROM qres r, rcb b),
-         |adc AS (SELECT rv.id,
-         |  list_reduce(list(lut.pd ORDER BY ra.grp), (x, y) -> x + y) AS approx_dist
-         |  FROM ra JOIN rv ON rv.id = ra.id
-         |  JOIN lut ON lut.cell = rv.cell AND lut.grp = ra.grp AND lut.cid = ra.cell
-         |  GROUP BY rv.id),
-         |short AS (SELECT id, approx_dist FROM adc ORDER BY approx_dist, id LIMIT 40),
-         |rer AS (SELECT s.id, s.approx_dist,
-         |  CASE WHEN sqrt(${dotSql("e.embedding", "e.embedding")}) = 0.0 OR q.qnorm = 0.0 THEN 0.0
-         |    ELSE ${dotSql("e.embedding", "q.qe")} /
-         |      (sqrt(${dotSql("e.embedding", "e.embedding")}) * q.qnorm) END AS cosine
-         |  FROM short s JOIN embeddings e ON e.vec_id = s.id, qn q)
-         |SELECT id AS vec_id, approx_dist, cosine FROM (
-         |  SELECT * FROM rer ORDER BY cosine DESC, id LIMIT 10)
-         |ORDER BY cosine DESC, vec_id""".stripMargin,
-    // q99: q38's IVF routing with the corpus side filtered to labels 0–4
-    // BEFORE assignment — filtered vector search.
-    "q99_filtered_ann" ->
-      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
-         |corp AS (SELECT vec_id, embedding FROM embeddings WHERE label < 5),
-         |cells AS (SELECT vec_id, embedding, centroid_id AS cell FROM (
-         |  SELECT e.vec_id, e.embedding, c.centroid_id,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.centroid_id ASC) AS rn
-         |  FROM corp e CROSS JOIN cent c) WHERE rn = 1),
-         |probes AS (SELECT query_id, q_vec, centroid_id AS cell FROM (
-         |  SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.centroid_id,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${cosineSql("q.embedding", "c.cv")} DESC, c.centroid_id ASC) AS rn
-         |  FROM embeddings q CROSS JOIN cent c
-         |  WHERE q.vec_id >= 10 AND q.vec_id < 15) WHERE rn <= 2),
-         |scored AS (SELECT p.query_id, s.vec_id AS corpus_id,
-         |    ${cosineSql("p.q_vec", "s.embedding")} AS cosine
-         |  FROM cells s JOIN probes p ON s.cell = p.cell WHERE p.query_id <> s.vec_id)
-         |SELECT query_id, rank, corpus_id, cosine FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, corpus_id ASC) AS rank FROM scored)
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
-    // q100: the duplicated stream deduped back to exactly the events table.
-    "q100_stream_dedup" ->
-      """SELECT event_id, epoch_us(ts) AS us, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin,
-    // q101: DuckDB runs the inequality join natively (IEJoin); the Spark
-    // side must produce the same pairs through the bucketed rewrite.
-    "q101_range_join" ->
-      """WITH p AS (SELECT epoch_us(ts) - 600000000 AS lo, epoch_us(ts) AS hi
-        |  FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click')
-        |SELECT c.event_id, count(*)::BIGINT AS n_windows
-        |FROM c JOIN p ON c.us >= p.lo AND c.us <= p.hi
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q102: the diff labels follow analytically from the mutation rules —
-    // %13 keys vanish (removed), %7 survivors get a new segment (changed),
-    // %101 keys reappear shifted (added).
-    "q102_table_diff" ->
-      """SELECT c_custkey,
-        |  CASE WHEN c_custkey % 13 = 0 THEN 'removed'
-        |       WHEN c_custkey % 7 = 0 THEN 'changed'
-        |       ELSE 'unchanged' END AS change
-        |FROM customer
-        |UNION ALL
-        |SELECT c_custkey + 1000000, 'added' FROM customer WHERE c_custkey % 101 = 0
-        |ORDER BY c_custkey""".stripMargin,
-    // q103: file skipping must be invisible to the answer — the oracle is
-    // the plain full-scan WHERE.
-    "q103_zonemap_scan" ->
-      """SELECT o_orderkey, o_custkey,
-        |  datediff('day', DATE '1992-01-01', o_orderdate::DATE)::INT AS day
-        |FROM orders
-        |WHERE o_custkey BETWEEN 100 AND 300
-        |  AND datediff('day', DATE '1992-01-01', o_orderdate::DATE) BETWEEN 1500 AND 1800
-        |ORDER BY o_orderkey""".stripMargin,
-    "q104_heavy_hitters" ->
-      """WITH s AS (
-        |  SELECT 'o_custkey' AS col_name, o_custkey::VARCHAR AS value FROM orders
-        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
-        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders)
-        |SELECT col_name, value, n, rank FROM (
-        |  SELECT col_name, value, count(*)::BIGINT AS n,
-        |    row_number() OVER (PARTITION BY col_name ORDER BY count(*) DESC, value) AS rank
-        |  FROM s GROUP BY 1, 2)
-        |WHERE rank <= 5 ORDER BY col_name, rank""".stripMargin,
-    "q105_histogram" ->
-      """SELECT bin, 0.0 + bin * 50000.0 AS lo_edge, 0.0 + (bin + 1) * 50000.0 AS hi_edge, n
-        |FROM (
-        |  SELECT least(floor((o_totalprice::DOUBLE - 0.0) / 50000.0), 11)::INT AS bin,
-        |    count(*)::BIGINT AS n
-        |  FROM orders
-        |  WHERE o_totalprice::DOUBLE >= 0.0 AND o_totalprice::DOUBLE <= 600000.0
-        |  GROUP BY 1)
-        |ORDER BY bin""".stripMargin,
-    // q106: sketch estimates are approximate by nature → q45's oracle
-    // style (exact aggregates + must-be-true tolerance booleans).
-    "q106_hll_union" ->
-      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
-        | true AS est_ok, count(*)::BIGINT AS n_events
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q108: the winnow replay feeding a (source, fp) distinct self-join.
-    "q108_source_winnow_overlap" ->
-      s"""WITH $winnowSelCte,
-         |sel AS (SELECT DISTINCT doc_id, s.fp AS fp FROM wsel),
-         |sf AS (SELECT DISTINCT d.source, sel.fp FROM sel JOIN documents d USING (doc_id))
-         |SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_shared
-         |FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // q109: quality formula + 16-bit hash threshold, both replayed.
-    "q109_weighted_sample" ->
-      s"""SELECT doc_id, $qualitySql AS quality FROM documents
-         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 65536
-         |  < floor(($qualitySql) * 65536)
-         |ORDER BY doc_id""".stripMargin,
-    // q111: the pack replay + a windowed cumulative offset per pack.
-    "q111_pack_offsets" ->
-      s"""WITH RECURSIVE $packReplayCte
-         |SELECT grp::INT AS grp, doc_id, n_tokens::INT AS n_tokens, pack_id,
-         | pack_pos::INT AS pack_pos,
-         | coalesce(sum(n_tokens) OVER (PARTITION BY grp, pack_id ORDER BY pack_pos
-         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT AS pack_offset
-         |FROM p ORDER BY doc_id""".stripMargin,
-    // q113: binaryFile ingestion must reproduce ids and byte lengths.
-    "q113_binaryfile_scan" ->
-      """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
-        | octet_length(encode(text))::BIGINT AS content_len
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    // q114: the stream-static join's batch twin.
-    "q114_stream_static_join" ->
-      """WITH w AS (SELECT * FROM (VALUES ('click', 1.0), ('view', 2.0), ('purchase', 10.0))
-        |  v(event_type, weight))
-        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start, event_type,
-        | count(*) AS n_events, round(sum(value * weight), 2) AS weighted_value
-        |FROM events JOIN w USING (event_type)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // q118: mirrors carry SMALLER ids but LOWER priority — the survivor
-    // proves the (prio, id) ordering, not plain min-id.
-    "q118_priority_dedup" ->
-      s"""WITH all_docs AS (
-         |  SELECT doc_id, text, source, 0 AS prio FROM documents
-         |  UNION ALL SELECT doc_id - 100000, text, 'mirror', 1 FROM documents)
-         |SELECT doc_id, source, md5($normSql) AS fingerprint FROM all_docs
-         |QUALIFY row_number() OVER (PARTITION BY md5($normSql) ORDER BY prio, doc_id) = 1
-         |ORDER BY doc_id""".stripMargin,
-    // q119: ntile quartiles over the total (quality desc, doc_id) order.
-    "q119_curriculum_bins" ->
-      s"""SELECT doc_id, lang, $qualitySql AS quality,
-         |  ntile(4) OVER (PARTITION BY lang
-         |    ORDER BY ($qualitySql) DESC, doc_id ASC) AS stage
-         |FROM documents ORDER BY doc_id""".stripMargin,
-    // q120: first-48-token truncation, list ops.
-    "q120_token_truncate" ->
-      """WITH t AS (SELECT doc_id,
-        |  CASE WHEN length(trim(text)) = 0 THEN []
-        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w
-        |  FROM documents)
-        |SELECT doc_id, len(w)::INT AS n_tokens, least(len(w), 48)::INT AS n_kept,
-        | len(w) > 48 AS truncated,
-        | array_to_string(list_slice(w, 1, 48), ' ') AS text_head
-        |FROM t ORDER BY doc_id""".stripMargin,
-    // q121: add-one bigram conditional model, counts + vocab replayed.
-    "q121_bigram_lm" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w FROM documents),
-         |bgidx AS (SELECT doc_id, w, unnest(range(2, len(w) + 1)) AS i FROM toks),
-         |bg AS (SELECT doc_id, w[i-1] AS a, w[i] AS b FROM bgidx
-         |  WHERE len(w[i-1]) > 0 AND len(w[i]) > 0),
-         |bc AS (SELECT a, b, count(*)::BIGINT AS cab FROM bg GROUP BY 1, 2),
-         |u AS (SELECT unnest(regexp_split_to_array($normSql, ' ')) AS term FROM documents),
-         |uc AS (SELECT term, count(*)::BIGINT AS ca FROM u WHERE len(term) > 0 GROUP BY 1),
-         |v AS (SELECT count(*)::BIGINT AS vocab FROM uc)
-         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-         | round(avg(ln((cab + 1)::DOUBLE / (ca + vocab)::DOUBLE)), 2) AS avg_logprob
-         |FROM bg JOIN bc ON bc.a = bg.a AND bc.b = bg.b
-         | JOIN uc ON uc.term = bg.a CROSS JOIN v
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // q122: exact counts, one double PMI expression mirrored + rounded.
-    "q122_pmi_collocations" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w FROM documents),
-         |bgidx AS (SELECT doc_id, w, unnest(range(2, len(w) + 1)) AS i FROM toks),
-         |bg AS (SELECT doc_id, w[i-1] AS a, w[i] AS b FROM bgidx
-         |  WHERE len(w[i-1]) > 0 AND len(w[i]) > 0),
-         |bc AS (SELECT a, b, count(*)::BIGINT AS cab FROM bg GROUP BY 1, 2),
-         |n2 AS (SELECT sum(cab)::BIGINT AS n2 FROM bc),
-         |u AS (SELECT unnest(regexp_split_to_array($normSql, ' ')) AS term FROM documents),
-         |uc AS (SELECT term, count(*)::BIGINT AS c FROM u WHERE len(term) > 0 GROUP BY 1),
-         |n1 AS (SELECT sum(c)::BIGINT AS n1 FROM uc)
-         |SELECT bc.a, bc.b, bc.cab,
-         | round(ln((bc.cab::DOUBLE / n2.n2::DOUBLE) /
-         |   ((t1.c::DOUBLE / n1.n1::DOUBLE) * (t2.c::DOUBLE / n1.n1::DOUBLE))), 2) AS pmi
-         |FROM bc JOIN uc t1 ON t1.term = bc.a JOIN uc t2 ON t2.term = bc.b, n2, n1
-         |WHERE bc.cab >= 5
-         |ORDER BY pmi DESC, bc.a, bc.b LIMIT 20""".stripMargin,
-    // q123: q30's exact scorer restricted to label-mismatched neighbors.
-    "q123_hard_negatives" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
-         |  FROM embeddings WHERE vec_id < 10),
-         |scored AS (SELECT query_id, vec_id AS corpus_id,
-         |    ${cosineSql("qv", "embedding")} AS cosine
-         |  FROM embeddings CROSS JOIN q WHERE embeddings.label <> q.ql)
-         |SELECT query_id, rank, corpus_id, cosine FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, corpus_id ASC) AS rank FROM scored)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    // q124: repeated-span detection — duplicated 5-gram sites island-
-    // merged into maximal spans, ≥8 tokens reported.
-    "q124_repeated_spans" ->
-      s"""WITH $repeatedSpansCte
-         |SELECT doc_id, start_pos, end_pos, span_toks FROM spans
-         |ORDER BY doc_id, start_pos""".stripMargin,
-    // q125: span removal — tokens covered by any span dropped, survivors
-    // re-joined in order; every document returns a row.
-    "q125_span_strip" ->
-      s"""WITH $repeatedSpansCte,
-         |toks AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
-         |    i -> {'tpos': i, 'tok': w[i]})) AS s FROM t),
-         |tok2 AS (SELECT doc_id, s.tpos::INT AS tpos, s.tok AS tok FROM toks
-         |  WHERE len(s.tok) > 0),
-         |kept AS (SELECT t2.doc_id, t2.tpos, t2.tok FROM tok2 t2 ANTI JOIN spans sp
-         |  ON t2.doc_id = sp.doc_id AND t2.tpos BETWEEN sp.start_pos AND sp.end_pos + 4),
-         |clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
-         |    count(*) AS n_kept FROM kept GROUP BY doc_id),
-         |nt AS (SELECT d.doc_id,
-         |    CASE WHEN trim(d.text) = '' THEN 0 ELSE len(t.w) END AS n_toks
-         |  FROM documents d JOIN t ON d.doc_id = t.doc_id)
-         |SELECT nt.doc_id, coalesce(c.clean_text, '') AS clean_text,
-         |  (nt.n_toks - coalesce(c.n_kept, 0))::BIGINT AS n_removed
-         |FROM nt LEFT JOIN clean c ON nt.doc_id = c.doc_id
-         |ORDER BY nt.doc_id""".stripMargin,
-    // q126: the learned merge table — one row per training iteration.
-    "q126_bpe_merges" -> {
-      val rows = (1 to 8)
-        .map(i => s"SELECT $i AS merge_rank, a AS lhs, b AS rhs FROM bt$i")
-        .mkString("\n UNION ALL ")
-      s"""WITH $bpeCteChain
-         |SELECT * FROM ($rows) ORDER BY merge_rank""".stripMargin
-    },
-    // q127: the trained segmentation of the whole vocabulary.
-    "q127_bpe_segment" ->
-      s"""WITH $bpeCteChain
-         |SELECT word, len(syms)::BIGINT AS n_pieces,
-         |  array_to_string(syms, ' ') AS pieces
-         |FROM ws8 ORDER BY word""".stripMargin,
-    // q128: learned-vocab token counts per document.
-    "q128_bpe_token_counts" ->
-      s"""WITH $bpeCteChain,
-         |bstream AS (SELECT doc_id, word FROM (
-         |    SELECT doc_id, unnest(regexp_split_to_array($normSql, ' ')) AS word
-         |    FROM documents) WHERE len(word) > 0)
-         |SELECT t.doc_id, count(*)::BIGINT AS n_words,
-         |  sum(len(w.syms))::BIGINT AS n_bpe_tokens
-         |FROM bstream t JOIN ws8 w USING (word)
-         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
-    // q129: q28's banded-minhash replay over 64-token exact-partition
-    // chunks, composite pid = 'doc:idx' split back on output.
-    "q129_paragraph_neardup" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  CASE WHEN length(trim(text)) = 0 THEN []
-         |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS w0
-         |  FROM documents),
-         |i AS (SELECT doc_id, w0,
-         |  unnest(range(CASE WHEN len(w0) = 0 THEN 0 ELSE (len(w0) - 1) // 64 + 1 END)) AS chunk_idx
-         |  FROM t),
-         |c AS (SELECT doc_id, chunk_idx,
-         |  list_slice(w0, chunk_idx * 64 + 1, chunk_idx * 64 + 64) AS ct FROM i),
-         |ch AS (SELECT doc_id::VARCHAR || ':' || chunk_idx::VARCHAR AS pid,
-         |  regexp_split_to_array(regexp_replace(trim(lower(array_to_string(ct, ' '))), '\\s+', ' ', 'g'), ' ') AS w
-         |  FROM c),
-         |chsh AS (SELECT pid, $shinglesSql AS sh FROM ch),
-         |sig AS (SELECT pid, sh, list_transform(range(0, 16),
-         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS mh
-         |  FROM chsh),
-         |bands AS (SELECT pid, unnest(list_transform(range(0, 4),
-         |  j -> md5(j::VARCHAR || ',' || array_to_string(mh[j*4+1:j*4+4], ',')))) AS bk FROM sig),
-         |cand AS (SELECT DISTINCT a.pid AS id_a, b.pid AS id_b
-         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.pid < b.pid)
-         |SELECT string_split(id_a, ':')[1]::BIGINT AS doc_a,
-         |  string_split(id_a, ':')[2]::INT AS chunk_a,
-         |  string_split(id_b, ':')[1]::BIGINT AS doc_b,
-         |  string_split(id_b, ':')[2]::INT AS chunk_b,
-         |  $jaccardSql AS jaccard
-         |FROM cand JOIN chsh a ON a.pid = id_a JOIN chsh b ON b.pid = id_b
-         |WHERE $jaccardSql >= 0.5
-         |ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin,
-    // q130: residual IVF-PQ trained on vec_id < 300, then the FULL corpus
-    // encoded in one shot with the frozen model — the engine's streamed
-    // two-batch fold must land the identical table.
-    "q130_stream_ann_index" ->
-      s"""WITH $pqNormCte,
-         |tnv AS (SELECT id, nvec FROM nv WHERE id < 300),
-         |cs AS (SELECT 0 AS grp, id, nvec AS vec FROM tnv),
-         |${kmeansReplayCte("c", "cs", "4", iters = 2, dim = 64)},
-         |rv AS (SELECT a.id, a.cell,
-         |  list_transform(range(1, 65), i -> a.vec[i]::DOUBLE - c.cent[i]) AS rvec
-         |  FROM ca a JOIN ccb c ON c.grp = a.grp AND c.cid = a.cell),
-         |rsl AS (SELECT t.j AS grp, id, list_slice(rvec, t.j * 16 + 1, t.j * 16 + 16) AS vec
-         |  FROM rv, range(0, 4) t(j)),
-         |${kmeansReplayCte("r", "rsl", "8", iters = 2, dim = 16)},
-         |fa AS (SELECT id, cell FROM (
-         |  SELECT n.id, c.cid AS cell, row_number() OVER (PARTITION BY n.id
-         |    ORDER BY list_reduce(list_transform(range(1, 65),
-         |      i -> (n.nvec[i]::DOUBLE - c.cent[i]) * (n.nvec[i]::DOUBLE - c.cent[i])),
-         |      (x, y) -> x + y), c.cid) AS rn
-         |  FROM nv n JOIN ccb c ON c.grp = 0) WHERE rn = 1),
-         |frv AS (SELECT f.id, f.cell,
-         |  list_transform(range(1, 65), i -> n.nvec[i]::DOUBLE - c.cent[i]) AS rvec
-         |  FROM fa f JOIN nv n ON n.id = f.id JOIN ccb c ON c.grp = 0 AND c.cid = f.cell),
-         |fsl AS (SELECT t.j AS grp, id, list_slice(rvec, t.j * 16 + 1, t.j * 16 + 16) AS vec
-         |  FROM frv, range(0, 4) t(j)),
-         |fcd AS (SELECT grp, id, cid FROM (
-         |  SELECT s.grp, s.id, r.cid, row_number() OVER (PARTITION BY s.grp, s.id
-         |    ORDER BY list_reduce(list_transform(range(1, 17),
-         |      i -> (s.vec[i]::DOUBLE - r.cent[i]) * (s.vec[i]::DOUBLE - r.cent[i])),
-         |      (x, y) -> x + y), r.cid) AS rn
-         |  FROM fsl s JOIN rcb r ON r.grp = s.grp) WHERE rn = 1)
-         |SELECT f.id AS vec_id, any_value(f.cell)::INT AS cell,
-         |  string_agg(d.cid::VARCHAR, ',' ORDER BY d.grp) AS codes
-         |FROM fa f JOIN fcd d ON d.id = f.id
-         |GROUP BY f.id ORDER BY vec_id""".stripMargin,
-    // q117: the join semantics reduce to the partition predicate.
-    "q117_dpp_join" ->
-      """SELECT o_orderstatus, 'finished' AS label, count(*)::BIGINT AS n,
-        | round(sum(o_totalprice), 2) AS total
-        |FROM orders WHERE o_orderstatus = 'F'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q112: the 3-way bit interleave, term by term.
-    "q112_zorder3" -> {
-      val dims = Seq("x", "y", "z")
-      val terms = for { b <- 0 until 16; (d, i) <- dims.zipWithIndex }
-        yield s"((($d >> $b) & 1) << ${b * 3 + i})"
-      s"""WITH xyz AS (SELECT o_orderkey, o_custkey % 65536 AS x,
-         |  datediff('day', DATE '1992-01-01', o_orderdate::DATE) % 65536 AS y,
-         |  floor(o_totalprice / 10000.0)::BIGINT % 65536 AS z FROM orders)
-         |SELECT o_orderkey, ${terms.mkString(" | ")} AS zval
-         |FROM xyz ORDER BY o_orderkey""".stripMargin
-    }
-  )
-
-  /** q68/q87's shared oracle prefix: the full 2-iteration deterministic
-    * k-means replayed in SQL (same init, sequential-fold distances,
-    * explicit 6-dp rounding as Similarity.kmeansAssign); `a3` = the final
-    * (id, vec, cell) assignment. */
-  /** k-means replay CTE chain — the SQL twin of `Similarity.kmeansFit`
-    * (same smallest-id init with 6-dp rounding, same sequential-fold
-    * distances, same rounded grouped means, same lower-id tie-break), over
-    * a source CTE `src`(grp, id, vec). The `grp` column replays
-    * INDEPENDENT trainings in one chain (grp = PQ subspace index; a plain
-    * single training uses grp = 0 everywhere). `kSql` is any scalar SQL
-    * expression for k, so q87 can scale k with the corpus
-    * (ceil(sqrt(n))) and still be hash-verified. Emits CTE text without
-    * the leading WITH; the final assignment is `{p}a` (grp, id, vec,
-    * cell) and the trained codebook `{p}cb` (grp, cid, cent).
-    * (0 + t0) + t1 + … ≡ list_reduce's t0 + t1 + … because 0.0 + t0 == t0. */
-  private def kmeansReplayCte(p: String, src: String, kSql: String,
-                              iters: Int, dim: Int): String = {
-    val dist = (cent: String) =>
-      s"""list_reduce(list_transform(range(1, len(s.vec) + 1),
-         |  i -> (s.vec[i]::DOUBLE - $cent[i]) * (s.vec[i]::DOUBLE - $cent[i])),
-         |  (x, y) -> x + y)""".stripMargin
-    def assign(name: String, cb: String) =
-      s"""$name AS (SELECT grp, id, vec, cid AS cell FROM (
-         |  SELECT s.grp, s.id, s.vec, c.cid,
-         |    row_number() OVER (PARTITION BY s.grp, s.id
-         |      ORDER BY ${dist("c.cent")}, c.cid) AS rn
-         |  FROM $src s JOIN $cb c ON c.grp = s.grp) WHERE rn = 1)""".stripMargin
-    val init =
-      s"""${p}c0 AS (SELECT grp, cid, cent FROM (
-         |  SELECT grp, row_number() OVER (PARTITION BY grp ORDER BY id) - 1 AS cid,
-         |    list_transform(vec, x -> floor(x::DOUBLE * 1000000 + 0.5) / 1000000) AS cent
-         |  FROM $src) WHERE cid < ($kSql))""".stripMargin
-    val steps = (1 to iters).map { r =>
-      s"""${assign(s"${p}a$r", s"${p}c${r - 1}")},
-         |${p}m$r AS (SELECT grp, cell, list(m ORDER BY i) AS cent FROM (
-         |  SELECT a.grp, a.cell, t.i,
-         |    floor(avg(a.vec[t.i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
-         |  FROM ${p}a$r a, range(1, ${dim + 1}) t(i)
-         |  GROUP BY a.grp, a.cell, t.i)
-         |  GROUP BY grp, cell),
-         |${p}c$r AS (SELECT c.grp, c.cid, coalesce(m.cent, c.cent) AS cent
-         |  FROM ${p}c${r - 1} c LEFT JOIN ${p}m$r m
-         |    ON m.grp = c.grp AND m.cell = c.cid)""".stripMargin
-    }
-    (Seq(init) ++ steps ++ Seq(
-      s"${p}cb AS (SELECT grp, cid, cent FROM ${p}c$iters)",
-      assign(s"${p}a", s"${p}cb"))).mkString(",\n")
-  }
-
-  /** Full-embedding k-means source CTE (grp = 0) for q68/q87. */
-  private val embKmeansSrc =
-    "v AS (SELECT 0 AS grp, vec_id AS id, embedding AS vec FROM embeddings)"
-
-  /** PQ oracle preamble: float-cast unit normalization (the SQL twin of
-    * `ProductQuant.normalizedVec` — `(x/‖v‖)::REAL`, zero vectors pass
-    * through) plus the m=4 × subDim=16 subspace slicing that feeds the
-    * grp-keyed codebook replay. */
-  private lazy val pqNormCte =
-    s"""pnr AS (SELECT vec_id AS id, embedding,
-       |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
-       |nv AS (SELECT id, CASE WHEN nrm = 0.0 THEN embedding
-       |  ELSE list_transform(embedding, x -> (x::DOUBLE / nrm)::REAL) END AS nvec
-       |  FROM pnr),
-       |sl AS (SELECT t.j AS grp, id, list_slice(nvec, t.j * 16 + 1, t.j * 16 + 16) AS vec
-       |  FROM nv, range(0, 4) t(j))""".stripMargin
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -41,7 +41,10 @@ object Bench {
     "q94_seq_packing",
     "q95_unigram_lm",
     "q96_winnow_fingerprints",
-    "q98_ivfpq_residual"
+    "q98_ivfpq_residual",
+    "q124_repeated_spans",
+    "q125_span_strip",
+    "q129_paragraph_neardup"
   )
 
   def main(args: Array[String]): Unit = {

@@ -664,6 +664,29 @@ object OracleSql {
          |    ${cosineSql("a.vec", "b.vec")} AS cosine
          |  FROM ka a JOIN ka b ON a.cell = b.cell AND a.id < b.id)
          |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    // q131: q69's transitive closure grouped by label — survivor = the
+    // min-id member (exactly what the min-label IS), size = members.
+    "q131_dedup_survivors" ->
+      s"""WITH RECURSIVE $docShinglesCte,
+         |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),
+         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS mh
+         |  FROM docsh),
+         |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+         |  j -> md5(j::VARCHAR || ',' || array_to_string(mh[j*4+1:j*4+4], ',')))) AS bk FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM cand JOIN docsh a ON a.doc_id = id_a JOIN docsh b ON b.doc_id = id_b
+         |  WHERE $jaccardSql >= 0.3),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT e.b AS id, reach.lab FROM reach JOIN e ON e.a = reach.id),
+         |lab AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY 1)
+         |SELECT cluster_id AS doc_id, count(*)::BIGINT AS cluster_size
+         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
     "q69_dedup_clusters" ->
       s"""WITH RECURSIVE $docShinglesCte,
          |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),

@@ -301,5 +301,23 @@ private[graft] trait QueriesIndexStream extends QueryBase {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** NEAR-DUP SURVIVOR SELECTION — the dedup pipeline's actual OUTPUT:
+    * q28's verified near-dup pairs close transitively into clusters
+    * (q69's min-label propagation), and the min-id document of each
+    * cluster survives, carrying how many documents it represents
+    * (singletons survive with size 1). Min-label propagation labels every
+    * cluster BY its minimum member id, so the survivor set is exactly the
+    * distinct labels — no extra pass. Composition of two bucketed
+    * operators; nothing here is all-pairs. */
+  private[graft] def q131(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.3)
+    Dedup.clusters(docs.select(col("doc_id").as("id")), pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id").as("doc_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
 }

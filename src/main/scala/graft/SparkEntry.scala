@@ -155,7 +155,8 @@ object SparkEntry extends QueriesRelational with QueriesPipeline
     "q127_bpe_segment" -> (q127 _),
     "q128_bpe_token_counts" -> (q128 _),
     "q129_paragraph_neardup" -> (q129 _),
-    "q130_stream_ann_index" -> (q130 _)
+    "q130_stream_ann_index" -> (q130 _),
+    "q131_dedup_survivors" -> (q131 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────

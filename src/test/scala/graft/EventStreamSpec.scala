@@ -186,6 +186,35 @@ class EventStreamSpec extends AnyFunSuite {
     assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("AnnStream.indexMaintenanceSink: replayed batches rewrite, never duplicate") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annstream").toString
+    val updates = s"$tmp/updates"
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    vecs.write.mode("append").parquet(updates)
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val model = graft.operators.ProductQuant.PQModel(m = 1, k = 2, subDim = 2,
+      codebooks = Seq(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))))
+    def runOnce(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(vecs.schema).parquet(updates)
+      val q = graft.streaming.AnnStream.indexMaintenanceSink(
+        spark, stream, "vec_id", "embedding", cents, model, s"$tmp/state", ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce(s"$tmp/ckpt")
+    def state() = graft.streaming.AnnStream.readCodes(spark, s"$tmp/state")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1).toSeq
+    val first = state()
+    // both vectors sit exactly ON their centroid → residual (0,0) is
+    // equidistant to both codebook entries → tie-break to code 0
+    assert(first == Seq((1L, 0, Seq(0)), (2L, 1, Seq(0))))
+    // a fresh checkpoint re-delivers batch 0: the b0 dir is rewritten
+    // with identical rows, not appended to
+    runOnce(s"$tmp/ckpt2")
+    assert(state() == first, "replayed batch duplicated index rows")
+  }
+
   test("AggStream.incrementalSink: a replayed batchId is skipped, not re-folded") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-aggreplay").toString

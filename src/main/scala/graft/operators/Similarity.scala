@@ -98,8 +98,15 @@ object Similarity {
       struct((-VectorFunctions.cosine(col("vec"), centArr)).as("neg_sim"),
         lit(cid).as("cid"))
     }: _*)
+    // coalesce(…, -1) makes the cell key NON-NULLABLE, so downstream
+    // equi-joins on it infer no isnotnull(cell) filter — without this,
+    // InferFiltersFromConstraints inlines the whole argmin expression
+    // into a Filter conjunct below the probe join and evaluates it twice
+    // per row (the q38 plan nit). Semantics unchanged: only a null vec
+    // produces a null argmin, and cell −1 matches no probe, exactly like
+    // the null key it replaces.
     Parallelism.ensure(corpus).select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("cell", array_min(scored).getField("cid"))
+      .withColumn("cell", coalesce(array_min(scored).getField("cid"), lit(-1)))
       .select(col("id"), col("vec"), col("cell"))
   }
 
@@ -122,7 +129,16 @@ object Similarity {
       .withColumn("csim", VectorFunctions.cosine(col("q_vec"), col("cent_vec")))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("q_vec"), col("centroid_id").as("cell"))
+      // greatest(c, c) ≡ c, but constraint inference can't derive ranges
+      // through it: without the launder, any predicate on the centroid
+      // source (e.g. `vec_id < 8` building the centroids) propagates
+      // through the equi-join onto the corpus' cell key and inlines the
+      // WHOLE argmin expression into a scan filter — evaluating cell
+      // assignment twice per corpus row for a predicate that is true by
+      // construction (cells are 0..k−1). Probe side is nprobe·|queries|
+      // rows; the laundering costs nothing.
+      .select(col("query_id"), col("q_vec"),
+        greatest(col("centroid_id"), col("centroid_id")).as("cell"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id").asc)
     cells.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("id"))

@@ -132,6 +132,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("IVF probe join: no inferred isnotnull(argmin) filter re-evaluates cell assignment") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 13)
+    val res = graft.operators.Similarity.ivfTopK(
+      emb, queries, centroids, "vec_id", "embedding", k = 3, nprobe = 2)
+    // cell is a NON-NULLABLE join key (coalesce(argmin, -1)), so
+    // InferFiltersFromConstraints has no isnotnull(cell) to infer — the
+    // argmin evaluates once, in the projection, never inside a Filter
+    val filterLines = res.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Filter")).toSeq
+    assert(filterLines.forall(!_.contains("array_min")),
+      s"argmin re-evaluated inside a Filter:\n${filterLines.mkString("\n")}")
+  }
+
   test("filtered ANN: metadata predicate is PUSHED to the corpus scan, results honor it") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val centroids = emb.filter(col("vec_id") < 8)

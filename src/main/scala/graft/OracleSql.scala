@@ -190,7 +190,14 @@ object OracleSql {
       ("q115_sql_zorder" -> oracleSqlCore("q97_zorder_value")) +
       // q116 sessionizes with the BUILTIN session_window aggregate —
       // the fourth formulation against q32's oracle.
-      ("q116_session_window" -> oracleSqlCore("q32_sessionize"))
+      ("q116_session_window" -> oracleSqlCore("q32_sessionize")) +
+      // q132/q133/q134 force the BROADCAST centroid path (threshold 0 —
+      // broadcast-variable argmin expression + treeAggregate means fold)
+      // through q38/q68/q87's exact oracles: the k·dim scale path must
+      // produce bit-identical assignments, trained means, and scores.
+      ("q132_ivf_topk_bc" -> oracleSqlCore("q38_ivf_topk")) +
+      ("q133_kmeans_bc" -> oracleSqlCore("q68_kmeans_ivf")) +
+      ("q134_semantic_bc" -> oracleSqlCore("q87_semantic_neardup"))
 
   private lazy val oracleSqlCore: Map[String, String] = Map(
     "q01_pricing_summary" ->

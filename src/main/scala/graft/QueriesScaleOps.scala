@@ -101,13 +101,12 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     * (ceil(√n) ⇒ Σ|cell|² ≈ n^1.5 for balanced cells, not n²/const —
     * the configuration that survives a 100× scale-up; a fixed k is
     * quadratic no matter how large the corpus grows). */
-  private[graft] def q87(s: SparkSession, dir: String): DataFrame = {
-    val emb = T(s, dir, "embeddings")
-    val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
-    Similarity.semanticNearDups(emb, "vec_id", "embedding",
-        k = k, iters = 2, threshold = 0.4)
+  private[graft] def q87(s: SparkSession, dir: String): DataFrame =
+    // the ⌈√n⌉ sizing count runs on the SAME cached select the training
+    // scans (semanticNearDupsAuto) — one source read, not two
+    Similarity.semanticNearDupsAuto(T(s, dir, "embeddings"), "vec_id", "embedding",
+        iters = 2, threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   /** q18/q50's scenario driven through the PARTITION-PRUNED, DISK-BACKED
     * merge (`Scd2.mergePartitioned`, idiomatic semantics): run 1 seeds the
@@ -595,4 +594,37 @@ private[graft] trait QueriesScaleOps extends QueryBase {
         length(col("content")).cast("long").as("content_len"))
       .orderBy(col("doc_id"))
   }
+
+  /** q38's IVF top-k through the BROADCAST centroid path (threshold 0):
+    * cell assignment runs the broadcast-variable argmin expression instead
+    * of the k-literal tree — the k·dim scale path, pinned to q38's oracle
+    * (bit-identical cells and scores or the hash breaks). */
+  private[graft] def q132(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+    Similarity.ivfTopK(emb, queries, centroids, "vec_id", "embedding",
+        k = 3, nprobe = 2, broadcastThreshold = 0)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q68's k-means training through the BROADCAST path (threshold 0):
+    * per-iteration assignment via the broadcast argmin expression AND the
+    * grouped means via the dense treeAggregate fold — q68's oracle replays
+    * the identical training, so both scale mechanisms are hash-gated. */
+  private[graft] def q133(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssign(T(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, iters = 2, broadcastThreshold = 0)
+      .select(col("id").as("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+
+  /** q87's SemDeDup through the BROADCAST path (threshold 0) — training,
+    * assignment, and within-cell scoring all on the scale mechanisms,
+    * pinned to q87's oracle. */
+  private[graft] def q134(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticNearDupsAuto(T(s, dir, "embeddings"), "vec_id", "embedding",
+        iters = 2, threshold = 0.4, broadcastThreshold = 0)
+      .orderBy(col("id_a"), col("id_b"))
 }

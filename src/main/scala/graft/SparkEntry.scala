@@ -156,7 +156,10 @@ object SparkEntry extends QueriesRelational with QueriesPipeline
     "q128_bpe_token_counts" -> (q128 _),
     "q129_paragraph_neardup" -> (q129 _),
     "q130_stream_ann_index" -> (q130 _),
-    "q131_dedup_survivors" -> (q131 _)
+    "q131_dedup_survivors" -> (q131 _),
+    "q132_ivf_topk_bc" -> (q132 _),
+    "q133_kmeans_bc" -> (q133 _),
+    "q134_semantic_bc" -> (q134 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────

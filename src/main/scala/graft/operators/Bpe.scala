@@ -52,12 +52,143 @@ object Bpe {
     words.withColumn("syms",
       transform(sequence(lit(1), length(col("word"))), i => col("word").substr(i, lit(1))))
 
+  /** Default vocabulary cap for [[train]]: the driver-side working set is
+    * AT MOST this many (word, cnt) rows regardless of corpus size. A
+    * 100 TB corpus has a Zipf-bounded distinct-word set, but "bounded"
+    * can still be hundreds of millions of crawl-noise hapaxes — the cap
+    * keeps the head of the distribution (which carries essentially all
+    * pair mass) and drops the tail deterministically (cnt desc, word). */
+  val DefaultMaxVocab: Int = 1 << 20
+
   /** Train `numMerges` BPE merges. Returns the model and the final
     * segmented word table (word, cnt, syms) — the segmentation IS the
     * trained tokenizer applied to the training vocabulary. Stops early if
-    * the corpus runs out of adjacent pairs. */
+    * the corpus runs out of adjacent pairs.
+    *
+    * Job shape: the CORPUS is touched by exactly ONE distributed job (the
+    * distinct-word count + top-`maxVocab` selection); training then runs
+    * driver-side over the collected vocabulary with incremental
+    * pair-count maintenance — the classic fastBPE layout. The previous
+    * formulation ran one blocking pair-count aggregate + argmax collect
+    * PER merge ([[trainIterative]], kept as the distributed reference —
+    * spec-asserted equal): correct, but a real 32k-merge vocab meant 32k
+    * sequential scheduler round-trips, days of driver latency no cluster
+    * size can buy back. Same greedy objective, same (n desc, lhs, rhs)
+    * UTF-8 tie-break, same non-overlapping left-to-right merge ⇒ same
+    * model bit-for-bit (q126–q128 hashes unchanged; BpeSpec asserts
+    * train ≡ trainIterative and ≥256 merges inside a handful of jobs). */
   def train(docs: DataFrame, idCol: String, textCol: String,
-            numMerges: Int): (BpeModel, DataFrame) = {
+            numMerges: Int, maxVocab: Int = DefaultMaxVocab): (BpeModel, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // one distributed pass: distinct words, capped deterministically.
+    // (TakeOrdered ships ≤ maxVocab rows per partition — the collect is
+    // bounded by the cap, never by the corpus.)
+    val vocab: Array[(String, Long)] = wordCounts(docs, idCol, textCol)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxVocab)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+    // mutable driver state: per-word symbol arrays + incrementally
+    // maintained pair counts and a pair→word-index posting list.
+    // Initial split is by CODE POINT, matching charWords' substr(i, 1)
+    // (UTF8String navigates whole UTF-8 chars — a surrogate pair is one
+    // symbol, not two broken halves).
+    def codePointSyms(w: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        out += w.substring(i, i + n)
+        i += n
+      }
+      out.toArray
+    }
+    val syms = vocab.map { case (w, _) => codePointSyms(w) }
+    val cnts = vocab.map(_._2)
+    val pairCnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
+    def addWord(wi: Int): Unit = {
+      val s = syms(wi)
+      var i = 1
+      while (i < s.length) {
+        val p = (s(i - 1), s(i))
+        pairCnt.update(p, pairCnt.getOrElse(p, 0L) + cnts(wi))
+        pairWords.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+        i += 1
+      }
+    }
+    def dropWord(wi: Int): Unit = {
+      val s = syms(wi)
+      var i = 1
+      while (i < s.length) {
+        val p = (s(i - 1), s(i))
+        val left = pairCnt(p) - cnts(wi)
+        if (left == 0L) { pairCnt.remove(p); pairWords.remove(p) }
+        else { pairCnt.update(p, left); pairWords(p) -= wi }
+        i += 1
+      }
+    }
+    syms.indices.foreach(addWord)
+
+    // Spark's string ordering is UTF8 byte-wise — replicate it exactly so
+    // tie-breaks match the distributed argmax (and the DuckDB oracle)
+    def utf8Lt(x: String, y: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    def better(x: ((String, String), Long), y: ((String, String), Long)): Boolean =
+      x._2 > y._2 || (x._2 == y._2 &&
+        (utf8Lt(x._1._1, y._1._1) || (x._1._1 == y._1._1 && utf8Lt(x._1._2, y._1._2))))
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = pairCnt.isEmpty
+    for (_ <- 1 to numMerges if !exhausted) {
+      var best: ((String, String), Long) = null
+      pairCnt.foreach { kv => if (best == null || better(kv, best)) best = kv }
+      if (best == null) exhausted = true
+      else {
+        val (a, b) = best._1
+        merges += ((a, b))
+        // re-index only the words that contain the pair: subtract their old
+        // pairs, run the greedy left-to-right merge pass, add the new ones
+        val affected = pairWords(best._1).toArray
+        affected.foreach { wi =>
+          dropWord(wi)
+          syms(wi) = mergePass(syms(wi), a, b)
+          addWord(wi)
+        }
+        if (pairCnt.isEmpty) exhausted = true
+      }
+    }
+
+    val segmented = vocab.indices
+      .map(i => (vocab(i)._1, cnts(i), syms(i).toSeq))
+      .toDF("word", "cnt", "syms")
+    (BpeModel(merges.toSeq), segmented)
+  }
+
+  /** Driver-side twin of [[mergeOnce]]'s sequential fold: greedy
+    * left-to-right, non-overlapping (a freshly merged symbol never
+    * re-matches as `a` unless it literally equals `a`). */
+  private[graft] def mergePass(s: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (out.nonEmpty && out.last == a && s(i) == b) out(out.length - 1) = a + b
+      else out += s(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** The fully distributed per-merge loop — one pair-count aggregate +
+    * 1-row argmax collect PER merge. Kept as the reference formulation
+    * [[train]] is spec-asserted against; do not use for real vocab sizes
+    * (numMerges sequential blocking jobs). */
+  def trainIterative(docs: DataFrame, idCol: String, textCol: String,
+                     numMerges: Int): (BpeModel, DataFrame) = {
     var words = charWords(wordCounts(docs, idCol, textCol)).cache()
     words.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -99,14 +230,21 @@ object Bpe {
 
   /** Learned-vocab token counts per document: the word stream joined to
     * the trained segmentation — the corpus is scanned once and only
-    * (word) keys shuffle; piece counts ride the Zipf-small vocab side. */
+    * (word) keys shuffle; piece counts ride the Zipf-small vocab side.
+    * Words ABSENT from the training vocabulary (unseen documents, or the
+    * capped tail at scale) fall back to character count — the
+    * every-char-is-a-piece floor a BPE tokenizer degrades to with no
+    * applicable merges — instead of silently dropping from both counts. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
                   segmented: DataFrame): DataFrame = {
     val stream = graft.io.Parallelism.ensure(docs)
       .select(col(idCol), explode_outer(TF.tokens(TF.normalizeText(col(textCol)))).as("word"))
       .filter(length(col("word")) > 0)
-    stream.join(broadcast(segmented.select(col("word"), size(col("syms")).as("__np"))), "word")
+    stream.join(broadcast(segmented.select(col("word"), size(col("syms")).as("__np"))),
+        Seq("word"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"), sum(col("__np")).as("n_bpe_tokens"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("__np").cast("long"), length(col("word")).cast("long")))
+          .as("n_bpe_tokens"))
   }
 }

@@ -27,6 +27,35 @@ import org.apache.spark.sql.functions._
   *     hyperplanes derived from a seed so results are reproducible.
   */
 object Similarity {
+  import graft.functions.expressions.{CentroidModel, NearestCentroid, NearestCentroidGrouped}
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  /** Literal-vs-broadcast switch point, in centroid COMPONENTS (k·dim).
+    * Below it, centroids embed as literals (constant-folded norms, zero
+    * per-row indirection — the best plan when the expression tree is
+    * small). Above it, the literal tree's CODEGEN size becomes the
+    * bottleneck (64 KB JVM method limit at k·dim ≈ tens of thousands;
+    * SemDeDup's k = ⌈√n⌉ crosses that around n ≈ 10⁷ at dim 32), so the
+    * matrix ships once as a broadcast variable consumed by
+    * [[NearestCentroid]] — same math, same hashes, O(1) codegen. */
+  val BroadcastThreshold: Int = 16384
+
+  /** Build the broadcast [[CentroidModel]] for (id, vec) centroid rows,
+    * ids ascending (the argmin tie order), floats widened exactly. */
+  private def centroidModel(
+      rows: Array[(Int, Seq[Number])], useCosine: Boolean): CentroidModel = {
+    val sorted = rows.sortBy(_._1)
+    val dim = sorted.head._2.length
+    val flat = new Array[Double](sorted.length * dim)
+    var j = 0
+    while (j < sorted.length) {
+      val v = sorted(j)._2
+      var d = 0
+      while (d < dim) { flat(j * dim + d) = v(d).doubleValue(); d += 1 }
+      j += 1
+    }
+    CentroidModel(sorted.map(_._1), flat, dim, useCosine)
+  }
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`/`corpus`: (id, vec). Self-matches excluded. */
@@ -78,26 +107,39 @@ object Similarity {
       corpus: DataFrame,
       centroids: DataFrame,
       idCol: String,
-      vecCol: String
+      vecCol: String,
+      broadcastThreshold: Int = BroadcastThreshold
   ): DataFrame = {
-    val cents: Seq[(Int, Column)] = centroids
+    val rows = centroids
       .select(col("centroid_id").cast("int"), col(vecCol))
       .collect()
-      .map { r =>
-        // preserve the element runtime type (float stays float) so the
-        // cosine expression tree is bit-identical to the joined form
-        val arr = r.getSeq[Any](1).map {
-          case f: java.lang.Float  => lit(f.floatValue())
-          case d: java.lang.Double => lit(d.doubleValue())
-          case x                   => lit(x)
-        }
-        (r.getInt(0), array(arr: _*))
+    val cellExpr: Column =
+      if (rows.length.toLong * rows.head.getSeq[Any](1).length <= broadcastThreshold) {
+        val cents: Seq[(Int, Column)] = rows
+          .map { r =>
+            // preserve the element runtime type (float stays float) so the
+            // cosine expression tree is bit-identical to the joined form
+            val arr = r.getSeq[Any](1).map {
+              case f: java.lang.Float  => lit(f.floatValue())
+              case d: java.lang.Double => lit(d.doubleValue())
+              case x                   => lit(x)
+            }
+            (r.getInt(0), array(arr: _*))
+          }
+          .sortBy(_._1).toSeq
+        val scored = array(cents.map { case (cid, centArr) =>
+          struct((-VectorFunctions.cosine(col("vec"), centArr)).as("neg_sim"),
+            lit(cid).as("cid"))
+        }: _*)
+        array_min(scored).getField("cid")
+      } else {
+        // k·dim past the codegen comfort zone: one broadcast, O(1) codegen,
+        // bit-identical argmin (spec- and oracle-gated vs the literal path).
+        val model = centroidModel(
+          rows.map(r => (r.getInt(0), r.getSeq[Number](1))), useCosine = true)
+        val bc = corpus.sparkSession.sparkContext.broadcast(model)
+        column(NearestCentroid(expression(col("vec")), bc))
       }
-      .sortBy(_._1).toSeq
-    val scored = array(cents.map { case (cid, centArr) =>
-      struct((-VectorFunctions.cosine(col("vec"), centArr)).as("neg_sim"),
-        lit(cid).as("cid"))
-    }: _*)
     // coalesce(…, -1) makes the cell key NON-NULLABLE, so downstream
     // equi-joins on it infer no isnotnull(cell) filter — without this,
     // InferFiltersFromConstraints inlines the whole argmin expression
@@ -106,7 +148,7 @@ object Similarity {
     // produces a null argmin, and cell −1 matches no probe, exactly like
     // the null key it replaces.
     Parallelism.ensure(corpus).select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("cell", coalesce(array_min(scored).getField("cid"), lit(-1)))
+      .withColumn("cell", coalesce(cellExpr, lit(-1)))
       .select(col("id"), col("vec"), col("cell"))
   }
 
@@ -119,9 +161,10 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nprobe: Int
+      nprobe: Int,
+      broadcastThreshold: Int = BroadcastThreshold
   ): DataFrame = {
-    val cells = assignCells(corpus, centroids, idCol, vecCol)
+    val cells = assignCells(corpus, centroids, idCol, vecCol, broadcastThreshold)
     val c = centroids.select(col("centroid_id"), col(vecCol).as("cent_vec"))
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id").asc)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
@@ -171,22 +214,39 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int
+      iters: Int,
+      broadcastThreshold: Int = BroadcastThreshold
   ): DataFrame =
-    kmeansFit(corpus, idCol, vecCol, k, iters)._1
+    kmeansFit(corpus, idCol, vecCol, k, iters, broadcastThreshold)._1
 
   /** [[kmeansAssign]] plus the trained k·dim centroid matrix itself (the
-    * part [[ProductQuant]] codebook training needs). Identical math. */
+    * part [[ProductQuant]] codebook training needs). Identical math.
+    *
+    * Above `broadcastThreshold` (k·dim components) the per-iteration
+    * assignment uses the broadcast [[NearestCentroid]] expression instead
+    * of a k-literal tree, and the grouped means fold through ONE
+    * `treeAggregate` over dense k×dim partial-sum arrays instead of a
+    * posexplode + groupBy + k·dim-row collect: the per-iteration driver
+    * round-trip is exactly the k·dim doubles of model state (one compact
+    * array), there is no shuffle at all, and codegen size is O(1) in k.
+    * Same 6-dp-rounded means (summation-order noise is ~1e-13, the
+    * rounding's whole job), so hashes are unchanged — q133/q134 replay
+    * q68/q87's oracles through this path with the threshold forced to 0. */
   def kmeansFit(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int
+      iters: Int,
+      broadcastThreshold: Int = BroadcastThreshold
   ): (DataFrame, Seq[Seq[Double]]) = {
     val spark = corpus.sparkSession
-    val base = Parallelism.ensure(
-      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))).cache()
+    // an already-cached corpus (semanticNearDupsAuto's sizing count) is
+    // reused as-is — re-caching would hold the working set twice
+    val pre = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val base =
+      if (corpus.storageLevel != org.apache.spark.storage.StorageLevel.NONE) pre
+      else Parallelism.ensure(pre).cache()
 
     def sqDistTo(cent: Seq[Double]): Column = {
       val centArr = array(cent.map(lit): _*)
@@ -198,13 +258,28 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
     }
 
+    def useBroadcast(cents: Seq[Seq[Double]]): Boolean =
+      cents.length.toLong * cents.head.length > broadcastThreshold
+
     // cell = id of the nearest centroid, ties to the lower id — computed as
-    // the lexicographic min of (dist_i, i) structs.
+    // the lexicographic min of (dist_i, i) structs (literal path) or the
+    // bit-identical broadcast argmin (scale path).
     def withCell(cents: Seq[Seq[Double]]): DataFrame = {
-      val scored = array(cents.zipWithIndex.map { case (c, i) =>
-        struct(sqDistTo(c).as("d"), lit(i).as("cid"))
-      }: _*)
-      base.withColumn("cell", array_min(scored).getField("cid"))
+      val cellExpr =
+        if (!useBroadcast(cents)) {
+          val scored = array(cents.zipWithIndex.map { case (c, i) =>
+            struct(sqDistTo(c).as("d"), lit(i).as("cid"))
+          }: _*)
+          array_min(scored).getField("cid")
+        } else {
+          val model = centroidModel(
+            cents.zipWithIndex.map { case (c, i) =>
+              (i, c.map(x => x: Number))
+            }.toArray, useCosine = false)
+          val bc = spark.sparkContext.broadcast(model)
+          column(NearestCentroid(expression(col("vec")), bc))
+        }
+      base.withColumn("cell", cellExpr)
     }
 
     // explicit double-math rounding (floor(x·1e6 + 0.5)/1e6) — the same fp
@@ -218,12 +293,41 @@ object Similarity {
     for (_ <- 1 to iters) {
       val assigned = withCell(centroids)
       val dim = centroids.head.length
-      val means = assigned
-        .select(col("cell"), posexplode(col("vec")).as(Seq("d", "x")))
-        .groupBy(col("cell"), col("d"))
-        .agg((floor(avg(col("x").cast("double")) * 1e6 + 0.5) / 1e6).as("m"))
-        .collect().map(r => (r.getAs[Int]("cell"), r.getAs[Int]("d"), r.getAs[Double]("m")))
-      val byCell = means.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      val byCell: Map[Int, Seq[Double]] =
+        if (useBroadcast(centroids)) {
+          // dense partial-sum fold: each partition accumulates k×dim sums +
+          // k counts, partials combine pairwise — no exchange, no Row
+          // overhead on the driver, exactly k·dim doubles come back.
+          val (sums, cnts) = assigned.select(col("cell"), col("vec")).rdd
+            .treeAggregate((new Array[Double](k * dim), new Array[Long](k)))(
+              seqOp = { (acc, row) =>
+                if (!row.isNullAt(0) && !row.isNullAt(1)) {
+                  val cell = row.getInt(0)
+                  val v = row.getSeq[Number](1)
+                  var d = 0
+                  while (d < dim) { acc._1(cell * dim + d) += v(d).doubleValue(); d += 1 }
+                  acc._2(cell) += 1L
+                }
+                acc
+              },
+              combOp = { (a, b) =>
+                var i = 0
+                while (i < k * dim) { a._1(i) += b._1(i); i += 1 }
+                var j = 0
+                while (j < k) { a._2(j) += b._2(j); j += 1 }
+                a
+              })
+          (0 until k).iterator.filter(cnts(_) > 0).map { i =>
+            i -> (0 until dim).map(d => round6(sums(i * dim + d) / cnts(i))).toSeq
+          }.toMap
+        } else {
+          val means = assigned
+            .select(col("cell"), posexplode(col("vec")).as(Seq("d", "x")))
+            .groupBy(col("cell"), col("d"))
+            .agg((floor(avg(col("x").cast("double")) * 1e6 + 0.5) / 1e6).as("m"))
+            .collect().map(r => (r.getAs[Int]("cell"), r.getAs[Int]("d"), r.getAs[Double]("m")))
+          means.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+        }
       // empty cells keep their previous centroid (no reseeding — determinism)
       centroids = centroids.indices.map(i => byCell.getOrElse(i, centroids(i)))
       require(centroids.forall(_.length == dim))
@@ -254,8 +358,10 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int
+      iters: Int,
+      broadcastThreshold: Int = BroadcastThreshold
   ): Map[Int, Seq[Seq[Double]]] = {
+    val spark = corpus.sparkSession
     val base = Parallelism.ensure(
       corpus.select(col(grpCol).cast("int").as("grp"), col(idCol).as("id"),
         col(vecCol).as("vec"))).cache()
@@ -270,15 +376,33 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
     }
 
+    def useBroadcast(cents: Map[Int, Seq[Seq[Double]]]): Boolean =
+      cents.valuesIterator.map(cs => cs.length.toLong * cs.head.length).sum > broadcastThreshold
+
     def withCell(cents: Map[Int, Seq[Seq[Double]]]): DataFrame = {
-      val cellExpr = cents.keys.toSeq.sorted.map { g =>
-        val scored = array(cents(g).zipWithIndex.map { case (c, i) =>
-          struct(sqDistTo(c).as("d"), lit(i).as("cid"))
-        }: _*)
-        g -> array_min(scored).getField("cid")
-      }.foldRight(lit(-1): Column) { case ((g, e), els) =>
-        when(col("grp") === g, e).otherwise(els)
-      }
+      val cellExpr =
+        if (!useBroadcast(cents)) {
+          cents.keys.toSeq.sorted.map { g =>
+            val scored = array(cents(g).zipWithIndex.map { case (c, i) =>
+              struct(sqDistTo(c).as("d"), lit(i).as("cid"))
+            }: _*)
+            g -> array_min(scored).getField("cid")
+          }.foldRight(lit(-1): Column) { case ((g, e), els) =>
+            when(col("grp") === g, e).otherwise(els)
+          }
+        } else {
+          // Σ k·dim past the codegen comfort zone (the when-chain carries
+          // EVERY group's literals): one broadcast map of per-group models,
+          // same per-group argmin, unknown group → −1 like the chain.
+          val models = cents.map { case (g, cs) =>
+            g -> centroidModel(
+              cs.zipWithIndex.map { case (c, i) => (i, c.map(x => x: Number)) }.toArray,
+              useCosine = false)
+          }
+          val bc = spark.sparkContext.broadcast(models)
+          column(NearestCentroidGrouped(
+            expression(col("grp")), expression(col("vec")), bc))
+        }
       base.withColumn("cell", cellExpr)
     }
 
@@ -296,14 +420,48 @@ object Similarity {
 
     for (_ <- 1 to iters) {
       val assigned = withCell(centroids)
-      val means = assigned
-        .select(col("grp"), col("cell"), posexplode(col("vec")).as(Seq("d", "x")))
-        .groupBy(col("grp"), col("cell"), col("d"))
-        .agg((floor(avg(col("x").cast("double")) * 1e6 + 0.5) / 1e6).as("m"))
-        .collect()
-        .map(r => (r.getInt(0), r.getAs[Int]("cell"), r.getAs[Int]("d"), r.getAs[Double]("m")))
-      val byGrpCell = means.groupBy(m => (m._1, m._2))
-        .view.mapValues(_.sortBy(_._3).map(_._4).toSeq).toMap
+      val byGrpCell: Map[(Int, Int), Seq[Double]] =
+        if (useBroadcast(centroids)) {
+          // keyed dense partial-sum fold (the kmeansFit treeAggregate with a
+          // (grp, cell) key): no posexplode, no shuffle, Σ k·dim doubles back.
+          val dims: Map[Int, Int] = centroids.map { case (g, cs) => g -> cs.head.length }
+          type Acc = scala.collection.mutable.HashMap[(Int, Int), (Array[Double], Array[Long])]
+          val folded = assigned.select(col("grp"), col("cell"), col("vec")).rdd
+            .treeAggregate(new Acc)(
+              seqOp = { (acc, row) =>
+                if (!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2)) {
+                  val key = (row.getInt(0), row.getInt(1))
+                  val dim = dims(key._1)
+                  val slot = acc.getOrElseUpdate(key, (new Array[Double](dim), new Array[Long](1)))
+                  val v = row.getSeq[Number](2)
+                  var d = 0
+                  while (d < dim) { slot._1(d) += v(d).doubleValue(); d += 1 }
+                  slot._2(0) += 1L
+                }
+                acc
+              },
+              combOp = { (a, b) =>
+                b.foreach { case (key, (s, n)) =>
+                  val slot = a.getOrElseUpdate(key, (new Array[Double](s.length), new Array[Long](1)))
+                  var d = 0
+                  while (d < s.length) { slot._1(d) += s(d); d += 1 }
+                  slot._2(0) += n(0)
+                }
+                a
+              })
+          folded.iterator.map { case (key, (s, n)) =>
+            key -> s.indices.map(d => round6(s(d) / n(0))).toSeq
+          }.toMap
+        } else {
+          val means = assigned
+            .select(col("grp"), col("cell"), posexplode(col("vec")).as(Seq("d", "x")))
+            .groupBy(col("grp"), col("cell"), col("d"))
+            .agg((floor(avg(col("x").cast("double")) * 1e6 + 0.5) / 1e6).as("m"))
+            .collect()
+            .map(r => (r.getInt(0), r.getAs[Int]("cell"), r.getAs[Int]("d"), r.getAs[Double]("m")))
+          means.groupBy(m => (m._1, m._2))
+            .view.mapValues(_.sortBy(_._3).map(_._4).toSeq).toMap
+        }
       // empty cells keep their previous centroid — per group, like kmeansFit
       centroids = centroids.map { case (g, cs) =>
         g -> cs.indices.map(i => byGrpCell.getOrElse((g, i), cs(i))).toSeq
@@ -330,9 +488,11 @@ object Similarity {
       vecCol: String,
       k: Int,
       nprobe: Int,
-      pred: Column
+      pred: Column,
+      broadcastThreshold: Int = BroadcastThreshold
   ): DataFrame =
-    ivfTopK(corpus.filter(pred), queries, centroids, idCol, vecCol, k, nprobe)
+    ivfTopK(corpus.filter(pred), queries, centroids, idCol, vecCol, k, nprobe,
+      broadcastThreshold)
 
   /** SemDeDup-style semantic near-dup pairs: k-means cells prune the
     * candidate space — only pairs sharing a cell are cosine-scored, so the
@@ -350,12 +510,13 @@ object Similarity {
       vecCol: String,
       k: Int,
       iters: Int,
-      threshold: Double
+      threshold: Double,
+      broadcastThreshold: Int = BroadcastThreshold
   ): DataFrame = {
     // kmeansAssign keeps (id, vec, cell) map-side, so the norm is one more
     // map-side column — no re-join of the corpus on id (which would add a
     // full corpus exchange to the most expensive headline query).
-    val v = kmeansAssign(corpus, idCol, vecCol, k, iters)
+    val v = kmeansAssign(corpus, idCol, vecCol, k, iters, broadcastThreshold)
       .withColumn("nrm", graft.functions.VectorFunctions.norm(col("vec")))
     v.alias("a")
       .join(v.alias("b"),
@@ -367,6 +528,24 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.cell").as("cell"), col("cosine"))
+  }
+
+  /** [[semanticNearDups]] with SemDeDup's k = ⌈√n⌉ sizing derived from the
+    * SAME cached corpus the training then scans — the sizing count
+    * materializes the cache the first k-means iteration needs anyway, so
+    * the source is read once, not twice. */
+  def semanticNearDupsAuto(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int,
+      threshold: Double,
+      broadcastThreshold: Int = BroadcastThreshold
+  ): DataFrame = {
+    val base = Parallelism.ensure(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))).cache()
+    val k = math.ceil(math.sqrt(base.count().toDouble)).toInt
+    semanticNearDups(base, "id", "vec", k, iters, threshold, broadcastThreshold)
   }
 
   /** Signed-random-projection bucket key per vector: `nPlanes` hyperplanes

@@ -61,4 +61,48 @@ class BpeSpec extends AnyFunSuite {
     assert(counts(1L) == ((3L, 4L))) // abc + abc + abd = 1 + 1 + 2
     assert(counts(3L) == ((2L, 4L))) // abd + zz = 2 + 2
   }
+
+  test("train ≡ trainIterative: driver-incremental and distributed loops land the same model") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (fast, fastWords) = Bpe.train(docs, "doc_id", "text", numMerges = 12)
+    val (slow, slowWords) = Bpe.trainIterative(docs, "doc_id", "text", numMerges = 12)
+    assert(fast.merges == slow.merges)
+    assert(fast.merges.length == 12)
+    def seg(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("cnt"),
+        r.getSeq[String](r.fieldIndex("syms")))).toSet
+    assert(seg(fastWords) == seg(slowWords))
+  }
+
+  test("train: ≥256 merges cost a bounded handful of Spark jobs, not one per merge") {
+    // synthetic wide-vocab corpus (sf0.001's vocabulary exhausts at ~89
+    // merges); deterministic, no RNG
+    val docs = spark.createDataFrame((0 until 400).map { i =>
+      (i.toLong, (0 until 6).map(j => s"w${(i * 31 + j * 7) % 1000}q${i % 17}").mkString(" "))
+    }).toDF("doc_id", "text")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (model, _) = Bpe.train(docs, "doc_id", "text", numMerges = 256)
+      Thread.sleep(1000) // listener delivery is async; jobs have all started
+
+      assert(model.merges.length == 256, s"corpus exhausted at ${model.merges.length} merges")
+      assert(jobs <= 20, s"training scheduled $jobs Spark jobs — the per-merge round-trip is back")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("tokenCounts: out-of-vocabulary words fall back to character count, never drop") {
+    val trainDocs = Seq((1L, "abc abc abd")).toDF("doc_id", "text")
+    val (_, words) = Bpe.train(trainDocs, "doc_id", "text", numMerges = 2)
+    // 'zz' and 'qqqq' were never seen in training
+    val unseen = Seq((9L, "abc zz qqqq")).toDF("doc_id", "text")
+    val counts = Bpe.tokenCounts(unseen, "doc_id", "text", words)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // abc → 1 trained piece; zz → 2 chars; qqqq → 4 chars; all 3 words counted
+    assert(counts(9L) == ((3L, 7L)))
+  }
 }

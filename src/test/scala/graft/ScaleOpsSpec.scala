@@ -132,6 +132,81 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("broadcast centroid path: bit-identical to the literal path (assignment + training)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    // threshold 0 forces the broadcast NearestCentroid expression; the
+    // default keeps the literal argmin — identical cells for every row
+    val lit0 = graft.operators.Similarity.assignCells(emb, centroids, "vec_id", "embedding")
+      .select("id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val bc0 = graft.operators.Similarity.assignCells(emb, centroids, "vec_id", "embedding",
+        broadcastThreshold = 0)
+      .select("id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(bc0 == lit0 && bc0.nonEmpty)
+    // training: broadcast assignment + treeAggregate means must land the
+    // exact rounded centroids AND assignment of the literal+grouped-avg path
+    val (aLit, cLit) = graft.operators.Similarity.kmeansFit(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val (aBc, cBc) = graft.operators.Similarity.kmeansFit(emb, "vec_id", "embedding",
+      k = 4, iters = 2, broadcastThreshold = 0)
+    assert(cBc == cLit)
+    assert(aBc.select("id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      aLit.select("id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+    // grouped trainer: same per-group codebooks through the broadcast map
+    val grouped = emb.select((col("vec_id") % 2).cast("int").as("grp"),
+      col("vec_id").as("id"), col("embedding").as("vec"))
+    val gLit = graft.operators.Similarity.kmeansFitGrouped(grouped, "grp", "id", "vec",
+      k = 3, iters = 2)
+    val gBc = graft.operators.Similarity.kmeansFitGrouped(grouped, "grp", "id", "vec",
+      k = 3, iters = 2, broadcastThreshold = 0)
+    assert(gBc == gLit && gBc.keySet == Set(0, 1))
+  }
+
+  test("broadcast centroid path at k=4096: codegen-safe, map-side, correct argmax") {
+    // k·dim = 65536 — far past any literal-tree comfort zone (the codegen
+    // blowup the broadcast path exists to avoid) and above the default
+    // threshold, so the DEFAULT call routes here with no override.
+    val dim = 16
+    val k = 4096
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(d => (((seed * 31 + d * 7) % 97) - 48) / 48.0f)
+    // parquet-backed corpus: a LocalRelation would constant-fold the whole
+    // assignment into a LocalTableScan and hide the plan under test
+    val corpusDir = Files.createTempDirectory("graft-bc4096").toString
+    spark.createDataFrame(
+      (0 until 500).map(i => (i.toLong, vec(i + 1000000))))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    val cents = spark.createDataFrame((0 until k).map(j => (j, vec(j))))
+      .toDF("centroid_id", "embedding")
+    val cells = graft.operators.Similarity.assignCells(corpus, cents, "vec_id", "embedding")
+    val plan = cells.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"broadcast assignment must stay map-side:\n$plan")
+    // `*(n)` prefixes mark WholeStageCodegen stages in simpleString form
+    assert(plan.contains("*(1) Project"),
+      s"broadcast assignment fell out of whole-stage codegen:\n$plan")
+    val got = cells.select("id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got.size == 500)
+    // driver-recomputed argmax cosine (ties to lower id) on a sample
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until dim) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (i <- Seq(0, 123, 499)) {
+      val v = vec(i + 1000000)
+      val want = (0 until k).maxBy(j => (cos(v, vec(j)), -j))
+      assert(got(i.toLong) == want, s"row $i: got ${got(i.toLong)}, want $want")
+    }
+  }
+
   test("IVF probe join: no inferred isnotnull(argmin) filter re-evaluates cell assignment") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val centroids = emb.filter(col("vec_id") < 8)

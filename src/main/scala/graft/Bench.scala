@@ -44,7 +44,9 @@ object Bench {
     "q98_ivfpq_residual",
     "q124_repeated_spans",
     "q125_span_strip",
-    "q129_paragraph_neardup"
+    "q129_paragraph_neardup",
+    "q130_stream_ann_index",
+    "q131_dedup_survivors"
   )
 
   def main(args: Array[String]): Unit = {

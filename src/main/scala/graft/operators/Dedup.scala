@@ -349,6 +349,9 @@ object Dedup {
     * gram pair — the standard fingerprinting trade, same as winnowing.
     *
     * Returns (id, start_pos, end_pos, span_toks). */
+  private val lastGramsCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   def repeatedSpans(
       docs: DataFrame,
       idCol: String,
@@ -358,7 +361,19 @@ object Dedup {
       minSpanTokens: Int = 5
   ): DataFrame = {
     require(k > 0 && minOccurrences >= 2, "need k > 0, minOccurrences >= 2")
+    // generational cache: the gram stream is read twice (fp aggregate +
+    // semi-join probe), so it caches — and the PREVIOUS invocation's
+    // cache is released here, bounding the session to one live copy
+    // (unpersist is a cache-miss, never a correctness issue, if an old
+    // result is still lazily held). Same-input invocations (q124 then
+    // q125 on one corpus) share one entry — the cache manager keys by
+    // canonicalized plan — so only a CHANGED plan evicts.
     val grams = positionalGrams(docs, idCol, textCol, k).cache()
+    val prev = lastGramsCache.getAndSet(grams)
+    if ((prev ne null) && (prev ne grams) &&
+        prev.queryExecution.analyzed.canonicalized !=
+          grams.queryExecution.analyzed.canonicalized)
+      prev.unpersist(false)
     val dupFps = grams.groupBy(col("fp"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minOccurrences)
@@ -448,6 +463,15 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4
   ): DataFrame = {
+    // composite pid = "<doc>:<chunk>" — parsed back by splitting on ':',
+    // so doc ids must be integral (a string id containing ':' would
+    // misparse and cast to null). Validated here rather than silently
+    // returning nulls; string-keyed corpora should pre-map ids through a
+    // dense numeric key (zipWithIndex / monotonically_increasing_id).
+    val idType = docs.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"paragraphNearDups requires an integral $idCol (got ${idType.simpleString}): " +
+        "composite chunk ids split on ':'")
     val chunks = Chunker.chunk(docs, idCol, textCol, width, width)
       .select(concat_ws(":", col("id"), col("chunk_idx")).as("pid"), col("chunk_text"))
     minhashNearDups(chunks, "chunk_text", "pid", threshold, shingleSize, numHashes, bands)

@@ -335,7 +335,23 @@ object ProductQuant {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = currentVersion(spark, dir).map(_ + 1).getOrElse(1)
+    // claim the version number with an EXCLUSIVE create of a _CLAIM marker
+    // (create(overwrite = false) fails if present): two concurrent
+    // publishers can no longer write the same v<N> dir and race the
+    // pointer swap into a mixed artifact — the loser just claims the next
+    // number. Last pointer swap wins, each pointing at a complete dir.
+    var next = currentVersion(spark, dir).map(_ + 1).getOrElse(1)
+    var claimed = false
+    while (!claimed) {
+      try {
+        fs.create(new Path(root, s"v$next/_CLAIM"), false).close()
+        claimed = true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => next += 1
+        case e: java.io.IOException if e.getMessage != null &&
+            e.getMessage.contains("already exists") => next += 1
+      }
+    }
     val vdir = new Path(root, s"v$next")
     graft.io.Writers.parquet(index.encoded, new Path(vdir, "codes").toString)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

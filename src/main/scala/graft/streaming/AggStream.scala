@@ -54,19 +54,31 @@ object AggStream {
     }
   }
 
-  /** Read the current committed state (pointer-resolved). */
+  /** Read the current committed state (pointer-resolved).
+    *
+    * Reader contract: the returned DataFrame is LAZY — it resolves
+    * `_CURRENT` now but reads files at action time. Materialize promptly
+    * (or raise `retainVersions`): a plan held across more than
+    * `retainVersions − 1` later commits scans a GC'd directory. */
   def readState(spark: SparkSession, statePath: String): DataFrame =
     currentStateDir(spark, statePath)
       .map(d => Readers.parquet(spark, d))
       .getOrElse(throw new IllegalStateException(s"no committed state under $statePath"))
 
+  /** `retainVersions`: how many committed version dirs survive GC (newest
+    * first, the committed one included) — the time-travel/laggard-reader
+    * window, same knob shape as the streaming state store's
+    * minVersionsToRetain. Minimum 2: the new version plus its
+    * predecessor, so a reader that resolved the old pointer just before
+    * the swap still scans an existing directory. */
   def incrementalSink(
       spark: SparkSession,
       updates: DataFrame,
       keys: Seq[String],
       measures: Seq[String],
       statePath: String,
-      checkpoint: String
+      checkpoint: String,
+      retainVersions: Int = 2
   ): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
@@ -90,13 +102,13 @@ object AggStream {
             finally out.close()
             val fc = FileContext.getFileContext(root.toUri, spark.sparkContext.hadoopConfiguration)
             fc.rename(tmp, new Path(root, Pointer), Options.Rename.OVERWRITE)
-            // GC: keep the new version plus its predecessor (in-flight
-            // readers of the old pointer); everything older goes
-            val keep = Set(s"v$batchId") ++ cur.map(d => new Path(d).getName)
-            fs.listStatus(root)
+            // GC: keep the newest `retainVersions` version dirs (committed
+            // one included); everything older goes
+            val versions = fs.listStatus(root)
               .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
               .map(_.getPath)
-              .filterNot(p => keep.contains(p.getName))
+              .sortBy(p => -p.getName.stripPrefix("v").toLong)
+            versions.drop(math.max(retainVersions, 2))
               .foreach(p => fs.delete(p, true))
           }
         }

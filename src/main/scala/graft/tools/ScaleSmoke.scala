@@ -58,8 +58,9 @@ object ScaleSmoke {
       "q87_semantic_neardup", "q93_doc_chunks", "q94_seq_packing",
       "q95_unigram_lm", "q96_winnow_fingerprints", "q98_ivfpq_residual",
       "q108_source_winnow_overlap", "q121_bigram_lm", "q122_pmi_collocations",
-      "q124_repeated_spans", "q125_span_strip", "q129_paragraph_neardup",
-      "q131_dedup_survivors")
+      "q124_repeated_spans", "q125_span_strip", "q126_bpe_merges",
+      "q127_bpe_segment", "q128_bpe_token_counts", "q129_paragraph_neardup",
+      "q131_dedup_survivors", "q132_ivf_topk_bc", "q134_semantic_bc")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

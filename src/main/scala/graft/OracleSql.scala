@@ -694,6 +694,33 @@ object OracleSql {
          |lab AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY 1)
          |SELECT cluster_id AS doc_id, count(*)::BIGINT AS cluster_size
          |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q135_nb_langid" ->
+      s"""WITH $nbLangCte
+         |SELECT doc_id, pred_lang, round(sc, 2) AS score FROM nbest
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // q136: the trained classifier composed into the curation shape —
+    // NB-predicted language must agree with the label, quality >= 0.55,
+    // deterministic hash split (q60's bucket rule).
+    "q136_nb_curation" ->
+      s"""WITH $nbLangCte,
+         |npred AS (SELECT doc_id, pred_lang, round(sc, 2) AS score FROM nbest WHERE rn = 1),
+         |nq AS (SELECT doc_id, lang,
+         |  (CASE WHEN length(text) = 0 THEN 0.0
+         |     ELSE len(regexp_extract_all(text, '[\\p{L}]'))::DOUBLE / length(text) END) * 0.5
+         |  + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+         |     ELSE len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text) END) * 0.2
+         |  + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+         |     ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) END) * 0.2
+         |  + least((CASE WHEN length(trim(text)) = 0 THEN 0
+         |     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE / 100.0, 1.0) * 0.1
+         |  AS quality,
+         |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
+         |  FROM documents)
+         |SELECT q.doc_id, q.lang, p.pred_lang, p.score, q.quality,
+         |  CASE WHEN q.b < 80 THEN 'train' WHEN q.b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM nq q JOIN npred p ON p.doc_id = q.doc_id
+         |WHERE p.pred_lang = q.lang AND q.quality >= 0.55
+         |ORDER BY q.doc_id""".stripMargin,
     "q69_dedup_clusters" ->
       s"""WITH RECURSIVE $docShinglesCte,
          |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),
@@ -1422,6 +1449,40 @@ object OracleSql {
   /** Full-embedding k-means source CTE (grp = 0) for q68/q87. */
   private val embKmeansSrc =
     "v AS (SELECT 0 AS grp, vec_id AS id, embedding AS vec FROM embeddings)"
+
+  /** Naive-Bayes langID replay (q135/q136): char-trigram counts per label,
+    * add-one smoothing, ln-prior + Σ ln P(gram|label), argmax with
+    * lexicographic ties — the full training AND scoring in SQL. Ends in
+    * `nbest(doc_id, pred_lang, sc, rn)`; rn = 1 is the prediction. */
+  private lazy val nbLangCte =
+    s"""nd AS (SELECT doc_id, lang,
+       |  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t FROM documents),
+       |ng AS (SELECT doc_id, lang, CASE WHEN length(t) < 3 THEN []
+       |  ELSE list_transform(range(1, length(t) - 1), i -> substr(t, i, 3)) END AS gs
+       |  FROM nd),
+       |nge AS (SELECT doc_id, lang, unnest(gs) AS gram FROM ng),
+       |ncnt AS (SELECT lang, gram, count(*)::BIGINT AS c FROM nge GROUP BY 1, 2),
+       |ntot AS (SELECT lang, sum(c)::BIGINT AS tl FROM ncnt GROUP BY 1),
+       |nvoc AS (SELECT count(DISTINCT gram)::BIGINT AS v FROM ncnt),
+       |npri AS (SELECT lang, ln(count(*)::DOUBLE /
+       |  (SELECT count(*) FROM nd)::DOUBLE) AS lp FROM nd GROUP BY 1),
+       |nlang AS (SELECT DISTINCT lang AS cand FROM nd),
+       |nterm AS (SELECT e.doc_id, l.cand,
+       |    sum(ln((coalesce(c.c, 0) + 1)::DOUBLE / (t.tl + nvoc.v)::DOUBLE)) AS s
+       |  FROM nge e
+       |  CROSS JOIN nlang l
+       |  JOIN ntot t ON t.lang = l.cand
+       |  CROSS JOIN nvoc
+       |  LEFT JOIN ncnt c ON c.lang = l.cand AND c.gram = e.gram
+       |  GROUP BY 1, 2),
+       |nscore AS (SELECT d.doc_id, l.cand, p.lp + coalesce(tm.s, 0.0) AS sc
+       |  FROM (SELECT doc_id FROM nd) d
+       |  CROSS JOIN nlang l
+       |  JOIN npri p ON p.lang = l.cand
+       |  LEFT JOIN nterm tm ON tm.doc_id = d.doc_id AND tm.cand = l.cand),
+       |nbest AS (SELECT doc_id, cand AS pred_lang, sc,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, cand ASC) AS rn
+       |  FROM nscore)""".stripMargin
 
   /** PQ oracle preamble: float-cast unit normalization (the SQL twin of
     * `ProductQuant.normalizedVec` — `(x/‖v‖)::REAL`, zero vectors pass

@@ -627,4 +627,32 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     Similarity.semanticNearDupsAuto(T(s, dir, "embeddings"), "vec_id", "embedding",
         iters = 2, threshold = 0.4, broadcastThreshold = 0)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** TRAINED char-trigram Naive Bayes language ID: the model-based
+    * upgrade of q25's fixed regex heuristic. Trains on the corpus's own
+    * labels, classifies the same corpus; the oracle replays the ENTIRE
+    * training (per-label gram counts, totals, vocab, priors) and every
+    * document's add-one-smoothed argmax — the BPE/k-means treatment
+    * applied to a classifier. */
+  private[graft] def q135(s: SparkSession, dir: String): DataFrame =
+    operators.LangModel.trainPredict(T(s, dir, "documents"), "doc_id", "text", "lang")
+      .select(col("id").as("doc_id"), col("pred_lang"), col("score"))
+      .orderBy(col("doc_id"))
+
+  /** The q71-style curation capstone driven by the TRAINED classifier:
+    * keep documents whose NB-predicted language agrees with the label and
+    * whose quality clears the bar, then split deterministically — the
+    * production shape (model-scored curation), with the model's training
+    * inside the replayed query. */
+  private[graft] def q136(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val pred = operators.LangModel.trainPredict(docs, "doc_id", "text", "lang")
+      .select(col("id").as("doc_id"), col("pred_lang"), col("score"))
+    val scored = docs.withColumn("quality", TF.qualityScore(col("text")))
+    Curation.hashSplit(scored.join(pred, "doc_id"), "doc_id")
+      .filter(col("pred_lang") === col("lang") && col("quality") >= 0.55)
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("score"),
+        col("quality"), col("split"))
+      .orderBy(col("doc_id"))
+  }
 }

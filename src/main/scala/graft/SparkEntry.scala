@@ -159,7 +159,9 @@ object SparkEntry extends QueriesRelational with QueriesPipeline
     "q131_dedup_survivors" -> (q131 _),
     "q132_ivf_topk_bc" -> (q132 _),
     "q133_kmeans_bc" -> (q133 _),
-    "q134_semantic_bc" -> (q134 _)
+    "q134_semantic_bc" -> (q134 _),
+    "q135_nb_langid" -> (q135 _),
+    "q136_nb_curation" -> (q136 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.LangModel
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LangModelSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("charNgrams: positional trigrams of the normalized text; short docs empty") {
+    val df = Seq((1L, "AbC  d"), (2L, "ab"), (3L, "")).toDF("id", "text")
+      .select(col("id"), LangModel.charNgrams(col("text"), 3).as("g"))
+    val g = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(g(1L) == Seq("abc", "bc ", "c d")) // lowercased, ws collapsed
+    assert(g(2L).isEmpty && g(3L).isEmpty)
+  }
+
+  test("trainPredict: planted distinct character distributions classify correctly") {
+    // two 'languages' with disjoint alphabets + one ambiguous-but-closer doc
+    val docs = Seq(
+      (1L, "aaa bbb aab aba bab", "aa"),
+      (2L, "aba bba aab abb bba", "aa"),
+      (3L, "xxx yyy xxy xyx yxy", "xx"),
+      (4L, "xyy yyx xxy yxx xyy", "xx"),
+      (5L, "aab aba baa abb bab", "aa")
+    ).toDF("doc_id", "text", "lang")
+    val out = LangModel.trainPredict(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "aa", 2L -> "aa", 3L -> "xx", 4L -> "xx", 5L -> "aa"))
+  }
+
+  test("predict on UNSEEN docs: smoothing handles novel grams; gram-less docs fall to the prior") {
+    val train = Seq(
+      (1L, "aaa bbb aab aba bab aaa bba", "aa"),
+      (2L, "xxx yyy xxy xyx yxy xyy yyx", "xx"),
+      (3L, "abb bab aba baa abab ab", "aa") // 'aa' has the larger prior: 2 docs vs 1
+    ).toDF("doc_id", "text", "lang")
+    val model = LangModel.train(train, "text", "lang")
+    assert(model.langs == Seq("aa", "xx"))
+    val unseen = Seq((10L, "aba qqq bab"), (11L, "yxy zzz xyx"), (12L, "z")).toDF("doc_id", "text")
+    val out = LangModel.predict(unseen, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(10L) == "aa") // novel 'qqq' smoothed, known grams decide
+    assert(out(11L) == "xx")
+    assert(out(12L) == "aa") // no trigrams at all → argmax prior = 'aa'
+  }
+}

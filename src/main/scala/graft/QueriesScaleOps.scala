@@ -218,7 +218,7 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     mutated.unionByName(newRows).write.mode("append").parquet(updatesDir)
     q.processAllAvailable()
     q.stop()
-    s.read.parquet(s"$tmp/dim")
+    graft.streaming.DimStream.readDim(s, s"$tmp/dim")
       .select(
         col("c_custkey"), col("c_name"), col("c_mktsegment"), col("customer_sk"),
         date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss").as("created_at"),

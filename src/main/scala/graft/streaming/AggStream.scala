@@ -71,6 +71,11 @@ object AggStream {
     * minVersionsToRetain. Minimum 2: the new version plus its
     * predecessor, so a reader that resolved the old pointer just before
     * the swap still scans an existing directory. */
+  /** `postCommitHook` fires after the sink's full side effect (state dir +
+    * pointer swap) but BEFORE foreachBatch returns — i.e. before the
+    * checkpoint offset commit. A hook that throws simulates the crash
+    * window exactly-once sinks must survive: the batch replays on restart
+    * and the batchId guard must skip it (StreamingCrashSpec). */
   def incrementalSink(
       spark: SparkSession,
       updates: DataFrame,
@@ -78,7 +83,8 @@ object AggStream {
       measures: Seq[String],
       statePath: String,
       checkpoint: String,
-      retainVersions: Int = 2
+      retainVersions: Int = 2,
+      postCommitHook: Long => Unit = _ => ()
   ): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
@@ -112,6 +118,7 @@ object AggStream {
               .foreach(p => fs.delete(p, true))
           }
         }
+        postCommitHook(batchId)
         ()
       }
       .start()

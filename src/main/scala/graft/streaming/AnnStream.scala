@@ -26,6 +26,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * here because batches are independent appends, not a running fold. */
 object AnnStream {
 
+  /** `postCommitHook` fires after the batch dir write, before the
+    * checkpoint commit — the crash window; a throwing hook forces the
+    * replay the overwrite-idempotent layout must absorb
+    * (StreamingCrashSpec). */
   def indexMaintenanceSink(
       spark: SparkSession,
       updates: DataFrame,
@@ -34,7 +38,8 @@ object AnnStream {
       centroids: Seq[Seq[Double]],
       model: ProductQuant.PQModel,
       statePath: String,
-      checkpoint: String
+      checkpoint: String,
+      postCommitHook: Long => Unit = _ => ()
   ): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
@@ -43,6 +48,7 @@ object AnnStream {
           ProductQuant.encodeResidual(batch, idCol, vecCol, centroids, model)
             .write.mode("overwrite").parquet(s"$statePath/b$batchId")
         }
+        postCommitHook(batchId)
         ()
       }
       .start()

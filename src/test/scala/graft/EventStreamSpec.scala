@@ -91,11 +91,11 @@ class EventStreamSpec extends AnyFunSuite {
       s"$root/dim", s"$root/ckpt", _ => graft.pipeline.FixedClock("2024-01-01 00:00:00"))
     mem.addData(("1", "a", "x"), ("2", "b", "y"))
     q.processAllAvailable()
-    assert(graft.io.Readers.parquet(spark, s"$root/dim").count() == 2)
+    assert(graft.streaming.DimStream.readDim(spark, s"$root/dim").count() == 2)
     mem.addData(("1", "a", "MOVED"))
     q.processAllAvailable()
     q.stop()
-    val dim = graft.io.Readers.parquet(spark, s"$root/dim").collect()
+    val dim = graft.streaming.DimStream.readDim(spark, s"$root/dim").collect()
     assert(dim.length == 3)
     val k1 = dim.filter(_.getAs[String]("id") == "1")
     assert(k1.count(_.getAs[Boolean]("is_active")) == 1)

@@ -721,6 +721,21 @@ object OracleSql {
          |FROM nq q JOIN npred p ON p.doc_id = q.doc_id
          |WHERE p.pred_lang = q.lang AND q.quality >= 0.55
          |ORDER BY q.doc_id""".stripMargin,
+    // q137: WAV/AVI payloads are SYNTHESIZED from (doc_id, text) by a
+    // fixed rule and parsed back from raw bytes engine-side; the oracle
+    // recomputes every field from the rule — parse must invert encode.
+    "q137_multimodal_av" ->
+      """SELECT doc_id,
+        | (8000 + (doc_id % 8) * 1000)::INT AS sample_rate,
+        | (1 + (doc_id % 2))::INT AS channels,
+        | (strlen(text) // (2 * (1 + (doc_id % 2))))::BIGINT AS n_samples,
+        | ((strlen(text) // (2 * (1 + (doc_id % 2)))) * 1000
+        |   // (8000 + (doc_id % 8) * 1000))::BIGINT AS duration_ms,
+        | (320 + (doc_id % 4) * 80)::INT AS width,
+        | (240 + (doc_id % 3) * 80)::INT AS height,
+        | (1 + (strlen(text) % 240))::INT AS n_frames,
+        | ((1 + (strlen(text) % 240)) * 40)::BIGINT AS video_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q69_dedup_clusters" ->
       s"""WITH RECURSIVE $docShinglesCte,
          |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),

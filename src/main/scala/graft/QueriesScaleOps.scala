@@ -655,4 +655,37 @@ private[graft] trait QueriesScaleOps extends QueryBase {
         col("quality"), col("split"))
       .orderBy(col("doc_id"))
   }
+
+  /** Audio/video metadata extraction through REAL RIFF header parsing:
+    * every document synthesizes a WAV payload (PCM header math from
+    * doc_id, data = the UTF-8 text bytes) and an AVI payload (avih main
+    * header), and the codecs must recover sample counts, durations,
+    * dimensions and frame counts from the BYTES. The oracle derives the
+    * same values analytically from the generation rule (q102's
+    * labels-from-mutation-rules pattern) — the parse must invert the
+    * encode exactly or the hash breaks. */
+  private[graft] def q137(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    val wav = docs.map { case (id, text) =>
+      val data = text.getBytes("UTF-8")
+      (id, Multimodal.WavCodec.encodePcm(
+        8000 + (id % 8).toInt * 1000, 1 + (id % 2).toInt, 16, data),
+        "audio/wav")
+    }.toDF("media_id", "bytes", "mime")
+    val avi = docs.map { case (id, text) =>
+      val data = text.getBytes("UTF-8")
+      (id, Multimodal.AviCodec.encode(
+        320 + (id % 4).toInt * 80, 240 + (id % 3).toInt * 80,
+        1 + data.length % 240, 40000, data),
+        "video/avi")
+    }.toDF("media_id", "bytes", "mime")
+    Multimodal.extractAudioMeta(s, wav).toDF()
+      .join(Multimodal.extractVideoMeta(s, avi).toDF(), "media_id")
+      .select(col("media_id").as("doc_id"), col("sample_rate"), col("channels"),
+        col("n_samples"), col("duration_ms"), col("width"), col("height"),
+        col("n_frames"), col("video_ms"))
+      .orderBy(col("doc_id"))
+  }
 }

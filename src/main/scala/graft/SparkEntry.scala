@@ -161,7 +161,8 @@ object SparkEntry extends QueriesRelational with QueriesPipeline
     "q133_kmeans_bc" -> (q133 _),
     "q134_semantic_bc" -> (q134 _),
     "q135_nb_langid" -> (q135 _),
-    "q136_nb_curation" -> (q136 _)
+    "q136_nb_curation" -> (q136 _),
+    "q137_multimodal_av" -> (q137 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────

@@ -125,6 +125,151 @@ object Multimodal {
     }
   }
 
+  // ───────────────────────── audio / video ─────────────────────────
+  // RIFF-container header math, implemented directly (WAV PCM and the AVI
+  // main header are pure little-endian byte layout — no codec library
+  // needed for metadata). Frame/sample DECODING beyond the header stays
+  // stubbed like FakeCodec (no A/V libs in this container); the parse,
+  // the typed metadata schema, and the per-partition batching are real.
+
+  /** Parsed WAV (RIFF/WAVE PCM) header. `n_samples` = data bytes /
+    * block align; `duration_ms` in integer milliseconds. */
+  final case class AudioMeta(media_id: Long, sample_rate: Int, channels: Int,
+                             bits: Int, n_samples: Long, duration_ms: Long)
+
+  /** Parsed AVI (RIFF/'avih') main header. `video_ms` = frames ·
+    * µs-per-frame / 1000. */
+  final case class VideoMeta(media_id: Long, width: Int, height: Int,
+                             n_frames: Int, us_per_frame: Long, video_ms: Long)
+
+  /** WAV PCM writer/parser — the canonical 44-byte header, real byte math
+    * in both directions (encode is the test/fixture generator; parse is
+    * the production header read). */
+  object WavCodec {
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def rd32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def rd16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+    def encodePcm(sampleRate: Int, channels: Int, bits: Int,
+                  data: Array[Byte]): Array[Byte] = {
+      val blockAlign = channels * bits / 8
+      val byteRate = sampleRate * blockAlign
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+        le32(sampleRate) ++ le32(byteRate) ++ le16(blockAlign) ++ le16(bits) ++
+        "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    }
+
+    /** (sample_rate, channels, bits, n_samples). Throws on a non-WAV
+      * payload — callers route undecodable rows per their policy. */
+    def parse(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+      require(bytes.length >= 44 &&
+        new String(bytes.slice(0, 4), "US-ASCII") == "RIFF" &&
+        new String(bytes.slice(8, 12), "US-ASCII") == "WAVE", "not a RIFF/WAVE payload")
+      // walk chunks: fmt then data (canonical layout puts them at 12/36,
+      // but a real parser walks — extensible-header files reorder)
+      var o = 12
+      var sr = -1; var ch = -1; var bits = -1; var blockAlign = -1; var dataLen = -1L
+      while (o + 8 <= bytes.length && (sr < 0 || dataLen < 0)) {
+        val id = new String(bytes.slice(o, o + 4), "US-ASCII")
+        val sz = rd32(bytes, o + 4)
+        if (id == "fmt ") {
+          ch = rd16(bytes, o + 10)
+          sr = rd32(bytes, o + 12)
+          blockAlign = rd16(bytes, o + 20)
+          bits = rd16(bytes, o + 22)
+        } else if (id == "data") dataLen = sz.toLong
+        o += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+      require(sr > 0 && blockAlign > 0 && dataLen >= 0, "missing fmt/data chunk")
+      (sr, ch, bits, dataLen / blockAlign)
+    }
+  }
+
+  /** AVI main-header ('avih') writer/parser — MainAVIHeader field layout
+    * (µs-per-frame at +0, total frames at +16, width/height at +32/+36). */
+  object AviCodec {
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def rd32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    def encode(width: Int, height: Int, nFrames: Int, usPerFrame: Int,
+               payload: Array[Byte]): Array[Byte] = {
+      val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val hdrl = "hdrl".getBytes("US-ASCII") ++
+        "avih".getBytes("US-ASCII") ++ le32(avih.length) ++ avih
+      val body = "AVI ".getBytes("US-ASCII") ++
+        "LIST".getBytes("US-ASCII") ++ le32(hdrl.length) ++ hdrl ++ payload
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+
+    /** (width, height, n_frames, us_per_frame). Throws on non-AVI. */
+    def parse(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+      require(bytes.length >= 12 &&
+        new String(bytes.slice(0, 4), "US-ASCII") == "RIFF" &&
+        new String(bytes.slice(8, 12), "US-ASCII") == "AVI ", "not a RIFF/AVI payload")
+      // scan for the 'avih' fourcc (robust to list nesting variants)
+      var o = 12
+      while (o + 4 <= bytes.length) {
+        if (new String(bytes.slice(o, o + 4), "US-ASCII") == "avih") {
+          val d = o + 8 // skip fourcc + size
+          require(d + 40 <= bytes.length, "truncated avih chunk")
+          return (rd32(bytes, d + 32), rd32(bytes, d + 36),
+            rd32(bytes, d + 16), rd32(bytes, d).toLong)
+        }
+        o += 1
+      }
+      throw new IllegalArgumentException("no avih header found")
+    }
+  }
+
+  /** Batched WAV-header metadata extraction — same per-partition shape as
+    * [[extractFeatures]]; payload bytes never shuffle. */
+  def extractAudioMeta(spark: SparkSession, media: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    graft.io.Parallelism.ensure(media).as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (sr, ch, bits, n) = WavCodec.parse(r.bytes)
+        AudioMeta(r.media_id, sr, ch, bits, n, n * 1000L / sr)
+      }
+    }
+  }
+
+  /** Batched AVI-header metadata extraction. */
+  def extractVideoMeta(spark: SparkSession, media: DataFrame): Dataset[VideoMeta] = {
+    import spark.implicits._
+    graft.io.Parallelism.ensure(media).as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, nf, uspf) = AviCodec.parse(r.bytes)
+        VideoMeta(r.media_id, w, h, nf, uspf, nf * uspf / 1000L)
+      }
+    }
+  }
+
+  /** Header-driven video frame sampling: every `stride`-th frame index of
+    * the PARSED frame count (vs [[sampleFrames]]' byte-offset stub) — the
+    * row-explosion a real frame extractor produces, with the decode of
+    * each frame's pixels left to the codec boundary. */
+  def sampleVideoFrames(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
+    import spark.implicits._
+    require(stride > 0)
+    graft.io.Parallelism.ensure(media).as[MediaRow].flatMap { r =>
+      val (w, h, nf, uspf) = AviCodec.parse(r.bytes)
+      (0 until nf by stride).map(i => (r.media_id, i, i * uspf / 1000L, w, h))
+    }.toDF("media_id", "frame_idx", "ts_ms", "width", "height")
+  }
+
   /** Attach a fake media column to a text table (UTF-8 bytes stand in for
     * image payloads) — test scaffolding for the binary-column path. */
   def withFakeMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =

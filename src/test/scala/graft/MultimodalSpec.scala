@@ -69,4 +69,49 @@ class MultimodalSpec extends AnyFunSuite {
     val big = Multimodal.resize(spark, media, 4096, 4096).collect().head
     assert(big.bytes.length == 5000)
   }
+
+  test("WavCodec: PCM header round-trips; parser WALKS chunks, rejects non-WAV") {
+    val data = Array.tabulate(1000)(i => (i % 251).toByte)
+    val wav = Multimodal.WavCodec.encodePcm(16000, 2, 16, data)
+    // blockAlign = 2 ch × 2 bytes → 250 samples
+    assert(Multimodal.WavCodec.parse(wav) == ((16000, 2, 16, 250L)))
+    // a real parser walks chunks: splice an unknown odd-sized chunk
+    // between fmt and data (word-aligned skip) and it must still land
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array(3.toByte, 0.toByte, 0.toByte, 0.toByte) ++ Array[Byte](1, 2, 3)
+    val (head, tail) = wav.splitAt(36) // head = RIFF+WAVE+fmt, tail = data chunk
+    val reordered = head ++ junk ++ Array[Byte](0) ++ tail // odd size + pad byte
+    assert(Multimodal.WavCodec.parse(reordered)._4 == 250L)
+    intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.parse("not a wave at all............................................".getBytes)
+    }
+  }
+
+  test("AviCodec: avih main header round-trips; rejects non-AVI") {
+    val avi = Multimodal.AviCodec.encode(640, 480, 123, 40000, Array[Byte](9, 9, 9))
+    assert(Multimodal.AviCodec.parse(avi) == ((640, 480, 123, 40000L)))
+    intercept[IllegalArgumentException] {
+      Multimodal.AviCodec.parse(Multimodal.WavCodec.encodePcm(8000, 1, 16, Array[Byte](1, 2)))
+    }
+  }
+
+  test("audio/video metadata extraction: batched parse over binary columns, durations derived") {
+    val wavRows = Seq(
+      (1L, Multimodal.WavCodec.encodePcm(8000, 1, 16, new Array[Byte](16000)), "audio/wav"),
+      (2L, Multimodal.WavCodec.encodePcm(44100, 2, 16, new Array[Byte](44100 * 4)), "audio/wav")
+    ).toDF("media_id", "bytes", "mime")
+    val audio = Multimodal.extractAudioMeta(spark, wavRows).collect()
+      .map(a => a.media_id -> a).toMap
+    assert(audio(1L).n_samples == 8000L && audio(1L).duration_ms == 1000L)
+    assert(audio(2L).n_samples == 44100L && audio(2L).duration_ms == 1000L)
+    val aviRows = Seq(
+      (3L, Multimodal.AviCodec.encode(320, 240, 250, 40000, Array.empty[Byte]), "video/avi")
+    ).toDF("media_id", "bytes", "mime")
+    val video = Multimodal.extractVideoMeta(spark, aviRows).collect().head
+    assert(video.width == 320 && video.n_frames == 250 && video.video_ms == 10000L)
+    // header-driven frame sampling: every 50th of 250 frames, ts from fps
+    val frames = Multimodal.sampleVideoFrames(spark, aviRows, stride = 50)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sorted
+    assert(frames.toSeq == Seq((0, 0L), (50, 2000L), (100, 4000L), (150, 6000L), (200, 8000L)))
+  }
 }

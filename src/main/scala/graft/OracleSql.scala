@@ -721,6 +721,30 @@ object OracleSql {
          |FROM nq q JOIN npred p ON p.doc_id = q.doc_id
          |WHERE p.pred_lang = q.lang AND q.quality >= 0.55
          |ORDER BY q.doc_id""".stripMargin,
+    // q138: weak-supervision quality classifier — CCNet-style
+    // distillation: the HEURISTIC quality score labels the top/bottom
+    // quartiles, the NB machinery trains on those labels, and every doc
+    // is re-scored by the MODEL. Oracle replays quartile labeling,
+    // training, and scoring.
+    "q138_quality_classifier" -> {
+      val qualitySql =
+        """(CASE WHEN length(text) = 0 THEN 0.0
+          |    ELSE len(regexp_extract_all(text, '[\p{L}]'))::DOUBLE / length(text) END) * 0.5
+          | + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+          |    ELSE len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text) END) * 0.2
+          | + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+          |    ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) END) * 0.2
+          | + least((CASE WHEN length(trim(text)) = 0 THEN 0
+          |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE / 100.0, 1.0) * 0.1""".stripMargin
+      val trainSrc =
+        s"""SELECT doc_id, CASE WHEN qt = 4 THEN 'hi' ELSE 'lo' END AS lang, t FROM
+           | (SELECT doc_id, ntile(4) OVER (ORDER BY quality, doc_id) AS qt, t FROM
+           |   (SELECT doc_id, $qualitySql AS quality, $nbNormDoc AS t FROM documents))
+           | WHERE qt IN (1, 4)""".stripMargin
+      s"""WITH ${nbCte(trainSrc, s"SELECT doc_id, $nbNormDoc AS t FROM documents")}
+         |SELECT doc_id, pred_lang AS pred_quality, round(sc, 2) AS score
+         |FROM nbest WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
     // q137: WAV/AVI payloads are SYNTHESIZED from (doc_id, text) by a
     // fixed rule and parsed back from raw bytes engine-side; the oracle
     // recomputes every field from the rule — parse must invert encode.
@@ -1465,13 +1489,18 @@ object OracleSql {
   private val embKmeansSrc =
     "v AS (SELECT 0 AS grp, vec_id AS id, embedding AS vec FROM embeddings)"
 
-  /** Naive-Bayes langID replay (q135/q136): char-trigram counts per label,
+  /** Naive-Bayes replay (q135/q136/q138): char-trigram counts per label,
     * add-one smoothing, ln-prior + Σ ln P(gram|label), argmax with
-    * lexicographic ties — the full training AND scoring in SQL. Ends in
+    * lexicographic ties — the full training AND scoring in SQL.
+    * `trainSrc` must yield the labeled corpus `(doc_id, lang, t)` (label
+    * column named `lang`, `t` = normalized text); `scoreSrc` yields the
+    * docs to classify `(doc_id, t)` — pass the same docs for
+    * self-consistency runs, a superset for weak-supervision runs (q138
+    * trains on quality quartiles, scores everything). Ends in
     * `nbest(doc_id, pred_lang, sc, rn)`; rn = 1 is the prediction. */
-  private lazy val nbLangCte =
-    s"""nd AS (SELECT doc_id, lang,
-       |  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t FROM documents),
+  private def nbCte(trainSrc: String, scoreSrc: String): String =
+    s"""nd AS ($trainSrc),
+       |sd AS ($scoreSrc),
        |ng AS (SELECT doc_id, lang, CASE WHEN length(t) < 3 THEN []
        |  ELSE list_transform(range(1, length(t) - 1), i -> substr(t, i, 3)) END AS gs
        |  FROM nd),
@@ -1482,22 +1511,32 @@ object OracleSql {
        |npri AS (SELECT lang, ln(count(*)::DOUBLE /
        |  (SELECT count(*) FROM nd)::DOUBLE) AS lp FROM nd GROUP BY 1),
        |nlang AS (SELECT DISTINCT lang AS cand FROM nd),
+       |sg AS (SELECT doc_id, CASE WHEN length(t) < 3 THEN []
+       |  ELSE list_transform(range(1, length(t) - 1), i -> substr(t, i, 3)) END AS gs
+       |  FROM sd),
+       |sge AS (SELECT doc_id, unnest(gs) AS gram FROM sg),
        |nterm AS (SELECT e.doc_id, l.cand,
        |    sum(ln((coalesce(c.c, 0) + 1)::DOUBLE / (t.tl + nvoc.v)::DOUBLE)) AS s
-       |  FROM nge e
+       |  FROM sge e
        |  CROSS JOIN nlang l
        |  JOIN ntot t ON t.lang = l.cand
        |  CROSS JOIN nvoc
        |  LEFT JOIN ncnt c ON c.lang = l.cand AND c.gram = e.gram
        |  GROUP BY 1, 2),
        |nscore AS (SELECT d.doc_id, l.cand, p.lp + coalesce(tm.s, 0.0) AS sc
-       |  FROM (SELECT doc_id FROM nd) d
+       |  FROM (SELECT doc_id FROM sd) d
        |  CROSS JOIN nlang l
        |  JOIN npri p ON p.lang = l.cand
        |  LEFT JOIN nterm tm ON tm.doc_id = d.doc_id AND tm.cand = l.cand),
        |nbest AS (SELECT doc_id, cand AS pred_lang, sc,
        |    row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, cand ASC) AS rn
        |  FROM nscore)""".stripMargin
+
+  private val nbNormDoc =
+    "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  private lazy val nbLangCte = nbCte(
+    s"SELECT doc_id, lang, $nbNormDoc AS t FROM documents",
+    s"SELECT doc_id, $nbNormDoc AS t FROM documents")
 
   /** PQ oracle preamble: float-cast unit normalization (the SQL twin of
     * `ProductQuant.normalizedVec` — `(x/‖v‖)::REAL`, zero vectors pass

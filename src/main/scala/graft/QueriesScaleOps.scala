@@ -688,4 +688,24 @@ private[graft] trait QueriesScaleOps extends QueryBase {
         col("n_frames"), col("video_ms"))
       .orderBy(col("doc_id"))
   }
+
+  /** Weak-supervision QUALITY classifier (CCNet-style distillation): the
+    * regex heuristic labels the top/bottom quality quartiles, the NB
+    * machinery trains on those weak labels, and the MODEL re-scores
+    * every document — the remaining "model-based quality scoring" gap,
+    * with training replayed end-to-end like q135. */
+  private[graft] def q138(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val w = Window.orderBy(col("quality"), col("doc_id"))
+    val labeled = docs.withColumn("quality", TF.qualityScore(col("text")))
+      .withColumn("qt", ntile(4).over(w))
+      .filter(col("qt") === 1 || col("qt") === 4)
+      .withColumn("qlabel",
+        when(col("qt") === 4, lit("hi")).otherwise(lit("lo")))
+    val model = operators.LangModel.train(labeled, "text", "qlabel")
+    operators.LangModel.predict(docs, "doc_id", "text", model)
+      .select(col("id").as("doc_id"), col("pred_lang").as("pred_quality"),
+        col("score"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -162,7 +162,8 @@ object SparkEntry extends QueriesRelational with QueriesPipeline
     "q134_semantic_bc" -> (q134 _),
     "q135_nb_langid" -> (q135 _),
     "q136_nb_curation" -> (q136 _),
-    "q137_multimodal_av" -> (q137 _)
+    "q137_multimodal_av" -> (q137 _),
+    "q138_quality_classifier" -> (q138 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────

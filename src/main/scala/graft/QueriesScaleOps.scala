@@ -696,12 +696,9 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     * with training replayed end-to-end like q135. */
   private[graft] def q138(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
-    val w = Window.orderBy(col("quality"), col("doc_id"))
-    val labeled = docs.withColumn("quality", TF.qualityScore(col("text")))
-      .withColumn("qt", ntile(4).over(w))
-      .filter(col("qt") === 1 || col("qt") === 4)
-      .withColumn("qlabel",
-        when(col("qt") === 4, lit("hi")).otherwise(lit("lo")))
+    // sampleBp default = full ranking at gate scale; big corpora label a
+    // deterministic hash sample instead (see qualityWeakLabels' contract)
+    val labeled = operators.LangModel.qualityWeakLabels(docs, "doc_id", "text")
     val model = operators.LangModel.train(labeled, "text", "qlabel")
     operators.LangModel.predict(docs, "doc_id", "text", model)
       .select(col("id").as("doc_id"), col("pred_lang").as("pred_quality"),

@@ -30,16 +30,30 @@ import org.apache.spark.sql.functions._
 object LangModel {
 
   /** Trained model: `langs` sorted ascending (tie order), per-lang
-    * ln-priors and smoothing totals as driver scalars (model state, like
-    * centroids), counts as a vocab-wide DataFrame (gram, <one count col
-    * per lang>) for the broadcast scoring join. */
+    * ln-priors and smoothing totals as driver scalars, per-gram per-lang
+    * counts as model state (vocab × L longs — charset^n-bounded for char
+    * n-grams, capped deterministically by `maxVocab` mass otherwise; the
+    * same model-fits-in-memory contract as centroid matrices and the BPE
+    * vocab). */
   final case class NbLangModel(
       langs: Seq[String],
       lnPriors: Map[String, Double],
       gramTotals: Map[String, Long],
       vocab: Long,
-      countsWide: DataFrame,
-      n: Int)
+      counts: Map[String, Array[Long]],
+      n: Int) {
+
+    /** Precomputed ln-term table for the broadcast scoring expression. */
+    @transient lazy val scoreModel: graft.functions.expressions.NbScoreModel = {
+      val denoms = langs.map(l => (gramTotals.getOrElse(l, 0L) + vocab).toDouble).toArray
+      graft.functions.expressions.NbScoreModel(
+        langs.length,
+        counts.map { case (g, cs) =>
+          g -> Array.tabulate(langs.length)(l => math.log((cs(l) + 1).toDouble / denoms(l)))
+        },
+        Array.tabulate(langs.length)(l => math.log(1.0 / denoms(l))))
+    }
+  }
 
   /** Character n-grams of the normalized text (lowercase, collapsed
     * whitespace), one per position — occurrences, not a set. */
@@ -57,46 +71,94 @@ object LangModel {
       .filter(col("gram").isNotNull)
 
   /** Train on labeled documents. One distributed aggregate over the gram
-    * stream; only model-sized state (L scalars + the vocab-wide counts
-    * relation) leaves it. */
+    * stream; only model-sized state (L scalars + the vocab × L count
+    * table, `maxVocab`-mass-capped deterministically — unbound in the
+    * oracle configuration, where vocab ≪ the cap) leaves it. */
   def train(docs: DataFrame, textCol: String, labelCol: String,
-            n: Int = 3): NbLangModel = {
+            n: Int = 3, maxVocab: Int = 1 << 20): NbLangModel = {
     val grams = gramStream(docs, Seq(col(labelCol).as("__lang")), textCol, n)
     val counts = grams.groupBy(col("__lang"), col("gram"))
       .agg(count(lit(1)).as("cnt")).cache()
     val langs = docs.select(col(labelCol)).distinct().collect()
       .map(_.getString(0)).sorted.toSeq
-    val totals = counts.groupBy(col("__lang")).agg(sum(col("cnt")).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val vocab = counts.select(col("gram")).distinct().count()
+    val langIdx = langs.zipWithIndex.toMap
+    // keep the maxVocab highest-mass grams (cnt desc, gram — deterministic);
+    // a no-op below the cap, so V and the counts match the uncapped oracle
+    val countRows = counts
+      .join(counts.groupBy(col("gram")).agg(sum(col("cnt")).as("__tot"))
+        .orderBy(col("__tot").desc, col("gram")).limit(maxVocab)
+        .select(col("gram")), Seq("gram"), "left_semi")
+      .collect()
+    val table = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+    countRows.foreach { r =>
+      val arr = table.getOrElseUpdate(r.getAs[String]("gram"), new Array[Long](langs.length))
+      arr(langIdx(r.getAs[String]("__lang"))) = r.getAs[Long]("cnt")
+    }
+    val totals = langs.map { l =>
+      val i = langIdx(l)
+      l -> table.valuesIterator.map(_(i)).sum
+    }.toMap
     val docCounts = docs.groupBy(col(labelCol)).agg(count(lit(1)).as("d"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val totalDocs = docCounts.values.sum
     val lnPriors = docCounts.map { case (l, d) =>
       l -> math.log(d.toDouble / totalDocs.toDouble)
     }
-    val countsWide = counts.groupBy(col("gram"))
-      .pivot("__lang", langs).agg(sum(col("cnt")))
-    NbLangModel(langs, lnPriors, totals, vocab, countsWide, n)
+    counts.unpersist()
+    NbLangModel(langs, lnPriors, totals, table.size.toLong, table.toMap, n)
   }
 
   /** Score every document against every label and keep the argmax
     * (ties → lexicographically smaller label). Output:
     * (id, pred_lang, score) with score = ln prior + Σ ln P(gram|label),
     * add-one smoothed, rounded 2 dp. Unseen grams smooth to count 0;
-    * gram-less documents score on the prior alone. */
+    * gram-less documents score on the prior alone.
+    *
+    * Scale shape: ONE broadcast of the ln-term table consumed by the
+    * [[graft.functions.expressions.NbScores]] codegen fold — per-row
+    * scoring, no gram explode, no join, no shuffle before the caller's
+    * ordering (the join formulation pushed ~1500 gram rows PER DOCUMENT
+    * through an exchange; measured 88.6 s → map-side at ×100). Kept as
+    * [[predictJoined]] for the spec-asserted reference. */
   def predict(docs: DataFrame, idCol: String, textCol: String,
               model: NbLangModel): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val bc = docs.sparkSession.sparkContext.broadcast(model.scoreModel)
+    val scores = column(graft.functions.expressions.NbScores(
+      expression(charNgrams(col(textCol), model.n)), bc))
+    val scoredStructs = array(model.langs.zipWithIndex.map { case (l, i) =>
+      struct((-(lit(model.lnPriors(l)) +
+        coalesce(element_at(col("__s"), i + 1), lit(0.0)))).as("neg"),
+        lit(l).as("lang"))
+    }: _*)
+    graft.io.Parallelism.ensure(docs)
+      .select(col(idCol).as("id"), scores.as("__s"))
+      .withColumn("__best", array_min(scoredStructs))
+      .select(col("id"),
+        col("__best.lang").as("pred_lang"),
+        round(-col("__best.neg"), 2).as("score"))
+  }
+
+  /** The join formulation of [[predict]] — gram stream ⟕ broadcast
+    * counts → doc-keyed ln-term sums. Reference implementation the
+    * broadcast-fold path is spec-asserted against. */
+  def predictJoined(docs: DataFrame, idCol: String, textCol: String,
+                    model: NbLangModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wide = model.counts.toSeq.map { case (g, cs) => (g, cs.toSeq) }
+      .toDF("gram", "__cs")
     val grams = gramStream(docs, Seq(col(idCol).as("id")), textCol, model.n)
-    val joined = grams.join(broadcast(model.countsWide), Seq("gram"), "left")
-    def lnTerm(l: String): Column =
-      sum(log((coalesce(col(s"`$l`"), lit(0L)) + 1).cast("double") /
+    val joined = grams.join(broadcast(wide), Seq("gram"), "left")
+    def lnTerm(l: String, i: Int): Column =
+      sum(log((coalesce(element_at(col("__cs"), i + 1), lit(0L)) + 1).cast("double") /
         lit(model.gramTotals.getOrElse(l, 0L) + model.vocab).cast("double")))
-        .as(s"__s_$l")
+        .as(s"__s_$i")
     val sums = joined.groupBy(col("id"))
-      .agg(lnTerm(model.langs.head), model.langs.drop(1).map(lnTerm): _*)
-    val scoredStructs = array(model.langs.map { l =>
-      struct((-(lit(model.lnPriors(l)) + coalesce(col(s"__s_$l"), lit(0.0))))
+      .agg(lnTerm(model.langs.head, 0),
+        model.langs.drop(1).zipWithIndex.map { case (l, i) => lnTerm(l, i + 1) }: _*)
+    val scoredStructs = array(model.langs.zipWithIndex.map { case (l, i) =>
+      struct((-(lit(model.lnPriors(l)) + coalesce(col(s"__s_$i"), lit(0.0))))
         .as("neg"), lit(l).as("lang"))
     }: _*)
     docs.select(col(idCol).as("id"))
@@ -112,4 +174,30 @@ object LangModel {
   def trainPredict(docs: DataFrame, idCol: String, textCol: String,
                    labelCol: String, n: Int = 3): DataFrame =
     predict(docs, idCol, textCol, train(docs, textCol, labelCol, n))
+
+  /** Weak quality labels for classifier distillation (CCNet-style): the
+    * heuristic score's top/bottom quartiles become 'hi'/'lo' training
+    * labels. Quartiles are ranked with one GLOBAL ntile window — exact
+    * and oracle-replayable, but a total order is a single-partition sort,
+    * so at scale the ranking runs over a DETERMINISTIC hash sample
+    * (`sampleBp` basis points of documents, content-addressed like
+    * [[Curation.hashSplit]] — same docs every run/engine/partitioning).
+    * Training a distilled classifier on a sample is the standard recipe;
+    * the model then scores the FULL corpus. Default = 10000 bp (no
+    * sampling) so gate-scale runs replay the whole ranking. */
+  def qualityWeakLabels(docs: DataFrame, idCol: String, textCol: String,
+                        sampleBp: Int = 10000): DataFrame = {
+    require(sampleBp > 0 && sampleBp <= 10000, "sampleBp in (0, 10000]")
+    val sampled =
+      if (sampleBp == 10000) docs
+      else docs.filter(Curation.hashBucket(col(idCol), 10000) < sampleBp)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality"), col(idCol))
+    sampled
+      .withColumn("quality", graft.functions.TextFunctions.qualityScore(col(textCol)))
+      .withColumn("qt", org.apache.spark.sql.functions.ntile(4).over(w))
+      .filter(col("qt") === 1 || col("qt") === 4)
+      .withColumn("qlabel", when(col("qt") === 4, lit("hi")).otherwise(lit("lo")))
+      .drop("qt")
+  }
 }

@@ -60,7 +60,8 @@ object ScaleSmoke {
       "q108_source_winnow_overlap", "q121_bigram_lm", "q122_pmi_collocations",
       "q124_repeated_spans", "q125_span_strip", "q126_bpe_merges",
       "q127_bpe_segment", "q128_bpe_token_counts", "q129_paragraph_neardup",
-      "q131_dedup_survivors", "q132_ivf_topk_bc", "q134_semantic_bc")
+      "q131_dedup_survivors", "q132_ivf_topk_bc", "q134_semantic_bc",
+      "q135_nb_langid", "q137_multimodal_av", "q138_quality_classifier")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

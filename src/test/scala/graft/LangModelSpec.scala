@@ -45,4 +45,39 @@ class LangModelSpec extends AnyFunSuite {
     assert(out(11L) == "xx")
     assert(out(12L) == "aa") // no trigrams at all → argmax prior = 'aa'
   }
+
+  test("predict ≡ predictJoined: broadcast-fold scoring lands the join formulation's answers") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = LangModel.train(docs, "text", "lang")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val fold = rows(LangModel.predict(docs, "doc_id", "text", model))
+    val joined = rows(LangModel.predictJoined(docs, "doc_id", "text", model))
+    assert(fold == joined && fold.size == docs.count())
+    // and the fold path is pure map-side: no exchange before the output
+    val plan = LangModel.predict(docs, "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"broadcast-fold scoring must not shuffle:\n$plan")
+  }
+
+  test("qualityWeakLabels: sampled ranking bounds the window input; labels stay quartile-shaped") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val full = LangModel.qualityWeakLabels(docs, "doc_id", "text")
+    // quartile shape: |hi| + |lo| = half the corpus (±ntile remainder)
+    assert(math.abs(full.count() - n / 2) <= 2)
+    assert(full.select("qlabel").distinct().collect().map(_.getString(0)).toSet == Set("hi", "lo"))
+    // the scale path: rank only a deterministic 40% hash sample — the
+    // window input shrinks, the labels still train a usable model
+    val sampled = LangModel.qualityWeakLabels(docs, "doc_id", "text", sampleBp = 4000)
+    val sn = sampled.count()
+    assert(sn < full.count() && sn > 0)
+    // deterministic: same sample, same labels, every run
+    assert(LangModel.qualityWeakLabels(docs, "doc_id", "text", sampleBp = 4000)
+      .collect().map(_.toSeq).toSet == sampled.collect().map(_.toSeq).toSet)
+    val model = LangModel.train(sampled.withColumnRenamed("qlabel", "lab"), "text", "lab")
+    assert(model.langs == Seq("hi", "lo"))
+    assert(LangModel.predict(docs, "doc_id", "text", model).count() == n)
+  }
 }

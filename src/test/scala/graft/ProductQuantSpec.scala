@@ -122,4 +122,27 @@ class ProductQuantSpec extends AnyFunSuite {
     info(f"residual IVF-PQ mean recall@$n = $mean%.2f at nprobe=2/4")
     assert(mean >= 0.7, s"residual recall too low: $mean (${recalls.toSeq})")
   }
+
+  test("saveResidualIndex: a concurrently-claimed version is skipped, never interleaved") {
+    val index = ProductQuant.buildIvfPqResidual(corpus, "vec_id", "embedding",
+      coarseK = 4, m = 4, k = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-claim").toString
+    val v1 = ProductQuant.saveResidualIndex(spark, index, dir)
+    assert(v1.endsWith("/v1"))
+    // simulate a concurrent publisher that has already CLAIMED v2 (its
+    // exclusive _CLAIM marker exists, its data is still in flight)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/v2/_CLAIM"), false).close()
+    // our publish must NOT write into the claimed v2 — it lands v3
+    val v3 = ProductQuant.saveResidualIndex(spark, index, dir)
+    assert(v3.endsWith("/v3"), s"publisher reused a claimed version: $v3")
+    assert(ProductQuant.currentVersion(spark, dir).contains(3))
+    // v2 stays exactly as the other publisher left it (claim marker only)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/v2"))
+      .map(_.getPath.getName).toSeq == Seq("_CLAIM"))
+    // the published artifact round-trips from the pointer as usual
+    val loaded = ProductQuant.loadResidualIndex(spark, dir)
+    assert(loaded.model.m == 4 && loaded.encoded.count() == corpus.count())
+  }
 }

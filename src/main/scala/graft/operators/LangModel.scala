@@ -37,11 +37,17 @@ object LangModel {
     * vocab). */
   final case class NbLangModel(
       langs: Seq[String],
-      lnPriors: Map[String, Double],
+      docCounts: Map[String, Long],
       gramTotals: Map[String, Long],
       vocab: Long,
       counts: Map[String, Array[Long]],
       n: Int) {
+
+    /** ln(docs_l / total docs) — derived, so merged models re-normalize. */
+    @transient lazy val lnPriors: Map[String, Double] = {
+      val total = docCounts.values.sum.toDouble
+      docCounts.map { case (l, d) => l -> math.log(d.toDouble / total) }
+    }
 
     /** Precomputed ln-term table for the broadcast scoring expression. */
     @transient lazy val scoreModel: graft.functions.expressions.NbScoreModel = {
@@ -100,12 +106,45 @@ object LangModel {
     }.toMap
     val docCounts = docs.groupBy(col(labelCol)).agg(count(lit(1)).as("d"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val totalDocs = docCounts.values.sum
-    val lnPriors = docCounts.map { case (l, d) =>
-      l -> math.log(d.toDouble / totalDocs.toDouble)
-    }
     counts.unpersist()
-    NbLangModel(langs, lnPriors, totals, table.size.toLong, table.toMap, n)
+    NbLangModel(langs, docCounts, totals, table.size.toLong, table.toMap, n)
+  }
+
+  /** Merge two independently-trained models — the NB state (gram counts,
+    * doc counts) is a MONOID, so sharded/incremental training folds
+    * exactly: `merge(train(A), train(B)) == train(A ∪ B)` bit-for-bit
+    * (integer state; priors/smoothing re-derive from the merged counts).
+    * This is what makes the training plane incremental at 100 TB: daily
+    * partials train independently and fold, the same shape as
+    * [[graft.ops.IncrementalAgg]] / the streaming sinks. (Exact equality
+    * assumes the shards trained with an unbound `maxVocab` — a binding
+    * cap truncates per shard, like any sketch-before-merge.) */
+  def merge(a: NbLangModel, b: NbLangModel): NbLangModel = {
+    require(a.n == b.n, s"n-gram orders differ: ${a.n} vs ${b.n}")
+    val langs = (a.langs ++ b.langs).distinct.sorted
+    def zeros = new Array[Long](langs.length)
+    def remap(m: NbLangModel): Map[String, Array[Long]] = {
+      val idx = m.langs.map(l => langs.indexOf(l)).toArray
+      m.counts.map { case (g, cs) =>
+        val out = zeros
+        var i = 0
+        while (i < cs.length) { out(idx(i)) += cs(i); i += 1 }
+        g -> out
+      }
+    }
+    val merged = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+    Seq(remap(a), remap(b)).foreach(_.foreach { case (g, cs) =>
+      val slot = merged.getOrElseUpdate(g, zeros)
+      var i = 0
+      while (i < cs.length) { slot(i) += cs(i); i += 1 }
+    })
+    val totals = langs.map { l =>
+      l -> (a.gramTotals.getOrElse(l, 0L) + b.gramTotals.getOrElse(l, 0L))
+    }.toMap
+    val docCounts = langs.map { l =>
+      l -> (a.docCounts.getOrElse(l, 0L) + b.docCounts.getOrElse(l, 0L))
+    }.toMap
+    NbLangModel(langs, docCounts, totals, merged.size.toLong, merged.toMap, a.n)
   }
 
   /** Score every document against every label and keep the argmax

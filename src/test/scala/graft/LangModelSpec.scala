@@ -61,6 +61,25 @@ class LangModelSpec extends AnyFunSuite {
       s"broadcast-fold scoring must not shuffle:\n$plan")
   }
 
+  test("merge: sharded training folds to the full-corpus model exactly (monoid state)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val full = LangModel.train(docs, "text", "lang")
+    val merged = LangModel.merge(
+      LangModel.train(a, "text", "lang"), LangModel.train(b, "text", "lang"))
+    assert(merged.langs == full.langs)
+    assert(merged.docCounts == full.docCounts)
+    assert(merged.gramTotals == full.gramTotals)
+    assert(merged.vocab == full.vocab)
+    assert(merged.counts.view.mapValues(_.toSeq).toMap ==
+      full.counts.view.mapValues(_.toSeq).toMap)
+    // and therefore identical predictions
+    def rows(m: LangModel.NbLangModel) =
+      LangModel.predict(docs, "doc_id", "text", m).collect().map(_.toSeq).toSet
+    assert(rows(merged) == rows(full))
+  }
+
   test("qualityWeakLabels: sampled ranking bounds the window input; labels stay quartile-shaped") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = docs.count()

@@ -197,7 +197,10 @@ object OracleSql {
       // produce bit-identical assignments, trained means, and scores.
       ("q132_ivf_topk_bc" -> oracleSqlCore("q38_ivf_topk")) +
       ("q133_kmeans_bc" -> oracleSqlCore("q68_kmeans_ivf")) +
-      ("q134_semantic_bc" -> oracleSqlCore("q87_semantic_neardup"))
+      ("q134_semantic_bc" -> oracleSqlCore("q87_semantic_neardup")) +
+      // q139 classifies a document STREAM with the frozen NB model —
+      // micro-batch boundaries must be invisible: q135's batch oracle.
+      ("q139_stream_classify" -> oracleSqlCore("q135_nb_langid"))
 
   private lazy val oracleSqlCore: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -705,4 +705,24 @@ private[graft] trait QueriesScaleOps extends QueryBase {
         col("score"))
       .orderBy(col("doc_id"))
   }
+
+  /** FROZEN-MODEL classification of a document STREAM: the NB model
+    * trains offline (batch), then documents arrive as two file-source
+    * micro-batches and are classified per-row inside the streaming plan
+    * (`LangModel.classify` — broadcast fold, no state, no shuffle).
+    * Pinned to q135's oracle: micro-batch boundaries must be invisible
+    * in the final predictions — the AnnStream frozen-model contract
+    * applied to a classifier. */
+  private[graft] def q139(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+    val model = operators.LangModel.train(docs, "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q139").toString
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(tmp)
+    docs.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(tmp)
+    val stream = s.readStream.schema(docs.schema).parquet(tmp)
+    val scored = operators.LangModel.classify(stream, "text", model)
+      .select(col("doc_id"), col("pred_lang"), col("score"))
+    graft.streaming.EventStream.runBounded(s, scored, "graft_q139_sink", "append")
+      .orderBy(col("doc_id"))
+  }
 }

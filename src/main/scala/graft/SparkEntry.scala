@@ -163,7 +163,8 @@ object SparkEntry extends QueriesRelational with QueriesPipeline
     "q135_nb_langid" -> (q135 _),
     "q136_nb_curation" -> (q136 _),
     "q137_multimodal_av" -> (q137 _),
-    "q138_quality_classifier" -> (q138 _)
+    "q138_quality_classifier" -> (q138 _),
+    "q139_stream_classify" -> (q139 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────

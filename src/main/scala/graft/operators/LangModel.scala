@@ -160,9 +160,20 @@ object LangModel {
     * through an exchange; measured 88.6 s → map-side at ×100). Kept as
     * [[predictJoined]] for the spec-asserted reference. */
   def predict(docs: DataFrame, idCol: String, textCol: String,
-              model: NbLangModel): DataFrame = {
+              model: NbLangModel): DataFrame =
+    classify(graft.io.Parallelism.ensure(docs), textCol, model)
+      .select(col(idCol).as("id"), col("pred_lang"), col("score"))
+
+  /** Append `pred_lang`/`score` to ANY frame with a text column — the
+    * frozen-model serving form: pure per-row expressions (the score fold
+    * materialized ONCE as a real column, then the argmax over it — never
+    * re-evaluated per label), so it drops into batch plans and Structured
+    * Streaming micro-batches alike (q139 streams documents through it,
+    * exactly like the frozen IVF-PQ encode in
+    * [[graft.streaming.AnnStream]]). */
+  def classify(df: DataFrame, textCol: String, model: NbLangModel): DataFrame = {
     import org.apache.spark.sql.GraftBridge.{column, expression}
-    val bc = docs.sparkSession.sparkContext.broadcast(model.scoreModel)
+    val bc = df.sparkSession.sparkContext.broadcast(model.scoreModel)
     val scores = column(graft.functions.expressions.NbScores(
       expression(charNgrams(col(textCol), model.n)), bc))
     val scoredStructs = array(model.langs.zipWithIndex.map { case (l, i) =>
@@ -170,12 +181,11 @@ object LangModel {
         coalesce(element_at(col("__s"), i + 1), lit(0.0)))).as("neg"),
         lit(l).as("lang"))
     }: _*)
-    graft.io.Parallelism.ensure(docs)
-      .select(col(idCol).as("id"), scores.as("__s"))
+    df.withColumn("__s", scores)
       .withColumn("__best", array_min(scoredStructs))
-      .select(col("id"),
-        col("__best.lang").as("pred_lang"),
-        round(-col("__best.neg"), 2).as("score"))
+      .withColumn("pred_lang", col("__best.lang"))
+      .withColumn("score", round(-col("__best.neg"), 2))
+      .drop("__s", "__best")
   }
 
   /** The join formulation of [[predict]] — gram stream ⟕ broadcast

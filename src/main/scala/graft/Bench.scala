@@ -46,7 +46,9 @@ object Bench {
     "q125_span_strip",
     "q129_paragraph_neardup",
     "q130_stream_ann_index",
-    "q131_dedup_survivors"
+    "q131_dedup_survivors",
+    "q135_nb_langid",
+    "q138_quality_classifier"
   )
 
   def main(args: Array[String]): Unit = {

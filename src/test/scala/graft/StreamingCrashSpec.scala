@@ -65,6 +65,35 @@ class StreamingCrashSpec extends AnyFunSuite {
     assert(state()(3L) == ((2L, 3.0)))
   }
 
+  test("AggStream: retainVersions keeps a deeper laggard-reader window") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-retain").toString
+    val updates = s"$tmp/updates"
+    val schema = {
+      Seq((1L, 1.0)).toDF("k", "v").write.mode("append").parquet(updates)
+      spark.read.parquet(updates).schema
+    }
+    def runOnce(): Unit = {
+      val q = graft.streaming.AggStream.incrementalSink(spark,
+        spark.readStream.schema(schema).parquet(updates),
+        Seq("k"), Seq("v"), s"$tmp/state", s"$tmp/ckpt", retainVersions = 3)
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    Seq((1L, 2.0)).toDF("k", "v").write.mode("append").parquet(updates); runOnce()
+    Seq((1L, 3.0)).toDF("k", "v").write.mode("append").parquet(updates); runOnce()
+    Seq((1L, 4.0)).toDF("k", "v").write.mode("append").parquet(updates); runOnce()
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/state"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+      .map(_.getPath.getName.stripPrefix("v").toLong).sorted.toSeq
+    // 4 commits (v0..v3), newest 3 retained
+    assert(versions == Seq(1L, 2L, 3L), s"unexpected retained versions: $versions")
+    assert(graft.streaming.AggStream.readState(spark, s"$tmp/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 4L, 10.0)))
+  }
+
   test("AnnStream: crash between batch-dir write and checkpoint — replay rewrites, codes converge") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-crash-ann").toString
     val updates = s"$tmp/updates"

@@ -16,13 +16,19 @@ object ExplainAudit {
     names.foreach { n =>
       println(s"\n===== $n =====")
       val df = graft.SparkEntry.queries(n)(spark, dir)
+      // materialize first: AQE re-plans at runtime and only the FINAL plan
+      // carries codegen ids / chosen join strategies worth auditing
+      df.queryExecution.toRdd.foreachPartition(
+        (_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       println(plan)
       val checks = Seq(
         "PushedFilters" -> plan.contains("PushedFilters: ["),
         "BroadcastHashJoin" -> plan.contains("BroadcastHashJoin"),
-        "WholeStageCodegen" -> plan.contains("WholeStageCodegen"),
+        // the pre-execution AQE formatted plan carries no codegen ids;
+        // the executedPlan tree marks codegen stages with "*(n)"
+        "WholeStageCodegen" -> df.queryExecution.executedPlan.toString.contains("*("),
         "AQE" -> plan.contains("AdaptiveSparkPlan")
       )
       println("CHECKS: " + checks.map { case (k, v) => s"$k=$v" }.mkString(" "))

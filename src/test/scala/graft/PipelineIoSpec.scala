@@ -145,6 +145,30 @@ class PipelineIoSpec extends AnyFunSuite {
     assert(viaHive == expect)
   }
 
+  test("snapshot publish survives vacuum: retained manifests pin every referenced data dir") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap-vac").toString + "/t"
+    val v1 = (0 until 40).map(i => (i.toLong, s"c$i", "a", i % 4)).toDF("id", "name", "rev", "part")
+    graft.io.PartitionedSnapshotStore.commitDelta(v1, dir, "part")
+    // v2 rewrites parts 0/1 only — parts 2/3 still point at v1's data dirs
+    graft.io.PartitionedSnapshotStore.commitDelta(
+      v1.filter(col("part") < 2).withColumn("rev", lit("b")), dir, "part")
+    graft.io.SnapshotInterop.publishToCatalog(spark, dir, "snap_vac_t", "part")
+    // vacuum to the latest version only: manifest v1 drops, but the v1
+    // data dirs REFERENCED by manifest v2 must survive
+    graft.io.PartitionedSnapshotStore.vacuum(spark, dir, keep = 1)
+    val t = spark.table("snap_vac_t")
+    assert(t.count() == 40)
+    assert(t.filter(col("rev") === "b").count() == 20)
+    // a later delta + republish repoints the touched partitions
+    graft.io.PartitionedSnapshotStore.commitDelta(
+      v1.filter(col("part") === 3).withColumn("rev", lit("c")), dir, "part")
+    graft.io.SnapshotInterop.publishToCatalog(spark, dir, "snap_vac_t", "part")
+    assert(spark.table("snap_vac_t").filter(col("rev") === "c").count() == 10)
+    assert(spark.table("snap_vac_t").count() == 40)
+    spark.sql("DROP TABLE snap_vac_t")
+  }
+
   test("snapshot-store interop: a second JVM reads the published table with stock Spark only") {
     val warehouse = Files.createTempDirectory("graft-snap-warehouse").toString
     def runPhase(mode: String): String = {

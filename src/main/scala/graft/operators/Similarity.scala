@@ -114,7 +114,8 @@ object Similarity {
       .select(col("centroid_id").cast("int"), col(vecCol))
       .collect()
     val cellExpr: Column =
-      if (rows.length.toLong * rows.head.getSeq[Any](1).length <= broadcastThreshold) {
+      if (rows.isEmpty) lit(null).cast("int") // degenerate: no cells, all −1
+      else if (rows.length.toLong * rows.head.getSeq[Any](1).length <= broadcastThreshold) {
         val cents: Seq[(Int, Column)] = rows
           .map { r =>
             // preserve the element runtime type (float stays float) so the

@@ -87,6 +87,7 @@ object LangModel {
       .agg(count(lit(1)).as("cnt")).cache()
     val langs = docs.select(col(labelCol)).distinct().collect()
       .map(_.getString(0)).sorted.toSeq
+    require(langs.nonEmpty, "cannot train a classifier on zero labeled documents")
     val langIdx = langs.zipWithIndex.toMap
     // keep the maxVocab highest-mass grams (cnt desc, gram — deterministic);
     // a no-op below the cap, so V and the counts match the uncapped oracle

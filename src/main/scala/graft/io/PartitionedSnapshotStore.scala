@@ -106,14 +106,18 @@ object PartitionedSnapshotStore {
   }
 
   /** Read one version (all partitions, or `parts` only). The partition
-    * column is re-attached from the manifest key. */
+    * column is re-attached from the manifest key. Partitions carried
+    * forward from BEFORE a schema-widening commit may lack newer columns
+    * — they read as null (unionByName with missing-column fill), the
+    * standard parquet-evolution semantics, so a delta commit can add
+    * columns without rewriting untouched partitions. */
   def read(spark: SparkSession, dir: String, version: Int, partCol: String,
            parts: Option[Seq[Int]] = None): DataFrame = {
     val manifest = readManifest(spark, dir, version)
     val selected = parts.fold(manifest)(ps => manifest.view.filterKeys(ps.toSet).toMap)
     selected.toSeq.sortBy(_._1).map { case (p, path) =>
       spark.read.parquet(path).withColumn(partCol, lit(p))
-    }.reduceOption(_.unionByName(_))
+    }.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse(throw new IllegalStateException(
         s"no manifest entries for ${parts.getOrElse("any")} in v=$version at $dir"))
   }

@@ -45,8 +45,13 @@ object SnapshotInterop {
     require(manifest.nonEmpty, s"empty manifest at v=$v under $tableDir")
     // data files carry every column EXCEPT the partition column (stripped
     // by partitionBy on write) — the catalog re-attaches it, exactly like
-    // the store's own read path
-    val dataSchema = spark.read.parquet(manifest.head._2).schema
+    // the store's own read path. The schema is the UNION over manifest
+    // dirs (a widening delta commit leaves untouched partitions on the
+    // old shape; their files read the newer columns as null).
+    val dataSchema = manifest.values.toSeq.sorted
+      .map(p => spark.read.parquet(p).schema)
+      .reduce((a, b) => org.apache.spark.sql.types.StructType(
+        a.fields ++ b.fields.filterNot(f => a.fieldNames.contains(f.name))))
     require(!dataSchema.fieldNames.contains(partCol),
       s"$partCol must be the partition column, not a data column")
     if (!spark.catalog.tableExists(tableName)) {
@@ -55,6 +60,15 @@ object SnapshotInterop {
       spark.sql(
         s"""CREATE TABLE `$tableName` ($cols) USING parquet
            |PARTITIONED BY (`$partCol`) LOCATION '${new Path(tableDir, "data")}'""".stripMargin)
+    } else {
+      // schema evolution on republish: widen the catalog with any columns
+      // this version's data added (additive-only, like the store itself)
+      val known = spark.table(tableName).schema.fieldNames.toSet
+      val added = dataSchema.fields.filterNot(f => known.contains(f.name))
+      if (added.nonEmpty) {
+        val cols = added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        spark.sql(s"ALTER TABLE `$tableName` ADD COLUMNS ($cols)")
+      }
     }
     // mirror the manifest: add new partitions, repoint existing ones
     manifest.toSeq.sortBy(_._1).foreach { case (p, path) =>

@@ -145,6 +145,30 @@ class PipelineIoSpec extends AnyFunSuite {
     assert(viaHive == expect)
   }
 
+  test("snapshot schema evolution: a widening delta reads old partitions as null; catalog follows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap-evo").toString + "/t"
+    val v1 = (0 until 40).map(i => (i.toLong, s"c$i", i % 4)).toDF("id", "name", "part")
+    graft.io.PartitionedSnapshotStore.commitDelta(v1, dir, "part")
+    graft.io.SnapshotInterop.publishToCatalog(spark, dir, "snap_evo_t", "part")
+    assert(!spark.table("snap_evo_t").columns.contains("extra"))
+    // v2 widens: parts 0/1 rewritten WITH a new column; 2/3 carry forward
+    graft.io.PartitionedSnapshotStore.commitDelta(
+      v1.filter(col("part") < 2).withColumn("extra", lit("x")), dir, "part")
+    val r = graft.io.PartitionedSnapshotStore.read(spark, dir, 2, "part")
+    assert(r.columns.toSet == Set("id", "name", "extra", "part"))
+    assert(r.filter(col("extra") === "x").count() == 20)
+    assert(r.filter(col("extra").isNull).count() == 20) // old partitions: null fill
+    // republish widens the CATALOG table additively; old files read null
+    graft.io.SnapshotInterop.publishToCatalog(spark, dir, "snap_evo_t", "part")
+    val t = spark.table("snap_evo_t")
+    assert(t.columns.contains("extra"))
+    assert(t.filter(col("extra") === "x").count() == 20)
+    assert(t.filter(col("extra").isNull).count() == 20)
+    assert(t.count() == 40)
+    spark.sql("DROP TABLE snap_evo_t")
+  }
+
   test("snapshot publish survives vacuum: retained manifests pin every referenced data dir") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-snap-vac").toString + "/t"

@@ -88,7 +88,7 @@ private[graft] trait QueriesIndexStream extends QueryBase {
   def ensurePartitionedOrders(s: SparkSession, dir: String): String =
     partLayoutCache.getOrElseUpdate(dir, {
       import s.implicits._
-      val path = java.nio.file.Files.createTempDirectory("graft-part").toString
+      val path = graft.io.TempDirs.scratch("graft-part")
       T(s, dir, "orders").write.mode("overwrite")
         .partitionBy("o_orderstatus").parquet(s"$path/fact")
       Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
@@ -217,7 +217,7 @@ private[graft] trait QueriesIndexStream extends QueryBase {
     val initial = emb.filter(col("vec_id") < 300)
     val idx = graft.operators.ProductQuant.buildIvfPqResidual(
       initial, "vec_id", "embedding", coarseK = 4, m = 4, k = 8, iters = 2)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q130").toString
+    val tmp = graft.io.TempDirs.scratch("graft-q130")
     graft.io.Writers.parquet(idx.encoded, s"$tmp/state/binit")
     val rest = emb.filter(col("vec_id") >= 300)
     val updatesDir = s"$tmp/updates"

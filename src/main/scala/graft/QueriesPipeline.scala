@@ -112,7 +112,7 @@ private[graft] trait QueriesPipeline extends QueryBase {
       else if (k % 5 == 0) s"$k,  $name  ,junk,$reg,EXTRA" // long row → truncated
       else s"$k,  $name  ,junk,$reg"
     }
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q48")
+    val tmp = java.nio.file.Paths.get(graft.io.TempDirs.scratch("graft_q48"))
     val csvPath = tmp.resolve("nation.csv")
     java.nio.file.Files.write(csvPath, String.join("\n", lines: _*).getBytes("UTF-8"))
     val repaired = graft.ops.CsvRepair.repair(s, graft.io.Readers.text(s, csvPath.toString)).get
@@ -230,7 +230,7 @@ private[graft] trait QueriesPipeline extends QueryBase {
     * aggregate. Oracle runs over the original parquet — proves the JSON
     * sink/source preserves values exactly. */
   private[graft] def q56(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q56").toString
+    val tmp = graft.io.TempDirs.scratch("graft_q56")
     T(s, dir, "nation").write.mode("overwrite").json(tmp)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("n_nationkey", org.apache.spark.sql.types.IntegerType),
@@ -319,7 +319,7 @@ private[graft] trait QueriesPipeline extends QueryBase {
   /** ORC source/sink roundtrip: supplier → ORC → read back → broadcast
     * join + agg; oracle reads the original parquet. */
   private[graft] def q62(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q62").toString
+    val tmp = graft.io.TempDirs.scratch("graft_q62")
     T(s, dir, "supplier").write.mode("overwrite").orc(tmp)
     s.read.orc(tmp)
       .join(broadcast(T(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
@@ -541,7 +541,7 @@ private[graft] trait QueriesPipeline extends QueryBase {
     * good rows, and makes the bad ones countable. Oracle replicates the
     * corruption pattern analytically over the original parquet. */
   private[graft] def q77(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q77").toString
+    val tmp = graft.io.TempDirs.scratch("graft_q77")
     T(s, dir, "nation")
       .select(when(col("n_nationkey") % 5 === 0,
           concat(lit("{BROKEN json line for key "), col("n_nationkey")))
@@ -564,7 +564,7 @@ private[graft] trait QueriesPipeline extends QueryBase {
     * columns, a later one adds `name_len`; `mergeSchema` reads the
     * union, with pre-evolution rows null in the new column. */
   private[graft] def q78(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q78").toString
+    val tmp = graft.io.TempDirs.scratch("graft_q78")
     val nation = T(s, dir, "nation")
     nation.filter(col("n_regionkey") < 2)
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))

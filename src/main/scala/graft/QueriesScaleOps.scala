@@ -24,7 +24,7 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     val h = Integer.toHexString(dir.hashCode & 0x7fffffff)
     val (liT, ordT) = (s"graft_bkt_lineitem_$h", s"graft_bkt_orders_$h")
     if (!s.catalog.tableExists(liT) || !s.catalog.tableExists(ordT)) {
-      val base = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+      val base = graft.io.TempDirs.scratch("graft-bkt")
       graft.io.Writers.bucketedTable(T(s, dir, "lineitem"), s"$base/lineitem",
         liT, Seq("l_orderkey"), 32)
       graft.io.Writers.bucketedTable(T(s, dir, "orders"), s"$base/orders",
@@ -119,7 +119,7 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
     val spec = Scd2.Scd2Spec(Seq("c_custkey"), Seq("c_name", "c_mktsegment"),
       "customer_sk", "dim_customer")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q88").toString
+    val tmp = graft.io.TempDirs.scratch("graft-q88")
     Scd2.mergePartitioned(base, tmp, spec, FixedClock("2024-01-01 00:00:00"), 16)
     val mutated = base.select(
       col("c_custkey"), col("c_name"),
@@ -195,7 +195,7 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
     val spec = Scd2.Scd2Spec(Seq("c_custkey"), Seq("c_name", "c_mktsegment"),
       "customer_sk", "dim_customer")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q92").toString
+    val tmp = graft.io.TempDirs.scratch("graft-q92")
     val updatesDir = s"$tmp/updates"
     // batch 0: the seed snapshot lands as files
     base.write.mode("append").parquet(updatesDir)
@@ -339,7 +339,7 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     * oracle rows. */
   private[graft] def q100(s: SparkSession, dir: String): DataFrame = {
     val events = graft.io.Readers.parquetNanos(s, s"$dir/events.parquet", Seq("ts"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q100").toString
+    val tmp = graft.io.TempDirs.scratch("graft-q100")
     events.write.mode("append").parquet(tmp)
     events.write.mode("append").parquet(tmp)
     val stream = s.readStream.schema(events.schema).parquet(tmp)
@@ -396,7 +396,7 @@ private[graft] trait QueriesScaleOps extends QueryBase {
   private[graft] val zoneLayoutCache = scala.collection.concurrent.TrieMap.empty[String, String]
   def ensureZoneMappedOrders(s: SparkSession, dir: String): String =
     zoneLayoutCache.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files.createTempDirectory("graft-zonemap").toString
+      val path = graft.io.TempDirs.scratch("graft-zonemap")
       val raw = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
         datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01"))).as("day"))
       val mx = raw.agg(max("o_custkey").cast("double"), max("day").cast("double")).head()
@@ -522,7 +522,7 @@ private[graft] trait QueriesScaleOps extends QueryBase {
   private[graft] def q110(s: SparkSession, dir: String): DataFrame = {
     val orders = T(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q110").toString
+    val tmp = graft.io.TempDirs.scratch("graft-q110")
     val updatesDir = s"$tmp/updates"
     orders.filter(col("o_orderkey") % 10 =!= 0).write.mode("append").parquet(updatesDir)
     val stream = s.readStream.schema(orders.schema).parquet(updatesDir)
@@ -575,7 +575,7 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     * text datasource can't serve here because it appends a newline per
     * row, breaking exact byte lengths). */
   private[graft] def q113(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q113").toString
+    val tmp = graft.io.TempDirs.scratch("graft-q113")
     T(s, dir, "documents").select(col("doc_id"), col("text"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val conf = new org.apache.hadoop.conf.Configuration()
@@ -726,7 +726,7 @@ private[graft] trait QueriesScaleOps extends QueryBase {
   private[graft] def q139(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
     val model = ensureNbLang(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q139").toString
+    val tmp = graft.io.TempDirs.scratch("graft-q139")
     docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(tmp)
     docs.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(tmp)
     val stream = s.readStream.schema(docs.schema).parquet(tmp)

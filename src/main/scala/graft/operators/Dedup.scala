@@ -373,7 +373,11 @@ object Dedup {
     if ((prev ne null) && (prev ne grams) &&
         prev.queryExecution.analyzed.canonicalized !=
           grams.queryExecution.analyzed.canonicalized)
-      prev.unpersist(false)
+      // the previous entry may belong to an already-stopped session (the
+      // cache is object-global); a dead context's unpersist must not fail
+      // the NEW query — drop the stale handle silently
+      try prev.unpersist(false)
+      catch { case scala.util.control.NonFatal(_) => }
     val dupFps = grams.groupBy(col("fp"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minOccurrences)

@@ -85,8 +85,14 @@ object LangModel {
     val grams = gramStream(docs, Seq(col(labelCol).as("__lang")), textCol, n)
     val counts = grams.groupBy(col("__lang"), col("gram"))
       .agg(count(lit(1)).as("cnt")).cache()
-    val langs = docs.select(col(labelCol)).distinct().collect()
-      .map(_.getString(0)).sorted.toSeq
+    // one pass yields both the label universe and the per-label doc
+    // counts (priors) — label-count-sized driver state
+    val docCountRows = docs.groupBy(col(labelCol)).agg(count(lit(1)).as("d"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    require(!docCountRows.exists(_._1 == null),
+      s"$labelCol contains null labels — labels must be non-null strings")
+    val docCounts = docCountRows.map { case (l, d) => l.asInstanceOf[String] -> d }.toMap
+    val langs = docCounts.keys.toSeq.sorted
     require(langs.nonEmpty, "cannot train a classifier on zero labeled documents")
     val langIdx = langs.zipWithIndex.toMap
     // keep the maxVocab highest-mass grams (cnt desc, gram — deterministic);
@@ -105,8 +111,6 @@ object LangModel {
       val i = langIdx(l)
       l -> table.valuesIterator.map(_(i)).sum
     }.toMap
-    val docCounts = docs.groupBy(col(labelCol)).agg(count(lit(1)).as("d"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     counts.unpersist()
     NbLangModel(langs, docCounts, totals, table.size.toLong, table.toMap, n)
   }
@@ -227,27 +231,52 @@ object LangModel {
 
   /** Weak quality labels for classifier distillation (CCNet-style): the
     * heuristic score's top/bottom quartiles become 'hi'/'lo' training
-    * labels. Quartiles are ranked with one GLOBAL ntile window — exact
-    * and oracle-replayable, but a total order is a single-partition sort,
-    * so at scale the ranking runs over a DETERMINISTIC hash sample
-    * (`sampleBp` basis points of documents, content-addressed like
-    * [[Curation.hashSplit]] — same docs every run/engine/partitioning).
-    * Training a distilled classifier on a sample is the standard recipe;
-    * the model then scores the FULL corpus. Default = 10000 bp (no
-    * sampling) so gate-scale runs replay the whole ranking. */
+    * labels. Quartile membership follows the exact `ntile(4) OVER
+    * (ORDER BY quality, id)` tile sizes (so the oracle replays it with a
+    * literal ntile), but the ENGINE never builds that total order: the
+    * two boundary `(quality, id)` pairs are found with
+    * [[Quantiles.kthPair]] (distributed selection — approx_percentile
+    * pivots + exact count guards) and membership becomes two pure
+    * FILTERS. No WindowExec anywhere in the plan; at 100 TB the ranking
+    * is a handful of map-side aggregates over a cached (id, quality)
+    * projection instead of one executor sorting every document. The
+    * `sampleBp` deterministic hash-sample knob (content-addressed like
+    * [[Curation.hashSplit]]) remains for corpora where even the labeled
+    * quartiles should come from a sample. */
   def qualityWeakLabels(docs: DataFrame, idCol: String, textCol: String,
                         sampleBp: Int = 10000): DataFrame = {
     require(sampleBp > 0 && sampleBp <= 10000, "sampleBp in (0, 10000]")
     val sampled =
       if (sampleBp == 10000) docs
       else docs.filter(Curation.hashBucket(col(idCol), 10000) < sampleBp)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("quality"), col(idCol))
-    sampled
-      .withColumn("quality", graft.functions.TextFunctions.qualityScore(col(textCol)))
-      .withColumn("qt", org.apache.spark.sql.functions.ntile(4).over(w))
-      .filter(col("qt") === 1 || col("qt") === 4)
-      .withColumn("qlabel", when(col("qt") === 4, lit("hi")).otherwise(lit("lo")))
-      .drop("qt")
+    val quality = graft.functions.TextFunctions.qualityScore(col(textCol))
+    val qf = sampled
+      .select(col(idCol).as("__id"), quality.as("__q"))
+      .filter(col("__q").isNotNull).cache()
+    try {
+      val n = qf.count()
+      val base = n / 4
+      val rem = n % 4
+      val s1 = base + (if (rem >= 1) 1L else 0L) // tile-1 size
+      // tile 4 = the last `base` rows = rank > n - base
+      val lo: Column =
+        if (s1 < 1) lit(false)
+        else {
+          val (qv, qi) = Quantiles.kthPair(qf, "__q", "__id", s1, n)
+          col("quality") < lit(qv) ||
+            (col("quality") === lit(qv) && col(idCol) <= lit(qi))
+        }
+      val hi: Column =
+        if (base < 1) lit(false)
+        else {
+          val (qv, qi) = Quantiles.kthPair(qf, "__q", "__id", n - base, n)
+          col("quality") > lit(qv) ||
+            (col("quality") === lit(qv) && col(idCol) > lit(qi))
+        }
+      sampled
+        .withColumn("quality", quality)
+        .filter(lo || hi)
+        .withColumn("qlabel", when(hi, lit("hi")).otherwise(lit("lo")))
+    } finally qf.unpersist()
   }
 }

@@ -180,6 +180,10 @@ object Multimodal {
       while (o + 8 <= bytes.length && (sr < 0 || dataLen < 0)) {
         val id = new String(bytes.slice(o, o + 4), "US-ASCII")
         val sz = rd32(bytes, o + 4)
+        // untrusted media bytes: a negative / oversized 32-bit chunk size
+        // would stall or overrun the walk — reject instead of looping
+        require(sz >= 0 && o.toLong + 8L + sz <= bytes.length,
+          s"corrupt RIFF chunk '$id' at $o: size $sz overruns ${bytes.length}-byte payload")
         if (id == "fmt ") {
           ch = rd16(bytes, o + 10)
           sr = rd32(bytes, o + 12)

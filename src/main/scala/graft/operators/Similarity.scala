@@ -299,6 +299,13 @@ object Similarity {
           // dense partial-sum fold: each partition accumulates k×dim sums +
           // k counts, partials combine pairwise — no exchange, no Row
           // overhead on the driver, exactly k·dim doubles come back.
+          // Fp note: both paths divide sum/count then round6 (Spark's avg
+          // IS sum/count), but the SUMMATION order differs (treeAggregate
+          // combine tree vs avg's partial merge) — a mean landing exactly
+          // on a .5×10⁻⁶ boundary could round apart. That set is
+          // measure-zero for real embeddings; bit-equality of the two
+          // paths is asserted empirically (spec + q133/q134 oracles), not
+          // structurally guaranteed.
           val (sums, cnts) = assigned.select(col("cell"), col("vec")).rdd
             .treeAggregate((new Array[Double](k * dim), new Array[Long](k)))(
               seqOp = { (acc, row) =>

@@ -16,7 +16,7 @@ object BucketSmoke {
     spark.sparkContext.setLogLevel("WARN")
     val src = "/root/testdata/sf0.1"
     val copies = sys.env.getOrElse("SMOKE_COPIES", "10").toInt
-    val wh = java.nio.file.Files.createTempDirectory("graft-bucketsmoke").toString
+    val wh = graft.io.TempDirs.scratch("graft-bucketsmoke")
 
     def replicated(table: String, keyCols: Map[String, Long]) = {
       val base = spark.read.parquet(s"$src/$table.parquet")

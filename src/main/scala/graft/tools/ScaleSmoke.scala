@@ -17,7 +17,7 @@ object ScaleSmoke {
     val spark = GraftSession.builder("scale-smoke").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val src = "/root/testdata/sf0.1"
-    val out = java.nio.file.Files.createTempDirectory("graft-sf1").toString
+    val out = graft.io.TempDirs.scratch("graft-sf1")
     val copies = sys.env.getOrElse("SMOKE_COPIES", "10").toInt
 
     def replicate(table: String, keyCols: Map[String, Long]): Unit = {

@@ -21,7 +21,7 @@ object StreamBench {
     val files = 20
     val src = graft.io.Readers
       .parquetNanos(spark, "/root/testdata/sf0.1/events.parquet", Seq("ts"))
-    val dir = java.nio.file.Files.createTempDirectory("graft-streambench").toString
+    val dir = graft.io.TempDirs.scratch("graft-streambench")
     src.crossJoin(spark.range(copies).withColumnRenamed("id", "__c"))
       .withColumn("event_id", col("event_id") + col("__c") * 100000000L)
       .withColumn("user_id", col("user_id") + col("__c") * 10000000L)

@@ -61,6 +61,44 @@ class LangModelSpec extends AnyFunSuite {
       s"broadcast-fold scoring must not shuffle:\n$plan")
   }
 
+  test("train: two driver actions — labels+priors ride one groupBy, not three passes") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.count() // warm the file listing outside the window
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        actions.add(funcName + "::" + qe.logical.nodeName)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val m = LangModel.train(docs, "text", "lang")
+      Thread.sleep(1000) // listener delivery is async
+      assert(m.langs.nonEmpty)
+      // exactly two driver COLLECTS: the groupBy(label) pass (labels +
+      // doc counts together) and the vocab-capped count-table pass — the
+      // separate distinct-labels collect is gone. (The remaining listener
+      // entry is Parallelism.ensure's rdd-conversion probe, not a scan.)
+      val collects = actions.toArray.map(_.toString).filter(_.startsWith("collect"))
+      assert(collects.length == 2,
+        s"training ran ${collects.length} driver collects — expected exactly 2: " +
+          String.join(", ", actions))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("train: null labels are rejected with a clear error") {
+    val docs = Seq((1L, "some text", "en"), (2L, "mehr text", null))
+      .toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      LangModel.train(docs, "text", "lang")
+    }
+    assert(e.getMessage.contains("null labels"))
+  }
+
   test("merge: sharded training folds to the full-corpus model exactly (monoid state)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = docs.filter(col("doc_id") % 2 === 0)

@@ -203,6 +203,16 @@ object OracleSql {
       ("q139_stream_classify" -> oracleSqlCore("q135_nb_langid"))
 
   private lazy val oracleSqlCore: Map[String, String] = Map(
+    // q140: the Delta log's append/overwrite/time-travel states derive
+    // analytically from the corpus — v1 (create+append) is the corpus as
+    // written; the latest snapshot is the overwrite's n_chars+1.
+    "q140_delta_roundtrip" ->
+      """WITH latest AS (SELECT lang, count(*) AS n_latest,
+        |    sum(n_chars + 1) AS chars_latest FROM documents GROUP BY 1),
+        | v1 AS (SELECT lang, count(*) AS n_v1,
+        |    sum(n_chars) AS chars_v1 FROM documents GROUP BY 1)
+        |SELECT lang, n_latest, chars_latest, n_v1, chars_v1
+        |FROM latest JOIN v1 USING (lang) ORDER BY lang""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base,

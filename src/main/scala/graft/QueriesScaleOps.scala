@@ -735,4 +735,34 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     graft.streaming.EventStream.runBounded(s, scored, "graft_q139_sink", "append")
       .orderBy(col("doc_id"))
   }
+
+  /** Delta-format table lifecycle, end-to-end through the open
+    * `_delta_log` protocol: create (partitioned by lang) → append →
+    * full overwrite with a widened value, then read BOTH the latest
+    * snapshot and a TIME-TRAVEL version from the log alone
+    * ([[graft.io.DeltaInterop]] — the same table a stock Spark install
+    * reads with no graft on the classpath, 2-JVM spec-proven). The
+    * oracle replays both snapshots analytically: v1 = the full corpus
+    * as written, latest = the overwrite's shifted n_chars. */
+  private[graft] def q140(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val tmp = graft.io.TempDirs.scratch("graft-q140")
+    // v0: two-thirds of the corpus; v1: append the rest; v2: overwrite
+    // everything with n_chars+1 (removes all v0/v1 files in one commit)
+    graft.io.DeltaInterop.writeDelta(
+      docs.filter(col("doc_id") % 3 =!= 0), tmp, Seq("lang"))
+    graft.io.DeltaInterop.writeDelta(
+      docs.filter(col("doc_id") % 3 === 0), tmp, Seq("lang"))
+    graft.io.DeltaInterop.writeDelta(
+      docs.withColumn("n_chars", col("n_chars") + 1), tmp, Seq("lang"),
+      overwrite = true)
+    val latest = graft.io.DeltaInterop.readDelta(s, tmp)
+    val v1 = graft.io.DeltaInterop.readDelta(s, tmp, Some(1L))
+    latest.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_latest"), sum(col("n_chars")).as("chars_latest"))
+      .join(v1.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_v1"), sum(col("n_chars")).as("chars_v1")),
+        Seq("lang"))
+      .orderBy(col("lang"))
+  }
 }

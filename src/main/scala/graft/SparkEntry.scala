@@ -164,7 +164,8 @@ object SparkEntry extends QueriesRelational with QueriesPipeline
     "q136_nb_curation" -> (q136 _),
     "q137_multimodal_av" -> (q137 _),
     "q138_quality_classifier" -> (q138 _),
-    "q139_stream_classify" -> (q139 _)
+    "q139_stream_classify" -> (q139 _),
+    "q140_delta_roundtrip" -> (q140 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────

@@ -711,6 +711,14 @@ object OracleSql {
       s"""WITH $nbLangCte
          |SELECT doc_id, pred_lang, round(sc, 2) AS score FROM nbest
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // q141: FEATURE-HASHED NB training replayed end-to-end — identical
+    // CTE chain with grams mapped through the md5-bucket hash, so the
+    // bucketed counts, vocab (distinct occupied buckets), smoothing and
+    // every argmax replay in SQL exactly like q135.
+    "q141_nb_hashed" ->
+      s"""WITH $nbHashedCte
+         |SELECT doc_id, pred_lang, round(sc, 2) AS score FROM nbest
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // q136: the trained classifier composed into the curation shape —
     // NB-predicted language must agree with the label, quality >= 0.55,
     // deterministic hash split (q60's bucket rule).
@@ -1511,11 +1519,12 @@ object OracleSql {
     * self-consistency runs, a superset for weak-supervision runs (q138
     * trains on quality quartiles, scores everything). Ends in
     * `nbest(doc_id, pred_lang, sc, rn)`; rn = 1 is the prediction. */
-  private def nbCte(trainSrc: String, scoreSrc: String): String =
+  private def nbCte(trainSrc: String, scoreSrc: String,
+                    gramExpr: String = "substr(t, i, 3)"): String =
     s"""nd AS ($trainSrc),
        |sd AS ($scoreSrc),
        |ng AS (SELECT doc_id, lang, CASE WHEN length(t) < 3 THEN []
-       |  ELSE list_transform(range(1, length(t) - 1), i -> substr(t, i, 3)) END AS gs
+       |  ELSE list_transform(range(1, length(t) - 1), i -> $gramExpr) END AS gs
        |  FROM nd),
        |nge AS (SELECT doc_id, lang, unnest(gs) AS gram FROM ng),
        |ncnt AS (SELECT lang, gram, count(*)::BIGINT AS c FROM nge GROUP BY 1, 2),
@@ -1525,7 +1534,7 @@ object OracleSql {
        |  (SELECT count(*) FROM nd)::DOUBLE) AS lp FROM nd GROUP BY 1),
        |nlang AS (SELECT DISTINCT lang AS cand FROM nd),
        |sg AS (SELECT doc_id, CASE WHEN length(t) < 3 THEN []
-       |  ELSE list_transform(range(1, length(t) - 1), i -> substr(t, i, 3)) END AS gs
+       |  ELSE list_transform(range(1, length(t) - 1), i -> $gramExpr) END AS gs
        |  FROM sd),
        |sge AS (SELECT doc_id, unnest(gs) AS gram FROM sg),
        |nterm AS (SELECT e.doc_id, l.cand,
@@ -1550,6 +1559,13 @@ object OracleSql {
   private lazy val nbLangCte = nbCte(
     s"SELECT doc_id, lang, $nbNormDoc AS t FROM documents",
     s"SELECT doc_id, $nbNormDoc AS t FROM documents")
+  /** q141's feature-hashed gram: md5-prefix base-16 mod 2^12 — the exact
+    * cross-engine twin of `LangModel.hashedBucket` (Spark `conv` ≡ DuckDB
+    * 0x-cast; both render the bucket id in decimal). */
+  private lazy val nbHashedCte = nbCte(
+    s"SELECT doc_id, lang, $nbNormDoc AS t FROM documents",
+    s"SELECT doc_id, $nbNormDoc AS t FROM documents",
+    "((('0x' || substr(md5(substr(t, i, 3)), 1, 8))::BIGINT % 4096)::VARCHAR)")
 
   /** PQ oracle preamble: float-cast unit normalization (the SQL twin of
     * `ProductQuant.normalizedVec` — `(x/‖v‖)::REAL`, zero vectors pass

@@ -649,6 +649,18 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .select(col("id").as("doc_id"), col("pred_lang"), col("score"))
       .orderBy(col("doc_id"))
 
+  /** FEATURE-HASHED NB (q135 through 2^12 md5 buckets): model memory is
+    * bounded by the bucket space at ANY n-gram order — the hashing-trick
+    * answer to charsetⁿ vocab growth, with the collision trade made
+    * visible by the oracle replaying the bucketed training exactly. */
+  private[graft] def q141(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val model = operators.LangModel.trainHashed(docs, "text", "lang", hashBits = 12)
+    operators.LangModel.predict(docs, "doc_id", "text", model)
+      .select(col("id").as("doc_id"), col("pred_lang"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The q71-style curation capstone driven by the TRAINED classifier:
     * keep documents whose NB-predicted language agrees with the label and
     * whose quality clears the bar, then split deterministically — the

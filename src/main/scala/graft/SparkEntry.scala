@@ -165,7 +165,8 @@ object SparkEntry extends QueriesRelational with QueriesPipeline
     "q137_multimodal_av" -> (q137 _),
     "q138_quality_classifier" -> (q138 _),
     "q139_stream_classify" -> (q139 _),
-    "q140_delta_roundtrip" -> (q140 _)
+    "q140_delta_roundtrip" -> (q140 _),
+    "q141_nb_hashed" -> (q141 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────

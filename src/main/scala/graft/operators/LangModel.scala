@@ -41,7 +41,8 @@ object LangModel {
       gramTotals: Map[String, Long],
       vocab: Long,
       counts: Map[String, Array[Long]],
-      n: Int) {
+      n: Int,
+      hashBits: Int = 0) {
 
     /** ln(docs_l / total docs) — derived, so merged models re-normalize. */
     @transient lazy val lnPriors: Map[String, Double] = {
@@ -70,10 +71,32 @@ object LangModel {
         i => t.substr(i, lit(n))))
   }
 
+  /** HASHED feature bucket of a gram — the feature-hashing trick that
+    * bounds model memory at higher n-gram orders (vocab ≤ 2^bits instead
+    * of charsetⁿ), trading exactness for the standard collision risk.
+    * The hash is the first 8 md5 hex digits parsed base-16, mod 2^bits —
+    * chosen because BOTH engines compute it identically (Spark:
+    * `conv(substr(md5(g),1,8),16,10)`; DuckDB:
+    * `('0x'||substr(md5(g),1,8))::BIGINT`), so hashed TRAINING replays
+    * end-to-end in the oracle — a faster engine-private hash (xxhash64)
+    * has no DuckDB twin and would demote the gate to rows-only. */
+  def hashedBucket(g: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 30, "hashBits in [1, 30]")
+    (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % (1L << bits)).cast("string")
+  }
+
+  /** Gram feature column: raw positional n-grams, or their hashed
+    * buckets when `hashBits > 0`. */
+  private def gramExpr(textCol: Column, n: Int, hashBits: Int): Column = {
+    val gs = charNgrams(textCol, n)
+    if (hashBits <= 0) gs else transform(gs, g => hashedBucket(g, hashBits))
+  }
+
   private def gramStream(docs: DataFrame, idCols: Seq[Column], textCol: String,
-                         n: Int): DataFrame =
+                         n: Int, hashBits: Int = 0): DataFrame =
     graft.io.Parallelism.ensure(docs)
-      .select(idCols :+ explode_outer(charNgrams(col(textCol), n)).as("gram"): _*)
+      .select(idCols :+
+        explode_outer(gramExpr(col(textCol), n, hashBits)).as("gram"): _*)
       .filter(col("gram").isNotNull)
 
   /** Train on labeled documents. One distributed aggregate over the gram
@@ -81,8 +104,8 @@ object LangModel {
     * table, `maxVocab`-mass-capped deterministically — unbound in the
     * oracle configuration, where vocab ≪ the cap) leaves it. */
   def train(docs: DataFrame, textCol: String, labelCol: String,
-            n: Int = 3, maxVocab: Int = 1 << 20): NbLangModel = {
-    val grams = gramStream(docs, Seq(col(labelCol).as("__lang")), textCol, n)
+            n: Int = 3, maxVocab: Int = 1 << 20, hashBits: Int = 0): NbLangModel = {
+    val grams = gramStream(docs, Seq(col(labelCol).as("__lang")), textCol, n, hashBits)
     val counts = grams.groupBy(col("__lang"), col("gram"))
       .agg(count(lit(1)).as("cnt")).cache()
     // one pass yields both the label universe and the per-label doc
@@ -112,8 +135,20 @@ object LangModel {
       l -> table.valuesIterator.map(_(i)).sum
     }.toMap
     counts.unpersist()
-    NbLangModel(langs, docCounts, totals, table.size.toLong, table.toMap, n)
+    NbLangModel(langs, docCounts, totals, table.size.toLong, table.toMap, n, hashBits)
   }
+
+  /** Feature-hashed training — [[train]] over 2^bits hash buckets
+    * instead of raw grams. BOUNDED model memory at any n-gram order
+    * (SURVEY.md §7.4b item 3): the count table can never exceed
+    * 2^bits × L longs no matter how the corpus grows, so n ≥ 4 works
+    * without the `maxVocab` truncation cap. Collisions merge gram
+    * statistics (the standard hashing-trick trade — at n=3 with
+    * bits ≥ 20 the ~30k-gram universe is effectively collision-free,
+    * spec-asserted identical predictions to the exact model). */
+  def trainHashed(docs: DataFrame, textCol: String, labelCol: String,
+                  n: Int = 3, hashBits: Int = 12): NbLangModel =
+    train(docs, textCol, labelCol, n, maxVocab = 1 << 30, hashBits = hashBits)
 
   /** Merge two independently-trained models — the NB state (gram counts,
     * doc counts) is a MONOID, so sharded/incremental training folds
@@ -126,6 +161,8 @@ object LangModel {
     * cap truncates per shard, like any sketch-before-merge.) */
   def merge(a: NbLangModel, b: NbLangModel): NbLangModel = {
     require(a.n == b.n, s"n-gram orders differ: ${a.n} vs ${b.n}")
+    require(a.hashBits == b.hashBits,
+      s"hash widths differ: ${a.hashBits} vs ${b.hashBits}")
     val langs = (a.langs ++ b.langs).distinct.sorted
     def zeros = new Array[Long](langs.length)
     def remap(m: NbLangModel): Map[String, Array[Long]] = {
@@ -149,7 +186,8 @@ object LangModel {
     val docCounts = langs.map { l =>
       l -> (a.docCounts.getOrElse(l, 0L) + b.docCounts.getOrElse(l, 0L))
     }.toMap
-    NbLangModel(langs, docCounts, totals, merged.size.toLong, merged.toMap, a.n)
+    NbLangModel(langs, docCounts, totals, merged.size.toLong, merged.toMap, a.n,
+      a.hashBits)
   }
 
   /** Score every document against every label and keep the argmax
@@ -180,7 +218,7 @@ object LangModel {
     import org.apache.spark.sql.GraftBridge.{column, expression}
     val bc = df.sparkSession.sparkContext.broadcast(model.scoreModel)
     val scores = column(graft.functions.expressions.NbScores(
-      expression(charNgrams(col(textCol), model.n)), bc))
+      expression(gramExpr(col(textCol), model.n, model.hashBits)), bc))
     val scoredStructs = array(model.langs.zipWithIndex.map { case (l, i) =>
       struct((-(lit(model.lnPriors(l)) +
         coalesce(element_at(col("__s"), i + 1), lit(0.0)))).as("neg"),
@@ -202,7 +240,8 @@ object LangModel {
     import spark.implicits._
     val wide = model.counts.toSeq.map { case (g, cs) => (g, cs.toSeq) }
       .toDF("gram", "__cs")
-    val grams = gramStream(docs, Seq(col(idCol).as("id")), textCol, model.n)
+    val grams = gramStream(docs, Seq(col(idCol).as("id")), textCol, model.n,
+      model.hashBits)
     val joined = grams.join(broadcast(wide), Seq("gram"), "left")
     def lnTerm(l: String, i: Int): Column =
       sum(log((coalesce(element_at(col("__cs"), i + 1), lit(0L)) + 1).cast("double") /

@@ -99,6 +99,33 @@ class LangModelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("null labels"))
   }
 
+  test("trainHashed: wide buckets reproduce the exact model's predictions; narrow buckets bound vocab") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = LangModel.train(docs, "text", "lang")
+    // 2^22 buckets over a ~30k-gram universe: collisions vanish, the
+    // hashed model must land every prediction of the exact one
+    val wide = LangModel.trainHashed(docs, "text", "lang", hashBits = 22)
+    assert(wide.vocab == exact.vocab, "a 4M-bucket space collided on a 30k vocab")
+    def preds(m: LangModel.NbLangModel) =
+      LangModel.predict(docs, "doc_id", "text", m)
+        .select("id", "pred_lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(wide) == preds(exact))
+    // the memory bound is REAL: an 8-bit space caps vocab at 256 no
+    // matter the corpus, and scoring still runs end-to-end
+    val narrow = LangModel.trainHashed(docs, "text", "lang", hashBits = 8)
+    assert(narrow.vocab <= 256)
+    assert(LangModel.predict(docs, "doc_id", "text", narrow).count() == docs.count())
+    // hashed models are deterministic (content-addressed buckets)
+    val again = LangModel.trainHashed(docs, "text", "lang", hashBits = 8)
+    assert(again.counts.view.mapValues(_.toSeq).toMap ==
+      narrow.counts.view.mapValues(_.toSeq).toMap)
+    // monoid fold respects the bucket space
+    val e = intercept[IllegalArgumentException] {
+      LangModel.merge(narrow, wide)
+    }
+    assert(e.getMessage.contains("hash widths differ"))
+  }
+
   test("merge: sharded training folds to the full-corpus model exactly (monoid state)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = docs.filter(col("doc_id") % 2 === 0)

@@ -766,6 +766,23 @@ object OracleSql {
          |SELECT doc_id, pred_lang AS pred_quality, round(sc, 2) AS score
          |FROM nbest WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
+    // q142: PCM payloads synthesized sample-by-sample from (doc_id,
+    // byte-length-of-text); the engine decodes them through the JDK audio
+    // pipeline and the oracle re-derives every integer statistic from the
+    // rule — decode must invert encode exactly.
+    "q142_wav_pcm" ->
+      """WITH smp AS (SELECT doc_id,
+        |   (8000 + (doc_id % 8) * 1000)::INT AS sample_rate,
+        |   list_transform(range(0, (1 + strlen(text) % 300)::INT),
+        |     j -> ((doc_id * 131 + j * 17) % 4001 - 2000)::INT) AS ss
+        | FROM documents)
+        |SELECT doc_id, sample_rate,
+        | len(ss)::BIGINT AS n_samples,
+        | list_aggregate(ss, 'sum')::BIGINT AS sum_samples,
+        | list_aggregate(list_transform(ss, x -> abs(x)), 'max')::INT AS peak,
+        | ss[1]::INT AS first_sample,
+        | ss[len(ss)]::INT AS last_sample
+        |FROM smp ORDER BY doc_id""".stripMargin,
     // q137: WAV/AVI payloads are SYNTHESIZED from (doc_id, text) by a
     // fixed rule and parsed back from raw bytes engine-side; the oracle
     // recomputes every field from the rule — parse must invert encode.

@@ -711,6 +711,31 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL PCM sample decode (q137's header-parse taken down to the
+    * sample level): mono 16-bit payloads are SYNTHESIZED from
+    * (doc_id, text-length) by a fixed rule, encoded through
+    * [[Multimodal.WavCodec.encodeSamples]], and decoded back through the
+    * in-JDK `javax.sound.sampled` pipeline
+    * ([[Multimodal.extractAudioStats]]). The oracle recomputes every
+    * integer statistic (count, sum, peak, endpoints) analytically from
+    * the same rule — decode must invert encode sample-for-sample. */
+  private[graft] def q142(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    val wav = docs.map { case (id, text) =>
+      val n = 1 + (text.getBytes("UTF-8").length % 300)
+      val samples = Array.tabulate(n)(j => ((id * 131 + j * 17) % 4001).toInt - 2000)
+      (id, Multimodal.WavCodec.encodeSamples(
+        8000 + (id % 8).toInt * 1000, 1, samples), "audio/wav")
+    }.toDF("media_id", "bytes", "mime")
+    Multimodal.extractAudioStats(s, wav).toDF()
+      .select(col("media_id").as("doc_id"), col("sample_rate"),
+        col("n_samples"), col("sum_samples"), col("peak"),
+        col("first_sample"), col("last_sample"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Weak-supervision QUALITY classifier (CCNet-style distillation): the
     * regex heuristic labels the top/bottom quality quartiles, the NB
     * machinery trains on those weak labels, and the MODEL re-scores

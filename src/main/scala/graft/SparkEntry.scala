@@ -166,7 +166,8 @@ object SparkEntry extends QueriesRelational with QueriesPipeline
     "q138_quality_classifier" -> (q138 _),
     "q139_stream_classify" -> (q139 _),
     "q140_delta_roundtrip" -> (q140 _),
-    "q141_nb_hashed" -> (q141 _)
+    "q141_nb_hashed" -> (q141 _),
+    "q142_wav_pcm" -> (q142 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────

@@ -167,6 +167,57 @@ object Multimodal {
         "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
     }
 
+    /** 16-bit signed samples → a complete WAV payload (header +
+      * little-endian PCM data). Inverse of [[decodeSamples]]. */
+    def encodeSamples(sampleRate: Int, channels: Int,
+                      samples: Array[Int]): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        data(i * 2) = (samples(i) & 0xff).toByte
+        data(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      encodePcm(sampleRate, channels, 16, data)
+    }
+
+    /** REAL PCM sample decode through the in-JDK `javax.sound.sampled`
+      * pipeline — no external codec libs (closing the "headers only"
+      * caveat for audio; video frames stay stubbed, genuinely no libs).
+      * `AudioSystem` parses the container, validates the format chunk,
+      * and streams the data chunk; sample reassembly from the raw frame
+      * bytes (LE signed 16-bit / WAV-convention unsigned 8-bit) is
+      * explicit byte math so the spec can pin it against
+      * [[encodeSamples]] bit-for-bit. Returns (sampleRate, channels,
+      * interleaved samples). Throws on undecodable payloads — callers
+      * route per their policy, same contract as [[parse]]. */
+    def decodeSamples(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        require(bits == 8 || bits == 16, s"unsupported PCM width: $bits")
+        require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED,
+          s"not PCM: ${fmt.getEncoding}")
+        val data = ais.readAllBytes()
+        val out = new Array[Int](data.length / (bits / 8))
+        var i = 0
+        if (bits == 16) {
+          require(!fmt.isBigEndian, "WAV PCM is little-endian")
+          while (i < out.length) {
+            out(i) = ((data(i * 2) & 0xff) | (data(i * 2 + 1) << 8)).toShort.toInt
+            i += 1
+          }
+        } else {
+          // 8-bit WAV is unsigned by convention; recenter to signed
+          while (i < out.length) { out(i) = (data(i) & 0xff) - 128; i += 1 }
+        }
+        (fmt.getSampleRate.toInt, fmt.getChannels, out)
+      } finally ais.close()
+    }
+
     /** (sample_rate, channels, bits, n_samples). Throws on a non-WAV
       * payload — callers route undecodable rows per their policy. */
     def parse(bytes: Array[Byte]): (Int, Int, Int, Long) = {
@@ -246,6 +297,39 @@ object Multimodal {
       rows.map { r =>
         val (sr, ch, bits, n) = WavCodec.parse(r.bytes)
         AudioMeta(r.media_id, sr, ch, bits, n, n * 1000L / sr)
+      }
+    }
+  }
+
+  /** Decoded-sample statistics — integer-exact (sum / peak / first /
+    * last), so an oracle can replay them analytically from a synthesis
+    * rule with zero fp policy. */
+  final case class AudioStats(media_id: Long, sample_rate: Int, channels: Int,
+                              n_samples: Long, sum_samples: Long, peak: Int,
+                              first_sample: Int, last_sample: Int)
+
+  /** Batched REAL PCM decode ([[WavCodec.decodeSamples]] —
+    * `javax.sound.sampled`, in-JDK) + per-payload sample statistics.
+    * Same per-partition shape as [[extractAudioMeta]]: payload bytes
+    * never shuffle, samples never leave the task — only the fixed-width
+    * stats row does. */
+  def extractAudioStats(spark: SparkSession, media: DataFrame): Dataset[AudioStats] = {
+    import spark.implicits._
+    graft.io.Parallelism.ensure(media).as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (sr, ch, samples) = WavCodec.decodeSamples(r.bytes)
+        var sum = 0L
+        var peak = 0
+        var i = 0
+        while (i < samples.length) {
+          sum += samples(i)
+          val a = math.abs(samples(i))
+          if (a > peak) peak = a
+          i += 1
+        }
+        AudioStats(r.media_id, sr, ch, samples.length.toLong / ch, sum, peak,
+          if (samples.isEmpty) 0 else samples(0),
+          if (samples.isEmpty) 0 else samples(samples.length - 1))
       }
     }
   }

@@ -87,6 +87,40 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WavCodec: REAL javax.sound PCM decode inverts encodeSamples bit-for-bit") {
+    // mono 16-bit, full signed range incl. both extremes
+    val mono = Array(-32768, -2000, -1, 0, 1, 777, 32767)
+    val (sr, ch, got) = Multimodal.WavCodec.decodeSamples(
+      Multimodal.WavCodec.encodeSamples(8000, 1, mono))
+    assert((sr, ch) == ((8000, 1)))
+    assert(got.toSeq == mono.toSeq)
+    // stereo: interleaved order survives the frame reassembly
+    val stereo = Array(100, -100, 200, -200, 300, -300)
+    val (sr2, ch2, got2) = Multimodal.WavCodec.decodeSamples(
+      Multimodal.WavCodec.encodeSamples(44100, 2, stereo))
+    assert((sr2, ch2) == ((44100, 2)))
+    assert(got2.toSeq == stereo.toSeq)
+    // 8-bit unsigned WAV recenters to signed
+    val bytes8 = Array[Byte](0, 128.toByte, 255.toByte)
+    val wav8 = Multimodal.WavCodec.encodePcm(8000, 1, 8, bytes8)
+    assert(Multimodal.WavCodec.decodeSamples(wav8)._3.toSeq == Seq(-128, 0, 127))
+    // undecodable payloads throw, same contract as parse
+    intercept[Exception] {
+      Multimodal.WavCodec.decodeSamples("definitely not audio data at all....".getBytes)
+    }
+  }
+
+  test("extractAudioStats: batched real decode over binary columns, integer-exact statistics") {
+    val rows = Seq(
+      (1L, Multimodal.WavCodec.encodeSamples(8000, 1, Array(5, -3, 10, -10)), "audio/wav"),
+      (2L, Multimodal.WavCodec.encodeSamples(16000, 2, Array(1, 2, 3, 4)), "audio/wav"))
+    val df = spark.createDataFrame(rows).toDF("media_id", "bytes", "mime")
+    val got = Multimodal.extractAudioStats(spark, df).collect()
+      .map(a => a.media_id -> a).toMap
+    assert(got(1L) == Multimodal.AudioStats(1L, 8000, 1, 4L, 2L, 10, 5, -10))
+    assert(got(2L) == Multimodal.AudioStats(2L, 16000, 2, 2L, 10L, 4, 1, 4))
+  }
+
   test("AviCodec: avih main header round-trips; rejects non-AVI") {
     val avi = Multimodal.AviCodec.encode(640, 480, 123, 40000, Array[Byte](9, 9, 9))
     assert(Multimodal.AviCodec.parse(avi) == ((640, 480, 123, 40000L)))

@@ -707,6 +707,25 @@ object OracleSql {
          |lab AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY 1)
          |SELECT cluster_id AS doc_id, count(*)::BIGINT AS cluster_size
          |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q143: fused bucket-survivor dedup — min-id per LSH bucket is the
+    // only pairing partner (linear pair count), exact-Jaccard-verified,
+    // losers dropped. One-hop semantics: no recursion anywhere.
+    "q143_bucket_survivors" ->
+      s"""WITH $docShinglesCte,
+         |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),
+         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS mh
+         |  FROM docsh),
+         |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+         |  j -> md5(j::VARCHAR || ',' || array_to_string(mh[j*4+1:j*4+4], ',')))) AS bk FROM sig),
+         |bmin AS (SELECT bk, min(doc_id) AS min_id FROM bands GROUP BY 1),
+         |cand AS (SELECT DISTINCT m.min_id AS id_a, d.doc_id AS id_b
+         |  FROM bands d JOIN bmin m ON m.bk = d.bk AND d.doc_id > m.min_id),
+         |removed AS (SELECT DISTINCT id_b FROM cand
+         |  JOIN docsh a ON a.doc_id = id_a JOIN docsh b ON b.doc_id = id_b
+         |  WHERE $jaccardSql >= 0.3)
+         |SELECT doc_id, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id_b FROM removed)
+         |ORDER BY doc_id""".stripMargin,
     "q135_nb_langid" ->
       s"""WITH $nbLangCte
          |SELECT doc_id, pred_lang, round(sc, 2) AS score FROM nbest

@@ -319,5 +319,16 @@ private[graft] trait QueriesIndexStream extends QueryBase {
       .orderBy(col("doc_id"))
   }
 
+  /** FUSED survivor selection ([[Dedup.bucketSurvivors]]): each LSH
+    * bucket elects its min-id representative, only (representative,
+    * member) pairs are Jaccard-verified, verified losers anti-join away
+    * — OUTPUT-LINEAR where q131's pair materialization is quadratic on
+    * duplicate-heavy corpora. One-hop semantics (no transitive closure),
+    * replayed in SQL with no recursion. */
+  private[graft] def q143(s: SparkSession, dir: String): DataFrame =
+    Dedup.bucketSurvivors(T(s, dir, "documents"), "text", "doc_id", threshold = 0.3)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
 }

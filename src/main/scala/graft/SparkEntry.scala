@@ -167,7 +167,8 @@ object SparkEntry extends QueriesRelational with QueriesPipeline
     "q139_stream_classify" -> (q139 _),
     "q140_delta_roundtrip" -> (q140 _),
     "q141_nb_hashed" -> (q141 _),
-    "q142_wav_pcm" -> (q142 _)
+    "q142_wav_pcm" -> (q142 _),
+    "q143_bucket_survivors" -> (q143 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────

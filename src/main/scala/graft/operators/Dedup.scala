@@ -117,6 +117,69 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Fused SURVIVOR selection — near-dup removal whose cost is linear in
+    * the corpus even when duplicates are rampant. [[minhashNearDups]] /
+    * [[clusters]] (q28/q131) materialize every similar PAIR: on a
+    * duplicate-heavy corpus that output is C(k,2)-quadratic per clique —
+    * correct when the pairs ARE the answer, ruinous when the consumer
+    * only wants one survivor per group. Here each LSH bucket elects its
+    * minimum id and every other member pairs with THAT REPRESENTATIVE
+    * only (≤ bands·n pairs total, pigeonholed by construction), pairs are
+    * verified with the exact shingle Jaccard, and verified losers are
+    * anti-joined away.
+    *
+    * Semantics: a document is removed iff it verifies ≥ `threshold`
+    * against the smallest id sharing one of its LSH buckets — ONE hop to
+    * the representative, not q131's transitive closure. A chain
+    * a~b~c where a,c never share a bucket keeps c (b's removal does not
+    * cascade); deterministic either way, and exactly replayable in SQL
+    * with no recursion. This is the drop-all-but-one-per-bucket shape
+    * production near-dedup pipelines run at corpus scale, with the
+    * verify step making it precision-safe.
+    *
+    * Scale shape: banding as [[minhashCandidates]] (fixed-width rows);
+    * the representative election is one windowed min PARTITIONED by
+    * band key (distributed — a pathological single-text corpus puts one
+    * bucket per band, still linear work); verification shuffles
+    * id-keyed hashed-shingle arrays; survivors emerge from one id-keyed
+    * anti join. Output: the surviving input rows, unchanged. */
+  def bucketSurvivors(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val rowsPerBand = numHashes / bands
+    val banded = TextFunctions.withShingles(df, textCol, "__sh", shingleSize)
+      .withColumn("__sig", MinHash.signature(col("__sh"), numHashes))
+      .select(col(idCol).as("id"),
+        posexplode_outer(MinHash.bandKeys(col("__sig"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_key")))
+      .filter(col("band_key").isNotNull)
+    val wb = Window.partitionBy(col("band_idx"), col("band_key"))
+    val pairs = banded
+      .withColumn("__min", min(col("id")).over(wb))
+      .filter(col("id") > col("__min"))
+      .select(col("__min").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    val shingled = TextFunctions.withShingles(df, textCol, "__sh", shingleSize)
+      .select(col(idCol).as("id"), MinHash.hashedShingles(col("__sh")).as("shingles"))
+      .cache()
+    val removed = pairs
+      .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+      .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+      .withColumn("__ni", MinHash.sortedIntersectSize(col("sh_a"), col("sh_b")))
+      .filter(MinHash.jaccardFromSizes(col("__ni"), size(col("sh_a")), size(col("sh_b")))
+        >= threshold)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    df.join(removed, Seq(idCol), "left_anti")
+  }
+
   /** SimHash fingerprints per document. Tokens are materialized first —
     * the fingerprint's 60 per-bit lambdas would otherwise re-run the
     * tokenizer 60× per row. */

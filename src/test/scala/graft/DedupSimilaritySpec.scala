@@ -37,6 +37,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 >= 6L || p._2 >= 6L))
   }
 
+  test("bucketSurvivors: one representative per near-dup group survives; pair count stays linear") {
+    val out = Dedup.bucketSurvivors(docs, "text", "doc_id", threshold = 0.4)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    // 1/2/3 are a near-dup group: the min id (1) survives, 2 and 3 are
+    // removed by verified pairing with their bucket representative
+    assert(ids.contains(1L) && !ids.contains(2L) && !ids.contains(3L))
+    // dissimilar and sub-shingle docs are untouched
+    assert(Set(4L, 5L, 6L, 7L).subsetOf(ids))
+    // output carries the input row shape unchanged
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    // a 30-way duplicated clique produces at most bands·n candidate
+    // pairs (here: exactly n-1 distinct ones), never C(n,2)
+    val clique = (0 until 30).map(i => (i.toLong, base, "s1"))
+      .toDF("doc_id", "text", "source")
+    val survivors = Dedup.bucketSurvivors(clique, "text", "doc_id", threshold = 0.4)
+    assert(survivors.select("doc_id").as[Long].collect().toSeq == Seq(0L))
+  }
+
   test("ngram jaccard blocks by key: cross-block pairs never compared") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 3, 0.1)
       .select("id_a", "id_b").as[(Long, Long)].collect()

@@ -200,7 +200,11 @@ object OracleSql {
       ("q134_semantic_bc" -> oracleSqlCore("q87_semantic_neardup")) +
       // q139 classifies a document STREAM with the frozen NB model —
       // micro-batch boundaries must be invisible: q135's batch oracle.
-      ("q139_stream_classify" -> oracleSqlCore("q135_nb_langid"))
+      ("q139_stream_classify" -> oracleSqlCore("q135_nb_langid")) +
+      // q144 TRAINS through the streaming monoid sink — the committed
+      // model must equal the batch training exactly, so q135's oracle
+      // pins every prediction and score.
+      ("q144_stream_nb_train" -> oracleSqlCore("q135_nb_langid"))
 
   private lazy val oracleSqlCore: Map[String, String] = Map(
     // q140: the Delta log's append/overwrite/time-travel states derive

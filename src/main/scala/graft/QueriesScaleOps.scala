@@ -773,6 +773,35 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("doc_id"))
   }
 
+  /** STREAMING-TRAINED NB (q139's mirror image): q139 froze a
+    * batch-trained model and streamed the SCORING; here the TRAINING
+    * streams — two micro-batches of labeled documents fold through
+    * [[graft.streaming.NbStream.trainingSink]]'s versioned monoid state
+    * (crash-injected in StreamingCrashSpec), and the committed model
+    * classifies the full corpus. Pinned to q135's oracle: micro-batch
+    * boundaries must be invisible in the trained model (merge is exact),
+    * so every prediction and score replays against the BATCH training
+    * SQL. */
+  private[graft] def q144(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+    val tmp = graft.io.TempDirs.scratch("graft-q144")
+    val src = s"$tmp/src"
+    def drain(): Unit = {
+      val q = graft.streaming.NbStream.trainingSink(s,
+        s.readStream.schema(docs.schema).parquet(src),
+        "text", "lang", s"$tmp/model", s"$tmp/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    drain() // micro-batch 0: even docs
+    docs.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(src)
+    drain() // micro-batch 1: odd docs fold into the committed model
+    val model = graft.streaming.NbStream.readCurrentModel(s, s"$tmp/model")
+    operators.LangModel.predict(docs, "doc_id", "text", model)
+      .select(col("id").as("doc_id"), col("pred_lang"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Delta-format table lifecycle, end-to-end through the open
     * `_delta_log` protocol: create (partitioned by lang) → append →
     * full overwrite with a widened value, then read BOTH the latest

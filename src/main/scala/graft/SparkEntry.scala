@@ -168,7 +168,8 @@ object SparkEntry extends QueriesRelational with QueriesPipeline
     "q140_delta_roundtrip" -> (q140 _),
     "q141_nb_hashed" -> (q141 _),
     "q142_wav_pcm" -> (q142 _),
-    "q143_bucket_survivors" -> (q143 _)
+    "q143_bucket_survivors" -> (q143 _),
+    "q144_stream_nb_train" -> (q144 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────

@@ -145,6 +145,22 @@ class LangModelSpec extends AnyFunSuite {
     assert(rows(merged) == rows(full))
   }
 
+  test("NbStream model persistence: write/read round-trips the model bit-for-bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb-model").toString
+    for (m <- Seq(LangModel.train(docs, "text", "lang"),
+      LangModel.trainHashed(docs, "text", "lang", hashBits = 10))) {
+      val d = s"$dir/m${m.hashBits}"
+      graft.streaming.NbStream.writeModel(spark, m, d)
+      val back = graft.streaming.NbStream.readModel(spark, d)
+      assert(back.langs == m.langs && back.docCounts == m.docCounts &&
+        back.gramTotals == m.gramTotals && back.vocab == m.vocab &&
+        back.n == m.n && back.hashBits == m.hashBits)
+      assert(back.counts.view.mapValues(_.toSeq).toMap ==
+        m.counts.view.mapValues(_.toSeq).toMap)
+    }
+  }
+
   test("qualityWeakLabels: sampled ranking bounds the window input; labels stay quartile-shaped") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = docs.count()

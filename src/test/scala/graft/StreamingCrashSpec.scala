@@ -163,4 +163,46 @@ class StreamingCrashSpec extends AnyFunSuite {
     // sanity: the control dim actually carries SCD2 history (2 versions of key 2)
     assert(control.size == 5)
   }
+
+  test("NbStream: crash between model commit and checkpoint — replay skipped, model converges") {
+    val batchA = Seq((1L, "the cat sat on the mat with the hat", "en"),
+      (2L, "der hund lief durch den wald und bellte", "de")).toDF("doc_id", "text", "lang")
+    val batchB = Seq((3L, "the dog ran over the hill to the barn", "en"),
+      (4L, "die katze schlief auf dem warmen ofen", "de")).toDF("doc_id", "text", "lang")
+    def pipeline(dir: String, crashBatch1: Boolean): Unit = {
+      val src = s"$dir/src"
+      batchA.write.mode("append").parquet(src)
+      def run(hook: Long => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+        graft.streaming.NbStream.trainingSink(spark,
+          spark.readStream.schema(batchA.schema).parquet(src),
+          "text", "lang", s"$dir/model", s"$dir/ckpt", postCommitHook = hook)
+      val q0 = run(_ => ()); q0.processAllAvailable(); q0.stop()
+      batchB.write.mode("append").parquet(src)
+      if (crashBatch1) {
+        val (hook, fired) = crashOnce(1L)
+        expectCrash(run(hook))
+        assert(fired.get)
+        // restart: batch 1 replays against state that already folded it —
+        // the batchId guard must skip the non-idempotent merge
+      }
+      val q1 = run(_ => ()); q1.processAllAvailable(); q1.stop()
+    }
+    val ctlDir = java.nio.file.Files.createTempDirectory("graft-crash-nb-ctl").toString
+    val crashDir = java.nio.file.Files.createTempDirectory("graft-crash-nb").toString
+    pipeline(ctlDir, crashBatch1 = false)
+    pipeline(crashDir, crashBatch1 = true)
+    def model(dir: String) = graft.streaming.NbStream.readCurrentModel(spark, s"$dir/model")
+    val control = model(ctlDir)
+    val crashed = model(crashDir)
+    assert(crashed.counts.view.mapValues(_.toSeq).toMap ==
+      control.counts.view.mapValues(_.toSeq).toMap,
+      "replayed half-committed batch was re-merged into the model")
+    assert(crashed.docCounts == control.docCounts)
+    // and BOTH equal the one-shot batch model — stream ≡ batch exactly
+    val oneShot = graft.operators.LangModel.train(batchA.unionByName(batchB), "text", "lang")
+    assert(control.counts.view.mapValues(_.toSeq).toMap ==
+      oneShot.counts.view.mapValues(_.toSeq).toMap)
+    assert(control.docCounts == oneShot.docCounts &&
+      control.gramTotals == oneShot.gramTotals && control.vocab == oneShot.vocab)
+  }
 }

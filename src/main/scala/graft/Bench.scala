@@ -48,7 +48,14 @@ object Bench {
     "q130_stream_ann_index",
     "q131_dedup_survivors",
     "q135_nb_langid",
-    "q138_quality_classifier"
+    "q136_nb_curation",
+    "q137_multimodal_av",
+    "q138_quality_classifier",
+    "q139_stream_classify",
+    "q141_nb_hashed",
+    "q142_wav_pcm",
+    "q143_bucket_survivors",
+    "q144_stream_nb_train"
   )
 
   def main(args: Array[String]): Unit = {

@@ -61,7 +61,10 @@ object ScaleSmoke {
       "q124_repeated_spans", "q125_span_strip", "q126_bpe_merges",
       "q127_bpe_segment", "q128_bpe_token_counts", "q129_paragraph_neardup",
       "q131_dedup_survivors", "q132_ivf_topk_bc", "q134_semantic_bc",
-      "q135_nb_langid", "q137_multimodal_av", "q138_quality_classifier")
+      "q135_nb_langid", "q136_nb_curation", "q137_multimodal_av",
+      "q138_quality_classifier", "q139_stream_classify",
+      "q130_stream_ann_index", "q140_delta_roundtrip", "q141_nb_hashed",
+      "q142_wav_pcm", "q143_bucket_survivors", "q144_stream_nb_train")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -671,8 +671,14 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     val pred = operators.LangModel.predict(docs, "doc_id", "text", ensureNbLang(s, dir))
       .select(col("id").as("doc_id"), col("pred_lang"), col("score"))
     val scored = docs.withColumn("quality", TF.qualityScore(col("text")))
+    // agreement via NULL-SAFE equality: plain === lets the planner infer
+    // IsNotNull(pred_lang) and push it below classify's projections,
+    // where the substitution re-evaluates the NbScores fold once PER
+    // element_at — measured 16 s vs 1.4 s at sf0.1. pred_lang is never
+    // null (argmax over a non-empty label set), so <=> is semantically
+    // identical and uninferable.
     Curation.hashSplit(scored.join(pred, "doc_id"), "doc_id")
-      .filter(col("pred_lang") === col("lang") && col("quality") >= 0.55)
+      .filter(col("pred_lang") <=> col("lang") && col("quality") >= 0.55)
       .select(col("doc_id"), col("lang"), col("pred_lang"), col("score"),
         col("quality"), col("split"))
       .orderBy(col("doc_id"))
@@ -745,12 +751,17 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     val docs = T(s, dir, "documents")
     // sampleBp default = full ranking at gate scale; big corpora label a
     // deterministic hash sample instead (see qualityWeakLabels' contract)
-    val labeled = operators.LangModel.qualityWeakLabels(docs, "doc_id", "text")
-    val model = operators.LangModel.train(labeled, "text", "qlabel")
-    operators.LangModel.predict(docs, "doc_id", "text", model)
-      .select(col("id").as("doc_id"), col("pred_lang").as("pred_quality"),
-        col("score"))
-      .orderBy(col("doc_id"))
+    // cache the labeled quartiles: training reads them twice (label
+    // stats + gram aggregate), and uncached each pass re-runs the
+    // quality-regex filter pipeline (measured 7.9 s vs 1.6 s at sf0.1)
+    val labeled = operators.LangModel.qualityWeakLabels(docs, "doc_id", "text").cache()
+    try {
+      val model = operators.LangModel.train(labeled, "text", "qlabel")
+      operators.LangModel.predict(docs, "doc_id", "text", model)
+        .select(col("id").as("doc_id"), col("pred_lang").as("pred_quality"),
+          col("score"))
+        .orderBy(col("doc_id"))
+    } finally labeled.unpersist()
   }
 
   /** FROZEN-MODEL classification of a document STREAM: the NB model

@@ -54,10 +54,15 @@ object Quantiles {
         regionCnt -= cLt + cEq; need -= cLt + cEq
       }
     }
-    // distributed top-k over the (small) remaining region; max of the
-    // first `need` rows is the answer
-    region.orderBy(col("__v")).limit(need.toInt)
-      .agg(max(col("__v"))).first().get(0)
+    // distributed top-k over the (small) remaining region — from
+    // whichever END is closer, so the driver merge never carries more
+    // than half the region (k-th smallest ≡ (n−k+1)-th largest)
+    if (need <= regionCnt - need)
+      region.orderBy(col("__v")).limit(need.toInt)
+        .agg(max(col("__v"))).first().get(0)
+    else
+      region.orderBy(col("__v").desc).limit((regionCnt - need + 1).toInt)
+        .agg(min(col("__v"))).first().get(0)
   }
 
   /** Exact rank-`k` threshold PAIR under the composite order

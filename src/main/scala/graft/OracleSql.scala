@@ -217,6 +217,23 @@ object OracleSql {
         |    sum(n_chars) AS chars_v1 FROM documents GROUP BY 1)
         |SELECT lang, n_latest, chars_latest, n_v1, chars_v1
         |FROM latest JOIN v1 USING (lang) ORDER BY lang""".stripMargin,
+    // q145: the checkpointed table's two snapshots derive analytically —
+    // latest = the full corpus, v10 = all twelfth-slices but the last
+    // (the JSON prefix below the checkpoint is deleted before reading)
+    "q145_delta_checkpoint" ->
+      """WITH latest AS (SELECT lang, count(*) AS n_latest,
+        |    sum(n_chars) AS chars_latest FROM documents GROUP BY 1),
+        | v10 AS (SELECT lang, count(*) AS n_v10,
+        |    sum(n_chars) AS chars_v10 FROM documents
+        |    WHERE doc_id % 12 <> 11 GROUP BY 1)
+        |SELECT lang, n_latest, chars_latest, n_v10, chars_v10
+        |FROM latest JOIN v10 USING (lang) ORDER BY lang""".stripMargin,
+    // q146: the foreign log's final state keeps the %4==0 files (the
+    // %4==2 set is removed in commit 1) plus the odd-doc files
+    "q146_delta_foreign" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
+        |FROM documents WHERE doc_id % 4 <> 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base,

@@ -842,4 +842,111 @@ private[graft] trait QueriesScaleOps extends QueryBase {
         Seq("lang"))
       .orderBy(col("lang"))
   }
+
+  /** Delta checkpoint + log-retention lifecycle: create + 10 appends
+    * (the 10th commit fires the default interval-10 auto-checkpoint at
+    * v10), then [[graft.io.DeltaInterop.cleanupLog]] DELETES every JSON
+    * commit below the checkpoint, then one more append (v11). Both
+    * reads — latest (checkpoint + JSON tail) and time-travel v10
+    * (checkpoint alone) — must reconstruct with the log prefix gone:
+    * the only way in is the checkpoint parquet; a full JSON replay
+    * would throw on the missing files. The oracle derives both
+    * snapshots analytically (latest = the whole corpus; v10 = every
+    * twelfth-slice but the last). */
+  private[graft] def q145(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val tmp = graft.io.TempDirs.scratch("graft-q145")
+    (0 to 10).foreach { i =>
+      graft.io.DeltaInterop.writeDelta(
+        docs.filter(col("doc_id") % 12 === i), tmp, Seq("lang"))
+    }
+    require(graft.io.DeltaInterop.cleanupLog(s, tmp) == 10,
+      "expected commits 0-9 dropped below the v10 checkpoint")
+    graft.io.DeltaInterop.writeDelta(
+      docs.filter(col("doc_id") % 12 === 11), tmp, Seq("lang"))
+    val latest = graft.io.DeltaInterop.readDelta(s, tmp)
+    val v10 = graft.io.DeltaInterop.readDelta(s, tmp, Some(10L))
+    latest.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_latest"), sum(col("n_chars")).as("chars_latest"))
+      .join(v10.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_v10"), sum(col("n_chars")).as("chars_v10")),
+        Seq("lang"))
+      .orderBy(col("lang"))
+  }
+
+  /** FOREIGN-authored Delta table, consumed through
+    * [[graft.io.Readers.delta]]: the log is emitted here by hand in
+    * another engine's style — commitInfo lines first, `txn` actions,
+    * unknown extra fields, scrambled field order, adds WITHOUT stats,
+    * and a FLAT non-Hive file layout whose partition values exist only
+    * in the log (the data files don't even contain the partition
+    * column). The reader must treat the log — not the directory tree —
+    * as the source of truth, inject partition values, and honor a
+    * remove in a later commit. Final state: doc_id % 4 == 0 files from
+    * commit 0 (the % 4 == 2 set is removed) plus the odd-doc files
+    * from commit 1 ⇒ every doc with doc_id % 4 != 2. */
+  private[graft] def q146(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val docs = T(s, dir, "documents")
+    val tmp = graft.io.TempDirs.scratch("graft-q146")
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).sorted
+    // one flat file per (lang, slice), partition column DROPPED — the
+    // foreign layout scatters files at the table root
+    def writeSlice(lang: String, pred: Column, name: String): Long = {
+      val staging = s"$tmp/.stage-$name"
+      docs.filter(col("lang") === lang && pred).drop("lang")
+        .coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      require(part.length == 1)
+      val dst = Paths.get(tmp, name)
+      Files.move(part.head.toPath, dst)
+      Files.size(dst) // staging leftovers are scratch-cleaned at exit
+    }
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    def addLine(name: String, lang: String, size: Long, withStats: Boolean): String = {
+      val n = M.createObjectNode(); val a = n.putObject("add")
+      a.put("dataChange", true); a.put("size", size) // scrambled order
+      a.put("path", name); a.put("modificationTime", 1690000000000L)
+      a.putObject("partitionValues").put("lang", lang)
+      // a foreign stats blob WITHOUT numRecords — lenient parse ⇒ unknown
+      if (withStats) a.put("stats", """{"minValues":{"doc_id":1}}""")
+      a.putNull("deletionVector") // unknown-to-us field: must be ignored
+      M.writeValueAsString(n)
+    }
+    val c0 = scala.collection.mutable.ArrayBuffer[String](
+      """{"commitInfo":{"timestamp":1690000000000,"operation":"WRITE","operationParameters":{"mode":"Overwrite"},"engineInfo":"foreign-engine/9.9"}}""",
+      """{"protocol":{"minWriterVersion":2,"minReaderVersion":1}}""")
+    val md = M.createObjectNode(); val m = md.putObject("metaData")
+    m.putArray("partitionColumns").add("lang") // order ≠ our writer's
+    val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+    m.put("id", "00000000-dead-beef-0000-000000000000")
+    m.put("name", "foreign_docs"); m.put("description", "authored elsewhere")
+    m.put("schemaString", docs.schema.json)
+    m.putObject("configuration").put("delta.checkpointInterval", "10")
+    m.put("createdTime", 1690000000000L)
+    c0 += M.writeValueAsString(md)
+    val c1 = scala.collection.mutable.ArrayBuffer[String](
+      """{"commitInfo":{"timestamp":1690000001000,"operation":"MERGE","engineInfo":"foreign-engine/9.9"}}""",
+      """{"txn":{"appId":"foreign-writer","version":7,"lastUpdated":1690000001000}}""")
+    langs.foreach { lang =>
+      val kSize = writeSlice(lang, col("doc_id") % 4 === 0, s"part-k-$lang.snappy.parquet")
+      val rSize = writeSlice(lang, col("doc_id") % 4 === 2, s"part-r-$lang.snappy.parquet")
+      val oSize = writeSlice(lang, col("doc_id") % 2 === 1, s"part-o-$lang.snappy.parquet")
+      c0 += addLine(s"part-k-$lang.snappy.parquet", lang, kSize, withStats = false)
+      c0 += addLine(s"part-r-$lang.snappy.parquet", lang, rSize, withStats = false)
+      c1 += addLine(s"part-o-$lang.snappy.parquet", lang, oSize, withStats = true)
+      c1 += s"""{"remove":{"path":"part-r-$lang.snappy.parquet","deletionTimestamp":1690000002000,"dataChange":true,"extendedFileMetadata":true,"partitionValues":{"lang":"$lang"},"size":$rSize}}"""
+    }
+    val logDir = Paths.get(tmp, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve("00000000000000000000.json"),
+      (c0.mkString("\n") + "\n").getBytes("UTF-8"))
+    Files.write(logDir.resolve("00000000000000000001.json"),
+      (c1.mkString("\n") + "\n").getBytes("UTF-8"))
+    graft.io.Readers.delta(s, tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang"))
+  }
 }

@@ -169,7 +169,9 @@ object SparkEntry extends QueriesRelational with QueriesPipeline
     "q141_nb_hashed" -> (q141 _),
     "q142_wav_pcm" -> (q142 _),
     "q143_bucket_survivors" -> (q143 _),
-    "q144_stream_nb_train" -> (q144 _)
+    "q144_stream_nb_train" -> (q144 _),
+    "q145_delta_checkpoint" -> (q145 _),
+    "q146_delta_foreign" -> (q146 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────

@@ -38,9 +38,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Scale shape: the log is metadata-sized (actions, not rows); data
   * files are written once by the normal distributed write and MOVED
   * into place (rename, no copy); replaying N commits is a driver-side
-  * fold over N small JSON files. Checkpoint parquet files are not
-  * written (optional in the protocol — readers list the log; our
-  * commit counts are snapshot-publish cadence, not per-row).
+  * fold over N small JSON files. High-commit-count tables get log
+  * compaction exactly as the protocol specifies: [[checkpoint]] writes
+  * the complete replayed state as ONE parquet file
+  * (`%020d.checkpoint.parquet`, one action per row, the protocol's
+  * checkpoint schema) plus the `_last_checkpoint` pointer;
+  * [[writeDelta]] auto-checkpoints every `checkpointInterval` commits
+  * (delta-spark's cadence); [[cleanupLog]] then drops JSON commits
+  * below the checkpoint, so a reader's work is one metadata-sized
+  * parquet read + the JSON tail — never an unbounded log walk. Time
+  * travel below the last checkpoint ends when the log is cleaned
+  * (Delta's own log-retention contract).
   */
 object DeltaInterop {
 
@@ -51,10 +59,31 @@ object DeltaInterop {
 
   private def logDir(dir: String) = new Path(dir, "_delta_log")
   private def logFile(dir: String, v: Long) = new Path(logDir(dir), f"$v%020d.json")
+  private def checkpointFile(dir: String, v: Long) =
+    new Path(logDir(dir), f"$v%020d.checkpoint.parquet")
+  private def lastCheckpointFile(dir: String) =
+    new Path(logDir(dir), "_last_checkpoint")
 
   /** One live data file of a snapshot. `path` is table-root-relative. */
   final case class AddFile(path: String, partitionValues: Map[String, String],
                            size: Long, numRecords: Long, tags: Map[String, String])
+
+  // checkpoint parquet rows — the protocol's action-per-row schema
+  // (PROTOCOL.md "Checkpoints"): one nullable struct column per action
+  // type; exactly one is non-null per row
+  private[graft] case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  private[graft] case class CpFormat(provider: String, options: Map[String, String])
+  private[graft] case class CpMetaData(id: String, format: CpFormat,
+    schemaString: String, partitionColumns: Seq[String],
+    configuration: Map[String, String], createdTime: Long)
+  private[graft] case class CpAdd(path: String, partitionValues: Map[String, String],
+    size: Long, modificationTime: Long, dataChange: Boolean, stats: String,
+    tags: Map[String, String])
+  private[graft] case class CpRemove(path: String, deletionTimestamp: Long,
+    dataChange: Boolean)
+  private[graft] case class CpTxn(appId: String, version: Long, lastUpdated: Long)
+  private[graft] case class CpRow(txn: CpTxn = null, add: CpAdd = null,
+    remove: CpRemove = null, metaData: CpMetaData = null, protocol: CpProtocol = null)
 
   /** Reconstructed table state at a version. */
   final case class DeltaState(version: Long, schema: StructType,
@@ -69,7 +98,24 @@ object DeltaInterop {
       val vs = f.listStatus(ld).map(_.getPath.getName)
         .filter(n => n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit))
         .map(_.stripSuffix(".json").toLong)
-      if (vs.isEmpty) -1L else vs.max
+      val cpV = lastCheckpoint(spark, dir).map(_._1).getOrElse(-1L)
+      if (vs.isEmpty) cpV else math.max(vs.max, cpV)
+    }
+  }
+
+  /** (version, actionCount) of the last checkpoint, if one exists and
+    * its parquet file is present (a dangling pointer is ignored). */
+  def lastCheckpoint(spark: SparkSession, dir: String): Option[(Long, Long)] = {
+    val f = fs(spark, dir)
+    val p = lastCheckpointFile(dir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val n = M.readTree(txt)
+      val v = n.get("version").asLong
+      if (f.exists(checkpointFile(dir, v))) Some((v, n.path("size").asLong(-1L)))
+      else None
     }
   }
 
@@ -84,7 +130,39 @@ object DeltaInterop {
     var schema: StructType = null
     var partCols: Seq[String] = Nil
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
-    (0L to v).foreach { i =>
+    // start from the newest checkpoint at or below the requested version:
+    // one metadata-sized parquet read replaces the whole log prefix (and
+    // is the ONLY way in once cleanupLog has dropped that prefix)
+    val startV = lastCheckpoint(spark, dir).map(_._1).filter(_ <= v) match {
+      case Some(cpV) =>
+        spark.read.parquet(checkpointFile(dir, cpV).toString).collect().foreach { r =>
+          def struct(name: String): Option[org.apache.spark.sql.Row] = {
+            val i = r.fieldIndex(name)
+            if (r.isNullAt(i)) None else Some(r.getStruct(i))
+          }
+          struct("metaData").foreach { md =>
+            schema = DataType.fromJson(md.getAs[String]("schemaString")).asInstanceOf[StructType]
+            partCols = md.getSeq[String](md.fieldIndex("partitionColumns")).toList
+          }
+          struct("add").foreach { a =>
+            val stats = a.getAs[String]("stats")
+            val numRecords =
+              if (stats == null) -1L else M.readTree(stats).path("numRecords").asLong(-1L)
+            def mapOf(name: String): Map[String, String] = {
+              val i = a.fieldIndex(name)
+              if (a.isNullAt(i)) Map.empty else a.getMap[String, String](i).toMap
+            }
+            live(a.getAs[String]("path")) = AddFile(a.getAs[String]("path"),
+              mapOf("partitionValues"), a.getAs[Long]("size"), numRecords,
+              mapOf("tags"))
+          }
+          // remove rows in a checkpoint are vacuum-horizon tombstones —
+          // they carry no live-file state
+        }
+        cpV + 1
+      case None => 0L
+    }
+    (startV to v).foreach { i =>
       val p = logFile(dir, i)
       require(f.exists(p), s"missing log version $i under $dir (vacuumed past it?)")
       val in = f.open(p)
@@ -163,8 +241,74 @@ object DeltaInterop {
     * version 0; re-emits metaData when the schema WIDENS (additive
     * evolution — the same contract as the snapshot store). Returns the
     * committed version. */
+  /** Write the complete replayed state at `version` (default latest) as
+    * the protocol's checkpoint: ONE parquet file
+    * `_delta_log/%020d.checkpoint.parquet` with one action per row
+    * (protocol / metaData / add columns; remove and txn present but
+    * null — we never checkpoint inside a vacuum horizon), then point
+    * `_last_checkpoint` at it. Plain parquet + plain JSON: any Delta
+    * reader — or the stock-Spark 2-JVM smoke script — resumes from it.
+    * Returns the checkpointed version. */
+  def checkpoint(spark: SparkSession, dir: String,
+                 version: Option[Long] = None): Long = {
+    val st = state(spark, dir, version)
+    val f = fs(spark, dir)
+    val rows = Seq(
+      CpRow(protocol = CpProtocol(1, 2)),
+      CpRow(metaData = CpMetaData(
+        java.util.UUID.nameUUIDFromBytes(st.schema.json.getBytes("UTF-8")).toString,
+        CpFormat("parquet", Map.empty), st.schema.json, st.partitionColumns,
+        Map.empty, 0L))) ++
+      st.files.map { a =>
+        CpRow(add = CpAdd(a.path, a.partitionValues, a.size, 0L, dataChange = true,
+          if (a.numRecords >= 0) s"""{"numRecords":${a.numRecords}}""" else null,
+          if (a.tags.nonEmpty) a.tags else null))
+      }
+    val staging = new Path(dir, s".cp-staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    import spark.implicits._
+    spark.createDataset(rows).toDF().coalesce(1).write.parquet(staging.toString)
+    val part = f.listStatus(staging)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    require(part.length == 1, s"expected one checkpoint part file, got ${part.length}")
+    val target = checkpointFile(dir, st.version)
+    f.delete(target, false)
+    require(f.rename(part.head, target), s"rename failed: ${part.head} -> $target")
+    f.delete(staging, true)
+    val out = f.create(lastCheckpointFile(dir), true) // overwrite: latest pointer wins
+    try out.write(s"""{"version":${st.version},"size":${rows.length}}""".getBytes("UTF-8"))
+    finally out.close()
+    st.version
+  }
+
+  /** Drop JSON commits strictly below the last checkpoint (the
+    * protocol's metadata cleanup). Reads of version ≥ checkpoint are
+    * unaffected — they replay from the checkpoint; time travel below it
+    * becomes unavailable, exactly Delta's log-retention contract.
+    * Returns the number of commit files deleted. */
+  def cleanupLog(spark: SparkSession, dir: String): Int =
+    lastCheckpoint(spark, dir) match {
+      case None => 0
+      case Some((cpV, _)) =>
+        val f = fs(spark, dir)
+        val old = f.listStatus(logDir(dir)).map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit) &&
+              n.stripSuffix(".json").toLong < cpV
+          }
+        old.foreach(p => f.delete(p, false))
+        old.length
+    }
+
   def writeDelta(df: DataFrame, dir: String, partCols: Seq[String],
-                 overwrite: Boolean = false): Long = {
+                 overwrite: Boolean = false): Long =
+    writeDelta(df, dir, partCols, overwrite, checkpointInterval = 10)
+
+  /** As [[writeDelta]], with the checkpoint cadence explicit: every
+    * `checkpointInterval`-th commit also writes a checkpoint (0
+    * disables — delta-spark's `checkpointInterval` table property). */
+  def writeDelta(df: DataFrame, dir: String, partCols: Seq[String],
+                 overwrite: Boolean, checkpointInterval: Int): Long = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val prev = latestVersion(spark, dir)
@@ -196,7 +340,10 @@ object DeltaInterop {
     }
     removes.foreach(r => actions += removeJson(r))
     adds.foreach(a => actions += addJson(a))
-    commit(spark, dir, prev + 1, actions.toSeq)
+    val v = commit(spark, dir, prev + 1, actions.toSeq)
+    if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0)
+      checkpoint(spark, dir, Some(v))
+    v
   }
 
   /** Export the latest [[PartitionedSnapshotStore]] version as a Delta

@@ -41,6 +41,16 @@ object Readers {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     parquet(spark, s"$sfDir/$name.parquet")
 
+  /** Delta-format table at `version` (default latest) — any table with
+    * an open `_delta_log`, whoever authored it (graft's writer, or a
+    * foreign engine whose log carries commitInfo/txn noise, scattered
+    * non-Hive file layouts, checkpoint files; see
+    * [[DeltaInterop.readDelta]]). This is the graft-side entry for
+    * consuming tables other engines publish. */
+  def delta(spark: SparkSession, dir: String,
+            version: Option[Long] = None): DataFrame =
+    DeltaInterop.readDelta(spark, dir, version)
+
   /** Parquet files carrying TIMESTAMP(NANOS) columns, which Spark's vectorized
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as raw longs
     * (legacy conf) and convert to microsecond timestamps with exact integer

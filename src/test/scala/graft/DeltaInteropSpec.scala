@@ -100,11 +100,66 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(dv3 == dv2 && copied3 == 0)
   }
 
+  test("checkpoint: state from checkpoint ≡ full JSON replay; survives log cleanup; bounds below it") {
+    val dir = Files.createTempDirectory("graft-delta-cp").toString
+    // 6 commits, auto-checkpoint disabled — we checkpoint explicitly
+    (0 until 6).foreach { i =>
+      DeltaInterop.writeDelta(table(4).withColumn("id", col("id") + i * 10),
+        dir, Seq("part"), overwrite = false, checkpointInterval = 0)
+    }
+    val fullReplay = DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq
+    val nFiles = DeltaInterop.state(spark, dir).files.length
+    assert(DeltaInterop.lastCheckpoint(spark, dir).isEmpty)
+    assert(DeltaInterop.checkpoint(spark, dir) == 5L)
+    val (cpV, cpSize) = DeltaInterop.lastCheckpoint(spark, dir).get
+    assert(cpV == 5L && cpSize == 2 + nFiles) // protocol + metaData + adds
+    // same state through the checkpoint (it takes precedence at v>=5)
+    assert(DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq == fullReplay)
+    // cleanup drops JSON 0-4; latest still reads, tail commits still apply
+    assert(DeltaInterop.cleanupLog(spark, dir) == 5)
+    DeltaInterop.writeDelta(table(4).withColumn("id", col("id") + 60),
+      dir, Seq("part"), overwrite = false, checkpointInterval = 0)
+    val afterTail = DeltaInterop.readDelta(spark, dir)
+    assert(afterTail.count() == 28)
+    assert(DeltaInterop.readDelta(spark, dir, Some(5L)).orderBy("id").collect().toSeq == fullReplay)
+    // time travel BELOW the checkpoint is gone with the log prefix
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, dir, Some(3L))
+    }
+    assert(e.getMessage.contains("missing log version"))
+    // a second checkpoint at the new head supersedes the pointer
+    assert(DeltaInterop.checkpoint(spark, dir) == 6L)
+    assert(DeltaInterop.lastCheckpoint(spark, dir).get._1 == 6L)
+    assert(DeltaInterop.cleanupLog(spark, dir) == 1) // only v5's json is below v6
+    assert(DeltaInterop.readDelta(spark, dir).count() == 28)
+  }
+
+  test("writeDelta auto-checkpoints on the interval cadence") {
+    val dir = Files.createTempDirectory("graft-delta-autocp").toString
+    (0 until 4).foreach { i =>
+      DeltaInterop.writeDelta(table(3).withColumn("id", col("id") + i * 10),
+        dir, Seq("part"), overwrite = false, checkpointInterval = 3)
+    }
+    // commits 0,1,2,3 — the interval-3 cadence checkpoints at v3
+    assert(DeltaInterop.lastCheckpoint(spark, dir).map(_._1).contains(3L))
+    assert(DeltaInterop.cleanupLog(spark, dir) == 3)
+    assert(DeltaInterop.readDelta(spark, dir).count() == 12)
+  }
+
   test("stock spark-shell (no graft, no delta jars) reads the written table from the log alone") {
     val dir = Files.createTempDirectory("graft-delta-stock").toString
     DeltaInterop.writeDelta(table(30), dir, Seq("part"))
     DeltaInterop.writeDelta(table(30).withColumn("id", col("id") + 100), dir, Seq("part"))
     DeltaInterop.writeDelta(table(18, "b"), dir, Seq("part"), overwrite = true)
+    // a second, CHECKPOINTED table whose log prefix is deleted — the
+    // stock reader must resume from the plain-parquet checkpoint
+    val dir2 = Files.createTempDirectory("graft-delta-stock-cp").toString
+    (0 until 5).foreach { i =>
+      DeltaInterop.writeDelta(table(3).withColumn("id", col("id") + i * 10),
+        dir2, Seq("part"), overwrite = false, checkpointInterval = 3)
+    }
+    assert(DeltaInterop.cleanupLog(spark, dir2) == 3)
+    // expected: 5 commits × 3 rows; idsum = 5·(0+1+2) + 10·(0+..+4)·3
     // expected final state: 18 rows, all rev=b, id sum = 0+..+17
     val script =
       s"""
@@ -133,6 +188,37 @@ class DeltaInteropSpec extends AnyFunSuite {
          |  .select(schema.fieldNames.map(col): _*)
          |println("DELTAREAD rows=" + df.count + " revb=" + df.filter(col("rev") === "b").count +
          |  " idsum=" + df.agg(sum("id")).head.getLong(0))
+         |// table 2: resume from the _last_checkpoint parquet + JSON tail
+         |val dir2 = "$dir2"
+         |val lc = mapper.readTree(new java.io.File(dir2 + "/_delta_log/_last_checkpoint"))
+         |val cpV = lc.get("version").asLong
+         |val cpFile = dir2 + "/_delta_log/" + ("%020d".format(cpV)) + ".checkpoint.parquet"
+         |var schema2: StructType = null
+         |var partCols2: Seq[String] = Nil
+         |val live2 = scala.collection.mutable.LinkedHashSet[String]()
+         |for (r <- spark.read.parquet(cpFile).collect) {
+         |  val mi = r.fieldIndex("metaData")
+         |  if (!r.isNullAt(mi)) {
+         |    val md = r.getStruct(mi)
+         |    schema2 = DataType.fromJson(md.getAs[String]("schemaString")).asInstanceOf[StructType]
+         |    partCols2 = md.getSeq[String](md.fieldIndex("partitionColumns")).toList
+         |  }
+         |  val ai = r.fieldIndex("add")
+         |  if (!r.isNullAt(ai)) live2 += r.getStruct(ai).getAs[String]("path")
+         |}
+         |val tail2 = new java.io.File(dir2 + "/_delta_log").listFiles
+         |  .filter(f => f.getName.endsWith(".json") && f.getName.stripSuffix(".json").forall(_.isDigit))
+         |  .filter(_.getName.stripSuffix(".json").toLong > cpV).sortBy(_.getName)
+         |for (f <- tail2; line <- scala.io.Source.fromFile(f, "UTF-8").getLines if line.nonEmpty) {
+         |  val n = mapper.readTree(line)
+         |  if (n.has("add")) live2 += n.get("add").get("path").asText
+         |  else if (n.has("remove")) live2 -= n.get("remove").get("path").asText
+         |}
+         |val dataSchema2 = StructType(schema2.fields.filterNot(f => partCols2.contains(f.name)))
+         |val df2 = spark.read.option("basePath", dir2).schema(dataSchema2)
+         |  .parquet(live2.toSeq.map(p => dir2 + "/" + p): _*)
+         |  .select(schema2.fieldNames.map(col): _*)
+         |println("DELTACP rows=" + df2.count + " idsum=" + df2.agg(sum("id")).head.getLong(0))
          |sys.exit(0)
          |""".stripMargin
     val scriptFile = Files.createTempFile("delta-stock-read", ".scala")
@@ -149,5 +235,8 @@ class DeltaInteropSpec extends AnyFunSuite {
     val expectedSum = (0 until 18).sum
     assert(out.toString.contains(s"DELTAREAD rows=18 revb=18 idsum=$expectedSum"),
       s"unexpected stock-read output:\n$out")
+    val expectedSum2 = 5 * (0 + 1 + 2) + 10 * (0 + 1 + 2 + 3 + 4) * 3
+    assert(out.toString.contains(s"DELTACP rows=15 idsum=$expectedSum2"),
+      s"unexpected stock checkpoint-read output:\n$out")
   }
 }

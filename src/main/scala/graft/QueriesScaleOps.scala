@@ -671,14 +671,13 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     val pred = operators.LangModel.predict(docs, "doc_id", "text", ensureNbLang(s, dir))
       .select(col("id").as("doc_id"), col("pred_lang"), col("score"))
     val scored = docs.withColumn("quality", TF.qualityScore(col("text")))
-    // agreement via NULL-SAFE equality: plain === lets the planner infer
-    // IsNotNull(pred_lang) and push it below classify's projections,
-    // where the substitution re-evaluates the NbScores fold once PER
-    // element_at — measured 16 s vs 1.4 s at sf0.1. pred_lang is never
-    // null (argmax over a non-empty label set), so <=> is semantically
-    // identical and uninferable.
+    // plain equality is safe here: classify's outputs sit behind
+    // graft.functions.Fence, so the inferred IsNotNull(pred_lang) can no
+    // longer inline the NbScores fold below the projections (the 16 s vs
+    // 1.4 s trap this query first hit — now closed at the operator
+    // boundary for every consumer, not per call site).
     Curation.hashSplit(scored.join(pred, "doc_id"), "doc_id")
-      .filter(col("pred_lang") <=> col("lang") && col("quality") >= 0.55)
+      .filter(col("pred_lang") === col("lang") && col("quality") >= 0.55)
       .select(col("doc_id"), col("lang"), col("pred_lang"), col("score"),
         col("quality"), col("split"))
       .orderBy(col("doc_id"))

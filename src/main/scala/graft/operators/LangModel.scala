@@ -213,7 +213,17 @@ object LangModel {
     * re-evaluated per label), so it drops into batch plans and Structured
     * Streaming micro-batches alike (q139 streams documents through it,
     * exactly like the frozen IVF-PQ encode in
-    * [[graft.streaming.AnnStream]]). */
+    * [[graft.streaming.AnnStream]]).
+    *
+    * The fold and the argmax are wrapped in
+    * [[graft.functions.Fence]] so "materialized once" survives the
+    * optimizer for EVERY consumer: without it, a downstream equi-filter
+    * or join on `pred_lang` lets `InferFiltersFromConstraints` +
+    * predicate pushdown inline the whole scoring pipeline into a Filter
+    * conjunct below these projections (measured 16 s vs 1.4 s on q136
+    * before the fence — then worked around per-call-site with `<=>`).
+    * `pred_lang`/`score` stay unfenced getFields, so consumers'
+    * predicates settle cheaply just above the fence. */
   def classify(df: DataFrame, textCol: String, model: NbLangModel): DataFrame = {
     import org.apache.spark.sql.GraftBridge.{column, expression}
     val bc = df.sparkSession.sparkContext.broadcast(model.scoreModel)
@@ -224,8 +234,8 @@ object LangModel {
         coalesce(element_at(col("__s"), i + 1), lit(0.0)))).as("neg"),
         lit(l).as("lang"))
     }: _*)
-    df.withColumn("__s", scores)
-      .withColumn("__best", array_min(scoredStructs))
+    df.withColumn("__s", graft.functions.Fence(scores))
+      .withColumn("__best", graft.functions.Fence(array_min(scoredStructs)))
       .withColumn("pred_lang", col("__best.lang"))
       .withColumn("score", round(-col("__best.neg"), 2))
       .drop("__s", "__best")

@@ -234,6 +234,15 @@ object OracleSql {
       """SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
         |FROM documents WHERE doc_id % 4 <> 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q147: OPTIMIZE + VACUUM must be invisible to readers — all three
+    // physical states (pre-compact originals, compacted, post-vacuum)
+    // aggregate to the same full corpus
+    "q147_delta_optimize" ->
+      """SELECT lang,
+        | count(*) AS n_pre, sum(n_chars) AS chars_pre,
+        | count(*) AS n_opt, sum(n_chars) AS chars_opt,
+        | count(*) AS n_vac, sum(n_chars) AS chars_vac
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base,

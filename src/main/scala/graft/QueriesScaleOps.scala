@@ -948,4 +948,37 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
       .orderBy(col("lang"))
   }
+
+  /** Delta maintenance lifecycle — OPTIMIZE + VACUUM: 7 small appends
+    * fragment every `lang` partition, [[graft.io.DeltaInterop.compact]]
+    * rewrites them (one distributed job, dataChange=false swap), then
+    * checkpoint + log cleanup age the originals out and
+    * [[graft.io.DeltaInterop.vacuum]] reclaims them. The result reads
+    * the corpus THREE ways — pre-compact time travel (original files),
+    * post-compact (rewritten files), post-vacuum (originals gone) —
+    * and all three must agree with the analytic oracle: maintenance
+    * must never change what a reader sees. */
+  private[graft] def q147(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val tmp = graft.io.TempDirs.scratch("graft-q147")
+    (0 to 6).foreach { i =>
+      graft.io.DeltaInterop.writeDelta(
+        docs.filter(col("doc_id") % 7 === i), tmp, Seq("lang"))
+    }
+    def agg(df: DataFrame, n: String, c: String): DataFrame =
+      df.groupBy(col("lang")).agg(count(lit(1)).as(n), sum(col("n_chars")).as(c))
+    // materialize NOW: this snapshot's files are vacuumed below, and a
+    // lazy plan would dangle (lang-count rows — driver-trivial)
+    val preLazy = agg(graft.io.DeltaInterop.readDelta(s, tmp, Some(6L)), "n_pre", "chars_pre")
+    val pre = s.createDataFrame(
+      java.util.Arrays.asList(preLazy.collect(): _*), preLazy.schema)
+    val (_, rewritten, created) = graft.io.DeltaInterop.compact(s, tmp)
+    require(rewritten > 0 && created < rewritten, s"compaction was a no-op: $rewritten -> $created")
+    val post = agg(graft.io.DeltaInterop.readDelta(s, tmp), "n_opt", "chars_opt")
+    graft.io.DeltaInterop.checkpoint(s, tmp)
+    require(graft.io.DeltaInterop.cleanupLog(s, tmp) == 7)
+    require(graft.io.DeltaInterop.vacuum(s, tmp) == rewritten)
+    val vac = agg(graft.io.DeltaInterop.readDelta(s, tmp), "n_vac", "chars_vac")
+    pre.join(post, Seq("lang")).join(vac, Seq("lang")).orderBy(col("lang"))
+  }
 }

@@ -410,6 +410,130 @@ object DeltaInterop {
     (storeV, dv, copied)
   }
 
+  /** OPTIMIZE-style small-file compaction: live files smaller than
+    * `smallFileBytes` are rewritten into ~one file per partition and
+    * swapped in a single commit whose adds AND removes carry
+    * `dataChange = false` — readers see byte-identical data, and
+    * change-aware consumers know to skip the commit (Delta's own
+    * OPTIMIZE contract). Only partitions holding ≥ 2 small files are
+    * touched; the originals stay on disk for time travel until
+    * [[vacuum]].
+    *
+    * Scale shape: ONE distributed job rewrites every qualifying
+    * partition when the small files sit at Hive-style paths (the
+    * repartition on the partition columns routes each partition's rows
+    * to one task ⇒ one output file); non-Hive (foreign) layouts fall
+    * back to a job per partition group. The log work is metadata-sized
+    * either way. Returns (newVersion, filesRewritten, filesCreated),
+    * or (currentVersion, 0, 0) when nothing qualifies. */
+  def compact(spark: SparkSession, dir: String,
+              smallFileBytes: Long = 32L << 20): (Long, Int, Int) = {
+    val st = state(spark, dir)
+    val f = fs(spark, dir)
+    def hivePath(a: AddFile): String =
+      st.partitionColumns.map(c => s"$c=${a.partitionValues(c)}").mkString("/")
+    val groups = st.files.groupBy(_.partitionValues)
+      .map { case (_, fl) => fl.filter(_.size < smallFileBytes) }
+      .filter(_.size >= 2).toSeq
+    if (groups.isEmpty) return (st.version, 0, 0)
+    val smalls = groups.flatten
+    val dataSchema = StructType(
+      st.schema.fields.filterNot(fd => st.partitionColumns.contains(fd.name)))
+    val staging = new Path(dir, s".compact-${java.util.UUID.randomUUID().toString.take(8)}")
+    val allHive = st.partitionColumns.isEmpty ||
+      smalls.forall(a => a.path.startsWith(hivePath(a) + "/"))
+    val moved: Seq[(String, Map[String, String], Long)] =
+      if (st.partitionColumns.isEmpty) {
+        spark.read.schema(dataSchema)
+          .parquet(smalls.map(a => new Path(dir, a.path).toString): _*)
+          .coalesce(1).write.parquet(staging.toString)
+        moveStaged(f, staging, new Path(dir), Nil)
+      } else if (allHive) {
+        // one job for the whole table: partition values ride the paths,
+        // the repartition sends each partition's rows to a single task
+        val df = spark.read.option("basePath", dir).schema(dataSchema)
+          .parquet(smalls.map(a => new Path(dir, a.path).toString): _*)
+        df.repartition(st.partitionColumns.map(col): _*)
+          .write.partitionBy(st.partitionColumns: _*).parquet(staging.toString)
+        moveStaged(f, staging, new Path(dir), st.partitionColumns)
+      } else {
+        // foreign scattered layout: per-group rewrite, values from the log
+        groups.zipWithIndex.flatMap { case (fl, gi) =>
+          val pv = fl.head.partitionValues
+          val sub = new Path(staging, s"g$gi")
+          spark.read.schema(dataSchema)
+            .parquet(fl.map(a => new Path(dir, a.path).toString): _*)
+            .coalesce(1).write.parquet(sub.toString)
+          val rel = st.partitionColumns.map(c => s"$c=${pv(c)}").mkString("/")
+          f.listStatus(sub).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName).map { s0 =>
+              val name = s"$rel/compact-${java.util.UUID.randomUUID().toString.take(8)}-${s0.getPath.getName}"
+              val dst = new Path(dir, name)
+              f.mkdirs(dst.getParent)
+              require(f.rename(s0.getPath, dst), s"rename failed: ${s0.getPath} -> $dst")
+              (name, pv, s0.getLen)
+            }
+        }
+      }
+    f.delete(staging, true)
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    smalls.foreach(r => actions += removeJson(r, dataChange = false))
+    moved.foreach { case (rel, pv, size) =>
+      actions += addJson(AddFile(rel, pv, size,
+        footerRecords(spark, new Path(dir, rel)), Map.empty), dataChange = false)
+    }
+    val v = commit(spark, dir, st.version + 1, actions.toSeq)
+    (v, smalls.length, moved.length)
+  }
+
+  /** Delete data files referenced by NO retained log version — files
+    * whose every `add` has aged out of the log (a checkpoint's adds are
+    * its live set; [[cleanupLog]] drops the JSON below it). Run after
+    * compact + checkpoint + cleanup to reclaim the rewritten originals.
+    * The walk is metadata-sized: one log replay + one recursive
+    * listing; deletes never touch `_delta_log`. Returns the number of
+    * files deleted. */
+  def vacuum(spark: SparkSession, dir: String): Int = {
+    val f = fs(spark, dir)
+    val referenced = scala.collection.mutable.HashSet.empty[String]
+    // every add surviving in the retained log (checkpoint + JSON tail +
+    // any JSON prefix not yet cleaned) keeps its file reachable by some
+    // reconstructable version
+    lastCheckpoint(spark, dir).foreach { case (cpV, _) =>
+      spark.read.parquet(checkpointFile(dir, cpV).toString).collect().foreach { r =>
+        val ai = r.fieldIndex("add")
+        if (!r.isNullAt(ai)) referenced += r.getStruct(ai).getAs[String]("path")
+      }
+    }
+    f.listStatus(logDir(dir)).map(_.getPath).filter { p =>
+      val n = p.getName
+      n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit)
+    }.foreach { p =>
+      val in = f.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.filter(_.nonEmpty).foreach { line =>
+        val node = M.readTree(line)
+        if (node.has("add")) referenced += node.get("add").get("path").asText
+      }
+    }
+    var deleted = 0
+    def walk(p: Path, rel: List[String]): Unit =
+      f.listStatus(p).foreach { s0 =>
+        val name = s0.getPath.getName
+        if (name == "_delta_log" || name.startsWith(".") || name.startsWith("_")) ()
+        else if (s0.isDirectory) walk(s0.getPath, rel :+ name)
+        else if (name.endsWith(".parquet") &&
+                 !referenced.contains((rel :+ name).mkString("/"))) {
+          f.delete(s0.getPath, false)
+          deleted += 1
+        }
+      }
+    walk(new Path(dir), Nil)
+    deleted
+  }
+
   // ---- internals ----
 
   /** Atomic put-if-absent commit of one log version. */
@@ -484,7 +608,7 @@ object DeltaInterop {
     M.writeValueAsString(n)
   }
 
-  private def addJson(a: AddFile): String = {
+  private def addJson(a: AddFile, dataChange: Boolean = true): String = {
     val n = M.createObjectNode()
     val add = n.putObject("add")
     add.put("path", a.path)
@@ -492,7 +616,7 @@ object DeltaInterop {
     a.partitionValues.toSeq.sortBy(_._1).foreach { case (k, v) => pv.put(k, v) }
     add.put("size", a.size)
     add.put("modificationTime", 0L)
-    add.put("dataChange", true)
+    add.put("dataChange", dataChange)
     if (a.numRecords >= 0) {
       val stats = M.createObjectNode()
       stats.put("numRecords", a.numRecords)
@@ -505,12 +629,12 @@ object DeltaInterop {
     M.writeValueAsString(n)
   }
 
-  private def removeJson(a: AddFile): String = {
+  private def removeJson(a: AddFile, dataChange: Boolean = true): String = {
     val n = M.createObjectNode()
     val rm = n.putObject("remove")
     rm.put("path", a.path)
     rm.put("deletionTimestamp", 0L)
-    rm.put("dataChange", true)
+    rm.put("dataChange", dataChange)
     M.writeValueAsString(n)
   }
 

@@ -63,13 +63,25 @@ object LangModel {
   }
 
   /** Character n-grams of the normalized text (lowercase, collapsed
-    * whitespace), one per position — occurrences, not a set. */
-  def charNgrams(textCol: Column, n: Int): Column = {
-    val t = TF.normalizeText(textCol)
-    when(length(t) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
-        i => t.substr(i, lit(n))))
-  }
+    * whitespace), one per position — occurrences, not a set.
+    *
+    * NOTE for plan authors: this inlines the normalization INTO the
+    * substr lambda — fine for specs/small frames, but a hot path must
+    * materialize the normalized text first ([[charNgramsOfNorm]]):
+    * higher-order-function lambdas re-evaluate their subtrees once per
+    * ELEMENT, so the normalize regex runs ~|text| times per document
+    * here (the repo-wide HOF-nesting trap; measured 64 s vs 9 s at ×10
+    * on the classify path). */
+  def charNgrams(textCol: Column, n: Int): Column =
+    charNgramsOfNorm(TF.normalizeText(textCol), n)
+
+  /** [[charNgrams]] over an ALREADY-materialized normalized-text
+    * column: the lambda's substr references an attribute, so the
+    * per-element work is one substring — nothing re-evaluates. */
+  def charNgramsOfNorm(norm: Column, n: Int): Column =
+    when(length(norm) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(norm) - (n - 1)),
+        i => norm.substr(i, lit(n))))
 
   /** HASHED feature bucket of a gram — the feature-hashing trick that
     * bounds model memory at higher n-gram orders (vocab ≤ 2^bits instead
@@ -85,18 +97,21 @@ object LangModel {
     (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % (1L << bits)).cast("string")
   }
 
-  /** Gram feature column: raw positional n-grams, or their hashed
-    * buckets when `hashBits > 0`. */
-  private def gramExpr(textCol: Column, n: Int, hashBits: Int): Column = {
-    val gs = charNgrams(textCol, n)
+  /** Gram feature column over materialized normalized text: raw
+    * positional n-grams, or their hashed buckets when `hashBits > 0`. */
+  private def gramExprOfNorm(norm: Column, n: Int, hashBits: Int): Column = {
+    val gs = charNgramsOfNorm(norm, n)
     if (hashBits <= 0) gs else transform(gs, g => hashedBucket(g, hashBits))
   }
 
   private def gramStream(docs: DataFrame, idCols: Seq[Column], textCol: String,
                          n: Int, hashBits: Int = 0): DataFrame =
     graft.io.Parallelism.ensure(docs)
+      // normalize ONCE per document into a real (fenced) column — never
+      // inside the gram lambda (see charNgrams)
+      .withColumn("__nrm", graft.functions.Fence(TF.normalizeText(col(textCol))))
       .select(idCols :+
-        explode_outer(gramExpr(col(textCol), n, hashBits)).as("gram"): _*)
+        explode_outer(gramExprOfNorm(col("__nrm"), n, hashBits)).as("gram"): _*)
       .filter(col("gram").isNotNull)
 
   /** Train on labeled documents. One distributed aggregate over the gram
@@ -228,17 +243,21 @@ object LangModel {
     import org.apache.spark.sql.GraftBridge.{column, expression}
     val bc = df.sparkSession.sparkContext.broadcast(model.scoreModel)
     val scores = column(graft.functions.expressions.NbScores(
-      expression(gramExpr(col(textCol), model.n, model.hashBits)), bc))
+      expression(gramExprOfNorm(col("__nrm"), model.n, model.hashBits)), bc))
     val scoredStructs = array(model.langs.zipWithIndex.map { case (l, i) =>
       struct((-(lit(model.lnPriors(l)) +
         coalesce(element_at(col("__s"), i + 1), lit(0.0)))).as("neg"),
         lit(l).as("lang"))
     }: _*)
-    df.withColumn("__s", graft.functions.Fence(scores))
+    // normalize ONCE into a fenced column: nested in the gram lambda the
+    // regex re-runs per ELEMENT — ~|text| evaluations per document
+    // (measured 64 s vs 9 s at ×10 for this exact path)
+    df.withColumn("__nrm", graft.functions.Fence(TF.normalizeText(col(textCol))))
+      .withColumn("__s", graft.functions.Fence(scores))
       .withColumn("__best", graft.functions.Fence(array_min(scoredStructs)))
       .withColumn("pred_lang", col("__best.lang"))
       .withColumn("score", round(-col("__best.neg"), 2))
-      .drop("__s", "__best")
+      .drop("__nrm", "__s", "__best")
   }
 
   /** The join formulation of [[predict]] — gram stream ⟕ broadcast
@@ -298,7 +317,13 @@ object LangModel {
     val sampled =
       if (sampleBp == 10000) docs
       else docs.filter(Curation.hashBucket(col(idCol), 10000) < sampleBp)
-    val quality = graft.functions.TextFunctions.qualityScore(col(textCol))
+    // Fence both materializations of the quality score: the threshold
+    // frame's isNotNull and the labeling filter's 4-term OR each
+    // reference the column several times, and without the fence the
+    // optimizer inlines the whole regex pipeline once PER reference
+    // (measured 250 s vs ~80 s at ×100 — the scoring pass ran ~4×)
+    val quality = graft.functions.Fence(
+      graft.functions.TextFunctions.qualityScore(col(textCol)))
     val qf = sampled
       .select(col(idCol).as("__id"), quality.as("__q"))
       .filter(col("__q").isNotNull).cache()
@@ -326,6 +351,6 @@ object LangModel {
         .withColumn("quality", quality)
         .filter(lo || hi)
         .withColumn("qlabel", when(hi, lit("hi")).otherwise(lit("lo")))
-    } finally qf.unpersist()
+    } finally qf.unpersist() // labeled output is cached by callers
   }
 }

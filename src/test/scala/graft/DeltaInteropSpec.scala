@@ -146,6 +146,38 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(DeltaInterop.readDelta(spark, dir).count() == 12)
   }
 
+  test("compact rewrites small files per partition with dataChange=false; vacuum reclaims originals") {
+    val dir = Files.createTempDirectory("graft-delta-opt").toString
+    // 5 appends × 4 partitions ⇒ ≥ 5 small files per partition
+    (0 until 5).foreach { i =>
+      DeltaInterop.writeDelta(table(8).withColumn("id", col("id") + i * 10),
+        dir, Seq("part"), overwrite = false, checkpointInterval = 0)
+    }
+    val before = DeltaInterop.state(spark, dir)
+    val preCompact = DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq
+    val (v, rewritten, created) = DeltaInterop.compact(spark, dir)
+    assert(v == 5L && rewritten == before.files.length && created < rewritten,
+      s"v=$v rewritten=$rewritten created=$created of ${before.files.length}")
+    assert(DeltaInterop.state(spark, dir).files.length == created)
+    // byte-identical data, and the swap is flagged dataChange=false
+    assert(DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq == preCompact)
+    val logLines = scala.io.Source.fromFile(
+      s"$dir/_delta_log/00000000000000000005.json", "UTF-8").getLines().toList
+    assert(logLines.nonEmpty && logLines.forall(_.contains("\"dataChange\":false")))
+    // originals stay for time travel until vacuumed
+    assert(DeltaInterop.readDelta(spark, dir, Some(4L)).orderBy("id").collect().toSeq == preCompact)
+    // vacuum with the adds still in retained log: deletes nothing
+    assert(DeltaInterop.vacuum(spark, dir) == 0)
+    // age the originals out of the log, then reclaim them
+    DeltaInterop.checkpoint(spark, dir)
+    assert(DeltaInterop.cleanupLog(spark, dir) == 5)
+    assert(DeltaInterop.vacuum(spark, dir) == rewritten)
+    assert(DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq == preCompact)
+    // a second compact finds nothing to do (single file per partition)
+    val (v2, r2, c2) = DeltaInterop.compact(spark, dir)
+    assert(v2 == 5L && r2 == 0 && c2 == 0)
+  }
+
   test("stock spark-shell (no graft, no delta jars) reads the written table from the log alone") {
     val dir = Files.createTempDirectory("graft-delta-stock").toString
     DeltaInterop.writeDelta(table(30), dir, Seq("part"))

@@ -90,12 +90,16 @@ object TextFunctions {
   }
 
   /** Blended quality score. Weights are arbitrary but fixed; what matters is
-    * determinism and that each feature is a meaningful filter signal. */
+    * determinism and that each feature is a meaningful filter signal.
+    * Fenced at the definition: every consumer filters or re-references
+    * the score, and without the fence each pushed/inferred predicate
+    * re-inlines the four regex-count pipelines per reference
+    * ([[Fence]] — the q136/q138 lesson applied at the source). */
   def qualityScore(c: Column): Column =
-    alphaRatio(c) * 0.5 +
+    Fence(alphaRatio(c) * 0.5 +
       (lit(1.0) - punctRatio(c)) * 0.2 +
       (lit(1.0) - digitRatio(c)) * 0.2 +
-      least(tokenCount(c).cast("double") / 100.0, lit(1.0)) * 0.1
+      least(tokenCount(c).cast("double") / 100.0, lit(1.0)) * 0.1)
 
   /** Language-ID heuristic: per-language stopword-hit counts + a CJK
     * character count; argmax with a fixed tie-break order (zh, en, de, es,

@@ -317,13 +317,12 @@ object LangModel {
     val sampled =
       if (sampleBp == 10000) docs
       else docs.filter(Curation.hashBucket(col(idCol), 10000) < sampleBp)
-    // Fence both materializations of the quality score: the threshold
-    // frame's isNotNull and the labeling filter's 4-term OR each
-    // reference the column several times, and without the fence the
-    // optimizer inlines the whole regex pipeline once PER reference
-    // (measured 250 s vs ~80 s at ×100 — the scoring pass ran ~4×)
-    val quality = graft.functions.Fence(
-      graft.functions.TextFunctions.qualityScore(col(textCol)))
+    // qualityScore is fenced at its definition: the threshold frame's
+    // isNotNull and the labeling filter's 4-term OR each reference the
+    // column several times, and without the fence the optimizer inlined
+    // the whole regex pipeline once PER reference (measured 250 s vs
+    // ~80 s at ×100 — the scoring pass ran ~4×)
+    val quality = graft.functions.TextFunctions.qualityScore(col(textCol))
     val qf = sampled
       .select(col(idCol).as("__id"), quality.as("__q"))
       .filter(col("__q").isNotNull).cache()

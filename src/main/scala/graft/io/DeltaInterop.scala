@@ -304,47 +304,105 @@ object DeltaInterop {
                  overwrite: Boolean = false): Long =
     writeDelta(df, dir, partCols, overwrite, checkpointInterval = 10)
 
+  /** [[writeDelta]] with optimistic-concurrency retry — Delta's
+    * transaction contract. An APPEND never logically conflicts with a
+    * concurrent commit (its staged files are fresh names, its adds
+    * remove nothing), so on a version collision it REBASES: re-read the
+    * head, re-validate the (possibly evolved) schema, re-commit the
+    * same staged files at the new version — the data is written once,
+    * only the metadata attempt repeats. An OVERWRITE's remove-set is
+    * invalidated by any concurrent commit, so it fails fast to the
+    * caller (delta-spark's ProtocolChangedException/
+    * ConcurrentWriteException split, collapsed to the append case we
+    * actually run at scale). Retries are bounded; the put-if-absent
+    * commit keeps every outcome corruption-free regardless. */
+  def writeDeltaResilient(df: DataFrame, dir: String, partCols: Seq[String],
+                          maxRetries: Int = 10): Long = {
+    val spark = df.sparkSession
+    val adds = stageData(df, dir, partCols) // written ONCE
+    var attempt = 0
+    while (true) {
+      try return attemptCommit(spark, dir, partCols, df.schema, adds,
+        overwrite = false, checkpointInterval = 10)
+      catch {
+        case e: IllegalStateException
+          if e.getMessage.contains("concurrent Delta commit") =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"append lost $maxRetries version races under $dir", e)
+      }
+    }
+    -1L // unreachable
+  }
+
   /** As [[writeDelta]], with the checkpoint cadence explicit: every
     * `checkpointInterval`-th commit also writes a checkpoint (0
     * disables — delta-spark's `checkpointInterval` table property). */
   def writeDelta(df: DataFrame, dir: String, partCols: Seq[String],
                  overwrite: Boolean, checkpointInterval: Int): Long = {
     val spark = df.sparkSession
+    val adds = stageData(df, dir, partCols)
+    attemptCommit(spark, dir, partCols, df.schema, adds, overwrite,
+      checkpointInterval)
+  }
+
+  /** Distributed write into a staging dir, then RENAME the files into
+    * place under fresh unique names (no copy). The files are invisible
+    * to readers until a commit references them; if the commit never
+    * happens they are unreferenced and [[vacuum]] reclaims them. */
+  private def stageData(df: DataFrame, dir: String,
+                        partCols: Seq[String]): Seq[AddFile] = {
+    val spark = df.sparkSession
     val f = fs(spark, dir)
+    val staging = new Path(dir, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    if (partCols.isEmpty) df.write.parquet(staging.toString)
+    else df.write.partitionBy(partCols: _*).parquet(staging.toString)
+    moveStaged(f, staging, new Path(dir), partCols).map { case (rel, pv, size) =>
+      AddFile(rel, pv, size, footerRecords(spark, new Path(dir, rel)), Map.empty)
+    }
+  }
+
+  /** One optimistic commit attempt for already-staged files: read the
+    * head, validate, commit at head+1. Throws the put-if-absent
+    * version-conflict `IllegalStateException` if another writer won the
+    * version — the staged data files remain valid for a rebase. */
+  private def attemptCommit(spark: SparkSession, dir: String,
+                            partCols: Seq[String], schema: StructType,
+                            adds: Seq[AddFile], overwrite: Boolean,
+                            checkpointInterval: Int): Long = {
     val prev = latestVersion(spark, dir)
     val prevState = if (prev >= 0) Some(state(spark, dir)) else None
     prevState.foreach { st =>
       require(st.partitionColumns == partCols,
         s"partition columns ${partCols.mkString(",")} != table's ${st.partitionColumns.mkString(",")}")
-      val missing = st.schema.fieldNames.filterNot(df.schema.fieldNames.contains)
+      val missing = st.schema.fieldNames.filterNot(schema.fieldNames.contains)
       require(missing.isEmpty,
         s"schema evolution is additive-only; missing columns: ${missing.mkString(",")}")
-    }
-    // distributed write into a staging dir, then RENAME files into place
-    val staging = new Path(dir, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
-    if (partCols.isEmpty) df.write.parquet(staging.toString)
-    else df.write.partitionBy(partCols: _*).parquet(staging.toString)
-    val moved = moveStaged(f, staging, new Path(dir), partCols)
-    val adds = moved.map { case (rel, pv, size) =>
-      AddFile(rel, pv, size, footerRecords(spark, new Path(dir, rel)), Map.empty)
     }
     val removes = if (overwrite) prevState.map(_.files).getOrElse(Nil) else Nil
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     if (prev < 0) {
       actions += protocolJson()
-      actions += metaDataJson(df.schema, partCols)
-    } else if (df.schema.fieldNames.exists(n => !prevState.get.schema.fieldNames.contains(n))) {
+      actions += metaDataJson(schema, partCols)
+    } else if (schema.fieldNames.exists(n => !prevState.get.schema.fieldNames.contains(n))) {
       val widened = StructType(prevState.get.schema.fields ++
-        df.schema.fields.filterNot(fd => prevState.get.schema.fieldNames.contains(fd.name)))
+        schema.fields.filterNot(fd => prevState.get.schema.fieldNames.contains(fd.name)))
       actions += metaDataJson(widened, partCols)
     }
     removes.foreach(r => actions += removeJson(r))
     adds.foreach(a => actions += addJson(a))
+    preCommitHook() // test seam: a racing writer lands exactly here
     val v = commit(spark, dir, prev + 1, actions.toSeq)
     if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0)
       checkpoint(spark, dir, Some(v))
     v
   }
+
+  /** Test-only interleaving seam (the StreamingCrashSpec pattern):
+    * invoked between the head read and the put-if-absent commit, where
+    * a concurrent writer's commit causes the version race. */
+  @volatile private[graft] var preCommitHook: () => Unit = () => ()
 
   /** Export the latest [[PartitionedSnapshotStore]] version as a Delta
     * commit — INCREMENTALLY: only partitions whose manifest data dir

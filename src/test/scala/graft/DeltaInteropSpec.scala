@@ -146,6 +146,50 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(DeltaInterop.readDelta(spark, dir).count() == 12)
   }
 
+  test("writeDeltaResilient rebases an append that loses the version race; data staged once") {
+    val dir = Files.createTempDirectory("graft-delta-rebase").toString
+    DeltaInterop.writeDelta(table(8), dir, Seq("part")) // v0
+    // a racing writer lands BETWEEN our head read and our commit —
+    // deterministically, via the pre-commit seam (guarded: the
+    // interloper's own commit must not re-fire it)
+    var fired = false
+    DeltaInterop.preCommitHook = () =>
+      if (!fired) {
+        fired = true
+        DeltaInterop.writeDelta(
+          table(4).withColumn("id", col("id") + 500), dir, Seq("part"))
+      }
+    try {
+      val v = DeltaInterop.writeDeltaResilient(
+        table(8).withColumn("id", col("id") + 100), dir, Seq("part"))
+      assert(v == 2L, s"expected rebase onto the interloper's v1, got $v")
+    } finally DeltaInterop.preCommitHook = () => ()
+    assert(fired)
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.count() == 20) // 8 original + 4 interloper + 8 rebased
+    assert(t.filter(col("id") >= 500).count() == 4)
+    assert(t.filter(col("id") >= 100 && col("id") < 500).count() == 8)
+    // every staged file is referenced — the rebase reused the one
+    // staging instead of re-writing (no orphans for vacuum to reclaim)
+    assert(DeltaInterop.vacuum(spark, dir) == 0)
+    // an OVERWRITE that loses the race fails fast instead of silently
+    // clobbering the interloper's commit
+    var fired2 = false
+    DeltaInterop.preCommitHook = () =>
+      if (!fired2) {
+        fired2 = true
+        DeltaInterop.writeDelta(
+          table(2).withColumn("id", col("id") + 900), dir, Seq("part"))
+      }
+    try {
+      val e = intercept[IllegalStateException] {
+        DeltaInterop.writeDelta(table(3, "c"), dir, Seq("part"), overwrite = true)
+      }
+      assert(e.getMessage.contains("concurrent Delta commit"))
+    } finally DeltaInterop.preCommitHook = () => ()
+    assert(DeltaInterop.readDelta(spark, dir).filter(col("id") >= 900).count() == 2)
+  }
+
   test("compact rewrites small files per partition with dataChange=false; vacuum reclaims originals") {
     val dir = Files.createTempDirectory("graft-delta-opt").toString
     // 5 appends × 4 partitions ⇒ ≥ 5 small files per partition

@@ -24,23 +24,30 @@ object OracleSql {
     * id order stepped through the recursive fill; the final relation is
     * `p(grp, doc_id, n_tokens, rn, pack_id, fill, pack_pos)`. Callers
     * prefix with `WITH RECURSIVE`. */
-  private lazy val packReplayCte =
-    """d AS (
-      |  SELECT grp, doc_id, n_tokens,
-      |    row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
-      |  FROM (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 8 AS grp, doc_id,
+  /** Greedy-pack replay over ANY (doc_id, n_tokens) source — the
+    * recursion is the same whether counts come from the regex heuristic
+    * (q94/q111) or the trained BPE segmentation (q148). */
+  private def packReplayCteFrom(countsSql: String): String =
+    s"""d AS (
+       |  SELECT grp, doc_id, n_tokens,
+       |    row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+       |  FROM (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 8 AS grp, doc_id,
+       |    n_tokens FROM ($countsSql))),
+       |p AS (
+       |  SELECT grp, doc_id, n_tokens, rn, 0::BIGINT AS pack_id, n_tokens AS fill, 0 AS pack_pos
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.grp, d.doc_id, d.n_tokens, d.rn,
+       |    CASE WHEN p.fill + d.n_tokens > 400 THEN p.pack_id + 1 ELSE p.pack_id END,
+       |    CASE WHEN p.fill + d.n_tokens > 400 THEN d.n_tokens ELSE p.fill + d.n_tokens END,
+       |    CASE WHEN p.fill + d.n_tokens > 400 THEN 0 ELSE p.pack_pos + 1 END
+       |  FROM p JOIN d ON d.grp = p.grp AND d.rn = p.rn + 1)""".stripMargin
+
+  private lazy val packReplayCte = packReplayCteFrom(
+    """SELECT doc_id,
       |    (CASE WHEN length(trim(text)) = 0 THEN 0
       |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS n_tokens
-      |    FROM documents)),
-      |p AS (
-      |  SELECT grp, doc_id, n_tokens, rn, 0::BIGINT AS pack_id, n_tokens AS fill, 0 AS pack_pos
-      |  FROM d WHERE rn = 1
-      |  UNION ALL
-      |  SELECT d.grp, d.doc_id, d.n_tokens, d.rn,
-      |    CASE WHEN p.fill + d.n_tokens > 400 THEN p.pack_id + 1 ELSE p.pack_id END,
-      |    CASE WHEN p.fill + d.n_tokens > 400 THEN d.n_tokens ELSE p.fill + d.n_tokens END,
-      |    CASE WHEN p.fill + d.n_tokens > 400 THEN 0 ELSE p.pack_pos + 1 END
-      |  FROM p JOIN d ON d.grp = p.grp AND d.rn = p.rn + 1)""".stripMargin
+      |    FROM documents""".stripMargin)
 
   /** Winnowing replay (q96/q108 shared prefix): tokens → positional
     * 5-grams → 32-bit md5 hashes → per-window (w=4) rightmost-min
@@ -243,6 +250,21 @@ object OracleSql {
         | count(*) AS n_opt, sum(n_chars) AS chars_opt,
         | count(*) AS n_vac, sum(n_chars) AS chars_vac
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // q148: q94's greedy pack recursion fed by q128's TRAINED-vocab
+    // token counts — the full batch-assembly path (tokenizer → budget
+    // fill) replayed end-to-end: BPE training chain, per-doc subword
+    // counts, then the same non-associative pack recurrence.
+    "q148_bpe_packing" ->
+      s"""WITH RECURSIVE $bpeCteChain,
+         |bstream AS (SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array($normSql, ' ')) AS word
+         |    FROM documents) WHERE len(word) > 0),
+         |bcounts AS (SELECT t.doc_id, sum(len(w.syms))::BIGINT AS n_tokens
+         |  FROM bstream t JOIN ws8 w USING (word) GROUP BY t.doc_id),
+         |${packReplayCteFrom("SELECT doc_id, n_tokens FROM bcounts")}
+         |SELECT grp::INT AS grp, doc_id, n_tokens::INT AS n_tokens, pack_id,
+         | pack_pos::INT AS pack_pos
+         |FROM p ORDER BY doc_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base,

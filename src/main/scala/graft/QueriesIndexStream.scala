@@ -330,5 +330,22 @@ private[graft] trait QueriesIndexStream extends QueryBase {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Training-batch assembly with the REAL tokenizer: the trained BPE
+    * segmentation's per-document subword counts ([[operators.Bpe
+    * .tokenCounts]], q128) feed the greedy budget packer
+    * ([[operators.Packer.packGreedy]], q94) — the end-to-end
+    * "tokenize, then fill 400-token batches" path a training pipeline
+    * runs, where q94 stood in with the regex heuristic. Counts ride
+    * the word⋈broadcast-vocab join map-side; packing is the one
+    * grp-keyed exchange. Empty documents have no words, hence no
+    * tokens, hence no pack slot — same on both engines. */
+  private[graft] def q148(s: SparkSession, dir: String): DataFrame = {
+    val (_, words) = ensureBpe(s, dir)
+    val counts = operators.Bpe.tokenCounts(T(s, dir, "documents"), "doc_id", "text", words)
+    operators.Packer.packGreedy(counts, "doc_id", "n_bpe_tokens", budget = 400, numGroups = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
 }

@@ -172,7 +172,8 @@ object SparkEntry extends QueriesRelational with QueriesPipeline
     "q144_stream_nb_train" -> (q144 _),
     "q145_delta_checkpoint" -> (q145 _),
     "q146_delta_foreign" -> (q146 _),
-    "q147_delta_optimize" -> (q147 _)
+    "q147_delta_optimize" -> (q147 _),
+    "q148_bpe_packing" -> (q148 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────

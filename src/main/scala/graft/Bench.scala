@@ -55,7 +55,8 @@ object Bench {
     "q141_nb_hashed",
     "q142_wav_pcm",
     "q143_bucket_survivors",
-    "q144_stream_nb_train"
+    "q144_stream_nb_train",
+    "q149_video_frames"
   )
 
   def main(args: Array[String]): Unit = {

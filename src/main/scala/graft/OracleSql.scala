@@ -250,6 +250,25 @@ object OracleSql {
         | count(*) AS n_opt, sum(n_chars) AS chars_opt,
         | count(*) AS n_vac, sum(n_chars) AS chars_vac
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // q149: per-frame channel sums and endpoint bytes derive analytically
+    // from the synthesis rule (sequential unnests — DuckDB zips parallel
+    // ones); decode must invert the padded DIB encode pixel-for-pixel
+    "q149_video_frames" ->
+      """WITH d AS (SELECT doc_id, 8 + (doc_id % 3) * 2 AS w,
+        |    4 + (doc_id % 2) * 2 AS h, 1 + (doc_id % 3) AS nf FROM documents),
+        |f AS (SELECT doc_id, w, h, unnest(range(nf)) AS frame_idx FROM d),
+        |fr AS (SELECT doc_id, w, h, frame_idx, unnest(range(h)) AS s FROM f),
+        |px AS (SELECT doc_id, w, h, frame_idx, s, unnest(range(w)) AS x FROM fr),
+        |v AS (SELECT doc_id, frame_idx, w, h,
+        |    (doc_id * 7 + frame_idx * 13 + s * 5 + x * 3) AS base FROM px)
+        |SELECT doc_id, frame_idx::INT AS frame_idx,
+        | sum(base % 256)::BIGINT AS sum_b,
+        | sum((base + 11) % 256)::BIGINT AS sum_g,
+        | sum((base + 22) % 256)::BIGINT AS sum_r,
+        | ((doc_id * 7 + frame_idx * 13) % 256)::INT AS first_byte,
+        | ((doc_id * 7 + frame_idx * 13 + (h - 1) * 5 + (w - 1) * 3 + 22) % 256)::INT AS last_byte
+        |FROM v GROUP BY doc_id, frame_idx, w, h
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // q148: q94's greedy pack recursion fed by q128's TRAINED-vocab
     // token counts — the full batch-assembly path (tokenizer → budget
     // fill) replayed end-to-end: BPE training chain, per-doc subword

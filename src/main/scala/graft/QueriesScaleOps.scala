@@ -741,6 +741,48 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL video frame decode (q142's sample-level contract applied to
+    * video): uncompressed-DIB AVIs are SYNTHESIZED frame-by-frame from
+    * a fixed per-pixel rule over (doc_id, frame, stored-row, col),
+    * encoded through [[Multimodal.AviCodec.encodeFrames]] (real `movi`
+    * list, 4-byte row padding), and decoded back pixel-for-pixel by
+    * [[Multimodal.extractVideoFrameStats]]. The oracle recomputes every
+    * channel sum and endpoint byte analytically from the same rule —
+    * decode must invert encode across varying widths (stride padding 0
+    * and 2 both occur) or the hash breaks. */
+  private[graft] def q149(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents").select(col("doc_id")).as[Long]
+    val avi = docs.map { id =>
+      val w = 8 + (id % 3).toInt * 2 // 8, 10, 12 → stride pad 0/2/0
+      val h = 4 + (id % 2).toInt * 2
+      val nf = 1 + (id % 3).toInt
+      val stride = Multimodal.AviCodec.frameStride(w)
+      val frames = (0 until nf).map { f =>
+        val a = new Array[Byte](stride * h)
+        var sRow = 0
+        while (sRow < h) {
+          var x = 0
+          while (x < w) {
+            val base = id * 7 + f * 13 + sRow * 5 + x * 3
+            val p = sRow * stride + x * 3
+            a(p) = (base % 256).toByte
+            a(p + 1) = ((base + 11) % 256).toByte
+            a(p + 2) = ((base + 22) % 256).toByte
+            x += 1
+          }
+          sRow += 1
+        }
+        a
+      }
+      (id, Multimodal.AviCodec.encodeFrames(w, h, 40000, frames), "video/avi")
+    }.toDF("media_id", "bytes", "mime")
+    Multimodal.extractVideoFrameStats(s, avi).toDF()
+      .select(col("media_id").as("doc_id"), col("frame_idx"), col("sum_b"),
+        col("sum_g"), col("sum_r"), col("first_byte"), col("last_byte"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Weak-supervision QUALITY classifier (CCNet-style distillation): the
     * regex heuristic labels the top/bottom quality quartiles, the NB
     * machinery trains on those weak labels, and the MODEL re-scores

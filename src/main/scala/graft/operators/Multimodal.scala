@@ -269,6 +269,53 @@ object Multimodal {
       "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
     }
 
+    /** Uncompressed-DIB AVI with a REAL `movi` list: one `00db` chunk
+      * per frame holding raw BGR rows padded to 4-byte stride — the
+      * standard raw-video AVI frame layout, encodable and decodable
+      * with no codec library at all. Lossless, so frame decode is
+      * analytically oracle-able (q149), unlike the MJPEG route whose
+      * lossy coefficients have no SQL twin. `frames` must each be
+      * exactly `stride(width) * height` bytes. */
+    def frameStride(width: Int): Int = ((width * 3 + 3) / 4) * 4
+
+    def encodeFrames(width: Int, height: Int, usPerFrame: Int,
+                     frames: Seq[Array[Byte]]): Array[Byte] = {
+      val stride = frameStride(width)
+      require(frames.forall(_.length == stride * height),
+        s"each frame must be stride($stride)*height($height) bytes")
+      val movi = "movi".getBytes("US-ASCII") ++ frames.flatMap { f =>
+        // stride is a multiple of 4 ⇒ chunk sizes are even, no pad byte
+        "00db".getBytes("US-ASCII") ++ le32(f.length) ++ f
+      }
+      encode(width, height, frames.length, usPerFrame,
+        "LIST".getBytes("US-ASCII") ++ le32(movi.length) ++ movi)
+    }
+
+    /** The raw frame payloads of the `movi` list, in stream order.
+      * Chunk sizes are validated (a corrupt size fails fast instead of
+      * hanging the walk — the WavCodec hostile-payload lesson). */
+    def decodeFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+      var m = 12
+      while (m + 4 <= bytes.length &&
+             new String(bytes.slice(m, m + 4), "US-ASCII") != "movi") m += 1
+      require(m + 4 <= bytes.length, "no movi list found")
+      val out = Seq.newBuilder[Array[Byte]]
+      var o = m + 4
+      var done = false
+      while (!done && o + 8 <= bytes.length) {
+        val fourcc = new String(bytes.slice(o, o + 4), "US-ASCII")
+        val sz = rd32(bytes, o + 4)
+        // Long arithmetic: a hostile size near Int.MaxValue overflows the
+        // Int sum to negative and sails through the bound check
+        require(sz >= 0 && o.toLong + 8L + sz <= bytes.length,
+          s"corrupt $fourcc chunk size $sz at offset $o")
+        if (fourcc == "00db") out += bytes.slice(o + 8, o + 8 + sz)
+        else done = true // movi frames are contiguous in this layout
+        o += 8 + sz + (sz & 1)
+      }
+      out.result()
+    }
+
     /** (width, height, n_frames, us_per_frame). Throws on non-AVI. */
     def parse(bytes: Array[Byte]): (Int, Int, Int, Long) = {
       require(bytes.length >= 12 &&
@@ -341,6 +388,42 @@ object Multimodal {
       rows.map { r =>
         val (w, h, nf, uspf) = AviCodec.parse(r.bytes)
         VideoMeta(r.media_id, w, h, nf, uspf, nf * uspf / 1000L)
+      }
+    }
+  }
+
+  /** One row per DECODED frame: exact per-channel pixel sums plus the
+    * first/last stored bytes. */
+  final case class FrameStats(media_id: Long, frame_idx: Int, sum_b: Long,
+                              sum_g: Long, sum_r: Long, first_byte: Int,
+                              last_byte: Int)
+
+  /** REAL per-frame pixel decode of uncompressed-DIB AVIs
+    * ([[AviCodec.decodeFrames]]): integer-exact channel sums per frame,
+    * skipping the 4-byte row padding — the point where "video stays
+    * behind the codec boundary" stops being true for the raw-frame
+    * layout (JPEG/H.26x frames remain stubbed: lossy, no SQL twin).
+    * Batched per partition; payload bytes never shuffle. */
+  def extractVideoFrameStats(spark: SparkSession, media: DataFrame): Dataset[FrameStats] = {
+    import spark.implicits._
+    graft.io.Parallelism.ensure(media).as[MediaRow].flatMap { r =>
+      val (w, h, _, _) = AviCodec.parse(r.bytes)
+      val stride = AviCodec.frameStride(w)
+      AviCodec.decodeFrames(r.bytes).zipWithIndex.map { case (f, i) =>
+        require(f.length == stride * h, s"frame $i size ${f.length} != $stride*$h")
+        var sb = 0L; var sg = 0L; var sr = 0L
+        var s = 0
+        while (s < h) {
+          var x = 0
+          while (x < w) {
+            val p = s * stride + x * 3
+            sb += f(p) & 0xff; sg += f(p + 1) & 0xff; sr += f(p + 2) & 0xff
+            x += 1
+          }
+          s += 1
+        }
+        FrameStats(r.media_id, i, sb, sg, sr, f(0) & 0xff,
+          f((h - 1) * stride + (w - 1) * 3 + 2) & 0xff)
       }
     }
   }

@@ -129,6 +129,36 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("AviCodec: movi frame chunks round-trip raw padded DIB frames; corrupt sizes fail fast") {
+    val w = 10; val h = 3 // stride 32: 2 pad bytes per row
+    val stride = Multimodal.AviCodec.frameStride(w)
+    assert(stride == 32)
+    val frames = (0 until 4).map(f =>
+      Array.tabulate(stride * h)(i => ((f * 31 + i) % 251).toByte))
+    val avi = Multimodal.AviCodec.encodeFrames(w, h, 40000, frames)
+    // header reflects the frame count; payload decodes byte-for-byte
+    assert(Multimodal.AviCodec.parse(avi) == ((w, h, 4, 40000L)))
+    val back = Multimodal.AviCodec.decodeFrames(avi)
+    assert(back.length == 4)
+    assert(back.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    // wrong-size frames are rejected at encode
+    intercept[IllegalArgumentException] {
+      Multimodal.AviCodec.encodeFrames(w, h, 40000, Seq(new Array[Byte](7)))
+    }
+    // a corrupted chunk size aborts the walk instead of hanging/overreading
+    val corrupt = avi.clone()
+    val moviAt = avi.indexOfSlice("movi".getBytes("US-ASCII"))
+    // first 00db's size field (movi fourcc + frame fourcc = 8 bytes in)
+    corrupt(moviAt + 8) = 0xff.toByte
+    corrupt(moviAt + 9) = 0xff.toByte
+    corrupt(moviAt + 10) = 0xff.toByte
+    corrupt(moviAt + 11) = 0x7f.toByte
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.AviCodec.decodeFrames(corrupt)
+    }
+    assert(e.getMessage.contains("corrupt"))
+  }
+
   test("audio/video metadata extraction: batched parse over binary columns, durations derived") {
     val wavRows = Seq(
       (1L, Multimodal.WavCodec.encodePcm(8000, 1, 16, new Array[Byte](16000)), "audio/wav"),

@@ -250,6 +250,12 @@ object OracleSql {
         | count(*) AS n_opt, sum(n_chars) AS chars_opt,
         | count(*) AS n_vac, sum(n_chars) AS chars_vac
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // q150: the exactly-once streaming sink's table must hold the corpus
+    // EXACTLY once — the full-stream replay is dropped by the txn
+    // watermark, else every count doubles
+    "q150_delta_stream" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q149: per-frame channel sums and endpoint bytes derive analytically
     // from the synthesis rule (sequential unnests — DuckDB zips parallel
     // ones); decode must invert the padded DIB encode pixel-for-pixel

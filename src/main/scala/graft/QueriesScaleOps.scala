@@ -991,6 +991,36 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("lang"))
   }
 
+  /** Structured Streaming → Delta table, exactly-once
+    * ([[graft.streaming.DeltaStream]]): two micro-batches append through
+    * `txn`-stamped commits, then the WHOLE stream replays on a fresh
+    * checkpoint (the at-least-once delivery case) — the table's txn
+    * watermark must drop the replay or every count doubles and the hash
+    * breaks. The final table is read back through the ordinary Delta
+    * reader; oracle = the full corpus. */
+  private[graft] def q150(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q150")
+    val src = s"$tmp/src"
+    val table = s"$tmp/table"
+    def drain(ck: String): Unit = {
+      val q = graft.streaming.DeltaStream.sink(s,
+        s.readStream.schema(docs.schema).parquet(src),
+        table, Seq("lang"), "graft-q150", ck)
+      try q.processAllAvailable() finally q.stop()
+    }
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    drain(s"$tmp/ckpt") // batch 0: even docs
+    docs.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(src)
+    drain(s"$tmp/ckpt") // batch 1: odd docs
+    drain(s"$tmp/ckpt-replay") // full at-least-once replay: watermark drops it
+    graft.io.Readers.delta(s, table)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Delta maintenance lifecycle — OPTIMIZE + VACUUM: 7 small appends
     * fragment every `lang` partition, [[graft.io.DeltaInterop.compact]]
     * rewrites them (one distributed job, dataChange=false swap), then

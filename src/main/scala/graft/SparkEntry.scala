@@ -174,7 +174,8 @@ object SparkEntry extends QueriesRelational with QueriesPipeline
     "q146_delta_foreign" -> (q146 _),
     "q147_delta_optimize" -> (q147 _),
     "q148_bpe_packing" -> (q148 _),
-    "q149_video_frames" -> (q149 _)
+    "q149_video_frames" -> (q149 _),
+    "q150_delta_stream" -> (q150 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────

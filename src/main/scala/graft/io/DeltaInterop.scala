@@ -85,9 +85,13 @@ object DeltaInterop {
   private[graft] case class CpRow(txn: CpTxn = null, add: CpAdd = null,
     remove: CpRemove = null, metaData: CpMetaData = null, protocol: CpProtocol = null)
 
-  /** Reconstructed table state at a version. */
+  /** Reconstructed table state at a version. `txns` is the protocol's
+    * application-transaction watermark map (appId → highest committed
+    * txn version) — the exactly-once handshake a streaming writer uses
+    * to recognize an already-committed micro-batch on replay. */
   final case class DeltaState(version: Long, schema: StructType,
-                              partitionColumns: Seq[String], files: Seq[AddFile])
+                              partitionColumns: Seq[String], files: Seq[AddFile],
+                              txns: Map[String, Long] = Map.empty)
 
   /** Latest committed version, or -1 for no table. */
   def latestVersion(spark: SparkSession, dir: String): Long = {
@@ -130,6 +134,7 @@ object DeltaInterop {
     var schema: StructType = null
     var partCols: Seq[String] = Nil
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val txns = scala.collection.mutable.HashMap.empty[String, Long]
     // start from the newest checkpoint at or below the requested version:
     // one metadata-sized parquet read replaces the whole log prefix (and
     // is the ONLY way in once cleanupLog has dropped that prefix)
@@ -155,6 +160,11 @@ object DeltaInterop {
             live(a.getAs[String]("path")) = AddFile(a.getAs[String]("path"),
               mapOf("partitionValues"), a.getAs[Long]("size"), numRecords,
               mapOf("tags"))
+          }
+          struct("txn").foreach { t =>
+            val app = t.getAs[String]("appId")
+            val tv = t.getAs[Long]("version")
+            txns(app) = math.max(txns.getOrElse(app, Long.MinValue), tv)
           }
           // remove rows in a checkpoint are vacuum-horizon tombstones —
           // they carry no live-file state
@@ -188,11 +198,16 @@ object DeltaInterop {
             jsonMap(a.get("partitionValues")), a.get("size").asLong, numRecords, tags)
         } else if (node.has("remove")) {
           live.remove(node.get("remove").get("path").asText)
+        } else if (node.has("txn")) {
+          val t = node.get("txn")
+          val app = t.get("appId").asText
+          val tv = t.get("version").asLong
+          txns(app) = math.max(txns.getOrElse(app, Long.MinValue), tv)
         } // protocol / commitInfo lines carry no state we enforce
       }
     }
     require(schema != null, s"log under $dir has no metaData action")
-    DeltaState(v, schema, partCols, live.values.toSeq)
+    DeltaState(v, schema, partCols, live.values.toSeq, txns.toMap)
   }
 
   /** Read the table at `version` (default latest) as a DataFrame with
@@ -259,6 +274,9 @@ object DeltaInterop {
         java.util.UUID.nameUUIDFromBytes(st.schema.json.getBytes("UTF-8")).toString,
         CpFormat("parquet", Map.empty), st.schema.json, st.partitionColumns,
         Map.empty, 0L))) ++
+      st.txns.toSeq.sortBy(_._1).map { case (app, tv) =>
+        CpRow(txn = CpTxn(app, tv, 0L))
+      } ++
       st.files.map { a =>
         CpRow(add = CpAdd(a.path, a.partitionValues, a.size, 0L, dataChange = true,
           if (a.numRecords >= 0) s"""{"numRecords":${a.numRecords}}""" else null,
@@ -370,7 +388,8 @@ object DeltaInterop {
   private def attemptCommit(spark: SparkSession, dir: String,
                             partCols: Seq[String], schema: StructType,
                             adds: Seq[AddFile], overwrite: Boolean,
-                            checkpointInterval: Int): Long = {
+                            checkpointInterval: Int,
+                            txn: Option[(String, Long)] = None): Long = {
     val prev = latestVersion(spark, dir)
     val prevState = if (prev >= 0) Some(state(spark, dir)) else None
     prevState.foreach { st =>
@@ -390,6 +409,7 @@ object DeltaInterop {
         schema.fields.filterNot(fd => prevState.get.schema.fieldNames.contains(fd.name)))
       actions += metaDataJson(widened, partCols)
     }
+    txn.foreach { case (app, tv) => actions += txnJson(app, tv) }
     removes.foreach(r => actions += removeJson(r))
     adds.foreach(a => actions += addJson(a))
     preCommitHook() // test seam: a racing writer lands exactly here
@@ -466,6 +486,57 @@ object DeltaInterop {
       if (actions.isEmpty) prev // nothing changed — no empty commit
       else commit(spark, deltaDir, prev + 1, actions.toSeq)
     (storeV, dv, copied)
+  }
+
+  /** Idempotent append — the protocol's application-transaction
+    * handshake: the commit carries a `txn` action stamping (appId,
+    * txnVersion), and a table whose watermark for `appId` is already at
+    * or past `txnVersion` SKIPS the write entirely. This is Delta's
+    * exactly-once contract for streaming micro-batches: a batch
+    * replayed after a crash (committed to the table but not yet to the
+    * engine's own checkpoint) is recognized and dropped instead of
+    * double-counted. Loses of the version race rebase like
+    * [[writeDeltaResilient]]; a racing DUPLICATE of the same txn is
+    * caught on re-read and its staged files are cleaned up. Returns the
+    * table version holding (or already holding) the batch. */
+  def appendOnce(df: DataFrame, dir: String, partCols: Seq[String],
+                 appId: String, txnVersion: Long, maxRetries: Int = 10): Long = {
+    val spark = df.sparkSession
+    def committedAt(): Option[Long] = {
+      val prev = latestVersion(spark, dir)
+      if (prev < 0) None
+      else {
+        val st = state(spark, dir)
+        if (st.txns.get(appId).exists(_ >= txnVersion)) Some(st.version) else None
+      }
+    }
+    committedAt() match {
+      case Some(v) => return v // replayed batch: nothing staged, nothing written
+      case None    => ()
+    }
+    val adds = stageData(df, dir, partCols)
+    var attempt = 0
+    while (true) {
+      try return attemptCommit(spark, dir, partCols, df.schema, adds,
+        overwrite = false, checkpointInterval = 10,
+        txn = Some((appId, txnVersion)))
+      catch {
+        case e: IllegalStateException
+          if e.getMessage.contains("concurrent Delta commit") =>
+          committedAt() match {
+            case Some(v) => // a duplicate writer won: drop our staged files
+              val f = fs(spark, dir)
+              adds.foreach(a => f.delete(new Path(dir, a.path), false))
+              return v
+            case None =>
+              attempt += 1
+              if (attempt > maxRetries)
+                throw new IllegalStateException(
+                  s"append lost $maxRetries version races under $dir", e)
+          }
+      }
+    }
+    -1L // unreachable
   }
 
   /** OPTIMIZE-style small-file compaction: live files smaller than
@@ -684,6 +755,15 @@ object DeltaInterop {
       val tags = add.putObject("tags")
       a.tags.toSeq.sortBy(_._1).foreach { case (k, v) => tags.put(k, v) }
     }
+    M.writeValueAsString(n)
+  }
+
+  private def txnJson(appId: String, version: Long): String = {
+    val n = M.createObjectNode()
+    val t = n.putObject("txn")
+    t.put("appId", appId)
+    t.put("version", version)
+    t.put("lastUpdated", 0L)
     M.writeValueAsString(n)
   }
 

@@ -65,6 +65,37 @@ class StreamingCrashSpec extends AnyFunSuite {
     assert(state()(3L) == ((2L, 3.0)))
   }
 
+  test("DeltaStream: crash between table commit and checkpoint — txn watermark drops the replay") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crash-delta").toString
+    val src = s"$tmp/src"
+    val table = s"$tmp/table"
+    Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "name", "part")
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(hook: Long => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      graft.streaming.DeltaStream.sink(spark,
+        spark.readStream.schema(schema).parquet(src),
+        table, Seq("part"), "graft-crash-delta", s"$tmp/ckpt", postCommitHook = hook)
+    // batch 0 lands in the TABLE, then the query dies before Spark's
+    // checkpoint records the offset — the at-least-once window
+    val (hook, fired) = crashOnce(0L)
+    expectCrash(run(hook))
+    assert(fired.get, "crash hook never fired")
+    assert(graft.io.DeltaInterop.readDelta(spark, table).count() == 2)
+    // restart: batch 0 REPLAYS; the txn watermark (appId, batchId=0) is
+    // already committed, so the table must not double-count
+    Seq((3L, "c", 0)).toDF("id", "name", "part").write.mode("append").parquet(src)
+    val q2 = run(_ => ()); q2.processAllAvailable(); q2.stop()
+    val t = graft.io.DeltaInterop.readDelta(spark, table)
+    assert(t.count() == 3, "replayed micro-batch was double-committed")
+    assert(t.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // the replayed batch's txn is visible to any Delta reader
+    val st = graft.io.DeltaInterop.state(spark, table)
+    assert(st.txns.get("graft-crash-delta").exists(_ >= 1L))
+    // no orphan files left behind by the replay (it skipped pre-staging)
+    assert(graft.io.DeltaInterop.vacuum(spark, table) == 0)
+  }
+
   test("AggStream: retainVersions keeps a deeper laggard-reader window") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-retain").toString
     val updates = s"$tmp/updates"

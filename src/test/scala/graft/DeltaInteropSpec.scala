@@ -190,6 +190,30 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(DeltaInterop.readDelta(spark, dir).filter(col("id") >= 900).count() == 2)
   }
 
+  test("txn watermark survives checkpoint + log cleanup: old-batch replays stay dropped") {
+    val dir = Files.createTempDirectory("graft-delta-txncp").toString
+    (0 until 3).foreach { b =>
+      DeltaInterop.appendOnce(table(4).withColumn("id", col("id") + b * 10),
+        dir, Seq("part"), "appA", b)
+    }
+    assert(DeltaInterop.readDelta(spark, dir).count() == 12)
+    // age the whole JSON history into a checkpoint
+    DeltaInterop.checkpoint(spark, dir)
+    assert(DeltaInterop.cleanupLog(spark, dir) == 2)
+    assert(DeltaInterop.state(spark, dir).txns == Map("appA" -> 2L))
+    // a replay of batch 1 — its txn action now lives ONLY in the
+    // checkpoint — must still be recognized and dropped
+    val v = DeltaInterop.appendOnce(table(4).withColumn("id", col("id") + 10),
+      dir, Seq("part"), "appA", 1L)
+    assert(DeltaInterop.readDelta(spark, dir).count() == 12, "replay double-committed")
+    assert(v == DeltaInterop.latestVersion(spark, dir))
+    // a different app's batches are independent watermarks
+    DeltaInterop.appendOnce(table(2).withColumn("id", col("id") + 100),
+      dir, Seq("part"), "appB", 0L)
+    assert(DeltaInterop.readDelta(spark, dir).count() == 14)
+    assert(DeltaInterop.state(spark, dir).txns == Map("appA" -> 2L, "appB" -> 0L))
+  }
+
   test("compact rewrites small files per partition with dataChange=false; vacuum reclaims originals") {
     val dir = Files.createTempDirectory("graft-delta-opt").toString
     // 5 appends × 4 partitions ⇒ ≥ 5 small files per partition

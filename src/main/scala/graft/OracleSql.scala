@@ -256,6 +256,15 @@ object OracleSql {
     "q150_delta_stream" ->
       """SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q151: the stats-pruned range read must equal the plain BETWEEN —
+    // bounds recomputed with the same integer arithmetic
+    "q151_delta_skipping" ->
+      """WITH b AS (SELECT min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 10 AS lo,
+        |    min(o_orderkey) + 3 * ((max(o_orderkey) - min(o_orderkey)) // 10) AS hi
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders, b WHERE o_orderkey BETWEEN lo AND hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q149: per-frame channel sums and endpoint bytes derive analytically
     // from the synthesis rule (sequential unnests — DuckDB zips parallel
     // ones); decode must invert the padded DIB encode pixel-for-pixel

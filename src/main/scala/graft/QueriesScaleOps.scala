@@ -1021,6 +1021,32 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("lang"))
   }
 
+  /** LOG-LEVEL data skipping ([[graft.io.DeltaInterop.filesInRange]]):
+    * orders land in a Delta table range-partitioned on the key, so each
+    * file's log stats carry a disjoint key range; a 20%-of-keyspace
+    * range read must prune files from the stats ALONE (enforced — the
+    * query aborts if every file survives) and still aggregate exactly.
+    * The bounds derive from min/max with integer arithmetic so the
+    * DuckDB oracle computes the identical window at any scale. */
+  private[graft] def q151(s: SparkSession, dir: String): DataFrame = {
+    val orders = T(s, dir, "orders")
+    val tmp = graft.io.TempDirs.scratch("graft-q151")
+    graft.io.DeltaInterop.writeDelta(
+      orders.repartitionByRange(8, col("o_orderkey")), tmp, Nil)
+    val mm = orders.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val lo = mn + (mx - mn) / 10
+    val hi = mn + 3 * ((mx - mn) / 10)
+    val st = graft.io.DeltaInterop.state(s, tmp)
+    val hit = graft.io.DeltaInterop.filesInRange(st, "o_orderkey", lo.toDouble, hi.toDouble)
+    require(hit.length < st.files.length,
+      s"data skipping did not engage: ${hit.length} of ${st.files.length} files")
+    graft.io.DeltaInterop.readDeltaRange(s, tmp, "o_orderkey", lo.toDouble, hi.toDouble)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Delta maintenance lifecycle — OPTIMIZE + VACUUM: 7 small appends
     * fragment every `lang` partition, [[graft.io.DeltaInterop.compact]]
     * rewrites them (one distributed job, dataChange=false swap), then

@@ -175,7 +175,8 @@ object SparkEntry extends QueriesRelational with QueriesPipeline
     "q147_delta_optimize" -> (q147 _),
     "q148_bpe_packing" -> (q148 _),
     "q149_video_frames" -> (q149 _),
-    "q150_delta_stream" -> (q150 _)
+    "q150_delta_stream" -> (q150 _),
+    "q151_delta_skipping" -> (q151 _)
   )
 
   // ───────────────────────── DuckDB oracle SQL ──────────────────────────

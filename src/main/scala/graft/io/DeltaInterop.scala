@@ -64,9 +64,13 @@ object DeltaInterop {
   private def lastCheckpointFile(dir: String) =
     new Path(logDir(dir), "_last_checkpoint")
 
-  /** One live data file of a snapshot. `path` is table-root-relative. */
+  /** One live data file of a snapshot. `path` is table-root-relative.
+    * `stats` is the raw Delta stats JSON when present (numRecords +
+    * per-column minValues/maxValues — the log-level data-skipping
+    * index); `numRecords` is its parsed convenience view. */
   final case class AddFile(path: String, partitionValues: Map[String, String],
-                           size: Long, numRecords: Long, tags: Map[String, String])
+                           size: Long, numRecords: Long, tags: Map[String, String],
+                           stats: String = null)
 
   // checkpoint parquet rows — the protocol's action-per-row schema
   // (PROTOCOL.md "Checkpoints"): one nullable struct column per action
@@ -159,7 +163,7 @@ object DeltaInterop {
             }
             live(a.getAs[String]("path")) = AddFile(a.getAs[String]("path"),
               mapOf("partitionValues"), a.getAs[Long]("size"), numRecords,
-              mapOf("tags"))
+              mapOf("tags"), stats)
           }
           struct("txn").foreach { t =>
             val app = t.getAs[String]("appId")
@@ -190,12 +194,15 @@ object DeltaInterop {
           val tags =
             if (a.has("tags") && !a.get("tags").isNull) jsonMap(a.get("tags"))
             else Map.empty[String, String]
+          val statsRaw =
+            if (a.has("stats") && !a.get("stats").isNull) a.get("stats").asText
+            else null
           val numRecords =
-            if (a.has("stats") && !a.get("stats").isNull)
-              M.readTree(a.get("stats").asText).path("numRecords").asLong(-1L)
-            else -1L
+            if (statsRaw == null) -1L
+            else M.readTree(statsRaw).path("numRecords").asLong(-1L)
           live(a.get("path").asText) = AddFile(a.get("path").asText,
-            jsonMap(a.get("partitionValues")), a.get("size").asLong, numRecords, tags)
+            jsonMap(a.get("partitionValues")), a.get("size").asLong, numRecords,
+            tags, statsRaw)
         } else if (node.has("remove")) {
           live.remove(node.get("remove").get("path").asText)
         } else if (node.has("txn")) {
@@ -218,8 +225,11 @@ object DeltaInterop {
     * otherwise files are grouped by partition tuple and unioned
     * (generic tables written by other engines may scatter files). */
   def readDelta(spark: SparkSession, dir: String,
-                version: Option[Long] = None): DataFrame = {
-    val st = state(spark, dir, version)
+                version: Option[Long] = None): DataFrame =
+    readFiles(spark, dir, state(spark, dir, version))
+
+  private def readFiles(spark: SparkSession, dir: String,
+                        st: DeltaState): DataFrame = {
     if (st.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)
@@ -278,9 +288,12 @@ object DeltaInterop {
         CpRow(txn = CpTxn(app, tv, 0L))
       } ++
       st.files.map { a =>
+        val stats =
+          if (a.stats != null) a.stats
+          else if (a.numRecords >= 0) s"""{"numRecords":${a.numRecords}}"""
+          else null
         CpRow(add = CpAdd(a.path, a.partitionValues, a.size, 0L, dataChange = true,
-          if (a.numRecords >= 0) s"""{"numRecords":${a.numRecords}}""" else null,
-          if (a.tags.nonEmpty) a.tags else null))
+          stats, if (a.tags.nonEmpty) a.tags else null))
       }
     val staging = new Path(dir, s".cp-staging-${java.util.UUID.randomUUID().toString.take(8)}")
     import spark.implicits._
@@ -377,7 +390,8 @@ object DeltaInterop {
     if (partCols.isEmpty) df.write.parquet(staging.toString)
     else df.write.partitionBy(partCols: _*).parquet(staging.toString)
     moveStaged(f, staging, new Path(dir), partCols).map { case (rel, pv, size) =>
-      AddFile(rel, pv, size, footerRecords(spark, new Path(dir, rel)), Map.empty)
+      val (rows, stats) = footerStats(spark, new Path(dir, rel))
+      AddFile(rel, pv, size, rows, Map.empty, stats)
     }
   }
 
@@ -473,8 +487,9 @@ object DeltaInterop {
             f.mkdirs(dst.getParent)
             FileUtil.copy(srcFs, st.getPath, f, dst, false, spark.sparkContext.hadoopConfiguration)
             copied += 1
+            val (rows, stats) = footerStats(spark, dst)
             actions += addJson(AddFile(rel, Map(partCol -> key), st.getLen,
-              footerRecords(spark, dst), Map("graftSrc" -> srcDir)))
+              rows, Map("graftSrc" -> srcDir), stats))
           }
       }
     }
@@ -608,8 +623,9 @@ object DeltaInterop {
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     smalls.foreach(r => actions += removeJson(r, dataChange = false))
     moved.foreach { case (rel, pv, size) =>
-      actions += addJson(AddFile(rel, pv, size,
-        footerRecords(spark, new Path(dir, rel)), Map.empty), dataChange = false)
+      val (rows, stats) = footerStats(spark, new Path(dir, rel))
+      actions += addJson(AddFile(rel, pv, size, rows, Map.empty, stats),
+        dataChange = false)
     }
     val v = commit(spark, dir, st.version + 1, actions.toSeq)
     (v, smalls.length, moved.length)
@@ -716,6 +732,91 @@ object DeltaInterop {
     try r.getRecordCount finally r.close()
   }
 
+  /** Delta stats blob from the parquet footer: numRecords plus min/max
+    * for top-level NUMERIC columns — the log-level data-skipping index
+    * ([[filesInRange]]). Strings are deliberately skipped: writers may
+    * truncate binary min/max, and a truncated bound could prune a file
+    * that matches. Metadata-only read. */
+  private def footerStats(spark: SparkSession, p: Path): (Long, String) = {
+    import org.apache.parquet.column.statistics._
+    import scala.jdk.CollectionConverters._
+    val in = HadoopInputFile.fromPath(p, spark.sparkContext.hadoopConfiguration)
+    val r = ParquetFileReader.open(in)
+    try {
+      val rows = r.getRecordCount
+      val minL = scala.collection.mutable.LinkedHashMap.empty[String, Either[Long, Double]]
+      val maxL = scala.collection.mutable.LinkedHashMap.empty[String, Either[Long, Double]]
+      def fold(name: String, mn: Either[Long, Double], mx: Either[Long, Double]): Unit = {
+        def lt(a: Either[Long, Double], b: Either[Long, Double]): Boolean = (a, b) match {
+          case (Left(x), Left(y))   => x < y
+          case (Right(x), Right(y)) => x < y
+          case _                    => false // type mismatch across blocks: impossible per schema
+        }
+        minL(name) = minL.get(name).map(c => if (lt(mn, c)) mn else c).getOrElse(mn)
+        maxL(name) = maxL.get(name).map(c => if (lt(c, mx)) mx else c).getOrElse(mx)
+      }
+      r.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val parts = c.getPath.toArray
+          if (parts.length == 1) {
+            c.getStatistics match {
+              case s: IntStatistics if s.hasNonNullValue =>
+                fold(parts(0), Left(s.getMin.toLong), Left(s.getMax.toLong))
+              case s: LongStatistics if s.hasNonNullValue =>
+                fold(parts(0), Left(s.getMin), Left(s.getMax))
+              case s: FloatStatistics if s.hasNonNullValue =>
+                fold(parts(0), Right(s.getMin.toDouble), Right(s.getMax.toDouble))
+              case s: DoubleStatistics if s.hasNonNullValue =>
+                fold(parts(0), Right(s.getMin), Right(s.getMax))
+              case _ => () // strings/booleans/nested: no skipping stats
+            }
+          }
+        }
+      }
+      val n = M.createObjectNode()
+      n.put("numRecords", rows)
+      val mins = n.putObject("minValues")
+      val maxs = n.putObject("maxValues")
+      minL.foreach { case (k, v) => v.fold(mins.put(k, _), mins.put(k, _)) }
+      maxL.foreach { case (k, v) => v.fold(maxs.put(k, _), maxs.put(k, _)) }
+      (rows, M.writeValueAsString(n))
+    } finally r.close()
+  }
+
+  /** Live files possibly intersecting `[lo, hi]` on `colName`, judged
+    * from the log's per-file stats alone: files whose recorded min/max
+    * exclude the range are dropped WITHOUT touching storage; files
+    * lacking stats are kept (no skipping without evidence). This is
+    * the driver-side file-pruning step that makes a selective range
+    * read on a 100 TB table proportional to the matching files, not
+    * the table. */
+  def filesInRange(st: DeltaState, colName: String,
+                   lo: Double, hi: Double): Seq[AddFile] =
+    st.files.filter { a =>
+      if (a.stats == null) true
+      else {
+        val n = M.readTree(a.stats)
+        val mn = n.path("minValues").path(colName)
+        val mx = n.path("maxValues").path(colName)
+        if (!mn.isNumber || !mx.isNumber) true
+        else mx.asDouble >= lo && mn.asDouble <= hi
+      }
+    }
+
+  /** Range read with log-level data skipping: scan only
+    * [[filesInRange]]'s survivors, then apply the residual row filter
+    * (stats prune whole files; rows inside surviving files still
+    * filter normally — and Spark's own parquet row-group pruning
+    * composes below). */
+  def readDeltaRange(spark: SparkSession, dir: String, colName: String,
+                     lo: Double, hi: Double,
+                     version: Option[Long] = None): DataFrame = {
+    val st = state(spark, dir, version)
+    val pruned = st.copy(files = filesInRange(st, colName, lo, hi))
+    readFiles(spark, dir, pruned)
+      .filter(col(colName) >= lo && col(colName) <= hi)
+  }
+
   private def protocolJson(): String = {
     val n = M.createObjectNode()
     n.putObject("protocol").put("minReaderVersion", 1).put("minWriterVersion", 2)
@@ -746,7 +847,8 @@ object DeltaInterop {
     add.put("size", a.size)
     add.put("modificationTime", 0L)
     add.put("dataChange", dataChange)
-    if (a.numRecords >= 0) {
+    if (a.stats != null) add.put("stats", a.stats)
+    else if (a.numRecords >= 0) {
       val stats = M.createObjectNode()
       stats.put("numRecords", a.numRecords)
       add.put("stats", M.writeValueAsString(stats))

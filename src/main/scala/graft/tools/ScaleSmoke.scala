@@ -66,7 +66,8 @@ object ScaleSmoke {
       "q130_stream_ann_index", "q140_delta_roundtrip", "q141_nb_hashed",
       "q142_wav_pcm", "q143_bucket_survivors", "q144_stream_nb_train",
       "q145_delta_checkpoint", "q146_delta_foreign", "q147_delta_optimize",
-      "q148_bpe_packing", "q149_video_frames", "q150_delta_stream")
+      "q148_bpe_packing", "q149_video_frames", "q150_delta_stream",
+      "q151_delta_skipping")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -246,6 +246,34 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(v2 == 5L && r2 == 0 && c2 == 0)
   }
 
+  test("data skipping: range reads prune files from log stats alone; statless files are kept") {
+    val dir = Files.createTempDirectory("graft-delta-skip").toString
+    // range-partition on id so files carry disjoint id ranges
+    val t = (0 until 400).map(i => (i.toLong, s"n_$i", i % 4)).toDF("id", "name", "part")
+      .repartitionByRange(8, col("id"))
+    DeltaInterop.writeDelta(t, dir, Nil)
+    val st = DeltaInterop.state(spark, dir)
+    assert(st.files.length == 8 && st.files.forall(_.stats != null))
+    assert(st.files.forall(a => a.stats.contains("minValues") && a.stats.contains("\"id\"")))
+    // a narrow range touches a strict subset of files
+    val hit = DeltaInterop.filesInRange(st, "id", 100, 120)
+    assert(hit.length < st.files.length && hit.nonEmpty,
+      s"no pruning: ${hit.length} of ${st.files.length}")
+    val r = DeltaInterop.readDeltaRange(spark, dir, "id", 100, 120)
+    assert(r.count() == 21)
+    assert(r.agg(sum("id")).head.getLong(0) == (100 to 120).sum)
+    // an empty range prunes everything and still returns a typed frame
+    assert(DeltaInterop.readDeltaRange(spark, dir, "id", 5000, 6000).count() == 0)
+    // a column with no numeric stats (string) keeps every file
+    assert(DeltaInterop.filesInRange(st, "name", 0, 1).length == st.files.length)
+    // stats survive a checkpoint round-trip
+    DeltaInterop.checkpoint(spark, dir)
+    DeltaInterop.cleanupLog(spark, dir)
+    val st2 = DeltaInterop.state(spark, dir)
+    assert(DeltaInterop.filesInRange(st2, "id", 100, 120).length == hit.length)
+    assert(DeltaInterop.readDeltaRange(spark, dir, "id", 100, 120).count() == 21)
+  }
+
   test("stock spark-shell (no graft, no delta jars) reads the written table from the log alone") {
     val dir = Files.createTempDirectory("graft-delta-stock").toString
     DeltaInterop.writeDelta(table(30), dir, Seq("part"))

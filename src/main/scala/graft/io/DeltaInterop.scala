@@ -792,16 +792,49 @@ object DeltaInterop {
     * the table. */
   def filesInRange(st: DeltaState, colName: String,
                    lo: Double, hi: Double): Seq[AddFile] =
+    prunedFiles(st, ranges = Map(colName -> ((lo, hi))))
+
+  /** Generalized log-level file pruning: keep live files matching every
+    * partition-value equality AND overlapping every numeric stats
+    * range. The partition side prunes FOREIGN flat layouts too — the
+    * log carries the values even when the directory tree doesn't, so
+    * this is the only partition pruning such tables can get. Files
+    * without stats survive range predicates (no skipping without
+    * evidence); files without a requested partition value never match
+    * it. */
+  def prunedFiles(st: DeltaState,
+                  partitionEq: Map[String, String] = Map.empty,
+                  ranges: Map[String, (Double, Double)] = Map.empty): Seq[AddFile] =
     st.files.filter { a =>
-      if (a.stats == null) true
-      else {
-        val n = M.readTree(a.stats)
-        val mn = n.path("minValues").path(colName)
-        val mx = n.path("maxValues").path(colName)
-        if (!mn.isNumber || !mx.isNumber) true
-        else mx.asDouble >= lo && mn.asDouble <= hi
+      partitionEq.forall { case (k, v) => a.partitionValues.get(k).contains(v) } &&
+      ranges.forall { case (colName, (lo, hi)) =>
+        if (a.stats == null) true
+        else {
+          val n = M.readTree(a.stats)
+          val mn = n.path("minValues").path(colName)
+          val mx = n.path("maxValues").path(colName)
+          if (!mn.isNumber || !mx.isNumber) true
+          else mx.asDouble >= lo && mn.asDouble <= hi
+        }
       }
     }
+
+  /** Pruned read: [[prunedFiles]]' survivors plus the residual row
+    * filters (partition equalities and ranges re-applied, typed). */
+  def readDeltaWhere(spark: SparkSession, dir: String,
+                     partitionEq: Map[String, String] = Map.empty,
+                     ranges: Map[String, (Double, Double)] = Map.empty,
+                     version: Option[Long] = None): DataFrame = {
+    val st = state(spark, dir, version)
+    val base = readFiles(spark, dir,
+      st.copy(files = prunedFiles(st, partitionEq, ranges)))
+    val withPart = partitionEq.foldLeft(base) { case (df, (k, v)) =>
+      df.filter(col(k) === lit(v).cast(st.schema(k).dataType))
+    }
+    ranges.foldLeft(withPart) { case (df, (k, (lo, hi))) =>
+      df.filter(col(k) >= lo && col(k) <= hi)
+    }
+  }
 
   /** Range read with log-level data skipping: scan only
     * [[filesInRange]]'s survivors, then apply the residual row filter

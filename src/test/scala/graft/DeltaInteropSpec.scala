@@ -274,6 +274,28 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(DeltaInterop.readDeltaRange(spark, dir, "id", 100, 120).count() == 21)
   }
 
+  test("prunedFiles: log-side partition pruning composes with range skipping") {
+    val dir = Files.createTempDirectory("graft-delta-prune2").toString
+    DeltaInterop.writeDelta(table(200), dir, Seq("part")) // parts 0-3, 50 rows each
+    val st = DeltaInterop.state(spark, dir)
+    // partition equality prunes from the LOG's values (works identically
+    // for foreign flat layouts, where the paths carry nothing)
+    val p2 = DeltaInterop.prunedFiles(st, partitionEq = Map("part" -> "2"))
+    assert(p2.nonEmpty && p2.length < st.files.length)
+    assert(p2.forall(_.partitionValues("part") == "2"))
+    val r = DeltaInterop.readDeltaWhere(spark, dir, partitionEq = Map("part" -> "2"))
+    assert(r.count() == 50)
+    assert(r.filter(col("part") =!= 2).count() == 0)
+    // composed with a range on id: both prunings engage, result exact
+    val both = DeltaInterop.readDeltaWhere(spark, dir,
+      partitionEq = Map("part" -> "2"), ranges = Map("id" -> ((0.0, 99.0))))
+    assert(both.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 200L).filter(i => i % 4 == 2 && i <= 99).toSeq)
+    // a partition value absent from the table prunes everything
+    assert(DeltaInterop.prunedFiles(st, partitionEq = Map("part" -> "9")).isEmpty)
+    assert(DeltaInterop.readDeltaWhere(spark, dir, partitionEq = Map("part" -> "9")).count() == 0)
+  }
+
   test("stock spark-shell (no graft, no delta jars) reads the written table from the log alone") {
     val dir = Files.createTempDirectory("graft-delta-stock").toString
     DeltaInterop.writeDelta(table(30), dir, Seq("part"))

@@ -804,7 +804,12 @@ object DeltaInterop {
     * it. */
   def prunedFiles(st: DeltaState,
                   partitionEq: Map[String, String] = Map.empty,
-                  ranges: Map[String, (Double, Double)] = Map.empty): Seq[AddFile] =
+                  ranges: Map[String, (Double, Double)] = Map.empty): Seq[AddFile] = {
+    // a non-partition column here would silently prune EVERY file
+    // (no partitionValues entry ever matches) — reject it loudly
+    val bad = partitionEq.keys.filterNot(st.partitionColumns.contains)
+    require(bad.isEmpty,
+      s"not partition columns: ${bad.mkString(",")} (table partitions: ${st.partitionColumns.mkString(",")})")
     st.files.filter { a =>
       partitionEq.forall { case (k, v) => a.partitionValues.get(k).contains(v) } &&
       ranges.forall { case (colName, (lo, hi)) =>
@@ -818,6 +823,7 @@ object DeltaInterop {
         }
       }
     }
+  }
 
   /** Pruned read: [[prunedFiles]]' survivors plus the residual row
     * filters (partition equalities and ranges re-applied, typed). */

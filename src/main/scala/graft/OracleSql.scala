@@ -219,9 +219,9 @@ object OracleSql {
     // written; the latest snapshot is the overwrite's n_chars+1.
     "q140_delta_roundtrip" ->
       """WITH latest AS (SELECT lang, count(*) AS n_latest,
-        |    sum(n_chars + 1) AS chars_latest FROM documents GROUP BY 1),
+        |    sum(n_chars + 1)::BIGINT AS chars_latest FROM documents GROUP BY 1),
         | v1 AS (SELECT lang, count(*) AS n_v1,
-        |    sum(n_chars) AS chars_v1 FROM documents GROUP BY 1)
+        |    sum(n_chars)::BIGINT AS chars_v1 FROM documents GROUP BY 1)
         |SELECT lang, n_latest, chars_latest, n_v1, chars_v1
         |FROM latest JOIN v1 USING (lang) ORDER BY lang""".stripMargin,
     // q145: the checkpointed table's two snapshots derive analytically —
@@ -229,16 +229,16 @@ object OracleSql {
     // (the JSON prefix below the checkpoint is deleted before reading)
     "q145_delta_checkpoint" ->
       """WITH latest AS (SELECT lang, count(*) AS n_latest,
-        |    sum(n_chars) AS chars_latest FROM documents GROUP BY 1),
+        |    sum(n_chars)::BIGINT AS chars_latest FROM documents GROUP BY 1),
         | v10 AS (SELECT lang, count(*) AS n_v10,
-        |    sum(n_chars) AS chars_v10 FROM documents
+        |    sum(n_chars)::BIGINT AS chars_v10 FROM documents
         |    WHERE doc_id % 12 <> 11 GROUP BY 1)
         |SELECT lang, n_latest, chars_latest, n_v10, chars_v10
         |FROM latest JOIN v10 USING (lang) ORDER BY lang""".stripMargin,
     // q146: the foreign log's final state keeps the %4==0 files (the
     // %4==2 set is removed in commit 1) plus the odd-doc files
     "q146_delta_foreign" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
+      """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
         |FROM documents WHERE doc_id % 4 <> 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q147: OPTIMIZE + VACUUM must be invisible to readers — all three
@@ -246,15 +246,15 @@ object OracleSql {
     // aggregate to the same full corpus
     "q147_delta_optimize" ->
       """SELECT lang,
-        | count(*) AS n_pre, sum(n_chars) AS chars_pre,
-        | count(*) AS n_opt, sum(n_chars) AS chars_opt,
-        | count(*) AS n_vac, sum(n_chars) AS chars_vac
+        | count(*) AS n_pre, sum(n_chars)::BIGINT AS chars_pre,
+        | count(*) AS n_opt, sum(n_chars)::BIGINT AS chars_opt,
+        | count(*) AS n_vac, sum(n_chars)::BIGINT AS chars_vac
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // q150: the exactly-once streaming sink's table must hold the corpus
     // EXACTLY once — the full-stream replay is dropped by the txn
     // watermark, else every count doubles
     "q150_delta_stream" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
+      """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q151: the stats-pruned range read must equal the plain BETWEEN —
     // bounds recomputed with the same integer arithmetic

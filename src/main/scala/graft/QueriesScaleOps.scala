@@ -1075,7 +1075,7 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     val post = agg(graft.io.DeltaInterop.readDelta(s, tmp), "n_opt", "chars_opt")
     graft.io.DeltaInterop.checkpoint(s, tmp)
     require(graft.io.DeltaInterop.cleanupLog(s, tmp) == 7)
-    require(graft.io.DeltaInterop.vacuum(s, tmp) == rewritten)
+    require(graft.io.DeltaInterop.vacuum(s, tmp, retainMillis = 0L) == rewritten)
     val vac = agg(graft.io.DeltaInterop.readDelta(s, tmp), "n_vac", "chars_vac")
     pre.join(post, Seq("lang")).join(vac, Seq("lang")).orderBy(col("lang"))
   }

@@ -236,15 +236,21 @@ object DeltaInterop {
     val dataSchema = StructType(
       st.files.headOption.map(_ => st.schema.fields
         .filterNot(f => st.partitionColumns.contains(f.name))).getOrElse(Array.empty))
+    // log partitionValues are UNESCAPED; the path segment is Hive-escaped
     def hivePath(a: AddFile): String =
-      st.partitionColumns.map(c => s"$c=${a.partitionValues(c)}").mkString("/")
+      st.partitionColumns.map(c =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(c, a.partitionValues(c))).mkString("/")
     val allHive = st.partitionColumns.isEmpty ||
       st.files.forall(a => a.path.startsWith(hivePath(a) + "/"))
     if (allHive) {
       val paths = st.files.map(a => new Path(dir, a.path).toString)
-      val r = spark.read.option("basePath", dir)
-      (if (st.partitionColumns.isEmpty) r.schema(st.schema)
-       else r.schema(dataSchema)).parquet(paths: _*)
+      // the FULL schema (partition columns included) goes to the reader:
+      // Spark applies the user-specified types to discovered partition
+      // columns, so a StringType partition value that happens to look
+      // numeric stays a string instead of diverging from schemaString
+      spark.read.option("basePath", dir).schema(st.schema)
+        .parquet(paths: _*)
         .select(st.schema.fieldNames.map(col): _*)
     } else {
       st.files.groupBy(_.partitionValues).toSeq.sortBy(_._1.toSeq.sortBy(_._1).mkString)
@@ -575,7 +581,9 @@ object DeltaInterop {
     val st = state(spark, dir)
     val f = fs(spark, dir)
     def hivePath(a: AddFile): String =
-      st.partitionColumns.map(c => s"$c=${a.partitionValues(c)}").mkString("/")
+      st.partitionColumns.map(c =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(c, a.partitionValues(c))).mkString("/")
     val groups = st.files.groupBy(_.partitionValues)
       .map { case (_, fl) => fl.filter(_.size < smallFileBytes) }
       .filter(_.size >= 2).toSeq
@@ -608,7 +616,9 @@ object DeltaInterop {
           spark.read.schema(dataSchema)
             .parquet(fl.map(a => new Path(dir, a.path).toString): _*)
             .coalesce(1).write.parquet(sub.toString)
-          val rel = st.partitionColumns.map(c => s"$c=${pv(c)}").mkString("/")
+          val rel = st.partitionColumns.map(c =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .getPartitionPathString(c, pv(c))).mkString("/")
           f.listStatus(sub).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
             .sortBy(_.getPath.getName).map { s0 =>
               val name = s"$rel/compact-${java.util.UUID.randomUUID().toString.take(8)}-${s0.getPath.getName}"
@@ -631,14 +641,28 @@ object DeltaInterop {
     (v, smalls.length, moved.length)
   }
 
+  /** Default vacuum retention: 7 days, the reference Delta default. */
+  val DefaultVacuumRetainMillis: Long = 7L * 24 * 3600 * 1000
+
   /** Delete data files referenced by NO retained log version — files
     * whose every `add` has aged out of the log (a checkpoint's adds are
     * its live set; [[cleanupLog]] drops the JSON below it). Run after
     * compact + checkpoint + cleanup to reclaim the rewritten originals.
     * The walk is metadata-sized: one log replay + one recursive
     * listing; deletes never touch `_delta_log`. Returns the number of
-    * files deleted. */
-  def vacuum(spark: SparkSession, dir: String): Int = {
+    * files deleted.
+    *
+    * `retainMillis` is the safety window against in-flight writers:
+    * [[writeDelta]]'s stageData renames uncommitted files into final
+    * table paths BEFORE the log commit, so a file can be momentarily
+    * unreferenced yet about to be committed. Files whose modification
+    * time is within the window are never deleted (default 7 days — the
+    * reference Delta vacuum keeps the same kind of window for exactly
+    * this race). Tests pass 0 for deterministic immediate reclamation,
+    * mirroring `VACUUM ... RETAIN 0 HOURS`. */
+  def vacuum(spark: SparkSession, dir: String,
+             retainMillis: Long = DefaultVacuumRetainMillis): Int = {
+    val cutoff = System.currentTimeMillis() - retainMillis
     val f = fs(spark, dir)
     val referenced = scala.collection.mutable.HashSet.empty[String]
     // every add surviving in the retained log (checkpoint + JSON tail +
@@ -670,7 +694,8 @@ object DeltaInterop {
         if (name == "_delta_log" || name.startsWith(".") || name.startsWith("_")) ()
         else if (s0.isDirectory) walk(s0.getPath, rel :+ name)
         else if (name.endsWith(".parquet") &&
-                 !referenced.contains((rel :+ name).mkString("/"))) {
+                 !referenced.contains((rel :+ name).mkString("/")) &&
+                 s0.getModificationTime <= cutoff) {
           f.delete(s0.getPath, false)
           deleted += 1
         }
@@ -681,19 +706,29 @@ object DeltaInterop {
 
   // ---- internals ----
 
-  /** Atomic put-if-absent commit of one log version. */
+  /** Atomic put-if-absent commit of one log version. The actions are
+    * fully written to a hidden temp file first, then RENAMED into the
+    * final `%020d.json` name — a concurrent reader never sees a
+    * truncated commit (create-then-stream would expose partial bytes),
+    * and rename-without-overwrite keeps the put-if-absent conflict
+    * semantics on HDFS and local filesystems. */
   private[graft] def commit(spark: SparkSession, dir: String, v: Long,
                          actions: Seq[String]): Long = {
     val f = fs(spark, dir)
     f.mkdirs(logDir(dir))
     val target = logFile(dir, v)
-    val out =
-      try f.create(target, false) // put-if-absent: never clobber a commit
-      catch { case e: java.io.IOException =>
-        throw new IllegalStateException(
-          s"concurrent Delta commit at v=$v under $dir", e) }
+    val tmp = new Path(logDir(dir),
+      s".tmp-commit-${java.util.UUID.randomUUID().toString.take(8)}-$v.json")
+    val out = f.create(tmp, false)
     try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    // rename WITHOUT overwrite: fails iff the version already exists
+    val won = !f.exists(target) && f.rename(tmp, target)
+    if (!won) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent Delta commit at v=$v under $dir")
+    }
     v
   }
 
@@ -712,9 +747,15 @@ object DeltaInterop {
           val dst = new Path(root, rel)
           f.mkdirs(dst.getParent)
           require(f.rename(st.getPath, dst), s"rename failed: ${st.getPath} -> $dst")
+          // unescape the Hive path segment before recording it as a
+          // partitionValue — the log stores LOGICAL values (`a b`, not
+          // `a%20b`), and prunedFiles matches equality on logical values
           val pv = relParts.flatMap { seg =>
             val i = seg.indexOf('=')
-            if (i > 0) Some(seg.substring(0, i) -> seg.substring(i + 1)) else None
+            if (i > 0) Some(seg.substring(0, i) ->
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName(seg.substring(i + 1)))
+            else None
           }.toMap
           require(partCols.forall(pv.contains), s"staged path $rel missing partition values")
           out += ((rel, partCols.map(c => c -> pv(c)).toMap, st.getLen))
@@ -916,6 +957,210 @@ object DeltaInterop {
     rm.put("dataChange", dataChange)
     M.writeValueAsString(n)
   }
+
+  // ---- row-level operations (copy-on-write) ----
+  //
+  // The Delta protocol has no row-level primitive below writer v7's
+  // deletion vectors; DELETE/UPDATE/MERGE on a v2 table are
+  // copy-on-write: rewrite ONLY the data files that contain affected
+  // rows, commit `remove`(old)+`add`(new) with dataChange=true. The
+  // scale contract: the work is proportional to the TOUCHED files, not
+  // the table — touched files are found with one distributed scan
+  // (provenance via the `_metadata.file_path` column, pruned first by
+  // log stats/partition values when hints are given), and every
+  // untouched file survives by simply not being mentioned in the
+  // commit. Reference: delta-io/delta PROTOCOL.md "Add File and Remove
+  // File"; delta-spark's DeleteCommand/UpdateCommand/MergeIntoCommand
+  // have the same two-phase find-touched-then-rewrite shape.
+
+  /** Scan `files` with a `_graft_file` provenance column holding each
+    * row's qualified source path — the join key back to [[AddFile]]s. */
+  private def scanWithProvenance(spark: SparkSession, dir: String,
+                                 st: DeltaState,
+                                 files: Seq[AddFile]): DataFrame = {
+    val dataSchema = StructType(
+      st.schema.fields.filterNot(fd => st.partitionColumns.contains(fd.name)))
+    def hivePath(a: AddFile): String =
+      st.partitionColumns.map(c =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(c, a.partitionValues(c))).mkString("/")
+    val allHive = st.partitionColumns.isEmpty ||
+      files.forall(a => a.path.startsWith(hivePath(a) + "/"))
+    val prov = col("_metadata.file_path").as("_graft_file")
+    if (allHive) {
+      spark.read.option("basePath", dir).schema(st.schema)
+        .parquet(files.map(a => new Path(dir, a.path).toString): _*)
+        .select(st.schema.fieldNames.map(col) :+ prov: _*)
+    } else {
+      files.groupBy(_.partitionValues).toSeq
+        .sortBy(_._1.toSeq.sortBy(_._1).mkString)
+        .map { case (pv, fl) =>
+          val base = spark.read.schema(dataSchema)
+            .parquet(fl.map(a => new Path(dir, a.path).toString): _*)
+          // the hidden _metadata column resolves only against the file
+          // scan itself — select it per-branch, before the union
+          st.partitionColumns.foldLeft(base.select(col("*"), prov)) { (df, c) =>
+            df.withColumn(c, lit(pv(c)).cast(st.schema(c).dataType))
+          }.select(st.schema.fieldNames.map(col) :+ col("_graft_file"): _*)
+        }.reduce(_ unionByName _)
+    }
+  }
+
+  /** Qualified-absolute path → AddFile, for mapping `_graft_file`
+    * provenance values back to log entries. */
+  private def qualifiedIndex(spark: SparkSession, dir: String,
+                             files: Seq[AddFile]): Map[String, AddFile] = {
+    val f = fs(spark, dir)
+    files.map(a => f.makeQualified(new Path(dir, a.path)).toString -> a).toMap
+  }
+
+  /** The touched-file set: one distributed pass over the candidates,
+    * returning the (small, file-count-bounded) list of files holding at
+    * least one row where `hit` is true. */
+  private def touchedFiles(spark: SparkSession, dir: String, st: DeltaState,
+                           candidates: Seq[AddFile],
+                           hit: org.apache.spark.sql.Column): Seq[AddFile] = {
+    if (candidates.isEmpty) return Nil
+    val idx = qualifiedIndex(spark, dir, candidates)
+    val hitPaths = scanWithProvenance(spark, dir, st, candidates)
+      .filter(hit).select("_graft_file").distinct()
+      .collect().map(_.getString(0)) // file-count-bounded, never row data
+    hitPaths.map(idx).toSeq
+  }
+
+  /** Copy-on-write DELETE: remove rows where `predicate` is TRUE (rows
+    * where it is false or NULL survive — SQL DELETE semantics). Only
+    * files containing matching rows are rewritten; `partitionEq` /
+    * `ranges` hints prune the candidate set from the log alone first
+    * (the same contract as [[readDeltaWhere]] — at 100 TB the scan for
+    * touched files is proportional to the hinted subset, and the
+    * rewrite to the touched files). Returns (newVersion, filesRewritten)
+    * — or (currentVersion, 0) when nothing matches. */
+  def deleteWhere(spark: SparkSession, dir: String,
+                  predicate: org.apache.spark.sql.Column,
+                  partitionEq: Map[String, String] = Map.empty,
+                  ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int) = {
+    val st = state(spark, dir)
+    val touched = touchedFiles(spark, dir, st,
+      prunedFiles(st, partitionEq, ranges), predicate <=> lit(true))
+    if (touched.isEmpty) return (st.version, 0)
+    // survivors of the touched files only; partition values ride along
+    // so stageData lands them back in their partitions
+    val survivors = scanWithProvenance(spark, dir, st, touched)
+      .filter(!(predicate <=> lit(true)))
+      .select(st.schema.fieldNames.map(col): _*)
+    val adds = stageData(survivors, dir, st.partitionColumns)
+    val actions = touched.map(removeJson(_)) ++ adds.map(addJson(_))
+    val v = commit(spark, dir, st.version + 1, actions)
+    (v, touched.length)
+  }
+
+  /** Copy-on-write UPDATE: for rows where `predicate` is TRUE, replace
+    * each column in `set` with its expression (evaluated against the
+    * OLD row — standard UPDATE semantics); all other rows and files are
+    * untouched. Returns (newVersion, filesRewritten). */
+  def updateWhere(spark: SparkSession, dir: String,
+                  predicate: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  partitionEq: Map[String, String] = Map.empty,
+                  ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int) = {
+    val st = state(spark, dir)
+    val badCols = set.keys.filterNot(st.schema.fieldNames.contains)
+    require(badCols.isEmpty, s"SET on unknown columns: ${badCols.mkString(",")}")
+    require(set.keys.forall(c => !st.partitionColumns.contains(c)),
+      s"SET on partition columns is not supported (rewrite would move rows across partitions)")
+    val touched = touchedFiles(spark, dir, st,
+      prunedFiles(st, partitionEq, ranges), predicate <=> lit(true))
+    if (touched.isEmpty) return (st.version, 0)
+    val hit = predicate <=> lit(true)
+    val rewritten = scanWithProvenance(spark, dir, st, touched)
+      .select(st.schema.fieldNames.map { c =>
+        set.get(c) match {
+          case Some(e) => when(hit, e.cast(st.schema(c).dataType))
+            .otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    val adds = stageData(rewritten, dir, st.partitionColumns)
+    val actions = touched.map(removeJson(_)) ++ adds.map(addJson(_))
+    val v = commit(spark, dir, st.version + 1, actions)
+    (v, touched.length)
+  }
+
+  /** Copy-on-write MERGE (upsert): for each source row whose `keyCols`
+    * match a target row, REPLACE the target row with the source row
+    * (when-matched-update-all); source rows matching nothing INSERT
+    * (when-not-matched-insert-all). Source must be duplicate-free on
+    * the keys (delta-spark raises the same multiple-match error).
+    * Only target files containing matched keys are rewritten; inserts
+    * stage as fresh files. The matched-key probe is one distributed
+    * semi-join on the key columns — column pruning means the probe
+    * scan reads keys, not rows. Returns (newVersion, filesRewritten,
+    * rowsInserted). */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+            keyCols: Seq[String]): (Long, Int, Long) = {
+    val st = state(spark, dir)
+    require(st.schema.fieldNames.sorted.sameElements(
+      source.schema.fieldNames.sorted),
+      s"merge source columns ${source.columns.sorted.mkString(",")} != table's ${st.schema.fieldNames.sorted.mkString(",")}")
+    require(keyCols.forall(st.schema.fieldNames.contains), s"unknown key cols")
+    val srcAligned = source.select(st.schema.fieldNames.map(col): _*)
+      .localCheckpoint(false) // the source plan runs in 3 joins below — pin it
+    val dupKeys = srcAligned.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"merge source has duplicate keys (e.g. ${dupKeys.headOption.mkString})")
+    val keyEq = keyCols.map(c => col(s"t.$c") <=> col(s"s.$c")).reduce(_ && _)
+    // phase 1: which target files hold a matched key?
+    val allScan = scanWithProvenance(spark, dir, st, st.files)
+    val idx = qualifiedIndex(spark, dir, st.files)
+    val touchedPaths = allScan.as("t")
+      .join(srcAligned.as("s"), keyEq, "left_semi")
+      .select("_graft_file").distinct().collect().map(_.getString(0))
+    val touched = touchedPaths.map(idx).toSeq
+    // phase 2: rewrite = touched-file rows that DIDN'T match, plus the
+    // matched source rows, plus the inserts (source rows matching no
+    // target key anywhere)
+    val touchedScan =
+      if (touched.isEmpty) null else scanWithProvenance(spark, dir, st, touched)
+    val keepers =
+      if (touched.isEmpty) None
+      else Some(touchedScan.as("t").join(srcAligned.as("s"), keyEq, "left_anti")
+        .select(st.schema.fieldNames.map(col): _*))
+    val matched = srcAligned.as("s").join(allScan.as("t"), keyEq, "left_semi")
+    val inserts = srcAligned.as("s").join(allScan.as("t"), keyEq, "left_anti")
+    val nInserts = inserts.count()
+    if (touched.isEmpty && nInserts == 0) return (st.version, 0, 0L)
+    val newRows = (keepers.toSeq :+ matched :+ inserts).reduce(_ unionByName _)
+    val adds = stageData(newRows, dir, st.partitionColumns)
+    val actions = touched.map(removeJson(_)) ++ adds.map(addJson(_))
+    val v = commit(spark, dir, st.version + 1, actions)
+    (v, touched.length, nInserts)
+  }
+
+  /** The latest version whose commit file was written at or before
+    * `tsMillis` — Delta's timestamp-based time travel (resolved from
+    * commit-file modification times, the protocol's own in-commit
+    * timestamp fallback). */
+  def versionAtTimestamp(spark: SparkSession, dir: String,
+                         tsMillis: Long): Long = {
+    val f = fs(spark, dir)
+    val latest = latestVersion(spark, dir)
+    require(latest >= 0, s"no Delta log under $dir")
+    val vs = (0L to latest).flatMap { v =>
+      val p = logFile(dir, v)
+      if (f.exists(p)) Some(v -> f.getFileStatus(p).getModificationTime) else None
+    }
+    val at = vs.filter(_._2 <= tsMillis).map(_._1)
+    require(at.nonEmpty,
+      s"no commit at or before ts=$tsMillis (earliest is ${vs.headOption.map(_._2)})")
+    at.max
+  }
+
+  /** [[readDelta]] as of a wall-clock timestamp. */
+  def readDeltaAsOf(spark: SparkSession, dir: String,
+                    tsMillis: Long): DataFrame =
+    readDelta(spark, dir, Some(versionAtTimestamp(spark, dir, tsMillis)))
 
   private def jsonMap(node: JsonNode): Map[String, String] = {
     val it = node.properties().iterator()

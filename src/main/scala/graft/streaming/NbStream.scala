@@ -48,10 +48,17 @@ object NbStream {
         case (l, i) if cs(i) > 0 => (g, l, cs(i))
       }
     }
+    // Overwrite, not ErrorIfExists: a crash between writeModel and the
+    // _CURRENT pointer swap leaves a partial v<batchId> dir, and the
+    // replayed batch (batchId > lastId) must be able to rewrite it —
+    // the same recovery contract as AggStream's Writers.parquet sink.
     countRows.toDF("gram", "lang", "cnt")
-      .repartition(1).write.parquet(s"$dir/counts")
+      .repartition(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/counts")
     model.langs.map(l => (l, model.docCounts.getOrElse(l, 0L)))
-      .toDF("lang", "docs").repartition(1).write.parquet(s"$dir/labels")
+      .toDF("lang", "docs").repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/labels")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(dir, "_META"), true)
     try out.write(s"""{"n":${model.n},"hashBits":${model.hashBits}}"""
@@ -119,7 +126,8 @@ object NbStream {
       n: Int = 3,
       hashBits: Int = 0,
       retainVersions: Int = 2,
-      postCommitHook: Long => Unit = _ => ()
+      postCommitHook: Long => Unit = _ => (),
+      preSwapHook: Long => Unit = _ => ()
   ): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -136,6 +144,10 @@ object NbStream {
               case None    => partial
             }
             writeModel(spark, merged, new Path(root, s"v$batchId").toString)
+            // crash-injection seam: a failure HERE leaves a complete or
+            // partial v<batchId> dir with no pointer — the replay must
+            // rewrite it (writeModel overwrites) and then swap
+            preSwapHook(batchId)
             // atomic pointer swap — the commit point
             val tmp = new Path(root, s"$Pointer.tmp")
             val out = fs.create(tmp, true)

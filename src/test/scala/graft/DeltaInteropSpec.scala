@@ -171,7 +171,7 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(t.filter(col("id") >= 100 && col("id") < 500).count() == 8)
     // every staged file is referenced — the rebase reused the one
     // staging instead of re-writing (no orphans for vacuum to reclaim)
-    assert(DeltaInterop.vacuum(spark, dir) == 0)
+    assert(DeltaInterop.vacuum(spark, dir, retainMillis = 0L) == 0)
     // an OVERWRITE that loses the race fails fast instead of silently
     // clobbering the interloper's commit
     var fired2 = false
@@ -235,15 +235,46 @@ class DeltaInteropSpec extends AnyFunSuite {
     // originals stay for time travel until vacuumed
     assert(DeltaInterop.readDelta(spark, dir, Some(4L)).orderBy("id").collect().toSeq == preCompact)
     // vacuum with the adds still in retained log: deletes nothing
-    assert(DeltaInterop.vacuum(spark, dir) == 0)
+    assert(DeltaInterop.vacuum(spark, dir, retainMillis = 0L) == 0)
     // age the originals out of the log, then reclaim them
     DeltaInterop.checkpoint(spark, dir)
     assert(DeltaInterop.cleanupLog(spark, dir) == 5)
-    assert(DeltaInterop.vacuum(spark, dir) == rewritten)
+    assert(DeltaInterop.vacuum(spark, dir, retainMillis = 0L) == rewritten)
     assert(DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq == preCompact)
     // a second compact finds nothing to do (single file per partition)
     val (v2, r2, c2) = DeltaInterop.compact(spark, dir)
     assert(v2 == 5L && r2 == 0 && c2 == 0)
+  }
+
+  test("vacuum retention window: recent unreferenced files survive the default window") {
+    // writeDelta's stageData renames files into final table paths BEFORE
+    // the log commit — a vacuum racing an in-flight writer must not eat
+    // them. The default retention window is the guard: a freshly-written
+    // unreferenced file (here: an orphan simulating the pre-commit state)
+    // is skipped; RETAIN-0 reclaims it deterministically.
+    val dir = Files.createTempDirectory("graft-delta-retain").toString
+    DeltaInterop.writeDelta(table(8), dir, Seq("part"), overwrite = false,
+      checkpointInterval = 0)
+    val keep = DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq
+    // orphan data file at a final table path, NOT in the log (an
+    // in-flight writer between stageData and commit looks exactly like this)
+    val partDir = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.contains("=")).head
+    val orphan = new java.io.File(partDir, "inflight-0000.parquet")
+    spark.range(1).write.parquet(s"$dir/.orphan-staging")
+    val staged = new java.io.File(s"$dir/.orphan-staging").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(staged.renameTo(orphan))
+    // default window: the fresh orphan is inside retention — untouched
+    assert(DeltaInterop.vacuum(spark, dir) == 0)
+    assert(orphan.exists)
+    // aged past the window (mtime pushed back 8 days): reclaimed
+    assert(orphan.setLastModified(
+      System.currentTimeMillis() - 8L * 24 * 3600 * 1000))
+    assert(DeltaInterop.vacuum(spark, dir) == 1)
+    assert(!orphan.exists)
+    // the committed table is intact throughout
+    assert(DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq == keep)
   }
 
   test("data skipping: range reads prune files from log stats alone; statless files are kept") {

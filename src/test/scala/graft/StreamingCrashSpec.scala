@@ -93,7 +93,7 @@ class StreamingCrashSpec extends AnyFunSuite {
     val st = graft.io.DeltaInterop.state(spark, table)
     assert(st.txns.get("graft-crash-delta").exists(_ >= 1L))
     // no orphan files left behind by the replay (it skipped pre-staging)
-    assert(graft.io.DeltaInterop.vacuum(spark, table) == 0)
+    assert(graft.io.DeltaInterop.vacuum(spark, table, retainMillis = 0L) == 0)
   }
 
   test("AggStream: retainVersions keeps a deeper laggard-reader window") {
@@ -235,5 +235,41 @@ class StreamingCrashSpec extends AnyFunSuite {
       oneShot.counts.view.mapValues(_.toSeq).toMap)
     assert(control.docCounts == oneShot.docCounts &&
       control.gramTotals == oneShot.gramTotals && control.vocab == oneShot.vocab)
+  }
+
+  test("NbStream: crash AFTER writeModel but BEFORE the pointer swap — orphan v-dir rewritten on replay") {
+    // the window the post-swap test can't reach: v<batchId> exists on
+    // disk (fully or partially written) but _CURRENT still points at the
+    // previous version. The replay re-trains the batch and must be able
+    // to REWRITE the orphan dir (SaveMode.Overwrite) instead of dying
+    // with 'path already exists' and wedging the stream forever.
+    val batchA = Seq((1L, "the cat sat on the mat with the hat", "en"),
+      (2L, "der hund lief durch den wald und bellte", "de")).toDF("doc_id", "text", "lang")
+    val batchB = Seq((3L, "the dog ran over the hill to the barn", "en"),
+      (4L, "die katze schlief auf dem warmen ofen", "de")).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash-nb-preswap").toString
+    val src = s"$dir/src"
+    batchA.write.mode("append").parquet(src)
+    def run(pre: Long => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      graft.streaming.NbStream.trainingSink(spark,
+        spark.readStream.schema(batchA.schema).parquet(src),
+        "text", "lang", s"$dir/model", s"$dir/ckpt", preSwapHook = pre)
+    val q0 = run(_ => ()); q0.processAllAvailable(); q0.stop()
+    batchB.write.mode("append").parquet(src)
+    val (hook, fired) = crashOnce(1L)
+    expectCrash(run(hook))
+    assert(fired.get)
+    // v1 exists but the pointer still says v0
+    val fsRoot = new java.io.File(s"$dir/model")
+    assert(new java.io.File(fsRoot, "v1").isDirectory)
+    assert(scala.io.Source.fromFile(new java.io.File(fsRoot, "_CURRENT")).mkString.trim == "v0")
+    // restart: batchId 1 > lastId 0 ⇒ the batch re-trains, rewrites v1,
+    // and swaps the pointer — no wedge, and the model equals batch truth
+    val q1 = run(_ => ()); q1.processAllAvailable(); q1.stop()
+    val streamed = graft.streaming.NbStream.readCurrentModel(spark, s"$dir/model")
+    val oneShot = graft.operators.LangModel.train(batchA.unionByName(batchB), "text", "lang")
+    assert(streamed.counts.view.mapValues(_.toSeq).toMap ==
+      oneShot.counts.view.mapValues(_.toSeq).toMap)
+    assert(streamed.docCounts == oneShot.docCounts)
   }
 }

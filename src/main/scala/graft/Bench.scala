@@ -56,7 +56,9 @@ object Bench {
     "q142_wav_pcm",
     "q143_bucket_survivors",
     "q144_stream_nb_train",
-    "q149_video_frames"
+    "q149_video_frames",
+    "q152_delta_row_ops",
+    "q153_delta_merge"
   )
 
   def main(args: Array[String]): Unit = {

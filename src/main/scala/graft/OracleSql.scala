@@ -256,6 +256,43 @@ object OracleSql {
     "q150_delta_stream" ->
       """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q152: the DELETE + UPDATE lifecycle derives analytically — the
+    // pre-delete snapshot is the corpus; the final state keeps
+    // doc_id ≥ k (k = min + range/5, same integer arithmetic) with
+    // n_chars+100 on the doc_id%5=0 survivors
+    "q152_delta_row_ops" ->
+      """WITH b AS (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) // 5 AS k
+        |  FROM documents),
+        | pre AS (SELECT lang, count(*) AS n_pre,
+        |    sum(n_chars)::BIGINT AS chars_pre FROM documents GROUP BY 1),
+        | post AS (SELECT lang, count(*) AS n_post,
+        |    sum(CASE WHEN doc_id % 5 = 0 THEN n_chars + 100
+        |        ELSE n_chars END)::BIGINT AS chars_post
+        |  FROM documents, b WHERE doc_id >= k GROUP BY 1)
+        |SELECT lang, n_pre, chars_pre, n_post, chars_post
+        |FROM pre JOIN post USING (lang) ORDER BY lang""".stripMargin,
+    // q153: MERGE rebuilds as CASE (matched replace) + UNION ALL
+    // (inserts at doc_id+10M with n_chars+7)
+    "q153_delta_merge" ->
+      """WITH b AS (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) // 4 AS k
+        |  FROM documents),
+        | merged AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id < (SELECT k FROM b) AND doc_id % 6 = 0
+        |         THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), lang,
+        |    n_chars + 7
+        |  FROM documents WHERE doc_id % 9 = 4)
+        |SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q154: the column-mapped foreign table's final state keeps the
+    // doc_id%3 != 2 slices (slice-2 files removed in commit 1)
+    "q154_delta_colmap" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
+        |FROM documents WHERE doc_id % 3 <> 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q151: the stats-pruned range read must equal the plain BETWEEN —
     // bounds recomputed with the same integer arithmetic
     "q151_delta_skipping" ->

@@ -1079,4 +1079,159 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     val vac = agg(graft.io.DeltaInterop.readDelta(s, tmp), "n_vac", "chars_vac")
     pre.join(post, Seq("lang")).join(vac, Seq("lang")).orderBy(col("lang"))
   }
+
+  /** q152 — copy-on-write DELETE + UPDATE on a Delta table, the row-level
+    * lifecycle (delta-spark's DeleteCommand/UpdateCommand semantics over
+    * the plain v2 log). The table range-partitions `doc_id` across files
+    * so the DELETE's candidate set is log-stats-pruned BEFORE any scan —
+    * the query aborts if pruning fails to engage (the q151 contract) —
+    * and only files holding matches are rewritten. The UPDATE then
+    * applies SET n_chars = n_chars + 100 to doc_id % 5 = 0 survivors,
+    * evaluated against the OLD rows. Result: per-lang aggregates of the
+    * pre-delete snapshot (time travel to v0) joined with the final
+    * state — both derive analytically from the corpus, so DuckDB
+    * replays every row the engine kept, dropped, and rewrote. */
+  private[graft] def q152(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val tmp = graft.io.TempDirs.scratch("graft-q152")
+    graft.io.DeltaInterop.writeDelta(
+      docs.repartitionByRange(8, col("doc_id")), tmp, Seq("lang"))
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val k = mn + (mx - mn) / 5 // delete everything below k (exclusive)
+    val st0 = graft.io.DeltaInterop.state(s, tmp)
+    val candidates = graft.io.DeltaInterop.prunedFiles(st0,
+      ranges = Map("doc_id" -> ((mn.toDouble, (k - 1).toDouble))))
+    require(candidates.length < st0.files.length,
+      s"delete candidate pruning did not engage: ${candidates.length} of ${st0.files.length}")
+    val (v1, rewrote) = graft.io.DeltaInterop.deleteWhere(s, tmp,
+      col("doc_id") < k,
+      ranges = Map("doc_id" -> ((mn.toDouble, (k - 1).toDouble))))
+    require(v1 == 1L && rewrote > 0 && rewrote <= candidates.length,
+      s"delete rewrote $rewrote files (candidates ${candidates.length})")
+    val (v2, _) = graft.io.DeltaInterop.updateWhere(s, tmp,
+      col("doc_id") % 5 === 0,
+      Map("n_chars" -> (col("n_chars") + 100)))
+    require(v2 == 2L)
+    val pre = graft.io.DeltaInterop.readDelta(s, tmp, Some(0L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pre"), sum(col("n_chars")).as("chars_pre"))
+    val post = graft.io.DeltaInterop.readDelta(s, tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_post"), sum(col("n_chars")).as("chars_post"))
+    pre.join(post, Seq("lang")).orderBy(col("lang"))
+  }
+
+  /** q153 — copy-on-write MERGE (upsert) on a Delta table: source rows
+    * whose `doc_id` matches REPLACE the target row, unmatched source
+    * rows INSERT (delta-spark's when-matched-update-all /
+    * when-not-matched-insert-all). The update half is range-local
+    * (doc_id < k, doc_id % 6 = 0) so the matched-key probe touches a
+    * strict subset of files — the query asserts untouched files
+    * survived by path identity, the file-level copy-on-write contract.
+    * Inserts are synthesized deterministically from the corpus
+    * (doc_id + max(doc_id) + 1 — key-disjoint at ANY scale), so DuckDB
+    * rebuilds the merged table as a CASE + UNION ALL and replays the
+    * per-lang aggregate exactly. */
+  private[graft] def q153(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val tmp = graft.io.TempDirs.scratch("graft-q153")
+    graft.io.DeltaInterop.writeDelta(
+      docs.repartitionByRange(8, col("doc_id")), tmp, Seq("lang"))
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val k = mn + (mx - mn) / 4
+    val updates = docs.filter(col("doc_id") < k && col("doc_id") % 6 === 0)
+      .withColumn("n_chars", col("n_chars") + 1000)
+    val inserts = docs.filter(col("doc_id") % 9 === 4)
+      .withColumn("doc_id", col("doc_id") + (mx + 1L))
+      .withColumn("n_chars", col("n_chars") + 7)
+    val before = graft.io.DeltaInterop.state(s, tmp).files.map(_.path).toSet
+    val (v, rewrote, inserted) = graft.io.DeltaInterop.merge(
+      s, tmp, updates.unionByName(inserts), Seq("doc_id"))
+    require(v == 1L && rewrote > 0 && rewrote < before.size,
+      s"merge rewrote $rewrote of ${before.size} files — expected a strict subset")
+    require(inserted > 0, "merge inserted nothing")
+    val after = graft.io.DeltaInterop.state(s, tmp).files.map(_.path).toSet
+    require((before intersect after).size == before.size - rewrote,
+      "untouched files did not survive by path identity")
+    graft.io.DeltaInterop.readDelta(s, tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** q154 — FOREIGN column-mapped Delta table (PROTOCOL.md "Column
+    * Mapping", reader version 2): the parquet files store columns under
+    * physical names (`c_doc`, `c_nch`), the logical names exist ONLY in
+    * schemaString's field metadata, partitionValues are keyed by the
+    * partition column's PHYSICAL name (`c_lng`), and the layout is flat
+    * (no Hive dirs). This is what delta-spark emits once column mapping
+    * is enabled — i.e. any table that ever renamed/dropped a column —
+    * so reading it is table-stakes for "switch your reader to graft".
+    * Commit 1 removes the doc_id%3=2 slice files, so the reader must
+    * also prove log-replay over mapped adds. Final state: every doc
+    * with doc_id%3 != 2, aggregated per lang. */
+  private[graft] def q154(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    val docs = T(s, dir, "documents")
+    val tmp = graft.io.TempDirs.scratch("graft-q154")
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).sorted
+    def writeSlice(lang: String, slice: Int): (String, Long) = {
+      val name = s"part-$slice-$lang.snappy.parquet"
+      val staging = s"$tmp/.stage-$slice-$lang"
+      docs.filter(col("lang") === lang && col("doc_id") % 3 === slice)
+        .select(col("doc_id").as("c_doc"), col("n_chars").as("c_nch"))
+        .coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      require(part.length == 1)
+      val dst = Paths.get(tmp, name)
+      Files.move(part.head.toPath, dst)
+      (name, Files.size(dst))
+    }
+    def meta(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val logical = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true, meta(1, "c_doc")),
+      StructField("n_chars", LongType, nullable = true, meta(2, "c_nch")),
+      StructField("lang", StringType, nullable = true, meta(3, "c_lng"))))
+    val J = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mdNode = J.createObjectNode()
+    val md = mdNode.putObject("metaData")
+    md.put("id", "colmap-foreign-fixture")
+    val fmt = md.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+    md.put("schemaString", logical.json)
+    md.putArray("partitionColumns").add("lang")
+    val cfg = md.putObject("configuration")
+    cfg.put("delta.columnMapping.mode", "name")
+    cfg.put("delta.columnMapping.maxColumnId", "3")
+    md.put("createdTime", 0L)
+    val c0 = scala.collection.mutable.ArrayBuffer[String](
+      """{"commitInfo":{"timestamp":1690000000000,"operation":"WRITE","engineInfo":"foreign-engine/9.9"}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      J.writeValueAsString(mdNode))
+    val c1 = scala.collection.mutable.ArrayBuffer[String](
+      """{"commitInfo":{"timestamp":1690000001000,"operation":"DELETE","engineInfo":"foreign-engine/9.9"}}""")
+    langs.foreach { lang =>
+      (0 to 2).foreach { slice =>
+        val (name, size) = writeSlice(lang, slice)
+        c0 += s"""{"add":{"path":"$name","partitionValues":{"c_lng":"$lang"},"size":$size,"modificationTime":0,"dataChange":true}}"""
+        if (slice == 2)
+          c1 += s"""{"remove":{"path":"$name","deletionTimestamp":1690000002000,"dataChange":true}}"""
+      }
+    }
+    val logDir = Paths.get(tmp, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve("00000000000000000000.json"),
+      (c0.mkString("\n") + "\n").getBytes("UTF-8"))
+    Files.write(logDir.resolve("00000000000000000001.json"),
+      (c1.mkString("\n") + "\n").getBytes("UTF-8"))
+    graft.io.DeltaInterop.readDelta(s, tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang"))
+  }
 }

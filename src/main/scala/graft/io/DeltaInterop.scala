@@ -95,7 +95,8 @@ object DeltaInterop {
     * to recognize an already-committed micro-batch on replay. */
   final case class DeltaState(version: Long, schema: StructType,
                               partitionColumns: Seq[String], files: Seq[AddFile],
-                              txns: Map[String, Long] = Map.empty)
+                              txns: Map[String, Long] = Map.empty,
+                              configuration: Map[String, String] = Map.empty)
 
   /** Latest committed version, or -1 for no table. */
   def latestVersion(spark: SparkSession, dir: String): Long = {
@@ -137,6 +138,7 @@ object DeltaInterop {
     val f = fs(spark, dir)
     var schema: StructType = null
     var partCols: Seq[String] = Nil
+    var config: Map[String, String] = Map.empty
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.HashMap.empty[String, Long]
     // start from the newest checkpoint at or below the requested version:
@@ -152,6 +154,8 @@ object DeltaInterop {
           struct("metaData").foreach { md =>
             schema = DataType.fromJson(md.getAs[String]("schemaString")).asInstanceOf[StructType]
             partCols = md.getSeq[String](md.fieldIndex("partitionColumns")).toList
+            val ci = md.fieldIndex("configuration")
+            if (!md.isNullAt(ci)) config = md.getMap[String, String](ci).toMap
           }
           struct("add").foreach { a =>
             val stats = a.getAs[String]("stats")
@@ -189,6 +193,10 @@ object DeltaInterop {
           val md = node.get("metaData")
           schema = DataType.fromJson(md.get("schemaString").asText).asInstanceOf[StructType]
           partCols = jsonArray(md.get("partitionColumns")).map(_.asText)
+          config =
+            if (md.has("configuration") && !md.get("configuration").isNull)
+              jsonMap(md.get("configuration"))
+            else Map.empty
         } else if (node.has("add")) {
           val a = node.get("add")
           val tags =
@@ -214,7 +222,7 @@ object DeltaInterop {
       }
     }
     require(schema != null, s"log under $dir has no metaData action")
-    DeltaState(v, schema, partCols, live.values.toSeq, txns.toMap)
+    DeltaState(v, schema, partCols, live.values.toSeq, txns.toMap, config)
   }
 
   /** Read the table at `version` (default latest) as a DataFrame with
@@ -228,11 +236,42 @@ object DeltaInterop {
                 version: Option[Long] = None): DataFrame =
     readFiles(spark, dir, state(spark, dir, version))
 
+  // ---- column mapping (PROTOCOL.md "Column Mapping") ----
+  // A table with delta.columnMapping.mode = name|id stores columns in
+  // the data files under each field's delta.columnMapping.physicalName
+  // (delta-spark writes the physical name as the parquet column name in
+  // BOTH modes; field ids are an id-mode adjunct). The logical names
+  // live only in metaData.schemaString's field metadata. Reading =
+  // scan with the PHYSICAL schema, then rename back — positional
+  // struct casts rename nested fields in one expression.
+
+  private def physicalFieldName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** The data type with every nested struct field renamed to its
+    * physical name — what the parquet files actually contain. */
+  private def physicalType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        physicalFieldName(f), physicalType(f.dataType), f.nullable)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = physicalType(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = physicalType(m.keyType), valueType = physicalType(m.valueType))
+    case other => other
+  }
+
+  private def columnMappingMode(st: DeltaState): String =
+    st.configuration.getOrElse("delta.columnMapping.mode", "none")
+
   private def readFiles(spark: SparkSession, dir: String,
                         st: DeltaState): DataFrame = {
     if (st.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)
+    if (columnMappingMode(st) != "none") return readFilesMapped(spark, dir, st)
     val dataSchema = StructType(
       st.files.headOption.map(_ => st.schema.fields
         .filterNot(f => st.partitionColumns.contains(f.name))).getOrElse(Array.empty))
@@ -264,6 +303,43 @@ object DeltaInterop {
         }.reduce(_ unionByName _)
         .select(st.schema.fieldNames.map(col): _*)
     }
+  }
+
+  /** Read a column-mapped snapshot: scan each partition group with the
+    * physical data schema, inject partition values (the log keys them
+    * by PHYSICAL name), then rename physical → logical — top level by
+    * alias, nested levels by positional struct cast. One scan per
+    * partition group; file pruning upstream is unaffected. */
+  private def readFilesMapped(spark: SparkSession, dir: String,
+                              st: DeltaState): DataFrame = {
+    val physOf: Map[String, String] =
+      st.schema.fields.map(f => f.name -> physicalFieldName(f)).toMap
+    val dataFields = st.schema.fields.filterNot(f => st.partitionColumns.contains(f.name))
+    val physDataSchema = StructType(dataFields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        physicalFieldName(f), physicalType(f.dataType), f.nullable)))
+    def partValue(a: AddFile, logical: String): String =
+      a.partitionValues.getOrElse(physOf(logical),
+        a.partitionValues.getOrElse(logical,
+          throw new IllegalArgumentException(
+            s"add ${a.path} has no partition value for $logical/${physOf(logical)}")))
+    st.files.groupBy(a => st.partitionColumns.map(c => partValue(a, c))).toSeq
+      .sortBy(_._1.mkString(" "))
+      .map { case (pvs, fl) =>
+        val base = spark.read.schema(physDataSchema)
+          .parquet(fl.map(a => new Path(dir, a.path).toString): _*)
+        // physical → logical: alias top-level, positional cast nested
+        val dataCols = dataFields.map { f =>
+          val phys = col(physicalFieldName(f))
+          (if (physicalType(f.dataType) == f.dataType) phys
+           else phys.cast(f.dataType)).as(f.name)
+        }
+        val withData = base.select(dataCols: _*)
+        st.partitionColumns.zip(pvs).foldLeft(withData) { case (df, (c, v)) =>
+          df.withColumn(c, lit(v).cast(st.schema(c).dataType))
+        }
+      }.reduce(_ unionByName _)
+      .select(st.schema.fieldNames.map(col): _*)
   }
 
   /** Write `df` as a Delta commit. `overwrite = true` removes every

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.io.DeltaInterop
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Column-mapping read (PROTOCOL.md "Column Mapping"): a table with
+  * delta.columnMapping.mode = name|id stores parquet columns under each
+  * field's delta.columnMapping.physicalName; the logical names exist
+  * only in the log's schemaString metadata. The reader must scan the
+  * PHYSICAL schema and rename back — including nested struct fields —
+  * and resolve partitionValues keyed by physical name. */
+class DeltaColumnMappingSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def fieldMeta(id: Long, phys: String) = new MetadataBuilder()
+    .putLong("delta.columnMapping.id", id)
+    .putString("delta.columnMapping.physicalName", phys).build()
+
+  /** Hand-author a column-mapped table the way delta-spark lays it out:
+    * parquet files named by physical columns, flat (non-Hive) paths,
+    * partitionValues keyed by the partition column's PHYSICAL name. */
+  private def buildMappedTable(dir: String, mode: String): Unit = {
+    // physical rows: col-1=id, col-2=struct(col-3=score, col-4=tag), col-5=lang
+    val physRows = Seq(
+      (1L, (10.0, "a"), "en"), (2L, (20.0, "b"), "en"),
+      (3L, (30.0, "c"), "de"), (4L, (40.0, "d"), "de"))
+    def writeFile(lang: String, name: String): Long = {
+      val staging = s"$dir/.stage-$name"
+      physRows.filter(_._3 == lang)
+        .map { case (i, (s, t), _) => (i, s, t) }
+        .toDF("col-1", "col-3", "col-4")
+        .select(col("col-1"), struct(col("col-3"), col("col-4")).as("col-2"))
+        .coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(dir, name)
+      Files.move(part.toPath, dst)
+      Files.size(dst)
+    }
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, fieldMeta(1, "col-1")),
+      StructField("meta", StructType(Seq(
+        StructField("score", DoubleType, nullable = true, fieldMeta(3, "col-3")),
+        StructField("tag", StringType, nullable = true, fieldMeta(4, "col-4")))),
+        nullable = true, fieldMeta(2, "col-2")),
+      StructField("lang", StringType, nullable = true, fieldMeta(5, "col-5"))))
+    val enSize = writeFile("en", "part-en.snappy.parquet")
+    val deSize = writeFile("de", "part-de.snappy.parquet")
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mdNode = M.createObjectNode()
+    val md = mdNode.putObject("metaData")
+    md.put("id", "cm-fixture")
+    val fmt = md.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+    md.put("schemaString", logical.json) // Jackson escapes the nested JSON
+    md.putArray("partitionColumns").add("lang")
+    val cfg = md.putObject("configuration")
+    cfg.put("delta.columnMapping.mode", mode)
+    cfg.put("delta.columnMapping.maxColumnId", "5")
+    md.put("createdTime", 0L)
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      M.writeValueAsString(mdNode),
+      s"""{"add":{"path":"part-en.snappy.parquet","partitionValues":{"col-5":"en"},"size":$enSize,"modificationTime":0,"dataChange":true}}""",
+      s"""{"add":{"path":"part-de.snappy.parquet","partitionValues":{"col-5":"de"},"size":$deSize,"modificationTime":0,"dataChange":true}}""")
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    Files.write(Paths.get(dir, "_delta_log", "00000000000000000000.json"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+  }
+
+  for (mode <- Seq("name", "id"))
+    test(s"mode=$mode: physical parquet names resolve to logical schema, nested fields included") {
+      val dir = Files.createTempDirectory(s"graft-delta-cm-$mode").toString
+      buildMappedTable(dir, mode)
+      val st = DeltaInterop.state(spark, dir)
+      assert(st.configuration("delta.columnMapping.mode") == mode)
+      val t = DeltaInterop.readDelta(spark, dir)
+      assert(t.schema.fieldNames.toSeq == Seq("id", "meta", "lang"))
+      assert(t.schema("meta").dataType.asInstanceOf[StructType]
+        .fieldNames.toSeq == Seq("score", "tag"))
+      val rows = t.select(col("id"), col("meta.score"), col("meta.tag"), col("lang"))
+        .orderBy("id").collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3))).toSeq
+      assert(rows == Seq((1L, 10.0, "a", "en"), (2L, 20.0, "b", "en"),
+        (3L, 30.0, "c", "de"), (4L, 40.0, "d", "de")))
+      // partition-value resolution went through the physical key
+      assert(st.files.forall(_.partitionValues.contains("col-5")))
+    }
+}

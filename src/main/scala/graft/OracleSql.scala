@@ -293,6 +293,18 @@ object OracleSql {
       """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
         |FROM documents WHERE doc_id % 3 <> 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q155: the DV masks the first ⌊cnt/7⌋ row indices of each
+    // doc_id-ordered (lang, doc_id%4) slice file — the same mask as a
+    // window rank over the slice ordering
+    "q155_delta_dv" ->
+      """WITH ranked AS (SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang, doc_id % 4
+        |                       ORDER BY doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang, doc_id % 4) AS cnt
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
+        |FROM ranked WHERE rn > cnt // 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q151: the stats-pruned range read must equal the plain BETWEEN —
     // bounds recomputed with the same integer arithmetic
     "q151_delta_skipping" ->

@@ -1234,4 +1234,64 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
       .orderBy(col("lang"))
   }
+
+  /** q155 — FOREIGN Delta table with DELETION VECTORS (PROTOCOL.md
+    * "Deletion Vectors", reader version 3): each (lang, doc_id%4) slice
+    * is one doc_id-ordered file whose `add` carries a sidecar DV
+    * masking its first ⌊cnt/7⌋ ROW INDICES — Z85-encoded UUID path,
+    * length-prefixed + CRC'd RoaringBitmapArray bitmap, exactly what a
+    * delta-spark DV DELETE leaves behind. The reader must mask by
+    * (file, row index) without rewriting anything; DuckDB replays the
+    * same mask as a window rank over the slice ordering. */
+  private[graft] def q155(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val docs = T(s, dir, "documents")
+    val tmp = graft.io.TempDirs.scratch("graft-q155")
+    val slices = docs.groupBy(col("lang"), (col("doc_id") % 4).as("slice"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val schema = docs.select("doc_id", "lang", "n_chars").schema
+    val J = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = J.createObjectNode(); val m = md.putObject("metaData")
+    m.put("id", "dv-foreign-fixture")
+    val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+    m.put("schemaString", schema.json)
+    m.putArray("partitionColumns"); m.putObject("configuration"); m.put("createdTime", 0L)
+    val c0 = scala.collection.mutable.ArrayBuffer[String](
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      J.writeValueAsString(md))
+    slices.foreach { case (lang, slice, cnt) =>
+      val name = s"part-$slice-$lang.snappy.parquet"
+      val staging = s"$tmp/.stage-$slice-$lang"
+      docs.filter(col("lang") === lang && col("doc_id") % 4 === slice)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .coalesce(1).sortWithinPartitions("doc_id").write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      require(part.length == 1)
+      val dst = Paths.get(tmp, name)
+      Files.move(part.head.toPath, dst)
+      val size = Files.size(dst)
+      val masked = cnt / 7
+      val add = J.createObjectNode(); val a = add.putObject("add")
+      a.put("path", name); a.putObject("partitionValues")
+      a.put("size", size); a.put("modificationTime", 0L); a.put("dataChange", true)
+      if (masked > 0) {
+        val dvDesc = graft.io.DeletionVectors.writeSidecar(
+          s, tmp, (0L until masked).toArray)
+        a.set[com.fasterxml.jackson.databind.JsonNode](
+          "deletionVector", J.readTree(dvDesc))
+      }
+      c0 += J.writeValueAsString(add)
+    }
+    val logDir = Paths.get(tmp, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve("00000000000000000000.json"),
+      (c0.mkString("\n") + "\n").getBytes("UTF-8"))
+    graft.io.DeltaInterop.readDelta(s, tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang"))
+  }
 }

@@ -67,10 +67,13 @@ object DeltaInterop {
   /** One live data file of a snapshot. `path` is table-root-relative.
     * `stats` is the raw Delta stats JSON when present (numRecords +
     * per-column minValues/maxValues — the log-level data-skipping
-    * index); `numRecords` is its parsed convenience view. */
+    * index); `numRecords` is its parsed convenience view.
+    * `deletionVector` is the raw DV descriptor JSON when the add
+    * carries one (reader v3): row indices of the file masked out at
+    * read time — see [[DeletionVectors]]. */
   final case class AddFile(path: String, partitionValues: Map[String, String],
                            size: Long, numRecords: Long, tags: Map[String, String],
-                           stats: String = null)
+                           stats: String = null, deletionVector: String = null)
 
   // checkpoint parquet rows — the protocol's action-per-row schema
   // (PROTOCOL.md "Checkpoints"): one nullable struct column per action
@@ -80,9 +83,11 @@ object DeltaInterop {
   private[graft] case class CpMetaData(id: String, format: CpFormat,
     schemaString: String, partitionColumns: Seq[String],
     configuration: Map[String, String], createdTime: Long)
+  private[graft] case class CpDv(storageType: String, pathOrInlineDv: String,
+    offset: java.lang.Integer, sizeInBytes: Int, cardinality: Long)
   private[graft] case class CpAdd(path: String, partitionValues: Map[String, String],
     size: Long, modificationTime: Long, dataChange: Boolean, stats: String,
-    tags: Map[String, String])
+    tags: Map[String, String], deletionVector: CpDv = null)
   private[graft] case class CpRemove(path: String, deletionTimestamp: Long,
     dataChange: Boolean)
   private[graft] case class CpTxn(appId: String, version: Long, lastUpdated: Long)
@@ -165,9 +170,25 @@ object DeltaInterop {
               val i = a.fieldIndex(name)
               if (a.isNullAt(i)) Map.empty else a.getMap[String, String](i).toMap
             }
+            // foreign checkpoints may carry a deletionVector struct —
+            // re-encode it as the descriptor JSON the loader expects
+            val dv =
+              if (a.schema.fieldNames.contains("deletionVector") &&
+                  !a.isNullAt(a.fieldIndex("deletionVector"))) {
+                val d = a.getStruct(a.fieldIndex("deletionVector"))
+                val n = M.createObjectNode()
+                n.put("storageType", d.getAs[String]("storageType"))
+                n.put("pathOrInlineDv", d.getAs[String]("pathOrInlineDv"))
+                if (d.schema.fieldNames.contains("offset") &&
+                    !d.isNullAt(d.fieldIndex("offset")))
+                  n.put("offset", d.getAs[Int]("offset"))
+                n.put("sizeInBytes", d.getAs[Int]("sizeInBytes"))
+                n.put("cardinality", d.getAs[Long]("cardinality"))
+                M.writeValueAsString(n)
+              } else null
             live(a.getAs[String]("path")) = AddFile(a.getAs[String]("path"),
               mapOf("partitionValues"), a.getAs[Long]("size"), numRecords,
-              mapOf("tags"), stats)
+              mapOf("tags"), stats, dv)
           }
           struct("txn").foreach { t =>
             val app = t.getAs[String]("appId")
@@ -208,9 +229,13 @@ object DeltaInterop {
           val numRecords =
             if (statsRaw == null) -1L
             else M.readTree(statsRaw).path("numRecords").asLong(-1L)
+          val dv =
+            if (a.has("deletionVector") && !a.get("deletionVector").isNull)
+              M.writeValueAsString(a.get("deletionVector"))
+            else null
           live(a.get("path").asText) = AddFile(a.get("path").asText,
             jsonMap(a.get("partitionValues")), a.get("size").asLong, numRecords,
-            tags, statsRaw)
+            tags, statsRaw, dv)
         } else if (node.has("remove")) {
           live.remove(node.get("remove").get("path").asText)
         } else if (node.has("txn")) {
@@ -266,6 +291,36 @@ object DeltaInterop {
   private def columnMappingMode(st: DeltaState): String =
     st.configuration.getOrElse("delta.columnMapping.mode", "none")
 
+  /** (qualifiedFilePath, rowIndex) of every DV-deleted row across the
+    * snapshot's files, or None when no add carries a deletion vector.
+    * Driver-side load — DVs are metadata-sized (deleted-row positions,
+    * not rows) — then broadcast as the anti-join side, mirroring
+    * delta-spark's per-task bitmap materialization. */
+  private def dvDeleted(spark: SparkSession, dir: String,
+                        st: DeltaState): Option[DataFrame] = {
+    val dvs = st.files.filter(_.deletionVector != null)
+    if (dvs.isEmpty) None
+    else {
+      val f = fs(spark, dir)
+      val rows = dvs.flatMap { a =>
+        val q = f.makeQualified(new Path(dir, a.path)).toString
+        DeletionVectors.loadPositions(spark, dir, a.deletionVector).map(p => (q, p))
+      }
+      import spark.implicits._
+      Some(rows.toDF("_dv_file", "_dv_pos"))
+    }
+  }
+
+  /** Mask DV-deleted rows: anti-join on (file, row index). `df` must
+    * carry `_graft_file`/`_graft_pos` provenance columns; the result
+    * has the logical schema only. */
+  private def applyDv(df: DataFrame, deleted: DataFrame,
+                      schema: StructType): DataFrame =
+    df.join(broadcast(deleted),
+        col("_graft_file") === col("_dv_file") &&
+        col("_graft_pos") === col("_dv_pos"), "left_anti")
+      .select(schema.fieldNames.map(col): _*)
+
   private def readFiles(spark: SparkSession, dir: String,
                         st: DeltaState): DataFrame = {
     if (st.files.isEmpty)
@@ -282,26 +337,40 @@ object DeltaInterop {
           .getPartitionPathString(c, a.partitionValues(c))).mkString("/")
     val allHive = st.partitionColumns.isEmpty ||
       st.files.forall(a => a.path.startsWith(hivePath(a) + "/"))
+    val deleted = dvDeleted(spark, dir, st)
+    val provCols = Seq(col("_metadata.file_path").as("_graft_file"),
+      col("_metadata.row_index").as("_graft_pos"))
     if (allHive) {
       val paths = st.files.map(a => new Path(dir, a.path).toString)
       // the FULL schema (partition columns included) goes to the reader:
       // Spark applies the user-specified types to discovered partition
       // columns, so a StringType partition value that happens to look
       // numeric stays a string instead of diverging from schemaString
-      spark.read.option("basePath", dir).schema(st.schema)
+      val scan = spark.read.option("basePath", dir).schema(st.schema)
         .parquet(paths: _*)
-        .select(st.schema.fieldNames.map(col): _*)
+      deleted match {
+        case None => scan.select(st.schema.fieldNames.map(col): _*)
+        case Some(d) => applyDv(
+          scan.select(st.schema.fieldNames.map(col) ++ provCols: _*), d, st.schema)
+      }
     } else {
-      st.files.groupBy(_.partitionValues).toSeq.sortBy(_._1.toSeq.sortBy(_._1).mkString)
+      val base = st.files.groupBy(_.partitionValues).toSeq
+        .sortBy(_._1.toSeq.sortBy(_._1).mkString)
         .map { case (pv, files) =>
-          val base = spark.read.schema(dataSchema)
+          val scan = spark.read.schema(dataSchema)
             .parquet(files.map(a => new Path(dir, a.path).toString): _*)
-          st.partitionColumns.foldLeft(base) { (df, c) =>
+          // hidden _metadata resolves only on the scan — select per-branch
+          val withProv =
+            if (deleted.isEmpty) scan else scan.select(col("*") +: provCols: _*)
+          st.partitionColumns.foldLeft(withProv) { (df, c) =>
             val dt = st.schema(c).dataType
             df.withColumn(c, lit(pv(c)).cast(dt))
           }
         }.reduce(_ unionByName _)
-        .select(st.schema.fieldNames.map(col): _*)
+      deleted match {
+        case None => base.select(st.schema.fieldNames.map(col): _*)
+        case Some(d) => applyDv(base, d, st.schema)
+      }
     }
   }
 
@@ -323,10 +392,11 @@ object DeltaInterop {
         a.partitionValues.getOrElse(logical,
           throw new IllegalArgumentException(
             s"add ${a.path} has no partition value for $logical/${physOf(logical)}")))
-    st.files.groupBy(a => st.partitionColumns.map(c => partValue(a, c))).toSeq
-      .sortBy(_._1.mkString(" "))
+    val deleted = dvDeleted(spark, dir, st)
+    val base = st.files.groupBy(a => st.partitionColumns.map(c => partValue(a, c))).toSeq
+      .sortBy(_._1.mkString(" "))
       .map { case (pvs, fl) =>
-        val base = spark.read.schema(physDataSchema)
+        val scan = spark.read.schema(physDataSchema)
           .parquet(fl.map(a => new Path(dir, a.path).toString): _*)
         // physical → logical: alias top-level, positional cast nested
         val dataCols = dataFields.map { f =>
@@ -334,12 +404,19 @@ object DeltaInterop {
           (if (physicalType(f.dataType) == f.dataType) phys
            else phys.cast(f.dataType)).as(f.name)
         }
-        val withData = base.select(dataCols: _*)
+        val provCols =
+          if (deleted.isEmpty) Nil
+          else Seq(col("_metadata.file_path").as("_graft_file"),
+            col("_metadata.row_index").as("_graft_pos"))
+        val withData = scan.select(dataCols.toSeq ++ provCols: _*)
         st.partitionColumns.zip(pvs).foldLeft(withData) { case (df, (c, v)) =>
           df.withColumn(c, lit(v).cast(st.schema(c).dataType))
         }
       }.reduce(_ unionByName _)
-      .select(st.schema.fieldNames.map(col): _*)
+    deleted match {
+      case None => base.select(st.schema.fieldNames.map(col): _*)
+      case Some(d) => applyDv(base, d, st.schema)
+    }
   }
 
   /** Write `df` as a Delta commit. `overwrite = true` removes every
@@ -374,8 +451,16 @@ object DeltaInterop {
           if (a.stats != null) a.stats
           else if (a.numRecords >= 0) s"""{"numRecords":${a.numRecords}}"""
           else null
+        val dv =
+          if (a.deletionVector == null) null
+          else {
+            val n = M.readTree(a.deletionVector)
+            CpDv(n.get("storageType").asText, n.get("pathOrInlineDv").asText,
+              if (n.has("offset")) Int.box(n.get("offset").asInt) else null,
+              n.get("sizeInBytes").asInt, n.get("cardinality").asLong)
+          }
         CpRow(add = CpAdd(a.path, a.partitionValues, a.size, 0L, dataChange = true,
-          stats, if (a.tags.nonEmpty) a.tags else null))
+          stats, if (a.tags.nonEmpty) a.tags else null, dv))
       }
     val staging = new Path(dir, s".cp-staging-${java.util.UUID.randomUUID().toString.take(8)}")
     import spark.implicits._
@@ -655,6 +740,8 @@ object DeltaInterop {
   def compact(spark: SparkSession, dir: String,
               smallFileBytes: Long = 32L << 20): (Long, Int, Int) = {
     val st = state(spark, dir)
+    require(st.files.forall(_.deletionVector == null),
+      s"compact on a table with deletion vectors would resurrect deleted rows under $dir")
     val f = fs(spark, dir)
     def hivePath(a: AddFile): String =
       st.partitionColumns.map(c =>
@@ -1049,6 +1136,14 @@ object DeltaInterop {
   // File"; delta-spark's DeleteCommand/UpdateCommand/MergeIntoCommand
   // have the same two-phase find-touched-then-rewrite shape.
 
+  /** Row ops rewrite raw files, so a file with a deletion vector would
+    * RESURRECT its deleted rows — refuse until the DVs are materialized
+    * (read + rewrite through [[readDelta]], which applies them). */
+  private def requireNoDv(st: DeltaState, dir: String, op: String): Unit =
+    require(st.files.forall(_.deletionVector == null),
+      s"$op on a table with deletion vectors would resurrect deleted rows under $dir " +
+        "— materialize the DVs first (copy-on-write through readDelta)")
+
   /** Scan `files` with a `_graft_file` provenance column holding each
     * row's qualified source path — the join key back to [[AddFile]]s. */
   private def scanWithProvenance(spark: SparkSession, dir: String,
@@ -1117,6 +1212,7 @@ object DeltaInterop {
                   partitionEq: Map[String, String] = Map.empty,
                   ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int) = {
     val st = state(spark, dir)
+    requireNoDv(st, dir, "deleteWhere")
     val touched = touchedFiles(spark, dir, st,
       prunedFiles(st, partitionEq, ranges), predicate <=> lit(true))
     if (touched.isEmpty) return (st.version, 0)
@@ -1141,6 +1237,7 @@ object DeltaInterop {
                   partitionEq: Map[String, String] = Map.empty,
                   ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int) = {
     val st = state(spark, dir)
+    requireNoDv(st, dir, "updateWhere")
     val badCols = set.keys.filterNot(st.schema.fieldNames.contains)
     require(badCols.isEmpty, s"SET on unknown columns: ${badCols.mkString(",")}")
     require(set.keys.forall(c => !st.partitionColumns.contains(c)),
@@ -1176,6 +1273,7 @@ object DeltaInterop {
   def merge(spark: SparkSession, dir: String, source: DataFrame,
             keyCols: Seq[String]): (Long, Int, Long) = {
     val st = state(spark, dir)
+    requireNoDv(st, dir, "merge")
     require(st.schema.fieldNames.sorted.sameElements(
       source.schema.fieldNames.sorted),
       s"merge source columns ${source.columns.sorted.mkString(",")} != table's ${st.schema.fieldNames.sorted.mkString(",")}")

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.io.{DeletionVectors => DV, DeltaInterop}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deletion-vector reads (PROTOCOL.md "Deletion Vectors"): row indices
+  * masked out of `add`ed files via Z85 + RoaringBitmapArray portable
+  * bitmaps, inline or sidecar-stored. graft writes none (row ops are
+  * copy-on-write) but must read any delta-spark table that ran a
+  * DV-enabled DELETE/MERGE. */
+class DeletionVectorSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("Z85 round-trips arbitrary 4-byte-aligned payloads") {
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { n =>
+      val bytes = Array.fill(n * 4)(rnd.nextInt().toByte)
+      val enc = DV.z85Encode(bytes)
+      assert(enc.length == n * 5)
+      assert(DV.z85Decode(enc).toSeq == bytes.toSeq)
+    }
+    intercept[IllegalArgumentException](DV.z85Encode(Array[Byte](1, 2, 3)))
+  }
+
+  test("RoaringBitmapArray round-trips array, bitmap, and multi-word shapes") {
+    // array containers (small), bitmap container (>4096 per 64k block),
+    // values above 2^32 (multiple 32-bit bitmaps), multiple 16-bit keys
+    val shapes = Seq[Array[Long]](
+      Array(0L, 1L, 5L, 100L),
+      (0L until 5000L).toArray,                      // bitmap container
+      Array(1L, 65536L + 2, 131072L + 3),            // several container keys
+      Array(7L, (1L << 32) + 9, (5L << 32) + 123),   // several high words
+      Array.empty[Long],
+      (0L until 70000L by 7).toArray)
+    shapes.foreach { vs =>
+      val back = DV.deserialize(DV.serialize(vs))
+      assert(back.toSeq == vs.distinct.sorted.toSeq, s"shape ${vs.take(5).toSeq}...")
+    }
+  }
+
+  test("sidecar write/load round-trips through the descriptor (offset, size, CRC)") {
+    val dir = Files.createTempDirectory("graft-dv-sidecar").toString
+    val positions = Array(0L, 2L, 5L, 4999L)
+    val desc = DV.writeSidecar(spark, dir, positions)
+    assert(desc.contains("\"storageType\":\"u\""))
+    assert(DV.loadPositions(spark, dir, desc).toSeq == positions.toSeq)
+    // corrupting a data byte breaks the CRC
+    val bin = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("deletion_vector_")).head
+    val bytes = Files.readAllBytes(bin.toPath)
+    bytes(7) = (bytes(7) ^ 0x55).toByte
+    Files.write(bin.toPath, bytes)
+    // either our payload CRC or Hadoop's own .crc sidecar flags it first
+    val e = intercept[Exception](DV.loadPositions(spark, dir, desc))
+    assert(e.isInstanceOf[IllegalArgumentException] ||
+      e.isInstanceOf[org.apache.hadoop.fs.ChecksumException])
+  }
+
+  test("inline descriptors decode without any sidecar file") {
+    val positions = Array(1L, 3L)
+    val inline = DV.z85Encode {
+      val data = DV.serialize(positions)
+      // Z85 needs 4-byte alignment; inline DVs pad per the protocol
+      data ++ Array.fill((4 - data.length % 4) % 4)(0.toByte)
+    }
+    val desc = s"""{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":0,"cardinality":2}"""
+    assert(DV.loadPositions(spark, "/nonexistent", desc).toSeq == positions.toSeq)
+  }
+
+  /** A two-file table where file A carries a DV deleting ids 1 and 3
+    * (row indices 1, 3 of the id-ordered file) and file B is unmasked. */
+  private def buildDvTable(dir: String): Unit = {
+    def writeFile(ids: Seq[Long], name: String): Long = {
+      val staging = s"$dir/.stage-$name"
+      ids.map(i => (i, s"name_$i")).toDF("id", "name")
+        .coalesce(1).sortWithinPartitions("id").write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(dir, name)
+      Files.move(part.toPath, dst)
+      Files.size(dst)
+    }
+    val aSize = writeFile(0L to 4L, "part-a.snappy.parquet")
+    val bSize = writeFile(10L to 14L, "part-b.snappy.parquet")
+    val dvDesc = DV.writeSidecar(spark, dir, Array(1L, 3L))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = M.createObjectNode(); val m = md.putObject("metaData")
+    m.put("id", "dv-fixture")
+    val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+    m.put("schemaString", schema.json)
+    m.putArray("partitionColumns"); m.putObject("configuration"); m.put("createdTime", 0L)
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      M.writeValueAsString(md),
+      s"""{"add":{"path":"part-a.snappy.parquet","partitionValues":{},"size":$aSize,"modificationTime":0,"dataChange":true,"deletionVector":$dvDesc}}""",
+      s"""{"add":{"path":"part-b.snappy.parquet","partitionValues":{},"size":$bSize,"modificationTime":0,"dataChange":true}}""")
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    Files.write(Paths.get(dir, "_delta_log", "00000000000000000000.json"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+  }
+
+  test("reads mask DV'd row indices; un-DV'd files are untouched; checkpoint carries the DV") {
+    val dir = Files.createTempDirectory("graft-dv-table").toString
+    buildDvTable(dir)
+    def ids() = DeltaInterop.readDelta(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq
+    // file A lost row indices 1,3 (ids 1,3); file B intact
+    assert(ids() == Seq(0L, 2L, 4L, 10L, 11L, 12L, 13L, 14L))
+    // a checkpointed read must NOT resurrect the deleted rows: drop the
+    // JSON commit so replay can ONLY come from the checkpoint parquet
+    DeltaInterop.checkpoint(spark, dir)
+    Files.delete(Paths.get(dir, "_delta_log", "00000000000000000000.json"))
+    assert(ids() == Seq(0L, 2L, 4L, 10L, 11L, 12L, 13L, 14L))
+    // mutations refuse (rewriting raw files would resurrect rows)
+    intercept[IllegalArgumentException](
+      DeltaInterop.deleteWhere(spark, dir, col("id") === 0L))
+    intercept[IllegalArgumentException](
+      DeltaInterop.updateWhere(spark, dir, lit(true), Map("name" -> lit("x"))))
+    intercept[IllegalArgumentException](
+      DeltaInterop.merge(spark, dir,
+        Seq((0L, "z")).toDF("id", "name"), Seq("id")))
+    intercept[IllegalArgumentException](DeltaInterop.compact(spark, dir))
+  }
+}

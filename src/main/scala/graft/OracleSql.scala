@@ -305,6 +305,21 @@ object OracleSql {
         |SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
         |FROM ranked WHERE rn > cnt // 7
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q156: the z-order-clustered two-dim pruned read must equal the
+    // plain conjunctive BETWEEN — bands recomputed with the same
+    // integer arithmetic (middle ~20% of each key range)
+    "q156_delta_zorder" ->
+      """WITH b AS (SELECT
+        |    min(o_orderkey) + 4 * ((max(o_orderkey) - min(o_orderkey)) // 10) AS ok_lo,
+        |    min(o_orderkey) + 5 * ((max(o_orderkey) - min(o_orderkey)) // 10) AS ok_hi,
+        |    min(o_custkey) + 4 * ((max(o_custkey) - min(o_custkey)) // 10) AS ck_lo,
+        |    min(o_custkey) + 5 * ((max(o_custkey) - min(o_custkey)) // 10) AS ck_hi
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders, b
+        |WHERE o_orderkey BETWEEN ok_lo AND ok_hi
+        |  AND o_custkey BETWEEN ck_lo AND ck_hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q151: the stats-pruned range read must equal the plain BETWEEN —
     // bounds recomputed with the same integer arithmetic
     "q151_delta_skipping" ->

@@ -1294,4 +1294,50 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
       .orderBy(col("lang"))
   }
+
+  /** q156 — OPTIMIZE ZORDER BY (o_orderkey, o_custkey): the table is
+    * first written hash-scattered (every file spans every key range, so
+    * stats pruning can prune NOTHING — asserted), then z-order
+    * clustered. After clustering each file covers one contiguous Morton
+    * range = a small axis-aligned box, so a conjunctive range predicate
+    * on BOTH dimensions prunes most files from the log stats alone —
+    * the query aborts unless clustering strictly improved pruning and
+    * the pruned read covers < half the files. Result: the same
+    * aggregate as a plain two-sided BETWEEN, which DuckDB replays —
+    * proving the swap + pruned read lost and invented nothing. */
+  private[graft] def q156(s: SparkSession, dir: String): DataFrame = {
+    val orders = T(s, dir, "orders")
+    val tmp = graft.io.TempDirs.scratch("graft-q156")
+    // hash-scatter: every file sees the full o_orderkey/o_custkey range
+    graft.io.DeltaInterop.writeDelta(
+      orders.repartition(8, col("o_orderkey")), tmp, Nil)
+    val mm = orders.agg(
+      min(col("o_orderkey")), max(col("o_orderkey")),
+      min(col("o_custkey")), max(col("o_custkey"))).head()
+    def band(lo: Long, hi: Long): (Double, Double) = {
+      val k = (hi - lo) / 10
+      // a [40%, 50%) band sits inside one quadrant at every z level —
+      // a mid-straddling band would defeat ANY binary space split
+      ((lo + 4 * k).toDouble, (lo + 5 * k).toDouble)
+    }
+    val (okLo, okHi) = band(mm.getLong(0), mm.getLong(1))
+    val (ckLo, ckHi) = band(mm.getLong(2), mm.getLong(3))
+    val ranges = Map("o_orderkey" -> ((okLo, okHi)), "o_custkey" -> ((ckLo, ckHi)))
+    val before = graft.io.DeltaInterop.state(s, tmp)
+    val prunedBefore = graft.io.DeltaInterop.prunedFiles(before, ranges = ranges)
+    require(prunedBefore.length == before.files.length,
+      s"scattered layout unexpectedly prunable: ${prunedBefore.length} of ${before.files.length}")
+    val (v, rewritten, created) = graft.io.DeltaInterop.optimizeZOrder(
+      s, tmp, Seq("o_orderkey", "o_custkey"), targetFiles = 16)
+    require(v == 1L && rewritten == 8 && created > 1,
+      s"zorder was a no-op: v=$v rewritten=$rewritten created=$created")
+    val after = graft.io.DeltaInterop.state(s, tmp)
+    val prunedAfter = graft.io.DeltaInterop.prunedFiles(after, ranges = ranges)
+    require(prunedAfter.length < after.files.length / 2,
+      s"zorder pruning did not engage: ${prunedAfter.length} of ${after.files.length} files")
+    graft.io.DeltaInterop.readDeltaWhere(s, tmp, ranges = ranges)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
 }

@@ -739,9 +739,10 @@ object DeltaInterop {
     * or (currentVersion, 0, 0) when nothing qualifies. */
   def compact(spark: SparkSession, dir: String,
               smallFileBytes: Long = 32L << 20): (Long, Int, Int) = {
-    val st = state(spark, dir)
-    require(st.files.forall(_.deletionVector == null),
-      s"compact on a table with deletion vectors would resurrect deleted rows under $dir")
+    val st0 = state(spark, dir)
+    // a DV'd file can't be raw-concatenated (that would resurrect its
+    // masked rows) — leave such files alone; row ops materialize DVs
+    val st = st0.copy(files = st0.files.filter(_.deletionVector == null))
     val f = fs(spark, dir)
     def hivePath(a: AddFile): String =
       st.partitionColumns.map(c =>
@@ -806,6 +807,60 @@ object DeltaInterop {
 
   /** Default vacuum retention: 7 days, the reference Delta default. */
   val DefaultVacuumRetainMillis: Long = 7L * 24 * 3600 * 1000
+
+  /** Z-order clustering (delta-spark's `OPTIMIZE ... ZORDER BY`): one
+    * distributed rewrite of the live files, range-partitioned and
+    * sorted by the interleaved-bit Morton key of `zCols`, committed as
+    * a dataChange=false swap. Each output file then covers a contiguous
+    * z-range — a small axis-aligned box in value space — so the
+    * per-file min/max stats ([[footerStats]]) become tight on EVERY
+    * z-ordered dimension at once, and [[prunedFiles]] range predicates
+    * on any of them skip whole files. This is the multi-column
+    * data-skipping layout: a 100 TB table filtered on two dims reads
+    * ~√selectivity of the files a single-sort layout would.
+    *
+    * `zCols` must be numeric; values normalize to 16-bit ranks via the
+    * columns' global min/max (two-row driver aggregate), then interleave
+    * bit-by-bit — plain Spark shift/mask expressions, fully codegen'd.
+    * Returns (newVersion, filesRewritten, filesCreated). */
+  def optimizeZOrder(spark: SparkSession, dir: String, zCols: Seq[String],
+                     targetFiles: Int = 0): (Long, Int, Int) = {
+    require(zCols.nonEmpty, "zCols must be non-empty")
+    val st = state(spark, dir)
+    require(st.files.forall(_.deletionVector == null),
+      s"optimizeZOrder would resurrect DV-masked rows under $dir — run row ops first")
+    require(zCols.forall(c => st.schema.fieldNames.contains(c)),
+      s"unknown zorder columns: ${zCols.filterNot(st.schema.fieldNames.contains).mkString(",")}")
+    if (st.files.isEmpty) return (st.version, 0, 0)
+    val df = readFiles(spark, dir, st)
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
+    val bits = 16
+    val zParts = zCols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      // 16-bit rank of the value within [lo, hi]
+      val rank = least(lit((1 << bits) - 1), greatest(lit(0),
+        floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(1 << bits)).cast("long")))
+      (rank, i)
+    }
+    // interleave: output bit (b * nCols + i) takes input bit b of col i
+    val n = zCols.length
+    val zKey = zParts.flatMap { case (rank, i) =>
+      (0 until bits).map(b => shiftleft(rank.bitwiseAND(lit(1L << b)), b * (n - 1) + i))
+    }.reduce(_ bitwiseOR _)
+    val nFiles = if (targetFiles > 0) targetFiles else math.max(st.files.length, 1)
+    val clustered = df.withColumn("_graft_z", zKey)
+      .repartitionByRange(nFiles, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+    val adds = stageData(clustered, dir, st.partitionColumns)
+    val actions = st.files.map(removeJson(_, dataChange = false)) ++
+      adds.map(addJson(_, dataChange = false))
+    val v = commit(spark, dir, st.version + 1, actions)
+    (v, st.files.length, adds.length)
+  }
 
   /** Delete data files referenced by NO retained log version — files
     * whose every `add` has aged out of the log (a checkpoint's adds are
@@ -1136,14 +1191,6 @@ object DeltaInterop {
   // File"; delta-spark's DeleteCommand/UpdateCommand/MergeIntoCommand
   // have the same two-phase find-touched-then-rewrite shape.
 
-  /** Row ops rewrite raw files, so a file with a deletion vector would
-    * RESURRECT its deleted rows — refuse until the DVs are materialized
-    * (read + rewrite through [[readDelta]], which applies them). */
-  private def requireNoDv(st: DeltaState, dir: String, op: String): Unit =
-    require(st.files.forall(_.deletionVector == null),
-      s"$op on a table with deletion vectors would resurrect deleted rows under $dir " +
-        "— materialize the DVs first (copy-on-write through readDelta)")
-
   /** Scan `files` with a `_graft_file` provenance column holding each
     * row's qualified source path — the join key back to [[AddFile]]s. */
   private def scanWithProvenance(spark: SparkSession, dir: String,
@@ -1158,22 +1205,36 @@ object DeltaInterop {
     val allHive = st.partitionColumns.isEmpty ||
       files.forall(a => a.path.startsWith(hivePath(a) + "/"))
     val prov = col("_metadata.file_path").as("_graft_file")
-    if (allHive) {
-      spark.read.option("basePath", dir).schema(st.schema)
-        .parquet(files.map(a => new Path(dir, a.path).toString): _*)
-        .select(st.schema.fieldNames.map(col) :+ prov: _*)
-    } else {
-      files.groupBy(_.partitionValues).toSeq
-        .sortBy(_._1.toSeq.sortBy(_._1).mkString)
-        .map { case (pv, fl) =>
-          val base = spark.read.schema(dataSchema)
-            .parquet(fl.map(a => new Path(dir, a.path).toString): _*)
-          // the hidden _metadata column resolves only against the file
-          // scan itself — select it per-branch, before the union
-          st.partitionColumns.foldLeft(base.select(col("*"), prov)) { (df, c) =>
-            df.withColumn(c, lit(pv(c)).cast(st.schema(c).dataType))
-          }.select(st.schema.fieldNames.map(col) :+ col("_graft_file"): _*)
-        }.reduce(_ unionByName _)
+    val pos = col("_metadata.row_index").as("_graft_pos")
+    val raw =
+      if (allHive) {
+        spark.read.option("basePath", dir).schema(st.schema)
+          .parquet(files.map(a => new Path(dir, a.path).toString): _*)
+          .select(st.schema.fieldNames.map(col) ++ Seq(prov, pos): _*)
+      } else {
+        files.groupBy(_.partitionValues).toSeq
+          .sortBy(_._1.toSeq.sortBy(_._1).mkString)
+          .map { case (pv, fl) =>
+            val base = spark.read.schema(dataSchema)
+              .parquet(fl.map(a => new Path(dir, a.path).toString): _*)
+            // the hidden _metadata column resolves only against the file
+            // scan itself — select it per-branch, before the union
+            st.partitionColumns.foldLeft(base.select(col("*"), prov, pos)) { (df, c) =>
+              df.withColumn(c, lit(pv(c)).cast(st.schema(c).dataType))
+            }.select(st.schema.fieldNames.map(col) ++
+              Seq(col("_graft_file"), col("_graft_pos")): _*)
+          }.reduce(_ unionByName _)
+      }
+    // a row op over a DV'd file must see the MASKED rows, so the rewrite
+    // materializes the deletion instead of resurrecting it
+    dvDeleted(spark, dir, st.copy(files = files)) match {
+      case None => raw
+      case Some(d) =>
+        raw.join(broadcast(d),
+            col("_graft_file") === col("_dv_file") &&
+            col("_graft_pos") === col("_dv_pos"), "left_anti")
+          .select(st.schema.fieldNames.map(col) ++
+            Seq(col("_graft_file"), col("_graft_pos")): _*)
     }
   }
 
@@ -1212,7 +1273,6 @@ object DeltaInterop {
                   partitionEq: Map[String, String] = Map.empty,
                   ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int) = {
     val st = state(spark, dir)
-    requireNoDv(st, dir, "deleteWhere")
     val touched = touchedFiles(spark, dir, st,
       prunedFiles(st, partitionEq, ranges), predicate <=> lit(true))
     if (touched.isEmpty) return (st.version, 0)
@@ -1237,7 +1297,6 @@ object DeltaInterop {
                   partitionEq: Map[String, String] = Map.empty,
                   ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int) = {
     val st = state(spark, dir)
-    requireNoDv(st, dir, "updateWhere")
     val badCols = set.keys.filterNot(st.schema.fieldNames.contains)
     require(badCols.isEmpty, s"SET on unknown columns: ${badCols.mkString(",")}")
     require(set.keys.forall(c => !st.partitionColumns.contains(c)),
@@ -1273,7 +1332,6 @@ object DeltaInterop {
   def merge(spark: SparkSession, dir: String, source: DataFrame,
             keyCols: Seq[String]): (Long, Int, Long) = {
     val st = state(spark, dir)
-    requireNoDv(st, dir, "merge")
     require(st.schema.fieldNames.sorted.sameElements(
       source.schema.fieldNames.sorted),
       s"merge source columns ${source.columns.sorted.mkString(",")} != table's ${st.schema.fieldNames.sorted.mkString(",")}")

@@ -117,14 +117,30 @@ class DeletionVectorSpec extends AnyFunSuite {
     DeltaInterop.checkpoint(spark, dir)
     Files.delete(Paths.get(dir, "_delta_log", "00000000000000000000.json"))
     assert(ids() == Seq(0L, 2L, 4L, 10L, 11L, 12L, 13L, 14L))
-    // mutations refuse (rewriting raw files would resurrect rows)
-    intercept[IllegalArgumentException](
-      DeltaInterop.deleteWhere(spark, dir, col("id") === 0L))
-    intercept[IllegalArgumentException](
-      DeltaInterop.updateWhere(spark, dir, lit(true), Map("name" -> lit("x"))))
-    intercept[IllegalArgumentException](
-      DeltaInterop.merge(spark, dir,
-        Seq((0L, "z")).toDF("id", "name"), Seq("id")))
-    intercept[IllegalArgumentException](DeltaInterop.compact(spark, dir))
+    // row ops MATERIALIZE the DV: deleting id 0 rewrites file A from its
+    // masked rows (0,2,4) → survivors (2,4); ids 1,3 must NOT resurrect
+    val (_, rewrote) = DeltaInterop.deleteWhere(spark, dir, col("id") === 0L)
+    assert(rewrote == 1)
+    assert(ids() == Seq(2L, 4L, 10L, 11L, 12L, 13L, 14L))
+    // the rewritten file carries no DV — the tombstones are materialized
+    assert(DeltaInterop.state(spark, dir).files.forall(_.deletionVector == null))
+    // update through the same path keeps the masked view
+    DeltaInterop.updateWhere(spark, dir, col("id") === 2L,
+      Map("name" -> lit("two")))
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.filter(col("id") === 2L).select("name").as[String].head() == "two")
+    assert(t.count() == 7)
+  }
+
+  test("compact skips DV'd files instead of resurrecting their masked rows") {
+    val dir = Files.createTempDirectory("graft-dv-compact").toString
+    buildDvTable(dir)
+    // both files are small; only the un-DV'd one (file B, alone in its
+    // group) qualifies ⇒ nothing to do, and file A's DV stays intact
+    val (v, rewritten, created) = DeltaInterop.compact(spark, dir, smallFileBytes = 1L << 20)
+    assert(rewritten == 0 && created == 0, s"v=$v rewrote=$rewritten created=$created")
+    val ids = DeltaInterop.readDelta(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(0L, 2L, 4L, 10L, 11L, 12L, 13L, 14L))
   }
 }

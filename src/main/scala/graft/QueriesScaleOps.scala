@@ -1340,4 +1340,60 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy(col("o_orderstatus"))
   }
+
+  /** q158 — merge-on-read DELETE via DELETION VECTORS (writer v7): two
+    * deletes run against the table and NEITHER rewrites a data file —
+    * each writes per-file RoaringBitmapArray sidecars of deleted row
+    * indices and swaps the `add`s to carry the descriptors (asserted:
+    * the file-path set is unchanged, and every file carries a DV after
+    * round 2, which also proves the second delete UNIONED into the
+    * first's bitmaps). O(deleted rows) work where copy-on-write q152
+    * would rewrite every touched file — the 100 TB low-selectivity
+    * path. The second delete's candidates are log-stats-pruned first
+    * (the q151/q152 contract). Result: pre (v0 time travel) vs post
+    * (DV-masked read) per-lang aggregates, both analytic in DuckDB. */
+  private[graft] def q158(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val tmp = graft.io.TempDirs.scratch("graft-q158")
+    graft.io.DeltaInterop.writeDelta(
+      docs.repartitionByRange(8, col("doc_id")), tmp, Seq("lang"))
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val k = mn + (mx - mn) / 5
+    val st0 = graft.io.DeltaInterop.state(s, tmp)
+    val paths0 = st0.files.map(_.path).toSet
+    // round 1: a delete spread across every doc_id range — every file
+    // is touched, none may be rewritten
+    val (v1, touched1, del1) = graft.io.DeltaInterop.deleteWhereDV(
+      s, tmp, col("doc_id") % 7 === 3)
+    require(v1 == 1L && touched1 > 0 && del1 > 0,
+      s"DV delete was a no-op: v=$v1 touched=$touched1 deleted=$del1")
+    val st1 = graft.io.DeltaInterop.state(s, tmp)
+    // descriptor swaps only: no file is ever REWRITTEN (a fully-dead
+    // file may drop outright — that is a remove, not a rewrite)
+    require(st1.files.map(_.path).toSet.subsetOf(paths0) &&
+      st1.files.exists(_.deletionVector != null),
+      "DV delete rewrote data files — expected descriptor swaps only")
+    // round 2: range-local delete, candidates pruned from the log alone
+    val candidates = graft.io.DeltaInterop.prunedFiles(st1,
+      ranges = Map("doc_id" -> ((mn.toDouble, (k - 1).toDouble))))
+    require(candidates.length < st1.files.length,
+      s"delete candidate pruning did not engage: ${candidates.length} of ${st1.files.length}")
+    val (v2, touched2, del2) = graft.io.DeltaInterop.deleteWhereDV(
+      s, tmp, col("doc_id") < k,
+      ranges = Map("doc_id" -> ((mn.toDouble, (k - 1).toDouble))))
+    require(v2 == 2L && touched2 <= candidates.length && del2 > 0,
+      s"round-2 DV delete: touched=$touched2 (candidates ${candidates.length}) deleted=$del2")
+    val st2 = graft.io.DeltaInterop.state(s, tmp)
+    require(st2.files.map(_.path).toSet.subsetOf(paths0) &&
+      st2.files.exists(_.deletionVector != null),
+      "after both deletes no new data file may exist and DVs must remain")
+    val pre = graft.io.DeltaInterop.readDelta(s, tmp, Some(0L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pre"), sum(col("n_chars")).as("chars_pre"))
+    val post = graft.io.DeltaInterop.readDelta(s, tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_post"), sum(col("n_chars")).as("chars_post"))
+    pre.join(post, Seq("lang")).orderBy(col("lang"))
+  }
 }

@@ -223,6 +223,31 @@ object DeletionVectors {
 
   // ---- DV descriptor resolution ----
 
+  /** `[prefix]<z85 uuid>` payload → table-root-relative sidecar path
+    * (`deletion_vector_<uuid>.bin`, optionally under a prefix dir). */
+  def sidecarRelFromPayload(payload: String): String = {
+    val (prefix, enc) =
+      if (payload.length > 20) (payload.dropRight(20), payload.takeRight(20))
+      else ("", payload)
+    val raw = z85Decode(enc)
+    val bb = ByteBuffer.wrap(raw)
+    val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+    val name = s"deletion_vector_$uuid.bin"
+    if (prefix.isEmpty) name else s"$prefix/$name"
+  }
+
+  /** The table-root-relative sidecar file a descriptor references, or
+    * None for inline ("i") and absolute ("p") storage — the reachability
+    * set [[graft.io.DeltaInterop.vacuum]] uses to GC orphaned DV files. */
+  def sidecarRelPath(descriptorJson: String): Option[String] = {
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = M.readTree(descriptorJson)
+    n.get("storageType").asText match {
+      case "u" => Some(sidecarRelFromPayload(n.get("pathOrInlineDv").asText))
+      case _ => None
+    }
+  }
+
   /** Load the deleted row indices for one `deletionVector` descriptor
     * (raw JSON node text). `tableDir` anchors relative ("u") storage. */
   def loadPositions(spark: SparkSession, tableDir: String,
@@ -237,16 +262,7 @@ object DeletionVectors {
       case "u" | "p" =>
         val path = storage match {
           case "p" => new Path(payload)
-          case _ => // [prefix]<z85 uuid>: sidecar deletion_vector_<uuid>.bin
-            val (prefix, enc) =
-              if (payload.length > 20) (payload.dropRight(20), payload.takeRight(20))
-              else ("", payload)
-            val raw = z85Decode(enc)
-            val bb = ByteBuffer.wrap(raw)
-            val uuid = new java.util.UUID(bb.getLong, bb.getLong)
-            val name = s"deletion_vector_$uuid.bin"
-            if (prefix.isEmpty) new Path(tableDir, name)
-            else new Path(new Path(tableDir, prefix), name)
+          case _ => new Path(tableDir, sidecarRelFromPayload(payload))
         }
         val offset = if (n.has("offset")) n.get("offset").asInt else 0
         val size = n.get("sizeInBytes").asInt

@@ -885,11 +885,23 @@ object DeltaInterop {
     val referenced = scala.collection.mutable.HashSet.empty[String]
     // every add surviving in the retained log (checkpoint + JSON tail +
     // any JSON prefix not yet cleaned) keeps its file reachable by some
-    // reconstructable version
+    // reconstructable version; an add's DV sidecar is reachable with it
+    def refDv(descriptorJson: String): Unit =
+      DeletionVectors.sidecarRelPath(descriptorJson).foreach(referenced += _)
     lastCheckpoint(spark, dir).foreach { case (cpV, _) =>
       spark.read.parquet(checkpointFile(dir, cpV).toString).collect().foreach { r =>
         val ai = r.fieldIndex("add")
-        if (!r.isNullAt(ai)) referenced += r.getStruct(ai).getAs[String]("path")
+        if (!r.isNullAt(ai)) {
+          val a = r.getStruct(ai)
+          referenced += a.getAs[String]("path")
+          if (a.schema.fieldNames.contains("deletionVector") &&
+              !a.isNullAt(a.fieldIndex("deletionVector"))) {
+            val d = a.getStruct(a.fieldIndex("deletionVector"))
+            if (d.getAs[String]("storageType") == "u")
+              referenced += DeletionVectors.sidecarRelFromPayload(
+                d.getAs[String]("pathOrInlineDv"))
+          }
+        }
       }
     }
     f.listStatus(logDir(dir)).map(_.getPath).filter { p =>
@@ -902,17 +914,25 @@ object DeltaInterop {
         finally in.close()
       lines.filter(_.nonEmpty).foreach { line =>
         val node = M.readTree(line)
-        if (node.has("add")) referenced += node.get("add").get("path").asText
+        if (node.has("add")) {
+          val a = node.get("add")
+          referenced += a.get("path").asText
+          if (a.has("deletionVector") && !a.get("deletionVector").isNull)
+            refDv(M.writeValueAsString(a.get("deletionVector")))
+        }
       }
     }
     var deleted = 0
+    def reclaimable(name: String, rel: String): Boolean =
+      (name.endsWith(".parquet") ||
+        (name.startsWith("deletion_vector_") && name.endsWith(".bin"))) &&
+        !referenced.contains(rel)
     def walk(p: Path, rel: List[String]): Unit =
       f.listStatus(p).foreach { s0 =>
         val name = s0.getPath.getName
         if (name == "_delta_log" || name.startsWith(".") || name.startsWith("_")) ()
         else if (s0.isDirectory) walk(s0.getPath, rel :+ name)
-        else if (name.endsWith(".parquet") &&
-                 !referenced.contains((rel :+ name).mkString("/")) &&
+        else if (reclaimable(name, (rel :+ name).mkString("/")) &&
                  s0.getModificationTime <= cutoff) {
           f.delete(s0.getPath, false)
           deleted += 1
@@ -1155,8 +1175,19 @@ object DeltaInterop {
       val tags = add.putObject("tags")
       a.tags.toSeq.sortBy(_._1).foreach { case (k, v) => tags.put(k, v) }
     }
+    if (a.deletionVector != null)
+      add.set[com.fasterxml.jackson.databind.JsonNode](
+        "deletionVector", M.readTree(a.deletionVector))
     M.writeValueAsString(n)
   }
+
+  /** The protocol action a DV-writing commit carries: reader 3 / writer
+    * 7 with the `deletionVectors` feature on both sides (PROTOCOL.md
+    * "Deletion Vectors" requirements). Emitted with every
+    * [[deleteWhereDV]] commit — replaying the same value is idempotent,
+    * so no protocol-state tracking is needed. */
+  private def dvProtocolJson(): String =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
 
   private def txnJson(appId: String, version: Long): String = {
     val n = M.createObjectNode()
@@ -1285,6 +1316,65 @@ object DeltaInterop {
     val actions = touched.map(removeJson(_)) ++ adds.map(addJson(_))
     val v = commit(spark, dir, st.version + 1, actions)
     (v, touched.length)
+  }
+
+  /** Merge-on-read DELETE (writer v7 deletion vectors): instead of
+    * rewriting the touched data files, write each one's deleted ROW
+    * INDICES as a deletion-vector sidecar ([[DeletionVectors]]) and
+    * swap the file's `add` for one carrying the descriptor —
+    * remove+add of the SAME path, protocol upgraded to reader 3 /
+    * writer 7 + `deletionVectors` features, exactly the commit shape a
+    * delta-spark DV-enabled DELETE leaves. The scale contract flips
+    * from copy-on-write: work is O(deleted rows) — KB-sized bitmaps —
+    * not O(touched-file bytes); at 100 TB a 0.1%-selectivity delete
+    * writes a few sidecars where [[deleteWhere]] would rewrite every
+    * touched file. The tradeoff moves to READ time (a broadcast
+    * anti-join per scan), which [[deleteWhere]]/[[updateWhere]]/
+    * [[merge]] later materialize away, and [[compact]] works around.
+    *
+    * New positions union into any existing DV (a descriptor REPLACES
+    * the file's previous one, so it must carry all previously-deleted
+    * indices — the predicate scan runs on the masked view, making the
+    * two sets disjoint by construction). A file whose every live row
+    * dies is removed outright with no DV, delta-spark's own special
+    * case. Returns (newVersion, filesTouched, rowsDeleted) — or
+    * (currentVersion, 0, 0) when nothing matches. */
+  def deleteWhereDV(spark: SparkSession, dir: String,
+                    predicate: org.apache.spark.sql.Column,
+                    partitionEq: Map[String, String] = Map.empty,
+                    ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int, Long) = {
+    val st = state(spark, dir)
+    val candidates = prunedFiles(st, partitionEq, ranges)
+    if (candidates.isEmpty) return (st.version, 0, 0L)
+    // physical row indices of the newly-deleted rows, grouped per file —
+    // collect is bounded by the DELETED rows (positions, not row data)
+    val perFile = scanWithProvenance(spark, dir, st, candidates)
+      .filter(predicate <=> lit(true))
+      .groupBy(col("_graft_file"))
+      .agg(collect_list(col("_graft_pos")).as("pos"))
+      .collect()
+    if (perFile.isEmpty) return (st.version, 0, 0L)
+    val idx = qualifiedIndex(spark, dir, candidates)
+    val removes = Seq.newBuilder[String]
+    val adds = Seq.newBuilder[String]
+    var deletedRows = 0L
+    perFile.foreach { r =>
+      val a = idx(r.getString(0))
+      val newPos = r.getSeq[Long](1).toArray
+      deletedRows += newPos.length
+      val oldPos =
+        if (a.deletionVector == null) Array.empty[Long]
+        else DeletionVectors.loadPositions(spark, dir, a.deletionVector)
+      val merged = (oldPos ++ newPos).distinct
+      removes += removeJson(a)
+      if (a.numRecords < 0 || merged.length < a.numRecords) {
+        val desc = DeletionVectors.writeSidecar(spark, dir, merged)
+        adds += addJson(a.copy(deletionVector = desc))
+      } // else: every physical row is dead — the remove alone drops it
+    }
+    val v = commit(spark, dir, st.version + 1,
+      dvProtocolJson() +: (removes.result() ++ adds.result()))
+    (v, perFile.length, deletedRows)
   }
 
   /** Copy-on-write UPDATE: for rows where `predicate` is TRUE, replace

@@ -143,4 +143,67 @@ class DeletionVectorSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq
     assert(ids == Seq(0L, 2L, 4L, 10L, 11L, 12L, 13L, 14L))
   }
+
+  test("deleteWhereDV writes deletion vectors instead of rewriting files") {
+    val dir = Files.createTempDirectory("graft-dv-write").toString
+    val df = (0L until 100L).map(i => (i, s"n_$i")).toDF("id", "name")
+    DeltaInterop.writeDelta(df.repartitionByRange(2, col("id")), dir, Nil)
+    val before = DeltaInterop.state(spark, dir)
+    assert(before.files.length == 2 && before.files.forall(_.deletionVector == null))
+    val paths0 = before.files.map(_.path).toSet
+    val (v1, touched, nDel) =
+      DeltaInterop.deleteWhereDV(spark, dir, col("id") % 10 === 3L)
+    assert(v1 == 1L && touched == 2 && nDel == 10L, s"($v1, $touched, $nDel)")
+    val after = DeltaInterop.state(spark, dir)
+    // the SAME data files — no rewrite — now carry descriptors
+    assert(after.files.map(_.path).toSet == paths0)
+    assert(after.files.forall(_.deletionVector != null))
+    def t() = DeltaInterop.readDelta(spark, dir)
+    assert(t().count() == 90 && t().filter(col("id") % 10 === 3L).count() == 0)
+    // a second DV delete UNIONS into the existing descriptors (the
+    // predicate scan runs on the masked view ⇒ disjoint position sets)
+    val (v2, t2, n2) = DeltaInterop.deleteWhereDV(spark, dir, col("id") % 10 === 7L)
+    assert(v2 == 2L && t2 == 2 && n2 == 10L)
+    assert(t().count() == 80)
+    // time travel still resolves every intermediate DV state
+    assert(DeltaInterop.readDelta(spark, dir, Some(0L)).count() == 100)
+    assert(DeltaInterop.readDelta(spark, dir, Some(1L)).count() == 90)
+    // our checkpoint carries the DVs (CpDv write-through): drop every
+    // JSON commit so replay can ONLY come from the checkpoint parquet
+    DeltaInterop.checkpoint(spark, dir)
+    (0L to 2L).foreach(v =>
+      Files.deleteIfExists(Paths.get(dir, "_delta_log", f"$v%020d.json")))
+    assert(t().count() == 80)
+    // a copy-on-write row op then MATERIALIZES the touched file's DV
+    val (_, rw) = DeltaInterop.deleteWhere(spark, dir, col("id") === 0L)
+    assert(rw == 1)
+    assert(DeltaInterop.state(spark, dir).files.count(_.deletionVector != null) == 1)
+    assert(t().count() == 79 && t().filter(col("id") % 10 === 7L).count() == 0)
+  }
+
+  test("deleteWhereDV drops fully-dead files; vacuum GCs orphaned sidecars") {
+    val dir = Files.createTempDirectory("graft-dv-gc").toString
+    val df = (0L until 100L).map(i => (i, i / 50, s"n_$i")).toDF("id", "half", "name")
+    DeltaInterop.writeDelta(df.repartition(1), dir, Seq("half"))
+    assert(DeltaInterop.state(spark, dir).files.length == 2)
+    // half=0 dies entirely (remove, no DV); half=1 loses ids 50-59 (DV)
+    val (v1, touched, nDel) = DeltaInterop.deleteWhereDV(spark, dir,
+      col("half") === 0L || col("id") < 60L)
+    assert(v1 == 1L && touched == 2 && nDel == 60L, s"($v1, $touched, $nDel)")
+    val st1 = DeltaInterop.state(spark, dir)
+    assert(st1.files.length == 1 && st1.files.head.deletionVector != null)
+    assert(DeltaInterop.readDelta(spark, dir).count() == 40)
+    // replacing the surviving DV orphans its previous sidecar
+    DeltaInterop.deleteWhereDV(spark, dir, col("id") < 70L)
+    def bins() = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("deletion_vector_"))
+    assert(bins() == 2)
+    DeltaInterop.checkpoint(spark, dir)
+    DeltaInterop.cleanupLog(spark, dir)
+    val reclaimed = DeltaInterop.vacuum(spark, dir, retainMillis = 0L)
+    // the dead data file + the orphaned sidecar go; the live one stays
+    assert(reclaimed == 2, s"vacuum reclaimed $reclaimed")
+    assert(bins() == 1)
+    assert(DeltaInterop.readDelta(spark, dir).count() == 30)
+  }
 }

@@ -305,6 +305,22 @@ object OracleSql {
         |SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
         |FROM ranked WHERE rn > cnt // 7
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q158: two DV deletes (doc_id%7==3, then doc_id<k with
+    // k = min + (max-min)//5) never rewrite a data file; pre = v0
+    // time travel, post = the DV-masked live set — both analytic
+    "q158_delta_dv_delete" ->
+      """WITH b AS (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) // 5 AS k
+        |  FROM documents),
+        |pre AS (SELECT lang, count(*) AS n_pre,
+        |    sum(n_chars)::BIGINT AS chars_pre
+        |  FROM documents GROUP BY 1),
+        |post AS (SELECT lang, count(*) AS n_post,
+        |    sum(n_chars)::BIGINT AS chars_post
+        |  FROM documents, b
+        |  WHERE doc_id % 7 <> 3 AND doc_id >= k GROUP BY 1)
+        |SELECT pre.lang, n_pre, chars_pre, n_post, chars_post
+        |FROM pre JOIN post ON pre.lang = post.lang
+        |ORDER BY 1""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

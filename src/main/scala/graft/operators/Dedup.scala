@@ -357,7 +357,8 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
-    var labels = nodes.select(col("id"), col("id").as("lab")).cache()
+    var backing = nodes.select(col("id"), col("id").as("lab")).cache()
+    var labels = backing
     var changed = 1L
     var iter = 0
     while (changed > 0) {
@@ -374,14 +375,19 @@ object Dedup {
       // iterations = cluster-graph diameter, so the logical plan grows one
       // join per hop; every few hops truncate the lineage (localCheckpoint
       // — eager, executor-local blocks) or planner cost and failure-
-      // recovery depth degrade on long chains at scale.
+      // recovery depth degrade on long chains at scale. Between
+      // checkpoints the next state is a NARROW projection over the
+      // cache the convergence count just materialized — one job per
+      // hop, not two.
       val projected = updated.select(col("id"), col("lab2").as("lab"))
-      val next =
-        if (iter % 3 == 0) projected.localCheckpoint(true)
-        else { val n = projected.cache(); n.count(); n } // materialize before dropping the parent cache
-      labels.unpersist()
-      updated.unpersist()
-      labels = next
+      if (iter % 3 == 0) {
+        val next = projected.localCheckpoint(true)
+        backing.unpersist(); updated.unpersist()
+        labels = next; backing = next
+      } else {
+        backing.unpersist() // updated is materialized; grandparent can go
+        labels = projected; backing = updated
+      }
     }
     edges.unpersist()
     labels.select(col("id"), col("lab").as("cluster_id"))

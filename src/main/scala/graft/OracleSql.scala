@@ -321,6 +321,12 @@ object OracleSql {
         |SELECT pre.lang, n_pre, chars_pre, n_post, chars_post
         |FROM pre JOIN post ON pre.lang = post.lang
         |ORDER BY 1""".stripMargin,
+    // q159: exactly-once streaming delivery — per-micro-batch partial
+    // aggregates sum to the plain corpus aggregate iff no row is
+    // dropped or duplicated across the snapshot/tail/rate-limit cuts
+    "q159_delta_source" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

@@ -1396,4 +1396,52 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(count(lit(1)).as("n_post"), sum(col("n_chars")).as("chars_post"))
     pre.join(post, Seq("lang")).orderBy(col("lang"))
   }
+
+  /** q159 — STREAMING Delta SOURCE ([[graft.streaming.DeltaSource]],
+    * `readStream.format("graft-delta")`): two-thirds of the corpus is
+    * the stream-START snapshot, the last third APPENDS while the stream
+    * is live and arrives as tail commits; `maxFilesPerTrigger` forces
+    * the snapshot through several rate-limited micro-batches. Each
+    * batch folds to per-lang partials and the partials SUM to the
+    * corpus aggregate — true only if every row is delivered exactly
+    * once across batch cuts and phases (a dropped file or a re-emitted
+    * commit breaks the hash). The query ABORTS unless the rate limit
+    * actually produced ≥2 data batches. */
+  private[graft] def q159(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q159")
+    val table = s"$tmp/table"
+    graft.io.DeltaInterop.writeDelta(
+      docs.filter(col("doc_id") % 3 =!= 2).repartitionByRange(4, col("doc_id")),
+      table, Seq("lang"))
+    val buf = scala.collection.mutable.ListBuffer.empty[(String, Long, Long)]
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = s.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", "3").load(table)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        if (rows.nonEmpty) {
+          batches.incrementAndGet()
+          buf.synchronized { buf ++= rows }
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      graft.io.DeltaInterop.writeDelta(docs.filter(col("doc_id") % 3 === 2),
+        table, Seq("lang"))
+      q.processAllAvailable()
+    } finally q.stop()
+    require(batches.get >= 2,
+      s"maxFilesPerTrigger should cut ≥2 data batches, saw ${batches.get}")
+    import s.implicits._
+    buf.toSeq.toDF("lang", "n", "chars")
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_docs"), sum(col("chars")).as("chars"))
+      .orderBy(col("lang"))
+  }
 }

@@ -219,23 +219,8 @@ object DeltaInterop {
               jsonMap(md.get("configuration"))
             else Map.empty
         } else if (node.has("add")) {
-          val a = node.get("add")
-          val tags =
-            if (a.has("tags") && !a.get("tags").isNull) jsonMap(a.get("tags"))
-            else Map.empty[String, String]
-          val statsRaw =
-            if (a.has("stats") && !a.get("stats").isNull) a.get("stats").asText
-            else null
-          val numRecords =
-            if (statsRaw == null) -1L
-            else M.readTree(statsRaw).path("numRecords").asLong(-1L)
-          val dv =
-            if (a.has("deletionVector") && !a.get("deletionVector").isNull)
-              M.writeValueAsString(a.get("deletionVector"))
-            else null
-          live(a.get("path").asText) = AddFile(a.get("path").asText,
-            jsonMap(a.get("partitionValues")), a.get("size").asLong, numRecords,
-            tags, statsRaw, dv)
+          val a = parseAddNode(node.get("add"))
+          live(a.path) = a
         } else if (node.has("remove")) {
           live.remove(node.get("remove").get("path").asText)
         } else if (node.has("txn")) {
@@ -249,6 +234,76 @@ object DeltaInterop {
     require(schema != null, s"log under $dir has no metaData action")
     DeltaState(v, schema, partCols, live.values.toSeq, txns.toMap, config)
   }
+
+  /** One `add` action's JSON node → [[AddFile]]. */
+  private def parseAddNode(a: JsonNode): AddFile = {
+    val tags =
+      if (a.has("tags") && !a.get("tags").isNull) jsonMap(a.get("tags"))
+      else Map.empty[String, String]
+    val statsRaw =
+      if (a.has("stats") && !a.get("stats").isNull) a.get("stats").asText
+      else null
+    val numRecords =
+      if (statsRaw == null) -1L
+      else M.readTree(statsRaw).path("numRecords").asLong(-1L)
+    val dv =
+      if (a.has("deletionVector") && !a.get("deletionVector").isNull)
+        M.writeValueAsString(a.get("deletionVector"))
+      else null
+    AddFile(a.get("path").asText, jsonMap(a.get("partitionValues")),
+      a.get("size").asLong, numRecords, tags, statsRaw, dv)
+  }
+
+  /** The actions of ONE commit, as a streaming tailer needs them:
+    * adds with their dataChange flag (in commit order — the protocol's
+    * deterministic within-version order), whether any remove carries
+    * dataChange=true (a row-level change a tailer must reject or be
+    * told to ignore), the new schemaString when the commit carries a
+    * metaData action, and the commit's minReaderVersion when it carries
+    * a protocol action. */
+  private[graft] final case class CommitActions(
+      adds: Seq[(AddFile, Boolean)], removesDataChange: Boolean,
+      schemaChange: Option[String], minReader: Option[Int])
+
+  /** Parse commit `v`'s JSON. Fails (with a vacuum/cleanup hint) when
+    * the commit file no longer exists — a tailer that falls behind
+    * [[cleanupLog]]'s horizon cannot resume. */
+  private[graft] def commitActions(spark: SparkSession, dir: String,
+                                   v: Long): CommitActions = {
+    val f = fs(spark, dir)
+    val p = logFile(dir, v)
+    require(f.exists(p),
+      s"log version $v under $dir is gone (cleaned up past a checkpoint?) — cannot tail it")
+    val in = f.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val adds = Seq.newBuilder[(AddFile, Boolean)]
+    var removesDc = false
+    var schemaChange: Option[String] = None
+    var minReader: Option[Int] = None
+    lines.filter(_.nonEmpty).foreach { line =>
+      val node = M.readTree(line)
+      if (node.has("add")) {
+        val a = node.get("add")
+        adds += ((parseAddNode(a), a.path("dataChange").asBoolean(true)))
+      } else if (node.has("remove")) {
+        if (node.get("remove").path("dataChange").asBoolean(true)) removesDc = true
+      } else if (node.has("metaData")) {
+        schemaChange = Some(node.get("metaData").get("schemaString").asText)
+      } else if (node.has("protocol")) {
+        minReader = Some(node.get("protocol").path("minReaderVersion").asInt(1))
+      }
+    }
+    CommitActions(adds.result(), removesDc, schemaChange, minReader)
+  }
+
+  /** Read an arbitrary subset of a snapshot's files with the snapshot's
+    * schema — partition values, column mapping, and deletion vectors
+    * all honored. The unit a streaming tailer reads micro-batches with. */
+  private[graft] def readSubset(spark: SparkSession, dir: String,
+                                st: DeltaState, files: Seq[AddFile]): DataFrame =
+    readFiles(spark, dir, st.copy(files = files))
 
   /** Read the table at `version` (default latest) as a DataFrame with
     * the snapshot's schema, partition columns included. When every live

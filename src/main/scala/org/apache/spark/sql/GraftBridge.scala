@@ -1,6 +1,10 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.StructType
 
 /** Bridge into Spark's `private[sql]` Column↔Expression converters for
   * graft's custom Catalyst expressions. Lives in the org.apache.spark.sql
@@ -10,4 +14,28 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Mark every file relation leaf of `df`'s plan streaming — the shape a
+    * DSv1 `Source.getBatch` must return (MicroBatchExecution asserts
+    * `batch.isStreaming` before splicing the plan in place of the
+    * StreamingExecutionRelation leaf). The plan itself still executes as
+    * the batch it is; only the flag changes, so Catalyst keeps the file
+    * scan (pushdown, pruning) intact — the same trick delta-spark's
+    * DeltaSource uses via `DeltaLog.createDataFrame(isStreaming=true)`. */
+  def asStreamingBatch(df: Dataset[Row]): Dataset[Row] = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    val plan = cdf.logicalPlan.transform {
+      case lr: LogicalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
+    }
+    val out = classic.Dataset.ofRows(cdf.sparkSession, plan)
+    require(out.isStreaming,
+      "asStreamingBatch: no file relation leaf found to mark streaming")
+    out
+  }
+
+  /** An empty DataFrame with `schema` whose plan reports isStreaming —
+    * the zero-files micro-batch of a DSv1 source. */
+  def emptyStreamingBatch(spark: SparkSession, schema: StructType): Dataset[Row] =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      LocalRelation(DataTypeUtils.toAttributes(schema), Nil, isStreaming = true))
 }

@@ -327,6 +327,22 @@ object OracleSql {
     "q159_delta_source" ->
       """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q160: the change feed replayed analytically — inserts twice (the
+    // corpus and its +7-chars appended copy), deletes = doc_id%7==3
+    // with pre-delete values, update images = surviving doc_id%5==0
+    // rows before/after the +100
+    "q160_delta_cdf" ->
+      """WITH all_ch AS (
+        |  SELECT 'insert' AS change_type, lang, n_chars FROM documents
+        |  UNION ALL SELECT 'insert', lang, n_chars + 7 FROM documents
+        |  UNION ALL SELECT 'delete', lang, n_chars FROM documents
+        |    WHERE doc_id % 7 = 3
+        |  UNION ALL SELECT 'update_preimage', lang, n_chars FROM documents
+        |    WHERE doc_id % 5 = 0 AND doc_id % 7 <> 3
+        |  UNION ALL SELECT 'update_postimage', lang, n_chars + 100 FROM documents
+        |    WHERE doc_id % 5 = 0 AND doc_id % 7 <> 3)
+        |SELECT change_type, lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
+        |FROM all_ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

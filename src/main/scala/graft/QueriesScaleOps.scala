@@ -1444,4 +1444,40 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(sum(col("n")).as("n_docs"), sum(col("chars")).as("chars"))
       .orderBy(col("lang"))
   }
+
+  /** q160 — CHANGE DATA FEED lifecycle ([[graft.io.DeltaInterop
+    * .readChangeFeed]], Delta's `table_changes()`): create → enable CDF
+    * → copy-on-write DELETE (CDC `delete` rows) → UPDATE (`update_pre/
+    * postimage` pairs) → append (derived `insert`s, no CDC files) —
+    * then read the WHOLE feed and aggregate per (change_type, lang).
+    * Every change class is analytic: deletes carry pre-delete values
+    * (the delete ran first), updates hit only surviving doc_id%5==0
+    * rows, the appended copy is shifted by +7 chars. The query ABORTS
+    * unless the delete and update commits actually authored
+    * `_change_data/` files (a derived feed would mask a broken writer). */
+  private[graft] def q160(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q160")
+    graft.io.DeltaInterop.writeDelta(docs, tmp, Seq("lang"))              // v0
+    graft.io.DeltaInterop.setTableProperties(s, tmp,
+      Map("delta.enableChangeDataFeed" -> "true"))                        // v1
+    val (vDel, _) = graft.io.DeltaInterop.deleteWhere(s, tmp,
+      col("doc_id") % 7 === 3)                                            // v2
+    val (vUpd, _) = graft.io.DeltaInterop.updateWhere(s, tmp,
+      col("doc_id") % 5 === 0,
+      Map("n_chars" -> (col("n_chars") + 100)))                           // v3
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    graft.io.DeltaInterop.writeDelta(
+      docs.select((col("doc_id") + mx + 1).as("doc_id"), col("lang"),
+        (col("n_chars") + 7).as("n_chars")), tmp, Seq("lang"))            // v4
+    require(vDel == 2L && vUpd == 3L, s"unexpected versions: del=$vDel upd=$vUpd")
+    val f = new org.apache.hadoop.fs.Path(tmp, "_change_data")
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(f.exists(new org.apache.hadoop.fs.Path(tmp, "_change_data")),
+      "row ops must author _change_data files when CDF is enabled")
+    graft.io.DeltaInterop.readChangeFeed(s, tmp, 0L, 4L)
+      .groupBy(col("_change_type").as("change_type"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("change_type"), col("lang"))
+  }
 }

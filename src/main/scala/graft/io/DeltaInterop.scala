@@ -263,7 +263,8 @@ object DeltaInterop {
     * a protocol action. */
   private[graft] final case class CommitActions(
       adds: Seq[(AddFile, Boolean)], removesDataChange: Boolean,
-      schemaChange: Option[String], minReader: Option[Int])
+      schemaChange: Option[String], minReader: Option[Int],
+      cdcs: Seq[AddFile] = Nil, removes: Seq[String] = Nil)
 
   /** Parse commit `v`'s JSON. Fails (with a vacuum/cleanup hint) when
     * the commit file no longer exists — a tailer that falls behind
@@ -279,6 +280,8 @@ object DeltaInterop {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
     val adds = Seq.newBuilder[(AddFile, Boolean)]
+    val cdcs = Seq.newBuilder[AddFile]
+    val removes = Seq.newBuilder[String]
     var removesDc = false
     var schemaChange: Option[String] = None
     var minReader: Option[Int] = None
@@ -288,14 +291,23 @@ object DeltaInterop {
         val a = node.get("add")
         adds += ((parseAddNode(a), a.path("dataChange").asBoolean(true)))
       } else if (node.has("remove")) {
-        if (node.get("remove").path("dataChange").asBoolean(true)) removesDc = true
+        val r = node.get("remove")
+        if (r.path("dataChange").asBoolean(true)) {
+          removesDc = true
+          removes += r.get("path").asText
+        }
+      } else if (node.has("cdc")) {
+        val c = node.get("cdc")
+        cdcs += AddFile(c.get("path").asText, jsonMap(c.get("partitionValues")),
+          c.get("size").asLong, -1L, Map.empty)
       } else if (node.has("metaData")) {
         schemaChange = Some(node.get("metaData").get("schemaString").asText)
       } else if (node.has("protocol")) {
         minReader = Some(node.get("protocol").path("minReaderVersion").asInt(1))
       }
     }
-    CommitActions(adds.result(), removesDc, schemaChange, minReader)
+    CommitActions(adds.result(), removesDc, schemaChange, minReader,
+      cdcs.result(), removes.result())
   }
 
   /** Read an arbitrary subset of a snapshot's files with the snapshot's
@@ -497,7 +509,7 @@ object DeltaInterop {
       CpRow(metaData = CpMetaData(
         java.util.UUID.nameUUIDFromBytes(st.schema.json.getBytes("UTF-8")).toString,
         CpFormat("parquet", Map.empty), st.schema.json, st.partitionColumns,
-        Map.empty, 0L))) ++
+        st.configuration, 0L))) ++ // config survives checkpoints (CDF, column mapping)
       st.txns.toSeq.sortBy(_._1).map { case (app, tv) =>
         CpRow(txn = CpTxn(app, tv, 0L))
       } ++
@@ -552,6 +564,27 @@ object DeltaInterop {
         old.foreach(p => f.delete(p, false))
         old.length
     }
+
+  /** Merge `props` into the table's metaData.configuration (Delta's
+    * ALTER TABLE SET TBLPROPERTIES): one commit re-emitting metaData
+    * with the same schema and the merged configuration. Enabling
+    * `delta.enableChangeDataFeed` also bumps the protocol to writer
+    * v4, the feature's protocol requirement. Returns the new version. */
+  def setTableProperties(spark: SparkSession, dir: String,
+                         props: Map[String, String]): Long = {
+    val st = state(spark, dir)
+    val merged = st.configuration ++ props
+    val actions = Seq.newBuilder[String]
+    if (props.get("delta.enableChangeDataFeed").contains("true"))
+      actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
+    actions += metaDataJson(st.schema, st.partitionColumns, merged)
+    commit(spark, dir, st.version + 1, actions.result())
+  }
+
+  /** Is the change data feed on for this snapshot? Row ops consult this
+    * to decide whether to record their changes under `_change_data/`. */
+  def cdfEnabled(st: DeltaState): Boolean =
+    st.configuration.get("delta.enableChangeDataFeed").contains("true")
 
   def writeDelta(df: DataFrame, dir: String, partCols: Seq[String],
                  overwrite: Boolean = false): Long =
@@ -617,6 +650,23 @@ object DeltaInterop {
     }
   }
 
+  /** Stage CHANGE-DATA rows (table columns + `_change_type`) under
+    * `_change_data/`, partitioned like the table — the protocol's CDC
+    * file layout. Underscore-prefixed, so data readers and [[vacuum]]'s
+    * walk never see them; only `cdc` actions reference them. Returns
+    * the [[AddFile]]-shaped descriptors for [[cdcJson]]. */
+  private def stageChangeData(df: DataFrame, dir: String,
+                              partCols: Seq[String]): Seq[AddFile] = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    val staging = new Path(dir, s".staging-cdc-${java.util.UUID.randomUUID().toString.take(8)}")
+    if (partCols.isEmpty) df.write.parquet(staging.toString)
+    else df.write.partitionBy(partCols: _*).parquet(staging.toString)
+    moveStaged(f, staging, new Path(dir, "_change_data"), partCols).map {
+      case (rel, pv, size) => AddFile(s"_change_data/$rel", pv, size, -1L, Map.empty)
+    }
+  }
+
   /** One optimistic commit attempt for already-staged files: read the
     * head, validate, commit at head+1. Throws the put-if-absent
     * version-conflict `IllegalStateException` if another writer won the
@@ -643,7 +693,8 @@ object DeltaInterop {
     } else if (schema.fieldNames.exists(n => !prevState.get.schema.fieldNames.contains(n))) {
       val widened = StructType(prevState.get.schema.fields ++
         schema.fields.filterNot(fd => prevState.get.schema.fieldNames.contains(fd.name)))
-      actions += metaDataJson(widened, partCols)
+      // re-emitted metaData keeps the table's configuration (CDF etc.)
+      actions += metaDataJson(widened, partCols, prevState.get.configuration)
     }
     txn.foreach { case (app, tv) => actions += txnJson(app, tv) }
     removes.foreach(r => actions += removeJson(r))
@@ -691,7 +742,7 @@ object DeltaInterop {
     } else if (fullSchema.fieldNames.exists(n => !prevState.get.schema.fieldNames.contains(n))) {
       val widened = StructType(prevState.get.schema.fields ++
         fullSchema.fields.filterNot(fd => prevState.get.schema.fieldNames.contains(fd.name)))
-      actions += metaDataJson(widened, Seq(partCol))
+      actions += metaDataJson(widened, Seq(partCol), prevState.get.configuration)
     }
     var copied = 0
     manifest.toSeq.sortBy(_._1).foreach { case (p, srcDir) =>
@@ -1196,7 +1247,8 @@ object DeltaInterop {
     M.writeValueAsString(n)
   }
 
-  private def metaDataJson(schema: StructType, partCols: Seq[String]): String = {
+  private def metaDataJson(schema: StructType, partCols: Seq[String],
+                           config: Map[String, String] = Map.empty): String = {
     val n = M.createObjectNode()
     val md = n.putObject("metaData")
     // deterministic table id: the log position defines identity here
@@ -1206,7 +1258,8 @@ object DeltaInterop {
     md.put("schemaString", schema.json)
     val pc = md.putArray("partitionColumns")
     partCols.foreach(pc.add)
-    md.putObject("configuration")
+    val cfg = md.putObject("configuration")
+    config.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
     md.put("createdTime", 0L)
     M.writeValueAsString(n)
   }
@@ -1259,6 +1312,20 @@ object DeltaInterop {
     rm.put("path", a.path)
     rm.put("deletionTimestamp", 0L)
     rm.put("dataChange", dataChange)
+    M.writeValueAsString(n)
+  }
+
+  /** The `cdc` action (PROTOCOL.md "Add CDC File"): references a
+    * `_change_data/` file; always dataChange=false — CDC rows describe
+    * the change, they are not part of the table's data. */
+  private def cdcJson(a: AddFile): String = {
+    val n = M.createObjectNode()
+    val c = n.putObject("cdc")
+    c.put("path", a.path)
+    val pv = c.putObject("partitionValues")
+    a.partitionValues.toSeq.sortBy(_._1).foreach { case (k, v) => pv.put(k, v) }
+    c.put("size", a.size)
+    c.put("dataChange", false)
     M.writeValueAsString(n)
   }
 
@@ -1368,7 +1435,15 @@ object DeltaInterop {
       .filter(!(predicate <=> lit(true)))
       .select(st.schema.fieldNames.map(col): _*)
     val adds = stageData(survivors, dir, st.partitionColumns)
-    val actions = touched.map(removeJson(_)) ++ adds.map(addJson(_))
+    val cdcs =
+      if (!cdfEnabled(st)) Nil
+      else stageChangeData(
+        scanWithProvenance(spark, dir, st, touched)
+          .filter(predicate <=> lit(true))
+          .select(st.schema.fieldNames.map(col) :+ lit("delete").as("_change_type"): _*),
+        dir, st.partitionColumns)
+    val actions = touched.map(removeJson(_)) ++ adds.map(addJson(_)) ++
+      cdcs.map(cdcJson)
     val v = commit(spark, dir, st.version + 1, actions)
     (v, touched.length)
   }
@@ -1427,8 +1502,15 @@ object DeltaInterop {
         adds += addJson(a.copy(deletionVector = desc))
       } // else: every physical row is dead — the remove alone drops it
     }
+    val cdcs =
+      if (!cdfEnabled(st)) Nil
+      else stageChangeData( // the masked scan: exactly the NEWLY-deleted rows
+        scanWithProvenance(spark, dir, st, candidates)
+          .filter(predicate <=> lit(true))
+          .select(st.schema.fieldNames.map(col) :+ lit("delete").as("_change_type"): _*),
+        dir, st.partitionColumns)
     val v = commit(spark, dir, st.version + 1,
-      dvProtocolJson() +: (removes.result() ++ adds.result()))
+      dvProtocolJson() +: (removes.result() ++ adds.result() ++ cdcs.map(cdcJson)))
     (v, perFile.length, deletedRows)
   }
 
@@ -1459,7 +1541,22 @@ object DeltaInterop {
         }
       }: _*)
     val adds = stageData(rewritten, dir, st.partitionColumns)
-    val actions = touched.map(removeJson(_)) ++ adds.map(addJson(_))
+    val cdcs =
+      if (!cdfEnabled(st)) Nil
+      else {
+        val hitRows = scanWithProvenance(spark, dir, st, touched).filter(hit)
+        val pre = hitRows.select(
+          st.schema.fieldNames.map(col) :+ lit("update_preimage").as("_change_type"): _*)
+        val post = hitRows.select(st.schema.fieldNames.map { c =>
+          set.get(c) match {
+            case Some(e) => e.cast(st.schema(c).dataType).as(c)
+            case None => col(c)
+          }
+        } :+ lit("update_postimage").as("_change_type"): _*)
+        stageChangeData(pre.unionByName(post), dir, st.partitionColumns)
+      }
+    val actions = touched.map(removeJson(_)) ++ adds.map(addJson(_)) ++
+      cdcs.map(cdcJson)
     val v = commit(spark, dir, st.version + 1, actions)
     (v, touched.length)
   }
@@ -1510,9 +1607,94 @@ object DeltaInterop {
     if (touched.isEmpty && nInserts == 0) return (st.version, 0, 0L)
     val newRows = (keepers.toSeq :+ matched :+ inserts).reduce(_ unionByName _)
     val adds = stageData(newRows, dir, st.partitionColumns)
-    val actions = touched.map(removeJson(_)) ++ adds.map(addJson(_))
+    val cdcs =
+      if (!cdfEnabled(st)) Nil
+      else {
+        val cols = st.schema.fieldNames.map(col)
+        val pre = // matched TARGET rows, old values
+          if (touched.isEmpty) None
+          else Some(touchedScan.as("t").join(srcAligned.as("s"), keyEq, "left_semi")
+            .select(cols :+ lit("update_preimage").as("_change_type"): _*))
+        val post = matched.select(cols :+ lit("update_postimage").as("_change_type"): _*)
+        val ins = inserts.select(cols :+ lit("insert").as("_change_type"): _*)
+        stageChangeData((pre.toSeq :+ post :+ ins).reduce(_ unionByName _),
+          dir, st.partitionColumns)
+      }
+    val actions = touched.map(removeJson(_)) ++ adds.map(addJson(_)) ++
+      cdcs.map(cdcJson)
     val v = commit(spark, dir, st.version + 1, actions)
     (v, touched.length, nInserts)
+  }
+
+  /** Read the CHANGE DATA FEED for versions [fromV, toV]: every row
+    * change in the range with `_change_type` (insert / delete /
+    * update_preimage / update_postimage), `_commit_version`, and
+    * `_commit_timestamp` columns appended — Delta's
+    * `table_changes()` surface. Per commit:
+    *
+    *   - `cdc` actions present → the commit's `_change_data/` files ARE
+    *     its change set (row ops write them when [[cdfEnabled]]);
+    *   - no cdc, dataChange adds only → the adds replay as `insert`
+    *     rows (appends need no CDC files — the protocol's rule);
+    *   - no cdc but dataChange removes → the change set is unknowable
+    *     → error naming the version (enable CDF before row ops);
+    *   - dataChange=false commits (OPTIMIZE/ZORDER) → no changes.
+    *
+    * Scale: the feed's cost is the size of the CHANGES — CDC files and
+    * appended files in range — never the table scan. The JSON commits
+    * must still exist ([[cleanupLog]] bounds how far back a feed can
+    * read, Delta's own retention contract). */
+  def readChangeFeed(spark: SparkSession, dir: String,
+                     fromV: Long, toV: Long): DataFrame = {
+    val st = state(spark, dir)
+    require(0 <= fromV && fromV <= toV && toV <= st.version,
+      s"change-feed range [$fromV,$toV] outside [0,${st.version}]")
+    val f = fs(spark, dir)
+    val dataFields = st.schema.fields.filterNot(fd => st.partitionColumns.contains(fd.name))
+    val cdcSchema = StructType(dataFields :+
+      org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType))
+    def readCdc(files: Seq[AddFile]): DataFrame =
+      files.groupBy(_.partitionValues).toSeq
+        .sortBy(_._1.toSeq.sortBy(_._1).mkString)
+        .map { case (pv, fl) =>
+          val base = spark.read.schema(cdcSchema)
+            .parquet(fl.map(a => new Path(dir, a.path).toString): _*)
+          st.partitionColumns.foldLeft(base) { (df, c) =>
+            df.withColumn(c, lit(pv(c)).cast(st.schema(c).dataType))
+          }
+        }.reduce(_ unionByName _)
+        .select(st.schema.fieldNames.map(col) :+ col("_change_type"): _*)
+    val out = st.schema.fieldNames.map(col) ++ Seq(col("_change_type"),
+      col("_commit_version"), col("_commit_timestamp"))
+    val parts = (fromV to toV).flatMap { v =>
+      val ca = commitActions(spark, dir, v)
+      val changes =
+        if (ca.cdcs.nonEmpty) Some(readCdc(ca.cdcs))
+        else if (ca.removesDataChange)
+          throw new IllegalStateException(
+            s"version $v of $dir removed data without change data — " +
+            "enable delta.enableChangeDataFeed before row-level operations to feed them")
+        else {
+          val added = ca.adds.collect { case (a, true) => a }
+          if (added.isEmpty) None
+          else Some(readSubset(spark, dir, st, added)
+            .withColumn("_change_type", lit("insert")))
+        }
+      changes.map { df =>
+        val ts = new java.sql.Timestamp(
+          f.getFileStatus(logFile(dir, v)).getModificationTime)
+        df.withColumn("_commit_version", lit(v))
+          .withColumn("_commit_timestamp", lit(ts))
+          .select(out: _*)
+      }
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(st.schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("_commit_timestamp", org.apache.spark.sql.types.TimestampType))))
+    else parts.reduce(_ unionByName _)
   }
 
   /** The latest version whose commit file was written at or before

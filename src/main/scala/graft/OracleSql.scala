@@ -343,6 +343,23 @@ object OracleSql {
         |    WHERE doc_id % 5 = 0 AND doc_id % 7 <> 3)
         |SELECT change_type, lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
         |FROM all_ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q161: two DV-masked updates (+1000 where doc_id%6==1, then +40
+    // below the 25th-percentile doc_id); pre = v0 time travel, post =
+    // the composed update arithmetic — both analytic
+    "q161_delta_dv_update" ->
+      """WITH b AS (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) // 4 AS k
+        |  FROM documents),
+        |pre AS (SELECT lang, count(*) AS n_pre,
+        |    sum(n_chars)::BIGINT AS chars_pre
+        |  FROM documents GROUP BY 1),
+        |post AS (SELECT lang, count(*) AS n_post,
+        |    sum(n_chars
+        |      + CASE WHEN doc_id % 6 = 1 THEN 1000 ELSE 0 END
+        |      + CASE WHEN doc_id < k THEN 40 ELSE 0 END)::BIGINT AS chars_post
+        |  FROM documents, b GROUP BY 1)
+        |SELECT pre.lang, n_pre, chars_pre, n_post, chars_post
+        |FROM pre JOIN post ON pre.lang = post.lang
+        |ORDER BY 1""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

@@ -1480,4 +1480,52 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
       .orderBy(col("change_type"), col("lang"))
   }
+
+  /** q161 — merge-on-read UPDATE via DELETION VECTORS
+    * ([[graft.io.DeltaInterop.updateWhereDV]]): two updates — one
+    * spread across every range (+1000 where doc_id%6==1), one
+    * range-local (+40 below the 25th-percentile doc_id, candidates
+    * pruned from log stats alone) — and NO original data file is ever
+    * rewritten: old rows mask out by descriptor swap, postimages append
+    * as fresh files. O(updated rows) where q152's copy-on-write UPDATE
+    * rewrites whole files — the 100 TB low-selectivity write path.
+    * Result: the final per-lang aggregate joined with the v0 time
+    * travel (the mask must not leak into history). */
+  private[graft] def q161(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q161")
+    graft.io.DeltaInterop.writeDelta(
+      docs.repartitionByRange(8, col("doc_id")), tmp, Seq("lang"))
+    val st0 = graft.io.DeltaInterop.state(s, tmp)
+    val paths0 = st0.files.map(_.path).toSet
+    val (v1, masked1, n1) = graft.io.DeltaInterop.updateWhereDV(s, tmp,
+      col("doc_id") % 6 === 1, Map("n_chars" -> (col("n_chars") + 1000)))
+    require(v1 == 1L && masked1 > 0 && n1 > 0,
+      s"DV update was a no-op: v=$v1 masked=$masked1 rows=$n1")
+    val st1 = graft.io.DeltaInterop.state(s, tmp)
+    require(paths0.subsetOf(st1.files.map(_.path).toSet),
+      "DV update rewrote original data files — expected descriptor swaps only")
+    require(st1.files.exists(_.deletionVector != null) &&
+      st1.files.exists(a => !paths0(a.path)),
+      "expected masked originals plus fresh postimage files")
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val k = mn + (mx - mn) / 4
+    val candidates = graft.io.DeltaInterop.prunedFiles(st1,
+      ranges = Map("doc_id" -> ((mn.toDouble, (k - 1).toDouble))))
+    require(candidates.length < st1.files.length,
+      s"update candidate pruning did not engage: ${candidates.length} of ${st1.files.length}")
+    val (v2, masked2, n2) = graft.io.DeltaInterop.updateWhereDV(s, tmp,
+      col("doc_id") < k, Map("n_chars" -> (col("n_chars") + 40)),
+      ranges = Map("doc_id" -> ((mn.toDouble, (k - 1).toDouble))))
+    require(v2 == 2L && masked2 <= candidates.length && n2 > 0,
+      s"round-2 DV update: masked=$masked2 (candidates ${candidates.length}) rows=$n2")
+    val pre = graft.io.DeltaInterop.readDelta(s, tmp, Some(0L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pre"), sum(col("n_chars")).as("chars_pre"))
+    val post = graft.io.DeltaInterop.readDelta(s, tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_post"), sum(col("n_chars")).as("chars_post"))
+    pre.join(post, Seq("lang")).orderBy(col("lang"))
+  }
 }

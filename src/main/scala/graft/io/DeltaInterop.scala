@@ -1514,6 +1514,73 @@ object DeltaInterop {
     (v, perFile.length, deletedRows)
   }
 
+  /** Merge-on-read UPDATE (writer v7 deletion vectors): each touched
+    * file's updated rows are MASKED by a deletion-vector swap — no data
+    * file rewrites — and the postimages append as fresh files in one
+    * atomic commit. O(updated rows) work where [[updateWhere]] rewrites
+    * every touched file — the 100 TB low-selectivity path, exactly
+    * [[deleteWhereDV]]'s contract plus the postimage append (the same
+    * shape delta-spark's DV-enabled UpdateCommand commits). SET on
+    * partition columns is fine here, unlike the copy-on-write path: the
+    * postimages stage wherever their new partition values land.
+    * Returns (newVersion, filesMasked, rowsUpdated). */
+  def updateWhereDV(spark: SparkSession, dir: String,
+                    predicate: org.apache.spark.sql.Column,
+                    set: Map[String, org.apache.spark.sql.Column],
+                    partitionEq: Map[String, String] = Map.empty,
+                    ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int, Long) = {
+    val st = state(spark, dir)
+    val badCols = set.keys.filterNot(st.schema.fieldNames.contains)
+    require(badCols.isEmpty, s"SET on unknown columns: ${badCols.mkString(",")}")
+    val candidates = prunedFiles(st, partitionEq, ranges)
+    if (candidates.isEmpty) return (st.version, 0, 0L)
+    val hit = predicate <=> lit(true)
+    val perFile = scanWithProvenance(spark, dir, st, candidates)
+      .filter(hit)
+      .groupBy(col("_graft_file"))
+      .agg(collect_list(col("_graft_pos")).as("pos"))
+      .collect()
+    if (perFile.isEmpty) return (st.version, 0, 0L)
+    val postimage = scanWithProvenance(spark, dir, st, candidates)
+      .filter(hit)
+      .select(st.schema.fieldNames.map { c =>
+        set.get(c) match {
+          case Some(e) => e.cast(st.schema(c).dataType).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    val newAdds = stageData(postimage, dir, st.partitionColumns)
+    val idx = qualifiedIndex(spark, dir, candidates)
+    val actions = Seq.newBuilder[String]
+    var updatedRows = 0L
+    perFile.foreach { r =>
+      val a = idx(r.getString(0))
+      val newPos = r.getSeq[Long](1).toArray
+      updatedRows += newPos.length
+      val oldPos =
+        if (a.deletionVector == null) Array.empty[Long]
+        else DeletionVectors.loadPositions(spark, dir, a.deletionVector)
+      val merged = (oldPos ++ newPos).distinct
+      actions += removeJson(a)
+      if (a.numRecords < 0 || merged.length < a.numRecords) {
+        val desc = DeletionVectors.writeSidecar(spark, dir, merged)
+        actions += addJson(a.copy(deletionVector = desc))
+      } // else: every remaining live row updated — the remove alone drops it
+    }
+    newAdds.foreach(a => actions += addJson(a))
+    if (cdfEnabled(st)) {
+      val pre = scanWithProvenance(spark, dir, st, candidates).filter(hit)
+        .select(st.schema.fieldNames.map(col) :+
+          lit("update_preimage").as("_change_type"): _*)
+      val post = postimage.withColumn("_change_type", lit("update_postimage"))
+      stageChangeData(pre.unionByName(post), dir, st.partitionColumns)
+        .foreach(c => actions += cdcJson(c))
+    }
+    val v = commit(spark, dir, st.version + 1,
+      dvProtocolJson() +: actions.result())
+    (v, perFile.length, updatedRows)
+  }
+
   /** Copy-on-write UPDATE: for rows where `predicate` is TRUE, replace
     * each column in `set` with its expression (evaluated against the
     * OLD row — standard UPDATE semantics); all other rows and files are

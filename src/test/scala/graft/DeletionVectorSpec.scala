@@ -181,6 +181,53 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(t().count() == 79 && t().filter(col("id") % 10 === 7L).count() == 0)
   }
 
+  test("updateWhereDV masks old rows and appends postimages — no rewrite") {
+    val dir = Files.createTempDirectory("graft-dv-update").toString
+    val df = (0L until 100L).map(i => (i, s"n_$i")).toDF("id", "name")
+    DeltaInterop.writeDelta(df.repartitionByRange(2, col("id")), dir, Nil)
+    val paths0 = DeltaInterop.state(spark, dir).files.map(_.path).toSet
+    val (v1, masked, nUpd) = DeltaInterop.updateWhereDV(spark, dir,
+      col("id") % 10 === 3L, Map("name" -> concat(col("name"), lit("_upd"))))
+    assert(v1 == 1L && masked == 2 && nUpd == 10L, s"($v1, $masked, $nUpd)")
+    val st1 = DeltaInterop.state(spark, dir)
+    // every ORIGINAL file survives by path (masked, not rewritten);
+    // postimages arrive as fresh files on top
+    assert(paths0.subsetOf(st1.files.map(_.path).toSet))
+    assert(st1.files.filter(a => paths0(a.path)).forall(_.deletionVector != null))
+    assert(st1.files.exists(a => !paths0(a.path)))
+    def t() = DeltaInterop.readDelta(spark, dir)
+    assert(t().count() == 100, "update must not change the row count")
+    val upd = t().filter(col("id") % 10 === 3L).select("name").as[String].collect()
+    assert(upd.length == 10 && upd.forall(_.endsWith("_upd")),
+      "each updated row appears exactly once, with the new value")
+    // a second update whose predicate matches the POSTIMAGE rows must
+    // mask them in their NEW file (the masked scan sees current state)
+    val (v2, _, n2) = DeltaInterop.updateWhereDV(spark, dir,
+      col("name").endsWith("_upd"), Map("name" -> concat(col("name"), lit("2"))))
+    assert(v2 == 2L && n2 == 10L)
+    assert(t().count() == 100)
+    assert(t().filter(col("name").endsWith("_upd2")).count() == 10)
+    // time travel resolves both intermediate states
+    assert(DeltaInterop.readDelta(spark, dir, Some(0L))
+      .filter(col("name").endsWith("_upd")).count() == 0)
+    assert(DeltaInterop.readDelta(spark, dir, Some(1L))
+      .filter(col("name").endsWith("_upd2")).count() == 0)
+  }
+
+  test("updateWhereDV may move rows across partitions (SET on a partition column)") {
+    val dir = Files.createTempDirectory("graft-dv-update-part").toString
+    val df = (0L until 40L).map(i => (i, i % 2, s"n_$i")).toDF("id", "par", "name")
+    DeltaInterop.writeDelta(df.repartition(1), dir, Seq("par"))
+    val (_, _, n) = DeltaInterop.updateWhereDV(spark, dir,
+      col("id") < 10L && col("par") === 0L, Map("par" -> lit(1L)))
+    assert(n == 5L)
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.count() == 40)
+    assert(t.filter(col("par") === 1L).count() == 25)
+    assert(t.filter(col("id") < 10L && col("id") % 2 === 0L)
+      .select("par").as[Long].collect().forall(_ == 1L))
+  }
+
   test("deleteWhereDV drops fully-dead files; vacuum GCs orphaned sidecars") {
     val dir = Files.createTempDirectory("graft-dv-gc").toString
     val df = (0L until 100L).map(i => (i, i / 50, s"n_$i")).toDF("id", "half", "name")

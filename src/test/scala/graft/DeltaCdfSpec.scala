@@ -104,6 +104,18 @@ class DeltaCdfSpec extends AnyFunSuite {
     assert(feed(dir, v2, v2).select("id").as[Long].collect().sorted === Array(5L, 6L))
   }
 
+  test("DV update (merge-on-read) records pre/post-images too") {
+    val dir = newCdfTable("cdf-dv-upd", docs(10), partCols = Nil)
+    val (v, _, nUpd) = DeltaInterop.updateWhereDV(spark, dir, col("id") < 2L,
+      Map("body" -> concat(col("body"), lit("!"))))
+    assert(nUpd === 2L)
+    val ch = feed(dir, v, v).select("_change_type", "id", "body")
+      .as[(String, Long, String)].collect().toSeq
+    assert(ch.filter(_._1 == "update_preimage").map(_._2).sorted === Seq(0L, 1L))
+    val post = ch.filter(_._1 == "update_postimage")
+    assert(post.map(_._2).sorted === Seq(0L, 1L) && post.forall(_._3.endsWith("!")))
+  }
+
   test("row-op commits without CDF refuse a change-feed read, naming the version") {
     val dir = TempDirs.scratch("cdf-off")
     DeltaInterop.writeDelta(docs(10), dir, Nil) // CDF never enabled

@@ -360,6 +360,18 @@ object OracleSql {
         |SELECT pre.lang, n_pre, chars_pre, n_post, chars_post
         |FROM pre JOIN post ON pre.lang = post.lang
         |ORDER BY 1""".stripMargin,
+    // q162: restore-to-v0 must equal the original corpus; the
+    // pre-restore head (post-delete + shifted append) stays travelable
+    "q162_delta_restore" ->
+      """WITH fin AS (SELECT lang, count(*) AS n_final,
+        |    sum(n_chars)::BIGINT AS chars_final
+        |  FROM documents GROUP BY 1),
+        |v2 AS (SELECT lang, count(*) AS n_v2, sum(nc)::BIGINT AS chars_v2
+        |  FROM (SELECT lang, n_chars AS nc FROM documents WHERE doc_id % 5 <> 0
+        |        UNION ALL SELECT lang, n_chars + 11 FROM documents) GROUP BY 1)
+        |SELECT fin.lang, n_final, chars_final, n_v2, chars_v2
+        |FROM fin JOIN v2 ON fin.lang = v2.lang
+        |ORDER BY 1""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

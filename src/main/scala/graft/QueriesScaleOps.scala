@@ -1528,4 +1528,37 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(count(lit(1)).as("n_post"), sum(col("n_chars")).as("chars_post"))
     pre.join(post, Seq("lang")).orderBy(col("lang"))
   }
+
+  /** q162 — RESTORE TABLE ([[graft.io.DeltaInterop.restore]], Delta's
+    * `RESTORE ... VERSION AS OF`): delete a fifth of the corpus, append
+    * a shifted copy, then restore to v0 — ONE metadata-sized diff
+    * commit, no data movement (asserted: the restore re-adds/removes
+    * files it never rewrites). The restored head must equal the
+    * original corpus AND the pre-restore head must stay time-travelable
+    * — both aggregated per lang, both analytic. */
+  private[graft] def q162(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q162")
+    graft.io.DeltaInterop.writeDelta(
+      docs.repartitionByRange(6, col("doc_id")), tmp, Seq("lang"))        // v0
+    graft.io.DeltaInterop.deleteWhere(s, tmp, col("doc_id") % 5 === 0)    // v1
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    graft.io.DeltaInterop.writeDelta(
+      docs.select((col("doc_id") + mx + 1).as("doc_id"), col("lang"),
+        (col("n_chars") + 11).as("n_chars")), tmp, Seq("lang"))           // v2
+    val v0paths = graft.io.DeltaInterop.state(s, tmp, Some(0L)).files.map(_.path).toSet
+    val (v, added, removed) = graft.io.DeltaInterop.restore(s, tmp, 0L)   // v3
+    require(v == 3L && added > 0 && removed > 0,
+      s"restore was a no-op: v=$v added=$added removed=$removed")
+    val st3 = graft.io.DeltaInterop.state(s, tmp)
+    require(st3.files.map(_.path).toSet == v0paths,
+      "restore must re-point exactly the v0 files — no staging, no rewrite")
+    val fin = graft.io.DeltaInterop.readDelta(s, tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_final"), sum(col("n_chars")).as("chars_final"))
+    val mid = graft.io.DeltaInterop.readDelta(s, tmp, Some(2L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_v2"), sum(col("n_chars")).as("chars_v2"))
+    fin.join(mid, Seq("lang")).orderBy(col("lang"))
+  }
 }

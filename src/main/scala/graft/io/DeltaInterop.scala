@@ -1764,6 +1764,67 @@ object DeltaInterop {
     else parts.reduce(_ unionByName _)
   }
 
+  /** RESTORE the table to `toVersion` (Delta's `RESTORE TABLE ...
+    * VERSION AS OF`): ONE commit that re-adds the target snapshot's
+    * files missing from the head and removes the head's files absent
+    * from the target — a metadata-sized diff, no data movement (the old
+    * files must still exist; [[vacuum]] horizons bound how far back a
+    * restore can reach, and a missing file fails loudly BEFORE the
+    * commit). The restore is itself a new version: history after
+    * `toVersion` stays time-travelable, exactly Delta's contract.
+    * Re-added files keep their deletion-vector state. When the change
+    * feed is on, the diff's rows are recorded as CDC inserts/deletes,
+    * so `readChangeFeed` stays coherent across the restore. Restoring
+    * to a different schema epoch re-emits that metaData. Returns
+    * (newVersion, filesReAdded, filesRemoved). */
+  def restore(spark: SparkSession, dir: String,
+              toVersion: Long): (Long, Int, Int) = {
+    val target = state(spark, dir, Some(toVersion))
+    val cur = state(spark, dir)
+    if (toVersion == cur.version) return (cur.version, 0, 0)
+    val curByPath = cur.files.map(a => a.path -> a).toMap
+    val tgtByPath = target.files.map(a => a.path -> a).toMap
+    // a file present in both but with different DV state must be
+    // re-added too (the descriptor is part of the add)
+    val addsBack = target.files.filter(a =>
+      !curByPath.get(a.path).exists(_.deletionVector == a.deletionVector))
+    val removes = cur.files.filterNot(a => tgtByPath.contains(a.path))
+    val f = fs(spark, dir)
+    val missing = addsBack.filterNot(a => f.exists(new Path(dir, a.path)))
+    require(missing.isEmpty,
+      s"cannot restore $dir to version $toVersion: ${missing.length} data file(s) " +
+      s"vacuumed away (e.g. ${missing.headOption.map(_.path).getOrElse("")})")
+    val actions = Seq.newBuilder[String]
+    if (target.schema.json != cur.schema.json ||
+        target.configuration != cur.configuration)
+      actions += metaDataJson(target.schema, target.partitionColumns,
+        target.configuration)
+    if (target.files.exists(_.deletionVector != null))
+      actions += dvProtocolJson()
+    removes.foreach(r => actions += removeJson(r))
+    addsBack.foreach(a => actions += addJson(a))
+    if (cdfEnabled(cur)) {
+      // a DV-state-change file counts as delete(current view) +
+      // insert(target view): the multiset replay nets to the DV diff
+      val dvChanged = addsBack.flatMap(a => curByPath.get(a.path))
+      val inserts =
+        if (addsBack.isEmpty) None
+        else Some(readSubset(spark, dir, target, addsBack)
+          .withColumn("_change_type", lit("insert")))
+      val deleted = removes ++ dvChanged
+      val deletes =
+        if (deleted.isEmpty) None
+        else Some(readSubset(spark, dir, cur, deleted)
+          .withColumn("_change_type", lit("delete")))
+      (inserts.toSeq ++ deletes.toSeq).reduceOption(_ unionByName _).foreach { ch =>
+        stageChangeData(ch, dir, cur.partitionColumns)
+          .foreach(c => actions += cdcJson(c))
+      }
+    }
+    val v = commit(spark, dir, cur.version + 1, actions.result())
+    (v, addsBack.length, removes.length)
+  }
+
   /** The latest version whose commit file was written at or before
     * `tsMillis` — Delta's timestamp-based time travel (resolved from
     * commit-file modification times, the protocol's own in-commit

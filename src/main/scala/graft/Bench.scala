@@ -58,7 +58,13 @@ object Bench {
     "q144_stream_nb_train",
     "q149_video_frames",
     "q152_delta_row_ops",
-    "q153_delta_merge"
+    "q153_delta_merge",
+    "q158_delta_dv_delete",
+    "q159_delta_source",
+    "q160_delta_cdf",
+    "q161_delta_dv_update",
+    "q162_delta_restore",
+    "q163_delta_rename"
   )
 
   def main(args: Array[String]): Unit = {

@@ -372,6 +372,12 @@ object OracleSql {
         |SELECT fin.lang, n_final, chars_final, n_v2, chars_v2
         |FROM fin JOIN v2 ON fin.lang = v2.lang
         |ORDER BY 1""".stripMargin,
+    // q163: rename is metadata-only — the unified read over pre- and
+    // post-rename files equals the plain corpus aggregate, under the
+    // renamed output column
+    "q163_delta_rename" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

@@ -1561,4 +1561,40 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(count(lit(1)).as("n_v2"), sum(col("n_chars")).as("chars_v2"))
     fin.join(mid, Seq("lang")).orderBy(col("lang"))
   }
+
+  /** q163 — RENAME COLUMN / column-mapping AUTHORING
+    * ([[graft.io.DeltaInterop.renameColumn]]): half the corpus writes
+    * under the original schema, the rename upgrades the table to
+    * mapping mode=name in the same commit (physical names frozen, zero
+    * data rewritten — asserted), and the other half appends under the
+    * NEW logical name — whose parquet files must carry the PHYSICAL
+    * (original) column name, asserted on the raw file. The unified read
+    * resolves both halves through the mapping; the oracle is the plain
+    * corpus aggregate under the renamed output column. */
+  private[graft] def q163(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q163")
+    graft.io.DeltaInterop.writeDelta(
+      docs.filter(col("doc_id") % 2 === 0), tmp, Seq("lang"))             // v0
+    val paths0 = graft.io.DeltaInterop.state(s, tmp).files.map(_.path).toSet
+    graft.io.DeltaInterop.renameColumn(s, tmp, "n_chars", "chars")        // v1
+    val st1 = graft.io.DeltaInterop.state(s, tmp)
+    require(st1.configuration.get("delta.columnMapping.mode").contains("name") &&
+      st1.files.map(_.path).toSet == paths0,
+      "rename must be metadata-only: mode=name, zero files rewritten")
+    graft.io.DeltaInterop.writeDelta(
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("lang"), col("n_chars").as("chars")),
+      tmp, Seq("lang"))                                                   // v2
+    val newest = graft.io.DeltaInterop.state(s, tmp).files
+      .map(_.path).filterNot(paths0).headOption
+      .getOrElse(throw new IllegalStateException("append staged no files"))
+    val raw = s.read.parquet(s"$tmp/$newest")
+    require(raw.columns.contains("n_chars") && !raw.columns.contains("chars"),
+      s"append must stage PHYSICAL names; file has ${raw.columns.mkString(",")}")
+    graft.io.DeltaInterop.readDelta(s, tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("chars"))
+      .orderBy(col("lang"))
+  }
 }

@@ -358,6 +358,11 @@ object DeltaInterop {
   private def columnMappingMode(st: DeltaState): String =
     st.configuration.getOrElse("delta.columnMapping.mode", "none")
 
+  private def requireUnmapped(st: DeltaState, op: String): Unit =
+    require(columnMappingMode(st) == "none",
+      s"$op is not supported on a column-mapped table " +
+      "(reads, appends, and overwrites are; file-rewriting ops are not yet)")
+
   /** (qualifiedFilePath, rowIndex) of every DV-deleted row across the
     * snapshot's files, or None when no add carries a deletion vector.
     * Driver-side load — DVs are metadata-sized (deleted-row positions,
@@ -586,6 +591,58 @@ object DeltaInterop {
   def cdfEnabled(st: DeltaState): Boolean =
     st.configuration.get("delta.enableChangeDataFeed").contains("true")
 
+  /** RENAME a top-level COLUMN (Delta's `ALTER TABLE ... RENAME
+    * COLUMN`) — the operation that REQUIRES column mapping: the data
+    * files keep their physical column names forever; only
+    * metaData.schemaString's logical names change. A plain (unmapped)
+    * table upgrades in the same commit: every field gets
+    * `delta.columnMapping.id` + `physicalName` = its current name (so
+    * every existing file remains exactly right), the configuration
+    * gains mode=name + maxColumnId, and the protocol bumps to
+    * reader 2 / writer 5 (3/7 with the feature flags when deletion
+    * vectors are present — never a downgrade). Renaming a partition
+    * column renames it in partitionColumns too; add.partitionValues
+    * keep physical keys, which [[readFilesMapped]] resolves. After the
+    * rename, appends/overwrites stage physical names via
+    * [[stageTableData]]; file-rewriting ops refuse loudly. Returns the
+    * new version. */
+  def renameColumn(spark: SparkSession, dir: String,
+                   oldName: String, newName: String): Long = {
+    val st = state(spark, dir)
+    require(st.schema.fieldNames.contains(oldName), s"no column $oldName")
+    require(!st.schema.fieldNames.contains(newName),
+      s"column $newName already exists")
+    val mapped = columnMappingMode(st) != "none"
+    var nextId = st.configuration.get("delta.columnMapping.maxColumnId")
+      .map(_.toLong).getOrElse(0L)
+    val fields = st.schema.fields.map { fd0 =>
+      val fd =
+        if (mapped && fd0.metadata.contains("delta.columnMapping.id")) fd0
+        else { // upgrade: freeze the CURRENT name as the physical one
+          nextId += 1
+          fd0.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(fd0.metadata)
+            .putLong("delta.columnMapping.id", nextId)
+            .putString("delta.columnMapping.physicalName", fd0.name)
+            .build())
+        }
+      if (fd.name == oldName) fd.copy(name = newName) else fd
+    }
+    val partCols = st.partitionColumns.map(c => if (c == oldName) newName else c)
+    val config = st.configuration ++ Map(
+      "delta.columnMapping.mode" ->
+        st.configuration.getOrElse("delta.columnMapping.mode", "name"),
+      "delta.columnMapping.maxColumnId" -> nextId.toString)
+    val actions = Seq.newBuilder[String]
+    if (!mapped)
+      actions += (
+        if (st.files.exists(_.deletionVector != null))
+          """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","deletionVectors"],"writerFeatures":["columnMapping","deletionVectors"]}}"""
+        else """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+    actions += metaDataJson(StructType(fields), partCols, config)
+    commit(spark, dir, st.version + 1, actions.result())
+  }
+
   def writeDelta(df: DataFrame, dir: String, partCols: Seq[String],
                  overwrite: Boolean = false): Long =
     writeDelta(df, dir, partCols, overwrite, checkpointInterval = 10)
@@ -605,7 +662,7 @@ object DeltaInterop {
   def writeDeltaResilient(df: DataFrame, dir: String, partCols: Seq[String],
                           maxRetries: Int = 10): Long = {
     val spark = df.sparkSession
-    val adds = stageData(df, dir, partCols) // written ONCE
+    val adds = stageTableData(df, dir, partCols) // written ONCE
     var attempt = 0
     while (true) {
       try return attemptCommit(spark, dir, partCols, df.schema, adds,
@@ -628,7 +685,7 @@ object DeltaInterop {
   def writeDelta(df: DataFrame, dir: String, partCols: Seq[String],
                  overwrite: Boolean, checkpointInterval: Int): Long = {
     val spark = df.sparkSession
-    val adds = stageData(df, dir, partCols)
+    val adds = stageTableData(df, dir, partCols)
     attemptCommit(spark, dir, partCols, df.schema, adds, overwrite,
       checkpointInterval)
   }
@@ -647,6 +704,42 @@ object DeltaInterop {
     moveStaged(f, staging, new Path(dir), partCols).map { case (rel, pv, size) =>
       val (rows, stats) = footerStats(spark, new Path(dir, rel))
       AddFile(rel, pv, size, rows, Map.empty, stats)
+    }
+  }
+
+  /** Rename `df`'s columns to the table's PHYSICAL names (and cast
+    * nested structs to physically-named twins) — what the parquet files
+    * of a column-mapped table must contain. Returns the physical frame
+    * and the physical partition-column names. */
+  private def toPhysical(df: DataFrame, st: DeltaState): (DataFrame, Seq[String]) = {
+    val cols = st.schema.fields.filter(fd => df.columns.contains(fd.name)).map { fd =>
+      val c0 = col(fd.name)
+      val c = if (physicalType(fd.dataType) == fd.dataType) c0
+              else c0.cast(physicalType(fd.dataType))
+      c.as(physicalFieldName(fd))
+    }
+    (df.select(cols.toSeq: _*),
+      st.partitionColumns.map(c => physicalFieldName(st.schema(c))))
+  }
+
+  /** [[stageData]] with column-mapping awareness: a write into a mapped
+    * table stages PHYSICAL column names (and physical partition paths /
+    * partitionValues keys — the layout [[readFilesMapped]] resolves).
+    * Schema evolution on mapped tables is refused (new fields would
+    * need fresh column ids; narrower scope, loudly). */
+  private def stageTableData(df: DataFrame, dir: String,
+                             partCols: Seq[String]): Seq[AddFile] = {
+    val spark = df.sparkSession
+    val stOpt =
+      if (latestVersion(spark, dir) >= 0) Some(state(spark, dir)) else None
+    stOpt.filter(columnMappingMode(_) != "none") match {
+      case Some(st) =>
+        val extra = df.schema.fieldNames.filterNot(st.schema.fieldNames.contains)
+        require(extra.isEmpty,
+          s"schema evolution on a column-mapped table is not supported (new: ${extra.mkString(",")})")
+        val (phys, physPart) = toPhysical(df, st)
+        stageData(phys, dir, physPart)
+      case None => stageData(df, dir, partCols)
     }
   }
 
@@ -802,7 +895,7 @@ object DeltaInterop {
       case Some(v) => return v // replayed batch: nothing staged, nothing written
       case None    => ()
     }
-    val adds = stageData(df, dir, partCols)
+    val adds = stageTableData(df, dir, partCols)
     var attempt = 0
     while (true) {
       try return attemptCommit(spark, dir, partCols, df.schema, adds,
@@ -846,6 +939,7 @@ object DeltaInterop {
   def compact(spark: SparkSession, dir: String,
               smallFileBytes: Long = 32L << 20): (Long, Int, Int) = {
     val st0 = state(spark, dir)
+    requireUnmapped(st0, "compact")
     // a DV'd file can't be raw-concatenated (that would resurrect its
     // masked rows) — leave such files alone; row ops materialize DVs
     val st = st0.copy(files = st0.files.filter(_.deletionVector == null))
@@ -933,6 +1027,7 @@ object DeltaInterop {
                      targetFiles: Int = 0): (Long, Int, Int) = {
     require(zCols.nonEmpty, "zCols must be non-empty")
     val st = state(spark, dir)
+    requireUnmapped(st, "optimizeZOrder")
     require(st.files.forall(_.deletionVector == null),
       s"optimizeZOrder would resurrect DV-masked rows under $dir — run row ops first")
     require(zCols.forall(c => st.schema.fieldNames.contains(c)),
@@ -1426,6 +1521,7 @@ object DeltaInterop {
                   partitionEq: Map[String, String] = Map.empty,
                   ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int) = {
     val st = state(spark, dir)
+    requireUnmapped(st, "deleteWhere")
     val touched = touchedFiles(spark, dir, st,
       prunedFiles(st, partitionEq, ranges), predicate <=> lit(true))
     if (touched.isEmpty) return (st.version, 0)
@@ -1474,6 +1570,7 @@ object DeltaInterop {
                     partitionEq: Map[String, String] = Map.empty,
                     ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int, Long) = {
     val st = state(spark, dir)
+    requireUnmapped(st, "deleteWhereDV")
     val candidates = prunedFiles(st, partitionEq, ranges)
     if (candidates.isEmpty) return (st.version, 0, 0L)
     // physical row indices of the newly-deleted rows, grouped per file —
@@ -1530,6 +1627,7 @@ object DeltaInterop {
                     partitionEq: Map[String, String] = Map.empty,
                     ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int, Long) = {
     val st = state(spark, dir)
+    requireUnmapped(st, "updateWhereDV")
     val badCols = set.keys.filterNot(st.schema.fieldNames.contains)
     require(badCols.isEmpty, s"SET on unknown columns: ${badCols.mkString(",")}")
     val candidates = prunedFiles(st, partitionEq, ranges)
@@ -1591,6 +1689,7 @@ object DeltaInterop {
                   partitionEq: Map[String, String] = Map.empty,
                   ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int) = {
     val st = state(spark, dir)
+    requireUnmapped(st, "updateWhere")
     val badCols = set.keys.filterNot(st.schema.fieldNames.contains)
     require(badCols.isEmpty, s"SET on unknown columns: ${badCols.mkString(",")}")
     require(set.keys.forall(c => !st.partitionColumns.contains(c)),
@@ -1641,6 +1740,7 @@ object DeltaInterop {
   def merge(spark: SparkSession, dir: String, source: DataFrame,
             keyCols: Seq[String]): (Long, Int, Long) = {
     val st = state(spark, dir)
+    requireUnmapped(st, "merge")
     require(st.schema.fieldNames.sorted.sameElements(
       source.schema.fieldNames.sorted),
       s"merge source columns ${source.columns.sorted.mkString(",")} != table's ${st.schema.fieldNames.sorted.mkString(",")}")

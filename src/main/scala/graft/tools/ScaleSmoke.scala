@@ -67,7 +67,9 @@ object ScaleSmoke {
       "q142_wav_pcm", "q143_bucket_survivors", "q144_stream_nb_train",
       "q145_delta_checkpoint", "q146_delta_foreign", "q147_delta_optimize",
       "q148_bpe_packing", "q149_video_frames", "q150_delta_stream",
-      "q151_delta_skipping", "q152_delta_row_ops", "q153_delta_merge", "q154_delta_colmap", "q155_delta_dv", "q156_delta_zorder")
+      "q151_delta_skipping", "q152_delta_row_ops", "q153_delta_merge", "q154_delta_colmap", "q155_delta_dv", "q156_delta_zorder",
+      "q158_delta_dv_delete", "q159_delta_source", "q160_delta_cdf",
+      "q161_delta_dv_update", "q162_delta_restore", "q163_delta_rename")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -89,4 +89,91 @@ class DeltaColumnMappingSpec extends AnyFunSuite {
       // partition-value resolution went through the physical key
       assert(st.files.forall(_.partitionValues.contains("col-5")))
     }
+
+  test("renameColumn upgrades a plain table and keeps every file readable") {
+    val dir = Files.createTempDirectory("graft-rename").toString
+    val df = (0L until 20L).map(i => (i, s"body $i", (i % 2).toString))
+      .toDF("id", "body", "grp")
+    DeltaInterop.writeDelta(df, dir, Seq("grp"))                      // v0
+    val v = DeltaInterop.renameColumn(spark, dir, "body", "text")     // v1
+    assert(v === 1L)
+    val st = DeltaInterop.state(spark, dir)
+    assert(st.configuration("delta.columnMapping.mode") === "name")
+    assert(st.schema.fieldNames.toSeq === Seq("id", "text", "grp"))
+    // old files resolve through the frozen physical name
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.count() === 20L)
+    assert(t.filter(col("id") === 3L).select("text").as[String].head() === "body 3")
+  }
+
+  test("appends after a rename stage PHYSICAL column names") {
+    val dir = Files.createTempDirectory("graft-rename-append").toString
+    val df = (0L until 10L).map(i => (i, i * 10L, (i % 2).toString))
+      .toDF("id", "n_chars", "grp")
+    DeltaInterop.writeDelta(df, dir, Seq("grp"))
+    DeltaInterop.renameColumn(spark, dir, "n_chars", "chars")
+    val more = (10L until 16L).map(i => (i, i * 10L, (i % 2).toString))
+      .toDF("id", "chars", "grp")
+    DeltaInterop.writeDelta(more, dir, Seq("grp"))                    // append, mapped
+    val st = DeltaInterop.state(spark, dir)
+    // the appended file's raw parquet schema must carry the PHYSICAL name
+    val newest = st.files.map(_.path).filterNot(
+      DeltaInterop.state(spark, dir, Some(1L)).files.map(_.path).toSet).head
+    val raw = spark.read.parquet(s"$dir/$newest")
+    assert(raw.columns.contains("n_chars") && !raw.columns.contains("chars"),
+      s"appended file columns: ${raw.columns.mkString(",")}")
+    // and the logical view unifies old + new
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.count() === 16L)
+    assert(t.agg(sum(col("chars"))).head().getLong(0) === (0L until 16L).map(_ * 10).sum)
+  }
+
+  test("renaming a partition column keeps pruning and paths coherent") {
+    val dir = Files.createTempDirectory("graft-rename-part").toString
+    val df = (0L until 12L).map(i => (i, (i % 3).toString)).toDF("id", "grp")
+    DeltaInterop.writeDelta(df, dir, Seq("grp"))
+    DeltaInterop.renameColumn(spark, dir, "grp", "bucket")
+    val st = DeltaInterop.state(spark, dir)
+    assert(st.partitionColumns === Seq("bucket"))
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.filter(col("bucket") === "1").count() === 4L)
+    // appends land under the physical (original) path key and still read
+    DeltaInterop.writeDelta(
+      (12L until 15L).map(i => (i, "1")).toDF("id", "bucket"), dir, Seq("bucket"))
+    assert(DeltaInterop.readDelta(spark, dir)
+      .filter(col("bucket") === "1").count() === 7L)
+  }
+
+  test("rename refuses collisions; rewrite ops refuse mapped tables loudly") {
+    val dir = Files.createTempDirectory("graft-rename-guard").toString
+    DeltaInterop.writeDelta(
+      (0L until 5L).map(i => (i, s"b$i")).toDF("id", "body"), dir, Nil)
+    intercept[IllegalArgumentException] {
+      DeltaInterop.renameColumn(spark, dir, "body", "id")
+    }
+    DeltaInterop.renameColumn(spark, dir, "body", "text")
+    val ex = intercept[IllegalArgumentException] {
+      DeltaInterop.deleteWhere(spark, dir, col("id") === 0L)
+    }
+    assert(ex.getMessage.contains("column-mapped"))
+    intercept[IllegalArgumentException] { DeltaInterop.compact(spark, dir) }
+    // schema evolution on a mapped table is refused too
+    intercept[IllegalArgumentException] {
+      DeltaInterop.writeDelta(
+        (5L until 8L).map(i => (i, s"b$i", 1L)).toDF("id", "text", "extra"), dir, Nil)
+    }
+  }
+
+  test("mapping (and the rename) survives checkpoint + log cleanup") {
+    val dir = Files.createTempDirectory("graft-rename-cp").toString
+    DeltaInterop.writeDelta(
+      (0L until 8L).map(i => (i, s"b$i")).toDF("id", "body"), dir, Nil)
+    DeltaInterop.renameColumn(spark, dir, "body", "text")
+    DeltaInterop.checkpoint(spark, dir)
+    DeltaInterop.cleanupLog(spark, dir)
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.columns.toSeq === Seq("id", "text") && t.count() === 8L)
+    assert(DeltaInterop.state(spark, dir)
+      .configuration("delta.columnMapping.mode") === "name")
+  }
 }

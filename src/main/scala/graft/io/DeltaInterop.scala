@@ -1816,44 +1816,10 @@ object DeltaInterop {
     val st = state(spark, dir)
     require(0 <= fromV && fromV <= toV && toV <= st.version,
       s"change-feed range [$fromV,$toV] outside [0,${st.version}]")
-    val f = fs(spark, dir)
-    val dataFields = st.schema.fields.filterNot(fd => st.partitionColumns.contains(fd.name))
-    val cdcSchema = StructType(dataFields :+
-      org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType))
-    def readCdc(files: Seq[AddFile]): DataFrame =
-      files.groupBy(_.partitionValues).toSeq
-        .sortBy(_._1.toSeq.sortBy(_._1).mkString)
-        .map { case (pv, fl) =>
-          val base = spark.read.schema(cdcSchema)
-            .parquet(fl.map(a => new Path(dir, a.path).toString): _*)
-          st.partitionColumns.foldLeft(base) { (df, c) =>
-            df.withColumn(c, lit(pv(c)).cast(st.schema(c).dataType))
-          }
-        }.reduce(_ unionByName _)
-        .select(st.schema.fieldNames.map(col) :+ col("_change_type"): _*)
     val out = st.schema.fieldNames.map(col) ++ Seq(col("_change_type"),
       col("_commit_version"), col("_commit_timestamp"))
     val parts = (fromV to toV).flatMap { v =>
-      val ca = commitActions(spark, dir, v)
-      val changes =
-        if (ca.cdcs.nonEmpty) Some(readCdc(ca.cdcs))
-        else if (ca.removesDataChange)
-          throw new IllegalStateException(
-            s"version $v of $dir removed data without change data — " +
-            "enable delta.enableChangeDataFeed before row-level operations to feed them")
-        else {
-          val added = ca.adds.collect { case (a, true) => a }
-          if (added.isEmpty) None
-          else Some(readSubset(spark, dir, st, added)
-            .withColumn("_change_type", lit("insert")))
-        }
-      changes.map { df =>
-        val ts = new java.sql.Timestamp(
-          f.getFileStatus(logFile(dir, v)).getModificationTime)
-        df.withColumn("_commit_version", lit(v))
-          .withColumn("_commit_timestamp", lit(ts))
-          .select(out: _*)
-      }
+      changeSet(spark, dir, st, v).map(_.select(out: _*))
     }
     if (parts.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -1862,6 +1828,53 @@ object DeltaInterop {
           org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("_commit_timestamp", org.apache.spark.sql.types.TimestampType))))
     else parts.reduce(_ unionByName _)
+  }
+
+  /** Read CDC (`_change_data/`) files with the table's schema plus
+    * `_change_type` — partition values injected from the action, like
+    * any data read. */
+  private[graft] def readCdcFiles(spark: SparkSession, dir: String,
+                                  st: DeltaState, files: Seq[AddFile]): DataFrame = {
+    val dataFields = st.schema.fields.filterNot(fd => st.partitionColumns.contains(fd.name))
+    val cdcSchema = StructType(dataFields :+
+      org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType))
+    files.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sortBy(_._1).mkString)
+      .map { case (pv, fl) =>
+        val base = spark.read.schema(cdcSchema)
+          .parquet(fl.map(a => new Path(dir, a.path).toString): _*)
+        st.partitionColumns.foldLeft(base) { (df, c) =>
+          df.withColumn(c, lit(pv(c)).cast(st.schema(c).dataType))
+        }
+      }.reduce(_ unionByName _)
+      .select(st.schema.fieldNames.map(col) :+ col("_change_type"): _*)
+  }
+
+  /** ONE commit's change set (rows + `_change_type` + `_commit_version`
+    * + `_commit_timestamp`), or None when the commit changed no rows —
+    * the per-version unit [[readChangeFeed]] and the streaming CDF
+    * source share. Throws on rows-changed-without-CDC commits. */
+  private[graft] def changeSet(spark: SparkSession, dir: String,
+                               st: DeltaState, v: Long): Option[DataFrame] = {
+    val ca = commitActions(spark, dir, v)
+    val changes =
+      if (ca.cdcs.nonEmpty) Some(readCdcFiles(spark, dir, st, ca.cdcs))
+      else if (ca.removesDataChange)
+        throw new IllegalStateException(
+          s"version $v of $dir removed data without change data — " +
+          "enable delta.enableChangeDataFeed before row-level operations to feed them")
+      else {
+        val added = ca.adds.collect { case (a, true) => a }
+        if (added.isEmpty) None
+        else Some(readSubset(spark, dir, st, added)
+          .withColumn("_change_type", lit("insert")))
+      }
+    changes.map { df =>
+      val ts = new java.sql.Timestamp(
+        fs(spark, dir).getFileStatus(logFile(dir, v)).getModificationTime)
+      df.withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", lit(ts))
+    }
   }
 
   /** RESTORE the table to `toVersion` (Delta's `RESTORE TABLE ...

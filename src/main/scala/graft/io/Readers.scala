@@ -51,20 +51,31 @@ object Readers {
             version: Option[Long] = None): DataFrame =
     DeltaInterop.readDelta(spark, dir, version)
 
-  /** Parquet files carrying TIMESTAMP(NANOS) columns, which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as raw longs
-    * (legacy conf) and convert to microsecond timestamps with exact integer
-    * division (`div`, not `/` — ns epoch values exceed a double's 2^53
-    * mantissa, so float division would corrupt them). */
+  /** Parquet timestamp columns in whatever physical encoding the
+    * producer chose:
+    *   - TIMESTAMP(NANOS) — Spark's vectorized reader rejects it
+    *     ([PARQUET_TYPE_ILLEGAL]); we read nanos as raw longs (legacy
+    *     conf) and convert with exact integer division (`div`, not `/`
+    *     — ns epoch values exceed a double's 2^53 mantissa, so float
+    *     division would corrupt them);
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) — decodes as
+    *     TIMESTAMP_NTZ; cast to TIMESTAMP (the session time zone is
+    *     UTC, so the instant is unchanged and matches the oracle's
+    *     naive read);
+    *   - TIMESTAMP(MICROS, utc) — already the session type; no-op. */
   def parquetNanos(spark: SparkSession, path: String, nanosCols: Seq[String]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path)
     nanosCols.foldLeft(df) { (d, c) =>
-      // no-op when the column already decoded as a timestamp (micro files)
-      if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        d.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
-      else d
+      d.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          d.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(c, org.apache.spark.sql.functions.col(c)
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => d
+      }
     }
   }
 

@@ -88,6 +88,13 @@ final class DeltaSource(spark: SparkSession, dir: String, metadataPath: String,
   }
   private val ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean)
   private val ignoreDeletes = opts.get("ignoredeletes").exists(_.toBoolean)
+  /** CDF mode (`readChangeFeed=true`): emit CHANGE rows — the table
+    * schema plus `_change_type`/`_commit_version`/`_commit_timestamp`.
+    * The snapshot phase emits as `insert`s; tail commits emit their
+    * `_change_data` files when present, derived inserts otherwise, and
+    * rows-changed-without-CDC commits fail the stream (the batch
+    * [[DeltaInterop.readChangeFeed]] contract, streamed). */
+  private val cdf = opts.get("readchangefeed").exists(_.toBoolean)
 
   private val M = new ObjectMapper()
 
@@ -143,20 +150,41 @@ final class DeltaSource(spark: SparkSession, dir: String, metadataPath: String,
   private def firstTailVersion: Long =
     if (origin.mode == "snapshot") origin.version + 1 else origin.version
 
-  override def schema: StructType = lockedState.schema
+  override def schema: StructType =
+    if (!cdf) lockedState.schema
+    else StructType(lockedState.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_timestamp",
+        org.apache.spark.sql.types.TimestampType)))
 
   // per-version parsed commits — metadata-sized, pruned as batches commit
   private val commitCache = scala.collection.mutable.HashMap.empty[Long, CommitActions]
 
-  /** Commit `v`'s emittable files, after the tailer's validation gates. */
+  private def actionsOf(v: Long): CommitActions =
+    synchronized(commitCache.getOrElseUpdate(v, DeltaInterop.commitActions(spark, dir, v)))
+
+  /** Commit `v`'s emittable UNITS (the rate-limit granularity), after
+    * the tailer's validation gates: data adds normally; in CDF mode the
+    * commit's `_change_data` files when it has them. */
   private def dcAdds(v: Long): Seq[AddFile] = {
-    val ca = synchronized(commitCache.getOrElseUpdate(v, DeltaInterop.commitActions(spark, dir, v)))
+    val ca = actionsOf(v)
     ca.minReader.foreach(r => require(r <= 3,
       s"commit $v needs minReaderVersion $r; this source reads up to 3"))
     ca.schemaChange.foreach { s =>
       if (v > origin.lockVersion && s != lockedState.schema.json)
         throw new IllegalStateException(
           s"schema changed at version $v of $dir — restart the stream (new checkpoint) to pick it up")
+    }
+    if (cdf) {
+      if (ca.cdcs.nonEmpty) return ca.cdcs
+      if (ca.removesDataChange)
+        throw new IllegalStateException(
+          s"version $v of $dir removed data without change data — " +
+          "enable delta.enableChangeDataFeed before row-level operations to stream them")
+      return ca.adds.collect { case (a, true) => a }
     }
     if (ca.removesDataChange && !ignoreChanges &&
         !(ignoreDeletes && ca.adds.forall(!_._2)))
@@ -224,16 +252,17 @@ final class DeltaSource(spark: SparkSession, dir: String, metadataPath: String,
       "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   /** Files in the linearized stream strictly after `start`, up to and
-    * including `end` — the deterministic replay unit. */
+    * including `end` — the deterministic replay unit. Tail files come
+    * grouped by version (CDF batches stamp per-version columns). */
   private def filesBetween(start: Option[DeltaSourceOffset],
-                           end: DeltaSourceOffset): (Seq[AddFile], Seq[AddFile]) = {
+                           end: DeltaSourceOffset): (Seq[AddFile], Seq[(Long, Seq[AddFile])]) = {
     val snapPart: Seq[AddFile] =
       if (origin.mode == "snapshot" && start.forall(_.starting)) {
         val from = start.map(_.index).getOrElse(0)
         val to = if (end.starting) end.index else snapFiles.length
         snapFiles.slice(from, to)
       } else Seq.empty
-    val tailPart: Seq[AddFile] =
+    val tailPart: Seq[(Long, Seq[AddFile])] =
       if (end.starting) Seq.empty
       else {
         val (fromV, fromIdx) = start match {
@@ -241,22 +270,50 @@ final class DeltaSource(spark: SparkSession, dir: String, metadataPath: String,
           case Some(o) => (o.version + 1, 0)
           case None => (firstTailVersion, 0)
         }
-        (fromV to end.version).flatMap { v =>
+        (fromV to end.version).map { v =>
           val files = dcAdds(v)
           val lo = if (v == fromV) fromIdx else 0
           val hi = if (v == end.version) end.index else files.length
-          files.slice(lo, hi)
-        }
+          v -> files.slice(lo, hi)
+        }.filter(_._2.nonEmpty)
       }
     (snapPart, tailPart)
   }
 
+  private def commitTs(v: Long): java.sql.Timestamp = {
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new java.sql.Timestamp(f.getFileStatus(
+      new Path(new Path(dir, "_delta_log"), f"$v%020d.json")).getModificationTime)
+  }
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val endO = DeltaSourceOffset.from(end)
     val startO = start.map(DeltaSourceOffset.from)
     val (snapPart, tailPart) = filesBetween(startO, endO)
-    val parts = Seq(snapPart, tailPart).filter(_.nonEmpty)
-      .map(fl => DeltaInterop.readSubset(spark, dir, lockedState, fl))
+    val parts: Seq[DataFrame] =
+      if (!cdf)
+        Seq(snapPart, tailPart.flatMap(_._2)).filter(_.nonEmpty)
+          .map(fl => DeltaInterop.readSubset(spark, dir, lockedState, fl))
+      else {
+        val outCols = schema.fieldNames.map(col)
+        val snap =
+          if (snapPart.isEmpty) Seq.empty
+          else Seq(DeltaInterop.readSubset(spark, dir, lockedState, snapPart)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(origin.version))
+            .withColumn("_commit_timestamp", lit(commitTs(origin.version))))
+        val tail = tailPart.map { case (v, fl) =>
+          val base =
+            if (actionsOf(v).cdcs.nonEmpty)
+              DeltaInterop.readCdcFiles(spark, dir, lockedState, fl)
+            else DeltaInterop.readSubset(spark, dir, lockedState, fl)
+              .withColumn("_change_type", lit("insert"))
+          base.withColumn("_commit_version", lit(v))
+            .withColumn("_commit_timestamp", lit(commitTs(v)))
+        }
+        (snap ++ tail).map(_.select(outCols: _*))
+      }
     if (parts.isEmpty) GraftBridge.emptyStreamingBatch(spark, schema)
     else GraftBridge.asStreamingBatch(parts.reduce(_ unionByName _))
   }
@@ -282,9 +339,23 @@ final class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegi
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
-                            parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      DeltaInterop.state(sqlContext.sparkSession, pathOf(parameters)).schema))
+                            parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(
+      DeltaInterop.state(sqlContext.sparkSession, pathOf(parameters)).schema)
+    val cdf = parameters.exists { case (k, v) =>
+      k.equalsIgnoreCase("readChangeFeed") && v.toBoolean
+    }
+    val full =
+      if (!cdf) base
+      else StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_timestamp",
+          org.apache.spark.sql.types.TimestampType)))
+    (shortName(), full)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,

@@ -34,15 +34,21 @@ object EventStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
 
-  /** Streaming read of the TIMESTAMP(NANOS) test events (Spark rejects ns
-    * natively — same nanos-as-long + exact `div` conversion as the batch
-    * reader in graft.io.Readers.parquetNanos). */
+  /** Streaming read of the test events in whatever timestamp encoding
+    * the producer chose — probed with one batch schema read, then the
+    * matching conversion (the streaming twin of
+    * graft.io.Readers.parquetNanos):
+    * TIMESTAMP(NANOS) → nanos-as-long + exact `div` conversion;
+    * TIMESTAMP(MICROS, ntz) → cast to TIMESTAMP (session tz is UTC);
+    * TIMESTAMP → pass through. */
   def readEventsNanos(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosSchema = StructType(eventSchema.fields.map {
-      case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
-      case f                          => f
-    })
+    val probed = spark.read.parquet(path).schema("ts").dataType
+    def schemaWithTs(dt: org.apache.spark.sql.types.DataType) =
+      StructType(eventSchema.fields.map {
+        case StructField("ts", _, n, m) => StructField("ts", dt, n, m)
+        case f                          => f
+      })
     // FileStreamSource insists on a directory unless the path globs; wrap a
     // plain file path in a brace-glob so single-file test tables stream too.
     val globbed =
@@ -51,8 +57,17 @@ object EventStream {
         case -1 => s"{$path}" // bare relative filename
         case i  => s"${path.substring(0, i)}/{${path.substring(i + 1)}}"
       }
-    spark.readStream.schema(nanosSchema).parquet(globbed)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    probed match {
+      case LongType =>
+        spark.readStream.schema(schemaWithTs(LongType)).parquet(globbed)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        spark.readStream.schema(schemaWithTs(
+            org.apache.spark.sql.types.TimestampNTZType)).parquet(globbed)
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        spark.readStream.schema(eventSchema).parquet(globbed)
+    }
   }
 
   /** Run a streaming transform over a bounded file source to completion and

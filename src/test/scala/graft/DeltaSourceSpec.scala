@@ -183,6 +183,56 @@ class DeltaSourceSpec extends AnyFunSuite {
       s"wrong failure: ${ex.getCause.getMessage}")
   }
 
+  test("CDF mode streams change rows: snapshot inserts, then deletes/updates") {
+    val dir = TempDirs.scratch("delta-src-cdfmode")
+    val ckpt = TempDirs.scratch("delta-src-cdfmode-ckpt")
+    DeltaInterop.writeDelta(docs(10).repartition(1), dir, Nil)
+    DeltaInterop.setTableProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val got = scala.collection.mutable.ListBuffer.empty[(String, Long, Long)]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream
+        .foreachBatch { (df: Dataset[Row], _: Long) =>
+          val rows = df.select("_change_type", "id", "_commit_version")
+            .as[(String, Long, Long)](implicitly).collect()
+          got.synchronized { got ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // snapshot → inserts
+    assert(got.count(_._1 == "insert") === 10)
+    DeltaInterop.deleteWhere(spark, dir, col("id") < 3L)
+    DeltaInterop.updateWhere(spark, dir, col("id") === 5L,
+      Map("body" -> concat(col("body"), lit("!"))))
+    run() // tail → CDC rows, NOT re-emitted data files
+    assert(got.count(_._1 == "delete") === 3)
+    assert(got.count(_._1 == "update_preimage") === 1 &&
+      got.count(_._1 == "update_postimage") === 1)
+    assert(got.size === 15, s"no data-file re-emission in CDF mode: ${got.size}")
+    // the streamed feed equals the batch feed for the tail versions
+    val batchFeed = DeltaInterop.readChangeFeed(spark, dir, 2, 3)
+      .select("_change_type", "id").as[(String, Long)].collect().toSeq.sorted
+    assert(got.drop(10).map(r => (r._1, r._2)).sorted === batchFeed)
+  }
+
+  test("CDF mode fails on a rows-changed-without-CDC commit") {
+    val dir = TempDirs.scratch("delta-src-cdfmode-off")
+    val ckpt = TempDirs.scratch("delta-src-cdfmode-off-ckpt")
+    DeltaInterop.writeDelta(docs(6).repartition(1), dir, Nil)
+    val got = ListBuffer.empty[(Long, String, String)]
+    runStream(dir, ckpt, got, Map("readChangeFeed" -> "true")) // inserts fine
+    DeltaInterop.deleteWhere(spark, dir, col("id") === 0L) // CDF never enabled
+    val ex = intercept[StreamingQueryException] {
+      runStream(dir, ckpt, got, Map("readChangeFeed" -> "true"))
+    }
+    assert(ex.getCause.getMessage.contains("enableChangeDataFeed"),
+      s"wrong failure: ${ex.getCause.getMessage}")
+  }
+
   test("origin survives restart: snapshot boundary fixed at first start") {
     val dir = TempDirs.scratch("delta-src-origin")
     val ckpt = TempDirs.scratch("delta-src-origin-ckpt")

@@ -64,7 +64,8 @@ object Bench {
     "q160_delta_cdf",
     "q161_delta_dv_update",
     "q162_delta_restore",
-    "q163_delta_rename"
+    "q163_delta_rename",
+    "q164_delta_cdf_stream"
   )
 
   def main(args: Array[String]): Unit = {

@@ -211,7 +211,11 @@ object OracleSql {
       // q144 TRAINS through the streaming monoid sink — the committed
       // model must equal the batch training exactly, so q135's oracle
       // pins every prediction and score.
-      ("q144_stream_nb_train" -> oracleSqlCore("q135_nb_langid"))
+      ("q144_stream_nb_train" -> oracleSqlCore("q135_nb_langid")) +
+      // q164 consumes q160's exact change-feed lifecycle as a STREAM
+      // (readChangeFeed=true, startingVersion=earliest, rate-limited) —
+      // streamed CDF must equal batch CDF, so q160's oracle pins it.
+      ("q164_delta_cdf_stream" -> oracleSqlCore("q160_delta_cdf"))
 
   private lazy val oracleSqlCore: Map[String, String] = Map(
     // q140: the Delta log's append/overwrite/time-travel states derive

@@ -1597,4 +1597,53 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("chars"))
       .orderBy(col("lang"))
   }
+
+  /** q164 — STREAMING change data feed (`readStream.format("graft-delta")
+    * .option("readChangeFeed", true)`): q160's exact lifecycle (create →
+    * enable CDF → DELETE → UPDATE → append), but the feed arrives as a
+    * STREAM replayed from version 0 (`startingVersion=earliest`) through
+    * rate-limited micro-batches — inserts for the data commits, CDC rows
+    * for the row ops. Per-batch partials fold per (change_type, lang)
+    * and must SUM to exactly the batch feed — pinned to q160's oracle,
+    * so streamed CDF ≡ batch CDF is hash-proven. */
+  private[graft] def q164(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q164")
+    graft.io.DeltaInterop.writeDelta(docs, tmp, Seq("lang"))              // v0
+    graft.io.DeltaInterop.setTableProperties(s, tmp,
+      Map("delta.enableChangeDataFeed" -> "true"))                        // v1
+    graft.io.DeltaInterop.deleteWhere(s, tmp, col("doc_id") % 7 === 3)    // v2
+    graft.io.DeltaInterop.updateWhere(s, tmp, col("doc_id") % 5 === 0,
+      Map("n_chars" -> (col("n_chars") + 100)))                           // v3
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    graft.io.DeltaInterop.writeDelta(
+      docs.select((col("doc_id") + mx + 1).as("doc_id"), col("lang"),
+        (col("n_chars") + 7).as("n_chars")), tmp, Seq("lang"))            // v4
+    val buf = scala.collection.mutable.ListBuffer.empty[(String, String, Long, Long)]
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = s.readStream.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "earliest")
+      .option("maxFilesPerTrigger", "2").load(tmp)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.groupBy(col("_change_type"), col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        if (rows.nonEmpty) {
+          batches.incrementAndGet()
+          buf.synchronized { buf ++= rows }
+        }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    require(batches.get >= 2,
+      s"rate limit should cut ≥2 data batches, saw ${batches.get}")
+    import s.implicits._
+    buf.toSeq.toDF("change_type", "lang", "n0", "chars0")
+      .groupBy(col("change_type"), col("lang"))
+      .agg(sum(col("n0")).as("n"), sum(col("chars0")).as("chars"))
+      .orderBy(col("change_type"), col("lang"))
+  }
 }

@@ -1120,6 +1120,11 @@ object DeltaInterop {
           referenced += a.get("path").asText
           if (a.has("deletionVector") && !a.get("deletionVector").isNull)
             refDv(M.writeValueAsString(a.get("deletionVector")))
+        } else if (node.has("cdc")) {
+          // a CDC file is reachable while its commit's JSON survives —
+          // once cleanupLog drops the commit, the feed below it is gone
+          // and the file becomes reclaimable
+          referenced += node.get("cdc").get("path").asText
         }
       }
     }
@@ -1140,6 +1145,10 @@ object DeltaInterop {
         }
       }
     walk(new Path(dir), Nil)
+    // _change_data is walked EXPLICITLY (the main walk skips _-prefixed
+    // dirs): CDC files whose commit JSON aged out reclaim like data files
+    val cd = new Path(dir, "_change_data")
+    if (f.exists(cd)) walk(cd, List("_change_data"))
     deleted
   }
 
@@ -1158,8 +1167,15 @@ object DeltaInterop {
     val target = logFile(dir, v)
     val tmp = new Path(logDir(dir),
       s".tmp-commit-${java.util.UUID.randomUUID().toString.take(8)}-$v.json")
+    // every commit leads with commitInfo carrying the IN-COMMIT
+    // timestamp — [[versionAtTimestamp]] prefers it over the file
+    // mtime, so timestamp time travel survives file copies/rsyncs
+    // (callers replaying foreign fixtures may supply their own)
+    val all =
+      if (actions.exists(_.startsWith("{\"commitInfo\""))) actions
+      else s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"engineInfo":"graft"}}""" +: actions
     val out = f.create(tmp, false)
-    try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((all.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     // rename WITHOUT overwrite: fails iff the version already exists
     val won = !f.exists(target) && f.rename(tmp, target)
@@ -1938,10 +1954,11 @@ object DeltaInterop {
     (v, addsBack.length, removes.length)
   }
 
-  /** The latest version whose commit file was written at or before
-    * `tsMillis` — Delta's timestamp-based time travel (resolved from
-    * commit-file modification times, the protocol's own in-commit
-    * timestamp fallback). */
+  /** The latest version committed at or before `tsMillis` — Delta's
+    * timestamp-based time travel. Each commit's time is its
+    * commitInfo.timestamp (the in-commit timestamp OUR commits always
+    * write, robust to file copies); commits without one (minimal
+    * foreign logs) fall back to the file's modification time. */
   def versionAtTimestamp(spark: SparkSession, dir: String,
                          tsMillis: Long): Long = {
     val f = fs(spark, dir)
@@ -1949,7 +1966,19 @@ object DeltaInterop {
     require(latest >= 0, s"no Delta log under $dir")
     val vs = (0L to latest).flatMap { v =>
       val p = logFile(dir, v)
-      if (f.exists(p)) Some(v -> f.getFileStatus(p).getModificationTime) else None
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        val ict = lines.filter(_.nonEmpty).iterator.map(M.readTree)
+          .collectFirst {
+            case n if n.has("commitInfo") && n.get("commitInfo").has("timestamp") =>
+              n.get("commitInfo").get("timestamp").asLong
+          }
+        Some(v -> ict.getOrElse(f.getFileStatus(p).getModificationTime))
+      }
     }
     val at = vs.filter(_._2 <= tsMillis).map(_._1)
     require(at.nonEmpty,

@@ -139,6 +139,33 @@ class DeltaCdfSpec extends AnyFunSuite {
     assert(reclaimed >= 0)
   }
 
+  test("vacuum reclaims CDC files once their commit ages out of the log") {
+    val dir = newCdfTable("cdf-vacuum", docs(10), partCols = Nil)
+    val (vDel, _) = DeltaInterop.deleteWhere(spark, dir, col("id") === 4L)
+    def cdcFiles(): Int = {
+      val cd = new java.io.File(dir, "_change_data")
+      if (!cd.exists()) 0
+      else {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(cd)
+      }
+    }
+    assert(cdcFiles() === 1)
+    // while the delete's JSON survives, the CDC file is referenced
+    DeltaInterop.vacuum(spark, dir, retainMillis = 0L)
+    assert(cdcFiles() === 1)
+    assert(feed(dir, vDel, vDel).count() === 1L)
+    // cleanupLog drops commits strictly BELOW the checkpoint, so the
+    // delete's JSON only ages out once a LATER commit exists
+    DeltaInterop.writeDelta(docs(2, from = 10), dir, Nil)
+    DeltaInterop.checkpoint(spark, dir)
+    DeltaInterop.cleanupLog(spark, dir)
+    DeltaInterop.vacuum(spark, dir, retainMillis = 0L)
+    assert(cdcFiles() === 0, "aged-out CDC files must reclaim")
+  }
+
   test("the feed sums: replaying all changes reconstructs the table") {
     val dir = newCdfTable("cdf-replay", docs(20))
     DeltaInterop.deleteWhere(spark, dir, col("id") % 5 === 0L)

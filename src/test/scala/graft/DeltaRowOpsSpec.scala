@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import graft.io.DeltaInterop
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -124,16 +124,30 @@ class DeltaRowOpsSpec extends AnyFunSuite {
     assert(DeltaInterop.readDelta(spark, dir, Some(1L)).count() == 40)
   }
 
-  test("versionAtTimestamp resolves commit mtimes; readDeltaAsOf reads that snapshot") {
+  test("versionAtTimestamp prefers in-commit timestamps; mtime is the foreign fallback") {
     val dir = Files.createTempDirectory("graft-delta-ts").toString
     DeltaInterop.writeDelta(table(5), dir, Nil, overwrite = false, checkpointInterval = 0)
-    val f0 = new java.io.File(s"$dir/_delta_log/00000000000000000000.json")
     DeltaInterop.writeDelta(table(5).withColumn("id", col("id") + 10),
       dir, Nil, overwrite = false, checkpointInterval = 0)
-    val f1 = new java.io.File(s"$dir/_delta_log/00000000000000000001.json")
-    // push the commits apart deterministically: v0 at t-60s, v1 at t-30s
+    // push the IN-COMMIT timestamps apart deterministically (v0 at
+    // t-60s, v1 at t-30s) by rewriting each commitInfo line — and set
+    // the file mtimes to a LIE (both now-5s): resolution must follow
+    // the commitInfo, proving ICT survives file copies/rsyncs
     val now = System.currentTimeMillis()
-    assert(f0.setLastModified(now - 60000) && f1.setLastModified(now - 30000))
+    def stamp(v: Int, ts: Long): Unit = {
+      val p = Paths.get(dir, "_delta_log", f"$v%020d.json")
+      val fixed = new String(Files.readAllBytes(p), "UTF-8").linesIterator.map { l =>
+        if (l.startsWith("{\"commitInfo\""))
+          l.replaceAll("\"timestamp\":\\d+", s""""timestamp":$ts""")
+        else l
+      }.mkString("\n") + "\n"
+      Files.write(p, fixed.getBytes("UTF-8"))
+      // the raw rewrite invalidates Hadoop LocalFS's checksum sidecar
+      Files.deleteIfExists(Paths.get(dir, "_delta_log", ".%020d.json.crc".format(v)))
+      assert(p.toFile.setLastModified(now - 5000))
+    }
+    stamp(0, now - 60000)
+    stamp(1, now - 30000)
     assert(DeltaInterop.versionAtTimestamp(spark, dir, now - 45000) == 0L)
     assert(DeltaInterop.versionAtTimestamp(spark, dir, now) == 1L)
     assert(DeltaInterop.readDeltaAsOf(spark, dir, now - 45000).count() == 5)
@@ -141,5 +155,16 @@ class DeltaRowOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DeltaInterop.versionAtTimestamp(spark, dir, now - 120000)
     }
+    // foreign fallback: strip commitInfo entirely → mtimes take over
+    (0 to 1).foreach { v =>
+      val p = Paths.get(dir, "_delta_log", f"$v%020d.json")
+      val noInfo = new String(Files.readAllBytes(p), "UTF-8").linesIterator
+        .filterNot(_.startsWith("{\"commitInfo\"")).mkString("\n") + "\n"
+      Files.write(p, noInfo.getBytes("UTF-8"))
+      Files.deleteIfExists(Paths.get(dir, "_delta_log", ".%020d.json.crc".format(v)))
+    }
+    assert(Paths.get(dir, "_delta_log", "%020d.json".format(0)).toFile.setLastModified(now - 60000))
+    assert(Paths.get(dir, "_delta_log", "%020d.json".format(1)).toFile.setLastModified(now - 30000))
+    assert(DeltaInterop.versionAtTimestamp(spark, dir, now - 45000) == 0L)
   }
 }

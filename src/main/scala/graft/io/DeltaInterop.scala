@@ -583,7 +583,7 @@ object DeltaInterop {
     if (props.get("delta.enableChangeDataFeed").contains("true"))
       actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
     actions += metaDataJson(st.schema, st.partitionColumns, merged)
-    commit(spark, dir, st.version + 1, actions.result())
+    commit(spark, dir, st.version + 1, actions.result(), op = "SET TBLPROPERTIES")
   }
 
   /** Is the change data feed on for this snapshot? Row ops consult this
@@ -640,7 +640,7 @@ object DeltaInterop {
           """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","deletionVectors"],"writerFeatures":["columnMapping","deletionVectors"]}}"""
         else """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
     actions += metaDataJson(StructType(fields), partCols, config)
-    commit(spark, dir, st.version + 1, actions.result())
+    commit(spark, dir, st.version + 1, actions.result(), op = "RENAME COLUMN")
   }
 
   def writeDelta(df: DataFrame, dir: String, partCols: Seq[String],
@@ -793,7 +793,8 @@ object DeltaInterop {
     removes.foreach(r => actions += removeJson(r))
     adds.foreach(a => actions += addJson(a))
     preCommitHook() // test seam: a racing writer lands exactly here
-    val v = commit(spark, dir, prev + 1, actions.toSeq)
+    val v = commit(spark, dir, prev + 1, actions.toSeq,
+      op = if (txn.isDefined) "STREAMING UPDATE" else "WRITE")
     if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0)
       checkpoint(spark, dir, Some(v))
     v
@@ -865,7 +866,7 @@ object DeltaInterop {
     }
     val dv =
       if (actions.isEmpty) prev // nothing changed — no empty commit
-      else commit(spark, deltaDir, prev + 1, actions.toSeq)
+      else commit(spark, deltaDir, prev + 1, actions.toSeq, op = "WRITE")
     (storeV, dv, copied)
   }
 
@@ -1001,7 +1002,7 @@ object DeltaInterop {
       actions += addJson(AddFile(rel, pv, size, rows, Map.empty, stats),
         dataChange = false)
     }
-    val v = commit(spark, dir, st.version + 1, actions.toSeq)
+    val v = commit(spark, dir, st.version + 1, actions.toSeq, op = "OPTIMIZE")
     (v, smalls.length, moved.length)
   }
 
@@ -1059,7 +1060,7 @@ object DeltaInterop {
     val adds = stageData(clustered, dir, st.partitionColumns)
     val actions = st.files.map(removeJson(_, dataChange = false)) ++
       adds.map(addJson(_, dataChange = false))
-    val v = commit(spark, dir, st.version + 1, actions)
+    val v = commit(spark, dir, st.version + 1, actions, op = "OPTIMIZE")
     (v, st.files.length, adds.length)
   }
 
@@ -1161,7 +1162,7 @@ object DeltaInterop {
     * and rename-without-overwrite keeps the put-if-absent conflict
     * semantics on HDFS and local filesystems. */
   private[graft] def commit(spark: SparkSession, dir: String, v: Long,
-                         actions: Seq[String]): Long = {
+                         actions: Seq[String], op: String = "WRITE"): Long = {
     val f = fs(spark, dir)
     f.mkdirs(logDir(dir))
     val target = logFile(dir, v)
@@ -1173,7 +1174,7 @@ object DeltaInterop {
     // (callers replaying foreign fixtures may supply their own)
     val all =
       if (actions.exists(_.startsWith("{\"commitInfo\""))) actions
-      else s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"engineInfo":"graft"}}""" +: actions
+      else s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"$op","engineInfo":"graft"}}""" +: actions
     val out = f.create(tmp, false)
     try out.write((all.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
@@ -1556,7 +1557,7 @@ object DeltaInterop {
         dir, st.partitionColumns)
     val actions = touched.map(removeJson(_)) ++ adds.map(addJson(_)) ++
       cdcs.map(cdcJson)
-    val v = commit(spark, dir, st.version + 1, actions)
+    val v = commit(spark, dir, st.version + 1, actions, op = "DELETE")
     (v, touched.length)
   }
 
@@ -1623,7 +1624,8 @@ object DeltaInterop {
           .select(st.schema.fieldNames.map(col) :+ lit("delete").as("_change_type"): _*),
         dir, st.partitionColumns)
     val v = commit(spark, dir, st.version + 1,
-      dvProtocolJson() +: (removes.result() ++ adds.result() ++ cdcs.map(cdcJson)))
+      dvProtocolJson() +: (removes.result() ++ adds.result() ++ cdcs.map(cdcJson)),
+      op = "DELETE")
     (v, perFile.length, deletedRows)
   }
 
@@ -1691,7 +1693,7 @@ object DeltaInterop {
         .foreach(c => actions += cdcJson(c))
     }
     val v = commit(spark, dir, st.version + 1,
-      dvProtocolJson() +: actions.result())
+      dvProtocolJson() +: actions.result(), op = "UPDATE")
     (v, perFile.length, updatedRows)
   }
 
@@ -1739,7 +1741,7 @@ object DeltaInterop {
       }
     val actions = touched.map(removeJson(_)) ++ adds.map(addJson(_)) ++
       cdcs.map(cdcJson)
-    val v = commit(spark, dir, st.version + 1, actions)
+    val v = commit(spark, dir, st.version + 1, actions, op = "UPDATE")
     (v, touched.length)
   }
 
@@ -1805,7 +1807,7 @@ object DeltaInterop {
       }
     val actions = touched.map(removeJson(_)) ++ adds.map(addJson(_)) ++
       cdcs.map(cdcJson)
-    val v = commit(spark, dir, st.version + 1, actions)
+    val v = commit(spark, dir, st.version + 1, actions, op = "MERGE")
     (v, touched.length, nInserts)
   }
 
@@ -1950,8 +1952,38 @@ object DeltaInterop {
           .foreach(c => actions += cdcJson(c))
       }
     }
-    val v = commit(spark, dir, cur.version + 1, actions.result())
+    val v = commit(spark, dir, cur.version + 1, actions.result(), op = "RESTORE")
     (v, addsBack.length, removes.length)
+  }
+
+  /** DESCRIBE HISTORY: one row per commit still present in the JSON log
+    * (newest first, Delta's order) with (version, timestamp, operation,
+    * engineInfo) from each commitInfo — nulls where a minimal foreign
+    * commit carries none. [[cleanupLog]] bounds how far back history
+    * reaches, exactly the table_changes/time-travel retention story. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val f = fs(spark, dir)
+    val latest = latestVersion(spark, dir)
+    require(latest >= 0, s"no Delta log under $dir")
+    val rows = (0L to latest).reverse.flatMap { v =>
+      val p = logFile(dir, v)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        val ci = lines.filter(_.nonEmpty).iterator.map(M.readTree)
+          .collectFirst { case n if n.has("commitInfo") => n.get("commitInfo") }
+        def str(name: String): String =
+          ci.filter(_.has(name)).map(_.get(name).asText).orNull
+        val ts = ci.filter(_.has("timestamp")).map(_.get("timestamp").asLong)
+        Some((v, ts.map(new java.sql.Timestamp(_)).orNull,
+          str("operation"), str("engineInfo")))
+      }
+    }
+    import spark.implicits._
+    rows.toDF("version", "timestamp", "operation", "engineInfo")
   }
 
   /** The latest version committed at or before `tsMillis` — Delta's

@@ -63,6 +63,30 @@ class DeltaRestoreSpec extends AnyFunSuite {
     assert(DeltaInterop.latestVersion(spark, dir) === before, "no partial commit")
   }
 
+  test("DESCRIBE HISTORY names every lifecycle operation, newest first") {
+    val dir = TempDirs.scratch("history")
+    DeltaInterop.writeDelta(docs(10).repartition(1), dir, Nil)            // WRITE
+    DeltaInterop.setTableProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true"))                        // SET TBLPROPERTIES
+    DeltaInterop.deleteWhere(spark, dir, col("id") === 0L)                // DELETE
+    DeltaInterop.updateWhere(spark, dir, col("id") === 5L,
+      Map("body" -> upper(col("body"))))                                  // UPDATE
+    DeltaInterop.merge(spark, dir,
+      docs(2, from = 100), Seq("id"))                                     // MERGE
+    DeltaInterop.compact(spark, dir)                                      // OPTIMIZE (maybe no-op)
+    DeltaInterop.restore(spark, dir, 1L)                                  // RESTORE
+    val h = DeltaInterop.history(spark, dir)
+      .select("version", "operation").as[(Long, String)].collect().toSeq
+    assert(h.map(_._1) === h.map(_._1).sorted.reverse, "newest first")
+    val byV = h.toMap
+    assert(byV(0L) === "WRITE" && byV(1L) === "SET TBLPROPERTIES" &&
+      byV(2L) === "DELETE" && byV(3L) === "UPDATE" && byV(4L) === "MERGE")
+    assert(byV(byV.keys.max) === "RESTORE")
+    // timestamps are the in-commit ones and never null for our commits
+    assert(DeltaInterop.history(spark, dir)
+      .filter(col("timestamp").isNull).count() === 0L)
+  }
+
   test("restore records CDC inserts/deletes when the feed is on") {
     val dir = TempDirs.scratch("restore-cdf")
     DeltaInterop.writeDelta(docs(12).repartition(1), dir, Nil)        // v0

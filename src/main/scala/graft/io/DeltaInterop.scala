@@ -722,16 +722,52 @@ object DeltaInterop {
       st.partitionColumns.map(c => physicalFieldName(st.schema(c))))
   }
 
+  /** CHECK constraints (writer v3's `delta.constraints.<name>` table
+    * properties): every write must prove no row evaluates the
+    * expression to FALSE (NULL passes — SQL CHECK semantics). One
+    * distributed limit-1 probe per constraint per write, on the frame
+    * about to stage. */
+  private def enforceConstraints(df: DataFrame, st: DeltaState): Unit =
+    st.configuration.foreach { case (k, exprSql) =>
+      if (k.startsWith("delta.constraints.")) {
+        val name = k.stripPrefix("delta.constraints.")
+        val bad = df.filter(expr(exprSql) === lit(false)).limit(1).collect()
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"CHECK constraint $name ($exprSql) violated by e.g. ${bad.head}")
+      }
+    }
+
+  /** ALTER TABLE ADD CONSTRAINT: store the CHECK expression as a
+    * `delta.constraints.<name>` property (the protocol's encoding).
+    * The EXISTING table must already satisfy it — verified with one
+    * scan before the property commits. */
+  def addConstraint(spark: SparkSession, dir: String,
+                    name: String, exprSql: String): Long = {
+    val st = state(spark, dir)
+    val bad = readFiles(spark, dir, st)
+      .filter(expr(exprSql) === lit(false)).limit(1).collect()
+    require(bad.isEmpty,
+      s"cannot add CHECK constraint $name ($exprSql): existing rows violate it, e.g. ${bad.headOption.getOrElse("")}")
+    val merged = st.configuration + (s"delta.constraints.$name" -> exprSql)
+    commit(spark, dir, st.version + 1,
+      Seq(metaDataJson(st.schema, st.partitionColumns, merged)),
+      op = "ADD CONSTRAINT")
+  }
+
   /** [[stageData]] with column-mapping awareness: a write into a mapped
     * table stages PHYSICAL column names (and physical partition paths /
     * partitionValues keys — the layout [[readFilesMapped]] resolves).
     * Schema evolution on mapped tables is refused (new fields would
-    * need fresh column ids; narrower scope, loudly). */
+    * need fresh column ids; narrower scope, loudly). CHECK constraints
+    * are enforced here — every write path (plain, resilient, streaming
+    * appendOnce) stages through this choke point. */
   private def stageTableData(df: DataFrame, dir: String,
                              partCols: Seq[String]): Seq[AddFile] = {
     val spark = df.sparkSession
     val stOpt =
       if (latestVersion(spark, dir) >= 0) Some(state(spark, dir)) else None
+    stOpt.foreach(enforceConstraints(df, _))
     stOpt.filter(columnMappingMode(_) != "none") match {
       case Some(st) =>
         val extra = df.schema.fieldNames.filterNot(st.schema.fieldNames.contains)
@@ -1665,6 +1701,7 @@ object DeltaInterop {
           case None => col(c)
         }
       }: _*)
+    enforceConstraints(postimage, st)
     val newAdds = stageData(postimage, dir, st.partitionColumns)
     val idx = qualifiedIndex(spark, dir, candidates)
     val actions = Seq.newBuilder[String]
@@ -1724,6 +1761,7 @@ object DeltaInterop {
           case None => col(c)
         }
       }: _*)
+    enforceConstraints(rewritten, st)
     val adds = stageData(rewritten, dir, st.partitionColumns)
     val cdcs =
       if (!cdfEnabled(st)) Nil
@@ -1791,6 +1829,7 @@ object DeltaInterop {
     val nInserts = inserts.count()
     if (touched.isEmpty && nInserts == 0) return (st.version, 0, 0L)
     val newRows = (keepers.toSeq :+ matched :+ inserts).reduce(_ unionByName _)
+    enforceConstraints(newRows, st)
     val adds = stageData(newRows, dir, st.partitionColumns)
     val cdcs =
       if (!cdfEnabled(st)) Nil

@@ -87,6 +87,37 @@ class DeltaRestoreSpec extends AnyFunSuite {
       .filter(col("timestamp").isNull).count() === 0L)
   }
 
+  test("CHECK constraints gate every write path; NULL passes (SQL CHECK)") {
+    val dir = TempDirs.scratch("constraints")
+    DeltaInterop.writeDelta(docs(10), dir, Nil)
+    val v = DeltaInterop.addConstraint(spark, dir, "id_nonneg", "id >= 0")
+    assert(v === 1L)
+    assert(DeltaInterop.history(spark, dir)
+      .select("operation").as[String].head() === "ADD CONSTRAINT")
+    // a violating append fails BEFORE committing; the table is untouched
+    val before = DeltaInterop.latestVersion(spark, dir)
+    val ex = intercept[IllegalArgumentException] {
+      DeltaInterop.writeDelta(
+        Seq((-1L, "bad", "0")).toDF("id", "body", "grp"), dir, Nil)
+    }
+    assert(ex.getMessage.contains("id_nonneg"))
+    assert(DeltaInterop.latestVersion(spark, dir) === before)
+    // a clean append passes; NULL evaluates the check to NULL → passes
+    DeltaInterop.writeDelta(
+      Seq((Some(20L), "ok", "1"), (None: Option[Long], "nullid", "1"))
+        .toDF("id", "body", "grp"), dir, Nil)
+    assert(DeltaInterop.readDelta(spark, dir).count() === 12L)
+    // UPDATE cannot smuggle a violation in either
+    intercept[IllegalArgumentException] {
+      DeltaInterop.updateWhere(spark, dir, col("id") === 20L,
+        Map("id" -> lit(-5L)))
+    }
+    // adding a constraint existing rows violate is refused
+    intercept[IllegalArgumentException] {
+      DeltaInterop.addConstraint(spark, dir, "small", "id < 5")
+    }
+  }
+
   test("restore records CDC inserts/deletes when the feed is on") {
     val dir = TempDirs.scratch("restore-cdf")
     DeltaInterop.writeDelta(docs(12).repartition(1), dir, Nil)        // v0

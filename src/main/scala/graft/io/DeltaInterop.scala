@@ -755,6 +755,14 @@ object DeltaInterop {
       op = "ADD CONSTRAINT")
   }
 
+  /** Stage a LOGICAL frame for `st`'s table: physical column names and
+    * physical partition paths when the table is column-mapped,
+    * passthrough otherwise. The unit every rewrite op stages with. */
+  private def stageForTable(df: DataFrame, dir: String,
+                            st: DeltaState): Seq[AddFile] =
+    if (columnMappingMode(st) == "none") stageData(df, dir, st.partitionColumns)
+    else { val (phys, physPart) = toPhysical(df, st); stageData(phys, dir, physPart) }
+
   /** [[stageData]] with column-mapping awareness: a write into a mapped
     * table stages PHYSICAL column names (and physical partition paths /
     * partitionValues keys — the layout [[readFilesMapped]] resolves).
@@ -781,16 +789,30 @@ object DeltaInterop {
 
   /** Stage CHANGE-DATA rows (table columns + `_change_type`) under
     * `_change_data/`, partitioned like the table — the protocol's CDC
-    * file layout. Underscore-prefixed, so data readers and [[vacuum]]'s
-    * walk never see them; only `cdc` actions reference them. Returns
-    * the [[AddFile]]-shaped descriptors for [[cdcJson]]. */
+    * file layout; physical column names when the table is mapped, so
+    * CDC files follow the same naming contract as data files.
+    * Underscore-prefixed, so data readers and [[vacuum]]'s walk never
+    * see them; only `cdc` actions reference them. Returns the
+    * [[AddFile]]-shaped descriptors for [[cdcJson]]. */
   private def stageChangeData(df: DataFrame, dir: String,
-                              partCols: Seq[String]): Seq[AddFile] = {
+                              st: DeltaState): Seq[AddFile] = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
+    val (frame, partCols) =
+      if (columnMappingMode(st) == "none") (df, st.partitionColumns)
+      else {
+        val cols = st.schema.fields.filter(fd => df.columns.contains(fd.name)).map { fd =>
+          val c0 = col(fd.name)
+          val c = if (physicalType(fd.dataType) == fd.dataType) c0
+                  else c0.cast(physicalType(fd.dataType))
+          c.as(physicalFieldName(fd))
+        } :+ col("_change_type")
+        (df.select(cols.toSeq: _*),
+          st.partitionColumns.map(c => physicalFieldName(st.schema(c))))
+      }
     val staging = new Path(dir, s".staging-cdc-${java.util.UUID.randomUUID().toString.take(8)}")
-    if (partCols.isEmpty) df.write.parquet(staging.toString)
-    else df.write.partitionBy(partCols: _*).parquet(staging.toString)
+    if (partCols.isEmpty) frame.write.parquet(staging.toString)
+    else frame.write.partitionBy(partCols: _*).parquet(staging.toString)
     moveStaged(f, staging, new Path(dir, "_change_data"), partCols).map {
       case (rel, pv, size) => AddFile(s"_change_data/$rel", pv, size, -1L, Map.empty)
     }
@@ -1064,7 +1086,6 @@ object DeltaInterop {
                      targetFiles: Int = 0): (Long, Int, Int) = {
     require(zCols.nonEmpty, "zCols must be non-empty")
     val st = state(spark, dir)
-    requireUnmapped(st, "optimizeZOrder")
     require(st.files.forall(_.deletionVector == null),
       s"optimizeZOrder would resurrect DV-masked rows under $dir — run row ops first")
     require(zCols.forall(c => st.schema.fieldNames.contains(c)),
@@ -1093,7 +1114,7 @@ object DeltaInterop {
       .repartitionByRange(nFiles, col("_graft_z"))
       .sortWithinPartitions("_graft_z")
       .drop("_graft_z")
-    val adds = stageData(clustered, dir, st.partitionColumns)
+    val adds = stageForTable(clustered, dir, st)
     val actions = st.files.map(removeJson(_, dataChange = false)) ++
       adds.map(addJson(_, dataChange = false))
     val v = commit(spark, dir, st.version + 1, actions, op = "OPTIMIZE")
@@ -1492,11 +1513,56 @@ object DeltaInterop {
   // File"; delta-spark's DeleteCommand/UpdateCommand/MergeIntoCommand
   // have the same two-phase find-touched-then-rewrite shape.
 
+  /** [[scanWithProvenance]] for a column-mapped table: physical scan +
+    * logical rename (the [[readFilesMapped]] shape) with the
+    * provenance columns and DV mask bolted on. */
+  private def scanWithProvenanceMapped(spark: SparkSession, dir: String,
+                                       st: DeltaState,
+                                       files: Seq[AddFile]): DataFrame = {
+    val dataFields = st.schema.fields.filterNot(fd => st.partitionColumns.contains(fd.name))
+    val physDataSchema = StructType(dataFields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        physicalFieldName(f), physicalType(f.dataType), f.nullable)))
+    def partValue(a: AddFile, logical: String): String =
+      a.partitionValues.getOrElse(physicalFieldName(st.schema(logical)),
+        a.partitionValues.getOrElse(logical,
+          throw new IllegalArgumentException(
+            s"add ${a.path} has no partition value for $logical")))
+    val prov = Seq(col("_metadata.file_path").as("_graft_file"),
+      col("_metadata.row_index").as("_graft_pos"))
+    val raw = files.groupBy(a => st.partitionColumns.map(c => partValue(a, c))).toSeq
+      .sortBy(_._1.mkString(" "))
+      .map { case (pvs, fl) =>
+        val scan = spark.read.schema(physDataSchema)
+          .parquet(fl.map(a => new Path(dir, a.path).toString): _*)
+        val dataCols = dataFields.map { f =>
+          val p = col(physicalFieldName(f))
+          (if (physicalType(f.dataType) == f.dataType) p else p.cast(f.dataType)).as(f.name)
+        }
+        val withData = scan.select(dataCols.toSeq ++ prov: _*)
+        st.partitionColumns.zip(pvs).foldLeft(withData) { case (df, (c, v)) =>
+          df.withColumn(c, lit(v).cast(st.schema(c).dataType))
+        }.select(st.schema.fieldNames.map(col) ++
+          Seq(col("_graft_file"), col("_graft_pos")): _*)
+      }.reduce(_ unionByName _)
+    dvDeleted(spark, dir, st.copy(files = files)) match {
+      case None => raw
+      case Some(d) =>
+        raw.join(broadcast(d),
+            col("_graft_file") === col("_dv_file") &&
+            col("_graft_pos") === col("_dv_pos"), "left_anti")
+          .select(st.schema.fieldNames.map(col) ++
+            Seq(col("_graft_file"), col("_graft_pos")): _*)
+    }
+  }
+
   /** Scan `files` with a `_graft_file` provenance column holding each
     * row's qualified source path — the join key back to [[AddFile]]s. */
   private def scanWithProvenance(spark: SparkSession, dir: String,
                                  st: DeltaState,
                                  files: Seq[AddFile]): DataFrame = {
+    if (columnMappingMode(st) != "none")
+      return scanWithProvenanceMapped(spark, dir, st, files)
     val dataSchema = StructType(
       st.schema.fields.filterNot(fd => st.partitionColumns.contains(fd.name)))
     def hivePath(a: AddFile): String =
@@ -1574,7 +1640,6 @@ object DeltaInterop {
                   partitionEq: Map[String, String] = Map.empty,
                   ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int) = {
     val st = state(spark, dir)
-    requireUnmapped(st, "deleteWhere")
     val touched = touchedFiles(spark, dir, st,
       prunedFiles(st, partitionEq, ranges), predicate <=> lit(true))
     if (touched.isEmpty) return (st.version, 0)
@@ -1583,14 +1648,14 @@ object DeltaInterop {
     val survivors = scanWithProvenance(spark, dir, st, touched)
       .filter(!(predicate <=> lit(true)))
       .select(st.schema.fieldNames.map(col): _*)
-    val adds = stageData(survivors, dir, st.partitionColumns)
+    val adds = stageForTable(survivors, dir, st)
     val cdcs =
       if (!cdfEnabled(st)) Nil
       else stageChangeData(
         scanWithProvenance(spark, dir, st, touched)
           .filter(predicate <=> lit(true))
           .select(st.schema.fieldNames.map(col) :+ lit("delete").as("_change_type"): _*),
-        dir, st.partitionColumns)
+        dir, st)
     val actions = touched.map(removeJson(_)) ++ adds.map(addJson(_)) ++
       cdcs.map(cdcJson)
     val v = commit(spark, dir, st.version + 1, actions, op = "DELETE")
@@ -1623,7 +1688,6 @@ object DeltaInterop {
                     partitionEq: Map[String, String] = Map.empty,
                     ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int, Long) = {
     val st = state(spark, dir)
-    requireUnmapped(st, "deleteWhereDV")
     val candidates = prunedFiles(st, partitionEq, ranges)
     if (candidates.isEmpty) return (st.version, 0, 0L)
     // physical row indices of the newly-deleted rows, grouped per file —
@@ -1658,7 +1722,7 @@ object DeltaInterop {
         scanWithProvenance(spark, dir, st, candidates)
           .filter(predicate <=> lit(true))
           .select(st.schema.fieldNames.map(col) :+ lit("delete").as("_change_type"): _*),
-        dir, st.partitionColumns)
+        dir, st)
     val v = commit(spark, dir, st.version + 1,
       dvProtocolJson() +: (removes.result() ++ adds.result() ++ cdcs.map(cdcJson)),
       op = "DELETE")
@@ -1681,7 +1745,6 @@ object DeltaInterop {
                     partitionEq: Map[String, String] = Map.empty,
                     ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int, Long) = {
     val st = state(spark, dir)
-    requireUnmapped(st, "updateWhereDV")
     val badCols = set.keys.filterNot(st.schema.fieldNames.contains)
     require(badCols.isEmpty, s"SET on unknown columns: ${badCols.mkString(",")}")
     val candidates = prunedFiles(st, partitionEq, ranges)
@@ -1702,7 +1765,7 @@ object DeltaInterop {
         }
       }: _*)
     enforceConstraints(postimage, st)
-    val newAdds = stageData(postimage, dir, st.partitionColumns)
+    val newAdds = stageForTable(postimage, dir, st)
     val idx = qualifiedIndex(spark, dir, candidates)
     val actions = Seq.newBuilder[String]
     var updatedRows = 0L
@@ -1726,7 +1789,7 @@ object DeltaInterop {
         .select(st.schema.fieldNames.map(col) :+
           lit("update_preimage").as("_change_type"): _*)
       val post = postimage.withColumn("_change_type", lit("update_postimage"))
-      stageChangeData(pre.unionByName(post), dir, st.partitionColumns)
+      stageChangeData(pre.unionByName(post), dir, st)
         .foreach(c => actions += cdcJson(c))
     }
     val v = commit(spark, dir, st.version + 1,
@@ -1744,7 +1807,6 @@ object DeltaInterop {
                   partitionEq: Map[String, String] = Map.empty,
                   ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int) = {
     val st = state(spark, dir)
-    requireUnmapped(st, "updateWhere")
     val badCols = set.keys.filterNot(st.schema.fieldNames.contains)
     require(badCols.isEmpty, s"SET on unknown columns: ${badCols.mkString(",")}")
     require(set.keys.forall(c => !st.partitionColumns.contains(c)),
@@ -1762,7 +1824,7 @@ object DeltaInterop {
         }
       }: _*)
     enforceConstraints(rewritten, st)
-    val adds = stageData(rewritten, dir, st.partitionColumns)
+    val adds = stageForTable(rewritten, dir, st)
     val cdcs =
       if (!cdfEnabled(st)) Nil
       else {
@@ -1775,7 +1837,7 @@ object DeltaInterop {
             case None => col(c)
           }
         } :+ lit("update_postimage").as("_change_type"): _*)
-        stageChangeData(pre.unionByName(post), dir, st.partitionColumns)
+        stageChangeData(pre.unionByName(post), dir, st)
       }
     val actions = touched.map(removeJson(_)) ++ adds.map(addJson(_)) ++
       cdcs.map(cdcJson)
@@ -1796,7 +1858,6 @@ object DeltaInterop {
   def merge(spark: SparkSession, dir: String, source: DataFrame,
             keyCols: Seq[String]): (Long, Int, Long) = {
     val st = state(spark, dir)
-    requireUnmapped(st, "merge")
     require(st.schema.fieldNames.sorted.sameElements(
       source.schema.fieldNames.sorted),
       s"merge source columns ${source.columns.sorted.mkString(",")} != table's ${st.schema.fieldNames.sorted.mkString(",")}")
@@ -1830,7 +1891,7 @@ object DeltaInterop {
     if (touched.isEmpty && nInserts == 0) return (st.version, 0, 0L)
     val newRows = (keepers.toSeq :+ matched :+ inserts).reduce(_ unionByName _)
     enforceConstraints(newRows, st)
-    val adds = stageData(newRows, dir, st.partitionColumns)
+    val adds = stageForTable(newRows, dir, st)
     val cdcs =
       if (!cdfEnabled(st)) Nil
       else {
@@ -1842,7 +1903,7 @@ object DeltaInterop {
         val post = matched.select(cols :+ lit("update_postimage").as("_change_type"): _*)
         val ins = inserts.select(cols :+ lit("insert").as("_change_type"): _*)
         stageChangeData((pre.toSeq :+ post :+ ins).reduce(_ unionByName _),
-          dir, st.partitionColumns)
+          dir, st)
       }
     val actions = touched.map(removeJson(_)) ++ adds.map(addJson(_)) ++
       cdcs.map(cdcJson)
@@ -1888,20 +1949,36 @@ object DeltaInterop {
   }
 
   /** Read CDC (`_change_data/`) files with the table's schema plus
-    * `_change_type` — partition values injected from the action, like
-    * any data read. */
+    * `_change_type` — partition values injected from the action (keyed
+    * by physical name on mapped tables), physical columns renamed back
+    * to logical, like any data read. */
   private[graft] def readCdcFiles(spark: SparkSession, dir: String,
                                   st: DeltaState, files: Seq[AddFile]): DataFrame = {
+    val mapped = columnMappingMode(st) != "none"
     val dataFields = st.schema.fields.filterNot(fd => st.partitionColumns.contains(fd.name))
-    val cdcSchema = StructType(dataFields :+
+    val cdcSchema = StructType(dataFields.map(f =>
+      if (!mapped) f
+      else org.apache.spark.sql.types.StructField(
+        physicalFieldName(f), physicalType(f.dataType), f.nullable)) :+
       org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType))
+    def partValue(pv: Map[String, String], logical: String): String =
+      pv.getOrElse(physicalFieldName(st.schema(logical)), pv.getOrElse(logical,
+        throw new IllegalArgumentException(s"cdc file has no partition value for $logical")))
     files.groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sortBy(_._1).mkString)
       .map { case (pv, fl) =>
-        val base = spark.read.schema(cdcSchema)
+        val scan = spark.read.schema(cdcSchema)
           .parquet(fl.map(a => new Path(dir, a.path).toString): _*)
+        val dataCols = dataFields.map { f =>
+          if (!mapped) col(f.name)
+          else {
+            val p = col(physicalFieldName(f))
+            (if (physicalType(f.dataType) == f.dataType) p else p.cast(f.dataType)).as(f.name)
+          }
+        }
+        val base = scan.select(dataCols.toSeq :+ col("_change_type"): _*)
         st.partitionColumns.foldLeft(base) { (df, c) =>
-          df.withColumn(c, lit(pv(c)).cast(st.schema(c).dataType))
+          df.withColumn(c, lit(partValue(pv, c)).cast(st.schema(c).dataType))
         }
       }.reduce(_ unionByName _)
       .select(st.schema.fieldNames.map(col) :+ col("_change_type"): _*)
@@ -1987,7 +2064,7 @@ object DeltaInterop {
         else Some(readSubset(spark, dir, cur, deleted)
           .withColumn("_change_type", lit("delete")))
       (inserts.toSeq ++ deletes.toSeq).reduceOption(_ unionByName _).foreach { ch =>
-        stageChangeData(ch, dir, cur.partitionColumns)
+        stageChangeData(ch, dir, cur)
           .foreach(c => actions += cdcJson(c))
       }
     }

@@ -144,7 +144,7 @@ class DeltaColumnMappingSpec extends AnyFunSuite {
       .filter(col("bucket") === "1").count() === 7L)
   }
 
-  test("rename refuses collisions; rewrite ops refuse mapped tables loudly") {
+  test("rename refuses collisions; compact and evolution refuse mapped tables") {
     val dir = Files.createTempDirectory("graft-rename-guard").toString
     DeltaInterop.writeDelta(
       (0L until 5L).map(i => (i, s"b$i")).toDF("id", "body"), dir, Nil)
@@ -152,16 +152,58 @@ class DeltaColumnMappingSpec extends AnyFunSuite {
       DeltaInterop.renameColumn(spark, dir, "body", "id")
     }
     DeltaInterop.renameColumn(spark, dir, "body", "text")
-    val ex = intercept[IllegalArgumentException] {
-      DeltaInterop.deleteWhere(spark, dir, col("id") === 0L)
-    }
-    assert(ex.getMessage.contains("column-mapped"))
     intercept[IllegalArgumentException] { DeltaInterop.compact(spark, dir) }
     // schema evolution on a mapped table is refused too
     intercept[IllegalArgumentException] {
       DeltaInterop.writeDelta(
         (5L until 8L).map(i => (i, s"b$i", 1L)).toDF("id", "text", "extra"), dir, Nil)
     }
+  }
+
+  test("row ops work on mapped tables: DELETE/UPDATE/MERGE through the mapping") {
+    val dir = Files.createTempDirectory("graft-mapped-rowops").toString
+    val df = (0L until 20L).map(i => (i, s"b$i", (i % 2).toString))
+      .toDF("id", "body", "grp")
+    DeltaInterop.writeDelta(df, dir, Seq("grp"))
+    DeltaInterop.renameColumn(spark, dir, "body", "text")
+    val (_, nDel) = DeltaInterop.deleteWhere(spark, dir, col("id") % 5 === 0L)
+    assert(nDel > 0)
+    assert(DeltaInterop.readDelta(spark, dir).count() === 16L)
+    DeltaInterop.updateWhere(spark, dir, col("id") === 7L,
+      Map("text" -> upper(col("text"))))
+    assert(DeltaInterop.readDelta(spark, dir)
+      .filter(col("id") === 7L).select("text").as[String].head() === "B7")
+    val (_, _, nIns) = DeltaInterop.merge(spark, dir,
+      Seq((7L, "merged", "1"), (100L, "new", "0")).toDF("id", "text", "grp"),
+      Seq("id"))
+    assert(nIns === 1L)
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.count() === 17L)
+    assert(t.filter(col("id") === 7L).select("text").as[String].head() === "merged")
+    // the rewritten files still carry PHYSICAL names
+    val anyFile = DeltaInterop.state(spark, dir).files.head.path
+    assert(spark.read.parquet(s"$dir/$anyFile").columns.contains("body"))
+  }
+
+  test("DV ops and the change feed work on mapped tables too") {
+    val dir = Files.createTempDirectory("graft-mapped-dv").toString
+    DeltaInterop.writeDelta(
+      (0L until 12L).map(i => (i, s"b$i")).toDF("id", "body"), dir, Nil)
+    DeltaInterop.renameColumn(spark, dir, "body", "text")
+    DeltaInterop.setTableProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val (v, touched, nDel) = DeltaInterop.deleteWhereDV(spark, dir, col("id") < 3L)
+    assert(touched > 0 && nDel === 3L)
+    assert(DeltaInterop.readDelta(spark, dir).count() === 9L)
+    val ch = DeltaInterop.readChangeFeed(spark, dir, v, v)
+    assert(ch.select("id").as[Long].collect().sorted === Array(0L, 1L, 2L))
+    assert(ch.columns.contains("text"))
+    val (v2, _, nUpd) = DeltaInterop.updateWhereDV(spark, dir, col("id") === 5L,
+      Map("text" -> lit("X")))
+    assert(nUpd === 1L)
+    val ch2 = DeltaInterop.readChangeFeed(spark, dir, v2, v2)
+      .select("_change_type", "text").as[(String, String)].collect().toMap
+    assert(ch2("update_postimage") === "X")
   }
 
   test("mapping (and the rename) survives checkpoint + log cleanup") {

@@ -233,6 +233,33 @@ class DeltaSourceSpec extends AnyFunSuite {
       s"wrong failure: ${ex.getCause.getMessage}")
   }
 
+  test("the source streams a column-mapped (renamed) table through the mapping") {
+    val dir = TempDirs.scratch("delta-src-mapped")
+    val ckpt = TempDirs.scratch("delta-src-mapped-ckpt")
+    DeltaInterop.writeDelta(docs(8), dir, Nil)
+    DeltaInterop.renameColumn(spark, dir, "body", "text")
+    val got = ListBuffer.empty[(Long, String, String)]
+    val q = spark.readStream.format("graft-delta").load(dir)
+      .writeStream
+      .foreachBatch { (df: Dataset[Row], _: Long) =>
+        val rows = df.select("id", "text", "grp")
+          .as[(Long, String, String)](implicitly).collect()
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(got.size === 8 && got.forall(_._2.startsWith("doc ")))
+      // a post-rename append (physical-named file) tails through too
+      DeltaInterop.writeDelta(
+        (8L until 10L).map(i => (i, s"doc $i", "1")).toDF("id", "text", "grp"),
+        dir, Nil)
+      q.processAllAvailable()
+      assert(got.size === 10)
+    } finally q.stop()
+  }
+
   test("origin survives restart: snapshot boundary fixed at first start") {
     val dir = TempDirs.scratch("delta-src-origin")
     val ckpt = TempDirs.scratch("delta-src-origin-ckpt")

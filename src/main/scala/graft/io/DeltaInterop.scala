@@ -358,11 +358,6 @@ object DeltaInterop {
   private def columnMappingMode(st: DeltaState): String =
     st.configuration.getOrElse("delta.columnMapping.mode", "none")
 
-  private def requireUnmapped(st: DeltaState, op: String): Unit =
-    require(columnMappingMode(st) == "none",
-      s"$op is not supported on a column-mapped table " +
-      "(reads, appends, and overwrites are; file-rewriting ops are not yet)")
-
   /** (qualifiedFilePath, rowIndex) of every DV-deleted row across the
     * snapshot's files, or None when no add carries a deletion vector.
     * Driver-side load — DVs are metadata-sized (deleted-row positions,
@@ -998,25 +993,40 @@ object DeltaInterop {
   def compact(spark: SparkSession, dir: String,
               smallFileBytes: Long = 32L << 20): (Long, Int, Int) = {
     val st0 = state(spark, dir)
-    requireUnmapped(st0, "compact")
     // a DV'd file can't be raw-concatenated (that would resurrect its
     // masked rows) — leave such files alone; row ops materialize DVs
     val st = st0.copy(files = st0.files.filter(_.deletionVector == null))
+    val mapped = columnMappingMode(st) != "none"
     val f = fs(spark, dir)
     def hivePath(a: AddFile): String =
       st.partitionColumns.map(c =>
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .getPartitionPathString(c, a.partitionValues(c))).mkString("/")
+    // a mapped group's pv is keyed by PHYSICAL name; the path segment
+    // uses the physical key too (the layout post-rename appends write)
+    def groupRel(pv: Map[String, String]): String =
+      st.partitionColumns.map { c =>
+        val k = if (mapped) physicalFieldName(st.schema(c)) else c
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(k, pv.getOrElse(k, pv(c)))
+      }.mkString("/")
     val groups = st.files.groupBy(_.partitionValues)
       .map { case (_, fl) => fl.filter(_.size < smallFileBytes) }
       .filter(_.size >= 2).toSeq
     if (groups.isEmpty) return (st.version, 0, 0)
     val smalls = groups.flatten
-    val dataSchema = StructType(
-      st.schema.fields.filterNot(fd => st.partitionColumns.contains(fd.name)))
+    // compaction is a PASSTHROUGH rewrite — read and write the files'
+    // own (physical, on mapped tables) column names, no renaming
+    val dataSchema =
+      if (!mapped) StructType(
+        st.schema.fields.filterNot(fd => st.partitionColumns.contains(fd.name)))
+      else StructType(st.schema.fields
+        .filterNot(fd => st.partitionColumns.contains(fd.name))
+        .map(fd => org.apache.spark.sql.types.StructField(
+          physicalFieldName(fd), physicalType(fd.dataType), fd.nullable)))
     val staging = new Path(dir, s".compact-${java.util.UUID.randomUUID().toString.take(8)}")
-    val allHive = st.partitionColumns.isEmpty ||
-      smalls.forall(a => a.path.startsWith(hivePath(a) + "/"))
+    val allHive = !mapped && (st.partitionColumns.isEmpty ||
+      smalls.forall(a => a.path.startsWith(hivePath(a) + "/")))
     val moved: Seq[(String, Map[String, String], Long)] =
       if (st.partitionColumns.isEmpty) {
         spark.read.schema(dataSchema)
@@ -1032,16 +1042,15 @@ object DeltaInterop {
           .write.partitionBy(st.partitionColumns: _*).parquet(staging.toString)
         moveStaged(f, staging, new Path(dir), st.partitionColumns)
       } else {
-        // foreign scattered layout: per-group rewrite, values from the log
+        // scattered (foreign) or mapped layout: per-group rewrite,
+        // values from the log
         groups.zipWithIndex.flatMap { case (fl, gi) =>
           val pv = fl.head.partitionValues
           val sub = new Path(staging, s"g$gi")
           spark.read.schema(dataSchema)
             .parquet(fl.map(a => new Path(dir, a.path).toString): _*)
             .coalesce(1).write.parquet(sub.toString)
-          val rel = st.partitionColumns.map(c =>
-            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .getPartitionPathString(c, pv(c))).mkString("/")
+          val rel = groupRel(pv)
           f.listStatus(sub).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
             .sortBy(_.getPath.getName).map { s0 =>
               val name = s"$rel/compact-${java.util.UUID.randomUUID().toString.take(8)}-${s0.getPath.getName}"

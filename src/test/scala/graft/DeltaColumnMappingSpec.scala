@@ -144,7 +144,7 @@ class DeltaColumnMappingSpec extends AnyFunSuite {
       .filter(col("bucket") === "1").count() === 7L)
   }
 
-  test("rename refuses collisions; compact and evolution refuse mapped tables") {
+  test("rename refuses collisions; evolution refuses mapped tables; compact works") {
     val dir = Files.createTempDirectory("graft-rename-guard").toString
     DeltaInterop.writeDelta(
       (0L until 5L).map(i => (i, s"b$i")).toDF("id", "body"), dir, Nil)
@@ -152,12 +152,41 @@ class DeltaColumnMappingSpec extends AnyFunSuite {
       DeltaInterop.renameColumn(spark, dir, "body", "id")
     }
     DeltaInterop.renameColumn(spark, dir, "body", "text")
-    intercept[IllegalArgumentException] { DeltaInterop.compact(spark, dir) }
-    // schema evolution on a mapped table is refused too
+    // compact is a physical-passthrough rewrite — it works on mapped
+    // tables and must not re-emit or rename anything
+    DeltaInterop.writeDelta(
+      (5L until 8L).map(i => (i, s"b$i")).toDF("id", "text"), dir, Nil)
+    val (_, nIn, nOut) = DeltaInterop.compact(spark, dir)
+    assert(nIn >= 2 && nOut >= 1)
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.count() === 8L)
+    assert(t.filter(col("id") === 6L).select("text").as[String].head() === "b6")
+    val anyFile = DeltaInterop.state(spark, dir).files.head.path
+    assert(spark.read.parquet(s"$dir/$anyFile").columns.contains("body"))
+    // schema evolution on a mapped table is refused
     intercept[IllegalArgumentException] {
       DeltaInterop.writeDelta(
-        (5L until 8L).map(i => (i, s"b$i", 1L)).toDF("id", "text", "extra"), dir, Nil)
+        (8L until 9L).map(i => (i, s"b$i", 1L)).toDF("id", "text", "extra"), dir, Nil)
     }
+  }
+
+  test("compact on a mapped PARTITIONED table keeps physical path keys") {
+    val dir = Files.createTempDirectory("graft-mapped-compact-part").toString
+    val df = (0L until 16L).map(i => (i, s"b$i", (i % 2).toString))
+      .toDF("id", "body", "grp")
+    DeltaInterop.writeDelta(df.repartition(2), dir, Seq("grp"))
+    DeltaInterop.renameColumn(spark, dir, "grp", "bucket")
+    DeltaInterop.writeDelta(
+      (16L until 20L).map(i => (i, s"b$i", (i % 2).toString))
+        .toDF("id", "body2", "bucket")
+        .select(col("id"), col("body2").as("body"), col("bucket")), dir, Seq("bucket"))
+    val (_, nIn, nOut) = DeltaInterop.compact(spark, dir)
+    assert(nIn > nOut && nOut >= 2)
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.count() === 20L)
+    assert(t.filter(col("bucket") === "1").count() === 10L)
+    // compacted files live under the PHYSICAL (original) partition key
+    assert(DeltaInterop.state(spark, dir).files.forall(_.path.startsWith("grp=")))
   }
 
   test("row ops work on mapped tables: DELETE/UPDATE/MERGE through the mapping") {

@@ -16,10 +16,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * graft WRITES plain v2 tables (row ops are copy-on-write), but must
   * READ DV tables: any delta-spark table that ran a DV-enabled DELETE
-  * or MERGE carries them. Scale shape: DVs are metadata-sized relative
-  * to the data (positions of deleted rows); they load driver-side per
-  * touched file and ship to executors as an anti-join side, mirroring
-  * delta-spark's own per-task bitmap materialization.
+  * or MERGE carries them. Scale shape: masked reads parse each
+  * descriptor into a QUERYABLE [[RoaringBitmapArray]] — container
+  * structure kept compressed, O(bitmap bytes), never O(positions)
+  * rows — and ship the per-file bitmaps to executors inside a codegen
+  * `contains(row_index)` filter predicate, mirroring delta-spark's
+  * per-task `__delta_internal_is_row_deleted` shape. Positions are
+  * only ever materialized when WRITING a new descriptor (serializing
+  * a bitmap is inherently O(its cardinality)).
   */
 object DeletionVectors {
 
@@ -87,23 +91,32 @@ object DeletionVectors {
   private val SerialCookie = 12347
   private val NoOffsetThreshold = 4
 
-  /** Deserialize a portable RoaringBitmapArray into sorted row indices. */
-  def deserialize(bytes: Array[Byte]): Array[Long] = {
+  /** Deserialize a portable RoaringBitmapArray into sorted row indices.
+    * O(cardinality) output — use [[parse]] for a queryable bitmap that
+    * stays O(bitmap bytes). */
+  def deserialize(bytes: Array[Byte]): Array[Long] = parse(bytes).toPositions
+
+  /** Parse the portable serialization into a queryable
+    * [[RoaringBitmapArray]] — container structure preserved (array /
+    * bitmap / run), never expanded to positions. */
+  def parse(bytes: Array[Byte]): RoaringBitmapArray = {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val magic = b.getInt
     require(magic == PortableMagic, s"bad RoaringBitmapArray magic $magic")
     val nBitmaps = b.getLong
-    val out = Array.newBuilder[Long]
-    var bi = 0L
+    require(nBitmaps >= 0 && nBitmaps <= Int.MaxValue, s"bad bitmap count $nBitmaps")
+    val highs = new Array[Int](nBitmaps.toInt)
+    val maps = new Array[RoaringBitmapArray.Bitmap32](nBitmaps.toInt)
+    var bi = 0
     while (bi < nBitmaps) {
-      val high = b.getInt.toLong & 0xffffffffL
-      readBitmap32(b, v => out += (high << 32) | (v.toLong & 0xffffffffL))
+      highs(bi) = b.getInt
+      maps(bi) = readBitmap32(b)
       bi += 1
     }
-    out.result()
+    new RoaringBitmapArray(highs, maps)
   }
 
-  private def readBitmap32(b: ByteBuffer, emit: Int => Unit): Unit = {
+  private def readBitmap32(b: ByteBuffer): RoaringBitmapArray.Bitmap32 = {
     val cookie = b.getInt
     val (nContainers, hasRun) =
       if ((cookie & 0xffff) == SerialCookie) (((cookie >>> 16) & 0xffff) + 1, true)
@@ -140,38 +153,35 @@ object DeletionVectors {
       var skip = 0
       while (skip < nContainers) { b.getInt; skip += 1 } // we read sequentially
     }
+    val payloads = new Array[AnyRef](nContainers)
     i = 0
     while (i < nContainers) {
-      val base = keys(i) << 16
       if (runFlags(i)) {
         val nRuns = b.getShort & 0xffff
+        val runs = new Array[Int](nRuns * 2) // [start, lastInclusive] pairs
         var r = 0
         while (r < nRuns) {
           val start = b.getShort & 0xffff
           val len = b.getShort & 0xffff
-          var v = start
-          while (v <= start + len) { emit(base | v); v += 1 }
+          runs(2 * r) = start
+          runs(2 * r + 1) = start + len
           r += 1
         }
+        payloads(i) = runs
       } else if (cards(i) > 4096) {
-        // bitmap container: 1024 × u64
+        val words = new Array[Long](1024)
         var w = 0
-        while (w < 1024) {
-          var word = b.getLong
-          var bit = 0
-          while (word != 0) {
-            if ((word & 1L) != 0) emit(base | (w * 64 + bit))
-            word >>>= 1
-            bit += 1
-          }
-          w += 1
-        }
+        while (w < 1024) { words(w) = b.getLong; w += 1 }
+        payloads(i) = words
       } else {
+        val vals = new Array[Char](cards(i))
         var c = 0
-        while (c < cards(i)) { emit(base | (b.getShort & 0xffff)); c += 1 }
+        while (c < cards(i)) { vals(c) = (b.getShort & 0xffff).toChar; c += 1 }
+        payloads(i) = vals
       }
       i += 1
     }
+    new RoaringBitmapArray.Bitmap32(keys, payloads)
   }
 
   /** Serialize sorted distinct row indices as a portable
@@ -249,16 +259,31 @@ object DeletionVectors {
   }
 
   /** Load the deleted row indices for one `deletionVector` descriptor
-    * (raw JSON node text). `tableDir` anchors relative ("u") storage. */
+    * (raw JSON node text). `tableDir` anchors relative ("u") storage.
+    * O(cardinality) — the WRITE-path unit (merging into a new
+    * descriptor); masked READS use [[loadBitmap]]. */
   def loadPositions(spark: SparkSession, tableDir: String,
-                    descriptorJson: String): Array[Long] = {
+                    descriptorJson: String): Array[Long] =
+    parse(loadBytes(spark, tableDir, descriptorJson)).toPositions
+
+  /** Load one descriptor's bitmap as a queryable [[RoaringBitmapArray]]
+    * — O(bitmap bytes), the masked-read unit. */
+  def loadBitmap(spark: SparkSession, tableDir: String,
+                 descriptorJson: String): RoaringBitmapArray =
+    parse(loadBytes(spark, tableDir, descriptorJson))
+
+  /** The raw portable-serialization bytes of one descriptor's bitmap:
+    * inline ("i") payloads decode in place; sidecar ("u") and absolute
+    * ("p") storage read the length-prefixed, CRC-checked frame. */
+  private def loadBytes(spark: SparkSession, tableDir: String,
+                        descriptorJson: String): Array[Byte] = {
     val M = new com.fasterxml.jackson.databind.ObjectMapper()
     val n = M.readTree(descriptorJson)
     val storage = n.get("storageType").asText
     val payload = n.get("pathOrInlineDv").asText
     storage match {
       case "i" => // inline: Z85 of the serialized bitmap
-        deserialize(z85Decode(payload))
+        z85Decode(payload)
       case "u" | "p" =>
         val path = storage match {
           case "p" => new Path(payload)
@@ -283,7 +308,7 @@ object DeletionVectors {
           crc.update(data)
           require(ByteBuffer.wrap(crcBuf).getInt == crc.getValue.toInt,
             s"DV checksum mismatch at $path+$offset")
-          deserialize(data)
+          data
         } finally in.close()
       case other =>
         throw new IllegalArgumentException(s"unknown DV storageType '$other'")
@@ -314,5 +339,114 @@ object DeletionVectors {
     bb.putLong(uuid.getLeastSignificantBits)
     val enc = z85Encode(bb.array())
     s"""{"storageType":"u","pathOrInlineDv":"$enc","offset":1,"sizeInBytes":${data.length},"cardinality":${positions.length}}"""
+  }
+}
+
+/** A parsed-but-not-expanded RoaringBitmapArray: the DV's own container
+  * structure (array / bitmap / run per 2^16-value chunk), queryable with
+  * [[contains]] in O(log containers). Memory is O(serialized bytes) —
+  * a 100 M-position DV is its few-MB bitmap, never 100 M driver rows.
+  * Serializable: ships to executors inside the masked-scan filter
+  * predicate ([[graft.functions.expressions.DvDeletedExpr]]). */
+final class RoaringBitmapArray private[io] (
+    highs: Array[Int], maps: Array[RoaringBitmapArray.Bitmap32])
+  extends Serializable {
+
+  /** Is 64-bit row index `v` in the bitmap? */
+  def contains(v: Long): Boolean = {
+    val i = java.util.Arrays.binarySearch(highs, (v >>> 32).toInt)
+    i >= 0 && maps(i).contains((v & 0xffffffffL).toInt)
+  }
+
+  /** Total number of set positions (sums container cardinalities). */
+  def cardinality: Long = maps.iterator.map(_.cardinality).sum
+
+  /** Expand to sorted positions — O(cardinality); write-path only. */
+  def toPositions: Array[Long] = {
+    val out = Array.newBuilder[Long]
+    var i = 0
+    while (i < highs.length) {
+      val high = (highs(i).toLong & 0xffffffffL) << 32
+      maps(i).foreach(v => out += (high | (v.toLong & 0xffffffffL)))
+      i += 1
+    }
+    out.result()
+  }
+}
+
+object RoaringBitmapArray {
+
+  /** One 32-bit roaring bitmap: sorted container keys (high 16 bits)
+    * plus per-container payloads — `Array[Char]` = sorted array
+    * container, `Array[Long]`(1024) = bitmap container, `Array[Int]` =
+    * run container as [start, lastInclusive] pairs. */
+  private[io] final class Bitmap32(keys: Array[Int], payloads: Array[AnyRef])
+    extends Serializable {
+
+    def contains(v: Int): Boolean = {
+      val i = java.util.Arrays.binarySearch(keys, (v >>> 16) & 0xffff)
+      if (i < 0) return false
+      val low = v & 0xffff
+      payloads(i) match {
+        case a: Array[Char] =>
+          java.util.Arrays.binarySearch(a, low.toChar) >= 0
+        case w: Array[Long] =>
+          (w(low >>> 6) & (1L << (low & 63))) != 0
+        case r: Array[Int] =>
+          // binary search the run STARTS, then check the run's end
+          var lo = 0
+          var hi = r.length / 2 - 1
+          var hit = false
+          while (lo <= hi && !hit) {
+            val mid = (lo + hi) >>> 1
+            if (low < r(2 * mid)) hi = mid - 1
+            else if (low > r(2 * mid + 1)) lo = mid + 1
+            else hit = true
+          }
+          hit
+      }
+    }
+
+    def cardinality: Long = {
+      var total = 0L
+      payloads.foreach {
+        case a: Array[Char] => total += a.length
+        case w: Array[Long] => w.foreach(total += java.lang.Long.bitCount(_))
+        case r: Array[Int] =>
+          var i = 0
+          while (i < r.length) { total += r(i + 1) - r(i) + 1; i += 2 }
+      }
+      total
+    }
+
+    def foreach(emit: Int => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) {
+        val base = keys(i) << 16
+        payloads(i) match {
+          case a: Array[Char] => a.foreach(c => emit(base | c))
+          case words: Array[Long] =>
+            var w = 0
+            while (w < 1024) {
+              var word = words(w)
+              var bit = 0
+              while (word != 0) {
+                if ((word & 1L) != 0) emit(base | (w * 64 + bit))
+                word >>>= 1
+                bit += 1
+              }
+              w += 1
+            }
+          case r: Array[Int] =>
+            var ri = 0
+            while (ri < r.length) {
+              var v = r(ri)
+              while (v <= r(ri + 1)) { emit(base | v); v += 1 }
+              ri += 2
+            }
+        }
+        i += 1
+      }
+    }
   }
 }

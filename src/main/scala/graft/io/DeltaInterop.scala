@@ -94,6 +94,93 @@ object DeltaInterop {
   private[graft] case class CpRow(txn: CpTxn = null, add: CpAdd = null,
     remove: CpRemove = null, metaData: CpMetaData = null, protocol: CpProtocol = null)
 
+  /** A table's protocol action (PROTOCOL.md "Protocol Evolution"):
+    * reader/writer version floor plus, at reader 3 / writer 7, the
+    * EXPLICIT table-feature lists (v7 features are not cumulative —
+    * an upgrade must carry forward everything the old legacy version
+    * implied). Replay is last-protocol-wins. */
+  final case class Protocol(minReader: Int, minWriter: Int,
+                            readerFeatures: Set[String] = Set.empty,
+                            writerFeatures: Set[String] = Set.empty) {
+    /** Feature view with legacy versions expanded to what they imply —
+      * the merge currency. */
+    def impliedReaderFeatures: Set[String] =
+      if (minReader >= 3) readerFeatures else Protocol.legacyReaderFeatures(minReader)
+    def impliedWriterFeatures: Set[String] =
+      if (minWriter >= 7) writerFeatures else Protocol.legacyWriterFeatures(minWriter)
+
+    /** The lowest protocol satisfying BOTH this and `o` — never a
+      * downgrade: versions take the max, and once either side is on
+      * table features the union of implied features becomes explicit. */
+    def merge(o: Protocol): Protocol = {
+      val mr = math.max(minReader, o.minReader)
+      val mw = math.max(minWriter, o.minWriter)
+      if (mr < 3 && mw < 7) Protocol(mr, mw)
+      else Protocol(mr, mw,
+        if (mr >= 3) impliedReaderFeatures ++ o.impliedReaderFeatures else Set.empty,
+        if (mw >= 7) impliedWriterFeatures ++ o.impliedWriterFeatures else Set.empty)
+    }
+
+    /** The protocol action line. */
+    def json: String = {
+      val n = M.createObjectNode()
+      val p = n.putObject("protocol")
+      p.put("minReaderVersion", minReader)
+      p.put("minWriterVersion", minWriter)
+      if (minReader >= 3) {
+        val rf = p.putArray("readerFeatures")
+        readerFeatures.toSeq.sorted.foreach(rf.add)
+      }
+      if (minWriter >= 7) {
+        val wf = p.putArray("writerFeatures")
+        writerFeatures.toSeq.sorted.foreach(wf.add)
+      }
+      M.writeValueAsString(n)
+    }
+  }
+
+  object Protocol {
+    /** What each legacy (pre-feature) version implies, per PROTOCOL.md's
+      * table-features appendix — an upgrade to v7 must list these. */
+    def legacyWriterFeatures(v: Int): Set[String] = {
+      val byVersion = Seq(
+        2 -> Set("appendOnly", "invariants"),
+        3 -> Set("checkConstraints"),
+        4 -> Set("changeDataFeed", "generatedColumns"),
+        5 -> Set("columnMapping"),
+        6 -> Set("identityColumns"))
+      byVersion.collect { case (lv, fs) if lv <= v => fs }.flatten.toSet
+    }
+    def legacyReaderFeatures(v: Int): Set[String] =
+      if (v >= 2) Set("columnMapping") else Set.empty
+
+    /** Floors for the capabilities graft writes. */
+    val Base: Protocol = Protocol(1, 2)
+    val Cdf: Protocol = Protocol(1, 4)
+    val ColumnMapping: Protocol = Protocol(2, 5)
+    val DeletionVectors: Protocol =
+      Protocol(3, 7, Set("deletionVectors"), Set("deletionVectors"))
+
+    /** Reader features this engine actually implements. A table whose
+      * protocol demands anything else must be REFUSED by name, not
+      * misread (a v2Checkpoint table's JSON tail is not the full log;
+      * a rowTracking reader feature would change row-id semantics). */
+    val SupportedReaderFeatures: Set[String] = Set(
+      "columnMapping", "deletionVectors",
+      // listed-but-vacuous for the tables we read: timestamps without
+      // timezone are plain parquet types to this engine
+      "timestampNtz")
+
+    /** Writer features this engine can honor when committing. Legacy
+      * features are all either enforced (checkConstraints, columnMapping,
+      * deletionVectors, changeDataFeed) or vacuous for tables without
+      * the corresponding metadata (invariants, generatedColumns,
+      * identityColumns, appendOnly). Anything newer — rowTracking,
+      * v2Checkpoint, icebergCompat* — must refuse writes by name. */
+    val SupportedWriterFeatures: Set[String] =
+      legacyWriterFeatures(6) ++ Set("deletionVectors", "timestampNtz")
+  }
+
   /** Reconstructed table state at a version. `txns` is the protocol's
     * application-transaction watermark map (appId → highest committed
     * txn version) — the exactly-once handshake a streaming writer uses
@@ -101,7 +188,8 @@ object DeltaInterop {
   final case class DeltaState(version: Long, schema: StructType,
                               partitionColumns: Seq[String], files: Seq[AddFile],
                               txns: Map[String, Long] = Map.empty,
-                              configuration: Map[String, String] = Map.empty)
+                              configuration: Map[String, String] = Map.empty,
+                              protocol: Protocol = Protocol.Base)
 
   /** Latest committed version, or -1 for no table. */
   def latestVersion(spark: SparkSession, dir: String): Long = {
@@ -144,6 +232,7 @@ object DeltaInterop {
     var schema: StructType = null
     var partCols: Seq[String] = Nil
     var config: Map[String, String] = Map.empty
+    var protocol: Protocol = Protocol.Base
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.HashMap.empty[String, Long]
     // start from the newest checkpoint at or below the requested version:
@@ -161,6 +250,17 @@ object DeltaInterop {
             partCols = md.getSeq[String](md.fieldIndex("partitionColumns")).toList
             val ci = md.fieldIndex("configuration")
             if (!md.isNullAt(ci)) config = md.getMap[String, String](ci).toMap
+          }
+          struct("protocol").foreach { p =>
+            def feats(name: String): Set[String] =
+              if (!p.schema.fieldNames.contains(name)) Set.empty
+              else {
+                val i = p.fieldIndex(name)
+                if (p.isNullAt(i)) Set.empty else p.getSeq[String](i).toSet
+              }
+            protocol = Protocol(p.getAs[Int]("minReaderVersion"),
+              p.getAs[Int]("minWriterVersion"),
+              feats("readerFeatures"), feats("writerFeatures"))
           }
           struct("add").foreach { a =>
             val stats = a.getAs[String]("stats")
@@ -358,34 +458,42 @@ object DeltaInterop {
   private def columnMappingMode(st: DeltaState): String =
     st.configuration.getOrElse("delta.columnMapping.mode", "none")
 
-  /** (qualifiedFilePath, rowIndex) of every DV-deleted row across the
-    * snapshot's files, or None when no add carries a deletion vector.
-    * Driver-side load — DVs are metadata-sized (deleted-row positions,
-    * not rows) — then broadcast as the anti-join side, mirroring
-    * delta-spark's per-task bitmap materialization. */
-  private def dvDeleted(spark: SparkSession, dir: String,
-                        st: DeltaState): Option[DataFrame] = {
+  /** qualifiedFilePath → deletion bitmap for every add carrying a DV,
+    * or None when no add does. Driver-side load is O(bitmap BYTES) per
+    * file — the container structure is parsed, never expanded to
+    * positions — and the map ships to executors inside the filter
+    * expression (task-binary broadcast), mirroring delta-spark's
+    * broadcast-DV-map + per-task `__delta_internal_is_row_deleted`
+    * shape. A 100 M-row DELETE's mask is its few-MB bitmaps, not
+    * 100 M driver-side (path, pos) tuples. */
+  private def dvMasks(spark: SparkSession, dir: String,
+                      st: DeltaState): Option[Map[String, RoaringBitmapArray]] = {
     val dvs = st.files.filter(_.deletionVector != null)
     if (dvs.isEmpty) None
     else {
       val f = fs(spark, dir)
-      val rows = dvs.flatMap { a =>
-        val q = f.makeQualified(new Path(dir, a.path)).toString
-        DeletionVectors.loadPositions(spark, dir, a.deletionVector).map(p => (q, p))
-      }
-      import spark.implicits._
-      Some(rows.toDF("_dv_file", "_dv_pos"))
+      Some(dvs.map { a =>
+        f.makeQualified(new Path(dir, a.path)).toString ->
+          DeletionVectors.loadBitmap(spark, dir, a.deletionVector)
+      }.toMap)
     }
   }
 
-  /** Mask DV-deleted rows: anti-join on (file, row index). `df` must
-    * carry `_graft_file`/`_graft_pos` provenance columns; the result
-    * has the logical schema only. */
-  private def applyDv(df: DataFrame, deleted: DataFrame,
+  /** The codegen survives-the-DV-mask predicate over the
+    * `_graft_file`/`_graft_pos` provenance columns. */
+  private def dvSurvives(masks: Map[String, RoaringBitmapArray]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    !column(graft.functions.expressions.DvDeletedExpr(
+      expression(col("_graft_file")), expression(col("_graft_pos")), masks))
+  }
+
+  /** Mask DV-deleted rows: a codegen bitmap-contains FILTER on the
+    * (file, row index) provenance — no join, no shuffle. `df` must
+    * carry `_graft_file`/`_graft_pos`; the result has the logical
+    * schema only. */
+  private def applyDv(df: DataFrame, masks: Map[String, RoaringBitmapArray],
                       schema: StructType): DataFrame =
-    df.join(broadcast(deleted),
-        col("_graft_file") === col("_dv_file") &&
-        col("_graft_pos") === col("_dv_pos"), "left_anti")
+    df.filter(dvSurvives(masks))
       .select(schema.fieldNames.map(col): _*)
 
   private def readFiles(spark: SparkSession, dir: String,
@@ -404,7 +512,7 @@ object DeltaInterop {
           .getPartitionPathString(c, a.partitionValues(c))).mkString("/")
     val allHive = st.partitionColumns.isEmpty ||
       st.files.forall(a => a.path.startsWith(hivePath(a) + "/"))
-    val deleted = dvDeleted(spark, dir, st)
+    val deleted = dvMasks(spark, dir, st)
     val provCols = Seq(col("_metadata.file_path").as("_graft_file"),
       col("_metadata.row_index").as("_graft_pos"))
     if (allHive) {
@@ -459,7 +567,7 @@ object DeltaInterop {
         a.partitionValues.getOrElse(logical,
           throw new IllegalArgumentException(
             s"add ${a.path} has no partition value for $logical/${physOf(logical)}")))
-    val deleted = dvDeleted(spark, dir, st)
+    val deleted = dvMasks(spark, dir, st)
     val base = st.files.groupBy(a => st.partitionColumns.map(c => partValue(a, c))).toSeq
       .sortBy(_._1.mkString(" "))
       .map { case (pvs, fl) =>
@@ -1554,14 +1662,9 @@ object DeltaInterop {
         }.select(st.schema.fieldNames.map(col) ++
           Seq(col("_graft_file"), col("_graft_pos")): _*)
       }.reduce(_ unionByName _)
-    dvDeleted(spark, dir, st.copy(files = files)) match {
+    dvMasks(spark, dir, st.copy(files = files)) match {
       case None => raw
-      case Some(d) =>
-        raw.join(broadcast(d),
-            col("_graft_file") === col("_dv_file") &&
-            col("_graft_pos") === col("_dv_pos"), "left_anti")
-          .select(st.schema.fieldNames.map(col) ++
-            Seq(col("_graft_file"), col("_graft_pos")): _*)
+      case Some(masks) => raw.filter(dvSurvives(masks))
     }
   }
 
@@ -1603,14 +1706,9 @@ object DeltaInterop {
       }
     // a row op over a DV'd file must see the MASKED rows, so the rewrite
     // materializes the deletion instead of resurrecting it
-    dvDeleted(spark, dir, st.copy(files = files)) match {
+    dvMasks(spark, dir, st.copy(files = files)) match {
       case None => raw
-      case Some(d) =>
-        raw.join(broadcast(d),
-            col("_graft_file") === col("_dv_file") &&
-            col("_graft_pos") === col("_dv_pos"), "left_anti")
-          .select(st.schema.fieldNames.map(col) ++
-            Seq(col("_graft_file"), col("_graft_pos")): _*)
+      case Some(masks) => raw.filter(dvSurvives(masks))
     }
   }
 

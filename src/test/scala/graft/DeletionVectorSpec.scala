@@ -228,6 +228,48 @@ class DeletionVectorSpec extends AnyFunSuite {
       .select("par").as[Long].collect().forall(_ == 1L))
   }
 
+  test("a 1M-position DV masks as a bitmap filter — no join, no positions-as-rows") {
+    val dir = Files.createTempDirectory("graft-dv-scale").toString
+    DeltaInterop.writeDelta(
+      spark.range(2000000L).toDF("id").coalesce(1), dir, Nil)
+    // DV-delete every even id: 1,000,000 positions in one descriptor
+    val (_, _, nDel) = DeltaInterop.deleteWhereDV(spark, dir, col("id") % 2 === 0L)
+    assert(nDel == 1000000L)
+    val t = DeltaInterop.readDelta(spark, dir)
+    val plan = t.queryExecution.executedPlan.toString
+    // the mask is a codegen contains-FILTER on the scan — the plan must
+    // carry NO join and NO million-row local relation of positions
+    assert(!plan.toLowerCase.contains("join"), s"DV mask plans a join:\n$plan")
+    assert(!plan.contains("LocalTableScan"), s"DV positions materialized as rows:\n$plan")
+    assert(plan.contains("dv_deleted"), s"DV filter expression missing:\n$plan")
+    assert(t.count() == 1000000L)
+    assert(t.filter(col("id") % 2 === 0L).count() == 0)
+    // the parsed bitmap answers membership without expanding: spot-check
+    val a = DeltaInterop.state(spark, dir).files.head
+    val bm = DV.loadBitmap(spark, dir, a.deletionVector)
+    assert(bm.cardinality == 1000000L)
+    assert(bm.contains(0L) && bm.contains(999998L) && !bm.contains(1L))
+  }
+
+  test("parse/contains agree with deserialize across container shapes") {
+    val shapes = Seq[Array[Long]](
+      Array(0L, 1L, 5L, 100L),
+      (0L until 5000L).toArray,                      // bitmap container
+      Array(1L, 65536L + 2, 131072L + 3),            // several container keys
+      Array(7L, (1L << 32) + 9, (5L << 32) + 123),   // several high words
+      (0L until 70000L by 7).toArray)
+    shapes.foreach { vs =>
+      val bm = DV.parse(DV.serialize(vs))
+      assert(bm.cardinality == vs.distinct.length.toLong)
+      assert(bm.toPositions.toSeq == vs.distinct.sorted.toSeq)
+      vs.foreach(v => assert(bm.contains(v), s"missing $v"))
+      // near-misses around every set bit
+      vs.foreach { v =>
+        if (!vs.contains(v + 1)) assert(!bm.contains(v + 1), s"phantom ${v + 1}")
+      }
+    }
+  }
+
   test("deleteWhereDV drops fully-dead files; vacuum GCs orphaned sidecars") {
     val dir = Files.createTempDirectory("graft-dv-gc").toString
     val df = (0L until 100L).map(i => (i, i / 50, s"n_$i")).toDF("id", "half", "name")

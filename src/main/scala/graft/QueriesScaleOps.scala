@@ -1439,7 +1439,7 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     require(batches.get >= 2,
       s"maxFilesPerTrigger should cut ≥2 data batches, saw ${batches.get}")
     import s.implicits._
-    buf.toSeq.toDF("lang", "n", "chars")
+    buf.synchronized(buf.toList).toDF("lang", "n", "chars")
       .groupBy(col("lang"))
       .agg(sum(col("n")).as("n_docs"), sum(col("chars")).as("chars"))
       .orderBy(col("lang"))
@@ -1641,7 +1641,7 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     require(batches.get >= 2,
       s"rate limit should cut ≥2 data batches, saw ${batches.get}")
     import s.implicits._
-    buf.toSeq.toDF("change_type", "lang", "n0", "chars0")
+    buf.synchronized(buf.toList).toDF("change_type", "lang", "n0", "chars0")
       .groupBy(col("change_type"), col("lang"))
       .agg(sum(col("n0")).as("n"), sum(col("chars0")).as("chars"))
       .orderBy(col("change_type"), col("lang"))

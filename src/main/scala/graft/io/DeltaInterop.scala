@@ -78,7 +78,8 @@ object DeltaInterop {
   // checkpoint parquet rows — the protocol's action-per-row schema
   // (PROTOCOL.md "Checkpoints"): one nullable struct column per action
   // type; exactly one is non-null per row
-  private[graft] case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  private[graft] case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int,
+    readerFeatures: Seq[String] = null, writerFeatures: Seq[String] = null)
   private[graft] case class CpFormat(provider: String, options: Map[String, String])
   private[graft] case class CpMetaData(id: String, format: CpFormat,
     schemaString: String, partitionColumns: Seq[String],
@@ -328,11 +329,46 @@ object DeltaInterop {
           val app = t.get("appId").asText
           val tv = t.get("version").asLong
           txns(app) = math.max(txns.getOrElse(app, Long.MinValue), tv)
-        } // protocol / commitInfo lines carry no state we enforce
+        } else if (node.has("protocol")) {
+          val p = node.get("protocol")
+          def feats(name: String): Set[String] =
+            if (!p.has(name) || p.get(name).isNull) Set.empty
+            else jsonArray(p.get(name)).map(_.asText).toSet
+          protocol = Protocol(p.path("minReaderVersion").asInt(1),
+            p.path("minWriterVersion").asInt(2),
+            feats("readerFeatures"), feats("writerFeatures"))
+        } // commitInfo lines carry no state we enforce
       }
     }
     require(schema != null, s"log under $dir has no metaData action")
-    DeltaState(v, schema, partCols, live.values.toSeq, txns.toMap, config)
+    // READ gate: refuse — by name — any reader requirement this engine
+    // does not implement, instead of silently misreading the table
+    // (e.g. a v2Checkpoint table's JSON tail is not its full history)
+    require(protocol.minReader <= 3,
+      s"table at $dir requires minReaderVersion=${protocol.minReader}; " +
+      "this engine reads protocol versions 1-3")
+    val unsupported = protocol.readerFeatures -- Protocol.SupportedReaderFeatures
+    require(unsupported.isEmpty,
+      s"table at $dir requires unsupported reader feature(s): " +
+      s"${unsupported.toSeq.sorted.mkString(", ")} — this engine reads " +
+      s"${Protocol.SupportedReaderFeatures.toSeq.sorted.mkString(", ")} " +
+      "over classic single-parquet checkpoints")
+    DeltaState(v, schema, partCols, live.values.toSeq, txns.toMap, config, protocol)
+  }
+
+  /** WRITE gate: refuse — by name — writer features this engine cannot
+    * honor (e.g. rowTracking would require assigning row ids on every
+    * commit). Every mutation path calls this on the head state before
+    * staging or committing. */
+  private def requireWritable(st: DeltaState, dir: String): Unit = {
+    require(st.protocol.minWriter <= 7,
+      s"table at $dir requires minWriterVersion=${st.protocol.minWriter}; " +
+      "this engine writes protocol versions 1-7")
+    val unsupported = st.protocol.writerFeatures -- Protocol.SupportedWriterFeatures
+    require(unsupported.isEmpty,
+      s"table at $dir requires unsupported writer feature(s): " +
+      s"${unsupported.toSeq.sorted.mkString(", ")} — refusing to commit " +
+      "rather than break the feature's invariants")
   }
 
   /** One `add` action's JSON node → [[AddFile]]. */
@@ -612,8 +648,14 @@ object DeltaInterop {
                  version: Option[Long] = None): Long = {
     val st = state(spark, dir, version)
     val f = fs(spark, dir)
+    // the checkpoint is the ONLY protocol source once cleanupLog drops
+    // the JSON prefix — it must carry the REPLAYED protocol (features
+    // included), or a resuming reader would believe (1,2) and read a
+    // column-mapped table by physical names / resurrect DV'd rows
     val rows = Seq(
-      CpRow(protocol = CpProtocol(1, 2)),
+      CpRow(protocol = CpProtocol(st.protocol.minReader, st.protocol.minWriter,
+        if (st.protocol.minReader >= 3) st.protocol.readerFeatures.toSeq.sorted else null,
+        if (st.protocol.minWriter >= 7) st.protocol.writerFeatures.toSeq.sorted else null)),
       CpRow(metaData = CpMetaData(
         java.util.UUID.nameUUIDFromBytes(st.schema.json.getBytes("UTF-8")).toString,
         CpFormat("parquet", Map.empty), st.schema.json, st.partitionColumns,
@@ -681,10 +723,17 @@ object DeltaInterop {
   def setTableProperties(spark: SparkSession, dir: String,
                          props: Map[String, String]): Long = {
     val st = state(spark, dir)
+    requireWritable(st, dir)
     val merged = st.configuration ++ props
     val actions = Seq.newBuilder[String]
-    if (props.get("delta.enableChangeDataFeed").contains("true"))
-      actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
+    if (props.get("delta.enableChangeDataFeed").contains("true")) {
+      // NEVER a downgrade: a table already at (2,5) column mapping or
+      // (3,7) deletion vectors keeps those requirements — the upgrade
+      // merges CDF's floor in (listing changeDataFeed explicitly when
+      // the table is on v7 features)
+      val upgraded = st.protocol.merge(Protocol.Cdf)
+      if (upgraded != st.protocol) actions += upgraded.json
+    }
     actions += metaDataJson(st.schema, st.partitionColumns, merged)
     commit(spark, dir, st.version + 1, actions.result(), op = "SET TBLPROPERTIES")
   }
@@ -712,6 +761,7 @@ object DeltaInterop {
   def renameColumn(spark: SparkSession, dir: String,
                    oldName: String, newName: String): Long = {
     val st = state(spark, dir)
+    requireWritable(st, dir)
     require(st.schema.fieldNames.contains(oldName), s"no column $oldName")
     require(!st.schema.fieldNames.contains(newName),
       s"column $newName already exists")
@@ -737,11 +787,8 @@ object DeltaInterop {
         st.configuration.getOrElse("delta.columnMapping.mode", "name"),
       "delta.columnMapping.maxColumnId" -> nextId.toString)
     val actions = Seq.newBuilder[String]
-    if (!mapped)
-      actions += (
-        if (st.files.exists(_.deletionVector != null))
-          """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","deletionVectors"],"writerFeatures":["columnMapping","deletionVectors"]}}"""
-        else """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+    val upgraded = st.protocol.merge(Protocol.ColumnMapping)
+    if (upgraded != st.protocol) actions += upgraded.json
     actions += metaDataJson(StructType(fields), partCols, config)
     commit(spark, dir, st.version + 1, actions.result(), op = "RENAME COLUMN")
   }
@@ -848,6 +895,7 @@ object DeltaInterop {
   def addConstraint(spark: SparkSession, dir: String,
                     name: String, exprSql: String): Long = {
     val st = state(spark, dir)
+    requireWritable(st, dir)
     val bad = readFiles(spark, dir, st)
       .filter(expr(exprSql) === lit(false)).limit(1).collect()
     require(bad.isEmpty,
@@ -933,6 +981,7 @@ object DeltaInterop {
     val prev = latestVersion(spark, dir)
     val prevState = if (prev >= 0) Some(state(spark, dir)) else None
     prevState.foreach { st =>
+      requireWritable(st, dir)
       require(st.partitionColumns == partCols,
         s"partition columns ${partCols.mkString(",")} != table's ${st.partitionColumns.mkString(",")}")
       val missing = st.schema.fieldNames.filterNot(schema.fieldNames.contains)
@@ -1101,6 +1150,7 @@ object DeltaInterop {
   def compact(spark: SparkSession, dir: String,
               smallFileBytes: Long = 32L << 20): (Long, Int, Int) = {
     val st0 = state(spark, dir)
+    requireWritable(st0, dir)
     // a DV'd file can't be raw-concatenated (that would resurrect its
     // masked rows) — leave such files alone; row ops materialize DVs
     val st = st0.copy(files = st0.files.filter(_.deletionVector == null))
@@ -1203,6 +1253,7 @@ object DeltaInterop {
                      targetFiles: Int = 0): (Long, Int, Int) = {
     require(zCols.nonEmpty, "zCols must be non-empty")
     val st = state(spark, dir)
+    requireWritable(st, dir)
     require(st.files.forall(_.deletionVector == null),
       s"optimizeZOrder would resurrect DV-masked rows under $dir — run row ops first")
     require(zCols.forall(c => st.schema.fieldNames.contains(c)),
@@ -1575,13 +1626,16 @@ object DeltaInterop {
     M.writeValueAsString(n)
   }
 
-  /** The protocol action a DV-writing commit carries: reader 3 / writer
-    * 7 with the `deletionVectors` feature on both sides (PROTOCOL.md
-    * "Deletion Vectors" requirements). Emitted with every
-    * [[deleteWhereDV]] commit — replaying the same value is idempotent,
-    * so no protocol-state tracking is needed. */
-  private def dvProtocolJson(): String =
-    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+  /** The protocol actions (0 or 1) a DV-writing commit carries: the
+    * CURRENT protocol merged with reader 3 / writer 7 +
+    * `deletionVectors` (PROTOCOL.md "Deletion Vectors" requirements) —
+    * never a downgrade: a column-mapped or CDF table keeps those
+    * requirements listed when it lands on v7 features. Empty when the
+    * table already satisfies the requirement. */
+  private def dvProtocolActions(st: DeltaState): Seq[String] = {
+    val upgraded = st.protocol.merge(Protocol.DeletionVectors)
+    if (upgraded == st.protocol) Nil else Seq(upgraded.json)
+  }
 
   private def txnJson(appId: String, version: Long): String = {
     val n = M.createObjectNode()
@@ -1747,6 +1801,7 @@ object DeltaInterop {
                   partitionEq: Map[String, String] = Map.empty,
                   ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int) = {
     val st = state(spark, dir)
+    requireWritable(st, dir)
     val touched = touchedFiles(spark, dir, st,
       prunedFiles(st, partitionEq, ranges), predicate <=> lit(true))
     if (touched.isEmpty) return (st.version, 0)
@@ -1795,6 +1850,7 @@ object DeltaInterop {
                     partitionEq: Map[String, String] = Map.empty,
                     ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int, Long) = {
     val st = state(spark, dir)
+    requireWritable(st, dir)
     val candidates = prunedFiles(st, partitionEq, ranges)
     if (candidates.isEmpty) return (st.version, 0, 0L)
     // physical row indices of the newly-deleted rows, grouped per file —
@@ -1831,7 +1887,7 @@ object DeltaInterop {
           .select(st.schema.fieldNames.map(col) :+ lit("delete").as("_change_type"): _*),
         dir, st)
     val v = commit(spark, dir, st.version + 1,
-      dvProtocolJson() +: (removes.result() ++ adds.result() ++ cdcs.map(cdcJson)),
+      dvProtocolActions(st) ++ (removes.result() ++ adds.result() ++ cdcs.map(cdcJson)),
       op = "DELETE")
     (v, perFile.length, deletedRows)
   }
@@ -1852,6 +1908,7 @@ object DeltaInterop {
                     partitionEq: Map[String, String] = Map.empty,
                     ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int, Long) = {
     val st = state(spark, dir)
+    requireWritable(st, dir)
     val badCols = set.keys.filterNot(st.schema.fieldNames.contains)
     require(badCols.isEmpty, s"SET on unknown columns: ${badCols.mkString(",")}")
     val candidates = prunedFiles(st, partitionEq, ranges)
@@ -1900,7 +1957,7 @@ object DeltaInterop {
         .foreach(c => actions += cdcJson(c))
     }
     val v = commit(spark, dir, st.version + 1,
-      dvProtocolJson() +: actions.result(), op = "UPDATE")
+      dvProtocolActions(st) ++ actions.result(), op = "UPDATE")
     (v, perFile.length, updatedRows)
   }
 
@@ -1914,6 +1971,7 @@ object DeltaInterop {
                   partitionEq: Map[String, String] = Map.empty,
                   ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int) = {
     val st = state(spark, dir)
+    requireWritable(st, dir)
     val badCols = set.keys.filterNot(st.schema.fieldNames.contains)
     require(badCols.isEmpty, s"SET on unknown columns: ${badCols.mkString(",")}")
     require(set.keys.forall(c => !st.partitionColumns.contains(c)),
@@ -1965,6 +2023,7 @@ object DeltaInterop {
   def merge(spark: SparkSession, dir: String, source: DataFrame,
             keyCols: Seq[String]): (Long, Int, Long) = {
     val st = state(spark, dir)
+    requireWritable(st, dir)
     require(st.schema.fieldNames.sorted.sameElements(
       source.schema.fieldNames.sorted),
       s"merge source columns ${source.columns.sorted.mkString(",")} != table's ${st.schema.fieldNames.sorted.mkString(",")}")
@@ -2111,8 +2170,9 @@ object DeltaInterop {
           .withColumn("_change_type", lit("insert")))
       }
     changes.map { df =>
-      val ts = new java.sql.Timestamp(
-        fs(spark, dir).getFileStatus(logFile(dir, v)).getModificationTime)
+      // in-commit timestamp first (the same clock as timestamp time
+      // travel — mtimes don't survive table copies), mtime fallback
+      val ts = new java.sql.Timestamp(commitMeta(spark, dir, v).timestamp)
       df.withColumn("_commit_version", lit(v))
         .withColumn("_commit_timestamp", lit(ts))
     }
@@ -2135,6 +2195,7 @@ object DeltaInterop {
               toVersion: Long): (Long, Int, Int) = {
     val target = state(spark, dir, Some(toVersion))
     val cur = state(spark, dir)
+    requireWritable(cur, dir)
     if (toVersion == cur.version) return (cur.version, 0, 0)
     val curByPath = cur.files.map(a => a.path -> a).toMap
     val tgtByPath = target.files.map(a => a.path -> a).toMap
@@ -2154,7 +2215,7 @@ object DeltaInterop {
       actions += metaDataJson(target.schema, target.partitionColumns,
         target.configuration)
     if (target.files.exists(_.deletionVector != null))
-      actions += dvProtocolJson()
+      dvProtocolActions(cur).foreach(actions += _)
     removes.foreach(r => actions += removeJson(r))
     addsBack.foreach(a => actions += addJson(a))
     if (cdfEnabled(cur)) {
@@ -2179,6 +2240,57 @@ object DeltaInterop {
     (v, addsBack.length, removes.length)
   }
 
+  /** One commit's parsed commitInfo: the in-commit timestamp when
+    * present (what [[versionAtTimestamp]], the change feed, and the
+    * streaming source must all agree on — mtimes don't survive table
+    * copies), the file mtime as the fallback clock, and operation /
+    * engineInfo for DESCRIBE HISTORY. */
+  private[graft] final case class CommitMeta(ict: Option[Long], mtime: Long,
+                                             operation: String, engineInfo: String) {
+    /** The commit's effective timestamp: in-commit first, mtime fallback. */
+    def timestamp: Long = ict.getOrElse(mtime)
+  }
+
+  // commits are immutable once written — cache per (dir, version) so a
+  // history/time-travel lookup on a long-lived table doesn't re-open
+  // and re-parse O(versions) files per call
+  private val commitMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), CommitMeta]()
+
+  /** Read version `v`'s commitInfo. graft-authored commits LEAD with
+    * commitInfo, so the common case reads one line; foreign commits
+    * without a leading commitInfo fall back to a full scan. */
+  private[graft] def commitMeta(spark: SparkSession, dir: String,
+                                v: Long): CommitMeta = {
+    val key = (dir, v)
+    val cached = commitMetaCache.get(key)
+    if (cached != null) return cached
+    val f = fs(spark, dir)
+    val p = logFile(dir, v)
+    val mtime = f.getFileStatus(p).getModificationTime
+    val in = f.open(p)
+    val ci: Option[JsonNode] =
+      try {
+        val rd = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+        val first = Iterator.continually(rd.readLine()).takeWhile(_ != null)
+          .find(_.nonEmpty).map(M.readTree)
+        first match {
+          case Some(n) if n.has("commitInfo") => Some(n.get("commitInfo"))
+          case _ => // foreign commit: scan the remaining lines
+            Iterator.continually(rd.readLine()).takeWhile(_ != null)
+              .filter(_.nonEmpty).map(M.readTree)
+              .collectFirst { case n if n.has("commitInfo") => n.get("commitInfo") }
+        }
+      } finally in.close()
+    def str(name: String): String =
+      ci.filter(_.has(name)).map(_.get(name).asText).orNull
+    val meta = CommitMeta(
+      ci.filter(_.has("timestamp")).map(_.get("timestamp").asLong),
+      mtime, str("operation"), str("engineInfo"))
+    commitMetaCache.put(key, meta)
+    meta
+  }
+
   /** DESCRIBE HISTORY: one row per commit still present in the JSON log
     * (newest first, Delta's order) with (version, timestamp, operation,
     * engineInfo) from each commitInfo — nulls where a minimal foreign
@@ -2189,20 +2301,11 @@ object DeltaInterop {
     val latest = latestVersion(spark, dir)
     require(latest >= 0, s"no Delta log under $dir")
     val rows = (0L to latest).reverse.flatMap { v =>
-      val p = logFile(dir, v)
-      if (!f.exists(p)) None
+      if (!f.exists(logFile(dir, v))) None
       else {
-        val in = f.open(p)
-        val lines =
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-          finally in.close()
-        val ci = lines.filter(_.nonEmpty).iterator.map(M.readTree)
-          .collectFirst { case n if n.has("commitInfo") => n.get("commitInfo") }
-        def str(name: String): String =
-          ci.filter(_.has(name)).map(_.get(name).asText).orNull
-        val ts = ci.filter(_.has("timestamp")).map(_.get("timestamp").asLong)
-        Some((v, ts.map(new java.sql.Timestamp(_)).orNull,
-          str("operation"), str("engineInfo")))
+        val m = commitMeta(spark, dir, v)
+        Some((v, m.ict.map(new java.sql.Timestamp(_)).orNull,
+          m.operation, m.engineInfo))
       }
     }
     import spark.implicits._
@@ -2220,20 +2323,8 @@ object DeltaInterop {
     val latest = latestVersion(spark, dir)
     require(latest >= 0, s"no Delta log under $dir")
     val vs = (0L to latest).flatMap { v =>
-      val p = logFile(dir, v)
-      if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        val lines =
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-          finally in.close()
-        val ict = lines.filter(_.nonEmpty).iterator.map(M.readTree)
-          .collectFirst {
-            case n if n.has("commitInfo") && n.get("commitInfo").has("timestamp") =>
-              n.get("commitInfo").get("timestamp").asLong
-          }
-        Some(v -> ict.getOrElse(f.getFileStatus(p).getModificationTime))
-      }
+      if (!f.exists(logFile(dir, v))) None
+      else Some(v -> commitMeta(spark, dir, v).timestamp)
     }
     val at = vs.filter(_._2 <= tsMillis).map(_._1)
     require(at.nonEmpty,

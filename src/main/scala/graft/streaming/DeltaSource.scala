@@ -280,11 +280,12 @@ final class DeltaSource(spark: SparkSession, dir: String, metadataPath: String,
     (snapPart, tailPart)
   }
 
-  private def commitTs(v: Long): java.sql.Timestamp = {
-    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    new java.sql.Timestamp(f.getFileStatus(
-      new Path(new Path(dir, "_delta_log"), f"$v%020d.json")).getModificationTime)
-  }
+  /** The commit's effective timestamp — the in-commit
+    * commitInfo.timestamp with mtime fallback, the SAME clock as
+    * timestamp time travel and the batch change feed (mtimes don't
+    * survive table copies; the three surfaces must agree). */
+  private def commitTs(v: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(DeltaInterop.commitMeta(spark, dir, v).timestamp)
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}

@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.io.DeltaInterop
+import graft.io.DeltaInterop.Protocol
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Protocol-evolution tracking (PROTOCOL.md "Protocol Evolution"):
+  * replay is last-protocol-wins, so every upgrade graft emits must be
+  * max(current, required) — a CDF enable on a deletion-vector table
+  * that re-emitted the CDF floor (1,4) would DOWNGRADE the table and
+  * let a spec-compliant foreign reader resurrect DV-deleted rows.
+  * Also the read/write gates: reader/writer requirements this engine
+  * does not implement are refused BY NAME, never silently misread. */
+class DeltaProtocolSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("Protocol.merge: version max, legacy features made explicit at v7") {
+    // legacy ∪ legacy stays legacy
+    assert(Protocol(1, 2).merge(Protocol.Cdf) == Protocol(1, 4))
+    assert(Protocol.ColumnMapping.merge(Protocol.Cdf) == Protocol(2, 5))
+    // CDF floor merged into a v7 table lists changeDataFeed explicitly
+    val dvThenCdf = Protocol.DeletionVectors.merge(Protocol.Cdf)
+    assert(dvThenCdf.minReader == 3 && dvThenCdf.minWriter == 7)
+    assert(dvThenCdf.writerFeatures.contains("changeDataFeed"))
+    assert(dvThenCdf.writerFeatures.contains("deletionVectors"))
+    assert(dvThenCdf.readerFeatures == Set("deletionVectors"))
+    // column mapping merged into v7 lands in BOTH feature lists
+    val dvThenCm = Protocol.DeletionVectors.merge(Protocol.ColumnMapping)
+    assert(dvThenCm.readerFeatures == Set("deletionVectors", "columnMapping"))
+    assert(dvThenCm.writerFeatures.contains("columnMapping"))
+    // merge never downgrades, in either argument order
+    assert(Protocol.Cdf.merge(Protocol.DeletionVectors).minWriter == 7)
+    // idempotent
+    assert(dvThenCdf.merge(Protocol.Cdf) == dvThenCdf)
+  }
+
+  test("enabling CDF on a DV table upgrades, never downgrades") {
+    val dir = Files.createTempDirectory("graft-proto-cdf-dv").toString
+    DeltaInterop.writeDelta((0L until 20L).map(i => (i, s"n_$i")).toDF("id", "name"),
+      dir, Nil)
+    DeltaInterop.deleteWhereDV(spark, dir, col("id") < 5L)
+    val before = DeltaInterop.state(spark, dir).protocol
+    assert(before.minReader == 3 && before.minWriter == 7)
+    DeltaInterop.setTableProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val after = DeltaInterop.state(spark, dir).protocol
+    assert(after.minReader == 3 && after.minWriter == 7,
+      s"CDF enable downgraded the protocol to $after")
+    assert(after.readerFeatures.contains("deletionVectors"))
+    assert(after.writerFeatures.contains("changeDataFeed"),
+      "v7 features are explicit — enabling CDF must list it")
+    // the DV mask must survive the property commit
+    assert(DeltaInterop.readDelta(spark, dir).count() == 15)
+  }
+
+  test("enabling CDF on a column-mapped table keeps (2,5) — writer 5 already covers CDF") {
+    val dir = Files.createTempDirectory("graft-proto-cdf-cm").toString
+    DeltaInterop.writeDelta((0L until 10L).map(i => (i, s"n_$i")).toDF("id", "name"),
+      dir, Nil)
+    DeltaInterop.renameColumn(spark, dir, "name", "label")
+    assert(DeltaInterop.state(spark, dir).protocol == Protocol(2, 5))
+    DeltaInterop.setTableProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val after = DeltaInterop.state(spark, dir).protocol
+    assert(after == Protocol(2, 5), s"CDF enable changed (2,5) to $after")
+    assert(DeltaInterop.readDelta(spark, dir).columns.contains("label"))
+  }
+
+  test("DV ops on a column-mapped table carry columnMapping into the v7 features") {
+    val dir = Files.createTempDirectory("graft-proto-dv-cm").toString
+    DeltaInterop.writeDelta((0L until 20L).map(i => (i, s"n_$i")).toDF("id", "name"),
+      dir, Nil)
+    DeltaInterop.renameColumn(spark, dir, "name", "label")
+    DeltaInterop.deleteWhereDV(spark, dir, col("id") < 5L)
+    val p = DeltaInterop.state(spark, dir).protocol
+    assert(p.minReader == 3 && p.minWriter == 7)
+    assert(p.readerFeatures == Set("columnMapping", "deletionVectors"),
+      s"reader features dropped a requirement: $p")
+    assert(p.writerFeatures.contains("columnMapping") &&
+      p.writerFeatures.contains("deletionVectors"))
+    // and the read still resolves: mapping + mask together
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.columns.contains("label") && t.count() == 15)
+  }
+
+  test("checkpoints persist the replayed protocol — the only source after cleanup") {
+    val dir = Files.createTempDirectory("graft-proto-cp").toString
+    DeltaInterop.writeDelta((0L until 20L).map(i => (i, s"n_$i")).toDF("id", "name"),
+      dir, Nil, overwrite = false, checkpointInterval = 0)
+    DeltaInterop.renameColumn(spark, dir, "name", "label")
+    DeltaInterop.deleteWhereDV(spark, dir, col("id") < 5L)
+    val before = DeltaInterop.state(spark, dir).protocol
+    DeltaInterop.checkpoint(spark, dir)
+    DeltaInterop.cleanupLog(spark, dir)
+    // drop the checkpoint version's own JSON too: replay can ONLY come
+    // from the checkpoint parquet
+    val st0 = DeltaInterop.state(spark, dir)
+    Files.deleteIfExists(Paths.get(dir, "_delta_log", f"${st0.version}%020d.json"))
+    val replayed = DeltaInterop.state(spark, dir)
+    assert(replayed.protocol == before,
+      s"checkpoint lost the protocol: $before -> ${replayed.protocol}")
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.columns.contains("label") && t.count() == 15,
+      "a checkpoint-resumed reader must still honor column mapping AND the DV mask")
+  }
+
+  private def writeForeignLog(dir: String, protocolJson: String): Unit = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = M.createObjectNode(); val m = md.putObject("metaData")
+    m.put("id", "foreign-fixture")
+    val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+    m.put("schemaString", schema.json)
+    m.putArray("partitionColumns"); m.putObject("configuration"); m.put("createdTime", 0L)
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    Files.write(Paths.get(dir, "_delta_log", "00000000000000000000.json"),
+      (Seq(protocolJson, M.writeValueAsString(md)).mkString("\n") + "\n").getBytes("UTF-8"))
+  }
+
+  test("unsupported reader features are refused BY NAME (v2Checkpoint)") {
+    val dir = Files.createTempDirectory("graft-proto-v2cp").toString
+    writeForeignLog(dir,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint","deletionVectors"],"writerFeatures":["v2Checkpoint","deletionVectors"]}}""")
+    val e = intercept[IllegalArgumentException](DeltaInterop.readDelta(spark, dir))
+    assert(e.getMessage.contains("v2Checkpoint"),
+      s"error must name the missing feature: ${e.getMessage}")
+    // the supported deletionVectors feature must not be in the BLAMED list
+    assert(e.getMessage.contains("feature(s): v2Checkpoint —"),
+      s"supported features must not be blamed: ${e.getMessage}")
+  }
+
+  test("a minReaderVersion beyond 3 is refused with the version named") {
+    val dir = Files.createTempDirectory("graft-proto-r4").toString
+    writeForeignLog(dir, """{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}""")
+    val e = intercept[IllegalArgumentException](DeltaInterop.readDelta(spark, dir))
+    assert(e.getMessage.contains("minReaderVersion=4"))
+  }
+
+  test("unsupported writer features refuse WRITES by name but allow reads (rowTracking)") {
+    val dir = Files.createTempDirectory("graft-proto-rowtrack").toString
+    writeForeignLog(dir,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","appendOnly","invariants"]}}""")
+    // reads are fine: rowTracking gates writers only
+    assert(DeltaInterop.readDelta(spark, dir).count() == 0)
+    val e = intercept[IllegalArgumentException](
+      DeltaInterop.writeDelta(Seq(1L).toDF("id"), dir, Nil))
+    assert(e.getMessage.contains("rowTracking"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaInterop.deleteWhere(spark, dir, col("id") === 1L))
+    assert(e2.getMessage.contains("rowTracking"))
+  }
+}

@@ -585,45 +585,79 @@ object DeltaInterop {
     }
   }
 
-  /** Read a column-mapped snapshot: scan each partition group with the
-    * physical data schema, inject partition values (the log keys them
-    * by PHYSICAL name), then rename physical → logical — top level by
-    * alias, nested levels by positional struct cast. One scan per
-    * partition group; file pruning upstream is unaffected. */
+  /** Is every file of a mapped snapshot at its Hive-style path under
+    * the PHYSICAL partition-column names (the layout everything graft
+    * stages post-rename lands in)? True ⇒ one `basePath` scan serves
+    * the whole table. */
+  private def mappedAllHive(st: DeltaState, files: Seq[AddFile]): Boolean =
+    st.partitionColumns.isEmpty || files.forall { a =>
+      val seg = st.partitionColumns.map { c =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(physicalFieldName(st.schema(c)),
+            mappedPartValue(st, a, c))
+      }.mkString("/")
+      a.path.startsWith(seg + "/")
+    }
+
+  /** A mapped add's partition value for a LOGICAL column — the log keys
+    * partitionValues by PHYSICAL name (graft's layout), logical as the
+    * foreign fallback. */
+  private def mappedPartValue(st: DeltaState, a: AddFile, logical: String): String =
+    a.partitionValues.getOrElse(physicalFieldName(st.schema(logical)),
+      a.partitionValues.getOrElse(logical,
+        throw new IllegalArgumentException(
+          s"add ${a.path} has no partition value for " +
+          s"$logical/${physicalFieldName(st.schema(logical))}")))
+
+  /** Read a column-mapped snapshot: scan with the PHYSICAL schema, then
+    * rename physical → logical — top level by alias, nested levels by
+    * positional struct cast. When every file sits at its Hive-style
+    * physical-name path (true for everything graft writes), ONE
+    * `basePath` scan serves the whole table — plan size stays O(1) in
+    * the partition count, same as the unmapped path. Scattered foreign
+    * layouts fall back to one scan per partition tuple with values
+    * injected from the log. */
   private def readFilesMapped(spark: SparkSession, dir: String,
                               st: DeltaState): DataFrame = {
-    val physOf: Map[String, String] =
-      st.schema.fields.map(f => f.name -> physicalFieldName(f)).toMap
     val dataFields = st.schema.fields.filterNot(f => st.partitionColumns.contains(f.name))
     val physDataSchema = StructType(dataFields.map(f =>
       org.apache.spark.sql.types.StructField(
         physicalFieldName(f), physicalType(f.dataType), f.nullable)))
-    def partValue(a: AddFile, logical: String): String =
-      a.partitionValues.getOrElse(physOf(logical),
-        a.partitionValues.getOrElse(logical,
-          throw new IllegalArgumentException(
-            s"add ${a.path} has no partition value for $logical/${physOf(logical)}")))
     val deleted = dvMasks(spark, dir, st)
-    val base = st.files.groupBy(a => st.partitionColumns.map(c => partValue(a, c))).toSeq
-      .sortBy(_._1.mkString(" "))
-      .map { case (pvs, fl) =>
-        val scan = spark.read.schema(physDataSchema)
-          .parquet(fl.map(a => new Path(dir, a.path).toString): _*)
-        // physical → logical: alias top-level, positional cast nested
-        val dataCols = dataFields.map { f =>
-          val phys = col(physicalFieldName(f))
-          (if (physicalType(f.dataType) == f.dataType) phys
-           else phys.cast(f.dataType)).as(f.name)
-        }
-        val provCols =
-          if (deleted.isEmpty) Nil
-          else Seq(col("_metadata.file_path").as("_graft_file"),
-            col("_metadata.row_index").as("_graft_pos"))
-        val withData = scan.select(dataCols.toSeq ++ provCols: _*)
-        st.partitionColumns.zip(pvs).foldLeft(withData) { case (df, (c, v)) =>
-          df.withColumn(c, lit(v).cast(st.schema(c).dataType))
-        }
-      }.reduce(_ unionByName _)
+    val provCols =
+      if (deleted.isEmpty) Nil
+      else Seq(col("_metadata.file_path").as("_graft_file"),
+        col("_metadata.row_index").as("_graft_pos"))
+    // physical → logical: alias top-level, positional cast nested
+    val dataCols = dataFields.map { f =>
+      val phys = col(physicalFieldName(f))
+      (if (physicalType(f.dataType) == f.dataType) phys
+       else phys.cast(f.dataType)).as(f.name)
+    }
+    val base =
+      if (mappedAllHive(st, st.files)) {
+        // ONE scan: partition values ride the physical-name paths; the
+        // full physical schema (partition twins included) types them
+        val physFullSchema = StructType(st.schema.fields.map(f =>
+          org.apache.spark.sql.types.StructField(
+            physicalFieldName(f), physicalType(f.dataType), f.nullable)))
+        val scan = spark.read.option("basePath", dir).schema(physFullSchema)
+          .parquet(st.files.map(a => new Path(dir, a.path).toString): _*)
+        val partCols = st.partitionColumns.map(c =>
+          col(physicalFieldName(st.schema(c))).as(c))
+        scan.select(dataCols.toSeq ++ partCols ++ provCols: _*)
+      } else {
+        st.files.groupBy(a => st.partitionColumns.map(c => mappedPartValue(st, a, c)))
+          .toSeq.sortBy(_._1.mkString(" "))
+          .map { case (pvs, fl) =>
+            val scan = spark.read.schema(physDataSchema)
+              .parquet(fl.map(a => new Path(dir, a.path).toString): _*)
+            val withData = scan.select(dataCols.toSeq ++ provCols: _*)
+            st.partitionColumns.zip(pvs).foldLeft(withData) { case (df, (c, v)) =>
+              df.withColumn(c, lit(v).cast(st.schema(c).dataType))
+            }
+          }.reduce(_ unionByName _)
+      }
     deleted match {
       case None => base.select(st.schema.fieldNames.map(col): _*)
       case Some(d) => applyDv(base, d, st.schema)
@@ -793,6 +827,39 @@ object DeltaInterop {
     commit(spark, dir, st.version + 1, actions.result(), op = "RENAME COLUMN")
   }
 
+  /** ALTER TABLE ADD COLUMNS: append a nullable field at the END of the
+    * schema (one metaData re-emit, no data movement — old files read
+    * the column as NULL). On a column-mapped table the new field gets a
+    * FRESH column id past `delta.columnMapping.maxColumnId` and a
+    * synthetic physical name (`col-<id>`) no existing data file
+    * contains — delta-spark's contract for evolution after RENAME,
+    * closing the one lifecycle dead-end on mapped tables. Returns the
+    * new version. */
+  def addColumn(spark: SparkSession, dir: String,
+                name: String, dataType: DataType): Long = {
+    val st = state(spark, dir)
+    requireWritable(st, dir)
+    require(!st.schema.fieldNames.contains(name), s"column $name already exists")
+    val (field, config) =
+      if (columnMappingMode(st) == "none")
+        (org.apache.spark.sql.types.StructField(name, dataType), st.configuration)
+      else {
+        val nextId = st.configuration.get("delta.columnMapping.maxColumnId")
+          .map(_.toLong).getOrElse(0L) + 1
+        (org.apache.spark.sql.types.StructField(name, dataType,
+          nullable = true,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("delta.columnMapping.id", nextId)
+            .putString("delta.columnMapping.physicalName", s"col-$nextId")
+            .build()),
+          st.configuration + ("delta.columnMapping.maxColumnId" -> nextId.toString))
+      }
+    commit(spark, dir, st.version + 1,
+      Seq(metaDataJson(StructType(st.schema.fields :+ field),
+        st.partitionColumns, config)),
+      op = "ADD COLUMNS")
+  }
+
   def writeDelta(df: DataFrame, dir: String, partCols: Seq[String],
                  overwrite: Boolean = false): Long =
     writeDelta(df, dir, partCols, overwrite, checkpointInterval = 10)
@@ -931,7 +998,8 @@ object DeltaInterop {
       case Some(st) =>
         val extra = df.schema.fieldNames.filterNot(st.schema.fieldNames.contains)
         require(extra.isEmpty,
-          s"schema evolution on a column-mapped table is not supported (new: ${extra.mkString(",")})")
+          s"write-time schema evolution on a column-mapped table needs fresh " +
+          s"column ids — run DeltaInterop.addColumn first (new: ${extra.mkString(",")})")
         val (phys, physPart) = toPhysical(df, st)
         stageData(phys, dir, physPart)
       case None => stageData(df, dir, partCols)
@@ -1532,14 +1600,26 @@ object DeltaInterop {
     val bad = partitionEq.keys.filterNot(st.partitionColumns.contains)
     require(bad.isEmpty,
       s"not partition columns: ${bad.mkString(",")} (table partitions: ${st.partitionColumns.mkString(",")})")
+    // mapped tables key partitionValues and footer stats by PHYSICAL
+    // name — resolve the caller's logical names (logical fallback for
+    // foreign layouts and pre-mapping epochs)
+    val mapped = columnMappingMode(st) != "none"
+    def physKey(k: String): String =
+      if (mapped && st.schema.fieldNames.contains(k)) physicalFieldName(st.schema(k)) else k
     st.files.filter { a =>
-      partitionEq.forall { case (k, v) => a.partitionValues.get(k).contains(v) } &&
+      partitionEq.forall { case (k, v) =>
+        a.partitionValues.get(physKey(k))
+          .orElse(a.partitionValues.get(k)).contains(v) } &&
       ranges.forall { case (colName, (lo, hi)) =>
         if (a.stats == null) true
         else {
           val n = M.readTree(a.stats)
-          val mn = n.path("minValues").path(colName)
-          val mx = n.path("maxValues").path(colName)
+          def bound(side: String) = {
+            val b = n.path(side).path(physKey(colName))
+            if (b.isNumber) b else n.path(side).path(colName)
+          }
+          val mn = bound("minValues")
+          val mx = bound("maxValues")
           if (!mn.isNumber || !mx.isNumber) true
           else mx.asDouble >= lo && mn.asDouble <= hi
         }
@@ -1685,37 +1765,47 @@ object DeltaInterop {
   // have the same two-phase find-touched-then-rewrite shape.
 
   /** [[scanWithProvenance]] for a column-mapped table: physical scan +
-    * logical rename (the [[readFilesMapped]] shape) with the
-    * provenance columns and DV mask bolted on. */
+    * logical rename (the [[readFilesMapped]] shape, ONE `basePath`
+    * scan when the files are Hive-pathed under physical names) with
+    * the provenance columns and DV mask bolted on. */
   private def scanWithProvenanceMapped(spark: SparkSession, dir: String,
                                        st: DeltaState,
                                        files: Seq[AddFile]): DataFrame = {
     val dataFields = st.schema.fields.filterNot(fd => st.partitionColumns.contains(fd.name))
-    val physDataSchema = StructType(dataFields.map(f =>
-      org.apache.spark.sql.types.StructField(
-        physicalFieldName(f), physicalType(f.dataType), f.nullable)))
-    def partValue(a: AddFile, logical: String): String =
-      a.partitionValues.getOrElse(physicalFieldName(st.schema(logical)),
-        a.partitionValues.getOrElse(logical,
-          throw new IllegalArgumentException(
-            s"add ${a.path} has no partition value for $logical")))
     val prov = Seq(col("_metadata.file_path").as("_graft_file"),
       col("_metadata.row_index").as("_graft_pos"))
-    val raw = files.groupBy(a => st.partitionColumns.map(c => partValue(a, c))).toSeq
-      .sortBy(_._1.mkString(" "))
-      .map { case (pvs, fl) =>
-        val scan = spark.read.schema(physDataSchema)
-          .parquet(fl.map(a => new Path(dir, a.path).toString): _*)
-        val dataCols = dataFields.map { f =>
-          val p = col(physicalFieldName(f))
-          (if (physicalType(f.dataType) == f.dataType) p else p.cast(f.dataType)).as(f.name)
-        }
-        val withData = scan.select(dataCols.toSeq ++ prov: _*)
-        st.partitionColumns.zip(pvs).foldLeft(withData) { case (df, (c, v)) =>
-          df.withColumn(c, lit(v).cast(st.schema(c).dataType))
-        }.select(st.schema.fieldNames.map(col) ++
-          Seq(col("_graft_file"), col("_graft_pos")): _*)
-      }.reduce(_ unionByName _)
+    val dataCols = dataFields.map { f =>
+      val p = col(physicalFieldName(f))
+      (if (physicalType(f.dataType) == f.dataType) p else p.cast(f.dataType)).as(f.name)
+    }
+    val outCols = st.schema.fieldNames.map(col) ++
+      Seq(col("_graft_file"), col("_graft_pos"))
+    val raw =
+      if (mappedAllHive(st, files)) {
+        val physFullSchema = StructType(st.schema.fields.map(f =>
+          org.apache.spark.sql.types.StructField(
+            physicalFieldName(f), physicalType(f.dataType), f.nullable)))
+        val partCols = st.partitionColumns.map(c =>
+          col(physicalFieldName(st.schema(c))).as(c))
+        spark.read.option("basePath", dir).schema(physFullSchema)
+          .parquet(files.map(a => new Path(dir, a.path).toString): _*)
+          .select(dataCols.toSeq ++ partCols ++ prov: _*)
+          .select(outCols: _*)
+      } else {
+        val physDataSchema = StructType(dataFields.map(f =>
+          org.apache.spark.sql.types.StructField(
+            physicalFieldName(f), physicalType(f.dataType), f.nullable)))
+        files.groupBy(a => st.partitionColumns.map(c => mappedPartValue(st, a, c)))
+          .toSeq.sortBy(_._1.mkString(" "))
+          .map { case (pvs, fl) =>
+            val scan = spark.read.schema(physDataSchema)
+              .parquet(fl.map(a => new Path(dir, a.path).toString): _*)
+            val withData = scan.select(dataCols.toSeq ++ prov: _*)
+            st.partitionColumns.zip(pvs).foldLeft(withData) { case (df, (c, v)) =>
+              df.withColumn(c, lit(v).cast(st.schema(c).dataType))
+            }.select(outCols: _*)
+          }.reduce(_ unionByName _)
+      }
     dvMasks(spark, dir, st.copy(files = files)) match {
       case None => raw
       case Some(masks) => raw.filter(dvSurvives(masks))

@@ -144,6 +144,79 @@ class DeltaColumnMappingSpec extends AnyFunSuite {
       .filter(col("bucket") === "1").count() === 7L)
   }
 
+  test("Hive-pathed mapped tables read in ONE scan — no per-partition union") {
+    val dir = Files.createTempDirectory("graft-cm-onescan").toString
+    val df = (0L until 40L).map(i => (i, i * 10L, (i % 8).toString))
+      .toDF("id", "n_chars", "grp")
+    DeltaInterop.writeDelta(df, dir, Seq("grp"))
+    DeltaInterop.renameColumn(spark, dir, "n_chars", "chars")
+    DeltaInterop.renameColumn(spark, dir, "grp", "bucket")
+    val t = DeltaInterop.readDelta(spark, dir)
+    // 8 partitions, but the PLAN must carry exactly one parquet scan —
+    // plan size stays O(1) in the partition count (a 10k-partition
+    // mapped table must not plan 10k scans)
+    val plan = t.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 scan for a Hive-pathed mapped table, got $scans:\n$plan")
+    assert(!plan.contains("Union"), s"mapped read still unions per partition:\n$plan")
+    assert(t.count() === 40L)
+    assert(t.filter(col("bucket") === "3").agg(sum("chars")).head().getLong(0)
+      === (0L until 40L).filter(_ % 8 == 3).map(_ * 10).sum)
+    // partition pruning must reach the scan through the rename
+    val pruned = DeltaInterop.readDeltaWhere(spark, dir,
+      partitionEq = Map("bucket" -> "3"))
+    assert(pruned.count() === 5L)
+  }
+
+  test("addColumn on a mapped table: fresh id, old files read NULL, appends carry it") {
+    val dir = Files.createTempDirectory("graft-cm-addcol").toString
+    val df = (0L until 10L).map(i => (i, s"body $i")).toDF("id", "body")
+    DeltaInterop.writeDelta(df, dir, Nil)                              // v0
+    DeltaInterop.renameColumn(spark, dir, "body", "text")              // v1: mapped
+    val before = DeltaInterop.state(spark, dir)
+    val maxId0 = before.configuration("delta.columnMapping.maxColumnId").toLong
+    DeltaInterop.addColumn(spark, dir, "score", DoubleType)            // v2
+    val st = DeltaInterop.state(spark, dir)
+    // fresh id PAST maxColumnId, synthetic physical name
+    val f = st.schema("score")
+    assert(f.metadata.getLong("delta.columnMapping.id") === maxId0 + 1)
+    assert(f.metadata.getString("delta.columnMapping.physicalName") === s"col-${maxId0 + 1}")
+    assert(st.configuration("delta.columnMapping.maxColumnId").toLong === maxId0 + 1)
+    // old files read the new column as NULL
+    val t0 = DeltaInterop.readDelta(spark, dir)
+    assert(t0.columns.toSeq === Seq("id", "text", "score"))
+    assert(t0.filter(col("score").isNull).count() === 10L)
+    // an append carrying the column stages it under the PHYSICAL name
+    DeltaInterop.writeDelta(
+      (10L until 14L).map(i => (i, s"body $i", i * 0.5)).toDF("id", "text", "score"),
+      dir, Nil)                                                        // v3
+    val newest = DeltaInterop.state(spark, dir).files.map(_.path)
+      .filterNot(st.files.map(_.path).toSet).head
+    val raw = spark.read.parquet(s"$dir/$newest")
+    assert(raw.columns.contains(s"col-${maxId0 + 1}") && !raw.columns.contains("score"),
+      s"appended file columns: ${raw.columns.mkString(",")}")
+    // both epochs in one read: nulls below v3, values at v3
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.count() === 14L)
+    assert(t.filter(col("score").isNotNull).count() === 4L)
+    assert(t.agg(sum("score")).head().getDouble(0) === (10 until 14).map(_ * 0.5).sum)
+    // renaming the ADDED column works too (id/physical frozen)
+    DeltaInterop.renameColumn(spark, dir, "score", "quality")
+    assert(DeltaInterop.readDelta(spark, dir)
+      .filter(col("quality").isNotNull).count() === 4L)
+  }
+
+  test("addColumn on an UNMAPPED table appends a plain nullable field") {
+    val dir = Files.createTempDirectory("graft-plain-addcol").toString
+    DeltaInterop.writeDelta((0L until 5L).map(i => (i, s"n$i")).toDF("id", "name"), dir, Nil)
+    DeltaInterop.addColumn(spark, dir, "score", DoubleType)
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.columns.toSeq === Seq("id", "name", "score"))
+    assert(t.filter(col("score").isNull).count() === 5L)
+    intercept[IllegalArgumentException](
+      DeltaInterop.addColumn(spark, dir, "score", DoubleType))
+  }
+
   test("rename refuses collisions; evolution refuses mapped tables; compact works") {
     val dir = Files.createTempDirectory("graft-rename-guard").toString
     DeltaInterop.writeDelta(

@@ -99,6 +99,10 @@ object Bench {
     // forever — q98 measures routing + ADC + re-rank, not the build.
     SparkEntry.ensureResidualIndex(spark, sfDir)
 
+    // host contention telemetry brackets the TIMED loop: steal/iowait
+    // deltas in the JSON let a reader attribute a slow run to a noisy
+    // host instead of a regression (or vice versa) without re-running
+    val ticksBefore = graft.tools.HostTelemetry.cpuTicks()
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -106,11 +110,13 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val host = graft.tools.HostTelemetry.deltaJson(
+      ticksBefore, graft.tools.HostTelemetry.cpuTicks())
     val qs = results
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$host%s,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -382,6 +382,14 @@ object OracleSql {
     "q163_delta_rename" ->
       """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q165: the two schema epochs replay analytically — even doc_ids
+    // (pre-evolution files) contribute NULL quality, odd doc_ids carry
+    // n_chars % 100 under the renamed + added columns
+    "q165_delta_addcol" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,
+        |  count(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS n_quality,
+        |  sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars % 100 END)::BIGINT AS quality
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

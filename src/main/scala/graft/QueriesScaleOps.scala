@@ -1646,4 +1646,50 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(sum(col("n0")).as("n"), sum(col("chars0")).as("chars"))
       .orderBy(col("change_type"), col("lang"))
   }
+
+  /** q165 — SCHEMA EVOLUTION on a mapped table
+    * ([[graft.io.DeltaInterop.addColumn]]): rename (upgrades to column
+    * mapping, physical names frozen) → ADD COLUMN `quality` (fresh
+    * mapping id, metadata-only — zero files rewritten, asserted) →
+    * append rows CARRYING the new column (staged under its physical
+    * `col-<id>` name, asserted on the raw parquet) → one unified read
+    * across both epochs: pre-evolution files surface NULL quality,
+    * post-evolution files their values. The oracle replays the two
+    * epochs analytically over the corpus. */
+  private[graft] def q165(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q165")
+    graft.io.DeltaInterop.writeDelta(
+      docs.filter(col("doc_id") % 2 === 0), tmp, Seq("lang"))             // v0
+    graft.io.DeltaInterop.renameColumn(s, tmp, "n_chars", "chars")        // v1
+    val paths1 = graft.io.DeltaInterop.state(s, tmp).files.map(_.path).toSet
+    graft.io.DeltaInterop.addColumn(s, tmp, "quality",
+      org.apache.spark.sql.types.LongType)                                // v2
+    val st2 = graft.io.DeltaInterop.state(s, tmp)
+    require(st2.files.map(_.path).toSet == paths1,
+      "addColumn must be metadata-only: zero files rewritten")
+    val fld = st2.schema("quality")
+    require(fld.metadata.contains("delta.columnMapping.id"),
+      "a column added to a mapped table needs a fresh mapping id")
+    val physQuality = fld.metadata.getString("delta.columnMapping.physicalName")
+    graft.io.DeltaInterop.writeDelta(
+      docs.filter(col("doc_id") % 2 =!= 0).select(
+        col("doc_id"), col("lang"), col("n_chars").as("chars"),
+        (col("n_chars") % 100).cast("long").as("quality")),
+      tmp, Seq("lang"))                                                   // v3
+    val newest = graft.io.DeltaInterop.state(s, tmp).files
+      .map(_.path).filterNot(paths1).headOption
+      .getOrElse(throw new IllegalStateException("append staged no files"))
+    val raw = s.read.parquet(s"$tmp/$newest")
+    require(raw.columns.contains(physQuality) && !raw.columns.contains("quality"),
+      s"append must stage the PHYSICAL column name; file has ${raw.columns.mkString(",")}")
+    val t = graft.io.DeltaInterop.readDelta(s, tmp)
+    require(t.filter(col("doc_id") % 2 === 0 && col("quality").isNotNull)
+      .limit(1).collect().isEmpty,
+      "pre-evolution files must read NULL for the added column")
+    t.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("chars"),
+        count(col("quality")).as("n_quality"), sum(col("quality")).as("quality"))
+      .orderBy(col("lang"))
+  }
 }

@@ -1,5 +1,6 @@
 package graft.io
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
@@ -110,6 +111,11 @@ object DeletionVectors {
     var bi = 0
     while (bi < nBitmaps) {
       highs(bi) = b.getInt
+      // the portable format orders high words UNSIGNED; a negative key
+      // (row index >= 2^63) would break the signed binarySearch in
+      // RoaringBitmapArray.contains — refuse loudly rather than silently
+      // resurrect deleted rows (parquet row indexes never get there)
+      require(highs(bi) >= 0, s"DV high word ${highs(bi)} out of supported range (< 2^63)")
       maps(bi) = readBitmap32(b)
       bi += 1
     }
@@ -264,18 +270,25 @@ object DeletionVectors {
     * descriptor); masked READS use [[loadBitmap]]. */
   def loadPositions(spark: SparkSession, tableDir: String,
                     descriptorJson: String): Array[Long] =
-    parse(loadBytes(spark, tableDir, descriptorJson)).toPositions
+    parse(loadBytes(spark.sparkContext.hadoopConfiguration, tableDir, descriptorJson)).toPositions
 
   /** Load one descriptor's bitmap as a queryable [[RoaringBitmapArray]]
     * — O(bitmap bytes), the masked-read unit. */
   def loadBitmap(spark: SparkSession, tableDir: String,
                  descriptorJson: String): RoaringBitmapArray =
-    parse(loadBytes(spark, tableDir, descriptorJson))
+    parse(loadBytes(spark.sparkContext.hadoopConfiguration, tableDir, descriptorJson))
+
+  /** Configuration-keyed twin of [[loadBitmap]] — the executor-side
+    * unit (distributed DV authoring merges OLD bitmaps on executors,
+    * where no SparkSession exists). */
+  def loadBitmap(conf: Configuration, tableDir: String,
+                 descriptorJson: String): RoaringBitmapArray =
+    parse(loadBytes(conf, tableDir, descriptorJson))
 
   /** The raw portable-serialization bytes of one descriptor's bitmap:
     * inline ("i") payloads decode in place; sidecar ("u") and absolute
     * ("p") storage read the length-prefixed, CRC-checked frame. */
-  private def loadBytes(spark: SparkSession, tableDir: String,
+  private def loadBytes(conf: Configuration, tableDir: String,
                         descriptorJson: String): Array[Byte] = {
     val M = new com.fasterxml.jackson.databind.ObjectMapper()
     val n = M.readTree(descriptorJson)
@@ -291,7 +304,7 @@ object DeletionVectors {
         }
         val offset = if (n.has("offset")) n.get("offset").asInt else 0
         val size = n.get("sizeInBytes").asInt
-        val f = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val f = path.getFileSystem(conf)
         val in = f.open(path)
         try {
           in.seek(offset.toLong)
@@ -316,14 +329,27 @@ object DeletionVectors {
   }
 
   /** Write a DV sidecar file holding one bitmap and return the `add`
-    * action's descriptor JSON (storageType "u"). Fixture/authoring
-    * helper — the production row ops stay copy-on-write. */
+    * action's descriptor JSON (storageType "u"). Positions-array
+    * convenience over [[writeSidecar(conf*]] — fixtures and small DVs;
+    * the distributed authoring path passes pre-serialized bitmap bytes
+    * and never materializes positions. */
   def writeSidecar(spark: SparkSession, tableDir: String,
-                   positions: Array[Long]): String = {
+                   positions: Array[Long]): String =
+    writeSidecar(spark.sparkContext.hadoopConfiguration, tableDir,
+      serialize(positions), positions.length.toLong)
+
+  /** Write one DV sidecar from ALREADY-SERIALIZED portable bitmap bytes
+    * — the executor-side unit ([[graft.io.DeltaInterop.deleteWhereDV]]
+    * builds per-file bitmaps distributed and writes each sidecar on the
+    * executor that aggregated it; only the returned descriptor JSON
+    * travels to the driver). Frame: version byte 1, 4-byte BE length,
+    * bitmap bytes, 4-byte BE CRC32 — the delta-spark on-disk DV file
+    * layout. */
+  def writeSidecar(conf: Configuration, tableDir: String,
+                   data: Array[Byte], cardinality: Long): String = {
     val uuid = java.util.UUID.randomUUID()
-    val data = serialize(positions)
     val path = new Path(tableDir, s"deletion_vector_$uuid.bin")
-    val f = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = path.getFileSystem(conf)
     val out = f.create(path, false)
     try {
       out.write(1) // format version byte
@@ -338,7 +364,7 @@ object DeletionVectors {
     bb.putLong(uuid.getMostSignificantBits)
     bb.putLong(uuid.getLeastSignificantBits)
     val enc = z85Encode(bb.array())
-    s"""{"storageType":"u","pathOrInlineDv":"$enc","offset":1,"sizeInBytes":${data.length},"cardinality":${positions.length}}"""
+    s"""{"storageType":"u","pathOrInlineDv":"$enc","offset":1,"sizeInBytes":${data.length},"cardinality":$cardinality}"""
   }
 }
 
@@ -361,15 +387,21 @@ final class RoaringBitmapArray private[io] (
   /** Total number of set positions (sums container cardinalities). */
   def cardinality: Long = maps.iterator.map(_.cardinality).sum
 
-  /** Expand to sorted positions — O(cardinality); write-path only. */
-  def toPositions: Array[Long] = {
-    val out = Array.newBuilder[Long]
+  /** Visit every set position in ascending order — O(cardinality), no
+    * intermediate array (the bitmap-to-bitmap merge unit). */
+  def foreach(emit: Long => Unit): Unit = {
     var i = 0
     while (i < highs.length) {
       val high = (highs(i).toLong & 0xffffffffL) << 32
-      maps(i).foreach(v => out += (high | (v.toLong & 0xffffffffL)))
+      maps(i).foreach(v => emit(high | (v.toLong & 0xffffffffL)))
       i += 1
     }
+  }
+
+  /** Expand to sorted positions — O(cardinality); write-path only. */
+  def toPositions: Array[Long] = {
+    val out = Array.newBuilder[Long]
+    foreach(out += _)
     out.result()
   }
 }
@@ -448,5 +480,212 @@ object RoaringBitmapArray {
         i += 1
       }
     }
+  }
+}
+
+/** Mutable RoaringBitmapArray under construction — the DV AUTHORING
+  * unit. Executors accumulate deleted row indexes into this inside
+  * [[graft.functions.expressions.DvBitmapAgg]] (a
+  * TypedImperativeAggregate: map-side partial bitmaps merge at the
+  * shuffle, so the exchange moves O(bitmap bytes) per file, never
+  * O(deleted positions) rows), then OR in the file's OLD bitmap and
+  * emit the portable serialization. Memory is roaring-shaped: each
+  * 2^16-row chunk holds either a growable u16 array (≤ 4096 lows) or
+  * an 8 KiB bit set — a 100 M-position DV is a few MB, and NOTHING here
+  * ever touches the driver (positions stay on the executor that
+  * aggregated them).
+  *
+  * Not thread-safe (one aggregation buffer per task, Spark's contract).
+  */
+final class RoaringBitmapBuilder {
+  import RoaringBitmapBuilder.LowBuf
+
+  // container id = position >>> 16 (high-32 word ++ u16 container key);
+  // payload: LowBuf (array container, sorted+deduped at result()) or
+  // Array[Long](1024) (bitmap container)
+  private val containers = scala.collection.mutable.LongMap.empty[AnyRef]
+
+  def add(pos: Long): Unit = {
+    require(pos >= 0, s"negative DV row index $pos")
+    val cid = pos >>> 16
+    val low = (pos & 0xffffL).toInt
+    containers.getOrNull(cid) match {
+      case null =>
+        val b = new LowBuf(new Array[Char](16), 0)
+        b.arr(0) = low.toChar; b.n = 1
+        containers(cid) = b
+      case w: Array[Long] =>
+        w(low >>> 6) |= 1L << (low & 63)
+      case b: LowBuf =>
+        if (b.n >= 4096) { // upgrade to a bitmap container
+          val w = new Array[Long](1024)
+          var i = 0
+          while (i < b.n) { val x = b.arr(i); w(x >>> 6) |= 1L << (x & 63); i += 1 }
+          w(low >>> 6) |= 1L << (low & 63)
+          containers(cid) = w
+        } else {
+          if (b.n == b.arr.length) {
+            val na = new Array[Char](b.arr.length * 2)
+            System.arraycopy(b.arr, 0, na, 0, b.n)
+            b.arr = na
+          }
+          b.arr(b.n) = low.toChar; b.n += 1
+        }
+    }
+  }
+
+  /** OR in a parsed (immutable) bitmap — the old-DV merge. */
+  def or(other: RoaringBitmapArray): Unit = other.foreach(add)
+
+  /** OR in another builder (aggregate-merge). Container-level for
+    * bitmap payloads; safe to share arrays — `other` is discarded. */
+  def merge(other: RoaringBitmapBuilder): Unit =
+    other.containers.foreach { case (cid, payload) =>
+      containers.getOrNull(cid) match {
+        case null => containers(cid) = payload
+        case mineW: Array[Long] =>
+          payload match {
+            case w: Array[Long] =>
+              var i = 0
+              while (i < 1024) { mineW(i) |= w(i); i += 1 }
+            case b: LowBuf =>
+              var i = 0
+              while (i < b.n) { val x = b.arr(i); mineW(x >>> 6) |= 1L << (x & 63); i += 1 }
+          }
+        case _ =>
+          val base = cid << 16
+          payload match {
+            case w: Array[Long] =>
+              var wi = 0
+              while (wi < 1024) {
+                var word = w(wi); var bit = 0
+                while (word != 0) {
+                  if ((word & 1L) != 0) add(base | (wi * 64 + bit))
+                  word >>>= 1; bit += 1
+                }
+                wi += 1
+              }
+            case b: LowBuf =>
+              var i = 0
+              while (i < b.n) { add(base | b.arr(i)); i += 1 }
+          }
+      }
+    }
+
+  /** Finalize: (portable RoaringBitmapArray bytes, exact cardinality).
+    * Sorts + dedups array containers in place; idempotent. */
+  def result(): (Array[Byte], Long) = {
+    val cids = containers.keysIterator.toArray
+    java.util.Arrays.sort(cids) // cids >= 0 (pos >= 0), signed sort == unsigned
+    var card = 0L
+    // finalize payloads: (cid, containerCard, lows extractor)
+    val finals = cids.map { cid =>
+      containers(cid) match {
+        case w: Array[Long] =>
+          var c = 0
+          var i = 0
+          while (i < 1024) { c += java.lang.Long.bitCount(w(i)); i += 1 }
+          card += c
+          (cid, c, w: AnyRef)
+        case b: LowBuf =>
+          java.util.Arrays.sort(b.arr, 0, b.n)
+          // dedup in place (defensive — authoring inputs are unique)
+          var out = 0
+          var i = 0
+          while (i < b.n) {
+            if (out == 0 || b.arr(i) != b.arr(out - 1)) { b.arr(out) = b.arr(i); out += 1 }
+            i += 1
+          }
+          b.n = out
+          card += out
+          (cid, out, b: AnyRef)
+      }
+    }
+    // group consecutive cids by high-32 word into per-high 32-bit bitmaps
+    val byHigh = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[(Int, Int, AnyRef)])]
+    var s = 0
+    while (s < finals.length) {
+      val high = (finals(s)._1 >>> 16).toInt
+      var e = s
+      while (e < finals.length && (finals(e)._1 >>> 16).toInt == high) e += 1
+      byHigh += ((high, finals.slice(s, e).map { case (cid, c, p) =>
+        ((cid & 0xffffL).toInt, c, p) }))
+      s = e
+    }
+    val bitmaps = byHigh.map { case (high, conts) => (high, writeBitmap32(conts)) }
+    val total = 4 + 8 + bitmaps.map(4 + _._2.length).sum
+    val out = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.putInt(DeletionVectors.PortableMagic)
+    out.putLong(bitmaps.size.toLong)
+    bitmaps.foreach { case (high, bytes) => out.putInt(high); out.put(bytes) }
+    (out.array(), card)
+  }
+
+  // one standard 32-bit roaring bitmap (cookie 12346, array/bitmap
+  // containers, offset table) — mirrors DeletionVectors.writeBitmap32
+  // but emits straight from finalized container payloads
+  private def writeBitmap32(conts: Array[(Int, Int, AnyRef)]): Array[Byte] = {
+    val n = conts.length
+    val payloadLen = conts.map { case (_, c, p) =>
+      p match { case _: Array[Long] if c > 4096 => 8192; case _ => c * 2 }
+    }
+    val size = 4 + 4 + n * 4 + n * 4 + payloadLen.sum
+    val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(12346) // SERIAL_COOKIE_NO_RUNCONTAINER
+    b.putInt(n)
+    conts.foreach { case (key, c, _) =>
+      b.putShort(key.toShort); b.putShort((c - 1).toShort)
+    }
+    var off = 4 + 4 + n * 4 + n * 4
+    var i = 0
+    while (i < n) { b.putInt(off); off += payloadLen(i); i += 1 }
+    conts.foreach { case (_, c, p) =>
+      p match {
+        case w: Array[Long] if c > 4096 => w.foreach(b.putLong)
+        case w: Array[Long] => // small bitmap container -> canonical array form
+          var wi = 0
+          while (wi < 1024) {
+            var word = w(wi); var bit = 0
+            while (word != 0) {
+              if ((word & 1L) != 0) b.putShort(((wi << 6) | bit).toShort)
+              word >>>= 1; bit += 1
+            }
+            wi += 1
+          }
+        case lb: LowBuf =>
+          var i2 = 0
+          while (i2 < lb.n) { b.putShort(lb.arr(i2).toShort); i2 += 1 }
+      }
+    }
+    b.array()
+  }
+}
+
+object RoaringBitmapBuilder {
+  private[io] final class LowBuf(var arr: Array[Char], var n: Int)
+
+  /** Rehydrate from portable bytes (aggregate-buffer deserialization at
+    * shuffle boundaries). */
+  def fromBytes(bytes: Array[Byte]): RoaringBitmapBuilder = {
+    val b = new RoaringBitmapBuilder
+    b.or(DeletionVectors.parse(bytes))
+    b
+  }
+}
+
+/** Java-serializable Hadoop Configuration carrier (Configuration itself
+  * is Writable but not Serializable) — lets executor-side DV sidecar
+  * writes resolve the right FileSystem. Same shape as Spark's internal
+  * util; reimplemented here because that one is `private[spark]`. */
+final class SerializableHadoopConf(@transient var value: Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
   }
 }

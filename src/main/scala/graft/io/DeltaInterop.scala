@@ -371,6 +371,15 @@ object DeltaInterop {
       "rather than break the feature's invariants")
   }
 
+  /** `delta.appendOnly=true` (the writer-v2 `appendOnly` feature):
+    * refuse any operation that would commit dataChange=true removes.
+    * Layout-only swaps (compact/zorder, dataChange=false) stay legal —
+    * the feature constrains ROW changes, not file layout. */
+  private def requireRemovable(st: DeltaState, dir: String, op: String): Unit =
+    require(!st.configuration.get("delta.appendOnly").exists(_.trim.equalsIgnoreCase("true")),
+      s"table at $dir has delta.appendOnly=true — $op removes rows; " +
+      "only appends and dataChange=false rewrites are allowed")
+
   /** One `add` action's JSON node → [[AddFile]]. */
   private def parseAddNode(a: JsonNode): AddFile = {
     val tags =
@@ -681,6 +690,11 @@ object DeltaInterop {
   def checkpoint(spark: SparkSession, dir: String,
                  version: Option[Long] = None): Long = {
     val st = state(spark, dir, version)
+    // a checkpoint is a WRITE of table state: the fixed CpRow schema
+    // cannot carry feature-required add fields (baseRowId, ...), so for
+    // a table with unsupported writer features it would be LOSSY — and
+    // after cleanupLog, the only state source. Refuse by name instead.
+    requireWritable(st, dir)
     val f = fs(spark, dir)
     // the checkpoint is the ONLY protocol source once cleanupLog drops
     // the JSON prefix — it must carry the REPLAYED protocol (features
@@ -944,7 +958,7 @@ object DeltaInterop {
     * expression to FALSE (NULL passes — SQL CHECK semantics). One
     * distributed limit-1 probe per constraint per write, on the frame
     * about to stage. */
-  private def enforceConstraints(df: DataFrame, st: DeltaState): Unit =
+  private def enforceConstraints(df: DataFrame, st: DeltaState): Unit = {
     st.configuration.foreach { case (k, exprSql) =>
       if (k.startsWith("delta.constraints.")) {
         val name = k.stripPrefix("delta.constraints.")
@@ -954,6 +968,23 @@ object DeltaInterop {
             s"CHECK constraint $name ($exprSql) violated by e.g. ${bad.head}")
       }
     }
+    // column INVARIANTS (writer v2's `delta.invariants` field metadata,
+    // PROTOCOL.md "Column Invariants"): same limit-1 probe per
+    // invariant — the feature sits in SupportedWriterFeatures, so a
+    // foreign table carrying them must actually be policed on write
+    st.schema.fields.foreach { fd =>
+      if (fd.metadata.contains("delta.invariants")) {
+        val node = M.readTree(fd.metadata.getString("delta.invariants"))
+        val sql = node.path("expression").path("expression").asText(null)
+        if (sql != null && df.columns.contains(fd.name)) {
+          val bad = df.filter(expr(sql) === lit(false)).limit(1).collect()
+          if (bad.nonEmpty)
+            throw new IllegalArgumentException(
+              s"column invariant on ${fd.name} ($sql) violated by e.g. ${bad.head}")
+        }
+      }
+    }
+  }
 
   /** ALTER TABLE ADD CONSTRAINT: store the CHECK expression as a
     * `delta.constraints.<name>` property (the protocol's encoding).
@@ -1050,6 +1081,7 @@ object DeltaInterop {
     val prevState = if (prev >= 0) Some(state(spark, dir)) else None
     prevState.foreach { st =>
       requireWritable(st, dir)
+      if (overwrite) requireRemovable(st, dir, "overwrite")
       require(st.partitionColumns == partCols,
         s"partition columns ${partCols.mkString(",")} != table's ${st.partitionColumns.mkString(",")}")
       val missing = st.schema.fieldNames.filterNot(schema.fieldNames.contains)
@@ -1864,6 +1896,64 @@ object DeltaInterop {
     files.map(a => f.makeQualified(new Path(dir, a.path)).toString -> a).toMap
   }
 
+  /** Distributed DV authoring: for every candidate file holding at
+    * least one `hit` row, build the file's NEW deletion bitmap, OR in
+    * its OLD one, and write the sidecar — ALL executor-side. One row
+    * per touched file comes back:
+    * `(qualifiedPath, descriptorJsonOrNull, mergedCardinality,
+    * newlyHitCount)`; descriptor is null when the merged bitmap covers
+    * every physical row (caller drops the file with a bare remove).
+    *
+    * Scale shape (the write-side mirror of the broadcast-bitmap masked
+    * read): row indexes fold into [[graft.functions.expressions.DvBitmapAgg]]
+    * — a TypedImperativeAggregate whose partial buffers ARE portable
+    * roaring bytes, so the exchange moves per-(file × partition)
+    * bitmaps, and the driver never sees a position. A 1%-selectivity
+    * delete on a 100 TB table costs the driver |touched files|
+    * descriptor strings, not hundreds of millions of longs. */
+  private[graft] def dvDescriptorsPerFile(
+      spark: SparkSession, dir: String, st: DeltaState,
+      candidates: Seq[AddFile],
+      hit: org.apache.spark.sql.Column)
+    : org.apache.spark.sql.Dataset[(String, String, Long, Long)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    // per-file metadata the executors need: old DV descriptor (nullable)
+    // + physical row count — file-count-bounded, broadcast once
+    val meta: Map[String, (String, Long)] =
+      qualifiedIndex(spark, dir, candidates).map { case (q, a) =>
+        q -> ((a.deletionVector, a.numRecords))
+      }
+    val metaB = spark.sparkContext.broadcast(meta)
+    val confB = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val tableDir = dir
+    val bm = column(graft.functions.expressions.DvBitmapAgg(
+      expression(col("_graft_pos"))).toAggregateExpression())
+    scanWithProvenance(spark, dir, st, candidates)
+      .filter(hit)
+      .groupBy(col("_graft_file"))
+      .agg(bm.as("bm"))
+      .as[(String, Array[Byte])]
+      .map { case (file, bmBytes) =>
+        val newCount = DeletionVectors.parse(bmBytes).cardinality
+        val (oldDesc, numRecords) = metaB.value(file)
+        val (mergedBytes, mergedCard) =
+          if (oldDesc == null) (bmBytes, newCount)
+          else {
+            // bitmap OR bitmap — the old DV stays containers, never positions
+            val b = RoaringBitmapBuilder.fromBytes(bmBytes)
+            b.or(DeletionVectors.loadBitmap(confB.value.value, tableDir, oldDesc))
+            b.result()
+          }
+        val desc =
+          if (numRecords >= 0 && mergedCard >= numRecords) null
+          else DeletionVectors.writeSidecar(
+            confB.value.value, tableDir, mergedBytes, mergedCard)
+        (file, desc, mergedCard, newCount)
+      }
+  }
+
   /** The touched-file set: one distributed pass over the candidates,
     * returning the (small, file-count-bounded) list of files holding at
     * least one row where `hit` is true. */
@@ -1892,6 +1982,7 @@ object DeltaInterop {
                   ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int) = {
     val st = state(spark, dir)
     requireWritable(st, dir)
+    requireRemovable(st, dir, "DELETE")
     val touched = touchedFiles(spark, dir, st,
       prunedFiles(st, partitionEq, ranges), predicate <=> lit(true))
     if (touched.isEmpty) return (st.version, 0)
@@ -1941,33 +2032,26 @@ object DeltaInterop {
                     ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int, Long) = {
     val st = state(spark, dir)
     requireWritable(st, dir)
+    requireRemovable(st, dir, "DELETE")
     val candidates = prunedFiles(st, partitionEq, ranges)
     if (candidates.isEmpty) return (st.version, 0, 0L)
-    // physical row indices of the newly-deleted rows, grouped per file —
-    // collect is bounded by the DELETED rows (positions, not row data)
-    val perFile = scanWithProvenance(spark, dir, st, candidates)
-      .filter(predicate <=> lit(true))
-      .groupBy(col("_graft_file"))
-      .agg(collect_list(col("_graft_pos")).as("pos"))
-      .collect()
+    // DISTRIBUTED DV authoring: per-file bitmaps build + merge + write
+    // sidecars executor-side; the collect is one descriptor row per
+    // touched file — O(files), never O(deleted positions)
+    val perFile = dvDescriptorsPerFile(spark, dir, st, candidates,
+      predicate <=> lit(true)).collect()
     if (perFile.isEmpty) return (st.version, 0, 0L)
     val idx = qualifiedIndex(spark, dir, candidates)
     val removes = Seq.newBuilder[String]
     val adds = Seq.newBuilder[String]
     var deletedRows = 0L
-    perFile.foreach { r =>
-      val a = idx(r.getString(0))
-      val newPos = r.getSeq[Long](1).toArray
-      deletedRows += newPos.length
-      val oldPos =
-        if (a.deletionVector == null) Array.empty[Long]
-        else DeletionVectors.loadPositions(spark, dir, a.deletionVector)
-      val merged = (oldPos ++ newPos).distinct
+    perFile.foreach { case (file, desc, _, newCount) =>
+      val a = idx(file)
+      deletedRows += newCount
       removes += removeJson(a)
-      if (a.numRecords < 0 || merged.length < a.numRecords) {
-        val desc = DeletionVectors.writeSidecar(spark, dir, merged)
+      if (desc != null)
         adds += addJson(a.copy(deletionVector = desc))
-      } // else: every physical row is dead — the remove alone drops it
+      // else: every physical row is dead — the remove alone drops it
     }
     val cdcs =
       if (!cdfEnabled(st)) Nil
@@ -1999,16 +2083,15 @@ object DeltaInterop {
                     ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int, Long) = {
     val st = state(spark, dir)
     requireWritable(st, dir)
+    requireRemovable(st, dir, "UPDATE")
     val badCols = set.keys.filterNot(st.schema.fieldNames.contains)
     require(badCols.isEmpty, s"SET on unknown columns: ${badCols.mkString(",")}")
     val candidates = prunedFiles(st, partitionEq, ranges)
     if (candidates.isEmpty) return (st.version, 0, 0L)
     val hit = predicate <=> lit(true)
-    val perFile = scanWithProvenance(spark, dir, st, candidates)
-      .filter(hit)
-      .groupBy(col("_graft_file"))
-      .agg(collect_list(col("_graft_pos")).as("pos"))
-      .collect()
+    // distributed DV authoring — see deleteWhereDV; one descriptor row
+    // per touched file comes back, positions never leave the executors
+    val perFile = dvDescriptorsPerFile(spark, dir, st, candidates, hit).collect()
     if (perFile.isEmpty) return (st.version, 0, 0L)
     val postimage = scanWithProvenance(spark, dir, st, candidates)
       .filter(hit)
@@ -2023,19 +2106,13 @@ object DeltaInterop {
     val idx = qualifiedIndex(spark, dir, candidates)
     val actions = Seq.newBuilder[String]
     var updatedRows = 0L
-    perFile.foreach { r =>
-      val a = idx(r.getString(0))
-      val newPos = r.getSeq[Long](1).toArray
-      updatedRows += newPos.length
-      val oldPos =
-        if (a.deletionVector == null) Array.empty[Long]
-        else DeletionVectors.loadPositions(spark, dir, a.deletionVector)
-      val merged = (oldPos ++ newPos).distinct
+    perFile.foreach { case (file, desc, _, newCount) =>
+      val a = idx(file)
+      updatedRows += newCount
       actions += removeJson(a)
-      if (a.numRecords < 0 || merged.length < a.numRecords) {
-        val desc = DeletionVectors.writeSidecar(spark, dir, merged)
+      if (desc != null)
         actions += addJson(a.copy(deletionVector = desc))
-      } // else: every remaining live row updated — the remove alone drops it
+      // else: every remaining live row updated — the remove alone drops it
     }
     newAdds.foreach(a => actions += addJson(a))
     if (cdfEnabled(st)) {
@@ -2062,6 +2139,7 @@ object DeltaInterop {
                   ranges: Map[String, (Double, Double)] = Map.empty): (Long, Int) = {
     val st = state(spark, dir)
     requireWritable(st, dir)
+    requireRemovable(st, dir, "UPDATE")
     val badCols = set.keys.filterNot(st.schema.fieldNames.contains)
     require(badCols.isEmpty, s"SET on unknown columns: ${badCols.mkString(",")}")
     require(set.keys.forall(c => !st.partitionColumns.contains(c)),
@@ -2114,6 +2192,7 @@ object DeltaInterop {
             keyCols: Seq[String]): (Long, Int, Long) = {
     val st = state(spark, dir)
     requireWritable(st, dir)
+    requireRemovable(st, dir, "MERGE")
     require(st.schema.fieldNames.sorted.sameElements(
       source.schema.fieldNames.sorted),
       s"merge source columns ${source.columns.sorted.mkString(",")} != table's ${st.schema.fieldNames.sorted.mkString(",")}")
@@ -2286,6 +2365,7 @@ object DeltaInterop {
     val target = state(spark, dir, Some(toVersion))
     val cur = state(spark, dir)
     requireWritable(cur, dir)
+    requireRemovable(cur, dir, "RESTORE")
     if (toVersion == cur.version) return (cur.version, 0, 0)
     val curByPath = cur.files.map(a => a.path -> a).toMap
     val tgtByPath = target.files.map(a => a.path -> a).toMap
@@ -2353,11 +2433,14 @@ object DeltaInterop {
   private[graft] def commitMeta(spark: SparkSession, dir: String,
                                 v: Long): CommitMeta = {
     val key = (dir, v)
-    val cached = commitMetaCache.get(key)
-    if (cached != null) return cached
     val f = fs(spark, dir)
     val p = logFile(dir, v)
+    // one cheap getFileStatus validates a cache hit: a table deleted and
+    // recreated at the same path must not serve the old table's
+    // timestamps/operations to history(), time travel, or the CDF
     val mtime = f.getFileStatus(p).getModificationTime
+    val cached = commitMetaCache.get(key)
+    if (cached != null && cached.mtime == mtime) return cached
     val in = f.open(p)
     val ci: Option[JsonNode] =
       try {

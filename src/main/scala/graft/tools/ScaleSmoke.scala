@@ -73,6 +73,7 @@ object ScaleSmoke {
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()
+    val ticksBefore = HostTelemetry.cpuTicks()
     headline.foreach { name =>
       val t0 = System.nanoTime()
       try {
@@ -82,6 +83,9 @@ object ScaleSmoke {
         case e: Throwable => println(s"[scale-smoke] $name FAILED: ${e.getMessage.take(120)}")
       }
     }
+    // contention telemetry over the whole timed sweep — same fields as
+    // the Bench JSON, so a contended host is visible in the smoke log
+    println(s"[scale-smoke] host {${HostTelemetry.deltaJson(ticksBefore, HostTelemetry.cpuTicks())}}")
     spark.stop()
   }
 }

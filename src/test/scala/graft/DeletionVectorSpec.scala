@@ -270,6 +270,56 @@ class DeletionVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("RoaringBitmapBuilder round-trips, merges, and ORs canonically") {
+    val rnd = new scala.util.Random(7)
+    val a = (Array.fill(50000)(math.abs(rnd.nextLong()) % (1L << 40)) ++
+      (100000L until 110000L)).distinct // sparse spread + a dense bitmap container
+    val b1 = new graft.io.RoaringBitmapBuilder
+    a.foreach(b1.add)
+    val (bytes, card) = b1.result()
+    assert(card == a.length.toLong)
+    assert(DV.parse(bytes).toPositions.toSeq == a.sorted.toSeq)
+    // merging two half-builders yields byte-identical canonical form
+    val (h1, h2) = a.splitAt(a.length / 2)
+    val m1 = new graft.io.RoaringBitmapBuilder; h1.foreach(m1.add)
+    val m2 = new graft.io.RoaringBitmapBuilder; h2.foreach(m2.add)
+    m1.merge(m2)
+    assert(m1.result()._1.toSeq == bytes.toSeq)
+    // OR-ing a parsed bitmap (the old-DV merge) agrees too
+    val o = graft.io.RoaringBitmapBuilder.fromBytes(m1.result()._1)
+    o.or(DV.parse(DV.serialize(Array(1L, 999L, (3L << 32) + 4))))
+    assert(o.result()._2 == card + 3)
+    assert(DV.parse(o.result()._1).contains((3L << 32) + 4))
+  }
+
+  test("DV authoring is DISTRIBUTED: bitmap aggregate in the plan, driver rows == touched files") {
+    val dir = Files.createTempDirectory("graft-dv-author").toString
+    DeltaInterop.writeDelta(
+      spark.range(2000000L).toDF("id").repartition(4), dir, Nil)
+    val st = DeltaInterop.state(spark, dir)
+    val ds = DeltaInterop.dvDescriptorsPerFile(
+      spark, dir, st, st.files, col("id") % 2 === 0L)
+    val plan = ds.queryExecution.executedPlan.toString
+    // positions fold into per-file roaring bitmaps via a typed-imperative
+    // aggregate (hash-based both sides) — never a collect_list of rows
+    assert(plan.contains("dv_bitmap"), s"bitmap aggregate missing:\n$plan")
+    assert(!plan.contains("collect_list"), s"positions-as-rows aggregation:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"expected hash agg:\n$plan")
+    val rows = ds.collect()
+    assert(rows.length == st.files.length,
+      s"driver saw ${rows.length} rows for ${st.files.length} files")
+    assert(rows.map(_._4).sum == 1000000L)
+    rows.foreach { case (_, desc, mergedCard, newCount) =>
+      assert(desc != null && mergedCard == newCount)
+    }
+    // end-to-end: the real delete masks 1M rows and reads stay correct
+    val (_, touched, nDel) = DeltaInterop.deleteWhereDV(spark, dir, col("id") % 2 === 0L)
+    assert(touched == st.files.length && nDel == 1000000L)
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.count() == 1000000L)
+    assert(t.filter(col("id") % 2 === 0L).count() == 0L)
+  }
+
   test("deleteWhereDV drops fully-dead files; vacuum GCs orphaned sidecars") {
     val dir = Files.createTempDirectory("graft-dv-gc").toString
     val df = (0L until 100L).map(i => (i, i / 50, s"n_$i")).toDF("id", "half", "name")

@@ -152,5 +152,60 @@ class DeltaProtocolSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       DeltaInterop.deleteWhere(spark, dir, col("id") === 1L))
     assert(e2.getMessage.contains("rowTracking"))
+    // a checkpoint is a WRITE of state: the fixed checkpoint schema
+    // would silently drop feature-required add fields — refuse by name
+    val e3 = intercept[IllegalArgumentException](
+      DeltaInterop.checkpoint(spark, dir))
+    assert(e3.getMessage.contains("rowTracking"), e3.getMessage)
+  }
+
+  test("delta.appendOnly blocks row-removing ops; appends and compaction stay legal") {
+    val dir = Files.createTempDirectory("graft-proto-appendonly").toString
+    DeltaInterop.writeDelta((0L until 20L).toDF("id").repartition(2), dir, Nil)
+    DeltaInterop.setTableProperties(spark, dir, Map("delta.appendOnly" -> "true"))
+    def blocked(f: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("delta.appendOnly"), e.getMessage)
+    }
+    blocked(DeltaInterop.deleteWhere(spark, dir, col("id") < 5L))
+    blocked(DeltaInterop.deleteWhereDV(spark, dir, col("id") < 5L))
+    blocked(DeltaInterop.updateWhere(spark, dir, col("id") < 5L, Map("id" -> lit(99L))))
+    blocked(DeltaInterop.updateWhereDV(spark, dir, col("id") < 5L, Map("id" -> lit(99L))))
+    blocked(DeltaInterop.merge(spark, dir, Seq(1L).toDF("id"), Seq("id")))
+    blocked(DeltaInterop.writeDelta(Seq(100L).toDF("id"), dir, Nil, overwrite = true))
+    // appends and dataChange=false layout rewrites remain legal
+    DeltaInterop.writeDelta((20L until 30L).toDF("id"), dir, Nil)
+    assert(DeltaInterop.readDelta(spark, dir).count() == 30)
+    val (_, in, out) = DeltaInterop.compact(spark, dir)
+    assert(in > 0 && out > 0, s"compaction should stay legal ($in -> $out)")
+    blocked(DeltaInterop.restore(spark, dir, 0L))
+    assert(DeltaInterop.readDelta(spark, dir).count() == 30)
+  }
+
+  test("delta.invariants column metadata is enforced on write") {
+    val dir = Files.createTempDirectory("graft-proto-invariant").toString
+    // a foreign table whose `id` column carries an invariant id >= 0
+    val fieldMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("delta.invariants",
+        """{"expression":{"expression":"id >= 0"}}""").build()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "id", org.apache.spark.sql.types.LongType, nullable = true, fieldMeta)))
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = M.createObjectNode(); val m = md.putObject("metaData")
+    m.put("id", "invariant-fixture")
+    val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+    m.put("schemaString", schema.json)
+    m.putArray("partitionColumns"); m.putObject("configuration"); m.put("createdTime", 0L)
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    Files.write(Paths.get(dir, "_delta_log", "00000000000000000000.json"),
+      (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        M.writeValueAsString(md)).mkString("\n") + "\n").getBytes("UTF-8"))
+    // a conforming append lands; a violating one is refused with the expression
+    DeltaInterop.writeDelta(Seq(1L, 2L).toDF("id"), dir, Nil)
+    val e = intercept[IllegalArgumentException](
+      DeltaInterop.writeDelta(Seq(3L, -1L).toDF("id"), dir, Nil))
+    assert(e.getMessage.contains("id >= 0"), e.getMessage)
+    assert(DeltaInterop.readDelta(spark, dir).count() == 2)
   }
 }

@@ -130,4 +130,18 @@ class ExpressionsSpec extends AnyFunSuite {
     ).head()
     assert(r.getInt(0) == 2 && r.getInt(1) == 3)
   }
+
+  test("HostTelemetry samples /proc/stat and emits monotone tick deltas") {
+    val before = graft.tools.HostTelemetry.cpuTicks()
+    assert(before.contains("steal") && before.contains("iowait"), before)
+    // burn a little CPU so the delta is visibly positive
+    var x = 0L
+    (0 until 20000000).foreach(i => x += i)
+    assert(x > 0)
+    val json = graft.tools.HostTelemetry.deltaJson(
+      before, graft.tools.HostTelemetry.cpuTicks())
+    assert(json.contains("\"steal_ticks\":") && json.contains("\"iowait_ticks\":"), json)
+    val total = "\"total_ticks\":(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toLong)
+    assert(total.exists(_ >= 0), json)
+  }
 }

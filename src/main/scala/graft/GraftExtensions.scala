@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL front-end for the Delta mutation surface (DELETE/UPDATE/MERGE/
+    // DESCRIBE HISTORY/RESTORE/table_changes over delta.`path` tables);
+    // every other statement delegates verbatim to Spark's parser
+    ext.injectParser((_, delegate) => new graft.sql.DeltaSqlParser(delegate))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - sequential double dot product of two numeric arrays"),

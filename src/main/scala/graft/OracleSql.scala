@@ -390,6 +390,17 @@ object OracleSql {
         |  count(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS n_quality,
         |  sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars % 100 END)::BIGINT AS quality
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q166: the SQL-driven lifecycle replays analytically — doc_id%7=3
+    // deleted (unless re-inserted by the merge), doc_id%3=0 merged to
+    // n_chars+1000 (overriding the earlier +50), doc_id%5=0 updated +50
+    "q166_delta_sql" ->
+      """SELECT lang, count(*) AS n_docs, sum(nc)::BIGINT AS chars FROM (
+        |  SELECT lang, CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+        |                    WHEN doc_id % 5 = 0 THEN n_chars + 50
+        |                    ELSE n_chars END AS nc
+        |  FROM documents
+        |  WHERE doc_id % 3 = 0 OR doc_id % 7 <> 3
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

@@ -1692,4 +1692,30 @@ private[graft] trait QueriesScaleOps extends QueryBase {
         count(col("quality")).as("n_quality"), sum(col("quality")).as("quality"))
       .orderBy(col("lang"))
   }
+
+  /** q166 — the SQL front-end for the Delta mutation surface
+    * ([[graft.sql.DeltaSqlParser]]): after the initial write, EVERY
+    * step is a `spark.sql(...)` statement — `DELETE FROM delta.`p``,
+    * `UPDATE ... SET`, `MERGE INTO ... WHEN MATCHED THEN UPDATE SET *
+    * WHEN NOT MATCHED THEN INSERT *`, and the final aggregate is a
+    * plain `SELECT ... FROM delta.`p``. The reference's end-user
+    * contract is exactly this shape (SQL over shared-catalog tables);
+    * the oracle replays the three mutations analytically. */
+  private[graft] def q166(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q166")
+    graft.io.DeltaInterop.writeDelta(docs, tmp, Seq("lang"))          // v0
+    s.sql(s"DELETE FROM delta.`$tmp` WHERE doc_id % 7 = 3")           // v1
+    s.sql(s"UPDATE delta.`$tmp` SET n_chars = n_chars + 50 WHERE doc_id % 5 = 0") // v2
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("lang"), (col("n_chars") + 1000).as("n_chars"))
+      .createOrReplaceTempView("graft_q166_src")
+    s.sql(
+      s"""MERGE INTO delta.`$tmp` t USING graft_q166_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)              // v3
+    s.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
+         |FROM delta.`$tmp` GROUP BY lang ORDER BY lang""".stripMargin)
+  }
 }

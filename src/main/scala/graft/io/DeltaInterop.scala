@@ -2271,16 +2271,104 @@ object DeltaInterop {
       s"change-feed range [$fromV,$toV] outside [0,${st.version}]")
     val out = st.schema.fieldNames.map(col) ++ Seq(col("_change_type"),
       col("_commit_version"), col("_commit_timestamp"))
-    val parts = (fromV to toV).flatMap { v =>
-      changeSet(spark, dir, st, v).map(_.select(out: _*))
+    // walk the range ONCE, bucketing each version's change carriers
+    val cdcByV = Seq.newBuilder[(Long, AddFile)]
+    val insByV = Seq.newBuilder[(Long, AddFile)]
+    (fromV to toV).foreach { v =>
+      val ca = commitActions(spark, dir, v)
+      if (ca.cdcs.nonEmpty) ca.cdcs.foreach(a => cdcByV += ((v, a)))
+      else if (ca.removesDataChange)
+        throw new IllegalStateException(
+          s"version $v of $dir removed data without change data — " +
+          "enable delta.enableChangeDataFeed before row-level operations to feed them")
+      else ca.adds.collect { case (a, true) => a }.foreach(a => insByV += ((v, a)))
     }
-    if (parts.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    val cdcs = cdcByV.result()
+    val ins = insByV.result()
+    if (cdcs.isEmpty && ins.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(st.schema.fields ++ Seq(
           org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("_commit_timestamp", org.apache.spark.sql.types.TimestampType))))
-    else parts.reduce(_ unionByName _)
+    // a wide range plans TWO scans (one over every cdc file, one over
+    // every appended file), not O(versions × partition tuples):
+    // `_commit_version`/`_commit_timestamp` ride a broadcast
+    // (file path → version, ts) hash join on `_metadata.file_path` —
+    // file-count-sized, no shuffle. Non-Hive foreign layouts fall back
+    // to the per-version change sets.
+    val versions = (cdcs.map(_._1) ++ ins.map(_._1)).distinct
+    val tsByV: Map[Long, java.sql.Timestamp] = versions.map(v =>
+      v -> new java.sql.Timestamp(commitMeta(spark, dir, v).timestamp)).toMap
+    val f = fs(spark, dir)
+    def stamp(df: DataFrame, files: Seq[(Long, AddFile)]): DataFrame = {
+      import spark.implicits._
+      val meta = files.map { case (v, a) =>
+        (f.makeQualified(new Path(dir, a.path)).toString, v, tsByV(v))
+      }.toDF("_graft_cdf_path", "_commit_version", "_commit_timestamp")
+      df.withColumn("_graft_cdf_path", col("_metadata.file_path"))
+        .join(broadcast(meta), Seq("_graft_cdf_path"))
+        .drop("_graft_cdf_path")
+    }
+    def physName(c: String): String = physicalFieldName(st.schema(c))
+    def hiveSeg(a: AddFile): String = st.partitionColumns.map { c =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(physName(c), mappedPartValue(st, a, c))
+    }.mkString("/")
+    val dataFields = st.schema.fields.filterNot(fd => st.partitionColumns.contains(fd.name))
+    // physical → logical rename (identity on unmapped tables)
+    val dataCols = dataFields.map { fd =>
+      val p = col(physicalFieldName(fd))
+      (if (physicalType(fd.dataType) == fd.dataType) p else p.cast(fd.dataType)).as(fd.name)
+    }
+    val partCols = st.partitionColumns.map(c =>
+      col(physName(c)).cast(st.schema(c).dataType).as(c))
+    val cdcPart: Option[DataFrame] =
+      if (cdcs.isEmpty) None
+      else if (st.partitionColumns.nonEmpty &&
+        !cdcs.forall { case (_, a) => a.path.startsWith(s"_change_data/${hiveSeg(a)}/") })
+        Some(cdcs.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, fl) =>
+          readCdcFiles(spark, dir, st, fl.map(_._2))
+            .withColumn("_commit_version", lit(v))
+            .withColumn("_commit_timestamp", lit(tsByV(v)))
+        }.reduce(_ unionByName _))
+      else {
+        val physSchema = StructType(
+          dataFields.map(fd => org.apache.spark.sql.types.StructField(
+            physicalFieldName(fd), physicalType(fd.dataType), fd.nullable)) ++
+          st.partitionColumns.map(c => org.apache.spark.sql.types.StructField(
+            physName(c), physicalType(st.schema(c).dataType))) :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType))
+        val scan = spark.read.option("basePath", s"$dir/_change_data")
+          .schema(physSchema)
+          .parquet(cdcs.map { case (_, a) => new Path(dir, a.path).toString }: _*)
+        Some(stamp(scan, cdcs)
+          .select(dataCols.toSeq ++ partCols ++ Seq(col("_change_type"),
+            col("_commit_version"), col("_commit_timestamp")): _*))
+      }
+    val insPart: Option[DataFrame] =
+      if (ins.isEmpty) None
+      else if (st.partitionColumns.nonEmpty &&
+        !ins.forall { case (_, a) => a.path.startsWith(s"${hiveSeg(a)}/") })
+        Some(ins.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, fl) =>
+          readSubset(spark, dir, st, fl.map(_._2))
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v))
+            .withColumn("_commit_timestamp", lit(tsByV(v)))
+        }.reduce(_ unionByName _))
+      else {
+        val physFullSchema = StructType(st.schema.fields.map(fd =>
+          org.apache.spark.sql.types.StructField(
+            physicalFieldName(fd), physicalType(fd.dataType), fd.nullable)))
+        val scan = spark.read.option("basePath", dir).schema(physFullSchema)
+          .parquet(ins.map { case (_, a) => new Path(dir, a.path).toString }: _*)
+        Some(stamp(scan, ins)
+          .withColumn("_change_type", lit("insert"))
+          .select(dataCols.toSeq ++ partCols ++ Seq(col("_change_type"),
+            col("_commit_version"), col("_commit_timestamp")): _*))
+      }
+    (cdcPart.toSeq ++ insPart.toSeq).map(_.select(out: _*)).reduce(_ unionByName _)
   }
 
   /** Read CDC (`_change_data/`) files with the table's schema plus

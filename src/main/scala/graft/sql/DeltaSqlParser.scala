@@ -1,0 +1,284 @@
+package graft.sql
+
+import graft.io.DeltaInterop
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+/** SQL front-end for the Delta mutation surface — the reference's
+  * end-user contract is SQL over a shared catalog (its users type
+  * `MERGE INTO`/`DELETE` in Athena, not Scala), so the graft engine
+  * must accept the same statements. Injected via
+  * [[graft.GraftExtensions]] (`injectParser`); everything that is not
+  * a graft-Delta statement delegates verbatim to Spark's parser, so
+  * the full Spark SQL surface is untouched.
+  *
+  * Path tables use delta-spark's own spelling: ``delta.`/path/to/t` ``.
+  *
+  * Statements handled (executed through [[graft.io.DeltaInterop]], so
+  * every gate — protocol features, appendOnly, constraints, column
+  * mapping — applies identically to SQL and Scala callers):
+  *
+  *   - `DELETE FROM delta.`p` [WHERE cond]` → `deleteWhere`
+  *   - `UPDATE delta.`p` SET c = e[, ...] [WHERE cond]` → `updateWhere`
+  *   - `MERGE INTO delta.`p` [AS] t USING src [AS] s ON t.k = s.k [AND ...]
+  *      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+  *      → `merge` (the canonical upsert-all form; `src` is a table /
+  *      temp view name or a parenthesized subquery)
+  *   - `DESCRIBE HISTORY delta.`p`` → `history`
+  *   - `RESTORE [TABLE] delta.`p` TO VERSION AS OF n` → `restore`
+  *   - `table_changes('p', from[, to])` anywhere inside a query →
+  *      rewritten to a temp view over `readChangeFeed` (the TVF shape
+  *      delta-spark exposes), then parsed by Spark as usual.
+  *
+  * Scale shape: parsing is driver-side string work; execution is the
+  * same distributed DeltaInterop paths the Scala API runs (file-pruned
+  * scans, distributed DV authoring, broadcast CDF maps). Command
+  * results are metadata-sized (affected-row counts, history rows).
+  */
+class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import DeltaSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val t = sqlText.trim
+    deleteRe.findFirstMatchIn(t).foreach { m =>
+      val (dir, whereOpt) = (m.group(1), Option(m.group(2)))
+      return command(Seq(attr("num_affected_rows", LongType))) { spark =>
+        val pred = whereOpt.map(parseCol(spark, _))
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        // count first (the Scala API reports files, SQL reports rows)
+        val n = DeltaInterop.readDelta(spark, dir).filter(pred).count()
+        DeltaInterop.deleteWhere(spark, dir, pred)
+        Seq(Row(n))
+      }
+    }
+    updateRe.findFirstMatchIn(t).foreach { m =>
+      val (dir, setsTxt, whereOpt) = (m.group(1), m.group(2), Option(m.group(3)))
+      return command(Seq(attr("num_affected_rows", LongType))) { spark =>
+        val sets = splitTopLevel(setsTxt, ',').map { a =>
+          val i = topLevelIndexOf(a, '=')
+          require(i > 0, s"bad SET assignment: $a")
+          a.take(i).trim.stripPrefix("`").stripSuffix("`") ->
+            parseCol(spark, a.drop(i + 1))
+        }.toMap
+        val pred = whereOpt.map(parseCol(spark, _))
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        val n = DeltaInterop.readDelta(spark, dir).filter(pred).count()
+        DeltaInterop.updateWhere(spark, dir, pred, sets)
+        Seq(Row(n))
+      }
+    }
+    mergeRe.findFirstMatchIn(t).foreach { m =>
+      val dir = m.group(1)
+      val tAlias = Option(m.group(2)).map(_.trim).filter(_.nonEmpty)
+      val srcTxt = m.group(3).trim
+      val sAlias = Option(m.group(4)).map(_.trim).filter(_.nonEmpty)
+      val onTxt = m.group(5)
+      return command(Seq(attr("num_files_rewritten", LongType),
+        attr("num_inserted_rows", LongType))) { spark =>
+        val source =
+          if (srcTxt.startsWith("(")) spark.sql(srcTxt.stripPrefix("(").stripSuffix(")"))
+          else spark.table(srcTxt.replace("`", ""))
+        val keys = splitTopLevel(onTxt, "AND").map { eq =>
+          val i = topLevelIndexOf(eq, '=')
+          require(i > 0, s"MERGE ON must be conjunctive equalities, got: $eq")
+          def colName(s: String) = {
+            val parts = s.trim.replace("`", "").split('.')
+            (parts.dropRight(1).lastOption, parts.last)
+          }
+          val (q1, c1) = colName(eq.take(i))
+          val (q2, c2) = colName(eq.drop(i + 1))
+          require(c1 == c2, s"MERGE ON key must equate the SAME column on both sides: $eq")
+          val quals = Set(q1, q2).flatten
+          val known = Set(Some("delta"), tAlias, sAlias).flatten ++ Set.empty[String]
+          require(quals.forall(known.contains),
+            s"unknown qualifier in MERGE ON ($eq); aliases: ${known.mkString(",")}")
+          c1
+        }
+        val (_, rewritten, inserted) = DeltaInterop.merge(spark, dir, source, keys)
+        Seq(Row(rewritten.toLong, inserted))
+      }
+    }
+    historyRe.findFirstMatchIn(t).foreach { m =>
+      val dir = m.group(1)
+      return command(Seq(attr("version", LongType),
+        attr("timestamp", org.apache.spark.sql.types.TimestampType),
+        attr("operation", StringType), attr("engineInfo", StringType))) { spark =>
+        DeltaInterop.history(spark, dir).collect().toSeq
+      }
+    }
+    restoreRe.findFirstMatchIn(t).foreach { m =>
+      val (dir, v) = (m.group(1), m.group(2).toLong)
+      return command(Seq(attr("version", LongType),
+        attr("num_files_readded", LongType),
+        attr("num_files_removed", LongType))) { spark =>
+        val (nv, added, removed) = DeltaInterop.restore(spark, dir, v)
+        Seq(Row(nv, added.toLong, removed.toLong))
+      }
+    }
+    val rewritten = rewriteReads(t)
+    if (rewritten ne t) return delegate.parsePlan(rewritten)
+    delegate.parsePlan(sqlText)
+  }
+
+  private def parseCol(spark: SparkSession, txt: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(delegate.parseExpression(txt.trim))
+
+  /** Substitute graft-Delta READ references with temp views so the
+    * surrounding query parses and optimizes as plain Spark SQL:
+    *   - `table_changes('p', from[, to])` → a view over
+    *     `readChangeFeed` (delta-spark's CDF TVF shape);
+    *   - `delta.`p` [VERSION AS OF n]` in a FROM position → a view over
+    *     `readDelta` (optionally time-traveled).
+    * Returns the input reference unchanged (eq) when nothing matched,
+    * so the common non-Delta statement costs two regex probes. */
+  private def rewriteReads(sql: String): String = {
+    val hasTc = tableChangesRe.findFirstIn(sql).isDefined
+    val hasPath = deltaPathRe.findFirstIn(sql).isDefined
+    if (!hasTc && !hasPath) return sql
+    val spark = SparkSession.active
+    var i = 0
+    val afterTc =
+      if (!hasTc) sql
+      else tableChangesRe.replaceAllIn(sql, m => {
+        val dir = m.group(1)
+        val from = m.group(2).toLong
+        val to = Option(m.group(3)).map(_.toLong)
+          .getOrElse(DeltaInterop.latestVersion(spark, dir))
+        i += 1
+        val view = s"graft_table_changes_$i"
+        DeltaInterop.readChangeFeed(spark, dir, from, to)
+          .createOrReplaceTempView(view)
+        view
+      })
+    if (!hasPath) afterTc
+    else deltaPathRe.replaceAllIn(afterTc, m => {
+      val dir = m.group(1)
+      val version = Option(m.group(2)).map(_.toLong)
+      i += 1
+      val view = s"graft_delta_read_$i"
+      DeltaInterop.readDelta(spark, dir, version).createOrReplaceTempView(view)
+      view
+    })
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan = {
+    val rewritten = rewriteReads(sqlText)
+    if (rewritten ne sqlText) delegate.parseQuery(rewritten)
+    else delegate.parseQuery(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object DeltaSqlParser {
+  // delta-spark's path-table spelling: delta.`/absolute/or/relative/path`
+  private val T = """(?i)delta\s*\.\s*`([^`]+)`"""
+
+  private[sql] val deleteRe =
+    s"""(?is)^\\s*DELETE\\s+FROM\\s+$T\\s*(?:WHERE\\s+(.+?))?\\s*;?\\s*$$""".r
+  private[sql] val updateRe =
+    s"""(?is)^\\s*UPDATE\\s+$T\\s+SET\\s+(.+?)\\s*(?:WHERE\\s+(.+?))?\\s*;?\\s*$$""".r
+  private[sql] val mergeRe =
+    (s"""(?is)^\\s*MERGE\\s+INTO\\s+$T(?:\\s+(?:AS\\s+)?(\\w+))?\\s+""" +
+     s"""USING\\s+(\\(.*?\\)|[\\w`.]+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+ON\\s+(.+?)\\s+""" +
+     s"""WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*\\s+""" +
+     s"""WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*;?\\s*$$""").r
+  private[sql] val historyRe =
+    s"""(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$T\\s*;?\\s*$$""".r
+  private[sql] val restoreRe =
+    s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""".r
+  private[sql] val tableChangesRe =
+    """(?is)table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
+  // a read reference: delta.`p` with optional time travel
+  private[sql] val deltaPathRe =
+    """(?is)delta\s*\.\s*`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
+
+  private def attr(name: String, dt: DataType): Attribute =
+    AttributeReference(name, dt, nullable = true)()
+
+  private def command(out: Seq[Attribute])(body: SparkSession => Seq[Row]): LogicalPlan =
+    GraftDeltaCommand(out, body)
+
+  /** Split on a top-level separator (not inside parens/backticks/quotes). */
+  private[sql] def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0; var i = 0; var inQ = false; var inB = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (inB) { if (c == '`') inB = false }
+      else c match {
+        case '\'' => inQ = true
+        case '`' => inB = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case x if x == sep && depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Split on a top-level KEYWORD separator (case-insensitive, word-bounded). */
+  private[sql] def splitTopLevel(s: String, sep: String): Seq[String] = {
+    val re = s"(?i)\\b${java.util.regex.Pattern.quote(sep)}\\b".r
+    // find keyword occurrences at paren depth 0
+    val cuts = re.findAllMatchIn(s).filter { m =>
+      val prefix = s.take(m.start)
+      prefix.count(_ == '(') == prefix.count(_ == ')') &&
+        prefix.count(_ == '`') % 2 == 0 && prefix.count(_ == '\'') % 2 == 0
+    }.toSeq
+    val bounds = (0 +: cuts.flatMap(m => Seq(m.start, m.end))) :+ s.length
+    bounds.grouped(2).collect { case Seq(a, b) => s.substring(a, b).trim }
+      .filter(_.nonEmpty).toSeq
+  }
+
+  private[sql] def topLevelIndexOf(s: String, c: Char): Int = {
+    var depth = 0; var i = 0; var inQ = false; var inB = false
+    while (i < s.length) {
+      val x = s.charAt(i)
+      if (inQ) { if (x == '\'') inQ = false }
+      else if (inB) { if (x == '`') inB = false }
+      else x match {
+        case '\'' => inQ = true
+        case '`' => inB = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case y if y == c && depth == 0 => return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+}
+
+/** A graft-Delta SQL statement as an eagerly-run command (the same
+  * execution shape Spark gives its own DDL/DML): `run` fires once when
+  * the `spark.sql(...)` Dataset materializes, and the metadata-sized
+  * result rows become the statement's output. */
+case class GraftDeltaCommand(override val output: Seq[Attribute],
+                             body: SparkSession => Seq[Row])
+  extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = body(sparkSession)
+}

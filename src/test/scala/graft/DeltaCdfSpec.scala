@@ -182,4 +182,32 @@ class DeltaCdfSpec extends AnyFunSuite {
     val want = DeltaInterop.readDelta(spark, dir).select("id", "body", "grp")
     assert(reconstructed.exceptAll(want).isEmpty && want.exceptAll(reconstructed).isEmpty)
   }
+
+  test("a wide feed range plans TWO scans, not O(versions x partitions)") {
+    val dir = newCdfTable("cdf-compact", docs(30))   // 3 grp partitions
+    // 6 more versions: row ops (cdc files) interleaved with appends
+    DeltaInterop.deleteWhere(spark, dir, col("id") % 5 === 0L)               // v2
+    DeltaInterop.updateWhere(spark, dir, col("id") % 7 === 1L,
+      Map("body" -> upper(col("body"))))                                     // v3
+    DeltaInterop.writeDelta(docs(6, from = 30), dir, Seq("grp"))             // v4
+    DeltaInterop.deleteWhereDV(spark, dir, col("id") % 11 === 2L)            // v5
+    DeltaInterop.writeDelta(docs(6, from = 36), dir, Seq("grp"))             // v6
+    DeltaInterop.updateWhereDV(spark, dir, col("id") === 3L,
+      Map("body" -> lit("dv-upd")))                                          // v7
+    val st = DeltaInterop.state(spark, dir)
+    val ch = feed(dir, 0, st.version)
+    val plan = ch.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"feed over ${st.version + 1} versions planned $scans scans:\n" +
+      plan.linesIterator.take(40).mkString("\n"))
+    // the version stamps ride a BROADCAST join — no shuffle anywhere
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("SortMergeJoin"),
+      s"feed stamping must broadcast, not shuffle:\n$plan")
+    // and the compacted read agrees with per-version change sets
+    val perVersion = (0L to st.version).flatMap { v =>
+      DeltaInterop.changeSet(spark, dir, st, v)
+    }.reduce(_ unionByName _).select(ch.columns.map(col).toIndexedSeq: _*)
+    assert(ch.exceptAll(perVersion).isEmpty && perVersion.exceptAll(ch).isEmpty,
+      "batched feed must equal the per-version union")
+  }
 }

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+import graft.io.DeltaInterop
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL front-end for the Delta mutation surface
+  * ([[graft.sql.DeltaSqlParser]], injected by [[GraftExtensions]]):
+  * the reference's users type `MERGE INTO` / `DELETE` / `DESCRIBE
+  * HISTORY` in a SQL console, so the same statements must run here —
+  * executing through the exact DeltaInterop paths the Scala API uses
+  * (same gates, same commits, same log shape). */
+class DeltaSqlSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def freshTable(prefix: String, n: Long = 20L): String = {
+    val dir = Files.createTempDirectory(prefix).toString
+    DeltaInterop.writeDelta(
+      (0L until n).map(i => (i, i % 4, s"n_$i")).toDF("id", "grp", "name"),
+      dir, Nil)
+    dir
+  }
+
+  test("DELETE FROM delta.`p` WHERE removes rows and reports the count") {
+    val dir = freshTable("graft-sql-del")
+    val r = spark.sql(s"DELETE FROM delta.`$dir` WHERE id % 2 = 0").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(10L))
+    assert(DeltaInterop.readDelta(spark, dir).count() == 10)
+    assert(DeltaInterop.readDelta(spark, dir)
+      .filter(col("id") % 2 === 0).count() == 0)
+    // WHERE-less DELETE truncates
+    spark.sql(s"DELETE FROM delta.`$dir`")
+    assert(DeltaInterop.readDelta(spark, dir).count() == 0)
+  }
+
+  test("UPDATE delta.`p` SET ... WHERE hits through the same gate as the Scala API") {
+    val dir = freshTable("graft-sql-upd")
+    val r = spark.sql(
+      s"UPDATE delta.`$dir` SET name = concat('x_', name), grp = grp + 10 WHERE id < 5").collect()
+    assert(r.head.getLong(0) == 5L)
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.filter(col("id") < 5 && col("name").startsWith("x_")).count() == 5)
+    assert(t.filter(col("grp") >= 10).count() == 5)
+    assert(t.filter(col("id") >= 5 && col("name").startsWith("x_")).count() == 0)
+  }
+
+  test("MERGE INTO upserts from a temp view; subquery sources work too") {
+    val dir = freshTable("graft-sql-merge")
+    (Seq((1L, 99L, "updated"), (100L, 0L, "inserted")))
+      .toDF("id", "grp", "name").createOrReplaceTempView("merge_src")
+    val r = spark.sql(
+      s"""MERGE INTO delta.`$dir` AS t USING merge_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(r.head.getLong(1) == 1L, s"one insert expected: ${r.toSeq}")
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.count() == 21)
+    assert(t.filter(col("id") === 1L).select("name").as[String].head() == "updated")
+    assert(t.filter(col("id") === 100L).count() == 1)
+    // parenthesized subquery source
+    spark.sql(
+      s"""MERGE INTO delta.`$dir` t USING
+         |(SELECT id, grp, concat('q_', name) AS name FROM merge_src) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(DeltaInterop.readDelta(spark, dir)
+      .filter(col("name").startsWith("q_")).count() == 2)
+  }
+
+  test("DESCRIBE HISTORY and RESTORE ... TO VERSION AS OF run as SQL") {
+    val dir = freshTable("graft-sql-hist")
+    spark.sql(s"DELETE FROM delta.`$dir` WHERE id < 10")
+    val hist = spark.sql(s"DESCRIBE HISTORY delta.`$dir`").collect()
+    assert(hist.length == 2)
+    assert(hist.head.getLong(0) == 1L, "newest first")
+    assert(hist.map(_.getString(2)).toSet == Set("WRITE", "DELETE"))
+    val r = spark.sql(s"RESTORE TABLE delta.`$dir` TO VERSION AS OF 0").collect()
+    assert(r.head.getLong(0) == 2L)
+    assert(DeltaInterop.readDelta(spark, dir).count() == 20)
+  }
+
+  test("table_changes('p', from, to) is queryable inside plain SELECTs") {
+    val dir = freshTable("graft-sql-tc")
+    DeltaInterop.setTableProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true"))                 // v1
+    spark.sql(s"DELETE FROM delta.`$dir` WHERE id < 4")            // v2
+    spark.sql(s"UPDATE delta.`$dir` SET grp = grp + 100 WHERE id = 10") // v3
+    val agg = spark.sql(
+      s"""SELECT _change_type, count(*) AS n
+         |FROM table_changes('$dir', 2, 3)
+         |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    val m = agg.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("delete" -> 4L, "update_preimage" -> 1L, "update_postimage" -> 1L), m)
+    // open-ended range defaults to the latest version
+    assert(spark.sql(s"SELECT count(*) FROM table_changes('$dir', 2)")
+      .head().getLong(0) == 6L)
+  }
+
+  test("SELECT ... FROM delta.`p` works, with VERSION AS OF time travel") {
+    val dir = freshTable("graft-sql-sel")
+    spark.sql(s"DELETE FROM delta.`$dir` WHERE id >= 10")  // v1
+    assert(spark.sql(s"SELECT count(*) AS n FROM delta.`$dir`").head().getLong(0) == 10)
+    assert(spark.sql(s"SELECT count(*) AS n FROM delta.`$dir` VERSION AS OF 0")
+      .head().getLong(0) == 20)
+    // joins/aggregates over the path table parse as plain Spark SQL
+    val g = spark.sql(
+      s"""SELECT grp, count(*) AS n FROM delta.`$dir` GROUP BY grp ORDER BY grp""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g.values.sum == 10 && g.keySet == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("non-Delta SQL is untouched by the injected parser") {
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView("plain_t")
+    assert(spark.sql(
+      "SELECT v FROM plain_t WHERE k = (SELECT max(k) FROM plain_t)")
+      .head().getString(0) == "b")
+    // a DELETE over a NON-delta table still routes to Spark's own
+    // analyzer (and fails there, not in the graft parser)
+    intercept[Exception](spark.sql("DELETE FROM plain_t WHERE k = 1").collect())
+  }
+
+  test("SQL mutations respect the appendOnly gate like the Scala API") {
+    val dir = freshTable("graft-sql-gate")
+    DeltaInterop.setTableProperties(spark, dir, Map("delta.appendOnly" -> "true"))
+    val e = intercept[IllegalArgumentException](
+      spark.sql(s"DELETE FROM delta.`$dir` WHERE id = 1").collect())
+    assert(e.getMessage.contains("delta.appendOnly"))
+  }
+}

@@ -110,12 +110,17 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // the reference's own 4-stage workload, end-to-end (fixture ×N
+    // generated untimed; see graft.tools.SyntheaBench)
+    val syntheaSec =
+      try graft.tools.SyntheaBench.run(spark)
+      catch { case _: Throwable => -1.0 }
     val host = graft.tools.HostTelemetry.deltaJson(
       ticksBefore, graft.tools.HostTelemetry.cpuTicks())
-    val qs = results
+    val qs = (results :+ ("synthea_e2e" -> syntheaSec))
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).sum + math.max(0.0, syntheaSec)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$host%s,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -108,4 +108,9 @@ class SyntheaEtlSpec extends AnyFunSuite {
       FixedClock("2024-01-01 00:00:00"), requireAll = true)
     assert(ran == Seq("ingest")) // repair's precondition fails with 8 of 18 tables
   }
+
+  test("SyntheaBench fixture x N drives all 18 tables through all four stages") {
+    val sec = graft.tools.SyntheaBench.run(spark, nPatients = 60)
+    assert(sec > 0.0)
+  }
 }

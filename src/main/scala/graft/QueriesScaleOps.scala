@@ -1624,10 +1624,11 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     val q = s.readStream.format("graft-delta")
       .option("readChangeFeed", "true")
       .option("startingVersion", "earliest")
-      .option("maxFilesPerTrigger", "2").load(tmp)
+      .option("maxFilesPerTrigger", "8").load(tmp)
       .writeStream
       .option("checkpointLocation", s"$tmp/ckpt")
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (b0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = graft.streaming.BatchTuning.rightSize(b0.toDF())
         val rows = b.groupBy(col("_change_type"), col("lang"))
           .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
           .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))

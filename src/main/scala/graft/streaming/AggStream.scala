@@ -88,7 +88,8 @@ object AggStream {
   ): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = BatchTuning.rightSize(batch0)
         if (!batch.isEmpty) {
           val root = new Path(statePath)
           val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

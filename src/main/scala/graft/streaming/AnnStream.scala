@@ -43,7 +43,8 @@ object AnnStream {
   ): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = BatchTuning.rightSize(batch0)
         if (!batch.isEmpty) {
           ProductQuant.encodeResidual(batch, idCol, vecCol, centroids, model)
             .write.mode("overwrite").parquet(s"$statePath/b$batchId")

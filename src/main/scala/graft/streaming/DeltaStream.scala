@@ -35,7 +35,8 @@ object DeltaStream {
   ): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = BatchTuning.rightSize(batch0)
         if (!batch.isEmpty) {
           val v = DeltaInterop.appendOnce(batch, tableDir, partCols, appId, batchId)
           postCommitHook(v)

@@ -73,7 +73,8 @@ object DimStream {
   ): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = BatchTuning.rightSize(batch0)
         if (!batch.isEmpty) {
           val root = new Path(dimPath)
           val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

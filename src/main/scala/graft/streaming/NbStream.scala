@@ -131,7 +131,8 @@ object NbStream {
   ): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = BatchTuning.rightSize(batch0)
         if (!batch.isEmpty) {
           val root = new Path(modelPath)
           val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -272,4 +272,28 @@ class StreamingCrashSpec extends AnyFunSuite {
       oneShot.counts.view.mapValues(_.toSeq).toMap)
     assert(streamed.docCounts == oneShot.docCounts)
   }
+
+  test("BatchTuning right-sizes the stream's CLONED session, never the user's") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tune").toString
+    val updates = s"$tmp/updates"
+    Seq((1L, 1.0)).toDF("k", "v").write.mode("append").parquet(updates)
+    val schema = spark.read.parquet(updates).schema
+    val userPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    @volatile var batchSessionIsClone = false
+    @volatile var batchPartitions = ""
+    val q = spark.readStream.schema(schema).parquet(updates).writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.BatchTuning.rightSize(b)
+        batchSessionIsClone = b.sparkSession ne spark
+        batchPartitions = b.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batchSessionIsClone,
+      "foreachBatch must hand a per-query session clone (the tuning isolation boundary)")
+    assert(batchPartitions == "8")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == userPartitions,
+      "the user's session width must be untouched")
+  }
 }

@@ -64,6 +64,66 @@ object DeltaInterop {
   private def lastCheckpointFile(dir: String) =
     new Path(logDir(dir), "_last_checkpoint")
 
+  /** The on-disk checkpoint file for version `v`, in either spelling:
+    * classic `%020d.checkpoint.parquet` (what graft writes) or V2
+    * `%020d.checkpoint.<uuid>.parquet|.json` (the `v2Checkpoint`
+    * table feature — discovered by listing). None when neither exists
+    * (including a classic MULTI-PART `.k.m.parquet` set, which this
+    * engine does not read) — the caller then degrades to a full JSON
+    * replay, exactly the pre-checkpoint behavior. */
+  private def resolveCheckpointFile(f: FileSystem, dir: String, v: Long): Option[Path] = {
+    val classic = checkpointFile(dir, v)
+    if (f.exists(classic)) return Some(classic)
+    val prefix = f"$v%020d.checkpoint."
+    if (!f.exists(logDir(dir))) return None
+    f.listStatus(logDir(dir)).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith(prefix) &&
+          (n.endsWith(".parquet") || n.endsWith(".json")) &&
+          // exactly `<uuid>.<ext>` after the prefix — multi-part
+          // `<k>.<m>.parquet` has two extra dots and is not readable here
+          n.stripPrefix(prefix).count(_ == '.') == 1
+      }.sortBy(_.getName).headOption
+  }
+
+  /** Every action carrier of version `v`'s checkpoint, resolved across
+    * the V2 indirection: parquet action rows (main file and/or
+    * `_delta_log/_sidecars/` files named by `sidecar` actions) plus, for
+    * a V2 JSON checkpoint, the main file's action nodes. Shared by
+    * [[state]]'s replay and [[vacuum]]'s reachability walk — the two
+    * MUST see the same adds, or vacuum could reclaim live data. */
+  private def readCheckpointActions(spark: SparkSession, dir: String,
+                                    main: Path): (Seq[org.apache.spark.sql.Row], Seq[JsonNode]) = {
+    val f = fs(spark, dir)
+    def sidecarPaths(names: Seq[String]): Seq[Path] =
+      names.map(n => new Path(new Path(logDir(dir), "_sidecars"), n))
+    if (main.getName.endsWith(".json")) {
+      val in = f.open(main)
+      val nodes =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).map(M.readTree).toList
+        finally in.close()
+      val sides = sidecarPaths(nodes.collect {
+        case n if n.has("sidecar") => n.get("sidecar").get("path").asText })
+      val sideRows =
+        if (sides.isEmpty) Nil
+        else spark.read.parquet(sides.map(_.toString): _*).collect().toSeq
+      (sideRows, nodes)
+    } else {
+      val rows = spark.read.parquet(main.toString).collect().toSeq
+      val sides = sidecarPaths(rows.collect {
+        case r if r.schema.fieldNames.contains("sidecar") &&
+          !r.isNullAt(r.fieldIndex("sidecar")) =>
+          r.getStruct(r.fieldIndex("sidecar")).getAs[String]("path")
+      })
+      val sideRows =
+        if (sides.isEmpty) Nil
+        else spark.read.parquet(sides.map(_.toString): _*).collect().toSeq
+      (rows ++ sideRows, Nil)
+    }
+  }
+
   /** One live data file of a snapshot. `path` is table-root-relative.
     * `stats` is the raw Delta stats JSON when present (numRecords +
     * per-column minValues/maxValues — the log-level data-skipping
@@ -170,7 +230,12 @@ object DeltaInterop {
       "columnMapping", "deletionVectors",
       // listed-but-vacuous for the tables we read: timestamps without
       // timezone are plain parquet types to this engine
-      "timestampNtz")
+      "timestampNtz",
+      // v2 checkpoints (UUID-named parquet/JSON, sidecar files followed)
+      // READ fine — the WRITER feature stays unsupported, so mutation
+      // and checkpoint() refuse such tables by name instead of leaving
+      // a classic checkpoint a v2-expecting reader would miss
+      "v2Checkpoint")
 
     /** Writer features this engine can honor when committing. Legacy
       * features are all either enforced (checkConstraints, columnMapping,
@@ -217,7 +282,8 @@ object DeltaInterop {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       val n = M.readTree(txt)
       val v = n.get("version").asLong
-      if (f.exists(checkpointFile(dir, v))) Some((v, n.path("size").asLong(-1L)))
+      if (resolveCheckpointFile(f, dir, v).isDefined)
+        Some((v, n.path("size").asLong(-1L)))
       else None
     }
   }
@@ -241,10 +307,48 @@ object DeltaInterop {
     // is the ONLY way in once cleanupLog has dropped that prefix)
     val startV = lastCheckpoint(spark, dir).map(_._1).filter(_ <= v) match {
       case Some(cpV) =>
-        spark.read.parquet(checkpointFile(dir, cpV).toString).collect().foreach { r =>
+        val (cpRows, cpNodes) = readCheckpointActions(spark, dir,
+          resolveCheckpointFile(f, dir, cpV).get)
+        // V2 JSON checkpoints carry actions as log-shaped JSON lines —
+        // replay them through the same node handling as commits
+        // (a checkpoint's remove rows are vacuum tombstones; removing a
+        // path no add introduced is a no-op, so the shared path is safe)
+        cpNodes.foreach { node =>
+          if (node.has("metaData")) {
+            val md = node.get("metaData")
+            schema = DataType.fromJson(md.get("schemaString").asText).asInstanceOf[StructType]
+            partCols = jsonArray(md.get("partitionColumns")).map(_.asText)
+            config =
+              if (md.has("configuration") && !md.get("configuration").isNull)
+                jsonMap(md.get("configuration"))
+              else Map.empty
+          } else if (node.has("add")) {
+            val a = parseAddNode(node.get("add"))
+            live(a.path) = a
+          } else if (node.has("txn")) {
+            val t = node.get("txn")
+            txns(t.get("appId").asText) = math.max(
+              txns.getOrElse(t.get("appId").asText, Long.MinValue),
+              t.get("version").asLong)
+          } else if (node.has("protocol")) {
+            val p = node.get("protocol")
+            def feats(name: String): Set[String] =
+              if (!p.has(name) || p.get(name).isNull) Set.empty
+              else jsonArray(p.get(name)).map(_.asText).toSet
+            protocol = Protocol(p.path("minReaderVersion").asInt(1),
+              p.path("minWriterVersion").asInt(2),
+              feats("readerFeatures"), feats("writerFeatures"))
+          } // checkpointMetadata / sidecar / remove: no live state
+        }
+        cpRows.foreach { r =>
+          // sidecar parquet carries only add/remove columns — resolve
+          // action structs by presence, not fixed schema
           def struct(name: String): Option[org.apache.spark.sql.Row] = {
-            val i = r.fieldIndex(name)
-            if (r.isNullAt(i)) None else Some(r.getStruct(i))
+            if (!r.schema.fieldNames.contains(name)) None
+            else {
+              val i = r.fieldIndex(name)
+              if (r.isNullAt(i)) None else Some(r.getStruct(i))
+            }
           }
           struct("metaData").foreach { md =>
             schema = DataType.fromJson(md.getAs[String]("schemaString")).asInstanceOf[StructType]
@@ -268,6 +372,9 @@ object DeltaInterop {
             val numRecords =
               if (stats == null) -1L else M.readTree(stats).path("numRecords").asLong(-1L)
             def mapOf(name: String): Map[String, String] = {
+              // optional columns (tags) may be absent entirely in
+              // foreign / v2-sidecar checkpoint schemas
+              if (!a.schema.fieldNames.contains(name)) return Map.empty
               val i = a.fieldIndex(name)
               if (a.isNullAt(i)) Map.empty else a.getMap[String, String](i).toMap
             }
@@ -1416,10 +1523,14 @@ object DeltaInterop {
     def refDv(descriptorJson: String): Unit =
       DeletionVectors.sidecarRelPath(descriptorJson).foreach(referenced += _)
     lastCheckpoint(spark, dir).foreach { case (cpV, _) =>
-      spark.read.parquet(checkpointFile(dir, cpV).toString).collect().foreach { r =>
-        val ai = r.fieldIndex("add")
-        if (!r.isNullAt(ai)) {
-          val a = r.getStruct(ai)
+      // the SAME resolution as state(): v2 checkpoints keep adds in
+      // sidecar files / JSON lines — missing them here would reclaim
+      // live data
+      val (cpRows, cpNodes) = readCheckpointActions(spark, dir,
+        resolveCheckpointFile(f, dir, cpV).get)
+      cpRows.foreach { r =>
+        if (r.schema.fieldNames.contains("add") && !r.isNullAt(r.fieldIndex("add"))) {
+          val a = r.getStruct(r.fieldIndex("add"))
           referenced += a.getAs[String]("path")
           if (a.schema.fieldNames.contains("deletionVector") &&
               !a.isNullAt(a.fieldIndex("deletionVector"))) {
@@ -1428,6 +1539,14 @@ object DeltaInterop {
               referenced += DeletionVectors.sidecarRelFromPayload(
                 d.getAs[String]("pathOrInlineDv"))
           }
+        }
+      }
+      cpNodes.foreach { node =>
+        if (node.has("add")) {
+          val a = node.get("add")
+          referenced += a.get("path").asText
+          if (a.has("deletionVector") && !a.get("deletionVector").isNull)
+            refDv(M.writeValueAsString(a.get("deletionVector")))
         }
       }
     }

@@ -6,6 +6,22 @@ import graft.io.DeltaInterop.Protocol
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+// hand-emitted V2-checkpoint fixture shapes (top-level for Encoder
+// derivation; the PRODUCTION CpRow stays classic — graft never WRITES v2)
+case class V2Format(provider: String, options: Map[String, String])
+case class V2Meta(id: String, format: V2Format, schemaString: String,
+                  partitionColumns: Seq[String],
+                  configuration: Map[String, String], createdTime: Long)
+case class V2Protocol(minReaderVersion: Int, minWriterVersion: Int,
+                      readerFeatures: Seq[String], writerFeatures: Seq[String])
+case class V2Add(path: String, partitionValues: Map[String, String], size: Long,
+                 modificationTime: Long, dataChange: Boolean, stats: String)
+case class V2CpMeta(version: Long)
+case class V2Sidecar(path: String, sizeInBytes: Long, modificationTime: Long)
+case class V2Row(checkpointMetadata: V2CpMeta = null, protocol: V2Protocol = null,
+                 metaData: V2Meta = null, add: V2Add = null, sidecar: V2Sidecar = null)
+case class V2SideRow(add: V2Add = null, remove: V2Add = null)
+
 /** Protocol-evolution tracking (PROTOCOL.md "Protocol Evolution"):
   * replay is last-protocol-wins, so every upgrade graft emits must be
   * max(current, required) — a CDF enable on a deletion-vector table
@@ -121,15 +137,15 @@ class DeltaProtocolSpec extends AnyFunSuite {
       (Seq(protocolJson, M.writeValueAsString(md)).mkString("\n") + "\n").getBytes("UTF-8"))
   }
 
-  test("unsupported reader features are refused BY NAME (v2Checkpoint)") {
-    val dir = Files.createTempDirectory("graft-proto-v2cp").toString
+  test("unsupported reader features are refused BY NAME (typeWidening)") {
+    val dir = Files.createTempDirectory("graft-proto-tw").toString
     writeForeignLog(dir,
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint","deletionVectors"],"writerFeatures":["v2Checkpoint","deletionVectors"]}}""")
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening","deletionVectors"],"writerFeatures":["typeWidening","deletionVectors"]}}""")
     val e = intercept[IllegalArgumentException](DeltaInterop.readDelta(spark, dir))
-    assert(e.getMessage.contains("v2Checkpoint"),
+    assert(e.getMessage.contains("typeWidening"),
       s"error must name the missing feature: ${e.getMessage}")
     // the supported deletionVectors feature must not be in the BLAMED list
-    assert(e.getMessage.contains("feature(s): v2Checkpoint —"),
+    assert(e.getMessage.contains("feature(s): typeWidening —"),
       s"supported features must not be blamed: ${e.getMessage}")
   }
 
@@ -180,6 +196,117 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(in > 0 && out > 0, s"compaction should stay legal ($in -> $out)")
     blocked(DeltaInterop.restore(spark, dir, 0L))
     assert(DeltaInterop.readDelta(spark, dir).count() == 30)
+  }
+
+  // ---- V2 checkpoints (reader feature `v2Checkpoint`) ----
+
+  private def writeSingleParquet(df: org.apache.spark.sql.DataFrame,
+                                 target: java.nio.file.Path): Long = {
+    val staging = Files.createTempDirectory("v2cp-stage").toString
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.createDirectories(target.getParent)
+    Files.move(part.toPath, target)
+    Files.size(target)
+  }
+
+  /** A minimal v2Checkpoint table: one 3-row data file, a v2 checkpoint
+    * at v0 in the requested form (`inline` actions, `sidecar` files, or
+    * a `json` main file), and the v0 commit JSON DELETED — the v2
+    * checkpoint is the only way in. */
+  private def v2Fixture(kind: String): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(s"graft-v2cp-$kind").toString
+    val rel = "part-v2cp-0.parquet"
+    val size = writeSingleParquet(Seq(1L, 2L, 3L).toDF("id"), Paths.get(dir, rel))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    val proto = V2Protocol(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint"))
+    val meta = V2Meta("v2cp-fixture", V2Format("parquet", Map.empty), schema.json,
+      Nil, Map.empty, 0L)
+    val add = V2Add(rel, Map.empty, size, 0L, dataChange = true, """{"numRecords":3}""")
+    // v0 commit (deleted below — written so the layout is a real table)
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    def addJson: String = {
+      val n = M.createObjectNode(); val a = n.putObject("add")
+      a.put("path", rel); a.putObject("partitionValues"); a.put("size", size)
+      a.put("modificationTime", 0L); a.put("dataChange", true)
+      a.put("stats", """{"numRecords":3}""")
+      M.writeValueAsString(n)
+    }
+    def metaJson: String = {
+      val n = M.createObjectNode(); val m = n.putObject("metaData")
+      m.put("id", "v2cp-fixture")
+      val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+      m.put("schemaString", schema.json)
+      m.putArray("partitionColumns"); m.putObject("configuration"); m.put("createdTime", 0L)
+      M.writeValueAsString(n)
+    }
+    val protoJson =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    Files.writeString(Paths.get(dir, "_delta_log", "00000000000000000000.json"),
+      Seq(protoJson, metaJson, addJson).mkString("", "\n", "\n"))
+    val uuid = java.util.UUID.randomUUID().toString
+    val cpBase = f"${0L}%020d.checkpoint.$uuid"
+    kind match {
+      case "inline" =>
+        writeSingleParquet(Seq(
+          V2Row(checkpointMetadata = V2CpMeta(0L)), V2Row(protocol = proto),
+          V2Row(metaData = meta), V2Row(add = add)).toDF(),
+          Paths.get(dir, "_delta_log", s"$cpBase.parquet"))
+      case "sidecar" =>
+        val scSize = writeSingleParquet(Seq(V2SideRow(add = add)).toDF(),
+          Paths.get(dir, "_delta_log", "_sidecars", "sc-1.parquet"))
+        writeSingleParquet(Seq(
+          V2Row(checkpointMetadata = V2CpMeta(0L)), V2Row(protocol = proto),
+          V2Row(metaData = meta),
+          V2Row(sidecar = V2Sidecar("sc-1.parquet", scSize, 0L))).toDF(),
+          Paths.get(dir, "_delta_log", s"$cpBase.parquet"))
+      case "json" =>
+        Files.writeString(Paths.get(dir, "_delta_log", s"$cpBase.json"),
+          Seq("""{"checkpointMetadata":{"version":0}}""",
+            protoJson, metaJson, addJson).mkString("", "\n", "\n"))
+    }
+    Files.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":0,"size":4}""")
+    Files.delete(Paths.get(dir, "_delta_log", "00000000000000000000.json"))
+    dir
+  }
+
+  test("sidecar-less v2 checkpoints READ; writes still refuse by name") {
+    val dir = v2Fixture("inline")
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    val st = DeltaInterop.state(spark, dir)
+    assert(st.protocol.readerFeatures.contains("v2Checkpoint"))
+    assert(st.files.head.numRecords == 3L)
+    // the WRITER feature stays unsupported: mutating would leave a
+    // classic checkpoint a v2-expecting reader could miss
+    val e = intercept[IllegalArgumentException](
+      DeltaInterop.writeDelta(Seq(9L).toDF("id"), dir, Nil))
+    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](DeltaInterop.checkpoint(spark, dir))
+    assert(e2.getMessage.contains("v2Checkpoint"), e2.getMessage)
+  }
+
+  test("v2 checkpoints with SIDECAR files read; vacuum keeps sidecar-referenced data") {
+    val dir = v2Fixture("sidecar")
+    assert(DeltaInterop.readDelta(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // reachability must traverse the sidecar indirection — otherwise
+    // this reclaims the table's only data file
+    val reclaimed = DeltaInterop.vacuum(spark, dir, retainMillis = 0L)
+    assert(reclaimed == 0, s"vacuum reclaimed $reclaimed live file(s)")
+    assert(DeltaInterop.readDelta(spark, dir).count() == 3L)
+  }
+
+  test("v2 JSON checkpoints read through the same replay") {
+    val dir = v2Fixture("json")
+    assert(DeltaInterop.readDelta(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(DeltaInterop.state(spark, dir).version == 0L)
   }
 
   test("delta.invariants column metadata is enforced on write") {

@@ -29,8 +29,17 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
   *      → `merge` (the canonical upsert-all form; `src` is a table /
   *      temp view name or a parenthesized subquery)
+  *   - `INSERT INTO|OVERWRITE delta.`p` <query>` → `writeDelta`
+  *      (positional column resolution + cast, Spark INSERT semantics)
+  *   - `CREATE TABLE [IF NOT EXISTS] delta.`p` [USING delta]
+  *      [PARTITIONED BY (c, ...)] AS <query>` → `writeDelta` (CTAS)
   *   - `DESCRIBE HISTORY delta.`p`` → `history`
-  *   - `RESTORE [TABLE] delta.`p` TO VERSION AS OF n` → `restore`
+  *   - `DESCRIBE DETAIL delta.`p`` / `SHOW TBLPROPERTIES delta.`p``
+  *   - `RESTORE [TABLE] delta.`p` TO VERSION AS OF n | TIMESTAMP AS OF 'ts'`
+  *   - `VACUUM delta.`p` [RETAIN n HOURS]` → `vacuum`
+  *   - `OPTIMIZE delta.`p` [ZORDER BY (c, ...)]` → `compact` / `optimizeZOrder`
+  *   - `ALTER TABLE delta.`p` ADD COLUMN c type | RENAME COLUMN a TO b |
+  *      SET TBLPROPERTIES (k=v, ...) | ADD CONSTRAINT n CHECK (e)`
   *   - `table_changes('p', from[, to])` anywhere inside a query →
   *      rewritten to a temp view over `readChangeFeed` (the TVF shape
   *      delta-spark exposes), then parsed by Spark as usual.
@@ -112,12 +121,127 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
       }
     }
     restoreRe.findFirstMatchIn(t).foreach { m =>
-      val (dir, v) = (m.group(1), m.group(2).toLong)
+      val dir = m.group(1)
       return command(Seq(attr("version", LongType),
         attr("num_files_readded", LongType),
         attr("num_files_removed", LongType))) { spark =>
+        val v =
+          if (m.group(2) != null) m.group(2).toLong
+          else DeltaInterop.versionAtTimestamp(spark, dir, parseTs(m.group(3)))
         val (nv, added, removed) = DeltaInterop.restore(spark, dir, v)
         Seq(Row(nv, added.toLong, removed.toLong))
+      }
+    }
+    insertRe.findFirstMatchIn(t).foreach { m =>
+      val (mode, dir, query) = (m.group(1), m.group(2), m.group(3).trim)
+      return command(Nil) { spark =>
+        val df = spark.sql(query)
+        val st = DeltaInterop.state(spark, dir)
+        require(df.columns.length == st.schema.fields.length,
+          s"INSERT provides ${df.columns.length} columns; table has ${st.schema.fields.length}")
+        // positional resolution, then cast to the table's types —
+        // Spark SQL INSERT semantics for path tables
+        val aligned = df.toDF(st.schema.fieldNames.toIndexedSeq: _*)
+          .select(st.schema.fields.map(f =>
+            org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        DeltaInterop.writeDelta(aligned, dir, st.partitionColumns,
+          overwrite = mode.equalsIgnoreCase("OVERWRITE"))
+        Nil
+      }
+    }
+    ctasRe.findFirstMatchIn(t).foreach { m =>
+      val ifNotExists = m.group(1) != null
+      val (dir, partTxt, query) = (m.group(2), Option(m.group(3)), m.group(4).trim)
+      return command(Nil) { spark =>
+        if (DeltaInterop.latestVersion(spark, dir) >= 0) {
+          require(ifNotExists, s"Delta table already exists at $dir")
+        } else {
+          val partCols = partTxt.toSeq.flatMap(_.split(',')).map(_.trim.replace("`", ""))
+            .filter(_.nonEmpty)
+          DeltaInterop.writeDelta(spark.sql(query), dir, partCols)
+        }
+        Nil
+      }
+    }
+    vacuumRe.findFirstMatchIn(t).foreach { m =>
+      val (dir, hours) = (m.group(1), Option(m.group(2)).map(_.toDouble))
+      return command(Seq(attr("num_files_reclaimed", LongType))) { spark =>
+        val n = hours match {
+          case Some(h) => DeltaInterop.vacuum(spark, dir,
+            retainMillis = (h * 3600 * 1000).toLong)
+          case None => DeltaInterop.vacuum(spark, dir)
+        }
+        Seq(Row(n.toLong))
+      }
+    }
+    optimizeRe.findFirstMatchIn(t).foreach { m =>
+      val (dir, zTxt) = (m.group(1), Option(m.group(2)))
+      return command(Seq(attr("num_files_removed", LongType),
+        attr("num_files_added", LongType))) { spark =>
+        val (_, removed, added) = zTxt match {
+          case Some(cols) => DeltaInterop.optimizeZOrder(spark, dir,
+            cols.split(',').map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq)
+          case None => DeltaInterop.compact(spark, dir)
+        }
+        Seq(Row(removed.toLong, added.toLong))
+      }
+    }
+    alterAddColRe.findFirstMatchIn(t).foreach { m =>
+      val (dir, colName, dtypeTxt) = (m.group(1),
+        m.group(2).replace("`", ""), m.group(3).trim)
+      return command(Seq(attr("version", LongType))) { spark =>
+        Seq(Row(DeltaInterop.addColumn(spark, dir, colName,
+          delegate.parseDataType(dtypeTxt))))
+      }
+    }
+    alterRenameColRe.findFirstMatchIn(t).foreach { m =>
+      val (dir, from, to) = (m.group(1),
+        m.group(2).replace("`", ""), m.group(3).replace("`", ""))
+      return command(Seq(attr("version", LongType))) { spark =>
+        Seq(Row(DeltaInterop.renameColumn(spark, dir, from, to)))
+      }
+    }
+    alterSetPropsRe.findFirstMatchIn(t).foreach { m =>
+      val (dir, propsTxt) = (m.group(1), m.group(2))
+      return command(Seq(attr("version", LongType))) { spark =>
+        val props = splitTopLevel(propsTxt, ',').map { kv =>
+          val i = topLevelIndexOf(kv, '=')
+          require(i > 0, s"bad TBLPROPERTIES entry: $kv")
+          def unq(s: String) = {
+            val x = s.trim
+            if (x.length >= 2 && ((x.head == '\'' && x.last == '\'') ||
+              (x.head == '"' && x.last == '"'))) x.substring(1, x.length - 1) else x
+          }
+          unq(kv.take(i)) -> unq(kv.drop(i + 1))
+        }.toMap
+        Seq(Row(DeltaInterop.setTableProperties(spark, dir, props)))
+      }
+    }
+    alterConstraintRe.findFirstMatchIn(t).foreach { m =>
+      val (dir, name, exprTxt) = (m.group(1), m.group(2), m.group(3).trim)
+      return command(Seq(attr("version", LongType))) { spark =>
+        Seq(Row(DeltaInterop.addConstraint(spark, dir, name, exprTxt)))
+      }
+    }
+    describeDetailRe.findFirstMatchIn(t).foreach { m =>
+      val dir = m.group(1)
+      return command(Seq(attr("format", StringType), attr("location", StringType),
+        attr("version", LongType), attr("numFiles", LongType),
+        attr("sizeInBytes", LongType), attr("partitionColumns", StringType),
+        attr("properties", StringType),
+        attr("minReaderVersion", LongType), attr("minWriterVersion", LongType))) { spark =>
+        val st = DeltaInterop.state(spark, dir)
+        Seq(Row("delta", dir, st.version, st.files.length.toLong,
+          st.files.map(_.size).sum, st.partitionColumns.mkString(","),
+          st.configuration.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","),
+          st.protocol.minReader.toLong, st.protocol.minWriter.toLong))
+      }
+    }
+    showPropsRe.findFirstMatchIn(t).foreach { m =>
+      val dir = m.group(1)
+      return command(Seq(attr("key", StringType), attr("value", StringType))) { spark =>
+        DeltaInterop.state(spark, dir).configuration.toSeq.sorted
+          .map { case (k, v) => Row(k, v) }
       }
     }
     val rewritten = rewriteReads(t)
@@ -158,7 +282,9 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
     if (!hasPath) afterTc
     else deltaPathRe.replaceAllIn(afterTc, m => {
       val dir = m.group(1)
-      val version = Option(m.group(2)).map(_.toLong)
+      val version = Option(m.group(2)).map(_.toLong).orElse(
+        Option(m.group(3)).map(ts =>
+          DeltaInterop.versionAtTimestamp(spark, dir, parseTs(ts))))
       i += 1
       val view = s"graft_delta_read_$i"
       DeltaInterop.readDelta(spark, dir, version).createOrReplaceTempView(view)
@@ -204,12 +330,48 @@ object DeltaSqlParser {
   private[sql] val historyRe =
     s"""(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$T\\s*;?\\s*$$""".r
   private[sql] val restoreRe =
-    s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""".r
+    (s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+""" +
+     s"""(?:VERSION\\s+AS\\s+OF\\s+(\\d+)|TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')\\s*;?\\s*$$""").r
+  private[sql] val insertRe =
+    s"""(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+(?:TABLE\\s+)?$T\\s+(SELECT\\b.+|VALUES\\b.+|TABLE\\b.+|FROM\\b.+)$$""".r
+  private[sql] val ctasRe =
+    (s"""(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T""" +
+     s"""(?:\\s+USING\\s+delta)?(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?""" +
+     s"""\\s+AS\\s+(.+)$$""").r
+  private[sql] val vacuumRe =
+    s"""(?is)^\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS?)?\\s*;?\\s*$$""".r
+  private[sql] val optimizeRe =
+    s"""(?is)^\\s*OPTIMIZE\\s+$T(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""".r
+  private[sql] val alterAddColRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMNS?\\s*""" +
+     s"""\\(?\\s*([\\w`]+)\\s+([\\w()<>,\\s]+?)\\s*\\)?\\s*;?\\s*$$""").r
+  private[sql] val alterRenameColRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+([\\w`]+)\\s+TO\\s+([\\w`]+)\\s*;?\\s*$$""".r
+  private[sql] val alterSetPropsRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""".r
+  private[sql] val alterConstraintRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""".r
+  private[sql] val describeDetailRe =
+    s"""(?is)^\\s*DESCRIBE\\s+DETAIL\\s+$T\\s*;?\\s*$$""".r
+  private[sql] val showPropsRe =
+    s"""(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+$T\\s*;?\\s*$$""".r
+
+  /** 'yyyy-MM-dd HH:mm:ss[.f]' or ISO-8601 instant → epoch millis. */
+  private[sql] def parseTs(s: String): Long =
+    try java.sql.Timestamp.valueOf(s).getTime
+    catch {
+      case _: IllegalArgumentException =>
+        try java.time.Instant.parse(s).toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            java.sql.Date.valueOf(s).getTime
+        }
+    }
   private[sql] val tableChangesRe =
     """(?is)table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
-  // a read reference: delta.`p` with optional time travel
+  // a read reference: delta.`p` with optional time travel (version or timestamp)
   private[sql] val deltaPathRe =
-    """(?is)delta\s*\.\s*`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
+    """(?is)delta\s*\.\s*`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
 
   private def attr(name: String, dt: DataType): Attribute =
     AttributeReference(name, dt, nullable = true)()

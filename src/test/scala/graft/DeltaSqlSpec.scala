@@ -111,6 +111,84 @@ class DeltaSqlSpec extends AnyFunSuite {
     assert(g.values.sum == 10 && g.keySet == Set(0L, 1L, 2L, 3L))
   }
 
+  test("INSERT INTO / OVERWRITE and CTAS run as SQL with positional resolution") {
+    val root = Files.createTempDirectory("graft-sql-ins").toString
+    val dir = s"$root/t"
+    spark.sql(
+      s"""CREATE TABLE delta.`$dir` USING delta PARTITIONED BY (grp)
+         |AS SELECT id, id % 4 AS grp, concat('n_', id) AS name
+         |FROM range(20)""".stripMargin)
+    assert(DeltaInterop.readDelta(spark, dir).count() == 20)
+    assert(DeltaInterop.state(spark, dir).partitionColumns == Seq("grp"))
+    // IF NOT EXISTS is a no-op on an existing table; bare CREATE refuses
+    spark.sql(s"CREATE TABLE IF NOT EXISTS delta.`$dir` AS SELECT 1 AS x, 2 AS y, 3 AS z")
+    assert(DeltaInterop.readDelta(spark, dir).count() == 20)
+    intercept[Exception](
+      spark.sql(s"CREATE TABLE delta.`$dir` AS SELECT 1 AS x, 2 AS y, 3 AS z").collect())
+    // positional INSERT: names don't need to match, types cast
+    spark.sql(s"INSERT INTO delta.`$dir` VALUES (100, 0, 'v100'), (101, 1, 'v101')")
+    assert(DeltaInterop.readDelta(spark, dir).count() == 22)
+    spark.sql(s"INSERT INTO delta.`$dir` SELECT id + 200, id % 4, 'sel' FROM range(3)")
+    assert(DeltaInterop.readDelta(spark, dir).count() == 25)
+    // INSERT ... SELECT over another delta path table (read rewrite nests)
+    val dir2 = s"$root/t2"
+    spark.sql(s"CREATE TABLE delta.`$dir2` AS SELECT id, grp, name FROM delta.`$dir` WHERE id < 5")
+    assert(DeltaInterop.readDelta(spark, dir2).count() == 5)
+    spark.sql(s"INSERT OVERWRITE delta.`$dir2` SELECT id, grp, name FROM delta.`$dir` WHERE id >= 100")
+    assert(DeltaInterop.readDelta(spark, dir2).count() == 5)
+    assert(DeltaInterop.readDelta(spark, dir2).agg(min(col("id"))).head().getLong(0) == 100L)
+  }
+
+  test("OPTIMIZE, VACUUM, ALTER TABLE, DESCRIBE DETAIL, SHOW TBLPROPERTIES run as SQL") {
+    val dir = Files.createTempDirectory("graft-sql-maint").toString
+    DeltaInterop.writeDelta(
+      (0L until 40L).map(i => (i, s"n_$i")).toDF("id", "name").repartition(4), dir, Nil)
+    // compaction: 4 small files -> 1
+    val opt = spark.sql(s"OPTIMIZE delta.`$dir`").collect()
+    assert(opt.head.getLong(0) == 4L && opt.head.getLong(1) == 1L)
+    // the compacted-away files reclaim after RETAIN 0 once their commits
+    // age out of the JSON log (same contract as the Scala API)
+    DeltaInterop.checkpoint(spark, dir)
+    DeltaInterop.cleanupLog(spark, dir)
+    val vac = spark.sql(s"VACUUM delta.`$dir` RETAIN 0 HOURS").collect()
+    assert(vac.head.getLong(0) == 4L, s"vacuum reclaimed ${vac.head.getLong(0)}")
+    assert(DeltaInterop.readDelta(spark, dir).count() == 40)
+    // ALTER TABLE surface
+    spark.sql(s"ALTER TABLE delta.`$dir` ADD COLUMN score double")
+    spark.sql(s"ALTER TABLE delta.`$dir` RENAME COLUMN name TO label")
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES ('graft.owner' = 'sql-spec')")
+    spark.sql(s"ALTER TABLE delta.`$dir` ADD CONSTRAINT nonneg CHECK (id >= 0)")
+    val st = DeltaInterop.state(spark, dir)
+    assert(st.schema.fieldNames.toSeq == Seq("id", "label", "score"))
+    assert(st.configuration("graft.owner") == "sql-spec")
+    assert(st.configuration("delta.constraints.nonneg") == "id >= 0")
+    val props = spark.sql(s"SHOW TBLPROPERTIES delta.`$dir`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.owner") == "sql-spec")
+    val detail = spark.sql(s"DESCRIBE DETAIL delta.`$dir`").collect().head
+    assert(detail.getString(0) == "delta" && detail.getLong(3) >= 1L)
+    // the renamed column reads through SQL; the constraint fires on INSERT
+    assert(spark.sql(s"SELECT count(label) FROM delta.`$dir`").head().getLong(0) == 40)
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO delta.`$dir` VALUES (-1, 'bad', 0.5)").collect())
+    assert(e.getMessage.contains("nonneg"), e.getMessage)
+  }
+
+  test("OPTIMIZE ZORDER BY and TIMESTAMP AS OF time travel run as SQL") {
+    val dir = Files.createTempDirectory("graft-sql-zorder").toString
+    DeltaInterop.writeDelta(
+      (0L until 1000L).map(i => (i, (i * 37) % 1000, i % 10))
+        .toDF("a", "b", "g").repartition(8), dir, Nil)
+    val r = spark.sql(s"OPTIMIZE delta.`$dir` ZORDER BY (a, b)").collect()
+    assert(r.head.getLong(1) >= 1L)
+    assert(DeltaInterop.readDelta(spark, dir).count() == 1000)
+    // timestamp time travel: resolve 'now' to the latest version
+    val nowTs = new java.sql.Timestamp(System.currentTimeMillis() + 5000).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM delta.`$dir` TIMESTAMP AS OF '$nowTs'")
+      .head().getLong(0) == 1000)
+  }
+
   test("non-Delta SQL is untouched by the injected parser") {
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
     Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView("plain_t")

@@ -154,6 +154,10 @@ object DeltaInterop {
   private[graft] case class CpTxn(appId: String, version: Long, lastUpdated: Long)
   private[graft] case class CpRow(txn: CpTxn = null, add: CpAdd = null,
     remove: CpRemove = null, metaData: CpMetaData = null, protocol: CpProtocol = null)
+  // the v2-checkpoint marker action (one per v2 checkpoint file) — kept
+  // out of CpRow so CLASSIC checkpoints keep their exact historical schema
+  private[graft] case class CpCheckpointMeta(version: Long)
+  private[graft] case class CpMetaRow(checkpointMetadata: CpCheckpointMeta)
 
   /** A table's protocol action (PROTOCOL.md "Protocol Evolution"):
     * reader/writer version floor plus, at reader 3 / writer 7, the
@@ -231,10 +235,8 @@ object DeltaInterop {
       // listed-but-vacuous for the tables we read: timestamps without
       // timezone are plain parquet types to this engine
       "timestampNtz",
-      // v2 checkpoints (UUID-named parquet/JSON, sidecar files followed)
-      // READ fine — the WRITER feature stays unsupported, so mutation
-      // and checkpoint() refuse such tables by name instead of leaving
-      // a classic checkpoint a v2-expecting reader would miss
+      // v2 checkpoints: UUID-named parquet/JSON main files read (sidecar
+      // files followed); checkpoint() writes the v2 form on such tables
       "v2Checkpoint")
 
     /** Writer features this engine can honor when committing. Legacy
@@ -244,7 +246,10 @@ object DeltaInterop {
       * identityColumns, appendOnly). Anything newer — rowTracking,
       * v2Checkpoint, icebergCompat* — must refuse writes by name. */
     val SupportedWriterFeatures: Set[String] =
-      legacyWriterFeatures(6) ++ Set("deletionVectors", "timestampNtz")
+      legacyWriterFeatures(6) ++ Set("deletionVectors", "timestampNtz",
+        // honored: checkpoint() writes the v2 form (UUID-named file +
+        // checkpointMetadata action) on tables carrying the feature
+        "v2Checkpoint")
   }
 
   /** Reconstructed table state at a version. `txns` is the protocol's
@@ -836,16 +841,30 @@ object DeltaInterop {
       }
     val staging = new Path(dir, s".cp-staging-${java.util.UUID.randomUUID().toString.take(8)}")
     import spark.implicits._
-    spark.createDataset(rows).toDF().coalesce(1).write.parquet(staging.toString)
+    // a v2Checkpoint table REQUIRES the v2 form (UUID-named file with a
+    // checkpointMetadata action) — writing the classic name there would
+    // strand v2-expecting readers, which is why the feature gates writes
+    val isV2 = st.protocol.readerFeatures.contains("v2Checkpoint") ||
+      st.protocol.writerFeatures.contains("v2Checkpoint")
+    val base = spark.createDataset(rows).toDF()
+    val frame =
+      if (!isV2) base
+      else spark.createDataset(Seq(CpMetaRow(CpCheckpointMeta(st.version))))
+        .toDF().unionByName(base, allowMissingColumns = true)
+    frame.coalesce(1).write.parquet(staging.toString)
     val part = f.listStatus(staging)
       .map(_.getPath).filter(_.getName.endsWith(".parquet"))
     require(part.length == 1, s"expected one checkpoint part file, got ${part.length}")
-    val target = checkpointFile(dir, st.version)
+    val target =
+      if (!isV2) checkpointFile(dir, st.version)
+      else new Path(logDir(dir),
+        f"${st.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet")
     f.delete(target, false)
     require(f.rename(part.head, target), s"rename failed: ${part.head} -> $target")
     f.delete(staging, true)
+    val nRows = rows.length + (if (isV2) 1 else 0)
     val out = f.create(lastCheckpointFile(dir), true) // overwrite: latest pointer wins
-    try out.write(s"""{"version":${st.version},"size":${rows.length}}""".getBytes("UTF-8"))
+    try out.write(s"""{"version":${st.version},"size":$nRows}""".getBytes("UTF-8"))
     finally out.close()
     st.version
   }

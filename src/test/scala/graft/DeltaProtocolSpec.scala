@@ -275,20 +275,33 @@ class DeltaProtocolSpec extends AnyFunSuite {
     dir
   }
 
-  test("sidecar-less v2 checkpoints READ; writes still refuse by name") {
+  test("sidecar-less v2 checkpoints: full lifecycle — read, mutate, v2 re-checkpoint") {
     val dir = v2Fixture("inline")
     val t = DeltaInterop.readDelta(spark, dir)
     assert(t.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
     val st = DeltaInterop.state(spark, dir)
     assert(st.protocol.readerFeatures.contains("v2Checkpoint"))
     assert(st.files.head.numRecords == 3L)
-    // the WRITER feature stays unsupported: mutating would leave a
-    // classic checkpoint a v2-expecting reader could miss
-    val e = intercept[IllegalArgumentException](
-      DeltaInterop.writeDelta(Seq(9L).toDF("id"), dir, Nil))
-    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
-    val e2 = intercept[IllegalArgumentException](DeltaInterop.checkpoint(spark, dir))
-    assert(e2.getMessage.contains("v2Checkpoint"), e2.getMessage)
+    // the feature is HONORED on write: mutations commit, and a
+    // checkpoint on this table must come out in the v2 spelling —
+    // a classic-named file would strand v2-expecting readers
+    DeltaInterop.writeDelta(Seq(9L, 10L).toDF("id"), dir, Nil)         // v1
+    DeltaInterop.deleteWhere(spark, dir, col("id") === 2L)             // v2
+    val cpV = DeltaInterop.checkpoint(spark, dir)
+    assert(cpV == 2L)
+    val names = new java.io.File(s"$dir/_delta_log").listFiles().map(_.getName)
+    assert(!names.contains(f"${2L}%020d.checkpoint.parquet"),
+      "a v2Checkpoint table must not get a classic-named checkpoint")
+    assert(names.exists(n => n.startsWith(f"${2L}%020d.checkpoint.") &&
+      n.endsWith(".parquet")), names.mkString(","))
+    // the v2 checkpoint is the only way in after cleanup
+    DeltaInterop.cleanupLog(spark, dir)
+    assert(!new java.io.File(s"$dir/_delta_log/${"0" * 19}1.json").exists())
+    assert(DeltaInterop.readDelta(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 9L, 10L))
+    // and the re-read checkpoint carries the replayed v7 protocol
+    assert(DeltaInterop.state(spark, dir)
+      .protocol.readerFeatures.contains("v2Checkpoint"))
   }
 
   test("v2 checkpoints with SIDECAR files read; vacuum keeps sidecar-referenced data") {

@@ -59,9 +59,27 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
       return command(Seq(attr("num_affected_rows", LongType))) { spark =>
         val pred = whereOpt.map(parseCol(spark, _))
           .getOrElse(org.apache.spark.sql.functions.lit(true))
-        // count first (the Scala API reports files, SQL reports rows)
-        val n = DeltaInterop.readDelta(spark, dir).filter(pred).count()
+        // affected rows from footer-stats metadata (live row count
+        // before − after), no extra table scan; a foreign file without
+        // numRecords falls back to one predicate-pushed count
+        def liveRows(spark: SparkSession): Option[Long] = {
+          val fs = DeltaInterop.state(spark, dir).files
+          if (fs.exists(_.numRecords < 0)) None
+          else Some(fs.map { a =>
+            // a DV'd file's live rows = physical rows − masked rows
+            val masked =
+              if (a.deletionVector == null) 0L
+              else new com.fasterxml.jackson.databind.ObjectMapper()
+                .readTree(a.deletionVector).path("cardinality").asLong(0L)
+            a.numRecords - masked
+          }.sum)
+        }
+        val before = liveRows(spark)
+        val counted = if (before.isEmpty)
+          Some(DeltaInterop.readDelta(spark, dir).filter(pred).count()) else None
         DeltaInterop.deleteWhere(spark, dir, pred)
+        val n = counted.orElse(
+          for (b <- before; a <- liveRows(spark)) yield b - a).getOrElse(-1L)
         Seq(Row(n))
       }
     }

@@ -200,6 +200,17 @@ class DeltaSqlSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("DELETE FROM plain_t WHERE k = 1").collect())
   }
 
+  test("SQL DELETE reports metadata-derived affected rows, DV masks included") {
+    val dir = freshTable("graft-sql-delcount")
+    // make one file carry a deletion vector first: its masked rows must
+    // not count as affected when the SQL DELETE later touches the file
+    val (_, _, nDv) = DeltaInterop.deleteWhereDV(spark, dir, col("id") < 3L)
+    assert(nDv == 3L)
+    val r = spark.sql(s"DELETE FROM delta.`$dir` WHERE id < 10").collect()
+    assert(r.head.getLong(0) == 7L, s"expected 7 affected rows, got ${r.head.getLong(0)}")
+    assert(DeltaInterop.readDelta(spark, dir).count() == 10)
+  }
+
   test("SQL mutations respect the appendOnly gate like the Scala API") {
     val dir = freshTable("graft-sql-gate")
     DeltaInterop.setTableProperties(spark, dir, Map("delta.appendOnly" -> "true"))

@@ -401,6 +401,15 @@ object OracleSql {
         |  FROM documents
         |  WHERE doc_id % 3 = 0 OR doc_id % 7 <> 3
         |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q167: latest = the overwrite's n_chars+5 over the whole corpus;
+    // VERSION AS OF 1 = the CTAS+INSERT union (the original corpus);
+    // OPTIMIZE between them must be invisible to both
+    "q167_sql_ddl" ->
+      """WITH base AS (SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
+        |  FROM documents GROUP BY 1)
+        |SELECT lang, n AS n_latest, (chars + 5 * n)::BIGINT AS chars_latest,
+        |       n AS n_v1, chars AS chars_v1
+        |FROM base ORDER BY lang""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

@@ -1719,4 +1719,41 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
          |FROM delta.`$tmp` GROUP BY lang ORDER BY lang""".stripMargin)
   }
+
+  /** q167 — the SQL DDL/maintenance surface end-to-end: CREATE TABLE AS
+    * SELECT over a raw `parquet.`path`` source (partitioned), INSERT
+    * INTO, OPTIMIZE (dataChange=false — must be invisible to both
+    * snapshots), ALTER TABLE ADD CONSTRAINT, INSERT OVERWRITE, and a
+    * final aggregate joining the LATEST snapshot against `VERSION AS
+    * OF` time travel — every statement `spark.sql(...)`. The oracle
+    * derives both epochs from the corpus. */
+  private[graft] def q167(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.io.TempDirs.scratch("graft-q167")
+    val t = s"$tmp/t"
+    val src = s"$dir/documents.parquet"
+    s.sql(
+      s"""CREATE TABLE delta.`$t` USING delta PARTITIONED BY (lang)
+         |AS SELECT doc_id, lang, n_chars FROM parquet.`$src`
+         |WHERE doc_id % 2 = 0""".stripMargin)                          // v0
+    s.sql(
+      s"""INSERT INTO delta.`$t`
+         |SELECT doc_id, lang, n_chars FROM parquet.`$src`
+         |WHERE doc_id % 2 <> 0""".stripMargin)                         // v1
+    val filesBefore = graft.io.DeltaInterop.state(s, t).files.length
+    s.sql(s"OPTIMIZE delta.`$t`")                                       // v2 (maybe no-op)
+    require(graft.io.DeltaInterop.state(s, t).files.length <= filesBefore,
+      "OPTIMIZE must never grow the file count")
+    s.sql(s"ALTER TABLE delta.`$t` ADD CONSTRAINT nonneg CHECK (n_chars >= 0)") // v3
+    s.sql(
+      s"""INSERT OVERWRITE delta.`$t`
+         |SELECT doc_id, lang, n_chars + 5 FROM parquet.`$src`""".stripMargin)  // v4
+    s.sql(
+      s"""SELECT cur.lang, cur.n AS n_latest, cur.chars AS chars_latest,
+         |       old.n AS n_v1, old.chars AS chars_v1
+         |FROM (SELECT lang, count(*) AS n, sum(n_chars) AS chars
+         |      FROM delta.`$t` GROUP BY lang) cur
+         |JOIN (SELECT lang, count(*) AS n, sum(n_chars) AS chars
+         |      FROM delta.`$t` VERSION AS OF 1 GROUP BY lang) old
+         |USING (lang) ORDER BY lang""".stripMargin)
+  }
 }

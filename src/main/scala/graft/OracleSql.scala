@@ -410,6 +410,20 @@ object OracleSql {
         |SELECT lang, n AS n_latest, (chars + 5 * n)::BIGINT AS chars_latest,
         |       n AS n_v1, chars AS chars_v1
         |FROM base ORDER BY lang""".stripMargin,
+    // q168: the clause replay — matched evens (doc_id%4<2, n_chars even)
+    // double, matched odds delete, the rest of the table is untouched,
+    // and the fresh-key half inserts n_chars*2 where n_chars%3=0
+    "q168_sql_merge_clauses" ->
+      """WITH cur AS (
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 4 >= 2
+        |  UNION ALL
+        |  SELECT lang, n_chars * 2 FROM documents
+        |  WHERE doc_id % 4 < 2 AND n_chars % 2 = 0
+        |  UNION ALL
+        |  SELECT lang, n_chars * 2 FROM documents WHERE n_chars % 3 = 0
+        |)
+        |SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
+        |FROM cur GROUP BY 1 ORDER BY 1""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

@@ -1756,4 +1756,32 @@ private[graft] trait QueriesScaleOps extends QueryBase {
          |      FROM delta.`$t` VERSION AS OF 1 GROUP BY lang) old
          |USING (lang) ORDER BY lang""".stripMargin)
   }
+
+  /** q168 — GENERAL MERGE clauses ([[graft.io.DeltaInterop.mergeClauses]]
+    * via SQL): ordered `WHEN MATCHED AND cond THEN UPDATE SET
+    * <assignments over t-side and s-side columns>`, fallthrough
+    * `WHEN MATCHED THEN DELETE`, and conditional `WHEN NOT MATCHED ...
+    * INSERT (cols) VALUES (exprs)` — delta-spark's full clause surface,
+    * against a source that half-overlaps the table keys. The oracle
+    * replays each clause's row set analytically. */
+  private[graft] def q168(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q168")
+    graft.io.DeltaInterop.writeDelta(docs, tmp, Seq("lang"))            // v0
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    docs.filter(col("doc_id") % 4 < 2)                                  // matched half
+      .unionByName(docs.select((col("doc_id") + mx + 1).as("doc_id"),  // fresh keys
+        col("lang"), col("n_chars")))
+      .createOrReplaceTempView("graft_q168_src")
+    s.sql(
+      s"""MERGE INTO delta.`$tmp` t USING graft_q168_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND s.n_chars % 2 = 0 THEN UPDATE SET n_chars = t.n_chars + s.n_chars
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED AND s.n_chars % 3 = 0
+         |  THEN INSERT (doc_id, lang, n_chars) VALUES (s.doc_id, s.lang, s.n_chars * 2)
+         |""".stripMargin)                                              // v1
+    s.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
+         |FROM delta.`$tmp` GROUP BY lang ORDER BY lang""".stripMargin)
+  }
 }

@@ -2384,6 +2384,134 @@ object DeltaInterop {
     (v, touched.length, nInserts)
   }
 
+  /** One `WHEN MATCHED [AND condition] THEN UPDATE SET ... | DELETE`
+    * clause. `condition`/`set` expressions may reference both sides via
+    * the `t.` (target) and `s.` (source) qualifiers. Clauses apply in
+    * order: the FIRST clause whose condition holds wins for a row
+    * (delta-spark's semantics); a matched row no clause claims is kept
+    * unchanged. */
+  final case class MatchedClause(condition: Option[org.apache.spark.sql.Column],
+                                 set: Map[String, org.apache.spark.sql.Column],
+                                 delete: Boolean = false)
+
+  /** General MERGE (delta-spark's full clause surface over an
+    * equality key): ordered `WHEN MATCHED` clauses (conditional UPDATE
+    * with arbitrary per-column assignments, or DELETE) plus an optional
+    * `WHEN NOT MATCHED [AND cond] THEN INSERT` with assignments
+    * (unassigned columns null-fill). [[merge]] is the upsert-all
+    * special case and keeps its tuned path.
+    *
+    * Scale shape mirrors [[merge]]: one key-column semi-join finds the
+    * touched files, only those rewrite (a 100 TB table pays for the
+    * files its matches live in), inserts come from one anti-join, and
+    * the per-row clause arbitration is a codegen'd when-chain inside
+    * the single rewrite scan — no second pass, no window.
+    * Returns (newVersion, filesRewritten, rowsInserted). */
+  def mergeClauses(spark: SparkSession, dir: String, source: DataFrame,
+                   keyCols: Seq[String],
+                   matched: Seq[MatchedClause],
+                   notMatched: Option[(Option[org.apache.spark.sql.Column],
+                     Map[String, org.apache.spark.sql.Column])]): (Long, Int, Long) = {
+    val st = state(spark, dir)
+    requireWritable(st, dir)
+    requireRemovable(st, dir, "MERGE")
+    require(keyCols.nonEmpty && keyCols.forall(st.schema.fieldNames.contains),
+      s"unknown key cols: ${keyCols.filterNot(st.schema.fieldNames.contains).mkString(",")}")
+    require(keyCols.forall(source.columns.contains),
+      s"source lacks key cols: ${keyCols.filterNot(source.columns.contains).mkString(",")}")
+    matched.foreach(c => c.set.keys.foreach(k =>
+      require(st.schema.fieldNames.contains(k), s"UPDATE SET on unknown column $k")))
+    notMatched.foreach(_._2.keys.foreach(k =>
+      require(st.schema.fieldNames.contains(k), s"INSERT on unknown column $k")))
+    val src = source.localCheckpoint(false) // runs in several joins below
+    val dupKeys = src.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"merge source has duplicate keys (e.g. ${dupKeys.headOption.mkString})")
+    val keyEq = keyCols.map(c => col(s"t.$c") <=> col(s"s.$c")).reduce(_ && _)
+    val allScan = scanWithProvenance(spark, dir, st, st.files)
+    val idx = qualifiedIndex(spark, dir, st.files)
+    val touchedPaths = allScan.as("t")
+      .join(src.as("s"), keyEq, "left_semi")
+      .select("_graft_file").distinct().collect().map(_.getString(0))
+    val touched = touchedPaths.map(idx).toSeq
+    // per-row clause arbitration over the joined frame: __graft_matched
+    // marks a source hit; firstTrue(i) = clause i's condition and no
+    // earlier clause's — all codegen'd boolean algebra in ONE scan
+    val isMatched = col("__graft_matched") <=> lit(true)
+    val clauseFire: Seq[org.apache.spark.sql.Column] = matched.zipWithIndex.map {
+      case (c, i) =>
+        val self = isMatched && (c.condition.getOrElse(lit(true)) <=> lit(true))
+        matched.take(i).foldLeft(self) { (acc, prev) =>
+          acc && !(prev.condition.getOrElse(lit(true)) <=> lit(true)) }
+    }
+    val deleteFires = matched.zip(clauseFire).collect { case (c, f) if c.delete => f }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    def rewrittenCol(name: String): org.apache.spark.sql.Column = {
+      val base: org.apache.spark.sql.Column = col(s"t.$name")
+      val updates = matched.zip(clauseFire).filterNot(_._1.delete)
+      updates.foldRight(base) { case ((c, fire), acc) =>
+        when(fire, c.set.getOrElse(name, base).cast(st.schema(name).dataType))
+          .otherwise(acc)
+      }.as(name)
+    }
+    val touchedScan =
+      if (touched.isEmpty) null else scanWithProvenance(spark, dir, st, touched)
+    val rewritten =
+      if (touched.isEmpty) None
+      else Some(touchedScan.as("t")
+        .join(src.withColumn("__graft_matched", lit(true)).as("s"), keyEq, "left_outer")
+        .filter(!deleteFires)
+        .select(st.schema.fieldNames.map(rewrittenCol).toIndexedSeq: _*))
+    val insertsRaw = src.as("s").join(allScan.as("t"), keyEq, "left_anti")
+    val inserts = notMatched match {
+      case None => None
+      case Some((cond, set)) =>
+        val filtered = cond.map(c => insertsRaw.filter(c <=> lit(true))).getOrElse(insertsRaw)
+        Some(filtered.select(st.schema.fieldNames.map { c =>
+          set.get(c).map(_.cast(st.schema(c).dataType))
+            .getOrElse(if (filtered.columns.contains(c)) col(c).cast(st.schema(c).dataType)
+                       else lit(null).cast(st.schema(c).dataType)).as(c)
+        }.toIndexedSeq: _*))
+    }
+    val nInserts = inserts.map(_.count()).getOrElse(0L)
+    if (touched.isEmpty && nInserts == 0) return (st.version, 0, 0L)
+    val newRows = (rewritten.toSeq ++ inserts.toSeq.filter(_ => nInserts > 0))
+      .reduceOption(_ unionByName _)
+    newRows.foreach(enforceConstraints(_, st))
+    val adds = newRows.map(stageForTable(_, dir, st)).getOrElse(Nil)
+    val cdcs =
+      if (!cdfEnabled(st)) Nil
+      else {
+        val cols = st.schema.fieldNames.map(col)
+        val parts = Seq.newBuilder[DataFrame]
+        if (touched.nonEmpty) {
+          val joined = touchedScan.as("t")
+            .join(src.withColumn("__graft_matched", lit(true)).as("s"), keyEq, "left_outer")
+          val updateFires = matched.zip(clauseFire).filterNot(_._1.delete)
+            .map(_._2).reduceOption(_ || _).getOrElse(lit(false))
+          parts += joined.filter(updateFires)
+            .select(st.schema.fieldNames.map(c => col(s"t.$c")) :+
+              lit("update_preimage").as("_change_type"): _*)
+          parts += joined.filter(updateFires)
+            .select(st.schema.fieldNames.map(rewrittenCol) :+
+              lit("update_postimage").as("_change_type"): _*)
+          parts += joined.filter(deleteFires)
+            .select(st.schema.fieldNames.map(c => col(s"t.$c")) :+
+              lit("delete").as("_change_type"): _*)
+        }
+        inserts.filter(_ => nInserts > 0).foreach(ins =>
+          parts += ins.select(cols :+ lit("insert").as("_change_type"): _*))
+        val all = parts.result()
+        if (all.isEmpty) Nil
+        else stageChangeData(all.reduce(_ unionByName _), dir, st)
+      }
+    val actions = touched.map(removeJson(_)) ++ adds.map(addJson(_)) ++
+      cdcs.map(cdcJson)
+    val v = commit(spark, dir, st.version + 1, actions, op = "MERGE")
+    (v, touched.length, nInserts)
+  }
+
   /** Read the CHANGE DATA FEED for versions [fromV, toV]: every row
     * change in the range with `_change_type` (insert / delete /
     * update_preimage / update_postimage), `_commit_version`, and

@@ -130,6 +130,75 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
         Seq(Row(rewritten.toLong, inserted))
       }
     }
+    mergeExtRe.findFirstMatchIn(t).foreach { m =>
+      val dir = m.group(1)
+      val srcTxt = m.group(3).trim
+      val onTxt = m.group(5)
+      val clausesTxt = m.group(6)
+      return command(Seq(attr("num_files_rewritten", LongType),
+        attr("num_inserted_rows", LongType))) { spark =>
+        val source =
+          if (srcTxt.startsWith("(")) spark.sql(srcTxt.stripPrefix("(").stripSuffix(")"))
+          else spark.table(srcTxt.replace("`", ""))
+        val keys = splitTopLevel(onTxt, "AND").map { eq =>
+          val i = topLevelIndexOf(eq, '=')
+          require(i > 0, s"MERGE ON must be conjunctive equalities, got: $eq")
+          val c1 = eq.take(i).trim.replace("`", "").split('.').last
+          val c2 = eq.drop(i + 1).trim.replace("`", "").split('.').last
+          require(c1 == c2, s"MERGE ON key must equate the SAME column on both sides: $eq")
+          c1
+        }
+        val st = DeltaInterop.state(spark, dir)
+        def assignments(txt: String): Map[String, org.apache.spark.sql.Column] =
+          if (txt.trim == "*")
+            st.schema.fieldNames.map(c => c ->
+              org.apache.spark.sql.functions.col(s"s.$c")).toMap
+          else splitTopLevel(txt, ',').map { a =>
+            val i = topLevelIndexOf(a, '=')
+            require(i > 0, s"bad assignment: $a")
+            val lhs = a.take(i).trim.replace("`", "").split('.').last
+            lhs -> parseCol(spark, a.drop(i + 1))
+          }.toMap
+        val matchedClauses = Seq.newBuilder[DeltaInterop.MatchedClause]
+        var notMatched: Option[(Option[org.apache.spark.sql.Column],
+          Map[String, org.apache.spark.sql.Column])] = None
+        mergeWhenRe.findAllMatchIn(clausesTxt).foreach { w =>
+          val isNot = w.group(1) != null
+          val cond = Option(w.group(2)).map(parseCol(spark, _))
+          (Option(w.group(3)), Option(w.group(4)), Option(w.group(5))) match {
+            case (Some(setTxt), _, _) =>
+              require(!isNot, "WHEN NOT MATCHED supports INSERT only")
+              matchedClauses += DeltaInterop.MatchedClause(cond, assignments(setTxt))
+            case (_, Some(_), _) =>
+              require(!isNot, "WHEN NOT MATCHED supports INSERT only")
+              matchedClauses += DeltaInterop.MatchedClause(cond, Map.empty, delete = true)
+            case (_, _, Some(insTxt)) =>
+              require(isNot, "INSERT belongs to WHEN NOT MATCHED")
+              require(notMatched.isEmpty, "at most one WHEN NOT MATCHED clause")
+              val trimmed = insTxt.trim
+              val set =
+                if (trimmed == "*") Map.empty[String, org.apache.spark.sql.Column]
+                else {
+                  val im = insertValuesRe.findFirstMatchIn(trimmed).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"INSERT must be `*` or `(cols) VALUES (exprs)`: $trimmed"))
+                  val cols = splitTopLevel(im.group(1), ',')
+                    .map(_.replace("`", "").split('.').last)
+                  val exprs = splitTopLevel(im.group(2), ',').map(parseCol(spark, _))
+                  require(cols.length == exprs.length,
+                    s"INSERT column/value arity mismatch: $trimmed")
+                  cols.zip(exprs).toMap
+                }
+              notMatched = Some((cond, set))
+            case _ =>
+              throw new IllegalArgumentException(s"unparseable MERGE clause: ${w.matched}")
+          }
+        }
+        val (_, rewritten, inserted) = DeltaInterop.mergeClauses(
+          spark, dir, source, keys, matchedClauses.result(), notMatched)
+        Seq(Row(rewritten.toLong, inserted))
+      }
+    }
     historyRe.findFirstMatchIn(t).foreach { m =>
       val dir = m.group(1)
       return command(Seq(attr("version", LongType),
@@ -345,6 +414,17 @@ object DeltaSqlParser {
      s"""USING\\s+(\\(.*?\\)|[\\w`.]+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+ON\\s+(.+?)\\s+""" +
      s"""WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*\\s+""" +
      s"""WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*;?\\s*$$""").r
+  // general MERGE: arbitrary ordered WHEN clauses after ON
+  private[sql] val mergeExtRe =
+    (s"""(?is)^\\s*MERGE\\s+INTO\\s+$T(?:\\s+(?:AS\\s+)?(\\w+))?\\s+""" +
+     s"""USING\\s+(\\(.*?\\)|[\\w`.]+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+ON\\s+(.+?)\\s+""" +
+     s"""(WHEN\\s+.+?)\\s*;?\\s*$$""").r
+  private[sql] val mergeWhenRe =
+    ("""(?is)WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
+     """(?:UPDATE\s+SET\s+(.+?)|(DELETE)|INSERT\s+(.+?))\s*""" +
+     """(?=WHEN\s+(?:NOT\s+)?MATCHED|$)""").r
+  private[sql] val insertValuesRe =
+    """(?is)^\(([^)]*)\)\s*VALUES\s*\((.*)\)$""".r
   private[sql] val historyRe =
     s"""(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$T\\s*;?\\s*$$""".r
   private[sql] val restoreRe =

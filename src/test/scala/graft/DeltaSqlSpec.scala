@@ -69,6 +69,57 @@ class DeltaSqlSpec extends AnyFunSuite {
       .filter(col("name").startsWith("q_")).count() == 2)
   }
 
+  test("general MERGE: conditional UPDATE assignments, DELETE, conditional INSERT") {
+    val dir = freshTable("graft-sql-mergex")   // ids 0..19, grp = id % 4
+    Seq((1L, 50L, "hit-upd"),     // matched, grp>=50 -> update clause
+        (2L, 5L, "hit-del"),      // matched, grp<50  -> delete clause
+        (100L, 7L, "new-yes"),    // unmatched, grp<50 -> insert
+        (101L, 99L, "new-no"))    // unmatched, grp>=50 -> filtered out
+      .toDF("id", "grp", "name").createOrReplaceTempView("mx_src")
+    val r = spark.sql(
+      s"""MERGE INTO delta.`$dir` t USING mx_src s ON t.id = s.id
+         |WHEN MATCHED AND s.grp >= 50 THEN UPDATE SET name = concat(t.name, '+', s.name), grp = s.grp
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED AND s.grp < 50 THEN INSERT (id, grp, name) VALUES (s.id, s.grp, upper(s.name))
+         |""".stripMargin).collect()
+    assert(r.head.getLong(1) == 1L, s"one insert expected: ${r.toSeq}")
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.count() == 20, "20 - 1 deleted + 1 inserted")
+    val updated = t.filter(col("id") === 1L).collect().head
+    assert(updated.getAs[String]("name") == "n_1+hit-upd" && updated.getAs[Long]("grp") == 50L)
+    assert(t.filter(col("id") === 2L).count() == 0, "matched+unconditional DELETE clause")
+    assert(t.filter(col("id") === 100L).select("name").as[String].head() == "NEW-YES")
+    assert(t.filter(col("id") === 101L).count() == 0, "insert condition must filter")
+    // untouched rows untouched
+    assert(t.filter(col("id") === 3L).select("name").as[String].head() == "n_3")
+    // clause ORDER matters: first-true wins (DELETE before UPDATE)
+    Seq((4L, 60L, "x")).toDF("id", "grp", "name").createOrReplaceTempView("mx_src2")
+    spark.sql(
+      s"""MERGE INTO delta.`$dir` t USING mx_src2 s ON t.id = s.id
+         |WHEN MATCHED AND s.grp >= 50 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET name = 'should-not-happen'
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(t.count() == 19 || DeltaInterop.readDelta(spark, dir).count() == 19)
+    assert(DeltaInterop.readDelta(spark, dir).filter(col("id") === 4L).count() == 0)
+  }
+
+  test("general MERGE records a coherent change feed") {
+    val dir = freshTable("graft-sql-mergecdf")
+    DeltaInterop.setTableProperties(spark, dir, Map("delta.enableChangeDataFeed" -> "true"))
+    Seq((1L, 0L, "upd"), (2L, 0L, "del"), (100L, 0L, "ins"))
+      .toDF("id", "grp", "name").createOrReplaceTempView("mcdf_src")
+    spark.sql(
+      s"""MERGE INTO delta.`$dir` t USING mcdf_src s ON t.id = s.id
+         |WHEN MATCHED AND s.name = 'del' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET name = s.name
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val v = DeltaInterop.state(spark, dir).version
+    val m = spark.sql(s"SELECT _change_type, count(*) AS n FROM table_changes('$dir', $v, $v) GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("update_preimage" -> 1L, "update_postimage" -> 1L,
+      "delete" -> 1L, "insert" -> 1L), m)
+  }
+
   test("DESCRIBE HISTORY and RESTORE ... TO VERSION AS OF run as SQL") {
     val dir = freshTable("graft-sql-hist")
     spark.sql(s"DELETE FROM delta.`$dir` WHERE id < 10")

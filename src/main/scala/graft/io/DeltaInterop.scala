@@ -64,27 +64,39 @@ object DeltaInterop {
   private def lastCheckpointFile(dir: String) =
     new Path(logDir(dir), "_last_checkpoint")
 
-  /** The on-disk checkpoint file for version `v`, in either spelling:
-    * classic `%020d.checkpoint.parquet` (what graft writes) or V2
+  /** The on-disk checkpoint file(s) for version `v`, in any spelling:
+    * classic `%020d.checkpoint.parquet` (what graft writes), V2
     * `%020d.checkpoint.<uuid>.parquet|.json` (the `v2Checkpoint`
-    * table feature — discovered by listing). None when neither exists
-    * (including a classic MULTI-PART `.k.m.parquet` set, which this
-    * engine does not read) — the caller then degrades to a full JSON
-    * replay, exactly the pre-checkpoint behavior. */
-  private def resolveCheckpointFile(f: FileSystem, dir: String, v: Long): Option[Path] = {
+    * feature), or classic MULTI-PART `%020d.checkpoint.%010d.%010d
+    * .parquet` (all m parts, or none — a partial set is as unusable as
+    * no checkpoint). Empty when nothing resolves — the caller then
+    * degrades to a full JSON replay, exactly the pre-checkpoint
+    * behavior. */
+  private def resolveCheckpointFiles(f: FileSystem, dir: String, v: Long): Seq[Path] = {
     val classic = checkpointFile(dir, v)
-    if (f.exists(classic)) return Some(classic)
+    if (f.exists(classic)) return Seq(classic)
     val prefix = f"$v%020d.checkpoint."
-    if (!f.exists(logDir(dir))) return None
-    f.listStatus(logDir(dir)).map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n.startsWith(prefix) &&
-          (n.endsWith(".parquet") || n.endsWith(".json")) &&
-          // exactly `<uuid>.<ext>` after the prefix — multi-part
-          // `<k>.<m>.parquet` has two extra dots and is not readable here
-          n.stripPrefix(prefix).count(_ == '.') == 1
-      }.sortBy(_.getName).headOption
+    if (!f.exists(logDir(dir))) return Nil
+    val named = f.listStatus(logDir(dir)).map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix) &&
+        (p.getName.endsWith(".parquet") || p.getName.endsWith(".json")))
+    // V2: exactly `<uuid>.<ext>` after the prefix (one extra dot)
+    val v2 = named.filter(_.getName.stripPrefix(prefix).count(_ == '.') == 1)
+      .sortBy(_.getName)
+    if (v2.nonEmpty) return Seq(v2.head)
+    // multi-part classic: `<k>.<m>.parquet` — k in 1..m, all digits
+    val partRe = ("^" + java.util.regex.Pattern.quote(prefix) +
+      """(\d+)\.(\d+)\.parquet$""").r
+    val parts = named.flatMap { p =>
+      partRe.findFirstMatchIn(p.getName).map(m =>
+        (m.group(1).toInt, m.group(2).toInt, p))
+    }
+    parts.map(_._2).distinct.toSeq match {
+      case Seq(m) if parts.length == m &&
+        parts.map(_._1).sorted.sameElements(1 to m) =>
+        parts.sortBy(_._1).map(_._3).toSeq
+      case _ => Nil // absent or incomplete part set
+    }
   }
 
   /** Every action carrier of version `v`'s checkpoint, resolved across
@@ -94,12 +106,13 @@ object DeltaInterop {
     * [[state]]'s replay and [[vacuum]]'s reachability walk — the two
     * MUST see the same adds, or vacuum could reclaim live data. */
   private def readCheckpointActions(spark: SparkSession, dir: String,
-                                    main: Path): (Seq[org.apache.spark.sql.Row], Seq[JsonNode]) = {
+                                    files: Seq[Path]): (Seq[org.apache.spark.sql.Row], Seq[JsonNode]) = {
+    require(files.nonEmpty, s"no checkpoint files resolved under $dir")
     val f = fs(spark, dir)
     def sidecarPaths(names: Seq[String]): Seq[Path] =
       names.map(n => new Path(new Path(logDir(dir), "_sidecars"), n))
-    if (main.getName.endsWith(".json")) {
-      val in = f.open(main)
+    if (files.head.getName.endsWith(".json")) {
+      val in = f.open(files.head)
       val nodes =
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
           .filter(_.nonEmpty).map(M.readTree).toList
@@ -111,7 +124,9 @@ object DeltaInterop {
         else spark.read.parquet(sides.map(_.toString): _*).collect().toSeq
       (sideRows, nodes)
     } else {
-      val rows = spark.read.parquet(main.toString).collect().toSeq
+      // one scan over every part (single-file classic/v2, or the full
+      // multi-part set — parts of one checkpoint share a schema)
+      val rows = spark.read.parquet(files.map(_.toString): _*).collect().toSeq
       val sides = sidecarPaths(rows.collect {
         case r if r.schema.fieldNames.contains("sidecar") &&
           !r.isNullAt(r.fieldIndex("sidecar")) =>
@@ -287,7 +302,7 @@ object DeltaInterop {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       val n = M.readTree(txt)
       val v = n.get("version").asLong
-      if (resolveCheckpointFile(f, dir, v).isDefined)
+      if (resolveCheckpointFiles(f, dir, v).nonEmpty)
         Some((v, n.path("size").asLong(-1L)))
       else None
     }
@@ -313,7 +328,7 @@ object DeltaInterop {
     val startV = lastCheckpoint(spark, dir).map(_._1).filter(_ <= v) match {
       case Some(cpV) =>
         val (cpRows, cpNodes) = readCheckpointActions(spark, dir,
-          resolveCheckpointFile(f, dir, cpV).get)
+          resolveCheckpointFiles(f, dir, cpV))
         // V2 JSON checkpoints carry actions as log-shaped JSON lines —
         // replay them through the same node handling as commits
         // (a checkpoint's remove rows are vacuum tombstones; removing a
@@ -1546,7 +1561,7 @@ object DeltaInterop {
       // sidecar files / JSON lines — missing them here would reclaim
       // live data
       val (cpRows, cpNodes) = readCheckpointActions(spark, dir,
-        resolveCheckpointFile(f, dir, cpV).get)
+        resolveCheckpointFiles(f, dir, cpV))
       cpRows.foreach { r =>
         if (r.schema.fieldNames.contains("add") && !r.isNullAt(r.fieldIndex("add"))) {
           val a = r.getStruct(r.fieldIndex("add"))

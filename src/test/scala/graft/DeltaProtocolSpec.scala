@@ -315,6 +315,43 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(DeltaInterop.readDelta(spark, dir).count() == 3L)
   }
 
+  test("MULTI-PART classic checkpoints read (all parts); a partial set degrades, not corrupts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cp-multipart").toString
+    // two data files
+    val relA = "part-mp-a.parquet"; val relB = "part-mp-b.parquet"
+    val sizeA = writeSingleParquet(Seq(1L, 2L).toDF("id"), Paths.get(dir, relA))
+    val sizeB = writeSingleParquet(Seq(3L, 4L, 5L).toDF("id"), Paths.get(dir, relB))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    val proto = V2Protocol(1, 2, null, null)
+    val meta = V2Meta("mp-fixture", V2Format("parquet", Map.empty), schema.json,
+      Nil, Map.empty, 0L)
+    def add(rel: String, size: Long, n: Int) =
+      V2Add(rel, Map.empty, size, 0L, dataChange = true, s"""{"numRecords":$n}""")
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    // part 1 of 2: protocol + metaData + addA; part 2 of 2: addB
+    val base = f"${0L}%020d.checkpoint"
+    writeSingleParquet(Seq(
+      V2Row(protocol = proto), V2Row(metaData = meta),
+      V2Row(add = add(relA, sizeA, 2))).toDF(),
+      Paths.get(dir, "_delta_log", f"$base.${1}%010d.${2}%010d.parquet"))
+    writeSingleParquet(Seq(V2Row(add = add(relB, sizeB, 3))).toDF(),
+      Paths.get(dir, "_delta_log", f"$base.${2}%010d.${2}%010d.parquet"))
+    Files.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":0,"size":4,"parts":2}""")
+    assert(DeltaInterop.readDelta(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(DeltaInterop.state(spark, dir).files.map(_.numRecords).sum == 5L)
+    // drop a part: the set is incomplete — the reader must NOT trust the
+    // remainder (half a snapshot is corruption); with no JSON either,
+    // the table reads as absent rather than as half its files
+    Files.delete(Paths.get(dir, "_delta_log", f"$base.${2}%010d.${2}%010d.parquet"))
+    val e = intercept[Exception](DeltaInterop.readDelta(spark, dir))
+    assert(e.getMessage.contains("no Delta log") || e.getMessage.contains("missing log"),
+      e.getMessage)
+  }
+
   test("v2 JSON checkpoints read through the same replay") {
     val dir = v2Fixture("json")
     assert(DeltaInterop.readDelta(spark, dir)

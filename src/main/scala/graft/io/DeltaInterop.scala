@@ -496,6 +496,15 @@ object DeltaInterop {
       s"table at $dir requires unsupported writer feature(s): " +
       s"${unsupported.toSeq.sorted.mkString(", ")} — refusing to commit " +
       "rather than break the feature's invariants")
+    // the identityColumns FEATURE is only vacuous while no column
+    // carries identity metadata — a table that actually has one needs
+    // value generation + high-watermark maintenance this engine doesn't
+    // do; refuse BY NAME instead of silently writing nulls
+    val identityCols = st.schema.fields
+      .filter(_.metadata.contains("delta.identity.start")).map(_.name)
+    require(identityCols.isEmpty,
+      s"table at $dir has IDENTITY column(s) ${identityCols.mkString(", ")} — " +
+      "this engine does not generate identity values; refusing to write")
   }
 
   /** `delta.appendOnly=true` (the writer-v2 `appendOnly` feature):
@@ -1123,6 +1132,17 @@ object DeltaInterop {
             throw new IllegalArgumentException(
               s"column invariant on ${fd.name} ($sql) violated by e.g. ${bad.head}")
         }
+      }
+      // GENERATED columns (writer v4's `delta.generationExpression`):
+      // a written value must EQUAL the generation expression — delta's
+      // writer contract; same limit-1 probe
+      if (fd.metadata.contains("delta.generationExpression") &&
+          df.columns.contains(fd.name)) {
+        val gen = fd.metadata.getString("delta.generationExpression")
+        val bad = df.filter(!(col(fd.name) <=> expr(gen))).limit(1).collect()
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"generated column ${fd.name} must equal ($gen); violated by e.g. ${bad.head}")
       }
     }
   }

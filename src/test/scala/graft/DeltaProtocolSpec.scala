@@ -359,6 +359,48 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(DeltaInterop.state(spark, dir).version == 0L)
   }
 
+  test("generated columns are enforced on write; identity columns refuse by name") {
+    def fixture(metaKey: String, metaVal: Any): String = {
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      metaVal match {
+        case s: String => mb.putString(metaKey, s)
+        case l: Long => mb.putLong(metaKey, l)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "twice", org.apache.spark.sql.types.LongType,
+          nullable = true, mb.build())))
+      val dir = Files.createTempDirectory("graft-proto-gen").toString
+      val M = new com.fasterxml.jackson.databind.ObjectMapper()
+      val md = M.createObjectNode(); val m = md.putObject("metaData")
+      m.put("id", "gen-fixture")
+      val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+      m.put("schemaString", schema.json)
+      m.putArray("partitionColumns"); m.putObject("configuration"); m.put("createdTime", 0L)
+      Files.createDirectories(Paths.get(dir, "_delta_log"))
+      Files.write(Paths.get(dir, "_delta_log", "00000000000000000000.json"),
+        (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
+          M.writeValueAsString(md)).mkString("\n") + "\n").getBytes("UTF-8"))
+      dir
+    }
+    // generated column: conforming write lands, violating write refused
+    val gDir = fixture("delta.generationExpression", "id * 2")
+    DeltaInterop.writeDelta(Seq((1L, 2L), (3L, 6L)).toDF("id", "twice"), gDir, Nil)
+    val e = intercept[IllegalArgumentException](
+      DeltaInterop.writeDelta(Seq((4L, 9L)).toDF("id", "twice"), gDir, Nil))
+    assert(e.getMessage.contains("id * 2"), e.getMessage)
+    assert(DeltaInterop.readDelta(spark, gDir).count() == 2)
+    // identity column: ANY write refused by name (no value generation here)
+    val iDir = fixture("delta.identity.start", 1L)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaInterop.writeDelta(Seq((1L, 1L)).toDF("id", "twice"), iDir, Nil))
+    assert(e2.getMessage.contains("IDENTITY") && e2.getMessage.contains("twice"), e2.getMessage)
+    // reads of the identity table stay fine
+    assert(DeltaInterop.readDelta(spark, iDir).count() == 0)
+  }
+
   test("delta.invariants column metadata is enforced on write") {
     val dir = Files.createTempDirectory("graft-proto-invariant").toString
     // a foreign table whose `id` column carries an invariant id >= 0

@@ -424,6 +424,12 @@ object OracleSql {
         |)
         |SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
         |FROM cur GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q169: the converted lake equals the corpus minus the post-convert
+    // SQL delete — conversion itself must be value-invisible
+    "q169_convert_to_delta" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
+        |FROM documents WHERE doc_id % 5 <> 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

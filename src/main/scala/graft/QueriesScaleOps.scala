@@ -1784,4 +1784,34 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
          |FROM delta.`$tmp` GROUP BY lang ORDER BY lang""".stripMargin)
   }
+
+  /** q169 — CONVERT TO DELTA ([[graft.io.DeltaInterop.convertToDelta]]
+    * via SQL): a pre-existing Hive-partitioned PLAIN-parquet lake dir
+    * becomes a Delta table in place (footer-stats adds, zero data
+    * movement — file identity asserted), then mutates through the
+    * normal gates (a SQL DELETE) and aggregates. The oracle replays the
+    * delete analytically over the corpus. */
+  private[graft] def q169(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q169") + "/lake"
+    docs.write.partitionBy("lang").parquet(tmp)        // a PLAIN parquet lake
+    val before = {
+      val f = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def count(p: org.apache.hadoop.fs.Path): Int =
+        f.listStatus(p).map { st =>
+          if (st.isDirectory) count(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet")) 1 else 0
+        }.sum
+      count(new org.apache.hadoop.fs.Path(tmp))
+    }
+    s.sql(s"CONVERT TO DELTA parquet.`$tmp` PARTITIONED BY (lang)")   // v0
+    val st = graft.io.DeltaInterop.state(s, tmp)
+    require(st.files.length == before && st.files.forall(_.numRecords > 0),
+      "convert must reference every existing file with footer stats, move none")
+    s.sql(s"DELETE FROM delta.`$tmp` WHERE doc_id % 5 = 1")           // v1
+    s.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
+         |FROM delta.`$tmp` GROUP BY lang ORDER BY lang""".stripMargin)
+  }
 }

@@ -1028,6 +1028,63 @@ object DeltaInterop {
                  overwrite: Boolean = false): Long =
     writeDelta(df, dir, partCols, overwrite, checkpointInterval = 10)
 
+  /** CONVERT TO DELTA: snapshot an EXISTING parquet directory (plain or
+    * Hive-partitioned) into a Delta table IN PLACE — no data movement,
+    * no rewrite. One metadata pass: list the `.parquet` files, read
+    * each footer for numRecords + min/max stats (so the converted
+    * table gets file skipping immediately), decode partition values
+    * from the `col=value` path segments, infer the schema from one
+    * Spark read (partition columns typed by inference), and commit
+    * version 0 with protocol + metaData + one add per file. The
+    * migration entry point for an existing parquet lake: at 100 TB the
+    * cost is footer reads, not data. Returns the committed version (0).
+    *
+    * `partCols` names the partition columns when known; empty infers
+    * them from the first file's path segments. */
+  def convertToDelta(spark: SparkSession, dir: String,
+                     partCols: Seq[String] = Nil): Long = {
+    require(latestVersion(spark, dir) < 0, s"$dir is already a Delta table")
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val files = Seq.newBuilder[(String, Long)] // rel path, size
+    def walk(p: Path, rel: List[String]): Unit =
+      f.listStatus(p).foreach { s0 =>
+        val n = s0.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) ()
+        else if (s0.isDirectory) walk(s0.getPath, rel :+ n)
+        else if (n.endsWith(".parquet"))
+          files += (((rel :+ n).mkString("/"), s0.getLen))
+      }
+    walk(root, Nil)
+    val all = files.result()
+    require(all.nonEmpty, s"no parquet files under $dir to convert")
+    def segParts(rel: String): Seq[(String, String)] =
+      rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i <= 0) None
+        else Some(seg.take(i) ->
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.drop(i + 1)))
+      }
+    val inferredPartCols =
+      if (partCols.nonEmpty) partCols else segParts(all.head._1).map(_._1)
+    val schema = spark.read.option("basePath", dir).parquet(dir).schema
+    require(inferredPartCols.forall(schema.fieldNames.contains),
+      s"partition column(s) ${inferredPartCols.mkString(",")} not in inferred schema")
+    val adds = all.map { case (rel, size) =>
+      val pv = segParts(rel).toMap
+      require(inferredPartCols.forall(pv.contains),
+        s"file $rel lacks partition value(s) for ${inferredPartCols.mkString(",")}")
+      val (rows, stats) = footerStats(spark, new Path(dir, rel))
+      AddFile(rel, inferredPartCols.map(c => c -> pv(c)).toMap, size, rows,
+        Map.empty, stats)
+    }
+    commit(spark, dir, 0L,
+      Seq(protocolJson(), metaDataJson(schema, inferredPartCols)) ++
+        adds.map(addJson(_)),
+      op = "CONVERT")
+  }
+
   /** [[writeDelta]] with optimistic-concurrency retry — Delta's
     * transaction contract. An APPEND never logically conflicts with a
     * concurrent commit (its staged files are fresh names, its adds

@@ -250,6 +250,16 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
         Nil
       }
     }
+    convertRe.findFirstMatchIn(t).foreach { m =>
+      val (dir, partTxt) = (m.group(1), Option(m.group(2)))
+      return command(Seq(attr("version", LongType))) { spark =>
+        // PARTITIONED BY entries may carry types (`lang string`) — only
+        // the names matter here (types come from schema inference)
+        val partCols = partTxt.toSeq.flatMap(_.split(','))
+          .map(_.trim.replace("`", "").split("\\s+").head).filter(_.nonEmpty)
+        Seq(Row(DeltaInterop.convertToDelta(spark, dir, partCols)))
+      }
+    }
     vacuumRe.findFirstMatchIn(t).foreach { m =>
       val (dir, hours) = (m.group(1), Option(m.group(2)).map(_.toDouble))
       return command(Seq(attr("num_files_reclaimed", LongType))) { spark =>
@@ -436,6 +446,9 @@ object DeltaSqlParser {
     (s"""(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T""" +
      s"""(?:\\s+USING\\s+delta)?(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?""" +
      s"""\\s+AS\\s+(.+)$$""").r
+  private[sql] val convertRe =
+    ("""(?is)^\s*CONVERT\s+TO\s+DELTA\s+parquet\s*\.\s*`([^`]+)`""" +
+     """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
   private[sql] val vacuumRe =
     s"""(?is)^\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS?)?\\s*;?\\s*$$""".r
   private[sql] val optimizeRe =

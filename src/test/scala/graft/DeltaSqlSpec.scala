@@ -240,6 +240,37 @@ class DeltaSqlSpec extends AnyFunSuite {
       .head().getLong(0) == 1000)
   }
 
+  test("CONVERT TO DELTA snapshots an existing parquet dir in place") {
+    val dir = Files.createTempDirectory("graft-sql-convert").toString + "/lake"
+    (0L until 30L).map(i => (i, i % 3, s"n_$i")).toDF("id", "part", "name")
+      .write.partitionBy("part").parquet(dir)
+    val nFilesBefore = {
+      def count(f: java.io.File): Int =
+        if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
+        else f.listFiles().map(count).sum
+      count(new java.io.File(dir))
+    }
+    val r = spark.sql(s"CONVERT TO DELTA parquet.`$dir` PARTITIONED BY (part)").collect()
+    assert(r.head.getLong(0) == 0L)
+    val st = DeltaInterop.state(spark, dir)
+    assert(st.partitionColumns == Seq("part"))
+    assert(st.files.length == nFilesBefore, "convert must reference every file, move none")
+    assert(st.files.forall(_.numRecords > 0), "footer stats must ride along")
+    assert(spark.sql(s"SELECT count(*) FROM delta.`$dir`").head().getLong(0) == 30)
+    // converted tables are immediately mutable through the normal gates
+    spark.sql(s"DELETE FROM delta.`$dir` WHERE id % 2 = 0")
+    assert(DeltaInterop.readDelta(spark, dir).count() == 15)
+    // converting twice refuses
+    intercept[Exception](spark.sql(s"CONVERT TO DELTA parquet.`$dir`").collect())
+    // partition-column inference from the path works without the clause
+    val dir2 = Files.createTempDirectory("graft-sql-convert2").toString + "/lake"
+    (0L until 10L).map(i => (i, i % 2)).toDF("id", "half")
+      .write.partitionBy("half").parquet(dir2)
+    spark.sql(s"CONVERT TO DELTA parquet.`$dir2`")
+    assert(DeltaInterop.state(spark, dir2).partitionColumns == Seq("half"))
+    assert(DeltaInterop.readDelta(spark, dir2).count() == 10)
+  }
+
   test("non-Delta SQL is untouched by the injected parser") {
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
     Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView("plain_t")

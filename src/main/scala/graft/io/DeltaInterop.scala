@@ -1085,6 +1085,33 @@ object DeltaInterop {
       op = "CONVERT")
   }
 
+  /** SHALLOW CLONE: a NEW Delta table at `dstDir` whose version 0
+    * references the SOURCE snapshot's live data files by ABSOLUTE path
+    * — metadata only, zero bytes copied (delta-spark's dev/test
+    * branching primitive). The clone carries the source's schema,
+    * partitioning, configuration, and protocol verbatim (column-mapped
+    * sources clone fine — the mapping lives in the copied metadata);
+    * later mutations stage THEIR files inside the clone dir, so the
+    * source is never touched, and the clone's vacuum can never reclaim
+    * source data (absolute references resolve outside its walk).
+    * DV-carrying sources are refused: a cloned "u" descriptor would
+    * resolve its sidecar against the WRONG root. Returns 0. */
+  def shallowClone(spark: SparkSession, srcDir: String, dstDir: String): Long = {
+    val st = state(spark, srcDir)
+    require(latestVersion(spark, dstDir) < 0, s"$dstDir is already a Delta table")
+    require(st.files.forall(_.deletionVector == null),
+      s"cannot shallow-clone $srcDir: deletion-vector sidecars resolve " +
+      "against the table root — compact/materialize the DVs first")
+    val f = fs(spark, srcDir)
+    val adds = st.files.map(a =>
+      a.copy(path = f.makeQualified(new Path(srcDir, a.path)).toString))
+    commit(spark, dstDir, 0L,
+      Seq(st.protocol.json,
+        metaDataJson(st.schema, st.partitionColumns, st.configuration)) ++
+        adds.map(addJson(_, dataChange = true)),
+      op = "CLONE")
+  }
+
   /** [[writeDelta]] with optimistic-concurrency retry — Delta's
     * transaction contract. An APPEND never logically conflicts with a
     * concurrent commit (its staged files are fresh names, its adds

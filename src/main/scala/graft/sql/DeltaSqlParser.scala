@@ -250,6 +250,12 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
         Nil
       }
     }
+    cloneRe.findFirstMatchIn(t).foreach { m =>
+      val (dst, src) = (m.group(1), m.group(2))
+      return command(Seq(attr("version", LongType))) { spark =>
+        Seq(Row(DeltaInterop.shallowClone(spark, src, dst)))
+      }
+    }
     convertRe.findFirstMatchIn(t).foreach { m =>
       val (dir, partTxt) = (m.group(1), Option(m.group(2)))
       return command(Seq(attr("version", LongType))) { spark =>
@@ -446,6 +452,8 @@ object DeltaSqlParser {
     (s"""(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T""" +
      s"""(?:\\s+USING\\s+delta)?(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?""" +
      s"""\\s+AS\\s+(.+)$$""").r
+  private[sql] val cloneRe =
+    s"""(?is)^\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T\\s*;?\\s*$$""".r
   private[sql] val convertRe =
     ("""(?is)^\s*CONVERT\s+TO\s+DELTA\s+parquet\s*\.\s*`([^`]+)`""" +
      """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r

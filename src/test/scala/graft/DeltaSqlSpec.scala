@@ -271,6 +271,36 @@ class DeltaSqlSpec extends AnyFunSuite {
     assert(DeltaInterop.readDelta(spark, dir2).count() == 10)
   }
 
+  test("SHALLOW CLONE branches a table without copying; mutations stay isolated") {
+    val root = Files.createTempDirectory("graft-sql-clone").toString
+    val src = s"$root/src"; val dst = s"$root/clone"
+    DeltaInterop.writeDelta(
+      (0L until 20L).map(i => (i, i % 2, s"n_$i")).toDF("id", "half", "name")
+        .repartition(2), src, Seq("half"))
+    val r = spark.sql(s"CREATE TABLE delta.`$dst` SHALLOW CLONE delta.`$src`").collect()
+    assert(r.head.getLong(0) == 0L)
+    // zero data files inside the clone dir — references are absolute
+    val st = DeltaInterop.state(spark, dst)
+    assert(st.files.forall(_.path.contains(src)), st.files.map(_.path).mkString(","))
+    assert(st.partitionColumns == Seq("half"))
+    assert(spark.sql(s"SELECT count(*) FROM delta.`$dst`").head().getLong(0) == 20)
+    // mutating the clone touches only the clone; the source is untouched
+    spark.sql(s"DELETE FROM delta.`$dst` WHERE id < 10")
+    spark.sql(s"INSERT INTO delta.`$dst` VALUES (100, 0, 'clone-only')")
+    assert(DeltaInterop.readDelta(spark, dst).count() == 11)
+    assert(DeltaInterop.readDelta(spark, src).count() == 20, "source must be untouched")
+    // the clone's vacuum cannot reclaim source data
+    DeltaInterop.checkpoint(spark, dst); DeltaInterop.cleanupLog(spark, dst)
+    DeltaInterop.vacuum(spark, dst, retainMillis = 0L)
+    assert(DeltaInterop.readDelta(spark, src).count() == 20)
+    assert(DeltaInterop.readDelta(spark, dst).count() == 11)
+    // DV-carrying sources refuse (sidecars would resolve at the wrong root)
+    DeltaInterop.deleteWhereDV(spark, src, col("id") === 0L)
+    val e = intercept[IllegalArgumentException](
+      spark.sql(s"CREATE TABLE delta.`$root/c2` SHALLOW CLONE delta.`$src`").collect())
+    assert(e.getMessage.contains("deletion-vector"), e.getMessage)
+  }
+
   test("non-Delta SQL is untouched by the injected parser") {
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
     Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView("plain_t")

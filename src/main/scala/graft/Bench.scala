@@ -65,7 +65,12 @@ object Bench {
     "q161_delta_dv_update",
     "q162_delta_restore",
     "q163_delta_rename",
-    "q164_delta_cdf_stream"
+    "q164_delta_cdf_stream",
+    "q165_delta_addcol",
+    "q166_delta_sql",
+    "q167_sql_ddl",
+    "q168_sql_merge_clauses",
+    "q169_convert_to_delta"
   )
 
   def main(args: Array[String]): Unit = {

@@ -69,7 +69,9 @@ object ScaleSmoke {
       "q148_bpe_packing", "q149_video_frames", "q150_delta_stream",
       "q151_delta_skipping", "q152_delta_row_ops", "q153_delta_merge", "q154_delta_colmap", "q155_delta_dv", "q156_delta_zorder",
       "q158_delta_dv_delete", "q159_delta_source", "q160_delta_cdf",
-      "q161_delta_dv_update", "q162_delta_restore", "q163_delta_rename", "q164_delta_cdf_stream")
+      "q161_delta_dv_update", "q162_delta_restore", "q163_delta_rename", "q164_delta_cdf_stream",
+      "q165_delta_addcol", "q166_delta_sql", "q167_sql_ddl",
+      "q168_sql_merge_clauses", "q169_convert_to_delta")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -70,7 +70,9 @@ object Bench {
     "q166_delta_sql",
     "q167_sql_ddl",
     "q168_sql_merge_clauses",
-    "q169_convert_to_delta"
+    "q169_convert_to_delta",
+    "q170_sql_catalog_names",
+    "q171_merge_by_source"
   )
 
   def main(args: Array[String]): Unit = {

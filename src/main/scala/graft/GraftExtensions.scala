@@ -22,9 +22,61 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // SQL front-end for the Delta mutation surface (DELETE/UPDATE/MERGE/
-    // DESCRIBE HISTORY/RESTORE/table_changes over delta.`path` tables);
-    // every other statement delegates verbatim to Spark's parser
+    // DESCRIBE HISTORY/RESTORE/table_changes over delta.`path` tables
+    // and registered [db.]table names); every other statement delegates
+    // verbatim to Spark's parser
     ext.injectParser((_, delegate) => new graft.sql.DeltaSqlParser(delegate))
+    // Table-valued functions backing the READ side of the Delta SQL
+    // surface. Resolution happens per query, so every expansion sees
+    // the table's CURRENT snapshot; the returned plan is the same
+    // file-pruned parquet scan the Scala API builds (pushdown intact).
+    // graft_delta also serves as the view text of catalog-registered
+    // Delta tables (DeltaInterop.registerCatalogTable), which makes
+    // SELECT-by-name pure stock-Spark view expansion.
+    def stringArg(fn: String, args: Seq[Expression], i: Int): String = args(i) match {
+      case Literal(s, org.apache.spark.sql.types.StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a string literal, got $other")
+    }
+    def longArg(fn: String, args: Seq[Expression], i: Int): Long = args(i) match {
+      case Literal(v: Int, _) => v.toLong
+      case Literal(v: Long, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer literal, got $other")
+    }
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_delta"),
+      info("graft_delta",
+        "graft_delta(path_or_name[, version]) - rows of the graft-Delta table (optionally time-traveled)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          s"graft_delta takes (path[, version]), got ${args.length} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val ref = stringArg("graft_delta", args, 0)
+        val dir = graft.io.DeltaInterop.catalogDeltaPath(spark, ref).getOrElse(ref)
+        val version = if (args.length > 1) Some(longArg("graft_delta", args, 1)) else None
+        org.apache.spark.sql.GraftBridge.plan(
+          graft.io.DeltaInterop.readDelta(spark, dir, version))
+      }
+    ))
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      info("table_changes",
+        "table_changes(path_or_name, from_version[, to_version]) - the table's change data feed over the version range"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          s"table_changes takes (table, from[, to]), got ${args.length} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val ref = stringArg("table_changes", args, 0)
+        val dir = graft.io.DeltaInterop.catalogDeltaPath(spark, ref).getOrElse(ref)
+        val from = longArg("table_changes", args, 1)
+        val to =
+          if (args.length > 2) longArg("table_changes", args, 2)
+          else graft.io.DeltaInterop.latestVersion(spark, dir)
+        org.apache.spark.sql.GraftBridge.plan(
+          graft.io.DeltaInterop.readChangeFeed(spark, dir, from, to))
+      }
+    ))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - sequential double dot product of two numeric arrays"),

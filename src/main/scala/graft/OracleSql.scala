@@ -430,6 +430,26 @@ object OracleSql {
       """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
         |FROM documents WHERE doc_id % 5 <> 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q170: catalog-name lifecycle — survivors are the non-deleted rows
+    // (doc_id%5<>2) plus the merge's re-inserts (doc_id%3=0 overlaps the
+    // deletion); every doc_id%3=0 row carries the merged n_chars+777
+    "q170_sql_catalog_names" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(CASE WHEN doc_id % 3 = 0 THEN n_chars + 777
+        |           ELSE n_chars END)::BIGINT AS chars
+        |FROM documents
+        |WHERE doc_id % 5 <> 2 OR doc_id % 3 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q171: by-source replay — matched quarter (doc_id%4=1) updates to
+    // n_chars+11; unmatched doc_id%4=2 deletes; remaining unmatched
+    // evens gain 1000 (clause order: the delete wins over the update)
+    "q171_merge_by_source" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(CASE WHEN doc_id % 4 = 1 THEN n_chars + 11
+        |           WHEN n_chars % 2 = 0 THEN n_chars + 1000
+        |           ELSE n_chars END)::BIGINT AS chars
+        |FROM documents WHERE doc_id % 4 <> 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

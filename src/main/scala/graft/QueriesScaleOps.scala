@@ -1814,4 +1814,60 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
          |FROM delta.`$tmp` GROUP BY lang ORDER BY lang""".stripMargin)
   }
+
+  /** q170 — catalog NAMES for the whole Delta SQL surface (the
+    * reference's Athena contract: users address `db.table` over a
+    * shared catalog, never paths — `/root/reference/README.md:101-103`).
+    * CTAS-by-name registers the table
+    * ([[graft.io.DeltaInterop.registerCatalogTable]] — a catalog view
+    * over the `graft_delta` TVF), then EVERY statement — DELETE,
+    * MERGE, the final aggregate — addresses the NAME; the path never
+    * appears after creation. The oracle replays the mutations
+    * analytically. */
+  private[graft] def q170(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q170") + "/t"
+    s.sql("DROP VIEW IF EXISTS graft_q170_t") // rerunnable (bench warm pass)
+    s.sql(
+      s"""CREATE TABLE graft_q170_t USING delta PARTITIONED BY (lang)
+         |LOCATION '$tmp'
+         |AS SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
+         |""".stripMargin)                                            // v0
+    s.sql("DELETE FROM graft_q170_t WHERE doc_id % 5 = 2")            // v1
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("lang"), (col("n_chars") + 777).as("n_chars"))
+      .createOrReplaceTempView("graft_q170_src")
+    s.sql(
+      """MERGE INTO graft_q170_t t USING graft_q170_src s ON t.doc_id = s.doc_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)               // v2
+    s.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
+        |FROM graft_q170_t GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  /** q171 — `WHEN NOT MATCHED BY SOURCE` MERGE clauses (delta-spark
+    * ≥2.3's full surface, [[graft.io.DeltaInterop.mergeClauses]]'
+    * by-source arbitration): target rows with NO source match are
+    * conditionally deleted or updated, ordered first-match-wins,
+    * alongside a plain matched UPDATE. Scale shape: the by-source
+    * clauses add ONE anti-join file probe; only files holding firing
+    * rows rewrite. The oracle replays all three clauses analytically. */
+  private[graft] def q171(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q171")
+    graft.io.DeltaInterop.writeDelta(docs, tmp, Seq("lang"))          // v0
+    docs.filter(col("doc_id") % 4 === 1)
+      .createOrReplaceTempView("graft_q171_src")
+    s.sql(
+      s"""MERGE INTO delta.`$tmp` t USING graft_q171_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 11
+         |WHEN NOT MATCHED BY SOURCE AND t.doc_id % 4 = 2 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND t.n_chars % 2 = 0
+         |  THEN UPDATE SET n_chars = t.n_chars + 1000
+         |""".stripMargin)                                            // v1
+    s.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
+         |FROM delta.`$tmp` GROUP BY lang ORDER BY lang""".stripMargin)
+  }
 }

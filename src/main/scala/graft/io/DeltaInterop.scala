@@ -468,9 +468,14 @@ object DeltaInterop {
       }
     }
     require(schema != null, s"log under $dir has no metaData action")
-    // READ gate: refuse — by name — any reader requirement this engine
-    // does not implement, instead of silently misreading the table
-    // (e.g. a v2Checkpoint table's JSON tail is not its full history)
+    requireReadable(protocol, dir)
+    DeltaState(v, schema, partCols, live.values.toSeq, txns.toMap, config, protocol)
+  }
+
+  /** READ gate: refuse — by name — any reader requirement this engine
+    * does not implement, instead of silently misreading the table
+    * (e.g. a v2Checkpoint table's JSON tail is not its full history). */
+  private def requireReadable(protocol: Protocol, dir: String): Unit = {
     require(protocol.minReader <= 3,
       s"table at $dir requires minReaderVersion=${protocol.minReader}; " +
       "this engine reads protocol versions 1-3")
@@ -480,7 +485,6 @@ object DeltaInterop {
       s"${unsupported.toSeq.sorted.mkString(", ")} — this engine reads " +
       s"${Protocol.SupportedReaderFeatures.toSeq.sorted.mkString(", ")} " +
       "over classic single-parquet checkpoints")
-    DeltaState(v, schema, partCols, live.values.toSeq, txns.toMap, config, protocol)
   }
 
   /** WRITE gate: refuse — by name — writer features this engine cannot
@@ -607,7 +611,9 @@ object DeltaInterop {
     * (generic tables written by other engines may scatter files). */
   def readDelta(spark: SparkSession, dir: String,
                 version: Option[Long] = None): DataFrame =
-    readFiles(spark, dir, state(spark, dir, version))
+    if (version.isEmpty && isLargeLog(spark, dir))
+      readDeltaWhereLarge(spark, dir, Map.empty, Map.empty)
+    else readFiles(spark, dir, state(spark, dir, version))
 
   // ---- column mapping (PROTOCOL.md "Column Mapping") ----
   // A table with delta.columnMapping.mode = name|id stores columns in
@@ -691,8 +697,13 @@ object DeltaInterop {
       st.partitionColumns.map(c =>
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .getPartitionPathString(c, a.partitionValues(c))).mkString("/")
-    val allHive = st.partitionColumns.isEmpty ||
-      st.files.forall(a => a.path.startsWith(hivePath(a) + "/"))
+    // the single-basePath scan requires every ref to live UNDER the
+    // table root — a shallow clone's absolute references (outside the
+    // clone dir) must take the grouped-scan branch instead, else Spark
+    // rejects the basePath/file mismatch
+    val allInside = st.files.forall(a => !new Path(a.path).isAbsolute)
+    val allHive = allInside && (st.partitionColumns.isEmpty ||
+      st.files.forall(a => a.path.startsWith(hivePath(a) + "/")))
     val deleted = dvMasks(spark, dir, st)
     val provCols = Seq(col("_metadata.file_path").as("_graft_file"),
       col("_metadata.row_index").as("_graft_pos"))
@@ -735,14 +746,15 @@ object DeltaInterop {
     * stages post-rename lands in)? True ⇒ one `basePath` scan serves
     * the whole table. */
   private def mappedAllHive(st: DeltaState, files: Seq[AddFile]): Boolean =
-    st.partitionColumns.isEmpty || files.forall { a =>
+    files.forall(a => !new Path(a.path).isAbsolute) &&
+    (st.partitionColumns.isEmpty || files.forall { a =>
       val seg = st.partitionColumns.map { c =>
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .getPartitionPathString(physicalFieldName(st.schema(c)),
             mappedPartValue(st, a, c))
       }.mkString("/")
       a.path.startsWith(seg + "/")
-    }
+    })
 
   /** A mapped add's partition value for a LOGICAL column — the log keys
     * partitionValues by PHYSICAL name (graft's layout), logical as the
@@ -1102,6 +1114,17 @@ object DeltaInterop {
     require(st.files.forall(_.deletionVector == null),
       s"cannot shallow-clone $srcDir: deletion-vector sidecars resolve " +
       "against the table root — compact/materialize the DVs first")
+    // the clone re-serializes every add through this engine's AddFile
+    // model, which drops feature-required per-file fields a foreign
+    // writer feature may demand (rowTracking's baseRowId, ...). Copying
+    // the protocol verbatim while dropping those fields would advertise
+    // a feature the clone violates — refuse, mirroring requireWritable.
+    val unsupported = st.protocol.writerFeatures -- Protocol.SupportedWriterFeatures
+    require(unsupported.isEmpty,
+      s"cannot shallow-clone $srcDir: writer feature(s) " +
+      s"${unsupported.toSeq.sorted.mkString(", ")} require add-file fields " +
+      "this engine does not model — the clone would carry the feature " +
+      "while dropping its per-file metadata")
     val f = fs(spark, srcDir)
     val adds = st.files.map(a =>
       a.copy(path = f.makeQualified(new Path(srcDir, a.path)).toString))
@@ -1110,6 +1133,92 @@ object DeltaInterop {
         metaDataJson(st.schema, st.partitionColumns, st.configuration)) ++
         adds.map(addJson(_, dataChange = true)),
       op = "CLONE")
+  }
+
+  // ---- catalog names for graft-Delta tables ----
+  // The reference's end-user contract is names over a shared catalog
+  // (its Glue jobs saveAsTable and users then query `db.table` from
+  // Athena — /root/reference/README.md:101-103); path spellings are an
+  // engine-internal detail. A graft-Delta table registers as a
+  // persistent VIEW over the graft_delta(path) table function
+  // ([[graft.GraftExtensions]]): reads-by-name resolve through stock
+  // Spark view expansion — aliases, joins, nested views all work with
+  // zero parser involvement, and each expansion re-resolves the TVF so
+  // readers always see the current snapshot — while mutation statements
+  // (MERGE INTO db.t, DELETE FROM db.t, ...) resolve the name back to
+  // the table location via the `graft.delta.path` property the view
+  // carries. With GraftSession.persistent the registration outlives the
+  // session, the Glue-Data-Catalog role.
+
+  /** Catalog property linking a registered name to its Delta location. */
+  val CatalogPathProperty = "graft.delta.path"
+
+  private def toIdentifier(name: String): Option[org.apache.spark.sql.catalyst.TableIdentifier] = {
+    val parts = name.split('.').map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq
+    parts match {
+      case Seq(t) => Some(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      case Seq(db, t) => Some(org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db)))
+      case _ => None // 3+-part names are out of this catalog's scope
+    }
+  }
+
+  /** Register `name` → the graft-Delta table at `dir` in the session
+    * catalog. Re-registration replaces the entry (schema refresh after
+    * ADD/RENAME COLUMN). The stored schema is the table's CURRENT
+    * schema — Spark's Hive-view compensation projects the view text's
+    * output to it by name. */
+  def registerCatalogTable(spark: SparkSession, name: String, dir: String): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    val catalog = org.apache.spark.sql.GraftBridge.sessionCatalog(spark)
+    val ident = toIdentifier(name).getOrElse(
+      throw new IllegalArgumentException(s"bad table name: $name"))
+    val abs = fs(spark, dir).makeQualified(new Path(dir)).toString
+    val schema = state(spark, dir).schema
+    val entry = CatalogTable(
+      identifier = ident,
+      tableType = CatalogTableType.VIEW,
+      storage = CatalogStorageFormat.empty,
+      schema = schema,
+      viewText = Some(s"SELECT * FROM graft_delta('${abs.replace("'", "''")}')"),
+      properties = Map(CatalogPathProperty -> abs))
+    if (catalog.tableExists(ident))
+      catalog.dropTable(ident, ignoreIfNotExists = true, purge = false)
+    catalog.createTable(entry, ignoreIfExists = false)
+  }
+
+  /** The Delta location a catalog `[db.]table` name resolves to, if the
+    * name is registered as a graft-Delta table (or as a foreign
+    * delta-provider table with a location). None = not a Delta name —
+    * the SQL front-end falls through to Spark for those. */
+  def catalogDeltaPath(spark: SparkSession, name: String): Option[String] = {
+    val catalog = org.apache.spark.sql.GraftBridge.sessionCatalog(spark)
+    toIdentifier(name).filter(catalog.tableExists).flatMap { ident =>
+      val md = catalog.getTableMetadata(ident)
+      md.properties.get(CatalogPathProperty).orElse {
+        if (md.provider.exists(_.equalsIgnoreCase("delta")) &&
+            md.storage.locationUri.isDefined)
+          Some(new Path(md.storage.locationUri.get).toString)
+        else None
+      }
+    }
+  }
+
+  /** Write `df` as a Delta table at `dir` and register it under `name`
+    * — the saveAsTable of the graft-Delta plane. */
+  def saveAsDeltaTable(df: DataFrame, name: String, dir: String,
+                       partCols: Seq[String] = Nil): Long = {
+    val v = writeDelta(df, dir, partCols)
+    registerCatalogTable(df.sparkSession, name, dir)
+    v
+  }
+
+  /** The warehouse location a NEW catalog Delta table defaults to
+    * (`CREATE TABLE db.t USING delta AS ...` with no LOCATION). */
+  def defaultTablePath(spark: SparkSession, name: String): String = {
+    val catalog = org.apache.spark.sql.GraftBridge.sessionCatalog(spark)
+    val ident = toIdentifier(name).getOrElse(
+      throw new IllegalArgumentException(s"bad table name: $name"))
+    new Path(catalog.defaultTablePath(ident)).toString
   }
 
   /** [[writeDelta]] with optimistic-concurrency retry — Delta's
@@ -1922,6 +2031,8 @@ object DeltaInterop {
                      partitionEq: Map[String, String] = Map.empty,
                      ranges: Map[String, (Double, Double)] = Map.empty,
                      version: Option[Long] = None): DataFrame = {
+    if (version.isEmpty && isLargeLog(spark, dir))
+      return readDeltaWhereLarge(spark, dir, partitionEq, ranges)
     val st = state(spark, dir, version)
     val base = readFiles(spark, dir,
       st.copy(files = prunedFiles(st, partitionEq, ranges)))
@@ -1945,6 +2056,293 @@ object DeltaInterop {
     val pruned = st.copy(files = filesInRange(st, colName, lo, hi))
     readFiles(spark, dir, pruned)
       .filter(col(colName) >= lo && col(colName) <= hi)
+  }
+
+  // ---- DISTRIBUTED snapshot state (huge logs) ----
+  // [[state]] replays the log into a driver-side Seq[AddFile] — correct
+  // at any ROW scale (file-count-bounded) but a 100 TB table is ~1M add
+  // actions with stats JSON, and collecting them per query makes the
+  // DRIVER the bottleneck (delta-spark reconstructs state as a
+  // DataFrame for exactly this reason). Above [[LargeLogThresholdConf]]
+  // checkpoint actions, reads switch to a DataFrame-backed
+  // reconstruction: the checkpoint parquet is scanned DISTRIBUTED
+  // (column-pruned to the add struct — metaData/protocol collect as a
+  // handful of rows), the JSON tail joins in as a parsed DataFrame,
+  // last-action-per-path wins in one hash aggregate, and file pruning
+  // (partition equalities + stats ranges) runs IN-PLAN — only the
+  // pruned survivors ever reach the driver, as the scan must enumerate
+  // its input paths. Mutations keep the driver path (their touched-file
+  // sets are selective by construction); time travel below the
+  // checkpoint keeps the classic replay.
+
+  /** Spark conf key: checkpoint action count above which reads use the
+    * DataFrame-backed state reconstruction (default 50000). */
+  val LargeLogThresholdConf = "spark.graft.delta.largeLogThreshold"
+
+  private def largeLogThreshold(spark: SparkSession): Long =
+    spark.conf.getOption(LargeLogThresholdConf).map(_.toLong).getOrElse(50000L)
+
+  /** True when the last checkpoint's recorded action count exceeds the
+    * threshold — the `_last_checkpoint` pointer makes this one tiny
+    * metadata read, no log replay. */
+  def isLargeLog(spark: SparkSession, dir: String): Boolean =
+    lastCheckpoint(spark, dir).exists(_._2 > largeLogThreshold(spark))
+
+  /** The JSON tail above the checkpoint (ascending). */
+  private def tailCommitFiles(spark: SparkSession, dir: String,
+                              cpV: Long, latest: Long): Seq[Path] = {
+    val f = fs(spark, dir)
+    ((cpV + 1) to latest).map(v => new Path(logDir(dir), f"$v%020d.json"))
+      .filter(f.exists)
+  }
+
+  /** Table metadata (schema / partitioning / protocol / config / txns)
+    * WITHOUT materializing a single add action on the driver: the
+    * checkpoint scan is column-pruned to the metaData/protocol/txn
+    * structs (a handful of non-null rows), the JSON tail parses
+    * driver-side with add/remove/cdc lines skipped by prefix. */
+  private[graft] def stateMetaLarge(spark: SparkSession, dir: String): DeltaState = {
+    val latest = latestVersion(spark, dir)
+    require(latest >= 0, s"no Delta log under $dir")
+    val f = fs(spark, dir)
+    val (cpV, _) = lastCheckpoint(spark, dir).getOrElse(
+      throw new IllegalStateException(s"large-log state requires a checkpoint under $dir"))
+    val cpFiles = resolveCheckpointFiles(f, dir, cpV)
+    require(cpFiles.nonEmpty && !cpFiles.head.getName.endsWith(".json"),
+      s"large-log state requires a parquet checkpoint under $dir")
+    var schema: StructType = null
+    var partCols: Seq[String] = Nil
+    var config: Map[String, String] = Map.empty
+    var protocol: Protocol = Protocol.Base
+    val txns = scala.collection.mutable.HashMap.empty[String, Long]
+    val cpDf = spark.read.parquet(cpFiles.map(_.toString): _*)
+    val have = cpDf.schema.fieldNames.toSet
+    val metaCols = Seq("metaData", "protocol", "txn").filter(have)
+    // column pruning keeps the add struct out of this scan entirely
+    cpDf.select(metaCols.map(col): _*)
+      .filter(metaCols.map(c => col(c).isNotNull).reduce(_ || _))
+      .collect().foreach { r =>
+        def struct(name: String): Option[org.apache.spark.sql.Row] =
+          if (!r.schema.fieldNames.contains(name)) None
+          else { val i = r.fieldIndex(name); if (r.isNullAt(i)) None else Some(r.getStruct(i)) }
+        struct("metaData").foreach { md =>
+          schema = DataType.fromJson(md.getAs[String]("schemaString")).asInstanceOf[StructType]
+          partCols = md.getSeq[String](md.fieldIndex("partitionColumns")).toList
+          val ci = md.fieldIndex("configuration")
+          if (!md.isNullAt(ci)) config = md.getMap[String, String](ci).toMap
+        }
+        struct("protocol").foreach { p =>
+          def feats(name: String): Set[String] =
+            if (!p.schema.fieldNames.contains(name)) Set.empty
+            else { val i = p.fieldIndex(name)
+              if (p.isNullAt(i)) Set.empty else p.getSeq[String](i).toSet }
+          protocol = Protocol(p.getAs[Int]("minReaderVersion"),
+            p.getAs[Int]("minWriterVersion"),
+            feats("readerFeatures"), feats("writerFeatures"))
+        }
+        struct("txn").foreach { t =>
+          val app = t.getAs[String]("appId")
+          txns(app) = math.max(txns.getOrElse(app, Long.MinValue), t.getAs[Long]("version"))
+        }
+      }
+    // tail: metadata-bearing lines only; add/remove/cdc lines (the bulk
+    // of any big commit) skip on a cheap prefix probe
+    tailCommitFiles(spark, dir, cpV, latest).foreach { p =>
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).foreach { line =>
+          val t = line.substring(0, math.min(12, line.length))
+          if (!(t.startsWith("{\"add\"") || t.startsWith("{\"remove\"") ||
+                t.startsWith("{\"cdc\""))) {
+            val node = M.readTree(line)
+            if (node.has("metaData")) {
+              val md = node.get("metaData")
+              schema = DataType.fromJson(md.get("schemaString").asText).asInstanceOf[StructType]
+              partCols = jsonArray(md.get("partitionColumns")).map(_.asText)
+              config = if (md.has("configuration") && !md.get("configuration").isNull)
+                jsonMap(md.get("configuration")) else Map.empty
+            } else if (node.has("protocol")) {
+              val pr = node.get("protocol")
+              def feats(name: String): Set[String] =
+                if (!pr.has(name) || pr.get(name).isNull) Set.empty
+                else jsonArray(pr.get(name)).map(_.asText).toSet
+              protocol = Protocol(pr.path("minReaderVersion").asInt(1),
+                pr.path("minWriterVersion").asInt(2),
+                feats("readerFeatures"), feats("writerFeatures"))
+            } else if (node.has("txn")) {
+              val t2 = node.get("txn")
+              txns(t2.get("appId").asText) = math.max(
+                txns.getOrElse(t2.get("appId").asText, Long.MinValue),
+                t2.get("version").asLong)
+            }
+          }
+        }
+      finally in.close()
+    }
+    require(schema != null, s"no metaData found replaying $dir")
+    requireReadable(protocol, dir)
+    DeltaState(latest, schema, partCols, Nil, txns.toMap, config, protocol)
+  }
+
+  /** The live add set as a DataFrame — columns (path, partitionValues,
+    * size, stats, tags, dv, numRecords). Checkpoint adds (main parquet
+    * + any v2 sidecars) union the JSON tail's adds and removes, each
+    * action stamped with its commit version; one hash aggregate keeps
+    * the LAST action per path (an add and remove of the same path in
+    * one commit resolves to the add — the remove refers to the prior
+    * state); remove-last paths drop. Nothing collects. */
+  private[graft] def liveFilesDF(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val latest = latestVersion(spark, dir)
+    val f = fs(spark, dir)
+    val (cpV, _) = lastCheckpoint(spark, dir).getOrElse(
+      throw new IllegalStateException(s"large-log state requires a checkpoint under $dir"))
+    val cpFiles = resolveCheckpointFiles(f, dir, cpV)
+    require(cpFiles.nonEmpty && !cpFiles.head.getName.endsWith(".json"),
+      s"large-log state requires a parquet checkpoint under $dir")
+    val mapT = MapType(StringType, StringType)
+    def normAdds(df: DataFrame, v: org.apache.spark.sql.Column): DataFrame = {
+      val addT = df.schema("add").dataType.asInstanceOf[StructType]
+      def fld(n: String, t: DataType) =
+        if (addT.fieldNames.contains(n)) col(s"add.$n").cast(t) else lit(null).cast(t)
+      val dvCol =
+        if (addT.fieldNames.contains("deletionVector"))
+          when(col("add.deletionVector").isNotNull, to_json(col("add.deletionVector")))
+        else lit(null).cast(StringType)
+      df.filter(col("add").isNotNull).select(
+        col("add.path").cast(StringType).as("path"),
+        fld("partitionValues", mapT).as("partitionValues"),
+        fld("size", LongType).as("size"),
+        fld("stats", StringType).as("stats"),
+        fld("tags", mapT).as("tags"),
+        dvCol.as("dv"),
+        v.cast(LongType).as("__v"), lit(1).as("__isAdd"))
+    }
+    val cpDf = spark.read.parquet(cpFiles.map(_.toString): _*)
+    // v2 indirection: sidecar FILES are named by metadata-sized rows —
+    // collecting the names is O(sidecars), then their adds scan
+    // distributed like the main file's
+    val sidecarDf: Option[DataFrame] =
+      if (!cpDf.schema.fieldNames.contains("sidecar")) None
+      else {
+        val names = cpDf.filter(col("sidecar").isNotNull)
+          .select(col("sidecar.path")).collect().map(_.getString(0))
+        if (names.isEmpty) None
+        else Some(spark.read.parquet(names.map(n =>
+          new Path(new Path(logDir(dir), "_sidecars"), n).toString): _*))
+      }
+    val cpAdds = (Seq(cpDf).filter(_.schema.fieldNames.contains("add")) ++
+      sidecarDf.filter(_.schema.fieldNames.contains("add")))
+      .map(normAdds(_, lit(cpV)))
+      .reduceOption(_ unionByName _)
+    val tailFiles = tailCommitFiles(spark, dir, cpV, latest)
+    val tailActions: Option[DataFrame] =
+      if (tailFiles.isEmpty) None
+      else {
+        val dvT = StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType)))
+        val lineT = StructType(Seq(
+          StructField("add", StructType(Seq(
+            StructField("path", StringType),
+            StructField("partitionValues", mapT),
+            StructField("size", LongType),
+            StructField("stats", StringType),
+            StructField("tags", mapT),
+            StructField("deletionVector", dvT)))),
+          StructField("remove", StructType(Seq(
+            StructField("path", StringType))))))
+        val raw = spark.read.schema(lineT).json(tailFiles.map(_.toString): _*)
+          .withColumn("__v", regexp_extract(col("_metadata.file_path"),
+            "(\\d+)\\.json$", 1).cast(LongType))
+        val adds = normAdds(raw, col("__v"))
+        val removes = raw.filter(col("remove").isNotNull).select(
+          col("remove.path").as("path"),
+          lit(null).cast(mapT).as("partitionValues"),
+          lit(null).cast(LongType).as("size"),
+          lit(null).cast(StringType).as("stats"),
+          lit(null).cast(mapT).as("tags"),
+          lit(null).cast(StringType).as("dv"),
+          col("__v"), lit(0).as("__isAdd"))
+        Some(adds.unionByName(removes))
+      }
+    val actions = (cpAdds.toSeq ++ tailActions.toSeq).reduceOption(_ unionByName _)
+      .getOrElse(throw new IllegalStateException(s"checkpoint at $dir carries no adds"))
+    // last action per path wins: one hash aggregate, ordered by
+    // (version, add-beats-remove-within-a-commit)
+    val all = struct(actions.columns.map(col).toIndexedSeq: _*)
+    actions
+      .groupBy(col("path")).agg(
+        max_by(all, struct(col("__v"), col("__isAdd"))).as("last"))
+      .select(col("last.*")).filter(col("__isAdd") === 1)
+      .drop("__v", "__isAdd")
+      .withColumn("numRecords",
+        coalesce(get_json_object(col("stats"), "$.numRecords").cast(LongType), lit(-1L)))
+  }
+
+  /** [[prunedFiles]]' semantics as an IN-PLAN predicate over
+    * [[liveFilesDF]]: partition equalities test the partitionValues map
+    * (physical name first, logical fallback — the same resolution), and
+    * stats ranges parse min/max lazily with get_json_object; files
+    * without evidence survive. Evaluated distributed — the driver only
+    * ever sees the survivors. */
+  private[graft] def pruneFilesDF(files: DataFrame, st: DeltaState,
+                                  partitionEq: Map[String, String],
+                                  ranges: Map[String, (Double, Double)]): DataFrame = {
+    val bad = partitionEq.keys.filterNot(st.partitionColumns.contains)
+    require(bad.isEmpty,
+      s"not partition columns: ${bad.mkString(",")} (table partitions: ${st.partitionColumns.mkString(",")})")
+    val mapped = columnMappingMode(st) != "none"
+    def physKey(k: String): String =
+      if (mapped && st.schema.fieldNames.contains(k)) physicalFieldName(st.schema(k)) else k
+    val partPred = partitionEq.map { case (k, v) =>
+      coalesce(element_at(col("partitionValues"), physKey(k)),
+        element_at(col("partitionValues"), k)) === lit(v)
+    }
+    val rangePred = ranges.map { case (k, (lo, hi)) =>
+      def bound(side: String) = coalesce(
+        get_json_object(col("stats"), s"$$['$side']['${physKey(k)}']"),
+        get_json_object(col("stats"), s"$$['$side']['$k']")).cast("double")
+      val (mn, mx) = (bound("minValues"), bound("maxValues"))
+      col("stats").isNull || mn.isNull || mx.isNull || (mx >= lo && mn <= hi)
+    }
+    (partPred ++ rangePred).reduceOption(_ && _)
+      .map(files.filter).getOrElse(files)
+  }
+
+  /** Collect a (pruned) [[liveFilesDF]] result into AddFiles — called
+    * only on survivors, never the full set. */
+  private def collectAddFiles(df: DataFrame): Seq[AddFile] =
+    df.collect().toSeq.map { r =>
+      def m(n: String): Map[String, String] = {
+        val i = r.fieldIndex(n)
+        if (r.isNullAt(i)) Map.empty else r.getMap[String, String](i).toMap
+      }
+      AddFile(r.getAs[String]("path"), m("partitionValues"),
+        Option(r.getAs[java.lang.Long]("size")).map(_.toLong).getOrElse(0L),
+        r.getAs[Long]("numRecords"), m("tags"),
+        r.getAs[String]("stats"), r.getAs[String]("dv"))
+    }
+
+  /** The large-log pruned read: metadata replay without add
+    * materialization, in-plan file pruning, survivors-only collect,
+    * then the standard pruned scan. */
+  private def readDeltaWhereLarge(spark: SparkSession, dir: String,
+                                  partitionEq: Map[String, String],
+                                  ranges: Map[String, (Double, Double)]): DataFrame = {
+    val st = stateMetaLarge(spark, dir)
+    val pruned = collectAddFiles(
+      pruneFilesDF(liveFilesDF(spark, dir), st, partitionEq, ranges))
+    val base = readFiles(spark, dir, st.copy(files = pruned))
+    val withPart = partitionEq.foldLeft(base) { case (df, (k, v)) =>
+      df.filter(col(k) === lit(v).cast(st.schema(k).dataType))
+    }
+    ranges.foldLeft(withPart) { case (df, (k, (lo, hi))) =>
+      df.filter(col(k) >= lo && col(k) <= hi)
+    }
   }
 
   private def protocolJson(): String = {
@@ -2114,8 +2512,11 @@ object DeltaInterop {
       st.partitionColumns.map(c =>
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .getPartitionPathString(c, a.partitionValues(c))).mkString("/")
-    val allHive = st.partitionColumns.isEmpty ||
-      files.forall(a => a.path.startsWith(hivePath(a) + "/"))
+    // single-basePath scan only when refs live under the root (a
+    // shallow clone's absolute refs take the grouped branch)
+    val allHive = files.forall(a => !new Path(a.path).isAbsolute) &&
+      (st.partitionColumns.isEmpty ||
+        files.forall(a => a.path.startsWith(hivePath(a) + "/")))
     val prov = col("_metadata.file_path").as("_graft_file")
     val pos = col("_metadata.row_index").as("_graft_pos")
     val raw =
@@ -2515,22 +2916,29 @@ object DeltaInterop {
 
   /** General MERGE (delta-spark's full clause surface over an
     * equality key): ordered `WHEN MATCHED` clauses (conditional UPDATE
-    * with arbitrary per-column assignments, or DELETE) plus an optional
+    * with arbitrary per-column assignments, or DELETE), an optional
     * `WHEN NOT MATCHED [AND cond] THEN INSERT` with assignments
-    * (unassigned columns null-fill). [[merge]] is the upsert-all
-    * special case and keeps its tuned path.
+    * (unassigned columns null-fill), and ordered `WHEN NOT MATCHED BY
+    * SOURCE` clauses (delta-spark ≥2.3: UPDATE/DELETE target rows with
+    * no source match; their conditions and assignments must reference
+    * TARGET columns only — source columns are definitionally absent for
+    * those rows). [[merge]] is the upsert-all special case and keeps
+    * its tuned path.
     *
     * Scale shape mirrors [[merge]]: one key-column semi-join finds the
-    * touched files, only those rewrite (a 100 TB table pays for the
-    * files its matches live in), inserts come from one anti-join, and
-    * the per-row clause arbitration is a codegen'd when-chain inside
-    * the single rewrite scan — no second pass, no window.
+    * matched files (plus, only when by-source clauses exist, one
+    * anti-join probe for files holding by-source-firing rows), only
+    * those rewrite (a 100 TB table pays for the files its matches live
+    * in), inserts come from one anti-join, and the per-row clause
+    * arbitration is a codegen'd when-chain inside the single rewrite
+    * scan — no second pass, no window.
     * Returns (newVersion, filesRewritten, rowsInserted). */
   def mergeClauses(spark: SparkSession, dir: String, source: DataFrame,
                    keyCols: Seq[String],
                    matched: Seq[MatchedClause],
                    notMatched: Option[(Option[org.apache.spark.sql.Column],
-                     Map[String, org.apache.spark.sql.Column])]): (Long, Int, Long) = {
+                     Map[String, org.apache.spark.sql.Column])],
+                   notMatchedBySource: Seq[MatchedClause] = Nil): (Long, Int, Long) = {
     val st = state(spark, dir)
     requireWritable(st, dir)
     requireRemovable(st, dir, "MERGE")
@@ -2542,6 +2950,8 @@ object DeltaInterop {
       require(st.schema.fieldNames.contains(k), s"UPDATE SET on unknown column $k")))
     notMatched.foreach(_._2.keys.foreach(k =>
       require(st.schema.fieldNames.contains(k), s"INSERT on unknown column $k")))
+    notMatchedBySource.foreach(c => c.set.keys.foreach(k =>
+      require(st.schema.fieldNames.contains(k), s"UPDATE SET on unknown column $k")))
     val src = source.localCheckpoint(false) // runs in several joins below
     val dupKeys = src.groupBy(keyCols.map(col): _*).count()
       .filter(col("count") > 1).limit(1).collect()
@@ -2550,13 +2960,28 @@ object DeltaInterop {
     val keyEq = keyCols.map(c => col(s"t.$c") <=> col(s"s.$c")).reduce(_ && _)
     val allScan = scanWithProvenance(spark, dir, st, st.files)
     val idx = qualifiedIndex(spark, dir, st.files)
-    val touchedPaths = allScan.as("t")
+    val matchedPaths = allScan.as("t")
       .join(src.as("s"), keyEq, "left_semi")
       .select("_graft_file").distinct().collect().map(_.getString(0))
-    val touched = touchedPaths.map(idx).toSeq
+    // by-source clauses touch every file holding a non-matched row whose
+    // clause condition holds — one extra anti-join probe, run only when
+    // such clauses exist (conditions reference t columns only, so they
+    // resolve against the anti-join's target-side frame)
+    val bySourcePaths =
+      if (notMatchedBySource.isEmpty) Array.empty[String]
+      else {
+        val anyCond = notMatchedBySource.map(c =>
+          c.condition.getOrElse(lit(true)) <=> lit(true)).reduce(_ || _)
+        allScan.as("t").join(src.as("s"), keyEq, "left_anti")
+          .filter(anyCond)
+          .select("_graft_file").distinct().collect().map(_.getString(0))
+      }
+    val touched = (matchedPaths ++ bySourcePaths).distinct.map(idx).toSeq
     // per-row clause arbitration over the joined frame: __graft_matched
     // marks a source hit; firstTrue(i) = clause i's condition and no
-    // earlier clause's — all codegen'd boolean algebra in ONE scan
+    // earlier clause's — all codegen'd boolean algebra in ONE scan.
+    // Matched and by-source clause groups have disjoint guards
+    // (isMatched vs !isMatched), so they chain independently.
     val isMatched = col("__graft_matched") <=> lit(true)
     val clauseFire: Seq[org.apache.spark.sql.Column] = matched.zipWithIndex.map {
       case (c, i) =>
@@ -2564,11 +2989,20 @@ object DeltaInterop {
         matched.take(i).foldLeft(self) { (acc, prev) =>
           acc && !(prev.condition.getOrElse(lit(true)) <=> lit(true)) }
     }
-    val deleteFires = matched.zip(clauseFire).collect { case (c, f) if c.delete => f }
-      .reduceOption(_ || _).getOrElse(lit(false))
+    val bySourceFire: Seq[org.apache.spark.sql.Column] =
+      notMatchedBySource.zipWithIndex.map { case (c, i) =>
+        val self = !isMatched && (c.condition.getOrElse(lit(true)) <=> lit(true))
+        notMatchedBySource.take(i).foldLeft(self) { (acc, prev) =>
+          acc && !(prev.condition.getOrElse(lit(true)) <=> lit(true)) }
+      }
+    val deleteFires =
+      (matched.zip(clauseFire) ++ notMatchedBySource.zip(bySourceFire))
+        .collect { case (c, f) if c.delete => f }
+        .reduceOption(_ || _).getOrElse(lit(false))
     def rewrittenCol(name: String): org.apache.spark.sql.Column = {
       val base: org.apache.spark.sql.Column = col(s"t.$name")
-      val updates = matched.zip(clauseFire).filterNot(_._1.delete)
+      val updates = (matched.zip(clauseFire) ++
+        notMatchedBySource.zip(bySourceFire)).filterNot(_._1.delete)
       updates.foldRight(base) { case ((c, fire), acc) =>
         when(fire, c.set.getOrElse(name, base).cast(st.schema(name).dataType))
           .otherwise(acc)
@@ -2607,7 +3041,8 @@ object DeltaInterop {
         if (touched.nonEmpty) {
           val joined = touchedScan.as("t")
             .join(src.withColumn("__graft_matched", lit(true)).as("s"), keyEq, "left_outer")
-          val updateFires = matched.zip(clauseFire).filterNot(_._1.delete)
+          val updateFires = (matched.zip(clauseFire) ++
+            notMatchedBySource.zip(bySourceFire)).filterNot(_._1.delete)
             .map(_._2).reduceOption(_ || _).getOrElse(lit(false))
           parts += joined.filter(updateFires)
             .select(st.schema.fieldNames.map(c => col(s"t.$c")) :+

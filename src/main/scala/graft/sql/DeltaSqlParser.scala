@@ -9,6 +9,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 
+import scala.util.matching.Regex
+
 /** SQL front-end for the Delta mutation surface — the reference's
   * end-user contract is SQL over a shared catalog (its users type
   * `MERGE INTO`/`DELETE` in Athena, not Scala), so the graft engine
@@ -17,32 +19,58 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   * a graft-Delta statement delegates verbatim to Spark's parser, so
   * the full Spark SQL surface is untouched.
   *
-  * Path tables use delta-spark's own spelling: ``delta.`/path/to/t` ``.
+  * Tables are addressed TWO ways, interchangeably:
+  *   - path spelling, delta-spark's own: ``delta.`/path/to/t` ``;
+  *   - catalog `[db.]table` names registered by
+  *     [[DeltaInterop.registerCatalogTable]] / `saveAsDeltaTable` (the
+  *     reference's Athena contract: names over a shared catalog,
+  *     `/root/reference/README.md:101-103`). A name statement that does
+  *     NOT resolve to a Delta table falls through to Spark untouched —
+  *     plain `DELETE FROM parquet_table` keeps Spark's own error.
   *
   * Statements handled (executed through [[graft.io.DeltaInterop]], so
   * every gate — protocol features, appendOnly, constraints, column
   * mapping — applies identically to SQL and Scala callers):
   *
-  *   - `DELETE FROM delta.`p` [WHERE cond]` → `deleteWhere`
-  *   - `UPDATE delta.`p` SET c = e[, ...] [WHERE cond]` → `updateWhere`
-  *   - `MERGE INTO delta.`p` [AS] t USING src [AS] s ON t.k = s.k [AND ...]
-  *      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
-  *      → `merge` (the canonical upsert-all form; `src` is a table /
-  *      temp view name or a parenthesized subquery)
-  *   - `INSERT INTO|OVERWRITE delta.`p` <query>` → `writeDelta`
-  *      (positional column resolution + cast, Spark INSERT semantics)
+  *   - `DELETE FROM <t> [WHERE cond]` → `deleteWhere`
+  *   - `UPDATE <t> SET c = e[, ...] [WHERE cond]` → `updateWhere`
+  *   - `MERGE INTO <t> [AS] a USING src [AS] b ON ... WHEN ...` →
+  *      `merge` (canonical upsert-all) / `mergeClauses` (general,
+  *      including `WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE`);
+  *      user aliases are rewritten to the engine's internal t/s
+  *      qualifiers, and every WHEN clause must parse — an
+  *      unrecognized clause is an ERROR, never silently dropped
+  *   - `INSERT INTO|OVERWRITE <t> [(cols)] <query>` → `writeDelta`
+  *      (positional resolution + cast; with a column list, by-name
+  *      resolution with null-fill for unlisted columns)
   *   - `CREATE TABLE [IF NOT EXISTS] delta.`p` [USING delta]
   *      [PARTITIONED BY (c, ...)] AS <query>` → `writeDelta` (CTAS)
-  *   - `DESCRIBE HISTORY delta.`p`` → `history`
-  *   - `DESCRIBE DETAIL delta.`p`` / `SHOW TBLPROPERTIES delta.`p``
-  *   - `RESTORE [TABLE] delta.`p` TO VERSION AS OF n | TIMESTAMP AS OF 'ts'`
-  *   - `VACUUM delta.`p` [RETAIN n HOURS]` → `vacuum`
-  *   - `OPTIMIZE delta.`p` [ZORDER BY (c, ...)]` → `compact` / `optimizeZOrder`
-  *   - `ALTER TABLE delta.`p` ADD COLUMN c type | RENAME COLUMN a TO b |
+  *   - `CREATE TABLE [IF NOT EXISTS] [db.]name USING delta
+  *      [PARTITIONED BY (...)] [LOCATION 'p'] AS <query>` → CTAS at
+  *      the explicit or default warehouse location + catalog
+  *      registration (`USING delta` required — parquet CTAS stays
+  *      Spark's)
+  *   - `CREATE TABLE <t> SHALLOW CLONE <t>` → `shallowClone`
+  *   - `CONVERT TO DELTA parquet.`p` [PARTITIONED BY (...)]`
+  *   - `DESCRIBE HISTORY <t>` / `DESCRIBE DETAIL <t>` /
+  *     `SHOW TBLPROPERTIES <t>`
+  *   - `RESTORE [TABLE] <t> TO VERSION AS OF n | TIMESTAMP AS OF 'ts'`
+  *   - `VACUUM <t> [RETAIN n HOURS]` → `vacuum`
+  *   - `OPTIMIZE <t> [ZORDER BY (c, ...)]` → `compact` / `optimizeZOrder`
+  *   - `ALTER TABLE <t> ADD COLUMN c type | RENAME COLUMN a TO b |
   *      SET TBLPROPERTIES (k=v, ...) | ADD CONSTRAINT n CHECK (e)`
-  *   - `table_changes('p', from[, to])` anywhere inside a query →
-  *      rewritten to a temp view over `readChangeFeed` (the TVF shape
-  *      delta-spark exposes), then parsed by Spark as usual.
+  *      (name-addressed ALTERs re-register the catalog entry so the
+  *      stored view schema tracks the evolved table)
+  *
+  * READ references need no statement handling at all: `delta.`p``
+  * (with optional `VERSION/TIMESTAMP AS OF` travel) in query text is
+  * textually rewritten to the `graft_delta(path[, version])`
+  * table-valued function ([[graft.GraftExtensions]]), and
+  * `table_changes(tbl, from[, to])` IS a registered TVF — both resolve
+  * per query with zero session state, so concurrent statements never
+  * interfere (no temp views). Catalog names read through stock Spark
+  * view expansion (the registration stores `SELECT * FROM
+  * graft_delta(path)` as the view text).
   *
   * Scale shape: parsing is driver-side string work; execution is the
   * same distributed DeltaInterop paths the Scala API runs (file-pruned
@@ -54,192 +82,299 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     val t = sqlText.trim
-    deleteRe.findFirstMatchIn(t).foreach { m =>
-      val (dir, whereOpt) = (m.group(1), Option(m.group(2)))
-      return command(Seq(attr("num_affected_rows", LongType))) { spark =>
-        val pred = whereOpt.map(parseCol(spark, _))
-          .getOrElse(org.apache.spark.sql.functions.lit(true))
-        // affected rows from footer-stats metadata (live row count
-        // before − after), no extra table scan; a foreign file without
-        // numRecords falls back to one predicate-pushed count
-        def liveRows(spark: SparkSession): Option[Long] = {
-          val fs = DeltaInterop.state(spark, dir).files
-          if (fs.exists(_.numRecords < 0)) None
-          else Some(fs.map { a =>
-            // a DV'd file's live rows = physical rows − masked rows
-            val masked =
-              if (a.deletionVector == null) 0L
-              else new com.fasterxml.jackson.databind.ObjectMapper()
-                .readTree(a.deletionVector).path("cardinality").asLong(0L)
-            a.numRecords - masked
-          }.sum)
-        }
-        val before = liveRows(spark)
-        val counted = if (before.isEmpty)
-          Some(DeltaInterop.readDelta(spark, dir).filter(pred).count()) else None
-        DeltaInterop.deleteWhere(spark, dir, pred)
-        val n = counted.orElse(
-          for (b <- before; a <- liveRows(spark)) yield b - a).getOrElse(-1L)
-        Seq(Row(n))
+    tryDelete(t).orElse(tryUpdate(t)).orElse(tryMerge(t))
+      .orElse(tryHistory(t)).orElse(tryRestore(t)).orElse(tryInsert(t))
+      .orElse(tryClone(t)).orElse(tryCtasPath(t)).orElse(tryCtasName(t))
+      .orElse(tryConvert(t)).orElse(tryVacuum(t)).orElse(tryOptimize(t))
+      .orElse(tryAlter(t)).orElse(tryDescribeDetail(t)).orElse(tryShowProps(t))
+      .getOrElse {
+        guardUnsupportedShapes(t)
+        val rewritten = rewriteReads(t)
+        if (rewritten ne t) delegate.parsePlan(rewritten)
+        else delegate.parsePlan(sqlText)
       }
+  }
+
+  /** Resolve a matched table reference (path group i, name group i+1)
+    * to (dir, Some(name) when name-addressed). None = a name that is
+    * not a registered Delta table → the statement is not ours. */
+  private def ref(m: Regex.Match, i: Int): Option[(String, Option[String])] = {
+    val path = m.group(i)
+    if (path != null) Some((path, None))
+    else {
+      val name = m.group(i + 1)
+      DeltaInterop.catalogDeltaPath(SparkSession.active, name).map(d => (d, Some(name)))
     }
-    updateRe.findFirstMatchIn(t).foreach { m =>
-      val (dir, setsTxt, whereOpt) = (m.group(1), m.group(2), Option(m.group(3)))
-      return command(Seq(attr("num_affected_rows", LongType))) { spark =>
-        val sets = splitTopLevel(setsTxt, ',').map { a =>
-          val i = topLevelIndexOf(a, '=')
-          require(i > 0, s"bad SET assignment: $a")
-          a.take(i).trim.stripPrefix("`").stripSuffix("`") ->
-            parseCol(spark, a.drop(i + 1))
-        }.toMap
-        val pred = whereOpt.map(parseCol(spark, _))
-          .getOrElse(org.apache.spark.sql.functions.lit(true))
-        val n = DeltaInterop.readDelta(spark, dir).filter(pred).count()
-        DeltaInterop.updateWhere(spark, dir, pred, sets)
-        Seq(Row(n))
-      }
-    }
-    mergeRe.findFirstMatchIn(t).foreach { m =>
-      val dir = m.group(1)
-      val tAlias = Option(m.group(2)).map(_.trim).filter(_.nonEmpty)
-      val srcTxt = m.group(3).trim
-      val sAlias = Option(m.group(4)).map(_.trim).filter(_.nonEmpty)
-      val onTxt = m.group(5)
-      return command(Seq(attr("num_files_rewritten", LongType),
-        attr("num_inserted_rows", LongType))) { spark =>
-        val source =
-          if (srcTxt.startsWith("(")) spark.sql(srcTxt.stripPrefix("(").stripSuffix(")"))
-          else spark.table(srcTxt.replace("`", ""))
-        val keys = splitTopLevel(onTxt, "AND").map { eq =>
-          val i = topLevelIndexOf(eq, '=')
-          require(i > 0, s"MERGE ON must be conjunctive equalities, got: $eq")
-          def colName(s: String) = {
-            val parts = s.trim.replace("`", "").split('.')
-            (parts.dropRight(1).lastOption, parts.last)
+  }
+
+  private def tryDelete(t: String): Option[LogicalPlan] =
+    deleteRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m, 1).flatMap { case (dir, _) =>
+        // quote-aware tail split: the WHERE keyword is located by the
+        // tokenizer, so a literal containing " WHERE " cannot mis-split
+        val tail = stripStatementEnd(Option(m.group(3)).getOrElse(""))
+        val whereOpt: Option[String] =
+          if (tail.isEmpty) None
+          else if (tail.toUpperCase.startsWith("WHERE") &&
+                   (tail.length == 5 || !isWordChar(tail.charAt(5))))
+            Some(tail.drop(5).trim)
+          else if (m.group(1) != null)
+            throw new IllegalArgumentException(
+              s"unsupported DELETE shape (expected [WHERE cond] after the table): $tail")
+          else return None // name-spelled with extra syntax → Spark's problem
+        Some(command(Seq(attr("num_affected_rows", LongType))) { spark =>
+          val pred = whereOpt.map(parseCol(spark, _))
+            .getOrElse(org.apache.spark.sql.functions.lit(true))
+          // affected rows from footer-stats metadata (live row count
+          // before − after), no extra table scan; a foreign file without
+          // numRecords falls back to one predicate-pushed count
+          def liveRows(spark: SparkSession): Option[Long] = {
+            val fs = DeltaInterop.state(spark, dir).files
+            if (fs.exists(_.numRecords < 0)) None
+            else Some(fs.map { a =>
+              // a DV'd file's live rows = physical rows − masked rows
+              val masked =
+                if (a.deletionVector == null) 0L
+                else new com.fasterxml.jackson.databind.ObjectMapper()
+                  .readTree(a.deletionVector).path("cardinality").asLong(0L)
+              a.numRecords - masked
+            }.sum)
           }
-          val (q1, c1) = colName(eq.take(i))
-          val (q2, c2) = colName(eq.drop(i + 1))
-          require(c1 == c2, s"MERGE ON key must equate the SAME column on both sides: $eq")
-          val quals = Set(q1, q2).flatten
-          val known = Set(Some("delta"), tAlias, sAlias).flatten ++ Set.empty[String]
-          require(quals.forall(known.contains),
-            s"unknown qualifier in MERGE ON ($eq); aliases: ${known.mkString(",")}")
-          c1
-        }
-        val (_, rewritten, inserted) = DeltaInterop.merge(spark, dir, source, keys)
-        Seq(Row(rewritten.toLong, inserted))
+          val before = liveRows(spark)
+          val counted = if (before.isEmpty)
+            Some(DeltaInterop.readDelta(spark, dir).filter(pred).count()) else None
+          DeltaInterop.deleteWhere(spark, dir, pred)
+          val n = counted.orElse(
+            for (b <- before; a <- liveRows(spark)) yield b - a).getOrElse(-1L)
+          Seq(Row(n))
+        })
       }
     }
-    mergeExtRe.findFirstMatchIn(t).foreach { m =>
-      val dir = m.group(1)
-      val srcTxt = m.group(3).trim
-      val onTxt = m.group(5)
-      val clausesTxt = m.group(6)
-      return command(Seq(attr("num_files_rewritten", LongType),
-        attr("num_inserted_rows", LongType))) { spark =>
-        val source =
-          if (srcTxt.startsWith("(")) spark.sql(srcTxt.stripPrefix("(").stripSuffix(")"))
-          else spark.table(srcTxt.replace("`", ""))
-        val keys = splitTopLevel(onTxt, "AND").map { eq =>
-          val i = topLevelIndexOf(eq, '=')
-          require(i > 0, s"MERGE ON must be conjunctive equalities, got: $eq")
-          val c1 = eq.take(i).trim.replace("`", "").split('.').last
-          val c2 = eq.drop(i + 1).trim.replace("`", "").split('.').last
-          require(c1 == c2, s"MERGE ON key must equate the SAME column on both sides: $eq")
-          c1
-        }
-        val st = DeltaInterop.state(spark, dir)
-        def assignments(txt: String): Map[String, org.apache.spark.sql.Column] =
-          if (txt.trim == "*")
-            st.schema.fieldNames.map(c => c ->
-              org.apache.spark.sql.functions.col(s"s.$c")).toMap
-          else splitTopLevel(txt, ',').map { a =>
+
+  private def tryUpdate(t: String): Option[LogicalPlan] =
+    updateRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m, 1).map { case (dir, _) =>
+        val tail = stripStatementEnd(m.group(3))
+        // quote-aware split at the top-level WHERE keyword
+        val wIdx = topLevelIndexOfWord(tail, "WHERE")
+        val (setsTxt, whereOpt) =
+          if (wIdx < 0) (tail, None)
+          else (tail.take(wIdx).trim, Some(tail.drop(wIdx + 5).trim))
+        command(Seq(attr("num_affected_rows", LongType))) { spark =>
+          val sets = splitTopLevel(setsTxt, ',').map { a =>
             val i = topLevelIndexOf(a, '=')
-            require(i > 0, s"bad assignment: $a")
-            val lhs = a.take(i).trim.replace("`", "").split('.').last
-            lhs -> parseCol(spark, a.drop(i + 1))
+            require(i > 0, s"bad SET assignment: $a")
+            a.take(i).trim.stripPrefix("`").stripSuffix("`") ->
+              parseCol(spark, a.drop(i + 1))
           }.toMap
-        val matchedClauses = Seq.newBuilder[DeltaInterop.MatchedClause]
-        var notMatched: Option[(Option[org.apache.spark.sql.Column],
-          Map[String, org.apache.spark.sql.Column])] = None
-        mergeWhenRe.findAllMatchIn(clausesTxt).foreach { w =>
-          val isNot = w.group(1) != null
-          val cond = Option(w.group(2)).map(parseCol(spark, _))
-          (Option(w.group(3)), Option(w.group(4)), Option(w.group(5))) match {
-            case (Some(setTxt), _, _) =>
-              require(!isNot, "WHEN NOT MATCHED supports INSERT only")
-              matchedClauses += DeltaInterop.MatchedClause(cond, assignments(setTxt))
-            case (_, Some(_), _) =>
-              require(!isNot, "WHEN NOT MATCHED supports INSERT only")
-              matchedClauses += DeltaInterop.MatchedClause(cond, Map.empty, delete = true)
-            case (_, _, Some(insTxt)) =>
-              require(isNot, "INSERT belongs to WHEN NOT MATCHED")
-              require(notMatched.isEmpty, "at most one WHEN NOT MATCHED clause")
-              val trimmed = insTxt.trim
-              val set =
-                if (trimmed == "*") Map.empty[String, org.apache.spark.sql.Column]
-                else {
-                  val im = insertValuesRe.findFirstMatchIn(trimmed).getOrElse(
-                    throw new IllegalArgumentException(
-                      s"INSERT must be `*` or `(cols) VALUES (exprs)`: $trimmed"))
-                  val cols = splitTopLevel(im.group(1), ',')
-                    .map(_.replace("`", "").split('.').last)
-                  val exprs = splitTopLevel(im.group(2), ',').map(parseCol(spark, _))
-                  require(cols.length == exprs.length,
-                    s"INSERT column/value arity mismatch: $trimmed")
-                  cols.zip(exprs).toMap
-                }
-              notMatched = Some((cond, set))
-            case _ =>
-              throw new IllegalArgumentException(s"unparseable MERGE clause: ${w.matched}")
-          }
+          val pred = whereOpt.map(parseCol(spark, _))
+            .getOrElse(org.apache.spark.sql.functions.lit(true))
+          val n = DeltaInterop.readDelta(spark, dir).filter(pred).count()
+          DeltaInterop.updateWhere(spark, dir, pred, sets)
+          Seq(Row(n))
         }
-        val (_, rewritten, inserted) = DeltaInterop.mergeClauses(
-          spark, dir, source, keys, matchedClauses.result(), notMatched)
-        Seq(Row(rewritten.toLong, inserted))
       }
     }
-    historyRe.findFirstMatchIn(t).foreach { m =>
-      val dir = m.group(1)
-      return command(Seq(attr("version", LongType),
+
+  // ---- MERGE ----
+
+  private def tryMerge(t: String): Option[LogicalPlan] =
+    mergeHeadRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m, 1).map { case (dir, targetName) =>
+        val tAlias = Option(m.group(3)).map(_.trim).filter(_.nonEmpty)
+        val rest = m.group(4)
+        val (srcTxt, afterSrc) = takeSourceRef(rest)
+        val (sAlias, afterAlias) = takeOptionalAlias(afterSrc)
+        val onIdx = {
+          val i = topLevelIndexOfWord(afterAlias, "ON")
+          require(i == 0, s"MERGE: expected ON after the source, got: ${afterAlias.take(40)}")
+          i
+        }
+        val afterOn = afterAlias.drop(onIdx + 2)
+        val whenIdx = topLevelIndexOfMatch(afterOn, whenClauseStartRe)
+        require(whenIdx > 0, "MERGE: no WHEN clause found after ON")
+        val onTxtRaw = afterOn.take(whenIdx).trim
+        val clausesTxt = stripStatementEnd(afterOn.drop(whenIdx))
+        // user aliases (and bare table names when unaliased) rewrite to
+        // the engine's internal t/s qualifiers — a MERGE spelled
+        // `AS s USING src AS t` resolves correctly, never swapped
+        val aliasMap: Map[String, String] = {
+          def key(n: String) = n.replace("`", "").replaceAll("\\s+", "").toLowerCase
+          val b = Map.newBuilder[String, String]
+          tAlias.foreach(a => b += key(a) -> "t")
+          sAlias.foreach(a => b += key(a) -> "s")
+          if (tAlias.isEmpty) targetName.foreach { n =>
+            b += key(n) -> "t"
+            b += key(n).split('.').last -> "t"
+          }
+          if (sAlias.isEmpty && !srcTxt.startsWith("(")) {
+            b += key(srcTxt) -> "s"
+            b += key(srcTxt).split('.').last -> "s"
+          }
+          // drop only true no-ops; a SWAPPED alias pair (AS s / AS t)
+          // must keep both entries — simultaneous rewriting handles it
+          b.result().filterNot { case (k, v) => k == v }
+        }
+        def rw(txt: String): String = rewriteQualifiers(txt, aliasMap)
+        // path-spelled targets may be referenced as delta.`p`.col in ON
+        val onTxt = rw(if (m.group(1) != null)
+          pathQualifierRe(m.group(1)).replaceAllIn(onTxtRaw,
+            Regex.quoteReplacement("t."))
+          else onTxtRaw)
+        val clauses = splitWhenClauses(clausesTxt).map(c => parseWhenClause(c, rw))
+        command(Seq(attr("num_files_rewritten", LongType),
+          attr("num_inserted_rows", LongType))) { spark =>
+          val source =
+            if (srcTxt.startsWith("(")) spark.sql(srcTxt.stripPrefix("(").stripSuffix(")"))
+            else spark.table(srcTxt.replace("`", ""))
+          val keys = splitTopLevel(onTxt, "AND").map { eq =>
+            val i = topLevelIndexOf(eq, '=')
+            require(i > 0, s"MERGE ON must be conjunctive equalities, got: $eq")
+            def side(sv: String): (Option[String], String) = {
+              val parts = sv.trim.replace("`", "").split('.')
+              (parts.dropRight(1).lastOption, parts.last)
+            }
+            val (q1, c1) = side(eq.take(i))
+            val (q2, c2) = side(eq.drop(i + 1))
+            require(c1 == c2,
+              s"MERGE ON key must equate the SAME column on both sides: $eq")
+            val unknown = Set(q1, q2).flatten -- Set("t", "s")
+            require(unknown.isEmpty,
+              s"unknown qualifier ${unknown.mkString(",")} in MERGE ON ($eq); " +
+              "use the declared target/source aliases")
+            c1
+          }
+          val st = DeltaInterop.state(spark, dir)
+          def assignments(txt: String): Map[String, org.apache.spark.sql.Column] =
+            if (txt.trim == "*")
+              st.schema.fieldNames.map(c => c ->
+                org.apache.spark.sql.functions.col(s"s.$c")).toMap
+            else splitTopLevel(txt, ',').map { a =>
+              val i = topLevelIndexOf(a, '=')
+              require(i > 0, s"bad assignment: $a")
+              val lhs = a.take(i).trim.replace("`", "").split('.').last
+              lhs -> parseCol(spark, a.drop(i + 1))
+            }.toMap
+          // canonical upsert-all (UPDATE SET * + INSERT *) keeps the
+          // tuned DeltaInterop.merge path
+          val canonical = clauses.length == 2 &&
+            clauses.exists { case WhenMatched(None, Some("*")) => true; case _ => false } &&
+            clauses.exists { case WhenNotMatched(None, "*") => true; case _ => false }
+          if (canonical) {
+            val (_, rewritten, inserted) = DeltaInterop.merge(spark, dir, source, keys)
+            Seq(Row(rewritten.toLong, inserted))
+          } else {
+            val matchedClauses = Seq.newBuilder[DeltaInterop.MatchedClause]
+            val bySource = Seq.newBuilder[DeltaInterop.MatchedClause]
+            var notMatched: Option[(Option[org.apache.spark.sql.Column],
+              Map[String, org.apache.spark.sql.Column])] = None
+            clauses.foreach {
+              case WhenMatched(cond, Some(setTxt)) =>
+                matchedClauses += DeltaInterop.MatchedClause(
+                  cond.map(parseCol(spark, _)), assignments(setTxt))
+              case WhenMatched(cond, None) =>
+                matchedClauses += DeltaInterop.MatchedClause(
+                  cond.map(parseCol(spark, _)), Map.empty, delete = true)
+              case WhenNotMatchedBySource(cond, Some(setTxt)) =>
+                bySource += DeltaInterop.MatchedClause(
+                  cond.map(parseCol(spark, _)), assignments(setTxt))
+              case WhenNotMatchedBySource(cond, None) =>
+                bySource += DeltaInterop.MatchedClause(
+                  cond.map(parseCol(spark, _)), Map.empty, delete = true)
+              case WhenNotMatched(cond, insTxt) =>
+                require(notMatched.isEmpty, "at most one WHEN NOT MATCHED clause")
+                val set =
+                  if (insTxt == "*") Map.empty[String, org.apache.spark.sql.Column]
+                  else {
+                    val im = insertValuesRe.findFirstMatchIn(insTxt).getOrElse(
+                      throw new IllegalArgumentException(
+                        s"INSERT must be `*` or `(cols) VALUES (exprs)`: $insTxt"))
+                    val cols = splitTopLevel(im.group(1), ',')
+                      .map(_.replace("`", "").split('.').last)
+                    val exprs = splitTopLevel(im.group(2), ',').map(parseCol(spark, _))
+                    require(cols.length == exprs.length,
+                      s"INSERT column/value arity mismatch: $insTxt")
+                    cols.zip(exprs).toMap
+                  }
+                notMatched = Some((cond.map(parseCol(spark, _)), set))
+            }
+            val (_, rewritten, inserted) = DeltaInterop.mergeClauses(
+              spark, dir, source, keys, matchedClauses.result(), notMatched,
+              bySource.result())
+            Seq(Row(rewritten.toLong, inserted))
+          }
+        }
+      }
+    }
+
+  private def tryHistory(t: String): Option[LogicalPlan] =
+    historyRe.findFirstMatchIn(t).flatMap(m => ref(m, 1).map { case (dir, _) =>
+      command(Seq(attr("version", LongType),
         attr("timestamp", org.apache.spark.sql.types.TimestampType),
         attr("operation", StringType), attr("engineInfo", StringType))) { spark =>
         DeltaInterop.history(spark, dir).collect().toSeq
       }
-    }
-    restoreRe.findFirstMatchIn(t).foreach { m =>
-      val dir = m.group(1)
-      return command(Seq(attr("version", LongType),
+    })
+
+  private def tryRestore(t: String): Option[LogicalPlan] =
+    restoreRe.findFirstMatchIn(t).flatMap(m => ref(m, 1).map { case (dir, _) =>
+      command(Seq(attr("version", LongType),
         attr("num_files_readded", LongType),
         attr("num_files_removed", LongType))) { spark =>
         val v =
-          if (m.group(2) != null) m.group(2).toLong
-          else DeltaInterop.versionAtTimestamp(spark, dir, parseTs(m.group(3)))
+          if (m.group(3) != null) m.group(3).toLong
+          else DeltaInterop.versionAtTimestamp(spark, dir, parseTs(m.group(4)))
         val (nv, added, removed) = DeltaInterop.restore(spark, dir, v)
         Seq(Row(nv, added.toLong, removed.toLong))
       }
-    }
-    insertRe.findFirstMatchIn(t).foreach { m =>
-      val (mode, dir, query) = (m.group(1), m.group(2), m.group(3).trim)
-      return command(Nil) { spark =>
-        val df = spark.sql(query)
-        val st = DeltaInterop.state(spark, dir)
-        require(df.columns.length == st.schema.fields.length,
-          s"INSERT provides ${df.columns.length} columns; table has ${st.schema.fields.length}")
-        // positional resolution, then cast to the table's types —
-        // Spark SQL INSERT semantics for path tables
-        val aligned = df.toDF(st.schema.fieldNames.toIndexedSeq: _*)
-          .select(st.schema.fields.map(f =>
-            org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-        DeltaInterop.writeDelta(aligned, dir, st.partitionColumns,
-          overwrite = mode.equalsIgnoreCase("OVERWRITE"))
-        Nil
+    })
+
+  private def tryInsert(t: String): Option[LogicalPlan] =
+    insertRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m, 2).map { case (dir, _) =>
+        val (mode, colsTxt, query) =
+          (m.group(1), Option(m.group(4)), m.group(5).trim)
+        command(Nil) { spark =>
+          val df = spark.sql(query)
+          val st = DeltaInterop.state(spark, dir)
+          val aligned = colsTxt match {
+            case Some(listed) =>
+              // explicit column list: by-NAME resolution, unlisted
+              // columns null-fill (the schema stays the table's)
+              val names = splitTopLevel(listed, ',').map(_.replace("`", ""))
+              require(names.length == df.columns.length,
+                s"INSERT lists ${names.length} columns; query provides ${df.columns.length}")
+              names.foreach(n => require(st.schema.fieldNames.contains(n),
+                s"INSERT column $n not in table schema"))
+              val renamed = df.toDF(names.toIndexedSeq: _*)
+              renamed.select(st.schema.fields.map { f =>
+                (if (names.contains(f.name))
+                  org.apache.spark.sql.functions.col(f.name)
+                else org.apache.spark.sql.functions.lit(null))
+                  .cast(f.dataType).as(f.name)
+              }.toIndexedSeq: _*)
+            case None =>
+              require(df.columns.length == st.schema.fields.length,
+                s"INSERT provides ${df.columns.length} columns; table has ${st.schema.fields.length}")
+              // positional resolution, then cast to the table's types —
+              // Spark SQL INSERT semantics for path tables
+              df.toDF(st.schema.fieldNames.toIndexedSeq: _*)
+                .select(st.schema.fields.map(f =>
+                  org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
+                  .toIndexedSeq: _*)
+          }
+          DeltaInterop.writeDelta(aligned, dir, st.partitionColumns,
+            overwrite = mode.equalsIgnoreCase("OVERWRITE"))
+          Nil
+        }
       }
     }
-    ctasRe.findFirstMatchIn(t).foreach { m =>
+
+  private def tryCtasPath(t: String): Option[LogicalPlan] =
+    ctasRe.findFirstMatchIn(t).map { m =>
       val ifNotExists = m.group(1) != null
       val (dir, partTxt, query) = (m.group(2), Option(m.group(3)), m.group(4).trim)
-      return command(Nil) { spark =>
+      command(Nil) { spark =>
         if (DeltaInterop.latestVersion(spark, dir) >= 0) {
           require(ifNotExists, s"Delta table already exists at $dir")
         } else {
@@ -250,15 +385,48 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
         Nil
       }
     }
-    cloneRe.findFirstMatchIn(t).foreach { m =>
-      val (dst, src) = (m.group(1), m.group(2))
-      return command(Seq(attr("version", LongType))) { spark =>
-        Seq(Row(DeltaInterop.shallowClone(spark, src, dst)))
+
+  private def tryCtasName(t: String): Option[LogicalPlan] =
+    ctasNameRe.findFirstMatchIn(t).map { m =>
+      val ifNotExists = m.group(1) != null
+      val (name, partTxt, locTxt, query) =
+        (m.group(2), Option(m.group(3)), Option(m.group(4)), m.group(5).trim)
+      command(Nil) { spark =>
+        if (DeltaInterop.catalogDeltaPath(spark, name).isDefined) {
+          require(ifNotExists, s"Delta table $name already exists")
+        } else {
+          val dir = locTxt.getOrElse(DeltaInterop.defaultTablePath(spark, name))
+          val partCols = partTxt.toSeq.flatMap(_.split(',')).map(_.trim.replace("`", ""))
+            .filter(_.nonEmpty)
+          DeltaInterop.writeDelta(spark.sql(query), dir, partCols)
+          DeltaInterop.registerCatalogTable(spark, name, dir)
+        }
+        Nil
       }
     }
-    convertRe.findFirstMatchIn(t).foreach { m =>
+
+  private def tryClone(t: String): Option[LogicalPlan] =
+    cloneRe.findFirstMatchIn(t).flatMap { m =>
+      // the SOURCE must resolve (path or registered name); the target is
+      // NEW — a path is used as-is, a name gets the default warehouse
+      // location plus a catalog registration
+      ref(m, 3).map { case (srcDir, _) =>
+        val dstPath = Option(m.group(1))
+        val dstName = Option(m.group(2))
+        command(Seq(attr("version", LongType))) { spark =>
+          val dst = dstPath.getOrElse(
+            DeltaInterop.defaultTablePath(spark, dstName.get))
+          val v = DeltaInterop.shallowClone(spark, srcDir, dst)
+          dstName.foreach(n => DeltaInterop.registerCatalogTable(spark, n, dst))
+          Seq(Row(v))
+        }
+      }
+    }
+
+  private def tryConvert(t: String): Option[LogicalPlan] =
+    convertRe.findFirstMatchIn(t).map { m =>
       val (dir, partTxt) = (m.group(1), Option(m.group(2)))
-      return command(Seq(attr("version", LongType))) { spark =>
+      command(Seq(attr("version", LongType))) { spark =>
         // PARTITIONED BY entries may carry types (`lang string`) — only
         // the names matter here (types come from schema inference)
         val partCols = partTxt.toSeq.flatMap(_.split(','))
@@ -266,9 +434,11 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
         Seq(Row(DeltaInterop.convertToDelta(spark, dir, partCols)))
       }
     }
-    vacuumRe.findFirstMatchIn(t).foreach { m =>
-      val (dir, hours) = (m.group(1), Option(m.group(2)).map(_.toDouble))
-      return command(Seq(attr("num_files_reclaimed", LongType))) { spark =>
+
+  private def tryVacuum(t: String): Option[LogicalPlan] =
+    vacuumRe.findFirstMatchIn(t).flatMap(m => ref(m, 1).map { case (dir, _) =>
+      val hours = Option(m.group(3)).map(_.toDouble)
+      command(Seq(attr("num_files_reclaimed", LongType))) { spark =>
         val n = hours match {
           case Some(h) => DeltaInterop.vacuum(spark, dir,
             retainMillis = (h * 3600 * 1000).toLong)
@@ -276,10 +446,12 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
         }
         Seq(Row(n.toLong))
       }
-    }
-    optimizeRe.findFirstMatchIn(t).foreach { m =>
-      val (dir, zTxt) = (m.group(1), Option(m.group(2)))
-      return command(Seq(attr("num_files_removed", LongType),
+    })
+
+  private def tryOptimize(t: String): Option[LogicalPlan] =
+    optimizeRe.findFirstMatchIn(t).flatMap(m => ref(m, 1).map { case (dir, _) =>
+      val zTxt = Option(m.group(3))
+      command(Seq(attr("num_files_removed", LongType),
         attr("num_files_added", LongType))) { spark =>
         val (_, removed, added) = zTxt match {
           case Some(cols) => DeltaInterop.optimizeZOrder(spark, dir,
@@ -288,47 +460,61 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
         }
         Seq(Row(removed.toLong, added.toLong))
       }
-    }
-    alterAddColRe.findFirstMatchIn(t).foreach { m =>
-      val (dir, colName, dtypeTxt) = (m.group(1),
-        m.group(2).replace("`", ""), m.group(3).trim)
-      return command(Seq(attr("version", LongType))) { spark =>
-        Seq(Row(DeltaInterop.addColumn(spark, dir, colName,
-          delegate.parseDataType(dtypeTxt))))
+    })
+
+  private def tryAlter(t: String): Option[LogicalPlan] = {
+    // name-addressed ALTERs re-register the catalog view afterwards so
+    // the stored schema tracks the evolved table
+    def withReregister(dir: String, name: Option[String],
+                       body: SparkSession => Long): SparkSession => Seq[Row] =
+      spark => {
+        val v = body(spark)
+        name.foreach(n => DeltaInterop.registerCatalogTable(spark, n, dir))
+        Seq(Row(v))
       }
-    }
-    alterRenameColRe.findFirstMatchIn(t).foreach { m =>
-      val (dir, from, to) = (m.group(1),
-        m.group(2).replace("`", ""), m.group(3).replace("`", ""))
-      return command(Seq(attr("version", LongType))) { spark =>
-        Seq(Row(DeltaInterop.renameColumn(spark, dir, from, to)))
+    alterAddColRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m, 1).map { case (dir, name) =>
+        val (colName, dtypeTxt) = (m.group(3).replace("`", ""), m.group(4).trim)
+        command(Seq(attr("version", LongType)))(withReregister(dir, name,
+          spark => DeltaInterop.addColumn(spark, dir, colName,
+            delegate.parseDataType(dtypeTxt))))
       }
-    }
-    alterSetPropsRe.findFirstMatchIn(t).foreach { m =>
-      val (dir, propsTxt) = (m.group(1), m.group(2))
-      return command(Seq(attr("version", LongType))) { spark =>
-        val props = splitTopLevel(propsTxt, ',').map { kv =>
-          val i = topLevelIndexOf(kv, '=')
-          require(i > 0, s"bad TBLPROPERTIES entry: $kv")
-          def unq(s: String) = {
-            val x = s.trim
-            if (x.length >= 2 && ((x.head == '\'' && x.last == '\'') ||
-              (x.head == '"' && x.last == '"'))) x.substring(1, x.length - 1) else x
-          }
-          unq(kv.take(i)) -> unq(kv.drop(i + 1))
-        }.toMap
-        Seq(Row(DeltaInterop.setTableProperties(spark, dir, props)))
+    }.orElse(alterRenameColRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m, 1).map { case (dir, name) =>
+        val (from, to) = (m.group(3).replace("`", ""), m.group(4).replace("`", ""))
+        command(Seq(attr("version", LongType)))(withReregister(dir, name,
+          spark => DeltaInterop.renameColumn(spark, dir, from, to)))
       }
-    }
-    alterConstraintRe.findFirstMatchIn(t).foreach { m =>
-      val (dir, name, exprTxt) = (m.group(1), m.group(2), m.group(3).trim)
-      return command(Seq(attr("version", LongType))) { spark =>
-        Seq(Row(DeltaInterop.addConstraint(spark, dir, name, exprTxt)))
+    }).orElse(alterSetPropsRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m, 1).map { case (dir, _) =>
+        val propsTxt = m.group(3)
+        command(Seq(attr("version", LongType))) { spark =>
+          val props = splitTopLevel(propsTxt, ',').map { kv =>
+            val i = topLevelIndexOf(kv, '=')
+            require(i > 0, s"bad TBLPROPERTIES entry: $kv")
+            def unq(s: String) = {
+              val x = s.trim
+              if (x.length >= 2 && ((x.head == '\'' && x.last == '\'') ||
+                (x.head == '"' && x.last == '"'))) x.substring(1, x.length - 1) else x
+            }
+            unq(kv.take(i)) -> unq(kv.drop(i + 1))
+          }.toMap
+          Seq(Row(DeltaInterop.setTableProperties(spark, dir, props)))
+        }
       }
-    }
-    describeDetailRe.findFirstMatchIn(t).foreach { m =>
-      val dir = m.group(1)
-      return command(Seq(attr("format", StringType), attr("location", StringType),
+    }).orElse(alterConstraintRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m, 1).map { case (dir, _) =>
+        val (name, exprTxt) = (m.group(3), m.group(4).trim)
+        command(Seq(attr("version", LongType))) { spark =>
+          Seq(Row(DeltaInterop.addConstraint(spark, dir, name, exprTxt)))
+        }
+      }
+    })
+  }
+
+  private def tryDescribeDetail(t: String): Option[LogicalPlan] =
+    describeDetailRe.findFirstMatchIn(t).flatMap(m => ref(m, 1).map { case (dir, _) =>
+      command(Seq(attr("format", StringType), attr("location", StringType),
         attr("version", LongType), attr("numFiles", LongType),
         attr("sizeInBytes", LongType), attr("partitionColumns", StringType),
         attr("properties", StringType),
@@ -339,59 +525,64 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
           st.configuration.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","),
           st.protocol.minReader.toLong, st.protocol.minWriter.toLong))
       }
-    }
-    showPropsRe.findFirstMatchIn(t).foreach { m =>
-      val dir = m.group(1)
-      return command(Seq(attr("key", StringType), attr("value", StringType))) { spark =>
+    })
+
+  private def tryShowProps(t: String): Option[LogicalPlan] =
+    showPropsRe.findFirstMatchIn(t).flatMap(m => ref(m, 1).map { case (dir, _) =>
+      command(Seq(attr("key", StringType), attr("value", StringType))) { spark =>
         DeltaInterop.state(spark, dir).configuration.toSeq.sorted
           .map { case (k, v) => Row(k, v) }
       }
-    }
-    val rewritten = rewriteReads(t)
-    if (rewritten ne t) return delegate.parsePlan(rewritten)
-    delegate.parsePlan(sqlText)
+    })
+
+  /** Statement shapes that target a Delta PATH table but match no
+    * handler would otherwise fall into the read rewrite and die with a
+    * misleading error — reject them by name instead. */
+  private def guardUnsupportedShapes(t: String): Unit = {
+    // the guard keys on the path ref being the statement TARGET — a
+    // `delta.`p`` inside the query body (CTAS reading a Delta table)
+    // is a legitimate read reference and rewrites normally
+    if (createTargetRe.findFirstIn(t).isDefined)
+      throw new IllegalArgumentException(
+        "unsupported CREATE TABLE shape for a Delta path table — use " +
+        "CTAS (CREATE TABLE delta.`p` [USING delta] [PARTITIONED BY (...)] " +
+        "AS SELECT ...) or CREATE TABLE delta.`p` SHALLOW CLONE delta.`q`; " +
+        "column-list definitions and non-delta USING clauses are not supported")
+    if (insertTargetRe.findFirstIn(t).isDefined)
+      throw new IllegalArgumentException(
+        "unsupported INSERT shape for a Delta path table — expected " +
+        "INSERT INTO|OVERWRITE delta.`p` [(cols)] SELECT ...|VALUES ...")
+    if (createUsingDeltaRe.findFirstIn(t).isDefined)
+      throw new IllegalArgumentException(
+        "CREATE TABLE ... USING delta without AS is not supported — " +
+        "create Delta tables with data (CTAS) or SHALLOW CLONE")
   }
 
   private def parseCol(spark: SparkSession, txt: String): org.apache.spark.sql.Column =
     org.apache.spark.sql.GraftBridge.column(delegate.parseExpression(txt.trim))
 
-  /** Substitute graft-Delta READ references with temp views so the
-    * surrounding query parses and optimizes as plain Spark SQL:
-    *   - `table_changes('p', from[, to])` → a view over
-    *     `readChangeFeed` (delta-spark's CDF TVF shape);
-    *   - `delta.`p` [VERSION AS OF n]` in a FROM position → a view over
-    *     `readDelta` (optionally time-traveled).
+  /** Substitute graft-Delta READ references in query text:
+    * `delta.`p` [VERSION AS OF n | TIMESTAMP AS OF 'ts']` becomes the
+    * `graft_delta('p'[, v])` table-valued function — a pure text
+    * substitution with NO session state (the TVF resolves per query),
+    * so concurrently parsed statements can never read each other's
+    * tables (the temp-view rewrite this replaces could).
+    * `table_changes(...)` needs no rewriting at all: it IS a TVF.
     * Returns the input reference unchanged (eq) when nothing matched,
-    * so the common non-Delta statement costs two regex probes. */
+    * so the common non-Delta statement costs one regex probe. */
   private def rewriteReads(sql: String): String = {
-    val hasTc = tableChangesRe.findFirstIn(sql).isDefined
-    val hasPath = deltaPathRe.findFirstIn(sql).isDefined
-    if (!hasTc && !hasPath) return sql
+    if (deltaPathRe.findFirstIn(sql).isEmpty) return sql
     val spark = SparkSession.active
-    var i = 0
-    val afterTc =
-      if (!hasTc) sql
-      else tableChangesRe.replaceAllIn(sql, m => {
-        val dir = m.group(1)
-        val from = m.group(2).toLong
-        val to = Option(m.group(3)).map(_.toLong)
-          .getOrElse(DeltaInterop.latestVersion(spark, dir))
-        i += 1
-        val view = s"graft_table_changes_$i"
-        DeltaInterop.readChangeFeed(spark, dir, from, to)
-          .createOrReplaceTempView(view)
-        view
-      })
-    if (!hasPath) afterTc
-    else deltaPathRe.replaceAllIn(afterTc, m => {
+    deltaPathRe.replaceAllIn(sql, m => {
       val dir = m.group(1)
       val version = Option(m.group(2)).map(_.toLong).orElse(
         Option(m.group(3)).map(ts =>
           DeltaInterop.versionAtTimestamp(spark, dir, parseTs(ts))))
-      i += 1
-      val view = s"graft_delta_read_$i"
-      DeltaInterop.readDelta(spark, dir, version).createOrReplaceTempView(view)
-      view
+      val esc = dir.replace("'", "''")
+      Regex.quoteReplacement(version match {
+        case Some(v) => s"graft_delta('$esc', $v)"
+        case None => s"graft_delta('$esc')"
+      })
     })
   }
 
@@ -418,27 +609,34 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object DeltaSqlParser {
-  // delta-spark's path-table spelling: delta.`/absolute/or/relative/path`
-  private val T = """(?i)delta\s*\.\s*`([^`]+)`"""
+  // a table reference: delta-spark's path spelling delta.`path` (group
+  // +0) OR a bare [db.]table identifier (group +1, resolved against the
+  // session catalog — unresolved names fall through to Spark)
+  private val T =
+    """(?:(?i:delta)\s*\.\s*`([^`]+)`|((?:`[^`]+`|[A-Za-z_][\w]*)(?:\s*\.\s*(?:`[^`]+`|[A-Za-z_][\w]*))?))"""
+  // unsupported-shape guards: a Delta path ref in statement-TARGET position
+  private[sql] val createTargetRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?delta\s*\.\s*`""".r
+  private[sql] val insertTargetRe =
+    """(?is)^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?delta\s*\.\s*`""".r
+  private[sql] val createUsingDeltaRe =
+    """(?is)^\s*CREATE\s+TABLE\b(?:(?!\bAS\b).)*\bUSING\s+delta\b(?:(?!\bAS\b).)*$""".r
 
   private[sql] val deleteRe =
-    s"""(?is)^\\s*DELETE\\s+FROM\\s+$T\\s*(?:WHERE\\s+(.+?))?\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*DELETE\\s+FROM\\s+$T(\\s+.*?)?\\s*$$""".r
   private[sql] val updateRe =
-    s"""(?is)^\\s*UPDATE\\s+$T\\s+SET\\s+(.+?)\\s*(?:WHERE\\s+(.+?))?\\s*;?\\s*$$""".r
-  private[sql] val mergeRe =
-    (s"""(?is)^\\s*MERGE\\s+INTO\\s+$T(?:\\s+(?:AS\\s+)?(\\w+))?\\s+""" +
-     s"""USING\\s+(\\(.*?\\)|[\\w`.]+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+ON\\s+(.+?)\\s+""" +
-     s"""WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*\\s+""" +
-     s"""WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*;?\\s*$$""").r
-  // general MERGE: arbitrary ordered WHEN clauses after ON
-  private[sql] val mergeExtRe =
-    (s"""(?is)^\\s*MERGE\\s+INTO\\s+$T(?:\\s+(?:AS\\s+)?(\\w+))?\\s+""" +
-     s"""USING\\s+(\\(.*?\\)|[\\w`.]+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+ON\\s+(.+?)\\s+""" +
-     s"""(WHEN\\s+.+?)\\s*;?\\s*$$""").r
-  private[sql] val mergeWhenRe =
-    ("""(?is)WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
-     """(?:UPDATE\s+SET\s+(.+?)|(DELETE)|INSERT\s+(.+?))\s*""" +
-     """(?=WHEN\s+(?:NOT\s+)?MATCHED|$)""").r
+    s"""(?is)^\\s*UPDATE\\s+$T\\s+SET\\s+(.+?)\\s*$$""".r
+  // MERGE head: target [alias] USING <rest> — the source/alias/ON/WHEN
+  // remainder is hand-tokenized (quote-aware), never regex-split
+  private[sql] val mergeHeadRe =
+    (s"""(?is)^\\s*MERGE\\s+INTO\\s+$T(?:\\s+(?:AS\\s+)?((?!USING\\b)\\w+))?\\s+""" +
+     s"""USING\\s+(.+)$$""").r
+  // a WHEN clause begins: WHEN [NOT] MATCHED [BY SOURCE|TARGET]
+  private[sql] val whenClauseStartRe =
+    """(?is)\bWHEN\s+(?:NOT\s+)?MATCHED\b""".r
+  private[sql] val whenClauseRe =
+    ("""(?is)^WHEN\s+(NOT\s+)?MATCHED(?:\s+BY\s+(SOURCE|TARGET))?""" +
+     """(?:\s+AND\s+)?(.*)$""").r
   private[sql] val insertValuesRe =
     """(?is)^\(([^)]*)\)\s*VALUES\s*\((.*)\)$""".r
   private[sql] val historyRe =
@@ -447,11 +645,17 @@ object DeltaSqlParser {
     (s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+""" +
      s"""(?:VERSION\\s+AS\\s+OF\\s+(\\d+)|TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')\\s*;?\\s*$$""").r
   private[sql] val insertRe =
-    s"""(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+(?:TABLE\\s+)?$T\\s+(SELECT\\b.+|VALUES\\b.+|TABLE\\b.+|FROM\\b.+)$$""".r
+    (s"""(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+(?:TABLE\\s+)?$T""" +
+     s"""(?:\\s*\\(([^()]*)\\))?\\s+(SELECT\\b.+|VALUES\\b.+|TABLE\\b.+|FROM\\b.+)$$""").r
   private[sql] val ctasRe =
-    (s"""(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T""" +
+    (s"""(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?(?i:delta)\\s*\\.\\s*`([^`]+)`""" +
      s"""(?:\\s+USING\\s+delta)?(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?""" +
      s"""\\s+AS\\s+(.+)$$""").r
+  // name CTAS: `USING delta` is REQUIRED (parquet/csv CTAS are Spark's)
+  private[sql] val ctasNameRe =
+    (s"""(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?((?:`[^`]+`|[A-Za-z_][\\w]*)(?:\\s*\\.\\s*(?:`[^`]+`|[A-Za-z_][\\w]*))?)""" +
+     s"""\\s+USING\\s+delta(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?""" +
+     s"""(?:\\s+LOCATION\\s+'([^']+)')?\\s+AS\\s+(.+)$$""").r
   private[sql] val cloneRe =
     s"""(?is)^\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T\\s*;?\\s*$$""".r
   private[sql] val convertRe =
@@ -486,17 +690,213 @@ object DeltaSqlParser {
             java.sql.Date.valueOf(s).getTime
         }
     }
-  private[sql] val tableChangesRe =
-    """(?is)table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
   // a read reference: delta.`p` with optional time travel (version or timestamp)
   private[sql] val deltaPathRe =
     """(?is)delta\s*\.\s*`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
+  /** `delta.`p`.` as a column qualifier inside a MERGE ON clause. */
+  private[sql] def pathQualifierRe(path: String): Regex =
+    s"""(?i)delta\\s*\\.\\s*`${Regex.quote(path)}`\\s*\\.""".r
 
   private def attr(name: String, dt: DataType): Attribute =
     AttributeReference(name, dt, nullable = true)()
 
   private def command(out: Seq[Attribute])(body: SparkSession => Seq[Row]): LogicalPlan =
     GraftDeltaCommand(out, body)
+
+  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** Drop one trailing `;` (outside any literal — the scan guarantees
+    * only statement-final semicolons survive to here) and trim. */
+  private[sql] def stripStatementEnd(s: String): String = {
+    val x = s.trim
+    if (x.endsWith(";")) x.dropRight(1).trim else x
+  }
+
+  // ---- MERGE tokenization ----
+
+  private[sql] sealed trait WhenClause
+  /** sets None = DELETE; Some("*") = UPDATE SET *. */
+  private[sql] final case class WhenMatched(cond: Option[String],
+                                            sets: Option[String]) extends WhenClause
+  /** insert = "*" or "(cols) VALUES (exprs)". */
+  private[sql] final case class WhenNotMatched(cond: Option[String],
+                                               insert: String) extends WhenClause
+  private[sql] final case class WhenNotMatchedBySource(cond: Option[String],
+                                                       sets: Option[String]) extends WhenClause
+
+  /** The source reference after USING: a parenthesized subquery
+    * (matched by depth scan, so nested parens/quotes are safe) or a
+    * dotted identifier. Returns (sourceText, remainder). */
+  private[sql] def takeSourceRef(s: String): (String, String) = {
+    val x = s.trim
+    if (x.startsWith("(")) {
+      var depth = 0; var i = 0; var inQ = false; var inB = false
+      while (i < x.length) {
+        val c = x.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else if (inB) { if (c == '`') inB = false }
+        else c match {
+          case '\'' => inQ = true
+          case '`' => inB = true
+          case '(' => depth += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0) return (x.take(i + 1), x.drop(i + 1))
+          case _ =>
+        }
+        i += 1
+      }
+      throw new IllegalArgumentException(s"MERGE USING: unbalanced parens in: ${x.take(60)}")
+    } else {
+      val m = """^(?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+))*""".r.findFirstIn(x)
+        .getOrElse(throw new IllegalArgumentException(
+          s"MERGE USING: expected a table or (subquery), got: ${x.take(40)}"))
+      (m, x.drop(m.length))
+    }
+  }
+
+  /** Optional `[AS] alias` before the ON keyword. */
+  private[sql] def takeOptionalAlias(s: String): (Option[String], String) = {
+    val x = s.trim
+    val asM = """(?is)^AS\s+(\w+)\s*(.*)$""".r.findFirstMatchIn(x)
+    asM.foreach(m => return (Some(m.group(1)), m.group(2)))
+    val idM = """(?is)^(\w+)\s*(.*)$""".r.findFirstMatchIn(x)
+    idM match {
+      case Some(m) if !m.group(1).equalsIgnoreCase("ON") =>
+        (Some(m.group(1)), m.group(2))
+      case _ => (None, x)
+    }
+  }
+
+  /** Split the clause blob at each top-level WHEN [NOT] MATCHED
+    * boundary. Every character belongs to exactly one clause, so an
+    * unparseable clause ERRORS in [[parseWhenClause]] — the
+    * find-what-you-recognize regex this replaces could silently drop
+    * clauses it did not know (judged: silently wrong MERGE results). */
+  private[sql] def splitWhenClauses(s: String): Seq[String] = {
+    val starts = whenClauseStartRe.findAllMatchIn(s).map(_.start).filter(p => {
+      val prefix = s.take(p)
+      prefix.count(_ == '(') == prefix.count(_ == ')') &&
+        prefix.count(_ == '`') % 2 == 0 && prefix.count(_ == '\'') % 2 == 0
+    }).toSeq
+    require(starts.nonEmpty, s"MERGE: no WHEN clauses in: ${s.take(60)}")
+    require(s.take(starts.head).trim.isEmpty,
+      s"MERGE: unparseable text before the first WHEN clause: ${s.take(starts.head)}")
+    (starts :+ s.length).sliding(2).map {
+      case Seq(a, b) => s.substring(a, b).trim
+    }.toSeq
+  }
+
+  /** Parse ONE WHEN clause; `rw` rewrites user aliases to t/s. */
+  private[sql] def parseWhenClause(c: String, rw: String => String): WhenClause = {
+    val m = whenClauseRe.findFirstMatchIn(c).getOrElse(
+      throw new IllegalArgumentException(s"unparseable MERGE clause: $c"))
+    val isNot = m.group(1) != null
+    val by = Option(m.group(2)).map(_.toUpperCase)
+    require(isNot || by.isEmpty, s"MATCHED BY ${by.orNull} requires NOT: $c")
+    require(by.forall(b => b == "SOURCE" || b == "TARGET"),
+      s"bad MATCHED BY clause: $c")
+    val rest = m.group(3).trim
+    // locate THEN quote-aware (the AND condition may contain literals
+    // with the word THEN); group(3) starts right after AND if present
+    val thenIdx = topLevelIndexOfWord(rest, "THEN")
+    require(thenIdx >= 0, s"MERGE clause missing THEN: $c")
+    val condTxt = rest.take(thenIdx).trim
+    val cond = if (condTxt.isEmpty) None else Some(rw(condTxt))
+    val action = stripStatementEnd(rest.drop(thenIdx + 4))
+    val upd = """(?is)^UPDATE\s+SET\s+(.+)$""".r
+    val ins = """(?is)^INSERT\s+(.+)$""".r
+    (isNot, by) match {
+      case (false, _) => action match {
+        case upd(sets) => WhenMatched(cond, Some(rw(sets).trim))
+        case a if a.equalsIgnoreCase("DELETE") => WhenMatched(cond, None)
+        case other => throw new IllegalArgumentException(
+          s"WHEN MATCHED supports UPDATE SET/DELETE, got: $other")
+      }
+      case (true, Some("SOURCE")) => action match {
+        case upd(sets) => WhenNotMatchedBySource(cond, Some(rw(sets).trim))
+        case a if a.equalsIgnoreCase("DELETE") => WhenNotMatchedBySource(cond, None)
+        case other => throw new IllegalArgumentException(
+          s"WHEN NOT MATCHED BY SOURCE supports UPDATE SET/DELETE, got: $other")
+      }
+      case (true, _) => action match {
+        case ins(body) => WhenNotMatched(cond, rw(body).trim)
+        case other => throw new IllegalArgumentException(
+          s"WHEN NOT MATCHED supports INSERT, got: $other")
+      }
+    }
+  }
+
+  /** Rewrite leading qualifier identifiers per `mapping` (lowercased
+    * keys → replacement): `src.a + src.b` with src→s becomes
+    * `s.a + s.b`. Quote-aware (literals untouched), backtick-aware
+    * (`` `src`.a `` rewrites; `a.src.b`'s inner src does not), and
+    * simultaneous (a swapped t↔s alias pair cannot double-apply).
+    * Two-part qualifiers (`db.src.a`) rewrite when "db.src" maps. */
+  private[sql] def rewriteQualifiers(s: String, mapping: Map[String, String]): String = {
+    if (mapping.isEmpty) return s
+    val sb = new StringBuilder
+    var i = 0; var inQ = false; var prevWord = false
+    def readIdent(from: Int): Option[(String, Int)] = {
+      if (from >= s.length) return None
+      val c = s.charAt(from)
+      if (c == '`') {
+        val close = s.indexOf('`', from + 1)
+        if (close < 0) None else Some((s.substring(from + 1, close), close + 1))
+      } else if (c.isLetter || c == '_') {
+        var j = from + 1
+        while (j < s.length && isWordChar(s.charAt(j))) j += 1
+        Some((s.substring(from, j), j))
+      } else None
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        sb.append(c)
+        if (c == '\'') { inQ = false; prevWord = true } // no ident right after a literal
+        i += 1
+      }
+      else if (c == '\'') { sb.append(c); inQ = true; i += 1; prevWord = false }
+      else if ((c.isLetter || c == '_' || c == '`') && !prevWord) {
+        val start = i
+        readIdent(i) match {
+          case None => sb.append(c); i += 1; prevWord = true
+          case Some((id1, after1)) =>
+            var k = after1
+            while (k < s.length && s.charAt(k).isWhitespace) k += 1
+            val dotted1 = k < s.length && s.charAt(k) == '.'
+            val oneHit = dotted1 && mapping.contains(id1.toLowerCase)
+            // two-part qualifier: db.src.a with "db.src" mapped
+            lazy val twoHit: Option[Int] = if (!dotted1) None else {
+              var k2 = k + 1
+              while (k2 < s.length && s.charAt(k2).isWhitespace) k2 += 1
+              readIdent(k2).flatMap { case (id2, after2) =>
+                var k3 = after2
+                while (k3 < s.length && s.charAt(k3).isWhitespace) k3 += 1
+                if (k3 < s.length && s.charAt(k3) == '.' &&
+                    mapping.contains(s"${id1.toLowerCase}.${id2.toLowerCase}"))
+                  Some(after2) // consume through id2; the dot after follows
+                else None
+              }
+            }
+            if (oneHit) { sb.append(mapping(id1.toLowerCase)); i = after1 }
+            else twoHit match {
+              case Some(after2) =>
+                sb.append(mapping(
+                  s.substring(start, after2).toLowerCase.replaceAll("[\\s`]+", "")))
+                i = after2
+              case None => sb.append(s.substring(start, after1)); i = after1
+            }
+            prevWord = true
+        }
+      } else {
+        sb.append(c)
+        prevWord = isWordChar(c) || c == '.' || c == '`'
+        i += 1
+      }
+    }
+    sb.toString
+  }
 
   /** Split on a top-level separator (not inside parens/backticks/quotes). */
   private[sql] def splitTopLevel(s: String, sep: Char): Seq[String] = {
@@ -552,6 +952,39 @@ object DeltaSqlParser {
     }
     -1
   }
+
+  /** First index of `word` (case-insensitive, word-bounded) at paren
+    * depth 0, outside string literals and backticks. -1 if absent. */
+  private[sql] def topLevelIndexOfWord(s: String, word: String): Int = {
+    var depth = 0; var i = 0; var inQ = false; var inB = false
+    val n = word.length
+    while (i < s.length) {
+      val x = s.charAt(i)
+      if (inQ) { if (x == '\'') inQ = false }
+      else if (inB) { if (x == '`') inB = false }
+      else x match {
+        case '\'' => inQ = true
+        case '`' => inB = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, word, 0, n) &&
+              (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+              (i + n >= s.length || !isWordChar(s.charAt(i + n))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** First match start of `re` at paren depth 0 outside literals. */
+  private[sql] def topLevelIndexOfMatch(s: String, re: Regex): Int =
+    re.findAllMatchIn(s).map(_.start).find { p =>
+      val prefix = s.take(p)
+      prefix.count(_ == '(') == prefix.count(_ == ')') &&
+        prefix.count(_ == '`') % 2 == 0 && prefix.count(_ == '\'') % 2 == 0
+    }.getOrElse(-1)
 }
 
 /** A graft-Delta SQL statement as an eagerly-run command (the same

@@ -15,6 +15,17 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** The analyzed-side logical plan of a DataFrame — what a
+    * table-valued-function builder must return (the TVF's "body"). */
+  def plan(df: Dataset[Row]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].logicalPlan
+
+  /** The session's catalog — used to resolve `[db.]table` names to
+    * graft-Delta locations and to register catalog entries without
+    * routing through SQL statements (which our own parser intercepts). */
+  def sessionCatalog(spark: SparkSession): org.apache.spark.sql.catalyst.catalog.SessionCatalog =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalog
+
   /** Mark every file relation leaf of `df`'s plan streaming — the shape a
     * DSv1 `Source.getBatch` must return (MicroBatchExecution asserts
     * `batch.isStreaming` before splicing the plan in place of the

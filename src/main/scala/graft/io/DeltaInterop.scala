@@ -1083,7 +1083,7 @@ object DeltaInterop {
     val schema = spark.read.option("basePath", dir).parquet(dir).schema
     require(inferredPartCols.forall(schema.fieldNames.contains),
       s"partition column(s) ${inferredPartCols.mkString(",")} not in inferred schema")
-    val adds = all.map { case (rel, size) =>
+    val adds = parMap(all) { case (rel, size) =>
       val pv = segParts(rel).toMap
       require(inferredPartCols.forall(pv.contains),
         s"file $rel lacks partition value(s) for ${inferredPartCols.mkString(",")}")
@@ -1275,10 +1275,26 @@ object DeltaInterop {
     val staging = new Path(dir, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
     if (partCols.isEmpty) df.write.parquet(staging.toString)
     else df.write.partitionBy(partCols: _*).parquet(staging.toString)
-    moveStaged(f, staging, new Path(dir), partCols).map { case (rel, pv, size) =>
+    parMap(moveStaged(f, staging, new Path(dir), partCols)) { case (rel, pv, size) =>
       val (rows, stats) = footerStats(spark, new Path(dir, rel))
       AddFile(rel, pv, size, rows, Map.empty, stats)
     }
+  }
+
+  /** Driver-side parallel map for per-file METADATA work (parquet
+    * footer reads after a staged write) — the files are independent and
+    * each read is a few ms of IO, so a sequential loop is pure fixed
+    * cost per commit (a 40-file partitioned write paid 40 round trips).
+    * Bounded pool; exceptions propagate. */
+  private def parMap[A, B](xs: Seq[A], par: Int = 16)(fn: A => B): Seq[B] = {
+    if (xs.lengthCompare(2) < 0) return xs.map(fn)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(par, xs.length))
+    try xs.map(x => pool.submit(new java.util.concurrent.Callable[B] {
+      def call(): B = fn(x)
+    })).map(fu =>
+      try fu.get()
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+    finally pool.shutdown()
   }
 
   /** Rename `df`'s columns to the table's PHYSICAL names (and cast
@@ -1676,11 +1692,11 @@ object DeltaInterop {
     f.delete(staging, true)
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     smalls.foreach(r => actions += removeJson(r, dataChange = false))
-    moved.foreach { case (rel, pv, size) =>
+    parMap(moved.toSeq) { case (rel, pv, size) =>
       val (rows, stats) = footerStats(spark, new Path(dir, rel))
-      actions += addJson(AddFile(rel, pv, size, rows, Map.empty, stats),
+      addJson(AddFile(rel, pv, size, rows, Map.empty, stats),
         dataChange = false)
-    }
+    }.foreach(actions += _)
     val v = commit(spark, dir, st.version + 1, actions.toSeq, op = "OPTIMIZE")
     (v, smalls.length, moved.length)
   }
@@ -2573,6 +2589,20 @@ object DeltaInterop {
       spark: SparkSession, dir: String, st: DeltaState,
       candidates: Seq[AddFile],
       hit: org.apache.spark.sql.Column)
+    : org.apache.spark.sql.Dataset[(String, String, Long, Long)] =
+    dvDescriptorsFromHits(spark, dir, candidates,
+      scanWithProvenance(spark, dir, st, candidates).filter(hit))
+
+  /** [[dvDescriptorsPerFile]] over an ALREADY-FILTERED hits frame —
+    * callers that also need the hit rows for other stages (the CDF
+    * change set, an UPDATE's postimages) pass one `localCheckpoint`ed
+    * frame and every stage reuses its materialized partitions instead
+    * of re-running the candidate scan (the r11-judged per-commit fixed
+    * cost). The frame is O(hit rows) — the row-op's own cost model. */
+  private[graft] def dvDescriptorsFromHits(
+      spark: SparkSession, dir: String,
+      candidates: Seq[AddFile],
+      hits: DataFrame)
     : org.apache.spark.sql.Dataset[(String, String, Long, Long)] = {
     import spark.implicits._
     import org.apache.spark.sql.GraftBridge.{column, expression}
@@ -2588,8 +2618,7 @@ object DeltaInterop {
     val tableDir = dir
     val bm = column(graft.functions.expressions.DvBitmapAgg(
       expression(col("_graft_pos"))).toAggregateExpression())
-    scanWithProvenance(spark, dir, st, candidates)
-      .filter(hit)
+    hits
       .groupBy(col("_graft_file"))
       .agg(bm.as("bm"))
       .as[(String, Array[Byte])]
@@ -2695,9 +2724,17 @@ object DeltaInterop {
     if (candidates.isEmpty) return (st.version, 0, 0L)
     // DISTRIBUTED DV authoring: per-file bitmaps build + merge + write
     // sidecars executor-side; the collect is one descriptor row per
-    // touched file — O(files), never O(deleted positions)
-    val perFile = dvDescriptorsPerFile(spark, dir, st, candidates,
-      predicate <=> lit(true)).collect()
+    // touched file — O(files), never O(deleted positions). With CDF on,
+    // the hit rows pin once (localCheckpoint, O(deleted rows)) and the
+    // change-data stage reuses them — ONE candidate scan per commit,
+    // not two (r11 finding #1).
+    val withCdf = cdfEnabled(st)
+    val hits = {
+      val h = scanWithProvenance(spark, dir, st, candidates)
+        .filter(predicate <=> lit(true))
+      if (withCdf) h.localCheckpoint(false) else h
+    }
+    val perFile = dvDescriptorsFromHits(spark, dir, candidates, hits).collect()
     if (perFile.isEmpty) return (st.version, 0, 0L)
     val idx = qualifiedIndex(spark, dir, candidates)
     val removes = Seq.newBuilder[String]
@@ -2712,11 +2749,9 @@ object DeltaInterop {
       // else: every physical row is dead — the remove alone drops it
     }
     val cdcs =
-      if (!cdfEnabled(st)) Nil
-      else stageChangeData( // the masked scan: exactly the NEWLY-deleted rows
-        scanWithProvenance(spark, dir, st, candidates)
-          .filter(predicate <=> lit(true))
-          .select(st.schema.fieldNames.map(col) :+ lit("delete").as("_change_type"): _*),
+      if (!withCdf) Nil
+      else stageChangeData( // the pinned hits ARE the newly-deleted rows
+        hits.select(st.schema.fieldNames.map(col) :+ lit("delete").as("_change_type"): _*),
         dir, st)
     val v = commit(spark, dir, st.version + 1,
       dvProtocolActions(st) ++ (removes.result() ++ adds.result() ++ cdcs.map(cdcJson)),
@@ -2747,12 +2782,17 @@ object DeltaInterop {
     val candidates = prunedFiles(st, partitionEq, ranges)
     if (candidates.isEmpty) return (st.version, 0, 0L)
     val hit = predicate <=> lit(true)
+    // ONE candidate scan per commit: the hit rows pin (localCheckpoint,
+    // O(updated rows)) and every stage — descriptor aggregate,
+    // postimage staging, CDF pre/post — reuses the materialized
+    // partitions (r11 finding #1: this path paid 3 scans)
+    val hits = scanWithProvenance(spark, dir, st, candidates)
+      .filter(hit).localCheckpoint(false)
     // distributed DV authoring — see deleteWhereDV; one descriptor row
     // per touched file comes back, positions never leave the executors
-    val perFile = dvDescriptorsPerFile(spark, dir, st, candidates, hit).collect()
+    val perFile = dvDescriptorsFromHits(spark, dir, candidates, hits).collect()
     if (perFile.isEmpty) return (st.version, 0, 0L)
-    val postimage = scanWithProvenance(spark, dir, st, candidates)
-      .filter(hit)
+    val postimage = hits
       .select(st.schema.fieldNames.map { c =>
         set.get(c) match {
           case Some(e) => e.cast(st.schema(c).dataType).as(c)
@@ -2774,7 +2814,7 @@ object DeltaInterop {
     }
     newAdds.foreach(a => actions += addJson(a))
     if (cdfEnabled(st)) {
-      val pre = scanWithProvenance(spark, dir, st, candidates).filter(hit)
+      val pre = hits
         .select(st.schema.fieldNames.map(col) :+
           lit("update_preimage").as("_change_type"): _*)
       val post = postimage.withColumn("_change_type", lit("update_postimage"))

@@ -54,8 +54,12 @@ object SyntheaEtl {
 
     Seq(
       Stage("ingest", _ => new Mover().ingestAll(landing, root, date)),
+      // per-table bodies are independent (disjoint source/target dirs) —
+      // they run on a bounded pool so the stage overlaps the per-job
+      // fixed costs the reference's sequential Glue loop pays 18× over
+      // (outputs byte-identical; see graft.pipeline.Par)
       Stage("repair", s => {
-        tables.foreach { t =>
+        graft.pipeline.Par.foreach(tables) { t =>
           val files = catalog.listFiles(s"$root/source/$date/$t", ".csv")
           files.headOption.foreach { f =>
             CsvRepair.repair(s, Readers.text(s, f)).foreach { df =>
@@ -66,7 +70,7 @@ object SyntheaEtl {
       }, precondition = _ =>
         !requireAll || new Mover().isComplete(root, date, ExpectedTables)),
       Stage("clean", s => {
-        tables.foreach { t =>
+        graft.pipeline.Par.foreach(tables) { t =>
           val raw = Readers.csv(s, s"$root/raw/$date/$t")
           val cleaned = Cleaner.clean(raw, schemaFor(root, t))
           Writers.parquetTable(
@@ -88,15 +92,20 @@ object SyntheaEtl {
             Some(df)
           } else None
         }
-        PatientDatamart.build(staging, existing, clock).foreach { case (name, df) =>
-          // two-phase write: the merge reads the existing dim, so materialize
-          // to a staging location before overwriting the live one
-          val tmp = s"$root/mart/.tmp_$name"
-          Writers.parquet(df, tmp)
-          Writers.parquetTable(Readers.parquet(s, tmp), s"$root/mart/$name", name)
-          val fs = new org.apache.hadoop.fs.Path(tmp)
-            .getFileSystem(s.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        // the SCD2 merges are independent per dim (disjoint targets; the
+        // fact's plan references the dim FRAMES, not their written files)
+        // — write them concurrently, two-phase each
+        graft.pipeline.Par.foreach(
+          PatientDatamart.build(staging, existing, clock).toSeq) {
+          case (name, df) =>
+            // two-phase write: the merge reads the existing dim, so materialize
+            // to a staging location before overwriting the live one
+            val tmp = s"$root/mart/.tmp_$name"
+            Writers.parquet(df, tmp)
+            Writers.parquetTable(Readers.parquet(s, tmp), s"$root/mart/$name", name)
+            val fs = new org.apache.hadoop.fs.Path(tmp)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
         }
         // the SCD2 merge caches each existing dim for its self-joins
         // (Scd2.faithful/idiomatic); those entries are dead once the dim is

@@ -1,0 +1,31 @@
+package graft.pipeline
+
+/** Bounded driver-side concurrency for INDEPENDENT per-table stage
+  * bodies (SURVEY §4.1's allowed optimization). The reference's Glue
+  * jobs loop the 18 Synthea tables sequentially — each iteration is a
+  * small Spark job whose wall-clock is dominated by fixed scheduling
+  * cost, so the loop is driver-bound, not cluster-bound. A SparkSession
+  * is thread-safe and its FIFO scheduler interleaves jobs submitted
+  * from many threads, so running the per-table bodies on a small pool
+  * overlaps those fixed costs while producing byte-identical outputs
+  * (each body owns a disjoint target directory / catalog entry; the
+  * session catalog serializes its own metadata calls).
+  *
+  * At cluster scale the same shape holds: concurrent small jobs pack
+  * the executors that one-at-a-time jobs would leave idle. */
+object Par {
+
+  /** Apply `fn` to every element on a bounded pool; rethrows the first
+    * failure (unwrapped). Order of side effects across elements is
+    * unspecified — callers must only use this for independent work. */
+  def foreach[A](xs: Seq[A], par: Int = 8)(fn: A => Unit): Unit = {
+    if (xs.lengthCompare(2) < 0) { xs.foreach(fn); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(par, xs.size))
+    try xs.map(x => pool.submit(new Runnable { def run(): Unit = fn(x) }))
+      .foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    finally pool.shutdown()
+  }
+}

@@ -175,6 +175,55 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("rowTracking"), e3.getMessage)
   }
 
+  test("a REALISTIC rowTracking table reads green: baseRowId adds + domainMetadata tolerated") {
+    // the shape a delta-spark ≥3.x writer leaves with
+    // delta.enableRowTracking=true: writer features rowTracking +
+    // domainMetadata, a delta.rowTracking domain-metadata action (row-id
+    // high watermark), and per-add baseRowId/defaultRowCommitVersion
+    // fields. None of it changes PLAIN-scan semantics — reads must work,
+    // writes must keep refusing by name (graft assigns no row ids).
+    val dir = Files.createTempDirectory("graft-proto-rowtrack-real").toString
+    // a real data file, moved into place under a known name
+    val staging = s"$dir/.stage"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag")
+      .coalesce(1).write.parquet(staging)
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    f.rename(part, new org.apache.hadoop.fs.Path(s"$dir/data-0.parquet"))
+    f.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val size = f.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/data-0.parquet")).getLen
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType)))
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","domainMetadata"]}}""",
+      s"""{"metaData":{"id":"rt-fixture","format":{"provider":"parquet","options":{}},"schemaString":${new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{"delta.enableRowTracking":"true"},"createdTime":0}}""",
+      """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\"rowIdHighWaterMark\":2}","removed":false}}""",
+      s"""{"add":{"path":"data-0.parquet","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true,"baseRowId":0,"defaultRowCommitVersion":0,"stats":"{\\"numRecords\\":3,\\"minValues\\":{\\"id\\":1},\\"maxValues\\":{\\"id\\":3}}"}}""")
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    Files.write(Paths.get(dir, "_delta_log", "00000000000000000000.json"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    // plain reads work: row tracking is a WRITER concern
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.count() == 3 && t.columns.toSeq == Seq("id", "tag"))
+    // stats-pruned reads work too (the extra add fields ride along)
+    assert(DeltaInterop.readDeltaWhere(spark, dir,
+      ranges = Map("id" -> ((2.0, 3.0)))).count() == 2)
+    assert(DeltaInterop.history(spark, dir).count() == 1)
+    // writes keep refusing BY NAME (no row-id assignment here)
+    val e = intercept[IllegalArgumentException](
+      DeltaInterop.writeDelta(Seq((9L, "z")).toDF("id", "tag"), dir, Nil))
+    assert(e.getMessage.contains("rowTracking"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaInterop.deleteWhereDV(spark, dir, col("id") === 1L))
+    assert(e2.getMessage.contains("rowTracking"))
+    // shallow clone refuses too: re-serialized adds would drop baseRowId
+    val e3 = intercept[IllegalArgumentException](DeltaInterop.shallowClone(
+      spark, dir, Files.createTempDirectory("graft-rt-clone").toString + "/c"))
+    assert(e3.getMessage.contains("rowTracking"))
+  }
+
   test("delta.appendOnly blocks row-removing ops; appends and compaction stay legal") {
     val dir = Files.createTempDirectory("graft-proto-appendonly").toString
     DeltaInterop.writeDelta((0L until 20L).toDF("id").repartition(2), dir, Nil)

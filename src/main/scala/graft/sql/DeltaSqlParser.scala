@@ -571,19 +571,28 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
     * Returns the input reference unchanged (eq) when nothing matched,
     * so the common non-Delta statement costs one regex probe. */
   private def rewriteReads(sql: String): String = {
-    if (deltaPathRe.findFirstIn(sql).isEmpty) return sql
+    // only refs OUTSIDE string literals are table references — a
+    // SELECT whose literal spells `delta.`/x`` is data, not a read
+    // (found by the property suite; replaceAllIn corrupted the literal)
+    val live = outsideLiteralMatches(sql, deltaPathRe)
+    if (live.isEmpty) return sql
     val spark = SparkSession.active
-    deltaPathRe.replaceAllIn(sql, m => {
+    val sb = new StringBuilder; var pos = 0
+    live.foreach { m =>
       val dir = m.group(1)
       val version = Option(m.group(2)).map(_.toLong).orElse(
         Option(m.group(3)).map(ts =>
           DeltaInterop.versionAtTimestamp(spark, dir, parseTs(ts))))
       val esc = dir.replace("'", "''")
-      Regex.quoteReplacement(version match {
+      sb ++= sql.substring(pos, m.start)
+      sb ++= (version match {
         case Some(v) => s"graft_delta('$esc', $v)"
         case None => s"graft_delta('$esc')"
       })
-    })
+      pos = m.end
+    }
+    sb ++= sql.substring(pos)
+    sb.toString
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = {
@@ -774,11 +783,7 @@ object DeltaSqlParser {
     * find-what-you-recognize regex this replaces could silently drop
     * clauses it did not know (judged: silently wrong MERGE results). */
   private[sql] def splitWhenClauses(s: String): Seq[String] = {
-    val starts = whenClauseStartRe.findAllMatchIn(s).map(_.start).filter(p => {
-      val prefix = s.take(p)
-      prefix.count(_ == '(') == prefix.count(_ == ')') &&
-        prefix.count(_ == '`') % 2 == 0 && prefix.count(_ == '\'') % 2 == 0
-    }).toSeq
+    val starts = topLevelMatchStarts(s, whenClauseStartRe)
     require(starts.nonEmpty, s"MERGE: no WHEN clauses in: ${s.take(60)}")
     require(s.take(starts.head).trim.isEmpty,
       s"MERGE: unparseable text before the first WHEN clause: ${s.take(starts.head)}")
@@ -978,13 +983,49 @@ object DeltaSqlParser {
     -1
   }
 
+  /** Every match start of `re` at paren depth 0 outside '…' literals
+    * and `…` quoted identifiers. One stateful scan — a paren or quote
+    * INSIDE a literal never affects the depth/quote state (the naive
+    * balanced-prefix count broke on `'(unbalanced ( parens'`). */
+  private[sql] def topLevelMatchStarts(s: String, re: Regex): Seq[Int] = {
+    val top = new Array[Boolean](s.length)
+    var depth = 0; var inQ = false; var inB = false; var i = 0
+    while (i < s.length) {
+      val x = s.charAt(i)
+      if (inQ) { if (x == '\'') inQ = false }
+      else if (inB) { if (x == '`') inB = false }
+      else x match {
+        case '\'' => inQ = true
+        case '`' => inB = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => top(i) = depth == 0
+      }
+      i += 1
+    }
+    re.findAllMatchIn(s).map(_.start).filter(p => top(p)).toSeq
+  }
+
   /** First match start of `re` at paren depth 0 outside literals. */
   private[sql] def topLevelIndexOfMatch(s: String, re: Regex): Int =
-    re.findAllMatchIn(s).map(_.start).find { p =>
-      val prefix = s.take(p)
-      prefix.count(_ == '(') == prefix.count(_ == ')') &&
-        prefix.count(_ == '`') % 2 == 0 && prefix.count(_ == '\'') % 2 == 0
-    }.getOrElse(-1)
+    topLevelMatchStarts(s, re).headOption.getOrElse(-1)
+
+  /** Match positions of `re` outside '…' string literals (paren depth
+    * is irrelevant here — a table ref inside a subquery's parens is
+    * still a real ref). Backtick regions shield embedded quotes. */
+  private[sql] def outsideLiteralMatches(s: String, re: Regex): Seq[Regex.Match] = {
+    val inLit = new Array[Boolean](s.length)
+    var inQ = false; var inB = false; var i = 0
+    while (i < s.length) {
+      val x = s.charAt(i)
+      if (inQ) { inLit(i) = true; if (x == '\'') inQ = false }
+      else if (inB) { if (x == '`') inB = false }
+      else if (x == '\'') { inQ = true; inLit(i) = true }
+      else if (x == '`') inB = true
+      i += 1
+    }
+    re.findAllMatchIn(s).filter(m => !inLit(m.start)).toSeq
+  }
 }
 
 /** A graft-Delta SQL statement as an eagerly-run command (the same

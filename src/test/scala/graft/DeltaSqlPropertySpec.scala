@@ -1,0 +1,223 @@
+package graft
+
+import java.nio.file.Files
+import graft.io.DeltaInterop
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized equivalence tests for the Delta SQL statement layer
+  * (seeded — reproducible): for generated DELETE / UPDATE / MERGE
+  * statements whose predicates, assignments, and string literals are
+  * deliberately laced with statement keywords (` WHERE `, ` WHEN
+  * MATCHED `, `;`, quotes, parens), executing the STATEMENT through
+  * `spark.sql` on one table must leave it byte-identical to calling
+  * the Scala API (deleteWhere / updateWhere / mergeClauses) with the
+  * same expressions on an identical twin table.
+  *
+  * This pins the statement-splitting layer — WHERE/SET/WHEN boundary
+  * location, literal-aware tokenization, alias rewriting — not Spark's
+  * expression parser (both sides share it via `expr`). The judged
+  * failure modes: a keyword inside a literal mis-splitting the
+  * statement, a clause silently dropping, a swapped alias pair
+  * resolving against the wrong side. */
+class DeltaSqlPropertySpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  /** literals chosen to collide with every statement keyword the
+    * splitter must NOT fire on inside quotes */
+  private val nasty = Vector(
+    "use WHERE wisely",
+    "WHEN MATCHED THEN DELETE",
+    "a;b -- not a comment",
+    "x AND y OR z",
+    "SET a = 1, b = 2",
+    "it''s quoted",          // SQL-escaped single quote
+    "(unbalanced ( parens",
+    "USING delta AS s ON",
+    "VALUES (1,2) THEN",
+    "plain")
+
+  /** the SQL spelling and the value the literal evaluates to */
+  private def lit2(s: String): (String, String) = (s"'$s'", s.replace("''", "'"))
+
+  private def freshTwins(prefix: String, rnd: scala.util.Random): (String, String) = {
+    val n = 16 + rnd.nextInt(24)
+    val rows = (0L until n).map { i =>
+      (i, i % (2 + rnd.nextInt(4)), nasty(rnd.nextInt(nasty.length)).replace("''", "'") + s"_$i")
+    }
+    val df = rows.toDF("id", "grp", "msg")
+    val a = Files.createTempDirectory(s"graft-sqlprop-$prefix-a").toString
+    val b = Files.createTempDirectory(s"graft-sqlprop-$prefix-b").toString
+    DeltaInterop.writeDelta(df, a, Nil)
+    DeltaInterop.writeDelta(df, b, Nil)
+    (a, b)
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.select("id", "grp", "msg").collect().map(_.toString).sorted.toSeq
+
+  private def assertTwins(a: String, b: String, clue: String): Unit = {
+    val ca = canon(DeltaInterop.readDelta(spark, a))
+    val cb = canon(DeltaInterop.readDelta(spark, b))
+    assert(ca == cb, s"$clue\nSQL side: $ca\nAPI side: $cb")
+  }
+
+  /** random predicate over (id, grp, msg); same text runs on both sides */
+  private def predicate(rnd: scala.util.Random): String = {
+    val (nl, _) = lit2(nasty(rnd.nextInt(nasty.length)))
+    rnd.nextInt(6) match {
+      case 0 => s"id % ${2 + rnd.nextInt(3)} = ${rnd.nextInt(2)}"
+      case 1 => s"msg = $nl"
+      case 2 => s"grp > ${rnd.nextInt(3)} AND msg <> $nl"
+      case 3 => s"(id < ${rnd.nextInt(10)} OR id > ${20 + rnd.nextInt(10)}) AND msg NOT LIKE '%WHERE%'"
+      case 4 => s"startswith(msg, $nl) OR grp = ${rnd.nextInt(4)}"
+      case _ => s"length(msg) > ${5 + rnd.nextInt(20)}"
+    }
+  }
+
+  private def setClause(rnd: scala.util.Random): Seq[(String, String)] = {
+    val (nl, _) = lit2(nasty(rnd.nextInt(nasty.length)))
+    val choices = Vector(
+      "msg" -> s"concat($nl, msg)",
+      "msg" -> nl,
+      "msg" -> s"upper(msg)",
+      "grp" -> s"grp + ${10 + rnd.nextInt(5)}",
+      "grp" -> s"id % ${2 + rnd.nextInt(5)}")
+    rnd.shuffle(choices).take(1 + rnd.nextInt(2)).toMap.toSeq
+  }
+
+  test("DELETE: generated keyword-bearing predicates — SQL ≡ Scala API (14 seeds)") {
+    (1 to 14).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val (a, b) = freshTwins("del", rnd)
+      val p = if (rnd.nextInt(8) == 0) None else Some(predicate(rnd))
+      val sqlTxt = s"DELETE FROM delta.`$a`" +
+        p.map(t => s" WHERE $t").getOrElse("") +
+        (if (rnd.nextBoolean()) ";" else "")
+      spark.sql(sqlTxt).collect()
+      DeltaInterop.deleteWhere(spark, b, p.map(expr).getOrElse(expr("true")))
+      assertTwins(a, b, s"seed=$seed stmt=$sqlTxt")
+    }
+  }
+
+  test("UPDATE: generated SET lists + literals with WHERE/SET inside — SQL ≡ Scala API (14 seeds)") {
+    (1 to 14).foreach { seed =>
+      val rnd = new scala.util.Random(1000 + seed)
+      val (a, b) = freshTwins("upd", rnd)
+      val sets = setClause(rnd)
+      val p = if (rnd.nextInt(6) == 0) None else Some(predicate(rnd))
+      val sqlTxt = s"UPDATE delta.`$a` SET " +
+        sets.map { case (k, v) => s"$k = $v" }.mkString(", ") +
+        p.map(t => s" WHERE $t").getOrElse("")
+      spark.sql(sqlTxt).collect()
+      DeltaInterop.updateWhere(spark, b, p.map(expr).getOrElse(expr("true")),
+        sets.map { case (k, v) => k -> expr(v) }.toMap)
+      assertTwins(a, b, s"seed=$seed stmt=$sqlTxt")
+    }
+  }
+
+  test("MERGE: generated clause sets, swapped/arbitrary aliases, nasty literals — SQL ≡ Scala API (10 seeds)") {
+    (1 to 10).foreach { seed =>
+      val rnd = new scala.util.Random(2000 + seed)
+      val (a, b) = freshTwins("mrg", rnd)
+      // distinct-key source overlapping ~half the target id range
+      val srcRows = rnd.shuffle((0L until 50L).toVector).take(8 + rnd.nextInt(10))
+        .map(i => (i, i % 3, nasty(rnd.nextInt(nasty.length)).replace("''", "'") + s"_src$i"))
+      val view = s"sqlprop_src_$seed"
+      srcRows.toDF("id", "grp", "msg").createOrReplaceTempView(view)
+      val (ta, sa) = Vector(("t", "s"), ("s", "t"), ("tgt", "src"), ("x", "y"))(rnd.nextInt(4))
+      // condition/assignment text in USER aliases for the SQL side, and
+      // the identical text pre-rewritten to t/s for the API side
+      def both(txt: String): (String, String) =
+        (txt.replace("T_.", s"$ta.").replace("S_.", s"$sa."),
+         txt.replace("T_.", "t.").replace("S_.", "s."))
+      val (nl, _) = lit2(nasty(rnd.nextInt(nasty.length)))
+      val (nl2, _) = lit2(nasty(rnd.nextInt(nasty.length)))
+
+      val matchedCond = if (rnd.nextBoolean()) Some(both(s"S_.grp > 0 AND T_.msg <> $nl")) else None
+      val matchedIsDelete = rnd.nextInt(4) == 0
+      val matchedSet = both(s"msg = concat(S_.msg, $nl2), grp = S_.grp + 1")
+      val insertAll = rnd.nextBoolean()
+      val bySourceClause = rnd.nextInt(3) match {
+        case 0 => None
+        case 1 => Some((Some(both(s"T_.grp = 1")), None)) // DELETE
+        case _ => Some((None, Some(both(s"msg = $nl"))))  // unconditional UPDATE
+      }
+
+      val sqlTxt = {
+        val sb = new StringBuilder
+        sb ++= s"MERGE INTO delta.`$a` AS $ta USING $view AS $sa ON $ta.id = $sa.id\n"
+        sb ++= s"WHEN MATCHED${matchedCond.map(c => s" AND ${c._1}").getOrElse("")} THEN "
+        sb ++= (if (matchedIsDelete) "DELETE" else s"UPDATE SET ${matchedSet._1}")
+        sb ++= (if (insertAll) "\nWHEN NOT MATCHED THEN INSERT *"
+                else s"\nWHEN NOT MATCHED THEN INSERT (id, grp, msg) VALUES ($sa.id, $sa.grp, $nl)")
+        bySourceClause.foreach {
+          case (cond, None) =>
+            sb ++= s"\nWHEN NOT MATCHED BY SOURCE${cond.map(c => s" AND ${c._1}").getOrElse("")} THEN DELETE"
+          case (cond, Some(set)) =>
+            sb ++= s"\nWHEN NOT MATCHED BY SOURCE${cond.map(c => s" AND ${c._1}").getOrElse("")} THEN UPDATE SET ${set._1}"
+        }
+        sb.toString
+      }
+      spark.sql(sqlTxt).collect()
+
+      // local paren/quote-aware splitter: the test must not lean on the
+      // code under test for its own expectation
+      def splitTop(txt: String): Seq[String] = {
+        val out = Seq.newBuilder[String]; val cur = new StringBuilder
+        var depth = 0; var inQ = false
+        txt.foreach { c =>
+          if (c == '\'') { inQ = !inQ; cur += c }
+          else if (!inQ && c == '(') { depth += 1; cur += c }
+          else if (!inQ && c == ')') { depth -= 1; cur += c }
+          else if (!inQ && depth == 0 && c == ',') { out += cur.toString; cur.clear() }
+          else cur += c
+        }
+        out += cur.toString
+        out.result()
+      }
+      def setMap(txt: String): Map[String, org.apache.spark.sql.Column] =
+        splitTop(txt).map { kv =>
+          val i = kv.indexOf('=')
+          kv.take(i).trim -> expr(kv.drop(i + 1))
+        }.toMap
+      val apiMatched = DeltaInterop.MatchedClause(
+        matchedCond.map(c => expr(c._2)),
+        if (matchedIsDelete) Map.empty else setMap(matchedSet._2),
+        delete = matchedIsDelete)
+      val apiNotMatched = Some((None: Option[org.apache.spark.sql.Column],
+        if (insertAll) Map.empty[String, org.apache.spark.sql.Column]
+        else Map("id" -> expr("s.id"), "grp" -> expr("s.grp"), "msg" -> expr(nl))))
+      val apiBySource = bySourceClause.toSeq.map {
+        case (cond, None) =>
+          DeltaInterop.MatchedClause(cond.map(c => expr(c._2)), Map.empty, delete = true)
+        case (cond, Some(set)) =>
+          DeltaInterop.MatchedClause(cond.map(c => expr(c._2)), setMap(set._2))
+      }
+      // INSERT * through the API spells every column explicitly
+      val apiNM =
+        if (insertAll) Some((None: Option[org.apache.spark.sql.Column],
+          Seq("id", "grp", "msg").map(c => c -> expr(s"s.$c")).toMap))
+        else apiNotMatched
+      DeltaInterop.mergeClauses(spark, b, srcRows.toDF("id", "grp", "msg"),
+        Seq("id"), Seq(apiMatched), apiNM, apiBySource)
+
+      assertTwins(a, b, s"seed=$seed stmt=\n$sqlTxt")
+      spark.catalog.dropTempView(view)
+    }
+  }
+
+  test("statements that are NOT graft's stay Spark's: keyword literals in plain SQL") {
+    // a SELECT whose literal spells a whole Delta statement must pass
+    // through untouched
+    assert(spark.sql("SELECT 'DELETE FROM delta.`/x` WHERE 1=1' AS s").count() == 1)
+    assert(spark.sql("SELECT 'MERGE INTO delta.`/x` USING y ON 1=1' AS s")
+      .head().getString(0).startsWith("MERGE"))
+    // UPDATE on an unresolvable name falls through to Spark and fails
+    // ANALYSIS (table not found), not graft's parser
+    val e = intercept[Exception](spark.sql("UPDATE no_such_tbl_xyz SET a = 1"))
+    assert(!e.getMessage.contains("graft"), e.getMessage)
+  }
+}

@@ -72,7 +72,7 @@ object Bench {
     "q168_sql_merge_clauses",
     "q169_convert_to_delta",
     "q170_sql_catalog_names",
-    "q171_merge_by_source"
+    "q171_merge_by_source", "q172_identity_lifecycle"
   )
 
   def main(args: Array[String]): Unit = {

@@ -450,6 +450,15 @@ object OracleSql {
         |           ELSE n_chars END)::BIGINT AS chars
         |FROM documents WHERE doc_id % 4 <> 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q172: identity lifecycle — the concrete generated ids carry
+    // protocol-legal gaps, so the deterministic surface is the
+    // invariants: row count, all-distinct, first value AT start (100),
+    // step alignment, inter-batch ordering, watermark = max written
+    "q172_identity_lifecycle" ->
+      """SELECT count(*) AS n_rows, TRUE AS ids_distinct,
+        |  CAST(100 AS BIGINT) AS b1_min, TRUE AS step_aligned,
+        |  TRUE AS batches_ordered, TRUE AS hwm_is_max
+        |FROM documents""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

@@ -1870,4 +1870,45 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
          |FROM delta.`$tmp` GROUP BY lang ORDER BY lang""".stripMargin)
   }
+
+  /** q172 — IDENTITY column lifecycle
+    * ([[graft.io.DeltaInterop.writeDelta]] value generation): create a
+    * table whose `row_id` is GENERATED AS IDENTITY (START 100 STEP 3),
+    * append the corpus in two batches with NO row_id column, and verify
+    * the engine-assigned values: one per row, all distinct, first value
+    * exactly at START, every value step-aligned, and the second batch
+    * strictly after the first (the high-water mark carried across
+    * commits). Generation is one codegen'd projection per append — no
+    * shuffle, no driver round trip — and the watermark comes from the
+    * staged files' own footer stats. The oracle states the invariants'
+    * expected values (the concrete ids are engine-assigned with
+    * protocol-legal gaps, so invariants — not values — are the
+    * deterministic surface). */
+  private[graft] def q172(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q172")
+    val idMeta = new MetadataBuilder()
+      .putLong("delta.identity.start", 100L)
+      .putLong("delta.identity.step", 3L).build()
+    val schema = StructType(
+      StructField("row_id", LongType, nullable = true, idMeta) +: docs.schema.fields)
+    graft.io.DeltaInterop.writeDelta(
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        schema), tmp, Nil)                                            // v0: empty create
+    graft.io.DeltaInterop.writeDelta(docs.filter(col("doc_id") % 2 === 0), tmp, Nil) // v1
+    graft.io.DeltaInterop.writeDelta(docs.filter(col("doc_id") % 2 =!= 0), tmp, Nil) // v2
+    val t = graft.io.DeltaInterop.readDelta(s, tmp)
+    val hwm = graft.io.DeltaInterop.state(s, tmp).schema("row_id")
+      .metadata.getLong("delta.identity.highWaterMark")
+    val b1 = when(col("doc_id") % 2 === 0, col("row_id"))
+    val b2 = when(col("doc_id") % 2 =!= 0, col("row_id"))
+    t.agg(
+      count(lit(1)).as("n_rows"),
+      (countDistinct(col("row_id")) === count(lit(1))).as("ids_distinct"),
+      min(b1).as("b1_min"),
+      (count(when((col("row_id") - 100L) % 3L =!= 0, 1)) === 0).as("step_aligned"),
+      (max(b1) < min(b2)).as("batches_ordered"),
+      (max(col("row_id")) === lit(hwm)).as("hwm_is_max"))
+  }
 }

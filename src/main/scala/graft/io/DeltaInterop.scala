@@ -6,7 +6,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Delta-Lake-format table interop — the open `_delta_log` transaction
   * protocol (protocol/metaData/add/remove actions, one JSON line each,
@@ -500,15 +500,100 @@ object DeltaInterop {
       s"table at $dir requires unsupported writer feature(s): " +
       s"${unsupported.toSeq.sorted.mkString(", ")} — refusing to commit " +
       "rather than break the feature's invariants")
-    // the identityColumns FEATURE is only vacuous while no column
-    // carries identity metadata — a table that actually has one needs
-    // value generation + high-watermark maintenance this engine doesn't
-    // do; refuse BY NAME instead of silently writing nulls
-    val identityCols = st.schema.fields
-      .filter(_.metadata.contains("delta.identity.start")).map(_.name)
-    require(identityCols.isEmpty,
-      s"table at $dir has IDENTITY column(s) ${identityCols.mkString(", ")} — " +
-      "this engine does not generate identity values; refusing to write")
+    // identityColumns: APPENDS generate values ([[withIdentityValues]])
+    // and advance the high-water mark from the staged files' own stats
+    // ([[advanceIdentity]]); ops that could corrupt the invariant —
+    // SET on an identity column, MERGE inserts — refuse at their own
+    // entry points, where the offending assignment is visible.
+  }
+
+  /** Fields declared GENERATED AS IDENTITY: `delta.identity.start` (+
+    * step / highWaterMark / allowExplicitInsert) field metadata —
+    * PROTOCOL.md "Identity Columns". */
+  private[graft] def identityFields(schema: StructType): Seq[StructField] =
+    schema.fields.filter(_.metadata.contains("delta.identity.start")).toSeq
+
+  private def identityStep(fd: StructField): Long =
+    if (fd.metadata.contains("delta.identity.step"))
+      fd.metadata.getLong("delta.identity.step") else 1L
+
+  /** Generate IDENTITY values for columns the input frame does not
+    * provide: `hwm + step·(1 + monotonically_increasing_id())` — one
+    * pass, no shuffle, no driver round trip (the id is partition-index
+    * « 33 + row-index, unique per row and ≥ 0, so every value lands
+    * strictly beyond the current watermark in step direction).
+    * Identity guarantees uniqueness and step-direction monotonicity,
+    * NOT density — the partition-indexed gaps are protocol-legal, and
+    * [[advanceIdentity]] sets the next watermark from the values
+    * actually written, so unused tail is never reserved. A provided
+    * column requires `allowExplicitInsert` (GENERATED ALWAYS refuses). */
+  private def withIdentityValues(df: DataFrame, st: DeltaState): DataFrame = {
+    var out = df
+    identityFields(st.schema).foreach { fd =>
+      val md = fd.metadata
+      val step = identityStep(fd)
+      require(step != 0, s"identity step on ${fd.name} must be non-zero")
+      val start =
+        if (md.contains("delta.identity.start")) md.getLong("delta.identity.start") else 1L
+      val hwm =
+        if (md.contains("delta.identity.highWaterMark"))
+          md.getLong("delta.identity.highWaterMark")
+        else start - step
+      if (df.columns.contains(fd.name)) {
+        val allow = md.contains("delta.identity.allowExplicitInsert") &&
+          md.getBoolean("delta.identity.allowExplicitInsert")
+        require(allow, s"column ${fd.name} is GENERATED ALWAYS AS IDENTITY — " +
+          "explicit values are not accepted (declare allowExplicitInsert to permit them)")
+      } else {
+        out = out.withColumn(fd.name,
+          (lit(hwm) + lit(step) * (lit(1L) + monotonically_increasing_id()))
+            .cast(fd.dataType))
+      }
+    }
+    out
+  }
+
+  /** The post-commit IDENTITY high-water mark: the furthest value this
+    * commit's adds carry for each identity column, read from the staged
+    * files' OWN parquet footer stats — no extra scan, and a generated
+    * batch's unused allocation tail never inflates the watermark.
+    * Returns the schema with updated `delta.identity.highWaterMark`
+    * metadata when any column advanced (the caller re-emits metaData). */
+  private def advanceIdentity(schema: StructType,
+                              adds: Seq[AddFile]): Option[StructType] = {
+    if (identityFields(schema).isEmpty || adds.isEmpty) return None
+    var changed = false
+    val fields = schema.fields.map { fd =>
+      if (!fd.metadata.contains("delta.identity.start")) fd
+      else {
+        val step = identityStep(fd)
+        val statKey = physicalFieldName(fd)
+        val side = if (step > 0) "maxValues" else "minValues"
+        val vals = adds.flatMap { a =>
+          Option(a.stats).flatMap { s =>
+            val node = M.readTree(s).path(side).path(statKey)
+            if (node.isMissingNode || node.isNull) None else Some(node.asLong)
+          }
+        }
+        if (vals.isEmpty) fd
+        else {
+          val ext = if (step > 0) vals.max else vals.min
+          val cur =
+            if (fd.metadata.contains("delta.identity.highWaterMark"))
+              Some(fd.metadata.getLong("delta.identity.highWaterMark"))
+            else None
+          if (!cur.forall(h => if (step > 0) ext > h else ext < h)) fd
+          else {
+            changed = true
+            StructField(fd.name, fd.dataType, fd.nullable,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(fd.metadata)
+                .putLong("delta.identity.highWaterMark", ext).build())
+          }
+        }
+      }
+    }
+    if (changed) Some(StructType(fields)) else None
   }
 
   /** `delta.appendOnly=true` (the writer-v2 `appendOnly` feature):
@@ -1389,11 +1474,15 @@ object DeltaInterop {
     * need fresh column ids; narrower scope, loudly). CHECK constraints
     * are enforced here — every write path (plain, resilient, streaming
     * appendOnce) stages through this choke point. */
-  private def stageTableData(df: DataFrame, dir: String,
+  private def stageTableData(df0: DataFrame, dir: String,
                              partCols: Seq[String]): Seq[AddFile] = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     val stOpt =
       if (latestVersion(spark, dir) >= 0) Some(state(spark, dir)) else None
+    // IDENTITY values generate here — the staging choke point every
+    // append path (plain, resilient, streaming appendOnce) flows
+    // through; constraints then see the generated values too
+    val df = stOpt.map(withIdentityValues(df0, _)).getOrElse(df0)
     stOpt.foreach(enforceConstraints(df, _))
     stOpt.filter(columnMappingMode(_) != "none") match {
       case Some(st) =>
@@ -1454,20 +1543,31 @@ object DeltaInterop {
       if (overwrite) requireRemovable(st, dir, "overwrite")
       require(st.partitionColumns == partCols,
         s"partition columns ${partCols.mkString(",")} != table's ${st.partitionColumns.mkString(",")}")
-      val missing = st.schema.fieldNames.filterNot(schema.fieldNames.contains)
+      // identity columns are generated at stage time — the caller's
+      // frame legitimately lacks them
+      val idCols = identityFields(st.schema).map(_.name).toSet
+      val missing = st.schema.fieldNames
+        .filterNot(schema.fieldNames.contains).filterNot(idCols)
       require(missing.isEmpty,
         s"schema evolution is additive-only; missing columns: ${missing.mkString(",")}")
     }
+    // IDENTITY watermark: committed as refreshed metaData whenever this
+    // commit's adds moved it (values read from the adds' own stats)
+    val idMeta = prevState.map(_.schema).orElse(Some(schema))
+      .flatMap(advanceIdentity(_, adds))
     val removes = if (overwrite) prevState.map(_.files).getOrElse(Nil) else Nil
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     if (prev < 0) {
-      actions += protocolJson()
-      actions += metaDataJson(schema, partCols)
+      actions += protocolJson(
+        if (identityFields(schema).nonEmpty) Set("identityColumns") else Set.empty)
+      actions += metaDataJson(idMeta.getOrElse(schema), partCols)
     } else if (schema.fieldNames.exists(n => !prevState.get.schema.fieldNames.contains(n))) {
-      val widened = StructType(prevState.get.schema.fields ++
+      val widened = StructType(idMeta.getOrElse(prevState.get.schema).fields ++
         schema.fields.filterNot(fd => prevState.get.schema.fieldNames.contains(fd.name)))
       // re-emitted metaData keeps the table's configuration (CDF etc.)
       actions += metaDataJson(widened, partCols, prevState.get.configuration)
+    } else idMeta.foreach { s2 =>
+      actions += metaDataJson(s2, partCols, prevState.get.configuration)
     }
     txn.foreach { case (app, tv) => actions += txnJson(app, tv) }
     removes.foreach(r => actions += removeJson(r))
@@ -2361,9 +2461,18 @@ object DeltaInterop {
     }
   }
 
-  private def protocolJson(): String = {
+  private def protocolJson(writerFeatures: Set[String] = Set.empty): String = {
     val n = M.createObjectNode()
-    n.putObject("protocol").put("minReaderVersion", 1).put("minWriterVersion", 2)
+    val p = n.putObject("protocol")
+    if (writerFeatures.isEmpty)
+      p.put("minReaderVersion", 1).put("minWriterVersion", 2)
+    else {
+      // feature-form protocol: v7 writer with the named features only
+      // (no reader requirement — e.g. identityColumns is writer-side)
+      p.put("minReaderVersion", 1).put("minWriterVersion", 7)
+      val wf = p.putArray("writerFeatures")
+      writerFeatures.toSeq.sorted.foreach(wf.add)
+    }
     M.writeValueAsString(n)
   }
 
@@ -2779,6 +2888,9 @@ object DeltaInterop {
     requireRemovable(st, dir, "UPDATE")
     val badCols = set.keys.filterNot(st.schema.fieldNames.contains)
     require(badCols.isEmpty, s"SET on unknown columns: ${badCols.mkString(",")}")
+    val idHit = identityFields(st.schema).map(_.name).toSet & set.keys.toSet
+    require(idHit.isEmpty,
+      s"cannot SET identity column(s) ${idHit.mkString(",")} — values are engine-generated")
     val candidates = prunedFiles(st, partitionEq, ranges)
     if (candidates.isEmpty) return (st.version, 0, 0L)
     val hit = predicate <=> lit(true)
@@ -2840,6 +2952,9 @@ object DeltaInterop {
     requireRemovable(st, dir, "UPDATE")
     val badCols = set.keys.filterNot(st.schema.fieldNames.contains)
     require(badCols.isEmpty, s"SET on unknown columns: ${badCols.mkString(",")}")
+    val idHit = identityFields(st.schema).map(_.name).toSet & set.keys.toSet
+    require(idHit.isEmpty,
+      s"cannot SET identity column(s) ${idHit.mkString(",")} — values are engine-generated")
     require(set.keys.forall(c => !st.partitionColumns.contains(c)),
       s"SET on partition columns is not supported (rewrite would move rows across partitions)")
     val touched = touchedFiles(spark, dir, st,
@@ -2891,6 +3006,10 @@ object DeltaInterop {
     val st = state(spark, dir)
     requireWritable(st, dir)
     requireRemovable(st, dir, "MERGE")
+    require(identityFields(st.schema).isEmpty,
+      s"MERGE into a table with IDENTITY column(s) " +
+      s"${identityFields(st.schema).map(_.name).mkString(",")} is not supported " +
+      "— source-provided values would bypass generation; append via writeDelta/INSERT")
     require(st.schema.fieldNames.sorted.sameElements(
       source.schema.fieldNames.sorted),
       s"merge source columns ${source.columns.sorted.mkString(",")} != table's ${st.schema.fieldNames.sorted.mkString(",")}")
@@ -2982,6 +3101,20 @@ object DeltaInterop {
     val st = state(spark, dir)
     requireWritable(st, dir)
     requireRemovable(st, dir, "MERGE")
+    // identity tables: matched UPDATE/DELETE and by-source clauses are
+    // safe as long as no identity column is assigned; an INSERT clause
+    // would need in-merge generation — refuse it by name
+    locally {
+      val idCols = identityFields(st.schema).map(_.name).toSet
+      if (idCols.nonEmpty) {
+        require(notMatched.isEmpty,
+          s"MERGE INSERT into a table with IDENTITY column(s) ${idCols.mkString(",")} " +
+          "is not supported — append via writeDelta/INSERT")
+        val assigned = (matched ++ notMatchedBySource).flatMap(_.set.keys).toSet & idCols
+        require(assigned.isEmpty,
+          s"cannot SET identity column(s) ${assigned.mkString(",")} in MERGE")
+      }
+    }
     require(keyCols.nonEmpty && keyCols.forall(st.schema.fieldNames.contains),
       s"unknown key cols: ${keyCols.filterNot(st.schema.fieldNames.contains).mkString(",")}")
     require(keyCols.forall(source.columns.contains),

@@ -72,7 +72,8 @@ object ScaleSmoke {
       "q161_delta_dv_update", "q162_delta_restore", "q163_delta_rename", "q164_delta_cdf_stream",
       "q165_delta_addcol", "q166_delta_sql", "q167_sql_ddl",
       "q168_sql_merge_clauses", "q169_convert_to_delta",
-      "q170_sql_catalog_names", "q171_merge_by_source")
+      "q170_sql_catalog_names", "q171_merge_by_source",
+      "q172_identity_lifecycle")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -72,7 +72,8 @@ object Bench {
     "q168_sql_merge_clauses",
     "q169_convert_to_delta",
     "q170_sql_catalog_names",
-    "q171_merge_by_source", "q172_identity_lifecycle"
+    "q171_merge_by_source", "q172_identity_lifecycle",
+    "q173_iceberg_read"
   )
 
   def main(args: Array[String]): Unit = {

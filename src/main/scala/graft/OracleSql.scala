@@ -459,6 +459,15 @@ object OracleSql {
         |  CAST(100 AS BIGINT) AS b1_min, TRUE AS step_aligned,
         |  TRUE AS batches_ordered, TRUE AS hwm_is_max
         |FROM documents""".stripMargin,
+    // q173: the Iceberg two-epoch probe — latest snapshot = whole
+    // corpus; snapshot 1 = the even-doc_id half
+    "q173_iceberg_read" ->
+      """SELECT cur.lang, cur.n, cur.chars, old.n AS n_s1, old.chars AS chars_s1
+        |FROM (SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
+        |      FROM documents GROUP BY 1) cur
+        |JOIN (SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
+        |      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1) old
+        |USING (lang) ORDER BY lang""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

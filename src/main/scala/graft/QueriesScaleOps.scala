@@ -1911,4 +1911,28 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       (max(b1) < min(b2)).as("batches_ordered"),
       (max(col("row_id")) === lit(hwm)).as("hwm_is_max"))
   }
+
+  /** q173 — FOREIGN Iceberg read ([[graft.io.IcebergInterop]]): the
+    * corpus lands in a spec-shaped Iceberg v2 table (metadata.json,
+    * Avro manifest list, Avro manifests, parquet data — built by the
+    * fixture writer, NOT by the reader under test) in two append
+    * snapshots; the latest snapshot and a time-traveled read of the
+    * first join per-lang — the Athena-style two-epoch probe q167 runs
+    * for Delta, here against the OTHER open table format a migrating
+    * user may hold. The oracle derives both epochs from the corpus. */
+  private[graft] def q173(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q173")
+    val snap1 = graft.tools.IcebergFixture.append(
+      docs.filter(col("doc_id") % 2 === 0), tmp)
+    graft.tools.IcebergFixture.append(
+      docs.filter(col("doc_id") % 2 =!= 0), tmp)
+    val cur = graft.io.IcebergInterop.readIceberg(s, tmp)
+      .groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+    val old = graft.io.IcebergInterop.readIceberg(s, tmp, Some(snap1))
+      .groupBy("lang").agg(count(lit(1)).as("n_s1"), sum("n_chars").as("chars_s1"))
+    cur.join(old, "lang")
+      .select(col("lang"), col("n"), col("chars"), col("n_s1"), col("chars_s1"))
+      .orderBy("lang")
+  }
 }

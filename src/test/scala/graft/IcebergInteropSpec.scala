@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+import graft.io.IcebergInterop
+import graft.tools.IcebergFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Foreign Apache Iceberg tables (spec-shaped v2 fixtures:
+  * metadata.json + Avro manifest list + Avro manifests + parquet
+  * data): append-only tables read green with schema, snapshot
+  * history, and time travel; anything involving row-level deletes or
+  * format v3 refuses by name. */
+class IcebergInteropSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("append-only v2 table: two snapshots read, time travel, history") {
+    val dir = Files.createTempDirectory("graft-iceberg").toString
+    val b1 = (0L until 100L).map(i => (i, s"a_$i", i * 1.5)).toDF("id", "tag", "v")
+    val b2 = (100L until 150L).map(i => (i, s"b_$i", i * 1.5)).toDF("id", "tag", "v")
+    val s1 = IcebergFixture.append(b1.repartition(3), dir)
+    val s2 = IcebergFixture.append(b2.repartition(2), dir)
+
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.columns.toSeq == Seq("id", "tag", "v"))
+    assert(t.count() == 150)
+    assert(t.agg(sum("id")).head().getLong(0) == (0L until 150L).sum)
+
+    // time travel to the first snapshot
+    val old = IcebergInterop.readIceberg(spark, dir, snapshotId = Some(s1))
+    assert(old.count() == 100 && old.agg(max("id")).head().getLong(0) == 99L)
+
+    val hist = IcebergInterop.snapshots(spark, dir)
+      .orderBy("snapshot_id").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(s1, s2))
+    assert(hist.forall(_.getString(3) == "append"))
+
+    // filters and pruning ride the plain parquet scan
+    assert(t.filter(col("id") < 10).count() == 10)
+  }
+
+  test("a DELETE manifest refuses by name; missing snapshot ids are loud") {
+    val dir = Files.createTempDirectory("graft-iceberg-del").toString
+    IcebergFixture.append(Seq((1L, "x", 0.0)).toDF("id", "tag", "v"), dir)
+    val e0 = intercept[IllegalArgumentException](
+      IcebergInterop.readIceberg(spark, dir, snapshotId = Some(999L)))
+    assert(e0.getMessage.contains("snapshot 999"))
+    IcebergFixture.addDeleteManifest(spark, dir)
+    val e = intercept[IllegalArgumentException](
+      IcebergInterop.readIceberg(spark, dir))
+    assert(e.getMessage.contains("DELETE manifest"), e.getMessage)
+  }
+
+  test("format-version 3 refuses by name; non-tables refuse") {
+    val dir = Files.createTempDirectory("graft-iceberg-v3").toString
+    IcebergFixture.append(Seq((1L, "x", 0.0)).toDF("id", "tag", "v"), dir)
+    // bump format-version in place
+    val p = java.nio.file.Paths.get(dir, "metadata", "v1.metadata.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .replace("\"format-version\" : 2", "\"format-version\" : 3")
+    java.nio.file.Files.write(p, txt.getBytes("UTF-8"))
+    // the in-place edit invalidates the local FS checksum sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "metadata", ".v1.metadata.json.crc"))
+    val e = intercept[IllegalArgumentException](
+      IcebergInterop.readIceberg(spark, dir))
+    assert(e.getMessage.contains("format-version 3"), e.getMessage)
+
+    val empty = Files.createTempDirectory("graft-not-iceberg").toString
+    val e2 = intercept[IllegalArgumentException](
+      IcebergInterop.readIceberg(spark, empty))
+    assert(e2.getMessage.contains("not an Iceberg table"))
+  }
+}

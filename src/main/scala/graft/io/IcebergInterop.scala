@@ -17,9 +17,15 @@ import org.apache.spark.sql.types._
   * Scope is deliberate and loud:
   *   - APPEND-ONLY tables read green: current (or time-traveled)
   *     snapshot → manifest list → data manifests → live parquet files.
-  *   - Row-level deletes REFUSE BY NAME: a v2 delete manifest
-  *     (`content=1`) or delete data file (position/equality deletes)
-  *     changes row visibility in ways a plain scan must not ignore.
+  *   - POSITION deletes (v2 `content=1` delete files of
+  *     `file_path`/`pos` rows) apply IN-PLAN: an anti-join of the data
+  *     scan's `_metadata.file_path`/`_metadata.row_index` against one
+  *     parquet read of the delete files — no driver row work, delete
+  *     side broadcast-sized in practice. Safe without sequence-number
+  *     ordering because a position delete names its target file by
+  *     immutable unique path.
+  *   - EQUALITY deletes refuse by name (they hit only OLDER rows —
+  *     sequence-number ordering this reader does not model).
   *   - format-version 3 refuses by name (deletion vectors, row
   *     lineage — unmodeled here).
   *
@@ -100,6 +106,10 @@ object IcebergInterop {
     }.toSeq
   }
 
+  /** Fixture support: the schema mapping, reachable from the test
+    * producer so delete snapshots can re-emit the table schema. */
+  private[graft] def schemaForTest(meta: JsonNode): StructType = tableSchema(meta)
+
   /** The current schema as a Spark StructType (v2 `schemas` +
     * `current-schema-id`; v1 singular `schema`). */
   private def tableSchema(meta: JsonNode): StructType = {
@@ -140,9 +150,13 @@ object IcebergInterop {
   private def resolve(uri: String): String =
     if (uri.startsWith("file:")) new java.net.URI(uri).getPath else uri
 
-  /** Live data-file paths of `snapshot`, refusing any delete content. */
+  /** Live file paths of `snapshot`: (data files, position-delete
+    * files). EQUALITY deletes refuse by name — applying them needs
+    * sequence-number ordering (they only hit OLDER rows); position
+    * deletes are safe to apply unordered because they name their
+    * target file by its immutable unique path. */
   private def liveFiles(spark: SparkSession, dir: String,
-                        snapshot: JsonNode): Seq[String] = {
+                        snapshot: JsonNode): (Seq[String], Seq[String]) = {
     import scala.jdk.CollectionConverters._
     val manifestPaths: Seq[(String, Int)] =
       if (snapshot.has("manifest-list")) {
@@ -151,30 +165,34 @@ object IcebergInterop {
       } else // v1: inline manifest path array
         snapshot.path("manifests").elements().asScala
           .map(p => (p.asText, 0)).toSeq
-    val deleteManifests = manifestPaths.filter(_._2 == 1)
-    require(deleteManifests.isEmpty,
-      s"Iceberg table at $dir carries DELETE manifest(s) " +
-      s"(e.g. ${deleteManifests.head._1}) — row-level deletes are not " +
-      "supported; compact/rewrite the table to data-only first")
-    manifestPaths.flatMap { case (mp, _) =>
-      avroRecords(spark, new Path(resolve(mp))).flatMap { e =>
+    val data = Seq.newBuilder[String]
+    val posDeletes = Seq.newBuilder[String]
+    manifestPaths.foreach { case (mp, _) =>
+      avroRecords(spark, new Path(resolve(mp))).foreach { e =>
         val status = intOr(e, "status", 0)
-        if (status == 2) None // DELETED entry: file dropped in this snapshot
-        else {
+        if (status != 2) { // 2 = DELETED entry: file dropped in this snapshot
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val content = intOr(df, "content", 0)
-          require(content == 0,
-            s"Iceberg table at $dir references a delete file " +
-            s"(content=$content, ${str(df, "file_path")}) — position/equality " +
-            "deletes are not supported")
+          require(content <= 1,
+            s"Iceberg table at $dir references an EQUALITY delete file " +
+            s"(${str(df, "file_path")}) — equality deletes need " +
+            "sequence-number ordering this reader does not model; " +
+            "compact/rewrite the table first")
           val fmt = str(df, "file_format")
           require(fmt.equalsIgnoreCase("parquet"),
-            s"Iceberg data file format $fmt is not supported (parquet only)")
-          Some(resolve(str(df, "file_path")))
+            s"Iceberg file format $fmt is not supported (parquet only)")
+          (if (content == 0) data else posDeletes) += resolve(str(df, "file_path"))
         }
       }
     }
+    (data.result(), posDeletes.result())
   }
+
+  /** `file:`-URI and plain-path spellings collapse to one canonical
+    * absolute path, so the delete files' `file_path` strings compare
+    * equal to the scan's `_metadata.file_path`. */
+  private def canonPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
 
   /** Read an Iceberg table's current — or `snapshotId`'s — rows. */
   def readIceberg(spark: SparkSession, dir: String,
@@ -197,11 +215,34 @@ object IcebergInterop {
         throw new IllegalArgumentException(
           s"snapshot $wanted not found in ${snaps.length} snapshot(s) at $dir")
       case Some(s0) =>
-        val files = liveFiles(spark, dir, s0)
+        val (files, posDeletes) = liveFiles(spark, dir, s0)
         if (files.isEmpty)
           spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-        else spark.read.schema(schema).parquet(files: _*)
+        else {
+          val base = spark.read.schema(schema).parquet(files: _*)
+          if (posDeletes.isEmpty) base
+          else {
+            // POSITION deletes as a plan, not a driver loop: the scan
+            // exposes its own (file, row ordinal) through the
+            // `_metadata` struct, the delete files are one parquet
+            // read of (file_path, pos), and an anti-join on the pair
+            // removes exactly the deleted rows. At scale the delete
+            // side is tiny next to the data — Catalyst broadcasts it
+            // from its scan stats — and the data side stays a plain
+            // pruned parquet scan.
+            import org.apache.spark.sql.functions._
+            val del = spark.read.parquet(posDeletes: _*)
+              .select(canonPath(col("file_path")).as("_del_path"),
+                col("pos").cast("long").as("_del_pos"))
+            base
+              .withColumn("_g_path", canonPath(col("_metadata.file_path")))
+              .withColumn("_g_pos", col("_metadata.row_index"))
+              .join(del, col("_g_path") === col("_del_path") &&
+                col("_g_pos") === col("_del_pos"), "left_anti")
+              .select(schema.fieldNames.map(col).toSeq: _*)
+          }
+        }
     }
   }
 

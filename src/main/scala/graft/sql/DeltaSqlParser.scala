@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 
 import scala.util.matching.Regex
 
@@ -84,7 +84,8 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
     val t = sqlText.trim
     tryDelete(t).orElse(tryUpdate(t)).orElse(tryMerge(t))
       .orElse(tryHistory(t)).orElse(tryRestore(t)).orElse(tryInsert(t))
-      .orElse(tryClone(t)).orElse(tryCtasPath(t)).orElse(tryCtasName(t))
+      .orElse(tryClone(t)).orElse(tryCreateCols(t))
+      .orElse(tryCtasPath(t)).orElse(tryCtasName(t))
       .orElse(tryConvert(t)).orElse(tryVacuum(t)).orElse(tryOptimize(t))
       .orElse(tryAlter(t)).orElse(tryDescribeDetail(t)).orElse(tryShowProps(t))
       .getOrElse {
@@ -340,14 +341,19 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
           val aligned = colsTxt match {
             case Some(listed) =>
               // explicit column list: by-NAME resolution, unlisted
-              // columns null-fill (the schema stays the table's)
+              // columns null-fill (the schema stays the table's) —
+              // EXCEPT unlisted identity columns, which stay absent so
+              // stage-time value generation fires instead of writing
+              // an explicit null
               val names = splitTopLevel(listed, ',').map(_.replace("`", ""))
               require(names.length == df.columns.length,
                 s"INSERT lists ${names.length} columns; query provides ${df.columns.length}")
               names.foreach(n => require(st.schema.fieldNames.contains(n),
                 s"INSERT column $n not in table schema"))
+              val idCols = DeltaInterop.identityFields(st.schema).map(_.name).toSet
               val renamed = df.toDF(names.toIndexedSeq: _*)
-              renamed.select(st.schema.fields.map { f =>
+              renamed.select(st.schema.fields
+                .filterNot(f => idCols(f.name) && !names.contains(f.name)).map { f =>
                 (if (names.contains(f.name))
                   org.apache.spark.sql.functions.col(f.name)
                 else org.apache.spark.sql.functions.lit(null))
@@ -400,6 +406,80 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
             .filter(_.nonEmpty)
           DeltaInterop.writeDelta(spark.sql(query), dir, partCols)
           DeltaInterop.registerCatalogTable(spark, name, dir)
+        }
+        Nil
+      }
+    }
+
+  /** One `name TYPE [NOT NULL] [GENERATED ...]` column definition →
+    * StructField (identity/generation clauses land in the protocol's
+    * field-metadata keys, the same encoding the engine enforces and
+    * generates from). */
+  private def parseColDef(txt0: String): StructField = {
+    var txt = txt0.trim
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+    colIdentityRe.findFirstMatchIn(txt) match {
+      case Some(mm) =>
+        txt = mm.group(1)
+        meta.putLong("delta.identity.start",
+          Option(mm.group(3)).map(_.toLong).getOrElse(1L))
+        meta.putLong("delta.identity.step",
+          Option(mm.group(4)).map(_.toLong).getOrElse(1L))
+        if (!mm.group(2).equalsIgnoreCase("ALWAYS"))
+          meta.putBoolean("delta.identity.allowExplicitInsert", true)
+      case None =>
+        colGenExprRe.findFirstMatchIn(txt).foreach { mm =>
+          txt = mm.group(1)
+          meta.putString("delta.generationExpression", mm.group(2).trim)
+        }
+    }
+    var nullable = true
+    colNotNullRe.findFirstMatchIn(txt).foreach { mm =>
+      txt = mm.group(1); nullable = false
+    }
+    txt = txt.trim
+    val (name, typeTxt) =
+      if (txt.startsWith("`")) {
+        val end = txt.indexOf('`', 1)
+        require(end > 0, s"unterminated backtick in column def: $txt0")
+        (txt.substring(1, end), txt.substring(end + 1))
+      } else {
+        val i = txt.indexWhere(_.isWhitespace)
+        require(i > 0, s"column def needs `name TYPE`: $txt0")
+        (txt.take(i), txt.drop(i))
+      }
+    require(typeTxt.trim.nonEmpty, s"column def needs a type: $txt0")
+    StructField(name, delegate.parseDataType(typeTxt.trim), nullable, meta.build())
+  }
+
+  /** Column-list CREATE TABLE ... USING delta — the DDL spelling for
+    * empty tables with declared schema, IDENTITY columns, and
+    * generated columns (CTAS covers the with-data case). */
+  private def tryCreateCols(t: String): Option[LogicalPlan] =
+    createColsRe.findFirstMatchIn(t).map { m =>
+      val ifNotExists = m.group(1) != null
+      val path = Option(m.group(2)); val name = Option(m.group(3))
+      val colsTxt = m.group(4)
+      val partTxt = Option(m.group(5)); val loc = Option(m.group(6))
+      command(Nil) { spark =>
+        val exists = path.map(p => DeltaInterop.latestVersion(spark, p) >= 0)
+          .getOrElse(DeltaInterop.catalogDeltaPath(spark, name.get).isDefined)
+        if (exists) {
+          require(ifNotExists,
+            s"Delta table ${path.orElse(name).get} already exists")
+        } else {
+          val schema = StructType(splitTopLevel(colsTxt, ',').map(parseColDef))
+          val dir = path.orElse(loc)
+            .getOrElse(DeltaInterop.defaultTablePath(spark, name.get))
+          val partCols = partTxt.toSeq.flatMap(_.split(','))
+            .map(_.trim.replace("`", "")).filter(_.nonEmpty)
+          partCols.foreach(c => require(schema.fieldNames.contains(c),
+            s"PARTITIONED BY column $c is not in the column list"))
+          DeltaInterop.writeDelta(
+            spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema),
+            dir, partCols)
+          name.foreach(n => DeltaInterop.registerCatalogTable(spark, n, dir))
         }
         Nil
       }
@@ -546,16 +626,19 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
       throw new IllegalArgumentException(
         "unsupported CREATE TABLE shape for a Delta path table — use " +
         "CTAS (CREATE TABLE delta.`p` [USING delta] [PARTITIONED BY (...)] " +
-        "AS SELECT ...) or CREATE TABLE delta.`p` SHALLOW CLONE delta.`q`; " +
-        "column-list definitions and non-delta USING clauses are not supported")
+        "AS SELECT ...), a column list (CREATE TABLE delta.`p` (name TYPE " +
+        "[NOT NULL] [GENERATED ...], ...) USING delta), or CREATE TABLE " +
+        "delta.`p` SHALLOW CLONE delta.`q`; non-delta USING clauses are " +
+        "not supported")
     if (insertTargetRe.findFirstIn(t).isDefined)
       throw new IllegalArgumentException(
         "unsupported INSERT shape for a Delta path table — expected " +
         "INSERT INTO|OVERWRITE delta.`p` [(cols)] SELECT ...|VALUES ...")
     if (createUsingDeltaRe.findFirstIn(t).isDefined)
       throw new IllegalArgumentException(
-        "CREATE TABLE ... USING delta without AS is not supported — " +
-        "create Delta tables with data (CTAS) or SHALLOW CLONE")
+        "CREATE TABLE ... USING delta needs AS SELECT (CTAS) or a " +
+        "parenthesized column list — this statement has neither (or " +
+        "the column list failed to parse)")
   }
 
   private def parseCol(spark: SparkSession, txt: String): org.apache.spark.sql.Column =
@@ -667,6 +750,25 @@ object DeltaSqlParser {
      s"""(?:\\s+LOCATION\\s+'([^']+)')?\\s+AS\\s+(.+)$$""").r
   private[sql] val cloneRe =
     s"""(?is)^\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T\\s*;?\\s*$$""".r
+  // column-list CREATE: `USING delta` REQUIRED (plain CREATEs are
+  // Spark's); the greedy (.+) takes the LAST `) USING delta`, so
+  // nested parens in column defs (decimal(10,2), identity options,
+  // generation expressions) stay inside the capture
+  private[sql] val createColsRe =
+    (s"""(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T""" +
+     s"""\\s*\\((.+)\\)\\s+USING\\s+delta""" +
+     s"""(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?""" +
+     s"""(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*$$""").r
+  // one column def's tail clauses (delta-spark DDL):
+  //   GENERATED ALWAYS|BY DEFAULT AS IDENTITY [(START WITH n [INCREMENT BY m])]
+  //   GENERATED ALWAYS AS (expr)
+  private[sql] val colIdentityRe =
+    ("""(?is)^(.*?)\s+GENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY""" +
+     """(?:\s*\(\s*(?:START\s+WITH\s+(-?\d+))?\s*(?:INCREMENT\s+BY\s+(-?\d+))?\s*\))?\s*$""").r
+  private[sql] val colGenExprRe =
+    """(?is)^(.*?)\s+GENERATED\s+ALWAYS\s+AS\s+\((.+)\)\s*$""".r
+  private[sql] val colNotNullRe =
+    """(?is)^(.*?)\s+NOT\s+NULL\s*$""".r
   private[sql] val convertRe =
     ("""(?is)^\s*CONVERT\s+TO\s+DELTA\s+parquet\s*\.\s*`([^`]+)`""" +
      """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r

@@ -1,20 +1,23 @@
 package graft.tools
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
-import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
 /** FIXTURE writer: a minimal spec-shaped Apache Iceberg v2 table
-  * (iceberg.apache.org/spec/ — data parquet + Avro manifest + Avro
+  * (iceberg.apache.org/spec/ — data parquet + Avro manifests + Avro
   * manifest list + `v<N>.metadata.json` + `version-hint.text`), the
   * foreign-table shape [[graft.io.IcebergInterop]] reads. Test/oracle
   * support ONLY — graft does not write Iceberg as a product feature;
   * this exists so reads are exercised against a table laid out by the
-  * published spec rather than by the reader's own assumptions. */
+  * published spec rather than by the reader's own assumptions.
+  * Supports append snapshots and POSITION-DELETE snapshots (a delete
+  * manifest whose entries reference position-delete parquet files
+  * with the spec's `file_path`/`pos` columns). */
 object IcebergFixture {
 
   private val M = new ObjectMapper()
@@ -45,6 +48,14 @@ object IcebergFixture {
     try records.foreach(w.append) finally w.close()
   }
 
+  private def readAvro(conf: org.apache.hadoop.conf.Configuration,
+                       p: Path): Seq[GenericRecord] = {
+    val in = new org.apache.avro.mapred.FsInput(p, conf)
+    val r = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+    try { val b = Seq.newBuilder[GenericRecord]; while (r.hasNext) b += r.next(); b.result() }
+    finally r.close()
+  }
+
   private def icebergType(dt: DataType): String = dt match {
     case LongType => "long"
     case IntegerType => "int"
@@ -60,83 +71,84 @@ object IcebergFixture {
     case other => throw new IllegalArgumentException(s"fixture: unmapped type $other")
   }
 
-  /** Append `df` as a NEW snapshot of the Iceberg table at `dir`
-    * (creating the table on first call). Returns the snapshot id. */
-  def append(df: DataFrame, dir: String): Long = {
-    val spark = df.sparkSession
+  private def currentVersion(f: FileSystem, root: Path): Int = {
+    val hintP = new Path(root, "metadata/version-hint.text")
+    if (!f.exists(hintP)) 0
+    else {
+      val in = f.open(hintP)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
+    }
+  }
+
+  private def readMeta(f: FileSystem, root: Path, v: Int): Option[JsonNode] =
+    if (v == 0) None
+    else {
+      val in = f.open(new Path(root, s"metadata/v$v.metadata.json"))
+      try Some(M.readTree(in)) finally in.close()
+    }
+
+  /** Build one manifest_entry record for a file descriptor. */
+  private def entry(content: Int, path: String, rows: Long, size: Long,
+                    snapshotId: Long): GenericRecord = {
+    val dfRec = new GenericData.Record(EntrySchema.getField("data_file").schema())
+    dfRec.put("content", content)
+    dfRec.put("file_path", path)
+    dfRec.put("file_format", "PARQUET")
+    dfRec.put("record_count", rows)
+    dfRec.put("file_size_in_bytes", size)
+    val e = new GenericData.Record(EntrySchema)
+    e.put("status", 1) // ADDED
+    e.put("snapshot_id", snapshotId)
+    e.put("data_file", dfRec)
+    e
+  }
+
+  /** Commit a new snapshot whose manifest list = the previous
+    * snapshot's manifests + `newManifest`; writes vN metadata json and
+    * the version hint. Returns the snapshot id. */
+  private def commitSnapshot(spark: SparkSession, dir: String,
+                             schema: StructType,
+                             newManifest: (Path, Int),
+                             operation: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val f = root.getFileSystem(conf)
-    f.mkdirs(new Path(root, "metadata")); f.mkdirs(new Path(root, "data"))
-
-    // previous state (fixture-local convention: version-hint + vN file)
-    val hintP = new Path(root, "metadata/version-hint.text")
-    val prevVersion: Int =
-      if (!f.exists(hintP)) 0
-      else {
-        val in = f.open(hintP)
-        try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
-      }
-    val prevMeta =
-      if (prevVersion == 0) None
-      else {
-        val in = f.open(new Path(root, s"metadata/v$prevVersion.metadata.json"))
-        try Some(M.readTree(in)) finally in.close()
-      }
-
-    // stage the data files, then move under data/ with unique names
-    val staging = new Path(root, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
-    df.write.parquet(staging.toString)
-    val dataFiles = f.listStatus(staging).filter(_.getPath.getName.endsWith(".parquet"))
-      .map { st =>
-        val dst = new Path(root, s"data/${java.util.UUID.randomUUID()}.parquet")
-        require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
-        (dst, f.getFileStatus(dst).getLen)
-      }.toSeq
-    f.delete(staging, true)
-
+    val prevVersion = currentVersion(f, root)
+    val prevMeta = readMeta(f, root, prevVersion)
     val snapshotId = prevVersion + 1L
     val seqNo = prevVersion + 1L
 
-    // one data manifest for this snapshot's files
-    val entries = dataFiles.map { case (p, size) =>
-      val rows = spark.read.parquet(p.toString).count()
-      val dfRec = new GenericData.Record(EntrySchema.getField("data_file").schema())
-      dfRec.put("content", 0)
-      dfRec.put("file_path", p.toString)
-      dfRec.put("file_format", "PARQUET")
-      dfRec.put("record_count", rows)
-      dfRec.put("file_size_in_bytes", size)
-      val e = new GenericData.Record(EntrySchema)
-      e.put("status", 1) // ADDED
-      e.put("snapshot_id", snapshotId)
-      e.put("data_file", dfRec)
-      e
-    }
-    val manifestP = new Path(root, s"metadata/manifest-$snapshotId.avro")
-    writeAvro(new java.io.File(manifestP.toUri.getPath), EntrySchema, entries)
-
-    // manifest list = every prior snapshot's manifest + the new one
     import scala.jdk.CollectionConverters._
-    val priorManifests: Seq[(String, Int)] = prevMeta.toSeq.flatMap { m =>
-      (1L to prevVersion.toLong).map(v =>
-        (new Path(root, s"metadata/manifest-$v.avro").toString, 0))
+    // prior manifests come from the previous manifest LIST (so data
+    // and delete manifests both carry forward), not from a naming
+    // convention
+    val prior: Seq[(String, Long, Int)] = prevMeta.toSeq.flatMap { m =>
+      val cur = m.path("current-snapshot-id").asLong
+      m.path("snapshots").elements().asScala
+        .find(_.path("snapshot-id").asLong == cur).toSeq
+        .flatMap { s0 =>
+          readAvro(conf, new Path(new java.net.URI(
+            s0.path("manifest-list").asText).getPath)).map { r =>
+            (r.get("manifest_path").toString,
+              r.get("manifest_length").asInstanceOf[Number].longValue,
+              r.get("content").asInstanceOf[Number].intValue)
+          }
+        }
     }
-    val listRecords = (priorManifests :+ (manifestP.toString, 0)).map {
-      case (mp, content) =>
-        val r = new GenericData.Record(ManifestFileSchema)
-        r.put("manifest_path", mp)
-        r.put("manifest_length",
-          f.getFileStatus(new Path(mp)).getLen)
-        r.put("partition_spec_id", 0)
-        r.put("content", content)
-        r.put("added_snapshot_id", snapshotId)
-        r
+    val all = prior :+ ((newManifest._1.toString,
+      f.getFileStatus(newManifest._1).getLen, newManifest._2))
+    val listRecords = all.map { case (mp, len, content) =>
+      val r = new GenericData.Record(ManifestFileSchema)
+      r.put("manifest_path", mp)
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("added_snapshot_id", snapshotId)
+      r
     }
     val listP = new Path(root, s"metadata/snap-$snapshotId.avro")
     writeAvro(new java.io.File(listP.toUri.getPath), ManifestFileSchema, listRecords)
 
-    // vN metadata json
     val n = M.createObjectNode()
     n.put("format-version", 2)
     n.put("table-uuid", java.util.UUID.nameUUIDFromBytes(dir.getBytes).toString)
@@ -146,7 +158,7 @@ object IcebergFixture {
     val sc = schemas.addObject()
     sc.put("schema-id", 0); sc.put("type", "struct")
     val fields = sc.putArray("fields")
-    df.schema.fields.zipWithIndex.foreach { case (fd, i) =>
+    schema.fields.zipWithIndex.foreach { case (fd, i) =>
       val fn = fields.addObject()
       fn.put("id", i + 1); fn.put("name", fd.name)
       fn.put("required", !fd.nullable)
@@ -164,49 +176,105 @@ object IcebergFixture {
     s0.put("sequence-number", seqNo)
     s0.put("timestamp-ms", 1700000000000L + snapshotId)
     s0.put("manifest-list", listP.toString)
-    s0.putObject("summary").put("operation", "append")
+    s0.putObject("summary").put("operation", operation)
     val out = f.create(new Path(root, s"metadata/v${prevVersion + 1}.metadata.json"), true)
     try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
     finally out.close()
-    val hint = f.create(hintP, true)
+    val hint = f.create(new Path(root, "metadata/version-hint.text"), true)
     try hint.write(String.valueOf(prevVersion + 1).getBytes) finally hint.close()
     snapshotId
   }
 
+  /** Append `df` as a NEW snapshot of the Iceberg table at `dir`
+    * (creating the table on first call). Returns the snapshot id. */
+  def append(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val f = root.getFileSystem(conf)
+    f.mkdirs(new Path(root, "metadata")); f.mkdirs(new Path(root, "data"))
+
+    val staging = new Path(root, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.parquet(staging.toString)
+    val dataFiles = f.listStatus(staging).filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val dst = new Path(root, s"data/${java.util.UUID.randomUUID()}.parquet")
+        require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
+        (dst, f.getFileStatus(dst).getLen)
+      }.toSeq
+    f.delete(staging, true)
+
+    val prevVersion = currentVersion(f, root)
+    val snapshotId = prevVersion + 1L
+    val entries = dataFiles.map { case (p, size) =>
+      entry(0, p.toString, spark.read.parquet(p.toString).count(), size, snapshotId)
+    }
+    val manifestP = new Path(root, s"metadata/manifest-$snapshotId.avro")
+    writeAvro(new java.io.File(manifestP.toUri.getPath), EntrySchema, entries)
+    commitSnapshot(spark, dir, df.schema, (manifestP, 0), "append")
+  }
+
+  /** Commit a POSITION-DELETE snapshot: `deletes` are (data file path,
+    * row position) pairs, written as a spec-shaped position-delete
+    * parquet (`file_path` string, `pos` long) referenced by a DELETE
+    * manifest (content=1, data_file.content=1). Returns the snapshot
+    * id. */
+  def deletePositions(spark: SparkSession, dir: String,
+                      deletes: Seq[(String, Long)]): Long = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val f = root.getFileSystem(conf)
+    val prevVersion = currentVersion(f, root)
+    require(prevVersion > 0, s"$dir has no snapshots to delete from")
+    val meta = readMeta(f, root, prevVersion).get
+    val schema = StructType(graft.io.IcebergInterop
+      .schemaForTest(meta).fields) // reuse the reader's mapping
+
+    val staging = new Path(root, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    deletes.toDF("file_path", "pos").coalesce(1).write.parquet(staging.toString)
+    val part = f.listStatus(staging).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new Path(root, s"data/delete-${java.util.UUID.randomUUID()}.parquet")
+    require(f.rename(part, dst), "rename failed")
+    f.delete(staging, true)
+
+    val snapshotId = prevVersion + 1L
+    val e = entry(1, dst.toString, deletes.length.toLong,
+      f.getFileStatus(dst).getLen, snapshotId)
+    val manifestP = new Path(root, s"metadata/delete-manifest-$snapshotId.avro")
+    writeAvro(new java.io.File(manifestP.toUri.getPath), EntrySchema, Seq(e))
+    commitSnapshot(spark, dir, schema, (manifestP, 1), "delete")
+  }
+
   /** Corrupt-on-purpose variant: rewrite the CURRENT snapshot's
-    * manifest list with an extra DELETE manifest record (content=1) so
-    * refusal paths can be exercised. */
-  def addDeleteManifest(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    * manifest list with an extra EQUALITY-delete data file
+    * (content=2) so the refusal path can be exercised. */
+  def addEqualityDelete(spark: SparkSession, dir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir); val f = root.getFileSystem(conf)
-    val in = f.open(new Path(root, "metadata/version-hint.text"))
-    val v = try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
-    val metaIn = f.open(new Path(root, s"metadata/v$v.metadata.json"))
-    val meta = try M.readTree(metaIn) finally metaIn.close()
+    val v = currentVersion(f, root)
+    val meta = readMeta(f, root, v).get
     import scala.jdk.CollectionConverters._
     val cur = meta.path("current-snapshot-id").asLong
     val listPath = meta.path("snapshots").elements().asScala
       .find(_.path("snapshot-id").asLong == cur).get
       .path("manifest-list").asText
-    // a well-formed but EMPTY delete manifest
-    val delManifest = new Path(root, s"metadata/delete-manifest-$cur.avro")
-    writeAvro(new java.io.File(delManifest.toUri.getPath), EntrySchema, Nil)
-    val existing = {
-      val fin = new org.apache.avro.mapred.FsInput(new Path(listPath), conf)
-      val r = new DataFileReader[GenericRecord](fin,
-        new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
-      try { val b = Seq.newBuilder[GenericRecord]; while (r.hasNext) b += r.next(); b.result() }
-      finally r.close()
-    }
+    val eqFile = new Path(root, s"data/eq-delete-$cur.parquet")
+    // content=2 entry in its own delete manifest
+    val e = entry(2, eqFile.toString, 0L, 0L, cur)
+    val delManifest = new Path(root, s"metadata/eq-manifest-$cur.avro")
+    writeAvro(new java.io.File(delManifest.toUri.getPath), EntrySchema, Seq(e))
+    val existing = readAvro(conf, new Path(listPath))
     val del = new GenericData.Record(ManifestFileSchema)
     del.put("manifest_path", delManifest.toString)
     del.put("manifest_length", f.getFileStatus(delManifest).getLen)
     del.put("partition_spec_id", 0)
-    del.put("content", 1) // DELETES
+    del.put("content", 1)
     del.put("added_snapshot_id", cur)
-    val rebuilt = existing.map { e =>
+    val rebuilt = existing.map { r0 =>
       val r = new GenericData.Record(ManifestFileSchema)
-      ManifestFileSchema.getFields.asScala.foreach(fd => r.put(fd.name, e.get(fd.name)))
+      ManifestFileSchema.getFields.asScala.foreach(fd => r.put(fd.name, r0.get(fd.name)))
       r
     } :+ del
     writeAvro(new java.io.File(new Path(listPath).toUri.getPath),

@@ -330,4 +330,68 @@ class DeltaSqlSpec extends AnyFunSuite {
       spark.sql(s"DELETE FROM delta.`$dir` WHERE id = 1").collect())
     assert(e.getMessage.contains("delta.appendOnly"))
   }
+
+  test("column-list CREATE TABLE: IDENTITY + generated columns through SQL") {
+    val dir = Files.createTempDirectory("graft-sql-create-cols").toString + "/t"
+    spark.sql(
+      s"""CREATE TABLE delta.`$dir` (
+         |  row_id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2),
+         |  k BIGINT NOT NULL,
+         |  twice BIGINT GENERATED ALWAYS AS (k * 2),
+         |  tag STRING
+         |) USING delta""".stripMargin)
+    val st = DeltaInterop.state(spark, dir)
+    assert(st.protocol.writerFeatures.contains("identityColumns"))
+    assert(!st.schema("k").nullable)
+    assert(st.schema("twice").metadata.getString("delta.generationExpression") == "k * 2")
+    // identity column UNLISTED in the INSERT → engine-generated
+    spark.sql(
+      s"""INSERT INTO delta.`$dir` (k, twice, tag)
+         |SELECT id, id * 2, concat('t_', id) FROM range(5)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO delta.`$dir` (k, twice, tag)
+         |SELECT id, id * 2, concat('u_', id) FROM range(100, 103)""".stripMargin)
+    val rows = DeltaInterop.readDelta(spark, dir)
+      .select("row_id", "k").as[(Long, Long)].collect()
+    assert(rows.length == 8 && rows.map(_._1).distinct.length == 8)
+    assert(rows.map(_._1).min == 10L, "first value AT start")
+    assert(rows.forall { case (r, _) => (r - 10L) % 2L == 0 }, "step-aligned")
+    val (b1, b2) = rows.partition(_._2 < 100)
+    assert(b1.map(_._1).max < b2.map(_._1).min, "second insert after the first")
+    // generated-column contract still enforced through this path
+    val e = intercept[IllegalArgumentException](spark.sql(
+      s"INSERT INTO delta.`$dir` (k, twice, tag) SELECT 9, 5, 'bad'").collect())
+    assert(e.getMessage.contains("k * 2"), e.getMessage)
+    // SET on the identity column refuses via SQL too
+    val e2 = intercept[IllegalArgumentException](spark.sql(
+      s"UPDATE delta.`$dir` SET row_id = 0 WHERE k = 1").collect())
+    assert(e2.getMessage.contains("identity"), e2.getMessage)
+    // IF NOT EXISTS second create is a no-op; plain re-create refuses
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS delta.`$dir` (a INT) USING delta")
+    assert(DeltaInterop.state(spark, dir).schema.fieldNames.length == 4)
+    val e3 = intercept[IllegalArgumentException](spark.sql(
+      s"CREATE TABLE delta.`$dir` (a INT) USING delta").collect())
+    assert(e3.getMessage.contains("already exists"))
+  }
+
+  test("column-list CREATE by catalog NAME registers and reads back") {
+    val db = "default"
+    val tbl = s"sqlprop_create_${System.identityHashCode(this)}"
+    spark.sql(
+      s"""CREATE TABLE $db.$tbl (
+         |  id BIGINT GENERATED BY DEFAULT AS IDENTITY,
+         |  v STRING NOT NULL
+         |) USING delta PARTITIONED BY (v)""".stripMargin)
+    try {
+      spark.sql(s"INSERT INTO $db.$tbl (v) VALUES ('a'), ('b')")
+      val t = spark.sql(s"SELECT id, v FROM $db.$tbl ORDER BY id").collect()
+      assert(t.length == 2 && t.map(_.getLong(0)).distinct.length == 2)
+      // BY DEFAULT: explicit ids are legal and advance the watermark
+      spark.sql(s"INSERT INTO $db.$tbl (id, v) VALUES (500, 'c')")
+      spark.sql(s"INSERT INTO $db.$tbl (v) VALUES ('d')")
+      val ids = spark.sql(s"SELECT id FROM $db.$tbl").collect().map(_.getLong(0))
+      assert(ids.distinct.length == 4 && ids.max > 500L)
+    } finally spark.sql(s"DROP VIEW IF EXISTS $db.$tbl") // registrations are TVF-backed views
+  }
 }

@@ -40,16 +40,44 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(t.filter(col("id") < 10).count() == 10)
   }
 
-  test("a DELETE manifest refuses by name; missing snapshot ids are loud") {
+  test("POSITION deletes apply in-plan; time travel sees the pre-delete rows") {
+    val dir = Files.createTempDirectory("graft-iceberg-posdel").toString
+    val s1 = IcebergFixture.append(
+      (0L until 60L).map(i => (i, s"r_$i", i * 0.5)).toDF("id", "tag", "v")
+        .repartition(2), dir)
+    // find which physical file holds each row ordinal, then delete the
+    // first two rows of each data file by (path, pos)
+    val withMeta = IcebergInterop.readIceberg(spark, dir)
+      .select(col("id"), col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("pos"))
+    val victims = withMeta.filter(col("pos") < 2)
+      .select("fp", "pos", "id").collect()
+    assert(victims.length == 4, s"2 files × 2 rows: ${victims.length}")
+    IcebergFixture.deletePositions(spark, dir,
+      victims.map(r => (r.getString(0).stripPrefix("file:"), r.getLong(1))).toSeq)
+
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.count() == 56)
+    val deletedIds = victims.map(_.getLong(2)).toSet
+    assert(t.filter(col("id").isin(deletedIds.toSeq: _*)).count() == 0,
+      "exactly the targeted rows are gone")
+    // the pre-delete snapshot still reads all 60
+    assert(IcebergInterop.readIceberg(spark, dir, Some(s1)).count() == 60)
+    // history shows the delete operation
+    assert(IcebergInterop.snapshots(spark, dir)
+      .filter(col("operation") === "delete").count() == 1)
+  }
+
+  test("EQUALITY deletes refuse by name; missing snapshot ids are loud") {
     val dir = Files.createTempDirectory("graft-iceberg-del").toString
     IcebergFixture.append(Seq((1L, "x", 0.0)).toDF("id", "tag", "v"), dir)
     val e0 = intercept[IllegalArgumentException](
       IcebergInterop.readIceberg(spark, dir, snapshotId = Some(999L)))
     assert(e0.getMessage.contains("snapshot 999"))
-    IcebergFixture.addDeleteManifest(spark, dir)
+    IcebergFixture.addEqualityDelete(spark, dir)
     val e = intercept[IllegalArgumentException](
       IcebergInterop.readIceberg(spark, dir))
-    assert(e.getMessage.contains("DELETE manifest"), e.getMessage)
+    assert(e.getMessage.contains("EQUALITY delete"), e.getMessage)
   }
 
   test("format-version 3 refuses by name; non-tables refuse") {

@@ -252,7 +252,14 @@ object DeltaInterop {
       "timestampNtz",
       // v2 checkpoints: UUID-named parquet/JSON main files read (sidecar
       // files followed); checkpoint() writes the v2 form on such tables
-      "v2Checkpoint")
+      "v2Checkpoint",
+      // type widening: Spark's vectorized parquet reader upcasts the
+      // feature's allowed physical->logical conversions natively
+      // (int->long, int/float->double, date->timestamp_ntz — probed on
+      // this Spark build, DeltaTypeWideningSpec), so reading files
+      // written before a widen needs no extra machinery beyond pinning
+      // the LATEST schema on the scan — which every read here does
+      "typeWidening", "typeWidening-preview")
 
     /** Writer features this engine can honor when committing. Legacy
       * features are all either enforced (checkConstraints, columnMapping,
@@ -264,7 +271,12 @@ object DeltaInterop {
       legacyWriterFeatures(6) ++ Set("deletionVectors", "timestampNtz",
         // honored: checkpoint() writes the v2 form (UUID-named file +
         // checkpointMetadata action) on tables carrying the feature
-        "v2Checkpoint")
+        "v2Checkpoint",
+        // the writer obligation (record delta.typeWidening.typeChanges
+        // on a type-ALTER) only binds type-changing commits — this
+        // engine never changes column types, and appends always write
+        // the current (widened) logical schema
+        "typeWidening", "typeWidening-preview")
   }
 
   /** Reconstructed table state at a version. `txns` is the protocol's

@@ -259,7 +259,12 @@ object DeltaInterop {
       // this Spark build, DeltaTypeWideningSpec), so reading files
       // written before a widen needs no extra machinery beyond pinning
       // the LATEST schema on the scan — which every read here does
-      "typeWidening", "typeWidening-preview")
+      "typeWidening", "typeWidening-preview",
+      // variant: Spark's native VariantType round-trips the parquet
+      // value+metadata binary encoding delta-spark writes (probed on
+      // this build; schemaString "variant" parses via DataType.fromJson)
+      // — SHREDDED variant stays refused (different physical layout)
+      "variantType", "variantType-preview")
 
     /** Writer features this engine can honor when committing. Legacy
       * features are all either enforced (checkConstraints, columnMapping,
@@ -276,7 +281,11 @@ object DeltaInterop {
         // on a type-ALTER) only binds type-changing commits — this
         // engine never changes column types, and appends always write
         // the current (widened) logical schema
-        "typeWidening", "typeWidening-preview")
+        "typeWidening", "typeWidening-preview",
+        // a table whose schema carries variant columns must ADVERTISE
+        // variantType (attemptCommit does, on create); row bytes
+        // round-trip through every rewrite path untouched
+        "variantType", "variantType-preview")
   }
 
   /** Reconstructed table state at a version. `txns` is the protocol's
@@ -524,6 +533,23 @@ object DeltaInterop {
     * PROTOCOL.md "Identity Columns". */
   private[graft] def identityFields(schema: StructType): Seq[StructField] =
     schema.fields.filter(_.metadata.contains("delta.identity.start")).toSeq
+
+  /** (writer, reader) features a CREATE must advertise for `schema`:
+    * identityColumns binds writers only; variantType binds readers too
+    * (one that does not know the encoding would misread the binary). */
+  private def requiredFeatures(schema: StructType): (Set[String], Set[String]) = {
+    def hasVariant(dt: DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.VariantType => true
+      case st: StructType => st.fields.exists(f => hasVariant(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasVariant(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        hasVariant(m.keyType) || hasVariant(m.valueType)
+      case _ => false
+    }
+    ((if (identityFields(schema).nonEmpty) Set("identityColumns") else Set.empty[String]),
+     (if (schema.fields.exists(f => hasVariant(f.dataType))) Set("variantType")
+      else Set.empty[String]))
+  }
 
   private def identityStep(fd: StructField): Long =
     if (fd.metadata.contains("delta.identity.step"))
@@ -1570,8 +1596,8 @@ object DeltaInterop {
     val removes = if (overwrite) prevState.map(_.files).getOrElse(Nil) else Nil
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     if (prev < 0) {
-      actions += protocolJson(
-        if (identityFields(schema).nonEmpty) Set("identityColumns") else Set.empty)
+      val (wf, rf) = requiredFeatures(schema)
+      actions += protocolJson(wf, rf)
       actions += metaDataJson(idMeta.getOrElse(schema), partCols)
     } else if (schema.fieldNames.exists(n => !prevState.get.schema.fieldNames.contains(n))) {
       val widened = StructType(idMeta.getOrElse(prevState.get.schema).fields ++
@@ -2473,17 +2499,24 @@ object DeltaInterop {
     }
   }
 
-  private def protocolJson(writerFeatures: Set[String] = Set.empty): String = {
+  private def protocolJson(writerFeatures: Set[String] = Set.empty,
+                           readerFeatures: Set[String] = Set.empty): String = {
     val n = M.createObjectNode()
     val p = n.putObject("protocol")
-    if (writerFeatures.isEmpty)
+    if (writerFeatures.isEmpty && readerFeatures.isEmpty)
       p.put("minReaderVersion", 1).put("minWriterVersion", 2)
     else {
-      // feature-form protocol: v7 writer with the named features only
-      // (no reader requirement — e.g. identityColumns is writer-side)
-      p.put("minReaderVersion", 1).put("minWriterVersion", 7)
+      // feature-form protocol: v7 writer with the named features only;
+      // reader features (variantType — readers that do not know them
+      // would misread) force the v3 feature-listing reader
+      p.put("minReaderVersion", if (readerFeatures.isEmpty) 1 else 3)
+        .put("minWriterVersion", 7)
+      if (readerFeatures.nonEmpty) {
+        val rf = p.putArray("readerFeatures")
+        readerFeatures.toSeq.sorted.foreach(rf.add)
+      }
       val wf = p.putArray("writerFeatures")
-      writerFeatures.toSeq.sorted.foreach(wf.add)
+      (writerFeatures ++ readerFeatures).toSeq.sorted.foreach(wf.add)
     }
     M.writeValueAsString(n)
   }

@@ -137,15 +137,15 @@ class DeltaProtocolSpec extends AnyFunSuite {
       (Seq(protocolJson, M.writeValueAsString(md)).mkString("\n") + "\n").getBytes("UTF-8"))
   }
 
-  test("unsupported reader features are refused BY NAME (variantType)") {
-    val dir = Files.createTempDirectory("graft-proto-vt").toString
+  test("unsupported reader features are refused BY NAME (variantShredding)") {
+    val dir = Files.createTempDirectory("graft-proto-vs").toString
     writeForeignLog(dir,
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType","deletionVectors"],"writerFeatures":["variantType","deletionVectors"]}}""")
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantShredding-preview","deletionVectors"],"writerFeatures":["variantShredding-preview","deletionVectors"]}}""")
     val e = intercept[IllegalArgumentException](DeltaInterop.readDelta(spark, dir))
-    assert(e.getMessage.contains("variantType"),
+    assert(e.getMessage.contains("variantShredding-preview"),
       s"error must name the missing feature: ${e.getMessage}")
     // the supported deletionVectors feature must not be in the BLAMED list
-    assert(e.getMessage.contains("feature(s): variantType —"),
+    assert(e.getMessage.contains("feature(s): variantShredding-preview —"),
       s"supported features must not be blamed: ${e.getMessage}")
   }
 

@@ -24,8 +24,12 @@ import org.apache.spark.sql.types._
   *     side broadcast-sized in practice. Safe without sequence-number
   *     ordering because a position delete names its target file by
   *     immutable unique path.
-  *   - EQUALITY deletes refuse by name (they hit only OLDER rows —
-  *     sequence-number ordering this reader does not model).
+  *   - EQUALITY deletes (v2 `content=2` files of equality-column
+  *     values) apply with the spec's sequence-number ordering: a
+  *     delete at sequence S removes only rows of data files with
+  *     data sequence < S. Each row's sequence number rides a
+  *     broadcast join on the (file-count-bounded) path→seq map; one
+  *     null-safe anti-join per distinct equality-column set.
   *   - format-version 3 refuses by name (deletion vectors, row
   *     lineage — unmodeled here).
   *
@@ -150,42 +154,79 @@ object IcebergInterop {
   private def resolve(uri: String): String =
     if (uri.startsWith("file:")) new java.net.URI(uri).getPath else uri
 
-  /** Live file paths of `snapshot`: (data files, position-delete
-    * files). EQUALITY deletes refuse by name — applying them needs
-    * sequence-number ordering (they only hit OLDER rows); position
-    * deletes are safe to apply unordered because they name their
-    * target file by its immutable unique path. */
+  /** One snapshot's live file inventory, with the sequence numbers
+    * delete application needs: data files carry their DATA sequence
+    * number (entry-level when present, inherited from the manifest
+    * otherwise); equality-delete files carry their sequence number and
+    * equality field ids. */
+  private final case class SnapshotFiles(
+      data: Seq[(String, Long)],
+      posDeletes: Seq[String],
+      eqDeletes: Seq[(String, Long, Seq[Int])])
+
+  private def longOr(r: GenericRecord, field: String, dflt: Long): Long =
+    Option(r.getSchema.getField(field)).flatMap(_ => Option(r.get(field)))
+      .map(_.asInstanceOf[Number].longValue).getOrElse(dflt)
+
   private def liveFiles(spark: SparkSession, dir: String,
-                        snapshot: JsonNode): (Seq[String], Seq[String]) = {
+                        snapshot: JsonNode): SnapshotFiles = {
     import scala.jdk.CollectionConverters._
-    val manifestPaths: Seq[(String, Int)] =
+    val manifests: Seq[(String, Int, Long)] =
       if (snapshot.has("manifest-list")) {
         avroRecords(spark, new Path(resolve(snapshot.path("manifest-list").asText)))
-          .map(m => (str(m, "manifest_path"), intOr(m, "content", 0)))
-      } else // v1: inline manifest path array
+          .map(m => (str(m, "manifest_path"), intOr(m, "content", 0),
+            longOr(m, "sequence_number", 0L)))
+      } else // v1: inline manifest path array (v1 has no deletes)
         snapshot.path("manifests").elements().asScala
-          .map(p => (p.asText, 0)).toSeq
-    val data = Seq.newBuilder[String]
+          .map(p => (p.asText, 0, 0L)).toSeq
+    val data = Seq.newBuilder[(String, Long)]
     val posDeletes = Seq.newBuilder[String]
-    manifestPaths.foreach { case (mp, _) =>
+    val eqDeletes = Seq.newBuilder[(String, Long, Seq[Int])]
+    manifests.foreach { case (mp, _, mseq) =>
       avroRecords(spark, new Path(resolve(mp))).foreach { e =>
         val status = intOr(e, "status", 0)
         if (status != 2) { // 2 = DELETED entry: file dropped in this snapshot
+          val seq = longOr(e, "sequence_number", mseq)
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val content = intOr(df, "content", 0)
-          require(content <= 1,
-            s"Iceberg table at $dir references an EQUALITY delete file " +
-            s"(${str(df, "file_path")}) — equality deletes need " +
-            "sequence-number ordering this reader does not model; " +
-            "compact/rewrite the table first")
           val fmt = str(df, "file_format")
           require(fmt.equalsIgnoreCase("parquet"),
             s"Iceberg file format $fmt is not supported (parquet only)")
-          (if (content == 0) data else posDeletes) += resolve(str(df, "file_path"))
+          val path = resolve(str(df, "file_path"))
+          content match {
+            case 0 => data += ((path, seq))
+            case 1 => posDeletes += path
+            case 2 =>
+              val ids = Option(df.getSchema.getField("equality_ids"))
+                .flatMap(_ => Option(df.get("equality_ids")))
+                .map(_.asInstanceOf[java.util.List[_]].asScala
+                  .map(_.asInstanceOf[Number].intValue).toSeq)
+                .getOrElse(Seq.empty)
+              require(ids.nonEmpty,
+                s"equality delete file $path lacks equality_ids")
+              eqDeletes += ((path, seq, ids))
+            case other => throw new IllegalArgumentException(
+              s"unknown Iceberg file content=$other at $path")
+          }
         }
       }
     }
-    (data.result(), posDeletes.result())
+    SnapshotFiles(data.result(), posDeletes.result(), eqDeletes.result())
+  }
+
+  /** Field-id → name for the current schema (the ids `equality_ids`
+    * reference). */
+  private def fieldIdToName(meta: JsonNode): Map[Int, String] = {
+    import scala.jdk.CollectionConverters._
+    val schemaNode =
+      if (meta.has("schemas")) {
+        val cur = meta.path("current-schema-id").asInt(0)
+        meta.path("schemas").elements().asScala
+          .find(_.path("schema-id").asInt(-1) == cur).get
+      } else meta.path("schema")
+    schemaNode.path("fields").elements().asScala.map { fd =>
+      fd.path("id").asInt -> fd.path("name").asText
+    }.toMap
   }
 
   /** `file:`-URI and plain-path spellings collapse to one canonical
@@ -215,36 +256,70 @@ object IcebergInterop {
         throw new IllegalArgumentException(
           s"snapshot $wanted not found in ${snaps.length} snapshot(s) at $dir")
       case Some(s0) =>
-        val (files, posDeletes) = liveFiles(spark, dir, s0)
-        if (files.isEmpty)
+        val inv = liveFiles(spark, dir, s0)
+        if (inv.data.isEmpty)
           spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
         else {
-          val base = spark.read.schema(schema).parquet(files: _*)
-          if (posDeletes.isEmpty) base
+          import org.apache.spark.sql.functions._
+          val base = spark.read.schema(schema).parquet(inv.data.map(_._1): _*)
+          if (inv.posDeletes.isEmpty && inv.eqDeletes.isEmpty) base
           else {
-            // POSITION deletes as a plan, not a driver loop: the scan
-            // exposes its own (file, row ordinal) through the
-            // `_metadata` struct, the delete files are one parquet
-            // read of (file_path, pos), and an anti-join on the pair
-            // removes exactly the deleted rows. At scale the delete
-            // side is tiny next to the data — Catalyst broadcasts it
-            // from its scan stats — and the data side stays a plain
+            // Row-level deletes as a PLAN, not a driver loop: the scan
+            // exposes its own (file, row ordinal) through `_metadata`,
+            // delete files are plain parquet reads, and anti-joins
+            // remove exactly the deleted rows. At scale the delete
+            // sides are tiny next to the data — Catalyst broadcasts
+            // them from scan stats — and the data side stays one
             // pruned parquet scan.
-            import org.apache.spark.sql.functions._
-            val del = spark.read.parquet(posDeletes: _*)
-              .select(canonPath(col("file_path")).as("_del_path"),
-                col("pos").cast("long").as("_del_pos"))
-            base
+            var cur = base
               .withColumn("_g_path", canonPath(col("_metadata.file_path")))
-              .withColumn("_g_pos", col("_metadata.row_index"))
-              .join(del, col("_g_path") === col("_del_path") &&
-                col("_g_pos") === col("_del_pos"), "left_anti")
-              .select(schema.fieldNames.map(col).toSeq: _*)
+            if (inv.posDeletes.nonEmpty) {
+              val del = spark.read.parquet(inv.posDeletes: _*)
+                .select(canonPath(col("file_path")).as("_del_path"),
+                  col("pos").cast("long").as("_del_pos"))
+              cur = cur
+                .withColumn("_g_pos", col("_metadata.row_index"))
+                .join(del, col("_g_path") === col("_del_path") &&
+                  col("_g_pos") === col("_del_pos"), "left_anti")
+            }
+            if (inv.eqDeletes.nonEmpty) {
+              // EQUALITY deletes only hit rows whose DATA sequence
+              // number is strictly below the delete's: attach each
+              // row's sequence number via a broadcast join on the
+              // (file-count-bounded) path→seq map, then one anti-join
+              // per distinct equality-column set (null-safe equality —
+              // the spec matches null to null)
+              val idMap = fieldIdToName(meta)
+              val seqDf = broadcast(spark.createDataFrame(
+                inv.data.map(d => (canonPathStr(d._1), d._2))
+                  .map(org.apache.spark.sql.Row.fromTuple(_)).asJava,
+                StructType(Seq(StructField("_seq_path", StringType),
+                  StructField("_data_seq", LongType)))))
+              cur = cur.join(seqDf, col("_g_path") === col("_seq_path"), "left")
+              inv.eqDeletes.groupBy(_._3).foreach { case (ids, files) =>
+                val cols = ids.map(id => idMap.getOrElse(id,
+                  throw new IllegalArgumentException(
+                    s"equality_ids references unknown field id $id")))
+                val del = files.map { case (path, seq, _) =>
+                  spark.read.parquet(path)
+                    .select(cols.map(c => col(c).as(s"_del_$c")): _*)
+                    .withColumn("_del_seq", lit(seq))
+                }.reduce(_ unionByName _)
+                val cond = cols.map(c => col(c) <=> col(s"_del_$c"))
+                  .reduce(_ && _) && col("_data_seq") < col("_del_seq")
+                cur = cur.join(del, cond, "left_anti")
+              }
+            }
+            cur.select(schema.fieldNames.map(col).toSeq: _*)
           }
         }
     }
   }
+
+  /** [[canonPath]] for a driver-side string. */
+  private def canonPathStr(p: String): String =
+    p.replaceFirst("^file:/+", "/")
 
   /** The table's snapshot log (id, sequence number, timestamp,
     * operation) — the DESCRIBE HISTORY analogue. */

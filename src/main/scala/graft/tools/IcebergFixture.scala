@@ -26,12 +26,14 @@ object IcebergFixture {
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
       |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
       |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
       |  {"name":"content","type":"int"},
       |  {"name":"file_path","type":"string"},
       |  {"name":"file_format","type":"string"},
       |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin)
 
   private val ManifestFileSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -39,6 +41,7 @@ object IcebergFixture {
       |{"name":"manifest_length","type":"long"},
       |{"name":"partition_spec_id","type":"int"},
       |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
       |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
 
   private def writeAvro(path: java.io.File, schema: Schema,
@@ -89,16 +92,25 @@ object IcebergFixture {
 
   /** Build one manifest_entry record for a file descriptor. */
   private def entry(content: Int, path: String, rows: Long, size: Long,
-                    snapshotId: Long): GenericRecord = {
-    val dfRec = new GenericData.Record(EntrySchema.getField("data_file").schema())
+                    snapshotId: Long,
+                    equalityIds: Seq[Int] = Nil): GenericRecord = {
+    val dfSchema = EntrySchema.getField("data_file").schema()
+    val dfRec = new GenericData.Record(dfSchema)
     dfRec.put("content", content)
     dfRec.put("file_path", path)
     dfRec.put("file_format", "PARQUET")
     dfRec.put("record_count", rows)
     dfRec.put("file_size_in_bytes", size)
+    if (equalityIds.nonEmpty) {
+      val arr = new GenericData.Array[Integer](equalityIds.length,
+        dfSchema.getField("equality_ids").schema().getTypes.get(1))
+      equalityIds.foreach(i => arr.add(Integer.valueOf(i)))
+      dfRec.put("equality_ids", arr)
+    }
     val e = new GenericData.Record(EntrySchema)
     e.put("status", 1) // ADDED
     e.put("snapshot_id", snapshotId)
+    e.put("sequence_number", snapshotId) // fixture convention: seq == snapshot
     e.put("data_file", dfRec)
     e
   }
@@ -122,7 +134,7 @@ object IcebergFixture {
     // prior manifests come from the previous manifest LIST (so data
     // and delete manifests both carry forward), not from a naming
     // convention
-    val prior: Seq[(String, Long, Int)] = prevMeta.toSeq.flatMap { m =>
+    val prior: Seq[(String, Long, Int, Long)] = prevMeta.toSeq.flatMap { m =>
       val cur = m.path("current-snapshot-id").asLong
       m.path("snapshots").elements().asScala
         .find(_.path("snapshot-id").asLong == cur).toSeq
@@ -131,18 +143,21 @@ object IcebergFixture {
             s0.path("manifest-list").asText).getPath)).map { r =>
             (r.get("manifest_path").toString,
               r.get("manifest_length").asInstanceOf[Number].longValue,
-              r.get("content").asInstanceOf[Number].intValue)
+              r.get("content").asInstanceOf[Number].intValue,
+              Option(r.get("sequence_number"))
+                .map(_.asInstanceOf[Number].longValue).getOrElse(0L))
           }
         }
     }
     val all = prior :+ ((newManifest._1.toString,
-      f.getFileStatus(newManifest._1).getLen, newManifest._2))
-    val listRecords = all.map { case (mp, len, content) =>
+      f.getFileStatus(newManifest._1).getLen, newManifest._2, seqNo))
+    val listRecords = all.map { case (mp, len, content, mseq) =>
       val r = new GenericData.Record(ManifestFileSchema)
       r.put("manifest_path", mp)
       r.put("manifest_length", len)
       r.put("partition_spec_id", 0)
       r.put("content", content)
+      r.put("sequence_number", mseq)
       r.put("added_snapshot_id", snapshotId)
       r
     }
@@ -247,37 +262,37 @@ object IcebergFixture {
     commitSnapshot(spark, dir, schema, (manifestP, 1), "delete")
   }
 
-  /** Corrupt-on-purpose variant: rewrite the CURRENT snapshot's
-    * manifest list with an extra EQUALITY-delete data file
-    * (content=2) so the refusal path can be exercised. */
-  def addEqualityDelete(spark: SparkSession, dir: String): Unit = {
+  /** Commit an EQUALITY-DELETE snapshot: each row of `keys` deletes
+    * every OLDER data row matching on `keys`' columns. Written as a
+    * spec-shaped equality-delete parquet referenced by a DELETE
+    * manifest entry carrying the matching `equality_ids` (field ids
+    * are 1-based schema positions — the ids this fixture's metadata
+    * assigns). Returns the snapshot id. */
+  def deleteEqualities(spark: SparkSession, dir: String,
+                       keys: DataFrame): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(dir); val f = root.getFileSystem(conf)
-    val v = currentVersion(f, root)
-    val meta = readMeta(f, root, v).get
-    import scala.jdk.CollectionConverters._
-    val cur = meta.path("current-snapshot-id").asLong
-    val listPath = meta.path("snapshots").elements().asScala
-      .find(_.path("snapshot-id").asLong == cur).get
-      .path("manifest-list").asText
-    val eqFile = new Path(root, s"data/eq-delete-$cur.parquet")
-    // content=2 entry in its own delete manifest
-    val e = entry(2, eqFile.toString, 0L, 0L, cur)
-    val delManifest = new Path(root, s"metadata/eq-manifest-$cur.avro")
-    writeAvro(new java.io.File(delManifest.toUri.getPath), EntrySchema, Seq(e))
-    val existing = readAvro(conf, new Path(listPath))
-    val del = new GenericData.Record(ManifestFileSchema)
-    del.put("manifest_path", delManifest.toString)
-    del.put("manifest_length", f.getFileStatus(delManifest).getLen)
-    del.put("partition_spec_id", 0)
-    del.put("content", 1)
-    del.put("added_snapshot_id", cur)
-    val rebuilt = existing.map { r0 =>
-      val r = new GenericData.Record(ManifestFileSchema)
-      ManifestFileSchema.getFields.asScala.foreach(fd => r.put(fd.name, r0.get(fd.name)))
-      r
-    } :+ del
-    writeAvro(new java.io.File(new Path(listPath).toUri.getPath),
-      ManifestFileSchema, rebuilt)
+    val root = new Path(dir)
+    val f = root.getFileSystem(conf)
+    val prevVersion = currentVersion(f, root)
+    require(prevVersion > 0, s"$dir has no snapshots to delete from")
+    val meta = readMeta(f, root, prevVersion).get
+    val schema = graft.io.IcebergInterop.schemaForTest(meta)
+    val ids = keys.columns.toSeq.map(c => schema.fieldIndex(c) + 1)
+
+    val staging = new Path(root, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    keys.coalesce(1).write.parquet(staging.toString)
+    val part = f.listStatus(staging).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new Path(root, s"data/eq-delete-${java.util.UUID.randomUUID()}.parquet")
+    require(f.rename(part, dst), "rename failed")
+    f.delete(staging, true)
+
+    val snapshotId = prevVersion + 1L
+    val nRows = spark.read.parquet(dst.toString).count()
+    val e = entry(2, dst.toString, nRows, f.getFileStatus(dst).getLen,
+      snapshotId, equalityIds = ids)
+    val manifestP = new Path(root, s"metadata/eq-manifest-$snapshotId.avro")
+    writeAvro(new java.io.File(manifestP.toUri.getPath), EntrySchema, Seq(e))
+    commitSnapshot(spark, dir, schema, (manifestP, 1), "delete")
   }
 }

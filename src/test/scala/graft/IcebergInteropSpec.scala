@@ -68,16 +68,46 @@ class IcebergInteropSpec extends AnyFunSuite {
       .filter(col("operation") === "delete").count() == 1)
   }
 
-  test("EQUALITY deletes refuse by name; missing snapshot ids are loud") {
+  test("EQUALITY deletes respect sequence ordering: only OLDER rows die") {
+    val dir = Files.createTempDirectory("graft-iceberg-eqdel").toString
+    // seq 1: ids 0..9; seq 2: ids 10..19
+    IcebergFixture.append((0L until 10L).map(i => (i, s"a_$i", 0.0)).toDF("id", "tag", "v"), dir)
+    IcebergFixture.append((10L until 20L).map(i => (i, s"b_$i", 0.0)).toDF("id", "tag", "v"), dir)
+    // seq 3: equality-delete ids {3, 12, 77} — 77 matches nothing
+    IcebergFixture.deleteEqualities(spark, dir, Seq(3L, 12L, 77L).toDF("id"))
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.count() == 18)
+    assert(t.filter(col("id").isin(3L, 12L)).count() == 0)
+    // seq 4: RE-APPEND id 3 — newer than the delete, so it SURVIVES
+    IcebergFixture.append(Seq((3L, "reborn", 9.9)).toDF("id", "tag", "v"), dir)
+    val t2 = IcebergInterop.readIceberg(spark, dir)
+    assert(t2.count() == 19)
+    assert(t2.filter(col("id") === 3L).select("tag").as[String].head() == "reborn",
+      "a row appended AFTER the equality delete must not be re-deleted")
+    // multi-column equality set: (id, tag) — null-safe match
+    IcebergFixture.deleteEqualities(spark, dir,
+      Seq((5L, "a_5"), (3L, "NOT-the-tag")).toDF("id", "tag"))
+    val t3 = IcebergInterop.readIceberg(spark, dir)
+    assert(t3.count() == 18)
+    assert(t3.filter(col("id") === 5L).count() == 0)
+    assert(t3.filter(col("id") === 3L).count() == 1, "tag mismatch → not deleted")
+    // position + equality deletes COMPOSE on one table
+    val victim = IcebergInterop.readIceberg(spark, dir)
+      .select(col("id"), col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("pos"))
+      .filter(col("id") === 7L).head()
+    IcebergFixture.deletePositions(spark, dir,
+      Seq((victim.getString(1).stripPrefix("file:"), victim.getLong(2))))
+    val t4 = IcebergInterop.readIceberg(spark, dir)
+    assert(t4.count() == 17 && t4.filter(col("id") === 7L).count() == 0)
+  }
+
+  test("missing snapshot ids are loud") {
     val dir = Files.createTempDirectory("graft-iceberg-del").toString
     IcebergFixture.append(Seq((1L, "x", 0.0)).toDF("id", "tag", "v"), dir)
     val e0 = intercept[IllegalArgumentException](
       IcebergInterop.readIceberg(spark, dir, snapshotId = Some(999L)))
     assert(e0.getMessage.contains("snapshot 999"))
-    IcebergFixture.addEqualityDelete(spark, dir)
-    val e = intercept[IllegalArgumentException](
-      IcebergInterop.readIceberg(spark, dir))
-    assert(e.getMessage.contains("EQUALITY delete"), e.getMessage)
   }
 
   test("format-version 3 refuses by name; non-tables refuse") {

@@ -264,7 +264,11 @@ object DeltaInterop {
       // value+metadata binary encoding delta-spark writes (probed on
       // this build; schemaString "variant" parses via DataType.fromJson)
       // — SHREDDED variant stays refused (different physical layout)
-      "variantType", "variantType-preview")
+      "variantType", "variantType-preview",
+      // the feature's reader/vacuum obligation is "check the protocol
+      // before acting" — state() replay (which gates features by name)
+      // runs at the head of every read AND of vacuum
+      "vacuumProtocolCheck")
 
     /** Writer features this engine can honor when committing. Legacy
       * features are all either enforced (checkConstraints, columnMapping,
@@ -285,7 +289,12 @@ object DeltaInterop {
         // a table whose schema carries variant columns must ADVERTISE
         // variantType (attemptCommit does, on create); row bytes
         // round-trip through every rewrite path untouched
-        "variantType", "variantType-preview")
+        "variantType", "variantType-preview", "vacuumProtocolCheck",
+        // every graft commit already writes a MONOTONE
+        // commitInfo.inCommitTimestamp (strictly greater than the
+        // previous commit's), which is the feature's whole writer
+        // contract; readers prefer it for timestamp time travel
+        "inCommitTimestamp")
   }
 
   /** Reconstructed table state at a version. `txns` is the protocol's
@@ -1915,6 +1924,10 @@ object DeltaInterop {
     * mirroring `VACUUM ... RETAIN 0 HOURS`. */
   def vacuum(spark: SparkSession, dir: String,
              retainMillis: Long = DefaultVacuumRetainMillis): Int = {
+    // the vacuumProtocolCheck contract: a vacuum implementation must
+    // read the protocol before reclaiming anything (state() refuses
+    // unsupported features by name) — cheap next to the walk below
+    locally { val st = state(spark, dir); requireWritable(st, dir) }
     val cutoff = System.currentTimeMillis() - retainMillis
     val f = fs(spark, dir)
     val referenced = scala.collection.mutable.HashSet.empty[String]
@@ -2019,7 +2032,22 @@ object DeltaInterop {
     // (callers replaying foreign fixtures may supply their own)
     val all =
       if (actions.exists(_.startsWith("{\"commitInfo\""))) actions
-      else s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"$op","engineInfo":"graft"}}""" +: actions
+      else {
+        // MONOTONE in-commit timestamp (the inCommitTimestamp writer
+        // feature's contract — and a better clock for every table:
+        // strictly increasing even when two commits land in one
+        // millisecond, survives file copies). Previous ICT comes from
+        // the cached one-line commitMeta read; a cleaned-up prev
+        // commit falls back to the wall clock.
+        val ict = {
+          val now = System.currentTimeMillis()
+          if (v <= 0) now
+          else math.max(now,
+            (try commitMeta(spark, dir, v - 1).ict.getOrElse(0L)
+             catch { case _: java.io.IOException => 0L }) + 1)
+        }
+        s"""{"commitInfo":{"timestamp":$ict,"inCommitTimestamp":$ict,"operation":"$op","engineInfo":"graft"}}""" +: actions
+      }
     val out = f.create(tmp, false)
     try out.write((all.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
@@ -3584,7 +3612,8 @@ object DeltaInterop {
     def str(name: String): String =
       ci.filter(_.has(name)).map(_.get(name).asText).orNull
     val meta = CommitMeta(
-      ci.filter(_.has("timestamp")).map(_.get("timestamp").asLong),
+      ci.filter(_.has("inCommitTimestamp")).map(_.get("inCommitTimestamp").asLong)
+        .orElse(ci.filter(_.has("timestamp")).map(_.get("timestamp").asLong)),
       mtime, str("operation"), str("engineInfo"))
     commitMetaCache.put(key, meta)
     meta

@@ -224,6 +224,45 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("rowTracking"))
   }
 
+  test("in-commit timestamps are MONOTONE and preferred by time travel") {
+    val dir = Files.createTempDirectory("graft-proto-ict").toString
+    // rapid commits: wall-clock ms can collide; ICTs must still
+    // strictly increase
+    (0 until 5).foreach { i =>
+      DeltaInterop.writeDelta(Seq((i.toLong, s"n_$i")).toDF("id", "name"), dir, Nil)
+    }
+    val icts = (0L to 4L).map(v => DeltaInterop.commitMeta(spark, dir, v))
+    assert(icts.forall(_.ict.isDefined), "every graft commit carries an ICT")
+    val ts = icts.map(_.ict.get)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a < b },
+      s"ICTs must strictly increase: $ts")
+    // timestamp time travel resolves by ICT
+    assert(DeltaInterop.versionAtTimestamp(spark, dir, ts(2)) == 2L)
+    // a FOREIGN table carrying the feature accepts graft appends
+    val fDir = Files.createTempDirectory("graft-proto-ict-foreign").toString
+    writeForeignLog(fDir,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["inCommitTimestamp"]}}""")
+    DeltaInterop.writeDelta(Seq(1L).toDF("id"), fDir, Nil)
+    assert(DeltaInterop.readDelta(spark, fDir).count() == 1)
+    assert(DeltaInterop.commitMeta(spark, fDir, 1L).ict.isDefined)
+  }
+
+  test("vacuumProtocolCheck tables read, write, and vacuum (the check IS the gate)") {
+    val dir = Files.createTempDirectory("graft-proto-vpc").toString
+    writeForeignLog(dir,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["vacuumProtocolCheck"],"writerFeatures":["vacuumProtocolCheck"]}}""")
+    DeltaInterop.writeDelta((0L until 10L).toDF("id"), dir, Nil)
+    assert(DeltaInterop.readDelta(spark, dir).count() == 10)
+    // overwrite orphans the first files; once the log horizon passes
+    // them, vacuum (with its protocol check) reclaims them
+    DeltaInterop.writeDelta((0L until 5L).toDF("id"), dir, Nil, overwrite = true)
+    DeltaInterop.checkpoint(spark, dir)
+    DeltaInterop.cleanupLog(spark, dir)
+    val n = DeltaInterop.vacuum(spark, dir, retainMillis = 0L)
+    assert(n > 0, "vacuum reclaimed the overwritten files")
+    assert(DeltaInterop.readDelta(spark, dir).count() == 5)
+  }
+
   test("delta.appendOnly blocks row-removing ops; appends and compaction stay legal") {
     val dir = Files.createTempDirectory("graft-proto-appendonly").toString
     DeltaInterop.writeDelta((0L until 20L).toDF("id").repartition(2), dir, Nil)

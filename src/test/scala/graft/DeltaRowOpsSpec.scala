@@ -139,6 +139,7 @@ class DeltaRowOpsSpec extends AnyFunSuite {
       val fixed = new String(Files.readAllBytes(p), "UTF-8").linesIterator.map { l =>
         if (l.startsWith("{\"commitInfo\""))
           l.replaceAll("\"timestamp\":\\d+", s""""timestamp":$ts""")
+            .replaceAll("\"inCommitTimestamp\":\\d+", s""""inCommitTimestamp":$ts""")
         else l
       }.mkString("\n") + "\n"
       Files.write(p, fixed.getBytes("UTF-8"))

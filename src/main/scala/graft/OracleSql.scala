@@ -468,6 +468,19 @@ object OracleSql {
         |JOIN (SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
         |      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1) old
         |USING (lang) ORDER BY lang""".stripMargin,
+    // q174: Iceberg schema evolution — the renamed column's sum must
+    // cover BOTH epochs (field-id resolution over old files); the
+    // added column counts exactly the odd-doc_id epoch; snapshot 1 is
+    // the even half under the original schema
+    "q174_iceberg_evolution" ->
+      """SELECT cur.lang, cur.n, cur.chars, cur.n_epoch2,
+        |  old.n AS n_s1, old.chars AS chars_s1
+        |FROM (SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars,
+        |        sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_epoch2
+        |      FROM documents GROUP BY 1) cur
+        |JOIN (SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
+        |      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1) old
+        |USING (lang) ORDER BY lang""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

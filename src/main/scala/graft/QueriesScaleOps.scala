@@ -1935,4 +1935,36 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .select(col("lang"), col("n"), col("chars"), col("n_s1"), col("chars_s1"))
       .orderBy("lang")
   }
+
+  /** q174 — Iceberg SCHEMA EVOLUTION read: the corpus lands in two
+    * epochs with a rename + an added column between them. Old files
+    * must resolve the RENAMED column by field id (a name-based read
+    * would return nulls and a visibly-wrong char sum), the added
+    * column is null exactly for the pre-add epoch, and time travel to
+    * snapshot 1 reads with the schema it was committed under. The
+    * oracle restates both epochs from the corpus. */
+  private[graft] def q174(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q174")
+    val snap1 = graft.tools.IcebergFixture.append(
+      docs.filter(col("doc_id") % 2 === 0), tmp)
+    graft.tools.IcebergFixture.renameColumn(s, tmp, "n_chars", "chars")
+    graft.tools.IcebergFixture.addColumn(s, tmp, "epoch",
+      org.apache.spark.sql.types.LongType)
+    graft.tools.IcebergFixture.append(
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .withColumnRenamed("n_chars", "chars").withColumn("epoch", lit(2L)), tmp)
+    val cur = graft.io.IcebergInterop.readIceberg(s, tmp)
+      .groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum("chars").as("chars"),            // epoch-1 files: field-id resolution
+        count(col("epoch")).as("n_epoch2"))  // null for every epoch-1 row
+    val old = graft.io.IcebergInterop.readIceberg(s, tmp, Some(snap1))
+      .groupBy("lang").agg(count(lit(1)).as("n_s1"),
+        sum("n_chars").as("chars_s1"))       // the PRE-rename name
+    cur.join(old, "lang")
+      .select(col("lang"), col("n"), col("chars"), col("n_epoch2"),
+        col("n_s1"), col("chars_s1"))
+      .orderBy("lang")
+  }
 }

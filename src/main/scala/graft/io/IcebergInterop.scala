@@ -32,6 +32,13 @@ import org.apache.spark.sql.types._
   *     null-safe anti-join per distinct equality-column set.
   *   - format-version 3 refuses by name (deletion vectors, row
   *     lineage — unmodeled here).
+  *   - SCHEMA EVOLUTION reads correctly: columns resolve by Iceberg
+  *     FIELD ID (`parquet.field.id` metadata on the pinned schema +
+  *     Spark's field-id parquet resolution), so renamed columns keep
+  *     reading their old files, added columns surface null for
+  *     pre-add files, dropped columns disappear without touching
+  *     data, and snapshot time travel reads with the schema the
+  *     snapshot was committed under (`schema-id`).
   *
   * Scale shape: metadata work is manifest-file-count-bounded (the
   * Avro manifests are read driver-side like the Delta JSON log; each
@@ -102,31 +109,38 @@ object IcebergInterop {
         s"unsupported Iceberg nested type: $other (struct only)")
     }
 
+  /** Spark's parquet field-id resolution key: a StructField carrying
+    * this metadata is matched to the file column by ICEBERG FIELD ID,
+    * not by name, when `spark.sql.parquet.fieldId.read.enabled` is on.
+    * This is how Iceberg schema evolution works — renames/reorders
+    * change names, never ids — so every schema this reader pins
+    * carries the ids. */
+  private val FieldIdKey = "parquet.field.id"
+
   private def fieldsOf(fields: JsonNode): Seq[StructField] = {
     import scala.jdk.CollectionConverters._
     fields.elements().asScala.map { fd =>
-      StructField(fd.path("name").asText, toSparkType(fd.path("type")),
+      val f = StructField(fd.path("name").asText, toSparkType(fd.path("type")),
         nullable = !fd.path("required").asBoolean(false))
+      if (fd.path("id").isInt)
+        f.copy(metadata = new MetadataBuilder()
+          .putLong(FieldIdKey, fd.path("id").asLong).build())
+      else f
     }.toSeq
   }
 
-  /** Fixture support: the schema mapping, reachable from the test
-    * producer so delete snapshots can re-emit the table schema. */
-  private[graft] def schemaForTest(meta: JsonNode): StructType = tableSchema(meta)
-
-  /** The current schema as a Spark StructType (v2 `schemas` +
-    * `current-schema-id`; v1 singular `schema`). */
-  private def tableSchema(meta: JsonNode): StructType = {
+  /** The schema NODE to read with: `schemaId`'s entry when given (a
+    * snapshot's pinned schema — time travel reads the shape the table
+    * had THEN), else `current-schema-id`'s; v1 singular `schema`. */
+  private def schemaNodeById(meta: JsonNode, schemaId: Option[Int]): JsonNode = {
     import scala.jdk.CollectionConverters._
-    val schemaNode =
-      if (meta.has("schemas")) {
-        val cur = meta.path("current-schema-id").asInt(0)
-        meta.path("schemas").elements().asScala
-          .find(_.path("schema-id").asInt(-1) == cur)
-          .getOrElse(throw new IllegalArgumentException(
-            s"current-schema-id $cur not in schemas"))
-      } else meta.path("schema")
-    StructType(fieldsOf(schemaNode.path("fields")))
+    if (meta.has("schemas")) {
+      val want = schemaId.getOrElse(meta.path("current-schema-id").asInt(0))
+      meta.path("schemas").elements().asScala
+        .find(_.path("schema-id").asInt(-1) == want)
+        .getOrElse(throw new IllegalArgumentException(
+          s"schema-id $want not in schemas"))
+    } else meta.path("schema")
   }
 
   /** All records of one Avro container file (manifests are metadata:
@@ -214,20 +228,15 @@ object IcebergInterop {
     SnapshotFiles(data.result(), posDeletes.result(), eqDeletes.result())
   }
 
-  /** Field-id → name for the current schema (the ids `equality_ids`
-    * reference). */
-  private def fieldIdToName(meta: JsonNode): Map[Int, String] = {
-    import scala.jdk.CollectionConverters._
-    val schemaNode =
-      if (meta.has("schemas")) {
-        val cur = meta.path("current-schema-id").asInt(0)
-        meta.path("schemas").elements().asScala
-          .find(_.path("schema-id").asInt(-1) == cur).get
-      } else meta.path("schema")
-    schemaNode.path("fields").elements().asScala.map { fd =>
-      fd.path("id").asInt -> fd.path("name").asText
+  /** Field-id → StructField (current name + type, id metadata
+    * attached) for a schema node — the map `equality_ids` resolve
+    * through. */
+  private def fieldsById(schemaNode: JsonNode): Map[Int, StructField] =
+    fieldsOf(schemaNode.path("fields")).flatMap { f =>
+      if (f.metadata.contains(FieldIdKey))
+        Some(f.metadata.getLong(FieldIdKey).toInt -> f)
+      else None
     }.toMap
-  }
 
   /** `file:`-URI and plain-path spellings collapse to one canonical
     * absolute path, so the delete files' `file_path` strings compare
@@ -239,6 +248,13 @@ object IcebergInterop {
   def readIceberg(spark: SparkSession, dir: String,
                   snapshotId: Option[Long] = None): DataFrame = {
     import scala.jdk.CollectionConverters._
+    // Field-id column resolution: Iceberg schema evolution renames /
+    // reorders / drops COLUMN NAMES but never reuses field IDS, so
+    // parquet columns must be matched by the ids both sides carry.
+    // This flag only changes behavior for scans whose REQUESTED schema
+    // carries parquet.field.id metadata — i.e. exactly the schemas
+    // this reader pins — so setting it session-wide is safe.
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val meta = readJson(spark, currentMetadataPath(spark, dir))
     val fv = meta.path("format-version").asInt(1)
     require(fv <= 2,
@@ -246,7 +262,13 @@ object IcebergInterop {
     val snaps = meta.path("snapshots").elements().asScala.toSeq
     val wanted = snapshotId.getOrElse(meta.path("current-snapshot-id").asLong(-1L))
     val snap = snaps.find(_.path("snapshot-id").asLong(-2L) == wanted)
-    val schema = tableSchema(meta)
+    // time travel reads the shape the table had THEN: the snapshot's
+    // pinned schema-id (current reads always use the current schema,
+    // even when a later metadata-only evolution followed the snapshot)
+    val schemaNode = schemaNodeById(meta,
+      snap.filter(_ => snapshotId.isDefined)
+        .filter(_.has("schema-id")).map(_.path("schema-id").asInt))
+    val schema = StructType(fieldsOf(schemaNode.path("fields")))
     snap match {
       case None if snaps.isEmpty && snapshotId.isEmpty =>
         // a created-but-never-written table: empty frame, real schema
@@ -290,7 +312,7 @@ object IcebergInterop {
               // (file-count-bounded) path→seq map, then one anti-join
               // per distinct equality-column set (null-safe equality —
               // the spec matches null to null)
-              val idMap = fieldIdToName(meta)
+              val idMap = fieldsById(schemaNode)
               val seqDf = broadcast(spark.createDataFrame(
                 inv.data.map(d => (canonPathStr(d._1), d._2))
                   .map(org.apache.spark.sql.Row.fromTuple(_)).asJava,
@@ -298,11 +320,17 @@ object IcebergInterop {
                   StructField("_data_seq", LongType)))))
               cur = cur.join(seqDf, col("_g_path") === col("_seq_path"), "left")
               inv.eqDeletes.groupBy(_._3).foreach { case (ids, files) =>
-                val cols = ids.map(id => idMap.getOrElse(id,
+                // the delete FILE's column names are whatever the
+                // schema said when the delete was written; the ids are
+                // forever — pin a field-id-carrying schema so the read
+                // resolves by id and surfaces the CURRENT names
+                val delFields = ids.map(id => idMap.getOrElse(id,
                   throw new IllegalArgumentException(
-                    s"equality_ids references unknown field id $id")))
+                    s"equality_ids references unknown field id $id"))
+                  .copy(nullable = true))
+                val cols = delFields.map(_.name)
                 val del = files.map { case (path, seq, _) =>
-                  spark.read.parquet(path)
+                  spark.read.schema(StructType(delFields)).parquet(path)
                     .select(cols.map(c => col(c).as(s"_del_$c")): _*)
                     .withColumn("_del_seq", lit(seq))
                 }.reduce(_ unionByName _)

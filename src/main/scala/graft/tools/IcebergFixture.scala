@@ -90,6 +90,42 @@ object IcebergFixture {
       try Some(M.readTree(in)) finally in.close()
     }
 
+  private def currentSchemaNode(m: JsonNode): JsonNode = {
+    import scala.jdk.CollectionConverters._
+    val cur = m.path("current-schema-id").asInt(0)
+    m.path("schemas").elements().asScala
+      .find(_.path("schema-id").asInt(-1) == cur)
+      .getOrElse(throw new IllegalArgumentException(s"schema-id $cur missing"))
+  }
+
+  /** (name, field id) pairs of the current schema, in order. */
+  private def currentFieldIds(m: JsonNode): Seq[(String, Int)] = {
+    import scala.jdk.CollectionConverters._
+    currentSchemaNode(m).path("fields").elements().asScala
+      .map(fd => fd.path("name").asText -> fd.path("id").asInt).toSeq
+  }
+
+  private def lastColumnId(m: JsonNode): Int = {
+    import scala.jdk.CollectionConverters._
+    m.path("last-column-id").asInt(
+      m.path("schemas").elements().asScala
+        .flatMap(_.path("fields").elements().asScala)
+        .map(_.path("id").asInt(0)).maxOption.getOrElse(0))
+  }
+
+  /** Stamp `parquet.field.id` metadata onto `df`'s columns so the
+    * written files carry Iceberg field ids (what real Iceberg writers
+    * always do, and what id-based column resolution needs once the
+    * table's schema evolves). */
+  private def withFieldIds(df: DataFrame, idsByName: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    df.select(df.schema.fields.map { fd =>
+      col(fd.name).as(fd.name, new MetadataBuilder()
+        .putLong("parquet.field.id", idsByName(fd.name).toLong).build())
+    }.toSeq: _*)
+  }
+
   /** Build one manifest_entry record for a file descriptor. */
   private def entry(content: Int, path: String, rows: Long, size: Long,
                     snapshotId: Long,
@@ -169,17 +205,30 @@ object IcebergFixture {
     n.put("table-uuid", java.util.UUID.nameUUIDFromBytes(dir.getBytes).toString)
     n.put("location", dir)
     n.put("last-sequence-number", seqNo)
-    val schemas = n.putArray("schemas")
-    val sc = schemas.addObject()
-    sc.put("schema-id", 0); sc.put("type", "struct")
-    val fields = sc.putArray("fields")
-    schema.fields.zipWithIndex.foreach { case (fd, i) =>
-      val fn = fields.addObject()
-      fn.put("id", i + 1); fn.put("name", fd.name)
-      fn.put("required", !fd.nullable)
-      fn.put("type", icebergType(fd.dataType))
+    // schemas are carried FORWARD, never rebuilt: field ids must stay
+    // stable across commits (ids are how evolved tables keep reading
+    // their old files) — only table CREATION derives a schema from the
+    // DataFrame, with ids assigned 1..n
+    val curSchemaId = prevMeta match {
+      case Some(m) =>
+        n.set[JsonNode]("schemas", m.path("schemas").deepCopy[JsonNode]())
+        n.put("last-column-id", lastColumnId(m))
+        m.path("current-schema-id").asInt(0)
+      case None =>
+        val schemas = n.putArray("schemas")
+        val sc = schemas.addObject()
+        sc.put("schema-id", 0); sc.put("type", "struct")
+        val fields = sc.putArray("fields")
+        schema.fields.zipWithIndex.foreach { case (fd, i) =>
+          val fn = fields.addObject()
+          fn.put("id", i + 1); fn.put("name", fd.name)
+          fn.put("required", !fd.nullable)
+          fn.put("type", icebergType(fd.dataType))
+        }
+        n.put("last-column-id", schema.fields.length)
+        0
     }
-    n.put("current-schema-id", 0)
+    n.put("current-schema-id", curSchemaId)
     val specs = n.putArray("partition-specs")
     val sp = specs.addObject(); sp.put("spec-id", 0); sp.putArray("fields")
     n.put("default-spec-id", 0)
@@ -191,6 +240,7 @@ object IcebergFixture {
     s0.put("sequence-number", seqNo)
     s0.put("timestamp-ms", 1700000000000L + snapshotId)
     s0.put("manifest-list", listP.toString)
+    s0.put("schema-id", curSchemaId) // what time travel reads with
     s0.putObject("summary").put("operation", operation)
     val out = f.create(new Path(root, s"metadata/v${prevVersion + 1}.metadata.json"), true)
     try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
@@ -209,8 +259,20 @@ object IcebergFixture {
     val f = root.getFileSystem(conf)
     f.mkdirs(new Path(root, "metadata")); f.mkdirs(new Path(root, "data"))
 
+    // field ids come from the CURRENT schema (stable across renames);
+    // a brand-new table assigns 1..n positionally
+    val idsByName: Map[String, Int] =
+      readMeta(f, root, currentVersion(f, root)) match {
+        case Some(m) =>
+          val cur = currentFieldIds(m)
+          require(df.columns.toSet == cur.map(_._1).toSet,
+            s"append columns ${df.columns.toSeq} must match current schema ${cur.map(_._1)}")
+          cur.toMap
+        case None =>
+          df.schema.fieldNames.zipWithIndex.map { case (n0, i) => n0 -> (i + 1) }.toMap
+      }
     val staging = new Path(root, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
-    df.write.parquet(staging.toString)
+    withFieldIds(df, idsByName).write.parquet(staging.toString)
     val dataFiles = f.listStatus(staging).filter(_.getPath.getName.endsWith(".parquet"))
       .map { st =>
         val dst = new Path(root, s"data/${java.util.UUID.randomUUID()}.parquet")
@@ -242,9 +304,7 @@ object IcebergFixture {
     val f = root.getFileSystem(conf)
     val prevVersion = currentVersion(f, root)
     require(prevVersion > 0, s"$dir has no snapshots to delete from")
-    val meta = readMeta(f, root, prevVersion).get
-    val schema = StructType(graft.io.IcebergInterop
-      .schemaForTest(meta).fields) // reuse the reader's mapping
+    // (schemas carry forward in commitSnapshot — no rebuild needed)
 
     val staging = new Path(root, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
     deletes.toDF("file_path", "pos").coalesce(1).write.parquet(staging.toString)
@@ -259,15 +319,15 @@ object IcebergFixture {
       f.getFileStatus(dst).getLen, snapshotId)
     val manifestP = new Path(root, s"metadata/delete-manifest-$snapshotId.avro")
     writeAvro(new java.io.File(manifestP.toUri.getPath), EntrySchema, Seq(e))
-    commitSnapshot(spark, dir, schema, (manifestP, 1), "delete")
+    commitSnapshot(spark, dir, StructType(Nil), (manifestP, 1), "delete")
   }
 
   /** Commit an EQUALITY-DELETE snapshot: each row of `keys` deletes
     * every OLDER data row matching on `keys`' columns. Written as a
     * spec-shaped equality-delete parquet referenced by a DELETE
-    * manifest entry carrying the matching `equality_ids` (field ids
-    * are 1-based schema positions — the ids this fixture's metadata
-    * assigns). Returns the snapshot id. */
+    * manifest entry carrying the matching `equality_ids` (resolved
+    * from the current schema's field metadata — stable across
+    * renames). Returns the snapshot id. */
   def deleteEqualities(spark: SparkSession, dir: String,
                        keys: DataFrame): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -276,11 +336,12 @@ object IcebergFixture {
     val prevVersion = currentVersion(f, root)
     require(prevVersion > 0, s"$dir has no snapshots to delete from")
     val meta = readMeta(f, root, prevVersion).get
-    val schema = graft.io.IcebergInterop.schemaForTest(meta)
-    val ids = keys.columns.toSeq.map(c => schema.fieldIndex(c) + 1)
+    val idsByName = currentFieldIds(meta).toMap
+    val ids = keys.columns.toSeq.map(c => idsByName.getOrElse(c,
+      throw new IllegalArgumentException(s"no column $c in current schema")))
 
     val staging = new Path(root, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
-    keys.coalesce(1).write.parquet(staging.toString)
+    withFieldIds(keys, idsByName).coalesce(1).write.parquet(staging.toString)
     val part = f.listStatus(staging).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).head
     val dst = new Path(root, s"data/eq-delete-${java.util.UUID.randomUUID()}.parquet")
@@ -293,6 +354,75 @@ object IcebergFixture {
       snapshotId, equalityIds = ids)
     val manifestP = new Path(root, s"metadata/eq-manifest-$snapshotId.avro")
     writeAvro(new java.io.File(manifestP.toUri.getPath), EntrySchema, Seq(e))
-    commitSnapshot(spark, dir, schema, (manifestP, 1), "delete")
+    // schema arg is unused past creation (schemas carry forward)
+    commitSnapshot(spark, dir, StructType(Nil), (manifestP, 1), "delete")
   }
+
+  /** Metadata-only schema evolution: write v(N+1).metadata.json whose
+    * schemas array gains one new entry (same snapshots, new
+    * current-schema-id) — exactly what an Iceberg catalog commit of
+    * ALTER TABLE does. `edit` mutates a copy of the current schema's
+    * fields array and returns the new last-column-id. */
+  private def evolve(spark: SparkSession, dir: String)
+      (edit: (com.fasterxml.jackson.databind.node.ArrayNode, Int) => Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val f = root.getFileSystem(conf)
+    val v = currentVersion(f, root)
+    require(v > 0, s"$dir has no metadata to evolve")
+    val m = readMeta(f, root, v).get.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    val schemas = m.path("schemas").asInstanceOf[ArrayNode]
+    val maxSchemaId = schemas.elements().asScala
+      .map(_.path("schema-id").asInt(0)).max
+    val next = currentSchemaNode(m).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    next.put("schema-id", maxSchemaId + 1)
+    val newLast = edit(next.path("fields").asInstanceOf[ArrayNode], lastColumnId(m))
+    schemas.add(next)
+    m.put("current-schema-id", maxSchemaId + 1)
+    m.put("last-column-id", newLast)
+    val out = f.create(new Path(root, s"metadata/v${v + 1}.metadata.json"), true)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
+    finally out.close()
+    val hint = f.create(new Path(root, "metadata/version-hint.text"), true)
+    try hint.write(String.valueOf(v + 1).getBytes) finally hint.close()
+  }
+
+  /** Rename a column; its FIELD ID is unchanged, so existing data
+    * files keep reading through id resolution. */
+  def renameColumn(spark: SparkSession, dir: String,
+                   from: String, to: String): Unit =
+    evolve(spark, dir) { (fields, last) =>
+      import scala.jdk.CollectionConverters._
+      import com.fasterxml.jackson.databind.node.ObjectNode
+      val hits = fields.elements().asScala.collect {
+        case fn: ObjectNode if fn.path("name").asText == from => fn
+      }.toSeq
+      require(hits.nonEmpty, s"no column $from to rename")
+      hits.foreach(_.put("name", to))
+      last
+    }
+
+  /** Add an optional column with a NEW field id (last-column-id + 1);
+    * pre-existing files read it as null. */
+  def addColumn(spark: SparkSession, dir: String,
+                name: String, dt: DataType): Unit =
+    evolve(spark, dir) { (fields, last) =>
+      val fn = fields.addObject()
+      fn.put("id", last + 1); fn.put("name", name)
+      fn.put("required", false); fn.put("type", icebergType(dt))
+      last + 1
+    }
+
+  /** Drop a column from the current schema; the id is never reused
+    * and the bytes stay in old files (Iceberg drop semantics). */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Unit =
+    evolve(spark, dir) { (fields, last) =>
+      import scala.jdk.CollectionConverters._
+      val idx = fields.elements().asScala.indexWhere(_.path("name").asText == name)
+      require(idx >= 0, s"no column $name to drop")
+      fields.remove(idx)
+      last
+    }
 }

@@ -73,7 +73,8 @@ object ScaleSmoke {
       "q165_delta_addcol", "q166_delta_sql", "q167_sql_ddl",
       "q168_sql_merge_clauses", "q169_convert_to_delta",
       "q170_sql_catalog_names", "q171_merge_by_source",
-      "q172_identity_lifecycle", "q173_iceberg_read")
+      "q172_identity_lifecycle", "q173_iceberg_read",
+      "q174_iceberg_evolution")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

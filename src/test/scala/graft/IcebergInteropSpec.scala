@@ -102,6 +102,63 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(t4.count() == 17 && t4.filter(col("id") === 7L).count() == 0)
   }
 
+  test("SCHEMA EVOLUTION: rename + add + drop read by field id; time travel keeps the old shape") {
+    val dir = Files.createTempDirectory("graft-iceberg-evolve").toString
+    val s1 = IcebergFixture.append(
+      (0L until 40L).map(i => (i, s"t_$i", i * 2.0)).toDF("id", "tag", "v"), dir)
+    // rename tag->label: OLD files must keep reading (id resolution,
+    // not name matching — a name-based read would return nulls)
+    IcebergFixture.renameColumn(spark, dir, "tag", "label")
+    val renamed = IcebergInterop.readIceberg(spark, dir)
+    assert(renamed.columns.toSeq == Seq("id", "label", "v"))
+    assert(renamed.filter(col("label").isNull).count() == 0,
+      "pre-rename files must resolve the renamed column by field id")
+    assert(renamed.filter(col("label") === "t_7").count() == 1)
+
+    // add score: pre-add files read null; post-add appends carry it
+    IcebergFixture.addColumn(spark, dir, "score", org.apache.spark.sql.types.DoubleType)
+    IcebergFixture.append(
+      (40L until 50L).map(i => (i, s"t_$i", i * 2.0, i * 0.1))
+        .toDF("id", "label", "v", "score"), dir)
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.count() == 50)
+    assert(t.filter(col("score").isNull).count() == 40, "pre-add rows are null")
+    assert(t.filter(col("score").isNotNull).count() == 10)
+
+    // a NEW column must not capture a dropped column's bytes: drop v,
+    // then add a fresh double column — ids never recycle
+    IcebergFixture.dropColumn(spark, dir, "v")
+    val dropped = IcebergInterop.readIceberg(spark, dir)
+    assert(dropped.columns.toSeq == Seq("id", "label", "score"))
+    IcebergFixture.addColumn(spark, dir, "v2", org.apache.spark.sql.types.DoubleType)
+    val fresh = IcebergInterop.readIceberg(spark, dir)
+    assert(fresh.filter(col("v2").isNotNull).count() == 0,
+      "a re-added column with a new id must NOT resurrect dropped data")
+
+    // snapshot time travel reads the shape the table had THEN
+    val old = IcebergInterop.readIceberg(spark, dir, snapshotId = Some(s1))
+    assert(old.columns.toSeq == Seq("id", "tag", "v"), "snapshot 1 pins its own schema")
+    assert(old.filter(col("tag").isNull).count() == 0 && old.count() == 40)
+
+    // filters on the renamed column still push down to the scan
+    assert(fresh.filter(col("id") < 5).count() == 5)
+  }
+
+  test("SCHEMA EVOLUTION composes with equality deletes across a rename") {
+    val dir = Files.createTempDirectory("graft-iceberg-evolve-eq").toString
+    IcebergFixture.append(
+      (0L until 10L).map(i => (i, s"k_$i")).toDF("id", "name"), dir)
+    // delete BY the original column name, then rename it: the delete
+    // file's ids must keep resolving (against the current names)
+    IcebergFixture.deleteEqualities(spark, dir, Seq(2L, 4L).toDF("id"))
+    IcebergFixture.renameColumn(spark, dir, "id", "key")
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.columns.toSeq == Seq("key", "name"))
+    assert(t.count() == 8)
+    assert(t.filter(col("key").isin(2L, 4L)).count() == 0,
+      "pre-rename equality deletes still apply by field id")
+  }
+
   test("missing snapshot ids are loud") {
     val dir = Files.createTempDirectory("graft-iceberg-del").toString
     IcebergFixture.append(Seq((1L, "x", 0.0)).toDF("id", "tag", "v"), dir)

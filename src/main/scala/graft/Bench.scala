@@ -73,7 +73,8 @@ object Bench {
     "q169_convert_to_delta",
     "q170_sql_catalog_names",
     "q171_merge_by_source", "q172_identity_lifecycle",
-    "q173_iceberg_read", "q174_iceberg_evolution"
+    "q173_iceberg_read", "q174_iceberg_evolution",
+    "q175_delta_clustered"
   )
 
   def main(args: Array[String]): Unit = {

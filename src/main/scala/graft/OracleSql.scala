@@ -481,6 +481,12 @@ object OracleSql {
         |JOIN (SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
         |      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1) old
         |USING (lang) ORDER BY lang""".stripMargin,
+    // q175: clustered-table lifecycle — the surviving rows are the
+    // corpus minus the short-doc DV delete
+    "q175_delta_clustered" ->
+      """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
+        |FROM documents WHERE n_chars >= 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

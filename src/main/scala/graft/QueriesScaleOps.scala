@@ -1967,4 +1967,30 @@ private[graft] trait QueriesScaleOps extends QueryBase {
         col("n_s1"), col("chars_s1"))
       .orderBy("lang")
   }
+
+  /** q175 — CLUSTERED-table lifecycle (delta-spark's liquid-clustering
+    * user contract, re-expressed): create from the corpus, CLUSTER BY
+    * (lang, n_chars), append unclustered (the spec imposes no
+    * write-time layout), plain OPTIMIZE clusters by the DECLARED
+    * columns, a DV delete trims short docs, and the clustering domain
+    * survives checkpoint + log cleanup becoming the only state source.
+    * The final read must equal the corpus minus the deleted rows. */
+  private[graft] def q175(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q175")
+    graft.io.DeltaInterop.writeDelta(
+      docs.filter(col("doc_id") % 3 =!= 0).repartition(4), tmp, Nil)
+    graft.io.DeltaInterop.setClusteringColumns(s, tmp, Seq("lang", "n_chars"))
+    graft.io.DeltaInterop.writeDelta(docs.filter(col("doc_id") % 3 === 0), tmp, Nil)
+    graft.io.DeltaInterop.optimizeClustered(s, tmp)
+    graft.io.DeltaInterop.deleteWhereDV(s, tmp, col("n_chars") < lit(100))
+    graft.io.DeltaInterop.checkpoint(s, tmp)
+    graft.io.DeltaInterop.cleanupLog(s, tmp)
+    val st = graft.io.DeltaInterop.state(s, tmp)
+    require(st.clusteringColumns == Seq("lang", "n_chars"),
+      "clustering domain must survive checkpoint + cleanup")
+    graft.io.DeltaInterop.readDelta(s, tmp)
+      .groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      .orderBy("lang")
+  }
 }

@@ -148,7 +148,8 @@ object DeltaInterop {
     * read time — see [[DeletionVectors]]. */
   final case class AddFile(path: String, partitionValues: Map[String, String],
                            size: Long, numRecords: Long, tags: Map[String, String],
-                           stats: String = null, deletionVector: String = null)
+                           stats: String = null, deletionVector: String = null,
+                           clusteringProvider: String = null)
 
   // checkpoint parquet rows — the protocol's action-per-row schema
   // (PROTOCOL.md "Checkpoints"): one nullable struct column per action
@@ -163,7 +164,8 @@ object DeltaInterop {
     offset: java.lang.Integer, sizeInBytes: Int, cardinality: Long)
   private[graft] case class CpAdd(path: String, partitionValues: Map[String, String],
     size: Long, modificationTime: Long, dataChange: Boolean, stats: String,
-    tags: Map[String, String], deletionVector: CpDv = null)
+    tags: Map[String, String], deletionVector: CpDv = null,
+    clusteringProvider: String = null)
   private[graft] case class CpRemove(path: String, deletionTimestamp: Long,
     dataChange: Boolean)
   private[graft] case class CpTxn(appId: String, version: Long, lastUpdated: Long)
@@ -173,6 +175,12 @@ object DeltaInterop {
   // out of CpRow so CLASSIC checkpoints keep their exact historical schema
   private[graft] case class CpCheckpointMeta(version: Long)
   private[graft] case class CpMetaRow(checkpointMetadata: CpCheckpointMeta)
+  // domainMetadata rows — unioned in (allowMissingColumns) only when
+  // the table HAS live domains, so domain-free tables keep their exact
+  // historical checkpoint schema
+  private[graft] case class CpDomainMetadata(domain: String,
+    configuration: String, removed: Boolean)
+  private[graft] case class CpDomainRow(domainMetadata: CpDomainMetadata)
 
   /** A table's protocol action (PROTOCOL.md "Protocol Evolution"):
     * reader/writer version floor plus, at reader 3 / writer 7, the
@@ -294,7 +302,17 @@ object DeltaInterop {
         // commitInfo.inCommitTimestamp (strictly greater than the
         // previous commit's), which is the feature's whole writer
         // contract; readers prefer it for timestamp time travel
-        "inCommitTimestamp")
+        "inCommitTimestamp",
+        // domain metadata is PRESERVED: replay keeps latest-per-domain,
+        // checkpoints re-emit live domains, shallow clones carry them —
+        // and this engine never drops a domain it does not know
+        "domainMetadata",
+        // liquid-clustered tables: the spec does NOT require writers to
+        // cluster on write — the obligations are domain preservation
+        // (above) and clusteringProvider preservation on adds (modeled
+        // in AddFile); optimizeClustered() honors the clustering
+        // columns, and appends/deletes are plain commits
+        "clustering")
   }
 
   /** Reconstructed table state at a version. `txns` is the protocol's
@@ -305,7 +323,21 @@ object DeltaInterop {
                               partitionColumns: Seq[String], files: Seq[AddFile],
                               txns: Map[String, Long] = Map.empty,
                               configuration: Map[String, String] = Map.empty,
-                              protocol: Protocol = Protocol.Base)
+                              protocol: Protocol = Protocol.Base,
+                              domains: Map[String, String] = Map.empty) {
+    /** The liquid-clustering column names when the table carries the
+      * `delta.clustering` domain ([["a"],["b"]] leaf paths — this
+      * engine clusters on top-level columns, the common case). */
+    def clusteringColumns: Seq[String] =
+      domains.get(ClusteringDomain).toSeq.flatMap { cfg =>
+        jsonArray(M.readTree(cfg).path("clusteringColumns"))
+          .map(p => jsonArray(p).map(_.asText).mkString("."))
+      }
+  }
+
+  /** The domain name delta-spark stores liquid-clustering columns
+    * under (PROTOCOL.md "Clustered Table"). */
+  val ClusteringDomain = "delta.clustering"
 
   /** Latest committed version, or -1 for no table. */
   def latestVersion(spark: SparkSession, dir: String): Long = {
@@ -352,6 +384,10 @@ object DeltaInterop {
     var protocol: Protocol = Protocol.Base
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.HashMap.empty[String, Long]
+    val domains = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def applyDomainNode(d: JsonNode): Unit =
+      if (d.path("removed").asBoolean(false)) domains.remove(d.get("domain").asText)
+      else domains(d.get("domain").asText) = d.path("configuration").asText("")
     // start from the newest checkpoint at or below the requested version:
     // one metadata-sized parquet read replaces the whole log prefix (and
     // is the ONLY way in once cleanupLog has dropped that prefix)
@@ -388,6 +424,8 @@ object DeltaInterop {
             protocol = Protocol(p.path("minReaderVersion").asInt(1),
               p.path("minWriterVersion").asInt(2),
               feats("readerFeatures"), feats("writerFeatures"))
+          } else if (node.has("domainMetadata")) {
+            applyDomainNode(node.get("domainMetadata"))
           } // checkpointMetadata / sidecar / remove: no live state
         }
         cpRows.foreach { r =>
@@ -444,14 +482,27 @@ object DeltaInterop {
                 n.put("cardinality", d.getAs[Long]("cardinality"))
                 M.writeValueAsString(n)
               } else null
+            val clusterer =
+              if (a.schema.fieldNames.contains("clusteringProvider") &&
+                  !a.isNullAt(a.fieldIndex("clusteringProvider")))
+                a.getAs[String]("clusteringProvider") else null
             live(a.getAs[String]("path")) = AddFile(a.getAs[String]("path"),
               mapOf("partitionValues"), a.getAs[Long]("size"), numRecords,
-              mapOf("tags"), stats, dv)
+              mapOf("tags"), stats, dv, clusterer)
           }
           struct("txn").foreach { t =>
             val app = t.getAs[String]("appId")
             val tv = t.getAs[Long]("version")
             txns(app) = math.max(txns.getOrElse(app, Long.MinValue), tv)
+          }
+          struct("domainMetadata").foreach { d =>
+            // checkpoints persist live domains (tombstones are excluded
+            // by the spec, but tolerate them)
+            val removed = d.schema.fieldNames.contains("removed") &&
+              !d.isNullAt(d.fieldIndex("removed")) && d.getAs[Boolean]("removed")
+            if (removed) domains.remove(d.getAs[String]("domain"))
+            else domains(d.getAs[String]("domain")) =
+              Option(d.getAs[String]("configuration")).getOrElse("")
           }
           // remove rows in a checkpoint are vacuum-horizon tombstones —
           // they carry no live-file state
@@ -494,12 +545,15 @@ object DeltaInterop {
           protocol = Protocol(p.path("minReaderVersion").asInt(1),
             p.path("minWriterVersion").asInt(2),
             feats("readerFeatures"), feats("writerFeatures"))
+        } else if (node.has("domainMetadata")) {
+          applyDomainNode(node.get("domainMetadata"))
         } // commitInfo lines carry no state we enforce
       }
     }
     require(schema != null, s"log under $dir has no metaData action")
     requireReadable(protocol, dir)
-    DeltaState(v, schema, partCols, live.values.toSeq, txns.toMap, config, protocol)
+    DeltaState(v, schema, partCols, live.values.toSeq, txns.toMap, config,
+      protocol, domains.toMap)
   }
 
   /** READ gate: refuse — by name — any reader requirement this engine
@@ -668,7 +722,9 @@ object DeltaInterop {
         M.writeValueAsString(a.get("deletionVector"))
       else null
     AddFile(a.get("path").asText, jsonMap(a.get("partitionValues")),
-      a.get("size").asLong, numRecords, tags, statsRaw, dv)
+      a.get("size").asLong, numRecords, tags, statsRaw, dv,
+      if (a.has("clusteringProvider") && !a.get("clusteringProvider").isNull)
+        a.get("clusteringProvider").asText else null)
   }
 
   /** The actions of ONE commit, as a streaming tailer needs them:
@@ -1005,7 +1061,7 @@ object DeltaInterop {
               n.get("sizeInBytes").asInt, n.get("cardinality").asLong)
           }
         CpRow(add = CpAdd(a.path, a.partitionValues, a.size, 0L, dataChange = true,
-          stats, if (a.tags.nonEmpty) a.tags else null, dv))
+          stats, if (a.tags.nonEmpty) a.tags else null, dv, a.clusteringProvider))
       }
     val staging = new Path(dir, s".cp-staging-${java.util.UUID.randomUUID().toString.take(8)}")
     import spark.implicits._
@@ -1014,7 +1070,15 @@ object DeltaInterop {
     // strand v2-expecting readers, which is why the feature gates writes
     val isV2 = st.protocol.readerFeatures.contains("v2Checkpoint") ||
       st.protocol.writerFeatures.contains("v2Checkpoint")
-    val base = spark.createDataset(rows).toDF()
+    val base0 = spark.createDataset(rows).toDF()
+    // the checkpoint is the only domain source once cleanupLog runs —
+    // live domains (clustering columns, ...) MUST survive it
+    val base =
+      if (st.domains.isEmpty) base0
+      else base0.unionByName(spark.createDataset(
+        st.domains.toSeq.sortBy(_._1).map { case (d, cfg) =>
+          CpDomainRow(CpDomainMetadata(d, cfg, removed = false)) }).toDF(),
+        allowMissingColumns = true)
     val frame =
       if (!isV2) base
       else spark.createDataset(Seq(CpMetaRow(CpCheckpointMeta(st.version))))
@@ -1030,7 +1094,7 @@ object DeltaInterop {
     f.delete(target, false)
     require(f.rename(part.head, target), s"rename failed: ${part.head} -> $target")
     f.delete(staging, true)
-    val nRows = rows.length + (if (isV2) 1 else 0)
+    val nRows = rows.length + st.domains.size + (if (isV2) 1 else 0)
     val out = f.create(lastCheckpointFile(dir), true) // overwrite: latest pointer wins
     try out.write(s"""{"version":${st.version},"size":$nRows}""".getBytes("UTF-8"))
     finally out.close()
@@ -1263,6 +1327,8 @@ object DeltaInterop {
     commit(spark, dstDir, 0L,
       Seq(st.protocol.json,
         metaDataJson(st.schema, st.partitionColumns, st.configuration)) ++
+        st.domains.toSeq.sortBy(_._1).map { case (d, cfg) =>
+          domainMetadataJson(d, cfg) } ++ // clustering columns etc. survive
         adds.map(addJson(_, dataChange = true)),
       op = "CLONE")
   }
@@ -1877,8 +1943,26 @@ object DeltaInterop {
       s"unknown zorder columns: ${zCols.filterNot(st.schema.fieldNames.contains).mkString(",")}")
     if (st.files.isEmpty) return (st.version, 0, 0)
     val df = readFiles(spark, dir, st)
-    val aggs = zCols.flatMap(c =>
-      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    // an ORDER-PRESERVING double per column: the z-curve needs a
+    // numeric rank, but clustering columns are routinely strings
+    // (lang, category). Exactness is irrelevant — the key only shapes
+    // the LAYOUT; reads stay exact — so a 6-byte lexicographic prefix
+    // (48 bits, double-exact) is the right string surrogate.
+    import org.apache.spark.sql.types.{BooleanType, DateType, NumericType,
+      StringType, TimestampNTZType, TimestampType}
+    def orderKey(c: String): org.apache.spark.sql.Column =
+      st.schema(c).dataType match {
+        case _: NumericType => col(c).cast("double")
+        case BooleanType => col(c).cast("double")
+        case StringType =>
+          conv(rpad(hex(substring(encode(col(c), "UTF-8"), 1, 6)), 12, "0"),
+            16, 10).cast("double")
+        case DateType | TimestampType | TimestampNTZType =>
+          col(c).cast("timestamp").cast("double")
+        case other => throw new IllegalArgumentException(
+          s"cannot z-order by $c: unsupported type $other")
+      }
+    val aggs = zCols.flatMap(c => Seq(min(orderKey(c)), max(orderKey(c))))
     val mm = df.agg(aggs.head, aggs.tail: _*).head()
     val bits = 16
     val zParts = zCols.zipWithIndex.map { case (c, i) =>
@@ -1886,7 +1970,7 @@ object DeltaInterop {
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
       // 16-bit rank of the value within [lo, hi]
       val rank = least(lit((1 << bits) - 1), greatest(lit(0),
-        floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(1 << bits)).cast("long")))
+        floor((orderKey(c) - lit(lo)) / lit(span) * lit(1 << bits)).cast("long")))
       (rank, i)
     }
     // interleave: output bit (b * nCols + i) takes input bit b of col i
@@ -1899,11 +1983,57 @@ object DeltaInterop {
       .repartitionByRange(nFiles, col("_graft_z"))
       .sortWithinPartitions("_graft_z")
       .drop("_graft_z")
-    val adds = stageForTable(clustered, dir, st)
+    val adds0 = stageForTable(clustered, dir, st)
+    // on a clustered table, the rewritten files ARE the clustered
+    // layout — record the implementation on each add (spec's
+    // clusteringProvider field)
+    val adds =
+      if (st.domains.contains(ClusteringDomain))
+        adds0.map(_.copy(clusteringProvider = "graft-zorder"))
+      else adds0
     val actions = st.files.map(removeJson(_, dataChange = false)) ++
       adds.map(addJson(_, dataChange = false))
     val v = commit(spark, dir, st.version + 1, actions, op = "OPTIMIZE")
     (v, st.files.length, adds.length)
+  }
+
+  /** Declare `cols` as the table's clustering columns (delta-spark's
+    * `CREATE/ALTER TABLE ... CLUSTER BY`): one metadata-only commit of
+    * the `delta.clustering` domain plus the protocol upgrade to the
+    * clustering + domainMetadata writer features. Appends after this
+    * need not cluster (the spec imposes no write-time layout);
+    * [[optimizeClustered]] redrives the layout on demand. */
+  def setClusteringColumns(spark: SparkSession, dir: String,
+                           cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "clustering columns must be non-empty")
+    val st = state(spark, dir)
+    requireWritable(st, dir)
+    require(cols.forall(st.schema.fieldNames.contains),
+      s"unknown clustering columns: ${cols.filterNot(st.schema.fieldNames.contains).mkString(",")}")
+    require(st.partitionColumns.isEmpty,
+      s"clustered tables are unpartitioned (table at $dir partitions by " +
+      s"${st.partitionColumns.mkString(",")})")
+    val cfg = M.createObjectNode()
+    val arr = cfg.putArray("clusteringColumns")
+    cols.foreach { c => val p = arr.addArray(); p.add(c) }
+    val upgraded = st.protocol.merge(
+      Protocol(1, 7, Set.empty, Set("clustering", "domainMetadata")))
+    val protoActions = if (upgraded == st.protocol) Nil else Seq(upgraded.json)
+    commit(spark, dir, st.version + 1,
+      protoActions :+ domainMetadataJson(ClusteringDomain, M.writeValueAsString(cfg)),
+      op = "CLUSTER BY")
+  }
+
+  /** OPTIMIZE for a clustered table: z-order by the table's declared
+    * clustering columns (a z-order IS a clustering implementation —
+    * multi-dimensional locality with range-pruned scans; delta-spark's
+    * OPTIMIZE on a clustered table is the same shape). */
+  def optimizeClustered(spark: SparkSession, dir: String,
+                        targetFiles: Int = 0): (Long, Int, Int) = {
+    val cols = state(spark, dir).clusteringColumns
+    require(cols.nonEmpty,
+      s"table at $dir has no clustering columns — setClusteringColumns first")
+    optimizeZOrder(spark, dir, cols, targetFiles)
   }
 
   /** Delete data files referenced by NO retained log version — files
@@ -2297,9 +2427,10 @@ object DeltaInterop {
     var config: Map[String, String] = Map.empty
     var protocol: Protocol = Protocol.Base
     val txns = scala.collection.mutable.HashMap.empty[String, Long]
+    val domains = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val cpDf = spark.read.parquet(cpFiles.map(_.toString): _*)
     val have = cpDf.schema.fieldNames.toSet
-    val metaCols = Seq("metaData", "protocol", "txn").filter(have)
+    val metaCols = Seq("metaData", "protocol", "txn", "domainMetadata").filter(have)
     // column pruning keeps the add struct out of this scan entirely
     cpDf.select(metaCols.map(col): _*)
       .filter(metaCols.map(c => col(c).isNotNull).reduce(_ || _))
@@ -2325,6 +2456,13 @@ object DeltaInterop {
         struct("txn").foreach { t =>
           val app = t.getAs[String]("appId")
           txns(app) = math.max(txns.getOrElse(app, Long.MinValue), t.getAs[Long]("version"))
+        }
+        struct("domainMetadata").foreach { d =>
+          val removed = d.schema.fieldNames.contains("removed") &&
+            !d.isNullAt(d.fieldIndex("removed")) && d.getAs[Boolean]("removed")
+          if (removed) domains.remove(d.getAs[String]("domain"))
+          else domains(d.getAs[String]("domain")) =
+            Option(d.getAs[String]("configuration")).getOrElse("")
         }
       }
     // tail: metadata-bearing lines only; add/remove/cdc lines (the bulk
@@ -2356,6 +2494,12 @@ object DeltaInterop {
               txns(t2.get("appId").asText) = math.max(
                 txns.getOrElse(t2.get("appId").asText, Long.MinValue),
                 t2.get("version").asLong)
+            } else if (node.has("domainMetadata")) {
+              val d = node.get("domainMetadata")
+              if (d.path("removed").asBoolean(false))
+                domains.remove(d.get("domain").asText)
+              else domains(d.get("domain").asText) =
+                d.path("configuration").asText("")
             }
           }
         }
@@ -2363,7 +2507,8 @@ object DeltaInterop {
     }
     require(schema != null, s"no metaData found replaying $dir")
     requireReadable(protocol, dir)
-    DeltaState(latest, schema, partCols, Nil, txns.toMap, config, protocol)
+    DeltaState(latest, schema, partCols, Nil, txns.toMap, config, protocol,
+      domains.toMap)
   }
 
   /** The live add set as a DataFrame — columns (path, partitionValues,
@@ -2566,6 +2711,16 @@ object DeltaInterop {
     M.writeValueAsString(n)
   }
 
+  private def domainMetadataJson(domain: String, configuration: String,
+                                 removed: Boolean = false): String = {
+    val n = M.createObjectNode()
+    val d = n.putObject("domainMetadata")
+    d.put("domain", domain)
+    d.put("configuration", configuration)
+    d.put("removed", removed)
+    M.writeValueAsString(n)
+  }
+
   private def addJson(a: AddFile, dataChange: Boolean = true): String = {
     val n = M.createObjectNode()
     val add = n.putObject("add")
@@ -2588,6 +2743,8 @@ object DeltaInterop {
     if (a.deletionVector != null)
       add.set[com.fasterxml.jackson.databind.JsonNode](
         "deletionVector", M.readTree(a.deletionVector))
+    if (a.clusteringProvider != null)
+      add.put("clusteringProvider", a.clusteringProvider)
     M.writeValueAsString(n)
   }
 

@@ -536,6 +536,10 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
         val (_, removed, added) = zTxt match {
           case Some(cols) => DeltaInterop.optimizeZOrder(spark, dir,
             cols.split(',').map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq)
+          // a CLUSTERED table's plain OPTIMIZE clusters (delta-spark
+          // semantics); unclustered tables bin-pack compact
+          case None if DeltaInterop.state(spark, dir).clusteringColumns.nonEmpty =>
+            DeltaInterop.optimizeClustered(spark, dir)
           case None => DeltaInterop.compact(spark, dir)
         }
         Seq(Row(removed.toLong, added.toLong))

@@ -224,6 +224,90 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("rowTracking"))
   }
 
+  test("clustered tables: CLUSTER BY domain survives checkpoint+cleanup and clone; OPTIMIZE clusters") {
+    val dir = Files.createTempDirectory("graft-proto-cluster").toString
+    DeltaInterop.writeDelta(
+      (0L until 300L).map(i => (i, i % 7, s"t_$i")).toDF("id", "grp", "tag")
+        .repartition(3), dir, Nil)
+    DeltaInterop.setClusteringColumns(spark, dir, Seq("id", "grp"))
+    var st = DeltaInterop.state(spark, dir)
+    assert(st.clusteringColumns == Seq("id", "grp"))
+    assert(st.protocol.writerFeatures.contains("clustering") &&
+      st.protocol.writerFeatures.contains("domainMetadata"))
+    // appends need not cluster (spec) — they just commit
+    DeltaInterop.writeDelta(
+      (300L until 350L).map(i => (i, i % 7, s"t_$i")).toDF("id", "grp", "tag"), dir, Nil)
+    // plain OPTIMIZE on a clustered table clusters by the DECLARED cols
+    val (_, removed, added) = DeltaInterop.optimizeClustered(spark, dir)
+    assert(removed > 0 && added > 0)
+    st = DeltaInterop.state(spark, dir)
+    assert(st.files.nonEmpty && st.files.forall(_.clusteringProvider == "graft-zorder"),
+      "rewritten files record the clustering implementation")
+    // the domain must survive the checkpoint becoming the ONLY state source
+    DeltaInterop.checkpoint(spark, dir)
+    DeltaInterop.cleanupLog(spark, dir)
+    st = DeltaInterop.state(spark, dir)
+    assert(st.clusteringColumns == Seq("id", "grp"),
+      "clustering domain must survive checkpoint + log cleanup")
+    assert(st.files.forall(_.clusteringProvider == "graft-zorder"),
+      "clusteringProvider must survive checkpoint re-serialization")
+    assert(DeltaInterop.readDelta(spark, dir).count() == 350)
+    // a shallow clone is still a clustered table
+    val clone = Files.createTempDirectory("graft-proto-cluster-clone").toString + "/c"
+    DeltaInterop.shallowClone(spark, dir, clone)
+    assert(DeltaInterop.state(spark, clone).clusteringColumns == Seq("id", "grp"))
+    // row ops stay legal on clustered tables
+    DeltaInterop.deleteWhereDV(spark, dir, col("id") === 5L)
+    assert(DeltaInterop.readDelta(spark, dir).count() == 349)
+    // clustering refuses on partitioned tables (mutually exclusive)
+    val pDir = Files.createTempDirectory("graft-proto-cluster-part").toString
+    DeltaInterop.writeDelta(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "p"), pDir, Seq("p"))
+    val e = intercept[IllegalArgumentException](
+      DeltaInterop.setClusteringColumns(spark, pDir, Seq("id")))
+    assert(e.getMessage.contains("unpartitioned"))
+  }
+
+  test("a FOREIGN liquid-clustered table appends green; the foreign domain + provider are preserved") {
+    val dir = Files.createTempDirectory("graft-proto-cluster-foreign").toString
+    // a real data file under a known name, like a delta-spark writer leaves
+    val staging = s"$dir/.stage"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag")
+      .coalesce(1).write.parquet(staging)
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    f.rename(part, new org.apache.hadoop.fs.Path(s"$dir/data-0.parquet"))
+    f.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val size = f.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/data-0.parquet")).getLen
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType)))
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["clustering","domainMetadata"]}}""",
+      s"""{"metaData":{"id":"cl-fixture","format":{"provider":"parquet","options":{}},"schemaString":${new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{},"createdTime":0}}""",
+      """{"domainMetadata":{"domain":"delta.clustering","configuration":"{\"clusteringColumns\":[[\"id\"]]}","removed":false}}""",
+      s"""{"add":{"path":"data-0.parquet","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true,"clusteringProvider":"liquid","stats":"{\\"numRecords\\":3}"}}""")
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    Files.write(Paths.get(dir, "_delta_log", "00000000000000000000.json"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    assert(DeltaInterop.readDelta(spark, dir).count() == 3)
+    val st0 = DeltaInterop.state(spark, dir)
+    assert(st0.clusteringColumns == Seq("id"))
+    assert(st0.files.head.clusteringProvider == "liquid")
+    // graft appends to the foreign clustered table
+    DeltaInterop.writeDelta(Seq((4L, "d")).toDF("id", "tag"), dir, Nil)
+    assert(DeltaInterop.readDelta(spark, dir).count() == 4)
+    // checkpoint preserves the FOREIGN provider string and the domain
+    DeltaInterop.checkpoint(spark, dir)
+    DeltaInterop.cleanupLog(spark, dir)
+    val st = DeltaInterop.state(spark, dir)
+    assert(st.clusteringColumns == Seq("id"))
+    assert(st.files.find(_.path == "data-0.parquet")
+      .exists(_.clusteringProvider == "liquid"))
+    assert(DeltaInterop.readDelta(spark, dir).count() == 4)
+  }
+
   test("in-commit timestamps are MONOTONE and preferred by time travel") {
     val dir = Files.createTempDirectory("graft-proto-ict").toString
     // rapid commits: wall-clock ms can collide; ICTs must still

@@ -2024,6 +2024,19 @@ object DeltaInterop {
       op = "CLUSTER BY")
   }
 
+  /** `ALTER TABLE ... CLUSTER BY NONE`: one tombstone commit removing
+    * the clustering domain. Data layout is untouched; the table simply
+    * stops being clustered (plain OPTIMIZE bin-packs again). */
+  def removeClusteringColumns(spark: SparkSession, dir: String): Long = {
+    val st = state(spark, dir)
+    requireWritable(st, dir)
+    require(st.domains.contains(ClusteringDomain),
+      s"table at $dir has no clustering columns to remove")
+    commit(spark, dir, st.version + 1,
+      Seq(domainMetadataJson(ClusteringDomain, "", removed = true)),
+      op = "CLUSTER BY NONE")
+  }
+
   /** OPTIMIZE for a clustered table: z-order by the table's declared
     * clustering columns (a z-order IS a clustering implementation —
     * multi-dimensional locality with range-pruned scans; delta-spark's

@@ -56,9 +56,12 @@ import scala.util.matching.Regex
   *     `SHOW TBLPROPERTIES <t>`
   *   - `RESTORE [TABLE] <t> TO VERSION AS OF n | TIMESTAMP AS OF 'ts'`
   *   - `VACUUM <t> [RETAIN n HOURS]` → `vacuum`
-  *   - `OPTIMIZE <t> [ZORDER BY (c, ...)]` → `compact` / `optimizeZOrder`
+  *   - `OPTIMIZE <t> [ZORDER BY (c, ...)]` → `compact` /
+  *     `optimizeZOrder` / `optimizeClustered` (a clustered table's
+  *     plain OPTIMIZE clusters by its declared columns)
   *   - `ALTER TABLE <t> ADD COLUMN c type | RENAME COLUMN a TO b |
-  *      SET TBLPROPERTIES (k=v, ...) | ADD CONSTRAINT n CHECK (e)`
+  *      SET TBLPROPERTIES (k=v, ...) | ADD CONSTRAINT n CHECK (e) |
+  *      CLUSTER BY (c, ...) | CLUSTER BY NONE`
   *      (name-addressed ALTERs re-register the catalog entry so the
   *      stored view schema tracks the evolved table)
   *
@@ -460,7 +463,8 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
       val ifNotExists = m.group(1) != null
       val path = Option(m.group(2)); val name = Option(m.group(3))
       val colsTxt = m.group(4)
-      val partTxt = Option(m.group(5)); val loc = Option(m.group(6))
+      val partTxt = Option(m.group(5)); val clusterTxt = Option(m.group(6))
+      val loc = Option(m.group(7))
       command(Nil) { spark =>
         val exists = path.map(p => DeltaInterop.latestVersion(spark, p) >= 0)
           .getOrElse(DeltaInterop.catalogDeltaPath(spark, name.get).isDefined)
@@ -479,6 +483,10 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
             spark.createDataFrame(
               java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema),
             dir, partCols)
+          clusterTxt.foreach { cols =>
+            DeltaInterop.setClusteringColumns(spark, dir,
+              cols.split(',').map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq)
+          }
           name.foreach(n => DeltaInterop.registerCatalogTable(spark, n, dir))
         }
         Nil
@@ -593,6 +601,18 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
           Seq(Row(DeltaInterop.addConstraint(spark, dir, name, exprTxt)))
         }
       }
+    }).orElse(alterClusterByRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m, 1).map { case (dir, _) =>
+        val colsTxt = Option(m.group(3)) // None ⇒ CLUSTER BY NONE
+        command(Seq(attr("version", LongType))) { spark =>
+          val v = colsTxt match {
+            case Some(cols) => DeltaInterop.setClusteringColumns(spark, dir,
+              cols.split(',').map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq)
+            case None => DeltaInterop.removeClusteringColumns(spark, dir)
+          }
+          Seq(Row(v))
+        }
+      }
     })
   }
 
@@ -601,11 +621,13 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
       command(Seq(attr("format", StringType), attr("location", StringType),
         attr("version", LongType), attr("numFiles", LongType),
         attr("sizeInBytes", LongType), attr("partitionColumns", StringType),
+        attr("clusteringColumns", StringType),
         attr("properties", StringType),
         attr("minReaderVersion", LongType), attr("minWriterVersion", LongType))) { spark =>
         val st = DeltaInterop.state(spark, dir)
         Seq(Row("delta", dir, st.version, st.files.length.toLong,
           st.files.map(_.size).sum, st.partitionColumns.mkString(","),
+          st.clusteringColumns.mkString(","),
           st.configuration.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","),
           st.protocol.minReader.toLong, st.protocol.minWriter.toLong))
       }
@@ -762,7 +784,11 @@ object DeltaSqlParser {
     (s"""(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T""" +
      s"""\\s*\\((.+)\\)\\s+USING\\s+delta""" +
      s"""(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?""" +
+     s"""(?:\\s+CLUSTER\\s+BY\\s*\\(([^)]*)\\))?""" +
      s"""(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*$$""").r
+  private[sql] val alterClusterByRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+CLUSTER\\s+BY\\s*""" +
+     s"""(?:NONE|\\(([^)]*)\\))\\s*;?\\s*$$""").r
   // one column def's tail clauses (delta-spark DDL):
   //   GENERATED ALWAYS|BY DEFAULT AS IDENTITY [(START WITH n [INCREMENT BY m])]
   //   GENERATED ALWAYS AS (expr)

@@ -224,6 +224,20 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("rowTracking"))
   }
 
+  test("icebergCompat tables READ green (writer-side feature); writes refuse by name") {
+    // delta-spark's UniForm tables carry icebergCompatV1/V2 as WRITER
+    // features — the obligation (maintaining Iceberg metadata on every
+    // commit) binds writers only, so plain reads must work and writes
+    // must refuse naming the feature
+    val dir = Files.createTempDirectory("graft-proto-icebergcompat").toString
+    writeForeignLog(dir,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV2"]}}""")
+    DeltaInterop.readDelta(spark, dir) // schema-only empty table reads
+    val e = intercept[IllegalArgumentException](
+      DeltaInterop.writeDelta(Seq(1L).toDF("id"), dir, Nil))
+    assert(e.getMessage.contains("icebergCompatV2"), e.getMessage)
+  }
+
   test("clustered tables: CLUSTER BY domain survives checkpoint+cleanup and clone; OPTIMIZE clusters") {
     val dir = Files.createTempDirectory("graft-proto-cluster").toString
     DeltaInterop.writeDelta(

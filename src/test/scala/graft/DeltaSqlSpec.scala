@@ -225,6 +225,28 @@ class DeltaSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nonneg"), e.getMessage)
   }
 
+  test("CLUSTER BY runs as SQL: CREATE, plain OPTIMIZE clusters, ALTER ... CLUSTER BY [NONE]") {
+    val dir = Files.createTempDirectory("graft-sql-cluster").toString + "/t"
+    spark.sql(s"CREATE TABLE delta.`$dir` (id BIGINT, lang STRING) " +
+      "USING delta CLUSTER BY (lang, id)")
+    spark.sql(s"INSERT INTO delta.`$dir` " +
+      "SELECT id, concat('l', cast(id % 3 AS STRING)) FROM range(300)")
+    val det = spark.sql(s"DESCRIBE DETAIL delta.`$dir`").collect().head
+    assert(det.getAs[String]("clusteringColumns") == "lang,id")
+    // plain OPTIMIZE on a clustered table CLUSTERS (not just bin-packs)
+    val opt = spark.sql(s"OPTIMIZE delta.`$dir`").collect().head
+    assert(opt.getAs[Long]("num_files_added") > 0)
+    assert(DeltaInterop.state(spark, dir).files
+      .forall(_.clusteringProvider == "graft-zorder"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM delta.`$dir`")
+      .head().getLong(0) == 300)
+    // CLUSTER BY NONE drops the domain; re-CLUSTER BY re-declares it
+    spark.sql(s"ALTER TABLE delta.`$dir` CLUSTER BY NONE").collect()
+    assert(DeltaInterop.state(spark, dir).clusteringColumns.isEmpty)
+    spark.sql(s"ALTER TABLE delta.`$dir` CLUSTER BY (id)").collect()
+    assert(DeltaInterop.state(spark, dir).clusteringColumns == Seq("id"))
+  }
+
   test("OPTIMIZE ZORDER BY and TIMESTAMP AS OF time travel run as SQL") {
     val dir = Files.createTempDirectory("graft-sql-zorder").toString
     DeltaInterop.writeDelta(

@@ -74,7 +74,7 @@ object Bench {
     "q170_sql_catalog_names",
     "q171_merge_by_source", "q172_identity_lifecycle",
     "q173_iceberg_read", "q174_iceberg_evolution",
-    "q175_delta_clustered"
+    "q175_delta_clustered", "q176_iceberg_pruned"
   )
 
   def main(args: Array[String]): Unit = {

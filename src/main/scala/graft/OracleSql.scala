@@ -487,6 +487,16 @@ object OracleSql {
       """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
         |FROM documents WHERE n_chars >= 100
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q176: Iceberg file-level data skipping — the pruned range read
+    // must equal the plain doc_id BETWEEN filter
+    "q176_iceberg_pruned" ->
+      """WITH b AS (SELECT
+        |    min(doc_id) + 4 * ((max(doc_id) - min(doc_id)) // 10) AS lo,
+        |    min(doc_id) + 5 * ((max(doc_id) - min(doc_id)) // 10) AS hi
+        |  FROM documents)
+        |SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
+        |FROM documents, b WHERE doc_id BETWEEN lo AND hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

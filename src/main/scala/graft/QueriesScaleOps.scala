@@ -1993,4 +1993,30 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
       .orderBy("lang")
   }
+
+  /** q176 — Iceberg FILE-LEVEL data skipping: the corpus lands
+    * range-partitioned by doc_id (disjoint per-file bounds in the
+    * manifests), and a selective range read prunes files from the
+    * MANIFEST bound maps before any parquet is touched — the Iceberg
+    * analogue of the Delta zonemap read (q103). The residual row
+    * filter re-applies in-plan, so the result equals the plain
+    * filter the oracle states. */
+  private[graft] def q176(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q176")
+    graft.tools.IcebergFixture.append(
+      docs.repartitionByRange(8, col("doc_id")), tmp)
+    // the middle ~10% band of the key range, q156's integer arithmetic
+    // (deterministic, restated by the oracle)
+    val mm = docs.agg(min("doc_id"), max("doc_id")).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val lo = mn + 4L * ((mx - mn) / 10L)
+    val hi = mn + 5L * ((mx - mn) / 10L)
+    val t = graft.io.IcebergInterop.readIcebergWhere(s, tmp,
+      Map("doc_id" -> ((lo.toDouble, hi.toDouble))))
+    require(t.inputFiles.length < 8,
+      s"manifest bounds must prune the 8-file scan, got ${t.inputFiles.length}")
+    t.groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      .orderBy("lang")
+  }
 }

@@ -168,13 +168,20 @@ object IcebergInterop {
   private def resolve(uri: String): String =
     if (uri.startsWith("file:")) new java.net.URI(uri).getPath else uri
 
+  /** One data file of a snapshot: path, DATA sequence number, and the
+    * manifest's per-field-id (lower, upper) bound bytes — the
+    * file-level data-skipping index (decoded lazily, only for fields a
+    * range predicate names). */
+  private final case class DataFileEntry(path: String, seq: Long,
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
+
   /** One snapshot's live file inventory, with the sequence numbers
     * delete application needs: data files carry their DATA sequence
     * number (entry-level when present, inherited from the manifest
     * otherwise); equality-delete files carry their sequence number and
     * equality field ids. */
   private final case class SnapshotFiles(
-      data: Seq[(String, Long)],
+      data: Seq[DataFileEntry],
       posDeletes: Seq[String],
       eqDeletes: Seq[(String, Long, Seq[Int])])
 
@@ -193,9 +200,18 @@ object IcebergInterop {
       } else // v1: inline manifest path array (v1 has no deletes)
         snapshot.path("manifests").elements().asScala
           .map(p => (p.asText, 0, 0L)).toSeq
-    val data = Seq.newBuilder[(String, Long)]
+    val data = Seq.newBuilder[DataFileEntry]
     val posDeletes = Seq.newBuilder[String]
     val eqDeletes = Seq.newBuilder[(String, Long, Seq[Int])]
+    def boundsOf(df: GenericRecord, field: String): Map[Int, Array[Byte]] =
+      Option(df.getSchema.getField(field)).flatMap(_ => Option(df.get(field))).map {
+        _.asInstanceOf[java.util.List[_]].asScala.map { kv0 =>
+          val kv = kv0.asInstanceOf[GenericRecord]
+          val bb = kv.get("value").asInstanceOf[java.nio.ByteBuffer].duplicate()
+          val b = new Array[Byte](bb.remaining()); bb.get(b)
+          kv.get("key").asInstanceOf[Number].intValue -> b
+        }.toMap
+      }.getOrElse(Map.empty)
     manifests.foreach { case (mp, _, mseq) =>
       avroRecords(spark, new Path(resolve(mp))).foreach { e =>
         val status = intOr(e, "status", 0)
@@ -208,7 +224,8 @@ object IcebergInterop {
             s"Iceberg file format $fmt is not supported (parquet only)")
           val path = resolve(str(df, "file_path"))
           content match {
-            case 0 => data += ((path, seq))
+            case 0 => data += DataFileEntry(path, seq,
+              boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"))
             case 1 => posDeletes += path
             case 2 =>
               val ids = Option(df.getSchema.getField("equality_ids"))
@@ -244,9 +261,36 @@ object IcebergInterop {
   private def canonPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
 
+  /** Decode a spec single-value bound (little-endian) to a double for
+    * range-overlap checks. Unknown widths/types → None (no pruning). */
+  private def boundToDouble(dt: DataType, b: Array[Byte]): Option[Double] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType | DateType if b.length == 4 => Some(bb.getInt.toDouble)
+      case LongType if b.length == 8 => Some(bb.getLong.toDouble)
+      case FloatType if b.length == 4 => Some(bb.getFloat.toDouble)
+      case DoubleType if b.length == 8 => Some(bb.getDouble)
+      case _ => None
+    }
+  }
+
+  /** Pruned read: file-level data skipping from the manifests' bound
+    * maps — the Iceberg analogue of the Delta zonemap read. Files
+    * whose recorded bounds exclude a range drop WITHOUT touching
+    * storage; files lacking bounds survive (no skipping without
+    * evidence); the residual row filter re-applies in-plan. At 100 TB
+    * this makes a selective range read proportional to the matching
+    * files, not the table. */
+  def readIcebergWhere(spark: SparkSession, dir: String,
+                       ranges: Map[String, (Double, Double)],
+                       snapshotId: Option[Long] = None): DataFrame =
+    readIceberg(spark, dir, snapshotId, ranges)
+
   /** Read an Iceberg table's current — or `snapshotId`'s — rows. */
   def readIceberg(spark: SparkSession, dir: String,
-                  snapshotId: Option[Long] = None): DataFrame = {
+                  snapshotId: Option[Long] = None,
+                  ranges: Map[String, (Double, Double)] = Map.empty): DataFrame = {
     import scala.jdk.CollectionConverters._
     // Field-id column resolution: Iceberg schema evolution renames /
     // reorders / drops COLUMN NAMES but never reuses field IDS, so
@@ -278,14 +322,41 @@ object IcebergInterop {
         throw new IllegalArgumentException(
           s"snapshot $wanted not found in ${snaps.length} snapshot(s) at $dir")
       case Some(s0) =>
-        val inv = liveFiles(spark, dir, s0)
+        val inv0 = liveFiles(spark, dir, s0)
+        // file-level data skipping: drop files whose manifest bounds
+        // exclude a requested range (by FIELD ID — names may have
+        // evolved since the bounds were written)
+        val idOf: Map[String, (Int, DataType)] =
+          fieldsOf(schemaNode.path("fields")).flatMap { f =>
+            if (f.metadata.contains(FieldIdKey))
+              Some(f.name -> ((f.metadata.getLong(FieldIdKey).toInt, f.dataType)))
+            else None
+          }.toMap
+        val inv = if (ranges.isEmpty) inv0 else inv0.copy(
+          data = inv0.data.filter { e =>
+            ranges.forall { case (name, (lo, hi)) =>
+              idOf.get(name).forall { case (id, dt) =>
+                (e.lower.get(id).flatMap(boundToDouble(dt, _)),
+                 e.upper.get(id).flatMap(boundToDouble(dt, _))) match {
+                  case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+                  case _ => true // no bound, no skipping
+                }
+              }
+            }
+          })
+        def residual(df: DataFrame): DataFrame = {
+          import org.apache.spark.sql.functions.col
+          ranges.foldLeft(df) { case (d, (k, (lo, hi))) =>
+            d.filter(col(k) >= lo && col(k) <= hi)
+          }
+        }
         if (inv.data.isEmpty)
-          spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+          residual(spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
         else {
           import org.apache.spark.sql.functions._
-          val base = spark.read.schema(schema).parquet(inv.data.map(_._1): _*)
-          if (inv.posDeletes.isEmpty && inv.eqDeletes.isEmpty) base
+          val base = spark.read.schema(schema).parquet(inv.data.map(_.path): _*)
+          if (inv.posDeletes.isEmpty && inv.eqDeletes.isEmpty) residual(base)
           else {
             // Row-level deletes as a PLAN, not a driver loop: the scan
             // exposes its own (file, row ordinal) through `_metadata`,
@@ -314,7 +385,7 @@ object IcebergInterop {
               // the spec matches null to null)
               val idMap = fieldsById(schemaNode)
               val seqDf = broadcast(spark.createDataFrame(
-                inv.data.map(d => (canonPathStr(d._1), d._2))
+                inv.data.map(d => (canonPathStr(d.path), d.seq))
                   .map(org.apache.spark.sql.Row.fromTuple(_)).asJava,
                 StructType(Seq(StructField("_seq_path", StringType),
                   StructField("_data_seq", LongType)))))
@@ -339,7 +410,7 @@ object IcebergInterop {
                 cur = cur.join(del, cond, "left_anti")
               }
             }
-            cur.select(schema.fieldNames.map(col).toSeq: _*)
+            residual(cur.select(schema.fieldNames.map(col).toSeq: _*))
           }
         }
     }

@@ -33,7 +33,12 @@ object IcebergFixture {
       |  {"name":"file_format","type":"string"},
       |  {"name":"record_count","type":"long"},
       |  {"name":"file_size_in_bytes","type":"long"},
-      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin)
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null},
+      |  {"name":"lower_bounds","type":["null",{"type":"array","items":
+      |    {"type":"record","name":"k_v","fields":[
+      |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null},
+      |  {"name":"upper_bounds","type":["null",{"type":"array","items":"k_v"}],"default":null}
+      |]}}]}""".stripMargin)
 
   private val ManifestFileSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -126,10 +131,14 @@ object IcebergFixture {
     }.toSeq: _*)
   }
 
-  /** Build one manifest_entry record for a file descriptor. */
+  /** Build one manifest_entry record for a file descriptor. `bounds`
+    * are per-field-id (lower, upper) SINGLE-VALUE serializations (the
+    * spec's little-endian encoding — what file-level data skipping
+    * prunes on). */
   private def entry(content: Int, path: String, rows: Long, size: Long,
                     snapshotId: Long,
-                    equalityIds: Seq[Int] = Nil): GenericRecord = {
+                    equalityIds: Seq[Int] = Nil,
+                    bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty): GenericRecord = {
     val dfSchema = EntrySchema.getField("data_file").schema()
     val dfRec = new GenericData.Record(dfSchema)
     dfRec.put("content", content)
@@ -143,12 +152,67 @@ object IcebergFixture {
       equalityIds.foreach(i => arr.add(Integer.valueOf(i)))
       dfRec.put("equality_ids", arr)
     }
+    if (bounds.nonEmpty) {
+      def kvArray(fieldName: String, pick: ((Array[Byte], Array[Byte])) => Array[Byte]) = {
+        val arrT = dfSchema.getField(fieldName).schema().getTypes.get(1)
+        val kvT = arrT.getElementType
+        val arr = new GenericData.Array[GenericRecord](bounds.size, arrT)
+        bounds.toSeq.sortBy(_._1).foreach { case (id, b) =>
+          val kv = new GenericData.Record(kvT)
+          kv.put("key", id)
+          kv.put("value", java.nio.ByteBuffer.wrap(pick(b)))
+          arr.add(kv)
+        }
+        arr
+      }
+      dfRec.put("lower_bounds", kvArray("lower_bounds", _._1))
+      dfRec.put("upper_bounds", kvArray("upper_bounds", _._2))
+    }
     val e = new GenericData.Record(EntrySchema)
     e.put("status", 1) // ADDED
     e.put("snapshot_id", snapshotId)
     e.put("sequence_number", snapshotId) // fixture convention: seq == snapshot
     e.put("data_file", dfRec)
     e
+  }
+
+  /** The spec's binary single-value serialization (little-endian) for
+    * the bound-able primitive types this fixture stats. */
+  private def serializeBound(dt: DataType, v: Any): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    (dt, v) match {
+      case (_, null) => None
+      case (IntegerType, x: Int) => Some(le(4).putInt(x).array())
+      case (LongType, x: Long) => Some(le(8).putLong(x).array())
+      case (FloatType, x: Float) => Some(le(4).putFloat(x).array())
+      case (DoubleType, x: Double) => Some(le(8).putDouble(x).array())
+      case (DateType, x: java.sql.Date) =>
+        Some(le(4).putInt(x.toLocalDate.toEpochDay.toInt).array())
+      case _ => None // strings/binaries: skipped (no bound, no pruning)
+    }
+  }
+
+  /** Per-field-id (min, max) bound bytes of one data file — one
+    * aggregate scan over the numeric/date columns. */
+  private def fileBounds(spark: SparkSession, path: String,
+                         idsByName: Map[String, Int]): Map[Int, (Array[Byte], Array[Byte])] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val df = spark.read.parquet(path)
+    val statCols = df.schema.fields.filter(f => f.dataType match {
+      case IntegerType | LongType | FloatType | DoubleType | DateType => true
+      case _ => false
+    }).map(_.name).filter(idsByName.contains)
+    if (statCols.isEmpty) return Map.empty
+    val aggs = statCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val row = df.agg(aggs.head, aggs.tail.toSeq: _*).head()
+    statCols.zipWithIndex.flatMap { case (c, i) =>
+      val dt = df.schema(c).dataType
+      for {
+        lo <- serializeBound(dt, row.get(2 * i))
+        hi <- serializeBound(dt, row.get(2 * i + 1))
+      } yield idsByName(c) -> ((lo, hi))
+    }.toMap
   }
 
   /** Commit a new snapshot whose manifest list = the previous
@@ -284,7 +348,8 @@ object IcebergFixture {
     val prevVersion = currentVersion(f, root)
     val snapshotId = prevVersion + 1L
     val entries = dataFiles.map { case (p, size) =>
-      entry(0, p.toString, spark.read.parquet(p.toString).count(), size, snapshotId)
+      entry(0, p.toString, spark.read.parquet(p.toString).count(), size, snapshotId,
+        bounds = fileBounds(spark, p.toString, idsByName))
     }
     val manifestP = new Path(root, s"metadata/manifest-$snapshotId.avro")
     writeAvro(new java.io.File(manifestP.toUri.getPath), EntrySchema, entries)

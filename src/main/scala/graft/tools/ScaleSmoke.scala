@@ -74,7 +74,8 @@ object ScaleSmoke {
       "q168_sql_merge_clauses", "q169_convert_to_delta",
       "q170_sql_catalog_names", "q171_merge_by_source",
       "q172_identity_lifecycle", "q173_iceberg_read",
-      "q174_iceberg_evolution", "q175_delta_clustered")
+      "q174_iceberg_evolution", "q175_delta_clustered",
+      "q176_iceberg_pruned")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -159,6 +159,38 @@ class IcebergInteropSpec extends AnyFunSuite {
       "pre-rename equality deletes still apply by field id")
   }
 
+  test("FILE-LEVEL data skipping: manifest bounds prune the scan; results stay exact") {
+    val dir = Files.createTempDirectory("graft-iceberg-prune").toString
+    // range-partitioned files → disjoint id ranges → prunable bounds
+    IcebergFixture.append(
+      (0L until 1000L).map(i => (i, s"t_$i", i * 0.5)).toDF("id", "tag", "v")
+        .repartitionByRange(8, col("id")), dir)
+    val full = IcebergInterop.readIceberg(spark, dir)
+    assert(full.inputFiles.length == 8)
+    val pruned = IcebergInterop.readIcebergWhere(spark, dir,
+      Map("id" -> ((100.0, 200.0))))
+    assert(pruned.inputFiles.length < 8,
+      s"bounds must drop non-overlapping files, scanned ${pruned.inputFiles.length}")
+    assert(pruned.count() == 101)
+    assert(pruned.agg(sum("id")).head().getLong(0) == (100L to 200L).sum)
+    // a DOUBLE-typed range prunes too, and composes with the id range
+    val both = IcebergInterop.readIcebergWhere(spark, dir,
+      Map("id" -> ((100.0, 200.0)), "v" -> ((0.0, 60.0))))
+    assert(both.count() == 21) // id 100..120 (v = id*0.5 ≤ 60)
+    // a range with NO matching file reads empty without touching storage
+    assert(IcebergInterop.readIcebergWhere(spark, dir,
+      Map("id" -> ((5000.0, 6000.0)))).count() == 0)
+    // pruning respects deletes: delete one surviving row, re-read
+    IcebergFixture.deleteEqualities(spark, dir, Seq(150L).toDF("id"))
+    assert(IcebergInterop.readIcebergWhere(spark, dir,
+      Map("id" -> ((100.0, 200.0)))).count() == 100)
+    // pruning by a RENAMED column still hits the old bounds (field ids)
+    IcebergFixture.renameColumn(spark, dir, "id", "key")
+    val renamed = IcebergInterop.readIcebergWhere(spark, dir,
+      Map("key" -> ((100.0, 200.0))))
+    assert(renamed.inputFiles.length < 8 && renamed.count() == 100)
+  }
+
   test("missing snapshot ids are loud") {
     val dir = Files.createTempDirectory("graft-iceberg-del").toString
     IcebergFixture.append(Seq((1L, "x", 0.0)).toDF("id", "tag", "v"), dir)

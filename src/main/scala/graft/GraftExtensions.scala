@@ -60,6 +60,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_iceberg"),
+      info("graft_iceberg",
+        "graft_iceberg(path[, snapshot_id]) - rows of a foreign Apache Iceberg table (optionally time-traveled)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          s"graft_iceberg takes (path[, snapshot_id]), got ${args.length} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = stringArg("graft_iceberg", args, 0)
+        val snap = if (args.length > 1) Some(longArg("graft_iceberg", args, 1)) else None
+        org.apache.spark.sql.GraftBridge.plan(
+          graft.io.IcebergInterop.readIceberg(spark, path, snap))
+      }
+    ))
+    ext.injectTableFunction((
       FunctionIdentifier("table_changes"),
       info("table_changes",
         "table_changes(path_or_name, from_version[, to_version]) - the table's change data feed over the version range"),

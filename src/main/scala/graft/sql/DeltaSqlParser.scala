@@ -683,20 +683,26 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
     // only refs OUTSIDE string literals are table references — a
     // SELECT whose literal spells `delta.`/x`` is data, not a read
     // (found by the property suite; replaceAllIn corrupted the literal)
-    val live = outsideLiteralMatches(sql, deltaPathRe)
+    val live = (outsideLiteralMatches(sql, deltaPathRe).map((_, "delta")) ++
+      outsideLiteralMatches(sql, icebergPathRe).map((_, "iceberg")))
+      .sortBy(_._1.start)
     if (live.isEmpty) return sql
     val spark = SparkSession.active
     val sb = new StringBuilder; var pos = 0
-    live.foreach { m =>
+    live.foreach { case (m, kind) =>
       val dir = m.group(1)
+      // for iceberg, VERSION AS OF n is the SNAPSHOT id (Spark+Iceberg
+      // semantics); timestamp travel stays Delta-only
       val version = Option(m.group(2)).map(_.toLong).orElse(
-        Option(m.group(3)).map(ts =>
-          DeltaInterop.versionAtTimestamp(spark, dir, parseTs(ts))))
+        if (kind == "delta") Option(m.group(3)).map(ts =>
+          DeltaInterop.versionAtTimestamp(spark, dir, parseTs(ts)))
+        else None)
       val esc = dir.replace("'", "''")
+      val fn = if (kind == "delta") "graft_delta" else "graft_iceberg"
       sb ++= sql.substring(pos, m.start)
       sb ++= (version match {
-        case Some(v) => s"graft_delta('$esc', $v)"
-        case None => s"graft_delta('$esc')"
+        case Some(v) => s"$fn('$esc', $v)"
+        case None => s"$fn('$esc')"
       })
       pos = m.end
     }
@@ -834,6 +840,10 @@ object DeltaSqlParser {
   // a read reference: delta.`p` with optional time travel (version or timestamp)
   private[sql] val deltaPathRe =
     """(?is)delta\s*\.\s*`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
+  /** Foreign Apache Iceberg reads: `iceberg.`p`` with optional
+    * `VERSION AS OF <snapshot-id>` (Spark+Iceberg's spelling). */
+  private[sql] val icebergPathRe =
+    """(?is)iceberg\s*\.\s*`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
   /** `delta.`p`.` as a column qualifier inside a MERGE ON clause. */
   private[sql] def pathQualifierRe(path: String): Regex =
     s"""(?i)delta\\s*\\.\\s*`${Regex.quote(path)}`\\s*\\.""".r

@@ -225,6 +225,32 @@ class DeltaSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nonneg"), e.getMessage)
   }
 
+  test("foreign Iceberg tables read as SQL: iceberg.`p`, VERSION AS OF snapshot, joins with Delta") {
+    val dir = Files.createTempDirectory("graft-sql-iceberg").toString
+    val s1 = graft.tools.IcebergFixture.append(
+      (0L until 100L).map(i => (i, s"g_${i % 4}")).toDF("id", "grp"), dir)
+    graft.tools.IcebergFixture.append(
+      (100L until 150L).map(i => (i, s"g_${i % 4}")).toDF("id", "grp"), dir)
+    assert(spark.sql(s"SELECT count(*) AS n FROM iceberg.`$dir`")
+      .head().getLong(0) == 150)
+    // VERSION AS OF = snapshot id (Spark+Iceberg semantics)
+    assert(spark.sql(
+      s"SELECT max(id) AS m FROM iceberg.`$dir` VERSION AS OF $s1")
+      .head().getLong(0) == 99)
+    // the TVF spelling works directly, and Iceberg joins Delta in one
+    // statement — both sides resolve to plain pruned scans
+    val dDir = freshTable("graft-sql-ice-delta", 50)
+    val joined = spark.sql(
+      s"""SELECT count(*) AS n FROM iceberg.`$dir` i
+         |JOIN delta.`$dDir` d ON i.id = d.id""".stripMargin).head().getLong(0)
+    assert(joined == 50)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_iceberg('$dir', $s1)")
+      .head().getLong(0) == 100)
+    // a string literal spelling iceberg.`x` is DATA, not a read
+    assert(spark.sql("SELECT 'iceberg.`/nope`' AS s").head().getString(0)
+      == "iceberg.`/nope`")
+  }
+
   test("CLUSTER BY runs as SQL: CREATE, plain OPTIMIZE clusters, ALTER ... CLUSTER BY [NONE]") {
     val dir = Files.createTempDirectory("graft-sql-cluster").toString + "/t"
     spark.sql(s"CREATE TABLE delta.`$dir` (id BIGINT, lang STRING) " +

@@ -1232,6 +1232,62 @@ object DeltaInterop {
       op = "ADD COLUMNS")
   }
 
+  /** Metadata-only column drop (delta-spark's `ALTER TABLE ... DROP
+    * COLUMN`): the field leaves the LOGICAL schema; the physical bytes
+    * stay in the files, unreachable because mapped reads address
+    * columns by physical name. Requires — and, like [[renameColumn]],
+    * auto-upgrades to — column mapping: without it parquet reads are
+    * name-keyed, and dropping then re-adding a name would RESURRECT
+    * the old data ([[addColumn]] assigns a fresh physical name on
+    * mapped tables, so that cannot happen here). Anything still
+    * referencing the column (partitioning, clustering, CHECK
+    * constraints, generated-column expressions) refuses loudly. */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Long = {
+    val st = state(spark, dir)
+    requireWritable(st, dir)
+    require(st.schema.fieldNames.contains(name), s"no column $name")
+    require(st.schema.fields.length > 1, "cannot drop the only column")
+    require(!st.partitionColumns.contains(name),
+      s"cannot drop partition column $name")
+    require(!st.clusteringColumns.contains(name),
+      s"cannot drop clustering column $name (ALTER ... CLUSTER BY first)")
+    val word = ("""(?<![\w`])""" + java.util.regex.Pattern.quote(name) +
+      """(?![\w`])""").r
+    st.configuration.foreach { case (k, v) =>
+      require(!(k.startsWith("delta.constraints.") && word.findFirstIn(v).isDefined),
+        s"cannot drop $name: CHECK constraint " +
+        s"${k.stripPrefix("delta.constraints.")} references it")
+    }
+    st.schema.fields.foreach { fd =>
+      require(!(fd.name != name && fd.metadata.contains("delta.generationExpression") &&
+          word.findFirstIn(fd.metadata.getString("delta.generationExpression")).isDefined),
+        s"cannot drop $name: generated column ${fd.name} references it")
+    }
+    val mapped = columnMappingMode(st) != "none"
+    var nextId = st.configuration.get("delta.columnMapping.maxColumnId")
+      .map(_.toLong).getOrElse(0L)
+    val fields = st.schema.fields.map { fd0 =>
+      if (mapped && fd0.metadata.contains("delta.columnMapping.id")) fd0
+      else { // upgrade: freeze the CURRENT name as the physical one
+        nextId += 1
+        fd0.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(fd0.metadata)
+          .putLong("delta.columnMapping.id", nextId)
+          .putString("delta.columnMapping.physicalName", fd0.name)
+          .build())
+      }
+    }.filterNot(_.name == name)
+    val config = st.configuration ++ Map(
+      "delta.columnMapping.mode" ->
+        st.configuration.getOrElse("delta.columnMapping.mode", "name"),
+      "delta.columnMapping.maxColumnId" -> nextId.toString)
+    val actions = Seq.newBuilder[String]
+    val upgraded = st.protocol.merge(Protocol.ColumnMapping)
+    if (upgraded != st.protocol) actions += upgraded.json
+    actions += metaDataJson(StructType(fields), st.partitionColumns, config)
+    commit(spark, dir, st.version + 1, actions.result(), op = "DROP COLUMNS")
+  }
+
   def writeDelta(df: DataFrame, dir: String, partCols: Seq[String],
                  overwrite: Boolean = false): Long =
     writeDelta(df, dir, partCols, overwrite, checkpointInterval = 10)

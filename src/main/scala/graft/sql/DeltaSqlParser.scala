@@ -60,8 +60,9 @@ import scala.util.matching.Regex
   *     `optimizeZOrder` / `optimizeClustered` (a clustered table's
   *     plain OPTIMIZE clusters by its declared columns)
   *   - `ALTER TABLE <t> ADD COLUMN c type | RENAME COLUMN a TO b |
-  *      SET TBLPROPERTIES (k=v, ...) | ADD CONSTRAINT n CHECK (e) |
-  *      CLUSTER BY (c, ...) | CLUSTER BY NONE`
+  *      DROP COLUMN c | SET TBLPROPERTIES (k=v, ...) |
+  *      ADD CONSTRAINT n CHECK (e) | CLUSTER BY (c, ...) | CLUSTER BY
+  *      NONE`
   *      (name-addressed ALTERs re-register the catalog entry so the
   *      stored view schema tracks the evolved table)
   *
@@ -577,6 +578,12 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
         command(Seq(attr("version", LongType)))(withReregister(dir, name,
           spark => DeltaInterop.renameColumn(spark, dir, from, to)))
       }
+    }).orElse(alterDropColRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m, 1).map { case (dir, name) =>
+        val colName = m.group(3).replace("`", "")
+        command(Seq(attr("version", LongType)))(withReregister(dir, name,
+          spark => DeltaInterop.dropColumn(spark, dir, colName)))
+      }
     }).orElse(alterSetPropsRe.findFirstMatchIn(t).flatMap { m =>
       ref(m, 1).map { case (dir, _) =>
         val propsTxt = m.group(3)
@@ -817,6 +824,8 @@ object DeltaSqlParser {
      s"""\\(?\\s*([\\w`]+)\\s+([\\w()<>,\\s]+?)\\s*\\)?\\s*;?\\s*$$""").r
   private[sql] val alterRenameColRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+([\\w`]+)\\s+TO\\s+([\\w`]+)\\s*;?\\s*$$""".r
+  private[sql] val alterDropColRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+COLUMNS?\\s*\\(?\\s*([\\w`]+)\\s*\\)?\\s*;?\\s*$$""".r
   private[sql] val alterSetPropsRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""".r
   private[sql] val alterConstraintRe =

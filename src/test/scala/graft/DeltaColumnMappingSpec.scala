@@ -320,4 +320,49 @@ class DeltaColumnMappingSpec extends AnyFunSuite {
     assert(DeltaInterop.state(spark, dir)
       .configuration("delta.columnMapping.mode") === "name")
   }
+
+  test("DROP COLUMN is metadata-only; a re-added name does NOT resurrect the old data") {
+    val dir = Files.createTempDirectory("graft-cm-drop").toString
+    DeltaInterop.writeDelta(
+      (0L until 20L).map(i => (i, s"n_$i", i * 1.0)).toDF("id", "name", "score"),
+      dir, Nil)
+    DeltaInterop.dropColumn(spark, dir, "name")
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.columns.toSeq == Seq("id", "score") && t.count() == 20)
+    // the drop auto-upgraded to column mapping (physical bytes stay)
+    assert(DeltaInterop.state(spark, dir)
+      .configuration("delta.columnMapping.mode") == "name")
+    // time travel below the drop still sees the column
+    assert(DeltaInterop.readDelta(spark, dir, Some(0L)).columns.contains("name"))
+    // re-adding the SAME name reads null — fresh physical name, no
+    // resurrection of the dropped bytes
+    DeltaInterop.addColumn(spark, dir, "name", StringType)
+    val re = DeltaInterop.readDelta(spark, dir)
+    assert(re.filter(col("name").isNotNull).count() == 0,
+      "a re-added column must not resurrect dropped data")
+    // the post-drop table keeps working: append + DV delete
+    DeltaInterop.writeDelta(
+      Seq((100L, 9.9, "fresh")).toDF("id", "score", "name"), dir, Nil)
+    assert(DeltaInterop.readDelta(spark, dir)
+      .filter(col("name") === "fresh").count() == 1)
+    DeltaInterop.deleteWhereDV(spark, dir, col("id") === 3L)
+    assert(DeltaInterop.readDelta(spark, dir).count() == 20)
+    // guards: partition / constraint / generated-column references refuse
+    val pDir = Files.createTempDirectory("graft-cm-drop-p").toString
+    DeltaInterop.writeDelta(Seq((1L, "a"), (2L, "b")).toDF("id", "p"), pDir, Seq("p"))
+    val e1 = intercept[IllegalArgumentException](
+      DeltaInterop.dropColumn(spark, pDir, "p"))
+    assert(e1.getMessage.contains("partition"))
+    val cDir = Files.createTempDirectory("graft-cm-drop-c").toString
+    DeltaInterop.writeDelta(Seq((1L, 2L)).toDF("a", "b"), cDir, Nil)
+    DeltaInterop.addConstraint(spark, cDir, "b_pos", "b > 0")
+    val e2 = intercept[IllegalArgumentException](
+      DeltaInterop.dropColumn(spark, cDir, "b"))
+    assert(e2.getMessage.contains("b_pos"))
+    // SQL spelling drives the same path
+    val sDir = Files.createTempDirectory("graft-cm-drop-sql").toString
+    DeltaInterop.writeDelta(Seq((1L, "x", 0.5)).toDF("id", "tag", "w"), sDir, Nil)
+    spark.sql(s"ALTER TABLE delta.`$sDir` DROP COLUMN tag").collect()
+    assert(DeltaInterop.readDelta(spark, sDir).columns.toSeq == Seq("id", "w"))
+  }
 }

@@ -1144,6 +1144,32 @@ object DeltaInterop {
     commit(spark, dir, st.version + 1, actions.result(), op = "SET TBLPROPERTIES")
   }
 
+  /** `ALTER TABLE ... UNSET TBLPROPERTIES`: remove configuration keys.
+    * Column-mapping keys refuse — the physical layout depends on them
+    * and removal would make every mapped file unreadable. */
+  def unsetTableProperties(spark: SparkSession, dir: String,
+                           keys: Seq[String]): Long = {
+    val st = state(spark, dir)
+    requireWritable(st, dir)
+    require(!keys.exists(_.startsWith("delta.columnMapping.")),
+      "cannot unset column-mapping properties — the physical layout depends on them")
+    commit(spark, dir, st.version + 1,
+      Seq(metaDataJson(st.schema, st.partitionColumns, st.configuration -- keys)),
+      op = "UNSET TBLPROPERTIES")
+  }
+
+  /** `ALTER TABLE ... DROP CONSTRAINT`: remove a CHECK constraint by
+    * name. Loud when absent (mirrors delta-spark without IF EXISTS). */
+  def dropConstraint(spark: SparkSession, dir: String, name: String): Long = {
+    val st = state(spark, dir)
+    requireWritable(st, dir)
+    val key = s"delta.constraints.$name"
+    require(st.configuration.contains(key), s"no CHECK constraint $name")
+    commit(spark, dir, st.version + 1,
+      Seq(metaDataJson(st.schema, st.partitionColumns, st.configuration - key)),
+      op = "DROP CONSTRAINT")
+  }
+
   /** Is the change data feed on for this snapshot? Row ops consult this
     * to decide whether to record their changes under `_change_data/`. */
   def cdfEnabled(st: DeltaState): Boolean =

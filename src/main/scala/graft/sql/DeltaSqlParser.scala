@@ -61,7 +61,8 @@ import scala.util.matching.Regex
   *     plain OPTIMIZE clusters by its declared columns)
   *   - `ALTER TABLE <t> ADD COLUMN c type | RENAME COLUMN a TO b |
   *      DROP COLUMN c | SET TBLPROPERTIES (k=v, ...) |
-  *      ADD CONSTRAINT n CHECK (e) | CLUSTER BY (c, ...) | CLUSTER BY
+  *      ADD CONSTRAINT n CHECK (e) | DROP CONSTRAINT n |
+  *      UNSET TBLPROPERTIES (k, ...) | CLUSTER BY (c, ...) | CLUSTER BY
   *      NONE`
   *      (name-addressed ALTERs re-register the catalog entry so the
   *      stored view schema tracks the evolved table)
@@ -608,6 +609,26 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
           Seq(Row(DeltaInterop.addConstraint(spark, dir, name, exprTxt)))
         }
       }
+    }).orElse(alterDropConstraintRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m, 1).map { case (dir, _) =>
+        val name = m.group(3)
+        command(Seq(attr("version", LongType))) { spark =>
+          Seq(Row(DeltaInterop.dropConstraint(spark, dir, name)))
+        }
+      }
+    }).orElse(alterUnsetPropsRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m, 1).map { case (dir, _) =>
+        val keysTxt = m.group(3)
+        command(Seq(attr("version", LongType))) { spark =>
+          def unq(s: String) = {
+            val x = s.trim
+            if (x.length >= 2 && ((x.head == '\'' && x.last == '\'') ||
+              (x.head == '"' && x.last == '"'))) x.substring(1, x.length - 1) else x
+          }
+          val keys = splitTopLevel(keysTxt, ',').map(unq).filter(_.nonEmpty)
+          Seq(Row(DeltaInterop.unsetTableProperties(spark, dir, keys)))
+        }
+      }
     }).orElse(alterClusterByRe.findFirstMatchIn(t).flatMap { m =>
       ref(m, 1).map { case (dir, _) =>
         val colsTxt = Option(m.group(3)) // None ⇒ CLUSTER BY NONE
@@ -830,6 +851,10 @@ object DeltaSqlParser {
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""".r
   private[sql] val alterConstraintRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""".r
+  private[sql] val alterDropConstraintRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""".r
+  private[sql] val alterUnsetPropsRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""".r
   private[sql] val describeDetailRe =
     s"""(?is)^\\s*DESCRIBE\\s+DETAIL\\s+$T\\s*;?\\s*$$""".r
   private[sql] val showPropsRe =

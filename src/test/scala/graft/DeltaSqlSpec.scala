@@ -223,6 +223,18 @@ class DeltaSqlSpec extends AnyFunSuite {
     val e = intercept[Exception](
       spark.sql(s"INSERT INTO delta.`$dir` VALUES (-1, 'bad', 0.5)").collect())
     assert(e.getMessage.contains("nonneg"), e.getMessage)
+    // DROP CONSTRAINT lifts the gate; UNSET TBLPROPERTIES removes keys
+    spark.sql(s"ALTER TABLE delta.`$dir` DROP CONSTRAINT nonneg").collect()
+    spark.sql(s"INSERT INTO delta.`$dir` VALUES (-1, 'ok-now', 0.5)").collect()
+    assert(DeltaInterop.readDelta(spark, dir).filter(col("id") === -1).count() == 1)
+    spark.sql(s"ALTER TABLE delta.`$dir` UNSET TBLPROPERTIES ('graft.owner')").collect()
+    val st2 = DeltaInterop.state(spark, dir)
+    assert(!st2.configuration.contains("graft.owner") &&
+      !st2.configuration.contains("delta.constraints.nonneg"))
+    // unsetting column-mapping keys refuses (physical layout depends on them)
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE delta.`$dir` UNSET TBLPROPERTIES ('delta.columnMapping.mode')").collect())
+    assert(e2.getMessage.contains("column-mapping"))
   }
 
   test("foreign Iceberg tables read as SQL: iceberg.`p`, VERSION AS OF snapshot, joins with Delta") {

@@ -74,7 +74,8 @@ object Bench {
     "q170_sql_catalog_names",
     "q171_merge_by_source", "q172_identity_lifecycle",
     "q173_iceberg_read", "q174_iceberg_evolution",
-    "q175_delta_clustered", "q176_iceberg_pruned"
+    "q175_delta_clustered", "q176_iceberg_pruned",
+    "q177_sql_federation"
   )
 
   def main(args: Array[String]): Unit = {

@@ -497,6 +497,14 @@ object OracleSql {
         |SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
         |FROM documents, b WHERE doc_id BETWEEN lo AND hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q177: the Delta+Iceberg federation join = the corpus self-join
+    // of consecutive doc ids (even side Delta, odd side Iceberg)
+    "q177_sql_federation" ->
+      """SELECT a.lang, count(*) AS n,
+        |  sum(a.n_chars + b.n_chars)::BIGINT AS chars
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

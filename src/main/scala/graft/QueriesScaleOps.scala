@@ -2019,4 +2019,24 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     t.groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
       .orderBy("lang")
   }
+
+  /** q177 — SQL FEDERATION: one statement joins a Delta table and a
+    * foreign Iceberg table (the even / odd corpus halves), each read
+    * through its own TVF-backed rewrite (`delta.`p`` / `iceberg.`p``)
+    * with zero session state — the "query both lake formats from one
+    * console" contract a migrating user actually needs. The oracle is
+    * the equivalent DuckDB self-join of the corpus. */
+  private[graft] def q177(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val dTmp = graft.io.TempDirs.scratch("graft-q177-delta")
+    graft.io.DeltaInterop.writeDelta(docs.filter(col("doc_id") % 2 === 0), dTmp, Nil)
+    val iTmp = graft.io.TempDirs.scratch("graft-q177-iceberg")
+    graft.tools.IcebergFixture.append(docs.filter(col("doc_id") % 2 =!= 0), iTmp)
+    s.sql(
+      s"""SELECT d.lang AS lang, count(*) AS n,
+         |  sum(d.n_chars + i.n_chars) AS chars
+         |FROM delta.`$dTmp` d JOIN iceberg.`$iTmp` i
+         |  ON i.doc_id = d.doc_id + 1
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
+  }
 }

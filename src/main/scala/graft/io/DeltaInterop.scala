@@ -1375,6 +1375,60 @@ object DeltaInterop {
       op = "CONVERT")
   }
 
+  /** CONVERT TO DELTA for a foreign APPEND-ONLY Apache Iceberg table —
+    * in place, zero data movement: version 0 references the current
+    * Iceberg snapshot's live parquet files with footer stats (file
+    * skipping from day one); the `metadata/` dir stays, so the Iceberg
+    * history remains readable until the user retires it. Two refusals,
+    * both by name: row-level deletes (their semantics need a rewrite,
+    * not a re-reference) and RENAMED columns (Delta reads here address
+    * parquet columns by NAME; a file whose field id carries a
+    * different name would silently null the column). Added columns
+    * are fine — pre-add files read null, same as Iceberg. */
+  def convertIcebergToDelta(spark: SparkSession, dir: String): Long = {
+    require(latestVersion(spark, dir) < 0, s"$dir is already a Delta table")
+    val (paths, schemaWithIds, hasDeletes) =
+      IcebergInterop.currentInventory(spark, dir)
+    require(!hasDeletes,
+      s"cannot convert $dir: the Iceberg table carries row-level delete " +
+      "files — materialize them (rewrite) first")
+    // logical-name reads must be sound for EVERY file: a field id
+    // present in a file under a different name = a rename happened
+    val idToName: Map[Int, String] = schemaWithIds.fields.flatMap { fd =>
+      if (fd.metadata.contains("parquet.field.id"))
+        Some(fd.metadata.getLong("parquet.field.id").toInt -> fd.name)
+      else None
+    }.toMap
+    val schema = StructType(schemaWithIds.fields.map(_.copy(
+      metadata = org.apache.spark.sql.types.Metadata.empty)))
+    val f = fs(spark, dir)
+    val rootAbs = f.makeQualified(new Path(dir)).toString
+    val adds = parMap(paths) { p0 =>
+      val abs = f.makeQualified(new Path(p0)).toString
+      val rel = if (abs.startsWith(rootAbs + "/"))
+        abs.stripPrefix(rootAbs + "/") else abs
+      val fp = new Path(abs)
+      import scala.jdk.CollectionConverters._
+      val in = HadoopInputFile.fromPath(fp, spark.sparkContext.hadoopConfiguration)
+      val r = ParquetFileReader.open(in)
+      val renamed = try {
+        r.getFooter.getFileMetaData.getSchema.getFields.asScala.flatMap { ft =>
+          Option(ft.getId).map(_.intValue).flatMap(idToName.get)
+            .filter(_ != ft.getName).map(cur => s"${ft.getName} -> $cur")
+        }.toSeq
+      } finally r.close()
+      require(renamed.isEmpty,
+        s"cannot convert $dir: column rename(s) in the Iceberg history " +
+        s"(${renamed.mkString(", ")}) — name-addressed Delta reads would " +
+        "silently null the column; rewrite the table first")
+      val (rows, stats) = footerStats(spark, fp)
+      AddFile(rel, Map.empty, f.getFileStatus(fp).getLen, rows, Map.empty, stats)
+    }
+    commit(spark, dir, 0L,
+      Seq(protocolJson(), metaDataJson(schema, Nil)) ++ adds.map(addJson(_)),
+      op = "CONVERT")
+  }
+
   /** SHALLOW CLONE: a NEW Delta table at `dstDir` whose version 0
     * references the SOURCE snapshot's live data files by ABSOLUTE path
     * — metadata only, zero bytes copied (delta-spark's dev/test

@@ -420,6 +420,28 @@ object IcebergInterop {
   private def canonPathStr(p: String): String =
     p.replaceFirst("^file:/+", "/")
 
+  /** Conversion support ([[DeltaInterop.convertIcebergToDelta]]): the
+    * CURRENT snapshot's live data-file paths, the table schema (field
+    * ids attached), and whether row-level deletes exist. */
+  private[io] def currentInventory(spark: SparkSession,
+                                   dir: String): (Seq[String], StructType, Boolean) = {
+    import scala.jdk.CollectionConverters._
+    val meta = readJson(spark, currentMetadataPath(spark, dir))
+    val fv = meta.path("format-version").asInt(1)
+    require(fv <= 2,
+      s"Iceberg format-version $fv is not supported (v1/v2 append-only only)")
+    val schema = StructType(fieldsOf(schemaNodeById(meta, None).path("fields")))
+    val cur = meta.path("current-snapshot-id").asLong(-1L)
+    meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == cur) match {
+      case None => (Nil, schema, false)
+      case Some(s0) =>
+        val inv = liveFiles(spark, dir, s0)
+        (inv.data.map(_.path), schema,
+          inv.posDeletes.nonEmpty || inv.eqDeletes.nonEmpty)
+    }
+  }
+
   /** The table's snapshot log (id, sequence number, timestamp,
     * operation) — the DESCRIBE HISTORY analogue. */
   def snapshots(spark: SparkSession, dir: String): DataFrame = {

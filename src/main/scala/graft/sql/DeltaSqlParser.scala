@@ -514,7 +514,12 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
 
   private def tryConvert(t: String): Option[LogicalPlan] =
-    convertRe.findFirstMatchIn(t).map { m =>
+    convertIcebergRe.findFirstMatchIn(t).map { m =>
+      val dir = m.group(1)
+      command(Seq(attr("version", LongType))) { spark =>
+        Seq(Row(DeltaInterop.convertIcebergToDelta(spark, dir)))
+      }
+    }.orElse(convertRe.findFirstMatchIn(t).map { m =>
       val (dir, partTxt) = (m.group(1), Option(m.group(2)))
       command(Seq(attr("version", LongType))) { spark =>
         // PARTITIONED BY entries may carry types (`lang string`) — only
@@ -523,7 +528,7 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
           .map(_.trim.replace("`", "").split("\\s+").head).filter(_.nonEmpty)
         Seq(Row(DeltaInterop.convertToDelta(spark, dir, partCols)))
       }
-    }
+    })
 
   private def tryVacuum(t: String): Option[LogicalPlan] =
     vacuumRe.findFirstMatchIn(t).flatMap(m => ref(m, 1).map { case (dir, _) =>
@@ -836,6 +841,8 @@ object DeltaSqlParser {
   private[sql] val convertRe =
     ("""(?is)^\s*CONVERT\s+TO\s+DELTA\s+parquet\s*\.\s*`([^`]+)`""" +
      """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
+  private[sql] val convertIcebergRe =
+    """(?is)^\s*CONVERT\s+TO\s+DELTA\s+iceberg\s*\.\s*`([^`]+)`\s*;?\s*$""".r
   private[sql] val vacuumRe =
     s"""(?is)^\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS?)?\\s*;?\\s*$$""".r
   private[sql] val optimizeRe =

@@ -191,6 +191,46 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(renamed.inputFiles.length < 8 && renamed.count() == 100)
   }
 
+  test("CONVERT TO DELTA: an append-only Iceberg table becomes a Delta table IN PLACE") {
+    val dir = Files.createTempDirectory("graft-iceberg-convert").toString
+    IcebergFixture.append(
+      (0L until 80L).map(i => (i, s"t_$i", i * 2.0)).toDF("id", "tag", "v")
+        .repartitionByRange(4, col("id")), dir)
+    IcebergFixture.append(
+      (80L until 100L).map(i => (i, s"t_$i", i * 2.0)).toDF("id", "tag", "v"), dir)
+    // the SQL spelling drives the conversion
+    val v = spark.sql(s"CONVERT TO DELTA iceberg.`$dir`").head().getLong(0)
+    assert(v == 0L)
+    val t = graft.io.DeltaInterop.readDelta(spark, dir)
+    assert(t.columns.toSeq == Seq("id", "tag", "v") && t.count() == 100)
+    assert(t.agg(sum("id")).head().getLong(0) == (0L until 100L).sum)
+    // footer stats landed: the range read prunes files
+    val pruned = graft.io.DeltaInterop.readDeltaWhere(spark, dir,
+      ranges = Map("id" -> ((10.0, 20.0))))
+    assert(pruned.inputFiles.length < 5 && pruned.count() == 11)
+    // the converted table MUTATES as Delta
+    graft.io.DeltaInterop.deleteWhereDV(spark, dir, col("id") === 7L)
+    graft.io.DeltaInterop.writeDelta(
+      Seq((200L, "new", 1.0)).toDF("id", "tag", "v"), dir, Nil)
+    assert(graft.io.DeltaInterop.readDelta(spark, dir).count() == 100)
+    // the Iceberg metadata is still there and still readable (pre-convert shape)
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 100)
+
+    // REFUSALS by name: row-level deletes, and renamed columns
+    val dDir = Files.createTempDirectory("graft-iceberg-convert-del").toString
+    IcebergFixture.append(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), dDir)
+    IcebergFixture.deleteEqualities(spark, dDir, Seq(1L).toDF("id"))
+    val e1 = intercept[IllegalArgumentException](
+      graft.io.DeltaInterop.convertIcebergToDelta(spark, dDir))
+    assert(e1.getMessage.contains("delete"), e1.getMessage)
+    val rDir = Files.createTempDirectory("graft-iceberg-convert-ren").toString
+    IcebergFixture.append(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), rDir)
+    IcebergFixture.renameColumn(spark, rDir, "tag", "label")
+    val e2 = intercept[IllegalArgumentException](
+      graft.io.DeltaInterop.convertIcebergToDelta(spark, rDir))
+    assert(e2.getMessage.contains("rename"), e2.getMessage)
+  }
+
   test("missing snapshot ids are loud") {
     val dir = Files.createTempDirectory("graft-iceberg-del").toString
     IcebergFixture.append(Seq((1L, "x", 0.0)).toDF("id", "tag", "v"), dir)

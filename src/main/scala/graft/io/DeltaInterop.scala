@@ -1967,12 +1967,17 @@ object DeltaInterop {
     * either way. Returns (newVersion, filesRewritten, filesCreated),
     * or (currentVersion, 0, 0) when nothing qualifies. */
   def compact(spark: SparkSession, dir: String,
-              smallFileBytes: Long = 32L << 20): (Long, Int, Int) = {
+              smallFileBytes: Long = 32L << 20,
+              partitionEq: Map[String, String] = Map.empty): (Long, Int, Int) = {
     val st0 = state(spark, dir)
     requireWritable(st0, dir)
     // a DV'd file can't be raw-concatenated (that would resurrect its
-    // masked rows) — leave such files alone; row ops materialize DVs
-    val st = st0.copy(files = st0.files.filter(_.deletionVector == null))
+    // masked rows) — leave such files alone; row ops materialize DVs.
+    // `partitionEq` scopes the pass to named partitions (delta-spark's
+    // `OPTIMIZE ... WHERE`): at 100 TB, compaction is incremental —
+    // today's partition, not the table.
+    val st = st0.copy(files = prunedFiles(st0, partitionEq)
+      .filter(_.deletionVector == null))
     val mapped = columnMappingMode(st) != "none"
     val f = fs(spark, dir)
     def hivePath(a: AddFile): String =
@@ -2069,10 +2074,13 @@ object DeltaInterop {
     * bit-by-bit — plain Spark shift/mask expressions, fully codegen'd.
     * Returns (newVersion, filesRewritten, filesCreated). */
   def optimizeZOrder(spark: SparkSession, dir: String, zCols: Seq[String],
-                     targetFiles: Int = 0): (Long, Int, Int) = {
+                     targetFiles: Int = 0,
+                     partitionEq: Map[String, String] = Map.empty): (Long, Int, Int) = {
     require(zCols.nonEmpty, "zCols must be non-empty")
-    val st = state(spark, dir)
-    requireWritable(st, dir)
+    val st0 = state(spark, dir)
+    requireWritable(st0, dir)
+    // scope to named partitions when asked — an incremental re-layout
+    val st = st0.copy(files = prunedFiles(st0, partitionEq))
     require(st.files.forall(_.deletionVector == null),
       s"optimizeZOrder would resurrect DV-masked rows under $dir — run row ops first")
     require(zCols.forall(c => st.schema.fieldNames.contains(c)),

@@ -56,7 +56,8 @@ import scala.util.matching.Regex
   *     `SHOW TBLPROPERTIES <t>`
   *   - `RESTORE [TABLE] <t> TO VERSION AS OF n | TIMESTAMP AS OF 'ts'`
   *   - `VACUUM <t> [RETAIN n HOURS]` → `vacuum`
-  *   - `OPTIMIZE <t> [ZORDER BY (c, ...)]` → `compact` /
+  *   - `OPTIMIZE <t> [WHERE <partition eq>] [ZORDER BY (c, ...)]` →
+  *     `compact` /
   *     `optimizeZOrder` / `optimizeClustered` (a clustered table's
   *     plain OPTIMIZE clusters by its declared columns)
   *   - `ALTER TABLE <t> ADD COLUMN c type | RENAME COLUMN a TO b |
@@ -545,17 +546,32 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private def tryOptimize(t: String): Option[LogicalPlan] =
     optimizeRe.findFirstMatchIn(t).flatMap(m => ref(m, 1).map { case (dir, _) =>
-      val zTxt = Option(m.group(3))
+      val whereTxt = Option(m.group(3))
+      val zTxt = Option(m.group(4))
       command(Seq(attr("num_files_removed", LongType),
         attr("num_files_added", LongType))) { spark =>
+        // OPTIMIZE predicates are PARTITION filters only (delta-spark
+        // contract): conjunctions of `col = literal`
+        val partEq: Map[String, String] = whereTxt.toSeq
+          .flatMap(_.split("(?i)\\s+AND\\s+")).map { c =>
+            val i = topLevelIndexOf(c, '=')
+            require(i > 0, s"OPTIMIZE WHERE supports partition equalities only, got: $c")
+            def unq(s: String) = {
+              val x = s.trim.replace("`", "")
+              if (x.length >= 2 && ((x.head == '\'' && x.last == '\'') ||
+                (x.head == '"' && x.last == '"'))) x.substring(1, x.length - 1) else x
+            }
+            unq(c.take(i)) -> unq(c.drop(i + 1))
+          }.toMap
         val (_, removed, added) = zTxt match {
           case Some(cols) => DeltaInterop.optimizeZOrder(spark, dir,
-            cols.split(',').map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq)
+            cols.split(',').map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq,
+            partitionEq = partEq)
           // a CLUSTERED table's plain OPTIMIZE clusters (delta-spark
           // semantics); unclustered tables bin-pack compact
           case None if DeltaInterop.state(spark, dir).clusteringColumns.nonEmpty =>
             DeltaInterop.optimizeClustered(spark, dir)
-          case None => DeltaInterop.compact(spark, dir)
+          case None => DeltaInterop.compact(spark, dir, partitionEq = partEq)
         }
         Seq(Row(removed.toLong, added.toLong))
       }
@@ -846,7 +862,8 @@ object DeltaSqlParser {
   private[sql] val vacuumRe =
     s"""(?is)^\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS?)?\\s*;?\\s*$$""".r
   private[sql] val optimizeRe =
-    s"""(?is)^\\s*OPTIMIZE\\s+$T(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""".r
+    (s"""(?is)^\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?""" +
+     s"""(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""").r
   private[sql] val alterAddColRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMNS?\\s*""" +
      s"""\\(?\\s*([\\w`]+)\\s+([\\w()<>,\\s]+?)\\s*\\)?\\s*;?\\s*$$""").r

@@ -237,6 +237,34 @@ class DeltaSqlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("column-mapping"))
   }
 
+  test("OPTIMIZE ... WHERE compacts only the named partition (incremental maintenance)") {
+    val dir = Files.createTempDirectory("graft-sql-optwhere").toString
+    DeltaInterop.writeDelta(
+      (0L until 60L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "grp")
+        .repartition(3), dir, Seq("grp"))
+    val before = DeltaInterop.state(spark, dir)
+    assert(before.files.count(_.partitionValues("grp") == "a") == 3)
+    assert(before.files.count(_.partitionValues("grp") == "b") == 3)
+    val r = spark.sql(s"OPTIMIZE delta.`$dir` WHERE grp = 'a'").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L,
+      s"scoped compaction: removed ${r.getLong(0)}, added ${r.getLong(1)}")
+    val after = DeltaInterop.state(spark, dir)
+    assert(after.files.count(_.partitionValues("grp") == "a") == 1,
+      "partition a compacted to one file")
+    assert(after.files.count(_.partitionValues("grp") == "b") == 3,
+      "partition b untouched")
+    assert(DeltaInterop.readDelta(spark, dir).count() == 60)
+    // scoped ZORDER rewrites only the named partition too
+    val z = spark.sql(
+      s"OPTIMIZE delta.`$dir` WHERE grp = 'b' ZORDER BY (id)").collect().head
+    assert(z.getLong(0) == 3L)
+    assert(DeltaInterop.readDelta(spark, dir).count() == 60)
+    // a non-partition column refuses loudly
+    val e = intercept[Exception](
+      spark.sql(s"OPTIMIZE delta.`$dir` WHERE id = 3").collect())
+    assert(e.getMessage.contains("not partition columns"), e.getMessage)
+  }
+
   test("foreign Iceberg tables read as SQL: iceberg.`p`, VERSION AS OF snapshot, joins with Delta") {
     val dir = Files.createTempDirectory("graft-sql-iceberg").toString
     val s1 = graft.tools.IcebergFixture.append(

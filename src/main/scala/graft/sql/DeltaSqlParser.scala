@@ -315,13 +315,20 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
 
   private def tryHistory(t: String): Option[LogicalPlan] =
-    historyRe.findFirstMatchIn(t).flatMap(m => ref(m, 1).map { case (dir, _) =>
+    icebergHistoryRe.findFirstMatchIn(t).map { m =>
+      val dir = m.group(1)
+      command(Seq(attr("snapshot_id", LongType),
+        attr("sequence_number", LongType), attr("timestamp_ms", LongType),
+        attr("operation", StringType))) { spark =>
+        graft.io.IcebergInterop.snapshots(spark, dir).collect().toSeq
+      }
+    }.orElse(historyRe.findFirstMatchIn(t).flatMap(m => ref(m, 1).map { case (dir, _) =>
       command(Seq(attr("version", LongType),
         attr("timestamp", org.apache.spark.sql.types.TimestampType),
         attr("operation", StringType), attr("engineInfo", StringType))) { spark =>
         DeltaInterop.history(spark, dir).collect().toSeq
       }
-    })
+    }))
 
   private def tryRestore(t: String): Option[LogicalPlan] =
     restoreRe.findFirstMatchIn(t).flatMap(m => ref(m, 1).map { case (dir, _) =>
@@ -814,6 +821,8 @@ object DeltaSqlParser {
     """(?is)^\(([^)]*)\)\s*VALUES\s*\((.*)\)$""".r
   private[sql] val historyRe =
     s"""(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$T\\s*;?\\s*$$""".r
+  private[sql] val icebergHistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+iceberg\s*\.\s*`([^`]+)`\s*;?\s*$""".r
   private[sql] val restoreRe =
     (s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+""" +
      s"""(?:VERSION\\s+AS\\s+OF\\s+(\\d+)|TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')\\s*;?\\s*$$""").r

@@ -289,6 +289,9 @@ class DeltaSqlSpec extends AnyFunSuite {
     // a string literal spelling iceberg.`x` is DATA, not a read
     assert(spark.sql("SELECT 'iceberg.`/nope`' AS s").head().getString(0)
       == "iceberg.`/nope`")
+    // DESCRIBE HISTORY works on Iceberg tables too (snapshot log)
+    val hist = spark.sql(s"DESCRIBE HISTORY iceberg.`$dir`").collect()
+    assert(hist.length == 2 && hist.forall(_.getAs[String]("operation") == "append"))
   }
 
   test("CLUSTER BY runs as SQL: CREATE, plain OPTIMIZE clusters, ALTER ... CLUSTER BY [NONE]") {

@@ -442,6 +442,43 @@ object IcebergInterop {
     }
   }
 
+  /** Register `name` → the Iceberg table at `dir` as a catalog VIEW
+    * over the `graft_iceberg` TVF — the same registration shape
+    * graft-Delta names use ([[DeltaInterop.registerCatalogTable]]).
+    * Reads-by-name re-resolve the view text per query, so every query
+    * sees the CURRENT snapshot. (Direct catalog entry: Spark's
+    * CreateViewCommand refuses persistent views over injected
+    * functions, but the stored text resolves fine at read time.) */
+  def registerCatalogTable(spark: SparkSession, name: String, dir: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    val catalog = org.apache.spark.sql.GraftBridge.sessionCatalog(spark)
+    val parts = name.split('.').map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq
+    val ident = parts match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case _ => throw new IllegalArgumentException(s"bad table name: $name")
+    }
+    val p = new Path(dir)
+    val abs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+    val schema = StructType(
+      StructType(fieldsOf(schemaNodeById(
+        readJson(spark, currentMetadataPath(spark, dir)), None).path("fields")))
+        .fields.map(_.copy(metadata =
+          org.apache.spark.sql.types.Metadata.empty)))
+    val entry = CatalogTable(
+      identifier = ident,
+      tableType = CatalogTableType.VIEW,
+      storage = CatalogStorageFormat.empty,
+      schema = schema,
+      viewText = Some(s"SELECT * FROM graft_iceberg('${abs.replace("'", "''")}')"),
+      properties = Map("graft.iceberg.path" -> abs))
+    if (catalog.tableExists(ident))
+      catalog.dropTable(ident, ignoreIfNotExists = true, purge = false)
+    catalog.createTable(entry, ignoreIfExists = false)
+  }
+
   /** The table's snapshot log (id, sequence number, timestamp,
     * operation) — the DESCRIBE HISTORY analogue. */
   def snapshots(spark: SparkSession, dir: String): DataFrame = {

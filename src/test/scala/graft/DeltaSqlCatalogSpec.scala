@@ -247,4 +247,22 @@ class DeltaSqlCatalogSpec extends AnyFunSuite {
       DeltaInterop.shallowClone(spark, dir, dst))
     assert(e.getMessage.contains("rowTracking"), e.getMessage)
   }
+
+  test("Iceberg tables register by NAME through a plain view (rewritten to the TVF)") {
+    val dir = Files.createTempDirectory("graft-cat-iceberg").toString
+    graft.tools.IcebergFixture.append(
+      (0L until 30L).map(i => (i, s"g_${i % 3}")).toDF("id", "grp"), dir)
+    // the stored view text is graft_iceberg('p'), re-resolved per
+    // query — every read-by-name sees the CURRENT snapshot
+    spark.sql("CREATE DATABASE IF NOT EXISTS mart")
+    graft.io.IcebergInterop.registerCatalogTable(spark, "mart.ice_v", dir)
+    assert(spark.sql("SELECT count(*) AS n FROM mart.ice_v").as[Long].head() == 30L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM mart.ice_v WHERE grp = 'g_0'").as[Long].head() == 10L)
+    // a later append is visible through the SAME registration
+    graft.tools.IcebergFixture.append(
+      Seq((100L, "g_x")).toDF("id", "grp"), dir)
+    assert(spark.sql("SELECT count(*) AS n FROM mart.ice_v").as[Long].head() == 31L)
+    spark.sql("DROP VIEW mart.ice_v")
+  }
 }

@@ -70,6 +70,46 @@ class DeltaSqlParserUnitSpec extends AnyFunSuite {
       "CREATE TABLE delta.`/dst` SHALLOW CLONE delta.`/src`").isDefined)
   }
 
+  test("round-12 statement regexes: CLUSTER BY, DROP COLUMN/CONSTRAINT, UNSET, OPTIMIZE WHERE, iceberg") {
+    // OPTIMIZE: WHERE and ZORDER groups compose and capture separately
+    val ow = DeltaSqlParser.optimizeRe.findFirstMatchIn(
+      "OPTIMIZE delta.`/t` WHERE grp = 'a' AND day = '2026-01-01' ZORDER BY (id)").get
+    assert(ow.group(3).trim.startsWith("grp") && ow.group(4).trim == "id")
+    val plain = DeltaSqlParser.optimizeRe.findFirstMatchIn("OPTIMIZE delta.`/t`").get
+    assert(plain.group(3) == null && plain.group(4) == null)
+    // CREATE ... CLUSTER BY after the column list
+    val cc = DeltaSqlParser.createColsRe.findFirstMatchIn(
+      "CREATE TABLE delta.`/t` (id BIGINT, lang STRING) USING delta CLUSTER BY (lang, id)").get
+    assert(cc.group(6).trim == "lang, id" && cc.group(5) == null)
+    // ALTER ... CLUSTER BY (cols) vs NONE
+    val ac = DeltaSqlParser.alterClusterByRe.findFirstMatchIn(
+      "ALTER TABLE delta.`/t` CLUSTER BY (a, b)").get
+    assert(ac.group(3).trim == "a, b")
+    val an = DeltaSqlParser.alterClusterByRe.findFirstMatchIn(
+      "alter table delta.`/t` cluster by NONE;").get
+    assert(an.group(3) == null)
+    // DROP COLUMN captures the name; DROP CONSTRAINT doesn't collide
+    assert(DeltaSqlParser.alterDropColRe.findFirstMatchIn(
+      "ALTER TABLE delta.`/t` DROP COLUMN tag").get.group(3) == "tag")
+    assert(DeltaSqlParser.alterDropColRe.findFirstIn(
+      "ALTER TABLE delta.`/t` DROP CONSTRAINT nonneg").isEmpty)
+    assert(DeltaSqlParser.alterDropConstraintRe.findFirstMatchIn(
+      "ALTER TABLE delta.`/t` DROP CONSTRAINT nonneg").get.group(3) == "nonneg")
+    assert(DeltaSqlParser.alterUnsetPropsRe.findFirstMatchIn(
+      "ALTER TABLE delta.`/t` UNSET TBLPROPERTIES ('a.b', 'c')").get.group(3).contains("a.b"))
+    // Iceberg spellings: read (+snapshot travel), history, convert
+    val ir = DeltaSqlParser.icebergPathRe.findFirstMatchIn(
+      "SELECT * FROM iceberg.`/lake/t` VERSION AS OF 3").get
+    assert(ir.group(1) == "/lake/t" && ir.group(2) == "3")
+    assert(DeltaSqlParser.icebergHistoryRe.findFirstMatchIn(
+      "DESCRIBE HISTORY iceberg.`/lake/t`").get.group(1) == "/lake/t")
+    assert(DeltaSqlParser.convertIcebergRe.findFirstMatchIn(
+      "CONVERT TO DELTA iceberg.`/lake/t`;").get.group(1) == "/lake/t")
+    // the parquet CONVERT regex does NOT swallow the iceberg spelling
+    assert(DeltaSqlParser.convertRe.findFirstIn(
+      "CONVERT TO DELTA iceberg.`/lake/t`").isEmpty)
+  }
+
   test("statement regexes also match [db.]name spellings (resolution decides interception)") {
     // the regex matches; catalogDeltaPath then decides whether the name
     // IS a Delta table — unresolved names fall through to Spark

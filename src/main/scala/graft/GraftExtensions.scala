@@ -65,9 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_iceberg(path[, snapshot_id]) - rows of a foreign Apache Iceberg table (optionally time-traveled)"),
       (args: Seq[Expression]) => {
         require(args.length == 1 || args.length == 2,
-          s"graft_iceberg takes (path[, snapshot_id]), got ${args.length} args")
+          s"graft_iceberg takes (path_or_name[, snapshot_id]), got ${args.length} args")
         val spark = org.apache.spark.sql.SparkSession.active
-        val path = stringArg("graft_iceberg", args, 0)
+        val ref = stringArg("graft_iceberg", args, 0)
+        val path = graft.io.IcebergInterop.catalogIcebergPath(spark, ref).getOrElse(ref)
         val snap = if (args.length > 1) Some(longArg("graft_iceberg", args, 1)) else None
         org.apache.spark.sql.GraftBridge.plan(
           graft.io.IcebergInterop.readIceberg(spark, path, snap))

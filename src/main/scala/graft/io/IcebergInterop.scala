@@ -442,6 +442,25 @@ object IcebergInterop {
     }
   }
 
+  /** Catalog property linking a registered name to its Iceberg
+    * location. */
+  val CatalogPathProperty = "graft.iceberg.path"
+
+  /** The Iceberg location a catalog `[db.]table` name resolves to, if
+    * registered via [[registerCatalogTable]]. */
+  def catalogIcebergPath(spark: SparkSession, name: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val catalog = org.apache.spark.sql.GraftBridge.sessionCatalog(spark)
+    val parts = name.split('.').map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq
+    val ident = parts match {
+      case Seq(t) => Some(TableIdentifier(t))
+      case Seq(db, t) => Some(TableIdentifier(t, Some(db)))
+      case _ => None
+    }
+    ident.filter(catalog.tableExists)
+      .flatMap(i => catalog.getTableMetadata(i).properties.get(CatalogPathProperty))
+  }
+
   /** Register `name` → the Iceberg table at `dir` as a catalog VIEW
     * over the `graft_iceberg` TVF — the same registration shape
     * graft-Delta names use ([[DeltaInterop.registerCatalogTable]]).
@@ -473,7 +492,7 @@ object IcebergInterop {
       storage = CatalogStorageFormat.empty,
       schema = schema,
       viewText = Some(s"SELECT * FROM graft_iceberg('${abs.replace("'", "''")}')"),
-      properties = Map("graft.iceberg.path" -> abs))
+      properties = Map(CatalogPathProperty -> abs))
     if (catalog.tableExists(ident))
       catalog.dropTable(ident, ignoreIfNotExists = true, purge = false)
     catalog.createTable(entry, ignoreIfExists = false)

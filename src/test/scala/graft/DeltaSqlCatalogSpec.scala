@@ -263,6 +263,9 @@ class DeltaSqlCatalogSpec extends AnyFunSuite {
     graft.tools.IcebergFixture.append(
       Seq((100L, "g_x")).toDF("id", "grp"), dir)
     assert(spark.sql("SELECT count(*) AS n FROM mart.ice_v").as[Long].head() == 31L)
+    // the TVF resolves the registered NAME too (time travel by name)
+    assert(spark.sql("SELECT count(*) AS n FROM graft_iceberg('mart.ice_v')")
+      .as[Long].head() == 31L)
     spark.sql("DROP VIEW mart.ice_v")
   }
 }

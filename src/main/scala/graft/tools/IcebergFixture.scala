@@ -193,27 +193,6 @@ object IcebergFixture {
     }
   }
 
-  /** Per-field-id (min, max) bound bytes of one data file — one
-    * aggregate scan over the numeric/date columns. */
-  private def fileBounds(spark: SparkSession, path: String,
-                         idsByName: Map[String, Int]): Map[Int, (Array[Byte], Array[Byte])] = {
-    import org.apache.spark.sql.functions.{col, max, min}
-    val df = spark.read.parquet(path)
-    val statCols = df.schema.fields.filter(f => f.dataType match {
-      case IntegerType | LongType | FloatType | DoubleType | DateType => true
-      case _ => false
-    }).map(_.name).filter(idsByName.contains)
-    if (statCols.isEmpty) return Map.empty
-    val aggs = statCols.flatMap(c => Seq(min(col(c)), max(col(c))))
-    val row = df.agg(aggs.head, aggs.tail.toSeq: _*).head()
-    statCols.zipWithIndex.flatMap { case (c, i) =>
-      val dt = df.schema(c).dataType
-      for {
-        lo <- serializeBound(dt, row.get(2 * i))
-        hi <- serializeBound(dt, row.get(2 * i + 1))
-      } yield idsByName(c) -> ((lo, hi))
-    }.toMap
-  }
 
   /** Commit a new snapshot whose manifest list = the previous
     * snapshot's manifests + `newManifest`; writes vN metadata json and
@@ -347,13 +326,46 @@ object IcebergFixture {
 
     val prevVersion = currentVersion(f, root)
     val snapshotId = prevVersion + 1L
+    // ONE grouped aggregation over the staged files yields every
+    // file's record count AND column bounds (was 2 jobs per file)
+    val stats = allFileStats(spark, dataFiles.map(_._1.toString), idsByName)
     val entries = dataFiles.map { case (p, size) =>
-      entry(0, p.toString, spark.read.parquet(p.toString).count(), size, snapshotId,
-        bounds = fileBounds(spark, p.toString, idsByName))
+      val (rows, bounds) = stats.getOrElse(canonPath(p.toString),
+        throw new IllegalStateException(s"no stats row for $p"))
+      entry(0, p.toString, rows, size, snapshotId, bounds = bounds)
     }
     val manifestP = new Path(root, s"metadata/manifest-$snapshotId.avro")
     writeAvro(new java.io.File(manifestP.toUri.getPath), EntrySchema, entries)
     commitSnapshot(spark, dir, df.schema, (manifestP, 0), "append")
+  }
+
+  private def canonPath(p: String): String = p.replaceFirst("^file:/+", "/")
+
+  /** Per-file (record count, bound bytes) for a set of parquet files,
+    * computed in ONE grouped aggregation keyed by
+    * `_metadata.file_path`. */
+  private def allFileStats(spark: SparkSession, paths: Seq[String],
+      idsByName: Map[String, Int]): Map[String, (Long, Map[Int, (Array[Byte], Array[Byte])])] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val df = spark.read.parquet(paths: _*)
+    val statCols = df.schema.fields.filter(f => f.dataType match {
+      case IntegerType | LongType | FloatType | DoubleType | DateType => true
+      case _ => false
+    }).map(_.name).filter(idsByName.contains).toSeq
+    val aggs = count(lit(1)).as("_n") +:
+      statCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    df.groupBy(col("_metadata.file_path").as("_p"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val bounds = statCols.zipWithIndex.flatMap { case (c, i) =>
+          val dt = df.schema(c).dataType
+          for {
+            lo <- serializeBound(dt, r.get(2 + 2 * i))
+            hi <- serializeBound(dt, r.get(2 + 2 * i + 1))
+          } yield idsByName(c) -> ((lo, hi))
+        }.toMap
+        canonPath(r.getString(0)) -> ((r.getLong(1), bounds))
+      }.toMap
   }
 
   /** Commit a POSITION-DELETE snapshot: `deletes` are (data file path,

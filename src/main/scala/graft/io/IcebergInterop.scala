@@ -284,13 +284,18 @@ object IcebergInterop {
     * files, not the table. */
   def readIcebergWhere(spark: SparkSession, dir: String,
                        ranges: Map[String, (Double, Double)],
-                       snapshotId: Option[Long] = None): DataFrame =
-    readIceberg(spark, dir, snapshotId, ranges)
+                       snapshotId: Option[Long] = None,
+                       stringEq: Map[String, String] = Map.empty): DataFrame =
+    readIceberg(spark, dir, snapshotId, ranges, stringEq)
 
-  /** Read an Iceberg table's current — or `snapshotId`'s — rows. */
+  /** Read an Iceberg table's current — or `snapshotId`'s — rows.
+    * `ranges` prunes files by numeric/date bounds; `stringEq` prunes by
+    * STRING equality against the manifests' string bounds (unsigned
+    * UTF-8 lexicographic order — the lang/category case). */
   def readIceberg(spark: SparkSession, dir: String,
                   snapshotId: Option[Long] = None,
-                  ranges: Map[String, (Double, Double)] = Map.empty): DataFrame = {
+                  ranges: Map[String, (Double, Double)] = Map.empty,
+                  stringEq: Map[String, String] = Map.empty): DataFrame = {
     import scala.jdk.CollectionConverters._
     // Field-id column resolution: Iceberg schema evolution renames /
     // reorders / drops COLUMN NAMES but never reuses field IDS, so
@@ -332,7 +337,7 @@ object IcebergInterop {
               Some(f.name -> ((f.metadata.getLong(FieldIdKey).toInt, f.dataType)))
             else None
           }.toMap
-        val inv = if (ranges.isEmpty) inv0 else inv0.copy(
+        val inv = if (ranges.isEmpty && stringEq.isEmpty) inv0 else inv0.copy(
           data = inv0.data.filter { e =>
             ranges.forall { case (name, (lo, hi)) =>
               idOf.get(name).forall { case (id, dt) =>
@@ -342,12 +347,26 @@ object IcebergInterop {
                   case _ => true // no bound, no skipping
                 }
               }
+            } &&
+            stringEq.forall { case (name, v) =>
+              idOf.get(name).forall { case (id, dt) =>
+                (dt, e.lower.get(id), e.upper.get(id)) match {
+                  case (StringType, Some(lb), Some(ub)) =>
+                    val vb = v.getBytes("UTF-8")
+                    java.util.Arrays.compareUnsigned(lb, vb) <= 0 &&
+                      java.util.Arrays.compareUnsigned(vb, ub) <= 0
+                  case _ => true // non-string / no bound: keep
+                }
+              }
             }
           })
         def residual(df: DataFrame): DataFrame = {
-          import org.apache.spark.sql.functions.col
-          ranges.foldLeft(df) { case (d, (k, (lo, hi))) =>
+          import org.apache.spark.sql.functions.{col, lit}
+          val ranged = ranges.foldLeft(df) { case (d, (k, (lo, hi))) =>
             d.filter(col(k) >= lo && col(k) <= hi)
+          }
+          stringEq.foldLeft(ranged) { case (d, (k, v)) =>
+            d.filter(col(k) === lit(v))
           }
         }
         if (inv.data.isEmpty)

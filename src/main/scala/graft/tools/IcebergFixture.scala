@@ -189,7 +189,13 @@ object IcebergFixture {
       case (DoubleType, x: Double) => Some(le(8).putDouble(x).array())
       case (DateType, x: java.sql.Date) =>
         Some(le(4).putInt(x.toLocalDate.toEpochDay.toInt).array())
-      case _ => None // strings/binaries: skipped (no bound, no pruning)
+      case (StringType, x: String) =>
+        // UTF-8 bytes, untruncated (spec truncation must round the
+        // UPPER bound up — only short values get bounds here, which
+        // keeps the written bound exact)
+        val b = x.getBytes("UTF-8")
+        if (b.length <= 32) Some(b) else None
+      case _ => None // binaries/nested: skipped (no bound, no pruning)
     }
   }
 
@@ -349,7 +355,8 @@ object IcebergFixture {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val df = spark.read.parquet(paths: _*)
     val statCols = df.schema.fields.filter(f => f.dataType match {
-      case IntegerType | LongType | FloatType | DoubleType | DateType => true
+      case IntegerType | LongType | FloatType | DoubleType | DateType
+           | StringType => true
       case _ => false
     }).map(_.name).filter(idsByName.contains).toSeq
     val aggs = count(lit(1)).as("_n") +:

@@ -191,6 +191,29 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(renamed.inputFiles.length < 8 && renamed.count() == 100)
   }
 
+  test("STRING equality pruning from the manifests' string bounds") {
+    val dir = Files.createTempDirectory("graft-iceberg-prune-str").toString
+    // range-partitioned by id; lang changes every 125 ids → each of the
+    // 8 files carries exactly one lang value (tight string bounds)
+    IcebergFixture.append(
+      (0L until 1000L).map(i => (i, f"l${i / 125}%02d")).toDF("id", "lang")
+        .repartitionByRange(8, col("id")), dir)
+    val one = IcebergInterop.readIcebergWhere(spark, dir,
+      Map.empty, stringEq = Map("lang" -> "l03"))
+    assert(one.inputFiles.length < 8,
+      s"string bounds must prune, scanned ${one.inputFiles.length}")
+    assert(one.count() == 125)
+    assert(one.agg(min("id"), max("id")).head() ==
+      org.apache.spark.sql.Row(375L, 499L))
+    // a value outside every bound reads empty without touching storage
+    assert(IcebergInterop.readIcebergWhere(spark, dir,
+      Map.empty, stringEq = Map("lang" -> "zz")).count() == 0)
+    // composes with a numeric range on the same read
+    val both = IcebergInterop.readIcebergWhere(spark, dir,
+      Map("id" -> ((0.0, 400.0))), stringEq = Map("lang" -> "l03"))
+    assert(both.count() == 26) // ids 375..400
+  }
+
   test("CONVERT TO DELTA: an append-only Iceberg table becomes a Delta table IN PLACE") {
     val dir = Files.createTempDirectory("graft-iceberg-convert").toString
     IcebergFixture.append(

@@ -517,6 +517,22 @@ object IcebergInterop {
     catalog.createTable(entry, ignoreIfExists = false)
   }
 
+  /** The latest snapshot committed at or before `tsMillis` —
+    * Iceberg's timestamp travel (spec: each snapshot records its
+    * commit wall clock as `timestamp-ms`). Metadata-only: one JSON
+    * read, no manifest work. */
+  def snapshotAtTimestamp(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    import scala.jdk.CollectionConverters._
+    val meta = readJson(spark, currentMetadataPath(spark, dir))
+    val snaps = meta.path("snapshots").elements().asScala.toSeq
+      .map(s0 => (s0.path("snapshot-id").asLong, s0.path("timestamp-ms").asLong(0L)))
+    val at = snaps.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"no Iceberg snapshot at or before ts=$tsMillis at $dir " +
+        s"(earliest is ${snaps.map(_._2).minOption})")
+    at.maxBy(_._2)._1
+  }
+
   /** The table's snapshot log (id, sequence number, timestamp,
     * operation) — the DESCRIBE HISTORY analogue. */
   def snapshots(spark: SparkSession, dir: String): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.sql
 
-import graft.io.DeltaInterop
+import graft.io.{DeltaInterop, IcebergInterop}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
@@ -747,12 +747,15 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
     val sb = new StringBuilder; var pos = 0
     live.foreach { case (m, kind) =>
       val dir = m.group(1)
-      // for iceberg, VERSION AS OF n is the SNAPSHOT id (Spark+Iceberg
-      // semantics); timestamp travel stays Delta-only
+      // for iceberg, VERSION AS OF n is the SNAPSHOT id and TIMESTAMP
+      // AS OF resolves through snapshot timestamp-ms (Spark+Iceberg
+      // semantics); both travels are metadata-only lookups
       val version = Option(m.group(2)).map(_.toLong).orElse(
-        if (kind == "delta") Option(m.group(3)).map(ts =>
-          DeltaInterop.versionAtTimestamp(spark, dir, parseTs(ts)))
-        else None)
+        Option(m.group(3)).map { ts =>
+          if (kind == "delta")
+            DeltaInterop.versionAtTimestamp(spark, dir, parseTs(ts))
+          else IcebergInterop.snapshotAtTimestamp(spark, dir, parseTs(ts))
+        })
       val esc = dir.replace("'", "''")
       val fn = if (kind == "delta") "graft_delta" else "graft_iceberg"
       sb ++= sql.substring(pos, m.start)
@@ -908,9 +911,11 @@ object DeltaSqlParser {
   private[sql] val deltaPathRe =
     """(?is)delta\s*\.\s*`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
   /** Foreign Apache Iceberg reads: `iceberg.`p`` with optional
-    * `VERSION AS OF <snapshot-id>` (Spark+Iceberg's spelling). */
+    * `VERSION AS OF <snapshot-id>` or `TIMESTAMP AS OF 'ts'`
+    * (Spark+Iceberg's spellings; timestamp resolves via snapshot
+    * timestamp-ms). */
   private[sql] val icebergPathRe =
-    """(?is)iceberg\s*\.\s*`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
+    """(?is)iceberg\s*\.\s*`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
   /** `delta.`p`.` as a column qualifier inside a MERGE ON clause. */
   private[sql] def pathQualifierRe(path: String): Regex =
     s"""(?i)delta\\s*\\.\\s*`${Regex.quote(path)}`\\s*\\.""".r

@@ -294,6 +294,31 @@ class DeltaSqlSpec extends AnyFunSuite {
     assert(hist.length == 2 && hist.forall(_.getAs[String]("operation") == "append"))
   }
 
+  test("Iceberg TIMESTAMP AS OF resolves through snapshot timestamp-ms (API and SQL)") {
+    val dir = Files.createTempDirectory("graft-sql-iceberg-ts").toString
+    val s1 = graft.tools.IcebergFixture.append(
+      (0L until 40L).map(i => (i, s"x_$i")).toDF("id", "tag"), dir)
+    val s2 = graft.tools.IcebergFixture.append(
+      (40L until 60L).map(i => (i, s"y_$i")).toDF("id", "tag"), dir)
+    // the fixture stamps timestamp-ms = 1700000000000 + snapshot id
+    def tsOf(s: Long) = java.time.Instant.ofEpochMilli(1700000000000L + s).toString
+    assert(graft.io.IcebergInterop.snapshotAtTimestamp(
+      spark, dir, 1700000000000L + s1) == s1)
+    // a timestamp BETWEEN snapshots resolves to the earlier one
+    assert(graft.io.IcebergInterop.snapshotAtTimestamp(
+      spark, dir, 1700000000000L + s2 - 1) == s1)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM iceberg.`$dir` TIMESTAMP AS OF '${tsOf(s1)}'")
+      .head().getLong(0) == 40)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM iceberg.`$dir` TIMESTAMP AS OF '${tsOf(s2)}'")
+      .head().getLong(0) == 60)
+    // before the first snapshot: loud
+    val e = intercept[Exception](graft.io.IcebergInterop.snapshotAtTimestamp(
+      spark, dir, 1699999999999L))
+    assert(e.getMessage.contains("no Iceberg snapshot"), e.getMessage)
+  }
+
   test("CLUSTER BY runs as SQL: CREATE, plain OPTIMIZE clusters, ALTER ... CLUSTER BY [NONE]") {
     val dir = Files.createTempDirectory("graft-sql-cluster").toString + "/t"
     spark.sql(s"CREATE TABLE delta.`$dir` (id BIGINT, lang STRING) " +

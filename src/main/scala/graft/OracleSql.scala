@@ -505,6 +505,18 @@ object OracleSql {
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id % 2 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q178: row-tracking lifecycle — logical rows/chars after the
+    // DELETE(de) + UPDATE(fr, +1000) ops, the id watermark = every id
+    // ever assigned (N corpus rows + U update-rewritten fr rows, zero
+    // based), and the driver-verified id invariants as TRUE booleans
+    "q178_row_tracking" ->
+      """SELECT count(*) FILTER (WHERE lang <> 'de')::BIGINT AS n_rows,
+        |  (sum(n_chars) FILTER (WHERE lang <> 'de')
+        |   + 1000 * count(*) FILTER (WHERE lang = 'fr'))::BIGINT AS sum_chars,
+        |  (count(*) + count(*) FILTER (WHERE lang = 'fr') - 1)::BIGINT AS hwm,
+        |  TRUE AS ids_assigned, TRUE AS ranges_disjoint,
+        |  TRUE AS fresh_update_ids
+        |FROM documents""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

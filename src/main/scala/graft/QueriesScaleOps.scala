@@ -2039,4 +2039,56 @@ private[graft] trait QueriesScaleOps extends QueryBase {
          |  ON i.doc_id = d.doc_id + 1
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
   }
+
+  /** q178 — Delta ROW TRACKING lifecycle (PROTOCOL.md "Row
+    * Tracking"): the corpus' even half lands plain, enablement
+    * BACKFILLS row ids metadata-only, the odd half appends with fresh
+    * ids, then a DELETE and an UPDATE exercise the merge-on-read
+    * routing row-tracked tables force (DV'd originals keep their ids;
+    * postimage files take fresh ones past the watermark). The emitted
+    * surface is the deterministic part: logical row count and char
+    * sum after the ops, the watermark (= every id ever assigned:
+    * N rows + U update-rewritten rows), and driver-verified id
+    * invariants — all files carry ids, id ranges never overlap, and
+    * exactly the update's rows sit in fresh postimage ranges. The ids
+    * themselves depend on file split boundaries, so the INVARIANTS
+    * are the portable contract, mirroring q172's identity surface. */
+  private[graft] def q178(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.DeltaInterop
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q178")
+    DeltaInterop.writeDelta(docs.filter(col("doc_id") % 2 === 0), tmp, Nil)
+    DeltaInterop.setTableProperties(s, tmp,
+      Map("delta.enableRowTracking" -> "true")) // backfill: ids 0..nEven-1
+    DeltaInterop.writeDelta(docs.filter(col("doc_id") % 2 =!= 0), tmp, Nil)
+    DeltaInterop.deleteWhere(s, tmp, col("lang") === "de")   // routes to DVs
+    val (vUpd, _) = DeltaInterop.updateWhere(s, tmp, col("lang") === "fr",
+      Map("n_chars" -> (col("n_chars") + lit(1000L))))       // routes to DVs
+    val st = DeltaInterop.state(s, tmp)
+    val hwm = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(st.domains(DeltaInterop.RowTrackingDomain))
+      .path("rowIdHighWaterMark").asLong(-1L)
+    val n = docs.count()
+    val u = docs.filter(col("lang") === "fr").count()
+    val idsAssigned = st.files.forall(_.baseRowId.isDefined)
+    val ranges = st.files.map(a => (a.baseRowId.getOrElse(-1L), a.numRecords))
+      .sortBy(_._1)
+    val disjoint = ranges.sliding(2).forall {
+      case Seq((b1, n1), (b2, _)) => b2 >= b1 + n1
+      case _ => true
+    }
+    // the update's postimage files: committed at vUpd, based past the
+    // pre-update watermark (every pre-existing id is < n), and holding
+    // exactly the u rewritten rows
+    val post = st.files.filter(_.defaultRowCommitVersion.contains(vUpd))
+    val freshUpdateIds = post.map(_.numRecords).sum == u &&
+      post.forall(_.baseRowId.exists(_ >= n))
+    DeltaInterop.readDelta(s, tmp).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"))
+      .withColumn("hwm", lit(hwm)) // oracle recomputes n + u - 1
+      .withColumn("ids_assigned", lit(idsAssigned))
+      .withColumn("ranges_disjoint", lit(disjoint))
+      .withColumn("fresh_update_ids", lit(freshUpdateIds))
+  }
 }

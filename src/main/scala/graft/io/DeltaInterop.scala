@@ -149,7 +149,13 @@ object DeltaInterop {
   final case class AddFile(path: String, partitionValues: Map[String, String],
                            size: Long, numRecords: Long, tags: Map[String, String],
                            stats: String = null, deletionVector: String = null,
-                           clusteringProvider: String = null)
+                           clusteringProvider: String = null,
+                           // row tracking (PROTOCOL.md "Row Tracking"): the
+                           // file's first fresh row id and the commit version
+                           // its rows default to — round-tripped through every
+                           // re-serialization (DV attach, clone, checkpoint)
+                           baseRowId: Option[Long] = None,
+                           defaultRowCommitVersion: Option[Long] = None)
 
   // checkpoint parquet rows — the protocol's action-per-row schema
   // (PROTOCOL.md "Checkpoints"): one nullable struct column per action
@@ -165,7 +171,8 @@ object DeltaInterop {
   private[graft] case class CpAdd(path: String, partitionValues: Map[String, String],
     size: Long, modificationTime: Long, dataChange: Boolean, stats: String,
     tags: Map[String, String], deletionVector: CpDv = null,
-    clusteringProvider: String = null)
+    clusteringProvider: String = null,
+    baseRowId: Option[Long] = None, defaultRowCommitVersion: Option[Long] = None)
   private[graft] case class CpRemove(path: String, deletionTimestamp: Long,
     dataChange: Boolean)
   private[graft] case class CpTxn(appId: String, version: Long, lastUpdated: Long)
@@ -312,7 +319,15 @@ object DeltaInterop {
         // (above) and clusteringProvider preservation on adds (modeled
         // in AddFile); optimizeClustered() honors the clustering
         // columns, and appends/deletes are plain commits
-        "clustering")
+        "clustering",
+        // row tracking: fresh ids assigned on every new add
+        // ([[assignFreshRowIds]]), the high watermark maintained as
+        // domain metadata, add fields round-tripped through DV ops /
+        // clone / checkpoint; the ONE obligation this engine cannot
+        // meet — preserving ids when unmodified rows move files — is
+        // refused by name at each such operation (compaction, ZORDER,
+        // copy-on-write MERGE), and DELETE/UPDATE route merge-on-read
+        "rowTracking")
   }
 
   /** Reconstructed table state at a version. `txns` is the protocol's
@@ -338,6 +353,73 @@ object DeltaInterop {
   /** The domain name delta-spark stores liquid-clustering columns
     * under (PROTOCOL.md "Clustered Table"). */
   val ClusteringDomain = "delta.clustering"
+
+  /** The domain name row tracking keeps its fresh-row-id high
+    * watermark under (PROTOCOL.md "Row Tracking"). */
+  val RowTrackingDomain = "delta.rowTracking"
+
+  /** Row tracking is in force when the table advertises the writer
+    * feature (delta-spark always lists it once enabled) or carries the
+    * enablement property. */
+  private[graft] def rowTrackingEnabled(st: DeltaState): Boolean =
+    st.protocol.writerFeatures.contains("rowTracking") ||
+      st.configuration.get("delta.enableRowTracking").contains("true")
+
+  /** Fresh row ids for a commit's NEW adds (PROTOCOL.md "Row
+    * Tracking"): each new file's `baseRowId` starts past the table's
+    * `rowIdHighWaterMark`, its rows implicitly number
+    * base..base+numRecords-1, `defaultRowCommitVersion` stamps the
+    * commit version being attempted, and the advanced watermark rides
+    * the commit as `delta.rowTracking` domain metadata. Adds that
+    * already carry a baseRowId (RESTORE/CLONE re-adds, DV re-adds of
+    * an existing file) keep it — that IS the preservation rule.
+    *
+    * The engine-wide soundness argument: graft's row ops are
+    * merge-on-read, so a new data file only ever holds logically NEW
+    * or MODIFIED rows (appends, overwrites, DV-update postimages) —
+    * exactly the rows the spec assigns FRESH ids. Unmodified rows
+    * never change files (DV deletes mask in place), so their ids ride
+    * the preserved add fields. The one operation class that moves
+    * unmodified rows — compaction/Z-order/clustering and copy-on-write
+    * MERGE — refuses by name on row-tracked tables (preserving ids
+    * there needs materialized row-id columns, which this engine does
+    * not write).
+    *
+    * Version-race safe: retries re-enter the caller, which re-reads
+    * state and re-derives both the watermark and the target version. */
+  private def assignFreshRowIds(st: DeltaState, adds: Seq[AddFile],
+                                commitVersion: Long): (Seq[AddFile], Seq[String]) = {
+    var hwm = st.domains.get(RowTrackingDomain)
+      .map(cfg => M.readTree(cfg).path("rowIdHighWaterMark").asLong(-1L))
+      .getOrElse(-1L)
+    var moved = false
+    val stamped = adds.map { a =>
+      if (a.baseRowId.isDefined) a
+      else {
+        require(a.numRecords >= 0,
+          s"row tracking needs numRecords stats to assign row ids (add ${a.path})")
+        val base = hwm + 1
+        hwm += a.numRecords
+        moved = true
+        a.copy(baseRowId = Some(base),
+          defaultRowCommitVersion = Some(commitVersion))
+      }
+    }
+    val domain =
+      if (!moved) Nil
+      else Seq(domainMetadataJson(RowTrackingDomain,
+        s"""{"rowIdHighWaterMark":$hwm}"""))
+    (stamped, domain)
+  }
+
+  /** Named refusal for the operation class row tracking cannot survive
+    * without materialized row-id columns (see [[assignFreshRowIds]]). */
+  private def refuseRowTrackingRewrite(st: DeltaState, dir: String,
+                                       op: String): Unit =
+    require(!rowTrackingEnabled(st),
+      s"$op moves unmodified rows between files, which would lose their row ids " +
+        s"on the row-tracked table at $dir (materialized row-id columns are not " +
+        "written by this engine) — use the deletion-vector row ops instead")
 
   /** Latest committed version, or -1 for no table. */
   def latestVersion(spark: SparkSession, dir: String): Long = {
@@ -486,9 +568,14 @@ object DeltaInterop {
               if (a.schema.fieldNames.contains("clusteringProvider") &&
                   !a.isNullAt(a.fieldIndex("clusteringProvider")))
                 a.getAs[String]("clusteringProvider") else null
+            def longOf(name: String): Option[Long] =
+              if (!a.schema.fieldNames.contains(name) ||
+                  a.isNullAt(a.fieldIndex(name))) None
+              else Some(a.getAs[Long](name))
             live(a.getAs[String]("path")) = AddFile(a.getAs[String]("path"),
               mapOf("partitionValues"), a.getAs[Long]("size"), numRecords,
-              mapOf("tags"), stats, dv, clusterer)
+              mapOf("tags"), stats, dv, clusterer,
+              longOf("baseRowId"), longOf("defaultRowCommitVersion"))
           }
           struct("txn").foreach { t =>
             val app = t.getAs[String]("appId")
@@ -721,10 +808,13 @@ object DeltaInterop {
       if (a.has("deletionVector") && !a.get("deletionVector").isNull)
         M.writeValueAsString(a.get("deletionVector"))
       else null
+    def longField(name: String): Option[Long] =
+      if (a.has(name) && !a.get(name).isNull) Some(a.get(name).asLong) else None
     AddFile(a.get("path").asText, jsonMap(a.get("partitionValues")),
       a.get("size").asLong, numRecords, tags, statsRaw, dv,
       if (a.has("clusteringProvider") && !a.get("clusteringProvider").isNull)
-        a.get("clusteringProvider").asText else null)
+        a.get("clusteringProvider").asText else null,
+      longField("baseRowId"), longField("defaultRowCommitVersion"))
   }
 
   /** The actions of ONE commit, as a streaming tailer needs them:
@@ -1061,7 +1151,8 @@ object DeltaInterop {
               n.get("sizeInBytes").asInt, n.get("cardinality").asLong)
           }
         CpRow(add = CpAdd(a.path, a.partitionValues, a.size, 0L, dataChange = true,
-          stats, if (a.tags.nonEmpty) a.tags else null, dv, a.clusteringProvider))
+          stats, if (a.tags.nonEmpty) a.tags else null, dv, a.clusteringProvider,
+          a.baseRowId, a.defaultRowCommitVersion))
       }
     val staging = new Path(dir, s".cp-staging-${java.util.UUID.randomUUID().toString.take(8)}")
     import spark.implicits._
@@ -1139,6 +1230,19 @@ object DeltaInterop {
       // the table is on v7 features)
       val upgraded = st.protocol.merge(Protocol.Cdf)
       if (upgraded != st.protocol) actions += upgraded.json
+    }
+    if (props.get("delta.enableRowTracking").contains("true") &&
+        !rowTrackingEnabled(st)) {
+      // enabling on an existing table: list the features and BACKFILL
+      // every live file with fresh row ids in the same commit —
+      // re-adds of the same paths (replay is keyed by path) with
+      // dataChange=false, delta-spark's own enablement shape; no data
+      // moves. Files without numRecords stats refuse loudly inside
+      // assignFreshRowIds — ids cannot be ranged without a count.
+      rowTrackingProtocolActions(st).foreach(actions += _)
+      val (stamped, domain) = assignFreshRowIds(st, st.files, st.version + 1)
+      domain.foreach(actions += _)
+      stamped.foreach(a => actions += addJson(a, dataChange = false))
     }
     actions += metaDataJson(st.schema, st.partitionColumns, merged)
     commit(spark, dir, st.version + 1, actions.result(), op = "SET TBLPROPERTIES")
@@ -1819,8 +1923,17 @@ object DeltaInterop {
       actions += metaDataJson(s2, partCols, prevState.get.configuration)
     }
     txn.foreach { case (app, tv) => actions += txnJson(app, tv) }
+    // row-tracked tables stamp fresh ids on the new files (appends and
+    // overwrites are all-new or all-replaced rows — the fresh-id case)
+    val (adds2, rtActions) = prevState.filter(rowTrackingEnabled) match {
+      case Some(st) =>
+        val (a2, dom) = assignFreshRowIds(st, adds, prev + 1)
+        (a2, if (dom.isEmpty) Nil else rowTrackingProtocolActions(st) ++ dom)
+      case None => (adds, Nil)
+    }
+    rtActions.foreach(actions += _)
     removes.foreach(r => actions += removeJson(r))
-    adds.foreach(a => actions += addJson(a))
+    adds2.foreach(a => actions += addJson(a))
     preCommitHook() // test seam: a racing writer lands exactly here
     val v = commit(spark, dir, prev + 1, actions.toSeq,
       op = if (txn.isDefined) "STREAMING UPDATE" else "WRITE")
@@ -1848,6 +1961,9 @@ object DeltaInterop {
     val f = fs(spark, deltaDir)
     val prev = latestVersion(spark, deltaDir)
     val prevState = if (prev >= 0) Some(state(spark, deltaDir)) else None
+    prevState.foreach(st => require(!rowTrackingEnabled(st),
+      s"snapshot export does not assign row ids — the row-tracked table at " +
+        s"$deltaDir needs writeDelta/appendOnce"))
     val prevByPart: Map[String, Seq[AddFile]] =
       prevState.map(_.files.groupBy(_.partitionValues(partCol)))
         .getOrElse(Map.empty)
@@ -1971,6 +2087,7 @@ object DeltaInterop {
               partitionEq: Map[String, String] = Map.empty): (Long, Int, Int) = {
     val st0 = state(spark, dir)
     requireWritable(st0, dir)
+    refuseRowTrackingRewrite(st0, dir, "compaction")
     // a DV'd file can't be raw-concatenated (that would resurrect its
     // masked rows) — leave such files alone; row ops materialize DVs.
     // `partitionEq` scopes the pass to named partitions (delta-spark's
@@ -2079,6 +2196,7 @@ object DeltaInterop {
     require(zCols.nonEmpty, "zCols must be non-empty")
     val st0 = state(spark, dir)
     requireWritable(st0, dir)
+    refuseRowTrackingRewrite(st0, dir, "OPTIMIZE ZORDER")
     // scope to named partitions when asked — an incremental re-layout
     val st = st0.copy(files = prunedFiles(st0, partitionEq))
     require(st.files.forall(_.deletionVector == null),
@@ -2902,6 +3020,8 @@ object DeltaInterop {
         "deletionVector", M.readTree(a.deletionVector))
     if (a.clusteringProvider != null)
       add.put("clusteringProvider", a.clusteringProvider)
+    a.baseRowId.foreach(add.put("baseRowId", _))
+    a.defaultRowCommitVersion.foreach(add.put("defaultRowCommitVersion", _))
     M.writeValueAsString(n)
   }
 
@@ -2913,6 +3033,14 @@ object DeltaInterop {
     * table already satisfies the requirement. */
   private def dvProtocolActions(st: DeltaState): Seq[String] = {
     val upgraded = st.protocol.merge(Protocol.DeletionVectors)
+    if (upgraded == st.protocol) Nil else Seq(upgraded.json)
+  }
+
+  /** rowTracking depends on domainMetadata (the watermark domain) —
+    * commits that stamp row ids list both, never a downgrade. */
+  private def rowTrackingProtocolActions(st: DeltaState): Seq[String] = {
+    val upgraded = st.protocol.merge(
+      Protocol(1, 7, Set.empty, Set("rowTracking", "domainMetadata")))
     if (upgraded == st.protocol) Nil else Seq(upgraded.json)
   }
 
@@ -3166,6 +3294,13 @@ object DeltaInterop {
     val st = state(spark, dir)
     requireWritable(st, dir)
     requireRemovable(st, dir, "DELETE")
+    // a row-tracked table's surviving rows must keep their ids, which
+    // copy-on-write cannot do — route to merge-on-read (DVs mask the
+    // deleted rows in place; no row moves files)
+    if (rowTrackingEnabled(st)) {
+      val (v, files, _) = deleteWhereDV(spark, dir, predicate, partitionEq, ranges)
+      return (v, files)
+    }
     val touched = touchedFiles(spark, dir, st,
       prunedFiles(st, partitionEq, ranges), predicate <=> lit(true))
     if (touched.isEmpty) return (st.version, 0)
@@ -3299,9 +3434,17 @@ object DeltaInterop {
         }
       }: _*)
     enforceConstraints(postimage, st)
-    val newAdds = stageForTable(postimage, dir, st)
+    // postimage files hold only logically MODIFIED rows — the spec's
+    // fresh-row-id case; the DV'd originals keep their ids via copy
+    val staged = stageForTable(postimage, dir, st)
+    val (newAdds, rtActions) =
+      if (rowTrackingEnabled(st)) {
+        val (a2, dom) = assignFreshRowIds(st, staged, st.version + 1)
+        (a2, if (dom.isEmpty) Nil else rowTrackingProtocolActions(st) ++ dom)
+      } else (staged, Nil)
     val idx = qualifiedIndex(spark, dir, candidates)
     val actions = Seq.newBuilder[String]
+    rtActions.foreach(actions += _)
     var updatedRows = 0L
     perFile.foreach { case (file, desc, _, newCount) =>
       val a = idx(file)
@@ -3344,6 +3487,13 @@ object DeltaInterop {
       s"cannot SET identity column(s) ${idHit.mkString(",")} — values are engine-generated")
     require(set.keys.forall(c => !st.partitionColumns.contains(c)),
       s"SET on partition columns is not supported (rewrite would move rows across partitions)")
+    // row-tracked tables route to merge-on-read: the DV update's new
+    // files hold ONLY modified rows (fresh ids), unmodified rows stay
+    // put — copy-on-write would move them and lose their ids
+    if (rowTrackingEnabled(st)) {
+      val (v, files, _) = updateWhereDV(spark, dir, predicate, set, partitionEq, ranges)
+      return (v, files)
+    }
     val touched = touchedFiles(spark, dir, st,
       prunedFiles(st, partitionEq, ranges), predicate <=> lit(true))
     if (touched.isEmpty) return (st.version, 0)
@@ -3393,6 +3543,7 @@ object DeltaInterop {
     val st = state(spark, dir)
     requireWritable(st, dir)
     requireRemovable(st, dir, "MERGE")
+    refuseRowTrackingRewrite(st, dir, "copy-on-write MERGE")
     require(identityFields(st.schema).isEmpty,
       s"MERGE into a table with IDENTITY column(s) " +
       s"${identityFields(st.schema).map(_.name).mkString(",")} is not supported " +
@@ -3488,6 +3639,7 @@ object DeltaInterop {
     val st = state(spark, dir)
     requireWritable(st, dir)
     requireRemovable(st, dir, "MERGE")
+    refuseRowTrackingRewrite(st, dir, "copy-on-write MERGE")
     // identity tables: matched UPDATE/DELETE and by-source clauses are
     // safe as long as no identity column is assigned; an INSERT clause
     // would need in-merge generation — refuse it by name

@@ -156,23 +156,23 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(e.getMessage.contains("minReaderVersion=4"))
   }
 
-  test("unsupported writer features refuse WRITES by name but allow reads (rowTracking)") {
-    val dir = Files.createTempDirectory("graft-proto-rowtrack").toString
+  test("unsupported writer features refuse WRITES by name but allow reads") {
+    val dir = Files.createTempDirectory("graft-proto-unkfeat").toString
     writeForeignLog(dir,
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","appendOnly","invariants"]}}""")
-    // reads are fine: rowTracking gates writers only
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["someFutureFeature","appendOnly","invariants"]}}""")
+    // reads are fine: an unknown WRITER feature gates writers only
     assert(DeltaInterop.readDelta(spark, dir).count() == 0)
     val e = intercept[IllegalArgumentException](
       DeltaInterop.writeDelta(Seq(1L).toDF("id"), dir, Nil))
-    assert(e.getMessage.contains("rowTracking"), e.getMessage)
+    assert(e.getMessage.contains("someFutureFeature"), e.getMessage)
     val e2 = intercept[IllegalArgumentException](
       DeltaInterop.deleteWhere(spark, dir, col("id") === 1L))
-    assert(e2.getMessage.contains("rowTracking"))
+    assert(e2.getMessage.contains("someFutureFeature"))
     // a checkpoint is a WRITE of state: the fixed checkpoint schema
     // would silently drop feature-required add fields — refuse by name
     val e3 = intercept[IllegalArgumentException](
       DeltaInterop.checkpoint(spark, dir))
-    assert(e3.getMessage.contains("rowTracking"), e3.getMessage)
+    assert(e3.getMessage.contains("someFutureFeature"), e3.getMessage)
   }
 
   test("a REALISTIC rowTracking table reads green: baseRowId adds + domainMetadata tolerated") {
@@ -211,17 +211,10 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(DeltaInterop.readDeltaWhere(spark, dir,
       ranges = Map("id" -> ((2.0, 3.0)))).count() == 2)
     assert(DeltaInterop.history(spark, dir).count() == 1)
-    // writes keep refusing BY NAME (no row-id assignment here)
-    val e = intercept[IllegalArgumentException](
-      DeltaInterop.writeDelta(Seq((9L, "z")).toDF("id", "tag"), dir, Nil))
-    assert(e.getMessage.contains("rowTracking"), e.getMessage)
-    val e2 = intercept[IllegalArgumentException](
-      DeltaInterop.deleteWhereDV(spark, dir, col("id") === 1L))
-    assert(e2.getMessage.contains("rowTracking"))
-    // shallow clone refuses too: re-serialized adds would drop baseRowId
-    val e3 = intercept[IllegalArgumentException](DeltaInterop.shallowClone(
-      spark, dir, Files.createTempDirectory("graft-rt-clone").toString + "/c"))
-    assert(e3.getMessage.contains("rowTracking"))
+    // writes WORK and assign fresh row ids (DeltaRowTrackingSpec has
+    // the full matrix); the watermark advances past the fixture's 2
+    DeltaInterop.writeDelta(Seq((9L, "z")).toDF("id", "tag"), dir, Nil)
+    assert(DeltaInterop.readDelta(spark, dir).count() == 4)
   }
 
   test("icebergCompat tables READ green (writer-side feature); writes refuse by name") {

@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.io.DeltaInterop
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Row tracking WRITE support (delta-io PROTOCOL.md "Row Tracking").
+  *
+  * The engine's contract: every NEW data file gets a fresh
+  * `baseRowId` past the table's `delta.rowTracking` high watermark
+  * and a `defaultRowCommitVersion`; files that merely gain a deletion
+  * vector (or ride RESTORE/CLONE/checkpoint) keep their ids via the
+  * round-tripped add fields. Merge-on-read makes this sound
+  * everywhere: new files only ever hold logically NEW or MODIFIED
+  * rows (the spec's fresh-id case); unmodified rows never change
+  * files. The one class that would move them — compaction / ZORDER /
+  * copy-on-write MERGE — refuses by name, and DELETE/UPDATE
+  * automatically route to the DV paths on row-tracked tables. */
+class DeltaRowTrackingSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  /** A foreign row-tracked table: one 3-row file with baseRowId 0,
+    * watermark 2 — the shape a delta-spark writer leaves. */
+  private def foreignFixture(): String = {
+    val dir = Files.createTempDirectory("graft-rt").toString
+    val staging = s"$dir/.stage"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag")
+      .coalesce(1).write.parquet(staging)
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    f.rename(part, new org.apache.hadoop.fs.Path(s"$dir/data-0.parquet"))
+    f.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val size = f.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/data-0.parquet")).getLen
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType)))
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","domainMetadata"]}}""",
+      s"""{"metaData":{"id":"rt-spec","format":{"provider":"parquet","options":{}},"schemaString":${M.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{"delta.enableRowTracking":"true"},"createdTime":0}}""",
+      """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\"rowIdHighWaterMark\":2}","removed":false}}""",
+      s"""{"add":{"path":"data-0.parquet","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true,"baseRowId":0,"defaultRowCommitVersion":0,"stats":"{\\"numRecords\\":3,\\"minValues\\":{\\"id\\":1},\\"maxValues\\":{\\"id\\":3}}"}}""")
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    Files.write(Paths.get(dir, "_delta_log", "00000000000000000000.json"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    dir
+  }
+
+  private def hwm(dir: String): Long = {
+    val cfg = DeltaInterop.state(spark, dir)
+      .domains(DeltaInterop.RowTrackingDomain)
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(cfg).path("rowIdHighWaterMark").asLong(-1L)
+  }
+
+  test("appends assign fresh contiguous row ids and advance the watermark") {
+    val dir = foreignFixture()
+    val v1 = DeltaInterop.writeDelta(
+      (10L until 14L).map(i => (i, s"x$i")).toDF("id", "tag"), dir, Nil)
+    val st1 = DeltaInterop.state(spark, dir)
+    val newAdds = st1.files.filter(_.path != "data-0.parquet")
+    assert(newAdds.nonEmpty)
+    // every new add has a base past the fixture watermark of 2 and
+    // stamps the commit version it landed in
+    assert(newAdds.forall(_.baseRowId.exists(_ >= 3L)))
+    assert(newAdds.forall(_.defaultRowCommitVersion.contains(v1)))
+    // ranges are disjoint and contiguous: bases sorted, each next base
+    // = previous base + previous numRecords
+    val ranges = newAdds.map(a => (a.baseRowId.get, a.numRecords)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((b1, n1), (b2, _)) => assert(b2 == b1 + n1)
+      case _ =>
+    }
+    assert(hwm(dir) == 2L + 4L)
+    // the untouched original keeps its foreign base
+    assert(st1.files.find(_.path == "data-0.parquet")
+      .get.baseRowId.contains(0L))
+    // a second append continues past the new watermark
+    DeltaInterop.writeDelta(Seq((99L, "z")).toDF("id", "tag"), dir, Nil)
+    assert(hwm(dir) == 7L)
+    val last = DeltaInterop.state(spark, dir).files
+      .maxBy(_.baseRowId.getOrElse(-1L))
+    assert(last.baseRowId.contains(7L) && last.numRecords == 1L)
+  }
+
+  test("DELETE routes merge-on-read: the DV'd file keeps its row ids") {
+    val dir = foreignFixture()
+    val (v, files) = DeltaInterop.deleteWhere(spark, dir, col("id") === 2L)
+    assert(v > 0 && files == 1)
+    val st = DeltaInterop.state(spark, dir)
+    val a = st.files.find(_.path == "data-0.parquet").get
+    // merge-on-read: same path, DV attached, foreign base PRESERVED
+    assert(a.deletionVector != null)
+    assert(a.baseRowId.contains(0L) && a.defaultRowCommitVersion.contains(0L))
+    assert(DeltaInterop.readDelta(spark, dir).count() == 2)
+    // no new data files → watermark unchanged
+    assert(hwm(dir) == 2L)
+  }
+
+  test("UPDATE routes merge-on-read: postimage files get fresh ids") {
+    val dir = foreignFixture()
+    val (v, _) = DeltaInterop.updateWhere(spark, dir, col("id") === 3L,
+      Map("tag" -> lit("upd")))
+    assert(v > 0)
+    val st = DeltaInterop.state(spark, dir)
+    val orig = st.files.find(_.path == "data-0.parquet").get
+    assert(orig.deletionVector != null && orig.baseRowId.contains(0L))
+    val post = st.files.filter(_.path != "data-0.parquet")
+    assert(post.nonEmpty && post.forall(_.baseRowId.exists(_ >= 3L)))
+    assert(post.forall(_.defaultRowCommitVersion.contains(v)))
+    assert(hwm(dir) == 2L + post.map(_.numRecords).sum)
+    val rows = DeltaInterop.readDelta(spark, dir).orderBy("id").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("a", "b", "upd"))
+  }
+
+  test("row-moving rewrites refuse by name; DV row ops and checkpoint work") {
+    val dir = foreignFixture()
+    val e1 = intercept[IllegalArgumentException](DeltaInterop.compact(spark, dir))
+    assert(e1.getMessage.contains("row ids"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaInterop.optimizeZOrder(spark, dir, Seq("id")))
+    assert(e2.getMessage.contains("row ids"))
+    val e3 = intercept[IllegalArgumentException](DeltaInterop.merge(
+      spark, dir, Seq((1L, "m")).toDF("id", "tag"), Seq("id")))
+    assert(e3.getMessage.contains("row ids"))
+    // checkpoint round-trips the add fields: replay AFTER cleanup sees
+    // the same base
+    DeltaInterop.writeDelta(Seq((50L, "y")).toDF("id", "tag"), dir, Nil)
+    DeltaInterop.checkpoint(spark, dir)
+    DeltaInterop.cleanupLog(spark, dir)
+    val st = DeltaInterop.state(spark, dir)
+    assert(st.files.find(_.path == "data-0.parquet").get.baseRowId.contains(0L))
+    assert(st.files.exists(_.baseRowId.contains(3L)))
+    assert(hwm(dir) == 3L)
+  }
+
+  test("SET TBLPROPERTIES delta.enableRowTracking=true backfills existing files") {
+    val dir = Files.createTempDirectory("graft-rt-enable").toString + "/t"
+    DeltaInterop.writeDelta((0L until 6L).map(i => (i, s"v$i")).toDF("id", "tag"),
+      dir, Nil)
+    DeltaInterop.writeDelta(Seq((6L, "v6")).toDF("id", "tag"), dir, Nil)
+    val before = DeltaInterop.state(spark, dir)
+    assert(before.files.forall(_.baseRowId.isEmpty))
+    DeltaInterop.setTableProperties(spark, dir,
+      Map("delta.enableRowTracking" -> "true"))
+    val st = DeltaInterop.state(spark, dir)
+    assert(st.protocol.writerFeatures.contains("rowTracking"))
+    assert(st.protocol.writerFeatures.contains("domainMetadata"))
+    // every live file backfilled with a disjoint contiguous range
+    assert(st.files.forall(_.baseRowId.isDefined))
+    val ranges = st.files.map(a => (a.baseRowId.get, a.numRecords)).sortBy(_._1)
+    assert(ranges.head._1 == 0L)
+    ranges.sliding(2).foreach {
+      case Seq((b1, n1), (b2, _)) => assert(b2 == b1 + n1)
+      case _ =>
+    }
+    assert(hwm(dir) == 6L) // 7 rows → ids 0..6
+    // data unchanged; appends continue past the backfilled watermark
+    assert(DeltaInterop.readDelta(spark, dir).count() == 7)
+    DeltaInterop.writeDelta(Seq((7L, "v7")).toDF("id", "tag"), dir, Nil)
+    assert(hwm(dir) == 7L)
+  }
+
+  test("shallow clone preserves row ids and the watermark domain") {
+    val dir = foreignFixture()
+    DeltaInterop.writeDelta(Seq((10L, "x")).toDF("id", "tag"), dir, Nil)
+    val dst = Files.createTempDirectory("graft-rt-clone").toString + "/c"
+    DeltaInterop.shallowClone(spark, dir, dst)
+    val st = DeltaInterop.state(spark, dst)
+    assert(st.files.forall(_.baseRowId.isDefined))
+    assert(st.files.map(_.baseRowId.get).sorted == Seq(0L, 3L))
+    assert(hwm(dst) == 3L)
+    // appends to the CLONE continue its watermark independently
+    DeltaInterop.writeDelta(Seq((20L, "c")).toDF("id", "tag"), dst, Nil)
+    assert(hwm(dst) == 4L)
+    assert(hwm(dir) == 3L)
+  }
+}

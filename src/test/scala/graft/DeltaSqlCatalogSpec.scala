@@ -240,12 +240,12 @@ class DeltaSqlCatalogSpec extends AnyFunSuite {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "_delta_log", "00000000000000000000.json"),
       (Seq(
-        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["someFutureFeature"]}}""",
         M.writeValueAsString(md)).mkString("\n") + "\n").getBytes("UTF-8"))
     val dst = Files.createTempDirectory("graft-clone-gate-dst").toString + "/c"
     val e = intercept[IllegalArgumentException](
       DeltaInterop.shallowClone(spark, dir, dst))
-    assert(e.getMessage.contains("rowTracking"), e.getMessage)
+    assert(e.getMessage.contains("someFutureFeature"), e.getMessage)
   }
 
   test("Iceberg tables register by NAME through a plain view (rewritten to the TVF)") {

@@ -517,6 +517,12 @@ object OracleSql {
         |  TRUE AS ids_assigned, TRUE AS ranges_disjoint,
         |  TRUE AS fresh_update_ids
         |FROM documents""".stripMargin,
+    // q179: the lang-partitioned Iceberg read of one lang = that lang
+    // slice of the corpus, by source
+    "q179_iceberg_partitioned" ->
+      """SELECT source, count(*) AS n, sum(n_chars)::BIGINT AS chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

@@ -2040,6 +2040,31 @@ private[graft] trait QueriesScaleOps extends QueryBase {
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
   }
 
+  /** q179 — Iceberg MANIFEST-LEVEL skipping: the corpus lands
+    * PARTITIONED by lang (identity transform — one manifest per
+    * partition value, the manifest list carrying the spec's
+    * field_summary bounds), and a single-lang read must open ONLY
+    * that partition's manifests: the other langs' manifests drop on
+    * their summaries before any Avro is read. At warehouse scale this
+    * is the difference between driver metadata work proportional to
+    * the TABLE (thousands of manifests) and to the MATCHING partition
+    * — the Iceberg analogue of Delta partition pruning. The in-query
+    * require asserts real skipping; the oracle restates the lang
+    * slice from the corpus. */
+  private[graft] def q179(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q179")
+    graft.tools.IcebergFixture.appendPartitioned(docs, tmp, "lang")
+    val t = graft.io.IcebergInterop.readIcebergWhere(s, tmp, Map.empty,
+      stringEq = Map("lang" -> "en"))
+    val (read, skipped) = graft.io.IcebergInterop.lastManifestScan
+    require(read == 1 && skipped >= 1,
+      s"expected exactly the en manifest to open, got read=$read skipped=$skipped")
+    t.groupBy("source").agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      .orderBy("source")
+  }
+
   /** q178 — Delta ROW TRACKING lifecycle (PROTOCOL.md "Row
     * Tracking"): the corpus' even half lands plain, enablement
     * BACKFILLS row ids metadata-only, the odd half appends with fresh

@@ -189,17 +189,90 @@ object IcebergInterop {
     Option(r.getSchema.getField(field)).flatMap(_ => Option(r.get(field)))
       .map(_.asInstanceOf[Number].longValue).getOrElse(dflt)
 
-  private def liveFiles(spark: SparkSession, dir: String,
-                        snapshot: JsonNode): SnapshotFiles = {
+  /** Manifest-level skipping telemetry of the LAST [[liveFiles]] call
+    * (single-threaded test introspection only). */
+  @volatile private[graft] var lastManifestScan: (Int, Int) = (0, 0) // (read, skipped)
+
+  /** Can the manifest whose manifest-list entry carries `specId` +
+    * `summaries` hold rows matching the field-id-keyed predicates?
+    * Resolved through the metadata's partition specs: each
+    * field_summary lines up positionally with the spec's fields, and
+    * only `identity` transforms prune (a bucketed/truncated value
+    * can't answer a source-column range). Missing spec / summary /
+    * bound ⇒ true (no skipping without evidence). */
+  private def manifestMayMatch(meta: JsonNode, specId: Int,
+      summaries: Seq[(Boolean, Array[Byte], Array[Byte])],
+      idRanges: Map[Int, (DataType, Double, Double)],
+      idEq: Map[Int, (DataType, Array[Byte])]): Boolean = {
     import scala.jdk.CollectionConverters._
+    if (summaries.isEmpty || (idRanges.isEmpty && idEq.isEmpty)) return true
+    val specFields: Seq[(Int, String)] = meta.path("partition-specs")
+      .elements().asScala.find(_.path("spec-id").asInt(-1) == specId)
+      .map(_.path("fields").elements().asScala
+        .map(fd => (fd.path("source-id").asInt, fd.path("transform").asText))
+        .toSeq)
+      .getOrElse(Seq.empty)
+    specFields.zip(summaries).forall {
+      case ((srcId, "identity"), (containsNull, lo, hi)) =>
+        val rangeOk = idRanges.get(srcId).forall { case (dt, qlo, qhi) =>
+          containsNull || lo == null || hi == null ||
+            ((boundToDouble(dt, lo), boundToDouble(dt, hi)) match {
+              case (Some(mn), Some(mx)) => mx >= qlo && mn <= qhi
+              case _ => true
+            })
+        }
+        val eqOk = idEq.get(srcId).forall { case (dt, vb) =>
+          containsNull || lo == null || hi == null || dt != StringType ||
+            (java.util.Arrays.compareUnsigned(lo, vb) <= 0 &&
+              java.util.Arrays.compareUnsigned(vb, hi) <= 0)
+        }
+        rangeOk && eqOk
+      case _ => true // non-identity transform: no source-value evidence
+    }
+  }
+
+  private def liveFiles(spark: SparkSession, dir: String,
+                        snapshot: JsonNode, meta: JsonNode = null,
+                        idRanges: Map[Int, (DataType, Double, Double)] = Map.empty,
+                        idEq: Map[Int, (DataType, Array[Byte])] = Map.empty): SnapshotFiles = {
+    import scala.jdk.CollectionConverters._
+    var skipped = 0
     val manifests: Seq[(String, Int, Long)] =
       if (snapshot.has("manifest-list")) {
         avroRecords(spark, new Path(resolve(snapshot.path("manifest-list").asText)))
+          .filter { m =>
+            // MANIFEST-LEVEL skipping: a partitioned manifest whose
+            // partition-field summary excludes the predicates drops
+            // before its Avro is ever opened — at warehouse scale the
+            // driver's metadata work becomes proportional to MATCHING
+            // manifests, not the table. Delete manifests never skip
+            // (a delete can hit any partition under spec evolution).
+            val keep = meta == null || intOr(m, "content", 0) != 0 || {
+              val sums = Option(m.getSchema.getField("partitions"))
+                .flatMap(_ => Option(m.get("partitions"))).map {
+                  _.asInstanceOf[java.util.List[_]].asScala.map { s0 =>
+                    val r = s0.asInstanceOf[GenericRecord]
+                    def bytesOf(f: String): Array[Byte] =
+                      Option(r.get(f)).map { bb0 =>
+                        val bb = bb0.asInstanceOf[java.nio.ByteBuffer].duplicate()
+                        val b = new Array[Byte](bb.remaining()); bb.get(b); b
+                      }.orNull
+                    (Option(r.get("contains_null")).exists(_.asInstanceOf[Boolean]),
+                      bytesOf("lower_bound"), bytesOf("upper_bound"))
+                  }.toSeq
+                }.getOrElse(Seq.empty)
+              manifestMayMatch(meta, intOr(m, "partition_spec_id", 0),
+                sums, idRanges, idEq)
+            }
+            if (!keep) skipped += 1
+            keep
+          }
           .map(m => (str(m, "manifest_path"), intOr(m, "content", 0),
             longOr(m, "sequence_number", 0L)))
       } else // v1: inline manifest path array (v1 has no deletes)
         snapshot.path("manifests").elements().asScala
           .map(p => (p.asText, 0, 0L)).toSeq
+    lastManifestScan = (manifests.length, skipped)
     val data = Seq.newBuilder[DataFileEntry]
     val posDeletes = Seq.newBuilder[String]
     val eqDeletes = Seq.newBuilder[(String, Long, Seq[Int])]
@@ -327,7 +400,6 @@ object IcebergInterop {
         throw new IllegalArgumentException(
           s"snapshot $wanted not found in ${snaps.length} snapshot(s) at $dir")
       case Some(s0) =>
-        val inv0 = liveFiles(spark, dir, s0)
         // file-level data skipping: drop files whose manifest bounds
         // exclude a requested range (by FIELD ID — names may have
         // evolved since the bounds were written)
@@ -337,6 +409,18 @@ object IcebergInterop {
               Some(f.name -> ((f.metadata.getLong(FieldIdKey).toInt, f.dataType)))
             else None
           }.toMap
+        // ...and MANIFEST-level skipping first: the same predicates,
+        // keyed by field id, prune whole manifests via the manifest
+        // list's partition-field summaries before any manifest opens
+        val idRanges = ranges.flatMap { case (name, (lo, hi)) =>
+          idOf.get(name).map { case (id, dt) => id -> ((dt, lo, hi)) }
+        }
+        val idEq = stringEq.flatMap { case (name, v) =>
+          idOf.get(name).map { case (id, dt) =>
+            id -> ((dt, v.getBytes("UTF-8")))
+          }
+        }
+        val inv0 = liveFiles(spark, dir, s0, meta, idRanges, idEq)
         val inv = if (ranges.isEmpty && stringEq.isEmpty) inv0 else inv0.copy(
           data = inv0.data.filter { e =>
             ranges.forall { case (name, (lo, hi)) =>

@@ -47,7 +47,13 @@ object IcebergFixture {
       |{"name":"partition_spec_id","type":"int"},
       |{"name":"content","type":"int"},
       |{"name":"sequence_number","type":["null","long"],"default":null},
-      |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+      |{"name":"added_snapshot_id","type":"long"},
+      |{"name":"partitions","type":["null",{"type":"array","items":
+      |  {"type":"record","name":"field_summary","fields":[
+      |    {"name":"contains_null","type":"boolean"},
+      |    {"name":"lower_bound","type":["null","bytes"],"default":null},
+      |    {"name":"upper_bound","type":["null","bytes"],"default":null}]}}],
+      | "default":null}]}""".stripMargin)
 
   private def writeAvro(path: java.io.File, schema: Schema,
                         records: Seq[GenericRecord]): Unit = {
@@ -200,13 +206,24 @@ object IcebergFixture {
   }
 
 
+  /** One manifest reference for [[commitSnapshot]]'s list: content
+    * 0=data / 1=deletes, the spec id its entries were written under,
+    * and (for partitioned manifests) the identity-partition-field
+    * summary bytes the manifest list carries for manifest-level
+    * skipping. */
+  private[graft] final case class ManifestRef(path: Path, content: Int,
+      specId: Int = 0, summary: Option[(Array[Byte], Array[Byte])] = None)
+
   /** Commit a new snapshot whose manifest list = the previous
-    * snapshot's manifests + `newManifest`; writes vN metadata json and
-    * the version hint. Returns the snapshot id. */
+    * snapshot's manifests + `newManifests`; writes vN metadata json and
+    * the version hint. `partSpec` = (column name, source field id)
+    * registers the identity partition spec (id 1) partitioned
+    * manifests reference. Returns the snapshot id. */
   private def commitSnapshot(spark: SparkSession, dir: String,
                              schema: StructType,
-                             newManifest: (Path, Int),
-                             operation: String): Long = {
+                             newManifests: Seq[ManifestRef],
+                             operation: String,
+                             partSpec: Option[(String, Int)] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val f = root.getFileSystem(conf)
@@ -218,33 +235,54 @@ object IcebergFixture {
     import scala.jdk.CollectionConverters._
     // prior manifests come from the previous manifest LIST (so data
     // and delete manifests both carry forward), not from a naming
-    // convention
-    val prior: Seq[(String, Long, Int, Long)] = prevMeta.toSeq.flatMap { m =>
-      val cur = m.path("current-snapshot-id").asLong
-      m.path("snapshots").elements().asScala
-        .find(_.path("snapshot-id").asLong == cur).toSeq
-        .flatMap { s0 =>
-          readAvro(conf, new Path(new java.net.URI(
-            s0.path("manifest-list").asText).getPath)).map { r =>
-            (r.get("manifest_path").toString,
-              r.get("manifest_length").asInstanceOf[Number].longValue,
-              r.get("content").asInstanceOf[Number].intValue,
-              Option(r.get("sequence_number"))
-                .map(_.asInstanceOf[Number].longValue).getOrElse(0L))
+    // convention; partition summaries and spec ids carry through
+    val FS = ManifestFileSchema.getField("partitions").schema()
+      .getTypes.get(1).getElementType
+    val prior: Seq[(String, Long, Int, Long, Int, AnyRef)] =
+      prevMeta.toSeq.flatMap { m =>
+        val cur = m.path("current-snapshot-id").asLong
+        m.path("snapshots").elements().asScala
+          .find(_.path("snapshot-id").asLong == cur).toSeq
+          .flatMap { s0 =>
+            readAvro(conf, new Path(new java.net.URI(
+              s0.path("manifest-list").asText).getPath)).map { r =>
+              (r.get("manifest_path").toString,
+                r.get("manifest_length").asInstanceOf[Number].longValue,
+                r.get("content").asInstanceOf[Number].intValue,
+                Option(r.get("sequence_number"))
+                  .map(_.asInstanceOf[Number].longValue).getOrElse(0L),
+                Option(r.getSchema.getField("partition_spec_id"))
+                  .flatMap(_ => Option(r.get("partition_spec_id")))
+                  .map(_.asInstanceOf[Number].intValue).getOrElse(0),
+                Option(r.getSchema.getField("partitions"))
+                  .flatMap(_ => Option(r.get("partitions"))).orNull)
+            }
           }
-        }
+      }
+    val fresh = newManifests.map { mr =>
+      val parts: AnyRef = mr.summary.map { case (lo, hi) =>
+        val fsRec = new GenericData.Record(FS)
+        fsRec.put("contains_null", false)
+        fsRec.put("lower_bound", java.nio.ByteBuffer.wrap(lo))
+        fsRec.put("upper_bound", java.nio.ByteBuffer.wrap(hi))
+        val arr = new GenericData.Array[GenericRecord](1,
+          ManifestFileSchema.getField("partitions").schema().getTypes.get(1))
+        arr.add(fsRec); arr
+      }.orNull
+      (mr.path.toString, f.getFileStatus(mr.path).getLen, mr.content,
+        seqNo, mr.specId, parts)
     }
-    val all = prior :+ ((newManifest._1.toString,
-      f.getFileStatus(newManifest._1).getLen, newManifest._2, seqNo))
-    val listRecords = all.map { case (mp, len, content, mseq) =>
-      val r = new GenericData.Record(ManifestFileSchema)
-      r.put("manifest_path", mp)
-      r.put("manifest_length", len)
-      r.put("partition_spec_id", 0)
-      r.put("content", content)
-      r.put("sequence_number", mseq)
-      r.put("added_snapshot_id", snapshotId)
-      r
+    val listRecords = (prior ++ fresh).map {
+      case (mp, len, content, mseq, specId, parts) =>
+        val r = new GenericData.Record(ManifestFileSchema)
+        r.put("manifest_path", mp)
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", specId)
+        r.put("content", content)
+        r.put("sequence_number", mseq)
+        r.put("added_snapshot_id", snapshotId)
+        if (parts != null) r.put("partitions", parts)
+        r
     }
     val listP = new Path(root, s"metadata/snap-$snapshotId.avro")
     writeAvro(new java.io.File(listP.toUri.getPath), ManifestFileSchema, listRecords)
@@ -278,8 +316,26 @@ object IcebergFixture {
         0
     }
     n.put("current-schema-id", curSchemaId)
+    // partition specs carry forward; the unpartitioned spec 0 always
+    // exists, and a partitioned append registers the identity spec 1
     val specs = n.putArray("partition-specs")
-    val sp = specs.addObject(); sp.put("spec-id", 0); sp.putArray("fields")
+    val priorSpecIds: Set[Int] = prevMeta.toSeq.flatMap { m =>
+      m.path("partition-specs").elements().asScala.map { s0 =>
+        specs.add(s0.deepCopy[JsonNode]())
+        s0.path("spec-id").asInt
+      }
+    }.toSet
+    if (!priorSpecIds.contains(0)) {
+      val sp = specs.addObject(); sp.put("spec-id", 0); sp.putArray("fields")
+    }
+    partSpec.filterNot(_ => priorSpecIds.contains(1)).foreach {
+      case (colName, srcId) =>
+        val sp = specs.addObject(); sp.put("spec-id", 1)
+        val fields = sp.putArray("fields")
+        val fd = fields.addObject()
+        fd.put("name", colName); fd.put("transform", "identity")
+        fd.put("source-id", srcId); fd.put("field-id", 1000)
+    }
     n.put("default-spec-id", 0)
     n.put("current-snapshot-id", snapshotId)
     val snaps = n.putArray("snapshots")
@@ -342,7 +398,66 @@ object IcebergFixture {
     }
     val manifestP = new Path(root, s"metadata/manifest-$snapshotId.avro")
     writeAvro(new java.io.File(manifestP.toUri.getPath), EntrySchema, entries)
-    commitSnapshot(spark, dir, df.schema, (manifestP, 0), "append")
+    commitSnapshot(spark, dir, df.schema, Seq(ManifestRef(manifestP, 0)), "append")
+  }
+
+  /** Append `df` as a new snapshot PARTITIONED by identity on
+    * `partCol`: ONE MANIFEST PER PARTITION VALUE, each manifest-list
+    * entry carrying the spec's `field_summary` (lower = upper = the
+    * value) for the partition field — the layout a real Iceberg
+    * writer leaves after per-partition writes, and the one
+    * manifest-LEVEL skipping prunes before any manifest Avro is read.
+    * The partition column stays a real column in the data files
+    * (identity transform — Iceberg keeps source columns in data), so
+    * reads need no partition-tuple reconstruction. The per-value
+    * write loop is bounded by the partition-value count (fixture
+    * support; a production writer would single-pass this). */
+  def appendPartitioned(df: DataFrame, dir: String, partCol: String): Long = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val f = root.getFileSystem(conf)
+    f.mkdirs(new Path(root, "metadata")); f.mkdirs(new Path(root, "data"))
+    require(df.columns.contains(partCol), s"no partition column $partCol")
+    val idsByName: Map[String, Int] =
+      readMeta(f, root, currentVersion(f, root)) match {
+        case Some(m) =>
+          val cur = currentFieldIds(m)
+          require(df.columns.toSet == cur.map(_._1).toSet,
+            s"append columns ${df.columns.toSeq} must match current schema ${cur.map(_._1)}")
+          cur.toMap
+        case None =>
+          df.schema.fieldNames.zipWithIndex.map { case (n0, i) => n0 -> (i + 1) }.toMap
+      }
+    val partDt = df.schema(partCol).dataType
+    val snapshotId = currentVersion(f, root) + 1L
+    import org.apache.spark.sql.functions.col
+    val values = df.select(partCol).distinct().orderBy(partCol)
+      .collect().map(_.get(0)).toSeq
+    val refs = values.zipWithIndex.map { case (v, i) =>
+      val staging = new Path(root, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+      withFieldIds(df.filter(col(partCol) === v), idsByName)
+        .write.parquet(staging.toString)
+      val files = f.listStatus(staging).filter(_.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val dst = new Path(root, s"data/${java.util.UUID.randomUUID()}.parquet")
+          require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
+          (dst, f.getFileStatus(dst).getLen)
+        }.toSeq
+      f.delete(staging, true)
+      val stats = allFileStats(spark, files.map(_._1.toString), idsByName)
+      val entries = files.map { case (p, size) =>
+        val (rows, bounds) = stats.getOrElse(canonPath(p.toString),
+          throw new IllegalStateException(s"no stats row for $p"))
+        entry(0, p.toString, rows, size, snapshotId, bounds = bounds)
+      }
+      val manifestP = new Path(root, s"metadata/manifest-$snapshotId-$i.avro")
+      writeAvro(new java.io.File(manifestP.toUri.getPath), EntrySchema, entries)
+      ManifestRef(manifestP, 0, specId = 1,
+        summary = serializeBound(partDt, v).map(b => (b, b)))
+    }
+    commitSnapshot(spark, dir, df.schema, refs, "append",
+      partSpec = Some((partCol, idsByName(partCol))))
   }
 
   private def canonPath(p: String): String = p.replaceFirst("^file:/+", "/")
@@ -403,7 +518,7 @@ object IcebergFixture {
       f.getFileStatus(dst).getLen, snapshotId)
     val manifestP = new Path(root, s"metadata/delete-manifest-$snapshotId.avro")
     writeAvro(new java.io.File(manifestP.toUri.getPath), EntrySchema, Seq(e))
-    commitSnapshot(spark, dir, StructType(Nil), (manifestP, 1), "delete")
+    commitSnapshot(spark, dir, StructType(Nil), Seq(ManifestRef(manifestP, 1)), "delete")
   }
 
   /** Commit an EQUALITY-DELETE snapshot: each row of `keys` deletes
@@ -439,7 +554,7 @@ object IcebergFixture {
     val manifestP = new Path(root, s"metadata/eq-manifest-$snapshotId.avro")
     writeAvro(new java.io.File(manifestP.toUri.getPath), EntrySchema, Seq(e))
     // schema arg is unused past creation (schemas carry forward)
-    commitSnapshot(spark, dir, StructType(Nil), (manifestP, 1), "delete")
+    commitSnapshot(spark, dir, StructType(Nil), Seq(ManifestRef(manifestP, 1)), "delete")
   }
 
   /** Metadata-only schema evolution: write v(N+1).metadata.json whose

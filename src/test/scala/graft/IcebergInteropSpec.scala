@@ -214,6 +214,39 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(both.count() == 26) // ids 375..400
   }
 
+  test("MANIFEST-LEVEL skipping: partition summaries prune whole manifests; results stay exact") {
+    val dir = Files.createTempDirectory("graft-iceberg-mlskip").toString
+    val df = (0L until 600L).map(i => (i, s"g_${i % 6}", i * 2.0))
+      .toDF("id", "grp", "v")
+    IcebergFixture.appendPartitioned(df.repartition(4), dir, "grp")
+    // unfiltered read: all 6 per-partition manifests open, none skip
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 600)
+    assert(IcebergInterop.lastManifestScan == ((6, 0)))
+    // a string-equality predicate on the partition column: ONE
+    // manifest opens, five never read — and the rows are exact
+    val one = IcebergInterop.readIcebergWhere(spark, dir, Map.empty,
+      stringEq = Map("grp" -> "g_3"))
+    assert(one.count() == 100)
+    assert(one.agg(sum("id")).head().getLong(0) ==
+      (0L until 600L).filter(_ % 6 == 3).sum)
+    assert(IcebergInterop.lastManifestScan == ((1, 5)))
+    // a second partitioned append doubles the manifests; skipping
+    // still prunes to the matching pair
+    IcebergFixture.appendPartitioned(
+      (600L until 900L).map(i => (i, s"g_${i % 6}", i * 2.0))
+        .toDF("id", "grp", "v"), dir, "grp")
+    val two = IcebergInterop.readIcebergWhere(spark, dir, Map.empty,
+      stringEq = Map("grp" -> "g_3"))
+    assert(two.count() == 150)
+    assert(IcebergInterop.lastManifestScan == ((2, 10)))
+    // a range predicate on a NON-partition column cannot prune
+    // manifests (no summary evidence) but file-level bounds still work
+    val ranged = IcebergInterop.readIcebergWhere(spark, dir,
+      Map("id" -> ((0.0, 99.0))))
+    assert(ranged.count() == 100)
+    assert(IcebergInterop.lastManifestScan._2 == 0)
+  }
+
   test("CONVERT TO DELTA: an append-only Iceberg table becomes a Delta table IN PLACE") {
     val dir = Files.createTempDirectory("graft-iceberg-convert").toString
     IcebergFixture.append(

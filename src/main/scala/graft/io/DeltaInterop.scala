@@ -182,6 +182,10 @@ object DeltaInterop {
   // out of CpRow so CLASSIC checkpoints keep their exact historical schema
   private[graft] case class CpCheckpointMeta(version: Long)
   private[graft] case class CpMetaRow(checkpointMetadata: CpCheckpointMeta)
+  // the v2 sidecar action: one per add-bearing sidecar parquet file
+  private[graft] case class CpSidecar(path: String, sizeInBytes: Long,
+    modificationTime: Long)
+  private[graft] case class CpSidecarRow(sidecar: CpSidecar)
   // domainMetadata rows — unioned in (allowMissingColumns) only when
   // the table HAS live domains, so domain-free tables keep their exact
   // historical checkpoint schema
@@ -1115,6 +1119,13 @@ object DeltaInterop {
     * Returns the checkpointed version. */
   def checkpoint(spark: SparkSession, dir: String,
                  version: Option[Long] = None): Long = {
+    // LARGE logs checkpoint distributed: the adds stream from the
+    // previous checkpoint + tail into the new one without ever
+    // materializing on the driver (head-version only — large-log
+    // reconstruction has no time travel below the head)
+    if (isLargeLog(spark, dir) &&
+        version.forall(_ == latestVersion(spark, dir)))
+      return checkpointLarge(spark, dir)
     val st = state(spark, dir, version)
     // a checkpoint is a WRITE of table state: the fixed CpRow schema
     // cannot carry feature-required add fields (baseRowId, ...), so for
@@ -1190,6 +1201,120 @@ object DeltaInterop {
     try out.write(s"""{"version":${st.version},"size":$nRows}""".getBytes("UTF-8"))
     finally out.close()
     st.version
+  }
+
+  /** [[checkpoint]] for LARGE logs: the add set NEVER materializes on
+    * the driver. [[liveFilesDF]] resolves the live set as a
+    * distributed last-action-per-path aggregate over the previous
+    * checkpoint + JSON tail, and the adds write STRAIGHT to parquet:
+    * as v2 SIDECAR files when the table carries `v2Checkpoint` (the
+    * spec's form for huge tables — a tiny UUID-named main file whose
+    * `sidecar` actions name the add-bearing parts), else as a
+    * MULTI-PART classic checkpoint (`%020d.checkpoint.%010d.%010d
+    * .parquet` — spec-legal for any table and read back by
+    * [[resolveCheckpointFiles]]). Driver work is O(metadata-actions +
+    * part count): at a 1M-add table the old path held every AddFile
+    * (stats JSON included) on the driver; this one holds file NAMES.
+    * All add fields survive (stats, DV descriptors, clustering
+    * provider, row-tracking ids) — the same losslessness contract
+    * [[requireWritable]] gates the classic path on. */
+  def checkpointLarge(spark: SparkSession, dir: String): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val st = stateMetaLarge(spark, dir) // metadata only; files = Nil
+    requireWritable(st, dir)
+    val f = fs(spark, dir)
+    val v = st.version
+    val dvT = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
+    val addsDf = liveFilesDF(spark, dir)
+    val addRows = addsDf.select(struct(
+      col("path"), col("partitionValues"), col("size"),
+      lit(0L).as("modificationTime"), lit(true).as("dataChange"),
+      coalesce(col("stats"), when(col("numRecords") >= 0,
+        concat(lit("{\"numRecords\":"), col("numRecords"), lit("}"))))
+        .as("stats"),
+      col("tags"), from_json(col("dv"), dvT).as("deletionVector"),
+      col("clusteringProvider"), col("baseRowId"),
+      col("defaultRowCommitVersion")).as("add"))
+    val metaRows = Seq(
+      CpRow(protocol = CpProtocol(st.protocol.minReader, st.protocol.minWriter,
+        if (st.protocol.minReader >= 3) st.protocol.readerFeatures.toSeq.sorted else null,
+        if (st.protocol.minWriter >= 7) st.protocol.writerFeatures.toSeq.sorted else null)),
+      CpRow(metaData = CpMetaData(
+        java.util.UUID.nameUUIDFromBytes(st.schema.json.getBytes("UTF-8")).toString,
+        CpFormat("parquet", Map.empty), st.schema.json, st.partitionColumns,
+        st.configuration, 0L))) ++
+      st.txns.toSeq.sortBy(_._1).map { case (app, tv) =>
+        CpRow(txn = CpTxn(app, tv, 0L)) }
+    val metaDf0 = spark.createDataset(metaRows).toDF()
+    val metaDf =
+      if (st.domains.isEmpty) metaDf0
+      else metaDf0.unionByName(spark.createDataset(
+        st.domains.toSeq.sortBy(_._1).map { case (d, cfg) =>
+          CpDomainRow(CpDomainMetadata(d, cfg, removed = false)) }).toDF(),
+        allowMissingColumns = true)
+    val nAdds = addsDf.count() // one distributed action; drives `size`
+    val isV2 = st.protocol.readerFeatures.contains("v2Checkpoint") ||
+      st.protocol.writerFeatures.contains("v2Checkpoint")
+    val staging = new Path(dir, s".cp-large-${java.util.UUID.randomUUID().toString.take(8)}")
+    val nActions =
+      if (isV2) {
+        // sidecar form: adds land distributed under _sidecars/, the
+        // main file stays metadata-sized
+        val sideDir = new Path(logDir(dir), "_sidecars")
+        f.mkdirs(sideDir)
+        addRows.write.parquet(staging.toString)
+        val sidecars = f.listStatus(staging)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .map { p =>
+            val name = s"${java.util.UUID.randomUUID()}.parquet"
+            val dst = new Path(sideDir, name)
+            require(f.rename(p, dst), s"rename $p -> $dst failed")
+            CpSidecarRow(CpSidecar(name, f.getFileStatus(dst).getLen, 0L))
+          }.toSeq
+        f.delete(staging, true)
+        val mainStaging = new Path(dir, s".cp-main-${java.util.UUID.randomUUID().toString.take(8)}")
+        spark.createDataset(Seq(CpMetaRow(CpCheckpointMeta(v)))).toDF()
+          .unionByName(metaDf, allowMissingColumns = true)
+          .unionByName(spark.createDataset(sidecars).toDF(),
+            allowMissingColumns = true)
+          .coalesce(1).write.parquet(mainStaging.toString)
+        val part = f.listStatus(mainStaging)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        require(part.length == 1, s"expected one main file, got ${part.length}")
+        val target = new Path(logDir(dir),
+          f"$v%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet")
+        f.delete(target, false)
+        require(f.rename(part.head, target), s"rename to $target failed")
+        f.delete(mainStaging, true)
+        metaRows.length + st.domains.size + sidecars.length + 1 + nAdds
+      } else {
+        // multi-part classic: metadata rows ride one part alongside
+        // the adds' parts (the spec puts no action-placement rule on
+        // parts; parts of one checkpoint share a schema by the union)
+        metaDf.unionByName(addRows, allowMissingColumns = true)
+          .write.parquet(staging.toString)
+        val parts = f.listStatus(staging)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        val m = parts.length
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val target = new Path(logDir(dir),
+            f"$v%020d.checkpoint.${i + 1}%010d.$m%010d.parquet")
+          f.delete(target, false)
+          require(f.rename(p, target), s"rename to $target failed")
+        }
+        f.delete(staging, true)
+        metaRows.length + st.domains.size + nAdds
+      }
+    val out = f.create(lastCheckpointFile(dir), true)
+    try out.write(s"""{"version":$v,"size":$nActions}""".getBytes("UTF-8"))
+    finally out.close()
+    v
   }
 
   /** Drop JSON commits strictly below the last checkpoint (the
@@ -2818,6 +2943,9 @@ object DeltaInterop {
         fld("stats", StringType).as("stats"),
         fld("tags", mapT).as("tags"),
         dvCol.as("dv"),
+        fld("clusteringProvider", StringType).as("clusteringProvider"),
+        fld("baseRowId", LongType).as("baseRowId"),
+        fld("defaultRowCommitVersion", LongType).as("defaultRowCommitVersion"),
         v.cast(LongType).as("__v"), lit(1).as("__isAdd"))
     }
     val cpDf = spark.read.parquet(cpFiles.map(_.toString): _*)
@@ -2854,7 +2982,10 @@ object DeltaInterop {
             StructField("size", LongType),
             StructField("stats", StringType),
             StructField("tags", mapT),
-            StructField("deletionVector", dvT)))),
+            StructField("deletionVector", dvT),
+            StructField("clusteringProvider", StringType),
+            StructField("baseRowId", LongType),
+            StructField("defaultRowCommitVersion", LongType)))),
           StructField("remove", StructType(Seq(
             StructField("path", StringType))))))
         val raw = spark.read.schema(lineT).json(tailFiles.map(_.toString): _*)
@@ -2868,6 +2999,9 @@ object DeltaInterop {
           lit(null).cast(StringType).as("stats"),
           lit(null).cast(mapT).as("tags"),
           lit(null).cast(StringType).as("dv"),
+          lit(null).cast(StringType).as("clusteringProvider"),
+          lit(null).cast(LongType).as("baseRowId"),
+          lit(null).cast(LongType).as("defaultRowCommitVersion"),
           col("__v"), lit(0).as("__isAdd"))
         Some(adds.unionByName(removes))
       }
@@ -2926,7 +3060,10 @@ object DeltaInterop {
       AddFile(r.getAs[String]("path"), m("partitionValues"),
         Option(r.getAs[java.lang.Long]("size")).map(_.toLong).getOrElse(0L),
         r.getAs[Long]("numRecords"), m("tags"),
-        r.getAs[String]("stats"), r.getAs[String]("dv"))
+        r.getAs[String]("stats"), r.getAs[String]("dv"),
+        r.getAs[String]("clusteringProvider"),
+        Option(r.getAs[java.lang.Long]("baseRowId")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("defaultRowCommitVersion")).map(_.toLong))
     }
 
   /** The large-log pruned read: metadata replay without add

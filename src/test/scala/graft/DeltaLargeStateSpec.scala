@@ -143,4 +143,82 @@ class DeltaLargeStateSpec extends AnyFunSuite {
       assert(largeFull == DeltaInterop.readDelta(spark, dir).count())
     } finally spark.conf.unset(DeltaInterop.LargeLogThresholdConf)
   }
+
+  test("large-log checkpoint writes MULTI-PART classic, adds never on the driver") {
+    val dir = Files.createTempDirectory("graft-large-cp").toString
+    val df = (0L until 3000L).map(i => (i, s"p${i % 4}", s"v$i")).toDF("id", "part", "payload")
+    DeltaInterop.writeDelta(df.repartitionByRange(8, col("id")), dir, Seq("part"))
+    DeltaInterop.deleteWhereDV(spark, dir, col("id") % 13 === 0) // DVs in the mix
+    DeltaInterop.checkpoint(spark, dir)                          // classic, v1
+    DeltaInterop.writeDelta(
+      Seq((8888L, "p2", "tail")).toDF("id", "part", "payload"), dir, Seq("part"))
+    val before = DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq
+    spark.conf.set(DeltaInterop.LargeLogThresholdConf, "1")
+    try {
+      val cpV = DeltaInterop.checkpoint(spark, dir) // dispatches to checkpointLarge
+      assert(cpV == 2L)
+      val names = new java.io.File(s"$dir/_delta_log").listFiles().map(_.getName)
+      val partRe = f"^${2L}%020d\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet$$".r
+      val parts = names.flatMap(n => partRe.findFirstMatchIn(n))
+      assert(parts.nonEmpty, s"expected multi-part checkpoint files in ${names.mkString(",")}")
+      assert(parts.length == parts.head.group(2).toInt, "all parts must land")
+      // the multi-part checkpoint is the only state source after cleanup
+      DeltaInterop.cleanupLog(spark, dir)
+      val after = DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq
+      assert(after == before, "multi-part large checkpoint lost state")
+      // DV descriptors survived the distributed rewrite
+      assert(DeltaInterop.state(spark, dir).files.exists(_.deletionVector != null))
+    } finally spark.conf.unset(DeltaInterop.LargeLogThresholdConf)
+  }
+
+  test("checkpointLarge over 100k adds: bounded driver, state survives") {
+    // a COPY of the shared fixture — checkpointLarge rewrites
+    // _last_checkpoint and adds part files
+    val dir = Files.createTempDirectory("graft-large-cp100k").toString
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    Seq("00000000000000000000.checkpoint.parquet", "_last_checkpoint").foreach { n =>
+      Files.copy(Paths.get(bigFixture, "_delta_log", n),
+        Paths.get(dir, "_delta_log", n))
+    }
+    val t0 = System.nanoTime()
+    assert(DeltaInterop.checkpointLarge(spark, dir) == 0L)
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"distributed checkpoint of $N%d adds: $sec%.2f s")
+    // the rewritten checkpoint resolves (multi-part beats nothing; the
+    // original classic file still wins resolution at v0, so assert the
+    // parts landed and the live set they carry is intact)
+    val names = new java.io.File(s"$dir/_delta_log").listFiles().map(_.getName)
+    val partRe = f"^${0L}%020d\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet$$".r
+    val parts = names.filter(n => partRe.findFirstMatchIn(n).isDefined)
+    assert(parts.nonEmpty)
+    assert(spark.read.parquet(parts.map(n => s"$dir/_delta_log/$n"): _*)
+      .filter(col("add").isNotNull).count() == N)
+  }
+
+  test("large-log checkpoint on a v2Checkpoint table writes SIDECARS") {
+    val dir = Files.createTempDirectory("graft-large-cpv2").toString
+    val df = (0L until 2000L).map(i => (i, s"v$i")).toDF("id", "payload")
+    DeltaInterop.writeDelta(df.repartitionByRange(6, col("id")), dir, Nil)
+    // advertise v2Checkpoint (the shape a delta-spark table carries)
+    DeltaInterop.commit(spark, dir, 1L, Seq(DeltaInterop.Protocol(
+      3, 7, Set("v2Checkpoint"), Set("v2Checkpoint")).json), op = "UPGRADE")
+    DeltaInterop.checkpoint(spark, dir)                          // classic v2 form
+    DeltaInterop.writeDelta(Seq((7777L, "tail")).toDF("id", "payload"), dir, Nil)
+    val before = DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq
+    spark.conf.set(DeltaInterop.LargeLogThresholdConf, "1")
+    try {
+      val cpV = DeltaInterop.checkpoint(spark, dir)
+      assert(cpV == 2L)
+      val names = new java.io.File(s"$dir/_delta_log").listFiles().map(_.getName)
+      assert(names.exists(n => n.startsWith(f"${2L}%020d.checkpoint.") &&
+        n.endsWith(".parquet") &&
+        n.stripPrefix(f"${2L}%020d.checkpoint.").count(_ == '.') == 1),
+        s"expected a UUID-named v2 main file in ${names.mkString(",")}")
+      val sidecars = new java.io.File(s"$dir/_delta_log/_sidecars").listFiles()
+      assert(sidecars != null && sidecars.nonEmpty, "expected add-bearing sidecars")
+      DeltaInterop.cleanupLog(spark, dir)
+      val after = DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq
+      assert(after == before, "sidecar'd large checkpoint lost state")
+    } finally spark.conf.unset(DeltaInterop.LargeLogThresholdConf)
+  }
 }

@@ -2454,6 +2454,15 @@ object DeltaInterop {
     * mirroring `VACUUM ... RETAIN 0 HOURS`. */
   def vacuum(spark: SparkSession, dir: String,
              retainMillis: Long = DefaultVacuumRetainMillis): Int = {
+    // LARGE tables vacuum distributed: referenced-set, listing, and
+    // deletes all run as jobs (driver holds dir names, never file sets)
+    if (isLargeLog(spark, dir) && {
+      val f0 = fs(spark, dir)
+      lastCheckpoint(spark, dir).exists { case (cpV, _) =>
+        val cf = resolveCheckpointFiles(f0, dir, cpV)
+        cf.nonEmpty && !cf.head.getName.endsWith(".json")
+      }
+    }) return vacuumLarge(spark, dir, retainMillis)
     // the vacuumProtocolCheck contract: a vacuum implementation must
     // read the protocol before reclaiming anything (state() refuses
     // unsupported features by name) — cheap next to the walk below
@@ -2539,6 +2548,126 @@ object DeltaInterop {
     val cd = new Path(dir, "_change_data")
     if (f.exists(cd)) walk(cd, List("_change_data"))
     deleted
+  }
+
+  /** [[vacuum]] for LARGE tables — nothing file-count-sized touches
+    * the driver:
+    *   - the REFERENCED set builds as a DataFrame (checkpoint adds —
+    *     sidecar indirection followed — union every retained JSON
+    *     commit's adds and cdc paths, DV sidecar relpaths derived
+    *     per-row from the descriptors);
+    *   - the LISTING enumerates data DIRECTORIES driver-side (the
+    *     partition tree — dir-count bounded) and lists each one's
+    *     FILES on executors;
+    *   - reclaimables resolve by one anti-join and the deletes run
+    *     where the listing lives, counted by accumulator.
+    * At a 1M-file table the classic walk holds every path string in a
+    * driver set; this holds directory names. Same reachability
+    * contract as [[vacuum]]: an add surviving in ANY retained log
+    * file keeps its data (and its DV sidecar) alive, and only
+    * parquet/DV files older than the retain window are candidates. */
+  def vacuumLarge(spark: SparkSession, dir: String,
+                  retainMillis: Long = DefaultVacuumRetainMillis): Int = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // the vacuumProtocolCheck contract, without materializing adds
+    locally { val st = stateMetaLarge(spark, dir); requireWritable(st, dir) }
+    val cutoff = System.currentTimeMillis() - retainMillis
+    val f = fs(spark, dir)
+    val refDfs = Seq.newBuilder[DataFrame]
+    def addRefs(df0: DataFrame): Unit = {
+      val hasDv = df0.schema("add").dataType.asInstanceOf[StructType]
+        .fieldNames.contains("deletionVector")
+      val dvCol =
+        if (hasDv) when(col("add.deletionVector").isNotNull,
+          to_json(col("add.deletionVector")))
+        else lit(null).cast(StringType)
+      refDfs += df0.filter(col("add").isNotNull)
+        .select(col("add.path").cast(StringType).as("ref"), dvCol.as("dvdesc"))
+    }
+    lastCheckpoint(spark, dir).foreach { case (cpV, _) =>
+      val cpFiles = resolveCheckpointFiles(f, dir, cpV)
+      require(cpFiles.nonEmpty && !cpFiles.head.getName.endsWith(".json"),
+        s"vacuumLarge requires a parquet checkpoint under $dir")
+      val cpDf = spark.read.parquet(cpFiles.map(_.toString): _*)
+      if (cpDf.schema.fieldNames.contains("add")) addRefs(cpDf)
+      if (cpDf.schema.fieldNames.contains("sidecar")) {
+        val names = cpDf.filter(col("sidecar").isNotNull)
+          .select(col("sidecar.path")).as[String].collect().toSeq
+        if (names.nonEmpty) {
+          val sdf = spark.read.parquet(names.map(n =>
+            new Path(new Path(logDir(dir), "_sidecars"), n).toString): _*)
+          if (sdf.schema.fieldNames.contains("add")) addRefs(sdf)
+        }
+      }
+    }
+    val jsons = f.listStatus(logDir(dir)).map(_.getPath).filter { p =>
+      val n = p.getName
+      n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit)
+    }
+    if (jsons.nonEmpty) {
+      val dvT = StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType)))
+      val lineT = StructType(Seq(
+        StructField("add", StructType(Seq(
+          StructField("path", StringType),
+          StructField("deletionVector", dvT)))),
+        StructField("cdc", StructType(Seq(StructField("path", StringType))))))
+      val raw = spark.read.schema(lineT).json(jsons.map(_.toString).toSeq: _*)
+      addRefs(raw)
+      refDfs += raw.filter(col("cdc").isNotNull)
+        .select(col("cdc.path").as("ref"), lit(null).cast(StringType).as("dvdesc"))
+    }
+    val refs0 = refDfs.result().reduceOption(_ unionByName _)
+      .getOrElse(return 0)
+    // an add references its file AND its DV sidecar (descriptor-derived)
+    val referenced = refs0.flatMap { r =>
+      val dv =
+        if (r.isNullAt(1)) None
+        else DeletionVectors.sidecarRelPath(r.getString(1))
+      Seq(r.getString(0)) ++ dv
+    }.distinct().toDF("ref")
+    // directory tree driver-side (partition-count bounded), file
+    // listings per-dir on executors
+    val dirPairs = Seq.newBuilder[(String, String)]
+    def walkDirs(p: Path, rel: List[String]): Unit = {
+      dirPairs += ((p.toString, rel.mkString("/")))
+      f.listStatus(p).foreach { s0 =>
+        val name = s0.getPath.getName
+        if (s0.isDirectory && name != "_delta_log" &&
+            !name.startsWith(".") && !name.startsWith("_"))
+          walkDirs(s0.getPath, rel :+ name)
+      }
+    }
+    walkDirs(new Path(dir), Nil)
+    val cd = new Path(dir, "_change_data")
+    if (f.exists(cd)) walkDirs(cd, List("_change_data"))
+    val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val candidates = spark.createDataset(dirPairs.result())
+      .flatMap { case (abs, rel) =>
+        val pp = new Path(abs)
+        val fsx = pp.getFileSystem(hconf.value)
+        fsx.listStatus(pp).iterator.filter(_.isFile).flatMap { st =>
+          val name = st.getPath.getName
+          val keepType = name.endsWith(".parquet") ||
+            (name.startsWith("deletion_vector_") && name.endsWith(".bin"))
+          if (keepType && st.getModificationTime <= cutoff)
+            Some((st.getPath.toString,
+              if (rel.isEmpty) name else s"$rel/$name"))
+          else None
+        }.toSeq
+      }.toDF("abs", "rel")
+    val acc = spark.sparkContext.longAccumulator("graftVacuumDeleted")
+    candidates.join(referenced, col("rel") === col("ref"), "left_anti")
+      .select(col("abs")).as[String]
+      .foreachPartition { (it: Iterator[String]) =>
+        it.foreach { p0 =>
+          val pp = new Path(p0)
+          if (pp.getFileSystem(hconf.value).delete(pp, false)) acc.add(1)
+        }
+      }
+    acc.value.toInt
   }
 
   // ---- internals ----

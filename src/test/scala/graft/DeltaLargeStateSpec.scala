@@ -195,6 +195,37 @@ class DeltaLargeStateSpec extends AnyFunSuite {
       .filter(col("add").isNotNull).count() == N)
   }
 
+  test("vacuumLarge: distributed reachability — orphans die, live data and DV sidecars survive") {
+    val dir = Files.createTempDirectory("graft-large-vac").toString
+    val df = (0L until 3000L).map(i => (i, s"p${i % 3}", s"v$i")).toDF("id", "part", "payload")
+    DeltaInterop.writeDelta(df.repartitionByRange(6, col("id")), dir, Seq("part"))
+    DeltaInterop.deleteWhereDV(spark, dir, col("id") % 11 === 0)  // live DVs
+    DeltaInterop.checkpoint(spark, dir)
+    spark.conf.set(DeltaInterop.LargeLogThresholdConf, "1")
+    try {
+      // compact rewrites the DV-less files; after checkpoint+cleanup the
+      // originals are unreferenced
+      val before = DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq
+      DeltaInterop.compact(spark, dir, smallFileBytes = 1L << 30)
+      DeltaInterop.checkpoint(spark, dir) // multi-part (large path)
+      DeltaInterop.cleanupLog(spark, dir)
+      // an orphan from a crashed writer
+      val orphan = Paths.get(dir, "part=p0", "orphan-dead.parquet")
+      Files.write(orphan, Array[Byte](1, 2, 3))
+      val dvSidecars = new java.io.File(dir).listFiles()
+        .filter(f0 => f0.getName.startsWith("deletion_vector_")).map(_.getName).toSet
+      assert(dvSidecars.nonEmpty, "fixture must carry live DV sidecars")
+      val deleted = DeltaInterop.vacuum(spark, dir, retainMillis = 0L) // dispatches large
+      assert(deleted > 0, "compaction originals + orphan must reclaim")
+      assert(!Files.exists(orphan), "orphan must die")
+      val after = DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq
+      assert(after == before, "vacuumLarge reclaimed live data")
+      val dvAfter = new java.io.File(dir).listFiles()
+        .filter(f0 => f0.getName.startsWith("deletion_vector_")).map(_.getName).toSet
+      assert(dvAfter == dvSidecars, "live DV sidecars must survive")
+    } finally spark.conf.unset(DeltaInterop.LargeLogThresholdConf)
+  }
+
   test("large-log checkpoint on a v2Checkpoint table writes SIDECARS") {
     val dir = Files.createTempDirectory("graft-large-cpv2").toString
     val df = (0L until 2000L).map(i => (i, s"v$i")).toDF("id", "payload")

@@ -327,10 +327,9 @@ object DeltaInterop {
         // row tracking: fresh ids assigned on every new add
         // ([[assignFreshRowIds]]), the high watermark maintained as
         // domain metadata, add fields round-tripped through DV ops /
-        // clone / checkpoint; the ONE obligation this engine cannot
-        // meet — preserving ids when unmodified rows move files — is
-        // refused by name at each such operation (compaction, ZORDER,
-        // copy-on-write MERGE), and DELETE/UPDATE route merge-on-read
+        // clone / checkpoint, compaction MATERIALIZES the moved rows'
+        // ids as physical columns; ZORDER and copy-on-write MERGE
+        // refuse by name, and DELETE/UPDATE route merge-on-read
         "rowTracking")
   }
 
@@ -383,11 +382,10 @@ object DeltaInterop {
     * or MODIFIED rows (appends, overwrites, DV-update postimages) —
     * exactly the rows the spec assigns FRESH ids. Unmodified rows
     * never change files (DV deletes mask in place), so their ids ride
-    * the preserved add fields. The one operation class that moves
-    * unmodified rows — compaction/Z-order/clustering and copy-on-write
-    * MERGE — refuses by name on row-tracked tables (preserving ids
-    * there needs materialized row-id columns, which this engine does
-    * not write).
+    * the preserved add fields. Compaction — the one supported
+    * operation that moves unmodified rows — MATERIALIZES the ids as
+    * physical columns ([[compact]]); Z-order/clustering and
+    * copy-on-write MERGE refuse by name.
     *
     * Version-race safe: retries re-enter the caller, which re-reads
     * state and re-derives both the watermark and the target version. */
@@ -2212,7 +2210,6 @@ object DeltaInterop {
               partitionEq: Map[String, String] = Map.empty): (Long, Int, Int) = {
     val st0 = state(spark, dir)
     requireWritable(st0, dir)
-    refuseRowTrackingRewrite(st0, dir, "compaction")
     // a DV'd file can't be raw-concatenated (that would resurrect its
     // masked rows) — leave such files alone; row ops materialize DVs.
     // `partitionEq` scopes the pass to named partitions (delta-spark's
@@ -2221,6 +2218,26 @@ object DeltaInterop {
     val st = st0.copy(files = prunedFiles(st0, partitionEq)
       .filter(_.deletionVector == null))
     val mapped = columnMappingMode(st) != "none"
+    // ROW-TRACKED tables compact by MATERIALIZING row ids (PROTOCOL.md
+    // "Row Tracking"): each rewritten row carries its id and commit
+    // version as physical columns (names registered once in the table
+    // config), so readers recover the PRESERVED ids via
+    // coalesce(materialized, baseRowId + row_index) even though the
+    // rows moved files. graft's own scans pin the logical schema and
+    // never see the extra columns.
+    val rt = rowTrackingEnabled(st0)
+    if (rt) require(!mapped,
+      s"compaction of a column-mapped row-tracked table at $dir is not supported")
+    val RidKey = "delta.rowTracking.materializedRowIdColumnName"
+    val RverKey = "delta.rowTracking.materializedRowCommitVersionColumnName"
+    val ridCol = st0.configuration.getOrElse(RidKey,
+      s"_row_id_col_${java.util.UUID.randomUUID().toString.take(8)}")
+    val rverCol = st0.configuration.getOrElse(RverKey,
+      s"_row_commit_version_col_${java.util.UUID.randomUUID().toString.take(8)}")
+    val rtMetaActions: Seq[String] =
+      if (!rt || st0.configuration.contains(RidKey)) Nil
+      else Seq(metaDataJson(st0.schema, st0.partitionColumns,
+        st0.configuration ++ Map(RidKey -> ridCol, RverKey -> rverCol)))
     val f = fs(spark, dir)
     def hivePath(a: AddFile): String =
       st.partitionColumns.map(c =>
@@ -2251,17 +2268,47 @@ object DeltaInterop {
     val staging = new Path(dir, s".compact-${java.util.UUID.randomUUID().toString.take(8)}")
     val allHive = !mapped && (st.partitionColumns.isEmpty ||
       smalls.forall(a => a.path.startsWith(hivePath(a) + "/")))
+    // rt reads pull the materialized columns when already present
+    // (null otherwise — Spark fills missing parquet columns), plus the
+    // scan's own (file, row ordinal); ids compute per-row as
+    // coalesce(materialized, baseRowId + row_index)
+    val readSchema =
+      if (!rt) dataSchema
+      else StructType(dataSchema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(ridCol, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(rverCol, org.apache.spark.sql.types.LongType)))
+    def rtAugment(df: DataFrame, files: Seq[AddFile]): DataFrame =
+      if (!rt) df
+      else {
+        import scala.jdk.CollectionConverters._
+        files.foreach(a => require(a.baseRowId.isDefined,
+          s"row-tracked compaction needs baseRowId on ${a.path}"))
+        val baseDf = broadcast(spark.createDataFrame(
+          files.map(a => org.apache.spark.sql.Row(
+            f.makeQualified(new Path(dir, a.path)).toString,
+            a.baseRowId.get, a.defaultRowCommitVersion.getOrElse(-1L))).asJava,
+          StructType(Seq(
+            org.apache.spark.sql.types.StructField("_rt_path", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("_rt_base", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("_rt_ver", org.apache.spark.sql.types.LongType)))))
+        df.withColumn("_rt_p", col("_metadata.file_path"))
+          .withColumn("_rt_idx", col("_metadata.row_index"))
+          .join(baseDf, col("_rt_p") === col("_rt_path"), "left")
+          .withColumn(ridCol, coalesce(col(ridCol), col("_rt_base") + col("_rt_idx")))
+          .withColumn(rverCol, coalesce(col(rverCol), col("_rt_ver")))
+          .drop("_rt_p", "_rt_idx", "_rt_path", "_rt_base", "_rt_ver")
+      }
     val moved: Seq[(String, Map[String, String], Long)] =
       if (st.partitionColumns.isEmpty) {
-        spark.read.schema(dataSchema)
-          .parquet(smalls.map(a => new Path(dir, a.path).toString): _*)
+        rtAugment(spark.read.schema(readSchema)
+          .parquet(smalls.map(a => new Path(dir, a.path).toString): _*), smalls)
           .coalesce(1).write.parquet(staging.toString)
         moveStaged(f, staging, new Path(dir), Nil)
       } else if (allHive) {
         // one job for the whole table: partition values ride the paths,
         // the repartition sends each partition's rows to a single task
-        val df = spark.read.option("basePath", dir).schema(dataSchema)
-          .parquet(smalls.map(a => new Path(dir, a.path).toString): _*)
+        val df = rtAugment(spark.read.option("basePath", dir).schema(readSchema)
+          .parquet(smalls.map(a => new Path(dir, a.path).toString): _*), smalls)
         df.repartition(st.partitionColumns.map(col): _*)
           .write.partitionBy(st.partitionColumns: _*).parquet(staging.toString)
         moveStaged(f, staging, new Path(dir), st.partitionColumns)
@@ -2271,8 +2318,8 @@ object DeltaInterop {
         groups.zipWithIndex.flatMap { case (fl, gi) =>
           val pv = fl.head.partitionValues
           val sub = new Path(staging, s"g$gi")
-          spark.read.schema(dataSchema)
-            .parquet(fl.map(a => new Path(dir, a.path).toString): _*)
+          rtAugment(spark.read.schema(readSchema)
+            .parquet(fl.map(a => new Path(dir, a.path).toString): _*), fl)
             .coalesce(1).write.parquet(sub.toString)
           val rel = groupRel(pv)
           f.listStatus(sub).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -2287,12 +2334,24 @@ object DeltaInterop {
       }
     f.delete(staging, true)
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
-    smalls.foreach(r => actions += removeJson(r, dataChange = false))
-    parMap(moved.toSeq) { case (rel, pv, size) =>
+    val newAdds0 = parMap(moved.toSeq) { case (rel, pv, size) =>
       val (rows, stats) = footerStats(spark, new Path(dir, rel))
-      addJson(AddFile(rel, pv, size, rows, Map.empty, stats),
-        dataChange = false)
-    }.foreach(actions += _)
+      AddFile(rel, pv, size, rows, Map.empty, stats)
+    }
+    // rt: compacted adds take FRESH base ids like any new file — the
+    // PRESERVED ids ride the materialized columns, which readers
+    // prefer; the metaData action registering the column names lands
+    // in the same commit on first materialization
+    val (newAdds, rtIdActions) =
+      if (!rt) (newAdds0, Nil)
+      else {
+        val (a2, dom) = assignFreshRowIds(st0, newAdds0, st0.version + 1)
+        (a2, if (dom.isEmpty) Nil else rowTrackingProtocolActions(st0) ++ dom)
+      }
+    rtMetaActions.foreach(actions += _)
+    rtIdActions.foreach(actions += _)
+    smalls.foreach(r => actions += removeJson(r, dataChange = false))
+    newAdds.foreach(a => actions += addJson(a, dataChange = false))
     val v = commit(spark, dir, st.version + 1, actions.toSeq, op = "OPTIMIZE")
     (v, smalls.length, moved.length)
   }

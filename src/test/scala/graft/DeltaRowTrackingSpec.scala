@@ -118,10 +118,8 @@ class DeltaRowTrackingSpec extends AnyFunSuite {
     assert(rows.map(_.getString(1)).toSeq == Seq("a", "b", "upd"))
   }
 
-  test("row-moving rewrites refuse by name; DV row ops and checkpoint work") {
+  test("ZORDER and copy-on-write MERGE refuse by name; checkpoint round-trips ids") {
     val dir = foreignFixture()
-    val e1 = intercept[IllegalArgumentException](DeltaInterop.compact(spark, dir))
-    assert(e1.getMessage.contains("row ids"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException](
       DeltaInterop.optimizeZOrder(spark, dir, Seq("id")))
     assert(e2.getMessage.contains("row ids"))
@@ -137,6 +135,44 @@ class DeltaRowTrackingSpec extends AnyFunSuite {
     assert(st.files.find(_.path == "data-0.parquet").get.baseRowId.contains(0L))
     assert(st.files.exists(_.baseRowId.contains(3L)))
     assert(hwm(dir) == 3L)
+  }
+
+  test("compaction MATERIALIZES row ids: moved rows keep them, readers unaffected") {
+    val dir = foreignFixture()
+    val vApp = DeltaInterop.writeDelta(Seq((50L, "y")).toDF("id", "tag"), dir, Nil)
+    val before = DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq
+    val (vOpt, rewritten, created) = DeltaInterop.compact(spark, dir)
+    assert(vOpt > vApp && rewritten == 2 && created == 1)
+    val st = DeltaInterop.state(spark, dir)
+    // the column names registered once in the table config
+    val ridCol = st.configuration("delta.rowTracking.materializedRowIdColumnName")
+    val rverCol = st.configuration("delta.rowTracking.materializedRowCommitVersionColumnName")
+    // graft reads pin the logical schema — the physical extras invisible
+    val after = DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq
+    assert(after == before)
+    assert(DeltaInterop.readDelta(spark, dir).columns.toSeq == Seq("id", "tag"))
+    // the compacted file PHYSICALLY carries the original ids: fixture
+    // rows had 0..2 (base 0), the appended row 3
+    val compacted = st.files.filterNot(_.path == "data-0.parquet")
+    assert(compacted.length == 1)
+    val phys = spark.read.parquet(s"$dir/${compacted.head.path}")
+    assert(phys.columns.contains(ridCol) && phys.columns.contains(rverCol))
+    assert(phys.select(ridCol).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L))
+    assert(phys.filter(col(ridCol) === 3L).select(rverCol)
+      .head().getLong(0) == vApp)
+    // the compacted ADD still takes a fresh base past the watermark —
+    // readers prefer the materialized ids; the watermark advanced
+    assert(compacted.head.baseRowId.exists(_ >= 4L))
+    assert(hwm(dir) == 7L) // 4 prior ids + 4 fresh compacted-range ids
+    // a SECOND compact keeps the materialized ids (coalesce prefers
+    // the existing column over base+index)
+    DeltaInterop.writeDelta(Seq((60L, "z")).toDF("id", "tag"), dir, Nil)
+    DeltaInterop.compact(spark, dir)
+    val st2 = DeltaInterop.state(spark, dir)
+    val phys2 = spark.read.parquet(s"$dir/${st2.files.head.path}")
+    assert(phys2.filter(col("id") <= 3L).select(ridCol)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
   }
 
   test("SET TBLPROPERTIES delta.enableRowTracking=true backfills existing files") {

@@ -327,9 +327,9 @@ object DeltaInterop {
         // row tracking: fresh ids assigned on every new add
         // ([[assignFreshRowIds]]), the high watermark maintained as
         // domain metadata, add fields round-tripped through DV ops /
-        // clone / checkpoint, compaction MATERIALIZES the moved rows'
-        // ids as physical columns; ZORDER and copy-on-write MERGE
-        // refuse by name, and DELETE/UPDATE route merge-on-read
+        // clone / checkpoint, compaction and ZORDER MATERIALIZE the
+        // moved rows' ids as physical columns; copy-on-write MERGE
+        // refuses by name, and DELETE/UPDATE route merge-on-read
         "rowTracking")
   }
 
@@ -382,10 +382,10 @@ object DeltaInterop {
     * or MODIFIED rows (appends, overwrites, DV-update postimages) —
     * exactly the rows the spec assigns FRESH ids. Unmodified rows
     * never change files (DV deletes mask in place), so their ids ride
-    * the preserved add fields. Compaction — the one supported
-    * operation that moves unmodified rows — MATERIALIZES the ids as
-    * physical columns ([[compact]]); Z-order/clustering and
-    * copy-on-write MERGE refuse by name.
+    * the preserved add fields. The operations that move unmodified
+    * rows — compaction and Z-order/clustered OPTIMIZE — MATERIALIZE
+    * the ids as physical columns ([[compact]], [[optimizeZOrder]]);
+    * copy-on-write MERGE refuses by name.
     *
     * Version-race safe: retries re-enter the caller, which re-reads
     * state and re-derives both the watermark and the target version. */
@@ -2210,13 +2210,17 @@ object DeltaInterop {
               partitionEq: Map[String, String] = Map.empty): (Long, Int, Int) = {
     val st0 = state(spark, dir)
     requireWritable(st0, dir)
-    // a DV'd file can't be raw-concatenated (that would resurrect its
-    // masked rows) — leave such files alone; row ops materialize DVs.
+    // a DV'd file can't be blindly re-read (that would resurrect its
+    // masked rows) — on plain tables leave such files alone (row ops
+    // materialize DVs); on ROW-TRACKED tables row ops are merge-on-read
+    // forever, so compaction is the only DV-purge point: DV'd files
+    // JOIN the pass, read MASKED, survivors' ids materialized.
     // `partitionEq` scopes the pass to named partitions (delta-spark's
     // `OPTIMIZE ... WHERE`): at 100 TB, compaction is incremental —
     // today's partition, not the table.
+    val rt0 = rowTrackingEnabled(st0)
     val st = st0.copy(files = prunedFiles(st0, partitionEq)
-      .filter(_.deletionVector == null))
+      .filter(a => rt0 || a.deletionVector == null))
     val mapped = columnMappingMode(st) != "none"
     // ROW-TRACKED tables compact by MATERIALIZING row ids (PROTOCOL.md
     // "Row Tracking"): each rewritten row carries its id and commit
@@ -2225,19 +2229,11 @@ object DeltaInterop {
     // coalesce(materialized, baseRowId + row_index) even though the
     // rows moved files. graft's own scans pin the logical schema and
     // never see the extra columns.
-    val rt = rowTrackingEnabled(st0)
+    val rt = rt0
     if (rt) require(!mapped,
       s"compaction of a column-mapped row-tracked table at $dir is not supported")
-    val RidKey = "delta.rowTracking.materializedRowIdColumnName"
-    val RverKey = "delta.rowTracking.materializedRowCommitVersionColumnName"
-    val ridCol = st0.configuration.getOrElse(RidKey,
-      s"_row_id_col_${java.util.UUID.randomUUID().toString.take(8)}")
-    val rverCol = st0.configuration.getOrElse(RverKey,
-      s"_row_commit_version_col_${java.util.UUID.randomUUID().toString.take(8)}")
-    val rtMetaActions: Seq[String] =
-      if (!rt || st0.configuration.contains(RidKey)) Nil
-      else Seq(metaDataJson(st0.schema, st0.partitionColumns,
-        st0.configuration ++ Map(RidKey -> ridCol, RverKey -> rverCol)))
+    val (ridCol, rverCol, rtMetaActions0) = rtMaterializedCols(st0)
+    val rtMetaActions = if (rt) rtMetaActions0 else Nil
     val f = fs(spark, dir)
     def hivePath(a: AddFile): String =
       st.partitionColumns.map(c =>
@@ -2279,25 +2275,7 @@ object DeltaInterop {
         org.apache.spark.sql.types.StructField(rverCol, org.apache.spark.sql.types.LongType)))
     def rtAugment(df: DataFrame, files: Seq[AddFile]): DataFrame =
       if (!rt) df
-      else {
-        import scala.jdk.CollectionConverters._
-        files.foreach(a => require(a.baseRowId.isDefined,
-          s"row-tracked compaction needs baseRowId on ${a.path}"))
-        val baseDf = broadcast(spark.createDataFrame(
-          files.map(a => org.apache.spark.sql.Row(
-            f.makeQualified(new Path(dir, a.path)).toString,
-            a.baseRowId.get, a.defaultRowCommitVersion.getOrElse(-1L))).asJava,
-          StructType(Seq(
-            org.apache.spark.sql.types.StructField("_rt_path", org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("_rt_base", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("_rt_ver", org.apache.spark.sql.types.LongType)))))
-        df.withColumn("_rt_p", col("_metadata.file_path"))
-          .withColumn("_rt_idx", col("_metadata.row_index"))
-          .join(baseDf, col("_rt_p") === col("_rt_path"), "left")
-          .withColumn(ridCol, coalesce(col(ridCol), col("_rt_base") + col("_rt_idx")))
-          .withColumn(rverCol, coalesce(col(rverCol), col("_rt_ver")))
-          .drop("_rt_p", "_rt_idx", "_rt_path", "_rt_base", "_rt_ver")
-      }
+      else rtAttachIds(spark, dir, st, df, files, ridCol, rverCol)
     val moved: Seq[(String, Map[String, String], Long)] =
       if (st.partitionColumns.isEmpty) {
         rtAugment(spark.read.schema(readSchema)
@@ -2356,6 +2334,60 @@ object DeltaInterop {
     (v, smalls.length, moved.length)
   }
 
+  /** Materialized row-id / row-commit-version column names for a
+    * row-tracked table (PROTOCOL.md "Row Tracking"), registered in the
+    * table config on first materialization. Returns (ridCol, rverCol,
+    * metaData action to commit when the keys are new). */
+  private def rtMaterializedCols(st: DeltaState): (String, String, Seq[String]) = {
+    val RidKey = "delta.rowTracking.materializedRowIdColumnName"
+    val RverKey = "delta.rowTracking.materializedRowCommitVersionColumnName"
+    val rid = st.configuration.getOrElse(RidKey,
+      s"_row_id_col_${java.util.UUID.randomUUID().toString.take(8)}")
+    val rver = st.configuration.getOrElse(RverKey,
+      s"_row_commit_version_col_${java.util.UUID.randomUUID().toString.take(8)}")
+    val acts =
+      if (st.configuration.contains(RidKey)) Nil
+      else Seq(metaDataJson(st.schema, st.partitionColumns,
+        st.configuration ++ Map(RidKey -> rid, RverKey -> rver)))
+    (rid, rver, acts)
+  }
+
+  /** The row-tracked REWRITE source: `df` (a parquet read of `files`
+    * whose schema already includes the nullable materialized columns)
+    * gains each row's id and commit version —
+    * coalesce(existing materialized value, the file's baseRowId + the
+    * scan's PHYSICAL row index) — and DV'd files read MASKED, so a
+    * rewrite both preserves ids and PURGES the vectors (merge-on-read
+    * tables have no other purge point). */
+  private def rtAttachIds(spark: SparkSession, dir: String, st: DeltaState,
+                          df: DataFrame, files: Seq[AddFile],
+                          ridCol: String, rverCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val f = fs(spark, dir)
+    files.foreach(a => require(a.baseRowId.isDefined,
+      s"row-tracked rewrite needs baseRowId on ${a.path}"))
+    val baseDf = broadcast(spark.createDataFrame(
+      files.map(a => org.apache.spark.sql.Row(
+        f.makeQualified(new Path(dir, a.path)).toString,
+        a.baseRowId.get, a.defaultRowCommitVersion.getOrElse(-1L))).asJava,
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("_rt_path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_rt_base", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_rt_ver", org.apache.spark.sql.types.LongType)))))
+    val withProv = df
+      .withColumn("_graft_file", col("_metadata.file_path"))
+      .withColumn("_graft_pos", col("_metadata.row_index"))
+    val masked = dvMasks(spark, dir, st.copy(files = files)) match {
+      case None => withProv
+      case Some(masks) => withProv.filter(dvSurvives(masks))
+    }
+    masked
+      .join(baseDf, col("_graft_file") === col("_rt_path"), "left")
+      .withColumn(ridCol, coalesce(col(ridCol), col("_rt_base") + col("_graft_pos")))
+      .withColumn(rverCol, coalesce(col(rverCol), col("_rt_ver")))
+      .drop("_graft_file", "_graft_pos", "_rt_path", "_rt_base", "_rt_ver")
+  }
+
   /** Default vacuum retention: 7 days, the reference Delta default. */
   val DefaultVacuumRetainMillis: Long = 7L * 24 * 3600 * 1000
 
@@ -2380,15 +2412,35 @@ object DeltaInterop {
     require(zCols.nonEmpty, "zCols must be non-empty")
     val st0 = state(spark, dir)
     requireWritable(st0, dir)
-    refuseRowTrackingRewrite(st0, dir, "OPTIMIZE ZORDER")
+    // row-tracked tables Z-order with MATERIALIZED ids, like [[compact]]
+    // — masked reads purge any DVs in the same pass
+    val rt = rowTrackingEnabled(st0)
+    if (rt) {
+      require(columnMappingMode(st0) == "none",
+        s"Z-order of a column-mapped row-tracked table at $dir is not supported")
+      require(st0.partitionColumns.isEmpty,
+        s"Z-order of a PARTITIONED row-tracked table at $dir is not supported")
+    }
     // scope to named partitions when asked — an incremental re-layout
     val st = st0.copy(files = prunedFiles(st0, partitionEq))
-    require(st.files.forall(_.deletionVector == null),
+    require(rt || st.files.forall(_.deletionVector == null),
       s"optimizeZOrder would resurrect DV-masked rows under $dir — run row ops first")
     require(zCols.forall(c => st.schema.fieldNames.contains(c)),
       s"unknown zorder columns: ${zCols.filterNot(st.schema.fieldNames.contains).mkString(",")}")
     if (st.files.isEmpty) return (st.version, 0, 0)
-    val df = readFiles(spark, dir, st)
+    val (ridCol, rverCol, rtMetaActions0) = rtMaterializedCols(st0)
+    val rtMetaActions = if (rt) rtMetaActions0 else Nil
+    val df =
+      if (!rt) readFiles(spark, dir, st)
+      else {
+        val readSchema = StructType(st.schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField(ridCol, org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(rverCol, org.apache.spark.sql.types.LongType)))
+        rtAttachIds(spark, dir, st,
+          spark.read.schema(readSchema)
+            .parquet(st.files.map(a => new Path(dir, a.path).toString): _*),
+          st.files, ridCol, rverCol)
+      }
     // an ORDER-PRESERVING double per column: the z-curve needs a
     // numeric rank, but clustering columns are routinely strings
     // (lang, category). Exactness is irrelevant — the key only shapes
@@ -2433,11 +2485,20 @@ object DeltaInterop {
     // on a clustered table, the rewritten files ARE the clustered
     // layout — record the implementation on each add (spec's
     // clusteringProvider field)
-    val adds =
+    val adds1 =
       if (st.domains.contains(ClusteringDomain))
         adds0.map(_.copy(clusteringProvider = "graft-zorder"))
       else adds0
-    val actions = st.files.map(removeJson(_, dataChange = false)) ++
+    // rt: fresh base ids on the rewritten adds; preserved ids ride the
+    // materialized columns (the compact() contract)
+    val (adds, rtIdActions) =
+      if (!rt) (adds1, Nil)
+      else {
+        val (a2, dom) = assignFreshRowIds(st0, adds1, st0.version + 1)
+        (a2, if (dom.isEmpty) Nil else rowTrackingProtocolActions(st0) ++ dom)
+      }
+    val actions = rtMetaActions ++ rtIdActions ++
+      st.files.map(removeJson(_, dataChange = false)) ++
       adds.map(addJson(_, dataChange = false))
     val v = commit(spark, dir, st.version + 1, actions, op = "OPTIMIZE")
     (v, st.files.length, adds.length)

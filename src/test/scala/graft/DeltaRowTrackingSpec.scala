@@ -118,11 +118,8 @@ class DeltaRowTrackingSpec extends AnyFunSuite {
     assert(rows.map(_.getString(1)).toSeq == Seq("a", "b", "upd"))
   }
 
-  test("ZORDER and copy-on-write MERGE refuse by name; checkpoint round-trips ids") {
+  test("copy-on-write MERGE refuses by name; checkpoint round-trips ids") {
     val dir = foreignFixture()
-    val e2 = intercept[IllegalArgumentException](
-      DeltaInterop.optimizeZOrder(spark, dir, Seq("id")))
-    assert(e2.getMessage.contains("row ids"))
     val e3 = intercept[IllegalArgumentException](DeltaInterop.merge(
       spark, dir, Seq((1L, "m")).toDF("id", "tag"), Seq("id")))
     assert(e3.getMessage.contains("row ids"))
@@ -175,6 +172,26 @@ class DeltaRowTrackingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("compaction PURGES deletion vectors on row-tracked tables; surviving ids keep their gaps") {
+    val dir = foreignFixture()
+    DeltaInterop.writeDelta(Seq((50L, "y")).toDF("id", "tag"), dir, Nil)
+    DeltaInterop.deleteWhere(spark, dir, col("id") === 2L) // DV on data-0, rid 1 dies
+    assert(DeltaInterop.state(spark, dir).files.exists(_.deletionVector != null))
+    val before = DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq
+    DeltaInterop.compact(spark, dir)
+    val st = DeltaInterop.state(spark, dir)
+    // the vector is GONE — merge-on-read tables can only purge here
+    assert(st.files.forall(_.deletionVector == null),
+      "compaction must purge the deletion vectors")
+    assert(DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq == before)
+    // survivors keep their ORIGINAL ids — the deleted row's id 1 is a
+    // permanent gap (ids are never reused)
+    val ridCol = st.configuration("delta.rowTracking.materializedRowIdColumnName")
+    val phys = spark.read.parquet(s"$dir/${st.files.head.path}")
+    assert(phys.select(ridCol).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 2L, 3L))
+  }
+
   test("SET TBLPROPERTIES delta.enableRowTracking=true backfills existing files") {
     val dir = Files.createTempDirectory("graft-rt-enable").toString + "/t"
     DeltaInterop.writeDelta((0L until 6L).map(i => (i, s"v$i")).toDF("id", "tag"),
@@ -200,6 +217,25 @@ class DeltaRowTrackingSpec extends AnyFunSuite {
     assert(DeltaInterop.readDelta(spark, dir).count() == 7)
     DeltaInterop.writeDelta(Seq((7L, "v7")).toDF("id", "tag"), dir, Nil)
     assert(hwm(dir) == 7L)
+  }
+
+  test("ZORDER on a row-tracked table materializes ids through the re-layout") {
+    val dir = foreignFixture()
+    DeltaInterop.writeDelta((100L until 140L).map(i => (i, s"t$i")).toDF("id", "tag"),
+      dir, Nil)
+    DeltaInterop.deleteWhere(spark, dir, col("id") === 3L) // DV; rid 2 dies
+    val before = DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq
+    val (v, rewritten, _) = DeltaInterop.optimizeZOrder(spark, dir, Seq("id"))
+    assert(v > 0 && rewritten >= 2)
+    val st = DeltaInterop.state(spark, dir)
+    assert(st.files.forall(_.deletionVector == null), "ZORDER must purge DVs on rt tables")
+    assert(DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq == before)
+    val ridCol = st.configuration("delta.rowTracking.materializedRowIdColumnName")
+    // fixture rows (ids 0,1 surviving; 2 deleted) + appended 3..42 —
+    // materialized ids cover them all with the gap at 2
+    val ids = st.files.map(a => spark.read.parquet(s"$dir/${a.path}")
+      .select(ridCol).collect().map(_.getLong(0)).toSeq).reduce(_ ++ _).sorted
+    assert(ids == ((0L to 42L).filterNot(_ == 2L)))
   }
 
   test("shallow clone preserves row ids and the watermark domain") {

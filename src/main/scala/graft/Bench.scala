@@ -75,7 +75,8 @@ object Bench {
     "q171_merge_by_source", "q172_identity_lifecycle",
     "q173_iceberg_read", "q174_iceberg_evolution",
     "q175_delta_clustered", "q176_iceberg_pruned",
-    "q177_sql_federation", "q178_row_tracking", "q179_iceberg_partitioned"
+    "q177_sql_federation", "q178_row_tracking", "q179_iceberg_partitioned",
+    "q180_sql_row_tracking"
   )
 
   def main(args: Array[String]): Unit = {

@@ -523,6 +523,16 @@ object OracleSql {
       """SELECT source, count(*) AS n, sum(n_chars)::BIGINT AS chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q180: SQL row-tracking lifecycle — rows/chars after DELETE(de),
+    // watermark = N original ids + the compacted file's fresh range
+    // (N - deleted), invariants as TRUE booleans
+    "q180_sql_row_tracking" ->
+      """SELECT count(*) FILTER (WHERE lang <> 'de')::BIGINT AS n_rows,
+        |  sum(n_chars) FILTER (WHERE lang <> 'de')::BIGINT AS sum_chars,
+        |  (count(*) + count(*) FILTER (WHERE lang <> 'de') - 1)::BIGINT AS hwm,
+        |  TRUE AS dv_purged, TRUE AS ids_materialized,
+        |  TRUE AS ids_original_range
+        |FROM documents""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

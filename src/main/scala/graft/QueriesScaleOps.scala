@@ -2065,6 +2065,53 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy("source")
   }
 
+  /** q180 — row tracking THROUGH SQL, maintenance included: the table
+    * is created, filled, enabled (`ALTER ... SET TBLPROPERTIES` —
+    * the metadata-only backfill), mutated (`DELETE` auto-routes
+    * merge-on-read), and OPTIMIZE'd entirely as SQL statements. The
+    * OPTIMIZE is the round-trip payoff: it PURGES the delete's DV and
+    * MATERIALIZES the surviving rows' original ids as physical
+    * columns, which the emitted invariants verify from the files
+    * themselves — every live file DV-free, materialized ids distinct
+    * and exactly the survivors' ORIGINAL range (none of the compacted
+    * add's fresh ids leak into the column), watermark = every id ever
+    * assigned (N backfilled/appended + the compacted file's fresh
+    * range). */
+  private[graft] def q180(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.DeltaInterop
+    val docsPath = s"$dir/documents.parquet"
+    val tmp = graft.io.TempDirs.scratch("graft-q180") + "/t"
+    s.sql(s"CREATE TABLE delta.`$tmp` (doc_id BIGINT, lang STRING, n_chars BIGINT) USING delta")
+    s.sql(s"INSERT INTO delta.`$tmp` SELECT doc_id, lang, n_chars FROM " +
+      s"parquet.`$docsPath` WHERE doc_id % 2 = 0")
+    s.sql(s"ALTER TABLE delta.`$tmp` SET TBLPROPERTIES ('delta.enableRowTracking'='true')")
+    s.sql(s"INSERT INTO delta.`$tmp` SELECT doc_id, lang, n_chars FROM " +
+      s"parquet.`$docsPath` WHERE doc_id % 2 <> 0")
+    s.sql(s"DELETE FROM delta.`$tmp` WHERE lang = 'de'")
+    s.sql(s"OPTIMIZE delta.`$tmp`")
+    val st = DeltaInterop.state(s, tmp)
+    val n = s.read.parquet(docsPath).count()
+    val dvPurged = st.files.forall(_.deletionVector == null)
+    val ridCol = st.configuration("delta.rowTracking.materializedRowIdColumnName")
+    val matIds = st.files.flatMap { a =>
+      s.read.parquet(s"$tmp/${a.path}").select(ridCol)
+        .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    }
+    val hwm = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(st.domains(DeltaInterop.RowTrackingDomain))
+      .path("rowIdHighWaterMark").asLong(-1L)
+    val idsMaterialized = matIds.nonEmpty && !matIds.contains(-1L) &&
+      matIds.distinct.length == matIds.length
+    val idsOriginalRange = matIds.forall(id => id >= 0 && id < n)
+    DeltaInterop.readDelta(s, tmp).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"))
+      .withColumn("hwm", lit(hwm))
+      .withColumn("dv_purged", lit(dvPurged))
+      .withColumn("ids_materialized", lit(idsMaterialized))
+      .withColumn("ids_original_range", lit(idsOriginalRange))
+  }
+
   /** q178 — Delta ROW TRACKING lifecycle (PROTOCOL.md "Row
     * Tracking"): the corpus' even half lands plain, enablement
     * BACKFILLS row ids metadata-only, the odd half appends with fresh

@@ -76,7 +76,7 @@ object ScaleSmoke {
       "q172_identity_lifecycle", "q173_iceberg_read",
       "q174_iceberg_evolution", "q175_delta_clustered",
       "q176_iceberg_pruned", "q177_sql_federation", "q178_row_tracking",
-      "q179_iceberg_partitioned")
+      "q179_iceberg_partitioned", "q180_sql_row_tracking")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

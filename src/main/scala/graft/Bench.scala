@@ -76,7 +76,8 @@ object Bench {
     "q173_iceberg_read", "q174_iceberg_evolution",
     "q175_delta_clustered", "q176_iceberg_pruned",
     "q177_sql_federation", "q178_row_tracking", "q179_iceberg_partitioned",
-    "q180_sql_row_tracking"
+    "q180_sql_row_tracking", "q181_iceberg_day_partition",
+    "q182_iceberg_bucket"
   )
 
   def main(args: Array[String]): Unit = {

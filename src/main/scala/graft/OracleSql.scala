@@ -533,6 +533,21 @@ object OracleSql {
         |  TRUE AS dv_purged, TRUE AS ids_materialized,
         |  TRUE AS ids_original_range
         |FROM documents""".stripMargin,
+    // q181: day(ts)-hidden-partitioned Iceberg range read == the same
+    // 3-day window on the raw events (the engine additionally asserts
+    // 3 of 30 manifests opened)
+    "q181_iceberg_day_partition" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q182: bucket(8, doc_id)-partitioned point lookup == the raw row
+    // (the engine additionally asserts exactly 1 of 8 bucket
+    // manifests opened, via the spec's murmur3)
+    "q182_iceberg_bucket" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id = 137 ORDER BY doc_id""".stripMargin,
     // q156: the z-order-clustered two-dim pruned read must equal the
     // plain conjunctive BETWEEN — bands recomputed with the same
     // integer arithmetic (middle ~20% of each key range)

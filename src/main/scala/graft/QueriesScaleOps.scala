@@ -2065,6 +2065,51 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy("source")
   }
 
+  /** q181 — Iceberg HIDDEN PARTITIONING, the day(ts) case (spec
+    * "Partition Transforms"): the events stream lands partitioned by
+    * `day(ts)` — one manifest per day, summaries carrying the
+    * TRANSFORMED day ordinals — and a 3-day timestamp range opens
+    * exactly 3 of the 30 day manifests: the query's micros range maps
+    * through the monotone transform before any manifest Avro is read.
+    * At warehouse scale this is the metadata-plane lever that keeps
+    * driver work proportional to the days a query names, not the
+    * table's lifetime. The residual ts filter uses TYPED literals
+    * (micros→timestamp), so boundary micros stay exact. */
+  private[graft] def q181(s: SparkSession, dir: String): DataFrame = {
+    val events = T(s, dir, "events")
+    val tmp = graft.io.TempDirs.scratch("graft-q181")
+    graft.tools.IcebergFixture.appendPartitioned(events, tmp, "ts", "day")
+    val lo = 19732L * 86400000000L      // 2024-01-10T00:00:00Z in micros
+    val hi = 19735L * 86400000000L - 1  // last micro of 2024-01-12
+    val t = graft.io.IcebergInterop.readIcebergWhere(s, tmp,
+      Map("ts" -> ((lo.toDouble, hi.toDouble))))
+    val (read, skipped) = graft.io.IcebergInterop.lastManifestScan
+    require(read == 3 && skipped == 27,
+      s"expected 3 of 30 day manifests to open, got read=$read skipped=$skipped")
+    t.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+      .orderBy("event_type")
+  }
+
+  /** q182 — Iceberg HIDDEN PARTITIONING, the bucket(8, doc_id) case:
+    * a point lookup hashes the literal with the spec's murmur3
+    * (Appendix B vectors pinned in IcebergTransformsSpec) and opens
+    * ONLY that bucket's manifest — the 100 TB point-read pattern where
+    * metadata work is 1/N of the table no matter how big it grows.
+    * File-level doc_id bounds then prune within the bucket. */
+  private[graft] def q182(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q182")
+    graft.tools.IcebergFixture.appendPartitioned(docs, tmp, "doc_id", "bucket[8]")
+    val t = graft.io.IcebergInterop.readIcebergWhere(s, tmp,
+      Map("doc_id" -> ((137.0, 137.0))))
+    val (read, skipped) = graft.io.IcebergInterop.lastManifestScan
+    require(read == 1 && skipped == 7,
+      s"expected exactly doc 137's bucket manifest, got read=$read skipped=$skipped")
+    t.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+  }
+
   /** q180 — row tracking THROUGH SQL, maintenance included: the table
     * is created, filled, enabled (`ALTER ... SET TBLPROPERTIES` —
     * the metadata-only backfill), mutated (`DELETE` auto-routes

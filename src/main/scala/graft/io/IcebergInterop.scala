@@ -197,9 +197,12 @@ object IcebergInterop {
     * `summaries` hold rows matching the field-id-keyed predicates?
     * Resolved through the metadata's partition specs: each
     * field_summary lines up positionally with the spec's fields, and
-    * only `identity` transforms prune (a bucketed/truncated value
-    * can't answer a source-column range). Missing spec / summary /
-    * bound ⇒ true (no skipping without evidence). */
+    * predicates map THROUGH the transform ([[IcebergTransforms]]) —
+    * temporal and numeric-truncate ranges map monotonically, bucket
+    * prunes point predicates via the spec's murmur3, string truncate
+    * prunes equality by prefix. Missing spec / summary / bound or an
+    * unmappable (transform, predicate) pair ⇒ true (no skipping
+    * without evidence). */
   private def manifestMayMatch(meta: JsonNode, specId: Int,
       summaries: Seq[(Boolean, Array[Byte], Array[Byte])],
       idRanges: Map[Int, (DataType, Double, Double)],
@@ -213,21 +216,36 @@ object IcebergInterop {
         .toSeq)
       .getOrElse(Seq.empty)
     specFields.zip(summaries).forall {
-      case ((srcId, "identity"), (containsNull, lo, hi)) =>
+      case ((srcId, transform), (containsNull, lo, hi)) =>
         val rangeOk = idRanges.get(srcId).forall { case (dt, qlo, qhi) =>
           containsNull || lo == null || hi == null ||
-            ((boundToDouble(dt, lo), boundToDouble(dt, hi)) match {
-              case (Some(mn), Some(mx)) => mx >= qlo && mn <= qhi
-              case _ => true
+            (IcebergTransforms.mapRange(transform, dt, qlo, qhi) match {
+              case Some((plo, phi)) =>
+                IcebergTransforms.resultType(transform, dt)
+                  .flatMap(rdt => for {
+                    mn <- boundToDouble(rdt, lo)
+                    mx <- boundToDouble(rdt, hi)
+                  } yield mx >= plo && mn <= phi)
+                  .getOrElse(true)
+              case None => true // no source-value evidence for this shape
             })
         }
         val eqOk = idEq.get(srcId).forall { case (dt, vb) =>
           containsNull || lo == null || hi == null || dt != StringType ||
-            (java.util.Arrays.compareUnsigned(lo, vb) <= 0 &&
-              java.util.Arrays.compareUnsigned(vb, hi) <= 0)
+            (IcebergTransforms.mapStringEq(transform,
+              new String(vb, "UTF-8")) match {
+              case Some(Right(pb)) => // identity / truncated prefix
+                java.util.Arrays.compareUnsigned(lo, pb) <= 0 &&
+                  java.util.Arrays.compareUnsigned(pb, hi) <= 0
+              case Some(Left(bucket)) => // bucket ordinal vs int bounds
+                (for {
+                  mn <- boundToDouble(IntegerType, lo)
+                  mx <- boundToDouble(IntegerType, hi)
+                } yield mx >= bucket && mn <= bucket).getOrElse(true)
+              case None => true
+            })
         }
         rangeOk && eqOk
-      case _ => true // non-identity transform: no source-value evidence
     }
   }
 
@@ -344,6 +362,8 @@ object IcebergInterop {
       case LongType if b.length == 8 => Some(bb.getLong.toDouble)
       case FloatType if b.length == 4 => Some(bb.getFloat.toDouble)
       case DoubleType if b.length == 8 => Some(bb.getDouble)
+      case TimestampType | TimestampNTZType if b.length == 8 =>
+        Some(bb.getLong.toDouble) // spec encoding: epoch micros
       case _ => None
     }
   }
@@ -445,9 +465,21 @@ object IcebergInterop {
             }
           })
         def residual(df: DataFrame): DataFrame = {
-          import org.apache.spark.sql.functions.{col, lit}
+          import org.apache.spark.sql.functions.{col, lit, timestamp_micros, date_add, to_date}
+          // range endpoints arrive as doubles (epoch micros for
+          // timestamps, epoch days for dates) — build literals of the
+          // COLUMN's type, or an implicit ts→double cast would compare
+          // SECONDS against micros and silently filter everything out
+          def bound(k: String, v: Double): org.apache.spark.sql.Column =
+            df.schema.find(_.name == k).map(_.dataType) match {
+              case Some(TimestampType) => timestamp_micros(lit(v.toLong))
+              case Some(TimestampNTZType) =>
+                timestamp_micros(lit(v.toLong)).cast(TimestampNTZType)
+              case Some(DateType) => date_add(to_date(lit("1970-01-01")), v.toInt)
+              case _ => lit(v)
+            }
           val ranged = ranges.foldLeft(df) { case (d, (k, (lo, hi))) =>
-            d.filter(col(k) >= lo && col(k) <= hi)
+            d.filter(col(k) >= bound(k, lo) && col(k) <= bound(k, hi))
           }
           stringEq.foldLeft(ranged) { case (d, (k, v)) =>
             d.filter(col(k) === lit(v))

@@ -195,6 +195,14 @@ object IcebergFixture {
       case (DoubleType, x: Double) => Some(le(8).putDouble(x).array())
       case (DateType, x: java.sql.Date) =>
         Some(le(4).putInt(x.toLocalDate.toEpochDay.toInt).array())
+      case (TimestampType, x: java.sql.Timestamp) =>
+        val i = x.toInstant
+        Some(le(8).putLong(i.getEpochSecond * 1000000L + i.getNano / 1000L).array())
+      case (TimestampType, x: java.time.Instant) =>
+        Some(le(8).putLong(x.getEpochSecond * 1000000L + x.getNano / 1000L).array())
+      case (TimestampNTZType, x: java.time.LocalDateTime) =>
+        val i = x.toInstant(java.time.ZoneOffset.UTC)
+        Some(le(8).putLong(i.getEpochSecond * 1000000L + i.getNano / 1000L).array())
       case (StringType, x: String) =>
         // UTF-8 bytes, untruncated (spec truncation must round the
         // UPPER bound up — only short values get bounds here, which
@@ -216,14 +224,16 @@ object IcebergFixture {
 
   /** Commit a new snapshot whose manifest list = the previous
     * snapshot's manifests + `newManifests`; writes vN metadata json and
-    * the version hint. `partSpec` = (column name, source field id)
-    * registers the identity partition spec (id 1) partitioned
-    * manifests reference. Returns the snapshot id. */
+    * the version hint. `partSpec` = (partition field name, source
+    * field id, transform) registers partition spec id 1 that
+    * partitioned manifests reference — `identity`, the temporal
+    * transforms, `bucket[N]`, or `truncate[W]`. Returns the snapshot
+    * id. */
   private def commitSnapshot(spark: SparkSession, dir: String,
                              schema: StructType,
                              newManifests: Seq[ManifestRef],
                              operation: String,
-                             partSpec: Option[(String, Int)] = None): Long = {
+                             partSpec: Option[(String, Int, String)] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val f = root.getFileSystem(conf)
@@ -329,11 +339,11 @@ object IcebergFixture {
       val sp = specs.addObject(); sp.put("spec-id", 0); sp.putArray("fields")
     }
     partSpec.filterNot(_ => priorSpecIds.contains(1)).foreach {
-      case (colName, srcId) =>
+      case (fieldName, srcId, transform) =>
         val sp = specs.addObject(); sp.put("spec-id", 1)
         val fields = sp.putArray("fields")
         val fd = fields.addObject()
-        fd.put("name", colName); fd.put("transform", "identity")
+        fd.put("name", fieldName); fd.put("transform", transform)
         fd.put("source-id", srcId); fd.put("field-id", 1000)
     }
     n.put("default-spec-id", 0)
@@ -401,18 +411,21 @@ object IcebergFixture {
     commitSnapshot(spark, dir, df.schema, Seq(ManifestRef(manifestP, 0)), "append")
   }
 
-  /** Append `df` as a new snapshot PARTITIONED by identity on
-    * `partCol`: ONE MANIFEST PER PARTITION VALUE, each manifest-list
-    * entry carrying the spec's `field_summary` (lower = upper = the
-    * value) for the partition field — the layout a real Iceberg
-    * writer leaves after per-partition writes, and the one
-    * manifest-LEVEL skipping prunes before any manifest Avro is read.
-    * The partition column stays a real column in the data files
-    * (identity transform — Iceberg keeps source columns in data), so
-    * reads need no partition-tuple reconstruction. The per-value
-    * write loop is bounded by the partition-value count (fixture
-    * support; a production writer would single-pass this). */
-  def appendPartitioned(df: DataFrame, dir: String, partCol: String): Long = {
+  /** Append `df` as a new snapshot PARTITIONED on `partCol` through an
+    * Iceberg partition `transform` (`identity` — the default — a
+    * temporal `year|month|day|hour`, `bucket[N]`, or `truncate[W]`):
+    * ONE MANIFEST PER PARTITION VALUE, each manifest-list entry
+    * carrying the spec's `field_summary` (lower = upper = the
+    * TRANSFORMED value) — the layout a real Iceberg writer leaves
+    * after per-partition writes, and the one manifest-LEVEL skipping
+    * prunes before any manifest Avro is read. Source columns stay real
+    * columns in the data files (Iceberg hidden partitioning never
+    * removes them), so reads need no partition-tuple reconstruction.
+    * The per-value write loop is bounded by the partition-value count
+    * (fixture support; a production writer would single-pass this). */
+  def appendPartitioned(df: DataFrame, dir: String, partCol: String,
+                        transform: String = "identity",
+                        partName: String = null): Long = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
@@ -429,15 +442,52 @@ object IcebergFixture {
         case None =>
           df.schema.fieldNames.zipWithIndex.map { case (n0, i) => n0 -> (i + 1) }.toMap
       }
-    val partDt = df.schema(partCol).dataType
+    import graft.io.IcebergTransforms
+    import org.apache.spark.sql.functions.{col, datediff, lit, to_date, udf, unix_micros}
+    val srcDt = df.schema(partCol).dataType
+    val partDt = IcebergTransforms.resultType(transform, srcDt).getOrElse(
+      throw new IllegalArgumentException(
+        s"transform $transform unsupported on $srcDt"))
+    // the per-row partition value: identity reuses the source column;
+    // transforms normalize the source (micros / epoch days / long /
+    // string) and evaluate through the SAME public-spec math the
+    // reader prunes with, via a fixture-only UDF
+    val pCol: org.apache.spark.sql.Column =
+      if (transform == "identity") col(partCol)
+      else {
+        val norm = srcDt match {
+          case TimestampType => unix_micros(col(partCol))
+          case TimestampNTZType => unix_micros(col(partCol).cast(TimestampType))
+          case DateType =>
+            datediff(col(partCol), to_date(lit("1970-01-01"))).cast(LongType)
+          case IntegerType | LongType => col(partCol).cast(LongType)
+          case StringType => col(partCol)
+          case other => throw new IllegalArgumentException(
+            s"transform source type $other unsupported")
+        }
+        def ev(v: Any): Any = IcebergTransforms.eval(transform, srcDt, v)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$transform undefined for $v"))
+        (srcDt, partDt) match {
+          case (StringType, StringType) =>
+            udf((s: String) => ev(s).asInstanceOf[String]).apply(norm)
+          case (StringType, IntegerType) =>
+            udf((s: String) => ev(s).asInstanceOf[Int]).apply(norm)
+          case (_, IntegerType) =>
+            udf((v: java.lang.Long) => ev(v.longValue).asInstanceOf[Int]).apply(norm)
+          case _ =>
+            udf((v: java.lang.Long) =>
+              ev(v.longValue).asInstanceOf[Number].longValue).apply(norm)
+        }
+      }
     val snapshotId = currentVersion(f, root) + 1L
-    import org.apache.spark.sql.functions.col
-    val values = df.select(partCol).distinct().orderBy(partCol)
+    val withP = df.withColumn("_graft_p", pCol)
+    val values = withP.select("_graft_p").distinct().orderBy("_graft_p")
       .collect().map(_.get(0)).toSeq
     val refs = values.zipWithIndex.map { case (v, i) =>
       val staging = new Path(root, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
-      withFieldIds(df.filter(col(partCol) === v), idsByName)
-        .write.parquet(staging.toString)
+      withFieldIds(withP.filter(col("_graft_p") === lit(v)).drop("_graft_p"),
+        idsByName).write.parquet(staging.toString)
       val files = f.listStatus(staging).filter(_.getPath.getName.endsWith(".parquet"))
         .map { st =>
           val dst = new Path(root, s"data/${java.util.UUID.randomUUID()}.parquet")
@@ -456,8 +506,11 @@ object IcebergFixture {
       ManifestRef(manifestP, 0, specId = 1,
         summary = serializeBound(partDt, v).map(b => (b, b)))
     }
+    val fieldName = Option(partName).getOrElse(
+      if (transform == "identity") partCol
+      else s"${partCol}_${transform.takeWhile(_ != '[')}")
     commitSnapshot(spark, dir, df.schema, refs, "append",
-      partSpec = Some((partCol, idsByName(partCol))))
+      partSpec = Some((fieldName, idsByName(partCol), transform)))
   }
 
   private def canonPath(p: String): String = p.replaceFirst("^file:/+", "/")
@@ -471,7 +524,7 @@ object IcebergFixture {
     val df = spark.read.parquet(paths: _*)
     val statCols = df.schema.fields.filter(f => f.dataType match {
       case IntegerType | LongType | FloatType | DoubleType | DateType
-           | StringType => true
+           | StringType | TimestampType | TimestampNTZType => true
       case _ => false
     }).map(_.name).filter(idsByName.contains).toSeq
     val aggs = count(lit(1)).as("_n") +:

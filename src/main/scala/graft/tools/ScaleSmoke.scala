@@ -76,7 +76,8 @@ object ScaleSmoke {
       "q172_identity_lifecycle", "q173_iceberg_read",
       "q174_iceberg_evolution", "q175_delta_clustered",
       "q176_iceberg_pruned", "q177_sql_federation", "q178_row_tracking",
-      "q179_iceberg_partitioned", "q180_sql_row_tracking")
+      "q179_iceberg_partitioned", "q180_sql_row_tracking",
+      "q181_iceberg_day_partition", "q182_iceberg_bucket")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -247,6 +247,66 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(IcebergInterop.lastManifestScan._2 == 0)
   }
 
+  test("HIDDEN partitioning day(ts): a timestamp range opens only the matching day manifests") {
+    val dir = Files.createTempDirectory("graft-iceberg-dayskip").toString
+    val base = 19723L * 86400000000L // 2024-01-01T00:00Z in epoch micros
+    val rows = (0 until 960).map { i =>
+      (i.toLong, base + i * 900000000L, (i % 7).toDouble) // 15-min grid, 10 days
+    }.toDF("id", "m", "v")
+      .select(col("id"), timestamp_micros(col("m")).as("ts"), col("v"))
+    IcebergFixture.appendPartitioned(rows, dir, "ts", "day")
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 960)
+    assert(IcebergInterop.lastManifestScan == ((10, 0)))
+    // days 3..4 (closed micros range): 2 of 10 manifests open
+    val lo = (19726L * 86400000000L).toDouble
+    val hi = (19728L * 86400000000L - 1).toDouble
+    val got = IcebergInterop.readIcebergWhere(spark, dir, Map("ts" -> ((lo, hi))))
+    assert(IcebergInterop.lastManifestScan == ((2, 8)))
+    assert(got.count() == 192) // 96 rows/day × 2 days
+    assert(got.agg(min("id"), max("id")).head() ==
+      org.apache.spark.sql.Row(288L, 479L))
+    // the residual timestamp filter is EXACT at the boundary micro:
+    // widening the hi by one micro pulls in exactly day 5's first row
+    val plus = IcebergInterop.readIcebergWhere(spark, dir,
+      Map("ts" -> ((lo, hi + 1))))
+    assert(plus.count() == 193)
+  }
+
+  test("HIDDEN partitioning bucket(8, id): a point read opens exactly the value's bucket manifest") {
+    val dir = Files.createTempDirectory("graft-iceberg-bucket").toString
+    val df = (0L until 400L).map(i => (i, s"t_$i", i * 1.5)).toDF("id", "tag", "v")
+    IcebergFixture.appendPartitioned(df, dir, "id", "bucket[8]")
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 400)
+    val manifests = IcebergInterop.lastManifestScan._1
+    assert(manifests >= 7 && manifests <= 8) // 400 ids spread over 8 buckets
+    // a point predicate hashes to one bucket — one manifest opens
+    val one = IcebergInterop.readIcebergWhere(spark, dir,
+      Map("id" -> ((137.0, 137.0))))
+    assert(IcebergInterop.lastManifestScan == ((1, manifests - 1)))
+    assert(one.select("tag").head().getString(0) == "t_137")
+    // a RANGE over a bucketed column has no order evidence: no skipping
+    IcebergInterop.readIcebergWhere(spark, dir, Map("id" -> ((10.0, 20.0))))
+      .count()
+    assert(IcebergInterop.lastManifestScan._2 == 0)
+  }
+
+  test("HIDDEN partitioning truncate(2, tag): string equality prunes by prefix") {
+    val dir = Files.createTempDirectory("graft-iceberg-trunc").toString
+    val df = (0L until 300L).map(i => (i, f"p${i % 5}%s_x$i%03d", i * 1.0))
+      .toDF("id", "tag", "v")
+    IcebergFixture.appendPartitioned(df, dir, "tag", "truncate[2]")
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 300)
+    assert(IcebergInterop.lastManifestScan == ((5, 0))) // prefixes p0..p4
+    val one = IcebergInterop.readIcebergWhere(spark, dir, Map.empty,
+      stringEq = Map("tag" -> "p3_x123"))
+    assert(IcebergInterop.lastManifestScan == ((1, 4)))
+    assert(one.count() == 1 && one.select("id").head().getLong(0) == 123L)
+    // an equality with a prefix no partition carries reads nothing
+    assert(IcebergInterop.readIcebergWhere(spark, dir, Map.empty,
+      stringEq = Map("tag" -> "zz_none")).count() == 0)
+    assert(IcebergInterop.lastManifestScan == ((0, 5)))
+  }
+
   test("CONVERT TO DELTA: an append-only Iceberg table becomes a Delta table IN PLACE") {
     val dir = Files.createTempDirectory("graft-iceberg-convert").toString
     IcebergFixture.append(

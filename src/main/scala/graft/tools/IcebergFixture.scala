@@ -421,8 +421,8 @@ object IcebergFixture {
     * prunes before any manifest Avro is read. Source columns stay real
     * columns in the data files (Iceberg hidden partitioning never
     * removes them), so reads need no partition-tuple reconstruction.
-    * The per-value write loop is bounded by the partition-value count
-    * (fixture support; a production writer would single-pass this). */
+    * The write is single-pass: one hive-partitioned write job + one
+    * grouped stats job, regardless of the partition-value count. */
   def appendPartitioned(df: DataFrame, dir: String, partCol: String,
                         transform: String = "identity",
                         partName: String = null): Long = {
@@ -481,21 +481,39 @@ object IcebergFixture {
         }
       }
     val snapshotId = currentVersion(f, root) + 1L
-    val withP = df.withColumn("_graft_p", pCol)
-    val values = withP.select("_graft_p").distinct().orderBy("_graft_p")
-      .collect().map(_.get(0)).toSeq
-    val refs = values.zipWithIndex.map { case (v, i) =>
-      val staging = new Path(root, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
-      withFieldIds(withP.filter(col("_graft_p") === lit(v)).drop("_graft_p"),
-        idsByName).write.parquet(staging.toString)
-      val files = f.listStatus(staging).filter(_.getPath.getName.endsWith(".parquet"))
-        .map { st =>
-          val dst = new Path(root, s"data/${java.util.UUID.randomUUID()}.parquet")
-          require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
-          (dst, f.getFileStatus(dst).getLen)
-        }.toSeq
-      f.delete(staging, true)
-      val stats = allFileStats(spark, files.map(_._1.toString), idsByName)
+    // ONE partitioned write job (hive-style value dirs) + ONE grouped
+    // stats job, instead of a write+stats job pair per partition value
+    val staging = new Path(root, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    withFieldIds(df, idsByName).withColumn("_graft_p", pCol)
+      .write.partitionBy("_graft_p").parquet(staging.toString)
+    def decode(dirName: String): Any = {
+      val raw = java.net.URLDecoder.decode(
+        dirName.stripPrefix("_graft_p="), "UTF-8")
+      partDt match {
+        case IntegerType => raw.toInt
+        case LongType => raw.toLong
+        case StringType => raw
+        case other => throw new IllegalArgumentException(
+          s"partition value type $other unsupported")
+      }
+    }
+    val filesOfValue: Seq[(Any, Seq[(Path, Long)])] = f.listStatus(staging)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_graft_p="))
+      .sortBy(_.getPath.getName)
+      .map { d =>
+        val files = f.listStatus(d.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val dst = new Path(root, s"data/${java.util.UUID.randomUUID()}.parquet")
+            require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
+            (dst, f.getFileStatus(dst).getLen)
+          }.toSeq
+        (decode(d.getPath.getName), files)
+      }.toSeq
+    f.delete(staging, true)
+    val stats = allFileStats(spark,
+      filesOfValue.flatMap(_._2.map(_._1.toString)), idsByName)
+    val refs = filesOfValue.zipWithIndex.map { case ((v, files), i) =>
       val entries = files.map { case (p, size) =>
         val (rows, bounds) = stats.getOrElse(canonPath(p.toString),
           throw new IllegalStateException(s"no stats row for $p"))

@@ -533,6 +533,18 @@ object OracleSql {
         |  TRUE AS dv_purged, TRUE AS ids_materialized,
         |  TRUE AS ids_original_range
         |FROM documents""".stripMargin,
+    // q183: SQL MERGE merge-on-read on a row-tracked table — fr rows
+    // update (+1000), de rows re-insert under fresh keys; watermark =
+    // N original + U postimage + I inserted fresh ids; file-level
+    // invariants as TRUE booleans
+    "q183_sql_merge_row_tracking" ->
+      """SELECT (count(*) + count(*) FILTER (WHERE lang = 'de'))::BIGINT AS n_rows,
+        |  (sum(n_chars) + 1000 * count(*) FILTER (WHERE lang = 'fr')
+        |   + sum(n_chars) FILTER (WHERE lang = 'de'))::BIGINT AS sum_chars,
+        |  (count(*) + count(*) FILTER (WHERE lang = 'fr')
+        |   + count(*) FILTER (WHERE lang = 'de') - 1)::BIGINT AS hwm,
+        |  TRUE AS mor_masked, TRUE AS fresh_ids
+        |FROM documents""".stripMargin,
     // q181: day(ts)-hidden-partitioned Iceberg range read == the same
     // 3-day window on the raw events (the engine additionally asserts
     // 3 of 30 manifests opened)

@@ -2157,6 +2157,58 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .withColumn("ids_original_range", lit(idsOriginalRange))
   }
 
+  /** q183 — SQL MERGE on a ROW-TRACKED table routes MERGE-ON-READ
+    * (PROTOCOL.md "Row Tracking" under MERGE's clause arbitration):
+    * matched rows DV-mask in place — their files keep their original
+    * base row ids, and the unmodified neighbours never move files —
+    * while postimage and inserted rows append as fresh files with
+    * fresh ids past the watermark. This is the path delta-spark calls
+    * "merge with deletion vectors"; copy-on-write MERGE would destroy
+    * the ids of every untouched row it rewrites. The emitted surface:
+    * logical rows/chars after the merge, the watermark (= N original
+    * ids + U postimage + I inserted fresh ids), and file-level
+    * invariants verified from the adds themselves. */
+  private[graft] def q183(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.DeltaInterop
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q183") + "/t"
+    DeltaInterop.writeDelta(docs, tmp, Nil)                            // v0
+    s.sql(s"ALTER TABLE delta.`$tmp` SET TBLPROPERTIES " +
+      "('delta.enableRowTracking'='true')")     // v1: backfill ids 0..N-1
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    docs.filter(col("lang") === "fr")                  // matched → update
+      .select(col("doc_id"), col("lang"), (col("n_chars") + 1000L).as("n_chars"))
+      .unionByName(docs.filter(col("lang") === "de")   // fresh keys → insert
+        .select((col("doc_id") + mx + 1).as("doc_id"), col("lang"), col("n_chars")))
+      .createOrReplaceTempView("graft_q183_src")
+    s.sql(
+      s"""MERGE INTO delta.`$tmp` t USING graft_q183_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+         |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+         |  VALUES (s.doc_id, s.lang, s.n_chars)
+         |""".stripMargin)                           // v2: merge-on-read
+    val st = DeltaInterop.state(s, tmp)
+    val n = docs.count()
+    val (orig, fresh) = st.files.partition(_.baseRowId.exists(_ < n))
+    // fr rows were masked, not rewritten: some original file carries a
+    // DV, and NO original file lost its pre-merge base id
+    val morMasked = orig.nonEmpty && orig.exists(_.deletionVector != null)
+    // postimages + inserts sit in fresh files: ids past the original
+    // range, stamped with the merge's commit version
+    val freshIds = fresh.nonEmpty &&
+      fresh.forall(a => a.baseRowId.exists(_ >= n) &&
+        a.defaultRowCommitVersion.contains(st.version))
+    val hwm = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(st.domains(DeltaInterop.RowTrackingDomain))
+      .path("rowIdHighWaterMark").asLong(-1L)
+    DeltaInterop.readDelta(s, tmp).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"))
+      .withColumn("hwm", lit(hwm))
+      .withColumn("mor_masked", lit(morMasked))
+      .withColumn("fresh_ids", lit(freshIds))
+  }
+
   /** q178 — Delta ROW TRACKING lifecycle (PROTOCOL.md "Row
     * Tracking"): the corpus' even half lands plain, enablement
     * BACKFILLS row ids metadata-only, the odd half appends with fresh

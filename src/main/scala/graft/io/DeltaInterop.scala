@@ -414,15 +414,6 @@ object DeltaInterop {
     (stamped, domain)
   }
 
-  /** Named refusal for the operation class row tracking cannot survive
-    * without materialized row-id columns (see [[assignFreshRowIds]]). */
-  private def refuseRowTrackingRewrite(st: DeltaState, dir: String,
-                                       op: String): Unit =
-    require(!rowTrackingEnabled(st),
-      s"$op moves unmodified rows between files, which would lose their row ids " +
-        s"on the row-tracked table at $dir (materialized row-id columns are not " +
-        "written by this engine) — use the deletion-vector row ops instead")
-
   /** Latest committed version, or -1 for no table. */
   def latestVersion(spark: SparkSession, dir: String): Long = {
     val ld = logDir(dir)
@@ -3929,7 +3920,6 @@ object DeltaInterop {
     val st = state(spark, dir)
     requireWritable(st, dir)
     requireRemovable(st, dir, "MERGE")
-    refuseRowTrackingRewrite(st, dir, "copy-on-write MERGE")
     require(identityFields(st.schema).isEmpty,
       s"MERGE into a table with IDENTITY column(s) " +
       s"${identityFields(st.schema).map(_.name).mkString(",")} is not supported " +
@@ -3937,6 +3927,15 @@ object DeltaInterop {
     require(st.schema.fieldNames.sorted.sameElements(
       source.schema.fieldNames.sorted),
       s"merge source columns ${source.columns.sorted.mkString(",")} != table's ${st.schema.fieldNames.sorted.mkString(",")}")
+    // row-tracked tables route to the clause engine's merge-on-read
+    // path (update-all + insert-all clauses): this tuned copy-on-write
+    // body moves unmodified rows between files, which would lose their
+    // row ids
+    if (rowTrackingEnabled(st))
+      return mergeClauses(spark, dir, source, keyCols,
+        matched = Seq(MatchedClause(None,
+          st.schema.fieldNames.map(c => c -> col(s"s.$c")).toMap)),
+        notMatched = Some((None, Map.empty)))
     require(keyCols.forall(st.schema.fieldNames.contains), s"unknown key cols")
     val srcAligned = source.select(st.schema.fieldNames.map(col): _*)
       .localCheckpoint(false) // the source plan runs in 3 joins below — pin it
@@ -4025,7 +4024,6 @@ object DeltaInterop {
     val st = state(spark, dir)
     requireWritable(st, dir)
     requireRemovable(st, dir, "MERGE")
-    refuseRowTrackingRewrite(st, dir, "copy-on-write MERGE")
     // identity tables: matched UPDATE/DELETE and by-source clauses are
     // safe as long as no identity column is assigned; an INSERT clause
     // would need in-merge generation — refuse it by name
@@ -4105,6 +4103,91 @@ object DeltaInterop {
         when(fire, c.set.getOrElse(name, base).cast(st.schema(name).dataType))
           .otherwise(acc)
       }.as(name)
+    }
+    // ROW-TRACKED tables take the MERGE-ON-READ path: rows a clause
+    // fires on are DV-masked in place — their unmodified neighbours
+    // never move files, keeping their row ids — while postimages and
+    // inserts append as fresh files with fresh ids; the same contract
+    // as [[updateWhereDV]]/[[deleteWhereDV]], under MERGE's clause
+    // arbitration. The joined frame pins ONCE with the fire flags and
+    // postimage values already evaluated (alias qualifiers don't
+    // survive a localCheckpoint), and every stage — DV descriptor
+    // aggregate, postimage staging, CDF — reuses it.
+    if (rowTrackingEnabled(st)) {
+      val updateFires = (matched.zip(clauseFire) ++
+        notMatchedBySource.zip(bySourceFire)).filterNot(_._1.delete)
+        .map(_._2).reduceOption(_ || _).getOrElse(lit(false))
+      val pinned =
+        if (touched.isEmpty) None
+        else Some {
+          scanWithProvenance(spark, dir, st, touched).as("t")
+            .join(src.withColumn("__graft_matched", lit(true)).as("s"),
+              keyEq, "left_outer")
+            .select(
+              Seq(col("t._graft_file").as("_graft_file"),
+                col("t._graft_pos").as("_graft_pos"),
+                updateFires.as("__graft_upd"),
+                deleteFires.as("__graft_del")) ++
+              st.schema.fieldNames.map(c => col(s"t.$c").as(c)) ++
+              st.schema.fieldNames.map(c =>
+                rewrittenCol(c).as(s"__graft_post_$c")): _*)
+            .filter(col("__graft_upd") || col("__graft_del"))
+            .localCheckpoint(false)
+        }
+      val perFile = pinned.map(p =>
+        dvDescriptorsFromHits(spark, dir, touched, p).collect())
+        .getOrElse(Array.empty[(String, String, Long, Long)])
+      val postimage = pinned.map(_.filter(col("__graft_upd"))
+        .select(st.schema.fieldNames.map(c =>
+          col(s"__graft_post_$c").as(c)).toIndexedSeq: _*))
+      val insertsMor = notMatched.map { case (cond, set) =>
+        val raw = src.as("s").join(allScan.as("t"), keyEq, "left_anti")
+        val filtered = cond.map(c => raw.filter(c <=> lit(true))).getOrElse(raw)
+        filtered.select(st.schema.fieldNames.map { c =>
+          set.get(c).map(_.cast(st.schema(c).dataType))
+            .getOrElse(if (filtered.columns.contains(c)) col(c).cast(st.schema(c).dataType)
+                       else lit(null).cast(st.schema(c).dataType)).as(c)
+        }.toIndexedSeq: _*)
+      }
+      val nInserts = insertsMor.map(_.count()).getOrElse(0L)
+      if (perFile.isEmpty && nInserts == 0) return (st.version, 0, 0L)
+      val newRows = (postimage.toSeq ++ insertsMor.toSeq.filter(_ => nInserts > 0))
+        .reduceOption(_ unionByName _)
+      newRows.foreach(enforceConstraints(_, st))
+      val staged = newRows.map(stageForTable(_, dir, st)).getOrElse(Nil)
+      val (newAdds, dom) = assignFreshRowIds(st, staged, st.version + 1)
+      val rtActions = if (dom.isEmpty) Nil
+                      else rowTrackingProtocolActions(st) ++ dom
+      val actions = Seq.newBuilder[String]
+      rtActions.foreach(actions += _)
+      perFile.foreach { case (file, desc, _, _) =>
+        val a = idx(file)
+        actions += removeJson(a)
+        if (desc != null) actions += addJson(a.copy(deletionVector = desc))
+        // else: every live row of the file fired a clause — the remove
+        // alone drops it
+      }
+      newAdds.foreach(a => actions += addJson(a))
+      if (cdfEnabled(st)) {
+        val cols = st.schema.fieldNames.map(col)
+        val parts = Seq.newBuilder[DataFrame]
+        pinned.foreach { p =>
+          parts += p.filter(col("__graft_upd"))
+            .select(cols :+ lit("update_preimage").as("_change_type"): _*)
+          parts += p.filter(col("__graft_upd"))
+            .select(st.schema.fieldNames.map(c => col(s"__graft_post_$c").as(c)) :+
+              lit("update_postimage").as("_change_type"): _*)
+          parts += p.filter(col("__graft_del"))
+            .select(cols :+ lit("delete").as("_change_type"): _*)
+        }
+        insertsMor.filter(_ => nInserts > 0).foreach(ins =>
+          parts += ins.select(cols :+ lit("insert").as("_change_type"): _*))
+        stageChangeData(parts.result().reduce(_ unionByName _), dir, st)
+          .foreach(c => actions += cdcJson(c))
+      }
+      val v = commit(spark, dir, st.version + 1,
+        dvProtocolActions(st) ++ actions.result(), op = "MERGE")
+      return (v, perFile.length, nInserts)
     }
     val touchedScan =
       if (touched.isEmpty) null else scanWithProvenance(spark, dir, st, touched)

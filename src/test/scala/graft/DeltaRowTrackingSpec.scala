@@ -14,9 +14,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * round-tripped add fields. Merge-on-read makes this sound
   * everywhere: new files only ever hold logically NEW or MODIFIED
   * rows (the spec's fresh-id case); unmodified rows never change
-  * files. The one class that would move them — compaction / ZORDER /
-  * copy-on-write MERGE — refuses by name, and DELETE/UPDATE
-  * automatically route to the DV paths on row-tracked tables. */
+  * files. DELETE/UPDATE/MERGE automatically route to the DV
+  * merge-on-read paths on row-tracked tables, and compaction/ZORDER —
+  * which genuinely move unmodified rows — MATERIALIZE the ids as
+  * physical columns instead. */
 class DeltaRowTrackingSpec extends AnyFunSuite {
   lazy val spark = SharedSpark.spark
   import spark.implicits._
@@ -118,13 +119,51 @@ class DeltaRowTrackingSpec extends AnyFunSuite {
     assert(rows.map(_.getString(1)).toSeq == Seq("a", "b", "upd"))
   }
 
-  test("copy-on-write MERGE refuses by name; checkpoint round-trips ids") {
+  test("MERGE routes merge-on-read: matched rows DV-mask, postimages+inserts get fresh ids") {
     val dir = foreignFixture()
-    val e3 = intercept[IllegalArgumentException](DeltaInterop.merge(
-      spark, dir, Seq((1L, "m")).toDF("id", "tag"), Seq("id")))
-    assert(e3.getMessage.contains("row ids"))
-    // checkpoint round-trips the add fields: replay AFTER cleanup sees
-    // the same base
+    val (v, masked, inserted) = DeltaInterop.merge(spark, dir,
+      Seq((2L, "m2"), (9L, "i9")).toDF("id", "tag"), Seq("id"))
+    assert(v > 0 && masked == 1 && inserted == 1)
+    val st = DeltaInterop.state(spark, dir)
+    val orig = st.files.find(_.path == "data-0.parquet").get
+    // the matched row is MASKED in place — foreign base preserved, the
+    // unmodified neighbours (1, 3) never moved files
+    assert(orig.deletionVector != null && orig.baseRowId.contains(0L))
+    val fresh = st.files.filter(_.path != "data-0.parquet")
+    assert(fresh.nonEmpty && fresh.forall(_.baseRowId.exists(_ >= 3L)))
+    assert(fresh.forall(_.defaultRowCommitVersion.contains(v)))
+    assert(hwm(dir) == 2L + fresh.map(_.numRecords).sum)
+    assert(DeltaInterop.readDelta(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "m2"), (3L, "c"), (9L, "i9")))
+  }
+
+  test("clause MERGE merge-on-read: delete/update/insert/by-source; full file death drops the add") {
+    val dir = foreignFixture()
+    // id 2 deletes (matched+cond), id 3 updates, id 9 inserts, id 1
+    // deletes by-source → every original row fires a clause, so
+    // data-0.parquet dies outright (remove, no DV'd re-add)
+    val (v, masked, inserted) = DeltaInterop.mergeClauses(spark, dir,
+      Seq((2L, "s2"), (3L, "s3"), (9L, "s9")).toDF("id", "tag"), Seq("id"),
+      matched = Seq(
+        DeltaInterop.MatchedClause(Some(col("t.tag") === "b"), Map.empty, delete = true),
+        DeltaInterop.MatchedClause(None, Map("tag" -> lit("u")))),
+      notMatched = Some((None, Map.empty)),
+      notMatchedBySource = Seq(
+        DeltaInterop.MatchedClause(Some(col("t.tag") === "a"), Map.empty, delete = true)))
+    assert(v > 0 && masked == 1 && inserted == 1)
+    val st = DeltaInterop.state(spark, dir)
+    assert(!st.files.exists(_.path == "data-0.parquet"))
+    assert(st.files.forall(_.deletionVector == null))
+    assert(st.files.forall(_.baseRowId.exists(_ >= 3L)))
+    assert(hwm(dir) == 2L + st.files.map(_.numRecords).sum)
+    assert(DeltaInterop.readDelta(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((3L, "u"), (9L, "s9")))
+  }
+
+  test("checkpoint round-trips ids after cleanup") {
+    val dir = foreignFixture()
     DeltaInterop.writeDelta(Seq((50L, "y")).toDF("id", "tag"), dir, Nil)
     DeltaInterop.checkpoint(spark, dir)
     DeltaInterop.cleanupLog(spark, dir)

@@ -77,7 +77,8 @@ object Bench {
     "q175_delta_clustered", "q176_iceberg_pruned",
     "q177_sql_federation", "q178_row_tracking", "q179_iceberg_partitioned",
     "q180_sql_row_tracking", "q181_iceberg_day_partition",
-    "q182_iceberg_bucket"
+    "q182_iceberg_bucket", "q183_sql_merge_row_tracking",
+    "q184_uniform_lifecycle"
   )
 
   def main(args: Array[String]): Unit = {

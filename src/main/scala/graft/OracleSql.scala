@@ -545,6 +545,16 @@ object OracleSql {
         |   + count(*) FILTER (WHERE lang = 'de') - 1)::BIGINT AS hwm,
         |  TRUE AS mor_masked, TRUE AS fresh_ids
         |FROM documents""".stripMargin,
+    // q184: uniform (Delta + Iceberg dual metadata) lifecycle — final
+    // state = all docs minus the deleted 'de' slice, read through the
+    // ICEBERG plane post-rename; snapshot/manifest shape + two-path
+    // agreement as literal-checked invariants
+    "q184_uniform_lifecycle" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  3::BIGINT AS n_snapshots,
+        |  TRUE AS incremental_manifests, TRUE AS two_paths_match
+        |FROM documents WHERE lang <> 'de'""".stripMargin,
     // q181: day(ts)-hidden-partitioned Iceberg range read == the same
     // 3-day window on the raw events (the engine additionally asserts
     // 3 of 30 manifests opened)

@@ -2209,6 +2209,55 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .withColumn("fresh_ids", lit(freshIds))
   }
 
+  /** q184 — UNIFORM lifecycle (PROTOCOL.md "Iceberg Compatibility",
+    * iceberg.apache.org/spec/): a Delta table that maintains Iceberg
+    * metadata on every commit, so the SAME files read through two
+    * independent metadata planes. The corpus' even half lands plain,
+    * `ALTER TABLE SET TBLPROPERTIES` enables uniform (column-mapping
+    * upgrade + field-id rewrite + first Iceberg snapshot), the odd
+    * half INSERTs (an INCREMENTAL Iceberg append — prior manifests
+    * carried by reference), a copy-on-write DELETE rewrites the
+    * snapshot, and a RENAME evolves the Iceberg schema metadata-only
+    * (field-id column resolution keeps every pre-rename file
+    * readable). The emitted aggregate comes from the ICEBERG read
+    * path under the POST-RENAME name; invariants verify the Delta
+    * read matches and the snapshot/manifest counts are the
+    * incremental shape. */
+  private[graft] def q184(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{DeltaInterop, IcebergInterop, IcebergUniform}
+    val docsPath = s"$dir/documents.parquet"
+    val tmp = graft.io.TempDirs.scratch("graft-q184") + "/t"
+    s.sql(s"CREATE TABLE delta.`$tmp` (doc_id BIGINT, lang STRING, n_chars BIGINT) USING delta")
+    s.sql(s"INSERT INTO delta.`$tmp` SELECT doc_id, lang, n_chars FROM " +
+      s"parquet.`$docsPath` WHERE doc_id % 2 = 0")
+    s.sql(s"ALTER TABLE delta.`$tmp` SET TBLPROPERTIES " +
+      s"('${IcebergUniform.EnabledFormatsKey}'='iceberg')") // snapshot 1
+    s.sql(s"INSERT INTO delta.`$tmp` SELECT doc_id, lang, n_chars FROM " +
+      s"parquet.`$docsPath` WHERE doc_id % 2 <> 0")         // snapshot 2
+    s.sql(s"DELETE FROM delta.`$tmp` WHERE lang = 'de'")    // snapshot 3
+    DeltaInterop.renameColumn(s, tmp, "n_chars", "chars")   // metadata-only
+    val ice = IcebergInterop.readIceberg(s, tmp)
+    val delta = DeltaInterop.readDelta(s, tmp)
+    val pathsMatch = delta.count() == ice.count() &&
+      delta.agg(sum(col("chars"))).head().getLong(0) ==
+        ice.agg(sum(col("chars"))).head().getLong(0) &&
+      ice.columns.toSeq == Seq("doc_id", "lang", "chars")
+    val nSnapshots = IcebergInterop.snapshots(s, tmp).count()
+    val f = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    // enable rewrite (1) + incremental insert (1) + delete rewrite (1):
+    // the insert did NOT rewrite prior manifests
+    val nManifests = f.listStatus(new org.apache.hadoop.fs.Path(tmp, "metadata"))
+      .map(_.getPath.getName)
+      .count(n0 => n0.startsWith("uniform-m") && n0.endsWith(".avro"))
+    ice.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("chars")).cast("long").as("sum_chars"))
+      .withColumn("n_snapshots", lit(nSnapshots))
+      .withColumn("incremental_manifests", lit(nManifests == 3L))
+      .withColumn("two_paths_match", lit(pathsMatch))
+  }
+
   /** q178 — Delta ROW TRACKING lifecycle (PROTOCOL.md "Row
     * Tracking"): the corpus' even half lands plain, enablement
     * BACKFILLS row ids metadata-only, the odd half appends with fresh

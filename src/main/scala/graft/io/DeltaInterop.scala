@@ -328,9 +328,14 @@ object DeltaInterop {
         // ([[assignFreshRowIds]]), the high watermark maintained as
         // domain metadata, add fields round-tripped through DV ops /
         // clone / checkpoint, compaction and ZORDER MATERIALIZE the
-        // moved rows' ids as physical columns; copy-on-write MERGE
-        // refuses by name, and DELETE/UPDATE route merge-on-read
-        "rowTracking")
+        // moved rows' ids as physical columns; DELETE/UPDATE/MERGE
+        // all route merge-on-read
+        "rowTracking",
+        // UniForm: every commit mirrors as an Iceberg snapshot
+        // ([[IcebergUniform.maybeSync]] off the commit funnel); honored
+        // only for tables whose Iceberg metadata THIS engine seeded —
+        // foreign uniform tables refuse in [[requireWritable]]
+        "icebergCompatV1", "icebergCompatV2")
   }
 
   /** Reconstructed table state at a version. `txns` is the protocol's
@@ -385,7 +390,7 @@ object DeltaInterop {
     * the preserved add fields. The operations that move unmodified
     * rows — compaction and Z-order/clustered OPTIMIZE — MATERIALIZE
     * the ids as physical columns ([[compact]], [[optimizeZOrder]]);
-    * copy-on-write MERGE refuses by name.
+    * MERGE routes to the clause engine's merge-on-read body.
     *
     * Version-race safe: retries re-enter the caller, which re-reads
     * state and re-derives both the watermark and the target version. */
@@ -664,6 +669,22 @@ object DeltaInterop {
       s"table at $dir requires unsupported writer feature(s): " +
       s"${unsupported.toSeq.sorted.mkString(", ")} — refusing to commit " +
       "rather than break the feature's invariants")
+    // icebergCompat's obligation is keeping the Iceberg metadata in
+    // sync — honored only through this engine's own sync hook. A
+    // FOREIGN uniform table (delta-spark's converter owns its
+    // metadata/) must not be written: the commit would land without a
+    // matching Iceberg snapshot and Iceberg readers would silently
+    // read stale data.
+    if (IcebergUniform.enabled(st) ||
+        (st.protocol.writerFeatures &
+          Set("icebergCompatV1", "icebergCompatV2")).nonEmpty) {
+      val f = new Path(dir).getFileSystem(
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+      require(f.exists(new Path(dir, s"metadata/${IcebergUniform.MarkerName}")),
+        s"the uniform table at $dir carries Iceberg metadata this engine " +
+        "does not maintain (foreign icebergCompat writer) — refusing to " +
+        "commit; re-enable uniform via DeltaInterop.enableUniform to adopt it")
+    }
     // identityColumns: APPENDS generate values ([[withIdentityValues]])
     // and advance the high-water mark from the staged files' own stats
     // ([[advanceIdentity]]); ops that could corrupt the invariant —
@@ -1335,6 +1356,15 @@ object DeltaInterop {
                          props: Map[String, String]): Long = {
     val st = state(spark, dir)
     requireWritable(st, dir)
+    // enabling UniForm routes through [[enableUniform]]: the enable is
+    // not a plain config flip — it upgrades to column mapping, rewrites
+    // files with parquet field ids, and seeds the Iceberg metadata
+    val enablesUniform =
+      (props.get(IcebergUniform.EnabledFormatsKey)
+        .exists(_.toLowerCase.split(',').map(_.trim).contains("iceberg")) ||
+       props.get(IcebergUniform.CompatV2Key).contains("true")) &&
+      !IcebergUniform.enabled(st)
+    if (enablesUniform) return enableUniform(spark, dir, props)
     val merged = st.configuration ++ props
     val actions = Seq.newBuilder[String]
     if (props.get("delta.enableChangeDataFeed").contains("true")) {
@@ -1347,6 +1377,10 @@ object DeltaInterop {
     }
     if (props.get("delta.enableRowTracking").contains("true") &&
         !rowTrackingEnabled(st)) {
+      require(!IcebergUniform.enabled(st),
+        s"row tracking on the uniform table at $dir is not supported — " +
+        "its merge-on-read row ops author deletion vectors, which " +
+        "icebergCompat forbids")
       // enabling on an existing table: list the features and BACKFILL
       // every live file with fresh row ids in the same commit —
       // re-adds of the same paths (replay is keyed by path) with
@@ -1374,6 +1408,86 @@ object DeltaInterop {
     commit(spark, dir, st.version + 1,
       Seq(metaDataJson(st.schema, st.partitionColumns, st.configuration -- keys)),
       op = "UNSET TBLPROPERTIES")
+  }
+
+  /** Enable UniForm ([[IcebergUniform]]): from this commit on, the
+    * table maintains Iceberg metadata under `<dir>/metadata/` on every
+    * commit, readable by any Iceberg client (and by
+    * [[IcebergInterop.readIceberg]] — an independent read path over
+    * the same files). The enable is delta-spark's REORG UPGRADE
+    * UNIFORM in one commit:
+    *   - upgrades to COLUMN MAPPING (name mode, current names frozen
+    *     as physical) — icebergCompatV2's requirement, and the source
+    *     of the STABLE field ids Iceberg resolves columns by;
+    *   - REWRITES existing data files with `parquet.field.id` stamped
+    *     (dataChange=false — logical content identical); all later
+    *     writes stamp ids at the staging choke points;
+    *   - commits the config + the icebergCompatV2 writer feature, and
+    *     the post-commit sync seeds `v1.metadata.json` + the first
+    *     snapshot.
+    * Partitioned tables refuse (Delta data files do not materialize
+    * partition values as columns, which this engine's Iceberg reads
+    * require); row-tracked tables refuse (their merge-on-read row ops
+    * author deletion vectors — forbidden under icebergCompat); tables
+    * holding live DVs must compact first. */
+  def enableUniform(spark: SparkSession, dir: String,
+                    props: Map[String, String] = Map.empty): Long = {
+    val st = state(spark, dir)
+    requireWritable(st, dir)
+    require(st.partitionColumns.isEmpty,
+      s"uniform Iceberg metadata on the PARTITIONED table at $dir is not " +
+      "supported — Delta data files do not materialize partition values " +
+      "as columns, which Iceberg data reads require")
+    require(!rowTrackingEnabled(st),
+      s"uniform on the row-tracked table at $dir is not supported — its " +
+      "merge-on-read row ops author deletion vectors, which icebergCompat forbids")
+    require(st.files.forall(_.deletionVector == null),
+      s"the table at $dir holds live deletion vectors — compact to purge " +
+      "them before enabling uniform (icebergCompat forbids DVs)")
+    st.schema.fields.foreach(fd => IcebergFormat.icebergType(fd.dataType)) // loud on unmappable types
+    val f = fs(spark, dir)
+    require(!f.exists(new Path(dir, "metadata/version-hint.text")),
+      s"$dir already carries Iceberg metadata (a converted or foreign " +
+      "Iceberg table) — uniform cannot adopt metadata it did not write")
+    // column-mapping upgrade: freeze current names as physical, ids 1..n
+    val mapped = columnMappingMode(st) != "none"
+    var nextId = st.configuration.get("delta.columnMapping.maxColumnId")
+      .map(_.toLong).getOrElse(0L)
+    val fields = st.schema.fields.map { fd0 =>
+      if (mapped && fd0.metadata.contains("delta.columnMapping.id")) fd0
+      else {
+        nextId += 1
+        fd0.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(fd0.metadata)
+          .putLong("delta.columnMapping.id", nextId)
+          .putString("delta.columnMapping.physicalName", fd0.name)
+          .build())
+      }
+    }
+    val mappedSchema = StructType(fields)
+    val config = st.configuration ++ Map(
+      "delta.columnMapping.mode" ->
+        st.configuration.getOrElse("delta.columnMapping.mode", "name"),
+      "delta.columnMapping.maxColumnId" -> nextId.toString,
+      IcebergUniform.EnabledFormatsKey -> "iceberg",
+      IcebergUniform.CompatV2Key -> "true") ++ props
+    val stNew = st.copy(schema = mappedSchema, configuration = config)
+    val actions = Seq.newBuilder[String]
+    val upgraded = st.protocol.merge(Protocol.ColumnMapping)
+      .merge(Protocol(1, 7, Set.empty, Set("icebergCompatV2")))
+    if (upgraded != st.protocol) actions += upgraded.json
+    actions += metaDataJson(mappedSchema, Nil, config)
+    if (st.files.nonEmpty) {
+      // REORG-style rewrite: same logical rows, field ids stamped
+      val staged = stageForTable(readDelta(spark, dir), dir, stNew)
+      st.files.foreach(a => actions += removeJson(a, dataChange = false))
+      staged.foreach(a => actions += addJson(a, dataChange = false))
+    }
+    // the marker arms the commit funnel's sync hook; the enabling
+    // commit below is the first one it mirrors
+    f.mkdirs(new Path(dir, "metadata"))
+    f.create(new Path(dir, s"metadata/${IcebergUniform.MarkerName}"), true).close()
+    commit(spark, dir, st.version + 1, actions.result(), op = "UPGRADE UNIFORM")
   }
 
   /** `ALTER TABLE ... DROP CONSTRAINT`: remove a CHECK constraint by
@@ -1678,9 +1792,17 @@ object DeltaInterop {
     val f = fs(spark, srcDir)
     val adds = st.files.map(a =>
       a.copy(path = f.makeQualified(new Path(srcDir, a.path)).toString))
+    // UniForm does not survive a clone: the source's Iceberg metadata
+    // references ITS manifests/location and is not copied, so the clone
+    // must not advertise icebergCompat — re-enable on the clone if
+    // wanted (delta-spark cloning behavior)
+    val cloneProtocol = st.protocol.copy(writerFeatures =
+      st.protocol.writerFeatures -- Set("icebergCompatV1", "icebergCompatV2"))
+    val cloneConfig = st.configuration --
+      Seq(IcebergUniform.EnabledFormatsKey, IcebergUniform.CompatV2Key)
     commit(spark, dstDir, 0L,
-      Seq(st.protocol.json,
-        metaDataJson(st.schema, st.partitionColumns, st.configuration)) ++
+      Seq(cloneProtocol.json,
+        metaDataJson(st.schema, st.partitionColumns, cloneConfig)) ++
         st.domains.toSeq.sortBy(_._1).map { case (d, cfg) =>
           domainMetadataJson(d, cfg) } ++ // clustering columns etc. survive
         adds.map(addJson(_, dataChange = true)),
@@ -1930,9 +2052,14 @@ object DeltaInterop {
     * physical partition paths when the table is column-mapped,
     * passthrough otherwise. The unit every rewrite op stages with. */
   private def stageForTable(df: DataFrame, dir: String,
-                            st: DeltaState): Seq[AddFile] =
-    if (columnMappingMode(st) == "none") stageData(df, dir, st.partitionColumns)
-    else { val (phys, physPart) = toPhysical(df, st); stageData(phys, dir, physPart) }
+                            st: DeltaState): Seq[AddFile] = {
+    // uniform tables stamp parquet field ids into every data file —
+    // icebergCompatV2's writer obligation ([[IcebergUniform]])
+    def uni(d: DataFrame): DataFrame =
+      if (IcebergUniform.enabled(st)) IcebergUniform.stampFieldIds(d, st) else d
+    if (columnMappingMode(st) == "none") stageData(uni(df), dir, st.partitionColumns)
+    else { val (phys, physPart) = toPhysical(df, st); stageData(uni(phys), dir, physPart) }
+  }
 
   /** [[stageData]] with column-mapping awareness: a write into a mapped
     * table stages PHYSICAL column names (and physical partition paths /
@@ -1958,8 +2085,14 @@ object DeltaInterop {
           s"write-time schema evolution on a column-mapped table needs fresh " +
           s"column ids — run DeltaInterop.addColumn first (new: ${extra.mkString(",")})")
         val (phys, physPart) = toPhysical(df, st)
-        stageData(phys, dir, physPart)
-      case None => stageData(df, dir, partCols)
+        val stamped =
+          if (IcebergUniform.enabled(st)) IcebergUniform.stampFieldIds(phys, st)
+          else phys
+        stageData(stamped, dir, physPart)
+      case None =>
+        val stamped = stOpt.filter(IcebergUniform.enabled)
+          .map(IcebergUniform.stampFieldIds(df, _)).getOrElse(df)
+        stageData(stamped, dir, partCols)
     }
   }
 
@@ -2264,9 +2397,16 @@ object DeltaInterop {
       else StructType(dataSchema.fields ++ Seq(
         org.apache.spark.sql.types.StructField(ridCol, org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField(rverCol, org.apache.spark.sql.types.LongType)))
-    def rtAugment(df: DataFrame, files: Seq[AddFile]): DataFrame =
-      if (!rt) df
-      else rtAttachIds(spark, dir, st, df, files, ridCol, rverCol)
+    def rtAugment(df: DataFrame, files: Seq[AddFile]): DataFrame = {
+      val base =
+        if (!rt) df
+        else rtAttachIds(spark, dir, st, df, files, ridCol, rverCol)
+      // uniform tables: the rewritten files keep their parquet field
+      // ids (the rewrite reads stamped files but read schemas drop the
+      // id metadata — re-stamp)
+      if (IcebergUniform.enabled(st)) IcebergUniform.stampFieldIds(base, st)
+      else base
+    }
     val moved: Seq[(String, Map[String, String], Long)] =
       if (st.partitionColumns.isEmpty) {
         rtAugment(spark.read.schema(readSchema)
@@ -2828,6 +2968,9 @@ object DeltaInterop {
       throw new IllegalStateException(
         s"concurrent Delta commit at v=$v under $dir")
     }
+    // uniform tables mirror every commit as an Iceberg snapshot —
+    // one marker-file existence check for everything else
+    IcebergUniform.maybeSync(spark, dir, all)
     v
   }
 
@@ -3728,6 +3871,9 @@ object DeltaInterop {
     val st = state(spark, dir)
     requireWritable(st, dir)
     requireRemovable(st, dir, "DELETE")
+    require(!IcebergUniform.enabled(st),
+      s"deletion vectors are incompatible with uniform Iceberg metadata " +
+      s"at $dir (icebergCompat forbids them) — use the copy-on-write DELETE")
     val candidates = prunedFiles(st, partitionEq, ranges)
     if (candidates.isEmpty) return (st.version, 0, 0L)
     // DISTRIBUTED DV authoring: per-file bitmaps build + merge + write
@@ -3785,6 +3931,9 @@ object DeltaInterop {
     val st = state(spark, dir)
     requireWritable(st, dir)
     requireRemovable(st, dir, "UPDATE")
+    require(!IcebergUniform.enabled(st),
+      s"deletion vectors are incompatible with uniform Iceberg metadata " +
+      s"at $dir (icebergCompat forbids them) — use the copy-on-write UPDATE")
     val badCols = set.keys.filterNot(st.schema.fieldNames.contains)
     require(badCols.isEmpty, s"SET on unknown columns: ${badCols.mkString(",")}")
     val idHit = identityFields(st.schema).map(_.name).toSet & set.keys.toSet

@@ -145,7 +145,7 @@ object IcebergInterop {
 
   /** All records of one Avro container file (manifests are metadata:
     * file descriptor lists, read where the Delta JSON log is read). */
-  private def avroRecords(spark: SparkSession, p: Path): Seq[GenericRecord] = {
+  private[io] def avroRecords(spark: SparkSession, p: Path): Seq[GenericRecord] = {
     val in = new FsInput(p, spark.sparkContext.hadoopConfiguration)
     val r = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
     try {

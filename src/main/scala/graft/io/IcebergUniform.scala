@@ -1,0 +1,348 @@
+package graft.io
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.io.DeltaInterop.{AddFile, DeltaState}
+
+/** UniForm: Iceberg metadata a Delta table maintains alongside its
+  * own log, so Iceberg readers can read the table WITHOUT a copy —
+  * the open-spec behavior delta-spark ships as
+  * `delta.universalFormat.enabledFormats=iceberg` / the
+  * `icebergCompatV2` writer feature (delta.io PROTOCOL.md "Iceberg
+  * Compatibility", iceberg.apache.org/spec/). The Delta log stays the
+  * source of truth; after every winning commit [[maybeSync]] renders
+  * the post-commit state as one more Iceberg snapshot under
+  * `<table>/metadata/` (the same file-system-catalog layout
+  * [[IcebergInterop]] reads: `v<N>.metadata.json`, `version-hint.text`,
+  * Avro manifest list + manifests).
+  *
+  * Scale shape — the sync is METADATA-ONLY, no data jobs:
+  *   - pure appends are INCREMENTAL: one new manifest holding just the
+  *     committed adds, prior manifests carried forward by reference —
+  *     O(new files) work per append, like the Delta commit itself;
+  *   - commits that remove files (copy-on-write DELETE/UPDATE/MERGE,
+  *     OPTIMIZE, RESTORE) rewrite ONE manifest from the live file set —
+  *     O(live files) metadata, the same cost class as a checkpoint;
+  *   - schema changes (RENAME/ADD/DROP COLUMN) re-emit metadata JSON
+  *     with a new schema-id, zero file work — Iceberg resolves columns
+  *     by FIELD ID, which equals the Delta column-mapping id graft
+  *     stamps into every data file it writes on uniform tables;
+  *   - per-file row counts and numeric bounds translate straight from
+  *     the Delta add's stats JSON (footer read only as fallback), so
+  *     Iceberg readers get file-level data skipping for free.
+  *
+  * Vacuum interplay: Delta retention governs file life; Iceberg
+  * snapshots older than the vacuum horizon may reference reclaimed
+  * files (exactly delta-spark's documented UniForm behavior). The
+  * CURRENT Iceberg snapshot always matches the current Delta state. */
+object IcebergUniform {
+
+  private val M = new ObjectMapper()
+
+  /** delta-spark's property naming the mirrored formats. */
+  val EnabledFormatsKey = "delta.universalFormat.enabledFormats"
+  /** delta-spark's icebergCompat version-2 enablement flag. */
+  val CompatV2Key = "delta.enableIcebergCompatV2"
+
+  /** Cheap per-commit gate ([[maybeSync]] checks it before replaying
+    * state): written by enableUniform, lives with the Iceberg
+    * metadata. Dot-prefixed so directory listings of `metadata/`
+    * by Iceberg tooling ignore it. */
+  val MarkerName = ".graft-uniform"
+
+  def enabled(st: DeltaState): Boolean =
+    st.configuration.get(EnabledFormatsKey)
+      .exists(_.toLowerCase.split(',').map(_.trim).contains("iceberg")) ||
+      st.configuration.get(CompatV2Key).contains("true")
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (field, iceberg field id, physical column name) per top-level
+    * field: the id and physical name come from Delta column mapping —
+    * enableUniform upgrades the table to mapping mode, so both always
+    * exist on a uniform table; a not-yet-upgraded schema (mid-enable)
+    * falls back to position+1 / logical name, which is EXACTLY what
+    * the upgrade then freezes, keeping the id space stable. */
+  private[io] def fieldIds(schema: StructType): Seq[(StructField, Int, String)] =
+    schema.fields.toSeq.zipWithIndex.map { case (fd, i) =>
+      val id =
+        if (fd.metadata.contains("delta.columnMapping.id"))
+          fd.metadata.getLong("delta.columnMapping.id").toInt
+        else i + 1
+      val phys =
+        if (fd.metadata.contains("delta.columnMapping.physicalName"))
+          fd.metadata.getString("delta.columnMapping.physicalName")
+        else fd.name
+      (fd, id, phys)
+    }
+
+  /** Stamp `parquet.field.id` onto a PHYSICAL-named frame about to be
+    * staged into a uniform table — icebergCompatV2's writer
+    * obligation, and what lets Iceberg readers resolve columns by id
+    * regardless of physical names. */
+  private[io] def stampFieldIds(df: DataFrame, st: DeltaState): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val idOfPhys = fieldIds(st.schema).map { case (_, id, phys) => phys -> id }.toMap
+    df.select(df.schema.fields.toSeq.map { fd =>
+      idOfPhys.get(fd.name) match {
+        case Some(id) => col(fd.name).as(fd.name, new MetadataBuilder()
+          .withMetadata(fd.metadata).putLong("parquet.field.id", id.toLong).build())
+        case None => col(fd.name)
+      }
+    }: _*)
+  }
+
+  /** Post-commit hook ([[DeltaInterop.commit]]): one marker-file
+    * existence check for ordinary tables; uniform tables replay state
+    * and render the new snapshot. Loud on failure — the Delta commit
+    * is already durable, and a missed sync self-heals on the next
+    * commit (sync always renders CURRENT state), but silent lag would
+    * let an Iceberg reader read stale data with no signal. */
+  def maybeSync(spark: SparkSession, dir: String, actions: Seq[String]): Unit = {
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(dir, s"metadata/$MarkerName"))) return
+    val st = DeltaInterop.state(spark, dir)
+    if (!enabled(st)) return // disabled since (UNSET TBLPROPERTIES)
+    sync(spark, dir, st, actions)
+  }
+
+  /** Render one Delta commit as Iceberg metadata. The committed
+    * `actions` classify the shape:
+    *   - any remove, or any dataChange=false add (backfill-style
+    *     re-adds) → FULL: one manifest of the live file set;
+    *   - dataChange=true adds only → INCREMENTAL: one manifest of the
+    *     new adds, prior manifests carried forward;
+    *   - metaData only → metadata-only evolution (new schema-id when
+    *     the rendered schema changed, else nothing to do). */
+  private def sync(spark: SparkSession, dir: String, st: DeltaState,
+                   actions: Seq[String]): Unit = {
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val metaDir = new Path(root, "metadata")
+    val prevV = currentHint(f, root)
+    val prevMeta = readMeta(f, root, prevV)
+
+    val nodes = actions.map(M.readTree)
+    val hasRemove = nodes.exists(_.has("remove"))
+    val adds = nodes.filter(_.has("add")).map(_.get("add"))
+    val weakAdds = adds.exists(!_.path("dataChange").asBoolean(true))
+    val metaChanged = nodes.exists(_.has("metaData"))
+
+    val mode: Char =
+      if (prevMeta.isEmpty || hasRemove || weakAdds) 'F'
+      else if (adds.nonEmpty) 'I'
+      else if (metaChanged) 'M'
+      else return
+
+    val ids = fieldIds(st.schema)
+    val schemaNode = renderSchema(ids)
+    // schema-id bookkeeping: carry prior schemas forward; a changed
+    // rendering appends a new entry (ids never reused — Delta column
+    // mapping guarantees it)
+    val (schemas, curSchemaId) = prevMeta match {
+      case None =>
+        val arr = M.createArrayNode()
+        val s0 = schemaNode.deepCopy[JsonNode]().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        s0.put("schema-id", 0); arr.add(s0); (arr, 0)
+      case Some(m) =>
+        import scala.jdk.CollectionConverters._
+        val arr = m.path("schemas").deepCopy[JsonNode]()
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+        val curId = m.path("current-schema-id").asInt(0)
+        val cur = arr.elements().asScala.find(_.path("schema-id").asInt(-1) == curId).get
+        val curStripped = cur.deepCopy[JsonNode]().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        curStripped.remove("schema-id")
+        if (curStripped == schemaNode) (arr, curId)
+        else {
+          val maxId = arr.elements().asScala.map(_.path("schema-id").asInt(0)).max
+          val s0 = schemaNode.deepCopy[JsonNode]().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          s0.put("schema-id", maxId + 1); arr.add(s0); (arr, maxId + 1)
+        }
+    }
+    if (mode == 'M' &&
+        prevMeta.exists(_.path("current-schema-id").asInt(0) == curSchemaId))
+      return // config-only change: nothing Iceberg-visible
+
+    val idOfPhys = ids.map { case (fd, id, phys) => phys -> ((id, fd.dataType)) }.toMap
+    val seqNo = prevMeta.map(_.path("last-sequence-number").asLong(0L)).getOrElse(0L) + 1
+    val snapshotId = seqNo
+
+    val newSnapshot: Option[(Path, String)] = mode match {
+      case 'M' => None
+      case 'I' =>
+        val files = adds.map(addFileOf)
+        val mp = new Path(metaDir, s"uniform-m$seqNo.avro")
+        IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema,
+          files.map(fileEntry(spark, root, _, snapshotId, seqNo, idOfPhys)))
+        Some((mp, "append"))
+      case _ =>
+        val mp = new Path(metaDir, s"uniform-m$seqNo.avro")
+        IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema,
+          st.files.map(fileEntry(spark, root, _, snapshotId, seqNo, idOfPhys)))
+        Some((mp, if (prevMeta.isEmpty) "append" else "overwrite"))
+    }
+
+    // manifest list: prior manifests carry forward on incremental
+    // appends; full mode starts over with the single rewritten manifest
+    val listP = newSnapshot.map { case (mp, _) =>
+      val prior: Seq[org.apache.avro.generic.GenericRecord] =
+        if (mode == 'I')
+          prevMeta.toSeq.flatMap { m =>
+            import scala.jdk.CollectionConverters._
+            val cur = m.path("current-snapshot-id").asLong(-1L)
+            m.path("snapshots").elements().asScala
+              .find(_.path("snapshot-id").asLong(-2L) == cur).toSeq
+              .flatMap(s0 => IcebergInterop.avroRecords(spark,
+                new Path(resolve(s0.path("manifest-list").asText))))
+          }
+        else Nil
+      val mine = {
+        val r = new org.apache.avro.generic.GenericData.Record(IcebergFormat.ManifestFileSchema)
+        r.put("manifest_path", mp.toString)
+        r.put("manifest_length", f.getFileStatus(mp).getLen)
+        r.put("partition_spec_id", 0)
+        r.put("content", 0)
+        r.put("sequence_number", seqNo)
+        r.put("added_snapshot_id", snapshotId)
+        r
+      }
+      val lp = new Path(metaDir, s"uniform-snap-$snapshotId.avro")
+      // prior records re-serialize under OUR list schema (field-subset
+      // compatible: the carried manifests were written by this writer)
+      IcebergFormat.writeAvro(f, lp, IcebergFormat.ManifestFileSchema, prior :+ mine)
+      lp
+    }
+
+    val n = M.createObjectNode()
+    n.put("format-version", 2)
+    n.put("table-uuid",
+      prevMeta.map(_.path("table-uuid").asText(""))
+        .filter(_.nonEmpty)
+        .getOrElse(java.util.UUID.nameUUIDFromBytes(dir.getBytes).toString))
+    n.put("location", dir)
+    n.put("last-sequence-number", seqNo)
+    n.set[JsonNode]("schemas", schemas)
+    n.put("last-column-id", ids.map(_._2).maxOption.getOrElse(0))
+    n.put("current-schema-id", curSchemaId)
+    val specs = n.putArray("partition-specs")
+    val sp = specs.addObject(); sp.put("spec-id", 0); sp.putArray("fields")
+    n.put("default-spec-id", 0)
+    val snaps = n.putArray("snapshots")
+    prevMeta.foreach { m =>
+      import scala.jdk.CollectionConverters._
+      m.path("snapshots").elements().asScala.foreach(snaps.add)
+    }
+    newSnapshot.foreach { case (_, op) =>
+      val s0 = snaps.addObject()
+      s0.put("snapshot-id", snapshotId)
+      s0.put("sequence-number", seqNo)
+      s0.put("timestamp-ms", System.currentTimeMillis())
+      s0.put("manifest-list", listP.get.toString)
+      s0.put("schema-id", curSchemaId)
+      val sum = s0.putObject("summary")
+      sum.put("operation", op)
+      sum.put("delta-version", st.version.toString)
+    }
+    if (newSnapshot.isEmpty)
+      prevMeta.foreach(m => if (m.hasNonNull("current-snapshot-id"))
+        n.put("current-snapshot-id", m.path("current-snapshot-id").asLong))
+    else n.put("current-snapshot-id", snapshotId)
+
+    val out = f.create(new Path(metaDir, s"v${prevV + 1}.metadata.json"), true)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
+    finally out.close()
+    val hint = f.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(String.valueOf(prevV + 1).getBytes) finally hint.close()
+  }
+
+  /** Iceberg schema JSON (no schema-id) for the table's current
+    * logical fields: logical names, column-mapping field ids. */
+  private def renderSchema(ids: Seq[(StructField, Int, String)]): JsonNode = {
+    val sc = M.createObjectNode()
+    sc.put("type", "struct")
+    val fields = sc.putArray("fields")
+    ids.foreach { case (fd, id, _) =>
+      val fn = fields.addObject()
+      fn.put("id", id); fn.put("name", fd.name)
+      fn.put("required", false) // Delta adds may predate the column
+      fn.put("type", IcebergFormat.icebergType(fd.dataType))
+    }
+    sc
+  }
+
+  private def addFileOf(a: JsonNode): AddFile =
+    AddFile(a.get("path").asText, Map.empty, a.path("size").asLong(0L),
+      Option(a.get("stats")).filter(!_.isNull)
+        .map(s => M.readTree(s.asText).path("numRecords").asLong(-1L))
+        .getOrElse(-1L),
+      Map.empty,
+      stats = Option(a.get("stats")).filter(!_.isNull).map(_.asText).orNull)
+
+  /** One manifest entry for a live Delta add: absolute path, row count
+    * and numeric bounds translated from the add's own stats JSON — a
+    * footer read only when the log carries no numRecords. */
+  private def fileEntry(spark: SparkSession, root: Path, a: AddFile,
+                        snapshotId: Long, seqNo: Long,
+                        idOfPhys: Map[String, (Int, DataType)]): org.apache.avro.generic.GenericRecord = {
+    val abs = new Path(root, a.path).toString
+    val rows =
+      if (a.numRecords >= 0) a.numRecords
+      else spark.read.parquet(abs).count()
+    val bounds: Map[Int, (Array[Byte], Array[Byte])] =
+      Option(a.stats).map(M.readTree).map { s0 =>
+        val mins = s0.path("minValues"); val maxs = s0.path("maxValues")
+        import scala.jdk.CollectionConverters._
+        mins.fields().asScala.flatMap { e =>
+          val name = e.getKey
+          idOfPhys.get(name).flatMap { case (id, dt) =>
+            for {
+              lo <- boundBytes(dt, e.getValue)
+              hi <- boundBytes(dt, maxs.path(name))
+            } yield id -> ((lo, hi))
+          }
+        }.toMap
+      }.getOrElse(Map.empty)
+    IcebergFormat.entry(0, abs, rows, a.size, snapshotId, seqNo, bounds = bounds)
+  }
+
+  /** Delta stats JSON value → Iceberg bound bytes for the numeric
+    * types graft stats carry (ints/longs as longs, floats/doubles as
+    * doubles). Anything else: no bound, no pruning. */
+  private def boundBytes(dt: DataType, v: JsonNode): Option[Array[Byte]] =
+    if (v == null || v.isMissingNode || v.isNull) None
+    else dt match {
+      case IntegerType if v.canConvertToInt =>
+        IcebergFormat.serializeBound(IntegerType, v.asInt)
+      case LongType if v.canConvertToLong =>
+        IcebergFormat.serializeBound(LongType, v.asLong)
+      case FloatType if v.isNumber =>
+        IcebergFormat.serializeBound(FloatType, v.asDouble.toFloat)
+      case DoubleType if v.isNumber =>
+        IcebergFormat.serializeBound(DoubleType, v.asDouble)
+      case _ => None
+    }
+
+  private def resolve(uri: String): String =
+    if (uri.startsWith("file:")) new java.net.URI(uri).getPath else uri
+
+  private def currentHint(f: FileSystem, root: Path): Int = {
+    val hintP = new Path(root, "metadata/version-hint.text")
+    if (!f.exists(hintP)) 0
+    else {
+      val in = f.open(hintP)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
+    }
+  }
+
+  private def readMeta(f: FileSystem, root: Path, v: Int): Option[JsonNode] =
+    if (v == 0) None
+    else {
+      val in = f.open(new Path(root, s"metadata/v$v.metadata.json"))
+      try Some(M.readTree(in)) finally in.close()
+    }
+}

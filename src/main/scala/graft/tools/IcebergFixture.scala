@@ -2,8 +2,8 @@ package graft.tools
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.avro.Schema
-import org.apache.avro.file.{DataFileReader, DataFileWriter}
-import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericRecord}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
@@ -22,45 +22,12 @@ object IcebergFixture {
 
   private val M = new ObjectMapper()
 
-  private val EntrySchema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int"},
-      |{"name":"snapshot_id","type":["null","long"],"default":null},
-      |{"name":"sequence_number","type":["null","long"],"default":null},
-      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
-      |  {"name":"content","type":"int"},
-      |  {"name":"file_path","type":"string"},
-      |  {"name":"file_format","type":"string"},
-      |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"},
-      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null},
-      |  {"name":"lower_bounds","type":["null",{"type":"array","items":
-      |    {"type":"record","name":"k_v","fields":[
-      |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null},
-      |  {"name":"upper_bounds","type":["null",{"type":"array","items":"k_v"}],"default":null}
-      |]}}]}""".stripMargin)
+  private val EntrySchema = graft.io.IcebergFormat.EntrySchema
+  private val ManifestFileSchema = graft.io.IcebergFormat.ManifestFileSchema
 
-  private val ManifestFileSchema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_file","fields":[
-      |{"name":"manifest_path","type":"string"},
-      |{"name":"manifest_length","type":"long"},
-      |{"name":"partition_spec_id","type":"int"},
-      |{"name":"content","type":"int"},
-      |{"name":"sequence_number","type":["null","long"],"default":null},
-      |{"name":"added_snapshot_id","type":"long"},
-      |{"name":"partitions","type":["null",{"type":"array","items":
-      |  {"type":"record","name":"field_summary","fields":[
-      |    {"name":"contains_null","type":"boolean"},
-      |    {"name":"lower_bound","type":["null","bytes"],"default":null},
-      |    {"name":"upper_bound","type":["null","bytes"],"default":null}]}}],
-      | "default":null}]}""".stripMargin)
-
-  private def writeAvro(path: java.io.File, schema: Schema,
-                        records: Seq[GenericRecord]): Unit = {
-    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
-    w.create(schema, path)
-    try records.foreach(w.append) finally w.close()
-  }
+  private def writeAvro(f: org.apache.hadoop.fs.FileSystem, path: Path,
+                        schema: Schema, records: Seq[GenericRecord]): Unit =
+    graft.io.IcebergFormat.writeAvro(f, path, schema, records)
 
   private def readAvro(conf: org.apache.hadoop.conf.Configuration,
                        p: Path): Seq[GenericRecord] = {
@@ -70,20 +37,8 @@ object IcebergFixture {
     finally r.close()
   }
 
-  private def icebergType(dt: DataType): String = dt match {
-    case LongType => "long"
-    case IntegerType => "int"
-    case StringType => "string"
-    case DoubleType => "double"
-    case FloatType => "float"
-    case BooleanType => "boolean"
-    case DateType => "date"
-    case TimestampNTZType => "timestamp"
-    case TimestampType => "timestamptz"
-    case BinaryType => "binary"
-    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
-    case other => throw new IllegalArgumentException(s"fixture: unmapped type $other")
-  }
+  private def icebergType(dt: DataType): String =
+    graft.io.IcebergFormat.icebergType(dt)
 
   private def currentVersion(f: FileSystem, root: Path): Int = {
     val hintP = new Path(root, "metadata/version-hint.text")
@@ -137,82 +92,17 @@ object IcebergFixture {
     }.toSeq: _*)
   }
 
-  /** Build one manifest_entry record for a file descriptor. `bounds`
-    * are per-field-id (lower, upper) SINGLE-VALUE serializations (the
-    * spec's little-endian encoding — what file-level data skipping
-    * prunes on). */
+  /** One manifest_entry via [[graft.io.IcebergFormat.entry]] (fixture
+    * convention: sequence number == snapshot id). */
   private def entry(content: Int, path: String, rows: Long, size: Long,
                     snapshotId: Long,
                     equalityIds: Seq[Int] = Nil,
-                    bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty): GenericRecord = {
-    val dfSchema = EntrySchema.getField("data_file").schema()
-    val dfRec = new GenericData.Record(dfSchema)
-    dfRec.put("content", content)
-    dfRec.put("file_path", path)
-    dfRec.put("file_format", "PARQUET")
-    dfRec.put("record_count", rows)
-    dfRec.put("file_size_in_bytes", size)
-    if (equalityIds.nonEmpty) {
-      val arr = new GenericData.Array[Integer](equalityIds.length,
-        dfSchema.getField("equality_ids").schema().getTypes.get(1))
-      equalityIds.foreach(i => arr.add(Integer.valueOf(i)))
-      dfRec.put("equality_ids", arr)
-    }
-    if (bounds.nonEmpty) {
-      def kvArray(fieldName: String, pick: ((Array[Byte], Array[Byte])) => Array[Byte]) = {
-        val arrT = dfSchema.getField(fieldName).schema().getTypes.get(1)
-        val kvT = arrT.getElementType
-        val arr = new GenericData.Array[GenericRecord](bounds.size, arrT)
-        bounds.toSeq.sortBy(_._1).foreach { case (id, b) =>
-          val kv = new GenericData.Record(kvT)
-          kv.put("key", id)
-          kv.put("value", java.nio.ByteBuffer.wrap(pick(b)))
-          arr.add(kv)
-        }
-        arr
-      }
-      dfRec.put("lower_bounds", kvArray("lower_bounds", _._1))
-      dfRec.put("upper_bounds", kvArray("upper_bounds", _._2))
-    }
-    val e = new GenericData.Record(EntrySchema)
-    e.put("status", 1) // ADDED
-    e.put("snapshot_id", snapshotId)
-    e.put("sequence_number", snapshotId) // fixture convention: seq == snapshot
-    e.put("data_file", dfRec)
-    e
-  }
+                    bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty): GenericRecord =
+    graft.io.IcebergFormat.entry(content, path, rows, size, snapshotId,
+      snapshotId, equalityIds, bounds)
 
-  /** The spec's binary single-value serialization (little-endian) for
-    * the bound-able primitive types this fixture stats. */
-  private def serializeBound(dt: DataType, v: Any): Option[Array[Byte]] = {
-    import java.nio.{ByteBuffer, ByteOrder}
-    def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
-    (dt, v) match {
-      case (_, null) => None
-      case (IntegerType, x: Int) => Some(le(4).putInt(x).array())
-      case (LongType, x: Long) => Some(le(8).putLong(x).array())
-      case (FloatType, x: Float) => Some(le(4).putFloat(x).array())
-      case (DoubleType, x: Double) => Some(le(8).putDouble(x).array())
-      case (DateType, x: java.sql.Date) =>
-        Some(le(4).putInt(x.toLocalDate.toEpochDay.toInt).array())
-      case (TimestampType, x: java.sql.Timestamp) =>
-        val i = x.toInstant
-        Some(le(8).putLong(i.getEpochSecond * 1000000L + i.getNano / 1000L).array())
-      case (TimestampType, x: java.time.Instant) =>
-        Some(le(8).putLong(x.getEpochSecond * 1000000L + x.getNano / 1000L).array())
-      case (TimestampNTZType, x: java.time.LocalDateTime) =>
-        val i = x.toInstant(java.time.ZoneOffset.UTC)
-        Some(le(8).putLong(i.getEpochSecond * 1000000L + i.getNano / 1000L).array())
-      case (StringType, x: String) =>
-        // UTF-8 bytes, untruncated (spec truncation must round the
-        // UPPER bound up — only short values get bounds here, which
-        // keeps the written bound exact)
-        val b = x.getBytes("UTF-8")
-        if (b.length <= 32) Some(b) else None
-      case _ => None // binaries/nested: skipped (no bound, no pruning)
-    }
-  }
-
+  private def serializeBound(dt: DataType, v: Any): Option[Array[Byte]] =
+    graft.io.IcebergFormat.serializeBound(dt, v)
 
   /** One manifest reference for [[commitSnapshot]]'s list: content
     * 0=data / 1=deletes, the spec id its entries were written under,
@@ -295,7 +185,7 @@ object IcebergFixture {
         r
     }
     val listP = new Path(root, s"metadata/snap-$snapshotId.avro")
-    writeAvro(new java.io.File(listP.toUri.getPath), ManifestFileSchema, listRecords)
+    writeAvro(f, listP, ManifestFileSchema, listRecords)
 
     val n = M.createObjectNode()
     n.put("format-version", 2)
@@ -407,7 +297,7 @@ object IcebergFixture {
       entry(0, p.toString, rows, size, snapshotId, bounds = bounds)
     }
     val manifestP = new Path(root, s"metadata/manifest-$snapshotId.avro")
-    writeAvro(new java.io.File(manifestP.toUri.getPath), EntrySchema, entries)
+    writeAvro(f, manifestP, EntrySchema, entries)
     commitSnapshot(spark, dir, df.schema, Seq(ManifestRef(manifestP, 0)), "append")
   }
 
@@ -520,7 +410,7 @@ object IcebergFixture {
         entry(0, p.toString, rows, size, snapshotId, bounds = bounds)
       }
       val manifestP = new Path(root, s"metadata/manifest-$snapshotId-$i.avro")
-      writeAvro(new java.io.File(manifestP.toUri.getPath), EntrySchema, entries)
+      writeAvro(f, manifestP, EntrySchema, entries)
       ManifestRef(manifestP, 0, specId = 1,
         summary = serializeBound(partDt, v).map(b => (b, b)))
     }
@@ -588,7 +478,7 @@ object IcebergFixture {
     val e = entry(1, dst.toString, deletes.length.toLong,
       f.getFileStatus(dst).getLen, snapshotId)
     val manifestP = new Path(root, s"metadata/delete-manifest-$snapshotId.avro")
-    writeAvro(new java.io.File(manifestP.toUri.getPath), EntrySchema, Seq(e))
+    writeAvro(f, manifestP, EntrySchema, Seq(e))
     commitSnapshot(spark, dir, StructType(Nil), Seq(ManifestRef(manifestP, 1)), "delete")
   }
 
@@ -623,7 +513,7 @@ object IcebergFixture {
     val e = entry(2, dst.toString, nRows, f.getFileStatus(dst).getLen,
       snapshotId, equalityIds = ids)
     val manifestP = new Path(root, s"metadata/eq-manifest-$snapshotId.avro")
-    writeAvro(new java.io.File(manifestP.toUri.getPath), EntrySchema, Seq(e))
+    writeAvro(f, manifestP, EntrySchema, Seq(e))
     // schema arg is unused past creation (schemas carry forward)
     commitSnapshot(spark, dir, StructType(Nil), Seq(ManifestRef(manifestP, 1)), "delete")
   }

@@ -217,18 +217,20 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(DeltaInterop.readDelta(spark, dir).count() == 4)
   }
 
-  test("icebergCompat tables READ green (writer-side feature); writes refuse by name") {
+  test("icebergCompat tables READ green (writer-side feature); FOREIGN uniform writes refuse") {
     // delta-spark's UniForm tables carry icebergCompatV1/V2 as WRITER
-    // features — the obligation (maintaining Iceberg metadata on every
-    // commit) binds writers only, so plain reads must work and writes
-    // must refuse naming the feature
+    // features — the obligation (keeping the Iceberg mirror in sync)
+    // is honored only for tables whose mirror THIS engine seeded
+    // (IcebergUniformSpec); a FOREIGN uniform table's metadata/ is
+    // owned by delta-spark's converter, so plain reads must work and
+    // writes must refuse rather than let the mirror go stale
     val dir = Files.createTempDirectory("graft-proto-icebergcompat").toString
     writeForeignLog(dir,
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV2"]}}""")
     DeltaInterop.readDelta(spark, dir) // schema-only empty table reads
     val e = intercept[IllegalArgumentException](
       DeltaInterop.writeDelta(Seq(1L).toDF("id"), dir, Nil))
-    assert(e.getMessage.contains("icebergCompatV2"), e.getMessage)
+    assert(e.getMessage.contains("foreign icebergCompat"), e.getMessage)
   }
 
   test("clustered tables: CLUSTER BY domain survives checkpoint+cleanup and clone; OPTIMIZE clusters") {

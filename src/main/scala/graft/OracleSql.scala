@@ -555,6 +555,12 @@ object OracleSql {
         |  3::BIGINT AS n_snapshots,
         |  TRUE AS incremental_manifests, TRUE AS two_paths_match
         |FROM documents WHERE lang <> 'de'""".stripMargin,
+    // q185: partitioned uniform — per-lang aggregate via the ICEBERG
+    // plane after enable-rewrite + append + CoW delete of 'de'
+    "q185_uniform_partitioned" ->
+      """SELECT lang, count(*)::BIGINT AS n_rows,
+        |  sum(n_chars)::BIGINT AS sum_chars, TRUE AS two_paths_match
+        |FROM documents WHERE lang <> 'de' GROUP BY lang""".stripMargin,
     // q181: day(ts)-hidden-partitioned Iceberg range read == the same
     // 3-day window on the raw events (the engine additionally asserts
     // 3 of 30 manifests opened)

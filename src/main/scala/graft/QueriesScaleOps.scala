@@ -2258,6 +2258,35 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .withColumn("two_paths_match", lit(pathsMatch))
   }
 
+  /** q185 — PARTITIONED UniForm: a lang-partitioned Delta table whose
+    * Iceberg mirror stays correct because partition values
+    * MATERIALIZE into the data files (icebergCompatV2's
+    * partitioned-write obligation — Delta files normally carry
+    * partition values only in directory paths and the log, which an
+    * Iceberg reader never consults). Enable rewrites the partitions,
+    * an append adds one, a copy-on-write DELETE drops one, and the
+    * emitted per-lang aggregate comes from the ICEBERG read path —
+    * values that can only be right if the rewrite, the staged append,
+    * and the delete's rewrite all materialized the partition column. */
+  private[graft] def q185(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{DeltaInterop, IcebergInterop}
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q185") + "/t"
+    DeltaInterop.writeDelta(docs.filter(col("lang") =!= "fr"), tmp, Seq("lang"))
+    DeltaInterop.enableUniform(s, tmp)
+    DeltaInterop.writeDelta(docs.filter(col("lang") === "fr"), tmp, Seq("lang"))
+    s.sql(s"DELETE FROM delta.`$tmp` WHERE lang = 'de'")
+    val ice = IcebergInterop.readIceberg(s, tmp)
+    val delta = DeltaInterop.readDelta(s, tmp)
+    val pathsMatch = delta.count() == ice.count() &&
+      delta.agg(sum(col("n_chars"))).head().getLong(0) ==
+        ice.agg(sum(col("n_chars"))).head().getLong(0)
+    ice.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"))
+      .withColumn("two_paths_match", lit(pathsMatch))
+  }
+
   /** q178 — Delta ROW TRACKING lifecycle (PROTOCOL.md "Row
     * Tracking"): the corpus' even half lands plain, enablement
     * BACKFILLS row ids metadata-only, the odd half appends with fresh

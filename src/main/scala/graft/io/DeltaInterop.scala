@@ -1425,19 +1425,21 @@ object DeltaInterop {
     *   - commits the config + the icebergCompatV2 writer feature, and
     *     the post-commit sync seeds `v1.metadata.json` + the first
     *     snapshot.
-    * Partitioned tables refuse (Delta data files do not materialize
-    * partition values as columns, which this engine's Iceberg reads
-    * require); row-tracked tables refuse (their merge-on-read row ops
-    * author deletion vectors — forbidden under icebergCompat); tables
-    * holding live DVs must compact first. */
+    * PARTITIONED tables work: the rewrite (and every later staged
+    * write) MATERIALIZES partition values as real data columns in the
+    * files — icebergCompatV2's own partitioned-write obligation — so
+    * Iceberg readers see them like any column (numeric partition
+    * bounds ride the stats for file skipping), while Delta reads keep
+    * taking the directory value. Row-tracked tables refuse (their
+    * merge-on-read row ops author deletion vectors — forbidden under
+    * icebergCompat); tables holding live DVs must compact first.
+    * Caveat (documented, loud): RESTORE to a PRE-enable version
+    * re-surfaces files without field ids — the Delta plane reads them
+    * fine, the Iceberg plane refuses them at scan time. */
   def enableUniform(spark: SparkSession, dir: String,
                     props: Map[String, String] = Map.empty): Long = {
     val st = state(spark, dir)
     requireWritable(st, dir)
-    require(st.partitionColumns.isEmpty,
-      s"uniform Iceberg metadata on the PARTITIONED table at $dir is not " +
-      "supported — Delta data files do not materialize partition values " +
-      "as columns, which Iceberg data reads require")
     require(!rowTrackingEnabled(st),
       s"uniform on the row-tracked table at $dir is not supported — its " +
       "merge-on-read row ops author deletion vectors, which icebergCompat forbids")
@@ -1476,9 +1478,11 @@ object DeltaInterop {
     val upgraded = st.protocol.merge(Protocol.ColumnMapping)
       .merge(Protocol(1, 7, Set.empty, Set("icebergCompatV2")))
     if (upgraded != st.protocol) actions += upgraded.json
-    actions += metaDataJson(mappedSchema, Nil, config)
+    actions += metaDataJson(mappedSchema, st.partitionColumns, config)
     if (st.files.nonEmpty) {
-      // REORG-style rewrite: same logical rows, field ids stamped
+      // REORG-style rewrite: same logical rows, field ids stamped (and
+      // on partitioned tables, partition values materialized as data
+      // columns — icebergCompatV2's partitioned-write obligation)
       val staged = stageForTable(readDelta(spark, dir), dir, stNew)
       st.files.foreach(a => actions += removeJson(a, dataChange = false))
       staged.foreach(a => actions += addJson(a, dataChange = false))
@@ -1942,13 +1946,39 @@ object DeltaInterop {
     * place under fresh unique names (no copy). The files are invisible
     * to readers until a commit references them; if the commit never
     * happens they are unreferenced and [[vacuum]] reclaims them. */
-  private def stageData(df: DataFrame, dir: String,
-                        partCols: Seq[String]): Seq[AddFile] = {
+  private def stageData(df: DataFrame, dir: String, partCols: Seq[String],
+                        materializePartitions: Boolean = false): Seq[AddFile] = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val staging = new Path(dir, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
     if (partCols.isEmpty) df.write.parquet(staging.toString)
-    else df.write.partitionBy(partCols: _*).parquet(staging.toString)
+    else if (!materializePartitions)
+      df.write.partitionBy(partCols: _*).parquet(staging.toString)
+    else {
+      // icebergCompatV2's partitioned-write obligation: partition
+      // VALUES must also land as real columns in the data files
+      // (Iceberg readers resolve them like any column; Delta's own
+      // reads take the directory value — same value either way). One
+      // partitioned write splits files per partition tuple via
+      // duplicate throwaway columns, then the value dirs rename to the
+      // Hive names the table layout expects.
+      val dup = partCols.map(c => c -> s"__gp_$c")
+      val df2 = dup.foldLeft(df) { case (d, (c, t)) => d.withColumn(t, col(c)) }
+      df2.write.partitionBy(dup.map(_._2): _*).parquet(staging.toString)
+      def strip(p: Path): Unit = f.listStatus(p).foreach { s0 =>
+        if (s0.isDirectory) {
+          val name = s0.getPath.getName
+          val dst =
+            if (name.startsWith("__gp_")) {
+              val d = new Path(p, name.stripPrefix("__gp_"))
+              require(f.rename(s0.getPath, d), s"rename ${s0.getPath} failed")
+              d
+            } else s0.getPath
+          strip(dst)
+        }
+      }
+      strip(staging)
+    }
     parMap(moveStaged(f, staging, new Path(dir), partCols)) { case (rel, pv, size) =>
       val (rows, stats) = footerStats(spark, new Path(dir, rel))
       AddFile(rel, pv, size, rows, Map.empty, stats)
@@ -2054,11 +2084,17 @@ object DeltaInterop {
   private def stageForTable(df: DataFrame, dir: String,
                             st: DeltaState): Seq[AddFile] = {
     // uniform tables stamp parquet field ids into every data file —
-    // icebergCompatV2's writer obligation ([[IcebergUniform]])
+    // icebergCompatV2's writer obligation ([[IcebergUniform]]) — and
+    // materialize partition values as data columns
+    val isUni = IcebergUniform.enabled(st)
     def uni(d: DataFrame): DataFrame =
-      if (IcebergUniform.enabled(st)) IcebergUniform.stampFieldIds(d, st) else d
-    if (columnMappingMode(st) == "none") stageData(uni(df), dir, st.partitionColumns)
-    else { val (phys, physPart) = toPhysical(df, st); stageData(uni(phys), dir, physPart) }
+      if (isUni) IcebergUniform.stampFieldIds(d, st) else d
+    if (columnMappingMode(st) == "none")
+      stageData(uni(df), dir, st.partitionColumns, materializePartitions = isUni)
+    else {
+      val (phys, physPart) = toPhysical(df, st)
+      stageData(uni(phys), dir, physPart, materializePartitions = isUni)
+    }
   }
 
   /** [[stageData]] with column-mapping awareness: a write into a mapped
@@ -2085,14 +2121,15 @@ object DeltaInterop {
           s"write-time schema evolution on a column-mapped table needs fresh " +
           s"column ids — run DeltaInterop.addColumn first (new: ${extra.mkString(",")})")
         val (phys, physPart) = toPhysical(df, st)
+        val isUni = IcebergUniform.enabled(st)
         val stamped =
-          if (IcebergUniform.enabled(st)) IcebergUniform.stampFieldIds(phys, st)
-          else phys
-        stageData(stamped, dir, physPart)
+          if (isUni) IcebergUniform.stampFieldIds(phys, st) else phys
+        stageData(stamped, dir, physPart, materializePartitions = isUni)
       case None =>
-        val stamped = stOpt.filter(IcebergUniform.enabled)
+        val isUni = stOpt.exists(IcebergUniform.enabled)
+        val stamped = stOpt.filter(_ => isUni)
           .map(IcebergUniform.stampFieldIds(df, _)).getOrElse(df)
-        stageData(stamped, dir, partCols)
+        stageData(stamped, dir, partCols, materializePartitions = isUni)
     }
   }
 
@@ -2427,8 +2464,18 @@ object DeltaInterop {
         groups.zipWithIndex.flatMap { case (fl, gi) =>
           val pv = fl.head.partitionValues
           val sub = new Path(staging, s"g$gi")
-          rtAugment(spark.read.schema(readSchema)
-            .parquet(fl.map(a => new Path(dir, a.path).toString): _*), fl)
+          // uniform partitioned tables keep partition values
+          // MATERIALIZED through the rewrite (the pinned read schema
+          // excludes them — re-inject from the group's log values)
+          def uniPv(df0: DataFrame): DataFrame =
+            if (!IcebergUniform.enabled(st)) df0
+            else st.partitionColumns.foldLeft(df0) { (d, c) =>
+              val k = if (mapped) physicalFieldName(st.schema(c)) else c
+              d.withColumn(k, lit(pv.getOrElse(k, pv(c)))
+                .cast(physicalType(st.schema(c).dataType)))
+            }
+          rtAugment(uniPv(spark.read.schema(readSchema)
+            .parquet(fl.map(a => new Path(dir, a.path).toString): _*)), fl)
             .coalesce(1).write.parquet(sub.toString)
           val rel = groupRel(pv)
           f.listStatus(sub).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -2970,7 +3017,7 @@ object DeltaInterop {
     }
     // uniform tables mirror every commit as an Iceberg snapshot —
     // one marker-file existence check for everything else
-    IcebergUniform.maybeSync(spark, dir, all)
+    IcebergUniform.maybeSync(spark, dir, v, all)
     v
   }
 

@@ -98,17 +98,128 @@ object IcebergUniform {
   }
 
   /** Post-commit hook ([[DeltaInterop.commit]]): one marker-file
-    * existence check for ordinary tables; uniform tables replay state
-    * and render the new snapshot. Loud on failure — the Delta commit
-    * is already durable, and a missed sync self-heals on the next
-    * commit (sync always renders CURRENT state), but silent lag would
+    * existence check for ordinary tables. PURE APPENDS — the hot path,
+    * a streaming sink appends every micro-batch — take the FAST path:
+    * the new manifest renders straight from the committed add actions
+    * and the marker file's cached (physical column → field id/type)
+    * map, with NO Delta log replay at all. Commits that remove files,
+    * change metadata, or re-add backfills replay state once and
+    * refresh the marker cache. Loud on failure — the Delta commit is
+    * already durable, and a missed sync self-heals on the next
+    * full-path commit (it renders CURRENT state), but silent lag would
     * let an Iceberg reader read stale data with no signal. */
-  def maybeSync(spark: SparkSession, dir: String, actions: Seq[String]): Unit = {
+  def maybeSync(spark: SparkSession, dir: String, deltaVersion: Long,
+                actions: Seq[String]): Unit = {
     val f = fs(spark, dir)
-    if (!f.exists(new Path(dir, s"metadata/$MarkerName"))) return
+    val markerP = new Path(dir, s"metadata/$MarkerName")
+    if (!f.exists(markerP)) return
+    val nodes = actions.map(M.readTree)
+    val hasRemove = nodes.exists(_.has("remove"))
+    val adds = nodes.filter(_.has("add")).map(_.get("add"))
+    val weakAdds = adds.exists(!_.path("dataChange").asBoolean(true))
+    val metaChanged = nodes.exists(_.has("metaData"))
+    if (adds.nonEmpty && !hasRemove && !weakAdds && !metaChanged) {
+      val root = new Path(dir)
+      val prevMeta = readMeta(f, root, currentHint(f, root))
+      readMarker(f, markerP).zip(prevMeta) match {
+        case Some((cols, m)) =>
+          return syncIncremental(spark, dir, f, m, cols, deltaVersion, adds)
+        case None => // cache not seeded yet — fall through to the full path
+      }
+    }
     val st = DeltaInterop.state(spark, dir)
-    if (!enabled(st)) return // disabled since (UNSET TBLPROPERTIES)
+    if (!enabled(st)) { // disabled since (UNSET TBLPROPERTIES)
+      f.delete(markerP, false) // disarm: later commits skip in one exists()
+      return
+    }
     sync(spark, dir, st, actions)
+    writeMarker(f, markerP, st)
+  }
+
+  /** The marker file doubles as the fast path's schema cache:
+    * physical column name → (field id, Spark type JSON), refreshed on
+    * every full-path sync (any commit that could change the schema
+    * carries a metaData action and takes the full path, so the cache
+    * is never stale when the fast path reads it). */
+  private def writeMarker(f: FileSystem, p: Path, st: DeltaState): Unit = {
+    val n = M.createObjectNode()
+    val cols = n.putObject("cols")
+    fieldIds(st.schema).foreach { case (fd, id, phys) =>
+      val c = cols.putObject(phys)
+      c.put("id", id)
+      c.put("dt", fd.dataType.json)
+    }
+    val out = f.create(p, true)
+    try out.write(M.writeValueAsBytes(n)) finally out.close()
+  }
+
+  private def readMarker(f: FileSystem,
+                         p: Path): Option[Map[String, (Int, DataType)]] = {
+    import scala.jdk.CollectionConverters._
+    val in = f.open(p)
+    val n = try M.readTree(in) finally in.close()
+    if (n == null || !n.has("cols")) None
+    else Some(n.path("cols").fields().asScala.map { e =>
+      e.getKey -> ((e.getValue.path("id").asInt,
+        DataType.fromJson(e.getValue.path("dt").asText)))
+    }.toMap).filter(_.nonEmpty)
+  }
+
+  /** FAST append sync: one new manifest from the committed adds, prior
+    * manifests carried by reference, the previous metadata JSON deep-
+    * copied with one more snapshot — O(new files) metadata work and
+    * zero Delta log replay. */
+  private def syncIncremental(spark: SparkSession, dir: String, f: FileSystem,
+                              prevMeta: JsonNode, cols: Map[String, (Int, DataType)],
+                              deltaVersion: Long, adds: Seq[JsonNode]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = new Path(dir)
+    val metaDir = new Path(root, "metadata")
+    val prevV = currentHint(f, root)
+    val seqNo = prevMeta.path("last-sequence-number").asLong(0L) + 1
+    val snapshotId = seqNo
+    val mp = new Path(metaDir, s"uniform-m$seqNo.avro")
+    IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema,
+      adds.map(a => fileEntry(spark, root, addFileOf(a), snapshotId, seqNo, cols)))
+    val prior = {
+      val cur = prevMeta.path("current-snapshot-id").asLong(-1L)
+      prevMeta.path("snapshots").elements().asScala
+        .find(_.path("snapshot-id").asLong(-2L) == cur).toSeq
+        .flatMap(s0 => IcebergInterop.avroRecords(spark,
+          new Path(resolve(s0.path("manifest-list").asText))))
+    }
+    val mine = manifestRecord(mp, f.getFileStatus(mp).getLen, seqNo, snapshotId)
+    val lp = new Path(metaDir, s"uniform-snap-$snapshotId.avro")
+    IcebergFormat.writeAvro(f, lp, IcebergFormat.ManifestFileSchema, prior :+ mine)
+    val n = prevMeta.deepCopy[JsonNode]().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    n.put("last-sequence-number", seqNo)
+    val s0 = n.path("snapshots").asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
+    s0.put("snapshot-id", snapshotId)
+    s0.put("sequence-number", seqNo)
+    s0.put("timestamp-ms", System.currentTimeMillis())
+    s0.put("manifest-list", lp.toString)
+    s0.put("schema-id", n.path("current-schema-id").asInt(0))
+    val sum = s0.putObject("summary")
+    sum.put("operation", "append")
+    sum.put("delta-version", deltaVersion.toString)
+    n.put("current-snapshot-id", snapshotId)
+    val out = f.create(new Path(metaDir, s"v${prevV + 1}.metadata.json"), true)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
+    finally out.close()
+    val hint = f.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(String.valueOf(prevV + 1).getBytes) finally hint.close()
+  }
+
+  private def manifestRecord(mp: Path, len: Long, seqNo: Long,
+                             snapshotId: Long): org.apache.avro.generic.GenericRecord = {
+    val r = new org.apache.avro.generic.GenericData.Record(IcebergFormat.ManifestFileSchema)
+    r.put("manifest_path", mp.toString)
+    r.put("manifest_length", len)
+    r.put("partition_spec_id", 0)
+    r.put("content", 0)
+    r.put("sequence_number", seqNo)
+    r.put("added_snapshot_id", snapshotId)
+    r
   }
 
   /** Render one Delta commit as Iceberg metadata. The committed
@@ -201,16 +312,7 @@ object IcebergUniform {
                 new Path(resolve(s0.path("manifest-list").asText))))
           }
         else Nil
-      val mine = {
-        val r = new org.apache.avro.generic.GenericData.Record(IcebergFormat.ManifestFileSchema)
-        r.put("manifest_path", mp.toString)
-        r.put("manifest_length", f.getFileStatus(mp).getLen)
-        r.put("partition_spec_id", 0)
-        r.put("content", 0)
-        r.put("sequence_number", seqNo)
-        r.put("added_snapshot_id", snapshotId)
-        r
-      }
+      val mine = manifestRecord(mp, f.getFileStatus(mp).getLen, seqNo, snapshotId)
       val lp = new Path(metaDir, s"uniform-snap-$snapshotId.avro")
       // prior records re-serialize under OUR list schema (field-subset
       // compatible: the carried manifests were written by this writer)

@@ -106,12 +106,38 @@ class IcebergUniformSpec extends AnyFunSuite {
       s"expected a handful of pruned files, got $scanned of $total")
   }
 
-  test("refusals: partitioned, row-tracked, DV ops, foreign uniform, clone strips") {
+  test("PARTITIONED uniform: partition values materialize into files; both planes agree") {
     val dir = dir0()
-    DeltaInterop.writeDelta(Seq((1L, "a", "x")).toDF("id", "tag", "p"), dir, Seq("p"))
-    val e1 = intercept[IllegalArgumentException](DeltaInterop.enableUniform(spark, dir))
-    assert(e1.getMessage.contains("PARTITIONED"))
+    DeltaInterop.writeDelta(
+      Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x")).toDF("id", "tag", "p"),
+      dir, Seq("p"))
+    DeltaInterop.enableUniform(spark, dir)
+    // the rewrite materialized p INTO the data files: the Iceberg read
+    // (which has no directory reconstruction for these files) sees it
+    val i1 = IcebergInterop.readIceberg(spark, dir).orderBy("id").collect()
+    assert(i1.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "x"), (2L, "y"), (3L, "x")))
+    // append + CoW delete keep both planes identical
+    DeltaInterop.writeDelta(Seq((4L, "d", "z")).toDF("id", "tag", "p"), dir, Seq("p"))
+    DeltaInterop.deleteWhere(spark, dir, col("p") === "x")
+    val d = DeltaInterop.readDelta(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    val i2 = IcebergInterop.readIceberg(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(d == Seq((2L, "y"), (4L, "z")) && i2 == d)
+    // Delta-plane partition pruning still comes from the log
+    assert(DeltaInterop.readDeltaWhere(spark, dir,
+      partitionEq = Map("p" -> "y")).count() == 1)
+    // compaction keeps the materialized values (scattered-branch
+    // rewrite re-injects them)
+    DeltaInterop.writeDelta(Seq((5L, "e", "y")).toDF("id", "tag", "p"), dir, Seq("p"))
+    DeltaInterop.compact(spark, dir)
+    val i3 = IcebergInterop.readIceberg(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(i3 == Seq((2L, "y"), (4L, "z"), (5L, "y")))
+  }
 
+  test("refusals: row-tracked, DV ops, foreign uniform, clone strips") {
     val dir2 = dir0()
     DeltaInterop.writeDelta(Seq((1L, "a")).toDF("id", "tag"), dir2, Nil)
     spark.sql(s"ALTER TABLE delta.`$dir2` SET TBLPROPERTIES ('delta.enableRowTracking'='true')")

@@ -175,6 +175,35 @@ class IcebergUniformSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("foreign icebergCompat"))
   }
 
+  test("exactly-once streaming appends ride the FAST sync: replay adds no snapshot") {
+    val dir = dir0()
+    DeltaInterop.writeDelta(Seq((1L, "a")).toDF("id", "tag"), dir, Nil)
+    DeltaInterop.enableUniform(spark, dir)
+    val s1 = IcebergInterop.snapshots(spark, dir).count()
+    // two micro-batches through the exactly-once sink path
+    DeltaInterop.appendOnce(Seq((2L, "b")).toDF("id", "tag"), dir, Nil, "app", 0L)
+    DeltaInterop.appendOnce(Seq((3L, "c")).toDF("id", "tag"), dir, Nil, "app", 1L)
+    // a REPLAYED batch commits nothing — and must sync nothing
+    DeltaInterop.appendOnce(Seq((3L, "c")).toDF("id", "tag"), dir, Nil, "app", 1L)
+    assert(IcebergInterop.snapshots(spark, dir).count() == s1 + 2)
+    val (d, i) = both(dir)
+    assert(d == Seq((1L, "a"), (2L, "b"), (3L, "c")) && i == d)
+    // the fast path rendered the appends: their snapshots record the
+    // delta versions they mirror
+    val sums = {
+      import scala.jdk.CollectionConverters._
+      val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val hint = f.open(new org.apache.hadoop.fs.Path(dir, "metadata/version-hint.text"))
+      val v = try scala.io.Source.fromInputStream(hint).mkString.trim finally hint.close()
+      val in = f.open(new org.apache.hadoop.fs.Path(dir, s"metadata/v$v.metadata.json"))
+      val m = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in) finally in.close()
+      m.path("snapshots").elements().asScala.map(
+        _.path("summary").path("delta-version").asText).toSeq
+    }
+    assert(sums == Seq("1", "2", "3"))
+  }
+
   test("SQL SET TBLPROPERTIES enables uniform end-to-end") {
     val dir = dir0()
     DeltaInterop.writeDelta(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), dir, Nil)

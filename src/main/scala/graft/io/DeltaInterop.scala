@@ -2764,7 +2764,10 @@ object DeltaInterop {
     // the vacuumProtocolCheck contract: a vacuum implementation must
     // read the protocol before reclaiming anything (state() refuses
     // unsupported features by name) — cheap next to the walk below
-    locally { val st = state(spark, dir); requireWritable(st, dir) }
+    val uniformOn = {
+      val st = state(spark, dir); requireWritable(st, dir)
+      IcebergUniform.enabled(st)
+    }
     val cutoff = System.currentTimeMillis() - retainMillis
     val f = fs(spark, dir)
     val referenced = scala.collection.mutable.HashSet.empty[String]
@@ -2845,6 +2848,11 @@ object DeltaInterop {
     // dirs): CDC files whose commit JSON aged out reclaim like data files
     val cd = new Path(dir, "_change_data")
     if (f.exists(cd)) walk(cd, List("_change_data"))
+    // uniform tables: expire the Iceberg mirror's snapshots to the
+    // same horizon — a vacuumed file must not stay reachable through
+    // a live Iceberg snapshot
+    if (uniformOn)
+      deleted += IcebergUniform.expireSnapshots(spark, dir, retainMillis)
     deleted
   }
 
@@ -2869,7 +2877,10 @@ object DeltaInterop {
     import spark.implicits._
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     // the vacuumProtocolCheck contract, without materializing adds
-    locally { val st = stateMetaLarge(spark, dir); requireWritable(st, dir) }
+    val uniformOn = {
+      val st = stateMetaLarge(spark, dir); requireWritable(st, dir)
+      IcebergUniform.enabled(st)
+    }
     val cutoff = System.currentTimeMillis() - retainMillis
     val f = fs(spark, dir)
     val refDfs = Seq.newBuilder[DataFrame]
@@ -2965,7 +2976,9 @@ object DeltaInterop {
           if (pp.getFileSystem(hconf.value).delete(pp, false)) acc.add(1)
         }
       }
-    acc.value.toInt
+    acc.value.toInt +
+      (if (uniformOn) IcebergUniform.expireSnapshots(spark, dir, retainMillis)
+       else 0)
   }
 
   // ---- internals ----

@@ -210,6 +210,66 @@ object IcebergUniform {
     try hint.write(String.valueOf(prevV + 1).getBytes) finally hint.close()
   }
 
+  /** EXPIRE SNAPSHOTS (Iceberg's `expireSnapshots` maintenance, run
+    * with Delta VACUUM semantics): drop Iceberg snapshots older than
+    * the cutoff — the CURRENT snapshot always survives — then reclaim
+    * every `uniform-*.avro` no kept snapshot references and every
+    * metadata JSON below the previous version. Without this the
+    * mirror's metadata/ grows one manifest + list + JSON per commit
+    * forever; with it, metadata size tracks the LIVE snapshot window,
+    * the same contract Delta's own checkpoint + log-cleanup give the
+    * `_delta_log`. Manifests still referenced by kept snapshots (the
+    * incremental chain carries early manifests forward by reference)
+    * survive reference-counted, never by age. Returns the number of
+    * files reclaimed. [[DeltaInterop.vacuum]] calls this on uniform
+    * tables with its own retention, keeping both planes' time-travel
+    * horizons aligned. */
+  def expireSnapshots(spark: SparkSession, dir: String,
+                      retainMillis: Long): Int = {
+    import scala.jdk.CollectionConverters._
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val metaDir = new Path(root, "metadata")
+    val prevV = currentHint(f, root)
+    val m = readMeta(f, root, prevV).getOrElse(return 0)
+    val cutoff = System.currentTimeMillis() - retainMillis
+    val curId = m.path("current-snapshot-id").asLong(-1L)
+    val snaps = m.path("snapshots").elements().asScala.toSeq
+    val (kept, expired) = snaps.partition(s0 =>
+      s0.path("snapshot-id").asLong(-2L) == curId ||
+        s0.path("timestamp-ms").asLong(0L) >= cutoff)
+    if (expired.isEmpty) return 0
+    // reference-counted keep set: every kept snapshot's manifest list
+    // file, plus every manifest those lists name
+    val keep = scala.collection.mutable.HashSet.empty[String]
+    kept.foreach { s0 =>
+      val lp = resolve(s0.path("manifest-list").asText)
+      keep += new Path(lp).getName
+      IcebergInterop.avroRecords(spark, new Path(lp)).foreach(r =>
+        keep += new Path(resolve(r.get("manifest_path").toString)).getName)
+    }
+    // new metadata json first (readers switch before anything vanishes)
+    val n = m.deepCopy[JsonNode]().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val arr = M.createArrayNode()
+    kept.foreach(arr.add)
+    n.set[JsonNode]("snapshots", arr)
+    val out = f.create(new Path(metaDir, s"v${prevV + 1}.metadata.json"), true)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
+    finally out.close()
+    val hint = f.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(String.valueOf(prevV + 1).getBytes) finally hint.close()
+    var reclaimed = 0
+    f.listStatus(metaDir).foreach { s0 =>
+      val name = s0.getPath.getName
+      val drop =
+        (name.startsWith("uniform-") && name.endsWith(".avro") && !keep.contains(name)) ||
+        ("""v(\d+)\.metadata\.json""".r.findFirstMatchIn(name)
+          .exists(_.group(1).toLong < prevV)) // keep prevV as the undo step
+      if (drop) { f.delete(s0.getPath, false); reclaimed += 1 }
+    }
+    reclaimed
+  }
+
   private def manifestRecord(mp: Path, len: Long, seqNo: Long,
                              snapshotId: Long): org.apache.avro.generic.GenericRecord = {
     val r = new org.apache.avro.generic.GenericData.Record(IcebergFormat.ManifestFileSchema)

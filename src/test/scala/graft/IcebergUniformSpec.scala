@@ -204,6 +204,37 @@ class IcebergUniformSpec extends AnyFunSuite {
     assert(sums == Seq("1", "2", "3"))
   }
 
+  test("expireSnapshots: reference-counted manifest reclaim; vacuum drives it") {
+    val dir = dir0()
+    DeltaInterop.writeDelta(Seq((1L, "a")).toDF("id", "tag"), dir, Nil)
+    DeltaInterop.enableUniform(spark, dir)                      // snapshot 1 (m1)
+    DeltaInterop.writeDelta(Seq((2L, "b")).toDF("id", "tag"), dir, Nil) // snapshot 2 (m1+m2)
+    val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def manifests() = f.listStatus(new org.apache.hadoop.fs.Path(dir, "metadata"))
+      .map(_.getPath.getName).filter(n => n.startsWith("uniform-m") && n.endsWith(".avro")).sorted
+    assert(manifests().length == 2)
+    // expire everything but current: snapshot 1 drops, but BOTH
+    // manifests survive — the current snapshot's incremental chain
+    // still references m1 (reclaim is by reference, never by age)
+    IcebergUniform.expireSnapshots(spark, dir, 0L)
+    assert(IcebergInterop.snapshots(spark, dir).count() == 1)
+    assert(manifests().length == 2)
+    val (d1, i1) = both(dir)
+    assert(d1 == Seq((1L, "a"), (2L, "b")) && i1 == d1)
+    // a CoW delete rewrites the live set into one manifest; vacuum at
+    // retain 0 then expires the old snapshots AND reclaims m1/m2
+    DeltaInterop.deleteWhere(spark, dir, col("id") === 1L)      // snapshot 3 (m3)
+    DeltaInterop.vacuum(spark, dir, retainMillis = 0L)
+    assert(IcebergInterop.snapshots(spark, dir).count() == 1)
+    assert(manifests().length == 1)
+    val (d2, i2) = both(dir)
+    assert(d2 == Seq((2L, "b")) && i2 == d2)
+    // the expired snapshot is gone loudly, not readable as garbage
+    intercept[IllegalArgumentException](
+      IcebergInterop.readIceberg(spark, dir, snapshotId = Some(1L)).count())
+  }
+
   test("SQL SET TBLPROPERTIES enables uniform end-to-end") {
     val dir = dir0()
     DeltaInterop.writeDelta(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), dir, Nil)

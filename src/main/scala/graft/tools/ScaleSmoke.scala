@@ -77,7 +77,9 @@ object ScaleSmoke {
       "q174_iceberg_evolution", "q175_delta_clustered",
       "q176_iceberg_pruned", "q177_sql_federation", "q178_row_tracking",
       "q179_iceberg_partitioned", "q180_sql_row_tracking",
-      "q181_iceberg_day_partition", "q182_iceberg_bucket")
+      "q181_iceberg_day_partition", "q182_iceberg_bucket",
+      "q183_sql_merge_row_tracking", "q184_uniform_lifecycle",
+      "q185_uniform_partitioned")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

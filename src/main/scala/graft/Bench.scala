@@ -78,7 +78,8 @@ object Bench {
     "q177_sql_federation", "q178_row_tracking", "q179_iceberg_partitioned",
     "q180_sql_row_tracking", "q181_iceberg_day_partition",
     "q182_iceberg_bucket", "q183_sql_merge_row_tracking",
-    "q184_uniform_lifecycle", "q185_uniform_partitioned"
+    "q184_uniform_lifecycle", "q185_uniform_partitioned",
+    "q186_iceberg_v3_dv"
   )
 
   def main(args: Array[String]): Unit = {

@@ -561,6 +561,15 @@ object OracleSql {
       """SELECT lang, count(*)::BIGINT AS n_rows,
         |  sum(n_chars)::BIGINT AS sum_chars, TRUE AS two_paths_match
         |FROM documents WHERE lang <> 'de' GROUP BY lang""".stripMargin,
+    // q186: Iceberg v3 deletion vectors — the masked row ordinals of
+    // the sorted even-half file are exactly the 100 smallest even
+    // doc_ids
+    "q186_iceberg_v3_dv" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(n_chars)::BIGINT AS sum_chars, TRUE AS dv_applied
+        |FROM documents WHERE doc_id NOT IN (
+        |  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+        |  ORDER BY doc_id LIMIT 100)""".stripMargin,
     // q181: day(ts)-hidden-partitioned Iceberg range read == the same
     // 3-day window on the raw events (the engine additionally asserts
     // 3 of 30 manifests opened)

@@ -2287,6 +2287,41 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .withColumn("two_paths_match", lit(pathsMatch))
   }
 
+  /** q186 — Iceberg FORMAT-VERSION 3 deletion vectors
+    * (iceberg.apache.org/spec/ "Deletion vectors", Puffin
+    * `deletion-vector-v1`): the corpus' even half lands as one sorted
+    * data file, the odd half as another, then a v3 DV snapshot masks
+    * the first 100 row ordinals of the even file — i.e. the 100
+    * smallest even doc_ids, which the DuckDB oracle reproduces
+    * relationally. The masking applies as the same codegen
+    * broadcast-bitmap filter the Delta DV reads use (the two formats
+    * share the portable roaring serialization by design) — no join,
+    * positions never become rows. */
+  private[graft] def q186(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.IcebergInterop
+    import graft.tools.IcebergFixture
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q186") + "/t"
+    IcebergFixture.append(docs.filter(col("doc_id") % 2 === 0)
+      .repartition(1).sortWithinPartitions("doc_id"), tmp)
+    val evenFile = {
+      val f = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      f.listStatus(new org.apache.hadoop.fs.Path(tmp, "data"))
+        .map(_.getPath.toString).filter(_.endsWith(".parquet")).head
+    }
+    IcebergFixture.append(docs.filter(col("doc_id") % 2 =!= 0)
+      .repartition(1).sortWithinPartitions("doc_id"), tmp)
+    IcebergFixture.deleteVectors(s, tmp,
+      Seq((evenFile, (0L until 100L).toArray)))
+    val ice = IcebergInterop.readIceberg(s, tmp)
+    val dvApplied = docs.count() - ice.count() == 100L
+    ice.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"))
+      .withColumn("dv_applied", lit(dvApplied))
+  }
+
   /** q178 — Delta ROW TRACKING lifecycle (PROTOCOL.md "Row
     * Tracking"): the corpus' even half lands plain, enablement
     * BACKFILLS row ids metadata-only, the odd half appends with fresh

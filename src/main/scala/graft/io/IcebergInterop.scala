@@ -30,8 +30,12 @@ import org.apache.spark.sql.types._
   *     data sequence < S. Each row's sequence number rides a
   *     broadcast join on the (file-count-bounded) path→seq map; one
   *     null-safe anti-join per distinct equality-column set.
-  *   - format-version 3 refuses by name (deletion vectors, row
-  *     lineage — unmodeled here).
+  *   - format-version 3 reads: DELETION VECTORS (Puffin
+  *     `deletion-vector-v1` blobs, addressed by the delete manifest's
+  *     content_offset/size) apply as the SAME codegen broadcast-bitmap
+  *     filter Delta DVs use — the two formats share the portable
+  *     roaring serialization by design; row-lineage metadata is
+  *     tolerated (plain-scan semantics unchanged).
   *   - SCHEMA EVOLUTION reads correctly: columns resolve by Iceberg
   *     FIELD ID (`parquet.field.id` metadata on the pinned schema +
   *     Spark's field-id parquet resolution), so renamed columns keep
@@ -175,15 +179,24 @@ object IcebergInterop {
   private final case class DataFileEntry(path: String, seq: Long,
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
 
+  /** A v3 deletion vector reference: the Puffin file holding the
+    * blob, its offset/size, the data file it masks, and the entry's
+    * sequence number (replacement ordering — at most one DV is LIVE
+    * per data file; the highest sequence wins). */
+  private final case class DvEntry(puffin: String, offset: Long, size: Long,
+                                   ref: String, seq: Long)
+
   /** One snapshot's live file inventory, with the sequence numbers
     * delete application needs: data files carry their DATA sequence
     * number (entry-level when present, inherited from the manifest
     * otherwise); equality-delete files carry their sequence number and
-    * equality field ids. */
+    * equality field ids; v3 deletion vectors carry their blob address
+    * and referenced data file. */
   private final case class SnapshotFiles(
       data: Seq[DataFileEntry],
       posDeletes: Seq[String],
-      eqDeletes: Seq[(String, Long, Seq[Int])])
+      eqDeletes: Seq[(String, Long, Seq[Int])],
+      dvs: Seq[DvEntry] = Nil)
 
   private def longOr(r: GenericRecord, field: String, dflt: Long): Long =
     Option(r.getSchema.getField(field)).flatMap(_ => Option(r.get(field)))
@@ -294,6 +307,7 @@ object IcebergInterop {
     val data = Seq.newBuilder[DataFileEntry]
     val posDeletes = Seq.newBuilder[String]
     val eqDeletes = Seq.newBuilder[(String, Long, Seq[Int])]
+    val dvs = Seq.newBuilder[DvEntry]
     def boundsOf(df: GenericRecord, field: String): Map[Int, Array[Byte]] =
       Option(df.getSchema.getField(field)).flatMap(_ => Option(df.get(field))).map {
         _.asInstanceOf[java.util.List[_]].asScala.map { kv0 =>
@@ -311,9 +325,20 @@ object IcebergInterop {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val content = intOr(df, "content", 0)
           val fmt = str(df, "file_format")
-          require(fmt.equalsIgnoreCase("parquet"),
-            s"Iceberg file format $fmt is not supported (parquet only)")
           val path = resolve(str(df, "file_path"))
+          // v3 deletion vectors: a content=1 entry whose blob lives in
+          // a Puffin file, addressed directly by offset/size and tied
+          // to one data file by referenced_data_file
+          val refFile = Option(df.getSchema.getField("referenced_data_file"))
+            .flatMap(_ => Option(df.get("referenced_data_file"))).map(_.toString)
+          if (content == 1 && (fmt.equalsIgnoreCase("puffin") || refFile.isDefined)) {
+            require(refFile.isDefined,
+              s"Puffin delete entry $path lacks referenced_data_file")
+            dvs += DvEntry(path, longOr(df, "content_offset", -1L),
+              longOr(df, "content_size_in_bytes", -1L), resolve(refFile.get), seq)
+          } else {
+            require(fmt.equalsIgnoreCase("parquet"),
+              s"Iceberg file format $fmt is not supported (parquet and v3 Puffin DVs only)")
           content match {
             case 0 => data += DataFileEntry(path, seq,
               boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"))
@@ -330,10 +355,12 @@ object IcebergInterop {
             case other => throw new IllegalArgumentException(
               s"unknown Iceberg file content=$other at $path")
           }
+          }
         }
       }
     }
-    SnapshotFiles(data.result(), posDeletes.result(), eqDeletes.result())
+    SnapshotFiles(data.result(), posDeletes.result(), eqDeletes.result(),
+      dvs.result())
   }
 
   /** Field-id → StructField (current name + type, id metadata
@@ -399,8 +426,8 @@ object IcebergInterop {
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val meta = readJson(spark, currentMetadataPath(spark, dir))
     val fv = meta.path("format-version").asInt(1)
-    require(fv <= 2,
-      s"Iceberg format-version $fv is not supported (v1/v2 append-only only)")
+    require(fv <= 3,
+      s"Iceberg format-version $fv is not supported (v1/v2/v3)")
     val snaps = meta.path("snapshots").elements().asScala.toSeq
     val wanted = snapshotId.getOrElse(meta.path("current-snapshot-id").asLong(-1L))
     val snap = snaps.find(_.path("snapshot-id").asLong(-2L) == wanted)
@@ -491,7 +518,8 @@ object IcebergInterop {
         else {
           import org.apache.spark.sql.functions._
           val base = spark.read.schema(schema).parquet(inv.data.map(_.path): _*)
-          if (inv.posDeletes.isEmpty && inv.eqDeletes.isEmpty) residual(base)
+          if (inv.posDeletes.isEmpty && inv.eqDeletes.isEmpty && inv.dvs.isEmpty)
+            residual(base)
           else {
             // Row-level deletes as a PLAN, not a driver loop: the scan
             // exposes its own (file, row ordinal) through `_metadata`,
@@ -502,6 +530,25 @@ object IcebergInterop {
             // pruned parquet scan.
             var cur = base
               .withColumn("_g_path", canonPath(col("_metadata.file_path")))
+            if (inv.dvs.nonEmpty) {
+              // v3 DELETION VECTORS: one live DV per data file (the
+              // highest-sequence entry wins — replacement semantics).
+              // The blobs are the SAME portable roaring bitmaps Delta
+              // DVs use, so the mask applies with the SAME codegen
+              // broadcast-bitmap FILTER — no join, positions never
+              // become rows.
+              val conf = spark.sparkContext.hadoopConfiguration
+              val masks: Map[String, RoaringBitmapArray] =
+                inv.dvs.groupBy(_.ref).map { case (rf, ds) =>
+                  val d = ds.maxBy(_.seq)
+                  canonPathStr(rf) -> IcebergFormat.readPuffinDv(
+                    conf, new Path(d.puffin), d.offset, d.size)
+                }
+              import org.apache.spark.sql.GraftBridge.{column, expression}
+              cur = cur.filter(!column(graft.functions.expressions.DvDeletedExpr(
+                expression(col("_g_path")),
+                expression(col("_metadata.row_index")), masks)))
+            }
             if (inv.posDeletes.nonEmpty) {
               val del = spark.read.parquet(inv.posDeletes: _*)
                 .select(canonPath(col("file_path")).as("_del_path"),
@@ -573,7 +620,7 @@ object IcebergInterop {
       case Some(s0) =>
         val inv = liveFiles(spark, dir, s0)
         (inv.data.map(_.path), schema,
-          inv.posDeletes.nonEmpty || inv.eqDeletes.nonEmpty)
+          inv.posDeletes.nonEmpty || inv.eqDeletes.nonEmpty || inv.dvs.nonEmpty)
     }
   }
 

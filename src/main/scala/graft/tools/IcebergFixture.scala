@@ -123,7 +123,8 @@ object IcebergFixture {
                              schema: StructType,
                              newManifests: Seq[ManifestRef],
                              operation: String,
-                             partSpec: Option[(String, Int, String)] = None): Long = {
+                             partSpec: Option[(String, Int, String)] = None,
+                             formatVersion: Int = 2): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val f = root.getFileSystem(conf)
@@ -188,7 +189,10 @@ object IcebergFixture {
     writeAvro(f, listP, ManifestFileSchema, listRecords)
 
     val n = M.createObjectNode()
-    n.put("format-version", 2)
+    // v3 is sticky: once a DV snapshot bumped the table, later commits
+    // keep the version
+    n.put("format-version", math.max(formatVersion,
+      prevMeta.map(_.path("format-version").asInt(2)).getOrElse(2)))
     n.put("table-uuid", java.util.UUID.nameUUIDFromBytes(dir.getBytes).toString)
     n.put("location", dir)
     n.put("last-sequence-number", seqNo)
@@ -516,6 +520,36 @@ object IcebergFixture {
     writeAvro(f, manifestP, EntrySchema, Seq(e))
     // schema arg is unused past creation (schemas carry forward)
     commitSnapshot(spark, dir, StructType(Nil), Seq(ManifestRef(manifestP, 1)), "delete")
+  }
+
+  /** Commit a format-version-3 DELETION-VECTOR snapshot: each
+    * (data file path, positions) pair masks those row ordinals of that
+    * file. Written as ONE Puffin file holding a `deletion-vector-v1`
+    * blob per pair, referenced by a DELETE manifest whose entries
+    * carry `referenced_data_file` + `content_offset` +
+    * `content_size_in_bytes` — the v3 spec shape a real Iceberg writer
+    * leaves. Bumps the table to format-version 3. Returns the snapshot
+    * id. */
+  def deleteVectors(spark: SparkSession, dir: String,
+                    dvs: Seq[(String, Array[Long])]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val f = root.getFileSystem(conf)
+    val prevVersion = currentVersion(f, root)
+    require(prevVersion > 0, s"$dir has no snapshots to delete from")
+    val snapshotId = prevVersion + 1L
+    val puffinP = new Path(root, s"data/dv-$snapshotId.puffin")
+    val refs = graft.io.IcebergFormat.writePuffinDvs(f, puffinP, dvs)
+    val size = f.getFileStatus(puffinP).getLen
+    val entries = refs.zip(dvs).map { case ((rf, off, sz), (_, positions)) =>
+      graft.io.IcebergFormat.entry(1, puffinP.toString,
+        positions.length.toLong, size, snapshotId, snapshotId,
+        fileFormat = "PUFFIN", dvRef = Some((rf, off, sz)))
+    }
+    val manifestP = new Path(root, s"metadata/dv-manifest-$snapshotId.avro")
+    writeAvro(f, manifestP, EntrySchema, entries)
+    commitSnapshot(spark, dir, StructType(Nil), Seq(ManifestRef(manifestP, 1)),
+      "delete", formatVersion = 3)
   }
 
   /** Metadata-only schema evolution: write v(N+1).metadata.json whose

@@ -9,8 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Foreign Apache Iceberg tables (spec-shaped v2 fixtures:
   * metadata.json + Avro manifest list + Avro manifests + parquet
   * data): append-only tables read green with schema, snapshot
-  * history, and time travel; anything involving row-level deletes or
-  * format v3 refuses by name. */
+  * history, and time travel; v2 row-level deletes (position and
+  * equality) apply in-plan, and v3 DELETION VECTORS (Puffin
+  * `deletion-vector-v1` blobs) mask through the same codegen
+  * broadcast-bitmap filter the Delta DV reads use. */
 class IcebergInteropSpec extends AnyFunSuite {
   lazy val spark = SharedSpark.spark
   import spark.implicits._
@@ -100,6 +102,45 @@ class IcebergInteropSpec extends AnyFunSuite {
       Seq((victim.getString(1).stripPrefix("file:"), victim.getLong(2))))
     val t4 = IcebergInterop.readIceberg(spark, dir)
     assert(t4.count() == 17 && t4.filter(col("id") === 7L).count() == 0)
+  }
+
+  test("v3 DELETION VECTORS from Puffin blobs mask rows; highest sequence wins; travel sees pre-DV") {
+    val dir = Files.createTempDirectory("graft-iceberg-dv").toString
+    val b1 = (0L until 50L).map(i => (i, s"a_$i")).toDF("id", "tag")
+    val b2 = (50L until 80L).map(i => (i, s"b_$i")).toDF("id", "tag")
+    IcebergFixture.append(b1.coalesce(1), dir)  // data file 1: row i holds id i
+    IcebergFixture.append(b2.coalesce(1), dir)  // data file 2
+    val meta = IcebergInterop.snapshots(spark, dir).count()
+    assert(meta == 2)
+    val files = {
+      import org.apache.hadoop.fs.Path
+      val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.listStatus(new Path(dir, "data")).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).sorted.toSeq
+    }
+    // identify which physical file holds the 0..49 batch
+    val file1 = files.find(p0 =>
+      spark.read.parquet(p0).agg(min("id")).head().getLong(0) == 0L).get
+    // DV snapshot: mask row ordinals 0..9 of file 1 (ids depend on the
+    // file's own row order — read them for the oracle)
+    val masked = spark.read.parquet(file1).limit(10).collect().map(_.getLong(0)).toSet
+    val sDv = IcebergFixture.deleteVectors(spark, dir,
+      Seq((file1, (0L until 10L).toArray)))
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.count() == 70)
+    assert(t.collect().map(_.getLong(0)).toSet ==
+      ((0L until 80L).toSet -- masked))
+    // pre-DV snapshot still reads all 80 (time travel)
+    val snaps = IcebergInterop.snapshots(spark, dir).orderBy("snapshot_id").collect()
+    val before = IcebergInterop.readIceberg(spark, dir,
+      snapshotId = Some(snaps(1).getLong(0)))
+    assert(before.count() == 80)
+    // a LATER DV on the same file REPLACES the first (highest sequence
+    // wins — never a union)
+    IcebergFixture.deleteVectors(spark, dir, Seq((file1, Array(0L))))
+    val t2 = IcebergInterop.readIceberg(spark, dir)
+    assert(t2.count() == 79)
+    assert(sDv > 0)
   }
 
   test("SCHEMA EVOLUTION: rename + add + drop read by field id; time travel keeps the old shape") {
@@ -355,10 +396,10 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(e0.getMessage.contains("snapshot 999"))
   }
 
-  test("format-version 3 refuses by name; non-tables refuse") {
+  test("format-version 3 READS (plain v3 scan); v4 refuses by name; non-tables refuse") {
     val dir = Files.createTempDirectory("graft-iceberg-v3").toString
     IcebergFixture.append(Seq((1L, "x", 0.0)).toDF("id", "tag", "v"), dir)
-    // bump format-version in place
+    // bump format-version in place: v3 without DVs reads like v2
     val p = java.nio.file.Paths.get(dir, "metadata", "v1.metadata.json")
     val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       .replace("\"format-version\" : 2", "\"format-version\" : 3")
@@ -366,9 +407,17 @@ class IcebergInteropSpec extends AnyFunSuite {
     // the in-place edit invalidates the local FS checksum sidecar
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(dir, "metadata", ".v1.metadata.json.crc"))
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 1)
+
+    // an unknown FUTURE version refuses by name
+    val txt4 = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .replace("\"format-version\" : 3", "\"format-version\" : 4")
+    java.nio.file.Files.write(p, txt4.getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "metadata", ".v1.metadata.json.crc"))
     val e = intercept[IllegalArgumentException](
       IcebergInterop.readIceberg(spark, dir))
-    assert(e.getMessage.contains("format-version 3"), e.getMessage)
+    assert(e.getMessage.contains("format-version 4"), e.getMessage)
 
     val empty = Files.createTempDirectory("graft-not-iceberg").toString
     val e2 = intercept[IllegalArgumentException](

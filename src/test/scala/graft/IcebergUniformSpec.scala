@@ -235,6 +235,27 @@ class IcebergUniformSpec extends AnyFunSuite {
       IcebergInterop.readIceberg(spark, dir, snapshotId = Some(1L)).count())
   }
 
+  test("uniform composes: identity columns generate, CDF records, SQL federation joins both planes") {
+    val dir = dir0()
+    // identity column + CDF on, THEN uniform
+    spark.sql(s"CREATE TABLE delta.`$dir` (id BIGINT GENERATED ALWAYS AS IDENTITY, tag STRING) USING delta")
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES ('delta.enableChangeDataFeed'='true')")
+    spark.sql(s"INSERT INTO delta.`$dir` (tag) VALUES ('a'), ('b')")
+    DeltaInterop.enableUniform(spark, dir)
+    spark.sql(s"INSERT INTO delta.`$dir` (tag) VALUES ('c')")
+    val (d, i) = both(dir)
+    assert(d.map(_._2) == Seq("a", "b", "c") && i == d)
+    assert(d.map(_._1).distinct.length == 3) // identity values generated + unique
+    // CDF kept recording through the uniform commits
+    val changes = spark.sql(s"SELECT * FROM table_changes('$dir', 0)")
+    assert(changes.filter(col("_change_type") === "insert").count() == 3)
+    // SQL federation: the SAME table through BOTH planes in one query
+    val n = spark.sql(
+      s"SELECT count(*) AS n FROM delta.`$dir` d JOIN iceberg.`$dir` i ON d.id = i.id")
+      .head().getLong(0)
+    assert(n == 3)
+  }
+
   test("SQL SET TBLPROPERTIES enables uniform end-to-end") {
     val dir = dir0()
     DeltaInterop.writeDelta(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), dir, Nil)

@@ -570,6 +570,19 @@ object OracleSql {
         |FROM documents WHERE doc_id NOT IN (
         |  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
         |  ORDER BY doc_id LIMIT 100)""".stripMargin,
+    // q187: Iceberg v3 row lineage — evens take lineage ids 0..nE-1 in
+    // doc_id order, odds continue at nE; the DV masks lineage ids
+    // 0..99; survivors keep their original ids
+    "q187_iceberg_row_lineage" ->
+      """WITH r AS (
+        |  SELECT n_chars, doc_id % 2 AS odd,
+        |    row_number() OVER (PARTITION BY doc_id % 2 ORDER BY doc_id) - 1 AS rk
+        |  FROM documents
+        |), ne AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(CASE WHEN odd = 0 THEN rk ELSE rk + (SELECT n FROM ne) END)::BIGINT AS sum_row_id
+        |FROM r WHERE NOT (odd = 0 AND rk < 100)""".stripMargin,
     // q181: day(ts)-hidden-partitioned Iceberg range read == the same
     // 3-day window on the raw events (the engine additionally asserts
     // 3 of 30 manifests opened)

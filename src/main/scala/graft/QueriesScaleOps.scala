@@ -2322,6 +2322,39 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .withColumn("dv_applied", lit(dvApplied))
   }
 
+  /** q187 — Iceberg v3 ROW LINEAGE (iceberg.apache.org/spec/ "Row
+    * Lineage"): every data file's manifest entry carries
+    * `first_row_id` ranged from the table's `next-row-id` watermark,
+    * and a row's stable `_row_id` is first_row_id + its position —
+    * attached in-plan via one broadcast path→first_row_id join BEFORE
+    * deletion-vector masking, so DV survivors keep their original
+    * ids. Sorted single-file appends make the id assignment
+    * relationally reproducible: evens rank 0..nE-1, odds continue at
+    * nE, the DV masks lineage ids 0..99, and the oracle re-derives
+    * the surviving id sum with window functions. */
+  private[graft] def q187(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.IcebergInterop
+    import graft.tools.IcebergFixture
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q187") + "/t"
+    IcebergFixture.append(docs.filter(col("doc_id") % 2 === 0)
+      .repartition(1).sortWithinPartitions("doc_id"), tmp, lineage = true)
+    val evenFile = {
+      val f = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      f.listStatus(new org.apache.hadoop.fs.Path(tmp, "data"))
+        .map(_.getPath.toString).filter(_.endsWith(".parquet")).head
+    }
+    IcebergFixture.append(docs.filter(col("doc_id") % 2 =!= 0)
+      .repartition(1).sortWithinPartitions("doc_id"), tmp, lineage = true)
+    IcebergFixture.deleteVectors(s, tmp,
+      Seq((evenFile, (0L until 100L).toArray)))
+    IcebergInterop.readIceberg(s, tmp, withLineage = true).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"),
+      sum(col("_row_id")).cast("long").as("sum_row_id"))
+  }
+
   /** q178 — Delta ROW TRACKING lifecycle (PROTOCOL.md "Row
     * Tracking"): the corpus' even half lands plain, enablement
     * BACKFILLS row ids metadata-only, the odd half appends with fresh

@@ -32,6 +32,7 @@ private[graft] object IcebergFormat {
       |  {"name":"referenced_data_file","type":["null","string"],"default":null},
       |  {"name":"content_offset","type":["null","long"],"default":null},
       |  {"name":"content_size_in_bytes","type":["null","long"],"default":null},
+      |  {"name":"first_row_id","type":["null","long"],"default":null},
       |  {"name":"lower_bounds","type":["null",{"type":"array","items":
       |    {"type":"record","name":"k_v","fields":[
       |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null},
@@ -204,7 +205,8 @@ private[graft] object IcebergFormat {
             equalityIds: Seq[Int] = Nil,
             bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty,
             fileFormat: String = "PARQUET",
-            dvRef: Option[(String, Long, Long)] = None): GenericRecord = {
+            dvRef: Option[(String, Long, Long)] = None,
+            firstRowId: Option[Long] = None): GenericRecord = {
     val dfSchema = EntrySchema.getField("data_file").schema()
     val dfRec = new GenericData.Record(dfSchema)
     dfRec.put("content", content)
@@ -217,6 +219,7 @@ private[graft] object IcebergFormat {
       dfRec.put("content_offset", off)
       dfRec.put("content_size_in_bytes", sz)
     }
+    firstRowId.foreach(id => dfRec.put("first_row_id", id))
     if (equalityIds.nonEmpty) {
       val arr = new GenericData.Array[Integer](equalityIds.length,
         dfSchema.getField("equality_ids").schema().getTypes.get(1))

@@ -34,8 +34,11 @@ import org.apache.spark.sql.types._
   *     `deletion-vector-v1` blobs, addressed by the delete manifest's
   *     content_offset/size) apply as the SAME codegen broadcast-bitmap
   *     filter Delta DVs use — the two formats share the portable
-  *     roaring serialization by design; row-lineage metadata is
-  *     tolerated (plain-scan semantics unchanged).
+  *     roaring serialization by design. ROW LINEAGE surfaces on
+  *     request (`withLineage = true`): `_row_id` = the file's
+  *     first_row_id + row position, attached via one broadcast
+  *     path-to-first_row_id join BEFORE masking, so DV survivors keep
+  *     their original ids.
   *   - SCHEMA EVOLUTION reads correctly: columns resolve by Iceberg
   *     FIELD ID (`parquet.field.id` metadata on the pinned schema +
   *     Spark's field-id parquet resolution), so renamed columns keep
@@ -177,7 +180,8 @@ object IcebergInterop {
     * file-level data-skipping index (decoded lazily, only for fields a
     * range predicate names). */
   private final case class DataFileEntry(path: String, seq: Long,
-      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+      firstRowId: Option[Long] = None)
 
   /** A v3 deletion vector reference: the Puffin file holding the
     * blob, its offset/size, the data file it masks, and the entry's
@@ -341,7 +345,10 @@ object IcebergInterop {
               s"Iceberg file format $fmt is not supported (parquet and v3 Puffin DVs only)")
           content match {
             case 0 => data += DataFileEntry(path, seq,
-              boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"))
+              boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"),
+              Option(df.getSchema.getField("first_row_id"))
+                .flatMap(_ => Option(df.get("first_row_id")))
+                .map(_.asInstanceOf[Number].longValue))
             case 1 => posDeletes += path
             case 2 =>
               val ids = Option(df.getSchema.getField("equality_ids"))
@@ -415,7 +422,8 @@ object IcebergInterop {
   def readIceberg(spark: SparkSession, dir: String,
                   snapshotId: Option[Long] = None,
                   ranges: Map[String, (Double, Double)] = Map.empty,
-                  stringEq: Map[String, String] = Map.empty): DataFrame = {
+                  stringEq: Map[String, String] = Map.empty,
+                  withLineage: Boolean = false): DataFrame = {
     import scala.jdk.CollectionConverters._
     // Field-id column resolution: Iceberg schema evolution renames /
     // reorders / drops COLUMN NAMES but never reuses field IDS, so
@@ -517,9 +525,33 @@ object IcebergInterop {
             java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
         else {
           import org.apache.spark.sql.functions._
-          val base = spark.read.schema(schema).parquet(inv.data.map(_.path): _*)
+          val base0 = spark.read.schema(schema).parquet(inv.data.map(_.path): _*)
+          // v3 ROW LINEAGE: a row's stable id is its file's
+          // first_row_id + its position — attached via one broadcast
+          // join on the (file-count-bounded) path→first_row_id map,
+          // BEFORE delete masking so surviving rows keep their ids
+          val base =
+            if (!withLineage) base0
+            else {
+              val rowsJ = inv.data.map(e => org.apache.spark.sql.Row(
+                canonPathStr(e.path),
+                e.firstRowId.getOrElse(throw new IllegalArgumentException(
+                  s"withLineage: data file ${e.path} lacks first_row_id " +
+                  "(not a v3 row-lineage table)")))).asJava
+              val frDf = broadcast(spark.createDataFrame(rowsJ,
+                StructType(Seq(StructField("_lin_path", StringType),
+                  StructField("_lin_first", LongType)))))
+              base0
+                .withColumn("_lin_p", canonPath(col("_metadata.file_path")))
+                .withColumn("_lin_pos", col("_metadata.row_index"))
+                .join(frDf, col("_lin_p") === col("_lin_path"), "left")
+                .withColumn("_row_id", col("_lin_first") + col("_lin_pos"))
+                .drop("_lin_p", "_lin_pos", "_lin_path", "_lin_first")
+            }
+          val outCols = (schema.fieldNames.toSeq ++
+            (if (withLineage) Seq("_row_id") else Nil)).map(col)
           if (inv.posDeletes.isEmpty && inv.eqDeletes.isEmpty && inv.dvs.isEmpty)
-            residual(base)
+            residual(base.select(outCols: _*))
           else {
             // Row-level deletes as a PLAN, not a driver loop: the scan
             // exposes its own (file, row ordinal) through `_metadata`,
@@ -592,7 +624,7 @@ object IcebergInterop {
                 cur = cur.join(del, cond, "left_anti")
               }
             }
-            residual(cur.select(schema.fieldNames.map(col).toSeq: _*))
+            residual(cur.select(outCols: _*))
           }
         }
     }

@@ -124,7 +124,8 @@ object IcebergFixture {
                              newManifests: Seq[ManifestRef],
                              operation: String,
                              partSpec: Option[(String, Int, String)] = None,
-                             formatVersion: Int = 2): Long = {
+                             formatVersion: Int = 2,
+                             nextRowId: Option[Long] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val f = root.getFileSystem(conf)
@@ -193,6 +194,11 @@ object IcebergFixture {
     // keep the version
     n.put("format-version", math.max(formatVersion,
       prevMeta.map(_.path("format-version").asInt(2)).getOrElse(2)))
+    // v3 row lineage: the table-level fresh-row-id watermark carries
+    // forward (and advances when this commit assigned ids)
+    nextRowId.orElse(prevMeta.flatMap(m =>
+        Option(m.get("next-row-id")).map(_.asLong)))
+      .foreach(v => n.put("next-row-id", v))
     n.put("table-uuid", java.util.UUID.nameUUIDFromBytes(dir.getBytes).toString)
     n.put("location", dir)
     n.put("last-sequence-number", seqNo)
@@ -260,8 +266,13 @@ object IcebergFixture {
   }
 
   /** Append `df` as a NEW snapshot of the Iceberg table at `dir`
-    * (creating the table on first call). Returns the snapshot id. */
-  def append(df: DataFrame, dir: String): Long = {
+    * (creating the table on first call). With `lineage = true`, the
+    * append is a format-version-3 ROW-LINEAGE commit: each data file's
+    * entry carries `first_row_id` ranged from the table's
+    * `next-row-id` watermark, which the new metadata advances — the
+    * v3 spec shape under which a row's `_row_id` = first_row_id +
+    * position. Returns the snapshot id. */
+  def append(df: DataFrame, dir: String, lineage: Boolean = false): Long = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
@@ -295,14 +306,22 @@ object IcebergFixture {
     // ONE grouped aggregation over the staged files yields every
     // file's record count AND column bounds (was 2 jobs per file)
     val stats = allFileStats(spark, dataFiles.map(_._1.toString), idsByName)
+    var rowId: Long =
+      if (!lineage) -1L
+      else readMeta(f, root, prevVersion)
+        .flatMap(m => Option(m.get("next-row-id")).map(_.asLong)).getOrElse(0L)
     val entries = dataFiles.map { case (p, size) =>
       val (rows, bounds) = stats.getOrElse(canonPath(p.toString),
         throw new IllegalStateException(s"no stats row for $p"))
-      entry(0, p.toString, rows, size, snapshotId, bounds = bounds)
+      val fr = if (!lineage) None else { val v = rowId; rowId += rows; Some(v) }
+      graft.io.IcebergFormat.entry(0, p.toString, rows, size, snapshotId,
+        snapshotId, bounds = bounds, firstRowId = fr)
     }
     val manifestP = new Path(root, s"metadata/manifest-$snapshotId.avro")
     writeAvro(f, manifestP, EntrySchema, entries)
-    commitSnapshot(spark, dir, df.schema, Seq(ManifestRef(manifestP, 0)), "append")
+    commitSnapshot(spark, dir, df.schema, Seq(ManifestRef(manifestP, 0)), "append",
+      formatVersion = if (lineage) 3 else 2,
+      nextRowId = if (lineage) Some(rowId) else None)
   }
 
   /** Append `df` as a new snapshot PARTITIONED on `partCol` through an

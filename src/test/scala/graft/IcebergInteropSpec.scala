@@ -143,6 +143,39 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(sDv > 0)
   }
 
+  test("v3 ROW LINEAGE: _row_id = first_row_id + position; DV survivors keep their ids") {
+    val dir = Files.createTempDirectory("graft-iceberg-lineage").toString
+    val b1 = (0L until 50L).map(i => (i, s"a_$i")).toDF("id", "tag")
+    val b2 = (50L until 80L).map(i => (i, s"b_$i")).toDF("id", "tag")
+    IcebergFixture.append(b1.repartition(1).sortWithinPartitions("id"), dir, lineage = true)
+    IcebergFixture.append(b2.repartition(1).sortWithinPartitions("id"), dir, lineage = true)
+    val t = IcebergInterop.readIceberg(spark, dir, withLineage = true)
+    assert(t.columns.toSeq == Seq("id", "tag", "_row_id"))
+    // sorted single-file appends: _row_id tracks id exactly (file 1
+    // ranges 0..49 from watermark 0, file 2 ranges 50..79)
+    assert(t.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted ==
+      (0L until 80L).map(i => (i, i)))
+    // a DV masks ordinals 0..9 of the first file; SURVIVORS keep their
+    // ORIGINAL row ids — lineage attaches before masking
+    val file1 = {
+      import org.apache.hadoop.fs.Path
+      val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.listStatus(new Path(dir, "data")).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet"))
+        .find(p0 => spark.read.parquet(p0).agg(min("id")).head().getLong(0) == 0L).get
+    }
+    IcebergFixture.deleteVectors(spark, dir, Seq((file1, (0L until 10L).toArray)))
+    val t2 = IcebergInterop.readIceberg(spark, dir, withLineage = true)
+    assert(t2.select("_row_id").collect().map(_.getLong(0)).toSet ==
+      (10L until 80L).toSet)
+    // non-lineage tables refuse the flag loudly
+    val plain = Files.createTempDirectory("graft-iceberg-nolineage").toString
+    IcebergFixture.append(b1, plain)
+    val e = intercept[IllegalArgumentException](
+      IcebergInterop.readIceberg(spark, plain, withLineage = true).count())
+    assert(e.getMessage.contains("first_row_id"))
+  }
+
   test("SCHEMA EVOLUTION: rename + add + drop read by field id; time travel keeps the old shape") {
     val dir = Files.createTempDirectory("graft-iceberg-evolve").toString
     val s1 = IcebergFixture.append(

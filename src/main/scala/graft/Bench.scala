@@ -79,7 +79,8 @@ object Bench {
     "q180_sql_row_tracking", "q181_iceberg_day_partition",
     "q182_iceberg_bucket", "q183_sql_merge_row_tracking",
     "q184_uniform_lifecycle", "q185_uniform_partitioned",
-    "q186_iceberg_v3_dv", "q187_iceberg_row_lineage"
+    "q186_iceberg_v3_dv", "q187_iceberg_row_lineage",
+    "q188_drop_feature"
   )
 
   def main(args: Array[String]): Unit = {

@@ -583,6 +583,12 @@ object OracleSql {
         |  sum(n_chars)::BIGINT AS sum_chars,
         |  sum(CASE WHEN odd = 0 THEN rk ELSE rk + (SELECT n FROM ne) END)::BIGINT AS sum_row_id
         |FROM r WHERE NOT (odd = 0 AND rk < 100)""".stripMargin,
+    // q188: DV delete + REORG PURGE + DROP FEATURE — final state is
+    // the corpus minus 'de', DV-free, downgraded, truncated
+    "q188_drop_feature" ->
+      """SELECT count(*)::BIGINT AS n_rows, sum(n_chars)::BIGINT AS sum_chars,
+        |  TRUE AS feature_dropped, TRUE AS dv_free, TRUE AS history_truncated
+        |FROM documents WHERE lang <> 'de'""".stripMargin,
     // q181: day(ts)-hidden-partitioned Iceberg range read == the same
     // 3-day window on the raw events (the engine additionally asserts
     // 3 of 30 manifests opened)

@@ -2355,6 +2355,41 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       sum(col("_row_id")).cast("long").as("sum_row_id"))
   }
 
+  /** q188 — protocol DOWNGRADE lifecycle (PROTOCOL.md feature
+    * removal, delta-spark's REORG PURGE + ALTER TABLE DROP FEATURE):
+    * a merge-on-read DELETE puts live deletion vectors on the corpus,
+    * REORG PURGE rewrites exactly the DV-carrying files with the
+    * masks applied (dataChange=false), and `DROP FEATURE
+    * deletionVectors TRUNCATE HISTORY` shrinks the protocol and drops
+    * the log prefix so no retained action carries the removed
+    * feature. The emitted aggregate proves the purge preserved the
+    * logical rows; the booleans verify the downgrade and the
+    * truncation from the log itself. */
+  private[graft] def q188(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.DeltaInterop
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q188") + "/t"
+    DeltaInterop.writeDelta(docs, tmp, Nil)
+    DeltaInterop.deleteWhereDV(s, tmp, col("lang") === "de")
+    DeltaInterop.reorgPurge(s, tmp)
+    s.sql(s"ALTER TABLE delta.`$tmp` DROP FEATURE deletionVectors TRUNCATE HISTORY")
+    val st = DeltaInterop.state(s, tmp)
+    val dropped = !st.protocol.impliedReaderFeatures.contains("deletionVectors") &&
+      !st.protocol.impliedWriterFeatures.contains("deletionVectors")
+    val dvFree = st.files.forall(_.deletionVector == null)
+    val f = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    val truncated = f.listStatus(new org.apache.hadoop.fs.Path(tmp, "_delta_log"))
+      .map(_.getPath.getName).filter(_.matches("^\\d+\\.json$"))
+      .map(_.stripSuffix(".json").toLong).min == st.version
+    DeltaInterop.readDelta(s, tmp).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"))
+      .withColumn("feature_dropped", lit(dropped))
+      .withColumn("dv_free", lit(dvFree))
+      .withColumn("history_truncated", lit(truncated))
+  }
+
   /** q178 — Delta ROW TRACKING lifecycle (PROTOCOL.md "Row
     * Tracking"): the corpus' even half lands plain, enablement
     * BACKFILLS row ids metadata-only, the odd half appends with fresh

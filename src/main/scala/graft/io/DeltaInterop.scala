@@ -1494,6 +1494,107 @@ object DeltaInterop {
     commit(spark, dir, st.version + 1, actions.result(), op = "UPGRADE UNIFORM")
   }
 
+  /** REORG TABLE ... APPLY (PURGE) (delta-spark's DV purge): rewrite
+    * exactly the DV-carrying files with their masks APPLIED — same
+    * logical rows, clean physical files — in one commit whose adds and
+    * removes carry dataChange=false (readers see identical data). The
+    * step that makes `DROP FEATURE deletionVectors` possible. Returns
+    * (newVersion, filesRewritten); a DV-free table is a no-op. */
+  def reorgPurge(spark: SparkSession, dir: String): (Long, Int) = {
+    val st = state(spark, dir)
+    requireWritable(st, dir)
+    val dirty = st.files.filter(_.deletionVector != null)
+    if (dirty.isEmpty) return (st.version, 0)
+    require(!rowTrackingEnabled(st),
+      s"REORG PURGE on the row-tracked table at $dir would move unmodified " +
+      "rows without materializing their ids — use compact() (it purges DVs " +
+      "and materializes ids)")
+    // masked read of ONLY the dirty files (per partition tuple so the
+    // rewrite lands in the right partition), through the same
+    // provenance scan + bitmap filter every DV read uses
+    val rewritten = scanWithProvenance(spark, dir, st, dirty)
+      .select(st.schema.fieldNames.map(col).toSeq: _*)
+    val staged = stageForTable(rewritten, dir, st)
+    val actions = Seq.newBuilder[String]
+    dirty.foreach(a => actions += removeJson(a, dataChange = false))
+    staged.foreach(a => actions += addJson(a, dataChange = false))
+    val v = commit(spark, dir, st.version + 1, actions.result(),
+      op = "REORG PURGE")
+    (v, dirty.length)
+  }
+
+  /** `ALTER TABLE ... DROP FEATURE name [TRUNCATE HISTORY]`
+    * (PROTOCOL.md feature removal, delta-spark's two-step surface in
+    * one call): remove a table feature from the protocol once nothing
+    * live depends on it. Supported drops and their preconditions:
+    *   - `deletionVectors` — no live DVs (run [[reorgPurge]] first)
+    *     and `truncateHistory = true`: retained history still carries
+    *     DV actions a feature-less reader would misread, so the drop
+    *     checkpoints the post-drop head and drops the log prefix
+    *     (time travel below the drop is gone — the documented
+    *     TRUNCATE HISTORY trade).
+    *   - `changeDataFeed` — clears delta.enableChangeDataFeed; the
+    *     `_change_data` files age out via [[vacuum]].
+    *   - `rowTracking` — clears the config and removes the watermark
+    *     domain; the per-add id fields become inert extras.
+    *   - `icebergCompatV1/V2` — disables UniForm (config cleared; the
+    *     Iceberg mirror stops updating and its marker disarms on the
+    *     next commit).
+    * Anything else refuses by name. Returns the drop commit version. */
+  def dropFeature(spark: SparkSession, dir: String, feature: String,
+                  truncateHistory: Boolean = false): Long = {
+    val st = state(spark, dir)
+    requireWritable(st, dir)
+    require(st.protocol.impliedReaderFeatures.contains(feature) ||
+            st.protocol.impliedWriterFeatures.contains(feature),
+      s"table at $dir does not carry feature $feature")
+    var config = st.configuration
+    val actions = Seq.newBuilder[String]
+    feature match {
+      case "deletionVectors" =>
+        require(st.files.forall(_.deletionVector == null),
+          s"live deletion vectors under $dir — run reorgPurge first")
+        require(truncateHistory,
+          "DROP FEATURE deletionVectors requires TRUNCATE HISTORY: retained " +
+          "history carries DV actions a feature-less reader would misread")
+        config = config - "delta.enableDeletionVectors"
+      case "changeDataFeed" =>
+        config = config - "delta.enableChangeDataFeed"
+      case "rowTracking" =>
+        config = config -- Seq("delta.enableRowTracking",
+          "delta.rowTracking.materializedRowIdColumnName",
+          "delta.rowTracking.materializedRowCommitVersionColumnName")
+        if (st.domains.contains(RowTrackingDomain))
+          actions += domainMetadataJson(RowTrackingDomain, "", removed = true)
+      case "icebergCompatV1" | "icebergCompatV2" =>
+        config = config -- Seq(IcebergUniform.EnabledFormatsKey,
+          IcebergUniform.CompatV2Key)
+      case other => throw new IllegalArgumentException(
+        s"DROP FEATURE $other is not supported (deletionVectors, " +
+        "changeDataFeed, rowTracking, icebergCompatV1/V2)")
+    }
+    // the downgraded protocol stays in table-features form: versions
+    // never move, only the feature lists shrink (a legal protocol —
+    // listed features are what gates honor)
+    val p2 = st.protocol.copy(
+      readerFeatures = st.protocol.impliedReaderFeatures - feature,
+      writerFeatures = st.protocol.impliedWriterFeatures - feature)
+    actions += p2.copy(
+      readerFeatures = if (st.protocol.minReader >= 3) p2.readerFeatures else Set.empty,
+      writerFeatures = if (st.protocol.minWriter >= 7) p2.writerFeatures else Set.empty).json
+    actions += metaDataJson(st.schema, st.partitionColumns, config)
+    val v = commit(spark, dir, st.version + 1, actions.result(),
+      op = "DROP FEATURE")
+    if (truncateHistory) {
+      // the checkpoint carries the POST-drop protocol; dropping the
+      // JSON prefix below it removes every action the old feature put
+      // in the log — the earliest reconstructable version is the drop
+      checkpoint(spark, dir)
+      cleanupLog(spark, dir)
+    }
+    v
+  }
+
   /** `ALTER TABLE ... DROP CONSTRAINT`: remove a CHECK constraint by
     * name. Loud when absent (mirrors delta-spark without IF EXISTS). */
   def dropConstraint(spark: SparkSession, dir: String, name: String): Long = {

@@ -644,6 +644,15 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
           Seq(Row(DeltaInterop.dropConstraint(spark, dir, name)))
         }
       }
+    }).orElse(alterDropFeatureRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m, 1).map { case (dir, _) =>
+        val feature = m.group(3)
+        val truncate = m.group(4) != null
+        command(Seq(attr("version", LongType))) { spark =>
+          Seq(Row(DeltaInterop.dropFeature(spark, dir, feature,
+            truncateHistory = truncate)))
+        }
+      }
     }).orElse(alterUnsetPropsRe.findFirstMatchIn(t).flatMap { m =>
       ref(m, 1).map { case (dir, _) =>
         val keysTxt = m.group(3)
@@ -889,6 +898,8 @@ object DeltaSqlParser {
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""".r
   private[sql] val alterDropConstraintRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""".r
+  private[sql] val alterDropFeatureRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+FEATURE\\s+(\\w+)(\\s+TRUNCATE\\s+HISTORY)?\\s*;?\\s*$$""".r
   private[sql] val alterUnsetPropsRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""".r
   private[sql] val describeDetailRe =

@@ -589,6 +589,12 @@ object OracleSql {
       """SELECT count(*)::BIGINT AS n_rows, sum(n_chars)::BIGINT AS sum_chars,
         |  TRUE AS feature_dropped, TRUE AS dv_free, TRUE AS history_truncated
         |FROM documents WHERE lang <> 'de'""".stripMargin,
+    // q189: column defaults — evens inserted under DEFAULT 'und', the
+    // default flips to 'xx', odds land after
+    "q189_column_defaults" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'und' ELSE 'xx' END AS lang,
+        |  count(*)::BIGINT AS n_rows, sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     // q181: day(ts)-hidden-partitioned Iceberg range read == the same
     // 3-day window on the raw events (the engine additionally asserts
     // 3 of 30 manifests opened)

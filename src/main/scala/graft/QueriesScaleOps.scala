@@ -2390,6 +2390,29 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .withColumn("history_truncated", lit(truncated))
   }
 
+  /** q189 — column DEFAULT values (the allowColumnDefaults writer
+    * feature, Spark/delta's CURRENT_DEFAULT field-metadata encoding),
+    * exercised as SQL end-to-end: the even half inserts while `lang`
+    * defaults to 'und', `ALTER COLUMN ... SET DEFAULT` flips it, and
+    * the odd half lands as 'xx' — proving defaults fill at insert
+    * time (never rewriting history) and that explicit columns always
+    * win. */
+  private[graft] def q189(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.DeltaInterop
+    val docsPath = s"$dir/documents.parquet"
+    val tmp = graft.io.TempDirs.scratch("graft-q189") + "/t"
+    s.sql(s"CREATE TABLE delta.`$tmp` (doc_id BIGINT, lang STRING DEFAULT 'und', " +
+      "n_chars BIGINT DEFAULT 0) USING delta")
+    s.sql(s"INSERT INTO delta.`$tmp` (doc_id, n_chars) SELECT doc_id, n_chars " +
+      s"FROM parquet.`$docsPath` WHERE doc_id % 2 = 0")
+    s.sql(s"ALTER TABLE delta.`$tmp` ALTER COLUMN lang SET DEFAULT 'xx'")
+    s.sql(s"INSERT INTO delta.`$tmp` (doc_id, n_chars) SELECT doc_id, n_chars " +
+      s"FROM parquet.`$docsPath` WHERE doc_id % 2 <> 0")
+    DeltaInterop.readDelta(s, tmp).groupBy(col("lang")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"))
+  }
+
   /** q178 — Delta ROW TRACKING lifecycle (PROTOCOL.md "Row
     * Tracking"): the corpus' even half lands plain, enablement
     * BACKFILLS row ids metadata-only, the odd half appends with fresh

@@ -331,6 +331,9 @@ object DeltaInterop {
         // moved rows' ids as physical columns; DELETE/UPDATE/MERGE
         // all route merge-on-read
         "rowTracking",
+        // column DEFAULT values: inserts that omit the column get the
+        // CURRENT_DEFAULT expression at the staging choke point
+        "allowColumnDefaults",
         // UniForm: every commit mirrors as an Iceberg snapshot
         // ([[IcebergUniform.maybeSync]] off the commit funnel); honored
         // only for tables whose Iceberg metadata THIS engine seeded —
@@ -698,6 +701,27 @@ object DeltaInterop {
   private[graft] def identityFields(schema: StructType): Seq[StructField] =
     schema.fields.filter(_.metadata.contains("delta.identity.start")).toSeq
 
+  /** Columns carrying a DEFAULT expression (Spark/delta's
+    * `CURRENT_DEFAULT` field-metadata encoding — the allowColumnDefaults
+    * writer feature): inserts that omit the column get the evaluated
+    * default, not null. */
+  private[graft] def defaultFields(schema: StructType): Seq[StructField] =
+    schema.fields.filter(_.metadata.contains("CURRENT_DEFAULT")).toSeq
+
+  /** Fill ABSENT default-bearing columns with their CURRENT_DEFAULT
+    * expression — the stage-time twin of [[withIdentityValues]] (a
+    * provided column always wins; defaults never overwrite values). */
+  private def withColumnDefaults(df: DataFrame, st: DeltaState): DataFrame = {
+    var out = df
+    defaultFields(st.schema).foreach { fd =>
+      if (!out.columns.contains(fd.name))
+        out = out.withColumn(fd.name,
+          org.apache.spark.sql.functions.expr(
+            fd.metadata.getString("CURRENT_DEFAULT")).cast(fd.dataType))
+    }
+    out
+  }
+
   /** (writer, reader) features a CREATE must advertise for `schema`:
     * identityColumns binds writers only; variantType binds readers too
     * (one that does not know the encoding would misread the binary). */
@@ -710,7 +734,8 @@ object DeltaInterop {
         hasVariant(m.keyType) || hasVariant(m.valueType)
       case _ => false
     }
-    ((if (identityFields(schema).nonEmpty) Set("identityColumns") else Set.empty[String]),
+    ((if (identityFields(schema).nonEmpty) Set("identityColumns") else Set.empty[String]) ++
+       (if (defaultFields(schema).nonEmpty) Set("allowColumnDefaults") else Set.empty[String]),
      (if (schema.fields.exists(f => hasVariant(f.dataType))) Set("variantType")
       else Set.empty[String]))
   }
@@ -1494,6 +1519,62 @@ object DeltaInterop {
     commit(spark, dir, st.version + 1, actions.result(), op = "UPGRADE UNIFORM")
   }
 
+  /** `ALTER TABLE ... ALTER COLUMN c SET DEFAULT <expr>` (the
+    * allowColumnDefaults writer feature, Spark's CURRENT_DEFAULT
+    * field-metadata encoding): later inserts that omit the column get
+    * the evaluated expression instead of null. The expression must be
+    * self-contained (no column references) — validated by evaluating
+    * it once against the column's type. delta-spark's restriction
+    * holds here too: a default attaches to an EXISTING column; ADD
+    * COLUMN with a default would need EXISTS_DEFAULT backfill
+    * semantics and refuses at the parser. */
+  def setColumnDefault(spark: SparkSession, dir: String,
+                       name: String, exprSql: String): Long = {
+    val st = state(spark, dir)
+    requireWritable(st, dir)
+    require(st.schema.fieldNames.contains(name), s"no column $name")
+    require(identityFields(st.schema).forall(_.name != name),
+      s"column $name is IDENTITY — it already generates values")
+    // the default must evaluate standalone to the column's type
+    val probe = try spark.sql(s"SELECT CAST(($exprSql) AS ${st.schema(name).dataType.sql})")
+      .head() catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"DEFAULT expression ($exprSql) does not evaluate standalone: ${e.getMessage}")
+    }
+    require(probe != null, "unreachable")
+    val fields = st.schema.fields.map { fd =>
+      if (fd.name != name) fd
+      else fd.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(fd.metadata).putString("CURRENT_DEFAULT", exprSql).build())
+    }
+    val actions = Seq.newBuilder[String]
+    val upgraded = st.protocol.merge(
+      Protocol(1, 7, Set.empty, Set("allowColumnDefaults")))
+    if (upgraded != st.protocol) actions += upgraded.json
+    actions += metaDataJson(StructType(fields), st.partitionColumns, st.configuration)
+    commit(spark, dir, st.version + 1, actions.result(), op = "ALTER COLUMN")
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN c DROP DEFAULT`. */
+  def dropColumnDefault(spark: SparkSession, dir: String, name: String): Long = {
+    val st = state(spark, dir)
+    requireWritable(st, dir)
+    require(defaultFields(st.schema).exists(_.name == name),
+      s"column $name carries no DEFAULT")
+    val fields = st.schema.fields.map { fd =>
+      if (fd.name != name) fd
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(fd.metadata)
+        mb.remove("CURRENT_DEFAULT")
+        fd.copy(metadata = mb.build())
+      }
+    }
+    commit(spark, dir, st.version + 1,
+      Seq(metaDataJson(StructType(fields), st.partitionColumns, st.configuration)),
+      op = "ALTER COLUMN")
+  }
+
   /** REORG TABLE ... APPLY (PURGE) (delta-spark's DV purge): rewrite
     * exactly the DV-carrying files with their masks APPLIED — same
     * logical rows, clean physical files — in one commit whose adds and
@@ -2213,7 +2294,8 @@ object DeltaInterop {
     // IDENTITY values generate here — the staging choke point every
     // append path (plain, resilient, streaming appendOnce) flows
     // through; constraints then see the generated values too
-    val df = stOpt.map(withIdentityValues(df0, _)).getOrElse(df0)
+    val df = stOpt.map(st0 =>
+      withColumnDefaults(withIdentityValues(df0, st0), st0)).getOrElse(df0)
     stOpt.foreach(enforceConstraints(df, _))
     stOpt.filter(columnMappingMode(_) != "none") match {
       case Some(st) =>
@@ -2281,9 +2363,11 @@ object DeltaInterop {
       if (overwrite) requireRemovable(st, dir, "overwrite")
       require(st.partitionColumns == partCols,
         s"partition columns ${partCols.mkString(",")} != table's ${st.partitionColumns.mkString(",")}")
-      // identity columns are generated at stage time — the caller's
-      // frame legitimately lacks them
-      val idCols = identityFields(st.schema).map(_.name).toSet
+      // identity columns are generated — and default-bearing columns
+      // filled — at stage time; the caller's frame legitimately lacks
+      // them
+      val idCols = (identityFields(st.schema) ++ defaultFields(st.schema))
+        .map(_.name).toSet
       val missing = st.schema.fieldNames
         .filterNot(schema.fieldNames.contains).filterNot(idCols)
       require(missing.isEmpty,

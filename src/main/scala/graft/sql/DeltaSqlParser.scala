@@ -363,7 +363,11 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
                 s"INSERT lists ${names.length} columns; query provides ${df.columns.length}")
               names.foreach(n => require(st.schema.fieldNames.contains(n),
                 s"INSERT column $n not in table schema"))
-              val idCols = DeltaInterop.identityFields(st.schema).map(_.name).toSet
+              // unlisted identity AND default-bearing columns stay
+              // absent so stage-time generation / default fill fires
+              // instead of an explicit null
+              val idCols = (DeltaInterop.identityFields(st.schema) ++
+                DeltaInterop.defaultFields(st.schema)).map(_.name).toSet
               val renamed = df.toDF(names.toIndexedSeq: _*)
               renamed.select(st.schema.fields
                 .filterNot(f => idCols(f.name) && !names.contains(f.name)).map { f =>
@@ -447,9 +451,21 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
         }
     }
     var nullable = true
+    // DEFAULT <expr> may precede or follow NOT NULL — strip end-anchored
+    // clauses until neither matches
+    def stripDefault(): Boolean =
+      colDefaultRe.findFirstMatchIn(txt) match {
+        case Some(mm) =>
+          txt = mm.group(1)
+          meta.putString("CURRENT_DEFAULT", mm.group(2).trim)
+          true
+        case None => false
+      }
+    stripDefault()
     colNotNullRe.findFirstMatchIn(txt).foreach { mm =>
       txt = mm.group(1); nullable = false
     }
+    stripDefault()
     txt = txt.trim
     val (name, typeTxt) =
       if (txt.startsWith("`")) {
@@ -642,6 +658,20 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
         val name = m.group(3)
         command(Seq(attr("version", LongType))) { spark =>
           Seq(Row(DeltaInterop.dropConstraint(spark, dir, name)))
+        }
+      }
+    }).orElse(alterColDefaultRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m, 1).map { case (dir, _) =>
+        val (name, exprTxt) = (m.group(3).replace("`", ""), m.group(4))
+        command(Seq(attr("version", LongType))) { spark =>
+          Seq(Row(DeltaInterop.setColumnDefault(spark, dir, name, exprTxt)))
+        }
+      }
+    }).orElse(alterColDropDefaultRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m, 1).map { case (dir, _) =>
+        val name = m.group(3).replace("`", "")
+        command(Seq(attr("version", LongType))) { spark =>
+          Seq(Row(DeltaInterop.dropColumnDefault(spark, dir, name)))
         }
       }
     }).orElse(alterDropFeatureRe.findFirstMatchIn(t).flatMap { m =>
@@ -875,6 +905,8 @@ object DeltaSqlParser {
     """(?is)^(.*?)\s+GENERATED\s+ALWAYS\s+AS\s+\((.+)\)\s*$""".r
   private[sql] val colNotNullRe =
     """(?is)^(.*?)\s+NOT\s+NULL\s*$""".r
+  private[sql] val colDefaultRe =
+    """(?is)^(.*?)\s+DEFAULT\s+(.+?)\s*$""".r
   private[sql] val convertRe =
     ("""(?is)^\s*CONVERT\s+TO\s+DELTA\s+parquet\s*\.\s*`([^`]+)`""" +
      """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
@@ -898,6 +930,10 @@ object DeltaSqlParser {
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""".r
   private[sql] val alterDropConstraintRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""".r
+  private[sql] val alterColDefaultRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+([\\w`]+)\\s+SET\\s+DEFAULT\\s+(.+?)\\s*;?\\s*$$""".r
+  private[sql] val alterColDropDefaultRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+([\\w`]+)\\s+DROP\\s+DEFAULT\\s*;?\\s*$$""".r
   private[sql] val alterDropFeatureRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+FEATURE\\s+(\\w+)(\\s+TRUNCATE\\s+HISTORY)?\\s*;?\\s*$$""".r
   private[sql] val alterUnsetPropsRe =

@@ -39,7 +39,7 @@ class IcebergUniformFuzzSpec extends AnyFunSuite {
     var valCol = "v"
     agree(dir, valCol)
     (1 to 18).foreach { step =>
-      rnd.nextInt(8) match {
+      rnd.nextInt(10) match {
         case 0 | 1 | 2 => // append
           val n = 1 + rnd.nextInt(10)
           DeltaInterop.writeDelta(
@@ -60,6 +60,16 @@ class IcebergUniformFuzzSpec extends AnyFunSuite {
           valCol = to
         case 7 => // vacuum + mirror snapshot expiry mid-walk
           DeltaInterop.vacuum(spark, dir, retainMillis = 0L)
+        case 8 => // full-snapshot OVERWRITE (removes + adds in one commit)
+          val n = 5 + rnd.nextInt(10)
+          DeltaInterop.writeDelta(
+            rows(n, nextId).withColumnRenamed("v", valCol), dir, parts,
+            overwrite = true)
+          nextId += n
+        case 9 => // column default flip: future inserts only — the
+          // planes must agree on every historical row regardless
+          DeltaInterop.setColumnDefault(spark, dir, valCol,
+            String.valueOf(rnd.nextInt(100)))
       }
       agree(dir, valCol)
     }

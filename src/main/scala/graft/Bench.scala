@@ -136,7 +136,19 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + math.max(0.0, syntheaSec)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$host%s,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$host%s,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH_rN.json captures only the TAIL of stdout
+    // (2,000 chars — r12 silently lost q01–q28 and the total from the
+    // official record). Persist the complete line to a dedicated file
+    // the repo carries, so the full per-query map plus host telemetry
+    // always survives as an artifact.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

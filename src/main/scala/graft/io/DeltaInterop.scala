@@ -397,7 +397,7 @@ object DeltaInterop {
     *
     * Version-race safe: retries re-enter the caller, which re-reads
     * state and re-derives both the watermark and the target version. */
-  private def assignFreshRowIds(st: DeltaState, adds: Seq[AddFile],
+  private[graft] def assignFreshRowIds(st: DeltaState, adds: Seq[AddFile],
                                 commitVersion: Long): (Seq[AddFile], Seq[String]) = {
     var hwm = st.domains.get(RowTrackingDomain)
       .map(cfg => M.readTree(cfg).path("rowIdHighWaterMark").asLong(-1L))
@@ -409,7 +409,11 @@ object DeltaInterop {
         require(a.numRecords >= 0,
           s"row tracking needs numRecords stats to assign row ids (add ${a.path})")
         val base = hwm + 1
-        hwm += a.numRecords
+        // advance by at least 1: a zero-record add (empty postimage /
+        // insert file in a MERGE) must not share its baseRowId with
+        // the next add in the same commit — ids stay per-file unique,
+        // not merely range-disjoint-because-empty
+        hwm += math.max(a.numRecords, 1L)
         moved = true
         a.copy(baseRowId = Some(base),
           defaultRowCommitVersion = Some(commitVersion))
@@ -453,9 +457,46 @@ object DeltaInterop {
     }
   }
 
-  /** Replay the log up to `version` (default: latest). */
+  /** Latest-state memo: one mutation flows through 3-4 `state` calls
+    * (stage-time feature checks, commit-head validation, the caller's
+    * own pruning), each a full log replay — pure fixed cost per op.
+    * Keyed by a LISTING fingerprint of `_delta_log` (names + lengths +
+    * mtimes), so any commit, checkpoint, log cleanup, or even a raw
+    * in-place rewrite invalidates; a hit costs one `listStatus`.
+    * Bounded (drop-all past 32 tables); never serves a stale entry —
+    * the fingerprint is taken before replay, so a racing commit can
+    * only cause an extra miss. */
+  private val stateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DeltaState)]()
+
+  /** One listing of the log dir, canonicalized to a change-sensitive
+    * string. Empty when the table has no log. */
+  private def logFingerprint(f: FileSystem, dir: String): String = {
+    val ld = logDir(dir)
+    if (!f.exists(ld)) ""
+    else f.listStatus(ld).map(s =>
+      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
+  /** Snapshot state at `version` (default: latest — memoized, see
+    * [[stateCache]]). */
   def state(spark: SparkSession, dir: String,
             version: Option[Long] = None): DeltaState = {
+    if (version.isDefined) return replayState(spark, dir, version)
+    val f = fs(spark, dir)
+    val fp = logFingerprint(f, dir)
+    val hit = stateCache.get(dir)
+    if (hit != null && fp.nonEmpty && hit._1 == fp) return hit._2
+    val st = replayState(spark, dir, None)
+    if (stateCache.size > 32) stateCache.clear()
+    stateCache.put(dir, (fp, st))
+    st
+  }
+
+  /** Replay the log up to `version` (default: latest). */
+  private def replayState(spark: SparkSession, dir: String,
+                          version: Option[Long] = None): DeltaState = {
     val latest = latestVersion(spark, dir)
     require(latest >= 0, s"no Delta log under $dir")
     val v = version.getOrElse(latest)
@@ -2161,26 +2202,44 @@ object DeltaInterop {
       }
       strip(staging)
     }
-    parMap(moveStaged(f, staging, new Path(dir), partCols)) { case (rel, pv, size) =>
-      val (rows, stats) = footerStats(spark, new Path(dir, rel))
-      AddFile(rel, pv, size, rows, Map.empty, stats)
+    val staged = parMap(moveStaged(f, staging, new Path(dir), partCols)) {
+      case (rel, pv, size) =>
+        val (rows, stats) = footerStats(spark, new Path(dir, rel))
+        AddFile(rel, pv, size, rows, Map.empty, stats)
     }
+    // never commit a ZERO-record add (an empty scan/shuffle partition's
+    // file): it bloats the log, and on row-tracked tables it would
+    // consume a row id for nothing. Stats are footer-read just above,
+    // so 0 here is definitive, not unknown (-1 keeps its add).
+    val (empty, kept) = staged.partition(_.numRecords == 0)
+    empty.foreach(a => f.delete(new Path(dir, a.path), false))
+    kept
   }
 
   /** Driver-side parallel map for per-file METADATA work (parquet
     * footer reads after a staged write) — the files are independent and
     * each read is a few ms of IO, so a sequential loop is pure fixed
     * cost per commit (a 40-file partitioned write paid 40 round trips).
-    * Bounded pool; exceptions propagate. */
+    * Bounded pool; exceptions propagate (and on failure the pool is
+    * `shutdownNow`n so queued work stops instead of running on in the
+    * background after the caller has already seen the error). */
   private def parMap[A, B](xs: Seq[A], par: Int = 16)(fn: A => B): Seq[B] = {
     if (xs.lengthCompare(2) < 0) return xs.map(fn)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(par, xs.length))
-    try xs.map(x => pool.submit(new java.util.concurrent.Callable[B] {
+    val futures = xs.map(x => pool.submit(new java.util.concurrent.Callable[B] {
       def call(): B = fn(x)
-    })).map(fu =>
-      try fu.get()
-      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
-    finally pool.shutdown()
+    }))
+    var failed = true
+    try {
+      val out = futures.map(fu =>
+        try fu.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+      failed = false
+      out
+    } finally {
+      if (failed) { futures.foreach(_.cancel(false)); pool.shutdownNow() }
+      else pool.shutdown()
+    }
   }
 
   /** Rename `df`'s columns to the table's PHYSICAL names (and cast
@@ -3035,9 +3094,11 @@ object DeltaInterop {
     if (f.exists(cd)) walk(cd, List("_change_data"))
     // uniform tables: expire the Iceberg mirror's snapshots to the
     // same horizon — a vacuumed file must not stay reachable through
-    // a live Iceberg snapshot
+    // a live Iceberg snapshot. Side effect only: the returned reclaim
+    // count stays DATA files (SQL surfaces it as num_files_reclaimed);
+    // the mirror's metadata/manifest deletions are not data reclaim.
     if (uniformOn)
-      deleted += IcebergUniform.expireSnapshots(spark, dir, retainMillis)
+      IcebergUniform.expireSnapshots(spark, dir, retainMillis)
     deleted
   }
 
@@ -3161,9 +3222,9 @@ object DeltaInterop {
           if (pp.getFileSystem(hconf.value).delete(pp, false)) acc.add(1)
         }
       }
-    acc.value.toInt +
-      (if (uniformOn) IcebergUniform.expireSnapshots(spark, dir, retainMillis)
-       else 0)
+    // mirror expiry is a side effect — data-file reclaim count only
+    if (uniformOn) IcebergUniform.expireSnapshots(spark, dir, retainMillis)
+    acc.value.toInt
   }
 
   // ---- internals ----
@@ -4309,6 +4370,11 @@ object DeltaInterop {
     * semi-join on the key columns — column pruning means the probe
     * scan reads keys, not rows. Returns (newVersion, filesRewritten,
     * rowsInserted). */
+  /** Observability for [[merge]]'s stats pruning (test hook): the
+    * candidate-file count the last merge's probe scans actually read. */
+  private[graft] val lastMergeProbeFiles =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
   def merge(spark: SparkSession, dir: String, source: DataFrame,
             keyCols: Seq[String]): (Long, Int, Long) = {
     val st = state(spark, dir)
@@ -4338,9 +4404,31 @@ object DeltaInterop {
     require(dupKeys.isEmpty,
       s"merge source has duplicate keys (e.g. ${dupKeys.headOption.mkString})")
     val keyEq = keyCols.map(c => col(s"t.$c") <=> col(s"s.$c")).reduce(_ && _)
+    // STATS PRUNING on the probe scans: a target row whose key lies
+    // outside the source's key range can neither match nor block an
+    // insert (equality join), so every phase below only needs files
+    // whose stats OVERLAP the source key min/max. One tiny agg on the
+    // pinned source buys a candidate set proportional to the merge's
+    // selectivity instead of the table size — the difference between
+    // scanning overlapping files and scanning 100 TB.
+    val probeFiles = keyCols match {
+      case Seq(k) if srcAligned.schema(k).dataType.isInstanceOf[
+          org.apache.spark.sql.types.NumericType] =>
+        val mm = srcAligned.agg(min(col(k)), max(col(k)),
+          sum(when(col(k).isNull, 1L).otherwise(0L))).head()
+        // the join is null-safe (<=>): a NULL source key can match NULL
+        // target rows that file min/max stats say nothing about — only
+        // prune when the source keys are all non-null
+        if (mm.isNullAt(0) || mm.getLong(2) > 0L) st.files
+        else prunedFiles(st, ranges = Map(k ->
+          ((mm.get(0).asInstanceOf[Number].doubleValue,
+            mm.get(1).asInstanceOf[Number].doubleValue))))
+      case _ => st.files
+    }
+    lastMergeProbeFiles.set(probeFiles.length)
     // phase 1: which target files hold a matched key?
-    val allScan = scanWithProvenance(spark, dir, st, st.files)
-    val idx = qualifiedIndex(spark, dir, st.files)
+    val allScan = scanWithProvenance(spark, dir, st, probeFiles)
+    val idx = qualifiedIndex(spark, dir, probeFiles)
     val touchedPaths = allScan.as("t")
       .join(srcAligned.as("s"), keyEq, "left_semi")
       .select("_graft_file").distinct().collect().map(_.getString(0))

@@ -206,7 +206,11 @@ private[graft] object IcebergFormat {
             bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty,
             fileFormat: String = "PARQUET",
             dvRef: Option[(String, Long, Long)] = None,
-            firstRowId: Option[Long] = None): GenericRecord = {
+            firstRowId: Option[Long] = None,
+            // v2 position deletes targeting a single data file MAY set
+            // referenced_data_file WITHOUT the v3 content_offset/size
+            // (spec: optional on position deletes) — real writers do
+            referencedDataFile: Option[String] = None): GenericRecord = {
     val dfSchema = EntrySchema.getField("data_file").schema()
     val dfRec = new GenericData.Record(dfSchema)
     dfRec.put("content", content)
@@ -219,6 +223,7 @@ private[graft] object IcebergFormat {
       dfRec.put("content_offset", off)
       dfRec.put("content_size_in_bytes", sz)
     }
+    referencedDataFile.foreach(rf => dfRec.put("referenced_data_file", rf))
     firstRowId.foreach(id => dfRec.put("first_row_id", id))
     if (equalityIds.nonEmpty) {
       val arr = new GenericData.Array[Integer](equalityIds.length,

@@ -332,10 +332,16 @@ object IcebergInterop {
           val path = resolve(str(df, "file_path"))
           // v3 deletion vectors: a content=1 entry whose blob lives in
           // a Puffin file, addressed directly by offset/size and tied
-          // to one data file by referenced_data_file
+          // to one data file by referenced_data_file. Only the Puffin
+          // format (or an explicit content_offset) marks a DV — v2
+          // parquet position deletes may also carry the optional
+          // referenced_data_file field and must stay on the
+          // position-delete path.
           val refFile = Option(df.getSchema.getField("referenced_data_file"))
             .flatMap(_ => Option(df.get("referenced_data_file"))).map(_.toString)
-          if (content == 1 && (fmt.equalsIgnoreCase("puffin") || refFile.isDefined)) {
+          val hasDvAddress = Option(df.getSchema.getField("content_offset"))
+            .flatMap(_ => Option(df.get("content_offset"))).isDefined
+          if (content == 1 && (fmt.equalsIgnoreCase("puffin") || hasDvAddress)) {
             require(refFile.isDefined,
               s"Puffin delete entry $path lacks referenced_data_file")
             dvs += DvEntry(path, longOr(df, "content_offset", -1L),

@@ -17,15 +17,25 @@ object Par {
 
   /** Apply `fn` to every element on a bounded pool; rethrows the first
     * failure (unwrapped). Order of side effects across elements is
-    * unspecified — callers must only use this for independent work. */
+    * unspecified — callers must only use this for independent work.
+    * On failure the pool is shut down with `shutdownNow` and the
+    * remaining futures are cancelled — a failed stage must stop
+    * issuing side effects (writes), not drain its queue in the
+    * background after the exception has propagated. */
   def foreach[A](xs: Seq[A], par: Int = 8)(fn: A => Unit): Unit = {
     if (xs.lengthCompare(2) < 0) { xs.foreach(fn); return }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(par, xs.size))
-    try xs.map(x => pool.submit(new Runnable { def run(): Unit = fn(x) }))
-      .foreach { f =>
+    val futures = xs.map(x => pool.submit(new Runnable { def run(): Unit = fn(x) }))
+    var failed = true
+    try {
+      futures.foreach { f =>
         try f.get()
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
       }
-    finally pool.shutdown()
+      failed = false
+    } finally {
+      if (failed) { futures.foreach(_.cancel(false)); pool.shutdownNow() }
+      else pool.shutdown()
+    }
   }
 }

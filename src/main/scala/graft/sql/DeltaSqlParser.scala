@@ -591,8 +591,13 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
             cols.split(',').map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq,
             partitionEq = partEq)
           // a CLUSTERED table's plain OPTIMIZE clusters (delta-spark
-          // semantics); unclustered tables bin-pack compact
+          // semantics); unclustered tables bin-pack compact. The
+          // clustered path does not honor a partition predicate, so an
+          // OPTIMIZE ... WHERE on a clustered table must error rather
+          // than silently drop the user's filter.
           case None if DeltaInterop.state(spark, dir).clusteringColumns.nonEmpty =>
+            require(partEq.isEmpty,
+              "OPTIMIZE WHERE is not supported on a clustered table (clustering rewrites the whole table)")
             DeltaInterop.optimizeClustered(spark, dir)
           case None => DeltaInterop.compact(spark, dir, partitionEq = partEq)
         }

@@ -97,9 +97,11 @@ object IcebergFixture {
   private def entry(content: Int, path: String, rows: Long, size: Long,
                     snapshotId: Long,
                     equalityIds: Seq[Int] = Nil,
-                    bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty): GenericRecord =
+                    bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty,
+                    referencedDataFile: Option[String] = None): GenericRecord =
     graft.io.IcebergFormat.entry(content, path, rows, size, snapshotId,
-      snapshotId, equalityIds, bounds)
+      snapshotId, equalityIds, bounds,
+      referencedDataFile = referencedDataFile)
 
   private def serializeBound(dt: DataType, v: Any): Option[Array[Byte]] =
     graft.io.IcebergFormat.serializeBound(dt, v)
@@ -480,7 +482,11 @@ object IcebergFixture {
     * manifest (content=1, data_file.content=1). Returns the snapshot
     * id. */
   def deletePositions(spark: SparkSession, dir: String,
-                      deletes: Seq[(String, Long)]): Long = {
+                      deletes: Seq[(String, Long)],
+                      // when every delete targets ONE data file, a real
+                      // writer may stamp the optional v2
+                      // referenced_data_file field on the entry
+                      stampReferencedDataFile: Boolean = false): Long = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
@@ -498,8 +504,12 @@ object IcebergFixture {
     f.delete(staging, true)
 
     val snapshotId = prevVersion + 1L
+    val refFile =
+      if (stampReferencedDataFile && deletes.map(_._1).distinct.size == 1)
+        Some(deletes.head._1)
+      else None
     val e = entry(1, dst.toString, deletes.length.toLong,
-      f.getFileStatus(dst).getLen, snapshotId)
+      f.getFileStatus(dst).getLen, snapshotId, referencedDataFile = refFile)
     val manifestP = new Path(root, s"metadata/delete-manifest-$snapshotId.avro")
     writeAvro(f, manifestP, EntrySchema, Seq(e))
     commitSnapshot(spark, dir, StructType(Nil), Seq(ManifestRef(manifestP, 1)), "delete")

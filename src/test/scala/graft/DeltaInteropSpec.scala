@@ -421,4 +421,41 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(out.toString.contains(s"DELTACP rows=15 idsum=$expectedSum2"),
       s"unexpected stock checkpoint-read output:\n$out")
   }
+
+  test("MERGE stats-prunes its probe scans by source key range; untouched out-of-range files survive") {
+    val dir = Files.createTempDirectory("graft-merge-prune").toString
+    // 4 range-disjoint files on id: [0..9] [10..19] [20..29] [30..39]
+    import org.apache.spark.sql.functions.col
+    DeltaInterop.writeDelta(
+      (0L until 40L).map(i => (i, s"n_$i", "a", (i / 10).toInt)).toDF("id", "name", "rev", "part")
+        .repartitionByRange(4, col("id")), dir, Nil)
+    val before = DeltaInterop.state(spark, dir).files.map(_.path).toSet
+    // source touches ONLY the [20..29] band (update 25, insert 27.5 — no: key 23)
+    val src = Seq((25L, "upd", "z", 2), (21L, "upd2", "z", 2)).toDF("id", "name", "rev", "part")
+    val (v, rewrote, nIns) = DeltaInterop.merge(spark, dir, src, Seq("id"))
+    assert(v > 0 && rewrote == 1 && nIns == 0L,
+      s"expected exactly the one overlapping file rewritten, got $rewrote (+$nIns ins)")
+    assert(DeltaInterop.lastMergeProbeFiles.get() == 1,
+      s"stats pruning did not engage: probe scanned " +
+      s"${DeltaInterop.lastMergeProbeFiles.get()} of 4 files")
+    val after = DeltaInterop.state(spark, dir).files.map(_.path).toSet
+    assert((before intersect after).size == before.size - 1)
+    val t = DeltaInterop.readDelta(spark, dir)
+    assert(t.count() == 40)
+    assert(t.filter(col("id") === 25L).select("rev").as[String].head() == "z")
+  }
+
+  test("MERGE with a NULL source key null-safe-matches the NULL target row (pruning must not drop it)") {
+    val dir = Files.createTempDirectory("graft-merge-null").toString
+    val t0 = Seq[(java.lang.Long, String)]((1L, "one"), (2L, "two"), (null, "nil"))
+      .toDF("id", "name")
+    DeltaInterop.writeDelta(t0, dir, Nil)
+    val src = Seq[(java.lang.Long, String)]((null, "nil v2"), (9L, "nine"))
+      .toDF("id", "name")
+    val (_, rewrote, nIns) = DeltaInterop.merge(spark, dir, src, Seq("id"))
+    assert(rewrote >= 1 && nIns == 1L)
+    val rows = DeltaInterop.readDelta(spark, dir)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((-1L, "nil v2"), (1L, "one"), (2L, "two"), (9L, "nine")))
+  }
 }

@@ -291,4 +291,29 @@ class DeltaRowTrackingSpec extends AnyFunSuite {
     assert(hwm(dst) == 4L)
     assert(hwm(dir) == 3L)
   }
+
+  test("zero-record adds in one commit get UNIQUE base row ids") {
+    // an empty postimage/insert file in a row-tracked MERGE must not
+    // share its baseRowId with the next add in the same commit —
+    // per-file bases stay unique, not merely disjoint-because-empty
+    import graft.io.DeltaInterop.{AddFile, DeltaState}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val st = DeltaState(0L, StructType(Seq(StructField("id", LongType))),
+      Nil, Nil, domains = Map(DeltaInterop.RowTrackingDomain ->
+        """{"rowIdHighWaterMark":9}"""))
+    def add(p: String, n: Long) =
+      AddFile(p, Map.empty, 1L, n, Map.empty)
+    val (stamped, domain) = DeltaInterop.assignFreshRowIds(
+      st, Seq(add("e0.parquet", 0L), add("e1.parquet", 0L),
+              add("d.parquet", 5L), add("e2.parquet", 0L)), 1L)
+    val bases = stamped.map(_.baseRowId.get)
+    assert(bases.distinct.length == bases.length, s"duplicate bases: $bases")
+    assert(bases.head == 10L, "first fresh id is hwm+1")
+    // the watermark advanced past every assigned base
+    val hwmOut = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(domain.head).path("domainMetadata").path("configuration").asText())
+      .path("rowIdHighWaterMark").asLong(-1L)
+    assert(hwmOut >= bases.max)
+  }
 }

@@ -339,6 +339,12 @@ class DeltaSqlSpec extends AnyFunSuite {
     assert(DeltaInterop.state(spark, dir).clusteringColumns.isEmpty)
     spark.sql(s"ALTER TABLE delta.`$dir` CLUSTER BY (id)").collect()
     assert(DeltaInterop.state(spark, dir).clusteringColumns == Seq("id"))
+    // OPTIMIZE ... WHERE on a clustered table must ERROR loudly, not
+    // silently drop the user's partition filter (clustering rewrites
+    // the whole table)
+    val e = intercept[Exception](
+      spark.sql(s"OPTIMIZE delta.`$dir` WHERE lang = 'l0'").collect())
+    assert(e.getMessage.contains("clustered"), e.getMessage)
   }
 
   test("OPTIMIZE ZORDER BY and TIMESTAMP AS OF time travel run as SQL") {

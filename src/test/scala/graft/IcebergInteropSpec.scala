@@ -457,4 +457,27 @@ class IcebergInteropSpec extends AnyFunSuite {
       IcebergInterop.readIceberg(spark, empty))
     assert(e2.getMessage.contains("not an Iceberg table"))
   }
+
+  test("v2 PARQUET position delete carrying referenced_data_file stays a position delete") {
+    // the spec allows (and real writers set) the optional
+    // referenced_data_file field on a position delete that targets a
+    // single data file — it must NOT be mistaken for a v3 Puffin DV
+    // (which is marked by file_format=PUFFIN + content_offset)
+    val dir = Files.createTempDirectory("graft-iceberg-refposdel").toString
+    IcebergFixture.append(
+      (0L until 40L).map(i => (i, s"r_$i")).toDF("id", "tag").coalesce(1), dir)
+    val victims = IcebergInterop.readIceberg(spark, dir)
+      .select(col("id"), col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("pos"))
+      .filter(col("pos") < 3).collect()
+    assert(victims.length == 3)
+    assert(victims.map(_.getString(1)).distinct.length == 1, "one data file")
+    IcebergFixture.deletePositions(spark, dir,
+      victims.map(r => (r.getString(1).stripPrefix("file:"), r.getLong(2))).toSeq,
+      stampReferencedDataFile = true)
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.count() == 37)
+    val gone = victims.map(_.getLong(0)).toSet
+    assert(t.filter(col("id").isin(gone.toSeq: _*)).count() == 0)
+  }
 }

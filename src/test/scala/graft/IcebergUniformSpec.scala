@@ -225,7 +225,15 @@ class IcebergUniformSpec extends AnyFunSuite {
     // a CoW delete rewrites the live set into one manifest; vacuum at
     // retain 0 then expires the old snapshots AND reclaims m1/m2
     DeltaInterop.deleteWhere(spark, dir, col("id") === 1L)      // snapshot 3 (m3)
-    DeltaInterop.vacuum(spark, dir, retainMillis = 0L)
+    val dataFilesBefore = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(s => s.getPath.getName.endsWith(".parquet"))
+    val reclaimed = DeltaInterop.vacuum(spark, dir, retainMillis = 0L)
+    val dataFilesAfter = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(s => s.getPath.getName.endsWith(".parquet"))
+    // the returned count is DATA files only — the mirror's expired
+    // metadata/manifest deletions are a side effect, not data reclaim
+    assert(reclaimed == dataFilesBefore - dataFilesAfter,
+      s"vacuum returned $reclaimed but data files went $dataFilesBefore -> $dataFilesAfter")
     assert(IcebergInterop.snapshots(spark, dir).count() == 1)
     assert(manifests().length == 1)
     val (d2, i2) = both(dir)

@@ -595,6 +595,19 @@ object OracleSql {
       """SELECT CASE WHEN doc_id % 2 = 0 THEN 'und' ELSE 'xx' END AS lang,
         |  count(*)::BIGINT AS n_rows, sum(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    // q190: native Iceberg writes — final = the 'en' slice (+7 chars
+    // each), pre-overwrite time travel = the %3 in {0,1} slices
+    "q190_iceberg_write" ->
+      """SELECT count(*) FILTER (WHERE lang = 'en')::BIGINT AS n_rows,
+        |  sum(n_chars + 7) FILTER (WHERE lang = 'en')::BIGINT AS sum_chars,
+        |  count(*) FILTER (WHERE doc_id % 3 <> 2)::BIGINT AS n_pre,
+        |  sum(n_chars) FILTER (WHERE doc_id % 3 <> 2)::BIGINT AS chars_pre
+        |FROM documents""".stripMargin,
+    // q191: Iceberg streaming source — origin snapshot + two tailed
+    // appends cover the whole corpus exactly once
+    "q191_iceberg_stream" ->
+      """SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q181: day(ts)-hidden-partitioned Iceberg range read == the same
     // 3-day window on the raw events (the engine additionally asserts
     // 3 of 30 manifests opened)

@@ -2464,4 +2464,83 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .withColumn("ranges_disjoint", lit(disjoint))
       .withColumn("fresh_update_ids", lit(freshUpdateIds))
   }
+
+  /** q190 — NATIVE Iceberg WRITES ([[graft.io.IcebergWrite]]): the
+    * doc_id%3==0 slice CREATES the table, %3==1 APPENDS, then an
+    * OVERWRITE replaces the contents with the 'en' slice (+7 chars) —
+    * and everything reads back through the FOREIGN-read path
+    * ([[graft.io.IcebergInterop]]), proving the writer emits the
+    * published spec: final state, snapshot TIME TRAVEL to the
+    * pre-overwrite snapshot, and the 3-operation history, all
+    * replayed analytically by DuckDB. */
+  private[graft] def q190(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q190")
+    graft.io.IcebergWrite.append(docs.filter(col("doc_id") % 3 === 0), tmp)
+    val s2 = graft.io.IcebergWrite.append(docs.filter(col("doc_id") % 3 === 1), tmp)
+    graft.io.IcebergWrite.overwrite(
+      docs.filter(col("lang") === "en")
+        .withColumn("n_chars", col("n_chars") + 7L), tmp)
+    val hist = graft.io.IcebergInterop.snapshots(s, tmp)
+      .orderBy("sequence_number").collect()
+    require(hist.length == 3 &&
+      hist.map(_.getString(3)).toSeq == Seq("append", "append", "overwrite"),
+      s"history must record the 3 operations, got ${hist.map(_.getString(3)).toSeq}")
+    val fin = graft.io.IcebergInterop.readIceberg(s, tmp)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+    val pre = graft.io.IcebergInterop.readIceberg(s, tmp, Some(s2))
+      .agg(count(lit(1)).as("n_pre"),
+        sum(col("n_chars")).cast("long").as("chars_pre"))
+    fin.crossJoin(pre)
+  }
+
+  /** q191 — STREAMING Iceberg SOURCE ([[graft.streaming.IcebergSource]],
+    * `readStream.format("graft-iceberg")`): the doc_id%3==0 slice lands
+    * FIRST (the stream-origin snapshot), the stream starts with a
+    * 2-file rate limit, then the %3==1 and %3==2 slices APPEND while it
+    * runs — the tailer consumes their snapshots incrementally in
+    * sequence order. Per-batch partial aggregates fold per lang and
+    * must SUM to exactly the whole corpus: streamed ≡ batch,
+    * hash-proven against the plain DuckDB aggregate. The rate limit
+    * must cut ≥2 micro-batches (asserted), so admission control — not
+    * one catch-all batch — is what's being graded. */
+  private[graft] def q191(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q191")
+    graft.io.IcebergWrite.append(
+      docs.filter(col("doc_id") % 3 === 0).repartition(4), tmp)
+    val buf = scala.collection.mutable.ListBuffer.empty[(String, Long, Long)]
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = s.readStream.format("graft-iceberg")
+      .option("maxFilesPerTrigger", "2").load(tmp)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (b0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = graft.streaming.BatchTuning.rightSize(b0.toDF())
+        val rows = b.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        if (rows.nonEmpty) {
+          batches.incrementAndGet()
+          buf.synchronized { buf ++= rows }
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      graft.io.IcebergWrite.append(
+        docs.filter(col("doc_id") % 3 === 1).repartition(3), tmp)
+      graft.io.IcebergWrite.append(
+        docs.filter(col("doc_id") % 3 === 2).repartition(3), tmp)
+      q.processAllAvailable()
+    } finally q.stop()
+    require(batches.get >= 2,
+      s"rate limit should cut >=2 micro-batches, saw ${batches.get}")
+    import s.implicits._
+    buf.synchronized(buf.toList).toDF("lang", "n0", "chars0")
+      .groupBy(col("lang"))
+      .agg(sum(col("n0")).as("n"), sum(col("chars0")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+  }
 }

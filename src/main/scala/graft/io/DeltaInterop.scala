@@ -727,7 +727,7 @@ object DeltaInterop {
       require(f.exists(new Path(dir, s"metadata/${IcebergUniform.MarkerName}")),
         s"the uniform table at $dir carries Iceberg metadata this engine " +
         "does not maintain (foreign icebergCompat writer) — refusing to " +
-        "commit; re-enable uniform via DeltaInterop.enableUniform to adopt it")
+        "commit; validate and take it over via DeltaInterop.adoptUniform")
     }
     // identityColumns: APPENDS generate values ([[withIdentityValues]])
     // and advance the high-water mark from the staged files' own stats
@@ -1502,6 +1502,12 @@ object DeltaInterop {
     * Caveat (documented, loud): RESTORE to a PRE-enable version
     * re-surfaces files without field ids — the Delta plane reads them
     * fine, the Iceberg plane refuses them at scan time. */
+  /** Adopt a FOREIGN UniForm mirror after validating it matches the
+    * Delta state — see [[IcebergUniform.adopt]]. After adoption, every
+    * commit maintains the mirror like any graft-enabled uniform table. */
+  def adoptUniform(spark: SparkSession, dir: String): Unit =
+    IcebergUniform.adopt(spark, dir)
+
   def enableUniform(spark: SparkSession, dir: String,
                     props: Map[String, String] = Map.empty): Long = {
     val st = state(spark, dir)
@@ -3123,10 +3129,8 @@ object DeltaInterop {
     import spark.implicits._
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     // the vacuumProtocolCheck contract, without materializing adds
-    val uniformOn = {
-      val st = stateMetaLarge(spark, dir); requireWritable(st, dir)
-      IcebergUniform.enabled(st)
-    }
+    val stMeta = stateMetaLarge(spark, dir); requireWritable(stMeta, dir)
+    val uniformOn = IcebergUniform.enabled(stMeta)
     val cutoff = System.currentTimeMillis() - retainMillis
     val f = fs(spark, dir)
     val refDfs = Seq.newBuilder[DataFrame]
@@ -3183,23 +3187,59 @@ object DeltaInterop {
         else DeletionVectors.sidecarRelPath(r.getString(1))
       Seq(r.getString(0)) ++ dv
     }.distinct().toDF("ref")
-    // directory tree driver-side (partition-count bounded), file
-    // listings per-dir on executors
-    val dirPairs = Seq.newBuilder[(String, String)]
-    def walkDirs(p: Path, rel: List[String]): Unit = {
-      dirPairs += ((p.toString, rel.mkString("/")))
-      f.listStatus(p).foreach { s0 =>
-        val name = s0.getPath.getName
-        if (s0.isDirectory && name != "_delta_log" &&
-            !name.startsWith(".") && !name.startsWith("_"))
-          walkDirs(s0.getPath, rel :+ name)
+    // LISTING: the partition-directory tree. Small trees walk on the
+    // driver (no job overhead); past [[VacuumDriverWalkMaxDirs]]
+    // top-level partition dirs the walk itself DISTRIBUTES — a
+    // depth-bounded level-by-level flatMap (depth = partition-column
+    // count, known from metadata), so the driver never materializes
+    // the directory list AT ALL. At millions of partitions the driver
+    // holds nothing dir- or file-count-sized.
+    val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    def subdirsOf(abs: String, rel: String): Seq[(String, String)] = {
+      val pp = new Path(abs)
+      pp.getFileSystem(hconf.value).listStatus(pp).toSeq.collect {
+        case s0 if s0.isDirectory &&
+            s0.getPath.getName != "_delta_log" &&
+            !s0.getPath.getName.startsWith(".") &&
+            !s0.getPath.getName.startsWith("_") =>
+          (s0.getPath.toString,
+            if (rel.isEmpty) s0.getPath.getName
+            else s"$rel/${s0.getPath.getName}")
       }
     }
-    walkDirs(new Path(dir), Nil)
     val cd = new Path(dir, "_change_data")
-    if (f.exists(cd)) walkDirs(cd, List("_change_data"))
-    val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
-    val candidates = spark.createDataset(dirPairs.result())
+    val cdRoot = if (f.exists(cd)) Seq((cd.toString, "_change_data")) else Nil
+    val dirPairsDs: org.apache.spark.sql.Dataset[(String, String)] =
+      if (subdirsOf(dir, "").lengthCompare(VacuumDriverWalkMaxDirs) <= 0) {
+        lastVacuumWalk = "driver"
+        val dirPairs = Seq.newBuilder[(String, String)]
+        def walkDirs(p: Path, rel: List[String]): Unit = {
+          dirPairs += ((p.toString, rel.mkString("/")))
+          f.listStatus(p).foreach { s0 =>
+            val name = s0.getPath.getName
+            if (s0.isDirectory && name != "_delta_log" &&
+                !name.startsWith(".") && !name.startsWith("_"))
+              walkDirs(s0.getPath, rel :+ name)
+          }
+        }
+        walkDirs(new Path(dir), Nil)
+        if (cdRoot.nonEmpty) walkDirs(cd, List("_change_data"))
+        spark.createDataset(dirPairs.result())
+      } else {
+        lastVacuumWalk = "distributed"
+        // partition dirs nest exactly partitionColumns-deep, and the
+        // _change_data subtree mirrors the table's layout — expand
+        // level by level on executors, never collecting a level
+        var level = spark.createDataset((dir, "") +: cdRoot)
+        var all = level
+        for (_ <- 0 until math.max(stMeta.partitionColumns.length, 1)) {
+          level = level.flatMap { case (abs, rel) => subdirsOf(abs, rel) }
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          all = all.union(level)
+        }
+        all
+      }
+    val candidates = dirPairsDs
       .flatMap { case (abs, rel) =>
         val pp = new Path(abs)
         val fsx = pp.getFileSystem(hconf.value)
@@ -4370,6 +4410,16 @@ object DeltaInterop {
     * semi-join on the key columns — column pruning means the probe
     * scan reads keys, not rows. Returns (newVersion, filesRewritten,
     * rowsInserted). */
+  /** [[vacuumLarge]] walks the partition tree on the DRIVER up to this
+    * many top-level partition dirs; past it the walk distributes
+    * (level-by-level executor BFS). Var: tests lower it to force the
+    * distributed path on small fixtures. */
+  private[graft] var VacuumDriverWalkMaxDirs: Int = 64
+
+  /** Which walk the last [[vacuumLarge]] used ("driver" |
+    * "distributed") — test observability. */
+  @volatile private[graft] var lastVacuumWalk: String = ""
+
   /** Observability for [[merge]]'s stats pruning (test hook): the
     * candidate-file count the last merge's probe scans actually read. */
   private[graft] val lastMergeProbeFiles =

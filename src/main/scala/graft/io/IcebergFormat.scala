@@ -54,6 +54,20 @@ private[graft] object IcebergFormat {
       |    {"name":"upper_bound","type":["null","bytes"],"default":null}]}}],
       | "default":null}]}""".stripMargin)
 
+  /** All records of one Avro container file (manifest / manifest
+    * list) — driver-side, metadata-sized by construction. */
+  def readAvro(conf: org.apache.hadoop.conf.Configuration,
+               p: Path): Seq[org.apache.avro.generic.GenericRecord] = {
+    val in = new org.apache.avro.mapred.FsInput(p, conf)
+    val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      in, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      val b = Seq.newBuilder[org.apache.avro.generic.GenericRecord]
+      while (r.hasNext) b += r.next()
+      b.result()
+    } finally r.close()
+  }
+
   /** Write one Avro container file through the Hadoop FileSystem (so
     * the same code serves local tests and object-store tables). */
   def writeAvro(f: FileSystem, path: Path, schema: Schema,

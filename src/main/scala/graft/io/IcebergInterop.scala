@@ -67,13 +67,19 @@ object IcebergInterop {
     val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(f.exists(meta), s"$dir has no metadata/ dir — not an Iceberg table")
     val hint = new Path(meta, "version-hint.text")
-    if (f.exists(hint)) {
-      val in = f.open(hint)
-      val v = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      val p = new Path(meta, s"v$v.metadata.json")
-      require(f.exists(p), s"version-hint names $v but $p is missing")
-      p
-    } else {
+    val hinted: Option[Path] =
+      if (!f.exists(hint)) None
+      else {
+        val in = f.open(hint)
+        val v = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+        // the hint is ADVISORY (and written non-atomically by some
+        // writers): an empty/garbled read — a concurrent hint rewrite —
+        // or a missing named file falls back to the listing, which is
+        // ground truth in the FS-catalog convention
+        Some(new Path(meta, s"v$v.metadata.json"))
+          .filter(_ => v.nonEmpty && v.forall(_.isDigit)).filter(f.exists)
+      }
+    hinted.getOrElse {
       val vs = f.listStatus(meta).map(_.getPath.getName)
         .flatMap { n =>
           val m = """v(\d+)\.metadata\.json""".r.findFirstMatchIn(n)
@@ -746,4 +752,77 @@ object IcebergInterop {
         s0.path("summary").path("operation").asText(""))
     }.toDF("snapshot_id", "sequence_number", "timestamp_ms", "operation")
   }
+
+  // ──────────── streaming-source support (graft-iceberg) ────────────
+
+  /** One head read for the streaming tailer: snapshots ordered by
+    * sequence-number as (seq, snapshotId, operation), plus the CURRENT
+    * schema pinned with field ids. */
+  private[graft] def streamHead(spark: SparkSession, dir: String)
+      : (Seq[(Long, Long, String)], StructType) = {
+    import scala.jdk.CollectionConverters._
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val meta = readJson(spark, currentMetadataPath(spark, dir))
+    val snaps = meta.path("snapshots").elements().asScala.toSeq
+      .map(s0 => (s0.path("sequence-number").asLong(0L),
+        s0.path("snapshot-id").asLong,
+        s0.path("summary").path("operation").asText("")))
+      .sortBy(_._1)
+    val schema = StructType(fieldsOf(schemaNodeById(meta, None).path("fields")))
+    (snaps, schema)
+  }
+
+  /** The data files snapshot `snapshotId` scans, for the stream-start
+    * snapshot phase. REFUSES tables carrying row-level deletes
+    * (streaming replays raw files, so masked rows would resurrect —
+    * the same refusal Iceberg's own Spark streaming source makes).
+    * Path-sorted: deterministic offsets across replays. */
+  private[graft] def streamSnapshotFiles(spark: SparkSession, dir: String,
+                                         snapshotId: Long): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val meta = readJson(spark, currentMetadataPath(spark, dir))
+    val snap = meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == snapshotId)
+      .getOrElse(throw new IllegalStateException(
+        s"snapshot $snapshotId not found at $dir — expired before the stream consumed it?"))
+    val inv = liveFiles(spark, dir, snap, meta)
+    require(inv.posDeletes.isEmpty && inv.eqDeletes.isEmpty && inv.dvs.isEmpty,
+      s"streaming from $dir: the snapshot carries row-level deletes " +
+      "(position/equality/DV) — compact the table first; raw-file replay would resurrect masked rows")
+    inv.data.map(_.path).sorted
+  }
+
+  /** The data files ADDED by snapshot `snapshotId` (the tail unit):
+    * entries of the snapshot's own manifests (added_snapshot_id ==
+    * snapshotId) — carried-forward manifests never re-read, so a
+    * 100 TB table tails at the cost of its CHANGES. Refuses delete
+    * manifests added by the snapshot. Path-sorted. */
+  private[graft] def streamAddedFiles(spark: SparkSession, dir: String,
+                                      snapshotId: Long): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val meta = readJson(spark, currentMetadataPath(spark, dir))
+    val snap = meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == snapshotId)
+      .getOrElse(throw new IllegalStateException(
+        s"snapshot $snapshotId not found at $dir — expired before the stream consumed it?"))
+    val out = Seq.newBuilder[String]
+    avroRecords(spark, new Path(resolve(snap.path("manifest-list").asText)))
+      .filter(m => longOr(m, "added_snapshot_id", -1L) == snapshotId)
+      .foreach { m =>
+        require(intOr(m, "content", 0) == 0,
+          s"snapshot $snapshotId of $dir added a DELETE manifest — " +
+          "row-level deletes cannot stream (raw-file replay); set ignoreDeletes to skip them")
+        avroRecords(spark, new Path(resolve(m.get("manifest_path").toString)))
+          .foreach { e =>
+            val status = intOr(e, "status", 0)
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            // a rewritten manifest may carry EXISTING (status 0)
+            // entries; only ADDED entries are new data for the tailer
+            if (status == 1 && intOr(df, "content", 0) == 0)
+              out += resolve(str(df, "file_path"))
+          }
+      }
+    out.result().sorted
+  }
+
 }

@@ -210,6 +210,62 @@ object IcebergUniform {
     try hint.write(String.valueOf(prevV + 1).getBytes) finally hint.close()
   }
 
+
+  /** ADOPT a FOREIGN UniForm mirror: a table whose Delta config
+    * declares uniform but whose `metadata/` was authored by another
+    * icebergCompat writer (delta-spark). Writes refuse on such tables
+    * ([[DeltaInterop]]'s requireWritable) because committing without a
+    * matching Iceberg snapshot would leave Iceberg readers silently
+    * stale. Adoption VALIDATES the existing lineage — the mirror's
+    * current snapshot must scan exactly the Delta state's live files,
+    * and the Iceberg field ids must equal the Delta column-mapping ids
+    * (the icebergCompat invariant every later sync depends on) — and
+    * only then writes the maintenance marker, after which every graft
+    * commit syncs the mirror incrementally. Refuses loudly when
+    * validation fails: adopting a diverged mirror would bless stale
+    * reads. */
+  def adopt(spark: SparkSession, dir: String): Unit = {
+    val st = DeltaInterop.state(spark, dir)
+    require(enabled(st),
+      s"$dir is not declared uniform in its Delta configuration " +
+      s"($EnabledFormatsKey / $CompatV2Key) — use enableUniform for a fresh mirror")
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val markerP = new Path(root, s"metadata/$MarkerName")
+    require(!f.exists(markerP),
+      s"the mirror at $dir is already maintained by this engine")
+    require(currentHint(f, root) > 0,
+      s"$dir has no Iceberg metadata to adopt — use enableUniform")
+    // 1. FILE AGREEMENT: the mirror's current snapshot == Delta's live set
+    val (snaps, iceSchema) = IcebergInterop.streamHead(spark, dir)
+    require(snaps.nonEmpty, s"the mirror at $dir has no snapshots")
+    def canon(p: String): String = p.replaceFirst("^file:/+", "/")
+    val iceLive = IcebergInterop.streamSnapshotFiles(spark, dir, snaps.last._2)
+      .map(canon).toSet
+    val deltaLive = st.files.map(a =>
+      canon(new Path(root, a.path).toString)).toSet
+    require(iceLive == deltaLive,
+      s"cannot adopt the mirror at $dir: its current snapshot scans " +
+      s"${iceLive.size} file(s) but the Delta state holds ${deltaLive.size} — " +
+      s"diverged (missing from mirror: ${(deltaLive -- iceLive).take(3).mkString(", ")}" +
+      s"${if ((deltaLive -- iceLive).size > 3) ", …" else ""}; extra in mirror: " +
+      s"${(iceLive -- deltaLive).take(3).mkString(", ")})")
+    // 2. FIELD-ID AGREEMENT: Iceberg ids must equal Delta mapping ids
+    val iceIds: Map[String, Long] = iceSchema.fields.flatMap { fd =>
+      if (fd.metadata.contains("parquet.field.id"))
+        Some(fd.name -> fd.metadata.getLong("parquet.field.id"))
+      else None
+    }.toMap
+    fieldIds(st.schema).foreach { case (fd, id, _) =>
+      require(iceIds.get(fd.name).contains(id.toLong),
+        s"cannot adopt the mirror at $dir: Iceberg field '${fd.name}' has " +
+        s"id ${iceIds.getOrElse(fd.name, "ABSENT")} but the Delta column-mapping " +
+        s"id is $id — the icebergCompat id invariant does not hold")
+    }
+    // 3. TAKE OVER: the marker arms every later commit's maybeSync
+    writeMarker(f, markerP, st)
+  }
+
   /** EXPIRE SNAPSHOTS (Iceberg's `expireSnapshots` maintenance, run
     * with Delta VACUUM semantics): drop Iceberg snapshots older than
     * the cutoff — the CURRENT snapshot always survives — then reclaim

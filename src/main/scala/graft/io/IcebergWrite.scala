@@ -1,0 +1,346 @@
+package graft.io
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.generic.GenericRecord
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** NATIVE Iceberg writes (iceberg.apache.org/spec/): `append` and
+  * `overwrite` author spec-shaped v2 snapshots — data parquet with
+  * `parquet.field.id` stamped, an Avro manifest with per-file record
+  * counts and column bounds from ONE grouped stats job, an Avro
+  * manifest list, and a `v<N>.metadata.json` committed by OPTIMISTIC
+  * put-if-absent swap (the HadoopTables file-system-catalog protocol:
+  * whoever creates `v<N+1>.metadata.json` first wins; the loser
+  * re-reads the head and rebases). This closes the round-12 read-only
+  * asymmetry: a warehouse whose tables are Iceberg-first can now be
+  * WRITTEN by graft, and everything graft writes reads back through
+  * [[IcebergInterop]] — same field-id resolution, same bound-based
+  * file skipping, same snapshot time travel.
+  *
+  * Scale shape: the data write is one distributed parquet job; stats
+  * come from one grouped aggregation keyed by `_metadata.file_path`
+  * (never a per-file job); manifests/metadata are
+  * file-count-bounded driver work, exactly like the Delta commit
+  * path. Appends REBASE on version races (the staged files and
+  * manifest stay valid; only the metadata JSON re-derives), bounded
+  * by `MaxCommitRetries`; `overwrite` refuses to rebase across a
+  * concurrent commit — replacing state someone else just changed is
+  * a genuine conflict, delta-spark's own choice.
+  *
+  * Scope (loud): unpartitioned v2 appends/overwrites of flat schemas.
+  * Partitioned/hidden-transform writes stay with the mirror path
+  * ([[IcebergUniform]]) and the read side ([[IcebergTransforms]]);
+  * row-level deletes on native Iceberg tables are out of scope (the
+  * Delta plane owns mutation). */
+object IcebergWrite {
+
+  private val M = new ObjectMapper()
+
+  /** Version races to absorb before giving up (append only). */
+  val MaxCommitRetries = 5
+
+  /** Test hook: runs between staging and each commit attempt, letting
+    * a spec inject a deterministic version race. No-op in production. */
+  private[graft] var onBeforeCommit: () => Unit = () => ()
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def canonPath(p: String): String = p.replaceFirst("^file:/+", "/")
+
+  /** Current metadata version: `version-hint.text` when present, else
+    * the highest `v<N>.metadata.json` (hint is advisory in the spec's
+    * FS-catalog convention; the listing is ground truth). 0 = no table. */
+  private def currentVersion(f: FileSystem, root: Path): Int = {
+    val meta = new Path(root, "metadata")
+    if (!f.exists(meta)) return 0
+    val listed = f.listStatus(meta).map(_.getPath.getName)
+      .flatMap("""^v(\d+)\.metadata\.json$""".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt)
+    if (listed.isEmpty) 0 else listed.max
+  }
+
+  private def readMeta(f: FileSystem, root: Path, v: Int): Option[JsonNode] =
+    if (v == 0) None
+    else {
+      val in = f.open(new Path(root, s"metadata/v$v.metadata.json"))
+      try Some(M.readTree(in)) finally in.close()
+    }
+
+  private def currentSchemaNode(m: JsonNode): JsonNode = {
+    import scala.jdk.CollectionConverters._
+    val cur = m.path("current-schema-id").asInt(0)
+    m.path("schemas").elements().asScala
+      .find(_.path("schema-id").asInt(-1) == cur)
+      .getOrElse(throw new IllegalArgumentException(s"schema-id $cur missing"))
+  }
+
+  private def currentFieldIds(m: JsonNode): Seq[(String, Int)] = {
+    import scala.jdk.CollectionConverters._
+    currentSchemaNode(m).path("fields").elements().asScala
+      .map(fd => fd.path("name").asText -> fd.path("id").asInt).toSeq
+  }
+
+  /** Stamp `parquet.field.id` so written files resolve by FIELD ID —
+    * the invariant every real Iceberg writer upholds and the reader's
+    * schema-evolution support depends on. */
+  private def withFieldIds(df: DataFrame, idsByName: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    df.select(df.schema.fields.map { fd =>
+      col(fd.name).as(fd.name, new MetadataBuilder()
+        .putLong("parquet.field.id", idsByName(fd.name).toLong).build())
+    }.toSeq: _*)
+  }
+
+  /** Per-file (record count, bound bytes) in ONE grouped aggregation
+    * keyed by `_metadata.file_path` — never a job per file. */
+  private def allFileStats(spark: SparkSession, paths: Seq[String],
+      idsByName: Map[String, Int]): Map[String, (Long, Map[Int, (Array[Byte], Array[Byte])])] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val df = spark.read.parquet(paths: _*)
+    val statCols = df.schema.fields.filter(f => f.dataType match {
+      case IntegerType | LongType | FloatType | DoubleType | DateType
+           | StringType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }).map(_.name).filter(idsByName.contains).toSeq
+    val aggs = count(lit(1)).as("_n") +:
+      statCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    df.groupBy(col("_metadata.file_path").as("_p"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val bounds = statCols.zipWithIndex.flatMap { case (c, i) =>
+          val dt = df.schema(c).dataType
+          for {
+            lo <- IcebergFormat.serializeBound(dt, r.get(2 + 2 * i))
+            hi <- IcebergFormat.serializeBound(dt, r.get(2 + 2 * i + 1))
+          } yield idsByName(c) -> ((lo, hi))
+        }.toMap
+        canonPath(r.getString(0)) -> ((r.getLong(1), bounds))
+      }.toMap
+  }
+
+  /** Append `df` as a new snapshot (creating the table on first call).
+    * Returns the committed snapshot id. */
+  def append(df: DataFrame, dir: String): Long =
+    write(df, dir, replace = false)
+
+  /** Replace the table's contents with `df` in one new snapshot
+    * (`operation=overwrite`); prior snapshots stay time-travelable.
+    * Refuses on a concurrent commit (no rebase across an overwrite). */
+  def overwrite(df: DataFrame, dir: String): Long =
+    write(df, dir, replace = true)
+
+  private def write(df: DataFrame, dir: String, replace: Boolean): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    f.mkdirs(new Path(root, "metadata")); f.mkdirs(new Path(root, "data"))
+    val v0 = currentVersion(f, root)
+    val meta0 = readMeta(f, root, v0)
+
+    // field ids from the CURRENT schema (stable across evolution); a
+    // brand-new table assigns 1..n positionally
+    val idsByName: Map[String, Int] = meta0 match {
+      case Some(m) =>
+        val cur = currentFieldIds(m)
+        require(df.columns.toSet == cur.map(_._1).toSet,
+          s"write columns ${df.columns.toSeq.sorted} must match current " +
+          s"schema ${cur.map(_._1).sorted} (evolve the schema first)")
+        cur.toMap
+      case None =>
+        df.schema.fieldNames.zipWithIndex.map { case (n0, i) => n0 -> (i + 1) }.toMap
+    }
+
+    // distributed staging: write under a hidden dir, RENAME into data/
+    // under fresh unique names — invisible until the metadata commit
+    // references them, reclaimable if the commit never lands
+    val staging = new Path(root, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    withFieldIds(df, idsByName).write.parquet(staging.toString)
+    val dataFiles = f.listStatus(staging).filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val dst = new Path(root, s"data/${java.util.UUID.randomUUID()}.parquet")
+        require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
+        (dst, f.getFileStatus(dst).getLen)
+      }.toSeq
+    f.delete(staging, true)
+    val stats = allFileStats(spark, dataFiles.map(_._1.toString), idsByName)
+
+    var attempt = 0
+    var base = v0
+    while (true) {
+      val snapshotId = freshSnapshotId(f, root, base)
+      val seqNo = readMeta(f, root, base)
+        .map(_.path("last-sequence-number").asLong(0L)).getOrElse(0L) + 1L
+      val entries = dataFiles.map { case (p, size) =>
+        val (rows, bounds) = stats.getOrElse(canonPath(p.toString),
+          throw new IllegalStateException(s"no stats row for $p"))
+        IcebergFormat.entry(0, p.toString, rows, size, snapshotId, seqNo,
+          bounds = bounds)
+      }
+      val manifestP = new Path(root,
+        s"metadata/manifest-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
+      IcebergFormat.writeAvro(f, manifestP, IcebergFormat.EntrySchema, entries)
+      try {
+        onBeforeCommit()
+        return commitMeta(spark, f, root, base, df.schema, snapshotId, seqNo,
+          manifestP, replace)
+      }
+      catch {
+        case _: java.util.ConcurrentModificationException =>
+          f.delete(manifestP, false) // re-authored next attempt (new ids)
+          require(!replace,
+            s"overwrite of $dir lost the version race to a concurrent " +
+            "commit — replacing state that just changed is a conflict, not a rebase")
+          attempt += 1
+          require(attempt < MaxCommitRetries,
+            s"append to $dir lost $MaxCommitRetries version races")
+          base = currentVersion(f, root)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** A snapshot id no prior snapshot used (random, positive — the spec
+    * requires uniqueness, not ordering). */
+  private def freshSnapshotId(f: FileSystem, root: Path, v: Int): Long = {
+    import scala.jdk.CollectionConverters._
+    val prior: Set[Long] = readMeta(f, root, v).toSet[JsonNode].flatMap(
+      _.path("snapshots").elements().asScala.map(_.path("snapshot-id").asLong))
+    var id = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    while (prior.contains(id) || id <= 0) id += 1
+    id
+  }
+
+  /** Author `v<base+1>.metadata.json` + the snapshot's manifest list and
+    * commit by put-if-absent create; throws FileAlreadyExists on a lost
+    * race. Prior manifests carry forward from the current snapshot's
+    * manifest list on append; an overwrite starts from just the new
+    * manifest (older files stay reachable through older snapshots). */
+  private def commitMeta(spark: SparkSession, f: FileSystem, root: Path,
+                         base: Int, schema: StructType, snapshotId: Long,
+                         seqNo: Long, manifestP: Path,
+                         replace: Boolean): Long = {
+    import scala.jdk.CollectionConverters._
+    val prevMeta = readMeta(f, root, base)
+    val MFS = IcebergFormat.ManifestFileSchema
+
+    // prior manifests carry forward VERBATIM — especially their
+    // original added_snapshot_id and sequence_number: incremental
+    // consumers (the graft-iceberg streaming tailer) resolve "files
+    // added by snapshot S" through added_snapshot_id, so stamping the
+    // new id on carried-forward manifests would re-attribute old data
+    val prior: Seq[(String, Long, Int, Long, Int, Long)] =
+      if (replace) Nil
+      else prevMeta.toSeq.flatMap { m =>
+        val cur = m.path("current-snapshot-id").asLong(-1L)
+        m.path("snapshots").elements().asScala
+          .find(_.path("snapshot-id").asLong == cur).toSeq
+          .flatMap { s0 =>
+            IcebergFormat.readAvro(spark.sparkContext.hadoopConfiguration,
+              new Path(new java.net.URI(s0.path("manifest-list").asText).getPath))
+              .map { r =>
+                (r.get("manifest_path").toString,
+                  r.get("manifest_length").asInstanceOf[Number].longValue,
+                  r.get("content").asInstanceOf[Number].intValue,
+                  Option(r.get("sequence_number"))
+                    .map(_.asInstanceOf[Number].longValue).getOrElse(0L),
+                  Option(r.getSchema.getField("partition_spec_id"))
+                    .flatMap(_ => Option(r.get("partition_spec_id")))
+                    .map(_.asInstanceOf[Number].intValue).getOrElse(0),
+                  Option(r.get("added_snapshot_id"))
+                    .map(_.asInstanceOf[Number].longValue).getOrElse(snapshotId))
+              }
+          }
+      }
+    val listRecords: Seq[GenericRecord] =
+      (prior :+ ((manifestP.toString, f.getFileStatus(manifestP).getLen, 0,
+        seqNo, 0, snapshotId))).map {
+        case (mp, len, content, mseq, specId, addedBy) =>
+        val r = new org.apache.avro.generic.GenericData.Record(MFS)
+        r.put("manifest_path", mp)
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", specId)
+        r.put("content", content)
+        r.put("sequence_number", mseq)
+        r.put("added_snapshot_id", addedBy)
+        r
+      }
+    val listP = new Path(root,
+      s"metadata/snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
+    IcebergFormat.writeAvro(f, listP, MFS, listRecords)
+
+    val n = M.createObjectNode()
+    n.put("format-version",
+      prevMeta.map(_.path("format-version").asInt(2)).getOrElse(2))
+    n.put("table-uuid", prevMeta.map(_.path("table-uuid").asText)
+      .getOrElse(java.util.UUID.randomUUID().toString))
+    n.put("location", root.toString)
+    n.put("last-sequence-number", seqNo)
+    n.put("last-updated-ms", System.currentTimeMillis())
+    // schemas carry FORWARD (field ids must stay stable); only table
+    // creation derives one from the DataFrame, ids 1..n
+    val curSchemaId = prevMeta match {
+      case Some(m) =>
+        n.set[JsonNode]("schemas", m.path("schemas").deepCopy[JsonNode]())
+        n.put("last-column-id", m.path("last-column-id").asInt(
+          currentFieldIds(m).map(_._2).maxOption.getOrElse(0)))
+        m.path("current-schema-id").asInt(0)
+      case None =>
+        val schemas = n.putArray("schemas")
+        val sc = schemas.addObject()
+        sc.put("schema-id", 0); sc.put("type", "struct")
+        val fields = sc.putArray("fields")
+        schema.fields.zipWithIndex.foreach { case (fd, i) =>
+          val fn = fields.addObject()
+          fn.put("id", i + 1); fn.put("name", fd.name)
+          fn.put("required", !fd.nullable)
+          fn.put("type", IcebergFormat.icebergType(fd.dataType))
+        }
+        n.put("last-column-id", schema.fields.length)
+        0
+    }
+    n.put("current-schema-id", curSchemaId)
+    val specs = n.putArray("partition-specs")
+    val hadSpec0 = prevMeta.exists { m =>
+      m.path("partition-specs").elements().asScala
+        .map { s0 => specs.add(s0.deepCopy[JsonNode]()); s0.path("spec-id").asInt }
+        .contains(0)
+    }
+    if (!hadSpec0) { val sp = specs.addObject(); sp.put("spec-id", 0); sp.putArray("fields") }
+    n.put("default-spec-id", 0)
+    n.put("current-snapshot-id", snapshotId)
+    val snaps = n.putArray("snapshots")
+    prevMeta.foreach(_.path("snapshots").elements().asScala.foreach(snaps.add))
+    val s0 = snaps.addObject()
+    s0.put("snapshot-id", snapshotId)
+    s0.put("sequence-number", seqNo)
+    s0.put("timestamp-ms", System.currentTimeMillis())
+    s0.put("manifest-list", listP.toString)
+    s0.put("schema-id", curSchemaId)
+    s0.putObject("summary").put("operation", if (replace) "overwrite" else "append")
+
+    // THE COMMIT: full write to a hidden temp, then RENAME without
+    // overwrite into the next metadata version — a reader never sees
+    // partial bytes, and the rename fails (never truncates) when a
+    // concurrent writer got there first (DeltaInterop.commit's shape)
+    val target = new Path(root, s"metadata/v${base + 1}.metadata.json")
+    val tmp = new Path(root,
+      s"metadata/.tmp-v${base + 1}-${java.util.UUID.randomUUID().toString.take(8)}.json")
+    val out = f.create(tmp, false)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
+    finally out.close()
+    val won = !f.exists(target) && f.rename(tmp, target)
+    if (!won) {
+      f.delete(tmp, false); f.delete(listP, false)
+      throw new java.util.ConcurrentModificationException(
+        s"version ${base + 1} of $root was committed concurrently")
+    }
+    // hint is advisory (readers fall back to the listing); last wins
+    val hint = f.create(new Path(root, "metadata/version-hint.text"), true)
+    try hint.write(String.valueOf(base + 1).getBytes) finally hint.close()
+    snapshotId
+  }
+}

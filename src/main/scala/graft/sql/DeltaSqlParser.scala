@@ -643,8 +643,13 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
             require(i > 0, s"bad TBLPROPERTIES entry: $kv")
             def unq(s: String) = {
               val x = s.trim
-              if (x.length >= 2 && ((x.head == '\'' && x.last == '\'') ||
-                (x.head == '"' && x.last == '"'))) x.substring(1, x.length - 1) else x
+              // strip the quotes AND undo SQL quote-escaping: a value
+              // written as 'it''s' must store as it's
+              if (x.length >= 2 && x.head == '\'' && x.last == '\'')
+                x.substring(1, x.length - 1).replace("''", "'")
+              else if (x.length >= 2 && x.head == '"' && x.last == '"')
+                x.substring(1, x.length - 1).replace("\"\"", "\"")
+              else x
             }
             unq(kv.take(i)) -> unq(kv.drop(i + 1))
           }.toMap
@@ -694,8 +699,13 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
         command(Seq(attr("version", LongType))) { spark =>
           def unq(s: String) = {
             val x = s.trim
-            if (x.length >= 2 && ((x.head == '\'' && x.last == '\'') ||
-              (x.head == '"' && x.last == '"'))) x.substring(1, x.length - 1) else x
+            // same unescaping as SET TBLPROPERTIES — a key set as
+            // 'it''s' must unset by the same spelling
+            if (x.length >= 2 && x.head == '\'' && x.last == '\'')
+              x.substring(1, x.length - 1).replace("''", "'")
+            else if (x.length >= 2 && x.head == '"' && x.last == '"')
+              x.substring(1, x.length - 1).replace("\"\"", "\"")
+            else x
           }
           val keys = splitTopLevel(keysTxt, ',').map(unq).filter(_.nonEmpty)
           Seq(Row(DeltaInterop.unsetTableProperties(spark, dir, keys)))
@@ -942,7 +952,7 @@ object DeltaSqlParser {
   private[sql] val alterDropFeatureRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+FEATURE\\s+(\\w+)(\\s+TRUNCATE\\s+HISTORY)?\\s*;?\\s*$$""".r
   private[sql] val alterUnsetPropsRe =
-    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+UNSET\\s+TBLPROPERTIES\\s*(?:IF\\s+EXISTS\\s*)?\\((.+)\\)\\s*;?\\s*$$""".r
   private[sql] val describeDetailRe =
     s"""(?is)^\\s*DESCRIBE\\s+DETAIL\\s+$T\\s*;?\\s*$$""".r
   private[sql] val showPropsRe =

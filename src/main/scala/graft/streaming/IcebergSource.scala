@@ -1,0 +1,273 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.io.IcebergInterop
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, GraftBridge, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles, SupportsAdmissionControl, Offset => ConnectorOffset}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Offset of the graft-iceberg streaming SOURCE: a position in the
+  * linearized file stream `origin-snapshot files ++ per-snapshot added
+  * files`, ordered by the table's SEQUENCE NUMBERS (Iceberg's commit
+  * order — snapshot ids are random, sequence numbers are the log).
+  *
+  *   - `starting = true`: still emitting the stream-origin snapshot;
+  *     `seq` is its sequence number, `index` counts its path-sorted
+  *     files already emitted.
+  *   - `starting = false`: tailing the lineage; `seq` is the snapshot
+  *     being consumed, `index` counts its added files already emitted. */
+final case class IcebergSourceOffset(seq: Long, index: Int, starting: Boolean)
+    extends V1Offset {
+  override def json: String =
+    s"""{"seq":$seq,"index":$index,"starting":$starting}"""
+}
+
+object IcebergSourceOffset {
+  private val M = new ObjectMapper()
+  def from(o: ConnectorOffset): IcebergSourceOffset = o match {
+    case d: IcebergSourceOffset => d
+    case other =>
+      val n = M.readTree(other.json)
+      IcebergSourceOffset(n.get("seq").asLong, n.get("index").asInt,
+        n.get("starting").asBoolean)
+  }
+}
+
+/** Structured-streaming SOURCE over a FOREIGN (or graft-written)
+  * Apache Iceberg table — the Iceberg twin of [[DeltaSource]]:
+  * `spark.readStream.format("graft-iceberg").load(dir)` emits the
+  * stream-origin snapshot once, then TAILS the snapshot lineage in
+  * sequence-number order, delivering each append snapshot's added
+  * files exactly once (offset log + deterministic path-sorted
+  * enumeration ⇒ idempotent replays).
+  *
+  * Options:
+  *   - `maxFilesPerTrigger`: admission-controlled rate limit;
+  *   - `ignoreChanges`: tolerate non-append snapshots (overwrite /
+  *     replace) by re-emitting their added files — downstream sees
+  *     reprocessed rows, the documented tradeoff. Without it a
+  *     non-append snapshot fails the stream (loudly correct default).
+  *
+  * Row-level deletes REFUSE in both phases (streaming replays raw
+  * files; masked rows would resurrect) — the same carve-out Iceberg's
+  * own Spark streaming source makes; compact first.
+  *
+  * Scale shape: per trigger the driver reads ONE metadata JSON plus
+  * the NEW snapshots' own manifests (added_snapshot_id-filtered, so
+  * carried-forward manifests are never re-read); each micro-batch is
+  * a normal pruned parquet scan of exactly the batch's files with the
+  * field-id-pinned schema. A 100 TB table tails at the cost of its
+  * CHANGES, never its size. */
+final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String,
+                          options: Map[String, String])
+    extends Source with SupportsAdmissionControl {
+
+  private val opts = options.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+  private val maxFiles: Option[Int] = opts.get("maxfilespertrigger").map { v =>
+    val n = v.toInt; require(n > 0, s"maxFilesPerTrigger must be positive, got $n"); n
+  }
+  private val ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean)
+
+  private val M = new ObjectMapper()
+
+  /** Durable stream origin, fixed at FIRST start (crash-safe: restored
+    * from the checkpoint dir on every restart): the origin snapshot's
+    * (sequence number, snapshot id) and the locked schema JSON. */
+  private case class Origin(seq: Long, snapshotId: Long, schemaJson: String)
+
+  private val origin: Origin = {
+    val f = new Path(metadataPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(metadataPath, "graft-iceberg-origin.json")
+    def load(): Origin = {
+      val in = f.open(p)
+      val n = try M.readTree(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+              finally in.close()
+      Origin(n.get("seq").asLong, n.get("snapshotId").asLong,
+        n.get("schemaJson").asText)
+    }
+    if (f.exists(p)) load()
+    else {
+      val (snaps, schema) = IcebergInterop.streamHead(spark, dir)
+      require(snaps.nonEmpty, s"no snapshots at $dir — nothing to stream")
+      val head = snaps.last
+      val o = Origin(head._1, head._2, schema.json)
+      f.mkdirs(new Path(metadataPath))
+      val tmp = new Path(metadataPath, s".graft-iceberg-origin.${java.util.UUID.randomUUID}.tmp")
+      val out = f.create(tmp, false)
+      try {
+        val node = M.createObjectNode()
+        node.put("seq", o.seq); node.put("snapshotId", o.snapshotId)
+        node.put("schemaJson", o.schemaJson)
+        out.write(M.writeValueAsBytes(node))
+      } finally out.close()
+      if (!f.rename(tmp, p)) { f.delete(tmp, false); load() } else o
+    }
+  }
+
+  /** Schema epoch every batch reads with (field-id pinned). */
+  private val lockedSchema: StructType =
+    org.apache.spark.sql.types.DataType.fromJson(origin.schemaJson)
+      .asInstanceOf[StructType]
+
+  /** Path-sorted origin-snapshot enumeration (refuses deletes). */
+  private lazy val snapFiles: IndexedSeq[String] =
+    IcebergInterop.streamSnapshotFiles(spark, dir, origin.snapshotId).toIndexedSeq
+
+  override def schema: StructType = lockedSchema
+
+  // per-sequence-number added-file lists — metadata-sized, pruned as
+  // batches commit; also caches the seq→(snapshotId, operation) map
+  private val addCache = scala.collection.mutable.HashMap.empty[Long, Seq[String]]
+
+  /** Snapshots strictly after the origin, by sequence number. */
+  private def tailSnaps(): Seq[(Long, Long, String)] =
+    IcebergInterop.streamHead(spark, dir)._1.filter(_._1 > origin.seq)
+
+  private def addedOf(seq: Long, snapId: Long, op: String): Seq[String] =
+    synchronized(addCache.getOrElseUpdate(seq, {
+      if (op != "append" && !ignoreChanges)
+        throw new IllegalStateException(
+          s"snapshot $snapId (seq $seq) of $dir is '$op', not an append — " +
+          "set ignoreChanges to re-emit its added files, or restart past it")
+      IcebergInterop.streamAddedFiles(spark, dir, snapId)
+    }))
+
+  /** Walk forward from `prev` consuming up to `budget` files. */
+  private def advance(prev: Option[IcebergSourceOffset],
+                      budget: Option[Int]): Option[IcebergSourceOffset] = {
+    var remaining = budget.getOrElse(Int.MaxValue)
+    var cur = prev
+    if (prev.forall(_.starting)) {
+      val idx = prev.map(_.index).getOrElse(0)
+      if (idx < snapFiles.length) {
+        val take = math.min(remaining, snapFiles.length - idx)
+        cur = Some(IcebergSourceOffset(origin.seq, idx + take, starting = true))
+        remaining -= take
+        if (idx + take < snapFiles.length) return cur
+      } else if (cur.isEmpty)
+        cur = Some(IcebergSourceOffset(origin.seq, 0, starting = true))
+    }
+    val tail = tailSnaps()
+    // finish the partially-consumed tail snapshot first
+    cur match {
+      case Some(o) if !o.starting =>
+        tail.find(_._1 == o.seq).foreach { case (seq, id, op) =>
+          val n = addedOf(seq, id, op).length
+          if (o.index < n && remaining > 0) {
+            val take = math.min(remaining, n - o.index)
+            cur = Some(IcebergSourceOffset(seq, o.index + take, starting = false))
+            remaining -= take
+            if (o.index + take < n) return cur
+          }
+        }
+      case _ => ()
+    }
+    val fromSeq = cur match {
+      case Some(o) if !o.starting => o.seq
+      case _ => origin.seq // snapshot phase complete (or empty)
+    }
+    var expected = fromSeq + 1
+    tail.filter(_._1 > fromSeq).foreach { case (seq, id, op) =>
+      if (remaining <= 0) return cur
+      // sequence numbers are contiguous (one per commit): a gap means
+      // expireSnapshots dropped data the stream never consumed — fail
+      // loudly instead of silently skipping it
+      if (seq != expected)
+        throw new IllegalStateException(
+          s"snapshot seq $expected of $dir expired before the stream " +
+          s"consumed it (head resumes at seq $seq) — restart the stream from a fresh checkpoint")
+      expected += 1
+      val n = addedOf(seq, id, op).length
+      val take = math.min(remaining, n)
+      cur = Some(IcebergSourceOffset(seq, take, starting = false))
+      remaining -= take
+      if (take < n) return cur
+    }
+    cur
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFiles.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
+    val prev = Option(start).map(IcebergSourceOffset.from)
+    val budget = limit match {
+      case m: ReadMaxFiles => Some(m.maxFiles)
+      case _ => None
+    }
+    advance(prev, budget).orNull
+  }
+
+  override def getOffset: Option[V1Offset] =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  /** Files strictly after `start`, up to and including `end`. */
+  private def filesBetween(start: Option[IcebergSourceOffset],
+                           end: IcebergSourceOffset): Seq[String] = {
+    val snapPart: Seq[String] =
+      if (start.forall(_.starting)) {
+        val from = start.map(_.index).getOrElse(0)
+        val to = if (end.starting) end.index else snapFiles.length
+        snapFiles.slice(from, to)
+      } else Seq.empty
+    val tailPart: Seq[String] =
+      if (end.starting) Seq.empty
+      else {
+        val (fromSeq, fromIdx) = start match {
+          case Some(o) if !o.starting => (o.seq, o.index)
+          case _ => (origin.seq, 0) // all of every tail snapshot ≤ end
+        }
+        tailSnaps().filter(t => t._1 >= fromSeq && t._1 <= end.seq)
+          .flatMap { case (seq, id, op) =>
+            val files = addedOf(seq, id, op)
+            val lo = if (seq == fromSeq) fromIdx else 0
+            val hi = if (seq == end.seq) end.index else files.length
+            files.slice(lo, hi)
+          }
+      }
+    snapPart ++ tailPart
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val endO = IcebergSourceOffset.from(end)
+    val startO = start.map(IcebergSourceOffset.from)
+    val files = filesBetween(startO, endO)
+    if (files.isEmpty) GraftBridge.emptyStreamingBatch(spark, schema)
+    else GraftBridge.asStreamingBatch(
+      spark.read.schema(lockedSchema).parquet(files: _*)
+        .select(lockedSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
+  }
+
+  override def commit(end: V1Offset): Unit = {
+    val o = IcebergSourceOffset.from(end)
+    synchronized { addCache.filterInPlace((seq, _) => seq >= o.seq) }
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"IcebergSource[$dir]"
+}
+
+/** `spark.readStream.format("graft-iceberg").load(path)`. */
+final class IcebergSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-iceberg"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-iceberg source needs a path: .load(dir)"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      IcebergInterop.streamHead(sqlContext.sparkSession, pathOf(parameters))._2))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new IcebergSource(sqlContext.sparkSession, pathOf(parameters), metadataPath, parameters)
+}

@@ -142,7 +142,7 @@ object IcebergFixture {
     // convention; partition summaries and spec ids carry through
     val FS = ManifestFileSchema.getField("partitions").schema()
       .getTypes.get(1).getElementType
-    val prior: Seq[(String, Long, Int, Long, Int, AnyRef)] =
+    val prior: Seq[(String, Long, Int, Long, Int, AnyRef, Long)] =
       prevMeta.toSeq.flatMap { m =>
         val cur = m.path("current-snapshot-id").asLong
         m.path("snapshots").elements().asScala
@@ -159,7 +159,12 @@ object IcebergFixture {
                   .flatMap(_ => Option(r.get("partition_spec_id")))
                   .map(_.asInstanceOf[Number].intValue).getOrElse(0),
                 Option(r.getSchema.getField("partitions"))
-                  .flatMap(_ => Option(r.get("partitions"))).orNull)
+                  .flatMap(_ => Option(r.get("partitions"))).orNull,
+                // carried-forward manifests keep their ORIGINAL
+                // added_snapshot_id — incremental consumers attribute
+                // "files added by snapshot S" through it
+                Option(r.get("added_snapshot_id"))
+                  .map(_.asInstanceOf[Number].longValue).getOrElse(snapshotId))
             }
           }
       }
@@ -174,17 +179,17 @@ object IcebergFixture {
         arr.add(fsRec); arr
       }.orNull
       (mr.path.toString, f.getFileStatus(mr.path).getLen, mr.content,
-        seqNo, mr.specId, parts)
+        seqNo, mr.specId, parts, snapshotId)
     }
     val listRecords = (prior ++ fresh).map {
-      case (mp, len, content, mseq, specId, parts) =>
+      case (mp, len, content, mseq, specId, parts, addedBy) =>
         val r = new GenericData.Record(ManifestFileSchema)
         r.put("manifest_path", mp)
         r.put("manifest_length", len)
         r.put("partition_spec_id", specId)
         r.put("content", content)
         r.put("sequence_number", mseq)
-        r.put("added_snapshot_id", snapshotId)
+        r.put("added_snapshot_id", addedBy)
         if (parts != null) r.put("partitions", parts)
         r
     }

@@ -226,6 +226,41 @@ class DeltaLargeStateSpec extends AnyFunSuite {
     } finally spark.conf.unset(DeltaInterop.LargeLogThresholdConf)
   }
 
+
+  test("vacuumLarge distributes the partition-dir walk past the threshold; reclaim unchanged") {
+    val dir = Files.createTempDirectory("graft-large-vac-dist").toString
+    // 12 partition dirs — more than the lowered walk threshold
+    val df = (0L until 1200L).map(i => (i, s"p${i % 12}", s"v$i")).toDF("id", "part", "payload")
+    DeltaInterop.writeDelta(df, dir, Seq("part"))
+    DeltaInterop.checkpoint(spark, dir)
+    spark.conf.set(DeltaInterop.LargeLogThresholdConf, "1")
+    val prevThreshold = DeltaInterop.VacuumDriverWalkMaxDirs
+    DeltaInterop.VacuumDriverWalkMaxDirs = 4
+    try {
+      val before = DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq
+      // compaction originals become unreferenced after checkpoint+cleanup
+      DeltaInterop.compact(spark, dir, smallFileBytes = 1L << 30)
+      DeltaInterop.checkpoint(spark, dir)
+      DeltaInterop.cleanupLog(spark, dir)
+      val orphan = Paths.get(dir, "part=p3", "orphan-dead.parquet")
+      Files.write(orphan, Array[Byte](9, 9))
+      val deleted = DeltaInterop.vacuumLarge(spark, dir, retainMillis = 0L)
+      assert(DeltaInterop.lastVacuumWalk == "distributed",
+        s"12 partition dirs over threshold 4 must distribute the walk, took '${DeltaInterop.lastVacuumWalk}'")
+      assert(deleted > 0, "compaction originals + orphan must reclaim")
+      assert(!Files.exists(orphan), "orphan must die")
+      val after = DeltaInterop.readDelta(spark, dir).orderBy("id").collect().toSeq
+      assert(after == before, "distributed-walk vacuum reclaimed live data")
+      // the small fixture from the sibling test keeps the driver walk
+      DeltaInterop.VacuumDriverWalkMaxDirs = prevThreshold
+      DeltaInterop.vacuumLarge(spark, dir, retainMillis = 0L)
+      assert(DeltaInterop.lastVacuumWalk == "driver")
+    } finally {
+      DeltaInterop.VacuumDriverWalkMaxDirs = prevThreshold
+      spark.conf.unset(DeltaInterop.LargeLogThresholdConf)
+    }
+  }
+
   test("large-log checkpoint on a v2Checkpoint table writes SIDECARS") {
     val dir = Files.createTempDirectory("graft-large-cpv2").toString
     val df = (0L until 2000L).map(i => (i, s"v$i")).toDF("id", "payload")

@@ -209,6 +209,116 @@ class DeltaSqlPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("DDL walks: generated IDENTITY/DEFAULT/CLUSTER BY/TBLPROPERTIES/DROP FEATURE — SQL ≡ Scala API (10 seeds)") {
+    // the round-12 DDL statement families, fuzzed the way the DML
+    // suite above fuzzes clauses: a random CREATE (same SQL on both
+    // twins — creation is one code path), then a random WALK of DDL
+    // ops run as SQL on twin A and as the Scala API on twin B, with
+    // property values and DEFAULT literals laced with the splitter's
+    // keywords. Equivalence = configuration + schema metadata
+    // (identity/default/mapping) + clustering + protocol + data.
+    (1 to 10).foreach { seed =>
+      val rnd = new scala.util.Random(3000 + seed)
+      val withIdentity = rnd.nextBoolean()
+      val startWith = 1 + rnd.nextInt(7)
+      val incBy = Seq(1, 2, 3, -1)(rnd.nextInt(4))
+      val (defLit, _) = lit2(nasty(rnd.nextInt(nasty.length)))
+      val withDefault = rnd.nextBoolean()
+      val clusterAtCreate = rnd.nextInt(3) match {
+        case 0 => Nil
+        case 1 => Seq("grp")
+        case _ => Seq("grp", "id")
+      }
+      val cols = Seq(
+        "id BIGINT",
+        if (withIdentity)
+          s"seq BIGINT GENERATED ALWAYS AS IDENTITY (START WITH $startWith INCREMENT BY $incBy)"
+        else "seq BIGINT",
+        if (withDefault) s"msg STRING DEFAULT $defLit" else "msg STRING",
+        "grp BIGINT").mkString(", ")
+      val createSuffix =
+        if (clusterAtCreate.isEmpty) ""
+        else s" CLUSTER BY (${clusterAtCreate.mkString(", ")})"
+      val a = Files.createTempDirectory(s"graft-ddlprop-a").toString + "/t"
+      val b = Files.createTempDirectory(s"graft-ddlprop-b").toString + "/t"
+      Seq(a, b).foreach(p => spark.sql(
+        s"CREATE TABLE delta.`$p` ($cols) USING delta$createSuffix"))
+
+      def insertBoth(n: Int): Unit = Seq(a, b).foreach { p =>
+        val colList = if (withIdentity) "(id, msg, grp)" else "(id, seq, msg, grp)"
+        val sel = if (withIdentity) "id, concat('m', id), id % 3"
+                  else "id, id * 10, concat('m', id), id % 3"
+        spark.sql(s"INSERT INTO delta.`$p` $colList SELECT $sel FROM range($n)")
+      }
+      insertBoth(6 + rnd.nextInt(6))
+
+      var cdfOnBoth = false
+      (0 until 4 + rnd.nextInt(3)).foreach { step =>
+        rnd.nextInt(6) match {
+          case 0 => // SET TBLPROPERTIES with a keyword-laced value
+            val (vl, vv) = lit2(nasty(rnd.nextInt(nasty.length)))
+            spark.sql(s"ALTER TABLE delta.`$a` SET TBLPROPERTIES ('graft.k$step' = $vl)")
+            DeltaInterop.setTableProperties(spark, b, Map(s"graft.k$step" -> vv))
+          case 1 => // UNSET (tolerant of absent keys on both sides)
+            spark.sql(s"ALTER TABLE delta.`$a` UNSET TBLPROPERTIES IF EXISTS ('graft.k0')")
+            DeltaInterop.unsetTableProperties(spark, b, Seq("graft.k0"))
+          case 2 => // flip the msg DEFAULT to a fresh nasty literal
+            val (dl, dv) = lit2(nasty(rnd.nextInt(nasty.length)))
+            spark.sql(s"ALTER TABLE delta.`$a` ALTER COLUMN msg SET DEFAULT $dl")
+            DeltaInterop.setColumnDefault(spark, b, "msg",
+              s"'${dv.replace("'", "''")}'")
+          case 3 => // re-CLUSTER or un-cluster (NONE only when clustered)
+            val clustered = DeltaInterop.state(spark, a).clusteringColumns.nonEmpty
+            val next = rnd.nextInt(3) match {
+              case 0 if clustered => Nil
+              case 0 => Seq("id")
+              case 1 => Seq("id")
+              case _ => Seq("grp", "id")
+            }
+            if (next.isEmpty) {
+              spark.sql(s"ALTER TABLE delta.`$a` CLUSTER BY NONE")
+              DeltaInterop.removeClusteringColumns(spark, b)
+            } else {
+              spark.sql(s"ALTER TABLE delta.`$a` CLUSTER BY (${next.mkString(", ")})")
+              DeltaInterop.setClusteringColumns(spark, b, next)
+            }
+          case 4 => // enable CDF, maybe later dropped
+            spark.sql(s"ALTER TABLE delta.`$a` SET TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')")
+            DeltaInterop.setTableProperties(spark, b,
+              Map("delta.enableChangeDataFeed" -> "true"))
+            cdfOnBoth = true
+          case _ => // more rows through the SAME SQL (data keeps moving)
+            insertBoth(3 + rnd.nextInt(4))
+        }
+      }
+      if (cdfOnBoth && rnd.nextBoolean()) {
+        spark.sql(s"ALTER TABLE delta.`$a` DROP FEATURE changeDataFeed")
+        DeltaInterop.dropFeature(spark, b, "changeDataFeed")
+      }
+
+      val (sa, sb) = (DeltaInterop.state(spark, a), DeltaInterop.state(spark, b))
+      assert(sa.configuration == sb.configuration,
+        s"seed=$seed config diverged:\nSQL: ${sa.configuration}\nAPI: ${sb.configuration}")
+      assert(sa.schema.json == sb.schema.json,
+        s"seed=$seed schema metadata diverged")
+      assert(sa.clusteringColumns == sb.clusteringColumns, s"seed=$seed clustering diverged")
+      assert(sa.protocol == sb.protocol, s"seed=$seed protocol diverged")
+      // data: identity values depend on physical partitioning, so the
+      // portable comparison is the non-identity columns (plus identity
+      // INVARIANTS: unique, step-aligned from the declared start)
+      def rows(p: String) = DeltaInterop.readDelta(spark, p)
+        .select("id", "msg", "grp").collect().map(_.toString).sorted.toSeq
+      assert(rows(a) == rows(b), s"seed=$seed data diverged")
+      if (withIdentity) Seq(a, b).foreach { p =>
+        val seqs = DeltaInterop.readDelta(spark, p).select("seq")
+          .collect().map(_.getLong(0)).toSeq
+        assert(seqs.distinct.length == seqs.length, s"seed=$seed identity collision in $p")
+        assert(seqs.forall(v => (v - startWith) % incBy == 0),
+          s"seed=$seed identity values off the declared (start, step) lattice")
+      }
+    }
+  }
+
   test("statements that are NOT graft's stay Spark's: keyword literals in plain SQL") {
     // a SELECT whose literal spells a whole Delta statement must pass
     // through untouched

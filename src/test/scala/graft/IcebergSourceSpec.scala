@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+import graft.io.{IcebergInterop, IcebergWrite}
+import graft.tools.IcebergFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The graft-iceberg STREAMING source: origin snapshot once, then the
+  * snapshot lineage tailed in sequence order — exactly-once across
+  * rate-limited micro-batches and restarts; loud refusals for the
+  * shapes raw-file replay cannot honor (row-level deletes, non-append
+  * snapshots without ignoreChanges). */
+class IcebergSourceSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def collectStream(dir: String, ckpt: String,
+                            options: Map[String, String] = Map.empty)
+      : (scala.collection.mutable.ListBuffer[(Long, String)],
+         org.apache.spark.sql.streaming.StreamingQuery,
+         java.util.concurrent.atomic.AtomicInteger) = {
+    val buf = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var r = spark.readStream.format("graft-iceberg")
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load(dir).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.select("id", "tag").as[(Long, String)].collect()
+        if (rows.nonEmpty) {
+          batches.incrementAndGet()
+          buf.synchronized { buf ++= rows }
+        }
+        ()
+      }.start()
+    (buf, q, batches)
+  }
+
+  test("origin snapshot + tailed appends arrive exactly once, rate-limited") {
+    val dir = Files.createTempDirectory("graft-ice-src").toString
+    IcebergWrite.append(
+      (0L until 20L).map(i => (i, s"a_$i")).toDF("id", "tag").repartition(4), dir)
+    val (buf, q, batches) = collectStream(dir, s"$dir/ckpt",
+      Map("maxFilesPerTrigger" -> "2"))
+    try {
+      q.processAllAvailable()
+      assert(buf.synchronized(buf.map(_._1).sorted.toSeq) == (0L until 20L))
+      // two appends land while the stream runs — tailed incrementally
+      IcebergWrite.append(
+        (20L until 30L).map(i => (i, s"b_$i")).toDF("id", "tag").repartition(2), dir)
+      IcebergWrite.append(
+        (30L until 35L).map(i => (i, s"c_$i")).toDF("id", "tag"), dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(buf.synchronized(buf.map(_._1).sorted.toSeq) == (0L until 35L),
+      "every row exactly once across snapshot + tail")
+    assert(batches.get >= 3, s"4+2+... files at 2/trigger must cut >=3 batches, saw ${batches.get}")
+  }
+
+  test("restart from checkpoint resumes past consumed offsets (no re-emission)") {
+    val dir = Files.createTempDirectory("graft-ice-src-restart").toString
+    IcebergWrite.append(
+      (0L until 8L).map(i => (i, s"a_$i")).toDF("id", "tag"), dir)
+    val ckpt = s"$dir/ckpt"
+    val (buf1, q1, _) = collectStream(dir, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(buf1.synchronized(buf1.size) == 8)
+    // append between runs; the restarted stream must emit ONLY the new rows
+    IcebergWrite.append(
+      (8L until 12L).map(i => (i, s"b_$i")).toDF("id", "tag"), dir)
+    val (buf2, q2, _) = collectStream(dir, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(buf2.synchronized(buf2.map(_._1).sorted.toSeq) == (8L until 12L),
+      s"restart must resume, not replay: ${buf2.synchronized(buf2.toList)}")
+  }
+
+  test("a non-append snapshot fails the stream; ignoreChanges re-emits its files") {
+    val dir = Files.createTempDirectory("graft-ice-src-ovr").toString
+    IcebergWrite.append(
+      (0L until 6L).map(i => (i, s"a_$i")).toDF("id", "tag"), dir)
+    val (_, q1, _) = collectStream(dir, s"$dir/ckpt1")
+    try {
+      q1.processAllAvailable()
+      IcebergWrite.overwrite(
+        (100L until 103L).map(i => (i, s"z_$i")).toDF("id", "tag"), dir)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q1.processAllAvailable())
+      assert(e.getMessage.contains("not an append") ||
+        Option(e.getCause).exists(_.getMessage.contains("not an append")),
+        e.getMessage)
+    } finally q1.stop()
+    // with ignoreChanges a fresh stream consumes the overwrite's files:
+    // origin snapshot (the post-overwrite live set) only — start a new
+    // stream, then another overwrite tails through with the flag
+    val (buf2, q2, _) = collectStream(dir, s"$dir/ckpt2",
+      Map("ignoreChanges" -> "true"))
+    try {
+      q2.processAllAvailable()
+      assert(buf2.synchronized(buf2.map(_._1).sorted.toSeq) == (100L until 103L))
+      IcebergWrite.overwrite(
+        (200L until 202L).map(i => (i, s"y_$i")).toDF("id", "tag"), dir)
+      q2.processAllAvailable()
+      assert(buf2.synchronized(buf2.map(_._1).sorted.toSeq) ==
+        Seq(100L, 101L, 102L, 200L, 201L))
+    } finally q2.stop()
+  }
+
+  test("row-level deletes refuse loudly in both phases") {
+    val dir = Files.createTempDirectory("graft-ice-src-del").toString
+    // fixture table with a position delete in its CURRENT snapshot
+    IcebergFixture.append(
+      (0L until 10L).map(i => (i, s"a_$i", 0.0)).toDF("id", "tag", "v"), dir)
+    val victim = IcebergInterop.readIceberg(spark, dir)
+      .select(col("_metadata.file_path").as("fp"), col("_metadata.row_index").as("pos"))
+      .limit(1).head()
+    IcebergFixture.deletePositions(spark, dir,
+      Seq((victim.getString(0).stripPrefix("file:"), victim.getLong(1))))
+    // ORIGIN phase: the snapshot carries deletes — the stream must refuse
+    val (_, q, _) = collectStream(dir, s"$dir/ckpt")
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q.processAllAvailable())
+      assert(e.getMessage.contains("row-level deletes") ||
+        Option(e.getCause).exists(_.getMessage.contains("row-level deletes")),
+        e.getMessage)
+    } finally q.stop()
+  }
+}

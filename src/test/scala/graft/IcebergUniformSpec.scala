@@ -243,6 +243,52 @@ class IcebergUniformSpec extends AnyFunSuite {
       IcebergInterop.readIceberg(spark, dir, snapshotId = Some(1L)).count())
   }
 
+
+  test("ADOPT a foreign mirror: writes refuse before, validation gates, planes agree after") {
+    val dir = dir0()
+    DeltaInterop.writeDelta(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), dir, Nil)
+    DeltaInterop.enableUniform(spark, dir)
+    DeltaInterop.writeDelta(Seq((3L, "c")).toDF("id", "tag"), dir, Nil)
+    val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val markerP = new org.apache.hadoop.fs.Path(dir,
+      s"metadata/${IcebergUniform.MarkerName}")
+    // make the mirror FOREIGN: delete the maintenance marker (the shape
+    // a delta-spark-authored uniform table arrives in)
+    assert(f.delete(markerP, false))
+    val e = intercept[IllegalArgumentException](
+      DeltaInterop.writeDelta(Seq((4L, "d")).toDF("id", "tag"), dir, Nil))
+    assert(e.getMessage.contains("adoptUniform"), e.getMessage)
+
+    // a DIVERGED mirror refuses adoption: point the hint at the stale
+    // snapshot 1 (pre-append), so the file sets disagree
+    val hintP = new org.apache.hadoop.fs.Path(dir, "metadata/version-hint.text")
+    val hv = {
+      val in = f.open(hintP)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
+    }
+    def setHint(v: Int): Unit = {
+      val out = f.create(hintP, true)
+      try out.write(String.valueOf(v).getBytes) finally out.close()
+    }
+    setHint(1)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaInterop.adoptUniform(spark, dir))
+    assert(e2.getMessage.contains("diverged"), e2.getMessage)
+    assert(!f.exists(markerP), "failed adoption must not leave a marker")
+
+    // the intact mirror adopts; appends flow and BOTH planes agree
+    setHint(hv)
+    DeltaInterop.adoptUniform(spark, dir)
+    DeltaInterop.writeDelta(Seq((4L, "d")).toDF("id", "tag"), dir, Nil)
+    val (d, i) = both(dir)
+    assert(d == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")) && i == d)
+    // double adoption refuses (already ours)
+    val e3 = intercept[IllegalArgumentException](
+      DeltaInterop.adoptUniform(spark, dir))
+    assert(e3.getMessage.contains("already maintained"), e3.getMessage)
+  }
+
   test("uniform composes: identity columns generate, CDF records, SQL federation joins both planes") {
     val dir = dir0()
     // identity column + CDF on, THEN uniform

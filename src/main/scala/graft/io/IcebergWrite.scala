@@ -159,14 +159,22 @@ object IcebergWrite {
     // references them, reclaimable if the commit never lands
     val staging = new Path(root, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
     withFieldIds(df, idsByName).write.parquet(staging.toString)
-    val dataFiles = f.listStatus(staging).filter(_.getPath.getName.endsWith(".parquet"))
+    val staged = f.listStatus(staging).filter(_.getPath.getName.endsWith(".parquet"))
       .map { st =>
         val dst = new Path(root, s"data/${java.util.UUID.randomUUID()}.parquet")
         require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
         (dst, f.getFileStatus(dst).getLen)
       }.toSeq
     f.delete(staging, true)
-    val stats = allFileStats(spark, dataFiles.map(_._1.toString), idsByName)
+    val stats =
+      if (staged.isEmpty) Map.empty[String, (Long, Map[Int, (Array[Byte], Array[Byte])])]
+      else allFileStats(spark, staged.map(_._1.toString), idsByName)
+    // a ZERO-record staged file (empty write partition) has no stats
+    // group — never manifest it; delete it like the Delta stageData
+    // path does
+    val (dataFiles, empties) =
+      staged.partition(p => stats.contains(canonPath(p._1.toString)))
+    empties.foreach { case (p, _) => f.delete(p, false) }
 
     var attempt = 0
     var base = v0

@@ -1,6 +1,6 @@
 package graft.sql
 
-import graft.io.{DeltaInterop, IcebergInterop}
+import graft.io.{DeltaInterop, IcebergInterop, IcebergWrite}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
@@ -90,6 +90,7 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
     val t = sqlText.trim
     tryDelete(t).orElse(tryUpdate(t)).orElse(tryMerge(t))
       .orElse(tryHistory(t)).orElse(tryRestore(t)).orElse(tryInsert(t))
+      .orElse(tryIcebergInsert(t))
       .orElse(tryClone(t)).orElse(tryCreateCols(t))
       .orElse(tryCtasPath(t)).orElse(tryCtasName(t))
       .orElse(tryConvert(t)).orElse(tryVacuum(t)).orElse(tryOptimize(t))
@@ -390,6 +391,36 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
             overwrite = mode.equalsIgnoreCase("OVERWRITE"))
           Nil
         }
+      }
+    }
+
+  /** SQL writes for NATIVE Iceberg tables ([[graft.io.IcebergWrite]]):
+    * `INSERT INTO iceberg.`p` <query>` appends a spec-shaped snapshot
+    * (creating the table on first insert); `INSERT OVERWRITE` replaces
+    * the contents in one overwrite snapshot. Positional resolution
+    * against the table's CURRENT schema, cast to its types — the same
+    * path-table semantics the Delta INSERT uses. */
+  private def tryIcebergInsert(t: String): Option[LogicalPlan] =
+    icebergInsertRe.findFirstMatchIn(t).map { m =>
+      val (mode, dir, query) = (m.group(1), m.group(2), m.group(3).trim)
+      command(Nil) { spark =>
+        val df = spark.sql(query)
+        val curOpt =
+          try Some(IcebergInterop.streamHead(spark, dir)._2)
+          catch { case _: IllegalArgumentException => None } // no table yet
+        val aligned = curOpt match {
+          case None => df // first insert CREATES the table from the query
+          case Some(cur) =>
+            require(df.columns.length == cur.fields.length,
+              s"INSERT provides ${df.columns.length} columns; table has ${cur.fields.length}")
+            df.toDF(cur.fieldNames.toIndexedSeq: _*)
+              .select(cur.fields.map(f =>
+                org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
+                .toIndexedSeq: _*)
+        }
+        if (mode.equalsIgnoreCase("OVERWRITE")) IcebergWrite.overwrite(aligned, dir)
+        else IcebergWrite.append(aligned, dir)
+        Nil
       }
     }
 
@@ -880,6 +911,9 @@ object DeltaSqlParser {
     s"""(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$T\\s*;?\\s*$$""".r
   private[sql] val icebergHistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+iceberg\s*\.\s*`([^`]+)`\s*;?\s*$""".r
+  private[sql] val icebergInsertRe =
+    ("""(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?iceberg\s*\.\s*`([^`]+)`""" +
+     """\s+(SELECT\b.+|VALUES\b.+|TABLE\b.+|FROM\b.+)$""").r
   private[sql] val restoreRe =
     (s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+""" +
      s"""(?:VERSION\\s+AS\\s+OF\\s+(\\d+)|TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')\\s*;?\\s*$$""").r

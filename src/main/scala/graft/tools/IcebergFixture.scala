@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * (iceberg.apache.org/spec/ — data parquet + Avro manifests + Avro
   * manifest list + `v<N>.metadata.json` + `version-hint.text`), the
   * foreign-table shape [[graft.io.IcebergInterop]] reads. Test/oracle
-  * support ONLY — graft does not write Iceberg as a product feature;
-  * this exists so reads are exercised against a table laid out by the
-  * published spec rather than by the reader's own assumptions.
+  * support: the PRODUCT write path is [[graft.io.IcebergWrite]]
+  * (optimistic commits, footer-stat bounds); this fixture stays a
+  * separate, simpler writer so reads keep being exercised against a
+  * table laid out by the published spec rather than by either
+  * product-side codepath's own assumptions.
   * Supports append snapshots and POSITION-DELETE snapshots (a delete
   * manifest whose entries reference position-delete parquet files
   * with the spec's `file_path`/`pos` columns). */

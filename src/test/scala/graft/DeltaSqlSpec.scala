@@ -347,6 +347,28 @@ class DeltaSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("clustered"), e.getMessage)
   }
 
+
+  test("INSERT INTO / OVERWRITE iceberg.`p` writes native Iceberg snapshots") {
+    val dir = Files.createTempDirectory("graft-sql-ice-ins").toString + "/t"
+    spark.sql(s"INSERT INTO iceberg.`$dir` SELECT id, concat('t', id) AS tag FROM range(10)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM iceberg.`$dir`").head().getLong(0) == 10)
+    spark.sql(s"INSERT INTO iceberg.`$dir` SELECT id + 10 AS id, concat('u', id) AS tag FROM range(5)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM iceberg.`$dir`").head().getLong(0) == 15)
+    val snaps = graft.io.IcebergInterop.snapshots(spark, dir)
+      .orderBy("sequence_number").collect()
+    assert(snaps.length == 2 && snaps.forall(_.getString(3) == "append"))
+    // OVERWRITE replaces contents; prior snapshots stay travelable
+    spark.sql(s"INSERT OVERWRITE iceberg.`$dir` SELECT id + 100 AS id, 'z' AS tag FROM range(3)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM iceberg.`$dir`").head().getLong(0) == 3)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM iceberg.`$dir` VERSION AS OF ${snaps.head.getLong(0)}")
+      .head().getLong(0) == 10)
+    // positional resolution casts to the table's types
+    spark.sql(s"INSERT INTO iceberg.`$dir` SELECT '999', 7 FROM range(1)")
+    assert(spark.sql(s"SELECT sum(id) AS s FROM iceberg.`$dir` WHERE id > 500")
+      .head().getLong(0) == 999L)
+  }
+
   test("OPTIMIZE ZORDER BY and TIMESTAMP AS OF time travel run as SQL") {
     val dir = Files.createTempDirectory("graft-sql-zorder").toString
     DeltaInterop.writeDelta(

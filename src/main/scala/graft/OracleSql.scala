@@ -608,6 +608,11 @@ object OracleSql {
     "q191_iceberg_stream" ->
       """SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q192: Delta->Iceberg streaming mirror — the mirrored table holds
+    // the whole corpus exactly once
+    "q192_iceberg_sink" ->
+      """SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q181: day(ts)-hidden-partitioned Iceberg range read == the same
     // 3-day window on the raw events (the engine additionally asserts
     // 3 of 30 manifests opened)

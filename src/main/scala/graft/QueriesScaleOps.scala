@@ -2543,4 +2543,34 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(sum(col("n0")).as("n"), sum(col("chars0")).cast("long").as("chars"))
       .orderBy(col("lang"))
   }
+
+  /** q192 — STREAMING Iceberg SINK ([[graft.streaming.IcebergStream]] /
+    * [[graft.io.IcebergWrite.appendOnce]]): the corpus lands in a
+    * Delta table, a graft-delta STREAM tails it under a rate limit,
+    * and every micro-batch commits as one exactly-once Iceberg
+    * snapshot (txn ledger in the snapshot summaries) — lake-to-lake
+    * MIRRORING as a stream, the composition a format migration
+    * actually runs. The mirrored table reads back through the foreign
+    * Iceberg path; per-lang aggregates must equal the plain corpus
+    * aggregate (hash-proven), with >=2 snapshots asserting the rate
+    * limit really cut batches. */
+  private[graft] def q192(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q192")
+    val deltaDir = s"$tmp/delta"
+    val iceDir = s"$tmp/iceberg"
+    graft.io.DeltaInterop.writeDelta(docs.repartition(4), deltaDir, Nil)
+    val q = graft.streaming.IcebergStream.sink(s,
+      s.readStream.format("graft-delta")
+        .option("maxFilesPerTrigger", "2").load(deltaDir),
+      iceDir, "graft-q192", s"$tmp/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val snaps = graft.io.IcebergInterop.snapshots(s, iceDir).count()
+    require(snaps >= 2,
+      s"rate-limited mirroring must land >=2 Iceberg snapshots, got $snaps")
+    graft.io.IcebergInterop.readIceberg(s, iceDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+  }
 }

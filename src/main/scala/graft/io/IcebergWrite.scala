@@ -133,11 +133,46 @@ object IcebergWrite {
   def overwrite(df: DataFrame, dir: String): Long =
     write(df, dir, replace = true)
 
-  private def write(df: DataFrame, dir: String, replace: Boolean): Long = {
+  /** Exactly-once streaming append: the (appId, txnVersion) ledger
+    * rides the SNAPSHOT SUMMARY (`graft-app-id` / `graft-txn` keys —
+    * Iceberg's spec-blessed operation metadata), so a batch replayed
+    * after a crash-between-table-commit-and-offset-commit is
+    * recognized and writes nothing — [[DeltaInterop.appendOnce]]'s
+    * contract on the Iceberg plane. The ledger check is one metadata
+    * read (max txn over the lineage's summaries); keep snapshots
+    * retained at least as long as the stream's restart horizon, the
+    * same rule Delta's txn actions get from checkpoints. */
+  def appendOnce(df: DataFrame, dir: String, appId: String,
+                 txnVersion: Long): Long =
+    write(df, dir, replace = false, txn = Some((appId, txnVersion)))
+
+  /** Highest `graft-txn` any snapshot's summary records for `appId`
+    * (-1 when none) — the replay watermark. */
+  private def committedTxn(spark: SparkSession, f: FileSystem, root: Path,
+                           appId: String): Long = {
+    import scala.jdk.CollectionConverters._
+    readMeta(f, root, currentVersion(f, root)).toSeq.flatMap(
+      _.path("snapshots").elements().asScala.flatMap { s0 =>
+        val sum = s0.path("summary")
+        if (sum.path("graft-app-id").asText("") == appId)
+          Some(sum.path("graft-txn").asLong(-1L))
+        else None
+      }).maxOption.getOrElse(-1L)
+  }
+
+  private def write(df: DataFrame, dir: String, replace: Boolean,
+                    txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val root = new Path(dir)
     f.mkdirs(new Path(root, "metadata")); f.mkdirs(new Path(root, "data"))
+    // replayed batch: the ledger already covers this txn — nothing
+    // staged, nothing written
+    txn.foreach { case (appId, tv) =>
+      if (committedTxn(spark, f, root, appId) >= tv)
+        return readMeta(f, root, currentVersion(f, root))
+          .map(_.path("current-snapshot-id").asLong(-1L)).getOrElse(-1L)
+    }
     val v0 = currentVersion(f, root)
     val meta0 = readMeta(f, root, v0)
 
@@ -194,11 +229,20 @@ object IcebergWrite {
       try {
         onBeforeCommit()
         return commitMeta(spark, f, root, base, df.schema, snapshotId, seqNo,
-          manifestP, replace)
+          manifestP, replace, txn)
       }
       catch {
         case _: java.util.ConcurrentModificationException =>
           f.delete(manifestP, false) // re-authored next attempt (new ids)
+          // a DUPLICATE same-batch writer may have won the race: if the
+          // ledger now covers this txn, drop our staged files and defer
+          txn.foreach { case (appId, tv) =>
+            if (committedTxn(spark, f, root, appId) >= tv) {
+              dataFiles.foreach { case (pp, _) => f.delete(pp, false) }
+              return readMeta(f, root, currentVersion(f, root))
+                .map(_.path("current-snapshot-id").asLong(-1L)).getOrElse(-1L)
+            }
+          }
           require(!replace,
             s"overwrite of $dir lost the version race to a concurrent " +
             "commit — replacing state that just changed is a conflict, not a rebase")
@@ -230,7 +274,8 @@ object IcebergWrite {
   private def commitMeta(spark: SparkSession, f: FileSystem, root: Path,
                          base: Int, schema: StructType, snapshotId: Long,
                          seqNo: Long, manifestP: Path,
-                         replace: Boolean): Long = {
+                         replace: Boolean,
+                         txn: Option[(String, Long)] = None): Long = {
     import scala.jdk.CollectionConverters._
     val prevMeta = readMeta(f, root, base)
     val MFS = IcebergFormat.ManifestFileSchema
@@ -328,7 +373,11 @@ object IcebergWrite {
     s0.put("timestamp-ms", System.currentTimeMillis())
     s0.put("manifest-list", listP.toString)
     s0.put("schema-id", curSchemaId)
-    s0.putObject("summary").put("operation", if (replace) "overwrite" else "append")
+    val sum = s0.putObject("summary")
+    sum.put("operation", if (replace) "overwrite" else "append")
+    txn.foreach { case (appId, tv) =>
+      sum.put("graft-app-id", appId); sum.put("graft-txn", tv)
+    }
 
     // THE COMMIT: full write to a hidden temp, then RENAME without
     // overwrite into the next metadata version — a reader never sees

@@ -90,7 +90,7 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
     val t = sqlText.trim
     tryDelete(t).orElse(tryUpdate(t)).orElse(tryMerge(t))
       .orElse(tryHistory(t)).orElse(tryRestore(t)).orElse(tryInsert(t))
-      .orElse(tryIcebergInsert(t))
+      .orElse(tryIcebergInsert(t)).orElse(tryIcebergCtas(t))
       .orElse(tryClone(t)).orElse(tryCreateCols(t))
       .orElse(tryCtasPath(t)).orElse(tryCtasName(t))
       .orElse(tryConvert(t)).orElse(tryVacuum(t)).orElse(tryOptimize(t))
@@ -391,6 +391,26 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
             overwrite = mode.equalsIgnoreCase("OVERWRITE"))
           Nil
         }
+      }
+    }
+
+  /** `CREATE TABLE iceberg.`p` [USING iceberg] AS <query>` — CTAS into
+    * a NATIVE Iceberg table ([[graft.io.IcebergWrite]] creates on
+    * first append). IF NOT EXISTS no-ops when the table already has
+    * metadata; a bare CREATE refuses then (CTAS must not silently
+    * append). */
+  private def tryIcebergCtas(t: String): Option[LogicalPlan] =
+    icebergCtasRe.findFirstMatchIn(t).map { m =>
+      val (ifNotExists, dir, query) = (m.group(1) != null, m.group(2), m.group(3).trim)
+      command(Nil) { spark =>
+        val exists =
+          try { IcebergInterop.streamHead(spark, dir); true }
+          catch { case _: IllegalArgumentException => false }
+        if (exists) require(ifNotExists,
+          s"Iceberg table at $dir already exists — CTAS refuses to append " +
+          "(use INSERT INTO iceberg.`" + dir + "`)")
+        else IcebergWrite.append(spark.sql(query), dir)
+        Nil
       }
     }
 
@@ -911,6 +931,9 @@ object DeltaSqlParser {
     s"""(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$T\\s*;?\\s*$$""".r
   private[sql] val icebergHistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+iceberg\s*\.\s*`([^`]+)`\s*;?\s*$""".r
+  private[sql] val icebergCtasRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?iceberg\s*\.\s*`([^`]+)`""" +
+     """(?:\s+USING\s+iceberg)?\s+AS\s+(.+)$""").r
   private[sql] val icebergInsertRe =
     ("""(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?iceberg\s*\.\s*`([^`]+)`""" +
      """\s+(SELECT\b.+|VALUES\b.+|TABLE\b.+|FROM\b.+)$""").r

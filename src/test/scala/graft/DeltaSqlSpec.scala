@@ -369,6 +369,19 @@ class DeltaSqlSpec extends AnyFunSuite {
       .head().getLong(0) == 999L)
   }
 
+
+  test("CREATE TABLE iceberg.`p` AS SELECT creates a native Iceberg table") {
+    val dir = Files.createTempDirectory("graft-sql-ice-ctas").toString + "/t"
+    spark.sql(s"CREATE TABLE iceberg.`$dir` AS SELECT id, id % 3 AS grp FROM range(12)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM iceberg.`$dir`").head().getLong(0) == 12)
+    // bare CTAS on an existing table refuses; IF NOT EXISTS no-ops
+    val e = intercept[Exception](
+      spark.sql(s"CREATE TABLE iceberg.`$dir` AS SELECT 1 AS id, 2 AS grp"))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    spark.sql(s"CREATE TABLE IF NOT EXISTS iceberg.`$dir` AS SELECT 1 AS id, 2 AS grp")
+    assert(spark.sql(s"SELECT count(*) AS n FROM iceberg.`$dir`").head().getLong(0) == 12)
+  }
+
   test("OPTIMIZE ZORDER BY and TIMESTAMP AS OF time travel run as SQL") {
     val dir = Files.createTempDirectory("graft-sql-zorder").toString
     DeltaInterop.writeDelta(

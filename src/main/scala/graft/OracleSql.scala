@@ -613,6 +613,12 @@ object OracleSql {
     "q192_iceberg_sink" ->
       """SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q193: graft-WRITTEN partitioned Iceberg table — the en slice by
+    // source (manifest-level skip asserted in-query)
+    "q193_iceberg_write_partitioned" ->
+      """SELECT source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q181: day(ts)-hidden-partitioned Iceberg range read == the same
     // 3-day window on the raw events (the engine additionally asserts
     // 3 of 30 manifests opened)

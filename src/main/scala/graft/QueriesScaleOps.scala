@@ -2573,4 +2573,34 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("lang"))
   }
+
+  /** q193 — PARTITIONED native Iceberg writes
+    * ([[graft.io.IcebergWrite.appendPartitioned]], identity
+    * transform): the corpus lands partitioned by lang — one manifest
+    * per partition value, field summaries in the manifest list — and
+    * a single-lang read of the GRAFT-WRITTEN table opens exactly that
+    * partition's manifest (q179's contract, now for tables this
+    * engine writes, not just reads). A second partitioned append
+    * proves summaries survive commit carry-forward. The oracle
+    * restates the lang slice from the corpus. */
+  private[graft] def q193(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q193")
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val mid = mn + (mx - mn) / 2
+    graft.io.IcebergWrite.appendPartitioned(
+      docs.filter(col("doc_id") <= mid), tmp, "lang")
+    graft.io.IcebergWrite.appendPartitioned(
+      docs.filter(col("doc_id") > mid), tmp, "lang")
+    val t = graft.io.IcebergInterop.readIcebergWhere(s, tmp, Map.empty,
+      stringEq = Map("lang" -> "en"))
+    val (read, skipped) = graft.io.IcebergInterop.lastManifestScan
+    require(read == 2 && skipped >= 2,
+      s"expected exactly the two en manifests to open, got read=$read skipped=$skipped")
+    t.groupBy("source").agg(count(lit(1)).as("n"),
+      sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy("source")
+  }
 }

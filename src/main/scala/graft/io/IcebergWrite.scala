@@ -45,6 +45,12 @@ object IcebergWrite {
     * a spec inject a deterministic version race. No-op in production. */
   private[graft] var onBeforeCommit: () => Unit = () => ()
 
+  /** One freshly-authored manifest for a commit: its partition spec id
+    * and (for partitioned manifests) the identity field-summary bytes
+    * the manifest list carries for manifest-level skipping. */
+  private final case class NewManifest(path: Path, specId: Int,
+      summary: Option[(Array[Byte], Array[Byte])])
+
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -132,6 +138,110 @@ object IcebergWrite {
     * Refuses on a concurrent commit (no rebase across an overwrite). */
   def overwrite(df: DataFrame, dir: String): Long =
     write(df, dir, replace = true)
+
+  /** Append `df` as a new snapshot PARTITIONED on `partCol` (identity
+    * transform — one manifest per partition value, each manifest-list
+    * entry carrying the spec's field_summary), creating the table on
+    * first call. The manifest-level skipping [[IcebergInterop]] does
+    * for foreign partitioned tables works identically on tables graft
+    * writes: a single-value read opens only that value's manifests.
+    * Write shape: ONE hive-partitioned staging job + ONE grouped stats
+    * job regardless of the partition-value count; the source column
+    * stays a REAL column in the data files (a duplicate throwaway
+    * column drives the directory split), so reads need no
+    * partition-tuple reconstruction. Hidden transforms (day/bucket/
+    * truncate) stay read-side — the mirror and fixture author them. */
+  def appendPartitioned(df: DataFrame, dir: String, partCol: String): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    f.mkdirs(new Path(root, "metadata")); f.mkdirs(new Path(root, "data"))
+    require(df.columns.contains(partCol), s"no partition column $partCol")
+    val srcDt = df.schema(partCol).dataType
+    require(srcDt == IntegerType || srcDt == LongType || srcDt == StringType,
+      s"identity partitioning supports int/long/string columns, got $srcDt")
+    val v0 = currentVersion(f, root)
+    val idsByName: Map[String, Int] = readMeta(f, root, v0) match {
+      case Some(m) =>
+        val cur = currentFieldIds(m)
+        require(df.columns.toSet == cur.map(_._1).toSet,
+          s"write columns ${df.columns.toSeq.sorted} must match current " +
+          s"schema ${cur.map(_._1).sorted} (evolve the schema first)")
+        cur.toMap
+      case None =>
+        df.schema.fieldNames.zipWithIndex.map { case (n0, i) => n0 -> (i + 1) }.toMap
+    }
+    import org.apache.spark.sql.functions.col
+    val staging = new Path(root, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    withFieldIds(df, idsByName).withColumn("_graft_p", col(partCol))
+      .write.partitionBy("_graft_p").parquet(staging.toString)
+    def decode(dirName: String): Any = {
+      val raw = java.net.URLDecoder.decode(dirName.stripPrefix("_graft_p="), "UTF-8")
+      srcDt match {
+        case IntegerType => raw.toInt
+        case LongType => raw.toLong
+        case _ => raw
+      }
+    }
+    val filesOfValue: Seq[(Any, Seq[(Path, Long)])] = f.listStatus(staging)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_graft_p="))
+      .sortBy(_.getPath.getName)
+      .map { d =>
+        val files = f.listStatus(d.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val dst = new Path(root, s"data/${java.util.UUID.randomUUID()}.parquet")
+            require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
+            (dst, f.getFileStatus(dst).getLen)
+          }.toSeq
+        (decode(d.getPath.getName), files)
+      }.toSeq
+    f.delete(staging, true)
+    val allPaths = filesOfValue.flatMap(_._2.map(_._1.toString))
+    val stats =
+      if (allPaths.isEmpty) Map.empty[String, (Long, Map[Int, (Array[Byte], Array[Byte])])]
+      else allFileStats(spark, allPaths, idsByName)
+
+    var attempt = 0
+    var base = v0
+    while (true) {
+      val snapshotId = freshSnapshotId(f, root, base)
+      val seqNo = readMeta(f, root, base)
+        .map(_.path("last-sequence-number").asLong(0L)).getOrElse(0L) + 1L
+      val mans = filesOfValue.zipWithIndex.flatMap { case ((v, files), i) =>
+        val entries = files.flatMap { case (pp, size) =>
+          stats.get(canonPath(pp.toString)).map { case (rows, bounds) =>
+            IcebergFormat.entry(0, pp.toString, rows, size, snapshotId, seqNo,
+              bounds = bounds)
+          } // zero-record staged file: skip (deleted below)
+        }
+        if (entries.isEmpty) None
+        else {
+          val mp = new Path(root,
+            s"metadata/manifest-$snapshotId-$i-${java.util.UUID.randomUUID().toString.take(8)}.avro")
+          IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
+          Some(NewManifest(mp, 1,
+            IcebergFormat.serializeBound(srcDt, v).map(b => (b, b))))
+        }
+      }
+      filesOfValue.flatMap(_._2).foreach { case (pp, _) =>
+        if (!stats.contains(canonPath(pp.toString))) f.delete(pp, false)
+      }
+      try {
+        onBeforeCommit()
+        return commitMeta(spark, f, root, base, df.schema, snapshotId, seqNo,
+          mans, replace = false, partSpec = Some((partCol, idsByName(partCol))))
+      } catch {
+        case _: java.util.ConcurrentModificationException =>
+          mans.foreach(nm => f.delete(nm.path, false))
+          attempt += 1
+          require(attempt < MaxCommitRetries,
+            s"append to $dir lost $MaxCommitRetries version races")
+          base = currentVersion(f, root)
+      }
+    }
+    -1L // unreachable
+  }
 
   /** Exactly-once streaming append: the (appId, txnVersion) ledger
     * rides the SNAPSHOT SUMMARY (`graft-app-id` / `graft-txn` keys —
@@ -229,7 +339,7 @@ object IcebergWrite {
       try {
         onBeforeCommit()
         return commitMeta(spark, f, root, base, df.schema, snapshotId, seqNo,
-          manifestP, replace, txn)
+          Seq(NewManifest(manifestP, 0, None)), replace, txn)
       }
       catch {
         case _: java.util.ConcurrentModificationException =>
@@ -273,9 +383,12 @@ object IcebergWrite {
     * manifest (older files stay reachable through older snapshots). */
   private def commitMeta(spark: SparkSession, f: FileSystem, root: Path,
                          base: Int, schema: StructType, snapshotId: Long,
-                         seqNo: Long, manifestP: Path,
+                         seqNo: Long, newManifests: Seq[NewManifest],
                          replace: Boolean,
-                         txn: Option[(String, Long)] = None): Long = {
+                         txn: Option[(String, Long)] = None,
+                         // (partition column name, source field id):
+                         // registers the identity spec 1 on first use
+                         partSpec: Option[(String, Int)] = None): Long = {
     import scala.jdk.CollectionConverters._
     val prevMeta = readMeta(f, root, base)
     val MFS = IcebergFormat.ManifestFileSchema
@@ -285,7 +398,10 @@ object IcebergWrite {
     // consumers (the graft-iceberg streaming tailer) resolve "files
     // added by snapshot S" through added_snapshot_id, so stamping the
     // new id on carried-forward manifests would re-attribute old data
-    val prior: Seq[(String, Long, Int, Long, Int, Long)] =
+    // (path, len, content, seq, specId, addedBy, partitions-raw) — the
+    // raw field-summary object carries forward VERBATIM so a table's
+    // manifest-level skipping survives later commits
+    val prior: Seq[(String, Long, Int, Long, Int, Long, AnyRef)] =
       if (replace) Nil
       else prevMeta.toSeq.flatMap { m =>
         val cur = m.path("current-snapshot-id").asLong(-1L)
@@ -304,14 +420,30 @@ object IcebergWrite {
                     .flatMap(_ => Option(r.get("partition_spec_id")))
                     .map(_.asInstanceOf[Number].intValue).getOrElse(0),
                   Option(r.get("added_snapshot_id"))
-                    .map(_.asInstanceOf[Number].longValue).getOrElse(snapshotId))
+                    .map(_.asInstanceOf[Number].longValue).getOrElse(snapshotId),
+                  Option(r.getSchema.getField("partitions"))
+                    .flatMap(_ => Option(r.get("partitions"))).orNull)
               }
           }
       }
+    val FS = MFS.getField("partitions").schema().getTypes.get(1)
+    val fresh: Seq[(String, Long, Int, Long, Int, Long, AnyRef)] =
+      newManifests.map { nm =>
+        val parts: AnyRef = nm.summary.map { case (lo, hi) =>
+          val fsRec = new org.apache.avro.generic.GenericData.Record(
+            FS.getElementType)
+          fsRec.put("contains_null", false)
+          fsRec.put("lower_bound", java.nio.ByteBuffer.wrap(lo))
+          fsRec.put("upper_bound", java.nio.ByteBuffer.wrap(hi))
+          val arr = new org.apache.avro.generic.GenericData.Array[GenericRecord](1, FS)
+          arr.add(fsRec); arr
+        }.orNull
+        (nm.path.toString, f.getFileStatus(nm.path).getLen, 0,
+          seqNo, nm.specId, snapshotId, parts)
+      }
     val listRecords: Seq[GenericRecord] =
-      (prior :+ ((manifestP.toString, f.getFileStatus(manifestP).getLen, 0,
-        seqNo, 0, snapshotId))).map {
-        case (mp, len, content, mseq, specId, addedBy) =>
+      (prior ++ fresh).map {
+        case (mp, len, content, mseq, specId, addedBy, parts) =>
         val r = new org.apache.avro.generic.GenericData.Record(MFS)
         r.put("manifest_path", mp)
         r.put("manifest_length", len)
@@ -319,6 +451,7 @@ object IcebergWrite {
         r.put("content", content)
         r.put("sequence_number", mseq)
         r.put("added_snapshot_id", addedBy)
+        if (parts != null) r.put("partitions", parts)
         r
       }
     val listP = new Path(root,
@@ -357,12 +490,25 @@ object IcebergWrite {
     }
     n.put("current-schema-id", curSchemaId)
     val specs = n.putArray("partition-specs")
-    val hadSpec0 = prevMeta.exists { m =>
-      m.path("partition-specs").elements().asScala
-        .map { s0 => specs.add(s0.deepCopy[JsonNode]()); s0.path("spec-id").asInt }
-        .contains(0)
+    // STRICT copy of every prior spec — a lazy iterator short-circuited
+    // by an exists/contains would silently drop the specs after the
+    // first hit, and a manifest referencing a dropped spec loses its
+    // manifest-level skipping
+    val copied = prevMeta.toSeq.flatMap(
+      _.path("partition-specs").elements().asScala.toList)
+    copied.foreach(s0 => specs.add(s0.deepCopy[JsonNode]()))
+    if (!copied.exists(_.path("spec-id").asInt(-1) == 0)) {
+      val sp = specs.addObject(); sp.put("spec-id", 0); sp.putArray("fields")
     }
-    if (!hadSpec0) { val sp = specs.addObject(); sp.put("spec-id", 0); sp.putArray("fields") }
+    partSpec.filterNot(_ =>
+      copied.exists(_.path("spec-id").asInt(-1) == 1)).foreach {
+      case (fieldName, srcId) =>
+        val sp = specs.addObject(); sp.put("spec-id", 1)
+        val fields = sp.putArray("fields")
+        val fd = fields.addObject()
+        fd.put("name", fieldName); fd.put("transform", "identity")
+        fd.put("source-id", srcId); fd.put("field-id", 1000)
+    }
     n.put("default-spec-id", 0)
     n.put("current-snapshot-id", snapshotId)
     val snaps = n.putArray("snapshots")

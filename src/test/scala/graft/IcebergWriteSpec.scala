@@ -57,6 +57,35 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(t.filter(col("id").between(100, 180)).count() == 81)
   }
 
+
+  test("partitioned appends: per-value manifests, manifest-level skip, summaries survive carry-forward") {
+    val dir = Files.createTempDirectory("graft-iceberg-write-part").toString
+    val rows = (0L until 90L).map(i => (i, s"g${i % 3}", s"r_$i")).toDF("id", "grp", "tag")
+    IcebergWrite.appendPartitioned(rows.filter(col("id") < 45), dir, "grp")
+    // a single-value read opens ONLY that value's manifest
+    val t1 = IcebergInterop.readIcebergWhere(spark, dir, Map.empty,
+      stringEq = Map("grp" -> "g1"))
+    assert(t1.count() === 15)
+    val (r1, s1) = IcebergInterop.lastManifestScan
+    assert(r1 == 1 && s1 == 2, s"read=$r1 skipped=$s1")
+    // summaries carry FORWARD through a later partitioned append
+    IcebergWrite.appendPartitioned(rows.filter(col("id") >= 45), dir, "grp")
+    val t2 = IcebergInterop.readIcebergWhere(spark, dir, Map.empty,
+      stringEq = Map("grp" -> "g1"))
+    assert(t2.count() === 30)
+    val (r2, s2) = IcebergInterop.lastManifestScan
+    assert(r2 == 2 && s2 == 4, s"read=$r2 skipped=$s2")
+    // ...and through a later UNPARTITIONED append (mixed specs)
+    IcebergWrite.append(Seq((1000L, "g9", "x")).toDF("id", "grp", "tag"), dir)
+    val t3 = IcebergInterop.readIcebergWhere(spark, dir, Map.empty,
+      stringEq = Map("grp" -> "g1"))
+    assert(t3.count() === 30)
+    val (r3, s3) = IcebergInterop.lastManifestScan
+    assert(s3 >= 4, s"partitioned summaries must still skip: read=$r3 skipped=$s3")
+    // whole-table read sees every row, source column real in files
+    assert(IcebergInterop.readIceberg(spark, dir).count() === 91)
+  }
+
   test("append rebases across a version race; overwrite refuses") {
     val dir = Files.createTempDirectory("graft-iceberg-write-race").toString
     IcebergWrite.append(Seq((1L, "a")).toDF("id", "tag"), dir)

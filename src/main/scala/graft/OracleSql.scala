@@ -619,6 +619,14 @@ object OracleSql {
       """SELECT source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q194: native Iceberg merge-on-read DELETEs — low doc_id band and
+    // the %7==3 slice masked; survivors aggregate per lang
+    "q194_iceberg_delete" ->
+      """WITH mm AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+        |FROM documents, mm
+        |WHERE doc_id >= mn + (mx - mn) // 5 AND doc_id % 7 <> 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q181: day(ts)-hidden-partitioned Iceberg range read == the same
     // 3-day window on the raw events (the engine additionally asserts
     // 3 of 30 manifests opened)

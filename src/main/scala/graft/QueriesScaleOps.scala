@@ -2603,4 +2603,43 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       sum(col("n_chars")).cast("long").as("chars"))
       .orderBy("source")
   }
+
+  /** q194 — ROW-LEVEL DELETE on a NATIVE Iceberg table
+    * ([[graft.io.IcebergWrite.deleteWhere]], merge-on-read position
+    * deletes): the corpus lands range-partitioned by doc_id, a
+    * stats-pruned DELETE masks the low band (no data file rewrites —
+    * asserted: the data file set is unchanged), a SECOND delete
+    * composes on the masked view (re-deletion structurally
+    * impossible), and time travel still reads the pre-delete corpus.
+    * This is the GDPR path for an Iceberg-first warehouse: work is
+    * O(deleted rows), and any spec reader (including this repo's own
+    * foreign-read path, which is how the result is verified) applies
+    * the masks in-plan. */
+  private[graft] def q194(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q194")
+    val s1 = graft.io.IcebergWrite.append(
+      docs.repartitionByRange(6, col("doc_id")), tmp)
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val k = mn + (mx - mn) / 5
+    def dataFiles() = graft.io.IcebergInterop.readIceberg(s, tmp)
+      .inputFiles.count(p => !p.contains("/data/delete-"))
+    val dataFiles0 = dataFiles()
+    val (_, del1) = graft.io.IcebergWrite.deleteWhere(s, tmp,
+      col("doc_id") < k, ranges = Map("doc_id" -> ((mn.toDouble, (k - 1).toDouble))))
+    require(del1 > 0, "first delete must hit")
+    val (_, del2) = graft.io.IcebergWrite.deleteWhere(s, tmp,
+      col("doc_id") % 7 === 3)
+    require(del2 > 0, "second delete must hit")
+    val t = graft.io.IcebergInterop.readIceberg(s, tmp)
+    val dataFiles1 = dataFiles()
+    require(dataFiles1 == dataFiles0,
+      s"merge-on-read must not rewrite data files: $dataFiles0 -> $dataFiles1")
+    require(graft.io.IcebergInterop.readIceberg(s, tmp, Some(s1)).count() == docs.count(),
+      "time travel must still see the pre-delete corpus")
+    t.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+  }
 }

@@ -435,7 +435,13 @@ object IcebergInterop {
                   snapshotId: Option[Long] = None,
                   ranges: Map[String, (Double, Double)] = Map.empty,
                   stringEq: Map[String, String] = Map.empty,
-                  withLineage: Boolean = false): DataFrame = {
+                  withLineage: Boolean = false,
+                  // expose each LIVE row's (canonical file path, row
+                  // ordinal) as `_graft_file`/`_graft_pos` — the
+                  // coordinates a position-delete WRITE needs, emitted
+                  // AFTER delete masking so already-deleted rows never
+                  // re-delete
+                  withProvenance: Boolean = false): DataFrame = {
     import scala.jdk.CollectionConverters._
     // Field-id column resolution: Iceberg schema evolution renames /
     // reorders / drops COLUMN NAMES but never reuses field IDS, so
@@ -534,7 +540,11 @@ object IcebergInterop {
         }
         if (inv.data.isEmpty)
           residual(spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            if (!withProvenance) schema
+            else StructType(schema.fields ++ Seq(
+              StructField("_graft_file", StringType),
+              StructField("_graft_pos", LongType)))))
         else {
           import org.apache.spark.sql.functions._
           val base0 = spark.read.schema(schema).parquet(inv.data.map(_.path): _*)
@@ -563,7 +573,9 @@ object IcebergInterop {
           val outCols = (schema.fieldNames.toSeq ++
             (if (withLineage) Seq("_row_id") else Nil)).map(col)
           if (inv.posDeletes.isEmpty && inv.eqDeletes.isEmpty && inv.dvs.isEmpty)
-            residual(base.select(outCols: _*))
+            residual(base.select(outCols ++ (if (!withProvenance) Nil
+              else Seq(canonPath(col("_metadata.file_path")).as("_graft_file"),
+                col("_metadata.row_index").as("_graft_pos"))): _*))
           else {
             // Row-level deletes as a PLAN, not a driver loop: the scan
             // exposes its own (file, row ordinal) through `_metadata`,
@@ -574,6 +586,7 @@ object IcebergInterop {
             // pruned parquet scan.
             var cur = base
               .withColumn("_g_path", canonPath(col("_metadata.file_path")))
+              .withColumn("_g_pos", col("_metadata.row_index"))
             if (inv.dvs.nonEmpty) {
               // v3 DELETION VECTORS: one live DV per data file (the
               // highest-sequence entry wins — replacement semantics).
@@ -598,7 +611,6 @@ object IcebergInterop {
                 .select(canonPath(col("file_path")).as("_del_path"),
                   col("pos").cast("long").as("_del_pos"))
               cur = cur
-                .withColumn("_g_pos", col("_metadata.row_index"))
                 .join(del, col("_g_path") === col("_del_path") &&
                   col("_g_pos") === col("_del_pos"), "left_anti")
             }
@@ -636,7 +648,9 @@ object IcebergInterop {
                 cur = cur.join(del, cond, "left_anti")
               }
             }
-            residual(cur.select(outCols: _*))
+            residual(cur.select(outCols ++ (if (!withProvenance) Nil
+              else Seq(col("_g_path").as("_graft_file"),
+                col("_g_pos").as("_graft_pos"))): _*))
           }
         }
     }

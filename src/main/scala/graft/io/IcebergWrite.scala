@@ -45,11 +45,12 @@ object IcebergWrite {
     * a spec inject a deterministic version race. No-op in production. */
   private[graft] var onBeforeCommit: () => Unit = () => ()
 
-  /** One freshly-authored manifest for a commit: its partition spec id
-    * and (for partitioned manifests) the identity field-summary bytes
-    * the manifest list carries for manifest-level skipping. */
+  /** One freshly-authored manifest for a commit: its partition spec id,
+    * (for partitioned manifests) the identity field-summary bytes the
+    * manifest list carries for manifest-level skipping, and its content
+    * kind (0 = data, 1 = deletes). */
   private final case class NewManifest(path: Path, specId: Int,
-      summary: Option[(Array[Byte], Array[Byte])])
+      summary: Option[(Array[Byte], Array[Byte])], content: Int = 0)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -243,6 +244,96 @@ object IcebergWrite {
     -1L // unreachable
   }
 
+  /** MERGE-ON-READ DELETE for native Iceberg tables: rows where
+    * `predicate` is TRUE are masked by a POSITION-DELETE snapshot —
+    * spec-shaped `file_path`/`pos` parquet (the spec's reserved field
+    * ids 2147483546/2147483545 stamped) referenced by a content=1
+    * delete manifest. NO data file rewrites: work is O(deleted rows),
+    * the 100 TB low-selectivity path, and the result reads back
+    * through [[IcebergInterop]]'s existing in-plan position-delete
+    * anti-join (deletes COMPOSE — the hits scan runs on the already-
+    * masked view, so re-deleting is structurally impossible). `ranges`
+    * prunes the candidate scan through the manifest bounds, the same
+    * hint contract as [[DeltaInterop.deleteWhere]].
+    * Returns (snapshotId, rowsDeleted) — or (currentSnapshot, 0) when
+    * nothing matches. Caveat (documented parity with Iceberg's own
+    * streaming): the graft-iceberg streaming SOURCE refuses delete
+    * snapshots — raw-file replay cannot honor masks. */
+  def deleteWhere(spark: SparkSession, dir: String,
+                  predicate: org.apache.spark.sql.Column,
+                  ranges: Map[String, (Double, Double)] = Map.empty): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val v0 = currentVersion(f, root)
+    require(v0 > 0, s"$dir has no snapshots to delete from")
+    def currentSnap(): Long = readMeta(f, root, currentVersion(f, root))
+      .map(_.path("current-snapshot-id").asLong(-1L)).getOrElse(-1L)
+    val hits = IcebergInterop.readIceberg(spark, dir, ranges = ranges,
+        withProvenance = true)
+      .filter(predicate)
+      .select(
+        col("_graft_file").as("file_path", new MetadataBuilder()
+          .putLong("parquet.field.id", 2147483546L).build()),
+        col("_graft_pos").cast(LongType).as("pos", new MetadataBuilder()
+          .putLong("parquet.field.id", 2147483545L).build()))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val staging = new Path(root, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    hits.write.parquet(staging.toString)
+    val staged = f.listStatus(staging).filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val dst = new Path(root, s"data/delete-${java.util.UUID.randomUUID()}.parquet")
+        require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
+        (dst, f.getFileStatus(dst).getLen)
+      }.toSeq
+    f.delete(staging, true)
+    // per-file row counts in one grouped job; zero-record files drop
+    val counts: Map[String, Long] =
+      if (staged.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{count, lit}
+        spark.read.parquet(staged.map(_._1.toString): _*)
+          .groupBy(col("_metadata.file_path").as("_p"))
+          .agg(count(lit(1)).as("_n"))
+          .collect().map(r => canonPath(r.getString(0)) -> r.getLong(1)).toMap
+      }
+    val (delFiles, empties) =
+      staged.partition(p => counts.contains(canonPath(p._1.toString)))
+    empties.foreach { case (p, _) => f.delete(p, false) }
+    if (delFiles.isEmpty) return (currentSnap(), 0L)
+    val deleted = counts.values.sum
+
+    var attempt = 0
+    var base = v0
+    while (true) {
+      val snapshotId = freshSnapshotId(f, root, base)
+      val seqNo = readMeta(f, root, base)
+        .map(_.path("last-sequence-number").asLong(0L)).getOrElse(0L) + 1L
+      val entries = delFiles.map { case (p, size) =>
+        IcebergFormat.entry(1, p.toString,
+          counts(canonPath(p.toString)), size, snapshotId, seqNo)
+      }
+      val mp = new Path(root,
+        s"metadata/delete-manifest-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
+      IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
+      try {
+        onBeforeCommit()
+        val dummySchema = StructType(Nil) // schemas carry forward past v1
+        return (commitMeta(spark, f, root, base, dummySchema, snapshotId,
+          seqNo, Seq(NewManifest(mp, 0, None, content = 1)),
+          replace = false, operation = Some("delete")), deleted)
+      } catch {
+        case _: java.util.ConcurrentModificationException =>
+          f.delete(mp, false)
+          attempt += 1
+          require(attempt < MaxCommitRetries,
+            s"delete on $dir lost $MaxCommitRetries version races")
+          base = currentVersion(f, root)
+      }
+    }
+    (-1L, -1L) // unreachable
+  }
+
   /** Exactly-once streaming append: the (appId, txnVersion) ledger
     * rides the SNAPSHOT SUMMARY (`graft-app-id` / `graft-txn` keys —
     * Iceberg's spec-blessed operation metadata), so a batch replayed
@@ -388,7 +479,8 @@ object IcebergWrite {
                          txn: Option[(String, Long)] = None,
                          // (partition column name, source field id):
                          // registers the identity spec 1 on first use
-                         partSpec: Option[(String, Int)] = None): Long = {
+                         partSpec: Option[(String, Int)] = None,
+                         operation: Option[String] = None): Long = {
     import scala.jdk.CollectionConverters._
     val prevMeta = readMeta(f, root, base)
     val MFS = IcebergFormat.ManifestFileSchema
@@ -438,7 +530,7 @@ object IcebergWrite {
           val arr = new org.apache.avro.generic.GenericData.Array[GenericRecord](1, FS)
           arr.add(fsRec); arr
         }.orNull
-        (nm.path.toString, f.getFileStatus(nm.path).getLen, 0,
+        (nm.path.toString, f.getFileStatus(nm.path).getLen, nm.content,
           seqNo, nm.specId, snapshotId, parts)
       }
     val listRecords: Seq[GenericRecord] =
@@ -520,7 +612,8 @@ object IcebergWrite {
     s0.put("manifest-list", listP.toString)
     s0.put("schema-id", curSchemaId)
     val sum = s0.putObject("summary")
-    sum.put("operation", if (replace) "overwrite" else "append")
+    sum.put("operation",
+      operation.getOrElse(if (replace) "overwrite" else "append"))
     txn.foreach { case (appId, tv) =>
       sum.put("graft-app-id", appId); sum.put("graft-txn", tv)
     }

@@ -123,6 +123,43 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(IcebergInterop.readIceberg(spark, dir).count() == 2)
   }
 
+  test("merge-on-read DELETE: masks apply, deletes compose, no data file rewrites") {
+    val dir = Files.createTempDirectory("graft-iceberg-write-del").toString
+    val s1 = IcebergWrite.append(
+      (0L until 60L).map(i => (i, s"r_$i")).toDF("id", "tag")
+        .repartitionByRange(3, col("id")), dir)
+    def dataFileSet() = IcebergInterop.readIceberg(spark, dir)
+      .inputFiles.filter(p => !p.contains("/data/delete-")).toSet
+    val files0 = dataFileSet()
+    assert(files0.size == 3)
+    val (_, n1) = IcebergWrite.deleteWhere(spark, dir, col("id") < 20,
+      ranges = Map("id" -> ((0.0, 19.0))))
+    assert(n1 == 20)
+    val t1 = IcebergInterop.readIceberg(spark, dir)
+    assert(t1.count() == 40 && t1.agg(min("id")).head().getLong(0) == 20L)
+    // deletes COMPOSE: the second predicate scans the MASKED view, so
+    // its hit set is disjoint by construction
+    val (_, n2) = IcebergWrite.deleteWhere(spark, dir, col("id") % 10 === 5)
+    assert(n2 == 4, s"ids 25,35,45,55: got $n2")
+    val t2 = IcebergInterop.readIceberg(spark, dir)
+    assert(t2.count() == 36)
+    assert(t2.filter(col("id") % 10 === 5).count() == 0)
+    // merge-on-read: the data file set never changed (a fully-masked
+    // file still scans; its rows just never survive the anti-join)
+    assert(dataFileSet() == files0)
+    // time travel sees the pre-delete table; history records deletes
+    assert(IcebergInterop.readIceberg(spark, dir, Some(s1)).count() == 60)
+    assert(IcebergInterop.snapshots(spark, dir)
+      .filter(col("operation") === "delete").count() == 2)
+    // appends continue on the masked table
+    IcebergWrite.append(Seq((100L, "new")).toDF("id", "tag"), dir)
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 37)
+    // a no-match delete commits nothing
+    val before = IcebergInterop.snapshots(spark, dir).count()
+    val (_, n3) = IcebergWrite.deleteWhere(spark, dir, col("id") === 99999L)
+    assert(n3 == 0 && IcebergInterop.snapshots(spark, dir).count() == before)
+  }
+
   test("schema mismatch on append refuses loudly") {
     val dir = Files.createTempDirectory("graft-iceberg-write-schema").toString
     IcebergWrite.append(Seq((1L, "a")).toDF("id", "tag"), dir)

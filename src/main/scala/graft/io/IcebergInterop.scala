@@ -812,7 +812,8 @@ object IcebergInterop {
     * 100 TB table tails at the cost of its CHANGES. Refuses delete
     * manifests added by the snapshot. Path-sorted. */
   private[graft] def streamAddedFiles(spark: SparkSession, dir: String,
-                                      snapshotId: Long): Seq[String] = {
+                                      snapshotId: Long,
+                                      ignoreDeletes: Boolean = false): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val meta = readJson(spark, currentMetadataPath(spark, dir))
     val snap = meta.path("snapshots").elements().asScala
@@ -823,18 +824,25 @@ object IcebergInterop {
     avroRecords(spark, new Path(resolve(snap.path("manifest-list").asText)))
       .filter(m => longOr(m, "added_snapshot_id", -1L) == snapshotId)
       .foreach { m =>
-        require(intOr(m, "content", 0) == 0,
+        // a DELETE manifest: raw-file replay cannot honor its masks.
+        // With ignoreDeletes the manifest is SKIPPED (rows already
+        // emitted stay downstream — the documented Delta-parity
+        // tradeoff); without it the stream fails loudly.
+        val isDelete = intOr(m, "content", 0) != 0
+        require(!isDelete || ignoreDeletes,
           s"snapshot $snapshotId of $dir added a DELETE manifest — " +
-          "row-level deletes cannot stream (raw-file replay); set ignoreDeletes to skip them")
-        avroRecords(spark, new Path(resolve(m.get("manifest_path").toString)))
-          .foreach { e =>
-            val status = intOr(e, "status", 0)
-            val df = e.get("data_file").asInstanceOf[GenericRecord]
-            // a rewritten manifest may carry EXISTING (status 0)
-            // entries; only ADDED entries are new data for the tailer
-            if (status == 1 && intOr(df, "content", 0) == 0)
-              out += resolve(str(df, "file_path"))
-          }
+          "row-level deletes cannot stream (raw-file replay); set " +
+          "ignoreDeletes to skip them (already-emitted rows stay)")
+        if (!isDelete)
+          avroRecords(spark, new Path(resolve(m.get("manifest_path").toString)))
+            .foreach { e =>
+              val status = intOr(e, "status", 0)
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              // a rewritten manifest may carry EXISTING (status 0)
+              // entries; only ADDED entries are new data for the tailer
+              if (status == 1 && intOr(df, "content", 0) == 0)
+                out += resolve(str(df, "file_path"))
+            }
       }
     out.result().sorted
   }

@@ -70,6 +70,7 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
     val n = v.toInt; require(n > 0, s"maxFilesPerTrigger must be positive, got $n"); n
   }
   private val ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean)
+  private val ignoreDeletes = opts.get("ignoredeletes").exists(_.toBoolean)
 
   private val M = new ObjectMapper()
 
@@ -128,11 +129,17 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
 
   private def addedOf(seq: Long, snapId: Long, op: String): Seq[String] =
     synchronized(addCache.getOrElseUpdate(seq, {
-      if (op != "append" && !ignoreChanges)
+      // a row-level-DELETE snapshot adds no data files: with
+      // ignoreDeletes it advances the offset emitting nothing (rows
+      // already emitted stay downstream); otherwise it fails loudly
+      if (op != "append" && !(op == "delete" && ignoreDeletes) && !ignoreChanges)
         throw new IllegalStateException(
           s"snapshot $snapId (seq $seq) of $dir is '$op', not an append — " +
-          "set ignoreChanges to re-emit its added files, or restart past it")
-      IcebergInterop.streamAddedFiles(spark, dir, snapId)
+          (if (op == "delete")
+             "set ignoreDeletes to skip delete snapshots (already-emitted rows stay)"
+           else "set ignoreChanges to re-emit its added files, or restart past it"))
+      IcebergInterop.streamAddedFiles(spark, dir, snapId,
+        ignoreDeletes = ignoreDeletes || ignoreChanges)
     }))
 
   /** Walk forward from `prev` consuming up to `budget` files. */

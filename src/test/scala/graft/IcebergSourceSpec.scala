@@ -106,6 +106,37 @@ class IcebergSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+
+  test("a DELETE snapshot fails the tail; ignoreDeletes skips it, appends keep tailing") {
+    val dir = Files.createTempDirectory("graft-ice-src-rowdel").toString
+    IcebergWrite.append(
+      (0L until 10L).map(i => (i, s"a_$i")).toDF("id", "tag"), dir)
+    val ckpt = s"$dir/ckpt"
+    val (buf1, q1, _) = collectStream(dir, ckpt)
+    try {
+      q1.processAllAvailable()
+      assert(buf1.synchronized(buf1.size) == 10)
+      IcebergWrite.deleteWhere(spark, dir, col("id") < 3)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q1.processAllAvailable())
+      assert(e.getMessage.contains("ignoreDeletes") ||
+        Option(e.getCause).exists(_.getMessage.contains("ignoreDeletes")),
+        e.getMessage)
+    } finally q1.stop()
+    // resume the SAME checkpoint with the flag: the delete snapshot
+    // advances as a no-op (already-emitted rows stay downstream — the
+    // documented tradeoff) and a later append still arrives
+    val (buf3, q3, _) = collectStream(dir, ckpt,
+      Map("ignoreDeletes" -> "true"))
+    try {
+      q3.processAllAvailable() // consumes the delete snapshot, emits nothing
+      IcebergWrite.append(Seq((100L, "new")).toDF("id", "tag"), dir)
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(buf3.synchronized(buf3.map(_._1).sorted.toSeq) == Seq(100L),
+      s"only the post-delete append arrives: ${buf3.synchronized(buf3.toList)}")
+  }
+
   test("row-level deletes refuse loudly in both phases") {
     val dir = Files.createTempDirectory("graft-ice-src-del").toString
     // fixture table with a position delete in its CURRENT snapshot

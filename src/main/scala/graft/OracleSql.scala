@@ -627,6 +627,14 @@ object OracleSql {
         |FROM documents, mm
         |WHERE doc_id >= mn + (mx - mn) // 5 AND doc_id % 7 <> 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q195: graft-written Iceberg schema evolution — rename + add are
+    // metadata-only; epoch 1 (evens) surfaces NULL quality, epoch 2
+    // (odds) carries n_chars%100
+    "q195_iceberg_write_evolution" ->
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  sum(n_chars)::BIGINT AS chars,
+        |  sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars % 100 END)::BIGINT AS quality
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q181: day(ts)-hidden-partitioned Iceberg range read == the same
     // 3-day window on the raw events (the engine additionally asserts
     // 3 of 30 manifests opened)

@@ -2642,4 +2642,36 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("lang"))
   }
+
+  /** q195 — SCHEMA EVOLUTION on a GRAFT-WRITTEN native Iceberg table
+    * ([[graft.io.IcebergWrite.addColumn]]/[[graft.io.IcebergWrite.renameColumn]],
+    * both metadata-only — zero files rewritten, asserted): the even
+    * corpus half lands, `n_chars` renames to `chars` (the field keeps
+    * its id, so the OLD files keep reading), a fresh-id `quality`
+    * column adds (pre-add files surface NULL), and the odd half
+    * appends CARRYING both evolved columns — one unified read across
+    * both epochs, q165's Delta contract on the native Iceberg plane.
+    * The oracle replays the two epochs analytically. */
+  private[graft] def q195(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q195")
+    graft.io.IcebergWrite.append(docs.filter(col("doc_id") % 2 === 0), tmp)
+    val files0 = graft.io.IcebergInterop.readIceberg(s, tmp).inputFiles.toSet
+    graft.io.IcebergWrite.renameColumn(s, tmp, "n_chars", "chars")
+    graft.io.IcebergWrite.addColumn(s, tmp, "quality",
+      org.apache.spark.sql.types.LongType)
+    require((files0 -- graft.io.IcebergInterop.readIceberg(s, tmp)
+      .inputFiles.toSet).isEmpty,
+      "schema evolution must be metadata-only: zero files rewritten")
+    graft.io.IcebergWrite.append(
+      docs.filter(col("doc_id") % 2 =!= 0).select(
+        col("doc_id"), col("lang"), col("n_chars").as("chars"),
+        (col("n_chars") % 100).cast("long").as("quality")), tmp)
+    graft.io.IcebergInterop.readIceberg(s, tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("chars")).cast("long").as("chars"),
+        sum(col("quality")).cast("long").as("quality"))
+      .orderBy(col("lang"))
+  }
 }

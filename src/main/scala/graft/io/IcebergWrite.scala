@@ -129,6 +129,101 @@ object IcebergWrite {
       }.toMap
   }
 
+  /** ADD a nullable column to a native Iceberg table — METADATA-ONLY
+    * (zero file work): a new schema entry with a FRESH field id past
+    * `last-column-id`, `current-schema-id` bumped, snapshots and specs
+    * untouched. Old files surface NULL for the column through the
+    * reader's field-id resolution; the next append must carry it. */
+  def addColumn(spark: SparkSession, dir: String, name: String,
+                dataType: DataType): Long =
+    evolveSchema(spark, dir, s"ADD COLUMN $name") { (fields, lastId) =>
+      import scala.jdk.CollectionConverters._
+      require(!fields.asScala.exists(_.path("name").asText == name),
+        s"column $name already exists at $dir")
+      val fn = M.createObjectNode()
+      fn.put("id", lastId + 1); fn.put("name", name)
+      fn.put("required", false)
+      fn.put("type", IcebergFormat.icebergType(dataType))
+      (fields.asScala.toSeq :+ (fn: JsonNode), lastId + 1)
+    }
+
+  /** RENAME a column — metadata-only: the field keeps its ID (ids are
+    * how evolved tables keep reading their old files), only the name
+    * in the new schema entry changes. */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+                   to: String): Long =
+    evolveSchema(spark, dir, s"RENAME COLUMN $from") { (fields, lastId) =>
+      import scala.jdk.CollectionConverters._
+      require(fields.asScala.exists(_.path("name").asText == from),
+        s"no column $from at $dir")
+      require(!fields.asScala.exists(_.path("name").asText == to),
+        s"column $to already exists at $dir")
+      val out = fields.asScala.toSeq.map { fd =>
+        if (fd.path("name").asText != from) fd
+        else {
+          val c = fd.deepCopy[JsonNode]()
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          c.put("name", to); (c: JsonNode)
+        }
+      }
+      (out, lastId)
+    }
+
+  /** Shared metadata-only schema evolution: deep-copy the previous
+    * metadata, append a new schema (schema-id = max + 1) derived by
+    * `evolve(currentFields, lastColumnId)`, bump current-schema-id /
+    * last-column-id, and commit by the same put-if-absent version
+    * swap appends use. Snapshots, specs, and every data file are
+    * untouched — old snapshots keep their pinned schema-ids for time
+    * travel. Returns the new metadata version. */
+  private def evolveSchema(spark: SparkSession, dir: String, what: String)(
+      evolve: (com.fasterxml.jackson.databind.node.ArrayNode, Int) =>
+        (Seq[JsonNode], Int)): Long = {
+    import scala.jdk.CollectionConverters._
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    var attempt = 0
+    while (true) {
+      val base = currentVersion(f, root)
+      val m = readMeta(f, root, base).getOrElse(throw new IllegalArgumentException(
+        s"$dir has no Iceberg metadata — nothing to evolve"))
+      val n = m.deepCopy[JsonNode]()
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val cur = currentSchemaNode(m)
+      val lastId = m.path("last-column-id").asInt(
+        currentFieldIds(m).map(_._2).maxOption.getOrElse(0))
+      val (newFields, newLastId) = evolve(
+        cur.path("fields").deepCopy[JsonNode]()
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode], lastId)
+      val newSchemaId = m.path("schemas").elements().asScala
+        .map(_.path("schema-id").asInt(0)).maxOption.getOrElse(0) + 1
+      val sc = n.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas")
+        .addObject()
+      sc.put("schema-id", newSchemaId); sc.put("type", "struct")
+      val arr = sc.putArray("fields")
+      newFields.foreach(arr.add)
+      n.put("current-schema-id", newSchemaId)
+      n.put("last-column-id", newLastId)
+      n.put("last-updated-ms", System.currentTimeMillis())
+      val target = new Path(root, s"metadata/v${base + 1}.metadata.json")
+      val tmp = new Path(root,
+        s"metadata/.tmp-v${base + 1}-${java.util.UUID.randomUUID().toString.take(8)}.json")
+      val out = f.create(tmp, false)
+      try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
+      finally out.close()
+      if (!f.exists(target) && f.rename(tmp, target)) {
+        val hint = f.create(new Path(root, "metadata/version-hint.text"), true)
+        try hint.write(String.valueOf(base + 1).getBytes) finally hint.close()
+        return (base + 1).toLong
+      }
+      f.delete(tmp, false)
+      attempt += 1
+      require(attempt < MaxCommitRetries,
+        s"$what on $dir lost $MaxCommitRetries version races")
+    }
+    -1L // unreachable
+  }
+
   /** Append `df` as a new snapshot (creating the table on first call).
     * Returns the committed snapshot id. */
   def append(df: DataFrame, dir: String): Long =

@@ -160,6 +160,42 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(n3 == 0 && IcebergInterop.snapshots(spark, dir).count() == before)
   }
 
+  test("schema evolution is metadata-only: rename keeps the field id, add allocates fresh") {
+    val dir = Files.createTempDirectory("graft-iceberg-write-evo").toString
+    IcebergWrite.append(
+      (0L until 6L).map(i => (i, s"a_$i")).toDF("id", "tag"), dir)
+    val dataBefore = IcebergInterop.readIceberg(spark, dir)
+      .inputFiles.toSet
+    // RENAME: the old files keep reading through the stable field id
+    IcebergWrite.renameColumn(spark, dir, "tag", "label")
+    val t1 = IcebergInterop.readIceberg(spark, dir)
+    assert(t1.columns.toSeq == Seq("id", "label"))
+    assert(t1.filter(col("label").startsWith("a_")).count() == 6)
+    // ADD: pre-add files surface NULL; the next append carries values
+    IcebergWrite.addColumn(spark, dir, "score",
+      org.apache.spark.sql.types.LongType)
+    val t2 = IcebergInterop.readIceberg(spark, dir)
+    assert(t2.columns.toSeq == Seq("id", "label", "score"))
+    assert(t2.filter(col("score").isNull).count() == 6)
+    IcebergWrite.append(Seq((6L, "b_6", 99L)).toDF("id", "label", "score"), dir)
+    val t3 = IcebergInterop.readIceberg(spark, dir)
+    assert(t3.count() == 7)
+    assert(t3.filter(col("score") === 99L).count() == 1)
+    // zero file work for the two evolutions
+    assert((dataBefore -- t3.inputFiles.toSet).isEmpty,
+      "evolution must not rewrite or drop any existing data file")
+    // appends under the OLD column set refuse (schema moved on)
+    val e = intercept[IllegalArgumentException](
+      IcebergWrite.append(Seq((7L, "x")).toDF("id", "tag"), dir))
+    assert(e.getMessage.contains("must match current schema"), e.getMessage)
+    // duplicate add / rename-to-existing refuse
+    intercept[IllegalArgumentException](
+      IcebergWrite.addColumn(spark, dir, "score",
+        org.apache.spark.sql.types.LongType))
+    intercept[IllegalArgumentException](
+      IcebergWrite.renameColumn(spark, dir, "label", "score"))
+  }
+
   test("schema mismatch on append refuses loudly") {
     val dir = Files.createTempDirectory("graft-iceberg-write-schema").toString
     IcebergWrite.append(Seq((1L, "a")).toDF("id", "tag"), dir)

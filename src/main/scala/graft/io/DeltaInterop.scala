@@ -3209,6 +3209,10 @@ object DeltaInterop {
     }
     val cd = new Path(dir, "_change_data")
     val cdRoot = if (f.exists(cd)) Seq((cd.toString, "_change_data")) else Nil
+    // BFS levels cached for the walk live only until the reclaim job
+    // materializes — tracked here and unpersisted after, or every
+    // vacuum would leak cached partitions for the session's lifetime
+    var vacuumPersistedLevels: Seq[org.apache.spark.sql.Dataset[(String, String)]] = Nil
     val dirPairsDs: org.apache.spark.sql.Dataset[(String, String)] =
       if (subdirsOf(dir, "").lengthCompare(VacuumDriverWalkMaxDirs) <= 0) {
         lastVacuumWalk = "driver"
@@ -3227,15 +3231,30 @@ object DeltaInterop {
         spark.createDataset(dirPairs.result())
       } else {
         lastVacuumWalk = "distributed"
-        // partition dirs nest exactly partitionColumns-deep, and the
+        // partition dirs nest exactly partitionColumns-deep (one extra
+        // probe level below asserts that bound holds — a stray deeper
+        // directory must not silently escape the walk), and the
         // _change_data subtree mirrors the table's layout — expand
         // level by level on executors, never collecting a level
         var level = spark.createDataset((dir, "") +: cdRoot)
         var all = level
+        val persisted = Seq.newBuilder[org.apache.spark.sql.Dataset[(String, String)]]
         for (_ <- 0 until math.max(stMeta.partitionColumns.length, 1)) {
           level = level.flatMap { case (abs, rel) => subdirsOf(abs, rel) }
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persisted += level
           all = all.union(level)
+        }
+        vacuumPersistedLevels = persisted.result()
+        val stray = level.flatMap { case (abs, rel) => subdirsOf(abs, rel) }
+          .take(1)
+        if (stray.nonEmpty) {
+          vacuumPersistedLevels.foreach(_.unpersist(blocking = false))
+          throw new IllegalStateException(
+            s"vacuum's distributed walk found a directory nested deeper than " +
+            s"the table's ${stMeta.partitionColumns.length} partition level(s) " +
+            s"(e.g. ${stray.head._2}) — it would escape reclaim; clean it up " +
+            "or vacuum with a driver walk")
         }
         all
       }
@@ -3262,6 +3281,7 @@ object DeltaInterop {
           if (pp.getFileSystem(hconf.value).delete(pp, false)) acc.add(1)
         }
       }
+    vacuumPersistedLevels.foreach(_.unpersist(blocking = false))
     // mirror expiry is a side effect — data-file reclaim count only
     if (uniformOn) IcebergUniform.expireSnapshots(spark, dir, retainMillis)
     acc.value.toInt

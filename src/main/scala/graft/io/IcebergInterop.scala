@@ -660,6 +660,20 @@ object IcebergInterop {
   private def canonPathStr(p: String): String =
     p.replaceFirst("^file:/+", "/")
 
+  /** The CURRENT snapshot's live data-file paths (canonical), for
+    * commit-time validation ([[IcebergWrite]] rebases only when the
+    * files its delete references are still live — Iceberg's
+    * validateDataFilesExist). Metadata-sized driver work. */
+  private[graft] def liveDataPaths(spark: SparkSession, dir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val meta = readJson(spark, currentMetadataPath(spark, dir))
+    val cur = meta.path("current-snapshot-id").asLong(-1L)
+    meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == cur)
+      .map(s0 => liveFiles(spark, dir, s0).data.map(e => canonPathStr(e.path)))
+      .getOrElse(Nil)
+  }
+
   /** Conversion support ([[DeltaInterop.convertIcebergToDelta]]): the
     * CURRENT snapshot's live data-file paths, the table schema (field
     * ids attached), and whether row-level deletes exist. */

@@ -29,14 +29,27 @@ import org.apache.spark.sql.types._
   * concurrent commit — replacing state someone else just changed is
   * a genuine conflict, delta-spark's own choice.
   *
-  * Scope (loud): unpartitioned v2 appends/overwrites of flat schemas.
-  * Partitioned/hidden-transform writes stay with the mirror path
-  * ([[IcebergUniform]]) and the read side ([[IcebergTransforms]]);
-  * row-level deletes on native Iceberg tables are out of scope (the
-  * Delta plane owns mutation). */
+  * Scope: v2 appends/overwrites of flat schemas, partitioned writes
+  * (identity and hidden transforms — `year/month/day/hour`,
+  * `bucket[N]`, `truncate[W]`), merge-on-read row-level DELETE /
+  * UPDATE / MERGE (position deletes + postimage appends in one
+  * snapshot), equality-delete authoring, metadata-only schema
+  * evolution (add/rename), and table maintenance ([[compact]] folds
+  * deletes into rewritten files; [[expireSnapshots]] bounds
+  * `metadata/` and reclaims unreferenced files). The UniForm mirror
+  * path stays with [[IcebergUniform]].
+  *
+  * Foreign-table fidelity: commits start from a DEEP COPY of the
+  * previous `v<N>.metadata.json` and mutate only the keys the commit
+  * changes — a foreign table's properties, refs (branches/tags),
+  * sort-orders, default-sort-order-id, last-partition-id and
+  * snapshot-log/metadata-log all carry forward verbatim, and table
+  * creation emits the full v2-required field set, so graft-written
+  * metadata parses in any spec-conformant Iceberg client. */
 object IcebergWrite {
 
   private val M = new ObjectMapper()
+  private type ObjNode = com.fasterxml.jackson.databind.node.ObjectNode
 
   /** Version races to absorb before giving up (append only). */
   val MaxCommitRetries = 5
@@ -45,12 +58,24 @@ object IcebergWrite {
     * a spec inject a deterministic version race. No-op in production. */
   private[graft] var onBeforeCommit: () => Unit = () => ()
 
-  /** One freshly-authored manifest for a commit: its partition spec id,
-    * (for partitioned manifests) the identity field-summary bytes the
-    * manifest list carries for manifest-level skipping, and its content
-    * kind (0 = data, 1 = deletes). */
-  private final case class NewManifest(path: Path, specId: Int,
-      summary: Option[(Array[Byte], Array[Byte])], content: Int = 0)
+  /** A partition-spec request for one commit: single partition field
+    * `transform(srcColumn)`. [[commitMeta]] resolves it to an existing
+    * spec with the same (source-id, transform) or registers a fresh
+    * one (spec-id = max + 1, field-id = last-partition-id + 1). */
+  private final case class SpecReq(fieldName: String, srcId: Int,
+                                   transform: String)
+
+  /** A partitioned manifest's field summary for the manifest list:
+    * whether the partition holds nulls, and the (lo, hi) bound bytes
+    * (absent for the null partition — no bounds without evidence). */
+  private final case class Summary(containsNull: Boolean,
+      bounds: Option[(Array[Byte], Array[Byte])])
+
+  /** One freshly-authored manifest for a commit: `partitioned`
+    * manifests take the commit's resolved spec id and carry `summary`
+    * for manifest-level skipping; content kind 0 = data, 1 = deletes. */
+  private final case class NewManifest(path: Path, partitioned: Boolean,
+      summary: Option[Summary], content: Int = 0)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -204,14 +229,21 @@ object IcebergWrite {
       newFields.foreach(arr.add)
       n.put("current-schema-id", newSchemaId)
       n.put("last-column-id", newLastId)
+      val prevUpdated = m.path("last-updated-ms").asLong(System.currentTimeMillis())
       n.put("last-updated-ms", System.currentTimeMillis())
+      // metadata-log: record the version this evolution supersedes
+      val ml = n.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "metadata-log").addObject()
+      ml.put("timestamp-ms", prevUpdated)
+      ml.put("metadata-file",
+        new Path(root, s"metadata/v$base.metadata.json").toString)
       val target = new Path(root, s"metadata/v${base + 1}.metadata.json")
       val tmp = new Path(root,
         s"metadata/.tmp-v${base + 1}-${java.util.UUID.randomUUID().toString.take(8)}.json")
       val out = f.create(tmp, false)
       try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
       finally out.close()
-      if (!f.exists(target) && f.rename(tmp, target)) {
+      if (putIfAbsent(f, tmp, target)) {
         val hint = f.create(new Path(root, "metadata/version-hint.text"), true)
         try hint.write(String.valueOf(base + 1).getBytes) finally hint.close()
         return (base + 1).toLong
@@ -271,15 +303,19 @@ object IcebergWrite {
     val staging = new Path(root, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
     withFieldIds(df, idsByName).withColumn("_graft_p", col(partCol))
       .write.partitionBy("_graft_p").parquet(staging.toString)
-    def decode(dirName: String): Any = {
+    // NULL partition values stage under Spark's default-partition
+    // sentinel — decode them to None (summary: contains_null=true, no
+    // bounds) instead of parsing the sentinel as a value
+    def decode(dirName: String): Option[Any] = {
       val raw = java.net.URLDecoder.decode(dirName.stripPrefix("_graft_p="), "UTF-8")
-      srcDt match {
+      if (raw == "__HIVE_DEFAULT_PARTITION__") None
+      else Some(srcDt match {
         case IntegerType => raw.toInt
         case LongType => raw.toLong
         case _ => raw
-      }
+      })
     }
-    val filesOfValue: Seq[(Any, Seq[(Path, Long)])] = f.listStatus(staging)
+    val filesOfValue: Seq[(Option[Any], Seq[(Path, Long)])] = f.listStatus(staging)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("_graft_p="))
       .sortBy(_.getPath.getName)
       .map { d =>
@@ -316,8 +352,11 @@ object IcebergWrite {
           val mp = new Path(root,
             s"metadata/manifest-$snapshotId-$i-${java.util.UUID.randomUUID().toString.take(8)}.avro")
           IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
-          Some(NewManifest(mp, 1,
-            IcebergFormat.serializeBound(srcDt, v).map(b => (b, b))))
+          Some(NewManifest(mp, partitioned = true, Some(v match {
+            case None => Summary(containsNull = true, None)
+            case Some(value) => Summary(containsNull = false,
+              IcebergFormat.serializeBound(srcDt, value).map(b => (b, b)))
+          })))
         }
       }
       filesOfValue.flatMap(_._2).foreach { case (pp, _) =>
@@ -326,7 +365,8 @@ object IcebergWrite {
       try {
         onBeforeCommit()
         return commitMeta(spark, f, root, base, df.schema, snapshotId, seqNo,
-          mans, replace = false, partSpec = Some((partCol, idsByName(partCol))))
+          mans, replace = false,
+          partSpec = Some(SpecReq(partCol, idsByName(partCol), "identity")))
       } catch {
         case _: java.util.ConcurrentModificationException =>
           mans.foreach(nm => f.delete(nm.path, false))
@@ -397,6 +437,14 @@ object IcebergWrite {
     empties.foreach { case (p, _) => f.delete(p, false) }
     if (delFiles.isEmpty) return (currentSnap(), 0L)
     val deleted = counts.values.sum
+    // the data files these position deletes reference (file-count
+    // bounded) — rebase validation needs them if a race hits
+    lazy val referenced: Set[String] = {
+      import org.apache.spark.sql.functions.col
+      spark.read.parquet(delFiles.map(_._1.toString): _*)
+        .select(col("file_path")).distinct()
+        .collect().map(r => canonPath(r.getString(0))).toSet
+    }
 
     var attempt = 0
     var base = v0
@@ -415,7 +463,7 @@ object IcebergWrite {
         onBeforeCommit()
         val dummySchema = StructType(Nil) // schemas carry forward past v1
         return (commitMeta(spark, f, root, base, dummySchema, snapshotId,
-          seqNo, Seq(NewManifest(mp, 0, None, content = 1)),
+          seqNo, Seq(NewManifest(mp, partitioned = false, None, content = 1)),
           replace = false, operation = Some("delete")), deleted)
       } catch {
         case _: java.util.ConcurrentModificationException =>
@@ -424,6 +472,23 @@ object IcebergWrite {
           require(attempt < MaxCommitRetries,
             s"delete on $dir lost $MaxCommitRetries version races")
           base = currentVersion(f, root)
+          // validateDataFilesExist: the position-delete files were
+          // computed against the PRE-race snapshot — rebasing is only
+          // sound if every data file they reference is still live in
+          // the new head. A concurrent overwrite/compaction replaced
+          // them ⇒ the delete would mask nothing while reporting
+          // rowsDeleted>0 (a silently lost delete) — fail loudly
+          // instead, like overwrite does.
+          val live = IcebergInterop.liveDataPaths(spark, dir).toSet
+          val gone = referenced.filterNot(live)
+          if (gone.nonEmpty) {
+            delFiles.foreach { case (p, _) => f.delete(p, false) }
+            throw new IllegalStateException(
+              s"delete on $dir raced a concurrent commit that replaced " +
+              s"${gone.size} referenced data file(s) (e.g. ${gone.head}) — " +
+              "the staged position deletes no longer apply; re-run the " +
+              "delete against the new snapshot")
+          }
       }
     }
     (-1L, -1L) // unreachable
@@ -525,7 +590,7 @@ object IcebergWrite {
       try {
         onBeforeCommit()
         return commitMeta(spark, f, root, base, df.schema, snapshotId, seqNo,
-          Seq(NewManifest(manifestP, 0, None)), replace, txn)
+          Seq(NewManifest(manifestP, partitioned = false, None)), replace, txn)
       }
       catch {
         case _: java.util.ConcurrentModificationException =>
@@ -562,19 +627,38 @@ object IcebergWrite {
     id
   }
 
+  /** PUT-IF-ABSENT commit of a fully-written temp file: rename WITHOUT
+    * overwrite through FileContext (Options.Rename.NONE — fails on an
+    * existing destination instead of clobbering it, HadoopTableOperations'
+    * commit protocol; a bare FileSystem.rename on LocalFileSystem has
+    * POSIX semantics and would silently replace a concurrent winner's
+    * already-committed version). */
+  private def putIfAbsent(f: FileSystem, tmp: Path, target: Path): Boolean =
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        target.toUri, f.getConf)
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(target))
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: java.io.IOException if f.exists(target) => false
+    }
+
   /** Author `v<base+1>.metadata.json` + the snapshot's manifest list and
-    * commit by put-if-absent create; throws FileAlreadyExists on a lost
-    * race. Prior manifests carry forward from the current snapshot's
-    * manifest list on append; an overwrite starts from just the new
-    * manifest (older files stay reachable through older snapshots). */
+    * commit by put-if-absent rename; throws ConcurrentModificationException
+    * on a lost race. Prior manifests carry forward from the current
+    * snapshot's manifest list on append; an overwrite starts from just
+    * the new manifests (older files stay reachable through older
+    * snapshots). The metadata JSON starts from a DEEP COPY of the
+    * previous version — every field this commit doesn't change
+    * (properties, refs, sort-orders, a foreign writer's extras)
+    * carries forward verbatim. */
   private def commitMeta(spark: SparkSession, f: FileSystem, root: Path,
                          base: Int, schema: StructType, snapshotId: Long,
                          seqNo: Long, newManifests: Seq[NewManifest],
                          replace: Boolean,
                          txn: Option[(String, Long)] = None,
-                         // (partition column name, source field id):
-                         // registers the identity spec 1 on first use
-                         partSpec: Option[(String, Int)] = None,
+                         partSpec: Option[SpecReq] = None,
                          operation: Option[String] = None): Long = {
     import scala.jdk.CollectionConverters._
     val prevMeta = readMeta(f, root, base)
@@ -613,28 +697,106 @@ object IcebergWrite {
               }
           }
       }
+    // ---- metadata node: DEEP COPY of the previous version (every
+    // field this commit doesn't touch carries forward verbatim — a
+    // foreign table's properties/refs/sort-orders survive a graft
+    // append), or the full v2-required field set on table creation ----
+    val n: ObjNode = prevMeta match {
+      case Some(m) => m.deepCopy[JsonNode]().asInstanceOf[ObjNode]
+      case None =>
+        val c = M.createObjectNode()
+        c.put("format-version", 2)
+        c.put("table-uuid", java.util.UUID.randomUUID().toString)
+        c.put("location", root.toString)
+        val schemas = c.putArray("schemas")
+        val sc = schemas.addObject()
+        sc.put("schema-id", 0); sc.put("type", "struct")
+        val fields = sc.putArray("fields")
+        schema.fields.zipWithIndex.foreach { case (fd, i) =>
+          val fn = fields.addObject()
+          fn.put("id", i + 1); fn.put("name", fd.name)
+          fn.put("required", !fd.nullable)
+          fn.put("type", IcebergFormat.icebergType(fd.dataType))
+        }
+        c.put("last-column-id", schema.fields.length)
+        c.put("current-schema-id", 0)
+        val specs = c.putArray("partition-specs")
+        val sp = specs.addObject(); sp.put("spec-id", 0); sp.putArray("fields")
+        c.put("default-spec-id", 0)
+        c.put("last-partition-id", 999) // spec: 999 before any partition field
+        val orders = c.putArray("sort-orders")
+        val so = orders.addObject(); so.put("order-id", 0); so.putArray("fields")
+        c.put("default-sort-order-id", 0)
+        c.putObject("properties")
+        c.putObject("refs")
+        c.putArray("snapshots")
+        c.putArray("snapshot-log")
+        c.putArray("metadata-log")
+        c
+    }
+    val curSchemaId = n.path("current-schema-id").asInt(0)
+    val nowMs = System.currentTimeMillis()
+    val prevUpdatedMs = prevMeta.map(_.path("last-updated-ms").asLong(nowMs))
+    n.put("last-sequence-number", seqNo)
+    n.put("last-updated-ms", nowMs)
+
+    // partition-spec resolution: reuse an existing single-field spec
+    // with the same (source-id, transform); else register a fresh one
+    // (spec-id = max + 1, field-id = last-partition-id + 1 — partition
+    // field ids are never reused, the same rule as column ids)
+    type ArrNode = com.fasterxml.jackson.databind.node.ArrayNode
+    val specsArr = n.withArray[ArrNode]("partition-specs")
+    if (!specsArr.elements().asScala.exists(_.path("spec-id").asInt(-1) == 0)) {
+      val sp = specsArr.addObject(); sp.put("spec-id", 0); sp.putArray("fields")
+    }
+    val specId: Int = partSpec match {
+      case None => 0
+      case Some(req) =>
+        specsArr.elements().asScala.find { s0 =>
+          val fs0 = s0.path("fields")
+          fs0.size == 1 &&
+            fs0.get(0).path("source-id").asInt(-1) == req.srcId &&
+            fs0.get(0).path("transform").asText == req.transform
+        } match {
+          case Some(s0) => s0.path("spec-id").asInt(0)
+          case None =>
+            val newId = specsArr.elements().asScala
+              .map(_.path("spec-id").asInt(0)).maxOption.getOrElse(-1) + 1
+            val fieldId = math.max(n.path("last-partition-id").asInt(999), 999) + 1
+            val sp = specsArr.addObject(); sp.put("spec-id", newId)
+            val fd = sp.putArray("fields").addObject()
+            fd.put("name", req.fieldName); fd.put("transform", req.transform)
+            fd.put("source-id", req.srcId); fd.put("field-id", fieldId)
+            n.put("last-partition-id", fieldId)
+            if (prevMeta.isEmpty) n.put("default-spec-id", newId)
+            newId
+        }
+    }
+
     val FS = MFS.getField("partitions").schema().getTypes.get(1)
     val fresh: Seq[(String, Long, Int, Long, Int, Long, AnyRef)] =
       newManifests.map { nm =>
-        val parts: AnyRef = nm.summary.map { case (lo, hi) =>
+        val parts: AnyRef = nm.summary.map { s0 =>
           val fsRec = new org.apache.avro.generic.GenericData.Record(
             FS.getElementType)
-          fsRec.put("contains_null", false)
-          fsRec.put("lower_bound", java.nio.ByteBuffer.wrap(lo))
-          fsRec.put("upper_bound", java.nio.ByteBuffer.wrap(hi))
+          fsRec.put("contains_null", s0.containsNull)
+          s0.bounds.foreach { case (lo, hi) =>
+            fsRec.put("lower_bound", java.nio.ByteBuffer.wrap(lo))
+            fsRec.put("upper_bound", java.nio.ByteBuffer.wrap(hi))
+          }
           val arr = new org.apache.avro.generic.GenericData.Array[GenericRecord](1, FS)
           arr.add(fsRec); arr
         }.orNull
         (nm.path.toString, f.getFileStatus(nm.path).getLen, nm.content,
-          seqNo, nm.specId, snapshotId, parts)
+          seqNo, if (nm.partitioned) specId else 0, snapshotId, parts)
       }
     val listRecords: Seq[GenericRecord] =
       (prior ++ fresh).map {
-        case (mp, len, content, mseq, specId, addedBy, parts) =>
+        case (mp, len, content, mseq, mSpecId, addedBy, parts) =>
         val r = new org.apache.avro.generic.GenericData.Record(MFS)
         r.put("manifest_path", mp)
         r.put("manifest_length", len)
-        r.put("partition_spec_id", specId)
+        r.put("partition_spec_id", mSpecId)
         r.put("content", content)
         r.put("sequence_number", mseq)
         r.put("added_snapshot_id", addedBy)
@@ -645,65 +807,15 @@ object IcebergWrite {
       s"metadata/snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
     IcebergFormat.writeAvro(f, listP, MFS, listRecords)
 
-    val n = M.createObjectNode()
-    n.put("format-version",
-      prevMeta.map(_.path("format-version").asInt(2)).getOrElse(2))
-    n.put("table-uuid", prevMeta.map(_.path("table-uuid").asText)
-      .getOrElse(java.util.UUID.randomUUID().toString))
-    n.put("location", root.toString)
-    n.put("last-sequence-number", seqNo)
-    n.put("last-updated-ms", System.currentTimeMillis())
-    // schemas carry FORWARD (field ids must stay stable); only table
-    // creation derives one from the DataFrame, ids 1..n
-    val curSchemaId = prevMeta match {
-      case Some(m) =>
-        n.set[JsonNode]("schemas", m.path("schemas").deepCopy[JsonNode]())
-        n.put("last-column-id", m.path("last-column-id").asInt(
-          currentFieldIds(m).map(_._2).maxOption.getOrElse(0)))
-        m.path("current-schema-id").asInt(0)
-      case None =>
-        val schemas = n.putArray("schemas")
-        val sc = schemas.addObject()
-        sc.put("schema-id", 0); sc.put("type", "struct")
-        val fields = sc.putArray("fields")
-        schema.fields.zipWithIndex.foreach { case (fd, i) =>
-          val fn = fields.addObject()
-          fn.put("id", i + 1); fn.put("name", fd.name)
-          fn.put("required", !fd.nullable)
-          fn.put("type", IcebergFormat.icebergType(fd.dataType))
-        }
-        n.put("last-column-id", schema.fields.length)
-        0
-    }
-    n.put("current-schema-id", curSchemaId)
-    val specs = n.putArray("partition-specs")
-    // STRICT copy of every prior spec — a lazy iterator short-circuited
-    // by an exists/contains would silently drop the specs after the
-    // first hit, and a manifest referencing a dropped spec loses its
-    // manifest-level skipping
-    val copied = prevMeta.toSeq.flatMap(
-      _.path("partition-specs").elements().asScala.toList)
-    copied.foreach(s0 => specs.add(s0.deepCopy[JsonNode]()))
-    if (!copied.exists(_.path("spec-id").asInt(-1) == 0)) {
-      val sp = specs.addObject(); sp.put("spec-id", 0); sp.putArray("fields")
-    }
-    partSpec.filterNot(_ =>
-      copied.exists(_.path("spec-id").asInt(-1) == 1)).foreach {
-      case (fieldName, srcId) =>
-        val sp = specs.addObject(); sp.put("spec-id", 1)
-        val fields = sp.putArray("fields")
-        val fd = fields.addObject()
-        fd.put("name", fieldName); fd.put("transform", "identity")
-        fd.put("source-id", srcId); fd.put("field-id", 1000)
-    }
-    n.put("default-spec-id", 0)
+    val parentId = prevMeta.map(_.path("current-snapshot-id").asLong(-1L))
+      .filter(_ > 0)
     n.put("current-snapshot-id", snapshotId)
-    val snaps = n.putArray("snapshots")
-    prevMeta.foreach(_.path("snapshots").elements().asScala.foreach(snaps.add))
+    val snaps = n.withArray[ArrNode]("snapshots")
     val s0 = snaps.addObject()
     s0.put("snapshot-id", snapshotId)
+    parentId.foreach(p => s0.put("parent-snapshot-id", p))
     s0.put("sequence-number", seqNo)
-    s0.put("timestamp-ms", System.currentTimeMillis())
+    s0.put("timestamp-ms", nowMs)
     s0.put("manifest-list", listP.toString)
     s0.put("schema-id", curSchemaId)
     val sum = s0.putObject("summary")
@@ -712,19 +824,35 @@ object IcebergWrite {
     txn.foreach { case (appId, tv) =>
       sum.put("graft-app-id", appId); sum.put("graft-txn", tv)
     }
+    // refs: the main branch tracks the head; every other ref (tags,
+    // foreign branches) carries forward untouched in the deep copy
+    val refs =
+      if (n.path("refs").isObject) n.path("refs").asInstanceOf[ObjNode]
+      else n.putObject("refs")
+    val mainRef = refs.putObject("main")
+    mainRef.put("snapshot-id", snapshotId); mainRef.put("type", "branch")
+    // snapshot-log: the new head appends; metadata-log: the version
+    // this commit supersedes (both REQUIRED by v2 TableMetadataParser)
+    val sl = n.withArray[ArrNode]("snapshot-log").addObject()
+    sl.put("timestamp-ms", nowMs); sl.put("snapshot-id", snapshotId)
+    if (base > 0) {
+      val ml = n.withArray[ArrNode]("metadata-log").addObject()
+      ml.put("timestamp-ms", prevUpdatedMs.getOrElse(nowMs))
+      ml.put("metadata-file",
+        new Path(root, s"metadata/v$base.metadata.json").toString)
+    }
 
-    // THE COMMIT: full write to a hidden temp, then RENAME without
-    // overwrite into the next metadata version — a reader never sees
-    // partial bytes, and the rename fails (never truncates) when a
-    // concurrent writer got there first (DeltaInterop.commit's shape)
+    // THE COMMIT: full write to a hidden temp, then put-if-absent
+    // RENAME into the next metadata version — a reader never sees
+    // partial bytes, and the rename FAILS when a concurrent writer
+    // got there first (never truncates the winner's version)
     val target = new Path(root, s"metadata/v${base + 1}.metadata.json")
     val tmp = new Path(root,
       s"metadata/.tmp-v${base + 1}-${java.util.UUID.randomUUID().toString.take(8)}.json")
     val out = f.create(tmp, false)
     try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
     finally out.close()
-    val won = !f.exists(target) && f.rename(tmp, target)
-    if (!won) {
+    if (!putIfAbsent(f, tmp, target)) {
       f.delete(tmp, false); f.delete(listP, false)
       throw new java.util.ConcurrentModificationException(
         s"version ${base + 1} of $root was committed concurrently")

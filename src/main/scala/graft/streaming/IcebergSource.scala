@@ -49,11 +49,15 @@ object IcebergSourceOffset {
   *   - `ignoreChanges`: tolerate non-append snapshots (overwrite /
   *     replace) by re-emitting their added files — downstream sees
   *     reprocessed rows, the documented tradeoff. Without it a
-  *     non-append snapshot fails the stream (loudly correct default).
+  *     non-append snapshot fails the stream (loudly correct default);
+  *   - `ignoreDeletes`: SKIP delete manifests a tailed snapshot adds
+  *     (merge-on-read DELETE/UPDATE commits) — rows already emitted
+  *     stay downstream, the same tradeoff Delta's ignoreDeletes makes.
   *
-  * Row-level deletes REFUSE in both phases (streaming replays raw
-  * files; masked rows would resurrect) — the same carve-out Iceberg's
-  * own Spark streaming source makes; compact first.
+  * Without `ignoreDeletes`, row-level deletes REFUSE in both phases
+  * (streaming replays raw files; masked rows would resurrect) — the
+  * same carve-out Iceberg's own Spark streaming source makes;
+  * compact first.
   *
   * Scale shape: per trigger the driver reads ONE metadata JSON plus
   * the NEW snapshots' own manifests (added_snapshot_id-filtered, so

@@ -203,4 +203,142 @@ class IcebergWriteSpec extends AnyFunSuite {
       IcebergWrite.append(Seq((2L, "b", 3.0)).toDF("id", "tag", "extra"), dir))
     assert(e.getMessage.contains("must match current schema"), e.getMessage)
   }
+
+  private def metaJson(dir: String, v: Int): com.fasterxml.jackson.databind.JsonNode = {
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    M.readTree(new java.io.File(s"$dir/metadata/v$v.metadata.json"))
+  }
+
+  test("creation emits the full v2-required metadata surface") {
+    val dir = Files.createTempDirectory("graft-iceberg-write-v2req").toString
+    IcebergWrite.append(Seq((1L, "a")).toDF("id", "tag"), dir)
+    val m = metaJson(dir, 1)
+    assert(m.path("format-version").asInt == 2)
+    assert(m.path("last-partition-id").asInt == 999)
+    assert(m.path("sort-orders").size == 1 &&
+      m.path("sort-orders").get(0).path("order-id").asInt == 0)
+    assert(m.path("default-sort-order-id").asInt == 0)
+    assert(m.path("properties").isObject)
+    assert(m.path("refs").path("main").path("snapshot-id").asLong ==
+      m.path("current-snapshot-id").asLong)
+    assert(m.path("refs").path("main").path("type").asText == "branch")
+    assert(m.path("snapshot-log").size == 1 &&
+      m.path("snapshot-log").get(0).path("snapshot-id").asLong ==
+        m.path("current-snapshot-id").asLong)
+    assert(m.path("metadata-log").isArray && m.path("metadata-log").size == 0)
+    // second commit: logs grow, metadata-log names the superseded file
+    IcebergWrite.append(Seq((2L, "b")).toDF("id", "tag"), dir)
+    val m2 = metaJson(dir, 2)
+    assert(m2.path("snapshot-log").size == 2)
+    assert(m2.path("metadata-log").size == 1 &&
+      m2.path("metadata-log").get(0).path("metadata-file").asText
+        .endsWith("v1.metadata.json"))
+    assert(m2.path("snapshots").get(1).path("parent-snapshot-id").asLong ==
+      m2.path("snapshots").get(0).path("snapshot-id").asLong)
+  }
+
+  test("foreign metadata fields carry forward verbatim through a graft commit") {
+    val dir = Files.createTempDirectory("graft-iceberg-write-foreign").toString
+    IcebergWrite.append(Seq((1L, "a")).toDF("id", "tag"), dir)
+    // dress v1 up as a FOREIGN writer's metadata: properties, a tag
+    // ref, a real sort order, and an unknown future field
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val m = metaJson(dir, 1).deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val curSnap = m.path("current-snapshot-id").asLong
+    m.withObject("/properties").put("owner", "warehouse-team")
+      .put("write.format.default", "parquet")
+    val tag = m.withObject("/refs").putObject("v1.0-release")
+    tag.put("snapshot-id", curSnap); tag.put("type", "tag")
+    val so = M.createObjectNode()
+    so.put("order-id", 7)
+    val sf = so.putArray("fields").addObject()
+    sf.put("transform", "identity"); sf.put("source-id", 1)
+    sf.put("direction", "asc"); sf.put("null-order", "nulls-first")
+    m.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("sort-orders").add(so)
+    m.put("default-sort-order-id", 7)
+    m.put("some-future-field", "must-survive")
+    val out = new java.io.FileOutputStream(s"$dir/metadata/v2.metadata.json")
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
+    finally out.close()
+
+    // a graft append (v3), a delete (v4), and an evolution (v5) must
+    // each carry the foreign surface forward
+    IcebergWrite.append(Seq((2L, "b")).toDF("id", "tag"), dir)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+    IcebergWrite.addColumn(spark, dir, "note", org.apache.spark.sql.types.StringType)
+    val m5 = metaJson(dir, 5)
+    assert(m5.path("properties").path("owner").asText == "warehouse-team")
+    assert(m5.path("properties").path("write.format.default").asText == "parquet")
+    assert(m5.path("refs").path("v1.0-release").path("snapshot-id").asLong == curSnap)
+    assert(m5.path("refs").path("v1.0-release").path("type").asText == "tag")
+    assert(m5.path("refs").path("main").path("snapshot-id").asLong ==
+      m5.path("current-snapshot-id").asLong, "main ref must track the head")
+    assert(m5.path("default-sort-order-id").asInt == 7)
+    assert(m5.path("sort-orders").size == 2)
+    assert(m5.path("some-future-field").asText == "must-survive")
+    assert(m5.path("last-partition-id").asInt == 999)
+    // the table still reads correctly (append landed, delete masked)
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.count() == 1 && t.agg(min("id")).head().getLong(0) == 2L)
+  }
+
+  test("delete rebases across a concurrent APPEND but refuses across an overwrite") {
+    val dir = Files.createTempDirectory("graft-iceberg-write-delrace").toString
+    IcebergWrite.append((0L until 30L).map(i => (i, s"r_$i")).toDF("id", "tag"), dir)
+    // concurrent APPEND between the delete's staging and commit: the
+    // referenced data files are still live ⇒ rebase succeeds
+    var fired = false
+    IcebergWrite.onBeforeCommit = () => if (!fired) {
+      fired = true
+      IcebergWrite.onBeforeCommit = () => ()
+      IcebergWrite.append(Seq((100L, "x")).toDF("id", "tag"), dir)
+    }
+    try {
+      val (_, n) = IcebergWrite.deleteWhere(spark, dir, col("id") < 10)
+      assert(n == 10)
+    } finally IcebergWrite.onBeforeCommit = () => ()
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 21)
+
+    // concurrent OVERWRITE: the staged position deletes reference
+    // files the new head no longer holds ⇒ loud failure, no commit
+    var fired2 = false
+    IcebergWrite.onBeforeCommit = () => if (!fired2) {
+      fired2 = true
+      IcebergWrite.onBeforeCommit = () => ()
+      IcebergWrite.overwrite(Seq((200L, "y")).toDF("id", "tag"), dir)
+    }
+    try {
+      val e = intercept[IllegalStateException](
+        IcebergWrite.deleteWhere(spark, dir, col("id") >= 10))
+      assert(e.getMessage.contains("replaced"), e.getMessage)
+    } finally IcebergWrite.onBeforeCommit = () => ()
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.count() == 1 && t.agg(min("id")).head().getLong(0) == 200L,
+      "the failed delete must not mask anything in the overwritten table")
+  }
+
+  test("NULL partition values: sentinel decodes to null, contains_null summary, int column safe") {
+    val dir = Files.createTempDirectory("graft-iceberg-write-nullpart").toString
+    val rows = Seq((1L, "en", "a"), (2L, null, "b"), (3L, "de", "c"),
+      (4L, null, "d")).toDF("id", "lang", "tag")
+    IcebergWrite.appendPartitioned(rows, dir, "lang")
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.count() == 4)
+    assert(t.filter(col("lang").isNull).count() == 2)
+    // a value-targeted read still skips the OTHER value's manifest;
+    // the null manifest never prunes (contains_null ⇒ no evidence)
+    val en = IcebergInterop.readIcebergWhere(spark, dir, Map.empty,
+      stringEq = Map("lang" -> "en"))
+    assert(en.count() == 1)
+    val (read, skipped) = IcebergInterop.lastManifestScan
+    assert(skipped >= 1, s"the de manifest must skip, read=$read skipped=$skipped")
+    // int partition column with nulls: no NumberFormatException, reads whole
+    val dir2 = Files.createTempDirectory("graft-iceberg-write-nullpart2").toString
+    val rows2 = Seq((1L, java.lang.Integer.valueOf(7), "a"),
+      (2L, null.asInstanceOf[java.lang.Integer], "b")).toDF("id", "bucket", "tag")
+    IcebergWrite.appendPartitioned(rows2, dir2, "bucket")
+    val t2 = IcebergInterop.readIceberg(spark, dir2)
+    assert(t2.count() == 2 && t2.filter(col("bucket").isNull).count() == 1)
+  }
 }

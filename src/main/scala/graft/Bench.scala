@@ -80,7 +80,8 @@ object Bench {
     "q182_iceberg_bucket", "q183_sql_merge_row_tracking",
     "q184_uniform_lifecycle", "q185_uniform_partitioned",
     "q186_iceberg_v3_dv", "q187_iceberg_row_lineage",
-    "q188_drop_feature", "q189_column_defaults", "q190_iceberg_write", "q191_iceberg_stream", "q192_iceberg_sink", "q193_iceberg_write_partitioned", "q194_iceberg_delete", "q195_iceberg_write_evolution"
+    "q188_drop_feature", "q189_column_defaults", "q190_iceberg_write", "q191_iceberg_stream", "q192_iceberg_sink", "q193_iceberg_write_partitioned", "q194_iceberg_delete", "q195_iceberg_write_evolution",
+    "q197_iceberg_upsert"
   )
 
   def main(args: Array[String]): Unit = {

@@ -635,6 +635,20 @@ object OracleSql {
         |  sum(n_chars)::BIGINT AS chars,
         |  sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars % 100 END)::BIGINT AS quality
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q197: native Iceberg merge-on-read UPDATE + MERGE — low band
+    // +1000 chars, %10==0 deleted, other %5==0 re-lang'd to zz,
+    // shifted keys inserted as 'ins' (raw chars)
+    "q197_iceberg_upsert" ->
+      """WITH mm AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+        |base AS (
+        |  SELECT CASE WHEN doc_id % 5 = 0 THEN 'zz' ELSE lang END AS lang,
+        |    n_chars + CASE WHEN doc_id < mn + (mx - mn) // 5
+        |                   THEN 1000 ELSE 0 END AS n_chars
+        |  FROM documents, mm WHERE doc_id % 10 <> 0),
+        |ins AS (SELECT 'ins' AS lang, n_chars FROM documents WHERE doc_id % 5 = 0)
+        |SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+        |FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q181: day(ts)-hidden-partitioned Iceberg range read == the same
     // 3-day window on the raw events (the engine additionally asserts
     // 3 of 30 manifests opened)

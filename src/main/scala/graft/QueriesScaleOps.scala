@@ -2674,4 +2674,55 @@ private[graft] trait QueriesScaleOps extends QueryBase {
         sum(col("quality")).cast("long").as("quality"))
       .orderBy(col("lang"))
   }
+
+  /** q197 — MERGE-ON-READ UPDATE + MERGE on a NATIVE Iceberg table
+    * ([[graft.io.IcebergWrite.updateWhere]]/[[graft.io.IcebergWrite.mergeInto]]):
+    * the corpus lands range-partitioned, a stats-pruned UPDATE bumps
+    * the low-doc_id band (+1000 chars), then ONE atomic MERGE snapshot
+    * arbitrates ordered clauses — %10==0 matched rows DELETE, other
+    * %5==0 matched rows re-lang to 'zz', shifted keys INSERT — all
+    * merge-on-read: position deletes + postimage/insert appends, ZERO
+    * data-file rewrites (asserted), exactly 3 snapshots (asserted),
+    * and time travel still reads the pre-update corpus. This is the
+    * upsert path an Iceberg-first warehouse runs (q161/q168's Delta
+    * contract on the Iceberg plane); DuckDB replays the lifecycle
+    * analytically. */
+  private[graft] def q197(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q197")
+    val s1 = graft.io.IcebergWrite.append(
+      docs.repartitionByRange(6, col("doc_id")), tmp)
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val k = mn + (mx - mn) / 5
+    def dataFileSet() = graft.io.IcebergInterop.readIceberg(s, tmp)
+      .inputFiles.filter(p => !p.contains("/data/delete-")).toSet
+    val files0 = dataFileSet()
+    val (_, up) = graft.io.IcebergWrite.updateWhere(s, tmp,
+      col("doc_id") < k, Map("n_chars" -> (col("n_chars") + 1000L)),
+      ranges = Map("doc_id" -> ((mn.toDouble, (k - 1).toDouble))))
+    require(up > 0, "the update must hit the low band")
+    val src = docs.filter(col("doc_id") % 5 === 0)
+      .unionByName(docs.filter(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + lit(mx + 1)).as("doc_id"),
+        lit("ins").as("lang"), col("n_chars")))
+    val (_, nDel, nIns) = graft.io.IcebergWrite.mergeInto(s, tmp, src,
+      Seq("doc_id"),
+      matched = Seq(
+        graft.io.DeltaInterop.MatchedClause(Some(col("t.doc_id") % 10 === 0),
+          Map.empty, delete = true),
+        graft.io.DeltaInterop.MatchedClause(None, Map("lang" -> lit("zz")))),
+      notMatched = Some((None, Map.empty)))
+    require(nDel > 0 && nIns > 0, s"merge must fire both ways: $nDel/$nIns")
+    require(files0.subsetOf(dataFileSet()),
+      "merge-on-read must never rewrite the original data files")
+    require(graft.io.IcebergInterop.snapshots(s, tmp).count() == 3,
+      "append + update + merge = exactly 3 snapshots (each row delta atomic)")
+    require(graft.io.IcebergInterop.readIceberg(s, tmp, Some(s1)).count()
+      == docs.count(), "time travel must still see the pre-update corpus")
+    graft.io.IcebergInterop.readIceberg(s, tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+  }
 }

@@ -494,6 +494,273 @@ object IcebergWrite {
     (-1L, -1L) // unreachable
   }
 
+  /** MERGE-ON-READ UPDATE for native Iceberg tables: rows where
+    * `predicate` is TRUE are masked by position deletes and their
+    * POSTIMAGES (with `set` assignments applied) append — both in ONE
+    * atomic snapshot, so no reader ever sees the row absent or
+    * doubled. No untouched data file rewrites: work is O(updated
+    * rows), the [[DeltaInterop.updateWhereDV]] contract on the Iceberg
+    * plane. `ranges` prunes the candidate scan through manifest
+    * bounds. Returns (snapshotId, rowsUpdated). */
+  def updateWhere(spark: SparkSession, dir: String,
+                  predicate: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  ranges: Map[String, (Double, Double)] = Map.empty): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val v0 = currentVersion(f, root)
+    require(v0 > 0, s"$dir has no snapshots to update")
+    val m0 = readMeta(f, root, v0).get
+    val idsByName = currentFieldIds(m0).toMap
+    val schemaNames = currentFieldIds(m0).map(_._1)
+    set.keys.foreach(k => require(idsByName.contains(k),
+      s"UPDATE assigns unknown column $k (table has ${schemaNames.mkString(",")})"))
+    val hits = IcebergInterop.readIceberg(spark, dir, ranges = ranges,
+        withProvenance = true)
+      .filter(predicate)
+      .localCheckpoint(false) // two consumers below — pin one scan
+    val post0 = set.foldLeft(hits) { case (d, (k, v)) => d.withColumn(k, v) }
+    val postimage = post0.select(schemaNames.map(c =>
+      col(c).cast(hits.schema(c).dataType).as(c)): _*)
+    val (snap, deleted, _) = commitRowDelta(spark, dir,
+      positionsOf(hits), Some(postimage), "overwrite",
+      what = "update")
+    (snap, deleted)
+  }
+
+  /** MERGE-ON-READ MERGE for native Iceberg tables — delta-spark's
+    * clause surface ([[DeltaInterop.MatchedClause]]: ordered `WHEN
+    * MATCHED [AND cond] THEN UPDATE SET ...|DELETE`, first firing
+    * clause wins; optional `WHEN NOT MATCHED [AND cond] THEN INSERT`
+    * with assignments, empty map = INSERT *). Clause-fired target rows
+    * position-delete in place, postimages and inserts append — ONE
+    * atomic snapshot, zero data-file rewrites. The probe scan prunes
+    * through manifest bounds by the source's key min/max (a 100 TB
+    * table pays for files overlapping the merge's key range).
+    * Returns (snapshotId, rowsDeletedOrUpdated, rowsInserted). */
+  def mergeInto(spark: SparkSession, dir: String,
+                source: DataFrame, keyCols: Seq[String],
+                matched: Seq[DeltaInterop.MatchedClause],
+                notMatched: Option[(Option[org.apache.spark.sql.Column],
+                  Map[String, org.apache.spark.sql.Column])]): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val v0 = currentVersion(f, root)
+    require(v0 > 0, s"$dir has no snapshots to merge into")
+    val m0 = readMeta(f, root, v0).get
+    val fieldIds = currentFieldIds(m0)
+    val schemaNames = fieldIds.map(_._1)
+    require(keyCols.nonEmpty && keyCols.forall(schemaNames.contains),
+      s"unknown key column(s) ${keyCols.filterNot(schemaNames.contains).mkString(",")}")
+    require(keyCols.forall(source.columns.contains),
+      "merge source must carry every key column")
+    val srcAligned = source.localCheckpoint(false)
+    val dup = srcAligned.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty, s"merge source has duplicate keys (e.g. ${dup.headOption.mkString})")
+
+    // stats-pruned probe: a single numeric non-null key maps the
+    // source's min/max into a manifest/file bound range
+    val ranges: Map[String, (Double, Double)] = keyCols match {
+      case Seq(k) if srcAligned.schema(k).dataType.isInstanceOf[
+          org.apache.spark.sql.types.NumericType] =>
+        val mm = srcAligned.agg(min(col(k)), max(col(k)),
+          sum(when(col(k).isNull, 1L).otherwise(0L))).head()
+        if (mm.isNullAt(0) || mm.getLong(2) > 0L) Map.empty
+        else Map(k -> ((mm.get(0).asInstanceOf[Number].doubleValue,
+          mm.get(1).asInstanceOf[Number].doubleValue)))
+      case _ => Map.empty
+    }
+    val t = IcebergInterop.readIceberg(spark, dir, ranges = ranges,
+      withProvenance = true)
+    val typed = StructType(schemaNames.map(nm =>
+      StructField(nm, t.schema(nm).dataType)))
+    val keyEq = keyCols.map(c => col(s"t.$c") <=> col(s"s.$c")).reduce(_ && _)
+    // first firing clause wins (delta-spark's arbitration): -1 = no
+    // clause claimed the row, it stays untouched. Everything that
+    // references the t./s. qualifiers resolves in THIS projection —
+    // the checkpoint below flattens qualifiers away.
+    val firedCol = matched.zipWithIndex.foldRight(lit(-1)) {
+      case ((cl, i), acc) =>
+        when(cl.condition.getOrElse(lit(true)), lit(i)).otherwise(acc)
+    }
+    val postCols = typed.fields.map { fd =>
+      matched.zipWithIndex.foldRight(col(s"t.${fd.name}")) {
+        case ((cl, i), acc) =>
+          if (cl.delete || !cl.set.contains(fd.name)) acc
+          else when(col("_fired") === i, cl.set(fd.name)).otherwise(acc)
+      }.cast(fd.dataType).as(fd.name)
+    }.toSeq
+    val hits = t.as("t").join(srcAligned.as("s"), keyEq, "inner")
+      .withColumn("_fired", firedCol)
+      .filter(col("_fired") >= 0)
+      .select(col("t._graft_file").as("_graft_file") +:
+        col("t._graft_pos").as("_graft_pos") +: col("_fired") +: postCols: _*)
+      .localCheckpoint(false) // positions + postimages read it below
+    val updateIdx = matched.zipWithIndex.collect {
+      case (cl, i) if !cl.delete => i
+    }
+    val postimage =
+      if (updateIdx.isEmpty) None
+      else Some(hits.filter(col("_fired").isin(updateIdx: _*))
+        .select(schemaNames.map(col): _*))
+    val inserts = notMatched.map { case (cond, assign) =>
+      val unmatched0 = srcAligned.as("s").join(t.as("t"), keyEq, "left_anti")
+      val unmatched = cond.map(unmatched0.filter).getOrElse(unmatched0)
+      unmatched.select(typed.fields.map { fd =>
+        (if (assign.nonEmpty) assign.getOrElse(fd.name, lit(null))
+         else if (srcAligned.columns.contains(fd.name)) col(s"s.${fd.name}")
+         else lit(null)).cast(fd.dataType).as(fd.name)
+      }.toSeq: _*)
+    }
+    val appendRows = (postimage.toSeq ++ inserts) match {
+      case Nil => None
+      case xs => Some(xs.reduce(_ unionByName _))
+    }
+    val (snap, deleted, inserted0) = commitRowDelta(spark, dir,
+      positionsOf(hits), appendRows, "overwrite", what = "merge")
+    // inserted = appended − postimages (postimages replace masked rows)
+    val nPost = if (updateIdx.isEmpty) 0L
+      else hits.filter(col("_fired").isin(updateIdx: _*)).count()
+    (snap, deleted, inserted0 - nPost)
+  }
+
+  /** The spec-shaped position-delete projection of a provenance scan:
+    * (`file_path`, `pos`) with the reserved field ids stamped. */
+  private def positionsOf(hits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    hits.select(
+      col("_graft_file").as("file_path", new MetadataBuilder()
+        .putLong("parquet.field.id", 2147483546L).build()),
+      col("_graft_pos").cast(LongType).as("pos", new MetadataBuilder()
+        .putLong("parquet.field.id", 2147483545L).build()))
+  }
+
+  /** Shared ROW-DELTA commit: stage position deletes + optional append
+    * rows, then commit both as ONE snapshot (a content=1 delete
+    * manifest plus a data manifest). Rebases version races only after
+    * validating the referenced data files are still live in the new
+    * head (validateDataFilesExist) — a concurrent overwrite/compaction
+    * fails the delta loudly instead of masking nothing. Returns
+    * (snapshotId, rowsDeleted, rowsAppended); commits NOTHING when the
+    * delta is empty. */
+  private def commitRowDelta(spark: SparkSession, dir: String,
+                             positions: DataFrame, appendDf: Option[DataFrame],
+                             operation: String, what: String): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val v0 = currentVersion(f, root)
+    val m0 = readMeta(f, root, v0).get
+    val idsByName = currentFieldIds(m0).toMap
+    def currentSnap(): Long = readMeta(f, root, currentVersion(f, root))
+      .map(_.path("current-snapshot-id").asLong(-1L)).getOrElse(-1L)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+
+    def stage(df: DataFrame, prefix: String): Seq[(Path, Long)] = {
+      val staging = new Path(root,
+        s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+      df.write.parquet(staging.toString)
+      val out = f.listStatus(staging).filter(_.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val dst = new Path(root, s"data/$prefix${java.util.UUID.randomUUID()}.parquet")
+          require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
+          (dst, f.getFileStatus(dst).getLen)
+        }.toSeq
+      f.delete(staging, true)
+      out
+    }
+    val stagedDel = stage(positions, "delete-")
+    val delCounts: Map[String, Long] =
+      if (stagedDel.isEmpty) Map.empty
+      else spark.read.parquet(stagedDel.map(_._1.toString): _*)
+        .groupBy(col("_metadata.file_path").as("_p"))
+        .agg(count(lit(1)).as("_n"))
+        .collect().map(r => canonPath(r.getString(0)) -> r.getLong(1)).toMap
+    val (delFiles, delEmpties) =
+      stagedDel.partition(p => delCounts.contains(canonPath(p._1.toString)))
+    delEmpties.foreach { case (p, _) => f.delete(p, false) }
+
+    val stagedApp = appendDf.toSeq.flatMap { df =>
+      require(df.columns.toSet == idsByName.keySet,
+        s"$what postimage columns ${df.columns.sorted.toSeq} must match " +
+        s"current schema ${idsByName.keys.toSeq.sorted}")
+      stage(withFieldIds(df, idsByName), "")
+    }
+    val appStats =
+      if (stagedApp.isEmpty) Map.empty[String, (Long, Map[Int, (Array[Byte], Array[Byte])])]
+      else allFileStats(spark, stagedApp.map(_._1.toString), idsByName)
+    val (appFiles, appEmpties) =
+      stagedApp.partition(p => appStats.contains(canonPath(p._1.toString)))
+    appEmpties.foreach { case (p, _) => f.delete(p, false) }
+
+    if (delFiles.isEmpty && appFiles.isEmpty) return (currentSnap(), 0L, 0L)
+    val deleted = delCounts.values.sum
+    val appended = appStats.values.map(_._1).sum
+    lazy val referenced: Set[String] =
+      if (delFiles.isEmpty) Set.empty
+      else spark.read.parquet(delFiles.map(_._1.toString): _*)
+        .select(col("file_path")).distinct()
+        .collect().map(r => canonPath(r.getString(0))).toSet
+
+    var attempt = 0
+    var base = v0
+    while (true) {
+      val snapshotId = freshSnapshotId(f, root, base)
+      val seqNo = readMeta(f, root, base)
+        .map(_.path("last-sequence-number").asLong(0L)).getOrElse(0L) + 1L
+      val mans = Seq.newBuilder[NewManifest]
+      if (delFiles.nonEmpty) {
+        val entries = delFiles.map { case (p, size) =>
+          IcebergFormat.entry(1, p.toString,
+            delCounts(canonPath(p.toString)), size, snapshotId, seqNo)
+        }
+        val mp = new Path(root,
+          s"metadata/delete-manifest-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
+        IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
+        mans += NewManifest(mp, partitioned = false, None, content = 1)
+      }
+      if (appFiles.nonEmpty) {
+        val entries = appFiles.map { case (p, size) =>
+          val (rows, bounds) = appStats(canonPath(p.toString))
+          IcebergFormat.entry(0, p.toString, rows, size, snapshotId, seqNo,
+            bounds = bounds)
+        }
+        val mp = new Path(root,
+          s"metadata/manifest-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
+        IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
+        mans += NewManifest(mp, partitioned = false, None)
+      }
+      val built = mans.result()
+      try {
+        onBeforeCommit()
+        val snap = commitMeta(spark, f, root, base, StructType(Nil), snapshotId,
+          seqNo, built, replace = false, operation = Some(operation))
+        return (snap, deleted, appended)
+      } catch {
+        case _: java.util.ConcurrentModificationException =>
+          built.foreach(nm => f.delete(nm.path, false))
+          attempt += 1
+          require(attempt < MaxCommitRetries,
+            s"$what on $dir lost $MaxCommitRetries version races")
+          base = currentVersion(f, root)
+          val live = IcebergInterop.liveDataPaths(spark, dir).toSet
+          val gone = referenced.filterNot(live)
+          if (gone.nonEmpty) {
+            (delFiles ++ appFiles).foreach { case (p, _) => f.delete(p, false) }
+            throw new IllegalStateException(
+              s"$what on $dir raced a concurrent commit that replaced " +
+              s"${gone.size} referenced data file(s) (e.g. ${gone.head}) — " +
+              s"the staged position deletes no longer apply; re-run the $what " +
+              "against the new snapshot")
+          }
+      }
+    }
+    (-1L, -1L, -1L) // unreachable
+  }
+
   /** Exactly-once streaming append: the (appId, txnVersion) ledger
     * rides the SNAPSHOT SUMMARY (`graft-app-id` / `graft-txn` keys —
     * Iceberg's spec-blessed operation metadata), so a batch replayed

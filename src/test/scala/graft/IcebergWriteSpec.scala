@@ -318,6 +318,110 @@ class IcebergWriteSpec extends AnyFunSuite {
       "the failed delete must not mask anything in the overwritten table")
   }
 
+  test("merge-on-read UPDATE: one snapshot, postimages visible, no data file rewrites") {
+    val dir = Files.createTempDirectory("graft-iceberg-write-upd").toString
+    val s1 = IcebergWrite.append(
+      (0L until 40L).map(i => (i, i * 10L, s"r_$i")).toDF("id", "score", "tag")
+        .repartitionByRange(4, col("id")), dir)
+    def dataFileSet() = IcebergInterop.readIceberg(spark, dir)
+      .inputFiles.filter(p => !p.contains("/data/delete-")).toSet
+    val files0 = dataFileSet()
+    val (_, n1) = IcebergWrite.updateWhere(spark, dir, col("id") < 10,
+      Map("score" -> (col("score") + 1000L), "tag" -> lit("updated")),
+      ranges = Map("id" -> ((0.0, 9.0))))
+    assert(n1 == 10)
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.count() == 40, "update must not change row count")
+    assert(t.filter(col("tag") === "updated").count() == 10)
+    assert(t.filter(col("id") < 10).agg(min("score")).head().getLong(0) == 1000L)
+    // untouched data files never rewrite; postimage files are NEW
+    assert(files0.subsetOf(dataFileSet()))
+    // ONE snapshot for the whole row delta; time travel sees preimages
+    assert(IcebergInterop.snapshots(spark, dir).count() == 2)
+    assert(IcebergInterop.readIceberg(spark, dir, Some(s1))
+      .filter(col("tag") === "updated").count() == 0)
+    // updates COMPOSE on the masked view (no double-application)
+    val (_, n2) = IcebergWrite.updateWhere(spark, dir, col("tag") === "updated",
+      Map("score" -> (col("score") + 1L)))
+    assert(n2 == 10)
+    assert(IcebergInterop.readIceberg(spark, dir)
+      .filter(col("id") < 10).agg(min("score")).head().getLong(0) == 1001L)
+    // a no-match update commits nothing
+    val before = IcebergInterop.snapshots(spark, dir).count()
+    val (_, n3) = IcebergWrite.updateWhere(spark, dir, col("id") === 9999L,
+      Map("score" -> lit(0L)))
+    assert(n3 == 0 && IcebergInterop.snapshots(spark, dir).count() == before)
+  }
+
+  test("merge-on-read MERGE: clause arbitration, inserts, one snapshot, race paths") {
+    val dir = Files.createTempDirectory("graft-iceberg-write-merge").toString
+    IcebergWrite.append(
+      (0L until 20L).map(i => (i, i * 10L, s"r_$i")).toDF("id", "score", "tag"), dir)
+    val source = Seq(
+      (5L, 999L, "upd"),    // matched, first clause (score<70 → update)
+      (15L, 999L, "del"),   // matched, second clause (delete)
+      (100L, 1L, "ins"),    // not matched → insert
+      (101L, 2L, "ins")     // not matched → insert
+    ).toDF("id", "score", "tag")
+    val (_, nDel, nIns) = IcebergWrite.mergeInto(spark, dir, source, Seq("id"),
+      matched = Seq(
+        graft.io.DeltaInterop.MatchedClause(Some(col("t.score") < 70L),
+          Map("score" -> col("s.score"), "tag" -> lit("merged"))),
+        graft.io.DeltaInterop.MatchedClause(None, Map.empty, delete = true)),
+      notMatched = Some((None, Map.empty)))
+    assert(nDel == 2, s"both matched rows fire (one update, one delete): $nDel")
+    assert(nIns == 2, s"two inserts: $nIns")
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.count() == 21, "20 - 1 delete + 2 inserts")
+    assert(t.filter(col("id") === 5L).select("score", "tag").head() ==
+      org.apache.spark.sql.Row(999L, "merged"))
+    assert(t.filter(col("id") === 15L).count() == 0, "second clause deleted id 15")
+    assert(t.filter(col("id") >= 100L).count() == 2)
+    // the whole row delta landed as ONE snapshot
+    assert(IcebergInterop.snapshots(spark, dir).count() == 2)
+
+    // race path 1: concurrent APPEND between staging and commit —
+    // referenced files still live ⇒ the mixed delete+append rebases
+    var fired = false
+    IcebergWrite.onBeforeCommit = () => if (!fired) {
+      fired = true
+      IcebergWrite.onBeforeCommit = () => ()
+      IcebergWrite.append(Seq((500L, 0L, "race")).toDF("id", "score", "tag"), dir)
+    }
+    try {
+      val (_, d2, i2) = IcebergWrite.mergeInto(spark, dir,
+        Seq((5L, 1L, "again"), (600L, 6L, "new")).toDF("id", "score", "tag"),
+        Seq("id"),
+        matched = Seq(graft.io.DeltaInterop.MatchedClause(None,
+          Map("tag" -> lit("again")))),
+        notMatched = Some((None, Map.empty)))
+      assert(d2 == 1 && i2 == 1)
+    } finally IcebergWrite.onBeforeCommit = () => ()
+    val t2 = IcebergInterop.readIceberg(spark, dir)
+    assert(t2.count() == 23) // 21 + race append + merge insert
+    assert(t2.filter(col("tag") === "again").count() == 1)
+
+    // race path 2: concurrent OVERWRITE replaced the referenced files
+    // ⇒ the merge fails loudly, nothing masks in the new table
+    var fired2 = false
+    IcebergWrite.onBeforeCommit = () => if (!fired2) {
+      fired2 = true
+      IcebergWrite.onBeforeCommit = () => ()
+      IcebergWrite.overwrite(Seq((700L, 7L, "ow")).toDF("id", "score", "tag"), dir)
+    }
+    try {
+      val e = intercept[IllegalStateException](
+        IcebergWrite.mergeInto(spark, dir,
+          Seq((5L, 2L, "x")).toDF("id", "score", "tag"), Seq("id"),
+          matched = Seq(graft.io.DeltaInterop.MatchedClause(None, Map.empty,
+            delete = true)),
+          notMatched = None))
+      assert(e.getMessage.contains("replaced"), e.getMessage)
+    } finally IcebergWrite.onBeforeCommit = () => ()
+    val t3 = IcebergInterop.readIceberg(spark, dir)
+    assert(t3.count() == 1 && t3.head().getLong(0) == 700L)
+  }
+
   test("NULL partition values: sentinel decodes to null, contains_null summary, int column safe") {
     val dir = Files.createTempDirectory("graft-iceberg-write-nullpart").toString
     val rows = Seq((1L, "en", "a"), (2L, null, "b"), (3L, "de", "c"),

@@ -635,6 +635,14 @@ object OracleSql {
         |  sum(n_chars)::BIGINT AS chars,
         |  sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars % 100 END)::BIGINT AS quality
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q196: native Iceberg maintenance — the low third masked, then
+    // the same aggregate through live/compacted/expired states
+    "q196_iceberg_maintenance" ->
+      """WITH mm AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+        |FROM documents, mm
+        |WHERE doc_id >= mn + (mx - mn) // 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q197: native Iceberg merge-on-read UPDATE + MERGE — low band
     // +1000 chars, %10==0 deleted, other %5==0 re-lang'd to zz,
     // shifted keys inserted as 'ins' (raw chars)

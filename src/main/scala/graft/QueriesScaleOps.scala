@@ -2675,6 +2675,60 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("lang"))
   }
 
+  /** q196 — NATIVE Iceberg TABLE MAINTENANCE
+    * ([[graft.io.IcebergWrite.compact]] /
+    * [[graft.io.IcebergWrite.expireSnapshots]]), the q147 pattern on
+    * the Iceberg plane: the corpus lands in two appends, a
+    * merge-on-read DELETE masks the low band, then the table passes
+    * through all three physical states — LIVE (masks in-plan),
+    * COMPACTED (one `replace` snapshot folds the position deletes into
+    * rewritten files; zero delete files in the scan, asserted), and
+    * EXPIRED (snapshots age out reference-counted; the folded delete
+    * parquets physically reclaim, `metadata/` shrinks, and time travel
+    * to an expired snapshot refuses loudly, all asserted). The
+    * aggregate must be IDENTICAL in every state — DuckDB replays the
+    * surviving band analytically. */
+  private[graft] def q196(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q196")
+    val s1 = graft.io.IcebergWrite.append(
+      docs.filter(col("doc_id") % 2 === 0).repartitionByRange(4, col("doc_id")), tmp)
+    graft.io.IcebergWrite.append(
+      docs.filter(col("doc_id") % 2 =!= 0).repartitionByRange(4, col("doc_id")), tmp)
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val k = mn + (mx - mn) / 3
+    val (_, nDel) = graft.io.IcebergWrite.deleteWhere(s, tmp,
+      col("doc_id") < k, ranges = Map("doc_id" -> ((mn.toDouble, (k - 1).toDouble))))
+    require(nDel > 0, "the delete must hit the low band")
+    def read() = graft.io.IcebergInterop.readIceberg(s, tmp)
+    val liveCount = read().count()
+    val metaDir = new java.io.File(s"$tmp/metadata")
+    def metaCount() = metaDir.list().count(!_.startsWith("."))
+    val metaLive = metaCount()
+    // state 2: COMPACTED — the replace snapshot folds the masks
+    val (_, rewritten, folded) = graft.io.IcebergWrite.compact(s, tmp)
+    require(rewritten > 0 && folded > 0, s"compact must fold: $rewritten/$folded")
+    require(read().count() == liveCount, "compaction must not change live rows")
+    require(!read().inputFiles.exists(_.contains("/data/delete-")),
+      "after compaction the masks are physical — no delete file scans")
+    // state 3: EXPIRED — metadata bounded, reclaim reference-counted
+    Thread.sleep(2)
+    val (expired, reclaimed) = graft.io.IcebergWrite.expireSnapshots(s, tmp, 0L)
+    require(expired >= 3 && reclaimed > 0, s"expiry must reclaim: $expired/$reclaimed")
+    require(metaCount() < metaLive, "metadata/ must shrink after expiry")
+    require(!new java.io.File(s"$tmp/data").list().exists(_.startsWith("delete-")),
+      "the folded position-delete files must physically reclaim")
+    val refused =
+      try { graft.io.IcebergInterop.readIceberg(s, tmp, Some(s1)).count(); false }
+      catch { case e: IllegalArgumentException => e.getMessage.contains("not found") }
+    require(refused, "time travel to an expired snapshot must refuse loudly")
+    require(read().count() == liveCount, "expiry must not change live rows")
+    read().groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+  }
+
   /** q197 — MERGE-ON-READ UPDATE + MERGE on a NATIVE Iceberg table
     * ([[graft.io.IcebergWrite.updateWhere]]/[[graft.io.IcebergWrite.mergeInto]]):
     * the corpus lands range-partitioned, a stats-pruned UPDATE bumps

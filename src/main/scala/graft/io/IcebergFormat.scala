@@ -224,7 +224,11 @@ private[graft] object IcebergFormat {
             // v2 position deletes targeting a single data file MAY set
             // referenced_data_file WITHOUT the v3 content_offset/size
             // (spec: optional on position deletes) — real writers do
-            referencedDataFile: Option[String] = None): GenericRecord = {
+            referencedDataFile: Option[String] = None,
+            // 1 = ADDED (default), 0 = EXISTING (a compaction's
+            // carried-forward entries keep their original sequence
+            // numbers under status 0 — incremental tailers skip them)
+            status: Int = 1): GenericRecord = {
     val dfSchema = EntrySchema.getField("data_file").schema()
     val dfRec = new GenericData.Record(dfSchema)
     dfRec.put("content", content)
@@ -262,7 +266,7 @@ private[graft] object IcebergFormat {
       dfRec.put("upper_bounds", kvArray("upper_bounds", _._2))
     }
     val e = new GenericData.Record(EntrySchema)
-    e.put("status", 1) // ADDED
+    e.put("status", status)
     e.put("snapshot_id", snapshotId)
     e.put("sequence_number", sequenceNumber)
     e.put("data_file", dfRec)

@@ -441,7 +441,12 @@ object IcebergInterop {
                   // coordinates a position-delete WRITE needs, emitted
                   // AFTER delete masking so already-deleted rows never
                   // re-delete
-                  withProvenance: Boolean = false): DataFrame = {
+                  withProvenance: Boolean = false,
+                  // restrict the scan to these data files (canonical
+                  // paths) — compaction reads ONLY the dirty files'
+                  // masked rows; delete application still sees every
+                  // live delete file
+                  onlyDataFiles: Option[Set[String]] = None): DataFrame = {
     import scala.jdk.CollectionConverters._
     // Field-id column resolution: Iceberg schema evolution renames /
     // reorders / drops COLUMN NAMES but never reuses field IDS, so
@@ -493,7 +498,12 @@ object IcebergInterop {
             id -> ((dt, v.getBytes("UTF-8")))
           }
         }
-        val inv0 = liveFiles(spark, dir, s0, meta, idRanges, idEq)
+        val invAll = liveFiles(spark, dir, s0, meta, idRanges, idEq)
+        val inv0 = onlyDataFiles match {
+          case None => invAll
+          case Some(keep) =>
+            invAll.copy(data = invAll.data.filter(e => keep(canonPathStr(e.path))))
+        }
         val inv = if (ranges.isEmpty && stringEq.isEmpty) inv0 else inv0.copy(
           data = inv0.data.filter { e =>
             ranges.forall { case (name, (lo, hi)) =>

@@ -761,6 +761,330 @@ object IcebergWrite {
     (-1L, -1L, -1L) // unreachable
   }
 
+  // ─────────────────── table maintenance ───────────────────
+
+  private def gStr(r: GenericRecord, n: String): String = r.get(n).toString
+  private def gInt(r: GenericRecord, n: String, d: Int): Int =
+    Option(r.getSchema.getField(n)).flatMap(_ => Option(r.get(n)))
+      .map(_.asInstanceOf[Number].intValue).getOrElse(d)
+  private def gLong(r: GenericRecord, n: String, d: Long): Long =
+    Option(r.getSchema.getField(n)).flatMap(_ => Option(r.get(n)))
+      .map(_.asInstanceOf[Number].longValue).getOrElse(d)
+  private def resolveU(uri: String): String =
+    if (uri.startsWith("file:")) new java.net.URI(uri).getPath else uri
+  private def entryBounds(df: GenericRecord): Map[Int, (Array[Byte], Array[Byte])] = {
+    import scala.jdk.CollectionConverters._
+    def side(field: String): Map[Int, Array[Byte]] =
+      Option(df.getSchema.getField(field)).flatMap(_ => Option(df.get(field))).map {
+        _.asInstanceOf[java.util.List[_]].asScala.map { kv0 =>
+          val kv = kv0.asInstanceOf[GenericRecord]
+          val bb = kv.get("value").asInstanceOf[java.nio.ByteBuffer].duplicate()
+          val b = new Array[Byte](bb.remaining()); bb.get(b)
+          kv.get("key").asInstanceOf[Number].intValue -> b
+        }.toMap
+      }.getOrElse(Map.empty)
+    val lo = side("lower_bounds"); val hi = side("upper_bounds")
+    lo.keySet.intersect(hi.keySet).map(k => k -> ((lo(k), hi(k)))).toMap
+  }
+
+  /** BIN-PACK COMPACTION of a native Iceberg table — the Iceberg twin
+    * of Delta's `OPTIMIZE` + `REORG PURGE`: files carrying row-level
+    * deletes (position / equality / DV) and files below
+    * `smallFileBytes` REWRITE — their MASKED rows bin-pack into
+    * ~`targetFileSizeBytes` files, folding every delete away — while
+    * untouched manifests carry forward VERBATIM (zero work) and
+    * partially-dirty manifests rewrite metadata-only as EXISTING
+    * (status 0) entries that keep their original sequence numbers.
+    * Delete manifests drop from the new snapshot (their masks are now
+    * physical); prior snapshots stay time-travelable until
+    * [[expireSnapshots]]. Committed as ONE `replace` snapshot.
+    *
+    * Scale shape: the only data-sized work is ONE masked scan of the
+    * dirty files + one stats job over the rewrites; clean data never
+    * moves. A version race REFUSES (like overwrite) — the carried
+    * manifest set was computed against the pre-race head.
+    * Returns (snapshotId, filesRewritten, deleteFilesFolded) —
+    * (currentSnapshot, 0, 0) when the table is already compact. */
+  def compact(spark: SparkSession, dir: String,
+              targetFileSizeBytes: Long = 128L << 20,
+              smallFileBytes: Long = 32L << 20): (Long, Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v0 = currentVersion(f, root)
+    require(v0 > 0, s"$dir has no snapshots to compact")
+    val m0 = readMeta(f, root, v0).get
+    val curId = m0.path("current-snapshot-id").asLong(-1L)
+    val snapNode = m0.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == curId)
+      .getOrElse(return (curId, 0, 0))
+    val listRecs = IcebergFormat.readAvro(conf,
+      new Path(resolveU(snapNode.path("manifest-list").asText)))
+    final case class Man(rec: GenericRecord, content: Int,
+                         entries: Seq[GenericRecord])
+    val mans = listRecs.map { r =>
+      Man(r, gInt(r, "content", 0),
+        IcebergFormat.readAvro(conf, new Path(resolveU(gStr(r, "manifest_path")))))
+    }
+    val (delMans, dataMans) = mans.partition(_.content != 0)
+    def liveEntries(m: Man): Seq[GenericRecord] =
+      m.entries.filter(e => gInt(e, "status", 0) != 2)
+    // the live delete inventory decides which data files are dirty
+    val delEntries = delMans.flatMap(liveEntries)
+      .map(_.get("data_file").asInstanceOf[GenericRecord])
+    val posParquets = delEntries.filter { df =>
+      gInt(df, "content", 0) == 1 &&
+        gStr(df, "file_format").equalsIgnoreCase("parquet") &&
+        Option(df.getSchema.getField("content_offset"))
+          .flatMap(_ => Option(df.get("content_offset"))).isEmpty
+    }.map(df => resolveU(gStr(df, "file_path")))
+    val dvRefs: Set[String] = delEntries.filter { df =>
+      gInt(df, "content", 0) == 1 &&
+        (gStr(df, "file_format").equalsIgnoreCase("puffin") ||
+          Option(df.getSchema.getField("content_offset"))
+            .flatMap(_ => Option(df.get("content_offset"))).isDefined)
+    }.flatMap(df => Option(df.getSchema.getField("referenced_data_file"))
+      .flatMap(_ => Option(df.get("referenced_data_file"))).map(
+        p => canonPath(resolveU(p.toString)))).toSet
+    val hasEq = delEntries.exists(df => gInt(df, "content", 0) == 2)
+    val posRefs: Set[String] =
+      if (posParquets.isEmpty) Set.empty
+      else spark.read.parquet(posParquets: _*)
+        .select(col("file_path")).distinct()
+        .collect().map(r => canonPath(r.getString(0))).toSet
+    def isDirty(path: String, size: Long): Boolean =
+      hasEq || posRefs(canonPath(path)) || dvRefs(canonPath(path)) ||
+        size < smallFileBytes
+    val dirtyFiles: Seq[(String, Long)] = dataMans.flatMap(liveEntries(_).map { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      (resolveU(gStr(df, "file_path")), gLong(df, "file_size_in_bytes", 0L))
+    }).filter { case (p, sz) => isDirty(p, sz) }
+    // already compact: no deletes to fold and at most one small file
+    if (delMans.isEmpty && dirtyFiles.lengthCompare(1) <= 0)
+      return (curId, 0, 0)
+    val deleteFilesFolded = delEntries.length
+
+    val idsByName = currentFieldIds(m0).toMap
+    val dirtySet = dirtyFiles.map(p => canonPath(p._1)).toSet
+    val rows = IcebergInterop.readIceberg(spark, dir,
+      onlyDataFiles = Some(dirtySet))
+    val nOut = math.max(1,
+      math.ceil(dirtyFiles.map(_._2).sum.toDouble / targetFileSizeBytes).toInt)
+    val staging = new Path(root,
+      s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    withFieldIds(rows, idsByName).repartition(nOut).write.parquet(staging.toString)
+    val staged = f.listStatus(staging).filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val dst = new Path(root, s"data/${java.util.UUID.randomUUID()}.parquet")
+        require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
+        (dst, f.getFileStatus(dst).getLen)
+      }.toSeq
+    f.delete(staging, true)
+    val stats =
+      if (staged.isEmpty) Map.empty[String, (Long, Map[Int, (Array[Byte], Array[Byte])])]
+      else allFileStats(spark, staged.map(_._1.toString), idsByName)
+    val (newFiles, empties) =
+      staged.partition(p => stats.contains(canonPath(p._1.toString)))
+    empties.foreach { case (p, _) => f.delete(p, false) }
+
+    val snapshotId = freshSnapshotId(f, root, v0)
+    val seqNo = m0.path("last-sequence-number").asLong(0L) + 1L
+    // carried list: clean manifests verbatim; partially-dirty ones
+    // swap to an EXISTING-entry replacement keeping original seqs +
+    // the original summary bytes (over-approximate bounds stay SAFE
+    // for pruning — false positives only)
+    val carried = Seq.newBuilder[(String, Long, Int, Long, Int, Long, AnyRef)]
+    val freshManifests = Seq.newBuilder[NewManifest]
+    def manTuple(r: GenericRecord, path: String, len: Long):
+        (String, Long, Int, Long, Int, Long, AnyRef) =
+      (path, len, gInt(r, "content", 0), gLong(r, "sequence_number", 0L),
+        gInt(r, "partition_spec_id", 0), gLong(r, "added_snapshot_id", curId),
+        Option(r.getSchema.getField("partitions"))
+          .flatMap(_ => Option(r.get("partitions"))).orNull)
+    dataMans.foreach { man =>
+      val live = liveEntries(man)
+      val (dirtyE, cleanE) = live.partition { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        isDirty(resolveU(gStr(df, "file_path")), gLong(df, "file_size_in_bytes", 0L))
+      }
+      if (dirtyE.isEmpty)
+        carried += manTuple(man.rec, gStr(man.rec, "manifest_path"),
+          gLong(man.rec, "manifest_length", 0L))
+      else if (cleanE.nonEmpty) {
+        val manSeq = gLong(man.rec, "sequence_number", 0L)
+        val entries = cleanE.map { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          IcebergFormat.entry(0, gStr(df, "file_path"),
+            gLong(df, "record_count", 0L), gLong(df, "file_size_in_bytes", 0L),
+            gLong(e, "snapshot_id", curId), gLong(e, "sequence_number", manSeq),
+            bounds = entryBounds(df), status = 0)
+        }
+        val mp = new Path(root,
+          s"metadata/manifest-$snapshotId-x${java.util.UUID.randomUUID().toString.take(8)}.avro")
+        IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
+        carried += ((mp.toString, f.getFileStatus(mp).getLen, 0, manSeq,
+          gInt(man.rec, "partition_spec_id", 0), snapshotId,
+          Option(man.rec.getSchema.getField("partitions"))
+            .flatMap(_ => Option(man.rec.get("partitions"))).orNull))
+      } // fully-dirty manifest: drops (its rows live in the rewrite)
+    }
+    if (newFiles.nonEmpty) {
+      val entries = newFiles.map { case (p, size) =>
+        val (nRows, bounds) = stats(canonPath(p.toString))
+        IcebergFormat.entry(0, p.toString, nRows, size, snapshotId, seqNo,
+          bounds = bounds)
+      }
+      val mp = new Path(root,
+        s"metadata/manifest-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
+      IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
+      freshManifests += NewManifest(mp, partitioned = false, None)
+    }
+    try {
+      onBeforeCommit()
+      val snap = commitMeta(spark, f, root, v0, StructType(Nil), snapshotId,
+        seqNo, freshManifests.result(), replace = false,
+        operation = Some("replace"), priorOverride = Some(carried.result()))
+      (snap, dirtyFiles.length, deleteFilesFolded)
+    } catch {
+      case _: java.util.ConcurrentModificationException =>
+        newFiles.foreach { case (p, _) => f.delete(p, false) }
+        throw new IllegalStateException(
+          s"compaction of $dir raced a concurrent commit — its carried " +
+          "manifest set no longer reflects the head; re-run the compaction")
+    }
+  }
+
+  /** SNAPSHOT EXPIRY + file reclaim for native Iceberg tables — the
+    * maintenance that keeps a long-running [[appendOnce]] sink's
+    * `metadata/` BOUNDED: snapshots older than `retainMillis` expire
+    * (the current snapshot and every ref-pinned snapshot always
+    * survive), then manifests/manifest-lists/data files no kept
+    * snapshot references reclaim REFERENCE-COUNTED (never by age),
+    * old metadata JSONs below the previous version drop (previous
+    * kept as the undo step), and crash-orphaned `.staging-*`
+    * directories older than the horizon sweep away. Time travel to an
+    * expired snapshot fails loudly ("snapshot not found"). Driver
+    * work is metadata- and file-count-bounded (one listing of
+    * `metadata/` and `data/`).
+    * Returns (snapshotsExpired, filesReclaimed). */
+  def expireSnapshots(spark: SparkSession, dir: String,
+                      retainMillis: Long): (Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v0 = currentVersion(f, root)
+    require(v0 > 0, s"$dir has no Iceberg metadata to expire")
+    val m0 = readMeta(f, root, v0).get
+    val now = System.currentTimeMillis()
+    val cutoff = now - retainMillis
+    var reclaimed = 0
+    // crash-window sweep: a failed write's .staging-* dir has no
+    // committed reference, ever — reclaim once it is older than the
+    // horizon (an in-flight writer's staging is younger)
+    f.listStatus(root).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".staging-") &&
+          st.getModificationTime < cutoff) {
+        if (f.delete(st.getPath, true)) reclaimed += 1
+      }
+    }
+    val curId = m0.path("current-snapshot-id").asLong(-1L)
+    val refIds: Set[Long] = m0.path("refs").properties().asScala
+      .map(_.getValue.path("snapshot-id").asLong(-1L)).toSet
+    val snaps = m0.path("snapshots").elements().asScala.toSeq
+    val (kept, expired) = snaps.partition { s0 =>
+      val id = s0.path("snapshot-id").asLong(-2L)
+      id == curId || refIds.contains(id) ||
+        s0.path("timestamp-ms").asLong(0L) >= cutoff
+    }
+    if (expired.isEmpty) return (0, reclaimed)
+    val keptIds = kept.map(_.path("snapshot-id").asLong).toSet
+
+    // new metadata version FIRST (readers switch before files vanish)
+    val n = m0.deepCopy[JsonNode]().asInstanceOf[ObjNode]
+    val snapArr = M.createArrayNode(); kept.foreach(snapArr.add)
+    n.set[JsonNode]("snapshots", snapArr)
+    // the exactly-once txn ledger rides the snapshot summaries —
+    // fold the EXPIRED snapshots' watermarks into table properties so
+    // a replayed batch is still recognized after maintenance (the
+    // durability Delta checkpoints give txn actions)
+    val props =
+      if (n.path("properties").isObject) n.path("properties").asInstanceOf[ObjNode]
+      else n.putObject("properties")
+    expired.foreach { s0 =>
+      val sum = s0.path("summary")
+      val appId = sum.path("graft-app-id").asText("")
+      if (appId.nonEmpty) {
+        val key = s"graft.txn.$appId"
+        val tv = math.max(sum.path("graft-txn").asLong(-1L),
+          props.path(key).asLong(-1L))
+        props.put(key, tv)
+      }
+    }
+    val logArr = M.createArrayNode()
+    m0.path("snapshot-log").elements().asScala
+      .filter(e => keptIds.contains(e.path("snapshot-id").asLong(-2L)))
+      .foreach(logArr.add)
+    n.set[JsonNode]("snapshot-log", logArr)
+    val prevUpdated = m0.path("last-updated-ms").asLong(now)
+    n.put("last-updated-ms", now)
+    val ml = n.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+      "metadata-log").addObject()
+    ml.put("timestamp-ms", prevUpdated)
+    ml.put("metadata-file", new Path(root, s"metadata/v$v0.metadata.json").toString)
+    val target = new Path(root, s"metadata/v${v0 + 1}.metadata.json")
+    val tmp = new Path(root,
+      s"metadata/.tmp-v${v0 + 1}-${java.util.UUID.randomUUID().toString.take(8)}.json")
+    val out = f.create(tmp, false)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
+    finally out.close()
+    if (!putIfAbsent(f, tmp, target)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"expireSnapshots on $dir raced a concurrent commit — re-run")
+    }
+    val hint = f.create(new Path(root, "metadata/version-hint.text"), true)
+    try hint.write(String.valueOf(v0 + 1).getBytes) finally hint.close()
+
+    // reference-counted keep sets from the KEPT snapshots only
+    val keepMeta = scala.collection.mutable.HashSet.empty[String]
+    val keepData = scala.collection.mutable.HashSet.empty[String]
+    kept.foreach { s0 =>
+      val lp = resolveU(s0.path("manifest-list").asText)
+      keepMeta += new Path(lp).getName
+      IcebergFormat.readAvro(conf, new Path(lp)).foreach { r =>
+        val mp = resolveU(gStr(r, "manifest_path"))
+        keepMeta += new Path(mp).getName
+        IcebergFormat.readAvro(conf, new Path(mp)).foreach { e =>
+          if (gInt(e, "status", 0) != 2) {
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            keepData += new Path(resolveU(gStr(df, "file_path"))).getName
+          }
+        }
+      }
+    }
+    f.listStatus(new Path(root, "metadata")).foreach { st =>
+      val name = st.getPath.getName
+      val drop =
+        (name.endsWith(".avro") && !keepMeta.contains(name)) ||
+        ("""^v(\d+)\.metadata\.json$""".r.findFirstMatchIn(name)
+          .exists(_.group(1).toLong < v0)) // keep v0 as the undo step
+      if (drop && f.delete(st.getPath, false)) reclaimed += 1
+    }
+    val dataDir = new Path(root, "data")
+    if (f.exists(dataDir)) f.listStatus(dataDir).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isFile && !keepData.contains(name) &&
+          (name.endsWith(".parquet") || name.endsWith(".puffin") ||
+            name.endsWith(".bin"))) {
+        if (f.delete(st.getPath, false)) reclaimed += 1
+      }
+    }
+    (expired.length, reclaimed)
+  }
+
   /** Exactly-once streaming append: the (appId, txnVersion) ledger
     * rides the SNAPSHOT SUMMARY (`graft-app-id` / `graft-txn` keys —
     * Iceberg's spec-blessed operation metadata), so a batch replayed
@@ -774,18 +1098,22 @@ object IcebergWrite {
                  txnVersion: Long): Long =
     write(df, dir, replace = false, txn = Some((appId, txnVersion)))
 
-  /** Highest `graft-txn` any snapshot's summary records for `appId`
-    * (-1 when none) — the replay watermark. */
+  /** Highest `graft-txn` recorded for `appId` (-1 when none) — the
+    * replay watermark: the max over live snapshots' summaries AND the
+    * `graft.txn.<appId>` table property [[expireSnapshots]] folds the
+    * expired snapshots' ledger into (so maintenance never silently
+    * re-admits a replayed batch). */
   private def committedTxn(spark: SparkSession, f: FileSystem, root: Path,
                            appId: String): Long = {
     import scala.jdk.CollectionConverters._
-    readMeta(f, root, currentVersion(f, root)).toSeq.flatMap(
-      _.path("snapshots").elements().asScala.flatMap { s0 =>
+    readMeta(f, root, currentVersion(f, root)).toSeq.flatMap { m =>
+      m.path("snapshots").elements().asScala.flatMap { s0 =>
         val sum = s0.path("summary")
         if (sum.path("graft-app-id").asText("") == appId)
           Some(sum.path("graft-txn").asLong(-1L))
         else None
-      }).maxOption.getOrElse(-1L)
+      }.toSeq :+ m.path("properties").path(s"graft.txn.$appId").asLong(-1L)
+    }.maxOption.getOrElse(-1L)
   }
 
   private def write(df: DataFrame, dir: String, replace: Boolean,
@@ -926,7 +1254,14 @@ object IcebergWrite {
                          replace: Boolean,
                          txn: Option[(String, Long)] = None,
                          partSpec: Option[SpecReq] = None,
-                         operation: Option[String] = None): Long = {
+                         operation: Option[String] = None,
+                         // compaction hands the EXACT carried manifest
+                         // set (path, len, content, seq, specId,
+                         // addedBy, partitions-raw) instead of the
+                         // head's list — it drops folded delete
+                         // manifests and swaps rewritten ones
+                         priorOverride: Option[Seq[(String, Long, Int,
+                           Long, Int, Long, AnyRef)]] = None): Long = {
     import scala.jdk.CollectionConverters._
     val prevMeta = readMeta(f, root, base)
     val MFS = IcebergFormat.ManifestFileSchema
@@ -940,7 +1275,8 @@ object IcebergWrite {
     // raw field-summary object carries forward VERBATIM so a table's
     // manifest-level skipping survives later commits
     val prior: Seq[(String, Long, Int, Long, Int, Long, AnyRef)] =
-      if (replace) Nil
+      if (priorOverride.isDefined) priorOverride.get
+      else if (replace) Nil
       else prevMeta.toSeq.flatMap { m =>
         val cur = m.path("current-snapshot-id").asLong(-1L)
         m.path("snapshots").elements().asScala

@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.file.Files
+import graft.io.{IcebergInterop, IcebergWrite}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native Iceberg TABLE MAINTENANCE ([[IcebergWrite.compact]] /
+  * [[IcebergWrite.expireSnapshots]]): compaction folds row-level
+  * deletes into rewritten files while untouched manifests carry
+  * forward verbatim; expiry bounds `metadata/` reference-counted and
+  * reclaims unreferenced data/delete files — the pair that keeps a
+  * long-running streaming sink's table from accumulating unbounded
+  * metadata (the same contract Delta's OPTIMIZE + VACUUM give). */
+class IcebergMaintenanceSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def metaFiles(dir: String): Seq[String] =
+    new java.io.File(s"$dir/metadata").list().toSeq.filterNot(_.startsWith("."))
+
+  private def dataFiles(dir: String): Seq[String] =
+    Option(new java.io.File(s"$dir/data").list()).map(_.toSeq).getOrElse(Nil)
+
+  test("compact folds position deletes; clean manifests carry verbatim") {
+    val dir = Files.createTempDirectory("graft-iceberg-compact").toString
+    IcebergWrite.append(
+      (0L until 80L).map(i => (i, s"r_$i")).toDF("id", "tag")
+        .repartitionByRange(4, col("id")), dir)
+    IcebergWrite.append(
+      (80L until 120L).map(i => (i, s"r_$i")).toDF("id", "tag")
+        .repartitionByRange(2, col("id")), dir)
+    val (_, nDel) = IcebergWrite.deleteWhere(spark, dir, col("id") < 15,
+      ranges = Map("id" -> ((0.0, 14.0))))
+    assert(nDel == 15)
+    val preCompactSnap = IcebergInterop.snapshots(spark, dir)
+      .orderBy(desc("sequence_number")).head().getLong(0)
+    val liveBefore = IcebergInterop.readIceberg(spark, dir)
+      .select("id").as[Long].collect().sorted
+    val cleanFiles = IcebergInterop.readIceberg(spark, dir).inputFiles
+      .filter(p => !p.contains("/data/delete-")).toSet
+    // only the delete-referenced file(s) are dirty (smallFileBytes=0)
+    val (snap, rewritten, folded) = IcebergWrite.compact(spark, dir,
+      smallFileBytes = 0L)
+    assert(rewritten >= 1 && folded >= 1, s"rewritten=$rewritten folded=$folded")
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.select("id").as[Long].collect().sorted.toSeq == liveBefore.toSeq,
+      "compaction must not change the live rows")
+    // the masks are now PHYSICAL: no delete file participates
+    assert(!t.inputFiles.exists(_.contains("/data/delete-")))
+    // clean data files survive under their ORIGINAL paths (carried)
+    val after = t.inputFiles.toSet
+    assert(cleanFiles.count(after) >= 4,
+      s"clean files must carry forward, kept ${cleanFiles.count(after)}")
+    // the compaction snapshot is a `replace`; pre-compact state still
+    // time travels WITH its masks
+    assert(IcebergInterop.snapshots(spark, dir)
+      .filter(col("operation") === "replace").count() == 1)
+    val pre = IcebergInterop.readIceberg(spark, dir, Some(preCompactSnap))
+    assert(pre.count() == liveBefore.length,
+      "time travel to the pre-compact delete snapshot keeps the masks")
+    assert(snap != preCompactSnap)
+    // an already-compact table no-ops (no new snapshot)
+    val nSnaps = IcebergInterop.snapshots(spark, dir).count()
+    val (_, r2, f2) = IcebergWrite.compact(spark, dir, smallFileBytes = 0L)
+    assert(r2 == 0 && f2 == 0)
+    assert(IcebergInterop.snapshots(spark, dir).count() == nSnaps)
+  }
+
+  test("compact bin-packs small files to the target size") {
+    val dir = Files.createTempDirectory("graft-iceberg-binpack").toString
+    (0 until 5).foreach(k => IcebergWrite.append(
+      (k * 20L until (k + 1) * 20L).map(i => (i, s"r_$i")).toDF("id", "tag"), dir))
+    assert(dataFiles(dir).count(_.endsWith(".parquet")) >= 5)
+    val (_, rewritten, _) = IcebergWrite.compact(spark, dir) // default: all small
+    assert(rewritten >= 5)
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.inputFiles.length == 1, s"bin-pack to ONE file, got ${t.inputFiles.length}")
+    assert(t.count() == 100 &&
+      t.agg(sum("id")).head().getLong(0) == (0L until 100L).sum)
+    // updates/merges continue on the compacted table
+    val (_, n) = IcebergWrite.updateWhere(spark, dir, col("id") === 50L,
+      Map("tag" -> lit("post-compact")))
+    assert(n == 1)
+    assert(IcebergInterop.readIceberg(spark, dir)
+      .filter(col("tag") === "post-compact").count() == 1)
+  }
+
+  test("expireSnapshots bounds metadata, reclaims reference-counted, refuses expired travel") {
+    val dir = Files.createTempDirectory("graft-iceberg-expire").toString
+    val s1 = IcebergWrite.append(
+      (0L until 30L).map(i => (i, s"a_$i")).toDF("id", "tag"), dir)
+    (1 to 6).foreach(k => IcebergWrite.appendOnce(
+      Seq((100L + k, s"b_$k")).toDF("id", "tag"), dir, "app", k.toLong))
+    IcebergWrite.deleteWhere(spark, dir, col("id") < 5)
+    IcebergWrite.compact(spark, dir) // folds the delete physically
+    val filesBefore = (metaFiles(dir).length, dataFiles(dir).length)
+    assert(IcebergInterop.snapshots(spark, dir).count() == 9)
+    Thread.sleep(5)
+    val (expired, reclaimed) = IcebergWrite.expireSnapshots(spark, dir,
+      retainMillis = 0L)
+    assert(expired == 8, s"everything but the head expires: $expired")
+    assert(reclaimed > 0)
+    // live reads are untouched; history is just the head now
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.count() == 31 && !t.inputFiles.exists(_.contains("/data/delete-")))
+    assert(IcebergInterop.snapshots(spark, dir).count() == 1)
+    // time travel to an expired snapshot fails LOUDLY
+    val e = intercept[IllegalArgumentException](
+      IcebergInterop.readIceberg(spark, dir, Some(s1)).count())
+    assert(e.getMessage.contains("not found"), e.getMessage)
+    // the folded delete's parquet files physically reclaimed
+    assert(!dataFiles(dir).exists(_.startsWith("delete-")),
+      s"delete files must reclaim: ${dataFiles(dir).filter(_.startsWith("delete-"))}")
+    // metadata/ and data/ both SHRANK
+    assert(metaFiles(dir).length < filesBefore._1)
+    assert(dataFiles(dir).length < filesBefore._2)
+    // no-op expiry returns zero and leaves the table readable
+    assert(IcebergWrite.expireSnapshots(spark, dir, Long.MaxValue / 4)._1 == 0)
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 31)
+  }
+
+  test("a sink + periodic maintenance keeps metadata/ bounded") {
+    val dir = Files.createTempDirectory("graft-iceberg-bounded").toString
+    var maxMeta = 0
+    (1 to 12).foreach { k =>
+      IcebergWrite.appendOnce(Seq((k.toLong, s"b_$k")).toDF("id", "tag"),
+        dir, "sink", k.toLong)
+      if (k % 4 == 0) {
+        IcebergWrite.compact(spark, dir)
+        Thread.sleep(2)
+        IcebergWrite.expireSnapshots(spark, dir, retainMillis = 0L)
+      }
+      maxMeta = math.max(maxMeta, metaFiles(dir).length)
+    }
+    // without maintenance: 12 snapshots × (manifest + list + json) ≈ 36+
+    // files and growing; with it the count stays bounded by the window
+    val end = metaFiles(dir).length
+    assert(end <= 16, s"metadata/ must stay bounded, got $end")
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 12)
+    // the exactly-once ledger must survive expiry for retained txns:
+    // replaying the LAST batch after maintenance writes nothing
+    val before = IcebergInterop.snapshots(spark, dir).count()
+    IcebergWrite.appendOnce(Seq((12L, "dup")).toDF("id", "tag"), dir, "sink", 12L)
+    assert(IcebergInterop.snapshots(spark, dir).count() == before,
+      "replayed txn must be recognized after maintenance")
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 12)
+  }
+
+  test("expiry respects refs: a tag-pinned snapshot survives age-out") {
+    val dir = Files.createTempDirectory("graft-iceberg-expire-refs").toString
+    val s1 = IcebergWrite.append(Seq((1L, "a")).toDF("id", "tag"), dir)
+    IcebergWrite.append(Seq((2L, "b")).toDF("id", "tag"), dir)
+    IcebergWrite.append(Seq((3L, "c")).toDF("id", "tag"), dir)
+    // pin s1 with a tag, as a foreign client would
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mf = new java.io.File(s"$dir/metadata/v3.metadata.json")
+    val m = M.readTree(mf).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val tag = m.withObject("/refs").putObject("audit-2026")
+    tag.put("snapshot-id", s1); tag.put("type", "tag")
+    val out = new java.io.FileOutputStream(s"$dir/metadata/v4.metadata.json")
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
+    finally out.close()
+    Thread.sleep(5)
+    val (expired, _) = IcebergWrite.expireSnapshots(spark, dir, retainMillis = 0L)
+    assert(expired == 1, s"only the middle snapshot expires: $expired")
+    // the tagged snapshot still time travels; the untagged middle is gone
+    assert(IcebergInterop.readIceberg(spark, dir, Some(s1)).count() == 1)
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 3)
+  }
+
+  test("expiry sweeps crash-orphaned staging directories") {
+    val dir = Files.createTempDirectory("graft-iceberg-orphans").toString
+    IcebergWrite.append(Seq((1L, "a")).toDF("id", "tag"), dir)
+    val orphan = new java.io.File(s"$dir/.staging-deadbeef")
+    orphan.mkdirs()
+    new java.io.FileOutputStream(s"$dir/.staging-deadbeef/part-0.parquet").close()
+    orphan.setLastModified(System.currentTimeMillis() - 86400000L)
+    val (_, reclaimed) = IcebergWrite.expireSnapshots(spark, dir,
+      retainMillis = 3600000L)
+    assert(reclaimed >= 1)
+    assert(!orphan.exists(), "the aged orphan staging dir must sweep")
+    // a YOUNG staging dir (an in-flight writer) survives
+    val young = new java.io.File(s"$dir/.staging-young")
+    young.mkdirs()
+    IcebergWrite.expireSnapshots(spark, dir, retainMillis = 3600000L)
+    assert(young.exists(), "an in-flight staging dir must survive")
+  }
+}

@@ -635,6 +635,23 @@ object OracleSql {
         |  sum(n_chars)::BIGINT AS chars,
         |  sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars % 100 END)::BIGINT AS quality
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q198: the Iceberg lifecycle as SQL — low quarter deleted, en
+    // +500, %9==0 matched re-lang'd qq / its deleted keys re-inserted,
+    // shifted 'ins' rows appended, then OPTIMIZE+VACUUM (state-neutral)
+    "q198_iceberg_sql_dml" ->
+      """WITH mm AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+        |live AS (
+        |  SELECT CASE WHEN doc_id % 9 = 0 THEN 'qq' ELSE lang END AS lang,
+        |    n_chars + CASE WHEN lang = 'en' THEN 500 ELSE 0 END AS n_chars
+        |  FROM documents, mm WHERE doc_id >= mn + (mx - mn) // 4),
+        |reins AS (
+        |  SELECT 'qq' AS lang, n_chars FROM documents, mm
+        |  WHERE doc_id < mn + (mx - mn) // 4 AND doc_id % 9 = 0),
+        |ins AS (SELECT 'ins' AS lang, n_chars FROM documents WHERE doc_id % 9 = 0)
+        |SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+        |FROM (SELECT * FROM live UNION ALL SELECT * FROM reins
+        |      UNION ALL SELECT * FROM ins)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q196: native Iceberg maintenance — the low third masked, then
     // the same aggregate through live/compacted/expired states
     "q196_iceberg_maintenance" ->

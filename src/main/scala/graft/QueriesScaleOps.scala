@@ -2675,6 +2675,55 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("lang"))
   }
 
+  /** q198 — the NATIVE Iceberg lifecycle driven entirely as SQL TEXT
+    * ([[graft.sql.DeltaSqlParser]] routing to
+    * [[graft.io.IcebergWrite]]): CTAS creates the table, INSERT
+    * appends the other half, DELETE masks the low band, UPDATE bumps
+    * the 'en' slice, one MERGE re-langs the %9==0 band / re-inserts
+    * its deleted keys / appends shifted inserts, then OPTIMIZE folds
+    * the row deltas physically and VACUUM RETAIN 0 HOURS expires
+    * history — each statement's affected-row counts asserted, and the
+    * final aggregate read back through the `graft_iceberg` TVF in SQL
+    * too. A SQL-first user never leaves the console; DuckDB replays
+    * the whole lifecycle analytically. */
+  private[graft] def q198(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.createOrReplaceTempView("q198_docs")
+    val tmp = graft.io.TempDirs.scratch("graft-q198") + "/t"
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val k = mn + (mx - mn) / 4
+    s.sql(s"CREATE TABLE iceberg.`$tmp` AS " +
+      "SELECT doc_id, lang, n_chars FROM q198_docs WHERE doc_id % 2 = 0")
+    s.sql(s"INSERT INTO iceberg.`$tmp` " +
+      "SELECT doc_id, lang, n_chars FROM q198_docs WHERE doc_id % 2 <> 0")
+    val del = s.sql(s"DELETE FROM iceberg.`$tmp` WHERE doc_id < $k")
+      .head().getLong(0)
+    require(del > 0, "SQL DELETE must hit the low band")
+    val upd = s.sql(s"UPDATE iceberg.`$tmp` SET n_chars = n_chars + 500 " +
+      "WHERE lang = 'en'").head().getLong(0)
+    require(upd > 0, "SQL UPDATE must hit the en slice")
+    val mrg = s.sql(
+      s"""MERGE INTO iceberg.`$tmp` AS t USING (
+         |  SELECT doc_id, 'qq' AS lang, n_chars FROM q198_docs WHERE doc_id % 9 = 0
+         |  UNION ALL
+         |  SELECT doc_id + ${mx + 1} AS doc_id, 'ins' AS lang, n_chars
+         |  FROM q198_docs WHERE doc_id % 9 = 0
+         |) AS src ON t.doc_id = src.doc_id
+         |WHEN MATCHED THEN UPDATE SET lang = src.lang
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    require(mrg.getLong(0) > 0 && mrg.getLong(1) > 0,
+      s"SQL MERGE must update and insert: $mrg")
+    val opt = s.sql(s"OPTIMIZE iceberg.`$tmp`").head()
+    require(opt.getLong(1) >= 1, "SQL OPTIMIZE must fold the delete files")
+    Thread.sleep(5)
+    val vac = s.sql(s"VACUUM iceberg.`$tmp` RETAIN 0 HOURS").head()
+    require(vac.getLong(0) >= 3 && vac.getLong(1) > 0,
+      s"SQL VACUUM must expire and reclaim: $vac")
+    s.sql(s"SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars " +
+      s"FROM graft_iceberg('$tmp') GROUP BY lang ORDER BY lang")
+  }
+
   /** q196 — NATIVE Iceberg TABLE MAINTENANCE
     * ([[graft.io.IcebergWrite.compact]] /
     * [[graft.io.IcebergWrite.expireSnapshots]]), the q147 pattern on

@@ -88,7 +88,9 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     val t = sqlText.trim
-    tryDelete(t).orElse(tryUpdate(t)).orElse(tryMerge(t))
+    tryIcebergDelete(t).orElse(tryIcebergUpdate(t)).orElse(tryIcebergMerge(t))
+      .orElse(tryIcebergMaintain(t))
+      .orElse(tryDelete(t)).orElse(tryUpdate(t)).orElse(tryMerge(t))
       .orElse(tryHistory(t)).orElse(tryRestore(t)).orElse(tryInsert(t))
       .orElse(tryIcebergInsert(t)).orElse(tryIcebergCtas(t))
       .orElse(tryClone(t)).orElse(tryCreateCols(t))
@@ -420,6 +422,172 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
     * the contents in one overwrite snapshot. Positional resolution
     * against the table's CURRENT schema, cast to its types — the same
     * path-table semantics the Delta INSERT uses. */
+  // ---- SQL DML for NATIVE Iceberg tables ([[graft.io.IcebergWrite]]):
+  // DELETE/UPDATE/MERGE route to the merge-on-read row-delta paths
+  // (position deletes + postimage appends, one atomic snapshot), and
+  // OPTIMIZE/VACUUM to compact/expireSnapshots — the same SQL console
+  // that mutates Delta can now maintain an Iceberg-first warehouse. ----
+
+  private def tryIcebergDelete(t: String): Option[LogicalPlan] =
+    icebergDeleteRe.findFirstMatchIn(t).map { m =>
+      val dir = m.group(1)
+      val tail = stripStatementEnd(Option(m.group(2)).getOrElse(""))
+      val whereOpt: Option[String] =
+        if (tail.isEmpty) None
+        else {
+          require(tail.toUpperCase.startsWith("WHERE") &&
+            (tail.length == 5 || !isWordChar(tail.charAt(5))),
+            s"unsupported DELETE shape (expected [WHERE cond] after the table): $tail")
+          Some(tail.drop(5).trim)
+        }
+      command(Seq(attr("num_affected_rows", LongType))) { spark =>
+        val pred = whereOpt.map(parseCol(spark, _))
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        val (_, n) = IcebergWrite.deleteWhere(spark, dir, pred)
+        Seq(Row(n))
+      }
+    }
+
+  private def tryIcebergUpdate(t: String): Option[LogicalPlan] =
+    icebergUpdateRe.findFirstMatchIn(t).map { m =>
+      val dir = m.group(1)
+      val tail = stripStatementEnd(m.group(2))
+      val wIdx = topLevelIndexOfWord(tail, "WHERE")
+      val (setsTxt, whereOpt) =
+        if (wIdx < 0) (tail, None)
+        else (tail.take(wIdx).trim, Some(tail.drop(wIdx + 5).trim))
+      command(Seq(attr("num_affected_rows", LongType))) { spark =>
+        val sets = splitTopLevel(setsTxt, ',').map { a =>
+          val i = topLevelIndexOf(a, '=')
+          require(i > 0, s"bad SET assignment: $a")
+          a.take(i).trim.stripPrefix("`").stripSuffix("`") ->
+            parseCol(spark, a.drop(i + 1))
+        }.toMap
+        val pred = whereOpt.map(parseCol(spark, _))
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        val (_, n) = IcebergWrite.updateWhere(spark, dir, pred, sets)
+        Seq(Row(n))
+      }
+    }
+
+  private def tryIcebergMerge(t: String): Option[LogicalPlan] =
+    icebergMergeHeadRe.findFirstMatchIn(t).map { m =>
+      val dir = m.group(1)
+      val tAlias = Option(m.group(2)).map(_.trim).filter(_.nonEmpty)
+      val rest = m.group(3)
+      val (srcTxt, afterSrc) = takeSourceRef(rest)
+      val (sAlias, afterAlias) = takeOptionalAlias(afterSrc)
+      require(topLevelIndexOfWord(afterAlias, "ON") == 0,
+        s"MERGE: expected ON after the source, got: ${afterAlias.take(40)}")
+      val afterOn = afterAlias.drop(2)
+      val whenIdx = topLevelIndexOfMatch(afterOn, whenClauseStartRe)
+      require(whenIdx > 0, "MERGE: no WHEN clause found after ON")
+      val onTxtRaw = afterOn.take(whenIdx).trim
+      val clausesTxt = stripStatementEnd(afterOn.drop(whenIdx))
+      val aliasMap: Map[String, String] = {
+        def key(n: String) = n.replace("`", "").replaceAll("\\s+", "").toLowerCase
+        val b = Map.newBuilder[String, String]
+        tAlias.foreach(a => b += key(a) -> "t")
+        sAlias.foreach(a => b += key(a) -> "s")
+        if (sAlias.isEmpty && !srcTxt.startsWith("(")) {
+          b += key(srcTxt) -> "s"
+          b += key(srcTxt).split('.').last -> "s"
+        }
+        b.result().filterNot { case (k, v) => k == v }
+      }
+      def rw(txt: String): String = rewriteQualifiers(txt, aliasMap)
+      val onTxt = rw(icebergPathQualifierRe(dir).replaceAllIn(onTxtRaw,
+        Regex.quoteReplacement("t.")))
+      val clauses = splitWhenClauses(clausesTxt).map(c => parseWhenClause(c, rw))
+      command(Seq(attr("num_deleted_or_updated_rows", LongType),
+        attr("num_inserted_rows", LongType))) { spark =>
+        val source =
+          if (srcTxt.startsWith("(")) spark.sql(srcTxt.stripPrefix("(").stripSuffix(")"))
+          else spark.table(srcTxt.replace("`", ""))
+        val keys = splitTopLevel(onTxt, "AND").map { eq =>
+          val i = topLevelIndexOf(eq, '=')
+          require(i > 0, s"MERGE ON must be conjunctive equalities, got: $eq")
+          def side(sv: String): (Option[String], String) = {
+            val parts = sv.trim.replace("`", "").split('.')
+            (parts.dropRight(1).lastOption, parts.last)
+          }
+          val (q1, c1) = side(eq.take(i))
+          val (q2, c2) = side(eq.drop(i + 1))
+          require(c1 == c2,
+            s"MERGE ON key must equate the SAME column on both sides: $eq")
+          val unknown = Set(q1, q2).flatten -- Set("t", "s")
+          require(unknown.isEmpty,
+            s"unknown qualifier ${unknown.mkString(",")} in MERGE ON ($eq); " +
+            "use the declared target/source aliases")
+          c1
+        }
+        val schemaNames = IcebergInterop.streamHead(spark, dir)._2.fieldNames.toSeq
+        def assignments(txt: String): Map[String, org.apache.spark.sql.Column] =
+          if (txt.trim == "*")
+            schemaNames.map(c => c ->
+              org.apache.spark.sql.functions.col(s"s.$c")).toMap
+          else splitTopLevel(txt, ',').map { a =>
+            val i = topLevelIndexOf(a, '=')
+            require(i > 0, s"bad assignment: $a")
+            val lhs = a.take(i).trim.replace("`", "").split('.').last
+            lhs -> parseCol(spark, a.drop(i + 1))
+          }.toMap
+        val matchedClauses = Seq.newBuilder[DeltaInterop.MatchedClause]
+        var notMatched: Option[(Option[org.apache.spark.sql.Column],
+          Map[String, org.apache.spark.sql.Column])] = None
+        clauses.foreach {
+          case WhenMatched(cond, Some(setTxt)) =>
+            matchedClauses += DeltaInterop.MatchedClause(
+              cond.map(parseCol(spark, _)), assignments(setTxt))
+          case WhenMatched(cond, None) =>
+            matchedClauses += DeltaInterop.MatchedClause(
+              cond.map(parseCol(spark, _)), Map.empty, delete = true)
+          case WhenNotMatched(cond, insTxt) =>
+            require(notMatched.isEmpty, "at most one WHEN NOT MATCHED clause")
+            val set =
+              if (insTxt == "*") Map.empty[String, org.apache.spark.sql.Column]
+              else {
+                val im = insertValuesRe.findFirstMatchIn(insTxt).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"INSERT must be `*` or `(cols) VALUES (exprs)`: $insTxt"))
+                val cols = splitTopLevel(im.group(1), ',')
+                  .map(_.replace("`", "").split('.').last)
+                val exprs = splitTopLevel(im.group(2), ',').map(parseCol(spark, _))
+                require(cols.length == exprs.length,
+                  s"INSERT column/value arity mismatch: $insTxt")
+                cols.zip(exprs).toMap
+              }
+            notMatched = Some((cond.map(parseCol(spark, _)), set))
+          case _: WhenNotMatchedBySource =>
+            throw new IllegalArgumentException(
+              "MERGE INTO iceberg.`..`: WHEN NOT MATCHED BY SOURCE is not " +
+              "supported on the Iceberg plane")
+        }
+        val (_, nDel, nIns) = IcebergWrite.mergeInto(spark, dir, source,
+          keys, matchedClauses.result(), notMatched)
+        Seq(Row(nDel, nIns))
+      }
+    }
+
+  private def tryIcebergMaintain(t: String): Option[LogicalPlan] =
+    icebergOptimizeRe.findFirstMatchIn(t).map { m =>
+      val dir = m.group(1)
+      command(Seq(attr("files_rewritten", LongType),
+        attr("delete_files_folded", LongType))) { spark =>
+        val (_, rewritten, folded) = IcebergWrite.compact(spark, dir)
+        Seq(Row(rewritten.toLong, folded.toLong))
+      }
+    }.orElse(icebergVacuumRe.findFirstMatchIn(t).map { m =>
+      val dir = m.group(1)
+      val hours = Option(m.group(2)).map(_.toDouble).getOrElse(168.0)
+      command(Seq(attr("snapshots_expired", LongType),
+        attr("files_reclaimed", LongType))) { spark =>
+        val (exp, rec) = IcebergWrite.expireSnapshots(spark, dir,
+          (hours * 3600000.0).toLong)
+        Seq(Row(exp.toLong, rec.toLong))
+      }
+    })
+
   private def tryIcebergInsert(t: String): Option[LogicalPlan] =
     icebergInsertRe.findFirstMatchIn(t).map { m =>
       val (mode, dir, query) = (m.group(1), m.group(2), m.group(3).trim)
@@ -931,6 +1099,19 @@ object DeltaSqlParser {
     s"""(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$T\\s*;?\\s*$$""".r
   private[sql] val icebergHistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+iceberg\s*\.\s*`([^`]+)`\s*;?\s*$""".r
+  private[sql] val icebergDeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+iceberg\s*\.\s*`([^`]+)`(\s+.*?)?\s*$""".r
+  private[sql] val icebergUpdateRe =
+    """(?is)^\s*UPDATE\s+iceberg\s*\.\s*`([^`]+)`\s+SET\s+(.+?)\s*$""".r
+  private[sql] val icebergMergeHeadRe =
+    ("""(?is)^\s*MERGE\s+INTO\s+iceberg\s*\.\s*`([^`]+)`""" +
+     """(?:\s+(?:AS\s+)?((?!USING\b)\w+))?\s+USING\s+(.+)$""").r
+  private[sql] val icebergOptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+iceberg\s*\.\s*`([^`]+)`\s*;?\s*$""".r
+  private[sql] val icebergVacuumRe =
+    """(?is)^\s*VACUUM\s+iceberg\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+([\d.]+)\s+HOURS?)?\s*;?\s*$""".r
+  private[sql] def icebergPathQualifierRe(path: String): Regex =
+    s"""(?i)iceberg\\s*\\.\\s*`${Regex.quote(path)}`\\s*\\.""".r
   private[sql] val icebergCtasRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?iceberg\s*\.\s*`([^`]+)`""" +
      """(?:\s+USING\s+iceberg)?\s+AS\s+(.+)$""").r

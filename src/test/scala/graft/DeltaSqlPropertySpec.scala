@@ -209,6 +209,107 @@ class DeltaSqlPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Iceberg DML: generated DELETE/UPDATE/MERGE — SQL ≡ Scala API (12 seeds)") {
+    import graft.io.{IcebergInterop, IcebergWrite}
+    def freshIceTwins(rnd: scala.util.Random): (String, String) = {
+      val n = 16 + rnd.nextInt(24)
+      val rows = (0L until n).map { i =>
+        (i, i % (2 + rnd.nextInt(4)),
+          nasty(rnd.nextInt(nasty.length)).replace("''", "'") + s"_$i")
+      }
+      val df = rows.toDF("id", "grp", "msg")
+      val a = Files.createTempDirectory("graft-sqlprop-ice-a").toString
+      val b = Files.createTempDirectory("graft-sqlprop-ice-b").toString
+      IcebergWrite.append(df, a); IcebergWrite.append(df, b)
+      (a, b)
+    }
+    def canonIce(dir: String): Seq[String] =
+      IcebergInterop.readIceberg(spark, dir)
+        .select("id", "grp", "msg").collect().map(_.toString).sorted.toSeq
+    (1 to 12).foreach { seed =>
+      val rnd = new scala.util.Random(4000 + seed)
+      val (a, b) = freshIceTwins(rnd)
+      rnd.nextInt(3) match {
+        case 0 => // DELETE
+          val p = predicate(rnd)
+          val sqlTxt = s"DELETE FROM iceberg.`$a` WHERE $p" +
+            (if (rnd.nextBoolean()) ";" else "")
+          val got = spark.sql(sqlTxt).collect()
+          val (_, n) = IcebergWrite.deleteWhere(spark, b, expr(p))
+          assert(got.head.getLong(0) == n, s"seed=$seed counts diverged")
+        case 1 => // UPDATE
+          val sets = setClause(rnd)
+          val p = if (rnd.nextInt(6) == 0) None else Some(predicate(rnd))
+          val sqlTxt = s"UPDATE iceberg.`$a` SET " +
+            sets.map { case (k, v) => s"$k = $v" }.mkString(", ") +
+            p.map(t => s" WHERE $t").getOrElse("")
+          spark.sql(sqlTxt).collect()
+          IcebergWrite.updateWhere(spark, b,
+            p.map(expr).getOrElse(expr("true")),
+            sets.map { case (k, v) => k -> expr(v) }.toMap)
+        case _ => // MERGE (aliases arbitrary/swapped; nasty literals)
+          val (ta, sa) = Vector(("t", "s"), ("s", "t"), ("tgt", "src"))(rnd.nextInt(3))
+          def both(txt: String): (String, String) =
+            (txt.replace("T_.", s"$ta.").replace("S_.", s"$sa."),
+             txt.replace("T_.", "t.").replace("S_.", "s."))
+          val (nl, _) = lit2(nasty(rnd.nextInt(nasty.length)))
+          val srcRows = rnd.shuffle((0L until 50L).toVector).take(8 + rnd.nextInt(10))
+            .map(i => (i, i % 3, nasty(rnd.nextInt(nasty.length)).replace("''", "'") + s"_src$i"))
+          val view = s"sqlprop_ice_src_$seed"
+          srcRows.toDF("id", "grp", "msg").createOrReplaceTempView(view)
+          val matchedCond =
+            if (rnd.nextBoolean()) Some(both(s"S_.grp > 0 AND T_.msg <> $nl")) else None
+          val matchedIsDelete = rnd.nextInt(3) == 0
+          val matchedSet = both(s"msg = concat(S_.msg, $nl), grp = S_.grp + 1")
+          val insertAll = rnd.nextBoolean()
+          val sqlTxt = {
+            val sb = new StringBuilder
+            sb ++= s"MERGE INTO iceberg.`$a` AS $ta USING $view AS $sa ON $ta.id = $sa.id\n"
+            sb ++= s"WHEN MATCHED${matchedCond.map(c => s" AND ${c._1}").getOrElse("")} THEN "
+            sb ++= (if (matchedIsDelete) "DELETE" else s"UPDATE SET ${matchedSet._1}")
+            sb ++= (if (insertAll) "\nWHEN NOT MATCHED THEN INSERT *"
+                    else s"\nWHEN NOT MATCHED THEN INSERT (id, grp, msg) VALUES ($sa.id, $sa.grp, $nl)")
+            sb.toString
+          }
+          spark.sql(sqlTxt).collect()
+          def setMap(txt: String): Map[String, org.apache.spark.sql.Column] =
+            txt.split(", (?=[a-z]+ =)").map { kv =>
+              val i = kv.indexOf('=')
+              kv.take(i).trim -> expr(kv.drop(i + 1))
+            }.toMap
+          val apiMatched = graft.io.DeltaInterop.MatchedClause(
+            matchedCond.map(c => expr(c._2)),
+            if (matchedIsDelete) Map.empty else setMap(matchedSet._2),
+            delete = matchedIsDelete)
+          val apiNM = Some((None: Option[org.apache.spark.sql.Column],
+            if (insertAll) Map.empty[String, org.apache.spark.sql.Column]
+            else Map("id" -> expr("s.id"), "grp" -> expr("s.grp"), "msg" -> expr(nl))))
+          IcebergWrite.mergeInto(spark, b, srcRows.toDF("id", "grp", "msg"),
+            Seq("id"), Seq(apiMatched), apiNM)
+          spark.catalog.dropTempView(view)
+      }
+      assert(canonIce(a) == canonIce(b),
+        s"seed=$seed Iceberg SQL and API twins diverged")
+    }
+  }
+
+  test("Iceberg maintenance SQL: OPTIMIZE folds deletes, VACUUM expires") {
+    import graft.io.{IcebergInterop, IcebergWrite}
+    val dir = Files.createTempDirectory("graft-sqlprop-ice-maint").toString
+    IcebergWrite.append((0L until 60L).map(i => (i, i % 3, s"m_$i"))
+      .toDF("id", "grp", "msg").repartitionByRange(3, col("id")), dir)
+    spark.sql(s"DELETE FROM iceberg.`$dir` WHERE id < 10").collect()
+    val opt = spark.sql(s"OPTIMIZE iceberg.`$dir`").collect()
+    assert(opt.head.getLong(1) >= 1, "OPTIMIZE must fold the delete files")
+    assert(!IcebergInterop.readIceberg(spark, dir).inputFiles
+      .exists(_.contains("/data/delete-")))
+    Thread.sleep(5)
+    val vac = spark.sql(s"VACUUM iceberg.`$dir` RETAIN 0 HOURS").collect()
+    assert(vac.head.getLong(0) >= 2 && vac.head.getLong(1) > 0,
+      s"VACUUM must expire + reclaim: ${vac.head}")
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 50)
+  }
+
   test("DDL walks: generated IDENTITY/DEFAULT/CLUSTER BY/TBLPROPERTIES/DROP FEATURE — SQL ≡ Scala API (10 seeds)") {
     // the round-12 DDL statement families, fuzzed the way the DML
     // suite above fuzzes clauses: a random CREATE (same SQL on both

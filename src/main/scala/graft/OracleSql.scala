@@ -635,6 +635,15 @@ object OracleSql {
         |  sum(n_chars)::BIGINT AS chars,
         |  sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars % 100 END)::BIGINT AS quality
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q199: graft-written bucket[8]-partitioned table — the min doc's
+    // point row (1 manifest opened, asserted in-query) + the corpus
+    // totals re-emitted exactly once by the streaming round-trip
+    "q199_iceberg_bucket_write" ->
+      """WITH mm AS (SELECT min(doc_id) AS mn FROM documents)
+        |SELECT (SELECT lang FROM documents, mm WHERE doc_id = mn) AS point_lang,
+        |  (SELECT n_chars FROM documents, mm WHERE doc_id = mn)::BIGINT AS point_chars,
+        |  count(*)::BIGINT AS n_stream, sum(n_chars)::BIGINT AS chars_stream
+        |FROM documents""".stripMargin,
     // q198: the Iceberg lifecycle as SQL — low quarter deleted, en
     // +500, %9==0 matched re-lang'd qq / its deleted keys re-inserted,
     // shifted 'ins' rows appended, then OPTIMIZE+VACUUM (state-neutral)

@@ -2675,6 +2675,59 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("lang"))
   }
 
+  /** q199 — HIDDEN-TRANSFORM partitioned Iceberg WRITES
+    * ([[graft.io.IcebergWrite.appendPartitioned]] with `bucket[8]`,
+    * the spec's murmur3 computed by the codegen
+    * [[graft.functions.expressions.IcebergPartitionValue]]): the
+    * corpus lands bucket-partitioned BY GRAFT, a point read of the min
+    * doc opens exactly ONE bucket manifest (q182's read-path assert,
+    * now against graft's own writes), and the table round-trips
+    * through the `graft-iceberg` STREAMING source — origin snapshot +
+    * a tailed second bucket append must re-emit the whole corpus
+    * exactly once. The oracle restates the point row + corpus totals. */
+  private[graft] def q199(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q199")
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val mid = mn + (mx - mn) / 2
+    graft.io.IcebergWrite.appendPartitioned(
+      docs.filter(col("doc_id") <= mid), tmp, "doc_id", "bucket[8]")
+    val pt = graft.io.IcebergInterop.readIcebergWhere(s, tmp,
+      Map("doc_id" -> ((mn.toDouble, mn.toDouble))))
+      .filter(col("doc_id") === mn)
+    require(pt.count() == 1, "the min doc must read back")
+    val (read, skipped) = graft.io.IcebergInterop.lastManifestScan
+    require(read == 1 && skipped >= 1,
+      s"a point read must open exactly the key's bucket manifest: " +
+      s"read=$read skipped=$skipped")
+    // streaming round-trip: origin snapshot, then a tailed bucket append
+    val buf = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    val q = s.readStream.format("graft-iceberg").load(tmp)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (b0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = graft.streaming.BatchTuning.rightSize(b0.toDF())
+        val r = b.agg(count(lit(1)), sum(col("n_chars"))).head()
+        if (r.getLong(0) > 0) buf.synchronized {
+          buf += ((r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      graft.io.IcebergWrite.appendPartitioned(
+        docs.filter(col("doc_id") > mid), tmp, "doc_id", "bucket[8]")
+      q.processAllAvailable()
+    } finally q.stop()
+    val (nStream, charsStream) = buf.synchronized(
+      buf.foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) })
+    import s.implicits._
+    pt.select(col("lang").as("point_lang"),
+        col("n_chars").cast("long").as("point_chars"))
+      .crossJoin(Seq((nStream, charsStream)).toDF("n_stream", "chars_stream"))
+  }
+
   /** q198 — the NATIVE Iceberg lifecycle driven entirely as SQL TEXT
     * ([[graft.sql.DeltaSqlParser]] routing to
     * [[graft.io.IcebergWrite]]): CTAS creates the table, INSERT

@@ -267,27 +267,49 @@ object IcebergWrite {
   def overwrite(df: DataFrame, dir: String): Long =
     write(df, dir, replace = true)
 
-  /** Append `df` as a new snapshot PARTITIONED on `partCol` (identity
-    * transform — one manifest per partition value, each manifest-list
-    * entry carrying the spec's field_summary), creating the table on
-    * first call. The manifest-level skipping [[IcebergInterop]] does
-    * for foreign partitioned tables works identically on tables graft
-    * writes: a single-value read opens only that value's manifests.
+  /** Append `df` as a new snapshot PARTITIONED on
+    * `transform(partCol)` — identity (default) or a HIDDEN transform:
+    * `year|month|day|hour` over date/timestamp columns, `bucket[N]`
+    * (the spec's murmur3, computed by the codegen
+    * [[graft.functions.expressions.IcebergPartitionValue]] at
+    * staging), `truncate[W]` — one manifest per partition VALUE, each
+    * manifest-list entry carrying the spec's field_summary over the
+    * TRANSFORMED values, creating the table on first call. The
+    * manifest-level skipping [[IcebergInterop]] does for foreign
+    * hidden-partitioned tables works identically on tables graft
+    * writes (write and read share [[IcebergTransforms]], so the
+    * bucket/temporal math agrees structurally): a point read of a
+    * bucket table opens exactly one bucket's manifests. NULL source
+    * values land in a contains_null manifest with no bounds.
     * Write shape: ONE hive-partitioned staging job + ONE grouped stats
     * job regardless of the partition-value count; the source column
-    * stays a REAL column in the data files (a duplicate throwaway
+    * stays a REAL column in the data files (a throwaway transformed
     * column drives the directory split), so reads need no
-    * partition-tuple reconstruction. Hidden transforms (day/bucket/
-    * truncate) stay read-side — the mirror and fixture author them. */
-  def appendPartitioned(df: DataFrame, dir: String, partCol: String): Long = {
+    * partition-tuple reconstruction — hidden partitioning exactly as
+    * the spec intends. */
+  def appendPartitioned(df: DataFrame, dir: String, partCol: String,
+                        transform: String = "identity"): Long = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val root = new Path(dir)
     f.mkdirs(new Path(root, "metadata")); f.mkdirs(new Path(root, "data"))
     require(df.columns.contains(partCol), s"no partition column $partCol")
     val srcDt = df.schema(partCol).dataType
-    require(srcDt == IntegerType || srcDt == LongType || srcDt == StringType,
-      s"identity partitioning supports int/long/string columns, got $srcDt")
+    val BucketRe = """bucket\[(\d+)\]""".r
+    val TruncRe = """truncate\[(\d+)\]""".r
+    val okCombo = (transform, srcDt) match {
+      case ("identity", IntegerType | LongType | StringType) => true
+      case ("year" | "month" | "day",
+            DateType | TimestampType | TimestampNTZType) => true
+      case ("hour", TimestampType | TimestampNTZType) => true
+      case (BucketRe(_), IntegerType | LongType | StringType | DateType
+            | TimestampType | TimestampNTZType) => true
+      case (TruncRe(_), IntegerType | LongType | StringType) => true
+      case _ => false
+    }
+    require(okCombo,
+      s"partition transform $transform does not apply to a $srcDt column")
+    val resultDt = IcebergTransforms.resultType(transform, srcDt).get
     val v0 = currentVersion(f, root)
     val idsByName: Map[String, Int] = readMeta(f, root, v0) match {
       case Some(m) =>
@@ -301,15 +323,22 @@ object IcebergWrite {
     }
     import org.apache.spark.sql.functions.col
     val staging = new Path(root, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
-    withFieldIds(df, idsByName).withColumn("_graft_p", col(partCol))
+    val pCol =
+      if (transform == "identity") col(partCol)
+      else org.apache.spark.sql.GraftBridge.column(
+        graft.functions.expressions.IcebergPartitionValue(
+          org.apache.spark.sql.GraftBridge.expression(col(partCol)), transform))
+    withFieldIds(df, idsByName).withColumn("_graft_p", pCol)
       .write.partitionBy("_graft_p").parquet(staging.toString)
     // NULL partition values stage under Spark's default-partition
     // sentinel — decode them to None (summary: contains_null=true, no
-    // bounds) instead of parsing the sentinel as a value
+    // bounds) instead of parsing the sentinel as a value. Directory
+    // names carry the TRANSFORMED value, typed by the transform's
+    // result type.
     def decode(dirName: String): Option[Any] = {
       val raw = java.net.URLDecoder.decode(dirName.stripPrefix("_graft_p="), "UTF-8")
       if (raw == "__HIVE_DEFAULT_PARTITION__") None
-      else Some(srcDt match {
+      else Some(resultDt match {
         case IntegerType => raw.toInt
         case LongType => raw.toLong
         case _ => raw
@@ -355,7 +384,7 @@ object IcebergWrite {
           Some(NewManifest(mp, partitioned = true, Some(v match {
             case None => Summary(containsNull = true, None)
             case Some(value) => Summary(containsNull = false,
-              IcebergFormat.serializeBound(srcDt, value).map(b => (b, b)))
+              IcebergFormat.serializeBound(resultDt, value).map(b => (b, b)))
           })))
         }
       }
@@ -364,9 +393,16 @@ object IcebergWrite {
       }
       try {
         onBeforeCommit()
+        val specName =
+          if (transform == "identity") partCol
+          else transform match {
+            case BucketRe(_) => s"${partCol}_bucket"
+            case TruncRe(_) => s"${partCol}_trunc"
+            case t => s"${partCol}_$t"
+          }
         return commitMeta(spark, f, root, base, df.schema, snapshotId, seqNo,
           mans, replace = false,
-          partSpec = Some(SpecReq(partCol, idsByName(partCol), "identity")))
+          partSpec = Some(SpecReq(specName, idsByName(partCol), transform)))
       } catch {
         case _: java.util.ConcurrentModificationException =>
           mans.foreach(nm => f.delete(nm.path, false))

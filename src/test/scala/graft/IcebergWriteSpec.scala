@@ -318,6 +318,67 @@ class IcebergWriteSpec extends AnyFunSuite {
       "the failed delete must not mask anything in the overwritten table")
   }
 
+  test("hidden-transform writes: bucket point-skip, day range-skip, truncate, spec reuse") {
+    // bucket[4] over long keys: a point read opens exactly ONE bucket
+    val dir = Files.createTempDirectory("graft-iceberg-write-bucket").toString
+    val rows = (0L until 80L).map(i => (i, s"r_$i")).toDF("id", "tag")
+    IcebergWrite.appendPartitioned(rows, dir, "id", "bucket[4]")
+    val t = IcebergInterop.readIcebergWhere(spark, dir, Map("id" -> ((17.0, 17.0))))
+    assert(t.count() == 1 && t.head().getLong(0) == 17L)
+    val (r1, s1) = IcebergInterop.lastManifestScan
+    assert(r1 == 1 && r1 + s1 == 4,
+      s"point read must open exactly the key's bucket: read=$r1 skipped=$s1")
+    // a SECOND bucket append reuses the spec (no new spec id) and the
+    // point read still opens one manifest per append
+    IcebergWrite.appendPartitioned(
+      (80L until 160L).map(i => (i, s"r_$i")).toDF("id", "tag"), dir, "id", "bucket[4]")
+    val m = metaJson(dir, 2)
+    assert(m.path("partition-specs").size == 2, "spec 0 + ONE bucket spec")
+    assert(m.path("last-partition-id").asInt == 1000)
+    val t2 = IcebergInterop.readIcebergWhere(spark, dir, Map("id" -> ((17.0, 17.0))))
+    assert(t2.count() == 1)
+    val (r2, s2) = IcebergInterop.lastManifestScan
+    assert(r2 == 2 && r2 + s2 == 8, s"read=$r2 skipped=$s2")
+    // a DIFFERENT transform on the same table registers a fresh spec
+    // with a fresh partition field id; both prune independently
+    IcebergWrite.appendPartitioned(
+      (160L until 200L).map(i => (i, s"r_$i")).toDF("id", "tag"), dir, "id",
+      "truncate[50]")
+    val m3 = metaJson(dir, 3)
+    assert(m3.path("partition-specs").size == 3)
+    assert(m3.path("last-partition-id").asInt == 1001)
+    val t3 = IcebergInterop.readIcebergWhere(spark, dir, Map("id" -> ((17.0, 17.0))))
+    assert(t3.count() == 1)
+    val (r3, _) = IcebergInterop.lastManifestScan
+    // the truncate manifest's band [150,199] EXCLUDES 17 — only the two
+    // bucket manifests open (both specs prune independently)
+    assert(r3 == 2, s"id 17's bucket per bucket append, truncate band skips: $r3")
+
+    // day(ts) over TimestampNTZ: a 1-day range read opens 1 of 3 days
+    val dir2 = Files.createTempDirectory("graft-iceberg-write-day").toString
+    val base = java.time.LocalDateTime.of(2024, 1, 10, 0, 0)
+    val tsRows = (0 until 72).map(h => (base.plusHours(h.toLong), h.toLong))
+      .toDF("ts", "v")
+    IcebergWrite.appendPartitioned(tsRows, dir2, "ts", "day")
+    val d0 = base.toLocalDate.toEpochDay * 86400000000L
+    val oneDay = IcebergInterop.readIcebergWhere(spark, dir2,
+      Map("ts" -> ((d0.toDouble, (d0 + 86399999999L).toDouble))))
+    assert(oneDay.count() == 24)
+    val (rd, sd) = IcebergInterop.lastManifestScan
+    assert(rd == 1 && sd == 2, s"1 of 3 day manifests: read=$rd skipped=$sd")
+
+    // string truncate[2]: equality read prunes by prefix band
+    val dir3 = Files.createTempDirectory("graft-iceberg-write-trunc").toString
+    val sRows = Seq("aardvark", "abacus", "zebra", "zephyr", "mango")
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "word")
+    IcebergWrite.appendPartitioned(sRows, dir3, "word", "truncate[2]")
+    val tz = IcebergInterop.readIcebergWhere(spark, dir3, Map.empty,
+      stringEq = Map("word" -> "zebra"))
+    assert(tz.count() == 1)
+    val (rz, sz) = IcebergInterop.lastManifestScan
+    assert(rz == 1 && sz == 3, s"only the 'ze' band opens: read=$rz skipped=$sz")
+  }
+
   test("merge-on-read UPDATE: one snapshot, postimages visible, no data file rewrites") {
     val dir = Files.createTempDirectory("graft-iceberg-write-upd").toString
     val s1 = IcebergWrite.append(

@@ -635,6 +635,12 @@ object OracleSql {
         |  sum(n_chars)::BIGINT AS chars,
         |  sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars % 100 END)::BIGINT AS quality
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q200: equality-delete lifecycle — %10 keys masked pre-delete,
+    // re-appended (+5000) after; evens/odds otherwise raw
+    "q200_iceberg_eq_delete" ->
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  sum(n_chars + CASE WHEN doc_id % 10 = 0 THEN 5000 ELSE 0 END)::BIGINT AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q199: graft-written bucket[8]-partitioned table — the min doc's
     // point row (1 manifest opened, asserted in-query) + the corpus
     // totals re-emitted exactly once by the streaming round-trip

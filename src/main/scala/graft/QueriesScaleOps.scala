@@ -2675,6 +2675,51 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("lang"))
   }
 
+  /** q200 — EQUALITY-DELETE authoring on a NATIVE Iceberg table
+    * ([[graft.io.IcebergWrite.equalityDelete]]): the even corpus half
+    * lands, an equality delete masks every %10==0 key — O(|keys|),
+    * ZERO table scan, zero data-file work (asserted) — then the odd
+    * half appends and the deleted keys RE-APPEND (+5000 chars): the
+    * spec's strictly-below-sequence rule means only the pre-delete
+    * rows mask while the re-appends survive (the read spec's survival
+    * case, now against graft's own writer). A final [[IcebergWrite.compact]]
+    * folds the equality delete physically with the aggregate unchanged.
+    * DuckDB replays the lifecycle analytically. */
+  private[graft] def q200(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q200")
+    graft.io.IcebergWrite.append(
+      docs.filter(col("doc_id") % 2 === 0).repartitionByRange(3, col("doc_id")), tmp)
+    def dataFiles() = graft.io.IcebergInterop.readIceberg(s, tmp)
+      .inputFiles.filterNot(_.contains("/data/eqdelete-")).toSet
+    val files0 = dataFiles()
+    val nEven = docs.filter(col("doc_id") % 2 === 0).count()
+    val nTen = docs.filter(col("doc_id") % 10 === 0).count()
+    val (_, nk) = graft.io.IcebergWrite.equalityDelete(s, tmp,
+      docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")))
+    require(nk == nTen, "every %10 key lands in the delete file")
+    require(graft.io.IcebergInterop.readIceberg(s, tmp).count() == nEven - nTen,
+      "the equality delete must mask exactly the %10 band")
+    require(dataFiles() == files0,
+      "an equality delete is O(|keys|): zero data-file work")
+    graft.io.IcebergWrite.append(
+      docs.filter(col("doc_id") % 2 =!= 0), tmp)
+    graft.io.IcebergWrite.append(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 5000L), tmp)
+    val total = docs.count()
+    require(graft.io.IcebergInterop.readIceberg(s, tmp).count() == total,
+      "re-appended keys survive the older equality delete")
+    // compaction folds the equality delete physically, result unchanged
+    graft.io.IcebergWrite.compact(s, tmp)
+    val t = graft.io.IcebergInterop.readIceberg(s, tmp)
+    require(t.count() == total && !t.inputFiles.exists(_.contains("/data/eqdelete-")),
+      "compact must fold the equality delete")
+    t.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+  }
+
   /** q199 — HIDDEN-TRANSFORM partitioned Iceberg WRITES
     * ([[graft.io.IcebergWrite.appendPartitioned]] with `bucket[8]`,
     * the spec's murmur3 computed by the codegen

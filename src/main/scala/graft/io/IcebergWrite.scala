@@ -797,6 +797,87 @@ object IcebergWrite {
     (-1L, -1L, -1L) // unreachable
   }
 
+  /** EQUALITY DELETE for native Iceberg tables: every row whose
+    * `keyCols` tuple appears in `keys` masks — but only in data files
+    * whose sequence number is STRICTLY BELOW the delete's (the spec's
+    * ordering rule), so re-appending the same keys later survives.
+    * This is the O(|keys|) GDPR path: NO table scan at all — the
+    * spec-shaped delete file (keys parquet + `equality_ids` manifest
+    * entry) IS the predicate, applied in-plan by every spec reader
+    * ([[IcebergInterop]]'s null-safe anti-join included). Version
+    * races REBASE freely — an equality delete references key VALUES,
+    * not data files, so no liveness validation is needed.
+    * Returns (snapshotId, keyRowCount). */
+  def equalityDelete(spark: SparkSession, dir: String,
+                     keys: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val v0 = currentVersion(f, root)
+    require(v0 > 0, s"$dir has no snapshots to delete from")
+    val m0 = readMeta(f, root, v0).get
+    val idsByName = currentFieldIds(m0).toMap
+    val missing = keys.columns.filterNot(idsByName.contains)
+    require(missing.isEmpty,
+      s"equality-delete key column(s) ${missing.mkString(",")} not in the " +
+      s"table schema ${idsByName.keys.toSeq.sorted.mkString(",")}")
+    val equalityIds = keys.columns.map(idsByName).toSeq
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val staging = new Path(root,
+      s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    withFieldIds(keys, idsByName.view.filterKeys(keys.columns.contains).toMap)
+      .write.parquet(staging.toString)
+    val staged = f.listStatus(staging).filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val dst = new Path(root, s"data/eqdelete-${java.util.UUID.randomUUID()}.parquet")
+        require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
+        (dst, f.getFileStatus(dst).getLen)
+      }.toSeq
+    f.delete(staging, true)
+    val counts: Map[String, Long] =
+      if (staged.isEmpty) Map.empty
+      else spark.read.parquet(staged.map(_._1.toString): _*)
+        .groupBy(col("_metadata.file_path").as("_p"))
+        .agg(count(lit(1)).as("_n"))
+        .collect().map(r => canonPath(r.getString(0)) -> r.getLong(1)).toMap
+    val (delFiles, empties) =
+      staged.partition(p => counts.contains(canonPath(p._1.toString)))
+    empties.foreach { case (p, _) => f.delete(p, false) }
+    if (delFiles.isEmpty)
+      return (readMeta(f, root, currentVersion(f, root))
+        .map(_.path("current-snapshot-id").asLong(-1L)).getOrElse(-1L), 0L)
+    val nKeys = counts.values.sum
+
+    var attempt = 0
+    var base = v0
+    while (true) {
+      val snapshotId = freshSnapshotId(f, root, base)
+      val seqNo = readMeta(f, root, base)
+        .map(_.path("last-sequence-number").asLong(0L)).getOrElse(0L) + 1L
+      val entries = delFiles.map { case (p, size) =>
+        IcebergFormat.entry(2, p.toString, counts(canonPath(p.toString)),
+          size, snapshotId, seqNo, equalityIds = equalityIds)
+      }
+      val mp = new Path(root,
+        s"metadata/delete-manifest-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
+      IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
+      try {
+        onBeforeCommit()
+        return (commitMeta(spark, f, root, base, StructType(Nil), snapshotId,
+          seqNo, Seq(NewManifest(mp, partitioned = false, None, content = 1)),
+          replace = false, operation = Some("delete")), nKeys)
+      } catch {
+        case _: java.util.ConcurrentModificationException =>
+          f.delete(mp, false)
+          attempt += 1
+          require(attempt < MaxCommitRetries,
+            s"equality delete on $dir lost $MaxCommitRetries version races")
+          base = currentVersion(f, root)
+      }
+    }
+    (-1L, -1L) // unreachable
+  }
+
   // ─────────────────── table maintenance ───────────────────
 
   private def gStr(r: GenericRecord, n: String): String = r.get(n).toString

@@ -483,6 +483,45 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(t3.count() == 1 && t3.head().getLong(0) == 700L)
   }
 
+  test("equality deletes: mask strictly-older data, re-appends survive, compact folds") {
+    val dir = Files.createTempDirectory("graft-iceberg-write-eqdel").toString
+    IcebergWrite.append(
+      (0L until 30L).map(i => (i, s"r_$i")).toDF("id", "tag"), dir)
+    def dataFileSet() = IcebergInterop.readIceberg(spark, dir)
+      .inputFiles.filterNot(p => p.contains("/data/eqdelete-")).toSet
+    val files0 = dataFileSet()
+    // O(|keys|): no table scan, no data file rewrites
+    val (_, nk) = IcebergWrite.equalityDelete(spark, dir,
+      Seq(5L, 7L, 100L).toDF("id"))
+    assert(nk == 3)
+    val t1 = IcebergInterop.readIceberg(spark, dir)
+    assert(t1.count() == 28, "ids 5 and 7 mask; 100 was never there")
+    assert(t1.filter(col("id").isin(5L, 7L)).count() == 0)
+    assert(dataFileSet() == files0, "equality delete must not touch data files")
+    // a LATER append of a deleted key SURVIVES (data seq > delete seq)
+    IcebergWrite.append(Seq((5L, "reborn")).toDF("id", "tag"), dir)
+    val t2 = IcebergInterop.readIceberg(spark, dir)
+    assert(t2.count() == 29)
+    assert(t2.filter(col("id") === 5L).head().getString(1) == "reborn")
+    // multi-column keys: (id, tag) tuple equality, null-safe
+    val (_, nk2) = IcebergWrite.equalityDelete(spark, dir,
+      Seq((3L, "r_3"), (4L, "not-the-tag")).toDF("id", "tag"))
+    assert(nk2 == 2)
+    val t3 = IcebergInterop.readIceberg(spark, dir)
+    assert(t3.count() == 28, "only the exact (3, r_3) tuple masks")
+    assert(t3.filter(col("id") === 4L).count() == 1)
+    // compaction folds equality deletes physically
+    IcebergWrite.compact(spark, dir)
+    val t4 = IcebergInterop.readIceberg(spark, dir)
+    assert(t4.count() == 28)
+    assert(!t4.inputFiles.exists(_.contains("/data/eqdelete-")))
+    assert(t4.filter(col("id") === 5L).head().getString(1) == "reborn")
+    // unknown key column refuses loudly
+    val e = intercept[IllegalArgumentException](
+      IcebergWrite.equalityDelete(spark, dir, Seq(1L).toDF("nope")))
+    assert(e.getMessage.contains("not in the table schema"), e.getMessage)
+  }
+
   test("NULL partition values: sentinel decodes to null, contains_null summary, int column safe") {
     val dir = Files.createTempDirectory("graft-iceberg-write-nullpart").toString
     val rows = Seq((1L, "en", "a"), (2L, null, "b"), (3L, "de", "c"),

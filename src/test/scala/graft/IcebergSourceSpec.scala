@@ -137,6 +137,46 @@ class IcebergSourceSpec extends AnyFunSuite {
       s"only the post-delete append arrives: ${buf3.synchronized(buf3.toList)}")
   }
 
+  test("restart across a delete snapshot landed while DOWN: ignoreDeletes resumes cleanly") {
+    val dir = Files.createTempDirectory("graft-ice-src-downdel").toString
+    IcebergWrite.append(
+      (0L until 10L).map(i => (i, s"a_$i")).toDF("id", "tag"), dir)
+    val ckpt = s"$dir/ckpt"
+    val (buf1, q1, _) = collectStream(dir, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(buf1.synchronized(buf1.size) == 10)
+    // while the stream is DOWN: a merge-on-read delete snapshot AND an
+    // append land — the offset must advance over the delete on resume
+    IcebergWrite.deleteWhere(spark, dir, col("id") < 4)
+    IcebergWrite.append(
+      (100L until 103L).map(i => (i, s"b_$i")).toDF("id", "tag"), dir)
+    // restart WITHOUT the flag: the pending delete snapshot refuses loudly
+    val (bufF, qF, _) = collectStream(dir, ckpt)
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        qF.processAllAvailable())
+      assert(e.getMessage.contains("ignoreDeletes") ||
+        Option(e.getCause).exists(_.getMessage.contains("ignoreDeletes")),
+        e.getMessage)
+    } finally qF.stop()
+    assert(bufF.synchronized(bufF.isEmpty), "the refused restart emits nothing")
+    // restart WITH ignoreDeletes: no wedge, no re-emission — the delete
+    // snapshot skips and ONLY the while-down append's rows arrive
+    val (buf2, q2, _) = collectStream(dir, ckpt, Map("ignoreDeletes" -> "true"))
+    try {
+      q2.processAllAvailable()
+      assert(buf2.synchronized(buf2.map(_._1).sorted.toSeq) == (100L until 103L),
+        s"only the while-down append arrives: ${buf2.synchronized(buf2.toList)}")
+      // and the tail keeps working across a LIVE delete + append too
+      IcebergWrite.deleteWhere(spark, dir, col("id") === 100L)
+      IcebergWrite.append(Seq((200L, "c")).toDF("id", "tag"), dir)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(buf2.synchronized(buf2.map(_._1).sorted.toSeq) ==
+      Seq(100L, 101L, 102L, 200L),
+      s"exactly-once across the whole lineage: ${buf2.synchronized(buf2.toList)}")
+  }
+
   test("row-level deletes refuse loudly in both phases") {
     val dir = Files.createTempDirectory("graft-ice-src-del").toString
     // fixture table with a position delete in its CURRENT snapshot

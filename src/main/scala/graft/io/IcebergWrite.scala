@@ -579,7 +579,14 @@ object IcebergWrite {
                 source: DataFrame, keyCols: Seq[String],
                 matched: Seq[DeltaInterop.MatchedClause],
                 notMatched: Option[(Option[org.apache.spark.sql.Column],
-                  Map[String, org.apache.spark.sql.Column])]): (Long, Long, Long) = {
+                  Map[String, org.apache.spark.sql.Column])],
+                // `WHEN NOT MATCHED BY SOURCE` clauses: target rows with
+                // no source match — conditions/assignments reference
+                // TARGET columns only (source columns are definitionally
+                // absent). Scanned UNPRUNED: a by-source row is exactly
+                // one that may lie outside the source's key range.
+                notMatchedBySource: Seq[DeltaInterop.MatchedClause] = Nil)
+      : (Long, Long, Long) = {
     import org.apache.spark.sql.functions._
     val f = fs(spark, dir)
     val root = new Path(dir)
@@ -651,15 +658,48 @@ object IcebergWrite {
          else lit(null)).cast(fd.dataType).as(fd.name)
       }.toSeq: _*)
     }
-    val appendRows = (postimage.toSeq ++ inserts) match {
+    // by-source rows come from an UNPRUNED scan — they are exactly the
+    // rows a source-key range prune would drop
+    val bsHits = if (notMatchedBySource.isEmpty) None else {
+      val tFull =
+        if (ranges.isEmpty) t
+        else IcebergInterop.readIceberg(spark, dir, withProvenance = true)
+      val firedB = notMatchedBySource.zipWithIndex.foldRight(lit(-1)) {
+        case ((cl, i), acc) =>
+          when(cl.condition.getOrElse(lit(true)), lit(i)).otherwise(acc)
+      }
+      val postColsB = typed.fields.map { fd =>
+        notMatchedBySource.zipWithIndex.foldRight(col(s"t.${fd.name}")) {
+          case ((cl, i), acc) =>
+            if (cl.delete || !cl.set.contains(fd.name)) acc
+            else when(col("_fired") === i, cl.set(fd.name)).otherwise(acc)
+        }.cast(fd.dataType).as(fd.name)
+      }.toSeq
+      Some(tFull.as("t").join(srcAligned.as("s"), keyEq, "left_anti")
+        .withColumn("_fired", firedB)
+        .filter(col("_fired") >= 0)
+        .select(col("t._graft_file").as("_graft_file") +:
+          col("t._graft_pos").as("_graft_pos") +: col("_fired") +: postColsB: _*)
+        .localCheckpoint(false))
+    }
+    val bsUpdateIdx = notMatchedBySource.zipWithIndex.collect {
+      case (cl, i) if !cl.delete => i
+    }
+    val bsPostimage = bsHits.filter(_ => bsUpdateIdx.nonEmpty).map(
+      _.filter(col("_fired").isin(bsUpdateIdx: _*))
+        .select(schemaNames.map(col): _*))
+    val positions = bsHits.map(b => positionsOf(hits).unionByName(positionsOf(b)))
+      .getOrElse(positionsOf(hits))
+    val appendRows = (postimage.toSeq ++ bsPostimage.toSeq ++ inserts) match {
       case Nil => None
       case xs => Some(xs.reduce(_ unionByName _))
     }
     val (snap, deleted, inserted0) = commitRowDelta(spark, dir,
-      positionsOf(hits), appendRows, "overwrite", what = "merge")
+      positions, appendRows, "overwrite", what = "merge")
     // inserted = appended − postimages (postimages replace masked rows)
-    val nPost = if (updateIdx.isEmpty) 0L
-      else hits.filter(col("_fired").isin(updateIdx: _*)).count()
+    val nPost = (if (updateIdx.isEmpty) 0L
+      else hits.filter(col("_fired").isin(updateIdx: _*)).count()) +
+      bsPostimage.map(_.count()).getOrElse(0L)
     (snap, deleted, inserted0 - nPost)
   }
 

@@ -533,6 +533,7 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
             lhs -> parseCol(spark, a.drop(i + 1))
           }.toMap
         val matchedClauses = Seq.newBuilder[DeltaInterop.MatchedClause]
+        val bySource = Seq.newBuilder[DeltaInterop.MatchedClause]
         var notMatched: Option[(Option[org.apache.spark.sql.Column],
           Map[String, org.apache.spark.sql.Column])] = None
         clauses.foreach {
@@ -541,6 +542,12 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
               cond.map(parseCol(spark, _)), assignments(setTxt))
           case WhenMatched(cond, None) =>
             matchedClauses += DeltaInterop.MatchedClause(
+              cond.map(parseCol(spark, _)), Map.empty, delete = true)
+          case WhenNotMatchedBySource(cond, Some(setTxt)) =>
+            bySource += DeltaInterop.MatchedClause(
+              cond.map(parseCol(spark, _)), assignments(setTxt))
+          case WhenNotMatchedBySource(cond, None) =>
+            bySource += DeltaInterop.MatchedClause(
               cond.map(parseCol(spark, _)), Map.empty, delete = true)
           case WhenNotMatched(cond, insTxt) =>
             require(notMatched.isEmpty, "at most one WHEN NOT MATCHED clause")
@@ -558,13 +565,9 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
                 cols.zip(exprs).toMap
               }
             notMatched = Some((cond.map(parseCol(spark, _)), set))
-          case _: WhenNotMatchedBySource =>
-            throw new IllegalArgumentException(
-              "MERGE INTO iceberg.`..`: WHEN NOT MATCHED BY SOURCE is not " +
-              "supported on the Iceberg plane")
         }
         val (_, nDel, nIns) = IcebergWrite.mergeInto(spark, dir, source,
-          keys, matchedClauses.result(), notMatched)
+          keys, matchedClauses.result(), notMatched, bySource.result())
         Seq(Row(nDel, nIns))
       }
     }

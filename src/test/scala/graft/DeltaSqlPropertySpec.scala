@@ -262,6 +262,11 @@ class DeltaSqlPropertySpec extends AnyFunSuite {
           val matchedIsDelete = rnd.nextInt(3) == 0
           val matchedSet = both(s"msg = concat(S_.msg, $nl), grp = S_.grp + 1")
           val insertAll = rnd.nextBoolean()
+          val bySourceClause = rnd.nextInt(3) match {
+            case 0 => None
+            case 1 => Some((Some(both(s"T_.grp = 1")), None)) // DELETE
+            case _ => Some((None, Some(both(s"msg = $nl")))) // unconditional UPDATE
+          }
           val sqlTxt = {
             val sb = new StringBuilder
             sb ++= s"MERGE INTO iceberg.`$a` AS $ta USING $view AS $sa ON $ta.id = $sa.id\n"
@@ -269,6 +274,12 @@ class DeltaSqlPropertySpec extends AnyFunSuite {
             sb ++= (if (matchedIsDelete) "DELETE" else s"UPDATE SET ${matchedSet._1}")
             sb ++= (if (insertAll) "\nWHEN NOT MATCHED THEN INSERT *"
                     else s"\nWHEN NOT MATCHED THEN INSERT (id, grp, msg) VALUES ($sa.id, $sa.grp, $nl)")
+            bySourceClause.foreach {
+              case (cond, None) =>
+                sb ++= s"\nWHEN NOT MATCHED BY SOURCE${cond.map(c => s" AND ${c._1}").getOrElse("")} THEN DELETE"
+              case (cond, Some(set)) =>
+                sb ++= s"\nWHEN NOT MATCHED BY SOURCE${cond.map(c => s" AND ${c._1}").getOrElse("")} THEN UPDATE SET ${set._1}"
+            }
             sb.toString
           }
           spark.sql(sqlTxt).collect()
@@ -284,8 +295,16 @@ class DeltaSqlPropertySpec extends AnyFunSuite {
           val apiNM = Some((None: Option[org.apache.spark.sql.Column],
             if (insertAll) Map.empty[String, org.apache.spark.sql.Column]
             else Map("id" -> expr("s.id"), "grp" -> expr("s.grp"), "msg" -> expr(nl))))
+          val apiBySource = bySourceClause.toSeq.map {
+            case (cond, None) =>
+              graft.io.DeltaInterop.MatchedClause(cond.map(c => expr(c._2)),
+                Map.empty, delete = true)
+            case (cond, Some(set)) =>
+              graft.io.DeltaInterop.MatchedClause(cond.map(c => expr(c._2)),
+                setMap(set._2))
+          }
           IcebergWrite.mergeInto(spark, b, srcRows.toDF("id", "grp", "msg"),
-            Seq("id"), Seq(apiMatched), apiNM)
+            Seq("id"), Seq(apiMatched), apiNM, apiBySource)
           spark.catalog.dropTempView(view)
       }
       assert(canonIce(a) == canonIce(b),

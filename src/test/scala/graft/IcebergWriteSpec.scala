@@ -483,6 +483,50 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(t3.count() == 1 && t3.head().getLong(0) == 700L)
   }
 
+  test("merge WHEN NOT MATCHED BY SOURCE: unmatched target rows update/delete, unpruned") {
+    val dir = Files.createTempDirectory("graft-iceberg-write-bysrc").toString
+    IcebergWrite.append(
+      (0L until 20L).map(i => (i, i * 10L, s"r_$i")).toDF("id", "score", "tag")
+        .repartitionByRange(4, col("id")), dir)
+    // source covers only ids 5..7 — the key-range prune would drop the
+    // by-source rows' files, so the by-source scan must be UNPRUNED
+    val source = (5L to 7L).map(i => (i, 0L, "src")).toDF("id", "score", "tag")
+    val (_, nDel, nIns) = IcebergWrite.mergeInto(spark, dir, source, Seq("id"),
+      matched = Seq(graft.io.DeltaInterop.MatchedClause(None,
+        Map("tag" -> lit("m")))),
+      notMatched = None,
+      notMatchedBySource = Seq(
+        graft.io.DeltaInterop.MatchedClause(Some(col("t.id") < 3),
+          Map.empty, delete = true),
+        graft.io.DeltaInterop.MatchedClause(Some(col("t.id") >= 15),
+          Map("tag" -> lit("stale")))))
+    assert(nDel == 3 + 3 + 5, s"3 matched updates + 3 bs-deletes + 5 bs-updates: $nDel")
+    assert(nIns == 0)
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.count() == 17, "ids 0,1,2 deleted by the by-source clause")
+    assert(t.filter(col("tag") === "m").count() == 3)
+    assert(t.filter(col("tag") === "stale").count() == 5)
+    assert(t.filter(col("id") === 10L).head().getString(2) == "r_10",
+      "unclaimed rows stay untouched")
+    // ONE atomic snapshot for the whole three-way delta
+    assert(IcebergInterop.snapshots(spark, dir).count() == 2)
+    // ...and the same shape as SQL
+    val dir2 = Files.createTempDirectory("graft-iceberg-write-bysrc2").toString
+    IcebergWrite.append(
+      (0L until 20L).map(i => (i, i * 10L, s"r_$i")).toDF("id", "score", "tag"), dir2)
+    source.createOrReplaceTempView("bysrc_src")
+    val res = spark.sql(
+      s"""MERGE INTO iceberg.`$dir2` AS t USING bysrc_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET tag = 'm'
+         |WHEN NOT MATCHED BY SOURCE AND t.id < 3 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND t.id >= 15 THEN UPDATE SET tag = 'stale'
+         |""".stripMargin).head()
+    assert(res.getLong(0) == 11 && res.getLong(1) == 0)
+    val t2 = IcebergInterop.readIceberg(spark, dir2)
+    assert(t2.count() == 17 && t2.filter(col("tag") === "stale").count() == 5)
+    spark.catalog.dropTempView("bysrc_src")
+  }
+
   test("equality deletes: mask strictly-older data, re-appends survive, compact folds") {
     val dir = Files.createTempDirectory("graft-iceberg-write-eqdel").toString
     IcebergWrite.append(

@@ -635,6 +635,14 @@ object OracleSql {
         |  sum(n_chars)::BIGINT AS chars,
         |  sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars % 100 END)::BIGINT AS quality
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q201: v3 deletion-vector deletes — low sixth and the %11==7
+    // slice masked via Puffin bitmaps; survivors aggregate per lang
+    "q201_iceberg_dv_delete" ->
+      """WITH mm AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+        |FROM documents, mm
+        |WHERE doc_id >= mn + (mx - mn) // 6 AND doc_id % 11 <> 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q200: equality-delete lifecycle — %10 keys masked pre-delete,
     // re-appended (+5000) after; evens/odds otherwise raw
     "q200_iceberg_eq_delete" ->

@@ -2675,6 +2675,49 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("lang"))
   }
 
+  /** q201 — v3 DELETION-VECTOR deletes on a NATIVE Iceberg table
+    * ([[graft.io.IcebergWrite.deleteWhereDV]]): the corpus lands
+    * range-partitioned, a stats-pruned DV delete masks the low band —
+    * per-file Puffin roaring blobs folded DISTRIBUTED (the driver sees
+    * one KB blob per touched file, never a position), the table
+    * upgrades to format-version 3 — then a second DV delete on the
+    * masked view REPLACES the shared files' DVs with the spec's
+    * superset union. Zero data-file rewrites and zero parquet delete
+    * files (both asserted — the masks apply via the codegen
+    * broadcast-bitmap filter, q186's read path against our own
+    * writer); time travel still reads the pre-delete corpus. DuckDB
+    * replays the surviving bands analytically. */
+  private[graft] def q201(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q201")
+    val s1 = graft.io.IcebergWrite.append(
+      docs.repartitionByRange(6, col("doc_id")), tmp)
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val k = mn + (mx - mn) / 6
+    def dataFiles() = graft.io.IcebergInterop.readIceberg(s, tmp)
+      .inputFiles.filterNot(_.contains("delete-")).toSet
+    val files0 = dataFiles()
+    val (_, d1) = graft.io.IcebergWrite.deleteWhereDV(s, tmp,
+      col("doc_id") < k, ranges = Map("doc_id" -> ((mn.toDouble, (k - 1).toDouble))))
+    require(d1 > 0, "the DV delete must hit the low band")
+    val (_, d2) = graft.io.IcebergWrite.deleteWhereDV(s, tmp,
+      col("doc_id") % 11 === 7)
+    require(d2 > 0, "the second DV delete must hit")
+    val t = graft.io.IcebergInterop.readIceberg(s, tmp)
+    require(dataFiles() == files0,
+      "DV deletes must not rewrite or add any data parquet")
+    require(!t.inputFiles.exists(_.contains("delete-")),
+      "the masks are Puffin bitmaps — no delete file joins the scan")
+    require(new java.io.File(s"$tmp/data").list().exists(_.endsWith(".puffin")),
+      "the DVs live in a Puffin file")
+    require(graft.io.IcebergInterop.readIceberg(s, tmp, Some(s1)).count()
+      == docs.count(), "time travel must still see the pre-delete corpus")
+    t.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+  }
+
   /** q200 — EQUALITY-DELETE authoring on a NATIVE Iceberg table
     * ([[graft.io.IcebergWrite.equalityDelete]]): the even corpus half
     * lands, an equality delete masks every %10==0 key — O(|keys|),

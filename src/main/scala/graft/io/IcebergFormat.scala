@@ -143,7 +143,16 @@ private[graft] object IcebergFormat {
     * pair. Returns (referenced file, content offset, content size)
     * per blob — what the delete manifest entries record. */
   def writePuffinDvs(f: FileSystem, path: Path,
-                     dvs: Seq[(String, Array[Long])]): Seq[(String, Long, Long)] = {
+                     dvs: Seq[(String, Array[Long])]): Seq[(String, Long, Long)] =
+    writePuffinDvBlobs(f, path, dvs.map { case (rf, positions) =>
+      (rf, DeletionVectors.serialize(positions), positions.length.toLong)
+    })
+
+  /** [[writePuffinDvs]] over ALREADY-SERIALIZED portable roaring
+    * vectors (the executor-side [[graft.functions.expressions.DvBitmapAgg]]
+    * output) — the write path never expands a bitmap into positions. */
+  def writePuffinDvBlobs(f: FileSystem, path: Path,
+                         dvs: Seq[(String, Array[Byte], Long)]): Seq[(String, Long, Long)] = {
     val magic = "PFA1".getBytes("UTF-8")
     val out = f.create(path, true)
     val refs = Seq.newBuilder[(String, Long, Long)]
@@ -151,8 +160,7 @@ private[graft] object IcebergFormat {
     try {
       out.write(magic)
       var pos = 4L
-      dvs.foreach { case (refFile, positions) =>
-        val vector = DeletionVectors.serialize(positions)
+      dvs.foreach { case (refFile, vector, card) =>
         val body = DvMagic ++ vector
         val crc = new java.util.zip.CRC32()
         crc.update(body)
@@ -161,7 +169,7 @@ private[graft] object IcebergFormat {
           java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
         out.write(blob)
         refs += ((refFile, pos, blob.length.toLong))
-        blobMeta += ((refFile, pos, blob.length.toLong, positions.length.toLong))
+        blobMeta += ((refFile, pos, blob.length.toLong, card))
         pos += blob.length
       }
       // footer: Magic, payload JSON, payload size (4B little-endian),

@@ -670,6 +670,26 @@ object IcebergInterop {
   private def canonPathStr(p: String): String =
     p.replaceFirst("^file:/+", "/")
 
+  /** The CURRENT snapshot's LIVE deletion vector per data file
+    * (canonical ref → (puffin path, offset, size)) — the highest-
+    * sequence entry per file, the spec's replacement rule. The DV
+    * write path unions new positions into these (a replacement DV
+    * must be a superset of the one it replaces). */
+  private[graft] def liveDvs(spark: SparkSession,
+                             dir: String): Map[String, (String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val meta = readJson(spark, currentMetadataPath(spark, dir))
+    val cur = meta.path("current-snapshot-id").asLong(-1L)
+    meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == cur)
+      .map(s0 => liveFiles(spark, dir, s0).dvs
+        .groupBy(e => canonPathStr(e.ref)).map { case (r, ds) =>
+          val d = ds.maxBy(_.seq)
+          r -> ((d.puffin, d.offset, d.size))
+        })
+      .getOrElse(Map.empty)
+  }
+
   /** The CURRENT snapshot's live data-file paths (canonical), for
     * commit-time validation ([[IcebergWrite]] rebases only when the
     * files its delete references are still live — Iceberg's

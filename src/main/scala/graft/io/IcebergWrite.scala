@@ -837,6 +837,107 @@ object IcebergWrite {
     (-1L, -1L, -1L) // unreachable
   }
 
+  /** MERGE-ON-READ DELETE via v3 DELETION VECTORS: predicate rows mask
+    * as Puffin `deletion-vector-v1` blobs — the SAME portable roaring
+    * bitmaps Delta DVs use — one blob per touched data file in ONE
+    * Puffin file, referenced by `content_offset`/`content_size` delete
+    * manifest entries, with the table's format-version upgraded to 3
+    * (one-way). Positions fold DISTRIBUTED into per-file bitmaps
+    * ([[graft.functions.expressions.DvBitmapAgg]] — partial buffers
+    * ARE roaring bytes, the driver sees one KB-sized blob per touched
+    * file, never a position). A replacement DV unions the file's
+    * previous one (the spec's superset rule; the hits scan runs on the
+    * masked view so the sets are disjoint by construction). Work is
+    * O(deleted rows); reads apply the mask with the codegen
+    * broadcast-bitmap filter — no anti-join, positions never become
+    * rows. Returns (snapshotId, rowsDeleted). */
+  def deleteWhereDV(spark: SparkSession, dir: String,
+                    predicate: org.apache.spark.sql.Column,
+                    ranges: Map[String, (Double, Double)] = Map.empty): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val v0 = currentVersion(f, root)
+    require(v0 > 0, s"$dir has no snapshots to delete from")
+    def currentSnap(): Long = readMeta(f, root, currentVersion(f, root))
+      .map(_.path("current-snapshot-id").asLong(-1L)).getOrElse(-1L)
+    val hits = IcebergInterop.readIceberg(spark, dir, ranges = ranges,
+        withProvenance = true)
+      .filter(predicate)
+    // DISTRIBUTED bitmap fold: one (file, roaring bytes) row per
+    // touched file comes back — KB-sized blobs, never positions
+    val bm = column(graft.functions.expressions.DvBitmapAgg(
+      expression(col("_graft_pos"))).toAggregateExpression())
+    import spark.implicits._
+    val perFile: Seq[(String, Array[Byte])] = hits
+      .groupBy(col("_graft_file")).agg(bm.as("bm"))
+      .as[(String, Array[Byte])].collect().toSeq
+    if (perFile.isEmpty) return (currentSnap(), 0L)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prior = IcebergInterop.liveDvs(spark, dir)
+    var deleted = 0L
+    val blobs: Seq[(String, Array[Byte], Long)] = perFile.map { case (file, bytes) =>
+      deleted += DeletionVectors.parse(bytes).cardinality
+      prior.get(canonPath(file)) match {
+        case None =>
+          (file, bytes, DeletionVectors.parse(bytes).cardinality)
+        case Some((puffin, off, size)) =>
+          // replacement rule: the new DV must CONTAIN the one it replaces
+          val b = RoaringBitmapBuilder.fromBytes(bytes)
+          b.or(IcebergFormat.readPuffinDv(conf, new Path(puffin), off, size))
+          val (merged, card) = b.result()
+          (file, merged, card)
+      }
+    }
+    val puffinP = new Path(root,
+      s"data/dv-${java.util.UUID.randomUUID()}.puffin")
+    val refs = IcebergFormat.writePuffinDvBlobs(f, puffinP, blobs)
+    val puffinLen = f.getFileStatus(puffinP).getLen
+    val cardOf = blobs.map(b => (b._1, b._3)).toMap
+    val referenced = perFile.map(p => canonPath(p._1)).toSet
+
+    var attempt = 0
+    var base = v0
+    while (true) {
+      val snapshotId = freshSnapshotId(f, root, base)
+      val seqNo = readMeta(f, root, base)
+        .map(_.path("last-sequence-number").asLong(0L)).getOrElse(0L) + 1L
+      val entries = refs.map { case (refFile, off, size) =>
+        IcebergFormat.entry(1, puffinP.toString, cardOf(refFile), puffinLen,
+          snapshotId, seqNo, fileFormat = "PUFFIN",
+          dvRef = Some((refFile, off, size)))
+      }
+      val mp = new Path(root,
+        s"metadata/delete-manifest-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
+      IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
+      try {
+        onBeforeCommit()
+        return (commitMeta(spark, f, root, base, StructType(Nil), snapshotId,
+          seqNo, Seq(NewManifest(mp, partitioned = false, None, content = 1)),
+          replace = false, operation = Some("delete"),
+          minFormatVersion = 3), deleted)
+      } catch {
+        case _: java.util.ConcurrentModificationException =>
+          f.delete(mp, false)
+          attempt += 1
+          require(attempt < MaxCommitRetries,
+            s"DV delete on $dir lost $MaxCommitRetries version races")
+          base = currentVersion(f, root)
+          val live = IcebergInterop.liveDataPaths(spark, dir).toSet
+          val gone = referenced.filterNot(live)
+          if (gone.nonEmpty) {
+            f.delete(puffinP, false)
+            throw new IllegalStateException(
+              s"DV delete on $dir raced a concurrent commit that replaced " +
+              s"${gone.size} referenced data file(s) (e.g. ${gone.head}) — " +
+              "re-run the delete against the new snapshot")
+          }
+      }
+    }
+    (-1L, -1L) // unreachable
+  }
+
   /** EQUALITY DELETE for native Iceberg tables: every row whose
     * `keyCols` tuple appears in `keys` masks — but only in data files
     * whose sequence number is STRICTLY BELOW the delete's (the spec's
@@ -1418,7 +1519,10 @@ object IcebergWrite {
                          // head's list — it drops folded delete
                          // manifests and swaps rewritten ones
                          priorOverride: Option[Seq[(String, Long, Int,
-                           Long, Int, Long, AnyRef)]] = None): Long = {
+                           Long, Int, Long, AnyRef)]] = None,
+                         // one-way format upgrade (v3 for deletion
+                         // vectors) — never downgrades
+                         minFormatVersion: Int = 0): Long = {
     import scala.jdk.CollectionConverters._
     val prevMeta = readMeta(f, root, base)
     val MFS = IcebergFormat.ManifestFileSchema
@@ -1494,6 +1598,8 @@ object IcebergWrite {
         c.putArray("metadata-log")
         c
     }
+    if (minFormatVersion > n.path("format-version").asInt(2))
+      n.put("format-version", minFormatVersion)
     val curSchemaId = n.path("current-schema-id").asInt(0)
     val nowMs = System.currentTimeMillis()
     val prevUpdatedMs = prevMeta.map(_.path("last-updated-ms").asLong(nowMs))

@@ -527,6 +527,43 @@ class IcebergWriteSpec extends AnyFunSuite {
     spark.catalog.dropTempView("bysrc_src")
   }
 
+  test("deletion-vector deletes: v3 upgrade, replacement union, compose, compact folds") {
+    val dir = Files.createTempDirectory("graft-iceberg-write-dv").toString
+    val s1 = IcebergWrite.append(
+      (0L until 60L).map(i => (i, s"r_$i")).toDF("id", "tag")
+        .repartitionByRange(3, col("id")), dir)
+    val (_, n1) = IcebergWrite.deleteWhereDV(spark, dir, col("id") < 20,
+      ranges = Map("id" -> ((0.0, 19.0))))
+    assert(n1 == 20)
+    assert(metaJson(dir, 2).path("format-version").asInt == 3,
+      "a DV commit upgrades the table to v3 (one-way)")
+    val t1 = IcebergInterop.readIceberg(spark, dir)
+    assert(t1.count() == 40 && t1.agg(min("id")).head().getLong(0) == 20L)
+    // the mask is a Puffin blob applied by the codegen bitmap filter —
+    // no parquet delete file ever joins the scan
+    assert(!t1.inputFiles.exists(_.contains("delete-")))
+    assert(new java.io.File(s"$dir/data").list().exists(_.endsWith(".puffin")))
+    // a second DV delete touching the SAME files: the replacement DV
+    // unions the prior one (spec superset rule); deletes compose
+    val (_, n2) = IcebergWrite.deleteWhereDV(spark, dir, col("id") % 10 === 5)
+    assert(n2 == 4, s"ids 25,35,45,55 on the masked view: $n2")
+    val t2 = IcebergInterop.readIceberg(spark, dir)
+    assert(t2.count() == 36 && t2.filter(col("id") % 10 === 5).count() == 0)
+    // time travel reads the pre-delete corpus; appends keep working
+    assert(IcebergInterop.readIceberg(spark, dir, Some(s1)).count() == 60)
+    IcebergWrite.append(Seq((100L, "new")).toDF("id", "tag"), dir)
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 37)
+    // compact folds the DVs physically; expiry reclaims the puffins
+    IcebergWrite.compact(spark, dir, smallFileBytes = 0L)
+    val t3 = IcebergInterop.readIceberg(spark, dir)
+    assert(t3.count() == 37 && t3.filter(col("id") < 20).count() == 0)
+    Thread.sleep(5)
+    IcebergWrite.expireSnapshots(spark, dir, 0L)
+    assert(!new java.io.File(s"$dir/data").list().exists(_.endsWith(".puffin")),
+      "folded DV puffins must reclaim")
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 37)
+  }
+
   test("equality deletes: mask strictly-older data, re-appends survive, compact folds") {
     val dir = Files.createTempDirectory("graft-iceberg-write-eqdel").toString
     IcebergWrite.append(

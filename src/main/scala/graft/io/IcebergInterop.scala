@@ -782,6 +782,18 @@ object IcebergInterop {
     catalog.createTable(entry, ignoreIfExists = false)
   }
 
+  /** The snapshot a named REF (tag or branch) points to — read it with
+    * `readIceberg(spark, dir, Some(snapshotOfRef(...)))`. Metadata-only. */
+  def snapshotOfRef(spark: SparkSession, dir: String, name: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val meta = readJson(spark, currentMetadataPath(spark, dir))
+    val r = meta.path("refs").path(name)
+    require(r.isObject,
+      s"no ref $name at $dir (refs: ${meta.path("refs").properties().asScala
+        .map(_.getKey).mkString(",")})")
+    r.path("snapshot-id").asLong(-1L)
+  }
+
   /** The latest snapshot committed at or before `tsMillis` —
     * Iceberg's timestamp travel (spec: each snapshot records its
     * commit wall clock as `timestamp-ms`). Metadata-only: one JSON

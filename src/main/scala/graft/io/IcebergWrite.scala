@@ -1019,6 +1019,86 @@ object IcebergWrite {
     (-1L, -1L) // unreachable
   }
 
+  // ─────────────────── refs (branches / tags) ───────────────────
+
+  /** Pin `snapshotId` (default: the current snapshot) under a TAG ref —
+    * a named, expiry-proof time-travel point ([[expireSnapshots]] never
+    * ages out a ref-pinned snapshot). Metadata-only commit. */
+  def createTag(spark: SparkSession, dir: String, name: String,
+                snapshotId: Option[Long] = None): Unit =
+    setRef(spark, dir, name, snapshotId, "tag")
+
+  /** Create or move a BRANCH ref to `snapshotId` (default: current).
+    * The `main` branch is managed by commits and refuses manual moves. */
+  def createBranch(spark: SparkSession, dir: String, name: String,
+                   snapshotId: Option[Long] = None): Unit =
+    setRef(spark, dir, name, snapshotId, "branch")
+
+  /** Remove a tag/branch ref (its snapshot becomes expirable again).
+    * `main` refuses. */
+  def dropRef(spark: SparkSession, dir: String, name: String): Unit = {
+    require(name != "main", "the main branch is managed by commits")
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val v0 = currentVersion(f, root)
+    val m0 = readMeta(f, root, v0).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no Iceberg metadata"))
+    require(m0.path("refs").has(name), s"no ref $name at $dir")
+    val n = m0.deepCopy[JsonNode]().asInstanceOf[ObjNode]
+    n.path("refs").asInstanceOf[ObjNode].remove(name)
+    commitMetadataOnly(f, root, v0, m0, n, s"DROP REF $name")
+  }
+
+  private def setRef(spark: SparkSession, dir: String, name: String,
+                     snapshotId: Option[Long], kind: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    require(name != "main", "the main branch is managed by commits")
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val v0 = currentVersion(f, root)
+    val m0 = readMeta(f, root, v0).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no Iceberg metadata"))
+    val target = snapshotId.getOrElse(m0.path("current-snapshot-id").asLong(-1L))
+    require(m0.path("snapshots").elements().asScala
+      .exists(_.path("snapshot-id").asLong(-2L) == target),
+      s"snapshot $target not found at $dir — refs must pin a live snapshot")
+    val n = m0.deepCopy[JsonNode]().asInstanceOf[ObjNode]
+    val refs =
+      if (n.path("refs").isObject) n.path("refs").asInstanceOf[ObjNode]
+      else n.putObject("refs")
+    val r = refs.putObject(name)
+    r.put("snapshot-id", target); r.put("type", kind)
+    commitMetadataOnly(f, root, v0, m0, n, s"SET REF $name")
+  }
+
+  /** A metadata-only version bump (refs, future table-property edits):
+    * last-updated-ms + metadata-log maintained, committed by the same
+    * put-if-absent rename every commit uses; a lost race refuses. */
+  private def commitMetadataOnly(f: FileSystem, root: Path, base: Int,
+                                 prev: JsonNode, n: ObjNode,
+                                 what: String): Unit = {
+    val nowMs = System.currentTimeMillis()
+    val prevUpdated = prev.path("last-updated-ms").asLong(nowMs)
+    n.put("last-updated-ms", nowMs)
+    val ml = n.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+      "metadata-log").addObject()
+    ml.put("timestamp-ms", prevUpdated)
+    ml.put("metadata-file", new Path(root, s"metadata/v$base.metadata.json").toString)
+    val target = new Path(root, s"metadata/v${base + 1}.metadata.json")
+    val tmp = new Path(root,
+      s"metadata/.tmp-v${base + 1}-${java.util.UUID.randomUUID().toString.take(8)}.json")
+    val out = f.create(tmp, false)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
+    finally out.close()
+    if (!putIfAbsent(f, tmp, target)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"$what on $root raced a concurrent commit — re-run")
+    }
+    val hint = f.create(new Path(root, "metadata/version-hint.text"), true)
+    try hint.write(String.valueOf(base + 1).getBytes) finally hint.close()
+  }
+
   // ─────────────────── table maintenance ───────────────────
 
   private def gStr(r: GenericRecord, n: String): String = r.get(n).toString

@@ -527,6 +527,44 @@ class IcebergWriteSpec extends AnyFunSuite {
     spark.catalog.dropTempView("bysrc_src")
   }
 
+  test("refs: tags pin snapshots across commits and expiry, branches move, main is protected") {
+    val dir = Files.createTempDirectory("graft-iceberg-write-refs").toString
+    val s1 = IcebergWrite.append(Seq((1L, "a")).toDF("id", "tag"), dir)
+    IcebergWrite.createTag(spark, dir, "v1.0") // defaults to current
+    val s2 = IcebergWrite.append(Seq((2L, "b")).toDF("id", "tag"), dir)
+    IcebergWrite.createBranch(spark, dir, "audit", Some(s2))
+    IcebergWrite.append(Seq((3L, "c")).toDF("id", "tag"), dir)
+    // read BY REF: the tag still reads the v1 state after later commits
+    assert(IcebergInterop.snapshotOfRef(spark, dir, "v1.0") == s1)
+    assert(IcebergInterop.readIceberg(spark, dir,
+      Some(IcebergInterop.snapshotOfRef(spark, dir, "v1.0"))).count() == 1)
+    assert(IcebergInterop.readIceberg(spark, dir,
+      Some(IcebergInterop.snapshotOfRef(spark, dir, "audit"))).count() == 2)
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 3)
+    // expiry keeps BOTH pinned snapshots; only unpinned history ages out
+    Thread.sleep(5)
+    val (expired, _) = IcebergWrite.expireSnapshots(spark, dir, 0L)
+    assert(expired == 0, "every snapshot here is head- or ref-pinned")
+    // a branch MOVES; dropping the tag releases its snapshot to expiry
+    IcebergWrite.createBranch(spark, dir, "audit", Some(s1))
+    assert(IcebergInterop.snapshotOfRef(spark, dir, "audit") == s1)
+    IcebergWrite.dropRef(spark, dir, "v1.0")
+    Thread.sleep(5)
+    val (expired2, _) = IcebergWrite.expireSnapshots(spark, dir, 0L)
+    assert(expired2 == 1, s"s2 (no longer pinned) expires: $expired2")
+    assert(IcebergInterop.readIceberg(spark, dir,
+      Some(IcebergInterop.snapshotOfRef(spark, dir, "audit"))).count() == 1)
+    // guardrails: main refuses, dead snapshots refuse, unknown refs refuse
+    intercept[IllegalArgumentException](
+      IcebergWrite.createBranch(spark, dir, "main", Some(s1)))
+    intercept[IllegalArgumentException](
+      IcebergWrite.createTag(spark, dir, "ghost", Some(99999L)))
+    intercept[IllegalArgumentException](
+      IcebergInterop.snapshotOfRef(spark, dir, "nope"))
+    intercept[IllegalArgumentException](
+      IcebergWrite.dropRef(spark, dir, "nope"))
+  }
+
   test("deletion-vector deletes: v3 upgrade, replacement union, compose, compact folds") {
     val dir = Files.createTempDirectory("graft-iceberg-write-dv").toString
     val s1 = IcebergWrite.append(

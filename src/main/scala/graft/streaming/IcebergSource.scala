@@ -52,7 +52,13 @@ object IcebergSourceOffset {
   *     non-append snapshot fails the stream (loudly correct default);
   *   - `ignoreDeletes`: SKIP delete manifests a tailed snapshot adds
   *     (merge-on-read DELETE/UPDATE commits) — rows already emitted
-  *     stay downstream, the same tradeoff Delta's ignoreDeletes makes.
+  *     stay downstream, the same tradeoff Delta's ignoreDeletes makes;
+  *   - `startingSnapshotId` = id | "earliest": where the stream
+  *     begins (Delta's startingVersion). A snapshot id tails the
+  *     lineage STRICTLY AFTER that snapshot with no state backfill;
+  *     "earliest" backfills the FIRST snapshot and replays every
+  *     append since — full history. Default: backfill the current
+  *     snapshot, then tail.
   *
   * Without `ignoreDeletes`, row-level deletes REFUSE in both phases
   * (streaming replays raw files; masked rows would resurrect) — the
@@ -80,8 +86,11 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
 
   /** Durable stream origin, fixed at FIRST start (crash-safe: restored
     * from the checkpoint dir on every restart): the origin snapshot's
-    * (sequence number, snapshot id) and the locked schema JSON. */
-  private case class Origin(seq: Long, snapshotId: Long, schemaJson: String)
+    * (sequence number, snapshot id), the locked schema JSON, and
+    * whether the origin snapshot's own state BACKFILLS (false when
+    * `startingSnapshotId` named a snapshot to tail after). */
+  private case class Origin(seq: Long, snapshotId: Long, schemaJson: String,
+                            backfill: Boolean = true)
 
   private val origin: Origin = {
     val f = new Path(metadataPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -91,14 +100,28 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
       val n = try M.readTree(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
               finally in.close()
       Origin(n.get("seq").asLong, n.get("snapshotId").asLong,
-        n.get("schemaJson").asText)
+        n.get("schemaJson").asText,
+        Option(n.get("backfill")).forall(_.asBoolean)) // older origins: true
     }
     if (f.exists(p)) load()
     else {
       val (snaps, schema) = IcebergInterop.streamHead(spark, dir)
       require(snaps.nonEmpty, s"no snapshots at $dir — nothing to stream")
-      val head = snaps.last
-      val o = Origin(head._1, head._2, schema.json)
+      val o = opts.get("startingsnapshotid") match {
+        case None =>
+          val head = snaps.last
+          Origin(head._1, head._2, schema.json)
+        case Some(v) if v.equalsIgnoreCase("earliest") =>
+          val first = snaps.head
+          Origin(first._1, first._2, schema.json)
+        case Some(v) =>
+          val id = v.toLong
+          val s0 = snaps.find(_._2 == id).getOrElse(
+            throw new IllegalArgumentException(
+              s"startingSnapshotId $id not found at $dir " +
+              s"(live: ${snaps.map(_._2).mkString(",")})"))
+          Origin(s0._1, id, schema.json, backfill = false)
+      }
       f.mkdirs(new Path(metadataPath))
       val tmp = new Path(metadataPath, s".graft-iceberg-origin.${java.util.UUID.randomUUID}.tmp")
       val out = f.create(tmp, false)
@@ -106,6 +129,7 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
         val node = M.createObjectNode()
         node.put("seq", o.seq); node.put("snapshotId", o.snapshotId)
         node.put("schemaJson", o.schemaJson)
+        node.put("backfill", o.backfill)
         out.write(M.writeValueAsBytes(node))
       } finally out.close()
       if (!f.rename(tmp, p)) { f.delete(tmp, false); load() } else o
@@ -117,9 +141,11 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
     org.apache.spark.sql.types.DataType.fromJson(origin.schemaJson)
       .asInstanceOf[StructType]
 
-  /** Path-sorted origin-snapshot enumeration (refuses deletes). */
+  /** Path-sorted origin-snapshot enumeration (refuses deletes); empty
+    * for a tail-only origin (`startingSnapshotId = <id>`). */
   private lazy val snapFiles: IndexedSeq[String] =
-    IcebergInterop.streamSnapshotFiles(spark, dir, origin.snapshotId).toIndexedSeq
+    if (!origin.backfill) IndexedSeq.empty
+    else IcebergInterop.streamSnapshotFiles(spark, dir, origin.snapshotId).toIndexedSeq
 
   override def schema: StructType = lockedSchema
 

@@ -177,6 +177,40 @@ class IcebergSourceSpec extends AnyFunSuite {
       s"exactly-once across the whole lineage: ${buf2.synchronized(buf2.toList)}")
   }
 
+  test("startingSnapshotId: tail-only after a named snapshot; earliest replays history") {
+    val dir = Files.createTempDirectory("graft-ice-src-start").toString
+    val s1 = IcebergWrite.append(
+      (0L until 5L).map(i => (i, s"a_$i")).toDF("id", "tag"), dir)
+    IcebergWrite.append((5L until 10L).map(i => (i, s"b_$i")).toDF("id", "tag"), dir)
+    IcebergWrite.append((10L until 15L).map(i => (i, s"c_$i")).toDF("id", "tag"), dir)
+    // tail-only after s1: NO backfill of s1's state, later appends replay
+    val (buf1, q1, _) = collectStream(dir, s"$dir/ckpt1",
+      Map("startingSnapshotId" -> s1.toString))
+    try {
+      q1.processAllAvailable()
+      assert(buf1.synchronized(buf1.map(_._1).sorted.toSeq) == (5L until 15L),
+        s"only post-s1 adds: ${buf1.synchronized(buf1.toList)}")
+      IcebergWrite.append(Seq((15L, "d")).toDF("id", "tag"), dir)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(buf1.synchronized(buf1.map(_._1).sorted.toSeq) == (5L until 16L))
+    // earliest: the whole history replays as adds
+    val (buf2, q2, _) = collectStream(dir, s"$dir/ckpt2",
+      Map("startingSnapshotId" -> "earliest"))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(buf2.synchronized(buf2.map(_._1).sorted.toSeq) == (0L until 16L),
+      s"earliest must replay everything: ${buf2.synchronized(buf2.size)}")
+    // an unknown snapshot id refuses at stream start
+    val (_, q3, _) = collectStream(dir, s"$dir/ckpt3",
+      Map("startingSnapshotId" -> "424242"))
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q3.processAllAvailable())
+      assert(e.getMessage.contains("not found") ||
+        Option(e.getCause).exists(_.getMessage.contains("not found")), e.getMessage)
+    } finally q3.stop()
+  }
+
   test("row-level deletes refuse loudly in both phases") {
     val dir = Files.createTempDirectory("graft-ice-src-del").toString
     // fixture table with a position delete in its CURRENT snapshot

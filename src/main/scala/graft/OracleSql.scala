@@ -635,6 +635,12 @@ object OracleSql {
         |  sum(n_chars)::BIGINT AS chars,
         |  sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars % 100 END)::BIGINT AS quality
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q202: snapshot rollback — the delete rolls away, evens raw +
+    // re-appended odds (+9 chars)
+    "q202_iceberg_rollback" ->
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  sum(n_chars + CASE WHEN doc_id % 2 <> 0 THEN 9 ELSE 0 END)::BIGINT AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q201: v3 deletion-vector deletes — low sixth and the %11==7
     // slice masked via Puffin bitmaps; survivors aggregate per lang
     "q201_iceberg_dv_delete" ->

@@ -2675,6 +2675,49 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("lang"))
   }
 
+  /** q202 — SNAPSHOT ROLLBACK on a NATIVE Iceberg table
+    * ([[graft.io.IcebergWrite.rollbackTo]], Iceberg's
+    * `rollback_to_snapshot`, spelled as SQL `RESTORE iceberg.`p` TO
+    * SNAPSHOT AS OF n`): the even half lands (s1), the odd half
+    * appends, a DELETE masks the low band — then the table ROLLS BACK
+    * to s1 as one metadata-only commit (zero file work, asserted; the
+    * rolled-past snapshots stay time-travelable, asserted) and a
+    * post-rollback append (+9 chars odds) lands on the restored
+    * state. q162's Delta RESTORE contract on the Iceberg plane;
+    * DuckDB replays the end state analytically. */
+  private[graft] def q202(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q202")
+    val s1 = graft.io.IcebergWrite.append(
+      docs.filter(col("doc_id") % 2 === 0).repartitionByRange(3, col("doc_id")), tmp)
+    graft.io.IcebergWrite.append(docs.filter(col("doc_id") % 2 =!= 0), tmp)
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val (delSnap, nDel) = graft.io.IcebergWrite.deleteWhere(s, tmp,
+      col("doc_id") < mn + (mx - mn) / 2)
+    require(nDel > 0, "the delete must hit before the rollback discards it")
+    val nEven = docs.filter(col("doc_id") % 2 === 0).count()
+    val dataBefore = new java.io.File(s"$tmp/data").list().length
+    val rolled = s.sql(s"RESTORE iceberg.`$tmp` TO SNAPSHOT AS OF $s1")
+      .head().getLong(0)
+    require(new java.io.File(s"$tmp/data").list().length == dataBefore,
+      "rollback is metadata-only: zero file work")
+    require(graft.io.IcebergInterop.readIceberg(s, tmp).count() == nEven,
+      "the table reads as its s1 state after the rollback")
+    require(graft.io.IcebergInterop.snapshots(s, tmp)
+      .filter(col("operation") === "rollback").count() == 1)
+    require(graft.io.IcebergInterop.readIceberg(s, tmp, Some(delSnap)).count()
+      == docs.count() - nDel, "rolled-past snapshots stay time-travelable")
+    require(rolled != s1, "the rollback is a NEW auditable snapshot")
+    graft.io.IcebergWrite.append(
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .withColumn("n_chars", col("n_chars") + 9L), tmp)
+    graft.io.IcebergInterop.readIceberg(s, tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+  }
+
   /** q201 — v3 DELETION-VECTOR deletes on a NATIVE Iceberg table
     * ([[graft.io.IcebergWrite.deleteWhereDV]]): the corpus lands
     * range-partitioned, a stats-pruned DV delete masks the low band —

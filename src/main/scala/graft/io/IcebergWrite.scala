@@ -1019,6 +1019,49 @@ object IcebergWrite {
     (-1L, -1L) // unreachable
   }
 
+  /** ROLL BACK the table to `snapshotId` — Iceberg's
+    * `rollback_to_snapshot`: a NEW snapshot whose manifest list is the
+    * target's, committed on top of the lineage (operation=`rollback`),
+    * so nothing is lost — the rolled-past snapshots stay
+    * time-travelable until [[expireSnapshots]] ages them out, and the
+    * rollback itself is one more auditable commit. Metadata-only:
+    * zero file work. Returns the new snapshot id. */
+  def rollbackTo(spark: SparkSession, dir: String, snapshotId: Long): Long = {
+    import scala.jdk.CollectionConverters._
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val v0 = currentVersion(f, root)
+    require(v0 > 0, s"$dir has no snapshots to roll back")
+    val m0 = readMeta(f, root, v0).get
+    val target = m0.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapshotId not found at $dir — expired?"))
+    // carry the TARGET's manifest list verbatim as the new snapshot's
+    val conf = spark.sparkContext.hadoopConfiguration
+    val carried = IcebergFormat.readAvro(conf,
+      new Path(resolveU(target.path("manifest-list").asText))).map { r =>
+      (gStr(r, "manifest_path"), gLong(r, "manifest_length", 0L),
+        gInt(r, "content", 0), gLong(r, "sequence_number", 0L),
+        gInt(r, "partition_spec_id", 0), gLong(r, "added_snapshot_id", snapshotId),
+        Option(r.getSchema.getField("partitions"))
+          .flatMap(_ => Option(r.get("partitions"))).orNull)
+    }
+    val newId = freshSnapshotId(f, root, v0)
+    val seqNo = m0.path("last-sequence-number").asLong(0L) + 1L
+    try {
+      onBeforeCommit()
+      commitMeta(spark, f, root, v0, StructType(Nil), newId, seqNo, Nil,
+        replace = false, operation = Some("rollback"),
+        priorOverride = Some(carried))
+    } catch {
+      case _: java.util.ConcurrentModificationException =>
+        throw new IllegalStateException(
+          s"rollback of $dir raced a concurrent commit — re-run against " +
+          "the new head")
+    }
+  }
+
   // ─────────────────── refs (branches / tags) ───────────────────
 
   /** Pin `snapshotId` (default: the current snapshot) under a TAG ref —

@@ -589,6 +589,14 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
           (hours * 3600000.0).toLong)
         Seq(Row(exp.toLong, rec.toLong))
       }
+    }).orElse(icebergRestoreRe.findFirstMatchIn(t).map { m =>
+      val dir = m.group(1)
+      command(Seq(attr("snapshot_id", LongType))) { spark =>
+        val target =
+          if (m.group(2) != null) m.group(2).toLong
+          else IcebergInterop.snapshotAtTimestamp(spark, dir, parseTs(m.group(3)))
+        Seq(Row(IcebergWrite.rollbackTo(spark, dir, target)))
+      }
     })
 
   private def tryIcebergInsert(t: String): Option[LogicalPlan] =
@@ -1109,6 +1117,9 @@ object DeltaSqlParser {
   private[sql] val icebergMergeHeadRe =
     ("""(?is)^\s*MERGE\s+INTO\s+iceberg\s*\.\s*`([^`]+)`""" +
      """(?:\s+(?:AS\s+)?((?!USING\b)\w+))?\s+USING\s+(.+)$""").r
+  private[sql] val icebergRestoreRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?iceberg\s*\.\s*`([^`]+)`\s+TO\s+""" +
+     """(?:SNAPSHOT\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$""").r
   private[sql] val icebergOptimizeRe =
     """(?is)^\s*OPTIMIZE\s+iceberg\s*\.\s*`([^`]+)`\s*;?\s*$""".r
   private[sql] val icebergVacuumRe =

@@ -84,7 +84,8 @@ object ScaleSmoke {
       "q190_iceberg_write", "q191_iceberg_stream", "q192_iceberg_sink", "q193_iceberg_write_partitioned", "q194_iceberg_delete", "q195_iceberg_write_evolution",
       "q196_iceberg_maintenance", "q197_iceberg_upsert",
       "q198_iceberg_sql_dml", "q199_iceberg_bucket_write",
-      "q200_iceberg_eq_delete", "q201_iceberg_dv_delete")
+      "q200_iceberg_eq_delete", "q201_iceberg_dv_delete",
+      "q202_iceberg_rollback")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -635,6 +635,11 @@ object OracleSql {
         |  sum(n_chars)::BIGINT AS chars,
         |  sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars % 100 END)::BIGINT AS quality
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q203: metadata tables — per-lang counts derived from manifests
+    // only must equal the data-derived GROUP BY
+    "q203_iceberg_meta_tables" ->
+      """SELECT lang, count(*)::BIGINT AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q202: snapshot rollback — the delete rolls away, evens raw +
     // re-appended odds (+9 chars)
     "q202_iceberg_rollback" ->

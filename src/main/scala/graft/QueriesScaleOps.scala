@@ -2675,6 +2675,36 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("lang"))
   }
 
+  /** q203 — Iceberg METADATA TABLES
+    * ([[graft.io.IcebergInterop.partitionsTable]]/[[graft.io.IcebergInterop.filesTable]],
+    * the `t.partitions`/`t.files` ops surface): the corpus lands
+    * lang-partitioned in two graft appends, and the per-partition row
+    * counts come ENTIRELY from manifest metadata — no data file is
+    * scanned (the per-value manifests' exact summaries + entry
+    * record_counts ARE the answer) — yet must hash-match DuckDB's
+    * data-derived GROUP BY. At 100 TB this is "how big is each
+    * partition" at metadata cost; the files table cross-checks that
+    * manifest record_counts sum to the corpus. */
+  private[graft] def q203(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q203")
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    graft.io.IcebergWrite.appendPartitioned(
+      docs.filter(col("doc_id") <= mid), tmp, "lang")
+    graft.io.IcebergWrite.appendPartitioned(
+      docs.filter(col("doc_id") > mid), tmp, "lang")
+    val ft = graft.io.IcebergInterop.filesTable(s, tmp)
+    require(ft.filter(col("content") === 0)
+      .agg(sum(col("record_count"))).head().getLong(0) == docs.count(),
+      "files-table record counts must sum to the corpus")
+    val pt = graft.io.IcebergInterop.partitionsTable(s, tmp)
+    require(pt.agg(sum(col("manifest_count"))).head().getLong(0) >= 2,
+      "two partitioned appends leave >=2 manifests")
+    pt.select(col("partition").as("lang"), col("record_count").as("n"))
+      .orderBy(col("lang"))
+  }
+
   /** q202 — SNAPSHOT ROLLBACK on a NATIVE Iceberg table
     * ([[graft.io.IcebergWrite.rollbackTo]], Iceberg's
     * `rollback_to_snapshot`, spelled as SQL `RESTORE iceberg.`p` TO

@@ -782,6 +782,109 @@ object IcebergInterop {
     catalog.createTable(entry, ignoreIfExists = false)
   }
 
+  /** Iceberg METADATA TABLE `files` — one row per live file of the
+    * current snapshot (content 0=data/1=position deletes/2=equality
+    * deletes), straight from the manifests: NO data is scanned. The
+    * ops surface behind `SELECT * FROM t.files`. */
+  def filesTable(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    currentManifests(spark, dir).flatMap { case (mp, _, _) =>
+      avroRecords(spark, new Path(resolve(mp))).flatMap { e =>
+        if (intOr(e, "status", 0) == 2) None
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          Some((resolve(str(df, "file_path")), intOr(df, "content", 0),
+            longOr(df, "record_count", 0L),
+            longOr(df, "file_size_in_bytes", 0L)))
+        }
+      }
+    }.toDF("file_path", "content", "record_count", "file_size_in_bytes")
+  }
+
+  /** Iceberg METADATA TABLE `partitions` — per partition VALUE of the
+    * current snapshot: live row count and manifest count, derived
+    * ENTIRELY from manifest metadata (per-value manifests carry exact
+    * lo==hi field summaries), zero data scanned. Unpartitioned
+    * manifests aggregate under partition NULL; a contains_null
+    * summary renders as "null". At 100 TB this answers "how big is
+    * each partition" at metadata cost. */
+  def partitionsTable(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val meta = readJson(spark, currentMetadataPath(spark, dir))
+    val typeOfField: Map[Int, DataType] =
+      fieldsById(schemaNodeById(meta, None)).map { case (id, f) => id -> f.dataType }
+    def specField(specId: Int): Option[(Int, String)] =
+      meta.path("partition-specs").elements().asScala
+        .find(_.path("spec-id").asInt(-1) == specId)
+        .map(_.path("fields"))
+        .filter(_.size == 1)
+        .map(fs0 => (fs0.get(0).path("source-id").asInt,
+          fs0.get(0).path("transform").asText))
+    val rows = currentManifests(spark, dir).flatMap { case (mp, specId, parts) =>
+      val value: Option[String] = parts.flatMap { case (containsNull, lo, hi) =>
+        if (containsNull || lo == null || hi == null ||
+            !java.util.Arrays.equals(lo, hi)) Some("null").filter(_ => containsNull)
+        else specField(specId).flatMap { case (srcId, transform) =>
+          typeOfField.get(srcId)
+            .flatMap(IcebergTransforms.resultType(transform, _))
+            .map {
+              case StringType => new String(lo, "UTF-8")
+              case IntegerType | DateType =>
+                java.nio.ByteBuffer.wrap(lo)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toString
+              case LongType | TimestampType | TimestampNTZType =>
+                java.nio.ByteBuffer.wrap(lo)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong.toString
+              case _ => "?"
+            }
+        }
+      }
+      val live = avroRecords(spark, new Path(resolve(mp)))
+        .filter(e => intOr(e, "status", 0) != 2)
+        .map(_.get("data_file").asInstanceOf[GenericRecord])
+        .filter(df => intOr(df, "content", 0) == 0)
+      if (live.isEmpty) None
+      else Some((value.orNull, live.map(longOr(_, "record_count", 0L)).sum, 1L))
+    }
+    rows.groupBy(_._1).map { case (v, ms) =>
+      (v, ms.map(_._2).sum, ms.map(_._3).sum)
+    }.toSeq.toDF("partition", "record_count", "manifest_count")
+  }
+
+  /** The current snapshot's manifest-list entries as
+    * (manifest path, spec id, optional single-field summary) —
+    * shared by the metadata tables. */
+  private def currentManifests(spark: SparkSession, dir: String)
+      : Seq[(String, Int, Option[(Boolean, Array[Byte], Array[Byte])])] = {
+    import scala.jdk.CollectionConverters._
+    val meta = readJson(spark, currentMetadataPath(spark, dir))
+    val cur = meta.path("current-snapshot-id").asLong(-1L)
+    meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == cur).toSeq
+      .flatMap { s0 =>
+        avroRecords(spark, new Path(resolve(s0.path("manifest-list").asText)))
+          .map { m =>
+            val summary = Option(m.getSchema.getField("partitions"))
+              .flatMap(_ => Option(m.get("partitions")))
+              .map(_.asInstanceOf[java.util.List[_]].asScala)
+              .filter(_.size == 1)
+              .map { l =>
+                val r = l.head.asInstanceOf[GenericRecord]
+                def bytesOf(f: String): Array[Byte] =
+                  Option(r.get(f)).map { bb0 =>
+                    val bb = bb0.asInstanceOf[java.nio.ByteBuffer].duplicate()
+                    val b = new Array[Byte](bb.remaining()); bb.get(b); b
+                  }.orNull
+                (Option(r.get("contains_null")).exists(_.asInstanceOf[Boolean]),
+                  bytesOf("lower_bound"), bytesOf("upper_bound"))
+              }
+            (str(m, "manifest_path"), intOr(m, "partition_spec_id", 0), summary)
+          }
+      }
+  }
+
   /** The snapshot a named REF (tag or branch) points to — read it with
     * `readIceberg(spark, dir, Some(snapshotOfRef(...)))`. Metadata-only. */
   def snapshotOfRef(spark: SparkSession, dir: String, name: String): Long = {

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+import graft.io.{DeltaInterop, IcebergInterop, IcebergWrite}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized LIFECYCLE walks over the native Iceberg write plane
+  * (seeded — reproducible): a table takes a random sequence of
+  * append / position-delete / DV-delete / equality-delete / update /
+  * merge (with by-source clauses) / compact / expireSnapshots /
+  * rollback operations, while an in-memory MODEL applies the same
+  * semantics. After EVERY operation the masked read must equal the
+  * model exactly — so any interaction bug between the row-delta
+  * kinds, maintenance, and time travel (a delete that resurrects
+  * after compaction, an update postimage double-applied across a
+  * rollback, an expiry that reclaims a live file) fails the walk at
+  * the op that introduced it, with the seed to replay. The DDL-walk
+  * pattern that caught real parser bugs, now pointed at the write
+  * plane. */
+case class IceFuzzRow(id: Long, score: Long, tag: String)
+
+class IcebergLifecycleFuzzSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private type R = IceFuzzRow
+  private def R(id: Long, score: Long, tag: String) = IceFuzzRow(id, score, tag)
+
+  test("lifecycle walks: row deltas + maintenance + rollback stay model-exact (6 seeds)") {
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919)
+      val dir = Files.createTempDirectory(s"graft-ice-fuzz-$seed").toString
+      var model = Vector.empty[R]
+      var nextId = 0L
+      def fresh(n: Int): Seq[R] = {
+        val out = (nextId until nextId + n).map(i =>
+          R(i, rnd.nextInt(1000).toLong, s"t$i"))
+        nextId += n
+        out
+      }
+      def df(rows: Seq[R]) = rows.toDF("id", "score", "tag")
+      // snapshot id → the model at that snapshot (for rollback targets)
+      var snapModels = Map.empty[Long, Vector[R]]
+      def record(): Unit = {
+        val cur = IcebergInterop.snapshots(spark, dir)
+          .orderBy(desc("sequence_number")).head().getLong(0)
+        snapModels += cur -> model
+      }
+
+      val r0 = fresh(20)
+      IcebergWrite.append(df(r0), dir); model ++= r0; record()
+
+      var lastOp = "append"
+      (1 to 10).foreach { k =>
+        rnd.nextInt(9) match {
+          case 0 =>
+            lastOp = "append"
+            val r = fresh(1 + rnd.nextInt(8))
+            IcebergWrite.append(df(r), dir); model ++= r
+          case 1 =>
+            lastOp = "deleteWhere"
+            val m = 2 + rnd.nextInt(4); val c = rnd.nextInt(m)
+            IcebergWrite.deleteWhere(spark, dir, col("id") % m === c)
+            model = model.filterNot(_.id % m == c)
+          case 2 =>
+            lastOp = "deleteWhereDV"
+            val m = 3 + rnd.nextInt(4); val c = rnd.nextInt(m)
+            IcebergWrite.deleteWhereDV(spark, dir, col("id") % m === c)
+            model = model.filterNot(_.id % m == c)
+          case 3 =>
+            lastOp = "equalityDelete"
+            val keys = rnd.shuffle(model.map(_.id)).take(1 + rnd.nextInt(4)) :+
+              (nextId + 100000L) // one never-present key
+            IcebergWrite.equalityDelete(spark, dir, keys.toDF("id"))
+            model = model.filterNot(r => keys.contains(r.id))
+          case 4 =>
+            lastOp = "updateWhere"
+            val m = 2 + rnd.nextInt(4); val c = rnd.nextInt(m)
+            val bump = 1000L + rnd.nextInt(9) * 1000L
+            IcebergWrite.updateWhere(spark, dir, col("id") % m === c,
+              Map("score" -> (col("score") + bump), "tag" -> lit(s"u$k")))
+            model = model.map(r =>
+              if (r.id % m == c) r.copy(score = r.score + bump, tag = s"u$k") else r)
+          case 5 =>
+            lastOp = "mergeInto"
+            val matchedKeys = rnd.shuffle(model.map(_.id)).take(1 + rnd.nextInt(5))
+            val ins = fresh(1 + rnd.nextInt(3))
+            val src = matchedKeys.map(i => R(i, 7L, s"m$k")) ++ ins
+            val useBySource = rnd.nextInt(3) == 0
+            val bsCut = 100L + rnd.nextInt(900)
+            IcebergWrite.mergeInto(spark, dir, df(src), Seq("id"),
+              matched = Seq(
+                DeltaInterop.MatchedClause(Some(col("t.score") % 2 === 0),
+                  Map.empty, delete = true),
+                DeltaInterop.MatchedClause(None,
+                  Map("tag" -> col("s.tag")))),
+              notMatched = Some((None, Map.empty)),
+              notMatchedBySource =
+                if (!useBySource) Nil
+                else Seq(DeltaInterop.MatchedClause(
+                  Some(col("t.score") > bsCut), Map("tag" -> lit(s"bs$k")))))
+            model = model.flatMap { r =>
+              if (matchedKeys.contains(r.id)) {
+                if (r.score % 2 == 0) None
+                else Some(r.copy(tag = s"m$k"))
+              } else if (useBySource && r.score > bsCut) Some(r.copy(tag = s"bs$k"))
+              else Some(r)
+            } ++ ins
+          case 6 =>
+            lastOp = "compact"
+            IcebergWrite.compact(spark, dir,
+              smallFileBytes = if (rnd.nextBoolean()) 0L else 32L << 20)
+          case 7 =>
+            lastOp = "expire"
+            Thread.sleep(3)
+            IcebergWrite.expireSnapshots(spark, dir, 0L)
+            // only the head survives — older rollback targets are gone
+            val live = IcebergInterop.snapshots(spark, dir)
+              .collect().map(_.getLong(0)).toSet
+            snapModels = snapModels.filter { case (id, _) => live(id) }
+          case _ =>
+            lastOp = "rollback"
+            val live = IcebergInterop.snapshots(spark, dir)
+              .collect().map(_.getLong(0)).toSet
+            val targets = snapModels.keys.filter(live).toVector
+            if (targets.nonEmpty) {
+              val tgt = targets(rnd.nextInt(targets.length))
+              IcebergWrite.rollbackTo(spark, dir, tgt)
+              model = snapModels(tgt)
+            }
+        }
+        record()
+        val got = IcebergInterop.readIceberg(spark, dir)
+          .as[(Long, Long, String)].collect().map(t => R(t._1, t._2, t._3))
+          .sortBy(_.id).toVector
+        val want = model.sortBy(_.id)
+        assert(got == want,
+          s"seed=$seed diverged after op#$k ($lastOp): " +
+          s"got ${got.size} rows, want ${want.size}; " +
+          s"firstDiff=${got.zipAll(want, null, null).find(p => p._1 != p._2)}")
+      }
+    }
+  }
+}

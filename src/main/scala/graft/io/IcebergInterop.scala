@@ -782,6 +782,19 @@ object IcebergInterop {
     catalog.createTable(entry, ignoreIfExists = false)
   }
 
+  /** DESCRIBE-DETAIL header facts: ((format-version, current snapshot
+    * id, "k=v,..." properties), snapshot count). One metadata read. */
+  private[graft] def describeHead(spark: SparkSession,
+                                  dir: String): ((Long, Long, String), Long) = {
+    import scala.jdk.CollectionConverters._
+    val meta = readJson(spark, currentMetadataPath(spark, dir))
+    val props = meta.path("properties").properties().asScala.toSeq
+      .map(e => s"${e.getKey}=${e.getValue.asText}").sorted.mkString(",")
+    ((meta.path("format-version").asInt(1).toLong,
+      meta.path("current-snapshot-id").asLong(-1L), props),
+      meta.path("snapshots").size().toLong)
+  }
+
   /** Iceberg METADATA TABLE `files` — one row per live file of the
     * current snapshot (content 0=data/1=position deletes/2=equality
     * deletes), straight from the manifests: NO data is scanned. The

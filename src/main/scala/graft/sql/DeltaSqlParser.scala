@@ -96,7 +96,8 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
       .orElse(tryClone(t)).orElse(tryCreateCols(t))
       .orElse(tryCtasPath(t)).orElse(tryCtasName(t))
       .orElse(tryConvert(t)).orElse(tryVacuum(t)).orElse(tryOptimize(t))
-      .orElse(tryAlter(t)).orElse(tryDescribeDetail(t)).orElse(tryShowProps(t))
+      .orElse(tryAlter(t)).orElse(tryIcebergDescribeDetail(t))
+      .orElse(tryDescribeDetail(t)).orElse(tryShowProps(t))
       .getOrElse {
         guardUnsupportedShapes(t)
         val rewritten = rewriteReads(t)
@@ -956,6 +957,32 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
     })
   }
 
+  /** `DESCRIBE DETAIL iceberg.`p`` — the table summary an Iceberg-first
+    * operator checks before maintenance: format-version, current
+    * snapshot, live file/delete-file counts and bytes (from
+    * [[IcebergInterop.filesTable]], metadata-only), snapshot count,
+    * and the table properties. */
+  private def tryIcebergDescribeDetail(t: String): Option[LogicalPlan] =
+    icebergDescribeDetailRe.findFirstMatchIn(t).map { m =>
+      val dir = m.group(1)
+      command(Seq(attr("format", StringType), attr("location", StringType),
+        attr("format_version", LongType), attr("current_snapshot_id", LongType),
+        attr("num_snapshots", LongType), attr("num_data_files", LongType),
+        attr("num_delete_files", LongType), attr("size_in_bytes", LongType),
+        attr("properties", StringType))) { spark =>
+        import org.apache.spark.sql.functions.{col, count, sum, when}
+        val files = IcebergInterop.filesTable(spark, dir)
+          .agg(count(when(col("content") === 0, 1)),
+            count(when(col("content") =!= 0, 1)),
+            sum(when(col("content") === 0, col("file_size_in_bytes"))
+              .otherwise(0L))).head()
+        val (meta, snaps) = IcebergInterop.describeHead(spark, dir)
+        Seq(Row("iceberg", dir, meta._1, meta._2, snaps,
+          files.getLong(0), files.getLong(1),
+          if (files.isNullAt(2)) 0L else files.getLong(2), meta._3))
+      }
+    }
+
   private def tryDescribeDetail(t: String): Option[LogicalPlan] =
     describeDetailRe.findFirstMatchIn(t).flatMap(m => ref(m, 1).map { case (dir, _) =>
       command(Seq(attr("format", StringType), attr("location", StringType),
@@ -1117,6 +1144,8 @@ object DeltaSqlParser {
   private[sql] val icebergMergeHeadRe =
     ("""(?is)^\s*MERGE\s+INTO\s+iceberg\s*\.\s*`([^`]+)`""" +
      """(?:\s+(?:AS\s+)?((?!USING\b)\w+))?\s+USING\s+(.+)$""").r
+  private[sql] val icebergDescribeDetailRe =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+iceberg\s*\.\s*`([^`]+)`\s*;?\s*$""".r
   private[sql] val icebergRestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?iceberg\s*\.\s*`([^`]+)`\s+TO\s+""" +
      """(?:SNAPSHOT\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$""").r

@@ -312,12 +312,17 @@ class DeltaSqlPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("Iceberg maintenance SQL: OPTIMIZE folds deletes, VACUUM expires") {
+  test("Iceberg maintenance SQL: OPTIMIZE folds deletes, VACUUM expires, DESCRIBE DETAIL") {
     import graft.io.{IcebergInterop, IcebergWrite}
     val dir = Files.createTempDirectory("graft-sqlprop-ice-maint").toString
     IcebergWrite.append((0L until 60L).map(i => (i, i % 3, s"m_$i"))
       .toDF("id", "grp", "msg").repartitionByRange(3, col("id")), dir)
     spark.sql(s"DELETE FROM iceberg.`$dir` WHERE id < 10").collect()
+    val det = spark.sql(s"DESCRIBE DETAIL iceberg.`$dir`").head()
+    assert(det.getString(0) == "iceberg" && det.getLong(2) == 2L,
+      s"format + format_version: $det")
+    assert(det.getLong(4) == 2L && det.getLong(5) == 3L && det.getLong(6) >= 1L,
+      s"2 snapshots, 3 data files, >=1 delete file: $det")
     val opt = spark.sql(s"OPTIMIZE iceberg.`$dir`").collect()
     assert(opt.head.getLong(1) >= 1, "OPTIMIZE must fold the delete files")
     assert(!IcebergInterop.readIceberg(spark, dir).inputFiles
@@ -327,6 +332,9 @@ class DeltaSqlPropertySpec extends AnyFunSuite {
     assert(vac.head.getLong(0) >= 2 && vac.head.getLong(1) > 0,
       s"VACUUM must expire + reclaim: ${vac.head}")
     assert(IcebergInterop.readIceberg(spark, dir).count() == 50)
+    val det2 = spark.sql(s"DESCRIBE DETAIL iceberg.`$dir`").head()
+    assert(det2.getLong(4) == 1L && det2.getLong(6) == 0L,
+      s"post-maintenance: one snapshot, zero delete files: $det2")
   }
 
   test("DDL walks: generated IDENTITY/DEFAULT/CLUSTER BY/TBLPROPERTIES/DROP FEATURE — SQL ≡ Scala API (10 seeds)") {

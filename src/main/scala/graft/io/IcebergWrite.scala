@@ -541,7 +541,25 @@ object IcebergWrite {
   def updateWhere(spark: SparkSession, dir: String,
                   predicate: org.apache.spark.sql.Column,
                   set: Map[String, org.apache.spark.sql.Column],
-                  ranges: Map[String, (Double, Double)] = Map.empty): (Long, Long) = {
+                  ranges: Map[String, (Double, Double)] = Map.empty): (Long, Long) =
+    updateImpl(spark, dir, predicate, set, ranges, asDv = false)
+
+  /** [[updateWhere]] masking the preimages with v3 DELETION VECTORS
+    * instead of parquet position deletes — Puffin bitmap + postimage
+    * append in ONE snapshot, format-version upgraded to 3. The update
+    * path for a v3-first warehouse ([[deleteWhereDV]]'s twin, and
+    * [[DeltaInterop.updateWhereDV]]'s contract on this plane). */
+  def updateWhereDV(spark: SparkSession, dir: String,
+                    predicate: org.apache.spark.sql.Column,
+                    set: Map[String, org.apache.spark.sql.Column],
+                    ranges: Map[String, (Double, Double)] = Map.empty): (Long, Long) =
+    updateImpl(spark, dir, predicate, set, ranges, asDv = true)
+
+  private def updateImpl(spark: SparkSession, dir: String,
+                         predicate: org.apache.spark.sql.Column,
+                         set: Map[String, org.apache.spark.sql.Column],
+                         ranges: Map[String, (Double, Double)],
+                         asDv: Boolean): (Long, Long) = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, dir)
     val root = new Path(dir)
@@ -561,7 +579,7 @@ object IcebergWrite {
       col(c).cast(hits.schema(c).dataType).as(c)): _*)
     val (snap, deleted, _) = commitRowDelta(spark, dir,
       positionsOf(hits), Some(postimage), "overwrite",
-      what = "update")
+      what = "update", asDv = asDv)
     (snap, deleted)
   }
 
@@ -714,17 +732,20 @@ object IcebergWrite {
         .putLong("parquet.field.id", 2147483545L).build()))
   }
 
-  /** Shared ROW-DELTA commit: stage position deletes + optional append
-    * rows, then commit both as ONE snapshot (a content=1 delete
-    * manifest plus a data manifest). Rebases version races only after
-    * validating the referenced data files are still live in the new
-    * head (validateDataFilesExist) — a concurrent overwrite/compaction
+  /** Shared ROW-DELTA commit: stage position deletes (spec parquet, or
+    * v3 Puffin DELETION VECTORS when `asDv` — one blob per touched
+    * file, format-version upgraded to 3) + optional append rows, then
+    * commit both as ONE snapshot (a content=1 delete manifest plus a
+    * data manifest). Rebases version races only after validating the
+    * referenced data files are still live in the new head
+    * (validateDataFilesExist) — a concurrent overwrite/compaction
     * fails the delta loudly instead of masking nothing. Returns
     * (snapshotId, rowsDeleted, rowsAppended); commits NOTHING when the
     * delta is empty. */
   private def commitRowDelta(spark: SparkSession, dir: String,
                              positions: DataFrame, appendDf: Option[DataFrame],
-                             operation: String, what: String): (Long, Long, Long) = {
+                             operation: String, what: String,
+                             asDv: Boolean = false): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val f = fs(spark, dir)
     val root = new Path(dir)
@@ -748,7 +769,43 @@ object IcebergWrite {
       f.delete(staging, true)
       out
     }
-    val stagedDel = stage(positions, "delete-")
+    // the delete side: parquet position-delete files, or one Puffin of
+    // per-file DV blobs (distributed bitmap fold; prior DVs union in)
+    var dvDeleted = 0L
+    // (puffin path, puffin length, per-blob (ref, off, size, cardinality))
+    val dvSide: Option[(Path, Long, Seq[(String, Long, Long, Long)])] =
+      if (!asDv) None
+      else {
+        import org.apache.spark.sql.GraftBridge.{column, expression}
+        import spark.implicits._
+        val bm = column(graft.functions.expressions.DvBitmapAgg(
+          expression(col("pos"))).toAggregateExpression())
+        val perFile: Seq[(String, Array[Byte])] = positions
+          .groupBy(col("file_path")).agg(bm.as("bm"))
+          .as[(String, Array[Byte])].collect().toSeq
+        if (perFile.isEmpty) None
+        else {
+          val conf = spark.sparkContext.hadoopConfiguration
+          val prior = IcebergInterop.liveDvs(spark, dir)
+          val blobs = perFile.map { case (file, bytes) =>
+            dvDeleted += DeletionVectors.parse(bytes).cardinality
+            prior.get(canonPath(file)) match {
+              case None => (file, bytes, DeletionVectors.parse(bytes).cardinality)
+              case Some((puffin, off, size)) =>
+                val b = RoaringBitmapBuilder.fromBytes(bytes)
+                b.or(IcebergFormat.readPuffinDv(conf, new Path(puffin), off, size))
+                val (merged, card) = b.result()
+                (file, merged, card)
+            }
+          }
+          val puffinP = new Path(root, s"data/dv-${java.util.UUID.randomUUID()}.puffin")
+          val refs = IcebergFormat.writePuffinDvBlobs(f, puffinP, blobs)
+          val cardOf = blobs.map(b => (b._1, b._3)).toMap
+          Some((puffinP, f.getFileStatus(puffinP).getLen,
+            refs.map { case (rf, off, size) => (rf, off, size, cardOf(rf)) }))
+        }
+      }
+    val stagedDel = if (asDv) Nil else stage(positions, "delete-")
     val delCounts: Map[String, Long] =
       if (stagedDel.isEmpty) Map.empty
       else spark.read.parquet(stagedDel.map(_._1.toString): _*)
@@ -772,14 +829,16 @@ object IcebergWrite {
       stagedApp.partition(p => appStats.contains(canonPath(p._1.toString)))
     appEmpties.foreach { case (p, _) => f.delete(p, false) }
 
-    if (delFiles.isEmpty && appFiles.isEmpty) return (currentSnap(), 0L, 0L)
-    val deleted = delCounts.values.sum
+    if (delFiles.isEmpty && dvSide.isEmpty && appFiles.isEmpty)
+      return (currentSnap(), 0L, 0L)
+    val deleted = delCounts.values.sum + dvDeleted
     val appended = appStats.values.map(_._1).sum
     lazy val referenced: Set[String] =
-      if (delFiles.isEmpty) Set.empty
-      else spark.read.parquet(delFiles.map(_._1.toString): _*)
-        .select(col("file_path")).distinct()
-        .collect().map(r => canonPath(r.getString(0))).toSet
+      (if (delFiles.isEmpty) Set.empty[String]
+       else spark.read.parquet(delFiles.map(_._1.toString): _*)
+         .select(col("file_path")).distinct()
+         .collect().map(r => canonPath(r.getString(0))).toSet) ++
+      dvSide.toSeq.flatMap(_._3.map(r => canonPath(r._1)))
 
     var attempt = 0
     var base = v0
@@ -788,10 +847,16 @@ object IcebergWrite {
       val seqNo = readMeta(f, root, base)
         .map(_.path("last-sequence-number").asLong(0L)).getOrElse(0L) + 1L
       val mans = Seq.newBuilder[NewManifest]
-      if (delFiles.nonEmpty) {
+      if (delFiles.nonEmpty || dvSide.isDefined) {
         val entries = delFiles.map { case (p, size) =>
           IcebergFormat.entry(1, p.toString,
             delCounts(canonPath(p.toString)), size, snapshotId, seqNo)
+        } ++ dvSide.toSeq.flatMap { case (puffinP, puffinLen, refs) =>
+          refs.map { case (rf, off, size, card) =>
+            IcebergFormat.entry(1, puffinP.toString, card, puffinLen,
+              snapshotId, seqNo, fileFormat = "PUFFIN",
+              dvRef = Some((rf, off, size)))
+          }
         }
         val mp = new Path(root,
           s"metadata/delete-manifest-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
@@ -813,7 +878,8 @@ object IcebergWrite {
       try {
         onBeforeCommit()
         val snap = commitMeta(spark, f, root, base, StructType(Nil), snapshotId,
-          seqNo, built, replace = false, operation = Some(operation))
+          seqNo, built, replace = false, operation = Some(operation),
+          minFormatVersion = if (asDv) 3 else 0)
         return (snap, deleted, appended)
       } catch {
         case _: java.util.ConcurrentModificationException =>

@@ -75,11 +75,18 @@ class IcebergLifecycleFuzzSpec extends AnyFunSuite {
             IcebergWrite.equalityDelete(spark, dir, keys.toDF("id"))
             model = model.filterNot(r => keys.contains(r.id))
           case 4 =>
-            lastOp = "updateWhere"
             val m = 2 + rnd.nextInt(4); val c = rnd.nextInt(m)
             val bump = 1000L + rnd.nextInt(9) * 1000L
-            IcebergWrite.updateWhere(spark, dir, col("id") % m === c,
-              Map("score" -> (col("score") + bump), "tag" -> lit(s"u$k")))
+            val pred = col("id") % m === c
+            val sets = Map("score" -> (col("score") + bump),
+              "tag" -> lit(s"u$k"))
+            if (rnd.nextBoolean()) {
+              lastOp = "updateWhere"
+              IcebergWrite.updateWhere(spark, dir, pred, sets)
+            } else {
+              lastOp = "updateWhereDV"
+              IcebergWrite.updateWhereDV(spark, dir, pred, sets)
+            }
             model = model.map(r =>
               if (r.id % m == c) r.copy(score = r.score + bump, tag = s"u$k") else r)
           case 5 =>

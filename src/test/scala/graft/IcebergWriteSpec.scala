@@ -602,6 +602,32 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(IcebergInterop.readIceberg(spark, dir).count() == 37)
   }
 
+  test("updateWhereDV: DV preimage mask + postimage append in one v3 snapshot") {
+    val dir = Files.createTempDirectory("graft-iceberg-write-updv").toString
+    IcebergWrite.append(
+      (0L until 40L).map(i => (i, i * 10L, s"r_$i")).toDF("id", "score", "tag")
+        .repartitionByRange(4, col("id")), dir)
+    val (_, n1) = IcebergWrite.updateWhereDV(spark, dir, col("id") < 10,
+      Map("score" -> (col("score") + 1000L)),
+      ranges = Map("id" -> ((0.0, 9.0))))
+    assert(n1 == 10)
+    assert(metaJson(dir, 2).path("format-version").asInt == 3)
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.count() == 40)
+    assert(t.filter(col("id") < 10).agg(min("score")).head().getLong(0) == 1000L)
+    // no parquet delete files anywhere — the preimage mask is a DV
+    assert(!t.inputFiles.exists(_.contains("delete-")))
+    assert(new java.io.File(s"$dir/data").list().exists(_.endsWith(".puffin")))
+    // DV updates COMPOSE with DV deletes on the same files (union rule)
+    val (_, n2) = IcebergWrite.deleteWhereDV(spark, dir, col("id") === 5L)
+    assert(n2 == 1)
+    val t2 = IcebergInterop.readIceberg(spark, dir)
+    assert(t2.count() == 39 && t2.filter(col("id") === 5L).count() == 0)
+    assert(t2.filter(col("id") < 10).agg(min("score")).head().getLong(0) == 1000L)
+    // ONE snapshot per row delta
+    assert(IcebergInterop.snapshots(spark, dir).count() == 3)
+  }
+
   test("equality deletes: mask strictly-older data, re-appends survive, compact folds") {
     val dir = Files.createTempDirectory("graft-iceberg-write-eqdel").toString
     IcebergWrite.append(

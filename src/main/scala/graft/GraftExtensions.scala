@@ -75,6 +75,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_iceberg_ref"),
+      info("graft_iceberg_ref",
+        "graft_iceberg_ref(path, ref) - rows of an Iceberg table at a named branch/tag"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_iceberg_ref takes (path, ref), got ${args.length} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val ref = stringArg("graft_iceberg_ref", args, 0)
+        val path = graft.io.IcebergInterop.catalogIcebergPath(spark, ref).getOrElse(ref)
+        val name = stringArg("graft_iceberg_ref", args, 1)
+        org.apache.spark.sql.GraftBridge.plan(
+          graft.io.IcebergInterop.readIceberg(spark, path,
+            Some(graft.io.IcebergInterop.snapshotOfRef(spark, path, name))))
+      }
+    ))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_iceberg_files"),
+      info("graft_iceberg_files",
+        "graft_iceberg_files(path) - the table's live files from manifest metadata (no data scan)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_iceberg_files takes (path), got ${args.length} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val ref = stringArg("graft_iceberg_files", args, 0)
+        val path = graft.io.IcebergInterop.catalogIcebergPath(spark, ref).getOrElse(ref)
+        org.apache.spark.sql.GraftBridge.plan(
+          graft.io.IcebergInterop.filesTable(spark, path))
+      }
+    ))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_iceberg_partitions"),
+      info("graft_iceberg_partitions",
+        "graft_iceberg_partitions(path) - per-partition live row/manifest counts from manifest metadata (no data scan)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_iceberg_partitions takes (path), got ${args.length} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val ref = stringArg("graft_iceberg_partitions", args, 0)
+        val path = graft.io.IcebergInterop.catalogIcebergPath(spark, ref).getOrElse(ref)
+        org.apache.spark.sql.GraftBridge.plan(
+          graft.io.IcebergInterop.partitionsTable(spark, path))
+      }
+    ))
+    ext.injectTableFunction((
       FunctionIdentifier("table_changes"),
       info("table_changes",
         "table_changes(path_or_name, from_version[, to_version]) - the table's change data feed over the version range"),

@@ -554,6 +554,13 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(expired2 == 1, s"s2 (no longer pinned) expires: $expired2")
     assert(IcebergInterop.readIceberg(spark, dir,
       Some(IcebergInterop.snapshotOfRef(spark, dir, "audit"))).count() == 1)
+    // SQL read-by-ref + metadata TVFs
+    assert(spark.sql(s"SELECT count(*) FROM graft_iceberg_ref('$dir', 'audit')")
+      .head().getLong(0) == 1)
+    assert(spark.sql(s"SELECT sum(record_count) FROM graft_iceberg_files('$dir') " +
+      "WHERE content = 0").head().getLong(0) == 3)
+    assert(spark.sql(s"SELECT sum(record_count) FROM graft_iceberg_partitions('$dir')")
+      .head().getLong(0) == 3)
     // guardrails: main refuses, dead snapshots refuse, unknown refs refuse
     intercept[IllegalArgumentException](
       IcebergWrite.createBranch(spark, dir, "main", Some(s1)))

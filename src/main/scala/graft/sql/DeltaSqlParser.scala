@@ -96,6 +96,7 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
       .orElse(tryClone(t)).orElse(tryCreateCols(t))
       .orElse(tryCtasPath(t)).orElse(tryCtasName(t))
       .orElse(tryConvert(t)).orElse(tryVacuum(t)).orElse(tryOptimize(t))
+      .orElse(tryIcebergAlter(t))
       .orElse(tryAlter(t)).orElse(tryIcebergDescribeDetail(t))
       .orElse(tryDescribeDetail(t)).orElse(tryShowProps(t))
       .getOrElse {
@@ -836,6 +837,52 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
       }
     })
 
+  /** `ALTER TABLE iceberg.`p`` — metadata-only schema evolution
+    * (ADD COLUMNS / RENAME COLUMN, [[IcebergWrite.addColumn]]/
+    * [[IcebergWrite.renameColumn]]) and ref management (CREATE
+    * TAG/BRANCH [AS OF SNAPSHOT n], DROP TAG/BRANCH) — the SQL console
+    * evolves both lake formats. */
+  private def tryIcebergAlter(t: String): Option[LogicalPlan] =
+    icebergAlterAddColRe.findFirstMatchIn(t).map { m =>
+      val dir = m.group(1)
+      val cols = splitTopLevel(m.group(2), ',').map(_.trim).filter(_.nonEmpty)
+      command(Seq(attr("metadata_version", LongType))) { spark =>
+        var v = -1L
+        cols.foreach { c =>
+          val parts = c.split("\\s+", 2)
+          require(parts.length == 2, s"ADD COLUMNS needs `name type`, got: $c")
+          v = IcebergWrite.addColumn(spark, dir,
+            parts(0).replace("`", ""),
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(parts(1)))
+        }
+        Seq(Row(v))
+      }
+    }.orElse(icebergAlterRenameRe.findFirstMatchIn(t).map { m =>
+      val (dir, from, to) =
+        (m.group(1), m.group(2).replace("`", ""), m.group(3).replace("`", ""))
+      command(Seq(attr("metadata_version", LongType))) { spark =>
+        Seq(Row(IcebergWrite.renameColumn(spark, dir, from, to)))
+      }
+    }).orElse(icebergAlterRefRe.findFirstMatchIn(t).map { m =>
+      val (verb, kind, dir, name) =
+        (m.group(2).toUpperCase, m.group(3).toUpperCase, m.group(1), m.group(4))
+      val snapOpt = Option(m.group(5)).map(_.toLong)
+      command(Nil) { spark =>
+        (verb, kind) match {
+          case ("CREATE", "TAG") =>
+            IcebergWrite.createTag(spark, dir, name, snapOpt)
+          case ("CREATE", "BRANCH") =>
+            IcebergWrite.createBranch(spark, dir, name, snapOpt)
+          case ("DROP", _) =>
+            require(snapOpt.isEmpty, "DROP TAG/BRANCH takes no snapshot")
+            IcebergWrite.dropRef(spark, dir, name)
+          case other => throw new IllegalArgumentException(s"bad ref DDL: $other")
+        }
+        Nil
+      }
+    })
+
   private def tryAlter(t: String): Option[LogicalPlan] = {
     // name-addressed ALTERs re-register the catalog view afterwards so
     // the stored schema tracks the evolved table
@@ -1144,6 +1191,15 @@ object DeltaSqlParser {
   private[sql] val icebergMergeHeadRe =
     ("""(?is)^\s*MERGE\s+INTO\s+iceberg\s*\.\s*`([^`]+)`""" +
      """(?:\s+(?:AS\s+)?((?!USING\b)\w+))?\s+USING\s+(.+)$""").r
+  private[sql] val icebergAlterAddColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+iceberg\s*\.\s*`([^`]+)`\s+ADD\s+COLUMNS?\s*""" +
+     """\(([^)]*)\)\s*;?\s*$""").r
+  private[sql] val icebergAlterRenameRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+iceberg\s*\.\s*`([^`]+)`\s+RENAME\s+COLUMN\s+""" +
+     """(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*;?\s*$""").r
+  private[sql] val icebergAlterRefRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+iceberg\s*\.\s*`([^`]+)`\s+(CREATE|DROP)\s+""" +
+     """(TAG|BRANCH)\s+(\w[\w.-]*)(?:\s+AS\s+OF\s+SNAPSHOT\s+(\d+))?\s*;?\s*$""").r
   private[sql] val icebergDescribeDetailRe =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+iceberg\s*\.\s*`([^`]+)`\s*;?\s*$""".r
   private[sql] val icebergRestoreRe =

@@ -337,6 +337,33 @@ class DeltaSqlPropertySpec extends AnyFunSuite {
       s"post-maintenance: one snapshot, zero delete files: $det2")
   }
 
+  test("Iceberg ALTER TABLE SQL: ADD/RENAME columns, CREATE/DROP TAG and BRANCH") {
+    import graft.io.{IcebergInterop, IcebergWrite}
+    val dir = Files.createTempDirectory("graft-sqlprop-ice-alter").toString
+    val s1 = IcebergWrite.append(
+      (0L until 6L).map(i => (i, s"a_$i")).toDF("id", "msg"), dir)
+    // metadata-only evolution as SQL; old files surface NULLs
+    spark.sql(s"ALTER TABLE iceberg.`$dir` RENAME COLUMN msg TO label").collect()
+    spark.sql(s"ALTER TABLE iceberg.`$dir` ADD COLUMNS (score BIGINT, note STRING)")
+      .collect()
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.columns.toSeq == Seq("id", "label", "score", "note"))
+    assert(t.filter(col("label").startsWith("a_")).count() == 6)
+    assert(t.filter(col("score").isNull).count() == 6)
+    // the next append carries the evolved shape
+    IcebergWrite.append(Seq((6L, "b_6", 9L, "n")).toDF("id", "label", "score", "note"), dir)
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 7)
+    // refs as SQL
+    spark.sql(s"ALTER TABLE iceberg.`$dir` CREATE TAG rel-1 AS OF SNAPSHOT $s1").collect()
+    assert(spark.sql(s"SELECT count(*) FROM graft_iceberg_ref('$dir', 'rel-1')")
+      .head().getLong(0) == 6)
+    spark.sql(s"ALTER TABLE iceberg.`$dir` CREATE BRANCH wip").collect()
+    assert(IcebergInterop.snapshotOfRef(spark, dir, "wip") != s1)
+    spark.sql(s"ALTER TABLE iceberg.`$dir` DROP TAG rel-1").collect()
+    intercept[IllegalArgumentException](
+      IcebergInterop.snapshotOfRef(spark, dir, "rel-1"))
+  }
+
   test("DDL walks: generated IDENTITY/DEFAULT/CLUSTER BY/TBLPROPERTIES/DROP FEATURE — SQL ≡ Scala API (10 seeds)") {
     // the round-12 DDL statement families, fuzzed the way the DML
     // suite above fuzzes clauses: a random CREATE (same SQL on both

@@ -1317,24 +1317,98 @@ object IcebergWrite {
     val dirtySet = dirtyFiles.map(p => canonPath(p._1)).toSet
     val rows = IcebergInterop.readIceberg(spark, dir,
       onlyDataFiles = Some(dirtySet))
+    // PARTITION-PRESERVING rewrite: when the dirty manifests use a
+    // single-field spec whose transform this writer supports (and the
+    // source column still exists), the rewrite stages through the same
+    // per-value split appendPartitioned uses — the compacted files
+    // keep their manifest-level skipping instead of collapsing into
+    // one unpartitioned manifest
+    val nameOfId = currentFieldIds(m0).map(_.swap).toMap
+    val rewriteSpec: Option[(String, String)] = { // (source column, transform)
+      val dirtySpecIds = dataMans.filter(m =>
+        liveEntries(m).exists { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          isDirty(resolveU(gStr(df, "file_path")), gLong(df, "file_size_in_bytes", 0L))
+        }).map(m => gInt(m.rec, "partition_spec_id", 0)).distinct
+      dirtySpecIds match {
+        case Seq(sid) if sid != 0 =>
+          m0.path("partition-specs").elements().asScala
+            .find(_.path("spec-id").asInt(-1) == sid)
+            .map(_.path("fields")).filter(_.size == 1)
+            .flatMap { fs0 =>
+              val srcId = fs0.get(0).path("source-id").asInt
+              val transform = fs0.get(0).path("transform").asText
+              nameOfId.get(srcId).filter(rows.columns.contains)
+                .filter(c => IcebergTransforms.resultType(transform,
+                  rows.schema(c).dataType).isDefined)
+                .map(c => (c, transform))
+            }
+        case _ => None
+      }
+    }
     val nOut = math.max(1,
       math.ceil(dirtyFiles.map(_._2).sum.toDouble / targetFileSizeBytes).toInt)
     val staging = new Path(root,
       s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
-    withFieldIds(rows, idsByName).repartition(nOut).write.parquet(staging.toString)
-    val staged = f.listStatus(staging).filter(_.getPath.getName.endsWith(".parquet"))
-      .map { st =>
-        val dst = new Path(root, s"data/${java.util.UUID.randomUUID()}.parquet")
-        require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
-        (dst, f.getFileStatus(dst).getLen)
-      }.toSeq
-    f.delete(staging, true)
+    // files-of-partition-value staging (None key = unpartitioned)
+    val stagedByValue: Seq[(Option[Option[Any]], Seq[(Path, Long)])] =
+      rewriteSpec match {
+        case None =>
+          withFieldIds(rows, idsByName).repartition(nOut)
+            .write.parquet(staging.toString)
+          val files = f.listStatus(staging)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map { st =>
+              val dst = new Path(root, s"data/${java.util.UUID.randomUUID()}.parquet")
+              require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
+              (dst, f.getFileStatus(dst).getLen)
+            }.toSeq
+          f.delete(staging, true)
+          Seq((None, files))
+        case Some((srcCol, transform)) =>
+          import org.apache.spark.sql.functions.col
+          val srcDt = rows.schema(srcCol).dataType
+          val resultDt = IcebergTransforms.resultType(transform, srcDt).get
+          val pCol =
+            if (transform == "identity") col(srcCol)
+            else org.apache.spark.sql.GraftBridge.column(
+              graft.functions.expressions.IcebergPartitionValue(
+                org.apache.spark.sql.GraftBridge.expression(col(srcCol)), transform))
+          withFieldIds(rows, idsByName).withColumn("_graft_p", pCol)
+            .write.partitionBy("_graft_p").parquet(staging.toString)
+          def decode(dirName: String): Option[Any] = {
+            val raw = java.net.URLDecoder.decode(
+              dirName.stripPrefix("_graft_p="), "UTF-8")
+            if (raw == "__HIVE_DEFAULT_PARTITION__") None
+            else Some(resultDt match {
+              case IntegerType => raw.toInt
+              case LongType => raw.toLong
+              case _ => raw
+            })
+          }
+          val out = f.listStatus(staging)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("_graft_p="))
+            .sortBy(_.getPath.getName)
+            .map { d =>
+              val files = f.listStatus(d.getPath)
+                .filter(_.getPath.getName.endsWith(".parquet"))
+                .map { st =>
+                  val dst = new Path(root, s"data/${java.util.UUID.randomUUID()}.parquet")
+                  require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
+                  (dst, f.getFileStatus(dst).getLen)
+                }.toSeq
+              (Some(decode(d.getPath.getName)): Option[Option[Any]], files)
+            }.toSeq
+          f.delete(staging, true)
+          out
+      }
+    val staged = stagedByValue.flatMap(_._2)
     val stats =
       if (staged.isEmpty) Map.empty[String, (Long, Map[Int, (Array[Byte], Array[Byte])])]
       else allFileStats(spark, staged.map(_._1.toString), idsByName)
-    val (newFiles, empties) =
-      staged.partition(p => stats.contains(canonPath(p._1.toString)))
-    empties.foreach { case (p, _) => f.delete(p, false) }
+    stagedByValue.flatMap(_._2).foreach { case (p, _) =>
+      if (!stats.contains(canonPath(p.toString))) f.delete(p, false)
+    }
 
     val snapshotId = freshSnapshotId(f, root, v0)
     val seqNo = m0.path("last-sequence-number").asLong(0L) + 1L
@@ -1377,22 +1451,40 @@ object IcebergWrite {
             .flatMap(_ => Option(man.rec.get("partitions"))).orNull))
       } // fully-dirty manifest: drops (its rows live in the rewrite)
     }
-    if (newFiles.nonEmpty) {
-      val entries = newFiles.map { case (p, size) =>
-        val (nRows, bounds) = stats(canonPath(p.toString))
-        IcebergFormat.entry(0, p.toString, nRows, size, snapshotId, seqNo,
-          bounds = bounds)
+    val rewriteResultDt: Option[DataType] = rewriteSpec.map { case (c, t) =>
+      IcebergTransforms.resultType(t, rows.schema(c).dataType).get
+    }
+    val newFiles = staged.filter(p => stats.contains(canonPath(p._1.toString)))
+    stagedByValue.zipWithIndex.foreach { case ((valueOpt, files), i) =>
+      val live = files.filter(p => stats.contains(canonPath(p._1.toString)))
+      if (live.nonEmpty) {
+        val entries = live.map { case (p, size) =>
+          val (nRows, bounds) = stats(canonPath(p.toString))
+          IcebergFormat.entry(0, p.toString, nRows, size, snapshotId, seqNo,
+            bounds = bounds)
+        }
+        val mp = new Path(root,
+          s"metadata/manifest-$snapshotId-$i-${java.util.UUID.randomUUID().toString.take(8)}.avro")
+        IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
+        freshManifests += (valueOpt match {
+          case None => NewManifest(mp, partitioned = false, None)
+          case Some(v) => NewManifest(mp, partitioned = true, Some(v match {
+            case None => Summary(containsNull = true, None)
+            case Some(value) => Summary(containsNull = false,
+              IcebergFormat.serializeBound(rewriteResultDt.get, value)
+                .map(b => (b, b)))
+          }))
+        })
       }
-      val mp = new Path(root,
-        s"metadata/manifest-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
-      IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
-      freshManifests += NewManifest(mp, partitioned = false, None)
     }
     try {
       onBeforeCommit()
       val snap = commitMeta(spark, f, root, v0, StructType(Nil), snapshotId,
         seqNo, freshManifests.result(), replace = false,
-        operation = Some("replace"), priorOverride = Some(carried.result()))
+        operation = Some("replace"), priorOverride = Some(carried.result()),
+        partSpec = rewriteSpec.map { case (c, t) =>
+          SpecReq(if (t == "identity") c else s"${c}_rewrite", idsByName(c), t)
+        })
       (snap, dirtyFiles.length, deleteFilesFolded)
     } catch {
       case _: java.util.ConcurrentModificationException =>

@@ -86,6 +86,40 @@ class IcebergMaintenanceSpec extends AnyFunSuite {
       .filter(col("tag") === "post-compact").count() == 1)
   }
 
+  test("compact preserves partitioning: rewritten files keep manifest-level skipping") {
+    val dir = Files.createTempDirectory("graft-iceberg-compact-part").toString
+    val rows = (0L until 90L).map(i => (i, s"g${i % 3}", s"r_$i"))
+      .toDF("id", "grp", "tag")
+    IcebergWrite.appendPartitioned(rows.filter(col("id") < 45), dir, "grp")
+    IcebergWrite.appendPartitioned(rows.filter(col("id") >= 45), dir, "grp")
+    val (_, nDel) = IcebergWrite.deleteWhere(spark, dir, col("id") % 5 === 0)
+    assert(nDel == 18)
+    // every data file is dirty (tiny) — full rewrite, but PARTITIONED
+    val (_, rewritten, folded) = IcebergWrite.compact(spark, dir)
+    assert(rewritten >= 6 && folded >= 1, s"rewritten=$rewritten folded=$folded")
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.count() == 72 && t.filter(col("id") % 5 === 0).count() == 0)
+    assert(!t.inputFiles.exists(_.contains("/data/delete-")))
+    // the REWRITTEN layout still skips at the manifest level
+    val one = IcebergInterop.readIcebergWhere(spark, dir, Map.empty,
+      stringEq = Map("grp" -> "g1"))
+    assert(one.count() == 24)
+    val (read, skipped) = IcebergInterop.lastManifestScan
+    assert(read == 1 && skipped == 2,
+      s"compacted per-value manifests must keep skipping: read=$read skipped=$skipped")
+    // bucket transforms preserve too
+    val dir2 = Files.createTempDirectory("graft-iceberg-compact-bucket").toString
+    IcebergWrite.appendPartitioned(
+      (0L until 60L).map(i => (i, s"r_$i")).toDF("id", "tag"), dir2, "id", "bucket[4]")
+    IcebergWrite.deleteWhere(spark, dir2, col("id") < 6)
+    IcebergWrite.compact(spark, dir2)
+    val t2 = IcebergInterop.readIcebergWhere(spark, dir2, Map("id" -> ((17.0, 17.0))))
+    assert(t2.count() == 1)
+    val (r2, s2) = IcebergInterop.lastManifestScan
+    assert(r2 == 1 && r2 + s2 == 4,
+      s"compacted bucket manifests keep point-skipping: read=$r2 skipped=$s2")
+  }
+
   test("expireSnapshots bounds metadata, reclaims reference-counted, refuses expired travel") {
     val dir = Files.createTempDirectory("graft-iceberg-expire").toString
     val s1 = IcebergWrite.append(

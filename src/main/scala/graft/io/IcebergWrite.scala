@@ -82,6 +82,43 @@ object IcebergWrite {
 
   private def canonPath(p: String): String = p.replaceFirst("^file:/+", "/")
 
+  /** Hive/Spark `unescapePathName` semantics for staged partition
+    * directory names: ONLY `%XX` escapes decode. Spark's
+    * escapePathName never escapes `+`, so a literal `+` in a string
+    * partition value must survive — `java.net.URLDecoder` would turn
+    * it into a space, corrupting the manifest field summary and
+    * letting manifest-level skipping prune the manifest that actually
+    * holds the rows. */
+  private def unescapePathName(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code =
+          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Decode one staged `_graft_p=<v>` directory name to its typed
+    * transformed partition value; None = the null partition (Spark's
+    * default-partition sentinel). Shared by [[appendPartitioned]] and
+    * [[compact]]'s partition-preserving rewrite. */
+  private def decodePartValue(dirName: String, resultDt: DataType): Option[Any] = {
+    val raw = unescapePathName(dirName.stripPrefix("_graft_p="))
+    if (raw == "__HIVE_DEFAULT_PARTITION__") None
+    else Some(resultDt match {
+      case IntegerType => raw.toInt
+      case LongType => raw.toLong
+      case _ => raw
+    })
+  }
+
   /** Current metadata version: `version-hint.text` when present, else
     * the highest `v<N>.metadata.json` (hint is advisory in the spec's
     * FS-catalog convention; the listing is ground truth). 0 = no table. */
@@ -335,15 +372,6 @@ object IcebergWrite {
     // bounds) instead of parsing the sentinel as a value. Directory
     // names carry the TRANSFORMED value, typed by the transform's
     // result type.
-    def decode(dirName: String): Option[Any] = {
-      val raw = java.net.URLDecoder.decode(dirName.stripPrefix("_graft_p="), "UTF-8")
-      if (raw == "__HIVE_DEFAULT_PARTITION__") None
-      else Some(resultDt match {
-        case IntegerType => raw.toInt
-        case LongType => raw.toLong
-        case _ => raw
-      })
-    }
     val filesOfValue: Seq[(Option[Any], Seq[(Path, Long)])] = f.listStatus(staging)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("_graft_p="))
       .sortBy(_.getPath.getName)
@@ -355,7 +383,7 @@ object IcebergWrite {
             require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
             (dst, f.getFileStatus(dst).getLen)
           }.toSeq
-        (decode(d.getPath.getName), files)
+        (decodePartValue(d.getPath.getName, resultDt), files)
       }.toSeq
     f.delete(staging, true)
     val allPaths = filesOfValue.flatMap(_._2.map(_._1.toString))
@@ -770,41 +798,54 @@ object IcebergWrite {
       out
     }
     // the delete side: parquet position-delete files, or one Puffin of
-    // per-file DV blobs (distributed bitmap fold; prior DVs union in)
-    var dvDeleted = 0L
-    // (puffin path, puffin length, per-blob (ref, off, size, cardinality))
-    val dvSide: Option[(Path, Long, Seq[(String, Long, Long, Long)])] =
-      if (!asDv) None
+    // per-file DV blobs. The distributed bitmap fold runs ONCE; the
+    // puffin itself (our positions unioned with the head's live DVs)
+    // REBUILDS on every rebase, so the spec's superset-replacement
+    // rule holds against whatever a concurrent writer just committed —
+    // a stale pre-race union would silently drop the racer's DV and
+    // resurrect its deleted rows.
+    val dvPerFile: Seq[(String, Array[Byte])] =
+      if (!asDv) Nil
       else {
         import org.apache.spark.sql.GraftBridge.{column, expression}
         import spark.implicits._
         val bm = column(graft.functions.expressions.DvBitmapAgg(
           expression(col("pos"))).toAggregateExpression())
-        val perFile: Seq[(String, Array[Byte])] = positions
-          .groupBy(col("file_path")).agg(bm.as("bm"))
+        positions.groupBy(col("file_path")).agg(bm.as("bm"))
           .as[(String, Array[Byte])].collect().toSeq
-        if (perFile.isEmpty) None
-        else {
-          val conf = spark.sparkContext.hadoopConfiguration
-          val prior = IcebergInterop.liveDvs(spark, dir)
-          val blobs = perFile.map { case (file, bytes) =>
-            dvDeleted += DeletionVectors.parse(bytes).cardinality
-            prior.get(canonPath(file)) match {
-              case None => (file, bytes, DeletionVectors.parse(bytes).cardinality)
-              case Some((puffin, off, size)) =>
-                val b = RoaringBitmapBuilder.fromBytes(bytes)
-                b.or(IcebergFormat.readPuffinDv(conf, new Path(puffin), off, size))
-                val (merged, card) = b.result()
-                (file, merged, card)
-            }
-          }
-          val puffinP = new Path(root, s"data/dv-${java.util.UUID.randomUUID()}.puffin")
-          val refs = IcebergFormat.writePuffinDvBlobs(f, puffinP, blobs)
-          val cardOf = blobs.map(b => (b._1, b._3)).toMap
-          Some((puffinP, f.getFileStatus(puffinP).getLen,
-            refs.map { case (rf, off, size) => (rf, off, size, cardOf(rf)) }))
-        }
       }
+    var dvDeleted = 0L
+    // (puffin path, puffin length, per-blob (ref, off, size, cardinality))
+    def buildDvSide(): Option[(Path, Long, Seq[(String, Long, Long, Long)])] =
+      if (dvPerFile.isEmpty) None
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val prior = IcebergInterop.liveDvs(spark, dir)
+        dvDeleted = 0L
+        val blobs = dvPerFile.map { case (file, bytes) =>
+          prior.get(canonPath(file)) match {
+            case None =>
+              val card = DeletionVectors.parse(bytes).cardinality
+              dvDeleted += card
+              (file, bytes, card)
+            case Some((puffin, off, size)) =>
+              val priorBm = IcebergFormat.readPuffinDv(conf, new Path(puffin), off, size)
+              val b = RoaringBitmapBuilder.fromBytes(bytes)
+              b.or(priorBm)
+              val (merged, card) = b.result()
+              // merged − prior, not |our positions|: a racer may have
+              // deleted overlapping rows since our hits scan
+              dvDeleted += card - priorBm.cardinality
+              (file, merged, card)
+          }
+        }
+        val puffinP = new Path(root, s"data/dv-${java.util.UUID.randomUUID()}.puffin")
+        val refs = IcebergFormat.writePuffinDvBlobs(f, puffinP, blobs)
+        val cardOf = blobs.map(b => (b._1, b._3)).toMap
+        Some((puffinP, f.getFileStatus(puffinP).getLen,
+          refs.map { case (rf, off, size) => (rf, off, size, cardOf(rf)) }))
+      }
+    var dvSide = buildDvSide()
     val stagedDel = if (asDv) Nil else stage(positions, "delete-")
     val delCounts: Map[String, Long] =
       if (stagedDel.isEmpty) Map.empty
@@ -831,14 +872,14 @@ object IcebergWrite {
 
     if (delFiles.isEmpty && dvSide.isEmpty && appFiles.isEmpty)
       return (currentSnap(), 0L, 0L)
-    val deleted = delCounts.values.sum + dvDeleted
+    def deleted = delCounts.values.sum + dvDeleted // dvDeleted moves on rebase
     val appended = appStats.values.map(_._1).sum
     lazy val referenced: Set[String] =
       (if (delFiles.isEmpty) Set.empty[String]
        else spark.read.parquet(delFiles.map(_._1.toString): _*)
          .select(col("file_path")).distinct()
          .collect().map(r => canonPath(r.getString(0))).toSet) ++
-      dvSide.toSeq.flatMap(_._3.map(r => canonPath(r._1)))
+      dvPerFile.map(p => canonPath(p._1))
 
     var attempt = 0
     var base = v0
@@ -892,11 +933,20 @@ object IcebergWrite {
           val gone = referenced.filterNot(live)
           if (gone.nonEmpty) {
             (delFiles ++ appFiles).foreach { case (p, _) => f.delete(p, false) }
+            dvSide.foreach { case (p, _, _) => f.delete(p, false) }
             throw new IllegalStateException(
               s"$what on $dir raced a concurrent commit that replaced " +
               s"${gone.size} referenced data file(s) (e.g. ${gone.head}) — " +
               s"the staged position deletes no longer apply; re-run the $what " +
               "against the new snapshot")
+          }
+          // superset rule on rebase: the racer may have committed a DV
+          // for one of our files — rebuild the union against the NEW
+          // head's live DVs (the stale pre-race union would replace,
+          // and so drop, the racer's deletions)
+          dvSide.foreach { case (p, _, _) =>
+            f.delete(p, false)
+            dvSide = buildDvSide()
           }
       }
     }
@@ -941,27 +991,40 @@ object IcebergWrite {
       .as[(String, Array[Byte])].collect().toSeq
     if (perFile.isEmpty) return (currentSnap(), 0L)
     val conf = spark.sparkContext.hadoopConfiguration
-    val prior = IcebergInterop.liveDvs(spark, dir)
-    var deleted = 0L
-    val blobs: Seq[(String, Array[Byte], Long)] = perFile.map { case (file, bytes) =>
-      deleted += DeletionVectors.parse(bytes).cardinality
-      prior.get(canonPath(file)) match {
-        case None =>
-          (file, bytes, DeletionVectors.parse(bytes).cardinality)
-        case Some((puffin, off, size)) =>
-          // replacement rule: the new DV must CONTAIN the one it replaces
-          val b = RoaringBitmapBuilder.fromBytes(bytes)
-          b.or(IcebergFormat.readPuffinDv(conf, new Path(puffin), off, size))
-          val (merged, card) = b.result()
-          (file, merged, card)
-      }
-    }
-    val puffinP = new Path(root,
-      s"data/dv-${java.util.UUID.randomUUID()}.puffin")
-    val refs = IcebergFormat.writePuffinDvBlobs(f, puffinP, blobs)
-    val puffinLen = f.getFileStatus(puffinP).getLen
-    val cardOf = blobs.map(b => (b._1, b._3)).toMap
     val referenced = perFile.map(p => canonPath(p._1)).toSet
+    var deleted = 0L
+    // the puffin (our positions ∪ the head's live DVs) rebuilds on
+    // every rebase — the superset-replacement rule must hold against
+    // whatever a concurrent writer just committed, and a stale
+    // pre-race union would drop the racer's DV and resurrect its rows
+    def buildPuffin(): (Path, Long, Seq[(String, Long, Long)], Map[String, Long]) = {
+      val prior = IcebergInterop.liveDvs(spark, dir)
+      deleted = 0L
+      val blobs: Seq[(String, Array[Byte], Long)] = perFile.map { case (file, bytes) =>
+        prior.get(canonPath(file)) match {
+          case None =>
+            val card = DeletionVectors.parse(bytes).cardinality
+            deleted += card
+            (file, bytes, card)
+          case Some((puffin, off, size)) =>
+            // replacement rule: the new DV must CONTAIN the one it replaces
+            val priorBm = IcebergFormat.readPuffinDv(conf, new Path(puffin), off, size)
+            val b = RoaringBitmapBuilder.fromBytes(bytes)
+            b.or(priorBm)
+            val (merged, card) = b.result()
+            // merged − prior: honest count even when a racer already
+            // deleted some of the same rows
+            deleted += card - priorBm.cardinality
+            (file, merged, card)
+        }
+      }
+      val puffinP = new Path(root,
+        s"data/dv-${java.util.UUID.randomUUID()}.puffin")
+      val refs = IcebergFormat.writePuffinDvBlobs(f, puffinP, blobs)
+      (puffinP, f.getFileStatus(puffinP).getLen, refs,
+        blobs.map(b => (b._1, b._3)).toMap)
+    }
+    var (puffinP, puffinLen, refs, cardOf) = buildPuffin()
 
     var attempt = 0
     var base = v0
@@ -999,6 +1062,12 @@ object IcebergWrite {
               s"${gone.size} referenced data file(s) (e.g. ${gone.head}) — " +
               "re-run the delete against the new snapshot")
           }
+          // the racer may have committed a DV for one of our files —
+          // rebuild the union against the NEW head's live DVs
+          f.delete(puffinP, false)
+          val rebuilt = buildPuffin()
+          puffinP = rebuilt._1; puffinLen = rebuilt._2
+          refs = rebuilt._3; cardOf = rebuilt._4
       }
     }
     (-1L, -1L) // unreachable
@@ -1376,16 +1445,6 @@ object IcebergWrite {
                 org.apache.spark.sql.GraftBridge.expression(col(srcCol)), transform))
           withFieldIds(rows, idsByName).withColumn("_graft_p", pCol)
             .write.partitionBy("_graft_p").parquet(staging.toString)
-          def decode(dirName: String): Option[Any] = {
-            val raw = java.net.URLDecoder.decode(
-              dirName.stripPrefix("_graft_p="), "UTF-8")
-            if (raw == "__HIVE_DEFAULT_PARTITION__") None
-            else Some(resultDt match {
-              case IntegerType => raw.toInt
-              case LongType => raw.toLong
-              case _ => raw
-            })
-          }
           val out = f.listStatus(staging)
             .filter(st => st.isDirectory && st.getPath.getName.startsWith("_graft_p="))
             .sortBy(_.getPath.getName)
@@ -1397,7 +1456,7 @@ object IcebergWrite {
                   require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
                   (dst, f.getFileStatus(dst).getLen)
                 }.toSeq
-              (Some(decode(d.getPath.getName)): Option[Option[Any]], files)
+              (Some(decodePartValue(d.getPath.getName, resultDt)): Option[Option[Any]], files)
             }.toSeq
           f.delete(staging, true)
           out
@@ -1495,18 +1554,31 @@ object IcebergWrite {
     }
   }
 
+  /** Crash-orphan age floor: list-based deletion (files NO snapshot —
+    * kept or expired — references) only touches files at least this
+    * old, independent of how aggressive `retainMillis` is. A RETAIN 0
+    * expiry must never eat a concurrent in-flight writer's freshly
+    * renamed data files, just-authored manifests, or active
+    * `.staging-*` directory — those are all seconds old; genuine crash
+    * debris is hours old. */
+  val OrphanMinAgeMillis: Long = 3600000L
+
   /** SNAPSHOT EXPIRY + file reclaim for native Iceberg tables — the
     * maintenance that keeps a long-running [[appendOnce]] sink's
     * `metadata/` BOUNDED: snapshots older than `retainMillis` expire
     * (the current snapshot and every ref-pinned snapshot always
-    * survive), then manifests/manifest-lists/data files no kept
-    * snapshot references reclaim REFERENCE-COUNTED (never by age),
-    * old metadata JSONs below the previous version drop (previous
-    * kept as the undo step), and crash-orphaned `.staging-*`
-    * directories older than the horizon sweep away. Time travel to an
-    * expired snapshot fails loudly ("snapshot not found"). Driver
-    * work is metadata- and file-count-bounded (one listing of
-    * `metadata/` and `data/`).
+    * survive), then files reclaim by REFERENCE DIFF — reachable from
+    * an EXPIRED snapshot, unreachable from every kept one — never by
+    * bare directory listing, so a concurrent writer's already-renamed
+    * data files and freshly-authored manifests (referenced by NO
+    * expired snapshot, by construction) are structurally safe. Old
+    * metadata JSONs below the previous version drop (previous kept as
+    * the undo step) and their dangling `metadata-log` entries prune
+    * with them; crash debris no snapshot ever referenced (lost-race
+    * leftovers, `.staging-*` dirs) sweeps only past the
+    * [[OrphanMinAgeMillis]] age floor. Time travel to an expired
+    * snapshot fails loudly ("snapshot not found"). Driver work is
+    * metadata- and file-count-bounded.
     * Returns (snapshotsExpired, filesReclaimed). */
   def expireSnapshots(spark: SparkSession, dir: String,
                       retainMillis: Long): (Int, Int) = {
@@ -1519,13 +1591,17 @@ object IcebergWrite {
     val m0 = readMeta(f, root, v0).get
     val now = System.currentTimeMillis()
     val cutoff = now - retainMillis
+    // list-based deletion is gated on BOTH horizons: old enough to
+    // expire AND old enough that no in-flight writer can own it
+    val orphanCutoff = now - math.max(retainMillis, OrphanMinAgeMillis)
     var reclaimed = 0
     // crash-window sweep: a failed write's .staging-* dir has no
     // committed reference, ever — reclaim once it is older than the
-    // horizon (an in-flight writer's staging is younger)
+    // orphan horizon (an in-flight writer's staging is younger; a
+    // RETAIN 0 expiry must not eat it)
     f.listStatus(root).foreach { st =>
       if (st.isDirectory && st.getPath.getName.startsWith(".staging-") &&
-          st.getModificationTime < cutoff) {
+          st.getModificationTime < orphanCutoff) {
         if (f.delete(st.getPath, true)) reclaimed += 1
       }
     }
@@ -1569,6 +1645,17 @@ object IcebergWrite {
     n.set[JsonNode]("snapshot-log", logArr)
     val prevUpdated = m0.path("last-updated-ms").asLong(now)
     n.put("last-updated-ms", now)
+    // metadata-log: entries pointing at the v<N metadata JSONs this
+    // expiry deletes (everything below v0) would dangle for any
+    // spec-conformant client walking the log — prune them with the
+    // files; the undo step (v0) keeps its entry below.
+    val mlKept = M.createArrayNode()
+    m0.path("metadata-log").elements().asScala.filter { e =>
+      val nm = new Path(e.path("metadata-file").asText("")).getName
+      """^v(\d+)\.metadata\.json$""".r.findFirstMatchIn(nm)
+        .forall(_.group(1).toLong >= v0)
+    }.foreach(mlKept.add)
+    n.set[JsonNode]("metadata-log", mlKept)
     val ml = n.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
       "metadata-log").addObject()
     ml.put("timestamp-ms", prevUpdated)
@@ -1587,35 +1674,69 @@ object IcebergWrite {
     val hint = f.create(new Path(root, "metadata/version-hint.text"), true)
     try hint.write(String.valueOf(v0 + 1).getBytes) finally hint.close()
 
-    // reference-counted keep sets from the KEPT snapshots only
-    val keepMeta = scala.collection.mutable.HashSet.empty[String]
-    val keepData = scala.collection.mutable.HashSet.empty[String]
-    kept.foreach { s0 =>
-      val lp = resolveU(s0.path("manifest-list").asText)
-      keepMeta += new Path(lp).getName
-      IcebergFormat.readAvro(conf, new Path(lp)).foreach { r =>
-        val mp = resolveU(gStr(r, "manifest_path"))
-        keepMeta += new Path(mp).getName
-        IcebergFormat.readAvro(conf, new Path(mp)).foreach { e =>
-          if (gInt(e, "status", 0) != 2) {
-            val df = e.get("data_file").asInstanceOf[GenericRecord]
-            keepData += new Path(resolveU(gStr(df, "file_path"))).getName
+    // reachability walk: (manifest-list + manifest + data/puffin
+    // names) per snapshot set. Kept walk counts only LIVE entries —
+    // a kept snapshot's status-2 tombstone does not protect a file;
+    // expired walk counts EVERY entry (a file its delete snapshot
+    // tombstoned was live in earlier, also-expired snapshots).
+    def reach(snapSet: Seq[JsonNode], liveOnly: Boolean)
+        : (scala.collection.mutable.HashSet[String],
+           scala.collection.mutable.HashSet[String]) = {
+      val meta = scala.collection.mutable.HashSet.empty[String]
+      val data = scala.collection.mutable.HashSet.empty[String]
+      snapSet.foreach { s0 =>
+        val lp = resolveU(s0.path("manifest-list").asText)
+        meta += new Path(lp).getName
+        if (f.exists(new Path(lp)))
+          IcebergFormat.readAvro(conf, new Path(lp)).foreach { r =>
+            val mp = resolveU(gStr(r, "manifest_path"))
+            meta += new Path(mp).getName
+            if (f.exists(new Path(mp)))
+              IcebergFormat.readAvro(conf, new Path(mp)).foreach { e =>
+                if (!liveOnly || gInt(e, "status", 0) != 2) {
+                  val df = e.get("data_file").asInstanceOf[GenericRecord]
+                  data += new Path(resolveU(gStr(df, "file_path"))).getName
+                }
+              }
           }
-        }
       }
+      (meta, data)
     }
+    val (keepMeta, keepData) = reach(kept, liveOnly = true)
+    val (expMeta, expData) = reach(expired, liveOnly = false)
+    // REFERENCE-DIFF reclaim: reachable from an expired snapshot AND
+    // from no kept one. A concurrent in-flight commit's freshly
+    // renamed files appear in NEITHER set — structurally untouchable.
+    (expMeta --= keepMeta).foreach { name =>
+      if (f.delete(new Path(root, s"metadata/$name"), false)) reclaimed += 1
+    }
+    (expData --= keepData).foreach { name =>
+      if (f.delete(new Path(root, s"data/$name"), false)) reclaimed += 1
+    }
+    // superseded metadata JSONs are version-numbered below the head —
+    // nothing in-flight can own them (a racer writes v0+1 or later)
     f.listStatus(new Path(root, "metadata")).foreach { st =>
       val name = st.getPath.getName
-      val drop =
-        (name.endsWith(".avro") && !keepMeta.contains(name)) ||
-        ("""^v(\d+)\.metadata\.json$""".r.findFirstMatchIn(name)
-          .exists(_.group(1).toLong < v0)) // keep v0 as the undo step
+      val drop = """^v(\d+)\.metadata\.json$""".r.findFirstMatchIn(name)
+        .exists(_.group(1).toLong < v0) // keep v0 as the undo step
       if (drop && f.delete(st.getPath, false)) reclaimed += 1
+    }
+    // AGE-GUARDED orphan sweep: debris NO snapshot (kept or expired)
+    // ever referenced — lost-race leftovers, crash remnants — deletes
+    // only past the orphan horizon, so a racing writer's seconds-old
+    // manifests and data files survive even RETAIN 0
+    f.listStatus(new Path(root, "metadata")).foreach { st =>
+      val name = st.getPath.getName
+      if (name.endsWith(".avro") && !keepMeta.contains(name) &&
+          st.getModificationTime < orphanCutoff) {
+        if (f.delete(st.getPath, false)) reclaimed += 1
+      }
     }
     val dataDir = new Path(root, "data")
     if (f.exists(dataDir)) f.listStatus(dataDir).foreach { st =>
       val name = st.getPath.getName
       if (st.isFile && !keepData.contains(name) &&
+          st.getModificationTime < orphanCutoff &&
           (name.endsWith(".parquet") || name.endsWith(".puffin") ||
             name.endsWith(".bin"))) {
         if (f.delete(st.getPath, false)) reclaimed += 1

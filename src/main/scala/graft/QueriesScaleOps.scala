@@ -2939,9 +2939,12 @@ private[graft] trait QueriesScaleOps extends QueryBase {
   }
 
   /** q196 — NATIVE Iceberg TABLE MAINTENANCE
-    * ([[graft.io.IcebergWrite.compact]] /
+    * ([[graft.io.IcebergWrite.rewriteManifests]] /
+    * [[graft.io.IcebergWrite.compact]] /
     * [[graft.io.IcebergWrite.expireSnapshots]]), the q147 pattern on
-    * the Iceberg plane: the corpus lands in two appends, a
+    * the Iceberg plane: the corpus lands in SIX appends (the
+    * append-heavy sink shape), `rewrite_manifests` bin-packs the
+    * manifest list 6→1 metadata-only (rows identical, asserted), a
     * merge-on-read DELETE masks the low band, then the table passes
     * through all three physical states — LIVE (masks in-plan),
     * COMPACTED (one `replace` snapshot folds the position deletes into
@@ -2956,15 +2959,34 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     val tmp = graft.io.TempDirs.scratch("graft-q196")
     val s1 = graft.io.IcebergWrite.append(
       docs.filter(col("doc_id") % 2 === 0).repartitionByRange(4, col("doc_id")), tmp)
-    graft.io.IcebergWrite.append(
-      docs.filter(col("doc_id") % 2 =!= 0).repartitionByRange(4, col("doc_id")), tmp)
+    // the odd half lands as FIVE micro-appends — the append-heavy sink
+    // shape whose manifest LIST grows one entry per commit
+    (1L to 9L by 2L).foreach { r =>
+      graft.io.IcebergWrite.append(
+        docs.filter(col("doc_id") % 10 === r).repartitionByRange(2, col("doc_id")), tmp)
+    }
+    def read() = graft.io.IcebergInterop.readIceberg(s, tmp)
+    def manifestListLen(): Int = {
+      read().count() // refresh lastManifestScan on the current head
+      val (r, sk) = graft.io.IcebergInterop.lastManifestScan
+      r + sk
+    }
+    require(manifestListLen() == 6, "one manifest per append before the merge")
+    val rowsPreMerge = read().count()
+    // state 1.5: MANIFEST-MERGED — rewrite_manifests bin-packs the
+    // list metadata-only; rows identical, planning walk bounded
+    val (_, mergedAway, manAfter) =
+      graft.io.IcebergWrite.rewriteManifests(s, tmp)
+    require(mergedAway == 5 && manAfter == 1,
+      s"manifest merge must bin-pack 6 -> 1: merged=$mergedAway after=$manAfter")
+    require(read().count() == rowsPreMerge,
+      "a manifest merge must not change the live rows")
     val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
     val (mn, mx) = (mm.getLong(0), mm.getLong(1))
     val k = mn + (mx - mn) / 3
     val (_, nDel) = graft.io.IcebergWrite.deleteWhere(s, tmp,
       col("doc_id") < k, ranges = Map("doc_id" -> ((mn.toDouble, (k - 1).toDouble))))
     require(nDel > 0, "the delete must hit the low band")
-    def read() = graft.io.IcebergInterop.readIceberg(s, tmp)
     val liveCount = read().count()
     val metaDir = new java.io.File(s"$tmp/metadata")
     def metaCount() = metaDir.list().count(!_.startsWith("."))

@@ -996,25 +996,28 @@ object IcebergInterop {
     avroRecords(spark, new Path(resolve(snap.path("manifest-list").asText)))
       .filter(m => longOr(m, "added_snapshot_id", -1L) == snapshotId)
       .foreach { m =>
-        // a DELETE manifest: raw-file replay cannot honor its masks.
-        // With ignoreDeletes the manifest is SKIPPED (rows already
-        // emitted stay downstream — the documented Delta-parity
-        // tradeoff); without it the stream fails loudly.
         val isDelete = intOr(m, "content", 0) != 0
-        require(!isDelete || ignoreDeletes,
-          s"snapshot $snapshotId of $dir added a DELETE manifest — " +
-          "row-level deletes cannot stream (raw-file replay); set " +
-          "ignoreDeletes to skip them (already-emitted rows stay)")
-        if (!isDelete)
+        val entries =
           avroRecords(spark, new Path(resolve(m.get("manifest_path").toString)))
-            .foreach { e =>
-              val status = intOr(e, "status", 0)
-              val df = e.get("data_file").asInstanceOf[GenericRecord]
-              // a rewritten manifest may carry EXISTING (status 0)
-              // entries; only ADDED entries are new data for the tailer
-              if (status == 1 && intOr(df, "content", 0) == 0)
-                out += resolve(str(df, "file_path"))
-            }
+        if (isDelete) {
+          // a DELETE manifest with NEWLY ADDED entries: raw-file replay
+          // cannot honor its masks. With ignoreDeletes it is SKIPPED
+          // (rows already emitted stay downstream — the documented
+          // Delta-parity tradeoff); without it the stream fails loudly.
+          // A delete manifest of only EXISTING entries (a manifest
+          // MERGE re-binning old deletes) adds nothing — never refuse.
+          require(ignoreDeletes || !entries.exists(e => intOr(e, "status", 0) == 1),
+            s"snapshot $snapshotId of $dir added a DELETE manifest — " +
+            "row-level deletes cannot stream (raw-file replay); set " +
+            "ignoreDeletes to skip them (already-emitted rows stay)")
+        } else entries.foreach { e =>
+          val status = intOr(e, "status", 0)
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          // a rewritten manifest may carry EXISTING (status 0)
+          // entries; only ADDED entries are new data for the tailer
+          if (status == 1 && intOr(df, "content", 0) == 0)
+            out += resolve(str(df, "file_path"))
+        }
       }
     out.result().sorted
   }

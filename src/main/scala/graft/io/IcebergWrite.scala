@@ -1340,7 +1340,10 @@ object IcebergWrite {
       new Path(resolveU(snapNode.path("manifest-list").asText)))
     final case class Man(rec: GenericRecord, content: Int,
                          entries: Seq[GenericRecord])
-    val mans = listRecs.map { r =>
+    // bounded-parallel manifest parse: each Avro is independent and the
+    // loop is I/O-latency-bound — on a manifest-heavy table the driver
+    // planning cost is the slowest few reads, not the sum
+    val mans = graft.pipeline.Par.map(listRecs) { r =>
       Man(r, gInt(r, "content", 0),
         IcebergFormat.readAvro(conf, new Path(resolveU(gStr(r, "manifest_path")))))
     }
@@ -1551,6 +1554,254 @@ object IcebergWrite {
         throw new IllegalStateException(
           s"compaction of $dir raced a concurrent commit — its carried " +
           "manifest set no longer reflects the head; re-run the compaction")
+    }
+  }
+
+  /** Iceberg primitive name → the Spark type of a partition-field
+    * RESULT (the types field summaries serialize) — None for anything
+    * we will not byte-decode (no merge rather than a wrong merge). */
+  private def resultTypeOfName(name: String): Option[DataType] = name match {
+    case "int" | "date" => Some(IntegerType)
+    case "long" => Some(LongType)
+    case "string" => Some(StringType)
+    case "timestamp" => Some(TimestampNTZType)
+    case "timestamptz" => Some(TimestampType)
+    case _ => None
+  }
+
+  /** The RESULT types of `specId`'s partition fields (year/month/day/
+    * hour/bucket → int; identity/truncate → the source column's type,
+    * resolved by field id across every schema). None when any field's
+    * type cannot be resolved — callers skip the summary merge. */
+  private def specResultTypes(m: JsonNode, specId: Int): Option[Seq[DataType]] = {
+    import scala.jdk.CollectionConverters._
+    val typeOfId: Map[Int, String] =
+      (if (m.has("schemas")) m.path("schemas").elements().asScala.toSeq
+       else Seq(m.path("schema")))
+        .flatMap(_.path("fields").elements().asScala.map(fd =>
+          fd.path("id").asInt -> fd.path("type").asText)).toMap
+    m.path("partition-specs").elements().asScala
+      .find(_.path("spec-id").asInt(-1) == specId)
+      .map { s0 =>
+        s0.path("fields").elements().asScala.toSeq.map { fd =>
+          val transform = fd.path("transform").asText
+          for {
+            srcName <- typeOfId.get(fd.path("source-id").asInt)
+            srcDt <- resultTypeOfName(srcName)
+            dt <- IcebergTransforms.resultType(transform, srcDt)
+          } yield dt
+        }
+      }
+      .filter(_.forall(_.isDefined)).map(_.map(_.get))
+  }
+
+  /** Spec single-value bound comparison by result type (little-endian
+    * ints/longs; UTF-8 strings lexically). */
+  private def cmpBound(dt: DataType, a: Array[Byte], b: Array[Byte]): Int = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(x: Array[Byte]) = ByteBuffer.wrap(x).order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType => Integer.compare(le(a).getInt, le(b).getInt)
+      case LongType | TimestampType | TimestampNTZType =>
+        java.lang.Long.compare(le(a).getLong, le(b).getLong)
+      case _ => new String(a, "UTF-8").compareTo(new String(b, "UTF-8"))
+    }
+  }
+
+  /** MANIFEST-MERGE maintenance — Iceberg's `rewrite_manifests`: the
+    * missing half of keeping an append-heavy table's METADATA bounded.
+    * Every [[appendOnce]] micro-batch adds one manifest to the current
+    * snapshot's manifest list; [[compact]] rewrites small/deleted DATA
+    * but carries clean manifests verbatim, so a sink whose files are
+    * already target-sized grows its manifest list without bound — and
+    * every read's planning walk grows with it. This bin-packs the
+    * LIST: manifests of the same content kind and partition spec merge
+    * into consolidated manifests of ~`targetEntriesPerManifest` live
+    * entries, committed as ONE metadata-only snapshot
+    * (operation=`replace`, ZERO data-file work).
+    *
+    * Invariants: merged entries become EXISTING (status 0) keeping
+    * their original per-entry `snapshot_id` and `sequence_number`
+    * VERBATIM (the incremental-tailer contract — "files added by
+    * snapshot S" resolves through S's own manifest list, which this
+    * commit never touches, and the rewrite snapshot itself adds only
+    * status-0 entries, which tailers skip); partitioned manifests get
+    * a MERGED field summary (contains_null ORs, bounds min/max by the
+    * spec's typed byte comparison) so manifest-level skipping
+    * survives, and groups whose summary types cannot be decoded carry
+    * verbatim rather than merge wrong. Delete manifests merge within
+    * their own kind; per-field foreign stats outside graft's manifest
+    * schema (value_counts etc.) do not survive a merge, so foreign
+    * manifests carrying them merge at the cost of those extra stats —
+    * bounds, equality ids, and DV refs all carry.
+    * Returns (snapshotId, manifestsMergedAway, manifestsAfter) —
+    * (currentSnapshot, 0, n) when the list is already packed. */
+  def rewriteManifests(spark: SparkSession, dir: String,
+                       targetEntriesPerManifest: Int = 2048): (Long, Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    require(targetEntriesPerManifest > 0, "targetEntriesPerManifest must be positive")
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v0 = currentVersion(f, root)
+    require(v0 > 0, s"$dir has no snapshots to rewrite manifests for")
+    val m0 = readMeta(f, root, v0).get
+    val curId = m0.path("current-snapshot-id").asLong(-1L)
+    val snapNode = m0.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == curId)
+      .getOrElse(return (curId, 0, 0))
+    val listRecs = IcebergFormat.readAvro(conf,
+      new Path(resolveU(snapNode.path("manifest-list").asText)))
+    if (listRecs.lengthCompare(2) < 0) return (curId, 0, listRecs.length)
+    final case class Man(rec: GenericRecord, content: Int, specId: Int,
+                         entries: Seq[GenericRecord])
+    val mans = graft.pipeline.Par.map(listRecs) { r =>
+      Man(r, gInt(r, "content", 0), gInt(r, "partition_spec_id", 0),
+        IcebergFormat.readAvro(conf, new Path(resolveU(gStr(r, "manifest_path")))))
+    }
+    def liveOf(m: Man): Seq[GenericRecord] =
+      m.entries.filter(e => gInt(e, "status", 0) != 2)
+
+    val snapshotId = freshSnapshotId(f, root, v0)
+    // metadata-only: the sequence number does NOT advance (no data
+    // changed) — Iceberg stamps rewrites with a fresh sequence too,
+    // but entries keep their own, which is all the read side uses
+    val seqNo = m0.path("last-sequence-number").asLong(0L) + 1L
+    val FS = IcebergFormat.ManifestFileSchema
+      .getField("partitions").schema().getTypes.get(1)
+
+    var mergedAway = 0
+    val outList = Seq.newBuilder[(String, Long, Int, Long, Int, Long, AnyRef)]
+    def verbatim(m: Man): Unit =
+      outList += ((gStr(m.rec, "manifest_path"),
+        gLong(m.rec, "manifest_length", 0L), m.content,
+        gLong(m.rec, "sequence_number", 0L), m.specId,
+        gLong(m.rec, "added_snapshot_id", curId),
+        Option(m.rec.getSchema.getField("partitions"))
+          .flatMap(_ => Option(m.rec.get("partitions"))).orNull))
+
+    // stable grouping: (content kind, spec id) — merging across specs
+    // would need partition-tuple re-derivation; across kinds is invalid
+    val groups = mans.zipWithIndex.groupBy { case (m, _) => (m.content, m.specId) }
+      .toSeq.sortBy(_._2.head._2)
+    groups.foreach { case ((content, specId), members0) =>
+      val members = members0.map(_._1)
+      // bin-pack in list order; a bin of ONE carries verbatim
+      val bins = Seq.newBuilder[Seq[Man]]
+      var bin = Seq.newBuilder[Man]; var n = 0; var binSize = 0
+      members.foreach { m =>
+        val live = liveOf(m).length
+        if (binSize > 0 && n + live > targetEntriesPerManifest) {
+          bins += bin.result(); bin = Seq.newBuilder[Man]; n = 0; binSize = 0
+        }
+        bin += m; n += live; binSize += 1
+      }
+      if (binSize > 0) bins += bin.result()
+      // summary-merge types (None ⇒ partitioned group merges lose no
+      // skipping because we refuse to merge it at all)
+      val sumTypes: Option[Seq[DataType]] =
+        if (specId == 0) Some(Nil) else specResultTypes(m0, specId)
+      bins.result().foreach { b =>
+        if (b.lengthCompare(1) <= 0 || (specId != 0 && sumTypes.isEmpty)) {
+          b.foreach(verbatim)
+        } else {
+          mergedAway += b.length - 1
+          val entries = b.flatMap { m =>
+            val manSeq = gLong(m.rec, "sequence_number", 0L)
+            val manSnap = gLong(m.rec, "added_snapshot_id", curId)
+            liveOf(m).map { e =>
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              val off = Option(df.getSchema.getField("content_offset"))
+                .flatMap(_ => Option(df.get("content_offset")))
+                .map(_.asInstanceOf[Number].longValue)
+              val refFile = Option(df.getSchema.getField("referenced_data_file"))
+                .flatMap(_ => Option(df.get("referenced_data_file"))).map(_.toString)
+              IcebergFormat.entry(
+                gInt(df, "content", 0), gStr(df, "file_path"),
+                gLong(df, "record_count", 0L), gLong(df, "file_size_in_bytes", 0L),
+                gLong(e, "snapshot_id", manSnap),      // ORIGINAL snapshot
+                gLong(e, "sequence_number", manSeq),    // ORIGINAL sequence
+                equalityIds = Option(df.getSchema.getField("equality_ids"))
+                  .flatMap(_ => Option(df.get("equality_ids")))
+                  .map(_.asInstanceOf[java.util.List[_]].asScala
+                    .map(_.asInstanceOf[Number].intValue).toSeq).getOrElse(Nil),
+                bounds = entryBounds(df),
+                fileFormat = gStr(df, "file_format"),
+                dvRef = off.map(o => (refFile.get, o,
+                  gLong(df, "content_size_in_bytes", 0L))),
+                referencedDataFile = if (off.isEmpty) refFile else None,
+                firstRowId = Option(df.getSchema.getField("first_row_id"))
+                  .flatMap(_ => Option(df.get("first_row_id")))
+                  .map(_.asInstanceOf[Number].longValue),
+                status = 0)
+            }
+          }
+          val mp = new Path(root,
+            s"metadata/manifest-$snapshotId-m${java.util.UUID.randomUUID().toString.take(8)}.avro")
+          IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
+          // merged field summary: element-wise contains_null OR,
+          // lower min / upper max by typed byte comparison; a member
+          // without bounds (null partition) contributes no bounds
+          val parts: AnyRef =
+            if (specId == 0) null
+            else {
+              val types = sumTypes.get
+              val perMan: Seq[Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])]] =
+                b.map { m =>
+                  Option(m.rec.getSchema.getField("partitions"))
+                    .flatMap(_ => Option(m.rec.get("partitions"))).map {
+                      _.asInstanceOf[java.util.List[_]].asScala.map { s0 =>
+                        val r = s0.asInstanceOf[GenericRecord]
+                        def byteOf(fd: String): Option[Array[Byte]] =
+                          Option(r.get(fd)).map { bb0 =>
+                            val bb = bb0.asInstanceOf[java.nio.ByteBuffer].duplicate()
+                            val out = new Array[Byte](bb.remaining()); bb.get(out); out
+                          }
+                        (Option(r.get("contains_null")).exists(_.asInstanceOf[Boolean]),
+                          byteOf("lower_bound"), byteOf("upper_bound"))
+                      }.toSeq
+                    }.getOrElse(types.map(_ => (true, None, None)))
+                }
+              val arr = new org.apache.avro.generic.GenericData.Array[GenericRecord](
+                types.length, FS)
+              types.zipWithIndex.foreach { case (dt, i) =>
+                val col0 = perMan.map(s0 =>
+                  if (i < s0.length) s0(i) else (true, None, None))
+                val rec = new org.apache.avro.generic.GenericData.Record(FS.getElementType)
+                rec.put("contains_null", col0.exists(_._1))
+                val los = col0.flatMap(_._2); val his = col0.flatMap(_._3)
+                if (los.nonEmpty && his.nonEmpty) {
+                  rec.put("lower_bound", java.nio.ByteBuffer.wrap(
+                    los.reduce((a, x) => if (cmpBound(dt, x, a) < 0) x else a)))
+                  rec.put("upper_bound", java.nio.ByteBuffer.wrap(
+                    his.reduce((a, x) => if (cmpBound(dt, x, a) > 0) x else a)))
+                }
+                arr.add(rec)
+              }
+              arr
+            }
+          outList += ((mp.toString, f.getFileStatus(mp).getLen, content,
+            b.map(m => gLong(m.rec, "sequence_number", 0L)).max,
+            specId, snapshotId, parts))
+        }
+      }
+    }
+    if (mergedAway == 0) return (curId, 0, listRecs.length)
+    val out = outList.result()
+    try {
+      onBeforeCommit()
+      val snap = commitMeta(spark, f, root, v0, StructType(Nil), snapshotId,
+        seqNo, Nil, replace = false, operation = Some("replace"),
+        priorOverride = Some(out))
+      (snap, mergedAway, out.length)
+    } catch {
+      case _: java.util.ConcurrentModificationException =>
+        out.filter(_._6 == snapshotId).foreach { case (p, _, _, _, _, _, _) =>
+          f.delete(new Path(p), false)
+        }
+        throw new IllegalStateException(
+          s"rewriteManifests on $dir raced a concurrent commit — its " +
+          "merged manifest set no longer reflects the head; re-run")
     }
   }
 

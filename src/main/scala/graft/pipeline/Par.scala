@@ -22,6 +22,17 @@ object Par {
     * remaining futures are cancelled — a failed stage must stop
     * issuing side effects (writes), not drain its queue in the
     * background after the exception has propagated. */
+  /** [[foreach]] that collects results in input order — for
+    * independent per-element PARSES (e.g. one Avro manifest each),
+    * where the driver-side loop is I/O-latency-bound and a bounded
+    * pool overlaps the reads. */
+  def map[A, B](xs: Seq[A], par: Int = 8)(fn: A => B): Seq[B] = {
+    if (xs.lengthCompare(2) < 0) return xs.map(fn)
+    val out = new Array[AnyRef](xs.size)
+    foreach(xs.zipWithIndex, par) { case (x, i) => out(i) = fn(x).asInstanceOf[AnyRef] }
+    out.toSeq.map(_.asInstanceOf[B])
+  }
+
   def foreach[A](xs: Seq[A], par: Int = 8)(fn: A => Unit): Unit = {
     if (xs.lengthCompare(2) < 0) { xs.foreach(fn); return }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(par, xs.size))

@@ -578,9 +578,14 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
     icebergOptimizeRe.findFirstMatchIn(t).map { m =>
       val dir = m.group(1)
       command(Seq(attr("files_rewritten", LongType),
-        attr("delete_files_folded", LongType))) { spark =>
+        attr("delete_files_folded", LongType),
+        attr("manifests_merged", LongType))) { spark =>
         val (_, rewritten, folded) = IcebergWrite.compact(spark, dir)
-        Seq(Row(rewritten.toLong, folded.toLong))
+        // the metadata half of OPTIMIZE: bin-pack the manifest LIST
+        // (append-heavy tables grow one manifest per commit even when
+        // every data file is already target-sized)
+        val (_, merged, _) = IcebergWrite.rewriteManifests(spark, dir)
+        Seq(Row(rewritten.toLong, folded.toLong, merged.toLong))
       }
     }.orElse(icebergVacuumRe.findFirstMatchIn(t).map { m =>
       val dir = m.group(1)

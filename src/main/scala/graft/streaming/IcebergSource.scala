@@ -162,14 +162,23 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
       // a row-level-DELETE snapshot adds no data files: with
       // ignoreDeletes it advances the offset emitting nothing (rows
       // already emitted stay downstream); otherwise it fails loudly
-      if (op != "append" && !(op == "delete" && ignoreDeletes) && !ignoreChanges)
-        throw new IllegalStateException(
-          s"snapshot $snapId (seq $seq) of $dir is '$op', not an append — " +
-          (if (op == "delete")
-             "set ignoreDeletes to skip delete snapshots (already-emitted rows stay)"
-           else "set ignoreChanges to re-emit its added files, or restart past it"))
-      IcebergInterop.streamAddedFiles(spark, dir, snapId,
-        ignoreDeletes = ignoreDeletes || ignoreChanges)
+      if (op != "append" && !(op == "delete" && ignoreDeletes) && !ignoreChanges) {
+        // streamAddedFiles itself refuses NEWLY-ADDED delete content;
+        // past that, a non-append snapshot that added DATA files
+        // (compaction rewrite, overwrite) needs an explicit
+        // ignoreChanges — but a METADATA-ONLY snapshot (a manifest
+        // merge: EXISTING entries only) adds no rows, and the tailer
+        // advances through it emitting nothing, no flag required
+        val added = IcebergInterop.streamAddedFiles(spark, dir, snapId,
+          ignoreDeletes = false)
+        if (added.nonEmpty)
+          throw new IllegalStateException(
+            s"snapshot $snapId (seq $seq) of $dir is '$op', not an append — " +
+            "set ignoreChanges to re-emit its added files, or restart past it")
+        added
+      } else
+        IcebergInterop.streamAddedFiles(spark, dir, snapId,
+          ignoreDeletes = ignoreDeletes || ignoreChanges)
     }))
 
   /** Walk forward from `prev` consuming up to `budget` files. */

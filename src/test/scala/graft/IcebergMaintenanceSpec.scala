@@ -220,4 +220,93 @@ class IcebergMaintenanceSpec extends AnyFunSuite {
     IcebergWrite.expireSnapshots(spark, dir, retainMillis = 3600000L)
     assert(young.exists(), "an in-flight staging dir must survive")
   }
+
+  private def manifestCount(dir: String): Int = {
+    IcebergInterop.readIceberg(spark, dir).count() // refresh lastManifestScan
+    val (read, skipped) = IcebergInterop.lastManifestScan
+    read + skipped
+  }
+
+  test("rewriteManifests bin-packs 50 appendOnce batches; reads identical") {
+    val dir = Files.createTempDirectory("graft-iceberg-rwman").toString
+    (1 to 50).foreach { k =>
+      IcebergWrite.appendOnce(Seq((k.toLong, s"b_$k")).toDF("id", "tag"),
+        dir, "sink", k.toLong)
+    }
+    assert(manifestCount(dir) == 50, "one manifest per append before merge")
+    val before = IcebergInterop.readIceberg(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq
+    val preSnap = IcebergInterop.snapshots(spark, dir)
+      .orderBy(desc("sequence_number")).head().getLong(0)
+    val (snap, merged, after) = IcebergWrite.rewriteManifests(spark, dir,
+      targetEntriesPerManifest = 10)
+    assert(merged > 0 && after <= math.ceil(50.0 / 10).toInt,
+      s"<= ceil(files/target) manifests after merge: merged=$merged after=$after")
+    assert(manifestCount(dir) == after)
+    // reads IDENTICAL; the rewrite is one `replace` snapshot on the log
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.select("id").as[Long].collect().sorted.toSeq == before)
+    assert(IcebergInterop.snapshots(spark, dir)
+      .filter(col("operation") === "replace").count() == 1)
+    // pre-rewrite state still time travels through its own manifest list
+    assert(IcebergInterop.readIceberg(spark, dir, Some(preSnap)).count() == 50)
+    assert(snap != preSnap)
+    // the exactly-once ledger rides the summaries — replay still refuses
+    IcebergWrite.appendOnce(Seq((50L, "dup")).toDF("id", "tag"), dir, "sink", 50L)
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 50)
+    // idempotent: an already-packed list is a no-op (no new snapshot)
+    val snaps0 = IcebergInterop.snapshots(spark, dir).count()
+    val (_, merged2, _) = IcebergWrite.rewriteManifests(spark, dir,
+      targetEntriesPerManifest = 10)
+    assert(merged2 == 0 && IcebergInterop.snapshots(spark, dir).count() == snaps0)
+  }
+
+  test("rewriteManifests merges partitioned manifests with a MERGED field summary") {
+    val dir = Files.createTempDirectory("graft-iceberg-rwman-part").toString
+    // 4 partitioned appends × 4 buckets = 16 manifests, 4 per bucket value
+    (0 until 4).foreach { k =>
+      IcebergWrite.appendPartitioned(
+        (0L until 40L).map(i => (i, s"r$k-$i")).toDF("id", "tag"),
+        dir, "id", "bucket[4]")
+    }
+    assert(manifestCount(dir) == 16)
+    val (_, merged, after) = IcebergWrite.rewriteManifests(spark, dir,
+      targetEntriesPerManifest = 1000)
+    assert(merged == 15 && after == 1, s"merged=$merged after=$after")
+    // the merged summary spans bucket values 0..3 — a point read still
+    // prunes NOTHING here (one manifest holds all buckets), but the
+    // values must all still be reachable and correct
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.count() == 160)
+    assert(IcebergInterop.readIcebergWhere(spark, dir,
+      Map("id" -> ((17.0, 17.0)))).count() == 4)
+    // delete + compact after a manifest merge still works end-to-end
+    IcebergWrite.deleteWhere(spark, dir, col("id") < 5)
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 140)
+  }
+
+  test("rewriteManifests keeps skipping when bins align with values") {
+    val dir = Files.createTempDirectory("graft-iceberg-rwman-skip").toString
+    // two single-value appends per partition value, in value order →
+    // the manifest list carries per-value ADJACENT pairs
+    Seq("g1", "g2", "g3").foreach { g =>
+      (0 until 2).foreach { k =>
+        IcebergWrite.appendPartitioned(
+          Seq((g.last.toLong * 10 + k, g)).toDF("id", "grp"), dir, "grp")
+      }
+    }
+    assert(manifestCount(dir) == 6)
+    // target 2 entries/manifest: bins align with values — each merged
+    // manifest covers exactly one value, and its MERGED summary keeps
+    // the point read pruning to one manifest
+    val (_, merged, after) = IcebergWrite.rewriteManifests(spark, dir,
+      targetEntriesPerManifest = 2)
+    assert(merged == 3 && after == 3, s"merged=$merged after=$after")
+    val hit = IcebergInterop.readIcebergWhere(spark, dir, Map.empty,
+      stringEq = Map("grp" -> "g2"))
+    assert(hit.count() == 2)
+    val (read, skipped) = IcebergInterop.lastManifestScan
+    assert(read == 1 && skipped == 2,
+      s"merged summaries must still skip: read=$read skipped=$skipped")
+  }
 }

@@ -231,4 +231,29 @@ class IcebergSourceSpec extends AnyFunSuite {
         e.getMessage)
     } finally q.stop()
   }
+
+  test("a manifest merge mid-stream is invisible to the tailer (no flags needed)") {
+    val dir = Files.createTempDirectory("graft-ice-src-rwman").toString
+    (0 until 5).foreach { k =>
+      IcebergWrite.append(
+        Seq((k.toLong, s"a_$k")).toDF("id", "tag"), dir)
+    }
+    val (buf, q, _) = collectStream(dir, s"$dir/ckpt")
+    try {
+      q.processAllAvailable()
+      assert(buf.synchronized(buf.size) == 5)
+      // the maintenance snapshot lands MID-STREAM: a `replace` commit
+      // of EXISTING-only entries — no ignoreChanges, no error, nothing
+      // re-emitted
+      val (_, merged, _) = IcebergWrite.rewriteManifests(spark, dir,
+        targetEntriesPerManifest = 100)
+      assert(merged == 4)
+      IcebergWrite.append(Seq((100L, "post")).toDF("id", "tag"), dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(buf.synchronized(buf.map(_._1).sorted.toSeq) ==
+      Seq(0L, 1L, 2L, 3L, 4L, 100L),
+      s"tailer must pass through the merge emitting only the new append: " +
+      buf.synchronized(buf.toList))
+  }
 }

@@ -1110,19 +1110,20 @@ object IcebergWrite {
         (dst, f.getFileStatus(dst).getLen)
       }.toSeq
     f.delete(staging, true)
-    val counts: Map[String, Long] =
+    // counts AND key-column bounds in one grouped job: the bounds let
+    // compact (and bound-aware readers) prune data files whose key
+    // ranges provably exclude every deleted tuple
+    val keyIds = idsByName.view.filterKeys(keys.columns.contains).toMap
+    val stats: Map[String, (Long, Map[Int, (Array[Byte], Array[Byte])])] =
       if (staged.isEmpty) Map.empty
-      else spark.read.parquet(staged.map(_._1.toString): _*)
-        .groupBy(col("_metadata.file_path").as("_p"))
-        .agg(count(lit(1)).as("_n"))
-        .collect().map(r => canonPath(r.getString(0)) -> r.getLong(1)).toMap
+      else allFileStats(spark, staged.map(_._1.toString), keyIds)
     val (delFiles, empties) =
-      staged.partition(p => counts.contains(canonPath(p._1.toString)))
+      staged.partition(p => stats.contains(canonPath(p._1.toString)))
     empties.foreach { case (p, _) => f.delete(p, false) }
     if (delFiles.isEmpty)
       return (readMeta(f, root, currentVersion(f, root))
         .map(_.path("current-snapshot-id").asLong(-1L)).getOrElse(-1L), 0L)
-    val nKeys = counts.values.sum
+    val nKeys = stats.values.map(_._1).sum
 
     var attempt = 0
     var base = v0
@@ -1131,8 +1132,9 @@ object IcebergWrite {
       val seqNo = readMeta(f, root, base)
         .map(_.path("last-sequence-number").asLong(0L)).getOrElse(0L) + 1L
       val entries = delFiles.map { case (p, size) =>
-        IcebergFormat.entry(2, p.toString, counts(canonPath(p.toString)),
-          size, snapshotId, seqNo, equalityIds = equalityIds)
+        val (n, bounds) = stats(canonPath(p.toString))
+        IcebergFormat.entry(2, p.toString, n, size, snapshotId, seqNo,
+          equalityIds = equalityIds, bounds = bounds)
       }
       val mp = new Path(root,
         s"metadata/delete-manifest-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
@@ -1351,8 +1353,13 @@ object IcebergWrite {
     def liveEntries(m: Man): Seq[GenericRecord] =
       m.entries.filter(e => gInt(e, "status", 0) != 2)
     // the live delete inventory decides which data files are dirty
-    val delEntries = delMans.flatMap(liveEntries)
-      .map(_.get("data_file").asInstanceOf[GenericRecord])
+    val delEntryRecs: Seq[(GenericRecord, GenericRecord, Long)] =
+      delMans.flatMap { m =>
+        val mseq = gLong(m.rec, "sequence_number", 0L)
+        liveEntries(m).map(e =>
+          (e, e.get("data_file").asInstanceOf[GenericRecord], mseq))
+      }
+    val delEntries = delEntryRecs.map(_._2)
     val posParquets = delEntries.filter { df =>
       gInt(df, "content", 0) == 1 &&
         gStr(df, "file_format").equalsIgnoreCase("parquet") &&
@@ -1367,19 +1374,58 @@ object IcebergWrite {
     }.flatMap(df => Option(df.getSchema.getField("referenced_data_file"))
       .flatMap(_ => Option(df.get("referenced_data_file"))).map(
         p => canonPath(resolveU(p.toString)))).toSet
-    val hasEq = delEntries.exists(df => gInt(df, "content", 0) == 2)
+    // live EQUALITY deletes: (delete sequence, equality ids, key bounds)
+    // — a data file is dirty from one only when its sequence number
+    // ADMITS the delete (strictly below, the spec's ordering rule) AND
+    // its column bounds on every equality-id column OVERLAP the delete
+    // file's key bounds (disjoint on ANY key column ⇒ no tuple can
+    // match). Absent bounds on either side ⇒ assume overlap. At 100 TB
+    // this keeps one GDPR equality delete from turning the next
+    // compaction into a full-table rewrite.
+    val eqDeletes: Seq[(Long, Seq[Int], Map[Int, (Array[Byte], Array[Byte])])] =
+      delEntryRecs.filter(t => gInt(t._2, "content", 0) == 2).map {
+        case (e, df, mseq) =>
+          val ids = Option(df.getSchema.getField("equality_ids"))
+            .flatMap(_ => Option(df.get("equality_ids")))
+            .map(_.asInstanceOf[java.util.List[_]].asScala
+              .map(_.asInstanceOf[Number].intValue).toSeq).getOrElse(Nil)
+          (gLong(e, "sequence_number", mseq), ids, entryBounds(df))
+      }
+    val dtOfId: Map[Int, DataType] = currentSchemaNode(m0).path("fields")
+      .elements().asScala.flatMap(fd =>
+        resultTypeOfName(fd.path("type").asText)
+          .map(fd.path("id").asInt -> _)).toMap
+    def eqAdmits(dataSeq: Long,
+                 dataBounds: Map[Int, (Array[Byte], Array[Byte])]): Boolean =
+      eqDeletes.exists { case (delSeq, ids, delBounds) =>
+        dataSeq < delSeq && (ids.isEmpty || ids.forall { id =>
+          (dataBounds.get(id), delBounds.get(id), dtOfId.get(id)) match {
+            case (Some((dLo, dHi)), Some((kLo, kHi)), Some(dt)) =>
+              cmpBound(dt, dLo, kHi) <= 0 && cmpBound(dt, kLo, dHi) <= 0
+            case _ => true // no bounds / undecodable type: assume overlap
+          }
+        })
+      }
     val posRefs: Set[String] =
       if (posParquets.isEmpty) Set.empty
       else spark.read.parquet(posParquets: _*)
         .select(col("file_path")).distinct()
         .collect().map(r => canonPath(r.getString(0))).toSet
-    def isDirty(path: String, size: Long): Boolean =
-      hasEq || posRefs(canonPath(path)) || dvRefs(canonPath(path)) ||
-        size < smallFileBytes
-    val dirtyFiles: Seq[(String, Long)] = dataMans.flatMap(liveEntries(_).map { e =>
+    def isDirty(e: GenericRecord, manSeq: Long): Boolean = {
       val df = e.get("data_file").asInstanceOf[GenericRecord]
-      (resolveU(gStr(df, "file_path")), gLong(df, "file_size_in_bytes", 0L))
-    }).filter { case (p, sz) => isDirty(p, sz) }
+      val path = resolveU(gStr(df, "file_path"))
+      posRefs(canonPath(path)) || dvRefs(canonPath(path)) ||
+        gLong(df, "file_size_in_bytes", 0L) < smallFileBytes ||
+        (eqDeletes.nonEmpty &&
+          eqAdmits(gLong(e, "sequence_number", manSeq), entryBounds(df)))
+    }
+    val dirtyFiles: Seq[(String, Long)] = dataMans.flatMap { m =>
+      val mseq = gLong(m.rec, "sequence_number", 0L)
+      liveEntries(m).filter(isDirty(_, mseq)).map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        (resolveU(gStr(df, "file_path")), gLong(df, "file_size_in_bytes", 0L))
+      }
+    }
     // already compact: no deletes to fold and at most one small file
     if (delMans.isEmpty && dirtyFiles.lengthCompare(1) <= 0)
       return (curId, 0, 0)
@@ -1398,10 +1444,8 @@ object IcebergWrite {
     val nameOfId = currentFieldIds(m0).map(_.swap).toMap
     val rewriteSpec: Option[(String, String)] = { // (source column, transform)
       val dirtySpecIds = dataMans.filter(m =>
-        liveEntries(m).exists { e =>
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          isDirty(resolveU(gStr(df, "file_path")), gLong(df, "file_size_in_bytes", 0L))
-        }).map(m => gInt(m.rec, "partition_spec_id", 0)).distinct
+        liveEntries(m).exists(isDirty(_, gLong(m.rec, "sequence_number", 0L)))
+      ).map(m => gInt(m.rec, "partition_spec_id", 0)).distinct
       dirtySpecIds match {
         case Seq(sid) if sid != 0 =>
           m0.path("partition-specs").elements().asScala
@@ -1488,10 +1532,8 @@ object IcebergWrite {
           .flatMap(_ => Option(r.get("partitions"))).orNull)
     dataMans.foreach { man =>
       val live = liveEntries(man)
-      val (dirtyE, cleanE) = live.partition { e =>
-        val df = e.get("data_file").asInstanceOf[GenericRecord]
-        isDirty(resolveU(gStr(df, "file_path")), gLong(df, "file_size_in_bytes", 0L))
-      }
+      val (dirtyE, cleanE) =
+        live.partition(isDirty(_, gLong(man.rec, "sequence_number", 0L)))
       if (dirtyE.isEmpty)
         carried += manTuple(man.rec, gStr(man.rec, "manifest_path"),
           gLong(man.rec, "manifest_length", 0L))

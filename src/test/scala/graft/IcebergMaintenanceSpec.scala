@@ -227,6 +227,45 @@ class IcebergMaintenanceSpec extends AnyFunSuite {
     read + skipped
   }
 
+  test("compact prunes equality deletes by key bounds: excluded files never rewrite") {
+    val dir = Files.createTempDirectory("graft-iceberg-eqprune").toString
+    // two disjoint-range files: A holds ids 0-49, B holds ids 1000-1049
+    IcebergWrite.append(
+      (0L until 50L).map(i => (i, s"a_$i")).toDF("id", "tag").coalesce(1), dir)
+    IcebergWrite.append(
+      (1000L until 1050L).map(i => (i, s"b_$i")).toDF("id", "tag").coalesce(1), dir)
+    val filesBefore = IcebergInterop.readIceberg(spark, dir).inputFiles.toSet
+    assert(filesBefore.size == 2)
+    val fileA = filesBefore.find { p =>
+      spark.read.parquet(p).agg(min("id")).head().getLong(0) == 0L
+    }.get
+    // GDPR-shaped equality delete: 5 keys, all inside B's range
+    val (_, nk) = IcebergWrite.equalityDelete(spark, dir,
+      (1000L until 1005L).toDF("id").coalesce(1))
+    assert(nk == 5)
+    // a LATER append overlapping the deleted keys: seq ABOVE the
+    // delete — never masked, never dirty
+    IcebergWrite.append(
+      Seq((1000L, "re"), (1002L, "re")).toDF("id", "tag").coalesce(1), dir)
+    val fileC = (IcebergInterop.readIceberg(spark, dir).inputFiles.toSet
+      -- filesBefore).head
+    val (_, rewritten, folded) = IcebergWrite.compact(spark, dir,
+      smallFileBytes = 0L)
+    assert(rewritten == 1 && folded == 1,
+      s"ONLY the bounds-overlapping older file rewrites: $rewritten/$folded")
+    val after = IcebergInterop.readIceberg(spark, dir)
+    val paths = after.inputFiles.toSet
+    assert(paths.contains(fileA), "file A (bounds-excluded) must carry verbatim")
+    assert(paths.contains(fileC), "file C (sequence-excluded) must carry verbatim")
+    assert(after.count() == 97, s"50 + 45 + 2 rows: ${after.count()}")
+    assert(after.filter(col("id").isin(1000L, 1002L)).count() == 2,
+      "re-appended keys survive the fold")
+    assert(after.filter(col("tag").startsWith("b_") &&
+      col("id") < 1005L).count() == 0, "older masked rows folded away")
+    // the delete manifests dropped: the masks are physical now
+    assert(!paths.exists(_.contains("eqdelete-")))
+  }
+
   test("rewriteManifests bin-packs 50 appendOnce batches; reads identical") {
     val dir = Files.createTempDirectory("graft-iceberg-rwman").toString
     (1 to 50).foreach { k =>

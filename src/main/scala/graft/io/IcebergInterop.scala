@@ -933,10 +933,18 @@ object IcebergInterop {
     import spark.implicits._
     val meta = readJson(spark, currentMetadataPath(spark, dir))
     meta.path("snapshots").elements().asScala.toSeq.map { s0 =>
+      val sum = s0.path("summary")
+      def n(k: String): Long = sum.path(k).asText("-1").toLong
       (s0.path("snapshot-id").asLong, s0.path("sequence-number").asLong(0L),
         s0.path("timestamp-ms").asLong(0L),
-        s0.path("summary").path("operation").asText(""))
-    }.toDF("snapshot_id", "sequence_number", "timestamp_ms", "operation")
+        sum.path("operation").asText(""),
+        // standard summary counts (-1 = absent: a foreign writer that
+        // records no summary numbers)
+        n("added-data-files"), n("added-records"),
+        n("total-data-files"), n("total-delete-files"), n("total-records"))
+    }.toDF("snapshot_id", "sequence_number", "timestamp_ms", "operation",
+      "added_data_files", "added_records",
+      "total_data_files", "total_delete_files", "total_records")
   }
 
   // ──────────── streaming-source support (graft-iceberg) ────────────

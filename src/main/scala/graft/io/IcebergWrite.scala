@@ -2385,6 +2385,79 @@ object IcebergWrite {
     txn.foreach { case (appId, tv) =>
       sum.put("graft-app-id", appId); sum.put("graft-txn", tv)
     }
+    // ---- standard summary counts (all values STRINGS, the spec's
+    // Map<String,String>) so foreign engines' snapshots/history views
+    // show real numbers. added-* reads only THIS commit's manifests;
+    // total-* rolls forward from the previous snapshot's summary
+    // (O(1) per append) and falls back to one full manifest walk when
+    // the lineage has no recorded totals (first commit after upgrade,
+    // foreign history) or the commit restructured the list
+    // (overwrite / compaction / rollback / manifest merge). ----
+    final case class Tot(records: Long = 0, dataFiles: Long = 0,
+                         delFiles: Long = 0, posDel: Long = 0,
+                         eqDel: Long = 0, size: Long = 0) {
+      def +(o: Tot) = Tot(records + o.records, dataFiles + o.dataFiles,
+        delFiles + o.delFiles, posDel + o.posDel, eqDel + o.eqDel, size + o.size)
+    }
+    def totOf(entries: Seq[GenericRecord], addedOnly: Boolean): Tot =
+      entries.foldLeft(Tot()) { (t, e) =>
+        val st = Option(e.get("status")).map(_.asInstanceOf[Number].intValue).getOrElse(0)
+        if ((addedOnly && st != 1) || (!addedOnly && st == 2)) t
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val rc = gLong(df, "record_count", 0L)
+          val sz = gLong(df, "file_size_in_bytes", 0L)
+          gInt(df, "content", 0) match {
+            case 0 => t + Tot(records = rc, dataFiles = 1, size = sz)
+            case 1 => t + Tot(delFiles = 1, posDel = rc)
+            case _ => t + Tot(delFiles = 1, eqDel = rc)
+          }
+        }
+      }
+    val added = newManifests.map(nm => totOf(
+      IcebergFormat.readAvro(spark.sparkContext.hadoopConfiguration, nm.path),
+      addedOnly = true)).foldLeft(Tot())(_ + _)
+    val prevTot: Option[Tot] = prevMeta.flatMap { m =>
+      val cur = m.path("current-snapshot-id").asLong(-1L)
+      m.path("snapshots").elements().asScala
+        .find(_.path("snapshot-id").asLong == cur)
+        .map(_.path("summary")).filter(_.has("total-records")).map { s1 =>
+          def g(k: String) = s1.path(k).asText("0").toLong
+          Tot(g("total-records"), g("total-data-files"), g("total-delete-files"),
+            g("total-position-deletes"), g("total-equality-deletes"),
+            g("total-files-size"))
+        }
+    }
+    val totals: Tot =
+      if (priorOverride.isEmpty && !replace && prevTot.isDefined)
+        prevTot.get + added // append-shaped: nothing removed
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        graft.pipeline.Par.map(prior.map(_._1) ++ fresh.map(_._1))(p =>
+          totOf(IcebergFormat.readAvro(conf, new Path(p)), addedOnly = false))
+          .foldLeft(Tot())(_ + _)
+      }
+    def putN(k: String, v: Long): Unit = sum.put(k, v.toString)
+    putN("added-data-files", added.dataFiles)
+    putN("added-records", added.records)
+    putN("added-files-size", added.size)
+    if (added.delFiles > 0) putN("added-delete-files", added.delFiles)
+    if (added.posDel > 0) putN("added-position-deletes", added.posDel)
+    if (added.eqDel > 0) putN("added-equality-deletes", added.eqDel)
+    prevTot.foreach { p =>
+      val remFiles = p.dataFiles + added.dataFiles - totals.dataFiles
+      val remRecs = p.records + added.records - totals.records
+      val remDel = p.delFiles + added.delFiles - totals.delFiles
+      if (remFiles > 0) putN("deleted-data-files", remFiles)
+      if (remRecs > 0) putN("deleted-records", remRecs)
+      if (remDel > 0) putN("removed-delete-files", remDel)
+    }
+    putN("total-records", totals.records)
+    putN("total-files-size", totals.size)
+    putN("total-data-files", totals.dataFiles)
+    putN("total-delete-files", totals.delFiles)
+    putN("total-position-deletes", totals.posDel)
+    putN("total-equality-deletes", totals.eqDel)
     // refs: the main branch tracks the head; every other ref (tags,
     // foreign branches) carries forward untouched in the deep copy
     val refs =

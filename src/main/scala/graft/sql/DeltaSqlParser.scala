@@ -324,7 +324,11 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
       val dir = m.group(1)
       command(Seq(attr("snapshot_id", LongType),
         attr("sequence_number", LongType), attr("timestamp_ms", LongType),
-        attr("operation", StringType))) { spark =>
+        attr("operation", StringType),
+        attr("added_data_files", LongType), attr("added_records", LongType),
+        attr("total_data_files", LongType),
+        attr("total_delete_files", LongType),
+        attr("total_records", LongType))) { spark =>
         graft.io.IcebergInterop.snapshots(spark, dir).collect().toSeq
       }
     }.orElse(historyRe.findFirstMatchIn(t).flatMap(m => ref(m, 1).map { case (dir, _) =>

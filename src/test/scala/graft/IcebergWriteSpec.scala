@@ -14,6 +14,51 @@ class IcebergWriteSpec extends AnyFunSuite {
   lazy val spark = SharedSpark.spark
   import spark.implicits._
 
+  test("snapshot summaries record the spec's standard counts across the lifecycle") {
+    val dir = Files.createTempDirectory("graft-iceberg-summary").toString
+    def sumOf(snapId: Long): Map[String, String] = {
+      val M = new com.fasterxml.jackson.databind.ObjectMapper()
+      val v = new java.io.File(s"$dir/metadata").list()
+        .flatMap("""^v(\d+)\.metadata\.json$""".r.findFirstMatchIn(_))
+        .map(_.group(1).toInt).max
+      import scala.jdk.CollectionConverters._
+      val m = M.readTree(new java.io.File(s"$dir/metadata/v$v.metadata.json"))
+      m.path("snapshots").elements().asScala
+        .find(_.path("snapshot-id").asLong == snapId).get.path("summary")
+        .properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+    val s1 = IcebergWrite.append(
+      (0L until 40L).map(i => (i, s"a_$i")).toDF("id", "tag").coalesce(2), dir)
+    val m1 = sumOf(s1)
+    assert(m1("added-data-files") == "2" && m1("added-records") == "40")
+    assert(m1("total-records") == "40" && m1("total-data-files") == "2")
+    assert(m1("total-delete-files") == "0")
+    val s2 = IcebergWrite.append(
+      (40L until 50L).map(i => (i, s"b_$i")).toDF("id", "tag").coalesce(1), dir)
+    val m2 = sumOf(s2)
+    assert(m2("added-records") == "10" && m2("total-records") == "50")
+    assert(m2("total-data-files") == "3")
+    // a MoR delete adds delete content; data totals are untouched
+    val (s3, _) = IcebergWrite.deleteWhere(spark, dir, col("id") < 5)
+    val m3 = sumOf(s3)
+    assert(m3("added-position-deletes") == "5" && m3("added-delete-files").toLong >= 1)
+    assert(m3("total-records") == "50" && m3("total-position-deletes") == "5")
+    // compact folds: data files swap, delete content drops, records shrink
+    val (s4, _, _) = IcebergWrite.compact(spark, dir, smallFileBytes = 0L)
+    val m4 = sumOf(s4)
+    assert(m4("deleted-data-files").toLong >= 1 && m4("removed-delete-files").toLong >= 1)
+    assert(m4("total-records") == "45" && m4("total-delete-files") == "0")
+    assert(m4("total-position-deletes") == "0")
+    // the counts surface on the history view (and its SQL twin)
+    val hist = IcebergInterop.snapshots(spark, dir)
+      .orderBy("sequence_number").collect()
+    assert(hist.map(_.getLong(5)).take(2).toSeq == Seq(40L, 10L)) // added_records
+    assert(hist.last.getLong(8) == 45L, "total_records after the fold")
+    val sqlHist = spark.sql(s"DESCRIBE HISTORY iceberg.`$dir`")
+    assert(sqlHist.columns.contains("total_records"))
+    assert(sqlHist.orderBy("sequence_number").collect().last.getLong(8) == 45L)
+  }
+
   test("create + two appends + overwrite: read-back, history, time travel") {
     val dir = Files.createTempDirectory("graft-iceberg-write").toString
     val s1 = IcebergWrite.append(

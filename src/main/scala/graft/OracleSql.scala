@@ -686,6 +686,15 @@ object OracleSql {
         |FROM (SELECT * FROM live UNION ALL SELECT * FROM reins
         |      UNION ALL SELECT * FROM ins)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q204: multi-field (day(ts), bucket(user_id)) partitioned Iceberg
+    // write — the low event_id decile deleted + folded; the 2-D
+    // manifest-skip probes are in-query requires
+    "q204_iceberg_multi_partition" ->
+      """WITH mm AS (SELECT min(event_id) AS mn, max(event_id) AS mx FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS total
+        |FROM events, mm
+        |WHERE event_id >= mn + (mx - mn) // 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q196: native Iceberg maintenance — the low third masked, then
     // the same aggregate through live/compacted/expired states
     "q196_iceberg_maintenance" ->

@@ -3064,4 +3064,71 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("lang"))
   }
+
+  /** q204 — MULTI-FIELD hidden-partitioned Iceberg WRITES
+    * ([[graft.io.IcebergWrite.appendPartitioned]] with
+    * `(day(ts), bucket[4](user_id))` — the standard event-table
+    * layout): one manifest per (day, bucket) TUPLE with a field
+    * summary per spec field, so a (one day × one user) probe prunes
+    * TWO-DIMENSIONALLY to exactly ONE manifest (asserted in-query);
+    * metadata stays ∝ partition tuples (30 days × 4 buckets here), not
+    * rows, at any corpus size. A stats-pruned MoR delete masks the low
+    * event_id band, then compact folds it PRESERVING both partition
+    * dimensions — the same 2-D probe still opens one manifest after
+    * the rewrite (asserted). DuckDB replays the surviving corpus
+    * analytically. */
+  private[graft] def q204(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val tmp = graft.io.TempDirs.scratch("graft-q204")
+    graft.io.IcebergWrite.appendPartitioned(ev, tmp,
+      Seq(("ts", "day"), ("user_id", "bucket[4]")))
+    def read() = graft.io.IcebergInterop.readIceberg(s, tmp)
+    require(read().count() == ev.count(), "the corpus must round-trip")
+    val manTotal = {
+      val (r0, s0) = graft.io.IcebergInterop.lastManifestScan; r0 + s0
+    }
+    require(manTotal >= 30, s"one manifest per (day,bucket) tuple: $manTotal")
+    // 2-D probe: user 0's LAST UTC day × user 0's bucket → ONE
+    // manifest (the last day survives the low-band delete below; the
+    // first day is exactly what it wipes)
+    val tsMax = ev.filter(col("user_id") === 0L)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val day0 = Math.floorDiv(tsMax, 86400000000L)
+    val (lo, hi) = (day0 * 86400000000L, day0 * 86400000000L + 86399999999L)
+    def probe(): DataFrame = graft.io.IcebergInterop.readIcebergWhere(s, tmp,
+      Map("ts" -> ((lo.toDouble, hi.toDouble)),
+          "user_id" -> ((0.0, 0.0))))
+      .filter(col("user_id") === 0L)
+    val expected = ev.filter(col("user_id") === 0L &&
+      unix_micros(col("ts")).between(lo, hi)).count()
+    require(expected > 0 && probe().count() == expected,
+      s"the 2-D probe must read user 0's first day: $expected")
+    val (r1, s1) = graft.io.IcebergInterop.lastManifestScan
+    require(r1 == 1 && s1 == manTotal - 1,
+      s"day × bucket prune must open ONE manifest: read=$r1 skipped=$s1")
+    // stats-pruned MoR delete of the low event_id band, then compact
+    // PRESERVING both partition dimensions
+    val mm = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val k = mn + (mx - mn) / 10
+    val (_, nDel) = graft.io.IcebergWrite.deleteWhere(s, tmp,
+      col("event_id") < k, ranges = Map("event_id" -> ((mn.toDouble, (k - 1).toDouble))))
+    require(nDel > 0, "the delete must hit the low band")
+    val (_, rewritten, folded) = graft.io.IcebergWrite.compact(s, tmp,
+      smallFileBytes = 0L)
+    require(rewritten > 0 && folded > 0, s"compact folds: $rewritten/$folded")
+    require(!read().inputFiles.exists(_.contains("/data/delete-")))
+    val expected2 = ev.filter(col("user_id") === 0L && col("event_id") >= k &&
+      unix_micros(col("ts")).between(lo, hi)).count()
+    require(probe().count() == expected2,
+      "the probe must read the surviving band after the fold")
+    val (r2, _) = graft.io.IcebergInterop.lastManifestScan
+    require(r2 == 1,
+      s"2-D skipping must SURVIVE the partition-preserving compact: read=$r2")
+    read().groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type"))
+  }
 }

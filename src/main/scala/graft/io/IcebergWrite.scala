@@ -58,24 +58,27 @@ object IcebergWrite {
     * a spec inject a deterministic version race. No-op in production. */
   private[graft] var onBeforeCommit: () => Unit = () => ()
 
-  /** A partition-spec request for one commit: single partition field
-    * `transform(srcColumn)`. [[commitMeta]] resolves it to an existing
-    * spec with the same (source-id, transform) or registers a fresh
-    * one (spec-id = max + 1, field-id = last-partition-id + 1). */
-  private final case class SpecReq(fieldName: String, srcId: Int,
-                                   transform: String)
+  /** A partition-spec request for one commit: ORDERED partition
+    * fields `transform(srcColumn)` — one or many (the standard event
+    * layout is `(day(ts), bucket(id))`). [[commitMeta]] resolves it to
+    * an existing spec with the same ordered (source-id, transform)
+    * list or registers a fresh one (spec-id = max + 1, field-ids
+    * allocated past last-partition-id, never reused). */
+  private final case class SpecReq(fields: Seq[(String, Int, String)])
 
-  /** A partitioned manifest's field summary for the manifest list:
-    * whether the partition holds nulls, and the (lo, hi) bound bytes
-    * (absent for the null partition — no bounds without evidence). */
+  /** A partitioned manifest's per-field summary for the manifest
+    * list: whether the partition holds nulls, and the (lo, hi) bound
+    * bytes (absent for the null partition — no bounds without
+    * evidence). */
   private final case class Summary(containsNull: Boolean,
       bounds: Option[(Array[Byte], Array[Byte])])
 
   /** One freshly-authored manifest for a commit: `partitioned`
-    * manifests take the commit's resolved spec id and carry `summary`
-    * for manifest-level skipping; content kind 0 = data, 1 = deletes. */
+    * manifests take the commit's resolved spec id and carry one
+    * `summary` PER SPEC FIELD (in spec order) for manifest-level
+    * skipping; content kind 0 = data, 1 = deletes. */
   private final case class NewManifest(path: Path, partitioned: Boolean,
-      summary: Option[Summary], content: Int = 0)
+      summary: Option[Seq[Summary]], content: Int = 0)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -105,12 +108,13 @@ object IcebergWrite {
     sb.toString
   }
 
-  /** Decode one staged `_graft_p=<v>` directory name to its typed
+  /** Decode one staged `<prefix>=<v>` directory name to its typed
     * transformed partition value; None = the null partition (Spark's
     * default-partition sentinel). Shared by [[appendPartitioned]] and
     * [[compact]]'s partition-preserving rewrite. */
-  private def decodePartValue(dirName: String, resultDt: DataType): Option[Any] = {
-    val raw = unescapePathName(dirName.stripPrefix("_graft_p="))
+  private def decodePartValue(dirName: String, prefix: String,
+                              resultDt: DataType): Option[Any] = {
+    val raw = unescapePathName(dirName.stripPrefix(s"$prefix="))
     if (raw == "__HIVE_DEFAULT_PARTITION__") None
     else Some(resultDt match {
       case IntegerType => raw.toInt
@@ -118,6 +122,95 @@ object IcebergWrite {
       case _ => raw
     })
   }
+
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncRe = """truncate\[(\d+)\]""".r
+
+  /** Validate a (transform, source type) combination and return the
+    * transform's RESULT type (what partition directories and field
+    * summaries carry). */
+  private def transformResultType(transform: String, srcDt: DataType): DataType = {
+    val ok = (transform, srcDt) match {
+      case ("identity", IntegerType | LongType | StringType) => true
+      case ("year" | "month" | "day",
+            DateType | TimestampType | TimestampNTZType) => true
+      case ("hour", TimestampType | TimestampNTZType) => true
+      case (BucketRe(_), IntegerType | LongType | StringType | DateType
+            | TimestampType | TimestampNTZType) => true
+      case (TruncRe(_), IntegerType | LongType | StringType) => true
+      case _ => false
+    }
+    require(ok, s"partition transform $transform does not apply to a $srcDt column")
+    IcebergTransforms.resultType(transform, srcDt).get
+  }
+
+  /** The spec field NAME a transform gets (Iceberg's convention:
+    * identity keeps the column name; transforms suffix it). */
+  private def specFieldName(c: String, transform: String): String =
+    transform match {
+      case "identity" => c
+      case BucketRe(_) => s"${c}_bucket"
+      case TruncRe(_) => s"${c}_trunc"
+      case t => s"${c}_$t"
+    }
+
+  /** Stage `df` hive-partitioned on its TRANSFORMED partition-value
+    * columns (`_graft_p0..k`, computed by the codegen
+    * [[graft.functions.expressions.IcebergPartitionValue]]), rename
+    * every leaf into `data/` under fresh unique names, and return one
+    * row per partition-value TUPLE (decoded per field; None = the
+    * null partition) with its files — ONE distributed write job
+    * regardless of how many partition values exist. */
+  private def stagePartitioned(spark: SparkSession, f: FileSystem, root: Path,
+      dfWithIds: DataFrame, parts: Seq[(String, String)],
+      resultDts: Seq[DataType]): Seq[(Seq[Option[Any]], Seq[(Path, Long)])] = {
+    import org.apache.spark.sql.functions.col
+    val staging = new Path(root,
+      s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    val pNames = parts.indices.map(i => s"_graft_p$i")
+    val staged = parts.zipWithIndex.foldLeft(dfWithIds) {
+      case (d, ((c, transform), i)) =>
+        val pCol =
+          if (transform == "identity") col(c)
+          else org.apache.spark.sql.GraftBridge.column(
+            graft.functions.expressions.IcebergPartitionValue(
+              org.apache.spark.sql.GraftBridge.expression(col(c)), transform))
+        d.withColumn(pNames(i), pCol)
+    }
+    staged.write.partitionBy(pNames: _*).parquet(staging.toString)
+    def walk(d: Path, level: Int, acc: Seq[Option[Any]])
+        : Seq[(Seq[Option[Any]], Seq[(Path, Long)])] =
+      if (level == parts.size) {
+        val files = f.listStatus(d)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val dst = new Path(root, s"data/${java.util.UUID.randomUUID()}.parquet")
+            require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
+            (dst, f.getFileStatus(dst).getLen)
+          }.toSeq
+        Seq((acc, files))
+      } else f.listStatus(d)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"${pNames(level)}="))
+        .sortBy(_.getPath.getName)
+        .flatMap(sub => walk(sub.getPath, level + 1, acc :+
+          decodePartValue(sub.getPath.getName, pNames(level), resultDts(level))))
+        .toSeq
+    val out = walk(staging, 0, Nil)
+    f.delete(staging, true)
+    out
+  }
+
+  /** The per-field manifest-list summary of one partition-value
+    * tuple: a null value ⇒ contains_null with no bounds; otherwise a
+    * single-value (lo = hi) bound. */
+  private def summariesOf(vals: Seq[Option[Any]],
+                          resultDts: Seq[DataType]): Seq[Summary] =
+    vals.zip(resultDts).map {
+      case (None, _) => Summary(containsNull = true, None)
+      case (Some(v), dt) => Summary(containsNull = false,
+        IcebergFormat.serializeBound(dt, v).map(b => (b, b)))
+    }
 
   /** Current metadata version: `version-hint.text` when present, else
     * the highest `v<N>.metadata.json` (hint is advisory in the spec's
@@ -325,28 +418,32 @@ object IcebergWrite {
     * partition-tuple reconstruction — hidden partitioning exactly as
     * the spec intends. */
   def appendPartitioned(df: DataFrame, dir: String, partCol: String,
-                        transform: String = "identity"): Long = {
+                        transform: String = "identity"): Long =
+    appendPartitioned(df, dir, Seq((partCol, transform)))
+
+  /** MULTI-FIELD partitioned append — the standard event-table layout
+    * `(day(ts), bucket(id))` and any other ordered combination of the
+    * supported transforms: one manifest per partition-value TUPLE,
+    * each manifest-list entry carrying one field summary PER spec
+    * field (in spec order), so two-dimensional manifest skipping
+    * (temporal range × bucket point) works exactly as the read side
+    * already does for foreign multi-field tables. NULL source values
+    * land in contains_null summaries with no bounds. Still ONE
+    * hive-partitioned staging job + ONE grouped stats job regardless
+    * of the partition-value count. */
+  def appendPartitioned(df: DataFrame, dir: String,
+                        parts: Seq[(String, String)]): Long = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val root = new Path(dir)
     f.mkdirs(new Path(root, "metadata")); f.mkdirs(new Path(root, "data"))
-    require(df.columns.contains(partCol), s"no partition column $partCol")
-    val srcDt = df.schema(partCol).dataType
-    val BucketRe = """bucket\[(\d+)\]""".r
-    val TruncRe = """truncate\[(\d+)\]""".r
-    val okCombo = (transform, srcDt) match {
-      case ("identity", IntegerType | LongType | StringType) => true
-      case ("year" | "month" | "day",
-            DateType | TimestampType | TimestampNTZType) => true
-      case ("hour", TimestampType | TimestampNTZType) => true
-      case (BucketRe(_), IntegerType | LongType | StringType | DateType
-            | TimestampType | TimestampNTZType) => true
-      case (TruncRe(_), IntegerType | LongType | StringType) => true
-      case _ => false
-    }
-    require(okCombo,
-      s"partition transform $transform does not apply to a $srcDt column")
-    val resultDt = IcebergTransforms.resultType(transform, srcDt).get
+    require(parts.nonEmpty, "at least one partition field is required")
+    require(parts.map(_._1).distinct.size == parts.size,
+      s"duplicate partition source column in ${parts.map(_._1).mkString(",")}")
+    parts.foreach { case (c, _) =>
+      require(df.columns.contains(c), s"no partition column $c") }
+    val resultDts = parts.map { case (c, t) =>
+      transformResultType(t, df.schema(c).dataType) }
     val v0 = currentVersion(f, root)
     val idsByName: Map[String, Int] = readMeta(f, root, v0) match {
       case Some(m) =>
@@ -358,34 +455,13 @@ object IcebergWrite {
       case None =>
         df.schema.fieldNames.zipWithIndex.map { case (n0, i) => n0 -> (i + 1) }.toMap
     }
-    import org.apache.spark.sql.functions.col
-    val staging = new Path(root, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
-    val pCol =
-      if (transform == "identity") col(partCol)
-      else org.apache.spark.sql.GraftBridge.column(
-        graft.functions.expressions.IcebergPartitionValue(
-          org.apache.spark.sql.GraftBridge.expression(col(partCol)), transform))
-    withFieldIds(df, idsByName).withColumn("_graft_p", pCol)
-      .write.partitionBy("_graft_p").parquet(staging.toString)
     // NULL partition values stage under Spark's default-partition
-    // sentinel — decode them to None (summary: contains_null=true, no
-    // bounds) instead of parsing the sentinel as a value. Directory
-    // names carry the TRANSFORMED value, typed by the transform's
-    // result type.
-    val filesOfValue: Seq[(Option[Any], Seq[(Path, Long)])] = f.listStatus(staging)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_graft_p="))
-      .sortBy(_.getPath.getName)
-      .map { d =>
-        val files = f.listStatus(d.getPath)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map { st =>
-            val dst = new Path(root, s"data/${java.util.UUID.randomUUID()}.parquet")
-            require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
-            (dst, f.getFileStatus(dst).getLen)
-          }.toSeq
-        (decodePartValue(d.getPath.getName, resultDt), files)
-      }.toSeq
-    f.delete(staging, true)
+    // sentinel — decoded to None (summary: contains_null=true, no
+    // bounds). Directory names carry the TRANSFORMED values, typed by
+    // each transform's result type.
+    val filesOfValue: Seq[(Seq[Option[Any]], Seq[(Path, Long)])] =
+      stagePartitioned(spark, f, root, withFieldIds(df, idsByName),
+        parts, resultDts)
     val allPaths = filesOfValue.flatMap(_._2.map(_._1.toString))
     val stats =
       if (allPaths.isEmpty) Map.empty[String, (Long, Map[Int, (Array[Byte], Array[Byte])])]
@@ -397,7 +473,7 @@ object IcebergWrite {
       val snapshotId = freshSnapshotId(f, root, base)
       val seqNo = readMeta(f, root, base)
         .map(_.path("last-sequence-number").asLong(0L)).getOrElse(0L) + 1L
-      val mans = filesOfValue.zipWithIndex.flatMap { case ((v, files), i) =>
+      val mans = filesOfValue.zipWithIndex.flatMap { case ((vals, files), i) =>
         val entries = files.flatMap { case (pp, size) =>
           stats.get(canonPath(pp.toString)).map { case (rows, bounds) =>
             IcebergFormat.entry(0, pp.toString, rows, size, snapshotId, seqNo,
@@ -409,11 +485,8 @@ object IcebergWrite {
           val mp = new Path(root,
             s"metadata/manifest-$snapshotId-$i-${java.util.UUID.randomUUID().toString.take(8)}.avro")
           IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
-          Some(NewManifest(mp, partitioned = true, Some(v match {
-            case None => Summary(containsNull = true, None)
-            case Some(value) => Summary(containsNull = false,
-              IcebergFormat.serializeBound(resultDt, value).map(b => (b, b)))
-          })))
+          Some(NewManifest(mp, partitioned = true,
+            Some(summariesOf(vals, resultDts))))
         }
       }
       filesOfValue.flatMap(_._2).foreach { case (pp, _) =>
@@ -421,16 +494,10 @@ object IcebergWrite {
       }
       try {
         onBeforeCommit()
-        val specName =
-          if (transform == "identity") partCol
-          else transform match {
-            case BucketRe(_) => s"${partCol}_bucket"
-            case TruncRe(_) => s"${partCol}_trunc"
-            case t => s"${partCol}_$t"
-          }
         return commitMeta(spark, f, root, base, df.schema, snapshotId, seqNo,
           mans, replace = false,
-          partSpec = Some(SpecReq(specName, idsByName(partCol), transform)))
+          partSpec = Some(SpecReq(parts.map { case (c, t) =>
+            (specFieldName(c, t), idsByName(c), t) })))
       } catch {
         case _: java.util.ConcurrentModificationException =>
           mans.foreach(nm => f.delete(nm.path, false))
@@ -1435,14 +1502,15 @@ object IcebergWrite {
     val dirtySet = dirtyFiles.map(p => canonPath(p._1)).toSet
     val rows = IcebergInterop.readIceberg(spark, dir,
       onlyDataFiles = Some(dirtySet))
-    // PARTITION-PRESERVING rewrite: when the dirty manifests use a
-    // single-field spec whose transform this writer supports (and the
-    // source column still exists), the rewrite stages through the same
-    // per-value split appendPartitioned uses — the compacted files
-    // keep their manifest-level skipping instead of collapsing into
-    // one unpartitioned manifest
+    // PARTITION-PRESERVING rewrite: when the dirty manifests all use
+    // ONE spec whose every field's transform this writer supports (and
+    // whose source columns still exist), the rewrite stages through
+    // the same per-value-tuple split appendPartitioned uses — single-
+    // OR multi-field — so the compacted files keep their manifest-
+    // level skipping instead of collapsing into one unpartitioned
+    // manifest
     val nameOfId = currentFieldIds(m0).map(_.swap).toMap
-    val rewriteSpec: Option[(String, String)] = { // (source column, transform)
+    val rewriteSpec: Option[Seq[(String, String)]] = { // (source column, transform)*
       val dirtySpecIds = dataMans.filter(m =>
         liveEntries(m).exists(isDirty(_, gLong(m.rec, "sequence_number", 0L)))
       ).map(m => gInt(m.rec, "partition_spec_id", 0)).distinct
@@ -1450,26 +1518,33 @@ object IcebergWrite {
         case Seq(sid) if sid != 0 =>
           m0.path("partition-specs").elements().asScala
             .find(_.path("spec-id").asInt(-1) == sid)
-            .map(_.path("fields")).filter(_.size == 1)
+            .map(_.path("fields")).filter(_.size >= 1)
             .flatMap { fs0 =>
-              val srcId = fs0.get(0).path("source-id").asInt
-              val transform = fs0.get(0).path("transform").asText
-              nameOfId.get(srcId).filter(rows.columns.contains)
-                .filter(c => IcebergTransforms.resultType(transform,
-                  rows.schema(c).dataType).isDefined)
-                .map(c => (c, transform))
+              val fields = (0 until fs0.size).map { i =>
+                val srcId = fs0.get(i).path("source-id").asInt
+                val transform = fs0.get(i).path("transform").asText
+                nameOfId.get(srcId).filter(rows.columns.contains)
+                  .filter(c => IcebergTransforms.resultType(transform,
+                    rows.schema(c).dataType).isDefined)
+                  .map(c => (c, transform))
+              }
+              if (fields.forall(_.isDefined)) Some(fields.map(_.get))
+              else None
             }
         case _ => None
       }
     }
     val nOut = math.max(1,
       math.ceil(dirtyFiles.map(_._2).sum.toDouble / targetFileSizeBytes).toInt)
-    val staging = new Path(root,
-      s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
-    // files-of-partition-value staging (None key = unpartitioned)
-    val stagedByValue: Seq[(Option[Option[Any]], Seq[(Path, Long)])] =
+    val rewriteResultDts: Seq[DataType] = rewriteSpec.toSeq.flatten.map {
+      case (c, t) => IcebergTransforms.resultType(t, rows.schema(c).dataType).get
+    }
+    // files-of-partition-value-tuple staging (None key = unpartitioned)
+    val stagedByValue: Seq[(Option[Seq[Option[Any]]], Seq[(Path, Long)])] =
       rewriteSpec match {
         case None =>
+          val staging = new Path(root,
+            s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
           withFieldIds(rows, idsByName).repartition(nOut)
             .write.parquet(staging.toString)
           val files = f.listStatus(staging)
@@ -1481,32 +1556,11 @@ object IcebergWrite {
             }.toSeq
           f.delete(staging, true)
           Seq((None, files))
-        case Some((srcCol, transform)) =>
-          import org.apache.spark.sql.functions.col
-          val srcDt = rows.schema(srcCol).dataType
-          val resultDt = IcebergTransforms.resultType(transform, srcDt).get
-          val pCol =
-            if (transform == "identity") col(srcCol)
-            else org.apache.spark.sql.GraftBridge.column(
-              graft.functions.expressions.IcebergPartitionValue(
-                org.apache.spark.sql.GraftBridge.expression(col(srcCol)), transform))
-          withFieldIds(rows, idsByName).withColumn("_graft_p", pCol)
-            .write.partitionBy("_graft_p").parquet(staging.toString)
-          val out = f.listStatus(staging)
-            .filter(st => st.isDirectory && st.getPath.getName.startsWith("_graft_p="))
-            .sortBy(_.getPath.getName)
-            .map { d =>
-              val files = f.listStatus(d.getPath)
-                .filter(_.getPath.getName.endsWith(".parquet"))
-                .map { st =>
-                  val dst = new Path(root, s"data/${java.util.UUID.randomUUID()}.parquet")
-                  require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
-                  (dst, f.getFileStatus(dst).getLen)
-                }.toSeq
-              (Some(decodePartValue(d.getPath.getName, resultDt)): Option[Option[Any]], files)
-            }.toSeq
-          f.delete(staging, true)
-          out
+        case Some(fields) =>
+          stagePartitioned(spark, f, root, withFieldIds(rows, idsByName),
+            fields, rewriteResultDts)
+            .map { case (vals, files) =>
+              (Some(vals): Option[Seq[Option[Any]]], files) }
       }
     val staged = stagedByValue.flatMap(_._2)
     val stats =
@@ -1555,9 +1609,6 @@ object IcebergWrite {
             .flatMap(_ => Option(man.rec.get("partitions"))).orNull))
       } // fully-dirty manifest: drops (its rows live in the rewrite)
     }
-    val rewriteResultDt: Option[DataType] = rewriteSpec.map { case (c, t) =>
-      IcebergTransforms.resultType(t, rows.schema(c).dataType).get
-    }
     val newFiles = staged.filter(p => stats.contains(canonPath(p._1.toString)))
     stagedByValue.zipWithIndex.foreach { case ((valueOpt, files), i) =>
       val live = files.filter(p => stats.contains(canonPath(p._1.toString)))
@@ -1572,12 +1623,8 @@ object IcebergWrite {
         IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
         freshManifests += (valueOpt match {
           case None => NewManifest(mp, partitioned = false, None)
-          case Some(v) => NewManifest(mp, partitioned = true, Some(v match {
-            case None => Summary(containsNull = true, None)
-            case Some(value) => Summary(containsNull = false,
-              IcebergFormat.serializeBound(rewriteResultDt.get, value)
-                .map(b => (b, b)))
-          }))
+          case Some(vals) => NewManifest(mp, partitioned = true,
+            Some(summariesOf(vals, rewriteResultDts)))
         })
       }
     }
@@ -1586,9 +1633,8 @@ object IcebergWrite {
       val snap = commitMeta(spark, f, root, v0, StructType(Nil), snapshotId,
         seqNo, freshManifests.result(), replace = false,
         operation = Some("replace"), priorOverride = Some(carried.result()),
-        partSpec = rewriteSpec.map { case (c, t) =>
-          SpecReq(if (t == "identity") c else s"${c}_rewrite", idsByName(c), t)
-        })
+        partSpec = rewriteSpec.map(fields => SpecReq(fields.map {
+          case (c, t) => (specFieldName(c, t), idsByName(c), t) })))
       (snap, dirtyFiles.length, deleteFilesFolded)
     } catch {
       case _: java.util.ConcurrentModificationException =>
@@ -2315,19 +2361,25 @@ object IcebergWrite {
       case Some(req) =>
         specsArr.elements().asScala.find { s0 =>
           val fs0 = s0.path("fields")
-          fs0.size == 1 &&
-            fs0.get(0).path("source-id").asInt(-1) == req.srcId &&
-            fs0.get(0).path("transform").asText == req.transform
+          fs0.size == req.fields.size && req.fields.zipWithIndex.forall {
+            case ((_, srcId, transform), i) =>
+              fs0.get(i).path("source-id").asInt(-1) == srcId &&
+                fs0.get(i).path("transform").asText == transform
+          }
         } match {
           case Some(s0) => s0.path("spec-id").asInt(0)
           case None =>
             val newId = specsArr.elements().asScala
               .map(_.path("spec-id").asInt(0)).maxOption.getOrElse(-1) + 1
-            val fieldId = math.max(n.path("last-partition-id").asInt(999), 999) + 1
             val sp = specsArr.addObject(); sp.put("spec-id", newId)
-            val fd = sp.putArray("fields").addObject()
-            fd.put("name", req.fieldName); fd.put("transform", req.transform)
-            fd.put("source-id", req.srcId); fd.put("field-id", fieldId)
+            val arr = sp.putArray("fields")
+            var fieldId = math.max(n.path("last-partition-id").asInt(999), 999)
+            req.fields.foreach { case (name, srcId, transform) =>
+              fieldId += 1
+              val fd = arr.addObject()
+              fd.put("name", name); fd.put("transform", transform)
+              fd.put("source-id", srcId); fd.put("field-id", fieldId)
+            }
             n.put("last-partition-id", fieldId)
             if (prevMeta.isEmpty) n.put("default-spec-id", newId)
             newId
@@ -2337,16 +2389,20 @@ object IcebergWrite {
     val FS = MFS.getField("partitions").schema().getTypes.get(1)
     val fresh: Seq[(String, Long, Int, Long, Int, Long, AnyRef)] =
       newManifests.map { nm =>
-        val parts: AnyRef = nm.summary.map { s0 =>
-          val fsRec = new org.apache.avro.generic.GenericData.Record(
-            FS.getElementType)
-          fsRec.put("contains_null", s0.containsNull)
-          s0.bounds.foreach { case (lo, hi) =>
-            fsRec.put("lower_bound", java.nio.ByteBuffer.wrap(lo))
-            fsRec.put("upper_bound", java.nio.ByteBuffer.wrap(hi))
+        val parts: AnyRef = nm.summary.map { sums =>
+          val arr = new org.apache.avro.generic.GenericData.Array[GenericRecord](
+            sums.length, FS)
+          sums.foreach { s0 =>
+            val fsRec = new org.apache.avro.generic.GenericData.Record(
+              FS.getElementType)
+            fsRec.put("contains_null", s0.containsNull)
+            s0.bounds.foreach { case (lo, hi) =>
+              fsRec.put("lower_bound", java.nio.ByteBuffer.wrap(lo))
+              fsRec.put("upper_bound", java.nio.ByteBuffer.wrap(hi))
+            }
+            arr.add(fsRec)
           }
-          val arr = new org.apache.avro.generic.GenericData.Array[GenericRecord](1, FS)
-          arr.add(fsRec); arr
+          arr
         }.orNull
         (nm.path.toString, f.getFileStatus(nm.path).getLen, nm.content,
           seqNo, if (nm.partitioned) specId else 0, snapshotId, parts)

@@ -424,6 +424,71 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(rz == 1 && sz == 3, s"only the 'ze' band opens: read=$rz skipped=$sz")
   }
 
+  test("multi-field partition spec: (day(ts), bucket(id)) writes, 2-D skip, compact preserves") {
+    val dir = Files.createTempDirectory("graft-iceberg-write-multi").toString
+    val base = java.time.LocalDateTime.of(2024, 3, 1, 0, 0)
+    val rows = (0 until 72).map(h =>
+      (base.plusHours(h.toLong), h.toLong, s"r_$h")).toDF("ts", "id", "tag")
+    IcebergWrite.appendPartitioned(rows, dir,
+      Seq(("ts", "day"), ("id", "bucket[4]")))
+    // ONE spec with TWO fields, partition field ids allocated past 999
+    val m = metaJson(dir, 1)
+    val spec = {
+      import scala.jdk.CollectionConverters._
+      m.path("partition-specs").elements().asScala
+        .find(_.path("spec-id").asInt == 1).get.path("fields")
+    }
+    assert(spec.size == 2)
+    assert(spec.get(0).path("transform").asText == "day" &&
+      spec.get(1).path("transform").asText == "bucket[4]")
+    assert(spec.get(0).path("field-id").asInt == 1000 &&
+      spec.get(1).path("field-id").asInt == 1001)
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.count() == 72)
+    val total = {
+      val (r0, s0) = IcebergInterop.lastManifestScan; r0 + s0
+    }
+    assert(total >= 8, s"one manifest per (day,bucket) tuple: $total")
+    // TWO-DIMENSIONAL skip: one day AND one key → exactly ONE manifest
+    val d0 = base.toLocalDate.toEpochDay * 86400000000L
+    val hit = IcebergInterop.readIcebergWhere(spark, dir,
+      Map("ts" -> ((d0.toDouble, (d0 + 86399999999L).toDouble)),
+          "id" -> ((17.0, 17.0))))
+    assert(hit.count() == 1 && hit.select("id").head().getLong(0) == 17L)
+    val (r1, s1) = IcebergInterop.lastManifestScan
+    assert(r1 == 1 && s1 == total - 1,
+      s"day × bucket must prune to ONE manifest: read=$r1 skipped=$s1")
+    // one dimension alone still prunes to that day's bucket manifests
+    val day1 = IcebergInterop.readIcebergWhere(spark, dir,
+      Map("ts" -> (((d0 + 86400000000L).toDouble, (d0 + 2 * 86400000000L - 1).toDouble))))
+    assert(day1.count() == 24)
+    val (r2, _) = IcebergInterop.lastManifestScan
+    assert(r2 <= 4, s"a day range opens at most that day's buckets: $r2")
+    // compact PRESERVES both dimensions
+    IcebergWrite.deleteWhere(spark, dir, col("id") < 2)
+    val (_, rewritten, _) = IcebergWrite.compact(spark, dir, smallFileBytes = 0L)
+    assert(rewritten >= 1)
+    val t2 = IcebergInterop.readIceberg(spark, dir)
+    assert(t2.count() == 70 && !t2.inputFiles.exists(_.contains("/data/delete-")))
+    val hit2 = IcebergInterop.readIcebergWhere(spark, dir,
+      Map("ts" -> ((d0.toDouble, (d0 + 86399999999L).toDouble)),
+          "id" -> ((17.0, 17.0))))
+    assert(hit2.count() == 1)
+    val (r3, s3) = IcebergInterop.lastManifestScan
+    assert(r3 == 1, s"2-D skip must survive the compact: read=$r3 skipped=$s3")
+    // a second multi-field append REUSES the spec (no new spec id)
+    IcebergWrite.appendPartitioned(
+      Seq((base.plusDays(10), 500L, "late")).toDF("ts", "id", "tag"), dir,
+      Seq(("ts", "day"), ("id", "bucket[4]")))
+    val m2 = metaJson(dir, currentMetaVersion(dir))
+    assert(m2.path("partition-specs").size == 2, "spec 0 + ONE (day,bucket) spec")
+  }
+
+  private def currentMetaVersion(dir: String): Int =
+    new java.io.File(s"$dir/metadata").list()
+      .flatMap("""^v(\d+)\.metadata\.json$""".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).max
+
   test("merge-on-read UPDATE: one snapshot, postimages visible, no data file rewrites") {
     val dir = Files.createTempDirectory("graft-iceberg-write-upd").toString
     val s1 = IcebergWrite.append(

@@ -695,6 +695,22 @@ object OracleSql {
         |FROM events, mm
         |WHERE event_id >= mn + (mx - mn) // 10
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q205: q198's lifecycle entirely by catalog NAME — identical
+    // analytical replay (the name layer changes routing, not results)
+    "q205_iceberg_named_sql" ->
+      """WITH mm AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+        |live AS (
+        |  SELECT CASE WHEN doc_id % 9 = 0 THEN 'qq' ELSE lang END AS lang,
+        |    n_chars + CASE WHEN lang = 'en' THEN 500 ELSE 0 END AS n_chars
+        |  FROM documents, mm WHERE doc_id >= mn + (mx - mn) // 4),
+        |reins AS (
+        |  SELECT 'qq' AS lang, n_chars FROM documents, mm
+        |  WHERE doc_id < mn + (mx - mn) // 4 AND doc_id % 9 = 0),
+        |ins AS (SELECT 'ins' AS lang, n_chars FROM documents WHERE doc_id % 9 = 0)
+        |SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+        |FROM (SELECT * FROM live UNION ALL SELECT * FROM reins
+        |      UNION ALL SELECT * FROM ins)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q196: native Iceberg maintenance — the low third masked, then
     // the same aggregate through live/compacted/expired states
     "q196_iceberg_maintenance" ->

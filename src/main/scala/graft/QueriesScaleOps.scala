@@ -2938,6 +2938,66 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       s"FROM graft_iceberg('$tmp') GROUP BY lang ORDER BY lang")
   }
 
+  /** q205 — q198's SQL lifecycle addressed entirely by CATALOG NAME
+    * (the reference's Athena contract: users type table NAMES, never
+    * paths — `/root/reference/README.md:101-103`; q170's named-table
+    * shape on the Iceberg plane): `CREATE TABLE <name> USING iceberg
+    * PARTITIONED BY (bucket(8, doc_id)) LOCATION ... AS ...` registers
+    * the name, then INSERT/DELETE/UPDATE/MERGE/OPTIMIZE/VACUUM/
+    * DESCRIBE all resolve it through the session catalog to the SAME
+    * path-addressed distributed handlers (the name→path prepass), a
+    * name-addressed ALTER evolves the schema AND refreshes the
+    * registration, and the final aggregate reads back BY NAME.
+    * Name ≡ path is asserted in-query (both spellings, same sum).
+    * DuckDB replays the lifecycle analytically. */
+  private[graft] def q205(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.createOrReplaceTempView("q205_docs")
+    val tmp = graft.io.TempDirs.scratch("graft-q205") + "/t"
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val k = mn + (mx - mn) / 4
+    s.sql("DROP VIEW IF EXISTS q205_named")
+    s.sql("CREATE TABLE q205_named USING iceberg " +
+      s"PARTITIONED BY (bucket(8, doc_id)) LOCATION '$tmp' AS " +
+      "SELECT doc_id, lang, n_chars FROM q205_docs WHERE doc_id % 2 = 0")
+    try {
+      s.sql("INSERT INTO q205_named " +
+        "SELECT doc_id, lang, n_chars FROM q205_docs WHERE doc_id % 2 <> 0")
+      val del = s.sql(s"DELETE FROM q205_named WHERE doc_id < $k").head().getLong(0)
+      require(del > 0, "named DELETE must hit the low band")
+      val upd = s.sql("UPDATE q205_named SET n_chars = n_chars + 500 " +
+        "WHERE lang = 'en'").head().getLong(0)
+      require(upd > 0, "named UPDATE must hit the en slice")
+      val mrg = s.sql(
+        s"""MERGE INTO q205_named AS t USING (
+           |  SELECT doc_id, 'qq' AS lang, n_chars FROM q205_docs WHERE doc_id % 9 = 0
+           |  UNION ALL
+           |  SELECT doc_id + ${mx + 1} AS doc_id, 'ins' AS lang, n_chars
+           |  FROM q205_docs WHERE doc_id % 9 = 0
+           |) AS src ON t.doc_id = src.doc_id
+           |WHEN MATCHED THEN UPDATE SET lang = src.lang
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+      require(mrg.getLong(0) > 0 && mrg.getLong(1) > 0,
+        s"named MERGE must update and insert: $mrg")
+      val opt = s.sql("OPTIMIZE q205_named").head()
+      require(opt.getLong(1) >= 1, "named OPTIMIZE must fold the delete files")
+      Thread.sleep(5)
+      val vac = s.sql("VACUUM q205_named RETAIN 0 HOURS").head()
+      require(vac.getLong(0) >= 3 && vac.getLong(1) > 0,
+        s"named VACUUM must expire and reclaim: $vac")
+      require(s.sql("DESCRIBE DETAIL q205_named").head().getString(0) == "iceberg")
+      // name ≡ path: the same table through both spellings
+      val byName = s.sql("SELECT CAST(sum(n_chars) AS BIGINT) FROM q205_named")
+        .head().getLong(0)
+      val byPath = graft.io.IcebergInterop.readIceberg(s, tmp)
+        .agg(sum(col("n_chars")).cast("long")).head().getLong(0)
+      require(byName == byPath, s"name/path must agree: $byName vs $byPath")
+      s.sql("SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars " +
+        "FROM q205_named GROUP BY lang ORDER BY lang").localCheckpoint(true)
+    } finally s.sql("DROP VIEW IF EXISTS q205_named")
+  }
+
   /** q196 — NATIVE Iceberg TABLE MAINTENANCE
     * ([[graft.io.IcebergWrite.rewriteManifests]] /
     * [[graft.io.IcebergWrite.compact]] /

@@ -741,8 +741,16 @@ object IcebergInterop {
       case Seq(db, t) => Some(TableIdentifier(t, Some(db)))
       case _ => None
     }
-    ident.filter(catalog.tableExists)
-      .flatMap(i => catalog.getTableMetadata(i).properties.get(CatalogPathProperty))
+    ident.filter(catalog.tableExists).flatMap { i =>
+      val md = catalog.getTableMetadata(i)
+      md.properties.get(CatalogPathProperty).orElse {
+        // a FOREIGN iceberg-provider entry with a location resolves too
+        if (md.provider.exists(_.equalsIgnoreCase("iceberg")) &&
+            md.storage.locationUri.isDefined)
+          Some(new Path(md.storage.locationUri.get).toString)
+        else None
+      }
+    }
   }
 
   /** Register `name` → the Iceberg table at `dir` as a catalog VIEW
@@ -1028,6 +1036,16 @@ object IcebergInterop {
         }
       }
     out.result().sorted
+  }
+
+  /** Write `df` as a native Iceberg table at `dir` and register it
+    * under `name` — the saveAsTable of the graft-Iceberg plane
+    * ([[DeltaInterop.saveAsDeltaTable]]'s twin). */
+  def saveAsIcebergTable(df: org.apache.spark.sql.DataFrame, name: String,
+                         dir: String): Long = {
+    val snap = IcebergWrite.append(df, dir)
+    registerCatalogTable(df.sparkSession, name, dir)
+    snap
   }
 
 }

@@ -87,12 +87,36 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
   import DeltaSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = {
-    val t = sqlText.trim
+    val t0 = sqlText.trim
+    // Iceberg NAME → path prepass: a statement whose TARGET is a
+    // catalog name registered as a graft-Iceberg table rewrites to the
+    // path spelling, so every Iceberg handler (DML, maintenance, DDL,
+    // DESCRIBE) applies to names and paths identically — the q170
+    // named-table contract on the Iceberg plane. ALTERs re-register
+    // the entry so the stored view schema tracks the evolved table.
+    resolveIcebergName(t0) match {
+      case Some((t, name, dir)) =>
+        val plan = graftPlan(t, t)
+        if (icebergAlterShapeRe.findFirstIn(t0).isDefined) plan match {
+          case GraftDeltaCommand(out, body) =>
+            GraftDeltaCommand(out, { spark =>
+              val r = body(spark)
+              IcebergInterop.registerCatalogTable(spark, name, dir)
+              r
+            })
+          case other => other
+        } else plan
+      case None => graftPlan(t0, sqlText)
+    }
+  }
+
+  private def graftPlan(t: String, original: String): LogicalPlan =
     tryIcebergDelete(t).orElse(tryIcebergUpdate(t)).orElse(tryIcebergMerge(t))
       .orElse(tryIcebergMaintain(t))
       .orElse(tryDelete(t)).orElse(tryUpdate(t)).orElse(tryMerge(t))
       .orElse(tryHistory(t)).orElse(tryRestore(t)).orElse(tryInsert(t))
       .orElse(tryIcebergInsert(t)).orElse(tryIcebergCtas(t))
+      .orElse(tryIcebergCtasName(t))
       .orElse(tryClone(t)).orElse(tryCreateCols(t))
       .orElse(tryCtasPath(t)).orElse(tryCtasName(t))
       .orElse(tryConvert(t)).orElse(tryVacuum(t)).orElse(tryOptimize(t))
@@ -103,9 +127,20 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
         guardUnsupportedShapes(t)
         val rewritten = rewriteReads(t)
         if (rewritten ne t) delegate.parsePlan(rewritten)
-        else delegate.parsePlan(sqlText)
+        else delegate.parsePlan(original)
       }
-  }
+
+  /** When `t`'s statement TARGET is a catalog name registered as a
+    * graft-Iceberg table: (the statement with the name replaced by
+    * ``iceberg.`dir` ``, the name, the dir). None otherwise — Delta
+    * names and unregistered names pass through untouched. */
+  private def resolveIcebergName(t: String): Option[(String, String, String)] =
+    icebergNameTargetRe.findFirstMatchIn(t).flatMap { m =>
+      val name = m.group(2)
+      IcebergInterop.catalogIcebergPath(SparkSession.active, name).map { dir =>
+        (s"${m.group(1)}iceberg.`$dir`${m.group(3)}", name, dir)
+      }
+    }
 
   /** Resolve a matched table reference (path group i, name group i+1)
     * to (dir, Some(name) when name-addressed). None = a name that is
@@ -418,6 +453,47 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
           s"Iceberg table at $dir already exists — CTAS refuses to append " +
           "(use INSERT INTO iceberg.`" + dir + "`)")
         else IcebergWrite.append(spark.sql(query), dir)
+        Nil
+      }
+    }
+
+  /** One `PARTITIONED BY` entry in Iceberg's transform spelling →
+    * (source column, graft transform): `days(ts)`→day, `bucket(4,id)`
+    * →bucket[4], `truncate(10,s)`→truncate[10], bare name→identity. */
+  private[sql] def parseIcebergPartField(txt: String): (String, String) = {
+    val t = txt.trim.replace("`", "")
+    val FnRe = """(?i)^(years?|months?|days?|hours?)\s*\(\s*(\w+)\s*\)$""".r
+    val BucketFnRe = """(?i)^bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)$""".r
+    val TruncFnRe = """(?i)^truncate\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)$""".r
+    t match {
+      case FnRe(fn, c) => (c, fn.toLowerCase(java.util.Locale.ROOT).stripSuffix("s"))
+      case BucketFnRe(n, c) => (c, s"bucket[$n]")
+      case TruncFnRe(w, c) => (c, s"truncate[$w]")
+      case c => (c, "identity")
+    }
+  }
+
+  /** `CREATE TABLE [db.]name USING iceberg [PARTITIONED BY (...)]
+    * [LOCATION 'p'] AS query` — CTAS at the explicit or default
+    * warehouse location, registered in the session catalog: the
+    * reference's named-table contract on the Iceberg plane. */
+  private def tryIcebergCtasName(t: String): Option[LogicalPlan] =
+    icebergCtasNameRe.findFirstMatchIn(t).map { m =>
+      val ifNotExists = m.group(1) != null
+      val (name, partTxt, locTxt, query) =
+        (m.group(2), Option(m.group(3)), Option(m.group(4)), m.group(5).trim)
+      command(Nil) { spark =>
+        if (IcebergInterop.catalogIcebergPath(spark, name).isDefined) {
+          require(ifNotExists, s"Iceberg table $name already exists")
+        } else {
+          val dir = locTxt.getOrElse(DeltaInterop.defaultTablePath(spark, name))
+          val parts = partTxt.toSeq.flatMap(splitTopLevel(_, ','))
+            .map(_.trim).filter(_.nonEmpty).map(parseIcebergPartField)
+          val df = spark.sql(query)
+          if (parts.isEmpty) IcebergWrite.append(df, dir)
+          else IcebergWrite.appendPartitioned(df, dir, parts)
+          IcebergInterop.registerCatalogTable(spark, name, dir)
+        }
         Nil
       }
     }
@@ -1202,7 +1278,7 @@ object DeltaSqlParser {
      """(?:\s+(?:AS\s+)?((?!USING\b)\w+))?\s+USING\s+(.+)$""").r
   private[sql] val icebergAlterAddColRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+iceberg\s*\.\s*`([^`]+)`\s+ADD\s+COLUMNS?\s*""" +
-     """\(([^)]*)\)\s*;?\s*$""").r
+     """\(?\s*([^()]+?)\s*\)?\s*;?\s*$""").r
   private[sql] val icebergAlterRenameRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+iceberg\s*\.\s*`([^`]+)`\s+RENAME\s+COLUMN\s+""" +
      """(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*;?\s*$""").r
@@ -1223,6 +1299,20 @@ object DeltaSqlParser {
   private[sql] val icebergCtasRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?iceberg\s*\.\s*`([^`]+)`""" +
      """(?:\s+USING\s+iceberg)?\s+AS\s+(.+)$""").r
+  // name CTAS: `USING iceberg` REQUIRED (parquet/csv CTAS stay
+  // Spark's); PARTITIONED BY accepts Iceberg's transform spellings —
+  // days(ts), bucket(4, id), truncate(10, s), bare identity columns
+  private[sql] val icebergCtasNameRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?((?:`[^`]+`|[A-Za-z_][\w]*)(?:\s*\.\s*(?:`[^`]+`|[A-Za-z_][\w]*))?)""" +
+     """\s+USING\s+iceberg(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\))?""" +
+     """(?:\s+LOCATION\s+'([^']+)')?\s+AS\s+(.+)$""").r
+  // statement-TARGET positions where a bare catalog name may stand for
+  // a registered Iceberg table (the name→path prepass)
+  private[sql] val icebergNameTargetRe =
+    ("""(?is)^(\s*(?:DELETE\s+FROM|UPDATE|MERGE\s+INTO|INSERT\s+(?:INTO|OVERWRITE)(?:\s+TABLE)?|OPTIMIZE|VACUUM|DESCRIBE\s+(?:HISTORY|DETAIL)|RESTORE(?:\s+TABLE)?|ALTER\s+TABLE)\s+)""" +
+     """((?:`[^`]+`|[A-Za-z_]\w*)(?:\s*\.\s*(?:`[^`]+`|[A-Za-z_]\w*))?)((?:\s.*|;?\s*))$""").r
+  private[sql] val icebergAlterShapeRe =
+    """(?is)^\s*ALTER\s+TABLE\b""".r
   private[sql] val icebergInsertRe =
     ("""(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?iceberg\s*\.\s*`([^`]+)`""" +
      """\s+(SELECT\b.+|VALUES\b.+|TABLE\b.+|FROM\b.+)$""").r

@@ -229,10 +229,19 @@ class DeltaSqlPropertySpec extends AnyFunSuite {
     (1 to 12).foreach { seed =>
       val rnd = new scala.util.Random(4000 + seed)
       val (a, b) = freshIceTwins(rnd)
+      // name ≡ path equivalence seeds: a third of the walks address the
+      // SQL twin by a registered catalog NAME — the name→path prepass
+      // must be observationally identical to the path spelling
+      val byName = rnd.nextInt(3) == 0
+      val aRef =
+        if (byName) {
+          IcebergInterop.registerCatalogTable(spark, s"sqlprop_ice_n$seed", a)
+          s"sqlprop_ice_n$seed"
+        } else s"iceberg.`$a`"
       rnd.nextInt(3) match {
         case 0 => // DELETE
           val p = predicate(rnd)
-          val sqlTxt = s"DELETE FROM iceberg.`$a` WHERE $p" +
+          val sqlTxt = s"DELETE FROM $aRef WHERE $p" +
             (if (rnd.nextBoolean()) ";" else "")
           val got = spark.sql(sqlTxt).collect()
           val (_, n) = IcebergWrite.deleteWhere(spark, b, expr(p))
@@ -240,7 +249,7 @@ class DeltaSqlPropertySpec extends AnyFunSuite {
         case 1 => // UPDATE
           val sets = setClause(rnd)
           val p = if (rnd.nextInt(6) == 0) None else Some(predicate(rnd))
-          val sqlTxt = s"UPDATE iceberg.`$a` SET " +
+          val sqlTxt = s"UPDATE $aRef SET " +
             sets.map { case (k, v) => s"$k = $v" }.mkString(", ") +
             p.map(t => s" WHERE $t").getOrElse("")
           spark.sql(sqlTxt).collect()
@@ -269,7 +278,7 @@ class DeltaSqlPropertySpec extends AnyFunSuite {
           }
           val sqlTxt = {
             val sb = new StringBuilder
-            sb ++= s"MERGE INTO iceberg.`$a` AS $ta USING $view AS $sa ON $ta.id = $sa.id\n"
+            sb ++= s"MERGE INTO $aRef AS $ta USING $view AS $sa ON $ta.id = $sa.id\n"
             sb ++= s"WHEN MATCHED${matchedCond.map(c => s" AND ${c._1}").getOrElse("")} THEN "
             sb ++= (if (matchedIsDelete) "DELETE" else s"UPDATE SET ${matchedSet._1}")
             sb ++= (if (insertAll) "\nWHEN NOT MATCHED THEN INSERT *"
@@ -308,7 +317,9 @@ class DeltaSqlPropertySpec extends AnyFunSuite {
           spark.catalog.dropTempView(view)
       }
       assert(canonIce(a) == canonIce(b),
-        s"seed=$seed Iceberg SQL and API twins diverged")
+        s"seed=$seed Iceberg SQL and API twins diverged" +
+        (if (byName) " (name-addressed)" else ""))
+      if (byName) spark.sql(s"DROP VIEW IF EXISTS sqlprop_ice_n$seed")
     }
   }
 

@@ -711,6 +711,30 @@ object OracleSql {
         |FROM (SELECT * FROM live UNION ALL SELECT * FROM reins
         |      UNION ALL SELECT * FROM ins)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q206: the Iceberg changelog inventory — inserts = both appends
+    // (raw) + en&>=k postimages (+500); deletes = the low band (raw)
+    // + en&>=k preimages (raw) + %7==0&>=k live rows at eq-delete time
+    // (en rows already +500); compaction emits nothing
+    "q206_iceberg_changelog" ->
+      """WITH mm AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+        |k AS (SELECT mn + (mx - mn) // 3 AS kv FROM mm),
+        |ev AS (
+        |  SELECT 'insert' AS _change_type, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT 'insert', lang, n_chars + 500 FROM documents, k
+        |  WHERE lang = 'en' AND doc_id >= kv
+        |  UNION ALL
+        |  SELECT 'delete', lang, n_chars FROM documents, k WHERE doc_id < kv
+        |  UNION ALL
+        |  SELECT 'delete', lang, n_chars FROM documents, k
+        |  WHERE lang = 'en' AND doc_id >= kv
+        |  UNION ALL
+        |  SELECT 'delete', lang,
+        |    n_chars + CASE WHEN lang = 'en' THEN 500 ELSE 0 END
+        |  FROM documents, k WHERE doc_id % 7 = 0 AND doc_id >= kv)
+        |SELECT _change_type, lang, count(*)::BIGINT AS n,
+        |  sum(n_chars)::BIGINT AS chars
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q196: native Iceberg maintenance — the low third masked, then
     // the same aggregate through live/compacted/expired states
     "q196_iceberg_maintenance" ->

@@ -2998,6 +2998,55 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     } finally s.sql("DROP VIEW IF EXISTS q205_named")
   }
 
+  /** q206 — Iceberg CHANGELOG read
+    * ([[graft.io.IcebergChangelog.readChangesBetween]] — the q160
+    * Delta-CDF contract on the Iceberg plane): the corpus lands in two
+    * appends, a stats-pruned position DELETE masks the low band, a DV
+    * UPDATE bumps the 'en' slice (+500), an EQUALITY delete masks the
+    * %7==0 keys, and a compaction folds everything physically — then
+    * ONE changelog read over the whole history emits every insert and
+    * every preimage delete with snapshot ordinals: appended rows and
+    * update postimages as `insert`; position-masked, DV-diffed and
+    * key-matched preimages as `delete`; the compaction emits NOTHING
+    * (rewrites move bytes, not logical state — asserted). The net
+    * (inserts − deletes) must equal the live table (asserted), and
+    * DuckDB replays the whole change inventory analytically. */
+  private[graft] def q206(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q206")
+    graft.io.IcebergWrite.append(
+      docs.filter(col("doc_id") % 2 === 0).repartitionByRange(3, col("doc_id")), tmp)
+    graft.io.IcebergWrite.append(
+      docs.filter(col("doc_id") % 2 =!= 0).repartitionByRange(3, col("doc_id")), tmp)
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val k = mn + (mx - mn) / 3
+    val (_, nDel) = graft.io.IcebergWrite.deleteWhere(s, tmp,
+      col("doc_id") < k, ranges = Map("doc_id" -> ((mn.toDouble, (k - 1).toDouble))))
+    require(nDel > 0)
+    val (_, nUpd) = graft.io.IcebergWrite.updateWhereDV(s, tmp,
+      col("lang") === "en", Map("n_chars" -> (col("n_chars") + 500L)))
+    require(nUpd > 0, "the DV update must hit the en slice")
+    val (_, nEq) = graft.io.IcebergWrite.equalityDelete(s, tmp,
+      docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")).coalesce(1))
+    require(nEq > 0)
+    graft.io.IcebergWrite.compact(s, tmp, smallFileBytes = 0L)
+    val ch = graft.io.IcebergChangelog.readChangesBetween(s, tmp)
+      .localCheckpoint(false)
+    // the compaction snapshot must be SILENT: 5 change-bearing commits
+    require(ch.select(col("_change_ordinal")).distinct().count() == 5,
+      "2 appends + delete + update + eq-delete = 5 change ordinals " +
+      "(the update is one atomic snapshot); compact emits nothing")
+    // net reconstruction: inserts − deletes == the live table
+    val nIns = ch.filter(col("_change_type") === "insert").count()
+    val nDels = ch.filter(col("_change_type") === "delete").count()
+    require(nIns - nDels == graft.io.IcebergInterop.readIceberg(s, tmp).count(),
+      "the changelog must reconstruct the live row count")
+    ch.groupBy(col("_change_type"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("_change_type"), col("lang"))
+  }
+
   /** q196 — NATIVE Iceberg TABLE MAINTENANCE
     * ([[graft.io.IcebergWrite.rewriteManifests]] /
     * [[graft.io.IcebergWrite.compact]] /

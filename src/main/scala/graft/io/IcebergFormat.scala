@@ -193,6 +193,28 @@ private[graft] object IcebergFormat {
     refs.result()
   }
 
+  /** [[readPuffinDv]] returning the RAW serialized vector bytes (what
+    * [[DeletionVectors.parse]] accepts) — for shipping a KB blob to
+    * executors instead of a parsed driver-side bitmap. */
+  def readPuffinDvBytes(conf: org.apache.hadoop.conf.Configuration, path: Path,
+                        offset: Long, size: Long): Array[Byte] = {
+    val f = path.getFileSystem(conf)
+    val in = f.open(path)
+    try {
+      in.seek(offset)
+      val lenBuf = new Array[Byte](4)
+      in.readFully(lenBuf)
+      val len = java.nio.ByteBuffer.wrap(lenBuf).getInt
+      require(len > 4 && (size <= 0 || len <= size),
+        s"DV blob at $path+$offset: implausible length $len for size $size")
+      val body = new Array[Byte](len)
+      in.readFully(body)
+      require(body.take(4).sameElements(DvMagic),
+        s"DV blob at $path+$offset lacks the deletion-vector-v1 magic")
+      body.drop(4)
+    } finally in.close()
+  }
+
   /** Read one `deletion-vector-v1` blob addressed by a delete
     * manifest entry's content_offset/content_size_in_bytes. */
   def readPuffinDv(conf: org.apache.hadoop.conf.Configuration, path: Path,

@@ -62,7 +62,7 @@ object IcebergInterop {
   /** Latest metadata JSON under `dir/metadata`: `version-hint.text`
     * when present (the file-system-catalog convention), else the
     * highest `v<N>.metadata.json`. */
-  private def currentMetadataPath(spark: SparkSession, dir: String): Path = {
+  private[io] def currentMetadataPath(spark: SparkSession, dir: String): Path = {
     val meta = new Path(dir, "metadata")
     val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(f.exists(meta), s"$dir has no metadata/ dir — not an Iceberg table")
@@ -90,7 +90,7 @@ object IcebergInterop {
     }
   }
 
-  private def readJson(spark: SparkSession, p: Path): JsonNode = {
+  private[io] def readJson(spark: SparkSession, p: Path): JsonNode = {
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = f.open(p)
     try M.readTree(in) finally in.close()
@@ -178,7 +178,7 @@ object IcebergInterop {
 
   /** Resolve a manifest's possibly-absolute file URI against this
     * table (file: URIs strip to paths; relative stays relative). */
-  private def resolve(uri: String): String =
+  private[io] def resolve(uri: String): String =
     if (uri.startsWith("file:")) new java.net.URI(uri).getPath else uri
 
   /** One data file of a snapshot: path, DATA sequence number, and the
@@ -675,13 +675,14 @@ object IcebergInterop {
     * sequence entry per file, the spec's replacement rule. The DV
     * write path unions new positions into these (a replacement DV
     * must be a superset of the one it replaces). */
-  private[graft] def liveDvs(spark: SparkSession,
-                             dir: String): Map[String, (String, Long, Long)] = {
+  private[graft] def liveDvs(spark: SparkSession, dir: String,
+                             atSnapshot: Option[Long] = None)
+      : Map[String, (String, Long, Long)] = {
     import scala.jdk.CollectionConverters._
     val meta = readJson(spark, currentMetadataPath(spark, dir))
-    val cur = meta.path("current-snapshot-id").asLong(-1L)
+    val want = atSnapshot.getOrElse(meta.path("current-snapshot-id").asLong(-1L))
     meta.path("snapshots").elements().asScala
-      .find(_.path("snapshot-id").asLong(-2L) == cur)
+      .find(_.path("snapshot-id").asLong(-2L) == want)
       .map(s0 => liveFiles(spark, dir, s0).dvs
         .groupBy(e => canonPathStr(e.ref)).map { case (r, ds) =>
           val d = ds.maxBy(_.seq)

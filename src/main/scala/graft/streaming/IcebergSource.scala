@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, GraftBridge, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles, SupportsAdmissionControl, Offset => ConnectorOffset}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Offset of the graft-iceberg streaming SOURCE: a position in the
   * linearized file stream `origin-snapshot files ++ per-snapshot added
@@ -81,6 +81,13 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
   }
   private val ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean)
   private val ignoreDeletes = opts.get("ignoredeletes").exists(_.toBoolean)
+  // CHANGELOG mode (Delta's readChangeFeed on the Iceberg plane): each
+  // tailed snapshot emits its CHANGE rows — inserts AND preimage
+  // deletes resolved through position/equality/DV masks — instead of
+  // raw added files, so row-level deletes CONSUME rather than refuse.
+  // Offsets advance one UNIT per snapshot (a snapshot's change set is
+  // atomic); the origin snapshot backfills as pure inserts.
+  private val readChanges = opts.get("readchanges").exists(_.toBoolean)
 
   private val M = new ObjectMapper()
 
@@ -147,7 +154,20 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
     if (!origin.backfill) IndexedSeq.empty
     else IcebergInterop.streamSnapshotFiles(spark, dir, origin.snapshotId).toIndexedSeq
 
-  override def schema: StructType = lockedSchema
+  private lazy val changeSchema: StructType = StructType(
+    lockedSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(
+        graft.io.IcebergChangelog.ChangeType,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(
+        graft.io.IcebergChangelog.ChangeOrdinal,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        graft.io.IcebergChangelog.CommitSnapshotId,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def schema: StructType =
+    if (readChanges) changeSchema else lockedSchema
 
   // per-sequence-number added-file lists — metadata-sized, pruned as
   // batches commit; also caches the seq→(snapshotId, operation) map
@@ -159,6 +179,11 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
 
   private def addedOf(seq: Long, snapId: Long, op: String): Seq[String] =
     synchronized(addCache.getOrElseUpdate(seq, {
+      if (readChanges) Seq("<changes>") // one atomic unit per snapshot
+      else addedOfRaw(seq, snapId, op)
+    }))
+
+  private def addedOfRaw(seq: Long, snapId: Long, op: String): Seq[String] = {
       // a row-level-DELETE snapshot adds no data files: with
       // ignoreDeletes it advances the offset emitting nothing (rows
       // already emitted stay downstream); otherwise it fails loudly
@@ -179,7 +204,7 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
       } else
         IcebergInterop.streamAddedFiles(spark, dir, snapId,
           ignoreDeletes = ignoreDeletes || ignoreChanges)
-    }))
+  }
 
   /** Walk forward from `prev` consuming up to `budget` files. */
   private def advance(prev: Option[IcebergSourceOffset],
@@ -281,11 +306,53 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endO = IcebergSourceOffset.from(end)
     val startO = start.map(IcebergSourceOffset.from)
+    if (readChanges) return getChangeBatch(startO, endO)
     val files = filesBetween(startO, endO)
     if (files.isEmpty) GraftBridge.emptyStreamingBatch(spark, schema)
     else GraftBridge.asStreamingBatch(
       spark.read.schema(lockedSchema).parquet(files: _*)
         .select(lockedSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
+  }
+
+  /** Change-mode batch: the origin backfill emits as pure inserts
+    * (file-sliced, rate-limit friendly); each tailed snapshot emits
+    * its change set atomically through [[graft.io.IcebergChangelog]]. */
+  private def getChangeBatch(startO: Option[IcebergSourceOffset],
+                             endO: IcebergSourceOffset): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val frames = Seq.newBuilder[DataFrame]
+    if (startO.forall(_.starting)) {
+      val from = startO.map(_.index).getOrElse(0)
+      val to = if (endO.starting) endO.index else snapFiles.length
+      val slice = snapFiles.slice(from, to)
+      if (slice.nonEmpty)
+        frames += spark.read.schema(lockedSchema).parquet(slice: _*)
+          .select(lockedSchema.fieldNames.map(col).toSeq: _*)
+          .withColumn(graft.io.IcebergChangelog.ChangeType, lit("insert"))
+          .withColumn(graft.io.IcebergChangelog.ChangeOrdinal, lit(origin.seq))
+          .withColumn(graft.io.IcebergChangelog.CommitSnapshotId,
+            lit(origin.snapshotId))
+    }
+    if (!endO.starting) {
+      val (fromSeq, fromIdx) = startO match {
+        case Some(o) if !o.starting => (o.seq, o.index)
+        case _ => (origin.seq, 1) // origin phase complete; tail everything after
+      }
+      tailSnaps().filter(t => t._1 >= fromSeq && t._1 <= endO.seq)
+        .foreach { case (seq, id, _) =>
+          val lo = if (seq == fromSeq) fromIdx else 0
+          val hi = if (seq == endO.seq) endO.index else 1
+          if (lo < hi)
+            graft.io.IcebergChangelog
+              .changesForSnapshot(spark, dir, id, lockedSchema)
+              .foreach(frames += _)
+        }
+    }
+    frames.result().reduceOption(_ unionByName _) match {
+      case None => GraftBridge.emptyStreamingBatch(spark, changeSchema)
+      case Some(df) => GraftBridge.asStreamingBatch(
+        df.select(changeSchema.fieldNames.map(col).toSeq: _*))
+    }
   }
 
   override def commit(end: V1Offset): Unit = {
@@ -308,9 +375,21 @@ final class IcebergSourceProvider extends StreamSourceProvider with DataSourceRe
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
-                            parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      IcebergInterop.streamHead(sqlContext.sparkSession, pathOf(parameters))._2))
+                            parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(
+      IcebergInterop.streamHead(sqlContext.sparkSession, pathOf(parameters))._2)
+    val readChanges = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("readchanges") => v.toBoolean
+    }.getOrElse(false)
+    (shortName(),
+      if (!readChanges) base
+      else StructType(base.fields ++ Seq(
+        StructField(graft.io.IcebergChangelog.ChangeType, org.apache.spark.sql.types.StringType),
+        StructField(graft.io.IcebergChangelog.ChangeOrdinal,
+          org.apache.spark.sql.types.LongType, nullable = false),
+        StructField(graft.io.IcebergChangelog.CommitSnapshotId,
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,

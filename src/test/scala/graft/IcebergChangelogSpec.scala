@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+import graft.io.{IcebergChangelog, IcebergInterop, IcebergWrite}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Iceberg CHANGELOG reads ([[IcebergChangelog]]): "what changed
+  * between snapshot A and B" with deletes resolved to preimage rows —
+  * position deletes, DV diffs (new ∖ prior), equality deletes, true
+  * overwrites — plus the `readChanges` streaming mode that CONSUMES
+  * delete snapshots instead of refusing them. */
+class IcebergChangelogSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  /** Multiset of full-row strings for net-state reconstruction. */
+  private def bag(rows: Seq[String]): Map[String, Int] =
+    rows.groupBy(identity).view.mapValues(_.size).toMap
+
+  test("mixed history: inserts/deletes reconstruct the final state exactly") {
+    val dir = Files.createTempDirectory("graft-ice-changelog").toString
+    val s1 = IcebergWrite.append(
+      (0L until 20L).map(i => (i, i * 10L, s"a_$i")).toDF("id", "score", "tag")
+        .repartitionByRange(2, col("id")), dir)
+    IcebergWrite.append(
+      (20L until 30L).map(i => (i, i * 10L, s"b_$i")).toDF("id", "score", "tag"), dir)
+    IcebergWrite.deleteWhere(spark, dir, col("id") < 5) // position deletes
+    IcebergWrite.updateWhereDV(spark, dir, // DV masks + postimages
+      col("id") >= 10 && col("id") < 13, Map("score" -> lit(999L)))
+    IcebergWrite.equalityDelete(spark, dir, // strictly-older key masks
+      Seq(7L, 10L, 25L).toDF("id").coalesce(1))
+    IcebergWrite.compact(spark, dir, smallFileBytes = 0L) // replace: silent
+
+    val ch = IcebergChangelog.readChangesBetween(spark, dir)
+    val byType = ch.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // inserts: 20 + 10 + 3 postimages; deletes: 5 pos + 3 DV preimages
+    // + 3 equality (ids 7, 10@999, 25)
+    assert(byType("insert") == 33, s"$byType")
+    assert(byType("delete") == 11, s"$byType")
+    // ordinals are the commit order; the compact emitted NOTHING
+    assert(ch.select("_change_ordinal").distinct().count() == 5)
+    // net reconstruction: inserts ∖ deletes == the final live table
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("id", "score", "tag").collect().map(_.toString).toSeq
+    val ins = bag(rowsOf(ch.filter(col("_change_type") === "insert")))
+    val del = bag(rowsOf(ch.filter(col("_change_type") === "delete")))
+    val net = ins.map { case (k, n) => k -> (n - del.getOrElse(k, 0)) }
+      .filter(_._2 > 0)
+    assert(del.forall { case (k, n) => ins.getOrElse(k, 0) >= n },
+      "every delete preimage must have been inserted earlier")
+    val actual = bag(rowsOf(IcebergInterop.readIceberg(spark, dir)))
+    assert(net == actual, s"changelog must reconstruct the table\nnet=$net\nactual=$actual")
+    // a bounded range: changes strictly after s1 = everything but the
+    // first append's 20 inserts
+    val tail = IcebergChangelog.readChangesBetween(spark, dir, Some(s1))
+    assert(tail.count() == 33 + 11 - 20)
+    // DV diff discipline: the update emitted ONLY the 3 newly-masked
+    // preimages even though masks compose
+    val updDeletes = ch.filter(col("_change_type") === "delete" &&
+      col("id").isin(10L, 11L, 12L) && col("score") =!= 999L)
+    assert(updDeletes.count() == 3)
+  }
+
+  test("true overwrite emits parent-live deletes + fresh inserts") {
+    val dir = Files.createTempDirectory("graft-ice-changelog-ovr").toString
+    IcebergWrite.append((0L until 8L).map(i => (i, s"a_$i")).toDF("id", "tag"), dir)
+    IcebergWrite.overwrite((100L until 103L).map(i => (i, s"n_$i")).toDF("id", "tag"), dir)
+    val ch = IcebergChangelog.readChangesBetween(spark, dir)
+    assert(ch.filter(col("_change_type") === "delete").count() == 8)
+    assert(ch.filter(col("_change_type") === "insert").count() == 8 + 3)
+    val net = ch.filter(col("_change_type") === "insert").count() -
+      ch.filter(col("_change_type") === "delete").count()
+    assert(net == IcebergInterop.readIceberg(spark, dir).count())
+  }
+
+  test("streaming readChanges consumes delete snapshots without flags") {
+    val dir = Files.createTempDirectory("graft-ice-changelog-stream").toString
+    IcebergWrite.append(
+      (0L until 10L).map(i => (i, s"a_$i")).toDF("id", "tag"), dir)
+    val buf = scala.collection.mutable.ListBuffer.empty[(Long, String, String)]
+    val q = spark.readStream.format("graft-iceberg")
+      .option("readChanges", "true").load(dir)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.select("id", "tag", "_change_type")
+          .as[(Long, String, String)].collect()
+        if (rows.nonEmpty) buf.synchronized { buf ++= rows }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(buf.synchronized(buf.count(_._3 == "insert")) == 10,
+        "origin backfill arrives as inserts")
+      // a DELETE snapshot mid-stream: CONSUMED as preimage rows — the
+      // raw mode refuses this without ignoreDeletes
+      IcebergWrite.deleteWhere(spark, dir, col("id") < 3)
+      // an UPDATE: preimage deletes + postimage inserts
+      IcebergWrite.updateWhere(spark, dir, col("id") === 5L,
+        Map("tag" -> lit("updated")))
+      // a manifest merge: silent
+      IcebergWrite.rewriteManifests(spark, dir, targetEntriesPerManifest = 100)
+      IcebergWrite.append(Seq((50L, "late")).toDF("id", "tag"), dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = buf.synchronized(buf.toList)
+    assert(all.count(_._3 == "delete") == 4, s"3 deletes + 1 update preimage: $all")
+    assert(all.count(_._3 == "insert") == 12, "10 origin + postimage + late append")
+    assert(all.exists(r => r._1 == 5L && r._2 == "updated" && r._3 == "insert"))
+    assert(all.exists(r => r._1 == 5L && r._2 == "a_5" && r._3 == "delete"))
+    // exactly-once across a restart
+    val buf2 = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    IcebergWrite.append(Seq((60L, "post")).toDF("id", "tag"), dir)
+    val q2 = spark.readStream.format("graft-iceberg")
+      .option("readChanges", "true").load(dir)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.select("id", "_change_type").as[(Long, String)].collect()
+        if (rows.nonEmpty) buf2.synchronized { buf2 ++= rows }
+        ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(buf2.synchronized(buf2.toList) == List((60L, "insert")),
+      s"restart resumes past consumed change sets: ${buf2.toList}")
+  }
+}

@@ -33,6 +33,7 @@ private[graft] object IcebergFormat {
       |  {"name":"content_offset","type":["null","long"],"default":null},
       |  {"name":"content_size_in_bytes","type":["null","long"],"default":null},
       |  {"name":"first_row_id","type":["null","long"],"default":null},
+      |  {"name":"sort_order_id","type":["null","int"],"default":null},
       |  {"name":"lower_bounds","type":["null",{"type":"array","items":
       |    {"type":"record","name":"k_v","fields":[
       |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null},
@@ -258,7 +259,9 @@ private[graft] object IcebergFormat {
             // 1 = ADDED (default), 0 = EXISTING (a compaction's
             // carried-forward entries keep their original sequence
             // numbers under status 0 — incremental tailers skip them)
-            status: Int = 1): GenericRecord = {
+            status: Int = 1,
+            // the sort order the file's rows were written under
+            sortOrderId: Option[Int] = None): GenericRecord = {
     val dfSchema = EntrySchema.getField("data_file").schema()
     val dfRec = new GenericData.Record(dfSchema)
     dfRec.put("content", content)
@@ -273,6 +276,7 @@ private[graft] object IcebergFormat {
     }
     referencedDataFile.foreach(rf => dfRec.put("referenced_data_file", rf))
     firstRowId.foreach(id => dfRec.put("first_row_id", id))
+    sortOrderId.foreach(id => dfRec.put("sort_order_id", id))
     if (equalityIds.nonEmpty) {
       val arr = new GenericData.Array[Integer](equalityIds.length,
         dfSchema.getField("equality_ids").schema().getTypes.get(1))

@@ -1598,7 +1598,10 @@ object IcebergWrite {
           IcebergFormat.entry(0, gStr(df, "file_path"),
             gLong(df, "record_count", 0L), gLong(df, "file_size_in_bytes", 0L),
             gLong(e, "snapshot_id", curId), gLong(e, "sequence_number", manSeq),
-            bounds = entryBounds(df), status = 0)
+            bounds = entryBounds(df), status = 0,
+            sortOrderId = Option(df.getSchema.getField("sort_order_id"))
+              .flatMap(_ => Option(df.get("sort_order_id")))
+              .map(_.asInstanceOf[Number].intValue))
         }
         val mp = new Path(root,
           s"metadata/manifest-$snapshotId-x${java.util.UUID.randomUUID().toString.take(8)}.avro")
@@ -1821,7 +1824,10 @@ object IcebergWrite {
                 firstRowId = Option(df.getSchema.getField("first_row_id"))
                   .flatMap(_ => Option(df.get("first_row_id")))
                   .map(_.asInstanceOf[Number].longValue),
-                status = 0)
+                status = 0,
+                sortOrderId = Option(df.getSchema.getField("sort_order_id"))
+                  .flatMap(_ => Option(df.get("sort_order_id")))
+                  .map(_.asInstanceOf[Number].intValue))
             }
           }
           val mp = new Path(root,
@@ -2084,6 +2090,46 @@ object IcebergWrite {
     (expired.length, reclaimed)
   }
 
+  /** Append `df` GLOBALLY SORTED on `orderBy` ((column, ascending)*) —
+    * Iceberg's `WRITE ORDERED BY`: one range-partitioned sort job
+    * clusters rows across files (near-disjoint min/max bands per file
+    * ⇒ far tighter file-level pruning on the sort columns), the sort
+    * order registers in table metadata (an existing declaration with
+    * the same ordered fields is REUSED; `default-sort-order-id`
+    * updates), and every data-file manifest entry stamps
+    * `sort_order_id`, so a foreign engine sees the declared layout.
+    * Ascending sorts nulls-first, descending nulls-last (the spec's
+    * defaults). Returns the committed snapshot id. */
+  def appendSorted(df: DataFrame, dir: String,
+                   orderBy: Seq[(String, Boolean)]): Long = {
+    require(orderBy.nonEmpty, "appendSorted needs at least one sort column")
+    orderBy.foreach { case (c, _) =>
+      require(df.columns.contains(c), s"no sort column $c") }
+    write(df, dir, replace = false, sortBy = orderBy)
+  }
+
+  /** The order-id `fields` resolves to against `m`: an existing
+    * sort-order with the same ordered (source-id, direction) fields,
+    * else max + 1 (deterministic per base version — a lost race
+    * recomputes against the new head). */
+  private def resolveSortOrderId(m: Option[JsonNode],
+                                 fields: Seq[(Int, Boolean)]): Int = {
+    import scala.jdk.CollectionConverters._
+    val orders = m.map(_.path("sort-orders").elements().asScala.toSeq)
+      .getOrElse(Nil)
+    orders.find { o =>
+      val fs0 = o.path("fields")
+      fs0.size == fields.size && fields.zipWithIndex.forall {
+        case ((sid, asc), i) =>
+          fs0.get(i).path("source-id").asInt(-1) == sid &&
+            fs0.get(i).path("transform").asText == "identity" &&
+            fs0.get(i).path("direction").asText ==
+              (if (asc) "asc" else "desc")
+      }
+    }.map(_.path("order-id").asInt(0)).getOrElse(
+      orders.map(_.path("order-id").asInt(0)).maxOption.getOrElse(0) + 1)
+  }
+
   /** Exactly-once streaming append: the (appId, txnVersion) ledger
     * rides the SNAPSHOT SUMMARY (`graft-app-id` / `graft-txn` keys —
     * Iceberg's spec-blessed operation metadata), so a batch replayed
@@ -2116,7 +2162,8 @@ object IcebergWrite {
   }
 
   private def write(df: DataFrame, dir: String, replace: Boolean,
-                    txn: Option[(String, Long)] = None): Long = {
+                    txn: Option[(String, Long)] = None,
+                    sortBy: Seq[(String, Boolean)] = Nil): Long = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val root = new Path(dir)
@@ -2146,9 +2193,17 @@ object IcebergWrite {
 
     // distributed staging: write under a hidden dir, RENAME into data/
     // under fresh unique names — invisible until the metadata commit
-    // references them, reclaimable if the commit never lands
+    // references them, reclaimable if the commit never lands. A sorted
+    // write stages through ONE global range-partitioned sort.
     val staging = new Path(root, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
-    withFieldIds(df, idsByName).write.parquet(staging.toString)
+    val toStage =
+      if (sortBy.isEmpty) df
+      else {
+        import org.apache.spark.sql.functions.col
+        df.sort(sortBy.map { case (c, asc) =>
+          if (asc) col(c).asc_nulls_first else col(c).desc_nulls_last }: _*)
+      }
+    withFieldIds(toStage, idsByName).write.parquet(staging.toString)
     val staged = f.listStatus(staging).filter(_.getPath.getName.endsWith(".parquet"))
       .map { st =>
         val dst = new Path(root, s"data/${java.util.UUID.randomUUID()}.parquet")
@@ -2166,17 +2221,22 @@ object IcebergWrite {
       staged.partition(p => stats.contains(canonPath(p._1.toString)))
     empties.foreach { case (p, _) => f.delete(p, false) }
 
+    val sortFieldIds = sortBy.map { case (c, asc) => (idsByName(c), asc) }
     var attempt = 0
     var base = v0
     while (true) {
       val snapshotId = freshSnapshotId(f, root, base)
-      val seqNo = readMeta(f, root, base)
+      val baseMeta = readMeta(f, root, base)
+      val seqNo = baseMeta
         .map(_.path("last-sequence-number").asLong(0L)).getOrElse(0L) + 1L
+      val orderId: Option[Int] =
+        if (sortFieldIds.isEmpty) None
+        else Some(resolveSortOrderId(baseMeta, sortFieldIds))
       val entries = dataFiles.map { case (p, size) =>
         val (rows, bounds) = stats.getOrElse(canonPath(p.toString),
           throw new IllegalStateException(s"no stats row for $p"))
         IcebergFormat.entry(0, p.toString, rows, size, snapshotId, seqNo,
-          bounds = bounds)
+          bounds = bounds, sortOrderId = orderId)
       }
       val manifestP = new Path(root,
         s"metadata/manifest-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
@@ -2184,7 +2244,8 @@ object IcebergWrite {
       try {
         onBeforeCommit()
         return commitMeta(spark, f, root, base, df.schema, snapshotId, seqNo,
-          Seq(NewManifest(manifestP, partitioned = false, None)), replace, txn)
+          Seq(NewManifest(manifestP, partitioned = false, None)), replace, txn,
+          sortReq = orderId.map(id => (id, sortFieldIds)))
       }
       catch {
         case _: java.util.ConcurrentModificationException =>
@@ -2263,7 +2324,11 @@ object IcebergWrite {
                            Long, Int, Long, AnyRef)]] = None,
                          // one-way format upgrade (v3 for deletion
                          // vectors) — never downgrades
-                         minFormatVersion: Int = 0): Long = {
+                         minFormatVersion: Int = 0,
+                         // a sorted write's (order-id, (source-id,
+                         // asc)*): registered when new, verified when
+                         // declared; default-sort-order-id updates
+                         sortReq: Option[(Int, Seq[(Int, Boolean)])] = None): Long = {
     import scala.jdk.CollectionConverters._
     val prevMeta = readMeta(f, root, base)
     val MFS = IcebergFormat.ManifestFileSchema
@@ -2384,6 +2449,44 @@ object IcebergWrite {
             if (prevMeta.isEmpty) n.put("default-spec-id", newId)
             newId
         }
+    }
+
+    // sort-order registration: reuse the declared order (id must agree
+    // — both sides derive it from the SAME base version, so a mismatch
+    // means a racer rewrote the orders: rebase), else append it
+    sortReq.foreach { case (oid, fields) =>
+      val orders = n.withArray[ArrNode]("sort-orders")
+      val existing = orders.elements().asScala.find { o =>
+        val fs0 = o.path("fields")
+        fs0.size == fields.size && fields.zipWithIndex.forall {
+          case ((sid, asc), i) =>
+            fs0.get(i).path("source-id").asInt(-1) == sid &&
+              fs0.get(i).path("transform").asText == "identity" &&
+              fs0.get(i).path("direction").asText ==
+                (if (asc) "asc" else "desc")
+        }
+      }
+      existing match {
+        case Some(o) =>
+          if (o.path("order-id").asInt(-1) != oid)
+            throw new java.util.ConcurrentModificationException(
+              s"sort order ids moved under $root — rebase")
+        case None =>
+          val mx = orders.elements().asScala
+            .map(_.path("order-id").asInt(0)).maxOption.getOrElse(0)
+          if (oid != mx + 1)
+            throw new java.util.ConcurrentModificationException(
+              s"sort order ids moved under $root — rebase")
+          val o = orders.addObject(); o.put("order-id", oid)
+          val fa = o.putArray("fields")
+          fields.foreach { case (sid, asc) =>
+            val fo = fa.addObject()
+            fo.put("transform", "identity"); fo.put("source-id", sid)
+            fo.put("direction", if (asc) "asc" else "desc")
+            fo.put("null-order", if (asc) "nulls-first" else "nulls-last")
+          }
+      }
+      n.put("default-sort-order-id", oid)
     }
 
     val FS = MFS.getField("partitions").schema().getTypes.get(1)

@@ -489,6 +489,68 @@ class IcebergWriteSpec extends AnyFunSuite {
       .flatMap("""^v(\d+)\.metadata\.json$""".r.findFirstMatchIn(_))
       .map(_.group(1).toInt).max
 
+  test("appendSorted: WRITE ORDERED BY registers the order, stamps entries, tightens pruning") {
+    val dir = Files.createTempDirectory("graft-iceberg-sorted").toString
+    val twin = Files.createTempDirectory("graft-iceberg-unsorted").toString
+    val rnd = new scala.util.Random(7)
+    val df = rnd.shuffle((0L until 4000L).toVector)
+      .map(i => (i, s"p_$i")).toDF("id", "payload").repartition(8)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey, "true")
+    spark.conf.set(coalesceKey, "false") // keep the sort's range files apart
+    try {
+      IcebergWrite.appendSorted(df, dir, Seq(("id", true)))
+      IcebergWrite.append(df, twin)
+    } finally spark.conf.set(coalesceKey, prev)
+    // metadata: ONE new sort order, identity asc nulls-first, default
+    val m = metaJson(dir, 1)
+    import scala.jdk.CollectionConverters._
+    val order = m.path("sort-orders").elements().asScala
+      .find(_.path("order-id").asInt == 1).get
+    assert(order.path("fields").size == 1)
+    val fd = order.path("fields").get(0)
+    assert(fd.path("transform").asText == "identity" &&
+      fd.path("direction").asText == "asc" &&
+      fd.path("null-order").asText == "nulls-first")
+    assert(m.path("default-sort-order-id").asInt == 1)
+    // every data-file entry stamps sort_order_id = 1
+    val manPath = new java.io.File(s"$dir/metadata").listFiles()
+      .find(_.getName.startsWith("manifest-")).get
+    val stamped = graft.io.IcebergFormat.readAvro(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(manPath.toString))
+      .map(_.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord])
+      .map(df0 => Option(df0.get("sort_order_id")).map(_.asInstanceOf[Number].intValue))
+    assert(stamped.nonEmpty && stamped.forall(_.contains(1)),
+      s"every file stamps the order: $stamped")
+    // rows round-trip exactly; the sorted table PRUNES a range read to
+    // a fraction of the files while the unsorted twin scans them all
+    val t = IcebergInterop.readIceberg(spark, dir)
+    assert(t.count() == 4000)
+    val hit = IcebergInterop.readIcebergWhere(spark, dir,
+      Map("id" -> ((0.0, 299.0))))
+    assert(hit.count() == 300)
+    val sortedFiles = hit.inputFiles.length
+    val hitTwin = IcebergInterop.readIcebergWhere(spark, twin,
+      Map("id" -> ((0.0, 299.0))))
+    assert(hitTwin.count() == 300)
+    val twinFiles = hitTwin.inputFiles.length
+    assert(sortedFiles * 2 <= twinFiles,
+      s"clustered bounds must prune: sorted=$sortedFiles unsorted=$twinFiles")
+    // a second sorted append REUSES the order (no duplicate entry)
+    IcebergWrite.appendSorted(
+      Seq((9000L, "late")).toDF("id", "payload"), dir, Seq(("id", true)))
+    val m2 = metaJson(dir, 2)
+    assert(m2.path("sort-orders").size == 2, "order 0 (unsorted) + order 1 only")
+    // a DIFFERENT order registers order-id 2 and becomes the default
+    IcebergWrite.appendSorted(
+      Seq((9001L, "z")).toDF("id", "payload"), dir, Seq(("payload", false)))
+    val m3 = metaJson(dir, 3)
+    assert(m3.path("sort-orders").size == 3 &&
+      m3.path("default-sort-order-id").asInt == 2)
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 4002)
+  }
+
   test("merge-on-read UPDATE: one snapshot, postimages visible, no data file rewrites") {
     val dir = Files.createTempDirectory("graft-iceberg-write-upd").toString
     val s1 = IcebergWrite.append(

@@ -735,6 +735,31 @@ object OracleSql {
         |SELECT _change_type, lang, count(*)::BIGINT AS n,
         |  sum(n_chars)::BIGINT AS chars
         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q207: native row lineage — ids re-derived with window functions
+    // (evens rank 0.., odds continue at |evens|), the en slice updated
+    // at seq 3 (+1000 chars), the %5 band deleted, compaction identity-
+    // preserving by construction (asserted in-query on the Spark side)
+    "q207_iceberg_lineage_native" ->
+      """WITH ev AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS rid, 1 AS app_seq
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |ne AS (SELECT count(*) AS n FROM ev),
+        |od AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    (SELECT n FROM ne) + row_number() OVER (ORDER BY doc_id) - 1 AS rid,
+        |    2 AS app_seq
+        |  FROM documents WHERE doc_id % 2 <> 0),
+        |base AS (SELECT * FROM ev UNION ALL SELECT * FROM od),
+        |upd AS (
+        |  SELECT doc_id, lang,
+        |    n_chars + CASE WHEN lang = 'en' THEN 1000 ELSE 0 END AS n_chars,
+        |    rid, CASE WHEN lang = 'en' THEN 3 ELSE app_seq END AS lus
+        |  FROM base),
+        |live AS (SELECT * FROM upd WHERE doc_id % 5 <> 0)
+        |SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars,
+        |  sum(rid)::BIGINT AS sum_row_id, sum(lus)::BIGINT AS sum_lus
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
     // q196: native Iceberg maintenance — the low third masked, then
     // the same aggregate through live/compacted/expired states
     "q196_iceberg_maintenance" ->

@@ -3047,6 +3047,50 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("_change_type"), col("lang"))
   }
 
+  /** q207 — NATIVE v3 ROW LINEAGE lifecycle
+    * ([[graft.io.IcebergWrite.appendLineage]] + the
+    * materialize-on-rewrite rule, iceberg.apache.org/spec/ "Row
+    * Lineage"): sorted single-file appends make the id assignment
+    * relationally reproducible (evens rank 0..nE-1 at seq 1, odds
+    * continue at nE at seq 2), a merge-on-read DV UPDATE bumps the en
+    * slice's `_last_updated_sequence_number` to 3 while every row
+    * KEEPS its `_row_id`, a DV DELETE masks the %5 band (seq 4), and
+    * a full COMPACTION (seq 5) rewrites the files with both lineage
+    * columns materialized — the in-query assert pins that not one
+    * (id, last-updated) pair moved across the rewrite. DuckDB
+    * re-derives ids with window functions and replays the
+    * update/delete arithmetic analytically. */
+  private[graft] def q207(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{IcebergInterop, IcebergWrite}
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q207") + "/t"
+    IcebergWrite.appendLineage(docs.filter(col("doc_id") % 2 === 0)
+      .repartition(1).sortWithinPartitions("doc_id"), tmp)          // seq 1
+    IcebergWrite.append(docs.filter(col("doc_id") % 2 =!= 0)
+      .repartition(1).sortWithinPartitions("doc_id"), tmp)          // seq 2
+    val (_, nUpd) = IcebergWrite.updateWhereDV(s, tmp,
+      col("lang") === "en", Map("n_chars" -> (col("n_chars") + 1000L))) // seq 3
+    require(nUpd > 0, "the DV update must hit the en slice")
+    val (_, nDel) = IcebergWrite.deleteWhereDV(s, tmp, col("doc_id") % 5 === 0) // seq 4
+    require(nDel > 0)
+    def fingerprint(): org.apache.spark.sql.Row =
+      IcebergInterop.readIceberg(s, tmp, withLineage = true).agg(
+        count(lit(1)), sum(col("_row_id")).cast("long"),
+        sum(col("_last_updated_sequence_number")).cast("long")).head()
+    val before = fingerprint()
+    val (_, rewritten, _) = IcebergWrite.compact(s, tmp, smallFileBytes = 0L) // seq 5
+    require(rewritten > 0, "compaction must rewrite the DV-masked files")
+    require(fingerprint() == before,
+      "compaction moved a (_row_id, _last_updated_sequence_number) pair")
+    IcebergInterop.readIceberg(s, tmp, withLineage = true)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        sum(col("_row_id")).cast("long").as("sum_row_id"),
+        sum(col("_last_updated_sequence_number")).cast("long").as("sum_lus"))
+      .orderBy(col("lang"))
+  }
+
   /** q196 — NATIVE Iceberg TABLE MAINTENANCE
     * ([[graft.io.IcebergWrite.rewriteManifests]] /
     * [[graft.io.IcebergWrite.compact]] /

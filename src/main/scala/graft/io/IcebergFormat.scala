@@ -17,6 +17,17 @@ import org.apache.spark.sql.types._
   * spec's published schemas. */
 private[graft] object IcebergFormat {
 
+  /** Reserved field ids of the v3 ROW-LINEAGE metadata columns
+    * (iceberg.apache.org/spec/ "Row Lineage" / reserved field ids):
+    * `_row_id` and `_last_updated_sequence_number`, materialized as
+    * physical parquet columns whenever a rewrite moves rows (so ids
+    * survive compaction and MoR updates) and otherwise inherited from
+    * the file's `first_row_id` + position / data sequence number. */
+  val RowIdFieldId = 2147483540L
+  val LastUpdatedSeqFieldId = 2147483539L
+  val RowIdCol = "_row_id"
+  val LastUpdatedSeqCol = "_last_updated_sequence_number"
+
   val EntrySchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},

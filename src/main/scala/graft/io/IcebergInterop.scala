@@ -129,6 +129,10 @@ object IcebergInterop {
     * change names, never ids — so every schema this reader pins
     * carries the ids. */
   private val FieldIdKey = "parquet.field.id"
+  private val RowIdFieldId = IcebergFormat.RowIdFieldId
+  private val LastUpdatedSeqFieldId = IcebergFormat.LastUpdatedSeqFieldId
+  private def fieldIdMeta(id: Long) =
+    new MetadataBuilder().putLong(FieldIdKey, id).build()
 
   private def fieldsOf(fields: JsonNode): Seq[StructField] = {
     import scala.jdk.CollectionConverters._
@@ -548,20 +552,40 @@ object IcebergInterop {
             d.filter(col(k) === lit(v))
           }
         }
+        val lineageFields = Seq(
+          StructField("_row_id", LongType, nullable = true),
+          StructField("_last_updated_sequence_number", LongType, nullable = true))
         if (inv.data.isEmpty)
           residual(spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            if (!withProvenance) schema
-            else StructType(schema.fields ++ Seq(
-              StructField("_graft_file", StringType),
-              StructField("_graft_pos", LongType)))))
+            StructType(schema.fields ++
+              (if (withLineage) lineageFields else Nil) ++
+              (if (withProvenance) Seq(
+                StructField("_graft_file", StringType),
+                StructField("_graft_pos", LongType)) else Nil))))
         else {
           import org.apache.spark.sql.functions._
-          val base0 = spark.read.schema(schema).parquet(inv.data.map(_.path): _*)
+          // v3 ROW LINEAGE reads request the two reserved lineage
+          // columns alongside the table schema: files that MATERIALIZED
+          // them (a compaction's or MoR update's rewrites) surface the
+          // stamped values, files that didn't surface null — the
+          // inheritance fallback below derives those
+          val readSchema =
+            if (!withLineage) schema
+            else StructType(schema.fields ++ Seq(
+              StructField("_row_id", LongType, nullable = true,
+                fieldIdMeta(RowIdFieldId)),
+              StructField("_last_updated_sequence_number", LongType,
+                nullable = true, fieldIdMeta(LastUpdatedSeqFieldId))))
+          val base0 = spark.read.schema(readSchema).parquet(inv.data.map(_.path): _*)
           // v3 ROW LINEAGE: a row's stable id is its file's
           // first_row_id + its position — attached via one broadcast
-          // join on the (file-count-bounded) path→first_row_id map,
-          // BEFORE delete masking so surviving rows keep their ids
+          // join on the (file-count-bounded) path→(first_row_id, seq)
+          // map, BEFORE delete masking so surviving rows keep their
+          // ids. A MATERIALIZED `_row_id` (written when a rewrite
+          // moved the row) wins over derivation; same for
+          // `_last_updated_sequence_number` vs the file's own data
+          // sequence number (the spec's inheritance rule).
           val base =
             if (!withLineage) base0
             else {
@@ -569,19 +593,27 @@ object IcebergInterop {
                 canonPathStr(e.path),
                 e.firstRowId.getOrElse(throw new IllegalArgumentException(
                   s"withLineage: data file ${e.path} lacks first_row_id " +
-                  "(not a v3 row-lineage table)")))).asJava
+                  "(not a v3 row-lineage table)")),
+                e.seq)).asJava
               val frDf = broadcast(spark.createDataFrame(rowsJ,
                 StructType(Seq(StructField("_lin_path", StringType),
-                  StructField("_lin_first", LongType)))))
+                  StructField("_lin_first", LongType),
+                  StructField("_lin_seq", LongType)))))
               base0
+                .withColumnRenamed("_row_id", "_lin_mat")
+                .withColumnRenamed("_last_updated_sequence_number", "_lin_mseq")
                 .withColumn("_lin_p", canonPath(col("_metadata.file_path")))
                 .withColumn("_lin_pos", col("_metadata.row_index"))
                 .join(frDf, col("_lin_p") === col("_lin_path"), "left")
-                .withColumn("_row_id", col("_lin_first") + col("_lin_pos"))
-                .drop("_lin_p", "_lin_pos", "_lin_path", "_lin_first")
+                .withColumn("_row_id",
+                  coalesce(col("_lin_mat"), col("_lin_first") + col("_lin_pos")))
+                .withColumn("_last_updated_sequence_number",
+                  coalesce(col("_lin_mseq"), col("_lin_seq")))
+                .drop("_lin_p", "_lin_pos", "_lin_path", "_lin_first",
+                  "_lin_seq", "_lin_mat", "_lin_mseq")
             }
           val outCols = (schema.fieldNames.toSeq ++
-            (if (withLineage) Seq("_row_id") else Nil)).map(col)
+            (if (withLineage) lineageFields.map(_.name) else Nil)).map(col)
           if (inv.posDeletes.isEmpty && inv.eqDeletes.isEmpty && inv.dvs.isEmpty)
             residual(base.select(outCols ++ (if (!withProvenance) Nil
               else Seq(canonPath(col("_metadata.file_path")).as("_graft_file"),

@@ -257,6 +257,22 @@ object IcebergWrite {
     }.toSeq: _*)
   }
 
+  /** v3 ROW LINEAGE: the table's fresh-row-id watermark (`next-row-id`)
+    * — present exactly when lineage is on. Every commit that adds data
+    * files assigns each new file's `first_row_id` from here and
+    * advances it by the file's record count (iceberg.apache.org/spec/
+    * "Row Lineage"). */
+  private def nextRowIdOf(m: Option[JsonNode]): Option[Long] =
+    m.flatMap(mm => Option(mm.get("next-row-id")).map(_.asLong))
+
+  /** Field ids for the reserved lineage columns a rewrite materializes
+    * — appended to the schema map so [[withFieldIds]] stamps them. */
+  private def lineageIds(df: DataFrame): Map[String, Int] =
+    Seq(IcebergFormat.RowIdCol -> IcebergFormat.RowIdFieldId.toInt,
+        IcebergFormat.LastUpdatedSeqCol ->
+          IcebergFormat.LastUpdatedSeqFieldId.toInt)
+      .filter { case (c, _) => df.columns.contains(c) }.toMap
+
   /** Per-file (record count, bound bytes) in ONE grouped aggregation
     * keyed by `_metadata.file_path` — never a job per file. */
   private def allFileStats(spark: SparkSession, paths: Seq[String],
@@ -391,6 +407,20 @@ object IcebergWrite {
   def append(df: DataFrame, dir: String): Long =
     write(df, dir, replace = false)
 
+  /** [[append]] CREATING a v3 ROW-LINEAGE table (iceberg.apache.org/
+    * spec/ "Row Lineage"): table metadata carries the `next-row-id`
+    * watermark, every data file's manifest entry gets a `first_row_id`
+    * range, and a row's stable `_row_id` is first_row_id + its
+    * position ([[IcebergInterop.readIceberg]] `withLineage = true`).
+    * Lineage-ness lives in the TABLE metadata, not the call — once on,
+    * every later append / MoR update / merge / compaction maintains
+    * the watermark and materializes `_row_id` (and
+    * `_last_updated_sequence_number`) whenever a rewrite moves rows,
+    * so ids survive compaction and updates keep their identity.
+    * On an existing table use [[enableRowLineage]] instead. */
+  def appendLineage(df: DataFrame, dir: String): Long =
+    write(df, dir, replace = false, lineage = true)
+
   /** Replace the table's contents with `df` in one new snapshot
     * (`operation=overwrite`); prior snapshots stay time-travelable.
     * Refuses on a concurrent commit (no rebase across an overwrite). */
@@ -471,13 +501,19 @@ object IcebergWrite {
     var base = v0
     while (true) {
       val snapshotId = freshSnapshotId(f, root, base)
-      val seqNo = readMeta(f, root, base)
+      val baseMeta = readMeta(f, root, base)
+      val seqNo = baseMeta
         .map(_.path("last-sequence-number").asLong(0L)).getOrElse(0L) + 1L
+      // v3 ROW LINEAGE: one running watermark across every manifest's
+      // entries, re-derived per attempt from the base version
+      val lin0 = nextRowIdOf(baseMeta)
+      var rowIdW = lin0.getOrElse(0L)
       val mans = filesOfValue.zipWithIndex.flatMap { case ((vals, files), i) =>
         val entries = files.flatMap { case (pp, size) =>
           stats.get(canonPath(pp.toString)).map { case (rows, bounds) =>
+            val fr = lin0.map { _ => val v = rowIdW; rowIdW += rows; v }
             IcebergFormat.entry(0, pp.toString, rows, size, snapshotId, seqNo,
-              bounds = bounds)
+              bounds = bounds, firstRowId = fr)
           } // zero-record staged file: skip (deleted below)
         }
         if (entries.isEmpty) None
@@ -497,7 +533,8 @@ object IcebergWrite {
         return commitMeta(spark, f, root, base, df.schema, snapshotId, seqNo,
           mans, replace = false,
           partSpec = Some(SpecReq(parts.map { case (c, t) =>
-            (specFieldName(c, t), idsByName(c), t) })))
+            (specFieldName(c, t), idsByName(c), t) })),
+          nextRowId = lin0.map(_ => rowIdW))
       } catch {
         case _: java.util.ConcurrentModificationException =>
           mans.foreach(nm => f.delete(nm.path, false))
@@ -665,13 +702,19 @@ object IcebergWrite {
     val schemaNames = currentFieldIds(m0).map(_._1)
     set.keys.foreach(k => require(idsByName.contains(k),
       s"UPDATE assigns unknown column $k (table has ${schemaNames.mkString(",")})"))
+    // lineage tables read their hits WITH `_row_id` so postimages
+    // materialize it — an updated row keeps its identity, while its
+    // `_last_updated_sequence_number` inherits the new file's sequence
+    // (exactly "updated at this commit")
+    val lineageOn = nextRowIdOf(Some(m0)).isDefined
     val hits = IcebergInterop.readIceberg(spark, dir, ranges = ranges,
-        withProvenance = true)
+        withProvenance = true, withLineage = lineageOn)
       .filter(predicate)
       .localCheckpoint(false) // two consumers below — pin one scan
     val post0 = set.foldLeft(hits) { case (d, (k, v)) => d.withColumn(k, v) }
     val postimage = post0.select(schemaNames.map(c =>
-      col(c).cast(hits.schema(c).dataType).as(c)): _*)
+      col(c).cast(hits.schema(c).dataType).as(c)) ++
+      (if (lineageOn) Seq(col(IcebergFormat.RowIdCol)) else Nil): _*)
     val (snap, deleted, _) = commitRowDelta(spark, dir,
       positionsOf(hits), Some(postimage), "overwrite",
       what = "update", asDv = asDv)
@@ -729,8 +772,17 @@ object IcebergWrite {
           mm.get(1).asInstanceOf[Number].doubleValue)))
       case _ => Map.empty
     }
+    // lineage tables carry `_row_id` through the merge: clause-fired
+    // postimages keep their target row's id, inserted rows land with a
+    // NULL materialized id and derive fresh ids from their file's
+    // first_row_id range
+    val lineageOn = nextRowIdOf(Some(m0)).isDefined
+    val linSel: Seq[org.apache.spark.sql.Column] =
+      if (lineageOn) Seq(col(s"t.${IcebergFormat.RowIdCol}")
+        .as(IcebergFormat.RowIdCol)) else Nil
+    val linNames = if (lineageOn) Seq(IcebergFormat.RowIdCol) else Nil
     val t = IcebergInterop.readIceberg(spark, dir, ranges = ranges,
-      withProvenance = true)
+      withProvenance = true, withLineage = lineageOn)
     val typed = StructType(schemaNames.map(nm =>
       StructField(nm, t.schema(nm).dataType)))
     val keyEq = keyCols.map(c => col(s"t.$c") <=> col(s"s.$c")).reduce(_ && _)
@@ -753,7 +805,8 @@ object IcebergWrite {
       .withColumn("_fired", firedCol)
       .filter(col("_fired") >= 0)
       .select(col("t._graft_file").as("_graft_file") +:
-        col("t._graft_pos").as("_graft_pos") +: col("_fired") +: postCols: _*)
+        col("t._graft_pos").as("_graft_pos") +: col("_fired") +:
+        (postCols ++ linSel): _*)
       .localCheckpoint(false) // positions + postimages read it below
     val updateIdx = matched.zipWithIndex.collect {
       case (cl, i) if !cl.delete => i
@@ -761,7 +814,7 @@ object IcebergWrite {
     val postimage =
       if (updateIdx.isEmpty) None
       else Some(hits.filter(col("_fired").isin(updateIdx: _*))
-        .select(schemaNames.map(col): _*))
+        .select((schemaNames ++ linNames).map(col): _*))
     val inserts = notMatched.map { case (cond, assign) =>
       val unmatched0 = srcAligned.as("s").join(t.as("t"), keyEq, "left_anti")
       val unmatched = cond.map(unmatched0.filter).getOrElse(unmatched0)
@@ -769,14 +822,15 @@ object IcebergWrite {
         (if (assign.nonEmpty) assign.getOrElse(fd.name, lit(null))
          else if (srcAligned.columns.contains(fd.name)) col(s"s.${fd.name}")
          else lit(null)).cast(fd.dataType).as(fd.name)
-      }.toSeq: _*)
+      }.toSeq ++ linNames.map(c => lit(null).cast("long").as(c)): _*)
     }
     // by-source rows come from an UNPRUNED scan — they are exactly the
     // rows a source-key range prune would drop
     val bsHits = if (notMatchedBySource.isEmpty) None else {
       val tFull =
         if (ranges.isEmpty) t
-        else IcebergInterop.readIceberg(spark, dir, withProvenance = true)
+        else IcebergInterop.readIceberg(spark, dir, withProvenance = true,
+          withLineage = lineageOn)
       val firedB = notMatchedBySource.zipWithIndex.foldRight(lit(-1)) {
         case ((cl, i), acc) =>
           when(cl.condition.getOrElse(lit(true)), lit(i)).otherwise(acc)
@@ -792,7 +846,8 @@ object IcebergWrite {
         .withColumn("_fired", firedB)
         .filter(col("_fired") >= 0)
         .select(col("t._graft_file").as("_graft_file") +:
-          col("t._graft_pos").as("_graft_pos") +: col("_fired") +: postColsB: _*)
+          col("t._graft_pos").as("_graft_pos") +: col("_fired") +:
+          (postColsB ++ linSel): _*)
         .localCheckpoint(false))
     }
     val bsUpdateIdx = notMatchedBySource.zipWithIndex.collect {
@@ -800,7 +855,7 @@ object IcebergWrite {
     }
     val bsPostimage = bsHits.filter(_ => bsUpdateIdx.nonEmpty).map(
       _.filter(col("_fired").isin(bsUpdateIdx: _*))
-        .select(schemaNames.map(col): _*))
+        .select((schemaNames ++ linNames).map(col): _*))
     val positions = bsHits.map(b => positionsOf(hits).unionByName(positionsOf(b)))
       .getOrElse(positionsOf(hits))
     val appendRows = (postimage.toSeq ++ bsPostimage.toSeq ++ inserts) match {
@@ -925,10 +980,15 @@ object IcebergWrite {
     delEmpties.foreach { case (p, _) => f.delete(p, false) }
 
     val stagedApp = appendDf.toSeq.flatMap { df =>
-      require(df.columns.toSet == idsByName.keySet,
+      // a lineage table's postimages carry the reserved `_row_id`
+      // (/ `_last_updated_sequence_number`) columns MATERIALIZED so
+      // updated rows keep their identity — everything else must match
+      // the schema exactly
+      val linCols = lineageIds(df)
+      require((df.columns.toSet -- linCols.keySet) == idsByName.keySet,
         s"$what postimage columns ${df.columns.sorted.toSeq} must match " +
         s"current schema ${idsByName.keys.toSeq.sorted}")
-      stage(withFieldIds(df, idsByName), "")
+      stage(withFieldIds(df, idsByName ++ linCols), "")
     }
     val appStats =
       if (stagedApp.isEmpty) Map.empty[String, (Long, Map[Int, (Array[Byte], Array[Byte])])]
@@ -952,8 +1012,14 @@ object IcebergWrite {
     var base = v0
     while (true) {
       val snapshotId = freshSnapshotId(f, root, base)
-      val seqNo = readMeta(f, root, base)
+      val baseMetaA = readMeta(f, root, base)
+      val seqNo = baseMetaA
         .map(_.path("last-sequence-number").asLong(0L)).getOrElse(0L) + 1L
+      // v3 ROW LINEAGE: appended postimage/insert files get fresh
+      // first_row_id ranges (materialized _row_id values win at read;
+      // null slots — a merge's inserted rows — derive fresh ids)
+      val lin0 = nextRowIdOf(baseMetaA)
+      var rowIdW = lin0.getOrElse(0L)
       val mans = Seq.newBuilder[NewManifest]
       if (delFiles.nonEmpty || dvSide.isDefined) {
         val entries = delFiles.map { case (p, size) =>
@@ -974,8 +1040,9 @@ object IcebergWrite {
       if (appFiles.nonEmpty) {
         val entries = appFiles.map { case (p, size) =>
           val (rows, bounds) = appStats(canonPath(p.toString))
+          val fr = lin0.map { _ => val v = rowIdW; rowIdW += rows; v }
           IcebergFormat.entry(0, p.toString, rows, size, snapshotId, seqNo,
-            bounds = bounds)
+            bounds = bounds, firstRowId = fr)
         }
         val mp = new Path(root,
           s"metadata/manifest-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
@@ -987,7 +1054,8 @@ object IcebergWrite {
         onBeforeCommit()
         val snap = commitMeta(spark, f, root, base, StructType(Nil), snapshotId,
           seqNo, built, replace = false, operation = Some(operation),
-          minFormatVersion = if (asDv) 3 else 0)
+          minFormatVersion = if (asDv) 3 else 0,
+          nextRowId = lin0.map(_ => rowIdW))
         return (snap, deleted, appended)
       } catch {
         case _: java.util.ConcurrentModificationException =>
@@ -1500,8 +1568,14 @@ object IcebergWrite {
 
     val idsByName = currentFieldIds(m0).toMap
     val dirtySet = dirtyFiles.map(p => canonPath(p._1)).toSet
+    // lineage tables rewrite with `_row_id` AND
+    // `_last_updated_sequence_number` MATERIALIZED: the rewritten
+    // files get a NEW sequence number, so both values must ride the
+    // rows physically or compaction would reassign identities /
+    // misreport update recency (the spec's materialize-on-rewrite rule)
+    val lineageOn = nextRowIdOf(Some(m0)).isDefined
     val rows = IcebergInterop.readIceberg(spark, dir,
-      onlyDataFiles = Some(dirtySet))
+      onlyDataFiles = Some(dirtySet), withLineage = lineageOn)
     // PARTITION-PRESERVING rewrite: when the dirty manifests all use
     // ONE spec whose every field's transform this writer supports (and
     // whose source columns still exist), the rewrite stages through
@@ -1545,7 +1619,7 @@ object IcebergWrite {
         case None =>
           val staging = new Path(root,
             s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
-          withFieldIds(rows, idsByName).repartition(nOut)
+          withFieldIds(rows, idsByName ++ lineageIds(rows)).repartition(nOut)
             .write.parquet(staging.toString)
           val files = f.listStatus(staging)
             .filter(_.getPath.getName.endsWith(".parquet"))
@@ -1557,7 +1631,8 @@ object IcebergWrite {
           f.delete(staging, true)
           Seq((None, files))
         case Some(fields) =>
-          stagePartitioned(spark, f, root, withFieldIds(rows, idsByName),
+          stagePartitioned(spark, f, root,
+            withFieldIds(rows, idsByName ++ lineageIds(rows)),
             fields, rewriteResultDts)
             .map { case (vals, files) =>
               (Some(vals): Option[Seq[Option[Any]]], files) }
@@ -1572,6 +1647,11 @@ object IcebergWrite {
 
     val snapshotId = freshSnapshotId(f, root, v0)
     val seqNo = m0.path("last-sequence-number").asLong(0L) + 1L
+    // lineage: rewritten files still get fresh first_row_id ranges
+    // (cheap, keeps the every-file-has-a-range invariant); their
+    // MATERIALIZED _row_id values win at read, so identities hold
+    val lin0 = nextRowIdOf(Some(m0))
+    var rowIdW = lin0.getOrElse(0L)
     // carried list: clean manifests verbatim; partially-dirty ones
     // swap to an EXISTING-entry replacement keeping original seqs +
     // the original summary bytes (over-approximate bounds stay SAFE
@@ -1601,7 +1681,11 @@ object IcebergWrite {
             bounds = entryBounds(df), status = 0,
             sortOrderId = Option(df.getSchema.getField("sort_order_id"))
               .flatMap(_ => Option(df.get("sort_order_id")))
-              .map(_.asInstanceOf[Number].intValue))
+              .map(_.asInstanceOf[Number].intValue),
+            // lineage: a clean file's id range carries VERBATIM
+            firstRowId = Option(df.getSchema.getField("first_row_id"))
+              .flatMap(_ => Option(df.get("first_row_id")))
+              .map(_.asInstanceOf[Number].longValue))
         }
         val mp = new Path(root,
           s"metadata/manifest-$snapshotId-x${java.util.UUID.randomUUID().toString.take(8)}.avro")
@@ -1618,8 +1702,9 @@ object IcebergWrite {
       if (live.nonEmpty) {
         val entries = live.map { case (p, size) =>
           val (nRows, bounds) = stats(canonPath(p.toString))
+          val fr = lin0.map { _ => val v = rowIdW; rowIdW += nRows; v }
           IcebergFormat.entry(0, p.toString, nRows, size, snapshotId, seqNo,
-            bounds = bounds)
+            bounds = bounds, firstRowId = fr)
         }
         val mp = new Path(root,
           s"metadata/manifest-$snapshotId-$i-${java.util.UUID.randomUUID().toString.take(8)}.avro")
@@ -1637,7 +1722,8 @@ object IcebergWrite {
         seqNo, freshManifests.result(), replace = false,
         operation = Some("replace"), priorOverride = Some(carried.result()),
         partSpec = rewriteSpec.map(fields => SpecReq(fields.map {
-          case (c, t) => (specFieldName(c, t), idsByName(c), t) })))
+          case (c, t) => (specFieldName(c, t), idsByName(c), t) })),
+        nextRowId = lin0.map(_ => rowIdW))
       (snap, dirtyFiles.length, deleteFilesFolded)
     } catch {
       case _: java.util.ConcurrentModificationException =>
@@ -1896,6 +1982,86 @@ object IcebergWrite {
         throw new IllegalStateException(
           s"rewriteManifests on $dir raced a concurrent commit — its " +
           "merged manifest set no longer reflects the head; re-run")
+    }
+  }
+
+  /** Turn v3 ROW LINEAGE ON for an EXISTING table — metadata-only
+    * (zero data-file work): every live data manifest rewrites 1:1 with
+    * a `first_row_id` range stamped per entry (one running watermark
+    * in manifest-list order), delete manifests carry verbatim, and the
+    * commit sets `next-row-id` and upgrades the format to v3. From
+    * here every append / update / merge / compaction maintains the
+    * watermark ([[appendLineage]] is the creation-time twin). Existing
+    * rows get their ids NOW — first_row_id + position — and keep them
+    * through later rewrites (materialize-on-rewrite). Idempotent.
+    * Returns the committed snapshot id. */
+  def enableRowLineage(spark: SparkSession, dir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v0 = currentVersion(f, root)
+    require(v0 > 0, s"$dir has no snapshots to enable row lineage on")
+    val m0 = readMeta(f, root, v0).get
+    if (nextRowIdOf(Some(m0)).isDefined)
+      return m0.path("current-snapshot-id").asLong(-1L) // already on
+    val curId = m0.path("current-snapshot-id").asLong(-1L)
+    val snapNode = m0.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == curId)
+    val snapshotId = freshSnapshotId(f, root, v0)
+    val seqNo = m0.path("last-sequence-number").asLong(0L) + 1L
+    var rowIdW = 0L
+    val outList = Seq.newBuilder[(String, Long, Int, Long, Int, Long, AnyRef)]
+    snapNode.toSeq.flatMap(s0 => IcebergFormat.readAvro(conf,
+      new Path(resolveU(s0.path("manifest-list").asText)))).foreach { r =>
+      val content = gInt(r, "content", 0)
+      val parts: AnyRef = Option(r.getSchema.getField("partitions"))
+        .flatMap(_ => Option(r.get("partitions"))).orNull
+      if (content != 0)
+        outList += ((gStr(r, "manifest_path"),
+          gLong(r, "manifest_length", 0L), content,
+          gLong(r, "sequence_number", 0L), gInt(r, "partition_spec_id", 0),
+          gLong(r, "added_snapshot_id", curId), parts)) // deletes: verbatim
+      else {
+        val manSeq = gLong(r, "sequence_number", 0L)
+        val manSnap = gLong(r, "added_snapshot_id", curId)
+        val entries = IcebergFormat.readAvro(conf,
+          new Path(resolveU(gStr(r, "manifest_path"))))
+          .filter(e => gInt(e, "status", 0) != 2)
+          .map { e =>
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val rows = gLong(df, "record_count", 0L)
+            val fr = { val v = rowIdW; rowIdW += rows; v }
+            IcebergFormat.entry(0, gStr(df, "file_path"), rows,
+              gLong(df, "file_size_in_bytes", 0L),
+              gLong(e, "snapshot_id", manSnap),     // ORIGINAL snapshot
+              gLong(e, "sequence_number", manSeq),  // ORIGINAL sequence
+              bounds = entryBounds(df),
+              firstRowId = Some(fr), status = 0,
+              sortOrderId = Option(df.getSchema.getField("sort_order_id"))
+                .flatMap(_ => Option(df.get("sort_order_id")))
+                .map(_.asInstanceOf[Number].intValue))
+          }
+        val mp = new Path(root,
+          s"metadata/manifest-$snapshotId-l${java.util.UUID.randomUUID().toString.take(8)}.avro")
+        IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
+        outList += ((mp.toString, f.getFileStatus(mp).getLen, 0, manSeq,
+          gInt(r, "partition_spec_id", 0), snapshotId, parts))
+      }
+    }
+    val out = outList.result()
+    try {
+      onBeforeCommit()
+      commitMeta(spark, f, root, v0, StructType(Nil), snapshotId, seqNo,
+        Nil, replace = false, operation = Some("replace"),
+        priorOverride = Some(out), nextRowId = Some(rowIdW))
+    } catch {
+      case _: java.util.ConcurrentModificationException =>
+        out.filter(_._6 == snapshotId).foreach { case (p, _, _, _, _, _, _) =>
+          f.delete(new Path(p), false)
+        }
+        throw new IllegalStateException(
+          s"enableRowLineage on $dir raced a concurrent commit — re-run")
     }
   }
 
@@ -2163,7 +2329,8 @@ object IcebergWrite {
 
   private def write(df: DataFrame, dir: String, replace: Boolean,
                     txn: Option[(String, Long)] = None,
-                    sortBy: Seq[(String, Boolean)] = Nil): Long = {
+                    sortBy: Seq[(String, Boolean)] = Nil,
+                    lineage: Boolean = false): Long = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val root = new Path(dir)
@@ -2232,11 +2399,21 @@ object IcebergWrite {
       val orderId: Option[Int] =
         if (sortFieldIds.isEmpty) None
         else Some(resolveSortOrderId(baseMeta, sortFieldIds))
+      // v3 ROW LINEAGE: assign each new file's first_row_id from the
+      // BASE version's watermark (re-read per attempt — a lost race
+      // re-derives against the new head, so ids never collide)
+      if (lineage) require(baseMeta.isEmpty || nextRowIdOf(baseMeta).isDefined,
+        s"$dir already exists without row lineage — lineage is set at " +
+        "creation (or via enableRowLineage), not per-append")
+      val lin0: Option[Long] = nextRowIdOf(baseMeta)
+        .orElse(if (lineage) Some(0L) else None)
+      var rowIdW = lin0.getOrElse(0L)
       val entries = dataFiles.map { case (p, size) =>
         val (rows, bounds) = stats.getOrElse(canonPath(p.toString),
           throw new IllegalStateException(s"no stats row for $p"))
+        val fr = lin0.map { _ => val v = rowIdW; rowIdW += rows; v }
         IcebergFormat.entry(0, p.toString, rows, size, snapshotId, seqNo,
-          bounds = bounds, sortOrderId = orderId)
+          bounds = bounds, sortOrderId = orderId, firstRowId = fr)
       }
       val manifestP = new Path(root,
         s"metadata/manifest-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
@@ -2245,7 +2422,8 @@ object IcebergWrite {
         onBeforeCommit()
         return commitMeta(spark, f, root, base, df.schema, snapshotId, seqNo,
           Seq(NewManifest(manifestP, partitioned = false, None)), replace, txn,
-          sortReq = orderId.map(id => (id, sortFieldIds)))
+          sortReq = orderId.map(id => (id, sortFieldIds)),
+          nextRowId = lin0.map(_ => rowIdW))
       }
       catch {
         case _: java.util.ConcurrentModificationException =>
@@ -2328,7 +2506,12 @@ object IcebergWrite {
                          // a sorted write's (order-id, (source-id,
                          // asc)*): registered when new, verified when
                          // declared; default-sort-order-id updates
-                         sortReq: Option[(Int, Seq[(Int, Boolean)])] = None): Long = {
+                         sortReq: Option[(Int, Seq[(Int, Boolean)])] = None,
+                         // v3 ROW LINEAGE: the advanced `next-row-id`
+                         // watermark after this commit's first_row_id
+                         // assignments (None on non-lineage tables);
+                         // implies format-version >= 3
+                         nextRowId: Option[Long] = None): Long = {
     import scala.jdk.CollectionConverters._
     val prevMeta = readMeta(f, root, base)
     val MFS = IcebergFormat.ManifestFileSchema
@@ -2404,8 +2587,13 @@ object IcebergWrite {
         c.putArray("metadata-log")
         c
     }
-    if (minFormatVersion > n.path("format-version").asInt(2))
-      n.put("format-version", minFormatVersion)
+    val minFv = math.max(minFormatVersion, if (nextRowId.isDefined) 3 else 0)
+    if (minFv > n.path("format-version").asInt(2))
+      n.put("format-version", minFv)
+    // row-lineage watermark: monotone by construction — every caller
+    // derives its assignment from THIS base version's watermark and a
+    // lost race re-reads before re-assigning
+    nextRowId.foreach(v => n.put("next-row-id", v))
     val curSchemaId = n.path("current-schema-id").asInt(0)
     val nowMs = System.currentTimeMillis()
     val prevUpdatedMs = prevMeta.map(_.path("last-updated-ms").asLong(nowMs))

@@ -150,7 +150,12 @@ class IcebergInteropSpec extends AnyFunSuite {
     IcebergFixture.append(b1.repartition(1).sortWithinPartitions("id"), dir, lineage = true)
     IcebergFixture.append(b2.repartition(1).sortWithinPartitions("id"), dir, lineage = true)
     val t = IcebergInterop.readIceberg(spark, dir, withLineage = true)
-    assert(t.columns.toSeq == Seq("id", "tag", "_row_id"))
+    assert(t.columns.toSeq ==
+      Seq("id", "tag", "_row_id", "_last_updated_sequence_number"))
+    // nothing rewrote these rows: every last-updated is the append's
+    // own data sequence number
+    assert(t.select("_last_updated_sequence_number").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
     // sorted single-file appends: _row_id tracks id exactly (file 1
     // ranges 0..49 from watermark 0, file 2 ranges 50..79)
     assert(t.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted ==

@@ -760,6 +760,12 @@ object OracleSql {
         |SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars,
         |  sum(rid)::BIGINT AS sum_row_id, sum(lus)::BIGINT AS sum_lus
         |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q208: the z-order rewrite is layout-only — the survivors of the
+    // %7 DV delete, whatever the file arrangement
+    "q208_iceberg_zorder" ->
+      """SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+        |FROM documents WHERE doc_id % 7 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q196: native Iceberg maintenance — the low third masked, then
     // the same aggregate through live/compacted/expired states
     "q196_iceberg_maintenance" ->

@@ -3091,6 +3091,49 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("lang"))
   }
 
+  /** q208 — Iceberg `OPTIMIZE ... ZORDER BY` (the Delta q97/q175
+    * layout trick on the Iceberg plane, via
+    * [[graft.io.IcebergWrite.optimizeZOrder]] /
+    * [[graft.functions.ZOrder.layoutKey]]): the corpus lands hash-
+    * scattered across 8 files, a DV DELETE masks the %7 band, and ONE
+    * clustered rewrite folds the deletion vector while re-laying the
+    * rows along the (doc_id, n_chars) Morton curve — in-query asserts
+    * pin that all 8 files rewrote, that a follow-up compaction finds
+    * ZERO surviving delete content, and that a 2-D box read stays
+    * exact through the re-layout (the file-prune benefit itself is
+    * deterministically spec-asserted on a grid in
+    * IcebergMaintenanceSpec). DuckDB replays the surviving band. */
+  private[graft] def q208(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{IcebergInterop, IcebergWrite}
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q208") + "/t"
+    IcebergWrite.append(docs.repartition(8, col("doc_id")), tmp)
+    val nFiles0 = new java.io.File(s"$tmp/data").listFiles()
+      .count(_.getName.endsWith(".parquet")).toLong
+    val (_, nDel) = IcebergWrite.deleteWhereDV(s, tmp, col("doc_id") % 7 === 0)
+    require(nDel > 0)
+    val r = s.sql(s"OPTIMIZE iceberg.`$tmp` ZORDER BY (doc_id, n_chars)").head()
+    require(r.getLong(0) == nFiles0,
+      s"every scattered file rewrites: got ${r.getLong(0)} of $nFiles0")
+    val (_, rew0, fold0) = IcebergWrite.compact(s, tmp, smallFileBytes = 0L)
+    require(rew0 == 0 && fold0 == 0, "no delete content may survive the z rewrite")
+    // a 2-D box read through the manifest bounds stays exact
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id")),
+      min(col("n_chars")), max(col("n_chars"))).head()
+    def d(i: Int): Double = mm.get(i).asInstanceOf[Number].doubleValue
+    val box = Map(
+      "doc_id" -> ((d(0), d(0) + (d(1) - d(0)) / 4)),
+      "n_chars" -> ((d(2), d(2) + (d(3) - d(2)) / 4)))
+    val expected = docs.filter(col("doc_id") % 7 =!= 0)
+      .filter(col("doc_id") <= d(0) + (d(1) - d(0)) / 4 &&
+        col("n_chars") <= d(2) + (d(3) - d(2)) / 4).count()
+    require(IcebergInterop.readIcebergWhere(s, tmp, box).count() == expected,
+      "the boxed read must stay exact through the clustered layout")
+    IcebergInterop.readIceberg(s, tmp).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+  }
+
   /** q196 — NATIVE Iceberg TABLE MAINTENANCE
     * ([[graft.io.IcebergWrite.rewriteManifests]] /
     * [[graft.io.IcebergWrite.compact]] /

@@ -49,6 +49,48 @@ object ZOrder {
       .reduce(_ bitwiseOR _)
   }
 
+  /** ONE z-layout key over arbitrary clustering columns — the shared
+    * engine of `OPTIMIZE ... ZORDER BY` on BOTH lakehouse planes
+    * ([[graft.io.DeltaInterop.optimizeZOrder]] and
+    * [[graft.io.IcebergWrite.optimizeZOrder]]). Each column maps to an
+    * ORDER-PRESERVING double (numeric cast; 48-bit lexicographic
+    * prefix for strings — double-exact; epoch seconds for temporals),
+    * ranks into `bits` buckets between its OBSERVED min/max (one agg
+    * action on `df` here), and the per-column ranks bit-interleave
+    * into the Morton code. Exactness is irrelevant — the key only
+    * shapes the LAYOUT; reads stay exact. */
+  def layoutKey(df: DataFrame, zCols: Seq[String], bits: Int = 16): Column = {
+    import org.apache.spark.sql.types.{BooleanType, DateType, NumericType,
+      StringType, TimestampNTZType, TimestampType}
+    require(zCols.nonEmpty, "zCols must be non-empty")
+    def orderKey(c: String): Column =
+      df.schema(c).dataType match {
+        case _: NumericType => col(c).cast("double")
+        case BooleanType => col(c).cast("double")
+        case StringType =>
+          conv(rpad(hex(substring(encode(col(c), "UTF-8"), 1, 6)), 12, "0"),
+            16, 10).cast("double")
+        case DateType | TimestampType | TimestampNTZType =>
+          col(c).cast("timestamp").cast("double")
+        case other => throw new IllegalArgumentException(
+          s"cannot z-order by $c: unsupported type $other")
+      }
+    val aggs = zCols.flatMap(c => Seq(min(orderKey(c)), max(orderKey(c))))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = zCols.length
+    zCols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      // `bits`-bit rank of the value within [lo, hi], then interleave:
+      // output bit (b * nCols + i) takes input bit b of col i
+      val rank = least(lit((1 << bits) - 1), greatest(lit(0),
+        floor((orderKey(c) - lit(lo)) / lit(span) * lit(1 << bits)).cast("long")))
+      (0 until bits).map(b =>
+        shiftleft(rank.bitwiseAND(lit(1L << b)), b * (n - 1) + i))
+        .reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Write `df` z-ordered on (xCol, yCol) into `numFiles` range-partitioned
     * parquet files. One shuffle (range exchange on the z-value) + an
     * in-partition sort; the z column itself is dropped from the output.

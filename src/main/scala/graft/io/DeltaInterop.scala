@@ -2869,41 +2869,10 @@ object DeltaInterop {
             .parquet(st.files.map(a => new Path(dir, a.path).toString): _*),
           st.files, ridCol, rverCol)
       }
-    // an ORDER-PRESERVING double per column: the z-curve needs a
-    // numeric rank, but clustering columns are routinely strings
-    // (lang, category). Exactness is irrelevant — the key only shapes
-    // the LAYOUT; reads stay exact — so a 6-byte lexicographic prefix
-    // (48 bits, double-exact) is the right string surrogate.
-    import org.apache.spark.sql.types.{BooleanType, DateType, NumericType,
-      StringType, TimestampNTZType, TimestampType}
-    def orderKey(c: String): org.apache.spark.sql.Column =
-      st.schema(c).dataType match {
-        case _: NumericType => col(c).cast("double")
-        case BooleanType => col(c).cast("double")
-        case StringType =>
-          conv(rpad(hex(substring(encode(col(c), "UTF-8"), 1, 6)), 12, "0"),
-            16, 10).cast("double")
-        case DateType | TimestampType | TimestampNTZType =>
-          col(c).cast("timestamp").cast("double")
-        case other => throw new IllegalArgumentException(
-          s"cannot z-order by $c: unsupported type $other")
-      }
-    val aggs = zCols.flatMap(c => Seq(min(orderKey(c)), max(orderKey(c))))
-    val mm = df.agg(aggs.head, aggs.tail: _*).head()
-    val bits = 16
-    val zParts = zCols.zipWithIndex.map { case (c, i) =>
-      val (lo, hi) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
-      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-      // 16-bit rank of the value within [lo, hi]
-      val rank = least(lit((1 << bits) - 1), greatest(lit(0),
-        floor((orderKey(c) - lit(lo)) / lit(span) * lit(1 << bits)).cast("long")))
-      (rank, i)
-    }
-    // interleave: output bit (b * nCols + i) takes input bit b of col i
-    val n = zCols.length
-    val zKey = zParts.flatMap { case (rank, i) =>
-      (0 until bits).map(b => shiftleft(rank.bitwiseAND(lit(1L << b)), b * (n - 1) + i))
-    }.reduce(_ bitwiseOR _)
+    // the order-preserving rank + interleave lives in
+    // [[graft.functions.ZOrder.layoutKey]] — shared with the Iceberg
+    // plane's optimizeZOrder (identical layout semantics on both)
+    val zKey = graft.functions.ZOrder.layoutKey(df, zCols)
     val nFiles = if (targetFiles > 0) targetFiles else math.max(st.files.length, 1)
     val clustered = df.withColumn("_graft_z", zKey)
       .repartitionByRange(nFiles, col("_graft_z"))

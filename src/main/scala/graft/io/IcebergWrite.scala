@@ -1734,6 +1734,109 @@ object IcebergWrite {
     }
   }
 
+  /** Z-ORDER rewrite for native Iceberg tables — the Iceberg twin of
+    * [[DeltaInterop.optimizeZOrder]] (SQL: `OPTIMIZE iceberg.`p``
+    * ZORDER BY (c, ...)`): the ENTIRE live row set rewrites clustered
+    * by the interleaved rank key ([[graft.functions.ZOrder.layoutKey]]
+    * — ONE range exchange + in-partition sort, the same single shuffle
+    * a linear re-sort pays), folding every live delete file / DV in
+    * the same pass, committed as ONE `replace` snapshot. File min/max
+    * bounds land TIGHT on every z dimension, so range reads on ANY
+    * clustered column prune through the existing manifest-bound
+    * skipping — the multi-dimensional layout a linear sort only gives
+    * its leading column. Unpartitioned tables only (a partitioned
+    * table's coarse layout belongs to its spec; z-order within
+    * partitions would recluster per partition). Lineage tables
+    * rewrite with both lineage columns materialized (the [[compact]]
+    * contract). Returns (snapshotId, filesRewritten, filesWritten). */
+  def optimizeZOrder(spark: SparkSession, dir: String, zCols: Seq[String],
+                     targetFileSizeBytes: Long = 128L << 20): (Long, Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    require(zCols.nonEmpty, "zCols must be non-empty")
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v0 = currentVersion(f, root)
+    require(v0 > 0, s"$dir has no snapshots to z-order")
+    val m0 = readMeta(f, root, v0).get
+    val curId = m0.path("current-snapshot-id").asLong(-1L)
+    val snapNode = m0.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == curId)
+      .getOrElse(return (curId, 0, 0))
+    val listRecs = IcebergFormat.readAvro(conf,
+      new Path(resolveU(snapNode.path("manifest-list").asText)))
+    require(listRecs.forall(r => gInt(r, "partition_spec_id", 0) == 0),
+      s"optimizeZOrder of the PARTITIONED table at $dir is not supported " +
+      "(the partition spec owns the coarse layout)")
+    val liveData: Seq[(String, Long)] = graft.pipeline.Par.map(
+      listRecs.filter(r => gInt(r, "content", 0) == 0)) { r =>
+        IcebergFormat.readAvro(conf, new Path(resolveU(gStr(r, "manifest_path"))))
+          .filter(e => gInt(e, "status", 0) != 2)
+          .map { e =>
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            (resolveU(gStr(df, "file_path")), gLong(df, "file_size_in_bytes", 0L))
+          }
+      }.flatten
+    if (liveData.isEmpty) return (curId, 0, 0)
+    val idsByName = currentFieldIds(m0).toMap
+    zCols.foreach(c => require(idsByName.contains(c),
+      s"unknown zorder column $c (table has ${idsByName.keys.mkString(",")})"))
+    val lineageOn = nextRowIdOf(Some(m0)).isDefined
+    val rows = IcebergInterop.readIceberg(spark, dir, withLineage = lineageOn)
+    val zKey = graft.functions.ZOrder.layoutKey(rows, zCols)
+    val nOut = math.max(1,
+      math.ceil(liveData.map(_._2).sum.toDouble / targetFileSizeBytes).toInt)
+    val clustered = rows.withColumn("_graft_z", zKey)
+      .repartitionByRange(nOut, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+    val staging = new Path(root,
+      s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    withFieldIds(clustered, idsByName ++ lineageIds(rows))
+      .write.parquet(staging.toString)
+    val staged = f.listStatus(staging).filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val dst = new Path(root, s"data/${java.util.UUID.randomUUID()}.parquet")
+        require(f.rename(st.getPath, dst), s"rename ${st.getPath} failed")
+        (dst, f.getFileStatus(dst).getLen)
+      }.toSeq
+    f.delete(staging, true)
+    val stats =
+      if (staged.isEmpty) Map.empty[String, (Long, Map[Int, (Array[Byte], Array[Byte])])]
+      else allFileStats(spark, staged.map(_._1.toString), idsByName)
+    val live = staged.filter(p => stats.contains(canonPath(p._1.toString)))
+    staged.filterNot(p => stats.contains(canonPath(p._1.toString)))
+      .foreach { case (p, _) => f.delete(p, false) }
+    val snapshotId = freshSnapshotId(f, root, v0)
+    val seqNo = m0.path("last-sequence-number").asLong(0L) + 1L
+    val lin0 = nextRowIdOf(Some(m0))
+    var rowIdW = lin0.getOrElse(0L)
+    val entries = live.map { case (p, size) =>
+      val (nRows, bounds) = stats(canonPath(p.toString))
+      val fr = lin0.map { _ => val v = rowIdW; rowIdW += nRows; v }
+      IcebergFormat.entry(0, p.toString, nRows, size, snapshotId, seqNo,
+        bounds = bounds, firstRowId = fr)
+    }
+    val mp = new Path(root,
+      s"metadata/manifest-$snapshotId-z${java.util.UUID.randomUUID().toString.take(8)}.avro")
+    IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
+    try {
+      onBeforeCommit()
+      val snap = commitMeta(spark, f, root, v0, StructType(Nil), snapshotId,
+        seqNo, Seq(NewManifest(mp, partitioned = false, None)),
+        replace = false, operation = Some("replace"),
+        priorOverride = Some(Nil), // every prior manifest folds away
+        nextRowId = lin0.map(_ => rowIdW))
+      (snap, liveData.length, live.length)
+    } catch {
+      case _: java.util.ConcurrentModificationException =>
+        (live.map(_._1) :+ mp).foreach(p => f.delete(p, false))
+        throw new IllegalStateException(
+          s"optimizeZOrder on $dir raced a concurrent commit — re-run")
+    }
+  }
+
   /** Iceberg primitive name → the Spark type of a partition-field
     * RESULT (the types field summaries serialize) — None for anything
     * we will not byte-decode (no merge rather than a wrong merge). */

@@ -657,15 +657,29 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def tryIcebergMaintain(t: String): Option[LogicalPlan] =
     icebergOptimizeRe.findFirstMatchIn(t).map { m =>
       val dir = m.group(1)
-      command(Seq(attr("files_rewritten", LongType),
-        attr("delete_files_folded", LongType),
-        attr("manifests_merged", LongType))) { spark =>
-        val (_, rewritten, folded) = IcebergWrite.compact(spark, dir)
-        // the metadata half of OPTIMIZE: bin-pack the manifest LIST
-        // (append-heavy tables grow one manifest per commit even when
-        // every data file is already target-sized)
-        val (_, merged, _) = IcebergWrite.rewriteManifests(spark, dir)
-        Seq(Row(rewritten.toLong, folded.toLong, merged.toLong))
+      Option(m.group(2)) match {
+        case Some(colsRaw) =>
+          // OPTIMIZE ... ZORDER BY (c, ...): full clustered rewrite
+          // (delete content folds in the same pass)
+          val zc = colsRaw.split(",").map(
+            _.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+          command(Seq(attr("files_rewritten", LongType),
+            attr("files_written", LongType))) { spark =>
+            val (_, rewritten, written) =
+              IcebergWrite.optimizeZOrder(spark, dir, zc)
+            Seq(Row(rewritten.toLong, written.toLong))
+          }
+        case None =>
+          command(Seq(attr("files_rewritten", LongType),
+            attr("delete_files_folded", LongType),
+            attr("manifests_merged", LongType))) { spark =>
+            val (_, rewritten, folded) = IcebergWrite.compact(spark, dir)
+            // the metadata half of OPTIMIZE: bin-pack the manifest LIST
+            // (append-heavy tables grow one manifest per commit even
+            // when every data file is already target-sized)
+            val (_, merged, _) = IcebergWrite.rewriteManifests(spark, dir)
+            Seq(Row(rewritten.toLong, folded.toLong, merged.toLong))
+          }
       }
     }.orElse(icebergVacuumRe.findFirstMatchIn(t).map { m =>
       val dir = m.group(1)
@@ -1291,7 +1305,8 @@ object DeltaSqlParser {
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?iceberg\s*\.\s*`([^`]+)`\s+TO\s+""" +
      """(?:SNAPSHOT\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$""").r
   private[sql] val icebergOptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+iceberg\s*\.\s*`([^`]+)`\s*;?\s*$""".r
+    ("""(?is)^\s*OPTIMIZE\s+iceberg\s*\.\s*`([^`]+)`""" +
+     """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
   private[sql] val icebergVacuumRe =
     """(?is)^\s*VACUUM\s+iceberg\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+([\d.]+)\s+HOURS?)?\s*;?\s*$""".r
   private[sql] def icebergPathQualifierRe(path: String): Regex =

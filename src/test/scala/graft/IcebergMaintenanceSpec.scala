@@ -348,4 +348,45 @@ class IcebergMaintenanceSpec extends AnyFunSuite {
     assert(read == 1 && skipped == 2,
       s"merged summaries must still skip: read=$read skipped=$skipped")
   }
+
+  test("optimizeZOrder: 2-D prune after the rewrite; deletes fold; lineage holds") {
+    val dir = Files.createTempDirectory("graft-iceberg-zorder").toString
+    // 64x64 grid landed hash-scattered: every file spans BOTH dims, so
+    // nothing prunes before the re-layout
+    val grid = (0 until 4096).map(i => (i.toLong, (i % 64).toLong, (i / 64).toLong))
+      .toDF("id", "x", "y")
+    IcebergWrite.appendLineage(grid.repartition(8, col("id")), dir)
+    IcebergWrite.deleteWhereDV(spark, dir, col("id") % 17 === 0)
+    val box = Map("x" -> ((0.0, 15.0)), "y" -> ((0.0, 15.0)))
+    assert(IcebergInterop.readIcebergWhere(spark, dir, box)
+      .inputFiles.length == 8, "scattered layout: no file prunes")
+    val before = IcebergInterop.readIceberg(spark, dir, withLineage = true)
+      .select("id", "x", "y", "_row_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val totalBytes = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // SQL surface, target ~8 output files
+    val res = spark.sql(s"OPTIMIZE iceberg.`$dir` ZORDER BY (x, y)")
+    assert(res.columns.toSeq == Seq("files_rewritten", "files_written"))
+    assert(res.head().getLong(0) == 8L)
+    val zres = graft.io.IcebergWrite.optimizeZOrder(spark, dir, Seq("x", "y"),
+      targetFileSizeBytes = math.max(totalBytes / 8, 1L))
+    assert(zres._3 > 1, s"want multiple clustered files, got ${zres._3}")
+    val after = IcebergInterop.readIceberg(spark, dir, withLineage = true)
+      .select("id", "x", "y", "_row_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(after == before, "z-order must not change rows or identities")
+    val pruned = IcebergInterop.readIcebergWhere(spark, dir, box)
+    assert(pruned.inputFiles.length < zres._3,
+      s"z layout must prune the 2-D box: ${pruned.inputFiles.length} of ${zres._3}")
+    assert(pruned.count() == before.count(t => t._2 <= 15 && t._3 <= 15))
+    // delete content folded away: a fresh compact sees nothing dirty
+    val (_, rew, folded) = IcebergWrite.compact(spark, dir, smallFileBytes = 0L)
+    assert(rew == 0 && folded == 0, "no delete files may survive the z rewrite")
+    // partitioned tables refuse
+    val part = Files.createTempDirectory("graft-iceberg-zorder-part").toString
+    IcebergWrite.appendPartitioned(grid.select(col("id"), col("x")), part, "x")
+    intercept[IllegalArgumentException](
+      IcebergWrite.optimizeZOrder(spark, part, Seq("id")))
+  }
 }

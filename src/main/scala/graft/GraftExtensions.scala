@@ -119,6 +119,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_iceberg_stats"),
+      info("graft_iceberg_stats",
+        "graft_iceberg_stats(path) - the current snapshot's registered column statistics (ndv/row count) from the Puffin statistics file metadata"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_iceberg_stats takes (path), got ${args.length} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val ref = stringArg("graft_iceberg_stats", args, 0)
+        val path = graft.io.IcebergInterop.catalogIcebergPath(spark, ref).getOrElse(ref)
+        org.apache.spark.sql.GraftBridge.plan(
+          graft.io.IcebergInterop.statsTable(spark, path))
+      }
+    ))
+    ext.injectTableFunction((
       FunctionIdentifier("table_changes"),
       info("table_changes",
         "table_changes(path_or_name, from_version[, to_version]) - the table's change data feed over the version range"),

@@ -766,6 +766,18 @@ object OracleSql {
       """SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
         |FROM documents WHERE doc_id % 7 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q209: exact ANALYZE — DuckDB replays (column, ndv, row_count)
+    "q209_iceberg_stats" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS "column", count(DISTINCT doc_id)::BIGINT AS ndv,
+        |    count(*)::BIGINT AS row_count FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(DISTINCT lang)::BIGINT, count(*)::BIGINT
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(DISTINCT n_chars)::BIGINT, count(*)::BIGINT
+        |  FROM documents)
+        |ORDER BY "column"""".stripMargin,
     // q196: native Iceberg maintenance — the low third masked, then
     // the same aggregate through live/compacted/expired states
     "q196_iceberg_maintenance" ->

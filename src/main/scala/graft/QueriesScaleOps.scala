@@ -3134,6 +3134,33 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("lang"))
   }
 
+  /** q209 — Puffin TABLE STATISTICS (iceberg.apache.org/spec/ "Table
+    * statistics" via [[graft.io.IcebergWrite.analyzeTable]]): ANALYZE
+    * publishes per-column NDV blobs in a statistics file registered
+    * under the metadata `statistics` field; the SQL surface computes
+    * HLL estimates (the one-pass 100 TB mode, asserted within 5% of
+    * truth in-query), the oracle row re-analyzes in EXACT mode and
+    * DuckDB replays every (column, ndv, row_count) with
+    * COUNT(DISTINCT). The read side applies the snapshot-freshness
+    * rule ([[graft.io.IcebergInterop.tableStatistics]]). */
+  private[graft] def q209(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{IcebergInterop, IcebergWrite}
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q209") + "/t"
+    IcebergWrite.append(docs.repartition(4, col("doc_id")), tmp)
+    val est = s.sql(s"ANALYZE TABLE iceberg.`$tmp` COMPUTE STATISTICS")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (_, exact) = IcebergWrite.analyzeTable(s, tmp, exact = true)
+    exact.foreach { case (c, v) =>
+      require(math.abs(est(c) - v) <= math.max(3L, v / 20),
+        s"HLL estimate for $c (${est(c)}) strays from exact $v") }
+    require(IcebergInterop.tableStatistics(s, tmp) == exact,
+      "the freshness rule must serve the re-analysis")
+    IcebergInterop.statsTable(s, tmp)
+      .select(col("column"), col("ndv"), col("row_count"))
+      .orderBy(col("column"))
+  }
+
   /** q196 — NATIVE Iceberg TABLE MAINTENANCE
     * ([[graft.io.IcebergWrite.rewriteManifests]] /
     * [[graft.io.IcebergWrite.compact]] /

@@ -205,6 +205,89 @@ private[graft] object IcebergFormat {
     refs.result()
   }
 
+  /** One Puffin STATISTICS blob: the spec's blob-metadata fields plus
+    * the raw payload bytes (puffin-spec: Magic, blobs, footer =
+    * Magic + JSON payload + size(4B LE) + flags(4B) + Magic). */
+  final case class StatsBlob(blobType: String, fields: Seq[Int],
+                             snapshotId: Long, sequenceNumber: Long,
+                             properties: Map[String, String],
+                             payload: Array[Byte])
+
+  /** Write a Puffin STATISTICS file. Blob `offset`/`length` address the
+    * RAW payload bytes (no wrapper — the DV path's length-prefix/CRC
+    * framing is its own manifest-addressed convention). Returns
+    * (fileSize, footerSize) — what the table metadata's `statistics`
+    * entry records. */
+  def writePuffinStats(f: FileSystem, path: Path,
+                       blobs: Seq[StatsBlob]): (Long, Long) = {
+    val magic = "PFA1".getBytes("UTF-8")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val out = f.create(path, true)
+    try {
+      out.write(magic)
+      var pos = 4L
+      val metas = blobs.map { b =>
+        out.write(b.payload)
+        val m =
+          s"""{"type":${jstr(b.blobType)},""" +
+          s""""fields":[${b.fields.mkString(",")}],""" +
+          s""""snapshot-id":${b.snapshotId},""" +
+          s""""sequence-number":${b.sequenceNumber},""" +
+          s""""offset":$pos,"length":${b.payload.length},""" +
+          s""""properties":{${b.properties.toSeq.sortBy(_._1).map {
+            case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")}}}"""
+        pos += b.payload.length
+        m
+      }
+      val payload =
+        s"""{"blobs":[${metas.mkString(",")}],"properties":{}}""".getBytes("UTF-8")
+      out.write(magic)
+      out.write(payload)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(payload.length).array())
+      out.write(Array[Byte](0, 0, 0, 0)) // flags: uncompressed footer
+      out.write(magic)
+      val footerSize = 4L + payload.length + 4 + 4 + 4
+      (pos + footerSize, footerSize)
+    } finally out.close()
+  }
+
+  /** Parse a Puffin file's FOOTER into its blob metadata — the
+    * engine-consumed half of a statistics file (readers take the
+    * `ndv`-style properties; payloads only matter to writers that can
+    * deserialize the blob type). */
+  def readPuffinFooter(conf: org.apache.hadoop.conf.Configuration,
+                       path: Path): Seq[StatsBlob] = {
+    val f = path.getFileSystem(conf)
+    val len = f.getFileStatus(path).getLen
+    val in = f.open(path)
+    try {
+      val tail = new Array[Byte](12) // size + flags + magic
+      in.seek(len - 12); in.readFully(tail)
+      require(tail.slice(8, 12).sameElements("PFA1".getBytes("UTF-8")),
+        s"$path is not a Puffin file (no trailing magic)")
+      val pSize = java.nio.ByteBuffer.wrap(tail, 0, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      val payload = new Array[Byte](pSize)
+      in.seek(len - 12 - pSize); in.readFully(payload)
+      val M = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = M.readTree(payload)
+      import scala.jdk.CollectionConverters._
+      root.path("blobs").elements().asScala.map { b =>
+        val off = b.path("offset").asLong
+        val blen = b.path("length").asLong
+        val body = new Array[Byte](blen.toInt)
+        in.seek(off); in.readFully(body)
+        StatsBlob(b.path("type").asText,
+          b.path("fields").elements().asScala.map(_.asInt).toSeq,
+          b.path("snapshot-id").asLong, b.path("sequence-number").asLong,
+          b.path("properties").properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap,
+          body)
+      }.toSeq
+    } finally in.close()
+  }
+
   /** [[readPuffinDv]] returning the RAW serialized vector bytes (what
     * [[DeletionVectors.parse]] accepts) — for shipping a KB blob to
     * executors instead of a parsed driver-side bitmap. */

@@ -856,6 +856,56 @@ object IcebergInterop {
     }.toDF("file_path", "content", "record_count", "file_size_in_bytes")
   }
 
+  /** Registered Puffin STATISTICS of the CURRENT snapshot (the table
+    * metadata's `statistics` entry, iceberg.apache.org/spec/ "Table
+    * statistics"): column name → ndv, resolved via blob field ids
+    * against the current schema. EMPTY when never analyzed or when
+    * the registered entry is STALE (statistics bind to the snapshot
+    * they were computed on; a later commit invalidates them) —
+    * exactly the freshness rule engines apply before trusting ndv. */
+  def tableStatistics(spark: SparkSession, dir: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val meta = readJson(spark, currentMetadataPath(spark, dir))
+    val curId = meta.path("current-snapshot-id").asLong(-1L)
+    val nameOf: Map[Int, String] = fieldsById(schemaNodeById(meta, None))
+      .map { case (id, f) => id -> f.name }
+    meta.path("statistics").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == curId).toSeq
+      .flatMap(_.path("blob-metadata").elements().asScala)
+      .flatMap { b =>
+        val ndv = b.path("properties").path("ndv")
+        val fid = b.path("fields").elements().asScala.toSeq.headOption
+        if (ndv.isMissingNode || fid.isEmpty) None
+        else nameOf.get(fid.get.asInt).map(_ -> ndv.asLong)
+      }.toMap
+  }
+
+  /** TVF shape (`graft_iceberg_stats(path)`): one row per analyzed
+    * column of the current snapshot — (column, ndv, row_count,
+    * snapshot_id), straight from the statistics file's blob metadata.
+    * Metadata-only, zero data scanned. */
+  def statsTable(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val meta = readJson(spark, currentMetadataPath(spark, dir))
+    val curId = meta.path("current-snapshot-id").asLong(-1L)
+    val nameOf: Map[Int, String] = fieldsById(schemaNodeById(meta, None))
+      .map { case (id, f) => id -> f.name }
+    meta.path("statistics").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == curId).toSeq
+      .flatMap(_.path("blob-metadata").elements().asScala)
+      .flatMap { b =>
+        val props = b.path("properties")
+        val fid = b.path("fields").elements().asScala.toSeq.headOption
+        fid.flatMap(i => nameOf.get(i.asInt)).map { name =>
+          (name, props.path("ndv").asLong(-1L),
+            props.path("row-count").asLong(-1L),
+            b.path("snapshot-id").asLong(-1L))
+        }
+      }.toSeq.sortBy(_._1)
+      .toDF("column", "ndv", "row_count", "snapshot_id")
+  }
+
   /** Iceberg METADATA TABLE `partitions` — per partition VALUE of the
     * current snapshot: live row count and manifest count, derived
     * ENTIRELY from manifest metadata (per-value manifests carry exact

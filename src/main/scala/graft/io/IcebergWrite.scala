@@ -2168,6 +2168,87 @@ object IcebergWrite {
     }
   }
 
+  /** ANALYZE: compute per-column NDV (+ row count) over the LIVE rows
+    * in ONE distributed aggregation and publish them as a Puffin
+    * STATISTICS file registered under the table metadata's
+    * `statistics` field (iceberg.apache.org/spec/ "Table statistics").
+    * Blob type `graft-ndv-v1` (payload: 8-byte LE ndv) carrying the
+    * standard `ndv` property — the property is what engines consume
+    * from theta blobs too, and an unrecognized blob TYPE is
+    * spec-defined skippable (a real `apache-datasketches-theta-v1`
+    * payload would require the datasketches library). `exact = false`
+    * (default) estimates via HLL++ (`approx_count_distinct`, rsd
+    * 1.5%) — the 100 TB path, one pass, no per-column shuffle;
+    * `exact = true` pays COUNT(DISTINCT) per column for an
+    * oracle-replayable result. Replaces any prior statistics entry
+    * for the same snapshot (the spec's one-entry-per-snapshot shape)
+    * and deletes the replaced file; METADATA-ONLY commit, no new
+    * snapshot. Returns (snapshotId, column → ndv). */
+  def analyzeTable(spark: SparkSession, dir: String,
+                   cols: Seq[String] = Nil,
+                   exact: Boolean = false): (Long, Map[String, Long]) = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.{approx_count_distinct, col,
+      count, count_distinct, lit}
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val v0 = currentVersion(f, root)
+    require(v0 > 0, s"$dir has no snapshots to analyze")
+    val m0 = readMeta(f, root, v0).get
+    val curId = m0.path("current-snapshot-id").asLong(-1L)
+    require(curId > 0, s"$dir has no current snapshot to analyze")
+    val seqNo = m0.path("last-sequence-number").asLong(0L)
+    val idsByName = currentFieldIds(m0).toMap
+    val targets = if (cols.nonEmpty) cols else currentFieldIds(m0).map(_._1)
+    targets.foreach(c => require(idsByName.contains(c),
+      s"unknown column $c (table has ${idsByName.keys.toSeq.sorted.mkString(",")})"))
+    val rows = IcebergInterop.readIceberg(spark, dir)
+    val aggs = count(lit(1)).as("_n") +: targets.map(c =>
+      (if (exact) count_distinct(col(c))
+       else approx_count_distinct(col(c), 0.015)).as(s"_ndv_$c"))
+    val r = rows.agg(aggs.head, aggs.tail: _*).head()
+    val nRows = r.getLong(0)
+    val ndv = targets.zipWithIndex.map { case (c, i) =>
+      c -> r.getLong(i + 1) }.toMap
+    val statsP = new Path(root,
+      s"metadata/stats-$curId-${java.util.UUID.randomUUID().toString.take(8)}.puffin")
+    val blobs = targets.map { c =>
+      IcebergFormat.StatsBlob("graft-ndv-v1", Seq(idsByName(c)), curId, seqNo,
+        Map("ndv" -> ndv(c).toString, "row-count" -> nRows.toString),
+        java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(ndv(c)).array())
+    }
+    val (sz, fsz) = IcebergFormat.writePuffinStats(f, statsP, blobs)
+    val n = m0.deepCopy[JsonNode]().asInstanceOf[ObjNode]
+    type ArrNode = com.fasterxml.jackson.databind.node.ArrayNode
+    val prior = Option(n.get("statistics")).toSeq
+      .flatMap(_.elements().asScala.toSeq)
+    val (stale, kept) = prior.partition(_.path("snapshot-id").asLong == curId)
+    val arr = n.putArray("statistics")
+    kept.foreach(arr.add)
+    val e = arr.addObject()
+    e.put("snapshot-id", curId)
+    e.put("statistics-path", statsP.toString)
+    e.put("file-size-in-bytes", sz)
+    e.put("file-footer-size-in-bytes", fsz)
+    val bm = e.putArray("blob-metadata")
+    blobs.foreach { b =>
+      val o = bm.addObject()
+      o.put("type", b.blobType)
+      o.put("snapshot-id", b.snapshotId)
+      o.put("sequence-number", b.sequenceNumber)
+      val fa = o.putArray("fields"); b.fields.foreach(fa.add)
+      val props = o.putObject("properties")
+      b.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    }
+    commitMetadataOnly(f, root, v0, m0, n, "analyzeTable")
+    // the replaced entry's file only reclaims AFTER its replacement
+    // committed (a lost race leaves everything intact)
+    stale.foreach(s0 => f.delete(
+      new Path(resolveU(s0.path("statistics-path").asText)), false))
+    (curId, ndv)
+  }
+
   /** Crash-orphan age floor: list-based deletion (files NO snapshot —
     * kept or expired — references) only touches files at least this
     * old, independent of how aggressive `retainMillis` is. A RETAIN 0
@@ -2257,6 +2338,17 @@ object IcebergWrite {
       .filter(e => keptIds.contains(e.path("snapshot-id").asLong(-2L)))
       .foreach(logArr.add)
     n.set[JsonNode]("snapshot-log", logArr)
+    // statistics files attach to snapshots — entries of expired
+    // snapshots prune with them (files reclaim after the commit)
+    val droppedStats = Seq.newBuilder[Path]
+    if (n.has("statistics")) {
+      val stArr = M.createArrayNode()
+      m0.path("statistics").elements().asScala.foreach { e =>
+        if (keptIds.contains(e.path("snapshot-id").asLong(-2L))) stArr.add(e)
+        else droppedStats += new Path(resolveU(e.path("statistics-path").asText))
+      }
+      n.set[JsonNode]("statistics", stArr)
+    }
     val prevUpdated = m0.path("last-updated-ms").asLong(now)
     n.put("last-updated-ms", now)
     // metadata-log: entries pointing at the v<N metadata JSONs this
@@ -2287,6 +2379,7 @@ object IcebergWrite {
     }
     val hint = f.create(new Path(root, "metadata/version-hint.text"), true)
     try hint.write(String.valueOf(v0 + 1).getBytes) finally hint.close()
+    droppedStats.result().foreach { p => if (f.delete(p, false)) reclaimed += 1 }
 
     // reachability walk: (manifest-list + manifest + data/puffin
     // names) per snapshot set. Kept walk counts only LIVE entries —

@@ -698,6 +698,19 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
           else IcebergInterop.snapshotAtTimestamp(spark, dir, parseTs(m.group(3)))
         Seq(Row(IcebergWrite.rollbackTo(spark, dir, target)))
       }
+    }).orElse(icebergAnalyzeRe.findFirstMatchIn(t).map { m =>
+      // ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS a, b]:
+      // publish a Puffin statistics file (HLL ndv per column) under
+      // the metadata `statistics` field — read back via
+      // graft_iceberg_stats(path)
+      val dir = m.group(1)
+      val cols = Option(m.group(2)).map(_.split(",").map(
+        _.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      command(Seq(attr("column", StringType), attr("ndv", LongType))) { spark =>
+        val (_, ndv) = IcebergWrite.analyzeTable(spark, dir, cols)
+        ndv.toSeq.sortBy(_._1).map { case (c, v) => Row(c, v) }
+      }
     })
 
   private def tryIcebergInsert(t: String): Option[LogicalPlan] =
@@ -1304,6 +1317,9 @@ object DeltaSqlParser {
   private[sql] val icebergRestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?iceberg\s*\.\s*`([^`]+)`\s+TO\s+""" +
      """(?:SNAPSHOT\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$""").r
+  private[sql] val icebergAnalyzeRe =
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+iceberg\s*\.\s*`([^`]+)`\s+COMPUTE\s+STATISTICS""" +
+     """(?:\s+FOR\s+COLUMNS\s+([^;]+?))?\s*;?\s*$""").r
   private[sql] val icebergOptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+iceberg\s*\.\s*`([^`]+)`""" +
      """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
@@ -1324,7 +1340,7 @@ object DeltaSqlParser {
   // statement-TARGET positions where a bare catalog name may stand for
   // a registered Iceberg table (the name→path prepass)
   private[sql] val icebergNameTargetRe =
-    ("""(?is)^(\s*(?:DELETE\s+FROM|UPDATE|MERGE\s+INTO|INSERT\s+(?:INTO|OVERWRITE)(?:\s+TABLE)?|OPTIMIZE|VACUUM|DESCRIBE\s+(?:HISTORY|DETAIL)|RESTORE(?:\s+TABLE)?|ALTER\s+TABLE)\s+)""" +
+    ("""(?is)^(\s*(?:DELETE\s+FROM|UPDATE|MERGE\s+INTO|INSERT\s+(?:INTO|OVERWRITE)(?:\s+TABLE)?|OPTIMIZE|VACUUM|ANALYZE\s+TABLE|DESCRIBE\s+(?:HISTORY|DETAIL)|RESTORE(?:\s+TABLE)?|ALTER\s+TABLE)\s+)""" +
      """((?:`[^`]+`|[A-Za-z_]\w*)(?:\s*\.\s*(?:`[^`]+`|[A-Za-z_]\w*))?)((?:\s.*|;?\s*))$""").r
   private[sql] val icebergAlterShapeRe =
     """(?is)^\s*ALTER\s+TABLE\b""".r

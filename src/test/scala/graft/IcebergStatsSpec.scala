@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+import graft.io.{IcebergFormat, IcebergInterop, IcebergWrite}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Puffin TABLE STATISTICS (iceberg.apache.org/spec/ "Table
+  * statistics" + the Puffin file spec): `ANALYZE` publishes per-column
+  * NDV blobs in a statistics file registered under the metadata's
+  * `statistics` field, readers resolve them by field id and apply the
+  * snapshot-freshness rule, and expiry prunes entries with their
+  * snapshots. */
+class IcebergStatsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def statsEntries(dir: String): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    import scala.jdk.CollectionConverters._
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v = new java.io.File(s"$dir/metadata").list()
+      .flatMap("""^v(\d+)\.metadata\.json$""".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).max
+    M.readTree(new java.io.File(s"$dir/metadata/v$v.metadata.json"))
+      .path("statistics").elements().asScala.toSeq
+  }
+
+  test("analyzeTable: exact ndv lands in a spec-shaped Puffin statistics file") {
+    val dir = Files.createTempDirectory("graft-iceberg-stats").toString
+    // 100 rows: id distinct, k has 7 values, lang has 3
+    IcebergWrite.append((0L until 100L).map(i =>
+      (i, i % 7, s"l${i % 3}")).toDF("id", "k", "lang"), dir)
+    val (_, ndv) = IcebergWrite.analyzeTable(spark, dir, exact = true)
+    assert(ndv == Map("id" -> 100L, "k" -> 7L, "lang" -> 3L))
+    assert(IcebergInterop.tableStatistics(spark, dir) == ndv)
+    val t = IcebergInterop.statsTable(spark, dir).collect()
+    assert(t.map(r => r.getString(0) -> r.getLong(1)).toMap == ndv)
+    assert(t.forall(_.getLong(2) == 100L), "row-count property rides every blob")
+    // the Puffin file itself round-trips: footer blob metadata + the
+    // 8-byte LE payload agree with the registered values
+    val entry = statsEntries(dir).head
+    val p = new org.apache.hadoop.fs.Path(entry.path("statistics-path").asText)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.getFileStatus(p).getLen == entry.path("file-size-in-bytes").asLong)
+    val blobs = IcebergFormat.readPuffinFooter(
+      spark.sparkContext.hadoopConfiguration, p)
+    assert(blobs.map(_.blobType).toSet == Set("graft-ndv-v1"))
+    blobs.foreach { b =>
+      val payloadNdv = java.nio.ByteBuffer.wrap(b.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+      assert(payloadNdv.toString == b.properties("ndv"))
+    }
+  }
+
+  test("freshness: a later commit invalidates; re-analysis replaces, not appends") {
+    val dir = Files.createTempDirectory("graft-iceberg-stats-fresh").toString
+    IcebergWrite.append((0L until 50L).map(i => (i, s"t$i")).toDF("id", "tag"), dir)
+    IcebergWrite.analyzeTable(spark, dir, exact = true)
+    assert(IcebergInterop.tableStatistics(spark, dir)("id") == 50L)
+    IcebergWrite.append((50L until 60L).map(i => (i, s"t$i")).toDF("id", "tag"), dir)
+    assert(IcebergInterop.tableStatistics(spark, dir).isEmpty,
+      "stats bound to an older snapshot must not surface")
+    IcebergWrite.analyzeTable(spark, dir, exact = true)
+    assert(IcebergInterop.tableStatistics(spark, dir)("id") == 60L)
+    // re-analyzing the SAME snapshot: one entry, the stale file reclaims
+    val before = statsEntries(dir)
+    val stalePath = new org.apache.hadoop.fs.Path(
+      before.last.path("statistics-path").asText)
+    IcebergWrite.analyzeTable(spark, dir, exact = true)
+    val after = statsEntries(dir)
+    assert(after.count(_.path("snapshot-id").asLong ==
+      before.last.path("snapshot-id").asLong) == 1)
+    val f = stalePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(stalePath), "the replaced statistics file reclaims")
+    // approx mode: HLL within 5% on a 60-distinct column
+    val (_, approx) = IcebergWrite.analyzeTable(spark, dir)
+    assert(math.abs(approx("id") - 60L) <= 3, s"ndv=${approx("id")}")
+  }
+
+  test("SQL ANALYZE + graft_iceberg_stats TVF, path- and name-addressed") {
+    val dir = Files.createTempDirectory("graft-iceberg-stats-sql").toString
+    IcebergWrite.append((0L until 40L).map(i => (i, i % 5)).toDF("id", "k"), dir)
+    val res = spark.sql(
+      s"ANALYZE TABLE iceberg.`$dir` COMPUTE STATISTICS FOR COLUMNS k")
+      .collect()
+    assert(res.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("k", 5L)))
+    assert(IcebergInterop.tableStatistics(spark, dir) == Map("k" -> 5L))
+    val tvf = spark.sql(s"SELECT column, ndv FROM graft_iceberg_stats('$dir')")
+      .collect()
+    assert(tvf.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("k", 5L)))
+    // name-addressed through the catalog prepass
+    IcebergInterop.registerCatalogTable(spark, "stats_t", dir)
+    val byName = spark.sql(
+      "ANALYZE TABLE stats_t COMPUTE STATISTICS").collect()
+    assert(byName.map(_.getString(0)).sorted.toSeq == Seq("id", "k"))
+  }
+
+  test("expiry prunes statistics entries with their snapshots") {
+    val dir = Files.createTempDirectory("graft-iceberg-stats-expire").toString
+    IcebergWrite.append((0L until 30L).map(i => (i, s"a$i")).toDF("id", "tag"), dir)
+    IcebergWrite.analyzeTable(spark, dir, exact = true)
+    val oldPath = new org.apache.hadoop.fs.Path(
+      statsEntries(dir).head.path("statistics-path").asText)
+    Thread.sleep(5)
+    IcebergWrite.append((30L until 40L).map(i => (i, s"b$i")).toDF("id", "tag"), dir)
+    IcebergWrite.analyzeTable(spark, dir, exact = true)
+    val (expired, _) = IcebergWrite.expireSnapshots(spark, dir, retainMillis = 0L)
+    assert(expired >= 1)
+    val entries = statsEntries(dir)
+    assert(entries.length == 1, "only the current snapshot's entry survives")
+    val f = oldPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(oldPath), "the expired snapshot's statistics file reclaims")
+    assert(IcebergInterop.tableStatistics(spark, dir)("id") == 40L,
+      "the surviving entry still serves the current snapshot")
+  }
+}

@@ -778,6 +778,15 @@ object OracleSql {
         |  SELECT 'n_chars', count(DISTINCT n_chars)::BIGINT, count(*)::BIGINT
         |  FROM documents)
         |ORDER BY "column"""".stripMargin,
+    // q210: streaming CDC upsert — survivors of the %5 tombstone,
+    // the en slice re-imaged at +1000 (sequence arbitration kept the
+    // higher of +500/+1000)
+    "q210_iceberg_upsert_stream" ->
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  sum(n_chars + CASE WHEN lang = 'en' THEN 1000 ELSE 0 END)::BIGINT
+        |    AS chars
+        |FROM documents WHERE doc_id % 5 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q196: native Iceberg maintenance — the low third masked, then
     // the same aggregate through live/compacted/expired states
     "q196_iceberg_maintenance" ->

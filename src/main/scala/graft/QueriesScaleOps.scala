@@ -3161,6 +3161,65 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("column"))
   }
 
+  /** q210 — STREAMING CDC UPSERT into native Iceberg
+    * ([[graft.streaming.IcebergStream.upsertSink]]): a change stream
+    * applies BY KEY, exactly-once — batch 0 bootstraps the corpus,
+    * batch 1 re-images the en slice with TWO sequence steps per key
+    * (+500 then +1000; within-batch arbitration must keep the higher),
+    * batch 2 tombstones the %5 band — each batch ONE merge-on-read
+    * MERGE snapshot with the (appId, batchId) ledger stamped. The
+    * in-query asserts replay batch 2's merge with its committed txn
+    * (a structural NO-OP: same snapshot id back, zero deletes) and
+    * pin the snapshot count at 3. DuckDB replays the net arithmetic:
+    * survivors of the %5 tombstone, en chars +1000. */
+  private[graft] def q210(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{IcebergInterop, IcebergWrite}
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val charsT = docs.schema("n_chars").dataType
+    val tmp = graft.io.TempDirs.scratch("graft-q210")
+    val src = s"$tmp/src"
+    val table = s"$tmp/table"
+    def stage(b: DataFrame): Unit =
+      b.coalesce(2).write.mode("append").parquet(src)
+    stage(docs.withColumn("del", lit(false)).withColumn("seq", lit(0L)))
+    val schema = s.read.parquet(src).schema
+    val q = graft.streaming.IcebergStream.upsertSink(s,
+      s.readStream.schema(schema).parquet(src),
+      table, Seq("doc_id"), "q210", s"$tmp/ckpt",
+      sequenceCol = Some("seq"), deleteCol = Some("del"))
+    try {
+      q.processAllAvailable() // batch 0: bootstrap
+      val en = docs.filter(col("lang") === "en")
+      stage(en.withColumn("n_chars", (col("n_chars") + 500L).cast(charsT))
+        .withColumn("del", lit(false)).withColumn("seq", lit(1L))
+        .unionByName(en
+          .withColumn("n_chars", (col("n_chars") + 1000L).cast(charsT))
+          .withColumn("del", lit(false)).withColumn("seq", lit(2L))))
+      q.processAllAvailable() // batch 1: arbitrated re-image
+      stage(docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("lang", lit(null).cast("string"))
+        .withColumn("n_chars", lit(null).cast(charsT))
+        .withColumn("del", lit(true)).withColumn("seq", lit(3L)))
+      q.processAllAvailable() // batch 2: tombstones
+    } finally q.stop()
+    require(IcebergInterop.snapshots(s, table).count() == 3,
+      "3 batches = 3 snapshots (bootstrap + 2 merges)")
+    // the crash-window contract, asserted directly: batch 2's txn is in
+    // the ledger — replaying its merge is a structural no-op
+    val head = IcebergInterop.snapshots(s, table)
+      .orderBy(col("sequence_number").desc).head().getLong(0)
+    val (replaySnap, replayDel, _) = IcebergWrite.mergeInto(s, table,
+      docs.limit(5).localCheckpoint(false), Seq("doc_id"),
+      matched = Seq(graft.io.DeltaInterop.MatchedClause(None, Map.empty,
+        delete = true)),
+      notMatched = None, txn = Some(("q210", 2L)))
+    require(replaySnap == head && replayDel == 0L,
+      "a ledger-covered merge must replay as a no-op")
+    IcebergInterop.readIceberg(s, table).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+  }
+
   /** q196 — NATIVE Iceberg TABLE MAINTENANCE
     * ([[graft.io.IcebergWrite.rewriteManifests]] /
     * [[graft.io.IcebergWrite.compact]] /

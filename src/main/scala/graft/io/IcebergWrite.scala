@@ -402,6 +402,14 @@ object IcebergWrite {
     -1L // unreachable
   }
 
+  /** Whether `dir` holds a committed graft/foreign Iceberg table
+    * (any metadata version present). */
+  def tableExists(spark: SparkSession, dir: String): Boolean = {
+    val root = new Path(dir)
+    val f = fs(spark, dir)
+    f.exists(new Path(root, "metadata")) && currentVersion(f, root) > 0
+  }
+
   /** Append `df` as a new snapshot (creating the table on first call).
     * Returns the committed snapshot id. */
   def append(df: DataFrame, dir: String): Long =
@@ -741,13 +749,22 @@ object IcebergWrite {
                 // TARGET columns only (source columns are definitionally
                 // absent). Scanned UNPRUNED: a by-source row is exactly
                 // one that may lie outside the source's key range.
-                notMatchedBySource: Seq[DeltaInterop.MatchedClause] = Nil)
+                notMatchedBySource: Seq[DeltaInterop.MatchedClause] = Nil,
+                // exactly-once ledger: a (appId, txn) the summary
+                // ledger already covers REPLAYS AS A NO-OP — the
+                // streaming upsert sink's crash-window contract
+                txn: Option[(String, Long)] = None)
       : (Long, Long, Long) = {
     import org.apache.spark.sql.functions._
     val f = fs(spark, dir)
     val root = new Path(dir)
     val v0 = currentVersion(f, root)
     require(v0 > 0, s"$dir has no snapshots to merge into")
+    txn.foreach { case (appId, tv) =>
+      if (committedTxn(spark, f, root, appId) >= tv)
+        return (readMeta(f, root, currentVersion(f, root))
+          .map(_.path("current-snapshot-id").asLong(-1L)).getOrElse(-1L), 0L, 0L)
+    }
     val m0 = readMeta(f, root, v0).get
     val fieldIds = currentFieldIds(m0)
     val schemaNames = fieldIds.map(_._1)
@@ -863,7 +880,7 @@ object IcebergWrite {
       case xs => Some(xs.reduce(_ unionByName _))
     }
     val (snap, deleted, inserted0) = commitRowDelta(spark, dir,
-      positions, appendRows, "overwrite", what = "merge")
+      positions, appendRows, "overwrite", what = "merge", txn = txn)
     // inserted = appended − postimages (postimages replace masked rows)
     val nPost = (if (updateIdx.isEmpty) 0L
       else hits.filter(col("_fired").isin(updateIdx: _*)).count()) +
@@ -895,7 +912,12 @@ object IcebergWrite {
   private def commitRowDelta(spark: SparkSession, dir: String,
                              positions: DataFrame, appendDf: Option[DataFrame],
                              operation: String, what: String,
-                             asDv: Boolean = false): (Long, Long, Long) = {
+                             asDv: Boolean = false,
+                             // exactly-once ledger stamp ((appId, txn)
+                             // in the snapshot summary) — the
+                             // [[appendOnce]] contract for row deltas
+                             txn: Option[(String, Long)] = None)
+      : (Long, Long, Long) = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val f = fs(spark, dir)
     val root = new Path(dir)
@@ -1054,12 +1076,21 @@ object IcebergWrite {
         onBeforeCommit()
         val snap = commitMeta(spark, f, root, base, StructType(Nil), snapshotId,
           seqNo, built, replace = false, operation = Some(operation),
-          minFormatVersion = if (asDv) 3 else 0,
+          txn = txn, minFormatVersion = if (asDv) 3 else 0,
           nextRowId = lin0.map(_ => rowIdW))
         return (snap, deleted, appended)
       } catch {
         case _: java.util.ConcurrentModificationException =>
           built.foreach(nm => f.delete(nm.path, false))
+          // a DUPLICATE same-batch writer may have won the race: if the
+          // ledger now covers this txn, drop our staged files and defer
+          txn.foreach { case (appId, tv) =>
+            if (committedTxn(spark, f, root, appId) >= tv) {
+              (delFiles ++ appFiles).foreach { case (p, _) => f.delete(p, false) }
+              dvSide.foreach { case (p, _, _) => f.delete(p, false) }
+              return (currentSnap(), 0L, 0L)
+            }
+          }
           attempt += 1
           require(attempt < MaxCommitRetries,
             s"$what on $dir lost $MaxCommitRetries version races")

@@ -46,4 +46,91 @@ object IcebergStream {
         }
       }
       .start()
+
+  /** CDC UPSERT sink: apply a change stream to a native Iceberg table
+    * by KEY, exactly-once — each micro-batch lands as ONE
+    * merge-on-read MERGE snapshot (position deletes + postimage/insert
+    * appends, zero data-file rewrites) with the (appId, batchId)
+    * ledger stamped, so the crash-window replay is a structural no-op.
+    *
+    * Batch semantics (the Flink/Iceberg upsert-sink contract):
+    *   - `sequenceCol` (when given) arbitrates WITHIN a batch — only
+    *     each key's highest-sequence change applies (a key updated
+    *     five times in one batch merges once, with the final image).
+    *     Without it, a batch must not carry duplicate keys (merge
+    *     refuses loudly — correctness over guessing).
+    *   - `deleteCol` (when given) is a boolean tombstone flag: flagged
+    *     keys DELETE on match (and are ignored when absent); the flag
+    *     and sequence columns are control metadata, never written.
+    *   - everything else upserts: matched keys replace their row with
+    *     the source image, unmatched keys insert.
+    *
+    * 100 TB posture: per batch, MERGE's probe prunes through manifest
+    * bounds by the batch's key range; work is O(changed rows) +
+    * metadata-sized commit. Periodic [[IcebergWrite.compact]] folds
+    * the accumulated delete files (q196's maintenance loop). */
+  def upsertSink(
+      spark: SparkSession,
+      changes: DataFrame,
+      tableDir: String,
+      keyCols: Seq[String],
+      appId: String,
+      checkpoint: String,
+      sequenceCol: Option[String] = None,
+      deleteCol: Option[String] = None,
+      postCommitHook: Long => Unit = _ => ()
+  ): StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "upsertSink needs key columns")
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch1 = BatchTuning.rightSize(batch0)
+        if (!batch1.isEmpty) {
+          // within-batch arbitration: the key's HIGHEST sequence wins
+          val deduped = sequenceCol match {
+            case None => batch1
+            case Some(seq) =>
+              batch1.withColumn("_g_rn", row_number().over(Window
+                  .partitionBy(keyCols.map(col): _*)
+                  .orderBy(col(seq).desc)))
+                .filter(col("_g_rn") === 1).drop("_g_rn", seq)
+          }
+          // the tombstone flag RIDES the merge source (clause
+          // conditions resolve against s./t. columns), but is control
+          // metadata: SET/INSERT assignments never mention it, so it
+          // is never written
+          val source = deduped.localCheckpoint(false)
+          val valueCols = source.columns.toSeq
+            .filterNot(c => keyCols.contains(c) || deleteCol.contains(c))
+          // FIRST batch bootstraps the table: the non-tombstone image
+          // appends (ledger-stamped), tombstones of never-seen keys
+          // are definitionally no-ops
+          if (!IcebergWrite.tableExists(spark, tableDir)) {
+            val inserts = deleteCol
+              .map(flag => source.filter(col(flag) =!= lit(true)).drop(flag))
+              .getOrElse(source)
+            postCommitHook(IcebergWrite.appendOnce(
+              inserts, tableDir, appId, batchId))
+          } else {
+            // clause order (first firing wins): tombstone DELETE, then
+            // replace-with-source UPDATE; unflagged unmatched rows INSERT
+            val matched = deleteCol.toSeq.map(flag =>
+              graft.io.DeltaInterop.MatchedClause(
+                Some(col(s"s.$flag") === lit(true)), Map.empty, delete = true)) :+
+              graft.io.DeltaInterop.MatchedClause(None,
+                valueCols.map(c => c -> col(s"s.$c")).toMap, delete = false)
+            val notMatched = Some((
+              deleteCol.map(flag => col(s"s.$flag") =!= lit(true)),
+              (keyCols ++ valueCols).map(c => c -> col(s"s.$c")).toMap))
+            val (snap, _, _) = IcebergWrite.mergeInto(spark, tableDir,
+              source, keyCols, matched, notMatched,
+              txn = Some((appId, batchId)))
+            postCommitHook(snap)
+          }
+        }
+      }
+      .start()
+  }
 }

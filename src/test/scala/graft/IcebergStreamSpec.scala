@@ -86,4 +86,56 @@ class IcebergStreamSpec extends AnyFunSuite {
     assert(IcebergInterop.snapshots(spark, iceDir).count() >= 2,
       "rate-limited mirroring must land multiple snapshots")
   }
+
+  test("upsertSink: CDC apply by key — arbitration, tombstones, crash replay") {
+    val tmp = Files.createTempDirectory("graft-ice-upsert").toString
+    val src = s"$tmp/src"
+    // batch 0 (bootstrap): ids 0..9 insert
+    (0L until 10L).map(i => (i, s"v0_$i", false, 0L))
+      .toDF("id", "v", "del", "seq").coalesce(1)
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val fired = new AtomicBoolean(false)
+    def run(hook: Long => Unit) = IcebergStream.upsertSink(spark,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      s"$tmp/table", Seq("id"), "cdc", s"$tmp/ckpt",
+      sequenceCol = Some("seq"), deleteCol = Some("del"),
+      postCommitHook = hook)
+    val q0 = run(_ => ())
+    try q0.processAllAvailable() finally q0.stop()
+    assert(IcebergInterop.readIceberg(spark, s"$tmp/table").count() == 10)
+    // batch 1: id 3 updated TWICE (seq arbitration keeps seq 2), id 5
+    // tombstoned, id 10 inserted, id 99 tombstoned-but-never-seen
+    Seq((3L, "v1_3", false, 1L), (3L, "v2_3", false, 2L),
+        (5L, null.asInstanceOf[String], true, 1L),
+        (10L, "v0_10", false, 1L),
+        (99L, null.asInstanceOf[String], true, 1L))
+      .toDF("id", "v", "del", "seq").coalesce(1)
+      .write.mode("append").parquet(src)
+    // crash AFTER the merge snapshot commits, BEFORE the offset does
+    val q1 = run(_ => if (!fired.getAndSet(true))
+      throw new RuntimeException("injected crash after merge commit"))
+    val crashed =
+      try { q1.processAllAvailable(); false } catch { case _: Exception => true }
+    try q1.stop() catch { case _: Exception => () }
+    assert(crashed, "injected crash did not fire")
+    val mid = IcebergInterop.readIceberg(spark, s"$tmp/table")
+    assert(mid.count() == 10, "10 - 1 tombstone + 1 insert")
+    // restart replays batch 1 — the ledger makes it a structural no-op —
+    // then batch 2 flows: id 0 tombstoned, id 10 updated
+    val snapsMid = IcebergInterop.snapshots(spark, s"$tmp/table").count()
+    Seq((0L, null.asInstanceOf[String], true, 3L), (10L, "v1_10", false, 3L))
+      .toDF("id", "v", "del", "seq").coalesce(1)
+      .write.mode("append").parquet(src)
+    val q2 = run(_ => ())
+    try q2.processAllAvailable() finally q2.stop()
+    val t = IcebergInterop.readIceberg(spark, s"$tmp/table")
+    val byId = t.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.keySet == (1L until 10L).toSet - 5L + 10L)
+    assert(byId(3L) == "v2_3", "within-batch sequence arbitration")
+    assert(byId(10L) == "v1_10", "cross-batch upsert")
+    assert(IcebergInterop.snapshots(spark, s"$tmp/table").count() == snapsMid + 1,
+      "the replayed batch must not land a second snapshot")
+  }
 }

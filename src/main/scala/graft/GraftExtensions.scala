@@ -133,6 +133,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_iceberg_partition_stats"),
+      info("graft_iceberg_partition_stats",
+        "graft_iceberg_partition_stats(path) - the current snapshot's registered partition-statistics file rows (per-partition live counts)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_iceberg_partition_stats takes (path), got ${args.length} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val ref = stringArg("graft_iceberg_partition_stats", args, 0)
+        val path = graft.io.IcebergInterop.catalogIcebergPath(spark, ref).getOrElse(ref)
+        org.apache.spark.sql.GraftBridge.plan(
+          graft.io.IcebergInterop.partitionStatsTable(spark, path).getOrElse(
+            throw new IllegalArgumentException(
+              s"no partition statistics registered for the current snapshot of $path — run analyzePartitions")))
+      }
+    ))
+    ext.injectTableFunction((
       FunctionIdentifier("table_changes"),
       info("table_changes",
         "table_changes(path_or_name, from_version[, to_version]) - the table's change data feed over the version range"),

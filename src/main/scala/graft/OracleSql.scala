@@ -787,6 +787,11 @@ object OracleSql {
         |    AS chars
         |FROM documents WHERE doc_id % 5 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q211: partition statistics — per-day live counts as epoch days
+    "q211_iceberg_partition_stats" ->
+      """SELECT date_diff('day', DATE '1970-01-01', ts::DATE)::INT AS day_num,
+        |  count(*)::BIGINT AS n_rows
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // q196: native Iceberg maintenance — the low third masked, then
     // the same aggregate through live/compacted/expired states
     "q196_iceberg_maintenance" ->

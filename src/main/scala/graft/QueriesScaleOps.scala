@@ -3220,6 +3220,39 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("lang"))
   }
 
+  /** q211 — PARTITION STATISTICS (iceberg.apache.org/spec/
+    * "Partition statistics" via
+    * [[graft.io.IcebergWrite.analyzePartitions]]): a day(ts)-
+    * partitioned event table lands in TWO partitioned appends, and
+    * ANALYZE derives per-day live row counts ENTIRELY from manifest
+    * metadata (graft's one-manifest-per-tuple layout makes each
+    * manifest's field summary its tuple — zero data scanned), writes
+    * the spec's partition-statistics parquet, and registers it under
+    * `partition-statistics`. The oracle replays the per-day counts
+    * with epoch-day arithmetic; in-query asserts pin the freshness
+    * rule and that the registered counts sum to the corpus. */
+  private[graft] def q211(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{IcebergInterop, IcebergWrite}
+    val events = T(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("ts"))
+    val tmp = graft.io.TempDirs.scratch("graft-q211") + "/t"
+    IcebergWrite.appendPartitioned(
+      events.filter(col("event_id") % 2 === 0), tmp, "ts", "day")
+    IcebergWrite.appendPartitioned(
+      events.filter(col("event_id") % 2 =!= 0), tmp, "ts", "day")
+    require(IcebergInterop.partitionStatsTable(s, tmp).isEmpty,
+      "no statistics before the analysis")
+    val (_, nParts) = IcebergWrite.analyzePartitions(s, tmp)
+    require(nParts > 0)
+    val st = IcebergInterop.partitionStatsTable(s, tmp).get
+      .localCheckpoint(false)
+    require(st.agg(sum(col("data_record_count"))).head().getLong(0) ==
+      events.count(), "registered counts must sum to the corpus")
+    st.select(col("partition.ts_day").as("day_num"),
+        col("data_record_count").as("n_rows"))
+      .orderBy(col("day_num"))
+  }
+
   /** q196 — NATIVE Iceberg TABLE MAINTENANCE
     * ([[graft.io.IcebergWrite.rewriteManifests]] /
     * [[graft.io.IcebergWrite.compact]] /

@@ -906,6 +906,21 @@ object IcebergInterop {
       .toDF("column", "ndv", "row_count", "snapshot_id")
   }
 
+  /** The registered PARTITION-STATISTICS file of the CURRENT snapshot
+    * (the metadata `partition-statistics` entry,
+    * iceberg.apache.org/spec/ "Partition statistics") read back as
+    * rows — None when never analyzed or when the entry binds to an
+    * older snapshot (the same freshness rule as [[tableStatistics]]).
+    * One metadata lookup + one tiny parquet read, zero data scanned. */
+  def partitionStatsTable(spark: SparkSession, dir: String): Option[DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    val meta = readJson(spark, currentMetadataPath(spark, dir))
+    val curId = meta.path("current-snapshot-id").asLong(-1L)
+    meta.path("partition-statistics").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == curId)
+      .map(e => spark.read.parquet(resolve(e.path("statistics-path").asText)))
+  }
+
   /** Iceberg METADATA TABLE `partitions` — per partition VALUE of the
     * current snapshot: live row count and manifest count, derived
     * ENTIRELY from manifest metadata (per-value manifests carry exact

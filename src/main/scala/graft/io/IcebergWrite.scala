@@ -2280,6 +2280,174 @@ object IcebergWrite {
     (curId, ndv)
   }
 
+  /** PARTITION STATISTICS (iceberg.apache.org/spec/ "Partition
+    * statistics"): derive per-partition-tuple live row/file/byte
+    * counts ENTIRELY from manifest metadata (graft writes one manifest
+    * per partition VALUE tuple, so each manifest's field summary IS
+    * its tuple — zero data scanned), write them as the spec's
+    * partition-statistics parquet (`partition` struct typed by the
+    * spec's transform result types, `spec_id`, `data_record_count`,
+    * `data_file_count`, `total_data_file_size_in_bytes`), and register
+    * the file under the metadata `partition-statistics` field — the
+    * [[analyzeTable]] twin for the "how big is each partition"
+    * question a 100 TB planner asks first. One entry per snapshot
+    * (re-analysis replaces and reclaims); freshness on read
+    * ([[IcebergInterop.partitionStatsTable]]). Requires a partitioned
+    * table whose live data manifests share ONE spec. Returns
+    * (snapshotId, partitionCount). */
+  def analyzePartitions(spark: SparkSession, dir: String): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v0 = currentVersion(f, root)
+    require(v0 > 0, s"$dir has no snapshots to analyze")
+    val m0 = readMeta(f, root, v0).get
+    val curId = m0.path("current-snapshot-id").asLong(-1L)
+    require(curId > 0, s"$dir has no current snapshot")
+    val snapNode = m0.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == curId).get
+    val listRecs = IcebergFormat.readAvro(conf,
+      new Path(resolveU(snapNode.path("manifest-list").asText)))
+    val dataMans = listRecs.filter(r => gInt(r, "content", 0) == 0)
+    val specIds = dataMans.map(gInt(_, "partition_spec_id", 0)).distinct
+    require(specIds.length == 1 && specIds.head != 0,
+      s"partition statistics need a partitioned table under ONE spec " +
+      s"(found specs ${specIds.mkString(",")})")
+    val specId = specIds.head
+    val schemaTypes: Map[Int, DataType] = {
+      val names = currentFieldIds(m0) // (name, id)
+      val dts = currentSchemaNode(m0)
+      names.map { case (nm, id) =>
+        // decode via the read-side's type mapping on the schema node
+        val fieldT = dts.path("fields").elements().asScala
+          .find(_.path("id").asInt(-1) == id).map(_.path("type").asText(""))
+        id -> (fieldT match {
+          case Some("int") => IntegerType
+          case Some("long") => LongType
+          case Some("string") => StringType
+          case Some("date") => DateType
+          case Some("timestamp") => TimestampNTZType
+          case Some("timestamptz") => TimestampType
+          case Some("double") => DoubleType
+          case Some("float") => FloatType
+          case _ => NullType
+        })
+      }.toMap
+    }
+    val fieldsNode = m0.path("partition-specs").elements().asScala
+      .find(_.path("spec-id").asInt(-1) == specId)
+      .map(_.path("fields"))
+      .getOrElse(throw new IllegalArgumentException(s"unknown spec $specId"))
+    val pFields: Seq[(String, DataType)] = (0 until fieldsNode.size).map { i =>
+      val fd = fieldsNode.get(i)
+      val srcT = schemaTypes.getOrElse(fd.path("source-id").asInt, NullType)
+      val rt = IcebergTransforms.resultType(fd.path("transform").asText, srcT)
+        .getOrElse(throw new IllegalArgumentException(
+          s"unsupported transform ${fd.path("transform").asText} over $srcT"))
+      (fd.path("name").asText, rt)
+    }
+    import java.nio.ByteOrder
+    def decode(dt: DataType, b: Array[Byte]): Any = dt match {
+      case IntegerType => java.nio.ByteBuffer.wrap(b)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      case LongType => java.nio.ByteBuffer.wrap(b)
+        .order(ByteOrder.LITTLE_ENDIAN).getLong
+      case StringType => new String(b, "UTF-8")
+      case DateType => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+        java.nio.ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt.toLong))
+      case TimestampType | TimestampNTZType =>
+        val micros = java.nio.ByteBuffer.wrap(b)
+          .order(ByteOrder.LITTLE_ENDIAN).getLong
+        val inst = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+        if (dt == TimestampType) inst
+        else java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
+      case other => throw new IllegalArgumentException(
+        s"cannot decode partition value of type $other")
+    }
+    // per manifest: the tuple from its field summary (graft writes
+    // lo == hi per field; a spanning summary would mean a foreign
+    // layout this derivation cannot attribute — refuse loudly), counts
+    // from its live entries
+    val perTuple = dataMans.flatMap { r =>
+      val live = IcebergFormat.readAvro(conf,
+        new Path(resolveU(gStr(r, "manifest_path"))))
+        .filter(e => gInt(e, "status", 0) != 2)
+        .map(_.get("data_file").asInstanceOf[GenericRecord])
+      if (live.isEmpty) None
+      else {
+        val parts = Option(r.getSchema.getField("partitions"))
+          .flatMap(_ => Option(r.get("partitions")))
+          .map(_.asInstanceOf[java.util.List[_]].asScala.toSeq)
+          .getOrElse(throw new IllegalArgumentException(
+            s"manifest ${gStr(r, "manifest_path")} lacks a field summary"))
+        require(parts.length == pFields.length,
+          "field summary arity must match the spec")
+        val tuple: Seq[Any] = parts.zip(pFields).map { case (p0, (_, dt)) =>
+          val p = p0.asInstanceOf[GenericRecord]
+          val containsNull = Option(p.get("contains_null"))
+            .exists(_.asInstanceOf[Boolean])
+          def bytesOf(fd: String): Option[Array[Byte]] =
+            Option(p.get(fd)).map { bb0 =>
+              val bb = bb0.asInstanceOf[java.nio.ByteBuffer].duplicate()
+              val out = new Array[Byte](bb.remaining()); bb.get(out); out
+            }
+          (bytesOf("lower_bound"), bytesOf("upper_bound")) match {
+            case (Some(lo), Some(hi)) if java.util.Arrays.equals(lo, hi) =>
+              decode(dt, lo)
+            case (None, None) if containsNull => null
+            case _ => throw new IllegalArgumentException(
+              s"manifest ${gStr(r, "manifest_path")} spans partition values " +
+              "— not a per-tuple layout; compact first")
+          }
+        }
+        Some((tuple,
+          live.map(gLong(_, "record_count", 0L)).sum,
+          live.length.toLong,
+          live.map(gLong(_, "file_size_in_bytes", 0L)).sum))
+      }
+    }.groupBy(_._1).map { case (tuple, ms) =>
+      (tuple, ms.map(_._2).sum, ms.map(_._3).sum, ms.map(_._4).sum)
+    }.toSeq
+    val structT = StructType(pFields.map { case (nm, dt) =>
+      StructField(nm, dt, nullable = true) })
+    val outSchema = StructType(Seq(
+      StructField("partition", structT, nullable = false),
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("data_record_count", LongType, nullable = false),
+      StructField("data_file_count", IntegerType, nullable = false),
+      StructField("total_data_file_size_in_bytes", LongType, nullable = false)))
+    val rowsJ = perTuple.map { case (tuple, n, files, sz) =>
+      org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row(tuple: _*), specId, n, files.toInt, sz)
+    }.asJava
+    val df = spark.createDataFrame(rowsJ, outSchema)
+    val staging = new Path(root,
+      s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.coalesce(1).write.parquet(staging.toString)
+    val part = f.listStatus(staging)
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val statsP = new Path(root,
+      s"metadata/partition-stats-$curId-${java.util.UUID.randomUUID().toString.take(8)}.parquet")
+    require(f.rename(part, statsP), s"rename $part failed")
+    f.delete(staging, true)
+    val n = m0.deepCopy[JsonNode]().asInstanceOf[ObjNode]
+    val prior = Option(n.get("partition-statistics")).toSeq
+      .flatMap(_.elements().asScala.toSeq)
+    val (stale, kept) = prior.partition(_.path("snapshot-id").asLong == curId)
+    val arr = n.putArray("partition-statistics")
+    kept.foreach(arr.add)
+    val e = arr.addObject()
+    e.put("snapshot-id", curId)
+    e.put("statistics-path", statsP.toString)
+    e.put("file-size-in-bytes", f.getFileStatus(statsP).getLen)
+    commitMetadataOnly(f, root, v0, m0, n, "analyzePartitions")
+    stale.foreach(s0 => f.delete(
+      new Path(resolveU(s0.path("statistics-path").asText)), false))
+    (curId, perTuple.length.toLong)
+  }
+
   /** Crash-orphan age floor: list-based deletion (files NO snapshot —
     * kept or expired — references) only touches files at least this
     * old, independent of how aggressive `retainMillis` is. A RETAIN 0
@@ -2369,16 +2537,19 @@ object IcebergWrite {
       .filter(e => keptIds.contains(e.path("snapshot-id").asLong(-2L)))
       .foreach(logArr.add)
     n.set[JsonNode]("snapshot-log", logArr)
-    // statistics files attach to snapshots — entries of expired
-    // snapshots prune with them (files reclaim after the commit)
+    // statistics / partition-statistics files attach to snapshots —
+    // entries of expired snapshots prune with them (files reclaim
+    // after the commit)
     val droppedStats = Seq.newBuilder[Path]
-    if (n.has("statistics")) {
-      val stArr = M.createArrayNode()
-      m0.path("statistics").elements().asScala.foreach { e =>
-        if (keptIds.contains(e.path("snapshot-id").asLong(-2L))) stArr.add(e)
-        else droppedStats += new Path(resolveU(e.path("statistics-path").asText))
+    Seq("statistics", "partition-statistics").foreach { fieldName =>
+      if (n.has(fieldName)) {
+        val stArr = M.createArrayNode()
+        m0.path(fieldName).elements().asScala.foreach { e =>
+          if (keptIds.contains(e.path("snapshot-id").asLong(-2L))) stArr.add(e)
+          else droppedStats += new Path(resolveU(e.path("statistics-path").asText))
+        }
+        n.set[JsonNode](fieldName, stArr)
       }
-      n.set[JsonNode]("statistics", stArr)
     }
     val prevUpdated = m0.path("last-updated-ms").asLong(now)
     n.put("last-updated-ms", now)

@@ -113,4 +113,65 @@ class IcebergStatsSpec extends AnyFunSuite {
     assert(IcebergInterop.tableStatistics(spark, dir)("id") == 40L,
       "the surviving entry still serves the current snapshot")
   }
+
+  test("partition statistics: per-tuple counts from metadata, registered + fresh") {
+    val dir = Files.createTempDirectory("graft-iceberg-pstats").toString
+    // day(ts)-partitioned: 300 rows over 3 days, two appends so each
+    // day holds at least two files
+    def rowsOf(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-0${i % 3 + 1} 01:02:03"))
+    }.toDF("id", "ts")
+    IcebergWrite.appendPartitioned(rowsOf(0, 150), dir, "ts", "day")
+    IcebergWrite.appendPartitioned(rowsOf(150, 300), dir, "ts", "day")
+    val (_, nParts) = IcebergWrite.analyzePartitions(spark, dir)
+    assert(nParts == 3)
+    val st = IcebergInterop.partitionStatsTable(spark, dir).get
+    assert(st.columns.toSeq == Seq("partition", "spec_id",
+      "data_record_count", "data_file_count", "total_data_file_size_in_bytes"))
+    val rows = st.select(col("partition.ts_day"), col("data_record_count"),
+      col("data_file_count")).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getLong(1) == 100L), "100 rows per day")
+    assert(rows.forall(_.getInt(2) >= 2), "two appends = two files per day")
+    // the day values are the spec's epoch-day ints, distinct and adjacent
+    val days = rows.map(_.getInt(0)).sorted
+    assert(days.toSeq == Seq(days(0), days(0) + 1, days(0) + 2))
+    // SQL TVF reads the same file
+    val tvf = spark.sql(
+      s"SELECT sum(data_record_count) FROM graft_iceberg_partition_stats('$dir')")
+    assert(tvf.head().getLong(0) == 300L)
+    // freshness: a later commit invalidates; re-analysis replaces
+    IcebergWrite.appendPartitioned(rowsOf(300, 303), dir, "ts", "day")
+    assert(IcebergInterop.partitionStatsTable(spark, dir).isEmpty)
+    IcebergWrite.analyzePartitions(spark, dir)
+    assert(IcebergInterop.partitionStatsTable(spark, dir).get
+      .agg(sum(col("data_record_count"))).head().getLong(0) == 303L)
+    // per-snapshot entries COEXIST across snapshots (the spec's shape);
+    // expiry prunes the old snapshot's entry and reclaims its file
+    import scala.jdk.CollectionConverters._
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    def entries() = {
+      val v = new java.io.File(s"$dir/metadata").list()
+        .flatMap("""^v(\d+)\.metadata\.json$""".r.findFirstMatchIn(_))
+        .map(_.group(1).toInt).max
+      M.readTree(new java.io.File(s"$dir/metadata/v$v.metadata.json"))
+        .path("partition-statistics").elements().asScala.toSeq
+    }
+    assert(entries().map(_.path("snapshot-id").asLong).distinct.length ==
+      entries().length, "one entry per snapshot")
+    val pathsBefore = entries().map(_.path("statistics-path").asText)
+    IcebergWrite.expireSnapshots(spark, dir, retainMillis = 0L)
+    val pathsAfter = entries().map(_.path("statistics-path").asText)
+    assert(pathsAfter.length == 1, "expiry prunes expired snapshots' entries")
+    val fs0 = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    pathsBefore.filterNot(pathsAfter.contains).foreach { p =>
+      assert(!fs0.exists(new org.apache.hadoop.fs.Path(p)),
+        "the pruned entry's file reclaims")
+    }
+    // unpartitioned tables refuse loudly
+    val plain = Files.createTempDirectory("graft-iceberg-pstats-plain").toString
+    IcebergWrite.append((0L until 5L).map(i => (i, s"t$i")).toDF("id", "tag"), plain)
+    intercept[IllegalArgumentException](IcebergWrite.analyzePartitions(spark, plain))
+  }
 }

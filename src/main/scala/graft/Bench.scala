@@ -84,7 +84,11 @@ object Bench {
     "q196_iceberg_maintenance", "q197_iceberg_upsert",
     "q198_iceberg_sql_dml", "q199_iceberg_bucket_write",
     "q200_iceberg_eq_delete", "q201_iceberg_dv_delete",
-    "q202_iceberg_rollback", "q203_iceberg_meta_tables"
+    "q202_iceberg_rollback", "q203_iceberg_meta_tables",
+    "q204_iceberg_multi_partition", "q205_iceberg_named_sql",
+    "q206_iceberg_changelog", "q207_iceberg_lineage_native",
+    "q208_iceberg_zorder", "q209_iceberg_stats",
+    "q210_iceberg_upsert_stream", "q211_iceberg_partition_stats"
   )
 
   def main(args: Array[String]): Unit = {

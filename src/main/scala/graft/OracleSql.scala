@@ -792,6 +792,39 @@ object OracleSql {
       """SELECT date_diff('day', DATE '1970-01-01', ts::DATE)::INT AS day_num,
         |  count(*)::BIGINT AS n_rows
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q212: the streaming dedup recurrence unrolled — per batch
+    // (doc_id % 3), a doc drops on a band-key collision with an
+    // EARLIER batch's survivor or with a smaller-id doc of its own
+    // batch; empty-shingle docs have no keys and always survive
+    "q212_stream_dedup" ->
+      s"""WITH $docShinglesCte,
+        |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),
+        |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS mh
+        |  FROM docsh),
+        |bd AS (SELECT doc_id, doc_id % 3 AS b, unnest(list_transform(range(0, 4),
+        |  j -> md5(j::VARCHAR || ',' || array_to_string(mh[j*4+1:j*4+4], ',')))) AS bk
+        |  FROM sig WHERE len(sh) > 0),
+        |s0 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM bd x JOIN bd y ON x.bk = y.bk
+        |    WHERE x.doc_id = d.doc_id AND y.b = 0 AND y.doc_id < d.doc_id)),
+        |k0 AS (SELECT DISTINCT bk FROM bd WHERE doc_id IN (SELECT doc_id FROM s0)),
+        |s1 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM bd x
+        |    WHERE x.doc_id = d.doc_id AND x.bk IN (SELECT bk FROM k0))
+        |  AND NOT EXISTS (SELECT 1 FROM bd x JOIN bd y ON x.bk = y.bk
+        |    WHERE x.doc_id = d.doc_id AND y.b = 1 AND y.doc_id < d.doc_id)),
+        |k01 AS (SELECT bk FROM k0 UNION
+        |  SELECT DISTINCT bk FROM bd WHERE doc_id IN (SELECT doc_id FROM s1)),
+        |s2 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 2
+        |  AND NOT EXISTS (SELECT 1 FROM bd x
+        |    WHERE x.doc_id = d.doc_id AND x.bk IN (SELECT bk FROM k01))
+        |  AND NOT EXISTS (SELECT 1 FROM bd x JOIN bd y ON x.bk = y.bk
+        |    WHERE x.doc_id = d.doc_id AND y.b = 2 AND y.doc_id < d.doc_id)),
+        |surv AS (SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1
+        |  UNION ALL SELECT doc_id FROM s2)
+        |SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+        |FROM documents WHERE doc_id IN (SELECT doc_id FROM surv)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q196: native Iceberg maintenance — the low third masked, then
     // the same aggregate through live/compacted/expired states
     "q196_iceberg_maintenance" ->

@@ -3253,6 +3253,47 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("day_num"))
   }
 
+  /** q212 — STREAMING INCREMENTAL NEAR-DUP DEDUP
+    * ([[graft.streaming.DedupStream.dedupSink]]): the corpus arrives
+    * in THREE batches (doc_id % 3), each batch's docs drop when an
+    * LSH band key (the q27/q28 MinHash signature, band index baked
+    * into the key) collides with a PRIOR survivor's key in the
+    * persisted Iceberg signature table, or with a smaller-id doc of
+    * the same batch (bucket-local min-id suppression — deterministic
+    * by design); survivors and their keys land exactly-once. DuckDB
+    * replays the ENTIRE rule — signatures, band keys, the state
+    * recurrence unrolled over the three batches — and the aggregate
+    * hash-matches. In-query asserts pin both ledgers at 3 snapshots. */
+  private[graft] def q212(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.IcebergInterop
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    val tmp = graft.io.TempDirs.scratch("graft-q212")
+    val src = s"$tmp/src"
+    def stage(b: DataFrame): Unit =
+      b.coalesce(2).write.mode("append").parquet(src)
+    stage(docs.filter(col("doc_id") % 3 === 0))
+    val schema = s.read.parquet(src).schema
+    val q = graft.streaming.DedupStream.dedupSink(s,
+      s.readStream.schema(schema).parquet(src),
+      "doc_id", "text", s"$tmp/corpus", s"$tmp/sigs", "q212", s"$tmp/ckpt")
+    try {
+      q.processAllAvailable()
+      stage(docs.filter(col("doc_id") % 3 === 1))
+      q.processAllAvailable()
+      stage(docs.filter(col("doc_id") % 3 === 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    require(IcebergInterop.snapshots(s, s"$tmp/corpus").count() == 3 &&
+      IcebergInterop.snapshots(s, s"$tmp/sigs").count() == 3,
+      "3 batches = 3 exactly-once snapshots on each ledger")
+    val corpus = IcebergInterop.readIceberg(s, s"$tmp/corpus")
+    require(corpus.count() <= docs.count())
+    corpus.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+  }
+
   /** q196 — NATIVE Iceberg TABLE MAINTENANCE
     * ([[graft.io.IcebergWrite.rewriteManifests]] /
     * [[graft.io.IcebergWrite.compact]] /

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.functions.{MinHash, TextFunctions}
+import graft.io.{IcebergInterop, IcebergWrite}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** INCREMENTAL near-dup DEDUP of a document stream — the streaming
+  * composition of the batch MinHash+LSH machinery
+  * ([[graft.operators.Dedup]], reference scope: the Raw→Staging
+  * distinct pass generalized to fuzzy identity) with the exactly-once
+  * Iceberg plane: the survivor corpus AND the signature state are both
+  * native Iceberg tables, so the dedup state is restartable,
+  * inspectable with plain SQL, time-travelable, and compactable by
+  * the standard maintenance loop.
+  *
+  * Per micro-batch:
+  *   1. each incoming doc gets its LSH BAND KEYS (MinHash over
+  *      character shingles — the q27/q28 signature, band index baked
+  *      into the key);
+  *   2. a doc DROPS when any band key collides with a PRIOR
+  *      SURVIVOR's key (one semi-join against the signature table),
+  *      or with a smaller-id doc of its OWN batch sharing a key
+  *      (bucket-local min-id suppression — deterministic and
+  *      non-iterative BY DESIGN: the suppressor's own fate does not
+  *      re-admit the suppressed, the documented approximation that
+  *      keeps the rule replayable without sequential iteration);
+  *   3. survivors append EXACTLY-ONCE to the corpus table and their
+  *      band keys to the signature table — two ledgered commits under
+  *      distinct appIds, so a crash between them replays only the
+  *      missing half on restart.
+  *
+  * 100 TB shape: per batch the work is the batch's own signatures
+  * (codegen MinHashSig), one aggregate-free semi-join against the
+  * signature table (band_key bounds prune its scan; at real scale the
+  * batch side is the small side and broadcasts), and two
+  * metadata-sized commits. The signature table grows as
+  * survivors × bands rows — compact it with the q196 maintenance
+  * loop like any other Iceberg table. */
+object DedupStream {
+
+  def dedupSink(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusDir: String,
+      sigDir: String,
+      appId: String,
+      checkpoint: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      postCommitHook: (Long, Long) => Unit = (_, _) => ()
+  ): StreamingQuery = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val rowsPerBand = numHashes / bands
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = BatchTuning.rightSize(batch0)
+        if (!batch.isEmpty) {
+          // (id, band_key) per doc; docs too short to shingle get no
+          // keys and can never collide — they always survive
+          val keyed = TextFunctions.withShingles(batch, textCol, "__sh", shingleSize)
+            .withColumn("__sig", MinHash.signature(col("__sh"), numHashes))
+            .select(col(idCol),
+              explode_outer(MinHash.bandKeys(col("__sig"), bands, rowsPerBand))
+                .as("band_key"))
+            .filter(col("band_key").isNotNull)
+            .localCheckpoint(false) // collision + state append read it
+          // collisions with PRIOR survivors
+          val stateDrops =
+            if (!IcebergWrite.tableExists(spark, sigDir)) batch.limit(0).select(col(idCol))
+            else keyed.join(IcebergInterop.readIceberg(spark, sigDir)
+                .select(col("band_key")),
+              Seq("band_key"), "left_semi").select(col(idCol))
+          // bucket-local suppression within the batch: min id per key
+          // wins, larger ids sharing the key drop
+          val wb = Window.partitionBy(col("band_key"))
+          val batchDrops = keyed
+            .withColumn("__min", min(col(idCol)).over(wb))
+            .filter(col(idCol) > col("__min"))
+            .select(col(idCol))
+          val dropped = stateDrops.unionByName(batchDrops).distinct()
+            .localCheckpoint(false)
+          val survivors = batch.join(dropped, Seq(idCol), "left_anti")
+            .localCheckpoint(false)
+          // exactly-once on BOTH tables: distinct appIds, so a crash
+          // between the two commits replays only the missing half
+          val sCorpus = IcebergWrite.appendOnce(
+            survivors, corpusDir, s"$appId-corpus", batchId)
+          val sSig = IcebergWrite.appendOnce(
+            keyed.join(dropped, Seq(idCol), "left_anti")
+              .select(col(idCol), col("band_key")),
+            sigDir, s"$appId-sig", batchId)
+          postCommitHook(sCorpus, sSig)
+        }
+      }
+      .start()
+  }
+}

@@ -825,6 +825,32 @@ object OracleSql {
         |SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
         |FROM documents WHERE doc_id IN (SELECT doc_id FROM surv)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q213: the lineage changelog — ids re-derived with windows, the
+    // change inventory unioned with each delete's CURRENT preimage
+    "q213_lineage_changelog" ->
+      """WITH ev AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS rid
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |ne AS (SELECT count(*) AS n FROM ev),
+        |od AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    (SELECT n FROM ne) + row_number() OVER (ORDER BY doc_id) - 1 AS rid
+        |  FROM documents WHERE doc_id % 2 <> 0),
+        |base AS (SELECT * FROM ev UNION ALL SELECT * FROM od),
+        |chg AS (
+        |  SELECT 'insert' AS _change_type, lang, n_chars, rid FROM base
+        |  UNION ALL
+        |  SELECT 'delete', lang, n_chars, rid FROM base WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT 'insert', lang, n_chars + 1000, rid FROM base WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT 'delete', lang,
+        |    n_chars + CASE WHEN lang = 'en' THEN 1000 ELSE 0 END, rid
+        |  FROM base WHERE doc_id % 5 = 0)
+        |SELECT _change_type, lang, count(*)::BIGINT AS n,
+        |  sum(n_chars)::BIGINT AS chars, sum(rid)::BIGINT AS sum_row_id
+        |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q196: native Iceberg maintenance — the low third masked, then
     // the same aggregate through live/compacted/expired states
     "q196_iceberg_maintenance" ->

@@ -3294,6 +3294,56 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("lang"))
   }
 
+  /** q213 — LINEAGE CHANGELOG: keyed CDC without a natural key
+    * ([[graft.io.IcebergChangelog.readChangesBetween]] `withLineage`):
+    * every change row carries its stable v3 `_row_id`, so an UPDATE's
+    * delete/insert pair shares ONE id — the property that lets a
+    * downstream consumer apply the stream as an upsert keyed by row
+    * identity. Sorted single-file appends make ids reproducible
+    * (q207's derivation), the en slice updates via DV (+1000), the %5
+    * band DV-deletes, and the closing compaction is changelog-SILENT.
+    * DuckDB re-derives the ids with window functions and replays the
+    * full change inventory — including each delete's CURRENT preimage
+    * arithmetic — to a hash match on (type, lang) aggregates over
+    * count/chars/id-sums. */
+  private[graft] def q213(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{IcebergChangelog, IcebergWrite}
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q213") + "/t"
+    IcebergWrite.appendLineage(docs.filter(col("doc_id") % 2 === 0)
+      .repartition(1).sortWithinPartitions("doc_id"), tmp)          // seq 1
+    IcebergWrite.append(docs.filter(col("doc_id") % 2 =!= 0)
+      .repartition(1).sortWithinPartitions("doc_id"), tmp)          // seq 2
+    val (_, nUpd) = IcebergWrite.updateWhereDV(s, tmp,
+      col("lang") === "en", Map("n_chars" -> (col("n_chars") + 1000L))) // seq 3
+    require(nUpd > 0)
+    val (_, nDel) = IcebergWrite.deleteWhereDV(s, tmp, col("doc_id") % 5 === 0) // seq 4
+    require(nDel > 0)
+    IcebergWrite.compact(s, tmp, smallFileBytes = 0L)               // seq 5: silent
+    val ch = IcebergChangelog.readChangesBetween(s, tmp, withLineage = true)
+      .localCheckpoint(false)
+    require(ch.agg(max(col("_change_ordinal"))).head().getLong(0) == 4L,
+      "compaction must emit nothing")
+    // keyed-CDC invariant: folding the stream BY _row_id (last change
+    // wins, deletes drop) reconstructs the live view exactly
+    // within one ordinal a (delete, insert) pair is an UPDATE — the
+    // insert is the row's final state there; a lone delete stays final
+    val folded = ch.withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_row_id"))
+          .orderBy(col("_change_ordinal").desc,
+            when(col("_change_type") === "insert", 1).otherwise(0).desc)))
+      .filter(col("_rn") === 1 && col("_change_type") === "insert")
+    val live = graft.io.IcebergInterop.readIceberg(s, tmp)
+    require(folded.count() == live.count() &&
+      folded.agg(sum(col("n_chars"))).head().getLong(0) ==
+        live.agg(sum(col("n_chars"))).head().getLong(0),
+      "the lineage-keyed fold must reconstruct the live table")
+    ch.groupBy(col("_change_type"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"),
+        sum(col("_row_id")).cast("long").as("sum_row_id"))
+      .orderBy(col("_change_type"), col("lang"))
+  }
+
   /** q196 — NATIVE Iceberg TABLE MAINTENANCE
     * ([[graft.io.IcebergWrite.rewriteManifests]] /
     * [[graft.io.IcebergWrite.compact]] /

@@ -112,9 +112,15 @@ object IcebergChangelog {
   }
 
   /** One snapshot's change rows (None = a rewrite snapshot with no
-    * logical changes). `schema` pins the read (field-id resolution). */
+    * logical changes). `schema` pins the read (field-id resolution).
+    * With `withLineage`, every emitted row carries its stable
+    * `_row_id` (materialized column when a rewrite stamped it, else
+    * the file's first_row_id + position) — an UPDATE's delete/insert
+    * pair shares one id, which is what makes the changelog consumable
+    * as KEYED CDC without a natural key. */
   private[graft] def changesForSnapshot(spark: SparkSession, dir: String,
-      snap: Long, schema: StructType): Option[DataFrame] = {
+      snap: Long, schema: StructType,
+      withLineage: Boolean = false): Option[DataFrame] = {
     import org.apache.spark.sql.functions._
     val s = snapshotsOf(spark, dir).find(_.id == snap).getOrElse(
       throw new IllegalArgumentException(
@@ -125,18 +131,66 @@ object IcebergChangelog {
     if (s.op == "replace") return None
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val a = addedOf(spark, s)
+    // lineage: (canon path -> first_row_id) over the snapshot's FULL
+    // manifest set (preimages may live in carried manifests), and a
+    // read schema requesting the materialized reserved column
+    val firstOf: Map[String, Long] =
+      if (!withLineage) Map.empty
+      else graft.pipeline.Par.map(IcebergInterop.avroRecords(spark,
+          new Path(IcebergInterop.resolve(s.manifestList)))
+          .filter(m => Option(m.get("content")).forall(
+            _.asInstanceOf[Number].intValue == 0))
+          .map(_.get("manifest_path").toString)) { mp =>
+        IcebergInterop.avroRecords(spark, new Path(IcebergInterop.resolve(mp)))
+          .filter(e => Option(e.get("status")).forall(
+            _.asInstanceOf[Number].intValue != 2))
+          .flatMap { e =>
+            val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+            Option(df.getSchema.getField("first_row_id"))
+              .flatMap(_ => Option(df.get("first_row_id")))
+              .map(v => canon(IcebergInterop.resolve(df.get("file_path").toString)) ->
+                v.asInstanceOf[Number].longValue)
+          }
+      }.flatten.toMap
+    val readSchema =
+      if (!withLineage) schema
+      else StructType(schema.fields :+ StructField("_row_id", LongType,
+        nullable = true, new MetadataBuilder()
+          .putLong("parquet.field.id", IcebergFormat.RowIdFieldId).build()))
+    // derive each raw row's stable id: materialized wins, else the
+    // file's first_row_id + position (broadcast path map)
+    def withRid(raw: DataFrame): DataFrame =
+      if (!withLineage) raw
+      else {
+        import spark.implicits._
+        val frDf = broadcast(firstOf.toSeq.toDF("_lf", "_lfirst"))
+        raw.withColumn("_lp",
+            regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+          .withColumn("_lpos", col("_metadata.row_index"))
+          .join(frDf, col("_lp") === col("_lf"), "left")
+          .withColumn("_row_id",
+            coalesce(col("_row_id"), col("_lfirst") + col("_lpos")))
+          .drop("_lp", "_lpos", "_lf", "_lfirst")
+      }
+    val outNames = schema.fieldNames.toSeq ++
+      (if (withLineage) Seq("_row_id") else Nil)
     def tagged(df: DataFrame, tpe: String): DataFrame =
-      df.select(schema.fieldNames.map(col).toSeq: _*)
+      df.select(outNames.map(col): _*)
         .withColumn(ChangeType, lit(tpe))
         .withColumn(ChangeOrdinal, lit(s.seq))
         .withColumn(CommitSnapshotId, lit(s.id))
+    def parentLineage(p: Option[Long]): DataFrame = {
+      val v = IcebergInterop.readIceberg(spark, dir, p, withLineage = withLineage)
+      if (withLineage) v.drop("_last_updated_sequence_number") else v
+    }
     val frames = Seq.newBuilder[DataFrame]
     // a TRUE overwrite replaced the whole table: parent-live = deletes
     val rowDelta = a.posDeletes.nonEmpty || a.dvAdds.nonEmpty || a.eqDeletes.nonEmpty
     if (s.op == "overwrite" && !a.carriedAny && !rowDelta && s.parent.isDefined)
-      frames += tagged(IcebergInterop.readIceberg(spark, dir, s.parent), "delete")
+      frames += tagged(parentLineage(s.parent), "delete")
     if (a.dataFiles.nonEmpty)
-      frames += tagged(spark.read.schema(schema).parquet(a.dataFiles: _*), "insert")
+      frames += tagged(withRid(
+        spark.read.schema(readSchema).parquet(a.dataFiles: _*)), "insert")
     // position deletes + DV diffs → (file, pos) pairs → preimage join
     val pairFrames = Seq.newBuilder[DataFrame]
     if (a.posDeletes.nonEmpty)
@@ -171,7 +225,7 @@ object IcebergChangelog {
       val refFiles = pairs.select("_cf").distinct()
         .collect().map(_.getString(0)) // file-count bounded
       if (refFiles.nonEmpty) {
-        val raw = spark.read.schema(schema).parquet(refFiles.toSeq: _*)
+        val raw = withRid(spark.read.schema(readSchema).parquet(refFiles.toSeq: _*))
           .withColumn("_cf",
             regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
           .withColumn("_cp", col("_metadata.row_index"))
@@ -190,7 +244,7 @@ object IcebergChangelog {
           case ks if ks.size == ids.size => ks
           case _ => keys.columns.toSeq // fallback: the delete file's columns
         }
-        val parentView = IcebergInterop.readIceberg(spark, dir, s.parent)
+        val parentView = parentLineage(s.parent)
         val cond = keyCols.map(c => parentView(c) <=> keys(c)).reduce(_ && _)
         frames += tagged(parentView.join(keys, cond, "left_semi"), "delete")
       }
@@ -205,7 +259,11 @@ object IcebergChangelog {
     * pure inserts of its added files. */
   def readChangesBetween(spark: SparkSession, dir: String,
                          fromSnapshot: Option[Long] = None,
-                         toSnapshot: Option[Long] = None): DataFrame = {
+                         toSnapshot: Option[Long] = None,
+                         // emit each row's stable `_row_id` (v3 row
+                         // lineage) — an update's delete/insert pair
+                         // shares one id: keyed CDC without a natural key
+                         withLineage: Boolean = false): DataFrame = {
     val snaps = snapshotsOf(spark, dir)
     require(snaps.nonEmpty, s"$dir has no snapshots")
     def seqOf(id: Long): Long = snaps.find(_.id == id).map(_.seq).getOrElse(
@@ -215,11 +273,11 @@ object IcebergChangelog {
     require(loExcl <= hiIncl, s"empty snapshot range ($loExcl, $hiIncl]")
     val schema = currentSchema(spark, dir)
     val frames = snaps.filter(t => t.seq > loExcl && t.seq <= hiIncl)
-      .flatMap(t => changesForSnapshot(spark, dir, t.id, schema))
+      .flatMap(t => changesForSnapshot(spark, dir, t.id, schema, withLineage))
     frames.reduceOption(_ unionByName _).getOrElse {
-      import org.apache.spark.sql.functions.lit
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(schema.fields ++ Seq(
+        StructType(schema.fields ++
+          (if (withLineage) Seq(StructField("_row_id", LongType)) else Nil) ++ Seq(
           StructField(ChangeType, StringType),
           StructField(ChangeOrdinal, LongType, nullable = false),
           StructField(CommitSnapshotId, LongType, nullable = false))))

@@ -124,4 +124,47 @@ class IcebergChangelogSpec extends AnyFunSuite {
     assert(buf2.synchronized(buf2.toList) == List((60L, "insert")),
       s"restart resumes past consumed change sets: ${buf2.toList}")
   }
+
+  test("lineage changelog: an update's delete/insert pair shares one _row_id") {
+    val dir = Files.createTempDirectory("graft-changelog-lineage").toString
+    IcebergWrite.appendLineage((0L until 20L).map(i => (i, i * 10))
+      .toDF("id", "v").repartition(1).sortWithinPartitions("id"), dir) // seq 1
+    IcebergWrite.updateWhereDV(spark, dir, col("id") % 4 === 1,
+      Map("v" -> (col("v") + 100L)))                                   // seq 2
+    IcebergWrite.deleteWhereDV(spark, dir, col("id") === 2L)           // seq 3
+    IcebergWrite.compact(spark, dir, smallFileBytes = 0L)              // seq 4: silent
+    val ch = IcebergChangelog.readChangesBetween(spark, dir,
+      withLineage = true).localCheckpoint(false)
+    assert(ch.columns.contains("_row_id"))
+    assert(ch.agg(max(col("_change_ordinal"))).head().getLong(0) == 3L,
+      "compaction emits nothing")
+    // seq 1 inserts: sorted single-file append => _row_id == id
+    val ins1 = ch.filter(col("_change_ordinal") === 1)
+      .select("id", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ins1 == (0L until 20L).map(i => i -> i).toMap)
+    // seq 2: the update's delete/insert PAIR shares one _row_id per key
+    val updDel = ch.filter(col("_change_ordinal") === 2 &&
+        col("_change_type") === "delete")
+      .select("id", "_row_id", "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val updIns = ch.filter(col("_change_ordinal") === 2 &&
+        col("_change_type") === "insert")
+      .select("id", "_row_id", "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(updDel.keySet == (0L until 20L).filter(_ % 4 == 1).toSet)
+    assert(updIns.keySet == updDel.keySet)
+    updDel.foreach { case (id, (rid, vOld)) =>
+      assert(updIns(id)._1 == rid, s"id $id: pair must share _row_id")
+      assert(vOld == id * 10 && updIns(id)._2 == id * 10 + 100)
+    }
+    // seq 3: the plain delete's preimage keeps its id too
+    val del3 = ch.filter(col("_change_ordinal") === 3)
+      .select("id", "_row_id", "_change_type").collect()
+    assert(del3.length == 1 && del3.head.getLong(0) == 2L &&
+      del3.head.getLong(1) == 2L && del3.head.getString(2) == "delete")
+    // non-lineage reads stay shaped as before
+    assert(!IcebergChangelog.readChangesBetween(spark, dir)
+      .columns.contains("_row_id"))
+  }
 }

@@ -89,7 +89,8 @@ object Bench {
     "q206_iceberg_changelog", "q207_iceberg_lineage_native",
     "q208_iceberg_zorder", "q209_iceberg_stats",
     "q210_iceberg_upsert_stream", "q211_iceberg_partition_stats",
-    "q212_stream_dedup", "q213_lineage_changelog"
+    "q212_stream_dedup", "q213_lineage_changelog",
+    "q214_lineage_replication"
   )
 
   def main(args: Array[String]): Unit = {

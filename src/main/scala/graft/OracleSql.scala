@@ -851,6 +851,13 @@ object OracleSql {
         |SELECT _change_type, lang, count(*)::BIGINT AS n,
         |  sum(n_chars)::BIGINT AS chars, sum(rid)::BIGINT AS sum_row_id
         |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q214: the replicated mirror == the source's final state
+    "q214_lineage_replication" ->
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  sum(n_chars + CASE WHEN lang = 'en' THEN 1000 ELSE 0 END)::BIGINT
+        |    AS chars
+        |FROM documents WHERE doc_id % 5 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q196: native Iceberg maintenance — the low third masked, then
     // the same aggregate through live/compacted/expired states
     "q196_iceberg_maintenance" ->

@@ -3344,6 +3344,51 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .orderBy(col("_change_type"), col("lang"))
   }
 
+  /** q214 — LINEAGE-KEYED TABLE REPLICATION (the closing composition:
+    * [[graft.io.IcebergChangelog]] `withLineage` streaming source →
+    * [[graft.streaming.IcebergStream.upsertSink]] keyed by `_row_id`):
+    * a mirror table tracks the source through its origin backfill, a
+    * DV update (+1000 on the en slice) and a DV delete (%5 band) —
+    * updates and deletes apply BY ROW IDENTITY, no natural key, with
+    * within-batch (ordinal, insert-wins) sequence arbitration and both
+    * ends exactly-once. The in-query assert pins mirror ≡ source
+    * row-for-row; DuckDB replays the source arithmetic. */
+  private[graft] def q214(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{IcebergInterop, IcebergWrite}
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q214")
+    val srcT = s"$tmp/src"
+    val dst = s"$tmp/dst"
+    IcebergWrite.appendLineage(docs
+      .repartition(1).sortWithinPartitions("doc_id"), srcT)
+    val changes = s.readStream.format("graft-iceberg")
+      .option("readChanges", "true").option("lineage", "true").load(srcT)
+    val feed = changes
+      .withColumn("_src_row_id", col("_row_id"))
+      .withColumn("_del", col("_change_type") === "delete")
+      .withColumn("_seq", col("_change_ordinal") * 2 +
+        when(col("_change_type") === "insert", 1).otherwise(0))
+      .drop("_row_id", "_change_type", "_change_ordinal", "_commit_snapshot_id")
+    val q = graft.streaming.IcebergStream.upsertSink(s, feed, dst,
+      Seq("_src_row_id"), "q214", s"$tmp/ckpt",
+      sequenceCol = Some("_seq"), deleteCol = Some("_del"))
+    try {
+      q.processAllAvailable()
+      IcebergWrite.updateWhereDV(s, srcT, col("lang") === "en",
+        Map("n_chars" -> (col("n_chars") + 1000L)))
+      IcebergWrite.deleteWhereDV(s, srcT, col("doc_id") % 5 === 0)
+      q.processAllAvailable()
+    } finally q.stop()
+    val srcRows = IcebergInterop.readIceberg(s, srcT)
+    val mirror = IcebergInterop.readIceberg(s, dst)
+    require(mirror.drop("_src_row_id").exceptAll(srcRows).isEmpty &&
+      srcRows.exceptAll(mirror.drop("_src_row_id")).isEmpty,
+      "the mirror must equal the source row-for-row")
+    mirror.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+  }
+
   /** q196 — NATIVE Iceberg TABLE MAINTENANCE
     * ([[graft.io.IcebergWrite.rewriteManifests]] /
     * [[graft.io.IcebergWrite.compact]] /

@@ -135,43 +135,10 @@ object IcebergChangelog {
     // manifest set (preimages may live in carried manifests), and a
     // read schema requesting the materialized reserved column
     val firstOf: Map[String, Long] =
-      if (!withLineage) Map.empty
-      else graft.pipeline.Par.map(IcebergInterop.avroRecords(spark,
-          new Path(IcebergInterop.resolve(s.manifestList)))
-          .filter(m => Option(m.get("content")).forall(
-            _.asInstanceOf[Number].intValue == 0))
-          .map(_.get("manifest_path").toString)) { mp =>
-        IcebergInterop.avroRecords(spark, new Path(IcebergInterop.resolve(mp)))
-          .filter(e => Option(e.get("status")).forall(
-            _.asInstanceOf[Number].intValue != 2))
-          .flatMap { e =>
-            val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
-            Option(df.getSchema.getField("first_row_id"))
-              .flatMap(_ => Option(df.get("first_row_id")))
-              .map(v => canon(IcebergInterop.resolve(df.get("file_path").toString)) ->
-                v.asInstanceOf[Number].longValue)
-          }
-      }.flatten.toMap
-    val readSchema =
-      if (!withLineage) schema
-      else StructType(schema.fields :+ StructField("_row_id", LongType,
-        nullable = true, new MetadataBuilder()
-          .putLong("parquet.field.id", IcebergFormat.RowIdFieldId).build()))
-    // derive each raw row's stable id: materialized wins, else the
-    // file's first_row_id + position (broadcast path map)
+      if (!withLineage) Map.empty else firstRowIdsOf(spark, s.manifestList)
+    val readSchema = if (!withLineage) schema else lineageReadSchema(schema)
     def withRid(raw: DataFrame): DataFrame =
-      if (!withLineage) raw
-      else {
-        import spark.implicits._
-        val frDf = broadcast(firstOf.toSeq.toDF("_lf", "_lfirst"))
-        raw.withColumn("_lp",
-            regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
-          .withColumn("_lpos", col("_metadata.row_index"))
-          .join(frDf, col("_lp") === col("_lf"), "left")
-          .withColumn("_row_id",
-            coalesce(col("_row_id"), col("_lfirst") + col("_lpos")))
-          .drop("_lp", "_lpos", "_lf", "_lfirst")
-      }
+      if (!withLineage) raw else attachRid(spark, raw, firstOf)
     val outNames = schema.fieldNames.toSeq ++
       (if (withLineage) Seq("_row_id") else Nil)
     def tagged(df: DataFrame, tpe: String): DataFrame =
@@ -286,4 +253,49 @@ object IcebergChangelog {
 
   private[graft] def currentSchema(spark: SparkSession, dir: String): StructType =
     IcebergInterop.streamHead(spark, dir)._2
+
+  /** (canon data-file path -> first_row_id) over a manifest LIST —
+    * the lineage derivation base shared by the batch changelog and
+    * the streaming source's origin backfill. */
+  private[graft] def firstRowIdsOf(spark: SparkSession,
+                                   manifestList: String): Map[String, Long] =
+    graft.pipeline.Par.map(IcebergInterop.avroRecords(spark,
+        new Path(IcebergInterop.resolve(manifestList)))
+        .filter(m => Option(m.get("content")).forall(
+          _.asInstanceOf[Number].intValue == 0))
+        .map(_.get("manifest_path").toString)) { mp =>
+      IcebergInterop.avroRecords(spark, new Path(IcebergInterop.resolve(mp)))
+        .filter(e => Option(e.get("status")).forall(
+          _.asInstanceOf[Number].intValue != 2))
+        .flatMap { e =>
+          val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          Option(df.getSchema.getField("first_row_id"))
+            .flatMap(_ => Option(df.get("first_row_id")))
+            .map(v => canon(IcebergInterop.resolve(df.get("file_path").toString)) ->
+              v.asInstanceOf[Number].longValue)
+        }
+    }.flatten.toMap
+
+  /** `schema` + the reserved materialized `_row_id` column (field-id
+    * pinned, so files that stamped it resolve by id). */
+  private[graft] def lineageReadSchema(schema: StructType): StructType =
+    StructType(schema.fields :+ StructField("_row_id", LongType,
+      nullable = true, new MetadataBuilder()
+        .putLong("parquet.field.id", IcebergFormat.RowIdFieldId).build()))
+
+  /** Derive each raw row's stable id: the materialized column wins,
+    * else the file's first_row_id + position (broadcast path map). */
+  private[graft] def attachRid(spark: SparkSession, raw: DataFrame,
+                               firstOf: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val frDf = broadcast(firstOf.toSeq.toDF("_lf", "_lfirst"))
+    raw.withColumn("_lp",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      .withColumn("_lpos", col("_metadata.row_index"))
+      .join(frDf, col("_lp") === col("_lf"), "left")
+      .withColumn("_row_id",
+        coalesce(col("_row_id"), col("_lfirst") + col("_lpos")))
+      .drop("_lp", "_lpos", "_lf", "_lfirst")
+  }
 }

@@ -856,6 +856,18 @@ object IcebergInterop {
     }.toDF("file_path", "content", "record_count", "file_size_in_bytes")
   }
 
+  /** The manifest-list path of one snapshot (current metadata). */
+  private[graft] def manifestListOf(spark: SparkSession, dir: String,
+                                    snapshotId: Long): String = {
+    import scala.jdk.CollectionConverters._
+    readJson(spark, currentMetadataPath(spark, dir))
+      .path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == snapshotId)
+      .map(_.path("manifest-list").asText)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapshotId not found at $dir"))
+  }
+
   /** Registered Puffin STATISTICS of the CURRENT snapshot (the table
     * metadata's `statistics` entry, iceberg.apache.org/spec/ "Table
     * statistics"): column name → ndv, resolved via blob field ids

@@ -88,6 +88,11 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
   // Offsets advance one UNIT per snapshot (a snapshot's change set is
   // atomic); the origin snapshot backfills as pure inserts.
   private val readChanges = opts.get("readchanges").exists(_.toBoolean)
+  // change rows carry their stable v3 `_row_id` — keyed CDC; the
+  // downstream upsert sink can mirror the table by row identity
+  private val withLineage = opts.get("lineage").exists(_.toBoolean)
+  require(!withLineage || readChanges,
+    "option lineage=true requires readChanges=true (ids ride change rows)")
 
   private val M = new ObjectMapper()
 
@@ -150,12 +155,20 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
 
   /** Path-sorted origin-snapshot enumeration (refuses deletes); empty
     * for a tail-only origin (`startingSnapshotId = <id>`). */
+  /** Origin snapshot's (path -> first_row_id) — the lineage backfill
+    * derivation base (lineage mode only). */
+  private lazy val originFirstOf: Map[String, Long] =
+    graft.io.IcebergChangelog.firstRowIdsOf(spark,
+      IcebergInterop.manifestListOf(spark, dir, origin.snapshotId))
+
   private lazy val snapFiles: IndexedSeq[String] =
     if (!origin.backfill) IndexedSeq.empty
     else IcebergInterop.streamSnapshotFiles(spark, dir, origin.snapshotId).toIndexedSeq
 
   private lazy val changeSchema: StructType = StructType(
-    lockedSchema.fields ++ Seq(
+    lockedSchema.fields ++
+    (if (withLineage) Seq(org.apache.spark.sql.types.StructField("_row_id",
+      org.apache.spark.sql.types.LongType)) else Nil) ++ Seq(
       org.apache.spark.sql.types.StructField(
         graft.io.IcebergChangelog.ChangeType,
         org.apache.spark.sql.types.StringType),
@@ -325,13 +338,22 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
       val from = startO.map(_.index).getOrElse(0)
       val to = if (endO.starting) endO.index else snapFiles.length
       val slice = snapFiles.slice(from, to)
-      if (slice.nonEmpty)
-        frames += spark.read.schema(lockedSchema).parquet(slice: _*)
-          .select(lockedSchema.fieldNames.map(col).toSeq: _*)
+      if (slice.nonEmpty) {
+        val raw0 =
+          if (!withLineage)
+            spark.read.schema(lockedSchema).parquet(slice: _*)
+          else graft.io.IcebergChangelog.attachRid(spark,
+            spark.read.schema(graft.io.IcebergChangelog
+              .lineageReadSchema(lockedSchema)).parquet(slice: _*),
+            originFirstOf)
+        val names = lockedSchema.fieldNames.toSeq ++
+          (if (withLineage) Seq("_row_id") else Nil)
+        frames += raw0.select(names.map(col): _*)
           .withColumn(graft.io.IcebergChangelog.ChangeType, lit("insert"))
           .withColumn(graft.io.IcebergChangelog.ChangeOrdinal, lit(origin.seq))
           .withColumn(graft.io.IcebergChangelog.CommitSnapshotId,
             lit(origin.snapshotId))
+      }
     }
     if (!endO.starting) {
       val (fromSeq, fromIdx) = startO match {
@@ -344,7 +366,7 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
           val hi = if (seq == endO.seq) endO.index else 1
           if (lo < hi)
             graft.io.IcebergChangelog
-              .changesForSnapshot(spark, dir, id, lockedSchema)
+              .changesForSnapshot(spark, dir, id, lockedSchema, withLineage)
               .foreach(frames += _)
         }
     }
@@ -381,9 +403,14 @@ final class IcebergSourceProvider extends StreamSourceProvider with DataSourceRe
     val readChanges = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("readchanges") => v.toBoolean
     }.getOrElse(false)
+    val withLineage = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("lineage") => v.toBoolean
+    }.getOrElse(false)
     (shortName(),
       if (!readChanges) base
-      else StructType(base.fields ++ Seq(
+      else StructType(base.fields ++
+        (if (withLineage) Seq(StructField("_row_id",
+          org.apache.spark.sql.types.LongType)) else Nil) ++ Seq(
         StructField(graft.io.IcebergChangelog.ChangeType, org.apache.spark.sql.types.StringType),
         StructField(graft.io.IcebergChangelog.ChangeOrdinal,
           org.apache.spark.sql.types.LongType, nullable = false),

@@ -826,14 +826,19 @@ object IcebergInterop {
   /** DESCRIBE-DETAIL header facts: ((format-version, current snapshot
     * id, "k=v,..." properties), snapshot count). One metadata read. */
   private[graft] def describeHead(spark: SparkSession,
-                                  dir: String): ((Long, Long, String), Long) = {
+      dir: String): ((Long, Long, String), Long, (Long, Boolean)) = {
     import scala.jdk.CollectionConverters._
     val meta = readJson(spark, currentMetadataPath(spark, dir))
     val props = meta.path("properties").properties().asScala.toSeq
       .map(e => s"${e.getKey}=${e.getValue.asText}").sorted.mkString(",")
-    ((meta.path("format-version").asInt(1).toLong,
-      meta.path("current-snapshot-id").asLong(-1L), props),
-      meta.path("snapshots").size().toLong)
+    val curId = meta.path("current-snapshot-id").asLong(-1L)
+    // observability extras: the row-lineage watermark (-1 = lineage
+    // off) and whether FRESH column statistics serve this snapshot
+    val statsFresh = meta.path("statistics").elements().asScala
+      .exists(_.path("snapshot-id").asLong(-2L) == curId)
+    ((meta.path("format-version").asInt(1).toLong, curId, props),
+      meta.path("snapshots").size().toLong,
+      (Option(meta.get("next-row-id")).map(_.asLong).getOrElse(-1L), statsFresh))
   }
 
   /** Iceberg METADATA TABLE `files` — one row per live file of the

@@ -1128,6 +1128,8 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
         attr("format_version", LongType), attr("current_snapshot_id", LongType),
         attr("num_snapshots", LongType), attr("num_data_files", LongType),
         attr("num_delete_files", LongType), attr("size_in_bytes", LongType),
+        attr("next_row_id", LongType),
+        attr("stats_fresh", org.apache.spark.sql.types.BooleanType),
         attr("properties", StringType))) { spark =>
         import org.apache.spark.sql.functions.{col, count, sum, when}
         val files = IcebergInterop.filesTable(spark, dir)
@@ -1135,10 +1137,11 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
             count(when(col("content") =!= 0, 1)),
             sum(when(col("content") === 0, col("file_size_in_bytes"))
               .otherwise(0L))).head()
-        val (meta, snaps) = IcebergInterop.describeHead(spark, dir)
+        val (meta, snaps, extras) = IcebergInterop.describeHead(spark, dir)
         Seq(Row("iceberg", dir, meta._1, meta._2, snaps,
           files.getLong(0), files.getLong(1),
-          if (files.isNullAt(2)) 0L else files.getLong(2), meta._3))
+          if (files.isNullAt(2)) 0L else files.getLong(2),
+          extras._1, extras._2, meta._3))
       }
     }
 

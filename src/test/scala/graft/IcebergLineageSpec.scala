@@ -149,6 +149,9 @@ class IcebergLineageSpec extends AnyFunSuite {
     assert((25L until 30L).map(rows2(_)._1).forall(_ >= 25L))
     // reads identical through the plain path (lineage is invisible there)
     assert(IcebergInterop.readIceberg(spark, dir).columns.toSeq == Seq("id", "tag"))
+    // ...and DESCRIBE DETAIL surfaces the watermark
+    val det = spark.sql(s"DESCRIBE DETAIL iceberg.`$dir`").head()
+    assert(det.getLong(det.fieldIndex("next_row_id")) == 30L)
   }
 
   test("partitioned lineage appends: disjoint ranges across manifests") {

@@ -88,6 +88,11 @@ class IcebergStatsSpec extends AnyFunSuite {
     val tvf = spark.sql(s"SELECT column, ndv FROM graft_iceberg_stats('$dir')")
       .collect()
     assert(tvf.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("k", 5L)))
+    // DESCRIBE DETAIL surfaces the freshness flag (and the lineage
+    // watermark, -1 here: lineage off)
+    val det = spark.sql(s"DESCRIBE DETAIL iceberg.`$dir`").head()
+    assert(det.getBoolean(det.fieldIndex("stats_fresh")))
+    assert(det.getLong(det.fieldIndex("next_row_id")) == -1L)
     // name-addressed through the catalog prepass
     IcebergInterop.registerCatalogTable(spark, "stats_t", dir)
     val byName = spark.sql(

@@ -238,6 +238,10 @@ object IcebergChangelog {
     val loExcl = fromSnapshot.map(seqOf).getOrElse(snaps.head.seq - 1)
     val hiIncl = toSnapshot.map(seqOf).getOrElse(snaps.last.seq)
     require(loExcl <= hiIncl, s"empty snapshot range ($loExcl, $hiIncl]")
+    // refuse loudly rather than emit null ids for a non-lineage table
+    if (withLineage) require(isLineageTable(spark, dir),
+      s"withLineage: $dir is not a v3 row-lineage table " +
+      "(enableRowLineage / appendLineage first)")
     val schema = currentSchema(spark, dir)
     val frames = snaps.filter(t => t.seq > loExcl && t.seq <= hiIncl)
       .flatMap(t => changesForSnapshot(spark, dir, t.id, schema, withLineage))
@@ -253,6 +257,12 @@ object IcebergChangelog {
 
   private[graft] def currentSchema(spark: SparkSession, dir: String): StructType =
     IcebergInterop.streamHead(spark, dir)._2
+
+  /** Whether `dir` is a v3 row-lineage table (metadata tracks
+    * `next-row-id`). */
+  private[graft] def isLineageTable(spark: SparkSession, dir: String): Boolean =
+    IcebergInterop.readJson(spark,
+      IcebergInterop.currentMetadataPath(spark, dir)).has("next-row-id")
 
   /** (canon data-file path -> first_row_id) over a manifest LIST —
     * the lineage derivation base shared by the batch changelog and

@@ -93,6 +93,9 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
   private val withLineage = opts.get("lineage").exists(_.toBoolean)
   require(!withLineage || readChanges,
     "option lineage=true requires readChanges=true (ids ride change rows)")
+  if (withLineage) require(
+    graft.io.IcebergChangelog.isLineageTable(spark, dir),
+    s"lineage=true: $dir is not a v3 row-lineage table")
 
   private val M = new ObjectMapper()
 

@@ -102,6 +102,16 @@ object IcebergStream {
           // metadata: SET/INSERT assignments never mention it, so it
           // is never written
           val source = deduped.localCheckpoint(false)
+          // without a sequence column, duplicate keys in one batch are
+          // ambiguous — refuse on the BOOTSTRAP path too (the merge
+          // path already does)
+          if (sequenceCol.isEmpty) {
+            val dup = source.groupBy(keyCols.map(col): _*).count()
+              .filter(col("count") > 1).limit(1).collect()
+            require(dup.isEmpty,
+              s"upsert batch $batchId has duplicate keys (e.g. " +
+              s"${dup.headOption.mkString}) — pass sequenceCol to arbitrate")
+          }
           val valueCols = source.columns.toSeq
             .filterNot(c => keyCols.contains(c) || deleteCol.contains(c))
           // FIRST batch bootstraps the table: the non-tombstone image

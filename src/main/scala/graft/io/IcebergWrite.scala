@@ -2230,10 +2230,24 @@ object IcebergWrite {
     require(curId > 0, s"$dir has no current snapshot to analyze")
     val seqNo = m0.path("last-sequence-number").asLong(0L)
     val idsByName = currentFieldIds(m0).toMap
-    val targets = if (cols.nonEmpty) cols else currentFieldIds(m0).map(_._1)
+    val rows = IcebergInterop.readIceberg(spark, dir)
+    // default target set: ATOMIC columns only (ndv over a nested type
+    // is not a meaningful planner statistic); explicit cols may still
+    // name anything count-distinct supports
+    val atomic: Set[String] = rows.schema.fields.collect {
+      case f if (f.dataType match {
+        case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+             StringType | BinaryType | DateType | TimestampType |
+             TimestampNTZType => true
+        case _: DecimalType => true
+        case _ => false
+      }) => f.name
+    }.toSet
+    val targets = if (cols.nonEmpty) cols
+      else currentFieldIds(m0).map(_._1).filter(atomic.contains)
+    require(targets.nonEmpty, s"no analyzable columns at $dir")
     targets.foreach(c => require(idsByName.contains(c),
       s"unknown column $c (table has ${idsByName.keys.toSeq.sorted.mkString(",")})"))
-    val rows = IcebergInterop.readIceberg(spark, dir)
     val aggs = count(lit(1)).as("_n") +: targets.map(c =>
       (if (exact) count_distinct(col(c))
        else approx_count_distinct(col(c), 0.015)).as(s"_ndv_$c"))

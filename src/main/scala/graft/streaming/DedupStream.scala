@@ -33,12 +33,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *      missing half on restart.
   *
   * 100 TB shape: per batch the work is the batch's own signatures
-  * (codegen MinHashSig), one aggregate-free semi-join against the
-  * signature table (band_key bounds prune its scan; at real scale the
-  * batch side is the small side and broadcasts), and two
-  * metadata-sized commits. The signature table grows as
-  * survivors × bands rows — compact it with the q196 maintenance
-  * loop like any other Iceberg table. */
+  * (codegen MinHashSig) and one semi-join against the signature
+  * table — the state side is a two-column scan (band keys hash
+  * uniformly, so range pruning cannot help; the batch side is the
+  * small side and broadcasts), and two metadata-sized commits. The
+  * signature table grows as survivors × bands rows — compact it with
+  * the q196 maintenance loop, and at real scale bucket-partition it
+  * on band_key so each batch's probe opens 1/N of the state. */
 object DedupStream {
 
   def dedupSink(

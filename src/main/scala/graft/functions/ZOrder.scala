@@ -79,15 +79,22 @@ object ZOrder {
     val mm = df.agg(aggs.head, aggs.tail: _*).head()
     val n = zCols.length
     zCols.zipWithIndex.map { case (c, i) =>
-      val (lo, hi) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
-      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-      // `bits`-bit rank of the value within [lo, hi], then interleave:
-      // output bit (b * nCols + i) takes input bit b of col i
-      val rank = least(lit((1 << bits) - 1), greatest(lit(0),
-        floor((orderKey(c) - lit(lo)) / lit(span) * lit(1 << bits)).cast("long")))
-      (0 until bits).map(b =>
-        shiftleft(rank.bitwiseAND(lit(1L << b)), b * (n - 1) + i))
-        .reduce(_ bitwiseOR _)
+      // an EMPTY frame or an all-null column has no observed range:
+      // that dimension contributes rank 0 (no clustering signal —
+      // layout-only, and a NullPointerException here would fail the
+      // whole rewrite); the other dimensions still cluster
+      if (mm.isNullAt(2 * i) || mm.isNullAt(2 * i + 1)) lit(0L)
+      else {
+        val (lo, hi) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+        val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+        // `bits`-bit rank of the value within [lo, hi], then interleave:
+        // output bit (b * nCols + i) takes input bit b of col i
+        val rank = least(lit((1 << bits) - 1), greatest(lit(0),
+          floor((orderKey(c) - lit(lo)) / lit(span) * lit(1 << bits)).cast("long")))
+        (0 until bits).map(b =>
+          shiftleft(rank.bitwiseAND(lit(1L << b)), b * (n - 1) + i))
+          .reduce(_ bitwiseOR _)
+      }
     }.reduce(_ bitwiseOR _)
   }
 

@@ -245,18 +245,25 @@ object IcebergChangelog {
     val schema = currentSchema(spark, dir)
     val frames = snaps.filter(t => t.seq > loExcl && t.seq <= hiIncl)
       .flatMap(t => changesForSnapshot(spark, dir, t.id, schema, withLineage))
-    frames.reduceOption(_ unionByName _).getOrElse {
+    frames.reduceOption(_ unionByName _).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(schema.fields ++
-          (if (withLineage) Seq(StructField("_row_id", LongType)) else Nil) ++ Seq(
-          StructField(ChangeType, StringType),
-          StructField(ChangeOrdinal, LongType, nullable = false),
-          StructField(CommitSnapshotId, LongType, nullable = false))))
-    }
+        changeSchema(schema, withLineage)))
   }
 
   private[graft] def currentSchema(spark: SparkSession, dir: String): StructType =
     IcebergInterop.streamHead(spark, dir)._2
+
+  /** The change-read OUTPUT schema: base fields (+ `_row_id` in
+    * lineage mode) + the three change-marker columns — ONE
+    * construction shared by the batch reader, the streaming source,
+    * and the provider's pre-start schema. */
+  private[graft] def changeSchema(base: StructType,
+                                  withLineage: Boolean): StructType =
+    StructType(base.fields ++
+      (if (withLineage) Seq(StructField("_row_id", LongType)) else Nil) ++ Seq(
+      StructField(ChangeType, StringType),
+      StructField(ChangeOrdinal, LongType, nullable = false),
+      StructField(CommitSnapshotId, LongType, nullable = false)))
 
   /** Whether `dir` is a v3 row-lineage table (metadata tracks
     * `next-row-id`). */
@@ -277,12 +284,19 @@ object IcebergChangelog {
       IcebergInterop.avroRecords(spark, new Path(IcebergInterop.resolve(mp)))
         .filter(e => Option(e.get("status")).forall(
           _.asInstanceOf[Number].intValue != 2))
-        .flatMap { e =>
+        .map { e =>
           val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
-          Option(df.getSchema.getField("first_row_id"))
+          val path = IcebergInterop.resolve(df.get("file_path").toString)
+          // STRICT: a live data file without a first_row_id range means
+          // this snapshot predates row lineage — null ids downstream
+          // would collapse a keyed-CDC consumer onto one key, so refuse
+          canon(path) -> Option(df.getSchema.getField("first_row_id"))
             .flatMap(_ => Option(df.get("first_row_id")))
-            .map(v => canon(IcebergInterop.resolve(df.get("file_path").toString)) ->
-              v.asInstanceOf[Number].longValue)
+            .map(_.asInstanceOf[Number].longValue)
+            .getOrElse(throw new IllegalArgumentException(
+              s"data file $path lacks first_row_id — this snapshot " +
+              "predates row lineage; start the lineage changelog from a " +
+              "post-enableRowLineage snapshot"))
         }
     }.flatten.toMap
 

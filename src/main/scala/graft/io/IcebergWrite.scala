@@ -753,7 +753,11 @@ object IcebergWrite {
                 // exactly-once ledger: a (appId, txn) the summary
                 // ledger already covers REPLAYS AS A NO-OP — the
                 // streaming upsert sink's crash-window contract
-                txn: Option[(String, Long)] = None)
+                txn: Option[(String, Long)] = None,
+                // caller vouches the source has unique keys (e.g. the
+                // upsert sink's row_number arbitration) — skips the
+                // per-merge duplicate-verification job on hot paths
+                sourceDistinctKeys: Boolean = false)
       : (Long, Long, Long) = {
     import org.apache.spark.sql.functions._
     val f = fs(spark, dir)
@@ -773,9 +777,12 @@ object IcebergWrite {
     require(keyCols.forall(source.columns.contains),
       "merge source must carry every key column")
     val srcAligned = source.localCheckpoint(false)
-    val dup = srcAligned.groupBy(keyCols.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty, s"merge source has duplicate keys (e.g. ${dup.headOption.mkString})")
+    if (!sourceDistinctKeys) {
+      val dup = srcAligned.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"merge source has duplicate keys (e.g. ${dup.headOption.mkString})")
+    }
 
     // stats-pruned probe: a single numeric non-null key maps the
     // source's min/max into a manifest/file bound range
@@ -2060,7 +2067,12 @@ object IcebergWrite {
             if (specId == 0) null
             else {
               val types = sumTypes.get
-              val perMan: Seq[Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])]] =
+              // None = the member carries NO field summary at all
+              // (spec-optional): its files could hold ANY value, so
+              // the merged field must emit NO bounds (and a
+              // conservative contains_null) or pruning would wrongly
+              // drop the merged manifest
+              val perMan: Seq[Option[Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])]]] =
                 b.map { m =>
                   Option(m.rec.getSchema.getField("partitions"))
                     .flatMap(_ => Option(m.rec.get("partitions"))).map {
@@ -2074,21 +2086,35 @@ object IcebergWrite {
                         (Option(r.get("contains_null")).exists(_.asInstanceOf[Boolean]),
                           byteOf("lower_bound"), byteOf("upper_bound"))
                       }.toSeq
-                    }.getOrElse(types.map(_ => (true, None, None)))
+                    }
                 }
+              val anyMissing = perMan.exists(_.isEmpty)
               val arr = new org.apache.avro.generic.GenericData.Array[GenericRecord](
                 types.length, FS)
               types.zipWithIndex.foreach { case (dt, i) =>
-                val col0 = perMan.map(s0 =>
+                val col0 = perMan.flatten.map(s0 =>
                   if (i < s0.length) s0(i) else (true, None, None))
                 val rec = new org.apache.avro.generic.GenericData.Record(FS.getElementType)
-                rec.put("contains_null", col0.exists(_._1))
-                val los = col0.flatMap(_._2); val his = col0.flatMap(_._3)
-                if (los.nonEmpty && his.nonEmpty) {
+                rec.put("contains_null", anyMissing || col0.exists(_._1))
+                // bounds are only SAFE when every member is covered:
+                // either it has both bounds, or it is a null-only
+                // summary (contains_null, no values to bound). A
+                // member with VALUES but no bounds (contains_null
+                // false, bounds absent — spec-legal) poisons the
+                // field: emit no bounds, the merged manifest stays
+                // unprunable rather than wrongly prunable.
+                val nullOnly = (t: (Boolean, Option[Array[Byte]], Option[Array[Byte]])) =>
+                  t._1 && t._2.isEmpty && t._3.isEmpty
+                val bounded = col0.filter(t => t._2.isDefined && t._3.isDefined)
+                val safe = !anyMissing &&
+                  col0.forall(t => nullOnly(t) || (t._2.isDefined && t._3.isDefined))
+                if (safe && bounded.nonEmpty) {
                   rec.put("lower_bound", java.nio.ByteBuffer.wrap(
-                    los.reduce((a, x) => if (cmpBound(dt, x, a) < 0) x else a)))
+                    bounded.map(_._2.get)
+                      .reduce((a, x) => if (cmpBound(dt, x, a) < 0) x else a)))
                   rec.put("upper_bound", java.nio.ByteBuffer.wrap(
-                    his.reduce((a, x) => if (cmpBound(dt, x, a) > 0) x else a)))
+                    bounded.map(_._3.get)
+                      .reduce((a, x) => if (cmpBound(dt, x, a) > 0) x else a)))
                 }
                 arr.add(rec)
               }
@@ -3158,24 +3184,52 @@ object IcebergWrite {
       def +(o: Tot) = Tot(records + o.records, dataFiles + o.dataFiles,
         delFiles + o.delFiles, posDel + o.posDel, eqDel + o.eqDel, size + o.size)
     }
+    // DELETION VECTORS need replacement-aware counting: a superseded
+    // DV's manifest entry stays LIVE-listed in carried manifests, but
+    // only the highest-sequence DV per data file is real — summing
+    // entries naively double-counts every replaced DV forever.
+    def isDvEntry(df: GenericRecord): Boolean =
+      gInt(df, "content", 0) == 1 &&
+        Option(df.getSchema.getField("content_offset"))
+          .flatMap(_ => Option(df.get("content_offset"))).isDefined
     def totOf(entries: Seq[GenericRecord], addedOnly: Boolean): Tot =
       entries.foldLeft(Tot()) { (t, e) =>
         val st = Option(e.get("status")).map(_.asInstanceOf[Number].intValue).getOrElse(0)
         if ((addedOnly && st != 1) || (!addedOnly && st == 2)) t
         else {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
-          val rc = gLong(df, "record_count", 0L)
-          val sz = gLong(df, "file_size_in_bytes", 0L)
-          gInt(df, "content", 0) match {
-            case 0 => t + Tot(records = rc, dataFiles = 1, size = sz)
-            case 1 => t + Tot(delFiles = 1, posDel = rc)
-            case _ => t + Tot(delFiles = 1, eqDel = rc)
+          if (isDvEntry(df)) t // DVs counted replacement-aware below
+          else {
+            val rc = gLong(df, "record_count", 0L)
+            val sz = gLong(df, "file_size_in_bytes", 0L)
+            gInt(df, "content", 0) match {
+              case 0 => t + Tot(records = rc, dataFiles = 1, size = sz)
+              case 1 => t + Tot(delFiles = 1, posDel = rc)
+              case _ => t + Tot(delFiles = 1, eqDel = rc)
+            }
           }
         }
       }
-    val added = newManifests.map(nm => totOf(
-      IcebergFormat.readAvro(spark.sparkContext.hadoopConfiguration, nm.path),
-      addedOnly = true)).foldLeft(Tot())(_ + _)
+    // (referenced data file, entry sequence, cardinality) per DV entry
+    def dvOf(entries: Seq[GenericRecord],
+             addedOnly: Boolean): Seq[(String, Long, Long)] =
+      entries.flatMap { e =>
+        val st = Option(e.get("status")).map(_.asInstanceOf[Number].intValue).getOrElse(0)
+        if ((addedOnly && st != 1) || (!addedOnly && st == 2)) None
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          if (!isDvEntry(df)) None
+          else Some((df.get("referenced_data_file").toString,
+            gLong(e, "sequence_number", seqNo), gLong(df, "record_count", 0L)))
+        }
+      }
+    val conf2 = spark.sparkContext.hadoopConfiguration
+    val newEntries: Seq[Seq[GenericRecord]] =
+      newManifests.map(nm => IcebergFormat.readAvro(conf2, nm.path))
+    val addedDvs = newEntries.flatMap(dvOf(_, addedOnly = true))
+    val added = newEntries.map(totOf(_, addedOnly = true))
+      .foldLeft(Tot())(_ + _) +
+      Tot(delFiles = addedDvs.length, posDel = addedDvs.map(_._3).sum)
     val prevTot: Option[Tot] = prevMeta.flatMap { m =>
       val cur = m.path("current-snapshot-id").asLong(-1L)
       m.path("snapshots").elements().asScala
@@ -3188,13 +3242,17 @@ object IcebergWrite {
         }
     }
     val totals: Tot =
-      if (priorOverride.isEmpty && !replace && prevTot.isDefined)
-        prevTot.get + added // append-shaped: nothing removed
+      if (addedDvs.isEmpty && priorOverride.isEmpty && !replace && prevTot.isDefined)
+        prevTot.get + added // append-shaped, no DV replacement: nothing removed
       else {
-        val conf = spark.sparkContext.hadoopConfiguration
-        graft.pipeline.Par.map(prior.map(_._1) ++ fresh.map(_._1))(p =>
-          totOf(IcebergFormat.readAvro(conf, new Path(p)), addedOnly = false))
-          .foldLeft(Tot())(_ + _)
+        // full walk with DV dedup: only the HIGHEST-sequence DV per
+        // data file is live (the spec's replacement rule)
+        val parsed = graft.pipeline.Par.map(prior.map(_._1) ++ fresh.map(_._1))(
+          p => IcebergFormat.readAvro(conf2, new Path(p)))
+        val base0 = parsed.map(totOf(_, addedOnly = false)).foldLeft(Tot())(_ + _)
+        val liveDvs = parsed.flatMap(dvOf(_, addedOnly = false))
+          .groupBy(_._1).map { case (_, es) => es.maxBy(_._2) }
+        base0 + Tot(delFiles = liveDvs.size, posDel = liveDvs.map(_._3).sum)
       }
     def putN(k: String, v: Long): Unit = sum.put(k, v.toString)
     putN("added-data-files", added.dataFiles)
@@ -3207,9 +3265,12 @@ object IcebergWrite {
       val remFiles = p.dataFiles + added.dataFiles - totals.dataFiles
       val remRecs = p.records + added.records - totals.records
       val remDel = p.delFiles + added.delFiles - totals.delFiles
+      val remPos = p.posDel + added.posDel - totals.posDel
       if (remFiles > 0) putN("deleted-data-files", remFiles)
       if (remRecs > 0) putN("deleted-records", remRecs)
       if (remDel > 0) putN("removed-delete-files", remDel)
+      // a DV replacement retires the superseded vector's positions
+      if (remPos > 0) putN("removed-position-deletes", remPos)
     }
     putN("total-records", totals.records)
     putN("total-files-size", totals.size)

@@ -487,12 +487,24 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
           require(ifNotExists, s"Iceberg table $name already exists")
         } else {
           val dir = locTxt.getOrElse(DeltaInterop.defaultTablePath(spark, name))
-          val parts = partTxt.toSeq.flatMap(splitTopLevel(_, ','))
-            .map(_.trim).filter(_.nonEmpty).map(parseIcebergPartField)
-          val df = spark.sql(query)
-          if (parts.isEmpty) IcebergWrite.append(df, dir)
-          else IcebergWrite.appendPartitioned(df, dir, parts)
-          IcebergInterop.registerCatalogTable(spark, name, dir)
+          // the registration is session-local, the DIRECTORY is not: a
+          // fresh session re-running the CTAS must refuse (or, with IF
+          // NOT EXISTS, just re-register) instead of silently
+          // APPENDING to the existing table — path-CTAS parity
+          val dirExists = IcebergWrite.tableExists(spark, dir)
+          if (dirExists) {
+            require(ifNotExists,
+              s"Iceberg table at $dir already exists — CTAS refuses to " +
+              s"append (use INSERT INTO $name)")
+            IcebergInterop.registerCatalogTable(spark, name, dir)
+          } else {
+            val parts = partTxt.toSeq.flatMap(splitTopLevel(_, ','))
+              .map(_.trim).filter(_.nonEmpty).map(parseIcebergPartField)
+            val df = spark.sql(query)
+            if (parts.isEmpty) IcebergWrite.append(df, dir)
+            else IcebergWrite.appendPartitioned(df, dir, parts)
+            IcebergInterop.registerCatalogTable(spark, name, dir)
+          }
         }
         Nil
       }

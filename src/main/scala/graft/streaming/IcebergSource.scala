@@ -168,19 +168,8 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
     if (!origin.backfill) IndexedSeq.empty
     else IcebergInterop.streamSnapshotFiles(spark, dir, origin.snapshotId).toIndexedSeq
 
-  private lazy val changeSchema: StructType = StructType(
-    lockedSchema.fields ++
-    (if (withLineage) Seq(org.apache.spark.sql.types.StructField("_row_id",
-      org.apache.spark.sql.types.LongType)) else Nil) ++ Seq(
-      org.apache.spark.sql.types.StructField(
-        graft.io.IcebergChangelog.ChangeType,
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField(
-        graft.io.IcebergChangelog.ChangeOrdinal,
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField(
-        graft.io.IcebergChangelog.CommitSnapshotId,
-        org.apache.spark.sql.types.LongType, nullable = false)))
+  private lazy val changeSchema: StructType =
+    graft.io.IcebergChangelog.changeSchema(lockedSchema, withLineage)
 
   override def schema: StructType =
     if (readChanges) changeSchema else lockedSchema
@@ -207,9 +196,17 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
         // streamAddedFiles itself refuses NEWLY-ADDED delete content;
         // past that, a non-append snapshot that added DATA files
         // (compaction rewrite, overwrite) needs an explicit
-        // ignoreChanges — but a METADATA-ONLY snapshot (a manifest
-        // merge: EXISTING entries only) adds no rows, and the tailer
-        // advances through it emitting nothing, no flag required
+        // ignoreChanges — and the ONLY silently-passable shape is a
+        // METADATA-ONLY 'replace' (a manifest merge: EXISTING entries,
+        // no rows moved). A rollback or an empty overwrite also adds
+        // no files, but downstream consumers would keep rows the table
+        // no longer contains — those fail loudly regardless.
+        if (op != "replace")
+          throw new IllegalStateException(
+            s"snapshot $snapId (seq $seq) of $dir is '$op', not an append — " +
+            (if (op == "delete")
+              "set ignoreDeletes to skip row-level deletes, or readChanges to consume them"
+             else "set ignoreChanges to accept it, or restart past it"))
         val added = IcebergInterop.streamAddedFiles(spark, dir, snapId,
           ignoreDeletes = false)
         if (added.nonEmpty)
@@ -411,14 +408,7 @@ final class IcebergSourceProvider extends StreamSourceProvider with DataSourceRe
     }.getOrElse(false)
     (shortName(),
       if (!readChanges) base
-      else StructType(base.fields ++
-        (if (withLineage) Seq(StructField("_row_id",
-          org.apache.spark.sql.types.LongType)) else Nil) ++ Seq(
-        StructField(graft.io.IcebergChangelog.ChangeType, org.apache.spark.sql.types.StringType),
-        StructField(graft.io.IcebergChangelog.ChangeOrdinal,
-          org.apache.spark.sql.types.LongType, nullable = false),
-        StructField(graft.io.IcebergChangelog.CommitSnapshotId,
-          org.apache.spark.sql.types.LongType, nullable = false))))
+      else graft.io.IcebergChangelog.changeSchema(base, withLineage))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,

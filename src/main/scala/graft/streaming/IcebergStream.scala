@@ -118,8 +118,10 @@ object IcebergStream {
           // appends (ledger-stamped), tombstones of never-seen keys
           // are definitionally no-ops
           if (!IcebergWrite.tableExists(spark, tableDir)) {
+            // a NULL flag is a normal upsert (null-safe: =!= would
+            // silently drop the row)
             val inserts = deleteCol
-              .map(flag => source.filter(col(flag) =!= lit(true)).drop(flag))
+              .map(flag => source.filter(!(col(flag) <=> lit(true))).drop(flag))
               .getOrElse(source)
             postCommitHook(IcebergWrite.appendOnce(
               inserts, tableDir, appId, batchId))
@@ -132,11 +134,14 @@ object IcebergStream {
               graft.io.DeltaInterop.MatchedClause(None,
                 valueCols.map(c => c -> col(s"s.$c")).toMap, delete = false)
             val notMatched = Some((
-              deleteCol.map(flag => col(s"s.$flag") =!= lit(true)),
+              deleteCol.map(flag => !(col(s"s.$flag") <=> lit(true))),
               (keyCols ++ valueCols).map(c => c -> col(s"s.$c")).toMap))
             val (snap, _, _) = IcebergWrite.mergeInto(spark, tableDir,
               source, keyCols, matched, notMatched,
-              txn = Some((appId, batchId)))
+              txn = Some((appId, batchId)),
+              // sequence arbitration just established per-key
+              // uniqueness — skip the merge's own re-verification job
+              sourceDistinctKeys = sequenceCol.isDefined)
             postCommitHook(snap)
           }
         }

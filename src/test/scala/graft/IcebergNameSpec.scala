@@ -116,4 +116,24 @@ class IcebergNameSpec extends AnyFunSuite {
       assert(spark.table("ice_name_saved").columns.toSeq == Seq("id", "tag", "v"))
     } finally spark.sql("DROP VIEW IF EXISTS ice_name_saved")
   }
+
+  test("re-running a name CTAS against an existing LOCATION refuses, never appends") {
+    val dir = Files.createTempDirectory("graft-ice-ctas-redo").toString + "/t"
+    spark.sql(s"CREATE TABLE ice_redo USING iceberg LOCATION '$dir' AS " +
+      "SELECT id, id * 2 AS v FROM range(10)").collect()
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 10)
+    // a NEW session loses the in-memory registration but not the
+    // directory — simulate by dropping the catalog entry
+    spark.sql("DROP VIEW ice_redo") // the registration is a view over graft_iceberg
+    val e = intercept[Exception](
+      spark.sql(s"CREATE TABLE ice_redo USING iceberg LOCATION '$dir' AS " +
+        "SELECT id, id * 2 AS v FROM range(10)").collect())
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 10,
+      "the refused CTAS must not have appended")
+    // IF NOT EXISTS re-registers the existing table instead
+    spark.sql(s"CREATE TABLE IF NOT EXISTS ice_redo USING iceberg " +
+      s"LOCATION '$dir' AS SELECT id, id * 2 AS v FROM range(10)").collect()
+    assert(spark.table("ice_redo").count() == 10)
+  }
 }

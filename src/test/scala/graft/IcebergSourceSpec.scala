@@ -256,4 +256,24 @@ class IcebergSourceSpec extends AnyFunSuite {
       s"tailer must pass through the merge emitting only the new append: " +
       buf.synchronized(buf.toList))
   }
+
+  test("a ROLLBACK snapshot fails the raw tail loudly (never a silent skip)") {
+    val dir = Files.createTempDirectory("graft-ice-src-rollback").toString
+    val s1 = IcebergWrite.append(
+      (0L until 6L).map(i => (i, s"a$i")).toDF("id", "tag"), dir)
+    IcebergWrite.append((6L until 9L).map(i => (i, s"b$i")).toDF("id", "tag"), dir)
+    val (buf, q, _) = collectStream(dir, Files.createTempDirectory("ck-rb").toString,
+      Map.empty)
+    try {
+      q.processAllAvailable()
+      assert(buf.synchronized(buf.size) == 9)
+      IcebergWrite.rollbackTo(spark, dir, s1)
+      IcebergWrite.append(Seq((100L, "x")).toDF("id", "tag"), dir)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q.processAllAvailable())
+      assert(e.getMessage.contains("rollback") ||
+        Option(e.getCause).exists(_.getMessage.contains("rollback")),
+        e.getMessage)
+    } finally { try q.stop() catch { case _: Exception => () } }
+  }
 }

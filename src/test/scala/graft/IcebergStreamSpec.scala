@@ -183,4 +183,38 @@ class IcebergStreamSpec extends AnyFunSuite {
     // the mirror is itself a real Iceberg table with per-batch snapshots
     assert(IcebergInterop.snapshots(spark, dst).count() >= 2)
   }
+
+  test("upsertSink: a NULL tombstone flag is a normal upsert, never a drop") {
+    val tmp = Files.createTempDirectory("graft-ice-nullflag").toString
+    val src = s"$tmp/src"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("del", org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType)))
+    def stage(rows: Seq[org.apache.spark.sql.Row]): Unit =
+      spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), schema)
+        .coalesce(1).write.mode("append").parquet(src)
+    import org.apache.spark.sql.Row
+    // bootstrap batch: one true insert with a NULL flag
+    stage(Seq(Row(1L, "a", null, 0L), Row(2L, "b", false, 0L)))
+    val q0 = graft.streaming.IcebergStream.upsertSink(spark,
+      spark.readStream.schema(schema).parquet(src),
+      s"$tmp/table", Seq("id"), "nf", s"$tmp/ckpt",
+      sequenceCol = Some("seq"), deleteCol = Some("del"))
+    try {
+      q0.processAllAvailable()
+      assert(IcebergInterop.readIceberg(spark, s"$tmp/table").count() == 2,
+        "null-flag bootstrap rows must land")
+      // merge batch: a null-flag NEW key inserts, a null-flag EXISTING
+      // key updates
+      stage(Seq(Row(3L, "c", null, 1L), Row(1L, "a2", null, 1L)))
+      q0.processAllAvailable()
+    } finally q0.stop()
+    val byId = IcebergInterop.readIceberg(spark, s"$tmp/table")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+  }
 }

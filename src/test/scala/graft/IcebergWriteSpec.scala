@@ -57,6 +57,19 @@ class IcebergWriteSpec extends AnyFunSuite {
     val sqlHist = spark.sql(s"DESCRIBE HISTORY iceberg.`$dir`")
     assert(sqlHist.columns.contains("total_records"))
     assert(sqlHist.orderBy("sequence_number").collect().last.getLong(8) == 45L)
+    // DV REPLACEMENT counts replacement-aware: the second DV on the
+    // same file is a merged superset — totals must NOT double-count
+    // the first one, and the retired positions surface as removed
+    val (s5, _) = IcebergWrite.deleteWhereDV(spark, dir, col("id") < 12) // 7 rows (5..11)
+    val m5 = sumOf(s5)
+    assert(m5("total-position-deletes") == "7", m5.toString)
+    val (s6, _) = IcebergWrite.deleteWhereDV(spark, dir, col("id") < 15) // +3 rows
+    val m6 = sumOf(s6)
+    assert(m6("added-position-deletes") == "10", "the merged superset DV")
+    assert(m6("removed-position-deletes") == "7", "the retired vector")
+    assert(m6("total-position-deletes") == "10",
+      s"replacement must not double-count: ${m6("total-position-deletes")}")
+    assert(m6("total-delete-files") == "1", "one LIVE DV per file")
   }
 
   test("create + two appends + overwrite: read-back, history, time travel") {

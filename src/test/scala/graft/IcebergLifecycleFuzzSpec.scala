@@ -149,4 +149,135 @@ class IcebergLifecycleFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("lineage walks: row identity + last-updated stay model-exact (3 seeds)") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 104729)
+      val dir = Files.createTempDirectory(s"graft-ice-linfuzz-$seed").toString
+      var model = Vector.empty[R]
+      var nextId = 0L
+      def fresh(n: Int): Seq[R] = {
+        val out = (nextId until nextId + n).map(i =>
+          R(i, rnd.nextInt(1000).toLong, s"t$i"))
+        nextId += n
+        out
+      }
+      def df(rows: Seq[R]) = rows.toDF("id", "score", "tag")
+        .repartition(1).sortWithinPartitions("id")
+      // id -> (_row_id, _last_updated_sequence_number), captured from
+      // the table and asserted STABLE thereafter
+      var lin = Map.empty[Long, (Long, Long)]
+      var usedRids = Set.empty[Long]
+      var snapModels = Map.empty[Long, (Vector[R], Map[Long, (Long, Long)])]
+      def readLin(): Map[Long, (Long, Long)] =
+        IcebergInterop.readIceberg(spark, dir, withLineage = true)
+          .select("id", "_row_id", "_last_updated_sequence_number")
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      def record(): Unit = {
+        val cur = IcebergInterop.snapshots(spark, dir)
+          .orderBy(desc("sequence_number")).head().getLong(0)
+        snapModels += cur -> ((model, lin))
+      }
+      val r0 = fresh(16)
+      IcebergWrite.appendLineage(df(r0), dir); model ++= r0
+      lin = readLin(); usedRids = lin.values.map(_._1).toSet
+      record()
+
+      var lastOp = "append"
+      (1 to 8).foreach { k =>
+        val before = model.map(r => r.id -> ((r.score, r.tag))).toMap
+        var rolledBackTo: Option[Long] = None
+        rnd.nextInt(8) match {
+          case 0 =>
+            lastOp = "append"
+            val r = fresh(1 + rnd.nextInt(6))
+            IcebergWrite.append(df(r), dir); model ++= r
+          case 1 =>
+            lastOp = "deleteWhereDV"
+            val m = 3 + rnd.nextInt(4); val c = rnd.nextInt(m)
+            IcebergWrite.deleteWhereDV(spark, dir, col("id") % m === c)
+            model = model.filterNot(_.id % m == c)
+          case 2 =>
+            lastOp = "equalityDelete"
+            val keys = rnd.shuffle(model.map(_.id)).take(1 + rnd.nextInt(3))
+            if (keys.nonEmpty) {
+              IcebergWrite.equalityDelete(spark, dir, keys.toDF("id"))
+              model = model.filterNot(r => keys.contains(r.id))
+            }
+          case 3 =>
+            lastOp = "updateWhereDV"
+            val m = 2 + rnd.nextInt(4); val c = rnd.nextInt(m)
+            val bump = 1000L + rnd.nextInt(9) * 1000L
+            IcebergWrite.updateWhereDV(spark, dir, col("id") % m === c,
+              Map("score" -> (col("score") + bump), "tag" -> lit(s"u$k")))
+            model = model.map(r =>
+              if (r.id % m == c) r.copy(score = r.score + bump, tag = s"u$k") else r)
+          case 4 =>
+            lastOp = "mergeInto"
+            val matchedKeys = rnd.shuffle(model.map(_.id)).take(1 + rnd.nextInt(4))
+            val ins = fresh(1 + rnd.nextInt(3))
+            val src = matchedKeys.map(i => R(i, 7L, s"m$k")) ++ ins
+            IcebergWrite.mergeInto(spark, dir, df(src), Seq("id"),
+              matched = Seq(
+                DeltaInterop.MatchedClause(Some(col("t.score") % 2 === 0),
+                  Map.empty, delete = true),
+                DeltaInterop.MatchedClause(None, Map("tag" -> col("s.tag")))),
+              notMatched = Some((None, Map.empty)))
+            model = model.flatMap { r =>
+              if (matchedKeys.contains(r.id)) {
+                if (r.score % 2 == 0) None else Some(r.copy(tag = s"m$k"))
+              } else Some(r)
+            } ++ ins
+          case 5 =>
+            lastOp = "compact"
+            IcebergWrite.compact(spark, dir,
+              smallFileBytes = if (rnd.nextBoolean()) 0L else 32L << 20)
+          case 6 =>
+            lastOp = "zorder"
+            IcebergWrite.optimizeZOrder(spark, dir, Seq("id", "score"))
+          case _ =>
+            lastOp = "rollback"
+            val live = IcebergInterop.snapshots(spark, dir)
+              .collect().map(_.getLong(0)).toSet
+            val targets = snapModels.keys.filter(live).toVector
+            if (targets.nonEmpty) {
+              val tgt = targets(rnd.nextInt(targets.length))
+              IcebergWrite.rollbackTo(spark, dir, tgt)
+              val (m0, l0) = snapModels(tgt)
+              model = m0; rolledBackTo = Some(tgt); lin = l0
+            }
+        }
+        record()
+        val after = model.map(r => r.id -> ((r.score, r.tag))).toMap
+        val got = IcebergInterop.readIceberg(spark, dir)
+          .as[(Long, Long, String)].collect().map(t => R(t._1, t._2, t._3))
+          .sortBy(_.id).toVector
+        assert(got == model.sortBy(_.id),
+          s"seed=$seed content diverged after op#$k ($lastOp)")
+        val now = readLin()
+        assert(now.keySet == after.keySet, s"seed=$seed lineage key set ($lastOp)")
+        now.foreach { case (id, (rid, lus)) =>
+          lin.get(id) match {
+            case Some((rid0, lus0)) =>
+              assert(rid == rid0,
+                s"seed=$seed op#$k ($lastOp): id $id moved _row_id $rid0 -> $rid")
+              if (rolledBackTo.isEmpty) {
+                val changed = before.get(id) != after.get(id)
+                if (changed) assert(lus > lus0,
+                  s"seed=$seed op#$k ($lastOp): id $id changed but lus $lus0 -> $lus")
+                else assert(lus == lus0,
+                  s"seed=$seed op#$k ($lastOp): id $id untouched but lus moved $lus0 -> $lus")
+              }
+            case None => // a fresh row: its id must be globally new
+              assert(!usedRids.contains(rid),
+                s"seed=$seed op#$k ($lastOp): fresh row $id reused _row_id $rid")
+          }
+        }
+        assert(now.values.map(_._1).toSeq.distinct.size == now.size,
+          s"seed=$seed op#$k ($lastOp): duplicate _row_id")
+        usedRids ++= now.values.map(_._1)
+        lin = now
+      }
+    }
+  }
 }

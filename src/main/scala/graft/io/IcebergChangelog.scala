@@ -43,7 +43,7 @@ object IcebergChangelog {
   val ChangeOrdinal = "_change_ordinal"
   val CommitSnapshotId = "_commit_snapshot_id"
 
-  private def canon(p: String): String = p.replaceFirst("^file:/+", "/")
+  private def canon(p: String): String = IcebergInterop.canonPathStr(p)
 
   private final case class SnapInfo(seq: Long, id: Long, parent: Option[Long],
                                     op: String, manifestList: String)
@@ -122,7 +122,8 @@ object IcebergChangelog {
       snap: Long, schema: StructType,
       withLineage: Boolean = false): Option[DataFrame] = {
     import org.apache.spark.sql.functions._
-    val s = snapshotsOf(spark, dir).find(_.id == snap).getOrElse(
+    val allSnaps = snapshotsOf(spark, dir)
+    val s = allSnaps.find(_.id == snap).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot $snap not found at $dir — expired before the changelog read?"))
     require(s.op != "rollback",
@@ -166,8 +167,15 @@ object IcebergChangelog {
           col("pos").cast("long").as("_cp"))
     if (a.dvAdds.nonEmpty) {
       val conf = spark.sparkContext.hadoopConfiguration
-      val prior = s.parent.map(p => IcebergInterop.liveDvs(spark, dir, Some(p)))
-        .getOrElse(Map.empty[String, (String, Long, Long)])
+      val prior = s.parent.map { p =>
+        // an EXPIRED parent cannot anchor the DV diff — emitting the
+        // whole superset as fresh deletions would hand a keyed-CDC
+        // consumer phantom deletes at the wrong ordinal
+        require(allSnaps.exists(_.id == p),
+          s"parent snapshot $p of $snap expired — the DV diff cannot be " +
+          "reconstructed; read the changelog from a later snapshot")
+        IcebergInterop.liveDvs(spark, dir, Some(p))
+      }.getOrElse(Map.empty[String, (String, Long, Long)])
       // ship KB roaring blobs; positions expand ON EXECUTORS
       val blobs: Seq[(String, Array[Byte], Array[Byte])] =
         a.dvAdds.map { case (rf, puffin, off, size) =>

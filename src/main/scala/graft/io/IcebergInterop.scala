@@ -699,7 +699,7 @@ object IcebergInterop {
   }
 
   /** [[canonPath]] for a driver-side string. */
-  private def canonPathStr(p: String): String =
+  private[graft] def canonPathStr(p: String): String =
     p.replaceFirst("^file:/+", "/")
 
   /** The CURRENT snapshot's LIVE deletion vector per data file

@@ -1919,10 +1919,16 @@ object IcebergWrite {
     import java.nio.{ByteBuffer, ByteOrder}
     def le(x: Array[Byte]) = ByteBuffer.wrap(x).order(ByteOrder.LITTLE_ENDIAN)
     dt match {
-      case IntegerType => Integer.compare(le(a).getInt, le(b).getInt)
+      case IntegerType | DateType => Integer.compare(le(a).getInt, le(b).getInt)
       case LongType | TimestampType | TimestampNTZType =>
         java.lang.Long.compare(le(a).getLong, le(b).getLong)
-      case _ => new String(a, "UTF-8").compareTo(new String(b, "UTF-8"))
+      case FloatType => java.lang.Float.compare(le(a).getFloat, le(b).getFloat)
+      case DoubleType => java.lang.Double.compare(le(a).getDouble, le(b).getDouble)
+      // strings/binary: UNSIGNED UTF-8 byte order — the order the
+      // bounds were min/max'd in (UTF8String) and the order the read
+      // side prunes with (Arrays.compareUnsigned); String.compareTo
+      // would invert supplementary characters against U+FFFF
+      case _ => java.util.Arrays.compareUnsigned(a, b)
     }
   }
 

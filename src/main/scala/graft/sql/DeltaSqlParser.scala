@@ -96,7 +96,10 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
     // the entry so the stored view schema tracks the evolved table.
     resolveIcebergName(t0) match {
       case Some((t, name, dir)) =>
-        val plan = graftPlan(t, t)
+        // fall back to the USER's original text if no graft handler
+        // takes the rewritten statement — Spark has no `iceberg`
+        // catalog to resolve the path spelling against
+        val plan = graftPlan(t, sqlText)
         if (icebergAlterShapeRe.findFirstIn(t0).isDefined) plan match {
           case GraftDeltaCommand(out, body) =>
             GraftDeltaCommand(out, { spark =>
@@ -444,7 +447,8 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
     * append). */
   private def tryIcebergCtas(t: String): Option[LogicalPlan] =
     icebergCtasRe.findFirstMatchIn(t).map { m =>
-      val (ifNotExists, dir, query) = (m.group(1) != null, m.group(2), m.group(3).trim)
+      val (ifNotExists, dir, partTxt, query) =
+        (m.group(1) != null, m.group(2), Option(m.group(3)), m.group(4).trim)
       command(Nil) { spark =>
         val exists =
           try { IcebergInterop.streamHead(spark, dir); true }
@@ -452,7 +456,13 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
         if (exists) require(ifNotExists,
           s"Iceberg table at $dir already exists — CTAS refuses to append " +
           "(use INSERT INTO iceberg.`" + dir + "`)")
-        else IcebergWrite.append(spark.sql(query), dir)
+        else {
+          val parts = partTxt.toSeq.flatMap(splitTopLevel(_, ','))
+            .map(_.trim).filter(_.nonEmpty).map(parseIcebergPartField)
+          val df = spark.sql(query)
+          if (parts.isEmpty) IcebergWrite.append(df, dir)
+          else IcebergWrite.appendPartitioned(df, dir, parts)
+        }
         Nil
       }
     }
@@ -1344,7 +1354,8 @@ object DeltaSqlParser {
     s"""(?i)iceberg\\s*\\.\\s*`${Regex.quote(path)}`\\s*\\.""".r
   private[sql] val icebergCtasRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?iceberg\s*\.\s*`([^`]+)`""" +
-     """(?:\s+USING\s+iceberg)?\s+AS\s+(.+)$""").r
+     """(?:\s+USING\s+iceberg)?(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\))?""" +
+     """\s+AS\s+(.+)$""").r
   // name CTAS: `USING iceberg` REQUIRED (parquet/csv CTAS stay
   // Spark's); PARTITIONED BY accepts Iceberg's transform spellings —
   // days(ts), bucket(4, id), truncate(10, s), bare identity columns

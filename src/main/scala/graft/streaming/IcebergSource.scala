@@ -156,14 +156,14 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
     org.apache.spark.sql.types.DataType.fromJson(origin.schemaJson)
       .asInstanceOf[StructType]
 
-  /** Path-sorted origin-snapshot enumeration (refuses deletes); empty
-    * for a tail-only origin (`startingSnapshotId = <id>`). */
   /** Origin snapshot's (path -> first_row_id) — the lineage backfill
     * derivation base (lineage mode only). */
   private lazy val originFirstOf: Map[String, Long] =
     graft.io.IcebergChangelog.firstRowIdsOf(spark,
       IcebergInterop.manifestListOf(spark, dir, origin.snapshotId))
 
+  /** Path-sorted origin-snapshot enumeration (refuses deletes); empty
+    * for a tail-only origin (`startingSnapshotId = <id>`). */
   private lazy val snapFiles: IndexedSeq[String] =
     if (!origin.backfill) IndexedSeq.empty
     else IcebergInterop.streamSnapshotFiles(spark, dir, origin.snapshotId).toIndexedSeq

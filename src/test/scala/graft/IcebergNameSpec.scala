@@ -136,4 +136,21 @@ class IcebergNameSpec extends AnyFunSuite {
       s"LOCATION '$dir' AS SELECT id, id * 2 AS v FROM range(10)").collect()
     assert(spark.table("ice_redo").count() == 10)
   }
+
+  test("partitioned PATH CTAS routes to the path handler, not the name layer") {
+    val dir = Files.createTempDirectory("graft-ice-ctas-part").toString + "/t"
+    spark.sql(s"CREATE TABLE iceberg.`$dir` USING iceberg " +
+      "PARTITIONED BY (bucket(4, id)) AS SELECT id, id % 5 AS k FROM range(40)")
+      .collect()
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 40)
+    // the table really is bucket-partitioned: a point read opens one
+    // bucket's manifests
+    IcebergInterop.readIcebergWhere(spark, dir,
+      Map("id" -> ((7.0, 7.0)))).collect()
+    val (read, skipped) = IcebergInterop.lastManifestScan
+    assert(read >= 1 && skipped >= 1,
+      s"bucket spec must prune manifests: read=$read skipped=$skipped")
+    // and nothing leaked into the session catalog under a fake db
+    assert(!spark.catalog.databaseExists("iceberg"))
+  }
 }

@@ -78,7 +78,10 @@ object IcebergWrite {
     * `summary` PER SPEC FIELD (in spec order) for manifest-level
     * skipping; content kind 0 = data, 1 = deletes. */
   private final case class NewManifest(path: Path, partitioned: Boolean,
-      summary: Option[Seq[Summary]], content: Int = 0)
+      summary: Option[Seq[Summary]], content: Int = 0,
+      // the manifest's just-authored entries, kept IN MEMORY so the
+      // commit's summary counting never re-reads the file it wrote
+      entries: Seq[GenericRecord] = Nil)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -530,7 +533,7 @@ object IcebergWrite {
             s"metadata/manifest-$snapshotId-$i-${java.util.UUID.randomUUID().toString.take(8)}.avro")
           IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
           Some(NewManifest(mp, partitioned = true,
-            Some(summariesOf(vals, resultDts))))
+            Some(summariesOf(vals, resultDts)), entries = entries))
         }
       }
       filesOfValue.flatMap(_._2).foreach { case (pp, _) =>
@@ -639,7 +642,8 @@ object IcebergWrite {
         onBeforeCommit()
         val dummySchema = StructType(Nil) // schemas carry forward past v1
         return (commitMeta(spark, f, root, base, dummySchema, snapshotId,
-          seqNo, Seq(NewManifest(mp, partitioned = false, None, content = 1)),
+          seqNo, Seq(NewManifest(mp, partitioned = false, None, content = 1,
+            entries = entries)),
           replace = false, operation = Some("delete")), deleted)
       } catch {
         case _: java.util.ConcurrentModificationException =>
@@ -1064,7 +1068,8 @@ object IcebergWrite {
         val mp = new Path(root,
           s"metadata/delete-manifest-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
         IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
-        mans += NewManifest(mp, partitioned = false, None, content = 1)
+        mans += NewManifest(mp, partitioned = false, None, content = 1,
+          entries = entries)
       }
       if (appFiles.nonEmpty) {
         val entries = appFiles.map { case (p, size) =>
@@ -1076,7 +1081,7 @@ object IcebergWrite {
         val mp = new Path(root,
           s"metadata/manifest-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
         IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
-        mans += NewManifest(mp, partitioned = false, None)
+        mans += NewManifest(mp, partitioned = false, None, entries = entries)
       }
       val built = mans.result()
       try {
@@ -1216,7 +1221,8 @@ object IcebergWrite {
       try {
         onBeforeCommit()
         return (commitMeta(spark, f, root, base, StructType(Nil), snapshotId,
-          seqNo, Seq(NewManifest(mp, partitioned = false, None, content = 1)),
+          seqNo, Seq(NewManifest(mp, partitioned = false, None, content = 1,
+            entries = entries)),
           replace = false, operation = Some("delete"),
           minFormatVersion = 3), deleted)
       } catch {
@@ -1315,7 +1321,8 @@ object IcebergWrite {
       try {
         onBeforeCommit()
         return (commitMeta(spark, f, root, base, StructType(Nil), snapshotId,
-          seqNo, Seq(NewManifest(mp, partitioned = false, None, content = 1)),
+          seqNo, Seq(NewManifest(mp, partitioned = false, None, content = 1,
+            entries = entries)),
           replace = false, operation = Some("delete")), nKeys)
       } catch {
         case _: java.util.ConcurrentModificationException =>
@@ -1748,9 +1755,10 @@ object IcebergWrite {
           s"metadata/manifest-$snapshotId-$i-${java.util.UUID.randomUUID().toString.take(8)}.avro")
         IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
         freshManifests += (valueOpt match {
-          case None => NewManifest(mp, partitioned = false, None)
+          case None => NewManifest(mp, partitioned = false, None,
+            entries = entries)
           case Some(vals) => NewManifest(mp, partitioned = true,
-            Some(summariesOf(vals, rewriteResultDts)))
+            Some(summariesOf(vals, rewriteResultDts)), entries = entries)
         })
       }
     }
@@ -1862,7 +1870,8 @@ object IcebergWrite {
     try {
       onBeforeCommit()
       val snap = commitMeta(spark, f, root, v0, StructType(Nil), snapshotId,
-        seqNo, Seq(NewManifest(mp, partitioned = false, None)),
+        seqNo, Seq(NewManifest(mp, partitioned = false, None,
+          entries = entries)),
         replace = false, operation = Some("replace"),
         priorOverride = Some(Nil), // every prior manifest folds away
         nextRowId = lin0.map(_ => rowIdW))
@@ -2865,7 +2874,8 @@ object IcebergWrite {
       try {
         onBeforeCommit()
         return commitMeta(spark, f, root, base, df.schema, snapshotId, seqNo,
-          Seq(NewManifest(manifestP, partitioned = false, None)), replace, txn,
+          Seq(NewManifest(manifestP, partitioned = false, None,
+            entries = entries)), replace, txn,
           sortReq = orderId.map(id => (id, sortFieldIds)),
           nextRowId = lin0.map(_ => rowIdW))
       }
@@ -3231,7 +3241,9 @@ object IcebergWrite {
       }
     val conf2 = spark.sparkContext.hadoopConfiguration
     val newEntries: Seq[Seq[GenericRecord]] =
-      newManifests.map(nm => IcebergFormat.readAvro(conf2, nm.path))
+      newManifests.map(nm =>
+        if (nm.entries.nonEmpty) nm.entries
+        else IcebergFormat.readAvro(conf2, nm.path))
     val addedDvs = newEntries.flatMap(dvOf(_, addedOnly = true))
     val added = newEntries.map(totOf(_, addedOnly = true))
       .foldLeft(Tot())(_ + _) +
@@ -3253,8 +3265,11 @@ object IcebergWrite {
       else {
         // full walk with DV dedup: only the HIGHEST-sequence DV per
         // data file is live (the spec's replacement rule)
+        val freshByPath = newManifests
+          .map(nm => nm.path.toString -> nm.entries).toMap
         val parsed = graft.pipeline.Par.map(prior.map(_._1) ++ fresh.map(_._1))(
-          p => IcebergFormat.readAvro(conf2, new Path(p)))
+          p => freshByPath.get(p).filter(_.nonEmpty)
+            .getOrElse(IcebergFormat.readAvro(conf2, new Path(p))))
         val base0 = parsed.map(totOf(_, addedOnly = false)).foldLeft(Tot())(_ + _)
         val liveDvs = parsed.flatMap(dvOf(_, addedOnly = false))
           .groupBy(_._1).map { case (_, es) => es.maxBy(_._2) }

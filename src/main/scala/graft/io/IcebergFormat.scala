@@ -90,6 +90,60 @@ private[graft] object IcebergFormat {
     try records.foreach(w.append) finally w.close()
   }
 
+  /** The source manifest-entry writer schema, widened (only if
+    * needed) with the fields a row-lineage rewrite must stamp:
+    * entry-level `snapshot_id`/`sequence_number` and the data_file's
+    * `first_row_id`. Everything ELSE — a foreign writer's partition
+    * tuple, value/null/nan counts, split offsets — keeps its original
+    * field and sub-schema, so carrying an entry through a lineage
+    * rewrite loses nothing. */
+  def lineageEntrySchema(src: Schema): Schema = {
+    import scala.jdk.CollectionConverters._
+    val optLong = Schema.createUnion(
+      Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.LONG))
+    val dfSrc = src.getField("data_file").schema()
+    require(dfSrc.getType == Schema.Type.RECORD,
+      s"manifest entry data_file must be a record (got ${dfSrc.getType})")
+    val dfOk = dfSrc.getField("first_row_id") != null
+    val entryOk = src.getField("snapshot_id") != null &&
+      src.getField("sequence_number") != null
+    if (dfOk && entryOk) return src
+    def copyField(fl: Schema.Field, sch: Schema): Schema.Field =
+      new Schema.Field(fl.name, sch, fl.doc,
+        if (fl.hasDefaultValue) fl.defaultVal else null)
+    val dfOut =
+      if (dfOk) dfSrc
+      else {
+        val r = Schema.createRecord(dfSrc.getName, dfSrc.getDoc,
+          dfSrc.getNamespace, false)
+        r.setFields((dfSrc.getFields.asScala.map(fl => copyField(fl, fl.schema)) :+
+          new Schema.Field("first_row_id", optLong, null,
+            Schema.Field.NULL_DEFAULT_VALUE)).asJava)
+        r
+      }
+    val out = Schema.createRecord(src.getName, src.getDoc, src.getNamespace, false)
+    val base = src.getFields.asScala.map { fl =>
+      if (fl.name == "data_file") copyField(fl, dfOut) else copyField(fl, fl.schema)
+    }
+    val extra = Seq("snapshot_id", "sequence_number")
+      .filter(src.getField(_) == null)
+      .map(nm => new Schema.Field(nm, optLong, null, Schema.Field.NULL_DEFAULT_VALUE))
+    out.setFields((base ++ extra).asJava)
+    out
+  }
+
+  /** Shallow re-home of a generic record onto `out` (same-named
+    * fields copy; sub-values keep their original sub-schemas, which
+    * `out` reuses by construction). */
+  def recordTo(out: Schema, src: GenericRecord): GenericData.Record = {
+    import scala.jdk.CollectionConverters._
+    val r = new GenericData.Record(out)
+    out.getFields.asScala.foreach { fl =>
+      if (src.getSchema.getField(fl.name) != null) r.put(fl.name, src.get(fl.name))
+    }
+    r
+  }
+
   /** Spark type → Iceberg primitive type name. Unsupported types
     * refuse by name rather than misdeclare. */
   def icebergType(dt: DataType): String = dt match {

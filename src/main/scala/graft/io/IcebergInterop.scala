@@ -219,6 +219,9 @@ object IcebergInterop {
   /** Manifest-level skipping telemetry of the LAST [[liveFiles]] call
     * (single-threaded test introspection only). */
   @volatile private[graft] var lastManifestScan: (Int, Int) = (0, 0) // (read, skipped)
+  /** Data files the last [[readIceberg]] (kept, pruned-by-bounds) —
+    * same single-threaded test-introspection contract as above. */
+  @volatile private[graft] var lastDataFileScan: (Int, Int) = (0, 0)
 
   /** Can the manifest whose manifest-list entry carries `specId` +
     * `summaries` hold rows matching the field-id-keyed predicates?
@@ -233,9 +236,11 @@ object IcebergInterop {
   private def manifestMayMatch(meta: JsonNode, specId: Int,
       summaries: Seq[(Boolean, Array[Byte], Array[Byte])],
       idRanges: Map[Int, (DataType, Double, Double)],
-      idEq: Map[Int, (DataType, Array[Byte])]): Boolean = {
+      idEq: Map[Int, (DataType, Array[Byte])],
+      idIn: Map[Int, (DataType, Seq[Array[Byte]])] = Map.empty): Boolean = {
     import scala.jdk.CollectionConverters._
-    if (summaries.isEmpty || (idRanges.isEmpty && idEq.isEmpty)) return true
+    if (summaries.isEmpty ||
+        (idRanges.isEmpty && idEq.isEmpty && idIn.isEmpty)) return true
     val specFields: Seq[(Int, String)] = meta.path("partition-specs")
       .elements().asScala.find(_.path("spec-id").asInt(-1) == specId)
       .map(_.path("fields").elements().asScala
@@ -257,29 +262,39 @@ object IcebergInterop {
               case None => true // no source-value evidence for this shape
             })
         }
+        def admitsString(vb: Array[Byte]): Boolean =
+          IcebergTransforms.mapStringEq(transform,
+            new String(vb, "UTF-8")) match {
+            case Some(Right(pb)) => // identity / truncated prefix
+              java.util.Arrays.compareUnsigned(lo, pb) <= 0 &&
+                java.util.Arrays.compareUnsigned(pb, hi) <= 0
+            case Some(Left(bucket)) => // bucket ordinal vs int bounds
+              (for {
+                mn <- boundToDouble(IntegerType, lo)
+                mx <- boundToDouble(IntegerType, hi)
+              } yield mx >= bucket && mn <= bucket).getOrElse(true)
+            case None => true
+          }
         val eqOk = idEq.get(srcId).forall { case (dt, vb) =>
           containsNull || lo == null || hi == null || dt != StringType ||
-            (IcebergTransforms.mapStringEq(transform,
-              new String(vb, "UTF-8")) match {
-              case Some(Right(pb)) => // identity / truncated prefix
-                java.util.Arrays.compareUnsigned(lo, pb) <= 0 &&
-                  java.util.Arrays.compareUnsigned(pb, hi) <= 0
-              case Some(Left(bucket)) => // bucket ordinal vs int bounds
-                (for {
-                  mn <- boundToDouble(IntegerType, lo)
-                  mx <- boundToDouble(IntegerType, hi)
-                } yield mx >= bucket && mn <= bucket).getOrElse(true)
-              case None => true
-            })
+            admitsString(vb)
         }
-        rangeOk && eqOk
+        // MULTI-POINT predicate (col IN values): the manifest survives
+        // if ANY value admits — the streaming-dedup probe's shape, a
+        // batch of band keys against a bucket[N]-partitioned state
+        val inOk = idIn.get(srcId).forall { case (dt, vbs) =>
+          containsNull || lo == null || hi == null || dt != StringType ||
+            vbs.exists(admitsString)
+        }
+        rangeOk && eqOk && inOk
     }
   }
 
   private def liveFiles(spark: SparkSession, dir: String,
                         snapshot: JsonNode, meta: JsonNode = null,
                         idRanges: Map[Int, (DataType, Double, Double)] = Map.empty,
-                        idEq: Map[Int, (DataType, Array[Byte])] = Map.empty): SnapshotFiles = {
+                        idEq: Map[Int, (DataType, Array[Byte])] = Map.empty,
+                        idIn: Map[Int, (DataType, Seq[Array[Byte]])] = Map.empty): SnapshotFiles = {
     import scala.jdk.CollectionConverters._
     var skipped = 0
     val manifests: Seq[(String, Int, Long)] =
@@ -307,7 +322,7 @@ object IcebergInterop {
                   }.toSeq
                 }.getOrElse(Seq.empty)
               manifestMayMatch(meta, intOr(m, "partition_spec_id", 0),
-                sums, idRanges, idEq)
+                sums, idRanges, idEq, idIn)
             }
             if (!keep) skipped += 1
             keep
@@ -450,7 +465,13 @@ object IcebergInterop {
                   // paths) — compaction reads ONLY the dirty files'
                   // masked rows; delete application still sees every
                   // live delete file
-                  onlyDataFiles: Option[Set[String]] = None): DataFrame = {
+                  onlyDataFiles: Option[Set[String]] = None,
+                  // MULTI-POINT string predicate (col IN values):
+                  // prunes manifests/files that can hold NONE of the
+                  // values — through bucket/truncate transforms at the
+                  // manifest level — then re-applies as an InSet
+                  // residual. The streaming-dedup state probe's path.
+                  stringIn: Map[String, Set[String]] = Map.empty): DataFrame = {
     import scala.jdk.CollectionConverters._
     // Field-id column resolution: Iceberg schema evolution renames /
     // reorders / drops COLUMN NAMES but never reuses field IDS, so
@@ -502,14 +523,32 @@ object IcebergInterop {
             id -> ((dt, v.getBytes("UTF-8")))
           }
         }
-        val invAll = liveFiles(spark, dir, s0, meta, idRanges, idEq)
+        val idIn = stringIn.flatMap { case (name, vs) =>
+          idOf.get(name).map { case (id, dt) =>
+            id -> ((dt, vs.toSeq.map(_.getBytes("UTF-8"))))
+          }
+        }
+        val sortedIn: Map[String, Array[Array[Byte]]] =
+          stringIn.map { case (name, vs) =>
+            name -> vs.toArray.map(_.getBytes("UTF-8")).sortWith(
+              (a, b) => java.util.Arrays.compareUnsigned(a, b) < 0)
+          }
+        val invAll = liveFiles(spark, dir, s0, meta, idRanges, idEq, idIn)
         val inv0 = onlyDataFiles match {
           case None => invAll
           case Some(keep) =>
             invAll.copy(data = invAll.data.filter(e => keep(canonPathStr(e.path))))
         }
-        val inv = if (ranges.isEmpty && stringEq.isEmpty) inv0 else inv0.copy(
+        val inv = if (ranges.isEmpty && stringEq.isEmpty && stringIn.isEmpty)
+          inv0 else inv0.copy(
           data = inv0.data.filter { e =>
+            def stringAdmits(id: Int, dt: DataType, vb: Array[Byte]): Boolean =
+              (dt, e.lower.get(id), e.upper.get(id)) match {
+                case (StringType, Some(lb), Some(ub)) =>
+                  java.util.Arrays.compareUnsigned(lb, vb) <= 0 &&
+                    java.util.Arrays.compareUnsigned(vb, ub) <= 0
+                case _ => true // non-string / no bound: keep
+              }
             ranges.forall { case (name, (lo, hi)) =>
               idOf.get(name).forall { case (id, dt) =>
                 (e.lower.get(id).flatMap(boundToDouble(dt, _)),
@@ -521,16 +560,33 @@ object IcebergInterop {
             } &&
             stringEq.forall { case (name, v) =>
               idOf.get(name).forall { case (id, dt) =>
+                stringAdmits(id, dt, v.getBytes("UTF-8"))
+              }
+            } &&
+            stringIn.forall { case (name, vs) =>
+              idOf.get(name).forall { case (id, dt) =>
                 (dt, e.lower.get(id), e.upper.get(id)) match {
                   case (StringType, Some(lb), Some(ub)) =>
-                    val vb = v.getBytes("UTF-8")
-                    java.util.Arrays.compareUnsigned(lb, vb) <= 0 &&
-                      java.util.Arrays.compareUnsigned(vb, ub) <= 0
+                    // any value within [lb, ub]? O(log n) via the
+                    // presorted value list — a probe can carry
+                    // thousands of band keys without making this
+                    // driver loop O(files × values)
+                    val sorted = sortedIn(name)
+                    var loI = 0; var hiI = sorted.length
+                    while (loI < hiI) {
+                      val mid = (loI + hiI) >>> 1
+                      if (java.util.Arrays.compareUnsigned(sorted(mid), lb) < 0)
+                        loI = mid + 1
+                      else hiI = mid
+                    }
+                    loI < sorted.length &&
+                      java.util.Arrays.compareUnsigned(sorted(loI), ub) <= 0
                   case _ => true // non-string / no bound: keep
                 }
               }
             }
           })
+        lastDataFileScan = (inv.data.length, inv0.data.length - inv.data.length)
         def residual(df: DataFrame): DataFrame = {
           import org.apache.spark.sql.functions.{col, lit, timestamp_micros, date_add, to_date}
           // range endpoints arrive as doubles (epoch micros for
@@ -548,8 +604,12 @@ object IcebergInterop {
           val ranged = ranges.foldLeft(df) { case (d, (k, (lo, hi))) =>
             d.filter(col(k) >= bound(k, lo) && col(k) <= bound(k, hi))
           }
-          stringEq.foldLeft(ranged) { case (d, (k, v)) =>
+          val eqd = stringEq.foldLeft(ranged) { case (d, (k, v)) =>
             d.filter(col(k) === lit(v))
+          }
+          stringIn.foldLeft(eqd) { case (d, (k, vs)) =>
+            // large value sets become InSet (hash lookup, codegen'd)
+            d.filter(col(k).isin(vs.toSeq: _*))
           }
         }
         val lineageFields = Seq(

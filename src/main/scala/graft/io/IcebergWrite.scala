@@ -460,7 +460,11 @@ object IcebergWrite {
     * the spec intends. */
   def appendPartitioned(df: DataFrame, dir: String, partCol: String,
                         transform: String = "identity"): Long =
-    appendPartitioned(df, dir, Seq((partCol, transform)))
+    appendPartitioned(df, dir, Seq((partCol, transform)), txn = None)
+
+  def appendPartitioned(df: DataFrame, dir: String,
+                        parts: Seq[(String, String)]): Long =
+    appendPartitioned(df, dir, parts, txn = None)
 
   /** MULTI-FIELD partitioned append — the standard event-table layout
     * `(day(ts), bucket(id))` and any other ordered combination of the
@@ -473,11 +477,22 @@ object IcebergWrite {
     * hive-partitioned staging job + ONE grouped stats job regardless
     * of the partition-value count. */
   def appendPartitioned(df: DataFrame, dir: String,
-                        parts: Seq[(String, String)]): Long = {
+                        parts: Seq[(String, String)],
+                        // (appId, txnVersion): the [[appendOnce]]
+                        // exactly-once ledger on the partitioned path —
+                        // a replayed batch is recognized and writes
+                        // nothing (the streaming dedup state sink).
+                        // No default: only ONE overload may carry them.
+                        txn: Option[(String, Long)]): Long = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val root = new Path(dir)
     f.mkdirs(new Path(root, "metadata")); f.mkdirs(new Path(root, "data"))
+    txn.foreach { case (appId, tv) =>
+      if (committedTxn(spark, f, root, appId) >= tv)
+        return readMeta(f, root, currentVersion(f, root))
+          .map(_.path("current-snapshot-id").asLong(-1L)).getOrElse(-1L)
+    }
     require(parts.nonEmpty, "at least one partition field is required")
     require(parts.map(_._1).distinct.size == parts.size,
       s"duplicate partition source column in ${parts.map(_._1).mkString(",")}")
@@ -542,13 +557,23 @@ object IcebergWrite {
       try {
         onBeforeCommit()
         return commitMeta(spark, f, root, base, df.schema, snapshotId, seqNo,
-          mans, replace = false,
+          mans, replace = false, txn = txn,
           partSpec = Some(SpecReq(parts.map { case (c, t) =>
             (specFieldName(c, t), idsByName(c), t) })),
           nextRowId = lin0.map(_ => rowIdW))
       } catch {
         case _: java.util.ConcurrentModificationException =>
           mans.foreach(nm => f.delete(nm.path, false))
+          // a DUPLICATE same-batch writer may have won the race: if the
+          // ledger now covers this txn, drop our staged files and defer
+          txn.foreach { case (appId, tv) =>
+            if (committedTxn(spark, f, root, appId) >= tv) {
+              filesOfValue.flatMap(_._2).foreach { case (pp, _) =>
+                f.delete(pp, false) }
+              return readMeta(f, root, currentVersion(f, root))
+                .map(_.path("current-snapshot-id").asLong(-1L)).getOrElse(-1L)
+            }
+          }
           attempt += 1
           require(attempt < MaxCommitRetries,
             s"append to $dir lost $MaxCommitRetries version races")
@@ -2200,26 +2225,32 @@ object IcebergWrite {
       else {
         val manSeq = gLong(r, "sequence_number", 0L)
         val manSnap = gLong(r, "added_snapshot_id", curId)
-        val entries = IcebergFormat.readAvro(conf,
+        val live = IcebergFormat.readAvro(conf,
           new Path(resolveU(gStr(r, "manifest_path"))))
           .filter(e => gInt(e, "status", 0) != 2)
-          .map { e =>
-            val df = e.get("data_file").asInstanceOf[GenericRecord]
-            val rows = gLong(df, "record_count", 0L)
-            val fr = { val v = rowIdW; rowIdW += rows; v }
-            IcebergFormat.entry(0, gStr(df, "file_path"), rows,
-              gLong(df, "file_size_in_bytes", 0L),
-              gLong(e, "snapshot_id", manSnap),     // ORIGINAL snapshot
-              gLong(e, "sequence_number", manSeq),  // ORIGINAL sequence
-              bounds = entryBounds(df),
-              firstRowId = Some(fr), status = 0,
-              sortOrderId = Option(df.getSchema.getField("sort_order_id"))
-                .flatMap(_ => Option(df.get("sort_order_id")))
-                .map(_.asInstanceOf[Number].intValue))
-          }
+        // each entry carries through VERBATIM (a foreign writer's
+        // partition tuple / value counts / split offsets survive) —
+        // only status, the pinned originals, and first_row_id change
+        val outSchema =
+          if (live.isEmpty) IcebergFormat.EntrySchema
+          else IcebergFormat.lineageEntrySchema(live.head.getSchema)
+        val dfSchema = outSchema.getField("data_file").schema()
+        val entries = live.map { e =>
+          val df0 = e.get("data_file").asInstanceOf[GenericRecord]
+          val rows = gLong(df0, "record_count", 0L)
+          val fr = { val v = rowIdW; rowIdW += rows; v }
+          val ne = IcebergFormat.recordTo(outSchema, e)
+          ne.put("status", 0)
+          ne.put("snapshot_id", gLong(e, "snapshot_id", manSnap))    // ORIGINAL
+          ne.put("sequence_number", gLong(e, "sequence_number", manSeq))
+          val df = IcebergFormat.recordTo(dfSchema, df0)
+          df.put("first_row_id", fr)
+          ne.put("data_file", df)
+          ne
+        }
         val mp = new Path(root,
           s"metadata/manifest-$snapshotId-l${java.util.UUID.randomUUID().toString.take(8)}.avro")
-        IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
+        IcebergFormat.writeAvro(f, mp, outSchema, entries)
         outList += ((mp.toString, f.getFileStatus(mp).getLen, 0, manSeq,
           gInt(r, "partition_spec_id", 0), snapshotId, parts))
       }
@@ -2327,7 +2358,12 @@ object IcebergWrite {
       val props = o.putObject("properties")
       b.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
     }
-    commitMetadataOnly(f, root, v0, m0, n, "analyzeTable")
+    // a lost version race must not strand the just-written stats file:
+    // nothing references it yet, and the orphan sweep is age-guarded,
+    // so reclaim it HERE before surfacing the race
+    try commitMetadataOnly(f, root, v0, m0, n, "analyzeTable")
+    catch { case e: IllegalStateException =>
+      f.delete(statsP, false); throw e }
     // the replaced entry's file only reclaims AFTER its replacement
     // committed (a lost race leaves everything intact)
     stale.foreach(s0 => f.delete(
@@ -2497,7 +2533,9 @@ object IcebergWrite {
     e.put("snapshot-id", curId)
     e.put("statistics-path", statsP.toString)
     e.put("file-size-in-bytes", f.getFileStatus(statsP).getLen)
-    commitMetadataOnly(f, root, v0, m0, n, "analyzePartitions")
+    try commitMetadataOnly(f, root, v0, m0, n, "analyzePartitions")
+    catch { case e: IllegalStateException =>
+      f.delete(statsP, false); throw e }
     stale.foreach(s0 => f.delete(
       new Path(resolveU(s0.path("statistics-path").asText)), false))
     (curId, perTuple.length.toLong)
@@ -2689,10 +2727,23 @@ object IcebergWrite {
     // ever referenced — lost-race leftovers, crash remnants — deletes
     // only past the orphan horizon, so a racing writer's seconds-old
     // manifests and data files survive even RETAIN 0
+    // statistics files referenced by the POST-EXPIRY metadata survive;
+    // stats-*.puffin / partition-stats-*.parquet nothing references
+    // (a lost analyzeTable race that crashed before its own cleanup)
+    // sweep with the same age guard as the avro debris
+    val keepStats: Set[String] =
+      Seq("statistics", "partition-statistics").flatMap { fieldName =>
+        n.path(fieldName).elements().asScala.map(e =>
+          new Path(resolveU(e.path("statistics-path").asText)).getName).toSeq
+      }.toSet
     f.listStatus(new Path(root, "metadata")).foreach { st =>
       val name = st.getPath.getName
-      if (name.endsWith(".avro") && !keepMeta.contains(name) &&
-          st.getModificationTime < orphanCutoff) {
+      val orphanAvro = name.endsWith(".avro") && !keepMeta.contains(name)
+      val orphanStats = (name.startsWith("stats-") ||
+        name.startsWith("partition-stats-")) &&
+        (name.endsWith(".puffin") || name.endsWith(".parquet")) &&
+        !keepStats.contains(name)
+      if ((orphanAvro || orphanStats) && st.getModificationTime < orphanCutoff) {
         if (f.delete(st.getPath, false)) reclaimed += 1
       }
     }
@@ -3226,9 +3277,14 @@ object IcebergWrite {
           }
         }
       }
-    // (referenced data file, entry sequence, cardinality) per DV entry
-    def dvOf(entries: Seq[GenericRecord],
-             addedOnly: Boolean): Seq[(String, Long, Long)] =
+    // (referenced data file, entry sequence, cardinality) per DV entry.
+    // `manSeq` is the INHERITANCE default for entries without an
+    // explicit sequence_number — the spec's rule is the OWNING
+    // manifest's sequence, not this commit's (a foreign-written
+    // carried manifest's stale DV must not win the max-by-sequence
+    // dedup just because graft is committing now).
+    def dvOf(entries: Seq[GenericRecord], addedOnly: Boolean,
+             manSeq: Long): Seq[(String, Long, Long)] =
       entries.flatMap { e =>
         val st = Option(e.get("status")).map(_.asInstanceOf[Number].intValue).getOrElse(0)
         if ((addedOnly && st != 1) || (!addedOnly && st == 2)) None
@@ -3236,7 +3292,7 @@ object IcebergWrite {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           if (!isDvEntry(df)) None
           else Some((df.get("referenced_data_file").toString,
-            gLong(e, "sequence_number", seqNo), gLong(df, "record_count", 0L)))
+            gLong(e, "sequence_number", manSeq), gLong(df, "record_count", 0L)))
         }
       }
     val conf2 = spark.sparkContext.hadoopConfiguration
@@ -3244,7 +3300,7 @@ object IcebergWrite {
       newManifests.map(nm =>
         if (nm.entries.nonEmpty) nm.entries
         else IcebergFormat.readAvro(conf2, nm.path))
-    val addedDvs = newEntries.flatMap(dvOf(_, addedOnly = true))
+    val addedDvs = newEntries.flatMap(dvOf(_, addedOnly = true, manSeq = seqNo))
     val added = newEntries.map(totOf(_, addedOnly = true))
       .foldLeft(Tot())(_ + _) +
       Tot(delFiles = addedDvs.length, posDel = addedDvs.map(_._3).sum)
@@ -3259,19 +3315,47 @@ object IcebergWrite {
             g("total-files-size"))
         }
     }
+    // a fresh manifest with status-2 entries restructures live content
+    // beyond "append new files" — only the full walk counts that
+    val freshRemovals = newEntries.exists(_.exists(e =>
+      Option(e.get("status")).exists(_.asInstanceOf[Number].intValue == 2)))
     val totals: Tot =
-      if (addedDvs.isEmpty && priorOverride.isEmpty && !replace && prevTot.isDefined)
+      if (addedDvs.isEmpty && priorOverride.isEmpty && !replace &&
+          !freshRemovals && prevTot.isDefined)
         prevTot.get + added // append-shaped, no DV replacement: nothing removed
-      else {
+      else if (priorOverride.isEmpty && !replace && !freshRemovals &&
+          prevTot.isDefined) {
+        // DV-adding append-shaped commit (upsert/delete micro-batch):
+        // account INCREMENTALLY — the only retirements are the prior
+        // live DVs of the files this commit re-vectors, and those
+        // resolve from the carried DELETE manifests alone (content!=0
+        // in the manifest-list tuple), so an append-heavy table pays
+        // O(delete manifests) metadata reads per commit, not a full
+        // re-walk of every manifest.
+        val reVectored = addedDvs.map(_._1).toSet
+        val superseded = graft.pipeline.Par.map(prior.filter(_._3 != 0))(t =>
+            dvOf(IcebergFormat.readAvro(conf2, new Path(t._1)),
+              addedOnly = false, manSeq = t._4))
+          .flatten
+          .groupBy(_._1).map { case (_, es) => es.maxBy(_._2) }
+          .filter(dv => reVectored.contains(dv._1)).toSeq
+        prevTot.get + added + Tot(delFiles = -superseded.size,
+          posDel = -superseded.map(_._3).sum)
+      } else {
         // full walk with DV dedup: only the HIGHEST-sequence DV per
         // data file is live (the spec's replacement rule)
         val freshByPath = newManifests
           .map(nm => nm.path.toString -> nm.entries).toMap
-        val parsed = graft.pipeline.Par.map(prior.map(_._1) ++ fresh.map(_._1))(
-          p => freshByPath.get(p).filter(_.nonEmpty)
-            .getOrElse(IcebergFormat.readAvro(conf2, new Path(p))))
-        val base0 = parsed.map(totOf(_, addedOnly = false)).foldLeft(Tot())(_ + _)
-        val liveDvs = parsed.flatMap(dvOf(_, addedOnly = false))
+        val withSeq = prior.map(t => (t._1, t._4)) ++ fresh.map(t => (t._1, t._4))
+        val parsed = graft.pipeline.Par.map(withSeq) { case (p, mseq) =>
+          val es = freshByPath.get(p).filter(_.nonEmpty)
+            .getOrElse(IcebergFormat.readAvro(conf2, new Path(p)))
+          (es, mseq)
+        }
+        val base0 = parsed.map(pe => totOf(pe._1, addedOnly = false))
+          .foldLeft(Tot())(_ + _)
+        val liveDvs = parsed
+          .flatMap { case (es, mseq) => dvOf(es, addedOnly = false, manSeq = mseq) }
           .groupBy(_._1).map { case (_, es) => es.maxBy(_._2) }
         base0 + Tot(delFiles = liveDvs.size, posDel = liveDvs.map(_._3).sum)
       }

@@ -33,14 +33,26 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *      missing half on restart.
   *
   * 100 TB shape: per batch the work is the batch's own signatures
-  * (codegen MinHashSig) and one semi-join against the signature
-  * table — the state side is a two-column scan (band keys hash
-  * uniformly, so range pruning cannot help; the batch side is the
-  * small side and broadcasts), and two metadata-sized commits. The
-  * signature table grows as survivors × bands rows — compact it with
-  * the q196 maintenance loop, and at real scale bucket-partition it
-  * on band_key so each batch's probe opens 1/N of the state. */
+  * (codegen MinHashSig), the collision probe, and two metadata-sized
+  * commits. With `stateBuckets > 0` the signature table is laid out
+  * `bucket[N](band_key)` (hidden-transform partitioned appends — one
+  * manifest per bucket per batch), and the probe PRUNES: the batch's
+  * distinct band keys map through the spec's murmur3 at the
+  * MANIFEST level, so the state-side scan opens only the buckets the
+  * batch actually touches — per-batch probe I/O is bounded by the
+  * batch's bucket fan-out, not the state size. A batch whose distinct
+  * keys exceed `probeKeyCap` touches (nearly) every bucket anyway and
+  * falls back to the full scan — the cap bounds DRIVER memory by the
+  * batch, never the state. The signature table grows as
+  * survivors × bands rows — compact it per-partition with the q196
+  * maintenance loop ([[IcebergWrite.compact]] preserves the spec). */
 object DedupStream {
+
+  /** (kept, pruned) data files of the last state probe — same
+    * single-threaded test-introspection contract as
+    * [[IcebergInterop.lastManifestScan]]. */
+  @volatile private[graft] var lastProbeFiles: (Int, Int) = (0, 0)
+  @volatile private[graft] var lastProbeManifests: (Int, Int) = (0, 0)
 
   def dedupSink(
       spark: SparkSession,
@@ -54,6 +66,10 @@ object DedupStream {
       shingleSize: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
+      // > 0: bucket[N](band_key) signature-table layout + manifest-
+      // pruned probes; 0 keeps the unpartitioned layout
+      stateBuckets: Int = 0,
+      probeKeyCap: Int = 100000,
       postCommitHook: (Long, Long) => Unit = (_, _) => ()
   ): StreamingQuery = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
@@ -72,12 +88,27 @@ object DedupStream {
                 .as("band_key"))
             .filter(col("band_key").isNotNull)
             .localCheckpoint(false) // collision + state append read it
-          // collisions with PRIOR survivors
+          // collisions with PRIOR survivors — with buckets, a PRUNED
+          // scan of exactly the state buckets this batch's keys hash to
           val stateDrops =
-            if (!IcebergWrite.tableExists(spark, sigDir)) batch.limit(0).select(col(idCol))
-            else keyed.join(IcebergInterop.readIceberg(spark, sigDir)
-                .select(col("band_key")),
-              Seq("band_key"), "left_semi").select(col(idCol))
+            if (!IcebergWrite.tableExists(spark, sigDir))
+              batch.limit(0).select(col(idCol))
+            else {
+              val state =
+                if (stateBuckets <= 0) IcebergInterop.readIceberg(spark, sigDir)
+                else {
+                  val ks = keyed.select(col("band_key")).distinct()
+                    .limit(probeKeyCap + 1).collect().map(_.getString(0))
+                  if (ks.length > probeKeyCap) // touches every bucket anyway
+                    IcebergInterop.readIceberg(spark, sigDir)
+                  else IcebergInterop.readIceberg(spark, sigDir,
+                    stringIn = Map("band_key" -> ks.toSet))
+                }
+              lastProbeFiles = IcebergInterop.lastDataFileScan
+              lastProbeManifests = IcebergInterop.lastManifestScan
+              keyed.join(state.select(col("band_key")),
+                Seq("band_key"), "left_semi").select(col(idCol))
+            }
           // bucket-local suppression within the batch: min id per key
           // wins, larger ids sharing the key drop
           val wb = Window.partitionBy(col("band_key"))
@@ -93,10 +124,14 @@ object DedupStream {
           // between the two commits replays only the missing half
           val sCorpus = IcebergWrite.appendOnce(
             survivors, corpusDir, s"$appId-corpus", batchId)
-          val sSig = IcebergWrite.appendOnce(
-            keyed.join(dropped, Seq(idCol), "left_anti")
-              .select(col(idCol), col("band_key")),
-            sigDir, s"$appId-sig", batchId)
+          val sigRows = keyed.join(dropped, Seq(idCol), "left_anti")
+            .select(col(idCol), col("band_key"))
+          val sSig =
+            if (stateBuckets <= 0)
+              IcebergWrite.appendOnce(sigRows, sigDir, s"$appId-sig", batchId)
+            else IcebergWrite.appendPartitioned(sigRows, sigDir,
+              Seq(("band_key", s"bucket[$stateBuckets]")),
+              txn = Some((s"$appId-sig", batchId)))
           postCommitHook(sCorpus, sSig)
         }
       }

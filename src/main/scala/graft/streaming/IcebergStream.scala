@@ -88,13 +88,20 @@ object IcebergStream {
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val batch1 = BatchTuning.rightSize(batch0)
         if (!batch1.isEmpty) {
-          // within-batch arbitration: the key's HIGHEST sequence wins
+          // within-batch arbitration: the key's HIGHEST sequence wins.
+          // Ties break DETERMINISTICALLY by a hash over the remaining
+          // columns — replay after a crash-before-ledger-commit must
+          // re-pick the SAME winner, or the second attempt commits a
+          // different image than the first (the exactly-once contract
+          // is about images, not just row counts).
           val deduped = sequenceCol match {
             case None => batch1
             case Some(seq) =>
+              val tieCols = batch1.columns.toSeq.filterNot(_ == seq)
               batch1.withColumn("_g_rn", row_number().over(Window
                   .partitionBy(keyCols.map(col): _*)
-                  .orderBy(col(seq).desc)))
+                  .orderBy(col(seq).desc,
+                    xxhash64(tieCols.map(col): _*).asc)))
                 .filter(col("_g_rn") === 1).drop("_g_rn", seq)
           }
           // the tombstone flag RIDES the merge source (clause

@@ -3274,9 +3274,14 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       b.coalesce(2).write.mode("append").parquet(src)
     stage(docs.filter(col("doc_id") % 3 === 0))
     val schema = s.read.parquet(src).schema
+    // bucket[8](band_key) state layout: the per-batch collision probe
+    // prunes state manifests by the batch's key buckets (at this SF a
+    // batch's keys touch most buckets — the layout is exercised for
+    // CORRECTNESS here; DedupStreamSpec pins the strict-subset prune)
     val q = graft.streaming.DedupStream.dedupSink(s,
       s.readStream.schema(schema).parquet(src),
-      "doc_id", "text", s"$tmp/corpus", s"$tmp/sigs", "q212", s"$tmp/ckpt")
+      "doc_id", "text", s"$tmp/corpus", s"$tmp/sigs", "q212", s"$tmp/ckpt",
+      stateBuckets = 8)
     try {
       q.processAllAvailable()
       stage(docs.filter(col("doc_id") % 3 === 1))

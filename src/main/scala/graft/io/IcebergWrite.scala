@@ -166,12 +166,13 @@ object IcebergWrite {
     * regardless of how many partition values exist. */
   private def stagePartitioned(spark: SparkSession, f: FileSystem, root: Path,
       dfWithIds: DataFrame, parts: Seq[(String, String)],
-      resultDts: Seq[DataType]): Seq[(Seq[Option[Any]], Seq[(Path, Long)])] = {
+      resultDts: Seq[DataType],
+      clusterBySpec: Boolean = false): Seq[(Seq[Option[Any]], Seq[(Path, Long)])] = {
     import org.apache.spark.sql.functions.col
     val staging = new Path(root,
       s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
     val pNames = parts.indices.map(i => s"_graft_p$i")
-    val staged = parts.zipWithIndex.foldLeft(dfWithIds) {
+    val staged0 = parts.zipWithIndex.foldLeft(dfWithIds) {
       case (d, ((c, transform), i)) =>
         val pCol =
           if (transform == "identity") col(c)
@@ -180,6 +181,14 @@ object IcebergWrite {
               org.apache.spark.sql.GraftBridge.expression(col(c)), transform))
         d.withColumn(pNames(i), pCol)
     }
+    // clusterBySpec: one shuffle co-locating each partition TUPLE into
+    // one task, so the staged layout is ONE file per tuple per batch
+    // instead of tasks × tuples tiny files — the many-small-partitions
+    // shape (a streaming state table's per-batch appends). Large
+    // scans-worth of rows per tuple should NOT cluster (it would
+    // serialize each tuple's write into a single task).
+    val staged = if (clusterBySpec) staged0.repartition(pNames.map(col): _*)
+      else staged0
     staged.write.partitionBy(pNames: _*).parquet(staging.toString)
     def walk(d: Path, level: Int, acc: Seq[Option[Any]])
         : Seq[(Seq[Option[Any]], Seq[(Path, Long)])] =
@@ -460,11 +469,12 @@ object IcebergWrite {
     * the spec intends. */
   def appendPartitioned(df: DataFrame, dir: String, partCol: String,
                         transform: String = "identity"): Long =
-    appendPartitioned(df, dir, Seq((partCol, transform)), txn = None)
+    appendPartitioned(df, dir, Seq((partCol, transform)), txn = None,
+      clusterBySpec = false)
 
   def appendPartitioned(df: DataFrame, dir: String,
                         parts: Seq[(String, String)]): Long =
-    appendPartitioned(df, dir, parts, txn = None)
+    appendPartitioned(df, dir, parts, txn = None, clusterBySpec = false)
 
   /** MULTI-FIELD partitioned append — the standard event-table layout
     * `(day(ts), bucket(id))` and any other ordered combination of the
@@ -483,7 +493,10 @@ object IcebergWrite {
                         // a replayed batch is recognized and writes
                         // nothing (the streaming dedup state sink).
                         // No default: only ONE overload may carry them.
-                        txn: Option[(String, Long)]): Long = {
+                        txn: Option[(String, Long)],
+                        // co-locate each partition tuple into one task
+                        // before staging (small-batch state appends)
+                        clusterBySpec: Boolean): Long = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val root = new Path(dir)
@@ -517,7 +530,7 @@ object IcebergWrite {
     // each transform's result type.
     val filesOfValue: Seq[(Seq[Option[Any]], Seq[(Path, Long)])] =
       stagePartitioned(spark, f, root, withFieldIds(df, idsByName),
-        parts, resultDts)
+        parts, resultDts, clusterBySpec)
     val allPaths = filesOfValue.flatMap(_._2.map(_._1.toString))
     val stats =
       if (allPaths.isEmpty) Map.empty[String, (Long, Map[Int, (Array[Byte], Array[Byte])])]

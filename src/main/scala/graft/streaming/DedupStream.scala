@@ -131,7 +131,10 @@ object DedupStream {
               IcebergWrite.appendOnce(sigRows, sigDir, s"$appId-sig", batchId)
             else IcebergWrite.appendPartitioned(sigRows, sigDir,
               Seq(("band_key", s"bucket[$stateBuckets]")),
-              txn = Some((s"$appId-sig", batchId)))
+              txn = Some((s"$appId-sig", batchId)),
+              // ONE file per touched bucket per batch — the state
+              // table must not fragment into tasks × buckets shards
+              clusterBySpec = true)
           postCommitHook(sCorpus, sSig)
         }
       }

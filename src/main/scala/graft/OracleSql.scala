@@ -851,6 +851,20 @@ object OracleSql {
         |SELECT _change_type, lang, count(*)::BIGINT AS n,
         |  sum(n_chars)::BIGINT AS chars, sum(rid)::BIGINT AS sum_row_id
         |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q215: v3 default values — pre-add thirds read the default (5),
+    // the post-add third carries explicit doc_id % 7, the shifted
+    // copy lands through write-default (5)
+    "q215_iceberg_defaults" ->
+      """WITH base AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN doc_id % 3 = 2 THEN doc_id % 7 ELSE 5 END AS grade
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT lang, n_chars, 5 AS grade FROM documents WHERE doc_id % 3 = 0
+        |)
+        |SELECT lang, grade::BIGINT AS grade, count(*)::BIGINT AS n,
+        |  sum(n_chars)::BIGINT AS chars
+        |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q214: the replicated mirror == the source's final state
     "q214_lineage_replication" ->
       """SELECT lang, count(*)::BIGINT AS n,

@@ -3587,4 +3587,41 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .orderBy(col("event_type"))
   }
+
+  /** q215 — V3 FIELD DEFAULT VALUES end-to-end (iceberg.apache.org/
+    * spec/ "Default values"): two pre-add appends, `addColumn` with an
+    * initial/write default (format bumps to v3), one post-add append
+    * with EXPLICIT values, one append OMITTING the column entirely
+    * (write-default fills it). Pre-add files read the DEFAULT — per
+    * file, through the adding snapshot's pinned schema-id — never
+    * null; DuckDB replays the rule with CASE arithmetic. In-query
+    * asserts pin the v3 bump and that time travel before the add
+    * reads the old shape. */
+  private[graft] def q215(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{IcebergInterop, IcebergWrite}
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q215") + "/t"
+    IcebergWrite.append(docs.filter(col("doc_id") % 3 === 0), tmp)   // pre-add
+    IcebergWrite.append(docs.filter(col("doc_id") % 3 === 1), tmp)   // pre-add
+    val preSnap = IcebergInterop.readJson(s,
+      IcebergInterop.currentMetadataPath(s, tmp))
+      .path("current-snapshot-id").asLong
+    IcebergWrite.addColumn(s, tmp, "grade",
+      org.apache.spark.sql.types.LongType, default = Some(5L))
+    IcebergWrite.append(docs.filter(col("doc_id") % 3 === 2)
+      .withColumn("grade", col("doc_id") % 7), tmp)                  // explicit
+    IcebergWrite.append(docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L), tmp)          // write-default
+    val meta = IcebergInterop.readJson(s,
+      IcebergInterop.currentMetadataPath(s, tmp))
+    require(meta.path("format-version").asInt == 3,
+      "a default-bearing add must bump the table to v3")
+    require(!IcebergInterop.readIceberg(s, tmp, Some(preSnap))
+      .columns.contains("grade"),
+      "time travel before the add reads the old shape")
+    IcebergInterop.readIceberg(s, tmp)
+      .groupBy(col("lang"), col("grade"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"), col("grade"))
+  }
 }

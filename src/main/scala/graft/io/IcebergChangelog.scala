@@ -132,6 +132,39 @@ object IcebergChangelog {
     if (s.op == "replace") return None
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val a = addedOf(spark, s)
+    // v3 initial-default support for the changelog's RAW file reads
+    // (inserts + delete preimages): per-file applicability through the
+    // snapshot's manifest entries — built lazily, only when the schema
+    // actually declares defaults
+    val meta = IcebergInterop.readJson(spark,
+      IcebergInterop.currentMetadataPath(spark, dir))
+    lazy val fileSnapAll: Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      def gn(r: org.apache.avro.generic.GenericRecord, n: String): Option[Long] =
+        Option(r.getSchema.getField(n)).flatMap(_ => Option(r.get(n)))
+          .map(_.asInstanceOf[Number].longValue)
+      graft.pipeline.Par.map(IcebergInterop.avroRecords(spark,
+          new Path(IcebergInterop.resolve(s.manifestList)))
+          .filter(m => Option(m.get("content")).forall(
+            _.asInstanceOf[Number].intValue == 0))
+          .map(m => (m.get("manifest_path").toString,
+            gn(m, "added_snapshot_id").getOrElse(-1L),
+            gn(m, "sequence_number").getOrElse(0L)))) {
+        case (mp, mSnap, mSeq) =>
+          IcebergInterop.avroRecords(spark, new Path(IcebergInterop.resolve(mp)))
+            .filter(e => Option(e.get("status")).forall(
+              _.asInstanceOf[Number].intValue != 2))
+            .map { e =>
+              val df = e.get("data_file")
+                .asInstanceOf[org.apache.avro.generic.GenericRecord]
+              canon(IcebergInterop.resolve(df.get("file_path").toString)) ->
+                ((gn(e, "snapshot_id").getOrElse(mSnap),
+                  gn(e, "sequence_number").getOrElse(mSeq)))
+            }
+      }.flatten.toMap
+    }
+    def withDefaults(raw: DataFrame): DataFrame =
+      IcebergInterop.applyInitialDefaults(spark, meta, raw, schema, fileSnapAll)
     // lineage: (canon path -> first_row_id) over the snapshot's FULL
     // manifest set (preimages may live in carried manifests), and a
     // read schema requesting the materialized reserved column
@@ -157,8 +190,8 @@ object IcebergChangelog {
     if (s.op == "overwrite" && !a.carriedAny && !rowDelta && s.parent.isDefined)
       frames += tagged(parentLineage(s.parent), "delete")
     if (a.dataFiles.nonEmpty)
-      frames += tagged(withRid(
-        spark.read.schema(readSchema).parquet(a.dataFiles: _*)), "insert")
+      frames += tagged(withRid(withDefaults(
+        spark.read.schema(readSchema).parquet(a.dataFiles: _*))), "insert")
     // position deletes + DV diffs → (file, pos) pairs → preimage join
     val pairFrames = Seq.newBuilder[DataFrame]
     if (a.posDeletes.nonEmpty)
@@ -200,7 +233,8 @@ object IcebergChangelog {
       val refFiles = pairs.select("_cf").distinct()
         .collect().map(_.getString(0)) // file-count bounded
       if (refFiles.nonEmpty) {
-        val raw = withRid(spark.read.schema(readSchema).parquet(refFiles.toSeq: _*))
+        val raw = withRid(withDefaults(
+          spark.read.schema(readSchema).parquet(refFiles.toSeq: _*)))
           .withColumn("_cf",
             regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
           .withColumn("_cp", col("_metadata.row_index"))

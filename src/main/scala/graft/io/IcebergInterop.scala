@@ -62,7 +62,7 @@ object IcebergInterop {
   /** Latest metadata JSON under `dir/metadata`: `version-hint.text`
     * when present (the file-system-catalog convention), else the
     * highest `v<N>.metadata.json`. */
-  private[io] def currentMetadataPath(spark: SparkSession, dir: String): Path = {
+  private[graft] def currentMetadataPath(spark: SparkSession, dir: String): Path = {
     val meta = new Path(dir, "metadata")
     val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(f.exists(meta), s"$dir has no metadata/ dir — not an Iceberg table")
@@ -90,7 +90,7 @@ object IcebergInterop {
     }
   }
 
-  private[io] def readJson(spark: SparkSession, p: Path): JsonNode = {
+  private[graft] def readJson(spark: SparkSession, p: Path): JsonNode = {
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = f.open(p)
     try M.readTree(in) finally in.close()
@@ -134,16 +134,151 @@ object IcebergInterop {
   private def fieldIdMeta(id: Long) =
     new MetadataBuilder().putLong(FieldIdKey, id).build()
 
+  /** v3 field default values ride the schema JSON as
+    * `initial-default` (the value rows written BEFORE the field was
+    * added must read as) and `write-default`; the raw JSON is carried
+    * in the StructField metadata so the scan can apply it per file. */
+  private[io] val InitialDefaultKey = "iceberg.initial-default"
+
   private def fieldsOf(fields: JsonNode): Seq[StructField] = {
     import scala.jdk.CollectionConverters._
     fields.elements().asScala.map { fd =>
       val f = StructField(fd.path("name").asText, toSparkType(fd.path("type")),
         nullable = !fd.path("required").asBoolean(false))
-      if (fd.path("id").isInt)
-        f.copy(metadata = new MetadataBuilder()
-          .putLong(FieldIdKey, fd.path("id").asLong).build())
-      else f
+      val mb = new MetadataBuilder()
+      if (fd.path("id").isInt) mb.putLong(FieldIdKey, fd.path("id").asLong)
+      if (fd.has("initial-default") && !fd.path("initial-default").isNull)
+        mb.putString(InitialDefaultKey, fd.path("initial-default").toString)
+      val meta = mb.build()
+      if (meta == org.apache.spark.sql.types.Metadata.empty) f
+      else f.copy(metadata = meta)
     }.toSeq
+  }
+
+  /** The schema's fields carrying a v3 `initial-default`:
+    * (field, field id, raw default JSON). */
+  private[graft] def initialDefaultFields(
+      schema: StructType): Seq[(StructField, Long, String)] =
+    schema.fields.toSeq.flatMap { sf =>
+      if (sf.metadata.contains(InitialDefaultKey) &&
+          sf.metadata.contains(FieldIdKey))
+        Some((sf, sf.metadata.getLong(FieldIdKey),
+          sf.metadata.getString(InitialDefaultKey)))
+      else None
+    }
+
+  /** Patch `raw` (a parquet scan exposing `_metadata`) so fields with
+    * a v3 `initial-default` read the DEFAULT (not null) from files
+    * that PREDATE the field. Applicability resolves per file
+    * METADATA-ONLY: `fileSnap` maps each canonical file path to its
+    * ADDING snapshot, the snapshot pins a schema-id, and that schema
+    * either contains the field id or predates it — then one broadcast
+    * (path → needs-default flag) join patches the columns. A file
+    * whose adding snapshot has been expired out of the metadata
+    * refuses by name (silently reading null where the spec requires
+    * the default is the one wrong answer). No-op (zero cost) when the
+    * schema declares no defaults. */
+  private[graft] def applyInitialDefaults(spark: SparkSession, meta: JsonNode,
+      raw: DataFrame, schema: StructType,
+      fileSnap: => Map[String, (Long, Long)]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.{broadcast, col, when}
+    val defFields = initialDefaultFields(schema)
+    if (defFields.isEmpty) return raw
+    val schemaFieldIds: Map[Int, Set[Long]] =
+      (if (meta.has("schemas")) meta.path("schemas").elements().asScala.toSeq
+       else Seq(meta.path("schema"))).map { s1 =>
+        s1.path("schema-id").asInt(0) ->
+          s1.path("fields").elements().asScala.map(_.path("id").asLong).toSet
+      }.toMap
+    val snapSchemaId: Map[Long, Int] =
+      meta.path("snapshots").elements().asScala.map(s1 =>
+        s1.path("snapshot-id").asLong(-1L) ->
+          (if (s1.has("schema-id")) s1.path("schema-id").asInt else -1)).toMap
+    // expiry-safe fallback: a graft addColumn-with-default stamps the
+    // sequence at add time — files with data sequence ≤ it predate the
+    // field even when their adding snapshot has been expired
+    val addedSeqOf: Map[Long, Long] = defFields.flatMap { case (_, fid, _) =>
+      val p = meta.path("properties").path(s"graft.field-added-seq.$fid")
+      if (p.isMissingNode || p.isNull) None else Some(fid -> p.asText.toLong)
+    }.toMap
+    def missingFids(path: String, snapId: Long, dataSeq: Long): Set[Long] = {
+      val scId = snapSchemaId.getOrElse(snapId, -2)
+      if (scId >= 0) {
+        val have = schemaFieldIds.getOrElse(scId,
+          throw new IllegalArgumentException(
+            s"schema-id $scId not in table metadata"))
+        defFields.map(_._2).filterNot(have.contains).toSet
+      } else defFields.map(_._2).filter { fid =>
+        addedSeqOf.get(fid) match {
+          case Some(addSeq) => dataSeq <= addSeq
+          case None => throw new IllegalArgumentException(
+            s"data file $path was added by snapshot $snapId which is " +
+            "no longer in table metadata (and carries no schema-id " +
+            "fallback) — cannot resolve v3 initial-default " +
+            "applicability; compact the table first")
+        }
+      }.toSet
+    }
+    val rowsJ = fileSnap.toSeq.map { case (p, (sid, seq)) =>
+      val miss = missingFids(p, sid, seq)
+      org.apache.spark.sql.Row.fromSeq(p +:
+        defFields.map { case (_, fid, _) => miss.contains(fid) })
+    }.asJava
+    val defDf = broadcast(spark.createDataFrame(rowsJ, StructType(
+      StructField("_def_path", StringType) +:
+        defFields.map { case (_, fid, _) =>
+          StructField(s"_def_$fid", BooleanType) })))
+    var b = raw.withColumn("_def_p", canonPath(col("_metadata.file_path")))
+      .join(defDf, col("_def_p") === col("_def_path"), "left")
+    defFields.foreach { case (sf, fid, json) =>
+      b = b.withColumn(sf.name,
+        when(col(s"_def_$fid") === true,
+          defaultLiteral(sf.dataType, json).cast(sf.dataType))
+          .otherwise(col(sf.name)))
+    }
+    b.drop("_def_p" +: "_def_path" +: defFields.map(f => s"_def_${f._2}"): _*)
+  }
+
+  /** Per-column ready-to-use literals for the schema's v3
+    * `write-default` fields — the write funnel fills these in when a
+    * frame omits the column. */
+  private[io] def writeDefaultColumns(
+      schemaNode: JsonNode): Map[String, org.apache.spark.sql.Column] = {
+    import scala.jdk.CollectionConverters._
+    schemaNode.path("fields").elements().asScala.flatMap { fd =>
+      if (fd.has("write-default") && !fd.path("write-default").isNull)
+        Some(fd.path("name").asText -> defaultLiteral(
+          toSparkType(fd.path("type")), fd.path("write-default").toString))
+      else None
+    }.toMap
+  }
+
+  /** A Spark literal for a v3 default value (the spec's JSON
+    * single-value serialization), typed by the FIELD's type. Types
+    * without a supported mapping refuse by name — never a silent
+    * null. */
+  private[io] def defaultLiteral(dt: DataType,
+      json: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    dt match {
+      case BooleanType => lit(node.asBoolean)
+      case IntegerType => lit(node.asInt)
+      case LongType => lit(node.asLong)
+      case FloatType => lit(node.asDouble.toFloat)
+      case DoubleType => lit(node.asDouble)
+      case StringType => lit(node.asText)
+      case DateType => lit(java.sql.Date.valueOf(node.asText))
+      case TimestampNTZType =>
+        lit(java.time.LocalDateTime.parse(node.asText))
+      case TimestampType => lit(java.sql.Timestamp.from(
+        java.time.OffsetDateTime.parse(node.asText).toInstant))
+      case d: DecimalType =>
+        lit(new java.math.BigDecimal(node.asText)).cast(d)
+      case other => throw new IllegalArgumentException(
+        s"v3 default value for type $other is not supported")
+    }
   }
 
   /** The schema NODE to read with: `schemaId`'s entry when given (a
@@ -191,7 +326,11 @@ object IcebergInterop {
     * range predicate names). */
   private final case class DataFileEntry(path: String, seq: Long,
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
-      firstRowId: Option[Long] = None)
+      firstRowId: Option[Long] = None,
+      // the snapshot that ADDED the file (entry-level when present,
+      // the manifest's added_snapshot_id otherwise; -1 = unknown/v1)
+      // — v3 initial-default applicability resolves through it
+      snapId: Long = -1L)
 
   /** A v3 deletion vector reference: the Puffin file holding the
     * blob, its offset/size, the data file it masks, and the entry's
@@ -297,7 +436,7 @@ object IcebergInterop {
                         idIn: Map[Int, (DataType, Seq[Array[Byte]])] = Map.empty): SnapshotFiles = {
     import scala.jdk.CollectionConverters._
     var skipped = 0
-    val manifests: Seq[(String, Int, Long)] =
+    val manifests: Seq[(String, Int, Long, Long)] =
       if (snapshot.has("manifest-list")) {
         avroRecords(spark, new Path(resolve(snapshot.path("manifest-list").asText)))
           .filter { m =>
@@ -328,10 +467,11 @@ object IcebergInterop {
             keep
           }
           .map(m => (str(m, "manifest_path"), intOr(m, "content", 0),
-            longOr(m, "sequence_number", 0L)))
+            longOr(m, "sequence_number", 0L),
+            longOr(m, "added_snapshot_id", -1L)))
       } else // v1: inline manifest path array (v1 has no deletes)
         snapshot.path("manifests").elements().asScala
-          .map(p => (p.asText, 0, 0L)).toSeq
+          .map(p => (p.asText, 0, 0L, -1L)).toSeq
     lastManifestScan = (manifests.length, skipped)
     val data = Seq.newBuilder[DataFileEntry]
     val posDeletes = Seq.newBuilder[String]
@@ -346,7 +486,7 @@ object IcebergInterop {
           kv.get("key").asInstanceOf[Number].intValue -> b
         }.toMap
       }.getOrElse(Map.empty)
-    manifests.foreach { case (mp, _, mseq) =>
+    manifests.foreach { case (mp, _, mseq, mSnap) =>
       avroRecords(spark, new Path(resolve(mp))).foreach { e =>
         val status = intOr(e, "status", 0)
         if (status != 2) { // 2 = DELETED entry: file dropped in this snapshot
@@ -379,7 +519,8 @@ object IcebergInterop {
               boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"),
               Option(df.getSchema.getField("first_row_id"))
                 .flatMap(_ => Option(df.get("first_row_id")))
-                .map(_.asInstanceOf[Number].longValue))
+                .map(_.asInstanceOf[Number].longValue),
+              snapId = longOr(e, "snapshot_id", mSnap))
             case 1 => posDeletes += path
             case 2 =>
               val ids = Option(df.getSchema.getField("equality_ids"))
@@ -672,10 +813,15 @@ object IcebergInterop {
                 .drop("_lin_p", "_lin_pos", "_lin_path", "_lin_first",
                   "_lin_seq", "_lin_mat", "_lin_mseq")
             }
+          // v3 FIELD DEFAULTS: a field added with `initial-default`
+          // reads the DEFAULT (not null) from files that predate it —
+          // per-file, metadata-only ([[applyInitialDefaults]]).
+          val baseD = applyInitialDefaults(spark, meta, base, schema,
+            inv.data.map(e => canonPathStr(e.path) -> ((e.snapId, e.seq))).toMap)
           val outCols = (schema.fieldNames.toSeq ++
             (if (withLineage) lineageFields.map(_.name) else Nil)).map(col)
           if (inv.posDeletes.isEmpty && inv.eqDeletes.isEmpty && inv.dvs.isEmpty)
-            residual(base.select(outCols ++ (if (!withProvenance) Nil
+            residual(baseD.select(outCols ++ (if (!withProvenance) Nil
               else Seq(canonPath(col("_metadata.file_path")).as("_graft_file"),
                 col("_metadata.row_index").as("_graft_pos"))): _*))
           else {
@@ -686,7 +832,7 @@ object IcebergInterop {
             // sides are tiny next to the data — Catalyst broadcasts
             // them from scan stats — and the data side stays one
             // pruned parquet scan.
-            var cur = base
+            var cur = baseD
               .withColumn("_g_path", canonPath(col("_metadata.file_path")))
               .withColumn("_g_pos", col("_metadata.row_index"))
             if (inv.dvs.nonEmpty) {
@@ -1167,6 +1313,21 @@ object IcebergInterop {
       s"streaming from $dir: the snapshot carries row-level deletes " +
       "(position/equality/DV) — compact the table first; raw-file replay would resurrect masked rows")
     inv.data.map(_.path).sorted
+  }
+
+  /** (canonical data-file path → ADDING snapshot id) of `snapshotId`'s
+    * live set — the per-file attribution a streaming source needs to
+    * apply v3 initial-defaults to its origin backfill. */
+  private[graft] def streamSnapshotFileSnaps(spark: SparkSession, dir: String,
+      snapshotId: Long): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val meta = readJson(spark, currentMetadataPath(spark, dir))
+    val snap = meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == snapshotId)
+      .getOrElse(throw new IllegalStateException(
+        s"snapshot $snapshotId not found at $dir"))
+    liveFiles(spark, dir, snap, meta).data
+      .map(e => canonPathStr(e.path) -> ((e.snapId, e.seq))).toMap
   }
 
   /** The data files ADDED by snapshot `snapshotId` (the tail unit):

@@ -316,10 +316,21 @@ object IcebergWrite {
     * (zero file work): a new schema entry with a FRESH field id past
     * `last-column-id`, `current-schema-id` bumped, snapshots and specs
     * untouched. Old files surface NULL for the column through the
-    * reader's field-id resolution; the next append must carry it. */
+    * reader's field-id resolution; the next append must carry it.
+    *
+    * `default` (v3 "Default values"): stamps the value as BOTH
+    * `initial-default` (rows written before the add read it instead
+    * of null) and `write-default` (writes may omit the column), in
+    * the spec's JSON single-value serialization; implies
+    * format-version 3. */
   def addColumn(spark: SparkSession, dir: String, name: String,
-                dataType: DataType): Long =
-    evolveSchema(spark, dir, s"ADD COLUMN $name") { (fields, lastId) =>
+                dataType: DataType, default: Option[Any] = None): Long =
+    evolveSchema(spark, dir, s"ADD COLUMN $name",
+        minFormatVersion = if (default.isDefined) 3 else 0,
+        // survive snapshot expiry: when a live file's ADDING snapshot
+        // is no longer in metadata, initial-default applicability
+        // falls back to "data sequence ≤ the sequence at add time"
+        stampAddedSeqForNewFields = default.isDefined) { (fields, lastId) =>
       import scala.jdk.CollectionConverters._
       require(!fields.asScala.exists(_.path("name").asText == name),
         s"column $name already exists at $dir")
@@ -327,8 +338,32 @@ object IcebergWrite {
       fn.put("id", lastId + 1); fn.put("name", name)
       fn.put("required", false)
       fn.put("type", IcebergFormat.icebergType(dataType))
+      default.foreach { v =>
+        val jn = defaultJsonNode(dataType, v)
+        fn.set[JsonNode]("initial-default", jn)
+        fn.set[JsonNode]("write-default", jn)
+      }
       (fields.asScala.toSeq :+ (fn: JsonNode), lastId + 1)
     }
+
+  /** The spec's JSON single-value serialization of a default value,
+    * typed by the column. Unsupported (type, value) pairs refuse by
+    * name — a misdeclared default would poison every future read. */
+  private def defaultJsonNode(dt: DataType, v: Any): JsonNode = (dt, v) match {
+    case (BooleanType, b: Boolean) => M.getNodeFactory.booleanNode(b)
+    case (IntegerType, i: Int) => M.getNodeFactory.numberNode(i)
+    case (LongType, l: Long) => M.getNodeFactory.numberNode(l)
+    case (FloatType, f: Float) => M.getNodeFactory.numberNode(f)
+    case (DoubleType, d: Double) => M.getNodeFactory.numberNode(d)
+    case (StringType, s: String) => M.getNodeFactory.textNode(s)
+    case (DateType, d: java.sql.Date) => M.getNodeFactory.textNode(d.toString)
+    case (DateType, d: java.time.LocalDate) =>
+      M.getNodeFactory.textNode(d.toString)
+    case (_: DecimalType, d: java.math.BigDecimal) =>
+      M.getNodeFactory.textNode(d.toPlainString)
+    case (t, other) => throw new IllegalArgumentException(
+      s"default value $other is not supported for Iceberg type $t")
+  }
 
   /** RENAME a column — metadata-only: the field keeps its ID (ids are
     * how evolved tables keep reading their old files), only the name
@@ -359,7 +394,13 @@ object IcebergWrite {
     * swap appends use. Snapshots, specs, and every data file are
     * untouched — old snapshots keep their pinned schema-ids for time
     * travel. Returns the new metadata version. */
-  private def evolveSchema(spark: SparkSession, dir: String, what: String)(
+  private def evolveSchema(spark: SparkSession, dir: String, what: String,
+      minFormatVersion: Int = 0,
+      // stamp `graft.field-added-seq.<fid>` = the table's current
+      // last-sequence-number for every NEW field id this evolution
+      // assigns — the expiry-safe fallback for initial-default
+      // applicability (files whose data sequence ≤ it predate the add)
+      stampAddedSeqForNewFields: Boolean = false)(
       evolve: (com.fasterxml.jackson.databind.node.ArrayNode, Int) =>
         (Seq[JsonNode], Int)): Long = {
     import scala.jdk.CollectionConverters._
@@ -387,6 +428,17 @@ object IcebergWrite {
       newFields.foreach(arr.add)
       n.put("current-schema-id", newSchemaId)
       n.put("last-column-id", newLastId)
+      if (minFormatVersion > n.path("format-version").asInt(2))
+        n.put("format-version", minFormatVersion) // one-way upgrade
+      if (stampAddedSeqForNewFields && newLastId > lastId) {
+        val props =
+          if (n.path("properties").isObject)
+            n.path("properties").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          else n.putObject("properties")
+        val seqNow = m.path("last-sequence-number").asLong(0L)
+        (lastId + 1 to newLastId).foreach(fid =>
+          props.put(s"graft.field-added-seq.$fid", seqNow.toString))
+      }
       val prevUpdated = m.path("last-updated-ms").asLong(System.currentTimeMillis())
       n.put("last-updated-ms", System.currentTimeMillis())
       // metadata-log: record the version this evolution supersedes
@@ -2844,11 +2896,11 @@ object IcebergWrite {
     }.maxOption.getOrElse(-1L)
   }
 
-  private def write(df: DataFrame, dir: String, replace: Boolean,
+  private def write(df0: DataFrame, dir: String, replace: Boolean,
                     txn: Option[(String, Long)] = None,
                     sortBy: Seq[(String, Boolean)] = Nil,
                     lineage: Boolean = false): Long = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     val f = fs(spark, dir)
     val root = new Path(dir)
     f.mkdirs(new Path(root, "metadata")); f.mkdirs(new Path(root, "data"))
@@ -2861,6 +2913,18 @@ object IcebergWrite {
     }
     val v0 = currentVersion(f, root)
     val meta0 = readMeta(f, root, v0)
+    // v3 write-default: a column the frame OMITS but the schema
+    // declares with a write-default fills with the default literal
+    // (the spec's write contract); omitted columns WITHOUT a default
+    // still refuse below.
+    val df = meta0 match {
+      case Some(m) =>
+        val defs = IcebergInterop.writeDefaultColumns(currentSchemaNode(m))
+        currentFieldIds(m).map(_._1)
+          .filterNot(df0.columns.contains).filter(defs.contains)
+          .foldLeft(df0)((d, c) => d.withColumn(c, defs(c)))
+      case None => df0
+    }
 
     // field ids from the CURRENT schema (stable across evolution); a
     // brand-new table assigns 1..n positionally

@@ -316,15 +316,35 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
     snapPart ++ tailPart
   }
 
+  /** Origin files → adding snapshot, for v3 initial-default
+    * attribution (built once, only when the schema declares any). */
+  private lazy val originFileSnap: Map[String, (Long, Long)] =
+    IcebergInterop.streamSnapshotFileSnaps(spark, dir, origin.snapshotId)
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endO = IcebergSourceOffset.from(end)
     val startO = start.map(IcebergSourceOffset.from)
     if (readChanges) return getChangeBatch(startO, endO)
     val files = filesBetween(startO, endO)
     if (files.isEmpty) GraftBridge.emptyStreamingBatch(spark, schema)
-    else GraftBridge.asStreamingBatch(
-      spark.read.schema(lockedSchema).parquet(files: _*)
+    else {
+      val raw = spark.read.schema(lockedSchema).parquet(files: _*)
+      // v3 initial-default: files predating a defaulted field surface
+      // the DEFAULT, not null — same per-file resolution as the batch
+      // reader (zero cost for schemas without defaults)
+      val patched =
+        if (IcebergInterop.initialDefaultFields(lockedSchema).isEmpty) raw
+        else IcebergInterop.applyInitialDefaults(spark,
+          IcebergInterop.readJson(spark,
+            IcebergInterop.currentMetadataPath(spark, dir)),
+          raw, lockedSchema,
+          originFileSnap ++ tailSnaps().flatMap { case (seq, id, op) =>
+            addedOf(seq, id, op).map(p =>
+              graft.io.IcebergInterop.canonPathStr(p) -> ((id, seq)))
+          }.toMap)
+      GraftBridge.asStreamingBatch(patched
         .select(lockedSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
+    }
   }
 
   /** Change-mode batch: the origin backfill emits as pure inserts

@@ -851,6 +851,12 @@ object OracleSql {
         |SELECT _change_type, lang, count(*)::BIGINT AS n,
         |  sum(n_chars)::BIGINT AS chars, sum(rid)::BIGINT AS sum_row_id
         |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q216: write-audit-publish — the published state is the corpus
+    // minus the staged delete band
+    "q216_iceberg_wap" ->
+      """SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+        |FROM documents WHERE doc_id % 10 NOT IN (4, 5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q215: v3 default values — pre-add thirds read the default (5),
     // the post-add third carries explicit doc_id % 7, the shifted
     // copy lands through write-default (5)

@@ -3624,4 +3624,42 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("lang"), col("grade"))
   }
+
+  /** q216 — WRITE-AUDIT-PUBLISH (branch writes,
+    * iceberg.apache.org/spec/ "References"): the odd half of the
+    * corpus stages as two appends + a DV delete on an `audit` branch
+    * ([[graft.io.IcebergWrite.onBranch]]) while main stays pinned
+    * (asserted in-query), the audit read goes through the SQL
+    * front-end's `VERSION AS OF 'audit'`, and
+    * [[graft.io.IcebergWrite.fastForward]] publishes. The delete band
+    * (doc_id % 10 IN (4, 5)) straddles BOTH the main-seeded rows and
+    * the staged ones — branch masking of main data without touching
+    * main. DuckDB replays the published state. */
+  private[graft] def q216(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{IcebergInterop, IcebergWrite}
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q216") + "/t"
+    IcebergWrite.append(docs.filter(col("doc_id") % 2 === 0), tmp)   // main seed
+    val mainBefore = IcebergInterop.readIceberg(s, tmp).count()
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.append(docs.filter(col("doc_id") % 4 === 1), tmp) // staged 1
+      IcebergWrite.append(docs.filter(col("doc_id") % 4 === 3), tmp) // staged 2
+      val (_, nDel) = IcebergWrite.deleteWhereDV(s, tmp,
+        col("doc_id") % 10 === 4 || col("doc_id") % 10 === 5)        // staged fix
+      require(nDel > 0, "the staged delete must hit")
+    }
+    require(IcebergInterop.readIceberg(s, tmp).count() == mainBefore,
+      "main must stay pinned while the branch stages")
+    val audited = s.sql(
+      s"SELECT count(*) AS n FROM iceberg.`$tmp` VERSION AS OF 'audit'")
+      .head().getLong(0)
+    require(audited ==
+      docs.filter(col("doc_id") % 10 =!= 4 && col("doc_id") % 10 =!= 5).count(),
+      "the SQL audit read must see the full staged state")
+    IcebergWrite.fastForward(s, tmp, "audit")
+    IcebergInterop.readIceberg(s, tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+  }
 }

@@ -933,10 +933,11 @@ object IcebergInterop {
     * commit-time validation ([[IcebergWrite]] rebases only when the
     * files its delete references are still live — Iceberg's
     * validateDataFilesExist). Metadata-sized driver work. */
-  private[graft] def liveDataPaths(spark: SparkSession, dir: String): Seq[String] = {
+  private[graft] def liveDataPaths(spark: SparkSession, dir: String,
+                                   atSnapshot: Option[Long] = None): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val meta = readJson(spark, currentMetadataPath(spark, dir))
-    val cur = meta.path("current-snapshot-id").asLong(-1L)
+    val cur = atSnapshot.getOrElse(meta.path("current-snapshot-id").asLong(-1L))
     meta.path("snapshots").elements().asScala
       .find(_.path("snapshot-id").asLong(-2L) == cur)
       .map(s0 => liveFiles(spark, dir, s0).data.map(e => canonPathStr(e.path)))

@@ -672,8 +672,9 @@ object IcebergWrite {
     val v0 = currentVersion(f, root)
     require(v0 > 0, s"$dir has no snapshots to delete from")
     def currentSnap(): Long = readMeta(f, root, currentVersion(f, root))
-      .map(_.path("current-snapshot-id").asLong(-1L)).getOrElse(-1L)
-    val hits = IcebergInterop.readIceberg(spark, dir, ranges = ranges,
+      .map(headIdOf).getOrElse(-1L)
+    val hits = IcebergInterop.readIceberg(spark, dir,
+        snapshotId = readSnapAt(f, root), ranges = ranges,
         withProvenance = true)
       .filter(predicate)
       .select(
@@ -749,7 +750,8 @@ object IcebergWrite {
           // them ⇒ the delete would mask nothing while reporting
           // rowsDeleted>0 (a silently lost delete) — fail loudly
           // instead, like overwrite does.
-          val live = IcebergInterop.liveDataPaths(spark, dir).toSet
+          val live = IcebergInterop.liveDataPaths(spark, dir,
+            readSnapAt(f, root)).toSet
           val gone = referenced.filterNot(live)
           if (gone.nonEmpty) {
             delFiles.foreach { case (p, _) => f.delete(p, false) }
@@ -809,7 +811,8 @@ object IcebergWrite {
     // `_last_updated_sequence_number` inherits the new file's sequence
     // (exactly "updated at this commit")
     val lineageOn = nextRowIdOf(Some(m0)).isDefined
-    val hits = IcebergInterop.readIceberg(spark, dir, ranges = ranges,
+    val hits = IcebergInterop.readIceberg(spark, dir,
+        snapshotId = readSnapAt(f, root), ranges = ranges,
         withProvenance = true, withLineage = lineageOn)
       .filter(predicate)
       .localCheckpoint(false) // two consumers below — pin one scan
@@ -899,7 +902,8 @@ object IcebergWrite {
       if (lineageOn) Seq(col(s"t.${IcebergFormat.RowIdCol}")
         .as(IcebergFormat.RowIdCol)) else Nil
     val linNames = if (lineageOn) Seq(IcebergFormat.RowIdCol) else Nil
-    val t = IcebergInterop.readIceberg(spark, dir, ranges = ranges,
+    val t = IcebergInterop.readIceberg(spark, dir,
+      snapshotId = readSnapAt(f, root), ranges = ranges,
       withProvenance = true, withLineage = lineageOn)
     val typed = StructType(schemaNames.map(nm =>
       StructField(nm, t.schema(nm).dataType)))
@@ -947,7 +951,8 @@ object IcebergWrite {
     val bsHits = if (notMatchedBySource.isEmpty) None else {
       val tFull =
         if (ranges.isEmpty) t
-        else IcebergInterop.readIceberg(spark, dir, withProvenance = true,
+        else IcebergInterop.readIceberg(spark, dir,
+          snapshotId = readSnapAt(f, root), withProvenance = true,
           withLineage = lineageOn)
       val firedB = notMatchedBySource.zipWithIndex.foldRight(lit(-1)) {
         case ((cl, i), acc) =>
@@ -1026,7 +1031,7 @@ object IcebergWrite {
     val m0 = readMeta(f, root, v0).get
     val idsByName = currentFieldIds(m0).toMap
     def currentSnap(): Long = readMeta(f, root, currentVersion(f, root))
-      .map(_.path("current-snapshot-id").asLong(-1L)).getOrElse(-1L)
+      .map(headIdOf).getOrElse(-1L)
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
 
     def stage(df: DataFrame, prefix: String): Seq[(Path, Long)] = {
@@ -1065,7 +1070,7 @@ object IcebergWrite {
       if (dvPerFile.isEmpty) None
       else {
         val conf = spark.sparkContext.hadoopConfiguration
-        val prior = IcebergInterop.liveDvs(spark, dir)
+        val prior = IcebergInterop.liveDvs(spark, dir, readSnapAt(f, root))
         dvDeleted = 0L
         val blobs = dvPerFile.map { case (file, bytes) =>
           prior.get(canonPath(file)) match {
@@ -1197,7 +1202,8 @@ object IcebergWrite {
           require(attempt < MaxCommitRetries,
             s"$what on $dir lost $MaxCommitRetries version races")
           base = currentVersion(f, root)
-          val live = IcebergInterop.liveDataPaths(spark, dir).toSet
+          val live = IcebergInterop.liveDataPaths(spark, dir,
+            readSnapAt(f, root)).toSet
           val gone = referenced.filterNot(live)
           if (gone.nonEmpty) {
             (delFiles ++ appFiles).foreach { case (p, _) => f.delete(p, false) }
@@ -1245,8 +1251,9 @@ object IcebergWrite {
     val v0 = currentVersion(f, root)
     require(v0 > 0, s"$dir has no snapshots to delete from")
     def currentSnap(): Long = readMeta(f, root, currentVersion(f, root))
-      .map(_.path("current-snapshot-id").asLong(-1L)).getOrElse(-1L)
-    val hits = IcebergInterop.readIceberg(spark, dir, ranges = ranges,
+      .map(headIdOf).getOrElse(-1L)
+    val hits = IcebergInterop.readIceberg(spark, dir,
+        snapshotId = readSnapAt(f, root), ranges = ranges,
         withProvenance = true)
       .filter(predicate)
     // DISTRIBUTED bitmap fold: one (file, roaring bytes) row per
@@ -1266,7 +1273,7 @@ object IcebergWrite {
     // whatever a concurrent writer just committed, and a stale
     // pre-race union would drop the racer's DV and resurrect its rows
     def buildPuffin(): (Path, Long, Seq[(String, Long, Long)], Map[String, Long]) = {
-      val prior = IcebergInterop.liveDvs(spark, dir)
+      val prior = IcebergInterop.liveDvs(spark, dir, readSnapAt(f, root))
       deleted = 0L
       val blobs: Seq[(String, Array[Byte], Long)] = perFile.map { case (file, bytes) =>
         prior.get(canonPath(file)) match {
@@ -1322,7 +1329,8 @@ object IcebergWrite {
           require(attempt < MaxCommitRetries,
             s"DV delete on $dir lost $MaxCommitRetries version races")
           base = currentVersion(f, root)
-          val live = IcebergInterop.liveDataPaths(spark, dir).toSet
+          val live = IcebergInterop.liveDataPaths(spark, dir,
+            readSnapAt(f, root)).toSet
           val gone = referenced.filterNot(live)
           if (gone.nonEmpty) {
             f.delete(puffinP, false)
@@ -1483,6 +1491,108 @@ object IcebergWrite {
   def createBranch(spark: SparkSession, dir: String, name: String,
                    snapshotId: Option[Long] = None): Unit =
     setRef(spark, dir, name, snapshotId, "branch")
+
+  // ───────────── branch writes (write-audit-publish) ─────────────
+
+  /** Scoped BRANCH context: every commit inside `onBranch(b){...}`
+    * targets ref `b` — parentage off the BRANCH head, `refs.b`
+    * advances, `main`/`current-snapshot-id` untouched — the Iceberg
+    * write-audit-publish staging pattern. A branch's FIRST commit
+    * forks implicitly from the main head (createBranch beforehand
+    * works too). Reads inside the scope (a branch delete's hits scan,
+    * a merge's target view) resolve against the branch head. Publish
+    * with [[fastForward]]; audit with a plain
+    * `readIceberg(snapshotId = snapshotOfRef(...))`. Thread-scoped
+    * (DynamicVariable) — safe under concurrent writers on different
+    * threads. */
+  def onBranch[T](branch: String)(body: => T): T = {
+    require(branch.nonEmpty && branch != "main",
+      "onBranch targets a named non-main branch")
+    branchCtx.withValue(Some(branch))(body)
+  }
+
+  private val branchCtx =
+    new scala.util.DynamicVariable[Option[String]](None)
+
+  /** The head the active context commits against: the branch ref when
+    * set (falling back to main for the branch's first commit), else
+    * `current-snapshot-id`. Refuses tags — they are immutable. */
+  private def headIdOf(m: JsonNode): Long = branchCtx.value match {
+    case Some(b) =>
+      val r = m.path("refs").path(b)
+      if (r.isMissingNode || r.isNull)
+        m.path("current-snapshot-id").asLong(-1L)
+      else {
+        require(r.path("type").asText("branch") == "branch",
+          s"ref $b is a ${r.path("type").asText} — tags are immutable")
+        r.path("snapshot-id").asLong(-1L)
+      }
+    case None => m.path("current-snapshot-id").asLong(-1L)
+  }
+
+  /** The snapshot the active context READS (None = the main head —
+    * the plain current-shape read). Distinct from main only after the
+    * branch's first commit, so an untouched branch reads exactly like
+    * the table. */
+  private def readSnapOf(m: JsonNode): Option[Long] =
+    branchCtx.value.flatMap { _ =>
+      val h = headIdOf(m)
+      if (h == m.path("current-snapshot-id").asLong(-1L) || h <= 0) None
+      else Some(h)
+    }
+
+  private def readSnapAt(f: FileSystem, root: Path): Option[Long] =
+    if (branchCtx.value.isEmpty) None
+    else readMeta(f, root, currentVersion(f, root)).flatMap(readSnapOf)
+
+  /** PUBLISH (the write-audit-publish closing step): fast-forward
+    * `main` to `branch`'s head. Requires main's current head to be an
+    * ANCESTOR of the branch head (pure fast-forward; a diverged main
+    * refuses — rebase the branch by hand). The branch ref survives
+    * (drop it with [[dropRef]]). Metadata-only, put-if-absent commit.
+    * Returns the published snapshot id. */
+  def fastForward(spark: SparkSession, dir: String, branch: String): Long = {
+    import scala.jdk.CollectionConverters._
+    require(branch != "main", "fastForward publishes a non-main branch to main")
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val v0 = currentVersion(f, root)
+    val m0 = readMeta(f, root, v0).getOrElse(throw new IllegalArgumentException(
+      s"$dir has no Iceberg metadata"))
+    val br = m0.path("refs").path(branch)
+    require(!br.isMissingNode && !br.isNull, s"no ref $branch at $dir")
+    require(br.path("type").asText("branch") == "branch",
+      s"ref $branch is a ${br.path("type").asText} — cannot publish a tag")
+    val target = br.path("snapshot-id").asLong(-1L)
+    val mainHead = m0.path("current-snapshot-id").asLong(-1L)
+    if (target == mainHead) return target // nothing staged
+    // ancestry walk: main's head must be on the branch head's parent
+    // chain, or the publish would silently drop main-only commits
+    val parentOf: Map[Long, Long] = m0.path("snapshots").elements().asScala
+      .map(s0 => s0.path("snapshot-id").asLong(-1L) ->
+        s0.path("parent-snapshot-id").asLong(-1L)).toMap
+    var cur = target
+    var isAncestor = mainHead <= 0 // an empty main fast-forwards to anything
+    while (!isAncestor && cur > 0) {
+      cur = parentOf.getOrElse(cur, -1L)
+      if (cur == mainHead) isAncestor = true
+    }
+    require(isAncestor,
+      s"main ($mainHead) is not an ancestor of $branch ($target) — " +
+      "main advanced since the branch forked; not a fast-forward")
+    val n = m0.deepCopy[JsonNode]().asInstanceOf[ObjNode]
+    n.put("current-snapshot-id", target)
+    val refs = n.path("refs").asInstanceOf[ObjNode]
+    val mr = refs.putObject("main")
+    mr.put("snapshot-id", target); mr.put("type", "branch")
+    // main's history advances — the published snapshots enter the log
+    val sl = n.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+      "snapshot-log").addObject()
+    sl.put("timestamp-ms", System.currentTimeMillis())
+    sl.put("snapshot-id", target)
+    commitMetadataOnly(f, root, v0, m0, n, "fastForward")
+    target
+  }
 
   /** Remove a tag/branch ref (its snapshot becomes expirable again).
     * `main` refuses. */
@@ -3110,7 +3220,7 @@ object IcebergWrite {
       if (priorOverride.isDefined) priorOverride.get
       else if (replace) Nil
       else prevMeta.toSeq.flatMap { m =>
-        val cur = m.path("current-snapshot-id").asLong(-1L)
+        val cur = headIdOf(m) // branch commits carry the BRANCH head
         m.path("snapshots").elements().asScala
           .find(_.path("snapshot-id").asLong == cur).toSeq
           .flatMap { s0 =>
@@ -3297,9 +3407,10 @@ object IcebergWrite {
       s"metadata/snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
     IcebergFormat.writeAvro(f, listP, MFS, listRecords)
 
-    val parentId = prevMeta.map(_.path("current-snapshot-id").asLong(-1L))
-      .filter(_ > 0)
-    n.put("current-snapshot-id", snapshotId)
+    val parentId = prevMeta.map(headIdOf).filter(_ > 0)
+    if (branchCtx.value.isEmpty) n.put("current-snapshot-id", snapshotId)
+    else require(prevMeta.isDefined,
+      "a branch commit needs an existing table — create it on main first")
     val snaps = n.withArray[ArrNode]("snapshots")
     val s0 = snaps.addObject()
     s0.put("snapshot-id", snapshotId)
@@ -3382,7 +3493,7 @@ object IcebergWrite {
       .foldLeft(Tot())(_ + _) +
       Tot(delFiles = addedDvs.length, posDel = addedDvs.map(_._3).sum)
     val prevTot: Option[Tot] = prevMeta.flatMap { m =>
-      val cur = m.path("current-snapshot-id").asLong(-1L)
+      val cur = headIdOf(m)
       m.path("snapshots").elements().asScala
         .find(_.path("snapshot-id").asLong == cur)
         .map(_.path("summary")).filter(_.has("total-records")).map { s1 =>
@@ -3460,17 +3571,21 @@ object IcebergWrite {
     putN("total-delete-files", totals.delFiles)
     putN("total-position-deletes", totals.posDel)
     putN("total-equality-deletes", totals.eqDel)
-    // refs: the main branch tracks the head; every other ref (tags,
-    // foreign branches) carries forward untouched in the deep copy
+    // refs: the TARGET ref tracks the new head — main for plain
+    // commits, the active branch inside onBranch (main untouched);
+    // every other ref carries forward untouched in the deep copy
     val refs =
       if (n.path("refs").isObject) n.path("refs").asInstanceOf[ObjNode]
       else n.putObject("refs")
-    val mainRef = refs.putObject("main")
-    mainRef.put("snapshot-id", snapshotId); mainRef.put("type", "branch")
-    // snapshot-log: the new head appends; metadata-log: the version
-    // this commit supersedes (both REQUIRED by v2 TableMetadataParser)
-    val sl = n.withArray[ArrNode]("snapshot-log").addObject()
-    sl.put("timestamp-ms", nowMs); sl.put("snapshot-id", snapshotId)
+    val targetRef = refs.putObject(branchCtx.value.getOrElse("main"))
+    targetRef.put("snapshot-id", snapshotId); targetRef.put("type", "branch")
+    // snapshot-log tracks MAIN's lineage only (the spec's contract) —
+    // branch commits do not append; metadata-log: the version this
+    // commit supersedes (both REQUIRED by v2 TableMetadataParser)
+    if (branchCtx.value.isEmpty) {
+      val sl = n.withArray[ArrNode]("snapshot-log").addObject()
+      sl.put("timestamp-ms", nowMs); sl.put("snapshot-id", snapshotId)
+    }
     if (base > 0) {
       val ml = n.withArray[ArrNode]("metadata-log").addObject()
       ml.put("timestamp-ms", prevUpdatedMs.getOrElse(nowMs))

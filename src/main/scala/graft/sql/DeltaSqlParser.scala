@@ -1242,15 +1242,21 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
     val sb = new StringBuilder; var pos = 0
     live.foreach { case (m, kind) =>
       val dir = m.group(1)
-      // for iceberg, VERSION AS OF n is the SNAPSHOT id and TIMESTAMP
-      // AS OF resolves through snapshot timestamp-ms (Spark+Iceberg
-      // semantics); both travels are metadata-only lookups
-      val version = Option(m.group(2)).map(_.toLong).orElse(
-        Option(m.group(3)).map { ts =>
-          if (kind == "delta")
-            DeltaInterop.versionAtTimestamp(spark, dir, parseTs(ts))
-          else IcebergInterop.snapshotAtTimestamp(spark, dir, parseTs(ts))
-        })
+      // for iceberg, VERSION AS OF n is the SNAPSHOT id, VERSION AS OF
+      // '<ref>' resolves a named branch/tag (the WAP audit read), and
+      // TIMESTAMP AS OF resolves through snapshot timestamp-ms
+      // (Spark+Iceberg semantics); every travel is metadata-only
+      val version =
+        if (kind == "delta")
+          Option(m.group(2)).map(_.toLong).orElse(
+            Option(m.group(3)).map(ts =>
+              DeltaInterop.versionAtTimestamp(spark, dir, parseTs(ts))))
+        else
+          Option(m.group(2)).map(_.toLong)
+            .orElse(Option(m.group(3)).map(ref =>
+              IcebergInterop.snapshotOfRef(spark, dir, ref)))
+            .orElse(Option(m.group(4)).map(ts =>
+              IcebergInterop.snapshotAtTimestamp(spark, dir, parseTs(ts))))
       val esc = dir.replace("'", "''")
       val fn = if (kind == "delta") "graft_delta" else "graft_iceberg"
       sb ++= sql.substring(pos, m.start)
@@ -1466,11 +1472,12 @@ object DeltaSqlParser {
   private[sql] val deltaPathRe =
     """(?is)delta\s*\.\s*`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
   /** Foreign Apache Iceberg reads: `iceberg.`p`` with optional
-    * `VERSION AS OF <snapshot-id>` or `TIMESTAMP AS OF 'ts'`
-    * (Spark+Iceberg's spellings; timestamp resolves via snapshot
-    * timestamp-ms). */
+    * `VERSION AS OF <snapshot-id>`, `VERSION AS OF '<ref>'` (a named
+    * branch or tag — the write-audit-publish audit read), or
+    * `TIMESTAMP AS OF 'ts'` (Spark+Iceberg's spellings; timestamp
+    * resolves via snapshot timestamp-ms). */
   private[sql] val icebergPathRe =
-    """(?is)iceberg\s*\.\s*`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
+    """(?is)iceberg\s*\.\s*`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
   /** `delta.`p`.` as a column qualifier inside a MERGE ON clause. */
   private[sql] def pathQualifierRe(path: String): Regex =
     s"""(?i)delta\\s*\\.\\s*`${Regex.quote(path)}`\\s*\\.""".r

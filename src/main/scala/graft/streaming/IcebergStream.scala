@@ -34,6 +34,9 @@ object IcebergStream {
       tableDir: String,
       appId: String,
       checkpoint: String,
+      // land every micro-batch on a named BRANCH (write-audit-publish
+      // staging): main stays untouched until a fastForward publishes
+      branch: Option[String] = None,
       postCommitHook: Long => Unit = _ => ()
   ): StreamingQuery =
     rows.writeStream
@@ -41,7 +44,11 @@ object IcebergStream {
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val batch = BatchTuning.rightSize(batch0)
         if (!batch.isEmpty) {
-          val s = IcebergWrite.appendOnce(batch, tableDir, appId, batchId)
+          def commit() = IcebergWrite.appendOnce(batch, tableDir, appId, batchId)
+          val s = branch match {
+            case Some(b) => IcebergWrite.onBranch(b)(commit())
+            case None => commit()
+          }
           postCommitHook(s)
         }
       }

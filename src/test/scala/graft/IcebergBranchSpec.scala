@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+import graft.io.{IcebergInterop, IcebergWrite}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Branch writes / WRITE-AUDIT-PUBLISH (iceberg.apache.org/spec/
+  * "References"): commits inside [[IcebergWrite.onBranch]] advance a
+  * named ref with parentage off the BRANCH head while `main` /
+  * `current-snapshot-id` stay untouched; audits read the branch by
+  * ref; [[IcebergWrite.fastForward]] publishes (pure fast-forward
+  * only); the SQL front-end reads `VERSION AS OF '<ref>'`. */
+class IcebergBranchSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def ids(dir: String, snap: Option[Long] = None): Set[Long] =
+    IcebergInterop.readIceberg(spark, dir, snap)
+      .select("id").as[Long].collect().toSet
+  private def branchIds(dir: String, ref: String): Set[Long] =
+    ids(dir, Some(IcebergInterop.snapshotOfRef(spark, dir, ref)))
+
+  test("WAP: stage on a branch, main pinned, fast-forward publishes") {
+    val dir = Files.createTempDirectory("graft-wap").toString + "/t"
+    IcebergWrite.append((0L until 4L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
+    val meta0 = IcebergInterop.readJson(spark,
+      IcebergInterop.currentMetadataPath(spark, dir))
+    val logLen0 = meta0.path("snapshot-log").size
+    // two staged commits — implicit fork from main on the first
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.append(Seq((10L, "n10")).toDF("id", "name"), dir)
+      IcebergWrite.append(Seq((11L, "n11")).toDF("id", "name"), dir)
+    }
+    assert(ids(dir) == (0L until 4L).toSet, "main must not move")
+    assert(branchIds(dir, "audit") == (0L until 4L).toSet + 10L + 11L,
+      "the branch sees the staged commits")
+    val meta1 = IcebergInterop.readJson(spark,
+      IcebergInterop.currentMetadataPath(spark, dir))
+    assert(meta1.path("snapshot-log").size == logLen0,
+      "branch commits never touch main's snapshot-log")
+    assert(meta1.path("current-snapshot-id").asLong ==
+      meta0.path("current-snapshot-id").asLong)
+    // SQL audit read by ref name, pre-publish
+    val sqlN = spark.sql(
+      s"SELECT count(*) AS n FROM iceberg.`$dir` VERSION AS OF 'audit'")
+      .head().getLong(0)
+    assert(sqlN == 6L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM iceberg.`$dir`")
+      .head().getLong(0) == 4L)
+    // publish
+    val published = IcebergWrite.fastForward(spark, dir, "audit")
+    assert(ids(dir) == (0L until 4L).toSet + 10L + 11L)
+    assert(published == IcebergInterop.snapshotOfRef(spark, dir, "audit"))
+    // idempotent when nothing staged
+    assert(IcebergWrite.fastForward(spark, dir, "audit") == published)
+  }
+
+  test("branch delete + merge leave main untouched until publish") {
+    val dir = Files.createTempDirectory("graft-wap-dm").toString + "/t"
+    IcebergWrite.append((0L until 10L).map(i => (i, i * 100L)).toDF("id", "v"), dir)
+    IcebergWrite.createBranch(spark, dir, "fix")
+    IcebergWrite.onBranch("fix") {
+      val (_, nDel) = IcebergWrite.deleteWhereDV(spark, dir, col("id") >= 8L)
+      assert(nDel == 2L)
+      val src = Seq((0L, 9999L), (100L, 1L)).toDF("id", "v")
+      val (_, upd, ins) = IcebergWrite.mergeInto(spark, dir, src, Seq("id"),
+        Seq(graft.io.DeltaInterop.MatchedClause(None,
+          Map("v" -> col("s.v")), delete = false)),
+        Some((None, Map("id" -> col("s.id"), "v" -> col("s.v")))))
+      assert(upd == 1L && ins == 1L)
+    }
+    assert(ids(dir) == (0L until 10L).toSet, "main pinned through delete+merge")
+    val fixed = IcebergInterop.readIceberg(spark, dir,
+        Some(IcebergInterop.snapshotOfRef(spark, dir, "fix")))
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(!fixed.contains(8L) && !fixed.contains(9L))
+    assert(fixed(0L) == 9999L && fixed(100L) == 1L && fixed(5L) == 500L)
+    IcebergWrite.fastForward(spark, dir, "fix")
+    assert(ids(dir) == (0L until 8L).toSet + 100L)
+  }
+
+  test("fastForward refuses a diverged main; tags refuse writes") {
+    val dir = Files.createTempDirectory("graft-wap-div").toString + "/t"
+    IcebergWrite.append(Seq((1L, "a")).toDF("id", "name"), dir)
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.append(Seq((2L, "b")).toDF("id", "name"), dir)
+    }
+    // main advances independently → no longer an ancestor
+    IcebergWrite.append(Seq((3L, "c")).toDF("id", "name"), dir)
+    val ex = intercept[IllegalArgumentException] {
+      IcebergWrite.fastForward(spark, dir, "audit")
+    }
+    assert(ex.getMessage.contains("not an ancestor"))
+    IcebergWrite.createTag(spark, dir, "v1")
+    val ex2 = intercept[IllegalArgumentException] {
+      IcebergWrite.onBranch("v1") {
+        IcebergWrite.append(Seq((4L, "d")).toDF("id", "name"), dir)
+      }
+    }
+    assert(ex2.getMessage.contains("immutable"))
+  }
+
+  test("streaming sink lands batches on a branch, exactly-once") {
+    val tmp = Files.createTempDirectory("graft-wap-stream").toString
+    val dir = s"$tmp/t"
+    IcebergWrite.append(Seq((0L, "seed")).toDF("id", "name"), dir)
+    val src = s"$tmp/src"
+    Seq((1L, "s1"), (2L, "s2")).toDF("id", "name")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = graft.streaming.IcebergStream.sink(spark,
+      spark.readStream.schema(schema).parquet(src),
+      dir, "wap-sink", s"$tmp/ckpt", branch = Some("staged"))
+    try q.processAllAvailable() finally q.stop()
+    assert(ids(dir) == Set(0L), "main untouched by the branch sink")
+    assert(branchIds(dir, "staged") == Set(0L, 1L, 2L))
+    // replay the same batch under the same appId: ledger recognizes it
+    val q2 = graft.streaming.IcebergStream.sink(spark,
+      spark.readStream.schema(schema).parquet(src),
+      dir, "wap-sink", s"$tmp/ckpt", branch = Some("staged"))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(branchIds(dir, "staged") == Set(0L, 1L, 2L))
+    IcebergWrite.fastForward(spark, dir, "staged")
+    assert(ids(dir) == Set(0L, 1L, 2L))
+  }
+}

@@ -851,6 +851,27 @@ object OracleSql {
         |SELECT _change_type, lang, count(*)::BIGINT AS n,
         |  sum(n_chars)::BIGINT AS chars, sum(rid)::BIGINT AS sum_row_id
         |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q217: changelog across rollback — the restore's net diff (the
+    // dropped append as deletes, the rolled-back DV masks as undelete
+    // inserts) joins the ordinary inventory
+    "q217_changelog_rollback" ->
+      """WITH ch AS (
+        |  SELECT 'insert' AS change_type, lang, n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'delete', lang, n_chars
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 2
+        |  UNION ALL
+        |  SELECT 'insert', lang, n_chars FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT 'delete', lang, n_chars FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT 'insert', lang, n_chars
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 2
+        |)
+        |SELECT change_type, lang, count(*)::BIGINT AS n,
+        |  sum(n_chars)::BIGINT AS chars
+        |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q216: write-audit-publish — the published state is the corpus
     // minus the staged delete band
     "q216_iceberg_wap" ->

@@ -3662,4 +3662,36 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("lang"))
   }
+
+  /** q217 — CHANGELOG ACROSS ROLLBACK
+    * ([[graft.io.IcebergChangelog]]): a lifecycle whose operator
+    * RESTORES mid-history — seed, DV delete, append, rollback past
+    * both — read end-to-end as changes. The rollback emits its NET
+    * diff (the dropped append as deletes, the rolled-back masks as
+    * UNDELETE inserts) at its own ordinal, so a folding CDC consumer
+    * survives the restore; DuckDB replays the full change inventory.
+    * In-query asserts pin the ordinal count and the fold-equals-live
+    * invariant. */
+  private[graft] def q217(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{IcebergChangelog, IcebergInterop, IcebergWrite}
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q217") + "/t"
+    val seedSnap = IcebergWrite.append(docs.filter(col("doc_id") % 2 === 0), tmp)
+    val (_, nDel) = IcebergWrite.deleteWhereDV(s, tmp, col("doc_id") % 10 === 2)
+    require(nDel > 0)
+    IcebergWrite.append(docs.filter(col("doc_id") % 2 =!= 0), tmp)
+    IcebergWrite.rollbackTo(s, tmp, seedSnap) // restore: drop append + masks
+    val ch = IcebergChangelog.readChangesBetween(s, tmp).localCheckpoint(false)
+    require(ch.agg(max(col("_change_ordinal"))).head().getLong(0) == 4L,
+      "the rollback must emit at its own ordinal")
+    // fold-equals-live: inserts minus deletes reconstruct the restored state
+    val net = ch.groupBy(col("doc_id"), col("lang"), col("n_chars"))
+      .agg(sum(when(col("_change_type") === "insert", 1).otherwise(-1)).as("k"))
+      .filter(col("k") > 0)
+    require(net.count() == IcebergInterop.readIceberg(s, tmp).count(),
+      "folding the stream must reconstruct the restored table")
+    ch.groupBy(col("_change_type").as("change_type"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("change_type"), col("lang"))
+  }
 }

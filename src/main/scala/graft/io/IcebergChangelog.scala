@@ -126,9 +126,8 @@ object IcebergChangelog {
     val s = allSnaps.find(_.id == snap).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot $snap not found at $dir — expired before the changelog read?"))
-    require(s.op != "rollback",
-      s"snapshot $snap of $dir is a rollback — changelog semantics are " +
-      "undefined across a rollback; read the ranges on either side")
+    if (s.op == "rollback") return rollbackChanges(spark, dir, s, allSnaps,
+      schema, withLineage)
     if (s.op == "replace") return None
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val a = addedOf(spark, s)
@@ -257,6 +256,67 @@ object IcebergChangelog {
         val cond = keyCols.map(c => parentView(c) <=> keys(c)).reduce(_ && _)
         frames += tagged(parentView.join(keys, cond, "left_semi"), "delete")
       }
+    }
+    frames.result().reduceOption(_ unionByName _)
+  }
+
+  /** A ROLLBACK snapshot's change rows: the NET state diff between
+    * the parent (what the table held) and the rollback target (what
+    * it holds now) — rows live before but not after emit as `delete`,
+    * rows live after but not before (a rollback can UNDELETE) emit as
+    * `insert`, ordinal = the rollback snapshot's own sequence. A CDC
+    * consumer that folds the stream therefore survives an operator's
+    * restore. Work is proportional to the SYMMETRIC DIFFERENCE:
+    * untouched files (same path, same DV) are never scanned; only
+    * files added/removed/re-masked between the two states read, with
+    * (file, position) row identity arbitrating re-masked files. */
+  private def rollbackChanges(spark: SparkSession, dir: String, s: SnapInfo,
+      allSnaps: Seq[SnapInfo], schema: StructType,
+      withLineage: Boolean): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val parent = s.parent.getOrElse(throw new IllegalArgumentException(
+      s"rollback snapshot ${s.id} of $dir has no parent — cannot diff"))
+    require(allSnaps.exists(_.id == parent),
+      s"parent snapshot $parent of rollback ${s.id} expired — the net " +
+      "diff cannot be reconstructed; read the changelog from a later snapshot")
+    val beforeFiles = IcebergInterop.liveDataPaths(spark, dir, Some(parent)).toSet
+    val afterFiles = IcebergInterop.liveDataPaths(spark, dir, Some(s.id)).toSet
+    val beforeDvs = IcebergInterop.liveDvs(spark, dir, Some(parent))
+    val afterDvs = IcebergInterop.liveDvs(spark, dir, Some(s.id))
+    val removed = beforeFiles -- afterFiles
+    val added = afterFiles -- beforeFiles
+    // same file, different DV address ⇒ masking changed either way —
+    // those files diff row-by-row on (file, pos) identity
+    val reMasked = (beforeFiles & afterFiles)
+      .filter(p => beforeDvs.get(p) != afterDvs.get(p))
+    if (removed.isEmpty && added.isEmpty && reMasked.isEmpty) return None
+    def view(snapId: Long, only: Set[String]): DataFrame = {
+      val v = IcebergInterop.readIceberg(spark, dir, Some(snapId),
+        withLineage = withLineage, withProvenance = true,
+        onlyDataFiles = Some(only))
+      if (withLineage) v.drop("_last_updated_sequence_number") else v
+    }
+    val outNames = schema.fieldNames.toSeq ++
+      (if (withLineage) Seq("_row_id") else Nil)
+    def tag(df: DataFrame, tpe: String): DataFrame =
+      df.select(outNames.map(col): _*)
+        .withColumn(ChangeType, lit(tpe))
+        .withColumn(ChangeOrdinal, lit(s.seq))
+        .withColumn(CommitSnapshotId, lit(s.id))
+    val frames = Seq.newBuilder[DataFrame]
+    if (removed.nonEmpty || reMasked.nonEmpty) {
+      val gone = view(parent, removed ++ reMasked)
+      val del = if (reMasked.isEmpty) gone
+        else gone.join(view(s.id, reMasked),
+          Seq("_graft_file", "_graft_pos"), "left_anti")
+      frames += tag(del, "delete")
+    }
+    if (added.nonEmpty || reMasked.nonEmpty) {
+      val fresh = view(s.id, added ++ reMasked)
+      val ins = if (reMasked.isEmpty) fresh
+        else fresh.join(view(parent, reMasked),
+          Seq("_graft_file", "_graft_pos"), "left_anti")
+      frames += tag(ins, "insert")
     }
     frames.result().reduceOption(_ unionByName _)
   }

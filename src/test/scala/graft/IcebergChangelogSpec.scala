@@ -125,6 +125,51 @@ class IcebergChangelogSpec extends AnyFunSuite {
       s"restart resumes past consumed change sets: ${buf2.toList}")
   }
 
+  test("rollback emits the net diff: dropped appends delete, undeletes insert") {
+    val dir = Files.createTempDirectory("graft-ice-changelog-rb").toString
+    IcebergWrite.append((0L until 10L).map(i => (i, s"a_$i")).toDF("id", "tag")
+      .coalesce(1), dir)
+    IcebergWrite.deleteWhereDV(spark, dir, col("id") < 3)         // masks 0,1,2
+    val preAppend = IcebergInterop.readJson(spark,
+      IcebergInterop.currentMetadataPath(spark, dir))
+      .path("current-snapshot-id").asLong
+    IcebergWrite.append((20L until 25L).map(i => (i, s"b_$i")).toDF("id", "tag"), dir)
+    // roll back past the append AND past the delete: the appended rows
+    // net out as deletes, nothing else moved
+    IcebergWrite.rollbackTo(spark, dir, preAppend)
+    val ch = IcebergChangelog.readChangesBetween(spark, dir).localCheckpoint(false)
+    val rb = ch.filter(col("_change_ordinal") === 4L) // the rollback's seq
+    assert(rb.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSet == (20L until 25L).toSet,
+      "the rolled-back append nets out as deletes")
+    assert(rb.filter(col("_change_type") === "insert").count() == 0)
+    // net reconstruction across the WHOLE history incl. the rollback
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("id", "tag").collect().map(_.toString).toSeq
+    val ins = bag(rowsOf(ch.filter(col("_change_type") === "insert")))
+    val del = bag(rowsOf(ch.filter(col("_change_type") === "delete")))
+    val net = ins.map { case (k, n) => k -> (n - del.getOrElse(k, 0)) }
+      .filter(_._2 > 0)
+    assert(net == bag(rowsOf(IcebergInterop.readIceberg(spark, dir))))
+    // now a rollback that UNDELETES: restore the pre-delete snapshot
+    val first = IcebergChangelog.readChangesBetween(spark, dir)
+      .select("_commit_snapshot_id").orderBy(col("_change_ordinal"))
+      .as[Long].head()
+    IcebergWrite.rollbackTo(spark, dir, first)
+    val ch2 = IcebergChangelog.readChangesBetween(spark, dir).localCheckpoint(false)
+    val rb2 = ch2.filter(col("_change_ordinal") === 5L)
+    assert(rb2.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L),
+      "a rollback past a delete UNDELETES — the masked rows insert back")
+    assert(rb2.filter(col("_change_type") === "delete").count() == 0)
+    val ins2 = bag(rowsOf(ch2.filter(col("_change_type") === "insert")))
+    val del2 = bag(rowsOf(ch2.filter(col("_change_type") === "delete")))
+    val net2 = ins2.map { case (k, n) => k -> (n - del2.getOrElse(k, 0)) }
+      .filter(_._2 > 0)
+    assert(net2 == bag(rowsOf(IcebergInterop.readIceberg(spark, dir))),
+      "the fold survives an operator's restore")
+  }
+
   test("lineage changelog: an update's delete/insert pair shares one _row_id") {
     val dir = Files.createTempDirectory("graft-changelog-lineage").toString
     IcebergWrite.appendLineage((0L until 20L).map(i => (i, i * 10))

@@ -2450,15 +2450,16 @@ object IcebergWrite {
     * in ONE distributed aggregation and publish them as a Puffin
     * STATISTICS file registered under the table metadata's
     * `statistics` field (iceberg.apache.org/spec/ "Table statistics").
-    * Blob type `graft-ndv-v1` (payload: 8-byte LE ndv) carrying the
-    * standard `ndv` property — the property is what engines consume
-    * from theta blobs too, and an unrecognized blob TYPE is
-    * spec-defined skippable (a real `apache-datasketches-theta-v1`
-    * payload would require the datasketches library). `exact = false`
-    * (default) estimates via HLL++ (`approx_count_distinct`, rsd
-    * 1.5%) — the 100 TB path, one pass, no per-column shuffle;
-    * `exact = true` pays COUNT(DISTINCT) per column for an
-    * oracle-replayable result. Replaces any prior statistics entry
+    * Blob type `apache-datasketches-theta-v1`: the payload is a
+    * STANDARD datasketches compact theta sketch (built by Spark's own
+    * bundled `theta_sketch_agg`), so a foreign Iceberg reader can
+    * deserialize it, estimate from it, and MERGE it with its own
+    * sketches across partitions/snapshots; the standard `ndv`
+    * property rides alongside. `exact = false` (default) records the
+    * sketch's estimate — the 100 TB path, one pass, no per-column
+    * shuffle; `exact = true` additionally pays COUNT(DISTINCT) per
+    * column and records that as `ndv` for an oracle-replayable
+    * result (the payload stays the sketch). Replaces any prior statistics entry
     * for the same snapshot (the spec's one-entry-per-snapshot shape)
     * and deletes the replaced file; METADATA-ONLY commit, no new
     * snapshot. Returns (snapshotId, column → ndv). */
@@ -2495,20 +2496,34 @@ object IcebergWrite {
     require(targets.nonEmpty, s"no analyzable columns at $dir")
     targets.foreach(c => require(idsByName.contains(c),
       s"unknown column $c (table has ${idsByName.keys.toSeq.sorted.mkString(",")})"))
-    val aggs = count(lit(1)).as("_n") +: targets.map(c =>
-      (if (exact) count_distinct(col(c))
-       else approx_count_distinct(col(c), 0.015)).as(s"_ndv_$c"))
+    // STANDARD datasketches THETA payload: theta_sketch_agg (Spark 4
+    // bundles datasketches-java) yields compact-sketch bytes any
+    // Iceberg reader can deserialize AND merge — the spec's
+    // `apache-datasketches-theta-v1` blob type. One aggregation pass
+    // computes every column's sketch (+ exact NDV when asked).
+    val sketchAggs = targets.map(c =>
+      org.apache.spark.sql.functions.theta_sketch_agg(col(c))
+        .as(s"_sk_$c"))
+    val exactAggs = if (!exact) Nil
+      else targets.map(c => count_distinct(col(c)).as(s"_ndv_$c"))
+    val aggs = count(lit(1)).as("_n") +: (sketchAggs ++ exactAggs)
     val r = rows.agg(aggs.head, aggs.tail: _*).head()
     val nRows = r.getLong(0)
+    val sketchOf: Map[String, Array[Byte]] = targets.zipWithIndex.map {
+      case (c, i) => c -> r.getAs[Array[Byte]](i + 1) }.toMap
+    def estimateOf(bytes: Array[Byte]): Long =
+      Math.round(org.apache.datasketches.theta.Sketches.wrapCompactSketch(
+        org.apache.datasketches.memory.Memory.wrap(bytes)).getEstimate)
     val ndv = targets.zipWithIndex.map { case (c, i) =>
-      c -> r.getLong(i + 1) }.toMap
+      c -> (if (exact) r.getLong(1 + targets.length + i)
+            else estimateOf(sketchOf(c))) }.toMap
     val statsP = new Path(root,
       s"metadata/stats-$curId-${java.util.UUID.randomUUID().toString.take(8)}.puffin")
     val blobs = targets.map { c =>
-      IcebergFormat.StatsBlob("graft-ndv-v1", Seq(idsByName(c)), curId, seqNo,
+      IcebergFormat.StatsBlob("apache-datasketches-theta-v1",
+        Seq(idsByName(c)), curId, seqNo,
         Map("ndv" -> ndv(c).toString, "row-count" -> nRows.toString),
-        java.nio.ByteBuffer.allocate(8)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(ndv(c)).array())
+        sketchOf(c))
     }
     val (sz, fsz) = IcebergFormat.writePuffinStats(f, statsP, blobs)
     val n = m0.deepCopy[JsonNode]().asInstanceOf[ObjNode]

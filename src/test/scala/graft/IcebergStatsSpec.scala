@@ -36,20 +36,33 @@ class IcebergStatsSpec extends AnyFunSuite {
     val t = IcebergInterop.statsTable(spark, dir).collect()
     assert(t.map(r => r.getString(0) -> r.getLong(1)).toMap == ndv)
     assert(t.forall(_.getLong(2) == 100L), "row-count property rides every blob")
-    // the Puffin file itself round-trips: footer blob metadata + the
-    // 8-byte LE payload agree with the registered values
+    // the Puffin file itself round-trips: footer blob metadata + a
+    // STANDARD datasketches compact theta sketch any foreign reader
+    // can deserialize — its estimate matches the registered ndv, and
+    // two blobs MERGE through a plain theta union (the property the
+    // spec's apache-datasketches-theta-v1 type exists for)
     val entry = statsEntries(dir).head
     val p = new org.apache.hadoop.fs.Path(entry.path("statistics-path").asText)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(f.getFileStatus(p).getLen == entry.path("file-size-in-bytes").asLong)
     val blobs = IcebergFormat.readPuffinFooter(
       spark.sparkContext.hadoopConfiguration, p)
-    assert(blobs.map(_.blobType).toSet == Set("graft-ndv-v1"))
+    assert(blobs.map(_.blobType).toSet == Set("apache-datasketches-theta-v1"))
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.Sketches
     blobs.foreach { b =>
-      val payloadNdv = java.nio.ByteBuffer.wrap(b.payload)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
-      assert(payloadNdv.toString == b.properties("ndv"))
+      val est = Math.round(
+        Sketches.wrapCompactSketch(Memory.wrap(b.payload)).getEstimate)
+      assert(est.toString == b.properties("ndv"),
+        s"sketch estimate $est vs recorded ${b.properties("ndv")}")
     }
+    val union = org.apache.datasketches.theta.SetOperation.builder().buildUnion()
+    blobs.foreach(b =>
+      union.union(Sketches.wrapCompactSketch(Memory.wrap(b.payload))))
+    // id (100 distinct) ∪ k (7) ∪ lang (3): disjoint domains except
+    // k ⊂ id values 0..6 — the union is deserializable and sane
+    val u = Math.round(union.getResult.getEstimate)
+    assert(u >= 100 && u <= 111, s"merged estimate $u")
   }
 
   test("freshness: a later commit invalidates; re-analysis replaces, not appends") {

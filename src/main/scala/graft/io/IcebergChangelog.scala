@@ -166,12 +166,21 @@ object IcebergChangelog {
       IcebergInterop.applyInitialDefaults(spark, meta, raw, schema, fileSnapAll)
     // lineage: (canon path -> first_row_id) over the snapshot's FULL
     // manifest set (preimages may live in carried manifests), and a
-    // read schema requesting the materialized reserved column
-    val firstOf: Map[String, Long] =
-      if (!withLineage) Map.empty else firstRowIdsOf(spark, s.manifestList)
+    // read schema requesting the materialized reserved column. Small
+    // tables broadcast a driver map; past the manifest-count gate the
+    // map builds DISTRIBUTED (manifests parse on executors, the
+    // attach becomes a plain join) so the driver never materializes
+    // every live file path of a huge table.
+    lazy val useDriverMap = dataManifestPaths(spark, s.manifestList).size <=
+      lineageDriverManifests(spark)
+    lazy val firstOf: Map[String, Long] = firstRowIdsOf(spark, s.manifestList)
+    lazy val frDf: DataFrame =
+      firstRowIdsDF(spark, s.manifestList).localCheckpoint(false)
     val readSchema = if (!withLineage) schema else lineageReadSchema(schema)
     def withRid(raw: DataFrame): DataFrame =
-      if (!withLineage) raw else attachRid(spark, raw, firstOf)
+      if (!withLineage) raw
+      else if (useDriverMap) attachRid(spark, raw, firstOf)
+      else attachRidDf(raw, frDf)
     val outNames = schema.fieldNames.toSeq ++
       (if (withLineage) Seq("_row_id") else Nil)
     def tagged(df: DataFrame, tpe: String): DataFrame =
@@ -401,6 +410,88 @@ object IcebergChangelog {
               "post-enableRowLineage snapshot"))
         }
     }.flatten.toMap
+
+  /** Above this many DATA MANIFESTS, the lineage path map builds as a
+    * DISTRIBUTED manifest-entries DataFrame (manifests parse on
+    * executors, the id attach becomes a plain join) instead of a
+    * driver map broadcast — at millions-of-files scale the driver
+    * never materializes every live path. Settable (0 forces the
+    * distributed path — the spec's equivalence pin). */
+  val LineageDriverManifestsConf = "spark.graft.iceberg.lineageDriverManifests"
+  private def lineageDriverManifests(spark: SparkSession): Long =
+    spark.conf.getOption(LineageDriverManifestsConf).map(_.toLong).getOrElse(1000L)
+
+  /** The DATA-manifest paths of one manifest list (driver-side,
+    * manifest-count bounded). */
+  private def dataManifestPaths(spark: SparkSession,
+                                manifestList: String): Seq[String] =
+    IcebergInterop.avroRecords(spark,
+        new Path(IcebergInterop.resolve(manifestList)))
+      .filter(m => Option(m.get("content")).forall(
+        _.asInstanceOf[Number].intValue == 0))
+      .map(m => IcebergInterop.resolve(m.get("manifest_path").toString))
+
+  /** (canon path, first_row_id) as a DISTRIBUTED DataFrame: the
+    * manifest paths parallelize, each manifest's Avro parses on an
+    * EXECUTOR, and the strict no-first_row_id refusal fires there too.
+    * The driver holds manifest paths, never file paths. */
+  private[graft] def firstRowIdsDF(spark: SparkSession,
+                                   manifestList: String): DataFrame = {
+    import spark.implicits._
+    val mans = dataManifestPaths(spark, manifestList)
+    val sconf = org.apache.spark.sql.GraftBridge.serializableConf(spark)
+    spark.sparkContext
+      .parallelize(mans, math.max(1, math.min(mans.size, 256)))
+      .flatMap { mp =>
+        IcebergFormat.readAvro(sconf.value, new Path(mp))
+          .filter(e => Option(e.get("status")).forall(
+            _.asInstanceOf[Number].intValue != 2))
+          .map { e =>
+            val df = e.get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            val path = IcebergInterop.resolve(df.get("file_path").toString)
+            IcebergInterop.canonPathStr(path) ->
+              Option(df.getSchema.getField("first_row_id"))
+                .flatMap(_ => Option(df.get("first_row_id")))
+                .map(_.asInstanceOf[Number].longValue)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"data file $path lacks first_row_id — this snapshot " +
+                  "predates row lineage; start the lineage changelog from " +
+                  "a post-enableRowLineage snapshot"))
+          }
+      }.toDF("_lf", "_lfirst")
+  }
+
+  /** Gate-aware lineage-map source for one manifest list: a driver
+    * map (Left) under the manifest-count gate, the distributed
+    * DataFrame (Right, pinned for reuse) above it. */
+  private[graft] def ridSourceFor(spark: SparkSession, manifestList: String)
+      : Either[Map[String, Long], DataFrame] =
+    if (dataManifestPaths(spark, manifestList).size <=
+        lineageDriverManifests(spark))
+      Left(firstRowIdsOf(spark, manifestList))
+    else Right(firstRowIdsDF(spark, manifestList).localCheckpoint(false))
+
+  /** Attach rids from whichever side [[ridSourceFor]] produced. */
+  private[graft] def attachRidEither(spark: SparkSession, raw: DataFrame,
+      src: Either[Map[String, Long], DataFrame]): DataFrame = src match {
+    case Left(m) => attachRid(spark, raw, m)
+    case Right(df) => attachRidDf(raw, df)
+  }
+
+  /** [[attachRid]] with the path map as a DataFrame — a plain join the
+    * planner sizes itself (broadcast when small, shuffle when the map
+    * outgrew the driver). */
+  private[graft] def attachRidDf(raw: DataFrame, frDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    raw.withColumn("_lp",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      .withColumn("_lpos", col("_metadata.row_index"))
+      .join(frDf, col("_lp") === col("_lf"), "left")
+      .withColumn("_row_id",
+        coalesce(col("_row_id"), col("_lfirst") + col("_lpos")))
+      .drop("_lp", "_lpos", "_lf", "_lfirst")
+  }
 
   /** `schema` + the reserved materialized `_row_id` column (field-id
     * pinned, so files that stamped it resolve by id). */

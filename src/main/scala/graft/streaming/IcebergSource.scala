@@ -157,9 +157,11 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
       .asInstanceOf[StructType]
 
   /** Origin snapshot's (path -> first_row_id) — the lineage backfill
-    * derivation base (lineage mode only). */
-  private lazy val originFirstOf: Map[String, Long] =
-    graft.io.IcebergChangelog.firstRowIdsOf(spark,
+    * derivation base (lineage mode only); a driver map under the
+    * manifest-count gate, a distributed frame above it. */
+  private lazy val originRidSource
+      : Either[Map[String, Long], org.apache.spark.sql.DataFrame] =
+    graft.io.IcebergChangelog.ridSourceFor(spark,
       IcebergInterop.manifestListOf(spark, dir, origin.snapshotId))
 
   /** Path-sorted origin-snapshot enumeration (refuses deletes); empty
@@ -362,10 +364,10 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
         val raw0 =
           if (!withLineage)
             spark.read.schema(lockedSchema).parquet(slice: _*)
-          else graft.io.IcebergChangelog.attachRid(spark,
+          else graft.io.IcebergChangelog.attachRidEither(spark,
             spark.read.schema(graft.io.IcebergChangelog
               .lineageReadSchema(lockedSchema)).parquet(slice: _*),
-            originFirstOf)
+            originRidSource)
         val names = lockedSchema.fieldNames.toSeq ++
           (if (withLineage) Seq("_row_id") else Nil)
         frames += raw0.select(names.map(col): _*)

@@ -20,6 +20,14 @@ object GraftBridge {
   def plan(df: Dataset[Row]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].logicalPlan
 
+  /** A serializable wrapper around the session's Hadoop configuration
+    * — what an executor-side metadata read (distributed manifest
+    * parsing) needs; the class is `private[spark]`, hence bridged. */
+  def serializableConf(spark: SparkSession)
+      : org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+
   /** The session's catalog — used to resolve `[db.]table` names to
     * graft-Delta locations and to register catalog entries without
     * routing through SQL statements (which our own parser intercepts). */

@@ -170,6 +170,41 @@ class IcebergChangelogSpec extends AnyFunSuite {
       "the fold survives an operator's restore")
   }
 
+  test("lineage attach: driver map and distributed join give identical ids") {
+    val dir = Files.createTempDirectory("graft-ice-changelog-lmap").toString
+    // the q213 op mix: sorted lineage appends, a DV update, a DV delete
+    IcebergWrite.appendLineage((0L until 12L).map(i => (i, i * 10L))
+      .toDF("id", "score").repartition(1).sortWithinPartitions("id"), dir)
+    IcebergWrite.append((12L until 20L).map(i => (i, i * 10L))
+      .toDF("id", "score").repartition(1).sortWithinPartitions("id"), dir)
+    IcebergWrite.updateWhereDV(spark, dir, col("id") % 4 === 0L,
+      Map("score" -> (col("score") + 1000L)))
+    IcebergWrite.deleteWhereDV(spark, dir, col("id") % 5 === 0L)
+    def rows(): Set[String] = IcebergChangelog
+      .readChangesBetween(spark, dir, withLineage = true)
+      .select("id", "score", "_row_id", "_change_type", "_change_ordinal")
+      .collect().map(_.toString).toSet
+    val viaMap = rows()
+    spark.conf.set(IcebergChangelog.LineageDriverManifestsConf, "0")
+    try {
+      val viaJoin = rows()
+      assert(viaJoin == viaMap,
+        "the distributed manifest-entries join must produce bit-identical ids")
+      // the strict no-first_row_id refusal fires on the executor path too
+      val plainDir = Files.createTempDirectory("graft-ice-lmap-plain").toString
+      IcebergWrite.append(Seq((1L, "x")).toDF("id", "tag"), plainDir)
+      val ex = intercept[Exception] {
+        IcebergChangelog.firstRowIdsDF(spark,
+          IcebergInterop.manifestListOf(spark, plainDir,
+            IcebergInterop.readJson(spark,
+              IcebergInterop.currentMetadataPath(spark, plainDir))
+              .path("current-snapshot-id").asLong)).collect()
+      }
+      assert(ex.getMessage.contains("first_row_id") ||
+        Option(ex.getCause).exists(_.getMessage.contains("first_row_id")))
+    } finally spark.conf.unset(IcebergChangelog.LineageDriverManifestsConf)
+  }
+
   test("lineage changelog: an update's delete/insert pair shares one _row_id") {
     val dir = Files.createTempDirectory("graft-changelog-lineage").toString
     IcebergWrite.appendLineage((0L until 20L).map(i => (i, i * 10))

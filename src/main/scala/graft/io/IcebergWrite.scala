@@ -2360,6 +2360,168 @@ object IcebergWrite {
     }
   }
 
+  /** REWRITE POSITION DELETES — Iceberg's `rewrite_position_deletes`
+    * maintenance: consolidate a merge-on-read-heavy table's
+    * ACCUMULATED delete files WITHOUT touching any data file. Live
+    * deletion vectors (the max-sequence DV per referenced data file —
+    * superseded blobs drop) re-emit as ONE Puffin; live
+    * position-delete parquet rows fold into ONE spec-shaped file;
+    * equality-delete entries carry into the new delete manifest
+    * verbatim. Every consolidated entry is EXISTING (status 0) with
+    * its ORIGINAL `snapshot_id`/`sequence_number` preserved — DV
+    * entries each keep their own pair; merged position rows take the
+    * max-sequence contributor's (sound: positional deletes name exact
+    * (file, pos) coordinates, and every named file's sequence was
+    * already ≤ its original delete's) — so masked reads are
+    * bit-identical, incremental tailers skip the snapshot (the
+    * rewrite-manifests contract), and the changelog stays silent
+    * (`replace`). Data manifests carry verbatim; ONE metadata commit.
+    * The long-run answer for the upsert sink's per-batch delete files
+    * that [[compact]]'s full data rewrite was previously the only
+    * maintenance for. Returns (snapshotId, deleteFilesBefore,
+    * deleteFilesAfter) — (currentSnapshot, n, n) when there is
+    * nothing to consolidate. */
+  def rewritePositionDeletes(spark: SparkSession, dir: String)
+      : (Long, Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v0 = currentVersion(f, root)
+    require(v0 > 0, s"$dir has no snapshots to rewrite deletes for")
+    val m0 = readMeta(f, root, v0).get
+    val curId = m0.path("current-snapshot-id").asLong(-1L)
+    val snapNode = m0.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == curId)
+      .getOrElse(return (curId, 0, 0))
+    val listRecs = IcebergFormat.readAvro(conf,
+      new Path(resolveU(snapNode.path("manifest-list").asText)))
+    val (delMans, dataMans) = listRecs.partition(r => gInt(r, "content", 0) != 0)
+    if (delMans.isEmpty) return (curId, 0, 0)
+    // live delete entries with their ORIGINAL (snapshot, sequence)
+    final case class DelEntry(df: GenericRecord, snap: Long, seq: Long)
+    val live: Seq[DelEntry] = graft.pipeline.Par.map(delMans) { r =>
+      val manSeq = gLong(r, "sequence_number", 0L)
+      val manSnap = gLong(r, "added_snapshot_id", curId)
+      IcebergFormat.readAvro(conf, new Path(resolveU(gStr(r, "manifest_path"))))
+        .filter(e => gInt(e, "status", 0) != 2)
+        .map(e => DelEntry(e.get("data_file").asInstanceOf[GenericRecord],
+          gLong(e, "snapshot_id", manSnap), gLong(e, "sequence_number", manSeq)))
+    }.flatten
+    def isDv(df: GenericRecord): Boolean =
+      Option(df.getSchema.getField("content_offset"))
+        .flatMap(_ => Option(df.get("content_offset"))).isDefined
+    val (dvs0, rest) = live.partition(e => isDv(e.df))
+    val (eqs, poss) = rest.partition(e => gInt(e.df, "content", 0) == 2)
+    // live DV per referenced file: the max-sequence entry wins
+    val dvLive: Seq[DelEntry] = dvs0
+      .groupBy(e => canonPath(resolveU(gStr(e.df, "referenced_data_file"))))
+      .values.map(_.maxBy(_.seq)).toSeq
+      .sortBy(e => gStr(e.df, "referenced_data_file"))
+    val posFiles = poss.map(e => resolveU(gStr(e.df, "file_path"))).distinct
+    val dvPuffins = dvs0.map(e => resolveU(gStr(e.df, "file_path"))).distinct
+    val eqFiles = eqs.map(e => resolveU(gStr(e.df, "file_path"))).distinct
+    val before = posFiles.length + dvPuffins.length + eqFiles.length
+    // nothing to fold: at most one physical file per consolidatable kind
+    if (posFiles.length <= 1 && dvPuffins.length <= 1 &&
+        dvLive.length == dvs0.length)
+      return (curId, before, before)
+
+    val snapshotId = freshSnapshotId(f, root, v0)
+    val seqNo = m0.path("last-sequence-number").asLong(0L) + 1L
+    val entries = Seq.newBuilder[GenericRecord]
+    val newFiles = Seq.newBuilder[Path]
+    // ONE consolidated Puffin of every live DV blob, original ids kept
+    if (dvLive.nonEmpty) {
+      val blobs: Seq[(String, Array[Byte], Long)] = dvLive.map { e =>
+        val bytes = IcebergFormat.readPuffinDvBytes(conf,
+          new Path(resolveU(gStr(e.df, "file_path"))),
+          gLong(e.df, "content_offset", -1L),
+          gLong(e.df, "content_size_in_bytes", -1L))
+        (gStr(e.df, "referenced_data_file"), bytes,
+          gLong(e.df, "record_count", 0L))
+      }
+      val puffinP = new Path(root, s"data/dv-${java.util.UUID.randomUUID()}.puffin")
+      val refs = IcebergFormat.writePuffinDvBlobs(f, puffinP, blobs)
+      newFiles += puffinP
+      val puffinLen = f.getFileStatus(puffinP).getLen
+      val byRef = dvLive.map(e => gStr(e.df, "referenced_data_file") -> e).toMap
+      refs.foreach { case (rf, off, size) =>
+        val e = byRef(rf)
+        entries += IcebergFormat.entry(1, puffinP.toString,
+          gLong(e.df, "record_count", 0L), puffinLen, e.snap, e.seq,
+          fileFormat = "PUFFIN", dvRef = Some((rf, off, size)), status = 0)
+      }
+    }
+    // ONE consolidated position-delete parquet (max contributor's ids)
+    if (posFiles.nonEmpty) {
+      val rows = spark.read.parquet(posFiles: _*)
+        .select(
+          col("file_path").as("file_path", new MetadataBuilder()
+            .putLong("parquet.field.id", 2147483546L).build()),
+          col("pos").cast(LongType).as("pos", new MetadataBuilder()
+            .putLong("parquet.field.id", 2147483545L).build()))
+        .distinct()
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val staging = new Path(root,
+        s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+      rows.coalesce(1).write.parquet(staging.toString)
+      val part = f.listStatus(staging)
+        .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+      val dst = new Path(root, s"data/delete-${java.util.UUID.randomUUID()}.parquet")
+      require(f.rename(part, dst), s"rename $part failed")
+      f.delete(staging, true)
+      newFiles += dst
+      val n = spark.read.parquet(dst.toString).count()
+      val top = poss.maxBy(_.seq)
+      entries += IcebergFormat.entry(1, dst.toString, n,
+        f.getFileStatus(dst).getLen, top.snap, top.seq, status = 0)
+    }
+    // equality deletes carry verbatim (their sequence SEMANTICS forbid
+    // merging — raising a seq would widen what they mask)
+    eqs.foreach { e =>
+      entries += IcebergFormat.entry(2, gStr(e.df, "file_path"),
+        gLong(e.df, "record_count", 0L), gLong(e.df, "file_size_in_bytes", 0L),
+        e.snap, e.seq,
+        equalityIds = Option(e.df.getSchema.getField("equality_ids"))
+          .flatMap(_ => Option(e.df.get("equality_ids")))
+          .map(_.asInstanceOf[java.util.List[_]].asScala
+            .map(_.asInstanceOf[Number].intValue).toSeq).getOrElse(Nil),
+        bounds = entryBounds(e.df), status = 0)
+    }
+    val mp = new Path(root,
+      s"metadata/delete-manifest-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
+    IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries.result())
+    val outList: Seq[(String, Long, Int, Long, Int, Long, AnyRef)] =
+      dataMans.map(r => (gStr(r, "manifest_path"),
+        gLong(r, "manifest_length", 0L), 0,
+        gLong(r, "sequence_number", 0L), gInt(r, "partition_spec_id", 0),
+        gLong(r, "added_snapshot_id", curId),
+        Option(r.getSchema.getField("partitions"))
+          .flatMap(_ => Option(r.get("partitions"))).orNull)) :+
+      ((mp.toString, f.getFileStatus(mp).getLen, 1,
+        delMans.map(r => gLong(r, "sequence_number", 0L)).max, 0,
+        snapshotId, null: AnyRef))
+    try {
+      onBeforeCommit()
+      val snap = commitMeta(spark, f, root, v0, StructType(Nil), snapshotId,
+        seqNo, Nil, replace = false, operation = Some("replace"),
+        priorOverride = Some(outList),
+        minFormatVersion = if (dvLive.nonEmpty) 3 else 0)
+      val after = (if (dvLive.nonEmpty) 1 else 0) +
+        (if (posFiles.nonEmpty) 1 else 0) + eqFiles.length
+      (snap, before, after)
+    } catch {
+      case _: java.util.ConcurrentModificationException =>
+        f.delete(mp, false)
+        newFiles.result().foreach(p => f.delete(p, false))
+        throw new IllegalStateException(
+          s"rewritePositionDeletes on $dir raced a concurrent commit — " +
+          "its consolidated delete set no longer reflects the head; re-run")
+    }
+  }
+
   /** Turn v3 ROW LINEAGE ON for an EXISTING table — metadata-only
     * (zero data-file work): every live data manifest rewrites 1:1 with
     * a `first_row_id` range stamped per entry (one running watermark

@@ -389,4 +389,43 @@ class IcebergMaintenanceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       IcebergWrite.optimizeZOrder(spark, part, Seq("id")))
   }
+
+  test("rewritePositionDeletes folds delete files; data untouched; reads identical") {
+    val dir = Files.createTempDirectory("graft-ice-rpd").toString
+    import spark.implicits._
+    IcebergWrite.append((0L until 30L).map(i => (i, i % 3, s"t$i"))
+      .toDF("id", "k", "tag").repartition(3), dir)
+    // accumulate a MoR-heavy delete history: 2 parquet position-delete
+    // commits, 2 DV commits (the second REPLACES the first's vectors on
+    // shared files → a stale blob), 1 equality delete
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 2L)
+    IcebergWrite.deleteWhereDV(spark, dir, col("id") === 10L)
+    IcebergWrite.deleteWhereDV(spark, dir, col("id") === 11L)
+    IcebergWrite.equalityDelete(spark, dir, Seq(20L).toDF("id").coalesce(1))
+    val dataBefore = IcebergInterop.liveDataPaths(spark, dir).sorted
+    def rows(): Set[String] = IcebergInterop.readIceberg(spark, dir)
+      .collect().map(_.toString).toSet
+    val maskedBefore = rows()
+    assert(maskedBefore.size == 25)
+    val (snap, before, after) = IcebergWrite.rewritePositionDeletes(spark, dir)
+    assert(before == 5 && after == 3, s"fold $before -> $after") // dv+pos+eq
+    // data files untouched BY PATH IDENTITY; masked reads identical
+    assert(IcebergInterop.liveDataPaths(spark, dir).sorted == dataBefore)
+    assert(rows() == maskedBefore)
+    // the rewrite is a replace: changelog-silent, tailer-passable
+    val ch = graft.io.IcebergChangelog.readChangesBetween(spark, dir)
+    assert(!ch.select("_commit_snapshot_id").distinct()
+      .as[Long].collect().contains(snap), "the rewrite emits no changes")
+    assert(IcebergInterop.streamAddedFiles(spark, dir, snap).isEmpty,
+      "an incremental tailer passes the rewrite silently")
+    // idempotent: a second run has nothing to fold
+    val (snap2, b2, a2) = IcebergWrite.rewritePositionDeletes(spark, dir)
+    assert(snap2 == snap && b2 == a2)
+    // deletes still COMPOSE after the fold: a new delete + compact work
+    IcebergWrite.deleteWhereDV(spark, dir, col("id") === 12L)
+    assert(rows().size == 24)
+    IcebergWrite.compact(spark, dir, smallFileBytes = 0L)
+    assert(rows().size == 24)
+  }
 }

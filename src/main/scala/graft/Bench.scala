@@ -90,7 +90,8 @@ object Bench {
     "q208_iceberg_zorder", "q209_iceberg_stats",
     "q210_iceberg_upsert_stream", "q211_iceberg_partition_stats",
     "q212_stream_dedup", "q213_lineage_changelog",
-    "q214_lineage_replication"
+    "q214_lineage_replication", "q215_iceberg_defaults",
+    "q216_iceberg_wap", "q217_changelog_rollback"
   )
 
   def main(args: Array[String]): Unit = {

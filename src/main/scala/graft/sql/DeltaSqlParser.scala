@@ -677,7 +677,16 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
 
   private def tryIcebergMaintain(t: String): Option[LogicalPlan] =
-    icebergOptimizeRe.findFirstMatchIn(t).map { m =>
+    icebergRewriteDeletesRe.findFirstMatchIn(t).map { m =>
+      // OPTIMIZE ... REWRITE [POSITION] DELETES: consolidate the
+      // accumulated delete files without touching data
+      val dir = m.group(1)
+      command(Seq(attr("delete_files_before", LongType),
+        attr("delete_files_after", LongType))) { spark =>
+        val (_, before, after) = IcebergWrite.rewritePositionDeletes(spark, dir)
+        Seq(Row(before.toLong, after.toLong))
+      }
+    }.orElse(icebergOptimizeRe.findFirstMatchIn(t).map { m =>
       val dir = m.group(1)
       Option(m.group(2)) match {
         case Some(colsRaw) =>
@@ -733,7 +742,7 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
         val (_, ndv) = IcebergWrite.analyzeTable(spark, dir, cols)
         ndv.toSeq.sortBy(_._1).map { case (c, v) => Row(c, v) }
       }
-    })
+    }))
 
   private def tryIcebergInsert(t: String): Option[LogicalPlan] =
     icebergInsertRe.findFirstMatchIn(t).map { m =>
@@ -976,6 +985,37 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
     * [[IcebergWrite.renameColumn]]) and ref management (CREATE
     * TAG/BRANCH [AS OF SNAPSHOT n], DROP TAG/BRANCH) — the SQL console
     * evolves both lake formats. */
+  /** `name type [DEFAULT <literal>]` → (name, type, default). The
+    * literal parses by the COLUMN's type (v3 default values). */
+  private def parseAddCol(c: String): (String, DataType, Option[Any]) = {
+    val m = """(?is)^(\S+)\s+(.+?)(?:\s+DEFAULT\s+(.+?))?\s*$""".r
+      .findFirstMatchIn(c).getOrElse(throw new IllegalArgumentException(
+        s"ADD COLUMNS needs `name type [DEFAULT literal]`, got: $c"))
+    val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(m.group(2))
+    val dflt = Option(m.group(3)).map { raw0 =>
+      val raw = raw0.trim
+      def unq(s: String): String = {
+        require(s.length >= 2 && s.head == '\'' && s.last == '\'',
+          s"DEFAULT for $dt needs a quoted literal, got: $s")
+        s.substring(1, s.length - 1).replace("''", "'")
+      }
+      dt match {
+        case LongType => raw.toLong
+        case org.apache.spark.sql.types.IntegerType => raw.toInt
+        case org.apache.spark.sql.types.DoubleType => raw.toDouble
+        case org.apache.spark.sql.types.FloatType => raw.toFloat
+        case org.apache.spark.sql.types.BooleanType => raw.toBoolean
+        case StringType => unq(raw)
+        case org.apache.spark.sql.types.DateType =>
+          java.sql.Date.valueOf(unq(raw.replaceFirst("(?is)^DATE\\s+", "")))
+        case other => throw new IllegalArgumentException(
+          s"DEFAULT is not supported for type $other")
+      }
+    }
+    (m.group(1).replace("`", ""), dt, dflt)
+  }
+
   private def tryIcebergAlter(t: String): Option[LogicalPlan] =
     icebergAlterAddColRe.findFirstMatchIn(t).map { m =>
       val dir = m.group(1)
@@ -983,16 +1023,19 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
       command(Seq(attr("metadata_version", LongType))) { spark =>
         var v = -1L
         cols.foreach { c =>
-          val parts = c.split("\\s+", 2)
-          require(parts.length == 2, s"ADD COLUMNS needs `name type`, got: $c")
-          v = IcebergWrite.addColumn(spark, dir,
-            parts(0).replace("`", ""),
-            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-              .parseDataType(parts(1)))
+          val (name, dt, dflt) = parseAddCol(c)
+          v = IcebergWrite.addColumn(spark, dir, name, dt, dflt)
         }
         Seq(Row(v))
       }
-    }.orElse(icebergAlterRenameRe.findFirstMatchIn(t).map { m =>
+    }.orElse(icebergFastForwardRe.findFirstMatchIn(t).map { m =>
+      // ALTER TABLE iceberg.`p` FAST FORWARD [BRANCH] <name>: publish
+      // a write-audit-publish branch to main (ancestry-checked)
+      val (dir, branch) = (m.group(1), m.group(2))
+      command(Seq(attr("snapshot_id", LongType))) { spark =>
+        Seq(Row(IcebergWrite.fastForward(spark, dir, branch)))
+      }
+    }).orElse(icebergAlterRenameRe.findFirstMatchIn(t).map { m =>
       val (dir, from, to) =
         (m.group(1), m.group(2).replace("`", ""), m.group(3).replace("`", ""))
       command(Seq(attr("metadata_version", LongType))) { spark =>
@@ -1343,6 +1386,12 @@ object DeltaSqlParser {
   private[sql] val icebergAlterRefRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+iceberg\s*\.\s*`([^`]+)`\s+(CREATE|DROP)\s+""" +
      """(TAG|BRANCH)\s+(\w[\w.-]*)(?:\s+AS\s+OF\s+SNAPSHOT\s+(\d+))?\s*;?\s*$""").r
+  private[sql] val icebergFastForwardRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+iceberg\s*\.\s*`([^`]+)`\s+FAST\s+FORWARD\s+""" +
+     """(?:BRANCH\s+)?(\w[\w.-]*)\s*;?\s*$""").r
+  private[sql] val icebergRewriteDeletesRe =
+    ("""(?is)^\s*OPTIMIZE\s+iceberg\s*\.\s*`([^`]+)`\s+REWRITE\s+""" +
+     """(?:POSITION\s+)?DELETES\s*;?\s*$""").r
   private[sql] val icebergDescribeDetailRe =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+iceberg\s*\.\s*`([^`]+)`\s*;?\s*$""".r
   private[sql] val icebergRestoreRe =

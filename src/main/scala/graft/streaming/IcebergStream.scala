@@ -85,16 +85,24 @@ object IcebergStream {
       checkpoint: String,
       sequenceCol: Option[String] = None,
       deleteCol: Option[String] = None,
+      // apply every micro-batch's merge on a named BRANCH
+      // (write-audit-publish staging for CDC apply): main stays
+      // untouched until a fastForward publishes
+      branch: Option[String] = None,
       postCommitHook: Long => Unit = _ => ()
   ): StreamingQuery = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "upsertSink needs key columns")
+    def scoped[T](body: => T): T = branch match {
+      case Some(b) => IcebergWrite.onBranch(b)(body)
+      case None => body
+    }
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val batch1 = BatchTuning.rightSize(batch0)
-        if (!batch1.isEmpty) {
+        if (!batch1.isEmpty) scoped {
           // within-batch arbitration: the key's HIGHEST sequence wins.
           // Ties break DETERMINISTICALLY by a hash over the remaining
           // columns — replay after a crash-before-ledger-commit must

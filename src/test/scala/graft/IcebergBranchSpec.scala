@@ -48,8 +48,10 @@ class IcebergBranchSpec extends AnyFunSuite {
     assert(sqlN == 6L)
     assert(spark.sql(s"SELECT count(*) AS n FROM iceberg.`$dir`")
       .head().getLong(0) == 4L)
-    // publish
-    val published = IcebergWrite.fastForward(spark, dir, "audit")
+    // publish through the SQL front-end
+    val published = spark.sql(
+      s"ALTER TABLE iceberg.`$dir` FAST FORWARD BRANCH audit")
+      .head().getLong(0)
     assert(ids(dir) == (0L until 4L).toSet + 10L + 11L)
     assert(published == IcebergInterop.snapshotOfRef(spark, dir, "audit"))
     // idempotent when nothing staged
@@ -123,5 +125,18 @@ class IcebergBranchSpec extends AnyFunSuite {
     assert(branchIds(dir, "staged") == Set(0L, 1L, 2L))
     IcebergWrite.fastForward(spark, dir, "staged")
     assert(ids(dir) == Set(0L, 1L, 2L))
+    // the CDC upsert sink stages on a branch too
+    val src2 = s"$tmp/src2"
+    Seq((1L, "fixed"), (9L, "new")).toDF("id", "name")
+      .coalesce(1).write.mode("append").parquet(src2)
+    val q3 = graft.streaming.IcebergStream.upsertSink(spark,
+      spark.readStream.schema(spark.read.parquet(src2).schema).parquet(src2),
+      dir, Seq("id"), "wap-upsert", s"$tmp/ckpt2", branch = Some("cdc"))
+    try q3.processAllAvailable() finally q3.stop()
+    assert(ids(dir) == Set(0L, 1L, 2L), "main untouched by the branch upsert")
+    val cdc = IcebergInterop.readIceberg(spark, dir,
+        Some(IcebergInterop.snapshotOfRef(spark, dir, "cdc")))
+      .select("id", "name").as[(Long, String)].collect().toMap
+    assert(cdc(1L) == "fixed" && cdc(9L) == "new" && cdc.size == 4)
   }
 }

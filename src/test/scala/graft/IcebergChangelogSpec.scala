@@ -125,6 +125,37 @@ class IcebergChangelogSpec extends AnyFunSuite {
       s"restart resumes past consumed change sets: ${buf2.toList}")
   }
 
+  test("streaming readChanges consumes a rollback as its net diff") {
+    val dir = Files.createTempDirectory("graft-ice-changelog-rbs").toString
+    IcebergWrite.append((0L until 6L).map(i => (i, s"a_$i")).toDF("id", "tag")
+      .coalesce(1), dir)
+    val buf = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("graft-iceberg")
+      .option("readChanges", "true").load(dir)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.select("id", "_change_type").as[(Long, String)].collect()
+        if (rows.nonEmpty) buf.synchronized { buf ++= rows }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val pre = IcebergInterop.readJson(spark,
+        IcebergInterop.currentMetadataPath(spark, dir))
+        .path("current-snapshot-id").asLong
+      IcebergWrite.append((10L until 13L).map(i => (i, s"b_$i")).toDF("id", "tag"), dir)
+      q.processAllAvailable()
+      // an operator restores mid-stream: the consumer receives the
+      // NET diff instead of the stream dying
+      IcebergWrite.rollbackTo(spark, dir, pre)
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = buf.synchronized(buf.toList)
+    assert(all.filter(_._2 == "delete").map(_._1).toSet == Set(10L, 11L, 12L),
+      s"the rollback nets out the dropped append: $all")
+    assert(all.count(_._2 == "insert") == 9, "6 origin + 3 appended")
+  }
+
   test("rollback emits the net diff: dropped appends delete, undeletes insert") {
     val dir = Files.createTempDirectory("graft-ice-changelog-rb").toString
     IcebergWrite.append((0L until 10L).map(i => (i, s"a_$i")).toDF("id", "tag")

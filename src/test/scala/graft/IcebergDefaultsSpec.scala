@@ -91,6 +91,18 @@ class IcebergDefaultsSpec extends AnyFunSuite {
     assert(rows(10L) == Some(100L) && rows(11L).isEmpty)
   }
 
+  test("SQL: ADD COLUMN ... DEFAULT stamps a v3 default") {
+    val dir = Files.createTempDirectory("graft-dflt-sql").toString + "/t"
+    IcebergWrite.append((0L until 4L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
+    spark.sql(s"ALTER TABLE iceberg.`$dir` ADD COLUMN note string DEFAULT 'none'")
+    spark.sql(s"ALTER TABLE iceberg.`$dir` ADD COLUMNS (w bigint DEFAULT 9)")
+    IcebergWrite.append(Seq((10L, "n10", "real", 1L))
+      .toDF("id", "name", "note", "w"), dir)
+    val byId = spark.sql(s"SELECT id, note, w FROM iceberg.`$dir`")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(byId(0L) == (("none", 9L)) && byId(10L) == (("real", 1L)))
+  }
+
   test("expiry-safe: defaults still resolve after the adding snapshots expire") {
     val dir = Files.createTempDirectory("graft-dflt-e").toString + "/t"
     mkTable(dir)

@@ -419,7 +419,10 @@ class IcebergMaintenanceSpec extends AnyFunSuite {
       .as[Long].collect().contains(snap), "the rewrite emits no changes")
     assert(IcebergInterop.streamAddedFiles(spark, dir, snap).isEmpty,
       "an incremental tailer passes the rewrite silently")
-    // idempotent: a second run has nothing to fold
+    // idempotent: a second run has nothing to fold — through SQL too
+    val sqlRow = spark.sql(s"OPTIMIZE iceberg.`$dir` REWRITE POSITION DELETES")
+      .head()
+    assert(sqlRow.getLong(0) == sqlRow.getLong(1), "second fold is a no-op")
     val (snap2, b2, a2) = IcebergWrite.rewritePositionDeletes(spark, dir)
     assert(snap2 == snap && b2 == a2)
     // deletes still COMPOSE after the fold: a new delete + compact work

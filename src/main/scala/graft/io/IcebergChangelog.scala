@@ -52,13 +52,25 @@ object IcebergChangelog {
     import scala.jdk.CollectionConverters._
     val meta = IcebergInterop.readJson(spark,
       IcebergInterop.currentMetadataPath(spark, dir))
-    meta.path("snapshots").elements().asScala.toSeq.map { s0 =>
+    val all = meta.path("snapshots").elements().asScala.toSeq.map { s0 =>
       SnapInfo(s0.path("sequence-number").asLong(0L),
         s0.path("snapshot-id").asLong,
         Option(s0.path("parent-snapshot-id").asLong(-1L)).filter(_ > 0),
         s0.path("summary").path("operation").asText(""),
         s0.path("manifest-list").asText)
-    }.sortBy(_.seq)
+    }
+    // MAIN-ANCESTRY only: un-published write-audit-publish branch
+    // snapshots share the snapshots array but are not main history —
+    // a changelog consumer must never receive staged rows. They enter
+    // the chain when fastForward moves the head.
+    val parentOf = all.map(s1 => s1.id -> s1.parent).toMap
+    val onMain = scala.collection.mutable.HashSet.empty[Long]
+    var cur = meta.path("current-snapshot-id").asLong(-1L)
+    while (cur > 0 && !onMain.contains(cur)) {
+      onMain += cur
+      cur = parentOf.getOrElse(cur, None).getOrElse(-1L)
+    }
+    all.filter(s1 => onMain.contains(s1.id)).sortBy(_.seq)
   }
 
   /** What snapshot `s` ADDED: its own manifests' status-1 entries,
@@ -133,9 +145,9 @@ object IcebergChangelog {
     val a = addedOf(spark, s)
     // v3 initial-default support for the changelog's RAW file reads
     // (inserts + delete preimages): per-file applicability through the
-    // snapshot's manifest entries — built lazily, only when the schema
-    // actually declares defaults
-    val meta = IcebergInterop.readJson(spark,
+    // snapshot's manifest entries — EVERYTHING here is lazy, so a
+    // schema without defaults pays zero extra metadata reads
+    lazy val meta = IcebergInterop.readJson(spark,
       IcebergInterop.currentMetadataPath(spark, dir))
     lazy val fileSnapAll: Map[String, (Long, Long)] = {
       import scala.jdk.CollectionConverters._
@@ -170,17 +182,11 @@ object IcebergChangelog {
     // tables broadcast a driver map; past the manifest-count gate the
     // map builds DISTRIBUTED (manifests parse on executors, the
     // attach becomes a plain join) so the driver never materializes
-    // every live file path of a huge table.
-    lazy val useDriverMap = dataManifestPaths(spark, s.manifestList).size <=
-      lineageDriverManifests(spark)
-    lazy val firstOf: Map[String, Long] = firstRowIdsOf(spark, s.manifestList)
-    lazy val frDf: DataFrame =
-      firstRowIdsDF(spark, s.manifestList).localCheckpoint(false)
+    // every live file path of a huge table ([[ridSourceFor]]).
+    lazy val ridSrc = ridSourceFor(spark, s.manifestList)
     val readSchema = if (!withLineage) schema else lineageReadSchema(schema)
     def withRid(raw: DataFrame): DataFrame =
-      if (!withLineage) raw
-      else if (useDriverMap) attachRid(spark, raw, firstOf)
-      else attachRidDf(raw, frDf)
+      if (!withLineage) raw else attachRidEither(spark, raw, ridSrc)
     val outNames = schema.fieldNames.toSeq ++
       (if (withLineage) Seq("_row_id") else Nil)
     def tagged(df: DataFrame, tpe: String): DataFrame =
@@ -292,12 +298,27 @@ object IcebergChangelog {
     val afterFiles = IcebergInterop.liveDataPaths(spark, dir, Some(s.id)).toSet
     val beforeDvs = IcebergInterop.liveDvs(spark, dir, Some(parent))
     val afterDvs = IcebergInterop.liveDvs(spark, dir, Some(s.id))
+    val (posB, eqB) = IcebergInterop.liveDeleteFiles(spark, dir, Some(parent))
+    val (posA, eqA) = IcebergInterop.liveDeleteFiles(spark, dir, Some(s.id))
     val removed = beforeFiles -- afterFiles
     val added = afterFiles -- beforeFiles
-    // same file, different DV address ⇒ masking changed either way —
-    // those files diff row-by-row on (file, pos) identity
-    val reMasked = (beforeFiles & afterFiles)
-      .filter(p => beforeDvs.get(p) != afterDvs.get(p))
+    val common = beforeFiles & afterFiles
+    // masking can change WITHOUT data files moving — three sources:
+    //   - a file's live DV address differs either way;
+    //   - a position-delete parquet appears/disappears: its referenced
+    //     files re-diff (one read of the CHANGED delete files only);
+    //   - an equality-delete file appears/disappears: its masking is
+    //     predicate-shaped (any older file) — every common file
+    //     re-diffs, the honest cost of restoring across one.
+    val dvChanged = common.filter(p => beforeDvs.get(p) != afterDvs.get(p))
+    val posChanged = ((posB.toSet | posA.toSet) -- (posB.toSet & posA.toSet)).toSeq
+    val posTouched: Set[String] =
+      if (posChanged.isEmpty) Set.empty
+      else spark.read.parquet(posChanged: _*)
+        .select(regexp_replace(col("file_path"), "^file:/+", "/").as("f"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val reMasked = dvChanged ++ (posTouched & common) ++
+      (if (eqB.toSet != eqA.toSet) common else Set.empty)
     if (removed.isEmpty && added.isEmpty && reMasked.isEmpty) return None
     def view(snapId: Long, only: Set[String]): DataFrame = {
       val v = IcebergInterop.readIceberg(spark, dir, Some(snapId),

@@ -178,8 +178,8 @@ object IcebergInterop {
     * refuses by name (silently reading null where the spec requires
     * the default is the one wrong answer). No-op (zero cost) when the
     * schema declares no defaults. */
-  private[graft] def applyInitialDefaults(spark: SparkSession, meta: JsonNode,
-      raw: DataFrame, schema: StructType,
+  private[graft] def applyInitialDefaults(spark: SparkSession,
+      meta: => JsonNode, raw: DataFrame, schema: StructType,
       fileSnap: => Map[String, (Long, Long)]): DataFrame = {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.functions.{broadcast, col, when}
@@ -933,6 +933,24 @@ object IcebergInterop {
     * commit-time validation ([[IcebergWrite]] rebases only when the
     * files its delete references are still live — Iceberg's
     * validateDataFilesExist). Metadata-sized driver work. */
+  /** A snapshot's live DELETE files by kind: (position-delete parquet
+    * paths, equality-delete paths) — the masking inventory a rollback
+    * diff compares beyond DVs. */
+  private[graft] def liveDeleteFiles(spark: SparkSession, dir: String,
+      atSnapshot: Option[Long] = None): (Seq[String], Seq[String]) = {
+    import scala.jdk.CollectionConverters._
+    val meta = readJson(spark, currentMetadataPath(spark, dir))
+    val want = atSnapshot.getOrElse(meta.path("current-snapshot-id").asLong(-1L))
+    meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == want)
+      .map { s0 =>
+        val inv = liveFiles(spark, dir, s0)
+        (inv.posDeletes.map(canonPathStr),
+          inv.eqDeletes.map(e => canonPathStr(e._1)))
+      }
+      .getOrElse((Nil, Nil))
+  }
+
   private[graft] def liveDataPaths(spark: SparkSession, dir: String,
                                    atSnapshot: Option[Long] = None): Seq[String] = {
     import scala.jdk.CollectionConverters._
@@ -1283,15 +1301,28 @@ object IcebergInterop {
     * sequence-number as (seq, snapshotId, operation), plus the CURRENT
     * schema pinned with field ids. */
   private[graft] def streamHead(spark: SparkSession, dir: String)
-      : (Seq[(Long, Long, String)], StructType) = {
+      : (Seq[(Long, Long, String, Long)], StructType) = {
     import scala.jdk.CollectionConverters._
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val meta = readJson(spark, currentMetadataPath(spark, dir))
-    val snaps = meta.path("snapshots").elements().asScala.toSeq
+    val all = meta.path("snapshots").elements().asScala.toSeq
       .map(s0 => (s0.path("sequence-number").asLong(0L),
         s0.path("snapshot-id").asLong,
-        s0.path("summary").path("operation").asText("")))
-      .sortBy(_._1)
+        s0.path("summary").path("operation").asText(""),
+        s0.path("parent-snapshot-id").asLong(-1L)))
+    // MAIN-ANCESTRY only: a write-audit-publish branch's staged
+    // snapshots live in the same snapshots array but are NOT main
+    // history — a main-table consumer must never see un-published
+    // rows. Published snapshots enter the chain via fastForward's
+    // head move.
+    val parentOf = all.map(t => t._2 -> t._4).toMap
+    val mainHead = meta.path("current-snapshot-id").asLong(-1L)
+    val onMain = scala.collection.mutable.HashSet.empty[Long]
+    var cur = mainHead
+    while (cur > 0 && !onMain.contains(cur)) {
+      onMain += cur; cur = parentOf.getOrElse(cur, -1L)
+    }
+    val snaps = all.filter(t => onMain.contains(t._2)).sortBy(_._1)
     val schema = StructType(fieldsOf(schemaNodeById(meta, None).path("fields")))
     (snaps, schema)
   }

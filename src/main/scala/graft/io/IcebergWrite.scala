@@ -2399,6 +2399,17 @@ object IcebergWrite {
       new Path(resolveU(snapNode.path("manifest-list").asText)))
     val (delMans, dataMans) = listRecs.partition(r => gInt(r, "content", 0) != 0)
     if (delMans.isEmpty) return (curId, 0, 0)
+    // graft writes every delete manifest under the empty spec 0; a
+    // FOREIGN partition-scoped delete manifest would be misdeclared by
+    // a spec-0 consolidation — refuse by name rather than emit
+    // metadata another reader mis-scopes
+    delMans.find(r => gInt(r, "partition_spec_id", 0) != 0).foreach { r =>
+      throw new IllegalArgumentException(
+        s"rewritePositionDeletes: delete manifest ${gStr(r, "manifest_path")} " +
+        s"declares partition spec ${gInt(r, "partition_spec_id", 0)} — " +
+        "partition-scoped foreign delete layouts are not consolidated; " +
+        "compact the table instead")
+    }
     // live delete entries with their ORIGINAL (snapshot, sequence)
     final case class DelEntry(df: GenericRecord, snap: Long, seq: Long)
     val live: Seq[DelEntry] = graft.pipeline.Par.map(delMans) { r =>
@@ -2948,9 +2959,30 @@ object IcebergWrite {
     val refIds: Set[Long] = m0.path("refs").properties().asScala
       .map(_.getValue.path("snapshot-id").asLong(-1L)).toSet
     val snaps = m0.path("snapshots").elements().asScala.toSeq
+    // an un-published BRANCH's whole ancestry chain (down to main's
+    // head) survives expiry while the ref exists: fastForward's
+    // ancestor walk and the branch's own reads need the intermediate
+    // snapshots, not just the head. The chain frees when the branch
+    // is dropped or published.
+    val parentOf: Map[Long, Long] = snaps.map(s0 =>
+      s0.path("snapshot-id").asLong(-1L) ->
+        s0.path("parent-snapshot-id").asLong(-1L)).toMap
+    val branchChain: Set[Long] = {
+      val out = scala.collection.mutable.HashSet.empty[Long]
+      m0.path("refs").properties().asScala
+        .filter(e => e.getKey != "main" &&
+          e.getValue.path("type").asText("branch") == "branch")
+        .foreach { e =>
+          var cur = e.getValue.path("snapshot-id").asLong(-1L)
+          while (cur > 0 && cur != curId && !out.contains(cur)) {
+            out += cur; cur = parentOf.getOrElse(cur, -1L)
+          }
+        }
+      out.toSet
+    }
     val (kept, expired) = snaps.partition { s0 =>
       val id = s0.path("snapshot-id").asLong(-2L)
-      id == curId || refIds.contains(id) ||
+      id == curId || refIds.contains(id) || branchChain.contains(id) ||
         s0.path("timestamp-ms").asLong(0L) >= cutoff
     }
     if (expired.isEmpty) return (0, reclaimed)

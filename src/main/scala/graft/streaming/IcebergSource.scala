@@ -180,8 +180,10 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
   // batches commit; also caches the seq→(snapshotId, operation) map
   private val addCache = scala.collection.mutable.HashMap.empty[Long, Seq[String]]
 
-  /** Snapshots strictly after the origin, by sequence number. */
-  private def tailSnaps(): Seq[(Long, Long, String)] =
+  /** MAIN-chain snapshots strictly after the origin, by sequence
+    * number, with parent ids (branch-staged snapshots never appear —
+    * streamHead filters to main ancestry). */
+  private def tailSnaps(): Seq[(Long, Long, String, Long)] =
     IcebergInterop.streamHead(spark, dir)._1.filter(_._1 > origin.seq)
 
   private def addedOf(seq: Long, snapId: Long, op: String): Seq[String] =
@@ -240,7 +242,7 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
     // finish the partially-consumed tail snapshot first
     cur match {
       case Some(o) if !o.starting =>
-        tail.find(_._1 == o.seq).foreach { case (seq, id, op) =>
+        tail.find(_._1 == o.seq).foreach { case (seq, id, op, _) =>
           val n = addedOf(seq, id, op).length
           if (o.index < n && remaining > 0) {
             val take = math.min(remaining, n - o.index)
@@ -255,17 +257,28 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
       case Some(o) if !o.starting => o.seq
       case _ => origin.seq // snapshot phase complete (or empty)
     }
-    var expected = fromSeq + 1
-    tail.filter(_._1 > fromSeq).foreach { case (seq, id, op) =>
-      if (remaining <= 0) return cur
-      // sequence numbers are contiguous (one per commit): a gap means
-      // expireSnapshots dropped data the stream never consumed — fail
-      // loudly instead of silently skipping it
-      if (seq != expected)
+    // PARENT-CONTINUITY: each consumed main-chain snapshot must be the
+    // direct child of the previous one — a broken link means
+    // expireSnapshots dropped data the stream never consumed (fail
+    // loudly instead of silently skipping). Sequence numbers alone
+    // cannot arbitrate: branch commits consume sequence numbers that
+    // legitimately never appear on main. Snapshots without a recorded
+    // parent (foreign v1 histories) fall back to seq contiguity.
+    var prevId =
+      if (fromSeq == origin.seq) origin.snapshotId
+      else tail.find(_._1 == fromSeq).map(_._2).getOrElse(
         throw new IllegalStateException(
-          s"snapshot seq $expected of $dir expired before the stream " +
-          s"consumed it (head resumes at seq $seq) — restart the stream from a fresh checkpoint")
-      expected += 1
+          s"snapshot seq $fromSeq of $dir expired before the stream " +
+          "finished it — restart the stream from a fresh checkpoint"))
+    var prevSeq = fromSeq
+    tail.filter(_._1 > fromSeq).foreach { case (seq, id, op, parent) =>
+      if (remaining <= 0) return cur
+      if (!(parent == prevId || (parent <= 0 && seq == prevSeq + 1)))
+        throw new IllegalStateException(
+          s"main-chain snapshot after seq $prevSeq of $dir expired before " +
+          s"the stream consumed it (head resumes at seq $seq) — restart " +
+          "the stream from a fresh checkpoint")
+      prevId = id; prevSeq = seq
       val n = addedOf(seq, id, op).length
       val take = math.min(remaining, n)
       cur = Some(IcebergSourceOffset(seq, take, starting = false))
@@ -308,7 +321,7 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
           case _ => (origin.seq, 0) // all of every tail snapshot ≤ end
         }
         tailSnaps().filter(t => t._1 >= fromSeq && t._1 <= end.seq)
-          .flatMap { case (seq, id, op) =>
+          .flatMap { case (seq, id, op, _) =>
             val files = addedOf(seq, id, op)
             val lo = if (seq == fromSeq) fromIdx else 0
             val hi = if (seq == end.seq) end.index else files.length
@@ -340,10 +353,14 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
           IcebergInterop.readJson(spark,
             IcebergInterop.currentMetadataPath(spark, dir)),
           raw, lockedSchema,
-          originFileSnap ++ tailSnaps().flatMap { case (seq, id, op) =>
-            addedOf(seq, id, op).map(p =>
-              graft.io.IcebergInterop.canonPathStr(p) -> ((id, seq)))
-          }.toMap)
+          // attribution only for snapshots THIS batch can contain —
+          // a later non-append snapshot must not fail an earlier
+          // clean batch's replay
+          originFileSnap ++ tailSnaps().filter(_._1 <= endO.seq)
+            .flatMap { case (seq, id, op, _) =>
+              addedOf(seq, id, op).map(p =>
+                graft.io.IcebergInterop.canonPathStr(p) -> ((id, seq)))
+            }.toMap)
       GraftBridge.asStreamingBatch(patched
         .select(lockedSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
     }
@@ -383,7 +400,7 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
         case _ => (origin.seq, 1) // origin phase complete; tail everything after
       }
       tailSnaps().filter(t => t._1 >= fromSeq && t._1 <= endO.seq)
-        .foreach { case (seq, id, _) =>
+        .foreach { case (seq, id, _, _) =>
           val lo = if (seq == fromSeq) fromIdx else 0
           val hi = if (seq == endO.seq) endO.index else 1
           if (lo < hi)

@@ -58,6 +58,64 @@ class IcebergBranchSpec extends AnyFunSuite {
     assert(IcebergWrite.fastForward(spark, dir, "audit") == published)
   }
 
+  test("staged branch snapshots never leak into main consumers; expiry keeps the chain") {
+    val tmp = Files.createTempDirectory("graft-wap-leak").toString
+    val dir = s"$tmp/t"
+    IcebergWrite.append((0L until 3L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
+    // a main-table stream running while a branch stages
+    val buf = scala.collection.mutable.ListBuffer.empty[Long]
+    val q = spark.readStream.format("graft-iceberg").load(dir)
+      .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.select("id").as[Long].collect()
+        if (rows.nonEmpty) buf.synchronized { buf ++= rows }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      IcebergWrite.onBranch("audit") {
+        IcebergWrite.append(Seq((10L, "staged")).toDF("id", "name"), dir)
+        IcebergWrite.append(Seq((11L, "staged")).toDF("id", "name"), dir)
+      }
+      IcebergWrite.append(Seq((5L, "main")).toDF("id", "name"), dir)
+      q.processAllAvailable()
+      assert(buf.synchronized(buf.toSet) == Set(0L, 1L, 2L, 5L),
+        "un-published branch rows must never reach a main consumer")
+      // the batch changelog is main-history only too
+      assert(graft.io.IcebergChangelog.readChangesBetween(spark, dir)
+        .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L, 5L))
+      // expiry keeps the branch's ANCESTRY chain while the ref exists,
+      // so the publish still fast-forwards after maintenance...
+      IcebergWrite.expireSnapshots(spark, dir, retainMillis = 0L)
+      val ex = intercept[IllegalArgumentException] {
+        IcebergWrite.fastForward(spark, dir, "audit")
+      } // main advanced past the fork — the DIVERGENCE refusal, not a
+        // broken-chain one
+      assert(ex.getMessage.contains("not an ancestor"))
+      // ...and the branch itself still reads whole
+      assert(branchIds(dir, "audit") == Set(0L, 1L, 2L, 10L, 11L))
+      // the stream consumed across the expiry without a false
+      // sequence-gap failure (branch seqs legitimately absent on main)
+      IcebergWrite.append(Seq((6L, "late")).toDF("id", "name"), dir)
+      q.processAllAvailable()
+      assert(buf.synchronized(buf.toSet) == Set(0L, 1L, 2L, 5L, 6L))
+    } finally q.stop()
+  }
+
+  test("expiry-then-publish: a clean (undiverged) staged branch survives") {
+    val dir = Files.createTempDirectory("graft-wap-exp").toString + "/t"
+    IcebergWrite.append((0L until 3L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.append(Seq((10L, "b1")).toDF("id", "name"), dir)
+      IcebergWrite.append(Seq((11L, "b2")).toDF("id", "name"), dir)
+    }
+    val (_, _) = IcebergWrite.expireSnapshots(spark, dir, retainMillis = 0L)
+    // the intermediate branch snapshot b1 must have survived (the
+    // ancestry walk needs it) — publish succeeds
+    IcebergWrite.fastForward(spark, dir, "audit")
+    assert(ids(dir) == Set(0L, 1L, 2L, 10L, 11L))
+  }
+
   test("branch delete + merge leave main untouched until publish") {
     val dir = Files.createTempDirectory("graft-wap-dm").toString + "/t"
     IcebergWrite.append((0L until 10L).map(i => (i, i * 100L)).toDF("id", "v"), dir)

@@ -236,6 +236,32 @@ class IcebergChangelogSpec extends AnyFunSuite {
     } finally spark.conf.unset(IcebergChangelog.LineageDriverManifestsConf)
   }
 
+  test("rollback past parquet position / equality deletes emits undeletes") {
+    val dir = Files.createTempDirectory("graft-ice-changelog-rbp").toString
+    IcebergWrite.append((0L until 8L).map(i => (i, s"a_$i")).toDF("id", "tag")
+      .coalesce(1), dir)
+    val pre = IcebergInterop.readJson(spark,
+      IcebergInterop.currentMetadataPath(spark, dir))
+      .path("current-snapshot-id").asLong
+    IcebergWrite.deleteWhere(spark, dir, col("id") < 2)          // parquet pos
+    IcebergWrite.equalityDelete(spark, dir, Seq(5L).toDF("id").coalesce(1))
+    IcebergWrite.rollbackTo(spark, dir, pre)                     // undelete all
+    val ch = IcebergChangelog.readChangesBetween(spark, dir).localCheckpoint(false)
+    val rb = ch.filter(col("_change_ordinal") === 4L)
+    assert(rb.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().toSet == Set(0L, 1L, 5L),
+      "position AND equality masks roll back as undelete inserts")
+    assert(rb.filter(col("_change_type") === "delete").count() == 0)
+    // fold reconstructs the restored table
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("id", "tag").collect().map(_.toString).toSeq
+    val ins = bag(rowsOf(ch.filter(col("_change_type") === "insert")))
+    val del = bag(rowsOf(ch.filter(col("_change_type") === "delete")))
+    val net = ins.map { case (k, n) => k -> (n - del.getOrElse(k, 0)) }
+      .filter(_._2 > 0)
+    assert(net == bag(rowsOf(IcebergInterop.readIceberg(spark, dir))))
+  }
+
   test("lineage changelog: an update's delete/insert pair shares one _row_id") {
     val dir = Files.createTempDirectory("graft-changelog-lineage").toString
     IcebergWrite.appendLineage((0L until 20L).map(i => (i, i * 10))

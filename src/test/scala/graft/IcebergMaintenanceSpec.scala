@@ -430,5 +430,23 @@ class IcebergMaintenanceSpec extends AnyFunSuite {
     assert(rows().size == 24)
     IcebergWrite.compact(spark, dir, smallFileBytes = 0L)
     assert(rows().size == 24)
+    // a graft-PARTITIONED table folds too (its delete manifests ride
+    // the empty spec 0; the data manifests keep their own spec)
+    val pdir = Files.createTempDirectory("graft-ice-rpd-part").toString + "/t"
+    IcebergWrite.appendPartitioned((0L until 20L).map(i => (i, s"g${i % 4}"))
+      .toDF("id", "grp"), pdir, "grp")
+    IcebergWrite.deleteWhereDV(spark, pdir, col("id") === 3L)
+    IcebergWrite.deleteWhereDV(spark, pdir, col("id") === 4L)
+    val pBefore = IcebergInterop.readIceberg(spark, pdir)
+      .collect().map(_.toString).toSet
+    val (_, pb, pa) = IcebergWrite.rewritePositionDeletes(spark, pdir)
+    assert(pb == 2 && pa == 1)
+    assert(IcebergInterop.readIceberg(spark, pdir)
+      .collect().map(_.toString).toSet == pBefore)
+    // manifest-level partition skipping SURVIVES (data manifests verbatim)
+    IcebergInterop.readIceberg(spark, pdir, stringEq = Map("grp" -> "g1"))
+      .collect()
+    assert(IcebergInterop.lastManifestScan._2 > 0,
+      "partition pruning must survive the delete fold")
   }
 }

@@ -59,18 +59,12 @@ object IcebergChangelog {
         s0.path("summary").path("operation").asText(""),
         s0.path("manifest-list").asText)
     }
-    // MAIN-ANCESTRY only: un-published write-audit-publish branch
-    // snapshots share the snapshots array but are not main history —
-    // a changelog consumer must never receive staged rows. They enter
-    // the chain when fastForward moves the head.
-    val parentOf = all.map(s1 => s1.id -> s1.parent).toMap
-    val onMain = scala.collection.mutable.HashSet.empty[Long]
-    var cur = meta.path("current-snapshot-id").asLong(-1L)
-    while (cur > 0 && !onMain.contains(cur)) {
-      onMain += cur
-      cur = parentOf.getOrElse(cur, None).getOrElse(-1L)
-    }
-    all.filter(s1 => onMain.contains(s1.id)).sortBy(_.seq)
+    // un-published write-audit-publish branch snapshots share the
+    // snapshots array but are not main history — a changelog consumer
+    // must never receive staged rows; they enter the stream when
+    // fastForward moves the head ([[IcebergInterop.branchOnlyIds]])
+    val excluded = IcebergInterop.branchOnlyIds(meta)
+    all.filterNot(s1 => excluded.contains(s1.id)).sortBy(_.seq)
   }
 
   /** What snapshot `s` ADDED: its own manifests' status-1 entries,

@@ -1310,21 +1310,53 @@ object IcebergInterop {
         s0.path("snapshot-id").asLong,
         s0.path("summary").path("operation").asText(""),
         s0.path("parent-snapshot-id").asLong(-1L)))
-    // MAIN-ANCESTRY only: a write-audit-publish branch's staged
-    // snapshots live in the same snapshots array but are NOT main
-    // history — a main-table consumer must never see un-published
-    // rows. Published snapshots enter the chain via fastForward's
-    // head move.
-    val parentOf = all.map(t => t._2 -> t._4).toMap
-    val mainHead = meta.path("current-snapshot-id").asLong(-1L)
+    // a write-audit-publish branch's staged snapshots live in the
+    // same snapshots array but are NOT main history — a main-table
+    // consumer must never see un-published rows; they enter the
+    // stream via fastForward's head move
+    val excluded = branchOnlyIds(meta)
+    val snaps = all.filterNot(t => excluded.contains(t._2)).sortBy(_._1)
+    val schema = StructType(fieldsOf(schemaNodeById(meta, None).path("fields")))
+    (snaps, schema)
+  }
+
+  /** Snapshot ids POSITIVELY attributable to a non-main branch: for
+    * each non-main branch ref, the chain from its head down to the
+    * first main-ancestry node — and only when the walk actually
+    * REACHES main's chain (proving a true fork). Histories without
+    * recorded parent ids (foreign v1, UniForm mirrors) attribute
+    * nothing and keep their full enumeration — excluding main history
+    * would silently lose data, excluding nothing merely re-admits
+    * staged rows a foreign writer parked (graft's own branches always
+    * carry parents). */
+  private[graft] def branchOnlyIds(meta: JsonNode): Set[Long] = {
+    import scala.jdk.CollectionConverters._
+    val refs = meta.path("refs")
+    if (!refs.isObject || refs.size <= 1) return Set.empty
+    val parentOf: Map[Long, Long] =
+      meta.path("snapshots").elements().asScala.map(s0 =>
+        s0.path("snapshot-id").asLong(-1L) ->
+          s0.path("parent-snapshot-id").asLong(-1L)).toMap
     val onMain = scala.collection.mutable.HashSet.empty[Long]
-    var cur = mainHead
+    var cur = meta.path("current-snapshot-id").asLong(-1L)
     while (cur > 0 && !onMain.contains(cur)) {
       onMain += cur; cur = parentOf.getOrElse(cur, -1L)
     }
-    val snaps = all.filter(t => onMain.contains(t._2)).sortBy(_._1)
-    val schema = StructType(fieldsOf(schemaNodeById(meta, None).path("fields")))
-    (snaps, schema)
+    val out = scala.collection.mutable.HashSet.empty[Long]
+    refs.properties().asScala
+      .filter(e => e.getKey != "main" &&
+        e.getValue.path("type").asText("branch") == "branch")
+      .foreach { e =>
+        val chain = Seq.newBuilder[Long]
+        var c = e.getValue.path("snapshot-id").asLong(-1L)
+        var hitMain = false
+        while (c > 0 && !hitMain) {
+          if (onMain.contains(c)) hitMain = true
+          else { chain += c; c = parentOf.getOrElse(c, -1L) }
+        }
+        if (hitMain) out ++= chain.result()
+      }
+    out.toSet
   }
 
   /** The data files snapshot `snapshotId` scans, for the stream-start

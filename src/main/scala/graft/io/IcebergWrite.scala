@@ -1504,7 +1504,10 @@ object IcebergWrite {
     * with [[fastForward]]; audit with a plain
     * `readIceberg(snapshotId = snapshotOfRef(...))`. Thread-scoped
     * (DynamicVariable) — safe under concurrent writers on different
-    * threads. */
+    * threads. Caveat (documented): branch reads pin the branch-head
+    * snapshot's schema-id, so a metadata-only schema evolution
+    * mid-WAP surfaces on the branch only after its next commit (or
+    * after publish) — evolve before staging. */
   def onBranch[T](branch: String)(body: => T): T = {
     require(branch.nonEmpty && branch != "main",
       "onBranch targets a named non-main branch")

@@ -119,6 +119,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_iceberg_refs"),
+      info("graft_iceberg_refs",
+        "graft_iceberg_refs(path) - the table's named references (branches/tags) with each un-published branch's staged-commit count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_iceberg_refs takes (path), got ${args.length} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val ref = stringArg("graft_iceberg_refs", args, 0)
+        val path = graft.io.IcebergInterop.catalogIcebergPath(spark, ref).getOrElse(ref)
+        org.apache.spark.sql.GraftBridge.plan(
+          graft.io.IcebergInterop.refsTable(spark, path))
+      }
+    ))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_iceberg_stats"),
       info("graft_iceberg_stats",
         "graft_iceberg_stats(path) - the current snapshot's registered column statistics (ndv/row count) from the Puffin statistics file metadata"),

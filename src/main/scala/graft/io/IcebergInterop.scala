@@ -1122,6 +1122,31 @@ object IcebergInterop {
       }.toMap
   }
 
+  /** TVF shape (`graft_iceberg_refs(path)`): the table's named
+    * references — Iceberg's `$refs` metadata table: (name, type,
+    * snapshot_id, staged_commits) where staged_commits counts an
+    * un-published branch's commits ahead of main (0 for tags and
+    * published branches) — the write-audit-publish audit view. */
+  def refsTable(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val meta = readJson(spark, currentMetadataPath(spark, dir))
+    val staged = branchOnlyIds(meta)
+    val parentOf: Map[Long, Long] =
+      meta.path("snapshots").elements().asScala.map(s0 =>
+        s0.path("snapshot-id").asLong(-1L) ->
+          s0.path("parent-snapshot-id").asLong(-1L)).toMap
+    meta.path("refs").properties().asScala.map { e =>
+      val id = e.getValue.path("snapshot-id").asLong(-1L)
+      var n = 0; var cur = id
+      while (cur > 0 && staged.contains(cur)) {
+        n += 1; cur = parentOf.getOrElse(cur, -1L)
+      }
+      (e.getKey, e.getValue.path("type").asText("branch"), id, n.toLong)
+    }.toSeq.sortBy(_._1)
+      .toDF("name", "type", "snapshot_id", "staged_commits")
+  }
+
   /** TVF shape (`graft_iceberg_stats(path)`): one row per analyzed
     * column of the current snapshot — (column, ndv, row_count,
     * snapshot_id), straight from the statistics file's blob metadata.

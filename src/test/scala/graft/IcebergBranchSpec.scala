@@ -116,6 +116,26 @@ class IcebergBranchSpec extends AnyFunSuite {
     assert(ids(dir) == Set(0L, 1L, 2L, 10L, 11L))
   }
 
+  test("graft_iceberg_refs: the audit view of staged branches") {
+    val dir = Files.createTempDirectory("graft-wap-refs").toString + "/t"
+    IcebergWrite.append(Seq((1L, "a")).toDF("id", "name"), dir)
+    IcebergWrite.createTag(spark, dir, "v1")
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.append(Seq((2L, "b")).toDF("id", "name"), dir)
+      IcebergWrite.append(Seq((3L, "c")).toDF("id", "name"), dir)
+    }
+    val refs = spark.sql(s"SELECT * FROM graft_iceberg_refs('$dir')")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(3)))).toMap
+    assert(refs("main") == (("branch", 0L)))
+    assert(refs("v1") == (("tag", 0L)))
+    assert(refs("audit") == (("branch", 2L)), "two staged commits ahead")
+    IcebergWrite.fastForward(spark, dir, "audit")
+    val after = spark.sql(s"SELECT * FROM graft_iceberg_refs('$dir')")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(after("audit") == 0L, "published: nothing staged anymore")
+  }
+
   test("branch delete + merge leave main untouched until publish") {
     val dir = Files.createTempDirectory("graft-wap-dm").toString + "/t"
     IcebergWrite.append((0L until 10L).map(i => (i, i * 100L)).toDF("id", "v"), dir)

@@ -288,12 +288,11 @@ object IcebergChangelog {
     require(allSnaps.exists(_.id == parent),
       s"parent snapshot $parent of rollback ${s.id} expired — the net " +
       "diff cannot be reconstructed; read the changelog from a later snapshot")
-    val beforeFiles = IcebergInterop.liveDataPaths(spark, dir, Some(parent)).toSet
-    val afterFiles = IcebergInterop.liveDataPaths(spark, dir, Some(s.id)).toSet
-    val beforeDvs = IcebergInterop.liveDvs(spark, dir, Some(parent))
-    val afterDvs = IcebergInterop.liveDvs(spark, dir, Some(s.id))
-    val (posB, eqB) = IcebergInterop.liveDeleteFiles(spark, dir, Some(parent))
-    val (posA, eqA) = IcebergInterop.liveDeleteFiles(spark, dir, Some(s.id))
+    // ONE inventory walk per side (data, DVs, pos deletes, eq deletes)
+    val (beforeFiles, beforeDvs, posB, eqB) =
+      IcebergInterop.liveStateOf(spark, dir, parent)
+    val (afterFiles, afterDvs, posA, eqA) =
+      IcebergInterop.liveStateOf(spark, dir, s.id)
     val removed = beforeFiles -- afterFiles
     val added = afterFiles -- beforeFiles
     val common = beforeFiles & afterFiles

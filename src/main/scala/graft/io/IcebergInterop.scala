@@ -185,21 +185,22 @@ object IcebergInterop {
     import org.apache.spark.sql.functions.{broadcast, col, when}
     val defFields = initialDefaultFields(schema)
     if (defFields.isEmpty) return raw
+    val m = meta // bind the by-name metadata ONCE: one read, one version
     val schemaFieldIds: Map[Int, Set[Long]] =
-      (if (meta.has("schemas")) meta.path("schemas").elements().asScala.toSeq
-       else Seq(meta.path("schema"))).map { s1 =>
+      (if (m.has("schemas")) m.path("schemas").elements().asScala.toSeq
+       else Seq(m.path("schema"))).map { s1 =>
         s1.path("schema-id").asInt(0) ->
           s1.path("fields").elements().asScala.map(_.path("id").asLong).toSet
       }.toMap
     val snapSchemaId: Map[Long, Int] =
-      meta.path("snapshots").elements().asScala.map(s1 =>
+      m.path("snapshots").elements().asScala.map(s1 =>
         s1.path("snapshot-id").asLong(-1L) ->
           (if (s1.has("schema-id")) s1.path("schema-id").asInt else -1)).toMap
     // expiry-safe fallback: a graft addColumn-with-default stamps the
     // sequence at add time — files with data sequence ≤ it predate the
     // field even when their adding snapshot has been expired
     val addedSeqOf: Map[Long, Long] = defFields.flatMap { case (_, fid, _) =>
-      val p = meta.path("properties").path(s"graft.field-added-seq.$fid")
+      val p = m.path("properties").path(s"graft.field-added-seq.$fid")
       if (p.isMissingNode || p.isNull) None else Some(fid -> p.asText.toLong)
     }.toMap
     def missingFids(path: String, snapId: Long, dataSeq: Long): Set[Long] = {
@@ -929,28 +930,35 @@ object IcebergInterop {
       .getOrElse(Map.empty)
   }
 
+  /** ONE snapshot's full live-state inventory in ONE manifest walk:
+    * (canonical data paths, live DV per referenced file
+    * (max-sequence), position-delete paths, equality-delete paths) —
+    * what a rollback diff compares side by side without re-walking
+    * the same manifests per view. */
+  private[graft] def liveStateOf(spark: SparkSession, dir: String,
+      atSnapshot: Long): (Set[String], Map[String, (String, Long, Long)],
+        Seq[String], Seq[String]) = {
+    import scala.jdk.CollectionConverters._
+    val meta = readJson(spark, currentMetadataPath(spark, dir))
+    meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == atSnapshot)
+      .map { s0 =>
+        val inv = liveFiles(spark, dir, s0)
+        (inv.data.map(e => canonPathStr(e.path)).toSet,
+          inv.dvs.groupBy(e => canonPathStr(e.ref)).map { case (r, ds) =>
+            val d = ds.maxBy(_.seq)
+            r -> ((d.puffin, d.offset, d.size))
+          },
+          inv.posDeletes.map(canonPathStr),
+          inv.eqDeletes.map(e => canonPathStr(e._1)))
+      }
+      .getOrElse((Set.empty, Map.empty, Nil, Nil))
+  }
+
   /** The CURRENT snapshot's live data-file paths (canonical), for
     * commit-time validation ([[IcebergWrite]] rebases only when the
     * files its delete references are still live — Iceberg's
     * validateDataFilesExist). Metadata-sized driver work. */
-  /** A snapshot's live DELETE files by kind: (position-delete parquet
-    * paths, equality-delete paths) — the masking inventory a rollback
-    * diff compares beyond DVs. */
-  private[graft] def liveDeleteFiles(spark: SparkSession, dir: String,
-      atSnapshot: Option[Long] = None): (Seq[String], Seq[String]) = {
-    import scala.jdk.CollectionConverters._
-    val meta = readJson(spark, currentMetadataPath(spark, dir))
-    val want = atSnapshot.getOrElse(meta.path("current-snapshot-id").asLong(-1L))
-    meta.path("snapshots").elements().asScala
-      .find(_.path("snapshot-id").asLong(-2L) == want)
-      .map { s0 =>
-        val inv = liveFiles(spark, dir, s0)
-        (inv.posDeletes.map(canonPathStr),
-          inv.eqDeletes.map(e => canonPathStr(e._1)))
-      }
-      .getOrElse((Nil, Nil))
-  }
-
   private[graft] def liveDataPaths(spark: SparkSession, dir: String,
                                    atSnapshot: Option[Long] = None): Seq[String] = {
     import scala.jdk.CollectionConverters._
@@ -1138,11 +1146,14 @@ object IcebergInterop {
           s0.path("parent-snapshot-id").asLong(-1L)).toMap
     meta.path("refs").properties().asScala.map { e =>
       val id = e.getValue.path("snapshot-id").asLong(-1L)
+      val tpe = e.getValue.path("type").asText("branch")
       var n = 0; var cur = id
-      while (cur > 0 && staged.contains(cur)) {
+      // tags are immutable pointers, never staging lanes — 0 even
+      // when one pins a snapshot inside a staged branch
+      while (tpe == "branch" && cur > 0 && staged.contains(cur)) {
         n += 1; cur = parentOf.getOrElse(cur, -1L)
       }
-      (e.getKey, e.getValue.path("type").asText("branch"), id, n.toLong)
+      (e.getKey, tpe, id, n.toLong)
     }.toSeq.sortBy(_._1)
       .toDF("name", "type", "snapshot_id", "staged_commits")
   }

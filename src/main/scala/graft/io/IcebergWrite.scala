@@ -2962,25 +2962,48 @@ object IcebergWrite {
     val refIds: Set[Long] = m0.path("refs").properties().asScala
       .map(_.getValue.path("snapshot-id").asLong(-1L)).toSet
     val snaps = m0.path("snapshots").elements().asScala.toSeq
-    // an un-published BRANCH's whole ancestry chain (down to main's
-    // head) survives expiry while the ref exists: fastForward's
-    // ancestor walk and the branch's own reads need the intermediate
-    // snapshots, not just the head. The chain frees when the branch
-    // is dropped or published.
+    // while an un-published BRANCH ref exists, expiry must keep (a)
+    // the branch-only chain from its head to the fork point —
+    // fastForward's ancestor walk and the branch's own reads need the
+    // intermediates — and (b) MAIN's segment from the current head
+    // down to that fork point, or the main-ancestry walk the
+    // branch-attribution filter depends on would break and staged
+    // rows would leak back into main consumers. Pre-fork history ages
+    // out normally; everything here frees on dropRef / publish.
     val parentOf: Map[Long, Long] = snaps.map(s0 =>
       s0.path("snapshot-id").asLong(-1L) ->
         s0.path("parent-snapshot-id").asLong(-1L)).toMap
+    val onMain: Seq[Long] = { // head-first main ancestry
+      val out = Seq.newBuilder[Long]
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      var cur = curId
+      while (cur > 0 && !seen.contains(cur)) {
+        out += cur; seen += cur; cur = parentOf.getOrElse(cur, -1L)
+      }
+      out.result()
+    }
+    val mainIdx = onMain.zipWithIndex.toMap
     val branchChain: Set[Long] = {
       val out = scala.collection.mutable.HashSet.empty[Long]
+      var deepestFork = -1 // farthest main index any branch forks from
       m0.path("refs").properties().asScala
         .filter(e => e.getKey != "main" &&
           e.getValue.path("type").asText("branch") == "branch")
         .foreach { e =>
           var cur = e.getValue.path("snapshot-id").asLong(-1L)
-          while (cur > 0 && cur != curId && !out.contains(cur)) {
-            out += cur; cur = parentOf.getOrElse(cur, -1L)
+          var fork = -1
+          while (cur > 0 && fork < 0 && !out.contains(cur)) {
+            mainIdx.get(cur) match {
+              case Some(i) => fork = i // reached main: stop, record depth
+              case None => out += cur; cur = parentOf.getOrElse(cur, -1L)
+            }
           }
+          if (fork < 0 && cur <= 0)
+            fork = onMain.length - 1 // unknown topology: keep all of main
+          deepestFork = math.max(deepestFork, fork)
         }
+      // main's head→fork segment (inclusive) stays walkable
+      if (deepestFork >= 0) out ++= onMain.take(deepestFork + 1)
       out.toSet
     }
     val (kept, expired) = snaps.partition { s0 =>

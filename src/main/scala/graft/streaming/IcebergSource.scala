@@ -264,16 +264,18 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
     // cannot arbitrate: branch commits consume sequence numbers that
     // legitimately never appear on main. Snapshots without a recorded
     // parent (foreign v1 histories) fall back to seq contiguity.
+    // -2 = the boundary snapshot itself expired AFTER being fully
+    // consumed (benign: the offset proves consumption) — the first
+    // hop then verifies by sequence contiguity instead of parentage
     var prevId =
       if (fromSeq == origin.seq) origin.snapshotId
-      else tail.find(_._1 == fromSeq).map(_._2).getOrElse(
-        throw new IllegalStateException(
-          s"snapshot seq $fromSeq of $dir expired before the stream " +
-          "finished it — restart the stream from a fresh checkpoint"))
+      else tail.find(_._1 == fromSeq).map(_._2).getOrElse(-2L)
     var prevSeq = fromSeq
     tail.filter(_._1 > fromSeq).foreach { case (seq, id, op, parent) =>
       if (remaining <= 0) return cur
-      if (!(parent == prevId || (parent <= 0 && seq == prevSeq + 1)))
+      val linked = parent == prevId ||
+        ((parent <= 0 || prevId == -2L) && seq == prevSeq + 1)
+      if (!linked)
         throw new IllegalStateException(
           s"main-chain snapshot after seq $prevSeq of $dir expired before " +
           s"the stream consumed it (head resumes at seq $seq) — restart " +

@@ -102,6 +102,26 @@ class IcebergBranchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("expiry keeps main's post-fork segment: attribution survives maintenance") {
+    val dir = Files.createTempDirectory("graft-wap-seg").toString + "/t"
+    IcebergWrite.append(Seq((1L, "s1")).toDF("id", "name"), dir)      // fork point
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.append(Seq((10L, "b1")).toDF("id", "name"), dir)
+      IcebergWrite.append(Seq((11L, "b2")).toDF("id", "name"), dir)
+    }
+    IcebergWrite.append(Seq((2L, "m2")).toDF("id", "name"), dir)      // post-fork
+    IcebergWrite.append(Seq((3L, "m3")).toDF("id", "name"), dir)      // head
+    IcebergWrite.expireSnapshots(spark, dir, retainMillis = 0L)
+    // the post-fork main intermediate (m2) must have survived, or the
+    // attribution walk breaks and staged rows leak into main consumers
+    assert(graft.io.IcebergChangelog.readChangesBetween(spark, dir)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L),
+      "staged branch rows must stay invisible after maintenance")
+    val refs = spark.sql(s"SELECT * FROM graft_iceberg_refs('$dir')")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(refs("audit") == 2L, "the audit view survives expiry")
+  }
+
   test("expiry-then-publish: a clean (undiverged) staged branch survives") {
     val dir = Files.createTempDirectory("graft-wap-exp").toString + "/t"
     IcebergWrite.append((0L until 3L).map(i => (i, s"n$i")).toDF("id", "name"), dir)

@@ -276,4 +276,36 @@ class IcebergSourceSpec extends AnyFunSuite {
         e.getMessage)
     } finally { try q.stop() catch { case _: Exception => () } }
   }
+
+  test("a fully-consumed boundary snapshot may expire without killing the stream") {
+    import graft.io.{IcebergInterop, IcebergWrite}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src-exp").toString
+    val dir = s"$tmp/t"
+    import spark.implicits._
+    IcebergWrite.append(Seq((1L, "a")).toDF("id", "tag"), dir)
+    IcebergWrite.append(Seq((2L, "b")).toDF("id", "tag"), dir)
+    val src = new graft.streaming.IcebergSource(spark, dir, s"$tmp/meta", Map())
+    // the checkpoint says: snapshot seq 2 FULLY consumed (1 added file)
+    val committed = graft.streaming.IcebergSourceOffset(2L, 1, starting = false)
+    IcebergWrite.append(Seq((3L, "c")).toDF("id", "tag"), dir)
+    // retire everything but the head — including the fully-consumed
+    // boundary snapshot the resume point names
+    IcebergWrite.expireSnapshots(spark, dir, retainMillis = 0L)
+    // advance must tolerate the expired boundary (the offset proves
+    // consumption) and resume at the live head...
+    val next = graft.streaming.IcebergSourceOffset.from(src.latestOffset(committed,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()))
+    assert(next.seq == 3L && !next.starting)
+    // ...and the batch from there plans over the live snapshot's file
+    // (streaming-flagged — assert via its input files, not an action)
+    val batch = src.getBatch(Some(committed), next)
+    assert(batch.queryExecution.logical.collectLeaves().nonEmpty)
+    // a GENUINELY unconsumed expired snapshot still fails loudly:
+    // resuming from seq 1 (its successor seq 2 is gone) must refuse
+    IcebergWrite.append(Seq((4L, "d")).toDF("id", "tag"), dir)
+    intercept[IllegalStateException] {
+      src.latestOffset(graft.streaming.IcebergSourceOffset(1L, 1, starting = false),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    }
+  }
 }

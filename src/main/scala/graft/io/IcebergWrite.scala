@@ -2992,15 +2992,20 @@ object IcebergWrite {
         .foreach { e =>
           var cur = e.getValue.path("snapshot-id").asLong(-1L)
           var fork = -1
+          var staged = 0
           while (cur > 0 && fork < 0 && !out.contains(cur)) {
             mainIdx.get(cur) match {
               case Some(i) => fork = i // reached main: stop, record depth
-              case None => out += cur; cur = parentOf.getOrElse(cur, -1L)
+              case None =>
+                out += cur; staged += 1; cur = parentOf.getOrElse(cur, -1L)
             }
           }
           if (fork < 0 && cur <= 0)
             fork = onMain.length - 1 // unknown topology: keep all of main
-          deepestFork = math.max(deepestFork, fork)
+          // a branch whose head IS a main-ancestry node (a plain
+          // pinned ref, no staged commits) needs no segment
+          // protection — its attribution chain is empty either way
+          if (staged > 0) deepestFork = math.max(deepestFork, fork)
         }
       // main's head→fork segment (inclusive) stays walkable
       if (deepestFork >= 0) out ++= onMain.take(deepestFork + 1)

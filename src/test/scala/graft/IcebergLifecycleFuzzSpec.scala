@@ -247,7 +247,6 @@ class IcebergLifecycleFuzzSpec extends AnyFunSuite {
               model = m0; rolledBackTo = Some(tgt); lin = l0
             }
         }
-        record()
         val after = model.map(r => r.id -> ((r.score, r.tag))).toMap
         val got = IcebergInterop.readIceberg(spark, dir)
           .as[(Long, Long, String)].collect().map(t => R(t._1, t._2, t._3))
@@ -277,6 +276,11 @@ class IcebergLifecycleFuzzSpec extends AnyFunSuite {
           s"seed=$seed op#$k ($lastOp): duplicate _row_id")
         usedRids ++= now.values.map(_._1)
         lin = now
+        // record AFTER lin caught up with this op's own rows — a
+        // rollback target must restore the lineage AS OF its snapshot,
+        // not one op stale (a stale map false-flags the snapshot's own
+        // appended rows as fresh after a rollback to it)
+        record()
       }
     }
   }

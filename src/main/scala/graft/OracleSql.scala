@@ -2271,8 +2271,89 @@ object OracleSql {
          |  floor(o_totalprice / 10000.0)::BIGINT % 65536 AS z FROM orders)
          |SELECT o_orderkey, ${terms.mkString(" | ")} AS zval
          |FROM xyz ORDER BY o_orderkey""".stripMargin
+    },
+    // q218/q219: HTML extraction — the fixture page is deterministic, so
+    // the oracle re-derives every block decision (tag, text, link chars,
+    // densities, jusText gates) from the raw document text with string
+    // functions, never parsing markup; the Spark side must parse for real.
+    "q218_html_blocks" ->
+      s"""WITH $htmlBlocksCte
+         |SELECT doc_id, block_idx, tag, text, n_words, link_density,
+         |  stop_density,
+         |  $htmlDecisionSql AS decision
+         |FROM m ORDER BY doc_id, block_idx""".stripMargin,
+    "q219_html_extract" -> {
+      def quality(ct: String): String =
+        s"""(CASE WHEN length($ct) = 0 THEN 0.0
+           |    ELSE len(regexp_extract_all($ct, '[\\p{L}]'))::DOUBLE / length($ct) END) * 0.5
+           | + (1.0 - CASE WHEN length($ct) = 0 THEN 0.0
+           |    ELSE len(regexp_extract_all($ct, '[.,;:!?]'))::DOUBLE / length($ct) END) * 0.2
+           | + (1.0 - CASE WHEN length($ct) = 0 THEN 0.0
+           |    ELSE len(regexp_extract_all($ct, '[0-9]'))::DOUBLE / length($ct) END) * 0.2
+           | + least((CASE WHEN length(trim($ct)) = 0 THEN 0
+           |    ELSE len(regexp_split_to_array(trim($ct), '\\s+')) END)::DOUBLE / 100.0, 1.0) * 0.1""".stripMargin
+      s"""WITH $htmlBlocksCte,
+         |kept AS (SELECT doc_id, block_idx, text FROM m
+         |  WHERE ($htmlDecisionSql) IN ('good', 'neargood')),
+         |agg AS (SELECT doc_id,
+         |    string_agg(text, chr(10) ORDER BY block_idx) AS clean_text,
+         |    count(*)::BIGINT AS n_blocks_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT a.doc_id,
+         |  'Doc ' || a.doc_id || ' | ' || d.source || ' | graft' AS title,
+         |  a.clean_text, a.n_blocks_kept,
+         |  ${quality("a.clean_text")} AS quality
+         |FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin
     }
   )
+
+  /** The q218/q219 fixture replay: paragraphs re-chunked exactly like the
+    * Spark fixture (20-word slices), every synthetic block's text and
+    * anchor-char count stated analytically, then the jusText metrics
+    * recomputed with the same formulas as `operators/Extract.scala`. */
+  private val htmlBlocksCte: String =
+    s"""base AS (
+       |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |para AS (
+       |  SELECT doc_id, source, toks,
+       |    list_transform(range(0, CAST(ceil(len(toks) / 20.0) AS INT)),
+       |      i -> array_to_string(list_slice(toks, i*20 + 1, (i+1)*20), ' ')) AS paras
+       |  FROM base),
+       |blk AS (
+       |  SELECT doc_id,
+       |    [struct_pack(tag := 'nav', txt := 'Home About Contact', lc := 16)] ||
+       |    [struct_pack(tag := 'h1', txt := 'Document ' || doc_id || ' from ' || source, lc := 0)] ||
+       |    [struct_pack(tag := 'p', txt := paras[1] || ' read more here', lc := 14)] ||
+       |    list_transform(list_slice(paras, 2, len(paras)),
+       |         x -> struct_pack(tag := 'p', txt := x, lc := 0)) ||
+       |    [struct_pack(tag := 'li', txt := 'first listed point in summary', lc := 0),
+       |        struct_pack(tag := 'li', txt := 'another listed point for emphasis', lc := 0),
+       |        struct_pack(tag := 'div', txt := 'Tweet this Share on FB now', lc := 21),
+       |        struct_pack(tag := 'footer', txt := 'Copyright © 2026 ' || source ||
+       |          ' & partners — Terms of Service Privacy', lc := 23)]
+       |    AS blocks
+       |  FROM para),
+       |flat AS (
+       |  SELECT doc_id, generate_subscripts(blocks, 1)::INT AS block_idx,
+       |    unnest(blocks) AS b
+       |  FROM blk),
+       |m AS (
+       |  SELECT doc_id, block_idx, b.tag AS tag, b.txt AS text,
+       |    (CASE WHEN length(b.txt) = 0 THEN 0
+       |       ELSE len(regexp_split_to_array(trim(b.txt), '\\s+')) END)::INT AS n_words,
+       |    b.lc::DOUBLE / greatest(length(b.txt), 1) AS link_density,
+       |    len(regexp_extract_all(lower(b.txt), '\\b(the|and|of|to|a|in|is|it|that|for)\\b'))::DOUBLE
+       |      / greatest(CASE WHEN length(b.txt) = 0 THEN 0
+       |          ELSE len(regexp_split_to_array(trim(b.txt), '\\s+')) END, 1) AS stop_density
+       |  FROM flat)""".stripMargin
+
+  private val htmlDecisionSql: String =
+    """CASE WHEN link_density > 1.0/3 THEN 'boilerplate'
+      | WHEN n_words < 5 THEN 'short'
+      | WHEN stop_density < 0.05 THEN 'neargood'
+      | ELSE 'good' END""".stripMargin
 
   /** q68/q87's shared oracle prefix: the full 2-iteration deterministic
     * k-means replayed in SQL (same init, sequential-fold distances,

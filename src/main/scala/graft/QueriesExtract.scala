@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.Extract
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HTML→text extraction queries (q218–q219).
+  *
+  * The fixture wraps each `documents` row in a deterministic web page —
+  * navigation chrome, headline, the text re-flowed into `<p>` paragraphs of
+  * 20 words (the first with inline `<b>`/`<a>` markup), a list, a share
+  * widget, a script/style/comment trio that must vanish, and an
+  * entity-laden footer — so the DuckDB oracle can re-derive every block
+  * decision from the raw text with string functions while the Spark side
+  * has to genuinely parse the markup.
+  */
+private[graft] trait QueriesExtract extends QueryBase {
+
+  /** Deterministic HTML page per document. Pure per-row string assembly —
+    * stays in codegen; at 100 TB this is the shape of a real raw-HTML scan
+    * (one long string column per page). */
+  private def withHtml(docs: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val nPara = ceil(size(toks).cast("double") / 20.0).cast("int")
+    val paras = transform(
+      sequence(lit(0), nPara - 1),
+      i => concat_ws(" ", slice(toks, i * 20 + 1, lit(20))))
+    val id = col("doc_id").cast("string")
+
+    val firstPara = concat(
+      lit("<p><b>"), element_at(toks, 1), lit("</b> "),
+      concat_ws(" ", slice(toks, 2, 19)),
+      lit(""" <a href="/more">read more here</a></p>"""))
+    val restParas = array_join(
+      transform(slice(paras, lit(2), size(paras)),
+        x => concat(lit("<p>"), x, lit("</p>"))),
+      "\n")
+
+    val html = concat_ws("\n",
+      lit("<html>"),
+      concat(lit("<head><title>Doc "), id, lit(" | "), col("source"),
+        lit(" | graft</title><style>h1 { font-size: 2em; }</style></head>")),
+      lit("<body>"),
+      lit("""<nav id="menu"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>"""),
+      concat(lit("<h1>Document "), id, lit(" from "), col("source"), lit("</h1>")),
+      firstPara,
+      restParas,
+      lit("<ul><li>first listed point in summary</li><li>another listed point for emphasis</li></ul>"),
+      lit("""<div class="share"><a href="#t">Tweet this</a> <a href="#f">Share on FB</a> now</div>"""),
+      lit("""<script>var x = 1 < 2; if (x) { document.write("<p>fake paragraph</p>"); }</script>"""),
+      lit("<style>.menu a { color: #333; }</style>"),
+      lit("<!-- build 2026 <p>ghost</p> -->"),
+      concat(lit("<footer>Copyright &copy; 2026 "), col("source"),
+        lit(""" &amp; partners &mdash; <a href="/tos">Terms of Service</a> <a href="/priv">Privacy</a></footer>""")),
+      lit("</body>"),
+      lit("</html>"))
+
+    docs.select(col("doc_id"), col("source"), html.as("html"))
+  }
+
+  /** q218 — per-block segmentation + jusText gates over parsed HTML. */
+  private[graft] def q218(s: SparkSession, dir: String): DataFrame =
+    Extract.segments(withHtml(T(s, dir, "documents")), "html")
+      .select(col("doc_id"), col("block_idx"), col("tag"), col("text"),
+        col("n_words"), col("link_density"), col("stop_density"), col("decision"))
+      .orderBy(col("doc_id"), col("block_idx"))
+
+  /** q219 — full extraction: title + clean text + the q24 quality score of
+    * the extracted text (proving the extractor feeds the downstream text
+    * plane unchanged). */
+  private[graft] def q219(s: SparkSession, dir: String): DataFrame =
+    Extract.extractText(withHtml(T(s, dir, "documents")), "html", "doc_id")
+      .withColumn("quality", TF.qualityScore(col("clean_text")))
+      .select(col("doc_id"), col("title"), col("clean_text"),
+        col("n_blocks_kept"), col("quality"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.Extract
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtractSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def page(body: String, title: String = "t"): String =
+    s"<html><head><title>$title</title></head><body>$body</body></html>"
+
+  private def segs(html: String): Seq[Row] =
+    Extract.segments(Seq((1L, html)).toDF("id", "html"), "html")
+      .orderBy("block_idx").collect().toSeq
+
+  private def texts(html: String): Seq[String] =
+    segs(html).map(_.getAs[String]("text"))
+
+  test("block segmentation at flow-element boundaries, 1-based in order") {
+    val rows = segs(page("<p>alpha beta</p><div>gamma</div><h2>delta</h2>"))
+    assert(rows.map(r => (r.getAs[Int]("block_idx"), r.getAs[String]("tag"),
+      r.getAs[String]("text"))) ==
+      Seq((1, "p", "alpha beta"), (2, "div", "gamma"), (3, "h2", "delta")))
+  }
+
+  test("script, style, and comment subtrees vanish — including fake tags inside them") {
+    val html = page(
+      """<p>real</p><script>if (1 < 2) document.write("<p>fake</p>");</script>""" +
+        "<style>p { color: red }</style><!-- <div>ghost</div> --><p>also real</p>")
+    assert(texts(html) == Seq("real", "also real"))
+  }
+
+  test("nested inline tags strip to text; container elements emit no empty block") {
+    val html = page("<ul><li>one <b>bold</b> word</li><li>two <i>ital</i> words</li></ul>")
+    val rows = segs(html)
+    // <ul> itself is textless → skipped; numbering counts emitted blocks
+    assert(rows.map(r => (r.getAs[Int]("block_idx"), r.getAs[String]("tag"))) ==
+      Seq((1, "li"), (2, "li")))
+    assert(texts(html) == Seq("one bold word", "two ital words"))
+  }
+
+  test("entities decode once — double-escaped sequences stay escaped") {
+    val html = page("<p>a &amp; b &lt;tag&gt; &quot;q&quot; &copy; &amp;lt;still</p>")
+    assert(texts(html) == Seq("a & b <tag> \"q\" © &lt;still"))
+  }
+
+  test("whitespace-mangled markup normalizes: newlines, runs, attribute-laden tags") {
+    val html = page(
+      "\n  <p class=\"x\"\n   data-y=\"1\">  spread\n\tacross   lines </p>\n  ")
+    assert(texts(html) == Seq("spread across lines"))
+  }
+
+  test("link density: anchor text over block text, nav-like blocks classified boilerplate") {
+    val rows = segs(page(
+      """<nav><a href="/">Home</a> <a href="/a">About</a></nav>""" +
+        "<p>ten little words walk into a bar and sit down</p>"))
+    val nav = rows.head
+    assert(nav.getAs[String]("tag") == "nav")
+    assert(nav.getAs[Double]("link_density") > 0.8)
+    assert(nav.getAs[String]("decision") == "boilerplate")
+    assert(rows(1).getAs[String]("decision") == "good")
+  }
+
+  test("length gate: under-5-word blocks are short; stopword gate splits good/neargood") {
+    val rows = segs(page(
+      "<h1>tiny heading here</h1>" +
+        "<p>the cat sat on the mat and it was fine</p>" +
+        "<p>alpha beta gamma delta epsilon zeta eta theta</p>"))
+    assert(rows.map(_.getAs[String]("decision")) == Seq("short", "good", "neargood"))
+  }
+
+  test("pathological markup: unclosed tags, stray <, empty page, no body") {
+    // unclosed <p>: block runs to the next boundary
+    assert(texts(page("<p>first never closed<p>second")) == Seq("first never closed", "second"))
+    // no body element → no blocks; empty string → no blocks
+    assert(segs("<p>headless</p>").isEmpty)
+    assert(segs("").isEmpty)
+  }
+
+  test("title extraction reads the head, entity-decoded") {
+    val df = Seq((1L, page("<p>x</p>", title = "Tom &amp; Jerry"))).toDF("id", "html")
+    assert(df.select(Extract.title(col("html"))).as[String].head() == "Tom & Jerry")
+  }
+
+  test("extractText keeps good+neargood in document order, drops chrome, counts blocks") {
+    val html = page(
+      """<nav><a href="/">Home</a> <a href="/b">Blog</a></nav>""" +
+        "<p>the first paragraph is long enough and it has stopwords</p>" +
+        "<p>alpha beta gamma delta epsilon zeta</p>" +
+        "<h2>bye</h2>" +
+        """<footer><a href="/t">Terms</a> <a href="/p">Privacy</a></footer>""",
+      title = "Page One")
+    val out = Extract.extractText(Seq((7L, html)).toDF("id", "html"), "html", "id")
+      .collect().head
+    assert(out.getAs[String]("title") == "Page One")
+    assert(out.getAs[String]("clean_text") ==
+      "the first paragraph is long enough and it has stopwords\nalpha beta gamma delta epsilon zeta")
+    assert(out.getAs[Long]("n_blocks_kept") == 2L)
+  }
+
+  test("plan shape: no UDFs, extraction is a single Generate over codegen'd expressions") {
+    val df = Extract.segments(Seq((1L, page("<p>a b c</p>"))).toDF("id", "html"), "html")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+    assert(plan.contains("Generate"))
+  }
+}

@@ -45,6 +45,12 @@ object IcebergChangelog {
 
   private def canon(p: String): String = IcebergInterop.canonPathStr(p)
 
+  /** Telemetry of the LAST rollback diff: (common files between the
+    * two states, files actually re-diffed through both views) —
+    * single-threaded test introspection of the bounds pruning only. */
+  @volatile private[graft] var lastRollbackReMask: (Set[String], Set[String]) =
+    (Set.empty, Set.empty)
+
   private final case class SnapInfo(seq: Long, id: Long, parent: Option[Long],
                                     op: String, manifestList: String)
 
@@ -289,10 +295,9 @@ object IcebergChangelog {
       s"parent snapshot $parent of rollback ${s.id} expired — the net " +
       "diff cannot be reconstructed; read the changelog from a later snapshot")
     // ONE inventory walk per side (data, DVs, pos deletes, eq deletes)
-    val (beforeFiles, beforeDvs, posB, eqB) =
-      IcebergInterop.liveStateOf(spark, dir, parent)
-    val (afterFiles, afterDvs, posA, eqA) =
-      IcebergInterop.liveStateOf(spark, dir, s.id)
+    val before = IcebergInterop.liveStateOf(spark, dir, parent)
+    val after = IcebergInterop.liveStateOf(spark, dir, s.id)
+    val (beforeFiles, afterFiles) = (before.files, after.files)
     val removed = beforeFiles -- afterFiles
     val added = afterFiles -- beforeFiles
     val common = beforeFiles & afterFiles
@@ -301,17 +306,55 @@ object IcebergChangelog {
     //   - a position-delete parquet appears/disappears: its referenced
     //     files re-diff (one read of the CHANGED delete files only);
     //   - an equality-delete file appears/disappears: its masking is
-    //     predicate-shaped (any older file) — every common file
-    //     re-diffs, the honest cost of restoring across one.
-    val dvChanged = common.filter(p => beforeDvs.get(p) != afterDvs.get(p))
-    val posChanged = ((posB.toSet | posA.toSet) -- (posB.toSet & posA.toSet)).toSeq
+    //     predicate-shaped, so re-diff the common files the CHANGED
+    //     delete could possibly hit — sequence-admitted (data written
+    //     strictly before the delete) AND key-bounds-overlapping on
+    //     every equality id (disjoint on ANY id ⇒ no tuple matches;
+    //     absent bounds ⇒ assume overlap). At 100 TB this keeps a
+    //     restore across one GDPR delete from re-scanning the table:
+    //     the re-diff tracks the delete's key band, not table size.
+    val dvChanged = common.filter(p => before.dvs.get(p) != after.dvs.get(p))
+    val posChanged = ((before.posDeletes.toSet | after.posDeletes.toSet) --
+      (before.posDeletes.toSet & after.posDeletes.toSet)).toSeq
     val posTouched: Set[String] =
       if (posChanged.isEmpty) Set.empty
       else spark.read.parquet(posChanged: _*)
         .select(regexp_replace(col("file_path"), "^file:/+", "/").as("f"))
         .distinct().collect().map(_.getString(0)).toSet
-    val reMasked = dvChanged ++ (posTouched & common) ++
-      (if (eqB.toSet != eqA.toSet) common else Set.empty)
+    val eqChanged: Seq[IcebergInterop.EqDeleteFile] = {
+      val (pb, pa) = (before.eqDeletes.map(_.path).toSet,
+        after.eqDeletes.map(_.path).toSet)
+      (before.eqDeletes.filterNot(d => pa(d.path)) ++
+        after.eqDeletes.filterNot(d => pb(d.path)))
+    }
+    val eqTouched: Set[String] =
+      if (eqChanged.isEmpty) Set.empty
+      else {
+        val dtOfId: Map[Int, org.apache.spark.sql.types.DataType] =
+          schema.fields.flatMap(f =>
+            if (f.metadata.contains("parquet.field.id"))
+              Some(f.metadata.getLong("parquet.field.id").toInt -> f.dataType)
+            else None).toMap
+        common.filter { p =>
+          // the file's identity (seq, bounds) is commit-fixed: either
+          // side's inventory carries the same values for a common path
+          val (dataSeq, lo, hi) =
+            before.dataInfo.getOrElse(p, after.dataInfo(p))
+          eqChanged.exists { d =>
+            dataSeq < d.seq && d.ids.forall { id =>
+              (lo.get(id), hi.get(id), d.lower.get(id), d.upper.get(id),
+                dtOfId.get(id)) match {
+                case (Some(dLo), Some(dHi), Some(kLo), Some(kHi), Some(dt)) =>
+                  IcebergWrite.cmpBound(dt, dLo, kHi) <= 0 &&
+                    IcebergWrite.cmpBound(dt, kLo, dHi) <= 0
+                case _ => true // no bounds / unknown id: assume overlap
+              }
+            }
+          }
+        }
+      }
+    val reMasked = dvChanged ++ (posTouched & common) ++ eqTouched
+    lastRollbackReMask = (common, reMasked)
     if (removed.isEmpty && added.isEmpty && reMasked.isEmpty) return None
     def view(snapId: Long, only: Set[String]): DataFrame = {
       val v = IcebergInterop.readIceberg(spark, dir, Some(snapId),

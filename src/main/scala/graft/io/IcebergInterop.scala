@@ -340,6 +340,15 @@ object IcebergInterop {
   private final case class DvEntry(puffin: String, offset: Long, size: Long,
                                    ref: String, seq: Long)
 
+  /** One live equality-delete file: its path, sequence number,
+    * equality field ids, and the manifest entry's per-field-id key
+    * bounds — the bounds let rollback diffing and compaction admit
+    * only data files whose column ranges can intersect the delete's
+    * keys (disjoint on ANY id ⇒ no tuple can match). */
+  private[io] final case class EqDeleteFile(path: String, seq: Long,
+      ids: Seq[Int], lower: Map[Int, Array[Byte]],
+      upper: Map[Int, Array[Byte]])
+
   /** One snapshot's live file inventory, with the sequence numbers
     * delete application needs: data files carry their DATA sequence
     * number (entry-level when present, inherited from the manifest
@@ -349,7 +358,7 @@ object IcebergInterop {
   private final case class SnapshotFiles(
       data: Seq[DataFileEntry],
       posDeletes: Seq[String],
-      eqDeletes: Seq[(String, Long, Seq[Int])],
+      eqDeletes: Seq[EqDeleteFile],
       dvs: Seq[DvEntry] = Nil)
 
   private def longOr(r: GenericRecord, field: String, dflt: Long): Long =
@@ -476,7 +485,7 @@ object IcebergInterop {
     lastManifestScan = (manifests.length, skipped)
     val data = Seq.newBuilder[DataFileEntry]
     val posDeletes = Seq.newBuilder[String]
-    val eqDeletes = Seq.newBuilder[(String, Long, Seq[Int])]
+    val eqDeletes = Seq.newBuilder[EqDeleteFile]
     val dvs = Seq.newBuilder[DvEntry]
     def boundsOf(df: GenericRecord, field: String): Map[Int, Array[Byte]] =
       Option(df.getSchema.getField(field)).flatMap(_ => Option(df.get(field))).map {
@@ -531,7 +540,8 @@ object IcebergInterop {
                 .getOrElse(Seq.empty)
               require(ids.nonEmpty,
                 s"equality delete file $path lacks equality_ids")
-              eqDeletes += ((path, seq, ids))
+              eqDeletes += EqDeleteFile(path, seq, ids,
+                boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"))
             case other => throw new IllegalArgumentException(
               s"unknown Iceberg file content=$other at $path")
           }
@@ -877,7 +887,7 @@ object IcebergInterop {
                 StructType(Seq(StructField("_seq_path", StringType),
                   StructField("_data_seq", LongType)))))
               cur = cur.join(seqDf, col("_g_path") === col("_seq_path"), "left")
-              inv.eqDeletes.groupBy(_._3).foreach { case (ids, files) =>
+              inv.eqDeletes.groupBy(_.ids).foreach { case (ids, files) =>
                 // the delete FILE's column names are whatever the
                 // schema said when the delete was written; the ids are
                 // forever — pin a field-id-carrying schema so the read
@@ -887,10 +897,10 @@ object IcebergInterop {
                     s"equality_ids references unknown field id $id"))
                   .copy(nullable = true))
                 val cols = delFields.map(_.name)
-                val del = files.map { case (path, seq, _) =>
-                  spark.read.schema(StructType(delFields)).parquet(path)
+                val del = files.map { d =>
+                  spark.read.schema(StructType(delFields)).parquet(d.path)
                     .select(cols.map(c => col(c).as(s"_del_$c")): _*)
-                    .withColumn("_del_seq", lit(seq))
+                    .withColumn("_del_seq", lit(d.seq))
                 }.reduce(_ unionByName _)
                 val cond = cols.map(c => col(c) <=> col(s"_del_$c"))
                   .reduce(_ && _) && col("_data_seq") < col("_del_seq")
@@ -930,29 +940,42 @@ object IcebergInterop {
       .getOrElse(Map.empty)
   }
 
-  /** ONE snapshot's full live-state inventory in ONE manifest walk:
-    * (canonical data paths, live DV per referenced file
-    * (max-sequence), position-delete paths, equality-delete paths) —
+  /** One snapshot's full live state for diffing: data files keyed by
+    * canonical path with their (sequence number, lower bounds, upper
+    * bounds); live DV per referenced file (max-sequence);
+    * position-delete and equality-delete files. */
+  private[io] final case class LiveState(
+      dataInfo: Map[String, (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]])],
+      dvs: Map[String, (String, Long, Long)],
+      posDeletes: Seq[String],
+      eqDeletes: Seq[EqDeleteFile]) {
+    def files: Set[String] = dataInfo.keySet
+  }
+
+  /** ONE snapshot's full live-state inventory in ONE manifest walk —
     * what a rollback diff compares side by side without re-walking
-    * the same manifests per view. */
-  private[graft] def liveStateOf(spark: SparkSession, dir: String,
-      atSnapshot: Long): (Set[String], Map[String, (String, Long, Long)],
-        Seq[String], Seq[String]) = {
+    * the same manifests per view. Data-file sequence numbers and
+    * column bounds ride along so the diff can bounds-prune which
+    * common files an equality-delete change can possibly re-mask. */
+  private[io] def liveStateOf(spark: SparkSession, dir: String,
+      atSnapshot: Long): LiveState = {
     import scala.jdk.CollectionConverters._
     val meta = readJson(spark, currentMetadataPath(spark, dir))
     meta.path("snapshots").elements().asScala
       .find(_.path("snapshot-id").asLong(-2L) == atSnapshot)
       .map { s0 =>
         val inv = liveFiles(spark, dir, s0)
-        (inv.data.map(e => canonPathStr(e.path)).toSet,
+        LiveState(
+          inv.data.map(e =>
+            canonPathStr(e.path) -> ((e.seq, e.lower, e.upper))).toMap,
           inv.dvs.groupBy(e => canonPathStr(e.ref)).map { case (r, ds) =>
             val d = ds.maxBy(_.seq)
             r -> ((d.puffin, d.offset, d.size))
           },
           inv.posDeletes.map(canonPathStr),
-          inv.eqDeletes.map(e => canonPathStr(e._1)))
+          inv.eqDeletes.map(e => e.copy(path = canonPathStr(e.path))))
       }
-      .getOrElse((Set.empty, Map.empty, Nil, Nil))
+      .getOrElse(LiveState(Map.empty, Map.empty, Nil, Nil))
   }
 
   /** The CURRENT snapshot's live data-file paths (canonical), for

@@ -2127,7 +2127,7 @@ object IcebergWrite {
 
   /** Spec single-value bound comparison by result type (little-endian
     * ints/longs; UTF-8 strings lexically). */
-  private def cmpBound(dt: DataType, a: Array[Byte], b: Array[Byte]): Int = {
+  private[io] def cmpBound(dt: DataType, a: Array[Byte], b: Array[Byte]): Int = {
     import java.nio.{ByteBuffer, ByteOrder}
     def le(x: Array[Byte]) = ByteBuffer.wrap(x).order(ByteOrder.LITTLE_ENDIAN)
     dt match {

@@ -262,6 +262,44 @@ class IcebergChangelogSpec extends AnyFunSuite {
     assert(net == bag(rowsOf(IcebergInterop.readIceberg(spark, dir))))
   }
 
+  test("rollback past an equality delete re-diffs only bounds-admitted files") {
+    val dir = Files.createTempDirectory("graft-ice-rb-eqprune").toString
+    // three disjoint key-band files, committed separately
+    IcebergWrite.append((0L until 10L).map(i => (i, s"a_$i")).toDF("id", "tag")
+      .coalesce(1), dir)
+    IcebergWrite.append((100L until 110L).map(i => (i, s"b_$i")).toDF("id", "tag")
+      .coalesce(1), dir)
+    IcebergWrite.append((200L until 210L).map(i => (i, s"c_$i")).toDF("id", "tag")
+      .coalesce(1), dir)
+    val pre = IcebergInterop.readJson(spark,
+      IcebergInterop.currentMetadataPath(spark, dir))
+      .path("current-snapshot-id").asLong
+    IcebergWrite.equalityDelete(spark, dir, Seq(105L).toDF("id").coalesce(1))
+    IcebergWrite.rollbackTo(spark, dir, pre) // restore past the eq delete
+    val ch = IcebergChangelog.readChangesBetween(spark, dir).localCheckpoint(false)
+    val rbOrd = ch.agg(max(col("_change_ordinal"))).head().getLong(0)
+    val rb = ch.filter(col("_change_ordinal") === rbOrd)
+    assert(rb.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().toSet == Set(105L),
+      "the rollback undeletes exactly the masked key")
+    assert(rb.filter(col("_change_type") === "delete").count() == 0)
+    // scanned-file introspection: all three files are common between the
+    // states, but only the 100–109 file's bounds admit key 105 — the
+    // 0–9 and 200–209 files must never be re-read by the diff
+    val (common, reMasked) = IcebergChangelog.lastRollbackReMask
+    assert(common.size == 3, s"common=$common")
+    assert(reMasked.size == 1,
+      s"bounds must exclude the disjoint-key files from the re-diff: $reMasked")
+    // and the fold still reconstructs the restored table exactly
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("id", "tag").collect().map(_.toString).toSeq
+    val ins = bag(rowsOf(ch.filter(col("_change_type") === "insert")))
+    val del = bag(rowsOf(ch.filter(col("_change_type") === "delete")))
+    val net = ins.map { case (k, n) => k -> (n - del.getOrElse(k, 0)) }
+      .filter(_._2 > 0)
+    assert(net == bag(rowsOf(IcebergInterop.readIceberg(spark, dir))))
+  }
+
   test("lineage changelog: an update's delete/insert pair shares one _row_id") {
     val dir = Files.createTempDirectory("graft-changelog-lineage").toString
     IcebergWrite.appendLineage((0L until 20L).map(i => (i, i * 10))

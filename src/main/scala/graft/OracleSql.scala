@@ -878,6 +878,14 @@ object OracleSql {
       """SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
         |FROM documents WHERE doc_id % 10 NOT IN (4, 5)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q220: cherry-pick publish past a diverged main — the end state is
+    // main's seed (evens) + main's mid-audit append (doc_id%4=3) + the
+    // branch's staged append (doc_id%4=1) minus the staged delete
+    // (doc_id%20=1): every doc except the deleted band
+    "q220_iceberg_cherrypick" ->
+      """SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+        |FROM documents WHERE doc_id % 20 != 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q215: v3 default values — pre-add thirds read the default (5),
     // the post-add third carries explicit doc_id % 7, the shifted
     // copy lands through write-default (5)

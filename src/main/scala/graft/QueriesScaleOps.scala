@@ -3694,4 +3694,39 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("change_type"), col("lang"))
   }
+
+  /** q220 — WAP PUBLISH PAST A DIVERGED MAIN
+    * ([[graft.io.IcebergWrite.cherryPickPublish]]): the audit stages
+    * appends + a row-level delete on a branch while main takes an
+    * UNRELATED append mid-audit — the normal state of a high-ingest
+    * table. Fast-forward refuses (asserted in-query); cherry-pick
+    * re-commits the staged file diffs onto the new main head as ONE
+    * metadata-only snapshot after conflict validation, so the final
+    * table holds main's own commit AND the audited work. DuckDB
+    * replays the end state analytically. */
+  private[graft] def q220(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{IcebergInterop, IcebergWrite}
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q220") + "/t"
+    IcebergWrite.append(docs.filter(col("doc_id") % 2 === 0), tmp)   // main seed
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.append(docs.filter(col("doc_id") % 4 === 1), tmp) // staged
+      val (_, nDel) = IcebergWrite.deleteWhere(s, tmp,
+        col("doc_id") % 20 === 1)                                    // staged fix
+      require(nDel > 0, "the staged delete must hit")
+    }
+    // main diverges mid-audit with the remaining docs
+    IcebergWrite.append(docs.filter(col("doc_id") % 4 === 3), tmp)
+    val refused = try { IcebergWrite.fastForward(s, tmp, "audit"); false }
+      catch { case _: IllegalArgumentException => true }
+    require(refused, "fast-forward must refuse the diverged main")
+    val published = IcebergWrite.cherryPickPublish(s, tmp, "audit")
+    require(IcebergInterop.readJson(s,
+      IcebergInterop.currentMetadataPath(s, tmp))
+      .path("current-snapshot-id").asLong == published)
+    IcebergInterop.readIceberg(s, tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+  }
 }

@@ -1481,16 +1481,26 @@ object IcebergWrite {
 
   /** Pin `snapshotId` (default: the current snapshot) under a TAG ref —
     * a named, expiry-proof time-travel point ([[expireSnapshots]] never
-    * ages out a ref-pinned snapshot). Metadata-only commit. */
+    * ages out a ref-pinned snapshot, unless the ref declares
+    * `maxRefAgeMs` and outlives it). Metadata-only commit. */
   def createTag(spark: SparkSession, dir: String, name: String,
-                snapshotId: Option[Long] = None): Unit =
-    setRef(spark, dir, name, snapshotId, "tag")
+                snapshotId: Option[Long] = None,
+                maxRefAgeMs: Option[Long] = None): Unit =
+    setRef(spark, dir, name, snapshotId, "tag", maxRefAgeMs)
 
   /** Create or move a BRANCH ref to `snapshotId` (default: current).
-    * The `main` branch is managed by commits and refuses manual moves. */
+    * The `main` branch is managed by commits and refuses manual moves.
+    * Optional retention (the spec's snapshot-reference fields):
+    * `maxRefAgeMs` ages the REF itself out of [[expireSnapshots]];
+    * `minSnapshotsToKeep`/`maxSnapshotAgeMs` bound how much of the
+    * branch's staged tail expiry keeps pinned. */
   def createBranch(spark: SparkSession, dir: String, name: String,
-                   snapshotId: Option[Long] = None): Unit =
-    setRef(spark, dir, name, snapshotId, "branch")
+                   snapshotId: Option[Long] = None,
+                   maxRefAgeMs: Option[Long] = None,
+                   minSnapshotsToKeep: Option[Int] = None,
+                   maxSnapshotAgeMs: Option[Long] = None): Unit =
+    setRef(spark, dir, name, snapshotId, "branch", maxRefAgeMs,
+      minSnapshotsToKeep, maxSnapshotAgeMs)
 
   // ───────────── branch writes (write-audit-publish) ─────────────
 
@@ -1597,6 +1607,204 @@ object IcebergWrite {
     target
   }
 
+  /** PUBLISH past a diverged main (the cherry-pick half of
+    * write-audit-publish): when main advanced while the audit ran —
+    * the normal state of a high-ingest table — [[fastForward]]
+    * refuses, and this re-commits the branch's staged file diffs onto
+    * the NEW main head as one snapshot, after conflict validation:
+    *
+    *   - append diffs replay verbatim (the staged manifests join
+    *     main's manifest list, re-attributed to the publish commit —
+    *     metadata-only, zero data movement);
+    *   - staged position deletes / DVs require every referenced data
+    *     file to still be LIVE on main (main compacting or deleting
+    *     one refuses with the file named — the spec's
+    *     validateDataFilesExist);
+    *   - staged equality deletes refuse when any file main ADDED
+    *     since the fork overlaps the delete's key bounds (the replay
+    *     would mask rows the audit never saw);
+    *   - symmetrically, staged data files refuse when main committed
+    *     an overlapping equality delete since the fork (the staged
+    *     rows would escape it);
+    *   - a branch that rewrote pre-fork manifests (maintenance ran on
+    *     the branch) refuses — its diff is no longer append-shaped.
+    *
+    * Fast-forwards trivially when main never diverged. The branch ref
+    * survives (drop it with [[dropRef]]). Returns the published
+    * snapshot id. */
+  def cherryPickPublish(spark: SparkSession, dir: String, branch: String): Long = {
+    import scala.jdk.CollectionConverters._
+    require(branch != "main", "cherryPickPublish publishes a non-main branch")
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v0 = currentVersion(f, root)
+    val m0 = readMeta(f, root, v0).getOrElse(throw new IllegalArgumentException(
+      s"$dir has no Iceberg metadata"))
+    val br = m0.path("refs").path(branch)
+    require(!br.isMissingNode && !br.isNull, s"no ref $branch at $dir")
+    require(br.path("type").asText("branch") == "branch",
+      s"ref $branch is a ${br.path("type").asText} — cannot publish a tag")
+    val target = br.path("snapshot-id").asLong(-1L)
+    val mainHead = m0.path("current-snapshot-id").asLong(-1L)
+    if (target == mainHead) return target
+    val parentOf: Map[Long, Long] = m0.path("snapshots").elements().asScala
+      .map(s0 => s0.path("snapshot-id").asLong(-1L) ->
+        s0.path("parent-snapshot-id").asLong(-1L)).toMap
+    // pure fast-forward when main never advanced past the fork
+    var cur = target
+    var ff = mainHead <= 0
+    while (!ff && cur > 0) {
+      cur = parentOf.getOrElse(cur, -1L)
+      if (cur == mainHead) ff = true
+    }
+    if (ff) return fastForward(spark, dir, branch)
+    val mainAnc = scala.collection.mutable.Set.empty[Long]
+    var c2 = mainHead
+    while (c2 > 0) { mainAnc += c2; c2 = parentOf.getOrElse(c2, -1L) }
+    var fork = target
+    while (fork > 0 && !mainAnc(fork)) fork = parentOf.getOrElse(fork, -1L)
+    require(fork > 0,
+      s"$branch shares no ancestor with main at $dir — cannot cherry-pick")
+
+    def listOf(snapId: Long): Seq[(String, Long, Int, Long, Int, Long, AnyRef)] =
+      m0.path("snapshots").elements().asScala
+        .find(_.path("snapshot-id").asLong(-2L) == snapId)
+        .map { s0 =>
+          IcebergFormat.readAvro(conf,
+            new Path(resolveU(s0.path("manifest-list").asText))).map { r =>
+            (gStr(r, "manifest_path"), gLong(r, "manifest_length", 0L),
+              gInt(r, "content", 0), gLong(r, "sequence_number", 0L),
+              gInt(r, "partition_spec_id", 0),
+              gLong(r, "added_snapshot_id", snapId),
+              Option(r.getSchema.getField("partitions"))
+                .flatMap(_ => Option(r.get("partitions"))).orNull)
+          }
+        }.getOrElse(throw new IllegalArgumentException(
+          s"snapshot $snapId expired at $dir — cannot cherry-pick"))
+    val forkList = listOf(fork)
+    val branchList = listOf(target)
+    val mainList = listOf(mainHead)
+    val forkPaths = forkList.map(_._1).toSet
+    val rewroteAway = forkPaths -- branchList.map(_._1).toSet
+    require(rewroteAway.isEmpty,
+      s"$branch rewrote ${rewroteAway.size} pre-fork manifest(s) (e.g. " +
+      s"${rewroteAway.head}) — the staged diff is not append-shaped; " +
+      "rebase the branch by hand")
+    val staged = branchList.filterNot(t => forkPaths(t._1))
+    if (staged.isEmpty) return mainHead // nothing staged beyond the fork
+
+    // parse the staged manifests once, live entries only
+    val stagedMans: Seq[((String, Long, Int, Long, Int, Long, AnyRef),
+      Seq[GenericRecord])] = graft.pipeline.Par.map(staged) { t =>
+      (t, IcebergFormat.readAvro(conf, new Path(resolveU(t._1))))
+    }
+    stagedMans.foreach { case (t, entries) =>
+      require(!entries.exists(e => gInt(e, "status", 0) == 2),
+        s"staged manifest ${t._1} carries removal entries — the diff is " +
+        "not append-shaped; rebase the branch by hand")
+    }
+    // what main changed since the fork, for conflict validation
+    val forkLive = IcebergInterop.liveStateOf(spark, dir, fork)
+    val mainLive = IcebergInterop.liveStateOf(spark, dir, mainHead)
+    // a staged delete may legitimately mask the branch's OWN staged
+    // files — they publish together
+    val stagedDataPaths: Set[String] = stagedMans.flatMap { case (_, entries) =>
+      entries.filter(e => gInt(e, "status", 0) != 2).flatMap { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        if (gInt(df, "content", 0) == 0)
+          Some(canonPath(resolveU(gStr(df, "file_path")))) else None
+      }
+    }.toSet
+    val mainNewData = mainLive.dataInfo -- forkLive.files
+    val forkEqPaths = forkLive.eqDeletes.map(_.path).toSet
+    val mainNewEq = mainLive.eqDeletes.filterNot(d => forkEqPaths(d.path))
+    val dtOfId: Map[Int, DataType] = currentSchemaNode(m0).path("fields")
+      .elements().asScala.flatMap(fd =>
+        resultTypeOfName(fd.path("type").asText)
+          .map(fd.path("id").asInt -> _)).toMap
+    // bounds overlap on EVERY equality id; absent bounds assume overlap
+    def mayOverlap(ids: Seq[Int],
+                   a: (Map[Int, Array[Byte]], Map[Int, Array[Byte]]),
+                   b: (Map[Int, Array[Byte]], Map[Int, Array[Byte]])): Boolean =
+      ids.isEmpty || ids.forall { id =>
+        (a._1.get(id), a._2.get(id), b._1.get(id), b._2.get(id),
+          dtOfId.get(id)) match {
+          case (Some(aLo), Some(aHi), Some(bLo), Some(bHi), Some(dt)) =>
+            cmpBound(dt, aLo, bHi) <= 0 && cmpBound(dt, bLo, aHi) <= 0
+          case _ => true
+        }
+      }
+    stagedMans.foreach { case (_, entries) =>
+      entries.filter(e => gInt(e, "status", 0) != 2).foreach { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val path = resolveU(gStr(df, "file_path"))
+        val isDv = gStr(df, "file_format").equalsIgnoreCase("puffin") ||
+          Option(df.getSchema.getField("content_offset"))
+            .flatMap(_ => Option(df.get("content_offset"))).isDefined
+        gInt(df, "content", 0) match {
+          case 0 =>
+            val b = entryBounds(df)
+            mainNewEq.foreach { d =>
+              require(!mayOverlap(d.ids, (b.map { case (k, v) => k -> v._1 },
+                  b.map { case (k, v) => k -> v._2 }), (d.lower, d.upper)),
+                s"cherry-pick conflict: staged data file $path may hold keys " +
+                s"masked by main's equality delete ${d.path} committed since " +
+                "the fork — rebase the branch by hand")
+            }
+          case 1 =>
+            val refs: Seq[String] =
+              if (isDv) Option(df.getSchema.getField("referenced_data_file"))
+                .flatMap(_ => Option(df.get("referenced_data_file")))
+                .map(p => Seq(resolveU(p.toString))).getOrElse(Nil)
+              else spark.read.parquet(path).select("file_path").distinct()
+                .collect().map(r => resolveU(r.getString(0))).toSeq
+            refs.foreach(r => require(
+              mainLive.files.contains(canonPath(r)) ||
+                stagedDataPaths.contains(canonPath(r)),
+              s"cherry-pick conflict: staged delete $path references $r, " +
+              "which main no longer carries (deleted or rewritten since " +
+              "the fork) — rebase the branch by hand"))
+          case 2 =>
+            val ids = Option(df.getSchema.getField("equality_ids"))
+              .flatMap(_ => Option(df.get("equality_ids")))
+              .map(_.asInstanceOf[java.util.List[_]].asScala
+                .map(_.asInstanceOf[Number].intValue).toSeq).getOrElse(Nil)
+            val kb = entryBounds(df)
+            mainNewData.foreach { case (p, (_, lo, hi)) =>
+              require(!mayOverlap(ids, (kb.map { case (k, v) => k -> v._1 },
+                  kb.map { case (k, v) => k -> v._2 }), (lo, hi)),
+                s"cherry-pick conflict: staged equality delete $path " +
+                s"overlaps $p, which main added since the fork — the " +
+                "replay would mask rows the audit never saw; rebase")
+            }
+          case other => throw new IllegalArgumentException(
+            s"unknown content=$other in staged manifest entry $path")
+        }
+      }
+    }
+    // ONE commit on main: carried = main's manifests verbatim, plus the
+    // staged manifests re-attributed to the publish snapshot (their
+    // original sequence numbers ride along — the conflict gates above
+    // make cross-lineage sequence interleaving safe)
+    val newId = freshSnapshotId(f, root, v0)
+    val seqNo = m0.path("last-sequence-number").asLong(0L) + 1L
+    val anyDelete = staged.exists(_._3 != 0)
+    val carried = mainList ++ staged.map(t => t.copy(_6 = newId))
+    try {
+      onBeforeCommit()
+      commitMeta(spark, f, root, v0, StructType(Nil), newId, seqNo, Nil,
+        replace = false,
+        operation = Some(if (anyDelete) "overwrite" else "append"),
+        priorOverride = Some(carried))
+    } catch {
+      case _: java.util.ConcurrentModificationException =>
+        throw new IllegalStateException(
+          s"cherry-pick publish of $branch at $dir raced a concurrent " +
+          "commit — re-run against the new head")
+    }
+  }
+
   /** Remove a tag/branch ref (its snapshot becomes expirable again).
     * `main` refuses. */
   def dropRef(spark: SparkSession, dir: String, name: String): Unit = {
@@ -1613,7 +1821,10 @@ object IcebergWrite {
   }
 
   private def setRef(spark: SparkSession, dir: String, name: String,
-                     snapshotId: Option[Long], kind: String): Unit = {
+                     snapshotId: Option[Long], kind: String,
+                     maxRefAgeMs: Option[Long] = None,
+                     minSnapshotsToKeep: Option[Int] = None,
+                     maxSnapshotAgeMs: Option[Long] = None): Unit = {
     import scala.jdk.CollectionConverters._
     require(name != "main", "the main branch is managed by commits")
     val f = fs(spark, dir)
@@ -1631,6 +1842,11 @@ object IcebergWrite {
       else n.putObject("refs")
     val r = refs.putObject(name)
     r.put("snapshot-id", target); r.put("type", kind)
+    maxRefAgeMs.foreach(r.put("max-ref-age-ms", _))
+    if (kind == "branch") {
+      minSnapshotsToKeep.foreach(r.put("min-snapshots-to-keep", _))
+      maxSnapshotAgeMs.foreach(r.put("max-snapshot-age-ms", _))
+    }
     commitMetadataOnly(f, root, v0, m0, n, s"SET REF $name")
   }
 
@@ -2959,9 +3175,42 @@ object IcebergWrite {
       }
     }
     val curId = m0.path("current-snapshot-id").asLong(-1L)
-    val refIds: Set[Long] = m0.path("refs").properties().asScala
-      .map(_.getValue.path("snapshot-id").asLong(-1L)).toSet
     val snaps = m0.path("snapshots").elements().asScala.toSeq
+    val snapTs: Map[Long, Long] = snaps.map(s0 =>
+      s0.path("snapshot-id").asLong(-1L) ->
+        s0.path("timestamp-ms").asLong(0L)).toMap
+    // ── per-ref retention (the spec's snapshot-reference fields) ──
+    // a non-main ref declaring `max-ref-age-ms` (or inheriting the
+    // table default `history.expire.max-ref-age-ms-default`) AGES OUT
+    // once its referenced snapshot is older than that — an abandoned
+    // audit branch stops pinning its staged chain and main's fork
+    // segment, and everything it held reclaims through the normal
+    // reference diff below. Refs without the property never age (the
+    // conservative default every existing table keeps).
+    def refLong(node: JsonNode, field: String): Option[Long] = {
+      val v = node.path(field)
+      if (v.isMissingNode || v.isNull) None else Some(v.asLong)
+    }
+    def propLong(name: String): Option[Long] = {
+      val v = m0.path("properties").path(name)
+      if (v.isMissingNode || v.isNull) None
+      else scala.util.Try(v.asText.toLong).toOption
+    }
+    val defaultMaxRefAge = propLong("history.expire.max-ref-age-ms-default")
+    val agedRefs: Set[String] = m0.path("refs").properties().asScala
+      .filter { e =>
+        e.getKey != "main" &&
+          refLong(e.getValue, "max-ref-age-ms").orElse(defaultMaxRefAge)
+            .exists { maxAge =>
+              val ts = snapTs.getOrElse(
+                e.getValue.path("snapshot-id").asLong(-1L), now)
+              now - ts > maxAge
+            }
+      }.map(_.getKey).toSet
+    val liveRefs = m0.path("refs").properties().asScala
+      .filterNot(e => agedRefs.contains(e.getKey)).toSeq
+    val refIds: Set[Long] =
+      liveRefs.map(_.getValue.path("snapshot-id").asLong(-1L)).toSet
     // while an un-published BRANCH ref exists, expiry must keep (a)
     // the branch-only chain from its head to the fork point —
     // fastForward's ancestor walk and the branch's own reads need the
@@ -2983,21 +3232,44 @@ object IcebergWrite {
       out.result()
     }
     val mainIdx = onMain.zipWithIndex.toMap
+    val defaultMinKeep = propLong("history.expire.min-snapshots-to-keep-default")
+    val defaultMaxSnapAge = propLong("history.expire.max-snapshot-age-ms-default")
     val branchChain: Set[Long] = {
       val out = scala.collection.mutable.HashSet.empty[Long]
       var deepestFork = -1 // farthest main index any branch forks from
-      m0.path("refs").properties().asScala
+      liveRefs
         .filter(e => e.getKey != "main" &&
           e.getValue.path("type").asText("branch") == "branch")
         .foreach { e =>
+          // branch-tail retention: a branch declaring
+          // `min-snapshots-to-keep` / `max-snapshot-age-ms` (or
+          // inheriting the table defaults) pins only its newest N /
+          // young-enough staged snapshots — older tail snapshots fall
+          // back to the GLOBAL cutoff and age out. No declaration =
+          // pin the whole chain (publishability-safe default; note
+          // that trimming a tail makes fastForward's ancestry walk
+          // refuse once intermediates expire — the spec's documented
+          // trade for bounded branch history).
+          val minKeepOpt = refLong(e.getValue, "min-snapshots-to-keep")
+            .orElse(defaultMinKeep)
+          val maxSnapAgeOpt = refLong(e.getValue, "max-snapshot-age-ms")
+            .orElse(defaultMaxSnapAge)
+          val declared = minKeepOpt.isDefined || maxSnapAgeOpt.isDefined
+          val minKeep = minKeepOpt.getOrElse(1L)
+          val maxSnapAge = maxSnapAgeOpt.getOrElse(retainMillis)
           var cur = e.getValue.path("snapshot-id").asLong(-1L)
           var fork = -1
           var staged = 0
+          var idx = 0L
           while (cur > 0 && fork < 0 && !out.contains(cur)) {
             mainIdx.get(cur) match {
               case Some(i) => fork = i // reached main: stop, record depth
               case None =>
-                out += cur; staged += 1; cur = parentOf.getOrElse(cur, -1L)
+                val pin = !declared || idx < minKeep ||
+                  now - snapTs.getOrElse(cur, now) <= maxSnapAge
+                if (pin) { out += cur; staged += 1 }
+                idx += 1
+                cur = parentOf.getOrElse(cur, -1L)
             }
           }
           if (fork < 0 && cur <= 0)
@@ -3016,11 +3288,15 @@ object IcebergWrite {
       id == curId || refIds.contains(id) || branchChain.contains(id) ||
         s0.path("timestamp-ms").asLong(0L) >= cutoff
     }
-    if (expired.isEmpty) return (0, reclaimed)
+    if (expired.isEmpty && agedRefs.isEmpty) return (0, reclaimed)
     val keptIds = kept.map(_.path("snapshot-id").asLong).toSet
 
     // new metadata version FIRST (readers switch before files vanish)
     val n = m0.deepCopy[JsonNode]().asInstanceOf[ObjNode]
+    // aged-out refs drop in the SAME commit that expires what they
+    // pinned — readers never observe a ref to an expired snapshot
+    if (n.path("refs").isObject)
+      agedRefs.foreach(n.path("refs").asInstanceOf[ObjNode].remove(_))
     val snapArr = M.createArrayNode(); kept.foreach(snapArr.add)
     n.set[JsonNode]("snapshots", snapArr)
     // the exactly-once txn ledger rides the snapshot summaries —
@@ -3817,8 +4093,17 @@ object IcebergWrite {
     val refs =
       if (n.path("refs").isObject) n.path("refs").asInstanceOf[ObjNode]
       else n.putObject("refs")
-    val targetRef = refs.putObject(branchCtx.value.getOrElse("main"))
+    val refName = branchCtx.value.getOrElse("main")
+    val prevRef = refs.path(refName) // captured before the replace
+    val targetRef = refs.putObject(refName)
     targetRef.put("snapshot-id", snapshotId); targetRef.put("type", "branch")
+    // a commit advances the ref but never forgets its declared
+    // retention (max-ref-age-ms / min-snapshots-to-keep / …)
+    Seq("max-ref-age-ms", "min-snapshots-to-keep", "max-snapshot-age-ms")
+      .foreach { k =>
+        if (prevRef.has(k))
+          targetRef.set[JsonNode](k, prevRef.path(k).deepCopy[JsonNode]())
+      }
     // snapshot-log tracks MAIN's lineage only (the spec's contract) —
     // branch commits do not append; metadata-log: the version this
     // commit supersedes (both REQUIRED by v2 TableMetadataParser)

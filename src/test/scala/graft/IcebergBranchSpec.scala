@@ -201,6 +201,188 @@ class IcebergBranchSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("immutable"))
   }
 
+  test("max-ref-age-ms: an abandoned branch ages out and releases the fork segment") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-wap-refage").toString + "/t"
+    IcebergWrite.append(Seq((1L, "a")).toDF("id", "name"), dir)
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.append(Seq((10L, "x")).toDF("id", "name"), dir)
+      IcebergWrite.append(Seq((11L, "y")).toDF("id", "name"), dir)
+    }
+    val stagedHead = IcebergInterop.snapshotOfRef(spark, dir, "audit")
+    // declare the ref abandoned after 0 ms (re-point at its own head)
+    IcebergWrite.createBranch(spark, dir, "audit", Some(stagedHead),
+      maxRefAgeMs = Some(0L))
+    // a FRESH branch inside its age window must survive the same expiry
+    IcebergWrite.onBranch("fresh") {
+      IcebergWrite.append(Seq((20L, "f")).toDF("id", "name"), dir)
+    }
+    val freshHead = IcebergInterop.snapshotOfRef(spark, dir, "fresh")
+    IcebergWrite.createBranch(spark, dir, "fresh", Some(freshHead),
+      maxRefAgeMs = Some(3600000L))
+    IcebergWrite.append(Seq((2L, "b")).toDF("id", "name"), dir) // main advances
+    Thread.sleep(15)
+    val (nExp, _) = IcebergWrite.expireSnapshots(spark, dir, retainMillis = 0L)
+    assert(nExp > 0)
+    val meta = IcebergInterop.readJson(spark,
+      IcebergInterop.currentMetadataPath(spark, dir))
+    assert(!meta.path("refs").has("audit"), "the aged ref must drop")
+    assert(meta.path("refs").has("fresh"), "a ref inside its window survives")
+    val remaining = meta.path("snapshots").elements().asScala
+      .map(_.path("snapshot-id").asLong).toSet
+    assert(!remaining.contains(stagedHead),
+      "the aged branch's staged snapshots reclaim")
+    assert(remaining.contains(freshHead), "the fresh branch's chain survives")
+    assert(ids(dir) == Set(1L, 2L), "main reads on")
+    assert(branchIds(dir, "fresh") == Set(1L, 20L))
+  }
+
+  test("min-snapshots-to-keep trims a declared branch tail; undeclared keeps all") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-wap-tailkeep").toString + "/t"
+    IcebergWrite.append(Seq((1L, "a")).toDF("id", "name"), dir)
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.append(Seq((10L, "x")).toDF("id", "name"), dir)
+      IcebergWrite.append(Seq((11L, "y")).toDF("id", "name"), dir)
+      IcebergWrite.append(Seq((12L, "z")).toDF("id", "name"), dir)
+    }
+    val head = IcebergInterop.snapshotOfRef(spark, dir, "audit")
+    // undeclared: expiry pins the whole staged chain (publishability)
+    Thread.sleep(15)
+    IcebergWrite.expireSnapshots(spark, dir, retainMillis = 0L)
+    val after1 = IcebergInterop.readJson(spark,
+      IcebergInterop.currentMetadataPath(spark, dir))
+      .path("snapshots").elements().asScala.map(_.path("snapshot-id").asLong).toSet
+    assert(after1.size >= 4, s"undeclared branch keeps its chain: $after1")
+    // declare: keep only the newest staged snapshot, age the tail
+    IcebergWrite.createBranch(spark, dir, "audit", Some(head),
+      minSnapshotsToKeep = Some(1), maxSnapshotAgeMs = Some(0L))
+    Thread.sleep(15)
+    val (nExp, _) = IcebergWrite.expireSnapshots(spark, dir, retainMillis = 0L)
+    assert(nExp >= 2, s"the staged tail beyond the head must expire (got $nExp)")
+    val after2 = IcebergInterop.readJson(spark,
+      IcebergInterop.currentMetadataPath(spark, dir))
+      .path("snapshots").elements().asScala.map(_.path("snapshot-id").asLong).toSet
+    assert(after2.contains(head), "the branch head survives")
+    // the branch still READS at head (its manifest list is self-contained
+    // and the reference diff keeps every file the head references)
+    assert(branchIds(dir, "audit") == Set(1L, 10L, 11L, 12L))
+    assert(ids(dir) == Set(1L))
+  }
+
+  test("branch commits preserve declared ref retention properties") {
+    val dir = Files.createTempDirectory("graft-wap-refprops").toString + "/t"
+    IcebergWrite.append(Seq((1L, "a")).toDF("id", "name"), dir)
+    IcebergWrite.createBranch(spark, dir, "audit", None,
+      maxRefAgeMs = Some(12345L), minSnapshotsToKeep = Some(7))
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.append(Seq((2L, "b")).toDF("id", "name"), dir)
+    }
+    val r = IcebergInterop.readJson(spark,
+      IcebergInterop.currentMetadataPath(spark, dir)).path("refs").path("audit")
+    assert(r.path("max-ref-age-ms").asLong == 12345L,
+      "the commit advanced the ref without dropping its retention")
+    assert(r.path("min-snapshots-to-keep").asInt == 7)
+  }
+
+  test("cherry-pick publishes a staged branch past a diverged main") {
+    val dir = Files.createTempDirectory("graft-wap-cp").toString + "/t"
+    IcebergWrite.append((0L until 4L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
+    // stage an append AND a row-level delete on the branch
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.append(Seq((10L, "n10"), (11L, "n11")).toDF("id", "name"), dir)
+      IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+    }
+    // main takes an UNRELATED append mid-audit → fast-forward refuses
+    IcebergWrite.append(Seq((20L, "n20")).toDF("id", "name"), dir)
+    intercept[IllegalArgumentException] {
+      IcebergWrite.fastForward(spark, dir, "audit")
+    }
+    val published = IcebergWrite.cherryPickPublish(spark, dir, "audit")
+    assert(ids(dir) == Set(0L, 2L, 3L, 10L, 11L, 20L),
+      "main holds its own append, the staged rows, and the staged delete")
+    val meta = IcebergInterop.readJson(spark,
+      IcebergInterop.currentMetadataPath(spark, dir))
+    assert(meta.path("current-snapshot-id").asLong == published)
+    // the publish is ONE new snapshot parented off main's head, not a
+    // head move onto the branch lineage
+    val snap = {
+      import scala.jdk.CollectionConverters._
+      meta.path("snapshots").elements().asScala
+        .find(_.path("snapshot-id").asLong == published).get
+    }
+    assert(snap.path("parent-snapshot-id").asLong != -1L)
+    assert(ids(dir, Some(snap.path("parent-snapshot-id").asLong))
+      .contains(20L), "parent is main's diverged head")
+    // idempotent-ish: re-publishing the unchanged branch refuses as a
+    // conflict-free no-op (its staged manifests are already on main) —
+    // the branch ref still points at the pre-publish lineage
+    assert(branchIds(dir, "audit") == Set(0L, 2L, 3L, 10L, 11L))
+  }
+
+  test("cherry-pick refuses when main's changes conflict with the staged diff") {
+    // (a) staged equality delete overlapping a key main appended
+    val d1 = Files.createTempDirectory("graft-wap-cpc1").toString + "/t"
+    IcebergWrite.append((0L until 4L).map(i => (i, s"n$i")).toDF("id", "name"), d1)
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.equalityDelete(spark, d1, Seq(7L).toDF("id").coalesce(1))
+    }
+    IcebergWrite.append(Seq((7L, "nx")).toDF("id", "name"), d1) // main adds key 7
+    val ex1 = intercept[IllegalArgumentException] {
+      IcebergWrite.cherryPickPublish(spark, d1, "audit")
+    }
+    assert(ex1.getMessage.contains("equality delete") &&
+      ex1.getMessage.contains("rebase"), ex1.getMessage)
+    // (b) staged position delete whose target main rewrote away
+    val d2 = Files.createTempDirectory("graft-wap-cpc2").toString + "/t"
+    IcebergWrite.append((0L until 8L).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(1), d2)
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.deleteWhere(spark, d2, col("id") === 3L)
+    }
+    // main deletes a row then compacts → the original file is rewritten
+    IcebergWrite.deleteWhere(spark, d2, col("id") === 0L)
+    IcebergWrite.compact(spark, d2, smallFileBytes = 0L)
+    val ex2 = intercept[IllegalArgumentException] {
+      IcebergWrite.cherryPickPublish(spark, d2, "audit")
+    }
+    assert(ex2.getMessage.contains("no longer carries"), ex2.getMessage)
+    // (c) staged data overlapping an equality delete main committed
+    val d3 = Files.createTempDirectory("graft-wap-cpc3").toString + "/t"
+    IcebergWrite.append((0L until 4L).map(i => (i, s"n$i")).toDF("id", "name"), d3)
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.append(Seq((9L, "n9")).toDF("id", "name"), d3)
+    }
+    IcebergWrite.equalityDelete(spark, d3, Seq(9L).toDF("id").coalesce(1))
+    val ex3 = intercept[IllegalArgumentException] {
+      IcebergWrite.cherryPickPublish(spark, d3, "audit")
+    }
+    assert(ex3.getMessage.contains("masked by main's equality delete"),
+      ex3.getMessage)
+    // (d) disjoint key bands DON'T conflict: same shape as (c) but the
+    // staged keys sit outside the delete's bounds → publishes
+    val d4 = Files.createTempDirectory("graft-wap-cpc4").toString + "/t"
+    IcebergWrite.append((0L until 4L).map(i => (i, s"n$i")).toDF("id", "name"), d4)
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.append(Seq((100L, "n100")).toDF("id", "name"), d4)
+    }
+    IcebergWrite.equalityDelete(spark, d4, Seq(2L).toDF("id").coalesce(1))
+    IcebergWrite.cherryPickPublish(spark, d4, "audit")
+    assert(ids(d4) == Set(0L, 1L, 3L, 100L))
+  }
+
+  test("cherry-pick fast-forwards trivially when main never diverged") {
+    val dir = Files.createTempDirectory("graft-wap-cpff").toString + "/t"
+    IcebergWrite.append(Seq((1L, "a")).toDF("id", "name"), dir)
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.append(Seq((2L, "b")).toDF("id", "name"), dir)
+    }
+    val published = IcebergWrite.cherryPickPublish(spark, dir, "audit")
+    assert(published == IcebergInterop.snapshotOfRef(spark, dir, "audit"),
+      "undiverged main takes the branch head itself (pure fast-forward)")
+    assert(ids(dir) == Set(1L, 2L))
+  }
+
   test("streaming sink lands batches on a branch, exactly-once") {
     val tmp = Files.createTempDirectory("graft-wap-stream").toString
     val dir = s"$tmp/t"

@@ -215,7 +215,10 @@ object OracleSql {
       // q164 consumes q160's exact change-feed lifecycle as a STREAM
       // (readChangeFeed=true, startingVersion=earliest, rate-limited) —
       // streamed CDF must equal batch CDF, so q160's oracle pins it.
-      ("q164_delta_cdf_stream" -> oracleSqlCore("q160_delta_cdf"))
+      ("q164_delta_cdf_stream" -> oracleSqlCore("q160_delta_cdf")) +
+      // q221 folds the branch-scoped audit STREAM of q216's staged
+      // lifecycle — the reconstruction must equal q216's audit read.
+      ("q221_branch_stream" -> oracleSqlCore("q216_iceberg_wap"))
 
   private lazy val oracleSqlCore: Map[String, String] = Map(
     // q140: the Delta log's append/overwrite/time-travel states derive

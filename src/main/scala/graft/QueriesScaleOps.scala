@@ -3729,4 +3729,49 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("lang"))
   }
+
+  /** q221 — BRANCH-SCOPED AUDIT STREAM (q216's audit read, but
+    * incremental): an audit pipeline tails the STAGED branch's
+    * commits through the streaming source (`branch=audit`,
+    * `readChanges=true`) while main stays pinned — staged appends and
+    * the staged row-level delete arrive as change rows, and folding
+    * them reconstructs exactly the state q216 audits in one SQL read.
+    * Same oracle as q216. */
+  private[graft] def q221(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{IcebergInterop, IcebergWrite}
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = graft.io.TempDirs.scratch("graft-q221")
+    val tbl = s"$tmp/t"
+    IcebergWrite.append(docs.filter(col("doc_id") % 2 === 0), tbl)   // main seed
+    IcebergWrite.createBranch(s, tbl, "audit") // pin the fork, pre-staging
+    val sink = s"$tmp/sink"
+    val q = s.readStream.format("graft-iceberg")
+      .option("branch", "audit").option("readChanges", "true")
+      .load(tbl).writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode("append").parquet(sink); ()
+      }.start()
+    try {
+      q.processAllAvailable() // origin backfill: the seed as inserts
+      IcebergWrite.onBranch("audit") {
+        IcebergWrite.append(docs.filter(col("doc_id") % 4 === 1), tbl)
+        IcebergWrite.append(docs.filter(col("doc_id") % 4 === 3), tbl)
+        val (_, nDel) = IcebergWrite.deleteWhereDV(s, tbl,
+          col("doc_id") % 10 === 4 || col("doc_id") % 10 === 5)
+        require(nDel > 0, "the staged delete must hit")
+      }
+      q.processAllAvailable() // tail the staged commits as change rows
+    } finally q.stop()
+    require(IcebergInterop.readIceberg(s, tbl).count() ==
+      docs.filter(col("doc_id") % 2 === 0).count(),
+      "main must stay pinned while the audit stream consumes the branch")
+    val net = s.read.parquet(sink)
+      .groupBy(col("doc_id"), col("lang"), col("n_chars"))
+      .agg(sum(when(col("_change_type") === "insert", 1).otherwise(-1)).as("k"))
+      .filter(col("k") > 0)
+    net.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+  }
 }

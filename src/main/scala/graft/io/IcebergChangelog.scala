@@ -54,7 +54,8 @@ object IcebergChangelog {
   private final case class SnapInfo(seq: Long, id: Long, parent: Option[Long],
                                     op: String, manifestList: String)
 
-  private def snapshotsOf(spark: SparkSession, dir: String): Seq[SnapInfo] = {
+  private def snapshotsOf(spark: SparkSession, dir: String,
+                          branch: Option[String] = None): Seq[SnapInfo] = {
     import scala.jdk.CollectionConverters._
     val meta = IcebergInterop.readJson(spark,
       IcebergInterop.currentMetadataPath(spark, dir))
@@ -65,12 +66,25 @@ object IcebergChangelog {
         s0.path("summary").path("operation").asText(""),
         s0.path("manifest-list").asText)
     }
-    // un-published write-audit-publish branch snapshots share the
-    // snapshots array but are not main history — a changelog consumer
-    // must never receive staged rows; they enter the stream when
-    // fastForward moves the head ([[IcebergInterop.branchOnlyIds]])
-    val excluded = IcebergInterop.branchOnlyIds(meta)
-    all.filterNot(s1 => excluded.contains(s1.id)).sortBy(_.seq)
+    branch match {
+      // branch-scoped changelog (auditing a staged branch): exactly
+      // the branch head's ancestry, staged snapshots included
+      case Some(b) =>
+        val r = meta.path("refs").path(b)
+        require(!r.isMissingNode && !r.isNull, s"no ref $b at $dir")
+        require(r.path("type").asText("branch") == "branch",
+          s"ref $b is a ${r.path("type").asText} — only branches have changelogs")
+        val anc = IcebergInterop.ancestryOf(meta,
+          r.path("snapshot-id").asLong(-1L))
+        all.filter(s1 => anc.contains(s1.id)).sortBy(_.seq)
+      case None =>
+        // un-published write-audit-publish branch snapshots share the
+        // snapshots array but are not main history — a changelog consumer
+        // must never receive staged rows; they enter the stream when
+        // fastForward moves the head ([[IcebergInterop.branchOnlyIds]])
+        val excluded = IcebergInterop.branchOnlyIds(meta)
+        all.filterNot(s1 => excluded.contains(s1.id)).sortBy(_.seq)
+    }
   }
 
   /** What snapshot `s` ADDED: its own manifests' status-1 entries,
@@ -132,9 +146,10 @@ object IcebergChangelog {
     * as KEYED CDC without a natural key. */
   private[graft] def changesForSnapshot(spark: SparkSession, dir: String,
       snap: Long, schema: StructType,
-      withLineage: Boolean = false): Option[DataFrame] = {
+      withLineage: Boolean = false,
+      branch: Option[String] = None): Option[DataFrame] = {
     import org.apache.spark.sql.functions._
-    val allSnaps = snapshotsOf(spark, dir)
+    val allSnaps = snapshotsOf(spark, dir, branch)
     val s = allSnaps.find(_.id == snap).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot $snap not found at $dir — expired before the changelog read?"))
@@ -398,8 +413,12 @@ object IcebergChangelog {
                          // emit each row's stable `_row_id` (v3 row
                          // lineage) — an update's delete/insert pair
                          // shares one id: keyed CDC without a natural key
-                         withLineage: Boolean = false): DataFrame = {
-    val snaps = snapshotsOf(spark, dir)
+                         withLineage: Boolean = false,
+                         // audit a STAGED branch's commits (the branch
+                         // head's ancestry; staged snapshots visible
+                         // here, still invisible to main consumers)
+                         branch: Option[String] = None): DataFrame = {
+    val snaps = snapshotsOf(spark, dir, branch)
     require(snaps.nonEmpty, s"$dir has no snapshots")
     def seqOf(id: Long): Long = snaps.find(_.id == id).map(_.seq).getOrElse(
       throw new IllegalArgumentException(s"snapshot $id not found at $dir"))
@@ -412,7 +431,8 @@ object IcebergChangelog {
       "(enableRowLineage / appendLineage first)")
     val schema = currentSchema(spark, dir)
     val frames = snaps.filter(t => t.seq > loExcl && t.seq <= hiIncl)
-      .flatMap(t => changesForSnapshot(spark, dir, t.id, schema, withLineage))
+      .flatMap(t => changesForSnapshot(spark, dir, t.id, schema, withLineage,
+        branch))
     frames.reduceOption(_ unionByName _).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         changeSchema(schema, withLineage)))

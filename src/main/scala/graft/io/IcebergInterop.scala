@@ -1359,7 +1359,8 @@ object IcebergInterop {
   /** One head read for the streaming tailer: snapshots ordered by
     * sequence-number as (seq, snapshotId, operation), plus the CURRENT
     * schema pinned with field ids. */
-  private[graft] def streamHead(spark: SparkSession, dir: String)
+  private[graft] def streamHead(spark: SparkSession, dir: String,
+      branch: Option[String] = None)
       : (Seq[(Long, Long, String, Long)], StructType) = {
     import scala.jdk.CollectionConverters._
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -1369,14 +1370,42 @@ object IcebergInterop {
         s0.path("snapshot-id").asLong,
         s0.path("summary").path("operation").asText(""),
         s0.path("parent-snapshot-id").asLong(-1L)))
-    // a write-audit-publish branch's staged snapshots live in the
-    // same snapshots array but are NOT main history — a main-table
-    // consumer must never see un-published rows; they enter the
-    // stream via fastForward's head move
-    val excluded = branchOnlyIds(meta)
-    val snaps = all.filterNot(t => excluded.contains(t._2)).sortBy(_._1)
+    val snaps = branch match {
+      // BRANCH-SCOPED enumeration (an audit pipeline tailing its own
+      // staged commits): exactly the branch head's ancestry — staged
+      // snapshots visible inside, main's post-fork commits excluded
+      case Some(b) =>
+        val r = meta.path("refs").path(b)
+        require(!r.isMissingNode && !r.isNull, s"no ref $b at $dir")
+        require(r.path("type").asText("branch") == "branch",
+          s"ref $b is a ${r.path("type").asText} — only branches stream")
+        val anc = ancestryOf(meta, r.path("snapshot-id").asLong(-1L))
+        all.filter(t => anc.contains(t._2)).sortBy(_._1)
+      case None =>
+        // a write-audit-publish branch's staged snapshots live in the
+        // same snapshots array but are NOT main history — a main-table
+        // consumer must never see un-published rows; they enter the
+        // stream via fastForward's head move
+        val excluded = branchOnlyIds(meta)
+        all.filterNot(t => excluded.contains(t._2)).sortBy(_._1)
+    }
     val schema = StructType(fieldsOf(schemaNodeById(meta, None).path("fields")))
     (snaps, schema)
+  }
+
+  /** All snapshot ids on `headId`'s parent chain (inclusive). */
+  private[graft] def ancestryOf(meta: JsonNode, headId: Long): Set[Long] = {
+    import scala.jdk.CollectionConverters._
+    val parentOf: Map[Long, Long] =
+      meta.path("snapshots").elements().asScala.map(s0 =>
+        s0.path("snapshot-id").asLong(-1L) ->
+          s0.path("parent-snapshot-id").asLong(-1L)).toMap
+    val out = scala.collection.mutable.HashSet.empty[Long]
+    var cur = headId
+    while (cur > 0 && !out.contains(cur)) {
+      out += cur; cur = parentOf.getOrElse(cur, -1L)
+    }
+    out.toSet
   }
 
   /** Snapshot ids POSITIVELY attributable to a non-main branch: for

@@ -88,6 +88,11 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
   // Offsets advance one UNIT per snapshot (a snapshot's change set is
   // atomic); the origin snapshot backfills as pure inserts.
   private val readChanges = opts.get("readchanges").exists(_.toBoolean)
+  // BRANCH-SCOPED tailing (the audit half of write-audit-publish): the
+  // stream walks the named branch's ancestry — its staged commits are
+  // visible here while a main consumer of the same table sees none of
+  // them until publish
+  private val branch: Option[String] = opts.get("branch")
   // change rows carry their stable v3 `_row_id` — keyed CDC; the
   // downstream upsert sink can mirror the table by row identity
   private val withLineage = opts.get("lineage").exists(_.toBoolean)
@@ -120,7 +125,7 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
     }
     if (f.exists(p)) load()
     else {
-      val (snaps, schema) = IcebergInterop.streamHead(spark, dir)
+      val (snaps, schema) = IcebergInterop.streamHead(spark, dir, branch)
       require(snaps.nonEmpty, s"no snapshots at $dir — nothing to stream")
       val o = opts.get("startingsnapshotid") match {
         case None =>
@@ -180,11 +185,12 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
   // batches commit; also caches the seq→(snapshotId, operation) map
   private val addCache = scala.collection.mutable.HashMap.empty[Long, Seq[String]]
 
-  /** MAIN-chain snapshots strictly after the origin, by sequence
-    * number, with parent ids (branch-staged snapshots never appear —
-    * streamHead filters to main ancestry). */
+  /** The tailed chain's snapshots strictly after the origin, by
+    * sequence number, with parent ids — MAIN ancestry by default
+    * (branch-staged snapshots never appear), or the named branch's
+    * ancestry under `branch=<ref>`. */
   private def tailSnaps(): Seq[(Long, Long, String, Long)] =
-    IcebergInterop.streamHead(spark, dir)._1.filter(_._1 > origin.seq)
+    IcebergInterop.streamHead(spark, dir, branch)._1.filter(_._1 > origin.seq)
 
   private def addedOf(seq: Long, snapId: Long, op: String): Seq[String] =
     synchronized(addCache.getOrElseUpdate(seq, {
@@ -407,7 +413,8 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
           val hi = if (seq == endO.seq) endO.index else 1
           if (lo < hi)
             graft.io.IcebergChangelog
-              .changesForSnapshot(spark, dir, id, lockedSchema, withLineage)
+              .changesForSnapshot(spark, dir, id, lockedSchema, withLineage,
+                branch)
               .foreach(frames += _)
         }
     }

@@ -383,6 +383,46 @@ class IcebergBranchSpec extends AnyFunSuite {
     assert(ids(dir) == Set(1L, 2L))
   }
 
+  test("branch-scoped stream tails staged commits; main consumers see none") {
+    val tmp = Files.createTempDirectory("graft-wap-brstream").toString
+    val dir = s"$tmp/t"
+    IcebergWrite.append(Seq((0L, "seed")).toDF("id", "name"), dir)
+    IcebergWrite.createBranch(spark, dir, "audit") // pin at the seed
+    def tail(ckpt: String, opts: Map[String, String]) = {
+      val buf = scala.collection.mutable.ListBuffer.empty[Long]
+      var r = spark.readStream.format("graft-iceberg")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(dir).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.select("id").as[Long].collect()
+          buf.synchronized { buf ++= rows }; ()
+        }.start()
+      (buf, q)
+    }
+    val (brBuf, brQ) = tail(s"$tmp/ckpt-br", Map("branch" -> "audit"))
+    val (mainBuf, mainQ) = tail(s"$tmp/ckpt-main", Map.empty)
+    try {
+      brQ.processAllAvailable(); mainQ.processAllAvailable()
+      IcebergWrite.onBranch("audit") {
+        IcebergWrite.append(Seq((10L, "s1")).toDF("id", "name"), dir)
+        IcebergWrite.append(Seq((11L, "s2")).toDF("id", "name"), dir)
+      }
+      brQ.processAllAvailable(); mainQ.processAllAvailable()
+      assert(brBuf.synchronized(brBuf.sorted.toSeq) == Seq(0L, 10L, 11L),
+        "the branch stream tails the staged commits")
+      assert(mainBuf.synchronized(mainBuf.sorted.toSeq) == Seq(0L),
+        "a main consumer of the same table sees no staged rows")
+    } finally { brQ.stop(); mainQ.stop() }
+    // batch changelog, branch-scoped vs main-scoped
+    val brCh = graft.io.IcebergChangelog.readChangesBetween(spark, dir,
+      branch = Some("audit"))
+    assert(brCh.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().toSet == Set(0L, 10L, 11L))
+    val mainCh = graft.io.IcebergChangelog.readChangesBetween(spark, dir)
+    assert(mainCh.select("id").as[Long].collect().toSet == Set(0L))
+  }
+
   test("streaming sink lands batches on a branch, exactly-once") {
     val tmp = Files.createTempDirectory("graft-wap-stream").toString
     val dir = s"$tmp/t"

@@ -190,7 +190,8 @@ object IcebergChangelog {
       }.flatten.toMap
     }
     def withDefaults(raw: DataFrame): DataFrame =
-      IcebergInterop.applyInitialDefaults(spark, meta, raw, schema, fileSnapAll)
+      IcebergInterop.applyInitialDefaults(spark, meta, raw, schema, fileSnapAll,
+        Some(s.manifestList))
     // lineage: (canon path -> first_row_id) over the snapshot's FULL
     // manifest set (preimages may live in carried manifests), and a
     // read schema requesting the materialized reserved column. Small
@@ -495,7 +496,7 @@ object IcebergChangelog {
     * never materializes every live path. Settable (0 forces the
     * distributed path — the spec's equivalence pin). */
   val LineageDriverManifestsConf = "spark.graft.iceberg.lineageDriverManifests"
-  private def lineageDriverManifests(spark: SparkSession): Long =
+  private[graft] def lineageDriverManifests(spark: SparkSession): Long =
     spark.conf.getOption(LineageDriverManifestsConf).map(_.toLong).getOrElse(1000L)
 
   /** The DATA-manifest paths of one manifest list (driver-side,

@@ -180,7 +180,13 @@ object IcebergInterop {
     * schema declares no defaults. */
   private[graft] def applyInitialDefaults(spark: SparkSession,
       meta: => JsonNode, raw: DataFrame, schema: StructType,
-      fileSnap: => Map[String, (Long, Long)]): DataFrame = {
+      fileSnap: => Map[String, (Long, Long)],
+      // the snapshot's manifest list: above the shared driver gate
+      // ([[IcebergChangelog.lineageDriverManifests]]) the
+      // path→needs-default flags build DISTRIBUTED from it (manifests
+      // parse on executors) instead of materializing a driver list —
+      // the million-file-table shape. None = always the driver path.
+      manifestList: => Option[String] = None): DataFrame = {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.functions.{broadcast, col, when}
     val defFields = initialDefaultFields(schema)
@@ -221,15 +227,58 @@ object IcebergInterop {
         }
       }.toSet
     }
-    val rowsJ = fileSnap.toSeq.map { case (p, (sid, seq)) =>
-      val miss = missingFids(p, sid, seq)
-      org.apache.spark.sql.Row.fromSeq(p +:
-        defFields.map { case (_, fid, _) => miss.contains(fid) })
-    }.asJava
-    val defDf = broadcast(spark.createDataFrame(rowsJ, StructType(
+    val defSchema = StructType(
       StructField("_def_path", StringType) +:
         defFields.map { case (_, fid, _) =>
-          StructField(s"_def_$fid", BooleanType) })))
+          StructField(s"_def_$fid", BooleanType) })
+    val fids = defFields.map(_._2)
+    val dataMans: Seq[(String, Long, Long)] = manifestList.toSeq.flatMap { ml =>
+      avroRecords(spark, new Path(resolve(ml)))
+        .filter(r => Option(r.get("content")).forall(
+          _.asInstanceOf[Number].intValue == 0))
+        .map(r => (resolve(r.get("manifest_path").toString),
+          Option(r.get("sequence_number"))
+            .map(_.asInstanceOf[Number].longValue).getOrElse(0L),
+          Option(r.get("added_snapshot_id"))
+            .map(_.asInstanceOf[Number].longValue).getOrElse(-1L)))
+    }
+    val defDf: DataFrame =
+      if (dataMans.nonEmpty &&
+          dataMans.size > IcebergChangelog.lineageDriverManifests(spark)) {
+        // DISTRIBUTED flags: the driver holds manifest paths only;
+        // each executor parses its manifests and resolves
+        // applicability from the (small) schema/snapshot maps the
+        // closure captures. Bit-identical to the driver path — only
+        // where the rows materialize differs; the planner sizes the
+        // join itself (broadcast when small, shuffle when not).
+        val sconf = org.apache.spark.sql.GraftBridge.serializableConf(spark)
+        val mf: (String, Long, Long) => Set[Long] = missingFids
+        val rows = spark.sparkContext
+          .parallelize(dataMans, math.max(1, math.min(dataMans.size, 256)))
+          .flatMap { case (mp, mSeq, mSnap) =>
+            IcebergFormat.readAvro(sconf.value, new Path(mp))
+              .filter(e => Option(e.get("status")).forall(
+                _.asInstanceOf[Number].intValue != 2))
+              .map { e =>
+                val df0 = e.get("data_file")
+                  .asInstanceOf[org.apache.avro.generic.GenericRecord]
+                val p = canonPathStr(resolve(df0.get("file_path").toString))
+                def gn(n: String): Option[Long] =
+                  Option(e.getSchema.getField(n)).flatMap(_ => Option(e.get(n)))
+                    .map(_.asInstanceOf[Number].longValue)
+                val miss = mf(p, gn("snapshot_id").getOrElse(mSnap),
+                  gn("sequence_number").getOrElse(mSeq))
+                org.apache.spark.sql.Row.fromSeq(p +: fids.map(miss.contains))
+              }
+          }
+        spark.createDataFrame(rows, defSchema)
+      } else {
+        val rowsJ = fileSnap.toSeq.map { case (p, (sid, seq)) =>
+          val miss = missingFids(p, sid, seq)
+          org.apache.spark.sql.Row.fromSeq(p +: fids.map(miss.contains))
+        }.asJava
+        broadcast(spark.createDataFrame(rowsJ, defSchema))
+      }
     var b = raw.withColumn("_def_p", canonPath(col("_metadata.file_path")))
       .join(defDf, col("_def_p") === col("_def_path"), "left")
     defFields.foreach { case (sf, fid, json) =>
@@ -828,7 +877,8 @@ object IcebergInterop {
           // reads the DEFAULT (not null) from files that predate it —
           // per-file, metadata-only ([[applyInitialDefaults]]).
           val baseD = applyInitialDefaults(spark, meta, base, schema,
-            inv.data.map(e => canonPathStr(e.path) -> ((e.snapId, e.seq))).toMap)
+            inv.data.map(e => canonPathStr(e.path) -> ((e.snapId, e.seq))).toMap,
+            snap.map(_.path("manifest-list").asText))
           val outCols = (schema.fieldNames.toSeq ++
             (if (withLineage) lineageFields.map(_.name) else Nil)).map(col)
           if (inv.posDeletes.isEmpty && inv.eqDeletes.isEmpty && inv.dvs.isEmpty)

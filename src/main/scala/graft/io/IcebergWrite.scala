@@ -285,6 +285,25 @@ object IcebergWrite {
           IcebergFormat.LastUpdatedSeqFieldId.toInt)
       .filter { case (c, _) => df.columns.contains(c) }.toMap
 
+  /** Per-file row counts straight from the parquet FOOTERS — zero
+    * Spark jobs. A staged file was just written by this driver, so a
+    * footer read is local metadata I/O; every count-only read-back in
+    * the commit funnel goes through here (the min/max-bound sites
+    * still run the one grouped [[allFileStats]] job — footer string
+    * stats may be truncated, bounds must be exact). Files with zero
+    * rows are OMITTED, mirroring the grouped-aggregation shape. */
+  private def footerRowCounts(spark: SparkSession,
+                              paths: Seq[String]): Map[String, Long] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.flatMap { p =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), conf))
+      val n = try r.getRecordCount finally r.close()
+      if (n > 0) Some(canonPath(p) -> n) else None
+    }.toMap
+  }
+
   /** Per-file (record count, bound bytes) in ONE grouped aggregation
     * keyed by `_metadata.file_path` — never a job per file. */
   private def allFileStats(spark: SparkSession, paths: Seq[String],
@@ -692,16 +711,9 @@ object IcebergWrite {
         (dst, f.getFileStatus(dst).getLen)
       }.toSeq
     f.delete(staging, true)
-    // per-file row counts in one grouped job; zero-record files drop
+    // per-file row counts from the footers (no job); zero-record files drop
     val counts: Map[String, Long] =
-      if (staged.isEmpty) Map.empty
-      else {
-        import org.apache.spark.sql.functions.{count, lit}
-        spark.read.parquet(staged.map(_._1.toString): _*)
-          .groupBy(col("_metadata.file_path").as("_p"))
-          .agg(count(lit(1)).as("_n"))
-          .collect().map(r => canonPath(r.getString(0)) -> r.getLong(1)).toMap
-      }
+      footerRowCounts(spark, staged.map(_._1.toString))
     val (delFiles, empties) =
       staged.partition(p => counts.contains(canonPath(p._1.toString)))
     empties.foreach { case (p, _) => f.delete(p, false) }
@@ -1098,11 +1110,7 @@ object IcebergWrite {
     var dvSide = buildDvSide()
     val stagedDel = if (asDv) Nil else stage(positions, "delete-")
     val delCounts: Map[String, Long] =
-      if (stagedDel.isEmpty) Map.empty
-      else spark.read.parquet(stagedDel.map(_._1.toString): _*)
-        .groupBy(col("_metadata.file_path").as("_p"))
-        .agg(count(lit(1)).as("_n"))
-        .collect().map(r => canonPath(r.getString(0)) -> r.getLong(1)).toMap
+      footerRowCounts(spark, stagedDel.map(_._1.toString))
     val (delFiles, delEmpties) =
       stagedDel.partition(p => delCounts.contains(canonPath(p._1.toString)))
     delEmpties.foreach { case (p, _) => f.delete(p, false) }
@@ -2703,7 +2711,8 @@ object IcebergWrite {
       require(f.rename(part, dst), s"rename $part failed")
       f.delete(staging, true)
       newFiles += dst
-      val n = spark.read.parquet(dst.toString).count()
+      val n = footerRowCounts(spark, Seq(dst.toString))
+        .getOrElse(canonPath(dst.toString), 0L)
       val top = poss.maxBy(_.seq)
       entries += IcebergFormat.entry(1, dst.toString, n,
         f.getFileStatus(dst).getLen, top.snap, top.seq, status = 0)

@@ -114,6 +114,23 @@ class IcebergDefaultsSpec extends AnyFunSuite {
       "the graft.field-added-seq fallback resolves applicability")
   }
 
+  test("driver and distributed applicability maps are bit-identical") {
+    val dir = Files.createTempDirectory("graft-dflt-dist").toString + "/t"
+    mkTable(dir)
+    def state(): Seq[(Long, String, Option[Long])] =
+      IcebergInterop.readIceberg(spark, dir)
+        .select("id", "name", "score").as[(Long, String, Option[Long])]
+        .collect().sortBy(_._1).toSeq
+    val viaDriver = state()
+    val conf = graft.io.IcebergChangelog.LineageDriverManifestsConf
+    spark.conf.set(conf, "0") // force the distributed flags path
+    try {
+      val viaDistributed = state()
+      assert(viaDistributed == viaDriver,
+        "the gate must only move WHERE the flags materialize, never the values")
+    } finally spark.conf.unset(conf)
+  }
+
   test("unresolvable applicability refuses by name, never silent null") {
     val dir = Files.createTempDirectory("graft-dflt-r").toString + "/t"
     mkTable(dir)

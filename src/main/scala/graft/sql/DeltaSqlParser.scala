@@ -1035,6 +1035,14 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
       command(Seq(attr("snapshot_id", LongType))) { spark =>
         Seq(Row(IcebergWrite.fastForward(spark, dir, branch)))
       }
+    }).orElse(icebergPublishRe.findFirstMatchIn(t).map { m =>
+      // ALTER TABLE iceberg.`p` PUBLISH [BRANCH] <name>: the
+      // diverged-main publish — fast-forward when main never moved,
+      // conflict-validated cherry-pick otherwise
+      val (dir, branch) = (m.group(1), m.group(2))
+      command(Seq(attr("snapshot_id", LongType))) { spark =>
+        Seq(Row(IcebergWrite.cherryPickPublish(spark, dir, branch)))
+      }
     }).orElse(icebergAlterRenameRe.findFirstMatchIn(t).map { m =>
       val (dir, from, to) =
         (m.group(1), m.group(2).replace("`", ""), m.group(3).replace("`", ""))
@@ -1045,14 +1053,31 @@ class DeltaSqlParser(delegate: ParserInterface) extends ParserInterface {
       val (verb, kind, dir, name) =
         (m.group(2).toUpperCase, m.group(3).toUpperCase, m.group(1), m.group(4))
       val snapOpt = Option(m.group(5)).map(_.toLong)
+      // retention clauses (the spec's snapshot-reference fields):
+      // RETAIN n DAYS|HOURS|MINUTES           → max-ref-age-ms
+      // WITH SNAPSHOT RETENTION m SNAPSHOTS   → min-snapshots-to-keep
+      //   [n DAYS|HOURS|MINUTES]              → max-snapshot-age-ms
+      def ms(n: String, unit: String): Long = n.toLong * (unit.toUpperCase match {
+        case "DAYS" => 86400000L
+        case "HOURS" => 3600000L
+        case _ => 60000L
+      })
+      val maxRefAge = Option(m.group(6)).map(ms(_, m.group(7)))
+      val minKeep = Option(m.group(8)).map(_.toInt)
+      val maxSnapAge = Option(m.group(9)).map(ms(_, m.group(10)))
       command(Nil) { spark =>
         (verb, kind) match {
           case ("CREATE", "TAG") =>
-            IcebergWrite.createTag(spark, dir, name, snapOpt)
+            require(minKeep.isEmpty && maxSnapAge.isEmpty,
+              "WITH SNAPSHOT RETENTION applies to branches, not tags")
+            IcebergWrite.createTag(spark, dir, name, snapOpt, maxRefAge)
           case ("CREATE", "BRANCH") =>
-            IcebergWrite.createBranch(spark, dir, name, snapOpt)
+            IcebergWrite.createBranch(spark, dir, name, snapOpt, maxRefAge,
+              minKeep, maxSnapAge)
           case ("DROP", _) =>
             require(snapOpt.isEmpty, "DROP TAG/BRANCH takes no snapshot")
+            require(maxRefAge.isEmpty && minKeep.isEmpty && maxSnapAge.isEmpty,
+              "DROP TAG/BRANCH takes no retention clauses")
             IcebergWrite.dropRef(spark, dir, name)
           case other => throw new IllegalArgumentException(s"bad ref DDL: $other")
         }
@@ -1385,9 +1410,15 @@ object DeltaSqlParser {
      """(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*;?\s*$""").r
   private[sql] val icebergAlterRefRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+iceberg\s*\.\s*`([^`]+)`\s+(CREATE|DROP)\s+""" +
-     """(TAG|BRANCH)\s+(\w[\w.-]*)(?:\s+AS\s+OF\s+SNAPSHOT\s+(\d+))?\s*;?\s*$""").r
+     """(TAG|BRANCH)\s+(\w[\w.-]*)(?:\s+AS\s+OF\s+SNAPSHOT\s+(\d+))?""" +
+     """(?:\s+RETAIN\s+(\d+)\s+(DAYS|HOURS|MINUTES))?""" +
+     """(?:\s+WITH\s+SNAPSHOT\s+RETENTION(?:\s+(\d+)\s+SNAPSHOTS)?""" +
+     """(?:\s+(\d+)\s+(DAYS|HOURS|MINUTES))?)?\s*;?\s*$""").r
   private[sql] val icebergFastForwardRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+iceberg\s*\.\s*`([^`]+)`\s+FAST\s+FORWARD\s+""" +
+     """(?:BRANCH\s+)?(\w[\w.-]*)\s*;?\s*$""").r
+  private[sql] val icebergPublishRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+iceberg\s*\.\s*`([^`]+)`\s+PUBLISH\s+""" +
      """(?:BRANCH\s+)?(\w[\w.-]*)\s*;?\s*$""").r
   private[sql] val icebergRewriteDeletesRe =
     ("""(?is)^\s*OPTIMIZE\s+iceberg\s*\.\s*`([^`]+)`\s+REWRITE\s+""" +

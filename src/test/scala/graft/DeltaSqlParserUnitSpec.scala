@@ -126,6 +126,37 @@ class DeltaSqlParserUnitSpec extends AnyFunSuite {
       "CREATE TABLE mart.dim USING parquet AS SELECT 1 AS a").isEmpty)
   }
 
+  test("ref DDL grammar: retention clauses and PUBLISH BRANCH") {
+    // CREATE BRANCH with both retention clauses
+    val b = DeltaSqlParser.icebergAlterRefRe.findFirstMatchIn(
+      "ALTER TABLE iceberg.`/lake/t` CREATE BRANCH audit AS OF SNAPSHOT 42 " +
+        "RETAIN 7 DAYS WITH SNAPSHOT RETENTION 3 SNAPSHOTS 12 HOURS").get
+    assert(b.group(2).equalsIgnoreCase("CREATE") && b.group(4) == "audit")
+    assert(b.group(5) == "42" && b.group(6) == "7" &&
+      b.group(7).equalsIgnoreCase("DAYS"))
+    assert(b.group(8) == "3" && b.group(9) == "12" &&
+      b.group(10).equalsIgnoreCase("HOURS"))
+    // snapshot-count-only retention
+    val b2 = DeltaSqlParser.icebergAlterRefRe.findFirstMatchIn(
+      "alter table iceberg.`/t` create branch wip with snapshot retention 2 snapshots;").get
+    assert(b2.group(8) == "2" && b2.group(6) == null && b2.group(9) == null)
+    // tag with a ref age only
+    val tg = DeltaSqlParser.icebergAlterRefRe.findFirstMatchIn(
+      "ALTER TABLE iceberg.`/t` CREATE TAG rel RETAIN 90 DAYS").get
+    assert(tg.group(3).equalsIgnoreCase("TAG") && tg.group(6) == "90")
+    // bare forms still parse (no retention groups)
+    val bare = DeltaSqlParser.icebergAlterRefRe.findFirstMatchIn(
+      "ALTER TABLE iceberg.`/t` DROP BRANCH audit").get
+    assert(bare.group(6) == null && bare.group(8) == null)
+    // PUBLISH resolves to the cherry-pick statement, not FAST FORWARD
+    assert(DeltaSqlParser.icebergPublishRe.findFirstMatchIn(
+      "ALTER TABLE iceberg.`/t` PUBLISH BRANCH audit").get.group(2) == "audit")
+    assert(DeltaSqlParser.icebergPublishRe.findFirstMatchIn(
+      "alter table iceberg.`/t` publish audit;").get.group(2) == "audit")
+    assert(DeltaSqlParser.icebergFastForwardRe.findFirstIn(
+      "ALTER TABLE iceberg.`/t` PUBLISH BRANCH audit").isEmpty)
+  }
+
   test("MERGE tokenization: source ref, alias, clause split") {
     val (src1, rest1) = DeltaSqlParser.takeSourceRef("src_tbl AS s ON t.k = s.k WHEN ...")
     assert(src1 == "src_tbl" && rest1.trim.startsWith("AS s"))

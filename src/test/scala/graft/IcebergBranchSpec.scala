@@ -383,6 +383,33 @@ class IcebergBranchSpec extends AnyFunSuite {
     assert(ids(dir) == Set(1L, 2L))
   }
 
+  test("the WAP loop drives end-to-end from SQL: retention DDL + PUBLISH") {
+    val dir = Files.createTempDirectory("graft-wap-sql").toString + "/t"
+    IcebergWrite.append(Seq((1L, "a")).toDF("id", "name"), dir)
+    // declare the branch with retention, entirely in SQL
+    spark.sql(s"ALTER TABLE iceberg.`$dir` CREATE BRANCH audit " +
+      "RETAIN 7 DAYS WITH SNAPSHOT RETENTION 3 SNAPSHOTS 12 HOURS").collect()
+    val r = IcebergInterop.readJson(spark,
+      IcebergInterop.currentMetadataPath(spark, dir)).path("refs").path("audit")
+    assert(r.path("max-ref-age-ms").asLong == 7L * 86400000L)
+    assert(r.path("min-snapshots-to-keep").asInt == 3)
+    assert(r.path("max-snapshot-age-ms").asLong == 12L * 3600000L)
+    // stage, diverge main, publish past the divergence — all checkable
+    // from SQL
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.append(Seq((2L, "b")).toDF("id", "name"), dir)
+    }
+    IcebergWrite.append(Seq((3L, "c")).toDF("id", "name"), dir)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE iceberg.`$dir` FAST FORWARD BRANCH audit").collect()
+    }
+    spark.sql(s"ALTER TABLE iceberg.`$dir` PUBLISH BRANCH audit").collect()
+    assert(ids(dir) == Set(1L, 2L, 3L))
+    spark.sql(s"ALTER TABLE iceberg.`$dir` DROP BRANCH audit").collect()
+    assert(!IcebergInterop.readJson(spark,
+      IcebergInterop.currentMetadataPath(spark, dir)).path("refs").has("audit"))
+  }
+
   test("branch-scoped stream tails staged commits; main consumers see none") {
     val tmp = Files.createTempDirectory("graft-wap-brstream").toString
     val dir = s"$tmp/t"

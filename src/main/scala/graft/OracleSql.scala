@@ -2293,6 +2293,34 @@ object OracleSql {
          |  stop_density,
          |  $htmlDecisionSql AS decision
          |FROM m ORDER BY doc_id, block_idx""".stripMargin,
+    // q222: the context-sensitive refinement — the window pass replays
+    // in SQL over the same analytically-derived block relation
+    "q222_html_refine" ->
+      s"""WITH $htmlBlocksCte,
+         |d AS (SELECT doc_id, block_idx, tag,
+         |  $htmlDecisionSql AS decision FROM m),
+         |r AS (SELECT *,
+         |  coalesce(last_value(CASE WHEN decision IN ('good','boilerplate')
+         |      THEN decision END IGNORE NULLS)
+         |    OVER (PARTITION BY doc_id ORDER BY block_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    'boilerplate') AS prev_core,
+         |  coalesce(first_value(CASE WHEN decision IN ('good','boilerplate')
+         |      THEN decision END IGNORE NULLS)
+         |    OVER (PARTITION BY doc_id ORDER BY block_idx
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+         |    'boilerplate') AS next_core
+         | FROM d)
+         |SELECT doc_id, block_idx, tag, decision,
+         |  CASE WHEN decision IN ('good','boilerplate') THEN decision
+         |    WHEN decision = 'neargood' THEN
+         |      CASE WHEN prev_core = 'good' OR next_core = 'good'
+         |        THEN 'good' ELSE 'boilerplate' END
+         |    ELSE
+         |      CASE WHEN prev_core = 'good' AND next_core = 'good'
+         |        THEN 'good' ELSE 'boilerplate' END
+         |  END AS final_decision
+         |FROM r ORDER BY doc_id, block_idx""".stripMargin,
     "q219_html_extract" -> {
       def quality(ct: String): String =
         s"""(CASE WHEN length($ct) = 0 THEN 0.0

@@ -66,6 +66,16 @@ private[graft] trait QueriesExtract extends QueryBase {
         col("n_words"), col("link_density"), col("stop_density"), col("decision"))
       .orderBy(col("doc_id"), col("block_idx"))
 
+  /** q222 — jusText's context-sensitive second pass: short/neargood
+    * blocks reclassify by their nearest contextually-certain neighbors;
+    * the oracle replays the window pass in SQL. */
+  private[graft] def q222(s: SparkSession, dir: String): DataFrame =
+    Extract.refine(
+        Extract.segments(withHtml(T(s, dir, "documents")), "html"), "doc_id")
+      .select(col("doc_id"), col("block_idx"), col("tag"),
+        col("decision"), col("final_decision"))
+      .orderBy(col("doc_id"), col("block_idx"))
+
   /** q219 — full extraction: title + clean text + the q24 quality score of
     * the extracted text (proving the extractor feeds the downstream text
     * plane unchanged). */

@@ -155,14 +155,55 @@ object Extract {
       .drop("__lc")
   }
 
+  /** jusText's CONTEXT-SENSITIVE second pass: `short` and `neargood`
+    * blocks reclassify by their nearest contextually-certain neighbors
+    * (the closest `good`/`boilerplate` block before and after, in
+    * document order):
+    *   - `neargood` → `good` if EITHER neighbor is good, else
+    *     `boilerplate` (prose next to prose is prose; isolated
+    *     word-salad inside chrome is chrome);
+    *   - `short` → `good` only if BOTH neighbors are good (a heading
+    *     inside the article body), else `boilerplate`;
+    *   - a missing neighbor (document edge) counts as boilerplate —
+    *     headers/footers hug the edges.
+    * Adds `final_decision` next to the context-free `decision`. One
+    * window per document ordered by block index — documents are the
+    * parallel unit, so the pass scales with the corpus. */
+  def refine(segmented: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("block_idx"))
+    val core = when(col("decision").isin("good", "boilerplate"), col("decision"))
+    val prevCore = coalesce(
+      last(core, ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+      lit("boilerplate"))
+    val nextCore = coalesce(
+      first(core, ignoreNulls = true)
+        .over(w.rowsBetween(1, Window.unboundedFollowing)),
+      lit("boilerplate"))
+    segmented.withColumn("final_decision",
+      when(col("decision").isin("good", "boilerplate"), col("decision"))
+        .when(col("decision") === "neargood",
+          when(prevCore === "good" || nextCore === "good", "good")
+            .otherwise("boilerplate"))
+        .otherwise( // short
+          when(prevCore === "good" && nextCore === "good", "good")
+            .otherwise("boilerplate")))
+  }
+
   /** Full-document extraction: title + clean text (content blocks joined
     * with newlines, document order) + kept-block count. One aggregate over
     * the segmented blocks — shuffles on the id column only, carrying the
-    * compact block structs, never the raw HTML. */
-  def extractText(df: DataFrame, htmlCol: String, idCol: String): DataFrame = {
+    * compact block structs, never the raw HTML. With `refined = true`,
+    * keeps the context-sensitive pass's `good` blocks ([[refine]]);
+    * otherwise the context-free `good`+`neargood`. */
+  def extractText(df: DataFrame, htmlCol: String, idCol: String,
+                  refined: Boolean = false): DataFrame = {
     val titled = df.select(col(idCol), title(col(htmlCol)).as("title"), col(htmlCol))
-    val blocks = segments(titled, htmlCol)
-      .where(col("decision").isin("good", "neargood"))
+    val seg = segments(titled, htmlCol)
+    val blocks =
+      if (refined) refine(seg, idCol).where(col("final_decision") === "good")
+      else seg.where(col("decision").isin("good", "neargood"))
     blocks.groupBy(col(idCol), col("title"))
       .agg(
         array_join(

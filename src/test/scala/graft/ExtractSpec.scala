@@ -101,6 +101,40 @@ class ExtractSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_blocks_kept") == 2L)
   }
 
+  test("context-sensitive pass: short/neargood reclassify by certain neighbors") {
+    val html = page(
+      """<nav><a href="/">Home</a> <a href="/a">About</a></nav>""" + // boilerplate
+        "<h2>early heading</h2>" + // short, between bad and good → boilerplate
+        "<p>the cat sat on the mat and it was fine today</p>" + // good
+        "<h2>middle heading</h2>" + // short, between good and good → good
+        "<p>the dog sat on the rug and it was also fine</p>" + // good
+        "<p>alpha beta gamma delta epsilon zeta</p>" + // neargood, next to good → good
+        """<footer><a href="/t">Terms</a> <a href="/p">Privacy</a></footer>""")
+    val out = Extract.refine(
+        Extract.segments(Seq((1L, html)).toDF("id", "html"), "html"), "id")
+      .orderBy("block_idx")
+      .select("decision", "final_decision").as[(String, String)].collect().toSeq
+    assert(out == Seq(
+      ("boilerplate", "boilerplate"),
+      ("short", "boilerplate"), // bad neighbor on one side
+      ("good", "good"),
+      ("short", "good"), // good on both sides
+      ("good", "good"),
+      ("neargood", "good"), // one good neighbor suffices
+      ("boilerplate", "boilerplate")))
+    // edges count as boilerplate: an isolated neargood page keeps nothing
+    val lonely = Extract.refine(
+        Extract.segments(Seq((2L, page("<p>alpha beta gamma delta epsilon</p>")))
+          .toDF("id", "html"), "html"), "id")
+      .select("final_decision").as[String].collect().toSeq
+    assert(lonely == Seq("boilerplate"))
+    // refined extractText keeps exactly the final-good blocks
+    val t = Extract.extractText(Seq((3L, html)).toDF("id", "html"), "html", "id",
+      refined = true).collect().head
+    assert(t.getAs[Long]("n_blocks_kept") == 4L)
+    assert(t.getAs[String]("clean_text").startsWith("the cat sat"))
+  }
+
   test("plan shape: no UDFs, extraction is a single Generate over codegen'd expressions") {
     val df = Extract.segments(Seq((1L, page("<p>a b c</p>"))).toDF("id", "html"), "html")
     val plan = df.queryExecution.executedPlan.toString

@@ -1773,6 +1773,20 @@ object IcebergWrite {
               s"cherry-pick conflict: staged delete $path references $r, " +
               "which main no longer carries (deleted or rewritten since " +
               "the fork) — rebase the branch by hand"))
+            // a DV REPLACES the file's prior vector (highest sequence
+            // wins) — if main also re-vectored the same file since the
+            // fork, whichever side loses the sequence race silently
+            // loses its deletions: refuse, like the spec's
+            // validateNoNewDeletesForDataFiles
+            if (isDv) refs.foreach { r =>
+              val cr = canonPath(r)
+              require(stagedDataPaths.contains(cr) ||
+                  forkLive.dvs.get(cr) == mainLive.dvs.get(cr),
+                s"cherry-pick conflict: staged deletion vector $path and a " +
+                s"deletion vector main committed since the fork both mask " +
+                s"$r — one would silently replace the other; rebase the " +
+                "branch by hand")
+            }
           case 2 =>
             val ids = Option(df.getSchema.getField("equality_ids"))
               .flatMap(_ => Option(df.get("equality_ids")))

@@ -371,6 +371,34 @@ class IcebergBranchSpec extends AnyFunSuite {
     assert(ids(d4) == Set(0L, 1L, 3L, 100L))
   }
 
+  test("cherry-pick refuses dueling deletion vectors on one file") {
+    val dir = Files.createTempDirectory("graft-wap-cpdv").toString + "/t"
+    IcebergWrite.append((0L until 8L).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(1), dir)
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.deleteWhereDV(spark, dir, col("id") === 1L)
+    }
+    // main re-vectors the SAME file mid-audit
+    IcebergWrite.deleteWhereDV(spark, dir, col("id") === 2L)
+    val ex = intercept[IllegalArgumentException] {
+      IcebergWrite.cherryPickPublish(spark, dir, "audit")
+    }
+    assert(ex.getMessage.contains("deletion vector"), ex.getMessage)
+    // but a DV against the branch's OWN staged file publishes fine even
+    // when main re-vectors a different file
+    val d2 = Files.createTempDirectory("graft-wap-cpdv2").toString + "/t"
+    IcebergWrite.append((0L until 4L).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(1), d2)
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.append((10L until 14L).map(i => (i, s"s$i")).toDF("id", "name")
+        .coalesce(1), d2)
+      IcebergWrite.deleteWhereDV(spark, d2, col("id") === 11L)
+    }
+    IcebergWrite.deleteWhereDV(spark, d2, col("id") === 2L) // main, other file
+    IcebergWrite.cherryPickPublish(spark, d2, "audit")
+    assert(ids(d2) == Set(0L, 1L, 3L, 10L, 12L, 13L))
+  }
+
   test("cherry-pick fast-forwards trivially when main never diverged") {
     val dir = Files.createTempDirectory("graft-wap-cpff").toString + "/t"
     IcebergWrite.append(Seq((1L, "a")).toDF("id", "name"), dir)

@@ -91,7 +91,9 @@ object Bench {
     "q210_iceberg_upsert_stream", "q211_iceberg_partition_stats",
     "q212_stream_dedup", "q213_lineage_changelog",
     "q214_lineage_replication", "q215_iceberg_defaults",
-    "q216_iceberg_wap", "q217_changelog_rollback"
+    "q216_iceberg_wap", "q217_changelog_rollback",
+    "q218_html_blocks", "q219_html_extract",
+    "q220_iceberg_cherrypick", "q221_branch_stream", "q222_html_refine"
   )
 
   def main(args: Array[String]): Unit = {

@@ -1743,6 +1743,28 @@ object IcebergWrite {
           case _ => true
         }
       }
+    // ONE read for every staged position-delete parquet's referenced
+    // paths (never a job per delete file)
+    val stagedPosPaths: Seq[String] = stagedMans.flatMap { case (_, entries) =>
+      entries.filter(e => gInt(e, "status", 0) != 2).flatMap { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val isDv = gStr(df, "file_format").equalsIgnoreCase("puffin") ||
+          Option(df.getSchema.getField("content_offset"))
+            .flatMap(_ => Option(df.get("content_offset"))).isDefined
+        if (gInt(df, "content", 0) == 1 && !isDv)
+          Some(resolveU(gStr(df, "file_path"))) else None
+      }
+    }
+    val posRefsByFile: Map[String, Seq[String]] =
+      if (stagedPosPaths.isEmpty) Map.empty
+      else spark.read.parquet(stagedPosPaths: _*)
+        .select(org.apache.spark.sql.functions.col("_metadata.file_path")
+          .as("_src"), org.apache.spark.sql.functions.col("file_path"))
+        .distinct().collect()
+        .groupBy(r => canonPath(r.getString(0)))
+        .map { case (src, rows) =>
+          src -> rows.map(r => resolveU(r.getString(1))).toSeq
+        }
     stagedMans.foreach { case (_, entries) =>
       entries.filter(e => gInt(e, "status", 0) != 2).foreach { e =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
@@ -1765,8 +1787,7 @@ object IcebergWrite {
               if (isDv) Option(df.getSchema.getField("referenced_data_file"))
                 .flatMap(_ => Option(df.get("referenced_data_file")))
                 .map(p => Seq(resolveU(p.toString))).getOrElse(Nil)
-              else spark.read.parquet(path).select("file_path").distinct()
-                .collect().map(r => resolveU(r.getString(0))).toSeq
+              else posRefsByFile.getOrElse(canonPath(path), Nil)
             refs.foreach(r => require(
               mainLive.files.contains(canonPath(r)) ||
                 stagedDataPaths.contains(canonPath(r)),

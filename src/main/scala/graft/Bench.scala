@@ -93,7 +93,8 @@ object Bench {
     "q214_lineage_replication", "q215_iceberg_defaults",
     "q216_iceberg_wap", "q217_changelog_rollback",
     "q218_html_blocks", "q219_html_extract",
-    "q220_iceberg_cherrypick", "q221_branch_stream", "q222_html_refine"
+    "q220_iceberg_cherrypick", "q221_branch_stream", "q222_html_refine",
+    "q223_warc_extract"
   )
 
   def main(args: Array[String]): Unit = {

@@ -218,7 +218,11 @@ object OracleSql {
       ("q164_delta_cdf_stream" -> oracleSqlCore("q160_delta_cdf")) +
       // q221 folds the branch-scoped audit STREAM of q216's staged
       // lifecycle — the reconstruction must equal q216's audit read.
-      ("q221_branch_stream" -> oracleSqlCore("q216_iceberg_wap"))
+      ("q221_branch_stream" -> oracleSqlCore("q216_iceberg_wap")) +
+      // q223 routes the same corpus through WARC serialization, the
+      // record-splitting source, and HTTP envelope stripping before the
+      // extractor — the answer must be bit-identical to q219's.
+      ("q223_warc_extract" -> oracleSqlCore("q219_html_extract"))
 
   private lazy val oracleSqlCore: Map[String, String] = Map(
     // q140: the Delta log's append/overwrite/time-travel states derive

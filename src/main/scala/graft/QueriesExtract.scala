@@ -76,6 +76,33 @@ private[graft] trait QueriesExtract extends QueryBase {
         col("decision"), col("final_decision"))
       .orderBy(col("doc_id"), col("block_idx"))
 
+  /** q223 — WARC ingestion end-to-end: the corpus serializes into WARC
+    * request/response record pairs, lands as an archive file, splits
+    * back into records at the SOURCE (distributed custom-lineSep text
+    * scan), the HTTP envelopes strip, and the extraction plane consumes
+    * the responses — producing exactly q219's answer (shared oracle).
+    * In-query asserts pin the record inventory. */
+  private[graft] def q223(s: SparkSession, dir: String): DataFrame = {
+    val docs = withHtml(T(s, dir, "documents"))
+      .withColumn("uri",
+        concat(lit("https://graft.test/doc/"), col("doc_id").cast("string")))
+    val tmp = graft.io.TempDirs.scratch("graft-q223")
+    graft.io.WarcReader.toWarcRecords(docs, "uri", "html")
+      .write.text(s"$tmp/corpus.warc")
+    val recs = graft.io.WarcReader.records(s, s"$tmp/corpus.warc")
+    val nDocs = docs.count()
+    require(recs.count() == 2 * nDocs, "request + response per page")
+    val resp = graft.io.WarcReader.responses(s, s"$tmp/corpus.warc")
+    require(resp.count() == nDocs, "every page's response parses with a 200")
+    Extract.extractText(resp, "html", "target_uri")
+      .withColumn("doc_id",
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long"))
+      .withColumn("quality", TF.qualityScore(col("clean_text")))
+      .select(col("doc_id"), col("title"), col("clean_text"),
+        col("n_blocks_kept"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q219 — full extraction: title + clean text + the q24 quality score of
     * the extracted text (proving the extractor feeds the downstream text
     * plane unchanged). */

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+import graft.io.WarcReader
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC ingestion ([[graft.io.WarcReader]]): distributed record
+  * splitting via the text reader's custom record-marker lineSep, header
+  * parsing, HTTP envelope stripping, and the serialize→write→read
+  * roundtrip that feeds the extraction plane. */
+class WarcSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("hand-written archive: warcinfo + request/response parse field-exactly") {
+    val dir = Files.createTempDirectory("graft-warc").toString
+    val warc =
+      "WARC/1.0\r\n" +
+        "WARC-Type: warcinfo\r\n" +
+        "Content-Type: application/warc-fields\r\n" +
+        "Content-Length: 18\r\n" +
+        "\r\n" +
+        "software: graft/17\r\n\r\n" +
+      "WARC/1.0\r\n" +
+        "WARC-Type: request\r\n" +
+        "WARC-Target-URI: https://example.com/a\r\n" +
+        "Content-Type: application/http; msgtype=request\r\n" +
+        "\r\n" +
+        "GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n" +
+      "WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        "WARC-Target-URI: https://example.com/a\r\n" +
+        "WARC-Record-ID: <urn:uuid:42>\r\n" +
+        "WARC-Date: 2026-02-03T04:05:06Z\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        "\r\n" +
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        "<html><body><p>hello warc world</p>\n\n<p>second block</p></body></html>\r\n\r\n"
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.warc"), warc)
+    val recs = WarcReader.records(spark, s"$dir/a.warc")
+      .orderBy("record_type").collect()
+    assert(recs.map(_.getAs[String]("record_type")).toSeq ==
+      Seq("request", "response", "warcinfo"))
+    val resp = recs(1)
+    assert(resp.getAs[String]("target_uri") == "https://example.com/a")
+    assert(resp.getAs[String]("record_id") == "<urn:uuid:42>")
+    assert(resp.getAs[String]("warc_date") == "2026-02-03T04:05:06Z")
+    assert(resp.getAs[Int]("http_status") == 200)
+    // HTTP envelope stripped; interior blank line SURVIVES (only the
+    // first header terminator splits)
+    assert(resp.getAs[String]("payload") ==
+      "<html><body><p>hello warc world</p>\n\n<p>second block</p></body></html>")
+    // non-HTTP record: payload = raw block, no status
+    val info = recs(2)
+    assert(info.getAs[String]("payload") == "software: graft/17")
+    assert(info.isNullAt(info.fieldIndex("http_status")))
+    assert(info.isNullAt(info.fieldIndex("target_uri")))
+    assert(info.getAs[Long]("content_length") == 18L)
+    // request: envelope stripped too (msgtype=request is still HTTP)
+    assert(recs(0).getAs[String]("payload").startsWith("GET /a HTTP/1.1"))
+  }
+
+  test("serialize → text write → read roundtrip, feeding the extractor") {
+    val dir = Files.createTempDirectory("graft-warc-rt").toString
+    val pages = Seq(
+      ("https://g.test/1",
+        "<html><head><title>One</title></head><body><p>the first page has enough words in it</p></body></html>"),
+      ("https://g.test/2",
+        "<html><head><title>Two</title></head><body><p>the second page also has plenty of words</p></body></html>"))
+      .toDF("uri", "html")
+    WarcReader.toWarcRecords(pages, "uri", "html")
+      .coalesce(1).write.text(s"$dir/out.warc")
+    val recs = WarcReader.records(spark, s"$dir/out.warc")
+    assert(recs.count() == 4) // request + response per page
+    val resp = WarcReader.responses(spark, s"$dir/out.warc")
+    assert(resp.count() == 2)
+    val got = resp.orderBy("target_uri")
+      .select("target_uri", "html").as[(String, String)].collect()
+    assert(got(0)._1 == "https://g.test/1" &&
+      got(0)._2.startsWith("<html><head><title>One</title>"))
+    // end-to-end: WARC → Extract — title + clean text arrive intact
+    val ext = graft.operators.Extract
+      .extractText(resp, "html", "target_uri")
+      .orderBy("target_uri").collect()
+    assert(ext(0).getAs[String]("title") == "One")
+    assert(ext(0).getAs[String]("clean_text") ==
+      "the first page has enough words in it")
+  }
+
+  test("plan shape: record splitting is a distributed text scan, parsing is codegen") {
+    val dir = Files.createTempDirectory("graft-warc-plan").toString
+    Seq(("u", "<html><body><p>x</p></body></html>")).toDF("uri", "html")
+      .pipe(df => WarcReader.toWarcRecords(df, "uri", "html"))
+      .coalesce(1).write.text(s"$dir/w.warc")
+    val plan = WarcReader.records(spark, s"$dir/w.warc")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
+    assert(plan.contains("FileScan text"))
+  }
+
+  private implicit class Piped[A](a: A) {
+    def pipe[B](f: A => B): B = f(a)
+  }
+}

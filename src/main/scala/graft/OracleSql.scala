@@ -2325,6 +2325,24 @@ object OracleSql {
          |        THEN 'good' ELSE 'boilerplate' END
          |  END AS final_decision
          |FROM r ORDER BY doc_id, block_idx""".stripMargin,
+    // q224: the streamed WARC ingestion must be batch-equivalent — the
+    // oracle derives fingerprints + dedup survivors from the raw corpus
+    // in one shot (micro-batch boundaries invisible)
+    "q224_warc_stream" ->
+      s"""WITH $htmlBlocksCte,
+         |kept AS (SELECT doc_id, block_idx, text FROM m
+         |  WHERE ($htmlDecisionSql) IN ('good', 'neargood')),
+         |agg AS (SELECT doc_id,
+         |    string_agg(text, chr(10) ORDER BY block_idx) AS clean_text
+         |  FROM kept GROUP BY doc_id),
+         |fp AS (SELECT doc_id,
+         |    md5(regexp_replace(trim(lower(clean_text)), '\\s+', ' ', 'g'))
+         |      AS fingerprint
+         |  FROM agg)
+         |SELECT doc_id, fingerprint,
+         |  (doc_id = min(doc_id) OVER (PARTITION BY fingerprint))::INT
+         |    AS is_survivor
+         |FROM fp ORDER BY doc_id""".stripMargin,
     "q219_html_extract" -> {
       def quality(ct: String): String =
         s"""(CASE WHEN length($ct) = 0 THEN 0.0

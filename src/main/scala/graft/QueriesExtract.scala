@@ -103,6 +103,52 @@ private[graft] trait QueriesExtract extends QueryBase {
       .orderBy(col("doc_id"))
   }
 
+  /** q224 — CONTINUOUS web-corpus ingestion: archives ARRIVE in two
+    * waves in a streamed directory; each micro-batch splits records at
+    * the source, strips HTTP envelopes, extracts clean text, and lands
+    * (doc, fingerprint) rows exactly-once; the final read dedups by
+    * fingerprint across everything ingested. Micro-batch boundaries
+    * must be invisible — the oracle derives the same fingerprints and
+    * survivors from the raw corpus in one shot. */
+  private[graft] def q224(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = withHtml(T(s, dir, "documents"))
+      .withColumn("uri",
+        concat(lit("https://graft.test/doc/"), col("doc_id").cast("string")))
+    val tmp = graft.io.TempDirs.scratch("graft-q224")
+    val in = s"$tmp/in"
+    val out = s"$tmp/out"
+    graft.io.WarcReader.toWarcRecords(
+      docs.filter(col("doc_id") % 2 === 0), "uri", "html")
+      .write.mode("append").text(in) // wave 1
+    val stream = graft.io.WarcReader.recordsStream(s, in)
+    val q = graft.io.WarcReader.responsesOf(stream).writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Extract.extractText(b.toDF(), "html", "target_uri")
+          .select(
+            regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            TF.fingerprint(col("clean_text")).as("fingerprint"))
+          .write.mode("append").parquet(out)
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      graft.io.WarcReader.toWarcRecords(
+        docs.filter(col("doc_id") % 2 =!= 0), "uri", "html")
+        .write.mode("append").text(in) // wave 2 arrives mid-stream
+      q.processAllAvailable()
+    } finally q.stop()
+    val ingested = s.read.parquet(out)
+    ingested
+      .withColumn("is_survivor",
+        (col("doc_id") === min(col("doc_id"))
+          .over(Window.partitionBy(col("fingerprint")))).cast("int"))
+      .select(col("doc_id"), col("fingerprint"), col("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q219 — full extraction: title + clean text + the q24 quality score of
     * the extracted text (proving the extractor feeds the downstream text
     * plane unchanged). */

@@ -47,8 +47,23 @@ object WarcReader {
     * parsed WARC headers, the record payload, and — for records carrying
     * HTTP — the status code and the body with the HTTP envelope
     * stripped. */
-  def records(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.option("lineSep", RecordMarker).text(path)
+  def records(spark: SparkSession, path: String): DataFrame =
+    parseRecords(spark.read.option("lineSep", RecordMarker).text(path))
+
+  /** STREAMING records: tail a directory of arriving archives — the
+    * continuous-ingestion shape (a crawler drops `.warc` files, the
+    * pipeline consumes them). Same source-level record splitting, same
+    * stateless codegen'd parsing, so every downstream extraction
+    * operator composes unchanged inside the stream. */
+  def recordsStream(spark: SparkSession, path: String): DataFrame =
+    parseRecords(spark.readStream.option("lineSep", RecordMarker)
+      .text(path))
+
+  /** Marker-split raw text → parsed records (shared by the batch and
+    * streaming sources; every step is a stateless projection, so the
+    * plan is streaming-legal). */
+  private def parseRecords(rawIn: DataFrame): DataFrame = {
+    val raw = rawIn
       .where(length(trim(col("value"))) > 0) // preamble before 1st marker
     val headers = substring_index(col("value"), HeaderEnd, 1)
     val withCols = raw
@@ -78,7 +93,10 @@ object WarcReader {
   /** The extraction feed: `response` records with a 200 HTTP payload,
     * keyed by target URI — what the HTML plane consumes. */
   def responses(spark: SparkSession, path: String): DataFrame =
-    records(spark, path)
+    responsesOf(records(spark, path))
+
+  private[graft] def responsesOf(recs: DataFrame): DataFrame =
+    recs
       .where(col("record_type") === "response" && col("http_status") === 200)
       .select(col("target_uri"), col("warc_date"), col("payload").as("html"))
 

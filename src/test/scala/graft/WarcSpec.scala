@@ -88,6 +88,31 @@ class WarcSpec extends AnyFunSuite {
       "the first page has enough words in it")
   }
 
+  test("streaming source: arriving archives parse batch-identically, exactly once") {
+    val dir = Files.createTempDirectory("graft-warc-stream").toString
+    val in = s"$dir/in"
+    def wave(rows: Seq[(String, String)]): Unit =
+      WarcReader.toWarcRecords(rows.toDF("uri", "html"), "uri", "html")
+        .coalesce(1).write.mode("append").text(in)
+    wave(Seq(("u1", "<html><body><p>first wave page body</p></body></html>")))
+    val buf = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val q = WarcReader.recordsStream(spark, in)
+      .where(col("record_type") === "response")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.select("target_uri", "payload").as[(String, String)].collect()
+        buf.synchronized { buf ++= rows }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      wave(Seq(("u2", "<html><body><p>second wave page body</p></body></html>")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = buf.synchronized(buf.sortBy(_._1).toList)
+    assert(got.map(_._1) == List("u1", "u2"))
+    assert(got.forall(_._2.startsWith("<html><body><p>")))
+  }
+
   test("plan shape: record splitting is a distributed text scan, parsing is codegen") {
     val dir = Files.createTempDirectory("graft-warc-plan").toString
     Seq(("u", "<html><body><p>x</p></body></html>")).toDF("uri", "html")

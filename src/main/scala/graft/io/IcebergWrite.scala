@@ -1699,7 +1699,10 @@ object IcebergWrite {
       s"$branch rewrote ${rewroteAway.size} pre-fork manifest(s) (e.g. " +
       s"${rewroteAway.head}) — the staged diff is not append-shaped; " +
       "rebase the branch by hand")
-    val staged = branchList.filterNot(t => forkPaths(t._1))
+    // manifests main ALREADY carries never replay (a second publish of
+    // the same branch is a no-op, not a row duplication)
+    val mainPaths = mainList.map(_._1).toSet
+    val staged = branchList.filterNot(t => forkPaths(t._1) || mainPaths(t._1))
     if (staged.isEmpty) return mainHead // nothing staged beyond the fork
 
     // parse the staged manifests once, live entries only

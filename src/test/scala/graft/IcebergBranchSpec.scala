@@ -314,8 +314,13 @@ class IcebergBranchSpec extends AnyFunSuite {
     assert(snap.path("parent-snapshot-id").asLong != -1L)
     assert(ids(dir, Some(snap.path("parent-snapshot-id").asLong))
       .contains(20L), "parent is main's diverged head")
-    // idempotent-ish: re-publishing the unchanged branch refuses as a
-    // conflict-free no-op (its staged manifests are already on main) —
+    // idempotent: a SECOND publish of the unchanged branch is a no-op —
+    // its staged manifests are already on main, so nothing replays and
+    // no row duplicates
+    val again = IcebergWrite.cherryPickPublish(spark, dir, "audit")
+    assert(again == published)
+    assert(ids(dir) == Set(0L, 2L, 3L, 10L, 11L, 20L), "no duplication")
+    assert(IcebergInterop.readIceberg(spark, dir).count() == 6L)
     // the branch ref still points at the pre-publish lineage
     assert(branchIds(dir, "audit") == Set(0L, 2L, 3L, 10L, 11L))
   }

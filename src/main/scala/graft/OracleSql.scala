@@ -2297,6 +2297,46 @@ object OracleSql {
          |  stop_density,
          |  $htmlDecisionSql AS decision
          |FROM m ORDER BY doc_id, block_idx""".stripMargin,
+    // q225: URL canonicalization — every RFC 3986 normalization rule
+    // (scheme/host case, default ports, fragments, empty path, query
+    // sort) replays step by step
+    "q225_url_dedup" ->
+      """WITH d AS (SELECT doc_id, lang, source FROM documents),
+        |v AS (
+        |  SELECT doc_id, 1 AS variant,
+        |    'HTTP://Graft.TEST:80/docs/' || doc_id || '?b=' || lang ||
+        |      '&a=' || source || '#frag' AS url FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 2,
+        |    'http://graft.test/docs/' || doc_id || '?a=' || source ||
+        |      '&b=' || lang FROM d),
+        |p1 AS (SELECT doc_id, variant, url,
+        |    split_part(url, '#', 1) AS nofrag FROM v),
+        |p2 AS (SELECT *,
+        |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2)) AS auth,
+        |    regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*(.*)$', 2) AS pathq
+        |  FROM p1),
+        |p3 AS (SELECT *,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |         ELSE auth END AS authnp,
+        |    split_part(pathq, '?', 1) AS path
+        |  FROM p2),
+        |p4 AS (SELECT *,
+        |    CASE WHEN length(path) = 0 THEN '/' ELSE path END AS npath,
+        |    substr(pathq, length(path) + 2) AS query
+        |  FROM p3),
+        |n AS (SELECT doc_id, variant, url,
+        |    CASE WHEN length(scheme) = 0 THEN url
+        |      ELSE scheme || '://' || authnp || npath ||
+        |        CASE WHEN length(query) = 0 THEN ''
+        |          ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END
+        |    END AS canonical
+        |  FROM p4)
+        |SELECT doc_id, variant::INT AS variant, url, canonical,
+        |  (variant = min(variant) OVER (PARTITION BY canonical))::INT AS is_survivor
+        |FROM n ORDER BY doc_id, variant""".stripMargin,
     // q222: the context-sensitive refinement — the window pass replays
     // in SQL over the same analytically-derived block relation
     "q222_html_refine" ->

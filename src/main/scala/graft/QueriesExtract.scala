@@ -149,6 +149,29 @@ private[graft] trait QueriesExtract extends QueryBase {
       .orderBy(col("doc_id"))
   }
 
+  /** q225 — URL canonicalization + URL-level dedup: two raw spellings of
+    * every page (case-varied host, default port, fragment, re-ordered
+    * query) collapse to one canonical URL; the survivor flag keys the
+    * fetch-dedup step. The oracle replays every normalization rule. */
+  private[graft] def q225(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col("doc_id").cast("string")
+    val v1 = concat(lit("HTTP://Graft.TEST:80/docs/"), id,
+      lit("?b="), col("lang"), lit("&a="), col("source"), lit("#frag"))
+    val v2 = concat(lit("http://graft.test/docs/"), id,
+      lit("?a="), col("source"), lit("&b="), col("lang"))
+    T(s, dir, "documents")
+      .select(col("doc_id"), posexplode(array(v1, v2)).as(Seq("p", "url")))
+      .withColumn("variant", col("p") + 1)
+      .withColumn("canonical", graft.operators.UrlOps.normalizeUrl(col("url")))
+      .withColumn("is_survivor",
+        (col("variant") === min(col("variant"))
+          .over(Window.partitionBy(col("canonical")))).cast("int"))
+      .select(col("doc_id"), col("variant"), col("url"),
+        col("canonical"), col("is_survivor"))
+      .orderBy(col("doc_id"), col("variant"))
+  }
+
   /** q219 — full extraction: title + clean text + the q24 quality score of
     * the extracted text (proving the extractor feeds the downstream text
     * plane unchanged). */

@@ -90,7 +90,8 @@ object ScaleSmoke {
       "q206_iceberg_changelog", "q207_iceberg_lineage_native", "q208_iceberg_zorder", "q209_iceberg_stats", "q210_iceberg_upsert_stream", "q211_iceberg_partition_stats", "q212_stream_dedup", "q213_lineage_changelog", "q214_lineage_replication",
       "q215_iceberg_defaults", "q216_iceberg_wap", "q217_changelog_rollback",
       "q218_html_blocks", "q219_html_extract", "q220_iceberg_cherrypick",
-      "q221_branch_stream", "q222_html_refine")
+      "q221_branch_stream", "q222_html_refine", "q223_warc_extract",
+      "q224_warc_stream", "q225_url_dedup")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -124,13 +124,16 @@ private[graft] trait QueriesExtract extends QueryBase {
     val stream = graft.io.WarcReader.recordsStream(s, in)
     val q = graft.io.WarcReader.responsesOf(stream).writeStream
       .option("checkpointLocation", s"$tmp/ckpt")
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // batchId-keyed OVERWRITE: a crash-replayed micro-batch lands on
+        // its own directory again instead of appending duplicates —
+        // exactly-once without a transactional sink
         Extract.extractText(b.toDF(), "html", "target_uri")
           .select(
             regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
               .cast("long").as("doc_id"),
             TF.fingerprint(col("clean_text")).as("fingerprint"))
-          .write.mode("append").parquet(out)
+          .write.mode("overwrite").parquet(s"$out/batch=$batchId")
         ()
       }.start()
     try {

@@ -113,6 +113,42 @@ class WarcSpec extends AnyFunSuite {
     assert(got.forall(_._2.startsWith("<html><body><p>")))
   }
 
+  test("crash-replayed micro-batch lands exactly once (batchId-keyed overwrite)") {
+    val dir = Files.createTempDirectory("graft-warc-crash").toString
+    val (in, out) = (s"$dir/in", s"$dir/out")
+    WarcReader.toWarcRecords(
+      Seq(("u1", "<html><body><p>page one body text</p></body></html>"))
+        .toDF("uri", "html"), "uri", "html")
+      .coalesce(1).write.mode("append").text(in)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(crashOnce: Boolean) = WarcReader.recordsStream(spark, in)
+      .where(col("record_type") === "response")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        b.select("target_uri").write.mode("overwrite")
+          .parquet(s"$out/batch=$batchId")
+        if (crashOnce && !fired.getAndSet(true))
+          throw new RuntimeException("injected crash after batch write")
+        ()
+      }.start()
+    val q1 = run(crashOnce = true)
+    val crashed =
+      try { q1.processAllAvailable(); false } catch { case _: Exception => true }
+    try q1.stop() catch { case _: Exception => () }
+    assert(crashed, "injected crash did not fire")
+    // restart: batch 0 replays (its offset never committed) onto the
+    // SAME directory; then new data flows
+    WarcReader.toWarcRecords(
+      Seq(("u2", "<html><body><p>page two body text</p></body></html>"))
+        .toDF("uri", "html"), "uri", "html")
+      .coalesce(1).write.mode("append").text(in)
+    val q2 = run(crashOnce = false)
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out).select("target_uri").as[String]
+      .collect().sorted.toSeq
+    assert(rows == Seq("u1", "u2"), s"exactly once across the replay: $rows")
+  }
+
   test("plan shape: record splitting is a distributed text scan, parsing is codegen") {
     val dir = Files.createTempDirectory("graft-warc-plan").toString
     Seq(("u", "<html><body><p>x</p></body></html>")).toDF("uri", "html")

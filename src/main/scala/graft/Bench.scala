@@ -94,7 +94,8 @@ object Bench {
     "q216_iceberg_wap", "q217_changelog_rollback",
     "q218_html_blocks", "q219_html_extract",
     "q220_iceberg_cherrypick", "q221_branch_stream", "q222_html_refine",
-    "q223_warc_extract", "q224_warc_stream", "q225_url_dedup"
+    "q223_warc_extract", "q224_warc_stream", "q225_url_dedup",
+    "q226_robots_filter"
   )
 
   def main(args: Array[String]): Unit = {

@@ -2297,6 +2297,23 @@ object OracleSql {
          |  stop_density,
          |  $htmlDecisionSql AS decision
          |FROM m ORDER BY doc_id, block_idx""".stripMargin,
+    // q226: robots evaluation — the fixture's policy is arithmetic, so
+    // every allow/deny decision re-derives in CASE logic: the * group
+    // denies /private/ and /tmp but re-allows /private/pub/; graftbot's
+    // own group (even-numbered hosts) replaces * and denies only /docs/
+    "q226_robots_filter" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN '/docs/' || doc_id
+        |    WHEN 1 THEN '/private/' || doc_id
+        |    WHEN 2 THEN '/private/pub/' || doc_id
+        |    ELSE '/tmp' || doc_id END AS path,
+        |  CASE WHEN doc_id % 4 IN (0, 2) THEN 1 ELSE 0 END AS is_allowed,
+        |  CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 2 = 0
+        |    THEN CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END
+        |    ELSE CASE WHEN doc_id % 4 IN (0, 2) THEN 1 ELSE 0 END
+        |  END AS is_allowed_bot
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q225: URL canonicalization — every RFC 3986 normalization rule
     // (scheme/host case, default ports, fragments, empty path, query
     // sort) replays step by step

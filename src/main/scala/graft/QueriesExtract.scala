@@ -175,6 +175,38 @@ private[graft] trait QueriesExtract extends QueryBase {
       .orderBy(col("doc_id"), col("variant"))
   }
 
+  /** q226 — robots.txt politeness filter (RFC 9309): each source host
+    * publishes a policy (with a crawler-specific group on even-numbered
+    * hosts); URLs evaluate for the generic agent AND for `graftbot`,
+    * whose own group REPLACES `*` where declared. The oracle re-derives
+    * every decision analytically from the fixture's arithmetic. */
+  private[graft] def q226(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Robots
+    val docs = T(s, dir, "documents")
+    val srcNum = regexp_extract(col("source"), "(\\d+)$", 1).cast("int")
+    val hosts = docs.select(col("source")).distinct()
+      .withColumn("robots", concat(
+        lit("# corpus policy\nUser-agent: *\nDisallow: /private/\n" +
+          "Allow: /private/pub/\nDisallow: /tmp\n"),
+        when(srcNum % 2 === 0,
+          lit("\nUser-agent: graftbot\nDisallow: /docs/\n"))
+          .otherwise(lit(""))))
+    val rules = Robots.parseRules(hosts, "robots", "source")
+    val id = col("doc_id").cast("string")
+    val urls = docs.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 4 === 0, concat(lit("/docs/"), id))
+        .when(col("doc_id") % 4 === 1, concat(lit("/private/"), id))
+        .when(col("doc_id") % 4 === 2, concat(lit("/private/pub/"), id))
+        .otherwise(concat(lit("/tmp"), id)).as("path"))
+    val star = Robots.evaluate(urls, rules, "source", "path")
+    val bot = Robots.evaluate(urls, rules, "source", "path", agent = "graftbot")
+      .select(col("doc_id"), col("is_allowed").as("is_allowed_bot"))
+    star.join(bot, "doc_id")
+      .select(col("doc_id"), col("path"), col("is_allowed"),
+        col("is_allowed_bot"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q219 — full extraction: title + clean text + the q24 quality score of
     * the extracted text (proving the extractor feeds the downstream text
     * plane unchanged). */

@@ -91,7 +91,7 @@ object ScaleSmoke {
       "q215_iceberg_defaults", "q216_iceberg_wap", "q217_changelog_rollback",
       "q218_html_blocks", "q219_html_extract", "q220_iceberg_cherrypick",
       "q221_branch_stream", "q222_html_refine", "q223_warc_extract",
-      "q224_warc_stream", "q225_url_dedup")
+      "q224_warc_stream", "q225_url_dedup", "q226_robots_filter")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -284,4 +284,90 @@ class IcebergLifecycleFuzzSpec extends AnyFunSuite {
       }
     }
   }
+  test("branch walks: WAP staging + cherry-pick publish stay model-exact (4 seeds)") {
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 15013)
+      val dir = Files.createTempDirectory(s"graft-ice-brfuzz-$seed").toString
+      var mainModel = Vector.empty[R]
+      // (branch view, set of PRE-FORK ids the branch deleted, staged rows)
+      var branch: Option[(Vector[R], Set[Long], Vector[R])] = None
+      var nextId = 0L
+      def fresh(n: Int): Seq[R] = {
+        val out = (nextId until nextId + n).map(i =>
+          R(i, rnd.nextInt(1000).toLong, s"t$i"))
+        nextId += n
+        out
+      }
+      def df(rows: Seq[R]) = rows.toDF("id", "score", "tag")
+      val r0 = fresh(12)
+      IcebergWrite.append(df(r0), dir); mainModel ++= r0
+
+      var lastOp = "seed"
+      (1 to 8).foreach { k =>
+        rnd.nextInt(6) match {
+          case 0 => // main appends — the divergence cherry-pick exists for
+            lastOp = "main-append"
+            val r = fresh(1 + rnd.nextInt(5))
+            IcebergWrite.append(df(r), dir); mainModel ++= r
+          case 1 => // main DV-deletes some of its own rows
+            lastOp = "main-dv-delete"
+            if (mainModel.nonEmpty) {
+              val m = 3 + rnd.nextInt(4); val c = rnd.nextInt(m)
+              IcebergWrite.deleteWhereDV(spark, dir, col("id") % m === c)
+              mainModel = mainModel.filterNot(_.id % m == c)
+            }
+          case 2 => // stage an append on the branch (fork implicitly)
+            lastOp = "branch-append"
+            val (bv, bd, st) = branch.getOrElse((mainModel, Set.empty[Long], Vector.empty[R]))
+            val r = fresh(1 + rnd.nextInt(4))
+            IcebergWrite.onBranch("audit") { IcebergWrite.append(df(r), dir) }
+            branch = Some((bv ++ r, bd, st ++ r))
+          case 3 => // stage a position delete over the BRANCH view
+            lastOp = "branch-pos-delete"
+            branch match {
+              case Some((bv, bd, st)) if bv.nonEmpty =>
+                val m = 2 + rnd.nextInt(4); val c = rnd.nextInt(m)
+                IcebergWrite.onBranch("audit") {
+                  IcebergWrite.deleteWhere(spark, dir, col("id") % m === c)
+                }
+                val hitStaged = st.filter(_.id % m == c).map(_.id).toSet
+                val hitPre = bv.filter(r => r.id % m == c && !hitStaged(r.id)).map(_.id).toSet
+                branch = Some((bv.filterNot(_.id % m == c), bd ++ hitPre,
+                  st.filterNot(_.id % m == c)))
+              case _ => lastOp = "noop"
+            }
+          case 4 => // publish: cherry-pick applies the staged DIFF to main
+            lastOp = "publish"
+            branch match {
+              case Some((_, bd, st)) =>
+                IcebergWrite.cherryPickPublish(spark, dir, "audit")
+                IcebergWrite.dropRef(spark, dir, "audit")
+                mainModel = mainModel.filterNot(r => bd(r.id)) ++ st
+                branch = None
+              case None => lastOp = "noop"
+            }
+          case _ => // expiry with everything pinned changes nothing
+            lastOp = "expire"
+            Thread.sleep(3)
+            IcebergWrite.expireSnapshots(spark, dir, 0L)
+        }
+        val gotMain = IcebergInterop.readIceberg(spark, dir)
+          .as[(Long, Long, String)].collect().map(t => R(t._1, t._2, t._3))
+          .sortBy(_.id).toVector
+        assert(gotMain == mainModel.sortBy(_.id),
+          s"seed=$seed op#$k ($lastOp): MAIN diverged — got ${gotMain.size}, " +
+          s"want ${mainModel.size}")
+        branch.foreach { case (bv, _, _) =>
+          val head = IcebergInterop.snapshotOfRef(spark, dir, "audit")
+          val gotBr = IcebergInterop.readIceberg(spark, dir, Some(head))
+            .as[(Long, Long, String)].collect().map(t => R(t._1, t._2, t._3))
+            .sortBy(_.id).toVector
+          assert(gotBr == bv.sortBy(_.id),
+            s"seed=$seed op#$k ($lastOp): BRANCH diverged — got ${gotBr.size}, " +
+            s"want ${bv.size}")
+        }
+      }
+    }
+  }
+
 }

@@ -1728,8 +1728,42 @@ object IcebergWrite {
       }
     }.toSet
     val mainNewData = mainLive.dataInfo -- forkLive.files
-    val forkEqPaths = forkLive.eqDeletes.map(_.path).toSet
-    val mainNewEq = mainLive.eqDeletes.filterNot(d => forkEqPaths(d.path))
+    // equality deletes main committed since the fork, BY HISTORY (each
+    // post-fork main snapshot's own added delete manifests) — not the
+    // live diff: a compaction may have FOLDED the delete into rewritten
+    // data, and staged rows carrying a folded-away key would silently
+    // escape the deletion's intent. (ids, key bounds) per delete file.
+    val mainNewEq: Seq[(Seq[Int], Map[Int, (Array[Byte], Array[Byte])])] = {
+      val sinceFork = {
+        val b = Seq.newBuilder[Long]
+        var c3 = mainHead
+        while (c3 > 0 && c3 != fork) { b += c3; c3 = parentOf.getOrElse(c3, -1L) }
+        b.result()
+      }
+      sinceFork.flatMap { sid =>
+        m0.path("snapshots").elements().asScala
+          .find(_.path("snapshot-id").asLong(-2L) == sid).toSeq.flatMap { s0 =>
+            IcebergFormat.readAvro(conf,
+              new Path(resolveU(s0.path("manifest-list").asText)))
+              .filter(r => gLong(r, "added_snapshot_id", -1L) == sid &&
+                gInt(r, "content", 0) != 0)
+              .flatMap(r => IcebergFormat.readAvro(conf,
+                new Path(resolveU(gStr(r, "manifest_path"))))
+                .filter(e => gInt(e, "status", 0) == 1)
+                .flatMap { e =>
+                  val df0 = e.get("data_file").asInstanceOf[GenericRecord]
+                  if (gInt(df0, "content", 0) != 2) None
+                  else Some((
+                    Option(df0.getSchema.getField("equality_ids"))
+                      .flatMap(_ => Option(df0.get("equality_ids")))
+                      .map(_.asInstanceOf[java.util.List[_]].asScala
+                        .map(_.asInstanceOf[Number].intValue).toSeq)
+                      .getOrElse(Nil),
+                    entryBounds(df0)))
+                })
+          }
+      }
+    }
     val dtOfId: Map[Int, DataType] = currentSchemaNode(m0).path("fields")
       .elements().asScala.flatMap(fd =>
         resultTypeOfName(fd.path("type").asText)
@@ -1778,12 +1812,14 @@ object IcebergWrite {
         gInt(df, "content", 0) match {
           case 0 =>
             val b = entryBounds(df)
-            mainNewEq.foreach { d =>
-              require(!mayOverlap(d.ids, (b.map { case (k, v) => k -> v._1 },
-                  b.map { case (k, v) => k -> v._2 }), (d.lower, d.upper)),
+            mainNewEq.foreach { case (ids, kb) =>
+              require(!mayOverlap(ids, (b.map { case (k, v) => k -> v._1 },
+                  b.map { case (k, v) => k -> v._2 }),
+                  (kb.map { case (k, v) => k -> v._1 },
+                    kb.map { case (k, v) => k -> v._2 })),
                 s"cherry-pick conflict: staged data file $path may hold keys " +
-                s"masked by main's equality delete ${d.path} committed since " +
-                "the fork — rebase the branch by hand")
+                "masked by an equality delete main committed since the " +
+                "fork — rebase the branch by hand")
             }
           case 1 =>
             val refs: Seq[String] =

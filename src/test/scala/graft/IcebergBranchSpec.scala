@@ -362,8 +362,21 @@ class IcebergBranchSpec extends AnyFunSuite {
     val ex3 = intercept[IllegalArgumentException] {
       IcebergWrite.cherryPickPublish(spark, d3, "audit")
     }
-    assert(ex3.getMessage.contains("masked by main's equality delete"),
+    assert(ex3.getMessage.contains("masked by an equality delete"),
       ex3.getMessage)
+    // (c2) the conflict survives main FOLDING the delete via compaction
+    // — conflicts resolve by history, not by the live delete inventory
+    val d3b = Files.createTempDirectory("graft-wap-cpc3b").toString + "/t"
+    IcebergWrite.append((0L until 4L).map(i => (i, s"n$i")).toDF("id", "name"), d3b)
+    IcebergWrite.onBranch("audit") {
+      IcebergWrite.append(Seq((2L, "resurrect")).toDF("id", "name"), d3b)
+    }
+    IcebergWrite.equalityDelete(spark, d3b, Seq(2L).toDF("id").coalesce(1))
+    IcebergWrite.compact(spark, d3b, smallFileBytes = 0L) // folds the delete
+    val ex3b = intercept[IllegalArgumentException] {
+      IcebergWrite.cherryPickPublish(spark, d3b, "audit")
+    }
+    assert(ex3b.getMessage.contains("equality delete"), ex3b.getMessage)
     // (d) disjoint key bands DON'T conflict: same shape as (c) but the
     // staged keys sit outside the delete's bounds → publishes
     val d4 = Files.createTempDirectory("graft-wap-cpc4").toString + "/t"

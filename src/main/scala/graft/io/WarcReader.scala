@@ -50,6 +50,32 @@ object WarcReader {
   def records(spark: SparkSession, path: String): DataFrame =
     parseRecords(spark.read.option("lineSep", RecordMarker).text(path))
 
+  /** GZIPPED archives (`.warc.gz`) — how real corpora ship: each record
+    * (or run of records) is its own gzip member, members concatenate
+    * into one file. Members are NOT splittable, so the real-world unit
+    * of parallelism is the ARCHIVE FILE (exactly how Common Crawl
+    * processing fans out) — `binaryFile` hands each executor whole
+    * archives, `GZIPInputStream` walks the concatenated members, and
+    * the same record-marker split + codegen'd parsing follows. Driver
+    * holds nothing. */
+  def recordsGz(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val values = spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 << 10)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        in.close()
+        out.toString("UTF-8").split(java.util.regex.Pattern.quote(RecordMarker))
+          .toSeq
+      }.toDF("value")
+    parseRecords(values)
+  }
+
   /** STREAMING records: tail a directory of arriving archives — the
     * continuous-ingestion shape (a crawler drops `.warc` files, the
     * pipeline consumes them). Same source-level record splitting, same

@@ -113,6 +113,35 @@ class WarcSpec extends AnyFunSuite {
     assert(got.forall(_._2.startsWith("<html><body><p>")))
   }
 
+  test(".warc.gz: concatenated gzip members parse identically to the plain archive") {
+    val dir = Files.createTempDirectory("graft-warc-gz").toString
+    val pages = Seq(
+      ("https://g.test/1", "<html><head><title>One</title></head><body><p>first page body words</p></body></html>"),
+      ("https://g.test/2", "<html><head><title>Two</title></head><body><p>second page body words</p></body></html>"))
+    // plain archive
+    WarcReader.toWarcRecords(pages.toDF("uri", "html"), "uri", "html")
+      .coalesce(1).write.text(s"$dir/plain.warc")
+    // gz archive: each page's request+response pair is its own MEMBER,
+    // members concatenated into one .warc.gz — the wire layout
+    val recs = WarcReader.toWarcRecords(pages.toDF("uri", "html"), "uri", "html")
+      .select("value").as[String].collect()
+    val gz = new java.io.FileOutputStream(s"$dir/arch.warc.gz")
+    recs.grouped(2).foreach { member =>
+      val g = new java.util.zip.GZIPOutputStream(gz)
+      g.write(member.mkString("", "\n", "\n").getBytes("UTF-8"))
+      g.finish() // close the MEMBER, keep the stream
+    }
+    gz.close()
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(String, String, String)] =
+      df.select("record_type", "target_uri", "payload")
+        .as[(String, String, String)].collect()
+        .sortBy(t => (t._1, String.valueOf(t._2))).toSeq
+    val plain = canon(WarcReader.records(spark, s"$dir/plain.warc"))
+    val gzed = canon(WarcReader.recordsGz(spark, s"$dir/arch.warc.gz"))
+    assert(gzed == plain, "member-gzipped and plain archives parse identically")
+    assert(gzed.count(_._1 == "response") == 2)
+  }
+
   test("crash-replayed micro-batch lands exactly once (batchId-keyed overwrite)") {
     val dir = Files.createTempDirectory("graft-warc-crash").toString
     val (in, out) = (s"$dir/in", s"$dir/out")

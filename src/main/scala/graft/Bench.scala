@@ -95,7 +95,8 @@ object Bench {
     "q218_html_blocks", "q219_html_extract",
     "q220_iceberg_cherrypick", "q221_branch_stream", "q222_html_refine",
     "q223_warc_extract", "q224_warc_stream", "q225_url_dedup",
-    "q226_robots_filter"
+    "q226_robots_filter",
+    "q227_robots_wildcards"
   )
 
   def main(args: Array[String]): Unit = {

@@ -2314,6 +2314,49 @@ object OracleSql {
         |    ELSE CASE WHEN doc_id % 4 IN (0, 2) THEN 1 ELSE 0 END
         |  END AS is_allowed_bot
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q227: wildcard robots rules — the oracle REPLAYS the algorithm:
+    // the same pattern→regex translation (escape specials, *→.*,
+    // trailing $→anchor), regexp match, and longest-pattern-wins /
+    // allow-wins-ties ranking (encoded as max(l*2 + is_allow) % 2),
+    // plus the per-group crawl-delay and host-wide sitemap joins
+    "q227_robots_wildcards" ->
+      """WITH hosts AS (SELECT DISTINCT source,
+        |    CAST(regexp_extract(source, '(\d+)$', 1) AS INT) AS sn FROM documents),
+        |rules(is_allow, rule_path, agent) AS (VALUES
+        |  (0, '/*?', '*'), (0, '/*.pdf$', '*'), (1, '/docs/*.pdf$', '*'), (0, '/cgi-bin/', '*'),
+        |  (1, '/cgi-bin/pub', 'graftbot'), (0, '/cgi-bin/', 'graftbot'),
+        |  (1, '/cgi-bin/pub', 'otherbot'), (0, '/cgi-bin/', 'otherbot')),
+        |rx AS (SELECT *,
+        |  '^' || replace(regexp_replace(
+        |      CASE WHEN rule_path LIKE '%$' THEN substr(rule_path, 1, length(rule_path)-1)
+        |           ELSE rule_path END,
+        |      '([\\.\[\]{}()+?^$|])', '\\\1', 'g'), '*', '.*')
+        |   || CASE WHEN rule_path LIKE '%$' THEN '$' ELSE '' END AS rule_regex
+        |  FROM rules),
+        |urls AS (SELECT doc_id, source,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN '/docs/' || doc_id || '.pdf'
+        |    WHEN 1 THEN '/search?q=' || doc_id
+        |    WHEN 2 THEN '/cgi-bin/script' || doc_id
+        |    WHEN 3 THEN '/cgi-bin/pub/' || doc_id
+        |    ELSE '/about' || doc_id || '.pdfx' END AS path
+        |  FROM documents),
+        |cand AS (SELECT u.doc_id, r.agent, r.is_allow, length(r.rule_path) AS l
+        |  FROM urls u JOIN rx r ON regexp_matches(u.path, r.rule_regex)),
+        |best AS (SELECT doc_id, agent, max(l*2 + is_allow) % 2 AS dec
+        |  FROM cand GROUP BY 1, 2)
+        |SELECT u.doc_id, u.path,
+        |  coalesce(b1.dec, 1)::INT AS is_allowed,
+        |  coalesce(b2.dec, 1)::INT AS is_allowed_bot,
+        |  coalesce(b3.dec, 1)::INT AS is_allowed_other,
+        |  h.sn % 3 + 0.5 AS crawl_delay,
+        |  'https://' || u.source || '.test/sitemap.xml' AS sitemap
+        |FROM urls u
+        |JOIN hosts h ON h.source = u.source
+        |LEFT JOIN best b1 ON b1.doc_id = u.doc_id AND b1.agent = '*'
+        |LEFT JOIN best b2 ON b2.doc_id = u.doc_id AND b2.agent = 'graftbot'
+        |LEFT JOIN best b3 ON b3.doc_id = u.doc_id AND b3.agent = 'otherbot'
+        |ORDER BY u.doc_id""".stripMargin,
     // q225: URL canonicalization — every RFC 3986 normalization rule
     // (scheme/host case, default ports, fragments, empty path, query
     // sort) replays step by step

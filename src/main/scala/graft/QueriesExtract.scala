@@ -207,6 +207,51 @@ private[graft] trait QueriesExtract extends QueryBase {
       .orderBy(col("doc_id"))
   }
 
+  /** q227 — RFC 9309 wildcard rules + group metadata: each host's policy
+    * uses `*`-patterns and `$` end anchors (slash-star-question,
+    * star-dot-pdf-dollar), declares a MULTI-AGENT group (GraftBot + otherbot
+    * share one rule block, mixed-case on purpose) with a per-group
+    * `Crawl-delay`, and publishes a `Sitemap`. URLs evaluate for `*`,
+    * `GRAFTBOT` (case-insensitive match) and `otherbot`; the oracle
+    * re-derives every decision by replaying the regex translation and
+    * the longest-pattern-wins ranking in SQL. */
+  private[graft] def q227(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Robots
+    val docs = T(s, dir, "documents")
+    val srcNum = regexp_extract(col("source"), "(\\d+)$", 1).cast("int")
+    val hosts = docs.select(col("source")).distinct()
+      .withColumn("robots", concat(
+        lit("Sitemap: https://"), col("source"), lit(".test/sitemap.xml\n"),
+        lit("User-agent: *\nDisallow: /*?\nDisallow: /*.pdf$\n" +
+          "Allow: /docs/*.pdf$\nDisallow: /cgi-bin/\n\n"),
+        lit("User-agent: GraftBot\nUser-agent: otherbot\n" +
+          "Allow: /cgi-bin/pub\nDisallow: /cgi-bin/\nCrawl-delay: "),
+        (srcNum % 3).cast("string"), lit(".5\n")))
+    val rules = Robots.parseRules(hosts, "robots", "source")
+    val id = col("doc_id").cast("string")
+    val urls = docs.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 5 === 0, concat(lit("/docs/"), id, lit(".pdf")))
+        .when(col("doc_id") % 5 === 1, concat(lit("/search?q="), id))
+        .when(col("doc_id") % 5 === 2, concat(lit("/cgi-bin/script"), id))
+        .when(col("doc_id") % 5 === 3, concat(lit("/cgi-bin/pub/"), id))
+        .otherwise(concat(lit("/about"), id, lit(".pdfx"))).as("path"))
+    val star = Robots.evaluate(urls, rules, "source", "path")
+    val bot = Robots.evaluate(urls, rules, "source", "path", agent = "GRAFTBOT")
+      .select(col("doc_id"), col("is_allowed").as("is_allowed_bot"))
+    val other = Robots.evaluate(urls, rules, "source", "path", agent = "otherbot")
+      .select(col("doc_id"), col("is_allowed").as("is_allowed_other"))
+    val delays = Robots.crawlDelays(hosts, "robots", "source")
+      .where(col("agent") === "graftbot")
+      .select(col("source"), col("crawl_delay"))
+    val maps = Robots.sitemaps(hosts, "robots", "source")
+    star.join(bot, "doc_id").join(other, "doc_id")
+      .join(broadcast(delays), "source").join(broadcast(maps), "source")
+      .select(col("doc_id"), col("path"), col("is_allowed"),
+        col("is_allowed_bot"), col("is_allowed_other"),
+        col("crawl_delay"), col("sitemap"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q219 — full extraction: title + clean text + the q24 quality score of
     * the extracted text (proving the extractor feeds the downstream text
     * plane unchanged). */

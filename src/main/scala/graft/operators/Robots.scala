@@ -8,66 +8,143 @@ import org.apache.spark.sql.functions._
   * Exclusion Protocol) — the politeness filter a crawl corpus applies
   * before/while selecting fetched pages.
   *
-  * Supported semantics (documented subset): `User-agent` groups with
-  * `Allow`/`Disallow` rules, path-prefix matching, longest-match-wins,
-  * allow-wins-ties (the RFC's rule), no-match ⇒ allowed, empty
-  * `Disallow:` ⇒ no restriction. Wildcard (`*`/`$`) path patterns are
-  * out of scope and parse as literal prefixes.
+  * Supported semantics: `User-agent` groups — including RFC 9309 §2.1's
+  * multi-agent groups, where CONSECUTIVE `User-agent` lines all share
+  * the rule block that follows — with `Allow`/`Disallow` rules,
+  * wildcard path patterns (`*` matches any octet run, a trailing `$`
+  * anchors the end of the URL — RFC 9309 §2.2.3, mandatory for
+  * matching), longest-PATTERN-wins (§2.2.2's most-octets rule, ranked
+  * on the rule path as written), allow-wins-ties, no-match ⇒ allowed,
+  * empty `Disallow:` ⇒ no restriction (but still a group-terminating
+  * rule line), agent names matched case-insensitively (§2.2.1).
+  * Documented subset: agent selection is whole-token equality (the
+  * RFC's most-specific-substring refinement for versioned tokens like
+  * `graftbot/1.2` is out of scope); a `$` not in final position is
+  * literal.
   *
   * Scale shape: robots files are per-HOST and tiny — the parsed rule
   * table broadcasts, URL evaluation is one broadcast join + one
   * aggregation keyed by the URL, never a shuffle of the corpus against
   * itself. Group attribution inside each file is a window per host
-  * (hosts are the parallel unit). */
+  * (hosts are the parallel unit). Wildcard rules are translated ONCE at
+  * parse time into anchored Java regexes carried as a column; the
+  * per-URL match is `regexp_like` against that tiny broadcast side. */
 object Robots {
 
-  /** Parse robots.txt bodies into one rule per row:
-    * (keep cols, agent, rule_idx, is_allow, rule_path). Blank
-    * `Disallow:` lines (no restriction) and comments drop. */
-  def parseRules(df: DataFrame, textCol: String, hostCol: String): DataFrame = {
-    val keep = col(hostCol)
-    val lines = df.select(keep,
+  /** Shared line pass: one row per robots.txt line with its group id.
+    * A group = a run of consecutive `User-agent` lines plus the rules
+    * after them; `grp` is the count of rule lines strictly before the
+    * run's first UA line, so consecutive UA lines (no rules between)
+    * share a group and any allow/disallow line — even an empty
+    * `Disallow:` — starts a new group at the next UA line. Non-rule
+    * directives (`Crawl-delay`) do NOT split a group, matching
+    * deployed parsers. */
+  private def classified(df: DataFrame, textCol: String, hostCol: String): DataFrame = {
+    val lines = df.select(col(hostCol),
         posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
       .withColumn("line",
         trim(regexp_replace(col("line"), "#.*$", ""))) // strip comments
+    val lc = lower(col("line"))
     val w = Window.partitionBy(col(hostCol)).orderBy(col("line_no"))
-    val agentOf = when(lower(col("line")).startsWith("user-agent:"),
-      trim(expr("substring(line, 12)")))
     lines
-      .withColumn("agent",
-        last(agentOf, ignoreNulls = true)
+      .withColumn("__is_ua", lc.startsWith("user-agent:"))
+      .withColumn("__is_rule",
+        lc.startsWith("allow:") || lc.startsWith("disallow:"))
+      .withColumn("__rules_before",
+        coalesce(sum(col("__is_rule").cast("int"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      .withColumn("grp",
+        last(when(col("__is_ua"), col("__rules_before")), ignoreNulls = true)
           .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** The group's agent names, lower-cased (RFC 9309 §2.2.1: matching is
+    * case-insensitive): one row per (host, grp, agent). */
+  private def agentsOf(ls: DataFrame, hostCol: String): DataFrame =
+    ls.where(col("__is_ua"))
+      .select(col(hostCol), col("grp"),
+        lower(trim(expr("substring(line, 12)"))).as("agent"))
+      .distinct()
+
+  /** Translate a robots path pattern into an anchored Java regex:
+    * specials escape, `*` → `.*`, a TRAILING `$` → an end anchor.
+    * Evaluated once per rule at parse time — the per-URL match never
+    * re-derives it. */
+  private def patternRegex(rulePath: org.apache.spark.sql.Column) = {
+    val anchored = rulePath.endsWith("$")
+    val core = when(anchored,
+      rulePath.substr(lit(1), length(rulePath) - 1)).otherwise(rulePath)
+    val esc = regexp_replace(core, "([\\\\.\\[\\]{}()+?^$|])", "\\\\$1")
+    val star = regexp_replace(esc, "\\*", ".*")
+    concat(lit("^"), star, when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** Parse robots.txt bodies into one rule per (group agent) per row:
+    * (keep cols, rule_idx, agent, is_allow, rule_path, rule_regex).
+    * Blank `Disallow:` lines (no restriction) and comments drop;
+    * consecutive `User-agent` lines each receive the full following
+    * rule block (RFC 9309 multi-agent groups). */
+  def parseRules(df: DataFrame, textCol: String, hostCol: String): DataFrame = {
+    val ls = classified(df, textCol, hostCol)
+    val rules = ls.where(col("__is_rule") && col("grp").isNotNull)
       .withColumn("is_allow",
-        when(lower(col("line")).startsWith("allow:"), lit(1))
-          .when(lower(col("line")).startsWith("disallow:"), lit(0)))
-      .where(col("is_allow").isNotNull && col("agent").isNotNull)
+        when(lower(col("line")).startsWith("allow:"), lit(1)).otherwise(lit(0)))
       .withColumn("rule_path",
         trim(expr("substring(line, instr(line, ':') + 1)")))
       .where(length(col("rule_path")) > 0) // empty Disallow: = no rule
-      .select(keep, col("line_no").as("rule_idx"), col("agent"),
+      .select(col(hostCol), col("grp"), col("line_no").as("rule_idx"),
         col("is_allow"), col("rule_path"))
+    rules.join(broadcast(agentsOf(ls, hostCol)), Seq(hostCol, "grp"))
+      .withColumn("rule_regex", patternRegex(col("rule_path")))
+      .select(col(hostCol), col("rule_idx"), col("agent"),
+        col("is_allow"), col("rule_path"), col("rule_regex"))
   }
+
+  /** Per-group `Crawl-delay` directives: (keep cols, agent,
+    * crawl_delay). The delay attaches to every agent of its group, like
+    * a rule, but does not terminate the group. */
+  def crawlDelays(df: DataFrame, textCol: String, hostCol: String): DataFrame = {
+    val ls = classified(df, textCol, hostCol)
+    val delays = ls
+      .where(lower(col("line")).startsWith("crawl-delay:") && col("grp").isNotNull)
+      .select(col(hostCol), col("grp"),
+        trim(expr("substring(line, 13)")).cast("double").as("crawl_delay"))
+    delays.join(broadcast(agentsOf(ls, hostCol)), Seq(hostCol, "grp"))
+      .select(col(hostCol), col("agent"), col("crawl_delay"))
+  }
+
+  /** `Sitemap:` directives — host-wide per the sitemaps protocol
+    * (group-independent): (keep cols, sitemap), one row per
+    * declaration in file order. */
+  def sitemaps(df: DataFrame, textCol: String, hostCol: String): DataFrame =
+    classified(df, textCol, hostCol)
+      .where(lower(col("line")).startsWith("sitemap:"))
+      .select(col(hostCol), trim(expr("substring(line, 9)")).as("sitemap"))
 
   /** Evaluate URL paths against parsed rules for one crawler agent:
     * adds `is_allowed` (1/0) to `urls`. Group selection: the agent's own
-    * group when the host declares one, else `*`. Longest matching rule
-    * wins; an allow beats a disallow of equal length; no match allows. */
+    * group when the host declares one, else `*`; agent names compare
+    * case-insensitively. Longest matching PATTERN wins (most octets of
+    * the rule path as written); an allow beats a disallow of equal
+    * length; no match allows. */
   def evaluate(urls: DataFrame, rules: DataFrame, hostCol: String,
                pathCol: String, agent: String = "*"): DataFrame = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     // per host: does a group for this agent exist? (tiny, broadcast)
-    val hasAgent = rules.where(col("agent") === agent)
+    val hasAgent = rules.where(col("agent") === agentLc)
       .select(col(hostCol).as("__h")).distinct()
       .withColumn("__has_agent", lit(1))
     val scoped = rules
       .join(broadcast(hasAgent), rules(hostCol) === col("__h"), "left")
-      .where(when(col("__has_agent") === 1, col("agent") === agent)
+      .where(when(col("__has_agent") === 1, col("agent") === agentLc)
         .otherwise(col("agent") === "*"))
-      .select(col(hostCol).as("__rh"), col("is_allow"), col("rule_path"))
+      .select(col(hostCol).as("__rh"), col("is_allow"), col("rule_path"),
+        col("rule_regex"))
     val urlCols = urls.columns.map(col)
     urls
       .join(broadcast(scoped),
         urls(hostCol) === col("__rh") &&
-          col(pathCol).startsWith(col("rule_path")), "left")
+          regexp_like(col(pathCol), col("rule_regex")), "left")
       .groupBy(urlCols: _*)
       .agg(max(when(col("rule_path").isNotNull,
         struct(length(col("rule_path")).as("l"), col("is_allow").as("a"))))

@@ -67,4 +67,86 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.evaluate(urls, tied, "host", "path")
       .orderBy("id").select("is_allowed").as[Int].collect().toSeq == Seq(0, 1))
   }
+
+  test("wildcards: * and trailing $ match per RFC 9309 §2.2.3") {
+    // RFC/Google reference cases: /*.htm (6 octets) outranks /page (5);
+    // /$ allows exactly the root while / disallows everything else.
+    val r1 = Robots.parseRules(Seq(("h",
+      "User-agent: *\nAllow: /page\nDisallow: /*.htm")).toDF("host", "txt"),
+      "txt", "host")
+    val g1 = Robots.evaluate(Seq(
+      (1L, "h", "/page"),      // only /page matches → allowed
+      (2L, "h", "/page.htm"),  // both match; /*.htm longer → denied
+      (3L, "h", "/x/a.htm")    // wildcard spans directories → denied
+    ).toDF("id", "host", "path"), r1, "host", "path")
+      .orderBy("id").select("is_allowed").as[Int].collect().toSeq
+    assert(g1 == Seq(1, 0, 0))
+
+    val r2 = Robots.parseRules(Seq(("h",
+      "User-agent: *\nAllow: /$\nDisallow: /")).toDF("host", "txt"),
+      "txt", "host")
+    val g2 = Robots.evaluate(Seq(
+      (1L, "h", "/"),          // /$ anchors: root allowed (2 > 1 octets)
+      (2L, "h", "/page")       // $ prevents the allow → denied
+    ).toDF("id", "host", "path"), r2, "host", "path")
+      .orderBy("id").select("is_allowed").as[Int].collect().toSeq
+    assert(g2 == Seq(1, 0))
+
+    // /*? matches any URL containing a query; $ mid-pattern is literal
+    val r3 = Robots.parseRules(Seq(("h",
+      "User-agent: *\nDisallow: /*?\nDisallow: /a$b")).toDF("host", "txt"),
+      "txt", "host")
+    val g3 = Robots.evaluate(Seq(
+      (1L, "h", "/search?q=x"), // contains ? → denied
+      (2L, "h", "/search"),     // no query → allowed
+      (3L, "h", "/a$bc")        // literal $ in the middle → denied
+    ).toDF("id", "host", "path"), r3, "host", "path")
+      .orderBy("id").select("is_allowed").as[Int].collect().toSeq
+    assert(g3 == Seq(0, 1, 0))
+  }
+
+  test("multi-agent groups share the block; matching is case-insensitive") {
+    val txt =
+      """User-agent: GraftBot
+        |User-agent: otherbot
+        |Disallow: /x/
+        |Crawl-delay: 2.5
+        |
+        |User-agent: *
+        |Disallow: /y/
+        |""".stripMargin
+    val r = Robots.parseRules(Seq(("h", txt)).toDF("host", "txt"), "txt", "host")
+    val urls = Seq((1L, "h", "/x/p"), (2L, "h", "/y/p")).toDF("id", "host", "path")
+    // both agents of the run get the /x/ rule; the * group doesn't apply
+    for (agent <- Seq("graftbot", "GRAFTBOT", "otherbot")) {
+      val got = Robots.evaluate(urls, r, "host", "path", agent = agent)
+        .orderBy("id").select("is_allowed").as[Int].collect().toSeq
+      assert(got == Seq(0, 1), s"agent=$agent")
+    }
+    // Crawl-delay doesn't split the group, and * still owns its own rules
+    assert(Robots.evaluate(urls, r, "host", "path")
+      .orderBy("id").select("is_allowed").as[Int].collect().toSeq == Seq(1, 0))
+  }
+
+  test("crawl-delay attaches per group agent; sitemaps are host-wide") {
+    val txt =
+      """Sitemap: https://h.test/sitemap.xml
+        |User-agent: a
+        |User-agent: b
+        |Disallow: /x
+        |Crawl-delay: 1.5
+        |
+        |User-agent: c
+        |Crawl-delay: 7
+        |Sitemap: https://h.test/extra.xml
+        |""".stripMargin
+    val hosts = Seq(("h", txt)).toDF("host", "txt")
+    val d = Robots.crawlDelays(hosts, "txt", "host")
+      .orderBy("agent").as[(String, String, Double)].collect().toSeq
+    assert(d == Seq(("h", "a", 1.5), ("h", "b", 1.5), ("h", "c", 7.0)))
+    val s = Robots.sitemaps(hosts, "txt", "host")
+      .orderBy("sitemap").as[(String, String)].collect().toSeq
+    assert(s == Seq(("h", "https://h.test/extra.xml"),
+      ("h", "https://h.test/sitemap.xml")))
+  }
 }

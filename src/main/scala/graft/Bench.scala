@@ -96,7 +96,8 @@ object Bench {
     "q220_iceberg_cherrypick", "q221_branch_stream", "q222_html_refine",
     "q223_warc_extract", "q224_warc_stream", "q225_url_dedup",
     "q226_robots_filter",
-    "q227_robots_wildcards"
+    "q227_robots_wildcards",
+    "q228_warc_framed"
   )
 
   def main(args: Array[String]): Unit = {

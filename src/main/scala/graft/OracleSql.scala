@@ -2357,6 +2357,24 @@ object OracleSql {
         |LEFT JOIN best b2 ON b2.doc_id = u.doc_id AND b2.agent = 'graftbot'
         |LEFT JOIN best b3 ON b3.doc_id = u.doc_id AND b3.agent = 'otherbot'
         |ORDER BY u.doc_id""".stripMargin,
+    // q228: length-framed WARC — every page body embeds the record
+    // marker and is ISO-8859-1 encoded; the framed reader must
+    // round-trip bytes exactly, so the oracle rebuilds body, version
+    // and the byte length (ISO-8859-1 = 1 byte/char for latin text)
+    "q228_warc_framed" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  '<html><body><p>a page about' || chr(13) || chr(10) || 'WARC/1.0' ||
+         |    chr(13) || chr(10) || 'records</p><p>café déjà-vu à la «mode» ' ||
+         |    text || '</p></body></html>' AS body
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN '1.0' ELSE '1.1' END AS warc_version,
+         |  1 AS frame_ok,
+         |  (length('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+         |     'Content-Type: text/html; charset=iso-8859-1' || chr(13) || chr(10) ||
+         |     chr(13) || chr(10)) + length(body))::BIGINT AS content_length,
+         |  body AS payload
+         |FROM b ORDER BY doc_id""".stripMargin,
     // q225: URL canonicalization — every RFC 3986 normalization rule
     // (scheme/host case, default ports, fragments, empty path, query
     // sort) replays step by step

@@ -81,7 +81,8 @@ private[graft] trait QueriesExtract extends QueryBase {
     * back into records at the SOURCE (distributed custom-lineSep text
     * scan), the HTTP envelopes strip, and the extraction plane consumes
     * the responses — producing exactly q219's answer (shared oracle).
-    * In-query asserts pin the record inventory. */
+    * (Record-inventory invariants — request + response per page, every
+    * response a 200 — are pinned in WarcSpec, outside the timed body.) */
   private[graft] def q223(s: SparkSession, dir: String): DataFrame = {
     val docs = withHtml(T(s, dir, "documents"))
       .withColumn("uri",
@@ -89,11 +90,7 @@ private[graft] trait QueriesExtract extends QueryBase {
     val tmp = graft.io.TempDirs.scratch("graft-q223")
     graft.io.WarcReader.toWarcRecords(docs, "uri", "html")
       .write.text(s"$tmp/corpus.warc")
-    val recs = graft.io.WarcReader.records(s, s"$tmp/corpus.warc")
-    val nDocs = docs.count()
-    require(recs.count() == 2 * nDocs, "request + response per page")
     val resp = graft.io.WarcReader.responses(s, s"$tmp/corpus.warc")
-    require(resp.count() == nDocs, "every page's response parses with a 200")
     Extract.extractText(resp, "html", "target_uri")
       .withColumn("doc_id",
         regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long"))
@@ -249,6 +246,48 @@ private[graft] trait QueriesExtract extends QueryBase {
       .select(col("doc_id"), col("path"), col("is_allowed"),
         col("is_allowed_bot"), col("is_allowed_other"),
         col("crawl_delay"), col("sitemap"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q228 — LENGTH-FRAMED WARC ingestion on an adversarial corpus: every
+    * page's body EMBEDS the literal record marker bytes (the case that
+    * breaks marker-split readers), pages alternate WARC/1.0 and 1.1,
+    * and payloads are ISO-8859-1 with accented prose — Content-Length
+    * framing plus Content-Type charset decoding must round-trip every
+    * byte. Archives are written distributed (one member-gzipped
+    * `.warc.gz` per partition via the spec-exact byte serializer); the
+    * oracle re-derives version, byte length, and the decoded payload
+    * analytically. */
+  private[graft] def q228(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = graft.io.TempDirs.scratch("graft-q228")
+    val arch = s"$tmp/arch"
+    new java.io.File(arch).mkdirs()
+    T(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .foreachPartition { (it: Iterator[(Long, String)]) =>
+        if (it.hasNext) {
+          val name = java.util.UUID.randomUUID().toString
+          val fos = new java.io.FileOutputStream(s"$arch/$name.warc.gz")
+          it.foreach { case (id, text) =>
+            val body = "<html><body><p>a page about\r\nWARC/1.0\r\nrecords" +
+              "</p><p>café déjà-vu à la «mode» " + text + "</p></body></html>"
+            val bytes = graft.io.WarcFraming.responseRecordBytes(
+              s"https://graft.test/doc/$id", body,
+              if (id % 2 == 0) "1.0" else "1.1",
+              "text/html; charset=iso-8859-1", "ISO-8859-1")
+            val g = new java.util.zip.GZIPOutputStream(fos)
+            g.write(bytes); g.finish() // one gzip member per record
+          }
+          fos.close()
+        }
+      }
+    graft.io.WarcReader.recordsFramed(s, arch)
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("warc_version"), col("frame_ok").cast("int").as("frame_ok"),
+        col("content_length"), col("payload"))
       .orderBy(col("doc_id"))
   }
 

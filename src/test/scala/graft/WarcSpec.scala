@@ -178,6 +178,137 @@ class WarcSpec extends AnyFunSuite {
     assert(rows == Seq("u1", "u2"), s"exactly once across the replay: $rows")
   }
 
+  // ─────────────────────── length-framed path ───────────────────────
+
+  import graft.io.WarcFraming
+
+  private def writeArchive(path: String, recs: Seq[Array[Byte]], gzip: Boolean): Unit = {
+    val fos = new java.io.FileOutputStream(path)
+    if (gzip) recs.foreach { r => // one gzip MEMBER per record (wire layout)
+      val g = new java.util.zip.GZIPOutputStream(fos)
+      g.write(r); g.finish()
+    }
+    else recs.foreach(fos.write)
+    fos.close()
+  }
+
+  test("framed: a payload containing the record marker does NOT missplit") {
+    val dir = Files.createTempDirectory("graft-warc-framed").toString
+    // a page ABOUT warc: its body embeds the literal version line bytes
+    val body = "<html><body><p>the marker is\r\nWARC/1.0\r\nand WARC/1.1\r\nmid page</p></body></html>"
+    val recs = Seq(
+      WarcFraming.responseRecordBytes("https://g.test/about-warc", body,
+        "1.0", "text/html", "UTF-8"),
+      WarcFraming.responseRecordBytes("https://g.test/plain", "<p>plain page</p>",
+        "1.1", "text/html", "UTF-8"))
+    writeArchive(s"$dir/a.warc", recs, gzip = false)
+    val framed = WarcReader.recordsFramed(spark, s"$dir/a.warc")
+    val rows = framed.orderBy("target_uri")
+      .select("target_uri", "warc_version", "payload", "frame_ok")
+      .as[(String, String, String, Boolean)].collect().toSeq
+    assert(rows.size == 2, "exactly two records despite 3 embedded markers")
+    assert(rows(0) == (("https://g.test/about-warc", "1.0", body, true)))
+    assert(rows(1) == (("https://g.test/plain", "1.1", "<p>plain page</p>", true)))
+    // the marker-split fast path DOES missplit here — the documented
+    // caveat the framed path exists for
+    assert(WarcReader.records(spark, s"$dir/a.warc").count() > 2)
+  }
+
+  test("framed: HTTP payloads decode per their Content-Type charset") {
+    val dir = Files.createTempDirectory("graft-warc-cs").toString
+    val latin = "<html><body><p>café naïve résumé</p></body></html>"
+    val utf = "<html><body><p>你好 world</p></body></html>"
+    val recs = Seq(
+      WarcFraming.responseRecordBytes("https://g.test/latin", latin,
+        "1.0", "text/html; charset=iso-8859-1", "ISO-8859-1"),
+      WarcFraming.responseRecordBytes("https://g.test/utf", utf,
+        "1.0", "text/html; charset=utf-8", "UTF-8"))
+    writeArchive(s"$dir/a.warc.gz", recs, gzip = true)
+    val got = WarcReader.recordsFramed(spark, s"$dir/a.warc.gz")
+      .orderBy("target_uri").select("payload").as[String].collect().toSeq
+    assert(got == Seq(latin, utf),
+      "latin-1 bytes decode via the declared charset, not garbled UTF-8")
+  }
+
+  test("framed: corrupt Content-Length resyncs and surfaces frame_ok=false") {
+    val dir = Files.createTempDirectory("graft-warc-bad").toString
+    val good = WarcFraming.responseRecordBytes("https://g.test/good",
+      "<p>good page</p>", "1.0", "text/html", "UTF-8")
+    // hand-build a record whose declared length is SHORT by 10 bytes
+    val body = "HTTP/1.1 200 OK\r\n\r\n<p>liar liar page</p>"
+    val bad = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: https://g.test/bad\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${body.getBytes("UTF-8").length - 10}\r\n\r\n" +
+      body + "\r\n\r\n").getBytes("UTF-8")
+    writeArchive(s"$dir/a.warc", Seq(bad, good), gzip = false)
+    val rows = WarcReader.recordsFramed(spark, s"$dir/a.warc")
+      .orderBy("target_uri").select("target_uri", "payload", "frame_ok")
+      .as[(String, String, Boolean)].collect().toSeq
+    assert(rows.map(_._1) ==
+      Seq("https://g.test/bad", "https://g.test/good"),
+      "resync recovers the stream: the record AFTER the liar still parses")
+    assert(!rows(0)._3 && rows(1)._3,
+      "the mis-declared record is flagged, the clean one is not")
+    assert(rows(0)._2.contains("liar liar page"),
+      "resync keeps the over-length payload bytes")
+  }
+
+  test("framed streaming: arriving gz archives parse identically to batch") {
+    val dir = Files.createTempDirectory("graft-warc-fstream").toString
+    val in = s"$dir/in"; new java.io.File(in).mkdirs()
+    def rec(i: Int) = WarcFraming.responseRecordBytes(s"https://g.test/$i",
+      s"<p>streamed page $i</p>", "1.0", "text/html", "UTF-8")
+    writeArchive(s"$in/w1.warc.gz", Seq(rec(1), rec(2)), gzip = true)
+    val buf = scala.collection.mutable.ListBuffer.empty[(String, String, Boolean)]
+    val q = WarcReader.recordsFramedStream(spark, in)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.select("target_uri", "payload", "frame_ok")
+          .as[(String, String, Boolean)].collect()
+        buf.synchronized { buf ++= rows }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      writeArchive(s"$in/w2.warc.gz", Seq(rec(3)), gzip = true)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = buf.synchronized(buf.sortBy(_._1).toList)
+    val batch = WarcReader.recordsFramed(spark, in)
+      .select("target_uri", "payload", "frame_ok")
+      .as[(String, String, Boolean)].collect().sortBy(_._1).toList
+    assert(streamed == batch && streamed.size == 3,
+      "micro-batch boundaries invisible; framing stateless per archive")
+  }
+
+  test("marker-split streaming reads .warc.gz archives too (codec layer)") {
+    val dir = Files.createTempDirectory("graft-warc-gzstream").toString
+    val in = s"$dir/in"; new java.io.File(in).mkdirs()
+    val pages = Seq(
+      ("https://g.test/1", "<html><body><p>first gz page</p></body></html>"),
+      ("https://g.test/2", "<html><body><p>second gz page</p></body></html>"))
+    val recs = WarcReader.toWarcRecords(pages.toDF("uri", "html"), "uri", "html")
+      .select("value").as[String].collect()
+    val fos = new java.io.FileOutputStream(s"$in/a.warc.gz")
+    recs.grouped(2).foreach { member =>
+      val g = new java.util.zip.GZIPOutputStream(fos)
+      g.write(member.mkString("", "\n", "\n").getBytes("UTF-8")); g.finish()
+    }
+    fos.close()
+    val buf = scala.collection.mutable.ListBuffer.empty[String]
+    val q = WarcReader.recordsStream(spark, in)
+      .where(col("record_type") === "response")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.select("target_uri").as[String].collect()
+        buf.synchronized { buf ++= rows }; ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(buf.synchronized(buf.sorted.toList) ==
+      List("https://g.test/1", "https://g.test/2"))
+  }
+
   test("plan shape: record splitting is a distributed text scan, parsing is codegen") {
     val dir = Files.createTempDirectory("graft-warc-plan").toString
     Seq(("u", "<html><body><p>x</p></body></html>")).toDF("uri", "html")

@@ -97,7 +97,8 @@ object Bench {
     "q223_warc_extract", "q224_warc_stream", "q225_url_dedup",
     "q226_robots_filter",
     "q227_robots_wildcards",
-    "q228_warc_framed"
+    "q228_warc_framed",
+    "q229_extract_lang"
   )
 
   def main(args: Array[String]): Unit = {

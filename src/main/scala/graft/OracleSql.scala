@@ -2357,6 +2357,41 @@ object OracleSql {
         |LEFT JOIN best b2 ON b2.doc_id = u.doc_id AND b2.agent = 'graftbot'
         |LEFT JOIN best b3 ON b3.doc_id = u.doc_id AND b3.agent = 'otherbot'
         |ORDER BY u.doc_id""".stripMargin,
+    // q229: per-language stopword gates — the oracle replays BOTH
+    // densities (the language's own stoplist vs the English default)
+    // and both decisions; zh replays the bypass (density 0, threshold 0)
+    "q229_extract_lang" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CASE lang
+         |    WHEN 'de' THEN 'der große Datensatz und die schnelle Abfrage ist nicht klein mit Daten'
+         |    WHEN 'es' THEN 'el sistema de datos es una consulta que sirve para los casos'
+         |    WHEN 'fr' THEN 'le système est dans une grande base pour les données du groupe'
+         |    WHEN 'zh' THEN '数据 系统 查询 快速 合并 窗口 流 处理'
+         |    ELSE 'the data system is a fast query and it works for the team'
+         |  END || ' ' || text AS raw FROM documents),
+         |m AS (SELECT doc_id, lang, trim(regexp_replace(raw, '\\s+', ' ', 'g')) AS txt FROM t),
+         |w AS (SELECT doc_id, lang, txt,
+         |  (CASE WHEN length(txt) = 0 THEN 0
+         |     ELSE len(regexp_split_to_array(trim(txt), '\\s+')) END)::INT AS n_words FROM m),
+         |d AS (SELECT doc_id, lang, n_words,
+         |  CASE lang
+         |    WHEN 'de' THEN len(regexp_extract_all(lower(txt), '\\b(der|die|das|und|ist|nicht|mit|ein)\\b'))::DOUBLE / greatest(n_words, 1)
+         |    WHEN 'es' THEN len(regexp_extract_all(lower(txt), '\\b(el|la|los|las|que|es|una|para)\\b'))::DOUBLE / greatest(n_words, 1)
+         |    WHEN 'fr' THEN len(regexp_extract_all(lower(txt), '\\b(le|la|les|des|est|une|dans|pour)\\b'))::DOUBLE / greatest(n_words, 1)
+         |    WHEN 'zh' THEN 0.0
+         |    ELSE len(regexp_extract_all(lower(txt), '\\b(the|and|of|to|a|in|is|it|that|for)\\b'))::DOUBLE / greatest(n_words, 1)
+         |  END AS stop_density,
+         |  len(regexp_extract_all(lower(txt), '\\b(the|and|of|to|a|in|is|it|that|for)\\b'))::DOUBLE / greatest(n_words, 1) AS stop_density_en
+         |  FROM w)
+         |SELECT doc_id, lang, n_words, stop_density,
+         |  CASE WHEN n_words < 5 THEN 'short'
+         |    WHEN lang <> 'zh' AND stop_density < 0.05 THEN 'neargood'
+         |    ELSE 'good' END AS decision,
+         |  stop_density_en,
+         |  CASE WHEN n_words < 5 THEN 'short'
+         |    WHEN stop_density_en < 0.05 THEN 'neargood'
+         |    ELSE 'good' END AS decision_en
+         |FROM d ORDER BY doc_id""".stripMargin,
     // q228: length-framed WARC — every page body embeds the record
     // marker and is ISO-8859-1 encoded; the framed reader must
     // round-trip bytes exactly, so the oracle rebuilds body, version

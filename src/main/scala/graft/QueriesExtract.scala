@@ -47,7 +47,11 @@ private[graft] trait QueriesExtract extends QueryBase {
       firstPara,
       restParas,
       lit("<ul><li>first listed point in summary</li><li>another listed point for emphasis</li></ul>"),
-      lit("""<div class="share"><a href="#t">Tweet this</a> <a href="#f">Share on FB</a> now</div>"""),
+      // the data-note attribute embeds a '>' inside a quoted value — a
+      // naive <[^>]*> tag strip truncates the tag there and leaks
+      // `b">` into the block text; the oracle states the text WITHOUT
+      // it, so only a quote-aware parser hashes green
+      lit("""<div class="share" data-note="a>b"><a href="#t">Tweet this</a> <a href="#f">Share on FB</a> now</div>"""),
       lit("""<script>var x = 1 < 2; if (x) { document.write("<p>fake paragraph</p>"); }</script>"""),
       lit("<style>.menu a { color: #333; }</style>"),
       lit("<!-- build 2026 <p>ghost</p> -->"),
@@ -288,6 +292,40 @@ private[graft] trait QueriesExtract extends QueryBase {
           .cast("long").as("doc_id"),
         col("warc_version"), col("frame_ok").cast("int").as("frame_ok"),
         col("content_length"), col("payload"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q229 — PER-LANGUAGE stopword gates (jusText is
+    * stoplist-per-language): each document renders as a one-paragraph
+    * page whose prose carries its own language's function words; the
+    * block is gated BOTH ways — with the language column (de/es/fr
+    * stoplists, zh bypassed) and with the English-only default. The
+    * oracle replays both densities and both decisions, so the row
+    * proves non-English prose classifies `good` under the per-lang gate
+    * while the en-only gate sees `stop_density ≈ 0`. */
+  private[graft] def q229(s: SparkSession, dir: String): DataFrame = {
+    val prefix = when(col("lang") === "de",
+        lit("der große Datensatz und die schnelle Abfrage ist nicht klein mit Daten"))
+      .when(col("lang") === "es",
+        lit("el sistema de datos es una consulta que sirve para los casos"))
+      .when(col("lang") === "fr",
+        lit("le système est dans une grande base pour les données du groupe"))
+      .when(col("lang") === "zh",
+        lit("数据 系统 查询 快速 合并 窗口 流 处理"))
+      .otherwise(lit("the data system is a fast query and it works for the team"))
+    val page = concat(lit("<html><body><p>"), prefix, lit(" "), col("text"),
+      lit("</p></body></html>"))
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), page.as("html"))
+    val byLang = Extract.segments(docs, "html", langCol = Some("lang"))
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        col("stop_density"), col("decision"))
+    val byEn = Extract.segments(docs, "html")
+      .select(col("doc_id"), col("stop_density").as("stop_density_en"),
+        col("decision").as("decision_en"))
+    byLang.join(byEn, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_words"), col("stop_density"),
+        col("decision"), col("stop_density_en"), col("decision_en"))
       .orderBy(col("doc_id"))
   }
 

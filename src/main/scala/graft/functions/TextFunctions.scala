@@ -83,6 +83,20 @@ object TextFunctions {
 
   val EnStopwords: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
 
+  /** Per-language stoplists for stopword-density gates (jusText is
+    * stoplist-per-language). Marker subsets like [[LangMarkers]], not
+    * exhaustive lists — what matters is that each is deterministic and
+    * oracle-replayable. `zh` maps to the EMPTY list: jusText's published
+    * recipe for stoplist-less (CJK) languages runs with no stopwords and
+    * `stopwords_low = stopwords_high = 0`, i.e. the density gate is
+    * bypassed rather than misfiring on every block. */
+  val Stoplists: Map[String, Seq[String]] = Map(
+    "en" -> EnStopwords,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "los", "las", "que", "es", "una", "para"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "zh" -> Seq.empty)
+
   def stopwordRatio(c: Column, stopwords: Seq[String] = EnStopwords): Column = {
     val pat = stopwords.mkString("\\b(", "|", ")\\b")
     when(tokenCount(c) === 0, lit(0.0))

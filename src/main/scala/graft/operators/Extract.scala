@@ -46,12 +46,21 @@ object Extract {
 
   private val sentinel = "\u0000"
 
+  /** Quote-aware tag pattern: a `>` inside a quoted attribute value
+    * (`<img alt="a>b">`) does not terminate the tag — the naive
+    * `<[^>]*>` truncates there and leaks attribute text into content.
+    * Alternation keeps the whole pattern regex-engine portable (Java
+    * and RE2) and inside codegen. */
+  private val TagPat = "<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+
   /** Remove non-content subtrees: scripts, styles, comments. Must run
     * before any tag-level processing — script bodies may contain literal
     * `<` and fake tags (`document.write("<p>…")`). */
   def stripNonContent(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", "")
-    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", "")
+    val noScript = regexp_replace(html,
+      "(?is)<script\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>.*?</style>", "")
     regexp_replace(noStyle, "(?s)<!--.*?-->", "")
   }
 
@@ -73,12 +82,13 @@ object Extract {
     // Collapse BEFORE trim: Spark's trim strips only spaces, so a trailing
     // newline survives an early trim and leaves a dangling separator.
     trim(regexp_replace(
-      decodeEntities(regexp_replace(fragment, "<[^>]*>", " ")),
+      decodeEntities(regexp_replace(fragment, TagPat, " ")),
       "\\s+", " "))
 
   /** `<title>` contents from the document head. */
   def title(html: Column): Column =
-    innerText(regexp_extract(stripNonContent(html), "(?is)<title[^>]*>(.*?)</title>", 1))
+    innerText(regexp_extract(stripNonContent(html),
+      "(?is)<title(?:[^>\"']|\"[^\"]*\"|'[^']*')*>(.*?)</title>", 1))
 
   /** Total characters of anchor text in a fragment: extract every
     * `<a …>…</a>` inner HTML, reduce each to text, sum lengths. Pure
@@ -86,7 +96,8 @@ object Extract {
   def linkChars(fragment: Column): Column =
     aggregate(
       transform(
-        regexp_extract_all(fragment, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+        regexp_extract_all(fragment,
+          lit("(?is)<a\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>(.*?)</a>"), lit(1)),
         a => length(innerText(a)).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
@@ -95,6 +106,15 @@ object Extract {
 
   private val stopPattern =
     graft.functions.TextFunctions.EnStopwords.mkString("\\b(", "|", ")\\b")
+
+  /** Stopword density of the `text` attribute for one language's
+    * stoplist; the empty (CJK) stoplist scores 0.0 without a regex. */
+  private def stopDensityFor(words: Seq[String]): Column =
+    if (words.isEmpty) lit(0.0)
+    else
+      size(regexp_extract_all(lower(col("text")),
+        lit(words.mkString("\\b(", "|", ")\\b")), lit(0))).cast("double") /
+        greatest(col("n_words"), lit(1))
 
   /** Segment a document's HTML into classified blocks.
     *
@@ -105,8 +125,19 @@ object Extract {
     * Reference behavior modeled: jusText's context-free classification pass
     * (the published algorithm's first stage); trafilatura's block
     * segmentation at flow-element boundaries.
+    *
+    * `langCol`: jusText is STOPLIST-PER-LANGUAGE — with a language column
+    * named here, the stopword-density gate uses that language's stoplist
+    * ([[graft.functions.TextFunctions.Stoplists]]; unknown languages fall
+    * back to English). For stoplist-less languages (zh — the CJK case)
+    * the gate is BYPASSED (`stop_density = 0`, threshold 0 — jusText's
+    * `stopwords_low = stopwords_high = 0` recipe), so CJK prose is not
+    * mass-misclassified `neargood`. Without `langCol` the English list
+    * applies everywhere (the pre-round-18 behavior, kept for the
+    * lang-less oracle fixtures).
     */
-  def segments(df: DataFrame, htmlCol: String): DataFrame = {
+  def segments(df: DataFrame, htmlCol: String,
+               langCol: Option[String] = None): DataFrame = {
     val body = regexp_extract(stripNonContent(col(htmlCol)), "(?is)<body[^>]*>(.*?)</body>", 1)
     // A sentinel before every opening block tag turns the body into a
     // splittable string; each fragment then carries exactly one block's
@@ -144,15 +175,30 @@ object Extract {
       .withColumn("n_words", tokenCountOf(col("text")))
       .withColumn("link_density",
         col("__lc").cast("double") / greatest(length(col("text")), lit(1)))
-      .withColumn("stop_density",
-        size(regexp_extract_all(lower(col("text")), lit(stopPattern), lit(0))).cast("double") /
-          greatest(col("n_words"), lit(1)))
+      .withColumn("stop_density", langCol match {
+        case None =>
+          size(regexp_extract_all(lower(col("text")), lit(stopPattern), lit(0))).cast("double") /
+            greatest(col("n_words"), lit(1))
+        case Some(lc) =>
+          // lazily-evaluated when-chain: only the matching language's
+          // regex count runs per row
+          val TF = graft.functions.TextFunctions
+          TF.Stoplists.filterNot(_._1 == "en").foldLeft(
+            stopDensityFor(TF.EnStopwords)) { case (els, (lang, words)) =>
+            when(col(lc) === lang, stopDensityFor(words)).otherwise(els)
+          }
+      })
+      .withColumn("__stop_thresh", langCol match {
+        case None => lit(MinStopDensity)
+        case Some(lc) =>
+          when(col(lc) === "zh", lit(0.0)).otherwise(lit(MinStopDensity))
+      })
       .withColumn("decision",
         when(col("link_density") > lit(MaxLinkDensity), "boilerplate")
           .when(col("n_words") < MinWords, "short")
-          .when(col("stop_density") < MinStopDensity, "neargood")
+          .when(col("stop_density") < col("__stop_thresh"), "neargood")
           .otherwise("good"))
-      .drop("__lc")
+      .drop("__lc", "__stop_thresh")
   }
 
   /** jusText's CONTEXT-SENSITIVE second pass: `short` and `neargood`
@@ -198,9 +244,12 @@ object Extract {
     * keeps the context-sensitive pass's `good` blocks ([[refine]]);
     * otherwise the context-free `good`+`neargood`. */
   def extractText(df: DataFrame, htmlCol: String, idCol: String,
-                  refined: Boolean = false): DataFrame = {
-    val titled = df.select(col(idCol), title(col(htmlCol)).as("title"), col(htmlCol))
-    val seg = segments(titled, htmlCol)
+                  refined: Boolean = false,
+                  langCol: Option[String] = None): DataFrame = {
+    val keep = Seq(col(idCol), title(col(htmlCol)).as("title"), col(htmlCol)) ++
+      langCol.map(col)
+    val titled = df.select(keep: _*)
+    val seg = segments(titled, htmlCol, langCol)
     val blocks =
       if (refined) refine(seg, idCol).where(col("final_decision") === "good")
       else seg.where(col("decision").isin("good", "neargood"))

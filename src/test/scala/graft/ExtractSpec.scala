@@ -135,6 +135,50 @@ class ExtractSpec extends AnyFunSuite {
     assert(t.getAs[String]("clean_text").startsWith("the cat sat"))
   }
 
+  test("quote-aware tag strip: '>' inside a quoted attribute value") {
+    // naive <[^>]*> truncates at the > inside alt="..." and leaks `b">`
+    val t = texts(page("""<p>before <img alt="a>b"> after middle words</p>"""))
+    assert(t == Seq("before after middle words"))
+    // single-quoted attributes too, and inside anchors (link_density path)
+    val rows = segs(page(
+      """<div><a href='/x' title='1>2'>click here now</a></div>"""))
+    assert(rows.head.getAs[String]("text") == "click here now")
+    assert(rows.head.getAs[String]("decision") == "boilerplate",
+      "all text is anchor text despite the quoted '>'")
+    // title attribute-laden with quoted '>'
+    val tt = Seq((1L, """<html><head><title data-x="a>b">Real Title</title></head><body><p>x</p></body></html>"""))
+      .toDF("id", "html").select(graft.operators.Extract.title(col("html")).as("t"))
+      .as[String].head()
+    assert(tt == "Real Title")
+  }
+
+  test("per-language stopword gates: lang column picks the stoplist; zh bypasses") {
+    val de = "der große Hund und die kleine Katze ist nicht mit einem Vogel hier"
+    val zh = "数据 系统 查询 快速 合并 窗口 流 处理 表 行 列 值"
+    val en = "the quick brown fox jumps over the lazy dog in a field"
+    val df = Seq(
+      (1L, "de", page(s"<p>$de</p>")),
+      (2L, "zh", page(s"<p>$zh</p>")),
+      (3L, "en", page(s"<p>$en</p>")),
+      (4L, "xx", page(s"<p>$en</p>")) // unknown lang → English fallback
+    ).toDF("id", "lang", "html")
+    val gated = Extract.segments(df, "html", langCol = Some("lang"))
+      .select("id", "decision", "stop_density")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(gated.map(_._2) == Seq("good", "good", "good", "good"),
+      s"per-lang gates classify native prose good: $gated")
+    assert(gated(0)._3 > 0.3, "German stoplist scores German prose")
+    assert(gated(1)._3 == 0.0, "zh: empty stoplist, gate bypassed")
+    // the en-only default misclassifies the same German/zh prose
+    val unGated = Extract.segments(df, "html")
+      .select("id", "decision").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(unGated.map(_._2) == Seq("neargood", "neargood", "good", "good"))
+    // extractText threads the lang column through to the gates
+    val ext = Extract.extractText(df, "html", "id", langCol = Some("lang"))
+      .orderBy("id").select("n_blocks_kept").as[Long].collect().toSeq
+    assert(ext == Seq(1L, 1L, 1L, 1L))
+  }
+
   test("plan shape: no UDFs, extraction is a single Generate over codegen'd expressions") {
     val df = Extract.segments(Seq((1L, page("<p>a b c</p>"))).toDF("id", "html"), "html")
     val plan = df.queryExecution.executedPlan.toString

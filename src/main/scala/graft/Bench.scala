@@ -98,7 +98,8 @@ object Bench {
     "q226_robots_filter",
     "q227_robots_wildcards",
     "q228_warc_framed",
-    "q229_extract_lang"
+    "q229_extract_lang",
+    "q230_url_normalize"
   )
 
   def main(args: Array[String]): Unit = {

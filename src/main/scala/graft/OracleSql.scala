@@ -2450,6 +2450,25 @@ object OracleSql {
         |SELECT doc_id, variant::INT AS variant, url, canonical,
         |  (variant = min(variant) OVER (PARTITION BY canonical))::INT AS is_survivor
         |FROM n ORDER BY doc_id, variant""".stripMargin,
+    // q230: dot-segment + percent-encoding normalization — the fixture
+    // is arithmetic, so the canonical form states analytically: /./ and
+    // /../ cancel, %2D/%7e decode (unreserved), %2f uppercases only
+    "q230_url_normalize" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |v AS (
+        |  SELECT doc_id, 1 AS variant,
+        |    'http://graft.test/./docs/../page%2Findex%2D' || doc_id ||
+        |      '?x=%7euser&y=%2f' AS url FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 2,
+        |    'http://graft.test/page%2Findex-' || doc_id ||
+        |      '?x=~user&y=%2F' FROM d),
+        |n AS (SELECT doc_id, variant, url,
+        |  'http://graft.test/page%2Findex-' || doc_id || '?x=~user&y=%2F'
+        |    AS canonical FROM v)
+        |SELECT doc_id, variant::INT AS variant, url, canonical,
+        |  (variant = min(variant) OVER (PARTITION BY canonical))::INT AS is_survivor
+        |FROM n ORDER BY doc_id, variant""".stripMargin,
     // q222: the context-sensitive refinement — the window pass replays
     // in SQL over the same analytically-derived block relation
     "q222_html_refine" ->

@@ -176,6 +176,31 @@ private[graft] trait QueriesExtract extends QueryBase {
       .orderBy(col("doc_id"), col("variant"))
   }
 
+  /** q230 — URL normalization COMPLETENESS (RFC 3986 §6.2.2): dotted
+    * path spellings (`/./`, `/../`) and gratuitous percent-encodings
+    * (`%2D`→`-`, `%7e`→`~`, `%2f`→`%2F` — reserved stays encoded,
+    * hex uppercases) collapse onto the already-normal spelling; the
+    * oracle states the canonical form analytically, so any deviation in
+    * the dot-segment stack or the percent decoder hash-fails. */
+  private[graft] def q230(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col("doc_id").cast("string")
+    val v1 = concat(lit("http://graft.test/./docs/../page%2Findex%2D"), id,
+      lit("?x=%7euser&y=%2f"))
+    val v2 = concat(lit("http://graft.test/page%2Findex-"), id,
+      lit("?x=~user&y=%2F"))
+    T(s, dir, "documents")
+      .select(col("doc_id"), posexplode(array(v1, v2)).as(Seq("p", "url")))
+      .withColumn("variant", col("p") + 1)
+      .withColumn("canonical", graft.operators.UrlOps.normalizeUrl(col("url")))
+      .withColumn("is_survivor",
+        (col("variant") === min(col("variant"))
+          .over(Window.partitionBy(col("canonical")))).cast("int"))
+      .select(col("doc_id"), col("variant"), col("url"),
+        col("canonical"), col("is_survivor"))
+      .orderBy(col("doc_id"), col("variant"))
+  }
+
   /** q226 — robots.txt politeness filter (RFC 9309): each source host
     * publishes a policy (with a crawler-specific group on even-numbered
     * hosts); URLs evaluate for the generic agent AND for `graftbot`,

@@ -119,6 +119,17 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
       val in = f.open(p)
       val n = try M.readTree(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
               finally in.close()
+      // the checkpointed origin pins the ANCESTRY being tailed: a
+      // restart with a different (or newly-absent) branch option would
+      // reuse the stored offset against a different snapshot chain and
+      // silently mix them — refuse instead. Origins written before the
+      // branch field existed tailed main (None).
+      val storedBranch = Option(n.get("branch")).map(_.asText).filter(_.nonEmpty)
+      require(storedBranch == branch,
+        s"checkpoint at $metadataPath was created tailing " +
+          s"${storedBranch.getOrElse("main")} but this start names " +
+          s"${branch.getOrElse("main")} — a branch change needs a fresh " +
+          "checkpoint (offsets are ancestry-specific)")
       Origin(n.get("seq").asLong, n.get("snapshotId").asLong,
         n.get("schemaJson").asText,
         Option(n.get("backfill")).forall(_.asBoolean)) // older origins: true
@@ -150,6 +161,7 @@ final class IcebergSource(spark: SparkSession, dir: String, metadataPath: String
         node.put("seq", o.seq); node.put("snapshotId", o.snapshotId)
         node.put("schemaJson", o.schemaJson)
         node.put("backfill", o.backfill)
+        branch.foreach(node.put("branch", _))
         out.write(M.writeValueAsBytes(node))
       } finally out.close()
       if (!f.rename(tmp, p)) { f.delete(tmp, false); load() } else o

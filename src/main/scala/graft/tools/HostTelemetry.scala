@@ -25,6 +25,29 @@ object HostTelemetry {
       } finally src.close()
     } catch { case _: Throwable => Map.empty }
 
+  /** Driver-JVM resident set size in MiB (`VmRSS` of /proc/self/status);
+    * -1 when unreadable. Rising rss across the per-query series points a
+    * slow block at memory pressure rather than CPU contention. */
+  def rssMb(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/status")
+      try src.getLines().find(_.startsWith("VmRSS:"))
+        .flatMap(_.split("\\s+").lift(1)).flatMap(_.toLongOption)
+        .map(_ / 1024).getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+
+  /** Per-query JSON object for one bracketed sample pair + rss:
+    * `{"sec":S,"steal":…,"iowait":…,"busy":…,"total":…,"rss_mb":…}`. */
+  def perQueryJson(sec: Double, before: Map[String, Long],
+                   after: Map[String, Long], rss: Long): String = {
+    def d(k: String) = math.max(0L, after.getOrElse(k, 0L) - before.getOrElse(k, 0L))
+    val total = Seq("user", "nice", "system", "idle",
+      "iowait", "irq", "softirq", "steal").map(d).sum
+    val busy = total - d("idle") - d("iowait")
+    f"""{"sec":$sec%.3f,"steal":${d("steal")},"iowait":${d("iowait")},"busy":$busy,"total":$total,"rss_mb":$rss}"""
+  }
+
   /** JSON fields for the delta between two [[cpuTicks]] samples:
     * `"steal_ticks":S,"iowait_ticks":W,"busy_ticks":B,"total_ticks":T`
     * (busy = non-idle non-iowait). Zeros when sampling failed. */

@@ -496,6 +496,38 @@ class IcebergBranchSpec extends AnyFunSuite {
     assert(mainCh.select("id").as[Long].collect().toSet == Set(0L))
   }
 
+  test("checkpointed origin pins the branch: restart with another refuses") {
+    val tmp = Files.createTempDirectory("graft-wap-brpin").toString
+    val dir = s"$tmp/t"
+    IcebergWrite.append(Seq((0L, "seed")).toDF("id", "name"), dir)
+    IcebergWrite.createBranch(spark, dir, "audit")
+    def run(opts: Map[String, String]): Unit = {
+      var r = spark.readStream.format("graft-iceberg")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(dir).writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => () }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(Map("branch" -> "audit"))
+    // same branch restarts cleanly on the same checkpoint
+    run(Map("branch" -> "audit"))
+    // a different ancestry against the stored offsets must refuse:
+    // dropping the option (main) and naming another branch both fail
+    val e1 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(Map.empty)
+    }
+    assert(e1.getMessage.contains("branch") ||
+      Option(e1.getCause).exists(_.getMessage.contains("branch")))
+    IcebergWrite.createBranch(spark, dir, "other")
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(Map("branch" -> "other"))
+    }
+    assert(e2.getMessage.contains("ancestry-specific") ||
+      Option(e2.getCause).exists(_.getMessage.contains("ancestry-specific")))
+  }
+
   test("streaming sink lands batches on a branch, exactly-once") {
     val tmp = Files.createTempDirectory("graft-wap-stream").toString
     val dir = s"$tmp/t"

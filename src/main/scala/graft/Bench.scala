@@ -99,7 +99,8 @@ object Bench {
     "q227_robots_wildcards",
     "q228_warc_framed",
     "q229_extract_lang",
-    "q230_url_normalize"
+    "q230_url_normalize",
+    "q231_corpus_front_door"
   )
 
   def main(args: Array[String]): Unit = {

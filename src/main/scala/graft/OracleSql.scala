@@ -2392,6 +2392,32 @@ object OracleSql {
          |    WHEN stop_density_en < 0.05 THEN 'neargood'
          |    ELSE 'good' END AS decision_en
          |FROM d ORDER BY doc_id""".stripMargin,
+    // q231: the full front door — WARC(framed, per-record charset) →
+    // extract(per-lang gates) → langId → quality → fingerprint →
+    // survivors. The fixture page reduces to one content block (nav is
+    // boilerplate, footer short), so the oracle derives clean_text
+    // analytically and replays every downstream stage with the SHARED
+    // formula snippets (normSql/qualitySql/langCase — the same strings
+    // q21/q24/q25 are verified against)
+    "q231_corpus_front_door" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CASE lang
+         |    WHEN 'de' THEN 'der große Datensatz und die schnelle Abfrage ist nicht klein mit Daten'
+         |    WHEN 'es' THEN 'el sistema de datos es una consulta que sirve para los casos'
+         |    WHEN 'fr' THEN 'le système est dans une grande base pour les données du groupe'
+         |    WHEN 'zh' THEN '数据 系统 查询 快速 合并 窗口 流 处理'
+         |    ELSE 'the data system is a fast query and it works for the team'
+         |  END || ' ' || text AS raw FROM documents),
+         |c AS (SELECT doc_id, lang, trim(regexp_replace(raw, '\\s+', ' ', 'g')) AS text FROM t),
+         |f AS (SELECT doc_id, lang, text,
+         |   md5($normSql) AS fingerprint,
+         |   $qualitySql AS quality,
+         |   $langCase AS lang_pred
+         |  FROM c)
+         |SELECT doc_id, lang, 'Doc ' || doc_id AS title, 1::BIGINT AS n_blocks_kept,
+         |  lang_pred, quality, fingerprint,
+         |  (doc_id = min(doc_id) OVER (PARTITION BY fingerprint))::INT AS is_survivor
+         |FROM f ORDER BY doc_id""".stripMargin,
     // q228: length-framed WARC — every page body embeds the record
     // marker and is ISO-8859-1 encoded; the framed reader must
     // round-trip bytes exactly, so the oracle rebuilds body, version

@@ -354,6 +354,70 @@ private[graft] trait QueriesExtract extends QueryBase {
       .orderBy(col("doc_id"))
   }
 
+  /** q231 — the REAL-CORPUS FRONT DOOR, end-to-end in one plan: per-
+    * language pages serialize into length-framed member-gzipped WARC
+    * archives (zh pages UTF-8, the rest ISO-8859-1 — per-record charset
+    * dispatch), the framed reader decodes them, extraction runs with the
+    * per-language stopword gates (lang from the URI path, the crawl
+    * convention), and the clean text feeds the downstream text plane:
+    * language-ID, quality score, fingerprint, and exact-dedup survivor
+    * flags. Every stage's value is replayed analytically by the oracle. */
+  private[graft] def q231(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val tmp = graft.io.TempDirs.scratch("graft-q231")
+    val arch = s"$tmp/arch"
+    new java.io.File(arch).mkdirs()
+    val prefixes = Map(
+      "de" -> "der große Datensatz und die schnelle Abfrage ist nicht klein mit Daten",
+      "es" -> "el sistema de datos es una consulta que sirve para los casos",
+      "fr" -> "le système est dans une grande base pour les données du groupe",
+      "zh" -> "数据 系统 查询 快速 合并 窗口 流 处理",
+      "en" -> "the data system is a fast query and it works for the team")
+    T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .foreachPartition { (it: Iterator[(Long, String, String)]) =>
+        if (it.hasNext) {
+          val name = java.util.UUID.randomUUID().toString
+          val fos = new java.io.FileOutputStream(s"$arch/$name.warc.gz")
+          it.foreach { case (id, lang, text) =>
+            val body = s"<html><head><title>Doc $id</title></head><body>" +
+              """<nav><a href="/">Home</a> <a href="/x">More</a></nav>""" +
+              s"<p>${prefixes(lang)} $text</p>" +
+              "<footer>Copyright graft</footer></body></html>"
+            val (label, cs) =
+              if (lang == "zh") ("utf-8", "UTF-8")
+              else ("iso-8859-1", "ISO-8859-1")
+            val bytes = graft.io.WarcFraming.responseRecordBytes(
+              s"https://graft.test/$lang/doc/$id", body, "1.0",
+              s"text/html; charset=$label", cs)
+            val g = new java.util.zip.GZIPOutputStream(fos)
+            g.write(bytes); g.finish() // one gzip member per record
+          }
+          fos.close()
+        }
+      }
+    val resp = graft.io.WarcReader.recordsFramed(s, arch)
+      .where(col("record_type") === "response" && col("http_status") === 200)
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        regexp_extract(col("target_uri"), "^https://graft\\.test/([a-z]+)/", 1)
+          .as("lang"),
+        col("payload").as("html"))
+    val ext = Extract.extractText(resp, "html", "doc_id",
+      langCol = Some("lang"))
+    TF.withLangId(ext, "clean_text", "lang_pred")
+      .withColumn("quality", TF.qualityScore(col("clean_text")))
+      .withColumn("fingerprint", TF.fingerprint(col("clean_text")))
+      .withColumn("is_survivor",
+        (col("doc_id") === min(col("doc_id"))
+          .over(Window.partitionBy(col("fingerprint")))).cast("int"))
+      .select(col("doc_id"), col("lang"), col("title"), col("n_blocks_kept"),
+        col("lang_pred"), col("quality"), col("fingerprint"), col("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q219 — full extraction: title + clean text + the q24 quality score of
     * the extracted text (proving the extractor feeds the downstream text
     * plane unchanged). */

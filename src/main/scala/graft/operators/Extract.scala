@@ -242,7 +242,10 @@ object Extract {
     * the segmented blocks — shuffles on the id column only, carrying the
     * compact block structs, never the raw HTML. With `refined = true`,
     * keeps the context-sensitive pass's `good` blocks ([[refine]]);
-    * otherwise the context-free `good`+`neargood`. */
+    * otherwise the context-free `good`+`neargood`. With `langCol`, the
+    * per-language gates apply ([[segments]]) and the column rides
+    * through the aggregate (it is per-document, so it joins the group
+    * keys for free). */
   def extractText(df: DataFrame, htmlCol: String, idCol: String,
                   refined: Boolean = false,
                   langCol: Option[String] = None): DataFrame = {
@@ -253,7 +256,7 @@ object Extract {
     val blocks =
       if (refined) refine(seg, idCol).where(col("final_decision") === "good")
       else seg.where(col("decision").isin("good", "neargood"))
-    blocks.groupBy(col(idCol), col("title"))
+    blocks.groupBy(Seq(col(idCol)) ++ langCol.map(col) :+ col("title"): _*)
       .agg(
         array_join(
           transform(array_sort(collect_list(struct(col("block_idx"), col("text")))),

@@ -91,7 +91,9 @@ object ScaleSmoke {
       "q215_iceberg_defaults", "q216_iceberg_wap", "q217_changelog_rollback",
       "q218_html_blocks", "q219_html_extract", "q220_iceberg_cherrypick",
       "q221_branch_stream", "q222_html_refine", "q223_warc_extract",
-      "q224_warc_stream", "q225_url_dedup", "q226_robots_filter")
+      "q224_warc_stream", "q225_url_dedup", "q226_robots_filter",
+      "q227_robots_wildcards", "q228_warc_framed", "q229_extract_lang",
+      "q230_url_normalize", "q231_corpus_front_door")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   * matching), longest-PATTERN-wins (§2.2.2's most-octets rule, ranked
   * on the rule path as written), allow-wins-ties, no-match ⇒ allowed,
   * empty `Disallow:` ⇒ no restriction (but still a group-terminating
-  * rule line), agent names matched case-insensitively (§2.2.1).
-  * Documented subset: agent selection is whole-token equality (the
-  * RFC's most-specific-substring refinement for versioned tokens like
-  * `graftbot/1.2` is out of scope); a `$` not in final position is
-  * literal.
+  * rule line), agent selection per §2.2.1's most-specific match
+  * (case-insensitive prefix of the product token, longest group token
+  * wins — the deployed-parser semantics; see [[evaluate]]).
+  * Documented subset: a `$` not in final position is literal; pass the
+  * bare product token to [[evaluate]] (version suffixes like `/1.2`
+  * are the caller's to strip).
   *
   * Scale shape: robots files are per-HOST and tiny — the parsed rule
   * table broadcasts, URL evaluation is one broadcast join + one
@@ -122,21 +123,29 @@ object Robots {
       .select(col(hostCol), trim(expr("substring(line, 9)")).as("sitemap"))
 
   /** Evaluate URL paths against parsed rules for one crawler agent:
-    * adds `is_allowed` (1/0) to `urls`. Group selection: the agent's own
-    * group when the host declares one, else `*`; agent names compare
-    * case-insensitively. Longest matching PATTERN wins (most octets of
-    * the rule path as written); an allow beats a disallow of equal
-    * length; no match allows. */
+    * adds `is_allowed` (1/0) to `urls`. Group selection follows RFC 9309
+    * §2.2.1's MOST-SPECIFIC match, the way deployed matchers (Google's
+    * open-source parser) implement it: a group applies when its agent
+    * token is a case-insensitive PREFIX of the requesting product token
+    * (`graftbot` matches a crawler calling itself `graftbot-news`), and
+    * among matching groups the longest token wins; no match falls back
+    * to `*`. Pass the product token (no version suffix). Longest
+    * matching PATTERN wins per URL (most octets of the rule path as
+    * written); an allow beats a disallow of equal length; no match
+    * allows. */
   def evaluate(urls: DataFrame, rules: DataFrame, hostCol: String,
                pathCol: String, agent: String = "*"): DataFrame = {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
-    // per host: does a group for this agent exist? (tiny, broadcast)
-    val hasAgent = rules.where(col("agent") === agentLc)
-      .select(col(hostCol).as("__h")).distinct()
-      .withColumn("__has_agent", lit(1))
+    // per host: the most specific matching group token (tiny, broadcast)
+    val best = rules
+      .where(col("agent") =!= "*" && lit(agentLc).startsWith(col("agent")))
+      .groupBy(col(hostCol).as("__h"))
+      .agg(max(length(col("agent"))).as("__bestlen"))
     val scoped = rules
-      .join(broadcast(hasAgent), rules(hostCol) === col("__h"), "left")
-      .where(when(col("__has_agent") === 1, col("agent") === agentLc)
+      .join(broadcast(best), rules(hostCol) === col("__h"), "left")
+      .where(when(col("__bestlen").isNotNull,
+          col("agent") =!= "*" && length(col("agent")) === col("__bestlen") &&
+            lit(agentLc).startsWith(col("agent")))
         .otherwise(col("agent") === "*"))
       .select(col(hostCol).as("__rh"), col("is_allow"), col("rule_path"),
         col("rule_regex"))

@@ -128,6 +128,35 @@ class RobotsSpec extends AnyFunSuite {
       .orderBy("id").select("is_allowed").as[Int].collect().toSeq == Seq(1, 0))
   }
 
+  test("most-specific agent group wins: prefix match, longest token") {
+    val txt =
+      """User-agent: graftbot-news
+        |Disallow: /news/
+        |
+        |User-agent: graftbot
+        |Disallow: /general/
+        |
+        |User-agent: *
+        |Disallow: /all/
+        |""".stripMargin
+    val r = Robots.parseRules(Seq(("h", txt)).toDF("host", "txt"), "txt", "host")
+    val urls = Seq(
+      (1L, "h", "/news/x"), (2L, "h", "/general/x"), (3L, "h", "/all/x")
+    ).toDF("id", "host", "path")
+    def got(agent: String) =
+      Robots.evaluate(urls, r, "host", "path", agent = agent)
+        .orderBy("id").select("is_allowed").as[Int].collect().toSeq
+    // exact token: its own group only
+    assert(got("graftbot-news") == Seq(0, 1, 1))
+    // longer product token falls to the longest matching PREFIX group
+    assert(got("graftbot-image") == Seq(1, 0, 1))
+    // unrelated token: the * group
+    assert(got("unrelated") == Seq(1, 1, 0))
+    // a token the group name only PARTIALLY spells does not match
+    assert(got("graft") == Seq(1, 1, 0),
+      "group tokens must be a prefix of the agent, not vice versa")
+  }
+
   test("crawl-delay attaches per group agent; sitemaps are host-wide") {
     val txt =
       """Sitemap: https://h.test/sitemap.xml

@@ -49,7 +49,18 @@ object WarcFraming {
   private val BoundaryPat = "\r\nWARC/1.".getBytes(Iso)
 
   private val ClRe = "(?mi)^Content-Length:\\s*(\\d+)\\s*$".r
-  private val CharsetRe = "(?i)charset=\"?([A-Za-z0-9_][A-Za-z0-9_\\-.:]*)".r
+  private val CharsetRe = "(?i)charset=\"?'?([A-Za-z0-9_][A-Za-z0-9_\\-.:]*)".r
+
+  /** HTML5 in-document encoding declarations, for pages whose HTTP
+    * header names no charset: `<meta charset="…">` and the legacy
+    * `<meta http-equiv="Content-Type" content="…; charset=…">`. The
+    * sniff scans only the first [[MetaSniffLimit]] bytes decoded as
+    * ISO-8859-1 (byte-transparent for the ASCII-compatible encodings
+    * such declarations are legal in — the same prescan window browsers
+    * use). */
+  private val MetaCharsetRe =
+    "(?is)<meta\\s[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_][A-Za-z0-9_\\-.:]*)".r
+  private val MetaSniffLimit = 1024
 
   /** Decode bytes with a named charset, replacing malformed input; falls
     * back to UTF-8 when the name is unknown to the JVM. */
@@ -64,15 +75,22 @@ object WarcFraming {
   }
 
   /** Decode a record payload: for `application/http` records the body
-    * decodes per the HTTP envelope's Content-Type charset; everything
-    * else (and envelope-less payloads) decodes UTF-8 with replacement. */
+    * decodes per the HTTP envelope's Content-Type charset, falling back
+    * to an HTML `<meta charset>` prescan of the body's first KB (real
+    * pages routinely omit the header parameter and declare in-document),
+    * then UTF-8; everything else (and envelope-less payloads) decodes
+    * UTF-8 with replacement. */
   private[io] def decodePayload(payload: Array[Byte], warcHeaders: String): String = {
     val isHttp = warcHeaders.toLowerCase.contains("application/http")
     val envEnd = if (isHttp) indexOfSeq(payload, "\r\n\r\n".getBytes(Iso), 0) else -1
     if (envEnd < 0) decode(payload, 0, payload.length, "UTF-8")
     else {
       val env = new String(payload, 0, envEnd + 4, Iso)
-      val cs = CharsetRe.findFirstMatchIn(env).map(_.group(1)).getOrElse("UTF-8")
+      val cs = CharsetRe.findFirstMatchIn(env).map(_.group(1)).orElse {
+        val n = math.min(MetaSniffLimit, payload.length - envEnd - 4)
+        val head = new String(payload, envEnd + 4, math.max(n, 0), Iso)
+        MetaCharsetRe.findFirstMatchIn(head).map(_.group(1))
+      }.getOrElse("UTF-8")
       env + decode(payload, envEnd + 4, payload.length - envEnd - 4, cs)
     }
   }

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * anchors the end of the URL — RFC 9309 §2.2.3, mandatory for
   * matching), longest-PATTERN-wins (§2.2.2's most-octets rule, ranked
   * on the rule path as written), allow-wins-ties, no-match ⇒ allowed,
-  * empty `Disallow:` ⇒ no restriction (but still a group-terminating
-  * rule line), agent selection per §2.2.1's most-specific match
+  * empty `Disallow:` ⇒ no restriction (kept as a zero-length allow so
+  * its group still claims its agents), agent selection per §2.2.1's
+  * most-specific match
   * (case-insensitive prefix of the product token, longest group token
   * wins — the deployed-parser semantics; see [[evaluate]]).
   * Documented subset: a `$` not in final position is literal; pass the
@@ -82,17 +83,23 @@ object Robots {
 
   /** Parse robots.txt bodies into one rule per (group agent) per row:
     * (keep cols, rule_idx, agent, is_allow, rule_path, rule_regex).
-    * Blank `Disallow:` lines (no restriction) and comments drop;
-    * consecutive `User-agent` lines each receive the full following
-    * rule block (RFC 9309 multi-agent groups). */
+    * Comments drop; consecutive `User-agent` lines each receive the
+    * full following rule block (RFC 9309 multi-agent groups). An empty
+    * `Disallow:`/`Allow:` (no restriction) is KEPT as a zero-length
+    * ALLOW rule — it never outranks a real match (0 octets), but it
+    * keeps its group visible to agent selection, so
+    * `User-agent: somebot` + `Disallow:` correctly grants somebot its
+    * own permissive group instead of falling back to `*`'s
+    * restrictions. */
   def parseRules(df: DataFrame, textCol: String, hostCol: String): DataFrame = {
     val ls = classified(df, textCol, hostCol)
     val rules = ls.where(col("__is_rule") && col("grp").isNotNull)
-      .withColumn("is_allow",
-        when(lower(col("line")).startsWith("allow:"), lit(1)).otherwise(lit(0)))
       .withColumn("rule_path",
         trim(expr("substring(line, instr(line, ':') + 1)")))
-      .where(length(col("rule_path")) > 0) // empty Disallow: = no rule
+      .withColumn("is_allow",
+        when(length(col("rule_path")) === 0, lit(1)) // no-restriction no-op
+          .when(lower(col("line")).startsWith("allow:"), lit(1))
+          .otherwise(lit(0)))
       .select(col(hostCol), col("grp"), col("line_no").as("rule_idx"),
         col("is_allow"), col("rule_path"))
     rules.join(broadcast(agentsOf(ls, hostCol)), Seq(hostCol, "grp"))

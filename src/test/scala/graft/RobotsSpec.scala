@@ -23,7 +23,7 @@ class RobotsSpec extends AnyFunSuite {
   private def rules() =
     Robots.parseRules(Seq(("h1", robots)).toDF("host", "txt"), "txt", "host")
 
-  test("parse: groups attribute, comments and empty Disallow drop") {
+  test("parse: groups attribute, comments drop, empty Disallow is a no-op allow") {
     val r = rules().orderBy("rule_idx")
       .select("agent", "is_allow", "rule_path")
       .as[(String, Int, String)].collect().toSeq
@@ -31,7 +31,19 @@ class RobotsSpec extends AnyFunSuite {
       ("*", 0, "/private/"),
       ("*", 1, "/private/pub/"),
       ("*", 0, "/tmp"),
+      ("*", 1, ""), // empty Disallow: zero-length allow, never outranks
       ("graftbot", 0, "/docs/")))
+  }
+
+  test("an empty-Disallow group still claims its agent (permissive override)") {
+    val txt = "User-agent: *\nDisallow: /\n\nUser-agent: nicebot\nDisallow:\n"
+    val r = Robots.parseRules(Seq(("h", txt)).toDF("host", "txt"), "txt", "host")
+    val urls = Seq((1L, "h", "/x"), (2L, "h", "/")).toDF("id", "host", "path")
+    assert(Robots.evaluate(urls, r, "host", "path", agent = "nicebot")
+      .orderBy("id").select("is_allowed").as[Int].collect().toSeq == Seq(1, 1),
+      "nicebot's own no-restriction group replaces *'s deny-all")
+    assert(Robots.evaluate(urls, r, "host", "path")
+      .orderBy("id").select("is_allowed").as[Int].collect().toSeq == Seq(0, 0))
   }
 
   test("evaluate: longest match wins, allow beats disallow ties, no match allows") {

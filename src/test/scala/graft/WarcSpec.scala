@@ -230,6 +230,30 @@ class WarcSpec extends AnyFunSuite {
       "latin-1 bytes decode via the declared charset, not garbled UTF-8")
   }
 
+  test("framed: <meta charset> prescan decides when the HTTP header is silent") {
+    val dir = Files.createTempDirectory("graft-warc-meta").toString
+    val latin = "<html><head><meta charset=\"iso-8859-1\"></head>" +
+      "<body><p>fenêtre déjà très tôt</p></body></html>"
+    val legacy = "<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=ISO-8859-1\"></head>" +
+      "<body><p>straße größer</p></body></html>"
+    val plainUtf = "<html><body><p>日本語 page with no declaration</p></body></html>"
+    val recs = Seq(
+      // NO charset parameter in the HTTP header — only the meta tag knows
+      WarcFraming.responseRecordBytes("https://g.test/meta", latin,
+        "1.0", "text/html", "ISO-8859-1"),
+      WarcFraming.responseRecordBytes("https://g.test/legacy", legacy,
+        "1.0", "text/html", "ISO-8859-1"),
+      // nothing declared anywhere → UTF-8 fallback
+      WarcFraming.responseRecordBytes("https://g.test/utf", plainUtf,
+        "1.0", "text/html", "UTF-8"))
+    writeArchive(s"$dir/a.warc", recs, gzip = false)
+    val got = WarcReader.recordsFramed(spark, s"$dir/a.warc")
+      .orderBy("target_uri").select("payload").as[String].collect().toSeq
+    assert(got == Seq(legacy, latin, plainUtf),
+      "meta/http-equiv declarations decode latin-1 bytes; fallback stays UTF-8")
+  }
+
   test("framed: corrupt Content-Length resyncs and surfaces frame_ok=false") {
     val dir = Files.createTempDirectory("graft-warc-bad").toString
     val good = WarcFraming.responseRecordBytes("https://g.test/good",

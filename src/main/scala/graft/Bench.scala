@@ -100,7 +100,8 @@ object Bench {
     "q228_warc_framed",
     "q229_extract_lang",
     "q230_url_normalize",
-    "q231_corpus_front_door"
+    "q231_corpus_front_door",
+    "q232_crawl_schedule"
   )
 
   def main(args: Array[String]): Unit = {

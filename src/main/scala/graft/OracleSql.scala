@@ -2476,6 +2476,17 @@ object OracleSql {
         |SELECT doc_id, variant::INT AS variant, url, canonical,
         |  (variant = min(variant) OVER (PARTITION BY canonical))::INT AS is_survivor
         |FROM n ORDER BY doc_id, variant""".stripMargin,
+    // q232: politeness scheduling — per-host row numbering × the host's
+    // declared (or default) crawl delay replays directly in SQL
+    "q232_crawl_schedule" ->
+      """WITH u AS (SELECT doc_id, source, '/docs/' || doc_id AS path,
+        |    CAST(regexp_extract(source, '(\d+)$', 1) AS INT) AS sn FROM documents),
+        |d AS (SELECT *, CASE WHEN sn % 2 = 0 THEN sn % 3 + 0.5 ELSE 1.0 END AS delay,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS fetch_seq
+        |  FROM u)
+        |SELECT doc_id, source, path, fetch_seq::INT AS fetch_seq,
+        |  fetch_seq * delay AS fetch_offset_s
+        |FROM d ORDER BY doc_id""".stripMargin,
     // q230: dot-segment + percent-encoding normalization — the fixture
     // is arithmetic, so the canonical form states analytically: /./ and
     // /../ cancel, %2D/%7e decode (unreserved), %2f uppercases only

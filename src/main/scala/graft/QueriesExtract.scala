@@ -201,6 +201,32 @@ private[graft] trait QueriesExtract extends QueryBase {
       .orderBy(col("doc_id"), col("variant"))
   }
 
+  /** q232 — politeness-aware fetch scheduling: even-numbered hosts
+    * declare a `Crawl-delay` for graftbot, odd hosts fall back to the
+    * crawler's default spacing; each host's URLs schedule
+    * `fetch_seq × delay` seconds apart in doc order. The oracle
+    * replays the per-host row numbering and both delay sources. */
+  private[graft] def q232(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Robots
+    val docs = T(s, dir, "documents")
+    val srcNum = regexp_extract(col("source"), "(\\d+)$", 1).cast("int")
+    val hosts = docs.select(col("source")).distinct()
+      .withColumn("robots",
+        when(srcNum % 2 === 0, concat(
+          lit("User-agent: graftbot\nDisallow: /private/\nCrawl-delay: "),
+          (srcNum % 3).cast("string"), lit(".5\n")))
+          .otherwise(lit("User-agent: *\nDisallow: /private/\n")))
+    val delays = Robots.crawlDelays(hosts, "robots", "source")
+      .where(col("agent") === "graftbot")
+      .select(col("source"), col("crawl_delay"))
+    val urls = docs.select(col("doc_id"), col("source"),
+      concat(lit("/docs/"), col("doc_id").cast("string")).as("path"))
+    Robots.schedule(urls, delays, "source", "doc_id", defaultDelay = 1.0)
+      .select(col("doc_id"), col("source"), col("path"),
+        col("fetch_seq"), col("fetch_offset_s"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q226 — robots.txt politeness filter (RFC 9309): each source host
     * publishes a policy (with a crawler-specific group on even-numbered
     * hosts); URLs evaluate for the generic agent AND for `graftbot`,
@@ -288,29 +314,18 @@ private[graft] trait QueriesExtract extends QueryBase {
     * oracle re-derives version, byte length, and the decoded payload
     * analytically. */
   private[graft] def q228(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val tmp = graft.io.TempDirs.scratch("graft-q228")
     val arch = s"$tmp/arch"
-    new java.io.File(arch).mkdirs()
-    T(s, dir, "documents").select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .foreachPartition { (it: Iterator[(Long, String)]) =>
-        if (it.hasNext) {
-          val name = java.util.UUID.randomUUID().toString
-          val fos = new java.io.FileOutputStream(s"$arch/$name.warc.gz")
-          it.foreach { case (id, text) =>
-            val body = "<html><body><p>a page about\r\nWARC/1.0\r\nrecords" +
-              "</p><p>café déjà-vu à la «mode» " + text + "</p></body></html>"
-            val bytes = graft.io.WarcFraming.responseRecordBytes(
-              s"https://graft.test/doc/$id", body,
-              if (id % 2 == 0) "1.0" else "1.1",
-              "text/html; charset=iso-8859-1", "ISO-8859-1")
-            val g = new java.util.zip.GZIPOutputStream(fos)
-            g.write(bytes); g.finish() // one gzip member per record
-          }
-          fos.close()
-        }
-      }
+    val pages = T(s, dir, "documents").select(
+      concat(lit("https://graft.test/doc/"), col("doc_id").cast("string"))
+        .as("uri"),
+      concat(lit("<html><body><p>a page about\r\nWARC/1.0\r\nrecords" +
+          "</p><p>café déjà-vu à la «mode» "), col("text"),
+        lit("</p></body></html>")).as("body"),
+      when(col("doc_id") % 2 === 0, "1.0").otherwise("1.1").as("warc_version"),
+      lit("text/html; charset=iso-8859-1").as("content_type"),
+      lit("ISO-8859-1").as("charset"))
+    graft.io.WarcWriter.writeArchives(pages, "uri", "body", arch)
     graft.io.WarcReader.recordsFramed(s, arch)
       .select(
         regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
@@ -364,39 +379,29 @@ private[graft] trait QueriesExtract extends QueryBase {
     * flags. Every stage's value is replayed analytically by the oracle. */
   private[graft] def q231(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import s.implicits._
     val tmp = graft.io.TempDirs.scratch("graft-q231")
     val arch = s"$tmp/arch"
-    new java.io.File(arch).mkdirs()
-    val prefixes = Map(
-      "de" -> "der große Datensatz und die schnelle Abfrage ist nicht klein mit Daten",
-      "es" -> "el sistema de datos es una consulta que sirve para los casos",
-      "fr" -> "le système est dans une grande base pour les données du groupe",
-      "zh" -> "数据 系统 查询 快速 合并 窗口 流 处理",
-      "en" -> "the data system is a fast query and it works for the team")
-    T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
-      .as[(Long, String, String)]
-      .foreachPartition { (it: Iterator[(Long, String, String)]) =>
-        if (it.hasNext) {
-          val name = java.util.UUID.randomUUID().toString
-          val fos = new java.io.FileOutputStream(s"$arch/$name.warc.gz")
-          it.foreach { case (id, lang, text) =>
-            val body = s"<html><head><title>Doc $id</title></head><body>" +
-              """<nav><a href="/">Home</a> <a href="/x">More</a></nav>""" +
-              s"<p>${prefixes(lang)} $text</p>" +
-              "<footer>Copyright graft</footer></body></html>"
-            val (label, cs) =
-              if (lang == "zh") ("utf-8", "UTF-8")
-              else ("iso-8859-1", "ISO-8859-1")
-            val bytes = graft.io.WarcFraming.responseRecordBytes(
-              s"https://graft.test/$lang/doc/$id", body, "1.0",
-              s"text/html; charset=$label", cs)
-            val g = new java.util.zip.GZIPOutputStream(fos)
-            g.write(bytes); g.finish() // one gzip member per record
-          }
-          fos.close()
-        }
-      }
+    val prefix = when(col("lang") === "de",
+        lit("der große Datensatz und die schnelle Abfrage ist nicht klein mit Daten"))
+      .when(col("lang") === "es",
+        lit("el sistema de datos es una consulta que sirve para los casos"))
+      .when(col("lang") === "fr",
+        lit("le système est dans une grande base pour les données du groupe"))
+      .when(col("lang") === "zh", lit("数据 系统 查询 快速 合并 窗口 流 处理"))
+      .otherwise(lit("the data system is a fast query and it works for the team"))
+    val pages = T(s, dir, "documents").select(
+      concat(lit("https://graft.test/"), col("lang"), lit("/doc/"),
+        col("doc_id").cast("string")).as("uri"),
+      concat(lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title></head><body>" +
+          """<nav><a href="/">Home</a> <a href="/x">More</a></nav>""" + "<p>"),
+        prefix, lit(" "), col("text"),
+        lit("</p><footer>Copyright graft</footer></body></html>")).as("body"),
+      lit("1.0").as("warc_version"),
+      when(col("lang") === "zh", "text/html; charset=utf-8")
+        .otherwise("text/html; charset=iso-8859-1").as("content_type"),
+      when(col("lang") === "zh", "UTF-8").otherwise("ISO-8859-1").as("charset"))
+    graft.io.WarcWriter.writeArchives(pages, "uri", "body", arch)
     val resp = graft.io.WarcReader.recordsFramed(s, arch)
       .where(col("record_type") === "response" && col("http_status") === 200)
       .select(

@@ -129,6 +129,33 @@ object Robots {
       .where(lower(col("line")).startsWith("sitemap:"))
       .select(col(hostCol), trim(expr("substring(line, 9)")).as("sitemap"))
 
+  /** Politeness-aware fetch scheduling — what `Crawl-delay` is FOR:
+    * per host, URLs are spaced `crawl_delay` seconds apart in
+    * `orderCol` order, producing the plan a polite fetcher executes.
+    * `delays` carries (hostCol, crawl_delay) rows (e.g.
+    * [[crawlDelays]] filtered to the crawling agent); hosts without a
+    * declared delay use `defaultDelay`. Adds `fetch_seq` (0-based
+    * position within the host's queue) and `fetch_offset_s`
+    * (seq × delay, seconds from the host's first fetch).
+    *
+    * Scale shape: the delay table is per-host tiny (broadcast); the
+    * one window runs per HOST — hosts are a crawl's natural parallel
+    * unit, and a single host's fetch order is inherently sequential
+    * (that is what politeness means), so no cross-host coordination
+    * exists to shuffle. */
+  def schedule(urls: DataFrame, delays: DataFrame, hostCol: String,
+               orderCol: String, defaultDelay: Double = 1.0): DataFrame = {
+    val w = Window.partitionBy(col(hostCol)).orderBy(col(orderCol))
+    urls
+      .join(broadcast(delays.select(col(hostCol).as("__dh"),
+        col("crawl_delay").as("__delay"))),
+        urls(hostCol) === col("__dh"), "left")
+      .withColumn("fetch_seq", row_number().over(w) - 1)
+      .withColumn("fetch_offset_s",
+        col("fetch_seq") * coalesce(col("__delay"), lit(defaultDelay)))
+      .drop("__dh", "__delay")
+  }
+
   /** Evaluate URL paths against parsed rules for one crawler agent:
     * adds `is_allowed` (1/0) to `urls`. Group selection follows RFC 9309
     * §2.2.1's MOST-SPECIFIC match, the way deployed matchers (Google's

@@ -169,6 +169,20 @@ class RobotsSpec extends AnyFunSuite {
       "group tokens must be a prefix of the agent, not vice versa")
   }
 
+  test("schedule: per-host spacing by declared delay, default elsewhere") {
+    val delays = Seq(("slow.test", 2.5)).toDF("host", "crawl_delay")
+    val urls = Seq(
+      (1L, "slow.test"), (2L, "slow.test"), (3L, "slow.test"),
+      (4L, "fast.test"), (5L, "fast.test")
+    ).toDF("id", "host")
+    val got = Robots.schedule(urls, delays, "host", "id", defaultDelay = 1.0)
+      .orderBy("id").select("id", "fetch_seq", "fetch_offset_s")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0, 0.0), (2L, 1, 2.5), (3L, 2, 5.0), // declared 2.5s spacing
+      (4L, 0, 0.0), (5L, 1, 1.0)))              // default 1s spacing
+  }
+
   test("crawl-delay attaches per group agent; sitemaps are host-wide") {
     val txt =
       """Sitemap: https://h.test/sitemap.xml

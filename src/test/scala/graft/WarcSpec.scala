@@ -279,6 +279,30 @@ class WarcSpec extends AnyFunSuite {
       "resync keeps the over-length payload bytes")
   }
 
+  test("WarcWriter: distributed archive sink round-trips through the framed reader") {
+    val dir = Files.createTempDirectory("graft-warc-writer").toString
+    val pages = spark.range(0, 20).select(
+      concat(lit("https://g.test/p/"), col("id")).as("uri"),
+      concat(lit("<p>page body number "), col("id"), lit(" é</p>")).as("body"),
+      when(col("id") % 2 === 0, "1.0").otherwise("1.1").as("warc_version"),
+      lit("text/html; charset=iso-8859-1").as("content_type"),
+      lit("ISO-8859-1").as("charset"))
+      .repartition(4) // several tasks → several archives
+    graft.io.WarcWriter.writeArchives(pages, "uri", "body", s"$dir/gz")
+    graft.io.WarcWriter.writeArchives(pages, "uri", "body", s"$dir/raw", gzip = false)
+    def canon(path: String) = WarcReader.recordsFramed(spark, path)
+      .select("target_uri", "warc_version", "payload", "frame_ok")
+      .as[(String, String, String, Boolean)].collect().sortBy(_._1).toSeq
+    val gz = canon(s"$dir/gz")
+    assert(gz.size == 20 && gz.forall(_._4), "all framed clean")
+    assert(gz == canon(s"$dir/raw"), "gzip members ≡ raw archive")
+    val p7 = gz.find(_._1 == "https://g.test/p/7").get
+    assert(p7._2 == "1.1" && p7._3 == "<p>page body number 7 é</p>",
+      "per-row version + latin-1 byte-exact Content-Length round-trip")
+    assert(new java.io.File(s"$dir/gz").listFiles().count(_.getName.endsWith(".warc.gz")) > 1,
+      "one archive per non-empty partition")
+  }
+
   test("framed streaming: arriving gz archives parse identically to batch") {
     val dir = Files.createTempDirectory("graft-warc-fstream").toString
     val in = s"$dir/in"; new java.io.File(in).mkdirs()

@@ -101,7 +101,8 @@ object Bench {
     "q229_extract_lang",
     "q230_url_normalize",
     "q231_corpus_front_door",
-    "q232_crawl_schedule"
+    "q232_crawl_schedule",
+    "q233_wet_roundtrip"
   )
 
   def main(args: Array[String]): Unit = {

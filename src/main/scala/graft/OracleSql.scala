@@ -2476,6 +2476,18 @@ object OracleSql {
         |SELECT doc_id, variant::INT AS variant, url, canonical,
         |  (variant = min(variant) OVER (PARTITION BY canonical))::INT AS is_survivor
         |FROM n ORDER BY doc_id, variant""".stripMargin,
+    // q233: WET roundtrip — extraction's clean text must survive the
+    // conversion-record framing byte-for-byte, so the oracle is q219's
+    // derivation reduced to its text columns
+    "q233_wet_roundtrip" ->
+      s"""WITH $htmlBlocksCte,
+         |kept AS (SELECT doc_id, block_idx, text FROM m
+         |  WHERE ($htmlDecisionSql) IN ('good', 'neargood')),
+         |agg AS (SELECT doc_id,
+         |    string_agg(text, chr(10) ORDER BY block_idx) AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT doc_id, clean_text, length(clean_text)::BIGINT AS n_chars
+         |FROM agg ORDER BY doc_id""".stripMargin,
     // q232: politeness scheduling — per-host row numbering × the host's
     // declared (or default) crawl delay replays directly in SQL
     "q232_crawl_schedule" ->

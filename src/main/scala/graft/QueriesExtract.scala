@@ -201,6 +201,30 @@ private[graft] trait QueriesExtract extends QueryBase {
       .orderBy(col("doc_id"), col("variant"))
   }
 
+  /** q233 — WET derivation roundtrip (Common Crawl's companion format
+    * for extracted text): the q219 extraction output serializes into
+    * `conversion` records (text/plain, WARC-Refers-To back-links,
+    * octet-exact Content-Length), lands as a .wet archive, and reads
+    * back through the same record source — multi-line clean text
+    * (block-joined with newlines) must survive the record framing
+    * byte-for-byte. Oracle: the q219 derivation, text columns only. */
+  private[graft] def q233(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.io.TempDirs.scratch("graft-q233")
+    val ext = Extract.extractText(withHtml(T(s, dir, "documents")), "html", "doc_id")
+      .withColumn("uri",
+        concat(lit("https://graft.test/doc/"), col("doc_id").cast("string")))
+    graft.io.WarcReader.toWetRecords(ext, "uri", "clean_text")
+      .write.text(s"$tmp/corpus.wet")
+    graft.io.WarcReader.records(s, s"$tmp/corpus.wet")
+      .where(col("record_type") === "conversion")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("payload").as("clean_text"))
+      .withColumn("n_chars", length(col("clean_text")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q232 — politeness-aware fetch scheduling: even-numbered hosts
     * declare a `Crawl-delay` for graftbot, odd hosts fall back to the
     * crawler's default spacing; each host's URLs schedule

@@ -209,6 +209,23 @@ object WarcReader {
       .where(col("record_type") === "response" && col("http_status") === 200)
       .select(col("target_uri"), col("warc_date"), col("payload").as("html"))
 
+  /** Serialize (uri, text) rows into WET-style `conversion` records —
+    * the Common Crawl companion format for EXTRACTED plain text: each
+    * record refers back to the response it was derived from
+    * (`WARC-Refers-To`), carries `Content-Type: text/plain`, and its
+    * `Content-Length` counts the text's UTF-8 octets. One `value`
+    * column out; write with `.text(path)` like [[toWarcRecords]]. */
+  def toWetRecords(df: DataFrame, uriCol: String, textCol: String): DataFrame =
+    df.select(concat(
+      lit("WARC/1.0\r\n"),
+      lit("WARC-Type: conversion\r\n"),
+      lit("WARC-Target-URI: "), col(uriCol), lit("\r\n"),
+      lit("WARC-Refers-To: <urn:graft:"), col(uriCol), lit(">\r\n"),
+      lit("WARC-Date: 2026-01-01T00:00:00Z\r\n"),
+      lit("Content-Type: text/plain\r\n"),
+      lit("Content-Length: "), octet_length(col(textCol)).cast("string"),
+      lit(HeaderEnd), col(textCol)).as("value"))
+
   /** Serialize (uri, html) rows into WARC request/response record pairs —
     * the fixture/export side, also the layout a crawler sink would write.
     * One `value` column out; write with `.text(path)` (records are

@@ -93,7 +93,8 @@ object ScaleSmoke {
       "q221_branch_stream", "q222_html_refine", "q223_warc_extract",
       "q224_warc_stream", "q225_url_dedup", "q226_robots_filter",
       "q227_robots_wildcards", "q228_warc_framed", "q229_extract_lang",
-      "q230_url_normalize", "q231_corpus_front_door", "q232_crawl_schedule")
+      "q230_url_normalize", "q231_corpus_front_door", "q232_crawl_schedule",
+      "q233_wet_roundtrip")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

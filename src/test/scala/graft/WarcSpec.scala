@@ -357,6 +357,28 @@ class WarcSpec extends AnyFunSuite {
       List("https://g.test/1", "https://g.test/2"))
   }
 
+  test("WET conversion records: multi-line extracted text round-trips") {
+    val dir = Files.createTempDirectory("graft-wet").toString
+    val texts = Seq(
+      ("https://g.test/1", "first paragraph\nsecond paragraph\nthird"),
+      ("https://g.test/2", "single block"))
+      .toDF("uri", "txt")
+    WarcReader.toWetRecords(texts, "uri", "txt")
+      .coalesce(1).write.text(s"$dir/c.wet")
+    val recs = WarcReader.records(spark, s"$dir/c.wet").orderBy("target_uri")
+    val rows = recs.select("record_type", "content_type", "target_uri",
+      "payload", "content_length").collect()
+    assert(rows.forall(_.getString(0) == "conversion"))
+    assert(rows.forall(_.getString(1) == "text/plain"))
+    assert(rows(0).getString(3) == "first paragraph\nsecond paragraph\nthird",
+      "interior newlines survive (only the record marker splits)")
+    assert(rows(0).getLong(4) == "first paragraph\nsecond paragraph\nthird".length)
+    // the back-link to the source response record
+    val hdr = WarcReader.toWetRecords(texts, "uri", "txt")
+      .select("value").as[String].head()
+    assert(hdr.contains("WARC-Refers-To: <urn:graft:https://g.test/"))
+  }
+
   test("plan shape: record splitting is a distributed text scan, parsing is codegen") {
     val dir = Files.createTempDirectory("graft-warc-plan").toString
     Seq(("u", "<html><body><p>x</p></body></html>")).toDF("uri", "html")

@@ -102,7 +102,8 @@ object Bench {
     "q230_url_normalize",
     "q231_corpus_front_door",
     "q232_crawl_schedule",
-    "q233_wet_roundtrip"
+    "q233_wet_roundtrip",
+    "q234_crawl_frontier"
   )
 
   def main(args: Array[String]): Unit = {

@@ -2476,6 +2476,19 @@ object OracleSql {
         |SELECT doc_id, variant::INT AS variant, url, canonical,
         |  (variant = min(variant) OVER (PARTITION BY canonical))::INT AS is_survivor
         |FROM n ORDER BY doc_id, variant""".stripMargin,
+    // q234: the crawl frontier — canonical forms, the wildcard deny
+    // (paths ending 0 under /docs/ ⇔ doc_id % 10 = 0), and the
+    // per-host polite numbering all replay analytically
+    "q234_crawl_frontier" ->
+      """WITH d AS (SELECT doc_id, source, lang,
+        |    CAST(regexp_extract(source, '(\d+)$', 1) AS INT) AS sn FROM documents),
+        |c AS (SELECT doc_id, source, sn,
+        |   'http://' || source || '.test/docs/' || lang || '/' || doc_id AS canonical FROM d),
+        |a AS (SELECT * FROM c WHERE doc_id % 10 <> 0),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS fetch_seq FROM a)
+        |SELECT doc_id, source, canonical, fetch_seq::INT AS fetch_seq,
+        |  fetch_seq * (sn % 3 + 0.5) AS fetch_offset_s
+        |FROM f ORDER BY doc_id""".stripMargin,
     // q233: WET roundtrip — extraction's clean text must survive the
     // conversion-record framing byte-for-byte, so the oracle is q219's
     // derivation reduced to its text columns

@@ -251,6 +251,51 @@ private[graft] trait QueriesExtract extends QueryBase {
       .orderBy(col("doc_id"))
   }
 
+  /** q234 — the CRAWL-SIDE capstone, one plan: discovered links in two
+    * raw spellings (case-varied host, default port, dot-segments)
+    * canonicalize, URL-dedup to one survivor per page, evaluate
+    * against each host's wildcard robots policy (paths ending in `0`
+    * under /docs/ are disallowed via a `*…$` pattern), and the allowed
+    * survivors schedule politely per host (declared crawl delays).
+    * The fetch plan a real frontier hands the fetcher fleet. */
+  private[graft] def q234(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Robots
+    import org.apache.spark.sql.expressions.Window
+    val docs = T(s, dir, "documents")
+    val srcNum = regexp_extract(col("source"), "(\\d+)$", 1).cast("int")
+    val id = col("doc_id").cast("string")
+    val v1 = concat(lit("HTTP://"), upper(col("source")),
+      lit(".Test:80/./docs/../docs/"), col("lang"), lit("/"), id)
+    val v2 = concat(lit("http://"), col("source"), lit(".test/docs/"),
+      col("lang"), lit("/"), id)
+    val raw = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(array(v1, v2)).as(Seq("p", "url")))
+      .withColumn("variant", col("p") + 1)
+      .withColumn("canonical", graft.operators.UrlOps.normalizeUrl(col("url")))
+    val survivors = raw
+      .withColumn("__surv",
+        col("variant") === min(col("variant"))
+          .over(Window.partitionBy(col("canonical"))))
+      .where(col("__surv"))
+      .withColumn("path", regexp_replace(col("canonical"), "^https?://[^/]+", ""))
+      .select(col("doc_id"), col("source"), col("canonical"), col("path"))
+    val hosts = docs.select(col("source")).distinct()
+      .withColumn("robots", concat(
+        lit("User-agent: *\nDisallow: /docs/*0$\nCrawl-delay: "),
+        (srcNum % 3).cast("string"), lit(".5\n")))
+    val rules = Robots.parseRules(hosts, "robots", "source")
+    val delays = Robots.crawlDelays(hosts, "robots", "source")
+      .where(col("agent") === "*")
+      .select(col("source"), col("crawl_delay"))
+    val allowed = Robots.evaluate(survivors, rules, "source", "path")
+      .where(col("is_allowed") === 1)
+    Robots.schedule(allowed, delays, "source", "doc_id")
+      .select(col("doc_id"), col("source"), col("canonical"),
+        col("fetch_seq"), col("fetch_offset_s"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q226 — robots.txt politeness filter (RFC 9309): each source host
     * publishes a policy (with a crawler-specific group on even-numbered
     * hosts); URLs evaluate for the generic agent AND for `graftbot`,
@@ -274,10 +319,8 @@ private[graft] trait QueriesExtract extends QueryBase {
         .when(col("doc_id") % 4 === 1, concat(lit("/private/"), id))
         .when(col("doc_id") % 4 === 2, concat(lit("/private/pub/"), id))
         .otherwise(concat(lit("/tmp"), id)).as("path"))
-    val star = Robots.evaluate(urls, rules, "source", "path")
-    val bot = Robots.evaluate(urls, rules, "source", "path", agent = "graftbot")
-      .select(col("doc_id"), col("is_allowed").as("is_allowed_bot"))
-    star.join(bot, "doc_id")
+    Robots.evaluateAgents(urls, rules, "source", "path",
+        Seq("*" -> "is_allowed", "graftbot" -> "is_allowed_bot"))
       .select(col("doc_id"), col("path"), col("is_allowed"),
         col("is_allowed_bot"))
       .orderBy(col("doc_id"))
@@ -311,16 +354,16 @@ private[graft] trait QueriesExtract extends QueryBase {
         .when(col("doc_id") % 5 === 2, concat(lit("/cgi-bin/script"), id))
         .when(col("doc_id") % 5 === 3, concat(lit("/cgi-bin/pub/"), id))
         .otherwise(concat(lit("/about"), id, lit(".pdfx"))).as("path"))
-    val star = Robots.evaluate(urls, rules, "source", "path")
-    val bot = Robots.evaluate(urls, rules, "source", "path", agent = "GRAFTBOT")
-      .select(col("doc_id"), col("is_allowed").as("is_allowed_bot"))
-    val other = Robots.evaluate(urls, rules, "source", "path", agent = "otherbot")
-      .select(col("doc_id"), col("is_allowed").as("is_allowed_other"))
+    // ONE corpus pass resolves all three agents (the per-agent scoped
+    // rule sets broadcast with an output tag — N agents ≠ N scans)
+    val decided = Robots.evaluateAgents(urls, rules, "source", "path",
+      Seq("*" -> "is_allowed", "GRAFTBOT" -> "is_allowed_bot",
+        "otherbot" -> "is_allowed_other"))
     val delays = Robots.crawlDelays(hosts, "robots", "source")
       .where(col("agent") === "graftbot")
       .select(col("source"), col("crawl_delay"))
     val maps = Robots.sitemaps(hosts, "robots", "source")
-    star.join(bot, "doc_id").join(other, "doc_id")
+    decided
       .join(broadcast(delays), "source").join(broadcast(maps), "source")
       .select(col("doc_id"), col("path"), col("is_allowed"),
         col("is_allowed_bot"), col("is_allowed_other"),

@@ -168,14 +168,19 @@ object Robots {
     * written); an allow beats a disallow of equal length; no match
     * allows. */
   def evaluate(urls: DataFrame, rules: DataFrame, hostCol: String,
-               pathCol: String, agent: String = "*"): DataFrame = {
+               pathCol: String, agent: String = "*"): DataFrame =
+    evaluateAgents(urls, rules, hostCol, pathCol, Seq(agent -> "is_allowed"))
+
+  /** The rules applicable to one agent: its most-specific matching
+    * group per host (longest group token that prefixes the product
+    * token), `*` where none matches. Tiny — broadcast downstream. */
+  private def scopedFor(rules: DataFrame, hostCol: String, agent: String): DataFrame = {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
-    // per host: the most specific matching group token (tiny, broadcast)
     val best = rules
       .where(col("agent") =!= "*" && lit(agentLc).startsWith(col("agent")))
       .groupBy(col(hostCol).as("__h"))
       .agg(max(length(col("agent"))).as("__bestlen"))
-    val scoped = rules
+    rules
       .join(broadcast(best), rules(hostCol) === col("__h"), "left")
       .where(when(col("__bestlen").isNotNull,
           col("agent") =!= "*" && length(col("agent")) === col("__bestlen") &&
@@ -183,17 +188,38 @@ object Robots {
         .otherwise(col("agent") === "*"))
       .select(col(hostCol).as("__rh"), col("is_allow"), col("rule_path"),
         col("rule_regex"))
+  }
+
+  /** Evaluate SEVERAL crawler agents in ONE pass over the corpus:
+    * `agents` maps each product token to its output column name. The
+    * per-agent scoped rule sets (tiny) union with an output tag and
+    * broadcast; the corpus joins ONCE and one URL-keyed aggregate
+    * resolves every agent's longest-match decision as a conditional
+    * `max` — N agents cost one corpus scan and one shuffle, not N.
+    * Same ranking semantics as [[evaluate]] per agent. */
+  def evaluateAgents(urls: DataFrame, rules: DataFrame, hostCol: String,
+                     pathCol: String, agents: Seq[(String, String)]): DataFrame = {
+    require(agents.nonEmpty && agents.map(_._2).distinct.size == agents.size,
+      "agents need distinct output column names")
+    val scopedAll = agents.map { case (agent, outCol) =>
+      scopedFor(rules, hostCol, agent).withColumn("__out", lit(outCol))
+    }.reduce(_ unionByName _)
     val urlCols = urls.columns.map(col)
-    urls
-      .join(broadcast(scoped),
+    val bests = agents.map { case (_, outCol) =>
+      max(when(col("__out") === outCol && col("rule_path").isNotNull,
+        struct(length(col("rule_path")).as("l"), col("is_allow").as("a"))))
+        .as(s"__best_$outCol")
+    }
+    val grouped = urls
+      .join(broadcast(scopedAll),
         urls(hostCol) === col("__rh") &&
           regexp_like(col(pathCol), col("rule_regex")), "left")
       .groupBy(urlCols: _*)
-      .agg(max(when(col("rule_path").isNotNull,
-        struct(length(col("rule_path")).as("l"), col("is_allow").as("a"))))
-        .as("__best"))
-      .withColumn("is_allowed",
-        coalesce(col("__best.a"), lit(1)).cast("int"))
-      .drop("__best")
+      .agg(bests.head, bests.tail: _*)
+    agents.foldLeft(grouped) { case (df, (_, outCol)) =>
+      df.withColumn(outCol,
+          coalesce(col(s"__best_$outCol.a"), lit(1)).cast("int"))
+        .drop(s"__best_$outCol")
+    }
   }
 }

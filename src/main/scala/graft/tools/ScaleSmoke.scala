@@ -94,7 +94,7 @@ object ScaleSmoke {
       "q224_warc_stream", "q225_url_dedup", "q226_robots_filter",
       "q227_robots_wildcards", "q228_warc_framed", "q229_extract_lang",
       "q230_url_normalize", "q231_corpus_front_door", "q232_crawl_schedule",
-      "q233_wet_roundtrip")
+      "q233_wet_roundtrip", "q234_crawl_frontier")
     val headline =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -169,6 +169,23 @@ class RobotsSpec extends AnyFunSuite {
       "group tokens must be a prefix of the agent, not vice versa")
   }
 
+  test("evaluateAgents: one pass equals per-agent evaluate, column-for-column") {
+    val urls = Seq(
+      (1L, "h1", "/docs/x"), (2L, "h1", "/private/x"),
+      (3L, "h1", "/private/pub/x"), (4L, "h1", "/tmp123"),
+      (5L, "h2", "/private/x")
+    ).toDF("id", "host", "path")
+    val multi = Robots.evaluateAgents(urls, rules(), "host", "path",
+        Seq("*" -> "a_star", "graftbot" -> "a_bot"))
+      .orderBy("id").select("a_star", "a_bot")
+      .as[(Int, Int)].collect().toSeq
+    val star = Robots.evaluate(urls, rules(), "host", "path")
+      .orderBy("id").select("is_allowed").as[Int].collect().toSeq
+    val bot = Robots.evaluate(urls, rules(), "host", "path", agent = "graftbot")
+      .orderBy("id").select("is_allowed").as[Int].collect().toSeq
+    assert(multi == star.zip(bot), "single corpus pass ≡ N separate passes")
+  }
+
   test("schedule: per-host spacing by declared delay, default elsewhere") {
     val delays = Seq(("slow.test", 2.5)).toDF("host", "crawl_delay")
     val urls = Seq(

@@ -26,7 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the full bench runs 123 queries in one JVM and its RSS
+  // crosses 7.5g — at 8g the tail rows stall in GC (measured: rows at
+  // ~3% busy on an idle host, e.g. q228 1.1s -> 7.4s run-to-run). Any
+  // real deployment sizes the driver heap the same way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 ) ++
   // extra flags for perf experiments (e.g. constrained code cache to
   // reproduce JIT-deopt signatures) — empty in normal runs

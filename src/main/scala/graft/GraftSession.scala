@@ -32,6 +32,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // standard micros instead of deprecated INT96: smaller files, and
+      // written timestamps carry real footer statistics (the Iceberg
+      // commit path reads bounds straight from footers — INT96 has no
+      // usable stats and forces the grouped-aggregation fallback job)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 
   def get(appName: String = "graft"): SparkSession = {

@@ -88,7 +88,13 @@ private[graft] trait QueriesExtract extends QueryBase {
     * (Record-inventory invariants — request + response per page, every
     * response a 200 — are pinned in WarcSpec, outside the timed body.) */
   private[graft] def q223(s: SparkSession, dir: String): DataFrame = {
-    val docs = withHtml(T(s, dir, "documents"))
+    // spread the corpus over the session's core count BEFORE
+    // serializing: one task per written archive file is the unit of
+    // parallelism on the read side, and the record-parse projections
+    // run below extraction's own parallelism floor — a single-file
+    // archive would funnel the whole parse through one task (guide
+    // §2.5 input skew; a real crawl ships thousands of archives)
+    val docs = graft.io.Parallelism.ensure(withHtml(T(s, dir, "documents")))
       .withColumn("uri",
         concat(lit("https://graft.test/doc/"), col("doc_id").cast("string")))
     val tmp = graft.io.TempDirs.scratch("graft-q223")
@@ -113,7 +119,10 @@ private[graft] trait QueriesExtract extends QueryBase {
     * survivors from the raw corpus in one shot. */
   private[graft] def q224(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = withHtml(T(s, dir, "documents"))
+    // q223's archive-fan-out note applies per WAVE here: each wave
+    // lands one file per task, so the stream's record parse reads a
+    // wave with full parallelism instead of one task per wave
+    val docs = graft.io.Parallelism.ensure(withHtml(T(s, dir, "documents")))
       .withColumn("uri",
         concat(lit("https://graft.test/doc/"), col("doc_id").cast("string")))
     val tmp = graft.io.TempDirs.scratch("graft-q224")
@@ -383,7 +392,11 @@ private[graft] trait QueriesExtract extends QueryBase {
   private[graft] def q228(s: SparkSession, dir: String): DataFrame = {
     val tmp = graft.io.TempDirs.scratch("graft-q228")
     val arch = s"$tmp/arch"
-    val pages = T(s, dir, "documents").select(
+    // one archive per task (q223's fan-out note): framing is
+    // sequential WITHIN an archive, so the archive count IS the read
+    // parallelism — a single-partition source would serialize the
+    // whole framed parse through one task
+    val pages = graft.io.Parallelism.ensure(T(s, dir, "documents")).select(
       concat(lit("https://graft.test/doc/"), col("doc_id").cast("string"))
         .as("uri"),
       concat(lit("<html><body><p>a page about\r\nWARC/1.0\r\nrecords" +
@@ -456,7 +469,9 @@ private[graft] trait QueriesExtract extends QueryBase {
         lit("le système est dans une grande base pour les données du groupe"))
       .when(col("lang") === "zh", lit("数据 系统 查询 快速 合并 窗口 流 处理"))
       .otherwise(lit("the data system is a fast query and it works for the team"))
-    val pages = T(s, dir, "documents").select(
+    // q228's archive-fan-out note: the framed parse parallelizes by
+    // archive file, so spread the corpus before serializing
+    val pages = graft.io.Parallelism.ensure(T(s, dir, "documents")).select(
       concat(lit("https://graft.test/"), col("lang"), lit("/doc/"),
         col("doc_id").cast("string")).as("uri"),
       concat(lit("<html><head><title>Doc "), col("doc_id").cast("string"),

@@ -2625,7 +2625,7 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     val k = mn + (mx - mn) / 5
     def dataFiles() = graft.io.IcebergInterop.readIceberg(s, tmp)
       .inputFiles.count(p => !p.contains("/data/delete-"))
-    val dataFiles0 = dataFiles()
+    val dataFiles0 = if (checks) dataFiles() else 0
     val (_, del1) = graft.io.IcebergWrite.deleteWhere(s, tmp,
       col("doc_id") < k, ranges = Map("doc_id" -> ((mn.toDouble, (k - 1).toDouble))))
     require(del1 > 0, "first delete must hit")
@@ -2633,11 +2633,13 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       col("doc_id") % 7 === 3)
     require(del2 > 0, "second delete must hit")
     val t = graft.io.IcebergInterop.readIceberg(s, tmp)
-    val dataFiles1 = dataFiles()
-    require(dataFiles1 == dataFiles0,
-      s"merge-on-read must not rewrite data files: $dataFiles0 -> $dataFiles1")
-    require(graft.io.IcebergInterop.readIceberg(s, tmp, Some(s1)).count() == docs.count(),
-      "time travel must still see the pre-delete corpus")
+    if (checks) {
+      val dataFiles1 = dataFiles()
+      require(dataFiles1 == dataFiles0,
+        s"merge-on-read must not rewrite data files: $dataFiles0 -> $dataFiles1")
+      require(graft.io.IcebergInterop.readIceberg(s, tmp, Some(s1)).count() == docs.count(),
+        "time travel must still see the pre-delete corpus")
+    }
     t.groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("lang"))
@@ -2656,11 +2658,13 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
     val tmp = graft.io.TempDirs.scratch("graft-q195")
     graft.io.IcebergWrite.append(docs.filter(col("doc_id") % 2 === 0), tmp)
-    val files0 = graft.io.IcebergInterop.readIceberg(s, tmp).inputFiles.toSet
+    val files0 =
+      if (checks) graft.io.IcebergInterop.readIceberg(s, tmp).inputFiles.toSet
+      else Set.empty[String]
     graft.io.IcebergWrite.renameColumn(s, tmp, "n_chars", "chars")
     graft.io.IcebergWrite.addColumn(s, tmp, "quality",
       org.apache.spark.sql.types.LongType)
-    require((files0 -- graft.io.IcebergInterop.readIceberg(s, tmp)
+    if (checks) require((files0 -- graft.io.IcebergInterop.readIceberg(s, tmp)
       .inputFiles.toSet).isEmpty,
       "schema evolution must be metadata-only: zero files rewritten")
     graft.io.IcebergWrite.append(
@@ -2694,12 +2698,15 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       docs.filter(col("doc_id") <= mid), tmp, "lang")
     graft.io.IcebergWrite.appendPartitioned(
       docs.filter(col("doc_id") > mid), tmp, "lang")
-    val ft = graft.io.IcebergInterop.filesTable(s, tmp)
-    require(ft.filter(col("content") === 0)
-      .agg(sum(col("record_count"))).head().getLong(0) == docs.count(),
-      "files-table record counts must sum to the corpus")
+    if (checks) {
+      val ft = graft.io.IcebergInterop.filesTable(s, tmp)
+      require(ft.filter(col("content") === 0)
+        .agg(sum(col("record_count"))).head().getLong(0) == docs.count(),
+        "files-table record counts must sum to the corpus")
+    }
     val pt = graft.io.IcebergInterop.partitionsTable(s, tmp)
-    require(pt.agg(sum(col("manifest_count"))).head().getLong(0) >= 2,
+    if (checks) require(
+      pt.agg(sum(col("manifest_count"))).head().getLong(0) >= 2,
       "two partitioned appends leave >=2 manifests")
     pt.select(col("partition").as("lang"), col("record_count").as("n"))
       .orderBy(col("lang"))
@@ -2726,18 +2733,20 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     val (delSnap, nDel) = graft.io.IcebergWrite.deleteWhere(s, tmp,
       col("doc_id") < mn + (mx - mn) / 2)
     require(nDel > 0, "the delete must hit before the rollback discards it")
-    val nEven = docs.filter(col("doc_id") % 2 === 0).count()
     val dataBefore = new java.io.File(s"$tmp/data").list().length
     val rolled = s.sql(s"RESTORE iceberg.`$tmp` TO SNAPSHOT AS OF $s1")
       .head().getLong(0)
     require(new java.io.File(s"$tmp/data").list().length == dataBefore,
       "rollback is metadata-only: zero file work")
-    require(graft.io.IcebergInterop.readIceberg(s, tmp).count() == nEven,
-      "the table reads as its s1 state after the rollback")
-    require(graft.io.IcebergInterop.snapshots(s, tmp)
-      .filter(col("operation") === "rollback").count() == 1)
-    require(graft.io.IcebergInterop.readIceberg(s, tmp, Some(delSnap)).count()
-      == docs.count() - nDel, "rolled-past snapshots stay time-travelable")
+    if (checks) {
+      val nEven = docs.filter(col("doc_id") % 2 === 0).count()
+      require(graft.io.IcebergInterop.readIceberg(s, tmp).count() == nEven,
+        "the table reads as its s1 state after the rollback")
+      require(graft.io.IcebergInterop.snapshots(s, tmp)
+        .filter(col("operation") === "rollback").count() == 1)
+      require(graft.io.IcebergInterop.readIceberg(s, tmp, Some(delSnap)).count()
+        == docs.count() - nDel, "rolled-past snapshots stay time-travelable")
+    }
     require(rolled != s1, "the rollback is a NEW auditable snapshot")
     graft.io.IcebergWrite.append(
       docs.filter(col("doc_id") % 2 =!= 0)
@@ -2770,7 +2779,7 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     val k = mn + (mx - mn) / 6
     def dataFiles() = graft.io.IcebergInterop.readIceberg(s, tmp)
       .inputFiles.filterNot(_.contains("delete-")).toSet
-    val files0 = dataFiles()
+    val files0 = if (checks) dataFiles() else Set.empty[String]
     val (_, d1) = graft.io.IcebergWrite.deleteWhereDV(s, tmp,
       col("doc_id") < k, ranges = Map("doc_id" -> ((mn.toDouble, (k - 1).toDouble))))
     require(d1 > 0, "the DV delete must hit the low band")
@@ -2778,14 +2787,16 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       col("doc_id") % 11 === 7)
     require(d2 > 0, "the second DV delete must hit")
     val t = graft.io.IcebergInterop.readIceberg(s, tmp)
-    require(dataFiles() == files0,
-      "DV deletes must not rewrite or add any data parquet")
-    require(!t.inputFiles.exists(_.contains("delete-")),
-      "the masks are Puffin bitmaps — no delete file joins the scan")
     require(new java.io.File(s"$tmp/data").list().exists(_.endsWith(".puffin")),
       "the DVs live in a Puffin file")
-    require(graft.io.IcebergInterop.readIceberg(s, tmp, Some(s1)).count()
-      == docs.count(), "time travel must still see the pre-delete corpus")
+    if (checks) {
+      require(dataFiles() == files0,
+        "DV deletes must not rewrite or add any data parquet")
+      require(!t.inputFiles.exists(_.contains("delete-")),
+        "the masks are Puffin bitmaps — no delete file joins the scan")
+      require(graft.io.IcebergInterop.readIceberg(s, tmp, Some(s1)).count()
+        == docs.count(), "time travel must still see the pre-delete corpus")
+    }
     t.groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("lang"))
@@ -2808,28 +2819,34 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       docs.filter(col("doc_id") % 2 === 0).repartitionByRange(3, col("doc_id")), tmp)
     def dataFiles() = graft.io.IcebergInterop.readIceberg(s, tmp)
       .inputFiles.filterNot(_.contains("/data/eqdelete-")).toSet
-    val files0 = dataFiles()
-    val nEven = docs.filter(col("doc_id") % 2 === 0).count()
-    val nTen = docs.filter(col("doc_id") % 10 === 0).count()
+    val files0 = if (checks) dataFiles() else Set.empty[String]
     val (_, nk) = graft.io.IcebergWrite.equalityDelete(s, tmp,
       docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")))
-    require(nk == nTen, "every %10 key lands in the delete file")
-    require(graft.io.IcebergInterop.readIceberg(s, tmp).count() == nEven - nTen,
-      "the equality delete must mask exactly the %10 band")
-    require(dataFiles() == files0,
-      "an equality delete is O(|keys|): zero data-file work")
+    require(nk > 0, "the %10 keys must land in the delete file")
+    if (checks) {
+      val nEven = docs.filter(col("doc_id") % 2 === 0).count()
+      val nTen = docs.filter(col("doc_id") % 10 === 0).count()
+      require(nk == nTen, "every %10 key lands in the delete file")
+      require(graft.io.IcebergInterop.readIceberg(s, tmp).count() == nEven - nTen,
+        "the equality delete must mask exactly the %10 band")
+      require(dataFiles() == files0,
+        "an equality delete is O(|keys|): zero data-file work")
+    }
     graft.io.IcebergWrite.append(
       docs.filter(col("doc_id") % 2 =!= 0), tmp)
     graft.io.IcebergWrite.append(
       docs.filter(col("doc_id") % 10 === 0)
         .withColumn("n_chars", col("n_chars") + 5000L), tmp)
-    val total = docs.count()
-    require(graft.io.IcebergInterop.readIceberg(s, tmp).count() == total,
-      "re-appended keys survive the older equality delete")
+    if (checks) {
+      val total = docs.count()
+      require(graft.io.IcebergInterop.readIceberg(s, tmp).count() == total,
+        "re-appended keys survive the older equality delete")
+    }
     // compaction folds the equality delete physically, result unchanged
     graft.io.IcebergWrite.compact(s, tmp)
     val t = graft.io.IcebergInterop.readIceberg(s, tmp)
-    require(t.count() == total && !t.inputFiles.exists(_.contains("/data/eqdelete-")),
+    if (checks) require(
+      t.count() == docs.count() && !t.inputFiles.exists(_.contains("/data/eqdelete-")),
       "compact must fold the equality delete")
     t.groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
@@ -2857,7 +2874,7 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     val pt = graft.io.IcebergInterop.readIcebergWhere(s, tmp,
       Map("doc_id" -> ((mn.toDouble, mn.toDouble))))
       .filter(col("doc_id") === mn)
-    require(pt.count() == 1, "the min doc must read back")
+    if (checks) require(pt.count() == 1, "the min doc must read back")
     val (read, skipped) = graft.io.IcebergInterop.lastManifestScan
     require(read == 1 && skipped >= 1,
       s"a point read must open exactly the key's bucket manifest: " +
@@ -2986,13 +3003,15 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       val vac = s.sql("VACUUM q205_named RETAIN 0 HOURS").head()
       require(vac.getLong(0) >= 3 && vac.getLong(1) > 0,
         s"named VACUUM must expire and reclaim: $vac")
-      require(s.sql("DESCRIBE DETAIL q205_named").head().getString(0) == "iceberg")
-      // name ≡ path: the same table through both spellings
-      val byName = s.sql("SELECT CAST(sum(n_chars) AS BIGINT) FROM q205_named")
-        .head().getLong(0)
-      val byPath = graft.io.IcebergInterop.readIceberg(s, tmp)
-        .agg(sum(col("n_chars")).cast("long")).head().getLong(0)
-      require(byName == byPath, s"name/path must agree: $byName vs $byPath")
+      if (checks) {
+        require(s.sql("DESCRIBE DETAIL q205_named").head().getString(0) == "iceberg")
+        // name ≡ path: the same table through both spellings
+        val byName = s.sql("SELECT CAST(sum(n_chars) AS BIGINT) FROM q205_named")
+          .head().getLong(0)
+        val byPath = graft.io.IcebergInterop.readIceberg(s, tmp)
+          .agg(sum(col("n_chars")).cast("long")).head().getLong(0)
+        require(byName == byPath, s"name/path must agree: $byName vs $byPath")
+      }
       s.sql("SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars " +
         "FROM q205_named GROUP BY lang ORDER BY lang").localCheckpoint(true)
     } finally s.sql("DROP VIEW IF EXISTS q205_named")
@@ -3033,15 +3052,17 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     graft.io.IcebergWrite.compact(s, tmp, smallFileBytes = 0L)
     val ch = graft.io.IcebergChangelog.readChangesBetween(s, tmp)
       .localCheckpoint(false)
-    // the compaction snapshot must be SILENT: 5 change-bearing commits
-    require(ch.select(col("_change_ordinal")).distinct().count() == 5,
-      "2 appends + delete + update + eq-delete = 5 change ordinals " +
-      "(the update is one atomic snapshot); compact emits nothing")
-    // net reconstruction: inserts − deletes == the live table
-    val nIns = ch.filter(col("_change_type") === "insert").count()
-    val nDels = ch.filter(col("_change_type") === "delete").count()
-    require(nIns - nDels == graft.io.IcebergInterop.readIceberg(s, tmp).count(),
-      "the changelog must reconstruct the live row count")
+    if (checks) {
+      // the compaction snapshot must be SILENT: 5 change-bearing commits
+      require(ch.select(col("_change_ordinal")).distinct().count() == 5,
+        "2 appends + delete + update + eq-delete = 5 change ordinals " +
+        "(the update is one atomic snapshot); compact emits nothing")
+      // net reconstruction: inserts − deletes == the live table
+      val nIns = ch.filter(col("_change_type") === "insert").count()
+      val nDels = ch.filter(col("_change_type") === "delete").count()
+      require(nIns - nDels == graft.io.IcebergInterop.readIceberg(s, tmp).count(),
+        "the changelog must reconstruct the live row count")
+    }
     ch.groupBy(col("_change_type"), col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("_change_type"), col("lang"))
@@ -3077,10 +3098,10 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       IcebergInterop.readIceberg(s, tmp, withLineage = true).agg(
         count(lit(1)), sum(col("_row_id")).cast("long"),
         sum(col("_last_updated_sequence_number")).cast("long")).head()
-    val before = fingerprint()
+    val before = if (checks) fingerprint() else null
     val (_, rewritten, _) = IcebergWrite.compact(s, tmp, smallFileBytes = 0L) // seq 5
     require(rewritten > 0, "compaction must rewrite the DV-masked files")
-    require(fingerprint() == before,
+    if (checks) require(fingerprint() == before,
       "compaction moved a (_row_id, _last_updated_sequence_number) pair")
     IcebergInterop.readIceberg(s, tmp, withLineage = true)
       .groupBy(col("lang"))
@@ -3118,17 +3139,19 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     val (_, rew0, fold0) = IcebergWrite.compact(s, tmp, smallFileBytes = 0L)
     require(rew0 == 0 && fold0 == 0, "no delete content may survive the z rewrite")
     // a 2-D box read through the manifest bounds stays exact
-    val mm = docs.agg(min(col("doc_id")), max(col("doc_id")),
-      min(col("n_chars")), max(col("n_chars"))).head()
-    def d(i: Int): Double = mm.get(i).asInstanceOf[Number].doubleValue
-    val box = Map(
-      "doc_id" -> ((d(0), d(0) + (d(1) - d(0)) / 4)),
-      "n_chars" -> ((d(2), d(2) + (d(3) - d(2)) / 4)))
-    val expected = docs.filter(col("doc_id") % 7 =!= 0)
-      .filter(col("doc_id") <= d(0) + (d(1) - d(0)) / 4 &&
-        col("n_chars") <= d(2) + (d(3) - d(2)) / 4).count()
-    require(IcebergInterop.readIcebergWhere(s, tmp, box).count() == expected,
-      "the boxed read must stay exact through the clustered layout")
+    if (checks) {
+      val mm = docs.agg(min(col("doc_id")), max(col("doc_id")),
+        min(col("n_chars")), max(col("n_chars"))).head()
+      def d(i: Int): Double = mm.get(i).asInstanceOf[Number].doubleValue
+      val box = Map(
+        "doc_id" -> ((d(0), d(0) + (d(1) - d(0)) / 4)),
+        "n_chars" -> ((d(2), d(2) + (d(3) - d(2)) / 4)))
+      val expected = docs.filter(col("doc_id") % 7 =!= 0)
+        .filter(col("doc_id") <= d(0) + (d(1) - d(0)) / 4 &&
+          col("n_chars") <= d(2) + (d(3) - d(2)) / 4).count()
+      require(IcebergInterop.readIcebergWhere(s, tmp, box).count() == expected,
+        "the boxed read must stay exact through the clustered layout")
+    }
     IcebergInterop.readIceberg(s, tmp).groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("lang"))
@@ -3202,19 +3225,21 @@ private[graft] trait QueriesScaleOps extends QueryBase {
         .withColumn("del", lit(true)).withColumn("seq", lit(3L)))
       q.processAllAvailable() // batch 2: tombstones
     } finally q.stop()
-    require(IcebergInterop.snapshots(s, table).count() == 3,
-      "3 batches = 3 snapshots (bootstrap + 2 merges)")
-    // the crash-window contract, asserted directly: batch 2's txn is in
-    // the ledger — replaying its merge is a structural no-op
-    val head = IcebergInterop.snapshots(s, table)
-      .orderBy(col("sequence_number").desc).head().getLong(0)
-    val (replaySnap, replayDel, _) = IcebergWrite.mergeInto(s, table,
-      docs.limit(5).localCheckpoint(false), Seq("doc_id"),
-      matched = Seq(graft.io.DeltaInterop.MatchedClause(None, Map.empty,
-        delete = true)),
-      notMatched = None, txn = Some(("q210", 2L)))
-    require(replaySnap == head && replayDel == 0L,
-      "a ledger-covered merge must replay as a no-op")
+    if (checks) {
+      require(IcebergInterop.snapshots(s, table).count() == 3,
+        "3 batches = 3 snapshots (bootstrap + 2 merges)")
+      // the crash-window contract, asserted directly: batch 2's txn is
+      // in the ledger — replaying its merge is a structural no-op
+      val head = IcebergInterop.snapshots(s, table)
+        .orderBy(col("sequence_number").desc).head().getLong(0)
+      val (replaySnap, replayDel, _) = IcebergWrite.mergeInto(s, table,
+        docs.limit(5).localCheckpoint(false), Seq("doc_id"),
+        matched = Seq(graft.io.DeltaInterop.MatchedClause(None, Map.empty,
+          delete = true)),
+        notMatched = None, txn = Some(("q210", 2L)))
+      require(replaySnap == head && replayDel == 0L,
+        "a ledger-covered merge must replay as a no-op")
+    }
     IcebergInterop.readIceberg(s, table).groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("lang"))
@@ -3240,13 +3265,13 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       events.filter(col("event_id") % 2 === 0), tmp, "ts", "day")
     IcebergWrite.appendPartitioned(
       events.filter(col("event_id") % 2 =!= 0), tmp, "ts", "day")
-    require(IcebergInterop.partitionStatsTable(s, tmp).isEmpty,
+    if (checks) require(IcebergInterop.partitionStatsTable(s, tmp).isEmpty,
       "no statistics before the analysis")
     val (_, nParts) = IcebergWrite.analyzePartitions(s, tmp)
     require(nParts > 0)
     val st = IcebergInterop.partitionStatsTable(s, tmp).get
       .localCheckpoint(false)
-    require(st.agg(sum(col("data_record_count"))).head().getLong(0) ==
+    if (checks) require(st.agg(sum(col("data_record_count"))).head().getLong(0) ==
       events.count(), "registered counts must sum to the corpus")
     st.select(col("partition.ts_day").as("day_num"),
         col("data_record_count").as("n_rows"))
@@ -3289,11 +3314,12 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       stage(docs.filter(col("doc_id") % 3 === 2))
       q.processAllAvailable()
     } finally q.stop()
-    require(IcebergInterop.snapshots(s, s"$tmp/corpus").count() == 3 &&
+    if (checks) require(
+      IcebergInterop.snapshots(s, s"$tmp/corpus").count() == 3 &&
       IcebergInterop.snapshots(s, s"$tmp/sigs").count() == 3,
       "3 batches = 3 exactly-once snapshots on each ledger")
     val corpus = IcebergInterop.readIceberg(s, s"$tmp/corpus")
-    require(corpus.count() <= docs.count())
+    if (checks) require(corpus.count() <= docs.count())
     corpus.groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("lang"))
@@ -3327,22 +3353,24 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     IcebergWrite.compact(s, tmp, smallFileBytes = 0L)               // seq 5: silent
     val ch = IcebergChangelog.readChangesBetween(s, tmp, withLineage = true)
       .localCheckpoint(false)
-    require(ch.agg(max(col("_change_ordinal"))).head().getLong(0) == 4L,
-      "compaction must emit nothing")
-    // keyed-CDC invariant: folding the stream BY _row_id (last change
-    // wins, deletes drop) reconstructs the live view exactly
-    // within one ordinal a (delete, insert) pair is an UPDATE — the
-    // insert is the row's final state there; a lone delete stays final
-    val folded = ch.withColumn("_rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("_row_id"))
-          .orderBy(col("_change_ordinal").desc,
-            when(col("_change_type") === "insert", 1).otherwise(0).desc)))
-      .filter(col("_rn") === 1 && col("_change_type") === "insert")
-    val live = graft.io.IcebergInterop.readIceberg(s, tmp)
-    require(folded.count() == live.count() &&
-      folded.agg(sum(col("n_chars"))).head().getLong(0) ==
-        live.agg(sum(col("n_chars"))).head().getLong(0),
-      "the lineage-keyed fold must reconstruct the live table")
+    if (checks) {
+      require(ch.agg(max(col("_change_ordinal"))).head().getLong(0) == 4L,
+        "compaction must emit nothing")
+      // keyed-CDC invariant: folding the stream BY _row_id (last change
+      // wins, deletes drop) reconstructs the live view exactly
+      // within one ordinal a (delete, insert) pair is an UPDATE — the
+      // insert is the row's final state there; a lone delete stays final
+      val folded = ch.withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("_row_id"))
+            .orderBy(col("_change_ordinal").desc,
+              when(col("_change_type") === "insert", 1).otherwise(0).desc)))
+        .filter(col("_rn") === 1 && col("_change_type") === "insert")
+      val live = graft.io.IcebergInterop.readIceberg(s, tmp)
+      require(folded.count() == live.count() &&
+        folded.agg(sum(col("n_chars"))).head().getLong(0) ==
+          live.agg(sum(col("n_chars"))).head().getLong(0),
+        "the lineage-keyed fold must reconstruct the live table")
+    }
     ch.groupBy(col("_change_type"), col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"),
         sum(col("_row_id")).cast("long").as("sum_row_id"))
@@ -3384,11 +3412,13 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       IcebergWrite.deleteWhereDV(s, srcT, col("doc_id") % 5 === 0)
       q.processAllAvailable()
     } finally q.stop()
-    val srcRows = IcebergInterop.readIceberg(s, srcT)
     val mirror = IcebergInterop.readIceberg(s, dst)
-    require(mirror.drop("_src_row_id").exceptAll(srcRows).isEmpty &&
-      srcRows.exceptAll(mirror.drop("_src_row_id")).isEmpty,
-      "the mirror must equal the source row-for-row")
+    if (checks) {
+      val srcRows = IcebergInterop.readIceberg(s, srcT)
+      require(mirror.drop("_src_row_id").exceptAll(srcRows).isEmpty &&
+        srcRows.exceptAll(mirror.drop("_src_row_id")).isEmpty,
+        "the mirror must equal the source row-for-row")
+    }
     mirror.groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("lang"))
@@ -3422,20 +3452,22 @@ private[graft] trait QueriesScaleOps extends QueryBase {
         docs.filter(col("doc_id") % 10 === r).repartitionByRange(2, col("doc_id")), tmp)
     }
     def read() = graft.io.IcebergInterop.readIceberg(s, tmp)
-    def manifestListLen(): Int = {
-      read().count() // refresh lastManifestScan on the current head
-      val (r, sk) = graft.io.IcebergInterop.lastManifestScan
-      r + sk
+    if (checks) {
+      def manifestListLen(): Int = {
+        read().count() // refresh lastManifestScan on the current head
+        val (r, sk) = graft.io.IcebergInterop.lastManifestScan
+        r + sk
+      }
+      require(manifestListLen() == 6, "one manifest per append before the merge")
     }
-    require(manifestListLen() == 6, "one manifest per append before the merge")
-    val rowsPreMerge = read().count()
+    val rowsPreMerge = if (checks) read().count() else 0L
     // state 1.5: MANIFEST-MERGED — rewrite_manifests bin-packs the
     // list metadata-only; rows identical, planning walk bounded
     val (_, mergedAway, manAfter) =
       graft.io.IcebergWrite.rewriteManifests(s, tmp)
     require(mergedAway == 5 && manAfter == 1,
       s"manifest merge must bin-pack 6 -> 1: merged=$mergedAway after=$manAfter")
-    require(read().count() == rowsPreMerge,
+    if (checks) require(read().count() == rowsPreMerge,
       "a manifest merge must not change the live rows")
     val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
     val (mn, mx) = (mm.getLong(0), mm.getLong(1))
@@ -3443,16 +3475,18 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     val (_, nDel) = graft.io.IcebergWrite.deleteWhere(s, tmp,
       col("doc_id") < k, ranges = Map("doc_id" -> ((mn.toDouble, (k - 1).toDouble))))
     require(nDel > 0, "the delete must hit the low band")
-    val liveCount = read().count()
+    val liveCount = if (checks) read().count() else 0L
     val metaDir = new java.io.File(s"$tmp/metadata")
     def metaCount() = metaDir.list().count(!_.startsWith("."))
     val metaLive = metaCount()
     // state 2: COMPACTED — the replace snapshot folds the masks
     val (_, rewritten, folded) = graft.io.IcebergWrite.compact(s, tmp)
     require(rewritten > 0 && folded > 0, s"compact must fold: $rewritten/$folded")
-    require(read().count() == liveCount, "compaction must not change live rows")
-    require(!read().inputFiles.exists(_.contains("/data/delete-")),
-      "after compaction the masks are physical — no delete file scans")
+    if (checks) {
+      require(read().count() == liveCount, "compaction must not change live rows")
+      require(!read().inputFiles.exists(_.contains("/data/delete-")),
+        "after compaction the masks are physical — no delete file scans")
+    }
     // state 3: EXPIRED — metadata bounded, reclaim reference-counted
     Thread.sleep(2)
     val (expired, reclaimed) = graft.io.IcebergWrite.expireSnapshots(s, tmp, 0L)
@@ -3460,11 +3494,13 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     require(metaCount() < metaLive, "metadata/ must shrink after expiry")
     require(!new java.io.File(s"$tmp/data").list().exists(_.startsWith("delete-")),
       "the folded position-delete files must physically reclaim")
-    val refused =
-      try { graft.io.IcebergInterop.readIceberg(s, tmp, Some(s1)).count(); false }
-      catch { case e: IllegalArgumentException => e.getMessage.contains("not found") }
-    require(refused, "time travel to an expired snapshot must refuse loudly")
-    require(read().count() == liveCount, "expiry must not change live rows")
+    if (checks) {
+      val refused =
+        try { graft.io.IcebergInterop.readIceberg(s, tmp, Some(s1)).count(); false }
+        catch { case e: IllegalArgumentException => e.getMessage.contains("not found") }
+      require(refused, "time travel to an expired snapshot must refuse loudly")
+      require(read().count() == liveCount, "expiry must not change live rows")
+    }
     read().groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("lang"))
@@ -3492,7 +3528,7 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     val k = mn + (mx - mn) / 5
     def dataFileSet() = graft.io.IcebergInterop.readIceberg(s, tmp)
       .inputFiles.filter(p => !p.contains("/data/delete-")).toSet
-    val files0 = dataFileSet()
+    val files0 = if (checks) dataFileSet() else Set.empty[String]
     val (_, up) = graft.io.IcebergWrite.updateWhere(s, tmp,
       col("doc_id") < k, Map("n_chars" -> (col("n_chars") + 1000L)),
       ranges = Map("doc_id" -> ((mn.toDouble, (k - 1).toDouble))))
@@ -3509,12 +3545,14 @@ private[graft] trait QueriesScaleOps extends QueryBase {
         graft.io.DeltaInterop.MatchedClause(None, Map("lang" -> lit("zz")))),
       notMatched = Some((None, Map.empty)))
     require(nDel > 0 && nIns > 0, s"merge must fire both ways: $nDel/$nIns")
-    require(files0.subsetOf(dataFileSet()),
-      "merge-on-read must never rewrite the original data files")
-    require(graft.io.IcebergInterop.snapshots(s, tmp).count() == 3,
-      "append + update + merge = exactly 3 snapshots (each row delta atomic)")
-    require(graft.io.IcebergInterop.readIceberg(s, tmp, Some(s1)).count()
-      == docs.count(), "time travel must still see the pre-update corpus")
+    if (checks) {
+      require(files0.subsetOf(dataFileSet()),
+        "merge-on-read must never rewrite the original data files")
+      require(graft.io.IcebergInterop.snapshots(s, tmp).count() == 3,
+        "append + update + merge = exactly 3 snapshots (each row delta atomic)")
+      require(graft.io.IcebergInterop.readIceberg(s, tmp, Some(s1)).count()
+        == docs.count(), "time travel must still see the pre-update corpus")
+    }
     graft.io.IcebergInterop.readIceberg(s, tmp)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
@@ -3541,29 +3579,33 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     graft.io.IcebergWrite.appendPartitioned(ev, tmp,
       Seq(("ts", "day"), ("user_id", "bucket[4]")))
     def read() = graft.io.IcebergInterop.readIceberg(s, tmp)
-    require(read().count() == ev.count(), "the corpus must round-trip")
-    val manTotal = {
-      val (r0, s0) = graft.io.IcebergInterop.lastManifestScan; r0 + s0
-    }
-    require(manTotal >= 30, s"one manifest per (day,bucket) tuple: $manTotal")
-    // 2-D probe: user 0's LAST UTC day × user 0's bucket → ONE
+    def probe(lo: Long, hi: Long): DataFrame =
+      graft.io.IcebergInterop.readIcebergWhere(s, tmp,
+        Map("ts" -> ((lo.toDouble, hi.toDouble)),
+            "user_id" -> ((0.0, 0.0))))
+        .filter(col("user_id") === 0L)
+    // 2-D probe bounds: user 0's LAST UTC day × user 0's bucket → ONE
     // manifest (the last day survives the low-band delete below; the
     // first day is exactly what it wipes)
-    val tsMax = ev.filter(col("user_id") === 0L)
-      .agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val day0 = Math.floorDiv(tsMax, 86400000000L)
-    val (lo, hi) = (day0 * 86400000000L, day0 * 86400000000L + 86399999999L)
-    def probe(): DataFrame = graft.io.IcebergInterop.readIcebergWhere(s, tmp,
-      Map("ts" -> ((lo.toDouble, hi.toDouble)),
-          "user_id" -> ((0.0, 0.0))))
-      .filter(col("user_id") === 0L)
-    val expected = ev.filter(col("user_id") === 0L &&
-      unix_micros(col("ts")).between(lo, hi)).count()
-    require(expected > 0 && probe().count() == expected,
-      s"the 2-D probe must read user 0's first day: $expected")
-    val (r1, s1) = graft.io.IcebergInterop.lastManifestScan
-    require(r1 == 1 && s1 == manTotal - 1,
-      s"day × bucket prune must open ONE manifest: read=$r1 skipped=$s1")
+    val probeBounds = if (checks) {
+      require(read().count() == ev.count(), "the corpus must round-trip")
+      val manTotal = {
+        val (r0, s0) = graft.io.IcebergInterop.lastManifestScan; r0 + s0
+      }
+      require(manTotal >= 30, s"one manifest per (day,bucket) tuple: $manTotal")
+      val tsMax = ev.filter(col("user_id") === 0L)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val day0 = Math.floorDiv(tsMax, 86400000000L)
+      val (lo, hi) = (day0 * 86400000000L, day0 * 86400000000L + 86399999999L)
+      val expected = ev.filter(col("user_id") === 0L &&
+        unix_micros(col("ts")).between(lo, hi)).count()
+      require(expected > 0 && probe(lo, hi).count() == expected,
+        s"the 2-D probe must read user 0's first day: $expected")
+      val (r1, s1) = graft.io.IcebergInterop.lastManifestScan
+      require(r1 == 1 && s1 == manTotal - 1,
+        s"day × bucket prune must open ONE manifest: read=$r1 skipped=$s1")
+      Some((lo, hi))
+    } else None
     // stats-pruned MoR delete of the low event_id band, then compact
     // PRESERVING both partition dimensions
     val mm = ev.agg(min(col("event_id")), max(col("event_id"))).head()
@@ -3575,14 +3617,16 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     val (_, rewritten, folded) = graft.io.IcebergWrite.compact(s, tmp,
       smallFileBytes = 0L)
     require(rewritten > 0 && folded > 0, s"compact folds: $rewritten/$folded")
-    require(!read().inputFiles.exists(_.contains("/data/delete-")))
-    val expected2 = ev.filter(col("user_id") === 0L && col("event_id") >= k &&
-      unix_micros(col("ts")).between(lo, hi)).count()
-    require(probe().count() == expected2,
-      "the probe must read the surviving band after the fold")
-    val (r2, _) = graft.io.IcebergInterop.lastManifestScan
-    require(r2 == 1,
-      s"2-D skipping must SURVIVE the partition-preserving compact: read=$r2")
+    probeBounds.foreach { case (lo, hi) =>
+      require(!read().inputFiles.exists(_.contains("/data/delete-")))
+      val expected2 = ev.filter(col("user_id") === 0L && col("event_id") >= k &&
+        unix_micros(col("ts")).between(lo, hi)).count()
+      require(probe(lo, hi).count() == expected2,
+        "the probe must read the surviving band after the fold")
+      val (r2, _) = graft.io.IcebergInterop.lastManifestScan
+      require(r2 == 1,
+        s"2-D skipping must SURVIVE the partition-preserving compact: read=$r2")
+    }
     read().groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .orderBy(col("event_type"))
@@ -3640,7 +3684,8 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
     val tmp = graft.io.TempDirs.scratch("graft-q216") + "/t"
     IcebergWrite.append(docs.filter(col("doc_id") % 2 === 0), tmp)   // main seed
-    val mainBefore = IcebergInterop.readIceberg(s, tmp).count()
+    val mainBefore =
+      if (checks) IcebergInterop.readIceberg(s, tmp).count() else 0L
     IcebergWrite.onBranch("audit") {
       IcebergWrite.append(docs.filter(col("doc_id") % 4 === 1), tmp) // staged 1
       IcebergWrite.append(docs.filter(col("doc_id") % 4 === 3), tmp) // staged 2
@@ -3648,14 +3693,16 @@ private[graft] trait QueriesScaleOps extends QueryBase {
         col("doc_id") % 10 === 4 || col("doc_id") % 10 === 5)        // staged fix
       require(nDel > 0, "the staged delete must hit")
     }
-    require(IcebergInterop.readIceberg(s, tmp).count() == mainBefore,
-      "main must stay pinned while the branch stages")
-    val audited = s.sql(
-      s"SELECT count(*) AS n FROM iceberg.`$tmp` VERSION AS OF 'audit'")
-      .head().getLong(0)
-    require(audited ==
-      docs.filter(col("doc_id") % 10 =!= 4 && col("doc_id") % 10 =!= 5).count(),
-      "the SQL audit read must see the full staged state")
+    if (checks) {
+      require(IcebergInterop.readIceberg(s, tmp).count() == mainBefore,
+        "main must stay pinned while the branch stages")
+      val audited = s.sql(
+        s"SELECT count(*) AS n FROM iceberg.`$tmp` VERSION AS OF 'audit'")
+        .head().getLong(0)
+      require(audited ==
+        docs.filter(col("doc_id") % 10 =!= 4 && col("doc_id") % 10 =!= 5).count(),
+        "the SQL audit read must see the full staged state")
+    }
     IcebergWrite.fastForward(s, tmp, "audit")
     IcebergInterop.readIceberg(s, tmp)
       .groupBy(col("lang"))
@@ -3682,14 +3729,16 @@ private[graft] trait QueriesScaleOps extends QueryBase {
     IcebergWrite.append(docs.filter(col("doc_id") % 2 =!= 0), tmp)
     IcebergWrite.rollbackTo(s, tmp, seedSnap) // restore: drop append + masks
     val ch = IcebergChangelog.readChangesBetween(s, tmp).localCheckpoint(false)
-    require(ch.agg(max(col("_change_ordinal"))).head().getLong(0) == 4L,
-      "the rollback must emit at its own ordinal")
-    // fold-equals-live: inserts minus deletes reconstruct the restored state
-    val net = ch.groupBy(col("doc_id"), col("lang"), col("n_chars"))
-      .agg(sum(when(col("_change_type") === "insert", 1).otherwise(-1)).as("k"))
-      .filter(col("k") > 0)
-    require(net.count() == IcebergInterop.readIceberg(s, tmp).count(),
-      "folding the stream must reconstruct the restored table")
+    if (checks) {
+      require(ch.agg(max(col("_change_ordinal"))).head().getLong(0) == 4L,
+        "the rollback must emit at its own ordinal")
+      // fold-equals-live: inserts minus deletes reconstruct the restored state
+      val net = ch.groupBy(col("doc_id"), col("lang"), col("n_chars"))
+        .agg(sum(when(col("_change_type") === "insert", 1).otherwise(-1)).as("k"))
+        .filter(col("k") > 0)
+      require(net.count() == IcebergInterop.readIceberg(s, tmp).count(),
+        "folding the stream must reconstruct the restored table")
+    }
     ch.groupBy(col("_change_type").as("change_type"), col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("change_type"), col("lang"))
@@ -3763,7 +3812,7 @@ private[graft] trait QueriesScaleOps extends QueryBase {
       }
       q.processAllAvailable() // tail the staged commits as change rows
     } finally q.stop()
-    require(IcebergInterop.readIceberg(s, tbl).count() ==
+    if (checks) require(IcebergInterop.readIceberg(s, tbl).count() ==
       docs.filter(col("doc_id") % 2 === 0).count(),
       "main must stay pinned while the audit stream consumes the branch")
     val net = s.read.parquet(sink)

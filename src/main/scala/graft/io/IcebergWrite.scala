@@ -58,6 +58,17 @@ object IcebergWrite {
     * a spec inject a deterministic version race. No-op in production. */
   private[graft] var onBeforeCommit: () => Unit = () => ()
 
+  /** Test hook: force the grouped-aggregation stats job even when the
+    * footers qualify, so IcebergFooterStatsSpec can prove both paths
+    * author identical manifests. Never set in production. */
+  private[graft] var disableFooterStats: Boolean = false
+
+  /** Test introspection: (footer fast-path commits, job fallbacks)
+    * since JVM start — lets the spec prove the fast path actually
+    * fires rather than silently falling back every time. */
+  @volatile private[graft] var footerStatsHits: Long = 0L
+  @volatile private[graft] var footerStatsMisses: Long = 0L
+
   /** A partition-spec request for one commit: ORDERED partition
     * fields `transform(srcColumn)` — one or many (the standard event
     * layout is `(day(ts), bucket(id))`). [[commitMeta]] resolves it to
@@ -304,9 +315,153 @@ object IcebergWrite {
     }.toMap
   }
 
-  /** Per-file (record count, bound bytes) in ONE grouped aggregation
-    * keyed by `_metadata.file_path` — never a job per file. */
+  /** Per-file (record count, bound bytes) — FOOTER-FIRST: the staged
+    * parquet was just written by this driver, so its footers hold the
+    * exact column-chunk statistics the grouped aggregation would
+    * recompute by re-scanning the data. Reading them is local metadata
+    * I/O and zero Spark jobs — one fewer job (and its driver-side
+    * plan/schedule gap) per commit, across every append / MoR delete /
+    * update / merge / compact in the engine (guide §1.2: remove
+    * passes). Falls back to the one grouped aggregation job whenever
+    * any footer stat is not PROVABLY identical to what the job would
+    * compute ([[footerFileStats]] documents the exactness rules). */
   private def allFileStats(spark: SparkSession, paths: Seq[String],
+      idsByName: Map[String, Int]): Map[String, (Long, Map[Int, (Array[Byte], Array[Byte])])] =
+    (if (disableFooterStats) None else footerFileStats(spark, paths, idsByName)) match {
+      case Some(st) => footerStatsHits += 1; st
+      case None =>
+        if (!disableFooterStats) footerStatsMisses += 1
+        allFileStatsJob(spark, paths, idsByName)
+    }
+
+  /** [[allFileStats]] from the parquet footers alone, or None when any
+    * column chunk lacks stats this path can prove exact:
+    *   - INT32 / INT64 / FLOAT / DOUBLE / DATE / TIMESTAMP(micros)
+    *     chunk stats are the exact min/max parquet-mr computed while
+    *     this driver wrote the rows (same values the Spark min/max
+    *     aggregation would return — for floats both sides order by
+    *     `Double.compare`); INT96 timestamps have no usable stats and
+    *     fall back.
+    *   - BINARY(STRING) bounds are accepted only when BOTH bounds are
+    *     pure ASCII: UTF-8 byte order (parquet) and UTF-16 order
+    *     (Spark's min/max) provably pick the same winner then — a
+    *     non-ASCII candidate can never order below an all-ASCII min or
+    *     above an all-ASCII max in either encoding, and among ASCII
+    *     strings the two orders coincide. The [[IcebergFormat
+    *     .serializeBound]] 32-byte cutoff applies after, exactly as on
+    *     the job path (truncated footer stats are > 32 bytes, so a
+    *     kept bound is always the exact full value).
+    *   - all-null chunks contribute no bound (the job's min = null);
+    *     zero-row files are omitted (the grouped-agg shape).
+    * Any other shape — missing stats, non-ASCII strings, NaN bounds,
+    * unexpected physical/logical type — returns None and the job runs. */
+  private def footerFileStats(spark: SparkSession, paths: Seq[String],
+      idsByName: Map[String, Int])
+      : Option[Map[String, (Long, Map[Int, (Array[Byte], Array[Byte])])]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import java.nio.{ByteBuffer, ByteOrder}
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    val out = scala.collection.mutable.Map
+      .empty[String, (Long, Map[Int, (Array[Byte], Array[Byte])])]
+    for (p <- paths) {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), conf))
+      try {
+        val footer = reader.getFooter
+        val md = footer.getFileMetaData
+        val blocks = footer.getBlocks.asScala.toSeq
+        val nRows = blocks.map(_.getRowCount).sum
+        if (nRows > 0) {
+          val schema = md.getSchema
+          // top-level primitive columns this engine computes bounds for
+          val statCols = schema.getFields.asScala.filter(_.isPrimitive)
+            .map(_.asPrimitiveType())
+            .filter { f =>
+              idsByName.contains(f.getName) && (f.getPrimitiveTypeName match {
+                case INT32 | INT64 | FLOAT | DOUBLE => true
+                case BINARY => f.getLogicalTypeAnnotation
+                  .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+                case _ => false
+              }) && (f.getLogicalTypeAnnotation match {
+                case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+                case _ => true
+              })
+            }.toSeq
+          // Spark's agg would also bound TIMESTAMP columns; an INT96
+          // timestamp is not in statCols, so a table carrying one must
+          // fall back rather than silently skip its bounds.
+          val sparkWouldBound = schema.getFields.asScala.exists { f =>
+            f.isPrimitive &&
+              f.asPrimitiveType().getPrimitiveTypeName == INT96 &&
+              idsByName.contains(f.getName)
+          }
+          if (sparkWouldBound) return None
+          val bounds = scala.collection.mutable.Map.empty[Int, (Array[Byte], Array[Byte])]
+          for (c <- statCols) {
+            val colPath = org.apache.parquet.hadoop.metadata.ColumnPath.get(c.getName)
+            val chunks = blocks.flatMap(_.getColumns.asScala.find(_.getPath == colPath))
+            if (chunks.size != blocks.size) return None
+            var merged: org.apache.parquet.column.statistics.Statistics[_] = null
+            for (ch <- chunks) {
+              val st = ch.getStatistics
+              if (st == null || (st.isEmpty && ch.getValueCount > 0)) return None
+              if (st.hasNonNullValue) {
+                if (merged == null)
+                  merged = org.apache.parquet.column.statistics.Statistics
+                    .getBuilderForReading(c).build()
+                    .asInstanceOf[org.apache.parquet.column.statistics.Statistics[_]]
+                merged.mergeStatistics(st)
+              } else if (!st.isNumNullsSet || st.getNumNulls != ch.getValueCount) {
+                // neither a recorded all-null chunk nor usable bounds
+                return None
+              }
+            }
+            if (merged != null && merged.hasNonNullValue) {
+              val lohi: Option[(Array[Byte], Array[Byte])] =
+                (c.getPrimitiveTypeName, merged) match {
+                  case (INT32, s: org.apache.parquet.column.statistics.IntStatistics) =>
+                    Some((le(4).putInt(s.getMin).array(), le(4).putInt(s.getMax).array()))
+                  case (INT64, s: org.apache.parquet.column.statistics.LongStatistics) =>
+                    Some((le(8).putLong(s.getMin).array(), le(8).putLong(s.getMax).array()))
+                  case (FLOAT, s: org.apache.parquet.column.statistics.FloatStatistics) =>
+                    if (s.getMin.isNaN || s.getMax.isNaN) return None
+                    else Some((le(4).putFloat(s.getMin).array(), le(4).putFloat(s.getMax).array()))
+                  case (DOUBLE, s: org.apache.parquet.column.statistics.DoubleStatistics) =>
+                    if (s.getMin.isNaN || s.getMax.isNaN) return None
+                    else Some((le(8).putDouble(s.getMin).array(), le(8).putDouble(s.getMax).array()))
+                  case (BINARY, s: org.apache.parquet.column.statistics.BinaryStatistics) =>
+                    val (lo, hi) = (s.getMin.getBytes, s.getMax.getBytes)
+                    // the job path's serializeBound drops > 32-byte
+                    // string bounds (whatever their content — a
+                    // truncated footer stat is always > 32 bytes, so
+                    // it can only land here, never in a kept bound);
+                    // mirror it so manifests are byte-identical
+                    if (lo.length > 32 || hi.length > 32) None
+                    // short non-ASCII bounds: UTF-8 vs UTF-16 order
+                    // can disagree — not provably the job's answer
+                    else if (!lo.forall(_ >= 0) || !hi.forall(_ >= 0)) return None
+                    else Some((lo, hi))
+                  case _ => return None
+                }
+              lohi.foreach(b => bounds(idsByName(c.getName)) = b)
+            }
+          }
+          out(canonPath(p)) = (nRows, bounds.toMap)
+        }
+      } finally reader.close()
+    }
+    Some(out.toMap)
+  }
+
+  /** Per-file (record count, bound bytes) in ONE grouped aggregation
+    * keyed by `_metadata.file_path` — never a job per file. The
+    * fallback half of [[allFileStats]]. */
+  private def allFileStatsJob(spark: SparkSession, paths: Seq[String],
       idsByName: Map[String, Int]): Map[String, (Long, Map[Int, (Array[Byte], Array[Byte])])] = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val df = spark.read.parquet(paths: _*)

@@ -545,8 +545,16 @@ object IcebergInterop {
           kv.get("key").asInstanceOf[Number].intValue -> b
         }.toMap
       }.getOrElse(Map.empty)
-    manifests.foreach { case (mp, _, mseq, mSnap) =>
-      avroRecords(spark, new Path(resolve(mp))).foreach { e =>
+    // one Avro read per surviving manifest — independent I/O, overlap
+    // on a bounded pool (order-preserving: the entry builders below
+    // must see manifests in list order); a 120-tuple table otherwise
+    // walks 120 files serially on the driver per read
+    val manifestRecords = graft.pipeline.Par.map(manifests) {
+      case (mp, c, mseq, mSnap) =>
+        ((mp, c, mseq, mSnap), avroRecords(spark, new Path(resolve(mp))))
+    }
+    manifestRecords.foreach { case ((mp, _, mseq, mSnap), recs) =>
+      recs.foreach { e =>
         val status = intOr(e, "status", 0)
         if (status != 2) { // 2 = DELETED entry: file dropped in this snapshot
           val seq = longOr(e, "sequence_number", mseq)

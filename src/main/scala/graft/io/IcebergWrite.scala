@@ -366,16 +366,35 @@ object IcebergWrite {
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
     def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
-    val out = scala.collection.mutable.Map
-      .empty[String, (Long, Map[Int, (Array[Byte], Array[Byte])])]
-    for (p <- paths) {
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), conf))
-      try {
+    // footer reads are independent I/O — overlap them on a bounded
+    // pool (a 120-tuple partitioned commit stages 120 files)
+    val perFile = graft.pipeline.Par.map(paths) { p =>
+      footerStatsOfFile(p, conf, idsByName, le)
+    }
+    if (perFile.contains(None)) None
+    else Some(perFile.flatten.flatten.toMap)
+  }
+
+  /** One file's footer stats: Some(None) = zero-row file (omitted),
+    * Some(Some(path -> stats)) = usable, None = fall back. */
+  private def footerStatsOfFile(p: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      idsByName: Map[String, Int],
+      le: Int => java.nio.ByteBuffer)
+      : Option[Option[(String, (Long, Map[Int, (Array[Byte], Array[Byte])]))]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), conf))
+    try {
         val footer = reader.getFooter
         val md = footer.getFileMetaData
         val blocks = footer.getBlocks.asScala.toSeq
         val nRows = blocks.map(_.getRowCount).sum
-        if (nRows > 0) {
+        if (nRows == 0) Some(None)
+        else {
           val schema = md.getSchema
           // top-level primitive columns this engine computes bounds for
           val statCols = schema.getFields.asScala.filter(_.isPrimitive)
@@ -451,11 +470,9 @@ object IcebergWrite {
               lohi.foreach(b => bounds(idsByName(c.getName)) = b)
             }
           }
-          out(canonPath(p)) = (nRows, bounds.toMap)
+          Some(Some(canonPath(p) -> ((nRows, bounds.toMap))))
         }
-      } finally reader.close()
-    }
-    Some(out.toMap)
+    } finally reader.close()
   }
 
   /** Per-file (record count, bound bytes) in ONE grouped aggregation
@@ -773,7 +790,12 @@ object IcebergWrite {
       // entries, re-derived per attempt from the base version
       val lin0 = nextRowIdOf(baseMeta)
       var rowIdW = lin0.getOrElse(0L)
-      val mans = filesOfValue.zipWithIndex.flatMap { case ((vals, files), i) =>
+      // entry assembly stays SEQUENTIAL (the row-id watermark assigns
+      // ranges in tuple order); the per-tuple Avro manifest writes are
+      // independent file I/O and overlap on a bounded pool — a
+      // 120-tuple commit otherwise pays 120 serial create/write/close
+      // round-trips on the driver (measured ~1.4 s of q204's commit)
+      val manSpecs = filesOfValue.zipWithIndex.flatMap { case ((vals, files), i) =>
         val entries = files.flatMap { case (pp, size) =>
           stats.get(canonPath(pp.toString)).map { case (rows, bounds) =>
             val fr = lin0.map { _ => val v = rowIdW; rowIdW += rows; v }
@@ -781,14 +803,14 @@ object IcebergWrite {
               bounds = bounds, firstRowId = fr)
           } // zero-record staged file: skip (deleted below)
         }
-        if (entries.isEmpty) None
-        else {
-          val mp = new Path(root,
-            s"metadata/manifest-$snapshotId-$i-${java.util.UUID.randomUUID().toString.take(8)}.avro")
-          IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
-          Some(NewManifest(mp, partitioned = true,
-            Some(summariesOf(vals, resultDts)), entries = entries))
-        }
+        if (entries.isEmpty) None else Some((vals, i, entries))
+      }
+      val mans = graft.pipeline.Par.map(manSpecs) { case (vals, i, entries) =>
+        val mp = new Path(root,
+          s"metadata/manifest-$snapshotId-$i-${java.util.UUID.randomUUID().toString.take(8)}.avro")
+        IcebergFormat.writeAvro(f, mp, IcebergFormat.EntrySchema, entries)
+        NewManifest(mp, partitioned = true,
+          Some(summariesOf(vals, resultDts)), entries = entries)
       }
       filesOfValue.flatMap(_._2).foreach { case (pp, _) =>
         if (!stats.contains(canonPath(pp.toString))) f.delete(pp, false)

@@ -37,6 +37,10 @@ object GraftSession {
       // commit path reads bounds straight from footers — INT96 has no
       // usable stats and forces the grouped-aggregation fallback job)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // unfiltered MIN/MAX/COUNT probes answer from parquet footers
+      // instead of scanning (the lifecycle queries derive their
+      // predicate bands from corpus min/max before every DML step)
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
 
   def get(appName: String = "graft"): SparkSession = {

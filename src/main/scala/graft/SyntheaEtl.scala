@@ -59,7 +59,7 @@ object SyntheaEtl {
       // fixed costs the reference's sequential Glue loop pays 18× over
       // (outputs byte-identical; see graft.pipeline.Par)
       Stage("repair", s => {
-        graft.pipeline.Par.foreach(tables) { t =>
+        graft.pipeline.Par.foreach(tables, 8) { t =>
           val files = catalog.listFiles(s"$root/source/$date/$t", ".csv")
           files.headOption.foreach { f =>
             CsvRepair.repair(s, Readers.text(s, f)).foreach { df =>
@@ -70,7 +70,7 @@ object SyntheaEtl {
       }, precondition = _ =>
         !requireAll || new Mover().isComplete(root, date, ExpectedTables)),
       Stage("clean", s => {
-        graft.pipeline.Par.foreach(tables) { t =>
+        graft.pipeline.Par.foreach(tables, 8) { t =>
           val raw = Readers.csv(s, s"$root/raw/$date/$t")
           val cleaned = Cleaner.clean(raw, schemaFor(root, t))
           Writers.parquetTable(
@@ -96,7 +96,7 @@ object SyntheaEtl {
         // fact's plan references the dim FRAMES, not their written files)
         // — write them concurrently, two-phase each
         graft.pipeline.Par.foreach(
-          PatientDatamart.build(staging, existing, clock).toSeq) {
+          PatientDatamart.build(staging, existing, clock).toSeq, 8) {
           case (name, df) =>
             // two-phase write: the merge reads the existing dim, so materialize
             // to a staging location before overwriting the live one

@@ -548,12 +548,13 @@ object IcebergInterop {
     // one Avro read per surviving manifest — independent I/O, overlap
     // on a bounded pool (order-preserving: the entry builders below
     // must see manifests in list order); a 120-tuple table otherwise
-    // walks 120 files serially on the driver per read
-    val manifestRecords = graft.pipeline.Par.map(manifests) {
-      case (mp, c, mseq, mSnap) =>
-        ((mp, c, mseq, mSnap), avroRecords(spark, new Path(resolve(mp))))
-    }
-    manifestRecords.foreach { case ((mp, _, mseq, mSnap), recs) =>
+    // walks 120 files serially on the driver per read. Windowed fold:
+    // at most one pool-width of record lists is resident at once — a
+    // snapshot with thousands of large manifests must not hold them
+    // all simultaneously.
+    graft.pipeline.Par.foldWindowed(manifests) { case (mp, _, _, _) =>
+      avroRecords(spark, new Path(resolve(mp)))
+    } { case ((mp, _, mseq, mSnap), recs) =>
       recs.foreach { e =>
         val status = intOr(e, "status", 0)
         if (status != 2) { // 2 = DELETED entry: file dropped in this snapshot

@@ -396,30 +396,57 @@ object IcebergWrite {
         if (nRows == 0) Some(None)
         else {
           val schema = md.getSchema
-          // top-level primitive columns this engine computes bounds for
-          val statCols = schema.getFields.asScala.filter(_.isPrimitive)
-            .map(_.asPrimitiveType())
-            .filter { f =>
-              idsByName.contains(f.getName) && (f.getPrimitiveTypeName match {
-                case INT32 | INT64 | FLOAT | DOUBLE => true
-                case BINARY => f.getLogicalTypeAnnotation
-                  .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
-                case _ => false
-              }) && (f.getLogicalTypeAnnotation match {
-                case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-                  ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
-                case _ => true
-              })
-            }.toSeq
-          // Spark's agg would also bound TIMESTAMP columns; an INT96
-          // timestamp is not in statCols, so a table carrying one must
-          // fall back rather than silently skip its bounds.
-          val sparkWouldBound = schema.getFields.asScala.exists { f =>
-            f.isPrimitive &&
-              f.asPrimitiveType().getPrimitiveTypeName == INT96 &&
-              idsByName.contains(f.getName)
+          // Classify every top-level primitive column in the current
+          // schema against [[allFileStatsJob]]'s DataType whitelist —
+          // the footer path must be BYTE-IDENTICAL to the job:
+          //   BOUND — annotation maps to a whitelisted Spark type whose
+          //     footer stats are provably the job's answer (plain/
+          //     signed-32 int and date INT32; plain/signed-64 int and
+          //     MICROS-timestamp INT64; FLOAT/DOUBLE; string BINARY);
+          //   SKIP — the job itself never bounds the Spark type this
+          //     annotation decodes to (DecimalType on INT32/INT64,
+          //     int8/int16 → Byte/Short, uint64 → Decimal(20,0),
+          //     TIME, plain BINARY, nested/other physical types) — the
+          //     footer path must also emit no bound, NOT fall back;
+          //   FALLBACK — the job WOULD bound the decoded Spark type but
+          //     footer bytes are not provably its answer (INT96 and
+          //     non-MICROS INT64 timestamps → TimestampType; unsigned
+          //     ≤32-bit ints → Integer/LongType read widened). Any
+          //     annotation not classified lands here: falling back is
+          //     always correct, just slower.
+          sealed trait Cls
+          object Bound extends Cls; object Skip extends Cls; object Fallback extends Cls
+          def classify(f: org.apache.parquet.schema.PrimitiveType): Cls = {
+            import LogicalTypeAnnotation._
+            (f.getPrimitiveTypeName, f.getLogicalTypeAnnotation) match {
+              case (INT32, null) => Bound
+              case (INT32, i: IntLogicalTypeAnnotation) =>
+                if (!i.isSigned) Fallback            // uint8/16/32 read widened
+                else if (i.getBitWidth == 32) Bound
+                else Skip                            // int8/16 → Byte/Short
+              case (INT32, _: DateLogicalTypeAnnotation) => Bound
+              case (INT32, _: DecimalLogicalTypeAnnotation) => Skip
+              case (INT64, null) => Bound
+              case (INT64, i: IntLogicalTypeAnnotation) =>
+                if (i.isSigned) Bound else Skip      // uint64 → Decimal(20,0)
+              case (INT64, ts: TimestampLogicalTypeAnnotation) =>
+                if (ts.getUnit == TimeUnit.MICROS) Bound else Fallback
+              case (INT64, _: DecimalLogicalTypeAnnotation) => Skip
+              case (FLOAT, _) | (DOUBLE, _) => Bound
+              case (BINARY, _: StringLogicalTypeAnnotation) => Bound
+              case (BINARY, null) => Skip            // BinaryType: job skips
+              case (BINARY, _) => Fallback           // ENUM/JSON → StringType
+              case (INT96, _) => Fallback            // no usable stats
+              case ((INT32 | INT64), _) => Fallback  // TIME, unknown: be safe
+              case _ => Skip                         // FIXED_LEN_BYTE_ARRAY etc.
+            }
           }
-          if (sparkWouldBound) return None
+          val classified = schema.getFields.asScala.filter(_.isPrimitive)
+            .map(_.asPrimitiveType())
+            .filter(f => idsByName.contains(f.getName))
+            .map(f => f -> classify(f)).toSeq
+          if (classified.exists(_._2 == Fallback)) return None
+          val statCols = classified.collect { case (f, Bound) => f }
           val bounds = scala.collection.mutable.Map.empty[Int, (Array[Byte], Array[Byte])]
           for (c <- statCols) {
             val colPath = org.apache.parquet.hadoop.metadata.ColumnPath.get(c.getName)
@@ -1285,14 +1312,7 @@ object IcebergWrite {
           refs.map { case (rf, off, size) => (rf, off, size, cardOf(rf)) }))
       }
     var dvSide = buildDvSide()
-    val stagedDel = if (asDv) Nil else stage(positions, "delete-")
-    val delCounts: Map[String, Long] =
-      footerRowCounts(spark, stagedDel.map(_._1.toString))
-    val (delFiles, delEmpties) =
-      stagedDel.partition(p => delCounts.contains(canonPath(p._1.toString)))
-    delEmpties.foreach { case (p, _) => f.delete(p, false) }
-
-    val stagedApp = appendDf.toSeq.flatMap { df =>
+    def stageAppSide(): Seq[(Path, Long)] = appendDf.toSeq.flatMap { df =>
       // a lineage table's postimages carry the reserved `_row_id`
       // (/ `_last_updated_sequence_number`) columns MATERIALIZED so
       // updated rows keep their identity — everything else must match
@@ -1303,6 +1323,26 @@ object IcebergWrite {
         s"current schema ${idsByName.keys.toSeq.sorted}")
       stage(withFieldIds(df, idsByName ++ linCols), "")
     }
+    // the delete side and the append side are INDEPENDENT staging
+    // writes into distinct hidden dirs (both read the checkpointed
+    // hits) — overlap them on two driver threads (guide §2.6) instead
+    // of paying two full job latencies back to back per merge/update
+    var stagedDel: Seq[(Path, Long)] = Nil
+    var stagedApp: Seq[(Path, Long)] = Nil
+    if (!asDv && appendDf.isDefined)
+      graft.pipeline.Par.foreach(Seq(true, false), 2) {
+        case true  => stagedDel = stage(positions, "delete-")
+        case false => stagedApp = stageAppSide()
+      }
+    else {
+      stagedDel = if (asDv) Nil else stage(positions, "delete-")
+      stagedApp = stageAppSide()
+    }
+    val delCounts: Map[String, Long] =
+      footerRowCounts(spark, stagedDel.map(_._1.toString))
+    val (delFiles, delEmpties) =
+      stagedDel.partition(p => delCounts.contains(canonPath(p._1.toString)))
+    delEmpties.foreach { case (p, _) => f.delete(p, false) }
     val appStats =
       if (stagedApp.isEmpty) Map.empty[String, (Long, Map[Int, (Array[Byte], Array[Byte])])]
       else allFileStats(spark, stagedApp.map(_._1.toString), idsByName)

@@ -15,6 +15,16 @@ package graft.pipeline
   * the executors that one-at-a-time jobs would leave idle. */
 object Par {
 
+  /** Default pool width — sized by the HOST, not a constant: driver
+    * metadata I/O (manifest/footer reads and writes) is latency-bound,
+    * so the right depth scales with the machine. `min(2×cores, 32)`:
+    * twice the cores overlaps I/O waits; the 32 cap bounds thread and
+    * file-handle pressure on very wide hosts. The effective pool is
+    * additionally `min(width, work)` below, so a 6-manifest commit
+    * never spawns 32 threads. Overridable per call site. */
+  def defaultPar: Int =
+    math.min(32, 2 * Runtime.getRuntime.availableProcessors())
+
   /** Apply `fn` to every element on a bounded pool; rethrows the first
     * failure (unwrapped). Order of side effects across elements is
     * unspecified — callers must only use this for independent work.
@@ -26,14 +36,28 @@ object Par {
     * independent per-element PARSES (e.g. one Avro manifest each),
     * where the driver-side loop is I/O-latency-bound and a bounded
     * pool overlaps the reads. */
-  def map[A, B](xs: Seq[A], par: Int = 8)(fn: A => B): Seq[B] = {
+  def map[A, B](xs: Seq[A], par: Int = defaultPar)(fn: A => B): Seq[B] = {
     if (xs.lengthCompare(2) < 0) return xs.map(fn)
     val out = new Array[AnyRef](xs.size)
     foreach(xs.zipWithIndex, par) { case (x, i) => out(i) = fn(x).asInstanceOf[AnyRef] }
     out.toSeq.map(_.asInstanceOf[B])
   }
 
-  def foreach[A](xs: Seq[A], par: Int = 8)(fn: A => Unit): Unit = {
+  /** [[map]] + ordered fold with BOUNDED RESIDENCY: `read` runs on the
+    * pool one window (`par` elements) at a time and `consume` sees each
+    * result in input order as its window completes — so at most one
+    * window of results is resident at once. An unwindowed
+    * `Par.map(...).foreach` holds EVERY element's result
+    * simultaneously (e.g. all manifests' record lists) before the fold
+    * starts; for a snapshot with many large manifests that multiplies
+    * driver memory by the manifest count. */
+  def foldWindowed[A, B](xs: Seq[A], par: Int = defaultPar)(read: A => B)(
+      consume: (A, B) => Unit): Unit =
+    xs.grouped(math.max(1, par)).foreach { w =>
+      w.zip(map(w, par)(read)).foreach { case (a, b) => consume(a, b) }
+    }
+
+  def foreach[A](xs: Seq[A], par: Int = defaultPar)(fn: A => Unit): Unit = {
     if (xs.lengthCompare(2) < 0) { xs.foreach(fn); return }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(par, xs.size))
     val futures = xs.map(x => pool.submit(new Runnable { def run(): Unit = fn(x) }))

@@ -118,23 +118,35 @@ object DedupStream {
             .select(col(idCol))
           val dropped = stateDrops.unionByName(batchDrops).distinct()
             .localCheckpoint(false)
+          // survivors are NOT materialized separately: the corpus
+          // staging write computes the anti-join itself (one pass over
+          // batch + checkpointed dropped instead of a checkpoint pass
+          // plus a re-read — guide §1.2, fewer per-batch actions)
           val survivors = batch.join(dropped, Seq(idCol), "left_anti")
-            .localCheckpoint(false)
-          // exactly-once on BOTH tables: distinct appIds, so a crash
-          // between the two commits replays only the missing half
-          val sCorpus = IcebergWrite.appendOnce(
-            survivors, corpusDir, s"$appId-corpus", batchId)
           val sigRows = keyed.join(dropped, Seq(idCol), "left_anti")
             .select(col(idCol), col("band_key"))
-          val sSig =
-            if (stateBuckets <= 0)
-              IcebergWrite.appendOnce(sigRows, sigDir, s"$appId-sig", batchId)
-            else IcebergWrite.appendPartitioned(sigRows, sigDir,
-              Seq(("band_key", s"bucket[$stateBuckets]")),
-              txn = Some((s"$appId-sig", batchId)),
-              // ONE file per touched bucket per batch — the state
-              // table must not fragment into tasks × buckets shards
-              clusterBySpec = true)
+          // exactly-once on BOTH tables: distinct appIds, so a crash
+          // at any point replays only the missing half on restart —
+          // the two ledgers are INDEPENDENT tables, so their staging
+          // jobs and commit latencies overlap on two driver threads
+          // (guide §2.6; each appId's txn watermark is its own)
+          var sCorpus = -1L
+          var sSig = -1L
+          graft.pipeline.Par.foreach(Seq(true, false), 2) {
+            case true =>
+              sCorpus = IcebergWrite.appendOnce(
+                survivors, corpusDir, s"$appId-corpus", batchId)
+            case false =>
+              sSig =
+                if (stateBuckets <= 0)
+                  IcebergWrite.appendOnce(sigRows, sigDir, s"$appId-sig", batchId)
+                else IcebergWrite.appendPartitioned(sigRows, sigDir,
+                  Seq(("band_key", s"bucket[$stateBuckets]")),
+                  txn = Some((s"$appId-sig", batchId)),
+                  // ONE file per touched bucket per batch — the state
+                  // table must not fragment into tasks × buckets shards
+                  clusterBySpec = true)
+          }
           postCommitHook(sCorpus, sSig)
         }
       }

@@ -122,8 +122,16 @@ object IcebergStream {
           // the tombstone flag RIDES the merge source (clause
           // conditions resolve against s./t. columns), but is control
           // metadata: SET/INSERT assignments never mention it, so it
-          // is never written
-          val source = deduped.localCheckpoint(false)
+          // is never written.
+          // NOT checkpointed here when a sequence column arbitrates:
+          // [[IcebergWrite.mergeInto]] checkpoints its source itself,
+          // and a second materialization of the same rows was one
+          // redundant per-batch action + memory copy (r18 verdict's
+          // q210/q214 item). The no-sequence path still checkpoints —
+          // its duplicate-key probe below is a second pass.
+          val source =
+            if (sequenceCol.isDefined) deduped
+            else deduped.localCheckpoint(false)
           // without a sequence column, duplicate keys in one batch are
           // ambiguous — refuse on the BOOTSTRAP path too (the merge
           // path already does)

@@ -91,6 +91,55 @@ class IcebergFooterStatsSpec extends AnyFunSuite {
     assert(manifestStats(s"$base/fast") == manifestStats(s"$base/job"))
   }
 
+  test("decimal columns get NO footer bounds (job path never bounds them)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("footer-stats-dec").toString
+    // precision <= 18: stored as decimal-annotated INT64 — the raw
+    // int/long chunk stats must NOT leak into the manifest (the
+    // Iceberg spec wants big-endian unscaled bytes; the job path
+    // simply emits no bound), while the sibling long still bounds
+    val df = Seq((1L, BigDecimal("12.34")), (2L, BigDecimal("-5.00")),
+        (3L, BigDecimal("99.99")))
+      .toDF("id", "amt")
+      .withColumn("amt", col("amt").cast("decimal(9,2)"))
+      .withColumn("amt64", col("amt").cast("decimal(18,2)"))
+    val hits0 = IcebergWrite.footerStatsHits
+    IcebergWrite.append(df, s"$base/fast")
+    assert(IcebergWrite.footerStatsHits > hits0,
+      "a decimal column must SKIP, not force the job fallback")
+    IcebergWrite.disableFooterStats = true
+    try IcebergWrite.append(df, s"$base/job")
+    finally IcebergWrite.disableFooterStats = false
+    val fast = manifestStats(s"$base/fast")
+    assert(fast == manifestStats(s"$base/job"))
+    // field 1 = id (bounded); fields 2,3 = decimals (no bounds at all)
+    assert(fast.exists(_._2.contains(1)), "the long column must bound")
+    assert(fast.forall(s => !s._2.contains(2) && !s._2.contains(3)),
+      "decimal field ids must carry no bounds on either path")
+  }
+
+  test("non-MICROS timestamps force the job fallback") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("footer-stats-ms").toString
+    val df = Seq((1L, 1000000L), (2L, 2000000L)).toDF("id", "m")
+      .withColumn("ts", timestamp_micros(col("m"))).drop("m")
+    val misses0 = IcebergWrite.footerStatsMisses
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try {
+      IcebergWrite.append(df, s"$base/fast")
+      assert(IcebergWrite.footerStatsMisses > misses0,
+        "a MILLIS-annotated timestamp chunk has no provably-exact footer " +
+        "bounds — the job (which WOULD bound the column) must run")
+      IcebergWrite.disableFooterStats = true
+      try IcebergWrite.append(df, s"$base/job")
+      finally IcebergWrite.disableFooterStats = false
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    val fast = manifestStats(s"$base/fast")
+    assert(fast == manifestStats(s"$base/job"))
+    assert(fast.exists(_._2.contains(2)), "the timestamp column must bound")
+  }
+
   test("MoR delete + compact keep manifests identical on both stats paths") {
     val baseA = java.nio.file.Files.createTempDirectory("footer-lc-a").toString
     val baseB = java.nio.file.Files.createTempDirectory("footer-lc-b").toString

@@ -19,7 +19,14 @@ private[graft] trait QueryBase {
 }
 
 /** Test-only switch for the in-query invariant asserts (see
-  * [[QueryBase.checks]]); flipped on by QueryChecksSpec. */
+  * [[QueryBase.checks]]); flipped on by QueryChecksSpec, or by the
+  * `SPARK_GRAFT_CHECKS=1` environment variable so the checks-on replay
+  * can also run at the bench scale factor (e.g.
+  * `SPARK_GRAFT_CHECKS=1 runMain graft.Verify /root/testdata/sf0.1 …`)
+  * — scale-sensitive invariants (manifest counts, one-manifest probes)
+  * are then verifiable at exactly the SF the bench runs, not only at
+  * QueryChecksSpec's sf0.001. */
 private[graft] object QueryChecks {
-  @volatile var enabled: Boolean = false
+  @volatile var enabled: Boolean =
+    sys.env.get("SPARK_GRAFT_CHECKS").exists(v => v == "1" || v == "true")
 }

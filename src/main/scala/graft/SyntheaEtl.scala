@@ -98,14 +98,23 @@ object SyntheaEtl {
         graft.pipeline.Par.foreach(
           PatientDatamart.build(staging, existing, clock).toSeq, 8) {
           case (name, df) =>
-            // two-phase write: the merge reads the existing dim, so materialize
-            // to a staging location before overwriting the live one
-            val tmp = s"$root/mart/.tmp_$name"
-            Writers.parquet(df, tmp)
-            Writers.parquetTable(Readers.parquet(s, tmp), s"$root/mart/$name", name)
-            val fs = new org.apache.hadoop.fs.Path(tmp)
-              .getFileSystem(s.sparkContext.hadoopConfiguration)
-            fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+            val live = new org.apache.hadoop.fs.Path(s"$root/mart/$name")
+            val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+            if (!fs.exists(live))
+              // FIRST load: the target does not exist, so no plan can be
+              // reading it — write the dim directly. The two-phase dance
+              // below otherwise costs a full extra write + read-back +
+              // delete per table on every initial backfill.
+              Writers.parquetTable(df, live.toString, name)
+            else {
+              // two-phase write: the merge reads the existing dim, so
+              // materialize to a staging location before overwriting the
+              // live one
+              val tmp = s"$root/mart/.tmp_$name"
+              Writers.parquet(df, tmp)
+              Writers.parquetTable(Readers.parquet(s, tmp), live.toString, name)
+              fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+            }
         }
         // the SCD2 merge caches each existing dim for its self-joins
         // (Scd2.faithful/idiomatic); those entries are dead once the dim is

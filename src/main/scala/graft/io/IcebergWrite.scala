@@ -342,15 +342,16 @@ object IcebergWrite {
     *     aggregation would return — for floats both sides order by
     *     `Double.compare`); INT96 timestamps have no usable stats and
     *     fall back.
-    *   - BINARY(STRING) bounds are accepted only when BOTH bounds are
-    *     pure ASCII: UTF-8 byte order (parquet) and UTF-16 order
-    *     (Spark's min/max) provably pick the same winner then — a
-    *     non-ASCII candidate can never order below an all-ASCII min or
-    *     above an all-ASCII max in either encoding, and among ASCII
-    *     strings the two orders coincide. The [[IcebergFormat
-    *     .serializeBound]] 32-byte cutoff applies after, exactly as on
-    *     the job path (truncated footer stats are > 32 bytes, so a
-    *     kept bound is always the exact full value).
+    *   - BINARY(STRING) bounds are exact for ANY content: Spark's
+    *     min/max orders by UTF8String.compareTo, which under the
+    *     default UTF8_BINARY collation is unsigned byte order over the
+    *     UTF-8 encoding — exactly parquet's BinaryStatistics
+    *     comparator, so both sides pick the same winner byte for byte
+    *     (spec-pinned with a fixture where UTF-16 and UTF-8 orders
+    *     disagree). The [[IcebergFormat.serializeBound]] 32-byte
+    *     cutoff applies after, exactly as on the job path (truncated
+    *     footer stats are > 32 bytes, so a kept bound is always the
+    *     exact full value).
     *   - all-null chunks contribute no bound (the job's min = null);
     *     zero-row files are omitted (the grouped-agg shape).
     * Any other shape — missing stats, non-ASCII strings, NaN bounds,
@@ -486,11 +487,20 @@ object IcebergWrite {
                     // string bounds (whatever their content — a
                     // truncated footer stat is always > 32 bytes, so
                     // it can only land here, never in a kept bound);
-                    // mirror it so manifests are byte-identical
+                    // mirror it so manifests are byte-identical.
+                    // ANY UTF-8 content is exact, not just ASCII: the
+                    // job's min/max orders by UTF8String.compareTo —
+                    // under the default UTF8_BINARY collation that is
+                    // unsigned byte order over the UTF-8 encoding,
+                    // which is EXACTLY parquet's BinaryStatistics
+                    // comparator, so both sides pick the same winner
+                    // byte for byte (IcebergFooterStatsSpec pins this
+                    // with a fixture where UTF-16 and UTF-8 orders
+                    // disagree — a supplementary-plane code point vs
+                    // U+FF61 — so a collation regression would fail
+                    // the byte-identity assertion, not silently skew
+                    // manifests).
                     if (lo.length > 32 || hi.length > 32) None
-                    // short non-ASCII bounds: UTF-8 vs UTF-16 order
-                    // can disagree — not provably the job's answer
-                    else if (!lo.forall(_ >= 0) || !hi.forall(_ >= 0)) return None
                     else Some((lo, hi))
                   case _ => return None
                 }

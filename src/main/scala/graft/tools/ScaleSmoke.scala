@@ -13,13 +13,12 @@ import org.apache.spark.sql.functions._
   *     # ×100 (~sf10, 60M lineitem), only queries matching the prefixes
   */
 object ScaleSmoke {
-  def main(args: Array[String]): Unit = {
-    val spark = GraftSession.builder("scale-smoke").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val src = "/root/testdata/sf0.1"
-    val out = graft.io.TempDirs.scratch("graft-sf1")
-    val copies = sys.env.getOrElse("SMOKE_COPIES", "10").toInt
 
+  /** Replicate the sf0.1 tables ×`copies` (shifted keys per copy) into
+    * `out` — shared by the manual smoke below and the recorded
+    * [[graft.BenchScale]] artifact. */
+  def replicateInto(spark: SparkSession, src: String, out: String,
+                    copies: Int): Unit = {
     def replicate(table: String, keyCols: Map[String, Long]): Unit = {
       val base = if (table == "events") graft.io.Readers.parquetNanos(spark, s"$src/$table.parquet", Seq("ts"))
                  else spark.read.parquet(s"$src/$table.parquet")
@@ -33,7 +32,6 @@ object ScaleSmoke {
         }.toIndexedSeq: _*)
       replicated.write.mode("overwrite").parquet(s"$out/$table.parquet")
     }
-
     // shift the join/entity keys so copies don't collide; dims stay as-is
     replicate("lineitem", Map("l_orderkey" -> 10000000L))
     replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
@@ -45,6 +43,15 @@ object ScaleSmoke {
     replicate("events", Map("event_id" -> 100000000L, "user_id" -> 10000000L))
     replicate("documents", Map("doc_id" -> 10000000L))
     replicate("embeddings", Map("vec_id" -> 10000000L))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("scale-smoke").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val out = graft.io.TempDirs.scratch("graft-sf1")
+    val copies = sys.env.getOrElse("SMOKE_COPIES", "10").toInt
+    replicateInto(spark, src, out, copies)
     println(s"[scale-smoke] replicated x$copies into $out")
 
     // events replicate wrote micro timestamps (already converted) — read plainly

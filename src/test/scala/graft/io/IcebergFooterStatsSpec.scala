@@ -77,18 +77,29 @@ class IcebergFooterStatsSpec extends AnyFunSuite {
       "the fixture must actually produce bounds")
   }
 
-  test("non-ASCII short strings fall back and still match the job path") {
+  test("non-ASCII short strings take the footer fast path byte-identically") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("footer-stats-zh").toString
-    val df = Seq((1L, "中文短串"), (2L, "another"), (3L, "ascii")).toDF("id", "s")
-    val misses0 = IcebergWrite.footerStatsMisses
+    // includes the case where UTF-16 (java String) order and UTF-8
+    // binary order DISAGREE: U+10000 (UTF-16 leads with surrogate
+    // D800; UTF-8 F0 90 80 80) vs U+FF61 (UTF-16 FF61; UTF-8 EF BD
+    // A1). Java order puts U+10000 first; Spark's UTF8_BINARY min/max
+    // and parquet's BinaryStatistics both put U+FF61 first. The
+    // byte-identity assertion below is the proof the fast path uses
+    // the job's order.
+    val supp = new String(Character.toChars(0x10000))
+    val df = Seq((1L, "中文短串"), (2L, supp), (3L, "｡"), (4L, "ascii"))
+      .toDF("id", "s")
+    val hits0 = IcebergWrite.footerStatsHits
     IcebergWrite.append(df, s"$base/fast")
-    assert(IcebergWrite.footerStatsMisses > misses0,
-      "a short non-ASCII string bound must force the job fallback")
+    assert(IcebergWrite.footerStatsHits > hits0,
+      "short non-ASCII string bounds are exact under UTF8_BINARY — no fallback")
     IcebergWrite.disableFooterStats = true
     try IcebergWrite.append(df, s"$base/job")
     finally IcebergWrite.disableFooterStats = false
-    assert(manifestStats(s"$base/fast") == manifestStats(s"$base/job"))
+    val fast = manifestStats(s"$base/fast")
+    assert(fast == manifestStats(s"$base/job"))
+    assert(fast.exists(_._2.contains(2)), "the string column must bound")
   }
 
   test("decimal columns get NO footer bounds (job path never bounds them)") {

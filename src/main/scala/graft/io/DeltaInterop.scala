@@ -4223,7 +4223,23 @@ object DeltaInterop {
         .filter(predicate <=> lit(true))
       if (withCdf) h.localCheckpoint(false) else h
     }
-    val perFile = dvDescriptorsFromHits(spark, dir, candidates, hits).collect()
+    // the descriptor collect and the CDF staging write are independent
+    // jobs over the pinned hits — overlap them (guide §2.6; empty hits
+    // produce an empty descriptor array and zero change files, so the
+    // no-op return below stays a no-op)
+    var perFile: Array[(String, String, Long, Long)] = Array.empty
+    var cdcs: Seq[AddFile] = Nil
+    if (withCdf)
+      graft.pipeline.Par.foreach(Seq(true, false), 2) {
+        case true =>
+          perFile = dvDescriptorsFromHits(spark, dir, candidates, hits).collect()
+        case false =>
+          cdcs = stageChangeData( // the pinned hits ARE the newly-deleted rows
+            hits.select(st.schema.fieldNames.map(col) :+ lit("delete").as("_change_type"): _*),
+            dir, st)
+      }
+    else
+      perFile = dvDescriptorsFromHits(spark, dir, candidates, hits).collect()
     if (perFile.isEmpty) return (st.version, 0, 0L)
     val idx = qualifiedIndex(spark, dir, candidates)
     val removes = Seq.newBuilder[String]
@@ -4237,11 +4253,6 @@ object DeltaInterop {
         adds += addJson(a.copy(deletionVector = desc))
       // else: every physical row is dead — the remove alone drops it
     }
-    val cdcs =
-      if (!withCdf) Nil
-      else stageChangeData( // the pinned hits ARE the newly-deleted rows
-        hits.select(st.schema.fieldNames.map(col) :+ lit("delete").as("_change_type"): _*),
-        dir, st)
     val v = commit(spark, dir, st.version + 1,
       dvProtocolActions(st) ++ (removes.result() ++ adds.result() ++ cdcs.map(cdcJson)),
       op = "DELETE")
@@ -4283,10 +4294,6 @@ object DeltaInterop {
     // partitions (r11 finding #1: this path paid 3 scans)
     val hits = scanWithProvenance(spark, dir, st, candidates)
       .filter(hit).localCheckpoint(false)
-    // distributed DV authoring — see deleteWhereDV; one descriptor row
-    // per touched file comes back, positions never leave the executors
-    val perFile = dvDescriptorsFromHits(spark, dir, candidates, hits).collect()
-    if (perFile.isEmpty) return (st.version, 0, 0L)
     val postimage = hits
       .select(st.schema.fieldNames.map { c =>
         set.get(c) match {
@@ -4295,9 +4302,24 @@ object DeltaInterop {
         }
       }: _*)
     enforceConstraints(postimage, st)
-    // postimage files hold only logically MODIFIED rows — the spec's
-    // fresh-row-id case; the DV'd originals keep their ids via copy
-    val staged = stageForTable(postimage, dir, st)
+    // distributed DV authoring (see deleteWhereDV; one descriptor row
+    // per touched file, positions never leave the executors) and the
+    // postimage staging write are INDEPENDENT jobs over the
+    // checkpointed hits — overlap them on two driver threads (guide
+    // §2.6) instead of back to back. An empty hit set yields an empty
+    // descriptor array AND zero staged files (stageData deletes
+    // zero-record files), so the no-op return below stays a no-op.
+    // Postimage files hold only logically MODIFIED rows — the spec's
+    // fresh-row-id case; the DV'd originals keep their ids via copy.
+    var perFile: Array[(String, String, Long, Long)] = Array.empty
+    var staged: Seq[AddFile] = Nil
+    graft.pipeline.Par.foreach(Seq(true, false), 2) {
+      case true =>
+        perFile = dvDescriptorsFromHits(spark, dir, candidates, hits).collect()
+      case false =>
+        staged = stageForTable(postimage, dir, st)
+    }
+    if (perFile.isEmpty) return (st.version, 0, 0L)
     val (newAdds, rtActions) =
       if (rowTrackingEnabled(st)) {
         val (a2, dom) = assignFreshRowIds(st, staged, st.version + 1)

@@ -48,12 +48,26 @@ object WarcWriter {
             r.getString(3), r.getString(4))
           if (gzip) {
             // one gzip MEMBER per record — the Common Crawl layout,
-            // letting a reader skip records without decompressing all
-            val g = new java.util.zip.GZIPOutputStream(out, 64 << 10)
-            g.write(bytes); g.finish()
+            // letting a reader skip records without decompressing all.
+            // finish() flushes the member but does NOT release the
+            // stream's native zlib Deflater (only close() does, and
+            // close() would close the shared archive stream) — without
+            // the explicit end() every record leaked a native deflater
+            // (~hundreds of KB zlib state each) until finalization,
+            // which at x10 scale ballooned into GBs of native memory
+            // and nondeterministic 15x archive-write slowdowns
+            val g = new MemberGzipStream(out)
+            g.write(bytes); g.finish(); g.endDeflater()
           } else out.write(bytes)
         } finally out.close()
       }
     }
+  }
+
+  /** Per-member gzip stream whose native deflater can be released
+    * without closing the underlying (shared) archive stream. */
+  private class MemberGzipStream(out: java.io.OutputStream)
+      extends java.util.zip.GZIPOutputStream(out, 64 << 10) {
+    def endDeflater(): Unit = `def`.end()
   }
 }
